@@ -1,13 +1,289 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.cdc.Changelog
+import graft.schema.{Flattener, Stringifier}
+import graft.shard.{ModuloSharding, ShardingStrategyFactory}
+import graft.sink.DocQueries
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every query is deterministic: decimal arithmetic for aggregated doubles
+  * (exact, then one final cast to double — identical bits in Spark and
+  * DuckDB), and a total ORDER BY on a unique key in both engines.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+
+  // ---- shared helpers -----------------------------------------------------
+
+  private def dec(c: Column): Column = c.cast("decimal(12,2)")
+
+  /** events with `op` RowKind column synthesized from event_type — the CDC
+    * test fixture: signup→+I, error→-D, view→-U (dropped), rest→+U.
+    */
+  private def eventsChangelog(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("op",
+        when(col("event_type") === "signup", Changelog.Insert)
+          .when(col("event_type") === "error", Changelog.Delete)
+          .when(col("event_type") === "view", Changelog.UpdateBefore)
+          .otherwise(Changelog.UpdateAfter))
+
+  // ---- query registry -----------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // §2 S1/S3 — full source scan, every column (ts as epoch micros).
+    "s1_scan_events" -> ((s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+        .orderBy("event_id")),
+
+    // §2 S2 — incremental snapshot scan: only records past the checkpoint.
+    "s2_incremental_scan" -> ((s, d) =>
+      Tables.events(s, d)
+        .filter(col("ts") >= lit("2024-01-15 00:00:00").cast(TimestampType))
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_type"))
+        .orderBy("event_id")),
+
+    // §2 F3 — modulo sharding: partition filter from a service name.
+    "f3_shard_modulo" -> ((s, d) => {
+      val shard = ModuloSharding.forService("user_id", 8, "nrtsearch-idx-3")
+      ShardingStrategyFactory(Tables.events(s, d), shard)
+        .select("event_id", "user_id").orderBy("event_id")
+    }),
+
+    // §2 P1 — nested-struct flattening to parent_child columns.
+    "p1_flatten" -> ((s, d) => {
+      val nested = Tables.documents(s, d).select(
+        col("doc_id"),
+        struct(col("source").as("author"), col("n_chars").as("len"))
+          .as("metadata"),
+        col("lang"))
+      Flattener.flatten(nested).orderBy("doc_id")
+    }),
+
+    // §2 P2 — typed row → string-document conversion (§1.2 rules).
+    "p2_stringify" -> ((s, d) =>
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        Stringifier.stringify(col("l_orderkey"), LongType).as("orderkey_str"),
+        Stringifier.stringify(col("l_linenumber"), IntegerType).as("linenumber_str"),
+        Stringifier.stringify(dec(col("l_quantity")), DecimalType(12, 2)).as("quantity_str"),
+        Stringifier.stringify(to_date(col("l_shipdate")), DateType).as("shipdate_days"),
+        Stringifier.stringify(col("l_shipdate"), TimestampNTZType).as("shipdate_ms"),
+        Stringifier.stringify(col("l_returnflag"), StringType).as("returnflag_str"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // §2 P3 — column rename via field mapping.
+    "p3_rename" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumnRenamed("source", "origin")
+        .withColumnRenamed("n_chars", "char_count")
+        .orderBy("doc_id")),
+
+    // §2 P4 — drop columns by prefix.
+    "p4_drop_prefix" -> ((s, d) => {
+      val df = Tables.documents(s, d)
+      val dropped = df.columns.filter(c => Seq("n_").exists(c.startsWith))
+      df.drop(dropped: _*).orderBy("doc_id")
+    }),
+
+    // §2 P7 — poison-pill filter: conversion failures skipped, not fatal.
+    "p7_poison_filter" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .filter(col("k").isNotNull && col("k") % 3 =!= 0)
+        .select("event_id", "k").orderBy("event_id")),
+
+    // §2 C1 — RowKind state machine: -U dropped, +I/+U upsert, -D delete.
+    "c1_cdc_classify" -> ((s, d) =>
+      Changelog.classify(eventsChangelog(s, d), "op")
+        .select(col("event_id"), col("_action")).orderBy("event_id")),
+
+    // §2 C2/C6 — per-key compaction in explicit (snapshot, sequence) order.
+    "c2_cdc_compact" -> ((s, d) =>
+      Changelog.compact(
+        Changelog.classify(eventsChangelog(s, d), "op"),
+        "user_id", Seq(col("ts_us"), col("event_id")))
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("_action").as("final_action"))
+        .orderBy("user_id")),
+
+    // §2 C4 — delete-by-key-set (TermInSetQuery) as a left-anti join.
+    "c4_delete_keyset" -> ((s, d) => {
+      val deleted = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+      Changelog.deleteByKeySet(Tables.lineitem(s, d), "l_orderkey", deleted)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    // §2 C7 — full changelog merge into a keyed snapshot (upsert+delete).
+    "c7_cdc_merge" -> ((s, d) => {
+      val cl = eventsChangelog(s, d)
+      val cutoff = lit("2024-01-15 00:00:00").cast(TimestampType)
+      val baseCompact = Changelog.compact(
+        Changelog.classify(cl.filter(col("ts") < cutoff), "op"),
+        "user_id", Seq(col("ts_us"), col("event_id")))
+      val base = baseCompact.filter(col("_action") === "upsert")
+        .select("user_id", "event_id", "value")
+      val changes = Changelog.compact(
+        Changelog.classify(cl.filter(col("ts") >= cutoff), "op"),
+        "user_id", Seq(col("ts_us"), col("event_id")))
+        .select(col("user_id"), col("event_id"), col("value"), col("_action"))
+      Changelog.merge(base, changes, "user_id")
+        .withColumnRenamed("event_id", "last_event_id")
+        .orderBy("user_id")
+    }),
+
+    // §2 B1/C3 — size-bounded micro-batching: 1000-record batches in
+    // arrival (event_id) order, one summary row per batch.
+    "b1_batching" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("batch_id",
+          floor((row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy("event_id")) - 1) / 1000))
+        .groupBy("batch_id")
+        .agg(count(lit(1)).as("n_docs"),
+          min("event_id").as("first_id"), max("event_id").as("last_id"))
+        .orderBy("batch_id")),
+
+    // §2.6 — TermQuery point lookup.
+    "q_term" -> ((s, d) =>
+      DocQueries.term(Tables.documents(s, d), "lang", "en")
+        .select("doc_id", "lang", "source").orderBy("doc_id")),
+
+    // §2.6 — TermInSetQuery set membership.
+    "q_term_in_set" -> ((s, d) =>
+      DocQueries.termInSet(Tables.documents(s, d), "lang", Seq("de", "fr"))
+        .select("doc_id", "lang").orderBy("doc_id")),
+
+    // §2.6 — full-text MatchQuery (OR of query tokens).
+    "q_match_text" -> ((s, d) =>
+      DocQueries.matchText(Tables.documents(s, d), "text", "merge window")
+        .select("doc_id").orderBy("doc_id")),
+
+    // §2.6 — MatchAllQuery + field retrieval.
+    "q_match_all" -> ((s, d) =>
+      DocQueries.retrieve(DocQueries.matchAll(Tables.documents(s, d)),
+        Seq("doc_id", "source")).orderBy("doc_id")),
+
+    // Flagship aggregation (engine-completeness; bench headliner).
+    "q1_agg" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast(TimestampNTZType))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+  )
+
+  // ---- DuckDB oracles -----------------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+    "s1_scan_events" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
+         FROM events ORDER BY event_id""",
+    "s2_incremental_scan" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, event_type FROM events
+         WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' ORDER BY event_id""",
+    "f3_shard_modulo" ->
+      """SELECT event_id, user_id FROM events WHERE user_id % 8 = 3
+         ORDER BY event_id""",
+    "p1_flatten" ->
+      """SELECT doc_id, source AS metadata_author, n_chars AS metadata_len, lang
+         FROM documents ORDER BY doc_id""",
+    "p2_stringify" ->
+      """SELECT l_orderkey, l_linenumber,
+           CAST(l_orderkey AS VARCHAR) AS orderkey_str,
+           CAST(l_linenumber AS VARCHAR) AS linenumber_str,
+           CAST(CAST(l_quantity AS DECIMAL(12,2)) AS VARCHAR) AS quantity_str,
+           CAST(datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS VARCHAR) AS shipdate_days,
+           CAST(epoch_ms(l_shipdate) AS VARCHAR) AS shipdate_ms,
+           l_returnflag AS returnflag_str
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "p3_rename" ->
+      """SELECT doc_id, text, lang, source AS origin, n_chars AS char_count
+         FROM documents ORDER BY doc_id""",
+    "p4_drop_prefix" ->
+      """SELECT doc_id, text, lang, source FROM documents ORDER BY doc_id""",
+    "p7_poison_filter" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+         FROM events
+         WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) % 3 <> 0
+         ORDER BY event_id""",
+    "c1_cdc_classify" ->
+      """SELECT event_id,
+           CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS _action
+         FROM events WHERE event_type <> 'view' ORDER BY event_id""",
+    "c2_cdc_compact" ->
+      """SELECT user_id, event_id AS last_event_id,
+           CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS final_action
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+               FROM events WHERE event_type <> 'view') t
+         WHERE rn = 1 ORDER BY user_id""",
+    "c4_delete_keyset" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem
+         WHERE l_orderkey NOT IN
+           (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "c7_cdc_merge" ->
+      """SELECT user_id, event_id AS last_event_id, value
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+               FROM events WHERE event_type <> 'view') t
+         WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""",
+    "b1_batching" ->
+      """SELECT batch_id, count(*) AS n_docs, min(event_id) AS first_id,
+           max(event_id) AS last_id
+         FROM (SELECT event_id,
+                 CAST(floor((row_number() OVER (ORDER BY event_id) - 1) / 1000)
+                   AS BIGINT) AS batch_id
+               FROM events) t
+         GROUP BY batch_id ORDER BY batch_id""",
+    "q_term" ->
+      """SELECT doc_id, lang, source FROM documents WHERE lang = 'en'
+         ORDER BY doc_id""",
+    "q_term_in_set" ->
+      """SELECT doc_id, lang FROM documents WHERE lang IN ('de', 'fr')
+         ORDER BY doc_id""",
+    "q_match_text" ->
+      """SELECT doc_id FROM documents
+         WHERE list_has_any(string_split(lower(text), ' '), ['merge', 'window'])
+         ORDER BY doc_id""",
+    "q_match_all" ->
+      """SELECT doc_id, source FROM documents ORDER BY doc_id""",
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                    (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+             AS DOUBLE) AS sum_disc_price,
+           count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+  )
 }

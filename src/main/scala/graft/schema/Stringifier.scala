@@ -1,0 +1,109 @@
+package graft.schema
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Typed row → string-document projection (SURVEY §2.2 P2, §1.2 type table).
+  *
+  * Reproduces the reference's per-type conversion semantics
+  * (`PaimonToAddDocumentConverter.java:119-220`) as pure Catalyst column
+  * expressions — every rule is a built-in function composition, so the whole
+  * conversion stays inside whole-stage codegen, shuffles nothing, and scales
+  * linearly with input splits:
+  *
+  *   - bool / integral / floating → `String.valueOf` ≡ `cast(string)`
+  *   - decimal                     → plain string (no scientific notation)
+  *   - date                       → days-since-epoch integer string
+  *   - timestamp                  → epoch-millis string
+  *   - binary                     → Base64 string
+  *   - array                      → JSON array string: numerics/booleans
+  *     unquoted, strings quoted + escaped, nulls as `null` literal, binary
+  *     as quoted base64 (`PaimonToAddDocumentConverter.java:226-274`)
+  *   - map                        → JSON object, keys/values quoted
+  *     (`:288-302`, simplified all-string form)
+  *   - struct                     → proper JSON via `to_json` (the
+  *     reference emits a `{"nested":"row"}` placeholder, acknowledged in
+  *     its TODO.md:11 — we implement the real conversion)
+  */
+object Stringifier {
+
+  /** JSON string escaping exactly as the reference's `escapeJsonString`
+    * (`PaimonToAddDocumentConverter.java:277-285`): backslash, quote,
+    * newline, CR, tab — nothing else.
+    */
+  def escapeJson(c: Column): Column = {
+    // Order matters: backslash first, like the chained String.replace calls.
+    val steps = Seq("\\" -> "\\\\", "\"" -> "\\\"", "\n" -> "\\n",
+      "\r" -> "\\r", "\t" -> "\\t")
+    steps.foldLeft(c) { case (acc, (from, to)) =>
+      replace(acc, lit(from), lit(to))
+    }
+  }
+
+  /** One array element → its JSON token (string result, never null). */
+  private def jsonElement(e: Column, elemType: DataType): Column = {
+    val tok = elemType match {
+      case BooleanType | ByteType | ShortType | IntegerType | LongType |
+          FloatType | DoubleType | _: DecimalType =>
+        e.cast(StringType)
+      case StringType => concat(lit("\""), escapeJson(e), lit("\""))
+      case BinaryType => concat(lit("\""), base64(e), lit("\""))
+      case _ => concat(lit("\""), escapeJson(stringify(e, elemType)), lit("\""))
+    }
+    when(e.isNull, lit("null")).otherwise(tok)
+  }
+
+  /** Array column → reference-format JSON array string. */
+  def arrayToJson(c: Column, elemType: DataType): Column =
+    concat(lit("["),
+      array_join(transform(c, e => jsonElement(e, elemType)), ","),
+      lit("]"))
+
+  /** Map column → simplified JSON object (all keys/values quoted). */
+  def mapToJson(c: Column): Column =
+    concat(lit("{"),
+      array_join(
+        transform(map_entries(c), kv =>
+          concat(lit("\""), kv.getField("key").cast(StringType), lit("\":\""),
+            kv.getField("value").cast(StringType), lit("\""))),
+        ","),
+      lit("}"))
+
+  /** The per-type string conversion (§1.2). Result is a string column that
+    * is null iff the input is null (null elision happens at document
+    * assembly, SURVEY P5).
+    */
+  def stringify(c: Column, dt: DataType): Column = dt match {
+    case BooleanType | ByteType | ShortType | IntegerType | LongType |
+        FloatType | DoubleType | StringType | _: DecimalType =>
+      c.cast(StringType)
+    case DateType =>
+      // days since epoch as integer string, NOT ISO (reference :165-168)
+      datediff(c, to_date(lit("1970-01-01"))).cast(StringType)
+    case TimestampType =>
+      unix_millis(c).cast(StringType)
+    case TimestampNTZType =>
+      // NTZ treated as UTC wall-clock (session is pinned to UTC)
+      unix_millis(c.cast(TimestampType)).cast(StringType)
+    case BinaryType =>
+      base64(c)
+    case ArrayType(et, _) =>
+      arrayToJson(c, et)
+    case MapType(_, _, _) =>
+      mapToJson(c)
+    case _: StructType =>
+      to_json(c)
+    case other =>
+      // unsupported type → the reference warns + drops; we surface the
+      // value as a plain cast so nothing is silently lost
+      c.cast(StringType)
+  }
+
+  /** Whole-row conversion: every column to its document string form,
+    * preserving names. One `select`, zero shuffles.
+    */
+  def stringifyAll(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.select(df.schema.fields.toSeq.map(f =>
+      stringify(col(f.name), f.dataType).alias(f.name)): _*)
+}
