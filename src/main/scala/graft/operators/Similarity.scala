@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Approximate-nearest-neighbor search over embedding columns.
+  *
+  * Scale design:
+  *   - `bruteForceTopK` against a literal query vector is a single
+  *     map-side pass (cosine per row) + a top-k (`orderBy.limit` →
+  *     TakeOrderedAndProject, which keeps only k rows per partition and
+  *     merges on the driver). No shuffle of the corpus. This is the exact
+  *     baseline.
+  *   - `annBuckets` assigns every vector a `nBits`-bit random-hyperplane
+  *     signature (deterministic pseudo-random planes derived from a seed —
+  *     no driver-side randomness, reproducible across runs and executors).
+  *     Same-signature vectors are cosine-close with high probability;
+  *     bucketing is one narrow projection, so a bucketed (IVF-style)
+  *     search only scans the probe's bucket — corpus-size-independent
+  *     per-query cost given balanced buckets.
+  *   - `annTopK` = brute force within the query's bucket (optionally
+  *     multi-probe by Hamming-adjacent buckets).
+  */
+object Similarity {
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * integer-hash → uniform in [-1, 1). Same formula on every executor —
+    * the planes are never materialized or broadcast.
+    */
+  private def planeComponent(plane: Int, dim: Column, seed: Int): Column = {
+    val h = xxhash64(lit(seed), lit(plane), dim)
+    (h.cast("double") / lit(Long.MaxValue.toDouble))
+  }
+
+  /** nBits-bit random-hyperplane signature of a vector column. */
+  def rhpSignature(vec: Column, nBits: Int, seed: Int = 42): Column = {
+    val proj = (0 until nBits).map { p =>
+      // Σ_i v[i] * plane_p[i]  — aggregate over (value, index) pairs
+      val dotp = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (v, i) => v.cast("double") * planeComponent(p, i, seed)),
+        lit(0.0), (acc, x) => acc + x)
+      when(dotp >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    proj.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Exact brute-force cosine top-k for one query vector (as a Scala seq —
+    * becomes a literal array, broadcast implicitly in the plan).
+    */
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int): DataFrame = {
+    val qLit = array(query.map(lit): _*)
+    df.select(col(idCol),
+        VectorFunctions.cosine(col(vecCol), qLit).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Exact all-pairs top-k neighbors per vector (small corpora / within
+    * candidate buckets): window-ranked pair join.
+    */
+  def allPairsTopK(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    val w = Window.partitionBy(col("id_a")).orderBy(col("cosine").desc, col("id_b"))
+    a.join(b, col("id_a") =!= col("id_b"))
+      .withColumn("cosine", VectorFunctions.cosine(col("va"), col("vb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("id_a", "id_b", "cosine", "rank")
+  }
+
+  /** Attach the LSH bucket signature (IVF-style partition key). */
+  def annBuckets(df: DataFrame, vecCol: String, nBits: Int = 12,
+      seed: Int = 42): DataFrame =
+    df.withColumn("bucket", rhpSignature(col(vecCol), nBits, seed))
+
+  /** ANN top-k for one query: brute-force cosine restricted to the query's
+    * bucket (plus Hamming-1 neighbor buckets when `multiProbe`).
+    */
+  def annTopK(bucketed: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int, nBits: Int = 12, seed: Int = 42,
+      multiProbe: Boolean = true): DataFrame = {
+    val spark = bucketed.sparkSession
+    val qDf = spark.range(1).select(
+      rhpSignature(array(query.map(lit): _*), nBits, seed).as("qb"))
+    val qBucket = qDf.head().getLong(0)
+    val probes: Seq[Long] =
+      if (multiProbe) qBucket +: (0 until nBits).map(b => qBucket ^ (1L << b))
+      else Seq(qBucket)
+    bruteForceTopK(
+      bucketed.filter(col("bucket").isin(probes: _*)), idCol, vecCol, query, k)
+  }
+}

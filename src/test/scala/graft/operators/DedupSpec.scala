@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup keeps lowest id per duplicate group") {
+    val df = Seq((1L, "same"), (2L, "same"), (3L, "other")).toDF("id", "text")
+    val out = Dedup.exact(df, "id", Seq("text")).orderBy("keep_id")
+      .as[(String, Long, Long)] // (text, keep_id, n_copies)
+    val rows = Dedup.exact(df, "id", Seq("text"))
+      .select("keep_id", "n_copies").orderBy("keep_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(rows == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("dropExactDuplicates returns surviving rows") {
+    val df = Seq((2L, "same"), (1L, "same"), (3L, "other")).toDF("id", "text")
+    val out = Dedup.dropExactDuplicates(df, "id", Seq("text"))
+    assert(out.select("id").as[Long].collect().toSet == Set(1L, 3L))
+  }
+
+  test("identical docs have identical minhash signature and simhash") {
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"))
+      .toDF("id", "text")
+    val sigs = df.select(
+      Dedup.minhashSignature(col("text"), 3, 16).as("mh"),
+      Dedup.simhash(col("text")).as("sh"))
+      .collect()
+    assert(sigs(0) == sigs(1))
+  }
+
+  test("simhash of near-identical docs is within small hamming distance") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again tomorrow"))
+      .toDF("id", "text")
+    val pairs = Dedup.simhashDedup(docs, "id", "text", maxHamming = 16)
+    assert(pairs.count() == 1)
+  }
+
+  test("minhash LSH recall vs exact ngram jaccard on real documents") {
+    val docs = Tables.documents(spark, sf)
+    val exact = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val mh = Dedup.minhashDedup(docs, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(mh.subsetOf(exact)) // verification step guarantees precision 1.0
+    if (exact.nonEmpty) {
+      val recall = mh.size.toDouble / exact.size
+      assert(recall >= 0.8, s"minhash recall $recall too low (${mh.size}/${exact.size})")
+    }
+  }
+
+  test("embedding cosine pairs are symmetric-free and above threshold") {
+    val out = Dedup.embeddingCosinePairs(
+      Tables.embeddings(spark, sf), "vec_id", "embedding", 0.3)
+    val rows = out.as[(Long, Long, Double)].collect()
+    assert(rows.forall { case (a, b, c) => a < b && c >= 0.3 })
+    assert(rows.nonEmpty)
+  }
+}

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+import graft.functions.VectorFunctions
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    val df = spark.range(1).select(
+      VectorFunctions.cosine(array(lit(1.0f), lit(0.0f)), array(lit(1.0f), lit(0.0f))).as("same"),
+      VectorFunctions.cosine(array(lit(1.0f), lit(0.0f)), array(lit(0.0f), lit(1.0f))).as("orth"))
+    val r = df.head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+  }
+
+  test("brute-force top-k returns the query itself first") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0)
+    val top = Similarity.bruteForceTopK(e, "vec_id", "embedding", q, 5)
+      .select("vec_id").as[Long].collect()
+    assert(top.head == 0L)
+    assert(top.length == 5)
+  }
+
+  test("ANN with multi-probe achieves usable recall vs brute force") {
+    // The synthetic embeddings are near-uniform on the sphere (max pair
+    // cosine ≈ 0.37), the hardest case for angular LSH — so the bound here
+    // is modest; real near-dup corpora cluster far more tightly.
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") === 7).select("embedding")
+      .head().getSeq[Float](0)
+    val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding", q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val bucketed = Similarity.annBuckets(e, "embedding", nBits = 4)
+    val ann = Similarity.annTopK(bucketed, "vec_id", "embedding", q, 10, nBits = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ann.contains(7L)) // the query's own bucket is always probed
+    val recall = (exact intersect ann).size.toDouble / exact.size
+    assert(recall >= 0.2, s"ANN recall@10 = $recall")
+  }
+
+  test("bucket signature is deterministic across evaluations") {
+    val e = Tables.embeddings(spark, sf).limit(50)
+    val a = Similarity.annBuckets(e, "embedding").select("vec_id", "bucket")
+      .as[(Long, Long)].collect().toMap
+    val b = Similarity.annBuckets(e, "embedding").select("vec_id", "bucket")
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
+}

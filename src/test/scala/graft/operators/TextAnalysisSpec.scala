@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.TextFunctions
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the cat sat on the mat"),
+    (2L, "der hund ist nicht hier und der ball ist da"),
+    (3L, ""),
+    (4L, "le chat est dans la maison")).toDF("id", "text")
+
+  test("token count handles empty and multi-space text") {
+    val counts = Seq((1L, "a b  c"), (2L, ""), (3L, "  x  "))
+      .toDF("id", "text")
+      .select(TextFunctions.tokenCount(col("text"))).as[Int].collect().toSeq
+    assert(counts == Seq(3, 0, 1))
+  }
+
+  test("word shingles: n-grams, short docs collapse to one shingle") {
+    val sh = spark.range(1).select(
+      TextFunctions.wordShingles(lit("a b c d"), 3).as("s3"),
+      TextFunctions.wordShingles(lit("a b"), 3).as("short"))
+    val r = sh.head()
+    assert(r.getSeq[String](0) == Seq("a b c", "b c d"))
+    assert(r.getSeq[String](1) == Seq("a b"))
+  }
+
+  test("language id picks the marker-richest language") {
+    val preds = TextAnalysis.languageId(docs, "id", "text")
+      .orderBy("id").select("pred_lang").as[String].collect().toSeq
+    assert(preds == Seq("en", "de", "und", "fr"))
+  }
+
+  test("quality features on empty text are zero, not null/NaN") {
+    val q = TextAnalysis.quality(docs, "id", "text").filter(col("id") === 3)
+      .select("n_tokens", "mean_token_len", "punct_ratio", "stopword_ratio")
+      .as[(Int, Double, Double, Double)].head()
+    assert(q == ((0, 0.0, 0.0, 0.0)))
+  }
+
+  test("fingerprint is order- and duplication-invariant") {
+    val fps = Seq((1L, "b a c a"), (2L, "a b c"), (3L, "a b d"))
+      .toDF("id", "text")
+    val out = TextAnalysis.fingerprints(fps, "id", "text")
+      .select("fingerprint").as[String].collect()
+    assert(out(0) == out(1))
+    assert(out(0) != out(2))
+  }
+
+  test("piece tokens split punctuation but not word runs") {
+    val out = TextAnalysis.tokenCounts(
+      Seq((1L, "hello, world! x9")).toDF("id", "text"), "id", "text")
+      .select("ws_tokens", "piece_tokens").as[(Int, Int)].head()
+    assert(out == ((3, 5))) // hello , world ! x9
+  }
+}

@@ -1,0 +1,84 @@
+package graft.schema
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+
+import graft.SparkSpec
+
+/** Golden-value tests mirroring the reference's converter tests
+  * (PaimonToAddDocumentConverterTest.java:77-353,
+  * AvroToAddDocumentConverterTest.java:28-209): exact output strings for
+  * every type conversion rule in SURVEY §1.2.
+  */
+class StringifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column): String =
+    spark.range(1).select(c.cast(StringType)).head.getString(0)
+
+  test("numerics and booleans via String.valueOf semantics") {
+    assert(one(Stringifier.stringify(lit(true), BooleanType)) == "true")
+    assert(one(Stringifier.stringify(lit(42), IntegerType)) == "42")
+    assert(one(Stringifier.stringify(lit(123456789012345L), LongType)) == "123456789012345")
+    assert(one(Stringifier.stringify(lit(0.6789f), FloatType)) == "0.6789")
+    assert(one(Stringifier.stringify(lit(-0.12345), DoubleType)) == "-0.12345")
+  }
+
+  test("decimal renders plain, preserving scale") {
+    assert(one(Stringifier.stringify(lit(BigDecimal("123.45")).cast(DecimalType(10, 2)),
+      DecimalType(10, 2))) == "123.45")
+  }
+
+  test("date is days-since-epoch integer string, not ISO") {
+    // 2024-01-01 = 19723 days after 1970-01-01 (reference test :140-146)
+    assert(one(Stringifier.stringify(to_date(lit("2024-01-01")), DateType)) == "19723")
+  }
+
+  test("timestamp is epoch millis string") {
+    assert(one(Stringifier.stringify(
+      lit("2024-01-01 00:00:00").cast(TimestampType), TimestampType)) == "1704067200000")
+  }
+
+  test("binary is base64") {
+    assert(one(Stringifier.stringify(lit("hello".getBytes("UTF-8")), BinaryType)) == "aGVsbG8=")
+  }
+
+  test("numeric array renders unquoted JSON incl. null literal") {
+    val c = Stringifier.stringify(
+      array(lit(1.5), lit(null).cast(DoubleType), lit(2.5)), ArrayType(DoubleType))
+    assert(one(c) == "[1.5,null,2.5]") // reference test :263-266
+  }
+
+  test("float embedding array matches String.valueOf formatting") {
+    val c = Stringifier.stringify(
+      array(lit(-0.12345f), lit(0.6789f)), ArrayType(FloatType))
+    assert(one(c) == "[-0.12345,0.6789]") // reference test :231 (no padding)
+  }
+
+  test("string array quotes and escapes elements") {
+    val c = Stringifier.stringify(
+      array(lit("a"), lit("デー"), lit("q\"x\\y\n")), ArrayType(StringType))
+    assert(one(c) == "[\"a\",\"デー\",\"q\\\"x\\\\y\\n\"]") // escaping :277-285
+  }
+
+  test("binary array elements render as quoted base64") {
+    val c = Stringifier.stringify(
+      array(lit("hi".getBytes("UTF-8"))), ArrayType(BinaryType))
+    assert(one(c) == "[\"aGk=\"]")
+  }
+
+  test("map renders as all-quoted JSON object") {
+    val c = Stringifier.stringify(
+      map(lit("k1"), lit("v1"), lit("k2"), lit("v2")),
+      MapType(StringType, StringType))
+    assert(one(c) == "{\"k1\":\"v1\",\"k2\":\"v2\"}")
+  }
+
+  test("struct renders as proper JSON (reference gap implemented)") {
+    val c = Stringifier.stringify(
+      struct(lit(1).as("a"), lit("x").as("b")),
+      StructType(Seq(StructField("a", IntegerType), StructField("b", StringType))))
+    assert(one(c) == "{\"a\":1,\"b\":\"x\"}")
+  }
+}

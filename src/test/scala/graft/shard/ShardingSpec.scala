@@ -1,0 +1,63 @@
+package graft.shard
+
+import graft.SparkSpec
+import graft.Tables
+
+/** Service-name parsing and pruning semantics mirroring
+  * ModuloShardingStrategyTest.java:35-262.
+  */
+class ShardingSpec extends SparkSpec {
+
+  test("shard id parses from trailing integer of service name") {
+    assert(ModuloSharding.shardIdFromServiceName("svc-23") == 23)
+    assert(ModuloSharding.shardIdFromServiceName("nrtsearch-index-0") == 0)
+    assert(ModuloSharding.shardIdFromServiceName("a7") == 7)
+  }
+
+  test("service name without trailing digits is rejected") {
+    assertThrows[IllegalArgumentException] {
+      ModuloSharding.shardIdFromServiceName("no-digits")
+    }
+    assertThrows[IllegalArgumentException] {
+      ModuloSharding.shardIdFromServiceName("")
+    }
+  }
+
+  test("overflowing shard suffix is rejected") {
+    assertThrows[IllegalArgumentException] {
+      ModuloSharding.shardIdFromServiceName("svc-99999999999999999999")
+    }
+  }
+
+  test("shard id out of [0, maxShards) is rejected") {
+    assertThrows[IllegalArgumentException] {
+      ModuloSharding("f", maxShards = 8, shardId = 8)
+    }
+  }
+
+  test("geo strategy is an explicit unsupported placeholder") {
+    assertThrows[UnsupportedOperationException] {
+      ShardingStrategyFactory.create("geo")
+    }
+  }
+
+  test("unknown strategy defaults to no sharding") {
+    assert(ShardingStrategyFactory.create("whatever") == NoSharding)
+  }
+
+  test("modulo filter keeps exactly the shard's rows and they partition completely") {
+    val ev = Tables.events(spark, sf)
+    val total = ev.count()
+    val counts = (0 until 8).map { i =>
+      ShardingStrategyFactory(ev, ModuloSharding("user_id", 8, i)).count()
+    }
+    assert(counts.sum == total) // shards are a partition of the table
+  }
+
+  test("validate rejects a missing partition field") {
+    assertThrows[IllegalArgumentException] {
+      ShardingStrategyFactory(Tables.events(spark, sf),
+        ModuloSharding("not_a_col", 8, 1))
+    }
+  }
+}

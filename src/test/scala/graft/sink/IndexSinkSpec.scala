@@ -1,0 +1,62 @@
+package graft.sink
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+class IndexSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docSchema = StructType(Seq(
+    StructField("_id", StringType), StructField("v", StringType)))
+
+  test("parquet sink: upsert replaces, delete removes, commit versions") {
+    val dir = java.nio.file.Files.createTempDirectory("sink").toString
+    val sink = new ParquetIndexSink(spark, dir)
+
+    sink.addDocuments(Seq(("a", "v1"), ("b", "b1")).toDF("_id", "v"))
+    sink.commit()
+    assert(sink.searchable().count() == 2)
+
+    // upsert: same _id replaces (Lucene updateDocument semantics)
+    sink.addDocuments(Seq(("a", "v2")).toDF("_id", "v"))
+    sink.commit()
+    val afterUpsert = sink.searchable().orderBy("_id")
+      .as[(String, String)].collect().toSeq
+    assert(afterUpsert == Seq(("a", "v2"), ("b", "b1")))
+
+    // delete by key set
+    sink.deleteByIds(Seq("b"))
+    sink.commit()
+    assert(sink.searchable().as[(String, String)].collect().toSeq == Seq(("a", "v2")))
+
+    // INSERT→DELETE→INSERT in one batch window: exactly one final doc
+    sink.deleteByIds(Seq("a"))
+    sink.addDocuments(Seq(("a", "v3")).toDF("_id", "v"))
+    sink.commit()
+    assert(sink.searchable().as[(String, String)].collect().toSeq == Seq(("a", "v3")))
+  }
+
+  test("uncommitted writes are not visible (commit gating)") {
+    val dir = java.nio.file.Files.createTempDirectory("sink2").toString
+    val sink = new ParquetIndexSink(spark, dir)
+    sink.addDocuments(Seq(("a", "v1")).toDF("_id", "v"))
+    sink.commit()
+    sink.addDocuments(Seq(("b", "x")).toDF("_id", "v"))
+    // no commit — searchable still shows only the committed version
+    assert(sink.searchable().count() == 1)
+  }
+
+  test("doc queries: term, term-in-set, match-text over an index view") {
+    val idx = Seq(
+      ("1", "en", "the quick brown fox"),
+      ("2", "de", "der schnelle fuchs"),
+      ("3", "en", "lazy dogs sleep")).toDF("_id", "lang", "text")
+    assert(DocQueries.matchAll(idx).count() == 3)
+    assert(DocQueries.term(idx, "lang", "de").select("_id").as[String].head() == "2")
+    assert(DocQueries.termInSet(idx, "_id", Seq("1", "3")).count() == 2)
+    assert(DocQueries.matchText(idx, "text", "FOX sleeping").select("_id")
+      .as[String].collect().toSet == Set("1"))
+  }
+}
