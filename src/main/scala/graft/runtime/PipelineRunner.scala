@@ -1,0 +1,145 @@
+package graft.runtime
+
+import java.util.concurrent.atomic.{AtomicLong, AtomicReference}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.cdc.Changelog
+import graft.config.PipelineConfig
+import graft.sink.IndexSink
+
+/** Dataflow control (SURVEY §2.5 B1–B8): micro-batch delivery with
+  * commit-after-sink ordering, classified retry, poison-pill DLQ routing,
+  * and throughput accounting.
+  *
+  * Mapping from the reference's hand-built machinery to Spark:
+  *   - coordinator/worker queue + InFlightBatch barrier → a Structured
+  *     Streaming micro-batch IS the barrier: `foreachBatch` returns only
+  *     when every task of the batch finished, and only then is the offset
+  *     committed to the checkpoint (B3/B4/B5 for free).
+  *   - at-least-once + upsert idempotence → a replayed batch re-merges the
+  *     same keys; the keyed sink makes replay a no-op (B1).
+  *   - classified retry (B2): only errors the policy marks retryable are
+  *     retried (`maxRetries` × `retryDelayMs`); anything else rethrows
+  *     immediately and the streaming query restarts from the checkpoint
+  *     (B6's replay semantics).
+  *   - poison pills (P7): rows failing the validity predicate are routed
+  *     to a DLQ sink instead of poisoning the batch (the reference logs
+  *     and drops; its TODO.md asks for a DLQ — we provide one).
+  */
+final class PipelineRunner(
+    cfg: PipelineConfig,
+    sink: IndexSink,
+    retryable: Throwable => Boolean = PipelineRunner.defaultRetryPolicy,
+    dlq: Option[DataFrame => Unit] = None) {
+
+  val metrics = new PipelineMetrics
+
+  /** Process one (micro-)batch of changelog rows end-to-end:
+    * classify → compact → delete → upsert → commit. Returns docs written.
+    */
+  def processBatch(batch: DataFrame, opCol: String, keyCol: String,
+      orderCols: Seq[Column], validity: Option[Column] = None): Long = {
+    val t0 = System.nanoTime()
+    val (good, poison) = validity match {
+      case Some(v) => (batch.filter(v), Some(batch.filter(!coalesce(v, lit(false)))))
+      case None => (batch, None)
+    }
+    poison.filter(_ => dlq.nonEmpty).foreach { p => dlq.get(p) }
+
+    val compacted = Changelog.compact(
+      Changelog.classify(good, opCol), keyCol, orderCols).cache()
+    try {
+      val deletes = compacted.filter(col("_action") === "delete")
+        .select(col(keyCol).cast("string")).collect().map(_.getString(0)).toSeq
+      val upserts = compacted.filter(col("_action") === "upsert")
+        .drop("_action", opCol)
+        .withColumn(sink.idField, col(keyCol).cast("string"))
+      val nUpserts = withRetry {
+        if (deletes.nonEmpty) sink.deleteByIds(deletes)
+        val n = upserts.count()
+        if (n > 0) sink.addDocuments(upserts)
+        sink.commit()
+        n
+      }
+      metrics.record(nUpserts + deletes.size, System.nanoTime() - t0)
+      nUpserts + deletes.size
+    } finally compacted.unpersist()
+  }
+
+  /** B2/B6 — classified bounded retry. */
+  private def withRetry[T](body: => T): T = {
+    var attempt = 0
+    while (true) {
+      try return body
+      catch {
+        case e: Throwable if retryable(e) && attempt < cfg.maxRetries =>
+          attempt += 1
+          metrics.retries.incrementAndGet()
+          Thread.sleep(cfg.retryDelayMs)
+        case e: Throwable => throw e
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** Streaming entry: changelog stream → foreachBatch(processBatch) with
+    * checkpointed offsets; trigger interval = the reference's scan
+    * interval (B5's commit protocol comes from the streaming engine).
+    */
+  def runStream(stream: DataFrame, opCol: String, keyCol: String,
+      orderCols: Seq[Column], validity: Option[Column] = None): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation",
+        if (cfg.checkpointLocation.nonEmpty) cfg.checkpointLocation
+        else java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+      .trigger(Trigger.ProcessingTime(cfg.scanIntervalMs))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processBatch(batch, opCol, keyCol, orderCols, validity): Unit
+      }
+      .start()
+}
+
+object PipelineRunner {
+  /** The reference retries only index-not-ready errors
+    * (`KafkaIngestor.java:251-289`: INVALID_ARGUMENT + "does not exist");
+    * everything else is fatal for the attempt.
+    */
+  def defaultRetryPolicy(e: Throwable): Boolean = {
+    val m = Option(e.getMessage).getOrElse("")
+    m.contains("does not exist") || m.contains("INVALID_ARGUMENT")
+  }
+}
+
+/** B8 — throughput accounting: per-batch docs/sec plus rolling totals
+  * (the reference logs per-batch and a 5-minute summary;
+  * `PaimonIngestor.java:619-646,778-798`).
+  */
+final class PipelineMetrics {
+  val totalDocs = new AtomicLong(0)
+  val totalBatches = new AtomicLong(0)
+  val totalNanos = new AtomicLong(0)
+  val retries = new AtomicLong(0)
+  private val lastBatch = new AtomicReference[(Long, Double)]((0L, 0.0))
+
+  def record(docs: Long, nanos: Long): Unit = {
+    totalDocs.addAndGet(docs)
+    totalBatches.incrementAndGet()
+    totalNanos.addAndGet(nanos)
+    val secs = nanos / 1e9
+    lastBatch.set((docs, if (secs > 0) docs / secs else 0.0))
+  }
+
+  def docsPerSec: Double = {
+    val s = totalNanos.get / 1e9
+    if (s > 0) totalDocs.get / s else 0.0
+  }
+
+  def summary: String =
+    f"docs=${totalDocs.get} batches=${totalBatches.get} " +
+      f"avgBatch=${if (totalBatches.get > 0) totalDocs.get / totalBatches.get else 0} " +
+      f"docsPerSec=$docsPerSec%.1f retries=${retries.get}"
+}

@@ -64,7 +64,7 @@ final class InMemoryIndexSink(spark: SparkSession, schema: org.apache.spark.sql.
   * micro-batch never corrupts the committed view — the same
   * commit-after-index contract as the reference's checkpoint protocol.
   */
-final class ParquetIndexSink(spark: SparkSession, path: String)
+class ParquetIndexSink(spark: SparkSession, path: String)
     extends IndexSink {
   private var pendingUpserts: Option[DataFrame] = None
   private var pendingDeletes: Set[String] = Set.empty

@@ -1,0 +1,112 @@
+package graft.runtime
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.config.PipelineConfig
+import graft.sink.ParquetIndexSink
+
+class PipelineRunnerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cfg(dir: String) = PipelineConfig(
+    indexName = "test-idx", sourcePath = dir,
+    maxRetries = 2, retryDelayMs = 1L, scanIntervalMs = 100L,
+    checkpointLocation = java.nio.file.Files.createTempDirectory("ckpt").toString)
+
+  private def changelog(rows: (String, Long, String, String)*) =
+    rows.toSeq.toDF("k", "seq", "op", "v")
+
+  test("batch: classify → compact → delete → upsert → commit") {
+    val dir = java.nio.file.Files.createTempDirectory("runner").toString
+    val sink = new ParquetIndexSink(spark, dir)
+    val runner = new PipelineRunner(cfg(dir), sink)
+    runner.processBatch(
+      changelog(("a", 1, "+I", "v1"), ("b", 2, "+I", "b1"), ("a", 3, "+U", "v2"),
+        ("c", 4, "+I", "c1"), ("c", 5, "-D", "")),
+      "op", "k", Seq(col("seq")))
+    val state = sink.searchable().orderBy("_id")
+      .select("_id", "v").as[(String, String)].collect().toSeq
+    assert(state == Seq(("a", "v2"), ("b", "b1")))
+    assert(runner.metrics.totalBatches.get == 1)
+  }
+
+  test("replayed batch is idempotent (at-least-once + upsert)") {
+    val dir = java.nio.file.Files.createTempDirectory("runner2").toString
+    val sink = new ParquetIndexSink(spark, dir)
+    val runner = new PipelineRunner(cfg(dir), sink)
+    val batch = changelog(("a", 1, "+I", "v1"), ("b", 2, "-D", ""))
+    runner.processBatch(batch, "op", "k", Seq(col("seq")))
+    runner.processBatch(batch, "op", "k", Seq(col("seq"))) // replay
+    assert(sink.searchable().count() == 1)
+  }
+
+  test("poison rows route to the DLQ, batch still succeeds") {
+    val dir = java.nio.file.Files.createTempDirectory("runner3").toString
+    val sink = new ParquetIndexSink(spark, dir)
+    var dlqRows = 0L
+    val runner = new PipelineRunner(cfg(dir), sink,
+      dlq = Some(df => dlqRows = df.count()))
+    runner.processBatch(
+      changelog(("a", 1, "+I", "good"), ("b", 2, "+I", "POISON")),
+      "op", "k", Seq(col("seq")), validity = Some(col("v") =!= "POISON"))
+    assert(dlqRows == 1)
+    assert(sink.searchable().select("_id").as[String].collect().toSeq == Seq("a"))
+  }
+
+  test("retry policy: only classified errors retried, bounded attempts") {
+    val calls = new AtomicInteger(0)
+    val dir = java.nio.file.Files.createTempDirectory("runner4").toString
+    val flaky = new ParquetIndexSink(spark, dir) {
+      override def commit(): Unit = {
+        if (calls.incrementAndGet() <= 1)
+          throw new RuntimeException("index test-idx does not exist")
+        super.commit()
+      }
+    }
+    val runner = new PipelineRunner(cfg(dir), flaky)
+    runner.processBatch(changelog(("a", 1, "+I", "v1")), "op", "k", Seq(col("seq")))
+    assert(calls.get == 2) // one failure + one successful retry
+    assert(runner.metrics.retries.get == 1)
+    assert(flaky.searchable().count() == 1)
+
+    val fatal = new ParquetIndexSink(spark, dir) {
+      override def commit(): Unit = throw new RuntimeException("disk on fire")
+    }
+    val runner2 = new PipelineRunner(cfg(dir), fatal)
+    assertThrows[RuntimeException] {
+      runner2.processBatch(changelog(("a", 1, "+I", "v1")), "op", "k", Seq(col("seq")))
+    }
+  }
+
+  test("streaming: file-source micro-batches reach the sink with checkpointing") {
+    val srcDir = java.nio.file.Files.createTempDirectory("stream-src").toString
+    val sinkDir = java.nio.file.Files.createTempDirectory("stream-sink").toString
+    val schema = StructType(Seq(StructField("k", StringType),
+      StructField("seq", LongType), StructField("op", StringType),
+      StructField("v", StringType)))
+
+    changelog(("a", 1, "+I", "v1"), ("b", 2, "+I", "b1"))
+      .write.mode("append").parquet(srcDir)
+
+    val sink = new ParquetIndexSink(spark, sinkDir)
+    val runner = new PipelineRunner(cfg(sinkDir), sink)
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val q = runner.runStream(stream, "op", "k", Seq(col("seq")))
+    try {
+      q.processAllAvailable()
+      assert(sink.searchable().count() == 2)
+
+      // second snapshot: upsert a, delete b
+      changelog(("a", 3, "+U", "v2"), ("b", 4, "-D", ""))
+        .write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      val state = sink.searchable().select("_id", "v")
+        .as[(String, String)].collect().toSeq
+      assert(state == Seq(("a", "v2")))
+    } finally q.stop()
+  }
+}
