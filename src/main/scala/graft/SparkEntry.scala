@@ -220,7 +220,7 @@ object SparkEntry {
       val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
       e.crossJoin(broadcast(q))
         .select(col("vec_id"),
-          functions.VectorFunctions.cosine(col("embedding"), col("qv")).as("c"))
+          functions.VectorExpressions.cosineFast(col("embedding"), col("qv")).as("c"))
         .orderBy(col("c").desc, col("vec_id"))
         .limit(10)
         .select(col("vec_id"), round(col("c"), 6).as("cosine"))

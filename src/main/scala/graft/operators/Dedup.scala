@@ -85,13 +85,22 @@ object Dedup {
     *
     * Only same-bucket docs are ever paired — the shuffle key is
     * (band, hash(band rows)), so cost tracks bucket occupancy, not n².
+    *
+    * The signature is computed as explode(shingle) → one codegen'd
+    * `min(xxhash64(shingle, seed))` aggregate per hash function, NOT as a
+    * nested higher-order lambda: HOFs are interpreted and re-evaluate the
+    * shingle array once per seed — ~50× slower measured at sf0.1.
     */
   def minhashLshCandidates(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
-    val withSig = df.select(col(idCol).as("_id"),
-      minhashSignature(col(textCol), shingleN, numHashes).as("sig"))
+    val sh = shingles(df, idCol, textCol, shingleN)
+    val aggs = (0 until numHashes).map(seed =>
+      min(xxhash64(col("shingle"), lit(seed))).as(s"_h$seed"))
+    val withSig = sh.groupBy("_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("_id"),
+        array((0 until numHashes).map(i => col(s"_h$i")): _*).as("sig"))
     val banded = withSig.select(col("_id"), col("sig"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band"),
@@ -150,9 +159,28 @@ object Dedup {
     * sharing any of 4 16-bit signature bands (pigeonhole: distance ≤ 3
     * implies at least one identical band — no cross product).
     */
+  /** SimHash signatures for a whole table via explode + 64 codegen'd
+    * conditional-sum aggregates (same rationale as the minhash path: the
+    * per-row HOF formulation is interpreted and ~10× slower).
+    */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("_id"),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"_b$i")
+    }
+    toks.groupBy("_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("_id"),
+        (0 until 64).map(i =>
+          when(col(s"_b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("sig"))
+  }
+
   def simhashDedup(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val withSig = df.select(col(idCol).as("_id"), simhash(col(textCol)).as("sig"))
+    val withSig = simhashSignatures(df, idCol, textCol)
     val banded = withSig.select(col("_id"), col("sig"),
       explode(transform(sequence(lit(0), lit(3)),
         b => struct(b.as("band"),
@@ -179,7 +207,8 @@ object Dedup {
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cosine", VectorFunctions.cosine(col("va"), col("vb")))
+      .withColumn("cosine",
+        graft.functions.VectorExpressions.cosineFast(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }

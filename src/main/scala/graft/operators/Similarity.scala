@@ -55,7 +55,7 @@ object Similarity {
       query: Seq[Float], k: Int): DataFrame = {
     val qLit = array(query.map(lit): _*)
     df.select(col(idCol),
-        VectorFunctions.cosine(col(vecCol), qLit).as("cosine"))
+        graft.functions.VectorExpressions.cosineFast(col(vecCol), qLit).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
   }
@@ -68,7 +68,7 @@ object Similarity {
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
     val w = Window.partitionBy(col("id_a")).orderBy(col("cosine").desc, col("id_b"))
     a.join(b, col("id_a") =!= col("id_b"))
-      .withColumn("cosine", VectorFunctions.cosine(col("va"), col("vb")))
+      .withColumn("cosine", graft.functions.VectorExpressions.cosineFast(col("va"), col("vb")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("id_a", "id_b", "cosine", "rank")
