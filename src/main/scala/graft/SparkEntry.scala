@@ -49,9 +49,11 @@ object SparkEntry {
         .orderBy("event_id")),
 
     // §2 S2 — incremental snapshot scan: only records past the checkpoint.
+    // Filters on the RAW nanos column so the predicate pushes into the
+    // parquet scan (a filter on the derived timestamp would full-scan).
     "s2_incremental_scan" -> ((s, d) =>
       Tables.events(s, d)
-        .filter(col("ts") >= lit("2024-01-15 00:00:00").cast(TimestampType))
+        .filter(col("ts_ns") >= lit(1705276800000000000L)) // 2024-01-15T00:00Z
         .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
           col("event_type"))
         .orderBy("event_id")),
@@ -134,14 +136,14 @@ object SparkEntry {
     // §2 C7 — full changelog merge into a keyed snapshot (upsert+delete).
     "c7_cdc_merge" -> ((s, d) => {
       val cl = eventsChangelog(s, d)
-      val cutoff = lit("2024-01-15 00:00:00").cast(TimestampType)
+      val cutoffNs = 1705276800000000000L // 2024-01-15T00:00Z, pushdown-able
       val baseCompact = Changelog.compact(
-        Changelog.classify(cl.filter(col("ts") < cutoff), "op"),
+        Changelog.classify(cl.filter(col("ts_ns") < cutoffNs), "op"),
         "user_id", Seq(col("ts_us"), col("event_id")))
       val base = baseCompact.filter(col("_action") === "upsert")
         .select("user_id", "event_id", "value")
       val changes = Changelog.compact(
-        Changelog.classify(cl.filter(col("ts") >= cutoff), "op"),
+        Changelog.classify(cl.filter(col("ts_ns") >= cutoffNs), "op"),
         "user_id", Seq(col("ts_us"), col("event_id")))
         .select(col("user_id"), col("event_id"), col("value"), col("_action"))
       Changelog.merge(base, changes, "user_id")
@@ -275,6 +277,117 @@ object SparkEntry {
         .withColumn("sampled_frames", col("sampled_frames").cast("string"))
         .orderBy("id")
     }),
+
+    // ---- general query engine (Catalyst built-ins; bench headliners) ----
+
+    // Three-way join + agg + top-k (TPC-H Q3 shape). Customer side is
+    // broadcast; orders⋈lineitem shuffles on the join key once.
+    "j3_top_orders" -> ((s, d) => {
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // Five-way join through two dimension chains (TPC-H Q5 shape):
+    // revenue by nation where customer and supplier share the nation.
+    "j5_nation_revenue" -> ((s, d) => {
+      val r = Tables.region(s, d)
+      val n = Tables.nation(s, d)
+      val c = Tables.customer(s, d)
+      val sup = Tables.supplier(s, d)
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey") &&
+          c("c_nationkey") === sup("s_nationkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy("n_name")
+    }),
+
+    // Single-pass filtered aggregation (TPC-H Q6 shape).
+    "j6_forecast" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_rows"))),
+
+    // Window functions: running revenue + dense rank per customer.
+    "w1_running_total" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      Tables.orders(s, d)
+        .withColumn("running_total",
+          sum(dec(col("o_totalprice"))).over(
+            w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+            .cast("double"))
+        .withColumn("order_rank", row_number().over(w))
+        .select("o_custkey", "o_orderkey", "order_rank", "running_total")
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // Top-k per group via ranked window.
+    "w2_topk_per_group" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("o_custkey", "rk", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rk")
+    }),
+
+    // Set operations: buyers EXCEPT error-users, INTERSECT with clickers.
+    "set_ops" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      def users(t: String) =
+        ev.filter(col("event_type") === t).select("user_id").distinct()
+      users("purchase").except(users("error")).intersect(users("click"))
+        .orderBy("user_id")
+    }),
+
+    // Rollup (grouping sets) with ALL sentinel for super-aggregate rows.
+    "agg_rollup" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("n"), col("sum_qty"))
+        .orderBy("flag", "status")),
+
+    // Distinct aggregation per group.
+    "agg_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+          countDistinct(col("l_suppkey")).as("n_supps"))
+        .orderBy("l_returnflag")),
+
+    // Event-time tumbling window (Structured Streaming's windowed-agg
+    // shape, batch-checked): hourly event counts + revenue.
+    "ws_tumbling" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value"))).cast("double").as("total_value"))
+        .select(unix_micros(col("w.start")).as("hour_us"), col("event_type"),
+          col("n"), col("total_value"))
+        .orderBy("hour_us", "event_type")),
 
     // Flagship aggregation (engine-completeness; bench headliner).
     "q1_agg" -> ((s, d) =>
@@ -448,6 +561,78 @@ object SparkEntry {
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
            substring(base64(encode(text)), 1, 16) AS b64_head
          FROM documents ORDER BY doc_id""",
+    "j3_top_orders" ->
+      """SELECT o_orderkey,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                    (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+             AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+         GROUP BY o_orderkey
+         ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+    "j5_nation_revenue" ->
+      """SELECT n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                    (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+             AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY n_name ORDER BY n_name""",
+    "j6_forecast" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                         CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_rows
+         FROM lineitem
+         WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+    "w1_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+           row_number() OVER w AS order_rank,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_total
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
+    "w2_topk_per_group" ->
+      """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+           SELECT *, row_number() OVER (PARTITION BY o_custkey
+             ORDER BY o_totalprice DESC, o_orderkey) AS rk
+           FROM orders) t
+         WHERE rk <= 3 ORDER BY o_custkey, rk""",
+    "set_ops" ->
+      """(SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+          EXCEPT
+          SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+         INTERSECT
+         SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+         ORDER BY user_id""",
+    "agg_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+           coalesce(l_linestatus, 'ALL') AS status,
+           count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem
+         GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY flag, status""",
+    "agg_distinct" ->
+      """SELECT l_returnflag,
+           count(DISTINCT l_orderkey) AS n_orders,
+           count(DISTINCT l_suppkey) AS n_supps
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "ws_tumbling" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+         FROM events
+         GROUP BY 1, 2 ORDER BY hour_us, event_type""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
            CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

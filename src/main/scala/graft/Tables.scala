@@ -23,7 +23,11 @@ object Tables {
       // raw column is nanos-since-epoch (long); expose micros TimestampType.
       // Integer `div`, NOT `/`: float division on ~1.7e18 nanos exceeds
       // double's exact integer range and corrupts the low digits.
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // The raw nanos survive as `ts_ns`: predicates against the derived
+      // timestamp cannot reach the parquet scan (no pushdown through
+      // timestamp_micros), so time-range scans must filter on ts_ns.
+      df.withColumn("ts_ns", col("ts"))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
 

@@ -1,0 +1,44 @@
+package graft
+
+/** Physical-plan regression tests: the scale properties that make these
+  * queries viable at 100 TB must stay visible in the executed plan —
+  * filters pushed into the parquet scan, schemas pruned, dimension joins
+  * broadcast, top-k as TakeOrderedAndProject (never a global sort of the
+  * corpus), and the custom vector expression present (codegen path).
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+
+  test("incremental scan pushes the time predicate into the parquet scan") {
+    val p = plan("s2_incremental_scan")
+    assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"),
+      s"ts range filter not pushed:\n$p")
+  }
+
+  test("q1 pushes the shipdate filter and prunes to 6 columns") {
+    val p = plan("q1_agg")
+    assert(p.contains("LessThanOrEqual(l_shipdate"))
+    assert(p.contains("partial_sum")) // map-side partial aggregation
+    assert(!p.contains("l_partkey"))  // column pruning reached the scan
+  }
+
+  test("top-orders join broadcasts the filtered dimension and uses top-k") {
+    val p = plan("j3_top_orders")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("TakeOrderedAndProject")) // not a global Sort+Limit
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)")) // pushed filter
+  }
+
+  test("similarity top-k uses the native vector expression and top-k") {
+    val p = plan("x_sim_topk")
+    assert(p.contains("vector_cosine"))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("shard filter prunes the scan to two columns") {
+    val p = plan("f3_shard_modulo")
+    assert(p.contains("ReadSchema: struct<event_id:bigint,user_id:bigint>"))
+  }
+}
