@@ -183,6 +183,22 @@ object SparkEntry {
       DocQueries.retrieve(DocQueries.matchAll(Tables.documents(s, d)),
         Seq("doc_id", "source")).orderBy("doc_id")),
 
+    // §2 P1–P5 + C5 composed — the full document-assembly path: flatten,
+    // drop-prefix, rename, stringify, null-elide, _id extraction; exploded
+    // to (id, field, value) rows for the oracle compare.
+    "p_documents" -> ((s, d) => {
+      val docs = graft.schema.DocumentBuilder.documents(
+        Tables.documents(s, d),
+        graft.schema.DocumentBuilder.Config(
+          idField = "doc_id",
+          fieldMapping = Map("source" -> "origin"),
+          dropPrefixes = Seq("n_")))
+      docs.select(col("_id"), explode(col("fields")).as(Seq("fname", "fval")))
+        .select(col("_id"), col("fname"),
+          array_join(col("fval"), "|").as("fval"))
+        .orderBy("_id", "fname")
+    }),
+
     // ---- LLM-pipeline extensions (north-star operators) ----
 
     // Exact dedup: one hash-agg on the content key.
@@ -481,6 +497,14 @@ object SparkEntry {
          ORDER BY doc_id""",
     "q_match_all" ->
       """SELECT doc_id, source FROM documents ORDER BY doc_id""",
+    "p_documents" ->
+      """WITH f AS (
+           SELECT CAST(doc_id AS VARCHAR) AS _id, 'doc_id' AS fname,
+                  CAST(doc_id AS VARCHAR) AS fval FROM documents
+           UNION ALL SELECT CAST(doc_id AS VARCHAR), 'text', text FROM documents
+           UNION ALL SELECT CAST(doc_id AS VARCHAR), 'lang', lang FROM documents
+           UNION ALL SELECT CAST(doc_id AS VARCHAR), 'origin', source FROM documents)
+         SELECT _id, fname, fval FROM f ORDER BY _id, fname""",
     "x_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY text ORDER BY keep_id""",

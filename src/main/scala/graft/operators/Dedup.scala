@@ -122,16 +122,26 @@ object Dedup {
   }
 
   /** MinHash-LSH dedup with exact verification: candidates from the LSH
-    * join, verified with true n-gram Jaccard, thresholded. The scale-safe
-    * near-dup pipeline: LSH prunes, exact Jaccard decides.
+    * join, then true n-gram Jaccard computed ONLY for candidate pairs
+    * (shingle sets joined to each side, `array_intersect` per pair) —
+    * never for the full corpus. The scale-safe near-dup pipeline: LSH
+    * prunes to near-linear candidates, exact Jaccard decides.
     */
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.5): DataFrame = {
     val cand = minhashLshCandidates(df, idCol, textCol, shingleN, numHashes, bands)
       .select("id_a", "id_b")
-    val exactPairs = ngramJaccard(df, idCol, textCol, shingleN, threshold)
-    cand.join(exactPairs, Seq("id_a", "id_b"))
+    val shSets = df.select(col(idCol).as("_sid"),
+      array_distinct(TextFunctions.wordShingles(col(textCol), shingleN)).as("_sh"))
+    cand
+      .join(shSets.withColumnRenamed("_sid", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
+      .join(shSets.withColumnRenamed("_sid", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("common").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
   }
 
   /** 64-bit SimHash over whitespace tokens: per bit position, sum +1/-1
