@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming-native operators (the streaming counterparts of
+  * the batch CDC/window queries; SURVEY §2.5 + north-star extensions).
+  *
+  * State discipline at scale: the watermark bounds every stateful
+  * operator's state (windows and dedup keys expire); the keyed-state
+  * materializer keeps exactly one small state object per live key, hash-
+  * partitioned by key across executors — the same layout the batch
+  * `Changelog.compact` uses, so a pipeline can switch between batch
+  * backfill and streaming tail with identical semantics.
+  */
+object StreamingOps {
+
+  /** Tumbling event-time window aggregation with a watermark bounding
+    * late data (and state size).
+    */
+  def windowedCounts(stream: DataFrame, tsCol: String, windowLen: String,
+      watermark: String): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Streaming exact dedup on key columns; watermark expires dedup state
+    * so it stays bounded on an unbounded stream.
+    */
+  def dedupeStream(stream: DataFrame, tsCol: String, watermark: String,
+      keyCols: Seq[String]): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** One changelog record (the streaming twin of the batch RowKind rows). */
+  final case class KeyedChange(k: String, seq: Long, op: String, v: String)
+  /** Materialized state transition emitted downstream. */
+  final case class KeyedState(k: String, v: String, live: Boolean, lastSeq: Long)
+
+  /** Stateful latest-state-per-key materializer via flatMapGroupsWithState:
+    * applies +I/+U/-D in sequence order against per-key state (out-of-order
+    * records below the already-applied sequence are ignored), emitting the
+    * new state after each micro-batch. -U records are dropped like the
+    * batch classifier.
+    */
+  def latestStatePerKey(changes: Dataset[KeyedChange]): Dataset[KeyedState] = {
+    import changes.sparkSession.implicits._
+    changes
+      .filter(_.op != "-U")
+      .groupByKey(_.k)
+      .flatMapGroupsWithState[KeyedState, KeyedState](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[KeyedChange], state: GroupState[KeyedState]) =>
+          val ordered = rows.toSeq.sortBy(_.seq)
+          val start = state.getOption.getOrElse(KeyedState(key, null, live = false, Long.MinValue))
+          val end = ordered.foldLeft(start) { (st, c) =>
+            if (c.seq <= st.lastSeq) st // replayed/out-of-order: ignore
+            else c.op match {
+              case "+I" | "+U" => KeyedState(key, c.v, live = true, c.seq)
+              case "-D" => KeyedState(key, null, live = false, c.seq)
+              case _ => st
+            }
+          }
+          state.update(end)
+          if (end != start) Iterator.single(end) else Iterator.empty
+      }
+  }
+}
