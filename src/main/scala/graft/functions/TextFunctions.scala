@@ -18,14 +18,11 @@ object TextFunctions {
 
   /** Word n-gram shingles: `["a b c", "b c d", …]`; docs shorter than n
     * words yield the whole doc as one shingle (so no doc is unhashable).
+    * Delegates to the native [[WordShingles]] expression — the composed
+    * HOF form (slice per shingle, interpreted) is quadratic per document.
     */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    when(size(toks) < n, array(array_join(toks, " ")))
-      .otherwise(transform(
-        sequence(lit(0), size(toks) - n),
-        i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
-  }
+  def wordShingles(text: Column, n: Int): Column =
+    TextExpressions.wordShingles(text, n)
 
   /** Ratio of tokens that are in `stopwords` (0 for empty docs). */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
