@@ -27,8 +27,9 @@ object SparkEntry {
 
   /** events with `op` RowKind column synthesized from event_type — the CDC
     * test fixture: signup→+I, error→-D, view→-U (dropped), rest→+U.
+    * (Public: the example pipeline reuses the same fixture mapping.)
     */
-  private def eventsChangelog(s: SparkSession, d: String): DataFrame =
+  def eventsChangelog(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .withColumn("ts_us", unix_micros(col("ts")))
       .withColumn("op",
@@ -542,7 +543,8 @@ object SparkEntry {
     "x_text_quality" ->
       """SELECT doc_id, length(text) AS n_chars,
            len(string_split(text, ' ')) AS n_tokens,
-           CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+           CAST(list_sum(list_transform(string_split(text, ' '),
+             w -> length(w))) AS DOUBLE)
              / len(string_split(text, ' ')) AS mean_token_len,
            CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g'))
              AS DOUBLE) / length(text) AS punct_ratio,

@@ -3,7 +3,7 @@ package graft.examples
 import org.apache.spark.sql.{SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables
+import graft.{SparkEntry, Tables}
 import graft.cdc.Changelog
 import graft.config.PipelineConfig
 import graft.runtime.PipelineRunner
@@ -42,14 +42,9 @@ object IngestPipeline {
     val runner = new PipelineRunner(cfg, sink,
       dlq = Some(bad => println(s"[dlq] ${bad.count()} poison rows")))
 
-    // events → RowKind changelog (signup=+I, error=-D, view=-U, rest=+U)
-    val changelog = Tables.events(spark, sfDir)
-      .withColumn("ts_us", unix_micros(col("ts")))
-      .withColumn("op",
-        when(col("event_type") === "signup", Changelog.Insert)
-          .when(col("event_type") === "error", Changelog.Delete)
-          .when(col("event_type") === "view", Changelog.UpdateBefore)
-          .otherwise(Changelog.UpdateAfter))
+    // events → RowKind changelog (same fixture mapping the oracle-checked
+    // c1/c2/c7 queries use)
+    val changelog = SparkEntry.eventsChangelog(spark, sfDir)
       .drop("ts") // keep the schema streaming-source friendly
 
     // stage the changelog as a file stream (stands in for Kafka/Paimon)

@@ -24,9 +24,28 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 abstract class VectorBinaryLoop extends BinaryExpression {
   override def dataType: DataType = DoubleType
 
-  protected def elemIsFloat: Boolean = left.dataType match {
+  /** Element width is resolved PER SIDE — `vector_cosine(float_col,
+    * array(0.5d, …))` mixes array<float> with array<double>, and reading
+    * a double slot with a float getter returns garbage bits.
+    */
+  private def isFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false
+  }
+  protected def leftIsFloat: Boolean = isFloat(left)
+  protected def rightIsFloat: Boolean = isFloat(right)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<float|double> arguments, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
 
   /** Combine step in generated code: updates accumulators from x, y. */
@@ -46,8 +65,10 @@ abstract class VectorBinaryLoop extends BinaryExpression {
     evalLoop(x, y, n)
   }
 
-  protected def elemAt(a: ArrayData, i: Int): Double =
-    if (elemIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
+  protected def leftAt(a: ArrayData, i: Int): Double =
+    if (leftIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
+  protected def rightAt(b: ArrayData, i: Int): Double =
+    if (rightIsFloat) b.getFloat(i).toDouble else b.getDouble(i)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
@@ -55,13 +76,14 @@ abstract class VectorBinaryLoop extends BinaryExpression {
       val n = ctx.freshName("n")
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
-      val getter = if (elemIsFloat) "getFloat" else "getDouble"
+      val lGet = if (leftIsFloat) "getFloat" else "getDouble"
+      val rGet = if (rightIsFloat) "getFloat" else "getDouble"
       s"""
         int $n = java.lang.Math.min($a.numElements(), $b.numElements());
         $genInit
         for (int $i = 0; $i < $n; $i++) {
-          double $x = (double) $a.$getter($i);
-          double $y = (double) $b.$getter($i);
+          double $x = (double) $a.$lGet($i);
+          double $y = (double) $b.$rGet($i);
           ${genAccumulate(x, y)}
         }
         ${ev.value} = $genResult;
@@ -77,7 +99,7 @@ case class VectorDot(left: Expression, right: Expression) extends VectorBinaryLo
   protected val genResult = "acc_dot"
   protected def evalLoop(a: ArrayData, b: ArrayData, n: Int): Double = {
     var dot = 0.0; var i = 0
-    while (i < n) { dot += elemAt(a, i) * elemAt(b, i); i += 1 }
+    while (i < n) { dot += leftAt(a, i) * rightAt(b, i); i += 1 }
     dot
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
@@ -96,7 +118,7 @@ case class VectorCosine(left: Expression, right: Expression) extends VectorBinar
   protected def evalLoop(a: ArrayData, b: ArrayData, n: Int): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
-      val x = elemAt(a, i); val y = elemAt(b, i)
+      val x = leftAt(a, i); val y = rightAt(b, i)
       dot += x * y; na += x * x; nb += y * y; i += 1
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
@@ -114,7 +136,7 @@ case class VectorL2Sq(left: Expression, right: Expression) extends VectorBinaryL
   protected val genResult = "acc_d"
   protected def evalLoop(a: ArrayData, b: ArrayData, n: Int): Double = {
     var d = 0.0; var i = 0
-    while (i < n) { val t = elemAt(a, i) - elemAt(b, i); d += t * t; i += 1 }
+    while (i < n) { val t = leftAt(a, i) - rightAt(b, i); d += t * t; i += 1 }
     d
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =

@@ -51,7 +51,9 @@ object Dedup {
     */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n).cache()
+    // no .cache(): the exploded shingle relation is many times the corpus
+    // size at scale, and the shingle expression is cheap to recompute
+    val sh = shingles(df, idCol, textCol, n)
     val counts = sh.groupBy("_id").agg(count(lit(1)).as("n_sh"))
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a._id") < col("b._id"))

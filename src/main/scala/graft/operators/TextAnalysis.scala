@@ -24,12 +24,17 @@ object TextAnalysis {
     val nTok = TextFunctions.tokenCount(t)
     val nChars = length(t)
     val punct = length(t) - length(regexp_replace(t, "[.!?,;:]", ""))
+    val tokLenSum = aggregate(
+      transform(TextFunctions.tokens(t), tk => length(tk)),
+      lit(0), (acc, x) => acc + x)
     df.select(
       col(idCol),
       nChars.as("n_chars"),
       nTok.as("n_tokens"),
+      // mean over actual token lengths — (n_chars - separators)/n would
+      // overcount under repeated/leading/trailing whitespace
       when(nTok === 0, 0.0)
-        .otherwise((nChars - (nTok - 1)).cast("double") / nTok).as("mean_token_len"),
+        .otherwise(tokLenSum.cast("double") / nTok).as("mean_token_len"),
       when(nChars === 0, 0.0)
         .otherwise(punct.cast("double") / nChars).as("punct_ratio"),
       TextFunctions.stopwordRatio(t, qualityStopwords).as("stopword_ratio"))
@@ -46,7 +51,7 @@ object TextAnalysis {
     df.select(
       col(idCol),
       TextFunctions.tokenCount(col(textCol)).as("ws_tokens"),
-      size(expr(s"regexp_extract_all($textCol, '$piecePattern', 0)"))
+      size(regexp_extract_all(col(textCol), lit(piecePattern), lit(0)))
         .as("piece_tokens"))
 
   /** Language ID via stopword-marker argmax (TextFunctions.langId). */

@@ -52,20 +52,23 @@ final class PipelineRunner(
     val compacted = Changelog.compact(
       Changelog.classify(good, opCol), keyCol, orderCols).cache()
     try {
+      // deletes stay distributed (sink-side anti-join) — a bulk purge
+      // micro-batch must never materialize its key set on the driver
       val deletes = compacted.filter(col("_action") === "delete")
-        .select(col(keyCol).cast("string")).collect().map(_.getString(0)).toSeq
+        .select(col(keyCol).cast("string"))
       val upserts = compacted.filter(col("_action") === "upsert")
         .drop("_action", opCol)
         .withColumn(sink.idField, col(keyCol).cast("string"))
+      val nDeletes = deletes.count()
       val nUpserts = withRetry {
-        if (deletes.nonEmpty) sink.deleteByIds(deletes)
+        if (nDeletes > 0) sink.deleteByKeys(deletes)
         val n = upserts.count()
         if (n > 0) sink.addDocuments(upserts)
         sink.commit()
         n
       }
-      metrics.record(nUpserts + deletes.size, System.nanoTime() - t0)
-      nUpserts + deletes.size
+      metrics.record(nUpserts + nDeletes, System.nanoTime() - t0)
+      nUpserts + nDeletes
     } finally compacted.unpersist()
   }
 
@@ -132,6 +135,11 @@ final class PipelineMetrics {
     val secs = nanos / 1e9
     lastBatch.set((docs, if (secs > 0) docs / secs else 0.0))
   }
+
+  /** (docs, docs/sec) of the most recent batch — the reference's
+    * per-batch log line (`PaimonIngestor.java:631-636`).
+    */
+  def lastBatchStats: (Long, Double) = lastBatch.get
 
   def docsPerSec: Double = {
     val s = totalNanos.get / 1e9

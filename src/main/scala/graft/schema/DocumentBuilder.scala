@@ -63,6 +63,13 @@ object DocumentBuilder {
     val idType = kept.find(_.name == cfg.idField).get.dataType
     require(idType.isInstanceOf[NumericType] || idType == StringType,
       s"unsupported _id field type: $idType (numeric/string only)")
+    // a rename that collides with another kept field would produce
+    // duplicate map keys — Spark's default mapKeyDedupPolicy throws at
+    // runtime on the first row; fail at config time instead
+    val outNames = kept.map(f => cfg.fieldMapping.getOrElse(f.name, f.name))
+    val dupes = outNames.groupBy(identity).filter(_._2.size > 1).keys
+    require(dupes.isEmpty,
+      s"field mapping produces duplicate document fields: ${dupes.mkString(", ")}")
 
     val entries: Seq[Column] = kept.map { f =>
       val outName = cfg.fieldMapping.getOrElse(f.name, f.name)

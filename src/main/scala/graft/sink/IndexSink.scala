@@ -27,6 +27,14 @@ trait IndexSink {
   /** Delete every document whose id is in the set (TermInSetQuery). */
   def deleteByIds(ids: Seq[String]): Unit
 
+  /** Delete by a distributed key set — the scale path for unbounded
+    * delete batches (no driver materialization). Default falls back to
+    * the bounded-id form; MERGE-capable sinks override with an anti-join.
+    */
+  def deleteByKeys(ids: DataFrame): Unit =
+    deleteByIds(ids.select(ids.columns.head).distinct()
+      .collect().map(r => String.valueOf(r.get(0))).toSeq)
+
   /** Make all preceding adds/deletes durable + visible. */
   def commit(): Unit
 
@@ -66,8 +74,17 @@ final class InMemoryIndexSink(spark: SparkSession, schema: org.apache.spark.sql.
   */
 class ParquetIndexSink(spark: SparkSession, path: String)
     extends IndexSink {
-  private var pendingUpserts: Option[DataFrame] = None
-  private var pendingDeletes: Set[String] = Set.empty
+  /** Pending operations in CALL ORDER — a delete issued after an upsert
+    * of the same key must win, exactly like the serial index the
+    * reference drives (an earlier draft folded all deletes before all
+    * upserts, silently resurrecting add-then-delete keys).
+    */
+  private sealed trait Op
+  private case class Upsert(df: DataFrame) extends Op
+  private case class DeleteIds(ids: Seq[String]) extends Op
+  private case class DeleteKeys(ids: DataFrame) extends Op
+
+  private var ops: Vector[Op] = Vector.empty
   private var seq = 0L
 
   private def versionFile = new java.io.File(path, "_VERSION")
@@ -77,37 +94,41 @@ class ParquetIndexSink(spark: SparkSession, path: String)
     else -1L
 
   override def addDocuments(docs: DataFrame): Long = synchronized {
-    pendingUpserts = Some(pendingUpserts.map(_.unionByName(docs)).getOrElse(docs))
+    ops :+= Upsert(docs)
     seq += 1; seq
   }
   override def deleteByIds(ids: Seq[String]): Unit = synchronized {
-    pendingDeletes ++= ids
+    ops :+= DeleteIds(ids)
+  }
+  override def deleteByKeys(ids: DataFrame): Unit = synchronized {
+    ops :+= DeleteKeys(ids)
   }
 
   override def commit(): Unit = synchronized {
+    val firstUpsert = ops.collectFirst { case Upsert(df) => df }
     val base =
       if (currentVersion >= 0) searchable()
-      else pendingUpserts match {
+      else firstUpsert match {
         case Some(u) => u.limit(0) // first commit: empty base w/ doc schema
         case None => return // nothing committed yet, nothing pending
       }
-    val afterDeletes =
-      if (pendingDeletes.isEmpty) base
-      else base.filter(!col(idField).isin(pendingDeletes.toSeq: _*))
-    val next = pendingUpserts match {
-      case None => afterDeletes
-      case Some(ups) =>
-        // last add per _id wins inside the pending batch
+    val next = ops.foldLeft(base) {
+      case (acc, Upsert(df)) =>
+        // last add per _id wins inside one batch
         val compacted = Changelog.compact(
-          ups.withColumn("_seq", monotonically_increasing_id()),
+          df.withColumn("_seq", monotonically_increasing_id()),
           idField, Seq(col("_seq"))).drop("_seq")
-        afterDeletes.join(compacted.select(idField), Seq(idField), "left_anti")
+        acc.join(compacted.select(idField), Seq(idField), "left_anti")
           .unionByName(compacted)
+      case (acc, DeleteIds(ids)) =>
+        if (ids.isEmpty) acc else acc.filter(!col(idField).isin(ids: _*))
+      case (acc, DeleteKeys(ids)) =>
+        Changelog.deleteByKeySet(acc, idField, ids)
     }
     val v = currentVersion + 1
     next.write.mode("overwrite").parquet(s"$path/v$v")
     java.nio.file.Files.write(versionFile.toPath, v.toString.getBytes)
-    pendingUpserts = None; pendingDeletes = Set.empty
+    ops = Vector.empty
   }
 
   override def searchable(): DataFrame = {

@@ -1,0 +1,35 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class VectorExpressionsSpec extends SparkSpec {
+
+  test("mixed float/double operands read each side at its own width") {
+    val r = spark.range(1).select(
+      VectorExpressions.dotFast(
+        array(lit(1.0f), lit(2.0f)), array(lit(3.0), lit(4.0))).as("d"),
+      VectorExpressions.cosineFast(
+        array(lit(1.0f), lit(0.0f)), array(lit(1.0), lit(0.0))).as("c"))
+      .head()
+    assert(r.getDouble(0) == 11.0)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("matches the HOF reference implementation bit-for-bit") {
+    val e = graft.Tables.embeddings(spark, sf).limit(100)
+    val diff = e.select(
+      (VectorExpressions.cosineFast(col("embedding"), col("embedding")) -
+        VectorFunctions.cosine(col("embedding"), col("embedding"))).as("d"))
+      .agg(max(abs(col("d")))).head().getDouble(0)
+    assert(diff == 0.0)
+  }
+
+  test("non-array arguments fail analysis, not execution") {
+    assertThrows[org.apache.spark.sql.AnalysisException] {
+      spark.range(1).select(
+        VectorExpressions.cosineFast(lit("nope"), array(lit(1.0)))).head()
+    }
+  }
+}

@@ -38,6 +38,27 @@ class IndexSinkSpec extends SparkSpec {
     assert(sink.searchable().as[(String, String)].collect().toSeq == Seq(("a", "v3")))
   }
 
+  test("add-then-delete in one commit window deletes (call order wins)") {
+    val dir = java.nio.file.Files.createTempDirectory("sink-order").toString
+    val sink = new ParquetIndexSink(spark, dir)
+    sink.addDocuments(Seq(("a", "v1"), ("b", "b1")).toDF("_id", "v"))
+    sink.deleteByIds(Seq("a")) // issued AFTER the add: must win
+    sink.commit()
+    assert(sink.searchable().select("_id").as[String].collect().toSeq == Seq("b"))
+  }
+
+  test("distributed delete-by-keys applies in order like deleteByIds") {
+    val dir = java.nio.file.Files.createTempDirectory("sink-keys").toString
+    val sink = new ParquetIndexSink(spark, dir)
+    sink.addDocuments(Seq(("a", "v1"), ("b", "b1"), ("c", "c1")).toDF("_id", "v"))
+    sink.deleteByKeys(Seq("a", "c").toDF("id"))
+    sink.addDocuments(Seq(("c", "c2")).toDF("_id", "v")) // re-add after delete
+    sink.commit()
+    val state = sink.searchable().orderBy("_id")
+      .as[(String, String)].collect().toSeq
+    assert(state == Seq(("b", "b1"), ("c", "c2")))
+  }
+
   test("uncommitted writes are not visible (commit gating)") {
     val dir = java.nio.file.Files.createTempDirectory("sink2").toString
     val sink = new ParquetIndexSink(spark, dir)
