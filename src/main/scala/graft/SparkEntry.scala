@@ -256,6 +256,19 @@ object SparkEntry {
         .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
     }),
 
+    // IVF-ANN: k-means cells (custom vector_sum aggregate) + probed
+    // search (rows-only; recall asserted in IvfSpec).
+    "x_sim_ivf" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val qv = e.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0)
+      val model = operators.Ivf.fit(e, "vec_id", "embedding", k = 8, iters = 3)
+      val assigned = operators.Ivf.assign(e, "embedding", model)
+      operators.Ivf.search(assigned, "vec_id", "embedding", model, qv,
+        topK = 10, nProbe = 3)
+        .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+    }),
+
     // Text quality features.
     "x_text_quality" -> ((s, d) =>
       operators.TextAnalysis.quality(Tables.documents(s, d), "doc_id", "text")
@@ -293,6 +306,21 @@ object SparkEntry {
         every = 2)
         .withColumn("sampled_frames", col("sampled_frames").cast("string"))
         .orderBy("id")
+    }),
+
+    // As-of (point-in-time) join: each purchase joined to the user's most
+    // recent prior click. Composed sort-merge form (one shuffle+sort);
+    // DuckDB's native ASOF JOIN is the oracle.
+    "x_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("ts_us", unix_micros(col("ts")))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("value").as("purchase_value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us").as("click_ts"),
+          col("value").as("click_value"))
+      operators.AsOf.join(purchases, clicks, Seq("user_id"), "ts_us", "click_ts")
+        .orderBy("event_id")
     }),
 
     // ---- general query engine (Catalyst built-ins; bench headliners) ----
@@ -587,6 +615,13 @@ object SparkEntry {
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
            substring(base64(encode(text)), 1, 16) AS b64_head
          FROM documents ORDER BY doc_id""",
+    "x_asof_join" ->
+      """SELECT p.user_id, epoch_us(p.ts) AS ts_us, p.event_id,
+              p.value AS purchase_value, c.value AS click_value
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           ON p.user_id = c.user_id AND p.ts >= c.ts
+         ORDER BY p.event_id""",
     "j3_top_orders" ->
       """SELECT o_orderkey,
            CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *

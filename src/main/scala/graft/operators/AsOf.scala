@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join: for each left row, attach the most recent
+  * right row with `rightTime <= leftTime` per key — the temporal-join
+  * operator analytic engines ship natively (DuckDB `ASOF JOIN`,
+  * kdb-style aj).
+  *
+  * Spark-first composition (preference (a) — no custom SparkStrategy
+  * needed): tag both sides, union on (key, time), and carry the latest
+  * right payload forward with `last(_, ignoreNulls)` over an ordered
+  * per-key window; keep only left rows. Cost is ONE shuffle + sort on the
+  * key — the same sort-merge layout a dedicated as-of physical operator
+  * would use, so it scales like a regular sort-merge join (AQE handles
+  * skewed keys). Right rows at exactly `leftTime` are visible (<=
+  * semantics): at equal timestamps the right row sorts first.
+  */
+object AsOf {
+
+  /** Left as-of join. Right payload columns come back null when no right
+    * row precedes the left row (LEFT semantics).
+    *
+    * @param keys       equality key columns present on both sides
+    * @param leftTime   event-time column name on `left`
+    * @param rightTime  event-time column name on `right`
+    */
+  def join(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String): DataFrame = {
+    val leftPayload = left.columns.filterNot(c => keys.contains(c)).toSeq
+    val rightPayload = right.columns.filterNot(c => keys.contains(c) || c == rightTime).toSeq
+    require(leftPayload.intersect(rightPayload).isEmpty,
+      s"overlapping payload columns: ${leftPayload.intersect(rightPayload).mkString(", ")}")
+
+    val taggedLeft = left
+      .withColumn("_t", col(leftTime).cast("long"))
+      .withColumn("_is_left", lit(1))
+      .select(keys.map(col) ++ Seq(col("_t"), col("_is_left")) ++
+        leftPayload.map(col) ++ rightPayload.map(c => lit(null).alias(c)): _*)
+    val taggedRight = right
+      .withColumn("_t", col(rightTime).cast("long"))
+      .withColumn("_is_left", lit(0))
+      .select(keys.map(col) ++ Seq(col("_t"), col("_is_left")) ++
+        leftPayload.map(c => lit(null).alias(c)) ++ rightPayload.map(col): _*)
+
+    // right rows sort before left rows at the same instant → `<=` semantics
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_t"), col("_is_left"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+
+    val carried = rightPayload.foldLeft(taggedLeft.unionByName(taggedRight)) {
+      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("_is_left") === 1).drop("_t", "_is_left")
+  }
+}

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{VectorAggregates, VectorExpressions}
+
+/** IVF-style approximate-nearest-neighbor index: k-means partitions the
+  * corpus into `k` cells; a query probes only the `nProbe` cells whose
+  * centroids are nearest, then brute-forces inside them.
+  *
+  * Scale design:
+  *   - training: Lloyd's iterations where assignment is a narrow
+  *     projection (argmin over k literal centroids, fused `vector_l2sq`
+  *     loops) and the re-centering aggregate is [[VectorAggregates.vectorSum]]
+  *     — map-side partial sums, one shuffle of `partitions × k × dim`
+  *     doubles per iteration, independent of corpus size;
+  *   - the trained model is `k × dim` doubles on the driver (literals in
+  *     the plan, implicitly broadcast);
+  *   - search cost is `corpus × nProbe / k` rows (assuming balanced
+  *     cells) + a TakeOrderedAndProject top-k, vs the LSH variant's
+  *     fixed-bucket recall. Higher recall than random-hyperplane buckets
+  *     on weakly-clustered data because cells adapt to the distribution.
+  */
+object Ivf {
+
+  final case class Model(centroids: Array[Array[Double]]) {
+    def k: Int = centroids.length
+  }
+
+  private def centroidLit(c: Array[Double]): Column =
+    array(c.toSeq.map(lit): _*)
+
+  /** Cluster id = argmin_i l2sq(vec, centroid_i): array of (dist, id)
+    * structs reduced with array_min (struct ordering is field order, so
+    * distance decides, id breaks ties deterministically).
+    */
+  private def assignExpr(vec: Column, model: Model): Column =
+    array_min(array(model.centroids.zipWithIndex.map { case (c, i) =>
+      struct(VectorExpressions.l2sqFast(vec, centroidLit(c)).as("d"),
+        lit(i).as("id"))
+    }.toSeq: _*)).getField("id")
+
+  /** Lloyd's k-means. Deterministic: initial centroids are the `k`
+    * lowest-id vectors; empty cells keep their previous centroid.
+    */
+  def fit(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int = 5): Model = {
+    val init = df.orderBy(col(idCol)).limit(k)
+      .select(transform(col(vecCol), _.cast("double")).as("c"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    var model = Model(init)
+    for (_ <- 0 until iters) {
+      val assigned = df.select(col(vecCol),
+        assignExpr(col(vecCol), model).as("_cell"))
+      val sums = assigned.groupBy("_cell")
+        .agg(VectorAggregates.vectorSum(col(vecCol)).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val next = model.centroids.clone()
+      sums.foreach { r =>
+        val cell = r.getInt(0)
+        val s = r.getSeq[Double](1)
+        val n = r.getLong(2).toDouble
+        next(cell) = s.map(_ / n).toArray
+      }
+      model = Model(next)
+    }
+    model
+  }
+
+  /** Attach the cell id (the IVF partition key). */
+  def assign(df: DataFrame, vecCol: String, model: Model): DataFrame =
+    df.withColumn("cell", assignExpr(col(vecCol), model))
+
+  /** Top-k by cosine among the `nProbe` nearest cells to the query. */
+  def search(assigned: DataFrame, idCol: String, vecCol: String,
+      model: Model, query: Seq[Float], topK: Int, nProbe: Int): DataFrame = {
+    val q = query.map(_.toDouble).toArray
+    def l2sq(c: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      val n = math.min(c.length, q.length)
+      while (i < n) { val t = c(i) - q(i); d += t * t; i += 1 }
+      d
+    }
+    val probes = model.centroids.zipWithIndex
+      .sortBy { case (c, i) => (l2sq(c), i) }.take(nProbe).map(_._2).toSeq
+    Similarity.bruteForceTopK(
+      assigned.filter(col("cell").isin(probes: _*)), idCol, vecCol, query, topK)
+  }
+}

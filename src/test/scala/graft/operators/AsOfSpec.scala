@@ -1,0 +1,37 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def trades = Seq(
+    ("aapl", 10L, "t1"), ("aapl", 25L, "t2"), ("msft", 5L, "t3"))
+    .toDF("sym", "t", "trade")
+  private def quotes = Seq(
+    ("aapl", 5L, 1.0), ("aapl", 10L, 2.0), ("aapl", 20L, 3.0),
+    ("msft", 9L, 9.0))
+    .toDF("sym", "qt", "px")
+
+  test("each left row gets the latest right row at or before its time") {
+    val out = AsOf.join(trades, quotes, Seq("sym"), "t", "qt")
+      .orderBy("t").select("trade", "px").as[(String, Option[Double])].collect()
+    // t=10 sees the qt=10 quote (<= semantics); t=25 sees qt=20
+    assert(out.toSeq == Seq(("t3", None), ("t1", Some(2.0)), ("t2", Some(3.0))))
+  }
+
+  test("left rows with no prior right row keep null payload (left join)") {
+    val out = AsOf.join(trades, quotes.filter($"sym" === "aapl"),
+      Seq("sym"), "t", "qt")
+    val msft = out.filter($"sym" === "msft").select("px")
+      .as[Option[Double]].head()
+    assert(msft.isEmpty)
+  }
+
+  test("overlapping payload column names are rejected") {
+    assertThrows[IllegalArgumentException] {
+      AsOf.join(trades, trades.withColumnRenamed("t", "t2"),
+        Seq("sym"), "t", "t2")
+    }
+  }
+}
