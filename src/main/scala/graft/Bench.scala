@@ -39,11 +39,29 @@ object Bench {
     // reported); second pass is the steady-state measurement.
     val cold = runAll()
     val results = runAll()
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+
+    // End-to-end ingest pipeline (BASELINE.md bench plan): changelog →
+    // classify/compact → keyed sink merge + commit, reporting docs/sec
+    // like the reference's throughput instrumentation.
+    val (ingestSecs, ingestDocs) = {
+      import org.apache.spark.sql.functions.col
+      val dir = java.nio.file.Files.createTempDirectory("bench-index").toString
+      val sink = new graft.sink.ParquetIndexSink(spark, dir)
+      val runner = new graft.runtime.PipelineRunner(
+        graft.config.PipelineConfig(indexName = "bench-idx"), sink)
+      val t0 = System.nanoTime()
+      val docs = runner.processBatch(SparkEntry.eventsChangelog(spark, sfDir),
+        "op", "user_id", Seq(col("ts_us"), col("event_id")))
+      ((System.nanoTime() - t0) / 1e9, docs)
+    }
+
+    val qs = (results :+ ("ingest_pipeline" -> ingestSecs))
+      .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).sum + ingestSecs
     val coldTotal = cold.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total":$coldTotal}""")
+    val ingestRate = if (ingestSecs > 0) ingestDocs / ingestSecs else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total":$coldTotal,"ingest_docs":$ingestDocs,"ingest_docs_per_sec":$ingestRate}""")
     spark.stop()
   }
 }
