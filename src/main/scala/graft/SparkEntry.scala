@@ -308,6 +308,22 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Composite training-data curation pipeline: quality-filter → exact
+    // dedup (keep lowest doc_id per distinct text) → language ID — the
+    // north-star operators composed, still one declarative plan.
+    "x_curation" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val q = operators.TextAnalysis.quality(docs, "doc_id", "text")
+      val kept = docs.join(
+        q.filter(col("n_tokens") >= 30 && col("stopword_ratio") < 0.5)
+          .select("doc_id"), "doc_id")
+      val deduped = operators.Dedup.dropExactDuplicates(kept, "doc_id", Seq("text"))
+      operators.TextAnalysis.languageId(deduped, "doc_id", "text")
+        .join(q.select("doc_id", "n_tokens"), "doc_id")
+        .select("doc_id", "pred_lang", "n_tokens")
+        .orderBy("doc_id")
+    }),
+
     // As-of (point-in-time) join: each purchase joined to the user's most
     // recent prior click. Composed sort-merge form (one shuffle+sort);
     // DuckDB's native ASOF JOIN is the oracle.
@@ -615,6 +631,38 @@ object SparkEntry {
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
            substring(base64(encode(text)), 1, 16) AS b64_head
          FROM documents ORDER BY doc_id""",
+    "x_curation" ->
+      """WITH q AS (SELECT doc_id, text,
+             len(string_split(text, ' ')) AS n_tokens,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+               w -> w IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS swr
+           FROM documents),
+         kept AS (SELECT doc_id, text, n_tokens FROM q
+           WHERE n_tokens >= 30 AND swr < 0.5),
+         dedup AS (SELECT doc_id, text, n_tokens FROM (
+             SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+             FROM kept) t WHERE rn = 1),
+         s AS (SELECT doc_id, n_tokens,
+           len(list_filter(string_split(lower(text), ' '),
+             w -> w IN ('der','die','das','und','ist','nicht','ein','zu'))) AS de_s,
+           len(list_filter(string_split(lower(text), ' '),
+             w -> w IN ('the','and','of','to','is','in','that','it'))) AS en_s,
+           len(list_filter(string_split(lower(text), ' '),
+             w -> w IN ('el','los','las','es','una','en','que','por'))) AS es_s,
+           len(list_filter(string_split(lower(text), ' '),
+             w -> w IN ('le','la','les','et','est','une','dans','que'))) AS fr_s,
+           len(list_filter(string_split(lower(text), ' '),
+             w -> w IN ('的','是','了','在','和','有','我','不'))) AS zh_s
+         FROM dedup)
+         SELECT doc_id, CASE
+           WHEN de_s > 0 AND de_s >= greatest(de_s, en_s, es_s, fr_s, zh_s) THEN 'de'
+           WHEN en_s > 0 AND en_s >= greatest(de_s, en_s, es_s, fr_s, zh_s) THEN 'en'
+           WHEN es_s > 0 AND es_s >= greatest(de_s, en_s, es_s, fr_s, zh_s) THEN 'es'
+           WHEN fr_s > 0 AND fr_s >= greatest(de_s, en_s, es_s, fr_s, zh_s) THEN 'fr'
+           WHEN zh_s > 0 AND zh_s >= greatest(de_s, en_s, es_s, fr_s, zh_s) THEN 'zh'
+           ELSE 'und' END AS pred_lang, n_tokens
+         FROM s ORDER BY doc_id""",
     "x_asof_join" ->
       """SELECT p.user_id, epoch_us(p.ts) AS ts_us, p.event_id,
               p.value AS purchase_value, c.value AS click_value
