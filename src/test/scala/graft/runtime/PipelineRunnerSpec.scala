@@ -82,6 +82,37 @@ class PipelineRunnerSpec extends SparkSpec {
     }
   }
 
+  test("restart from checkpoint resumes without reprocessing (consumer-id contract)") {
+    val srcDir = java.nio.file.Files.createTempDirectory("restart-src").toString
+    val sinkDir = java.nio.file.Files.createTempDirectory("restart-sink").toString
+    val conf = cfg(sinkDir) // one shared checkpointLocation across restarts
+    val schema = StructType(Seq(StructField("k", StringType),
+      StructField("seq", LongType), StructField("op", StringType),
+      StructField("v", StringType)))
+
+    changelog(("a", 1, "+I", "v1")).write.mode("append").parquet(srcDir)
+    val sink1 = new ParquetIndexSink(spark, sinkDir)
+    val runner1 = new PipelineRunner(conf, sink1)
+    val q1 = runner1.runStream(
+      spark.readStream.schema(schema).parquet(srcDir), "op", "k", Seq(col("seq")))
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(runner1.metrics.totalDocs.get == 1)
+
+    // new snapshot lands while the query is DOWN; restart with the same
+    // checkpoint → only the new data is processed
+    changelog(("b", 2, "+I", "b1")).write.mode("append").parquet(srcDir)
+    val sink2 = new ParquetIndexSink(spark, sinkDir)
+    val runner2 = new PipelineRunner(conf, sink2)
+    val q2 = runner2.runStream(
+      spark.readStream.schema(schema).parquet(srcDir), "op", "k", Seq(col("seq")))
+    try { q2.processAllAvailable() } finally q2.stop()
+
+    assert(runner2.metrics.totalDocs.get == 1) // only "b", no replay of "a"
+    val state = sink2.searchable().orderBy("_id").select("_id", "v")
+      .as[(String, String)].collect().toSeq
+    assert(state == Seq(("a", "v1"), ("b", "b1")))
+  }
+
   test("streaming: file-source micro-batches reach the sink with checkpointing") {
     val srcDir = java.nio.file.Files.createTempDirectory("stream-src").toString
     val sinkDir = java.nio.file.Files.createTempDirectory("stream-sink").toString
