@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation helpers for hot keys.
+  *
+  * AQE's skew-join splitting handles most cases at runtime; these are for
+  * the shapes AQE does not cover:
+  *
+  *   - [[saltedAgg]]: two-phase aggregation — rows are spread across
+  *     `salts` sub-keys, partially aggregated, then re-aggregated on the
+  *     true key. The first (wide) shuffle distributes a hot key over
+  *     `salts` reducers; the second shuffle carries only
+  *     `keys × salts` pre-aggregated rows. Correct for any
+  *     associative-and-commutative aggregate (sum/count/min/max).
+  *   - [[saltedBroadcastJoin]]: hot-key broadcast join — replicates the
+  *     (small) build side once per salt so a skewed probe key fans out
+  *     across tasks instead of landing on one reducer.
+  */
+object Skew {
+
+  /** Deterministic salt in [0, salts): hash of the whole row spread, so
+    * the same row always lands in the same salt bucket (replay-safe).
+    */
+  def saltCol(salts: Int, cols: Seq[Column]): Column =
+    pmod(xxhash64(cols: _*), lit(salts))
+
+  final case class AggSpec(colName: String, agg: String) {
+    require(Set("sum", "count", "min", "max").contains(agg),
+      s"'$agg' is not algebraic-mergeable (sum/count/min/max only)")
+  }
+
+  /** Two-phase (salted) aggregation equivalent to
+    * `df.groupBy(keys).agg(specs)` but skew-tolerant. Count re-aggregates
+    * as a sum of partial counts; min/max/sum merge with themselves.
+    */
+  def saltedAgg(df: DataFrame, keys: Seq[String], specs: Seq[AggSpec],
+      salts: Int = 16): DataFrame = {
+    val salted = df.withColumn("_salt",
+      saltCol(salts, df.columns.toSeq.map(col)))
+    val partialAggs = specs.map { s =>
+      val fn = s.agg match {
+        case "sum" => sum(col(s.colName))
+        case "count" => count(col(s.colName))
+        case "min" => min(col(s.colName))
+        case "max" => max(col(s.colName))
+      }
+      fn.as(s"_p_${s.agg}_${s.colName}")
+    }
+    val partial = salted.groupBy((keys :+ "_salt").map(col): _*)
+      .agg(partialAggs.head, partialAggs.tail: _*)
+    val finalAggs = specs.map { s =>
+      val p = col(s"_p_${s.agg}_${s.colName}")
+      val fn = s.agg match {
+        case "sum" => sum(p)
+        case "count" => sum(p) // partial counts merge by summing
+        case "min" => min(p)
+        case "max" => max(p)
+      }
+      fn.as(s"${s.agg}_${s.colName}")
+    }
+    partial.groupBy(keys.map(col): _*).agg(finalAggs.head, finalAggs.tail: _*)
+  }
+
+  /** Salted join for a skewed probe side against a small build side:
+    * probe rows get a deterministic salt, the build side is exploded once
+    * per salt value, and the join key becomes (key, salt).
+    */
+  def saltedBroadcastJoin(probe: DataFrame, build: DataFrame,
+      keys: Seq[String], salts: Int = 16): DataFrame = {
+    val saltedProbe = probe.withColumn("_salt",
+      saltCol(salts, probe.columns.toSeq.map(col)))
+    val explodedBuild = build.withColumn("_salt",
+      explode(sequence(lit(0L), lit(salts - 1L))))
+    saltedProbe.join(broadcast(explodedBuild), keys :+ "_salt")
+      .drop("_salt")
+  }
+}
