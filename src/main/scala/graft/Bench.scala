@@ -43,25 +43,33 @@ object Bench {
     // End-to-end ingest pipeline (BASELINE.md bench plan): changelog →
     // classify/compact → keyed sink merge + commit, reporting docs/sec
     // like the reference's throughput instrumentation.
-    val (ingestSecs, ingestDocs) = {
-      import org.apache.spark.sql.functions.col
-      val dir = java.nio.file.Files.createTempDirectory("bench-index").toString
-      val sink = new graft.sink.ParquetIndexSink(spark, dir)
-      val runner = new graft.runtime.PipelineRunner(
-        graft.config.PipelineConfig(indexName = "bench-idx"), sink)
-      val t0 = System.nanoTime()
-      val docs = runner.processBatch(SparkEntry.eventsChangelog(spark, sfDir),
-        "op", "user_id", Seq(col("ts_us"), col("event_id")))
-      ((System.nanoTime() - t0) / 1e9, docs)
-    }
+    val (ingestSecs, ingestDocs) =
+      try {
+        import org.apache.spark.sql.functions.col
+        val dir = java.nio.file.Files.createTempDirectory("bench-index").toString
+        val sink = new graft.sink.ParquetIndexSink(spark, dir)
+        val runner = new graft.runtime.PipelineRunner(
+          graft.config.PipelineConfig(indexName = "bench-idx"), sink)
+        val t0 = System.nanoTime()
+        val docs = runner.processBatch(SparkEntry.eventsChangelog(spark, sfDir),
+          "op", "user_id", Seq(col("ts_us"), col("event_id")))
+        ((System.nanoTime() - t0) / 1e9, docs)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] ingest_pipeline failed: ${e.getMessage}")
+          (-1.0, 0L)
+      }
 
     val qs = (results :+ ("ingest_pipeline" -> ingestSecs))
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum + ingestSecs
-    val coldTotal = cold.map(_._2).sum
+    // failure markers (-1) must not SHRINK the totals — exclude them and
+    // surface the count instead
+    val failed = (results :+ ("ingest_pipeline" -> ingestSecs)).count(_._2 < 0)
+    val total = results.map(_._2).filter(_ >= 0).sum + math.max(ingestSecs, 0)
+    val coldTotal = cold.map(_._2).filter(_ >= 0).sum
     val ingestRate = if (ingestSecs > 0) ingestDocs / ingestSecs else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total":$coldTotal,"ingest_docs":$ingestDocs,"ingest_docs_per_sec":$ingestRate}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total":$coldTotal,"ingest_docs":$ingestDocs,"ingest_docs_per_sec":$ingestRate,"failed_queries":$failed}""")
     spark.stop()
   }
 }

@@ -103,12 +103,12 @@ object SparkEntry {
     }),
 
     // §2 P7 — poison-pill filter: conversion failures skipped, not fatal.
-    // from_json parses each record once (get_json_object re-parses in the
-    // filter AND the projection) and PERMISSIVE-nulls corrupt records —
-    // exactly the log-and-skip poison semantics.
+    // get_json_object + cast, NOT from_json(k INT): the oracle's
+    // json_extract_string→CAST coerces a string-typed "5" to 5, and
+    // from_json's PERMISSIVE null would silently drop such rows.
     "p7_poison_filter" -> ((s, d) =>
       Tables.events(s, d)
-        .withColumn("k", from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(org.apache.spark.sql.types.StructField("k", IntegerType)))).getField("k"))
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
         .filter(col("k").isNotNull && col("k") % 3 =!= 0)
         .select("event_id", "k").orderBy("event_id")),
 

@@ -48,12 +48,17 @@ abstract class VectorBinaryLoop extends BinaryExpression {
           s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
 
-  /** Combine step in generated code: updates accumulators from x, y. */
-  protected def genAccumulate(x: String, y: String): String
+  /** Combine step in generated code: updates accumulators from x, y.
+    * `acc` is a FRESH name prefix — accumulators must not use fixed
+    * names, or two instances of the same expression in one codegen scope
+    * (e.g. the IVF argmin over k centroids) collide and Janino falls back
+    * to interpretation.
+    */
+  protected def genAccumulate(acc: String, x: String, y: String): String
   /** Accumulator declarations (generated code). */
-  protected def genInit: String
+  protected def genInit(acc: String): String
   /** Final result expression from accumulators (generated code). */
-  protected def genResult: String
+  protected def genResult(acc: String): String
 
   /** Interpreted twin of the generated loop. */
   protected def evalLoop(a: ArrayData, b: ArrayData, n: Int): Double
@@ -76,17 +81,18 @@ abstract class VectorBinaryLoop extends BinaryExpression {
       val n = ctx.freshName("n")
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
+      val acc = ctx.freshName("acc")
       val lGet = if (leftIsFloat) "getFloat" else "getDouble"
       val rGet = if (rightIsFloat) "getFloat" else "getDouble"
       s"""
         int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        $genInit
+        ${genInit(acc)}
         for (int $i = 0; $i < $n; $i++) {
           double $x = (double) $a.$lGet($i);
           double $y = (double) $b.$rGet($i);
-          ${genAccumulate(x, y)}
+          ${genAccumulate(acc, x, y)}
         }
-        ${ev.value} = $genResult;
+        ${ev.value} = ${genResult(acc)};
       """
     })
 }
@@ -94,9 +100,10 @@ abstract class VectorBinaryLoop extends BinaryExpression {
 /** Σ aᵢ·bᵢ in one fused loop. */
 case class VectorDot(left: Expression, right: Expression) extends VectorBinaryLoop {
   override def prettyName: String = "vector_dot"
-  protected val genInit = "double acc_dot = 0.0;"
-  protected def genAccumulate(x: String, y: String) = s"acc_dot += $x * $y;"
-  protected val genResult = "acc_dot"
+  protected def genInit(acc: String) = s"double ${acc}_dot = 0.0;"
+  protected def genAccumulate(acc: String, x: String, y: String) =
+    s"${acc}_dot += $x * $y;"
+  protected def genResult(acc: String) = s"${acc}_dot"
   protected def evalLoop(a: ArrayData, b: ArrayData, n: Int): Double = {
     var dot = 0.0; var i = 0
     while (i < n) { dot += leftAt(a, i) * rightAt(b, i); i += 1 }
@@ -109,12 +116,12 @@ case class VectorDot(left: Expression, right: Expression) extends VectorBinaryLo
 /** Cosine similarity — dot and both norms in a single pass. */
 case class VectorCosine(left: Expression, right: Expression) extends VectorBinaryLoop {
   override def prettyName: String = "vector_cosine"
-  protected val genInit =
-    "double acc_dot = 0.0; double acc_na = 0.0; double acc_nb = 0.0;"
-  protected def genAccumulate(x: String, y: String) =
-    s"acc_dot += $x * $y; acc_na += $x * $x; acc_nb += $y * $y;"
-  protected val genResult =
-    "acc_dot / (java.lang.Math.sqrt(acc_na) * java.lang.Math.sqrt(acc_nb))"
+  protected def genInit(acc: String) =
+    s"double ${acc}_dot = 0.0; double ${acc}_na = 0.0; double ${acc}_nb = 0.0;"
+  protected def genAccumulate(acc: String, x: String, y: String) =
+    s"${acc}_dot += $x * $y; ${acc}_na += $x * $x; ${acc}_nb += $y * $y;"
+  protected def genResult(acc: String) =
+    s"${acc}_dot / (java.lang.Math.sqrt(${acc}_na) * java.lang.Math.sqrt(${acc}_nb))"
   protected def evalLoop(a: ArrayData, b: ArrayData, n: Int): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
@@ -130,10 +137,10 @@ case class VectorCosine(left: Expression, right: Expression) extends VectorBinar
 /** Squared L2 distance in one pass. */
 case class VectorL2Sq(left: Expression, right: Expression) extends VectorBinaryLoop {
   override def prettyName: String = "vector_l2sq"
-  protected val genInit = "double acc_d = 0.0;"
-  protected def genAccumulate(x: String, y: String) =
-    s"double diff = $x - $y; acc_d += diff * diff;"
-  protected val genResult = "acc_d"
+  protected def genInit(acc: String) = s"double ${acc}_d = 0.0;"
+  protected def genAccumulate(acc: String, x: String, y: String) =
+    s"double ${acc}_t = $x - $y; ${acc}_d += ${acc}_t * ${acc}_t;"
+  protected def genResult(acc: String) = s"${acc}_d"
   protected def evalLoop(a: ArrayData, b: ArrayData, n: Int): Double = {
     var d = 0.0; var i = 0
     while (i < n) { val t = leftAt(a, i) - rightAt(b, i); d += t * t; i += 1 }

@@ -33,26 +33,42 @@ object AsOf {
     val rightPayload = right.columns.filterNot(c => keys.contains(c) || c == rightTime).toSeq
     require(leftPayload.intersect(rightPayload).isEmpty,
       s"overlapping payload columns: ${leftPayload.intersect(rightPayload).mkString(", ")}")
+    require(rightPayload.nonEmpty, "right side has no payload columns")
+    require(left.schema(leftTime).dataType == right.schema(rightTime).dataType,
+      s"time column types differ: ${left.schema(leftTime).dataType} vs " +
+        s"${right.schema(rightTime).dataType}")
 
+    // the ENTIRE right payload travels as one struct: carrying columns
+    // individually with last(ignoreNulls) would replace a null field of
+    // the newest right row with a staler row's value — and could stitch
+    // fields from different right rows. The struct is non-null for every
+    // right row, so ignoreNulls skips only the interleaved left rows.
+    // `_t` keeps the original (comparable) time type — casting to long
+    // would truncate timestamps to whole seconds.
     val taggedLeft = left
-      .withColumn("_t", col(leftTime).cast("long"))
+      .withColumn("_t", col(leftTime))
       .withColumn("_is_left", lit(1))
       .select(keys.map(col) ++ Seq(col("_t"), col("_is_left")) ++
-        leftPayload.map(col) ++ rightPayload.map(c => lit(null).alias(c)): _*)
+        leftPayload.map(col) :+
+        lit(null).cast(right.select(rightPayload.map(col): _*).schema
+          .fields.foldLeft(new org.apache.spark.sql.types.StructType())(_ add _))
+          .alias("_rpay"): _*)
     val taggedRight = right
-      .withColumn("_t", col(rightTime).cast("long"))
+      .withColumn("_t", col(rightTime))
       .withColumn("_is_left", lit(0))
       .select(keys.map(col) ++ Seq(col("_t"), col("_is_left")) ++
-        leftPayload.map(c => lit(null).alias(c)) ++ rightPayload.map(col): _*)
+        leftPayload.map(c => lit(null).alias(c)) :+
+        struct(rightPayload.map(col): _*).alias("_rpay"): _*)
 
     // right rows sort before left rows at the same instant → `<=` semantics
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_t"), col("_is_left"))
       .rowsBetween(Window.unboundedPreceding, 0)
 
-    val carried = rightPayload.foldLeft(taggedLeft.unionByName(taggedRight)) {
-      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("_is_left") === 1).drop("_t", "_is_left")
+    taggedLeft.unionByName(taggedRight)
+      .withColumn("_rpay", last(col("_rpay"), ignoreNulls = true).over(w))
+      .filter(col("_is_left") === 1)
+      .select(keys.map(col) ++ leftPayload.map(col) ++
+        rightPayload.map(c => col(s"_rpay.$c").alias(c)): _*)
   }
 }

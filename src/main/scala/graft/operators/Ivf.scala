@@ -46,23 +46,28 @@ object Ivf {
     */
   def fit(df: DataFrame, idCol: String, vecCol: String, k: Int,
       iters: Int = 5): Model = {
-    val init = df.orderBy(col(idCol)).limit(k)
+    // null vectors train nothing (and would skew centroids: vector_sum
+    // skips them but a bare count(1) would still divide by them)
+    val vecs = df.filter(col(vecCol).isNotNull)
+    val init = vecs.orderBy(col(idCol)).limit(k)
       .select(transform(col(vecCol), _.cast("double")).as("c"))
       .collect().map(_.getSeq[Double](0).toArray)
+    require(init.length == k, s"need at least $k non-null vectors, got ${init.length}")
     var model = Model(init)
     for (_ <- 0 until iters) {
-      val assigned = df.select(col(vecCol),
+      val assigned = vecs.select(col(vecCol),
         assignExpr(col(vecCol), model).as("_cell"))
       val sums = assigned.groupBy("_cell")
         .agg(VectorAggregates.vectorSum(col(vecCol)).as("s"),
-          count(lit(1)).as("n"))
+          count(col(vecCol)).as("n"))
         .collect()
       val next = model.centroids.clone()
       sums.foreach { r =>
         val cell = r.getInt(0)
         val s = r.getSeq[Double](1)
         val n = r.getLong(2).toDouble
-        next(cell) = s.map(_ / n).toArray
+        if (s != null && n > 0) next(cell) = s.map(_ / n).toArray
+        // else: empty cell keeps its previous centroid
       }
       model = Model(next)
     }

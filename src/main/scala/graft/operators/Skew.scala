@@ -20,11 +20,14 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Deterministic salt in [0, salts): hash of the whole row spread, so
-    * the same row always lands in the same salt bucket (replay-safe).
+  /** Salt in [0, salts). NOT a content hash: the canonical hot key is a
+    * pile of byte-identical rows, which a row hash would send to ONE salt
+    * bucket, defeating the spread entirely. `monotonically_increasing_id`
+    * is unique per row within the job, so identical rows fan out; the salt
+    * value never affects aggregate/join results, only placement.
     */
-  def saltCol(salts: Int, cols: Seq[Column]): Column =
-    pmod(xxhash64(cols: _*), lit(salts))
+  def saltCol(salts: Int): Column =
+    pmod(monotonically_increasing_id(), lit(salts.toLong))
 
   final case class AggSpec(colName: String, agg: String) {
     require(Set("sum", "count", "min", "max").contains(agg),
@@ -37,8 +40,7 @@ object Skew {
     */
   def saltedAgg(df: DataFrame, keys: Seq[String], specs: Seq[AggSpec],
       salts: Int = 16): DataFrame = {
-    val salted = df.withColumn("_salt",
-      saltCol(salts, df.columns.toSeq.map(col)))
+    val salted = df.withColumn("_salt", saltCol(salts))
     val partialAggs = specs.map { s =>
       val fn = s.agg match {
         case "sum" => sum(col(s.colName))
@@ -63,17 +65,17 @@ object Skew {
     partial.groupBy(keys.map(col): _*).agg(finalAggs.head, finalAggs.tail: _*)
   }
 
-  /** Salted join for a skewed probe side against a small build side:
-    * probe rows get a deterministic salt, the build side is exploded once
-    * per salt value, and the join key becomes (key, salt).
+  /** Salted SHUFFLE join for a skewed probe side against a build side too
+    * large to broadcast (a broadcast join needs no salting — it has no
+    * reducer to overload): probe rows get a spread salt, the build side
+    * is replicated once per salt value, and the shuffle key becomes
+    * (key, salt), so a hot key's rows land on `salts` reducers.
     */
-  def saltedBroadcastJoin(probe: DataFrame, build: DataFrame,
+  def saltedJoin(probe: DataFrame, build: DataFrame,
       keys: Seq[String], salts: Int = 16): DataFrame = {
-    val saltedProbe = probe.withColumn("_salt",
-      saltCol(salts, probe.columns.toSeq.map(col)))
+    val saltedProbe = probe.withColumn("_salt", saltCol(salts))
     val explodedBuild = build.withColumn("_salt",
       explode(sequence(lit(0L), lit(salts - 1L))))
-    saltedProbe.join(broadcast(explodedBuild), keys :+ "_salt")
-      .drop("_salt")
+    saltedProbe.join(explodedBuild, keys :+ "_salt").drop("_salt")
   }
 }

@@ -31,9 +31,13 @@ trait IndexSink {
     * delete batches (no driver materialization). Default falls back to
     * the bounded-id form; MERGE-capable sinks override with an anti-join.
     */
-  def deleteByKeys(ids: DataFrame): Unit =
-    deleteByIds(ids.select(ids.columns.head).distinct()
+  def deleteByKeys(ids: DataFrame): Unit = {
+    val c = ids.columns.head
+    // drop null keys: String.valueOf(null) would delete a document whose
+    // id is literally "null"
+    deleteByIds(ids.select(c).filter(col(c).isNotNull).distinct()
       .collect().map(r => String.valueOf(r.get(0))).toSeq)
+  }
 
   /** Make all preceding adds/deletes durable + visible. */
   def commit(): Unit

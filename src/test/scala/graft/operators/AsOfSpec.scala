@@ -28,6 +28,16 @@ class AsOfSpec extends SparkSpec {
     assert(msft.isEmpty)
   }
 
+  test("a null field in the newest right row is NOT replaced by a staler row") {
+    val l = Seq(("a", 12L, "t1")).toDF("sym", "t", "trade")
+    val r = Seq(("a", 5L, Some(1.0), "m1"), ("a", 10L, None, "m2"))
+      .toDF("sym", "qt", "px", "mk")
+    val out = AsOf.join(l, r, Seq("sym"), "t", "qt")
+      .select("px", "mk").as[(Option[Double], String)].head()
+    // the t=10 quote wins atomically: px=null, mk=m2 — never (1.0, m2)
+    assert(out == ((None, "m2")))
+  }
+
   test("overlapping payload column names are rejected") {
     assertThrows[IllegalArgumentException] {
       AsOf.join(trades, trades.withColumnRenamed("t", "t2"),

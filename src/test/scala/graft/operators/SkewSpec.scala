@@ -25,13 +25,20 @@ class SkewSpec extends SparkSpec {
       direct.map(r => (r._1, math.round(r._2 * 100), r._3, r._4)))
   }
 
-  test("salted broadcast join equals plain join") {
+  test("salted join equals plain join") {
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
     val o = Tables.orders(spark, sf)
       .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
     val plain = li.join(o, "l_orderkey").count()
-    val salted = Skew.saltedBroadcastJoin(li, o, Seq("l_orderkey"), salts = 4).count()
+    val salted = Skew.saltedJoin(li, o, Seq("l_orderkey"), salts = 4).count()
     assert(salted == plain)
+  }
+
+  test("identical duplicate rows spread across salt buckets") {
+    val hot = spark.range(1000).select(lit("hotkey").as("k"), lit(1.0).as("v"))
+    val buckets = hot.select(Skew.saltCol(8).as("s"))
+      .distinct().count()
+    assert(buckets > 1, "byte-identical rows all landed in one salt bucket")
   }
 
   test("non-mergeable aggregates are rejected") {
