@@ -442,6 +442,18 @@ object SparkEntry {
           countDistinct(col("l_suppkey")).as("n_supps"))
         .orderBy("l_returnflag")),
 
+    // Statistical aggregates: exact interpolated percentiles, stddev,
+    // correlation (Welford-style double accumulation both engines).
+    "agg_stats" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          percentile(col("l_quantity"), lit(0.5)).as("p50_qty"),
+          percentile(col("l_extendedprice"), lit(0.9)).as("p90_price"),
+          round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"))
+        .orderBy("l_returnflag")),
+
     // Event-time tumbling window (Structured Streaming's windowed-agg
     // shape, batch-checked): hourly event counts + revenue.
     "ws_tumbling" -> ((s, d) =>
@@ -738,6 +750,13 @@ object SparkEntry {
       """SELECT l_returnflag,
            count(DISTINCT l_orderkey) AS n_orders,
            count(DISTINCT l_suppkey) AS n_supps
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "agg_stats" ->
+      """SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS p50_qty,
+           quantile_cont(l_extendedprice, 0.9) AS p90_price,
+           round(stddev_samp(l_quantity), 6) AS sd_qty,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "ws_tumbling" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
