@@ -222,6 +222,15 @@ object SparkEntry {
       operators.Dedup.minhashDedup(Tables.documents(s, d), "doc_id", "text")
         .orderBy("id_a", "id_b")),
 
+    // Duplicate clustering: connected components over the exact near-dup
+    // pair graph; every doc labeled with its canonical (min-id) survivor.
+    "x_dedup_clusters" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = operators.Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.5)
+      operators.Dedup.connectedComponents(pairs, docs.select("doc_id"))
+        .orderBy("id")
+    }),
+
     // SimHash near-dup pairs (banded hamming join; rows-only check).
     "x_dedup_simhash" -> ((s, d) =>
       operators.Dedup.simhashDedup(Tables.documents(s, d), "doc_id", "text",
@@ -584,6 +593,26 @@ object SparkEntry {
          JOIN cnt cb ON cb.doc_id = id_b
          WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.5
          ORDER BY id_a, id_b""",
+    "x_dedup_clusters" ->
+      """WITH RECURSIVE
+         sh AS (SELECT DISTINCT doc_id, g FROM (
+             SELECT doc_id, unnest(list_transform(range(1, len(w)-1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+             FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))),
+         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+             FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+         pairs AS (SELECT id_a, id_b FROM p
+             JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+             WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.5),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+             UNION SELECT id_b, id_a FROM pairs),
+         walk(id, reach) AS (
+             SELECT doc_id, doc_id FROM documents
+             UNION
+             SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src)
+         SELECT id, min(reach) AS root FROM walk GROUP BY id ORDER BY id""",
     "x_dedup_embed" ->
       """WITH z AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

@@ -211,6 +211,51 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Duplicate clustering: connected components over a near-dup pair
+    * graph, labeling every doc with the smallest id reachable from it
+    * (the canonical survivor). Large-scale label propagation: each round
+    * joins current labels across edges and keeps the min — O(diameter)
+    * rounds, each one shuffle; near-dup clusters are shallow (diameter
+    * rarely exceeds a handful), so this converges in a few rounds even on
+    * billion-edge graphs.
+    *
+    * @param pairs edges as (id_a, id_b) columns
+    * @param ids   one row per doc id (isolated docs label themselves)
+    */
+  def connectedComponents(pairs: DataFrame, ids: DataFrame,
+      maxRounds: Int = 20): DataFrame = {
+    val idCol = ids.columns.head
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().cache()
+    try {
+      var labels = ids.select(col(idCol).as("id"), col(idCol).as("root"))
+      var converged = false
+      var round = 0
+      while (!converged && round < maxRounds) {
+        val viaEdges = edges
+          .join(labels.withColumnRenamed("id", "dst")
+            .withColumnRenamed("root", "nroot"), "dst")
+          .groupBy(col("src").as("id"))
+          .agg(min(col("nroot")).as("nroot"))
+        // localCheckpoint truncates lineage each round — without it the
+        // plan doubles per iteration and planning itself blows the heap
+        // long before the data does (use reliable checkpointing on a
+        // cluster if executor loss during the loop matters)
+        val next = labels.join(viaEdges, Seq("id"), "left")
+          .select(col("id"),
+            least(col("root"), coalesce(col("nroot"), col("root"))).as("root"))
+          .localCheckpoint(true)
+        val changed = next.join(labels.withColumnRenamed("root", "old"), "id")
+          .filter(col("root") =!= col("old")).limit(1).count()
+        labels = next
+        converged = changed == 0
+        round += 1
+      }
+      labels
+    } finally edges.unpersist()
+  }
+
   /** Embedding near-dup pairs: cosine ≥ threshold. Brute-force pair join —
     * use on candidate buckets (see Similarity.annBuckets) at scale.
     */

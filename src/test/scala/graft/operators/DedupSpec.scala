@@ -55,6 +55,23 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connected components label every doc with its min reachable id") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val ids = Seq(1L, 2L, 3L, 5L, 7L, 9L).toDF("id")
+    val roots = Dedup.connectedComponents(pairs, ids)
+      .as[(Long, Long)].collect().toMap
+    assert(roots == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L,
+      7L -> 7L, 9L -> 7L))
+  }
+
+  test("components converge across a long chain (multi-round propagation)") {
+    val chain = (1L until 10L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val ids = (1L to 10L).toDF("id")
+    val roots = Dedup.connectedComponents(chain, ids)
+      .as[(Long, Long)].collect().toMap
+    assert(roots.values.toSet == Set(1L))
+  }
+
   test("embedding cosine pairs are symmetric-free and above threshold") {
     val out = Dedup.embeddingCosinePairs(
       Tables.embeddings(spark, sf), "vec_id", "embedding", 0.3)
