@@ -182,6 +182,13 @@ object SparkEntry {
       DocQueries.matchText(Tables.documents(s, d), "text", "merge window")
         .select("doc_id").orderBy("doc_id")),
 
+    // §2.6 — ranked MatchQuery: tf scoring over query tokens, top-k.
+    "q_match_ranked" -> ((s, d) =>
+      DocQueries.matchTextRanked(
+        Tables.documents(s, d).select("doc_id", "text"), "text",
+        "merge window scan", 20)
+        .select("doc_id", "score")),
+
     // §2.6 — MatchAllQuery + field retrieval.
     "q_match_all" -> ((s, d) =>
       DocQueries.retrieve(DocQueries.matchAll(Tables.documents(s, d)),
@@ -564,6 +571,15 @@ object SparkEntry {
       """SELECT doc_id FROM documents
          WHERE list_has_any(string_split(lower(text), ' '), ['merge', 'window'])
          ORDER BY doc_id""",
+    "q_match_ranked" ->
+      """SELECT doc_id, score FROM (
+           SELECT doc_id,
+             len(list_filter(string_split(lower(text), ' '), w -> w = 'merge'))
+             + len(list_filter(string_split(lower(text), ' '), w -> w = 'window'))
+             + len(list_filter(string_split(lower(text), ' '), w -> w = 'scan'))
+               AS score
+           FROM documents) t
+         WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 20""",
     "q_match_all" ->
       """SELECT doc_id, source FROM documents ORDER BY doc_id""",
     "p_documents" ->

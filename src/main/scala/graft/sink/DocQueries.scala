@@ -36,4 +36,21 @@ object DocQueries {
   /** Field retrieval — projection of requested fields. */
   def retrieve(index: DataFrame, fields: Seq[String]): DataFrame =
     index.select(fields.map(col): _*)
+
+  /** Ranked MatchQuery: term-frequency score over the query tokens
+    * (the deterministic core of Lucene's ranking — integer tf, so results
+    * are engine-exact; idf/norms are corpus-dependent refinements).
+    */
+  def matchTextRanked(index: DataFrame, field: String, query: String,
+      k: Int): DataFrame = {
+    val qTokens = query.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val fieldTokens = split(lower(col(field)), "\\s+")
+    val score = qTokens.map(t =>
+      size(filter(fieldTokens, tok => tok === lit(t))))
+      .reduce(_ + _)
+    index.withColumn("score", score)
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col(index.columns.head))
+      .limit(k)
+  }
 }

@@ -69,6 +69,23 @@ class IndexSinkSpec extends SparkSpec {
     assert(sink.searchable().count() == 1)
   }
 
+  test("in-memory sink honors the same ordered upsert/delete contract") {
+    val sink = new InMemoryIndexSink(spark, docSchema)
+    sink.addDocuments(Seq(("a", "v1"), ("b", "b1")).toDF("_id", "v"))
+    sink.deleteByKeys(Seq(Some("a"), None).toDF("id")) // null key ignored
+    sink.commit()
+    assert(sink.searchable().select("_id").as[String].collect().toSeq == Seq("b"))
+  }
+
+  test("ranked match orders by term frequency with deterministic ties") {
+    val idx = Seq(
+      ("1", "merge merge window"), ("2", "merge scan"), ("3", "nothing here"))
+      .toDF("_id", "text")
+    val out = DocQueries.matchTextRanked(idx, "text", "merge window scan", 10)
+      .select("_id", "score").as[(String, Int)].collect().toSeq
+    assert(out == Seq(("1", 3), ("2", 2)))
+  }
+
   test("doc queries: term, term-in-set, match-text over an index view") {
     val idx = Seq(
       ("1", "en", "the quick brown fox"),
