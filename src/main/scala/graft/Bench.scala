@@ -64,8 +64,9 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // failure markers (-1) must not SHRINK the totals — exclude them and
-    // surface the count instead
-    val failed = (results :+ ("ingest_pipeline" -> ingestSecs)).count(_._2 < 0)
+    // surface the count instead (a query failing in EITHER pass counts)
+    val failed = ((results ++ cold).filter(_._2 < 0).map(_._1).toSet ++
+      (if (ingestSecs < 0) Set("ingest_pipeline") else Set.empty)).size
     val total = results.map(_._2).filter(_ >= 0).sum + math.max(ingestSecs, 0)
     val coldTotal = cold.map(_._2).filter(_ >= 0).sum
     val ingestRate = if (ingestSecs > 0) ingestDocs / ingestSecs else 0.0

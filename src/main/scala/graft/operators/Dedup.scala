@@ -252,6 +252,13 @@ object Dedup {
         converged = changed == 0
         round += 1
       }
+      // silent truncation would return split clusters that LOOK valid —
+      // fail loudly and let the caller raise maxRounds (rounds needed =
+      // max distance from a component's min-id member)
+      if (!converged)
+        throw new IllegalStateException(
+          s"connected components did not converge in $maxRounds rounds; " +
+            "raise maxRounds (a component's diameter exceeds it)")
       labels
     } finally edges.unpersist()
   }

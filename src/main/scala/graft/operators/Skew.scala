@@ -14,20 +14,21 @@ import org.apache.spark.sql.functions._
   *     `salts` reducers; the second shuffle carries only
   *     `keys × salts` pre-aggregated rows. Correct for any
   *     associative-and-commutative aggregate (sum/count/min/max).
-  *   - [[saltedBroadcastJoin]]: hot-key broadcast join — replicates the
-  *     (small) build side once per salt so a skewed probe key fans out
-  *     across tasks instead of landing on one reducer.
+  *   - [[saltedJoin]]: salted shuffle join — replicates the build side
+  *     once per salt so a skewed probe key fans out across `salts`
+  *     reducers (broadcast joins need no salting: no reducer to overload).
   */
 object Skew {
 
-  /** Salt in [0, salts). NOT a content hash: the canonical hot key is a
-    * pile of byte-identical rows, which a row hash would send to ONE salt
-    * bucket, defeating the spread entirely. `monotonically_increasing_id`
-    * is unique per row within the job, so identical rows fan out; the salt
-    * value never affects aggregate/join results, only placement.
+  /** Salt in [0, salts), a DETERMINISTIC hash of `spreadCols`. Determinism
+    * matters: a nondeterministic salt (row ids, rand) used as a shuffle
+    * key double-counts or drops rows when failed map tasks recompute with
+    * different values. The trade-off: byte-identical duplicate rows
+    * collide into one bucket — pass a row-unique column (an ingestion id)
+    * as `spreadCols` when the hot key is made of exact duplicates.
     */
-  def saltCol(salts: Int): Column =
-    pmod(monotonically_increasing_id(), lit(salts.toLong))
+  def saltCol(salts: Int, spreadCols: Seq[Column]): Column =
+    pmod(xxhash64(spreadCols: _*), lit(salts.toLong))
 
   final case class AggSpec(colName: String, agg: String) {
     require(Set("sum", "count", "min", "max").contains(agg),
@@ -39,8 +40,9 @@ object Skew {
     * as a sum of partial counts; min/max/sum merge with themselves.
     */
   def saltedAgg(df: DataFrame, keys: Seq[String], specs: Seq[AggSpec],
-      salts: Int = 16): DataFrame = {
-    val salted = df.withColumn("_salt", saltCol(salts))
+      salts: Int = 16, spreadCols: Seq[String] = Nil): DataFrame = {
+    val spread = if (spreadCols.nonEmpty) spreadCols else df.columns.toSeq
+    val salted = df.withColumn("_salt", saltCol(salts, spread.map(col)))
     val partialAggs = specs.map { s =>
       val fn = s.agg match {
         case "sum" => sum(col(s.colName))
@@ -72,8 +74,9 @@ object Skew {
     * (key, salt), so a hot key's rows land on `salts` reducers.
     */
   def saltedJoin(probe: DataFrame, build: DataFrame,
-      keys: Seq[String], salts: Int = 16): DataFrame = {
-    val saltedProbe = probe.withColumn("_salt", saltCol(salts))
+      keys: Seq[String], salts: Int = 16, spreadCols: Seq[String] = Nil): DataFrame = {
+    val spread = if (spreadCols.nonEmpty) spreadCols else probe.columns.toSeq
+    val saltedProbe = probe.withColumn("_salt", saltCol(salts, spread.map(col)))
     val explodedBuild = build.withColumn("_salt",
       explode(sequence(lit(0L), lit(salts - 1L))))
     saltedProbe.join(explodedBuild, keys :+ "_salt").drop("_salt")

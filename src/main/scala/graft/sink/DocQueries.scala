@@ -45,9 +45,13 @@ object DocQueries {
       k: Int): DataFrame = {
     val qTokens = query.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
     val fieldTokens = split(lower(col(field)), "\\s+")
-    val score = qTokens.map(t =>
-      size(filter(fieldTokens, tok => tok === lit(t))))
-      .reduce(_ + _)
+    // empty query → empty result (same contract as matchText), not a
+    // reduce-on-empty crash
+    val score =
+      if (qTokens.isEmpty) lit(0)
+      else qTokens.map(t =>
+        size(filter(fieldTokens, tok => tok === lit(t))))
+        .reduce(_ + _)
     index.withColumn("score", score)
       .filter(col("score") > 0)
       .orderBy(col("score").desc, col(index.columns.head))

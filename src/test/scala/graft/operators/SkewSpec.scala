@@ -34,11 +34,16 @@ class SkewSpec extends SparkSpec {
     assert(salted == plain)
   }
 
-  test("identical duplicate rows spread across salt buckets") {
-    val hot = spark.range(1000).select(lit("hotkey").as("k"), lit(1.0).as("v"))
-    val buckets = hot.select(Skew.saltCol(8).as("s"))
+  test("a row-unique spread column fans a hot key across salt buckets") {
+    val hot = spark.range(1000)
+      .select(col("id"), lit("hotkey").as("k"), lit(1.0).as("v"))
+    val buckets = hot.select(Skew.saltCol(8, Seq(col("id"))).as("s"))
       .distinct().count()
-    assert(buckets > 1, "byte-identical rows all landed in one salt bucket")
+    assert(buckets > 1, "unique-id salting failed to spread the hot key")
+    // and the salt is deterministic: same input → same buckets
+    val a = hot.select(Skew.saltCol(8, Seq(col("id"))).as("s")).collect()
+    val b = hot.select(Skew.saltCol(8, Seq(col("id"))).as("s")).collect()
+    assert(a.toSeq == b.toSeq)
   }
 
   test("non-mergeable aggregates are rejected") {
