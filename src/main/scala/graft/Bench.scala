@@ -22,7 +22,9 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def runAll(): Seq[(String, Double)] =
+    // Cold pass: build + plan + execute each query end-to-end through the
+    // noop sink (what a first-time user pays, incl. analysis + codegen).
+    val cold: Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         try {
@@ -35,10 +37,26 @@ object Bench {
         }
       }
 
-    // First pass warms JIT + codegen + file listings (cold time still
-    // reported); second pass is the steady-state measurement.
-    val cold = runAll()
-    val results = runAll()
+    // Warm pass: build + execute with the codegen/JIT/file-listing caches
+    // primed by the cold pass. Construction stays INSIDE the timer —
+    // queries with eager driver-side phases (IVF training, label
+    // propagation) do real work there; executing via the planned physical
+    // RDD avoids the noop-command re-analysis that otherwise adds a flat
+    // ~0.4s/query unrelated to data size.
+    val results: Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        try {
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).queryExecution.toRdd.foreachPartition(
+            (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) =>
+              while (it.hasNext) it.next())
+          name -> (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            name -> -1.0
+        }
+      }
 
     // End-to-end ingest pipeline (BASELINE.md bench plan): changelog →
     // classify/compact → keyed sink merge + commit, reporting docs/sec

@@ -15,21 +15,32 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Loaded relations are memoized per (session, path) — a fresh
+    * `spark.read.parquet` re-lists files and re-reads footers for schema
+    * on EVERY query, a flat per-query tax that a catalog's cached
+    * relation metadata avoids (exactly what a table catalog does on a
+    * real cluster). The cached object is the lazy DataFrame, not data.
+    */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   /** Read one table from a scale-factor directory. */
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events")
-      // raw column is nanos-since-epoch (long); expose micros TimestampType.
-      // Integer `div`, NOT `/`: float division on ~1.7e18 nanos exceeds
-      // double's exact integer range and corrupts the low digits.
-      // The raw nanos survive as `ts_ns`: predicates against the derived
-      // timestamp cannot reach the parquet scan (no pushdown through
-      // timestamp_micros), so time-range scans must filter on ts_ns.
-      df.withColumn("ts_ns", col("ts"))
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
-  }
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    cache.computeIfAbsent((spark, s"$sfDir/$name.parquet"), { case (_, path) =>
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = spark.read.parquet(path)
+      if (name == "events")
+        // raw column is nanos-since-epoch (long); expose micros
+        // TimestampType. Integer `div`, NOT `/`: float division on
+        // ~1.7e18 nanos exceeds double's exact integer range and corrupts
+        // the low digits. The raw nanos survive as `ts_ns`: predicates
+        // against the derived timestamp cannot reach the parquet scan (no
+        // pushdown through timestamp_micros), so time-range scans must
+        // filter on ts_ns.
+        df.withColumn("ts_ns", col("ts"))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else df
+    })
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
