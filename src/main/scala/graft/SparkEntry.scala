@@ -358,6 +358,21 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Binned range join: purchase↔click pairs within 10 minutes per user,
+    // as an equi-join on time bins (not a nested-loop non-equi join).
+    "x_range_join" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("ts_us", unix_micros(col("ts")))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts_us").as("pts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts_us").as("cts"))
+      operators.RangeJoin.within(p, c, Seq("user_id"), "pts", "cts", 600000000L)
+        .select("purchase_id", "click_id")
+        .orderBy("purchase_id", "click_id")
+    }),
+
     // ---- general query engine (Catalyst built-ins; bench headliners) ----
 
     // Three-way join + agg + top-k (TPC-H Q3 shape). Customer side is
@@ -730,6 +745,13 @@ object SparkEntry {
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
            ON p.user_id = c.user_id AND p.ts >= c.ts
          ORDER BY p.event_id""",
+    "x_range_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           ON p.user_id = c.user_id
+          AND abs(epoch_us(p.ts) - epoch_us(c.ts)) <= 600000000
+         ORDER BY purchase_id, click_id""",
     "j3_top_orders" ->
       """SELECT o_orderkey,
            CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
