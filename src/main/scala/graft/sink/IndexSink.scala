@@ -1,7 +1,10 @@
 package graft.sink
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.fs.{Path => HPath}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
 
 import graft.cdc.Changelog
 
@@ -70,14 +73,44 @@ final class InMemoryIndexSink(spark: SparkSession, schema: org.apache.spark.sql.
       spark.sparkContext.parallelize(committed.toList), schema)
 }
 
-/** Scale-path sink: a parquet directory versioned by commit, updated with
-  * the relational MERGE from [[Changelog]]. Each `commit()` writes the next
-  * version atomically (write-new-then-repoint), so a failed/replayed
-  * micro-batch never corrupts the committed view — the same
-  * commit-after-index contract as the reference's checkpoint protocol.
+/** Scale-path sink: a key-hash-BUCKETED parquet index with an append-only
+  * manifest log, merged with the relational MERGE from [[Changelog]].
+  *
+  * Layout under `path`:
+  * {{{
+  *   _manifests/v{N}.json        // append-only commit log; max N = current
+  *   data/c{N}/gbucket={B}/...   // immutable per-commit, per-bucket parquet
+  * }}}
+  *
+  * Each commit:
+  *   1. computes the set of buckets touched by the pending ops' keys
+  *      (one tiny distinct-aggregate job — at most `numBuckets` ints),
+  *   2. reads ONLY those buckets' current files (manifest-pruned),
+  *   3. applies the ops in call order and writes the merged buckets to a
+  *      fresh `data/c{N}` dir (one job, `partitionBy(gbucket)`),
+  *   4. publishes manifest v{N} whose bucket map points untouched buckets
+  *      at their OLD dirs and touched buckets at the new ones.
+  *
+  * Cost per commit is O(batch + touched-bucket bytes), not O(index) — the
+  * property that lets a 1,500-doc micro-batch land on a 100 TB index
+  * without rewriting 100 TB. Production sizes `numBuckets` so a bucket is
+  * ~1 GB (100 TB → ~100k buckets); tests use the small default.
+  *
+  * The manifest file itself is the atomic commit point: it is written to a
+  * temp name and renamed into place via Hadoop `FileSystem.rename`
+  * (atomic on HDFS; on S3A a single PUT is all-or-nothing), and a rename
+  * onto an existing manifest fails — detecting concurrent committers.
+  * No mutable `_VERSION` pointer exists (the round-1 design's
+  * local-`java.io.File` pointer was not object-store-safe).
+  *
+  * A delete-only first commit (no schema yet) publishes an empty v0 so
+  * `searchable()` returns an empty one-column (`_id`) view rather than
+  * throwing — Lucene's commit-on-empty-index semantics.
   */
-class ParquetIndexSink(spark: SparkSession, path: String)
+class ParquetIndexSink(spark: SparkSession, path: String, numBuckets: Int = 16)
     extends IndexSink {
+  import ParquetIndexSink._
+
   /** Pending operations in CALL ORDER — a delete issued after an upsert
     * of the same key must win, exactly like the serial index the
     * reference drives (an earlier draft folded all deletes before all
@@ -91,13 +124,45 @@ class ParquetIndexSink(spark: SparkSession, path: String)
   private var ops: Vector[Op] = Vector.empty
   private var seq = 0L
 
-  private def versionFile = new java.io.File(path, "_VERSION")
-  private def currentVersion: Long =
-    if (versionFile.exists)
-      new String(java.nio.file.Files.readAllBytes(versionFile.toPath)).trim.toLong
-    else -1L
+  private def fs = new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def manifestDir = new HPath(path, "_manifests")
+
+  /** Latest committed manifest, if any (max N over `_manifests/v{N}.json`). */
+  private def readManifest(): Option[Manifest] = {
+    val f = fs
+    if (!f.exists(manifestDir)) return None
+    val versions = f.listStatus(manifestDir).toSeq
+      .flatMap(s => s.getPath.getName match {
+        case ManifestName(n) => Some(n.toLong)
+        case _ => None
+      })
+    if (versions.isEmpty) None
+    else {
+      val v = versions.max
+      val in = f.open(new HPath(manifestDir, s"v$v.json"))
+      val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+      Some(Manifest.fromJson(new String(bytes, "UTF-8")))
+    }
+  }
+
+  /** Publish manifest v{N}: temp write + rename = the atomic commit. */
+  private def writeManifest(m: Manifest): Unit = {
+    val f = fs
+    f.mkdirs(manifestDir)
+    val tmp = new HPath(manifestDir, s".tmp-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, false)
+    try out.write(m.toJson.getBytes("UTF-8")) finally out.close()
+    val dest = new HPath(manifestDir, s"v${m.version}.json")
+    if (!f.rename(tmp, dest)) {
+      f.delete(tmp, false)
+      throw new IllegalStateException(
+        s"concurrent commit detected: manifest v${m.version} already exists at $path")
+    }
+  }
 
   override def addDocuments(docs: DataFrame): Long = synchronized {
+    require(!docs.columns.contains(BucketCol),
+      s"'$BucketCol' is a reserved column name in ParquetIndexSink")
     ops :+= Upsert(docs)
     seq += 1; seq
   }
@@ -109,36 +174,161 @@ class ParquetIndexSink(spark: SparkSession, path: String)
   }
 
   override def commit(): Unit = synchronized {
-    val firstUpsert = ops.collectFirst { case Upsert(df) => df }
-    val base =
-      if (currentVersion >= 0) searchable()
-      else firstUpsert match {
-        case Some(u) => u.limit(0) // first commit: empty base w/ doc schema
-        case None => return // nothing committed yet, nothing pending
-      }
-    val next = ops.foldLeft(base) {
-      case (acc, Upsert(df)) =>
-        // last add per _id wins inside one batch
-        val compacted = Changelog.compact(
-          df.withColumn("_seq", monotonically_increasing_id()),
-          idField, Seq(col("_seq"))).drop("_seq")
-        acc.join(compacted.select(idField), Seq(idField), "left_anti")
-          .unionByName(compacted)
-      case (acc, DeleteIds(ids)) =>
-        if (ids.isEmpty) acc else acc.filter(!col(idField).isin(ids: _*))
-      case (acc, DeleteKeys(ids)) =>
-        Changelog.deleteByKeySet(acc, idField, ids)
+    if (ops.isEmpty) return
+    val prev = readManifest()
+    // bucket modulus is fixed at index creation: reopening with a different
+    // numBuckets must keep the committed layout readable
+    val nb = prev.map(_.numBuckets).getOrElse(numBuckets)
+    def bucketOf(id: Column): Column =
+      pmod(xxhash64(id.cast("string")), lit(nb.toLong)).cast("int")
+
+    val schema: Option[StructType] = prev.flatMap(_.schema)
+      .orElse(ops.collectFirst { case Upsert(df) => df.schema })
+    val version = prev.map(_.version + 1).getOrElse(0L)
+    val prevBuckets = prev.map(_.buckets).getOrElse(Map.empty[Int, String])
+
+    schema match {
+      case None =>
+        // delete-only before any schema is known: publish an empty v0 so a
+        // successful commit always yields a searchable (empty) index
+        writeManifest(Manifest(version, nb, None, prevBuckets))
+        ops = Vector.empty
+        return
+      case Some(s) =>
+        // 1. touched buckets: one distinct-agg over the pending keys
+        //    (result is ≤ numBuckets ints — driver-safe at any batch size)
+        val keyFrames = ops.map {
+          case Upsert(df) => df.select(col(idField).cast("string").as("_k"))
+          case DeleteIds(ids) =>
+            import spark.implicits._
+            ids.toDF("_k")
+          case DeleteKeys(df) =>
+            df.select(col(df.columns.head).cast("string").as("_k"))
+        }
+        val touched: Set[Int] = keyFrames.reduce(_.unionByName(_))
+          .filter(col("_k").isNotNull)
+          .select(bucketOf(col("_k")).as("_b")).distinct()
+          .collect().map(_.getInt(0)).toSet
+
+        // 2. read ONLY the touched buckets of the committed index
+        val baseDirs = touched.toSeq.sorted.flatMap(prevBuckets.get)
+          .map(rel => s"$path/$rel")
+        val base =
+          if (baseDirs.isEmpty)
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+          else spark.read.schema(s).parquet(baseDirs: _*)
+
+        // 3. ops in call order — same MERGE semantics as round 1
+        val next = ops.foldLeft(base) {
+          case (acc, Upsert(df)) =>
+            // last add per _id wins inside one batch
+            val compacted = Changelog.compact(
+              df.withColumn("_seq", monotonically_increasing_id()),
+              idField, Seq(col("_seq"))).drop("_seq")
+            acc.join(compacted.select(idField), Seq(idField), "left_anti")
+              .unionByName(compacted)
+          case (acc, DeleteIds(ids)) =>
+            if (ids.isEmpty) acc else acc.filter(!col(idField).isin(ids: _*))
+          case (acc, DeleteKeys(ids)) =>
+            Changelog.deleteByKeySet(acc, idField, ids)
+        }
+
+        // 4. one job writes all touched buckets under an immutable new dir
+        val commitDir = s"data/c$version"
+        next.withColumn(BucketCol, bucketOf(col(idField)))
+          .write.mode("overwrite").partitionBy(BucketCol)
+          .parquet(s"$path/$commitDir")
+        // a touched bucket with zero surviving docs writes no dir → it
+        // drops out of the manifest entirely
+        val written: Map[Int, String] =
+          fs.listStatus(new HPath(s"$path/$commitDir")).toSeq
+            .map(_.getPath.getName).collect {
+              case n if n.startsWith(s"$BucketCol=") =>
+                n.stripPrefix(s"$BucketCol=").toInt -> s"$commitDir/$n"
+            }.toMap
+        writeManifest(Manifest(version, nb,
+          Some(next.schema), (prevBuckets -- touched) ++ written))
+        ops = Vector.empty
     }
-    val v = currentVersion + 1
-    next.write.mode("overwrite").parquet(s"$path/v$v")
-    java.nio.file.Files.write(versionFile.toPath, v.toString.getBytes)
-    ops = Vector.empty
   }
 
-  override def searchable(): DataFrame = {
-    val v = currentVersion
-    if (v < 0)
+  override def searchable(): DataFrame = readManifest() match {
+    case None =>
       throw new IllegalStateException(s"index at $path has no committed version")
-    spark.read.parquet(s"$path/v$v")
+    case Some(m) =>
+      val s = m.schema.getOrElse(StructType(Seq(StructField(idField, StringType))))
+      if (m.buckets.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+      else
+        spark.read.schema(s)
+          .parquet(m.buckets.toSeq.sortBy(_._1).map(rel => s"$path/${rel._2}"): _*)
+  }
+
+  /** Current committed bucket map — exposed for tests asserting that a
+    * commit leaves untouched buckets' files physically untouched.
+    */
+  def committedBuckets: Map[Int, String] =
+    readManifest().map(_.buckets).getOrElse(Map.empty)
+
+  /** Delete data dirs no manifest-current bucket references, and all
+    * manifests but the latest (time-travel is not part of the contract).
+    */
+  def vacuum(): Unit = synchronized {
+    readManifest().foreach { m =>
+      val f = fs
+      val live = m.buckets.values.map(rel => new HPath(s"$path/$rel").toUri.getPath).toSet
+      val dataDir = new HPath(path, "data")
+      if (f.exists(dataDir))
+        f.listStatus(dataDir).foreach { c =>
+          f.listStatus(c.getPath).foreach { b =>
+            if (!live.contains(b.getPath.toUri.getPath)) f.delete(b.getPath, true)
+          }
+          if (f.listStatus(c.getPath).isEmpty) f.delete(c.getPath, true)
+        }
+      f.listStatus(manifestDir).foreach { s =>
+        if (s.getPath.getName != s"v${m.version}.json") f.delete(s.getPath, false)
+      }
+    }
+  }
+}
+
+object ParquetIndexSink {
+  /** Partition-dir column for the key-hash bucket. Reserved: must not be a
+    * document column (no leading `_` — underscore-prefixed dirs are hidden
+    * from Hadoop file listing).
+    */
+  val BucketCol = "gbucket"
+
+  private val ManifestName = """v(\d+)\.json""".r
+
+  /** One committed index version: bucket → relative data dir. */
+  private[sink] final case class Manifest(
+      version: Long, numBuckets: Int,
+      schema: Option[StructType], buckets: Map[Int, String]) {
+    def toJson: String = {
+      import org.json4s.JsonDSL._
+      import org.json4s.jackson.JsonMethods._
+      compact(render(
+        ("version" -> version) ~ ("numBuckets" -> numBuckets) ~
+          ("schema" -> schema.map(_.json)) ~
+          ("buckets" -> buckets.map { case (k, v) => k.toString -> v })))
+    }
+  }
+
+  private[sink] object Manifest {
+    def fromJson(s: String): Manifest = {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods._
+      implicit val fmts: Formats = DefaultFormats
+      val j = parse(s)
+      Manifest(
+        (j \ "version").extract[Long],
+        (j \ "numBuckets").extract[Int],
+        (j \ "schema").extractOpt[String]
+          .map(DataType.fromJson(_).asInstanceOf[StructType]),
+        (j \ "buckets").extract[Map[String, String]]
+          .map { case (k, v) => k.toInt -> v })
+    }
   }
 }

@@ -69,6 +69,65 @@ class IndexSinkSpec extends SparkSpec {
     assert(sink.searchable().count() == 1)
   }
 
+  test("commit rewrites ONLY touched buckets; untouched files byte-identical") {
+    val dir = java.nio.file.Files.createTempDirectory("sink-buckets").toString
+    val sink = new ParquetIndexSink(spark, dir, numBuckets = 8)
+    // spread keys across buckets
+    sink.addDocuments((0 until 64).map(i => (s"k$i", s"v$i")).toDF("_id", "v"))
+    sink.commit()
+    val before = sink.committedBuckets
+    assert(before.size > 1, "expected keys to span multiple buckets")
+
+    def fileState(rel: String): Seq[(String, Long, Long)] = {
+      val d = new java.io.File(dir, rel)
+      d.listFiles().filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        .map(f => (f.getName, f.length, f.lastModified)).toSeq
+    }
+    val untouchedBefore = (before - before.keys.min).map { case (b, rel) => b -> fileState(rel) }
+
+    // touch exactly one key → exactly one bucket may change
+    sink.addDocuments(Seq(("k0", "v0-updated")).toDF("_id", "v"))
+    sink.commit()
+    val after = sink.committedBuckets
+    val changed = before.keySet.filter(b => before.get(b) != after.get(b))
+    assert(changed.size == 1, s"exactly one bucket should move, got $changed")
+    // every untouched bucket still points at the SAME dir with identical files
+    untouchedBefore.foreach { case (b, st) =>
+      if (!changed.contains(b)) {
+        assert(after(b) == before(b))
+        assert(fileState(after(b)) == st)
+      }
+    }
+    // and the merge is correct
+    assert(sink.searchable().filter($"_id" === "k0").select("v")
+      .as[String].head() == "v0-updated")
+    assert(sink.searchable().count() == 64)
+  }
+
+  test("delete-only first commit publishes an empty searchable version") {
+    val dir = java.nio.file.Files.createTempDirectory("sink-delonly").toString
+    val sink = new ParquetIndexSink(spark, dir)
+    sink.deleteByIds(Seq("ghost"))
+    sink.commit()
+    assert(sink.searchable().count() == 0) // no throw: empty committed view
+    // index becomes fully usable once real docs arrive
+    sink.addDocuments(Seq(("a", "v1")).toDF("_id", "v"))
+    sink.commit()
+    assert(sink.searchable().count() == 1)
+  }
+
+  test("vacuum drops unreferenced data dirs, keeps the committed view") {
+    val dir = java.nio.file.Files.createTempDirectory("sink-vacuum").toString
+    val sink = new ParquetIndexSink(spark, dir, numBuckets = 4)
+    sink.addDocuments((0 until 16).map(i => (s"k$i", s"v$i")).toDF("_id", "v"))
+    sink.commit()
+    sink.addDocuments(Seq(("k0", "v0b")).toDF("_id", "v"))
+    sink.commit()
+    sink.vacuum()
+    assert(sink.searchable().count() == 16)
+    assert(sink.searchable().filter($"_id" === "k0").select("v").as[String].head() == "v0b")
+  }
+
   test("in-memory sink honors the same ordered upsert/delete contract") {
     val sink = new InMemoryIndexSink(spark, docSchema)
     sink.addDocuments(Seq(("a", "v1"), ("b", "b1")).toDF("_id", "v"))
