@@ -156,15 +156,10 @@ object SparkEntry {
     }),
 
     // §2 B1/C3 — size-bounded micro-batching: 1000-record batches in
-    // arrival (event_id) order, one summary row per batch.
+    // arrival (event_id) order, one summary row per batch. Two-phase
+    // global numbering (operators.Batching) — no SinglePartition window.
     "b1_batching" -> ((s, d) =>
-      Tables.events(s, d)
-        .withColumn("batch_id",
-          floor((row_number().over(
-            org.apache.spark.sql.expressions.Window.orderBy("event_id")) - 1) / 1000))
-        .groupBy("batch_id")
-        .agg(count(lit(1)).as("n_docs"),
-          min("event_id").as("first_id"), max("event_id").as("last_id"))
+      operators.Batching.sizeBatchSummary(Tables.events(s, d), "event_id", 1000)
         .orderBy("batch_id")),
 
     // §2.6 — TermQuery point lookup.
@@ -245,8 +240,13 @@ object SparkEntry {
         .orderBy("id_a", "id_b")),
 
     // Embedding cosine near-dup pairs.
+    // Exact threshold join, distributed (no BNLJ / corpus broadcast):
+    // fragment-and-replicate equi-join on a block key. LSH candidates
+    // can't be exhaustive at a bulk-tail threshold (all matches here sit
+    // at cosine 0.4–0.6), so the exact path must compare all pairs — the
+    // point is HOW: spread over blocks × cores, bounded task memory.
     "x_dedup_embed" -> ((s, d) =>
-      operators.Dedup.embeddingCosinePairs(Tables.embeddings(s, d), "vec_id",
+      operators.Dedup.embeddingCosinePairsExact(Tables.embeddings(s, d), "vec_id",
         "embedding", threshold = 0.4)
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("id_a", "id_b")),

@@ -276,4 +276,39 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** EXACT all-pairs cosine threshold join, distributed as a
+    * fragment-and-replicate equi-join instead of a
+    * BroadcastNestedLoopJoin.
+    *
+    * Why not LSH candidates here: an exact threshold that sits in the BULK
+    * of the cosine distribution (e.g. 0.4 over random-ish embeddings,
+    * where every matching pair lives at 0.4–0.6) has near-zero LSH
+    * collision probability per matching pair — candidate generation can
+    * never be exhaustive, so candidate/verify cannot reproduce the exact
+    * semantics. For *near-dup* thresholds (≥ ~0.9) use
+    * [[graft.operators.Similarity.annBuckets]] + [[embeddingCosinePairs]]
+    * within buckets, which is corpus-size-sublinear.
+    *
+    * Shape: the left side is replicated to all `blocks` keys, the right
+    * side keeps its own hash block, and the pair predicate runs inside a
+    * shuffled equi-join on the block key. Each task streams n left rows
+    * against n/blocks right rows — per-task memory O(n/blocks · dim), no
+    * broadcast of the corpus, and the n² codegen'd cosine evaluations
+    * spread evenly over blocks × cluster cores (the inherent cost of the
+    * exact semantics; the round-1 BNLJ did the same work on ONE node).
+    */
+  def embeddingCosinePairsExact(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, blocks: Int = 32): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+      .withColumn("_blk", explode(sequence(lit(0), lit(blocks - 1))))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+      pmod(xxhash64(col(idCol).cast("string")), lit(blocks.toLong)).cast("int").as("_blk"))
+    a.join(b, Seq("_blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        graft.functions.VectorExpressions.cosineFast(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
 }

@@ -41,4 +41,18 @@ class PlanSpec extends SparkSpec {
     val p = plan("f3_shard_modulo")
     assert(p.contains("ReadSchema: struct<event_id:bigint,user_id:bigint>"))
   }
+
+  test("exact embed dedup distributes as an equi-join, never a BNLJ") {
+    val p = plan("x_dedup_embed")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"corpus-broadcast nested loop join back in the plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
+    assert(p.contains("vector_cosine")) // codegen'd verify, not HOFs
+  }
+
+  test("b1_batching numbers rows without a single-partition exchange") {
+    val p = plan("b1_batching")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"global window funnels all rows through one partition:\n$p")
+  }
 }

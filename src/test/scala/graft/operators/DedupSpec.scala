@@ -79,4 +79,13 @@ class DedupSpec extends SparkSpec {
     assert(rows.forall { case (a, b, c) => a < b && c >= 0.3 })
     assert(rows.nonEmpty)
   }
+
+  test("blocked exact pair join ≡ brute-force pair join") {
+    val e = Tables.embeddings(spark, sf)
+    val brute = Dedup.embeddingCosinePairs(e, "vec_id", "embedding", 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    val blocked = Dedup.embeddingCosinePairsExact(e, "vec_id", "embedding", 0.3, blocks = 7)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(blocked == brute)
+  }
 }
