@@ -150,8 +150,96 @@ case class VectorL2Sq(left: Expression, right: Expression) extends VectorBinaryL
     copy(left = l, right = r)
 }
 
+/** nBits-bit random-hyperplane LSH signature of a vector, fused into ONE
+  * loop: all nBits plane dot-products accumulate per element, planes are
+  * derived on the fly from `XXH64(plane<<32 | dim, seed)` (never
+  * materialized or broadcast — every executor computes identical planes).
+  *
+  * Replaces the round-1 `aggregate(zip_with(...))` formulation, which was
+  * interpreted per bit × per element (the 50-70× HOF trap this package
+  * documents). Bit p is set iff plane_p · v ≥ 0.
+  */
+case class RhpSignature(child: Expression, nBits: Int, seed: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(nBits >= 1 && nBits <= 63, s"nBits must be in [1,63], got $nBits")
+
+  override def prettyName: String = "rhp_signature"
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  private def childIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects array<float|double>, got ${t.simpleString}")
+    }
+
+  /** Uniform plane component in [-1, 1) for (plane p, dimension i). */
+  @inline private def component(p: Int, i: Int): Double =
+    org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashLong((p.toLong << 32) | (i.toLong & 0xffffffffL), seed)
+      .toDouble / Long.MaxValue.toDouble
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val acc = new Array[Double](nBits)
+    var i = 0
+    while (i < n) {
+      val x = if (childIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      var p = 0
+      while (p < nBits) { acc(p) += x * component(p, i); p += 1 }
+      i += 1
+    }
+    var sig = 0L
+    var p = 0
+    while (p < nBits) { if (acc(p) >= 0) sig |= (1L << p); p += 1 }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val p = ctx.freshName("p")
+      val n = ctx.freshName("n")
+      val x = ctx.freshName("x")
+      val sig = ctx.freshName("sig")
+      val get = if (childIsFloat) "getFloat" else "getDouble"
+      s"""
+        int $n = $a.numElements();
+        double[] $acc = new double[$nBits];
+        for (int $i = 0; $i < $n; $i++) {
+          double $x = (double) $a.$get($i);
+          for (int $p = 0; $p < $nBits; $p++) {
+            $acc[$p] += $x * ((double) $xxh.hashLong(
+              (((long) $p) << 32) | (((long) $i) & 0xffffffffL), ${seed}L)
+              / (double) Long.MAX_VALUE);
+          }
+        }
+        long $sig = 0L;
+        for (int $p = 0; $p < $nBits; $p++) {
+          if ($acc[$p] >= 0) $sig |= (1L << $p);
+        }
+        ${ev.value} = $sig;
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   def dotFast(a: Column, b: Column): Column = column(VectorDot(expression(a), expression(b)))
   def cosineFast(a: Column, b: Column): Column = column(VectorCosine(expression(a), expression(b)))
   def l2sqFast(a: Column, b: Column): Column = column(VectorL2Sq(expression(a), expression(b)))
+  def rhpSignature(v: Column, nBits: Int, seed: Long): Column =
+    column(RhpSignature(expression(v), nBits, seed))
 }

@@ -26,27 +26,15 @@ import graft.functions.VectorFunctions
   */
 object Similarity {
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * integer-hash → uniform in [-1, 1). Same formula on every executor —
-    * the planes are never materialized or broadcast.
+  /** nBits-bit random-hyperplane signature of a vector column — a native
+    * codegen expression fusing all nBits plane dot-products into one loop
+    * (planes derived from an integer hash of (plane, dim, seed): identical
+    * on every executor, never materialized or broadcast). The round-1
+    * `aggregate(zip_with(...))` HOF formulation evaluated interpreted, per
+    * bit × per element — the measured 50-70× hot-path trap.
     */
-  private def planeComponent(plane: Int, dim: Column, seed: Int): Column = {
-    val h = xxhash64(lit(seed), lit(plane), dim)
-    (h.cast("double") / lit(Long.MaxValue.toDouble))
-  }
-
-  /** nBits-bit random-hyperplane signature of a vector column. */
-  def rhpSignature(vec: Column, nBits: Int, seed: Int = 42): Column = {
-    val proj = (0 until nBits).map { p =>
-      // Σ_i v[i] * plane_p[i]  — aggregate over (value, index) pairs
-      val dotp = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (v, i) => v.cast("double") * planeComponent(p, i, seed)),
-        lit(0.0), (acc, x) => acc + x)
-      when(dotp >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }
-    proj.reduce((a, b) => a.bitwiseOR(b))
-  }
+  def rhpSignature(vec: Column, nBits: Int, seed: Int = 42): Column =
+    graft.functions.VectorExpressions.rhpSignature(vec, nBits, seed.toLong)
 
   /** Exact brute-force cosine top-k for one query vector (as a Scala seq —
     * becomes a literal array, broadcast implicitly in the plan).

@@ -32,4 +32,23 @@ class VectorExpressionsSpec extends SparkSpec {
         VectorExpressions.cosineFast(lit("nope"), array(lit(1.0)))).head()
     }
   }
+
+  test("rhp signature: codegen and interpreted eval agree") {
+    val e = graft.Tables.embeddings(spark, sf).limit(100)
+    // codegen path (whole-stage projection)
+    val gen = e.select(col("vec_id"),
+      VectorExpressions.rhpSignature(col("embedding"), 12, 42L).as("s"))
+      .orderBy("vec_id").collect().map(_.getLong(1)).toSeq
+    // interpreted path: eval() the expression directly against each array
+    val vecs = e.orderBy("vec_id").select("embedding")
+      .collect().map(_.getSeq[Float](0).toArray)
+    val interp = vecs.map { v =>
+      RhpSignature(org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(v),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+        12, 42L).eval(null)
+    }.toSeq
+    assert(gen == interp)
+    assert(gen.distinct.size > 1) // signatures actually vary across vectors
+  }
 }
