@@ -1,5 +1,9 @@
 package graft.sources
 
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.avro.io.{BinaryDecoder, DecoderFactory}
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Kafka source wiring (SURVEY §2.1 S1): one streaming DataFrame over a
@@ -47,4 +51,41 @@ object KafkaAvroSource {
     */
   def confluentPayload(value: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.substring(value, 6, Int.MaxValue)
+
+  /** Executor-side Confluent wire decode (the reference's
+    * `KafkaAvroDeserializer` consumer path,
+    * `kafka-plugin/.../KafkaIngestor.java:145-159,190-198`): each value is
+    * magic `0x00` + 4-byte big-endian schema id + Avro binary payload.
+    *
+    * Runs a `GenericDatumReader` inside `mapPartitions` — reader and
+    * decoder are constructed once per partition and reused per record (no
+    * per-record allocation, no driver involvement; throughput scales with
+    * Kafka partitions). The writer schema is passed as its JSON string and
+    * parsed executor-side (`Schema` itself is not serializable).
+    *
+    * Output: `schema_id int, doc map<string, array<string>>` — the
+    * multi-valued document from [[AvroDocConverter]]. A registry-backed
+    * deployment would dispatch on `schema_id` to the resolved writer
+    * schema; this environment ships no registry client, so a single fixed
+    * writer schema (the common schema-per-topic case) is supported.
+    */
+  def decodeConfluentDocs(values: DataFrame, valueCol: String,
+      writerSchemaJson: String): DataFrame = {
+    val spark = values.sparkSession
+    import spark.implicits._
+    values.select(valueCol).as[Array[Byte]].mapPartitions { it =>
+      val schema = new Schema.Parser().parse(writerSchemaJson)
+      val reader = new GenericDatumReader[GenericRecord](schema)
+      var decoder: BinaryDecoder = null
+      var record: GenericRecord = null
+      it.map { bytes =>
+        require(bytes.length > 5 && bytes(0) == 0x00,
+          s"not Confluent wire format (len=${bytes.length})")
+        val schemaId = java.nio.ByteBuffer.wrap(bytes, 1, 4).getInt
+        decoder = DecoderFactory.get().binaryDecoder(bytes, 5, bytes.length - 5, decoder)
+        record = reader.read(record, decoder)
+        (schemaId, AvroDocConverter.convert(record))
+      }
+    }.toDF("schema_id", "doc")
+  }
 }

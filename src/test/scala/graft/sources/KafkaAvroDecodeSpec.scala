@@ -1,0 +1,78 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.avro.SchemaBuilder
+import org.apache.avro.generic.{GenericDatumWriter, GenericRecord, GenericRecordBuilder}
+import org.apache.avro.io.EncoderFactory
+
+import graft.SparkSpec
+
+/** End-to-end wire decode: Confluent-framed Avro bytes → distributed
+  * GenericDatumReader decode → [[AvroDocConverter]] documents, matching
+  * the per-record goldens — the full consumer path of
+  * `KafkaIngestor.java:145-159,190-198`, no broker needed.
+  */
+class KafkaAvroDecodeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = SchemaBuilder.record("Event").fields()
+    .requiredString("id").requiredLong("ts")
+    .optionalString("note")
+    .name("tags").`type`().array().items().stringType().noDefault()
+    .name("meta").`type`(SchemaBuilder.record("Meta").fields()
+      .requiredString("author").requiredInt("rev").endRecord()).noDefault()
+    .endRecord()
+
+  private def record(i: Int): GenericRecord = {
+    val tags = new java.util.ArrayList[String]()
+    tags.add(s"t$i"); tags.add("common")
+    val meta = new GenericRecordBuilder(schema.getField("meta").schema())
+      .set("author", s"a$i").set("rev", i).build()
+    val b = new GenericRecordBuilder(schema)
+      .set("id", s"id$i").set("ts", 1700000000000L + i)
+      .set("tags", tags).set("meta", meta)
+    if (i % 2 == 0) b.set("note", s"n$i") // odd records: null branch
+    b.build()
+  }
+
+  /** Confluent framing: magic 0x00 + 4-byte BE schema id + avro binary. */
+  private def frame(rec: GenericRecord, schemaId: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(0x00)
+    out.write(java.nio.ByteBuffer.allocate(4).putInt(schemaId).array())
+    val enc = EncoderFactory.get().binaryEncoder(out, null)
+    new GenericDatumWriter[GenericRecord](schema).write(rec, enc)
+    enc.flush()
+    out.toByteArray
+  }
+
+  test("confluent-framed bytes decode distributed and match direct goldens") {
+    val records = (0 until 20).map(record)
+    val framed = records.map(frame(_, schemaId = 7))
+    val df = framed.toDF("value").repartition(4) // force multi-task decode
+
+    val decoded = KafkaAvroSource.decodeConfluentDocs(df, "value", schema.toString)
+      .as[(Int, Map[String, Seq[String]])].collect()
+
+    assert(decoded.length == 20)
+    assert(decoded.forall(_._1 == 7)) // schema id carried through
+    val expected = records.map(AvroDocConverter.convert).toSet
+    assert(decoded.map(_._2).toSet == expected)
+    // spot-check golden shape: flattening, arrays, skipped nulls
+    val doc0 = decoded.map(_._2).find(_("id") == Seq("id0")).get
+    assert(doc0("meta_author") == Seq("a0"))
+    assert(doc0("tags") == Seq("t0", "common"))
+    val doc1 = decoded.map(_._2).find(_("id") == Seq("id1")).get
+    assert(!doc1.contains("note"))
+  }
+
+  test("non-confluent payload fails loudly, not with garbage docs") {
+    val bad = Seq(Array[Byte](1, 2, 3, 4, 5, 6)).toDF("value")
+    val ex = intercept[org.apache.spark.SparkException] {
+      KafkaAvroSource.decodeConfluentDocs(bad, "value", schema.toString).collect()
+    }
+    assert(ex.getMessage.contains("not Confluent wire format") ||
+      Option(ex.getCause).exists(_.getMessage.contains("not Confluent wire format")))
+  }
+}
