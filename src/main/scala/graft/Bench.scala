@@ -88,7 +88,16 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum + math.max(ingestSecs, 0)
     val coldTotal = cold.map(_._2).filter(_ >= 0).sum
     val ingestRate = if (ingestSecs > 0) ingestDocs / ingestSecs else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total":$coldTotal,"ingest_docs":$ingestDocs,"ingest_docs_per_sec":$ingestRate,"failed_queries":$failed}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total":$coldTotal,"ingest_docs":$ingestDocs,"ingest_docs_per_sec":$ingestRate,"failed_queries":$failed}"""
+    println(line)
+    // stdout arrives wrapped in sbt [info] decoration, which broke the
+    // round-1 driver parse — also write the bare line to a plain file
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (line + "\n").getBytes("UTF-8"))
+    catch {
+      case e: Throwable => System.err.println(s"[bench] file write failed: $e")
+    }
     spark.stop()
   }
 }

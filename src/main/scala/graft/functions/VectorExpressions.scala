@@ -236,6 +236,15 @@ case class RhpSignature(child: Expression, nBits: Int, seed: Long)
     copy(child = newChild)
 }
 
+/** Column entry points for the fused-loop vector expressions.
+  *
+  * Length contract: all binary ops iterate `min(a.length, b.length)`
+  * elements — mismatched dimensions are NOT an error (matching the HOF
+  * formulation they replaced). Callers mixing embedding versions of
+  * different dimensionality must length-check upstream
+  * (`size(col) === expectedDim`) — a truncated cosine is plausible-looking
+  * but meaningless.
+  */
 object VectorExpressions {
   def dotFast(a: Column, b: Column): Column = column(VectorDot(expression(a), expression(b)))
   def cosineFast(a: Column, b: Column): Column = column(VectorCosine(expression(a), expression(b)))

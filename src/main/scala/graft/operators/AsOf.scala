@@ -60,9 +60,24 @@ object AsOf {
         leftPayload.map(c => lit(null).alias(c)) :+
         struct(rightPayload.map(col): _*).alias("_rpay"): _*)
 
-    // right rows sort before left rows at the same instant → `<=` semantics
+    // right rows sort before left rows at the same instant → `<=` semantics.
+    // Two right rows tied on (key, rightTime) would otherwise be carried
+    // forward plan-dependently: break the tie on the payload struct itself
+    // (greatest payload wins, field by field — deterministic and
+    // content-based, so safe under task retry). Skipped only when the
+    // payload contains a non-orderable type (map), where ties stay
+    // plan-arbitrary like DuckDB ASOF.
+    def orderable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => orderable(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => orderable(a.elementType)
+      case _ => true
+    }
+    val tiebreak =
+      if (orderable(right.select(rightPayload.map(col): _*).schema)) Seq(col("_rpay"))
+      else Nil
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_t"), col("_is_left"))
+      .orderBy(col("_t") +: col("_is_left") +: tiebreak: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
 
     taggedLeft.unionByName(taggedRight)

@@ -2,6 +2,8 @@ package graft.runtime
 
 import java.util.concurrent.atomic.{AtomicLong, AtomicReference}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -88,22 +90,96 @@ final class PipelineRunner(
     sys.error("unreachable")
   }
 
+  /** C3 — size flush: when a micro-batch exceeds `cfg.batchSize` records
+    * (replay, backfill, a large snapshot landing at once), split it into
+    * size-bounded chunks in `orderCols` order and run each through
+    * [[processBatch]] with its OWN sink commit — the reference flushes
+    * its upload batch every `batchSize` documents
+    * (`IngestionConfig.java:47`, `PaimonConfig.java:32`). Chunking uses
+    * the two-phase global numbering (no single-partition window) and only
+    * engages above the threshold — the steady-state path stays one
+    * commit per micro-batch.
+    */
+  def processBatchChunked(batch: DataFrame, opCol: String, keyCol: String,
+      orderCols: Seq[Column], validity: Option[Column] = None): Long = {
+    val n = batch.count()
+    if (n <= cfg.batchSize)
+      processBatch(batch, opCol, keyCol, orderCols, validity)
+    else {
+      val numbered = graft.operators.Batching
+        .withGlobalRowNumber(batch, struct(orderCols: _*), "_graft_rn")
+        .cache()
+      try {
+        val chunks = ((n - 1) / cfg.batchSize + 1).toInt
+        (0 until chunks).map { i =>
+          val lo = i.toLong * cfg.batchSize
+          processBatch(
+            numbered.filter(col("_graft_rn") > lo &&
+              col("_graft_rn") <= lo + cfg.batchSize).drop("_graft_rn"),
+            opCol, keyCol, orderCols, validity)
+        }.sum
+      } finally numbered.unpersist()
+    }
+  }
+
   /** Streaming entry: changelog stream → foreachBatch(processBatch) with
     * checkpointed offsets; trigger interval = the reference's scan
     * interval (B5's commit protocol comes from the streaming engine).
+    * Micro-batches above `cfg.batchSize` records are size-chunked
+    * ([[processBatchChunked]]), and a progress watchdog aborts the query
+    * if no batch completes within `cfg.checkpointTimeoutMinutes` — the
+    * reference's bounded `awaitCompletion`
+    * (`PaimonIngestor.java:341-368`).
     */
   def runStream(stream: DataFrame, opCol: String, keyCol: String,
-      orderCols: Seq[Column], validity: Option[Column] = None): StreamingQuery =
-    stream.writeStream
+      orderCols: Seq[Column], validity: Option[Column] = None): StreamingQuery = {
+    val watchdog = new ProgressWatchdog(cfg.checkpointTimeoutMinutes * 60000L)
+    val query = stream.writeStream
       .outputMode("append")
       .option("checkpointLocation",
         if (cfg.checkpointLocation.nonEmpty) cfg.checkpointLocation
         else java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
       .trigger(Trigger.ProcessingTime(cfg.scanIntervalMs))
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(batch, opCol, keyCol, orderCols, validity): Unit
+        processBatchChunked(batch, opCol, keyCol, orderCols, validity)
+        watchdog.onProgress()
       }
       .start()
+    if (cfg.checkpointTimeoutMinutes > 0) watchdog.guard(query)
+    query
+  }
+}
+
+/** Checkpoint-timeout enforcement: if no micro-batch completes within the
+  * timeout, the streaming query is stopped (abort → restart-from-
+  * checkpoint is the recovery path, same as the reference's timed
+  * `awaitCompletion` abort). Clock injectable for deterministic tests.
+  */
+final class ProgressWatchdog(timeoutMs: Long,
+    now: () => Long = () => System.currentTimeMillis()) {
+  @volatile private var lastProgressAt: Long = now()
+  @volatile private var aborted = false
+
+  def onProgress(): Unit = lastProgressAt = now()
+  def expired: Boolean = now() - lastProgressAt > timeoutMs
+  def wasAborted: Boolean = aborted
+
+  /** Poll the query on a daemon thread; stop it once expired. */
+  def guard(query: StreamingQuery,
+      pollMs: Long = 500L): Thread = {
+    val t = new Thread(() => {
+      while (query.isActive && !expired) Thread.sleep(pollMs)
+      if (query.isActive && expired) {
+        aborted = true
+        System.err.println(
+          s"[graft] checkpoint timeout: no progress in ${timeoutMs}ms, stopping query")
+        query.stop()
+      }
+    }, "graft-checkpoint-watchdog")
+    t.setDaemon(true)
+    t.start()
+    t
+  }
 }
 
 object PipelineRunner {
@@ -117,16 +193,20 @@ object PipelineRunner {
   }
 }
 
-/** B8 — throughput accounting: per-batch docs/sec plus rolling totals
-  * (the reference logs per-batch and a 5-minute summary;
-  * `PaimonIngestor.java:619-646,778-798`).
+/** B8 — throughput accounting: per-batch docs/sec, lifetime totals, AND a
+  * rolling window summary (the reference logs per-batch and a 5-minute
+  * summary; `PaimonIngestor.java:619-646,778-798`). Clock injectable for
+  * deterministic window tests.
   */
-final class PipelineMetrics {
+final class PipelineMetrics(windowMs: Long = 5 * 60 * 1000L,
+    now: () => Long = () => System.currentTimeMillis()) {
   val totalDocs = new AtomicLong(0)
   val totalBatches = new AtomicLong(0)
   val totalNanos = new AtomicLong(0)
   val retries = new AtomicLong(0)
   private val lastBatch = new AtomicReference[(Long, Double)]((0L, 0.0))
+  /** (wall-clock ms, docs) per batch within the rolling window. */
+  private val window = new java.util.ArrayDeque[(Long, Long)]()
 
   def record(docs: Long, nanos: Long): Unit = {
     totalDocs.addAndGet(docs)
@@ -134,6 +214,26 @@ final class PipelineMetrics {
     totalNanos.addAndGet(nanos)
     val secs = nanos / 1e9
     lastBatch.set((docs, if (secs > 0) docs / secs else 0.0))
+    window.synchronized {
+      window.addLast((now(), docs))
+      evictExpired()
+    }
+  }
+
+  private def evictExpired(): Unit = {
+    val cutoff = now() - windowMs
+    while (!window.isEmpty && window.peekFirst()._1 < cutoff)
+      window.removeFirst()
+  }
+
+  /** (docs, batches, docs/sec) over the trailing window — the reference's
+    * periodic 5-minute summary line.
+    */
+  def rollingStats: (Long, Int, Double) = window.synchronized {
+    evictExpired()
+    val docs = window.iterator().asScala.map(_._2).sum
+    val n = window.size()
+    (docs, n, docs / (windowMs / 1000.0))
   }
 
   /** (docs, docs/sec) of the most recent batch — the reference's

@@ -60,13 +60,18 @@ object Stringifier {
       array_join(transform(c, e => jsonElement(e, elemType)), ","),
       lit("]"))
 
-  /** Map column → simplified JSON object (all keys/values quoted). */
+  /** Map column → simplified JSON object (all keys/values quoted), keys
+    * and values escaped like the reference's map branch
+    * (`PaimonToAddDocumentConverter.java:288-302`, which routes both
+    * through `escapeJsonString`).
+    */
   def mapToJson(c: Column): Column =
     concat(lit("{"),
       array_join(
         transform(map_entries(c), kv =>
-          concat(lit("\""), kv.getField("key").cast(StringType), lit("\":\""),
-            kv.getField("value").cast(StringType), lit("\""))),
+          concat(lit("\""), escapeJson(kv.getField("key").cast(StringType)),
+            lit("\":\""),
+            escapeJson(kv.getField("value").cast(StringType)), lit("\""))),
         ","),
       lit("}"))
 
@@ -95,8 +100,12 @@ object Stringifier {
     case _: StructType =>
       to_json(c)
     case other =>
-      // unsupported type → the reference warns + drops; we surface the
-      // value as a plain cast so nothing is silently lost
+      // unsupported type → the reference warns + drops
+      // (PaimonToAddDocumentConverter.java:214-219); we warn at plan time
+      // but keep the value as a plain cast so nothing is silently lost
+      System.err.println(
+        s"[graft] stringify: unsupported type ${other.simpleString}, using plain cast " +
+          "(reference drops the field)")
       c.cast(StringType)
   }
 

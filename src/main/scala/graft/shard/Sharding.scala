@@ -54,21 +54,23 @@ final case class ModuloSharding(partitionField: String, maxShards: Int,
 }
 
 object ModuloSharding {
-  /** Parse the shard id from a trailing integer of the service name
-    * (`ModuloShardingStrategy.java:174-209`). Rejects missing/overflowing
-    * suffixes.
+  /** Parse the shard id from the service name's LAST `[_-]`-separated
+    * segment, which must be entirely numeric
+    * (`ModuloShardingStrategy.java:174-209` splits on `[_-]` and
+    * Integer-parses the whole segment — 'svc-v2' must FAIL FAST, not
+    * silently map to shard 2 via its trailing digits).
     */
   def shardIdFromServiceName(serviceName: String): Int = {
     require(serviceName != null && serviceName.nonEmpty,
       "service name must be non-empty")
-    val digits = serviceName.reverse.takeWhile(_.isDigit).reverse
-    require(digits.nonEmpty,
-      s"service name '$serviceName' has no trailing shard number")
-    try digits.toInt
+    val seg = serviceName.split("[_-]").last
+    require(seg.nonEmpty && seg.forall(_.isDigit),
+      s"service name '$serviceName' must end in a numeric shard segment, got '$seg'")
+    try seg.toInt
     catch {
       case _: NumberFormatException =>
         throw new IllegalArgumentException(
-          s"shard suffix '$digits' of '$serviceName' overflows Int")
+          s"shard suffix '$seg' of '$serviceName' overflows Int")
     }
   }
 

@@ -38,6 +38,19 @@ class AsOfSpec extends SparkSpec {
     assert(out == ((None, "m2")))
   }
 
+  test("right rows tied on (key, time) resolve deterministically (max payload)") {
+    val l = Seq(("a", 12L, "t1")).toDF("sym", "t", "trade")
+    val r = Seq(("a", 10L, 1.0, "m1"), ("a", 10L, 2.0, "m2"),
+      ("a", 10L, 2.0, "m0")) // tie on px too → mk breaks it
+      .toDF("sym", "qt", "px", "mk")
+    // repeat under different partitionings: the answer must never flip
+    (1 to 4).foreach { p =>
+      val out = AsOf.join(l, r.repartition(p), Seq("sym"), "t", "qt")
+        .select("px", "mk").as[(Double, String)].head()
+      assert(out == ((2.0, "m2")), s"tie resolution flipped at partitioning $p")
+    }
+  }
+
   test("overlapping payload column names are rejected") {
     assertThrows[IllegalArgumentException] {
       AsOf.join(trades, trades.withColumnRenamed("t", "t2"),

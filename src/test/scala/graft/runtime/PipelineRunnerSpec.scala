@@ -82,6 +82,80 @@ class PipelineRunnerSpec extends SparkSpec {
     }
   }
 
+  test("oversized batch is size-chunked: one sink commit per batchSize records") {
+    val dir = java.nio.file.Files.createTempDirectory("runner-chunk").toString
+    val sink = new ParquetIndexSink(spark, dir)
+    val commits = new AtomicInteger(0)
+    val counting = new ParquetIndexSink(spark, dir) {
+      override def commit(): Unit = { commits.incrementAndGet(); super.commit() }
+    }
+    val conf = cfg(dir).copy(batchSize = 2)
+    val runner = new PipelineRunner(conf, counting)
+    val docs = runner.processBatchChunked(
+      changelog(("a", 1, "+I", "v1"), ("b", 2, "+I", "b1"), ("c", 3, "+I", "c1"),
+        ("d", 4, "+I", "d1"), ("a", 5, "+U", "v2")),
+      "op", "k", Seq(col("seq")))
+    assert(commits.get == 3) // ceil(5/2) chunks, each committed
+    assert(docs == 5)
+    val state = sink.searchable().orderBy("_id")
+      .select("_id", "v").as[(String, String)].collect().toSeq
+    // the a-upsert (seq 5) lands in the LAST chunk: order preserved
+    assert(state == Seq(("a", "v2"), ("b", "b1"), ("c", "c1"), ("d", "d1")))
+    // small batches bypass chunking entirely
+    val single = new AtomicInteger(0)
+    val sink2 = new ParquetIndexSink(spark,
+      java.nio.file.Files.createTempDirectory("runner-chunk2").toString) {
+      override def commit(): Unit = { single.incrementAndGet(); super.commit() }
+    }
+    new PipelineRunner(conf, sink2).processBatchChunked(
+      changelog(("x", 1, "+I", "x1")), "op", "k", Seq(col("seq")))
+    assert(single.get == 1)
+  }
+
+  test("progress watchdog: expiry via simulated clock, abort stops the query") {
+    var t = 0L
+    val wd = new ProgressWatchdog(timeoutMs = 1000L, now = () => t)
+    assert(!wd.expired)
+    t = 900L; assert(!wd.expired)
+    wd.onProgress() // batch completed at t=900
+    t = 1800L; assert(!wd.expired) // only 900ms since last progress
+    t = 2000L; assert(wd.expired)
+
+    // wiring: a stalled stream gets stopped by the guard thread
+    val srcDir = java.nio.file.Files.createTempDirectory("wd-src").toString
+    changelog(("a", 1, "+I", "v1")).write.mode("append").parquet(srcDir)
+    val schema = StructType(Seq(StructField("k", StringType),
+      StructField("seq", LongType), StructField("op", StringType),
+      StructField("v", StringType)))
+    val stalled = new ProgressWatchdog(timeoutMs = 300L)
+    val q = spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("wd-ckpt").toString)
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) =>
+        Thread.sleep(5000) // a batch that never reports progress in time
+      }.start()
+    stalled.guard(q, pollMs = 50L)
+    val deadline = System.currentTimeMillis() + 20000
+    while (q.isActive && System.currentTimeMillis() < deadline) Thread.sleep(100)
+    assert(!q.isActive, "watchdog should have stopped the stalled query")
+    assert(stalled.wasAborted)
+  }
+
+  test("rolling window metrics over a simulated clock") {
+    var t = 0L
+    val m = new PipelineMetrics(windowMs = 300000L, now = () => t)
+    m.record(100, 1000000L); t = 60000L
+    m.record(200, 1000000L); t = 240000L
+    m.record(50, 1000000L)
+    assert(m.rollingStats == ((350L, 3, 350 / 300.0)))
+    t = 301000L // first batch (t=0) ages out
+    val (docs, n, rate) = m.rollingStats
+    assert(docs == 250 && n == 2)
+    assert(math.abs(rate - 250 / 300.0) < 1e-9)
+    assert(m.totalDocs.get == 350) // lifetime totals unaffected
+  }
+
   test("restart from checkpoint resumes without reprocessing (consumer-id contract)") {
     val srcDir = java.nio.file.Files.createTempDirectory("restart-src").toString
     val sinkDir = java.nio.file.Files.createTempDirectory("restart-sink").toString

@@ -75,6 +75,14 @@ class StringifierSpec extends SparkSpec {
     assert(one(c) == "{\"k1\":\"v1\",\"k2\":\"v2\"}")
   }
 
+  test("map keys and values are JSON-escaped like the reference") {
+    val c = Stringifier.stringify(
+      map(lit("k\"1"), lit("line1\nline2"), lit("back\\slash"), lit("tab\there")),
+      MapType(StringType, StringType))
+    assert(one(c) ==
+      "{\"k\\\"1\":\"line1\\nline2\",\"back\\\\slash\":\"tab\\there\"}")
+  }
+
   test("struct renders as proper JSON (reference gap implemented)") {
     val c = Stringifier.stringify(
       struct(lit(1).as("a"), lit("x").as("b")),

@@ -8,18 +8,25 @@ import graft.Tables
   */
 class ShardingSpec extends SparkSpec {
 
-  test("shard id parses from trailing integer of service name") {
+  test("shard id parses from a fully-numeric last [_-] segment") {
     assert(ModuloSharding.shardIdFromServiceName("svc-23") == 23)
     assert(ModuloSharding.shardIdFromServiceName("nrtsearch-index-0") == 0)
-    assert(ModuloSharding.shardIdFromServiceName("a7") == 7)
+    assert(ModuloSharding.shardIdFromServiceName("svc_idx_4") == 4)
   }
 
-  test("service name without trailing digits is rejected") {
+  test("non-numeric last segment fails fast (no silent digit-suffix parse)") {
     assertThrows[IllegalArgumentException] {
       ModuloSharding.shardIdFromServiceName("no-digits")
     }
     assertThrows[IllegalArgumentException] {
       ModuloSharding.shardIdFromServiceName("")
+    }
+    // 'svc-v2' must NOT map to shard 2 — the whole segment must be numeric
+    assertThrows[IllegalArgumentException] {
+      ModuloSharding.shardIdFromServiceName("svc-v2")
+    }
+    assertThrows[IllegalArgumentException] {
+      ModuloSharding.shardIdFromServiceName("a7")
     }
   }
 
