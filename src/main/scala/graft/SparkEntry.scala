@@ -218,11 +218,26 @@ object SparkEntry {
         n = 3, threshold = 0.5)
         .orderBy("id_a", "id_b")),
 
-    // MinHash+LSH candidates verified by exact Jaccard (no SQL oracle —
-    // probabilistic recall; ScalaTest asserts recall vs x_dedup_ngram).
-    "x_dedup_minhash" -> ((s, d) =>
-      operators.Dedup.minhashDedup(Tables.documents(s, d), "doc_id", "text")
-        .orderBy("id_a", "id_b")),
+    // MinHash+LSH candidates verified by exact Jaccard, gated as ONE
+    // oracle-checkable row: the exact-verifier pair count must equal the
+    // SQL oracle's count, candidates must be a subset of the exact pairs
+    // (precision 1.0 — the verify step's contract), and LSH recall vs the
+    // exact set must hold. Converts the round-1 rows-only entry into a
+    // hash-gated one without weakening the probabilistic semantics.
+    "x_dedup_minhash" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val exact = operators.Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.5)
+        .select(col("id_a"), col("id_b"))
+      val mh = operators.Dedup.minhashDedup(docs, "doc_id", "text")
+        .select(col("id_a").as("ma"), col("id_b").as("mb"))
+      exact.join(mh,
+          col("id_a") === col("ma") && col("id_b") === col("mb"), "full_outer")
+        .agg(
+          sum(when(col("id_a").isNotNull, 1).otherwise(0)).as("n_exact"),
+          (sum(when(col("id_a").isNotNull && col("ma").isNotNull, 1).otherwise(0)) >=
+            sum(when(col("id_a").isNotNull, 1).otherwise(0)) * 0.8).as("recall_ok"),
+          (sum(when(col("id_a").isNull, 1).otherwise(0)) === 0).as("precision_ok"))
+    }),
 
     // Duplicate clustering: connected components over the exact near-dup
     // pair graph; every doc labeled with its canonical (min-id) survivor.
@@ -233,11 +248,23 @@ object SparkEntry {
         .orderBy("id")
     }),
 
-    // SimHash near-dup pairs (banded hamming join; rows-only check).
-    "x_dedup_simhash" -> ((s, d) =>
-      operators.Dedup.simhashDedup(Tables.documents(s, d), "doc_id", "text",
-        maxHamming = 3)
-        .orderBy("id_a", "id_b")),
+    // SimHash near-dup pairs (banded hamming join), gated like minhash:
+    // exact-verifier count hash-checked against SQL, plus a recall floor
+    // vs the exact jaccard pairs (simhash is a different similarity — its
+    // candidate set overlaps but is not a subset, so no precision gate).
+    "x_dedup_simhash" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val exact = operators.Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.5)
+        .select(col("id_a"), col("id_b"))
+      val sh = operators.Dedup.simhashDedup(docs, "doc_id", "text", maxHamming = 3)
+        .select(col("id_a").as("ma"), col("id_b").as("mb"))
+      exact.join(sh,
+          col("id_a") === col("ma") && col("id_b") === col("mb"), "full_outer")
+        .agg(
+          sum(when(col("id_a").isNotNull, 1).otherwise(0)).as("n_exact"),
+          (sum(when(col("id_a").isNotNull && col("ma").isNotNull, 1).otherwise(0)) >=
+            sum(when(col("id_a").isNotNull, 1).otherwise(0)) * 0.5).as("recall_ok"))
+    }),
 
     // Embedding cosine near-dup pairs.
     // Exact threshold join, distributed (no BNLJ / corpus broadcast):
@@ -264,28 +291,43 @@ object SparkEntry {
         .select(col("vec_id"), round(col("c"), 6).as("cosine"))
     }),
 
-    // LSH-bucketed ANN top-k (rows-only; recall asserted in ScalaTest).
+    // LSH-bucketed ANN top-k, gated as one oracle row: k results returned,
+    // the query's own vector found (its bucket is always probed), and
+    // nonzero overlap with the exact top-k. RHP-LSH over ISOTROPIC random
+    // vectors has weak recall by nature (no cluster structure to hash) —
+    // the tight recall assertions live in SimilaritySpec; the oracle gate
+    // pins determinism and the self-hit/shape contract.
     "x_sim_ann" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val bucketed = operators.Similarity.annBuckets(e, "embedding", nBits = 8)
       val qv = e.filter(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0)
-      operators.Similarity.annTopK(bucketed, "vec_id", "embedding", qv, 10,
-        nBits = 8)
-        .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+      val ann = operators.Similarity.annTopK(bucketed, "vec_id", "embedding",
+        qv, 10, nBits = 8).select(col("vec_id"))
+      val exact = operators.Similarity.bruteForceTopK(e, "vec_id", "embedding",
+        qv, 10).select(col("vec_id").as("eid"))
+      ann.join(exact, col("vec_id") === col("eid"), "left")
+        .agg(count(lit(1)).as("n_results"),
+          (sum(when(col("vec_id") === 0, 1).otherwise(0)) === 1).as("self_found"),
+          (sum(when(col("eid").isNotNull, 1).otherwise(0)) >= 1).as("recall_ok"))
     }),
 
     // IVF-ANN: k-means cells (custom vector_sum aggregate) + probed
-    // search (rows-only; recall asserted in IvfSpec).
+    // search, gated as one oracle row (recall@10 ≥ 0.8 vs brute force —
+    // measured 0.9-1.0 across SFs; exact per-run values in IvfSpec).
     "x_sim_ivf" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val qv = e.filter(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0)
       val model = operators.Ivf.fit(e, "vec_id", "embedding", k = 8, iters = 3)
       val assigned = operators.Ivf.assign(e, "embedding", model)
-      operators.Ivf.search(assigned, "vec_id", "embedding", model, qv,
-        topK = 10, nProbe = 3)
-        .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+      val ivf = operators.Ivf.search(assigned, "vec_id", "embedding", model, qv,
+        topK = 10, nProbe = 3).select(col("vec_id"))
+      val exact = operators.Similarity.bruteForceTopK(e, "vec_id", "embedding",
+        qv, 10).select(col("vec_id").as("eid"))
+      ivf.join(exact, col("vec_id") === col("eid"), "left")
+        .agg(count(lit(1)).as("n_results"),
+          (sum(when(col("eid").isNotNull, 1).otherwise(0)) >= 8).as("recall_ok"))
     }),
 
     // Text quality features.
@@ -316,7 +358,10 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // Multimodal: stubbed decode over mapPartitions batches (rows-only).
+    // Multimodal: stubbed decode over mapPartitions batches. The stub
+    // derives features from the payload md5, so the DuckDB oracle can
+    // recompute every row in SQL (md5_number_lower + unsigned math) —
+    // the mapPartitions plumbing is hash-gated end-to-end.
     "x_multimodal_features" -> ((s, d) => {
       val withBin = operators.Multimodal.withBinaryPayload(
         Tables.documents(s, d), "text", "payload")
@@ -706,6 +751,51 @@ object SparkEntry {
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
            substring(base64(encode(text)), 1, 16) AS b64_head
          FROM documents ORDER BY doc_id""",
+    // the decode stub derives features from md5_number_lower(text):
+    // unsigned 64-bit math reproduced here exactly (UBIGINT % and //)
+    "x_multimodal_features" ->
+      """WITH f AS (SELECT doc_id AS id, md5_number_lower(text) AS l,
+             CAST(1 + (md5_number_lower(text) // 65536) % 8 AS INT) AS nf
+           FROM documents)
+         SELECT id, CAST(16 + l % 64 AS INT) AS width,
+           CAST(16 + (l // 256) % 64 AS INT) AS height,
+           nf AS n_frames,
+           CAST(l % 1000000007 AS BIGINT) AS checksum,
+           CAST(range(0, nf, 2) AS VARCHAR) AS sampled_frames
+         FROM f ORDER BY id""",
+    "x_dedup_minhash" ->
+      """WITH sh AS (SELECT DISTINCT doc_id, g FROM (
+             SELECT doc_id, unnest(list_transform(range(1, len(w)-1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+             FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))),
+         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+             FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+             GROUP BY 1, 2)
+         SELECT count(*) AS n_exact, TRUE AS recall_ok, TRUE AS precision_ok
+         FROM pairs
+         JOIN cnt ca ON ca.doc_id = id_a
+         JOIN cnt cb ON cb.doc_id = id_b
+         WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.5""",
+    "x_dedup_simhash" ->
+      """WITH sh AS (SELECT DISTINCT doc_id, g FROM (
+             SELECT doc_id, unnest(list_transform(range(1, len(w)-1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+             FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))),
+         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+             FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+             GROUP BY 1, 2)
+         SELECT count(*) AS n_exact, TRUE AS recall_ok
+         FROM pairs
+         JOIN cnt ca ON ca.doc_id = id_a
+         JOIN cnt cb ON cb.doc_id = id_b
+         WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.5""",
+    "x_sim_ann" ->
+      """SELECT CAST(10 AS BIGINT) AS n_results, TRUE AS self_found,
+           TRUE AS recall_ok""",
+    "x_sim_ivf" ->
+      """SELECT CAST(10 AS BIGINT) AS n_results, TRUE AS recall_ok""",
     "x_curation" ->
       """WITH q AS (SELECT doc_id, text,
              len(string_split(text, ' ')) AS n_tokens,

@@ -27,19 +27,37 @@ object Multimodal {
     StructField("checksum", LongType, nullable = false)))
 
   object MediaCodec {
+    private val md5 = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+    /** Little-endian unsigned read of md5 bytes 8..15 — numerically equal
+      * to DuckDB's `md5_number_lower(text)`, which is what lets the
+      * correctness oracle reproduce the stub's features in pure SQL.
+      */
+    def md5Lower(payload: Array[Byte]): Long = {
+      val d = md5.get().digest(payload)
+      var l = 0L
+      var i = 15
+      while (i >= 8) { l = (l << 8) | (d(i) & 0xffL); i -= 1 }
+      l
+    }
+
     /** Deterministic stand-in for the real decoder: derives fake
-      * dimensions from a byte-content hash. Replace body with the real
-      * codec call when the native libs exist; the signature (bytes in,
-      * features out, called once per record inside a partition batch) is
-      * the real contract.
+      * dimensions from the payload's md5 (unsigned arithmetic, so the SQL
+      * oracle's UBIGINT math matches bit-for-bit). Replace body with the
+      * real codec call when the native libs exist; the signature (bytes
+      * in, features out, called once per record inside a partition batch)
+      * is the real contract.
       */
     def decodeStub(payload: Array[Byte]): (Int, Int, Int, Long) = {
-      var h = 1125899906842597L // FNV-ish rolling hash, pure JVM
-      payload.foreach(b => h = h * 31 + (b & 0xff))
-      val w = 16 + math.floorMod(h, 64).toInt
-      val ht = 16 + math.floorMod(h >> 8, 64).toInt
-      val fr = 1 + math.floorMod(h >> 16, 8).toInt
-      (w, ht, fr, h)
+      val l = md5Lower(payload)
+      val w = 16 + java.lang.Long.remainderUnsigned(l, 64).toInt
+      val ht = 16 + java.lang.Long.remainderUnsigned(
+        java.lang.Long.divideUnsigned(l, 256), 64).toInt
+      val fr = 1 + java.lang.Long.remainderUnsigned(
+        java.lang.Long.divideUnsigned(l, 65536), 8).toInt
+      val checksum = java.lang.Long.remainderUnsigned(l, 1000000007L)
+      (w, ht, fr, checksum)
     }
   }
 

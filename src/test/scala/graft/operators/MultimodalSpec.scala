@@ -26,6 +26,15 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.forall(r => r.getInt(1) >= 16 && r.getInt(3) >= 1))
   }
 
+  test("stub hash matches DuckDB md5_number_lower (oracle parity)") {
+    // duckdb: SELECT md5_number_lower('abc') → 8250560606382298838
+    assert(Multimodal.MediaCodec.md5Lower("abc".getBytes("UTF-8")) ==
+      8250560606382298838L)
+    // unsigned-math feature derivation stays in the documented ranges
+    val (w, h, f, cs) = Multimodal.MediaCodec.decodeStub("abc".getBytes("UTF-8"))
+    assert(w >= 16 && w < 80 && h >= 16 && h < 80 && f >= 1 && f <= 8 && cs >= 0)
+  }
+
   test("frame sampling yields every k-th index within n_frames") {
     val docs = Tables.documents(spark, sf).limit(5)
     val features = Multimodal.extractFeatures(
