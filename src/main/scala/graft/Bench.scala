@@ -64,14 +64,21 @@ object Bench {
     val (ingestSecs, ingestDocs) =
       try {
         import org.apache.spark.sql.functions.col
-        val dir = java.nio.file.Files.createTempDirectory("bench-index").toString
-        val sink = new graft.sink.ParquetIndexSink(spark, dir)
-        val runner = new graft.runtime.PipelineRunner(
-          graft.config.PipelineConfig(indexName = "bench-idx"), sink)
-        val t0 = System.nanoTime()
-        val docs = runner.processBatch(SparkEntry.eventsChangelog(spark, sfDir),
-          "op", "user_id", Seq(col("ts_us"), col("event_id")))
-        ((System.nanoTime() - t0) / 1e9, docs)
+        def oneBatch(): (Double, Long) = {
+          val dir = java.nio.file.Files.createTempDirectory("bench-index").toString
+          val sink = new graft.sink.ParquetIndexSink(spark, dir)
+          val runner = new graft.runtime.PipelineRunner(
+            graft.config.PipelineConfig(indexName = "bench-idx"), sink)
+          val t0 = System.nanoTime()
+          val docs = runner.processBatch(SparkEntry.eventsChangelog(spark, sfDir),
+            "op", "user_id", Seq(col("ts_us"), col("event_id")))
+          ((System.nanoTime() - t0) / 1e9, docs)
+        }
+        // warm pass first (same methodology as the query warm pass): a real
+        // pipeline commits thousands of micro-batches, so steady-state —
+        // codegen/JIT primed — is the honest throughput number
+        oneBatch()
+        oneBatch()
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] ingest_pipeline failed: ${e.getMessage}")

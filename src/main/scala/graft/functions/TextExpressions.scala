@@ -3,9 +3,10 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Word n-gram shingling as a single row-level expression.
@@ -56,7 +57,93 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** One-pass text statistics: codepoint count, token count, token-length
+  * sum, punctuation count, and per-marker-set hit counts — all from a
+  * SINGLE tokenization of the document.
+  *
+  * The composed-HOF form (`size(filter(split(...)))` per marker set)
+  * is interpreted AND re-tokenizes the document once per set: language ID
+  * over 5 marker lists plus quality's stopword ratio costs ~7 splits and
+  * 7 closure-dispatched array walks per row. This expression does one
+  * split and one hash lookup per token (a token in several sets — "que"
+  * is both French and Spanish — increments each), matching the HOF
+  * semantics exactly: whitespace tokens, lowercased for marker matching,
+  * hits counted with multiplicity.
+  *
+  * Output struct: `(n_chars, n_tokens, tok_len_sum, n_punct, hits)` where
+  * `n_chars`/`tok_len_sum` count Unicode codepoints (Spark `length()`
+  * semantics) and `n_punct` counts `[.!?,;:]` occurrences.
+  */
+case class TextMarkerStats(child: Expression, markerSets: Seq[Seq[String]])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = TextMarkerStats.schema
+  override def prettyName: String = "text_marker_stats"
+
+  /** token (lowercase) → indices of the marker sets containing it. */
+  @transient private lazy val lookup: java.util.HashMap[String, Array[Int]] = {
+    val m = new java.util.HashMap[String, Array[Int]]()
+    markerSets.zipWithIndex.foreach { case (ws, i) =>
+      ws.foreach { w =>
+        val prev = m.get(w)
+        m.put(w, if (prev == null) Array(i) else prev :+ i)
+      }
+    }
+    m
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val hits = new Array[Int](markerSets.length)
+    var nPunct = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '.' || c == '!' || c == '?' || c == ',' || c == ';' || c == ':')
+        nPunct += 1
+      i += 1
+    }
+    val toks = s.split("\\s+")
+    var nTokens = 0
+    var tokLenSum = 0
+    var t = 0
+    while (t < toks.length) {
+      val tok = toks(t)
+      if (tok.nonEmpty) {
+        nTokens += 1
+        tokLenSum += tok.codePointCount(0, tok.length)
+        val sets = lookup.get(tok.toLowerCase(java.util.Locale.ROOT))
+        if (sets != null) {
+          var j = 0
+          while (j < sets.length) { hits(sets(j)) += 1; j += 1 }
+        }
+      }
+      t += 1
+    }
+    new GenericInternalRow(Array[Any](
+      s.codePointCount(0, s.length), nTokens, tokLenSum, nPunct,
+      new GenericArrayData(hits.map(Int.box(_): AnyRef))))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TextMarkerStats =
+    copy(child = newChild)
+}
+
+object TextMarkerStats {
+  val schema: StructType = StructType(Seq(
+    StructField("n_chars", IntegerType, nullable = false),
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("tok_len_sum", IntegerType, nullable = false),
+    StructField("n_punct", IntegerType, nullable = false),
+    StructField("hits", ArrayType(IntegerType, containsNull = false),
+      nullable = false)))
+}
+
 object TextExpressions {
   def wordShingles(text: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
+
+  def textMarkerStats(text: Column, markerSets: Seq[Seq[String]]): Column =
+    ColumnBridge.column(
+      TextMarkerStats(ColumnBridge.expression(text), markerSets))
 }

@@ -1,9 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions
+import graft.functions.{TextExpressions, TextFunctions}
 
 /** Text-analysis operators for training-data pipelines: language ID,
   * quality scoring, token counting, fingerprinting. Each is a narrow
@@ -18,26 +18,35 @@ object TextAnalysis {
   /** Per-doc quality features: char length, token count, mean token
     * length, punctuation ratio, stopword ratio, and a composite score in
     * [0, 1] (simple length/punct/stopword heuristic).
+    *
+    * One [[graft.functions.TextMarkerStats]] pass per row — the composed
+    * HOF form (`aggregate(transform(...))` + `filter` per ratio)
+    * re-tokenized the document three times, interpreted. Semantics are
+    * HOF-identical (`TextAnalysisSpec` cross-checks); mean token length
+    * still uses actual token lengths, not (n_chars - separators)/n, which
+    * would overcount under repeated/leading/trailing whitespace.
     */
   def quality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = col(textCol)
-    val nTok = TextFunctions.tokenCount(t)
-    val nChars = length(t)
-    val punct = length(t) - length(regexp_replace(t, "[.!?,;:]", ""))
-    val tokLenSum = aggregate(
-      transform(TextFunctions.tokens(t), tk => length(tk)),
-      lit(0), (acc, x) => acc + x)
-    df.select(
-      col(idCol),
-      nChars.as("n_chars"),
-      nTok.as("n_tokens"),
-      // mean over actual token lengths — (n_chars - separators)/n would
-      // overcount under repeated/leading/trailing whitespace
-      when(nTok === 0, 0.0)
-        .otherwise(tokLenSum.cast("double") / nTok).as("mean_token_len"),
-      when(nChars === 0, 0.0)
-        .otherwise(punct.cast("double") / nChars).as("punct_ratio"),
-      TextFunctions.stopwordRatio(t, qualityStopwords).as("stopword_ratio"))
+    val stats = TextExpressions.textMarkerStats(
+      col(textCol), Seq(qualityStopwords))
+    val nTok = col("_s.n_tokens")
+    val nChars = col("_s.n_chars")
+    // two-step projection: CollapseProject keeps the non-cheap stats
+    // expression un-inlined, so the single pass stays single
+    df.select(col(idCol), stats.as("_s"))
+      .select(
+        col(idCol),
+        nChars.as("n_chars"),
+        nTok.as("n_tokens"),
+        when(nTok === 0, 0.0)
+          .otherwise(col("_s.tok_len_sum").cast("double") / nTok)
+          .as("mean_token_len"),
+        when(nChars === 0, 0.0)
+          .otherwise(col("_s.n_punct").cast("double") / nChars)
+          .as("punct_ratio"),
+        when(nTok === 0, 0.0)
+          .otherwise(element_at(col("_s.hits"), 1).cast("double") / nTok)
+          .as("stopword_ratio"))
   }
 
   /** Token counts: whitespace tokens plus a BPE-ish subword estimate
@@ -54,9 +63,24 @@ object TextAnalysis {
       size(regexp_extract_all(col(textCol), lit(piecePattern), lit(0)))
         .as("piece_tokens"))
 
-  /** Language ID via stopword-marker argmax (TextFunctions.langId). */
-  def languageId(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), TextFunctions.langId(col(textCol)).as("pred_lang"))
+  /** Language ID via stopword-marker argmax — same argmax/tie rules as
+    * [[TextFunctions.langId]] (cross-checked in `TextAnalysisSpec`) but
+    * all 5 marker lists counted in ONE tokenization pass instead of 5
+    * interpreted re-splits per row.
+    */
+  def languageId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val langs = TextFunctions.langMarkers.toSeq.sortBy(_._1)
+    val stats = TextExpressions.textMarkerStats(col(textCol), langs.map(_._2))
+    val hits = df.select(
+      col(idCol), stats.getField("hits").as("_h"))
+    val scores = langs.indices.map(i => element_at(col("_h"), i + 1))
+    val best = scores.reduce(greatest(_, _))
+    val pred = langs.map(_._1).zip(scores).foldRight(lit("und"): Column) {
+      case ((lang, s), elseCol) =>
+        when(s > 0 && s === best, lit(lang)).otherwise(elseCol)
+    }
+    hits.select(col(idCol), pred.as("pred_lang"))
+  }
 
   /** Canonical content fingerprint (md5 of sorted distinct token set). */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =

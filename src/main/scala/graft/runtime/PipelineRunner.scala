@@ -61,13 +61,15 @@ final class PipelineRunner(
       val upserts = compacted.filter(col("_action") === "upsert")
         .drop("_action", opCol)
         .withColumn(sink.idField, col(keyCol).cast("string"))
-      val nDeletes = deletes.count()
-      val nUpserts = withRetry {
+      // one job for both counts (over the cached compact), not two
+      val counts = compacted.groupBy("_action").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val nDeletes = counts.getOrElse("delete", 0L)
+      val nUpserts = counts.getOrElse("upsert", 0L)
+      withRetry {
         if (nDeletes > 0) sink.deleteByKeys(deletes)
-        val n = upserts.count()
-        if (n > 0) sink.addDocuments(upserts)
+        if (nUpserts > 0) sink.addDocuments(upserts)
         sink.commit()
-        n
       }
       metrics.record(nUpserts + nDeletes, System.nanoTime() - t0)
       nUpserts + nDeletes

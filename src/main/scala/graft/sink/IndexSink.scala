@@ -196,19 +196,25 @@ class ParquetIndexSink(spark: SparkSession, path: String, numBuckets: Int = 16)
         return
       case Some(s) =>
         // 1. touched buckets: one distinct-agg over the pending keys
-        //    (result is ≤ numBuckets ints — driver-safe at any batch size)
-        val keyFrames = ops.map {
-          case Upsert(df) => df.select(col(idField).cast("string").as("_k"))
-          case DeleteIds(ids) =>
-            import spark.implicits._
-            ids.toDF("_k")
-          case DeleteKeys(df) =>
-            df.select(col(df.columns.head).cast("string").as("_k"))
-        }
-        val touched: Set[Int] = keyFrames.reduce(_.unionByName(_))
-          .filter(col("_k").isNotNull)
-          .select(bucketOf(col("_k")).as("_b")).distinct()
-          .collect().map(_.getInt(0)).toSet
+        //    (result is ≤ numBuckets ints — driver-safe at any batch size).
+        //    With no committed buckets there is nothing to prune or carry
+        //    forward — skip the job entirely (the common first commit).
+        val touched: Set[Int] =
+          if (prevBuckets.isEmpty) Set.empty
+          else {
+            val keyFrames = ops.map {
+              case Upsert(df) => df.select(col(idField).cast("string").as("_k"))
+              case DeleteIds(ids) =>
+                import spark.implicits._
+                ids.toDF("_k")
+              case DeleteKeys(df) =>
+                df.select(col(df.columns.head).cast("string").as("_k"))
+            }
+            keyFrames.reduce(_.unionByName(_))
+              .filter(col("_k").isNotNull)
+              .select(bucketOf(col("_k")).as("_b")).distinct()
+              .collect().map(_.getInt(0)).toSet
+          }
 
         // 2. read ONLY the touched buckets of the committed index
         val baseDirs = touched.toSeq.sorted.flatMap(prevBuckets.get)
@@ -219,24 +225,36 @@ class ParquetIndexSink(spark: SparkSession, path: String, numBuckets: Int = 16)
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
           else spark.read.schema(s).parquet(baseDirs: _*)
 
-        // 3. ops in call order — same MERGE semantics as round 1
-        val next = ops.foldLeft(base) {
-          case (acc, Upsert(df)) =>
+        // 3. ops in call order — same MERGE semantics as round 1. The
+        //    statically-known-empty accumulator (first commit, or all
+        //    touched buckets previously vacant) skips the anti-join/union
+        //    plan nodes: deletes on nothing stay nothing, and the first
+        //    upsert IS the index.
+        val (next, _) = ops.foldLeft((base, baseDirs.isEmpty)) {
+          case ((acc, isEmpty), Upsert(df)) =>
             // last add per _id wins inside one batch
             val compacted = Changelog.compact(
               df.withColumn("_seq", monotonically_increasing_id()),
               idField, Seq(col("_seq"))).drop("_seq")
-            acc.join(compacted.select(idField), Seq(idField), "left_anti")
-              .unionByName(compacted)
-          case (acc, DeleteIds(ids)) =>
-            if (ids.isEmpty) acc else acc.filter(!col(idField).isin(ids: _*))
-          case (acc, DeleteKeys(ids)) =>
-            Changelog.deleteByKeySet(acc, idField, ids)
+            if (isEmpty) (compacted, false)
+            else (acc.join(compacted.select(idField), Seq(idField), "left_anti")
+              .unionByName(compacted), false)
+          case ((acc, isEmpty), DeleteIds(ids)) =>
+            (if (ids.isEmpty || isEmpty) acc
+             else acc.filter(!col(idField).isin(ids: _*)), isEmpty)
+          case ((acc, isEmpty), DeleteKeys(ids)) =>
+            (if (isEmpty) acc
+             else Changelog.deleteByKeySet(acc, idField, ids), isEmpty)
         }
 
-        // 4. one job writes all touched buckets under an immutable new dir
+        // 4. one job writes all touched buckets under an immutable new dir.
+        //    Shuffle by bucket first: without it, every task writes a file
+        //    per bucket it happens to see (tasks × buckets tiny files —
+        //    measured 4× slower at sf0.1); with it, each bucket is exactly
+        //    one task writing one file (~1 GB at production sizing).
         val commitDir = s"data/c$version"
         next.withColumn(BucketCol, bucketOf(col(idField)))
+          .repartition(col(BucketCol))
           .write.mode("overwrite").partitionBy(BucketCol)
           .parquet(s"$path/$commitDir")
         // a touched bucket with zero surviving docs writes no dir → it

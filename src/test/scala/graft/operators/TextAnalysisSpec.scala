@@ -52,6 +52,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(0) != out(2))
   }
 
+  test("native marker-stats path matches the composed-HOF semantics") {
+    // adversarial corpus: shared markers across languages ("que" is fr+es,
+    // "est"/"une" fr, "es"/"en" es), whitespace runs, CJK, punctuation
+    val tricky = Seq(
+      (1L, "que est une belle maison que"),
+      (2L, "el que es una casa en que por"),
+      (3L, "  the   of.of, to; it:  "),
+      (4L, "的 是 了 在 和"),
+      (5L, "no markers here whatsoever"),
+      (6L, "")).toDF("id", "text")
+    // languageId vs the HOF argmax
+    val native = TextAnalysis.languageId(tricky, "id", "text")
+      .orderBy("id").select("pred_lang").as[String].collect().toSeq
+    val hof = tricky.select(col("id"), TextFunctions.langId(col("text")).as("p"))
+      .orderBy("id").select("p").as[String].collect().toSeq
+    assert(native == hof)
+    // quality vs independently composed HOF columns
+    val t = col("text")
+    val toks = TextFunctions.tokens(t)
+    val expect = tricky.select(
+      col("id"),
+      length(t).as("n_chars"),
+      size(toks).as("n_tokens"),
+      when(size(toks) === 0, 0.0).otherwise(
+        aggregate(transform(toks, tk => length(tk)), lit(0), (a, x) => a + x)
+          .cast("double") / size(toks)).as("mean_token_len"),
+      when(length(t) === 0, 0.0).otherwise(
+        (length(t) - length(regexp_replace(t, "[.!?,;:]", "")))
+          .cast("double") / length(t)).as("punct_ratio"),
+      TextFunctions.stopwordRatio(t, TextAnalysis.qualityStopwords)
+        .as("stopword_ratio"))
+    val got = TextAnalysis.quality(tricky, "id", "text")
+    assert(got.orderBy("id").collect().toSeq ==
+      expect.orderBy("id").collect().toSeq)
+  }
+
   test("piece tokens split punctuation but not word runs") {
     val out = TextAnalysis.tokenCounts(
       Seq((1L, "hello, world! x9")).toDF("id", "text"), "id", "text")
