@@ -372,6 +372,25 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Benchmark decontamination: docs from source 'src0' act as the eval
+    // corpus; every other doc is flagged if it shares a word 3-gram with
+    // it. Benchmark shingle set is broadcast — the training side is
+    // probed map-side (no shuffle at the join).
+    "x_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      operators.Corpus.decontaminate(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "doc_id", "text", 3)
+        .orderBy("doc_id")
+    }),
+
+    // Sequence packing: fixed 512-token bins in doc_id order via the
+    // two-phase global cumulative sum (no single-partition window).
+    "x_pack" -> ((s, d) =>
+      operators.Corpus.packSequences(Tables.documents(s, d), "doc_id", "text", 512L)
+        .orderBy("doc_id")),
+
     // Composite training-data curation pipeline: quality-filter → exact
     // dedup (keep lowest doc_id per distinct text) → language ID — the
     // north-star operators composed, still one declarative plan.
@@ -796,6 +815,28 @@ object SparkEntry {
            TRUE AS recall_ok""",
     "x_sim_ivf" ->
       """SELECT CAST(10 AS BIGINT) AS n_results, TRUE AS recall_ok""",
+    "x_decontaminate" ->
+      """WITH sh AS (SELECT doc_id, source, unnest(list_transform(
+             range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+           FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents)),
+         b AS (SELECT DISTINCT g FROM sh WHERE source = 'src0'),
+         hits AS (SELECT t.doc_id, count(DISTINCT t.g) AS n_shared
+           FROM sh t JOIN b ON t.g = b.g
+           WHERE t.source <> 'src0' GROUP BY t.doc_id)
+         SELECT d.doc_id, COALESCE(h.n_shared, 0) AS n_shared,
+           COALESCE(h.n_shared, 0) > 0 AS contaminated
+         FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+         WHERE d.source <> 'src0' ORDER BY d.doc_id""",
+    "x_pack" ->
+      """WITH t AS (SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS s
+           FROM t)
+         SELECT doc_id, n_tokens, s // 512 AS bin_id FROM c ORDER BY doc_id""",
     "x_curation" ->
       """WITH q AS (SELECT doc_id, text,
              len(string_split(text, ' ')) AS n_tokens,

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.functions.TextFunctions
+
+/** Corpus-level curation operators a training-data pipeline needs beyond
+  * per-document scoring: benchmark decontamination and sequence packing.
+  */
+object Corpus {
+
+  /** Benchmark decontamination: flag every training document that shares
+    * at least one word n-gram with an evaluation/benchmark corpus — the
+    * standard test-set-contamination sweep run before any pretraining job.
+    *
+    * Returns one row per training doc: `(idCol, n_shared, contaminated)`
+    * where `n_shared` counts DISTINCT shared shingles.
+    *
+    * Scale shape: the benchmark side is small (eval suites are at most
+    * ~10^6 shingles) → `broadcast` distinct-shingle set, so the 100 TB
+    * training side is probed map-side with NO shuffle at join time. The
+    * only shuffles are the per-doc distinct + count, both keyed by doc id
+    * and combinable map-side. Shingling is the native [[graft.functions.WordShingles]]
+    * expression (one pass per row).
+    */
+  def decontaminate(train: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val bsh = bench
+      .select(explode(TextFunctions.wordShingles(col(textCol), n)).as("_sh"))
+      .distinct()
+    val hits = train
+      .select(col(idCol), explode(TextFunctions.wordShingles(col(textCol), n)).as("_sh"))
+      // broadcast-probe FIRST, distinct after: only contaminated
+      // (id, shingle) pairs ever reach a shuffle
+      .join(broadcast(bsh), Seq("_sh"))
+      .select(col(idCol), col("_sh")).distinct()
+      .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
+    train.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Sequence packing: assign documents to fixed token-budget bins in a
+    * deterministic global order — the layout step that turns a shuffled
+    * corpus into fixed-length training sequences. A document's bin is the
+    * bin its START offset falls into (contiguous fill; boundary docs
+    * spill into the next bin's budget, the standard streaming packer).
+    *
+    * Returns `(idCol, n_tokens, bin_id)`; whitespace token counts.
+    *
+    * Scale shape: the global running offset uses [[withGlobalCumSum]] —
+    * range-partition + two lightweight passes — NOT a single-partition
+    * window (`sum().over(Window.orderBy(...))` funnels the corpus through
+    * one task).
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    val counted = df.select(col(idCol),
+      TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    withGlobalCumSum(counted, col(idCol), col("n_tokens"), "_start")
+      .select(col(idCol), col("n_tokens"),
+        expr(s"_start DIV $budget").as("bin_id"))
+  }
+
+  /** Append a global EXCLUSIVE cumulative sum of `weightCol` in `orderCol`
+    * order (row i gets the sum of weights of all rows before it), without
+    * a single-partition window: range-partition + sort, one job for
+    * per-partition weight totals, then partition-local prefix sums plus
+    * the broadcast offsets — the cum-sum analogue of
+    * [[Batching.withGlobalRowNumber]]. Both passes reuse the same shuffle
+    * output, so the order is consistent.
+    */
+  def withGlobalCumSum(df: DataFrame, orderCol: Column, weightCol: Column,
+      outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = df
+      .withColumn("_graft_w", weightCol.cast("long"))
+      .repartitionByRange(shufflePartitions, orderCol)
+      .sortWithinPartitions(orderCol)
+    val wIdx = sorted.schema.fieldIndex("_graft_w")
+    val rdd = sorted.rdd
+    val partSums = rdd
+      .mapPartitionsWithIndex { (p, it) =>
+        var s = 0L; it.foreach(r => s += r.getLong(wIdx)); Iterator((p, s))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _) // exclusive prefix per partition
+    val schema = sorted.schema.add(outCol, LongType, nullable = false)
+    val out = rdd.mapPartitionsWithIndex { (p, it) =>
+      var acc = offsets(p)
+      it.map { r =>
+        val start = acc
+        acc += r.getLong(wIdx)
+        Row.fromSeq(r.toSeq :+ start)
+      }
+    }
+    spark.createDataFrame(out, schema).drop("_graft_w")
+  }
+}
