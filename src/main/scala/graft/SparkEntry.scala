@@ -278,6 +278,26 @@ object SparkEntry {
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("id_a", "id_b")),
 
+    // Int8-quantized similarity: embeddings quantize→dequantize through
+    // the native roundtrip expression (4× storage/bandwidth cut at
+    // ingest), then top-10 by quantized cosine vs the vec_id=0 query,
+    // with per-row fidelity (cosine of original vs dequantized) — the
+    // recall-loss measurement a quantized ANN index ships with.
+    "x_quantize" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val deq = e.select(col("vec_id"), col("embedding"),
+        functions.VectorExpressions.q8Roundtrip(col("embedding")).as("dq"))
+      val q = deq.filter(col("vec_id") === 0).select(col("dq").as("qdq"))
+      deq.crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          functions.VectorExpressions.cosineFast(col("dq"), col("qdq")).as("c"),
+          functions.VectorExpressions.cosineFast(col("embedding"), col("dq")).as("f"))
+        .orderBy(col("c").desc, col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), round(col("c"), 6).as("q_cosine"),
+          round(col("f"), 6).as("fidelity"))
+    }),
+
     // Brute-force cosine top-k vs the vec_id=0 query vector (exact ANN
     // baseline), expressed as a broadcast join — no driver collect.
     "x_sim_topk" -> ((s, d) => {
@@ -715,6 +735,23 @@ object SparkEntry {
            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
          SELECT id_a, id_b, round(c, 6) AS cosine FROM z
          WHERE c >= 0.4 ORDER BY id_a, id_b""",
+    "x_quantize" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             list_max(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE)))) AS m
+           FROM embeddings),
+         dq AS (SELECT vec_id, e,
+             CASE WHEN m = 0 THEN list_transform(e, x -> 0.0)
+             ELSE list_transform(e, x ->
+               GREATEST(LEAST(floor(x / (m / 127.0) + 0.5), 127.0), -127.0)
+                 * (m / 127.0)) END AS d
+           FROM base),
+         q AS (SELECT d AS qd FROM dq WHERE vec_id = 0),
+         z AS (SELECT vec_id, list_cosine_similarity(d, qd) AS c,
+             list_cosine_similarity(e, d) AS f
+           FROM dq, q)
+         SELECT vec_id, round(c, 6) AS q_cosine, round(f, 6) AS fidelity
+         FROM z ORDER BY c DESC, vec_id LIMIT 10""",
     "x_sim_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
          z AS (SELECT vec_id,

@@ -236,6 +236,66 @@ case class RhpSignature(child: Expression, nBits: Int, seed: Long)
     copy(child = newChild)
 }
 
+/** Symmetric int8 quantize→dequantize roundtrip of an embedding — the
+  * 4× (float32) / 8× (float64) storage-and-bandwidth reduction step an
+  * ANN index applies at ingest, exposed as the roundtrip so downstream
+  * distance code is unchanged and recall loss is directly measurable.
+  *
+  * Per vector: `scale = max|xᵢ| / 127`; `qᵢ = clamp(floor(xᵢ/scale + 0.5),
+  * ±127)`; output `qᵢ·scale` as array<double>. A zero vector roundtrips
+  * to zeros. `floor(x + 0.5)` (not banker's rounding) — replicable
+  * bit-for-bit in any engine, which is what lets the DuckDB oracle gate
+  * the whole pipeline. Once-per-row at ingest → `CodegenFallback`
+  * granularity (one JVM call per row) is not on a pair-wise hot path.
+  */
+case class VectorQ8Roundtrip(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def prettyName: String = "vector_q8_roundtrip"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  private def childIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects array<float|double>, got ${t.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    def at(i: Int): Double =
+      if (childIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) { val v = math.abs(at(i)); if (v > maxAbs) maxAbs = v; i += 1 }
+    val out = new Array[Double](n)
+    if (maxAbs > 0.0) {
+      val scale = maxAbs / 127.0
+      i = 0
+      while (i < n) {
+        var q = math.floor(at(i) / scale + 0.5)
+        if (q > 127.0) q = 127.0
+        if (q < -127.0) q = -127.0
+        out(i) = q * scale
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column entry points for the fused-loop vector expressions.
   *
   * Length contract: all binary ops iterate `min(a.length, b.length)`
@@ -251,4 +311,5 @@ object VectorExpressions {
   def l2sqFast(a: Column, b: Column): Column = column(VectorL2Sq(expression(a), expression(b)))
   def rhpSignature(v: Column, nBits: Int, seed: Long): Column =
     column(RhpSignature(expression(v), nBits, seed))
+  def q8Roundtrip(v: Column): Column = column(VectorQ8Roundtrip(expression(v)))
 }

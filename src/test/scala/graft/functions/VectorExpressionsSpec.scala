@@ -33,6 +33,28 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("q8 roundtrip: bounded error, zero-safe, clamps to ±127 steps") {
+    val r = spark.range(1).select(
+      VectorExpressions.q8Roundtrip(
+        array(lit(1.0), lit(-0.5), lit(0.25), lit(0.0))).as("v"),
+      VectorExpressions.q8Roundtrip(
+        array(lit(0.0f), lit(0.0f))).as("z"))
+      .head()
+    val v = r.getSeq[Double](0)
+    // max quantization error per element is scale/2 = maxabs/254
+    assert(v.zip(Seq(1.0, -0.5, 0.25, 0.0)).forall {
+      case (got, want) => math.abs(got - want) <= 1.0 / 254 + 1e-12
+    })
+    assert(v.head == 1.0) // maxabs element is exactly representable (q=127)
+    assert(r.getSeq[Double](1) == Seq(0.0, 0.0))
+    // fidelity on real embeddings: cosine(orig, roundtrip) stays ~1
+    val e = graft.Tables.embeddings(spark, sf).limit(200)
+    val minFid = e.select(VectorExpressions.cosineFast(col("embedding"),
+        VectorExpressions.q8Roundtrip(col("embedding"))).as("f"))
+      .agg(min("f")).head().getDouble(0)
+    assert(minFid > 0.999, s"q8 fidelity too low: $minFid")
+  }
+
   test("rhp signature: codegen and interpreted eval agree") {
     val e = graft.Tables.embeddings(spark, sf).limit(100)
     // codegen path (whole-stage projection)
