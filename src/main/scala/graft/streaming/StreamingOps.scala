@@ -36,6 +36,44 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Session windows: activity bursts per key separated by `gap` of
+    * silence — `session_window` keeps one open-window state object per
+    * live key; the watermark closes and emits sessions once no
+    * earlier-than-gap data can arrive. State is hash-partitioned by the
+    * grouping key, so session assembly scales horizontally like any
+    * keyed aggregation.
+    */
+  def sessionCounts(stream: DataFrame, tsCol: String, keyCol: String,
+      gap: String, watermark: String): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
+  /** Stream-stream interval join: each left event enriched with right
+    * events for the same key within `[ts - lookback, ts]` — the streaming
+    * twin of the batch as-of/range join. BOTH sides carry watermarks and
+    * the join condition bounds event-time distance, so each side's
+    * buffered state is dropped once the other side's watermark passes —
+    * bounded state on unbounded streams.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String, lookback: String,
+      watermark: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+      .withColumnRenamed(keyCol, s"_r_$keyCol")
+    l.join(r,
+      col(keyCol) === col(s"_r_$keyCol") &&
+        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $lookback") &&
+        col(rightTs) <= col(leftTs))
+      .drop(s"_r_$keyCol")
+  }
+
   /** One changelog record (the streaming twin of the batch RowKind rows). */
   final case class KeyedChange(k: String, seq: Long, op: String, v: String)
   /** Materialized state transition emitted downstream. */

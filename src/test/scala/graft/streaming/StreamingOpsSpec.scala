@@ -62,6 +62,63 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session windows split on gaps and close at the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, java.sql.Timestamp)]
+    val df = input.toDF().toDF("user", "ts")
+    val q = StreamingOps.sessionCounts(df, "ts", "user", "5 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      input.addData(
+        ("u1", t("2024-01-01 00:00:00")), ("u1", t("2024-01-01 00:03:00")),
+        ("u1", t("2024-01-01 00:20:00")), // gap > 5m → second session
+        ("u2", t("2024-01-01 00:01:00")))
+      q.processAllAvailable()
+      input.addData(("u3", t("2024-01-01 02:00:00"))) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("sessions")
+        .select("user", "session_start", "n_events")
+        .as[(String, java.sql.Timestamp, Long)].collect().toSet
+      assert(rows.contains(("u1", t("2024-01-01 00:00:00"), 2L)))
+      assert(rows.contains(("u1", t("2024-01-01 00:20:00"), 1L)))
+      assert(rows.contains(("u2", t("2024-01-01 00:01:00"), 1L)))
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join enriches within the lookback only") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(String, java.sql.Timestamp)]
+    val buys = MemoryStream[(String, java.sql.Timestamp, Double)]
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val joined = StreamingOps.intervalJoin(
+      buys.toDF().toDF("user", "buy_ts", "amount"),
+      clicks.toDF().toDF("user", "click_ts"),
+      "user", "buy_ts", "click_ts", "10 minutes", "30 minutes")
+    val q = joined.writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      clicks.addData(
+        ("u1", t("2024-01-01 00:00:00")),  // within 10m of the buy
+        ("u1", t("2024-01-01 00:05:00")),  // within
+        ("u1", t("2024-01-01 01:00:00")),  // after the buy → excluded
+        ("u2", t("2024-01-01 00:01:00")))  // other key
+      buys.addData(("u1", t("2024-01-01 00:08:00"), 9.99))
+      q.processAllAvailable()
+      // advance both watermarks so results flush (u9's click is 4h before
+      // its buy — outside the 10m lookback, so the advancers don't join)
+      clicks.addData(("u9", t("2024-01-01 06:00:00")))
+      buys.addData(("u9", t("2024-01-01 10:00:00"), 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("enriched")
+        .select("user", "click_ts").as[(String, java.sql.Timestamp)]
+        .collect().toSet
+      assert(rows == Set(
+        ("u1", t("2024-01-01 00:00:00")), ("u1", t("2024-01-01 00:05:00"))))
+    } finally q.stop()
+  }
+
   test("watermarked tumbling window counts by event time") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String)]
