@@ -365,6 +365,11 @@ object SparkEntry {
       operators.TextAnalysis.languageId(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // Repetition/boilerplate score (top 3-gram frequency ratio).
+    "x_text_repetition" -> ((s, d) =>
+      operators.TextAnalysis.repetition(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // Canonical content fingerprint (md5 over sorted distinct tokens).
     "x_text_fingerprint" -> ((s, d) =>
       operators.TextAnalysis.fingerprints(Tables.documents(s, d), "doc_id", "text")
@@ -798,6 +803,14 @@ object SparkEntry {
            WHEN zh_s > 0 AND zh_s >= greatest(de_s, en_s, es_s, fr_s, zh_s) THEN 'zh'
            ELSE 'und' END AS pred_lang
          FROM s ORDER BY doc_id""",
+    "x_text_repetition" ->
+      """WITH sh AS (SELECT doc_id, unnest(list_transform(range(1, len(w)-1),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         c AS (SELECT doc_id, g, count(*) AS k FROM sh GROUP BY 1, 2)
+         SELECT doc_id, CAST(max(k) AS DOUBLE) / CAST(sum(k) AS DOUBLE)
+           AS repetition
+         FROM c GROUP BY doc_id ORDER BY doc_id""",
     "x_text_fingerprint" ->
       """SELECT doc_id,
            md5(array_to_string(list_sort(list_distinct(

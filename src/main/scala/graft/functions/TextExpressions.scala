@@ -139,9 +139,55 @@ object TextMarkerStats {
       nullable = false)))
 }
 
+/** Boilerplate/repetition score: frequency of the MOST frequent word
+  * n-gram divided by the total n-gram count — 1.0 for a fully repetitive
+  * document, → 0 for diverse text. The classic template/spam signal a
+  * pretraining quality filter cuts on.
+  *
+  * Shingle semantics match [[WordShingles]] (short docs collapse to one
+  * whole-doc shingle, so the score is defined for every document); one
+  * tokenization + one hash-count pass per row.
+  */
+case class RepetitionScore(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, s"shingle width must be >= 1, got $n")
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "repetition_score"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString
+      .split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) return 1.0 // single whole-doc shingle
+    val m = toks.length - n + 1
+    val counts = new java.util.HashMap[String, Int](m * 2)
+    val sb = new java.lang.StringBuilder(64)
+    var maxCount = 0
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j)); j += 1
+      }
+      val c = counts.merge(sb.toString, 1, Integer.sum)
+      if (c > maxCount) maxCount = c
+      i += 1
+    }
+    maxCount.toDouble / m
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionScore =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   def wordShingles(text: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
+
+  def repetitionScore(text: Column, n: Int): Column =
+    ColumnBridge.column(RepetitionScore(ColumnBridge.expression(text), n))
 
   def textMarkerStats(text: Column, markerSets: Seq[Seq[String]]): Column =
     ColumnBridge.column(

@@ -82,6 +82,14 @@ object TextAnalysis {
     hits.select(col(idCol), pred.as("pred_lang"))
   }
 
+  /** Repetition/boilerplate score: most-frequent n-gram count over total
+    * n-grams (native one-pass expression) — the template/spam signal.
+    */
+  def repetition(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame =
+    df.select(col(idCol),
+      TextExpressions.repetitionScore(col(textCol), n).as("repetition"))
+
   /** Canonical content fingerprint (md5 of sorted distinct token set). */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), TextFunctions.fingerprint(col(textCol)).as("fingerprint"))

@@ -88,6 +88,16 @@ class TextAnalysisSpec extends SparkSpec {
       expect.orderBy("id").collect().toSeq)
   }
 
+  test("repetition score: 1.0 for pure repeats, 1/m for diverse text") {
+    val r = TextAnalysis.repetition(Seq(
+      (1L, "spam spam spam spam"), // both 3-grams identical
+      (2L, "a b c d e"),           // 3 distinct 3-grams
+      (3L, "a b"),                 // shorter than n: one whole-doc shingle
+      (4L, "")).toDF("id", "text"), "id", "text")
+      .orderBy("id").select("repetition").as[Double].collect().toSeq
+    assert(r == Seq(1.0, 1.0 / 3, 1.0, 1.0))
+  }
+
   test("piece tokens split punctuation but not word runs") {
     val out = TextAnalysis.tokenCounts(
       Seq((1L, "hello, world! x9")).toDF("id", "text"), "id", "text")
