@@ -182,8 +182,14 @@ class ParquetIndexSink(spark: SparkSession, path: String, numBuckets: Int = 16)
     def bucketOf(id: Column): Column =
       pmod(xxhash64(id.cast("string")), lit(nb.toLong)).cast("int")
 
-    val schema: Option[StructType] = prev.flatMap(_.schema)
-      .orElse(ops.collectFirst { case Upsert(df) => df.schema })
+    // width-only schema evolution: the committed schema is the union (by
+    // name) of the previous schema and every pending upsert's schema —
+    // documents written before a column existed read as null (parquet
+    // fills absent columns), new documents may omit old columns. A TYPE
+    // change for an existing name is refused loudly.
+    val schema: Option[StructType] =
+      (prev.flatMap(_.schema).toSeq ++ ops.collect { case Upsert(df) => df.schema })
+        .reduceOption(ParquetIndexSink.mergeSchemas)
     val version = prev.map(_.version + 1).getOrElse(0L)
     val prevBuckets = prev.map(_.buckets).getOrElse(Map.empty[Int, String])
 
@@ -232,9 +238,14 @@ class ParquetIndexSink(spark: SparkSession, path: String, numBuckets: Int = 16)
         //    upsert IS the index.
         val (next, _) = ops.foldLeft((base, baseDirs.isEmpty)) {
           case ((acc, isEmpty), Upsert(df)) =>
+            // align to the committed (merged) schema: absent columns null
+            val aligned = df.select(s.fields.toSeq.map { f =>
+              if (df.columns.contains(f.name)) col(f.name)
+              else lit(null).cast(f.dataType).as(f.name)
+            }: _*)
             // last add per _id wins inside one batch
             val compacted = Changelog.compact(
-              df.withColumn("_seq", monotonically_increasing_id()),
+              aligned.withColumn("_seq", monotonically_increasing_id()),
               idField, Seq(col("_seq"))).drop("_seq")
             if (isEmpty) (compacted, false)
             else (acc.join(compacted.select(idField), Seq(idField), "left_anti")
@@ -317,6 +328,25 @@ object ParquetIndexSink {
     * from Hadoop file listing).
     */
   val BucketCol = "gbucket"
+
+  /** Union-by-name of two document schemas (width-only evolution): fields
+    * keep `a`'s order, `b`'s new fields append; everything is nullable
+    * (old documents lack new columns). A type change is a hard error —
+    * silent coercion would corrupt the index.
+    */
+  private[sink] def mergeSchemas(a: StructType, b: StructType): StructType = {
+    val byName = a.fields.map(f => f.name -> f).toMap
+    b.fields.foreach { f =>
+      byName.get(f.name).foreach { prev =>
+        require(prev.dataType == f.dataType,
+          s"schema evolution cannot change type of '${f.name}': " +
+            s"${prev.dataType.simpleString} -> ${f.dataType.simpleString}")
+      }
+    }
+    StructType(
+      a.fields.map(_.copy(nullable = true)) ++
+        b.fields.filterNot(f => byName.contains(f.name)).map(_.copy(nullable = true)))
+  }
 
   private val ManifestName = """v(\d+)\.json""".r
 

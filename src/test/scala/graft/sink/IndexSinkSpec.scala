@@ -38,6 +38,25 @@ class IndexSinkSpec extends SparkSpec {
     assert(sink.searchable().as[(String, String)].collect().toSeq == Seq(("a", "v3")))
   }
 
+  test("width-only schema evolution: new columns null-fill old docs") {
+    val dir = java.nio.file.Files.createTempDirectory("sink-evolve").toString
+    val sink = new ParquetIndexSink(spark, dir)
+    sink.addDocuments(Seq(("a", "v1")).toDF("_id", "v"))
+    sink.commit()
+    // new column 'w', and 'v' omitted entirely
+    sink.addDocuments(Seq(("b", 7L)).toDF("_id", "w"))
+    sink.commit()
+    val rows = sink.searchable().orderBy("_id")
+      .select("_id", "v", "w").as[(String, Option[String], Option[Long])]
+      .collect().toSeq
+    assert(rows == Seq(("a", Some("v1"), None), ("b", None, Some(7L))))
+
+    // a type change for an existing column must fail loudly, not coerce
+    sink.addDocuments(Seq(("c", 1L)).toDF("_id", "v"))
+    val e = intercept[IllegalArgumentException](sink.commit())
+    assert(e.getMessage.contains("cannot change type"))
+  }
+
   test("add-then-delete in one commit window deletes (call order wins)") {
     val dir = java.nio.file.Files.createTempDirectory("sink-order").toString
     val sink = new ParquetIndexSink(spark, dir)
