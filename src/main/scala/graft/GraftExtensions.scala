@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{VectorCosine, VectorDot, VectorL2Sq}
+import graft.functions.{RepetitionScore, RhpSignature, VectorCosine, VectorDot, VectorL2Sq, VectorQ8Roundtrip, WordShingles}
 
 /** Session extensions registering the engine's native expressions as SQL
   * functions, so `spark.sql("SELECT vector_cosine(a, b) ...")` works the
@@ -30,6 +30,19 @@ object GraftExtensions {
     f(args(0), args(1))
   }
 
+  /** A trailing parameter that must be a foldable integer literal (shingle
+    * width, bit count, seed) — these configure codegen, they cannot vary
+    * per row.
+    */
+  private def litLong(e: Expression, fn: String, param: String): Long = {
+    require(e.foldable, s"$fn: $param must be a literal")
+    e.eval() match {
+      case n: java.lang.Number => n.longValue
+      case other => throw new IllegalArgumentException(
+        s"$fn: $param must be an integer literal, got $other")
+    }
+  }
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("vector_cosine"),
       info("vector_cosine", "cosine similarity of two float/double arrays"),
@@ -39,7 +52,36 @@ object GraftExtensions {
       binary("vector_dot", VectorDot) _),
     (FunctionIdentifier("vector_l2sq"),
       info("vector_l2sq", "squared L2 distance of two float/double arrays"),
-      binary("vector_l2sq", VectorL2Sq) _))
+      binary("vector_l2sq", VectorL2Sq) _),
+    (FunctionIdentifier("vector_q8_roundtrip"),
+      info("vector_q8_roundtrip",
+        "symmetric int8 quantize+dequantize of a float/double array"),
+      { args =>
+        require(args.length == 1, s"vector_q8_roundtrip expects 1 argument, got ${args.length}")
+        VectorQ8Roundtrip(args(0))
+      }),
+    (FunctionIdentifier("rhp_signature"),
+      info("rhp_signature",
+        "rhp_signature(vec, nBits, seed): random-hyperplane LSH signature"),
+      { args =>
+        require(args.length == 3, s"rhp_signature expects 3 arguments, got ${args.length}")
+        RhpSignature(args(0),
+          litLong(args(1), "rhp_signature", "nBits").toInt,
+          litLong(args(2), "rhp_signature", "seed"))
+      }),
+    (FunctionIdentifier("word_shingles"),
+      info("word_shingles", "word_shingles(text, n): word n-gram array"),
+      { args =>
+        require(args.length == 2, s"word_shingles expects 2 arguments, got ${args.length}")
+        WordShingles(args(0), litLong(args(1), "word_shingles", "n").toInt)
+      }),
+    (FunctionIdentifier("repetition_score"),
+      info("repetition_score",
+        "repetition_score(text, n): top n-gram frequency / total n-grams"),
+      { args =>
+        require(args.length == 2, s"repetition_score expects 2 arguments, got ${args.length}")
+        RepetitionScore(args(0), litLong(args(1), "repetition_score", "n").toInt)
+      }))
 
   /** Register into an already-built session (tests, notebooks). */
   def registerAll(spark: SparkSession): Unit =

@@ -193,6 +193,26 @@ object PipelineRunner {
     val m = Option(e.getMessage).getOrElse("")
     m.contains("does not exist") || m.contains("INVALID_ARGUMENT")
   }
+
+  /** Engine-level metrics bridge: source-side rows/durations from Spark's
+    * own `QueryProgressEvent` feed a [[PipelineMetrics]] — the
+    * `StreamingQueryListener` half of B8 (the runner's sink-side metrics
+    * count documents written; this counts rows read, so lag between the
+    * two is visible). Returns the listener so callers can remove it.
+    */
+  def attachProgressMetrics(spark: org.apache.spark.sql.SparkSession,
+      metrics: PipelineMetrics): org.apache.spark.sql.streaming.StreamingQueryListener = {
+    val l = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        metrics.record(e.progress.numInputRows,
+          e.progress.batchDuration * 1000000L)
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(l)
+    l
+  }
 }
 
 /** B8 — throughput accounting: per-batch docs/sec, lifetime totals, AND a

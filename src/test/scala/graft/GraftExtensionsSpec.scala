@@ -14,6 +14,35 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getDouble(2) == 25.0)
   }
 
+  test("text and quantization expressions are callable from SQL") {
+    GraftExtensions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT word_shingles('a b c d', 3) AS sh,
+                repetition_score('spam spam spam spam', 3) AS rep,
+                vector_q8_roundtrip(array(1.0D, -0.5D)) AS q,
+                rhp_signature(array(1.0F, 2.0F), 12, 42) AS sig
+      """).head()
+    assert(r.getSeq[String](0) == Seq("a b c", "b c d"))
+    assert(r.getDouble(1) == 1.0)
+    assert(r.getSeq[Double](2).head == 1.0)
+    // same signature as the Column API path
+    val viaColumn = spark.range(1).select(
+      functions.VectorExpressions.rhpSignature(
+        org.apache.spark.sql.functions.array(
+          org.apache.spark.sql.functions.lit(1.0f),
+          org.apache.spark.sql.functions.lit(2.0f)), 12, 42L)).head().getLong(0)
+    assert(r.getLong(3) == viaColumn)
+  }
+
+  test("literal-only parameters are enforced") {
+    GraftExtensions.registerAll(spark)
+    assertThrows[Exception] {
+      // a per-row column can't configure the shingle width
+      spark.sql(
+        "SELECT repetition_score('a b c', CAST(id AS INT)) FROM range(1)").head()
+    }
+  }
+
   test("arity is validated") {
     GraftExtensions.registerAll(spark)
     assertThrows[Exception] {

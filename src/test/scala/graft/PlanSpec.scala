@@ -55,4 +55,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"),
       s"global window funnels all rows through one partition:\n$p")
   }
+
+  test("sequence packing numbers without a single-partition exchange") {
+    val p = plan("x_pack")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"global cum-sum funnels all rows through one partition:\n$p")
+  }
+
+  test("quantized similarity keeps native expressions and top-k") {
+    val p = plan("x_quantize")
+    assert(p.contains("vector_q8_roundtrip"))
+    assert(p.contains("vector_cosine"))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("decontamination probes a broadcast benchmark side") {
+    val p = plan("x_decontaminate")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"benchmark shingle set should broadcast:\n$p")
+  }
 }

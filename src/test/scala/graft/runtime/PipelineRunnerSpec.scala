@@ -142,6 +142,26 @@ class PipelineRunnerSpec extends SparkSpec {
     assert(stalled.wasAborted)
   }
 
+  test("progress listener feeds source-side metrics from query progress") {
+    implicit val sqlCtx = spark.sqlContext
+    val metrics = new PipelineMetrics
+    val listener = PipelineRunner.attachProgressMetrics(spark, metrics)
+    try {
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int]
+      val q = input.toDF().writeStream.format("noop").start()
+      try {
+        input.addData(1 to 42: _*)
+        q.processAllAvailable()
+        // listener events are async; progress arrives shortly after
+        val deadline = System.currentTimeMillis() + 10000
+        while (metrics.totalDocs.get < 42 && System.currentTimeMillis() < deadline)
+          Thread.sleep(50)
+        assert(metrics.totalDocs.get >= 42)
+        assert(metrics.totalBatches.get >= 1)
+      } finally q.stop()
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("rolling window metrics over a simulated clock") {
     var t = 0L
     val m = new PipelineMetrics(windowMs = 300000L, now = () => t)
