@@ -300,6 +300,39 @@ class ParquetIndexSink(spark: SparkSession, path: String, numBuckets: Int = 16)
   def committedBuckets: Map[Int, String] =
     readManifest().map(_.buckets).getOrElse(Map.empty)
 
+  /** Offline bucket-count evolution: rewrite the whole index under a new
+    * modulus and publish it as the next manifest version. Deliberately
+    * O(index) — it is the maintenance job run when buckets outgrow the
+    * ~1 GB target (each bucket rewrite is one task, so the job
+    * parallelizes across the cluster); steady-state commits stay
+    * O(batch). Pending uncommitted ops are refused: rebucket between
+    * batches, not inside one.
+    */
+  def rebucket(newBuckets: Int): Unit = synchronized {
+    require(newBuckets > 0, s"bucket count must be positive, got $newBuckets")
+    require(ops.isEmpty, "rebucket with pending uncommitted ops; commit first")
+    val prev = readManifest().getOrElse(
+      throw new IllegalStateException(s"index at $path has no committed version"))
+    if (prev.numBuckets == newBuckets) return
+    val version = prev.version + 1
+    val commitDir = s"data/c$version"
+    val written: Map[Int, String] = prev.schema match {
+      case None => Map.empty
+      case Some(_) =>
+        searchable().withColumn(BucketCol,
+            pmod(xxhash64(col(idField).cast("string")), lit(newBuckets.toLong)).cast("int"))
+          .repartition(col(BucketCol))
+          .write.mode("overwrite").partitionBy(BucketCol)
+          .parquet(s"$path/$commitDir")
+        fs.listStatus(new HPath(s"$path/$commitDir")).toSeq
+          .map(_.getPath.getName).collect {
+            case n if n.startsWith(s"$BucketCol=") =>
+              n.stripPrefix(s"$BucketCol=").toInt -> s"$commitDir/$n"
+          }.toMap
+    }
+    writeManifest(Manifest(version, newBuckets, prev.schema, written))
+  }
+
   /** Delete data dirs no manifest-current bucket references, and all
     * manifests but the latest (time-travel is not part of the contract).
     */

@@ -57,6 +57,23 @@ class IndexSinkSpec extends SparkSpec {
     assert(e.getMessage.contains("cannot change type"))
   }
 
+  test("rebucket rewrites under the new modulus; commits keep working") {
+    val dir = java.nio.file.Files.createTempDirectory("sink-rebucket").toString
+    val sink = new ParquetIndexSink(spark, dir, numBuckets = 4)
+    sink.addDocuments((1 to 50).map(i => (s"k$i", s"v$i")).toDF("_id", "v"))
+    sink.commit()
+    sink.rebucket(16)
+    assert(sink.committedBuckets.keySet.max < 16 && sink.committedBuckets.size > 4)
+    assert(sink.searchable().count() == 50)
+    // post-rebucket commits use the NEW modulus (manifest numBuckets wins)
+    sink.addDocuments(Seq(("k1", "v1b"), ("new", "n1")).toDF("_id", "v"))
+    sink.commit()
+    val rows = sink.searchable().filter(col("_id").isin("k1", "new"))
+      .orderBy("_id").as[(String, String)].collect().toSeq
+    assert(rows == Seq(("k1", "v1b"), ("new", "n1")))
+    assert(sink.searchable().count() == 51)
+  }
+
   test("add-then-delete in one commit window deletes (call order wins)") {
     val dir = java.nio.file.Files.createTempDirectory("sink-order").toString
     val sink = new ParquetIndexSink(spark, dir)
