@@ -80,6 +80,53 @@ object ModuloSharding {
       shardIdFromServiceName(serviceName))
 }
 
+/** EXTENSION (beyond the reference, whose `GeoShardingStrategy.java:26-44`
+  * is an unimplemented placeholder we mirror under the name "geo"):
+  * geographic sharding by interleaved-bit geohash cell. Each row's
+  * (lat, lon) maps to a `precision`-bit Z-order cell id; the shard is
+  * `hash(cell) % maxShards`, so one shard owns a stable, spatially-
+  * coherent set of cells. On a table partitioned by the (precomputed)
+  * cell column the filter prunes at file level exactly like modulo
+  * sharding; otherwise it still pushes to the scan as a row predicate.
+  */
+final case class GeohashSharding(latField: String, lonField: String,
+    maxShards: Int, shardId: Int, precision: Int = 12)
+    extends ShardingStrategy {
+  require(maxShards > 0, s"maxShards must be positive, got $maxShards")
+  require(shardId >= 0 && shardId < maxShards,
+    s"shard id $shardId out of range [0, $maxShards)")
+  require(precision >= 1 && precision <= 30,
+    s"precision must be in [1,30] bits per axis, got $precision")
+
+  /** Z-order (Morton) cell id: `precision` bits per axis, interleaved. */
+  def cell(lat: Column, lon: Column): Column = {
+    val scale = (1L << precision).toDouble
+    // quantize each axis to [0, 2^precision)
+    val latQ = least(floor((lat + 90.0) / 180.0 * scale), lit(scale - 1)).cast("long")
+    val lonQ = least(floor((lon + 180.0) / 360.0 * scale), lit(scale - 1)).cast("long")
+    // interleave via the classic shift-or fold (expression-composed, so it
+    // stays in codegen; precision ≤ 30 keeps the result in a signed long)
+    (0 until precision).map { b =>
+      val latBit = shiftleft(shiftright(latQ, b).bitwiseAND(1), 2 * b + 1)
+      val lonBit = shiftleft(shiftright(lonQ, b).bitwiseAND(1), 2 * b)
+      latBit.bitwiseOR(lonBit)
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  def filter(df: DataFrame): Option[Column] =
+    Some(pmod(xxhash64(cell(col(latField), col(lonField))),
+      lit(maxShards.toLong)) === lit(shardId.toLong))
+
+  override def validate(df: DataFrame): Unit = {
+    require(df.columns.contains(latField), s"table has no field '$latField'")
+    require(df.columns.contains(lonField), s"table has no field '$lonField'")
+  }
+
+  def description =
+    s"geohash sharding on ($latField, $lonField) " +
+      s"(shard $shardId of $maxShards, ${precision}b/axis)"
+}
+
 /** Config-driven dispatch (`ShardingStrategyFactory.java:38-77`); unknown
   * names default to [[NoSharding]] like the reference.
   */
@@ -92,6 +139,9 @@ object ShardingStrategyFactory {
       case "geo" =>
         throw new UnsupportedOperationException(
           "geo sharding is not implemented") // GeoShardingStrategy.java:26-44
+      case "geohash" => // extension — see GeohashSharding
+        GeohashSharding("lat", "lon", maxShards,
+          ModuloSharding.shardIdFromServiceName(serviceName))
       case _ => NoSharding
     }
 

@@ -67,4 +67,30 @@ class ShardingSpec extends SparkSpec {
         ModuloSharding("not_a_col", 8, 1))
     }
   }
+
+  test("geohash shards partition completely and are spatially coherent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // deterministic lat/lon grid incl. the domain corners
+    val pts = (0 until 400).map { i =>
+      (i.toLong, -90.0 + (i % 20) * 9.47, -180.0 + (i / 20) * 18.9)
+    }.toDF("id", "lat", "lon")
+    val total = pts.count()
+    val counts = (0 until 4).map { s =>
+      ShardingStrategyFactory(pts, GeohashSharding("lat", "lon", 4, s)).count()
+    }
+    assert(counts.sum == total) // shards are a partition of the table
+    assert(counts.forall(_ > 0)) // hash spreads cells across all shards
+    // coherence: nearby points in the same cell land in the same shard
+    val g = GeohashSharding("lat", "lon", 4, 0, precision = 8)
+    val cells = Seq((1L, 10.0001, 20.0001), (2L, 10.0002, 20.0002))
+      .toDF("id", "lat", "lon")
+      .select(g.cell(col("lat"), col("lon")).as("c")).as[Long].collect()
+    assert(cells(0) == cells(1))
+    // corners stay in range after quantization clamp
+    val corners = Seq((1L, 90.0, 180.0), (2L, -90.0, -180.0))
+      .toDF("id", "lat", "lon")
+      .select(g.cell(col("lat"), col("lon")).as("c")).as[Long].collect()
+    assert(corners.forall(c => c >= 0 && c < (1L << 16)))
+  }
 }
