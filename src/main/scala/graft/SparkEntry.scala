@@ -416,6 +416,20 @@ object SparkEntry {
       operators.Corpus.packSequences(Tables.documents(s, d), "doc_id", "text", 512L)
         .orderBy("doc_id")),
 
+    // Packed bins materialized as training sequences (id-ordered concat,
+    // per-bin doc/token accounting).
+    "x_pack_text" -> ((s, d) =>
+      operators.Corpus.binTexts(Tables.documents(s, d), "doc_id", "text", 512L)
+        .orderBy("bin_id")),
+
+    // Deterministic 20% corpus sample: md5-hash keep-set reproducible in
+    // any engine (auditable sampling); per-source counts show the
+    // stratification is uniform.
+    "x_sample" -> ((s, d) =>
+      operators.Corpus.deterministicSample(Tables.documents(s, d), "doc_id", 200)
+        .groupBy("source").agg(count(lit(1)).as("n_kept"))
+        .orderBy("source")),
+
     // Composite training-data curation pipeline: quality-filter → exact
     // dedup (keep lowest doc_id per distinct text) → language ID — the
     // north-star operators composed, still one declarative plan.
@@ -887,6 +901,26 @@ object SparkEntry {
                AS BIGINT) AS s
            FROM t)
          SELECT doc_id, n_tokens, s // 512 AS bin_id FROM c ORDER BY doc_id""",
+    "x_pack_text" ->
+      """WITH t AS (SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS s
+           FROM t),
+         p AS (SELECT doc_id, n_tokens, s // 512 AS bin_id FROM c)
+         SELECT p.bin_id, count(*) AS n_docs,
+           CAST(sum(p.n_tokens) AS BIGINT) AS n_tokens,
+           string_agg(d.text, ' ' ORDER BY d.doc_id) AS seq_text
+         FROM p JOIN documents d ON p.doc_id = d.doc_id
+         GROUP BY p.bin_id ORDER BY p.bin_id""",
+    "x_sample" ->
+      """SELECT source, count(*) AS n_kept FROM documents
+         WHERE (md5_number_lower(CAST(doc_id AS VARCHAR))
+           % 72057594037927936) % 1000 < 200
+         GROUP BY source ORDER BY source""",
     "x_curation" ->
       """WITH q AS (SELECT doc_id, text,
              len(string_split(text, ' ')) AS n_tokens,

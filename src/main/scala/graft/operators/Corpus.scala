@@ -67,6 +67,51 @@ object Corpus {
         expr(s"_start DIV $budget").as("bin_id"))
   }
 
+  /** Materialize packed bins as training sequences: every bin's documents
+    * concatenated in id order, with doc/token accounting — the step that
+    * turns [[packSequences]]'s assignment into actual fixed-budget
+    * sequences. Per-bin text is bounded by the token budget, so group
+    * state is bounded regardless of corpus size; the single shuffle is
+    * keyed by bin.
+    */
+  def binTexts(df: DataFrame, idCol: String, textCol: String,
+      budget: Long): DataFrame = {
+    val packed = packSequences(df, idCol, textCol, budget)
+    df.select(col(idCol), col(textCol)).join(packed, idCol)
+      .groupBy("bin_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        // sort_array over (id, text) structs orders by id; the transform
+        // runs once per BIN (not per doc) so interpreted eval is fine
+        array_join(
+          transform(array_sort(collect_list(struct(col(idCol), col(textCol)))),
+            s => s.getField(textCol)),
+          " ").as("seq_text"))
+  }
+
+  /** Deterministic hash sampling: keep a row iff
+    * `md5_56(id) % 1000 < permille`. The hash is the low 56 bits (bytes
+    * 8–14, little-endian) of `md5(id)` — positive in a signed long AND
+    * expressible in DuckDB as `md5_number_lower(x) % 2^56`, so the exact
+    * kept-set is reproducible in any engine (the property that makes a
+    * sampled corpus auditable). Stratification is free: an md5 of the id
+    * is uniform within every stratum.
+    */
+  def sampleHash(c: Column): Column = {
+    val hex = md5(c.cast("string"))
+    (0 until 7).map { i =>
+      shiftleft(conv(substring(hex, 17 + 2 * i, 2), 16, 10).cast("long"), 8 * i)
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  def deterministicSample(df: DataFrame, idCol: String,
+      permille: Int): DataFrame = {
+    require(permille >= 0 && permille <= 1000,
+      s"permille must be in [0,1000], got $permille")
+    df.filter(pmod(sampleHash(col(idCol)), lit(1000L)) < permille)
+  }
+
   /** Append a global EXCLUSIVE cumulative sum of `weightCol` in `orderCol`
     * order (row i gets the sum of weights of all rows before it), without
     * a single-partition window: range-partition + sort, one job for

@@ -46,6 +46,28 @@ class CorpusSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("binTexts concatenates each bin's docs in id order") {
+    val docs = Seq(
+      (1L, "a b c"), (2L, "d e"), (3L, "f g h i"), (4L, "j")).toDF("doc_id", "text")
+    // token counts 3,2,4,1; starts 0,3,5,9; budget 5 → bins 0,0,1,1
+    val out = Corpus.binTexts(docs, "doc_id", "text", 5L)
+      .orderBy("bin_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq((0L, 2L, 5L, "a b c d e"), (1L, 2L, 5L, "f g h i j")))
+  }
+
+  test("deterministic sample is reproducible and permille-bounded") {
+    val df = spark.range(2000).toDF("id")
+    val a = Corpus.deterministicSample(df, "id", 200).as[Long].collect().toSet
+    val b = Corpus.deterministicSample(df, "id", 200).as[Long].collect().toSet
+    assert(a == b) // same keep-set every run
+    assert(math.abs(a.size - 400) < 80, s"~20% expected, got ${a.size}/2000")
+    // monotone: a larger rate keeps a superset
+    val c = Corpus.deterministicSample(df, "id", 500).as[Long].collect().toSet
+    assert(a.subsetOf(c))
+    assert(Corpus.deterministicSample(df, "id", 0).count() == 0)
+    assert(Corpus.deterministicSample(df, "id", 1000).count() == 2000)
+  }
+
   test("packSequences: bin is the bin the doc's start offset falls in") {
     // token counts: 3, 4, 2, 5, 1 — budget 6
     // starts:       0, 3, 7, 9, 14 → bins 0, 0, 1, 1, 2
