@@ -182,9 +182,83 @@ case class RepetitionScore(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Byte-pair-encoding tokenizer over a ranked merge table — the real
+  * subword tokenization a training pipeline counts sequence budgets with
+  * (the regex "piece" estimate in `TextAnalysis.tokenCounts` is the
+  * cheap approximation; this is the exact algorithm).
+  *
+  * Standard greedy BPE per whitespace word: start from characters, then
+  * repeatedly merge the adjacent pair with the LOWEST merge rank until no
+  * ranked pair remains. The merge table is a construction-time literal
+  * (broadcast with the plan, like the LSH planes); vocabulary training is
+  * an offline corpus job, not a per-row concern.
+  */
+case class BpeTokens(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_tokens"
+
+  @transient private lazy val rank: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      m.putIfAbsent(a + " " + b, i)
+    }
+    m
+  }
+
+  private def encodeWord(word: String, out: java.util.ArrayList[String]): Unit = {
+    var parts = word.map(_.toString).toBuffer
+    var continue = parts.length > 1
+    while (continue) {
+      // lowest-rank adjacent pair
+      var best = -1
+      var bestRank = Integer.MAX_VALUE
+      var i = 0
+      while (i < parts.length - 1) {
+        val r = rank.get(parts(i) + " " + parts(i + 1))
+        if (r != null && r < bestRank) { bestRank = r; best = i }
+        i += 1
+      }
+      if (best < 0) continue = false
+      else {
+        // merge EVERY occurrence of that pair, left to right
+        val a = parts(best); val b = parts(best + 1)
+        val merged = scala.collection.mutable.Buffer[String]()
+        var j = 0
+        while (j < parts.length) {
+          if (j < parts.length - 1 && parts(j) == a && parts(j + 1) == b) {
+            merged += a + b; j += 2
+          } else { merged += parts(j); j += 1 }
+        }
+        parts = merged
+        continue = parts.length > 1
+      }
+    }
+    parts.foreach(out.add)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[UTF8String].toString
+      .split("\\s+").filter(_.nonEmpty)
+    val out = new java.util.ArrayList[String]()
+    words.foreach(encodeWord(_, out))
+    val arr = new Array[AnyRef](out.size)
+    var i = 0
+    while (i < out.size) { arr(i) = UTF8String.fromString(out.get(i)); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeTokens =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   def wordShingles(text: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
+
+  def bpeTokens(text: Column, merges: Seq[(String, String)]): Column =
+    ColumnBridge.column(BpeTokens(ColumnBridge.expression(text), merges))
 
   def repetitionScore(text: Column, n: Int): Column =
     ColumnBridge.column(RepetitionScore(ColumnBridge.expression(text), n))

@@ -88,6 +88,24 @@ class TextAnalysisSpec extends SparkSpec {
       expect.orderBy("id").collect().toSeq)
   }
 
+  test("bpe tokens: ranked merges apply greedily per word") {
+    import graft.functions.TextExpressions
+    // classic toy vocab: rank 0 merges first even when a later merge
+    // would produce fewer tokens
+    val merges = Seq(("l", "o"), ("lo", "w"), ("e", "r"), ("low", "er"))
+    val r = spark.range(1).select(
+      TextExpressions.bpeTokens(lit("low lower newest"), merges).as("t"),
+      TextExpressions.bpeTokens(lit(""), merges).as("empty"))
+      .head()
+    assert(r.getSeq[String](0) ==
+      Seq("low", "lower", "n", "e", "w", "e", "s", "t"))
+    assert(r.getSeq[String](1) == Seq.empty)
+    // merge of every occurrence in one step: "lolo" → [lo, lo]
+    val rep = spark.range(1).select(
+      TextExpressions.bpeTokens(lit("lolo"), Seq(("l", "o"))).as("t")).head()
+    assert(rep.getSeq[String](0) == Seq("lo", "lo"))
+  }
+
   test("repetition score: 1.0 for pure repeats, 1/m for diverse text") {
     val r = TextAnalysis.repetition(Seq(
       (1L, "spam spam spam spam"), // both 3-grams identical
