@@ -67,6 +67,28 @@ class KafkaAvroDecodeSpec extends SparkSpec {
     assert(!doc1.contains("note"))
   }
 
+  test("decoded documents flow through the sink to queryable state") {
+    import org.apache.spark.sql.functions._
+    val framed = (0 until 10).map(i => frame(record(i), 7)).toDF("value")
+    val docs = KafkaAvroSource.decodeConfluentDocs(framed, "value", schema.toString)
+      .toDF("schema_id", "doc")
+      .select(element_at(col("doc")("id"), 1).as("_id"), col("doc"))
+    val dir = java.nio.file.Files.createTempDirectory("kafka-sink").toString
+    val sink = new graft.sink.ParquetIndexSink(spark, dir)
+    sink.addDocuments(docs)
+    sink.commit()
+    val idx = sink.searchable()
+    assert(idx.count() == 10)
+    // point lookup (TermQuery shape) straight off the committed index
+    val hit = idx.filter(col("_id") === "id3")
+      .select(element_at(col("doc")("meta_author"), 1)).as[String].collect()
+    assert(hit.toSeq == Seq("a3"))
+    // replay the same wire batch: upsert idempotence, still 10 docs
+    sink.addDocuments(docs)
+    sink.commit()
+    assert(sink.searchable().count() == 10)
+  }
+
   test("non-confluent payload fails loudly, not with garbage docs") {
     val bad = Seq(Array[Byte](1, 2, 3, 4, 5, 6)).toDF("value")
     val ex = intercept[org.apache.spark.SparkException] {
