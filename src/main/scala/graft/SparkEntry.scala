@@ -713,8 +713,9 @@ object SparkEntry {
          FROM documents GROUP BY text ORDER BY keep_id""",
     "x_dedup_ngram" ->
       """WITH sh AS (SELECT DISTINCT doc_id, g FROM (
-             SELECT doc_id, unnest(list_transform(range(1, len(w)-1),
-               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+             SELECT doc_id, unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+               ELSE list_transform(range(1, len(w)-1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS g
              FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))),
          cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
          pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
@@ -730,8 +731,9 @@ object SparkEntry {
     "x_dedup_clusters" ->
       """WITH RECURSIVE
          sh AS (SELECT DISTINCT doc_id, g FROM (
-             SELECT doc_id, unnest(list_transform(range(1, len(w)-1),
-               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+             SELECT doc_id, unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+               ELSE list_transform(range(1, len(w)-1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS g
              FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))),
          cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
          p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
@@ -818,8 +820,9 @@ object SparkEntry {
            ELSE 'und' END AS pred_lang
          FROM s ORDER BY doc_id""",
     "x_text_repetition" ->
-      """WITH sh AS (SELECT doc_id, unnest(list_transform(range(1, len(w)-1),
-             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+      """WITH sh AS (SELECT doc_id, unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+             ELSE list_transform(range(1, len(w)-1),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS g
            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
          c AS (SELECT doc_id, g, count(*) AS k FROM sh GROUP BY 1, 2)
          SELECT doc_id, CAST(max(k) AS DOUBLE) / CAST(sum(k) AS DOUBLE)
@@ -848,8 +851,9 @@ object SparkEntry {
          FROM f ORDER BY id""",
     "x_dedup_minhash" ->
       """WITH sh AS (SELECT DISTINCT doc_id, g FROM (
-             SELECT doc_id, unnest(list_transform(range(1, len(w)-1),
-               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+             SELECT doc_id, unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+               ELSE list_transform(range(1, len(w)-1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS g
              FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))),
          cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
          pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
@@ -862,8 +866,9 @@ object SparkEntry {
          WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.5""",
     "x_dedup_simhash" ->
       """WITH sh AS (SELECT DISTINCT doc_id, g FROM (
-             SELECT doc_id, unnest(list_transform(range(1, len(w)-1),
-               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+             SELECT doc_id, unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+               ELSE list_transform(range(1, len(w)-1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS g
              FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))),
          cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
          pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
@@ -880,8 +885,9 @@ object SparkEntry {
     "x_sim_ivf" ->
       """SELECT CAST(10 AS BIGINT) AS n_results, TRUE AS recall_ok""",
     "x_decontaminate" ->
-      """WITH sh AS (SELECT doc_id, source, unnest(list_transform(
-             range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+      """WITH sh AS (SELECT doc_id, source, unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+             ELSE list_transform(
+             range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS g
            FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents)),
          b AS (SELECT DISTINCT g FROM sh WHERE source = 'src0'),
          hits AS (SELECT t.doc_id, count(DISTINCT t.g) AS n_shared

@@ -208,7 +208,10 @@ case class BpeTokens(child: Expression, merges: Seq[(String, String)])
   }
 
   private def encodeWord(word: String, out: java.util.ArrayList[String]): Unit = {
-    var parts = word.map(_.toString).toBuffer
+    // seed with CODE POINTS, not UTF-16 units — a char-based split tears
+    // supplementary-plane characters (emoji, CJK-B) into lone surrogates
+    var parts = word.codePoints().toArray
+      .map(cp => new String(Character.toChars(cp))).toBuffer
     var continue = parts.length > 1
     while (continue) {
       // lowest-rank adjacent pair

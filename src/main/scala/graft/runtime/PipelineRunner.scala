@@ -104,10 +104,14 @@ final class PipelineRunner(
     */
   def processBatchChunked(batch: DataFrame, opCol: String, keyCol: String,
       orderCols: Seq[Column], validity: Option[Column] = None): Long = {
-    val n = batch.count()
-    if (n <= cfg.batchSize)
+    // bounded probe, not a full count: the steady-state path (batch within
+    // the size limit) must not pay an extra full scan per micro-batch —
+    // limit(k+1) stops reading once k+1 rows exist
+    val probe = batch.limit(cfg.batchSize + 1).count()
+    if (probe <= cfg.batchSize)
       processBatch(batch, opCol, keyCol, orderCols, validity)
     else {
+      val n = batch.count() // oversized (rare): exact count for chunking
       val numbered = graft.operators.Batching
         .withGlobalRowNumber(batch, struct(orderCols: _*), "_graft_rn")
         .cache()
@@ -166,11 +170,32 @@ final class ProgressWatchdog(timeoutMs: Long,
   def expired: Boolean = now() - lastProgressAt > timeoutMs
   def wasAborted: Boolean = aborted
 
-  /** Poll the query on a daemon thread; stop it once expired. */
+  /** Poll the query on a daemon thread; stop it once expired.
+    *
+    * Liveness is "the engine is making progress", NOT "data is arriving":
+    * an idle source plans no micro-batch, so `foreachBatch` (and
+    * `onProgress`) never fires — but Spark still emits no-data progress
+    * events (`noDataProgressEventInterval`). The guard treats ANY new
+    * `lastProgress` as liveness, so a quiet overnight stream is healthy
+    * and only a genuinely stuck batch trips the timeout (the reference's
+    * `awaitCompletion` aborts a stuck checkpoint, not an idle table).
+    */
   def guard(query: StreamingQuery,
       pollMs: Long = 500L): Thread = {
     val t = new Thread(() => {
-      while (query.isActive && !expired) Thread.sleep(pollMs)
+      var lastSeen: String = null
+      while (query.isActive && !expired) {
+        val p = query.lastProgress
+        if (p != null && p.timestamp != lastSeen) {
+          lastSeen = p.timestamp
+          onProgress()
+        } else if (!query.status.isTriggerActive) {
+          // engine between triggers (Spark 4 emits idle events, not
+          // progress) — only a RUNNING trigger can be stuck
+          onProgress()
+        }
+        Thread.sleep(pollMs)
+      }
       if (query.isActive && expired) {
         aborted = true
         System.err.println(

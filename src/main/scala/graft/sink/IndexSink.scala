@@ -78,8 +78,8 @@ final class InMemoryIndexSink(spark: SparkSession, schema: org.apache.spark.sql.
   *
   * Layout under `path`:
   * {{{
-  *   _manifests/v{N}.json        // append-only commit log; max N = current
-  *   data/c{N}/gbucket={B}/...   // immutable per-commit, per-bucket parquet
+  *   _manifests/v{N}.json            // append-only commit log; max N = current
+  *   data/c{N}-{attempt}/gbucket={B}/... // immutable per-commit-attempt parquet
   * }}}
   *
   * Each commit:
@@ -145,18 +145,28 @@ class ParquetIndexSink(spark: SparkSession, path: String, numBuckets: Int = 16)
     }
   }
 
-  /** Publish manifest v{N}: temp write + rename = the atomic commit. */
-  private def writeManifest(m: Manifest): Unit = {
+  /** Publish manifest v{N}: temp write + no-overwrite rename = the atomic
+    * commit point. `FileContext.rename` WITHOUT `Options.Rename.OVERWRITE`
+    * fails when the destination exists on every Hadoop filesystem —
+    * unlike `FileSystem.rename`, whose local implementation delegates to
+    * `File.renameTo` and silently replaces an existing manifest (which
+    * would let a losing concurrent committer clobber the winner).
+    */
+  private[sink] def writeManifest(m: Manifest): Unit = {
     val f = fs
     f.mkdirs(manifestDir)
     val tmp = new HPath(manifestDir, s".tmp-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, false)
     try out.write(m.toJson.getBytes("UTF-8")) finally out.close()
     val dest = new HPath(manifestDir, s"v${m.version}.json")
-    if (!f.rename(tmp, dest)) {
-      f.delete(tmp, false)
-      throw new IllegalStateException(
-        s"concurrent commit detected: manifest v${m.version} already exists at $path")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      dest.toUri, spark.sparkContext.hadoopConfiguration)
+    try fc.rename(f.makeQualified(tmp), f.makeQualified(dest))
+    catch {
+      case e: Exception =>
+        f.delete(tmp, false)
+        throw new IllegalStateException(
+          s"concurrent commit detected: manifest v${m.version} already exists at $path", e)
     }
   }
 
@@ -263,7 +273,10 @@ class ParquetIndexSink(spark: SparkSession, path: String, numBuckets: Int = 16)
         //    per bucket it happens to see (tasks × buckets tiny files —
         //    measured 4× slower at sf0.1); with it, each bucket is exactly
         //    one task writing one file (~1 GB at production sizing).
-        val commitDir = s"data/c$version"
+        //    The dir carries a per-attempt suffix so concurrent committers
+        //    racing to the same version can never overwrite each other's
+        //    data files — the loser's orphan dir is vacuum()ed.
+        val commitDir = s"data/c$version-${ParquetIndexSink.attemptId()}"
         next.withColumn(BucketCol, bucketOf(col(idField)))
           .repartition(col(BucketCol))
           .write.mode("overwrite").partitionBy(BucketCol)
@@ -315,7 +328,7 @@ class ParquetIndexSink(spark: SparkSession, path: String, numBuckets: Int = 16)
       throw new IllegalStateException(s"index at $path has no committed version"))
     if (prev.numBuckets == newBuckets) return
     val version = prev.version + 1
-    val commitDir = s"data/c$version"
+    val commitDir = s"data/c$version-${ParquetIndexSink.attemptId()}"
     val written: Map[Int, String] = prev.schema match {
       case None => Map.empty
       case Some(_) =>
@@ -361,6 +374,13 @@ object ParquetIndexSink {
     * from Hadoop file listing).
     */
   val BucketCol = "gbucket"
+
+  /** Random suffix for a commit attempt's data dir — two committers racing
+    * to the same version write disjoint dirs; the manifest CAS picks the
+    * winner and the loser's dir is unreferenced garbage for `vacuum`.
+    */
+  private[sink] def attemptId(): String =
+    java.util.UUID.randomUUID().toString.take(8)
 
   /** Union-by-name of two document schemas (width-only evolution): fields
     * keep `a`'s order, `b`'s new fields append; everything is nullable

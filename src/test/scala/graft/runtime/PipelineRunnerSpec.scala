@@ -142,6 +142,23 @@ class PipelineRunnerSpec extends SparkSpec {
     assert(stalled.wasAborted)
   }
 
+  test("progress watchdog: an idle (no-data) stream is healthy, not stuck") {
+    val srcDir = java.nio.file.Files.createTempDirectory("wd-idle-src").toString
+    val schema = StructType(Seq(StructField("k", StringType)))
+    val wd = new ProgressWatchdog(timeoutMs = 400L)
+    val q = spark.readStream.schema(schema).parquet(srcDir) // never any files
+      .writeStream.format("noop")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("wd-idle-ckpt").toString)
+      .start()
+    try {
+      wd.guard(q, pollMs = 50L)
+      Thread.sleep(2000) // 5× the timeout with zero data
+      assert(q.isActive, "idle stream must not be killed by the watchdog")
+      assert(!wd.wasAborted)
+    } finally q.stop()
+  }
+
   test("progress listener feeds source-side metrics from query progress") {
     implicit val sqlCtx = spark.sqlContext
     val metrics = new PipelineMetrics

@@ -57,6 +57,20 @@ class IndexSinkSpec extends SparkSpec {
     assert(e.getMessage.contains("cannot change type"))
   }
 
+  test("manifest publish is compare-and-set: an existing version wins") {
+    val dir = java.nio.file.Files.createTempDirectory("sink-cas").toString
+    val sink = new ParquetIndexSink(spark, dir)
+    sink.addDocuments(Seq(("a", "v1")).toDF("_id", "v"))
+    sink.commit() // publishes v0
+    // a losing committer trying to publish the SAME version must fail —
+    // on local FS the old FileSystem.rename silently overwrote here
+    val stale = ParquetIndexSink.Manifest(0L, 16, None, Map.empty)
+    val e = intercept[IllegalStateException](sink.writeManifest(stale))
+    assert(e.getMessage.contains("concurrent commit"))
+    // the winner's manifest is untouched: index still serves its data
+    assert(sink.searchable().count() == 1)
+  }
+
   test("rebucket rewrites under the new modulus; commits keep working") {
     val dir = java.nio.file.Files.createTempDirectory("sink-rebucket").toString
     val sink = new ParquetIndexSink(spark, dir, numBuckets = 4)
