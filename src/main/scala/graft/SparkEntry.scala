@@ -365,6 +365,21 @@ object SparkEntry {
       operators.TextAnalysis.languageId(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // PII scrub: the synthetic corpus carries no PII, so each doc gets a
+    // deterministic contact suffix appended FIRST (identical string
+    // construction in both engines) — the redaction then provably finds
+    // and masks every planted email/URL/phone.
+    "x_text_pii" -> ((s, d) => {
+      val planted = Tables.documents(s, d).select(
+        col("doc_id"),
+        concat(col("text"),
+          lit(" contact u"), col("doc_id"), lit("@example.com or "),
+          lit("https://ex.com/p/"), col("doc_id"),
+          lit(" call 555-123-4567")).as("text"))
+      operators.TextAnalysis.piiScrub(planted, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // Repetition/boilerplate score (top 3-gram frequency ratio).
     "x_text_repetition" -> ((s, d) =>
       operators.TextAnalysis.repetition(Tables.documents(s, d), "doc_id", "text")
@@ -819,6 +834,23 @@ object SparkEntry {
            WHEN zh_s > 0 AND zh_s >= greatest(de_s, en_s, es_s, fr_s, zh_s) THEN 'zh'
            ELSE 'und' END AS pred_lang
          FROM s ORDER BY doc_id""",
+    "x_text_pii" ->
+      """WITH p AS (SELECT doc_id,
+             text || ' contact u' || CAST(doc_id AS VARCHAR)
+               || '@example.com or https://ex.com/p/'
+               || CAST(doc_id AS VARCHAR) || ' call 555-123-4567' AS text
+           FROM documents)
+         SELECT doc_id,
+           len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(text, 'https?://[^ ]+')) AS n_urls,
+           len(regexp_extract_all(text,
+             '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phones,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             'https?://[^ ]+', '<URL>', 'g'),
+             '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
+         FROM p ORDER BY doc_id""",
     "x_text_repetition" ->
       """WITH sh AS (SELECT doc_id, unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
              ELSE list_transform(range(1, len(w)-1),

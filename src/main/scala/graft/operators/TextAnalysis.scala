@@ -90,6 +90,32 @@ object TextAnalysis {
     df.select(col(idCol),
       TextExpressions.repetitionScore(col(textCol), n).as("repetition"))
 
+  /** PII / URL scrub: count and redact emails, URLs, and phone-shaped
+    * numbers — the standard pre-training privacy pass. RE2-compatible
+    * patterns (no lookarounds), so the exact same regexes run in Spark's
+    * codegen'd `regexp_replace` and in any RE2 engine; redaction order is
+    * email → url → phone (an email inside a URL is already masked).
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val urlPattern = "https?://[^ ]+"
+  val phonePattern = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  def piiScrub(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, emailPattern, "<EMAIL>"),
+          urlPattern, "<URL>"),
+        phonePattern, "<PHONE>")
+    df.select(
+      col(idCol),
+      size(regexp_extract_all(t, lit(emailPattern), lit(0))).as("n_emails"),
+      size(regexp_extract_all(t, lit(urlPattern), lit(0))).as("n_urls"),
+      size(regexp_extract_all(t, lit(phonePattern), lit(0))).as("n_phones"),
+      redacted.as("redacted"))
+  }
+
   /** Canonical content fingerprint (md5 of sorted distinct token set). */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), TextFunctions.fingerprint(col(textCol)).as("fingerprint"))

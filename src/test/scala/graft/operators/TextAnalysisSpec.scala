@@ -88,6 +88,20 @@ class TextAnalysisSpec extends SparkSpec {
       expect.orderBy("id").collect().toSeq)
   }
 
+  test("pii scrub counts and redacts emails, urls, phones") {
+    val out = TextAnalysis.piiScrub(Seq(
+      (1L, "mail me at bob.smith+x@corp.example.org today"),
+      (2L, "see https://a.b/c?d=e and http://plain.com now"),
+      (3L, "call 555-123-4567 or 555-999-0000"),
+      (4L, "nothing sensitive here")).toDF("id", "text"), "id", "text")
+      .orderBy("id")
+      .as[(Long, Int, Int, Int, String)].collect().toSeq
+    assert(out(0) == ((1L, 1, 0, 0, "mail me at <EMAIL> today")))
+    assert(out(1) == ((2L, 0, 2, 0, "see <URL> and <URL> now")))
+    assert(out(2) == ((3L, 0, 0, 2, "call <PHONE> or <PHONE>")))
+    assert(out(3) == ((4L, 0, 0, 0, "nothing sensitive here")))
+  }
+
   test("bpe tokens: ranked merges apply greedily per word") {
     import graft.functions.TextExpressions
     // classic toy vocab: rank 0 merges first even when a later merge
