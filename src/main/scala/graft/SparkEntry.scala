@@ -731,7 +731,7 @@ object SparkEntry {
              SELECT doc_id, unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
                ELSE list_transform(range(1, len(w)-1),
                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS g
-             FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))),
+             FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents))),
          cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
          pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
              FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
@@ -749,7 +749,7 @@ object SparkEntry {
              SELECT doc_id, unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
                ELSE list_transform(range(1, len(w)-1),
                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS g
-             FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))),
+             FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents))),
          cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
          p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
              FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
@@ -855,7 +855,7 @@ object SparkEntry {
       """WITH sh AS (SELECT doc_id, unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
              ELSE list_transform(range(1, len(w)-1),
              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS g
-           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+           FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents)),
          c AS (SELECT doc_id, g, count(*) AS k FROM sh GROUP BY 1, 2)
          SELECT doc_id, CAST(max(k) AS DOUBLE) / CAST(sum(k) AS DOUBLE)
            AS repetition
@@ -886,7 +886,7 @@ object SparkEntry {
              SELECT doc_id, unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
                ELSE list_transform(range(1, len(w)-1),
                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS g
-             FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))),
+             FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents))),
          cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
          pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
              FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
@@ -901,7 +901,7 @@ object SparkEntry {
              SELECT doc_id, unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
                ELSE list_transform(range(1, len(w)-1),
                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS g
-             FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))),
+             FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents))),
          cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
          pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
              FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
@@ -920,7 +920,7 @@ object SparkEntry {
       """WITH sh AS (SELECT doc_id, source, unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
              ELSE list_transform(
              range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS g
-           FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents)),
+           FROM (SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents)),
          b AS (SELECT DISTINCT g FROM sh WHERE source = 'src0'),
          hits AS (SELECT t.doc_id, count(DISTINCT t.g) AS n_shared
            FROM sh t JOIN b ON t.g = b.g

@@ -106,16 +106,21 @@ final class PipelineRunner(
       orderCols: Seq[Column], validity: Option[Column] = None): Long = {
     // bounded probe, not a full count: the steady-state path (batch within
     // the size limit) must not pay an extra full scan per micro-batch —
-    // limit(k+1) stops reading once k+1 rows exist
-    val probe = batch.limit(cfg.batchSize + 1).count()
+    // limit(k+1) stops reading once k+1 rows exist (saturating add: a
+    // batchSize of Int.MaxValue means "never chunk", not an overflow)
+    val probeLimit =
+      if (cfg.batchSize >= Int.MaxValue) Int.MaxValue else cfg.batchSize + 1
+    val probe = batch.limit(probeLimit).count()
     if (probe <= cfg.batchSize)
       processBatch(batch, opCol, keyCol, orderCols, validity)
     else {
-      val n = batch.count() // oversized (rare): exact count for chunking
       val numbered = graft.operators.Batching
         .withGlobalRowNumber(batch, struct(orderCols: _*), "_graft_rn")
         .cache()
       try {
+        // exact count from the cached numbered frame — not a second full
+        // scan of the raw source on exactly the largest batches
+        val n = numbered.agg(max("_graft_rn")).head().getLong(0)
         val chunks = ((n - 1) / cfg.batchSize + 1).toInt
         (0 until chunks).map { i =>
           val lo = i.toLong * cfg.batchSize
@@ -189,9 +194,12 @@ final class ProgressWatchdog(timeoutMs: Long,
         if (p != null && p.timestamp != lastSeen) {
           lastSeen = p.timestamp
           onProgress()
-        } else if (!query.status.isTriggerActive) {
-          // engine between triggers (Spark 4 emits idle events, not
-          // progress) — only a RUNNING trigger can be stuck
+        } else if (lastSeen != null && !query.status.isTriggerActive) {
+          // engine between triggers AFTER at least one completed trigger
+          // (Spark 4 emits idle events, not progress) — only a RUNNING
+          // trigger can be stuck. Before the first progress the timer
+          // keeps running, so a source that hangs during initialization
+          // is still aborted (the reference's bounded awaitCompletion).
           onProgress()
         }
         Thread.sleep(pollMs)

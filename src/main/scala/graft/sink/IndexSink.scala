@@ -145,12 +145,16 @@ class ParquetIndexSink(spark: SparkSession, path: String, numBuckets: Int = 16)
     }
   }
 
-  /** Publish manifest v{N}: temp write + no-overwrite rename = the atomic
+  /** Publish manifest v{N}: temp write + no-overwrite rename as the
     * commit point. `FileContext.rename` WITHOUT `Options.Rename.OVERWRITE`
-    * fails when the destination exists on every Hadoop filesystem —
-    * unlike `FileSystem.rename`, whose local implementation delegates to
-    * `File.renameTo` and silently replaces an existing manifest (which
-    * would let a losing concurrent committer clobber the winner).
+    * refuses an existing destination (atomically on HDFS; via an
+    * exists-check on filesystems whose primitive rename overwrites, which
+    * leaves a millisecond TOCTOU window there — the readback below closes
+    * the common interleaving, and per-attempt data dirs mean even a lost
+    * manifest race can never corrupt data files, only drop one commit,
+    * which at-least-once replay re-delivers). Failures that are NOT an
+    * existing destination (unsupported scheme, transient I/O) propagate
+    * as themselves — they are not concurrent commits.
     */
   private[sink] def writeManifest(m: Manifest): Unit = {
     val f = fs
@@ -163,11 +167,22 @@ class ParquetIndexSink(spark: SparkSession, path: String, numBuckets: Int = 16)
       dest.toUri, spark.sparkContext.hadoopConfiguration)
     try fc.rename(f.makeQualified(tmp), f.makeQualified(dest))
     catch {
-      case e: Exception =>
+      case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
+                _: java.nio.file.FileAlreadyExistsException) =>
         f.delete(tmp, false)
         throw new IllegalStateException(
           s"concurrent commit detected: manifest v${m.version} already exists at $path", e)
+      case e: Throwable =>
+        f.delete(tmp, false)
+        throw e
     }
+    // readback verify: detect a racer that overwrote between our rename
+    // and now (non-atomic-rename filesystems only)
+    val in = f.open(dest)
+    val back = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+    if (!java.util.Arrays.equals(back, m.toJson.getBytes("UTF-8")))
+      throw new IllegalStateException(
+        s"lost commit race: manifest v${m.version} at $path was replaced by a concurrent committer")
   }
 
   override def addDocuments(docs: DataFrame): Long = synchronized {
