@@ -437,6 +437,15 @@ object SparkEntry {
       operators.Corpus.binTexts(Tables.documents(s, d), "doc_id", "text", 512L)
         .orderBy("bin_id")),
 
+    // Source balancing: every source capped at 10 docs, hash-ordered
+    // deterministic prefix — per-source counts prove the cap, kept ids
+    // prove the exact prefix choice.
+    "x_balance" -> ((s, d) =>
+      operators.Corpus.capPerStratum(Tables.documents(s, d), "doc_id", "source", 10)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("id_sum"))
+        .orderBy("source")),
+
     // Deterministic 20% corpus sample: md5-hash keep-set reproducible in
     // any engine (auditable sampling); per-source counts show the
     // stratification is uniform.
@@ -954,6 +963,17 @@ object SparkEntry {
            string_agg(d.text, ' ' ORDER BY d.doc_id) AS seq_text
          FROM p JOIN documents d ON p.doc_id = d.doc_id
          GROUP BY p.bin_id ORDER BY p.bin_id""",
+    "x_balance" ->
+      """WITH h AS (SELECT doc_id, source,
+             (md5_number_lower(CAST(doc_id AS VARCHAR))
+               % 72057594037927936) AS hv
+           FROM documents),
+         r AS (SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rk
+           FROM h)
+         SELECT source, count(*) AS n_kept,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+         FROM r WHERE rk <= 10 GROUP BY source ORDER BY source""",
     "x_sample" ->
       """SELECT source, count(*) AS n_kept FROM documents
          WHERE (md5_number_lower(CAST(doc_id AS VARCHAR))

@@ -112,6 +112,24 @@ object Corpus {
     df.filter(pmod(sampleHash(col(idCol)), lit(1000L)) < permille)
   }
 
+  /** Source balancing: cap each stratum (source/domain/language) at
+    * `maxPerStratum` rows, keeping a deterministic hash-ordered prefix —
+    * the over-represented-domain down-sampling step of corpus mixing.
+    * Rank within a stratum orders by (md5-hash, id): uniform, stable
+    * across runs/engines, and no rescan when the cap changes. One
+    * stratum-keyed shuffle; the per-stratum window state is one counter.
+    */
+  def capPerStratum(df: DataFrame, idCol: String, stratumCol: String,
+      maxPerStratum: Int): DataFrame = {
+    require(maxPerStratum > 0, s"cap must be positive, got $maxPerStratum")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(sampleHash(col(idCol)), col(idCol))
+    df.withColumn("_graft_rank", row_number().over(w))
+      .filter(col("_graft_rank") <= maxPerStratum)
+      .drop("_graft_rank")
+  }
+
   /** Append a global EXCLUSIVE cumulative sum of `weightCol` in `orderCol`
     * order (row i gets the sum of weights of all rows before it), without
     * a single-partition window: range-partition + sort, one job for

@@ -68,6 +68,25 @@ class CorpusSpec extends SparkSpec {
     assert(Corpus.deterministicSample(df, "id", 1000).count() == 2000)
   }
 
+  test("capPerStratum keeps a deterministic hash prefix per stratum") {
+    val df = spark.range(100).select(col("id"),
+      concat(lit("s"), pmod(col("id"), lit(4))).as("src"))
+    val capped = Corpus.capPerStratum(df, "id", "src", 5)
+    assert(capped.groupBy("src").count().select("count")
+      .as[Long].collect().forall(_ == 5))
+    // deterministic: identical keep-set on re-run
+    val a = capped.select("id").as[Long].collect().toSet
+    val b = Corpus.capPerStratum(df, "id", "src", 5)
+      .select("id").as[Long].collect().toSet
+    assert(a == b)
+    // prefix property: cap 3 keeps a subset of cap 5
+    val c = Corpus.capPerStratum(df, "id", "src", 3)
+      .select("id").as[Long].collect().toSet
+    assert(c.subsetOf(a) && c.size == 12)
+    // cap above stratum size keeps everything
+    assert(Corpus.capPerStratum(df, "id", "src", 1000).count() == 100)
+  }
+
   test("packSequences: bin is the bin the doc's start offset falls in") {
     // token counts: 3, 4, 2, 5, 1 — budget 6
     // starts:       0, 3, 7, 9, 14 → bins 0, 0, 1, 1, 2
