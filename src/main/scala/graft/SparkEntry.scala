@@ -298,6 +298,35 @@ object SparkEntry {
           round(col("f"), 6).as("fidelity"))
     }),
 
+    // Hybrid retrieval: text tf leg + vector cosine leg, each reduced to
+    // a bounded top-50 candidate list (TakeOrderedAndProject), then
+    // reciprocal-rank fusion and final top-10. Ranking windows run over
+    // the ALREADY-LIMITED 50-row lists — bounded post-limit state, never
+    // a corpus-wide single-partition window.
+    "x_hybrid" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 50
+      val textTop = DocQueries.matchTextRanked(
+          Tables.documents(s, d).select("doc_id", "text"), "text",
+          "merge window scan", k)
+        .select(col("doc_id"), row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))).as("r_text"))
+      val e = Tables.embeddings(s, d)
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val vecTop = e.crossJoin(broadcast(qv))
+        .select(col("vec_id").as("doc_id"),
+          functions.VectorExpressions.cosineFast(col("embedding"), col("qv")).as("c"))
+        .orderBy(col("c").desc, col("doc_id")).limit(k)
+        .select(col("doc_id"), row_number().over(
+          Window.orderBy(col("c").desc, col("doc_id"))).as("r_vec"))
+      textTop.join(vecTop, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          (coalesce(lit(1.0) / (lit(60) + col("r_text")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0))).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+        .select(col("doc_id"), round(col("rrf"), 9).as("rrf"))
+    }),
+
     // Brute-force cosine top-k vs the vec_id=0 query vector (exact ANN
     // baseline), expressed as a broadcast join — no driver collect.
     "x_sim_topk" -> ((s, d) => {
@@ -780,6 +809,30 @@ object SparkEntry {
            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
          SELECT id_a, id_b, round(c, 6) AS cosine FROM z
          WHERE c >= 0.4 ORDER BY id_a, id_b""",
+    "x_hybrid" ->
+      """WITH tt AS (SELECT doc_id,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS r_text
+           FROM (SELECT doc_id,
+               len(list_filter(string_split(lower(text), ' '), w -> w = 'merge'))
+               + len(list_filter(string_split(lower(text), ' '), w -> w = 'window'))
+               + len(list_filter(string_split(lower(text), ' '), w -> w = 'scan'))
+                 AS score
+             FROM documents) t
+           WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 50),
+         q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+           WHERE vec_id = 0),
+         vt AS (SELECT doc_id,
+             row_number() OVER (ORDER BY c DESC, doc_id) AS r_vec
+           FROM (SELECT vec_id AS doc_id,
+               list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv) AS c
+             FROM embeddings, q) z
+           ORDER BY c DESC, doc_id LIMIT 50),
+         f AS (SELECT COALESCE(tt.doc_id, vt.doc_id) AS doc_id,
+             COALESCE(CAST(1 AS DOUBLE) / (60 + r_text), 0)
+               + COALESCE(CAST(1 AS DOUBLE) / (60 + r_vec), 0) AS rrf
+           FROM tt FULL OUTER JOIN vt ON tt.doc_id = vt.doc_id)
+         SELECT doc_id, round(rrf, 9) AS rrf FROM f
+         ORDER BY rrf DESC, doc_id LIMIT 10""",
     "x_quantize" ->
       """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
              list_max(list_transform(embedding,
