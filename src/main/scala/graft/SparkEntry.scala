@@ -483,6 +483,62 @@ object SparkEntry {
         .groupBy("source").agg(count(lit(1)).as("n_kept"))
         .orderBy("source")),
 
+    // Overlapping token-window chunking: 50-token windows advancing by 40
+    // (10-token overlap) — the RAG/context-window prep step. Pure per-row
+    // generate+project, no shuffle.
+    "x_chunk" -> ((s, d) =>
+      operators.Corpus.chunk(Tables.documents(s, d), "doc_id", "text",
+        chunkSize = 50, overlap = 10)
+        .orderBy("doc_id", "chunk_id")),
+
+    // Windowed dedup: one survivor (+ duplicate count) per (user, hour) —
+    // the batch twin of streaming dropDuplicatesWithinWatermark; one hash
+    // agg keyed by (window, user), no window function.
+    "x_dedup_windowed" -> ((s, d) =>
+      operators.Dedup.firstPerWindow(Tables.events(s, d), "user_id", "ts",
+        "event_id", "1 hour")
+        .orderBy("user_id", "window_us")),
+
+    // Bloom-pruned semi-join: purchases by users who ever errored. The
+    // distributed-built sketch prunes probe rows map-side BEFORE the join
+    // shuffle; the exact semi-join over survivors keeps the result
+    // identical to the oracle's plain semi-join (no false negatives).
+    "x_bloom_prune" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      operators.BloomJoin.semiJoinPruned(
+        ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id"),
+        ev.filter(col("event_type") === "error").select("user_id"),
+        "user_id", "user_id", expectedKeys = 100000L)
+        .select("event_id", "user_id")
+        .orderBy("event_id")
+    }),
+
+    // Sketch-based distinct counts gated against exact: the HLL++
+    // estimate (rsd 2%) must land within 5% of the exact count —
+    // deterministic given the data, same gate style as the ANN recall
+    // rows. At 100 TB the approx pass is one map-side-combinable agg over
+    // fixed-size sketches where the exact pass needs a full shuffle of
+    // the distinct keys.
+    "x_sketch_distinct" -> ((s, d) =>
+      Tables.events(s, d).agg(
+        countDistinct(col("user_id")).as("n_users"),
+        approx_count_distinct(col("user_id"), 0.02).as("_au"),
+        countDistinct(col("event_type")).as("n_types"),
+        approx_count_distinct(col("event_type"), 0.02).as("_at"))
+        .select(col("n_users"),
+          (abs(col("_au") - col("n_users")) <= col("n_users") * 0.05)
+            .as("users_ok"),
+          col("n_types"),
+          (abs(col("_at") - col("n_types")) <= greatest(col("n_types") * 0.05, lit(1.0)))
+            .as("types_ok"))),
+
+    // Per-doc top-3 TF-IDF terms (keyword extraction / domain tagging).
+    "x_tfidf" -> ((s, d) =>
+      operators.TextAnalysis.tfidfTopTerms(Tables.documents(s, d),
+        "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rk")),
+
     // Composite training-data curation pipeline: quality-filter → exact
     // dedup (keep lowest doc_id per distinct text) → language ID — the
     // north-star operators composed, still one declarative plan.
@@ -1032,6 +1088,48 @@ object SparkEntry {
          WHERE (md5_number_lower(CAST(doc_id AS VARCHAR))
            % 72057594037927936) % 1000 < 200
          GROUP BY source ORDER BY source""",
+    "x_chunk" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS w
+           FROM documents),
+         u AS (SELECT doc_id, len(w) AS n, w, unnest(range(0, len(w), 40)) AS s
+           FROM t WHERE len(w) > 0)
+         SELECT doc_id, CAST(s // 40 AS INT) AS chunk_id,
+           array_to_string(w[s+1:s+50], ' ') AS chunk_text,
+           CAST(LEAST(50, n - s) AS INT) AS n_chunk_tokens
+         FROM u ORDER BY doc_id, chunk_id""",
+    "x_dedup_windowed" ->
+      """SELECT user_id, epoch_us(date_trunc('hour', ts)) AS window_us,
+           min(event_id) AS first_id, count(*) AS n_window
+         FROM events GROUP BY 1, 2 ORDER BY user_id, window_us""",
+    "x_bloom_prune" ->
+      """SELECT event_id, user_id FROM events
+         WHERE event_type = 'purchase'
+           AND user_id IN
+             (SELECT user_id FROM events WHERE event_type = 'error')
+         ORDER BY event_id""",
+    "x_sketch_distinct" ->
+      """SELECT count(DISTINCT user_id) AS n_users, TRUE AS users_ok,
+           count(DISTINCT event_type) AS n_types, TRUE AS types_ok
+         FROM events""",
+    "x_tfidf" ->
+      """WITH toks AS (SELECT doc_id,
+             unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+               AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         dfq AS (SELECT term, count(DISTINCT doc_id) AS dfn FROM toks
+           GROUP BY 1),
+         n AS (SELECT count(*) AS n FROM documents),
+         s AS (SELECT doc_id, term, tf * ln(CAST(n AS DOUBLE) / dfn) AS score
+           FROM tf JOIN dfq USING (term), n),
+         r AS (SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, term) AS rk
+           FROM s)
+         SELECT doc_id, CAST(rk AS INT) AS rk, term,
+           round(score, 6) AS tfidf
+         FROM r WHERE rk <= 3 ORDER BY doc_id, rk""",
     "x_curation" ->
       """WITH q AS (SELECT doc_id, text,
              len(string_split(text, ' ')) AS n_tokens,

@@ -130,6 +130,38 @@ object Corpus {
       .drop("_graft_rank")
   }
 
+  /** Overlapping token-window chunking: split each document into
+    * `chunkSize`-token windows advancing by `chunkSize - overlap` tokens —
+    * the context-window preparation step for embedding/RAG indexing and
+    * long-document training. Chunk ids are per-document ordinals; the last
+    * chunk is short rather than padded (its real token count is emitted).
+    *
+    * Returns `(idCol, chunk_id, chunk_text, n_chunk_tokens)`.
+    *
+    * Scale shape: pure per-row generate + project — tokenize once, emit
+    * one row per window via `posexplode(sequence(...))`, no shuffle, no
+    * UDF. Fan-out is bounded by doc length / step, so task memory holds
+    * one document's tokens at a time and the operator scales with scan
+    * bandwidth like the text-analysis family.
+    */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
+    require(overlap >= 0 && overlap < chunkSize,
+      s"overlap must be in [0, chunkSize), got $overlap")
+    val step = chunkSize - overlap
+    df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("_w"))
+      .withColumn("_n", size(col("_w")))
+      .filter(col("_n") > 0)
+      .select(col(idCol), col("_w"), col("_n"),
+        posexplode(sequence(lit(0), col("_n") - 1, lit(step)))
+          .as(Seq("chunk_id", "_s")))
+      .select(col(idCol), col("chunk_id"),
+        array_join(slice(col("_w"), col("_s") + 1, lit(chunkSize)), " ")
+          .as("chunk_text"),
+        least(lit(chunkSize), col("_n") - col("_s")).as("n_chunk_tokens"))
+  }
+
   /** Append a global EXCLUSIVE cumulative sum of `weightCol` in `orderCol`
     * order (row i gets the sum of weights of all rows before it), without
     * a single-partition window: range-partition + sort, one job for

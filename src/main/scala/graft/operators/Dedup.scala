@@ -311,4 +311,23 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** Windowed dedup: collapse each key's records within a tumbling
+    * event-time window to one survivor (lowest id — deterministic under
+    * any arrival order) plus a duplicate count — the batch twin of
+    * [[graft.streaming.StreamingOps.dedupeStream]], whose watermark
+    * expires the same per-(key, window) state incrementally. Running the
+    * batch form over a backfill and the streaming form over the live tail
+    * yields identical survivor sets.
+    *
+    * One hash aggregation keyed by (window, key): map-side partial
+    * min/count, no window function, no per-key sort. State per group is
+    * two longs regardless of how hot a key is.
+    */
+  def firstPerWindow(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, windowLen: String): DataFrame =
+    df.groupBy(window(col(tsCol), windowLen).as("_w"), col(keyCol))
+      .agg(min(col(idCol)).as("first_id"), count(lit(1)).as("n_window"))
+      .select(col(keyCol), unix_micros(col("_w.start")).as("window_us"),
+        col("first_id"), col("n_window"))
 }

@@ -119,4 +119,41 @@ object TextAnalysis {
   /** Canonical content fingerprint (md5 of sorted distinct token set). */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), TextFunctions.fingerprint(col(textCol)).as("fingerprint"))
+
+  /** Per-document top-k TF-IDF terms: `tf · ln(N / df)` over lowercase
+    * whitespace tokens, ties broken by term — the keyword/topic signal
+    * used for corpus exploration and domain tagging.
+    *
+    * Returns `(idCol, rk, term, tfidf)` with `rk ∈ [1, k]`.
+    *
+    * Scale shape: two hash aggregations off one tokenization (term
+    * frequencies keyed by (doc, term); document frequencies keyed by
+    * term — both with map-side partials), one shuffled equi-join on the
+    * aggregated term table (vocabulary-sized, not corpus-sized), and a
+    * per-doc ranking window whose partition holds one document's distinct
+    * terms. The corpus row count joins in as a broadcast single-row
+    * aggregate — no driver action. The ln runs on `N/df` (one IEEE
+    * division, then one log), the same evaluation shape the oracle uses,
+    * so the rounded scores agree bit-for-bit.
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val toks = df.select(col(idCol),
+      explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = toks.select(col(idCol), col("term")).distinct()
+      .groupBy("term").agg(count(lit(1)).as("_df"))
+    val n = df.agg(count(lit(1)).as("_n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("_score").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("_score",
+        col("tf") * log(col("_n").cast("double") / col("_df")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(idCol), col("rk"), col("term"),
+        round(col("_score"), 6).as("tfidf"))
+  }
 }
