@@ -93,8 +93,16 @@ object Bench {
           (-1.0, 0L)
       }
 
+    // Per-query values are rounded to milliseconds: the driver captures
+    // only the LAST 2000 chars of sbt stdout, and full-precision doubles
+    // pushed the round-2 line past that window (its opening brace was
+    // truncated → BENCH_r02 "parsed": null). ms precision keeps the whole
+    // line ≈1.5 KB, comfortably inside the window alongside sbt's
+    // "[success]" footer; bench noise is ±30% so nothing is lost.
+    def r3(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = (results :+ ("ingest_pipeline" -> ingestSecs))
-      .map { case (k, v) => "\"" + k + "\":" + v }
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     // failure markers (-1) must not SHRINK the totals — exclude them and
     // surface the count instead (a query failing in EITHER pass counts)
@@ -103,8 +111,9 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum + math.max(ingestSecs, 0)
     val coldTotal = cold.map(_._2).filter(_ >= 0).sum
     val ingestRate = if (ingestSecs > 0) ingestDocs / ingestSecs else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total":$coldTotal,"ingest_docs":$ingestDocs,"ingest_docs_per_sec":$ingestRate,"failed_queries":$failed}"""
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total":${r3(coldTotal)},"ingest_docs":$ingestDocs,"ingest_docs_per_sec":${r3(ingestRate)},"failed_queries":$failed}"""
     println(line)
+    System.err.println(line) // second channel in case stdout is decorated
     // stdout arrives wrapped in sbt [info] decoration, which broke the
     // round-1 driver parse — also write the bare line to a plain file
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

@@ -201,6 +201,15 @@ final class ProgressWatchdog(timeoutMs: Long,
           // keeps running, so a source that hangs during initialization
           // is still aborted (the reference's bounded awaitCompletion).
           onProgress()
+        } else if (lastSeen == null && !query.status.isTriggerActive &&
+            Option(query.status.message).exists(_.startsWith("Waiting"))) {
+          // empty-at-startup source: initialization FINISHED (status says
+          // "Waiting for data to arrive" / "Waiting for next trigger") but
+          // no data has ever arrived, so no progress was ever emitted. The
+          // stream is healthy-idle, not hung — distinguish it from an init
+          // hang, whose status stays at "Initializing ..." and still trips
+          // the timeout.
+          onProgress()
         }
         Thread.sleep(pollMs)
       }

@@ -74,27 +74,41 @@ final class InMemoryIndexSink(spark: SparkSession, schema: org.apache.spark.sql.
 }
 
 /** Scale-path sink: a key-hash-BUCKETED parquet index with an append-only
-  * manifest log, merged with the relational MERGE from [[Changelog]].
+  * manifest log and MERGE-ON-READ deltas, merged with the relational MERGE
+  * from [[Changelog]].
   *
   * Layout under `path`:
   * {{{
   *   _manifests/v{N}.json            // append-only commit log; max N = current
-  *   data/c{N}-{attempt}/gbucket={B}/... // immutable per-commit-attempt parquet
+  *   data/c{N}-{attempt}/gbucket={B}/... // immutable BASE parquet (bulk loads
+  *                                       //   + compactions), bucketed by key
+  *   delta/c{N}-{attempt}/...            // immutable per-commit DELTA parquet:
+  *                                       //   one row per key, `_op` ∈ {u,d}
+  *                                       //   (upsert doc | delete tombstone),
+  *                                       //   `_dv` = commit version
   * }}}
   *
-  * Each commit:
-  *   1. computes the set of buckets touched by the pending ops' keys
-  *      (one tiny distinct-aggregate job — at most `numBuckets` ints),
-  *   2. reads ONLY those buckets' current files (manifest-pruned),
-  *   3. applies the ops in call order and writes the merged buckets to a
-  *      fresh `data/c{N}` dir (one job, `partitionBy(gbucket)`),
-  *   4. publishes manifest v{N} whose bucket map points untouched buckets
-  *      at their OLD dirs and touched buckets at the new ones.
+  * Write path (the round-2 design rewrote every touched bucket per commit —
+  * at ~1 GB production buckets a 1,500-doc micro-batch re-wrote ~1.5 TB;
+  * this is the merge-on-read replacement):
+  *   - The FIRST load (no committed base, no deltas) writes the batch as
+  *     the bucketed base directly — a bulk load IS its own compaction.
+  *   - Every later commit folds its pending ops (in call order) to one row
+  *     per key and appends that as a flat delta dir: **O(batch) bytes and
+  *     files, regardless of index size**. No base file is read or written.
+  *   - [[compactDeltas]] (run automatically once the delta log exceeds
+  *     `maxDeltas`, or invoked as a maintenance job) folds the delta log
+  *     into the base: it reads ONLY the buckets the delta keys touch,
+  *     anti-joins the delta keys, unions the surviving upserts, rewrites
+  *     those buckets, and clears the log — O(batch-history + touched-bucket
+  *     bytes), amortized over the commits in the log.
   *
-  * Cost per commit is O(batch + touched-bucket bytes), not O(index) — the
-  * property that lets a 1,500-doc micro-batch land on a 100 TB index
-  * without rewriting 100 TB. Production sizes `numBuckets` so a bucket is
-  * ~1 GB (100 TB → ~100k buckets); tests use the small default.
+  * Read path ([[searchable]]): base buckets anti-join the delta keys, union
+  * the latest live delta row per key (`_dv` desc). The per-key resolution
+  * shuffles only the DELTA rows (bounded by `maxDeltas` commits); the base
+  * is scanned, never shuffled — the anti-join's delta side is small enough
+  * to broadcast. Production sizes `numBuckets` so a bucket is ~1 GB
+  * (100 TB → ~100k buckets); tests use the small default.
   *
   * The manifest file itself is the atomic commit point: it is written to a
   * temp name and renamed into place via Hadoop `FileSystem.rename`
@@ -107,7 +121,8 @@ final class InMemoryIndexSink(spark: SparkSession, schema: org.apache.spark.sql.
   * `searchable()` returns an empty one-column (`_id`) view rather than
   * throwing — Lucene's commit-on-empty-index semantics.
   */
-class ParquetIndexSink(spark: SparkSession, path: String, numBuckets: Int = 16)
+class ParquetIndexSink(spark: SparkSession, path: String, numBuckets: Int = 16,
+    maxDeltas: Int = 8)
     extends IndexSink {
   import ParquetIndexSink._
 
@@ -186,8 +201,10 @@ class ParquetIndexSink(spark: SparkSession, path: String, numBuckets: Int = 16)
   }
 
   override def addDocuments(docs: DataFrame): Long = synchronized {
-    require(!docs.columns.contains(BucketCol),
-      s"'$BucketCol' is a reserved column name in ParquetIndexSink")
+    Seq(BucketCol, OpCol, DeltaVerCol).foreach { c =>
+      require(!docs.columns.contains(c),
+        s"'$c' is a reserved column name in ParquetIndexSink")
+    }
     ops :+= Upsert(docs)
     seq += 1; seq
   }
@@ -198,14 +215,65 @@ class ParquetIndexSink(spark: SparkSession, path: String, numBuckets: Int = 16)
     ops :+= DeleteKeys(ids)
   }
 
+  /** Fold the pending ops (in call order) to ONE row per key, aligned to
+    * the committed schema `s`, with `_op` = "u" (upsert, doc columns live)
+    * or "d" (delete tombstone, doc columns null). The per-key resolution
+    * shuffles only the batch. A NULL `_id` in an upsert is a hard error
+    * raised executor-side BEFORE any file lands (the reference requires
+    * the `_id` primary key; silently hashing null would strand the row in
+    * a `__HIVE_DEFAULT_PARTITION__` dir and fail the commit late with a
+    * parse error). NULL delete keys delete nothing and are dropped.
+    */
+  private def foldOpsToDelta(s: StructType): DataFrame = {
+    val nullIdMsg =
+      s"ParquetIndexSink: upsert batch contains a NULL '$idField' — " +
+        s"the index primary key is required on every document"
+    val frames = ops.zipWithIndex.map {
+      case (Upsert(df), i) =>
+        // align to the committed (merged) schema: absent columns null
+        val aligned = df.select(s.fields.toSeq.map { f =>
+          val c =
+            if (!df.columns.contains(f.name)) lit(null).cast(f.dataType)
+            else if (f.name == idField)
+              when(col(f.name).isNull,
+                raise_error(lit(nullIdMsg)).cast(f.dataType))
+                .otherwise(col(f.name))
+            else col(f.name)
+          c.as(f.name)
+        }: _*)
+        // last add per _id wins inside one upsert batch
+        Changelog.compact(
+            aligned.withColumn("_seq", monotonically_increasing_id()),
+            idField, Seq(col("_seq"))).drop("_seq")
+          .withColumn(OpCol, lit("u")).withColumn("_oseq", lit(i))
+      case (DeleteIds(ids), i) =>
+        import spark.implicits._
+        tombstones(ids.toDF(idField), s).withColumn("_oseq", lit(i))
+      case (DeleteKeys(df), i) =>
+        tombstones(df.select(col(df.columns.head).cast("string").as(idField)), s)
+          .withColumn("_oseq", lit(i))
+    }
+    // across ops, the LAST op per key wins (call order — an add-then-
+    // delete key must die, a delete-then-add key must live)
+    Changelog.compact(frames.reduce(_.unionByName(_)), idField,
+      Seq(col("_oseq"))).drop("_oseq")
+  }
+
+  /** Delete tombstones: the key column + null doc columns + `_op` = "d". */
+  private def tombstones(keys: DataFrame, s: StructType): DataFrame =
+    keys.filter(col(idField).isNotNull).distinct()
+      .select(s.fields.toSeq.map { f =>
+        if (f.name == idField) col(idField).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+      .withColumn(OpCol, lit("d"))
+
   override def commit(): Unit = synchronized {
     if (ops.isEmpty) return
     val prev = readManifest()
     // bucket modulus is fixed at index creation: reopening with a different
     // numBuckets must keep the committed layout readable
     val nb = prev.map(_.numBuckets).getOrElse(numBuckets)
-    def bucketOf(id: Column): Column =
-      pmod(xxhash64(id.cast("string")), lit(nb.toLong)).cast("int")
 
     // width-only schema evolution: the committed schema is the union (by
     // name) of the previous schema and every pending upsert's schema —
@@ -217,116 +285,156 @@ class ParquetIndexSink(spark: SparkSession, path: String, numBuckets: Int = 16)
         .reduceOption(ParquetIndexSink.mergeSchemas)
     val version = prev.map(_.version + 1).getOrElse(0L)
     val prevBuckets = prev.map(_.buckets).getOrElse(Map.empty[Int, String])
+    val prevDeltas = prev.map(_.deltas).getOrElse(Nil)
 
     schema match {
       case None =>
         // delete-only before any schema is known: publish an empty v0 so a
         // successful commit always yields a searchable (empty) index
-        writeManifest(Manifest(version, nb, None, prevBuckets))
+        writeManifest(Manifest(version, nb, None, prevBuckets, prevDeltas))
         ops = Vector.empty
-        return
-      case Some(s) =>
-        // 1. touched buckets: one distinct-agg over the pending keys
-        //    (result is ≤ numBuckets ints — driver-safe at any batch size).
-        //    With no committed buckets there is nothing to prune or carry
-        //    forward — skip the job entirely (the common first commit).
-        val touched: Set[Int] =
-          if (prevBuckets.isEmpty) Set.empty
-          else {
-            val keyFrames = ops.map {
-              case Upsert(df) => df.select(col(idField).cast("string").as("_k"))
-              case DeleteIds(ids) =>
-                import spark.implicits._
-                ids.toDF("_k")
-              case DeleteKeys(df) =>
-                df.select(col(df.columns.head).cast("string").as("_k"))
-            }
-            keyFrames.reduce(_.unionByName(_))
-              .filter(col("_k").isNotNull)
-              .select(bucketOf(col("_k")).as("_b")).distinct()
-              .collect().map(_.getInt(0)).toSet
-          }
-
-        // 2. read ONLY the touched buckets of the committed index
-        val baseDirs = touched.toSeq.sorted.flatMap(prevBuckets.get)
-          .map(rel => s"$path/$rel")
-        val base =
-          if (baseDirs.isEmpty)
-            spark.createDataFrame(
-              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
-          else spark.read.schema(s).parquet(baseDirs: _*)
-
-        // 3. ops in call order — same MERGE semantics as round 1. The
-        //    statically-known-empty accumulator (first commit, or all
-        //    touched buckets previously vacant) skips the anti-join/union
-        //    plan nodes: deletes on nothing stay nothing, and the first
-        //    upsert IS the index.
-        val (next, _) = ops.foldLeft((base, baseDirs.isEmpty)) {
-          case ((acc, isEmpty), Upsert(df)) =>
-            // align to the committed (merged) schema: absent columns null
-            val aligned = df.select(s.fields.toSeq.map { f =>
-              if (df.columns.contains(f.name)) col(f.name)
-              else lit(null).cast(f.dataType).as(f.name)
-            }: _*)
-            // last add per _id wins inside one batch
-            val compacted = Changelog.compact(
-              aligned.withColumn("_seq", monotonically_increasing_id()),
-              idField, Seq(col("_seq"))).drop("_seq")
-            if (isEmpty) (compacted, false)
-            else (acc.join(compacted.select(idField), Seq(idField), "left_anti")
-              .unionByName(compacted), false)
-          case ((acc, isEmpty), DeleteIds(ids)) =>
-            (if (ids.isEmpty || isEmpty) acc
-             else acc.filter(!col(idField).isin(ids: _*)), isEmpty)
-          case ((acc, isEmpty), DeleteKeys(ids)) =>
-            (if (isEmpty) acc
-             else Changelog.deleteByKeySet(acc, idField, ids), isEmpty)
-        }
-
-        // 4. one job writes all touched buckets under an immutable new dir.
-        //    Shuffle by bucket first: without it, every task writes a file
-        //    per bucket it happens to see (tasks × buckets tiny files —
-        //    measured 4× slower at sf0.1); with it, each bucket is exactly
-        //    one task writing one file (~1 GB at production sizing).
-        //    The dir carries a per-attempt suffix so concurrent committers
-        //    racing to the same version can never overwrite each other's
-        //    data files — the loser's orphan dir is vacuum()ed.
+      case Some(s) if prevBuckets.isEmpty && prevDeltas.isEmpty =>
+        // initial load: the batch IS the index — write it straight as the
+        // bucketed base (a bulk load is its own compaction; routing it
+        // through the delta log would just re-write it on first compact).
+        // Shuffle by bucket first: without it, every task writes a file
+        // per bucket it happens to see (tasks × buckets tiny files —
+        // measured 4× slower at sf0.1); with it, each bucket is exactly
+        // one task writing one file (~1 GB at production sizing).
+        // The dir carries a per-attempt suffix so concurrent committers
+        // racing to the same version can never overwrite each other's
+        // data files — the loser's orphan dir is vacuum()ed.
+        val folded = foldOpsToDelta(s)
+        val live = folded.filter(col(OpCol) === "u").drop(OpCol)
         val commitDir = s"data/c$version-${ParquetIndexSink.attemptId()}"
-        next.withColumn(BucketCol, bucketOf(col(idField)))
+        live.withColumn(BucketCol, bucketOf(col(idField), nb))
           .repartition(col(BucketCol))
           .write.mode("overwrite").partitionBy(BucketCol)
           .parquet(s"$path/$commitDir")
-        // a touched bucket with zero surviving docs writes no dir → it
-        // drops out of the manifest entirely
-        val written: Map[Int, String] =
-          fs.listStatus(new HPath(s"$path/$commitDir")).toSeq
-            .map(_.getPath.getName).collect {
-              case n if n.startsWith(s"$BucketCol=") =>
-                n.stripPrefix(s"$BucketCol=").toInt -> s"$commitDir/$n"
-            }.toMap
-        writeManifest(Manifest(version, nb,
-          Some(next.schema), (prevBuckets -- touched) ++ written))
+        writeManifest(Manifest(version, nb, Some(s),
+          listBucketDirs(commitDir), Nil))
         ops = Vector.empty
+      case Some(s) =>
+        // steady state: append ONE flat delta dir — O(batch) bytes/files,
+        // no base file read or written, regardless of index size.
+        val deltaDir = s"delta/c$version-${ParquetIndexSink.attemptId()}"
+        foldOpsToDelta(s)
+          .withColumn(DeltaVerCol, lit(version))
+          .write.mode("overwrite").parquet(s"$path/$deltaDir")
+        writeManifest(Manifest(version, nb, Some(s),
+          prevBuckets, prevDeltas :+ deltaDir))
+        ops = Vector.empty
+        // bound read amplification: fold the log into the base once it
+        // grows past maxDeltas commits (amortized maintenance, same unit
+        // of work a LSM/Lucene segment merge schedules in the background)
+        if (prevDeltas.size + 1 > maxDeltas) compactDeltas()
     }
   }
+
+  /** Fold the delta log into the bucketed base and clear it. Reads ONLY
+    * the buckets the delta keys touch (manifest-pruned) plus the deltas
+    * themselves; rewrites those buckets; publishes a manifest with an
+    * empty delta log. O(delta bytes + touched-bucket bytes) — the
+    * amortized cost the per-commit path no longer pays. Safe no-op when
+    * the log is empty. Pending uncommitted ops are refused: compact
+    * between batches, not inside one.
+    */
+  def compactDeltas(): Unit = synchronized {
+    require(ops.isEmpty, "compactDeltas with pending uncommitted ops; commit first")
+    val prev = readManifest().getOrElse(return)
+    if (prev.deltas.isEmpty) return
+    val s = prev.schema.getOrElse(
+      // deltas are only ever written once a schema exists
+      throw new IllegalStateException(s"delta log without a schema at $path"))
+    val nb = prev.numBuckets
+    val resolved = resolveDeltas(prev, s).cache()
+    try {
+      // touched buckets: one distinct-agg over the delta keys (≤ numBuckets
+      // ints — driver-safe; the delta log is bounded by maxDeltas commits)
+      val touched: Set[Int] = resolved
+        .select(bucketOf(col(idField), nb).as("_b")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      val baseDirs = touched.toSeq.sorted.flatMap(prev.buckets.get)
+        .map(rel => s"$path/$rel")
+      val base =
+        if (baseDirs.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+        else spark.read.schema(s).parquet(baseDirs: _*)
+      val merged = base
+        .join(resolved.select(idField), Seq(idField), "left_anti")
+        .unionByName(resolved.filter(col(OpCol) === "u")
+          .select(s.fieldNames.toSeq.map(col): _*))
+      val version = prev.version + 1
+      val commitDir = s"data/c$version-${ParquetIndexSink.attemptId()}"
+      merged.withColumn(BucketCol, bucketOf(col(idField), nb))
+        .repartition(col(BucketCol))
+        .write.mode("overwrite").partitionBy(BucketCol)
+        .parquet(s"$path/$commitDir")
+      // a touched bucket with zero surviving docs writes no dir → it
+      // drops out of the manifest entirely
+      writeManifest(Manifest(version, nb, Some(s),
+        (prev.buckets -- touched) ++ listBucketDirs(commitDir), Nil))
+    } finally resolved.unpersist()
+  }
+
+  /** Latest op per key across the delta log (`_dv` desc): columns = the
+    * committed schema + `_op`. Within one delta each key is unique, so
+    * `_dv` alone is a total order per key.
+    */
+  private def resolveDeltas(m: Manifest, s: StructType): DataFrame = {
+    val deltaSchema = StructType(s.fields.toSeq :+
+      StructField(OpCol, StringType) :+ StructField(DeltaVerCol, org.apache.spark.sql.types.LongType))
+    val deltas = spark.read.schema(deltaSchema)
+      .parquet(m.deltas.map(rel => s"$path/$rel"): _*)
+    Changelog.compact(deltas, idField, Seq(col(DeltaVerCol))).drop(DeltaVerCol)
+  }
+
+  private def bucketOf(id: Column, nb: Int): Column =
+    pmod(xxhash64(id.cast("string")), lit(nb.toLong)).cast("int")
+
+  /** Bucket map of a freshly written `data/c{N}-{attempt}` dir. */
+  private def listBucketDirs(commitDir: String): Map[Int, String] =
+    fs.listStatus(new HPath(s"$path/$commitDir")).toSeq
+      .map(_.getPath.getName).collect {
+        case n if n.startsWith(s"$BucketCol=") =>
+          n.stripPrefix(s"$BucketCol=").toInt -> s"$commitDir/$n"
+      }.toMap
 
   override def searchable(): DataFrame = readManifest() match {
     case None =>
       throw new IllegalStateException(s"index at $path has no committed version")
     case Some(m) =>
       val s = m.schema.getOrElse(StructType(Seq(StructField(idField, StringType))))
-      if (m.buckets.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
-      else
-        spark.read.schema(s)
-          .parquet(m.buckets.toSeq.sortBy(_._1).map(rel => s"$path/${rel._2}"): _*)
+      val base =
+        if (m.buckets.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+        else
+          spark.read.schema(s)
+            .parquet(m.buckets.toSeq.sortBy(_._1).map(rel => s"$path/${rel._2}"): _*)
+      if (m.deltas.isEmpty) base
+      else {
+        // merge-on-read: base minus every delta-touched key, plus the
+        // latest live delta row per key. The anti-join's right side is the
+        // (small, maxDeltas-bounded) delta key set — broadcastable; the
+        // base is scanned once, never shuffled.
+        val latest = resolveDeltas(m, s)
+        base.join(latest.select(idField), Seq(idField), "left_anti")
+          .unionByName(latest.filter(col(OpCol) === "u")
+            .select(s.fieldNames.toSeq.map(col): _*))
+      }
   }
 
   /** Current committed bucket map — exposed for tests asserting that a
-    * commit leaves untouched buckets' files physically untouched.
+    * commit leaves base buckets' files physically untouched.
     */
   def committedBuckets: Map[Int, String] =
     readManifest().map(_.buckets).getOrElse(Map.empty)
+
+  /** Current delta log (relative dirs, commit order) — exposed for tests
+    * asserting a small commit appends O(batch) bytes.
+    */
+  def committedDeltas: Seq[String] =
+    readManifest().map(_.deltas).getOrElse(Nil)
 
   /** Offline bucket-count evolution: rewrite the whole index under a new
     * modulus and publish it as the next manifest version. Deliberately
@@ -347,21 +455,19 @@ class ParquetIndexSink(spark: SparkSession, path: String, numBuckets: Int = 16)
     val written: Map[Int, String] = prev.schema match {
       case None => Map.empty
       case Some(_) =>
-        searchable().withColumn(BucketCol,
-            pmod(xxhash64(col(idField).cast("string")), lit(newBuckets.toLong)).cast("int"))
+        // searchable() folds the delta log in, so the rewrite doubles as a
+        // compaction — the new manifest carries an empty delta log
+        searchable().withColumn(BucketCol, bucketOf(col(idField), newBuckets))
           .repartition(col(BucketCol))
           .write.mode("overwrite").partitionBy(BucketCol)
           .parquet(s"$path/$commitDir")
-        fs.listStatus(new HPath(s"$path/$commitDir")).toSeq
-          .map(_.getPath.getName).collect {
-            case n if n.startsWith(s"$BucketCol=") =>
-              n.stripPrefix(s"$BucketCol=").toInt -> s"$commitDir/$n"
-          }.toMap
+        listBucketDirs(commitDir)
     }
-    writeManifest(Manifest(version, newBuckets, prev.schema, written))
+    writeManifest(Manifest(version, newBuckets, prev.schema, written, Nil))
   }
 
-  /** Delete data dirs no manifest-current bucket references, and all
+  /** Delete data dirs no manifest-current bucket references, delta dirs no
+    * longer in the delta log (compacted or lost-race orphans), and all
     * manifests but the latest (time-travel is not part of the contract).
     */
   def vacuum(): Unit = synchronized {
@@ -376,6 +482,12 @@ class ParquetIndexSink(spark: SparkSession, path: String, numBuckets: Int = 16)
           }
           if (f.listStatus(c.getPath).isEmpty) f.delete(c.getPath, true)
         }
+      val liveDeltas = m.deltas.map(rel => new HPath(s"$path/$rel").toUri.getPath).toSet
+      val deltaDir = new HPath(path, "delta")
+      if (f.exists(deltaDir))
+        f.listStatus(deltaDir).foreach { c =>
+          if (!liveDeltas.contains(c.getPath.toUri.getPath)) f.delete(c.getPath, true)
+        }
       f.listStatus(manifestDir).foreach { s =>
         if (s.getPath.getName != s"v${m.version}.json") f.delete(s.getPath, false)
       }
@@ -389,6 +501,16 @@ object ParquetIndexSink {
     * from Hadoop file listing).
     */
   val BucketCol = "gbucket"
+
+  /** Delta-file op marker: "u" = upsert (doc columns live), "d" = delete
+    * tombstone (doc columns null). Reserved document column name.
+    */
+  val OpCol = "_op"
+
+  /** Delta-file commit version — orders deltas per key at read time.
+    * Reserved document column name.
+    */
+  val DeltaVerCol = "_dv"
 
   /** Random suffix for a commit attempt's data dir — two committers racing
     * to the same version write disjoint dirs; the manifest CAS picks the
@@ -418,17 +540,23 @@ object ParquetIndexSink {
 
   private val ManifestName = """v(\d+)\.json""".r
 
-  /** One committed index version: bucket → relative data dir. */
+  /** One committed index version: base bucket → relative data dir, plus
+    * the ordered merge-on-read delta log (relative dirs; empty after a
+    * compaction). A round-2 manifest (no "deltas" key) reads as an empty
+    * log — the layout is forward-compatible.
+    */
   private[sink] final case class Manifest(
       version: Long, numBuckets: Int,
-      schema: Option[StructType], buckets: Map[Int, String]) {
+      schema: Option[StructType], buckets: Map[Int, String],
+      deltas: Seq[String] = Nil) {
     def toJson: String = {
       import org.json4s.JsonDSL._
       import org.json4s.jackson.JsonMethods._
       compact(render(
         ("version" -> version) ~ ("numBuckets" -> numBuckets) ~
           ("schema" -> schema.map(_.json)) ~
-          ("buckets" -> buckets.map { case (k, v) => k.toString -> v })))
+          ("buckets" -> buckets.map { case (k, v) => k.toString -> v }) ~
+          ("deltas" -> deltas)))
     }
   }
 
@@ -444,7 +572,8 @@ object ParquetIndexSink {
         (j \ "schema").extractOpt[String]
           .map(DataType.fromJson(_).asInstanceOf[StructType]),
         (j \ "buckets").extract[Map[String, String]]
-          .map { case (k, v) => k.toInt -> v })
+          .map { case (k, v) => k.toInt -> v },
+        (j \ "deltas").extractOrElse[Seq[String]](Nil))
     }
   }
 }

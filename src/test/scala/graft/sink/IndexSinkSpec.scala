@@ -119,39 +119,112 @@ class IndexSinkSpec extends SparkSpec {
     assert(sink.searchable().count() == 1)
   }
 
-  test("commit rewrites ONLY touched buckets; untouched files byte-identical") {
-    val dir = java.nio.file.Files.createTempDirectory("sink-buckets").toString
+  private def parquetBytes(dir: String, rel: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) f.listFiles().map(walk).sum
+      else if (f.getName.endsWith(".parquet")) f.length
+      else 0L
+    walk(new java.io.File(dir, rel))
+  }
+
+  test("merge-on-read: a small commit appends O(batch) bytes, zero base I/O") {
+    val dir = java.nio.file.Files.createTempDirectory("sink-mor").toString
     val sink = new ParquetIndexSink(spark, dir, numBuckets = 8)
-    // spread keys across buckets
-    sink.addDocuments((0 until 64).map(i => (s"k$i", s"v$i")).toDF("_id", "v"))
-    sink.commit()
+    // a base big enough that rewriting even ONE touched bucket would dwarf
+    // a 1-row delta (the round-2 copy-on-write design rewrote every
+    // touched bucket in full)
+    sink.addDocuments((0 until 2000).map(i => (s"k$i", "v" * 200 + i))
+      .toDF("_id", "v"))
+    sink.commit() // initial load → bucketed base
     val before = sink.committedBuckets
     assert(before.size > 1, "expected keys to span multiple buckets")
+    val baseBytes = before.values.map(parquetBytes(dir, _)).sum
 
     def fileState(rel: String): Seq[(String, Long, Long)] = {
       val d = new java.io.File(dir, rel)
       d.listFiles().filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
         .map(f => (f.getName, f.length, f.lastModified)).toSeq
     }
-    val untouchedBefore = (before - before.keys.min).map { case (b, rel) => b -> fileState(rel) }
+    val baseFilesBefore = before.map { case (b, rel) => b -> fileState(rel) }
 
-    // touch exactly one key → exactly one bucket may change
+    // touch one key → ONE delta dir appears; NO base bucket moves
     sink.addDocuments(Seq(("k0", "v0-updated")).toDF("_id", "v"))
     sink.commit()
-    val after = sink.committedBuckets
-    val changed = before.keySet.filter(b => before.get(b) != after.get(b))
-    assert(changed.size == 1, s"exactly one bucket should move, got $changed")
-    // every untouched bucket still points at the SAME dir with identical files
-    untouchedBefore.foreach { case (b, st) =>
-      if (!changed.contains(b)) {
-        assert(after(b) == before(b))
-        assert(fileState(after(b)) == st)
-      }
+    assert(sink.committedBuckets == before,
+      "a delta commit must not move any base bucket")
+    baseFilesBefore.foreach { case (b, st) =>
+      assert(fileState(before(b)) == st, s"base bucket $b files changed")
     }
-    // and the merge is correct
+    assert(sink.committedDeltas.size == 1)
+    val deltaBytes = parquetBytes(dir, sink.committedDeltas.head)
+    assert(deltaBytes > 0 && deltaBytes * 10 < baseBytes,
+      s"delta commit should be O(batch) bytes: delta=$deltaBytes base=$baseBytes")
+    // and the merged view is correct
     assert(sink.searchable().filter($"_id" === "k0").select("v")
       .as[String].head() == "v0-updated")
-    assert(sink.searchable().count() == 64)
+    assert(sink.searchable().count() == 2000)
+  }
+
+  test("delta shadowing across commits: delete then re-add resolves by version") {
+    val dir = java.nio.file.Files.createTempDirectory("sink-shadow").toString
+    val sink = new ParquetIndexSink(spark, dir, numBuckets = 4)
+    sink.addDocuments(Seq(("a", "v1"), ("b", "b1")).toDF("_id", "v"))
+    sink.commit() // base
+    sink.deleteByIds(Seq("a")); sink.commit() // delta 1: tombstone
+    assert(sink.searchable().select("_id").as[String].collect().toSeq == Seq("b"))
+    sink.addDocuments(Seq(("a", "v2")).toDF("_id", "v")); sink.commit() // delta 2
+    val rows = sink.searchable().orderBy("_id").as[(String, String)].collect().toSeq
+    assert(rows == Seq(("a", "v2"), ("b", "b1")))
+  }
+
+  test("compactDeltas folds the log into the base and clears it") {
+    val dir = java.nio.file.Files.createTempDirectory("sink-compact").toString
+    val sink = new ParquetIndexSink(spark, dir, numBuckets = 8)
+    sink.addDocuments((0 until 64).map(i => (s"k$i", s"v$i")).toDF("_id", "v"))
+    sink.commit()
+    sink.addDocuments(Seq(("k0", "v0b")).toDF("_id", "v")); sink.commit()
+    sink.deleteByIds(Seq("k1")); sink.commit()
+    assert(sink.committedDeltas.size == 2)
+    sink.compactDeltas()
+    assert(sink.committedDeltas.isEmpty)
+    assert(sink.searchable().count() == 63)
+    assert(sink.searchable().filter($"_id" === "k0").select("v")
+      .as[String].head() == "v0b")
+    assert(sink.searchable().filter($"_id" === "k1").count() == 0)
+    // compaction is a no-op on an empty log
+    sink.compactDeltas()
+    assert(sink.searchable().count() == 63)
+  }
+
+  test("delta log auto-compacts once it exceeds maxDeltas") {
+    val dir = java.nio.file.Files.createTempDirectory("sink-autocompact").toString
+    val sink = new ParquetIndexSink(spark, dir, numBuckets = 4, maxDeltas = 2)
+    sink.addDocuments((0 until 16).map(i => (s"k$i", s"v$i")).toDF("_id", "v"))
+    sink.commit() // base
+    sink.addDocuments(Seq(("k0", "a")).toDF("_id", "v")); sink.commit() // 1 delta
+    sink.addDocuments(Seq(("k1", "b")).toDF("_id", "v")); sink.commit() // 2 deltas
+    assert(sink.committedDeltas.size == 2)
+    sink.addDocuments(Seq(("k2", "c")).toDF("_id", "v")); sink.commit() // 3 → fold
+    assert(sink.committedDeltas.isEmpty, "third delta should trigger compaction")
+    val got = sink.searchable().filter($"_id".isin("k0", "k1", "k2"))
+      .orderBy("_id").as[(String, String)].collect().toSeq
+    assert(got == Seq(("k0", "a"), ("k1", "b"), ("k2", "c")))
+    assert(sink.searchable().count() == 16)
+  }
+
+  test("null _id in an upsert fails the commit loudly, before publish") {
+    val dir = java.nio.file.Files.createTempDirectory("sink-nullid").toString
+    val sink = new ParquetIndexSink(spark, dir)
+    sink.addDocuments(Seq(("a", "v1")).toDF("_id", "v"))
+    sink.commit()
+    sink.addDocuments(Seq((null: String, "bad"), ("b", "ok")).toDF("_id", "v"))
+    val e = intercept[Exception](sink.commit())
+    val chain = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(chain.contains("NULL '_id'"), s"unexpected error:\n$chain")
+    // the failed commit published nothing: the index still serves v0 only
+    assert(sink.committedDeltas.isEmpty)
+    assert(sink.searchable().count() == 1)
   }
 
   test("delete-only first commit publishes an empty searchable version") {
