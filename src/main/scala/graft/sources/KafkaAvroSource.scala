@@ -56,36 +56,88 @@ object KafkaAvroSource {
     * `KafkaAvroDeserializer` consumer path,
     * `kafka-plugin/.../KafkaIngestor.java:145-159,190-198`): each value is
     * magic `0x00` + 4-byte big-endian schema id + Avro binary payload.
-    *
-    * Runs a `GenericDatumReader` inside `mapPartitions` — reader and
-    * decoder are constructed once per partition and reused per record (no
-    * per-record allocation, no driver involvement; throughput scales with
-    * Kafka partitions). The writer schema is passed as its JSON string and
-    * parsed executor-side (`Schema` itself is not serializable).
-    *
-    * Output: `schema_id int, doc map<string, array<string>>` — the
-    * multi-valued document from [[AvroDocConverter]]. A registry-backed
-    * deployment would dispatch on `schema_id` to the resolved writer
-    * schema; this environment ships no registry client, so a single fixed
-    * writer schema (the common schema-per-topic case) is supported.
+    * Single-writer-schema convenience: every record decodes with the one
+    * schema (the common schema-per-topic case), whatever id it carries.
     */
   def decodeConfluentDocs(values: DataFrame, valueCol: String,
-      writerSchemaJson: String): DataFrame = {
+      writerSchemaJson: String): DataFrame =
+    decodeConfluentDocs(values, valueCol, Map.empty[Int, String],
+      Some(writerSchemaJson))
+
+  /** Multi-schema Confluent wire decode with per-record error capture.
+    *
+    * Runs a `GenericDatumReader` inside `mapPartitions` — readers and the
+    * decoder are constructed once per partition and reused per record (no
+    * per-record allocation, no driver involvement; throughput scales with
+    * Kafka partitions). Writer schemas are passed as JSON strings keyed by
+    * schema id and parsed executor-side (`Schema` itself is not
+    * serializable) — the Schema Registry's resolution step minus the HTTP
+    * client (`KafkaIngestor.java:151-157`); `defaultSchemaJson`, when set,
+    * decodes any id missing from the map.
+    *
+    * Output: `schema_id int, doc map<string, array<string>>, error string`
+    * — exactly one output row per input record. A malformed frame (bad
+    * magic, short header, truncated/garbage Avro body, unknown schema id)
+    * yields `doc = null` + a diagnostic `error`, NEVER a task failure: one
+    * corrupt message must not fail the micro-batch and wedge the stream in
+    * a deterministic replay loop. The reference warn-and-skips non-Avro
+    * values (`KafkaIngestor.java:191-195`); routing the error rows to a
+    * DLQ (see [[splitDecoded]]) strengthens that to the P7 contract.
+    * `bytes.length >= 5` is accepted: a valid frame whose Avro body
+    * encodes to zero bytes (e.g. an empty record schema) is 5 bytes.
+    */
+  def decodeConfluentDocs(values: DataFrame, valueCol: String,
+      writerSchemasById: Map[Int, String],
+      defaultSchemaJson: Option[String]): DataFrame = {
     val spark = values.sparkSession
     import spark.implicits._
     values.select(valueCol).as[Array[Byte]].mapPartitions { it =>
-      val schema = new Schema.Parser().parse(writerSchemaJson)
-      val reader = new GenericDatumReader[GenericRecord](schema)
+      // one reader per schema id, built on first sight, reused after
+      val readers = scala.collection.mutable.Map.empty[Int, GenericDatumReader[GenericRecord]]
+      def readerFor(id: Int): Option[GenericDatumReader[GenericRecord]] =
+        readers.get(id).orElse {
+          writerSchemasById.get(id).orElse(defaultSchemaJson).map { json =>
+            val r = new GenericDatumReader[GenericRecord](
+              new Schema.Parser().parse(json))
+            readers(id) = r
+            r
+          }
+        }
       var decoder: BinaryDecoder = null
-      var record: GenericRecord = null
       it.map { bytes =>
-        require(bytes.length > 5 && bytes(0) == 0x00,
-          s"not Confluent wire format (len=${bytes.length})")
-        val schemaId = java.nio.ByteBuffer.wrap(bytes, 1, 4).getInt
-        decoder = DecoderFactory.get().binaryDecoder(bytes, 5, bytes.length - 5, decoder)
-        record = reader.read(record, decoder)
-        (schemaId, AvroDocConverter.convert(record))
+        if (bytes == null || bytes.length < 5 || bytes(0) != 0x00)
+          (None: Option[Int], None: Option[Map[String, Seq[String]]],
+            Some(s"not Confluent wire format (len=${if (bytes == null) -1 else bytes.length})"))
+        else {
+          val schemaId = java.nio.ByteBuffer.wrap(bytes, 1, 4).getInt
+          readerFor(schemaId) match {
+            case None =>
+              (Some(schemaId), None,
+                Some(s"unknown schema id $schemaId (no writer schema registered)"))
+            case Some(reader) =>
+              try {
+                decoder = DecoderFactory.get()
+                  .binaryDecoder(bytes, 5, bytes.length - 5, decoder)
+                val record = reader.read(null, decoder)
+                (Some(schemaId), Some(AvroDocConverter.convert(record)), None)
+              } catch {
+                case scala.util.control.NonFatal(e) =>
+                  (Some(schemaId), None,
+                    Some(s"avro decode failed: ${e.getClass.getSimpleName}: ${e.getMessage}"))
+              }
+          }
+        }
       }
-    }.toDF("schema_id", "doc")
+    }.toDF("schema_id", "doc", "error")
+  }
+
+  /** Split a [[decodeConfluentDocs]] output into (decoded docs, DLQ rows):
+    * the P7 poison-pill routing applied at the wire-decode seam. The DLQ
+    * side keeps the error diagnostic for triage.
+    */
+  def splitDecoded(decoded: DataFrame): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    (decoded.filter(col("error").isNull).drop("error"),
+      decoded.filter(col("error").isNotNull))
   }
 }

@@ -2,6 +2,8 @@ package graft.sources
 
 import java.io.ByteArrayOutputStream
 
+import org.apache.spark.sql.functions.{col, element_at}
+
 import org.apache.avro.SchemaBuilder
 import org.apache.avro.generic.{GenericDatumWriter, GenericRecord, GenericRecordBuilder}
 import org.apache.avro.io.EncoderFactory
@@ -53,6 +55,8 @@ class KafkaAvroDecodeSpec extends SparkSpec {
     val df = framed.toDF("value").repartition(4) // force multi-task decode
 
     val decoded = KafkaAvroSource.decodeConfluentDocs(df, "value", schema.toString)
+      .filter(org.apache.spark.sql.functions.col("error").isNull)
+      .select("schema_id", "doc")
       .as[(Int, Map[String, Seq[String]])].collect()
 
     assert(decoded.length == 20)
@@ -70,9 +74,9 @@ class KafkaAvroDecodeSpec extends SparkSpec {
   test("decoded documents flow through the sink to queryable state") {
     import org.apache.spark.sql.functions._
     val framed = (0 until 10).map(i => frame(record(i), 7)).toDF("value")
-    val docs = KafkaAvroSource.decodeConfluentDocs(framed, "value", schema.toString)
-      .toDF("schema_id", "doc")
-      .select(element_at(col("doc")("id"), 1).as("_id"), col("doc"))
+    val (good, _) = KafkaAvroSource.splitDecoded(
+      KafkaAvroSource.decodeConfluentDocs(framed, "value", schema.toString))
+    val docs = good.select(element_at(col("doc")("id"), 1).as("_id"), col("doc"))
     val dir = java.nio.file.Files.createTempDirectory("kafka-sink").toString
     val sink = new graft.sink.ParquetIndexSink(spark, dir)
     sink.addDocuments(docs)
@@ -89,12 +93,67 @@ class KafkaAvroDecodeSpec extends SparkSpec {
     assert(sink.searchable().count() == 10)
   }
 
-  test("non-confluent payload fails loudly, not with garbage docs") {
-    val bad = Seq(Array[Byte](1, 2, 3, 4, 5, 6)).toDF("value")
-    val ex = intercept[org.apache.spark.SparkException] {
-      KafkaAvroSource.decodeConfluentDocs(bad, "value", schema.toString).collect()
+  test("one corrupt frame is DLQ'd; the rest of the batch decodes") {
+    // corrupt cases: bad magic, short header, valid header + garbage body
+    val corrupt = Seq(
+      Array[Byte](1, 2, 3, 4, 5, 6),
+      Array[Byte](0, 1),
+      Array[Byte](0, 0, 0, 0, 7, 127, 126, 125, 124, 123, 122, 121))
+    val good = (0 until 9).map(i => frame(record(i), 7))
+    val df = scala.util.Random.shuffle(good ++ corrupt).toDF("value")
+      .repartition(3)
+    val (ok, dlq) = KafkaAvroSource.splitDecoded(
+      KafkaAvroSource.decodeConfluentDocs(df, "value", schema.toString))
+    // never a task failure: the whole batch evaluates
+    assert(ok.count() == 9)
+    assert(dlq.count() == 3)
+    val errors = dlq.select("error").as[String].collect()
+    assert(errors.count(_.contains("not Confluent wire format")) == 2)
+    assert(errors.count(_.contains("avro decode failed")) == 1)
+    // decoded docs are intact despite the poison neighbors
+    val ids = ok.select(element_at(col("doc")("id"), 1)).as[String].collect()
+    assert(ids.toSet == (0 until 9).map(i => s"id$i").toSet)
+  }
+
+  test("multi-schema dispatch: two schema ids in one batch, unknown id DLQ'd") {
+    val other = SchemaBuilder.record("Ping").fields()
+      .requiredString("host").requiredInt("ms").endRecord()
+    def frameOther(host: String, ms: Int, schemaId: Int): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      out.write(0x00)
+      out.write(java.nio.ByteBuffer.allocate(4).putInt(schemaId).array())
+      val enc = EncoderFactory.get().binaryEncoder(out, null)
+      val rec = new GenericRecordBuilder(other)
+        .set("host", host).set("ms", ms).build()
+      new GenericDatumWriter[GenericRecord](other).write(rec, enc)
+      enc.flush()
+      out.toByteArray
     }
-    assert(ex.getMessage.contains("not Confluent wire format") ||
-      Option(ex.getCause).exists(_.getMessage.contains("not Confluent wire format")))
+    val batch = Seq(
+      frame(record(1), 7), frameOther("h1", 12, 9),
+      frame(record(2), 7), frameOther("h2", 34, 9),
+      frameOther("zz", 1, 42)) // id 42: not registered
+    val decoded = KafkaAvroSource.decodeConfluentDocs(
+      batch.toDF("value"), "value",
+      Map(7 -> schema.toString, 9 -> other.toString), None)
+    val (ok, dlq) = KafkaAvroSource.splitDecoded(decoded)
+    assert(ok.count() == 4)
+    assert(dlq.select("error").as[String].head().contains("unknown schema id 42"))
+    val hosts = ok.filter(col("schema_id") === 9)
+      .select(element_at(col("doc")("host"), 1)).as[String].collect()
+    assert(hosts.toSet == Set("h1", "h2"))
+    val ids = ok.filter(col("schema_id") === 7)
+      .select(element_at(col("doc")("id"), 1)).as[String].collect()
+    assert(ids.toSet == Set("id1", "id2"))
+  }
+
+  test("a 5-byte frame (empty avro body) is a valid Confluent message") {
+    val empty = SchemaBuilder.record("Nothing").fields().endRecord()
+    val wire = Array[Byte](0, 0, 0, 0, 3) // header only: empty record body
+    val decoded = KafkaAvroSource.decodeConfluentDocs(
+      Seq(wire).toDF("value"), "value", Map(3 -> empty.toString), None)
+    val rows = decoded.as[(Option[Int], Option[Map[String, Seq[String]]], Option[String])]
+      .collect()
+    assert(rows.toSeq == Seq((Some(3), Some(Map.empty[String, Seq[String]]), None)))
   }
 }
