@@ -719,6 +719,38 @@ object SparkEntry {
           col("n"), col("total_value"))
         .orderBy("hour_us", "event_type")),
 
+    // Session windows — the batch twin of StreamingOps.sessionCounts,
+    // running the SAME operator body (`withWatermark` is analyzer-removed
+    // on a batch Dataset): per-user activity sessions separated by ≥12h
+    // of silence, end = last event + gap. Oracle: gaps-and-islands SQL.
+    "ws_session" -> ((s, d) =>
+      streaming.StreamingOps.sessionCounts(Tables.events(s, d), "ts",
+          "user_id", gap = "12 hours", watermark = "1 hour")
+        .select(col("user_id"),
+          unix_micros(col("session_start")).as("start_us"),
+          unix_micros(col("session_end")).as("end_us"), col("n_events"))
+        .orderBy("user_id", "start_us")),
+
+    // Stream-stream interval join — the batch twin of
+    // StreamingOps.intervalJoin, SAME operator body (watermarks no-op in
+    // batch): each purchase enriched with the same user's clicks in the
+    // preceding hour. In streaming both sides' state is watermark-bounded;
+    // in batch Catalyst executes the key-equality + time-range condition
+    // as an equi-join with a range filter.
+    "x_interval_join" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("p_ts"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("c_ts"))
+      streaming.StreamingOps.intervalJoin(purchases, clicks, "user_id",
+          "p_ts", "c_ts", lookback = "1 hour", watermark = "1 hour")
+        .select(col("purchase_id"), col("click_id"), col("user_id"))
+        .orderBy("purchase_id", "click_id")
+    }),
+
     // Flagship aggregation (engine-completeness; bench headliner).
     "q1_agg" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -1268,6 +1300,30 @@ object SparkEntry {
            CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
          FROM events
          GROUP BY 1, 2 ORDER BY hour_us, event_type""",
+    // Gaps-and-islands: a session breaks when the gap to the previous
+    // event is >= 12h (Spark's session windows are half-open [start,
+    // last+gap) — an event landing EXACTLY at the end starts a new one).
+    "ws_session" ->
+      """WITH d AS (SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                    >= INTERVAL 12 HOUR
+                  THEN 1 ELSE 0 END AS brk
+           FROM events),
+         g AS (SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS grp
+           FROM d)
+         SELECT user_id, epoch_us(min(ts)) AS start_us,
+           epoch_us(max(ts) + INTERVAL 12 HOUR) AS end_us,
+           count(*) AS n_events
+         FROM g GROUP BY user_id, grp ORDER BY user_id, start_us""",
+    "x_interval_join" ->
+      """SELECT l.event_id AS purchase_id, r.event_id AS click_id, l.user_id
+         FROM events l JOIN events r ON l.user_id = r.user_id
+           AND r.ts >= l.ts - INTERVAL 1 HOUR AND r.ts <= l.ts
+         WHERE l.event_type = 'purchase' AND r.event_type = 'click'
+         ORDER BY purchase_id, click_id""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
            CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
