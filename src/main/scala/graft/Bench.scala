@@ -69,10 +69,10 @@ object Bench {
     // End-to-end ingest pipeline (BASELINE.md bench plan): changelog →
     // classify/compact → keyed sink merge + commit, reporting docs/sec
     // like the reference's throughput instrumentation.
-    val (ingestSecs, ingestDocs) =
+    val (ingestSecs, ingestDocs, deltaSecs, deltaDocs) =
       try {
         import org.apache.spark.sql.functions.col
-        def oneBatch(): (Double, Long) = {
+        def oneBatch(): (Double, Long, Double, Long) = {
           val dir = java.nio.file.Files.createTempDirectory("bench-index").toString
           val sink = new graft.sink.ParquetIndexSink(spark, dir)
           val runner = new graft.runtime.PipelineRunner(
@@ -80,7 +80,14 @@ object Bench {
           val t0 = System.nanoTime()
           val docs = runner.processBatch(SparkEntry.eventsChangelog(spark, sfDir),
             "op", "user_id", Seq(col("ts_us"), col("event_id")))
-          ((System.nanoTime() - t0) / 1e9, docs)
+          val loadSecs = (System.nanoTime() - t0) / 1e9
+          // steady-state micro-batch against the EXISTING index: the
+          // merge-on-read path (O(batch) delta append, no bucket rewrite)
+          val t1 = System.nanoTime()
+          val docs2 = runner.processBatch(
+            SparkEntry.eventsChangelog(spark, sfDir).limit(1500),
+            "op", "user_id", Seq(col("ts_us"), col("event_id")))
+          (loadSecs, docs, (System.nanoTime() - t1) / 1e9, docs2)
         }
         // warm pass first (same methodology as the query warm pass): a real
         // pipeline commits thousands of micro-batches, so steady-state —
@@ -90,7 +97,7 @@ object Bench {
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] ingest_pipeline failed: ${e.getMessage}")
-          (-1.0, 0L)
+          (-1.0, 0L, -1.0, 0L)
       }
 
     // Per-query values are rounded to milliseconds: the driver captures
@@ -111,9 +118,10 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum + math.max(ingestSecs, 0)
     val coldTotal = cold.map(_._2).filter(_ >= 0).sum
     val ingestRate = if (ingestSecs > 0) ingestDocs / ingestSecs else 0.0
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total":${r3(coldTotal)},"ingest_docs":$ingestDocs,"ingest_docs_per_sec":${r3(ingestRate)},"failed_queries":$failed}"""
-    println(line)
+    val deltaRate = if (deltaSecs > 0) deltaDocs / deltaSecs else 0.0
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total":${r3(coldTotal)},"ingest_docs":$ingestDocs,"ingest_docs_per_sec":${r3(ingestRate)},"ingest_delta_docs_per_sec":${r3(deltaRate)},"failed_queries":$failed}"""
     System.err.println(line) // second channel in case stdout is decorated
+    println(line) // canonical copy LAST so the tail window holds it whole
     // stdout arrives wrapped in sbt [info] decoration, which broke the
     // round-1 driver parse — also write the bare line to a plain file
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

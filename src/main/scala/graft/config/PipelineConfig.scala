@@ -27,6 +27,9 @@ final case class PipelineConfig(
     shardingPartitionField: String = "",
     maxShards: Int = 0,
     serviceName: String = "",
+    // geohash-extension coordinate columns (strategy = "geohash")
+    shardingLatField: String = "lat",
+    shardingLonField: String = "lon",
     // streaming
     checkpointLocation: String = "") {
   require(indexName != null && indexName.nonEmpty, "indexName is required")

@@ -56,7 +56,17 @@ object DocumentBuilder {
     */
   def documents(df: DataFrame, cfg: Config): DataFrame = {
     val flat = Flattener.flatten(df)
-    val kept = flat.schema.fields.toSeq
+    Stringifier.requireUtcForNtz(flat)
+    val (supported, unsupported) = flat.schema.fields.toSeq
+      .partition(f => Stringifier.isSupported(f.dataType))
+    // reference parity: an unsupported-typed column produces NO document
+    // field, with a loud warning (PaimonToAddDocumentConverter.java:214-219)
+    unsupported.foreach { f =>
+      System.err.println(
+        s"[graft] documents: unsupported type ${f.dataType.simpleString} for " +
+          s"field ${f.name}, skipping (reference warn-and-drop)")
+    }
+    val kept = supported
       .filterNot(f => cfg.dropPrefixes.exists(f.name.startsWith))
     require(kept.exists(_.name == cfg.idField),
       s"index must have an ${cfg.idField} field defined which serves as primary key")

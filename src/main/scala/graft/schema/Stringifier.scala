@@ -75,6 +75,42 @@ object Stringifier {
         ","),
       lit("}"))
 
+  /** Is `dt` part of the document conversion contract? Fields of any
+    * other type are warned about and DROPPED at document assembly —
+    * reference parity (`PaimonToAddDocumentConverter.java:214-219` logs
+    * "Unsupported type ... for field ..., skipping" and writes no field).
+    */
+  def isSupported(dt: DataType): Boolean = dt match {
+    case BooleanType | ByteType | ShortType | IntegerType | LongType |
+        FloatType | DoubleType | StringType | _: DecimalType | DateType |
+        TimestampType | TimestampNTZType | BinaryType =>
+      true
+    case ArrayType(et, _) => isSupported(et)
+    case MapType(_, _, _) | _: StructType => true
+    case _ => false
+  }
+
+  /** Fail fast when a TimestampNTZ column would be stringified under a
+    * non-UTC session: NTZ→epoch-millis treats the wall-clock as UTC, and
+    * a shifted session timezone would silently shift every epoch string.
+    */
+  def requireUtcForNtz(df: org.apache.spark.sql.DataFrame): Unit = {
+    def hasNtz(dt: DataType): Boolean = dt match {
+      case TimestampNTZType => true
+      case ArrayType(et, _) => hasNtz(et)
+      case MapType(k, v, _) => hasNtz(k) || hasNtz(v)
+      case s: StructType => s.fields.exists(f => hasNtz(f.dataType))
+      case _ => false
+    }
+    if (df.schema.fields.exists(f => hasNtz(f.dataType))) {
+      val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+      require(tz == "UTC" || tz == "Etc/UTC" || tz == "GMT",
+        s"TimestampNTZ stringification requires a UTC session timezone " +
+          s"(epoch-millis strings would silently shift), got '$tz' — set " +
+          s"spark.sql.session.timeZone=UTC")
+    }
+  }
+
   /** The per-type string conversion (§1.2). Result is a string column that
     * is null iff the input is null (null elision happens at document
     * assembly, SURVEY P5).
@@ -100,19 +136,28 @@ object Stringifier {
     case _: StructType =>
       to_json(c)
     case other =>
-      // unsupported type → the reference warns + drops
-      // (PaimonToAddDocumentConverter.java:214-219); we warn at plan time
-      // but keep the value as a plain cast so nothing is silently lost
-      System.err.println(
-        s"[graft] stringify: unsupported type ${other.simpleString}, using plain cast " +
-          "(reference drops the field)")
-      c.cast(StringType)
+      // direct-call safety net only: document assembly ([[stringifyAll]],
+      // DocumentBuilder) checks isSupported and warn+DROPS the field
+      // first, matching the reference — a call reaching here bypassed the
+      // contract, so fail loudly rather than silently diverge
+      throw new IllegalArgumentException(
+        s"stringify: unsupported type ${other.simpleString} — document " +
+          "assembly drops such fields (reference " +
+          "PaimonToAddDocumentConverter.java:214-219); check isSupported first")
   }
 
   /** Whole-row conversion: every column to its document string form,
-    * preserving names. One `select`, zero shuffles.
+    * preserving names. Unsupported-typed columns are warned about and
+    * DROPPED (reference parity). One `select`, zero shuffles.
     */
-  def stringifyAll(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    df.select(df.schema.fields.toSeq.map(f =>
-      stringify(col(f.name), f.dataType).alias(f.name)): _*)
+  def stringifyAll(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    requireUtcForNtz(df)
+    val (kept, dropped) = df.schema.fields.toSeq.partition(f => isSupported(f.dataType))
+    dropped.foreach { f =>
+      System.err.println(
+        s"[graft] stringify: unsupported type ${f.dataType.simpleString} for " +
+          s"field ${f.name}, skipping (reference warn-and-drop)")
+    }
+    df.select(kept.map(f => stringify(col(f.name), f.dataType).alias(f.name)): _*)
+  }
 }

@@ -131,8 +131,13 @@ final case class GeohashSharding(latField: String, lonField: String,
   * names default to [[NoSharding]] like the reference.
   */
 object ShardingStrategyFactory {
+  /** `latField`/`lonField` configure the geohash extension's coordinate
+    * columns (pipeline-config-level knobs, like `partitionField` for
+    * modulo — previously hardcoded to "lat"/"lon").
+    */
   def create(strategy: String, partitionField: String = "", maxShards: Int = 0,
-      serviceName: String = ""): ShardingStrategy =
+      serviceName: String = "", latField: String = "lat",
+      lonField: String = "lon"): ShardingStrategy =
     strategy.toLowerCase match {
       case "modulo" =>
         ModuloSharding.forService(partitionField, maxShards, serviceName)
@@ -140,10 +145,18 @@ object ShardingStrategyFactory {
         throw new UnsupportedOperationException(
           "geo sharding is not implemented") // GeoShardingStrategy.java:26-44
       case "geohash" => // extension — see GeohashSharding
-        GeohashSharding("lat", "lon", maxShards,
+        GeohashSharding(latField, lonField, maxShards,
           ModuloSharding.shardIdFromServiceName(serviceName))
       case _ => NoSharding
     }
+
+  /** Build the strategy a [[graft.config.PipelineConfig]] describes —
+    * the reference's factory reads the same knobs from its YAML config
+    * (`ShardingStrategyFactory.java:38-77`).
+    */
+  def fromConfig(cfg: graft.config.PipelineConfig): ShardingStrategy =
+    create(cfg.shardingStrategy, cfg.shardingPartitionField, cfg.maxShards,
+      cfg.serviceName, cfg.shardingLatField, cfg.shardingLonField)
 
   def apply(df: DataFrame, s: ShardingStrategy): DataFrame = {
     s.validate(df)

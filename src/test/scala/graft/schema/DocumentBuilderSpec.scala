@@ -46,6 +46,14 @@ class DocumentBuilderSpec extends SparkSpec {
     assert(score == Seq("3.5"))
   }
 
+  test("unsupported-typed column produces NO document field (warn+drop)") {
+    val df = Seq((1L, "x")).toDF("id", "v")
+      .withColumn("iv", expr("INTERVAL '2' DAY"))
+    val docs = DocumentBuilder.documents(df, DocumentBuilder.Config(idField = "id"))
+    val fields = docs.select(map_keys(col("fields"))).as[Seq[String]].head()
+    assert(fields.toSet == Set("id", "v"), s"interval field must be dropped, got $fields")
+  }
+
   test("avro mode keeps arrays as one value per element") {
     val df = Seq((1L, Seq("x", "y"))).toDF("id", "tags")
     val docs = DocumentBuilder.documents(df, DocumentBuilder.Config(

@@ -89,4 +89,32 @@ class StringifierSpec extends SparkSpec {
       StructType(Seq(StructField("a", IntegerType), StructField("b", StringType))))
     assert(one(c) == "{\"a\":1,\"b\":\"x\"}")
   }
+
+  test("unsupported-typed column is dropped by stringifyAll (reference parity)") {
+    // DayTimeIntervalType is outside the document conversion contract
+    val df = spark.range(1).select(col("id"),
+      expr("INTERVAL '3' DAY").as("iv"), lit("keep").as("s"))
+    assert(!Stringifier.isSupported(df.schema("iv").dataType))
+    val out = Stringifier.stringifyAll(df)
+    assert(out.columns.toSeq == Seq("id", "s")) // iv dropped, order kept
+    assert(out.head().getString(1) == "keep")
+    // direct stringify on an unsupported type fails loudly, never coerces
+    val ex = intercept[IllegalArgumentException] {
+      Stringifier.stringify(col("iv"), df.schema("iv").dataType)
+    }
+    assert(ex.getMessage.contains("unsupported type"))
+  }
+
+  test("NTZ stringification under a non-UTC session fails fast") {
+    val df = spark.range(1)
+      .select(lit("2024-01-01 00:00:00").cast(TimestampNTZType).as("t"))
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val ex = intercept[IllegalArgumentException](Stringifier.stringifyAll(df))
+      assert(ex.getMessage.contains("UTC"))
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+    // back under UTC the same frame converts
+    assert(Stringifier.stringifyAll(df).head().getString(0) == "1704067200000")
+  }
 }

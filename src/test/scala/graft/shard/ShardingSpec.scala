@@ -52,6 +52,26 @@ class ShardingSpec extends SparkSpec {
     assert(ShardingStrategyFactory.create("whatever") == NoSharding)
   }
 
+  test("geohash coordinate columns are configurable, not hardcoded lat/lon") {
+    import spark.implicits._
+    val s = ShardingStrategyFactory.create("geohash", maxShards = 4,
+      serviceName = "svc-2", latField = "latitude", lonField = "longitude")
+    assert(s == GeohashSharding("latitude", "longitude", 4, 2))
+    val pts = Seq((1L, 10.0, 20.0), (2L, -45.0, 170.0))
+      .toDF("id", "latitude", "longitude")
+    // validates + filters against the configured columns
+    val kept = (0 until 4).map(i =>
+      ShardingStrategyFactory(pts,
+        GeohashSharding("latitude", "longitude", 4, i)).count()).sum
+    assert(kept == 2)
+    // and the same knobs flow from PipelineConfig
+    val cfg = graft.config.PipelineConfig(indexName = "i",
+      shardingStrategy = "geohash", maxShards = 4, serviceName = "svc-1",
+      shardingLatField = "latitude", shardingLonField = "longitude")
+    assert(ShardingStrategyFactory.fromConfig(cfg) ==
+      GeohashSharding("latitude", "longitude", 4, 1))
+  }
+
   test("modulo filter keeps exactly the shard's rows and they partition completely") {
     val ev = Tables.events(spark, sf)
     val total = ev.count()

@@ -165,6 +165,21 @@ class IndexSinkSpec extends SparkSpec {
     assert(sink.searchable().count() == 2000)
   }
 
+  test("merge-on-read read path broadcasts the delta side; base never sort-merges") {
+    val dir = java.nio.file.Files.createTempDirectory("sink-mor-plan").toString
+    val sink = new ParquetIndexSink(spark, dir, numBuckets = 8)
+    sink.addDocuments((0 until 2000).map(i => (s"k$i", s"v$i")).toDF("_id", "v"))
+    sink.commit()
+    sink.addDocuments(Seq(("k7", "v7b")).toDF("_id", "v")); sink.commit()
+    val view = sink.searchable()
+    view.collect() // finalize the adaptive plan
+    val p = view.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"delta anti-join should broadcast the (small) delta key set:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"base side must never shuffle for a merge-on-read view:\n$p")
+  }
+
   test("delta shadowing across commits: delete then re-add resolves by version") {
     val dir = java.nio.file.Files.createTempDirectory("sink-shadow").toString
     val sink = new ParquetIndexSink(spark, dir, numBuckets = 4)
