@@ -184,6 +184,15 @@ object SparkEntry {
         "merge window scan", 20)
         .select("doc_id", "score")),
 
+    // §2.6 upgrade — BM25-ranked MatchQuery (Lucene's default scoring):
+    // idf + length-normalized tf from one broadcast corpus-stats row,
+    // fixed-order term accumulation (engine-reproducible), top-k via
+    // TakeOrderedAndProject.
+    "q_match_bm25" -> ((s, d) =>
+      DocQueries.matchTextBM25(
+        Tables.documents(s, d).select("doc_id", "text"), "doc_id", "text",
+        "merge window scan", 20)),
+
     // §2.6 — MatchAllQuery + field retrieval.
     "q_match_all" -> ((s, d) =>
       DocQueries.retrieve(DocQueries.matchAll(Tables.documents(s, d)),
@@ -544,6 +553,25 @@ object SparkEntry {
           (abs(col("_at") - col("n_types")) <= greatest(col("n_types") * 0.05, lit(1.0)))
             .as("types_ok"))),
 
+    // Sketch-based quantiles gated against exact: approx_percentile is a
+    // fixed-size mergeable QuantileSummaries sketch (map-side combine, one
+    // stats row to the driver) — the scale path that replaces agg_stats'
+    // sort-heavy exact percentiles at 100 TB. Rank accuracy 10000 → the
+    // estimates must land within 1% of the exact interpolated values.
+    "agg_quantile_sketch" -> ((s, d) =>
+      Tables.lineitem(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("_a50"),
+        percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000)).as("_a90"),
+        percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("_a99"),
+        percentile(col("l_extendedprice"), lit(0.5)).as("_e50"),
+        percentile(col("l_extendedprice"), lit(0.9)).as("_e90"),
+        percentile(col("l_extendedprice"), lit(0.99)).as("_e99"))
+        .select(col("n_rows"),
+          (abs(col("_a50") - col("_e50")) <= col("_e50") * 0.01).as("p50_ok"),
+          (abs(col("_a90") - col("_e90")) <= col("_e90") * 0.01).as("p90_ok"),
+          (abs(col("_a99") - col("_e99")) <= col("_e99") * 0.01).as("p99_ok"))),
+
     // Per-doc top-3 TF-IDF terms (keyword extraction / domain tagging).
     "x_tfidf" -> ((s, d) =>
       operators.TextAnalysis.tfidfTopTerms(Tables.documents(s, d),
@@ -850,6 +878,42 @@ object SparkEntry {
                AS score
            FROM documents) t
          WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 20""",
+    // BM25 mirror: identical constants (k1=1.2, b=0.75, Lucene idf),
+    // identical FIXED term order, one final round(6) absorbing ln-library
+    // ULP differences. dl/tf/N/df are integer-exact in double, avgdl is
+    // an exact-integer sum ÷ count — aggregation order cannot perturb
+    // either engine's stats.
+    "q_match_bm25" ->
+      """WITH t AS (SELECT doc_id,
+             CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+               AS DOUBLE) AS dl,
+             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'merge'))
+               AS DOUBLE) AS tf0,
+             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'window'))
+               AS DOUBLE) AS tf1,
+             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'scan'))
+               AS DOUBLE) AS tf2
+           FROM documents),
+         s AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+             CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+             CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+             CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+           FROM t),
+         z AS (SELECT doc_id,
+             ln(1 + (n - df0 + 0.5) / (df0 + 0.5))
+               * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             + ln(1 + (n - df1 + 0.5) / (df1 + 0.5))
+               * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             + ln(1 + (n - df2 + 0.5) / (df2 + 0.5))
+               * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+               AS score
+           FROM t, s)
+         SELECT doc_id, round(score, 6) AS bm25 FROM z WHERE score > 0
+         ORDER BY bm25 DESC, doc_id LIMIT 20""",
+    "agg_quantile_sketch" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+         FROM lineitem""",
     "q_match_all" ->
       """SELECT doc_id, source FROM documents ORDER BY doc_id""",
     "p_documents" ->

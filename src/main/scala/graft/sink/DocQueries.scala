@@ -37,6 +37,51 @@ object DocQueries {
   def retrieve(index: DataFrame, fields: Seq[String]): DataFrame =
     index.select(fields.map(col): _*)
 
+  /** BM25-ranked MatchQuery — Lucene's default `BM25Similarity` scoring
+    * (k1/b are its defaults): per-term
+    * `idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))` with
+    * `idf = ln(1 + (N−df+0.5)/(df+0.5))`, summed over the query terms in
+    * a FIXED order so scores are engine-reproducible.
+    *
+    * At scale: tokenization + per-term tf is one projection; the corpus
+    * stats (N, avgdl, per-term df — all exact integer sums, so partial-
+    * aggregation order cannot perturb them) are ONE tiny aggregate row
+    * broadcast back to the scorers; top-k is TakeOrderedAndProject. No
+    * shuffle ever carries more than the stats row.
+    */
+  def matchTextBM25(index: DataFrame, idCol: String, field: String,
+      query: String, k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qTokens = query.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq.distinct
+    require(qTokens.nonEmpty, "BM25 needs a non-empty query")
+    // single-space tokenization with empty-token drop — the corpus
+    // convention shared with TextFunctions.tokenCount and the SQL oracles
+    val toks = filter(split(lower(col(field)), " "), t => t =!= lit(""))
+    val tfCols = qTokens.zipWithIndex.map { case (t, i) =>
+      size(filter(toks, tok => tok === lit(t))).cast("double").as(s"_tf$i")
+    }
+    val base = index.select(
+      (col(idCol) +: size(toks).cast("double").as("_dl") +: tfCols): _*)
+    val aggCols: Seq[Column] =
+      count(lit(1)).cast("double").as("_n") +:
+        avg(col("_dl")).as("_avgdl") +:
+        qTokens.indices.map(i =>
+          sum(when(col(s"_tf$i") > 0, 1).otherwise(0)).cast("double").as(s"_df$i"))
+    val stats = base.agg(aggCols.head, aggCols.tail: _*)
+    val score = qTokens.indices.map { i =>
+      val idf = log(lit(1.0) +
+        (col("_n") - col(s"_df$i") + 0.5) / (col(s"_df$i") + 0.5))
+      idf * (col(s"_tf$i") * (k1 + 1.0)) /
+        (col(s"_tf$i") +
+          lit(k1) * (lit(1.0 - b) + lit(b) * col("_dl") / col("_avgdl")))
+    }.reduce(_ + _)
+    base.crossJoin(broadcast(stats))
+      .select(col(idCol), score.as("_score"))
+      .filter(col("_score") > 0)
+      .select(col(idCol), round(col("_score"), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Ranked MatchQuery: term-frequency score over the query tokens
     * (the deterministic core of Lucene's ranking — integer tf, so results
     * are engine-exact; idf/norms are corpus-dependent refinements).
