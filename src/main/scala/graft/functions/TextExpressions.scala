@@ -256,6 +256,67 @@ case class BpeTokens(child: Expression, merges: Seq[(String, String)])
     copy(child = newChild)
 }
 
+/** One-pass query-term frequency statistics for ranked retrieval: document
+  * length (token count) plus the exact term frequency of each query term,
+  * from a SINGLE tokenization of the text.
+  *
+  * The composed HOF form (`size(filter(split(...)))` per term) re-splits
+  * and re-scans the document once per derived column — dl plus one per
+  * query term, interpreted — the exact per-use re-evaluation trap
+  * `TextMarkerStats` exists to avoid. Tokenization is the corpus
+  * convention shared with `TextFunctions.tokenCount` and the SQL oracles:
+  * lowercase, split on a single space, empty tokens dropped.
+  */
+case class TermFreqStats(child: Expression, terms: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+  require(terms.nonEmpty, "term_freq_stats needs at least one term")
+  require(terms.distinct == terms,
+    s"term_freq_stats terms must be distinct, got $terms")
+
+  override def dataType: DataType = TermFreqStats.schema
+  override def prettyName: String = "term_freq_stats"
+
+  /** lowercase term → its index in `terms`. */
+  @transient private lazy val lookup: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    terms.zipWithIndex.foreach { case (t, i) => m.put(t, i) }
+    m
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+      .toLowerCase(java.util.Locale.ROOT)
+    val tf = new Array[Int](terms.length)
+    var dl = 0
+    val n = s.length
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || s.charAt(i) == ' ') {
+        if (i > start) {
+          dl += 1
+          val idx = lookup.get(s.substring(start, i))
+          if (idx != null) tf(idx.intValue) += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](
+      dl, new GenericArrayData(tf.map(Int.box(_): AnyRef))))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TermFreqStats =
+    copy(child = newChild)
+}
+
+object TermFreqStats {
+  val schema: StructType = StructType(Seq(
+    StructField("dl", IntegerType, nullable = false),
+    StructField("tf", ArrayType(IntegerType, containsNull = false),
+      nullable = false)))
+}
+
 object TextExpressions {
   def wordShingles(text: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
@@ -269,4 +330,8 @@ object TextExpressions {
   def textMarkerStats(text: Column, markerSets: Seq[Seq[String]]): Column =
     ColumnBridge.column(
       TextMarkerStats(ColumnBridge.expression(text), markerSets))
+
+  def termFreqStats(text: Column, terms: Seq[String]): Column =
+    ColumnBridge.column(
+      TermFreqStats(ColumnBridge.expression(text), terms))
 }

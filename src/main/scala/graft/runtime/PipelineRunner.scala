@@ -167,8 +167,10 @@ final class PipelineRunner(
   * `awaitCompletion` abort). Clock injectable for deterministic tests.
   */
 final class ProgressWatchdog(timeoutMs: Long,
-    now: () => Long = () => System.currentTimeMillis()) {
-  @volatile private var lastProgressAt: Long = now()
+    now: () => Long = () => System.currentTimeMillis(),
+    startupGraceMs: Long = Long.MaxValue) {
+  private val startedAt: Long = now()
+  @volatile private var lastProgressAt: Long = startedAt
   @volatile private var aborted = false
 
   def onProgress(): Unit = lastProgressAt = now()
@@ -189,27 +191,38 @@ final class ProgressWatchdog(timeoutMs: Long,
       pollMs: Long = 500L): Thread = {
     val t = new Thread(() => {
       var lastSeen: String = null
+      var sawData = false
       while (query.isActive && !expired) {
         val p = query.lastProgress
+        if (p != null && p.numInputRows > 0) sawData = true
+        // `startupGraceMs` bounds the wait for FIRST DATA: until any
+        // progress has carried rows, liveness only resets the timer
+        // inside the grace window. Spark runs an (empty) batch 0 even on
+        // a dataless source, so "no progress yet" cannot distinguish a
+        // quiet topic from a misconfigured/permanently-empty one — rows
+        // can. Default grace is unbounded (a quiet topic is not an
+        // error); callers that must fail fast on a never-producing
+        // source set it, and past the grace the ordinary timeout fires.
+        val live = sawData || now() - startedAt <= startupGraceMs
         if (p != null && p.timestamp != lastSeen) {
           lastSeen = p.timestamp
-          onProgress()
+          if (live) onProgress()
         } else if (lastSeen != null && !query.status.isTriggerActive) {
           // engine between triggers AFTER at least one completed trigger
           // (Spark 4 emits idle events, not progress) — only a RUNNING
           // trigger can be stuck. Before the first progress the timer
           // keeps running, so a source that hangs during initialization
           // is still aborted (the reference's bounded awaitCompletion).
-          onProgress()
+          if (live) onProgress()
         } else if (lastSeen == null && !query.status.isTriggerActive &&
             Option(query.status.message).exists(_.startsWith("Waiting"))) {
           // empty-at-startup source: initialization FINISHED (status says
           // "Waiting for data to arrive" / "Waiting for next trigger") but
-          // no data has ever arrived, so no progress was ever emitted. The
-          // stream is healthy-idle, not hung — distinguish it from an init
-          // hang, whose status stays at "Initializing ..." and still trips
-          // the timeout.
-          onProgress()
+          // no batch has ever planned, so no progress was ever emitted.
+          // The stream is healthy-idle, not hung — distinguish it from an
+          // init hang, whose status stays at "Initializing ..." and still
+          // trips the timeout.
+          if (live) onProgress()
         }
         Thread.sleep(pollMs)
       }

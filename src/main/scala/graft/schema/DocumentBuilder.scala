@@ -56,8 +56,12 @@ object DocumentBuilder {
     */
   def documents(df: DataFrame, cfg: Config): DataFrame = {
     val flat = Flattener.flatten(df)
-    Stringifier.requireUtcForNtz(flat)
-    val (supported, unsupported) = flat.schema.fields.toSeq
+    // drop-by-prefix FIRST (the reference checks isFieldSkipped before any
+    // type handling, :76-78,317-328) — an explicitly-dropped field must
+    // neither warn about its type nor trip the NTZ session guard
+    val afterPrefix = flat.schema.fields.toSeq
+      .filterNot(f => cfg.dropPrefixes.exists(f.name.startsWith))
+    val (kept, unsupported) = afterPrefix
       .partition(f => Stringifier.isSupported(f.dataType))
     // reference parity: an unsupported-typed column produces NO document
     // field, with a loud warning (PaimonToAddDocumentConverter.java:214-219)
@@ -66,8 +70,7 @@ object DocumentBuilder {
         s"[graft] documents: unsupported type ${f.dataType.simpleString} for " +
           s"field ${f.name}, skipping (reference warn-and-drop)")
     }
-    val kept = supported
-      .filterNot(f => cfg.dropPrefixes.exists(f.name.startsWith))
+    Stringifier.requireUtcForNtz(StructType(kept), flat.sparkSession)
     require(kept.exists(_.name == cfg.idField),
       s"index must have an ${cfg.idField} field defined which serves as primary key")
     val idType = kept.find(_.name == cfg.idField).get.dataType

@@ -22,9 +22,10 @@ import org.apache.spark.sql.types._
   *     as quoted base64 (`PaimonToAddDocumentConverter.java:226-274`)
   *   - map                        → JSON object, keys/values quoted
   *     (`:288-302`, simplified all-string form)
-  *   - struct                     → proper JSON via `to_json` (the
-  *     reference emits a `{"nested":"row"}` placeholder, acknowledged in
-  *     its TODO.md:11 — we implement the real conversion)
+  *   - struct                     → proper JSON, recursively via the same
+  *     per-type rules (the reference emits a `{"nested":"row"}`
+  *     placeholder, acknowledged in its TODO.md:11 — we implement the
+  *     real conversion)
   */
 object Stringifier {
 
@@ -63,17 +64,42 @@ object Stringifier {
   /** Map column → simplified JSON object (all keys/values quoted), keys
     * and values escaped like the reference's map branch
     * (`PaimonToAddDocumentConverter.java:288-302`, which routes both
-    * through `escapeJsonString`).
+    * through `escapeJsonString`). Keys and values render via [[stringify]]
+    * (identity for the reference's string-map case) so nested temporal
+    * types keep the top-level epoch-millis/days contract the UTC guard
+    * enforces, instead of silently falling back to ISO `cast` strings.
     */
-  def mapToJson(c: Column): Column =
+  def mapToJson(c: Column, keyType: DataType, valueType: DataType): Column =
     concat(lit("{"),
       array_join(
         transform(map_entries(c), kv =>
-          concat(lit("\""), escapeJson(kv.getField("key").cast(StringType)),
+          concat(lit("\""),
+            escapeJson(stringify(kv.getField("key"), keyType)),
             lit("\":\""),
-            escapeJson(kv.getField("value").cast(StringType)), lit("\""))),
+            escapeJson(stringify(kv.getField("value"), valueType)),
+            lit("\""))),
         ","),
       lit("}"))
+
+  /** Struct column → JSON object via the same per-type rules as arrays
+    * (numerics unquoted, strings quoted+escaped, null fields as `null`
+    * literals, temporals as epoch strings). The reference emits a
+    * `{"nested":"row"}` placeholder here (acknowledged in its TODO.md:11);
+    * we implement the real conversion — recursively, so the epoch-millis
+    * contract holds at any nesting depth (a plain `to_json` would render
+    * nested timestamps as ISO wall-clock strings, diverging from the
+    * top-level rule and from [[requireUtcForNtz]]'s invariant).
+    */
+  def structToJson(c: Column, st: StructType): Column = {
+    def escapeLiteral(s: String): String =
+      s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
+        .replace("\r", "\\r").replace("\t", "\\t")
+    val parts = st.fields.toSeq.map { f =>
+      concat(lit("\"" + escapeLiteral(f.name) + "\":"),
+        jsonElement(c.getField(f.name), f.dataType))
+    }
+    concat(lit("{"), concat_ws(",", parts: _*), lit("}"))
+  }
 
   /** Is `dt` part of the document conversion contract? Fields of any
     * other type are warned about and DROPPED at document assembly —
@@ -86,7 +112,11 @@ object Stringifier {
         TimestampType | TimestampNTZType | BinaryType =>
       true
     case ArrayType(et, _) => isSupported(et)
-    case MapType(_, _, _) | _: StructType => true
+    // containers are supported only when every nested type is — a
+    // map/struct hiding an unsupported type must warn-and-drop like its
+    // top-level form would, not crash or silently diverge at render time
+    case MapType(k, v, _) => isSupported(k) && isSupported(v)
+    case s: StructType => s.fields.forall(f => isSupported(f.dataType))
     case _ => false
   }
 
@@ -94,7 +124,11 @@ object Stringifier {
     * non-UTC session: NTZ→epoch-millis treats the wall-clock as UTC, and
     * a shifted session timezone would silently shift every epoch string.
     */
-  def requireUtcForNtz(df: org.apache.spark.sql.DataFrame): Unit = {
+  def requireUtcForNtz(df: org.apache.spark.sql.DataFrame): Unit =
+    requireUtcForNtz(df.schema, df.sparkSession)
+
+  def requireUtcForNtz(schema: StructType,
+      spark: org.apache.spark.sql.SparkSession): Unit = {
     def hasNtz(dt: DataType): Boolean = dt match {
       case TimestampNTZType => true
       case ArrayType(et, _) => hasNtz(et)
@@ -102,8 +136,8 @@ object Stringifier {
       case s: StructType => s.fields.exists(f => hasNtz(f.dataType))
       case _ => false
     }
-    if (df.schema.fields.exists(f => hasNtz(f.dataType))) {
-      val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+    if (schema.fields.exists(f => hasNtz(f.dataType))) {
+      val tz = spark.conf.get("spark.sql.session.timeZone")
       require(tz == "UTC" || tz == "Etc/UTC" || tz == "GMT",
         s"TimestampNTZ stringification requires a UTC session timezone " +
           s"(epoch-millis strings would silently shift), got '$tz' — set " +
@@ -131,10 +165,10 @@ object Stringifier {
       base64(c)
     case ArrayType(et, _) =>
       arrayToJson(c, et)
-    case MapType(_, _, _) =>
-      mapToJson(c)
-    case _: StructType =>
-      to_json(c)
+    case MapType(k, v, _) =>
+      mapToJson(c, k, v)
+    case st: StructType =>
+      structToJson(c, st)
     case other =>
       // direct-call safety net only: document assembly ([[stringifyAll]],
       // DocumentBuilder) checks isSupported and warn+DROPS the field
@@ -151,13 +185,15 @@ object Stringifier {
     * DROPPED (reference parity). One `select`, zero shuffles.
     */
   def stringifyAll(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    requireUtcForNtz(df)
     val (kept, dropped) = df.schema.fields.toSeq.partition(f => isSupported(f.dataType))
     dropped.foreach { f =>
       System.err.println(
         s"[graft] stringify: unsupported type ${f.dataType.simpleString} for " +
           s"field ${f.name}, skipping (reference warn-and-drop)")
     }
+    // NTZ guard applies to the fields that WILL be stringified — a dropped
+    // field never renders, so it must not fail an otherwise-valid session
+    requireUtcForNtz(StructType(kept), df.sparkSession)
     df.select(kept.map(f => stringify(col(f.name), f.dataType).alias(f.name)): _*)
   }
 }

@@ -53,14 +53,17 @@ object DocQueries {
       query: String, k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val qTokens = query.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq.distinct
     require(qTokens.nonEmpty, "BM25 needs a non-empty query")
-    // single-space tokenization with empty-token drop — the corpus
-    // convention shared with TextFunctions.tokenCount and the SQL oracles
-    val toks = filter(split(lower(col(field)), " "), t => t =!= lit(""))
-    val tfCols = qTokens.zipWithIndex.map { case (t, i) =>
-      size(filter(toks, tok => tok === lit(t))).cast("double").as(s"_tf$i")
-    }
-    val base = index.select(
-      (col(idCol) +: size(toks).cast("double").as("_dl") +: tfCols): _*)
+    // ONE tokenization pass per row ([[graft.functions.TermFreqStats]];
+    // the composed `size(filter(split(...)))` form re-split the document
+    // once per derived column, interpreted). The two-step projection keeps
+    // CollapseProject from re-inlining the non-cheap stats expression.
+    val stats0 = graft.functions.TextExpressions.termFreqStats(col(field), qTokens)
+    val perDoc: Seq[Column] =
+      col("_s.dl").cast("double").as("_dl") +:
+        qTokens.indices.map(i =>
+          element_at(col("_s.tf"), i + 1).cast("double").as(s"_tf$i"))
+    val base = index.select(col(idCol), stats0.as("_s"))
+      .select(col(idCol) +: perDoc: _*)
     val aggCols: Seq[Column] =
       count(lit(1)).cast("double").as("_n") +:
         avg(col("_dl")).as("_avgdl") +:
@@ -89,16 +92,24 @@ object DocQueries {
   def matchTextRanked(index: DataFrame, field: String, query: String,
       k: Int): DataFrame = {
     val qTokens = query.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
-    val fieldTokens = split(lower(col(field)), "\\s+")
     // empty query → empty result (same contract as matchText), not a
     // reduce-on-empty crash
-    val score =
-      if (qTokens.isEmpty) lit(0)
-      else qTokens.map(t =>
-        size(filter(fieldTokens, tok => tok === lit(t))))
-        .reduce(_ + _)
-    index.withColumn("score", score)
-      .filter(col("score") > 0)
+    val scored =
+      if (qTokens.isEmpty) index.withColumn("score", lit(0))
+      else {
+        // one tokenization pass (TermFreqStats), duplicated query tokens
+        // still count double via the index mapping
+        val distinctToks = qTokens.distinct
+        val score = qTokens.map(t =>
+          element_at(col("_s.tf"), distinctToks.indexOf(t) + 1))
+          .reduce(_ + _)
+        index
+          .withColumn("_s",
+            graft.functions.TextExpressions.termFreqStats(col(field), distinctToks))
+          .withColumn("score", score)
+          .drop("_s")
+      }
+    scored.filter(col("score") > 0)
       .orderBy(col("score").desc, col(index.columns.head))
       .limit(k)
   }

@@ -201,7 +201,7 @@ class ParquetIndexSink(spark: SparkSession, path: String, numBuckets: Int = 16,
   }
 
   override def addDocuments(docs: DataFrame): Long = synchronized {
-    Seq(BucketCol, OpCol, DeltaVerCol).foreach { c =>
+    Seq(BucketCol, OpCol, DeltaVerCol, SeqCol, OpSeqCol).foreach { c =>
       require(!docs.columns.contains(c),
         s"'$c' is a reserved column name in ParquetIndexSink")
     }
@@ -243,20 +243,20 @@ class ParquetIndexSink(spark: SparkSession, path: String, numBuckets: Int = 16,
         }: _*)
         // last add per _id wins inside one upsert batch
         Changelog.compact(
-            aligned.withColumn("_seq", monotonically_increasing_id()),
-            idField, Seq(col("_seq"))).drop("_seq")
-          .withColumn(OpCol, lit("u")).withColumn("_oseq", lit(i))
+            aligned.withColumn(SeqCol, monotonically_increasing_id()),
+            idField, Seq(col(SeqCol))).drop(SeqCol)
+          .withColumn(OpCol, lit("u")).withColumn(OpSeqCol, lit(i))
       case (DeleteIds(ids), i) =>
         import spark.implicits._
-        tombstones(ids.toDF(idField), s).withColumn("_oseq", lit(i))
+        tombstones(ids.toDF(idField), s).withColumn(OpSeqCol, lit(i))
       case (DeleteKeys(df), i) =>
         tombstones(df.select(col(df.columns.head).cast("string").as(idField)), s)
-          .withColumn("_oseq", lit(i))
+          .withColumn(OpSeqCol, lit(i))
     }
     // across ops, the LAST op per key wins (call order — an add-then-
     // delete key must die, a delete-then-add key must live)
     Changelog.compact(frames.reduce(_.unionByName(_)), idField,
-      Seq(col("_oseq"))).drop("_oseq")
+      Seq(col(OpSeqCol))).drop(OpSeqCol)
   }
 
   /** Delete tombstones: the key column + null doc columns + `_op` = "d". */
@@ -326,8 +326,23 @@ class ParquetIndexSink(spark: SparkSession, path: String, numBuckets: Int = 16,
         ops = Vector.empty
         // bound read amplification: fold the log into the base once it
         // grows past maxDeltas commits (amortized maintenance, same unit
-        // of work a LSM/Lucene segment merge schedules in the background)
-        if (prevDeltas.size + 1 > maxDeltas) compactDeltas()
+        // of work a LSM/Lucene segment merge schedules in the background).
+        // The commit itself is ALREADY durable (manifest published above):
+        // a compaction failure must not fail it — a caller replaying the
+        // "failed" batch would append the same delta again every attempt,
+        // growing the log without bound while the stream never advances.
+        // Warn loudly and leave the log for the next commit / an explicit
+        // compactDeltas() maintenance run to retry.
+        if (prevDeltas.size + 1 > maxDeltas) {
+          try compactDeltas()
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(
+                s"[graft] delta compaction failed at $path (commit v$version " +
+                  s"is durable; log depth ${prevDeltas.size + 1} > $maxDeltas " +
+                  s"remains until a later compaction succeeds): $e")
+          }
+        }
     }
   }
 
@@ -511,6 +526,17 @@ object ParquetIndexSink {
     * Reserved document column name.
     */
   val DeltaVerCol = "_dv"
+
+  /** Working column ordering rows WITHIN one upsert batch (last add per
+    * key wins). Never written to files, but a document column of the same
+    * name would be silently overwritten and dropped by the fold — reserved.
+    */
+  val SeqCol = "_seq"
+
+  /** Working column ordering ops ACROSS one commit (last op per key wins).
+    * Reserved for the same reason as [[SeqCol]].
+    */
+  val OpSeqCol = "_oseq"
 
   /** Random suffix for a commit attempt's data dir — two committers racing
     * to the same version write disjoint dirs; the manifest CAS picks the

@@ -92,8 +92,12 @@ object KafkaAvroSource {
     val spark = values.sparkSession
     import spark.implicits._
     values.select(valueCol).as[Array[Byte]].mapPartitions { it =>
-      // one reader per schema id, built on first sight, reused after
+      // one reader per schema id, built on first sight, reused after;
+      // ditto the decode-target record (`reader.read(reuse, ...)`) — safe
+      // because AvroDocConverter.convert copies every value out before the
+      // next read mutates the instance
       val readers = scala.collection.mutable.Map.empty[Int, GenericDatumReader[GenericRecord]]
+      val reuse = scala.collection.mutable.Map.empty[Int, GenericRecord]
       def readerFor(id: Int): Option[GenericDatumReader[GenericRecord]] =
         readers.get(id).orElse {
           writerSchemasById.get(id).orElse(defaultSchemaJson).map { json =>
@@ -118,7 +122,8 @@ object KafkaAvroSource {
               try {
                 decoder = DecoderFactory.get()
                   .binaryDecoder(bytes, 5, bytes.length - 5, decoder)
-                val record = reader.read(null, decoder)
+                val record = reader.read(reuse.getOrElse(schemaId, null), decoder)
+                reuse(schemaId) = record
                 (Some(schemaId), Some(AvroDocConverter.convert(record)), None)
               } catch {
                 case scala.util.control.NonFatal(e) =>

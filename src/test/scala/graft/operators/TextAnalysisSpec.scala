@@ -136,4 +136,29 @@ class TextAnalysisSpec extends SparkSpec {
       .select("ws_tokens", "piece_tokens").as[(Int, Int)].head()
     assert(out == ((3, 5))) // hello , world ! x9
   }
+
+  test("term-freq stats: one-pass dl and per-term tf match the HOF form") {
+    val df = Seq(
+      (1L, "Merge the scan then merge  again"),
+      (2L, ""),
+      (3L, null: String)).toDF("id", "text")
+    val terms = Seq("merge", "scan")
+    val native = df.select(col("id"),
+      graft.functions.TextExpressions.termFreqStats(col("text"), terms).as("_s"))
+      .select(col("id"), col("_s.dl"),
+        element_at(col("_s.tf"), 1), element_at(col("_s.tf"), 2))
+      .as[(Long, Option[Int], Option[Int], Option[Int])].collect().toSeq.sortBy(_._1)
+    // row 1: 6 tokens (double space dropped), merge×2 (case-folded), scan×1
+    assert(native(0) == ((1L, Some(6), Some(2), Some(1))))
+    assert(native(1) == ((2L, Some(0), Some(0), Some(0))))
+    assert(native(2) == ((3L, None, None, None))) // null text → null struct
+    // cross-check against the composed HOF pipeline on the non-null rows
+    val toks = filter(split(lower(col("text")), " "), t => t =!= lit(""))
+    val hof = df.filter(col("text").isNotNull).select(col("id"),
+      size(toks), size(filter(toks, t => t === lit("merge"))),
+      size(filter(toks, t => t === lit("scan"))))
+      .as[(Long, Int, Int, Int)].collect().toSeq.sortBy(_._1)
+    assert(hof.map(r => (r._1, Some(r._2), Some(r._3), Some(r._4))) ==
+      native.take(2))
+  }
 }

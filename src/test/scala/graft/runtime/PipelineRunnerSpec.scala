@@ -142,21 +142,60 @@ class PipelineRunnerSpec extends SparkSpec {
     assert(stalled.wasAborted)
   }
 
+  /** Block until the stream finishes initialization and reports the idle
+    * "Waiting ..." status — arming a short-timeout watchdog before that
+    * point would race a slow (loaded-JVM) initialization and flake.
+    */
+  private def awaitIdle(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val deadline = System.currentTimeMillis() + 30000
+    while (q.isActive &&
+        !Option(q.status.message).exists(_.startsWith("Waiting")) &&
+        System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    assert(q.isActive, "stream died during initialization")
+  }
+
   test("progress watchdog: an idle (no-data) stream is healthy, not stuck") {
     val srcDir = java.nio.file.Files.createTempDirectory("wd-idle-src").toString
     val schema = StructType(Seq(StructField("k", StringType)))
-    val wd = new ProgressWatchdog(timeoutMs = 400L)
     val q = spark.readStream.schema(schema).parquet(srcDir) // never any files
       .writeStream.format("noop")
       .option("checkpointLocation",
         java.nio.file.Files.createTempDirectory("wd-idle-ckpt").toString)
       .start()
     try {
+      awaitIdle(q)
+      val wd = new ProgressWatchdog(timeoutMs = 400L)
       wd.guard(q, pollMs = 50L)
       Thread.sleep(2000) // 5× the timeout with zero data
       assert(q.isActive, "idle stream must not be killed by the watchdog")
       assert(!wd.wasAborted)
     } finally q.stop()
+  }
+
+  test("progress watchdog: bounded startup grace aborts a never-producing source") {
+    // a misconfigured (permanently empty) source is indistinguishable from
+    // a quiet one — callers that must bound the wait for FIRST data set
+    // startupGraceMs; past it, waiting-for-data stops counting as liveness
+    // MemoryStream with no data ever added: batches may plan (batch 0 runs
+    // empty) but no progress ever carries rows — the state the grace
+    // bounds. Once data flows, the grace is moot and only the ordinary
+    // stuck-trigger timeout applies.
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int]
+    val q = input.toDF().writeStream.format("noop")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("wd-grace-ckpt").toString)
+      .start()
+    try {
+      awaitIdle(q)
+      val wd = new ProgressWatchdog(timeoutMs = 400L, startupGraceMs = 300L)
+      wd.guard(q, pollMs = 50L)
+      val deadline = System.currentTimeMillis() + 20000
+      while (q.isActive && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(!q.isActive, "empty source must be stopped once the grace expires")
+      assert(wd.wasAborted)
+    } finally if (q.isActive) q.stop()
   }
 
   test("progress listener feeds source-side metrics from query progress") {

@@ -54,6 +54,26 @@ class DocumentBuilderSpec extends SparkSpec {
     assert(fields.toSet == Set("id", "v"), s"interval field must be dropped, got $fields")
   }
 
+  test("NTZ column dropped by prefix does not trip the UTC guard") {
+    val df = Seq((1L, "x")).toDF("id", "v")
+      .withColumn("audit_ts",
+        lit("2024-01-01 00:00:00").cast(org.apache.spark.sql.types.TimestampNTZType))
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      // the column is configured away — assembling documents must not fail
+      val docs = DocumentBuilder.documents(df, DocumentBuilder.Config(
+        idField = "id", dropPrefixes = Seq("audit_")))
+      val fields = docs.select(map_keys(col("fields"))).as[Seq[String]].head()
+      assert(fields.toSet == Set("id", "v"))
+      // but a KEPT NTZ column still fails fast under the non-UTC session
+      val ex = intercept[IllegalArgumentException] {
+        DocumentBuilder.documents(df, DocumentBuilder.Config(idField = "id"))
+      }
+      assert(ex.getMessage.contains("UTC"))
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("avro mode keeps arrays as one value per element") {
     val df = Seq((1L, Seq("x", "y"))).toDF("id", "tags")
     val docs = DocumentBuilder.documents(df, DocumentBuilder.Config(

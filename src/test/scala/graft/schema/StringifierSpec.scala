@@ -90,6 +90,57 @@ class StringifierSpec extends SparkSpec {
     assert(one(c) == "{\"a\":1,\"b\":\"x\"}")
   }
 
+  test("temporals nested in maps and structs keep the epoch contract") {
+    // map value: timestamp → epoch millis, not an ISO cast string
+    val m = Stringifier.stringify(
+      map(lit("ts"), lit("2024-01-01 00:00:00").cast(TimestampType)),
+      MapType(StringType, TimestampType))
+    assert(one(m) == "{\"ts\":\"1704067200000\"}")
+    // struct field: NTZ → epoch millis (quoted, per the array-element rule)
+    val st = StructType(Seq(StructField("t", TimestampNTZType),
+      StructField("n", IntegerType)))
+    val s = Stringifier.stringify(
+      struct(lit("2024-01-01 00:00:00").cast(TimestampNTZType).as("t"),
+        lit(7).as("n")), st)
+    assert(one(s) == "{\"t\":\"1704067200000\",\"n\":7}")
+  }
+
+  test("struct null field renders as null literal; nested struct recurses") {
+    val inner = StructType(Seq(StructField("d", DateType)))
+    val st = StructType(Seq(
+      StructField("a", IntegerType), StructField("inner", inner)))
+    val c = Stringifier.stringify(
+      struct(lit(null).cast(IntegerType).as("a"),
+        struct(to_date(lit("2024-01-01")).as("d")).as("inner")), st)
+    assert(one(c) == "{\"a\":null,\"inner\":\"{\\\"d\\\":\\\"19723\\\"}\"}")
+  }
+
+  test("containers hiding an unsupported type are dropped, not rendered") {
+    val iv = expr("INTERVAL '3' DAY")
+    val df = spark.range(1).select(col("id"),
+      map(lit("k"), iv).as("m"),
+      struct(iv.as("x")).as("st"),
+      lit("keep").as("s"))
+    assert(!Stringifier.isSupported(df.schema("m").dataType))
+    assert(!Stringifier.isSupported(df.schema("st").dataType))
+    val out = Stringifier.stringifyAll(df)
+    assert(out.columns.toSeq == Seq("id", "s"))
+  }
+
+  test("NTZ inside a DROPPED container does not trip the UTC guard") {
+    // unsupported struct (interval + ntz) is dropped before the guard runs
+    val df = spark.range(1).select(
+      struct(expr("INTERVAL '3' DAY").as("iv"),
+        lit("2024-01-01 00:00:00").cast(TimestampNTZType).as("t")).as("bad"),
+      lit("keep").as("s"))
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val out = Stringifier.stringifyAll(df) // must NOT throw
+      assert(out.columns.toSeq == Seq("s"))
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("unsupported-typed column is dropped by stringifyAll (reference parity)") {
     // DayTimeIntervalType is outside the document conversion contract
     val df = spark.range(1).select(col("id"),

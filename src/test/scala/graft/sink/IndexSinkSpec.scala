@@ -1,5 +1,7 @@
 package graft.sink
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -225,6 +227,39 @@ class IndexSinkSpec extends SparkSpec {
       .orderBy("_id").as[(String, String)].collect().toSeq
     assert(got == Seq(("k0", "a"), ("k1", "b"), ("k2", "c")))
     assert(sink.searchable().count() == 16)
+  }
+
+  test("internal working column names are reserved at addDocuments") {
+    val dir = java.nio.file.Files.createTempDirectory("sink-reserved").toString
+    val sink = new ParquetIndexSink(spark, dir)
+    // _seq/_oseq order rows inside the commit fold — a doc column of the
+    // same name would be silently overwritten and dropped
+    for (bad <- Seq("gbucket", "_op", "_dv", "_seq", "_oseq")) {
+      val e = intercept[IllegalArgumentException] {
+        sink.addDocuments(Seq(("a", "x")).toDF("_id", bad))
+      }
+      assert(e.getMessage.contains("reserved"), s"$bad must be reserved")
+    }
+  }
+
+  test("a failed auto-compaction does not fail the already-durable commit") {
+    val dir = java.nio.file.Files.createTempDirectory("sink-compactfail").toString
+    val sink = new ParquetIndexSink(spark, dir, numBuckets = 4, maxDeltas = 1)
+    sink.addDocuments((0 until 8).map(i => (s"k$i", s"v$i")).toDF("_id", "v"))
+    sink.commit() // base
+    sink.addDocuments(Seq(("k0", "a")).toDF("_id", "v")); sink.commit() // 1 delta
+    // corrupt the delta parquet so the compaction read blows up
+    val deltaRoot = java.nio.file.Paths.get(dir, "delta")
+    java.nio.file.Files.walk(deltaRoot).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet"))
+      .foreach(p => java.nio.file.Files.write(p, "garbage".getBytes))
+    // this commit pushes the log past maxDeltas → auto-compaction runs and
+    // fails — but the commit itself is durable and MUST succeed (a thrown
+    // commit would wedge a replaying stream, appending the delta forever)
+    sink.addDocuments(Seq(("k1", "b")).toDF("_id", "v"))
+    sink.commit() // must not throw
+    assert(sink.committedDeltas.size == 2,
+      "failed compaction leaves the log intact for a later retry")
   }
 
   test("null _id in an upsert fails the commit loudly, before publish") {
