@@ -193,6 +193,25 @@ object SparkEntry {
         Tables.documents(s, d).select("doc_id", "text"), "doc_id", "text",
         "merge window scan", 20)),
 
+    // §2.6 index structure — the flat (term, doc_id, tf) postings table
+    // (Lucene's postings lists, Spark-native: no giant per-term arrays,
+    // every op a partitioned aggregate; see InvertedIndex scaladoc).
+    "x_inverted_postings" -> ((s, d) =>
+      graft.sink.InvertedIndex.postings(
+        Tables.documents(s, d).select("doc_id", "text"), "doc_id", "text")
+        .orderBy("term", "doc_id")),
+
+    // §2.6 index-accelerated BM25: same Lucene scoring as q_match_bm25
+    // but reading ONLY the query terms' postings rows — on a persisted
+    // term-sorted index the query is a pruned lookup, not a corpus scan.
+    "x_bm25_indexed" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      graft.sink.InvertedIndex.bm25Search(
+        graft.sink.InvertedIndex.postings(docs, "doc_id", "text"),
+        graft.sink.InvertedIndex.docLengths(docs, "doc_id", "text"),
+        "merge window scan", 20)
+    }),
+
     // §2.6 — MatchAllQuery + field retrieval.
     "q_match_all" -> ((s, d) =>
       DocQueries.retrieve(DocQueries.matchAll(Tables.documents(s, d)),
@@ -884,6 +903,45 @@ object SparkEntry {
     // an exact-integer sum ÷ count — aggregation order cannot perturb
     // either engine's stats.
     "q_match_bm25" ->
+      """WITH t AS (SELECT doc_id,
+             CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+               AS DOUBLE) AS dl,
+             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'merge'))
+               AS DOUBLE) AS tf0,
+             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'window'))
+               AS DOUBLE) AS tf1,
+             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'scan'))
+               AS DOUBLE) AS tf2
+           FROM documents),
+         s AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+             CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+             CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+             CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+           FROM t),
+         z AS (SELECT doc_id,
+             ln(1 + (n - df0 + 0.5) / (df0 + 0.5))
+               * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             + ln(1 + (n - df1 + 0.5) / (df1 + 0.5))
+               * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             + ln(1 + (n - df2 + 0.5) / (df2 + 0.5))
+               * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+               AS score
+           FROM t, s)
+         SELECT doc_id, round(score, 6) AS bm25 FROM z WHERE score > 0
+         ORDER BY bm25 DESC, doc_id LIMIT 20""",
+    // full postings dump: lateral unnest of the tokenized text, exact tf
+    "x_inverted_postings" ->
+      """SELECT term, doc_id, tf FROM (
+           SELECT t.term AS term, d.doc_id AS doc_id,
+             CAST(count(*) AS INTEGER) AS tf
+           FROM documents d,
+             unnest(list_filter(string_split(lower(d.text), ' '), x -> x <> ''))
+               AS t(term)
+           GROUP BY 1, 2)
+         ORDER BY term, doc_id""",
+    // the index-accelerated path must reproduce the corpus-scan BM25
+    // exactly — same oracle as q_match_bm25
+    "x_bm25_indexed" ->
       """WITH t AS (SELECT doc_id,
              CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
                AS DOUBLE) AS dl,

@@ -1,0 +1,104 @@
+package graft.sink
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed inverted-index build + index-accelerated ranked retrieval.
+  *
+  * The reference's sink is a Lucene index (nrtsearch): every ingested
+  * document lands in postings lists and queries touch only the postings of
+  * their terms. [[DocQueries]] gives the query *semantics* over a document
+  * view; this module adds the *index structure* itself, Spark-native:
+  *
+  *   - [[postings]] — the flat `(term, doc_id, tf)` table. Deliberately
+  *     NOT `term → array<(doc,tf)>`: a stop word's postings list at 100 TB
+  *     is billions of entries, and a single array row of that size is
+  *     undistributable (one task, one buffer). The flat layout keeps every
+  *     operation a partitioned aggregate/join, skew handled by AQE, and —
+  *     persisted sorted/bucketed by `term` — a query term becomes a pushed
+  *     predicate that prunes row groups instead of scanning the corpus
+  *     (Lucene's seek-to-term, expressed as parquet min/max pruning).
+  *   - [[termStats]] — per-term `df`/`cf` (the term dictionary).
+  *   - [[docLengths]] — per-doc token count (Lucene's norms file).
+  *   - [[bm25Search]] — BM25 over the postings of the QUERY TERMS only:
+  *     the classic corpus-scan form ([[DocQueries.matchTextBM25]]) reads
+  *     every document per query; this reads `Σ df(q_i)` postings rows —
+  *     at 100 TB that is the difference between a full scan and a pruned
+  *     point lookup. Scores are identical (same Lucene BM25 formula and
+  *     stats; `InvertedIndexSpec` asserts equality with the scan form).
+  *
+  * Tokenization is the corpus convention shared with the SQL oracles and
+  * [[graft.functions.TermFreqStats]]: lowercase, single-space split, empty
+  * tokens dropped.
+  */
+object InvertedIndex {
+
+  /** Build the flat postings table `(term string, doc_id, tf int)` from
+    * `(idCol, textCol)` documents. One explode + one aggregate: partial
+    * (map-side) counting collapses each document's repeated terms before
+    * the single `(term, doc_id)` shuffle.
+    */
+  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = filter(split(lower(col(textCol)), " "), t => t =!= lit(""))
+    docs.select(col(idCol).as("doc_id"), explode(toks).as("term"))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).cast("int").as("tf"))
+  }
+
+  /** Term dictionary: per-term document frequency and collection
+    * frequency. One aggregate over the postings, map-side combinable.
+    */
+  def termStats(postings: DataFrame): DataFrame =
+    postings.groupBy("term").agg(
+      count(lit(1)).cast("int").as("df"),
+      sum("tf").cast("long").as("cf"))
+
+  /** Per-document token counts `(doc_id, dl int)` — the norms the scorer
+    * needs. Stored beside the postings at build time so queries never
+    * re-tokenize the corpus.
+    */
+  def docLengths(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      size(filter(split(lower(col(textCol)), " "), t => t =!= lit("")))
+        .as("dl"))
+
+  /** BM25 top-k via the index: identical scoring to
+    * [[DocQueries.matchTextBM25]] (Lucene defaults k1=1.2, b=0.75,
+    * `idf = ln(1 + (N−df+0.5)/(df+0.5))`), but reading ONLY the postings
+    * rows of the query terms. Corpus stats (N, avgdl) and per-term df are
+    * single tiny aggregate rows, broadcast to the scorers; the only
+    * non-broadcast join keys the query-term postings against the norms
+    * table on `doc_id`. Top-k is TakeOrderedAndProject.
+    *
+    * Output `(doc_id, bm25 double)` — `round(…, 6)` absorbs the
+    * summation-order ULP differences between engines (document scores sum
+    * per-term contributions in hash-aggregate order here, fixed order in
+    * the scan form and the SQL oracle).
+    */
+  def bm25Search(postings: DataFrame, docLens: DataFrame, query: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qTokens = query.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq.distinct
+    require(qTokens.nonEmpty, "BM25 needs a non-empty query")
+    // at-most-df(q) rows survive: on a persisted index this is the pushed
+    // predicate that prunes the scan down to the query terms' row groups
+    val qp = postings.filter(col("term").isin(qTokens: _*))
+    val stats = docLens.agg(
+      count(lit(1)).cast("double").as("_n"),
+      avg(col("dl").cast("double")).as("_avgdl"))
+    val dfPerTerm = qp.groupBy("term")
+      .agg(count(lit(1)).cast("double").as("_df"))
+    val tf = col("tf").cast("double")
+    val idf = log(lit(1.0) + (col("_n") - col("_df") + 0.5) / (col("_df") + 0.5))
+    val contrib = idf * (tf * (k1 + 1.0)) /
+      (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("_avgdl")))
+    qp.join(broadcast(dfPerTerm), "term")
+      .join(docLens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), contrib.as("_c"))
+      .groupBy("doc_id").agg(sum("_c").as("_score"))
+      .filter(col("_score") > 0)
+      .select(col("doc_id"), round(col("_score"), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+}

@@ -1,0 +1,52 @@
+package graft.sink
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class InvertedIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (0L, "merge the scan then Merge again"),
+    (1L, "window scan window"),
+    (2L, "nothing relevant here"),
+    (3L, ""),
+    (4L, "merge window scan")).toDF("doc_id", "text")
+
+  test("postings: one row per (term, doc), exact tf, case-folded") {
+    val p = InvertedIndex.postings(corpus, "doc_id", "text")
+    val merge = p.filter($"term" === "merge").orderBy("doc_id")
+      .as[(String, Long, Int)].collect().toSeq
+    assert(merge == Seq(("merge", 0L, 2), ("merge", 4L, 1)))
+    // empty doc contributes nothing
+    assert(p.filter($"doc_id" === 3L).count() == 0)
+    // total postings = distinct (term, doc) pairs
+    assert(p.count() == p.select("term", "doc_id").distinct().count())
+  }
+
+  test("term stats: df counts docs, cf counts occurrences") {
+    val s = InvertedIndex.termStats(
+        InvertedIndex.postings(corpus, "doc_id", "text"))
+      .filter($"term".isin("merge", "window", "scan"))
+      .orderBy("term").as[(String, Int, Long)].collect().toSeq
+    assert(s == Seq(("merge", 2, 3L), ("scan", 3, 3L), ("window", 2, 3L)))
+  }
+
+  test("doc lengths count single-space tokens, empty doc = 0") {
+    val dl = InvertedIndex.docLengths(corpus, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Int)].collect().toSeq
+    assert(dl == Seq((0L, 6), (1L, 3), (2L, 3), (3L, 0), (4L, 3)))
+  }
+
+  test("index-accelerated BM25 matches the corpus-scan scorer exactly") {
+    val p = InvertedIndex.postings(corpus, "doc_id", "text")
+    val dl = InvertedIndex.docLengths(corpus, "doc_id", "text")
+    val indexed = InvertedIndex.bm25Search(p, dl, "merge window scan", 10)
+      .as[(Long, Double)].collect().toSeq
+    val scan = DocQueries.matchTextBM25(corpus, "doc_id", "text",
+      "merge window scan", 10).as[(Long, Double)].collect().toSeq
+    assert(indexed == scan)
+    assert(indexed.nonEmpty && indexed.map(_._2) == indexed.map(_._2).sorted.reverse)
+  }
+}
