@@ -577,6 +577,11 @@ object SparkEntry {
     // stats row to the driver) — the scale path that replaces agg_stats'
     // sort-heavy exact percentiles at 100 TB. Rank accuracy 10000 → the
     // estimates must land within 1% of the exact interpolated values.
+    // BENCH NOTE: ~80% of this query's wall time is the GATE, not the
+    // operator — the exact `percentile` trio (full per-group sort) exists
+    // only to bound the sketch within ±1%. The operator under test is the
+    // mergeable `percentile_approx` sketch alone (fixed-size partials,
+    // map-side combinable — the 100 TB path).
     "agg_quantile_sketch" -> ((s, d) =>
       Tables.lineitem(s, d).agg(
         count(lit(1)).as("n_rows"),
@@ -596,6 +601,21 @@ object SparkEntry {
       operators.TextAnalysis.tfidfTopTerms(Tables.documents(s, d),
         "doc_id", "text", k = 3)
         .orderBy("doc_id", "rk")),
+
+    // Vector aggregate as a first-class query: per-label embedding
+    // centroid via the VectorSum TypedImperativeAggregate (fixed-size
+    // partial per group, map-side combinable — IVF training's re-center
+    // step, gated directly). Exploded to (label, dim, c) for the oracle;
+    // round(6) absorbs partial-sum ordering ULPs.
+    "x_embed_centroid" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .groupBy("label")
+        .agg(graft.functions.VectorAggregates.vectorSum(col("embedding")).as("_s"),
+          count(lit(1)).as("_n"))
+        .select(col("label"), col("_n"), posexplode(col("_s")).as(Seq("_d0", "_v")))
+        .select(col("label"), (col("_d0") + 1).cast("int").as("dim"),
+          round(col("_v") / col("_n"), 6).as("c"))
+        .orderBy("label", "dim")),
 
     // Composite training-data curation pipeline: quality-filter → exact
     // dedup (keep lowest doc_id per distinct text) → language ID — the
@@ -1297,6 +1317,14 @@ object SparkEntry {
          SELECT doc_id, CAST(rk AS INT) AS rk, term,
            round(score, 6) AS tfidf
          FROM r WHERE rk <= 3 ORDER BY doc_id, rk""",
+    // parallel unnest zips value with its 1-based position
+    "x_embed_centroid" ->
+      """SELECT label, CAST(dim AS INTEGER) AS dim, round(avg(v), 6) AS c
+         FROM (SELECT label,
+             unnest(generate_series(1, len(embedding))) AS dim,
+             unnest(embedding) AS v
+           FROM embeddings)
+         GROUP BY label, dim ORDER BY label, dim""",
     "x_curation" ->
       """WITH q AS (SELECT doc_id, text,
              len(string_split(text, ' ')) AS n_tokens,

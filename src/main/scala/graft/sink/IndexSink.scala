@@ -142,19 +142,29 @@ class ParquetIndexSink(spark: SparkSession, path: String, numBuckets: Int = 16,
   private def fs = new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
   private def manifestDir = new HPath(path, "_manifests")
 
-  /** Latest committed manifest, if any (max N over `_manifests/v{N}.json`). */
-  private def readManifest(): Option[Manifest] = {
+  /** Committed manifest versions, ascending — the append-only manifest
+    * log IS the index history ([[vacuum]] prunes it to the latest).
+    */
+  def history(): Seq[Long] = {
     val f = fs
-    if (!f.exists(manifestDir)) return None
-    val versions = f.listStatus(manifestDir).toSeq
+    if (!f.exists(manifestDir)) Nil
+    else f.listStatus(manifestDir).toSeq
       .flatMap(s => s.getPath.getName match {
         case ManifestName(n) => Some(n.toLong)
         case _ => None
-      })
-    if (versions.isEmpty) None
+      }).sorted
+  }
+
+  /** Latest committed manifest, if any (max N over `_manifests/v{N}.json`). */
+  private def readManifest(): Option[Manifest] =
+    history().lastOption.flatMap(readManifestAt)
+
+  private def readManifestAt(v: Long): Option[Manifest] = {
+    val f = fs
+    val p = new HPath(manifestDir, s"v$v.json")
+    if (!f.exists(p)) None
     else {
-      val v = versions.max
-      val in = f.open(new HPath(manifestDir, s"v$v.json"))
+      val in = f.open(p)
       val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
       Some(Manifest.fromJson(new String(bytes, "UTF-8")))
     }
@@ -418,7 +428,23 @@ class ParquetIndexSink(spark: SparkSession, path: String, numBuckets: Int = 16,
   override def searchable(): DataFrame = readManifest() match {
     case None =>
       throw new IllegalStateException(s"index at $path has no committed version")
-    case Some(m) =>
+    case Some(m) => viewOf(m)
+  }
+
+  /** Time travel: the committed view AS OF manifest version `v`. Every
+    * manifest references only immutable dirs, so any version in
+    * [[history]] reconstructs exactly — until [[vacuum]], which (like
+    * Delta/Iceberg retention) prunes non-latest manifests and the dirs
+    * only they reference.
+    */
+  def searchableAt(version: Long): DataFrame = readManifestAt(version) match {
+    case None => throw new IllegalArgumentException(
+      s"no committed manifest v$version at $path " +
+        s"(history: ${history().mkString(", ")})")
+    case Some(m) => viewOf(m)
+  }
+
+  private def viewOf(m: Manifest): DataFrame = {
       val s = m.schema.getOrElse(StructType(Seq(StructField(idField, StringType))))
       val base =
         if (m.buckets.isEmpty)

@@ -74,4 +74,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
       s"benchmark shingle set should broadcast:\n$p")
   }
+
+  test("indexed BM25 prunes to the query terms before any shuffle") {
+    val p = plan("x_bm25_indexed")
+    // the postings filter must sit below the (term, doc) aggregate: the
+    // shuffle carries only query-term postings, never the whole corpus
+    assert(p.contains("IN (merge,window,scan)"),
+      s"query-term filter missing from the postings build:\n$p")
+    assert(p.contains("BroadcastHashJoin")) // df + norms joins broadcast
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("partial_sum")) // per-doc score map-side combined
+  }
+
+  test("postings build is one aggregate with map-side combine") {
+    val p = plan("x_inverted_postings")
+    assert(p.contains("partial_count"),
+      s"tf counting should collapse map-side before the term shuffle:\n$p")
+    assert(!p.contains("Exchange SinglePartition"))
+  }
 }

@@ -229,6 +229,31 @@ class IndexSinkSpec extends SparkSpec {
     assert(sink.searchable().count() == 16)
   }
 
+  test("time travel: searchableAt reconstructs any committed version") {
+    val dir = java.nio.file.Files.createTempDirectory("sink-timetravel").toString
+    val sink = new ParquetIndexSink(spark, dir, numBuckets = 4)
+    sink.addDocuments(Seq(("a", "v1"), ("b", "b1")).toDF("_id", "v")); sink.commit()
+    sink.addDocuments(Seq(("a", "v2")).toDF("_id", "v")); sink.commit()
+    sink.deleteByIds(Seq("b")); sink.commit()
+    assert(sink.history() == Seq(0L, 1L, 2L))
+    assert(sink.searchableAt(0).orderBy("_id").as[(String, String)].collect().toSeq ==
+      Seq(("a", "v1"), ("b", "b1")))
+    assert(sink.searchableAt(1).orderBy("_id").as[(String, String)].collect().toSeq ==
+      Seq(("a", "v2"), ("b", "b1")))
+    assert(sink.searchableAt(2).as[(String, String)].collect().toSeq ==
+      Seq(("a", "v2")))
+    // latest view ≡ time travel to the max version
+    assert(sink.searchable().as[(String, String)].collect().toSeq ==
+      sink.searchableAt(2).as[(String, String)].collect().toSeq)
+    val e = intercept[IllegalArgumentException](sink.searchableAt(9))
+    assert(e.getMessage.contains("history"))
+    // vacuum prunes history to the latest (Delta/Iceberg retention)
+    sink.vacuum()
+    assert(sink.history() == Seq(2L))
+    assert(sink.searchable().as[(String, String)].collect().toSeq ==
+      Seq(("a", "v2")))
+  }
+
   test("internal working column names are reserved at addDocuments") {
     val dir = java.nio.file.Files.createTempDirectory("sink-reserved").toString
     val sink = new ParquetIndexSink(spark, dir)
