@@ -301,7 +301,8 @@ class ParquetIndexSink(spark: SparkSession, path: String, numBuckets: Int = 16,
       case None =>
         // delete-only before any schema is known: publish an empty v0 so a
         // successful commit always yields a searchable (empty) index
-        writeManifest(Manifest(version, nb, None, prevBuckets, prevDeltas))
+        writeManifest(Manifest(version, nb, None, prevBuckets, prevDeltas,
+          kind = "empty"))
         ops = Vector.empty
       case Some(s) if prevBuckets.isEmpty && prevDeltas.isEmpty =>
         // initial load: the batch IS the index — write it straight as the
@@ -322,7 +323,7 @@ class ParquetIndexSink(spark: SparkSession, path: String, numBuckets: Int = 16,
           .write.mode("overwrite").partitionBy(BucketCol)
           .parquet(s"$path/$commitDir")
         writeManifest(Manifest(version, nb, Some(s),
-          listBucketDirs(commitDir), Nil))
+          listBucketDirs(commitDir), Nil, kind = "load"))
         ops = Vector.empty
       case Some(s) =>
         // steady state: append ONE flat delta dir — O(batch) bytes/files,
@@ -332,7 +333,7 @@ class ParquetIndexSink(spark: SparkSession, path: String, numBuckets: Int = 16,
           .withColumn(DeltaVerCol, lit(version))
           .write.mode("overwrite").parquet(s"$path/$deltaDir")
         writeManifest(Manifest(version, nb, Some(s),
-          prevBuckets, prevDeltas :+ deltaDir))
+          prevBuckets, prevDeltas :+ deltaDir, kind = "delta"))
         ops = Vector.empty
         // bound read amplification: fold the log into the base once it
         // grows past maxDeltas commits (amortized maintenance, same unit
@@ -398,7 +399,8 @@ class ParquetIndexSink(spark: SparkSession, path: String, numBuckets: Int = 16,
       // a touched bucket with zero surviving docs writes no dir → it
       // drops out of the manifest entirely
       writeManifest(Manifest(version, nb, Some(s),
-        (prev.buckets -- touched) ++ listBucketDirs(commitDir), Nil))
+        (prev.buckets -- touched) ++ listBucketDirs(commitDir), Nil,
+        kind = "compact"))
     } finally resolved.unpersist()
   }
 
@@ -442,6 +444,72 @@ class ParquetIndexSink(spark: SparkSession, path: String, numBuckets: Int = 16,
       s"no committed manifest v$version at $path " +
         s"(history: ${history().mkString(", ")})")
     case Some(m) => viewOf(m)
+  }
+
+  /** Change-data feed: every logical change committed AFTER `version`,
+    * in commit order — the folded one-row-per-key-per-commit
+    * upsert/delete stream the index itself applies (the Delta-CDF
+    * analogue), read straight off the immutable dirs the manifest log
+    * references: zero write-path cost, O(changed rows) read cost. The
+    * reference CONSUMES a changelog to build the index; this closes the
+    * loop by letting the index PRODUCE one for downstream consumers.
+    *
+    * Columns: committed schema + `_op` ("u" upsert / "d" delete
+    * tombstone) + `_dv` (commit version). A bulk load surfaces as an
+    * upsert of every loaded row; compact/rebucket/empty commits change
+    * nothing and contribute no rows. Fails loudly when the range is no
+    * longer reconstructable ([[vacuum]] pruned it, or the index predates
+    * the manifest `kind` field).
+    */
+  def changesSince(version: Long): DataFrame = {
+    val latest = readManifest().getOrElse(throw new IllegalStateException(
+      s"index at $path has no committed version"))
+    require(version <= latest.version,
+      s"changesSince($version): latest committed version is ${latest.version}")
+    val have = history().toSet
+    val want = ((version + 1) to latest.version).toSeq
+    val missing = want.filterNot(have.contains)
+    require(missing.isEmpty,
+      s"changesSince($version): manifest(s) v${missing.mkString(", v")} " +
+        s"were vacuumed away — the feed reconstructs only back to " +
+        s"v${history().headOption.getOrElse(-1L)}")
+    val outSchema = StructType(
+      latest.schema.getOrElse(StructType(Nil)).fields.toSeq :+
+        StructField(OpCol, StringType) :+
+        StructField(DeltaVerCol, org.apache.spark.sql.types.LongType))
+    // width evolution: align every commit's frame to the LATEST schema
+    // (absent-then columns read as null, like the merge-on-read view)
+    def align(df: DataFrame): DataFrame =
+      df.select(outSchema.fields.toSeq.map { f =>
+        if (df.columns.contains(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+    val frames = want.flatMap { w =>
+      val m = readManifestAt(w).get
+      m.kind match {
+        case "delta" =>
+          val dir = m.deltas.lastOption.getOrElse(throw new IllegalStateException(
+            s"delta manifest v$w lists no delta dir at $path"))
+          Some(align(spark.read.schema(
+              StructType(m.schema.get.fields.toSeq :+
+                StructField(OpCol, StringType) :+
+                StructField(DeltaVerCol, org.apache.spark.sql.types.LongType)))
+            .parquet(s"$path/$dir")))
+        case "load" if m.buckets.nonEmpty =>
+          Some(align(spark.read.schema(m.schema.get)
+            .parquet(m.buckets.toSeq.sortBy(_._1).map(rel => s"$path/${rel._2}"): _*)
+            .withColumn(OpCol, lit("u"))
+            .withColumn(DeltaVerCol, lit(w))))
+        case "load" | "empty" | "compact" | "rebucket" => None
+        case other => throw new IllegalStateException(
+          s"manifest v$w has kind '$other' — change feed unavailable " +
+            "(index written before commit kinds were recorded)")
+      }
+    }
+    if (frames.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    else frames.reduce(_.unionByName(_))
   }
 
   private def viewOf(m: Manifest): DataFrame = {
@@ -504,7 +572,8 @@ class ParquetIndexSink(spark: SparkSession, path: String, numBuckets: Int = 16,
           .parquet(s"$path/$commitDir")
         listBucketDirs(commitDir)
     }
-    writeManifest(Manifest(version, newBuckets, prev.schema, written, Nil))
+    writeManifest(Manifest(version, newBuckets, prev.schema, written, Nil,
+      kind = "rebucket"))
   }
 
   /** Delete data dirs no manifest-current bucket references, delta dirs no
@@ -597,10 +666,16 @@ object ParquetIndexSink {
     * compaction). A round-2 manifest (no "deltas" key) reads as an empty
     * log — the layout is forward-compatible.
     */
+  /** `kind` records what the commit DID — "empty" (delete-only v0),
+    * "load" (bulk base write), "delta" (steady-state append), "compact",
+    * "rebucket" — so history readers ([[ParquetIndexSink.changesSince]])
+    * know which versions carry logical changes without re-deriving it.
+    * Manifests written before the field existed read back as "legacy".
+    */
   private[sink] final case class Manifest(
       version: Long, numBuckets: Int,
       schema: Option[StructType], buckets: Map[Int, String],
-      deltas: Seq[String] = Nil) {
+      deltas: Seq[String] = Nil, kind: String = "delta") {
     def toJson: String = {
       import org.json4s.JsonDSL._
       import org.json4s.jackson.JsonMethods._
@@ -608,7 +683,7 @@ object ParquetIndexSink {
         ("version" -> version) ~ ("numBuckets" -> numBuckets) ~
           ("schema" -> schema.map(_.json)) ~
           ("buckets" -> buckets.map { case (k, v) => k.toString -> v }) ~
-          ("deltas" -> deltas)))
+          ("deltas" -> deltas) ~ ("kind" -> kind)))
     }
   }
 
@@ -625,7 +700,8 @@ object ParquetIndexSink {
           .map(DataType.fromJson(_).asInstanceOf[StructType]),
         (j \ "buckets").extract[Map[String, String]]
           .map { case (k, v) => k.toInt -> v },
-        (j \ "deltas").extractOrElse[Seq[String]](Nil))
+        (j \ "deltas").extractOrElse[Seq[String]](Nil),
+        (j \ "kind").extractOrElse[String]("legacy"))
     }
   }
 }

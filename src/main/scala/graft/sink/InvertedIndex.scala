@@ -62,6 +62,20 @@ object InvertedIndex {
       size(filter(split(lower(col(textCol)), " "), t => t =!= lit("")))
         .as("dl"))
 
+  /** Persist the postings term-sorted: range-partition on `term`, sort
+    * within partitions on `(term, doc_id)`. Parquet then records term
+    * min/max per row group, so a query term's `IN` filter prunes to its
+    * row groups at scan time — Lucene's seek-to-term expressed as
+    * storage-level skipping (`InvertedIndexSpec` pins the pushed filter).
+    */
+  def writePostings(postings: DataFrame, dir: String): Unit =
+    postings.repartitionByRange(col("term"))
+      .sortWithinPartitions("term", "doc_id")
+      .write.mode("overwrite").parquet(dir)
+
+  def readPostings(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+
   /** BM25 top-k via the index: identical scoring to
     * [[DocQueries.matchTextBM25]] (Lucene defaults k1=1.2, b=0.75,
     * `idf = ln(1 + (N−df+0.5)/(df+0.5))`), but reading ONLY the postings

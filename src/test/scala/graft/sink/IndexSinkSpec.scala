@@ -254,6 +254,33 @@ class IndexSinkSpec extends SparkSpec {
       Seq(("a", "v2")))
   }
 
+  test("change feed: changesSince replays upserts/deletes in commit order") {
+    val dir = java.nio.file.Files.createTempDirectory("sink-cdf").toString
+    val sink = new ParquetIndexSink(spark, dir, numBuckets = 4, maxDeltas = 2)
+    sink.addDocuments(Seq(("a", "v1"), ("b", "b1")).toDF("_id", "v")); sink.commit() // v0 load
+    sink.addDocuments(Seq(("a", "v2")).toDF("_id", "v")); sink.commit()              // v1 delta
+    sink.deleteByIds(Seq("b")); sink.commit()                                        // v2 delta
+    // full feed from before the load: bulk load = upserts of every row
+    val full = sink.changesSince(-1).orderBy("_dv", "_id")
+      .as[(String, String, String, Long)].collect().toSeq
+    assert(full == Seq(
+      ("a", "v1", "u", 0L), ("b", "b1", "u", 0L),
+      ("a", "v2", "u", 1L), ("b", null, "d", 2L)))
+    // incremental consumer: only what happened after v1
+    val tail = sink.changesSince(1).as[(String, String, String, Long)].collect().toSeq
+    assert(tail == Seq(("b", null, "d", 2L)))
+    assert(sink.changesSince(2).count() == 0) // caught up
+    // compaction commits no logical change: feed content is unchanged
+    sink.addDocuments(Seq(("c", "c1")).toDF("_id", "v")); sink.commit()   // v3 → folds
+    val afterCompact = sink.changesSince(2).orderBy("_dv", "_id")
+      .as[(String, String, String, Long)].collect().toSeq
+    assert(afterCompact == Seq(("c", "c1", "u", 3L)))
+    // vacuum prunes history → a pre-history cursor fails loudly
+    sink.vacuum()
+    val e = intercept[IllegalArgumentException](sink.changesSince(-1))
+    assert(e.getMessage.contains("vacuumed"))
+  }
+
   test("internal working column names are reserved at addDocuments") {
     val dir = java.nio.file.Files.createTempDirectory("sink-reserved").toString
     val sink = new ParquetIndexSink(spark, dir)

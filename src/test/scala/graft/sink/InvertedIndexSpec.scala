@@ -39,6 +39,26 @@ class InvertedIndexSpec extends SparkSpec {
     assert(dl == Seq((0L, 6), (1L, 3), (2L, 3), (3L, 0), (4L, 3)))
   }
 
+  test("persisted postings push the query-term filter into the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("postings").toString
+    InvertedIndex.writePostings(
+      InvertedIndex.postings(corpus, "doc_id", "text"), dir)
+    val persisted = InvertedIndex.readPostings(spark, dir)
+    val dl = InvertedIndex.docLengths(corpus, "doc_id", "text")
+    // searching the persisted index ≡ searching the inline build
+    val fromDisk = InvertedIndex.bm25Search(persisted, dl, "merge window scan", 10)
+      .as[(Long, Double)].collect().toSeq
+    val inline = InvertedIndex.bm25Search(
+      InvertedIndex.postings(corpus, "doc_id", "text"), dl,
+      "merge window scan", 10).as[(Long, Double)].collect().toSeq
+    assert(fromDisk == inline)
+    // the term predicate reaches the parquet scan (row-group pruning)
+    val plan = persisted.filter($"term".isin("merge", "scan"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(term"),
+      s"term filter not pushed to the postings scan:\n$plan")
+  }
+
   test("index-accelerated BM25 matches the corpus-scan scorer exactly") {
     val p = InvertedIndex.postings(corpus, "doc_id", "text")
     val dl = InvertedIndex.docLengths(corpus, "doc_id", "text")
