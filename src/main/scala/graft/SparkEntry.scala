@@ -607,8 +607,12 @@ object SparkEntry {
     // partial per group, map-side combinable — IVF training's re-center
     // step, gated directly). Exploded to (label, dim, c) for the oracle;
     // round(6) absorbs partial-sum ordering ULPs.
+    // null vectors are excluded BEFORE the aggregate so the divisor
+    // counts exactly the vectors VectorSum accumulated (fixed-dim
+    // embedding columns; dim-ragged input is out of contract)
     "x_embed_centroid" -> ((s, d) =>
       Tables.embeddings(s, d)
+        .filter(col("embedding").isNotNull)
         .groupBy("label")
         .agg(graft.functions.VectorAggregates.vectorSum(col("embedding")).as("_s"),
           count(lit(1)).as("_n"))
@@ -1323,7 +1327,7 @@ object SparkEntry {
          FROM (SELECT label,
              unnest(generate_series(1, len(embedding))) AS dim,
              unnest(embedding) AS v
-           FROM embeddings)
+           FROM embeddings WHERE embedding IS NOT NULL)
          GROUP BY label, dim ORDER BY label, dim""",
     "x_curation" ->
       """WITH q AS (SELECT doc_id, text,

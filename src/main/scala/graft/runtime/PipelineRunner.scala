@@ -194,7 +194,12 @@ final class ProgressWatchdog(timeoutMs: Long,
       var sawData = false
       while (query.isActive && !expired) {
         val p = query.lastProgress
-        if (p != null && p.numInputRows > 0) sawData = true
+        // scan the recent-progress buffer, not just the latest snapshot:
+        // a row-carrying batch followed by a no-data batch inside one
+        // poll interval would otherwise never be observed, and a healthy
+        // stream would be aborted once the grace expired
+        if (!sawData && query.recentProgress.exists(_.numInputRows > 0))
+          sawData = true
         // `startupGraceMs` bounds the wait for FIRST DATA: until any
         // progress has carried rows, liveness only resets the timer
         // inside the grace window. Spark runs an (empty) batch 0 even on

@@ -98,7 +98,11 @@ object Stringifier {
       concat(lit("\"" + escapeLiteral(f.name) + "\":"),
         jsonElement(c.getField(f.name), f.dataType))
     }
-    concat(lit("{"), concat_ws(",", parts: _*), lit("}"))
+    // a NULL struct stringifies to NULL (elided at document assembly like
+    // every other type) — the parts above are built from literals, so
+    // without the guard a null struct would fabricate {"a":null,...}
+    when(c.isNull, lit(null).cast(StringType))
+      .otherwise(concat(lit("{"), concat_ws(",", parts: _*), lit("}")))
   }
 
   /** Is `dt` part of the document conversion contract? Fields of any

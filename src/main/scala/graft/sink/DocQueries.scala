@@ -11,6 +11,30 @@ import org.apache.spark.sql.functions._
   */
 object DocQueries {
 
+  /** Query-side tokenization shared by every match query: lowercase with
+    * `Locale.ROOT` — the same fold [[graft.functions.TermFreqStats]] and
+    * the document side use; the default-locale `toLowerCase` would
+    * tokenize differently on e.g. a Turkish JVM — whitespace split,
+    * empties dropped.
+    */
+  private[sink] def queryTokens(query: String): Seq[String] =
+    query.toLowerCase(java.util.Locale.ROOT)
+      .split("\\s+").filter(_.nonEmpty).toSeq
+
+  /** One query term's BM25 contribution (Lucene `BM25Similarity`):
+    * `idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))` with
+    * `idf = ln(1 + (N−df+0.5)/(df+0.5))`. ONE definition shared by the
+    * corpus-scan and inverted-index scorers (and mirrored by the SQL
+    * oracles) — the spec-pinned scan ≡ indexed equality depends on the
+    * formula living in exactly one place.
+    */
+  private[sink] def bm25Contrib(tf: Column, df: Column, n: Column,
+      avgdl: Column, dl: Column, k1: Double, b: Double): Column = {
+    val idf = log(lit(1.0) + (n - df + 0.5) / (df + 0.5))
+    idf * (tf * (k1 + 1.0)) /
+      (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dl / avgdl))
+  }
+
   /** MatchAllQuery — full scan. */
   def matchAll(index: DataFrame): DataFrame = index
 
@@ -27,7 +51,7 @@ object DocQueries {
     * Lucene MatchQuery default).
     */
   def matchText(index: DataFrame, field: String, query: String): DataFrame = {
-    val qTokens = query.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val qTokens = queryTokens(query)
     val fieldTokens = split(lower(col(field)), "\\s+")
     index.filter(
       arrays_overlap(fieldTokens, array(qTokens.map(lit): _*)))
@@ -51,7 +75,7 @@ object DocQueries {
     */
   def matchTextBM25(index: DataFrame, idCol: String, field: String,
       query: String, k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val qTokens = query.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq.distinct
+    val qTokens = queryTokens(query).distinct
     require(qTokens.nonEmpty, "BM25 needs a non-empty query")
     // ONE tokenization pass per row ([[graft.functions.TermFreqStats]];
     // the composed `size(filter(split(...)))` form re-split the document
@@ -70,13 +94,9 @@ object DocQueries {
         qTokens.indices.map(i =>
           sum(when(col(s"_tf$i") > 0, 1).otherwise(0)).cast("double").as(s"_df$i"))
     val stats = base.agg(aggCols.head, aggCols.tail: _*)
-    val score = qTokens.indices.map { i =>
-      val idf = log(lit(1.0) +
-        (col("_n") - col(s"_df$i") + 0.5) / (col(s"_df$i") + 0.5))
-      idf * (col(s"_tf$i") * (k1 + 1.0)) /
-        (col(s"_tf$i") +
-          lit(k1) * (lit(1.0 - b) + lit(b) * col("_dl") / col("_avgdl")))
-    }.reduce(_ + _)
+    val score = qTokens.indices.map(i =>
+      bm25Contrib(col(s"_tf$i"), col(s"_df$i"), col("_n"),
+        col("_avgdl"), col("_dl"), k1, b)).reduce(_ + _)
     base.crossJoin(broadcast(stats))
       .select(col(idCol), score.as("_score"))
       .filter(col("_score") > 0)
@@ -91,7 +111,7 @@ object DocQueries {
     */
   def matchTextRanked(index: DataFrame, field: String, query: String,
       k: Int): DataFrame = {
-    val qTokens = query.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val qTokens = queryTokens(query)
     // empty query → empty result (same contract as matchText), not a
     // reduce-on-empty crash
     val scored =

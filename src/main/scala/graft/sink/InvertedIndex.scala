@@ -91,7 +91,10 @@ object InvertedIndex {
     */
   def bm25Search(postings: DataFrame, docLens: DataFrame, query: String,
       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val qTokens = query.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq.distinct
+    // tokenizer and per-term formula are SHARED with the corpus-scan
+    // scorer (DocQueries.queryTokens / bm25Contrib) — the spec-pinned
+    // scan ≡ indexed equality depends on one definition of each
+    val qTokens = DocQueries.queryTokens(query).distinct
     require(qTokens.nonEmpty, "BM25 needs a non-empty query")
     // at-most-df(q) rows survive: on a persisted index this is the pushed
     // predicate that prunes the scan down to the query terms' row groups
@@ -101,10 +104,8 @@ object InvertedIndex {
       avg(col("dl").cast("double")).as("_avgdl"))
     val dfPerTerm = qp.groupBy("term")
       .agg(count(lit(1)).cast("double").as("_df"))
-    val tf = col("tf").cast("double")
-    val idf = log(lit(1.0) + (col("_n") - col("_df") + 0.5) / (col("_df") + 0.5))
-    val contrib = idf * (tf * (k1 + 1.0)) /
-      (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("_avgdl")))
+    val contrib = DocQueries.bm25Contrib(col("tf").cast("double"),
+      col("_df"), col("_n"), col("_avgdl"), col("dl").cast("double"), k1, b)
     qp.join(broadcast(dfPerTerm), "term")
       .join(docLens, "doc_id")
       .crossJoin(broadcast(stats))

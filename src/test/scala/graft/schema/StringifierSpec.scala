@@ -115,6 +115,14 @@ class StringifierSpec extends SparkSpec {
     assert(one(c) == "{\"a\":null,\"inner\":\"{\\\"d\\\":\\\"19723\\\"}\"}")
   }
 
+  test("NULL struct stringifies to NULL like every other type") {
+    val st = StructType(Seq(StructField("a", IntegerType)))
+    assert(one(Stringifier.stringify(lit(null).cast(st), st)) == null)
+    // non-null struct with a null FIELD still renders the field as null
+    assert(one(Stringifier.stringify(
+      struct(lit(null).cast(IntegerType).as("a")), st)) == "{\"a\":null}")
+  }
+
   test("containers hiding an unsupported type are dropped, not rendered") {
     val iv = expr("INTERVAL '3' DAY")
     val df = spark.range(1).select(col("id"),
