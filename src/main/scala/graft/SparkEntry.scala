@@ -212,6 +212,32 @@ object SparkEntry {
         "merge window scan", 20)
     }),
 
+    // Column profiling ("analyze table" for pipeline observability): one
+    // aggregate pass — per-column null/non-null counts, exact min/max,
+    // HLL++ distinct. The approx cardinality is gated within ±5% of the
+    // exact count (computed gate-side, like x_sketch_distinct).
+    "x_profile" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus")
+      val prof = operators.Profile.profile(o, cols)
+      val exactAggs = cols.map(c => countDistinct(col(c)).cast("long").as(c))
+      val exact = o.agg(exactAggs.head, exactAggs.tail: _*)
+        .select(explode(array(cols.map(c =>
+          struct(lit(c).as("col_name"), col(c).as("exact_distinct"))): _*)).as("e"))
+        .select("e.*")
+      prof.join(broadcast(exact), "col_name")
+        .select(col("col_name"), col("n_nonnull"), col("n_null"),
+          col("min_v"), col("max_v"),
+          (abs(col("approx_distinct") - col("exact_distinct")) <=
+            col("exact_distinct") * 0.05).as("dist_ok"))
+        .orderBy("col_name")
+    }),
+
+    // §2.6 — PhraseQuery (slop 0): tokens must be consecutive.
+    "q_match_phrase" -> ((s, d) =>
+      DocQueries.matchPhrase(Tables.documents(s, d), "text", "stream data")
+        .select("doc_id").orderBy("doc_id")),
+
     // §2.6 — MatchAllQuery + field retrieval.
     "q_match_all" -> ((s, d) =>
       DocQueries.retrieve(DocQueries.matchAll(Tables.documents(s, d)),
@@ -996,6 +1022,39 @@ object SparkEntry {
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
            TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
          FROM lineitem""",
+    "x_profile" ->
+      """SELECT col_name, n_nonnull, n_null, min_v, max_v, TRUE AS dist_ok
+         FROM (
+           SELECT 'o_custkey' AS col_name,
+             CAST(count(o_custkey) AS BIGINT) AS n_nonnull,
+             CAST(coalesce(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_null,
+             CAST(min(o_custkey) AS VARCHAR) AS min_v,
+             CAST(max(o_custkey) AS VARCHAR) AS max_v
+           FROM orders
+           UNION ALL
+           SELECT 'o_orderkey',
+             CAST(count(o_orderkey) AS BIGINT),
+             CAST(coalesce(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
+             CAST(min(o_orderkey) AS VARCHAR),
+             CAST(max(o_orderkey) AS VARCHAR)
+           FROM orders
+           UNION ALL
+           SELECT 'o_orderstatus',
+             CAST(count(o_orderstatus) AS BIGINT),
+             CAST(coalesce(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
+             CAST(min(o_orderstatus) AS VARCHAR),
+             CAST(max(o_orderstatus) AS VARCHAR)
+           FROM orders)
+         ORDER BY col_name""",
+    // tokenize-rejoin-pad mirrors matchPhrase's boundary-safe normalize
+    "q_match_phrase" ->
+      """SELECT doc_id FROM (
+           SELECT doc_id,
+             ' ' || array_to_string(
+               list_filter(string_split(lower(text), ' '), x -> x <> ''),
+               ' ') || ' ' AS norm
+           FROM documents)
+         WHERE contains(norm, ' stream data ') ORDER BY doc_id""",
     "q_match_all" ->
       """SELECT doc_id, source FROM documents ORDER BY doc_id""",
     "p_documents" ->

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Column profiling for pipeline observability: per-column non-null/null
+  * counts, approximate distinct cardinality (HLL++), and min/max — the
+  * "analyze table" a curation pipeline runs before and after every
+  * transform to catch schema drift, null storms, and key-cardinality
+  * regressions.
+  *
+  * ONE aggregate pass over the table, fixed-size state per column
+  * (counters + an HLL sketch each, all map-side combinable), then a
+  * driver-free melt to one row per column. Cost is a single scan
+  * regardless of how many columns are profiled — at 100 TB the scan is
+  * the floor, and this never adds a second one.
+  */
+object Profile {
+
+  /** Profile `columns` of `df` → one row per column:
+    * `(col_name, n_nonnull, n_null, approx_distinct, min_v, max_v)`.
+    * min/max are rendered as strings so heterogeneous column types melt
+    * into one frame (exact values, engine-portable for ints/strings;
+    * floating-point columns inherit the engine's float formatting).
+    * `rsd` is the HLL++ relative standard deviation — the 0.02 default
+    * keeps the estimate comfortably inside a ±5% gate at any cardinality.
+    */
+  def profile(df: DataFrame, columns: Seq[String],
+      rsd: Double = 0.02): DataFrame = {
+    require(columns.nonEmpty, "profile needs at least one column")
+    columns.foreach(c => require(df.columns.contains(c),
+      s"profile: no column '$c' (have ${df.columns.mkString(", ")})"))
+    val aggs = columns.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"_cnt_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_null_$c"),
+        approx_count_distinct(col(c), rsd).as(s"_dist_$c"),
+        min(col(c)).cast("string").as(s"_min_$c"),
+        max(col(c)).cast("string").as(s"_max_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = columns.map { c =>
+      struct(
+        lit(c).as("col_name"),
+        col(s"_cnt_$c").as("n_nonnull"),
+        coalesce(col(s"_null_$c"), lit(0L)).as("n_null"),
+        col(s"_dist_$c").as("approx_distinct"),
+        col(s"_min_$c").as("min_v"),
+        col(s"_max_$c").as("max_v"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
+}

@@ -57,6 +57,23 @@ object DocQueries {
       arrays_overlap(fieldTokens, array(qTokens.map(lit): _*)))
   }
 
+  /** PhraseQuery — the query tokens must appear CONSECUTIVELY in the
+    * field (Lucene PhraseQuery, slop 0). Token-boundary-safe via the
+    * space-padding trick: pad both the tokenized-and-rejoined field and
+    * the phrase with spaces, then substring-match — "merge window" must
+    * not match inside "submerge windows". Re-joining on single spaces
+    * normalizes whatever whitespace the source used, so the match is over
+    * TOKENS, not raw bytes. Pure projection + filter, no shuffle.
+    */
+  def matchPhrase(index: DataFrame, field: String, phrase: String): DataFrame = {
+    val qTokens = queryTokens(phrase)
+    require(qTokens.nonEmpty, "phrase match needs a non-empty phrase")
+    val normalized = concat(lit(" "),
+      array_join(filter(split(lower(col(field)), "\\s+"), t => t =!= lit("")), " "),
+      lit(" "))
+    index.filter(normalized.contains(" " + qTokens.mkString(" ") + " "))
+  }
+
   /** Field retrieval — projection of requested fields. */
   def retrieve(index: DataFrame, fields: Seq[String]): DataFrame =
     index.select(fields.map(col): _*)

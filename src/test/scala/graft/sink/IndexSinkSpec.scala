@@ -361,6 +361,32 @@ class IndexSinkSpec extends SparkSpec {
     assert(sink.searchable().select("_id").as[String].collect().toSeq == Seq("b"))
   }
 
+  test("phrase match requires consecutive tokens with safe boundaries") {
+    val docs = Seq(
+      (1L, "the merge window opens"),
+      (2L, "window merge"),            // reversed order — no match
+      (3L, "submerge windowed"),       // substring trap — no match
+      (4L, "a  Merge   WINDOW b"),     // multi-space + case normalize
+      (5L, "merge window")).toDF("doc_id", "text")
+    val got = DocQueries.matchPhrase(docs, "text", "Merge Window")
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(got == Seq(1L, 4L, 5L))
+  }
+
+  test("profile: one-pass column stats with null accounting") {
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(2L), None),
+      (Some(2L), Some("b")), (None, Some("a"))).toDF("k", "s")
+    val p = graft.operators.Profile.profile(df, Seq("k", "s"))
+      .orderBy("col_name")
+      .as[(String, Long, Long, Long, String, String)].collect().toSeq
+    assert(p(0)._1 == "k" && p(0)._2 == 3 && p(0)._3 == 1 &&
+      p(0)._5 == "1" && p(0)._6 == "2")
+    assert(p(0)._4 == 2) // HLL++ is exact at this cardinality
+    assert(p(1)._1 == "s" && p(1)._2 == 3 && p(1)._3 == 1 &&
+      p(1)._5 == "a" && p(1)._6 == "b")
+  }
+
   test("ranked match orders by term frequency with deterministic ties") {
     val idx = Seq(
       ("1", "merge merge window"), ("2", "merge scan"), ("3", "nothing here"))
