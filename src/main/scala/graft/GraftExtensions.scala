@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{RepetitionScore, RhpSignature, VectorCosine, VectorDot, VectorL2Sq, VectorQ8Roundtrip, WordShingles}
+import graft.functions.{RepetitionScore, RhpSignature, TermFreqStats, VectorCosine, VectorDot, VectorL2Sq, VectorQ8Roundtrip, WordShingles}
 
 /** Session extensions registering the engine's native expressions as SQL
   * functions, so `spark.sql("SELECT vector_cosine(a, b) ...")` works the
@@ -81,6 +81,22 @@ object GraftExtensions {
       { args =>
         require(args.length == 2, s"repetition_score expects 2 arguments, got ${args.length}")
         RepetitionScore(args(0), litLong(args(1), "repetition_score", "n").toInt)
+      }),
+    (FunctionIdentifier("term_freq_stats"),
+      info("term_freq_stats",
+        "term_freq_stats(text, term, ...): one-pass struct(dl, tf[]) for the literal terms"),
+      { args =>
+        require(args.length >= 2,
+          s"term_freq_stats expects text plus at least one term, got ${args.length} argument(s)")
+        val terms = args.tail.map { e =>
+          require(e.foldable, "term_freq_stats: terms must be string literals")
+          e.eval() match {
+            case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+            case other => throw new IllegalArgumentException(
+              s"term_freq_stats: terms must be string literals, got $other")
+          }
+        }
+        TermFreqStats(args.head, terms)
       }))
 
   /** Register into an already-built session (tests, notebooks). */

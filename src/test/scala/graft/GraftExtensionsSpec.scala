@@ -34,6 +34,18 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getLong(3) == viaColumn)
   }
 
+  test("term_freq_stats is callable from SQL with literal terms") {
+    GraftExtensions.registerAll(spark)
+    val r = spark.sql(
+      "SELECT term_freq_stats('Merge the scan then merge', 'merge', 'scan') AS s")
+      .selectExpr("s.dl", "s.tf[0]", "s.tf[1]").head()
+    assert(r.getInt(0) == 5 && r.getInt(1) == 2 && r.getInt(2) == 1)
+    assertThrows[Exception] { // per-row terms cannot configure the lookup
+      spark.sql(
+        "SELECT term_freq_stats('a', CAST(id AS STRING)) FROM range(1)").head()
+    }
+  }
+
   test("literal-only parameters are enforced") {
     GraftExtensions.registerAll(spark)
     assertThrows[Exception] {
