@@ -310,6 +310,19 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Canonical-doc selection: bag-of-words fingerprint groups as the
+    // clusters (cheap, deterministic), keep the longest doc per cluster
+    // (ties → lowest id). The arg-max is one lexicographic max(struct)
+    // hash agg — map-side partials, no per-cluster window funnel.
+    "x_dedup_keep_best" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val clustered = docs.select(
+        functions.TextFunctions.fingerprint(col("text")).as("cluster"),
+        col("doc_id"), col("n_chars"))
+      operators.Dedup.keepBestPerCluster(clustered, "cluster", "doc_id", "n_chars")
+        .orderBy("cluster")
+    }),
+
     // SimHash near-dup pairs (banded hamming join), gated like minhash:
     // exact-verifier count hash-checked against SQL, plus a recall floor
     // vs the exact jaccard pairs (simhash is a different similarity — its
@@ -555,6 +568,70 @@ object SparkEntry {
       operators.Corpus.chunk(Tables.documents(s, d), "doc_id", "text",
         chunkSize = 50, overlap = 10)
         .orderBy("doc_id", "chunk_id")),
+
+    // Deterministic train/val/test split: 10% test, 10% val by md5-56
+    // bucket — per-document assignment gated row-for-row (the stability
+    // property: an id's split never depends on the rest of the corpus).
+    "x_split" -> ((s, d) =>
+      operators.Corpus.hashSplit(Tables.documents(s, d),
+        "doc_id", valPermille = 100, testPermille = 100)
+        .select("doc_id", "split")
+        .orderBy("doc_id")),
+
+    // Mixture sampling: per-source keep rates (src0 full, src1 half,
+    // src2 quarter, everything else 10%) — per-source kept counts + id
+    // sums prove the exact engine-reproducible kept-set.
+    "x_mix" -> ((s, d) =>
+      operators.Corpus.mixtureSample(Tables.documents(s, d), "doc_id", "source",
+        Map("src0" -> 1000, "src1" -> 500, "src2" -> 250), defaultPermille = 100)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("id_sum"))
+        .orderBy("source")),
+
+    // Token-budget cap per source: each source keeps its hash-ordered
+    // prefix until 600 tokens are spent (first over-budget doc included) —
+    // the budget-based twin of x_balance.
+    "x_token_budget" -> ((s, d) =>
+      operators.Corpus.capTokensPerStratum(Tables.documents(s, d),
+        "doc_id", "source", "text", tokenBudget = 600L)
+        .select("doc_id", "source", "n_tokens", "tokens_before")
+        .orderBy("doc_id")),
+
+    // Corpus-wide frequent-trigram mining (boilerplate detection): top 20
+    // word 3-grams by total count with containing-doc counts. Hot keys are
+    // bounded by map-side partials; the top-k is TakeOrderedAndProject.
+    "x_boilerplate" -> ((s, d) =>
+      operators.TextAnalysis.topNgrams(Tables.documents(s, d),
+        "doc_id", "text", n = 3, k = 20)),
+
+    // Exact KNN join: 5 query vectors (broadcast) × corpus, ranked by the
+    // bounded TopKByScore aggregate — O(k) state map-side, no window over
+    // the scored corpus. Row-for-row against the oracle's rank window.
+    "x_knn_join" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      operators.Similarity.knnJoin(e, q, "vec_id", "embedding",
+        "query_id", "qv", k = 5)
+        .orderBy("query_id", "rk")
+    }),
+
+    // L2 normalization: per-row pre/post norms (unit after, up to 6dp) and
+    // a checksum component — the ingest canonicalization gate. Norms run
+    // through the native vector_dot loop (same left-to-right double sum as
+    // the HOF norm2, ~50× cheaper per row); the normalized vector itself
+    // is the l2Normalize operator output.
+    "x_embed_norm" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).filter(col("embedding").isNotNull)
+      def norm(c: Column): Column =
+        sqrt(functions.VectorExpressions.dotFast(c, c))
+      val nv = functions.VectorFunctions.l2Normalize(col("embedding"))
+      e.select(col("vec_id"),
+          round(norm(col("embedding")), 6).as("norm_before"),
+          round(norm(nv), 6).as("norm_after"),
+          round(element_at(nv, 1), 6).as("c0"))
+        .orderBy("vec_id")
+    }),
 
     // Windowed dedup: one survivor (+ duplicate count) per (user, hour) —
     // the batch twin of streaming dropDuplicatesWithinWatermark; one hash
@@ -1106,6 +1183,18 @@ object SparkEntry {
              UNION
              SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src)
          SELECT id, min(reach) AS root FROM walk GROUP BY id ORDER BY id""",
+    "x_dedup_keep_best" ->
+      """WITH f AS (SELECT doc_id, n_chars,
+             md5(array_to_string(list_sort(list_distinct(
+               string_split(lower(text), ' '))), ' ')) AS cluster
+           FROM documents),
+         r AS (SELECT cluster, doc_id, n_chars,
+             row_number() OVER (PARTITION BY cluster
+               ORDER BY n_chars DESC, doc_id) AS rk,
+             count(*) OVER (PARTITION BY cluster) AS n_members
+           FROM f)
+         SELECT cluster, doc_id, n_chars, n_members FROM r
+         WHERE rk = 1 ORDER BY cluster""",
     "x_dedup_embed" ->
       """WITH z AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -1348,6 +1437,81 @@ object SparkEntry {
            array_to_string(w[s+1:s+50], ' ') AS chunk_text,
            CAST(LEAST(50, n - s) AS INT) AS n_chunk_tokens
          FROM u ORDER BY doc_id, chunk_id""",
+    "x_split" ->
+      """SELECT doc_id,
+           CASE WHEN h < 100 THEN 'test'
+                WHEN h < 200 THEN 'val'
+                ELSE 'train' END AS split
+         FROM (SELECT doc_id,
+             (md5_number_lower(CAST(doc_id AS VARCHAR))
+               % 72057594037927936) % 1000 AS h
+           FROM documents) ORDER BY doc_id""",
+    "x_mix" ->
+      """SELECT source, count(*) AS n_kept, sum(doc_id) AS id_sum
+         FROM (SELECT doc_id, source,
+             (md5_number_lower(CAST(doc_id AS VARCHAR))
+               % 72057594037927936) % 1000 AS h
+           FROM documents)
+         WHERE h < CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 500
+                               WHEN 'src2' THEN 250 ELSE 100 END
+         GROUP BY source ORDER BY source""",
+    "x_token_budget" ->
+      """WITH t AS (SELECT doc_id, source, text,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS BIGINT) AS n_tokens,
+             (md5_number_lower(CAST(doc_id AS VARCHAR))
+               % 72057594037927936) AS h
+           FROM documents),
+         c AS (SELECT doc_id, source, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+               ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS tokens_before
+           FROM t)
+         SELECT doc_id, source, n_tokens, tokens_before FROM c
+         WHERE tokens_before < 600 ORDER BY doc_id""",
+    "x_boilerplate" ->
+      """WITH sh AS (SELECT doc_id,
+             unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+               ELSE list_transform(range(1, len(w)-1),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS ngram
+           FROM (SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+             FROM documents)),
+         pd AS (SELECT doc_id, ngram, count(*) AS c FROM sh GROUP BY 1, 2),
+         agg AS (SELECT ngram, CAST(sum(c) AS BIGINT) AS n_total,
+             count(*) AS n_docs
+           FROM pd GROUP BY 1)
+         SELECT CAST(row_number() OVER (ORDER BY n_total DESC, ngram) AS INT)
+             AS rk, ngram, n_total, n_docs
+         FROM agg ORDER BY n_total DESC, ngram LIMIT 20""",
+    "x_knn_join" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id < 5),
+         z AS (SELECT q.query_id, e.vec_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(q.qv AS DOUBLE[])) AS c
+           FROM embeddings e, q),
+         r AS (SELECT query_id, vec_id, c,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY c DESC, vec_id) AS rk
+           FROM z)
+         SELECT query_id, CAST(rk AS INT) AS rk, vec_id,
+           round(c, 6) AS cosine
+         FROM r WHERE rk <= 5 ORDER BY query_id, rk""",
+    "x_embed_norm" ->
+      """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings WHERE embedding IS NOT NULL),
+         n AS (SELECT vec_id, e,
+             sqrt(list_sum(list_transform(e, x -> x * x))) AS nb
+           FROM t)
+         SELECT vec_id, round(nb, 6) AS norm_before,
+           round(CASE WHEN nb = 0 THEN 0
+             ELSE sqrt(list_sum(list_transform(
+               list_transform(e, x -> x / nb), x -> x * x))) END, 6)
+             AS norm_after,
+           round(CASE WHEN nb = 0 THEN e[1] ELSE e[1] / nb END, 6) AS c0
+         FROM n ORDER BY vec_id""",
     "x_dedup_windowed" ->
       """SELECT user_id, epoch_us(date_trunc('hour', ts)) AS window_us,
            min(event_id) AS first_id, count(*) AS n_window

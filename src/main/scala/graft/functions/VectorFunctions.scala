@@ -28,4 +28,15 @@ object VectorFunctions {
   def l2sq(a: Column, b: Column): Column =
     aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x)
+
+  /** L2-normalize to a unit vector (`array<double>`): the ingest-time
+    * canonicalization that turns cosine ranking into plain dot products
+    * (and makes int8 quantization error uniform across rows). Zero vectors
+    * pass through unscaled (a 0/0 NaN fill would poison every downstream
+    * distance). Pure per-row projection — no shuffle, no state.
+    */
+  def l2Normalize(a: Column): Column = {
+    val n = norm2(a)
+    when(n === 0.0, asDouble(a)).otherwise(transform(asDouble(a), _ / n))
+  }
 }

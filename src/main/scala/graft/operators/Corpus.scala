@@ -112,6 +112,84 @@ object Corpus {
     df.filter(pmod(sampleHash(col(idCol)), lit(1000L)) < permille)
   }
 
+  /** Deterministic train/val/test split: assign each row a split label
+    * from `md5_56(id) % 1000` — the holdout-carving step run before any
+    * training job. The same hash family as [[deterministicSample]], so the
+    * assignment is reproducible in any engine and STABLE under corpus
+    * growth: a document's split never changes when other documents are
+    * added or removed (the property row-number splits lack).
+    *
+    * Buckets: `[0, testPermille)` → test, `[testPermille,
+    * testPermille + valPermille)` → val, rest → train.
+    *
+    * Scale shape: pure map-side projection — no shuffle, no state; the
+    * split column is computed inline at scan speed.
+    */
+  def hashSplit(df: DataFrame, idCol: String,
+      valPermille: Int, testPermille: Int): DataFrame = {
+    require(valPermille >= 0 && testPermille >= 0 &&
+      valPermille + testPermille <= 1000,
+      s"val+test permille must fit in [0,1000], got $valPermille+$testPermille")
+    val bucket = pmod(sampleHash(col(idCol)), lit(1000L))
+    df.withColumn("split",
+      when(bucket < testPermille, lit("test"))
+        .when(bucket < testPermille + valPermille, lit("val"))
+        .otherwise(lit("train")))
+  }
+
+  /** Mixture sampling: keep each row with a per-stratum rate — the
+    * source-weighting step of corpus mixing (e.g. up-weight curated
+    * sources, down-sample web crawl). `ratesPermille` maps stratum value →
+    * keep rate in permille; strata not listed use `defaultPermille`.
+    * Same md5-56 keep-set as [[deterministicSample]], so the kept set is
+    * engine-reproducible, stable under corpus growth, and NESTED across
+    * rates: the 100‰ sample of a stratum is a subset of its 200‰ sample,
+    * which lets a pipeline dial mixture weights without resampling.
+    *
+    * Scale shape: the rate table is a small CASE literal in the plan
+    * (mixtures enumerate at most hundreds of sources) — pure map-side
+    * filter, no shuffle, no join.
+    */
+  def mixtureSample(df: DataFrame, idCol: String, stratumCol: String,
+      ratesPermille: Map[String, Int], defaultPermille: Int): DataFrame = {
+    (ratesPermille.values.toSeq :+ defaultPermille).foreach(p =>
+      require(p >= 0 && p <= 1000, s"permille must be in [0,1000], got $p"))
+    val rate = ratesPermille.foldLeft(lit(defaultPermille)) {
+      case (acc, (stratum, p)) =>
+        when(col(stratumCol) === stratum, lit(p)).otherwise(acc)
+    }
+    df.filter(pmod(sampleHash(col(idCol)), lit(1000L)) < rate)
+  }
+
+  /** Token-budget cap per stratum: keep a deterministic hash-ordered
+    * prefix of each stratum whose cumulative token count stays under
+    * `tokenBudget` — the budget-based twin of [[capPerStratum]] (real
+    * mixing specs say "20B tokens of web, 5B of code", not row counts).
+    * A row is kept iff the tokens BEFORE it (in (md5-hash, id) order) fit
+    * the budget, so the first over-budget document is included (budget
+    * overshoot bounded by one document) and every stratum with data emits
+    * at least one row.
+    *
+    * Returns the input rows kept, plus `n_tokens` and `tokens_before`.
+    *
+    * Scale shape: one stratum-keyed shuffle; the per-stratum window state
+    * is a single running sum (no buffering). Skewed strata behave like any
+    * single-key window — mitigate upstream with [[capPerStratum]] if one
+    * stratum dominates the corpus.
+    */
+  def capTokensPerStratum(df: DataFrame, idCol: String, stratumCol: String,
+      textCol: String, tokenBudget: Long): DataFrame = {
+    require(tokenBudget > 0, s"token budget must be positive, got $tokenBudget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(sampleHash(col(idCol)), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn("n_tokens", TextFunctions.tokenCount(col(textCol)).cast("long"))
+      .withColumn("tokens_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("tokens_before") < tokenBudget)
+  }
+
   /** Source balancing: cap each stratum (source/domain/language) at
     * `maxPerStratum` rows, keeping a deterministic hash-ordered prefix —
     * the over-represented-domain down-sampling step of corpus mixing.

@@ -263,6 +263,31 @@ object Dedup {
     } finally edges.unpersist()
   }
 
+  /** Canonical-document selection: keep the best-scoring member of each
+    * duplicate cluster — the policy step that turns dup DETECTION (exact
+    * fingerprint groups, [[connectedComponents]] labels, minhash/simhash
+    * clusters) into a curated corpus. "Best" is highest `scoreCol`, ties
+    * broken by smallest id, so the survivor set is deterministic across
+    * runs and engines.
+    *
+    * `df` carries one row per document with `(clusterCol, idCol,
+    * scoreCol)`; returns `(clusterCol, idCol, scoreCol, n_members)`.
+    *
+    * Scale shape: a single hash aggregation — the arg-max rides a
+    * lexicographic `max(struct(score, -id))` with map-side partials, so
+    * even a pathological cluster holding half the corpus contributes one
+    * row per partition to the shuffle (the window-rank formulation would
+    * funnel that cluster through one task).
+    */
+  def keepBestPerCluster(df: DataFrame, clusterCol: String, idCol: String,
+      scoreCol: String): DataFrame =
+    df.groupBy(col(clusterCol))
+      .agg(
+        max(struct(col(scoreCol).as("s"), (-col(idCol)).as("ni"))).as("_best"),
+        count(lit(1)).as("n_members"))
+      .select(col(clusterCol), (-col("_best.ni")).as(idCol),
+        col("_best.s").as(scoreCol), col("n_members"))
+
   /** Embedding near-dup pairs: cosine ≥ threshold. Brute-force pair join —
     * use on candidate buckets (see Similarity.annBuckets) at scale.
     */

@@ -83,4 +83,40 @@ object Similarity {
     bruteForceTopK(
       bucketed.filter(col("bucket").isin(probes: _*)), idCol, vecCol, query, k)
   }
+
+  /** Exact KNN join: for every query vector, the k nearest corpus vectors
+    * by cosine — the batch retrieval shape (embed a batch of prompts,
+    * fetch neighbors for each) that [[bruteForceTopK]]'s single literal
+    * query can't express.
+    *
+    * Returns `(qIdCol, rk, idCol, cosine)` with `rk ∈ [1, k]`, cosine
+    * rounded to 6 decimals, ties broken by corpus id.
+    *
+    * Scale shape: the query side is broadcast (a retrieval batch is
+    * thousands of rows at most) and scored map-side with the codegen'd
+    * `vector_cosine` — the corpus is never shuffled. Per-query ranking
+    * uses the bounded [[graft.functions.TopKByScore]] aggregate: map-side
+    * partials keep O(k) state per (partition, query), so the only shuffle
+    * carries `numPartitions × k` pairs per query — NOT the window-rank
+    * formulation, which funnels all N scored rows of each query into one
+    * task (skew by construction at corpus scale). For sub-scan latency at
+    * many queries, pre-bucket both sides with [[annBuckets]] and apply the
+    * same aggregate within buckets.
+    */
+  def knnJoin(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, qIdCol: String, qVecCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val scored = corpus
+      .crossJoin(broadcast(queries.select(col(qIdCol), col(qVecCol))))
+      .select(col(qIdCol),
+        graft.functions.VectorExpressions.cosineFast(col(vecCol), col(qVecCol)).as("_c"),
+        col(idCol).cast("long").as("_id"))
+    scored
+      .groupBy(col(qIdCol))
+      .agg(graft.functions.VectorAggregates.topKByScore(col("_c"), col("_id"), k).as("_nn"))
+      .select(col(qIdCol), posexplode(col("_nn")).as(Seq("_pos", "_p")))
+      .select(col(qIdCol), (col("_pos") + 1).as("rk"),
+        col("_p").getField("id").as(idCol),
+        round(col("_p").getField("score"), 6).as("cosine"))
+  }
 }

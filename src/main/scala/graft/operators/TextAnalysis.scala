@@ -156,4 +156,41 @@ object TextAnalysis {
       .select(col(idCol), col("rk"), col("term"),
         round(col("_score"), 6).as("tfidf"))
   }
+
+  /** Corpus-wide frequent n-gram mining: the `k` most frequent word
+    * n-grams with their total count and the number of distinct documents
+    * containing each — the boilerplate-detection sweep (headers, footers,
+    * license blurbs, navigation chrome) run before line/passage-level
+    * dedup picks its removal list.
+    *
+    * Returns `(rk, ngram, n_total, n_docs)` with `rk ∈ [1, k]`, ordered by
+    * count descending then n-gram (deterministic under ties).
+    *
+    * Scale shape: one pass of the native [[graft.functions.WordShingles]]
+    * expression per row, one hash aggregation keyed by (doc, ngram) with
+    * map-side partials (bounding any single key's shuffle volume by the
+    * partition count, not its corpus frequency — exactly the hot-key case
+    * boilerplate creates), one vocabulary-sized re-aggregation by ngram,
+    * and a global top-k that plans as TakeOrderedAndProject (per-partition
+    * heaps, k rows to the driver — never a full sort).
+    */
+  def topNgrams(df: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    require(k > 0, s"k must be positive, got $k")
+    val perDoc = df
+      .select(col(idCol),
+        explode(TextFunctions.wordShingles(lower(col(textCol)), n)).as("ngram"))
+      .groupBy(col(idCol), col("ngram"))
+      .agg(count(lit(1)).as("_c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_total").desc, col("ngram"))
+    perDoc
+      .groupBy("ngram")
+      .agg(sum("_c").as("n_total"), count(lit(1)).as("n_docs"))
+      .orderBy(col("n_total").desc, col("ngram"))
+      .limit(k)
+      .withColumn("rk", row_number().over(w))
+      .select(col("rk"), col("ngram"), col("n_total"), col("n_docs"))
+  }
 }

@@ -87,6 +87,67 @@ class CorpusSpec extends SparkSpec {
     assert(Corpus.capPerStratum(df, "id", "src", 1000).count() == 100)
   }
 
+  test("hashSplit assigns stable, disjoint, roughly-proportional splits") {
+    val df = spark.range(2000).toDF("id")
+    val splits = Corpus.hashSplit(df, "id", valPermille = 100, testPermille = 100)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(splits.size == 2000)
+    val byLabel = splits.groupBy(_._2).view.mapValues(_.size).toMap
+    // 10%/10%/80% ± sampling noise on 2000 uniform hashes
+    assert(byLabel("test") > 120 && byLabel("test") < 280, byLabel.toString)
+    assert(byLabel("val") > 120 && byLabel("val") < 280, byLabel.toString)
+    assert(byLabel("train") > 1450, byLabel.toString)
+    // STABILITY: an id's split is a pure function of the id — unchanged
+    // when the rest of the corpus grows (the property row-number lacks)
+    val grown = Corpus.hashSplit(spark.range(4000).toDF("id"),
+      "id", 100, 100).select("id", "split").as[(Long, String)].collect().toMap
+    assert(splits.forall { case (id, s) => grown(id) == s })
+  }
+
+  test("mixtureSample applies per-stratum rates with nested keep-sets") {
+    val df = spark.range(4000).select(col("id"),
+      concat(lit("s"), pmod(col("id"), lit(4))).as("src"))
+    val kept = Corpus.mixtureSample(df, "id", "src",
+      Map("s0" -> 1000, "s1" -> 500), defaultPermille = 0)
+    val counts = kept.groupBy("src").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts("s0") == 1000)                 // full stratum kept
+    assert(counts("s1") > 380 && counts("s1") < 620, counts.toString)
+    assert(!counts.contains("s2") && !counts.contains("s3")) // rate 0
+    // NESTED across rates: the 250-permille set ⊂ the 500-permille set
+    val half = Corpus.mixtureSample(df, "id", "src",
+      Map("s1" -> 500), 0).select("id").as[Long].collect().toSet
+    val quarter = Corpus.mixtureSample(df, "id", "src",
+      Map("s1" -> 250), 0).select("id").as[Long].collect().toSet
+    assert(quarter.subsetOf(half))
+  }
+
+  test("capTokensPerStratum keeps a budget-bounded hash-ordered prefix") {
+    val df = spark.range(200).select(col("id"),
+      concat(lit("s"), pmod(col("id"), lit(2))).as("src"),
+      // 5 tokens per doc
+      lit("t1 t2 t3 t4 t5").as("text"))
+    val out = Corpus.capTokensPerStratum(df, "id", "src", "text", 23L)
+      .select("id", "src", "n_tokens", "tokens_before")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    // every kept row STARTS inside the budget; overshoot ≤ one doc
+    assert(out.forall(_._4 < 23L))
+    // 5-token docs, budget 23 → starts 0,5,10,15,20 → exactly 5 per stratum
+    assert(out.groupBy(_._2).view.mapValues(_.size).toMap ==
+      Map("s0" -> 5, "s1" -> 5))
+    // deterministic: same keep-set on re-run; smaller budget is a prefix
+    val again = Corpus.capTokensPerStratum(df, "id", "src", "text", 23L)
+      .select("id").as[Long].collect().toSet
+    assert(again == out.map(_._1).toSet)
+    val smaller = Corpus.capTokensPerStratum(df, "id", "src", "text", 11L)
+      .select("id").as[Long].collect().toSet
+    assert(smaller.subsetOf(again) && smaller.size == 6)
+    // a stratum whose FIRST doc exceeds the budget still emits that doc
+    val tiny = Corpus.capTokensPerStratum(df, "id", "src", "text", 2L)
+    assert(tiny.groupBy("src").count().select("count")
+      .as[Long].collect().forall(_ == 1))
+  }
+
   test("packSequences: bin is the bin the doc's start offset falls in") {
     // token counts: 3, 4, 2, 5, 1 — budget 6
     // starts:       0, 3, 7, 9, 14 → bins 0, 0, 1, 1, 2

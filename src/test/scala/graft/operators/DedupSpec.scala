@@ -88,4 +88,21 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
     assert(blocked == brute)
   }
+
+  test("keepBestPerCluster keeps the arg-max with id tie-break") {
+    val df = Seq(
+      ("c1", 1L, 10L), ("c1", 2L, 30L), ("c1", 3L, 30L), // tie at 30 → id 2
+      ("c2", 4L, 5L),                                    // singleton
+      ("c3", 6L, 0L), ("c3", 5L, 0L)                     // all-tie → id 5
+    ).toDF("cluster", "doc_id", "score")
+    val out = Dedup.keepBestPerCluster(df, "cluster", "doc_id", "score")
+      .orderBy("cluster").as[(String, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(("c1", 2L, 30L, 3L), ("c2", 4L, 5L, 1L),
+      ("c3", 5L, 0L, 2L)))
+    // map-side combinable: partial max before the shuffle, no Window
+    val plan = Dedup.keepBestPerCluster(df, "cluster", "doc_id", "score")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_max"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
 }

@@ -20,6 +20,34 @@ class IvfSpec extends SparkSpec {
     assert(df.agg(VectorAggregates.vectorSum(col("v"))).head.isNullAt(0))
   }
 
+  test("top_k_by_score keeps the k best with id tie-break across partitions") {
+    // 100 rows, scores collide in pairs (score = id / 2), shuffled over
+    // 7 partitions to force partial buffers + serde + merge
+    val df = spark.range(100).select(col("id"),
+      (col("id") / 2).cast("long").cast("double").as("s"))
+      .repartition(7)
+    val top = df.agg(VectorAggregates.topKByScore(col("s"), col("id"), 5).as("t"))
+      .select(explode(col("t")).as("p"))
+      .select(col("p.score"), col("p.id")).as[(Double, Long)].collect().toSeq
+    // best scores 49 (ids 98,99), 48 (96,97), 47 (94) — ties keep lower id
+    assert(top == Seq((49.0, 98L), (49.0, 99L), (48.0, 96L), (48.0, 97L),
+      (47.0, 94L)))
+    // fewer rows than k → all rows, still sorted
+    val small = spark.range(3).select(col("id"),
+      col("id").cast("double").as("s"))
+      .agg(VectorAggregates.topKByScore(col("s"), col("id"), 10).as("t"))
+      .select(explode(col("t")).as("p"))
+      .select(col("p.id")).as[Long].collect().toSeq
+    assert(small == Seq(2L, 1L, 0L))
+    // null scores are skipped, not ranked
+    val withNull = Seq((Some(1.0), 1L), (None, 2L), (Some(3.0), 3L))
+      .toDF("s", "id")
+      .agg(VectorAggregates.topKByScore(col("s"), col("id"), 2).as("t"))
+      .select(explode(col("t")).as("p"))
+      .select(col("p.id")).as[Long].collect().toSeq
+    assert(withNull == Seq(3L, 1L))
+  }
+
   test("k-means converges to the obvious clusters on separable data") {
     val pts = Seq(
       (1L, Seq(0.0f, 0.0f)), (2L, Seq(0.1f, 0.0f)), (3L, Seq(0.0f, 0.1f)),

@@ -44,6 +44,42 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, s"ANN recall@10 = $recall")
   }
 
+  test("knnJoin matches the window-rank reference per query") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val got = Similarity.knnJoin(e, q, "vec_id", "embedding", "query_id", "qv", 4)
+      .orderBy("query_id", "rk")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    // reference: window rank over the exact scored cross product
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("c").desc, col("vec_id"))
+    val ref = e.crossJoin(broadcast(q))
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.VectorExpressions.cosineFast(col("embedding"), col("qv")).as("c"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 4)
+      .select(col("query_id"), col("rk"), col("vec_id"), round(col("c"), 6).as("c"))
+      .orderBy("query_id", "rk")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(got == ref)
+    // each query's rank-1 neighbor is itself (cosine 1.0)
+    got.filter(_._2 == 1).foreach { case (qid, _, nid, c) =>
+      assert(nid == qid && c == 1.0)
+    }
+  }
+
+  test("knnJoin plans a partial top-k aggregate, not a corpus window") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val plan = Similarity.knnJoin(e, q, "vec_id", "embedding", "query_id", "qv", 4)
+      .queryExecution.executedPlan.toString
+    // map-side combinable: partial_top_k_by_score before the shuffle,
+    // and no Window over the scored corpus rows
+    assert(plan.contains("partial_top_k_by_score"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("bucket signature is deterministic across evaluations") {
     val e = Tables.embeddings(spark, sf).limit(50)
     val a = Similarity.annBuckets(e, "embedding").select("vec_id", "bucket")

@@ -161,4 +161,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(hof.map(r => (r._1, Some(r._2), Some(r._3), Some(r._4))) ==
       native.take(2))
   }
+
+  test("topNgrams ranks corpus-wide n-grams with doc counts and tie-break") {
+    val df = Seq(
+      (1L, "a b c a b c"),   // "a b c"×2, "b c a"×1, "c a b"×1
+      (2L, "a b c d"),       // "a b c", "b c d"
+      (3L, "x y")            // short doc → whole text as one shingle
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.topNgrams(df, "doc_id", "text", n = 3, k = 4)
+      .as[(Int, String, Long, Long)].collect().toSeq
+    assert(got.head == ((1, "a b c", 3L, 2L))) // 3 total across 2 docs
+    // counts of 1 tie → lexicographic n-gram order, ranks dense 1..k
+    assert(got.map(_._1) == Seq(1, 2, 3, 4))
+    assert(got.tail.map(_._2) == got.tail.map(_._2).sorted)
+    assert(got.tail.forall(r => r._3 == 1L && r._4 == 1L))
+    // uppercase input folds into the same n-gram
+    val folded = TextAnalysis.topNgrams(
+      Seq((1L, "A B c"), (2L, "a b C")).toDF("doc_id", "text"), "doc_id", "text", 3, 1)
+      .as[(Int, String, Long, Long)].collect().toSeq
+    assert(folded == Seq((1, "a b c", 2L, 2L)))
+  }
 }
