@@ -310,6 +310,15 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Passage-level dedup: 10-token windows, earliest occurrence of each
+    // distinct passage kept corpus-wide, docs reassembled from survivors.
+    // The keeper is a min(struct) hash agg — a million-fold repeated
+    // passage never forms a window partition.
+    "x_dedup_passages" -> ((s, d) =>
+      operators.Dedup.dedupPassages(Tables.documents(s, d), "doc_id", "text",
+        passageTokens = 10)
+        .orderBy("doc_id")),
+
     // Canonical-doc selection: bag-of-words fingerprint groups as the
     // clusters (cheap, deterministic), keep the longest doc per cluster
     // (ties → lowest id). The arg-max is one lexicographic max(struct)
@@ -453,6 +462,25 @@ object SparkEntry {
       val exact = operators.Similarity.bruteForceTopK(e, "vec_id", "embedding",
         qv, 10).select(col("vec_id").as("eid"))
       ivf.join(exact, col("vec_id") === col("eid"), "left")
+        .agg(count(lit(1)).as("n_results"),
+          (sum(when(col("eid").isNotNull, 1).otherwise(0)) >= 8).as("recall_ok"))
+    }),
+
+    // Persisted IVF index (vector-side serving path): train + lay out by
+    // cell on disk, then search reading ONLY the probed cell directories
+    // (partition pruning — VectorIndexSpec pins the file-level scan cut).
+    // Same gate as x_sim_ivf: k results, recall floor vs exact top-k.
+    "x_sim_ivf_persisted" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val qv = e.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0)
+      val dir = java.nio.file.Files.createTempDirectory("graft-vecidx").toString
+      sink.VectorIndex.write(e, "vec_id", "embedding", dir, k = 8, iters = 3)
+      val hit = sink.VectorIndex.search(s, dir, "vec_id", "embedding", qv,
+        topK = 10, nProbe = 3).select(col("vec_id"))
+      val exact = operators.Similarity.bruteForceTopK(e, "vec_id", "embedding",
+        qv, 10).select(col("vec_id").as("eid"))
+      hit.join(exact, col("vec_id") === col("eid"), "left")
         .agg(count(lit(1)).as("n_results"),
           (sum(when(col("eid").isNotNull, 1).otherwise(0)) >= 8).as("recall_ok"))
     }),
@@ -1183,6 +1211,27 @@ object SparkEntry {
              UNION
              SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src)
          SELECT id, min(reach) AS root FROM walk GROUP BY id ORDER BY id""",
+    "x_dedup_passages" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS w
+           FROM documents),
+         u AS (SELECT doc_id, len(w) AS n, w, unnest(range(0, len(w), 10)) AS s
+           FROM t WHERE len(w) > 0),
+         f AS (SELECT doc_id, CAST(s // 10 AS INT) AS chunk_id,
+             array_to_string(w[s+1:s+10], ' ') AS chunk_text,
+             md5(array_to_string(w[s+1:s+10], ' ')) AS fp
+           FROM u),
+         r AS (SELECT doc_id, chunk_id, chunk_text,
+             row_number() OVER (PARTITION BY fp
+               ORDER BY doc_id, chunk_id) AS rk
+           FROM f),
+         kept AS (SELECT doc_id, count(*) AS n_kept,
+             string_agg(chunk_text, ' ' ORDER BY chunk_id) AS dedup_text
+           FROM r WHERE rk = 1 GROUP BY doc_id),
+         tot AS (SELECT doc_id, count(*) AS n_passages FROM f GROUP BY doc_id)
+         SELECT t.doc_id, t.n_passages, COALESCE(k.n_kept, 0) AS n_kept,
+           COALESCE(k.dedup_text, '') AS dedup_text
+         FROM tot t LEFT JOIN kept k USING (doc_id) ORDER BY t.doc_id""",
     "x_dedup_keep_best" ->
       """WITH f AS (SELECT doc_id, n_chars,
              md5(array_to_string(list_sort(list_distinct(
@@ -1370,6 +1419,8 @@ object SparkEntry {
       """SELECT CAST(10 AS BIGINT) AS n_results, TRUE AS self_found,
            TRUE AS recall_ok""",
     "x_sim_ivf" ->
+      """SELECT CAST(10 AS BIGINT) AS n_results, TRUE AS recall_ok""",
+    "x_sim_ivf_persisted" ->
       """SELECT CAST(10 AS BIGINT) AS n_results, TRUE AS recall_ok""",
     "x_decontaminate" ->
       """WITH sh AS (SELECT doc_id, source, unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]

@@ -288,6 +288,48 @@ object Dedup {
       .select(col(clusterCol), (-col("_best.ni")).as(idCol),
         col("_best.s").as(scoreCol), col("n_members"))
 
+  /** Passage-level dedup: split every document into fixed non-overlapping
+    * token windows, keep only the EARLIEST occurrence of each distinct
+    * passage corpus-wide (by (doc id, chunk position)), and reassemble
+    * each document from its surviving passages — the passage/line-level
+    * sweep that removes repeated boilerplate *inside* otherwise-unique
+    * documents, run between document dedup and quality filtering.
+    *
+    * Returns one row per input doc: `(idCol, n_passages, n_kept,
+    * dedup_text)` — docs whose every passage was seen earlier elsewhere
+    * survive with `n_kept = 0` and an empty string (the caller decides
+    * whether to drop them).
+    *
+    * Scale shape: chunking is a per-row generate ([[Corpus.chunk]], no
+    * shuffle); the keeper per passage fingerprint is `min(struct(doc,
+    * pos))` — a hash aggregation with map-side partials, so a passage
+    * repeated a million times (the exact case this operator exists for)
+    * contributes one row per partition to the shuffle, NOT a
+    * million-row window partition. Survivors rejoin on the fingerprint
+    * (equi-join keyed by (fp, doc, pos)) and reassembly is one doc-keyed
+    * aggregation with per-doc bounded state.
+    */
+  def dedupPassages(df: DataFrame, idCol: String, textCol: String,
+      passageTokens: Int): DataFrame = {
+    val chunks = Corpus.chunk(df, idCol, textCol, passageTokens, overlap = 0)
+      .withColumn("_fp", md5(col("chunk_text")))
+    val keepers = chunks
+      .groupBy("_fp")
+      .agg(min(struct(col(idCol).as("i"), col("chunk_id").as("p"))).as("_k"))
+      .select(col("_fp"), col("_k.i").as(idCol), col("_k.p").as("chunk_id"))
+    val kept = chunks.join(keepers, Seq("_fp", idCol, "chunk_id"), "left_semi")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("chunk_id"), col("chunk_text")))),
+          s => s.getField("chunk_text")), " ").as("dedup_text"))
+    val totals = chunks.groupBy(idCol).agg(count(lit(1)).as("n_passages"))
+    totals.join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_passages"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("dedup_text"), lit("")).as("dedup_text"))
+  }
+
   /** Embedding near-dup pairs: cosine ≥ threshold. Brute-force pair join —
     * use on candidate buckets (see Similarity.annBuckets) at scale.
     */

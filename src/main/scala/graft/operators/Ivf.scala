@@ -78,9 +78,11 @@ object Ivf {
   def assign(df: DataFrame, vecCol: String, model: Model): DataFrame =
     df.withColumn("cell", assignExpr(col(vecCol), model))
 
-  /** Top-k by cosine among the `nProbe` nearest cells to the query. */
-  def search(assigned: DataFrame, idCol: String, vecCol: String,
-      model: Model, query: Seq[Float], topK: Int, nProbe: Int): DataFrame = {
+  /** The `nProbe` cells whose centroids are nearest the query — driver
+    * math over the k×dim model, shared by the in-memory and persisted
+    * ([[graft.sink.VectorIndex]]) search paths.
+    */
+  def probeCells(model: Model, query: Seq[Float], nProbe: Int): Seq[Int] = {
     val q = query.map(_.toDouble).toArray
     def l2sq(c: Array[Double]): Double = {
       var d = 0.0; var i = 0
@@ -88,8 +90,14 @@ object Ivf {
       while (i < n) { val t = c(i) - q(i); d += t * t; i += 1 }
       d
     }
-    val probes = model.centroids.zipWithIndex
+    model.centroids.zipWithIndex
       .sortBy { case (c, i) => (l2sq(c), i) }.take(nProbe).map(_._2).toSeq
+  }
+
+  /** Top-k by cosine among the `nProbe` nearest cells to the query. */
+  def search(assigned: DataFrame, idCol: String, vecCol: String,
+      model: Model, query: Seq[Float], topK: Int, nProbe: Int): DataFrame = {
+    val probes = probeCells(model, query, nProbe)
     Similarity.bruteForceTopK(
       assigned.filter(col("cell").isin(probes: _*)), idCol, vecCol, query, topK)
   }

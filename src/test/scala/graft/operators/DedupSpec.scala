@@ -89,6 +89,25 @@ class DedupSpec extends SparkSpec {
     assert(blocked == brute)
   }
 
+  test("dedupPassages keeps the earliest copy of each repeated passage") {
+    // passage size 2: doc 1 = [a b][c d], doc 2 = [c d][e f] (repeats
+    // "c d"), doc 3 = [a b][c d] (nothing unique), doc 4 = empty
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "c d e f"), (3L, "a b c d"), (4L, "")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupPassages(docs, "doc_id", "text", passageTokens = 2)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, 2L, "a b c d"),  // earliest owner of both passages
+      (2L, 2L, 1L, "e f"),      // "c d" already seen in doc 1
+      (3L, 2L, 0L, "")))        // every passage seen earlier; doc 4 has none
+    // keeper selection is a hash agg, not a per-fingerprint window
+    val plan = Dedup.dedupPassages(docs, "doc_id", "text", 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_min"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("keepBestPerCluster keeps the arg-max with id tie-break") {
     val df = Seq(
       ("c1", 1L, 10L), ("c1", 2L, 30L), ("c1", 3L, 30L), // tie at 30 → id 2
