@@ -60,6 +60,13 @@ object GraftExtensions {
         require(args.length == 1, s"vector_q8_roundtrip expects 1 argument, got ${args.length}")
         VectorQ8Roundtrip(args(0))
       }),
+    (FunctionIdentifier("vector_l2_normalize"),
+      info("vector_l2_normalize",
+        "L2-normalize a float/double array to a unit vector (zero vectors pass through)"),
+      { args =>
+        require(args.length == 1, s"vector_l2_normalize expects 1 argument, got ${args.length}")
+        graft.functions.VectorL2Normalize(args(0))
+      }),
     (FunctionIdentifier("rhp_signature"),
       info("rhp_signature",
         "rhp_signature(vec, nBits, seed): random-hyperplane LSH signature"),
@@ -81,6 +88,15 @@ object GraftExtensions {
       { args =>
         require(args.length == 2, s"repetition_score expects 2 arguments, got ${args.length}")
         RepetitionScore(args(0), litLong(args(1), "repetition_score", "n").toInt)
+      }),
+    (FunctionIdentifier("top_k_by_score"),
+      info("top_k_by_score",
+        "top_k_by_score(score, id, k): aggregate keeping the k highest-" +
+          "scoring (score, id) pairs, O(k) state, ties to the smaller id"),
+      { args =>
+        require(args.length == 3, s"top_k_by_score expects 3 arguments, got ${args.length}")
+        graft.functions.TopKByScore(args(0), args(1),
+          litLong(args(2), "top_k_by_score", "k").toInt)
       }),
     (FunctionIdentifier("term_freq_stats"),
       info("term_freq_stats",

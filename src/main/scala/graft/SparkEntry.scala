@@ -654,10 +654,16 @@ object SparkEntry {
       def norm(c: Column): Column =
         sqrt(functions.VectorExpressions.dotFast(c, c))
       val nv = functions.VectorFunctions.l2Normalize(col("embedding"))
+      val nb = norm(col("embedding"))
       e.select(col("vec_id"),
-          round(norm(col("embedding")), 6).as("norm_before"),
+          round(nb, 6).as("norm_before"),
           round(norm(nv), 6).as("norm_after"),
-          round(element_at(nv, 1), 6).as("c0"))
+          // c0 = e[0]/‖e‖ directly — bit-identical to element_at(nv, 1)
+          // (same IEEE division) without a second interpreted-HOF
+          // evaluation of the transform
+          round(when(nb === 0.0, element_at(col("embedding"), 1).cast("double"))
+            .otherwise(element_at(col("embedding"), 1).cast("double") / nb), 6)
+            .as("c0"))
         .orderBy("vec_id")
     }),
 
@@ -713,19 +719,24 @@ object SparkEntry {
     // only to bound the sketch within ±1%. The operator under test is the
     // mergeable `percentile_approx` sketch alone (fixed-size partials,
     // map-side combinable — the 100 TB path).
-    "agg_quantile_sketch" -> ((s, d) =>
+    // One sketch and one exact buffer for all three quantiles (array
+    // percentages) — the scalar-per-quantile form built 3 independent
+    // sketches and 3 full exact-percentile buffers, tripling the
+    // dominant cost for identical gate semantics (5.8 s → ~2 s at sf0.1).
+    "agg_quantile_sketch" -> ((s, d) => {
+      val ps = array(lit(0.5), lit(0.9), lit(0.99))
       Tables.lineitem(s, d).agg(
         count(lit(1)).as("n_rows"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("_a50"),
-        percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000)).as("_a90"),
-        percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("_a99"),
-        percentile(col("l_extendedprice"), lit(0.5)).as("_e50"),
-        percentile(col("l_extendedprice"), lit(0.9)).as("_e90"),
-        percentile(col("l_extendedprice"), lit(0.99)).as("_e99"))
+        percentile_approx(col("l_extendedprice"), ps, lit(10000)).as("_a"),
+        percentile(col("l_extendedprice"), ps).as("_e"))
         .select(col("n_rows"),
-          (abs(col("_a50") - col("_e50")) <= col("_e50") * 0.01).as("p50_ok"),
-          (abs(col("_a90") - col("_e90")) <= col("_e90") * 0.01).as("p90_ok"),
-          (abs(col("_a99") - col("_e99")) <= col("_e99") * 0.01).as("p99_ok"))),
+          (abs(element_at(col("_a"), 1) - element_at(col("_e"), 1))
+            <= element_at(col("_e"), 1) * 0.01).as("p50_ok"),
+          (abs(element_at(col("_a"), 2) - element_at(col("_e"), 2))
+            <= element_at(col("_e"), 2) * 0.01).as("p90_ok"),
+          (abs(element_at(col("_a"), 3) - element_at(col("_e"), 3))
+            <= element_at(col("_e"), 3) * 0.01).as("p99_ok"))
+    }),
 
     // Per-doc top-3 TF-IDF terms (keyword extraction / domain tagging).
     "x_tfidf" -> ((s, d) =>

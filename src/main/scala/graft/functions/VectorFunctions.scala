@@ -34,9 +34,11 @@ object VectorFunctions {
     * (and makes int8 quantization error uniform across rows). Zero vectors
     * pass through unscaled (a 0/0 NaN fill would poison every downstream
     * distance). Pure per-row projection — no shuffle, no state.
+    *
+    * Delegates to the native [[VectorExpressions.VectorL2Normalize]]: the
+    * HOF composition (`transform(a, _ / norm2(a))`) re-evaluates the norm
+    * subexpression once per ELEMENT inside the lambda — O(dim²)
+    * interpreted work per row, ~1 ms/row at dim 64.
     */
-  def l2Normalize(a: Column): Column = {
-    val n = norm2(a)
-    when(n === 0.0, asDouble(a)).otherwise(transform(asDouble(a), _ / n))
-  }
+  def l2Normalize(a: Column): Column = VectorExpressions.l2NormalizeFast(a)
 }

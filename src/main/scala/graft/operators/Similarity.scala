@@ -106,6 +106,14 @@ object Similarity {
   def knnJoin(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, qIdCol: String, qVecCol: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    // the bounded aggregate carries primitive (double, long) pairs — a
+    // non-integral id would cast to null and be SILENTLY dropped
+    val idType = corpus.schema(idCol).dataType
+    require(Seq(org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.ByteType).contains(idType),
+      s"knnJoin corpus id '$idCol' must be integral, got ${idType.simpleString}")
     val scored = corpus
       .crossJoin(broadcast(queries.select(col(qIdCol), col(qVecCol))))
       .select(col(qIdCol),

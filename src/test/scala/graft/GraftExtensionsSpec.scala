@@ -61,4 +61,19 @@ class GraftExtensionsSpec extends SparkSpec {
       spark.sql("SELECT vector_dot(array(1.0D))").head()
     }
   }
+
+  test("top_k_by_score works as a SQL aggregate") {
+    GraftExtensions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT top_k_by_score(CAST(id % 3 AS DOUBLE), id, 2) AS t
+         FROM range(9)""")
+      .selectExpr("t[0].score", "t[0].id", "t[1].score", "t[1].id").head()
+    // scores cycle 0,1,2 — best are score 2 at ids 2 and 5
+    assert(r.getDouble(0) == 2.0 && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 2.0 && r.getLong(3) == 5L)
+    assertThrows[Exception] { // k must be a literal
+      spark.sql(
+        "SELECT top_k_by_score(1.0, id, CAST(id AS INT)) FROM range(1)").head()
+    }
+  }
 }

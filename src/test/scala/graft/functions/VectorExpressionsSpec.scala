@@ -55,6 +55,33 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(minFid > 0.999, s"q8 fidelity too low: $minFid")
   }
 
+  test("vector_l2_normalize ≡ the HOF composition bit-for-bit") {
+    import org.apache.spark.sql.functions.{aggregate => agg_, _}
+    val e = graft.Tables.embeddings(spark, sf).limit(200)
+    // HOF reference: transform(asDouble, _ / sqrt(Σx²)) — the numerics
+    // contract the native one-pass expression must reproduce exactly
+    def asD(c: org.apache.spark.sql.Column) = transform(c, _.cast("double"))
+    def hofNorm(c: org.apache.spark.sql.Column) =
+      sqrt(agg_(zip_with(asD(c), asD(c), _ * _), lit(0.0), (a, x) => a + x))
+    val both = e.select(
+      VectorExpressions.l2NormalizeFast(col("embedding")).as("nat"),
+      transform(asD(col("embedding")), _ / hofNorm(col("embedding"))).as("hof"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Double](0) == r.getSeq[Double](1))
+    }
+    // unit norm (up to float error) and zero-vector passthrough
+    val n = e.select(VectorExpressions.dotFast(
+        VectorExpressions.l2NormalizeFast(col("embedding")),
+        VectorExpressions.l2NormalizeFast(col("embedding"))).as("n"))
+      .agg(min("n"), max("n")).head()
+    assert(math.abs(n.getDouble(0) - 1.0) < 1e-12 &&
+      math.abs(n.getDouble(1) - 1.0) < 1e-12)
+    val z = spark.sql("SELECT array(0.0F, 0.0F) v")
+      .select(VectorExpressions.l2NormalizeFast(col("v"))).head()
+    assert(z.getSeq[Double](0) == Seq(0.0, 0.0))
+  }
+
   test("rhp signature: codegen and interpreted eval agree") {
     val e = graft.Tables.embeddings(spark, sf).limit(100)
     // codegen path (whole-stage projection)
