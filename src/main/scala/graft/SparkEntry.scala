@@ -414,6 +414,45 @@ object SparkEntry {
         .select(col("doc_id"), round(col("rrf"), 9).as("rrf"))
     }),
 
+    // The SERVING STACK end-to-end: lay out BOTH persisted indexes (term-
+    // sorted postings + norms; IVF cell-partitioned vectors), then answer
+    // a hybrid query reading only index structures — BM25 from the query
+    // terms' postings, cosine from the vector cells — fused by RRF. All
+    // cells are probed here so the result is row-for-row the declarative
+    // answer (the pruned-probe path is gated by x_sim_ivf_persisted, the
+    // postings term-pruning by x_bm25_indexed / PlanSpec).
+    "x_hybrid_indexed" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 50
+      val docs = Tables.documents(s, d)
+      val tdir = java.nio.file.Files.createTempDirectory("graft-textidx").toString
+      sink.InvertedIndex.writePostings(
+        sink.InvertedIndex.postings(docs, "doc_id", "text"), s"$tdir/postings")
+      sink.InvertedIndex.docLengths(docs, "doc_id", "text")
+        .write.mode("overwrite").parquet(s"$tdir/norms")
+      val textTop = sink.InvertedIndex.bm25Search(
+          sink.InvertedIndex.readPostings(s, s"$tdir/postings"),
+          s.read.parquet(s"$tdir/norms"), "merge window scan", k)
+        .select(col("doc_id"), row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id"))).as("r_text"))
+      val e = Tables.embeddings(s, d)
+      val vdir = java.nio.file.Files.createTempDirectory("graft-vecidx").toString
+      val model = sink.VectorIndex.write(e, "vec_id", "embedding", vdir,
+        k = 8, iters = 3)
+      val qv = e.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0)
+      val vecTop = sink.VectorIndex.search(s, vdir, "vec_id", "embedding",
+          qv, topK = k, nProbe = model.k)
+        .select(col("vec_id").as("doc_id"), row_number().over(
+          Window.orderBy(col("cosine").desc, col("vec_id"))).as("r_vec"))
+      textTop.join(vecTop, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          (coalesce(lit(1.0) / (lit(60) + col("r_text")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0))).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+        .select(col("doc_id"), round(col("rrf"), 9).as("rrf"))
+    }),
+
     // Brute-force cosine top-k vs the vec_id=0 query vector (exact ANN
     // baseline), expressed as a broadcast join — no driver collect.
     "x_sim_topk" -> ((s, d) => {
@@ -737,6 +776,33 @@ object SparkEntry {
           (abs(element_at(col("_a"), 3) - element_at(col("_e"), 3))
             <= element_at(col("_e"), 3) * 0.01).as("p99_ok"))
     }),
+
+    // Adaptive quality floor: keep docs at or above the corpus's exact
+    // P25 token count — threshold selection as part of the plan (single
+    // broadcast percentile row), not a magic constant. The curation
+    // pattern for "drop the shortest quartile of every source dump".
+    "x_quality_floor" -> ((s, d) => {
+      val q = Tables.documents(s, d).select(col("doc_id"),
+        functions.TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val thr = q.agg(
+        percentile(col("n_tokens").cast("double"), lit(0.25)).as("p25"))
+      q.crossJoin(broadcast(thr))
+        .filter(col("n_tokens").cast("double") >= col("p25"))
+        .select(col("doc_id"), col("n_tokens"), round(col("p25"), 6).as("p25"))
+        .orderBy("doc_id")
+    }),
+
+    // Token-length histogram (20-token buckets): the corpus shape report
+    // a mixing/curation run reads first. One map-side projection + one
+    // bucket-keyed aggregate.
+    "x_len_hist" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(functions.TextFunctions.tokenCount(col("text")).cast("long")
+          .as("n"))
+        .groupBy((col("n") / 20).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"), min("n").as("min_tokens"),
+          max("n").as("max_tokens"), sum("n").as("sum_tokens"))
+        .orderBy("bucket")),
 
     // Per-doc top-3 TF-IDF terms (keyword extraction / domain tagging).
     "x_tfidf" -> ((s, d) =>
@@ -1286,6 +1352,52 @@ object SparkEntry {
            FROM tt FULL OUTER JOIN vt ON tt.doc_id = vt.doc_id)
          SELECT doc_id, round(rrf, 9) AS rrf FROM f
          ORDER BY rrf DESC, doc_id LIMIT 10""",
+    // same fusion as x_hybrid, but the text leg is BM25 (the indexed
+    // scorer ranks by the round-6 score, so the rank here does too)
+    "x_hybrid_indexed" ->
+      """WITH t AS (SELECT doc_id,
+             CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+               AS DOUBLE) AS dl,
+             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'merge'))
+               AS DOUBLE) AS tf0,
+             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'window'))
+               AS DOUBLE) AS tf1,
+             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'scan'))
+               AS DOUBLE) AS tf2
+           FROM documents),
+         s AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+             CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+             CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+             CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+           FROM t),
+         z AS (SELECT doc_id,
+             ln(1 + (n - df0 + 0.5) / (df0 + 0.5))
+               * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             + ln(1 + (n - df1 + 0.5) / (df1 + 0.5))
+               * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             + ln(1 + (n - df2 + 0.5) / (df2 + 0.5))
+               * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+               AS score
+           FROM t, s),
+         tt AS (SELECT doc_id,
+             row_number() OVER (ORDER BY round(score, 6) DESC, doc_id)
+               AS r_text
+           FROM z WHERE score > 0
+           ORDER BY round(score, 6) DESC, doc_id LIMIT 50),
+         q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+           WHERE vec_id = 0),
+         vt AS (SELECT doc_id,
+             row_number() OVER (ORDER BY c DESC, doc_id) AS r_vec
+           FROM (SELECT vec_id AS doc_id,
+               list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv) AS c
+             FROM embeddings, q) z2
+           ORDER BY c DESC, doc_id LIMIT 50),
+         f AS (SELECT COALESCE(tt.doc_id, vt.doc_id) AS doc_id,
+             COALESCE(CAST(1 AS DOUBLE) / (60 + r_text), 0)
+               + COALESCE(CAST(1 AS DOUBLE) / (60 + r_vec), 0) AS rrf
+           FROM tt FULL OUTER JOIN vt ON tt.doc_id = vt.doc_id)
+         SELECT doc_id, round(rrf, 9) AS rrf FROM f
+         ORDER BY rrf DESC, doc_id LIMIT 10""",
     "x_quantize" ->
       """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
              list_max(list_transform(embedding,
@@ -1588,6 +1700,24 @@ object SparkEntry {
       """SELECT count(DISTINCT user_id) AS n_users, TRUE AS users_ok,
            count(DISTINCT event_type) AS n_types, TRUE AS types_ok
          FROM events""",
+    "x_quality_floor" ->
+      """WITH t AS (SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS BIGINT) AS n_tokens
+           FROM documents),
+         p AS (SELECT quantile_cont(CAST(n_tokens AS DOUBLE), 0.25) AS p25
+           FROM t)
+         SELECT doc_id, n_tokens, round(p25, 6) AS p25 FROM t, p
+         WHERE CAST(n_tokens AS DOUBLE) >= p25 ORDER BY doc_id""",
+    "x_len_hist" ->
+      """WITH t AS (SELECT
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS BIGINT) AS n
+           FROM documents)
+         SELECT n // 20 AS bucket, count(*) AS n_docs,
+           min(n) AS min_tokens, max(n) AS max_tokens,
+           CAST(sum(n) AS BIGINT) AS sum_tokens
+         FROM t GROUP BY 1 ORDER BY bucket""",
     "x_tfidf" ->
       """WITH toks AS (SELECT doc_id,
              unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
