@@ -414,6 +414,18 @@ object SparkEntry {
         .select(col("doc_id"), round(col("rrf"), 9).as("rrf"))
     }),
 
+    // Late-interaction (MaxSim) retrieval: labels act as document groups
+    // (bags of chunk vectors), vec_id<3 as the query bag; score =
+    // Σ_q max_chunk cosine. Both aggregations are map-side-combinable
+    // hash aggs; round-then-decimal-sum makes the score order-independent.
+    "x_maxsim" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      operators.Similarity.maxSimScores(e, q, "label", "embedding", "qid", "qv")
+        .orderBy("label")
+    }),
+
     // The SERVING STACK end-to-end: lay out BOTH persisted indexes (term-
     // sorted postings + norms; IVF cell-partitioned vectors), then answer
     // a hybrid query reading only index structures — BM25 from the query
@@ -775,6 +787,27 @@ object SparkEntry {
             <= element_at(col("_e"), 2) * 0.01).as("p90_ok"),
           (abs(element_at(col("_a"), 3) - element_at(col("_e"), 3))
             <= element_at(col("_e"), 3) * 0.01).as("p99_ok"))
+    }),
+
+    // Two-phase salted aggregation gated against the plain GROUP BY: the
+    // skew-mitigation path must be bit-identical to the direct plan.
+    // Decimal sums make the result independent of partial-merge order
+    // (double addition is not associative across salt buckets).
+    "x_skew_agg" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("v", col("value").cast("decimal(18,6)"))
+      operators.Skew.saltedAgg(ev, Seq("event_type"),
+        Seq(operators.Skew.AggSpec("v", "sum"),
+          operators.Skew.AggSpec("v", "count"),
+          operators.Skew.AggSpec("v", "min"),
+          operators.Skew.AggSpec("v", "max")),
+        salts = 8, spreadCols = Seq("event_id"))
+        .select(col("event_type"),
+          col("sum_v").cast("double").as("sum_value"),
+          col("count_v").as("n"),
+          col("min_v").cast("double").as("min_value"),
+          col("max_v").cast("double").as("max_value"))
+        .orderBy("event_type")
     }),
 
     // Adaptive quality floor: keep docs at or above the corpus's exact
@@ -1352,6 +1385,16 @@ object SparkEntry {
            FROM tt FULL OUTER JOIN vt ON tt.doc_id = vt.doc_id)
          SELECT doc_id, round(rrf, 9) AS rrf FROM f
          ORDER BY rrf DESC, doc_id LIMIT 10""",
+    "x_maxsim" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 3),
+         z AS (SELECT e.label, q.qid,
+             max(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv))
+               AS m
+           FROM embeddings e, q GROUP BY e.label, q.qid)
+         SELECT label,
+           CAST(sum(CAST(round(m, 6) AS DECIMAL(16,6))) AS DOUBLE) AS maxsim
+         FROM z GROUP BY label ORDER BY label""",
     // same fusion as x_hybrid, but the text leg is BM25 (the indexed
     // scorer ranks by the round-6 score, so the rank here does too)
     "x_hybrid_indexed" ->
@@ -1700,6 +1743,13 @@ object SparkEntry {
       """SELECT count(DISTINCT user_id) AS n_users, TRUE AS users_ok,
            count(DISTINCT event_type) AS n_types, TRUE AS types_ok
          FROM events""",
+    "x_skew_agg" ->
+      """SELECT event_type,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+           count(value) AS n,
+           CAST(min(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS min_value,
+           CAST(max(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS max_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "x_quality_floor" ->
       """WITH t AS (SELECT doc_id,
              CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))

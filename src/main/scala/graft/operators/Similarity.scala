@@ -84,6 +84,40 @@ object Similarity {
       bucketed.filter(col("bucket").isin(probes: _*)), idCol, vecCol, query, k)
   }
 
+  /** Late-interaction (MaxSim) scoring: documents are BAGS of vectors
+    * (one per chunk/token, keyed by `groupCol`), a query is a small bag of
+    * vectors, and a document's score is `Σ_q max_d cos(q, d)` — the
+    * ColBERT retrieval objective, which beats single-vector retrieval
+    * when relevance lives in one passage of a long document.
+    *
+    * Returns `(groupCol, maxsim double)`, one row per document group,
+    * scores summed over per-query maxima rounded to 6dp and accumulated
+    * in decimal so the result is independent of aggregation order (and
+    * engine-reproducible).
+    *
+    * Scale shape: queries broadcast and scored map-side (codegen'd
+    * cosine); BOTH aggregations — the per-(group, query) max and the
+    * per-group sum — are hash aggregates with map-side partials, so a
+    * group's cost in each shuffle is one row per partition regardless of
+    * how many vectors it holds. Corpus is never shuffled by vector, only
+    * by (group, query) then group keys.
+    */
+  def maxSimScores(corpus: DataFrame, queries: DataFrame, groupCol: String,
+      vecCol: String, qIdCol: String, qVecCol: String): DataFrame = {
+    val scored = corpus
+      .crossJoin(broadcast(queries.select(col(qIdCol), col(qVecCol))))
+      .select(col(groupCol), col(qIdCol),
+        graft.functions.VectorExpressions.cosineFast(col(vecCol), col(qVecCol)).as("_c"))
+    scored
+      .groupBy(col(groupCol), col(qIdCol))
+      .agg(max(col("_c")).as("_m"))
+      // round-then-decimal-sum: double addition is not associative, and
+      // partial-merge order differs between engines and runs
+      .groupBy(col(groupCol))
+      .agg(sum(round(col("_m"), 6).cast("decimal(16,6)"))
+        .cast("double").as("maxsim"))
+  }
+
   /** Exact KNN join: for every query vector, the k nearest corpus vectors
     * by cosine — the batch retrieval shape (embed a batch of prompts,
     * fetch neighbors for each) that [[bruteForceTopK]]'s single literal

@@ -92,4 +92,34 @@ class PlanSpec extends SparkSpec {
       s"tf counting should collapse map-side before the term shuffle:\n$p")
     assert(!p.contains("Exchange SinglePartition"))
   }
+
+  test("boilerplate mining pre-aggregates per doc and ends in top-k") {
+    val p = plan("x_boilerplate")
+    // (doc, ngram) partial counting bounds a hot n-gram's shuffle volume
+    assert(p.contains("partial_count"),
+      s"per-doc pre-aggregation should combine map-side:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"global top-k must never be a full sort:\n$p")
+  }
+
+  test("knn join ranks through the bounded aggregate, no corpus window") {
+    val p = plan("x_knn_join")
+    assert(p.contains("partial_top_k_by_score"),
+      s"per-partition top-k partials missing:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"query batch should broadcast:\n$p")
+    assert(!p.contains("Window"), s"no window over the scored corpus:\n$p")
+  }
+
+  test("split and mixture sampling stay pure map-side projections") {
+    for (q <- Seq("x_split", "x_quality_floor")) {
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin"),
+        s"$q must not shuffle-join:\n$p")
+    }
+    // x_mix aggregates per source AFTER a shuffle-free filter; the only
+    // exchange is the small per-source aggregate
+    val p = plan("x_mix")
+    assert(p.contains("partial_count"), s"x_mix should combine map-side:\n$p")
+  }
 }

@@ -80,6 +80,25 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("maxSimScores sums per-query maxima over each group's bag") {
+    // group A holds the exact query vectors (max cos 1.0 each);
+    // group B holds orthogonal vectors (max cos 0.0 per query)
+    val corpus = Seq(
+      ("A", Seq(1.0f, 0.0f, 0.0f)), ("A", Seq(0.0f, 1.0f, 0.0f)),
+      ("B", Seq(0.0f, 0.0f, 1.0f)), ("B", Seq(0.0f, 0.0f, 2.0f))
+    ).toDF("label", "v")
+    val q = Seq((0L, Seq(1.0f, 0.0f, 0.0f)), (1L, Seq(0.0f, 1.0f, 0.0f)))
+      .toDF("qid", "qv")
+    val got = Similarity.maxSimScores(corpus, q, "label", "v", "qid", "qv")
+      .orderBy("label").as[(String, Double)].collect().toSeq
+    assert(got == Seq(("A", 2.0), ("B", 0.0)))
+    // both aggregations keep map-side partials; no window anywhere
+    val plan = Similarity.maxSimScores(corpus, q, "label", "v", "qid", "qv")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_max"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("bucket signature is deterministic across evaluations") {
     val e = Tables.embeddings(spark, sf).limit(50)
     val a = Similarity.annBuckets(e, "embedding").select("vec_id", "bucket")
