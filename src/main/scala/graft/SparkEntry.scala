@@ -414,6 +414,28 @@ object SparkEntry {
         .select(col("doc_id"), round(col("rrf"), 9).as("rrf"))
     }),
 
+    // Incrementally-maintained inverted index: base holds docs ≥ 10, one
+    // delta commits docs < 10 plus a bogus doc, a tombstone delta removes
+    // the bogus doc — the merge-on-read view must then score BM25 exactly
+    // like a full-corpus index (same oracle as x_bm25_indexed). Commits
+    // are O(batch); the base is never rewritten (IncrementalPostingsSpec
+    // pins bytes + mtime).
+    "x_bm25_incremental" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val dir = java.nio.file.Files.createTempDirectory("graft-incpost").toString
+      sink.IncrementalPostings.init(
+        docs.filter(col("doc_id") >= 10), "doc_id", "text", dir)
+      sink.IncrementalPostings.commitUpserts(
+        docs.filter(col("doc_id") < 10).unionByName(
+          Seq((1000000L, "bogus merge window scan text"))
+            .toDF("doc_id", "text")),
+        "doc_id", "text", dir)
+      sink.IncrementalPostings.commitDeletes(
+        Seq(1000000L).toDF("doc_id"), "doc_id", dir)
+      sink.IncrementalPostings.bm25Search(s, dir, "merge window scan", 20)
+    }),
+
     // Late-interaction (MaxSim) retrieval: labels act as document groups
     // (bags of chunk vectors), vec_id<3 as the query bag; score =
     // Σ_q max_chunk cosine. Both aggregations are map-side-combinable
@@ -1206,6 +1228,35 @@ object SparkEntry {
          ORDER BY term, doc_id""",
     // the index-accelerated path must reproduce the corpus-scan BM25
     // exactly — same oracle as q_match_bm25
+    // the incrementally-maintained index must reproduce the full-corpus
+    // BM25 bit-for-bit once its deltas resolve — identical oracle
+    "x_bm25_incremental" ->
+      """WITH t AS (SELECT doc_id,
+             CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+               AS DOUBLE) AS dl,
+             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'merge'))
+               AS DOUBLE) AS tf0,
+             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'window'))
+               AS DOUBLE) AS tf1,
+             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'scan'))
+               AS DOUBLE) AS tf2
+           FROM documents),
+         s AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+             CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+             CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+             CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+           FROM t),
+         z AS (SELECT doc_id,
+             ln(1 + (n - df0 + 0.5) / (df0 + 0.5))
+               * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             + ln(1 + (n - df1 + 0.5) / (df1 + 0.5))
+               * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             + ln(1 + (n - df2 + 0.5) / (df2 + 0.5))
+               * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+               AS score
+           FROM t, s)
+         SELECT doc_id, round(score, 6) AS bm25 FROM z WHERE score > 0
+         ORDER BY bm25 DESC, doc_id LIMIT 20""",
     "x_bm25_indexed" ->
       """WITH t AS (SELECT doc_id,
              CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))

@@ -1,0 +1,172 @@
+package graft.sink
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incrementally-maintained inverted index: the Lucene-style ingest loop —
+  * each micro-batch of upserted/deleted documents commits an O(batch)
+  * postings DELTA instead of rebuilding the index, queries resolve
+  * base + deltas at read time, and a maintenance `compact` folds deltas
+  * into the base. The postings twin of [[ParquetIndexSink]]'s
+  * merge-on-read document log (same reasoning: a steady stream of small
+  * commits must not pay index-sized writes).
+  *
+  * Layout under `dir`:
+  *   - `base/postings`, `base/norms` — term-sorted postings + doc lengths
+  *     (sequence 0).
+  *   - `deltas/<seq>/{postings,norms,docs}` — one dir per commit:
+  *     the batch's postings and norms, plus `docs`, the ids WRITTEN BY
+  *     this commit (a delete writes the id to `docs` with no postings —
+  *     a keyed tombstone).
+  *
+  * Read-time resolution is document-granular last-writer-wins: a doc's
+  * postings come from the highest sequence that wrote it (the base if
+  * none did). `owners` — one row per EVER-TOUCHED doc, not per corpus
+  * doc — joins the union of base and delta postings; steady-state
+  * ingest touches a vanishing fraction of the corpus, so the owner
+  * table stays small and broadcastable until compaction folds it away.
+  *
+  * Scale shape: a commit writes only the batch's own postings/norms
+  * (one narrow shuffle keyed by (term, doc) for the tf aggregate); a
+  * query term's filter still pushes into every leg of the union (the
+  * base stays term-sorted, deltas are small); compaction is the only
+  * index-sized write, and it is a maintenance job, not an ingest cost —
+  * exactly the contract of `ParquetIndexSink.compactDeltas`.
+  */
+object IncrementalPostings {
+
+  /** Lay down the base index (sequence 0). */
+  def init(docs: DataFrame, idCol: String, textCol: String,
+      dir: String): Unit = {
+    InvertedIndex.writePostings(
+      InvertedIndex.postings(docs, idCol, textCol), s"$dir/base/postings")
+    InvertedIndex.docLengths(docs, idCol, textCol)
+      .write.mode("overwrite").parquet(s"$dir/base/norms")
+  }
+
+  private def fs(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def deltaSeqs(spark: SparkSession, dir: String): Seq[Int] = {
+    val root = new Path(s"$dir/deltas")
+    val f = fs(spark, dir)
+    if (!f.exists(root)) Seq.empty
+    else f.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filterNot(_.startsWith("."))          // in-flight commits
+      .map(_.toInt).sorted
+  }
+
+  /** Commit one batch of upserted documents as a delta: postings + norms
+    * for the batch, and the batch's ids as the ownership record. The
+    * delta directory appears atomically (written under a dot-prefixed
+    * temp name, renamed into place) so a concurrent reader never sees a
+    * half-written commit — the same rename protocol as the sink's
+    * manifest. Returns the committed sequence number.
+    */
+  def commitUpserts(docs: DataFrame, idCol: String, textCol: String,
+      dir: String): Int = {
+    val spark = docs.sparkSession
+    val seq = (deltaSeqs(spark, dir) :+ 0).max + 1
+    val tmp = s"$dir/deltas/.tmp-$seq"
+    InvertedIndex.postings(docs, idCol, textCol)
+      .write.mode("overwrite").parquet(s"$tmp/postings")
+    InvertedIndex.docLengths(docs, idCol, textCol)
+      .write.mode("overwrite").parquet(s"$tmp/norms")
+    docs.select(col(idCol).cast("long").as("doc_id")).distinct()
+      .write.mode("overwrite").parquet(s"$tmp/docs")
+    val f = fs(spark, dir)
+    require(f.rename(new Path(tmp), new Path(s"$dir/deltas/$seq")),
+      s"could not commit delta $seq (concurrent writer?)")
+    seq
+  }
+
+  /** Commit deletions: the ids claim ownership with no postings/norms —
+    * a keyed tombstone, O(ids) bytes.
+    */
+  def commitDeletes(ids: DataFrame, idCol: String, dir: String): Int = {
+    val spark = ids.sparkSession
+    val seq = (deltaSeqs(spark, dir) :+ 0).max + 1
+    val tmp = s"$dir/deltas/.tmp-$seq"
+    val docs = ids.select(col(idCol).cast("long").as("doc_id")).distinct()
+    // empty postings/norms with the right schemas: a delete owns the doc
+    // and contributes nothing
+    docs.limit(0)
+      .select(lit("").as("term"), col("doc_id"), lit(0).cast("int").as("tf"))
+      .write.mode("overwrite").parquet(s"$tmp/postings")
+    docs.limit(0).select(col("doc_id"), lit(0).cast("int").as("dl"))
+      .write.mode("overwrite").parquet(s"$tmp/norms")
+    docs.write.mode("overwrite").parquet(s"$tmp/docs")
+    val f = fs(spark, dir)
+    require(f.rename(new Path(tmp), new Path(s"$dir/deltas/$seq")),
+      s"could not commit delta $seq (concurrent writer?)")
+    seq
+  }
+
+  /** One row per ever-touched doc: the highest sequence that wrote it. */
+  private def owners(spark: SparkSession, dir: String,
+      seqs: Seq[Int]): DataFrame =
+    seqs.map { s =>
+      spark.read.parquet(s"$dir/deltas/$s/docs")
+        .select(col("doc_id"), lit(s).as("_live_seq"))
+    }.reduce(_.unionByName(_))
+      .groupBy("doc_id").agg(max("_live_seq").as("_live_seq"))
+
+  private def resolve(spark: SparkSession, dir: String, sub: String,
+      readBase: String => DataFrame): DataFrame = {
+    val seqs = deltaSeqs(spark, dir)
+    val base = readBase(s"$dir/base/$sub").withColumn("_seq", lit(0))
+    val all = seqs.foldLeft(base) { (acc, s) =>
+      acc.unionByName(spark.read.parquet(s"$dir/deltas/$s/$sub")
+        .withColumn("_seq", lit(s)))
+    }
+    val cols = base.columns.filterNot(_ == "_seq").map(col).toSeq
+    if (seqs.isEmpty) all.drop("_seq")
+    else all
+      // the owner table is one row per TOUCHED doc — broadcast until
+      // compaction resets it
+      .join(broadcast(owners(spark, dir, seqs)), Seq("doc_id"), "left")
+      .filter(col("_seq") === coalesce(col("_live_seq"), lit(0)))
+      .select(cols: _*) // the join moved doc_id first; restore the layout
+  }
+
+  /** The live postings view (last writer per doc wins). Term filters push
+    * into every union leg's scan.
+    */
+  def currentPostings(spark: SparkSession, dir: String): DataFrame =
+    resolve(spark, dir, "postings", p => InvertedIndex.readPostings(spark, p))
+
+  /** The live norms view (doc lengths), resolved the same way. */
+  def currentNorms(spark: SparkSession, dir: String): DataFrame =
+    resolve(spark, dir, "norms", p => spark.read.parquet(p))
+
+  /** BM25 over the live view — identical scoring to
+    * [[InvertedIndex.bm25Search]], reading base + deltas.
+    */
+  def bm25Search(spark: SparkSession, dir: String, query: String,
+      k: Int): DataFrame =
+    InvertedIndex.bm25Search(currentPostings(spark, dir),
+      currentNorms(spark, dir), query, k)
+
+  /** Fold all deltas into a fresh term-sorted base — the only index-sized
+    * write, run as maintenance (the `ParquetIndexSink.compactDeltas`
+    * contract). Materializes the resolved views, swaps the base by
+    * rename, then drops the absorbed deltas.
+    */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val seqs = deltaSeqs(spark, dir)
+    if (seqs.isEmpty) return
+    val tmp = s"$dir/.base-next"
+    InvertedIndex.writePostings(currentPostings(spark, dir), s"$tmp/postings")
+    currentNorms(spark, dir).write.mode("overwrite").parquet(s"$tmp/norms")
+    val f = fs(spark, dir)
+    val old = new Path(s"$dir/.base-old")
+    require(f.rename(new Path(s"$dir/base"), old), "compact: base swap failed")
+    require(f.rename(new Path(tmp), new Path(s"$dir/base")),
+      "compact: base install failed")
+    f.delete(old, true)
+    seqs.foreach(s => f.delete(new Path(s"$dir/deltas/$s"), true))
+  }
+}

@@ -1,0 +1,99 @@
+package graft.sink
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class IncrementalPostingsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def currentDocs(
+      base: Seq[(Long, String)],
+      upserts: Seq[Seq[(Long, String)]],
+      deletes: Seq[Long]) = {
+    val m = scala.collection.mutable.LinkedHashMap(base: _*)
+    upserts.flatten.foreach { case (id, t) => m(id) = t }
+    deletes.foreach(m.remove)
+    m.toSeq
+  }
+
+  test("delta commits resolve to exactly the current corpus's postings") {
+    val dir = java.nio.file.Files.createTempDirectory("incpost").toString
+    val base = Seq((1L, "merge scan"), (2L, "window join"), (3L, "scan scan"))
+    val up1 = Seq((2L, "window window merge"), (4L, "filter sort"))
+    IncrementalPostings.init(base.toDF("doc_id", "text"), "doc_id", "text", dir)
+    val s1 = IncrementalPostings.commitUpserts(
+      up1.toDF("doc_id", "text"), "doc_id", "text", dir)
+    val s2 = IncrementalPostings.commitDeletes(
+      Seq(3L).toDF("doc_id"), "doc_id", dir)
+    assert(s1 == 1 && s2 == 2)
+
+    val expect = InvertedIndex.postings(
+      currentDocs(base, Seq(up1), Seq(3L)).toDF("doc_id", "text"),
+      "doc_id", "text")
+      .as[(String, Long, Int)].collect().toSet
+    val got = IncrementalPostings.currentPostings(spark, dir)
+      .as[(String, Long, Int)].collect().toSet
+    assert(got == expect)
+    // norms resolve the same way (doc 3 gone, doc 2 re-counted, doc 4 new)
+    val norms = IncrementalPostings.currentNorms(spark, dir)
+      .as[(Long, Int)].collect().toMap
+    assert(norms == Map(1L -> 2, 2L -> 3, 4L -> 2))
+
+    // a doc upserted TWICE resolves to the latest delta, not the first
+    IncrementalPostings.commitUpserts(
+      Seq((2L, "solo")).toDF("doc_id", "text"), "doc_id", "text", dir)
+    val again = IncrementalPostings.currentNorms(spark, dir)
+      .as[(Long, Int)].collect().toMap
+    assert(again(2L) == 1)
+  }
+
+  test("incremental BM25 equals the scan-form over the current corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("incpost-bm25").toString
+    val base = (10L to 40L).map(i =>
+      (i, s"merge scan window doc$i ${"filler " * (i % 5).toInt}merge"))
+    val up = Seq((10L, "window window"), (50L, "merge merge scan"))
+    IncrementalPostings.init(base.toDF("doc_id", "text"), "doc_id", "text", dir)
+    IncrementalPostings.commitUpserts(
+      up.toDF("doc_id", "text"), "doc_id", "text", dir)
+    IncrementalPostings.commitDeletes(Seq(11L).toDF("doc_id"), "doc_id", dir)
+
+    val cur = currentDocs(base, Seq(up), Seq(11L)).toDF("doc_id", "text")
+    val expect = DocQueries.matchTextBM25(cur, "doc_id", "text",
+      "merge window scan", 20).as[(Long, Double)].collect().toSeq
+    val got = IncrementalPostings.bm25Search(spark, dir, "merge window scan", 20)
+      .as[(Long, Double)].collect().toSeq
+    assert(got == expect)
+
+    // compaction folds deltas into the base and preserves the answer
+    IncrementalPostings.compact(spark, dir)
+    val afterCompact = IncrementalPostings
+      .bm25Search(spark, dir, "merge window scan", 20)
+      .as[(Long, Double)].collect().toSeq
+    assert(afterCompact == expect)
+    // and the deltas are gone: the view is the base alone
+    assert(IncrementalPostings.currentPostings(spark, dir)
+      .columns.toSeq == Seq("term", "doc_id", "tf"))
+  }
+
+  test("a commit writes O(batch) bytes, never touching the base") {
+    val dir = java.nio.file.Files.createTempDirectory("incpost-bytes").toString
+    val base = (1L to 500L).map(i => (i, s"word$i common merge scan text"))
+    IncrementalPostings.init(base.toDF("doc_id", "text"), "doc_id", "text", dir)
+    def bytes(p: String): Long = {
+      val f = new java.io.File(p)
+      if (!f.exists) 0L
+      else if (f.isFile) f.length
+      else f.listFiles.map(c => bytes(c.getPath)).sum
+    }
+    val baseBytes = bytes(s"$dir/base")
+    val baseMtime = new java.io.File(s"$dir/base/postings").lastModified
+    IncrementalPostings.commitUpserts(
+      Seq((1L, "tiny update")).toDF("doc_id", "text"), "doc_id", "text", dir)
+    val deltaBytes = bytes(s"$dir/deltas")
+    assert(new java.io.File(s"$dir/base/postings").lastModified == baseMtime,
+      "commit must not rewrite the base")
+    assert(deltaBytes < baseBytes / 5,
+      s"delta $deltaBytes B should be a small fraction of base $baseBytes B")
+  }
+}
