@@ -436,6 +436,25 @@ object SparkEntry {
       sink.IncrementalPostings.bm25Search(s, dir, "merge window scan", 20)
     }),
 
+    // Vector-index append path: index built WITHOUT vec_id<100, those
+    // vectors appended (assigned against the persisted model, cell dirs
+    // appended — no retrain, no rewrite). Full-probe search must then
+    // equal the exact corpus top-10 row-for-row (same oracle shape as
+    // x_sim_topk).
+    "x_sim_ivf_append" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val qv = e.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0)
+      val dir = java.nio.file.Files.createTempDirectory("graft-vecapp").toString
+      val model = sink.VectorIndex.write(e.filter(col("vec_id") >= 100),
+        "vec_id", "embedding", dir, k = 8, iters = 3)
+      sink.VectorIndex.append(e.filter(col("vec_id") < 100),
+        "vec_id", "embedding", dir)
+      sink.VectorIndex.search(s, dir, "vec_id", "embedding", qv,
+          topK = 10, nProbe = model.k)
+        .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+    }),
+
     // Late-interaction (MaxSim) retrieval: labels act as document groups
     // (bags of chunk vectors), vec_id<3 as the query bag; score =
     // Σ_q max_chunk cosine. Both aggregations are map-side-combinable
@@ -1509,6 +1528,16 @@ object SparkEntry {
            FROM dq, q)
          SELECT vec_id, round(c, 6) AS q_cosine, round(f, 6) AS fidelity
          FROM z ORDER BY c DESC, vec_id LIMIT 10""",
+    // the appended index, fully probed, is exact — same oracle as the
+    // brute-force top-k
+    "x_sim_ivf_append" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         z AS (SELECT vec_id,
+             list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                    CAST(qv AS DOUBLE[])) AS c
+           FROM embeddings, q)
+         SELECT vec_id, round(c, 6) AS cosine FROM z
+         ORDER BY c DESC, vec_id LIMIT 10""",
     "x_sim_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
          z AS (SELECT vec_id,

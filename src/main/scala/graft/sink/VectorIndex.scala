@@ -52,6 +52,22 @@ object VectorIndex {
     model
   }
 
+  /** Append new vectors to an existing index WITHOUT retraining: assign
+    * against the persisted centroids and append into the cell layout
+    * (dynamic partition append touches only the cells the batch lands
+    * in — O(batch) files). The model is unchanged, so searches stay
+    * consistent; centroid DRIFT under sustained append degrades cell
+    * balance, which is a rebuild (re-`write`) decision — the same
+    * maintenance split as [[IncrementalPostings.compact]].
+    */
+  def append(df: DataFrame, idCol: String, vecCol: String,
+      dir: String): Unit = {
+    val spark = df.sparkSession
+    val model = loadModel(spark, dir)
+    Ivf.assign(df.filter(col(vecCol).isNotNull), vecCol, model)
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
+  }
+
   /** Load the persisted model (k rows to the driver). */
   def loadModel(spark: SparkSession, dir: String): Ivf.Model = {
     val rows = spark.read.parquet(s"$dir/centroids")

@@ -27,6 +27,28 @@ class VectorIndexSpec extends SparkSpec {
       model.centroids.map(_.toSeq).toSeq)
   }
 
+  test("append inserts without retraining; search sees old and new") {
+    val dir = java.nio.file.Files.createTempDirectory("vecidx-append").toString
+    val e = Tables.embeddings(spark, sf)
+    val model = VectorIndex.write(e.filter(col("vec_id") >= 100),
+      "vec_id", "embedding", dir, k = 4, iters = 3)
+    VectorIndex.append(e.filter(col("vec_id") < 100),
+      "vec_id", "embedding", dir)
+    // the model is untouched by append
+    assert(VectorIndex.loadModel(spark, dir).centroids.map(_.toSeq).toSeq ==
+      model.centroids.map(_.toSeq).toSeq)
+    // full-probe search over the appended index ≡ brute force on ALL rows
+    val q = e.filter(col("vec_id") === 7).select("embedding")
+      .head().getSeq[Float](0)
+    val got = VectorIndex.search(spark, dir, "vec_id", "embedding",
+      q, topK = 10, nProbe = model.k).as[(Long, Double)].collect().toSeq
+    val exact = graft.operators.Similarity.bruteForceTopK(
+      e, "vec_id", "embedding", q, 10).as[(Long, Double)].collect().toSeq
+    assert(got == exact)
+    // and the index holds the full corpus
+    assert(VectorIndex.cells(spark, dir).count() == e.count())
+  }
+
   test("search prunes unprobed cells at the partition level") {
     val dir = java.nio.file.Files.createTempDirectory("vecidx-prune").toString
     val e = Tables.embeddings(spark, sf)
