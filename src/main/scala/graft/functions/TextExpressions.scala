@@ -270,16 +270,22 @@ case class BpeTokens(child: Expression, merges: Seq[(String, String)])
 case class TermFreqStats(child: Expression, terms: Seq[String])
     extends UnaryExpression with CodegenFallback {
   require(terms.nonEmpty, "term_freq_stats needs at least one term")
-  require(terms.distinct == terms,
-    s"term_freq_stats terms must be distinct, got $terms")
+  require(terms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct.size == terms.size,
+    s"term_freq_stats terms must be distinct (case-insensitively), got $terms")
 
   override def dataType: DataType = TermFreqStats.schema
   override def prettyName: String = "term_freq_stats"
 
-  /** lowercase term → its index in `terms`. */
+  /** lowercase term → its index in `terms`. The terms are folded here
+    * because the DOCUMENT is lowercased before matching — a caller
+    * passing 'Merge' (e.g. via the registered SQL function) would
+    * otherwise silently count 0 for every row.
+    */
   @transient private lazy val lookup: java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer]()
-    terms.zipWithIndex.foreach { case (t, i) => m.put(t, i) }
+    terms.zipWithIndex.foreach { case (t, i) =>
+      m.put(t.toLowerCase(java.util.Locale.ROOT), i)
+    }
     m
   }
 

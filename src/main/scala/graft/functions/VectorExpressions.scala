@@ -299,13 +299,16 @@ case class VectorQ8Roundtrip(child: Expression)
 /** One-pass L2 normalization to a unit vector (array<double>): the
   * ingest-time canonicalization that turns cosine ranking into plain dot
   * products. Zero vectors pass through unscaled (a 0/0 NaN fill would
-  * poison every downstream distance). Numerics match the HOF reference
-  * `VectorFunctions.l2Normalize` bit-for-bit (double accumulation
-  * left-to-right, one IEEE division per element) — the HOF form
-  * re-evaluates its norm subexpression once PER ELEMENT inside the
-  * lambda (measured ~1 ms/row at dim 64), which is why the ingest path
-  * gets a native expression. Once-per-row at ingest → CodegenFallback
-  * granularity, same reasoning as [[VectorQ8Roundtrip]].
+  * poison every downstream distance). For null-free arrays the numerics
+  * match the HOF reference `VectorFunctions.l2Normalize` bit-for-bit
+  * (double accumulation left-to-right, one IEEE division per element);
+  * null ELEMENTS are read as 0 like the rest of the native vector family
+  * (the HOF form would propagate them — embeddings never carry null
+  * elements, and [[VectorBinaryLoop]] documents the same convention).
+  * The HOF form re-evaluates its norm subexpression once PER ELEMENT
+  * inside the lambda (measured ~1 ms/row at dim 64), which is why the
+  * ingest path gets a native expression. Once-per-row at ingest →
+  * CodegenFallback granularity, same reasoning as [[VectorQ8Roundtrip]].
   */
 case class VectorL2Normalize(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression

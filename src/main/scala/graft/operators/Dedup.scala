@@ -280,13 +280,23 @@ object Dedup {
     * funnel that cluster through one task).
     */
   def keepBestPerCluster(df: DataFrame, clusterCol: String, idCol: String,
-      scoreCol: String): DataFrame =
+      scoreCol: String): DataFrame = {
+    // the tie-break negates the id; a string id would silently cast to
+    // null (null winners, no error) and Long.MinValue has no negation —
+    // reject both loudly, like Similarity.knnJoin's id guard
+    val idType = df.schema(idCol).dataType
+    require(Seq(org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.ByteType).contains(idType),
+      s"keepBestPerCluster id '$idCol' must be integral, got ${idType.simpleString}")
     df.groupBy(col(clusterCol))
       .agg(
         max(struct(col(scoreCol).as("s"), (-col(idCol)).as("ni"))).as("_best"),
         count(lit(1)).as("n_members"))
       .select(col(clusterCol), (-col("_best.ni")).as(idCol),
         col("_best.s").as(scoreCol), col("n_members"))
+  }
 
   /** Passage-level dedup: split every document into fixed non-overlapping
     * token windows, keep only the EARLIEST occurrence of each distinct

@@ -52,7 +52,10 @@ object DocQueries {
     */
   def matchText(index: DataFrame, field: String, query: String): DataFrame = {
     val qTokens = queryTokens(query)
-    val fieldTokens = split(lower(col(field)), "\\s+")
+    // single-space split: the ONE corpus tokenization convention shared
+    // with TermFreqStats, InvertedIndex.postings, and the SQL oracles —
+    // a \s+ split here would match tokens BM25/postings score as tf=0
+    val fieldTokens = split(lower(col(field)), " ")
     index.filter(
       arrays_overlap(fieldTokens, array(qTokens.map(lit): _*)))
   }
@@ -61,15 +64,16 @@ object DocQueries {
     * field (Lucene PhraseQuery, slop 0). Token-boundary-safe via the
     * space-padding trick: pad both the tokenized-and-rejoined field and
     * the phrase with spaces, then substring-match — "merge window" must
-    * not match inside "submerge windows". Re-joining on single spaces
-    * normalizes whatever whitespace the source used, so the match is over
-    * TOKENS, not raw bytes. Pure projection + filter, no shuffle.
+    * not match inside "submerge windows". Tokenization is the shared
+    * corpus convention (single-space split, empties dropped — same as
+    * BM25/postings), so phrase matches and term scores always agree on
+    * what a token is. Pure projection + filter, no shuffle.
     */
   def matchPhrase(index: DataFrame, field: String, phrase: String): DataFrame = {
     val qTokens = queryTokens(phrase)
     require(qTokens.nonEmpty, "phrase match needs a non-empty phrase")
     val normalized = concat(lit(" "),
-      array_join(filter(split(lower(col(field)), "\\s+"), t => t =!= lit("")), " "),
+      array_join(filter(split(lower(col(field)), " "), t => t =!= lit("")), " "),
       lit(" "))
     index.filter(normalized.contains(" " + qTokens.mkString(" ") + " "))
   }

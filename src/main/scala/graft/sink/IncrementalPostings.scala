@@ -55,8 +55,27 @@ object IncrementalPostings {
     else f.listStatus(root).toSeq
       .filter(_.isDirectory)
       .map(_.getPath.getName)
-      .filterNot(_.startsWith("."))          // in-flight commits
-      .map(_.toInt).sorted
+      .filter(n => n.nonEmpty && n.forall(_.isDigit)) // skips in-flight
+      .map(_.toInt).sorted                            // .tmp-* and strays
+  }
+
+  /** Verify a delta rename actually placed OUR data at `deltas/<seq>`.
+    * Hadoop's directory rename is not a compare-and-swap everywhere: on
+    * HDFS/S3A renaming onto an EXISTING directory moves the source INTO
+    * it and still returns true — a racing committer would be silently
+    * swallowed (its data nested under `deltas/<seq>/.tmp-<seq>`, invisible
+    * to readers). The module's contract is a single writer (one ingest
+    * pipeline per index, like the reference); this check turns a contract
+    * violation into a loud failure instead of silent data loss.
+    */
+  private def verifyCommitted(spark: SparkSession, dir: String,
+      seq: Int): Unit = {
+    val f = fs(spark, dir)
+    val delta = new Path(s"$dir/deltas/$seq")
+    val ok = f.exists(new Path(delta, "docs")) &&
+      !f.listStatus(delta).exists(_.getPath.getName.startsWith(".tmp"))
+    require(ok, s"delta $seq commit was clobbered by a concurrent writer " +
+      "(this index is single-writer; serialize commits upstream)")
   }
 
   /** Commit one batch of upserted documents as a delta: postings + norms
@@ -80,6 +99,7 @@ object IncrementalPostings {
     val f = fs(spark, dir)
     require(f.rename(new Path(tmp), new Path(s"$dir/deltas/$seq")),
       s"could not commit delta $seq (concurrent writer?)")
+    verifyCommitted(spark, dir, seq)
     seq
   }
 
@@ -102,6 +122,7 @@ object IncrementalPostings {
     val f = fs(spark, dir)
     require(f.rename(new Path(tmp), new Path(s"$dir/deltas/$seq")),
       s"could not commit delta $seq (concurrent writer?)")
+    verifyCommitted(spark, dir, seq)
     seq
   }
 
@@ -114,55 +135,97 @@ object IncrementalPostings {
     }.reduce(_.unionByName(_))
       .groupBy("doc_id").agg(max("_live_seq").as("_live_seq"))
 
+  /** Complete a compact interrupted between its two base renames: if
+    * `base/` is missing but a fully-written `.base-next/` exists, install
+    * it (leftover deltas are harmless — last-writer-wins resolution is
+    * idempotent over content the fold already absorbed, see [[compact]]).
+    * Called before every read and compact, so a crash never leaves the
+    * index unreadable.
+    */
+  private def recoverBase(spark: SparkSession, dir: String): Unit = {
+    val f = fs(spark, dir)
+    val base = new Path(s"$dir/base")
+    val next = new Path(s"$dir/.base-next")
+    if (!f.exists(base) && f.exists(next)) {
+      require(f.rename(next, base), s"recovery: could not install $next")
+      f.delete(new Path(s"$dir/.base-old"), true)
+    }
+  }
+
   private def resolve(spark: SparkSession, dir: String, sub: String,
+      seqs: Seq[Int], ownersDf: Option[DataFrame],
       readBase: String => DataFrame): DataFrame = {
-    val seqs = deltaSeqs(spark, dir)
     val base = readBase(s"$dir/base/$sub").withColumn("_seq", lit(0))
     val all = seqs.foldLeft(base) { (acc, s) =>
       acc.unionByName(spark.read.parquet(s"$dir/deltas/$s/$sub")
         .withColumn("_seq", lit(s)))
     }
     val cols = base.columns.filterNot(_ == "_seq").map(col).toSeq
-    if (seqs.isEmpty) all.drop("_seq")
-    else all
-      // the owner table is one row per TOUCHED doc — broadcast until
-      // compaction resets it
-      .join(broadcast(owners(spark, dir, seqs)), Seq("doc_id"), "left")
-      .filter(col("_seq") === coalesce(col("_live_seq"), lit(0)))
-      .select(cols: _*) // the join moved doc_id first; restore the layout
+    ownersDf match {
+      case None => all.drop("_seq")
+      case Some(o) => all
+        // the owner table is one row per TOUCHED doc — broadcast until
+        // compaction resets it
+        .join(broadcast(o), Seq("doc_id"), "left")
+        .filter(col("_seq") === coalesce(col("_live_seq"), lit(0)))
+        .select(cols: _*) // the join moved doc_id first; restore the layout
+    }
+  }
+
+  /** Both live views off ONE delta listing and ONE owner table — a query
+    * needs postings and norms, and each delta-log scan is metadata I/O
+    * worth paying once.
+    */
+  def liveViews(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    recoverBase(spark, dir)
+    val seqs = deltaSeqs(spark, dir)
+    val o = if (seqs.isEmpty) None else Some(owners(spark, dir, seqs))
+    (resolve(spark, dir, "postings", seqs, o,
+        p => InvertedIndex.readPostings(spark, p)),
+      resolve(spark, dir, "norms", seqs, o, p => spark.read.parquet(p)))
   }
 
   /** The live postings view (last writer per doc wins). Term filters push
     * into every union leg's scan.
     */
   def currentPostings(spark: SparkSession, dir: String): DataFrame =
-    resolve(spark, dir, "postings", p => InvertedIndex.readPostings(spark, p))
+    liveViews(spark, dir)._1
 
   /** The live norms view (doc lengths), resolved the same way. */
   def currentNorms(spark: SparkSession, dir: String): DataFrame =
-    resolve(spark, dir, "norms", p => spark.read.parquet(p))
+    liveViews(spark, dir)._2
 
   /** BM25 over the live view — identical scoring to
     * [[InvertedIndex.bm25Search]], reading base + deltas.
     */
   def bm25Search(spark: SparkSession, dir: String, query: String,
-      k: Int): DataFrame =
-    InvertedIndex.bm25Search(currentPostings(spark, dir),
-      currentNorms(spark, dir), query, k)
+      k: Int): DataFrame = {
+    val (postings, norms) = liveViews(spark, dir)
+    InvertedIndex.bm25Search(postings, norms, query, k)
+  }
 
   /** Fold all deltas into a fresh term-sorted base — the only index-sized
     * write, run as maintenance (the `ParquetIndexSink.compactDeltas`
-    * contract). Materializes the resolved views, swaps the base by
-    * rename, then drops the absorbed deltas.
+    * contract). Materializes the resolved views, swaps the base (old →
+    * `.base-old`, `.base-next` → base), then drops the absorbed deltas.
+    * Crash-safe: `.base-next` is only renamed in AFTER it is fully
+    * written, and [[recoverBase]] completes an interrupted swap on the
+    * next read; a crash after the install but before the delta cleanup
+    * only leaves redundant deltas, which resolve idempotently (each doc's
+    * delta rows equal what the fold wrote to the base, and
+    * last-writer-wins picks exactly one copy).
     */
   def compact(spark: SparkSession, dir: String): Unit = {
+    recoverBase(spark, dir)
     val seqs = deltaSeqs(spark, dir)
     if (seqs.isEmpty) return
     val tmp = s"$dir/.base-next"
-    InvertedIndex.writePostings(currentPostings(spark, dir), s"$tmp/postings")
-    currentNorms(spark, dir).write.mode("overwrite").parquet(s"$tmp/norms")
+    val (postings, norms) = liveViews(spark, dir)
+    InvertedIndex.writePostings(postings, s"$tmp/postings")
+    norms.write.mode("overwrite").parquet(s"$tmp/norms")
     val f = fs(spark, dir)
     val old = new Path(s"$dir/.base-old")
+    f.delete(old, true) // leftovers from a prior interrupted compact
     require(f.rename(new Path(s"$dir/base"), old), "compact: base swap failed")
     require(f.rename(new Path(tmp), new Path(s"$dir/base")),
       "compact: base install failed")

@@ -76,6 +76,24 @@ class IncrementalPostingsSpec extends SparkSpec {
       .columns.toSeq == Seq("term", "doc_id", "tf"))
   }
 
+  test("an interrupted compact recovers on the next read") {
+    val dir = java.nio.file.Files.createTempDirectory("incpost-crash").toString
+    val base = Seq((1L, "merge scan"), (2L, "window join"))
+    IncrementalPostings.init(base.toDF("doc_id", "text"), "doc_id", "text", dir)
+    val before = IncrementalPostings.currentPostings(spark, dir)
+      .as[(String, Long, Int)].collect().toSet
+    // simulate a crash between compact's two renames: base is gone, the
+    // fully-written replacement sits at .base-next
+    import java.nio.file.{Files, Paths}
+    Files.move(Paths.get(s"$dir/base"), Paths.get(s"$dir/.base-next"))
+    assert(!Files.exists(Paths.get(s"$dir/base")))
+    // the next read completes the swap instead of failing on a missing base
+    val after = IncrementalPostings.currentPostings(spark, dir)
+      .as[(String, Long, Int)].collect().toSet
+    assert(after == before)
+    assert(Files.exists(Paths.get(s"$dir/base")))
+  }
+
   test("a commit writes O(batch) bytes, never touching the base") {
     val dir = java.nio.file.Files.createTempDirectory("incpost-bytes").toString
     val base = (1L to 500L).map(i => (i, s"word$i common merge scan text"))
