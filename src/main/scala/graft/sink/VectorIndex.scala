@@ -59,6 +59,11 @@ object VectorIndex {
     * consistent; centroid DRIFT under sustained append degrades cell
     * balance, which is a rebuild (re-`write`) decision — the same
     * maintenance split as [[IncrementalPostings.compact]].
+    *
+    * Append-only: ids are NOT deduplicated — re-appending an existing id
+    * leaves both copies in the cell layout. Vector UPSERTS go through a
+    * rebuild (or route the keyed mutation through [[ParquetIndexSink]]
+    * and rebuild the vector layout from its searchable view).
     */
   def append(df: DataFrame, idCol: String, vecCol: String,
       dir: String): Unit = {
