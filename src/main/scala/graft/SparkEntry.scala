@@ -878,6 +878,26 @@ object SparkEntry {
           max("n").as("max_tokens"), sum("n").as("sum_tokens"))
         .orderBy("bucket")),
 
+    // Type-token ratio: vocabulary richness per doc (cheap spam signal).
+    "x_text_ttr" -> ((s, d) =>
+      operators.TextAnalysis.typeTokenRatio(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // Per-doc token entropy in nats (information density). Contributions
+    // round-9 then decimal-summed — order-independent across engines.
+    "x_text_entropy" -> ((s, d) =>
+      operators.TextAnalysis.tokenEntropy(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // Ordered funnel view → click → purchase: per-stage completion
+    // counts + user-id checksums (ordering matters — a purchase before
+    // the user's first post-view click does not count).
+    "x_funnel" -> ((s, d) =>
+      operators.Funnel.funnelCounts(
+        Tables.events(s, d).withColumn("ts_us", unix_micros(col("ts"))),
+        "user_id", "event_type", "ts_us",
+        Seq("view", "click", "purchase"))),
+
     // Per-doc top-3 TF-IDF terms (keyword extraction / domain tagging).
     "x_tfidf" -> ((s, d) =>
       operators.TextAnalysis.tfidfTopTerms(Tables.documents(s, d),
@@ -1830,6 +1850,44 @@ object SparkEntry {
            CAST(min(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS min_value,
            CAST(max(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS max_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "x_text_ttr" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+           FROM documents)
+         SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+           CASE WHEN len(w) = 0 THEN 0.0
+             ELSE round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6)
+           END AS ttr
+         FROM t ORDER BY doc_id""",
+    "x_text_entropy" ->
+      """WITH toks AS (SELECT doc_id,
+             unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+               AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS c FROM toks GROUP BY 1, 2),
+         dl AS (SELECT doc_id, CAST(sum(c) AS DOUBLE) AS n FROM tf GROUP BY 1),
+         e AS (SELECT tf.doc_id,
+             CAST(round(-(c / n) * ln(c / n), 9) AS DECIMAL(18,9)) AS contrib
+           FROM tf JOIN dl ON tf.doc_id = dl.doc_id)
+         SELECT doc_id, round(CAST(sum(contrib) AS DOUBLE), 6) AS entropy
+         FROM e GROUP BY doc_id ORDER BY doc_id""",
+    "x_funnel" ->
+      """WITH v AS (SELECT user_id, min(epoch_us(ts)) AS t0 FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+         c AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t1 FROM events e
+           JOIN v ON e.user_id = v.user_id AND epoch_us(e.ts) > v.t0
+           WHERE e.event_type = 'click' GROUP BY 1),
+         p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2 FROM events e
+           JOIN c ON e.user_id = c.user_id AND epoch_us(e.ts) > c.t1
+           WHERE e.event_type = 'purchase' GROUP BY 1)
+         SELECT
+           (SELECT count(*) FROM v) AS n_view,
+           (SELECT sum(user_id) FROM v) AS users_sum_view,
+           (SELECT count(*) FROM c) AS n_click,
+           (SELECT sum(user_id) FROM c) AS users_sum_click,
+           (SELECT count(*) FROM p) AS n_purchase,
+           (SELECT sum(user_id) FROM p) AS users_sum_purchase""",
     "x_quality_floor" ->
       """WITH t AS (SELECT doc_id,
              CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ordered-funnel analysis over an event stream: for a stage sequence
+  * like view → click → purchase, a user completes stage `i` at the
+  * EARLIEST event of that type occurring strictly after their stage
+  * `i-1` completion time (the standard product-analytics funnel, where
+  * ordering matters — a purchase before the click does not count).
+  *
+  * Scale shape: one pass per stage, each a type-filtered scan (the
+  * event-type predicate pushes into the parquet scan) + a user-keyed
+  * min aggregate (map-side combinable) + a user-keyed equi-join against
+  * the previous stage's (user, time) table — which only SHRINKS as
+  * stages progress. No windows, no per-user event buffering: state per
+  * user is one timestamp per stage. At 100 TB of events the cost is
+  * `stages` filtered scans, not a per-user sort.
+  */
+object Funnel {
+
+  /** One frame per stage PREFIX: frame `i` holds `(userCol, t_0 … t_i)`
+    * for users who completed stages 0..i in order. Built in one fold so
+    * each stage's scan/aggregate is planned once, not once per prefix.
+    */
+  private def prefixFrames(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, stages: Seq[String]): Seq[DataFrame] = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    stages.zipWithIndex.foldLeft(Seq.empty[DataFrame]) {
+      case (acc, (stage, i)) =>
+        val hits = events.filter(col(typeCol) === stage)
+          .select(col(userCol), col(tsCol))
+        val gated = acc.lastOption match {
+          case None => hits
+          case Some(p) =>
+            hits.join(p, userCol).filter(col(tsCol) > col(s"t_${i - 1}"))
+        }
+        val t = gated.groupBy(col(userCol))
+          .agg(min(col(tsCol)).as(s"t_$i"))
+        // re-attach the earlier stage times (the groupBy kept only t_i)
+        acc :+ acc.lastOption.fold(t)(_.join(t, userCol))
+    }
+  }
+
+  /** Per-user completion times `(userCol, t_0 … t_{n-1})` for users who
+    * completed ALL stages, in order.
+    */
+  def funnelTimes(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, stages: Seq[String]): DataFrame =
+    prefixFrames(events, userCol, typeCol, tsCol, stages).last
+
+  /** One-row funnel report: per stage, how many users have completed it
+    * in order, plus an id checksum pinning WHICH users (not just how
+    * many). Counts are monotonically non-increasing by construction.
+    */
+  def funnelCounts(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, stages: Seq[String]): DataFrame =
+    prefixFrames(events, userCol, typeCol, tsCol, stages)
+      .zip(stages)
+      .map { case (f, s) =>
+        f.agg(count(lit(1)).as(s"n_$s"),
+          sum(col(userCol)).as(s"users_sum_$s"))
+      }
+      .reduce(_.crossJoin(_))
+}

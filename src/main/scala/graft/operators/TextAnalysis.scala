@@ -157,6 +157,49 @@ object TextAnalysis {
         round(col("_score"), 6).as("tfidf"))
   }
 
+  /** Type-token ratio (vocabulary richness): distinct tokens / total
+    * tokens per document — near 1 for diverse text, near 0 for
+    * template/boilerplate spam; a standard cheap quality signal next to
+    * [[repetition]]. Empty docs score 0. Pure projection, no shuffle.
+    */
+  def typeTokenRatio(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TextFunctions.tokens(lower(col(textCol)))
+    df.select(col(idCol),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"))
+      .withColumn("ttr",
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(round(col("n_distinct").cast("double") / col("n_tokens"), 6)))
+  }
+
+  /** Per-document token entropy in nats: `-Σ p ln p` over the token
+    * distribution — the information-density quality signal (repetitive
+    * spam scores low, diverse prose high). Docs with no tokens are
+    * absent from the output.
+    *
+    * Determinism: each term's contribution is rounded to 9dp and summed
+    * as DECIMAL, so the result does not depend on the order hash
+    * aggregation merges terms (double addition is not associative) —
+    * the same trick as the MaxSim scorer.
+    *
+    * Scale shape: one (doc, term) hash aggregation off one tokenization
+    * (map-side partials bound hot terms), a doc-keyed re-aggregation for
+    * lengths, one keyed join, one final doc-keyed sum — every stage
+    * map-side combinable, no windows.
+    */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("_c"))
+    val dl = tf.groupBy(col(idCol)).agg(sum("_c").as("_n"))
+    val p = col("_c").cast("double") / col("_n").cast("double")
+    tf.join(dl, idCol)
+      .select(col(idCol),
+        round(-p * log(p), 9).cast("decimal(18,9)").as("_e"))
+      .groupBy(col(idCol))
+      .agg(round(sum("_e").cast("double"), 6).as("entropy"))
+  }
+
   /** Corpus-wide frequent n-gram mining: the `k` most frequent word
     * n-grams with their total count and the number of distinct documents
     * containing each — the boilerplate-detection sweep (headers, footers,

@@ -162,6 +162,25 @@ class TextAnalysisSpec extends SparkSpec {
       native.take(2))
   }
 
+  test("typeTokenRatio and tokenEntropy score diversity correctly") {
+    val df = Seq(
+      (1L, "a a a a"),       // ttr 0.25, entropy 0
+      (2L, "a b c d"),       // ttr 1.0, entropy ln(4)
+      (3L, "a a b b"),       // ttr 0.5, entropy ln(2)
+      (4L, "")               // empty: ttr 0, no entropy row
+    ).toDF("doc_id", "text")
+    val ttr = TextAnalysis.typeTokenRatio(df, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(ttr == Seq((1L, 4L, 1L, 0.25), (2L, 4L, 4L, 1.0),
+      (3L, 4L, 2L, 0.5), (4L, 0L, 0L, 0.0)))
+    val ent = TextAnalysis.tokenEntropy(df, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Double)].collect().toMap
+    assert(ent.keySet == Set(1L, 2L, 3L)) // empty doc absent
+    assert(ent(1L) == 0.0)
+    assert(math.abs(ent(2L) - math.log(4)) < 1e-5)
+    assert(math.abs(ent(3L) - math.log(2)) < 1e-5)
+  }
+
   test("topNgrams ranks corpus-wide n-grams with doc counts and tie-break") {
     val df = Seq(
       (1L, "a b c a b c"),   // "a b c"×2, "b c a"×1, "c a b"×1
