@@ -898,6 +898,15 @@ object SparkEntry {
         "user_id", "event_type", "ts_us",
         Seq("view", "click", "purchase"))),
 
+    // Weekly cohort retention: users bucketed by first-active week,
+    // counted per (cohort, weeks-since) offset. Pure hash aggregates.
+    "x_retention" -> ((s, d) =>
+      operators.Funnel.retention(
+        Tables.events(s, d)
+          .withColumn("wk", expr("unix_micros(ts) DIV 604800000000")),
+        "user_id", col("wk"))
+        .orderBy("cohort", "offset")),
+
     // Per-doc top-3 TF-IDF terms (keyword extraction / domain tagging).
     "x_tfidf" -> ((s, d) =>
       operators.TextAnalysis.tfidfTopTerms(Tables.documents(s, d),
@@ -1850,6 +1859,13 @@ object SparkEntry {
            CAST(min(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS min_value,
            CAST(max(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS max_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "x_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+             epoch_us(ts) // 604800000000 AS p FROM events),
+         c AS (SELECT user_id, min(p) AS cohort FROM a GROUP BY 1)
+         SELECT c.cohort, a.p - c.cohort AS "offset", count(*) AS n_users
+         FROM a JOIN c ON a.user_id = c.user_id
+         GROUP BY 1, 2 ORDER BY cohort, "offset"""",
     "x_text_ttr" ->
       """WITH t AS (SELECT doc_id,
              list_filter(string_split(lower(text), ' '), x -> x <> '') AS w

@@ -62,4 +62,30 @@ object Funnel {
           sum(col(userCol)).as(s"users_sum_$s"))
       }
       .reduce(_.crossJoin(_))
+
+  /** Cohort retention: bucket users by their FIRST-activity period (the
+    * cohort), then count how many of each cohort are active again
+    * `offset` periods later — the companion report to the funnel.
+    * `periodCol` is any integer period expression already computed from
+    * the timestamp (epoch day / week / month).
+    *
+    * Returns `(cohort, offset, n_users)` with `offset ≥ 0` (offset 0 is
+    * the cohort size).
+    *
+    * Scale shape: distinct (user, period) activity first (one hash
+    * aggregate — collapses all of a user's events in a period before
+    * anything joins), a user-keyed min for the cohort, a keyed join of
+    * the two user-keyed tables, one final (cohort, offset) count. Every
+    * stage is map-side combinable; per-user state is one period value.
+    */
+  def retention(events: DataFrame, userCol: String,
+      periodCol: org.apache.spark.sql.Column): DataFrame = {
+    val activity = events.select(col(userCol), periodCol.cast("long").as("_p"))
+      .distinct()
+    val cohorts = activity.groupBy(col(userCol)).agg(min("_p").as("_cohort"))
+    activity.join(cohorts, userCol)
+      .groupBy(col("_cohort").as("cohort"),
+        (col("_p") - col("_cohort")).as("offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

@@ -28,6 +28,20 @@ class FunnelSpec extends SparkSpec {
     assert(two == Seq((1L, 10L, 20L), (2L, 10L, 20L), (3L, 10L, 12L)))
   }
 
+  test("retention buckets users by first-active period") {
+    import org.apache.spark.sql.functions.col
+    val ev = Seq(
+      (1L, 0L), (1L, 0L), (1L, 1L), (1L, 3L), // cohort 0, offsets 0,1,3
+      (2L, 0L), (2L, 2L),                     // cohort 0, offsets 0,2
+      (3L, 1L), (3L, 2L)                      // cohort 1, offsets 0,1
+    ).toDF("user_id", "p")
+    val r = Funnel.retention(ev, "user_id", col("p"))
+      .orderBy("cohort", "offset").as[(Long, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      (0L, 0L, 2L), (0L, 1L, 1L), (0L, 2L, 1L), (0L, 3L, 1L),
+      (1L, 0L, 1L), (1L, 1L, 1L)))
+  }
+
   test("funnelCounts reports monotone per-stage counts with checksums") {
     val r = Funnel.funnelCounts(events, "user_id", "event_type", "ts",
       Seq("view", "click", "purchase")).head()
