@@ -689,6 +689,20 @@ object SparkEntry {
         chunkSize = 50, overlap = 10)
         .orderBy("doc_id", "chunk_id")),
 
+    // Corpus version diff: "before" = docs < 450, "after" = docs ≥ 50
+    // with the first 100 of those rewritten — every id classified
+    // added/removed/changed/unchanged off (id, hash) projections only.
+    "x_corpus_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val before = docs.filter(col("doc_id") < 450)
+      val after = docs.filter(col("doc_id") >= 50)
+        .withColumn("text",
+          when(col("doc_id") < 150, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+      operators.Corpus.diff(before, after, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // Deterministic train/val/test split: 10% test, 10% val by md5-56
     // bucket — per-document assignment gated row-for-row (the stability
     // property: an id's split never depends on the rest of the corpus).
@@ -1763,6 +1777,20 @@ object SparkEntry {
            array_to_string(w[s+1:s+50], ' ') AS chunk_text,
            CAST(LEAST(50, n - s) AS INT) AS n_chunk_tokens
          FROM u ORDER BY doc_id, chunk_id""",
+    "x_corpus_diff" ->
+      """WITH a AS (SELECT doc_id, md5(text) AS ha FROM documents
+           WHERE doc_id < 450),
+         b AS (SELECT doc_id,
+             md5(CASE WHEN doc_id < 150 THEN text || ' v2' ELSE text END)
+               AS hb
+           FROM documents WHERE doc_id >= 50)
+         SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+           CASE WHEN a.doc_id IS NULL THEN 'added'
+                WHEN b.doc_id IS NULL THEN 'removed'
+                WHEN ha = hb THEN 'unchanged'
+                ELSE 'changed' END AS status
+         FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+         ORDER BY doc_id""",
     "x_split" ->
       """SELECT doc_id,
            CASE WHEN h < 100 THEN 'test'

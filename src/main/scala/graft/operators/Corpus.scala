@@ -240,6 +240,31 @@ object Corpus {
         least(lit(chunkSize), col("_n") - col("_s")).as("n_chunk_tokens"))
   }
 
+  /** Corpus version diff: given two snapshots keyed by `idCol`, classify
+    * every id as `added` (only in `after`), `removed` (only in
+    * `before`), `changed` (both, content hash differs), or `unchanged` —
+    * the audit report run between dataset releases (what moved, what a
+    * retrain will actually see). Content identity is md5 of `textCol`
+    * (exact; near-dup drift is [[graft.operators.Dedup]]'s job).
+    *
+    * Returns `(idCol, status)` for every id in either snapshot.
+    *
+    * Scale shape: each side collapses to `(id, hash)` in a map-side
+    * projection before the single id-keyed full-outer join — the join
+    * carries two narrow columns per row, never document text.
+    */
+  def diff(before: DataFrame, after: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val a = before.select(col(idCol), md5(col(textCol)).as("_ha"))
+    val b = after.select(col(idCol), md5(col(textCol)).as("_hb"))
+    a.join(b, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("_ha").isNull, lit("added"))
+          .when(col("_hb").isNull, lit("removed"))
+          .when(col("_ha") === col("_hb"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
   /** Append a global EXCLUSIVE cumulative sum of `weightCol` in `orderCol`
     * order (row i gets the sum of weights of all rows before it), without
     * a single-partition window: range-partition + sort, one job for

@@ -87,6 +87,23 @@ class CorpusSpec extends SparkSpec {
     assert(Corpus.capPerStratum(df, "id", "src", 1000).count() == 100)
   }
 
+  test("diff classifies added/removed/changed/unchanged by content hash") {
+    val before = Seq((1L, "same"), (2L, "old text"), (3L, "going away"))
+      .toDF("doc_id", "text")
+    val after = Seq((1L, "same"), (2L, "new text"), (4L, "brand new"))
+      .toDF("doc_id", "text")
+    val got = Corpus.diff(before, after, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "unchanged"), (2L, "changed"),
+      (3L, "removed"), (4L, "added")))
+    // text never reaches the join: both sides project to (id, hash)
+    val plan = Corpus.diff(before, after, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("text#") ||
+      plan.indexOf("Join") < 0 ||
+      !plan.substring(plan.indexOf("Join")).contains("text#"), plan)
+  }
+
   test("hashSplit assigns stable, disjoint, roughly-proportional splits") {
     val df = spark.range(2000).toDF("id")
     val splits = Corpus.hashSplit(df, "id", valPermille = 100, testPermille = 100)
