@@ -912,6 +912,13 @@ object SparkEntry {
         "user_id", "event_type", "ts_us",
         Seq("view", "click", "purchase"))),
 
+    // JSON-payload key profile: per-key presence/cardinality/range over
+    // the events props column — the schema-drift report for
+    // semi-structured payloads (values compared as strings).
+    "x_json_profile" -> ((s, d) =>
+      operators.Profile.jsonKeyProfile(Tables.events(s, d), "props")
+        .orderBy("key")),
+
     // Weekly cohort retention: users bucketed by first-active week,
     // counted per (cohort, weeks-since) offset. Pure hash aggregates.
     "x_retention" -> ((s, d) =>
@@ -1887,6 +1894,15 @@ object SparkEntry {
            CAST(min(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS min_value,
            CAST(max(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS max_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+    // the synthetic props carry one key 'k' with an int value; string
+    // comparison semantics (min/max lexicographic) match the Spark side
+    "x_json_profile" ->
+      """WITH v AS (SELECT regexp_extract(props, '"k": (\d+)', 1) AS val
+           FROM events WHERE props IS NOT NULL)
+         SELECT 'k' AS key, count(*) AS n_present,
+           count(DISTINCT val) AS n_values,
+           min(val) AS min_value, max(val) AS max_value
+         FROM v""",
     "x_retention" ->
       """WITH a AS (SELECT DISTINCT user_id,
              epoch_us(ts) // 604800000000 AS p FROM events),

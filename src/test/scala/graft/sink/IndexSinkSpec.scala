@@ -387,6 +387,24 @@ class IndexSinkSpec extends SparkSpec {
       p(1)._5 == "a" && p(1)._6 == "b")
   }
 
+  test("jsonKeyProfile reports per-key presence, cardinality, and range") {
+    val df = Seq(
+      """{"a": 1, "b": "x"}""",
+      """{"a": 2}""",
+      """{"b": "y", "c": true}""",
+      "not json at all",
+      null
+    ).toDF("props")
+    val p = graft.operators.Profile.jsonKeyProfile(df, "props")
+      .orderBy("key")
+      .as[(String, Long, Long, String, String)].collect().toSeq
+    // unparseable/null rows contribute nothing; values compare as strings
+    assert(p == Seq(
+      ("a", 2L, 2L, "1", "2"),
+      ("b", 2L, 2L, "x", "y"),
+      ("c", 1L, 1L, "true", "true")))
+  }
+
   test("ranked match orders by term frequency with deterministic ties") {
     val idx = Seq(
       ("1", "merge merge window"), ("2", "merge scan"), ("3", "nothing here"))
