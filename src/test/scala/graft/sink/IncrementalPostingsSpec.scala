@@ -94,6 +94,42 @@ class IncrementalPostingsSpec extends SparkSpec {
     assert(Files.exists(Paths.get(s"$dir/base")))
   }
 
+  test("streaming micro-batches drive the index via foreachBatch") {
+    // the Lucene-style continuous-ingestion loop end-to-end: a stream of
+    // (doc_id, text) upserts, one delta commit per micro-batch, BM25
+    // over the live view equal to a batch index of the final corpus
+    val dir = java.nio.file.Files.createTempDirectory("incpost-stream").toString
+    IncrementalPostings.init(
+      Seq((1L, "merge scan"), (2L, "window join")).toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark)
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          IncrementalPostings.commitUpserts(batch, "doc_id", "text", dir)
+        ()
+      }
+      .start()
+    try {
+      input.addData((2L, "window merge merge"), (3L, "scan filter"))
+      q.processAllAvailable()
+      input.addData((4L, "merge merge merge"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val finalCorpus = Seq(
+      (1L, "merge scan"), (2L, "window merge merge"),
+      (3L, "scan filter"), (4L, "merge merge merge")).toDF("doc_id", "text")
+    val expect = DocQueries.matchTextBM25(finalCorpus, "doc_id", "text",
+      "merge", 10).as[(Long, Double)].collect().toSeq
+    val got = IncrementalPostings.bm25Search(spark, dir, "merge", 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
+
   test("a commit writes O(batch) bytes, never touching the base") {
     val dir = java.nio.file.Files.createTempDirectory("incpost-bytes").toString
     val base = (1L to 500L).map(i => (i, s"word$i common merge scan text"))
