@@ -1129,6 +1129,35 @@ object SparkEntry {
           col("n"), col("total_value"))
         .orderBy("hour_us", "event_type")),
 
+    // Hopping (sliding) windows: 1-hour windows advancing every 30
+    // minutes — each event lands in exactly two windows. Same streaming
+    // operator body as tumbling (window() with a slide), batch-gated.
+    "ws_hopping" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_micros(col("w.start")).as("start_us"), col("event_type"),
+          col("n"))
+        .orderBy("start_us", "event_type")),
+
+    // Per-user event-type transition counts (first-order Markov): next
+    // event via a lead window keyed by user (high-cardinality partition —
+    // no skew funnel), deterministic (ts, event_id) ordering.
+    "x_transitions" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id"))
+        .withColumn("next_type", lead("event_type", 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("from_type", "to_type")
+    }),
+
     // Session windows — the batch twin of StreamingOps.sessionCounts,
     // running the SAME operator body (`withWatermark` is analyzer-removed
     // on a batch Dataset): per-user activity sessions separated by ≥12h
@@ -2124,6 +2153,22 @@ object SparkEntry {
            CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
          FROM events
          GROUP BY 1, 2 ORDER BY hour_us, event_type""",
+    "ws_hopping" ->
+      """WITH e AS (SELECT event_type,
+             epoch_us(ts) - epoch_us(ts) % 1800000000 AS s0 FROM events),
+         x AS (SELECT event_type,
+             unnest([s0, s0 - 1800000000]) AS start_us FROM e)
+         SELECT start_us, event_type, count(*) AS n FROM x
+         GROUP BY 1, 2 ORDER BY start_us, event_type""",
+    "x_transitions" ->
+      """WITH o AS (SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS next_type
+           FROM events)
+         SELECT event_type AS from_type, next_type AS to_type,
+           count(*) AS n
+         FROM o WHERE next_type IS NOT NULL
+         GROUP BY 1, 2 ORDER BY from_type, to_type""",
     // Gaps-and-islands: a session breaks when the gap to the previous
     // event is >= 12h (Spark's session windows are half-open [start,
     // last+gap) — an event landing EXACTLY at the end starts a new one).
