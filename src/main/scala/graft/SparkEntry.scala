@@ -921,10 +921,23 @@ object SparkEntry {
 
     // JSON-payload key profile: per-key presence/cardinality/range over
     // the events props column — the schema-drift report for
-    // semi-structured payloads (values compared as strings).
-    "x_json_profile" -> ((s, d) =>
+    // semi-structured payloads (values compared as strings). The
+    // operator's distinct count is HLL++ (fixed-size state); the gate
+    // checks it within ±5% of an exact count computed HERE — gate
+    // overhead, not operator cost (the x_profile precedent).
+    "x_json_profile" -> ((s, d) => {
+      val kv = Tables.events(s, d).select(
+        explode(from_json(col("props"), MapType(StringType, StringType)))
+          .as(Seq("key", "value")))
+      val exact = kv.groupBy("key").agg(count_distinct(col("value")).as("_e"))
       operators.Profile.jsonKeyProfile(Tables.events(s, d), "props")
-        .orderBy("key")),
+        .join(exact, "key")
+        .select(col("key"), col("n_present"), col("min_value"),
+          col("max_value"),
+          (abs(col("approx_values") - col("_e")) <= col("_e") * 0.05)
+            .as("values_ok"))
+        .orderBy("key")
+    }),
 
     // Weekly cohort retention: users bucketed by first-active week,
     // counted per (cohort, weeks-since) offset. Pure hash aggregates.
@@ -1830,7 +1843,7 @@ object SparkEntry {
          SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
            CASE WHEN a.doc_id IS NULL THEN 'added'
                 WHEN b.doc_id IS NULL THEN 'removed'
-                WHEN ha = hb THEN 'unchanged'
+                WHEN ha IS NOT DISTINCT FROM hb THEN 'unchanged'
                 ELSE 'changed' END AS status
          FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
          ORDER BY doc_id""",
@@ -1936,8 +1949,8 @@ object SparkEntry {
       """WITH v AS (SELECT regexp_extract(props, '"k": (\d+)', 1) AS val
            FROM events WHERE props IS NOT NULL)
          SELECT 'k' AS key, count(*) AS n_present,
-           count(DISTINCT val) AS n_values,
-           min(val) AS min_value, max(val) AS max_value
+           min(val) AS min_value, max(val) AS max_value,
+           TRUE AS values_ok
          FROM v""",
     "x_retention" ->
       """WITH a AS (SELECT DISTINCT user_id,

@@ -255,13 +255,18 @@ object Corpus {
     */
   def diff(before: DataFrame, after: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val a = before.select(col(idCol), md5(col(textCol)).as("_ha"))
-    val b = after.select(col(idCol), md5(col(textCol)).as("_hb"))
+    // presence is carried EXPLICITLY (md5(null) = null, so hash nullity
+    // would misclassify a null-text row as absent); the hash compare is
+    // null-safe so null-text vs null-text reads unchanged
+    val a = before.select(col(idCol), md5(col(textCol)).as("_ha"),
+      lit(true).as("_in_before"))
+    val b = after.select(col(idCol), md5(col(textCol)).as("_hb"),
+      lit(true).as("_in_after"))
     a.join(b, Seq(idCol), "full_outer")
       .select(col(idCol),
-        when(col("_ha").isNull, lit("added"))
-          .when(col("_hb").isNull, lit("removed"))
-          .when(col("_ha") === col("_hb"), lit("unchanged"))
+        when(col("_in_before").isNull, lit("added"))
+          .when(col("_in_after").isNull, lit("removed"))
+          .when(col("_ha") <=> col("_hb"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"))
   }
 

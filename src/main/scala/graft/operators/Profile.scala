@@ -52,24 +52,28 @@ object Profile {
   }
 
   /** Profile the KEYS of a JSON-string column: per key, how many rows
-    * carry it and the distinct/min/max of its (stringified) values — the
-    * schema-drift report for semi-structured payloads, where a renamed
-    * or newly-appearing key is invisible to column-level profiling.
-    * Values compare as strings (heterogeneous JSON value types melt into
-    * one frame, same contract as [[profile]]'s min/max rendering).
+    * carry it and the approximate-distinct/min/max of its (stringified)
+    * values — the schema-drift report for semi-structured payloads,
+    * where a renamed or newly-appearing key is invisible to column-level
+    * profiling. Values compare as strings (heterogeneous JSON value
+    * types melt into one frame, same contract as [[profile]]'s min/max
+    * rendering).
     *
     * Scale shape: one `from_json` projection + explode (no UDF), then a
-    * key-keyed hash aggregate with map-side partials — key cardinality
-    * (the output size) is payload-schema-sized, not corpus-sized. Rows
-    * that fail to parse contribute nothing (from_json yields null).
+    * key-keyed hash aggregate with fixed-size per-key state — distinct
+    * counting is HLL++ (like [[profile]]) because an EXACT distinct
+    * would shuffle (key, value)-cardinality state, corpus-sized for
+    * id/timestamp-valued keys. Output size is payload-schema-sized.
+    * Rows that fail to parse contribute nothing (from_json yields null).
     */
-  def jsonKeyProfile(df: DataFrame, jsonCol: String): DataFrame = {
+  def jsonKeyProfile(df: DataFrame, jsonCol: String,
+      rsd: Double = 0.02): DataFrame = {
     import org.apache.spark.sql.types.{MapType, StringType}
     df.select(explode(from_json(col(jsonCol), MapType(StringType, StringType)))
         .as(Seq("key", "value")))
       .groupBy("key")
       .agg(count(lit(1)).as("n_present"),
-        count_distinct(col("value")).as("n_values"),
+        approx_count_distinct(col("value"), rsd).as("approx_values"),
         min("value").as("min_value"),
         max("value").as("max_value"))
   }

@@ -96,6 +96,16 @@ class CorpusSpec extends SparkSpec {
       .orderBy("doc_id").as[(Long, String)].collect().toSeq
     assert(got == Seq((1L, "unchanged"), (2L, "changed"),
       (3L, "removed"), (4L, "added")))
+    // null text is CONTENT, not absence: a null-text row present on one
+    // side still counts as present there (md5(null) must not read as
+    // "missing"), and null vs null compares unchanged
+    val nb = Seq((1L, Option.empty[String]), (2L, Some("x")), (3L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val na = Seq((2L, Option.empty[String]), (3L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val ngot = Corpus.diff(nb, na, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(ngot == Seq((1L, "removed"), (2L, "changed"), (3L, "unchanged")))
     // text never reaches the join: both sides project to (id, hash)
     val plan = Corpus.diff(before, after, "doc_id", "text")
       .queryExecution.executedPlan.toString

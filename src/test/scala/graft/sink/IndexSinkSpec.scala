@@ -398,7 +398,8 @@ class IndexSinkSpec extends SparkSpec {
     val p = graft.operators.Profile.jsonKeyProfile(df, "props")
       .orderBy("key")
       .as[(String, Long, Long, String, String)].collect().toSeq
-    // unparseable/null rows contribute nothing; values compare as strings
+    // unparseable/null rows contribute nothing; values compare as
+    // strings; HLL++ is exact at these cardinalities
     assert(p == Seq(
       ("a", 2L, 2L, "1", "2"),
       ("b", 2L, 2L, "x", "y"),
