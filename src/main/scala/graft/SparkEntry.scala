@@ -162,6 +162,26 @@ object SparkEntry {
       operators.Batching.sizeBatchSummary(Tables.events(s, d), "event_id", 1000)
         .orderBy("batch_id")),
 
+    // §2.6 — BooleanQuery MUST clauses: every term must appear.
+    "q_match_all_terms" -> ((s, d) =>
+      DocQueries.matchAllTerms(Tables.documents(s, d), "text",
+        "merge window scan")
+        .select("doc_id").orderBy("doc_id")),
+
+    // Deterministic training order: global row number in (md5-hash, id)
+    // order via the two-phase numbering — the reproducible corpus
+    // shuffle that naturally interleaves sources; no single-partition
+    // window (same machinery as b1_batching).
+    "x_train_order" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          operators.Corpus.sampleHash(col("doc_id")).as("_h"))
+      operators.Batching.withGlobalRowNumber(docs,
+          struct(col("_h"), col("doc_id")), "train_order")
+        .select(col("train_order"), col("doc_id"), col("source"))
+        .orderBy("train_order")
+    }),
+
     // §2.6 — TermQuery point lookup.
     "q_term" -> ((s, d) =>
       DocQueries.term(Tables.documents(s, d), "lang", "en")
@@ -1847,6 +1867,21 @@ object SparkEntry {
                 ELSE 'changed' END AS status
          FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
          ORDER BY doc_id""",
+    "q_match_all_terms" ->
+      """SELECT doc_id FROM (SELECT doc_id,
+           list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+         FROM documents)
+         WHERE list_contains(w, 'merge') AND list_contains(w, 'window')
+           AND list_contains(w, 'scan')
+         ORDER BY doc_id""",
+    "x_train_order" ->
+      """SELECT row_number() OVER (ORDER BY h, doc_id) AS train_order,
+           doc_id, source
+         FROM (SELECT doc_id, source,
+             (md5_number_lower(CAST(doc_id AS VARCHAR))
+               % 72057594037927936) AS h
+           FROM documents)
+         ORDER BY train_order""",
     "x_split" ->
       """SELECT doc_id,
            CASE WHEN h < 100 THEN 'test'

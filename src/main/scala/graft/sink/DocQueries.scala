@@ -60,6 +60,20 @@ object DocQueries {
       arrays_overlap(fieldTokens, array(qTokens.map(lit): _*)))
   }
 
+  /** BooleanQuery with MUST clauses — the document matches only if EVERY
+    * query token appears in the field (Lucene's conjunctive form; the OR
+    * default is [[matchText]]). Same single-space tokenization
+    * convention; pure projection + filter, no shuffle.
+    */
+  def matchAllTerms(index: DataFrame, field: String, query: String): DataFrame = {
+    val qTokens = queryTokens(query)
+    require(qTokens.nonEmpty, "conjunctive match needs a non-empty query")
+    val fieldTokens = split(lower(col(field)), " ")
+    index.filter(qTokens
+      .map(t => array_contains(fieldTokens, t))
+      .reduce(_ && _))
+  }
+
   /** PhraseQuery — the query tokens must appear CONSECUTIVELY in the
     * field (Lucene PhraseQuery, slop 0). Token-boundary-safe via the
     * space-padding trick: pad both the tokenized-and-rejoined field and

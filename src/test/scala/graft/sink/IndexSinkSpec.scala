@@ -387,6 +387,20 @@ class IndexSinkSpec extends SparkSpec {
       p(1)._5 == "a" && p(1)._6 == "b")
   }
 
+  test("matchAllTerms requires every query token (Lucene MUST clauses)") {
+    val docs = Seq(
+      (1L, "merge window scan done"), // all three
+      (2L, "merge window only"),      // missing scan
+      (3L, "scan alone"),
+      (4L, "window merge scan")       // order irrelevant
+    ).toDF("doc_id", "text")
+    val got = DocQueries.matchAllTerms(docs, "text", "Merge window SCAN")
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(got == Seq(1L, 4L))
+    // OR semantics for comparison: matchText keeps doc 2 and 3 as well
+    assert(DocQueries.matchText(docs, "text", "merge window scan").count() == 4)
+  }
+
   test("jsonKeyProfile reports per-key presence, cardinality, and range") {
     val df = Seq(
       """{"a": 1, "b": "x"}""",
