@@ -13,6 +13,7 @@ object PlanProbe {
       else Seq("s2_incremental_scan", "q1_agg", "j3_top_orders", "x_sim_topk")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
+      .config(Tables.nanosAsLongConf, "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

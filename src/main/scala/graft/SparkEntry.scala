@@ -475,6 +475,60 @@ object SparkEntry {
         .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
     }),
 
+    // Keyed MUTATION of the persisted vector index (the reference's
+    // defining upsert/delete-by-key semantic, PaimonIngestorE2ETest.java:
+    // 579-766, applied to the vector layout): base on vec_id>=50, ids
+    // <50 upserted, ids <10 then RE-upserted with negated vectors
+    // (last-writer-wins supersedes across cells), ids 10..29 tombstoned.
+    // Full-probe search must equal exact top-10 over the surviving
+    // corpus: >=30 original + <10 negated — each commit O(batch) bytes
+    // (VectorIndexSpec pins the base is never rewritten).
+    "x_sim_ivf_upsert" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val qv = e.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0)
+      val dir = java.nio.file.Files.createTempDirectory("graft-vecups").toString
+      val model = sink.VectorIndex.write(e.filter(col("vec_id") >= 50),
+        "vec_id", "embedding", dir, k = 8, iters = 3)
+      sink.VectorIndex.upsert(e.filter(col("vec_id") < 50),
+        "vec_id", "embedding", dir)
+      sink.VectorIndex.upsert(
+        e.filter(col("vec_id") < 10).withColumn("embedding",
+          transform(col("embedding"), x => x * lit(-1.0f))),
+        "vec_id", "embedding", dir)
+      sink.VectorIndex.delete(
+        e.filter(col("vec_id") >= 10 && col("vec_id") < 30).select("vec_id"),
+        "vec_id", dir)
+      sink.VectorIndex.search(s, dir, "vec_id", "embedding", qv,
+          topK = 10, nProbe = model.k)
+        .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+    }),
+
+    // Index health / rebuild signal: cell-occupancy stats over the LIVE
+    // view after an upsert (supersede — count unchanged) and a delete.
+    // n_vectors and the commit-log depth are exact oracle values; the
+    // skew/occupancy invariants gate as booleans (the x_sim_ivf
+    // pattern — cell assignment itself is k-means, not SQL-expressible).
+    // The drift-detection teeth (skew rises under one-sided ingest) are
+    // pinned in VectorIndexSpec.
+    "x_sim_ivf_stats" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("graft-vecstat").toString
+      sink.VectorIndex.write(e, "vec_id", "embedding", dir, k = 8, iters = 3)
+      sink.VectorIndex.upsert(
+        e.filter(col("vec_id") < 20).withColumn("embedding",
+          transform(col("embedding"), x => x * lit(-1.0f))),
+        "vec_id", "embedding", dir)
+      sink.VectorIndex.delete(
+        e.filter(col("vec_id") < 5).select("vec_id"), "vec_id", dir)
+      sink.VectorIndex.stats(s, dir).select(
+        col("n_vectors"), col("n_cells"),
+        (col("skew") >= 1.0).as("skew_ok"),
+        (col("max_cell") * col("n_cells") >= col("n_vectors"))
+          .as("max_consistent"),
+        col("n_pending_commits"))
+    }),
+
     // Late-interaction (MaxSim) retrieval: labels act as document groups
     // (bags of chunk vectors), vec_id<3 as the query bag; score =
     // Σ_q max_chunk cosine. Both aggregations are map-side-combinable
@@ -938,6 +992,17 @@ object SparkEntry {
         Tables.events(s, d).withColumn("ts_us", unix_micros(col("ts"))),
         "user_id", "event_type", "ts_us",
         Seq("view", "click", "purchase"))),
+
+    // Bounded-window funnel: each transition must land within 3 days of
+    // the previous stage ("click within 3 days of the view") — the
+    // product-analytics shape real funnels use. One extra predicate in
+    // each stage join; identical scale shape to x_funnel.
+    "x_funnel_window" -> ((s, d) =>
+      operators.Funnel.funnelCounts(
+        Tables.events(s, d).withColumn("ts_us", unix_micros(col("ts"))),
+        "user_id", "event_type", "ts_us",
+        Seq("view", "click", "purchase"),
+        maxGap = Some(lit(259200000000L)))), // 3 days in microseconds
 
     // JSON-payload key profile: per-key presence/cardinality/range over
     // the events props column — the schema-drift report for
@@ -1657,6 +1722,30 @@ object SparkEntry {
            FROM embeddings, q)
          SELECT vec_id, round(c, 6) AS cosine FROM z
          ORDER BY c DESC, vec_id LIMIT 10""",
+    // survivors of the upsert/delete history: ids >=30 with original
+    // vectors, ids <10 with the re-upserted (negated) vectors; full
+    // probe is exact over that corpus
+    "x_sim_ivf_upsert" ->
+      """WITH corpus AS (
+           SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 30
+           UNION ALL
+           SELECT vec_id, list_transform(embedding, x -> -x) AS embedding
+           FROM embeddings WHERE vec_id < 10),
+         q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         z AS (SELECT vec_id,
+             list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                    CAST(qv AS DOUBLE[])) AS c
+           FROM corpus, q)
+         SELECT vec_id, round(c, 6) AS cosine FROM z
+         ORDER BY c DESC, vec_id LIMIT 10""",
+    // live count after supersede(<20) + delete(<5); k=8 cells; one
+    // upsert + one delete pending in the commit log
+    "x_sim_ivf_stats" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(8 AS BIGINT) AS n_cells,
+           TRUE AS skew_ok, TRUE AS max_consistent,
+           CAST(2 AS BIGINT) AS n_pending_commits
+         FROM embeddings WHERE embedding IS NOT NULL AND vec_id >= 5""",
     "x_sim_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
          z AS (SELECT vec_id,
@@ -1892,7 +1981,7 @@ object SparkEntry {
                % 72057594037927936) % 1000 AS h
            FROM documents) ORDER BY doc_id""",
     "x_mix" ->
-      """SELECT source, count(*) AS n_kept, sum(doc_id) AS id_sum
+      """SELECT source, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
          FROM (SELECT doc_id, source,
              (md5_number_lower(CAST(doc_id AS VARCHAR))
                % 72057594037927936) % 1000 AS h
@@ -2027,11 +2116,29 @@ object SparkEntry {
            WHERE e.event_type = 'purchase' GROUP BY 1)
          SELECT
            (SELECT count(*) FROM v) AS n_view,
-           (SELECT sum(user_id) FROM v) AS users_sum_view,
+           (SELECT CAST(sum(user_id) AS BIGINT) FROM v) AS users_sum_view,
            (SELECT count(*) FROM c) AS n_click,
-           (SELECT sum(user_id) FROM c) AS users_sum_click,
+           (SELECT CAST(sum(user_id) AS BIGINT) FROM c) AS users_sum_click,
            (SELECT count(*) FROM p) AS n_purchase,
-           (SELECT sum(user_id) FROM p) AS users_sum_purchase""",
+           (SELECT CAST(sum(user_id) AS BIGINT) FROM p) AS users_sum_purchase""",
+    "x_funnel_window" ->
+      """WITH v AS (SELECT user_id, min(epoch_us(ts)) AS t0 FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+         c AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t1 FROM events e
+           JOIN v ON e.user_id = v.user_id AND epoch_us(e.ts) > v.t0
+             AND epoch_us(e.ts) <= v.t0 + 259200000000
+           WHERE e.event_type = 'click' GROUP BY 1),
+         p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2 FROM events e
+           JOIN c ON e.user_id = c.user_id AND epoch_us(e.ts) > c.t1
+             AND epoch_us(e.ts) <= c.t1 + 259200000000
+           WHERE e.event_type = 'purchase' GROUP BY 1)
+         SELECT
+           (SELECT count(*) FROM v) AS n_view,
+           (SELECT CAST(sum(user_id) AS BIGINT) FROM v) AS users_sum_view,
+           (SELECT count(*) FROM c) AS n_click,
+           (SELECT CAST(sum(user_id) AS BIGINT) FROM c) AS users_sum_click,
+           (SELECT count(*) FROM p) AS n_purchase,
+           (SELECT CAST(sum(user_id) AS BIGINT) FROM p) AS users_sum_purchase""",
     "x_quality_floor" ->
       """WITH t AS (SELECT doc_id,
              CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))

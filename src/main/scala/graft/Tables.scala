@@ -8,7 +8,12 @@ import org.apache.spark.sql.functions._
   * `events.parquet` carries INT64 TIMESTAMP(NANOS) which Spark's vectorized
   * parquet reader rejects unless `spark.sql.legacy.parquet.nanosAsLong` is
   * set; we read the raw nanos and expose a proper microsecond timestamp
-  * column so downstream operators see a normal `TimestampType`.
+  * column so downstream operators see a normal `TimestampType`. The conf
+  * belongs to SESSION CONSTRUCTION (set it in the builder, as Bench /
+  * Verify / PlanProbe and the test harness do — see [[nanosAsLongConf]]):
+  * a table loader that mutated session state as a side effect would
+  * surprise any library user sharing the session. [[load]] only verifies
+  * it and fails with guidance.
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -24,10 +29,16 @@ object Tables {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  /** The session conf the nanos-timestamped test tables need. */
+  val nanosAsLongConf: String = "spark.sql.legacy.parquet.nanosAsLong"
+
   /** Read one table from a scale-factor directory. */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     cache.computeIfAbsent((spark, s"$sfDir/$name.parquet"), { case (_, path) =>
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      require(name != "events" ||
+          spark.conf.get(nanosAsLongConf, "false") == "true",
+        s"set .config(\"$nanosAsLongConf\", \"true\") on the SparkSession " +
+          "builder (events.parquet carries INT64 TIMESTAMP(NANOS))")
       val df = spark.read.parquet(path)
       if (name == "events")
         // raw column is nanos-since-epoch (long); expose micros

@@ -26,6 +26,7 @@ object IngestPipeline {
       .appName("graft-ingest")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config(Tables.nanosAsLongConf, "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Ordered-funnel analysis over an event stream: for a stage sequence
@@ -8,6 +8,9 @@ import org.apache.spark.sql.functions._
   * EARLIEST event of that type occurring strictly after their stage
   * `i-1` completion time (the standard product-analytics funnel, where
   * ordering matters — a purchase before the click does not count).
+  * An optional `maxGap` bounds each stage transition ("click within 7
+  * days of the view"): stage `i` must land in `(t_{i-1}, t_{i-1} +
+  * maxGap]` — one extra predicate in the stage join, same scale shape.
   *
   * Scale shape: one pass per stage, each a type-filtered scan (the
   * event-type predicate pushes into the parquet scan) + a user-keyed
@@ -24,7 +27,8 @@ object Funnel {
     * each stage's scan/aggregate is planned once, not once per prefix.
     */
   private def prefixFrames(events: DataFrame, userCol: String,
-      typeCol: String, tsCol: String, stages: Seq[String]): Seq[DataFrame] = {
+      typeCol: String, tsCol: String, stages: Seq[String],
+      maxGap: Option[Column]): Seq[DataFrame] = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     stages.zipWithIndex.foldLeft(Seq.empty[DataFrame]) {
       case (acc, (stage, i)) =>
@@ -33,7 +37,10 @@ object Funnel {
         val gated = acc.lastOption match {
           case None => hits
           case Some(p) =>
-            hits.join(p, userCol).filter(col(tsCol) > col(s"t_${i - 1}"))
+            val inOrder = hits.join(p, userCol)
+              .filter(col(tsCol) > col(s"t_${i - 1}"))
+            maxGap.fold(inOrder)(g =>
+              inOrder.filter(col(tsCol) <= col(s"t_${i - 1}") + g))
         }
         val t = gated.groupBy(col(userCol))
           .agg(min(col(tsCol)).as(s"t_$i"))
@@ -43,19 +50,22 @@ object Funnel {
   }
 
   /** Per-user completion times `(userCol, t_0 … t_{n-1})` for users who
-    * completed ALL stages, in order.
+    * completed ALL stages, in order (each transition within `maxGap` of
+    * the previous stage when bounded; the gap is in `tsCol`'s own units).
     */
   def funnelTimes(events: DataFrame, userCol: String, typeCol: String,
-      tsCol: String, stages: Seq[String]): DataFrame =
-    prefixFrames(events, userCol, typeCol, tsCol, stages).last
+      tsCol: String, stages: Seq[String],
+      maxGap: Option[Column] = None): DataFrame =
+    prefixFrames(events, userCol, typeCol, tsCol, stages, maxGap).last
 
   /** One-row funnel report: per stage, how many users have completed it
     * in order, plus an id checksum pinning WHICH users (not just how
     * many). Counts are monotonically non-increasing by construction.
     */
   def funnelCounts(events: DataFrame, userCol: String, typeCol: String,
-      tsCol: String, stages: Seq[String]): DataFrame =
-    prefixFrames(events, userCol, typeCol, tsCol, stages)
+      tsCol: String, stages: Seq[String],
+      maxGap: Option[Column] = None): DataFrame =
+    prefixFrames(events, userCol, typeCol, tsCol, stages, maxGap)
       .zip(stages)
       .map { case (f, s) =>
         f.agg(count(lit(1)).as(s"n_$s"),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Column profiling for pipeline observability: per-column non-null/null
@@ -17,11 +17,34 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
+  /** Render a min/max value as a string for the melted profile frame.
+    * Exact engine-portable rendering for ints/strings/dates via plain
+    * cast; FLOAT/DOUBLE columns get a deterministic 6-decimal
+    * fixed-point rendering (`cast(decimal(38,6))` — half-up, trailing
+    * zeros kept, e.g. `0.500000`) instead of engine float formatting,
+    * which differs across engines (`1.0E-4` vs `0.0001`) and would make
+    * a float-column profile a cross-engine gate hazard. Magnitudes
+    * decimal(38,6) can't hold (|x| ≥ 1e32, NaN, ±Inf) fall back to the
+    * engine's float string — the range is gated explicitly (under ANSI
+    * mode, Spark 4's default, an overflowing decimal cast THROWS rather
+    * than nulling) — documented contract, asserted by the golden spec.
+    */
+  private def renderValue(v: Column, dt: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    dt match {
+      case FloatType | DoubleType =>
+        when(abs(v) < lit(1e32), v.cast("decimal(38,6)").cast("string"))
+          .otherwise(v.cast("string"))
+      case _ => v.cast("string")
+    }
+  }
+
   /** Profile `columns` of `df` → one row per column:
     * `(col_name, n_nonnull, n_null, approx_distinct, min_v, max_v)`.
     * min/max are rendered as strings so heterogeneous column types melt
     * into one frame (exact values, engine-portable for ints/strings;
-    * floating-point columns inherit the engine's float formatting).
+    * floating-point columns render as 6-decimal fixed-point — see
+    * [[renderValue]]).
     * `rsd` is the HLL++ relative standard deviation — the 0.02 default
     * keeps the estimate comfortably inside a ±5% gate at any cardinality.
     */
@@ -35,8 +58,8 @@ object Profile {
         count(col(c)).as(s"_cnt_$c"),
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_null_$c"),
         approx_count_distinct(col(c), rsd).as(s"_dist_$c"),
-        min(col(c)).cast("string").as(s"_min_$c"),
-        max(col(c)).cast("string").as(s"_max_$c"))
+        renderValue(min(col(c)), df.schema(c).dataType).as(s"_min_$c"),
+        renderValue(max(col(c)), df.schema(c).dataType).as(s"_max_$c"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
     val rows = columns.map { c =>

@@ -38,13 +38,21 @@ object Similarity {
 
   /** Exact brute-force cosine top-k for one query vector (as a Scala seq —
     * becomes a literal array, broadcast implicitly in the plan).
+    *
+    * NaN cosines (a zero vector: 0/0) rank LAST, not first: Spark's sort
+    * treats NaN as greater than any double, so a bare `desc` on the raw
+    * cosine would put every zero vector at rank 1. Ranking on
+    * `nanvl(cosine, -Inf)` pushes them below all real scores — the same
+    * placement as [[knnJoin]]'s bounded [[graft.functions.TopKByScore]]
+    * aggregate (whose `(-score, id)` ordering also sorts NaN last), so
+    * the two top-k paths agree. The reported cosine stays NaN.
     */
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
       query: Seq[Float], k: Int): DataFrame = {
     val qLit = array(query.map(lit): _*)
     df.select(col(idCol),
         graft.functions.VectorExpressions.cosineFast(col(vecCol), qLit).as("cosine"))
-      .orderBy(col("cosine").desc, col(idCol))
+      .orderBy(nanvl(col("cosine"), lit(Double.NegativeInfinity)).desc, col(idCol))
       .limit(k)
   }
 

@@ -1,0 +1,91 @@
+package graft.sink
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** The shared commit protocol of the incrementally-maintained indexes
+  * ([[IncrementalPostings]], [[VectorIndex]]): a log of numbered delta
+  * directories under a root, each appearing ATOMICALLY — written under a
+  * dot-prefixed temp name, renamed into place — so a concurrent reader
+  * never sees a half-written commit.
+  *
+  * Single-writer contract (one ingest pipeline per index, like the
+  * reference): Hadoop's directory rename is not a compare-and-swap
+  * everywhere — on HDFS/S3A renaming onto an EXISTING directory moves
+  * the source INTO it and still returns true, silently swallowing a
+  * racing committer. [[commit]] verifies OUR data landed at the final
+  * path and turns that contract violation into a loud failure.
+  */
+private[sink] object DeltaLog {
+
+  def fs(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Committed sequence numbers under `root`, ascending. Skips in-flight
+    * `.tmp-*` dirs and strays (non-numeric names).
+    */
+  def listSeqs(spark: SparkSession, root: String): Seq[Int] = {
+    val p = new Path(root)
+    val f = fs(spark, root)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(n => n.nonEmpty && n.forall(_.isDigit))
+      .map(_.toInt).sorted
+  }
+
+  def nextSeq(spark: SparkSession, root: String): Int =
+    (listSeqs(spark, root) :+ 0).max + 1
+
+  /** Run `write` against the temp path for `seq`, then rename it into
+    * place and verify the rename placed OUR commit there (`markerChild`
+    * must exist directly under the final path, and nothing `.tmp`-nested
+    * may — the signature of a swallowed concurrent rename). Returns `seq`.
+    */
+  def commit(spark: SparkSession, root: String, seq: Int,
+      markerChild: String)(write: String => Unit): Int = {
+    val tmp = s"$root/.tmp-$seq"
+    write(tmp)
+    val f = fs(spark, root)
+    val dest = new Path(s"$root/$seq")
+    require(f.rename(new Path(tmp), dest),
+      s"could not commit delta $seq (concurrent writer?)")
+    val ok = f.exists(new Path(dest, markerChild)) &&
+      !f.listStatus(dest).exists(_.getPath.getName.startsWith(".tmp"))
+    require(ok, s"delta $seq commit was clobbered by a concurrent writer " +
+      "(this index is single-writer; serialize commits upstream)")
+    seq
+  }
+
+  /** Complete a base swap interrupted between its two renames: if `base`
+    * is missing but a fully-written `next` exists, install it and clear
+    * the old-base leftover. Idempotent; called before every read and
+    * compact so a crash never leaves the index unreadable.
+    */
+  def recoverBase(spark: SparkSession, base: String, next: String,
+      old: String): Unit = {
+    val f = fs(spark, base)
+    val b = new Path(base)
+    val n = new Path(next)
+    if (!f.exists(b) && f.exists(n)) {
+      require(f.rename(n, b), s"recovery: could not install $next")
+      f.delete(new Path(old), true)
+    }
+  }
+
+  /** Swap a freshly-written `next` in as `base` (old base → `old`,
+    * deleted after the install). The window between the two renames is
+    * healed by [[recoverBase]].
+    */
+  def swapBase(spark: SparkSession, base: String, next: String,
+      old: String): Unit = {
+    val f = fs(spark, base)
+    val o = new Path(old)
+    f.delete(o, true) // leftovers from a prior interrupted swap
+    require(f.rename(new Path(base), o), "compact: base swap failed")
+    require(f.rename(new Path(next), new Path(base)),
+      "compact: base install failed")
+    f.delete(o, true)
+  }
+}

@@ -45,38 +45,8 @@ object IncrementalPostings {
       .write.mode("overwrite").parquet(s"$dir/base/norms")
   }
 
-  private def fs(spark: SparkSession, dir: String) =
-    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  private def deltaSeqs(spark: SparkSession, dir: String): Seq[Int] = {
-    val root = new Path(s"$dir/deltas")
-    val f = fs(spark, dir)
-    if (!f.exists(root)) Seq.empty
-    else f.listStatus(root).toSeq
-      .filter(_.isDirectory)
-      .map(_.getPath.getName)
-      .filter(n => n.nonEmpty && n.forall(_.isDigit)) // skips in-flight
-      .map(_.toInt).sorted                            // .tmp-* and strays
-  }
-
-  /** Verify a delta rename actually placed OUR data at `deltas/<seq>`.
-    * Hadoop's directory rename is not a compare-and-swap everywhere: on
-    * HDFS/S3A renaming onto an EXISTING directory moves the source INTO
-    * it and still returns true — a racing committer would be silently
-    * swallowed (its data nested under `deltas/<seq>/.tmp-<seq>`, invisible
-    * to readers). The module's contract is a single writer (one ingest
-    * pipeline per index, like the reference); this check turns a contract
-    * violation into a loud failure instead of silent data loss.
-    */
-  private def verifyCommitted(spark: SparkSession, dir: String,
-      seq: Int): Unit = {
-    val f = fs(spark, dir)
-    val delta = new Path(s"$dir/deltas/$seq")
-    val ok = f.exists(new Path(delta, "docs")) &&
-      !f.listStatus(delta).exists(_.getPath.getName.startsWith(".tmp"))
-    require(ok, s"delta $seq commit was clobbered by a concurrent writer " +
-      "(this index is single-writer; serialize commits upstream)")
-  }
+  private def deltaSeqs(spark: SparkSession, dir: String): Seq[Int] =
+    DeltaLog.listSeqs(spark, s"$dir/deltas")
 
   /** Commit one batch of upserted documents as a delta: postings + norms
     * for the batch, and the batch's ids as the ownership record. The
@@ -84,23 +54,60 @@ object IncrementalPostings {
     * temp name, renamed into place) so a concurrent reader never sees a
     * half-written commit — the same rename protocol as the sink's
     * manifest. Returns the committed sequence number.
+    *
+    * The batch must carry each id AT MOST ONCE — resolution is
+    * document-granular (one owner sequence per doc), so two versions of a
+    * doc in one delta would BOTH survive the owner filter: postings tf
+    * aggregates across the versions and norms carries two rows, silently
+    * double-counting the doc in every BM25 score. Enforced loudly here
+    * (the null-`_id` `raise_error` precedent in the sink commit path);
+    * CDC/foreachBatch streams that legitimately carry several versions
+    * per micro-batch dedupe with the `orderCol` overload.
     */
   def commitUpserts(docs: DataFrame, idCol: String, textCol: String,
       dir: String): Int = {
     val spark = docs.sparkSession
-    val seq = (deltaSeqs(spark, dir) :+ 0).max + 1
-    val tmp = s"$dir/deltas/.tmp-$seq"
-    InvertedIndex.postings(docs, idCol, textCol)
-      .write.mode("overwrite").parquet(s"$tmp/postings")
-    InvertedIndex.docLengths(docs, idCol, textCol)
-      .write.mode("overwrite").parquet(s"$tmp/norms")
-    docs.select(col(idCol).cast("long").as("doc_id")).distinct()
-      .write.mode("overwrite").parquet(s"$tmp/docs")
-    val f = fs(spark, dir)
-    require(f.rename(new Path(tmp), new Path(s"$dir/deltas/$seq")),
-      s"could not commit delta $seq (concurrent writer?)")
-    verifyCommitted(spark, dir, seq)
-    seq
+    val dup = docs.groupBy(col(idCol)).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"commitUpserts: batch contains '$idCol' more than once (e.g. " +
+        s"${dup.headOption.map(_.get(0)).getOrElse("")}); a delta owns each " +
+        "doc once — pass an order column to dedupe last-writer-wins")
+    DeltaLog.commit(spark, s"$dir/deltas",
+        DeltaLog.nextSeq(spark, s"$dir/deltas"), "docs") { tmp =>
+      InvertedIndex.postings(docs, idCol, textCol)
+        .write.mode("overwrite").parquet(s"$tmp/postings")
+      InvertedIndex.docLengths(docs, idCol, textCol)
+        .write.mode("overwrite").parquet(s"$tmp/norms")
+      docs.select(col(idCol).cast("long").as("doc_id")).distinct()
+        .write.mode("overwrite").parquet(s"$tmp/docs")
+    }
+  }
+
+  /** Last-writer-wins variant for batches that may carry several versions
+    * of a doc (CDC / foreachBatch micro-batches): keep each id's row with
+    * the greatest `orderCol` (the changelog sequence / snapshot column),
+    * then commit. Ties on `(id, orderCol)` are a caller contract
+    * violation (the order column must be unique per id within a batch, as
+    * a changelog sequence is) — a `max_by` would pick one arbitrarily,
+    * so the winners are selected by (id, max-order) equi-join and the
+    * base overload's duplicate guard rejects any id that still has two
+    * rows. Both steps are batch-sized (one hash aggregate + one join of
+    * the batch against its own id set), not a window sort.
+    */
+  def commitUpserts(docs: DataFrame, idCol: String, textCol: String,
+      dir: String, orderCol: String): Int = {
+    // a null order value can't win the (id, max-order) equi-join — its
+    // doc would vanish from the commit silently; reject it loudly
+    require(docs.filter(col(orderCol).isNull).limit(1).collect().isEmpty,
+      s"commitUpserts: null '$orderCol' in batch (order column must be a " +
+        "total per-id order, like a changelog sequence)")
+    val mx = docs.groupBy(col(idCol).as("_mx_id"))
+      .agg(max(col(orderCol)).as("_mx"))
+    val latest = docs
+      .join(mx, docs(idCol) === col("_mx_id") && col(orderCol) === col("_mx"))
+      .select(col(idCol), col(textCol))
+    commitUpserts(latest, idCol, textCol, dir)
   }
 
   /** Commit deletions: the ids claim ownership with no postings/norms —
@@ -108,22 +115,18 @@ object IncrementalPostings {
     */
   def commitDeletes(ids: DataFrame, idCol: String, dir: String): Int = {
     val spark = ids.sparkSession
-    val seq = (deltaSeqs(spark, dir) :+ 0).max + 1
-    val tmp = s"$dir/deltas/.tmp-$seq"
     val docs = ids.select(col(idCol).cast("long").as("doc_id")).distinct()
-    // empty postings/norms with the right schemas: a delete owns the doc
-    // and contributes nothing
-    docs.limit(0)
-      .select(lit("").as("term"), col("doc_id"), lit(0).cast("int").as("tf"))
-      .write.mode("overwrite").parquet(s"$tmp/postings")
-    docs.limit(0).select(col("doc_id"), lit(0).cast("int").as("dl"))
-      .write.mode("overwrite").parquet(s"$tmp/norms")
-    docs.write.mode("overwrite").parquet(s"$tmp/docs")
-    val f = fs(spark, dir)
-    require(f.rename(new Path(tmp), new Path(s"$dir/deltas/$seq")),
-      s"could not commit delta $seq (concurrent writer?)")
-    verifyCommitted(spark, dir, seq)
-    seq
+    DeltaLog.commit(spark, s"$dir/deltas",
+        DeltaLog.nextSeq(spark, s"$dir/deltas"), "docs") { tmp =>
+      // empty postings/norms with the right schemas: a delete owns the
+      // doc and contributes nothing
+      docs.limit(0)
+        .select(lit("").as("term"), col("doc_id"), lit(0).cast("int").as("tf"))
+        .write.mode("overwrite").parquet(s"$tmp/postings")
+      docs.limit(0).select(col("doc_id"), lit(0).cast("int").as("dl"))
+        .write.mode("overwrite").parquet(s"$tmp/norms")
+      docs.write.mode("overwrite").parquet(s"$tmp/docs")
+    }
   }
 
   /** One row per ever-touched doc: the highest sequence that wrote it. */
@@ -142,15 +145,9 @@ object IncrementalPostings {
     * Called before every read and compact, so a crash never leaves the
     * index unreadable.
     */
-  private def recoverBase(spark: SparkSession, dir: String): Unit = {
-    val f = fs(spark, dir)
-    val base = new Path(s"$dir/base")
-    val next = new Path(s"$dir/.base-next")
-    if (!f.exists(base) && f.exists(next)) {
-      require(f.rename(next, base), s"recovery: could not install $next")
-      f.delete(new Path(s"$dir/.base-old"), true)
-    }
-  }
+  private def recoverBase(spark: SparkSession, dir: String): Unit =
+    DeltaLog.recoverBase(spark, s"$dir/base", s"$dir/.base-next",
+      s"$dir/.base-old")
 
   private def resolve(spark: SparkSession, dir: String, sub: String,
       seqs: Seq[Int], ownersDf: Option[DataFrame],
@@ -223,13 +220,8 @@ object IncrementalPostings {
     val (postings, norms) = liveViews(spark, dir)
     InvertedIndex.writePostings(postings, s"$tmp/postings")
     norms.write.mode("overwrite").parquet(s"$tmp/norms")
-    val f = fs(spark, dir)
-    val old = new Path(s"$dir/.base-old")
-    f.delete(old, true) // leftovers from a prior interrupted compact
-    require(f.rename(new Path(s"$dir/base"), old), "compact: base swap failed")
-    require(f.rename(new Path(tmp), new Path(s"$dir/base")),
-      "compact: base install failed")
-    f.delete(old, true)
+    DeltaLog.swapBase(spark, s"$dir/base", tmp, s"$dir/.base-old")
+    val f = DeltaLog.fs(spark, dir)
     seqs.foreach(s => f.delete(new Path(s"$dir/deltas/$s"), true))
   }
 }

@@ -1,5 +1,6 @@
 package graft.sink
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -7,31 +8,72 @@ import org.apache.spark.sql.types._
 import graft.operators.Ivf
 
 /** Persisted IVF vector index: the vector-side twin of the text postings
-  * path ([[InvertedIndex]]) — train once, lay the corpus out by cell on
-  * disk, and serve each query by READING only the probed cells.
+  * path ([[InvertedIndex]]/[[IncrementalPostings]]) — train once, lay the
+  * corpus out by cell on disk, serve each query by READING only the
+  * probed cells, and mutate by KEY through an O(batch) commit log.
   *
   * Layout under `dir`:
   *   - `centroids/` — `(cell int, centroid array<double>)`, k rows: the
   *     model. Tiny (k × dim doubles), read to the driver per search
   *     session, exactly like [[Ivf.Model]] lives as plan literals.
-  *   - `cells/cell=<i>/` — the corpus partitioned by assigned cell
-  *     (Hive-style directory partitioning).
+  *   - `meta/` — one row `(id_col, vec_col, dim)`: the indexed schema
+  *     contract, so every later mutation is validated against what the
+  *     index was built over.
+  *   - `cells/cell=<i>/` — the base corpus partitioned by assigned cell
+  *     (Hive-style directory partitioning), sequence 0.
+  *   - `commits/<seq>/{cells,docs}` — one dir per [[upsert]]/[[delete]]
+  *     ([[DeltaLog]] protocol, atomic rename): the batch's cell-assigned
+  *     vectors plus `docs`, the ids WRITTEN BY this commit (a delete
+  *     writes ids with no vectors — a keyed tombstone).
+  *
+  * Read-time resolution is id-granular last-writer-wins, the
+  * [[IncrementalPostings]] design verbatim: a doc's vector comes from the
+  * highest sequence that wrote its id (the base if none did). The owner
+  * table is one row per EVER-TOUCHED id — steady-state ingest touches a
+  * vanishing fraction of the corpus, so it broadcasts until [[compact]]
+  * folds it away. Re-upserting an id supersedes the old vector even when
+  * the new one lands in a DIFFERENT cell (the old cell's row loses the
+  * owner filter), so a stale copy can never be returned by a probe.
   *
   * Scale design: the serving property is DISK-level pruning — a probe
-  * filter `cell IN (…)` is a partition-column predicate, so Spark's file
-  * index never lists or reads the unprobed directories
-  * (`PartitionFilters` in the scan, pinned by `VectorIndexSpec`).
-  * Per-query scan cost is `nProbe / k` of the index regardless of index
-  * size; writing re-shuffles the corpus once by cell (the same one-off
-  * layout cost as [[InvertedIndex.writePostings]]'s term-bucketed
-  * layout). Rebuild to retrain centroids — an IVF layout is only as good
-  * as its cells, and incremental drift is a re-layout decision, not an
-  * append path.
+  * filter `cell IN (…)` is a partition-column predicate on the base leg,
+  * so Spark's file index never lists or reads the unprobed directories
+  * (`PartitionFilters` in the scan, pinned by `VectorIndexSpec`); commit
+  * legs are O(batch) files and carry `cell` as a data column (row-group
+  * pruning, no directory fan-out per tiny batch). Per-query scan cost is
+  * `nProbe / k` of the index regardless of index size. A commit writes
+  * O(batch) bytes (pinned by spec); [[compact]] is the only index-sized
+  * write and is a maintenance job. Centroid DRIFT under sustained ingest
+  * degrades cell balance — [[stats]] measures it (skew vs uniform), and
+  * rebuild (re-[[write]]) is the remedy.
   */
 object VectorIndex {
 
+  private val metaSchema = StructType(Seq(
+    StructField("id_col", StringType, nullable = false),
+    StructField("vec_col", StringType, nullable = false),
+    StructField("dim", IntegerType, nullable = false)))
+
+  private final case class Meta(idCol: String, vecCol: String, dim: Int)
+
+  private def readMeta(spark: SparkSession, dir: String): Meta = {
+    val r = spark.read.schema(metaSchema).parquet(s"$dir/meta").head()
+    Meta(r.getString(0), r.getString(1), r.getInt(2))
+  }
+
+  private def checkMeta(spark: SparkSession, dir: String, idCol: String,
+      vecCol: String): Meta = {
+    val m = readMeta(spark, dir)
+    require(m.idCol == idCol && m.vecCol == vecCol,
+      s"index at $dir was built over ('${m.idCol}', '${m.vecCol}'), " +
+        s"not ('$idCol', '$vecCol')")
+    m
+  }
+
   /** Train a k-means model on `df` and persist model + cell-partitioned
-    * corpus at `dir`. Null vectors are excluded (they can't be probed).
+    * corpus at `dir`, resetting any previous commit log (a rebuild
+    * re-trains centroids and absorbs every live row the caller passes).
+    * Null vectors are excluded (they can't be probed).
     */
   def write(df: DataFrame, idCol: String, vecCol: String, dir: String,
       k: Int, iters: Int = 5): Ivf.Model = {
@@ -47,30 +89,99 @@ object VectorIndex {
     spark.createDataFrame(
         spark.sparkContext.parallelize(centroidRows.toSeq, 1), centroidSchema)
       .write.mode("overwrite").parquet(s"$dir/centroids")
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          Seq(Row(idCol, vecCol, model.centroids.head.length)), 1), metaSchema)
+      .write.mode("overwrite").parquet(s"$dir/meta")
     Ivf.assign(df.filter(col(vecCol).isNotNull), vecCol, model)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+    // a rebuild starts a fresh history: everything live is in the base
+    DeltaLog.fs(spark, dir).delete(new Path(s"$dir/commits"), true)
     model
   }
 
-  /** Append new vectors to an existing index WITHOUT retraining: assign
-    * against the persisted centroids and append into the cell layout
-    * (dynamic partition append touches only the cells the batch lands
-    * in — O(batch) files). The model is unchanged, so searches stay
-    * consistent; centroid DRIFT under sustained append degrades cell
-    * balance, which is a rebuild (re-`write`) decision — the same
-    * maintenance split as [[IncrementalPostings.compact]].
+  /** Guard a mutation batch: vectors must match the index's trained
+    * dimensionality — the fused min-length loops in the vector
+    * expressions would otherwise assign a wrong-dim vector to a cell
+    * from a TRUNCATED distance, silently corrupting the layout. Fails
+    * loudly at execution (the `raise_error` precedent of the sink's
+    * null-`_id` guard). Null vectors are excluded like in [[write]].
+    */
+  private def checkedBatch(df: DataFrame, vecCol: String,
+      dim: Int): DataFrame = {
+    val vecType = df.schema(vecCol).dataType
+    df.filter(col(vecCol).isNotNull)
+      .withColumn(vecCol,
+        when(size(col(vecCol)) === dim, col(vecCol))
+          .otherwise(raise_error(concat(
+            lit(s"VectorIndex: vector dim must be $dim, got "),
+            size(col(vecCol)).cast("string"))).cast(vecType)))
+  }
+
+  /** Upsert a batch by key: assign against the persisted centroids (no
+    * retrain) and commit ONE O(batch) delta — the batch's cell-assigned
+    * vectors plus its ids as the ownership record. A re-upserted id
+    * supersedes its previous vector at read time (last-writer-wins);
+    * ids new to the index simply appear. Returns the commit sequence.
     *
-    * Append-only: ids are NOT deduplicated — re-appending an existing id
-    * leaves both copies in the cell layout. Vector UPSERTS go through a
-    * rebuild (or route the keyed mutation through [[ParquetIndexSink]]
-    * and rebuild the vector layout from its searchable view).
+    * Each id at most once per batch — same contract and same loud guard
+    * as [[IncrementalPostings.commitUpserts]] (two versions of an id in
+    * one commit would BOTH survive the one-owner-sequence-per-id filter).
+    */
+  def upsert(df: DataFrame, idCol: String, vecCol: String,
+      dir: String): Int = {
+    val spark = df.sparkSession
+    val m = checkMeta(spark, dir, idCol, vecCol)
+    // one batch-sized pass rejects BOTH commit-corrupting id shapes: a
+    // null id (invisible to the equality-keyed owner join — the row could
+    // never be superseded or deleted) and a duplicated id (two versions
+    // would both survive the one-owner-sequence-per-id filter)
+    val bad = df.groupBy(col(idCol).as("_id")).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > 1 || col("_id").isNull).limit(1).collect()
+    require(bad.isEmpty,
+      s"upsert: batch carries a null or duplicated '$idCol' (e.g. " +
+        s"${bad.headOption.map(_.get(0)).getOrElse("")}); a commit owns " +
+        "each non-null id once — dedupe last-writer-wins upstream")
+    val model = loadModel(spark, dir)
+    val assigned = Ivf.assign(checkedBatch(df, vecCol, m.dim), vecCol, model)
+    DeltaLog.commit(spark, s"$dir/commits",
+        DeltaLog.nextSeq(spark, s"$dir/commits"), "docs") { tmp =>
+      assigned.write.mode("overwrite").parquet(s"$tmp/cells")
+      assigned.select(col(idCol)).distinct()
+        .write.mode("overwrite").parquet(s"$tmp/docs")
+    }
+  }
+
+  /** Delete by key: the ids claim ownership with no vectors — a keyed
+    * tombstone, O(ids) bytes ([[IncrementalPostings.commitDeletes]]
+    * design). Returns the commit sequence.
+    */
+  def delete(ids: DataFrame, idCol: String, dir: String): Int = {
+    val spark = ids.sparkSession
+    val m = readMeta(spark, dir)
+    require(m.idCol == idCol,
+      s"index at $dir is keyed by '${m.idCol}', not '$idCol'")
+    // an empty vectors file with the BASE's schema so resolution's
+    // unionByName sees every commit leg schema-complete
+    val baseSchema = spark.read.parquet(s"$dir/cells").schema
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], baseSchema).repartition(1)
+    DeltaLog.commit(spark, s"$dir/commits",
+        DeltaLog.nextSeq(spark, s"$dir/commits"), "docs") { tmp =>
+      empty.write.mode("overwrite").parquet(s"$tmp/cells")
+      ids.select(col(idCol)).distinct()
+        .write.mode("overwrite").parquet(s"$tmp/docs")
+    }
+  }
+
+  /** Insert-only alias kept for the ingestion shape where ids are known
+    * fresh (the r3 append path). Same commit as [[upsert]] — an id that
+    * DOES collide now supersedes its old vector instead of leaving two
+    * live copies.
     */
   def append(df: DataFrame, idCol: String, vecCol: String,
       dir: String): Unit = {
-    val spark = df.sparkSession
-    val model = loadModel(spark, dir)
-    Ivf.assign(df.filter(col(vecCol).isNotNull), vecCol, model)
-      .write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
+    upsert(df, idCol, vecCol, dir): Unit
   }
 
   /** Load the persisted model (k rows to the driver). */
@@ -81,20 +192,111 @@ object VectorIndex {
     Ivf.Model(rows.map(_.getSeq[Double](1).toArray))
   }
 
-  /** The full indexed corpus (all cells) as a DataFrame. */
-  def cells(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/cells")
+  private def commitSeqs(spark: SparkSession, dir: String): Seq[Int] =
+    DeltaLog.listSeqs(spark, s"$dir/commits")
+
+  private def recoverBase(spark: SparkSession, dir: String): Unit =
+    DeltaLog.recoverBase(spark, s"$dir/cells", s"$dir/.cells-next",
+      s"$dir/.cells-old")
+
+  /** The LIVE corpus (all cells), id-granular last-writer-wins over
+    * base + commits. With an empty commit log this is exactly the base
+    * scan; with commits, the owner table (one row per ever-touched id)
+    * broadcasts against the union, and only the winning sequence's row
+    * per id survives. The probe filter `cell IN (…)` pushes through the
+    * join and union into every leg's scan — partition pruning on the
+    * base leg is unaffected by resolution.
+    */
+  def cells(spark: SparkSession, dir: String): DataFrame = {
+    recoverBase(spark, dir)
+    val m = readMeta(spark, dir)
+    val seqs = commitSeqs(spark, dir)
+    val base = spark.read.parquet(s"$dir/cells")
+    if (seqs.isEmpty) base
+    else {
+      val all = seqs.foldLeft(base.withColumn("_seq", lit(0))) { (acc, s) =>
+        acc.unionByName(spark.read.parquet(s"$dir/commits/$s/cells")
+          .withColumn("_seq", lit(s)))
+      }
+      val owners = seqs.map { s =>
+        spark.read.parquet(s"$dir/commits/$s/docs")
+          .select(col(m.idCol), lit(s).as("_live_seq"))
+      }.reduce(_.unionByName(_))
+        .groupBy(col(m.idCol)).agg(max("_live_seq").as("_live_seq"))
+      val cols = base.columns.map(col).toSeq
+      all.join(broadcast(owners), Seq(m.idCol), "left")
+        .filter(col("_seq") === coalesce(col("_live_seq"), lit(0)))
+        .select(cols: _*) // the join moved the id first; restore the layout
+    }
+  }
+
+  /** Fold all commits into a fresh cell-partitioned base — the only
+    * index-sized write, run as maintenance (same contract and same
+    * crash-safety argument as [[IncrementalPostings.compact]]: the swap
+    * is heal-able by [[recoverBase]], and leftover commits resolve
+    * idempotently against the folded base).
+    */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    recoverBase(spark, dir)
+    val seqs = commitSeqs(spark, dir)
+    if (seqs.isEmpty) return
+    val live = cells(spark, dir)
+    live.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/.cells-next")
+    DeltaLog.swapBase(spark, s"$dir/cells", s"$dir/.cells-next",
+      s"$dir/.cells-old")
+    val f = DeltaLog.fs(spark, dir)
+    seqs.foreach(s => f.delete(new Path(s"$dir/commits/$s"), true))
+  }
 
   /** Top-k by cosine reading ONLY the `nProbe` probed cell directories —
-    * `cell` is a partition column, so the filter prunes at file-listing
-    * time and the scan never touches the rest of the index.
+    * `cell` is a partition column on the base leg, so the filter prunes
+    * at file-listing time and the scan never touches the rest of the
+    * index. Tombstoned/superseded rows are resolved away before ranking.
     */
   def search(spark: SparkSession, dir: String, idCol: String, vecCol: String,
       query: Seq[Float], topK: Int, nProbe: Int): DataFrame = {
+    checkMeta(spark, dir, idCol, vecCol)
     val model = loadModel(spark, dir)
     val probes = Ivf.probeCells(model, query, nProbe)
     graft.operators.Similarity.bruteForceTopK(
       cells(spark, dir).filter(col("cell").isin(probes: _*)),
       idCol, vecCol, query, topK)
+  }
+
+  /** Per-cell occupancy of the LIVE index: `(cell, n_vectors)`. One hash
+    * aggregate over the resolved view (cells with zero live vectors are
+    * absent — [[stats]] folds them in from the model's k).
+    */
+  def cellCounts(spark: SparkSession, dir: String): DataFrame =
+    cells(spark, dir).groupBy("cell")
+      .agg(count(lit(1)).as("n_vectors"))
+
+  /** One-row index health report — the REBUILD SIGNAL for centroid drift
+    * under sustained ingest:
+    * `(n_vectors, n_cells, n_empty_cells, max_cell, skew, n_pending_commits)`
+    * where `skew = max_cell / (n_vectors / k)` — 1.0 is perfectly
+    * uniform, k means everything landed in one cell. An operator alerts
+    * on `skew` (cells no longer match the data distribution → probed
+    * searches read ever-larger fractions of the index) and on
+    * `n_pending_commits` (read-time resolution cost → run [[compact]]).
+    * Cost: one aggregate over the live view + the k-row model.
+    */
+  def stats(spark: SparkSession, dir: String): DataFrame = {
+    val k = loadModel(spark, dir).k
+    val pending = commitSeqs(spark, dir).length
+    cellCounts(spark, dir)
+      .agg(coalesce(sum("n_vectors"), lit(0L)).as("n_vectors"),
+        count(lit(1)).as("n_nonempty"),
+        coalesce(max("n_vectors"), lit(0L)).as("max_cell"))
+      .select(
+        col("n_vectors"),
+        lit(k).cast("long").as("n_cells"),
+        (lit(k) - col("n_nonempty")).cast("long").as("n_empty_cells"),
+        col("max_cell"),
+        when(col("n_vectors") > 0,
+            round(col("max_cell") * lit(k) / col("n_vectors"), 4))
+          .otherwise(lit(0.0)).as("skew"),
+        lit(pending).cast("long").as("n_pending_commits"))
   }
 }

@@ -64,16 +64,28 @@ object KafkaAvroSource {
     decodeConfluentDocs(values, valueCol, Map.empty[Int, String],
       Some(writerSchemaJson))
 
+  /** Map-table convenience for the provider-based decode: writer schemas
+    * keyed by id, `defaultSchemaJson` decoding any id missing from the
+    * map.
+    */
+  def decodeConfluentDocs(values: DataFrame, valueCol: String,
+      writerSchemasById: Map[Int, String],
+      defaultSchemaJson: Option[String]): DataFrame =
+    decodeConfluentDocs(values, valueCol,
+      SchemaProvider.fromMap(writerSchemasById, defaultSchemaJson))
+
   /** Multi-schema Confluent wire decode with per-record error capture.
     *
     * Runs a `GenericDatumReader` inside `mapPartitions` — readers and the
     * decoder are constructed once per partition and reused per record (no
     * per-record allocation, no driver involvement; throughput scales with
-    * Kafka partitions). Writer schemas are passed as JSON strings keyed by
-    * schema id and parsed executor-side (`Schema` itself is not
-    * serializable) — the Schema Registry's resolution step minus the HTTP
-    * client (`KafkaIngestor.java:151-157`); `defaultSchemaJson`, when set,
-    * decodes any id missing from the map.
+    * Kafka partitions). Writer schemas come from the [[SchemaProvider]]
+    * seam — the Schema Registry's resolution step
+    * (`KafkaIngestor.java:149-157`) with the HTTP client abstracted: the
+    * provider is invoked executor-side on FIRST SIGHT of each schema id
+    * (so ids unseen at construction still resolve, exactly like a
+    * registry lookup) and its JSON is parsed there (`Schema` is not
+    * serializable).
     *
     * Output: `schema_id int, doc map<string, array<string>>, error string`
     * — exactly one output row per input record. A malformed frame (bad
@@ -87,26 +99,23 @@ object KafkaAvroSource {
     * encodes to zero bytes (e.g. an empty record schema) is 5 bytes.
     */
   def decodeConfluentDocs(values: DataFrame, valueCol: String,
-      writerSchemasById: Map[Int, String],
-      defaultSchemaJson: Option[String]): DataFrame = {
+      schemaProvider: SchemaProvider): DataFrame = {
     val spark = values.sparkSession
     import spark.implicits._
     values.select(valueCol).as[Array[Byte]].mapPartitions { it =>
       // one reader per schema id, built on first sight, reused after;
       // ditto the decode-target record (`reader.read(reuse, ...)`) — safe
       // because AvroDocConverter.convert copies every value out before the
-      // next read mutates the instance
-      val readers = scala.collection.mutable.Map.empty[Int, GenericDatumReader[GenericRecord]]
+      // next read mutates the instance. A provider MISS is also cached so
+      // a hot unknown id doesn't re-resolve per record.
+      val readers = scala.collection.mutable.Map.empty[Int, Option[GenericDatumReader[GenericRecord]]]
       val reuse = scala.collection.mutable.Map.empty[Int, GenericRecord]
       def readerFor(id: Int): Option[GenericDatumReader[GenericRecord]] =
-        readers.get(id).orElse {
-          writerSchemasById.get(id).orElse(defaultSchemaJson).map { json =>
-            val r = new GenericDatumReader[GenericRecord](
+        readers.getOrElseUpdate(id,
+          schemaProvider.resolve(id).map { json =>
+            new GenericDatumReader[GenericRecord](
               new Schema.Parser().parse(json))
-            readers(id) = r
-            r
-          }
-        }
+          })
       var decoder: BinaryDecoder = null
       it.map { bytes =>
         if (bytes == null || bytes.length < 5 || bytes(0) != 0x00)

@@ -99,6 +99,24 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("zero vectors (NaN cosine) rank last, never first") {
+    val df = Seq(
+      (1L, Seq(0.0f, 0.0f)),      // zero vector: cosine = 0/0 = NaN
+      (2L, Seq(1.0f, 0.0f)),
+      (3L, Seq(-1.0f, 0.0f)),
+      (4L, Seq(0.6f, 0.8f))).toDF("id", "v")
+    val got = Similarity.bruteForceTopK(df, "id", "v", Seq(1.0f, 0.0f), 4)
+      .select("id").as[Long].collect().toSeq
+    // real scores first (1.0, 0.6, -1.0), the NaN row dead last
+    assert(got == Seq(2L, 4L, 3L, 1L), got.toString)
+    // and the two top-k paths agree on the placement: knnJoin's bounded
+    // aggregate also sorts the NaN corpus row last
+    val knn = Similarity.knnJoin(df, Seq((9L, Seq(1.0f, 0.0f)))
+        .toDF("qid", "qv"), "id", "v", "qid", "qv", 4)
+      .orderBy("rk").select("id").as[Long].collect().toSeq
+    assert(knn == got, s"paths disagree: knn=$knn brute=$got")
+  }
+
   test("bucket signature is deterministic across evaluations") {
     val e = Tables.embeddings(spark, sf).limit(50)
     val a = Similarity.annBuckets(e, "embedding").select("vec_id", "bucket")

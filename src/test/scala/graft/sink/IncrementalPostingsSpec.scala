@@ -150,4 +150,54 @@ class IncrementalPostingsSpec extends SparkSpec {
     assert(deltaBytes < baseBytes / 5,
       s"delta $deltaBytes B should be a small fraction of base $baseBytes B")
   }
+
+  test("a batch carrying the same id twice is rejected loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("incpost-dup").toString
+    IncrementalPostings.init(
+      Seq((1L, "merge scan")).toDF("doc_id", "text"), "doc_id", "text", dir)
+    val e = intercept[IllegalArgumentException] {
+      IncrementalPostings.commitUpserts(
+        Seq((2L, "v1"), (2L, "v2")).toDF("doc_id", "text"),
+        "doc_id", "text", dir)
+    }
+    assert(e.getMessage.contains("more than once"))
+    // the failed commit left nothing behind — the live view is the base
+    val norms = IncrementalPostings.currentNorms(spark, dir)
+      .as[(Long, Int)].collect().toMap
+    assert(norms == Map(1L -> 2))
+  }
+
+  test("orderCol overload dedupes a multi-version CDC batch last-writer-wins") {
+    val dir = java.nio.file.Files.createTempDirectory("incpost-lww").toString
+    IncrementalPostings.init(
+      Seq((1L, "merge scan")).toDF("doc_id", "text"), "doc_id", "text", dir)
+    // one micro-batch, three versions of doc 2 + one of doc 3 (CDC shape)
+    IncrementalPostings.commitUpserts(
+      Seq((2L, "first", 10L), (2L, "second version", 20L),
+        (2L, "third final", 30L), (3L, "solo", 5L))
+        .toDF("doc_id", "text", "seq"),
+      "doc_id", "text", dir, "seq")
+    val norms = IncrementalPostings.currentNorms(spark, dir)
+      .as[(Long, Int)].collect().toMap
+    assert(norms == Map(1L -> 2, 2L -> 2, 3L -> 1)) // doc 2 = "third final"
+    val terms = IncrementalPostings.currentPostings(spark, dir)
+      .filter(col("doc_id") === 2L).select("term")
+      .as[String].collect().toSet
+    assert(terms == Set("third", "final"))
+    // a tie at the max order is ambiguous — rejected, not silently picked
+    val e = intercept[IllegalArgumentException] {
+      IncrementalPostings.commitUpserts(
+        Seq((5L, "a", 1L), (5L, "b", 1L)).toDF("doc_id", "text", "seq"),
+        "doc_id", "text", dir, "seq")
+    }
+    assert(e.getMessage.contains("more than once"))
+    // and a null order value is rejected rather than dropping the doc
+    val n = intercept[IllegalArgumentException] {
+      IncrementalPostings.commitUpserts(
+        Seq((6L, "a", Some(1L)), (6L, "b", None))
+          .toDF("doc_id", "text", "seq"),
+        "doc_id", "text", dir, "seq")
+    }
+    assert(n.getMessage.contains("null"))
+  }
 }

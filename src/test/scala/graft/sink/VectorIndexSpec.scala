@@ -70,4 +70,164 @@ class VectorIndexSpec extends SparkSpec {
     val total = VectorIndex.cells(spark, dir).inputFiles.length.toLong
     assert(scanned > 0 && scanned < total, s"scanned $scanned of $total files")
   }
+
+  private def tinyCorpus = Seq(
+    (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)),
+    (3L, Seq(0.0f, 1.0f)), (4L, Seq(0.1f, 0.9f)))
+    .toDF("vec_id", "embedding")
+
+  private def liveTopK(df: org.apache.spark.sql.DataFrame, q: Seq[Float]) =
+    graft.operators.Similarity.bruteForceTopK(df, "vec_id", "embedding", q, 10)
+      .as[(Long, Double)].collect().toSeq
+
+  test("upsert supersedes by key and delete tombstones — search sees only survivors") {
+    val dir = java.nio.file.Files.createTempDirectory("vecidx-upsert").toString
+    VectorIndex.write(tinyCorpus, "vec_id", "embedding", dir, k = 2, iters = 3)
+    // id 2 moves ACROSS clusters (new vector lands in the other cell);
+    // id 5 is fresh
+    VectorIndex.upsert(Seq((2L, Seq(0.0f, 0.95f)), (5L, Seq(1.0f, 0.05f)))
+      .toDF("vec_id", "embedding"), "vec_id", "embedding", dir)
+    VectorIndex.delete(Seq(3L).toDF("vec_id"), "vec_id", dir)
+    val live = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 0.95f)),
+      (4L, Seq(0.1f, 0.9f)), (5L, Seq(1.0f, 0.05f)))
+      .toDF("vec_id", "embedding")
+    val q = Seq(1.0f, 0.0f)
+    // full probe ≡ brute force over exactly the surviving corpus
+    val got = VectorIndex.search(spark, dir, "vec_id", "embedding",
+      q, topK = 10, nProbe = 2).as[(Long, Double)].collect().toSeq
+    assert(got == liveTopK(live, q))
+    // the resolved view holds one row per live id, with the NEW vectors
+    val cells = VectorIndex.cells(spark, dir)
+    assert(cells.count() == 4)
+    assert(cells.filter(col("vec_id") === 2L)
+      .select("embedding").as[Seq[Float]].head() == Seq(0.0f, 0.95f))
+    // compaction folds the commit log and preserves every answer
+    VectorIndex.compact(spark, dir)
+    assert(java.nio.file.Files.notExists(
+      java.nio.file.Paths.get(s"$dir/commits/1")))
+    val after = VectorIndex.search(spark, dir, "vec_id", "embedding",
+      q, topK = 10, nProbe = 2).as[(Long, Double)].collect().toSeq
+    assert(after == got)
+  }
+
+  test("a mutation commit writes O(batch) bytes, never touching the base cells") {
+    val dir = java.nio.file.Files.createTempDirectory("vecidx-bytes").toString
+    val base = (1L to 500L).map(i =>
+      (i, Seq((i % 7).toFloat + 1f, (i % 5).toFloat))).toDF("vec_id", "embedding")
+    VectorIndex.write(base, "vec_id", "embedding", dir, k = 4, iters = 2)
+    def bytes(p: String): Long = {
+      val f = new java.io.File(p)
+      if (!f.exists) 0L
+      else if (f.isFile) f.length
+      else f.listFiles.map(c => bytes(c.getPath)).sum
+    }
+    val baseBytes = bytes(s"$dir/cells")
+    val baseMtime = new java.io.File(s"$dir/cells").lastModified
+    VectorIndex.upsert(Seq((1L, Seq(9.0f, 9.0f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir)
+    VectorIndex.delete(Seq(2L).toDF("vec_id"), "vec_id", dir)
+    assert(new java.io.File(s"$dir/cells").lastModified == baseMtime,
+      "commit must not rewrite the base cell layout")
+    assert(bytes(s"$dir/commits") < baseBytes / 5,
+      s"commits ${bytes(s"$dir/commits")} B vs base $baseBytes B")
+  }
+
+  test("stats flags a drifted index and pending commits") {
+    val dir = java.nio.file.Files.createTempDirectory("vecidx-stats").toString
+    // two tight clusters, 250 vectors each — near-uniform cells
+    val base = (1L to 500L).map { i =>
+      if (i % 2 == 0) (i, Seq(1.0f + (i % 3) * 0.01f, 0.0f))
+      else (i, Seq(0.0f, 1.0f + (i % 3) * 0.01f))
+    }.toDF("vec_id", "embedding")
+    VectorIndex.write(base, "vec_id", "embedding", dir, k = 2, iters = 3)
+    val balanced = VectorIndex.stats(spark, dir).head()
+    assert(balanced.getAs[Long]("n_vectors") == 500L)
+    assert(balanced.getAs[Long]("n_cells") == 2L)
+    assert(balanced.getAs[Double]("skew") <= 1.2, balanced.toString)
+    assert(balanced.getAs[Long]("n_pending_commits") == 0L)
+    // sustained one-sided ingest: 500 new vectors, ALL in one cluster
+    val drift = (1001L to 1500L).map(i => (i, Seq(1.0f, 0.01f)))
+      .toDF("vec_id", "embedding")
+    VectorIndex.upsert(drift, "vec_id", "embedding", dir)
+    val drifted = VectorIndex.stats(spark, dir).head()
+    assert(drifted.getAs[Long]("n_vectors") == 1000L)
+    // 750 of 1000 in one of 2 cells → skew 1.5: the rebuild signal fires
+    assert(drifted.getAs[Double]("skew") >= 1.4, drifted.toString)
+    assert(drifted.getAs[Long]("n_pending_commits") == 1L)
+  }
+
+  test("wrong-dimension and null/duplicate-id batches are rejected loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("vecidx-guard").toString
+    VectorIndex.write(tinyCorpus, "vec_id", "embedding", dir, k = 2, iters = 2)
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + chain(t.getCause)
+    val dim = intercept[Exception] {
+      VectorIndex.upsert(Seq((9L, Seq(1.0f, 2.0f, 3.0f)))
+        .toDF("vec_id", "embedding"), "vec_id", "embedding", dir)
+    }
+    assert(chain(dim).contains("vector dim"), chain(dim))
+    val dup = intercept[IllegalArgumentException] {
+      VectorIndex.upsert(Seq((9L, Seq(1.0f, 0.0f)), (9L, Seq(0.0f, 1.0f)))
+        .toDF("vec_id", "embedding"), "vec_id", "embedding", dir)
+    }
+    assert(dup.getMessage.contains("null or duplicated"))
+    val cols = intercept[IllegalArgumentException] {
+      VectorIndex.upsert(tinyCorpus.withColumnRenamed("vec_id", "other"),
+        "other", "embedding", dir)
+    }
+    assert(cols.getMessage.contains("built over"))
+    // nothing committed by any failed mutation
+    assert(VectorIndex.stats(spark, dir)
+      .head().getAs[Long]("n_pending_commits") == 0L)
+  }
+
+  test("an interrupted vector compact recovers on the next read") {
+    val dir = java.nio.file.Files.createTempDirectory("vecidx-crash").toString
+    VectorIndex.write(tinyCorpus, "vec_id", "embedding", dir, k = 2, iters = 2)
+    val before = VectorIndex.cells(spark, dir)
+      .select("vec_id").as[Long].collect().toSet
+    import java.nio.file.{Files, Paths}
+    Files.move(Paths.get(s"$dir/cells"), Paths.get(s"$dir/.cells-next"))
+    assert(!Files.exists(Paths.get(s"$dir/cells")))
+    val after = VectorIndex.cells(spark, dir)
+      .select("vec_id").as[Long].collect().toSet
+    assert(after == before)
+    assert(Files.exists(Paths.get(s"$dir/cells")))
+  }
+
+  test("search prunes unprobed cells even with a live commit log") {
+    val dir = java.nio.file.Files.createTempDirectory("vecidx-prune2").toString
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0)
+    VectorIndex.write(e.filter(col("vec_id") >= 20), "vec_id", "embedding",
+      dir, k = 4, iters = 3)
+    VectorIndex.upsert(e.filter(col("vec_id") < 20),
+      "vec_id", "embedding", dir)
+    val search = VectorIndex.search(spark, dir, "vec_id", "embedding",
+      q, topK = 5, nProbe = 1)
+    search.collect()
+    // the BASE leg still partition-prunes: its (partition-filtered) scan
+    // reads fewer files than the base holds. Commit legs are unpartitioned
+    // O(batch) scans and excluded from the count.
+    val plan = search.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    // the scans sit inside AQE query stages once the owner join is in the
+    // plan — descend through them rather than collectLeaves
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case o => (o.children ++ o.subqueries).flatMap(scans)
+    }
+    val baseScanned = scans(search.queryExecution.executedPlan)
+      .filter(_.partitionFilters.nonEmpty)
+      .map(_.metrics("numFiles").value).sum
+    val baseFiles = spark.read.parquet(s"$dir/cells").inputFiles.length.toLong
+    assert(baseScanned > 0 && baseScanned < baseFiles,
+      s"scanned $baseScanned of $baseFiles base files")
+  }
 }

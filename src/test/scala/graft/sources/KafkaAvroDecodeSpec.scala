@@ -156,4 +156,32 @@ class KafkaAvroDecodeSpec extends SparkSpec {
       .collect()
     assert(rows.toSeq == Seq((Some(3), Some(Map.empty[String, Seq[String]]), None)))
   }
+
+  test("SchemaProvider resolves an id unseen at construction (registry shape)") {
+    // a provider that derives the schema from the id at RESOLVE time —
+    // nothing registered up front, like a live registry lookup; id 999
+    // stays unknown to prove misses still DLQ (and are cached per task)
+    val dynamicProvider = new SchemaProvider {
+      def resolve(schemaId: Int): Option[String] =
+        if (schemaId == 999) None
+        else Some(SchemaBuilder.record(s"R$schemaId").fields()
+          .requiredString("id").requiredLong("ts")
+          .optionalString("note")
+          .name("tags").`type`().array().items().stringType().noDefault()
+          .name("meta").`type`(SchemaBuilder.record(s"M$schemaId").fields()
+            .requiredString("author").requiredInt("rev").endRecord())
+          .noDefault()
+          .endRecord().toString)
+    }
+    val batch = Seq(frame(record(1), 31), frame(record(2), 57),
+      frame(record(3), 999))
+    val (ok, dlq) = KafkaAvroSource.splitDecoded(
+      KafkaAvroSource.decodeConfluentDocs(
+        batch.toDF("value"), "value", dynamicProvider))
+    assert(ok.select("schema_id").as[Int].collect().toSet == Set(31, 57))
+    val ids = ok.select(element_at(col("doc")("id"), 1)).as[String].collect()
+    assert(ids.toSet == Set("id1", "id2"))
+    assert(dlq.select("error").as[String].head()
+      .contains("unknown schema id 999"))
+  }
 }
