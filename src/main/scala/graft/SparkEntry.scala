@@ -529,6 +529,22 @@ object SparkEntry {
         col("n_pending_commits"))
     }),
 
+    // Batch KNN served off the PERSISTED index: each query probes its own
+    // nearest cells (dynamic partition pruning on the cell layout —
+    // VectorIndexSpec pins the file cut); all cells probed here so the
+    // answer is exactly the corpus-scan knnJoin's (same oracle shape).
+    "x_knn_indexed" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("graft-vecknn").toString
+      val model = sink.VectorIndex.write(e, "vec_id", "embedding", dir,
+        k = 8, iters = 3)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      sink.VectorIndex.knnSearch(s, dir, q, "query_id", "qv",
+          k = 5, nProbe = model.k)
+        .orderBy("query_id", "rk")
+    }),
+
     // Late-interaction (MaxSim) retrieval: labels act as document groups
     // (bags of chunk vectors), vec_id<3 as the query bag; score =
     // Σ_q max_chunk cosine. Both aggregations are map-side-combinable
@@ -1003,6 +1019,35 @@ object SparkEntry {
         "user_id", "event_type", "ts_us",
         Seq("view", "click", "purchase"),
         maxGap = Some(lit(259200000000L)))), // 3 days in microseconds
+
+    // Gap-based sessionization: every event tagged with its user's
+    // session index (12h inactivity gap). One user-partitioned window
+    // pass; state is events-per-user-sized.
+    // Epoch-weighted mixture: src0 upsampled 2.5× (every doc twice + the
+    // md5-56 half a third time), src1 1×, src2 0.5×, everything else
+    // dropped — the training-mix materialization step, copy index kept.
+    "x_mix_epochs" -> ((s, d) =>
+      operators.Corpus.mixtureEpochs(
+        Tables.documents(s, d).select("doc_id", "source"),
+        "doc_id", "source",
+        Map("src0" -> 2500, "src1" -> 1000, "src2" -> 500), 0)
+        .orderBy("doc_id", "epoch")),
+
+    "x_sessionize" -> ((s, d) =>
+      operators.Sessions.sessionize(
+        Tables.events(s, d).withColumn("ts_us", unix_micros(col("ts")))
+          .select("event_id", "user_id", "ts_us"),
+        "user_id", "ts_us", lit(43200000000L)) // 12 hours in micros
+        .orderBy("user_id", "ts_us")),
+
+    // Trailing-7-day activity count per event (RANGE frame over epoch
+    // micros — the engagement feature shape).
+    "x_rolling_active" -> ((s, d) =>
+      operators.Sessions.rollingCounts(
+        Tables.events(s, d).withColumn("ts_us", unix_micros(col("ts")))
+          .select("event_id", "user_id", "ts_us"),
+        "user_id", "ts_us", 604800000000L) // 7 days in micros
+        .orderBy("user_id", "ts_us")),
 
     // JSON-payload key profile: per-key presence/cardinality/range over
     // the events props column — the schema-drift report for
@@ -2019,6 +2064,21 @@ object SparkEntry {
          SELECT CAST(row_number() OVER (ORDER BY n_total DESC, ngram) AS INT)
              AS rk, ngram, n_total, n_docs
          FROM agg ORDER BY n_total DESC, ngram LIMIT 20""",
+    // full-probe indexed KNN ≡ the corpus-scan knnJoin answer
+    "x_knn_indexed" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id < 5),
+         z AS (SELECT q.query_id, e.vec_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(q.qv AS DOUBLE[])) AS c
+           FROM embeddings e, q),
+         r AS (SELECT query_id, vec_id, c,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY c DESC, vec_id) AS rk
+           FROM z)
+         SELECT query_id, CAST(rk AS INT) AS rk, vec_id,
+           round(c, 6) AS cosine
+         FROM r WHERE rk <= 5 ORDER BY query_id, rk""",
     "x_knn_join" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
            FROM embeddings WHERE vec_id < 5),
@@ -2121,6 +2181,37 @@ object SparkEntry {
            (SELECT CAST(sum(user_id) AS BIGINT) FROM c) AS users_sum_click,
            (SELECT count(*) FROM p) AS n_purchase,
            (SELECT CAST(sum(user_id) AS BIGINT) FROM p) AS users_sum_purchase""",
+    "x_mix_epochs" ->
+      """WITH r AS (SELECT doc_id, source,
+             CASE source WHEN 'src0' THEN 2500 WHEN 'src1' THEN 1000
+                         WHEN 'src2' THEN 500 ELSE 0 END AS rate,
+             (md5_number_lower(CAST(doc_id AS VARCHAR))
+               % 72057594037927936) % 1000 AS h
+           FROM documents),
+         c AS (SELECT doc_id, source,
+             rate // 1000 + CASE WHEN h < rate % 1000 THEN 1 ELSE 0 END AS n
+           FROM r)
+         SELECT doc_id, source, CAST(unnest(range(0, n)) AS BIGINT) AS epoch
+         FROM c WHERE n > 0 ORDER BY doc_id, epoch""",
+    "x_sessionize" ->
+      """SELECT event_id, user_id, ts_us,
+           CAST(sum(st) OVER (PARTITION BY user_id ORDER BY ts_us
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS session_idx
+         FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             CASE WHEN lag(epoch_us(ts)) OVER
+                 (PARTITION BY user_id ORDER BY epoch_us(ts)) IS NULL
+               OR epoch_us(ts) - lag(epoch_us(ts)) OVER
+                 (PARTITION BY user_id ORDER BY epoch_us(ts)) > 43200000000
+               THEN 1 ELSE 0 END AS st
+           FROM events)
+         ORDER BY user_id, ts_us""",
+    "x_rolling_active" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+             AS n_window
+         FROM events ORDER BY user_id, ts_us""",
     "x_funnel_window" ->
       """WITH v AS (SELECT user_id, min(epoch_us(ts)) AS t0 FROM events
            WHERE event_type = 'view' GROUP BY 1),

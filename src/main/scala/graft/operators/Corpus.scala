@@ -161,6 +161,38 @@ object Corpus {
     df.filter(pmod(sampleHash(col(idCol)), lit(1000L)) < rate)
   }
 
+  /** Epoch-weighted mixture MATERIALIZATION — [[mixtureSample]] extended
+    * past 1.0: a stratum with 2500 permille-epochs (2.5 epochs) emits
+    * every row twice plus a third copy for the deterministic md5-56 half
+    * of its ids — how training mixes UPSAMPLE high-quality sources while
+    * downsampling others, with the same engine-reproducible keep-set
+    * contract as the sampler (the fractional copy goes to exactly the
+    * ids any compliant engine would pick). Adds `epoch` (0-based copy
+    * index) so downstream ordering/packing can tell copies apart.
+    *
+    * Scale shape: one narrow projection computes the copy count, one
+    * generator explodes it — fan-out is the epoch factor (bounded, known
+    * up front), no shuffle, no join. Factor 0 drops the stratum.
+    */
+  def mixtureEpochs(df: DataFrame, idCol: String, stratumCol: String,
+      epochsPermille: Map[String, Int], defaultPermille: Int): DataFrame = {
+    (epochsPermille.values.toSeq :+ defaultPermille).foreach(p =>
+      require(p >= 0, s"permille-epochs must be >= 0, got $p"))
+    val rate = epochsPermille.foldLeft(lit(defaultPermille)) {
+      case (acc, (stratum, p)) =>
+        when(col(stratumCol) === stratum, lit(p)).otherwise(acc)
+    }
+    // floor-div for full epochs (Column `/` is double division; these
+    // magnitudes are double-exact), md5-56 keep-set for the fraction
+    val copies = floor(rate / 1000).cast("long") +
+      when(pmod(sampleHash(col(idCol)), lit(1000L)) <
+          pmod(rate.cast("long"), lit(1000L)), 1L).otherwise(0L)
+    df.withColumn("_n", copies)
+      .filter(col("_n") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("_n") - 1)))
+      .drop("_n")
+  }
+
   /** Token-budget cap per stratum: keep a deterministic hash-ordered
     * prefix of each stratum whose cumulative token count stays under
     * `tokenBudget` — the budget-based twin of [[capPerStratum]] (real

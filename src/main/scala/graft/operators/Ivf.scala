@@ -78,6 +78,22 @@ object Ivf {
   def assign(df: DataFrame, vecCol: String, model: Model): DataFrame =
     df.withColumn("cell", assignExpr(col(vecCol), model))
 
+  /** The `nProbe` nearest cell ids for a vector COLUMN — the expression
+    * twin of [[probeCells]], for a whole DataFrame of queries at once
+    * (the batch-retrieval path, [[graft.sink.VectorIndex.knnSearch]]).
+    * Same fused-loop distances as [[assignExpr]]; the k (dist, id)
+    * structs sort ascending (struct ordering: distance first, id breaks
+    * ties) and the first `nProbe` ids survive. Model literals — nothing
+    * shuffled or broadcast explicitly.
+    */
+  def probeCellsExpr(vec: Column, model: Model, nProbe: Int): Column =
+    transform(
+      slice(array_sort(array(model.centroids.zipWithIndex.map { case (c, i) =>
+        struct(VectorExpressions.l2sqFast(vec, centroidLit(c)).as("d"),
+          lit(i).as("id"))
+      }.toSeq: _*)), 1, nProbe),
+      s => s.getField("id"))
+
   /** The `nProbe` cells whose centroids are nearest the query — driver
     * math over the k×dim model, shared by the in-memory and persisted
     * ([[graft.sink.VectorIndex]]) search paths.

@@ -148,19 +148,24 @@ object Similarity {
   def knnJoin(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, qIdCol: String, qVecCol: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    // the bounded aggregate carries primitive (double, long) pairs — a
-    // non-integral id would cast to null and be SILENTLY dropped
-    val idType = corpus.schema(idCol).dataType
-    require(Seq(org.apache.spark.sql.types.LongType,
-        org.apache.spark.sql.types.IntegerType,
-        org.apache.spark.sql.types.ShortType,
-        org.apache.spark.sql.types.ByteType).contains(idType),
-      s"knnJoin corpus id '$idCol' must be integral, got ${idType.simpleString}")
+    requireIntegralId(corpus, idCol, "knnJoin corpus")
     val scored = corpus
       .crossJoin(broadcast(queries.select(col(qIdCol), col(qVecCol))))
       .select(col(qIdCol),
         graft.functions.VectorExpressions.cosineFast(col(vecCol), col(qVecCol)).as("_c"),
         col(idCol).cast("long").as("_id"))
+    rankScoredTopK(scored, qIdCol, idCol, k)
+  }
+
+  /** Shared tail of the batch-retrieval paths ([[knnJoin]],
+    * [[graft.sink.VectorIndex.knnSearch]]): given `(qIdCol, _c double,
+    * _id long)` scored pairs, the per-query top-k via the bounded
+    * [[graft.functions.VectorAggregates.topKByScore]] aggregate — O(k)
+    * state per (partition, query) map-side, so the only shuffle carries
+    * `numPartitions × k` pairs per query, never a corpus window.
+    */
+  private[graft] def rankScoredTopK(scored: DataFrame, qIdCol: String,
+      idCol: String, k: Int): DataFrame =
     scored
       .groupBy(col(qIdCol))
       .agg(graft.functions.VectorAggregates.topKByScore(col("_c"), col("_id"), k).as("_nn"))
@@ -168,5 +173,18 @@ object Similarity {
       .select(col(qIdCol), (col("_pos") + 1).as("rk"),
         col("_p").getField("id").as(idCol),
         round(col("_p").getField("score"), 6).as("cosine"))
+
+  /** The integral-id guard shared by the bounded-aggregate retrieval
+    * paths: the aggregate carries primitive (double, long) pairs — a
+    * non-integral id would cast to null and be SILENTLY dropped.
+    */
+  private[graft] def requireIntegralId(df: DataFrame, idCol: String,
+      what: String): Unit = {
+    val idType = df.schema(idCol).dataType
+    require(Seq(org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.ByteType).contains(idType),
+      s"$what id '$idCol' must be integral, got ${idType.simpleString}")
   }
 }

@@ -264,6 +264,46 @@ object VectorIndex {
       idCol, vecCol, query, topK)
   }
 
+  /** Batch KNN over the persisted index: the k nearest live vectors per
+    * QUERY ROW — the retrieval shape of [[graft.operators.Similarity.knnJoin]]
+    * (embed a batch of prompts, fetch neighbors for each) served off the
+    * index instead of a corpus scan. Returns `(qIdCol, rk, idCol,
+    * cosine)` with `rk ∈ [1, k]`, ties broken by corpus id.
+    *
+    * Scale shape: each query computes its `nProbe` nearest cells as a
+    * model-literal expression ([[Ivf.probeCellsExpr]] — no driver loop
+    * over queries), explodes to `(query, cell)` pairs, and BROADCASTS
+    * against the cell-partitioned corpus with an equi-join on `cell`:
+    * Spark's dynamic partition pruning turns the broadcast values into a
+    * partition filter, so the scan reads only the UNION of probed cells
+    * — file-listing-time pruning for a whole query batch at once
+    * (spec-pinned). Scoring is map-side codegen cosine; ranking is the
+    * bounded top-k aggregate — the corpus is never shuffled. A doc lives
+    * in exactly one cell, so no (query, doc) pair is scored twice.
+    * Serve compacted for the tightest pruning: a live commit log adds
+    * its O(batch) legs to the scan.
+    */
+  def knnSearch(spark: SparkSession, dir: String, queries: DataFrame,
+      qIdCol: String, qVecCol: String, k: Int, nProbe: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val m = readMeta(spark, dir)
+    val corpus = cells(spark, dir)
+    graft.operators.Similarity.requireIntegralId(
+      corpus, m.idCol, "knnSearch corpus")
+    val model = loadModel(spark, dir)
+    val probed = queries
+      .withColumn("_cells",
+        graft.operators.Ivf.probeCellsExpr(col(qVecCol), model, nProbe))
+      .select(col(qIdCol), col(qVecCol), explode(col("_cells")).as("cell"))
+    val scored = corpus
+      .join(broadcast(probed), Seq("cell"))
+      .select(col(qIdCol),
+        graft.functions.VectorExpressions
+          .cosineFast(col(m.vecCol), col(qVecCol)).as("_c"),
+        col(m.idCol).cast("long").as("_id"))
+    graft.operators.Similarity.rankScoredTopK(scored, qIdCol, m.idCol, k)
+  }
+
   /** Per-cell occupancy of the LIVE index: `(cell, n_vectors)`. One hash
     * aggregate over the resolved view (cells with zero live vectors are
     * absent — [[stats]] folds them in from the model's k).

@@ -230,4 +230,43 @@ class VectorIndexSpec extends SparkSpec {
     assert(baseScanned > 0 && baseScanned < baseFiles,
       s"scanned $baseScanned of $baseFiles base files")
   }
+
+  test("knnSearch over the index matches the corpus-scan knnJoin; probes prune files") {
+    val dir = java.nio.file.Files.createTempDirectory("vecidx-knn").toString
+    val e = Tables.embeddings(spark, sf)
+    val model = VectorIndex.write(e, "vec_id", "embedding", dir, k = 4, iters = 3)
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    // full probe ≡ exact batch retrieval
+    val got = VectorIndex.knnSearch(spark, dir, q, "qid", "qv",
+        k = 5, nProbe = model.k)
+      .orderBy("qid", "rk").as[(Long, Int, Long, Double)].collect().toSeq
+    val exact = graft.operators.Similarity.knnJoin(e, q, "vec_id", "embedding",
+        "qid", "qv", k = 5)
+      .orderBy("qid", "rk").as[(Long, Int, Long, Double)].collect().toSeq
+    assert(got == exact && got.nonEmpty)
+    // partial probe: dynamic partition pruning cuts the files scanned to
+    // the union of the queries' probed cells
+    val pruned = VectorIndex.knnSearch(spark, dir, q, "qid", "qv",
+      k = 5, nProbe = 1)
+    pruned.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case o => (o.children ++ o.subqueries).flatMap(scans)
+    }
+    val cellScans = scans(pruned.queryExecution.executedPlan)
+      .filter(_.relation.partitionSchema.fieldNames.contains("cell"))
+    assert(cellScans.nonEmpty)
+    assert(cellScans.exists(_.partitionFilters.exists(
+      _.toString.toLowerCase.contains("dynamicpruning"))),
+      cellScans.map(_.partitionFilters).toString)
+    val scanned = cellScans.map(_.metrics("numFiles").value).sum
+    val total = spark.read.parquet(s"$dir/cells").inputFiles.length.toLong
+    assert(scanned > 0 && scanned < total, s"scanned $scanned of $total files")
+  }
 }
