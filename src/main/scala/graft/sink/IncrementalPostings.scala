@@ -67,12 +67,13 @@ object IncrementalPostings {
   def commitUpserts(docs: DataFrame, idCol: String, textCol: String,
       dir: String): Int = {
     val spark = docs.sparkSession
-    val dup = docs.groupBy(col(idCol)).agg(count(lit(1)).as("_n"))
-      .filter(col("_n") > 1).limit(1).collect()
-    require(dup.isEmpty,
-      s"commitUpserts: batch contains '$idCol' more than once (e.g. " +
-        s"${dup.headOption.map(_.get(0)).getOrElse("")}); a delta owns each " +
-        "doc once — pass an order column to dedupe last-writer-wins")
+    // one aggregate action, not a groupBy+collect: total vs distinct
+    val g = docs.agg(count(lit(1)).as("n"),
+      count_distinct(col(idCol)).as("nd")).head()
+    require(g.getLong(0) == g.getLong(1),
+      s"commitUpserts: batch contains '$idCol' more than once " +
+        s"(${g.getLong(0)} rows, ${g.getLong(1)} distinct); a delta owns " +
+        "each doc once — pass an order column to dedupe last-writer-wins")
     DeltaLog.commit(spark, s"$dir/deltas",
         DeltaLog.nextSeq(spark, s"$dir/deltas"), "docs") { tmp =>
       InvertedIndex.postings(docs, idCol, textCol)

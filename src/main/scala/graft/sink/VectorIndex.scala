@@ -56,10 +56,22 @@ object VectorIndex {
 
   private final case class Meta(idCol: String, vecCol: String, dim: Int)
 
-  private def readMeta(spark: SparkSession, dir: String): Meta = {
-    val r = spark.read.schema(metaSchema).parquet(s"$dir/meta").head()
-    Meta(r.getString(0), r.getString(1), r.getInt(2))
-  }
+  // The schema contract and the k-means model are immutable between
+  // rebuilds (upsert/delete/compact never touch them), and the module is
+  // single-writer — so both memoize per (session, dir), invalidated by
+  // [[write]]. Saves two small parquet read jobs per query in serving
+  // loops; a rebuild from ANOTHER process is a serving cutover, which
+  // restarts the reader session anyway.
+  private val metaCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Meta]()
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Ivf.Model]()
+
+  private def readMeta(spark: SparkSession, dir: String): Meta =
+    metaCache.computeIfAbsent((spark, dir), { case (s, d) =>
+      val r = s.read.schema(metaSchema).parquet(s"$d/meta").head()
+      Meta(r.getString(0), r.getString(1), r.getInt(2))
+    })
 
   private def checkMeta(spark: SparkSession, dir: String, idCol: String,
       vecCol: String): Meta = {
@@ -97,6 +109,9 @@ object VectorIndex {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
     // a rebuild starts a fresh history: everything live is in the base
     DeltaLog.fs(spark, dir).delete(new Path(s"$dir/commits"), true)
+    // the rebuild replaced the contract + model: refresh the memos
+    metaCache.put((spark, dir), Meta(idCol, vecCol, model.centroids.head.length))
+    modelCache.put((spark, dir), model)
     model
   }
 
@@ -132,16 +147,18 @@ object VectorIndex {
       dir: String): Int = {
     val spark = df.sparkSession
     val m = checkMeta(spark, dir, idCol, vecCol)
-    // one batch-sized pass rejects BOTH commit-corrupting id shapes: a
+    // ONE aggregate action rejects BOTH commit-corrupting id shapes: a
     // null id (invisible to the equality-keyed owner join — the row could
     // never be superseded or deleted) and a duplicated id (two versions
     // would both survive the one-owner-sequence-per-id filter)
-    val bad = df.groupBy(col(idCol).as("_id")).agg(count(lit(1)).as("_n"))
-      .filter(col("_n") > 1 || col("_id").isNull).limit(1).collect()
-    require(bad.isEmpty,
-      s"upsert: batch carries a null or duplicated '$idCol' (e.g. " +
-        s"${bad.headOption.map(_.get(0)).getOrElse("")}); a commit owns " +
-        "each non-null id once — dedupe last-writer-wins upstream")
+    val g = df.agg(count(lit(1)).as("n"),
+      count_distinct(col(idCol)).as("nd"),
+      count(when(col(idCol).isNull, 1)).as("nn")).head()
+    require(g.getLong(2) == 0 && g.getLong(0) == g.getLong(1),
+      s"upsert: batch carries a null or duplicated '$idCol' " +
+        s"(${g.getLong(0)} rows, ${g.getLong(1)} distinct non-null ids); " +
+        "a commit owns each non-null id once — dedupe last-writer-wins " +
+        "upstream")
     val model = loadModel(spark, dir)
     val assigned = Ivf.assign(checkedBatch(df, vecCol, m.dim), vecCol, model)
     DeltaLog.commit(spark, s"$dir/commits",
@@ -184,13 +201,16 @@ object VectorIndex {
     upsert(df, idCol, vecCol, dir): Unit
   }
 
-  /** Load the persisted model (k rows to the driver). */
-  def loadModel(spark: SparkSession, dir: String): Ivf.Model = {
-    val rows = spark.read.parquet(s"$dir/centroids")
-      .orderBy("cell").collect()
-    require(rows.nonEmpty, s"no centroids at $dir/centroids")
-    Ivf.Model(rows.map(_.getSeq[Double](1).toArray))
-  }
+  /** Load the persisted model (k rows to the driver; memoized per
+    * session — see the cache note above).
+    */
+  def loadModel(spark: SparkSession, dir: String): Ivf.Model =
+    modelCache.computeIfAbsent((spark, dir), { case (s, d) =>
+      val rows = s.read.parquet(s"$d/centroids")
+        .orderBy("cell").collect()
+      require(rows.nonEmpty, s"no centroids at $d/centroids")
+      Ivf.Model(rows.map(_.getSeq[Double](1).toArray))
+    })
 
   private def commitSeqs(spark: SparkSession, dir: String): Seq[Int] =
     DeltaLog.listSeqs(spark, s"$dir/commits")
@@ -302,6 +322,22 @@ object VectorIndex {
           .cosineFast(col(m.vecCol), col(qVecCol)).as("_c"),
         col(m.idCol).cast("long").as("_id"))
     graft.operators.Similarity.rankScoredTopK(scored, qIdCol, m.idCol, k)
+  }
+
+  /** Maintenance driver wiring [[stats]] to actions: folds the commit
+    * log once it is `maxPendingCommits` deep (read-time resolution cost
+    * grows with log depth), and returns whether the operator should
+    * REBUILD (re-[[write]]) because cell skew crossed `skewThreshold` —
+    * rebuild retrains centroids, which only the caller can schedule (it
+    * owns the corpus and the serving cutover). The ingest-loop shape:
+    * `upsert…; if (maintain(…)) rebuild`.
+    */
+  def maintain(spark: SparkSession, dir: String,
+      maxPendingCommits: Int = 16, skewThreshold: Double = 2.0): Boolean = {
+    val s = stats(spark, dir).head()
+    if (s.getAs[Long]("n_pending_commits") >= maxPendingCommits)
+      compact(spark, dir)
+    s.getAs[Double]("skew") >= skewThreshold
   }
 
   /** Per-cell occupancy of the LIVE index: `(cell, n_vectors)`. One hash

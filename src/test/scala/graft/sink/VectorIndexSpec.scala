@@ -269,4 +269,60 @@ class VectorIndexSpec extends SparkSpec {
     val total = spark.read.parquet(s"$dir/cells").inputFiles.length.toLong
     assert(scanned > 0 && scanned < total, s"scanned $scanned of $total files")
   }
+
+  test("streaming micro-batches drive the vector index via foreachBatch") {
+    // the continuous-ingestion loop on the vector layout: every
+    // micro-batch is one O(batch) upsert commit; full-probe search over
+    // the live view equals brute force on the final corpus
+    val dir = java.nio.file.Files.createTempDirectory("vecidx-stream").toString
+    VectorIndex.write(tinyCorpus, "vec_id", "embedding", dir, k = 2, iters = 2)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Float])](spark)
+    val q = input.toDF().toDF("vec_id", "embedding")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          VectorIndex.upsert(batch, "vec_id", "embedding", dir): Unit
+        ()
+      }
+      .start()
+    try {
+      input.addData((2L, Seq(0.2f, 0.8f)), (6L, Seq(0.5f, 0.5f)))
+      q.processAllAvailable()
+      input.addData((6L, Seq(0.6f, 0.4f))) // superseded across batches
+      q.processAllAvailable()
+    } finally q.stop()
+    val finalCorpus = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.2f, 0.8f)), (3L, Seq(0.0f, 1.0f)),
+      (4L, Seq(0.1f, 0.9f)), (6L, Seq(0.6f, 0.4f)))
+      .toDF("vec_id", "embedding")
+    val qv = Seq(1.0f, 0.0f)
+    val got = VectorIndex.search(spark, dir, "vec_id", "embedding",
+      qv, topK = 10, nProbe = 2).as[(Long, Double)].collect().toSeq
+    assert(got == liveTopK(finalCorpus, qv) && got.nonEmpty)
+  }
+
+  test("maintain compacts a deep commit log and signals rebuild on skew") {
+    val dir = java.nio.file.Files.createTempDirectory("vecidx-maint").toString
+    VectorIndex.write(tinyCorpus, "vec_id", "embedding", dir, k = 2, iters = 2)
+    (1 to 3).foreach { i =>
+      VectorIndex.upsert(Seq((100L + i, Seq(1.0f, 0.02f * i)))
+        .toDF("vec_id", "embedding"), "vec_id", "embedding", dir)
+    }
+    // below the depth threshold: log untouched, no rebuild needed yet
+    assert(!VectorIndex.maintain(spark, dir, maxPendingCommits = 16,
+      skewThreshold = 2.0))
+    assert(VectorIndex.stats(spark, dir)
+      .head().getAs[Long]("n_pending_commits") == 3L)
+    // at the threshold: compacted; still balanced enough not to rebuild
+    assert(!VectorIndex.maintain(spark, dir, maxPendingCommits = 3,
+      skewThreshold = 2.0))
+    assert(VectorIndex.stats(spark, dir)
+      .head().getAs[Long]("n_pending_commits") == 0L)
+    // drive skew up: everything lands in one cell → rebuild signal fires
+    VectorIndex.upsert((200L to 230L).map(i => (i, Seq(1.0f, 0.01f)))
+      .toDF("vec_id", "embedding"), "vec_id", "embedding", dir)
+    assert(VectorIndex.maintain(spark, dir, maxPendingCommits = 16,
+      skewThreshold = 1.5))
+  }
 }
