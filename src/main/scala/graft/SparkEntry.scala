@@ -1025,6 +1025,30 @@ object SparkEntry {
     // Gap-based sessionization: every event tagged with its user's
     // session index (12h inactivity gap). One user-partitioned window
     // pass; state is events-per-user-sized.
+    // Global quality percentile WITHOUT a corpus-wide window: two-phase
+    // range-partitioned prefix rank (withGlobalCumSum) — the percentile
+    // normalization a naive Window.orderBy(score) would serialize
+    // through one task at corpus scale. Total order (n_chars, doc_id).
+    "x_quality_rank" -> ((s, d) =>
+      operators.Corpus.globalPercentRank(
+        Tables.documents(s, d).select("doc_id", "n_chars"),
+        struct(col("n_chars"), col("doc_id")), "pr")
+        .select(col("doc_id"), col("n_chars"), round(col("pr"), 6).as("pr"))
+        .orderBy("doc_id")),
+
+    // Domain-distribution mining: hosts of every URL mention (synthetic
+    // URLs appended doc-deterministically, the x_text_pii convention —
+    // the corpus carries none), the report feeding per-domain caps and
+    // blocklist joins.
+    "x_text_domains" -> ((s, d) =>
+      operators.TextAnalysis.domainCounts(
+        Tables.documents(s, d).withColumn("text",
+          concat(col("text"), lit(" see https://site"),
+            pmod(col("doc_id"), lit(7)), lit(".example.com/p/"),
+            col("doc_id"), lit(" and https://common.org/x"))),
+        "doc_id", "text")
+        .orderBy("domain")),
+
     // Epoch-weighted mixture: src0 upsampled 2.5× (every doc twice + the
     // md5-56 half a third time), src1 1×, src2 0.5×, everything else
     // dropped — the training-mix materialization step, copy index kept.
@@ -2183,6 +2207,22 @@ object SparkEntry {
            (SELECT CAST(sum(user_id) AS BIGINT) FROM c) AS users_sum_click,
            (SELECT count(*) FROM p) AS n_purchase,
            (SELECT CAST(sum(user_id) AS BIGINT) FROM p) AS users_sum_purchase""",
+    "x_quality_rank" ->
+      """SELECT doc_id, n_chars,
+           round(CAST(percent_rank() OVER (ORDER BY n_chars, doc_id)
+             AS DOUBLE), 6) AS pr
+         FROM documents ORDER BY doc_id""",
+    "x_text_domains" ->
+      """WITH p AS (SELECT doc_id,
+             text || ' see https://site' || (doc_id % 7)
+               || '.example.com/p/' || doc_id
+               || ' and https://common.org/x' AS text
+           FROM documents),
+         h AS (SELECT doc_id, lower(unnest(regexp_extract_all(text,
+             'https?://([^/ :]+)', 1))) AS domain FROM p)
+         SELECT domain, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           count(*) AS n_mentions
+         FROM h GROUP BY domain ORDER BY domain""",
     "x_mix_epochs" ->
       """WITH r AS (SELECT doc_id, source,
              CASE source WHEN 'src0' THEN 2500 WHEN 'src1' THEN 1000

@@ -310,6 +310,25 @@ object Corpus {
     * [[Batching.withGlobalRowNumber]]. Both passes reuse the same shuffle
     * output, so the order is consistent.
     */
+  /** Global percent-rank WITHOUT a corpus-wide window: rank every row in
+    * `orderCol`'s total order (pass a struct to break ties — e.g.
+    * `struct(score, id)`) and emit `(rank - 1) / (n - 1)` — the
+    * SQL `percent_rank()` of the fully-tiebroken ordering. The quality-
+    * percentile normalization step ("keep the top 30% by score") that a
+    * naive `Window.orderBy(score)` would serialize through ONE task at
+    * corpus scale; here ranking is [[withGlobalCumSum]]'s two-phase
+    * range-partitioned prefix sum (weight 1), so it scales like a sort.
+    * `n == 1` emits 0.0 (percent_rank's convention).
+    */
+  def globalPercentRank(df: DataFrame, orderCol: Column,
+      outCol: String): DataFrame = {
+    val n = df.count()
+    val denom = math.max(n - 1L, 1L).toDouble
+    withGlobalCumSum(df, orderCol, lit(1L), "_graft_r0")
+      .withColumn(outCol, col("_graft_r0").cast("double") / denom)
+      .drop("_graft_r0")
+  }
+
   def withGlobalCumSum(df: DataFrame, orderCol: Column, weightCol: Column,
       outCol: String): DataFrame = {
     val spark = df.sparkSession

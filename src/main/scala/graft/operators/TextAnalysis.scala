@@ -116,6 +116,29 @@ object TextAnalysis {
       redacted.as("redacted"))
   }
 
+  /** Host part of every URL mention in the corpus → `(domain, n_docs,
+    * n_mentions)` — the domain-distribution report a web-curation
+    * pipeline runs before per-domain caps or blocklist filtering (the
+    * domain column it produces feeds [[graft.operators.Corpus.capPerStratum]]
+    * / an anti-join directly). Domains compare lowercased, port and path
+    * stripped.
+    *
+    * Scale shape: one narrow projection per doc (extract-all + distinct
+    * within doc via array ops, no UDF), one explode bounded by mentions-
+    * per-doc, one domain-keyed hash aggregate with map-side partials —
+    * output is domain-cardinality-sized.
+    */
+  def domainCounts(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hostPattern = "https?://([^/ :]+)" // capture group 1 = host
+    val hosts = transform(
+      regexp_extract_all(col(textCol), lit(hostPattern), lit(1)),
+      h => lower(h))
+    df.select(col(idCol), explode(hosts).as("domain"))
+      .groupBy("domain")
+      .agg(count_distinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_mentions"))
+  }
+
   /** Canonical content fingerprint (md5 of sorted distinct token set). */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), TextFunctions.fingerprint(col(textCol)).as("fingerprint"))

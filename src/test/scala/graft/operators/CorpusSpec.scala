@@ -186,4 +186,23 @@ class CorpusSpec extends SparkSpec {
     assert(out == Seq((1L, 3L, 0L), (2L, 4L, 0L), (3L, 2L, 1L),
       (4L, 5L, 1L), (5L, 1L, 2L)))
   }
+
+  test("globalPercentRank matches percent_rank over the tiebroken order, no Window") {
+    val df = Seq((1L, 30L), (2L, 10L), (3L, 20L), (4L, 10L), (5L, 40L))
+      .toDF("id", "score")
+    val ranked = Corpus.globalPercentRank(df,
+      struct(col("score"), col("id")), "pr")
+    val got = ranked.select("id", "pr").as[(Long, Double)].collect().toMap
+    // order (score, id): 2,4,3,1,5 → ranks 0..4 over n-1=4
+    assert(got == Map(2L -> 0.0, 4L -> 0.25, 3L -> 0.5, 1L -> 0.75, 5L -> 1.0),
+      got.toString)
+    // the scale contract: no window operator anywhere in the plan — the
+    // rank comes from the two-phase range-partitioned prefix sum
+    assert(!ranked.queryExecution.executedPlan.toString.contains("Window"))
+    // single row: percent_rank convention 0.0
+    val one = Corpus.globalPercentRank(Seq((9L, 5L)).toDF("id", "score"),
+      struct(col("score"), col("id")), "pr")
+      .select("pr").as[Double].head()
+    assert(one == 0.0)
+  }
 }

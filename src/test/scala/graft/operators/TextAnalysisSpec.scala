@@ -200,4 +200,16 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Int, String, Long, Long)].collect().toSeq
     assert(folded == Seq((1, "a b c", 2L, 2L)))
   }
+
+  test("domainCounts: lowercased hosts, ports/paths stripped, docs vs mentions") {
+    val df = Seq(
+      (1L, "see https://A.Example.com/x and https://a.example.com/y plus http://b.org:8080/z"),
+      (2L, "only https://b.org/path here"),
+      (3L, "no urls at all")).toDF("doc_id", "text")
+    val got = TextAnalysis.domainCounts(df, "doc_id", "text")
+      .as[(String, Long, Long)].collect().toSet
+    // doc 1 mentions a.example.com twice (case-folded) and b.org once
+    // (port stripped); doc 2 mentions b.org once; doc 3 contributes nothing
+    assert(got == Set(("a.example.com", 1L, 2L), ("b.org", 2L, 2L)), got)
+  }
 }
