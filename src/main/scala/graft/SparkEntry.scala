@@ -1025,6 +1025,30 @@ object SparkEntry {
     // Gap-based sessionization: every event tagged with its user's
     // session index (12h inactivity gap). One user-partitioned window
     // pass; state is events-per-user-sized.
+    // Cross-source contamination report: shared content fingerprints +
+    // Jaccard per source pair (distinct-first: a fingerprint joins as
+    // ≤ sources rows no matter how many docs carry it).
+    "x_source_overlap" -> ((s, d) =>
+      operators.Corpus.sourceOverlap(
+        Tables.documents(s, d).select(col("source"),
+          functions.TextFunctions.fingerprint(col("text")).as("fingerprint")),
+        "source", "fingerprint")
+        .orderBy("source_a", "source_b")),
+
+    // Mergeable distinct sketches — the 100 TB rollup pattern: one HLL
+    // sketch per source (map-side aggregated), UNIONED into a corpus
+    // estimate without touching rows again. Gate: merged estimate within
+    // 5% of the exact distinct (computed here, gate overhead).
+    "x_sketch_union" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merged = docs.groupBy("source")
+        .agg(hll_sketch_agg(col("doc_id")).as("sk"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      merged.crossJoin(docs.agg(count_distinct(col("doc_id")).as("n")))
+        .select(col("n"),
+          (abs(col("est") - col("n")) <= col("n") * 0.05).as("est_ok"))
+    }),
+
     // Global quality percentile WITHOUT a corpus-wide window: two-phase
     // range-partitioned prefix rank (withGlobalCumSum) — the percentile
     // normalization a naive Window.orderBy(score) would serialize
@@ -2207,6 +2231,25 @@ object SparkEntry {
            (SELECT CAST(sum(user_id) AS BIGINT) FROM c) AS users_sum_click,
            (SELECT count(*) FROM p) AS n_purchase,
            (SELECT CAST(sum(user_id) AS BIGINT) FROM p) AS users_sum_purchase""",
+    "x_source_overlap" ->
+      """WITH f AS (SELECT DISTINCT
+             md5(array_to_string(list_sort(list_distinct(
+               string_split(lower(text), ' '))), ' ')) AS fp, source
+           FROM documents),
+         s AS (SELECT source, count(*) AS n FROM f GROUP BY 1),
+         p AS (SELECT a.source AS source_a, b.source AS source_b,
+             count(*) AS n_shared
+           FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
+           GROUP BY 1, 2)
+         SELECT source_a, source_b, n_shared, sa.n AS n_a, sb.n AS n_b,
+           round(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 6)
+             AS jaccard
+         FROM p JOIN s sa ON sa.source = source_a
+                JOIN s sb ON sb.source = source_b
+         ORDER BY source_a, source_b""",
+    "x_sketch_union" ->
+      """SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n, TRUE AS est_ok
+         FROM documents""",
     "x_quality_rank" ->
       """SELECT doc_id, n_chars,
            round(CAST(percent_rank() OVER (ORDER BY n_chars, doc_id)

@@ -310,6 +310,40 @@ object Corpus {
     * [[Batching.withGlobalRowNumber]]. Both passes reuse the same shuffle
     * output, so the order is consistent.
     */
+  /** Cross-source duplicate overlap: per source pair, how many distinct
+    * content fingerprints they SHARE, each side's distinct-fingerprint
+    * count, and the Jaccard overlap — the inter-source contamination
+    * report run before mixing sources into a training corpus (a high
+    * overlap pair means one source is substantially a mirror of the
+    * other and double-counts its content in the mix).
+    *
+    * Scale shape: one distinct (fingerprint, stratum) hash aggregate
+    * collapses the corpus first; the fingerprint-keyed self-join fans
+    * out at most strata² rows PER FINGERPRINT (the distinct step caps a
+    * fingerprint at one row per stratum — a boilerplate fingerprint
+    * shared by millions of docs still joins as ≤ strata rows); the
+    * per-stratum size table is strata-cardinality-sized and broadcasts.
+    */
+  def sourceOverlap(df: DataFrame, stratumCol: String,
+      fingerprintCol: String): DataFrame = {
+    val f = df.select(col(fingerprintCol).as("_fp"), col(stratumCol).as("_s"))
+      .distinct()
+    val sizes = f.groupBy(col("_s")).agg(count(lit(1)).as("_n"))
+    val pairs = f.select(col("_fp"), col("_s").as("source_a"))
+      .join(f.select(col("_fp"), col("_s").as("source_b")), Seq("_fp"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(broadcast(sizes.select(col("_s").as("source_a"), col("_n").as("n_a"))),
+        Seq("source_a"))
+      .join(broadcast(sizes.select(col("_s").as("source_b"), col("_n").as("n_b"))),
+        Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        col("n_a"), col("n_b"),
+        round(col("n_shared") / (col("n_a") + col("n_b") - col("n_shared")), 6)
+          .as("jaccard"))
+  }
+
   /** Global percent-rank WITHOUT a corpus-wide window: rank every row in
     * `orderCol`'s total order (pass a struct to break ties — e.g.
     * `struct(score, id)`) and emit `(rank - 1) / (n - 1)` — the

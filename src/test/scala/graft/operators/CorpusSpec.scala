@@ -205,4 +205,19 @@ class CorpusSpec extends SparkSpec {
       .select("pr").as[Double].head()
     assert(one == 0.0)
   }
+
+  test("sourceOverlap: shared fingerprints and Jaccard per source pair") {
+    // fp1 in A and B; fp2 in A only; fp3 in B and C; duplicates of the
+    // same (fp, source) collapse before the join
+    val df = Seq(
+      ("fp1", "A"), ("fp1", "A"), ("fp1", "B"),
+      ("fp2", "A"),
+      ("fp3", "B"), ("fp3", "C")).toDF("fingerprint", "source")
+    val got = Corpus.sourceOverlap(df, "source", "fingerprint")
+      .select("source_a", "source_b", "n_shared", "n_a", "n_b", "jaccard")
+      .as[(String, String, Long, Long, Long, Double)].collect().toSet
+    assert(got == Set(
+      ("A", "B", 1L, 2L, 2L, 0.333333), // 1/3 at the 6dp contract
+      ("B", "C", 1L, 2L, 1L, 0.5)), got)
+  }
 }
