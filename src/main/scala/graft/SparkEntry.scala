@@ -258,6 +258,22 @@ object SparkEntry {
       DocQueries.matchPhrase(Tables.documents(s, d), "text", "stream data")
         .select("doc_id").orderBy("doc_id")),
 
+    // Phrase query OFF THE INDEX: positional postings (Lucene's position
+    // data) + consecutive-position join — must equal the corpus-scan
+    // matchPhrase membership exactly (same oracle as q_match_phrase).
+    // Each query term's leg reads only its row groups (pushed EqualTo on
+    // the term-sorted layout, InvertedIndexSpec pin).
+    "q_phrase_indexed" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-posidx").toString
+      sink.InvertedIndex.writePostings(
+        sink.InvertedIndex.positionalPostings(
+          Tables.documents(s, d), "doc_id", "text"), s"$dir/positional")
+      sink.InvertedIndex.phraseSearch(
+          sink.InvertedIndex.readPostings(s, s"$dir/positional"),
+          "stream data")
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // §2.6 — MatchAllQuery + field retrieval.
     "q_match_all" -> ((s, d) =>
       DocQueries.retrieve(DocQueries.matchAll(Tables.documents(s, d)),
@@ -1612,6 +1628,15 @@ object SparkEntry {
          ORDER BY col_name""",
     // tokenize-rejoin-pad mirrors matchPhrase's boundary-safe normalize
     "q_match_phrase" ->
+      """SELECT doc_id FROM (
+           SELECT doc_id,
+             ' ' || array_to_string(
+               list_filter(string_split(lower(text), ' '), x -> x <> ''),
+               ' ') || ' ' AS norm
+           FROM documents)
+         WHERE contains(norm, ' stream data ') ORDER BY doc_id""",
+    // indexed phrase search ≡ the scan-form membership
+    "q_phrase_indexed" ->
       """SELECT doc_id FROM (
            SELECT doc_id,
              ' ' || array_to_string(

@@ -62,6 +62,50 @@ object InvertedIndex {
       size(filter(split(lower(col(textCol)), " "), t => t =!= lit("")))
         .as("dl"))
 
+  /** Positional postings `(term, doc_id, positions array<int>)`: the
+    * token offsets of every term occurrence in its document's filtered
+    * token stream — Lucene's position data, enabling phrase queries off
+    * the index ([[phraseSearch]]) instead of a corpus scan
+    * ([[DocQueries.matchPhrase]]). Positions are sorted (collect_list
+    * order is shuffle-dependent; the sort restores determinism). Same
+    * layout discipline as [[postings]]: flat rows, one array per
+    * (term, doc) — bounded by a doc's occurrences of ONE term, never a
+    * corpus-sized list — persisted term-sorted via [[writePostings]] so
+    * a query term prunes to its row groups.
+    */
+  def positionalPostings(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = filter(split(lower(col(textCol)), " "), t => t =!= lit(""))
+    docs.select(col(idCol).as("doc_id"), posexplode(toks).as(Seq("pos", "term")))
+      .groupBy("term", "doc_id")
+      .agg(sort_array(collect_list(col("pos").cast("int"))).as("positions"))
+  }
+
+  /** Exact-phrase (slop 0) search over a positional index: documents
+    * containing the query tokens at CONSECUTIVE positions, with the
+    * occurrence count (overlapping occurrences counted, like Lucene's
+    * PhraseQuery). Matches [[DocQueries.matchPhrase]]'s membership
+    * exactly (same tokenizer, spec-pinned).
+    *
+    * Scale shape: one leg per query token reads ONLY that term's
+    * postings (an equality predicate on the term-sorted layout — row-
+    * group pruning), aligns its positions to the phrase start
+    * (`pos - i`), and the legs equi-join on `(doc, start)` — each join
+    * only SHRINKS the candidate set, and every leg is df(term)-sized,
+    * never corpus-sized. Single-token phrases skip the join entirely.
+    */
+  def phraseSearch(positional: DataFrame, phrase: String): DataFrame = {
+    val qTokens = DocQueries.queryTokens(phrase)
+    require(qTokens.nonEmpty, "phrase search needs a non-empty phrase")
+    val legs = qTokens.zipWithIndex.map { case (t, i) =>
+      positional.filter(col("term") === t)
+        .select(col("doc_id"), explode(col("positions")).as("_p"))
+        .select(col("doc_id"), (col("_p") - i).as("_p"))
+    }
+    legs.reduce((a, b) => a.join(b, Seq("doc_id", "_p")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_occurrences"))
+  }
+
   /** Persist the postings term-sorted: range-partition on `term`, sort
     * within partitions on `(term, doc_id)`. Parquet then records term
     * min/max per row group, so a query term's `IN` filter prunes to its

@@ -2,7 +2,7 @@ package graft.sink
 
 import org.apache.spark.sql.functions._
 
-import graft.SparkSpec
+import graft.{SparkSpec, Tables}
 
 class InvertedIndexSpec extends SparkSpec {
   import spark.implicits._
@@ -68,5 +68,37 @@ class InvertedIndexSpec extends SparkSpec {
       "merge window scan", 10).as[(Long, Double)].collect().toSeq
     assert(indexed == scan)
     assert(indexed.nonEmpty && indexed.map(_._2) == indexed.map(_._2).sorted.reverse)
+  }
+
+  test("indexed phrase search ≡ scan-form matchPhrase; overlaps counted") {
+    val docs = Tables.documents(spark, sf)
+    val positional = InvertedIndex.positionalPostings(docs, "doc_id", "text")
+    for (phrase <- Seq("stream data", "the", "data stream load")) {
+      val viaIndex = InvertedIndex.phraseSearch(positional, phrase)
+        .select("doc_id").as[Long].collect().toSet
+      val viaScan = DocQueries.matchPhrase(docs, "text", phrase)
+        .select("doc_id").as[Long].collect().toSet
+      assert(viaIndex == viaScan, s"phrase '$phrase'")
+    }
+    // overlapping occurrences count like Lucene's PhraseQuery: "a a a"
+    // holds "a a" at starts 0 and 1; repeated-term phrases align legs
+    val tiny = Seq((1L, "a a a b"), (2L, "a b a"), (3L, "b b")).toDF("doc_id", "text")
+    val got = InvertedIndex.phraseSearch(
+      InvertedIndex.positionalPostings(tiny, "doc_id", "text"), "a a")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L), got)
+  }
+
+  test("a query term's phrase leg is a pushed predicate on the persisted layout") {
+    val dir = java.nio.file.Files.createTempDirectory("posidx").toString
+    val docs = Tables.documents(spark, sf)
+    InvertedIndex.writePostings(
+      InvertedIndex.positionalPostings(docs, "doc_id", "text"), dir)
+    val search = InvertedIndex.phraseSearch(
+      InvertedIndex.readPostings(spark, dir), "stream data")
+    val plan = search.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      (plan.contains("EqualTo(term,stream)") || plan.contains("term")), plan)
+    assert(search.count() > 0)
   }
 }
