@@ -472,6 +472,30 @@ object SparkEntry {
       sink.IncrementalPostings.bm25Search(s, dir, "merge window scan", 20)
     }),
 
+    // Phrase search over the INCREMENTALLY-MAINTAINED positional index:
+    // init without doc_id<10, upsert those back plus a bogus doc that
+    // CONTAINS the phrase, tombstone the bogus doc — the live view must
+    // answer exactly like a scan of the full corpus (same oracle as
+    // q_match_phrase; the deleted doc proves tombstones reach the
+    // positional view).
+    "x_phrase_incremental" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val dir = java.nio.file.Files.createTempDirectory("graft-incphrase").toString
+      sink.IncrementalPostings.init(
+        docs.filter(col("doc_id") >= 10), "doc_id", "text", dir,
+        withPositions = true)
+      sink.IncrementalPostings.commitUpserts(
+        docs.filter(col("doc_id") < 10).unionByName(
+          Seq((1000000L, "bogus stream data phrase doc"))
+            .toDF("doc_id", "text")),
+        "doc_id", "text", dir)
+      sink.IncrementalPostings.commitDeletes(
+        Seq(1000000L).toDF("doc_id"), "doc_id", dir)
+      sink.IncrementalPostings.phraseSearch(s, dir, "stream data")
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // Vector-index append path: index built WITHOUT vec_id<100, those
     // vectors appended (assigned against the persisted model, cell dirs
     // appended — no retrain, no rewrite). Full-probe search must then
@@ -1628,6 +1652,16 @@ object SparkEntry {
          ORDER BY col_name""",
     // tokenize-rejoin-pad mirrors matchPhrase's boundary-safe normalize
     "q_match_phrase" ->
+      """SELECT doc_id FROM (
+           SELECT doc_id,
+             ' ' || array_to_string(
+               list_filter(string_split(lower(text), ' '), x -> x <> ''),
+               ' ') || ' ' AS norm
+           FROM documents)
+         WHERE contains(norm, ' stream data ') ORDER BY doc_id""",
+    // the live incremental view nets out to the full corpus (bogus
+    // phrase-bearing doc tombstoned) — scan-form membership oracle
+    "x_phrase_incremental" ->
       """SELECT doc_id FROM (
            SELECT doc_id,
              ' ' || array_to_string(

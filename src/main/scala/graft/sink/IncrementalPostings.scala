@@ -36,14 +36,26 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalPostings {
 
-  /** Lay down the base index (sequence 0). */
+  /** Lay down the base index (sequence 0). `withPositions` makes the
+    * index POSITIONAL — Lucene's positions data, phrase-query-capable
+    * via [[phraseSearch]] — an index-level property: every subsequent
+    * commit detects it and maintains the positional view too (deltas
+    * stay uniform; a non-positional index pays nothing).
+    */
   def init(docs: DataFrame, idCol: String, textCol: String,
-      dir: String): Unit = {
+      dir: String, withPositions: Boolean = false): Unit = {
     InvertedIndex.writePostings(
       InvertedIndex.postings(docs, idCol, textCol), s"$dir/base/postings")
     InvertedIndex.docLengths(docs, idCol, textCol)
       .write.mode("overwrite").parquet(s"$dir/base/norms")
+    if (withPositions)
+      InvertedIndex.writePostings(
+        InvertedIndex.positionalPostings(docs, idCol, textCol),
+        s"$dir/base/positional")
   }
+
+  private def hasPositions(spark: SparkSession, dir: String): Boolean =
+    DeltaLog.fs(spark, dir).exists(new Path(s"$dir/base/positional"))
 
   private def deltaSeqs(spark: SparkSession, dir: String): Seq[Int] =
     DeltaLog.listSeqs(spark, s"$dir/deltas")
@@ -74,12 +86,17 @@ object IncrementalPostings {
       s"commitUpserts: batch contains '$idCol' more than once " +
         s"(${g.getLong(0)} rows, ${g.getLong(1)} distinct); a delta owns " +
         "each doc once — pass an order column to dedupe last-writer-wins")
+    recoverBase(spark, dir)
+    val positional = hasPositions(spark, dir)
     DeltaLog.commit(spark, s"$dir/deltas",
         DeltaLog.nextSeq(spark, s"$dir/deltas"), "docs") { tmp =>
       InvertedIndex.postings(docs, idCol, textCol)
         .write.mode("overwrite").parquet(s"$tmp/postings")
       InvertedIndex.docLengths(docs, idCol, textCol)
         .write.mode("overwrite").parquet(s"$tmp/norms")
+      if (positional)
+        InvertedIndex.positionalPostings(docs, idCol, textCol)
+          .write.mode("overwrite").parquet(s"$tmp/positional")
       docs.select(col(idCol).cast("long").as("doc_id")).distinct()
         .write.mode("overwrite").parquet(s"$tmp/docs")
     }
@@ -117,6 +134,8 @@ object IncrementalPostings {
   def commitDeletes(ids: DataFrame, idCol: String, dir: String): Int = {
     val spark = ids.sparkSession
     val docs = ids.select(col(idCol).cast("long").as("doc_id")).distinct()
+    recoverBase(spark, dir)
+    val positional = hasPositions(spark, dir)
     DeltaLog.commit(spark, s"$dir/deltas",
         DeltaLog.nextSeq(spark, s"$dir/deltas"), "docs") { tmp =>
       // empty postings/norms with the right schemas: a delete owns the
@@ -126,6 +145,11 @@ object IncrementalPostings {
         .write.mode("overwrite").parquet(s"$tmp/postings")
       docs.limit(0).select(col("doc_id"), lit(0).cast("int").as("dl"))
         .write.mode("overwrite").parquet(s"$tmp/norms")
+      if (positional)
+        docs.limit(0)
+          .select(lit("").as("term"), col("doc_id"),
+            array().cast("array<int>").as("positions"))
+          .write.mode("overwrite").parquet(s"$tmp/positional")
       docs.write.mode("overwrite").parquet(s"$tmp/docs")
     }
   }
@@ -193,6 +217,27 @@ object IncrementalPostings {
   def currentNorms(spark: SparkSession, dir: String): DataFrame =
     liveViews(spark, dir)._2
 
+  /** The live POSITIONAL view (requires an index initialized
+    * `withPositions`): same owner-table resolution as postings/norms.
+    */
+  def livePositional(spark: SparkSession, dir: String): DataFrame = {
+    recoverBase(spark, dir)
+    require(hasPositions(spark, dir),
+      s"index at $dir was not initialized withPositions = true")
+    val seqs = deltaSeqs(spark, dir)
+    val o = if (seqs.isEmpty) None else Some(owners(spark, dir, seqs))
+    resolve(spark, dir, "positional", seqs, o, p => spark.read.parquet(p))
+  }
+
+  /** Exact-phrase search over the LIVE positional view — the
+    * incrementally-maintained twin of [[InvertedIndex.phraseSearch]]
+    * (same semantics; base legs still prune to the query terms' row
+    * groups, delta legs are O(batch)).
+    */
+  def phraseSearch(spark: SparkSession, dir: String,
+      phrase: String): DataFrame =
+    InvertedIndex.phraseSearch(livePositional(spark, dir), phrase)
+
   /** BM25 over the live view — identical scoring to
     * [[InvertedIndex.bm25Search]], reading base + deltas.
     */
@@ -218,9 +263,12 @@ object IncrementalPostings {
     val seqs = deltaSeqs(spark, dir)
     if (seqs.isEmpty) return
     val tmp = s"$dir/.base-next"
+    val positional =
+      if (hasPositions(spark, dir)) Some(livePositional(spark, dir)) else None
     val (postings, norms) = liveViews(spark, dir)
     InvertedIndex.writePostings(postings, s"$tmp/postings")
     norms.write.mode("overwrite").parquet(s"$tmp/norms")
+    positional.foreach(p => InvertedIndex.writePostings(p, s"$tmp/positional"))
     DeltaLog.swapBase(spark, s"$dir/base", tmp, s"$dir/.base-old")
     val f = DeltaLog.fs(spark, dir)
     seqs.foreach(s => f.delete(new Path(s"$dir/deltas/$s"), true))

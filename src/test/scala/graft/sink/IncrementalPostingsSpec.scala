@@ -200,4 +200,32 @@ class IncrementalPostingsSpec extends SparkSpec {
     }
     assert(n.getMessage.contains("null"))
   }
+
+  test("positional index: live phrase search tracks upserts, deletes, and compaction") {
+    val dir = java.nio.file.Files.createTempDirectory("incpost-phrase").toString
+    val base = Seq((1L, "merge scan window"), (2L, "scan merge"), (3L, "merge scan"))
+    IncrementalPostings.init(base.toDF("doc_id", "text"), "doc_id", "text",
+      dir, withPositions = true)
+    def hits(): Set[Long] = IncrementalPostings.phraseSearch(spark, dir, "merge scan")
+      .select("doc_id").as[Long].collect().toSet
+    assert(hits() == Set(1L, 3L)) // doc 2 has the words, not the phrase
+    // upsert doc 2 so it now CONTAINS the phrase; doc 4 appears with it
+    IncrementalPostings.commitUpserts(
+      Seq((2L, "now merge scan too"), (4L, "merge scan fresh"))
+        .toDF("doc_id", "text"), "doc_id", "text", dir)
+    assert(hits() == Set(1L, 2L, 3L, 4L))
+    // tombstone doc 1: it must leave the phrase result
+    IncrementalPostings.commitDeletes(Seq(1L).toDF("doc_id"), "doc_id", dir)
+    assert(hits() == Set(2L, 3L, 4L))
+    // compaction folds the positional view too and preserves the answer
+    IncrementalPostings.compact(spark, dir)
+    assert(hits() == Set(2L, 3L, 4L))
+    // a non-positional index refuses phrase queries loudly
+    val plain = java.nio.file.Files.createTempDirectory("incpost-plain").toString
+    IncrementalPostings.init(base.toDF("doc_id", "text"), "doc_id", "text", plain)
+    val e = intercept[IllegalArgumentException] {
+      IncrementalPostings.phraseSearch(spark, plain, "merge scan")
+    }
+    assert(e.getMessage.contains("withPositions"))
+  }
 }
