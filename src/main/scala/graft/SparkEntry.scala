@@ -258,6 +258,37 @@ object SparkEntry {
       DocQueries.matchPhrase(Tables.documents(s, d), "text", "stream data")
         .select("doc_id").orderBy("doc_id")),
 
+    // PrefixQuery (scan form): any token starts with "merg".
+    "q_term_prefix" -> ((s, d) =>
+      DocQueries.termPrefix(Tables.documents(s, d), "text", "merg")
+        .select("doc_id").orderBy("doc_id")),
+
+    // PrefixQuery off the index: pushed StringStartsWith on the
+    // term-sorted postings (row-group seek-to-prefix, spec-pinned).
+    "q_prefix_indexed" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-preidx").toString
+      sink.InvertedIndex.writePostings(
+        sink.InvertedIndex.postings(Tables.documents(s, d), "doc_id", "text"),
+        s"$dir/postings")
+      sink.InvertedIndex.prefixSearch(
+          sink.InvertedIndex.readPostings(s, s"$dir/postings"), "merg")
+        .orderBy("doc_id")
+    }),
+
+    // FuzzyQuery off the index: edit-distance-1 neighbors of "mergs"
+    // found in the VOCABULARY (distinct-term dictionary), postings
+    // gathered by broadcast semi-join — must equal the scan form.
+    "q_fuzzy_indexed" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-fuzidx").toString
+      sink.InvertedIndex.writePostings(
+        sink.InvertedIndex.postings(Tables.documents(s, d), "doc_id", "text"),
+        s"$dir/postings")
+      sink.InvertedIndex.fuzzySearch(
+          sink.InvertedIndex.readPostings(s, s"$dir/postings"), "mergs",
+          maxEdits = 1)
+        .orderBy("doc_id")
+    }),
+
     // Phrase query OFF THE INDEX: positional postings (Lucene's position
     // data) + consecutive-position join — must equal the corpus-scan
     // matchPhrase membership exactly (same oracle as q_match_phrase).
@@ -1659,6 +1690,23 @@ object SparkEntry {
                ' ') || ' ' AS norm
            FROM documents)
          WHERE contains(norm, ' stream data ') ORDER BY doc_id""",
+    "q_term_prefix" ->
+      """SELECT doc_id FROM documents
+         WHERE len(list_filter(string_split(lower(text), ' '),
+           x -> starts_with(x, 'merg'))) > 0
+         ORDER BY doc_id""",
+    // indexed prefix ≡ the scan-form membership
+    "q_prefix_indexed" ->
+      """SELECT doc_id FROM documents
+         WHERE len(list_filter(string_split(lower(text), ' '),
+           x -> starts_with(x, 'merg'))) > 0
+         ORDER BY doc_id""",
+    // vocabulary-scan fuzzy ≡ per-token scan form
+    "q_fuzzy_indexed" ->
+      """SELECT doc_id FROM documents
+         WHERE len(list_filter(string_split(lower(text), ' '),
+           x -> x <> '' AND levenshtein(x, 'mergs') <= 1)) > 0
+         ORDER BY doc_id""",
     // the live incremental view nets out to the full corpus (bogus
     // phrase-bearing doc tombstoned) — scan-form membership oracle
     "x_phrase_incremental" ->

@@ -46,6 +46,35 @@ object DocQueries {
   def termInSet(index: DataFrame, field: String, values: Seq[String]): DataFrame =
     index.filter(col(field).isin(values: _*))
 
+  /** PrefixQuery — the document matches if any token of the field starts
+    * with `prefix` (Lucene PrefixQuery over a tokenized field). Same
+    * single-space tokenization convention; pure projection + filter.
+    * The index-served twin is [[InvertedIndex.prefixSearch]], where the
+    * prefix becomes a pushed `StringStartsWith` on the term-sorted
+    * layout.
+    */
+  def termPrefix(index: DataFrame, field: String, prefix: String): DataFrame = {
+    val p = prefix.toLowerCase(java.util.Locale.ROOT)
+    require(p.nonEmpty, "prefix query needs a non-empty prefix")
+    // an empty token can't start with a non-empty prefix — no filter needed
+    index.filter(exists(split(lower(col(field)), " "), t => t.startsWith(p)))
+  }
+
+  /** FuzzyQuery — the document matches if any token is within `maxEdits`
+    * Levenshtein distance of the query term (Lucene FuzzyQuery). The
+    * scan form evaluates the distance per token; the index-served twin
+    * ([[InvertedIndex.fuzzySearch]]) evaluates it over the VOCABULARY
+    * instead — Lucene's term-dictionary automaton expressed as a
+    * vocabulary-sized scan.
+    */
+  def matchFuzzy(index: DataFrame, field: String, term: String,
+      maxEdits: Int = 1): DataFrame = {
+    val q = term.toLowerCase(java.util.Locale.ROOT)
+    require(q.nonEmpty, "fuzzy query needs a non-empty term")
+    index.filter(exists(split(lower(col(field)), " "),
+      t => t =!= lit("") && levenshtein(t, lit(q)) <= maxEdits))
+  }
+
   /** MatchQuery — whitespace-tokenized full-text match: document matches if
     * any token of the field equals any query token (OR semantics, the
     * Lucene MatchQuery default).

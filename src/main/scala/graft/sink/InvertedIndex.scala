@@ -106,6 +106,36 @@ object InvertedIndex {
       .groupBy("doc_id").agg(count(lit(1)).as("n_occurrences"))
   }
 
+  /** PrefixQuery off the index: matching docs via the postings whose
+    * term starts with `prefix`. On the term-sorted layout the predicate
+    * pushes as `StringStartsWith` — parquet min/max skips every row
+    * group outside the prefix's term range, Lucene's seek-to-prefix
+    * (spec-pinned). One distinct over the surviving postings rows.
+    */
+  def prefixSearch(postings: DataFrame, prefix: String): DataFrame = {
+    val p = prefix.toLowerCase(java.util.Locale.ROOT)
+    require(p.nonEmpty, "prefix search needs a non-empty prefix")
+    postings.filter(col("term").startsWith(p))
+      .select("doc_id").distinct()
+  }
+
+  /** FuzzyQuery off the index: terms within `maxEdits` Levenshtein
+    * distance of `term` are found by scanning the VOCABULARY (the
+    * distinct-term dictionary — vocabulary-sized, not corpus-sized:
+    * Lucene's FST automaton walk expressed relationally), then their
+    * postings are gathered by a broadcast semi-join. Returns matching
+    * `doc_id`s.
+    */
+  def fuzzySearch(postings: DataFrame, term: String,
+      maxEdits: Int = 1): DataFrame = {
+    val q = term.toLowerCase(java.util.Locale.ROOT)
+    require(q.nonEmpty, "fuzzy search needs a non-empty term")
+    val vocab = postings.select("term").distinct()
+      .filter(levenshtein(col("term"), lit(q)) <= maxEdits)
+    postings.join(broadcast(vocab), Seq("term"), "left_semi")
+      .select("doc_id").distinct()
+  }
+
   /** Persist the postings term-sorted: range-partition on `term`, sort
     * within partitions on `(term, doc_id)`. Parquet then records term
     * min/max per row group, so a query term's `IN` filter prunes to its

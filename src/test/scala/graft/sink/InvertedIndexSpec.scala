@@ -101,4 +101,28 @@ class InvertedIndexSpec extends SparkSpec {
       (plan.contains("EqualTo(term,stream)") || plan.contains("term")), plan)
     assert(search.count() > 0)
   }
+
+  test("prefix and fuzzy: index-served ≡ scan-form; prefix predicate pushes") {
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("preidx").toString
+    InvertedIndex.writePostings(
+      InvertedIndex.postings(docs, "doc_id", "text"), dir)
+    val persisted = InvertedIndex.readPostings(spark, dir)
+    // prefix: indexed ≡ scan
+    val viaPrefixIdx = InvertedIndex.prefixSearch(persisted, "merg")
+      .as[Long].collect().toSet
+    val viaPrefixScan = DocQueries.termPrefix(docs, "text", "merg")
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaPrefixIdx == viaPrefixScan && viaPrefixIdx.nonEmpty)
+    // the prefix reaches the scan as a pushed StringStartsWith
+    val plan = InvertedIndex.prefixSearch(persisted, "merg")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("StringStartsWith(term,merg"), plan)
+    // fuzzy: vocabulary-scan indexed form ≡ per-token scan form
+    val viaFuzzyIdx = InvertedIndex.fuzzySearch(persisted, "mergs", 1)
+      .as[Long].collect().toSet
+    val viaFuzzyScan = DocQueries.matchFuzzy(docs, "text", "mergs", 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaFuzzyIdx == viaFuzzyScan && viaFuzzyIdx.nonEmpty)
+  }
 }
