@@ -253,6 +253,33 @@ object SparkEntry {
         .orderBy("col_name")
     }),
 
+    // §2.6 — BooleanQuery full clause composition (Lucene MUST +
+    // SHOULD/minimumShouldMatch + MUST_NOT): docs with "merge", without
+    // "window", and at least one of {"stream", "scan"}. Scan form —
+    // pure filter, no shuffle.
+    "q_bool" -> ((s, d) =>
+      DocQueries.boolQuery(Tables.documents(s, d), "text",
+        must = Seq("merge"), should = Seq("stream", "scan"),
+        mustNot = Seq("window"), minimumShouldMatch = 1)
+        .select("doc_id").orderBy("doc_id")),
+
+    // BooleanQuery OFF THE INDEX: MUST legs are per-term postings reads
+    // (pushed EqualTo, row-group pruning) intersected by shrinking
+    // joins; SHOULD is one pushed-In aggregate to per-doc clause counts;
+    // MUST_NOT a df-sized left_anti. Must equal the scan form exactly
+    // (same oracle; shared clause semantics in DocQueries.boolClauses).
+    "q_bool_indexed" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-boolidx").toString
+      sink.InvertedIndex.writePostings(
+        sink.InvertedIndex.postings(Tables.documents(s, d), "doc_id", "text"),
+        s"$dir/postings")
+      sink.InvertedIndex.boolSearch(
+          sink.InvertedIndex.readPostings(s, s"$dir/postings"),
+          must = Seq("merge"), should = Seq("stream", "scan"),
+          mustNot = Seq("window"), minimumShouldMatch = 1)
+        .orderBy("doc_id")
+    }),
+
     // §2.6 — PhraseQuery (slop 0): tokens must be consecutive.
     "q_match_phrase" -> ((s, d) =>
       DocQueries.matchPhrase(Tables.documents(s, d), "text", "stream data")
@@ -501,6 +528,24 @@ object SparkEntry {
       sink.IncrementalPostings.commitDeletes(
         Seq(1000000L).toDF("doc_id"), "doc_id", dir)
       sink.IncrementalPostings.bm25Search(s, dir, "merge window scan", 20)
+    }),
+
+    // Postings-index health: delta-log depth, touched/tombstoned docs,
+    // live count, and the compaction signal after two upserts + one
+    // delete (60 touched ids, 10 of them tombstoned). Counts are exact
+    // oracle values; the delete-then-reupsert distinction (a tombstone
+    // is a doc whose LATEST write is a delete) is pinned in
+    // IncrementalPostingsSpec.
+    "x_postings_stats" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val dir = java.nio.file.Files.createTempDirectory("graft-poststat").toString
+      sink.IncrementalPostings.init(docs, "doc_id", "text", dir)
+      sink.IncrementalPostings.commitUpserts(
+        docs.filter(col("doc_id") < 50), "doc_id", "text", dir)
+      sink.IncrementalPostings.commitDeletes(
+        docs.filter(col("doc_id") >= 50 && col("doc_id") < 60)
+          .select("doc_id"), "doc_id", dir)
+      sink.IncrementalPostings.stats(s, dir)
     }),
 
     // Phrase search over the INCREMENTALLY-MAINTAINED positional index:
@@ -1081,6 +1126,15 @@ object SparkEntry {
         Tables.events(s, d).withColumn("ts_us", unix_micros(col("ts"))),
         "user_id", "event_type", "ts_us",
         Seq("view", "click", "purchase"))),
+
+    // Corpus cross-entropy (perplexity proxy): per-doc mean −ln of each
+    // token's corpus unigram probability — the model-free quality signal
+    // (OOD/gibberish text scores high). 9dp-decimal contribution sum
+    // makes the score merge-order-independent (the x_text_entropy trick).
+    "x_unigram_ce" -> ((s, d) =>
+      operators.TextAnalysis.unigramCrossEntropy(
+        Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
 
     // Bounded-window funnel: each transition must land within 3 days of
     // the previous stage ("click within 3 days of the view") — the
@@ -1681,6 +1735,24 @@ object SparkEntry {
              CAST(max(o_orderstatus) AS VARCHAR)
            FROM orders)
          ORDER BY col_name""",
+    // BooleanQuery mirror: MUST ∧ ¬MUST_NOT ∧ (should-hits ≥ msm); the
+    // indexed form shares the oracle — scan ≡ indexed is part of the gate
+    "q_bool" ->
+      """SELECT doc_id FROM (SELECT doc_id,
+           string_split(lower(text), ' ') AS w FROM documents)
+         WHERE list_contains(w, 'merge')
+           AND NOT list_contains(w, 'window')
+           AND (CASE WHEN list_contains(w, 'stream') THEN 1 ELSE 0 END
+              + CASE WHEN list_contains(w, 'scan') THEN 1 ELSE 0 END) >= 1
+         ORDER BY doc_id""",
+    "q_bool_indexed" ->
+      """SELECT doc_id FROM (SELECT doc_id,
+           string_split(lower(text), ' ') AS w FROM documents)
+         WHERE list_contains(w, 'merge')
+           AND NOT list_contains(w, 'window')
+           AND (CASE WHEN list_contains(w, 'stream') THEN 1 ELSE 0 END
+              + CASE WHEN list_contains(w, 'scan') THEN 1 ELSE 0 END) >= 1
+         ORDER BY doc_id""",
     // tokenize-rejoin-pad mirrors matchPhrase's boundary-safe normalize
     "q_match_phrase" ->
       """SELECT doc_id FROM (
@@ -1940,6 +2012,17 @@ object SparkEntry {
            FROM corpus, q)
          SELECT vec_id, round(c, 6) AS cosine FROM z
          ORDER BY c DESC, vec_id LIMIT 10""",
+    // two deltas touch ids [0,60): 50 re-upserted, 10 deleted; base =
+    // full corpus, live = base − 10; compaction recommendation is the
+    // deterministic threshold form (n_deltas ≥ 8 or touched ≥ 20% of base)
+    "x_postings_stats" ->
+      """SELECT CAST(count(*) - 10 AS BIGINT) AS n_live_docs,
+           CAST(count(*) AS BIGINT) AS n_base_docs,
+           CAST(60 AS BIGINT) AS n_touched_docs,
+           CAST(10 AS BIGINT) AS n_tombstones,
+           CAST(2 AS BIGINT) AS n_deltas,
+           (2 >= 8 OR 60 >= 0.2 * count(*)) AS compact_recommended
+         FROM documents""",
     // live count after supersede(<20) + delete(<5); k=8 cells; one
     // upsert + one delete pending in the commit log
     "x_sim_ivf_stats" ->

@@ -223,6 +223,43 @@ object TextAnalysis {
       .agg(round(sum("_e").cast("double"), 6).as("entropy"))
   }
 
+  /** Per-document CROSS-entropy under the corpus unigram model, in nats:
+    * `Σ_t tf(t,d) · −ln(cf(t)/T) / dl(d)` — the model-free perplexity
+    * proxy every large pretraining pipeline keeps as a quality signal.
+    * Unlike [[tokenEntropy]] (a doc scored against ITSELF — repetition),
+    * this scores a doc against the CORPUS: gibberish, boilerplate-free
+    * rare-token noise, and out-of-distribution text score high; text made
+    * of common corpus vocabulary scores low. Docs with no tokens are
+    * absent from the output.
+    *
+    * Determinism: per-term contributions rounded to 9dp and summed as
+    * DECIMAL (the [[tokenEntropy]] trick), final divide-by-length in
+    * double rounded to 6dp.
+    *
+    * Scale shape: the unigram model IS the term dictionary — one
+    * (doc, term) hash aggregation, one vocabulary-sized re-aggregation,
+    * the scalar token total broadcast as a one-row frame, and one
+    * term-keyed join of tf against the dictionary (vocabulary-bounded —
+    * never broadcast, never corpus-sized). No windows, no driver state.
+    */
+  def unigramCrossEntropy(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("_c"))
+    val cf = tf.groupBy(col("term")).agg(sum("_c").as("_cf"))
+    val total = cf.agg(sum("_cf").as("_t"))
+    val p = col("_cf").cast("double") / col("_t").cast("double")
+    tf.join(cf, "term")
+      .crossJoin(broadcast(total))
+      .select(col(idCol),
+        round(col("_c") * -log(p), 9).cast("decimal(18,9)").as("_e"),
+        col("_c"))
+      .groupBy(col(idCol))
+      .agg(round(sum("_e").cast("double") / sum("_c").cast("double"), 6)
+        .as("unigram_ce"))
+  }
+
   /** Corpus-wide frequent n-gram mining: the `k` most frequent word
     * n-grams with their total count and the number of distinct documents
     * containing each — the boilerplate-detection sweep (headers, footers,

@@ -103,6 +103,56 @@ object DocQueries {
       .reduce(_ && _))
   }
 
+  /** Normalized clause sets + effective minimum-should-match, shared by
+    * the scan-form [[boolQuery]] and the index-served
+    * [[InvertedIndex.boolSearch]] — the spec-pinned scan ≡ indexed
+    * equality depends on ONE definition of the clause semantics. Clause
+    * terms are folded with the corpus tokenization convention
+    * (`Locale.ROOT` lowercase) and deduplicated (a clause repeated twice
+    * is one clause, as in Lucene's clause set). The Lucene default for
+    * `minimumShouldMatch` is applied here: with no MUST clauses a
+    * document must still match at least one SHOULD clause (otherwise the
+    * query would match the whole corpus), so the effective msm is
+    * clamped to ≥1 when MUST is empty; with MUST clauses present the
+    * default is 0 (SHOULD only boosts, membership comes from MUST).
+    */
+  private[sink] def boolClauses(must: Seq[String], should: Seq[String],
+      mustNot: Seq[String], minimumShouldMatch: Int)
+      : (Seq[String], Seq[String], Seq[String], Int) = {
+    def norm(ts: Seq[String]): Seq[String] =
+      ts.map(_.toLowerCase(java.util.Locale.ROOT).trim).filter(_.nonEmpty).distinct
+    val (m, sh, mn) = (norm(must), norm(should), norm(mustNot))
+    require(m.nonEmpty || sh.nonEmpty,
+      "boolean query needs at least one MUST or SHOULD clause " +
+        "(a pure MUST_NOT query has no matching set)")
+    val msm = if (minimumShouldMatch >= 0) minimumShouldMatch
+      else if (m.isEmpty) 1 else 0
+    val effective = if (m.isEmpty) math.max(msm, 1) else msm
+    (m, sh, mn, effective)
+  }
+
+  /** BooleanQuery — Lucene's full clause composition: every MUST term
+    * required, every MUST_NOT term forbidden, and at least
+    * `minimumShouldMatch` of the SHOULD terms present (default: Lucene's
+    * — 1 when there are no MUST clauses, else 0; see [[boolClauses]]).
+    * `minimumShouldMatch > |should|` matches nothing, as in Lucene.
+    * Pure projection + filter over the corpus tokenization convention —
+    * no shuffle; the index-served twin is [[InvertedIndex.boolSearch]].
+    */
+  def boolQuery(index: DataFrame, field: String,
+      must: Seq[String] = Nil, should: Seq[String] = Nil,
+      mustNot: Seq[String] = Nil, minimumShouldMatch: Int = -1): DataFrame = {
+    val (m, sh, mn, msm) = boolClauses(must, should, mustNot, minimumShouldMatch)
+    val w = split(lower(col(field)), " ")
+    val preds =
+      m.map(t => array_contains(w, t)) ++
+        mn.map(t => !array_contains(w, t)) ++
+        (if (sh.isEmpty || msm == 0) Nil
+         else Seq(sh.map(t => when(array_contains(w, t), 1).otherwise(0))
+           .reduce(_ + _) >= msm))
+    index.filter(preds.reduce(_ && _))
+  }
+
   /** PhraseQuery — the query tokens must appear CONSECUTIVELY in the
     * field (Lucene PhraseQuery, slop 0). Token-boundary-safe via the
     * space-padding trick: pad both the tokenized-and-rejoined field and

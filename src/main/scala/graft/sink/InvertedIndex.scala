@@ -136,6 +136,55 @@ object InvertedIndex {
       .select("doc_id").distinct()
   }
 
+  /** BooleanQuery off the index — same clause semantics as the scan-form
+    * [[DocQueries.boolQuery]] (one shared [[DocQueries.boolClauses]]
+    * definition; spec-pinned equal), evaluated over postings:
+    *
+    *   - MUST: one leg per term reads ONLY that term's postings rows (a
+    *     pushed `EqualTo` on the term-sorted layout — row-group pruning,
+    *     like [[phraseSearch]]'s legs); the legs equi-join on `doc_id`
+    *     and every join SHRINKS the candidate set. Lucene's conjunctive
+    *     postings intersection, relationally.
+    *   - SHOULD: the should-terms' postings (`Σ df` rows, one pushed
+    *     `In` filter) aggregate to per-doc matched-clause counts —
+    *     postings are unique per (term, doc), so `count(1)` IS the
+    *     distinct-clause count — and `n_should >= msm` filters.
+    *   - MUST_NOT: the forbidden terms' doc set (df-sized, distinct)
+    *     removes candidates via `left_anti` — never a corpus scan.
+    *
+    * Every leg is df(term)-sized; nothing corpus-sized ever shuffles.
+    * Returns distinct matching `doc_id`s (each leg is unique per doc, so
+    * the joins preserve distinctness — no extra shuffle needed).
+    */
+  def boolSearch(postings: DataFrame, must: Seq[String] = Nil,
+      should: Seq[String] = Nil, mustNot: Seq[String] = Nil,
+      minimumShouldMatch: Int = -1): DataFrame = {
+    val (m, sh, mn, msm) =
+      DocQueries.boolClauses(must, should, mustNot, minimumShouldMatch)
+    val mustBase: Option[DataFrame] =
+      if (m.isEmpty) None
+      else Some(m.map(t => postings.filter(col("term") === t).select("doc_id"))
+        .reduce((a, b) => a.join(b, Seq("doc_id"))))
+    val shouldCounts: Option[DataFrame] =
+      if (sh.isEmpty) None
+      else Some(postings.filter(col("term").isin(sh: _*))
+        .groupBy("doc_id").agg(count(lit(1)).cast("int").as("n_should")))
+    val base = (mustBase, shouldCounts) match {
+      case (Some(mb), Some(sc)) if msm > 0 =>
+        mb.join(sc.filter(col("n_should") >= msm).select("doc_id"), Seq("doc_id"))
+      case (Some(mb), _) => mb
+      case (None, Some(sc)) =>
+        sc.filter(col("n_should") >= msm).select("doc_id")
+      case (None, None) =>
+        throw new IllegalStateException(
+          "unreachable: boolClauses requires a MUST or SHOULD clause")
+    }
+    if (mn.isEmpty) base
+    else base.join(
+      postings.filter(col("term").isin(mn: _*)).select("doc_id").distinct(),
+      Seq("doc_id"), "left_anti")
+  }
+
   /** Persist the postings term-sorted: range-partition on `term`, sort
     * within partitions on `(term, doc_id)`. Parquet then records term
     * min/max per row group, so a query term's `IN` filter prunes to its

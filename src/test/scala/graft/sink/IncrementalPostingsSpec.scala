@@ -130,6 +130,46 @@ class IncrementalPostingsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("stats tracks log depth, tombstones, and the compaction signal") {
+    val dir = java.nio.file.Files.createTempDirectory("incstat").toString
+    val base = (1L to 10L).map(i => (i, s"doc number $i words"))
+    IncrementalPostings.init(base.toDF("doc_id", "text"), "doc_id", "text", dir)
+
+    def stat() = IncrementalPostings.stats(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect().head
+
+    // fresh index: no log, live = base, nothing recommended
+    assert(stat() == ((10L, 10L, 0L, 0L, 0L, false)))
+
+    // upsert 2 docs (one new), delete 2: touched = 5, tombstones = 2
+    IncrementalPostings.commitUpserts(
+      Seq((1L, "rewritten"), (11L, "brand new")).toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    IncrementalPostings.commitDeletes(
+      Seq(2L, 3L).toDF("doc_id"), "doc_id", dir)
+    // a deleted doc RE-UPSERTED is alive again — not a tombstone
+    IncrementalPostings.commitUpserts(
+      Seq((2L, "back from the dead")).toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    val s = stat()
+    // live: 10 base − {2,3} deleted + {11} new + {2} revived = 10;
+    // 4/10 touched ≥ the 0.2 default → compaction recommended
+    assert(s == ((10L, 10L, 4L, 1L, 3L, true)), s)
+
+    // a laxer touched threshold (4/10 < 0.5) clears the recommendation
+    val rec = IncrementalPostings.stats(spark, dir, touchedFraction = 0.5)
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect().head._6
+    assert(!rec)
+    // but log depth alone can trip it
+    assert(IncrementalPostings.stats(spark, dir, maxDeltas = 3,
+        touchedFraction = 0.5)
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect().head._6)
+
+    // compaction folds the log: stats reset, live count preserved
+    IncrementalPostings.compact(spark, dir)
+    assert(stat() == ((10L, 10L, 0L, 0L, 0L, false)))
+  }
+
   test("a commit writes O(batch) bytes, never touching the base") {
     val dir = java.nio.file.Files.createTempDirectory("incpost-bytes").toString
     val base = (1L to 500L).map(i => (i, s"word$i common merge scan text"))

@@ -401,6 +401,41 @@ class IndexSinkSpec extends SparkSpec {
     assert(DocQueries.matchText(docs, "text", "merge window scan").count() == 4)
   }
 
+  test("boolQuery composes MUST, SHOULD/minimumShouldMatch, and MUST_NOT") {
+    val docs = Seq(
+      (1L, "merge stream now"),       // must + 1 should
+      (2L, "merge scan stream"),      // must + 2 should
+      (3L, "merge only here"),        // must, 0 should — below msm
+      (4L, "merge window stream"),    // must_not hit
+      (5L, "stream scan no m-word")   // missing must
+    ).toDF("doc_id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("doc_id").as[Long].collect().toSeq.sorted
+    assert(ids(DocQueries.boolQuery(docs, "text", must = Seq("Merge"),
+      should = Seq("stream", "scan"), mustNot = Seq("WINDOW"),
+      minimumShouldMatch = 1)) == Seq(1L, 2L))
+    // msm = 2: only the doc with both should terms survives
+    assert(ids(DocQueries.boolQuery(docs, "text", must = Seq("merge"),
+      should = Seq("stream", "scan"), minimumShouldMatch = 2)) == Seq(2L))
+    // default msm with MUST present is 0 — should terms don't gate
+    assert(ids(DocQueries.boolQuery(docs, "text", must = Seq("merge"),
+      should = Seq("scan"))) == Seq(1L, 2L, 3L, 4L))
+    // should-only: effective msm clamps to ≥1 even if 0 is passed
+    // (a no-clause match must not select the whole corpus)
+    assert(ids(DocQueries.boolQuery(docs, "text",
+      should = Seq("scan"), minimumShouldMatch = 0)) == Seq(2L, 5L))
+    // msm > |should| matches nothing, as in Lucene
+    assert(DocQueries.boolQuery(docs, "text", should = Seq("scan"),
+      minimumShouldMatch = 3).count() == 0)
+    // duplicate clauses collapse: {scan, scan} is one clause, msm=2 → empty
+    assert(DocQueries.boolQuery(docs, "text", should = Seq("scan", "Scan"),
+      minimumShouldMatch = 2).count() == 0)
+    // pure MUST_NOT is rejected loudly
+    intercept[IllegalArgumentException] {
+      DocQueries.boolQuery(docs, "text", mustNot = Seq("merge"))
+    }
+  }
+
   test("jsonKeyProfile reports per-key presence, cardinality, and range") {
     val df = Seq(
       """{"a": 1, "b": "x"}""",

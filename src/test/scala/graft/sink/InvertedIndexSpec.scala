@@ -102,6 +102,31 @@ class InvertedIndexSpec extends SparkSpec {
     assert(search.count() > 0)
   }
 
+  test("boolSearch ≡ scan-form boolQuery across clause shapes; legs push") {
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("boolidx").toString
+    InvertedIndex.writePostings(
+      InvertedIndex.postings(docs, "doc_id", "text"), dir)
+    val persisted = InvertedIndex.readPostings(spark, dir)
+    val shapes = Seq(
+      (Seq("merge"), Seq("stream", "scan"), Seq("window"), 1),
+      (Seq("merge", "data"), Nil, Nil, -1),        // pure conjunction
+      (Nil, Seq("stream", "scan"), Nil, -1),       // should-only, default msm=1
+      (Nil, Seq("stream", "scan"), Seq("merge"), 2), // both should terms, anti
+      (Seq("merge"), Seq("stream"), Nil, -1))      // msm defaults to 0
+    for ((m, sh, mn, msm) <- shapes) {
+      val viaIndex = InvertedIndex.boolSearch(persisted, m, sh, mn, msm)
+        .select("doc_id").as[Long].collect().toSet
+      val viaScan = DocQueries.boolQuery(docs, "text", m, sh, mn, msm)
+        .select("doc_id").as[Long].collect().toSet
+      assert(viaIndex == viaScan, s"clauses must=$m should=$sh not=$mn msm=$msm")
+    }
+    // the MUST leg is a pushed term predicate on the persisted layout
+    val plan = InvertedIndex.boolSearch(persisted, must = Seq("merge"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("term"), plan)
+  }
+
   test("prefix and fuzzy: index-served ≡ scan-form; prefix predicate pushes") {
     val docs = Tables.documents(spark, sf)
     val dir = java.nio.file.Files.createTempDirectory("preidx").toString
