@@ -232,6 +232,14 @@ object SparkEntry {
         "merge window scan", 20)
     }),
 
+    // More-like-this: doc 0's top-5 TF-IDF terms (6dp-rounded score,
+    // term tie-break — engine-reproducible selection) become an OR
+    // query, BM25-ranked over full-corpus stats, source excluded.
+    "x_mlt" -> ((s, d) =>
+      DocQueries.moreLikeThis(
+        Tables.documents(s, d).select("doc_id", "text"), "doc_id", "text",
+        sourceId = 0L, topTerms = 5, k = 10)),
+
     // Column profiling ("analyze table" for pipeline observability): one
     // aggregate pass — per-column null/non-null counts, exact min/max,
     // HLL++ distinct. The approx cardinality is gated within ±5% of the
@@ -1707,6 +1715,40 @@ object SparkEntry {
            FROM t, s)
          SELECT doc_id, round(score, 6) AS bm25 FROM z WHERE score > 0
          ORDER BY bm25 DESC, doc_id LIMIT 20""",
+    // MLT mirror: tfidf term selection (round-6 + term tie-break) as a
+    // CTE, then the RELATIONAL BM25 form (terms join postings join norms
+    // — the indexed scorer's shape) over full-corpus stats, source
+    // excluded from results but not from N/avgdl/df
+    "x_mlt" ->
+      """WITH toks AS (SELECT doc_id,
+             unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+               AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+           FROM toks GROUP BY 1, 2),
+         dfq AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS dfn
+           FROM toks GROUP BY 1),
+         n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+         q AS (SELECT term FROM (
+             SELECT tf.term, round(tf.tf * ln(n.n / dfq.dfn), 6) AS s
+             FROM tf JOIN dfq USING (term), n WHERE tf.doc_id = 0)
+           ORDER BY s DESC, term LIMIT 5),
+         dl AS (SELECT doc_id,
+             CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+               AS DOUBLE) AS dl
+           FROM documents),
+         st AS (SELECT CAST(count(*) AS DOUBLE) AS nn, avg(dl) AS avgdl
+           FROM dl),
+         contrib AS (SELECT tf.doc_id,
+             ln(1 + (st.nn - dfq.dfn + 0.5) / (dfq.dfn + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS c
+           FROM q JOIN tf USING (term) JOIN dfq USING (term)
+           JOIN dl ON tf.doc_id = dl.doc_id, st),
+         z AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY 1)
+         SELECT doc_id, round(score, 6) AS bm25 FROM z
+         WHERE score > 0 AND doc_id <> 0
+         ORDER BY bm25 DESC, doc_id LIMIT 10""",
     "agg_quantile_sketch" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
            TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
@@ -2404,6 +2446,25 @@ object SparkEntry {
              CAST(round(-(c / n) * ln(c / n), 9) AS DECIMAL(18,9)) AS contrib
            FROM tf JOIN dl ON tf.doc_id = dl.doc_id)
          SELECT doc_id, round(CAST(sum(contrib) AS DOUBLE), 6) AS entropy
+         FROM e GROUP BY doc_id ORDER BY doc_id""",
+    // corpus unigram model from the SAME tokenization; 9dp-decimal
+    // contribution sum (order-independent), final mean in double
+    "x_unigram_ce" ->
+      """WITH toks AS (SELECT doc_id,
+             unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+               AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS c FROM toks GROUP BY 1, 2),
+         cf AS (SELECT term, sum(c) AS cf FROM tf GROUP BY 1),
+         tot AS (SELECT CAST(sum(cf) AS DOUBLE) AS t FROM cf),
+         e AS (SELECT tf.doc_id,
+             CAST(round(tf.c * -ln(CAST(cf.cf AS DOUBLE) / t), 9)
+               AS DECIMAL(18,9)) AS contrib,
+             tf.c
+           FROM tf JOIN cf USING (term) CROSS JOIN tot)
+         SELECT doc_id,
+           round(CAST(sum(contrib) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
+             AS unigram_ce
          FROM e GROUP BY doc_id ORDER BY doc_id""",
     "x_funnel" ->
       """WITH v AS (SELECT user_id, min(epoch_us(ts)) AS t0 FROM events

@@ -219,6 +219,48 @@ object DocQueries {
       .limit(k)
   }
 
+  /** More-like-this (Lucene's MoreLikeThis): the source document's most
+    * characteristic terms — top `topTerms` by TF-IDF against the corpus,
+    * ranked by `(round(score, 6) desc, term)` so the selection boundary
+    * is engine-reproducible — become an OR query, BM25-ranked over the
+    * FULL corpus stats (the source doc stays in N/avgdl/df, as Lucene
+    * scores it), with the source itself excluded from the results.
+    *
+    * Scale shape: the source's term vector is one filtered aggregate;
+    * document frequencies are the vocabulary-sized dictionary (term-keyed
+    * join, never broadcast); the selected query — at most `topTerms`
+    * strings — is the ONLY driver-side state (the k-centroids pattern);
+    * scoring reuses [[InvertedIndex.bm25Search]], which reads only the
+    * query terms' postings on a persisted index.
+    */
+  def moreLikeThis(docs: DataFrame, idCol: String, textCol: String,
+      sourceId: Long, topTerms: Int = 5, k: Int = 10): DataFrame = {
+    require(topTerms > 0, s"topTerms must be positive, got $topTerms")
+    require(k > 0, s"k must be positive, got $k")
+    val toks = docs.select(col(idCol),
+      explode(graft.functions.TextFunctions.tokens(lower(col(textCol))))
+        .as("term"))
+    val tf = toks.filter(col(idCol) === sourceId)
+      .groupBy("term").agg(count(lit(1)).as("_tf"))
+    val dfreq = toks.select(col(idCol), col("term")).distinct()
+      .groupBy("term").agg(count(lit(1)).as("_df"))
+    val n = docs.agg(count(lit(1)).as("_n"))
+    val terms = tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .select(col("term"),
+        round(col("_tf") * log(col("_n").cast("double") / col("_df")), 6)
+          .as("_s"))
+      .orderBy(col("_s").desc, col("term")).limit(topTerms)
+      .select("term").collect().map(_.getString(0)).toSeq
+    require(terms.nonEmpty,
+      s"moreLikeThis: source doc $sourceId has no tokens (or does not exist)")
+    InvertedIndex.bm25Search(
+        InvertedIndex.postings(docs, idCol, textCol),
+        InvertedIndex.docLengths(docs, idCol, textCol),
+        terms.mkString(" "), k + 1)
+      .filter(col("doc_id") =!= sourceId)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(k)
+  }
+
   /** Ranked MatchQuery: term-frequency score over the query tokens
     * (the deterministic core of Lucene's ranking — integer tf, so results
     * are engine-exact; idf/norms are corpus-dependent refinements).

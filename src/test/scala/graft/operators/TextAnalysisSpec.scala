@@ -181,6 +181,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(ent(3L) - math.log(2)) < 1e-5)
   }
 
+  test("unigramCrossEntropy scores docs against the corpus distribution") {
+    // corpus: 8 tokens total — a×4, b×2, c×1, d×1
+    val df = Seq(
+      (1L, "a a a a"),   // all common tokens → LOW ce = -ln(4/8)
+      (2L, "b b"),       // ce = -ln(2/8)
+      (3L, "c d"),       // all rare tokens → HIGH ce = -ln(1/8)
+      (4L, "")           // empty: no row
+    ).toDF("doc_id", "text")
+    val ce = TextAnalysis.unigramCrossEntropy(df, "doc_id", "text")
+      .as[(Long, Double)].collect().toMap
+    assert(ce.keySet == Set(1L, 2L, 3L))
+    assert(math.abs(ce(1L) - math.log(2)) < 1e-5)       // -ln(1/2)
+    assert(math.abs(ce(2L) - math.log(4)) < 1e-5)       // -ln(1/4)
+    assert(math.abs(ce(3L) - math.log(8)) < 1e-5)       // -ln(1/8)
+    // the quality ordering: common-vocabulary text below rare-token text
+    assert(ce(1L) < ce(2L) && ce(2L) < ce(3L))
+  }
+
   test("topNgrams ranks corpus-wide n-grams with doc counts and tie-break") {
     val df = Seq(
       (1L, "a b c a b c"),   // "a b c"×2, "b c a"×1, "c a b"×1

@@ -436,6 +436,25 @@ class IndexSinkSpec extends SparkSpec {
     }
   }
 
+  test("moreLikeThis ranks docs sharing the source's characteristic terms") {
+    val docs = Seq(
+      (0L, "quantum flux capacitor quantum"), // source: 3 rare terms
+      (1L, "quantum flux theory"),            // shares 2 → ranked first
+      (2L, "quantum mechanics basics"),       // shares 1
+      (3L, "cooking pasta recipes"),          // shares 0 → absent
+      (4L, "the the the the")                 // no overlap either
+    ).toDF("doc_id", "text")
+    val got = DocQueries.moreLikeThis(docs, "doc_id", "text",
+      sourceId = 0L, topTerms = 3, k = 5)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(!got.contains(0L), "source doc must be excluded")
+    assert(got == Seq(1L, 2L), got)
+    // a source with no tokens (or absent) fails loudly
+    intercept[IllegalArgumentException] {
+      DocQueries.moreLikeThis(docs, "doc_id", "text", sourceId = 99L)
+    }
+  }
+
   test("jsonKeyProfile reports per-key presence, cardinality, and range") {
     val df = Seq(
       """{"a": 1, "b": "x"}""",
