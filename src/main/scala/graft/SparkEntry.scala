@@ -288,6 +288,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Snippet highlighting: first-occurrence position of "merge" and
+    // ±2 tokens of context, edge-clamped — the search-UI hit preview.
+    "q_highlight" -> ((s, d) =>
+      DocQueries.highlightTerm(Tables.documents(s, d), "doc_id", "text",
+        "merge", context = 2)
+        .orderBy("doc_id")),
+
+    // Temperature-scaled source mixture (w_s ∝ n_s^α, α=0.5, target
+    // half the corpus): the multilingual-LM balancing scheme with rates
+    // DERIVED from the corpus — small sources up-weighted vs
+    // proportional sampling; md5-56 keep-set, engine-reproducible.
+    "x_temp_sample" -> ((s, d) =>
+      operators.Corpus.temperatureSample(
+        Tables.documents(s, d).select("doc_id", "source"), "doc_id",
+        "source", alpha = 0.5, targetFraction = 0.5)
+        .select("doc_id", "source").orderBy("doc_id")),
+
     // §2.6 — PhraseQuery (slop 0): tokens must be consecutive.
     "q_match_phrase" -> ((s, d) =>
       DocQueries.matchPhrase(Tables.documents(s, d), "text", "stream data")
@@ -1794,6 +1811,33 @@ object SparkEntry {
            AND NOT list_contains(w, 'window')
            AND (CASE WHEN list_contains(w, 'stream') THEN 1 ELSE 0 END
               + CASE WHEN list_contains(w, 'scan') THEN 1 ELSE 0 END) >= 1
+         ORDER BY doc_id""",
+    // list_position is NULL on no-match in DuckDB (0 in Spark — both
+    // filtered); 1-based inclusive list slice mirrors slice(start, len)
+    "q_highlight" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+           FROM documents),
+         p AS (SELECT doc_id, w, list_position(w, 'merge') AS pos FROM t)
+         SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+           array_to_string(w[greatest(1, pos - 2):least(len(w), pos + 2)],
+             ' ') AS snippet
+         FROM p WHERE pos IS NOT NULL AND pos > 0 ORDER BY doc_id""",
+    // rate derivation mirrored term-for-term (round-6 before floor pins
+    // the integer permille); md5-56 keep-set as in every sampler
+    "x_temp_sample" ->
+      """WITH s AS (SELECT source, CAST(count(*) AS DOUBLE) AS n
+           FROM documents GROUP BY 1),
+         t AS (SELECT sum(pow(n, 0.5)) AS z, sum(n) AS nn FROM s),
+         r AS (SELECT source,
+             least(1000, greatest(0, CAST(floor(round(
+               1000.0 * (0.5 * nn) * (pow(n, 0.5) / z) / n, 6))
+               AS BIGINT))) AS pm
+           FROM s, t)
+         SELECT d.doc_id, d.source FROM documents d
+         JOIN r ON d.source = r.source
+         WHERE (md5_number_lower(CAST(d.doc_id AS VARCHAR))
+           % 72057594037927936) % 1000 < r.pm
          ORDER BY doc_id""",
     // tokenize-rejoin-pad mirrors matchPhrase's boundary-safe normalize
     "q_match_phrase" ->

@@ -161,6 +161,46 @@ object Corpus {
     df.filter(pmod(sampleHash(col(idCol)), lit(1000L)) < rate)
   }
 
+  /** Temperature-scaled mixture sampling — the multilingual-LM source
+    * balancing scheme (sampling weight ∝ n_s^α, α < 1 flattening the
+    * source distribution so small sources are up-weighted relative to
+    * proportional sampling; α = 1 is proportional, α = 0 uniform-by-
+    * source). Where [[mixtureSample]] takes HAND-SET rates, this DERIVES
+    * them from the corpus: stratum s keeps
+    * `permille_s = clamp(⌊round(1000 · (f·N) · (n_s^α / Σ n_j^α) / n_s, 6)⌋, 0, 1000)`
+    * — a target of `f·N` total docs allocated by temperature weight,
+    * capped at keeping a whole stratum. The round-to-6dp before the
+    * floor pins the integer rate against engine ULP differences, and the
+    * md5-56 keep-set makes the kept set engine-reproducible and NESTED
+    * across targets, like every sampler here.
+    *
+    * Scale shape: one stratum-sized aggregate (at most hundreds of
+    * sources), its scalar total cross-joined back, and a BROADCAST join
+    * of the per-stratum rate onto the corpus — pure map-side filter
+    * after that; no corpus-sized shuffle.
+    */
+  def temperatureSample(df: DataFrame, idCol: String, stratumCol: String,
+      alpha: Double, targetFraction: Double): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, s"alpha must be in [0,1], got $alpha")
+    require(targetFraction > 0 && targetFraction <= 1,
+      s"targetFraction must be in (0,1], got $targetFraction")
+    val strata = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).cast("double").as("_n"))
+    val totals = strata.agg(sum(pow(col("_n"), alpha)).as("_z"),
+      sum(col("_n")).as("_nn"))
+    // expression SHAPE mirrored by the SQL oracle term-for-term — the
+    // 6dp round only absorbs ULP noise if both engines compute the same
+    // arithmetic in the same order
+    val pm = least(lit(1000L), greatest(lit(0L),
+      floor(round(lit(1000.0) * (lit(targetFraction) * col("_nn")) *
+        (pow(col("_n"), alpha) / col("_z")) / col("_n"), 6)).cast("long")))
+    val rates = strata.crossJoin(broadcast(totals))
+      .select(col(stratumCol), pm.as("_pm"))
+    df.join(broadcast(rates), stratumCol)
+      .filter(pmod(sampleHash(col(idCol)), lit(1000L)) < col("_pm"))
+      .drop("_pm")
+  }
+
   /** Epoch-weighted mixture MATERIALIZATION — [[mixtureSample]] extended
     * past 1.0: a stratum with 2500 permille-epochs (2.5 epochs) emits
     * every row twice plus a third copy for the deterministic md5-56 half

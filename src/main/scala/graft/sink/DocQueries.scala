@@ -171,6 +171,31 @@ object DocQueries {
     index.filter(normalized.contains(" " + qTokens.mkString(" ") + " "))
   }
 
+  /** Snippet highlighting (Lucene's highlighter, deterministic core):
+    * for documents containing `term`, the 1-based token position of its
+    * FIRST occurrence and a snippet of ±`context` tokens around it —
+    * what a search UI shows under each hit. Tokenization is the shared
+    * corpus convention; clamping at the document edges keeps the snippet
+    * inside the token stream. Pure projection + filter, no shuffle.
+    */
+  def highlightTerm(index: DataFrame, idCol: String, field: String,
+      term: String, context: Int = 2): DataFrame = {
+    val t = term.toLowerCase(java.util.Locale.ROOT)
+    require(t.nonEmpty && !t.contains(' '),
+      s"highlight needs a single non-empty term, got '$term'")
+    require(context >= 0, s"context must be non-negative, got $context")
+    val w = filter(split(lower(col(field)), " "), x => x =!= lit(""))
+    val start = greatest(lit(1L), col("pos") - context)
+    val len = least(size(col("_w")).cast("long"), col("pos") + context) -
+      start + 1
+    index.select(col(idCol), w.as("_w"),
+        array_position(w, t).as("pos"))
+      .filter(col("pos") > 0)
+      .select(col(idCol), col("pos"),
+        array_join(slice(col("_w"), start.cast("int"), len.cast("int")), " ")
+          .as("snippet"))
+  }
+
   /** Field retrieval — projection of requested fields. */
   def retrieve(index: DataFrame, fields: Seq[String]): DataFrame =
     index.select(fields.map(col): _*)

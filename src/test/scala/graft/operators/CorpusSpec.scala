@@ -149,6 +149,38 @@ class CorpusSpec extends SparkSpec {
     assert(quarter.subsetOf(half))
   }
 
+  test("temperatureSample flattens the source distribution at alpha < 1") {
+    // skewed corpus: s0 has 3600 docs, s1 has 400
+    val df = spark.range(4000).select(col("id"),
+      when(col("id") < 3600, "s0").otherwise("s1").as("src"))
+
+    // alpha = 1 is proportional: both strata keep ~ the target fraction
+    val prop = Corpus.temperatureSample(df, "id", "src", 1.0, 0.5)
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(math.abs(prop("s0") / 3600.0 - 0.5) < 0.06, prop.toString)
+    assert(math.abs(prop("s1") / 400.0 - 0.5) < 0.1, prop.toString)
+
+    // alpha = 0.5 flattens: the small stratum's keep RATE must exceed
+    // the large stratum's (w_s ∝ √n_s ⇒ rate ∝ 1/√n_s)
+    val flat = Corpus.temperatureSample(df, "id", "src", 0.5, 0.5)
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    val (r0, r1) = (flat("s0") / 3600.0, flat("s1") / 400.0)
+    assert(r1 > r0 * 2, s"expected flattening, got r0=$r0 r1=$r1")
+
+    // alpha = 0: per-source-uniform allocation caps at whole strata
+    // (2000-doc target split 1000/1000; s1 has only 400 → keeps all)
+    val unif = Corpus.temperatureSample(df, "id", "src", 0.0, 0.5)
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(unif("s1") == 400, unif.toString)
+
+    // the keep-set nests across target fractions (same md5-56 order)
+    val small = Corpus.temperatureSample(df, "id", "src", 0.5, 0.25)
+      .select("id").as[Long].collect().toSet
+    val big = Corpus.temperatureSample(df, "id", "src", 0.5, 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(small.subsetOf(big))
+  }
+
   test("capTokensPerStratum keeps a budget-bounded hash-ordered prefix") {
     val df = spark.range(200).select(col("id"),
       concat(lit("s"), pmod(col("id"), lit(2))).as("src"),

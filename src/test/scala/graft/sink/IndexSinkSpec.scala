@@ -436,6 +436,28 @@ class IndexSinkSpec extends SparkSpec {
     }
   }
 
+  test("highlightTerm returns first-match position and edge-clamped snippet") {
+    val docs = Seq(
+      (1L, "alpha beta MERGE gamma delta epsilon"), // interior match
+      (2L, "merge at the very start"),              // left edge clamps
+      (3L, "ends with a merge"),                    // right edge clamps
+      (4L, "merge early then merge again"),         // FIRST occurrence only
+      (5L, "no match here"),
+      (6L, "submerged not matched")                 // token, not substring
+    ).toDF("doc_id", "text")
+    val got = DocQueries.highlightTerm(docs, "doc_id", "text", "Merge")
+      .as[(Long, Long, String)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq(
+      (1L, 3L, "alpha beta merge gamma delta"),
+      (2L, 1L, "merge at the"),
+      (3L, 4L, "with a merge"),
+      (4L, 1L, "merge early then")))
+    // multi-token or empty highlight terms are rejected
+    intercept[IllegalArgumentException] {
+      DocQueries.highlightTerm(docs, "doc_id", "text", "two words")
+    }
+  }
+
   test("moreLikeThis ranks docs sharing the source's characteristic terms") {
     val docs = Seq(
       (0L, "quantum flux capacitor quantum"), // source: 3 rare terms
