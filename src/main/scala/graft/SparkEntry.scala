@@ -288,6 +288,44 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // §2.6 — RangeQuery (Lucene Point/TermRange): numeric bounds, mixed
+    // inclusivity, pushed to the scan.
+    "q_range" -> ((s, d) =>
+      DocQueries.range(Tables.documents(s, d), "n_chars",
+        lower = Some(500L), upper = Some(1500L), includeUpper = false)
+        .select("doc_id", "n_chars").orderBy("doc_id")),
+
+    // Facet counts over a query's result set (Lucene facets): per-lang
+    // doc counts of the "merge window" matches, top-5 by (count, value).
+    "q_facets" -> ((s, d) =>
+      DocQueries.facetCounts(
+        DocQueries.matchText(Tables.documents(s, d), "text", "merge window"),
+        "lang", 5)),
+
+    // Cursor pagination (searchAfter): page 2 of the BM25 ranking via
+    // the (score, id) cursor from page 1's last hit — must equal rows
+    // 11-20 of the full ranking (OFFSET form in the oracle), without
+    // offset's sort-n-plus-k scale trap.
+    "q_search_after" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val q = "merge window scan"
+      val cur = DocQueries.matchTextBM25(docs, "doc_id", "text", q, 10)
+        .orderBy(col("bm25").asc, col("doc_id").desc).limit(1)
+        .collect().head // the cursor: ONE row of driver state
+      DocQueries.searchAfter(docs, "doc_id", "text", q,
+        cur.getDouble(cur.fieldIndex("bm25")),
+        cur.getLong(cur.fieldIndex("doc_id")), 10)
+    }),
+
+    // Ordered proximity (SpanNearQuery, slop 1) off the positional
+    // index: "stream data" with at most one interleaved token.
+    "q_span_near" -> ((s, d) =>
+      sink.InvertedIndex.spanNearSearch(
+        sink.InvertedIndex.positionalPostings(
+          Tables.documents(s, d), "doc_id", "text"),
+        "stream data", slop = 1)
+        .orderBy("doc_id")),
+
     // Snippet highlighting: first-occurrence position of "merge" and
     // ±2 tokens of context, edge-clamped — the search-UI hit preview.
     "q_highlight" -> ((s, d) =>
@@ -1664,6 +1702,58 @@ object SparkEntry {
            FROM t, s)
          SELECT doc_id, round(score, 6) AS bm25 FROM z WHERE score > 0
          ORDER BY bm25 DESC, doc_id LIMIT 20""",
+    "q_range" ->
+      """SELECT doc_id, n_chars FROM documents
+         WHERE n_chars >= 500 AND n_chars < 1500 ORDER BY doc_id""",
+    "q_facets" ->
+      """SELECT lang, count(*) AS n_docs FROM documents
+         WHERE list_has_any(string_split(lower(text), ' '),
+           ['merge', 'window'])
+         GROUP BY 1 ORDER BY n_docs DESC, lang LIMIT 5""",
+    // cursor page 2 ≡ rows 11-20 of the full ranking (the OFFSET form;
+    // the Spark side gets there via the (score, id) cursor instead)
+    "q_search_after" ->
+      """WITH t AS (SELECT doc_id,
+             CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+               AS DOUBLE) AS dl,
+             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'merge'))
+               AS DOUBLE) AS tf0,
+             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'window'))
+               AS DOUBLE) AS tf1,
+             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'scan'))
+               AS DOUBLE) AS tf2
+           FROM documents),
+         s AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+             CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+             CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+             CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+           FROM t),
+         z AS (SELECT doc_id,
+             ln(1 + (n - df0 + 0.5) / (df0 + 0.5))
+               * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             + ln(1 + (n - df1 + 0.5) / (df1 + 0.5))
+               * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             + ln(1 + (n - df2 + 0.5) / (df2 + 0.5))
+               * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+               AS score
+           FROM t, s)
+         SELECT doc_id, round(score, 6) AS bm25 FROM z WHERE score > 0
+         ORDER BY bm25 DESC, doc_id LIMIT 10 OFFSET 10""",
+    // ordered proximity: positions p1 < p2 with p2 − p1 − 1 ≤ slop(1);
+    // 1-based vs 0-based positions cancel in the difference
+    "q_span_near" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+           FROM documents),
+         p AS (SELECT doc_id, unnest(w) AS term,
+             generate_subscripts(w, 1) AS pos
+           FROM t),
+         a AS (SELECT doc_id, pos FROM p WHERE term = 'stream'),
+         b AS (SELECT doc_id, pos FROM p WHERE term = 'data')
+         SELECT DISTINCT a.doc_id AS doc_id FROM a JOIN b
+           ON a.doc_id = b.doc_id
+         WHERE b.pos > a.pos AND b.pos - a.pos - 1 <= 1
+         ORDER BY a.doc_id""",
     // full postings dump: lateral unnest of the tokenized text, exact tf
     "x_inverted_postings" ->
       """SELECT term, doc_id, tf FROM (

@@ -213,7 +213,16 @@ object DocQueries {
     * shuffle ever carries more than the stats row.
     */
   def matchTextBM25(index: DataFrame, idCol: String, field: String,
-      query: String, k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      query: String, k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25Scores(index, idCol, field, query, k1, b)
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(k)
+
+  /** All positive BM25 scores for `query` — the un-limited body shared
+    * by [[matchTextBM25]] (top-k) and [[searchAfter]] (cursor page).
+    */
+  private def bm25Scores(index: DataFrame, idCol: String, field: String,
+      query: String, k1: Double, b: Double): DataFrame = {
     val qTokens = queryTokens(query).distinct
     require(qTokens.nonEmpty, "BM25 needs a non-empty query")
     // ONE tokenization pass per row ([[graft.functions.TermFreqStats]];
@@ -240,7 +249,51 @@ object DocQueries {
       .select(col(idCol), score.as("_score"))
       .filter(col("_score") > 0)
       .select(col(idCol), round(col("_score"), 6).as("bm25"))
+  }
+
+  /** Cursor pagination (Lucene `searchAfter`): the next `k` BM25 hits
+    * STRICTLY after the cursor `(afterScore, afterId)` in the ranking's
+    * total order `(bm25 desc, id asc)`. Stateless — the cursor is the
+    * last hit of the previous page, so deep paging never materializes
+    * or re-skips earlier pages (the offset-pagination scale trap: OFFSET
+    * n still SORTS n + k rows; a cursor keeps every page a top-k).
+    */
+  def searchAfter(index: DataFrame, idCol: String, field: String,
+      query: String, afterScore: Double, afterId: Long, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25Scores(index, idCol, field, query, k1, b)
+      .filter(col("bm25") < afterScore ||
+        (col("bm25") === afterScore && col(idCol) > afterId))
       .orderBy(col("bm25").desc, col(idCol))
+      .limit(k)
+
+  /** RangeQuery (Lucene Point/TermRangeQuery): field within the given
+    * bounds, either side optional, inclusivity per side. Pure pushed
+    * predicate — on a persisted layout this prunes at row-group min/max
+    * before it ever evaluates per row.
+    */
+  def range(index: DataFrame, field: String,
+      lower: Option[Any] = None, upper: Option[Any] = None,
+      includeLower: Boolean = true, includeUpper: Boolean = true): DataFrame = {
+    require(lower.nonEmpty || upper.nonEmpty,
+      "range query needs at least one bound")
+    val lo = lower.map(v =>
+      if (includeLower) col(field) >= lit(v) else col(field) > lit(v))
+    val hi = upper.map(v =>
+      if (includeUpper) col(field) <= lit(v) else col(field) < lit(v))
+    index.filter((lo.toSeq ++ hi.toSeq).reduce(_ && _))
+  }
+
+  /** Facet counts (Lucene facets): per-value document counts of
+    * `facetField` over an already-filtered result set, top-`k` by
+    * `(count desc, value asc)`. One map-side-combinable aggregate +
+    * TakeOrderedAndProject — never materializes the full result list.
+    */
+  def facetCounts(matching: DataFrame, facetField: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    matching.groupBy(col(facetField))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col(facetField))
       .limit(k)
   }
 

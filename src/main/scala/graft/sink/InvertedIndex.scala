@@ -106,6 +106,39 @@ object InvertedIndex {
       .groupBy("doc_id").agg(count(lit(1)).as("n_occurrences"))
   }
 
+  /** Ordered proximity search (Lucene SpanNearQuery, inOrder = true)
+    * over the positional index: documents where the query tokens appear
+    * IN ORDER with at most `slop` non-query tokens interleaved — i.e.
+    * positions `p_1 < p_2 < … < p_k` with `p_k − p_1 − (k−1) ≤ slop`.
+    * `slop = 0` is exactly [[phraseSearch]]'s membership (spec-pinned).
+    *
+    * Scale shape: like [[phraseSearch]], one df(term)-sized leg per
+    * query token (pushed term predicate on the term-sorted layout), but
+    * legs join on `(doc, ordered-position-range)` instead of exact
+    * alignment: each join keeps `(doc, first-position, last-position)`
+    * and SHRINKS the candidate set; the slop bound is one final filter.
+    * Returns distinct matching `doc_id`s.
+    */
+  def spanNearSearch(positional: DataFrame, phrase: String,
+      slop: Int): DataFrame = {
+    require(slop >= 0, s"slop must be non-negative, got $slop")
+    val qTokens = DocQueries.queryTokens(phrase)
+    require(qTokens.nonEmpty, "span-near search needs a non-empty phrase")
+    val legs = qTokens.map { t =>
+      positional.filter(col("term") === t)
+        .select(col("doc_id"), explode(col("positions")).as("_p"))
+    }
+    val spans = legs.zipWithIndex.drop(1).foldLeft(
+      legs.head.select(col("doc_id"), col("_p").as("_first"),
+        col("_p").as("_last"))) { case (acc, (leg, _)) =>
+      acc.join(leg.withColumnRenamed("_p", "_next"), Seq("doc_id"))
+        .filter(col("_next") > col("_last"))
+        .select(col("doc_id"), col("_first"), col("_next").as("_last"))
+    }
+    spans.filter(col("_last") - col("_first") - (qTokens.size - 1) <= slop)
+      .select("doc_id").distinct()
+  }
+
   /** PrefixQuery off the index: matching docs via the postings whose
     * term starts with `prefix`. On the term-sorted layout the predicate
     * pushes as `StringStartsWith` — parquet min/max skips every row

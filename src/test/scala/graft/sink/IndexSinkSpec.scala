@@ -436,6 +436,45 @@ class IndexSinkSpec extends SparkSpec {
     }
   }
 
+  test("searchAfter pages through the BM25 ranking without gaps or overlap") {
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    val q = "merge window scan"
+    val full = DocQueries.matchTextBM25(docs, "doc_id", "text", q, 30)
+      .as[(Long, Double)].collect().toSeq
+    assert(full.size >= 15, s"corpus too small for paging test: ${full.size}")
+    // page via cursors of 5 and reassemble the ranking prefix exactly
+    var pages = Vector(DocQueries.matchTextBM25(docs, "doc_id", "text", q, 5)
+      .as[(Long, Double)].collect().toSeq)
+    while (pages.last.size == 5 && pages.size < 6) {
+      val (lastId, lastScore) = (pages.last.last._1, pages.last.last._2)
+      pages :+= DocQueries.searchAfter(docs, "doc_id", "text", q,
+        lastScore, lastId, 5).as[(Long, Double)].collect().toSeq
+    }
+    val paged = pages.flatten
+    assert(paged.size >= 15)
+    assert(paged == full.take(paged.size))
+    assert(paged.map(_._1).distinct.size == paged.size, "overlapping pages")
+  }
+
+  test("range and facetCounts compose as filter + aggregate") {
+    val docs = Seq(
+      (1L, 100L, "en"), (2L, 200L, "en"), (3L, 300L, "de"),
+      (4L, 400L, "fr"), (5L, 500L, "de")).toDF("doc_id", "n", "lang")
+    // inclusive lower, exclusive upper
+    assert(DocQueries.range(docs, "n", Some(200L), Some(500L),
+      includeUpper = false).select("doc_id").as[Long].collect().toSet
+      == Set(2L, 3L, 4L))
+    // one-sided
+    assert(DocQueries.range(docs, "n", lower = None, upper = Some(200L))
+      .count() == 2)
+    intercept[IllegalArgumentException] {
+      DocQueries.range(docs, "n")
+    }
+    val f = DocQueries.facetCounts(docs, "lang", 2)
+      .as[(String, Long)].collect().toSeq
+    assert(f == Seq(("de", 2L), ("en", 2L))) // count desc, value asc
+  }
+
   test("highlightTerm returns first-match position and edge-clamped snippet") {
     val docs = Seq(
       (1L, "alpha beta MERGE gamma delta epsilon"), // interior match

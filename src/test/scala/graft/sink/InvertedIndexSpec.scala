@@ -127,6 +127,33 @@ class InvertedIndexSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") && plan.contains("term"), plan)
   }
 
+  test("spanNearSearch: ordered proximity with slop; slop 0 ≡ phraseSearch") {
+    val docs = Seq(
+      (1L, "stream data now"),          // adjacent, in order
+      (2L, "stream the data"),          // one gap — slop 1 only
+      (3L, "stream a b data"),          // two gaps — slop 2 only
+      (4L, "data stream"),              // wrong order — never
+      (5L, "stream only here")          // missing term
+    ).toDF("doc_id", "text")
+    val pos = InvertedIndex.positionalPostings(docs, "doc_id", "text")
+    def ids(slop: Int): Set[Long] =
+      InvertedIndex.spanNearSearch(pos, "stream data", slop)
+        .as[Long].collect().toSet
+    assert(ids(0) == Set(1L))
+    assert(ids(1) == Set(1L, 2L))
+    assert(ids(2) == Set(1L, 2L, 3L))
+    // slop 0 membership equals phraseSearch on the shared test corpus
+    val corpusPos = InvertedIndex.positionalPostings(corpus, "doc_id", "text")
+    assert(
+      InvertedIndex.spanNearSearch(corpusPos, "merge window", 0)
+        .as[Long].collect().toSet ==
+      InvertedIndex.phraseSearch(corpusPos, "merge window")
+        .select("doc_id").as[Long].collect().toSet)
+    // single-token degenerate: the term query
+    assert(ids(0).subsetOf(
+      InvertedIndex.spanNearSearch(pos, "stream", 0).as[Long].collect().toSet))
+  }
+
   test("prefix and fuzzy: index-served ≡ scan-form; prefix predicate pushes") {
     val docs = Tables.documents(spark, sf)
     val dir = java.nio.file.Files.createTempDirectory("preidx").toString
