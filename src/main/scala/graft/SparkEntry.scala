@@ -326,6 +326,32 @@ object SparkEntry {
         "stream data", slop = 1)
         .orderBy("doc_id")),
 
+    // Per-SOURCE quality percentile: percent_rank within each source by
+    // (n_chars, doc_id) — the per-group normalization step, computed
+    // with NO per-group window (a hot source would serialize one task);
+    // range-partitioned two-phase ranks like x_quality_rank.
+    "x_quality_rank_by_source" -> ((s, d) =>
+      operators.Corpus.groupPercentRank(
+        Tables.documents(s, d).select("doc_id", "source", "n_chars"),
+        "source", struct(col("n_chars"), col("doc_id")), "pr")
+        .select(col("doc_id"), col("source"), round(col("pr"), 6).as("pr"))
+        .orderBy("doc_id")),
+
+    // Percolation (reverse search): three registered alert queries,
+    // every document routed to the alerts it matches — term-keyed
+    // joins + clause counting, never a doc × query cross product.
+    "q_percolate" -> ((s, d) => {
+      import s.implicits._
+      val registered = Seq(
+        ("alert_merge", Seq("merge", "window"), Seq("scan")),
+        ("alert_stream", Seq("stream", "data"), Seq.empty[String]),
+        ("alert_common", Seq("the"), Seq.empty[String]))
+        .toDF("query_id", "must", "must_not")
+      DocQueries.percolate(Tables.documents(s, d), "doc_id", "text",
+          registered)
+        .orderBy("doc_id", "query_id")
+    }),
+
     // Snippet highlighting: first-occurrence position of "merge" and
     // ±2 tokens of context, edge-clamped — the search-UI hit preview.
     "q_highlight" -> ((s, d) =>
@@ -1902,6 +1928,26 @@ object SparkEntry {
            AND (CASE WHEN list_contains(w, 'stream') THEN 1 ELSE 0 END
               + CASE WHEN list_contains(w, 'scan') THEN 1 ELSE 0 END) >= 1
          ORDER BY doc_id""",
+    "x_quality_rank_by_source" ->
+      """SELECT doc_id, source,
+           round(percent_rank() OVER (
+             PARTITION BY source ORDER BY n_chars, doc_id), 6) AS pr
+         FROM documents ORDER BY doc_id""",
+    // registered queries as a VALUES relation; a (doc, query) pair
+    // survives when every must term hits and no must_not term does
+    "q_percolate" ->
+      """WITH q(query_id, must, must_not) AS (VALUES
+           ('alert_merge', ['merge', 'window'], ['scan']),
+           ('alert_stream', ['stream', 'data'], CAST([] AS VARCHAR[])),
+           ('alert_common', ['the'], CAST([] AS VARCHAR[]))),
+         t AS (SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+           FROM documents)
+         SELECT t.doc_id, q.query_id FROM t, q
+         WHERE len(list_filter(q.must, m -> list_contains(t.w, m)))
+                 = len(q.must)
+           AND len(list_filter(q.must_not, m -> list_contains(t.w, m))) = 0
+         ORDER BY doc_id, query_id""",
     // list_position is NULL on no-match in DuckDB (0 in Spark — both
     // filtered); 1-based inclusive list slice mirrors slice(start, len)
     "q_highlight" ->

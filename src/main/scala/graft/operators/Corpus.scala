@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.functions.TextFunctions
 
@@ -401,6 +401,66 @@ object Corpus {
     withGlobalCumSum(df, orderCol, lit(1L), "_graft_r0")
       .withColumn(outCol, col("_graft_r0").cast("double") / denom)
       .drop("_graft_r0")
+  }
+
+  /** Per-GROUP percent rank WITHOUT windows —
+    * `percent_rank() OVER (PARTITION BY group ORDER BY order)` for the
+    * case window partitioning cannot survive: a HOT group (half the
+    * corpus from one source) funnels its whole partition through one
+    * task under `Window.partitionBy`. Here rows range-partition on
+    * `(group, order)` — a hot group SPREADS over adjacent partitions —
+    * and ranks come from the [[withGlobalCumSum]] two-phase shape,
+    * per-group: one lightweight per-(partition, group) count job
+    * (sorted partitions keep groups contiguous, so it emits ≈ one row
+    * per group-run, bounded by partitions + groups), driver-side
+    * exclusive offsets, then partition-local rank assignment against
+    * broadcast offsets. Denominator is percent_rank's `n − 1`
+    * (single-row groups emit 0.0). Pass a tiebreaking struct as
+    * `orderCol` for a total order, as with [[globalPercentRank]].
+    */
+  def groupPercentRank(df: DataFrame, groupCol: String, orderCol: Column,
+      outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = df.repartitionByRange(parts, col(groupCol), orderCol)
+      .sortWithinPartitions(col(groupCol), orderCol)
+    val gIdx = sorted.schema.fieldIndex(groupCol)
+    val rdd = sorted.rdd
+    val runs: Array[(Int, Any, Long)] = rdd.mapPartitionsWithIndex { (p, it) =>
+      val counts = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
+      it.foreach { r =>
+        val g = r.get(gIdx); counts.update(g, counts.getOrElse(g, 0L) + 1L)
+      }
+      counts.toList.map { case (g, c) => (p, g, c) }.iterator
+    }.collect()
+    val totals: Map[Any, Long] =
+      runs.groupBy(_._2).map { case (g, rs) => g -> rs.map(_._3).sum }
+    val offsets: Map[(Int, Any), Long] = runs.groupBy(_._2).flatMap {
+      case (g, rs) =>
+        val byPart = rs.sortBy(_._1)
+        byPart.map(_._1).zip(byPart.map(_._3).scanLeft(0L)(_ + _))
+          .map { case (p, o) => (p, g) -> o }
+    }
+    val bTotals = spark.sparkContext.broadcast(totals)
+    val bOffsets = spark.sparkContext.broadcast(offsets)
+    val schema = sorted.schema.add(outCol, DoubleType, nullable = false)
+    val out = rdd.mapPartitionsWithIndex { (p, it) =>
+      var cur: Any = null
+      var started = false
+      var acc = 0L
+      it.map { r =>
+        val g = r.get(gIdx)
+        if (!started || g != cur) {
+          cur = g; started = true
+          acc = bOffsets.value.getOrElse((p, g), 0L)
+        }
+        val denom = math.max(bTotals.value(g) - 1L, 1L).toDouble
+        val rank = acc
+        acc += 1L
+        Row.fromSeq(r.toSeq :+ rank / denom)
+      }
+    }
+    spark.createDataFrame(out, schema)
   }
 
   def withGlobalCumSum(df: DataFrame, orderCol: Column, weightCol: Column,

@@ -196,6 +196,49 @@ object DocQueries {
           .as("snippet"))
   }
 
+  /** Percolation ("reverse search" — Elasticsearch's percolator /
+    * Lucene Monitor): REGISTERED queries are data, and each incoming
+    * document returns the queries it matches — the alerting/routing
+    * shape. A registered query is `(query_id, must, must_not)`: all
+    * `must` terms required, no `must_not` term present (clause SETS —
+    * duplicates collapse, as in [[boolClauses]]).
+    *
+    * The relational inversion that makes this scale: queries × docs is
+    * never a cross product. Each query's MUST clauses explode once
+    * (queries-table-sized), join the docs' distinct (doc, term) pairs
+    * ON TERM, and a (doc, query) pair survives when its matched-clause
+    * count equals the query's clause count; MUST_NOT hits leave by
+    * left_anti. Every stage is term-keyed and map-side combinable —
+    * a million registered alerts against a firehose is joins and
+    * counts, not a per-doc query loop.
+    */
+  def percolate(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame): DataFrame = {
+    val required = Seq("query_id", "must", "must_not")
+    required.foreach(c => require(queries.columns.contains(c),
+      s"queries must have columns $required, got ${queries.columns.toSeq}"))
+    val docTerms = docs.select(col(idCol),
+        explode(split(lower(col(textCol)), " ")).as("term"))
+      .filter(col("term") =!= "").distinct()
+    val qMust = queries
+      .select(col("query_id"), array_distinct(col("must")).as("_m"))
+      .select(col("query_id"), size(col("_m")).as("_n_must"),
+        explode(col("_m")).as("term"))
+    // a MUST-less query drops out at the explode — it matches NOTHING
+    // (never "everything": a registered match-all would amplify every
+    // doc; callers wanting that use matchAll directly)
+    val matched = docTerms.join(qMust, "term")
+      .groupBy(col(idCol), col("query_id"), col("_n_must"))
+      .agg(count(lit(1)).as("_hits"))
+      .filter(col("_hits") === col("_n_must"))
+      .select(col(idCol), col("query_id"))
+    val notHits = docTerms.join(
+      queries.select(col("query_id"),
+        explode(array_distinct(col("must_not"))).as("term")), "term")
+      .select(col(idCol), col("query_id")).distinct()
+    matched.join(notHits, Seq(idCol, "query_id"), "left_anti")
+  }
+
   /** Field retrieval — projection of requested fields. */
   def retrieve(index: DataFrame, fields: Seq[String]): DataFrame =
     index.select(fields.map(col): _*)

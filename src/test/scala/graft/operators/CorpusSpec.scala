@@ -181,6 +181,29 @@ class CorpusSpec extends SparkSpec {
     assert(small.subsetOf(big))
   }
 
+  test("groupPercentRank matches the window form, group-locally, no Window") {
+    // groups of size 5, 1 (percent_rank = 0.0), and 2; interleaved input
+    val df = Seq(
+      ("a", 10L, 1L), ("b", 5L, 2L), ("a", 20L, 3L), ("c", 7L, 4L),
+      ("a", 15L, 5L), ("a", 10L, 6L), ("c", 3L, 7L), ("a", 1L, 8L)
+    ).toDF("g", "score", "id")
+    val got = Corpus.groupPercentRank(df, "g",
+        struct(col("score"), col("id")), "pr")
+      .select("g", "id", "pr").as[(String, Long, Double)]
+      .collect().toSet
+    val want = df.select(col("g"), col("id"),
+        org.apache.spark.sql.functions.percent_rank().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("g")
+            .orderBy("score", "id")).as("pr"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(got == want)
+    // the plan is RDD-two-phase by construction: no WindowExec anywhere
+    assert(!Corpus.groupPercentRank(df, "g", struct(col("score"), col("id")),
+      "pr").queryExecution.executedPlan.toString.contains("Window"))
+    // single-row group convention
+    assert(got.exists { case (g, id, pr) => g == "b" && pr == 0.0 })
+  }
+
   test("capTokensPerStratum keeps a budget-bounded hash-ordered prefix") {
     val df = spark.range(200).select(col("id"),
       concat(lit("s"), pmod(col("id"), lit(2))).as("src"),

@@ -475,6 +475,31 @@ class IndexSinkSpec extends SparkSpec {
     assert(f == Seq(("de", 2L), ("en", 2L))) // count desc, value asc
   }
 
+  test("percolate routes docs to registered queries by clause sets") {
+    val docs = Seq(
+      (1L, "merge window open"),        // alert_a (no scan)
+      (2L, "merge window scan"),        // must_not kills alert_a
+      (3L, "merge only"),               // partial must — no match
+      (4L, "window merge extra"),       // order-free — alert_a
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val registered = Seq(
+      ("alert_a", Seq("merge", "window"), Seq("scan")),
+      ("alert_b", Seq("merge", "merge"), Seq.empty[String]), // dup clause collapses
+      ("alert_empty", Seq.empty[String], Seq.empty[String])  // matches NOTHING
+    ).toDF("query_id", "must", "must_not")
+    val got = DocQueries.percolate(docs, "doc_id", "text", registered)
+      .as[(Long, String)].collect().toSet
+    assert(got == Set(
+      (1L, "alert_a"), (4L, "alert_a"),
+      (1L, "alert_b"), (2L, "alert_b"), (3L, "alert_b"), (4L, "alert_b")))
+    // missing columns rejected loudly
+    intercept[IllegalArgumentException] {
+      DocQueries.percolate(docs, "doc_id", "text",
+        Seq(("q", Seq("a"))).toDF("query_id", "must"))
+    }
+  }
+
   test("highlightTerm returns first-match position and edge-clamped snippet") {
     val docs = Seq(
       (1L, "alpha beta MERGE gamma delta epsilon"), // interior match
