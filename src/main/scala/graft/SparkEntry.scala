@@ -812,6 +812,20 @@ object SparkEntry {
 
     // Brute-force cosine top-k vs the vec_id=0 query vector (exact ANN
     // baseline), expressed as a broadcast join — no driver collect.
+    // Quantized-scan + exact-rescore ANN: int8 candidate pool (100) then
+    // full-precision rescore of the pool — must equal the EXACT top-10
+    // (same oracle as x_sim_topk): the 4x-bandwidth scan pattern with
+    // its answer-fidelity pinned by the gate.
+    "x_sim_quantized" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val qv = e.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0)
+      operators.Similarity.quantizedTopK(
+          e.select("vec_id", "embedding"), "vec_id", "embedding",
+          qv, k = 10, rescoreK = 100)
+        .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+    }),
+
     "x_sim_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
@@ -2254,6 +2268,16 @@ object SparkEntry {
            CAST(2 AS BIGINT) AS n_pending_commits
          FROM embeddings WHERE embedding IS NOT NULL AND vec_id >= 5""",
     "x_sim_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         z AS (SELECT vec_id,
+             list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                    CAST(qv AS DOUBLE[])) AS c
+           FROM embeddings, q)
+         SELECT vec_id, round(c, 6) AS cosine FROM z
+         ORDER BY c DESC, vec_id LIMIT 10""",
+    // the quantized-pool + rescore answer must BE the exact answer —
+    // same oracle as x_sim_topk
+    "x_sim_quantized" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
          z AS (SELECT vec_id,
              list_cosine_similarity(CAST(embedding AS DOUBLE[]),

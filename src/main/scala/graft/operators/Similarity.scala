@@ -59,6 +59,43 @@ object Similarity {
   /** Exact all-pairs top-k neighbors per vector (small corpora / within
     * candidate buckets): window-ranked pair join.
     */
+  /** Quantized candidate generation + exact rescore — the memory-bound
+    * ANN pattern: score the corpus against the QUANTIZED (int8
+    * symmetric, [[graft.functions.VectorExpressions.q8Roundtrip]])
+    * vectors — at 100 TB the brute-force leg is bandwidth-bound, and
+    * int8 reads a quarter of the bytes — keep a `rescoreK` candidate
+    * pool, then re-score ONLY the pool at full precision for the final
+    * top-`k`. Exactness is probabilistic in the pool width: with
+    * `rescoreK ≫ k` the quantization error (≲1/127 per component) must
+    * displace a true top-k member past `rescoreK` candidates to change
+    * the answer; the gate runs it against the EXACT oracle to show the
+    * pool holds at the gated width.
+    *
+    * Scale shape: both passes are corpus-scan projections + one
+    * TakeOrderedAndProject each; the rescore leg is a broadcast semi
+    * join of the ≤rescoreK candidate ids — never a second corpus pass
+    * at full width (ids, not vectors, travel).
+    */
+  def quantizedTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int, rescoreK: Int): DataFrame = {
+    require(rescoreK >= k, s"rescoreK ($rescoreK) must be ≥ k ($k)")
+    val qLit = array(query.map(lit): _*)
+    val candidates = df.select(col(idCol),
+        graft.functions.VectorExpressions.cosineFast(
+          graft.functions.VectorExpressions.q8Roundtrip(col(vecCol)),
+          graft.functions.VectorExpressions.q8Roundtrip(qLit)).as("_qc"))
+      .orderBy(nanvl(col("_qc"), lit(Double.NegativeInfinity)).desc, col(idCol))
+      .limit(rescoreK)
+      .select(col(idCol))
+    df.join(broadcast(candidates), Seq(idCol), "left_semi")
+      .select(col(idCol),
+        graft.functions.VectorExpressions.cosineFast(col(vecCol), qLit)
+          .as("cosine"))
+      .orderBy(nanvl(col("cosine"), lit(Double.NegativeInfinity)).desc,
+        col(idCol))
+      .limit(k)
+  }
+
   def allPairsTopK(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))

@@ -27,6 +27,26 @@ class SimilaritySpec extends SparkSpec {
     assert(top.length == 5)
   }
 
+  test("quantized-pool + exact rescore equals brute force at gated width") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0)
+    val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding", q, 10)
+      .as[(Long, Double)].collect().toSeq
+    val viaQ8 = Similarity.quantizedTopK(e, "vec_id", "embedding", q,
+      k = 10, rescoreK = 100).as[(Long, Double)].collect().toSeq
+    // rescore restores FULL-precision scores, so rows match exactly
+    assert(viaQ8 == exact)
+    // degenerate pool (rescoreK == k): candidates come from the
+    // quantized ordering alone — still k rows, scores full-precision
+    val tight = Similarity.quantizedTopK(e, "vec_id", "embedding", q,
+      k = 10, rescoreK = 10).as[(Long, Double)].collect().toSeq
+    assert(tight.size == 10)
+    intercept[IllegalArgumentException] {
+      Similarity.quantizedTopK(e, "vec_id", "embedding", q, 10, 5)
+    }
+  }
+
   test("ANN with multi-probe achieves usable recall vs brute force") {
     // The synthetic embeddings are near-uniform on the sphere (max pair
     // cosine ≈ 0.37), the hardest case for angular LSH — so the bound here
