@@ -232,6 +232,22 @@ object SparkEntry {
         "merge window scan", 20)
     }),
 
+    // BATCH BM25: two queries answered in one postings pass — union-of-
+    // terms pushed filter, per-query fan-out after the stats joins,
+    // bounded TopKByScore per query (no window). The text twin of
+    // x_knn_indexed's batch serving shape.
+    "x_bm25_batch" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val qs = Seq(("q0", "merge window"), ("q1", "stream data scan"))
+        .toDF("query_id", "query")
+      sink.InvertedIndex.bm25SearchBatch(
+          sink.InvertedIndex.postings(docs, "doc_id", "text"),
+          sink.InvertedIndex.docLengths(docs, "doc_id", "text"),
+          qs, "query_id", "query", k = 5)
+        .orderBy("query_id", "rk")
+    }),
+
     // More-like-this: doc 0's top-5 TF-IDF terms (6dp-rounded score,
     // term tie-break — engine-reproducible selection) become an OR
     // query, BM25-ranked over full-corpus stats, source excluded.
@@ -1862,6 +1878,40 @@ object SparkEntry {
            FROM t, s)
          SELECT doc_id, round(score, 6) AS bm25 FROM z WHERE score > 0
          ORDER BY bm25 DESC, doc_id LIMIT 20""",
+    // relational BM25 over a (query, term) VALUES relation; rank by the
+    // 6dp-ROUNDED score (the Spark side rounds before ranking too)
+    "x_bm25_batch" ->
+      """WITH qt(query_id, term) AS (VALUES
+           ('q0', 'merge'), ('q0', 'window'),
+           ('q1', 'stream'), ('q1', 'data'), ('q1', 'scan')),
+         toks AS (SELECT doc_id,
+             unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+               AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+           FROM toks GROUP BY 1, 2),
+         dfq AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS dfn
+           FROM toks GROUP BY 1),
+         dl AS (SELECT doc_id,
+             CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+               AS DOUBLE) AS dl
+           FROM documents),
+         st AS (SELECT CAST(count(*) AS DOUBLE) AS nn, avg(dl) AS avgdl
+           FROM dl),
+         contrib AS (SELECT qt.query_id, tf.doc_id,
+             ln(1 + (st.nn - dfq.dfn + 0.5) / (dfq.dfn + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS c
+           FROM qt JOIN tf USING (term) JOIN dfq USING (term)
+           JOIN dl ON tf.doc_id = dl.doc_id, st),
+         z AS (SELECT query_id, doc_id, sum(c) AS s FROM contrib
+           GROUP BY 1, 2),
+         r AS (SELECT query_id, doc_id, round(s, 6) AS bm25,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY round(s, 6) DESC, doc_id) AS rk
+           FROM z WHERE s > 0)
+         SELECT query_id, CAST(rk AS INT) AS rk, doc_id, bm25
+         FROM r WHERE rk <= 5 ORDER BY query_id, rk""",
     // MLT mirror: tfidf term selection (round-6 + term tie-break) as a
     // CTE, then the RELATIONAL BM25 form (terms join postings join norms
     // — the indexed scorer's shape) over full-corpus stats, source

@@ -301,6 +301,20 @@ object IncrementalPostings {
       lit(recommended).as("compact_recommended"))
   }
 
+  /** Stats-driven maintenance hook: [[compact]] exactly when [[stats]]
+    * recommends it — the auto-compaction policy an ingest loop calls
+    * after each commit (the postings twin of `ParquetIndexSink`'s
+    * `maxDeltas` auto-compaction, but threshold-configurable and
+    * observable). Returns whether a compaction ran.
+    */
+  def maybeCompact(spark: SparkSession, dir: String, maxDeltas: Int = 8,
+      touchedFraction: Double = 0.2): Boolean = {
+    val rec = stats(spark, dir, maxDeltas, touchedFraction)
+      .select("compact_recommended").head().getBoolean(0)
+    if (rec) compact(spark, dir)
+    rec
+  }
+
   /** Fold all deltas into a fresh term-sorted base — the only index-sized
     * write, run as maintenance (the `ParquetIndexSink.compactDeltas`
     * contract). Materializes the resolved views, swaps the base (old →

@@ -169,6 +169,48 @@ object InvertedIndex {
       .select("doc_id").distinct()
   }
 
+  /** BATCH BM25 retrieval — N queries answered in ONE pass over the
+    * postings (the batch-serving shape; the text twin of
+    * `VectorIndex.knnSearch`). Identical per-term scoring to
+    * [[bm25Search]]; the postings filter is the UNION of every query's
+    * terms (one pushed semi-join for the whole batch), document scores
+    * fan out per query AFTER the df/norms joins, and per-query top-k is
+    * the bounded `TopKByScore` aggregate — no per-query window, no
+    * corpus re-scan per query. Scores round to 6dp BEFORE ranking so
+    * the (score, id) order is engine-reproducible.
+    *
+    * Output: `(queryIdCol, rk, doc_id, bm25)`, `rk ∈ [1, k]`.
+    */
+  def bm25SearchBatch(postings: DataFrame, docLens: DataFrame,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val qTerms = queries.select(col(queryIdCol),
+      explode(array_distinct(filter(split(lower(col(queryTextCol)), " "),
+        t => t =!= lit("")))).as("term"))
+    val terms = qTerms.select("term").distinct()
+    val qp = postings.join(broadcast(terms), Seq("term"), "left_semi")
+    val dfPerTerm = qp.groupBy("term")
+      .agg(count(lit(1)).cast("double").as("_df"))
+    val stats = docLens.agg(count(lit(1)).cast("double").as("_n"),
+      avg(col("dl").cast("double")).as("_avgdl"))
+    val contrib = DocQueries.bm25Contrib(col("tf").cast("double"),
+      col("_df"), col("_n"), col("_avgdl"), col("dl").cast("double"), k1, b)
+    val scored = qp
+      .join(broadcast(dfPerTerm), "term")
+      .join(docLens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .join(broadcast(qTerms), Seq("term"))
+      .select(col(queryIdCol), col("doc_id"), contrib.as("_contrib"))
+      .groupBy(col(queryIdCol), col("doc_id"))
+      .agg(sum("_contrib").as("_raw"))
+      .filter(col("_raw") > 0)
+      .select(col(queryIdCol), round(col("_raw"), 6).as("_c"),
+        col("doc_id").cast("long").as("_id"))
+    graft.operators.Similarity.rankScoredTopK(scored, queryIdCol, "doc_id", k)
+      .withColumnRenamed("cosine", "bm25")
+  }
+
   /** BooleanQuery off the index — same clause semantics as the scan-form
     * [[DocQueries.boolQuery]] (one shared [[DocQueries.boolClauses]]
     * definition; spec-pinned equal), evaluated over postings:

@@ -170,6 +170,25 @@ class IncrementalPostingsSpec extends SparkSpec {
     assert(stat() == ((10L, 10L, 0L, 0L, 0L, false)))
   }
 
+  test("maybeCompact runs exactly when the stats recommend it") {
+    val dir = java.nio.file.Files.createTempDirectory("incmaybe").toString
+    val base = (1L to 10L).map(i => (i, s"doc number $i"))
+    IncrementalPostings.init(base.toDF("doc_id", "text"), "doc_id", "text", dir)
+    IncrementalPostings.commitUpserts(
+      Seq((1L, "one touched doc")).toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    // 1/10 touched < 0.5, 1 delta < 8 → no compaction, log intact
+    assert(!IncrementalPostings.maybeCompact(spark, dir,
+      touchedFraction = 0.5))
+    assert(IncrementalPostings.stats(spark, dir)
+      .select("n_deltas").head().getLong(0) == 1L)
+    // depth threshold 1 trips it → compacted, log empty, view unchanged
+    assert(IncrementalPostings.maybeCompact(spark, dir, maxDeltas = 1))
+    assert(IncrementalPostings.stats(spark, dir)
+      .select("n_deltas").head().getLong(0) == 0L)
+    assert(IncrementalPostings.currentNorms(spark, dir).count() == 10L)
+  }
+
   test("a commit writes O(batch) bytes, never touching the base") {
     val dir = java.nio.file.Files.createTempDirectory("incpost-bytes").toString
     val base = (1L to 500L).map(i => (i, s"word$i common merge scan text"))

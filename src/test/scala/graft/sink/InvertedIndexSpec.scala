@@ -127,6 +127,25 @@ class InvertedIndexSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") && plan.contains("term"), plan)
   }
 
+  test("bm25SearchBatch answers each query exactly like the single form") {
+    val docs = Tables.documents(spark, sf)
+    val p = InvertedIndex.postings(docs, "doc_id", "text")
+    val dl = InvertedIndex.docLengths(docs, "doc_id", "text")
+    val qs = Seq(("a", "merge window"), ("b", "stream data scan"))
+      .toDF("query_id", "query")
+    val batch = InvertedIndex.bm25SearchBatch(p, dl, qs, "query_id", "query", 5)
+      .orderBy("query_id", "rk")
+      .as[(String, Int, Long, Double)].collect().toSeq
+    for ((qid, text) <- Seq(("a", "merge window"), ("b", "stream data scan"))) {
+      val single = InvertedIndex.bm25Search(p, dl, text, 5)
+        .as[(Long, Double)].collect().toSeq
+      val fromBatch = batch.filter(_._1 == qid).map(r => (r._3, r._4))
+      assert(fromBatch == single, s"query $qid")
+    }
+    // ranks are dense from 1 within each query
+    assert(batch.filter(_._1 == "a").map(_._2) == (1 to 5))
+  }
+
   test("spanNearSearch: ordered proximity with slop; slop 0 ≡ phraseSearch") {
     val docs = Seq(
       (1L, "stream data now"),          // adjacent, in order
