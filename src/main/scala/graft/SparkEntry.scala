@@ -1372,6 +1372,14 @@ object SparkEntry {
         "user_id", col("wk"))
         .orderBy("cohort", "offset")),
 
+    // Spike detection: hourly event counts per type, z-scored against
+    // the trailing 24 buckets (min 12 history, σ from integer sums —
+    // aggregate first, window over the tiny (type, hour) relation).
+    "x_spike" -> ((s, d) =>
+      operators.Sessions.spikeScores(Tables.events(s, d), "event_type",
+          "ts", bucketMicros = 3600000000L)
+        .orderBy("event_type", "bucket")),
+
     // Per-doc top-3 TF-IDF terms (keyword extraction / domain tagging).
     "x_tfidf" -> ((s, d) =>
       operators.TextAnalysis.tfidfTopTerms(Tables.documents(s, d),
@@ -1992,6 +2000,30 @@ object SparkEntry {
            AND (CASE WHEN list_contains(w, 'stream') THEN 1 ELSE 0 END
               + CASE WHEN list_contains(w, 'scan') THEN 1 ELSE 0 END) >= 1
          ORDER BY doc_id""",
+    // identical arithmetic shape: mean = s1/c, var = s2/c − mean²,
+    // z = (n − mean)/sqrt(var); // is DuckDB floor-div like Spark DIV
+    "x_spike" ->
+      """WITH hourly AS (SELECT event_type,
+             epoch_us(ts) // 3600000000 AS bucket, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         t AS (SELECT event_type, bucket, n,
+             sum(n) OVER w AS s1, sum(n * n) OVER w AS s2,
+             count(*) OVER w AS c
+           FROM hourly
+           WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+             RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+         z AS (SELECT event_type, bucket, n,
+             CASE WHEN c >= 12
+                 AND (CAST(s2 AS DOUBLE) / c
+                   - (CAST(s1 AS DOUBLE) / c) * (CAST(s1 AS DOUBLE) / c)) > 0
+               THEN round((n - CAST(s1 AS DOUBLE) / c)
+                 / sqrt(CAST(s2 AS DOUBLE) / c
+                   - (CAST(s1 AS DOUBLE) / c) * (CAST(s1 AS DOUBLE) / c)), 6)
+               ELSE NULL END AS z
+           FROM t)
+         SELECT event_type, bucket, n, z,
+           coalesce(z >= 3.0, FALSE) AS spike
+         FROM z ORDER BY event_type, bucket""",
     "x_quality_rank_by_source" ->
       """SELECT doc_id, source,
            round(percent_rank() OVER (

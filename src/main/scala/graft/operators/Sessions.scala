@@ -55,4 +55,40 @@ object Sessions {
       .rangeBetween(-windowSize, 0)
     events.withColumn("n_window", count(lit(1)).over(w))
   }
+
+  /** Trailing-window spike detection per event type: each time bucket's
+    * count scored against the mean/σ of its PREVIOUS `lookback` buckets
+    * (z-score; `z ≥ 3` flags a spike). `z` is null until `minBuckets`
+    * of history exist or when the trailing window is flat (σ = 0) —
+    * cold-start buckets never alert.
+    *
+    * Scale shape — AGGREGATE FIRST, window over the aggregate: the
+    * corpus-sized work is one (type, bucket) hash count; the window
+    * runs over that tiny relation (types × buckets rows — bounded by
+    * time, not traffic), so a hot event type costs the window nothing.
+    * Mean/σ come from trailing integer sums (`Σn`, `Σn²` — exact in
+    * double), NOT the engine's stddev aggregate, so both engines
+    * compute bit-identical statistics at 6dp.
+    */
+  def spikeScores(events: DataFrame, typeCol: String, tsCol: String,
+      bucketMicros: Long, lookback: Int = 24, minBuckets: Int = 12,
+      threshold: Double = 3.0): DataFrame = {
+    require(bucketMicros > 0 && lookback > 0 && minBuckets > 0,
+      s"bucketMicros/lookback/minBuckets must be positive")
+    val hourly = events.groupBy(col(typeCol),
+        expr(s"unix_micros($tsCol) DIV $bucketMicros").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col(typeCol)).orderBy(col("bucket"))
+      .rangeBetween(-lookback, -1)
+    val s1 = sum(col("n")).over(w)
+    val s2 = sum(col("n") * col("n")).over(w)
+    val c = count(lit(1)).over(w)
+    // expression SHAPE mirrored by the SQL oracle term-for-term
+    val mean = s1.cast("double") / c
+    val variance = s2.cast("double") / c - mean * mean
+    val z = when(c >= minBuckets && variance > 0,
+      round((col("n") - mean) / sqrt(variance), 6))
+    hourly.select(col(typeCol), col("bucket"), col("n"), z.as("z"),
+      coalesce(z >= threshold, lit(false)).as("spike"))
+  }
 }

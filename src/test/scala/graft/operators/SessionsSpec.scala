@@ -7,6 +7,48 @@ import graft.SparkSpec
 class SessionsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("spikeScores flags a planted burst and stays silent in cold start") {
+    // type "a": 1 event/bucket for buckets 0-23, then 50 in bucket 24;
+    // type "b": flat 2/bucket — variance 0, never scored
+    val rows =
+      (0 to 23).map(h => ("a", h.toLong, 1)) ++ Seq(("a", 24L, 50)) ++
+        (0 to 24).map(h => ("b", h.toLong, 2))
+    val events = rows.flatMap { case (t, h, n) =>
+      (0 until n).map(i => (t, h * 3600000000L + i))
+    }.toDF("event_type", "us")
+      .select(col("event_type"),
+        timestamp_micros(col("us")).as("ts"))
+    val got = Sessions.spikeScores(events, "event_type", "ts",
+        bucketMicros = 3600000000L)
+      .as[(String, Long, Long, Option[Double], Boolean)]
+      .collect().map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    // cold start: first 12 buckets of "a" unscored
+    assert(got(("a", 0L))._2.isEmpty && !got(("a", 0L))._3)
+    assert(got(("a", 11L))._2.isEmpty)
+    // steady state before the burst: flat history → σ = 0 → unscored
+    assert(got(("a", 23L))._2.isEmpty && !got(("a", 23L))._3)
+    // the burst over a PERFECTLY flat history is also unscored (σ = 0 is
+    // the documented contract — z is undefined, not infinite)
+    assert(got(("a", 24L))._2.isEmpty && !got(("a", 24L))._3)
+    // type "b" flat forever: never scored, never spikes
+    assert((0 to 24).forall(h => !got(("b", h.toLong))._3))
+
+    // non-degenerate history: alternate 1/3 then burst 50
+    val rows2 = (0 to 23).map(h => ("c", h.toLong, if (h % 2 == 0) 1 else 3)) ++
+      Seq(("c", 24L, 50))
+    val ev2 = rows2.flatMap { case (t, h, n) =>
+      (0 until n).map(_ => (t, h * 3600000000L)) }
+      .zipWithIndex.map { case ((t, us), i) => (t, us + i) }
+      .toDF("event_type", "us")
+      .select(col("event_type"), timestamp_micros(col("us")).as("ts"))
+    val got2 = Sessions.spikeScores(ev2, "event_type", "ts", 3600000000L)
+      .filter(col("bucket") === 24L)
+      .as[(String, Long, Long, Option[Double], Boolean)].collect().head
+    // mean 2, σ 1 over the trailing 24 → z = 48 → spike
+    assert(got2._4.exists(z => math.abs(z - 48.0) < 1e-6), got2.toString)
+    assert(got2._5)
+  }
+
   test("session boundaries: gap strictly greater than maxGap starts a new session") {
     // user 1: gaps of 10, exactly-100 (same session), 101 (new session)
     // user 2: single event
