@@ -1372,6 +1372,32 @@ object SparkEntry {
         "user_id", col("wk"))
         .orderBy("cohort", "offset")),
 
+    // JSONL source scan: documents round-tripped through newline-
+    // delimited JSON with two planted poison lines — the explicit-schema
+    // reader parses one text scan, corrupt lines route to the DLQ leg
+    // (source-level poison-pill contract), good rows must equal the
+    // table exactly.
+    "s_jsonl_scan" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+      val cols = Seq("doc_id", "lang", "source", "n_chars")
+      Tables.documents(s, d).select(cols.map(col): _*)
+        .write.mode("overwrite").json(s"$dir/data")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$dir/data/zz-poison.json"),
+        "{broken json\n\n[1, 2, 3]\n")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_chars",
+          org.apache.spark.sql.types.LongType)))
+      val (good, _) = sources.JsonlSource.read(s, s"$dir/data", schema)
+      good.orderBy("doc_id")
+    }),
+
     // Spike detection: hourly event counts per type, z-scored against
     // the trailing 24 buckets (min 12 history, σ from integer sums —
     // aggregate first, window over the tiny (type, hour) relation).
@@ -1999,6 +2025,11 @@ object SparkEntry {
            AND NOT list_contains(w, 'window')
            AND (CASE WHEN list_contains(w, 'stream') THEN 1 ELSE 0 END
               + CASE WHEN list_contains(w, 'scan') THEN 1 ELSE 0 END) >= 1
+         ORDER BY doc_id""",
+    // the JSONL round-trip must reproduce the table; the two poison
+    // lines exist only to prove they DON'T surface here
+    "s_jsonl_scan" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
          ORDER BY doc_id""",
     // identical arithmetic shape: mean = s1/c, var = s2/c − mean²,
     // z = (n − mean)/sqrt(var); // is DuckDB floor-div like Spark DIV
