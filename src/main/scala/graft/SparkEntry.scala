@@ -1398,6 +1398,21 @@ object SparkEntry {
       good.orderBy("doc_id")
     }),
 
+    // BPE merge TRAINING (rows-only: the data-dependent sequential
+    // argmax has no SQL oracle, like the apply expression): 8 merges
+    // learned from the corpus vocabulary, emitted in rank order.
+    // Correctness pinned in TextAnalysisSpec (hand-computed merges,
+    // tie-break, early stop, train→apply round trip).
+    "x_bpe_train" -> ((s, d) => {
+      import s.implicits._
+      operators.TextAnalysis.learnBpeMerges(
+          Tables.documents(s, d).select("text"), "text", nMerges = 8)
+        .zipWithIndex
+        .map { case ((a, b), i) => (i + 1, a, b) }
+        .toDF("rank", "a", "b")
+        .orderBy("rank")
+    }),
+
     // Spike detection: hourly event counts per type, z-scored against
     // the trailing 24 buckets (min 12 history, σ from integer sums —
     // aggregate first, window over the tiny (type, hour) relation).

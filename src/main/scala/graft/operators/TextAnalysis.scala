@@ -260,6 +260,69 @@ object TextAnalysis {
         .as("unigram_ce"))
   }
 
+  /** Learn `nMerges` BPE merges from the corpus — the TRAINING side of
+    * [[graft.functions.TextExpressions.BpeTokens]] (which APPLIES a
+    * learned table; `BpeTokensSpec` pins train→apply round trips).
+    * Classic BPE training never touches the corpus per iteration: it
+    * operates on the WORD-FREQUENCY vocabulary — one corpus-sized hash
+    * aggregate up front, then every iteration is vocabulary-sized:
+    * adjacent symbol pairs (weighted by word count) → one hash
+    * aggregate → a DETERMINISTIC global argmax (weight desc, pair asc)
+    * → exactly ONE `(a, b)` row to the driver → the merge folded over
+    * the vocab's symbol arrays (greedy left-to-right, the same
+    * every-occurrence semantics the apply expression uses). Driver
+    * state is the merge table itself (`nMerges` pairs — the model);
+    * `localCheckpoint` truncates the iterative lineage (the
+    * `Dedup.clusters` discipline). Words seed as CODE POINTS
+    * (`regexp_extract_all '.'` walks code points), matching the apply
+    * side's supplementary-plane safety.
+    *
+    * Training stops early when no adjacent pair remains (every word
+    * fully merged). Not SQL-oracle-expressible (data-dependent
+    * sequential argmax) — spec-gated, like the apply expression.
+    */
+  def learnBpeMerges(docs: DataFrame, textCol: String,
+      nMerges: Int): Seq[(String, String)] = {
+    require(nMerges > 0, s"nMerges must be positive, got $nMerges")
+    var vocab = docs
+      .select(explode(TextFunctions.tokens(lower(col(textCol)))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .select(expr("regexp_extract_all(w, '(?s).', 0)").as("syms"), col("n"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var continue = true
+    while (continue && merges.size < nMerges) {
+      val pairs = vocab
+        // sequence(0, -1) DESCENDS — single-symbol words must not
+        // reach the pair transform
+        .filter(size(col("syms")) >= 2)
+        .select(col("n"), explode(expr(
+          "transform(sequence(0, size(syms) - 2), " +
+            "i -> struct(syms[i] AS a, syms[i + 1] AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("n").as("w"))
+        .orderBy(col("w").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (pairs.isEmpty) continue = false
+      else {
+        val (a, b) = (pairs.head.getString(0), pairs.head.getString(1))
+        merges += ((a, b))
+        // greedy left-to-right fold: the apply expression's
+        // merge-every-occurrence pass, as an aggregate() HOF
+        val folded = aggregate(col("syms"),
+          array().cast("array<string>"),
+          (acc, x) =>
+            when(size(acc) > 0 &&
+                element_at(acc, -1) === lit(a) && x === lit(b),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+              .otherwise(concat(acc, array(x))))
+        vocab = vocab.select(folded.as("syms"), col("n"))
+          .localCheckpoint(true)
+      }
+    }
+    merges.toSeq
+  }
+
   /** Corpus-wide frequent n-gram mining: the `k` most frequent word
     * n-grams with their total count and the number of distinct documents
     * containing each — the boilerplate-detection sweep (headers, footers,

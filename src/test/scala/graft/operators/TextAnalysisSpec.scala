@@ -199,6 +199,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(ce(1L) < ce(2L) && ce(2L) < ce(3L))
   }
 
+  test("learnBpeMerges: frequency order, tie-break, early stop, round trip") {
+    // vocab: "ab"×3, "ac"×1 — pair (a,b) wins, then (a,c), then dry
+    val df = Seq((1L, "ab ab ac"), (2L, "ab")).toDF("doc_id", "text")
+    val merges = TextAnalysis.learnBpeMerges(df, "text", nMerges = 5)
+    assert(merges == Seq(("a", "b"), ("a", "c"))) // early stop at 2
+    // tie on weight breaks by (a, b) ascending
+    val tie = Seq((1L, "xy yx")).toDF("doc_id", "text")
+    assert(TextAnalysis.learnBpeMerges(tie, "text", 1) == Seq(("x", "y")))
+    // train → apply: the learned table drives the apply expression
+    val toks = spark.range(1).select(
+      graft.functions.TextExpressions.bpeTokens(lit("abac ab"), merges)
+        .as("t")).as[Seq[String]].head()
+    assert(toks == Seq("ab", "ac", "ab"), toks)
+    // multi-round: "aaab"×2 — (a,a) wins round 1 (adjacent weight 4),
+    // the greedy fold leaves [aa, a, b]; round 2 ties (aa,a) vs (a,b)
+    // at weight 2 → (a,b) by ascending tie-break → [aa, ab]; round 3
+    // merges (aa, ab) → fully collapsed, training runs dry
+    val deep = Seq((1L, "aaab aaab")).toDF("doc_id", "text")
+    val m2 = TextAnalysis.learnBpeMerges(deep, "text", 5)
+    assert(m2 == Seq(("a", "a"), ("a", "b"), ("aa", "ab")), m2)
+  }
+
   test("topNgrams ranks corpus-wide n-grams with doc counts and tie-break") {
     val df = Seq(
       (1L, "a b c a b c"),   // "a b c"×2, "b c a"×1, "c a b"×1
