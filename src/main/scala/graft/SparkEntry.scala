@@ -1615,6 +1615,42 @@ object SparkEntry {
           col("n"), col("total_value"))
         .orderBy("hour_us", "event_type")),
 
+    // Windowed approx-distinct users (HLL++ — fixed-size state per
+    // window where exact distinct is unbounded): same operator body as
+    // the stream, batch-gated within ±5% of the exact count per window.
+    "ws_distinct" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      // rsd 0.005: Spark's HLL++ has no sparse mode, so small windows
+      // carry absolute error a coarse sketch can't bound — the tighter
+      // sketch is ~100KB/window here and exact at gate cardinalities
+      val approx = streaming.StreamingOps.windowedDistinct(
+        e, "ts", "user_id", "1 hour", "1 hour", rsd = 0.005)
+      val exact = e.groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+        .select(col("w.start").as("window_start"), col("n_exact"))
+      approx.join(exact, "window_start")
+        .select(unix_micros(col("window_start")).as("hour_us"),
+          col("n_exact"),
+          // ±max(1, 5%): tiny windows make a 5% band narrower than one
+          // user — a ±1 estimate on n=15 is a good sketch, not a miss
+          (abs(col("n_approx") - col("n_exact")) <=
+            greatest(lit(1.0), col("n_exact") * 0.05)).as("approx_ok"))
+        .orderBy("hour_us")
+    }),
+
+    // Hard-negative mining: per query, top-5 most-similar vectors with
+    // a DIFFERENT label — the contrastive-training negative set; knnJoin
+    // shape + label exclusion, bounded aggregate, no corpus window.
+    "x_hard_negatives" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("label").as("q_label"))
+      operators.Similarity.hardNegatives(e, q, "vec_id", "embedding",
+          "label", "query_id", "qv", "q_label", k = 5)
+        .orderBy("query_id", "rk")
+    }),
+
     // Hopping (sliding) windows: 1-hour windows advancing every 30
     // minutes — each event lands in exactly two windows. Same streaming
     // operator body as tumbling (window() with a slide), batch-gated.
@@ -2686,6 +2722,28 @@ object SparkEntry {
              list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
                                     CAST(q.qv AS DOUBLE[])) AS c
            FROM embeddings e, q),
+         r AS (SELECT query_id, vec_id, c,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY c DESC, vec_id) AS rk
+           FROM z)
+         SELECT query_id, CAST(rk AS INT) AS rk, vec_id,
+           round(c, 6) AS cosine
+         FROM r WHERE rk <= 5 ORDER BY query_id, rk""",
+    "ws_distinct" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS approx_ok
+         FROM events GROUP BY 1 ORDER BY hour_us""",
+    // knnJoin shape + label exclusion; same row_number mirror
+    "x_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+             label AS q_label
+           FROM embeddings WHERE vec_id < 5),
+         z AS (SELECT q.query_id, e.vec_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(q.qv AS DOUBLE[])) AS c
+           FROM embeddings e, q
+           WHERE e.label <> q.q_label),
          r AS (SELECT query_id, vec_id, c,
              row_number() OVER (PARTITION BY query_id
                ORDER BY c DESC, vec_id) AS rk

@@ -182,6 +182,27 @@ object Similarity {
     * many queries, pre-bucket both sides with [[annBuckets]] and apply the
     * same aggregate within buckets.
     */
+  /** Hard-negative mining — for each query, the most similar corpus
+    * vectors with a DIFFERENT label (contrastive-training's negative
+    * set: near the query in embedding space, wrong by the labels). The
+    * [[knnJoin]] shape plus the label-exclusion predicate: broadcast
+    * query side, bounded `TopKByScore` per query, no corpus window.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, qIdCol: String, qVecCol: String,
+      qLabelCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    requireIntegralId(corpus, idCol, "hardNegatives corpus")
+    val scored = corpus
+      .crossJoin(broadcast(
+        queries.select(col(qIdCol), col(qVecCol), col(qLabelCol))))
+      .filter(col(labelCol) =!= col(qLabelCol))
+      .select(col(qIdCol),
+        graft.functions.VectorExpressions.cosineFast(col(vecCol), col(qVecCol)).as("_c"),
+        col(idCol).cast("long").as("_id"))
+    rankScoredTopK(scored, qIdCol, idCol, k)
+  }
+
   def knnJoin(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, qIdCol: String, qVecCol: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")

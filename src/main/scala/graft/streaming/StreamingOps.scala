@@ -54,6 +54,22 @@ object StreamingOps {
         col("session_window.end").as("session_end"),
         col("n_events"))
 
+  /** Windowed APPROXIMATE distinct keys (HLL++): per-window unique-key
+    * counts on an unbounded stream. Exact distinct needs the per-window
+    * key SET in state — unbounded on a high-cardinality stream; the
+    * sketch keeps fixed-size state per window, mergeable across
+    * partitions and micro-batches (`rsd` defaults to 2%). The batch
+    * twin gates the estimate against the exact count.
+    */
+  def windowedDistinct(stream: DataFrame, tsCol: String, keyCol: String,
+      windowLen: String, watermark: String,
+      rsd: Double = 0.02): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(approx_count_distinct(col(keyCol), rsd).as("n_approx"))
+      .select(col("window.start").as("window_start"), col("n_approx"))
+
   /** Stream-stream interval join: each left event enriched with right
     * events for the same key within `[ts - lookback, ts]` — the streaming
     * twin of the batch as-of/range join. BOTH sides carry watermarks and

@@ -64,6 +64,24 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, s"ANN recall@10 = $recall")
   }
 
+  test("hardNegatives excludes the query's own label, ranks the rest") {
+    val vecs = Seq(
+      (0L, "pos", Seq(1.0f, 0.0f)),   // the query
+      (1L, "pos", Seq(0.99f, 0.1f)),  // same label — MUST be excluded
+      (2L, "neg", Seq(0.9f, 0.4f)),   // nearest wrong-label → rk 1
+      (3L, "neg", Seq(0.0f, 1.0f)),   // far wrong-label → rk 2
+      (4L, "pos", Seq(1.0f, 0.01f))   // same label again
+    ).toDF("vec_id", "label", "embedding")
+    val q = vecs.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("label").as("ql"))
+    val got = Similarity.hardNegatives(vecs, q, "vec_id", "embedding",
+        "label", "qid", "qv", "ql", k = 5)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(got.map(_._3) == Seq(2L, 3L), got)  // only wrong-label rows
+    assert(got.map(_._2) == Seq(1, 2))
+  }
+
   test("knnJoin matches the window-rank reference per query") {
     val e = Tables.embeddings(spark, sf)
     val q = e.filter(col("vec_id") < 3)

@@ -47,6 +47,33 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedDistinct runs as a real stream with per-window sketches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val df = input.toDF().toDF("ts", "user_id")
+    val q = StreamingOps.windowedDistinct(df, "ts", "user_id",
+        "1 hour", "1 hour")
+      .writeStream.format("memory").queryName("wdistinct")
+      .outputMode("append").start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      // hour 0: users 1,2,2,3 (3 distinct); hour 1: user 1 (1 distinct)
+      input.addData(
+        (t("2024-01-01 00:05:00"), 1L), (t("2024-01-01 00:10:00"), 2L),
+        (t("2024-01-01 00:20:00"), 2L), (t("2024-01-01 00:40:00"), 3L),
+        (t("2024-01-01 01:10:00"), 1L))
+      q.processAllAvailable()
+      // advance the watermark past hour 1 so both windows emit
+      input.addData((t("2024-01-01 03:00:00"), 9L))
+      q.processAllAvailable()
+      val rows = spark.table("wdistinct")
+        .as[(java.sql.Timestamp, Long)].collect().toMap
+      // HLL++ is exact at this cardinality
+      assert(rows(t("2024-01-01 00:00:00")) == 3L, rows.toString)
+      assert(rows(t("2024-01-01 01:00:00")) == 1L, rows.toString)
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps the first arrival per key") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, java.sql.Timestamp, String)]
