@@ -1246,6 +1246,21 @@ object SparkEntry {
         "user_id", "event_type", "ts_us",
         Seq("view", "click", "purchase"))),
 
+    // Memorization-risk audit: fraction of each doc's 3-gram shingles
+    // appearing in ≥1 other document (the post-dedup verbatim-repeat
+    // signal; same shingle convention as the n-gram dedup family).
+    "x_memorization" -> ((s, d) =>
+      operators.TextAnalysis.memorizationRisk(
+        Tables.documents(s, d), "doc_id", "text", n = 3)
+        .orderBy("doc_id")),
+
+    // Distribution shift: per-source KL divergence from the corpus
+    // unigram mixture — the which-source-drifted report.
+    "x_source_kl" -> ((s, d) =>
+      operators.TextAnalysis.sourceDivergence(
+        Tables.documents(s, d), "source", "text")
+        .orderBy("source")),
+
     // Corpus cross-entropy (perplexity proxy): per-doc mean −ln of each
     // token's corpus unigram probability — the model-free quality signal
     // (OOD/gibberish text scores high). 9dp-decimal contribution sum
@@ -2837,6 +2852,46 @@ object SparkEntry {
            FROM tf JOIN dl ON tf.doc_id = dl.doc_id)
          SELECT doc_id, round(CAST(sum(contrib) AS DOUBLE), 6) AS entropy
          FROM e GROUP BY doc_id ORDER BY doc_id""",
+    // the n-gram dedup family's shingle convention (raw text, short-doc
+    // collapse); df > 1 means "appears in another doc" since (doc, g)
+    // pairs are distinct
+    "x_memorization" ->
+      """WITH sh AS (SELECT DISTINCT doc_id, g FROM (
+             SELECT doc_id, unnest(CASE WHEN len(w) < 3
+                 THEN [array_to_string(w, ' ')]
+                 ELSE list_transform(range(1, len(w)-1),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS g
+             FROM (SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS w
+               FROM documents))),
+         dfq AS (SELECT g, count(*) AS dfn FROM sh GROUP BY 1)
+         SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN dfn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared,
+           round(CAST(sum(CASE WHEN dfn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS shared_frac
+         FROM sh JOIN dfq USING (g)
+         GROUP BY sh.doc_id ORDER BY doc_id""",
+    // same 9dp-decimal contribution discipline as x_text_entropy;
+    // p_s and p computed with the identical expression shape
+    "x_source_kl" ->
+      """WITH toks AS (SELECT source AS src,
+             unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+               AS term
+           FROM documents),
+         cs AS (SELECT src, term, count(*) AS c FROM toks GROUP BY 1, 2),
+         ns AS (SELECT src, sum(c) AS ns FROM cs GROUP BY 1),
+         cf AS (SELECT term, sum(c) AS cf FROM cs GROUP BY 1),
+         t AS (SELECT sum(cf) AS t FROM cf),
+         e AS (SELECT cs.src,
+             ns.ns,
+             CAST(round((CAST(c AS DOUBLE) / ns)
+               * ln((CAST(c AS DOUBLE) / ns) / (CAST(cf AS DOUBLE) / t)), 9)
+               AS DECIMAL(18,9)) AS contrib
+           FROM cs JOIN ns USING (src) JOIN cf USING (term), t)
+         SELECT src AS source, CAST(max(ns) AS BIGINT) AS n_tokens,
+           round(CAST(sum(contrib) AS DOUBLE), 6) AS kl
+         FROM e GROUP BY src ORDER BY source""",
     // corpus unigram model from the SAME tokenization; 9dp-decimal
     // contribution sum (order-independent), final mean in double
     "x_unigram_ce" ->

