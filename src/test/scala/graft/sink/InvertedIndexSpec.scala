@@ -100,6 +100,12 @@ class InvertedIndexSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") &&
       (plan.contains("EqualTo(term,stream)") || plan.contains("term")), plan)
     assert(search.count() > 0)
+    // spanNear legs push the same per-term predicate
+    val spanPlan = InvertedIndex.spanNearSearch(
+        InvertedIndex.readPostings(spark, dir), "stream data", 1)
+      .queryExecution.executedPlan.toString
+    assert(spanPlan.contains("PushedFilters") && spanPlan.contains("term"),
+      spanPlan)
   }
 
   test("boolSearch ≡ scan-form boolQuery across clause shapes; legs push") {
