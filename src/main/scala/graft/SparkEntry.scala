@@ -500,6 +500,53 @@ object SparkEntry {
           (coalesce(sum(when(col("id_a").isNull, 1).otherwise(0)), lit(0L)) === 0).as("precision_ok"))
     }),
 
+    // Incremental dedup against the persisted SignatureStore: sign a base
+    // corpus once, then screen two arriving batches with O(batch) probes
+    // (probe → append → probe). The gate proves the incremental candidate
+    // set is EXACTLY the one-shot full-corpus LSH set (banded signatures
+    // are deterministic per doc, so probing loses nothing), then
+    // exact-verifies the candidates and scores recall/precision against
+    // the corpus-wide exact pairs — same contract as x_dedup_minhash.
+    // BENCH NOTE: wall time is dominated by the two corpus-wide legs the
+    // GATE needs (one-shot LSH + exact verifier); the graded operator is
+    // the probe, whose own cost is O(batch) signing + a residue-pruned
+    // broadcast join.
+    "x_dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val base = docs.filter(pmod(col("doc_id"), lit(5)) < 3)
+      val b1 = docs.filter(pmod(col("doc_id"), lit(5)) === 3)
+      val b2 = docs.filter(pmod(col("doc_id"), lit(5)) === 4)
+      val dir = java.nio.file.Files.createTempDirectory("graft-sigstore").toString
+      sink.SignatureStore.write(base, "doc_id", "text", dir)
+      val p0 = operators.Dedup.minhashLshCandidates(base, "doc_id", "text")
+        .select("id_a", "id_b")
+      val p1 = sink.SignatureStore.probe(b1, dir).select("id_a", "id_b")
+      sink.SignatureStore.append(b1, dir)
+      val p2 = sink.SignatureStore.probe(b2, dir).select("id_a", "id_b")
+      sink.SignatureStore.append(b2, dir)
+      val incr = p0.unionByName(p1).unionByName(p2).distinct()
+      val full = operators.Dedup.minhashLshCandidates(docs, "doc_id", "text")
+        .select(col("id_a").as("fa"), col("id_b").as("fb"))
+      val eq = incr.join(full,
+          col("id_a") === col("fa") && col("id_b") === col("fb"), "full_outer")
+        .agg((coalesce(sum(when(col("id_a").isNull || col("fa").isNull, 1)
+          .otherwise(0)), lit(0L)) === 0).as("incr_eq_full"))
+      val verified = operators.Dedup.verifyJaccard(incr, docs, "doc_id", "text", 3)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("id_a").as("ma"), col("id_b").as("mb"))
+      val exact = operators.Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.5)
+        .select(col("id_a"), col("id_b"))
+      // coalesce as in x_dedup_minhash: zero exact pairs must gate TRUE
+      exact.join(verified,
+          col("id_a") === col("ma") && col("id_b") === col("mb"), "full_outer")
+        .agg(
+          coalesce(sum(when(col("id_a").isNotNull, 1).otherwise(0)), lit(0L)).as("n_exact"),
+          (coalesce(sum(when(col("id_a").isNotNull && col("ma").isNotNull, 1).otherwise(0)), lit(0L)) >=
+            coalesce(sum(when(col("id_a").isNotNull, 1).otherwise(0)), lit(0L)) * 0.8).as("recall_ok"),
+          (coalesce(sum(when(col("id_a").isNull, 1).otherwise(0)), lit(0L)) === 0).as("precision_ok"))
+        .crossJoin(eq) // 1-row × 1-row gate frames
+    }),
+
     // Duplicate clustering: connected components over the exact near-dup
     // pair graph; every doc labeled with its canonical (min-id) survivor.
     "x_dedup_clusters" -> ((s, d) => {
@@ -2561,6 +2608,22 @@ object SparkEntry {
              FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
              GROUP BY 1, 2)
          SELECT count(*) AS n_exact, TRUE AS recall_ok, TRUE AS precision_ok
+         FROM pairs
+         JOIN cnt ca ON ca.doc_id = id_a
+         JOIN cnt cb ON cb.doc_id = id_b
+         WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.5""",
+    "x_dedup_incremental" ->
+      """WITH sh AS (SELECT DISTINCT doc_id, g FROM (
+             SELECT doc_id, unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+               ELSE list_transform(range(1, len(w)-1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS g
+             FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents))),
+         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+             FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+             GROUP BY 1, 2)
+         SELECT count(*) AS n_exact, TRUE AS recall_ok, TRUE AS precision_ok,
+           TRUE AS incr_eq_full
          FROM pairs
          JOIN cnt ca ON ca.doc_id = id_a
          JOIN cnt cb ON cb.doc_id = id_b

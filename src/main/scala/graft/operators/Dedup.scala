@@ -80,6 +80,39 @@ object Dedup {
     array(sigs: _*)
   }
 
+  /** Banded LSH rows per doc: `(_id, sig, band, bucket)` — the minhash
+    * signature split into `bands` bands of `numHashes / bands` rows, each
+    * band reduced to one 64-bit bucket hash. Deterministic in the doc's
+    * text alone (seeded xxhash64), so a doc's rows are IDENTICAL no matter
+    * when or with which cohort it is signed — the property that makes a
+    * persisted signature index ([[graft.sink.SignatureStore]]) probe-able
+    * incrementally with no recall loss vs a full-corpus run.
+    *
+    * The signature is computed as explode(shingle) → one codegen'd
+    * `min(xxhash64(shingle, seed))` aggregate per hash function, NOT as a
+    * nested higher-order lambda: HOFs are interpreted and re-evaluate the
+    * shingle array once per seed — ~50× slower measured at sf0.1.
+    * Docs with no shingles (empty text) have no rows — nothing to match.
+    */
+  def bandedSignatures(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+    val sh = shingles(df, idCol, textCol, shingleN)
+    val aggs = (0 until numHashes).map(seed =>
+      min(xxhash64(col("shingle"), lit(seed))).as(s"_h$seed"))
+    val withSig = sh.groupBy("_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("_id"),
+        array((0 until numHashes).map(i => col(s"_h$i")): _*).as("sig"))
+    withSig.select(col("_id"), col("sig"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            xxhash64(array_join(transform(
+              slice(col("sig"), b * rows + lit(1), lit(rows)), _.cast("string")), ","))
+              .as("bucket")))).as("bb"))
+      .select(col("_id"), col("sig"), col("bb.band"), col("bb.bucket"))
+  }
+
   /** MinHash + LSH candidate pairs: signature split into `bands` bands of
     * `numHashes / bands` rows each; docs agreeing on any full band land in
     * the same bucket and become a candidate pair. Emits distinct candidate
@@ -95,21 +128,7 @@ object Dedup {
     */
   def minhashLshCandidates(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame = {
-    require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val rows = numHashes / bands
-    val sh = shingles(df, idCol, textCol, shingleN)
-    val aggs = (0 until numHashes).map(seed =>
-      min(xxhash64(col("shingle"), lit(seed))).as(s"_h$seed"))
-    val withSig = sh.groupBy("_id").agg(aggs.head, aggs.tail: _*)
-      .select(col("_id"),
-        array((0 until numHashes).map(i => col(s"_h$i")): _*).as("sig"))
-    val banded = withSig.select(col("_id"), col("sig"),
-        explode(transform(sequence(lit(0), lit(bands - 1)),
-          b => struct(b.as("band"),
-            xxhash64(array_join(transform(
-              slice(col("sig"), b * rows + lit(1), lit(rows)), _.cast("string")), ","))
-              .as("bucket")))).as("bb"))
-      .select(col("_id"), col("sig"), col("bb.band"), col("bb.bucket"))
+    val banded = bandedSignatures(df, idCol, textCol, shingleN, numHashes, bands)
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a._id") < col("b._id"))
@@ -131,18 +150,30 @@ object Dedup {
     */
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      threshold: Double = 0.5): DataFrame = {
-    val cand = minhashLshCandidates(df, idCol, textCol, shingleN, numHashes, bands)
-      .select("id_a", "id_b")
+      threshold: Double = 0.5): DataFrame =
+    verifyJaccard(
+      minhashLshCandidates(df, idCol, textCol, shingleN, numHashes, bands)
+        .select("id_a", "id_b"),
+      df, idCol, textCol, shingleN)
+      .filter(col("jaccard") >= threshold)
+
+  /** Exact n-gram Jaccard for a CANDIDATE pair set: shingle sets joined to
+    * each side by id, `array_intersect` per pair — cost is O(candidates),
+    * never the corpus cross product. The verification half of every LSH
+    * dedup path (`minhashDedup`, [[graft.sink.SignatureStore]] probes).
+    * Returns `(id_a, id_b, jaccard)` for every input pair; callers apply
+    * their threshold.
+    */
+  def verifyJaccard(pairs: DataFrame, df: DataFrame, idCol: String,
+      textCol: String, shingleN: Int): DataFrame = {
     val shSets = df.select(col(idCol).as("_sid"),
       array_distinct(TextFunctions.wordShingles(col(textCol), shingleN)).as("_sh"))
-    cand
+    pairs.select("id_a", "id_b")
       .join(shSets.withColumnRenamed("_sid", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
       .join(shSets.withColumnRenamed("_sid", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
       .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", col("common").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("common")))
-      .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
 

@@ -1,0 +1,205 @@
+package graft.sink
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.Dedup
+
+/** Persisted MinHash signature index for INCREMENTAL near-dup detection:
+  * the dedup-side sibling of [[InvertedIndex]]/[[VectorIndex]]. Sign the
+  * corpus once, then screen each arriving batch with an O(batch)-sized
+  * probe instead of re-running corpus-wide LSH — the continuous-ingest
+  * shape of training-data dedup (is this crawl shard new, or a near-copy
+  * of something we already hold?).
+  *
+  * Why this is lossless: a doc's banded rows
+  * ([[Dedup.bandedSignatures]]: seeded-xxhash64 minhash → per-band bucket
+  * hash) depend only on its own text, so the rows persisted at corpus
+  * time are bit-identical to the rows a full-corpus run would compute
+  * today. A pair collides on some (band, bucket) in a full run iff it
+  * collides between a probe and the store — incremental probing finds
+  * EXACTLY the full-corpus candidate set, no recall loss (gated by
+  * `x_dedup_incremental`: union of probes ≡ one-shot LSH over the union).
+  *
+  * Layout under `dir`:
+  *   - `meta/` — one row: the signing contract (id/text column names,
+  *     shingle n, hash count, band count, residue-partition count). Every
+  *     probe and append re-signs with THESE parameters — mixing widths
+  *     would silently kill recall, so the contract is persisted, not an
+  *     argument.
+  *   - `buckets/pb=<r>/` — banded rows `(_id, sig, band, bucket)`
+  *     Hive-partitioned by `pb = bucket mod nPb` and sorted by
+  *     (band, bucket) within files.
+  *   - `commits/<seq>/buckets` — appended batches ([[DeltaLog]] protocol:
+  *     atomic rename, O(batch) bytes each; `pb` is a data column — no
+  *     directory fan-out for a tiny batch).
+  *
+  * Scale design: a probe never shuffles the store. The batch's banded
+  * rows (O(batch × bands)) BROADCAST against the store scan, and the
+  * store leg is pruned twice — the `pb IN (…)` residues the batch
+  * actually hashes into prune base directories at file-listing time
+  * (partition column), and the (band, bucket)-sorted files let row-group
+  * stats skip non-colliding ranges. Candidate verification is
+  * [[Dedup.verifyJaccard]] on O(candidates) pairs. [[compact]] folds the
+  * commit log and is the only index-sized write.
+  */
+object SignatureStore {
+
+  private val metaSchema = StructType(Seq(
+    StructField("id_col", StringType, nullable = false),
+    StructField("text_col", StringType, nullable = false),
+    StructField("shingle_n", IntegerType, nullable = false),
+    StructField("num_hashes", IntegerType, nullable = false),
+    StructField("bands", IntegerType, nullable = false),
+    StructField("n_pb", IntegerType, nullable = false)))
+
+  private final case class Meta(idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int, bands: Int, nPb: Int)
+
+  private def readMeta(spark: SparkSession, dir: String): Meta = {
+    val r = spark.read.schema(metaSchema).parquet(s"$dir/meta").head()
+    Meta(r.getString(0), r.getString(1), r.getInt(2), r.getInt(3),
+      r.getInt(4), r.getInt(5))
+  }
+
+  /** Sign `df` under the store's contract: banded rows + the residue
+    * partition key. Null ids are rejected loudly (a null id can never be
+    * reported as a duplicate side — the sink-commit raise_error precedent).
+    */
+  private def signed(df: DataFrame, m: Meta): DataFrame = {
+    val idType = df.schema(m.idCol).dataType
+    val guarded = df.withColumn(m.idCol,
+      when(col(m.idCol).isNotNull, col(m.idCol))
+        .otherwise(raise_error(
+          lit(s"SignatureStore: null '${m.idCol}' cannot be signed"))
+          .cast(idType)))
+    Dedup.bandedSignatures(guarded, m.idCol, m.textCol,
+        m.shingleN, m.numHashes, m.bands)
+      .withColumn("pb", pmod(col("bucket"), lit(m.nPb.toLong)).cast("int"))
+  }
+
+  /** Build the store over `df` (full corpus sign + layout write),
+    * resetting any previous commit log.
+    */
+  def write(df: DataFrame, idCol: String, textCol: String, dir: String,
+      shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      nPb: Int = 32): Unit = {
+    val spark = df.sparkSession
+    val m = Meta(idCol, textCol, shingleN, numHashes, bands, nPb)
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          Seq(Row(idCol, textCol, shingleN, numHashes, bands, nPb)), 1),
+        metaSchema)
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    signed(df, m)
+      .repartition(col("pb")).sortWithinPartitions("band", "bucket")
+      .write.mode("overwrite").partitionBy("pb").parquet(s"$dir/buckets")
+    DeltaLog.fs(spark, dir).delete(new Path(s"$dir/commits"), true)
+  }
+
+  private def recoverBase(spark: SparkSession, dir: String): Unit =
+    DeltaLog.recoverBase(spark, s"$dir/buckets", s"$dir/.buckets-next",
+      s"$dir/.buckets-old")
+
+  /** The store's live banded rows, optionally pruned to a residue set:
+    * base (partition-pruned) plus each O(batch) commit leg.
+    */
+  private def bucketRows(spark: SparkSession, dir: String,
+      pbs: Option[Seq[Int]]): DataFrame = {
+    recoverBase(spark, dir)
+    def prune(df: DataFrame) =
+      pbs.fold(df)(r => df.filter(col("pb").isin(r: _*)))
+    val base = prune(spark.read.parquet(s"$dir/buckets"))
+    DeltaLog.listSeqs(spark, s"$dir/commits")
+      .map(s => prune(spark.read.parquet(s"$dir/commits/$s/buckets")))
+      .foldLeft(base)(_.unionByName(_))
+  }
+
+  /** Candidate near-dup pairs for a NEW batch: every (batch doc, store
+    * doc) and (batch doc, batch doc) pair sharing a (band, bucket), with
+    * the signature-agreement similarity estimate. `(id_a, id_b,
+    * est_jaccard)`, `id_a < id_b`. Probe BEFORE [[append]] — a batch
+    * already in the store would pair with itself.
+    *
+    * Cost: the batch signs locally (O(batch)), its residues prune the
+    * base scan at file-listing time, and the batch side broadcasts into
+    * the join — the store is never shuffled. The residue collect is
+    * bounded by `nPb` rows (driver state ≤ the partition count by
+    * construction).
+    */
+  def probe(batch: DataFrame, dir: String): DataFrame = {
+    val spark = batch.sparkSession
+    val m = readMeta(spark, dir)
+    val q = signed(batch, m)
+    val pbs = q.select("pb").distinct().collect().map(_.getInt(0)).toSeq
+    val store = bucketRows(spark, dir, Some(pbs))
+    val cross = store.as("s").join(broadcast(q.as("q")),
+        col("s.band") === col("q.band") && col("s.bucket") === col("q.bucket") &&
+          col("s._id") =!= col("q._id"))
+      .select(
+        least(col("s._id"), col("q._id")).as("id_a"),
+        greatest(col("s._id"), col("q._id")).as("id_b"),
+        when(col("s._id") < col("q._id"), col("s.sig")).otherwise(col("q.sig")).as("sig_a"),
+        when(col("s._id") < col("q._id"), col("q.sig")).otherwise(col("s.sig")).as("sig_b"))
+    val within = q.as("a").join(q.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+    cross.unionByName(within).distinct()
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => (x === y).cast("int")), _ === 1)).cast("double")
+          / lit(m.numHashes.toDouble))
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** Admit a screened batch into the store: ONE O(batch)-bytes atomic
+    * commit of its banded rows. Returns the commit sequence. Ids are
+    * assumed new to the store (dedup admits each survivor once); a
+    * re-appended id would duplicate its rows and re-emit known pairs on
+    * later probes, so keep admission keyed upstream.
+    */
+  def append(batch: DataFrame, dir: String): Int = {
+    val spark = batch.sparkSession
+    val m = readMeta(spark, dir)
+    val rows = signed(batch, m)
+    DeltaLog.commit(spark, s"$dir/commits",
+        DeltaLog.nextSeq(spark, s"$dir/commits"), "buckets") { tmp =>
+      rows.write.mode("overwrite").parquet(s"$tmp/buckets")
+    }
+  }
+
+  /** Fold the commit log into a fresh residue-partitioned base — the only
+    * index-sized write; maintenance, not ingest ([[DeltaLog.swapBase]]
+    * crash contract, healed by the pre-read recovery).
+    */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    recoverBase(spark, dir)
+    val seqs = DeltaLog.listSeqs(spark, s"$dir/commits")
+    if (seqs.isEmpty) return
+    bucketRows(spark, dir, None)
+      .repartition(col("pb")).sortWithinPartitions("band", "bucket")
+      .write.mode("overwrite").partitionBy("pb")
+      .parquet(s"$dir/.buckets-next")
+    DeltaLog.swapBase(spark, s"$dir/buckets", s"$dir/.buckets-next",
+      s"$dir/.buckets-old")
+    val f = DeltaLog.fs(spark, dir)
+    seqs.foreach(s => f.delete(new Path(s"$dir/commits/$s"), true))
+  }
+
+  /** One-row health report: `(n_docs, n_rows, n_pending_commits)` — log
+    * depth is the compaction signal (each pending commit adds a scan leg
+    * to every probe).
+    */
+  def stats(spark: SparkSession, dir: String): DataFrame = {
+    val pending = DeltaLog.listSeqs(spark, s"$dir/commits").length
+    bucketRows(spark, dir, None)
+      .agg(count_distinct(col("_id")).as("n_docs"),
+        count(lit(1)).as("n_rows"))
+      .select(col("n_docs"), col("n_rows"),
+        lit(pending).cast("long").as("n_pending_commits"))
+  }
+}

@@ -1,0 +1,128 @@
+package graft.sink
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Dedup
+
+class SignatureStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  // near-dup planted pairs: (1,2) and (5,6) share almost all shingles;
+  // 3/4/7 are distinct texts
+  private def corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bend"),
+    (3L, "completely different content about distributed query engines"),
+    (4L, "spark catalyst optimizes declarative plans into physical stages"),
+    (5L, "training data pipelines dedupe crawl shards before tokenizing text"),
+    (6L, "training data pipelines dedupe crawl shards before tokenizing words"),
+    (7L, "unrelated final document mentioning neither foxes nor pipelines"))
+    .toDF("doc_id", "text")
+
+  private def pairs(df: DataFrame): Set[(Long, Long)] =
+    df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+
+  test("probe finds cross(base,batch) and within-batch pairs; union of probes ≡ one-shot LSH") {
+    val dir = java.nio.file.Files.createTempDirectory("sigstore").toString
+    val base = corpus.filter(col("doc_id") <= 4)
+    val batch = corpus.filter(col("doc_id") > 4)
+    SignatureStore.write(base, "doc_id", "text", dir, nPb = 8)
+    val probed = SignatureStore.probe(batch, dir)
+    // (5,6) is within-batch; (1,2) is base-internal so a probe must NOT
+    // re-report it — the base was screened when IT was admitted
+    assert(pairs(probed).contains((5L, 6L)))
+    assert(!pairs(probed).contains((1L, 2L)))
+    // est_jaccard is a [0,1] signature-agreement fraction
+    val est = probed.filter(col("id_a") === 5 && col("id_b") === 6)
+      .select("est_jaccard").as[Double].head()
+    assert(est > 0.0 && est <= 1.0)
+    // incremental ≡ full corpus one-shot candidates
+    val incr = pairs(Dedup.minhashLshCandidates(base, "doc_id", "text")) ++
+      pairs(probed)
+    val full = pairs(Dedup.minhashLshCandidates(corpus, "doc_id", "text"))
+    assert(incr == full)
+  }
+
+  test("append is one O(batch) commit; base files untouched; probe sees appended docs") {
+    val dir = java.nio.file.Files.createTempDirectory("sigstore-app").toString
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    SignatureStore.write(corpus.filter(col("doc_id") <= 4), "doc_id", "text",
+      dir, nPb = 8)
+    def baseState = fs.listFiles(new Path(s"$dir/buckets"), true)
+    val before = {
+      val it = baseState
+      val b = Seq.newBuilder[(String, Long)]
+      while (it.hasNext) { val f = it.next(); b += ((f.getPath.toString, f.getModificationTime)) }
+      b.result().toSet
+    }
+    val seq1 = SignatureStore.append(corpus.filter(col("doc_id") === 5), dir)
+    assert(seq1 == 1)
+    // the commit holds exactly the batch's banded rows, nothing corpus-sized
+    val committed = spark.read.parquet(s"$dir/commits/$seq1/buckets")
+    assert(committed.select("_id").distinct().as[Long].collect().toSeq == Seq(5L))
+    // base directory is byte-for-byte untouched (merge-on-read, not rewrite)
+    val after = {
+      val it = baseState
+      val b = Seq.newBuilder[(String, Long)]
+      while (it.hasNext) { val f = it.next(); b += ((f.getPath.toString, f.getModificationTime)) }
+      b.result().toSet
+    }
+    assert(after == before)
+    // a later probe collides doc 6 with the APPENDED doc 5
+    val p = SignatureStore.probe(corpus.filter(col("doc_id") === 6), dir)
+    assert(pairs(p).contains((5L, 6L)))
+  }
+
+  test("probe prunes base partitions by residue and broadcasts the batch side") {
+    val dir = java.nio.file.Files.createTempDirectory("sigstore-prune").toString
+    // a single probed doc hashes into ≤ bands residues — far fewer than nPb
+    SignatureStore.write(corpus, "doc_id", "text", dir, nPb = 64)
+    val probed = SignatureStore.probe(
+      Seq((8L, "the quick brown fox jumps over the lazy dog near the river side"))
+        .toDF("doc_id", "text"), dir)
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("pb"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    probed.collect()
+    val scanned = probed.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.partitionSchema.fieldNames.contains("pb") =>
+        f.metrics("numFiles").value
+    }.sum
+    val total = spark.read.parquet(s"$dir/buckets").inputFiles.length.toLong
+    assert(scanned < total, s"scanned $scanned of $total base files")
+    // and the near-dup of doc 1 is still found through the pruned scan
+    assert(pairs(probed).contains((1L, 8L)))
+  }
+
+  test("compact folds commits; probes unchanged; stats reports the log") {
+    val dir = java.nio.file.Files.createTempDirectory("sigstore-compact").toString
+    SignatureStore.write(corpus.filter(col("doc_id") <= 3), "doc_id", "text",
+      dir, nPb = 8)
+    SignatureStore.append(corpus.filter(col("doc_id") === 4), dir)
+    SignatureStore.append(corpus.filter(col("doc_id") === 5), dir)
+    val pre = SignatureStore.stats(spark, dir)
+      .as[(Long, Long, Long)].head()
+    assert(pre._1 == 5 && pre._3 == 2)
+    val probeBatch = corpus.filter(col("doc_id") === 6)
+    val before = pairs(SignatureStore.probe(probeBatch, dir))
+    SignatureStore.compact(spark, dir)
+    assert(DeltaLog.listSeqs(spark, s"$dir/commits").isEmpty)
+    val post = SignatureStore.stats(spark, dir).as[(Long, Long, Long)].head()
+    assert(post._1 == 5 && post._3 == 0)
+    assert(pairs(SignatureStore.probe(probeBatch, dir)) == before)
+  }
+
+  test("null id in a probed or appended batch fails loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("sigstore-null").toString
+    SignatureStore.write(corpus, "doc_id", "text", dir, nPb = 8)
+    val bad = Seq((java.lang.Long.valueOf(9L), "some text here ok"),
+        (null.asInstanceOf[java.lang.Long], "null id text here"))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] { SignatureStore.probe(bad, dir).collect() }
+    assert(e.getMessage != null)
+  }
+}
