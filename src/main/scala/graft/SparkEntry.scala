@@ -1093,6 +1093,26 @@ object SparkEntry {
         .select("doc_id", "split")
         .orderBy("doc_id")),
 
+    // Leakage-safe split: bucket by content fingerprint, not id, so
+    // token-set-identical near-copies can never straddle train/test.
+    // Gated row-for-row (doc_id, fingerprint, split) — the oracle
+    // recomputes the fingerprint and its md5-56 bucket independently.
+    "x_split_leakage" -> ((s, d) =>
+      operators.Corpus.leakageSafeSplit(Tables.documents(s, d), "text",
+        valPermille = 100, testPermille = 100)
+        .select("doc_id", "fingerprint", "split")
+        .orderBy("doc_id")),
+
+    // Exact-count stratified sampling: per-source quotas (src0 → 5,
+    // src1 → 12, rest → 8) keep the k hash-smallest docs per source —
+    // kept doc ids gated row-for-row, proving count-exactness AND the
+    // engine-reproducible rank order.
+    "x_quota_sample" -> ((s, d) =>
+      operators.Corpus.quotaSample(Tables.documents(s, d), "doc_id", "source",
+        Map("src0" -> 5, "src1" -> 12), defaultQuota = 8)
+        .select("doc_id", "source")
+        .orderBy("doc_id")),
+
     // Mixture sampling: per-source keep rates (src0 full, src1 half,
     // src2 quarter, everything else 10%) — per-source kept counts + id
     // sums prove the exact engine-reproducible kept-set.
@@ -2754,6 +2774,26 @@ object SparkEntry {
              (md5_number_lower(CAST(doc_id AS VARCHAR))
                % 72057594037927936) % 1000 AS h
            FROM documents) ORDER BY doc_id""",
+    "x_split_leakage" ->
+      """SELECT doc_id, fingerprint,
+           CASE WHEN h < 100 THEN 'test'
+                WHEN h < 200 THEN 'val'
+                ELSE 'train' END AS split
+         FROM (SELECT doc_id, fingerprint,
+             (md5_number_lower(fingerprint) % 72057594037927936) % 1000 AS h
+           FROM (SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(
+                 string_split(lower(text), ' '))), ' ')) AS fingerprint
+             FROM documents)) ORDER BY doc_id""",
+    "x_quota_sample" ->
+      """SELECT doc_id, source FROM (
+           SELECT doc_id, source, row_number() OVER (PARTITION BY source
+               ORDER BY (md5_number_lower(CAST(doc_id AS VARCHAR))
+                 % 72057594037927936), doc_id) AS rk
+           FROM documents)
+         WHERE rk <= CASE source WHEN 'src0' THEN 5 WHEN 'src1' THEN 12
+                     ELSE 8 END
+         ORDER BY doc_id""",
     "x_mix" ->
       """SELECT source, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
          FROM (SELECT doc_id, source,

@@ -137,6 +137,64 @@ object Corpus {
         .otherwise(lit("train")))
   }
 
+  /** Leakage-safe split: [[hashSplit]] keyed on the content FINGERPRINT
+    * (md5 of the sorted distinct lowercased token set —
+    * [[graft.functions.TextFunctions.fingerprint]]) instead of the row
+    * id, so a document and its exact or token-set-identical near-copies
+    * ALWAYS land in the same split. A per-id split cannot give that
+    * guarantee: a doc and its crawl-duplicate hash independently, and at
+    * web-corpus dup rates a test set assembled per-id is contaminated by
+    * construction. Any precomputed group key works via plain
+    * `hashSplit(df, groupCol, …)` (site domain, dedup-cluster canonical
+    * id); this convenience derives the fingerprint inline and keeps it
+    * in the output for audit.
+    *
+    * Scale shape: identical to [[hashSplit]] — pure map-side projection
+    * (fingerprint + md5-56 bucket computed at scan speed), no shuffle,
+    * no state.
+    */
+  def leakageSafeSplit(df: DataFrame, textCol: String,
+      valPermille: Int, testPermille: Int): DataFrame =
+    hashSplit(
+      df.withColumn("fingerprint", TextFunctions.fingerprint(col(textCol))),
+      "fingerprint", valPermille, testPermille)
+
+  /** Exact-count stratified sampling: keep the `quota(stratum)` rows with
+    * the SMALLEST (md5-56, id) rank within each stratum — where
+    * [[mixtureSample]] fixes per-stratum keep RATES (kept counts are
+    * binomial), this fixes per-stratum kept COUNTS exactly: the shape a
+    * fixed-size eval set or a per-source annotation budget needs. The
+    * rank ordering is the same hash family as every sampler here, so the
+    * kept set is engine-reproducible, and NESTED across quotas: raising
+    * a quota only ever adds rows.
+    *
+    * Strata not in `quotas` use `defaultQuota`; a stratum smaller than
+    * its quota is kept whole. Generalizes [[capPerStratum]] (uniform
+    * cap) to a per-stratum allocation.
+    *
+    * Scale shape: one stratum-keyed shuffle for the rank window, one
+    * counter of window state per stratum. A stratum holding most of the
+    * corpus makes that window single-task — at that skew, cap the heavy
+    * stratum with a pre-filter `pmod(md5_56(id), 1000) < p` sized from
+    * stratum counts (the nested-keep-set property makes the pre-filter
+    * lossless for any quota under p‰ of the stratum).
+    */
+  def quotaSample(df: DataFrame, idCol: String, stratumCol: String,
+      quotas: Map[String, Int], defaultQuota: Int): DataFrame = {
+    (quotas.values.toSeq :+ defaultQuota).foreach(q =>
+      require(q >= 0, s"quota must be >= 0, got $q"))
+    val quota = quotas.foldLeft(lit(defaultQuota)) {
+      case (acc, (stratum, q)) =>
+        when(col(stratumCol) === stratum, lit(q)).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(sampleHash(col(idCol)), col(idCol))
+    df.withColumn("_graft_rank", row_number().over(w))
+      .filter(col("_graft_rank") <= quota)
+      .drop("_graft_rank")
+  }
+
   /** Mixture sampling: keep each row with a per-stratum rate — the
     * source-weighting step of corpus mixing (e.g. up-weight curated
     * sources, down-sample web crawl). `ratesPermille` maps stratum value →

@@ -131,6 +131,48 @@ class CorpusSpec extends SparkSpec {
     assert(splits.forall { case (id, s) => grown(id) == s })
   }
 
+  test("leakageSafeSplit keeps token-set duplicates in one split") {
+    // 600 base docs + a shuffled-token copy and a repeated-token copy of
+    // each: same distinct token set → same fingerprint → same split
+    val base = spark.range(600).select(col("id"),
+      concat_ws(" ", lit("tok"), col("id").cast("string"),
+        lit("alpha beta gamma")).as("text"))
+    val dups = base.select(col("id") + 10000,
+        concat_ws(" ", lit("beta gamma alpha alpha"), lit("tok"),
+          col("id").cast("string")).as("text"))
+      .toDF("id", "text")
+    val out = Corpus.leakageSafeSplit(base.unionByName(dups), "text", 100, 100)
+    // every fingerprint maps to exactly one split — no group straddles
+    assert(out.groupBy("fingerprint")
+      .agg(countDistinct("split").as("n")).filter(col("n") > 1).count() == 0)
+    // and the pairing is real: each base doc shares a fingerprint with its copy
+    val perFp = out.groupBy("fingerprint").count()
+      .filter(col("count") =!= 2).count()
+    assert(perFp == 0)
+    // proportions still hold at the GROUP level (600 uniform group hashes)
+    val byLabel = out.select("fingerprint", "split").distinct()
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(byLabel("test") > 30 && byLabel("test") < 95, byLabel.toString)
+    assert(byLabel("val") > 30 && byLabel("val") < 95, byLabel.toString)
+  }
+
+  test("quotaSample keeps exact per-stratum counts, nested across quotas") {
+    val df = spark.range(4000).select(col("id"),
+      concat(lit("s"), pmod(col("id"), lit(4))).as("src"))
+    val kept = Corpus.quotaSample(df, "id", "src",
+      Map("s0" -> 17, "s1" -> 2000), defaultQuota = 40)
+    val counts = kept.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(counts("s0") == 17)
+    assert(counts("s1") == 1000)   // quota above stratum size: kept whole
+    assert(counts("s2") == 40 && counts("s3") == 40)
+    // NESTED: the 10-quota set is a subset of the 17-quota set
+    val small = Corpus.quotaSample(df, "id", "src", Map("s0" -> 10), 0)
+      .select("id").as[Long].collect().toSet
+    val big = kept.filter(col("src") === "s0")
+      .select("id").as[Long].collect().toSet
+    assert(small.subsetOf(big) && small.size == 10)
+  }
+
   test("mixtureSample applies per-stratum rates with nested keep-sets") {
     val df = spark.range(4000).select(col("id"),
       concat(lit("s"), pmod(col("id"), lit(4))).as("src"))

@@ -116,6 +116,50 @@ class SignatureStoreSpec extends SparkSpec {
     assert(pairs(SignatureStore.probe(probeBatch, dir)) == before)
   }
 
+  test("streaming micro-batches drive continuous dedup via foreachBatch") {
+    // the continuous-ingest admission loop end-to-end: per micro-batch,
+    // probe → drop docs near-dupping the store (est >= 0.5) → append the
+    // survivors. Copies of already-admitted docs are rejected no matter
+    // which batch they arrive in; novel docs are admitted.
+    val dir = java.nio.file.Files.createTempDirectory("sigstore-stream").toString
+    SignatureStore.write(corpus.filter(col("doc_id") <= 4), "doc_id", "text",
+      dir, nPb = 8)
+    val admitted = collection.mutable.ArrayBuffer(1L, 2L, 3L, 4L)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark)
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val dupIds = SignatureStore.probe(batch, dir)
+            .filter(col("est_jaccard") >= 0.5)
+            .select(col("id_b")).as[Long].collect().toSet
+          val keep = batch.filter(!col("doc_id").isin(dupIds.toSeq: _*))
+          SignatureStore.append(keep, dir)
+          admitted ++= keep.select("doc_id").as[Long].collect().sorted
+        }
+        ()
+      }
+      .start()
+    try {
+      // 8 = copy of admitted doc 1 (reject); 5 novel (admit)
+      input.addData(
+        (8L, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (5L, "training data pipelines dedupe crawl shards before tokenizing text"))
+      q.processAllAvailable()
+      // 9 = copy of doc 5 admitted ONE BATCH AGO from the stream (reject);
+      // 7 novel (admit)
+      input.addData(
+        (9L, "training data pipelines dedupe crawl shards before tokenizing text"),
+        (7L, "unrelated final document mentioning neither foxes nor pipelines"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(admitted.sorted == Seq(1L, 2L, 3L, 4L, 5L, 7L))
+    // the store's doc set is exactly the admitted set
+    val docs = SignatureStore.stats(spark, dir).as[(Long, Long, Long)].head()
+    assert(docs._1 == 6 && docs._3 == 2)
+  }
+
   test("null id in a probed or appended batch fails loudly") {
     val dir = java.nio.file.Files.createTempDirectory("sigstore-null").toString
     SignatureStore.write(corpus, "doc_id", "text", dir, nPb = 8)
