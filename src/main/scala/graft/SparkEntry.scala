@@ -1337,6 +1337,14 @@ object SparkEntry {
         Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // Interpolated bigram cross-entropy (λ=0.8 bigram MLE backed off to
+    // unigram): the sequence-aware quality signal — catches
+    // common-words-in-wrong-order text that unigram CE scores as fluent.
+    "x_bigram_ce" -> ((s, d) =>
+      operators.TextAnalysis.bigramCrossEntropy(
+        Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // Bounded-window funnel: each transition must land within 3 days of
     // the previous stage ("click within 3 days of the view") — the
     // product-analytics shape real funnels use. One extra predicate in
@@ -3015,6 +3023,45 @@ object SparkEntry {
            round(CAST(sum(contrib) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
              AS unigram_ce
          FROM e GROUP BY doc_id ORDER BY doc_id""",
+    // arithmetic mirrors the Spark side term-for-term: (1 - 0.8) is
+    // COMPUTED (not written 0.2) so both engines use the identical double
+    "x_bigram_ce" ->
+      """WITH toks AS (SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+           FROM documents),
+         alltok AS (SELECT doc_id, unnest(ts) AS term FROM toks
+           WHERE len(ts) > 0),
+         cf AS (SELECT term, count(*) AS cf FROM alltok GROUP BY 1),
+         tot AS (SELECT CAST(sum(cf) AS DOUBLE) AS t FROM cf),
+         f1 AS (SELECT doc_id, ts[1] AS term, count(*) AS c FROM toks
+           WHERE len(ts) > 0 GROUP BY 1, 2),
+         bpos AS (SELECT doc_id, b.prev AS prev, b.term AS term
+           FROM (SELECT doc_id, unnest(list_transform(range(2, len(ts) + 1),
+               i -> struct_pack(prev := ts[i - 1], term := ts[i]))) AS b
+             FROM toks WHERE len(ts) >= 2)),
+         cfb AS (SELECT prev, term, count(*) AS cfb FROM bpos GROUP BY 1, 2),
+         r1 AS (SELECT doc_id, prev, term, count(*) AS c FROM bpos
+           GROUP BY 1, 2, 3),
+         e1 AS (SELECT f1.doc_id,
+             CAST(round(f1.c * -ln(CAST(cf.cf AS DOUBLE) / t), 9)
+               AS DECIMAL(18,9)) AS contrib,
+             f1.c AS c
+           FROM f1 JOIN cf USING (term) CROSS JOIN tot),
+         e2 AS (SELECT r1.doc_id,
+             CAST(round(r1.c * -ln(
+                 0.8 * (CAST(cfb.cfb AS DOUBLE) / CAST(cp.cf AS DOUBLE)) +
+                 (1 - 0.8) * (CAST(cu.cf AS DOUBLE) / t)), 9)
+               AS DECIMAL(18,9)) AS contrib,
+             r1.c AS c
+           FROM r1 JOIN cfb USING (prev, term)
+             JOIN cf cp ON cp.term = r1.prev
+             JOIN cf cu ON cu.term = r1.term
+             CROSS JOIN tot)
+         SELECT doc_id,
+           round(CAST(sum(contrib) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
+             AS bigram_ce
+         FROM (SELECT * FROM e1 UNION ALL SELECT * FROM e2)
+         GROUP BY doc_id ORDER BY doc_id""",
     "x_funnel" ->
       """WITH v AS (SELECT user_id, min(epoch_us(ts)) AS t0 FROM events
            WHERE event_type = 'view' GROUP BY 1),

@@ -260,6 +260,71 @@ object TextAnalysis {
         .as("unigram_ce"))
   }
 
+  /** Per-document cross-entropy under an INTERPOLATED BIGRAM corpus
+    * model, in nats — the sequence-aware upgrade of
+    * [[unigramCrossEntropy]]: where the unigram score only asks "are
+    * these tokens common?", this asks "do these tokens follow each
+    * other the way the corpus does?", so shuffled or templated text
+    * made of common words (which unigram CE cannot see) scores high.
+    * Position 1 is scored by the unigram model; positions 2..n by
+    * `λ·(cf(prev,t)/cf(prev)) + (1−λ)·(cf(t)/T)` — MLE bigram backed
+    * off to unigram, the classic interpolated-LM smoothing (no zero
+    * probabilities: any in-vocab continuation has unigram mass).
+    * Output `(idCol, bigram_ce)` = mean −ln p over the doc's tokens;
+    * empty docs are absent.
+    *
+    * Determinism: the [[unigramCrossEntropy]] contract — per-group
+    * contributions rounded to 9dp, summed as DECIMAL, final mean
+    * rounded to 6dp; the oracle mirrors the arithmetic term-for-term
+    * (including computing `1 − λ` rather than its decimal literal, so
+    * both engines use the identical double).
+    *
+    * Scale shape: one posexplode projection (fan-out = doc length, no
+    * shuffle), two dictionary aggregations (unigram vocab-sized, bigram
+    * distinct-adjacent-pair-sized), the scalar token total broadcast as
+    * a one-row frame, and (prev,term)-keyed joins of per-doc counts
+    * against the dictionaries — dictionary-bounded shuffles, never
+    * corpus². No windows, no driver state.
+    */
+  def bigramCrossEntropy(df: DataFrame, idCol: String, textCol: String,
+      lambda: Double = 0.8): DataFrame = {
+    require(lambda >= 0 && lambda <= 1, s"lambda must be in [0,1], got $lambda")
+    val toks = df.select(col(idCol),
+        TextFunctions.tokens(lower(col(textCol))).as("_ts"))
+      .filter(size(col("_ts")) > 0)
+    val pos = toks.select(col(idCol), col("_ts"),
+        posexplode(col("_ts")).as(Seq("_i", "term")))
+      .withColumn("prev",
+        when(col("_i") >= 1, element_at(col("_ts"), col("_i"))))
+      .drop("_ts", "_i")
+    val cf = pos.groupBy("term").agg(count(lit(1)).as("_cf"))
+    val total = cf.agg(sum("_cf").as("_t"))
+    val cfb = pos.filter(col("prev").isNotNull)
+      .groupBy("prev", "term").agg(count(lit(1)).as("_cfb"))
+    val pu = col("_cf").cast("double") / col("_t").cast("double")
+    val first = pos.filter(col("prev").isNull)
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("_c"))
+      .join(cf, "term").crossJoin(broadcast(total))
+      .select(col(idCol),
+        round(col("_c") * -log(pu), 9).cast("decimal(18,9)").as("_e"),
+        col("_c"))
+    val rest = pos.filter(col("prev").isNotNull)
+      .groupBy(col(idCol), col("prev"), col("term")).agg(count(lit(1)).as("_c"))
+      .join(cfb, Seq("prev", "term"))
+      .join(cf.select(col("term").as("prev"), col("_cf").as("_cfp")), "prev")
+      .join(cf, "term")
+      .crossJoin(broadcast(total))
+      .select(col(idCol),
+        round(col("_c") * -log(
+          lit(lambda) * (col("_cfb").cast("double") / col("_cfp").cast("double")) +
+            lit(1 - lambda) * pu), 9).cast("decimal(18,9)").as("_e"),
+        col("_c"))
+    first.unionByName(rest)
+      .groupBy(col(idCol))
+      .agg(round(sum("_e").cast("double") / sum("_c").cast("double"), 6)
+        .as("bigram_ce"))
+  }
+
   /** Learn `nMerges` BPE merges from the corpus — the TRAINING side of
     * [[graft.functions.TextExpressions.BpeTokens]] (which APPLIES a
     * learned table; `BpeTokensSpec` pins train→apply round trips).

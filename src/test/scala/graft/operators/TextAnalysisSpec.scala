@@ -199,6 +199,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(ce(1L) < ce(2L) && ce(2L) < ce(3L))
   }
 
+  test("bigramCrossEntropy is sequence-aware where unigram CE is not") {
+    // two docs over the SAME token multiset: one in the corpus-dominant
+    // order ("the quick fox" pattern ×4), one shuffled. Unigram CE ties
+    // them exactly; bigram CE must score the shuffled doc strictly higher.
+    val df = Seq(
+      (1L, "the quick fox the quick fox the quick fox the quick fox"),
+      (2L, "fox the quick quick the fox the fox quick quick fox the"),
+      (3L, "the quick fox runs")).toDF("doc_id", "text")
+    val uni = TextAnalysis.unigramCrossEntropy(df, "doc_id", "text")
+      .as[(Long, Double)].collect().toMap
+    assert(uni(1L) == uni(2L))
+    val bi = TextAnalysis.bigramCrossEntropy(df, "doc_id", "text")
+      .as[(Long, Double)].collect().toMap
+    assert(bi(1L) < bi(2L), bi.toString)
+    // hand check on a 2-token doc: corpus "a b" ×2 → doc (4L, "a b"):
+    // pos1 unigram -ln(2/4); pos2 λ·(2/2) + (1-λ)·(2/4)
+    val tiny = Seq((4L, "a b"), (5L, "a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramCrossEntropy(tiny, "doc_id", "text", 0.8)
+      .as[(Long, Double)].collect().toMap
+    val expect = (-math.log(0.5) - math.log(0.8 * 1.0 + 0.2 * 0.5)) / 2.0
+    assert(math.abs(got(4L) - expect) < 1e-5, s"${got(4L)} vs $expect")
+    // single-token doc: only the unigram-scored first position
+    val one = Seq((6L, "solo"), (7L, "solo x")).toDF("doc_id", "text")
+    val ce1 = TextAnalysis.bigramCrossEntropy(one, "doc_id", "text")
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(ce1(6L) - (-math.log(2.0 / 3.0))) < 1e-5)
+  }
+
   test("learnBpeMerges: frequency order, tie-break, early stop, round trip") {
     // vocab: "ab"×3, "ac"×1 — pair (a,b) wins, then (a,c), then dry
     val df = Seq((1L, "ab ab ac"), (2L, "ab")).toDF("doc_id", "text")
