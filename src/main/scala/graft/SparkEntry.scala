@@ -518,8 +518,9 @@ object SparkEntry {
       val b2 = docs.filter(pmod(col("doc_id"), lit(5)) === 4)
       val dir = java.nio.file.Files.createTempDirectory("graft-sigstore").toString
       sink.SignatureStore.write(base, "doc_id", "text", dir)
-      val p0 = operators.Dedup.minhashLshCandidates(base, "doc_id", "text")
-        .select("id_a", "id_b")
+      // base-internal pairs from the PERSISTED signatures (selfPairs) —
+      // no second signing pass over the base corpus
+      val p0 = sink.SignatureStore.selfPairs(s, dir).select("id_a", "id_b")
       val p1 = sink.SignatureStore.probe(b1, dir).select("id_a", "id_b")
       sink.SignatureStore.append(b1, dir)
       val p2 = sink.SignatureStore.probe(b2, dir).select("id_a", "id_b")

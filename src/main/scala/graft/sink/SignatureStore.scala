@@ -156,6 +156,30 @@ object SignatureStore {
       .select("id_a", "id_b", "est_jaccard")
   }
 
+  /** Candidate near-dup pairs WITHIN the store — corpus-wide LSH dedup
+    * from the PERSISTED signatures, no re-signing: the audit path ("what
+    * duplicates does the corpus we hold contain?") that makes the index,
+    * not the raw text, the system of record for dedup. Identical pair
+    * set to `Dedup.minhashLshCandidates` over the corpus (signatures are
+    * deterministic per doc), at the cost of one self-join on
+    * (band, bucket) over rows already sorted by exactly that key.
+    */
+  def selfPairs(spark: SparkSession, dir: String): DataFrame = {
+    val m = readMeta(spark, dir)
+    val rows = bucketRows(spark, dir, None)
+    rows.as("a").join(rows.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => (x === y).cast("int")), _ === 1)).cast("double")
+          / lit(m.numHashes.toDouble))
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
   /** Admit a screened batch into the store: ONE O(batch)-bytes atomic
     * commit of its banded rows. Returns the commit sequence. Ids are
     * assumed new to the store (dedup admits each survivor once); a

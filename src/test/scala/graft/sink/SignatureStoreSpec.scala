@@ -116,6 +116,19 @@ class SignatureStoreSpec extends SparkSpec {
     assert(pairs(SignatureStore.probe(probeBatch, dir)) == before)
   }
 
+  test("selfPairs reproduces one-shot LSH from persisted signatures, across appends") {
+    val dir = java.nio.file.Files.createTempDirectory("sigstore-self").toString
+    SignatureStore.write(corpus.filter(col("doc_id") <= 5), "doc_id", "text",
+      dir, nPb = 8)
+    SignatureStore.append(corpus.filter(col("doc_id") > 5), dir)
+    val self = SignatureStore.selfPairs(spark, dir)
+    assert(pairs(self) == pairs(Dedup.minhashLshCandidates(corpus, "doc_id", "text")))
+    // est_jaccard comes from the stored signatures: (1,2) near-identical
+    val est = self.filter(col("id_a") === 1 && col("id_b") === 2)
+      .select("est_jaccard").as[Double].head()
+    assert(est > 0.5 && est <= 1.0)
+  }
+
   test("streaming micro-batches drive continuous dedup via foreachBatch") {
     // the continuous-ingest admission loop end-to-end: per micro-batch,
     // probe → drop docs near-dupping the store (est >= 0.5) → append the
