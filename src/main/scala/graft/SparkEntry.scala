@@ -395,6 +395,30 @@ object SparkEntry {
       DocQueries.termPrefix(Tables.documents(s, d), "text", "merg")
         .select("doc_id").orderBy("doc_id")),
 
+    // WildcardQuery (scan form): glob over whole tokens — "m?rge*"
+    // compiles to one anchored regexp, codegen'd per token.
+    "q_wildcard" -> ((s, d) =>
+      DocQueries.matchWildcard(Tables.documents(s, d), "text", "m?rge*")
+        .select("doc_id").orderBy("doc_id")),
+
+    // WildcardQuery off the index: literal prefix "m" pushed onto the
+    // term-sorted postings, regexp over the pruned vocabulary, postings
+    // gathered by broadcast semi-join — must equal the scan form.
+    "q_wildcard_indexed" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-wcidx").toString
+      sink.InvertedIndex.writePostings(
+        sink.InvertedIndex.postings(Tables.documents(s, d), "doc_id", "text"),
+        s"$dir/postings")
+      sink.InvertedIndex.wildcardSearch(
+          sink.InvertedIndex.readPostings(s, s"$dir/postings"), "m?rge*")
+        .orderBy("doc_id")
+    }),
+
+    // RegexpQuery (scan form): full-token regexp, RE2-portable subset.
+    "q_regex" -> ((s, d) =>
+      DocQueries.matchRegexp(Tables.documents(s, d), "text", "(scan|merge)s?")
+        .select("doc_id").orderBy("doc_id")),
+
     // PrefixQuery off the index: pushed StringStartsWith on the
     // term-sorted postings (row-group seek-to-prefix, spec-pinned).
     "q_prefix_indexed" -> ((s, d) => {
@@ -2258,6 +2282,23 @@ object SparkEntry {
       """SELECT doc_id FROM documents
          WHERE len(list_filter(string_split(lower(text), ' '),
            x -> starts_with(x, 'merg'))) > 0
+         ORDER BY doc_id""",
+    // glob m?rge* ≡ anchored regex m.rge.* (full-token match)
+    "q_wildcard" ->
+      """SELECT doc_id FROM documents
+         WHERE len(list_filter(string_split(lower(text), ' '),
+           x -> regexp_full_match(x, 'm.rge.*'))) > 0
+         ORDER BY doc_id""",
+    // indexed wildcard ≡ the scan-form membership
+    "q_wildcard_indexed" ->
+      """SELECT doc_id FROM documents
+         WHERE len(list_filter(string_split(lower(text), ' '),
+           x -> regexp_full_match(x, 'm.rge.*'))) > 0
+         ORDER BY doc_id""",
+    "q_regex" ->
+      """SELECT doc_id FROM documents
+         WHERE len(list_filter(string_split(lower(text), ' '),
+           x -> regexp_full_match(x, '(scan|merge)s?'))) > 0
          ORDER BY doc_id""",
     // indexed prefix ≡ the scan-form membership
     "q_prefix_indexed" ->

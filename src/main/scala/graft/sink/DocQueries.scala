@@ -60,6 +60,49 @@ object DocQueries {
     index.filter(exists(split(lower(col(field)), " "), t => t.startsWith(p)))
   }
 
+  /** Lucene glob → anchored Java/RE2-portable regexp: `*` → `.*`, `?` →
+    * `.`, every other char matched literally (regex metacharacters
+    * escaped one-by-one — the portable subset; no `\Q...\E`, which RE2
+    * engines running the oracle side don't support).
+    */
+  private[sink] def globToRegex(glob: String): String = {
+    val sb = new StringBuilder("^")
+    glob.foreach {
+      case '*' => sb.append(".*")
+      case '?' => sb.append('.')
+      case c if "\\.[]{}()+-^$|".indexOf(c) >= 0 => sb.append('\\').append(c)
+      case c => sb.append(c)
+    }
+    sb.append('$').toString
+  }
+
+  /** WildcardQuery — glob over whole tokens (`*` any run, `?` one char,
+    * all else literal; Lucene WildcardQuery semantics). The glob
+    * compiles to ONE anchored regexp evaluated per token — a codegen'd
+    * projection, no UDF. Index-served twin:
+    * [[InvertedIndex.wildcardSearch]], where the glob's literal prefix
+    * prunes the term-sorted postings before the regexp runs.
+    */
+  def matchWildcard(index: DataFrame, field: String, pattern: String): DataFrame = {
+    val p = pattern.toLowerCase(java.util.Locale.ROOT)
+    require(p.exists(c => c != '*' && c != '?'),
+      "wildcard query needs at least one literal character")
+    val re = globToRegex(p)
+    index.filter(exists(split(lower(col(field)), " "), t => t.rlike(re)))
+  }
+
+  /** RegexpQuery — the document matches if any token matches the regexp
+    * in FULL (Lucene RegexpQuery anchors the automaton at both ends; the
+    * explicit `^(?:…)$` here reproduces that). Keep patterns to the
+    * RE2-portable subset — the same expression must be evaluable by any
+    * engine auditing the corpus.
+    */
+  def matchRegexp(index: DataFrame, field: String, regex: String): DataFrame = {
+    require(regex.nonEmpty, "regexp query needs a non-empty pattern")
+    val re = s"^(?:$regex)$$"
+    index.filter(exists(split(lower(col(field)), " "), t => t.rlike(re)))
+  }
+
   /** FuzzyQuery — the document matches if any token is within `maxEdits`
     * Levenshtein distance of the query term (Lucene FuzzyQuery). The
     * scan form evaluates the distance per token; the index-served twin

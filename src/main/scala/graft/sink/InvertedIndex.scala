@@ -169,6 +169,52 @@ object InvertedIndex {
       .select("doc_id").distinct()
   }
 
+  /** WildcardQuery off the index — Lucene runs the glob automaton over
+    * the term dictionary seeking from its literal prefix; relationally
+    * that is: the glob's literal prefix pushes as `StringStartsWith`
+    * onto the term-sorted postings (row-group seek, same as
+    * [[prefixSearch]]), the anchored regexp then runs over the PRUNED
+    * vocabulary (distinct surviving terms), and matching terms' postings
+    * are gathered by broadcast semi-join. A glob with no literal prefix
+    * (leading `*`/`?`) degrades to a full vocabulary scan — still
+    * vocabulary-sized, never corpus-sized.
+    */
+  def wildcardSearch(postings: DataFrame, pattern: String): DataFrame = {
+    val p = pattern.toLowerCase(java.util.Locale.ROOT)
+    require(p.exists(c => c != '*' && c != '?'),
+      "wildcard search needs at least one literal character")
+    val litPrefix = p.takeWhile(c => c != '*' && c != '?')
+    val pruned =
+      if (litPrefix.nonEmpty) postings.filter(col("term").startsWith(litPrefix))
+      else postings
+    val re = DocQueries.globToRegex(p)
+    val vocab = pruned.select("term").distinct().filter(col("term").rlike(re))
+    pruned.join(broadcast(vocab), Seq("term"), "left_semi")
+      .select("doc_id").distinct()
+  }
+
+  /** RegexpQuery off the index: full-match regexp over the vocabulary,
+    * with any leading literal run (`[a-z0-9]+` before the first
+    * metacharacter) pushed as the prefix prune — Lucene extracts the
+    * common prefix from the compiled automaton; this textual stand-in
+    * must refuse when an alternation could bypass the leading run
+    * (`wind.w|scan` has NO common prefix), so any `|` in the pattern
+    * disables the prune — correctness first, the vocabulary scan is
+    * still vocabulary-sized.
+    */
+  def regexpSearch(postings: DataFrame, regex: String): DataFrame = {
+    require(regex.nonEmpty, "regexp search needs a non-empty pattern")
+    val litPrefix =
+      if (regex.contains('|')) "" else regex.takeWhile(c => c.isLetterOrDigit)
+    val pruned =
+      if (litPrefix.nonEmpty) postings.filter(col("term").startsWith(litPrefix))
+      else postings
+    val vocab = pruned.select("term").distinct()
+      .filter(col("term").rlike(s"^(?:$regex)$$"))
+    pruned.join(broadcast(vocab), Seq("term"), "left_semi")
+      .select("doc_id").distinct()
+  }
+
   /** BATCH BM25 retrieval — N queries answered in ONE pass over the
     * postings (the batch-serving shape; the text twin of
     * `VectorIndex.knnSearch`). Identical per-term scoring to

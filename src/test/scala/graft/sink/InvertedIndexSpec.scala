@@ -202,4 +202,49 @@ class InvertedIndexSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(viaFuzzyIdx == viaFuzzyScan && viaFuzzyIdx.nonEmpty)
   }
+
+  test("wildcard/regexp: indexed ≡ scan; literal prefix pushes; glob escapes") {
+    val docs = corpus.unionByName(
+      Seq((5L, "a.b special m+rge token"), (6L, "mx bad")).toDF("doc_id", "text"))
+    val dir = java.nio.file.Files.createTempDirectory("wcidx").toString
+    InvertedIndex.writePostings(
+      InvertedIndex.postings(docs, "doc_id", "text"), dir)
+    val persisted = InvertedIndex.readPostings(spark, dir)
+    // glob m*e: matches "merge" (0, 4) and "m+rge" (5) but not "mx"
+    val idx = InvertedIndex.wildcardSearch(persisted, "m*e")
+      .as[Long].collect().toSet
+    val scan = DocQueries.matchWildcard(docs, "text", "m*e")
+      .select("doc_id").as[Long].collect().toSet
+    assert(idx == scan && idx == Set(0L, 4L, 5L))
+    // regex special chars in the glob are LITERAL: "a.b" matches only
+    // the token "a.b", not "aXb"-shaped tokens; "m+rge" likewise
+    assert(DocQueries.matchWildcard(docs, "text", "a.b")
+      .select("doc_id").as[Long].collect().toSeq == Seq(5L))
+    assert(DocQueries.matchWildcard(docs, "text", "m+rge*")
+      .select("doc_id").as[Long].collect().toSeq == Seq(5L))
+    // ? is exactly one char: "m?rge" matches "merge" and "m+rge",
+    // never "mrge"/"meerge"-shaped tokens
+    assert(DocQueries.matchWildcard(docs, "text", "m?rge")
+      .select("doc_id").as[Long].collect().toSet == Set(0L, 4L, 5L))
+    // the glob's literal prefix reaches the postings scan pushed
+    val plan = InvertedIndex.wildcardSearch(persisted, "mer*")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("StringStartsWith(term,mer"), plan)
+    // regexp: full-token anchoring (no substring matches), indexed ≡ scan
+    val reIdx = InvertedIndex.regexpSearch(persisted, "wind.w|scan")
+      .as[Long].collect().toSet
+    val reScan = DocQueries.matchRegexp(docs, "text", "wind.w|scan")
+      .select("doc_id").as[Long].collect().toSet
+    assert(reIdx == reScan && reIdx == Set(0L, 1L, 4L))
+    // "erge" must NOT match "merge" (anchored), and the regexp prefix
+    // prune must not break prefix-less patterns
+    assert(InvertedIndex.regexpSearch(persisted, "erge")
+      .as[Long].collect().isEmpty)
+    // alternation-free pattern DOES take the pushed-prefix path
+    val rePlan = InvertedIndex.regexpSearch(persisted, "wind.w")
+      .queryExecution.executedPlan.toString
+    assert(rePlan.contains("StringStartsWith(term,wind"), rePlan)
+    assert(InvertedIndex.regexpSearch(persisted, "wind.w")
+      .as[Long].collect().toSet == Set(1L, 4L))
+  }
 }
