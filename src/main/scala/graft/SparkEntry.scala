@@ -256,6 +256,33 @@ object SparkEntry {
         Tables.documents(s, d).select("doc_id", "text"), "doc_id", "text",
         sourceId = 0L, topTerms = 5, k = 10)),
 
+    // Incremental corpus statistics: init on a third of orders, two
+    // O(columns)-sized appended commits for the rest, then the profile
+    // is read from PERSISTED partials — no corpus rescan. Exact counts
+    // and min/max must equal a full-table profile; the merged
+    // DataSketches HLL union gates within ±5% of exact distinct.
+    "x_profile_incremental" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val cols = Seq("o_custkey", "o_orderkey", "o_orderstatus")
+      val dir = java.nio.file.Files.createTempDirectory("graft-statstore").toString
+      sink.StatsStore.init(o.filter(pmod(col("o_orderkey"), lit(3)) === 0),
+        cols, dir)
+      sink.StatsStore.append(o.filter(pmod(col("o_orderkey"), lit(3)) === 1), dir)
+      sink.StatsStore.append(o.filter(pmod(col("o_orderkey"), lit(3)) === 2), dir)
+      val prof = sink.StatsStore.profile(s, dir)
+      val exactAggs = cols.map(c => countDistinct(col(c)).cast("long").as(c))
+      val exact = o.agg(exactAggs.head, exactAggs.tail: _*)
+        .select(explode(array(cols.map(c =>
+          struct(lit(c).as("col_name"), col(c).as("exact_distinct"))): _*)).as("e"))
+        .select("e.*")
+      prof.join(broadcast(exact), "col_name")
+        .select(col("col_name"), col("n_nonnull"), col("n_null"),
+          col("min_v"), col("max_v"),
+          (abs(col("approx_distinct") - col("exact_distinct")) <=
+            col("exact_distinct") * 0.05).as("dist_ok"))
+        .orderBy("col_name")
+    }),
+
     // Column profiling ("analyze table" for pipeline observability): one
     // aggregate pass — per-column null/non-null counts, exact min/max,
     // HLL++ distinct. The approx cardinality is gated within ±5% of the
@@ -2151,6 +2178,32 @@ object SparkEntry {
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
            TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
          FROM lineitem""",
+    // numeric min/max render as 6dp fixed-point (the StatsStore partial
+    // type), strings as plain min/max — both engine-portable
+    "x_profile_incremental" ->
+      """SELECT col_name, n_nonnull, n_null, min_v, max_v, TRUE AS dist_ok
+         FROM (
+           SELECT 'o_custkey' AS col_name,
+             CAST(count(o_custkey) AS BIGINT) AS n_nonnull,
+             CAST(coalesce(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_null,
+             CAST(CAST(min(o_custkey) AS DECIMAL(38,6)) AS VARCHAR) AS min_v,
+             CAST(CAST(max(o_custkey) AS DECIMAL(38,6)) AS VARCHAR) AS max_v
+           FROM orders
+           UNION ALL
+           SELECT 'o_orderkey',
+             CAST(count(o_orderkey) AS BIGINT),
+             CAST(coalesce(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
+             CAST(CAST(min(o_orderkey) AS DECIMAL(38,6)) AS VARCHAR),
+             CAST(CAST(max(o_orderkey) AS DECIMAL(38,6)) AS VARCHAR)
+           FROM orders
+           UNION ALL
+           SELECT 'o_orderstatus',
+             CAST(count(o_orderstatus) AS BIGINT),
+             CAST(coalesce(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
+             CAST(min(o_orderstatus) AS VARCHAR),
+             CAST(max(o_orderstatus) AS VARCHAR)
+           FROM orders)
+         ORDER BY col_name""",
     "x_profile" ->
       """SELECT col_name, n_nonnull, n_null, min_v, max_v, TRUE AS dist_ok
          FROM (

@@ -1,0 +1,191 @@
+package graft.sink
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Incrementally-maintained corpus statistics: the observability sibling
+  * of [[IncrementalPostings]]/[[SignatureStore]]. A batch contributes ONE
+  * O(#columns)-sized partial-stats commit (counts, typed min/max, a
+  * mergeable DataSketches HLL sketch per column); the corpus-wide profile
+  * is the FOLD of those partials — so "analyze table" on a 100 TB corpus
+  * under continuous ingest costs one tiny merge over per-batch rows
+  * instead of a corpus rescan. Every statistic kept is chosen to be
+  * MERGEABLE: counts add, min/max compose, HLL sketches union; anything
+  * non-mergeable (exact medians, exact distinct) is out of the store's
+  * contract by design.
+  *
+  * Layout under `dir`:
+  *   - `meta/` — one row per tracked column: `(col_name, kind)` with
+  *     `kind ∈ {num, str}`; the profiling contract is persisted so every
+  *     append aggregates the same columns the same way.
+  *   - `base/` — partial rows from [[init]] (and [[compact]] folds).
+  *   - `commits/<seq>/stats` — one [[DeltaLog]] commit per appended
+  *     batch: #columns rows, O(columns × sketch) bytes, atomic rename.
+  *
+  * Partial row: `(col_name, n_nonnull, n_null, min_num, max_num,
+  * min_str, max_str, hll)`. Numeric columns carry decimal(38,6) min/max
+  * (engine-portable fixed-point — the [[graft.operators.Profile]] float
+  * contract; magnitudes ≥ 1e32 are outside the store's contract and
+  * throw under ANSI); all other types compare as strings. Distinct
+  * sketches are built over the value's string rendering (injective per
+  * type), so heterogeneous columns share one binary sketch column.
+  */
+object StatsStore {
+
+  private val metaSchema = StructType(Seq(
+    StructField("col_name", StringType, nullable = false),
+    StructField("kind", StringType, nullable = false)))
+
+  private def isNum(dt: DataType): Boolean = dt match {
+    case _: NumericType => true
+    case _ => false
+  }
+
+  private def readMeta(spark: SparkSession, dir: String): Seq[(String, String)] =
+    spark.read.schema(metaSchema).parquet(s"$dir/meta")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+
+  /** One partial-stats row per tracked column — a single aggregate pass
+    * over `df` (fixed-size state per column, all map-side combinable),
+    * melted driver-free like [[graft.operators.Profile.profile]].
+    */
+  private def partials(df: DataFrame, cols: Seq[(String, String)],
+      lgK: Int): DataFrame = {
+    cols.foreach { case (c, k) =>
+      require(df.columns.contains(c),
+        s"StatsStore: batch has no column '$c' (have ${df.columns.mkString(", ")})")
+      val kindNow = if (isNum(df.schema(c).dataType)) "num" else "str"
+      require(kindNow == k,
+        s"StatsStore: column '$c' is $kindNow in this batch but tracked as $k")
+    }
+    val aggs = cols.flatMap { case (c, k) =>
+      val numeric = k == "num"
+      Seq(
+        count(col(c)).as(s"_cnt_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_null_$c"),
+        (if (numeric) min(col(c)).cast("decimal(38,6)")
+         else lit(null).cast("decimal(38,6)")).as(s"_minn_$c"),
+        (if (numeric) max(col(c)).cast("decimal(38,6)")
+         else lit(null).cast("decimal(38,6)")).as(s"_maxn_$c"),
+        (if (numeric) lit(null).cast("string")
+         else min(col(c).cast("string"))).as(s"_mins_$c"),
+        (if (numeric) lit(null).cast("string")
+         else max(col(c).cast("string"))).as(s"_maxs_$c"),
+        hll_sketch_agg(col(c).cast("string"), lit(lgK)).as(s"_hll_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { case (c, _) =>
+      struct(
+        lit(c).as("col_name"),
+        col(s"_cnt_$c").as("n_nonnull"),
+        coalesce(col(s"_null_$c"), lit(0L)).as("n_null"),
+        col(s"_minn_$c").as("min_num"),
+        col(s"_maxn_$c").as("max_num"),
+        col(s"_mins_$c").as("min_str"),
+        col(s"_maxs_$c").as("max_str"),
+        col(s"_hll_$c").as("hll"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
+
+  /** Create the store: persist the profiling contract and the first
+    * partials. `lgK` is the DataSketches HLL log2(K) — 12 gives ~1.6 KB
+    * per sketch and ±1.6% standard error, comfortably inside a ±5% gate.
+    */
+  def init(df: DataFrame, columns: Seq[String], dir: String,
+      lgK: Int = 12): Unit = {
+    require(columns.nonEmpty, "StatsStore needs at least one column")
+    val spark = df.sparkSession
+    val kinds = columns.map(c =>
+      (c, if (isNum(df.schema(c).dataType)) "num" else "str"))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(kinds.map { case (c, k) => Row(c, k) }, 1),
+        metaSchema)
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    partials(df, kinds.sorted, lgK).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/base")
+    DeltaLog.fs(spark, dir).delete(new Path(s"$dir/commits"), true)
+  }
+
+  /** Contribute a batch: ONE commit holding #columns partial rows —
+    * O(batch) scan work, O(columns × sketch) bytes durable. The batch's
+    * sketch lgK adapts to the store's (union handles differing lgK by
+    * downsampling, so the configured init lgK bounds the error).
+    */
+  def append(batch: DataFrame, dir: String, lgK: Int = 12): Int = {
+    val spark = batch.sparkSession
+    val cols = readMeta(spark, dir)
+    val rows = partials(batch, cols, lgK).coalesce(1)
+    DeltaLog.commit(spark, s"$dir/commits",
+        DeltaLog.nextSeq(spark, s"$dir/commits"), "stats") { tmp =>
+      rows.write.mode("overwrite").parquet(s"$tmp/stats")
+    }
+  }
+
+  private def recoverBase(spark: SparkSession, dir: String): Unit =
+    DeltaLog.recoverBase(spark, s"$dir/base", s"$dir/.base-next",
+      s"$dir/.base-old")
+
+  private def partialRows(spark: SparkSession, dir: String): DataFrame = {
+    recoverBase(spark, dir)
+    val base = spark.read.parquet(s"$dir/base")
+    DeltaLog.listSeqs(spark, s"$dir/commits")
+      .map(s => spark.read.parquet(s"$dir/commits/$s/stats"))
+      .foldLeft(base)(_.unionByName(_))
+  }
+
+  /** The corpus-wide profile from the persisted partials — NO corpus
+    * scan: `(col_name, n_nonnull, n_null, approx_distinct, min_v,
+    * max_v)`, the [[graft.operators.Profile.profile]] shape. Counts are
+    * exact sums; min/max are exact composes (numeric columns render as
+    * 6dp fixed-point, others as their string min/max); distinct is the
+    * HLL union estimate.
+    */
+  def profile(spark: SparkSession, dir: String): DataFrame =
+    partialRows(spark, dir)
+      .groupBy("col_name")
+      .agg(
+        sum("n_nonnull").as("n_nonnull"),
+        sum("n_null").as("n_null"),
+        hll_sketch_estimate(hll_union_agg(col("hll"), lit(true)))
+          .as("approx_distinct"),
+        coalesce(min("min_num").cast("string"), min("min_str")).as("min_v"),
+        coalesce(max("max_num").cast("string"), max("max_str")).as("max_v"))
+
+  /** Fold the commit log into a fresh base — O(columns × log), a
+    * maintenance no-op at any corpus size ([[DeltaLog.swapBase]] crash
+    * contract, healed by the pre-read recovery).
+    */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    recoverBase(spark, dir)
+    val seqs = DeltaLog.listSeqs(spark, s"$dir/commits")
+    if (seqs.isEmpty) return
+    val folded = partialRows(spark, dir)
+      .groupBy("col_name")
+      .agg(
+        sum("n_nonnull").as("n_nonnull"),
+        sum("n_null").as("n_null"),
+        min("min_num").as("min_num"),
+        max("max_num").as("max_num"),
+        min("min_str").as("min_str"),
+        max("max_str").as("max_str"),
+        hll_union_agg(col("hll"), lit(true)).as("hll"))
+    folded.coalesce(1).write.mode("overwrite").parquet(s"$dir/.base-next")
+    DeltaLog.swapBase(spark, s"$dir/base", s"$dir/.base-next", s"$dir/.base-old")
+    val f = DeltaLog.fs(spark, dir)
+    seqs.foreach(s => f.delete(new Path(s"$dir/commits/$s"), true))
+  }
+
+  /** One-row health report: `(n_cols, n_pending_commits)` — commit depth
+    * is the compaction signal (each pending commit adds one tiny scan
+    * leg to every profile read).
+    */
+  def stats(spark: SparkSession, dir: String): DataFrame = {
+    val pending = DeltaLog.listSeqs(spark, s"$dir/commits").length
+    spark.read.schema(metaSchema).parquet(s"$dir/meta")
+      .agg(count(lit(1)).as("n_cols"))
+      .select(col("n_cols"), lit(pending).cast("long").as("n_pending_commits"))
+  }
+}
