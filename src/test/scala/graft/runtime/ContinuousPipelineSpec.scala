@@ -1,0 +1,96 @@
+package graft.runtime
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sink.{DocQueries, IncrementalPostings, SignatureStore, StatsStore}
+
+/** The whole continuous-ingest story in ONE loop: every micro-batch is
+  * screened against the persisted signature index (near-dup admission),
+  * survivors are upserted into the incremental BM25 index AND contribute
+  * an O(columns) statistics commit — three O(batch) persisted updates per
+  * batch, zero corpus rescans. The assertions close the loop: after the
+  * stream, each live view must equal a from-scratch batch build over
+  * exactly the admitted corpus. This is the architecture a 100 TB
+  * deployment runs — the spec proves the composed parts agree, not just
+  * each part alone.
+  */
+class ContinuousPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dedup-admit → index upsert → stats commit compose over a stream") {
+    val tmp = java.nio.file.Files.createTempDirectory("contpipe").toString
+    val sigDir = s"$tmp/signatures"
+    val idxDir = s"$tmp/postings"
+    val statsDir = s"$tmp/stats"
+
+    val seed = Seq(
+      (1L, "merge scan pipelines dedupe crawl shards before tokenizing text"),
+      (2L, "window join distributed query engines optimize physical stages"))
+      .toDF("doc_id", "text")
+    SignatureStore.write(seed, "doc_id", "text", sigDir, nPb = 8)
+    IncrementalPostings.init(seed, "doc_id", "text", idxDir)
+    StatsStore.init(seed, Seq("doc_id", "text"), statsDir)
+
+    val admitted = collection.mutable.ArrayBuffer(1L, 2L)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark)
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.localCheckpoint(true)
+          val dupIds = SignatureStore.probe(b, sigDir)
+            .filter(col("est_jaccard") >= 0.5)
+            .select("id_b").as[Long].collect().toSet
+          val keep = b.filter(!col("doc_id").isin(dupIds.toSeq: _*))
+            .localCheckpoint(true)
+          if (!keep.isEmpty) {
+            SignatureStore.append(keep, sigDir)
+            IncrementalPostings.commitUpserts(keep, "doc_id", "text", idxDir)
+            StatsStore.append(keep, statsDir)
+            admitted ++= keep.select("doc_id").as[Long].collect()
+          }
+        }
+        ()
+      }
+      .start()
+    try {
+      // 3 novel; 9 a near-copy of seed doc 1 → rejected
+      input.addData(
+        (3L, "training data quality scoring uses perplexity proxies"),
+        (9L, "merge scan pipelines dedupe crawl shards before tokenizing words"))
+      q.processAllAvailable()
+      // 4 novel; 8 a near-copy of 3 which was admitted FROM THE STREAM
+      input.addData(
+        (8L, "training data quality scoring uses perplexity proxy"),
+        (4L, "vector indexes partition embeddings into coarse cells"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(admitted.sorted == Seq(1L, 2L, 3L, 4L))
+    val corpus = seed.unionByName(Seq(
+      (3L, "training data quality scoring uses perplexity proxies"),
+      (4L, "vector indexes partition embeddings into coarse cells"))
+      .toDF("doc_id", "text"))
+
+    // live BM25 ≡ batch scorer over the admitted corpus, bit for bit
+    val live = IncrementalPostings.bm25Search(spark, idxDir, "merge quality", 10)
+      .as[(Long, Double)].collect().toSeq
+    val batchTwin = DocQueries.matchTextBM25(corpus, "doc_id", "text",
+      "merge quality", 10).as[(Long, Double)].collect().toSeq
+    assert(live == batchTwin && live.nonEmpty)
+
+    // signature store holds exactly the admitted docs
+    assert(SignatureStore.stats(spark, sigDir)
+      .as[(Long, Long, Long)].collect().head._1 == 4)
+
+    // stats profile: exact counts + min/max over exactly the admitted docs
+    val prof = StatsStore.profile(spark, statsDir)
+      .as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(prof("doc_id") == (("doc_id", 4L, 0L, 4L, "1.000000", "4.000000")))
+    assert(prof("text")._2 == 4L && prof("text")._4 == 4L)
+  }
+}
