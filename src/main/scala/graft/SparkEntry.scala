@@ -369,6 +369,23 @@ object SparkEntry {
         "stream data", slop = 1)
         .orderBy("doc_id")),
 
+    // SpanFirstQuery: "merge" within the first 3 token positions.
+    "q_span_first" -> ((s, d) =>
+      sink.InvertedIndex.spanFirstSearch(
+        sink.InvertedIndex.positionalPostings(
+          Tables.documents(s, d), "doc_id", "text"),
+        "merge", end = 3)
+        .orderBy("doc_id")),
+
+    // SpanNotQuery: an occurrence of "scan" with no "merge" adjacent
+    // (within 1 position either side).
+    "q_span_not" -> ((s, d) =>
+      sink.InvertedIndex.spanNotSearch(
+        sink.InvertedIndex.positionalPostings(
+          Tables.documents(s, d), "doc_id", "text"),
+        include = "scan", exclude = "merge", pre = 1, post = 1)
+        .orderBy("doc_id")),
+
     // Per-SOURCE quality percentile: percent_rank within each source by
     // (n_chars, doc_id) — the per-group normalization step, computed
     // with NO per-group window (a hot source would serialize one task);
@@ -2037,6 +2054,33 @@ object SparkEntry {
          SELECT DISTINCT a.doc_id AS doc_id FROM a JOIN b
            ON a.doc_id = b.doc_id
          WHERE b.pos > a.pos AND b.pos - a.pos - 1 <= 1
+         ORDER BY a.doc_id""",
+    // 0-based Spark pos < 3 ≡ 1-based subscripts pos <= 3
+    "q_span_first" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+           FROM documents),
+         p AS (SELECT doc_id, unnest(w) AS term,
+             generate_subscripts(w, 1) AS pos
+           FROM t)
+         SELECT DISTINCT doc_id FROM p
+         WHERE term = 'merge' AND pos <= 3
+         ORDER BY doc_id""",
+    // a 'scan' position survives iff NO 'merge' within ±1 (left-join
+    // against the exclusion window, keep null-matched rows)
+    "q_span_not" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+           FROM documents),
+         p AS (SELECT doc_id, unnest(w) AS term,
+             generate_subscripts(w, 1) AS pos
+           FROM t),
+         a AS (SELECT doc_id, pos FROM p WHERE term = 'scan'),
+         b AS (SELECT doc_id, pos FROM p WHERE term = 'merge')
+         SELECT DISTINCT a.doc_id AS doc_id FROM a LEFT JOIN b
+           ON a.doc_id = b.doc_id
+           AND b.pos BETWEEN a.pos - 1 AND a.pos + 1
+         WHERE b.pos IS NULL
          ORDER BY a.doc_id""",
     // full postings dump: lateral unnest of the tokenized text, exact tf
     "x_inverted_postings" ->

@@ -139,6 +139,51 @@ object InvertedIndex {
       .select("doc_id").distinct()
   }
 
+  /** SpanFirstQuery off the positional index: the term must occur within
+    * the first `end` token positions (Lucene SpanFirstQuery — a span
+    * ending at or before `end`; for a single-term span that is 0-based
+    * position < `end`). One pruned term leg, one array predicate — the
+    * "match in title/lead" heuristic when fields are flattened into one
+    * token stream.
+    */
+  def spanFirstSearch(positional: DataFrame, term: String,
+      end: Int): DataFrame = {
+    val t = term.toLowerCase(java.util.Locale.ROOT)
+    require(t.nonEmpty, "span-first search needs a non-empty term")
+    require(end > 0, s"end must be positive, got $end")
+    positional.filter(col("term") === t)
+      .filter(exists(col("positions"), p => p < end))
+      .select("doc_id").distinct()
+  }
+
+  /** SpanNotQuery off the positional index: documents with an occurrence
+    * of `include` having NO occurrence of `exclude` within `pre`
+    * positions before or `post` after (Lucene SpanNotQuery's
+    * pre/post-window exclusion). Two pruned term legs; the include leg
+    * explodes to positions, the exclude leg stays one array row per doc,
+    * and the window test is one array predicate per (position, doc) —
+    * no position × position join. A doc with no `exclude` occurrences
+    * matches wherever `include` does.
+    */
+  def spanNotSearch(positional: DataFrame, include: String, exclude: String,
+      pre: Int = 0, post: Int = 0): DataFrame = {
+    val inc = include.toLowerCase(java.util.Locale.ROOT)
+    val exc = exclude.toLowerCase(java.util.Locale.ROOT)
+    require(inc.nonEmpty && exc.nonEmpty,
+      "span-not search needs non-empty include and exclude terms")
+    require(pre >= 0 && post >= 0,
+      s"pre/post must be non-negative, got $pre/$post")
+    val a = positional.filter(col("term") === inc)
+      .select(col("doc_id"), explode(col("positions")).as("_pa"))
+    val b = positional.filter(col("term") === exc)
+      .select(col("doc_id"), col("positions").as("_pb"))
+    a.join(b, Seq("doc_id"), "left")
+      .filter(col("_pb").isNull ||
+        !exists(col("_pb"),
+          q => q >= col("_pa") - pre && q <= col("_pa") + post))
+      .select("doc_id").distinct()
+  }
+
   /** PrefixQuery off the index: matching docs via the postings whose
     * term starts with `prefix`. On the term-sorted layout the predicate
     * pushes as `StringStartsWith` — parquet min/max skips every row

@@ -179,6 +179,31 @@ class InvertedIndexSpec extends SparkSpec {
       InvertedIndex.spanNearSearch(pos, "stream", 0).as[Long].collect().toSet))
   }
 
+  test("spanFirst and spanNot: position windows and exclusion semantics") {
+    val docs = Seq(
+      (1L, "merge starts the doc"),          // merge at 0
+      (2L, "the big merge lands here"),      // merge at 2 — last inside end=3
+      (3L, "way down here a merge hides"),   // merge at 4 — outside end=3
+      (4L, "scan alone works"),              // scan, no merge at all
+      (5L, "merge scan adjacent"),           // scan at 1, merge at 0 → excluded
+      (6L, "merge gap scan far apart"),      // scan at 2, merge at 0 → survives ±1
+      (7L, "scan merge scan")                // pos 0 excluded by merge@1; no survivor? both scans adjacent
+    ).toDF("doc_id", "text")
+    val pos = InvertedIndex.positionalPostings(docs, "doc_id", "text")
+    assert(InvertedIndex.spanFirstSearch(pos, "merge", 3)
+      .as[Long].collect().toSet == Set(1L, 2L, 5L, 6L, 7L))
+    assert(InvertedIndex.spanFirstSearch(pos, "merge", 1)
+      .as[Long].collect().toSet == Set(1L, 5L, 6L))
+    // span_not ±1: doc 4 (no exclude), doc 6 (distance 2) match;
+    // doc 5 (adjacent) and doc 7 (both scans touch the middle merge) don't
+    assert(InvertedIndex.spanNotSearch(pos, "scan", "merge", 1, 1)
+      .as[Long].collect().toSet == Set(4L, 6L))
+    // pre/post are directional: with post-only exclusion, a merge AFTER
+    // the scan excludes it but a merge BEFORE does not
+    assert(InvertedIndex.spanNotSearch(pos, "scan", "merge", 0, 1)
+      .as[Long].collect().toSet == Set(4L, 5L, 6L, 7L))
+  }
+
   test("prefix and fuzzy: index-served ≡ scan-form; prefix predicate pushes") {
     val docs = Tables.documents(spark, sf)
     val dir = java.nio.file.Files.createTempDirectory("preidx").toString
