@@ -32,9 +32,14 @@ import graft.operators.Dedup
   *   - `buckets/pb=<r>/` — banded rows `(_id, sig, band, bucket)`
   *     Hive-partitioned by `pb = bucket mod nPb` and sorted by
   *     (band, bucket) within files.
-  *   - `commits/<seq>/buckets` — appended batches ([[DeltaLog]] protocol:
-  *     atomic rename, O(batch) bytes each; `pb` is a data column — no
-  *     directory fan-out for a tiny batch).
+  *   - `commits/<seq>/buckets` + `commits/<seq>/docs` — appended batches
+  *     ([[DeltaLog]] protocol: atomic rename, O(batch) bytes each; `pb`
+  *     is a data column — no directory fan-out for a tiny batch). The
+  *     `docs` leg is the ownership table: reads resolve doc-granular
+  *     last-writer-wins over (base, commits), so [[append]] is a keyed
+  *     UPSERT and [[delete]] is an empty-signature tombstone — the same
+  *     mutation contract as the document sink, [[IncrementalPostings]],
+  *     and [[VectorIndex]].
   *
   * Scale design: a probe never shuffles the store. The batch's banded
   * rows (O(batch × bands)) BROADCAST against the store scan, and the
@@ -103,18 +108,46 @@ object SignatureStore {
     DeltaLog.recoverBase(spark, s"$dir/buckets", s"$dir/.buckets-next",
       s"$dir/.buckets-old")
 
-  /** The store's live banded rows, optionally pruned to a residue set:
-    * base (partition-pruned) plus each O(batch) commit leg.
+  /** One row per ever-touched doc: the highest commit sequence that wrote
+    * (or tombstoned) it — the [[IncrementalPostings]] ownership design on
+    * the signature layout. None when the log is empty (base-only reads
+    * skip the join entirely).
+    */
+  private def owners(spark: SparkSession, dir: String,
+      seqs: Seq[Int]): Option[DataFrame] =
+    if (seqs.isEmpty) None
+    else Some(seqs.map { s =>
+        spark.read.parquet(s"$dir/commits/$s/docs")
+          .select(col("_id"), lit(s).as("_live_seq"))
+      }.reduce(_.unionByName(_))
+      .groupBy("_id").agg(max("_live_seq").as("_live_seq")))
+
+  /** The store's LIVE banded rows, optionally pruned to a residue set:
+    * base (partition-pruned, seq 0) plus each O(batch) commit leg,
+    * resolved doc-granular last-writer-wins against the ownership table
+    * (one row per touched doc, broadcast until compaction resets it) —
+    * so upserted docs keep only their newest signing and tombstoned docs
+    * vanish from every probe, self-pair audit, and compaction fold.
     */
   private def bucketRows(spark: SparkSession, dir: String,
       pbs: Option[Seq[Int]]): DataFrame = {
     recoverBase(spark, dir)
     def prune(df: DataFrame) =
       pbs.fold(df)(r => df.filter(col("pb").isin(r: _*)))
+    val seqs = DeltaLog.listSeqs(spark, s"$dir/commits")
     val base = prune(spark.read.parquet(s"$dir/buckets"))
-    DeltaLog.listSeqs(spark, s"$dir/commits")
-      .map(s => prune(spark.read.parquet(s"$dir/commits/$s/buckets")))
-      .foldLeft(base)(_.unionByName(_))
+      .withColumn("_seq", lit(0))
+    val all = seqs.foldLeft(base) { (acc, s) =>
+      acc.unionByName(prune(spark.read.parquet(s"$dir/commits/$s/buckets"))
+        .withColumn("_seq", lit(s)))
+    }
+    owners(spark, dir, seqs) match {
+      case None => all.drop("_seq")
+      case Some(o) => all
+        .join(broadcast(o), Seq("_id"), "left")
+        .filter(col("_seq") === coalesce(col("_live_seq"), lit(0)))
+        .select("_id", "sig", "band", "bucket", "pb")
+    }
   }
 
   /** Candidate near-dup pairs for a NEW batch: every (batch doc, store
@@ -180,19 +213,45 @@ object SignatureStore {
       .select("id_a", "id_b", "est_jaccard")
   }
 
-  /** Admit a screened batch into the store: ONE O(batch)-bytes atomic
-    * commit of its banded rows. Returns the commit sequence. Ids are
-    * assumed new to the store (dedup admits each survivor once); a
-    * re-appended id would duplicate its rows and re-emit known pairs on
-    * later probes, so keep admission keyed upstream.
+  /** Admit (or RE-admit) a screened batch: ONE O(batch)-bytes atomic
+    * commit of its banded rows plus the batch's doc-ownership rows.
+    * Keyed UPSERT semantics — a re-appended id supersedes its earlier
+    * signing (document-granular last-writer-wins at read), matching the
+    * document sink, the postings index, and the vector index. Returns
+    * the commit sequence.
     */
   def append(batch: DataFrame, dir: String): Int = {
     val spark = batch.sparkSession
     val m = readMeta(spark, dir)
     val rows = signed(batch, m)
+    val docs = batch.select(col(m.idCol).as("_id")).distinct()
     DeltaLog.commit(spark, s"$dir/commits",
         DeltaLog.nextSeq(spark, s"$dir/commits"), "buckets") { tmp =>
       rows.write.mode("overwrite").parquet(s"$tmp/buckets")
+      docs.write.mode("overwrite").parquet(s"$tmp/docs")
+    }
+  }
+
+  /** Tombstone docs out of the store: ONE O(ids)-bytes commit claiming
+    * ownership with an EMPTY signature leg, so deleted docs stop
+    * producing candidate pairs immediately — a doc removed from the
+    * corpus must not keep vetoing lookalike admissions through its stale
+    * signatures. A later [[append]] of the same id resurrects it (its
+    * newer commit wins); [[compact]] folds tombstones away physically.
+    */
+  def delete(ids: DataFrame, idCol: String, dir: String): Int = {
+    val spark = ids.sparkSession
+    require(ids.filter(col(idCol).isNull).limit(1).collect().isEmpty,
+      s"SignatureStore: null '$idCol' cannot be deleted")
+    val docs = ids.select(col(idCol).as("_id")).distinct()
+    val emptyBuckets = docs.limit(0).select(col("_id"),
+      array().cast("array<bigint>").as("sig"),
+      lit(0).cast("int").as("band"), lit(0L).as("bucket"),
+      lit(0).cast("int").as("pb"))
+    DeltaLog.commit(spark, s"$dir/commits",
+        DeltaLog.nextSeq(spark, s"$dir/commits"), "docs") { tmp =>
+      emptyBuckets.write.mode("overwrite").parquet(s"$tmp/buckets")
+      docs.write.mode("overwrite").parquet(s"$tmp/docs")
     }
   }
 

@@ -173,6 +173,60 @@ class SignatureStoreSpec extends SparkSpec {
     assert(docs._1 == 6 && docs._3 == 2)
   }
 
+  test("keyed mutation: upsert supersedes, delete tombstones, append resurrects") {
+    val dir = java.nio.file.Files.createTempDirectory("sigstore-mut").toString
+    SignatureStore.write(corpus.filter(col("doc_id") <= 4), "doc_id", "text",
+      dir, nPb = 8)
+    // UPSERT: re-sign doc 2 with doc 5's text — its OLD signatures must
+    // stop pairing (probe of doc 1's near-copy no longer sees doc 2) and
+    // its new ones must pair with doc 6's text
+    SignatureStore.append(
+      Seq((2L, "training data pipelines dedupe crawl shards before tokenizing text"))
+        .toDF("doc_id", "text"), dir)
+    val probe1 = pairs(SignatureStore.probe(
+      Seq((8L, "the quick brown fox jumps over the lazy dog near the river side"))
+        .toDF("doc_id", "text"), dir))
+    assert(probe1.contains((1L, 8L)) && !probe1.exists(_._1 == 2L), probe1)
+    val probe6 = pairs(SignatureStore.probe(
+      corpus.filter(col("doc_id") === 6), dir))
+    assert(probe6.contains((2L, 6L)), probe6)
+    // live doc count unchanged by an upsert
+    assert(SignatureStore.stats(spark, dir)
+      .as[(Long, Long, Long)].head()._1 == 4)
+
+    // DELETE: tombstone doc 1 — its stale signatures must stop vetoing
+    // admissions immediately
+    SignatureStore.delete(Seq(1L).toDF("doc_id"), "doc_id", dir)
+    val afterDel = pairs(SignatureStore.probe(
+      Seq((8L, "the quick brown fox jumps over the lazy dog near the river side"))
+        .toDF("doc_id", "text"), dir))
+    assert(!afterDel.exists(p => p._1 == 1L || p._2 == 1L), afterDel)
+    assert(SignatureStore.stats(spark, dir)
+      .as[(Long, Long, Long)].head()._1 == 3)
+    // selfPairs sees the mutated corpus: (2, 6)-style pairs only via
+    // live signatures (6 is not in the store; no pair involves 1)
+    assert(!SignatureStore.selfPairs(spark, dir)
+      .as[(Long, Long, Double)].collect()
+      .exists(p => p._1 == 1L || p._2 == 1L))
+
+    // RESURRECT: re-append doc 1 — a newer commit wins over the tombstone
+    SignatureStore.append(corpus.filter(col("doc_id") === 1), dir)
+    val back = pairs(SignatureStore.probe(
+      Seq((8L, "the quick brown fox jumps over the lazy dog near the river side"))
+        .toDF("doc_id", "text"), dir))
+    assert(back.contains((1L, 8L)), back)
+
+    // COMPACT folds upserts and tombstones physically; probes unchanged
+    val before = pairs(SignatureStore.probe(
+      corpus.filter(col("doc_id") === 6), dir))
+    SignatureStore.compact(spark, dir)
+    assert(DeltaLog.listSeqs(spark, s"$dir/commits").isEmpty)
+    assert(pairs(SignatureStore.probe(
+      corpus.filter(col("doc_id") === 6), dir)) == before)
+    assert(SignatureStore.stats(spark, dir)
+      .as[(Long, Long, Long)].head()._1 == 4)
+  }
+
   test("null id in a probed or appended batch fails loudly") {
     val dir = java.nio.file.Files.createTempDirectory("sigstore-null").toString
     SignatureStore.write(corpus, "doc_id", "text", dir, nPb = 8)
