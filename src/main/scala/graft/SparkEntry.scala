@@ -369,6 +369,14 @@ object SparkEntry {
         "stream data", slop = 1)
         .orderBy("doc_id")),
 
+    // Completion suggester: top-4 "s…" completions by corpus frequency,
+    // term tie-break — ranked row-for-row against the oracle.
+    "q_suggest" -> ((s, d) =>
+      sink.InvertedIndex.suggest(
+        sink.InvertedIndex.postings(Tables.documents(s, d), "doc_id", "text"),
+        "s", k = 4)
+        .orderBy(col("freq").desc, col("term"))),
+
     // SpanFirstQuery: "merge" within the first 3 token positions.
     "q_span_first" -> ((s, d) =>
       sink.InvertedIndex.spanFirstSearch(
@@ -2055,6 +2063,13 @@ object SparkEntry {
            ON a.doc_id = b.doc_id
          WHERE b.pos > a.pos AND b.pos - a.pos - 1 <= 1
          ORDER BY a.doc_id""",
+    "q_suggest" ->
+      """SELECT term, CAST(sum(c) AS BIGINT) AS freq FROM (
+           SELECT unnest(list_filter(string_split(lower(text), ' '),
+             x -> x <> '')) AS term, 1 AS c
+           FROM documents)
+         WHERE starts_with(term, 's')
+         GROUP BY term ORDER BY freq DESC, term LIMIT 4""",
     // 0-based Spark pos < 3 ≡ 1-based subscripts pos <= 3
     "q_span_first" ->
       """WITH t AS (SELECT doc_id,

@@ -197,6 +197,25 @@ object InvertedIndex {
       .select("doc_id").distinct()
   }
 
+  /** Completion suggester off the index: the top-`k` vocabulary terms
+    * under `prefix`, ranked by corpus frequency (Lucene suggesters rank
+    * by weight; cf is the standard default) with the term itself as the
+    * deterministic tie-break. The prefix pushes as `StringStartsWith`
+    * onto the term-sorted postings (row-group seek), the aggregation is
+    * surviving-vocabulary-sized, and top-k plans as
+    * TakeOrderedAndProject — suggestion latency tracks the prefix's
+    * vocabulary slice, not the corpus.
+    */
+  def suggest(postings: DataFrame, prefix: String, k: Int): DataFrame = {
+    val p = prefix.toLowerCase(java.util.Locale.ROOT)
+    require(p.nonEmpty, "suggest needs a non-empty prefix")
+    require(k > 0, s"k must be positive, got $k")
+    postings.filter(col("term").startsWith(p))
+      .groupBy("term").agg(sum(col("tf").cast("long")).as("freq"))
+      .orderBy(col("freq").desc, col("term"))
+      .limit(k)
+  }
+
   /** FuzzyQuery off the index: terms within `maxEdits` Levenshtein
     * distance of `term` are found by scanning the VOCABULARY (the
     * distinct-term dictionary — vocabulary-sized, not corpus-sized:

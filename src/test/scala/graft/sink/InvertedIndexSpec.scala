@@ -228,6 +228,23 @@ class InvertedIndexSpec extends SparkSpec {
     assert(viaFuzzyIdx == viaFuzzyScan && viaFuzzyIdx.nonEmpty)
   }
 
+  test("suggest ranks completions by frequency with term tie-break; prefix pushes") {
+    val docs = Seq(
+      (1L, "scan scan scan sort sort spark"),
+      (2L, "scan sort span other")).toDF("doc_id", "text")
+    val postings = InvertedIndex.postings(docs, "doc_id", "text")
+    val got = InvertedIndex.suggest(postings, "s", 3)
+      .as[(String, Long)].collect().toSeq
+    // scan 4 > sort 3 > span 1 == spark 1 → "span" wins the tie on term
+    assert(got == Seq(("scan", 4L), ("sort", 3L), ("span", 1L)), got.toString)
+    val dir = java.nio.file.Files.createTempDirectory("suggidx").toString
+    InvertedIndex.writePostings(postings, dir)
+    val plan = InvertedIndex.suggest(InvertedIndex.readPostings(spark, dir), "s", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("StringStartsWith(term,s"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("wildcard/regexp: indexed ≡ scan; literal prefix pushes; glob escapes") {
     val docs = corpus.unionByName(
       Seq((5L, "a.b special m+rge token"), (6L, "mx bad")).toDF("doc_id", "text"))
