@@ -127,8 +127,37 @@ object Dedup {
     * shingle array once per seed — ~50× slower measured at sf0.1.
     */
   def minhashLshCandidates(df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame = {
-    val banded = bandedSignatures(df, idCol, textCol, shingleN, numHashes, bands)
+      shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame =
+    minhashLshCandidates(df, idCol, textCol, shingleN, numHashes, bands,
+      maxBucketOccupancy = Int.MaxValue)
+
+  /** [[minhashLshCandidates]] with a HOT-BUCKET cap — the 100 TB guard:
+    * a viral boilerplate string puts every carrier in the same
+    * (band, bucket), and that one bucket re-creates the O(n²) pair
+    * explosion LSH exists to avoid (10⁵ copies → 5·10⁹ pairs from one
+    * key). Buckets holding more than `maxBucketOccupancy` docs are
+    * SKIPPED — the standard production-LSH mitigation: a mega-bucket's
+    * members are exact/boilerplate duplicates, which the cheaper exact
+    * and passage dedup paths already catch, so skipping costs recall
+    * only on text that is literally everywhere. The occupancy table is
+    * (band, bucket)-sized and broadcasts; the extra aggregate reads the
+    * same banded rows the join reads anyway.
+    */
+  def minhashLshCandidates(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int, bands: Int,
+      maxBucketOccupancy: Int): DataFrame = {
+    require(maxBucketOccupancy >= 2,
+      s"maxBucketOccupancy must be >= 2, got $maxBucketOccupancy")
+    val all = bandedSignatures(df, idCol, textCol, shingleN, numHashes, bands)
+    val banded =
+      if (maxBucketOccupancy == Int.MaxValue) all
+      else {
+        val hot = all.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("_occ"))
+          .filter(col("_occ") > maxBucketOccupancy)
+          .select("band", "bucket")
+        all.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+      }
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a._id") < col("b._id"))

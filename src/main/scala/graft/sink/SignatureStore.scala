@@ -162,12 +162,38 @@ object SignatureStore {
     * bounded by `nPb` rows (driver state ≤ the partition count by
     * construction).
     */
-  def probe(batch: DataFrame, dir: String): DataFrame = {
+  def probe(batch: DataFrame, dir: String): DataFrame =
+    probe(batch, dir, maxBucketOccupancy = Int.MaxValue)
+
+  /** [[probe]] with the hot-bucket cap
+    * ([[graft.operators.Dedup.minhashLshCandidates]]'s 100 TB guard): a
+    * (band, bucket) holding more than `maxBucketOccupancy` docs across
+    * store + batch is skipped — a viral boilerplate bucket must not turn
+    * an O(batch) probe into an O(bucket²) pair explosion. Occupancy is
+    * counted over store ∪ batch (a bucket lives entirely in one residue,
+    * so pruning never under-counts), which keeps capped probing exactly
+    * ≡ capped one-shot LSH over the union.
+    */
+  def probe(batch: DataFrame, dir: String,
+      maxBucketOccupancy: Int): DataFrame = {
+    require(maxBucketOccupancy >= 2,
+      s"maxBucketOccupancy must be >= 2, got $maxBucketOccupancy")
     val spark = batch.sparkSession
     val m = readMeta(spark, dir)
-    val q = signed(batch, m)
-    val pbs = q.select("pb").distinct().collect().map(_.getInt(0)).toSeq
-    val store = bucketRows(spark, dir, Some(pbs))
+    val q0 = signed(batch, m)
+    val pbs = q0.select("pb").distinct().collect().map(_.getInt(0)).toSeq
+    val store0 = bucketRows(spark, dir, Some(pbs))
+    val (store, q) =
+      if (maxBucketOccupancy == Int.MaxValue) (store0, q0)
+      else {
+        val hot = store0.select("band", "bucket")
+          .unionByName(q0.select("band", "bucket"))
+          .groupBy("band", "bucket").agg(count(lit(1)).as("_occ"))
+          .filter(col("_occ") > maxBucketOccupancy)
+          .select("band", "bucket")
+        (store0.join(broadcast(hot), Seq("band", "bucket"), "left_anti"),
+          q0.join(broadcast(hot), Seq("band", "bucket"), "left_anti"))
+      }
     val cross = store.as("s").join(broadcast(q.as("q")),
         col("s.band") === col("q.band") && col("s.bucket") === col("q.bucket") &&
           col("s._id") =!= col("q._id"))
@@ -197,9 +223,25 @@ object SignatureStore {
     * deterministic per doc), at the cost of one self-join on
     * (band, bucket) over rows already sorted by exactly that key.
     */
-  def selfPairs(spark: SparkSession, dir: String): DataFrame = {
+  def selfPairs(spark: SparkSession, dir: String): DataFrame =
+    selfPairs(spark, dir, maxBucketOccupancy = Int.MaxValue)
+
+  /** [[selfPairs]] with the hot-bucket cap (see [[probe]]). */
+  def selfPairs(spark: SparkSession, dir: String,
+      maxBucketOccupancy: Int): DataFrame = {
+    require(maxBucketOccupancy >= 2,
+      s"maxBucketOccupancy must be >= 2, got $maxBucketOccupancy")
     val m = readMeta(spark, dir)
-    val rows = bucketRows(spark, dir, None)
+    val rows0 = bucketRows(spark, dir, None)
+    val rows =
+      if (maxBucketOccupancy == Int.MaxValue) rows0
+      else {
+        val hot = rows0.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("_occ"))
+          .filter(col("_occ") > maxBucketOccupancy)
+          .select("band", "bucket")
+        rows0.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+      }
     rows.as("a").join(rows.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a._id") < col("b._id"))

@@ -173,6 +173,34 @@ class SignatureStoreSpec extends SparkSpec {
     assert(docs._1 == 6 && docs._3 == 2)
   }
 
+  test("hot-bucket cap skips boilerplate mega-buckets, keeps genuine pairs") {
+    // 40 identical boilerplate docs (one mega-bucket per band) + the
+    // genuine near-dup pair (1, 2) from the small corpus
+    val boiler = spark.range(100, 140)
+      .selectExpr("id AS doc_id",
+        "'subscribe to our newsletter for updates and offers' AS text")
+    val docs = corpus.unionByName(boiler)
+    // uncapped: the mega-bucket contributes 40·39/2 = 780 pairs
+    val uncapped = Dedup.minhashLshCandidates(docs, "doc_id", "text")
+    assert(uncapped.count() >= 780)
+    // capped at 10: boilerplate pairs vanish, (1, 2) and (5, 6) survive
+    val capped = Dedup.minhashLshCandidates(docs, "doc_id", "text",
+      3, 32, 8, maxBucketOccupancy = 10)
+    val cp = capped.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!cp.exists(_._1 >= 100L), cp.toString)
+    assert(cp.contains((1L, 2L)) && cp.contains((5L, 6L)))
+    // the store probe honors the same cap, and capped probe ≡ capped
+    // one-shot over the union
+    val dir = java.nio.file.Files.createTempDirectory("sigstore-hot").toString
+    val base = docs.filter(col("doc_id") <= 120)
+    val batch = docs.filter(col("doc_id") > 120)
+    SignatureStore.write(base, "doc_id", "text", dir, nPb = 8)
+    val probed = SignatureStore.probe(batch, dir, maxBucketOccupancy = 10)
+    assert(probed.filter(col("id_a") >= 100 || col("id_b") >= 100).count() == 0)
+    val incr = pairs(SignatureStore.selfPairs(spark, dir, 10)) ++ pairs(probed)
+    assert(incr == cp)
+  }
+
   test("keyed mutation: upsert supersedes, delete tombstones, append resurrects") {
     val dir = java.nio.file.Files.createTempDirectory("sigstore-mut").toString
     SignatureStore.write(corpus.filter(col("doc_id") <= 4), "doc_id", "text",
