@@ -713,6 +713,27 @@ object SparkEntry {
     // reciprocal-rank fusion and final top-10. Ranking windows run over
     // the ALREADY-LIMITED 50-row lists — bounded post-limit state, never
     // a corpus-wide single-partition window.
+    // Two-stage retrieval (candidate generation → rerank): BM25 top-50
+    // candidates, exact-cosine rerank of ONLY those — the production
+    // serving shape (cheap wide recall stage, expensive narrow precision
+    // stage; the rerank touches 50 rows however large the corpus).
+    "x_rerank" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val cand = sink.InvertedIndex.bm25Search(
+          sink.InvertedIndex.postings(docs, "doc_id", "text"),
+          sink.InvertedIndex.docLengths(docs, "doc_id", "text"),
+          "merge window scan", 50)
+        .select("doc_id")
+      val e = Tables.embeddings(s, d)
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      cand.join(e.withColumnRenamed("vec_id", "doc_id"), "doc_id")
+        .crossJoin(broadcast(qv))
+        .select(col("doc_id"),
+          functions.VectorExpressions.cosineFast(col("embedding"), col("qv")).as("c"))
+        .orderBy(col("c").desc, col("doc_id")).limit(10)
+        .select(col("doc_id"), round(col("c"), 6).as("cosine"))
+    }),
+
     "x_hybrid" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val k = 50
@@ -2165,6 +2186,43 @@ object SparkEntry {
            FROM t, s)
          SELECT doc_id, round(score, 6) AS bm25 FROM z WHERE score > 0
          ORDER BY bm25 DESC, doc_id LIMIT 20""",
+    // stage 1 reuses the x_bm25_indexed scoring CTE cut at 50 by the
+    // 6dp-rounded score; stage 2 reranks those ids by exact cosine
+    "x_rerank" ->
+      """WITH t AS (SELECT doc_id,
+             CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+               AS DOUBLE) AS dl,
+             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'merge'))
+               AS DOUBLE) AS tf0,
+             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'window'))
+               AS DOUBLE) AS tf1,
+             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'scan'))
+               AS DOUBLE) AS tf2
+           FROM documents),
+         s AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+             CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+             CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+             CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+           FROM t),
+         z AS (SELECT doc_id,
+             ln(1 + (n - df0 + 0.5) / (df0 + 0.5))
+               * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             + ln(1 + (n - df1 + 0.5) / (df1 + 0.5))
+               * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             + ln(1 + (n - df2 + 0.5) / (df2 + 0.5))
+               * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+               AS score
+           FROM t, s),
+         cand AS (SELECT doc_id FROM z WHERE score > 0
+           ORDER BY round(score, 6) DESC, doc_id LIMIT 50),
+         q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         SELECT c.doc_id AS doc_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(q.qv AS DOUBLE[])), 6) AS cosine
+         FROM cand c JOIN embeddings e ON e.vec_id = c.doc_id, q
+         ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                         CAST(q.qv AS DOUBLE[])) DESC, c.doc_id
+         LIMIT 10""",
     // relational BM25 over a (query, term) VALUES relation; rank by the
     // 6dp-ROUNDED score (the Spark side rounds before ranking too)
     "x_bm25_batch" ->
