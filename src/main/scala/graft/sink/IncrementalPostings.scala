@@ -247,6 +247,38 @@ object IncrementalPostings {
     InvertedIndex.bm25Search(postings, norms, query, k)
   }
 
+  /** Committed versions readable by [[bm25SearchAt]]: 0 is the base,
+    * each delta seq is the state after that commit — the
+    * [[IndexSink.history]] contract on the postings layout.
+    */
+  def versions(spark: SparkSession, dir: String): Seq[Int] = {
+    recoverBase(spark, dir)
+    0 +: deltaSeqs(spark, dir)
+  }
+
+  /** TIME TRAVEL: BM25 as of commit `version` — the views resolved over
+    * base + deltas with seq ≤ version only, so "what did this query
+    * return before yesterday's batch?" is answerable as long as the
+    * deltas haven't been compacted away (compaction collapses history
+    * into a new version 0, same as the document sink). Cost is identical
+    * to a live search with a shorter delta log.
+    */
+  def bm25SearchAt(spark: SparkSession, dir: String, version: Int,
+      query: String, k: Int): DataFrame = {
+    recoverBase(spark, dir)
+    val all = deltaSeqs(spark, dir)
+    require(version == 0 || all.contains(version),
+      s"no version $version at $dir (have ${(0 +: all).mkString(", ")}); " +
+        "compaction folds history into version 0")
+    val seqs = all.filter(_ <= version)
+    val o = if (seqs.isEmpty) None else Some(owners(spark, dir, seqs))
+    val postings = resolve(spark, dir, "postings", seqs, o,
+      p => InvertedIndex.readPostings(spark, p))
+    val norms = resolve(spark, dir, "norms", seqs, o,
+      p => spark.read.parquet(p))
+    InvertedIndex.bm25Search(postings, norms, query, k)
+  }
+
   /** Index health / compaction signal — the postings twin of
     * [[VectorIndex.stats]] (the judge-named IVF observability gap, closed
     * for both indexes): ONE row an operator can alert on, answering "how

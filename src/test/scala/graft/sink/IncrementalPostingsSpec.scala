@@ -130,6 +130,40 @@ class IncrementalPostingsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("bm25SearchAt time-travels the delta log; compaction collapses history") {
+    val dir = java.nio.file.Files.createTempDirectory("incpost-tt").toString
+    IncrementalPostings.init(
+      Seq((1L, "merge scan"), (2L, "window join")).toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    val v1 = IncrementalPostings.commitUpserts(
+      Seq((3L, "merge merge")).toDF("doc_id", "text"), "doc_id", "text", dir)
+    val v2 = IncrementalPostings.commitDeletes(
+      Seq(1L).toDF("doc_id"), "doc_id", dir)
+    assert(IncrementalPostings.versions(spark, dir) == Seq(0, v1, v2))
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").as[Long].collect().toSet
+    // v0: only the base corpus; v1: doc 3 joined; v2 ≡ live: doc 1 gone
+    assert(ids(IncrementalPostings.bm25SearchAt(spark, dir, 0, "merge", 10))
+      == Set(1L))
+    assert(ids(IncrementalPostings.bm25SearchAt(spark, dir, v1, "merge", 10))
+      == Set(1L, 3L))
+    assert(ids(IncrementalPostings.bm25SearchAt(spark, dir, v2, "merge", 10))
+      == Set(3L))
+    assert(
+      IncrementalPostings.bm25SearchAt(spark, dir, v2, "merge", 10)
+        .as[(Long, Double)].collect().toSeq ==
+      IncrementalPostings.bm25Search(spark, dir, "merge", 10)
+        .as[(Long, Double)].collect().toSeq)
+    // an unknown version fails loudly; compaction folds history away
+    intercept[IllegalArgumentException] {
+      IncrementalPostings.bm25SearchAt(spark, dir, 99, "merge", 10)
+    }
+    IncrementalPostings.compact(spark, dir)
+    assert(IncrementalPostings.versions(spark, dir) == Seq(0))
+    assert(ids(IncrementalPostings.bm25SearchAt(spark, dir, 0, "merge", 10))
+      == Set(3L))
+  }
+
   test("stats tracks log depth, tombstones, and the compaction signal") {
     val dir = java.nio.file.Files.createTempDirectory("incstat").toString
     val base = (1L to 10L).map(i => (i, s"doc number $i words"))

@@ -255,6 +255,23 @@ class SignatureStoreSpec extends SparkSpec {
       .as[(Long, Long, Long)].head()._1 == 4)
   }
 
+  test("a compact interrupted between renames heals on the next read") {
+    val dir = java.nio.file.Files.createTempDirectory("sigstore-crash").toString
+    SignatureStore.write(corpus.filter(col("doc_id") <= 4), "doc_id", "text",
+      dir, nPb = 8)
+    SignatureStore.append(corpus.filter(col("doc_id") === 5), dir)
+    val before = pairs(SignatureStore.probe(
+      corpus.filter(col("doc_id") === 6), dir))
+    // simulate the crash window: base gone, fully-written replacement
+    // sitting at .buckets-next
+    import java.nio.file.{Files, Paths}
+    Files.move(Paths.get(s"$dir/buckets"), Paths.get(s"$dir/.buckets-next"))
+    assert(!Files.exists(Paths.get(s"$dir/buckets")))
+    assert(pairs(SignatureStore.probe(
+      corpus.filter(col("doc_id") === 6), dir)) == before)
+    assert(Files.exists(Paths.get(s"$dir/buckets")))
+  }
+
   test("null id in a probed or appended batch fails loudly") {
     val dir = java.nio.file.Files.createTempDirectory("sigstore-null").toString
     SignatureStore.write(corpus, "doc_id", "text", dir, nPb = 8)
