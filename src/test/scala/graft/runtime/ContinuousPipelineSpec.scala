@@ -4,7 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
-import graft.sink.{DocQueries, IncrementalPostings, SignatureStore, StatsStore}
+import graft.operators.Similarity
+import graft.sink.{DocQueries, IncrementalPostings, SignatureStore, StatsStore, VectorIndex}
 
 /** The whole continuous-ingest story in ONE loop: every micro-batch is
   * screened against the persisted signature index (near-dup admission),
@@ -19,11 +20,17 @@ import graft.sink.{DocQueries, IncrementalPostings, SignatureStore, StatsStore}
 class ContinuousPipelineSpec extends SparkSpec {
   import spark.implicits._
 
+  // deterministic per-doc embedding: the vector leg of the loop without
+  // a real encoder (dim 4, id-derived, distinct per id)
+  private def vecFor(id: Long): Seq[Float] =
+    Seq((id % 7).toFloat, (id * 3 % 5).toFloat, (id % 2).toFloat, 1f)
+
   test("dedup-admit → index upsert → stats commit compose over a stream") {
     val tmp = java.nio.file.Files.createTempDirectory("contpipe").toString
     val sigDir = s"$tmp/signatures"
     val idxDir = s"$tmp/postings"
     val statsDir = s"$tmp/stats"
+    val vecDir = s"$tmp/vectors"
 
     val seed = Seq(
       (1L, "merge scan pipelines dedupe crawl shards before tokenizing text"),
@@ -32,6 +39,9 @@ class ContinuousPipelineSpec extends SparkSpec {
     SignatureStore.write(seed, "doc_id", "text", sigDir, nPb = 8)
     IncrementalPostings.init(seed, "doc_id", "text", idxDir)
     StatsStore.init(seed, Seq("doc_id", "text"), statsDir)
+    VectorIndex.write(
+      Seq(1L, 2L).map(i => (i, vecFor(i))).toDF("doc_id", "embedding"),
+      "doc_id", "embedding", vecDir, k = 2)
 
     val admitted = collection.mutable.ArrayBuffer(1L, 2L)
     val input = org.apache.spark.sql.execution.streaming.runtime
@@ -50,7 +60,11 @@ class ContinuousPipelineSpec extends SparkSpec {
             SignatureStore.append(keep, sigDir)
             IncrementalPostings.commitUpserts(keep, "doc_id", "text", idxDir)
             StatsStore.append(keep, statsDir)
-            admitted ++= keep.select("doc_id").as[Long].collect()
+            val keepIds = keep.select("doc_id").as[Long].collect()
+            VectorIndex.upsert(
+              keepIds.toSeq.map(i => (i, vecFor(i))).toDF("doc_id", "embedding"),
+              "doc_id", "embedding", vecDir)
+            admitted ++= keepIds
           }
         }
         ()
@@ -85,6 +99,16 @@ class ContinuousPipelineSpec extends SparkSpec {
     // signature store holds exactly the admitted docs
     assert(SignatureStore.stats(spark, sigDir)
       .as[(Long, Long, Long)].collect().head._1 == 4)
+
+    // vector search off the live index (all cells probed → exact) ≡
+    // brute force over exactly the admitted docs' vectors
+    val qv = Seq(3f, 2f, 1f, 1f)
+    val fromIndex = VectorIndex.search(spark, vecDir, "doc_id", "embedding",
+      qv, topK = 3, nProbe = 2).as[(Long, Double)].collect().toSeq
+    val brute = Similarity.bruteForceTopK(
+      admitted.toSeq.map(i => (i, vecFor(i))).toDF("doc_id", "embedding"),
+      "doc_id", "embedding", qv, 3).as[(Long, Double)].collect().toSeq
+    assert(fromIndex == brute && fromIndex.nonEmpty)
 
     // stats profile: exact counts + min/max over exactly the admitted docs
     val prof = StatsStore.profile(spark, statsDir)
