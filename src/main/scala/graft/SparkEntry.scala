@@ -713,6 +713,17 @@ object SparkEntry {
     // reciprocal-rank fusion and final top-10. Ranking windows run over
     // the ALREADY-LIMITED 50-row lists — bounded post-limit state, never
     // a corpus-wide single-partition window.
+    // Field collapsing: best-scoring doc PER SOURCE, then the top-5
+    // sources by their representative — dedup-by-site in search results,
+    // via a hash aggregate (no per-group window).
+    "x_collapse" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "source", "text")
+      val scored = DocQueries.matchTextRanked(docs, "text",
+        "merge window scan", 1000000)
+      DocQueries.collapseTop(scored, "source", "doc_id", "score", 5)
+        .orderBy(col("score").desc, col("source"))
+    }),
+
     // Two-stage retrieval (candidate generation → rerank): BM25 top-50
     // candidates, exact-cosine rerank of ONLY those — the production
     // serving shape (cheap wide recall stage, expensive narrow precision
@@ -2186,6 +2197,21 @@ object SparkEntry {
            FROM t, s)
          SELECT doc_id, round(score, 6) AS bm25 FROM z WHERE score > 0
          ORDER BY bm25 DESC, doc_id LIMIT 20""",
+    "x_collapse" ->
+      """WITH z AS (SELECT doc_id, source,
+             len(list_filter(string_split(lower(text), ' '), w -> w = 'merge'))
+             + len(list_filter(string_split(lower(text), ' '), w -> w = 'window'))
+             + len(list_filter(string_split(lower(text), ' '), w -> w = 'scan'))
+               AS score
+           FROM documents),
+         best AS (SELECT source, doc_id, score FROM (
+             SELECT source, doc_id, score,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY score DESC, doc_id) AS rk
+             FROM z WHERE score > 0)
+           WHERE rk = 1)
+         SELECT source, doc_id, score FROM best
+         ORDER BY score DESC, source LIMIT 5""",
     // stage 1 reuses the x_bm25_indexed scoring CTE cut at 50 by the
     // 6dp-rounded score; stage 2 reranks those ids by exact cosine
     "x_rerank" ->

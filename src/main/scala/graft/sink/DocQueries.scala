@@ -282,6 +282,32 @@ object DocQueries {
     matched.join(notHits, Seq(idCol, "query_id"), "left_anti")
   }
 
+  /** Field collapsing (Lucene CollapsingTopDocsCollector / the search
+    * "collapse" feature): ONE representative document per group — the
+    * group's best by `(score desc, id asc)` — then the top `k` groups
+    * ranked by their representative's score. Input is any scored frame
+    * (e.g. [[matchTextRanked]] / BM25 output joined back to its group
+    * column); output `(groupCol, idCol, scoreCol)`.
+    *
+    * The per-group best is a lexicographic `min(struct(-score, id))`
+    * HASH aggregate — the `Dedup.keepBestPerCluster` discipline: a group
+    * with a million hits costs one row per partition in the shuffle,
+    * where the window-rank formulation would funnel every hit through
+    * one task. Top-k plans as TakeOrderedAndProject.
+    */
+  def collapseTop(scored: DataFrame, groupCol: String, idCol: String,
+      scoreCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    scored.groupBy(col(groupCol))
+      .agg(min(struct((col(scoreCol) * -1).as("_ns"),
+        col(idCol).as("_id"))).as("_b"))
+      .select(col(groupCol), (col("_b._ns") * -1).as(scoreCol),
+        col("_b._id").as(idCol))
+      .orderBy(col(scoreCol).desc, col(groupCol))
+      .limit(k)
+      .select(groupCol, idCol, scoreCol)
+  }
+
   /** Field retrieval — projection of requested fields. */
   def retrieve(index: DataFrame, fields: Seq[String]): DataFrame =
     index.select(fields.map(col): _*)

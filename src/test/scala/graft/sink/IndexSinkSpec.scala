@@ -569,6 +569,23 @@ class IndexSinkSpec extends SparkSpec {
     assert(out == Seq(("1", 3), ("2", 2)))
   }
 
+  test("collapseTop keeps each group's best by (score desc, id asc), no Window") {
+    val scored = Seq(
+      ("s1", 1L, 5), ("s1", 2L, 9), ("s1", 3L, 9),   // s1 best: id 2 (tie on 9)
+      ("s2", 4L, 7),
+      ("s3", 5L, 1), ("s3", 6L, 2),                  // s3 best: id 6
+      ("s4", 7L, 8)
+    ).toDF("source", "doc_id", "score")
+    val got = DocQueries.collapseTop(scored, "source", "doc_id", "score", 3)
+      .as[(String, Long, Int)].collect().toSeq
+    // top-3 groups by representative score: s1(9) > s4(8) > s2(7)
+    assert(got == Seq(("s1", 2L, 9), ("s4", 7L, 8), ("s2", 4L, 7)), got.toString)
+    val plan = DocQueries.collapseTop(scored, "source", "doc_id", "score", 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("doc queries: term, term-in-set, match-text over an index view") {
     val idx = Seq(
       ("1", "en", "the quick brown fox"),
