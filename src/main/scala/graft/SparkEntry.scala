@@ -713,6 +713,25 @@ object SparkEntry {
     // reciprocal-rank fusion and final top-10. Ranking windows run over
     // the ALREADY-LIMITED 50-row lists — bounded post-limit state, never
     // a corpus-wide single-partition window.
+    // Geo radius query: deterministic synthetic coordinates per doc
+    // (integer-derived, bit-identical in any engine), conservative
+    // bounding-box prefilter, haversine radius — distance rounded to 3dp
+    // (the BM25 ln-rounding convention absorbing trig-libm ULP).
+    "x_geo_radius" -> ((s, d) => {
+      val pts = Tables.documents(s, d).select("doc_id")
+        .withColumn("lat",
+          (col("doc_id") * 37 % 17000).cast("double") / 100.0 - 85.0)
+        .withColumn("lon",
+          (col("doc_id") * 91 % 36000).cast("double") / 100.0 - 180.0)
+      pts.filter(functions.GeoFunctions.inBoundingBox(
+          col("lat"), col("lon"), 40.0, -74.0, 3000.0))
+        .withColumn("dist_km", round(functions.GeoFunctions.haversineKm(
+          col("lat"), col("lon"), lit(40.0), lit(-74.0)), 3))
+        .filter(col("dist_km") <= 3000.0)
+        .select("doc_id", "lat", "lon", "dist_km")
+        .orderBy("doc_id")
+    }),
+
     // Field collapsing: best-scoring doc PER SOURCE, then the top-5
     // sources by their representative — dedup-by-site in search results,
     // via a hash aggregate (no per-group window).
@@ -2197,6 +2216,22 @@ object SparkEntry {
            FROM t, s)
          SELECT doc_id, round(score, 6) AS bm25 FROM z WHERE score > 0
          ORDER BY bm25 DESC, doc_id LIMIT 20""",
+    // the oracle skips the bounding box (it never excludes an in-radius
+    // point) and mirrors the haversine term-for-term
+    "x_geo_radius" ->
+      """WITH p AS (SELECT doc_id,
+             CAST(doc_id * 37 % 17000 AS DOUBLE) / 100.0 - 85.0 AS lat,
+             CAST(doc_id * 91 % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon
+           FROM documents),
+         dkm AS (SELECT doc_id, lat, lon,
+             round(2 * 6371.0088 * asin(sqrt(
+               sin(radians(40.0 - lat) / 2) * sin(radians(40.0 - lat) / 2)
+               + cos(radians(lat)) * cos(radians(40.0))
+               * sin(radians(-74.0 - lon) / 2) * sin(radians(-74.0 - lon) / 2))),
+               3) AS dist_km
+           FROM p)
+         SELECT doc_id, lat, lon, dist_km FROM dkm
+         WHERE dist_km <= 3000.0 ORDER BY doc_id""",
     "x_collapse" ->
       """WITH z AS (SELECT doc_id, source,
              len(list_filter(string_split(lower(text), ' '), w -> w = 'merge'))

@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Geo distance as COLUMN COMPOSITIONS over builtin math — every term is
+  * codegen'd (no UDF), so a radius filter runs at scan speed and pushes
+  * nothing to the driver. The reference's geo surface is sharding-side
+  * (geohash partitioning, `shard/Sharding.scala`); these give the
+  * query-side complement: distance, radius predicates, bounding-box
+  * prefilters.
+  *
+  * Cross-engine determinism: trig libms differ in the last ULP across
+  * engines, so gated comparisons round the final distance (the BM25
+  * `round(ln(...), 6)` convention) — never the intermediate terms.
+  */
+object GeoFunctions {
+
+  /** Mean Earth radius (IUGG), km. */
+  val EarthRadiusKm: Double = 6371.0088
+
+  /** Great-circle distance in km between two (degree) points — the
+    * haversine formula: `2R·asin(√(sin²(Δφ/2) + cosφ₁·cosφ₂·sin²(Δλ/2)))`.
+    */
+  def haversineKm(lat1: Column, lon1: Column,
+      lat2: Column, lon2: Column): Column = {
+    val dLat = radians(lat2 - lat1) / 2
+    val dLon = radians(lon2 - lon1) / 2
+    val a = sin(dLat) * sin(dLat) +
+      cos(radians(lat1)) * cos(radians(lat2)) * sin(dLon) * sin(dLon)
+    lit(2 * EarthRadiusKm) * asin(sqrt(a))
+  }
+
+  /** Radius predicate: point within `radiusKm` of the center. Combine
+    * with [[inBoundingBox]] so the cheap rectangle (plain comparisons —
+    * pushable, row-group prunable on lat/lon-sorted layouts) rejects the
+    * bulk before any trig runs.
+    */
+  def withinRadiusKm(lat: Column, lon: Column,
+      centerLat: Double, centerLon: Double, radiusKm: Double): Column =
+    haversineKm(lat, lon, lit(centerLat), lit(centerLon)) <= radiusKm
+
+  /** Conservative bounding box around a radius — the latitude pad is the
+    * exact angular radius `δ = r/R`, and the longitude pad is the EXACT
+    * circle extent `asin(sin δ / cos φ)` (the circle bulges widest at a
+    * latitude poleward of the center, so the naive `δ / cos φ`
+    * approximation UNDER-covers at high latitude); a circle crossing a
+    * pole saturates to the full longitude range. Never excludes a point
+    * inside the radius — safe as a prefilter.
+    */
+  def inBoundingBox(lat: Column, lon: Column,
+      centerLat: Double, centerLon: Double, radiusKm: Double): Column = {
+    val delta = radiusKm / EarthRadiusKm // angular radius, radians
+    val dLat = math.toDegrees(delta)
+    val cosLat = math.cos(math.toRadians(centerLat))
+    val sinD = math.sin(delta)
+    val dLon =
+      if (math.abs(centerLat) + dLat >= 90.0 || sinD >= cosLat) 180.0
+      else math.toDegrees(math.asin(sinD / cosLat))
+    lat.between(centerLat - dLat, centerLat + dLat) &&
+      lon.between(centerLon - dLon, centerLon + dLon)
+  }
+}

@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class GeoFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cities = Seq(
+    ("nyc", 40.7128, -74.0060),
+    ("la", 34.0522, -118.2437),
+    ("london", 51.5074, -0.1278),
+    ("sydney", -33.8688, 151.2093))
+    .toDF("name", "lat", "lon")
+
+  test("haversine matches known great-circle distances") {
+    val d = cities.select(col("name"),
+        GeoFunctions.haversineKm(col("lat"), col("lon"),
+          lit(40.7128), lit(-74.0060)).as("km"))
+      .as[(String, Double)].collect().toMap
+    assert(d("nyc") == 0.0)
+    assert(math.abs(d("la") - 3935.7) < 2.0, d("la").toString)      // NYC–LA
+    assert(math.abs(d("london") - 5570.2) < 3.0, d("london").toString)
+    assert(math.abs(d("sydney") - 15989.0) < 10.0, d("sydney").toString)
+  }
+
+  test("bounding box is conservative: never excludes an in-radius point") {
+    // 5000 deterministic points; every point the radius keeps must be in
+    // the box (the prefilter contract), at a latitude where lon widening
+    // matters (60°N → cos factor 0.5)
+    val pts = spark.range(5000).select(col("id"),
+      ((col("id") * 37 % 17000).cast("double") / 100.0 - 85.0).as("lat"),
+      ((col("id") * 91 % 36000).cast("double") / 100.0 - 180.0).as("lon"))
+    val escaped = pts.filter(
+      GeoFunctions.withinRadiusKm(col("lat"), col("lon"), 60.0, 10.0, 2000.0) &&
+        !GeoFunctions.inBoundingBox(col("lat"), col("lon"), 60.0, 10.0, 2000.0))
+    assert(escaped.count() == 0)
+    // and the box is a real prefilter: it rejects most of the globe
+    val boxed = pts.filter(
+      GeoFunctions.inBoundingBox(col("lat"), col("lon"), 60.0, 10.0, 2000.0))
+    assert(boxed.count() < 2000, boxed.count().toString)
+    // polar center: longitude pad saturates instead of dividing by ~0
+    val polar = pts.filter(
+      GeoFunctions.withinRadiusKm(col("lat"), col("lon"), 89.9, 0.0, 500.0) &&
+        !GeoFunctions.inBoundingBox(col("lat"), col("lon"), 89.9, 0.0, 500.0))
+    assert(polar.count() == 0)
+  }
+}
