@@ -732,6 +732,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Spatial radius join: 3 centers × all docs' synthetic coordinates
+    // with NO cross product — grid-cell equi-join, haversine-verified;
+    // distances rounded to 3dp for the cross-engine compare.
+    "x_geo_join" -> ((s, d) => {
+      val pts = Tables.documents(s, d).select("doc_id")
+        .withColumn("lat",
+          (col("doc_id") * 37 % 17000).cast("double") / 100.0 - 85.0)
+        .withColumn("lon",
+          (col("doc_id") * 91 % 36000).cast("double") / 100.0 - 180.0)
+      operators.GeoJoin.geoRadiusJoin(pts, "doc_id", "lat", "lon",
+          Seq((1L, 40.0, -74.0), (2L, -33.9, 151.2), (3L, 64.1, -21.9)),
+          radiusKm = 1500.0)
+        .select(col("center_id"), col("doc_id"),
+          round(col("dist_km"), 3).as("dist_km"))
+        .orderBy("center_id", "doc_id")
+    }),
+
     // Field collapsing: best-scoring doc PER SOURCE, then the top-5
     // sources by their representative — dedup-by-site in search results,
     // via a hash aggregate (no per-group window).
@@ -2232,6 +2249,27 @@ object SparkEntry {
            FROM p)
          SELECT doc_id, lat, lon, dist_km FROM dkm
          WHERE dist_km <= 3000.0 ORDER BY doc_id""",
+    // brute-force oracle: the equi-join operator must equal the cross
+    // product filtered by the same haversine (filter on the unrounded
+    // distance, round only for the compare — mirroring the Spark side)
+    "x_geo_join" ->
+      """WITH p AS (SELECT doc_id,
+             CAST(doc_id * 37 % 17000 AS DOUBLE) / 100.0 - 85.0 AS lat,
+             CAST(doc_id * 91 % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon
+           FROM documents),
+         c(center_id, clat, clon) AS (VALUES
+           (1, 40.0, -74.0), (2, -33.9, 151.2), (3, 64.1, -21.9)),
+         d AS (SELECT center_id, doc_id,
+             2 * 6371.0088 * asin(sqrt(
+               sin(radians(clat - lat) / 2) * sin(radians(clat - lat) / 2)
+               + cos(radians(lat)) * cos(radians(clat))
+               * sin(radians(clon - lon) / 2) * sin(radians(clon - lon) / 2)))
+               AS dist
+           FROM p, c)
+         SELECT CAST(center_id AS BIGINT) AS center_id, doc_id,
+           round(dist, 3) AS dist_km
+         FROM d WHERE dist <= 1500.0
+         ORDER BY center_id, doc_id""",
     "x_collapse" ->
       """WITH z AS (SELECT doc_id, source,
              len(list_filter(string_split(lower(text), ' '), w -> w = 'merge'))
