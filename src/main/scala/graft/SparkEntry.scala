@@ -1248,6 +1248,15 @@ object SparkEntry {
         .select("doc_id", "fingerprint", "split")
         .orderBy("doc_id")),
 
+    // Weighted sampling without replacement (Efraimidis–Spirakis): 100
+    // docs drawn ∝ n_chars — kept ids and 9dp priorities row-for-row.
+    "x_weighted_sample" -> ((s, d) =>
+      operators.Corpus.weightedSample(
+        Tables.documents(s, d).select("doc_id", "n_chars"),
+        "doc_id", col("n_chars"), k = 100)
+        .select("doc_id", "n_chars", "priority")
+        .orderBy("priority", "doc_id")),
+
     // Exact-count stratified sampling: per-source quotas (src0 → 5,
     // src1 → 12, rest → 8) keep the k hash-smallest docs per source —
     // kept doc ids gated row-for-row, proving count-exactness AND the
@@ -3104,6 +3113,16 @@ object SparkEntry {
                md5(array_to_string(list_sort(list_distinct(
                  string_split(lower(text), ' '))), ' ')) AS fingerprint
              FROM documents)) ORDER BY doc_id""",
+    // u = (md5_56 + 1)/2^56 is an exact dyadic rational; -ln(u)/w rounds
+    // at 9dp before the rank so libm ULP cannot reorder the cut
+    "x_weighted_sample" ->
+      """SELECT doc_id, n_chars, priority FROM (
+           SELECT doc_id, n_chars,
+             round(-ln((CAST((md5_number_lower(CAST(doc_id AS VARCHAR))
+                 % 72057594037927936) AS DOUBLE) + 1.0) / 72057594037927936.0)
+               / CAST(n_chars AS DOUBLE), 9) AS priority
+           FROM documents)
+         ORDER BY priority, doc_id LIMIT 100""",
     "x_quota_sample" ->
       """SELECT doc_id, source FROM (
            SELECT doc_id, source, row_number() OVER (PARTITION BY source

@@ -195,6 +195,42 @@ object Corpus {
       .drop("_graft_rank")
   }
 
+  /** Weighted sampling WITHOUT replacement — Efraimidis–Spirakis
+    * priority sampling, the weight-proportional draw the rate/quota
+    * samplers can't express (sample 10k docs ∝ quality score): each row
+    * gets priority `key = −ln(u)/w` with `u = (md5_56(id)+1)/2⁵⁶`, and
+    * the sample is the k SMALLEST keys (equivalent to ranking by
+    * `u^(1/w)`, the classic A-ES scheme) — inclusion probability scales
+    * with weight, the draw is exactly-k, and the same md5-56 hash family
+    * as every sampler here makes it engine-reproducible and NESTED in k
+    * (the top-50 sample is a prefix of the top-100). Rows with
+    * non-positive weight fail loudly (a silent drop would skew the
+    * inclusion probabilities the caller reasoned about).
+    *
+    * Returns the sampled rows plus `priority` (9dp-rounded, the rank
+    * key). Determinism: u is an exact dyadic rational identical in any
+    * engine; the single `ln` is rounded at 9dp before ranking with an
+    * id tie-break, so a last-ULP libm difference cannot reorder the
+    * cut (adjacent priorities in a real corpus differ by ≫ 1e-9).
+    *
+    * Scale shape: one projection computes priorities; global top-k
+    * plans as TakeOrderedAndProject (k rows per partition to the
+    * driver) — no shuffle, no window, no corpus sort.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: Column,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = (sampleHash(col(idCol)).cast("double") + 1.0) /
+      lit(72057594037927936.0) // 2^56
+    val w = when(weightCol > 0, weightCol.cast("double"))
+      .otherwise(raise_error(concat(
+        lit("weightedSample: non-positive weight for id "),
+        col(idCol).cast("string"))).cast("double"))
+    df.withColumn("priority", round(-log(u) / w, 9))
+      .orderBy(col("priority"), col(idCol))
+      .limit(k)
+  }
+
   /** Mixture sampling: keep each row with a per-stratum rate — the
     * source-weighting step of corpus mixing (e.g. up-weight curated
     * sources, down-sample web crawl). `ratesPermille` maps stratum value →

@@ -156,6 +156,37 @@ class CorpusSpec extends SparkSpec {
     assert(byLabel("val") > 30 && byLabel("val") < 95, byLabel.toString)
   }
 
+  test("weightedSample: weight-proportional, nested in k, loud on bad weights") {
+    val df = spark.range(2000).select(col("id"),
+      // ids < 200 get weight 50, the rest weight 1
+      when(col("id") < 200, 50.0).otherwise(1.0).as("w"))
+    val kept = Corpus.weightedSample(df, "id", col("w"), 200)
+      .select("id").as[Long].collect().toSet
+    assert(kept.size == 200)
+    // heavy ids are 10% of rows and 84% of total weight — they must
+    // dominate the sample (statistically ≫ the 20 a uniform draw gives)
+    val heavy = kept.count(_ < 200)
+    assert(heavy > 100, s"heavy=$heavy")
+    // NESTED in k: top-100 is a prefix of top-200
+    val small = Corpus.weightedSample(df, "id", col("w"), 100)
+      .select("id").as[Long].collect().toSet
+    assert(small.subsetOf(kept) && small.size == 100)
+    // raising ONE doc's weight can only improve its priority: a doc
+    // absent at weight 1 everywhere present when its weight is huge
+    val boosted = Corpus.weightedSample(
+      df.withColumn("w", when(col("id") === 1999, 1e6).otherwise(col("w"))),
+      "id", col("w"), 200).select("id").as[Long].collect().toSet
+    assert(boosted.contains(1999L))
+    // non-positive weight fails loudly, not silently skewing the draw
+    val e = intercept[Exception] {
+      Corpus.weightedSample(
+        df.withColumn("w", when(col("id") === 7, 0.0).otherwise(col("w"))),
+        "id", col("w"), 10).collect()
+    }
+    assert(e.getMessage.contains("non-positive weight") ||
+      e.getCause != null)
+  }
+
   test("quotaSample keeps exact per-stratum counts, nested across quotas") {
     val df = spark.range(4000).select(col("id"),
       concat(lit("s"), pmod(col("id"), lit(4))).as("src"))
