@@ -760,6 +760,18 @@ object SparkEntry {
         .orderBy(col("score").desc, col("source"))
     }),
 
+    // Ranked boolean query (Lucene BooleanQuery SCORING): boosted BM25
+    // sum over MUST + SHOULD clauses, MUST enforced, MUST_NOT excluded.
+    "x_bool_ranked" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      sink.InvertedIndex.boolSearchRanked(
+        sink.InvertedIndex.postings(docs, "doc_id", "text"),
+        sink.InvertedIndex.docLengths(docs, "doc_id", "text"),
+        must = Seq(("merge", 1.0)),
+        should = Seq(("window", 2.0), ("scan", 0.5)),
+        mustNot = Seq("slow"), k = 20)
+    }),
+
     // Two-stage retrieval (candidate generation → rerank): BM25 top-50
     // candidates, exact-cosine rerank of ONLY those — the production
     // serving shape (cheap wide recall stage, expensive narrow precision
@@ -2294,6 +2306,38 @@ object SparkEntry {
            WHERE rk = 1)
          SELECT source, doc_id, score FROM best
          ORDER BY score DESC, source LIMIT 5""",
+    // boosted BM25 mirror: each clause's full contrib × its boost, MUST
+    // tf > 0, MUST_NOT tf = 0, 6dp round before ranking
+    "x_bool_ranked" ->
+      """WITH t AS (SELECT doc_id,
+             CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+               AS DOUBLE) AS dl,
+             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'merge'))
+               AS DOUBLE) AS tf0,
+             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'window'))
+               AS DOUBLE) AS tf1,
+             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'scan'))
+               AS DOUBLE) AS tf2,
+             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'slow'))
+               AS DOUBLE) AS tfn
+           FROM documents),
+         s AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+             CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+             CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+             CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+           FROM t),
+         z AS (SELECT doc_id, tf0, tfn,
+             (ln(1 + (n - df0 + 0.5) / (df0 + 0.5))
+               * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))) * 1.0
+             + (ln(1 + (n - df1 + 0.5) / (df1 + 0.5))
+               * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))) * 2.0
+             + (ln(1 + (n - df2 + 0.5) / (df2 + 0.5))
+               * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))) * 0.5
+               AS score
+           FROM t, s)
+         SELECT doc_id, round(score, 6) AS score FROM z
+         WHERE tf0 > 0 AND tfn = 0 AND score > 0
+         ORDER BY round(score, 6) DESC, doc_id LIMIT 20""",
     // stage 1 reuses the x_bm25_indexed scoring CTE cut at 50 by the
     // 6dp-rounded score; stage 2 reranks those ids by exact cosine
     "x_rerank" ->

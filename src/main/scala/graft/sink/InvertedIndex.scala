@@ -370,6 +370,69 @@ object InvertedIndex {
       Seq("doc_id"), "left_anti")
   }
 
+  /** RANKED boolean query — Lucene BooleanQuery SCORING, not just
+    * membership ([[boolSearch]]): every matching doc scores the sum of
+    * per-clause BM25 contributions × that clause's BOOST, over MUST and
+    * SHOULD clauses alike (Lucene's sum-of-scoring-clauses); docs must
+    * carry every MUST term and no MUST_NOT term. Scores round to 6dp
+    * before ranking (the engine-reproducibility convention) and top-k is
+    * bounded.
+    *
+    * Scale shape: one postings pass filtered to the union of scoring
+    * terms (pushed, row-group pruned on the term-sorted layout), the
+    * boost table a CASE literal, MUST enforcement one count-distinct
+    * filter against the clause count, MUST_NOT a left-anti of its
+    * postings — everything doc-keyed hash aggregates, top-k as the
+    * bounded sort.
+    */
+  def boolSearchRanked(postings: DataFrame, docLens: DataFrame,
+      must: Seq[(String, Double)] = Nil, should: Seq[(String, Double)] = Nil,
+      mustNot: Seq[String] = Nil, k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    def norm(ts: Seq[(String, Double)]) = ts.map { case (t, bo) =>
+      (t.toLowerCase(java.util.Locale.ROOT), bo)
+    }
+    val m = norm(must)
+    val sh = norm(should)
+    require(m.nonEmpty || sh.nonEmpty,
+      "ranked bool query needs a MUST or SHOULD clause")
+    val boosts = (m ++ sh).toMap // last boost wins a duplicated term
+    val terms = boosts.keys.toSeq.sorted
+    val qp = postings.filter(col("term").isin(terms: _*))
+    val stats = docLens.agg(
+      count(lit(1)).cast("double").as("_n"),
+      avg(col("dl").cast("double")).as("_avgdl"))
+    val dfPerTerm = qp.groupBy("term")
+      .agg(count(lit(1)).cast("double").as("_df"))
+    val boost = terms.tail.foldLeft(
+        when(col("term") === terms.head, lit(boosts(terms.head)))) {
+      (acc, t) => acc.when(col("term") === t, lit(boosts(t)))
+    }.otherwise(lit(0.0))
+    val contrib = DocQueries.bm25Contrib(col("tf").cast("double"),
+      col("_df"), col("_n"), col("_avgdl"), col("dl").cast("double"), k1, b)
+    val mTerms = m.map(_._1).distinct
+    val scored = qp.join(broadcast(dfPerTerm), "term")
+      .join(docLens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"), (contrib * boost).as("_c"))
+      .groupBy("doc_id").agg(
+        sum("_c").as("_score"),
+        count_distinct(when(col("term").isin(mTerms: _*), col("term")))
+          .as("_nm"))
+      .filter(col("_nm") === mTerms.size && col("_score") > 0)
+    val base =
+      if (mustNot.isEmpty) scored
+      else scored.join(
+        postings.filter(col("term").isin(
+          mustNot.map(_.toLowerCase(java.util.Locale.ROOT)): _*))
+          .select("doc_id").distinct(),
+        Seq("doc_id"), "left_anti")
+    base.select(col("doc_id"), round(col("_score"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Persist the postings term-sorted: range-partition on `term`, sort
     * within partitions on `(term, doc_id)`. Parquet then records term
     * min/max per row group, so a query term's `IN` filter prunes to its

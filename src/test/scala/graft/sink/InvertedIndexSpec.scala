@@ -228,6 +228,34 @@ class InvertedIndexSpec extends SparkSpec {
     assert(viaFuzzyIdx == viaFuzzyScan && viaFuzzyIdx.nonEmpty)
   }
 
+  test("boolSearchRanked: boosted BM25 sum, MUST enforced, MUST_NOT excluded") {
+    val docs = corpus // 0: "merge the scan then Merge again", 1: "window scan window", 4: "merge window scan"
+    val postings = InvertedIndex.postings(docs, "doc_id", "text")
+    val dl = InvertedIndex.docLengths(docs, "doc_id", "text")
+    // all-boost-1, single SHOULD term ≡ plain bm25Search on that term
+    val viaBool = InvertedIndex.boolSearchRanked(postings, dl,
+      should = Seq(("merge", 1.0)), k = 10)
+      .as[(Long, Double)].collect().toSeq
+    val viaBm25 = InvertedIndex.bm25Search(postings, dl, "merge", 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(viaBool == viaBm25 && viaBool.nonEmpty)
+    // MUST merge: doc 1 (no merge) is out even though it scores on window
+    val mm = InvertedIndex.boolSearchRanked(postings, dl,
+      must = Seq(("merge", 1.0)), should = Seq(("window", 1.0)), k = 10)
+      .as[(Long, Double)].collect().toMap
+    assert(mm.keySet == Set(0L, 4L))
+    // boosting window 100× must rank doc 4 (has window) above doc 0
+    val boosted = InvertedIndex.boolSearchRanked(postings, dl,
+      must = Seq(("merge", 1.0)), should = Seq(("window", 100.0)), k = 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(boosted.head._1 == 4L, boosted.toString)
+    // MUST_NOT scan: every remaining doc lacks scan
+    val noScan = InvertedIndex.boolSearchRanked(postings, dl,
+      should = Seq(("merge", 1.0), ("window", 1.0)), mustNot = Seq("scan"),
+      k = 10).as[(Long, Double)].collect().toMap
+    assert(!noScan.keySet.exists(Set(0L, 1L, 4L)), noScan.toString)
+  }
+
   test("suggest ranks completions by frequency with term tie-break; prefix pushes") {
     val docs = Seq(
       (1L, "scan scan scan sort sort spark"),
