@@ -732,6 +732,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Point-in-polygon tagging: ray casting unrolled into per-edge
+    // arithmetic at plan time (no trig — engine-exact, no rounding
+    // needed). Quad region over the synthetic coordinates.
+    "x_geo_polygon" -> ((s, d) => {
+      val pts = Tables.documents(s, d).select("doc_id")
+        .withColumn("lat",
+          (col("doc_id") * 37 % 17000).cast("double") / 100.0 - 85.0)
+        .withColumn("lon",
+          (col("doc_id") * 91 % 36000).cast("double") / 100.0 - 180.0)
+      pts.filter(functions.GeoFunctions.inPolygon(col("lat"), col("lon"),
+          Seq((10.0, -120.0), (70.0, -100.0), (60.0, -20.0), (0.0, -60.0))))
+        .select("doc_id", "lat", "lon")
+        .orderBy("doc_id")
+    }),
+
     // Spatial radius join: 3 centers × all docs' synthetic coordinates
     // with NO cross product — grid-cell equi-join, haversine-verified;
     // distances rounded to 3dp for the cross-engine compare.
@@ -2270,6 +2285,30 @@ object SparkEntry {
            FROM p)
          SELECT doc_id, lat, lon, dist_km FROM dkm
          WHERE dist_km <= 3000.0 ORDER BY doc_id""",
+    // ray casting unrolled edge-for-edge with identical literal
+    // arithmetic — pure comparisons and one division, no rounding needed
+    "x_geo_polygon" ->
+      """WITH p AS (SELECT doc_id,
+             CAST(doc_id * 37 % 17000 AS DOUBLE) / 100.0 - 85.0 AS lat,
+             CAST(doc_id * 91 % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon
+           FROM documents),
+         c AS (SELECT doc_id, lat, lon,
+             (CASE WHEN (10.0 > lat) <> (70.0 > lat) THEN
+                CASE WHEN lon < (-100.0 - (-120.0)) * (lat - 10.0)
+                  / (70.0 - 10.0) + (-120.0) THEN 1 ELSE 0 END ELSE 0 END)
+             + (CASE WHEN (70.0 > lat) <> (60.0 > lat) THEN
+                CASE WHEN lon < ((-20.0) - (-100.0)) * (lat - 70.0)
+                  / (60.0 - 70.0) + (-100.0) THEN 1 ELSE 0 END ELSE 0 END)
+             + (CASE WHEN (60.0 > lat) <> (0.0 > lat) THEN
+                CASE WHEN lon < ((-60.0) - (-20.0)) * (lat - 60.0)
+                  / (0.0 - 60.0) + (-20.0) THEN 1 ELSE 0 END ELSE 0 END)
+             + (CASE WHEN (0.0 > lat) <> (10.0 > lat) THEN
+                CASE WHEN lon < ((-120.0) - (-60.0)) * (lat - 0.0)
+                  / (10.0 - 0.0) + (-60.0) THEN 1 ELSE 0 END ELSE 0 END)
+               AS crossings
+           FROM p)
+         SELECT doc_id, lat, lon FROM c
+         WHERE crossings % 2 = 1 ORDER BY doc_id""",
     // brute-force oracle: the equi-join operator must equal the cross
     // product filtered by the same haversine (filter on the unrounded
     // distance, round only for the compare — mirroring the Spark side)

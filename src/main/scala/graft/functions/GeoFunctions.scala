@@ -40,6 +40,34 @@ object GeoFunctions {
       centerLat: Double, centerLon: Double, radiusKm: Double): Column =
     haversineKm(lat, lon, lit(centerLat), lit(centerLon)) <= radiusKm
 
+  /** Point-in-polygon (ray casting): odd number of polygon edges crossed
+    * by the eastward ray from the point ⇒ inside. The polygon is a plan
+    * literal, so the even-odd test UNROLLS into one codegen'd arithmetic
+    * expression per edge (comparisons + one division — no trig, no HOF,
+    * no UDF) and is bit-identical in any engine: planar semantics over
+    * (lat, lon) degrees, the GeoJSON-style convention for region tagging
+    * (polygons spanning the antimeridian must be pre-split by the
+    * caller, as in GeoJSON). Points exactly on a boundary follow the
+    * half-open edge rule (`(y1 > p) != (y2 > p)`), so shared edges of
+    * adjacent polygons never double-count a point.
+    */
+  def inPolygon(lat: Column, lon: Column,
+      polygon: Seq[(Double, Double)]): Column = {
+    require(polygon.size >= 3, "polygon needs at least 3 vertices")
+    val closed = if (polygon.head == polygon.last) polygon.dropRight(1)
+      else polygon
+    require(closed.size >= 3, "polygon needs at least 3 distinct vertices")
+    val crossings = closed.indices.map { i =>
+      val (y1, x1) = closed(i)
+      val (y2, x2) = closed((i + 1) % closed.size)
+      when((lit(y1) > lat) =!= (lit(y2) > lat),
+        when(lon < (lit(x2 - x1) * (lat - y1) / lit(y2 - y1) + x1), 1)
+          .otherwise(0))
+        .otherwise(0)
+    }.reduce(_ + _)
+    crossings % 2 === 1
+  }
+
   /** Conservative bounding box around a radius — the latitude pad is the
     * exact angular radius `δ = r/R`, and the longitude pad is the EXACT
     * circle extent `asin(sin δ / cos φ)` (the circle bulges widest at a

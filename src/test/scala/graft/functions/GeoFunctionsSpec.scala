@@ -25,6 +25,31 @@ class GeoFunctionsSpec extends SparkSpec {
     assert(math.abs(d("sydney") - 15989.0) < 10.0, d("sydney").toString)
   }
 
+  test("inPolygon: ray casting with half-open edges, convex and concave") {
+    val square = Seq((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0))
+    def in(poly: Seq[(Double, Double)], lat: Double, lon: Double): Boolean =
+      Seq((lat, lon)).toDF("lat", "lon")
+        .filter(GeoFunctions.inPolygon(col("lat"), col("lon"), poly))
+        .count() == 1
+    assert(in(square, 5.0, 5.0))
+    assert(!in(square, 15.0, 5.0) && !in(square, 5.0, 15.0))
+    assert(!in(square, -1.0, 5.0))
+    // closed-ring input (first == last vertex) accepted
+    assert(in(square :+ square.head, 5.0, 5.0))
+    // concave L-shape: the notch is OUTSIDE
+    val ell = Seq((0.0, 0.0), (10.0, 0.0), (10.0, 4.0), (4.0, 4.0),
+      (4.0, 10.0), (0.0, 10.0))
+    assert(in(ell, 2.0, 8.0))    // lower arm
+    assert(in(ell, 8.0, 2.0))    // left arm
+    assert(!in(ell, 8.0, 8.0))   // the notch
+    // shared-edge rule: a point on the boundary between two adjacent
+    // squares belongs to exactly one of them
+    val left = Seq((0.0, 0.0), (10.0, 0.0), (10.0, 5.0), (0.0, 5.0))
+    val right = Seq((0.0, 5.0), (10.0, 5.0), (10.0, 10.0), (0.0, 10.0))
+    val onEdge = Seq(in(left, 5.0, 5.0), in(right, 5.0, 5.0))
+    assert(onEdge.count(identity) == 1, onEdge.toString)
+  }
+
   test("bounding box is conservative: never excludes an in-radius point") {
     // 5000 deterministic points; every point the radius keeps must be in
     // the box (the prefilter contract), at a latitude where lon widening
