@@ -1518,6 +1518,19 @@ object SparkEntry {
         Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // Heavy hitters via the Misra-Gries sketch: O(k) aggregate state no
+    // matter the vocabulary. With k ≥ distinct terms the sketch is
+    // provably exact, so the gate pins it against plain GROUP BY counts;
+    // the sub-vocabulary approximation bounds are spec-gated.
+    "x_heavy_hitters" -> ((s, d) => {
+      val toks = Tables.documents(s, d).select(
+        explode(functions.TextFunctions.tokens(lower(col("text")))).as("term"))
+      toks.agg(functions.SketchAggregates.misraGries(col("term"), 64).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.item").as("term"), col("e.count").as("n"))
+        .orderBy(col("n").desc, col("term"))
+    }),
+
     // Interpolated bigram cross-entropy (λ=0.8 bigram MLE backed off to
     // unigram): the sequence-aware quality signal — catches
     // common-words-in-wrong-order text that unigram CE scores as fluent.
@@ -3436,6 +3449,12 @@ object SparkEntry {
            round(CAST(sum(contrib) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
              AS unigram_ce
          FROM e GROUP BY doc_id ORDER BY doc_id""",
+    "x_heavy_hitters" ->
+      """SELECT term, CAST(count(*) AS BIGINT) AS n FROM (
+           SELECT unnest(list_filter(string_split(lower(text), ' '),
+             x -> x <> '')) AS term
+           FROM documents)
+         GROUP BY term ORDER BY n DESC, term""",
     // arithmetic mirrors the Spark side term-for-term: (1 - 0.8) is
     // COMPUTED (not written 0.2) so both engines use the identical double
     "x_bigram_ce" ->
