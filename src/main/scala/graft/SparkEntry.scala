@@ -747,6 +747,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Geo nearest-k: the 15 closest docs to a point by haversine — the
+    // distance twin of x_sim_topk; top-k plans as TakeOrderedAndProject
+    // (k rows per partition, no global sort). Ranked by the 3dp-rounded
+    // distance with id tie-break so the cut is engine-reproducible.
+    "x_geo_knn" -> ((s, d) => {
+      val pts = Tables.documents(s, d).select("doc_id")
+        .withColumn("lat",
+          (col("doc_id") * 37 % 17000).cast("double") / 100.0 - 85.0)
+        .withColumn("lon",
+          (col("doc_id") * 91 % 36000).cast("double") / 100.0 - 180.0)
+      pts.withColumn("dist_km", round(functions.GeoFunctions.haversineKm(
+          col("lat"), col("lon"), lit(40.0), lit(-74.0)), 3))
+        .orderBy(col("dist_km"), col("doc_id"))
+        .limit(15)
+        .select("doc_id", "dist_km")
+    }),
+
     // Spatial radius join: 3 centers × all docs' synthetic coordinates
     // with NO cross product — grid-cell equi-join, haversine-verified;
     // distances rounded to 3dp for the cross-engine compare.
@@ -2298,6 +2315,18 @@ object SparkEntry {
            FROM p)
          SELECT doc_id, lat, lon, dist_km FROM dkm
          WHERE dist_km <= 3000.0 ORDER BY doc_id""",
+    "x_geo_knn" ->
+      """WITH p AS (SELECT doc_id,
+             CAST(doc_id * 37 % 17000 AS DOUBLE) / 100.0 - 85.0 AS lat,
+             CAST(doc_id * 91 % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon
+           FROM documents)
+         SELECT doc_id,
+           round(2 * 6371.0088 * asin(sqrt(
+             sin(radians(40.0 - lat) / 2) * sin(radians(40.0 - lat) / 2)
+             + cos(radians(lat)) * cos(radians(40.0))
+             * sin(radians(-74.0 - lon) / 2) * sin(radians(-74.0 - lon) / 2))),
+             3) AS dist_km
+         FROM p ORDER BY dist_km, doc_id LIMIT 15""",
     // ray casting unrolled edge-for-edge with identical literal
     // arithmetic — pure comparisons and one division, no rounding needed
     "x_geo_polygon" ->
