@@ -35,7 +35,7 @@ object Bench {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             name -> -1.0 // failure marker: never report a crash as a speedup
-        }
+        } finally SparkEntry.drainTempDirs() // outside the timer: dead index bytes must not pile up across 155×3 passes
       }
 
     // Warm pass: build + execute with the codegen/JIT/file-listing caches
@@ -59,7 +59,7 @@ object Bench {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             name -> -1.0
-        }
+        } finally SparkEntry.drainTempDirs()
       }
     val results: Seq[(String, Double)] = warmPass().zip(warmPass()).map {
       case ((name, a), (_, b)) =>
@@ -74,7 +74,7 @@ object Bench {
       try {
         import org.apache.spark.sql.functions.col
         def oneBatch(): (Double, Long, Double, Long) = {
-          val dir = java.nio.file.Files.createTempDirectory("bench-index").toString
+          val dir = SparkEntry.tempDir("bench-index")
           val sink = new graft.sink.ParquetIndexSink(spark, dir)
           val runner = new graft.runtime.PipelineRunner(
             graft.config.PipelineConfig(indexName = "bench-idx"), sink)
@@ -99,7 +99,7 @@ object Bench {
         case e: Throwable =>
           System.err.println(s"[bench] ingest_pipeline failed: ${e.getMessage}")
           (-1.0, 0L, -1.0, 0L)
-      }
+      } finally SparkEntry.drainTempDirs()
 
     // Per-query values are rounded to milliseconds: the driver captures
     // only the LAST 2000 chars of sbt stdout, and full-precision doubles

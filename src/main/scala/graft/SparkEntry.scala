@@ -25,6 +25,36 @@ object SparkEntry {
 
   private def dec(c: Column): Column = c.cast("decimal(12,2)")
 
+  /** Gate-scoped temp dirs. Index/store-backed queries build their stores
+    * in fresh temp dirs inside the query body; each dir is registered here
+    * and the harness (Verify/Bench) deletes it via [[drainTempDirs]] once
+    * the query's result is materialized. Without the drain, 3 bench passes
+    * over 155 queries (~15 of which write full indexes) accumulate dead
+    * index bytes + OS page-cache pressure for the whole run.
+    */
+  private val pendingTempDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]
+
+  private[graft] def tempDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix).toString
+    pendingTempDirs.add(d)
+    d
+  }
+
+  /** Delete every temp dir registered since the last drain. Safe to call
+    * only AFTER the current query's DataFrame is fully materialized (the
+    * returned frame reads from these dirs lazily).
+    */
+  def drainTempDirs(): Unit = {
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(rm)
+      f.delete(): Unit
+    }
+    var d = pendingTempDirs.poll()
+    while (d != null) { rm(new java.io.File(d)); d = pendingTempDirs.poll() }
+  }
+
   /** events with `op` RowKind column synthesized from event_type — the CDC
     * test fixture: signup→+I, error→-D, view→-U (dropped), rest→+U.
     * (Public: the example pipeline reuses the same fixture mapping.)
@@ -264,7 +294,7 @@ object SparkEntry {
     "x_profile_incremental" -> ((s, d) => {
       val o = Tables.orders(s, d)
       val cols = Seq("o_custkey", "o_orderkey", "o_orderstatus")
-      val dir = java.nio.file.Files.createTempDirectory("graft-statstore").toString
+      val dir = tempDir("graft-statstore")
       sink.StatsStore.init(o.filter(pmod(col("o_orderkey"), lit(3)) === 0),
         cols, dir)
       sink.StatsStore.append(o.filter(pmod(col("o_orderkey"), lit(3)) === 1), dir)
@@ -320,7 +350,7 @@ object SparkEntry {
     // MUST_NOT a df-sized left_anti. Must equal the scan form exactly
     // (same oracle; shared clause semantics in DocQueries.boolClauses).
     "q_bool_indexed" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-boolidx").toString
+      val dir = tempDir("graft-boolidx")
       sink.InvertedIndex.writePostings(
         sink.InvertedIndex.postings(Tables.documents(s, d), "doc_id", "text"),
         s"$dir/postings")
@@ -411,10 +441,20 @@ object SparkEntry {
     "q_percolate" -> ((s, d) => {
       import s.implicits._
       val registered = Seq(
-        ("alert_merge", Seq("merge", "window"), Seq("scan")),
-        ("alert_stream", Seq("stream", "data"), Seq.empty[String]),
-        ("alert_common", Seq("the"), Seq.empty[String]))
-        .toDF("query_id", "must", "must_not")
+        ("alert_merge", Seq("merge", "window"), Seq.empty[String],
+          Seq("scan"), -1),
+        ("alert_stream", Seq("stream", "data"), Seq.empty[String],
+          Seq.empty[String], -1),
+        ("alert_common", Seq("the"), Seq.empty[String],
+          Seq.empty[String], -1),
+        // SHOULD-only with explicit msm=2: ≥2 of 3 topical terms
+        ("alert_topic", Seq.empty[String], Seq("merge", "stream", "query"),
+          Seq.empty[String], 2),
+        // SHOULD-only, default msm (must-less ⇒ 1): the OR query
+        ("alert_any", Seq.empty[String], Seq("window", "scan"),
+          Seq.empty[String], -1))
+        .toDF("query_id", "must", "should", "must_not",
+          "minimum_should_match")
       DocQueries.percolate(Tables.documents(s, d), "doc_id", "text",
           registered)
         .orderBy("doc_id", "query_id")
@@ -457,7 +497,7 @@ object SparkEntry {
     // term-sorted postings, regexp over the pruned vocabulary, postings
     // gathered by broadcast semi-join — must equal the scan form.
     "q_wildcard_indexed" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-wcidx").toString
+      val dir = tempDir("graft-wcidx")
       sink.InvertedIndex.writePostings(
         sink.InvertedIndex.postings(Tables.documents(s, d), "doc_id", "text"),
         s"$dir/postings")
@@ -474,7 +514,7 @@ object SparkEntry {
     // PrefixQuery off the index: pushed StringStartsWith on the
     // term-sorted postings (row-group seek-to-prefix, spec-pinned).
     "q_prefix_indexed" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-preidx").toString
+      val dir = tempDir("graft-preidx")
       sink.InvertedIndex.writePostings(
         sink.InvertedIndex.postings(Tables.documents(s, d), "doc_id", "text"),
         s"$dir/postings")
@@ -487,7 +527,7 @@ object SparkEntry {
     // found in the VOCABULARY (distinct-term dictionary), postings
     // gathered by broadcast semi-join — must equal the scan form.
     "q_fuzzy_indexed" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-fuzidx").toString
+      val dir = tempDir("graft-fuzidx")
       sink.InvertedIndex.writePostings(
         sink.InvertedIndex.postings(Tables.documents(s, d), "doc_id", "text"),
         s"$dir/postings")
@@ -503,7 +543,7 @@ object SparkEntry {
     // Each query term's leg reads only its row groups (pushed EqualTo on
     // the term-sorted layout, InvertedIndexSpec pin).
     "q_phrase_indexed" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-posidx").toString
+      val dir = tempDir("graft-posidx")
       sink.InvertedIndex.writePostings(
         sink.InvertedIndex.positionalPostings(
           Tables.documents(s, d), "doc_id", "text"), s"$dir/positional")
@@ -592,7 +632,7 @@ object SparkEntry {
       val base = docs.filter(pmod(col("doc_id"), lit(5)) < 3)
       val b1 = docs.filter(pmod(col("doc_id"), lit(5)) === 3)
       val b2 = docs.filter(pmod(col("doc_id"), lit(5)) === 4)
-      val dir = java.nio.file.Files.createTempDirectory("graft-sigstore").toString
+      val dir = tempDir("graft-sigstore")
       sink.SignatureStore.write(base, "doc_id", "text", dir)
       // base-internal pairs from the PERSISTED signatures (selfPairs) —
       // no second signing pass over the base corpus
@@ -858,7 +898,7 @@ object SparkEntry {
     "x_bm25_incremental" -> ((s, d) => {
       import s.implicits._
       val docs = Tables.documents(s, d).select("doc_id", "text")
-      val dir = java.nio.file.Files.createTempDirectory("graft-incpost").toString
+      val dir = tempDir("graft-incpost")
       sink.IncrementalPostings.init(
         docs.filter(col("doc_id") >= 10), "doc_id", "text", dir)
       sink.IncrementalPostings.commitUpserts(
@@ -879,7 +919,7 @@ object SparkEntry {
     // IncrementalPostingsSpec.
     "x_postings_stats" -> ((s, d) => {
       val docs = Tables.documents(s, d).select("doc_id", "text")
-      val dir = java.nio.file.Files.createTempDirectory("graft-poststat").toString
+      val dir = tempDir("graft-poststat")
       sink.IncrementalPostings.init(docs, "doc_id", "text", dir)
       sink.IncrementalPostings.commitUpserts(
         docs.filter(col("doc_id") < 50), "doc_id", "text", dir)
@@ -898,7 +938,7 @@ object SparkEntry {
     "x_phrase_incremental" -> ((s, d) => {
       import s.implicits._
       val docs = Tables.documents(s, d).select("doc_id", "text")
-      val dir = java.nio.file.Files.createTempDirectory("graft-incphrase").toString
+      val dir = tempDir("graft-incphrase")
       sink.IncrementalPostings.init(
         docs.filter(col("doc_id") >= 10), "doc_id", "text", dir,
         withPositions = true)
@@ -922,7 +962,7 @@ object SparkEntry {
       val e = Tables.embeddings(s, d)
       val qv = e.filter(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0)
-      val dir = java.nio.file.Files.createTempDirectory("graft-vecapp").toString
+      val dir = tempDir("graft-vecapp")
       val model = sink.VectorIndex.write(e.filter(col("vec_id") >= 100),
         "vec_id", "embedding", dir, k = 8, iters = 3)
       sink.VectorIndex.append(e.filter(col("vec_id") < 100),
@@ -944,7 +984,7 @@ object SparkEntry {
       val e = Tables.embeddings(s, d)
       val qv = e.filter(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0)
-      val dir = java.nio.file.Files.createTempDirectory("graft-vecups").toString
+      val dir = tempDir("graft-vecups")
       val model = sink.VectorIndex.write(e.filter(col("vec_id") >= 50),
         "vec_id", "embedding", dir, k = 8, iters = 3)
       sink.VectorIndex.upsert(e.filter(col("vec_id") < 50),
@@ -970,7 +1010,7 @@ object SparkEntry {
     // pinned in VectorIndexSpec.
     "x_sim_ivf_stats" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val dir = java.nio.file.Files.createTempDirectory("graft-vecstat").toString
+      val dir = tempDir("graft-vecstat")
       sink.VectorIndex.write(e, "vec_id", "embedding", dir, k = 8, iters = 3)
       sink.VectorIndex.upsert(
         e.filter(col("vec_id") < 20).withColumn("embedding",
@@ -992,7 +1032,7 @@ object SparkEntry {
     // answer is exactly the corpus-scan knnJoin's (same oracle shape).
     "x_knn_indexed" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val dir = java.nio.file.Files.createTempDirectory("graft-vecknn").toString
+      val dir = tempDir("graft-vecknn")
       val model = sink.VectorIndex.write(e, "vec_id", "embedding", dir,
         k = 8, iters = 3)
       val q = e.filter(col("vec_id") < 5)
@@ -1034,7 +1074,7 @@ object SparkEntry {
       import org.apache.spark.sql.expressions.Window
       val k = 50
       val docs = Tables.documents(s, d)
-      val tdir = java.nio.file.Files.createTempDirectory("graft-textidx").toString
+      val tdir = tempDir("graft-textidx")
       sink.InvertedIndex.writePostings(
         sink.InvertedIndex.postings(docs, "doc_id", "text"), s"$tdir/postings")
       sink.InvertedIndex.docLengths(docs, "doc_id", "text")
@@ -1045,7 +1085,7 @@ object SparkEntry {
         .select(col("doc_id"), row_number().over(
           Window.orderBy(col("bm25").desc, col("doc_id"))).as("r_text"))
       val e = Tables.embeddings(s, d)
-      val vdir = java.nio.file.Files.createTempDirectory("graft-vecidx").toString
+      val vdir = tempDir("graft-vecidx")
       val model = sink.VectorIndex.write(e, "vec_id", "embedding", vdir,
         k = 8, iters = 3)
       val qv = e.filter(col("vec_id") === 0).select("embedding")
@@ -1136,7 +1176,7 @@ object SparkEntry {
       val e = Tables.embeddings(s, d)
       val qv = e.filter(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0)
-      val dir = java.nio.file.Files.createTempDirectory("graft-vecidx").toString
+      val dir = tempDir("graft-vecidx")
       sink.VectorIndex.write(e, "vec_id", "embedding", dir, k = 8, iters = 3)
       val hit = sink.VectorIndex.search(s, dir, "vec_id", "embedding", qv,
         topK = 10, nProbe = 3).select(col("vec_id"))
@@ -1679,7 +1719,7 @@ object SparkEntry {
     // (source-level poison-pill contract), good rows must equal the
     // table exactly.
     "s_jsonl_scan" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+      val dir = tempDir("graft-jsonl")
       val cols = Seq("doc_id", "lang", "source", "n_chars")
       Tables.documents(s, d).select(cols.map(col): _*)
         .write.mode("overwrite").json(s"$dir/data")
@@ -2631,19 +2671,35 @@ object SparkEntry {
              PARTITION BY source ORDER BY n_chars, doc_id), 6) AS pr
          FROM documents ORDER BY doc_id""",
     // registered queries as a VALUES relation; a (doc, query) pair
-    // survives when every must term hits and no must_not term does
+    // survives when every must term hits, ≥ msm should terms hit
+    // (Lucene default: 1 when must-less, else 0; must-less saturates
+    // to ≥1), and no must_not term does
     "q_percolate" ->
-      """WITH q(query_id, must, must_not) AS (VALUES
-           ('alert_merge', ['merge', 'window'], ['scan']),
-           ('alert_stream', ['stream', 'data'], CAST([] AS VARCHAR[])),
-           ('alert_common', ['the'], CAST([] AS VARCHAR[]))),
+      """WITH q(query_id, must, should, must_not, msm) AS (VALUES
+           ('alert_merge', ['merge', 'window'], CAST([] AS VARCHAR[]),
+             ['scan'], -1),
+           ('alert_stream', ['stream', 'data'], CAST([] AS VARCHAR[]),
+             CAST([] AS VARCHAR[]), -1),
+           ('alert_common', ['the'], CAST([] AS VARCHAR[]),
+             CAST([] AS VARCHAR[]), -1),
+           ('alert_topic', CAST([] AS VARCHAR[]),
+             ['merge', 'stream', 'query'], CAST([] AS VARCHAR[]), 2),
+           ('alert_any', CAST([] AS VARCHAR[]), ['window', 'scan'],
+             CAST([] AS VARCHAR[]), -1)),
+         qe AS (SELECT query_id, must, should, must_not,
+             CASE WHEN len(must) = 0
+               THEN greatest(CASE WHEN msm >= 0 THEN msm ELSE 1 END, 1)
+               ELSE CASE WHEN msm >= 0 THEN msm ELSE 0 END END AS eff
+           FROM q),
          t AS (SELECT doc_id,
              list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
            FROM documents)
-         SELECT t.doc_id, q.query_id FROM t, q
-         WHERE len(list_filter(q.must, m -> list_contains(t.w, m)))
-                 = len(q.must)
-           AND len(list_filter(q.must_not, m -> list_contains(t.w, m))) = 0
+         SELECT t.doc_id, qe.query_id FROM t, qe
+         WHERE len(list_filter(qe.must, m -> list_contains(t.w, m)))
+                 = len(qe.must)
+           AND len(list_filter(qe.should, m -> list_contains(t.w, m)))
+                 >= qe.eff
+           AND len(list_filter(qe.must_not, m -> list_contains(t.w, m))) = 0
          ORDER BY doc_id, query_id""",
     // list_position is NULL on no-match in DuckDB (0 in Spark — both
     // filtered); 1-based inclusive list slice mirrors slice(start, len)

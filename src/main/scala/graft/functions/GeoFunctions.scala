@@ -85,7 +85,18 @@ object GeoFunctions {
     val dLon =
       if (math.abs(centerLat) + dLat >= 90.0 || sinD >= cosLat) 180.0
       else math.toDegrees(math.asin(sinD / cosLat))
-    lat.between(centerLat - dLat, centerLat + dLat) &&
-      lon.between(centerLon - dLon, centerLon + dLon)
+    // Antimeridian-safe longitude test, decided at PLAN time (all values
+    // are literals): a box like lon∈[152, 206] around centerLon=179 must
+    // admit a point stored at -170 (≡ 190), so when the box crosses ±180
+    // it splits into a two-range disjunction. Both branches stay plain
+    // comparisons on the raw column — parquet-pushable, unlike a pmod
+    // wrap of the stored longitude.
+    val (lo, hi) = (centerLon - dLon, centerLon + dLon)
+    val lonPred =
+      if (dLon >= 180.0) lit(true)
+      else if (lo < -180.0) lon.between(-180.0, hi) || lon >= lo + 360.0
+      else if (hi > 180.0) lon.between(lo, 180.0) || lon <= hi - 360.0
+      else lon.between(lo, hi)
+    lat.between(centerLat - dLat, centerLat + dLat) && lonPred
   }
 }

@@ -242,38 +242,68 @@ object DocQueries {
   /** Percolation ("reverse search" — Elasticsearch's percolator /
     * Lucene Monitor): REGISTERED queries are data, and each incoming
     * document returns the queries it matches — the alerting/routing
-    * shape. A registered query is `(query_id, must, must_not)`: all
-    * `must` terms required, no `must_not` term present (clause SETS —
-    * duplicates collapse, as in [[boolClauses]]).
+    * shape. A registered query is `(query_id, must, must_not)` plus
+    * optional `should` / `minimum_should_match` columns: all `must`
+    * terms required, no `must_not` term present, and at least msm of
+    * the `should` terms present — with [[boolClauses]]' Lucene defaults
+    * (msm −1 ⇒ 1 when there are no MUST clauses, else 0; a MUST-less
+    * query's msm saturates up to 1). Clause SETS — duplicates collapse.
+    * A query with NEITHER must NOR should clauses fails LOUDLY
+    * (`assert_true`) rather than silently diverging between a
+    * match-nothing engine and a match-everything oracle.
     *
     * The relational inversion that makes this scale: queries × docs is
-    * never a cross product. Each query's MUST clauses explode once
-    * (queries-table-sized), join the docs' distinct (doc, term) pairs
-    * ON TERM, and a (doc, query) pair survives when its matched-clause
-    * count equals the query's clause count; MUST_NOT hits leave by
-    * left_anti. Every stage is term-keyed and map-side combinable —
-    * a million registered alerts against a firehose is joins and
-    * counts, not a per-doc query loop.
+    * never a cross product. Each query's MUST and SHOULD clauses explode
+    * once (queries-table-sized), join the docs' distinct (doc, term)
+    * pairs ON TERM, and a (doc, query) pair survives when its matched
+    * MUST count equals the query's clause count AND its matched SHOULD
+    * count reaches msm; MUST_NOT hits leave by left_anti. Every
+    * surviving pair shares ≥1 term with its query (msm ≥ 1 whenever
+    * must is empty), so the term-keyed join loses nothing. Every stage
+    * is map-side combinable — a million registered alerts against a
+    * firehose is joins and counts, not a per-doc query loop.
     */
   def percolate(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame): DataFrame = {
     val required = Seq("query_id", "must", "must_not")
     required.foreach(c => require(queries.columns.contains(c),
       s"queries must have columns $required, got ${queries.columns.toSeq}"))
+    val shCol = if (queries.columns.contains("should")) col("should")
+      else array().cast("array<string>")
+    val msmCol = if (queries.columns.contains("minimum_should_match"))
+      col("minimum_should_match").cast("int") else lit(-1)
     val docTerms = docs.select(col(idCol),
         explode(split(lower(col(textCol)), " ")).as("term"))
       .filter(col("term") =!= "").distinct()
-    val qMust = queries
-      .select(col("query_id"), array_distinct(col("must")).as("_m"))
-      .select(col("query_id"), size(col("_m")).as("_n_must"),
-        explode(col("_m")).as("term"))
-    // a MUST-less query drops out at the explode — it matches NOTHING
-    // (never "everything": a registered match-all would amplify every
-    // doc; callers wanting that use matchAll directly)
-    val matched = docTerms.join(qMust, "term")
-      .groupBy(col(idCol), col("query_id"), col("_n_must"))
-      .agg(count(lit(1)).as("_hits"))
-      .filter(col("_hits") === col("_n_must"))
+    // Per-query metadata. The empty-clause check rides a Filter whose
+    // predicate is assert_true(..).isNull — null on success, so the
+    // predicate is uniformly true, but a Filter evaluates it for EVERY
+    // query row (a check hidden in a projected column would be skipped
+    // for rows the clause explode drops — exactly the invalid ones).
+    val qMeta = queries.select(col("query_id"),
+        array_distinct(col("must")).as("_m"),
+        array_distinct(coalesce(shCol, array().cast("array<string>")))
+          .as("_sh"), msmCol.as("_msm0"))
+      .filter(assert_true(size(col("_m")) + size(col("_sh")) > 0,
+        concat(lit("percolate: query '"), col("query_id"),
+          lit("' has no MUST or SHOULD clauses"))).isNull)
+      .select(col("query_id"), col("_m"), col("_sh"),
+        size(col("_m")).as("_n_must"),
+        when(col("_msm0") >= 0, col("_msm0"))
+          .otherwise(when(size(col("_m")) === 0, 1).otherwise(0))
+          .as("_msm1"))
+      .withColumn("_msm", when(size(col("_m")) === 0,
+        greatest(col("_msm1"), lit(1))).otherwise(col("_msm1")))
+    val qClauses =
+      qMeta.select(col("query_id"), col("_n_must"), col("_msm"),
+          explode(col("_m")).as("term"), lit(1).as("_is_must"))
+        .union(qMeta.select(col("query_id"), col("_n_must"), col("_msm"),
+          explode(col("_sh")).as("term"), lit(0).as("_is_must")))
+    val matched = docTerms.join(qClauses, "term")
+      .groupBy(col(idCol), col("query_id"), col("_n_must"), col("_msm"))
+      .agg(sum(col("_is_must")).as("_mh"),
+        sum(lit(1) - col("_is_must")).as("_shh"))
+      .filter(col("_mh") === col("_n_must") && col("_shh") >= col("_msm"))
       .select(col(idCol), col("query_id"))
     val notHits = docTerms.join(
       queries.select(col("query_id"),

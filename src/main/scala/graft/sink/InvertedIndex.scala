@@ -131,9 +131,17 @@ object InvertedIndex {
     val spans = legs.zipWithIndex.drop(1).foldLeft(
       legs.head.select(col("doc_id"), col("_p").as("_first"),
         col("_p").as("_last"))) { case (acc, (leg, _)) =>
+      // Greedy earliest-next: keep only min(_next) per (doc, _first).
+      // Minimizing _last at every leg preserves existence under the
+      // final ordered-slop predicate (exchange argument) and bounds the
+      // intermediate to first-leg positions — without it a doc repeating
+      // the query terms m times materializes ~m^k tuples before the
+      // slop filter.
       acc.join(leg.withColumnRenamed("_p", "_next"), Seq("doc_id"))
         .filter(col("_next") > col("_last"))
-        .select(col("doc_id"), col("_first"), col("_next").as("_last"))
+        .groupBy(col("doc_id"), col("_first"))
+        .agg(min(col("_next")).as("_last"))
+        .select(col("doc_id"), col("_first"), col("_last"))
     }
     spans.filter(col("_last") - col("_first") - (qTokens.size - 1) <= slop)
       .select("doc_id").distinct()
@@ -269,7 +277,18 @@ object InvertedIndex {
   def regexpSearch(postings: DataFrame, regex: String): DataFrame = {
     require(regex.nonEmpty, "regexp search needs a non-empty pattern")
     val litPrefix =
-      if (regex.contains('|')) "" else regex.takeWhile(c => c.isLetterOrDigit)
+      if (regex.contains('|')) ""
+      else {
+        val run = regex.takeWhile(c => c.isLetterOrDigit)
+        // a quantifier on the run's LAST char can make it optional —
+        // 'scans?' must still match 'scan', 'a*b' matches 'b', 'a{0,2}b'
+        // matches 'b' — so drop that char from the mandatory prefix.
+        // '+' requires >=1 occurrence and preserves the full run.
+        regex.drop(run.length).headOption match {
+          case Some('?') | Some('*') | Some('{') => run.dropRight(1)
+          case _ => run
+        }
+      }
     val pruned =
       if (litPrefix.nonEmpty) postings.filter(col("term").startsWith(litPrefix))
       else postings

@@ -71,4 +71,28 @@ class GeoFunctionsSpec extends SparkSpec {
         !GeoFunctions.inBoundingBox(col("lat"), col("lon"), 89.9, 0.0, 500.0))
     assert(polar.count() == 0)
   }
+
+  test("bounding box wraps the antimeridian") {
+    // center 5°N 179°E, 1000 km radius: the box spans lon∈[170, -172]
+    // across the seam — a point stored at lon=-175 (≡ 185°E, ~670 km
+    // away) is inside the radius and MUST pass the prefilter
+    val fiji = Seq(("wrapped", 5.0, -175.0), ("inside", 5.0, 176.0),
+      ("far", 5.0, 150.0)).toDF("name", "lat", "lon")
+    val kept = fiji.filter(
+        GeoFunctions.inBoundingBox(col("lat"), col("lon"), 5.0, 179.0, 1000.0))
+      .select("name").as[String].collect().toSet
+    assert(kept == Set("wrapped", "inside"), kept.toString)
+    // full sweep on both sides of the seam: no in-radius point escapes
+    val pts = spark.range(5000).select(col("id"),
+      ((col("id") * 37 % 17000).cast("double") / 100.0 - 85.0).as("lat"),
+      ((col("id") * 91 % 36000).cast("double") / 100.0 - 180.0).as("lon"))
+    for (centerLon <- Seq(179.0, -179.5)) {
+      val escaped = pts.filter(
+        GeoFunctions.withinRadiusKm(col("lat"), col("lon"), 5.0, centerLon,
+          1500.0) &&
+          !GeoFunctions.inBoundingBox(col("lat"), col("lon"), 5.0, centerLon,
+            1500.0))
+      assert(escaped.count() == 0, s"centerLon=$centerLon")
+    }
+  }
 }

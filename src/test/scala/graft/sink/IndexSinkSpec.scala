@@ -485,8 +485,7 @@ class IndexSinkSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     val registered = Seq(
       ("alert_a", Seq("merge", "window"), Seq("scan")),
-      ("alert_b", Seq("merge", "merge"), Seq.empty[String]), // dup clause collapses
-      ("alert_empty", Seq.empty[String], Seq.empty[String])  // matches NOTHING
+      ("alert_b", Seq("merge", "merge"), Seq.empty[String]) // dup clause collapses
     ).toDF("query_id", "must", "must_not")
     val got = DocQueries.percolate(docs, "doc_id", "text", registered)
       .as[(Long, String)].collect().toSet
@@ -498,6 +497,45 @@ class IndexSinkSpec extends SparkSpec {
       DocQueries.percolate(docs, "doc_id", "text",
         Seq(("q", Seq("a"))).toDF("query_id", "must"))
     }
+    // a clause-less query fails LOUDLY at evaluation (never a silent
+    // engine-matches-nothing / oracle-matches-everything divergence)
+    val boom = intercept[Exception] {
+      DocQueries.percolate(docs, "doc_id", "text",
+        Seq(("alert_empty", Seq.empty[String], Seq.empty[String]))
+          .toDF("query_id", "must", "must_not")).collect()
+    }
+    assert(boom.getMessage.contains("no MUST or SHOULD"),
+      boom.getMessage)
+  }
+
+  test("percolate SHOULD clauses with minimumShouldMatch defaults") {
+    val docs = Seq(
+      (1L, "merge window open"),
+      (2L, "stream query merge"),
+      (3L, "stream only"),
+      (4L, "window scan pair")
+    ).toDF("doc_id", "text")
+    val registered = Seq(
+      // must + should, default msm (must present ⇒ 0): should is optional
+      ("m_plus_s", Seq("merge"), Seq("stream"), Seq.empty[String], -1),
+      // should-only, default msm (must-less ⇒ 1): the OR query
+      ("or_q", Seq.empty[String], Seq("open", "scan"), Seq.empty[String], -1),
+      // should-only with explicit msm=2 of 3
+      ("two_of", Seq.empty[String], Seq("stream", "query", "window"),
+        Seq.empty[String], 2),
+      // must-less msm=0 saturates to 1 (never a match-all amplifier)
+      ("zero_msm", Seq.empty[String], Seq("merge"), Seq.empty[String], 0),
+      // msm > |should| matches nothing, as in Lucene
+      ("too_many", Seq.empty[String], Seq("merge"), Seq.empty[String], 5)
+    ).toDF("query_id", "must", "should", "must_not", "minimum_should_match")
+    val got = DocQueries.percolate(docs, "doc_id", "text", registered)
+      .as[(Long, String)].collect().toSet
+    assert(got == Set(
+      (1L, "m_plus_s"), (2L, "m_plus_s"),       // merge present; should free
+      (1L, "or_q"), (4L, "or_q"),               // ≥1 of open/scan
+      (2L, "two_of"),                           // stream+query; others hit ≤1
+      (1L, "zero_msm"), (2L, "zero_msm")        // saturated msm=1
+    ), got.toString)
   }
 
   test("highlightTerm returns first-match position and edge-clamped snippet") {

@@ -316,5 +316,45 @@ class InvertedIndexSpec extends SparkSpec {
     assert(rePlan.contains("StringStartsWith(term,wind"), rePlan)
     assert(InvertedIndex.regexpSearch(persisted, "wind.w")
       .as[Long].collect().toSet == Set(1L, 4L))
+    // a quantifier on the literal run's LAST char makes it optional:
+    // 'scans?' must still find the term "scan" (prune = "scan", not
+    // "scans"), and 'windowz*' / 'windowx{0,2}' likewise keep "window"
+    assert(InvertedIndex.regexpSearch(persisted, "scans?")
+      .as[Long].collect().toSet == Set(0L, 1L, 4L))
+    assert(InvertedIndex.regexpSearch(persisted, "windowz*")
+      .as[Long].collect().toSet == Set(1L, 4L))
+    assert(InvertedIndex.regexpSearch(persisted, "windowx{0,2}")
+      .as[Long].collect().toSet == Set(1L, 4L))
+    // '+' keeps the full run as the prefix (≥1 occurrence required) —
+    // and the shortened prune still pushes to the scan
+    val qPlan = InvertedIndex.regexpSearch(persisted, "scans?")
+      .queryExecution.executedPlan.toString
+    assert(qPlan.contains("StringStartsWith(term,scan)"), qPlan)
+    assert(InvertedIndex.regexpSearch(persisted, "scan+")
+      .queryExecution.executedPlan.toString
+      .contains("StringStartsWith(term,scan)"))
+  }
+
+  test("spanNearSearch stays correct and bounded on repetitive text") {
+    // a doc repeating the query terms m times: the greedy earliest-next
+    // fold must still match (existence preserved) without enumerating
+    // every increasing position tuple
+    val rep = (1 to 40).map(_ => "stream data").mkString(" ")
+    val docs = Seq(
+      (1L, rep),                          // 40 interleaved repeats
+      (2L, "stream stream stream only"),  // repeats of one term, no match
+      (3L, "data " + rep)                 // leading wrong-order copy still matches
+    ).toDF("doc_id", "text")
+    val pos = InvertedIndex.positionalPostings(docs, "doc_id", "text")
+    assert(InvertedIndex.spanNearSearch(pos, "stream data", 0)
+      .as[Long].collect().toSet == Set(1L, 3L))
+    // repeated query tokens consume DISTINCT ascending positions
+    assert(InvertedIndex.spanNearSearch(pos, "stream stream", 2)
+      .as[Long].collect().toSet == Set(1L, 2L, 3L))
+    // the fold's intermediate is one row per (doc, first-position):
+    // pinned via the aggregate in the plan (no m^k tuple blowup)
+    val plan = InvertedIndex.spanNearSearch(pos, "stream data stream", 5)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("min("), plan)
   }
 }
