@@ -1739,11 +1739,12 @@ object SparkEntry {
       good.orderBy("doc_id")
     }),
 
-    // BPE merge TRAINING (rows-only: the data-dependent sequential
-    // argmax has no SQL oracle, like the apply expression): 8 merges
-    // learned from the corpus vocabulary, emitted in rank order.
-    // Correctness pinned in TextAnalysisSpec (hand-computed merges,
-    // tie-break, early stop, train→apply round trip).
+    // BPE merge TRAINING: 8 merges learned from the corpus vocabulary,
+    // emitted in rank order. nMerges is a plan LITERAL, so the
+    // data-dependent argmax loop unrolls into 8 chained CTE stages in
+    // the oracle (see [[bpeTrainOracle]] — the inPolygon plan-time-
+    // unroll trick). Also pinned in TextAnalysisSpec (hand-computed
+    // merges, tie-break, early stop, train→apply round trip).
     "x_bpe_train" -> ((s, d) => {
       import s.implicits._
       operators.TextAnalysis.learnBpeMerges(
@@ -2070,7 +2071,55 @@ object SparkEntry {
 
   // ---- DuckDB oracles -----------------------------------------------------
 
+  /** `x_bpe_train` oracle: BPE training with its 8-iteration argmax loop
+    * UNROLLED into chained CTE stages (nMerges is a plan literal — the
+    * same plan-time-unroll trick as `inPolygon`'s per-edge expressions).
+    * Each word's symbol array is a chr(31)-delimited string, so the
+    * greedy merge fold is ONE SQL `replace`: replace scans left-to-right
+    * over non-overlapping occurrences and resumes AFTER each
+    * replacement — exactly BPE's merge-every-occurrence pass, and the
+    * outer separators in pattern and replacement keep symbol boundaries
+    * intact across adjacent matches (`␟a␟a␟a␟` → `␟aa␟a␟`). chr(31)
+    * never occurs in the corpus; a collision would fail the gate
+    * loudly, not silently.
+    */
+  private def bpeTrainOracle: String = {
+    val stages = (1 to 8).map { k =>
+      val p = k - 1
+      s"""pairs$k AS (
+         |  SELECT p[1] AS a, p[2] AS b, sum(n) AS wgt
+         |  FROM (
+         |    SELECT unnest([[sy[i], sy[i+1]]
+         |        FOR i IN generate_series(1, len(sy)-1)]) AS p, n
+         |    FROM (SELECT list_filter(string_split(s, chr(31)),
+         |        x -> x <> '') AS sy, n FROM vocab$p)
+         |    WHERE len(sy) >= 2)
+         |  GROUP BY 1, 2),
+         |m$k AS (SELECT a, b FROM pairs$k ORDER BY wgt DESC, a, b LIMIT 1),
+         |vocab$k AS (
+         |  SELECT replace(s, chr(31) || m.a || chr(31) || m.b || chr(31),
+         |                    chr(31) || m.a || m.b || chr(31)) AS s, n
+         |  FROM vocab$p, m$k m)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to 8)
+      .map(k => s"SELECT $k AS rank, a, b FROM m$k")
+      .mkString("\nUNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT list_filter(regexp_split_to_array(trim(lower(text)),
+       |      '\\s+'), x -> x <> '') AS ws
+       |  FROM documents),
+       |vocab0 AS (
+       |  SELECT chr(31) || array_to_string(regexp_extract_all(w,
+       |      '(?s).'), chr(31)) || chr(31) AS s, count(*) AS n
+       |  FROM (SELECT unnest(ws) AS w FROM toks)
+       |  GROUP BY 1),
+       |$stages
+       |SELECT * FROM ($union) ORDER BY rank""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+
+    "x_bpe_train" -> bpeTrainOracle,
     "s1_scan_events" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
          FROM events ORDER BY event_id""",
