@@ -621,12 +621,14 @@ object SparkEntry {
     // (probe → append → probe). The gate proves the incremental candidate
     // set is EXACTLY the one-shot full-corpus LSH set (banded signatures
     // are deterministic per doc, so probing loses nothing), then
-    // exact-verifies the candidates and scores recall/precision against
-    // the corpus-wide exact pairs — same contract as x_dedup_minhash.
-    // BENCH NOTE: wall time is dominated by the two corpus-wide legs the
-    // GATE needs (one-shot LSH + exact verifier); the graded operator is
-    // the probe, whose own cost is O(batch) signing + a residue-pruned
-    // broadcast join.
+    // exact-verifies the candidates — a candidate-pair-sized leg.
+    // Corpus-wide recall/precision vs the exact pair set is owned by
+    // x_dedup_minhash: with incr ≡ full proven here, those guarantees
+    // transfer by composition, so the corpus-wide n-gram reference is
+    // NOT recomputed in this timed body (it was ~1/3 of the r4
+    // dedup-family bench cost). n_verified hash-checks against the
+    // oracle's exact pair count — the candidate set covering every
+    // exact pair is the recall fact x_dedup_minhash pins.
     "x_dedup_incremental" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val base = docs.filter(pmod(col("doc_id"), lit(5)) < 3)
@@ -648,20 +650,29 @@ object SparkEntry {
           col("id_a") === col("fa") && col("id_b") === col("fb"), "full_outer")
         .agg((coalesce(sum(when(col("id_a").isNull || col("fa").isNull, 1)
           .otherwise(0)), lit(0L)) === 0).as("incr_eq_full"))
-      val verified = operators.Dedup.verifyJaccard(incr, docs, "doc_id", "text", 3)
+      operators.Dedup.verifyJaccard(incr, docs, "doc_id", "text", 3)
         .filter(col("jaccard") >= 0.5)
-        .select(col("id_a").as("ma"), col("id_b").as("mb"))
-      val exact = operators.Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.5)
-        .select(col("id_a"), col("id_b"))
-      // coalesce as in x_dedup_minhash: zero exact pairs must gate TRUE
-      exact.join(verified,
-          col("id_a") === col("ma") && col("id_b") === col("mb"), "full_outer")
-        .agg(
-          coalesce(sum(when(col("id_a").isNotNull, 1).otherwise(0)), lit(0L)).as("n_exact"),
-          (coalesce(sum(when(col("id_a").isNotNull && col("ma").isNotNull, 1).otherwise(0)), lit(0L)) >=
-            coalesce(sum(when(col("id_a").isNotNull, 1).otherwise(0)), lit(0L)) * 0.8).as("recall_ok"),
-          (coalesce(sum(when(col("id_a").isNull, 1).otherwise(0)), lit(0L)) === 0).as("precision_ok"))
+        .agg(count(lit(1)).as("n_verified"))
         .crossJoin(eq) // 1-row × 1-row gate frames
+    }),
+
+    // Signature-store health + the stats-driven auto-compaction hook
+    // (x_postings_stats / x_sim_ivf_stats parity): base + 2 appends
+    // leave a 2-deep commit log; maybeCompact(maxDeltas=1) must fold it,
+    // after which the live store reports every doc exactly once.
+    // Deterministic: every doc signs to exactly `bands`(=8) rows, so
+    // n_rows = 8 × n_docs off the compacted layout.
+    "x_signature_stats" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = tempDir("graft-sigstat")
+      sink.SignatureStore.write(
+        docs.filter(pmod(col("doc_id"), lit(5)) < 3), "doc_id", "text", dir)
+      sink.SignatureStore.append(
+        docs.filter(pmod(col("doc_id"), lit(5)) === 3), dir)
+      sink.SignatureStore.append(
+        docs.filter(pmod(col("doc_id"), lit(5)) === 4), dir)
+      val ran = sink.SignatureStore.maybeCompact(s, dir, maxDeltas = 1)
+      sink.SignatureStore.stats(s, dir).withColumn("compact_ran", lit(ran))
     }),
 
     // Duplicate clustering: connected components over the exact near-dup
@@ -3200,12 +3211,16 @@ object SparkEntry {
          pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
              FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
              GROUP BY 1, 2)
-         SELECT count(*) AS n_exact, TRUE AS recall_ok, TRUE AS precision_ok,
-           TRUE AS incr_eq_full
+         SELECT count(*) AS n_verified, TRUE AS incr_eq_full
          FROM pairs
          JOIN cnt ca ON ca.doc_id = id_a
          JOIN cnt cb ON cb.doc_id = id_b
          WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.5""",
+    "x_signature_stats" ->
+      """SELECT count(*) AS n_docs, CAST(count(*) * 8 AS BIGINT) AS n_rows,
+           CAST(0 AS BIGINT) AS n_pending_commits,
+           FALSE AS compact_recommended, TRUE AS compact_ran
+         FROM documents""",
     "x_dedup_simhash" ->
       """WITH sh AS (SELECT DISTINCT doc_id, g FROM (
              SELECT doc_id, unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]

@@ -315,16 +315,32 @@ object SignatureStore {
     seqs.foreach(s => f.delete(new Path(s"$dir/commits/$s"), true))
   }
 
-  /** One-row health report: `(n_docs, n_rows, n_pending_commits)` — log
-    * depth is the compaction signal (each pending commit adds a scan leg
-    * to every probe).
+  /** One-row health report: `(n_docs, n_rows, n_pending_commits,
+    * compact_recommended)` — log depth is the compaction signal (each
+    * pending commit adds a scan leg to every probe); the recommendation
+    * trips when it exceeds `maxDeltas` ([[IncrementalPostings.stats]]
+    * parity).
     */
-  def stats(spark: SparkSession, dir: String): DataFrame = {
+  def stats(spark: SparkSession, dir: String,
+      maxDeltas: Int = 8): DataFrame = {
     val pending = DeltaLog.listSeqs(spark, s"$dir/commits").length
     bucketRows(spark, dir, None)
       .agg(count_distinct(col("_id")).as("n_docs"),
         count(lit(1)).as("n_rows"))
       .select(col("n_docs"), col("n_rows"),
-        lit(pending).cast("long").as("n_pending_commits"))
+        lit(pending).cast("long").as("n_pending_commits"),
+        lit(pending > maxDeltas).as("compact_recommended"))
+  }
+
+  /** Compact iff the commit log is deeper than `maxDeltas` — the
+    * stats-driven auto-compaction policy an ingest loop calls after each
+    * append ([[IncrementalPostings.maybeCompact]] parity). Returns
+    * whether a compaction ran.
+    */
+  def maybeCompact(spark: SparkSession, dir: String,
+      maxDeltas: Int = 8): Boolean = {
+    val rec = DeltaLog.listSeqs(spark, s"$dir/commits").length > maxDeltas
+    if (rec) compact(spark, dir)
+    rec
   }
 }

@@ -98,7 +98,7 @@ class ContinuousPipelineSpec extends SparkSpec {
 
     // signature store holds exactly the admitted docs
     assert(SignatureStore.stats(spark, sigDir)
-      .as[(Long, Long, Long)].collect().head._1 == 4)
+      .select("n_docs").as[Long].collect().head == 4)
 
     // vector search off the live index (all cells probed → exact) ≡
     // brute force over exactly the admitted docs' vectors

@@ -105,14 +105,24 @@ class SignatureStoreSpec extends SparkSpec {
     SignatureStore.append(corpus.filter(col("doc_id") === 4), dir)
     SignatureStore.append(corpus.filter(col("doc_id") === 5), dir)
     val pre = SignatureStore.stats(spark, dir)
-      .as[(Long, Long, Long)].head()
+      .as[(Long, Long, Long, Boolean)].head()
     assert(pre._1 == 5 && pre._3 == 2)
+    // 8 banded rows per live doc, log-depth recommendation thresholds
+    assert(pre._2 == 5 * 8)
+    assert(!pre._4) // depth 2 ≤ default maxDeltas
+    assert(SignatureStore.stats(spark, dir, maxDeltas = 1)
+      .select("compact_recommended").as[Boolean].head())
     val probeBatch = corpus.filter(col("doc_id") === 6)
     val before = pairs(SignatureStore.probe(probeBatch, dir))
-    SignatureStore.compact(spark, dir)
+    // below threshold: maybeCompact is a no-op and the log stays
+    assert(!SignatureStore.maybeCompact(spark, dir, maxDeltas = 2))
+    assert(DeltaLog.listSeqs(spark, s"$dir/commits").length == 2)
+    // over threshold: it folds, exactly like an explicit compact
+    assert(SignatureStore.maybeCompact(spark, dir, maxDeltas = 1))
     assert(DeltaLog.listSeqs(spark, s"$dir/commits").isEmpty)
-    val post = SignatureStore.stats(spark, dir).as[(Long, Long, Long)].head()
-    assert(post._1 == 5 && post._3 == 0)
+    val post = SignatureStore.stats(spark, dir)
+      .as[(Long, Long, Long, Boolean)].head()
+    assert(post._1 == 5 && post._3 == 0 && !post._4)
     assert(pairs(SignatureStore.probe(probeBatch, dir)) == before)
   }
 
@@ -169,7 +179,7 @@ class SignatureStoreSpec extends SparkSpec {
     } finally q.stop()
     assert(admitted.sorted == Seq(1L, 2L, 3L, 4L, 5L, 7L))
     // the store's doc set is exactly the admitted set
-    val docs = SignatureStore.stats(spark, dir).as[(Long, Long, Long)].head()
+    val docs = SignatureStore.stats(spark, dir).select("n_docs", "n_rows", "n_pending_commits").as[(Long, Long, Long)].head()
     assert(docs._1 == 6 && docs._3 == 2)
   }
 
@@ -220,7 +230,7 @@ class SignatureStoreSpec extends SparkSpec {
     assert(probe6.contains((2L, 6L)), probe6)
     // live doc count unchanged by an upsert
     assert(SignatureStore.stats(spark, dir)
-      .as[(Long, Long, Long)].head()._1 == 4)
+      .select("n_docs").as[Long].head() == 4)
 
     // DELETE: tombstone doc 1 — its stale signatures must stop vetoing
     // admissions immediately
@@ -230,7 +240,7 @@ class SignatureStoreSpec extends SparkSpec {
         .toDF("doc_id", "text"), dir))
     assert(!afterDel.exists(p => p._1 == 1L || p._2 == 1L), afterDel)
     assert(SignatureStore.stats(spark, dir)
-      .as[(Long, Long, Long)].head()._1 == 3)
+      .select("n_docs").as[Long].head() == 3)
     // selfPairs sees the mutated corpus: (2, 6)-style pairs only via
     // live signatures (6 is not in the store; no pair involves 1)
     assert(!SignatureStore.selfPairs(spark, dir)
@@ -252,7 +262,7 @@ class SignatureStoreSpec extends SparkSpec {
     assert(pairs(SignatureStore.probe(
       corpus.filter(col("doc_id") === 6), dir)) == before)
     assert(SignatureStore.stats(spark, dir)
-      .as[(Long, Long, Long)].head()._1 == 4)
+      .select("n_docs").as[Long].head() == 4)
   }
 
   test("a compact interrupted between renames heals on the next read") {
