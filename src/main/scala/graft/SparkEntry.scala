@@ -815,6 +815,42 @@ object SparkEntry {
         .select("doc_id", "dist_km")
     }),
 
+    // Persisted geo layout (GeoIndex): the same radius query served off
+    // the cell-partitioned index — covered cells enumerated driver-side,
+    // `cell IN (…)` prunes at file-listing time (GeoIndexSpec pins
+    // scanned-files < total). Result ≡ the x_geo_radius scan form.
+    "x_geo_radius_indexed" -> ((s, d) => {
+      val pts = Tables.documents(s, d).select("doc_id")
+        .withColumn("lat",
+          (col("doc_id") * 37 % 17000).cast("double") / 100.0 - 85.0)
+        .withColumn("lon",
+          (col("doc_id") * 91 % 36000).cast("double") / 100.0 - 180.0)
+      val dir = tempDir("graft-geoidx")
+      sink.GeoIndex.write(pts, "doc_id", "lat", "lon", dir)
+      // candidate radius +1 m, then the scan form's exact rounded cut:
+      // a point whose ROUNDED distance is 3000.000 can sit at unrounded
+      // 3000.0004, which a raw <=3000 candidate filter would drop
+      sink.GeoIndex.radiusSearch(s, dir, 40.0, -74.0, 3000.001)
+        .withColumn("dist_km", round(col("dist_km"), 3))
+        .filter(col("dist_km") <= 3000.0)
+        .select("doc_id", "lat", "lon", "dist_km")
+        .orderBy("doc_id")
+    }),
+
+    // Nearest-k off the persisted layout: ring expansion over covered
+    // cells until k points fall inside, then the scan form's exact
+    // (dist_km 3dp, id) cut. Result ≡ x_geo_knn.
+    "x_geo_knn_indexed" -> ((s, d) => {
+      val pts = Tables.documents(s, d).select("doc_id")
+        .withColumn("lat",
+          (col("doc_id") * 37 % 17000).cast("double") / 100.0 - 85.0)
+        .withColumn("lon",
+          (col("doc_id") * 91 % 36000).cast("double") / 100.0 - 180.0)
+      val dir = tempDir("graft-geoidx")
+      sink.GeoIndex.write(pts, "doc_id", "lat", "lon", dir)
+      sink.GeoIndex.knnSearch(s, dir, 40.0, -74.0, 15)
+    }),
+
     // Spatial radius join: 3 centers × all docs' synthetic coordinates
     // with NO cross product — grid-cell equi-join, haversine-verified;
     // distances rounded to 3dp for the cross-engine compare.
@@ -2416,6 +2452,33 @@ object SparkEntry {
          SELECT doc_id, lat, lon, dist_km FROM dkm
          WHERE dist_km <= 3000.0 ORDER BY doc_id""",
     "x_geo_knn" ->
+      """WITH p AS (SELECT doc_id,
+             CAST(doc_id * 37 % 17000 AS DOUBLE) / 100.0 - 85.0 AS lat,
+             CAST(doc_id * 91 % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon
+           FROM documents)
+         SELECT doc_id,
+           round(2 * 6371.0088 * asin(sqrt(
+             sin(radians(40.0 - lat) / 2) * sin(radians(40.0 - lat) / 2)
+             + cos(radians(lat)) * cos(radians(40.0))
+             * sin(radians(-74.0 - lon) / 2) * sin(radians(-74.0 - lon) / 2))),
+             3) AS dist_km
+         FROM p ORDER BY dist_km, doc_id LIMIT 15""",
+    // indexed geo twins: byte-identical result contract to the scan forms
+    "x_geo_radius_indexed" ->
+      """WITH p AS (SELECT doc_id,
+             CAST(doc_id * 37 % 17000 AS DOUBLE) / 100.0 - 85.0 AS lat,
+             CAST(doc_id * 91 % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon
+           FROM documents),
+         dkm AS (SELECT doc_id, lat, lon,
+             round(2 * 6371.0088 * asin(sqrt(
+               sin(radians(40.0 - lat) / 2) * sin(radians(40.0 - lat) / 2)
+               + cos(radians(lat)) * cos(radians(40.0))
+               * sin(radians(-74.0 - lon) / 2) * sin(radians(-74.0 - lon) / 2))),
+               3) AS dist_km
+           FROM p)
+         SELECT doc_id, lat, lon, dist_km FROM dkm
+         WHERE dist_km <= 3000.0 ORDER BY doc_id""",
+    "x_geo_knn_indexed" ->
       """WITH p AS (SELECT doc_id,
              CAST(doc_id * 37 % 17000 AS DOUBLE) / 100.0 - 85.0 AS lat,
              CAST(doc_id * 91 % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon

@@ -23,6 +23,53 @@ import graft.functions.GeoFunctions
   */
 object GeoJoin {
 
+  /** Longitude cells in a `cellDeg°` grid ring. */
+  private[graft] def lonCellCount(cellDeg: Double): Int =
+    math.ceil(360.0 / cellDeg).toInt
+
+  private[graft] def latCellOf(lat: Double, cellDeg: Double): Int =
+    math.floor(lat / cellDeg).toInt
+
+  /** Canonical longitude cell in `[0, lonCellCount)`: normalized to
+    * `[0, 360)` first so both sides of the antimeridian share ids.
+    */
+  private[graft] def lonCellOf(lon: Double, cellDeg: Double): Int = {
+    val n = ((lon % 360.0) + 360.0) % 360.0
+    math.min(math.floor(n / cellDeg).toInt, lonCellCount(cellDeg) - 1)
+  }
+
+  /** The `(latCell, lonCell)` grid cells a radius ball around a center
+    * touches — exact-extent (the [[GeoFunctions.inBoundingBox]] math),
+    * wrap-aware at ±180°, saturating to the full ring when the box
+    * reaches a pole. Bounded by O((2r/cell + 2)²) cells; never excludes
+    * a cell containing an in-radius point, so any cell-pruned scan is a
+    * safe prefilter ([[graft.sink.GeoIndex]] serves off exactly this
+    * cover).
+    */
+  private[graft] def coveredCells(clat: Double, clon: Double,
+      radiusKm: Double, cellDeg: Double): Seq[(Int, Int)] = {
+    val delta = radiusKm / GeoFunctions.EarthRadiusKm
+    val dLat = math.toDegrees(delta)
+    val cosLat = math.cos(math.toRadians(clat))
+    val sinD = math.sin(delta)
+    val dLon =
+      if (math.abs(clat) + dLat >= 90.0 || sinD >= cosLat) 180.0
+      else math.toDegrees(math.asin(sinD / cosLat))
+    val nLon = lonCellCount(cellDeg)
+    val latLo = latCellOf(math.max(-90.0, clat - dLat), cellDeg)
+    val latHi = latCellOf(math.min(90.0, clat + dLat), cellDeg)
+    val lonRange: Seq[Int] =
+      if (dLon >= 180.0) 0 until nLon
+      else {
+        val lo = lonCellOf(clon - dLon, cellDeg)
+        val hi = lonCellOf(clon + dLon, cellDeg)
+        // wrap-aware: enumerate mod the ring size
+        val span = ((hi - lo) % nLon + nLon) % nLon
+        (0 to span).map(i => ((lo + i) % nLon + nLon) % nLon)
+      }
+    for (la <- latLo to latHi; lo <- lonRange) yield (la, lo)
+  }
+
   /** `(centerId, idCol, dist_km)` for every point within `radiusKm` of a
     * center. `centers` is the small side (serving sites, cities, POIs) —
     * a Scala list that becomes a broadcast literal relation.
@@ -35,40 +82,12 @@ object GeoJoin {
     require(cellDeg > 0 && cellDeg <= 45,
       s"cellDeg must be in (0, 45], got $cellDeg")
     val spark = points.sparkSession
-
-    // exact-extent pads (the inBoundingBox math, reused driver-side)
-    val delta = radiusKm / GeoFunctions.EarthRadiusKm
-    val dLat = math.toDegrees(delta)
-    def lonPad(centerLat: Double): Double = {
-      val cosLat = math.cos(math.toRadians(centerLat))
-      val sinD = math.sin(delta)
-      if (math.abs(centerLat) + dLat >= 90.0 || sinD >= cosLat) 180.0
-      else math.toDegrees(math.asin(sinD / cosLat))
-    }
-    val lonCells = math.ceil(360.0 / cellDeg).toInt
-    def latCell(lat: Double): Int = math.floor(lat / cellDeg).toInt
-    // canonical longitude cell domain [0, lonCells): normalize to
-    // [0, 360) first so both sides of the antimeridian share ids
-    def lonCell(lon: Double): Int = {
-      val n = ((lon % 360.0) + 360.0) % 360.0
-      math.min(math.floor(n / cellDeg).toInt, lonCells - 1)
-    }
+    val lonCells = lonCellCount(cellDeg)
 
     val replicated = centers.flatMap { case (cid, clat, clon) =>
-      val dLon = lonPad(clat)
-      val latLo = latCell(math.max(-90.0, clat - dLat))
-      val latHi = latCell(math.min(90.0, clat + dLat))
-      val lonRange: Seq[Int] =
-        if (dLon >= 180.0) 0 until lonCells
-        else {
-          val lo = lonCell(clon - dLon)
-          val hi = lonCell(clon + dLon)
-          // wrap-aware: enumerate mod the ring size
-          val span = ((hi - lo) % lonCells + lonCells) % lonCells
-          (0 to span).map(i => ((lo + i) % lonCells + lonCells) % lonCells)
-        }
-      for (la <- latLo to latHi; lo <- lonRange)
-        yield (cid, clat, clon, la, lo)
+      coveredCells(clat, clon, radiusKm, cellDeg).map { case (la, lo) =>
+        (cid, clat, clon, la, lo)
+      }
     }
     val centersDf = broadcast(spark.createDataFrame(replicated)
       .toDF("center_id", "_clat", "_clon", "_cla", "_clo"))
