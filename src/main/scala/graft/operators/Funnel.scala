@@ -64,14 +64,21 @@ object Funnel {
     */
   def funnelCounts(events: DataFrame, userCol: String, typeCol: String,
       tsCol: String, stages: Seq[String],
-      maxGap: Option[Column] = None): DataFrame =
-    prefixFrames(events, userCol, typeCol, tsCol, stages, maxGap)
-      .zip(stages)
-      .map { case (f, s) =>
-        f.agg(count(lit(1)).as(s"n_$s"),
-          sum(col(userCol)).as(s"users_sum_$s"))
-      }
-      .reduce(_.crossJoin(_))
+      maxGap: Option[Column] = None): DataFrame = {
+    // ONE aggregate job: the per-prefix membership legs union into a
+    // stage-tagged frame and fold through conditional aggregates — N
+    // single-row aggregates cross-joined would re-run a job per stage
+    // over the shared prefix lineage
+    val tagged = prefixFrames(events, userCol, typeCol, tsCol, stages, maxGap)
+      .zipWithIndex
+      .map { case (f, i) => f.select(col(userCol), lit(i).as("_stage")) }
+      .reduce(_.unionByName(_))
+    val aggs = stages.zipWithIndex.flatMap { case (s, i) => Seq(
+      sum(when(col("_stage") === i, 1).otherwise(0)).as(s"n_$s"),
+      sum(when(col("_stage") === i, col(userCol))).as(s"users_sum_$s"))
+    }
+    tagged.agg(aggs.head, aggs.tail: _*)
+  }
 
   /** Cohort retention: bucket users by their FIRST-activity period (the
     * cohort), then count how many of each cohort are active again
