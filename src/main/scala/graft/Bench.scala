@@ -122,7 +122,14 @@ object Bench {
     val deltaRate = if (deltaSecs > 0) deltaDocs / deltaSecs else 0.0
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total":${r3(coldTotal)},"ingest_docs":$ingestDocs,"ingest_docs_per_sec":${r3(ingestRate)},"ingest_delta_docs_per_sec":${r3(deltaRate)},"failed_queries":$failed}"""
     System.err.println(line) // second channel in case stdout is decorated
-    println(line) // canonical copy LAST so the tail window holds it whole
+    println(line) // full contract line, per-query map included
+    // The driver scrapes only the LAST ~2000 stdout chars; at 150+
+    // queries the full line is ~3.5 KB, so its opening brace falls
+    // outside the window (BENCH_r01–r04 all "parsed": null). Emit a
+    // window-sized twin LAST — same schema, per-query map elided (the
+    // full map is the line above and bench_out.json).
+    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{},"queries_in":"bench_out.json","n_queries":${results.size},"sf":"$sfDir","cold_total":${r3(coldTotal)},"ingest_docs":$ingestDocs,"ingest_docs_per_sec":${r3(ingestRate)},"ingest_delta_docs_per_sec":${r3(deltaRate)},"failed_queries":$failed}"""
+    println(compact)
     // stdout arrives wrapped in sbt [info] decoration, which broke the
     // round-1 driver parse — also write the bare line to a plain file
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

@@ -243,6 +243,13 @@ object SparkEntry {
         Tables.documents(s, d).select("doc_id", "text"), "doc_id", "text",
         "merge window scan", 20)),
 
+    // DisjunctionMax (Lucene DisMax): best clause + 0.3 × the others —
+    // two BM25 clauses, per-clause 6dp rounding mirrored in the oracle.
+    "q_dis_max" -> ((s, d) =>
+      DocQueries.disMaxSearch(
+        Tables.documents(s, d).select("doc_id", "text"), "doc_id", "text",
+        Seq("merge window", "scan stream"), tieBreaker = 0.3, k = 20)),
+
     // §2.6 index structure — the flat (term, doc_id, tf) postings table
     // (Lucene's postings lists, Spark-native: no giant per-term arrays,
     // every op a partitioned aggregate; see InvertedIndex scaladoc).
@@ -1792,6 +1799,24 @@ object SparkEntry {
     // the oracle (see [[bpeTrainOracle]] — the inPolygon plan-time-
     // unroll trick). Also pinned in TextAnalysisSpec (hand-computed
     // merges, tie-break, early stop, train→apply round trip).
+    // BPE APPLY off a plan-literal merge table — the serving twin of
+    // x_bpe_train (training learns the table offline; encoding applies
+    // it per row). The BpeTokens expression runs the standard greedy
+    // lowest-rank-first fixpoint per word; with a collision-free table
+    // (no merge output ever equals an earlier merge's part, so earlier
+    // pairs can never re-form) that loop is CONFLUENT with one merge
+    // pass per rank in order — which is exactly 8 chained `replace`
+    // stages over the chr(31)-delimited symbol string in the oracle,
+    // word boundaries held apart by chr(30).
+    "x_bpe_apply" -> ((s, d) => {
+      val toks = functions.TextExpressions.bpeTokens(
+        lower(col("text")), bpeApplyMerges)
+      Tables.documents(s, d).select(col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          array_join(toks, " ").as("tok_str"))
+        .orderBy("doc_id")
+    }),
+
     "x_bpe_train" -> ((s, d) => {
       import s.implicits._
       operators.TextAnalysis.learnBpeMerges(
@@ -2118,6 +2143,47 @@ object SparkEntry {
 
   // ---- DuckDB oracles -----------------------------------------------------
 
+  /** Fixed merge table for `x_bpe_apply` — collision-free by
+    * construction: every output (th, the, in, an, and, er, on, re) is a
+    * new string, never equal to a part of an earlier merge, so applying
+    * ranks in order can never re-create an already-processed pair and
+    * the rank-order oracle matches the expression's fixpoint loop.
+    */
+  private val bpeApplyMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+    ("an", "d"), ("e", "r"), ("o", "n"), ("r", "e"))
+
+  /** `x_bpe_apply` oracle: one merge pass per rank, each pass one SQL
+    * `replace` on the delimited symbol string (see [[bpeTrainOracle]]
+    * for why replace IS the greedy merge-every-occurrence pass).
+    * Words are chr(31)-delimited code points joined by chr(30), so no
+    * replace pattern can span a word boundary; the final token list is
+    * the chr(31) split minus empties and boundary markers.
+    */
+  private def bpeApplyOracle: String = {
+    val stages = bpeApplyMerges.zipWithIndex.map { case ((a, b), i) =>
+      s"""d${i + 1} AS (SELECT doc_id,
+         |  replace(s, chr(31) || '$a' || chr(31) || '$b' || chr(31),
+         |             chr(31) || '$a$b' || chr(31)) AS s FROM d$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)),
+       |      '\\s+'), x -> x <> '') AS ws
+       |  FROM documents),
+       |d0 AS (
+       |  SELECT doc_id, array_to_string(list_transform(ws,
+       |      w -> chr(31) || array_to_string(regexp_extract_all(w,
+       |        '(?s).'), chr(31)) || chr(31)), chr(30)) AS s
+       |  FROM t),
+       |$stages,
+       |tk AS (SELECT doc_id, list_filter(string_split(s, chr(31)),
+       |    x -> x <> '' AND x <> chr(30)) AS tk
+       |  FROM d${bpeApplyMerges.size})
+       |SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+       |  array_to_string(tk, ' ') AS tok_str
+       |FROM tk ORDER BY doc_id""".stripMargin
+  }
+
   /** `x_bpe_train` oracle: BPE training with its 8-iteration argmax loop
     * UNROLLED into chained CTE stages (nMerges is a plan literal — the
     * same plan-time-unroll trick as `inPolygon`'s per-edge expressions).
@@ -2167,6 +2233,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
 
     "x_bpe_train" -> bpeTrainOracle,
+
+    "x_bpe_apply" -> bpeApplyOracle,
     "s1_scan_events" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
          FROM events ORDER BY event_id""",
@@ -2281,6 +2349,43 @@ object SparkEntry {
            FROM t, s)
          SELECT doc_id, round(score, 6) AS bm25 FROM z WHERE score > 0
          ORDER BY bm25 DESC, doc_id LIMIT 20""",
+    // two BM25 clauses scored independently (each rounded 6dp like the
+    // engine's leg frames), then max + 0.3·(sum − max), rounded again
+    "q_dis_max" ->
+      """WITH t AS (SELECT doc_id,
+             CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+               AS DOUBLE) AS dl,
+             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'merge'))
+               AS DOUBLE) AS tf0,
+             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'window'))
+               AS DOUBLE) AS tf1,
+             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'scan'))
+               AS DOUBLE) AS tf2,
+             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'stream'))
+               AS DOUBLE) AS tf3
+           FROM documents),
+         s AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+             CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+             CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+             CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2,
+             CAST(sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df3
+           FROM t),
+         z AS (SELECT doc_id,
+             round(ln(1 + (n - df0 + 0.5) / (df0 + 0.5))
+               * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             + ln(1 + (n - df1 + 0.5) / (df1 + 0.5))
+               * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6)
+               AS c0,
+             round(ln(1 + (n - df2 + 0.5) / (df2 + 0.5))
+               * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             + ln(1 + (n - df3 + 0.5) / (df3 + 0.5))
+               * (tf3 * 2.2) / (tf3 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6)
+               AS c1
+           FROM t, s)
+         SELECT doc_id, round(greatest(c0, c1)
+             + 0.3 * (c0 + c1 - greatest(c0, c1)), 6) AS dismax
+         FROM z WHERE c0 > 0 OR c1 > 0
+         ORDER BY dismax DESC, doc_id LIMIT 20""",
     "q_range" ->
       """SELECT doc_id, n_chars FROM documents
          WHERE n_chars >= 500 AND n_chars < 1500 ORDER BY doc_id""",

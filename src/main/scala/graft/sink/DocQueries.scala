@@ -393,6 +393,40 @@ object DocQueries {
       .select(col(idCol), round(col("_score"), 6).as("bm25"))
   }
 
+  /** DisjunctionMaxQuery (Lucene DisMax): per-doc score =
+    * `max(clause scores) + tieBreaker · (sum − max)`, each clause an
+    * independent BM25 text query. The max picks the best clause
+    * (field/phrasing) while the tie-breaker rewards multi-clause
+    * agreement without letting coordinate overlap dominate — the
+    * classic multi-field search scorer. Docs matching ANY clause rank.
+    *
+    * Scale shape: one BM25 pass per clause (each a pushed term-set
+    * scan), then id-keyed full-outer joins over the handful of clause
+    * frames — positive-score rows only, so the joins carry hits, not
+    * the corpus. Leg scores are 6dp-rounded before combining and the
+    * final score 6dp-rounded before ranking (engine-reproducible cut).
+    */
+  def disMaxSearch(index: DataFrame, idCol: String, field: String,
+      clauses: Seq[String], tieBreaker: Double, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(clauses.nonEmpty, "disMax needs at least one clause")
+    require(tieBreaker >= 0.0 && tieBreaker <= 1.0,
+      s"tieBreaker must be in [0, 1], got $tieBreaker")
+    require(k > 0, s"k must be positive, got $k")
+    val legs = clauses.zipWithIndex.map { case (q, i) =>
+      bm25Scores(index, idCol, field, q, k1, b)
+        .select(col(idCol), col("bm25").as(s"_c$i"))
+    }
+    val joined = legs.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
+    val cs = clauses.indices.map(i => coalesce(col(s"_c$i"), lit(0.0)))
+    val mx = cs.reduce(greatest(_, _))
+    val sm = cs.reduce(_ + _)
+    joined.select(col(idCol),
+        round(mx + lit(tieBreaker) * (sm - mx), 6).as("dismax"))
+      .orderBy(col("dismax").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Cursor pagination (Lucene `searchAfter`): the next `k` BM25 hits
     * STRICTLY after the cursor `(afterScore, afterId)` in the ranking's
     * total order `(bm25 desc, id asc)`. Stateless — the cursor is the

@@ -508,6 +508,50 @@ class IndexSinkSpec extends SparkSpec {
       boom.getMessage)
   }
 
+  test("disMax: best clause wins, tie-breaker folds in the rest") {
+    val docs = Seq(
+      (1L, "merge window merge window details"), // strong clause A only
+      (2L, "scan stream scan stream report"),    // strong clause B only
+      (3L, "merge window scan stream"),          // both clauses hit
+      (4L, "nothing relevant at all")            // no clause
+    ).toDF("doc_id", "text")
+    val clauses = Seq("merge window", "scan stream")
+    // tieBreaker 0: pure max — a doc hitting both clauses scores its
+    // BEST clause, never the sum
+    val pure = DocQueries.disMaxSearch(docs, "doc_id", "text", clauses,
+        tieBreaker = 0.0, k = 10)
+      .as[(Long, Double)].collect().toMap
+    val a = DocQueries.matchTextBM25(docs, "doc_id", "text", clauses(0), 10)
+      .as[(Long, Double)].collect().toMap
+    val b = DocQueries.matchTextBM25(docs, "doc_id", "text", clauses(1), 10)
+      .as[(Long, Double)].collect().toMap
+    assert(!pure.contains(4L))
+    for ((id, sc) <- pure)
+      assert(math.abs(sc - math.max(a.getOrElse(id, 0.0),
+        b.getOrElse(id, 0.0))) < 1e-9, s"doc $id")
+    // tieBreaker 1: the sum — and between, strictly monotone in overlap
+    val sum = DocQueries.disMaxSearch(docs, "doc_id", "text", clauses,
+        tieBreaker = 1.0, k = 10)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(sum(3L) -
+      (a.getOrElse(3L, 0.0) + b.getOrElse(3L, 0.0))) < 1e-6)
+    val mid = DocQueries.disMaxSearch(docs, "doc_id", "text", clauses,
+        tieBreaker = 0.3, k = 10)
+      .as[(Long, Double)].collect().toMap
+    assert(mid(3L) > pure(3L) && mid(3L) < sum(3L))
+    // single clause degenerates to plain BM25 ranking
+    val one = DocQueries.disMaxSearch(docs, "doc_id", "text",
+        Seq("merge window"), tieBreaker = 0.3, k = 10)
+      .as[(Long, Double)].collect().toMap
+    assert(one == a)
+    intercept[IllegalArgumentException] {
+      DocQueries.disMaxSearch(docs, "doc_id", "text", Nil, 0.3, 10)
+    }
+    intercept[IllegalArgumentException] {
+      DocQueries.disMaxSearch(docs, "doc_id", "text", clauses, 1.5, 10)
+    }
+  }
+
   test("percolate SHOULD clauses with minimumShouldMatch defaults") {
     val docs = Seq(
       (1L, "merge window open"),
