@@ -13,6 +13,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // optional arg: comma-separated query names — bench only those (the
+    // Verify filter convention; used to re-run an old round's query list
+    // in a fresh JVM when bisecting board-size vs per-query regressions)
+    val only: Option[Set[String]] =
+      if (args.nonEmpty && args(0).nonEmpty) Some(args(0).split(",").toSet)
+      else None
+    def selected = SparkEntry.queries
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -26,7 +34,7 @@ object Bench {
     // Cold pass: build + plan + execute each query end-to-end through the
     // noop sink (what a first-time user pays, incl. analysis + codegen).
     val cold: Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      selected.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -48,7 +56,7 @@ object Bench {
     // is the standard steady-state estimator and stays honest (every
     // reported time was actually achieved end-to-end).
     def warmPass(): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      selected.toSeq.sortBy(_._1).map { case (name, fn) =>
         try {
           val t0 = System.nanoTime()
           fn(spark, sfDir).queryExecution.toRdd.foreachPartition(

@@ -269,6 +269,16 @@ object SparkEntry {
         "merge window scan", 20)
     }),
 
+    // DisjunctionMax off the postings layout: each clause a pushed
+    // term-set leg; identical rounding to the scan form ⇒ same oracle.
+    "q_dis_max_indexed" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      graft.sink.InvertedIndex.disMaxSearch(
+        graft.sink.InvertedIndex.postings(docs, "doc_id", "text"),
+        graft.sink.InvertedIndex.docLengths(docs, "doc_id", "text"),
+        Seq("merge window", "scan stream"), tieBreaker = 0.3, k = 20)
+    }),
+
     // BATCH BM25: two queries answered in one postings pass — union-of-
     // terms pushed filter, per-query fan-out after the stats joins,
     // bounded TopKByScore per query (no window). The text twin of
@@ -2143,6 +2153,47 @@ object SparkEntry {
 
   // ---- DuckDB oracles -----------------------------------------------------
 
+  /** `q_dis_max` / `q_dis_max_indexed` oracle: two BM25 clauses scored
+    * independently (each rounded 6dp like the engine's leg frames),
+    * then max + 0.3·(sum − max), rounded again. One string, two gates —
+    * the indexed form's contract IS scan-equality.
+    */
+  private val disMaxOracle: String =
+    """WITH t AS (SELECT doc_id,
+             CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+               AS DOUBLE) AS dl,
+             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'merge'))
+               AS DOUBLE) AS tf0,
+             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'window'))
+               AS DOUBLE) AS tf1,
+             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'scan'))
+               AS DOUBLE) AS tf2,
+             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'stream'))
+               AS DOUBLE) AS tf3
+           FROM documents),
+         s AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+             CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+             CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+             CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2,
+             CAST(sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df3
+           FROM t),
+         z AS (SELECT doc_id,
+             round(ln(1 + (n - df0 + 0.5) / (df0 + 0.5))
+               * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             + ln(1 + (n - df1 + 0.5) / (df1 + 0.5))
+               * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6)
+               AS c0,
+             round(ln(1 + (n - df2 + 0.5) / (df2 + 0.5))
+               * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             + ln(1 + (n - df3 + 0.5) / (df3 + 0.5))
+               * (tf3 * 2.2) / (tf3 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6)
+               AS c1
+           FROM t, s)
+         SELECT doc_id, round(greatest(c0, c1)
+             + 0.3 * (c0 + c1 - greatest(c0, c1)), 6) AS dismax
+         FROM z WHERE c0 > 0 OR c1 > 0
+         ORDER BY dismax DESC, doc_id LIMIT 20"""
+
   /** Fixed merge table for `x_bpe_apply` — collision-free by
     * construction: every output (th, the, in, an, and, er, on, re) is a
     * new string, never equal to a part of an earlier merge, so applying
@@ -2350,42 +2401,12 @@ object SparkEntry {
          SELECT doc_id, round(score, 6) AS bm25 FROM z WHERE score > 0
          ORDER BY bm25 DESC, doc_id LIMIT 20""",
     // two BM25 clauses scored independently (each rounded 6dp like the
-    // engine's leg frames), then max + 0.3·(sum − max), rounded again
-    "q_dis_max" ->
-      """WITH t AS (SELECT doc_id,
-             CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
-               AS DOUBLE) AS dl,
-             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'merge'))
-               AS DOUBLE) AS tf0,
-             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'window'))
-               AS DOUBLE) AS tf1,
-             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'scan'))
-               AS DOUBLE) AS tf2,
-             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'stream'))
-               AS DOUBLE) AS tf3
-           FROM documents),
-         s AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
-             CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
-             CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
-             CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2,
-             CAST(sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df3
-           FROM t),
-         z AS (SELECT doc_id,
-             round(ln(1 + (n - df0 + 0.5) / (df0 + 0.5))
-               * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-             + ln(1 + (n - df1 + 0.5) / (df1 + 0.5))
-               * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6)
-               AS c0,
-             round(ln(1 + (n - df2 + 0.5) / (df2 + 0.5))
-               * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-             + ln(1 + (n - df3 + 0.5) / (df3 + 0.5))
-               * (tf3 * 2.2) / (tf3 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6)
-               AS c1
-           FROM t, s)
-         SELECT doc_id, round(greatest(c0, c1)
-             + 0.3 * (c0 + c1 - greatest(c0, c1)), 6) AS dismax
-         FROM z WHERE c0 > 0 OR c1 > 0
-         ORDER BY dismax DESC, doc_id LIMIT 20""",
+    // engine's leg frames), then max + 0.3·(sum − max), rounded again;
+    // the indexed twin shares the oracle (same contract, pruned layout)
+    "q_dis_max" -> disMaxOracle,
+
+    "q_dis_max_indexed" -> disMaxOracle,
+
     "q_range" ->
       """SELECT doc_id, n_chars FROM documents
          WHERE n_chars >= 500 AND n_chars < 1500 ORDER BY doc_id""",

@@ -486,6 +486,16 @@ object InvertedIndex {
     // scan ≡ indexed equality depends on one definition of each
     val qTokens = DocQueries.queryTokens(query).distinct
     require(qTokens.nonEmpty, "BM25 needs a non-empty query")
+    bm25ScoresAll(postings, docLens, qTokens, k1, b)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Every positive BM25 score for a token set — the un-limited body
+    * shared by [[bm25Search]] (top-k) and [[disMaxSearch]] (clause legs).
+    */
+  private def bm25ScoresAll(postings: DataFrame, docLens: DataFrame,
+      qTokens: Seq[String], k1: Double, b: Double): DataFrame = {
     // at-most-df(q) rows survive: on a persisted index this is the pushed
     // predicate that prunes the scan down to the query terms' row groups
     val qp = postings.filter(col("term").isin(qTokens: _*))
@@ -503,7 +513,35 @@ object InvertedIndex {
       .groupBy("doc_id").agg(sum("_c").as("_score"))
       .filter(col("_score") > 0)
       .select(col("doc_id"), round(col("_score"), 6).as("bm25"))
-      .orderBy(col("bm25").desc, col("doc_id"))
+  }
+
+  /** DisjunctionMax off the index — [[DocQueries.disMaxSearch]]
+    * semantics (max clause score + tieBreaker × the rest) with every
+    * clause's BM25 read from pruned postings: each clause leg is a
+    * pushed term-set predicate on the term-sorted layout, positive
+    * scores only, joined id-keyed. Identical rounding discipline to the
+    * scan form, so indexed ≡ scan row-for-row.
+    */
+  def disMaxSearch(postings: DataFrame, docLens: DataFrame,
+      clauses: Seq[String], tieBreaker: Double, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(clauses.nonEmpty, "disMax needs at least one clause")
+    require(tieBreaker >= 0.0 && tieBreaker <= 1.0,
+      s"tieBreaker must be in [0, 1], got $tieBreaker")
+    require(k > 0, s"k must be positive, got $k")
+    val legs = clauses.zipWithIndex.map { case (q, i) =>
+      val qTokens = DocQueries.queryTokens(q).distinct
+      require(qTokens.nonEmpty, s"disMax clause $i is empty")
+      bm25ScoresAll(postings, docLens, qTokens, k1, b)
+        .select(col("doc_id"), col("bm25").as(s"_c$i"))
+    }
+    val joined = legs.reduce((a, b) => a.join(b, Seq("doc_id"), "full_outer"))
+    val cs = clauses.indices.map(i => coalesce(col(s"_c$i"), lit(0.0)))
+    val mx = cs.reduce(greatest(_, _))
+    val sm = cs.reduce(_ + _)
+    joined.select(col("doc_id"),
+        round(mx + lit(tieBreaker) * (sm - mx), 6).as("dismax"))
+      .orderBy(col("dismax").desc, col("doc_id"))
       .limit(k)
   }
 }

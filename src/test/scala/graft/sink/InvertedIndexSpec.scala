@@ -335,6 +335,19 @@ class InvertedIndexSpec extends SparkSpec {
       .contains("StringStartsWith(term,scan)"))
   }
 
+  test("disMaxSearch indexed ≡ scan form") {
+    val docs = corpus
+    val idx = InvertedIndex.disMaxSearch(
+        InvertedIndex.postings(docs, "doc_id", "text"),
+        InvertedIndex.docLengths(docs, "doc_id", "text"),
+        Seq("merge window", "scan"), tieBreaker = 0.3, k = 10)
+      .as[(Long, Double)].collect().toSeq
+    val scan = DocQueries.disMaxSearch(docs, "doc_id", "text",
+        Seq("merge window", "scan"), tieBreaker = 0.3, k = 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(idx == scan && idx.nonEmpty)
+  }
+
   test("spanNearSearch stays correct and bounded on repetitive text") {
     // a doc repeating the query terms m times: the greedy earliest-next
     // fold must still match (existence preserved) without enumerating
