@@ -2039,6 +2039,18 @@ object SparkEntry {
           col("n"), col("total_value"))
         .orderBy("hour_us", "event_type")),
 
+    // Windowed heavy hitters (Misra–Gries per window — O(k) state where
+    // exact per-key counts hold the window's whole key set): k=16 ≥ the
+    // event-type domain, so the summary is provably exact ≡ GROUP BY
+    // (the x_heavy_hitters argument, per window). Batch twin of the
+    // streaming operator, the ws_* gating convention.
+    "ws_heavy_hitters" -> ((s, d) =>
+      streaming.StreamingOps.windowedHeavyHitters(
+        Tables.events(s, d), "ts", "event_type", "1 hour", "1 hour", k = 16)
+        .select(unix_micros(col("window_start")).as("hour_us"),
+          col("event_type"), col("n"))
+        .orderBy("hour_us", "event_type")),
+
     // Windowed approx-distinct users (HLL++ — fixed-size state per
     // window where exact distinct is unbounded): same operator body as
     // the stream, batch-gated within ±5% of the exact count per window.
@@ -4099,6 +4111,12 @@ object SparkEntry {
       """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
            count(*) AS n,
            CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+         FROM events
+         GROUP BY 1, 2 ORDER BY hour_us, event_type""",
+    // k ≥ domain ⇒ Misra–Gries is exact ≡ per-hour GROUP BY counts
+    "ws_heavy_hitters" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+           count(*) AS n
          FROM events
          GROUP BY 1, 2 ORDER BY hour_us, event_type""",
     "ws_hopping" ->

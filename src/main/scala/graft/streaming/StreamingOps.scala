@@ -70,6 +70,29 @@ object StreamingOps {
       .agg(approx_count_distinct(col(keyCol), rsd).as("n_approx"))
       .select(col("window.start").as("window_start"), col("n_approx"))
 
+  /** Windowed heavy hitters (Misra–Gries): per-window top keys with
+    * hard O(k) state per open window however high the key cardinality —
+    * the streaming companion of the batch `misraGries` aggregate (exact
+    * when k ≥ the window's distinct keys; otherwise counts
+    * under-estimate by ≤ n/(k+1), the mergeable-summaries bound). An
+    * exact per-key windowed count would hold the full per-window key
+    * SET in the state store — unbounded on a web-scale key stream; the
+    * summary is one k-entry buffer per window, mergeable across
+    * partitions and micro-batches like every aggregate here.
+    */
+  def windowedHeavyHitters(stream: DataFrame, tsCol: String,
+      keyCol: String, windowLen: String, watermark: String,
+      k: Int): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(graft.functions.SketchAggregates.misraGries(col(keyCol), k)
+        .as("hh"))
+      .select(col("window.start").as("window_start"),
+        explode(col("hh")).as("e"))
+      .select(col("window_start"), col("e.item").as(keyCol),
+        col("e.count").as("n"))
+
   /** Stream-stream interval join: each left event enriched with right
     * events for the same key within `[ts - lookback, ts]` — the streaming
     * twin of the batch as-of/range join. BOTH sides carry watermarks and

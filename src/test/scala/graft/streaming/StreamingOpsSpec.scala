@@ -74,6 +74,37 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedHeavyHitters runs as a real stream; exact at k ≥ domain") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val df = input.toDF().toDF("ts", "k")
+    val q = StreamingOps.windowedHeavyHitters(df, "ts", "k",
+        "1 hour", "1 hour", k = 8)
+      .writeStream.format("memory").queryName("whh")
+      .outputMode("append").start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      // hour 0: a×3, b×1; hour 1: b×2 — across two micro-batches so the
+      // summary MERGES through the state store
+      input.addData(
+        (t("2024-01-01 00:05:00"), "a"), (t("2024-01-01 00:10:00"), "b"),
+        (t("2024-01-01 00:20:00"), "a"))
+      q.processAllAvailable()
+      input.addData(
+        (t("2024-01-01 00:40:00"), "a"),
+        (t("2024-01-01 01:10:00"), "b"), (t("2024-01-01 01:20:00"), "b"))
+      q.processAllAvailable()
+      input.addData((t("2024-01-01 03:00:00"), "z")) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("whh")
+        .as[(java.sql.Timestamp, String, Long)].collect()
+        .map { case (w, k, n) => (w, k) -> n }.toMap
+      assert(rows((t("2024-01-01 00:00:00"), "a")) == 3L, rows.toString)
+      assert(rows((t("2024-01-01 00:00:00"), "b")) == 1L, rows.toString)
+      assert(rows((t("2024-01-01 01:00:00"), "b")) == 2L, rows.toString)
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps the first arrival per key") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, java.sql.Timestamp, String)]
