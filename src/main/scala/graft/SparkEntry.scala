@@ -1236,6 +1236,22 @@ object SparkEntry {
     // cell on disk, then search reading ONLY the probed cell directories
     // (partition pruning — VectorIndexSpec pins the file-level scan cut).
     // Same gate as x_sim_ivf: k results, recall floor vs exact top-k.
+    // Cosine-threshold range search off the persisted IVF layout: the
+    // stored per-cell angular radius prunes base cells at file-listing
+    // time (spherical triangle inequality — sound, VectorIndexSpec-
+    // pinned), and the answer must EQUAL the brute-force threshold scan
+    // — exact results through a pruned read, unlike the recall-gated
+    // nProbe rows.
+    "x_sim_radius" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val qv = e.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0)
+      val dir = tempDir("graft-vecrad")
+      sink.VectorIndex.write(e, "vec_id", "embedding", dir, k = 8, iters = 3)
+      sink.VectorIndex.radiusSearch(s, dir, "vec_id", "embedding", qv, 0.4)
+        .orderBy("vec_id")
+    }),
+
     "x_sim_ivf_persisted" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val qv = e.filter(col("vec_id") === 0).select("embedding")
@@ -3444,6 +3460,15 @@ object SparkEntry {
       """SELECT CAST(10 AS BIGINT) AS n_results, TRUE AS recall_ok""",
     "x_sim_ivf_persisted" ->
       """SELECT CAST(10 AS BIGINT) AS n_results, TRUE AS recall_ok""",
+    // a FULL oracle (not a recall gate): the radius prune is exact
+    "x_sim_radius" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         z AS (SELECT vec_id,
+             list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                    CAST(qv AS DOUBLE[])) AS c
+           FROM embeddings, q)
+         SELECT vec_id, round(c, 6) AS cosine FROM z
+         WHERE c >= 0.4 ORDER BY vec_id""",
     "x_decontaminate" ->
       """WITH sh AS (SELECT doc_id, source, unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
              ELSE list_transform(

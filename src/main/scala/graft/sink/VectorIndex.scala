@@ -107,6 +107,7 @@ object VectorIndex {
       .write.mode("overwrite").parquet(s"$dir/meta")
     Ivf.assign(df.filter(col(vecCol).isNotNull), vecCol, model)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+    writeRadii(spark, dir, vecCol)
     // a rebuild starts a fresh history: everything live is in the base
     DeltaLog.fs(spark, dir).delete(new Path(s"$dir/commits"), true)
     // the rebuild replaced the contract + model: refresh the memos
@@ -219,6 +220,26 @@ object VectorIndex {
     DeltaLog.recoverBase(spark, s"$dir/cells", s"$dir/.cells-next",
       s"$dir/.cells-old")
 
+  /** Per-cell max member-to-centroid ANGLE of the BASE layout — the
+    * prune bound [[radiusSearch]] uses. Written at [[write]] and
+    * recomputed at [[compact]]; between compactions mutations only
+    * REMOVE base members (supersede/tombstone), so the stored radius
+    * stays a sound upper bound. A zero vector's NaN angle propagates
+    * through max, which un-prunes its cell — conservative, never wrong.
+    */
+  private def writeRadii(spark: SparkSession, dir: String,
+      vecCol: String): Unit = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+    spark.read.parquet(s"$dir/cells")
+      .join(broadcast(cents), "cell")
+      .select(col("cell"),
+        acos(least(lit(1.0), greatest(lit(-1.0),
+          graft.functions.VectorExpressions.cosineFast(
+            col(vecCol), col("centroid"))))).as("_a"))
+      .groupBy("cell").agg(max("_a").as("r"))
+      .write.mode("overwrite").parquet(s"$dir/radii")
+  }
+
   /** The LIVE corpus (all cells), id-granular last-writer-wins over
     * base + commits. With an empty commit log this is exactly the base
     * scan; with commits, the owner table (one row per ever-touched id)
@@ -227,11 +248,23 @@ object VectorIndex {
     * join and union into every leg's scan — partition pruning on the
     * base leg is unaffected by resolution.
     */
-  def cells(spark: SparkSession, dir: String): DataFrame = {
+  def cells(spark: SparkSession, dir: String): DataFrame =
+    cellsPruned(spark, dir, None)
+
+  /** [[cells]] with an optional partition filter applied to the BASE
+    * leg ONLY: [[radiusSearch]]'s cell bound is proven over base
+    * members, so commit legs (O(batch) files, no directory fan-out)
+    * always scan in full — an upserted vector landing outside its
+    * cell's stored radius must still be found.
+    */
+  private def cellsPruned(spark: SparkSession, dir: String,
+      baseCells: Option[Seq[Int]]): DataFrame = {
     recoverBase(spark, dir)
     val m = readMeta(spark, dir)
     val seqs = commitSeqs(spark, dir)
-    val base = spark.read.parquet(s"$dir/cells")
+    val base0 = spark.read.parquet(s"$dir/cells")
+    val base = baseCells.fold(base0)(cs =>
+      base0.filter(col("cell").isin(cs: _*)))
     if (seqs.isEmpty) base
     else {
       val all = seqs.foldLeft(base.withColumn("_seq", lit(0))) { (acc, s) =>
@@ -267,6 +300,8 @@ object VectorIndex {
       s"$dir/.cells-old")
     val f = DeltaLog.fs(spark, dir)
     seqs.foreach(s => f.delete(new Path(s"$dir/commits/$s"), true))
+    // the folded base has new membership: tighten the radius bounds
+    writeRadii(spark, dir, readMeta(spark, dir).vecCol)
   }
 
   /** Top-k by cosine reading ONLY the `nProbe` probed cell directories —
@@ -282,6 +317,54 @@ object VectorIndex {
     graft.operators.Similarity.bruteForceTopK(
       cells(spark, dir).filter(col("cell").isin(probes: _*)),
       idCol, vecCol, query, topK)
+  }
+
+  /** Cosine-threshold range search ("every live vector with
+    * cosine ≥ minCosine") with a SOUND disk-level prune: by the
+    * spherical triangle inequality `θ(q,v) ≥ θ(q,c) − R_c`, where `R_c`
+    * is the cell's stored max member-to-centroid angle — a cell is
+    * skipped only when even its angularly-extreme member could not
+    * reach the threshold (`θ(q,c) − R_c > arccos(minCosine)`), so the
+    * prune never loses a qualifying vector. The bound covers BASE
+    * members; commit legs (O(batch)) always scan in full, and a cell
+    * with no base rows has no radius row and drops from the base scan
+    * outright. Unlike [[search]]'s fixed `nProbe`, the probed set here
+    * ADAPTS to the threshold: a tight τ near a cluster reads one cell,
+    * a loose τ reads many — exactness at every setting, pruning where
+    * the geometry allows it.
+    */
+  def radiusSearch(spark: SparkSession, dir: String, idCol: String,
+      vecCol: String, query: Seq[Float], minCosine: Double): DataFrame = {
+    checkMeta(spark, dir, idCol, vecCol)
+    require(minCosine >= -1.0 && minCosine <= 1.0,
+      s"minCosine must be in [-1, 1], got $minCosine")
+    val q = query.map(_.toDouble).toArray
+    val qNorm = math.sqrt(q.map(x => x * x).sum)
+    require(qNorm > 0, "radiusSearch query must be non-zero")
+    val theta = math.acos(math.min(1.0, math.max(-1.0, minCosine)))
+    val radii = spark.read.parquet(s"$dir/radii")
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val probe = loadModel(spark, dir).centroids.zipWithIndex.flatMap {
+      case (c, i) =>
+        // no radius row = no base members in the cell: drop it from the
+        // base scan outright (commit legs still cover any upserts there)
+        radii.get(i).flatMap { r =>
+          val cNorm = math.sqrt(c.map(x => x * x).sum)
+          val qcAngle =
+            if (cNorm == 0) 0.0 // degenerate centroid: never prune
+            else math.acos(math.min(1.0, math.max(-1.0,
+              q.zip(c).map { case (a, b) => a * b }.sum / (qNorm * cNorm))))
+          // NaN radius makes the comparison false → cell kept
+          if (qcAngle - r > theta) None else Some(i)
+        }
+    }.toSeq
+    val qLit = array(q.map(lit).toIndexedSeq: _*)
+    cellsPruned(spark, dir, Some(probe))
+      .select(col(idCol),
+        graft.functions.VectorExpressions.cosineFast(col(vecCol), qLit)
+          .as("_c"))
+      .filter(col("_c") >= minCosine)
+      .select(col(idCol), round(col("_c"), 6).as("cosine"))
   }
 
   /** Batch KNN over the persisted index: the k nearest live vectors per

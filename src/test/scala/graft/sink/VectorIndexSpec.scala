@@ -49,6 +49,74 @@ class VectorIndexSpec extends SparkSpec {
     assert(VectorIndex.cells(spark, dir).count() == e.count())
   }
 
+  test("radiusSearch: sound cell prune ≡ brute-force threshold scan") {
+    val dir = java.nio.file.Files.createTempDirectory("vecidx-rad").toString
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0)
+    VectorIndex.write(e, "vec_id", "embedding", dir, k = 4, iters = 3)
+    def brute(tau: Double): Map[Long, Double] = {
+      val qLit = array(q.map(x => lit(x.toDouble)): _*)
+      e.filter(col("embedding").isNotNull)
+        .select(col("vec_id"), graft.functions.VectorExpressions
+          .cosineFast(col("embedding"), qLit).as("c"))
+        .filter(col("c") >= tau)
+        .select(col("vec_id"), round(col("c"), 6).as("c"))
+        .as[(Long, Double)].collect().toMap
+    }
+    for (tau <- Seq(0.2, 0.5, 0.9)) {
+      val got = VectorIndex.radiusSearch(spark, dir, "vec_id", "embedding",
+        q, tau).as[(Long, Double)].collect().toMap
+      assert(got == brute(tau), s"tau=$tau")
+    }
+    // the self-match survives every threshold
+    assert(VectorIndex.radiusSearch(spark, dir, "vec_id", "embedding",
+      q, 0.99).as[(Long, Double)].collect().toMap.contains(0L))
+  }
+
+  test("radiusSearch prunes base cells on clustered data; upserts escape the bound") {
+    // three TIGHT clusters on orthogonal axes (small deterministic
+    // jitter): centroids land on the axes and cell radii stay narrow,
+    // so a tight threshold near one axis must skip the other cells —
+    // the broad-fixture test above proves correctness when nothing can
+    // prune; this one proves the prune actually engages
+    val dir = java.nio.file.Files.createTempDirectory("vecidx-radprune").toString
+    val pts = (0 until 300).map { i =>
+      val axis = i % 3
+      val v = Array.fill(4)(0f)
+      v(axis) = 1f
+      v(3) = 0.01f * ((i / 3) % 7) // jitter: ≤ ~3.4° off-axis
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    VectorIndex.write(pts, "vec_id", "embedding", dir, k = 3, iters = 5)
+    val q = Seq(1f, 0f, 0f, 0f)
+    val rad = VectorIndex.radiusSearch(spark, dir, "vec_id", "embedding",
+      q, 0.9)
+    val got = rad.as[(Long, Double)].collect().toMap
+    // exactly the axis-0 cluster qualifies (cos to other axes ≈ 0)
+    assert(got.keySet == (0 until 300 by 3).map(_.toLong).toSet)
+    rad.collect()
+    val scanned = rad.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.partitionSchema.fieldNames.contains("cell") =>
+        f.metrics("numFiles").value
+    }.sum
+    val total = spark.read.parquet(s"$dir/cells").inputFiles.length.toLong
+    assert(scanned < total, s"scanned $scanned of $total cell files")
+    // an upsert whose vector lies OUTSIDE its cell's stored radius is
+    // still found (commit legs are never pruned) …
+    VectorIndex.upsert(Seq((9999L, Seq(0.95f, 0f, 0f, 0.31f)))
+      .toDF("vec_id", "embedding"), "vec_id", "embedding", dir)
+    val afterUpsert = VectorIndex.radiusSearch(spark, dir, "vec_id",
+      "embedding", q, 0.9).as[(Long, Double)].collect().toMap
+    assert(afterUpsert.contains(9999L), afterUpsert.toString)
+    // … and after compact the recomputed bound still covers it
+    VectorIndex.compact(spark, dir)
+    val afterCompact = VectorIndex.radiusSearch(spark, dir, "vec_id",
+      "embedding", q, 0.9).as[(Long, Double)].collect().toMap
+    assert(afterCompact == afterUpsert)
+  }
+
   test("search prunes unprobed cells at the partition level") {
     val dir = java.nio.file.Files.createTempDirectory("vecidx-prune").toString
     val e = Tables.embeddings(spark, sf)
