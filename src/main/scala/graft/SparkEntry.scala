@@ -1315,6 +1315,40 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // REAL image-metadata sniffing (PNG IHDR / JPEG SOF / GIF header —
+    // pure byte parsing, no codec library, so this half of the
+    // multimodal path is NOT stubbed): payloads are VALID image headers
+    // synthesized from testdata columns (width = n_chars%512+1,
+    // height = doc_id%512+1, big-endian via hex/lpad/unhex), the JPEG
+    // branch walking a leading APP0 segment like real files; every 11th
+    // doc carries a non-image payload and must sniff to nulls. The
+    // oracle recomputes the dims straight from the columns — wrong
+    // parser offsets fail the hash.
+    "x_multimodal_sniff" -> ((s, d) => {
+      def be(nBytes: Int, c: Column): Column =
+        unhex(lpad(hex(c), nBytes * 2, "0"))
+      val w = (pmod(col("n_chars"), lit(512)) + 1).cast("int")
+      val h = (pmod(col("doc_id"), lit(512)) + 1).cast("int")
+      val png = concat(
+        lit(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a,
+          0x0a, 0, 0, 0, 0x0d)),
+        lit("IHDR".getBytes("US-ASCII")), be(4, w), be(4, h),
+        lit(Array[Byte](8, 2, 0, 0, 0, 0, 0, 0, 0)))
+      val jpeg = concat(
+        lit(Array[Byte](0xff.toByte, 0xd8.toByte)),
+        lit(Array[Byte](0xff.toByte, 0xe0.toByte, 0, 4, 'J', 'F')),
+        lit(Array[Byte](0xff.toByte, 0xc0.toByte, 0, 0x11, 8)),
+        be(2, h), be(2, w), lit(Array[Byte](3)))
+      val payload = when(pmod(col("doc_id"), lit(11)) === 0,
+          lit("not an image".getBytes("US-ASCII")))
+        .when(pmod(col("doc_id"), lit(2)) === 0, png)
+        .otherwise(jpeg)
+      operators.Multimodal.imageMeta(
+          Tables.documents(s, d).select(col("doc_id"), payload.as("payload")),
+          "doc_id", "payload")
+        .orderBy("id")
+    }),
+
     // Multimodal: stubbed decode over mapPartitions batches. The stub
     // derives features from the payload md5, so the DuckDB oracle can
     // recompute every row in SQL (md5_number_lower + unsigned math) —
@@ -3460,6 +3494,17 @@ object SparkEntry {
       """SELECT CAST(10 AS BIGINT) AS n_results, TRUE AS recall_ok""",
     "x_sim_ivf_persisted" ->
       """SELECT CAST(10 AS BIGINT) AS n_results, TRUE AS recall_ok""",
+    // dims recomputed straight from the source columns: the engine must
+    // round-trip them through real header bytes and the byte parser
+    "x_multimodal_sniff" ->
+      """SELECT doc_id AS id,
+           CASE WHEN doc_id % 11 = 0 THEN NULL
+                WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+           CASE WHEN doc_id % 11 = 0 THEN NULL
+                ELSE CAST(n_chars % 512 + 1 AS INTEGER) END AS width,
+           CASE WHEN doc_id % 11 = 0 THEN NULL
+                ELSE CAST(doc_id % 512 + 1 AS INTEGER) END AS height
+         FROM documents ORDER BY doc_id""",
     // a FULL oracle (not a recall gate): the radius prune is exact
     "x_sim_radius" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

@@ -49,6 +49,44 @@ object Multimodal {
       * in, features out, called once per record inside a partition batch)
       * is the real contract.
       */
+    /** REAL container sniffing — format + pixel dimensions parsed from
+      * the header bytes (PNG IHDR, first JPEG SOF frame walking the
+      * marker segments, GIF logical screen descriptor). Needs no codec
+      * library, so unlike the pixel decode this path is NOT stubbed.
+      * Unknown magic, truncated buffers, and malformed marker chains
+      * all return None — a poison payload must never fail the task.
+      */
+    def sniffImageMeta(p: Array[Byte]): Option[(String, Int, Int)] = {
+      def be16(i: Int): Int = ((p(i) & 0xff) << 8) | (p(i + 1) & 0xff)
+      def be32(i: Int): Int =
+        ((p(i) & 0xff) << 24) | ((p(i + 1) & 0xff) << 16) |
+          ((p(i + 2) & 0xff) << 8) | (p(i + 3) & 0xff)
+      def le16(i: Int): Int = (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
+      if (p.length >= 24 && (p(0) & 0xff) == 0x89 && p(1) == 'P' &&
+          p(2) == 'N' && p(3) == 'G' && p(12) == 'I' && p(13) == 'H' &&
+          p(14) == 'D' && p(15) == 'R')
+        Some(("png", be32(16), be32(20)))
+      else if (p.length >= 4 && (p(0) & 0xff) == 0xff &&
+          (p(1) & 0xff) == 0xd8) {
+        // walk marker segments to the first start-of-frame (C0–CF minus
+        // the non-frame C4/C8/CC): height at +5, width at +7
+        var i = 2
+        while (i + 9 < p.length) {
+          if ((p(i) & 0xff) != 0xff) return None
+          val m = p(i + 1) & 0xff
+          if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
+            return Some(("jpeg", be16(i + 7), be16(i + 5)))
+          val len = be16(i + 2)
+          if (len < 2) return None
+          i += 2 + len
+        }
+        None
+      } else if (p.length >= 10 && p(0) == 'G' && p(1) == 'I' &&
+          p(2) == 'F' && p(3) == '8')
+        Some(("gif", le16(6), le16(8)))
+      else None
+    }
+
     def decodeStub(payload: Array[Byte]): (Int, Int, Int, Long) = {
       val l = md5Lower(payload)
       val w = 16 + java.lang.Long.remainderUnsigned(l, 64).toInt
@@ -73,6 +111,31 @@ object Multimodal {
     df.select(col(idCol),
       length(col(binCol)).as("n_bytes"),
       substring(base64(col(binCol)), 1, 16).as("b64_head"))
+
+  /** Container metadata over partition batches — the same mapPartitions
+    * shape as [[extractFeatures]] but through the REAL
+    * [[MediaCodec.sniffImageMeta]] header parser: `(id, format, width,
+    * height)`, nulls for unrecognized/truncated payloads.
+    */
+  def imageMeta(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", df.schema(idCol).dataType, nullable = false),
+      StructField("format", StringType, nullable = true),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        Option(r.get(binIdx)).map(_.asInstanceOf[Array[Byte]])
+          .flatMap(MediaCodec.sniffImageMeta) match {
+          case Some((f, w, h)) => Row(r.get(idIdx), f, w, h)
+          case None => Row(r.get(idIdx), null, null, null)
+        }
+      }
+    }(enc)
+  }
 
   /** Decode / feature-extract over partition batches: the heavy-UDF shape.
     * One task per partition, records streamed through the (stubbed) codec;

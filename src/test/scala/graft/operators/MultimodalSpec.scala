@@ -15,6 +15,49 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.getString(2) == "aMOpbGxv")
   }
 
+  test("sniffImageMeta parses real PNG/JPEG/GIF headers byte-for-byte") {
+    import Multimodal.MediaCodec.sniffImageMeta
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // PNG: signature + IHDR, 640×480
+    val png = b(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 0x0d, 'I', 'H', 'D', 'R',
+      0, 0, 0x02, 0x80, 0, 0, 0x01, 0xe0, 8, 2, 0, 0, 0)
+    assert(sniffImageMeta(png).contains(("png", 640, 480)))
+    // JPEG: APP0 (JFIF) then SOF0, 320×200 (height first in the frame)
+    val jpeg = b(0xff, 0xd8,
+      0xff, 0xe0, 0x00, 0x10, 'J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0,
+      0xff, 0xc0, 0x00, 0x11, 8, 0x00, 0xc8, 0x01, 0x40, 3)
+    assert(sniffImageMeta(jpeg).contains(("jpeg", 320, 200)))
+    // progressive JPEG uses SOF2 — same frame layout
+    val prog = jpeg.updated(21, 0xc2.toByte)
+    assert(sniffImageMeta(prog).contains(("jpeg", 320, 200)))
+    // GIF89a logical screen 12×34 (little-endian)
+    val gif = b('G', 'I', 'F', '8', '9', 'a', 12, 0, 34, 0, 0, 0)
+    assert(sniffImageMeta(gif).contains(("gif", 12, 34)))
+    // unknown magic, truncated buffers, and a broken marker chain are
+    // None, never an exception
+    assert(sniffImageMeta("plain text".getBytes).isEmpty)
+    assert(sniffImageMeta(png.take(20)).isEmpty)
+    assert(sniffImageMeta(b(0xff, 0xd8, 0x00, 0x01)).isEmpty)
+    assert(sniffImageMeta(b(0xff, 0xd8, 0xff, 0xe0, 0x00, 0x00)).isEmpty)
+    assert(sniffImageMeta(Array.emptyByteArray).isEmpty)
+  }
+
+  test("imageMeta maps partitions through the sniffer with null passthrough") {
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    val gif = b('G', 'I', 'F', '8', '9', 'a', 7, 0, 9, 0, 0, 0)
+    val rows = Seq((1L, gif), (2L, "nope".getBytes),
+        (3L, null.asInstanceOf[Array[Byte]]))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.imageMeta(rows, "doc_id", "payload")
+      .as[(Long, Option[String], Option[Int], Option[Int])]
+      .collect().toSet
+    assert(got == Set(
+      (1L, Some("gif"), Some(7), Some(9)),
+      (2L, None, None, None),
+      (3L, None, None, None)))
+  }
+
   test("stubbed decode is deterministic and batch-shaped") {
     val docs = Tables.documents(spark, sf).limit(20)
     val withBin = Multimodal.withBinaryPayload(docs, "text", "payload")
