@@ -250,6 +250,15 @@ object SparkEntry {
         Tables.documents(s, d).select("doc_id", "text"), "doc_id", "text",
         Seq("merge window", "scan stream"), tieBreaker = 0.3, k = 20)),
 
+    // BoostingQuery (Lucene): BM25 for "merge window", halved when
+    // "stream" appears — downranked, not excluded (0.5 is an exact
+    // binary fraction, so demoted scores are engine-identical).
+    "q_boosting" -> ((s, d) =>
+      DocQueries.boostingSearch(
+        Tables.documents(s, d).select("doc_id", "text"), "doc_id", "text",
+        positive = "merge window", negative = Seq("stream"),
+        demoteFactor = 0.5, k = 20)),
+
     // §2.6 index structure — the flat (term, doc_id, tf) postings table
     // (Lucene's postings lists, Spark-native: no giant per-term arrays,
     // every op a partitioned aggregate; see InvertedIndex scaladoc).
@@ -2466,6 +2475,35 @@ object SparkEntry {
     // engine's leg frames), then max + 0.3·(sum − max), rounded again;
     // the indexed twin shares the oracle (same contract, pruned layout)
     "q_dis_max" -> disMaxOracle,
+
+    // positive-clause BM25 (leg-rounded like the engine), halved by the
+    // negative-term CASE, re-rounded — downrank, never exclude
+    "q_boosting" ->
+      """WITH t AS (SELECT doc_id,
+             list_contains(list_filter(string_split(lower(text), ' '),
+               x -> x <> ''), 'stream') AS neg,
+             CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+               AS DOUBLE) AS dl,
+             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'merge'))
+               AS DOUBLE) AS tf0,
+             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'window'))
+               AS DOUBLE) AS tf1
+           FROM documents),
+         s AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+             CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+             CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1
+           FROM t),
+         z AS (SELECT doc_id, neg,
+             round(ln(1 + (n - df0 + 0.5) / (df0 + 0.5))
+               * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             + ln(1 + (n - df1 + 0.5) / (df1 + 0.5))
+               * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6)
+               AS c0
+           FROM t, s)
+         SELECT doc_id,
+           round(CASE WHEN neg THEN c0 * 0.5 ELSE c0 END, 6) AS score
+         FROM z WHERE c0 > 0
+         ORDER BY score DESC, doc_id LIMIT 20""",
 
     "q_dis_max_indexed" -> disMaxOracle,
 

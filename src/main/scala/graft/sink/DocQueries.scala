@@ -393,6 +393,37 @@ object DocQueries {
       .select(col(idCol), round(col("_score"), 6).as("bm25"))
   }
 
+  /** BoostingQuery (Lucene): rank by the positive query's BM25 score,
+    * DEMOTED by `demoteFactor` when any negative term matches — unlike
+    * `must_not`, a negative match downranks instead of excluding (the
+    * "penalize reprints/stubs without hiding them" scorer). Choose a
+    * demote factor with an exact binary representation (0.5, 0.25) for
+    * engine-reproducible scores. Scale shape: the positive leg is the
+    * shared BM25 body (hits only); the negative test is one projection
+    * over the same index joined id-keyed to the hits — never a second
+    * corpus pass.
+    */
+  def boostingSearch(index: DataFrame, idCol: String, field: String,
+      positive: String, negative: Seq[String], demoteFactor: Double,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(negative.nonEmpty, "boosting query needs negative terms")
+    require(demoteFactor >= 0.0 && demoteFactor <= 1.0,
+      s"demoteFactor must be in [0, 1], got $demoteFactor")
+    require(k > 0, s"k must be positive, got $k")
+    val negTerms = negative.map(_.toLowerCase(java.util.Locale.ROOT).trim)
+      .filter(_.nonEmpty)
+    require(negTerms.nonEmpty, "boosting query needs non-empty negative terms")
+    val w = split(lower(col(field)), " ")
+    val negPred = negTerms.map(t => array_contains(w, t)).reduce(_ || _)
+    index.select(col(idCol), negPred.as("_neg"))
+      .join(bm25Scores(index, idCol, field, positive, k1, b), idCol)
+      .select(col(idCol),
+        round(when(col("_neg"), col("bm25") * demoteFactor)
+          .otherwise(col("bm25")), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** DisjunctionMaxQuery (Lucene DisMax): per-doc score =
     * `max(clause scores) + tieBreaker · (sum − max)`, each clause an
     * independent BM25 text query. The max picks the best clause

@@ -508,6 +508,38 @@ class IndexSinkSpec extends SparkSpec {
       boom.getMessage)
   }
 
+  test("boosting query downranks negative matches without excluding them") {
+    val docs = Seq(
+      (1L, "merge window clean"),            // positive only
+      (2L, "merge window stream stream"),    // positive + negative
+      (3L, "stream only here"),              // negative only — no score
+      (4L, "unrelated text")
+    ).toDF("doc_id", "text")
+    val got = DocQueries.boostingSearch(docs, "doc_id", "text",
+        "merge window", Seq("stream"), demoteFactor = 0.5, k = 10)
+      .as[(Long, Double)].collect().toMap
+    val plain = DocQueries.matchTextBM25(docs, "doc_id", "text",
+        "merge window", 10)
+      .as[(Long, Double)].collect().toMap
+    // the negative match stays IN the result set, at half score
+    assert(got.keySet == Set(1L, 2L))
+    assert(math.abs(got(1L) - plain(1L)) < 1e-9)
+    assert(math.abs(got(2L) - plain(2L) * 0.5) < 1e-6)
+    // factor 0 is must_not-like scoring (zero, still listed)
+    val zero = DocQueries.boostingSearch(docs, "doc_id", "text",
+        "merge window", Seq("stream"), demoteFactor = 0.0, k = 10)
+      .as[(Long, Double)].collect().toMap
+    assert(zero(2L) == 0.0 && zero.contains(1L))
+    intercept[IllegalArgumentException] {
+      DocQueries.boostingSearch(docs, "doc_id", "text", "merge",
+        Nil, 0.5, 10)
+    }
+    intercept[IllegalArgumentException] {
+      DocQueries.boostingSearch(docs, "doc_id", "text", "merge",
+        Seq("stream"), 1.5, 10)
+    }
+  }
+
   test("disMax: best clause wins, tie-breaker folds in the rest") {
     val docs = Seq(
       (1L, "merge window merge window details"), // strong clause A only
