@@ -841,6 +841,25 @@ object SparkEntry {
         .select("doc_id", "dist_km")
     }),
 
+    // Spatial radius join off the persisted layout: the scan-form
+    // x_geo_join semantics, base read pruned to the union of the
+    // centers' covered cells at file-listing time. Same oracle contract.
+    "x_geo_join_indexed" -> ((s, d) => {
+      val pts = Tables.documents(s, d).select("doc_id")
+        .withColumn("lat",
+          (col("doc_id") * 37 % 17000).cast("double") / 100.0 - 85.0)
+        .withColumn("lon",
+          (col("doc_id") * 91 % 36000).cast("double") / 100.0 - 180.0)
+      val dir = tempDir("graft-geoidx")
+      sink.GeoIndex.write(pts, "doc_id", "lat", "lon", dir)
+      sink.GeoIndex.radiusJoin(s, dir,
+          Seq((1L, 40.0, -74.0), (2L, -33.9, 151.2), (3L, 64.1, -21.9)),
+          radiusKm = 1500.0)
+        .select(col("center_id"), col("doc_id"),
+          round(col("dist_km"), 3).as("dist_km"))
+        .orderBy("center_id", "doc_id")
+    }),
+
     // Persisted geo layout (GeoIndex): the same radius query served off
     // the cell-partitioned index — covered cells enumerated driver-side,
     // `cell IN (…)` prunes at file-listing time (GeoIndexSpec pins
@@ -2690,6 +2709,24 @@ object SparkEntry {
              3) AS dist_km
          FROM p ORDER BY dist_km, doc_id LIMIT 15""",
     // indexed geo twins: byte-identical result contract to the scan forms
+    "x_geo_join_indexed" ->
+      """WITH p AS (SELECT doc_id,
+             CAST(doc_id * 37 % 17000 AS DOUBLE) / 100.0 - 85.0 AS lat,
+             CAST(doc_id * 91 % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon
+           FROM documents),
+         c(center_id, clat, clon) AS (VALUES
+           (1, 40.0, -74.0), (2, -33.9, 151.2), (3, 64.1, -21.9)),
+         d AS (SELECT center_id, doc_id,
+             2 * 6371.0088 * asin(sqrt(
+               sin(radians(clat - lat) / 2) * sin(radians(clat - lat) / 2)
+               + cos(radians(lat)) * cos(radians(clat))
+               * sin(radians(clon - lon) / 2) * sin(radians(clon - lon) / 2)))
+               AS dist
+           FROM p, c)
+         SELECT CAST(center_id AS BIGINT) AS center_id, doc_id,
+           round(dist, 3) AS dist_km
+         FROM d WHERE dist <= 1500.0
+         ORDER BY center_id, doc_id""",
     "x_geo_radius_indexed" ->
       """WITH p AS (SELECT doc_id,
              CAST(doc_id * 37 % 17000 AS DOUBLE) / 100.0 - 85.0 AS lat,

@@ -92,6 +92,30 @@ object GeoIndex {
       .drop("cell")
   }
 
+  /** Spatial radius JOIN off the persisted layout: every
+    * `(center, point)` pair within `radiusKm`, reading ONLY the union
+    * of the centers' covered cells — the serving twin of
+    * [[GeoJoin.geoRadiusJoin]] (which it delegates to for the join
+    * itself, on the pruned frame). At 100 TB the base scan is bounded
+    * by covered-cells/total-cells however many points exist; the join
+    * stays the grid-cell equi-join with no cross product.
+    */
+  def radiusJoin(spark: SparkSession, dir: String,
+      centers: Seq[(Long, Double, Double)], radiusKm: Double): DataFrame = {
+    require(centers.nonEmpty, "radiusJoin needs at least one center")
+    require(radiusKm > 0, s"radiusKm must be positive, got $radiusKm")
+    val m = readMeta(spark, dir)
+    val cells = centers.flatMap { case (_, clat, clon) =>
+      GeoJoin.coveredCells(clat, clon, radiusKm, m.cellDeg)
+        .map { case (la, lo) => cellId(la, lo, m.cellDeg) }
+    }.distinct
+    val pruned = spark.read.parquet(s"$dir/cells")
+      .filter(col("cell").isin(cells: _*))
+      .drop("cell")
+    GeoJoin.geoRadiusJoin(pruned, m.idCol, m.latCol, m.lonCol,
+      centers, radiusKm)
+  }
+
   /** The `k` nearest indexed points to the center by haversine —
     * ring-expansion off the cell layout: probe a radius, double until
     * ≥ k points fall inside (≤ ~8 bounded driver-side counts), then

@@ -51,6 +51,26 @@ class GeoIndexSpec extends SparkSpec {
     assert(idx.filter(col("lon") < -170.0).count() > 0)
   }
 
+  test("radiusJoin off the layout ≡ scan-form geoRadiusJoin; prunes files") {
+    val dir = java.nio.file.Files.createTempDirectory("geoidx-join").toString
+    GeoIndex.write(pts, "pid", "lat", "lon", dir)
+    val centers = Seq((1L, 40.0, -74.0), (2L, 5.0, 179.0)) // incl. the seam
+    val idx = GeoIndex.radiusJoin(spark, dir, centers, 1500.0)
+    val scan = graft.operators.GeoJoin.geoRadiusJoin(pts, "pid", "lat",
+      "lon", centers, 1500.0)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("center_id", "pid").as[(Long, Long)].collect().toSet
+    assert(rows(idx) == rows(scan) && rows(idx).nonEmpty)
+    idx.collect()
+    val scanned = idx.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.partitionSchema.fieldNames.contains("cell") =>
+        f.metrics("numFiles").value
+    }.sum
+    val total = spark.read.parquet(s"$dir/cells").inputFiles.length.toLong
+    assert(scanned < total, s"scanned $scanned of $total cell files")
+  }
+
   test("knnSearch ring expansion is exact vs the brute-force cut") {
     val dir = java.nio.file.Files.createTempDirectory("geoidx-knn").toString
     GeoIndex.write(pts, "pid", "lat", "lon", dir)
