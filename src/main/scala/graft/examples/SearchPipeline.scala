@@ -1,0 +1,117 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.sink.{GeoIndex, IncrementalPostings, InvertedIndex, VectorIndex}
+
+/** End-to-end SEARCH-SERVING example — build every persisted serving
+  * structure once, then answer queries off the layouts with disk-level
+  * pruning (each structure and query family is individually
+  * oracle-checked by `SparkEntry`; this demo shows them COMPOSED the way
+  * a serving deployment runs them):
+  *
+  *   build (the "indexing job"):
+  *     1. incremental postings store — BM25 text retrieval + phrases
+  *     2. IVF vector index           — embedding KNN + cosine radius
+  *     3. geo cell layout            — radius / nearest-k / radius join
+  *
+  *   serve (each query reads ONLY its pruned slice):
+  *     a. ranked BM25 lookup          (term row-group pruning)
+  *     b. DisjunctionMax multi-clause (pruned postings legs)
+  *     c. vector top-k                (probed cells only)
+  *     d. cosine-radius               (angular-bound cell prune, exact)
+  *     e. geo radius                  (covered cells only)
+  *     f. hybrid fusion               (bounded top-k legs, rank fusion)
+  *
+  *   runMain graft.examples.SearchPipeline [sfDir] [indexRoot]
+  */
+object SearchPipeline {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val root = args.lift(1).getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-serving").toString)
+
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .appName("graft-search")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config(Tables.nanosAsLongConf, "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val vecs = Tables.embeddings(spark, sfDir)
+    def report(stage: String, extra: String): Unit =
+      println(f"[search] $stage%-28s $extra")
+
+    // ---- build: one indexing job per structure --------------------------
+    val tdir = s"$root/postings"
+    IncrementalPostings.init(docs, "doc_id", "text", tdir)
+    report("postings store", tdir)
+
+    val vdir = s"$root/vectors"
+    VectorIndex.write(vecs, "vec_id", "embedding", vdir, k = 8, iters = 3)
+    report("vector index", vdir)
+
+    val gdir = s"$root/geo"
+    GeoIndex.write(
+      docs.select(col("doc_id"),
+        ((col("doc_id") * 37 % 17000).cast("double") / 100.0 - 85.0)
+          .as("lat"),
+        ((col("doc_id") * 91 % 36000).cast("double") / 100.0 - 180.0)
+          .as("lon")),
+      "doc_id", "lat", "lon", gdir)
+    report("geo layout", gdir)
+
+    // ---- serve: every query off a pruned read ---------------------------
+    val (postings, norms) = IncrementalPostings.liveViews(spark, tdir)
+
+    val bm25 = InvertedIndex.bm25Search(postings, norms,
+      "merge window scan", 5)
+    report("bm25 top-5", bm25.collect().map(_.getLong(0)).mkString(", "))
+
+    val dismax = InvertedIndex.disMaxSearch(postings, norms,
+      Seq("merge window", "scan stream"), tieBreaker = 0.3, k = 5)
+    report("dismax top-5", dismax.collect().map(_.getLong(0)).mkString(", "))
+
+    val qv = vecs.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0)
+    val knn = VectorIndex.search(spark, vdir, "vec_id", "embedding", qv,
+      topK = 5, nProbe = 3)
+    report("vector top-5", knn.collect().map(_.getLong(0)).mkString(", "))
+
+    val rad = VectorIndex.radiusSearch(spark, vdir, "vec_id", "embedding",
+      qv, minCosine = 0.4)
+    report("cosine>=0.4", s"${rad.count()} vectors")
+
+    val geo = GeoIndex.radiusSearch(spark, gdir, 40.0, -74.0, 6000.0)
+    report("geo radius 6000km", s"${geo.count()} points")
+
+    // hybrid: text + vector legs, reciprocal-rank fusion over bounded
+    // top-k lists (the x_hybrid_indexed shape)
+    val textLeg = InvertedIndex.bm25Search(postings, norms,
+        "merge window scan", 20)
+      .select(col("doc_id"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("bm25").desc, col("doc_id"))).as("r_text"))
+    val vecLeg = VectorIndex.search(spark, vdir, "vec_id", "embedding", qv,
+        topK = 20, nProbe = 8)
+      .select(col("vec_id").as("doc_id"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("cosine").desc, col("vec_id"))).as("r_vec"))
+    val fused = textLeg.join(vecLeg, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (lit(1.0) / (lit(60) + coalesce(col("r_text"), lit(1000))) +
+          lit(1.0) / (lit(60) + coalesce(col("r_vec"), lit(1000))))
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(5)
+    report("hybrid top-5", fused.collect().map(_.getLong(0)).mkString(", "))
+
+    spark.stop()
+  }
+}
