@@ -1264,6 +1264,16 @@ object SparkEntry {
     // cell on disk, then search reading ONLY the probed cell directories
     // (partition pruning — VectorIndexSpec pins the file-level scan cut).
     // Same gate as x_sim_ivf: k results, recall floor vs exact top-k.
+    // Nearest-centroid classification: every embedding tagged with the
+    // label whose member-average vector is most cosine-similar —
+    // embedding-space domain routing off a labeled seed corpus. Full
+    // oracle: 6dp-rounded centroids (the x_embed_centroid convention)
+    // make both engines' models bit-identical before the argmax.
+    "x_classify_centroid" -> ((s, d) =>
+      operators.Similarity.nearestCentroid(
+        Tables.embeddings(s, d), "vec_id", "embedding", "label")
+        .orderBy("vec_id")),
+
     // Cosine-threshold range search off the persisted IVF layout: the
     // stored per-cell angular radius prunes base cells at file-listing
     // time (spherical triangle inequality — sound, VectorIndexSpec-
@@ -3580,6 +3590,27 @@ object SparkEntry {
            CASE WHEN doc_id % 11 = 0 THEN NULL
                 ELSE CAST(doc_id % 512 + 1 AS INTEGER) END AS height
          FROM documents ORDER BY doc_id""",
+    // centroids = per-(label, dim) averages rounded 6dp, argmax by
+    // (rounded cosine desc, label asc) — the engine's exact recipe
+    "x_classify_centroid" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE embedding IS NOT NULL),
+         d AS (SELECT label,
+             unnest(generate_series(1, len(v))) AS dim, unnest(v) AS x
+           FROM e),
+         cd AS (SELECT label, dim, round(avg(x), 6) AS c
+           FROM d GROUP BY label, dim),
+         cents AS (SELECT label, list(c ORDER BY dim) AS cv
+           FROM cd GROUP BY label),
+         sims AS (SELECT e.vec_id, cents.label,
+             round(list_cosine_similarity(e.v, cv), 6) AS s
+           FROM e, cents),
+         best AS (SELECT vec_id, label, s,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY s DESC, label) AS rn
+           FROM sims)
+         SELECT vec_id, label AS label_pred, s AS cosine
+         FROM best WHERE rn = 1 ORDER BY vec_id""",
     // a FULL oracle (not a recall gate): the radius prune is exact
     "x_sim_radius" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

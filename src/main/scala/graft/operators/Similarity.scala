@@ -56,6 +56,48 @@ object Similarity {
       .limit(k)
   }
 
+  /** Nearest-centroid classification (embedding-space domain tagging):
+    * label each vector with the label whose member-average embedding is
+    * most cosine-similar — the cheap classifier a curation pipeline
+    * runs off a labeled seed corpus (route crawl docs to domains, flag
+    * outliers by low best-cosine). Output `(idCol, label_pred,
+    * cosine)`, ties broken label-ascending.
+    *
+    * Scale shape: centroids are one map-side-combinable `vectorSum`
+    * aggregate per label (the model — L × dim doubles to the driver,
+    * exactly like `Ivf.fit`'s re-center step); assignment is an argmax
+    * over L centroid literals fused per row, so the corpus never
+    * shuffles. Engine-reproducible: centroid dims round to 6dp in the
+    * aggregate frame (the `x_embed_centroid` pinned convention — both
+    * engines see bit-identical centroids) and the cosine rounds to 6dp
+    * before the argmax.
+    */
+  def nearestCentroid(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val vecs = df.filter(col(vecCol).isNotNull)
+    val cents = vecs.groupBy(col(labelCol))
+      .agg(graft.functions.VectorAggregates.vectorSum(col(vecCol)).as("_s"),
+        count(col(vecCol)).as("_n"))
+      .select(col(labelCol).as("_l"),
+        transform(col("_s"), x => round(x / col("_n"), 6)).as("_c"))
+      .collect()
+      .map(r => r.get(0) -> r.getSeq[Double](1)) // label keeps its NATIVE type
+    require(cents.nonEmpty, "nearestCentroid needs at least one label")
+    // argmax as array_min over (-cosine, label) structs: cosine decides,
+    // the label tie-break is ascending in the label's own type
+    // (struct ordering is field order; array_min is order-independent,
+    // so the centroid list needs no sorting)
+    val scored = array(cents.map { case (lbl, cv) =>
+      struct(
+        (round(graft.functions.VectorExpressions.cosineFast(col(vecCol),
+          array(cv.map(lit): _*)), 6) * -1).as("nc"),
+        lit(lbl).as("l"))
+    }: _*)
+    vecs.select(col(idCol), array_min(scored).as("_b"))
+      .select(col(idCol), col("_b.l").as("label_pred"),
+        (col("_b.nc") * -1).as("cosine"))
+  }
+
   /** Exact all-pairs top-k neighbors per vector (small corpora / within
     * candidate buckets): window-ranked pair join.
     */

@@ -17,6 +17,33 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(r.getDouble(1)) < 1e-12)
   }
 
+  test("nearest-centroid classification routes to the closest label mean") {
+    // two labeled clusters on orthogonal axes + probes near each; one
+    // deliberately unlabeled-like outlier between them
+    val seed = Seq(
+      (1L, Seq(1.0f, 0.05f, 0f), 10), (2L, Seq(0.95f, 0f, 0.05f), 10),
+      (3L, Seq(0f, 1.0f, 0.05f), 20), (4L, Seq(0.05f, 0.9f, 0f), 20),
+      (5L, Seq(0.9f, 0.1f, 0f), 10), (6L, Seq(0.1f, 1.1f, 0f), 20))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.nearestCentroid(seed, "vec_id", "embedding", "label")
+      .as[(Long, Int, Double)].collect().map(t => t._1 -> t._2).toMap
+    // every member routes back to its own cluster's centroid
+    assert(got == Map(1L -> 10, 2L -> 10, 5L -> 10,
+      3L -> 20, 4L -> 20, 6L -> 20), got.toString)
+    // null vectors train nothing and classify nothing
+    val withNull = seed.unionByName(
+      Seq((9L, null.asInstanceOf[Seq[Float]], 10))
+        .toDF("vec_id", "embedding", "label"))
+    val cls = Similarity.nearestCentroid(withNull, "vec_id", "embedding",
+      "label")
+    assert(cls.filter(col("vec_id") === 9L).count() == 0)
+    assert(cls.count() == 6)
+    intercept[IllegalArgumentException] {
+      Similarity.nearestCentroid(
+        seed.filter(col("vec_id") > 100), "vec_id", "embedding", "label")
+    }
+  }
+
   test("brute-force top-k returns the query itself first") {
     val e = Tables.embeddings(spark, sf)
     val q = e.filter(col("vec_id") === 0).select("embedding")
