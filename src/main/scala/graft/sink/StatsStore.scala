@@ -188,4 +188,15 @@ object StatsStore {
       .agg(count(lit(1)).as("n_cols"))
       .select(col("n_cols"), lit(pending).cast("long").as("n_pending_commits"))
   }
+
+  /** Compact iff the commit log is deeper than `maxDeltas` — the
+    * stats-driven auto-compaction policy, uniform with every other
+    * persisted store's hook. Returns whether a compaction ran.
+    */
+  def maybeCompact(spark: SparkSession, dir: String,
+      maxDeltas: Int = 8): Boolean = {
+    val rec = DeltaLog.listSeqs(spark, s"$dir/commits").length > maxDeltas
+    if (rec) compact(spark, dir)
+    rec
+  }
 }

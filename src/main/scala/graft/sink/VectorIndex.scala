@@ -458,4 +458,19 @@ object VectorIndex {
           .otherwise(lit(0.0)).as("skew"),
         lit(pending).cast("long").as("n_pending_commits"))
   }
+
+  /** Compact iff the commit log is deeper than `maxDeltas` — the
+    * stats-driven auto-compaction policy an ingest loop calls after each
+    * upsert/delete, completing the shared mutation contract
+    * ([[IncrementalPostings.maybeCompact]] / `SignatureStore.maybeCompact`
+    * parity). Returns whether a compaction ran. Centroid DRIFT is the
+    * other rebuild signal and stays a [[stats]] judgement call (skew),
+    * because the remedy there is a re-[[write]], not a fold.
+    */
+  def maybeCompact(spark: SparkSession, dir: String,
+      maxDeltas: Int = 8): Boolean = {
+    val rec = commitSeqs(spark, dir).length > maxDeltas
+    if (rec) compact(spark, dir)
+    rec
+  }
 }

@@ -49,8 +49,12 @@ class StatsStoreSpec extends SparkSpec {
       .as[(String, Long, Long, Long, String, String)].collect().toSeq
     assert(StatsStore.stats(spark, dir)
       .as[(Long, Long)].collect().head == ((2L, 1L)))
-    StatsStore.compact(spark, dir)
+    // threshold hook: no-op below maxDeltas, folds above it
+    assert(!StatsStore.maybeCompact(spark, dir, maxDeltas = 1))
+    assert(DeltaLog.listSeqs(spark, s"$dir/commits").length == 1)
+    assert(StatsStore.maybeCompact(spark, dir, maxDeltas = 0))
     assert(DeltaLog.listSeqs(spark, s"$dir/commits").isEmpty)
+    StatsStore.compact(spark, dir) // idempotent on an empty log
     assert(StatsStore.stats(spark, dir)
       .as[(Long, Long)].collect().head == ((2L, 0L)))
     val after = StatsStore.profile(spark, dir)

@@ -222,6 +222,16 @@ class VectorIndexSpec extends SparkSpec {
     // 750 of 1000 in one of 2 cells → skew 1.5: the rebuild signal fires
     assert(drifted.getAs[Double]("skew") >= 1.4, drifted.toString)
     assert(drifted.getAs[Long]("n_pending_commits") == 1L)
+    // threshold hook: no-op at depth 1 ≤ maxDeltas, folds above; the
+    // live view is unchanged by the fold
+    val liveBefore = VectorIndex.cells(spark, dir).count()
+    assert(!VectorIndex.maybeCompact(spark, dir, maxDeltas = 1))
+    assert(VectorIndex.stats(spark, dir).head()
+      .getAs[Long]("n_pending_commits") == 1L)
+    assert(VectorIndex.maybeCompact(spark, dir, maxDeltas = 0))
+    assert(VectorIndex.stats(spark, dir).head()
+      .getAs[Long]("n_pending_commits") == 0L)
+    assert(VectorIndex.cells(spark, dir).count() == liveBefore)
   }
 
   test("wrong-dimension and null/duplicate-id batches are rejected loudly") {
