@@ -65,6 +65,13 @@ class ContinuousPipelineSpec extends SparkSpec {
               keepIds.toSeq.map(i => (i, vecFor(i))).toDF("doc_id", "embedding"),
               "doc_id", "embedding", vecDir)
             admitted ++= keepIds
+            // the uniform auto-compaction hook every store now exposes:
+            // depth-1 threshold makes the SECOND micro-batch fold all
+            // four logs mid-stream — live views must be unaffected
+            SignatureStore.maybeCompact(spark, sigDir, maxDeltas = 1)
+            IncrementalPostings.maybeCompact(spark, idxDir, maxDeltas = 1)
+            StatsStore.maybeCompact(spark, statsDir, maxDeltas = 1)
+            VectorIndex.maybeCompact(spark, vecDir, maxDeltas = 1)
           }
         }
         ()
