@@ -75,7 +75,10 @@ object Similarity {
   def nearestCentroid(df: DataFrame, idCol: String, vecCol: String,
       labelCol: String): DataFrame = {
     val vecs = df.filter(col(vecCol).isNotNull)
-    val cents = vecs.groupBy(col(labelCol))
+    // unlabeled rows train NO centroid (a null-label group would become
+    // a routing target) — they still get classified below, which is the
+    // point: route unlabeled arrivals off the labeled seed corpus
+    val cents = vecs.filter(col(labelCol).isNotNull).groupBy(col(labelCol))
       .agg(graft.functions.VectorAggregates.vectorSum(col(vecCol)).as("_s"),
         count(col(vecCol)).as("_n"))
       .select(col(labelCol).as("_l"),

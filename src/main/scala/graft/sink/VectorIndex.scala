@@ -342,8 +342,17 @@ object VectorIndex {
     val qNorm = math.sqrt(q.map(x => x * x).sum)
     require(qNorm > 0, "radiusSearch query must be non-zero")
     val theta = math.acos(math.min(1.0, math.max(-1.0, minCosine)))
-    val radii = spark.read.parquet(s"$dir/radii")
-      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // an index written before radii existed still answers EXACTLY —
+    // every base cell scans (no radius rows → no prune evidence);
+    // re-write or compact to regain the pruned read
+    val radii =
+      try spark.read.parquet(s"$dir/radii")
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          loadModel(spark, dir).centroids.indices
+            .map(_ -> Double.NaN).toMap // NaN never prunes
+      }
     val probe = loadModel(spark, dir).centroids.zipWithIndex.flatMap {
       case (c, i) =>
         // no radius row = no base members in the cell: drop it from the
