@@ -508,6 +508,13 @@ object SparkEntry {
       DocQueries.matchPhrase(Tables.documents(s, d), "text", "stream data")
         .select("doc_id").orderBy("doc_id")),
 
+    // MatchPhrasePrefix (autocomplete-as-you-type): "stream da" hits
+    // "stream data …" — leading tokens consecutive, last is a prefix.
+    "q_match_phrase_prefix" -> ((s, d) =>
+      DocQueries.matchPhrasePrefix(Tables.documents(s, d), "text",
+          "stream da")
+        .select("doc_id").orderBy("doc_id")),
+
     // PrefixQuery (scan form): any token starts with "merg".
     "q_term_prefix" -> ((s, d) =>
       DocQueries.termPrefix(Tables.documents(s, d), "text", "merg")
@@ -3133,6 +3140,15 @@ object SparkEntry {
                ' ') || ' ' AS norm
            FROM documents)
          WHERE contains(norm, ' stream data ') ORDER BY doc_id""",
+    // no trailing pad: the last fragment may continue into its token
+    "q_match_phrase_prefix" ->
+      """SELECT doc_id FROM (
+           SELECT doc_id,
+             ' ' || array_to_string(
+               list_filter(string_split(lower(text), ' '), x -> x <> ''),
+               ' ') || ' ' AS norm
+           FROM documents)
+         WHERE contains(norm, ' stream da') ORDER BY doc_id""",
     "q_term_prefix" ->
       """SELECT doc_id FROM documents
          WHERE len(list_filter(string_split(lower(text), ' '),

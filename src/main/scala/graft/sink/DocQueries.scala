@@ -214,6 +214,25 @@ object DocQueries {
     index.filter(normalized.contains(" " + qTokens.mkString(" ") + " "))
   }
 
+  /** MatchPhrasePrefix (Elasticsearch's `match_phrase_prefix` /
+    * autocomplete-as-you-type): all tokens but the last must appear
+    * CONSECUTIVELY, and the last query token PREFIX-matches the next
+    * token — "merge wind" hits "merge window". Same space-padding trick
+    * as [[matchPhrase]], with the trailing pad dropped so the final
+    * token may continue: a leading space before the last fragment
+    * guarantees it starts a token. Pure projection + filter, no
+    * shuffle; a single-token query degrades to term-prefix.
+    */
+  def matchPhrasePrefix(index: DataFrame, field: String,
+      phrase: String): DataFrame = {
+    val qTokens = queryTokens(phrase)
+    require(qTokens.nonEmpty, "phrase-prefix match needs a non-empty phrase")
+    val normalized = concat(lit(" "),
+      array_join(filter(split(lower(col(field)), " "), t => t =!= lit("")), " "),
+      lit(" "))
+    index.filter(normalized.contains(" " + qTokens.mkString(" ")))
+  }
+
   /** Snippet highlighting (Lucene's highlighter, deterministic core):
     * for documents containing `term`, the 1-based token position of its
     * FIRST occurrence and a snippet of ±`context` tokens around it —

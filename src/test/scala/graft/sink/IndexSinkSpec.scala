@@ -508,6 +508,29 @@ class IndexSinkSpec extends SparkSpec {
       boom.getMessage)
   }
 
+  test("match_phrase_prefix: leading tokens exact, last token a prefix") {
+    val docs = Seq(
+      (1L, "merge window open"),       // "merge wind" hits (prefix)
+      (2L, "merge the window"),        // not consecutive — no hit
+      (3L, "submerge window"),         // "merge" must START a token
+      (4L, "merge windowless panes"),  // prefix continues further — hits
+      (5L, "merge window"),            // exact full phrase — hits
+      (6L, "window merge")             // wrong order — no hit
+    ).toDF("doc_id", "text")
+    def ids(q: String): Set[Long] =
+      DocQueries.matchPhrasePrefix(docs, "text", q)
+        .select("doc_id").as[Long].collect().toSet
+    assert(ids("merge wind") == Set(1L, 4L, 5L))
+    // complete last token behaves like matchPhrase WITHOUT the closing
+    // boundary: "merge window" also admits "windowless"
+    assert(ids("merge window") == Set(1L, 4L, 5L))
+    // single token degrades to term-prefix
+    assert(ids("merg") == Set(1L, 2L, 4L, 5L, 6L))
+    intercept[IllegalArgumentException] {
+      DocQueries.matchPhrasePrefix(docs, "text", "  ")
+    }
+  }
+
   test("boosting query downranks negative matches without excluding them") {
     val docs = Seq(
       (1L, "merge window clean"),            // positive only
