@@ -586,6 +586,20 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // MatchPhrasePrefix off the positional layout: leading tokens as
+    // exact phrase legs, the last as a pushed StringStartsWith prefix
+    // leg — q_match_phrase_prefix's contract served from the index.
+    "q_phrase_prefix_indexed" -> ((s, d) => {
+      val dir = tempDir("graft-posidx")
+      sink.InvertedIndex.writePostings(
+        sink.InvertedIndex.positionalPostings(
+          Tables.documents(s, d), "doc_id", "text"), s"$dir/positional")
+      sink.InvertedIndex.phrasePrefixSearch(
+          sink.InvertedIndex.readPostings(s, s"$dir/positional"),
+          "stream da")
+        .orderBy("doc_id")
+    }),
+
     // §2.6 — MatchAllQuery + field retrieval.
     "q_match_all" -> ((s, d) =>
       DocQueries.retrieve(DocQueries.matchAll(Tables.documents(s, d)),
@@ -3140,8 +3154,17 @@ object SparkEntry {
                ' ') || ' ' AS norm
            FROM documents)
          WHERE contains(norm, ' stream data ') ORDER BY doc_id""",
-    // no trailing pad: the last fragment may continue into its token
+    // no trailing pad: the last fragment may continue into its token;
+    // the indexed twin shares the oracle (same contract, pruned layout)
     "q_match_phrase_prefix" ->
+      """SELECT doc_id FROM (
+           SELECT doc_id,
+             ' ' || array_to_string(
+               list_filter(string_split(lower(text), ' '), x -> x <> ''),
+               ' ') || ' ' AS norm
+           FROM documents)
+         WHERE contains(norm, ' stream da') ORDER BY doc_id""",
+    "q_phrase_prefix_indexed" ->
       """SELECT doc_id FROM (
            SELECT doc_id,
              ' ' || array_to_string(

@@ -106,6 +106,31 @@ object InvertedIndex {
       .groupBy("doc_id").agg(count(lit(1)).as("n_occurrences"))
   }
 
+  /** MatchPhrasePrefix off the positional index
+    * ([[DocQueries.matchPhrasePrefix]] served from the layout): the
+    * leading tokens are exact phrase legs (start-aligned equi-joins, as
+    * in [[phraseSearch]]), and the LAST token is a PREFIX leg — a
+    * pushed `StringStartsWith` on the term-sorted postings, its
+    * positions aligned to sit right after the leading run. A
+    * single-token query is a pure pushed-prefix scan. Every leg stays
+    * df-sized; the joins only shrink.
+    */
+  def phrasePrefixSearch(positional: DataFrame, phrase: String): DataFrame = {
+    val qTokens = DocQueries.queryTokens(phrase)
+    require(qTokens.nonEmpty, "phrase-prefix search needs a non-empty phrase")
+    val init = qTokens.init
+    val lastLeg = positional.filter(col("term").startsWith(qTokens.last))
+      .select(col("doc_id"), explode(col("positions")).as("_p"))
+      .select(col("doc_id"), (col("_p") - init.size).as("_p"))
+    val legs = init.zipWithIndex.map { case (t, i) =>
+      positional.filter(col("term") === t)
+        .select(col("doc_id"), explode(col("positions")).as("_p"))
+        .select(col("doc_id"), (col("_p") - i).as("_p"))
+    } :+ lastLeg
+    legs.reduce((a, b) => a.join(b, Seq("doc_id", "_p")))
+      .select("doc_id").distinct()
+  }
+
   /** Ordered proximity search (Lucene SpanNearQuery, inOrder = true)
     * over the positional index: documents where the query tokens appear
     * IN ORDER with at most `slop` non-query tokens interleaved — i.e.

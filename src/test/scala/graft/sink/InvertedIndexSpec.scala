@@ -335,6 +335,32 @@ class InvertedIndexSpec extends SparkSpec {
       .contains("StringStartsWith(term,scan)"))
   }
 
+  test("phrasePrefixSearch indexed ≡ scan form; prefix leg pushes") {
+    val docs = Seq(
+      (1L, "merge window open"),
+      (2L, "merge the window"),
+      (3L, "submerge window"),
+      (4L, "merge windowless panes"),
+      (5L, "merge window"),
+      (6L, "window merge")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("ppidx").toString
+    InvertedIndex.writePostings(
+      InvertedIndex.positionalPostings(docs, "doc_id", "text"), dir)
+    val persisted = InvertedIndex.readPostings(spark, dir)
+    for (q <- Seq("merge wind", "merge window", "merg")) {
+      val idx = InvertedIndex.phrasePrefixSearch(persisted, q)
+        .as[Long].collect().toSet
+      val scan = DocQueries.matchPhrasePrefix(docs, "text", q)
+        .select("doc_id").as[Long].collect().toSet
+      assert(idx == scan, s"q=$q idx=$idx scan=$scan")
+    }
+    // the last token's prefix reaches the postings scan pushed
+    val plan = InvertedIndex.phrasePrefixSearch(persisted, "merge wind")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("StringStartsWith(term,wind"), plan)
+  }
+
   test("disMaxSearch indexed ≡ scan form") {
     val docs = corpus
     val idx = InvertedIndex.disMaxSearch(
