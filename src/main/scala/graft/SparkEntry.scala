@@ -80,11 +80,16 @@ object SparkEntry {
         .orderBy("event_id")),
 
     // §2 S2 — incremental snapshot scan: only records past the checkpoint.
-    // Filters on the RAW nanos column so the predicate pushes into the
-    // parquet scan (a filter on the derived timestamp would full-scan).
+    // The cutoff is predicated on BOTH time columns — the two legs are
+    // equivalent by construction (Tables derives one from the other), and
+    // each parquet layout pushes its native one into the scan: the
+    // TIMESTAMP(MICROS) layout unwraps the cast on `ts`, the
+    // nanos-as-long layout pushes the raw `ts_ns` comparison. The
+    // redundant leg prunes nothing extra but costs one codegen compare.
     "s2_incremental_scan" -> ((s, d) =>
       Tables.events(s, d)
-        .filter(col("ts_ns") >= lit(1705276800000000000L)) // 2024-01-15T00:00Z
+        .filter(col("ts") >= lit("2024-01-15T00:00:00Z").cast("timestamp") &&
+          col("ts_ns") >= lit(1705276800000000000L))
         .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
           col("event_type"))
         .orderBy("event_id")),
@@ -170,14 +175,19 @@ object SparkEntry {
     // §2 C7 — full changelog merge into a keyed snapshot (upsert+delete).
     "c7_cdc_merge" -> ((s, d) => {
       val cl = eventsChangelog(s, d)
-      val cutoffNs = 1705276800000000000L // 2024-01-15T00:00Z, pushdown-able
+      // 2024-01-15T00:00Z, predicated on both time columns so either
+      // parquet layout pushes its native leg (the s2 convention)
+      val cutoffNs = 1705276800000000000L
+      val cutoffTs = lit("2024-01-15T00:00:00Z").cast("timestamp")
       val baseCompact = Changelog.compact(
-        Changelog.classify(cl.filter(col("ts_ns") < cutoffNs), "op"),
+        Changelog.classify(
+          cl.filter(col("ts") < cutoffTs && col("ts_ns") < cutoffNs), "op"),
         "user_id", Seq(col("ts_us"), col("event_id")))
       val base = baseCompact.filter(col("_action") === "upsert")
         .select("user_id", "event_id", "value")
       val changes = Changelog.compact(
-        Changelog.classify(cl.filter(col("ts_ns") >= cutoffNs), "op"),
+        Changelog.classify(
+          cl.filter(col("ts") >= cutoffTs && col("ts_ns") >= cutoffNs), "op"),
         "user_id", Seq(col("ts_us"), col("event_id")))
         .select(col("user_id"), col("event_id"), col("value"), col("_action"))
       Changelog.merge(base, changes, "user_id")
@@ -258,6 +268,25 @@ object SparkEntry {
         Tables.documents(s, d).select("doc_id", "text"), "doc_id", "text",
         positive = "merge window", negative = Seq("stream"),
         demoteFactor = 0.5, k = 20)),
+
+    // FunctionScoreQuery + Gaussian decay (ES function_score/gauss):
+    // BM25 relevance × a length decay on n_chars — full score inside the
+    // 500-char plateau, ×0.5 at 2500 chars. One extra codegen'd
+    // projection on the BM25 plan; no join, no extra shuffle.
+    "q_function_score" -> ((s, d) =>
+      DocQueries.functionScoreGauss(
+        Tables.documents(s, d).select("doc_id", "text", "n_chars"),
+        "doc_id", "text", "merge window scan", "n_chars",
+        origin = 0.0, scale = 2000.0, offset = 500.0, decay = 0.5, k = 20)),
+
+    // ConstantScoreQuery (Lucene): filter context — every match gets the
+    // boost as its score, no corpus statistics computed at all.
+    "q_constant_score" -> ((s, d) =>
+      DocQueries.matchAllTerms(
+          Tables.documents(s, d).select("doc_id", "text"), "text",
+          "merge window")
+        .select(col("doc_id"), lit(1.2).as("score"))
+        .orderBy("doc_id")),
 
     // §2.6 index structure — the flat (term, doc_id, tf) postings table
     // (Lucene's postings lists, Spark-native: no giant per-term arrays,
@@ -915,6 +944,65 @@ object SparkEntry {
       val dir = tempDir("graft-geoidx")
       sink.GeoIndex.write(pts, "doc_id", "lat", "lon", dir, cellDeg = 30.0) // coarse gate lattice: 72 cells bound the timed write; pruning pins live in GeoIndexSpec
       sink.GeoIndex.knnSearch(s, dir, 40.0, -74.0, 15)
+    }),
+
+    // Keyed geo mutation (GeoIndex upsert/delete, the VectorIndex
+    // protocol on the cell grid): base = ids ≥ 50, then upsert < 50,
+    // RE-upsert < 10 at moved positions (supersede — possibly across
+    // cells), tombstone [10, 30). The radius query reads the live
+    // last-writer-wins view; O(batch) commit bytes and cross-cell
+    // supersede are pinned in GeoIndexSpec.
+    "x_geo_upsert" -> ((s, d) => {
+      val pts = Tables.documents(s, d).select("doc_id")
+        .withColumn("lat",
+          (col("doc_id") * 37 % 17000).cast("double") / 100.0 - 85.0)
+        .withColumn("lon",
+          (col("doc_id") * 91 % 36000).cast("double") / 100.0 - 180.0)
+      val dir = tempDir("graft-geoups")
+      sink.GeoIndex.write(pts.filter(col("doc_id") >= 50),
+        "doc_id", "lat", "lon", dir, cellDeg = 30.0)
+      sink.GeoIndex.upsert(pts.filter(col("doc_id") < 50),
+        "doc_id", "lat", "lon", dir)
+      sink.GeoIndex.upsert(
+        pts.filter(col("doc_id") < 10)
+          .withColumn("lat", col("lat") / 2 + 10), // moved position, in range
+        "doc_id", "lat", "lon", dir)
+      sink.GeoIndex.delete(
+        pts.filter(col("doc_id") >= 10 && col("doc_id") < 30)
+          .select("doc_id"), "doc_id", dir)
+      // candidate radius +1 m, then the scan form's exact rounded cut
+      // (the x_geo_radius_indexed boundary convention)
+      sink.GeoIndex.radiusSearch(s, dir, 40.0, -74.0, 3000.001)
+        .withColumn("dist_km", round(col("dist_km"), 3))
+        .filter(col("dist_km") <= 3000.0)
+        .select("doc_id", "lat", "lon", "dist_km")
+        .orderBy("doc_id")
+    }),
+
+    // Geo index health: occupancy stats over the LIVE view after an
+    // upsert and a delete. n_points, the full-lattice cell count, and
+    // commit depth are exact oracle values; skew gates as a boolean
+    // (the x_sim_ivf_stats convention). Drift teeth (skew rises under
+    // one-sided ingest) are pinned in GeoIndexSpec.
+    "x_geo_stats" -> ((s, d) => {
+      val pts = Tables.documents(s, d).select("doc_id")
+        .withColumn("lat",
+          (col("doc_id") * 37 % 17000).cast("double") / 100.0 - 85.0)
+        .withColumn("lon",
+          (col("doc_id") * 91 % 36000).cast("double") / 100.0 - 180.0)
+      val dir = tempDir("graft-geostat")
+      sink.GeoIndex.write(pts.filter(col("doc_id") >= 20),
+        "doc_id", "lat", "lon", dir, cellDeg = 30.0)
+      sink.GeoIndex.upsert(pts.filter(col("doc_id") < 20),
+        "doc_id", "lat", "lon", dir)
+      sink.GeoIndex.delete(pts.filter(col("doc_id") < 5).select("doc_id"),
+        "doc_id", dir)
+      sink.GeoIndex.stats(s, dir).select(
+        col("n_points"), col("n_cells"),
+        (col("skew") >= 1.0).as("skew_ok"),
+        (col("max_cell") * col("n_nonempty_cells") >= col("n_points"))
+          .as("max_consistent"),
+        col("n_pending_commits"))
     }),
 
     // Spatial radius join: 3 centers × all docs' synthetic coordinates
@@ -2160,6 +2248,18 @@ object SparkEntry {
           col("event_type"), col("n"))
         .orderBy("hour_us", "event_type")),
 
+    // Streaming exact dedup (dropDuplicatesWithinWatermark): dedup state
+    // expires at the watermark horizon, so it stays bounded on an
+    // unbounded stream. Batch twin gates the surviving KEY SET (which
+    // row of a duplicate group survives is arrival-order-dependent by
+    // contract); the true cross-micro-batch drop + state expiry is
+    // pinned in StreamingOpsSpec ("first arrival per key").
+    "ws_dedup" -> ((s, d) =>
+      streaming.StreamingOps.dedupeStream(Tables.events(s, d), "ts",
+          "10 minutes", Seq("user_id", "event_type"))
+        .select("user_id", "event_type")
+        .orderBy("user_id", "event_type")),
+
     // Windowed approx-distinct users (HLL++ — fixed-size state per
     // window where exact distinct is unbounded): same operator body as
     // the stream, batch-gated within ±5% of the exact count per window.
@@ -2557,6 +2657,51 @@ object SparkEntry {
 
     "q_dis_max_indexed" -> disMaxOracle,
 
+    // BM25 leg rounded 6dp first (the engine's leg-frame convention),
+    // then × the Gaussian decay on n_chars, re-rounded; σ² mirrors the
+    // engine's ES calibration −scale²/(2 ln decay) term-for-term
+    "q_function_score" ->
+      """WITH t AS (SELECT doc_id, n_chars,
+             CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+               AS DOUBLE) AS dl,
+             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'merge'))
+               AS DOUBLE) AS tf0,
+             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'window'))
+               AS DOUBLE) AS tf1,
+             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'scan'))
+               AS DOUBLE) AS tf2
+           FROM documents),
+         s AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+             CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+             CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+             CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+           FROM t),
+         z AS (SELECT doc_id, n_chars,
+             ln(1 + (n - df0 + 0.5) / (df0 + 0.5))
+               * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             + ln(1 + (n - df1 + 0.5) / (df1 + 0.5))
+               * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             + ln(1 + (n - df2 + 0.5) / (df2 + 0.5))
+               * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+               AS score
+           FROM t, s),
+         r AS (SELECT doc_id, n_chars, round(score, 6) AS bm25
+           FROM z WHERE score > 0)
+         SELECT doc_id,
+           round(bm25 * exp(
+             -pow(greatest(0.0, abs(CAST(n_chars AS DOUBLE) - 0.0) - 500.0), 2)
+             / (2.0 * (-(2000.0 * 2000.0) / (2.0 * ln(0.5))))), 6) AS score
+         FROM r ORDER BY score DESC, doc_id LIMIT 20""",
+
+    // filter context: uniform boost, no statistics
+    "q_constant_score" ->
+      """SELECT doc_id, 1.2 AS score FROM documents
+         WHERE list_contains(list_filter(string_split(lower(text), ' '),
+                 x -> x <> ''), 'merge')
+           AND list_contains(list_filter(string_split(lower(text), ' '),
+                 x -> x <> ''), 'window')
+         ORDER BY doc_id""",
+
     "q_range" ->
       """SELECT doc_id, n_chars FROM documents
          WHERE n_chars >= 500 AND n_chars < 1500 ORDER BY doc_id""",
@@ -2784,6 +2929,35 @@ object SparkEntry {
              * sin(radians(-74.0 - lon) / 2) * sin(radians(-74.0 - lon) / 2))),
              3) AS dist_km
          FROM p ORDER BY dist_km, doc_id LIMIT 15""",
+    // live survivor set: ids ≥ 30 at original positions (the delete
+    // removed [10,30)) plus ids < 10 at their re-upserted positions
+    "x_geo_upsert" ->
+      """WITH p AS (SELECT doc_id,
+             CAST(doc_id * 37 % 17000 AS DOUBLE) / 100.0 - 85.0 AS lat,
+             CAST(doc_id * 91 % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon
+           FROM documents),
+         live AS (
+           SELECT doc_id, lat, lon FROM p WHERE doc_id >= 30
+           UNION ALL
+           SELECT doc_id, lat / 2 + 10 AS lat, lon FROM p WHERE doc_id < 10),
+         dkm AS (SELECT doc_id, lat, lon,
+             round(2 * 6371.0088 * asin(sqrt(
+               sin(radians(40.0 - lat) / 2) * sin(radians(40.0 - lat) / 2)
+               + cos(radians(lat)) * cos(radians(40.0))
+               * sin(radians(-74.0 - lon) / 2) * sin(radians(-74.0 - lon) / 2))),
+               3) AS dist_km
+           FROM live)
+         SELECT doc_id, lat, lon, dist_km FROM dkm
+         WHERE dist_km <= 3000.0 ORDER BY doc_id""",
+    // live count after upsert(<20, supersede) + delete(<5); the 30°
+    // lattice holds 7 lat rows × 12 lon cols = 84 cells; one upsert +
+    // one delete pending in the commit log
+    "x_geo_stats" ->
+      """SELECT CAST(count(*) - 5 AS BIGINT) AS n_points,
+           CAST(84 AS BIGINT) AS n_cells,
+           TRUE AS skew_ok, TRUE AS max_consistent,
+           CAST(2 AS BIGINT) AS n_pending_commits
+         FROM documents""",
     // ray casting unrolled edge-for-edge with identical literal
     // arithmetic — pure comparisons and one division, no rounding needed
     "x_geo_polygon" ->
@@ -3852,6 +4026,11 @@ object SparkEntry {
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
            TRUE AS approx_ok
          FROM events GROUP BY 1 ORDER BY hour_us""",
+    // surviving key set — which duplicate-group row survives is
+    // arrival-order-dependent by dropDuplicates contract
+    "ws_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+         ORDER BY user_id, event_type""",
     // knnJoin shape + label exclusion; same row_number mirror
     "x_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv,

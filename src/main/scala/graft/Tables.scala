@@ -5,15 +5,22 @@ import org.apache.spark.sql.functions._
 
 /** Canonical loaders for the driver-provided parquet tables (TESTDATA.md).
   *
-  * `events.parquet` carries INT64 TIMESTAMP(NANOS) which Spark's vectorized
-  * parquet reader rejects unless `spark.sql.legacy.parquet.nanosAsLong` is
-  * set; we read the raw nanos and expose a proper microsecond timestamp
-  * column so downstream operators see a normal `TimestampType`. The conf
-  * belongs to SESSION CONSTRUCTION (set it in the builder, as Bench /
-  * Verify / PlanProbe and the test harness do — see [[nanosAsLongConf]]):
-  * a table loader that mutated session state as a side effect would
-  * surprise any library user sharing the session. [[load]] only verifies
-  * it and fails with guidance.
+  * `events.parquet` has shipped in two layouts across testdata
+  * generations, and [[load]] adapts by the scanned type of `ts`:
+  *
+  *   - INT64 TIMESTAMP(NANOS), which Spark's vectorized parquet reader
+  *     rejects unless `spark.sql.legacy.parquet.nanosAsLong` is set (the
+  *     conf belongs to SESSION CONSTRUCTION — set it in the builder, as
+  *     Bench / Verify and the test harness do; see [[nanosAsLongConf]] —
+  *     a loader that mutated session state as a side effect would
+  *     surprise any library user sharing the session);
+  *   - TIMESTAMP(MICROS), which scans natively as `timestamp_ntz`.
+  *
+  * Either way the loaded frame exposes the SAME two-column contract:
+  * `ts` as session-zone `TimestampType` and `ts_ns` as epoch-nanos long
+  * (raw in the nanos layout, derived µs×1000 in the micros layout).
+  * Time-range queries predicate on BOTH (the s2 convention) so each
+  * layout pushes its native column into the parquet scan.
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -35,21 +42,36 @@ object Tables {
   /** Read one table from a scale-factor directory. */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     cache.computeIfAbsent((spark, s"$sfDir/$name.parquet"), { case (_, path) =>
-      require(name != "events" ||
-          spark.conf.get(nanosAsLongConf, "false") == "true",
-        s"set .config(\"$nanosAsLongConf\", \"true\") on the SparkSession " +
-          "builder (events.parquet carries INT64 TIMESTAMP(NANOS))")
-      val df = spark.read.parquet(path)
-      if (name == "events")
-        // raw column is nanos-since-epoch (long); expose micros
-        // TimestampType. Integer `div`, NOT `/`: float division on
-        // ~1.7e18 nanos exceeds double's exact integer range and corrupts
-        // the low digits. The raw nanos survive as `ts_ns`: predicates
-        // against the derived timestamp cannot reach the parquet scan (no
-        // pushdown through timestamp_micros), so time-range scans must
-        // filter on ts_ns.
-        df.withColumn("ts_ns", col("ts"))
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val df = try spark.read.parquet(path) catch {
+        case e: Exception if name == "events" &&
+            String.valueOf(e.getMessage).contains("NANOS") =>
+          throw new IllegalStateException(
+            s"set .config(\"$nanosAsLongConf\", \"true\") on the " +
+              "SparkSession builder (this events.parquet carries INT64 " +
+              "TIMESTAMP(NANOS))", e)
+      }
+      if (name == "events") df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          // TIMESTAMP(NANOS) layout read via nanosAsLong: the raw column
+          // is nanos-since-epoch (long); expose micros TimestampType.
+          // Integer `div`, NOT `/`: float division on ~1.7e18 nanos
+          // exceeds double's exact integer range and corrupts the low
+          // digits. The raw nanos survive as `ts_ns`: predicates against
+          // the derived timestamp cannot reach the parquet scan, so
+          // time-range scans must filter on ts_ns.
+          df.withColumn("ts_ns", col("ts"))
+            .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ =>
+          // TIMESTAMP(MICROS) layout: the scan column is timestamp_ntz;
+          // cast to session-zone TimestampType (sessions here run UTC,
+          // so the instant is unchanged) so downstream operators see the
+          // same TimestampType either layout exposes. Range predicates
+          // on the cast column still reach the parquet scan — Catalyst
+          // unwraps the cast onto the raw NTZ column (PlanSpec-pinned).
+          // ts_ns is DERIVED (µs × 1000) to keep the raw-epoch contract.
+          df.withColumn("ts", col("ts").cast("timestamp"))
+            .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+      }
       else df
     })
 

@@ -73,9 +73,14 @@ object Funnel {
       .zipWithIndex
       .map { case (f, i) => f.select(col(userCol), lit(i).as("_stage")) }
       .reduce(_.unionByName(_))
+    // coalesce: a sum over ZERO rows is NULL, but the count of an empty
+    // funnel window is 0 — preserve the count-of-empty-set-is-0 contract
+    // (and 0-checksum) the per-stage count(1) formulation had
     val aggs = stages.zipWithIndex.flatMap { case (s, i) => Seq(
-      sum(when(col("_stage") === i, 1).otherwise(0)).as(s"n_$s"),
-      sum(when(col("_stage") === i, col(userCol))).as(s"users_sum_$s"))
+      coalesce(sum(when(col("_stage") === i, 1).otherwise(0)), lit(0L))
+        .as(s"n_$s"),
+      coalesce(sum(when(col("_stage") === i, col(userCol))), lit(0L))
+        .as(s"users_sum_$s"))
     }
     tagged.agg(aggs.head, aggs.tail: _*)
   }

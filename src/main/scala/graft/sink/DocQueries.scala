@@ -267,9 +267,10 @@ object DocQueries {
     * the `should` terms present — with [[boolClauses]]' Lucene defaults
     * (msm −1 ⇒ 1 when there are no MUST clauses, else 0; a MUST-less
     * query's msm saturates up to 1). Clause SETS — duplicates collapse.
-    * A query with NEITHER must NOR should clauses fails LOUDLY
-    * (`assert_true`) rather than silently diverging between a
-    * match-nothing engine and a match-everything oracle.
+    * A query with NEITHER must NOR should clauses fails LOUDLY (a
+    * driver-side fail-fast over the small queries side) rather than
+    * silently diverging between a match-nothing engine and a
+    * match-everything oracle.
     *
     * The relational inversion that makes this scale: queries × docs is
     * never a cross product. Each query's MUST and SHOULD clauses explode
@@ -294,18 +295,23 @@ object DocQueries {
     val docTerms = docs.select(col(idCol),
         explode(split(lower(col(textCol)), " ")).as("term"))
       .filter(col("term") =!= "").distinct()
-    // Per-query metadata. The empty-clause check rides a Filter whose
-    // predicate is assert_true(..).isNull — null on success, so the
-    // predicate is uniformly true, but a Filter evaluates it for EVERY
-    // query row (a check hidden in a projected column would be skipped
-    // for rows the clause explode drops — exactly the invalid ones).
+    // Empty-clause check, DRIVER-side: queries are the small side by
+    // design (registered alerts, not the firehose), so one filter +
+    // limit(1) job fails fast — no reliance on the optimizer continuing
+    // to evaluate an always-true assert_true Filter for every row (a
+    // future rule pruning that Filter would silently re-open the
+    // engine-matches-nothing vs oracle-matches-everything divergence).
+    val invalid = queries.select(col("query_id"),
+        (size(array_distinct(col("must"))) +
+          size(array_distinct(coalesce(shCol,
+            array().cast("array<string>"))))).as("_nc"))
+      .filter(col("_nc") <= 0).limit(1).collect()
+    invalid.headOption.foreach(r => throw new IllegalArgumentException(
+      s"percolate: query '${r.get(0)}' has no MUST or SHOULD clauses"))
     val qMeta = queries.select(col("query_id"),
         array_distinct(col("must")).as("_m"),
         array_distinct(coalesce(shCol, array().cast("array<string>")))
           .as("_sh"), msmCol.as("_msm0"))
-      .filter(assert_true(size(col("_m")) + size(col("_sh")) > 0,
-        concat(lit("percolate: query '"), col("query_id"),
-          lit("' has no MUST or SHOULD clauses"))).isNull)
       .select(col("query_id"), col("_m"), col("_sh"),
         size(col("_m")).as("_n_must"),
         when(col("_msm0") >= 0, col("_msm0"))
@@ -380,10 +386,13 @@ object DocQueries {
       .limit(k)
 
   /** All positive BM25 scores for `query` — the un-limited body shared
-    * by [[matchTextBM25]] (top-k) and [[searchAfter]] (cursor page).
+    * by [[matchTextBM25]] (top-k), [[searchAfter]] (cursor page) and
+    * [[functionScoreGauss]] (which threads `extraCols` through so the
+    * decay field survives the scoring projection).
     */
   private def bm25Scores(index: DataFrame, idCol: String, field: String,
-      query: String, k1: Double, b: Double): DataFrame = {
+      query: String, k1: Double, b: Double,
+      extraCols: Seq[String] = Nil): DataFrame = {
     val qTokens = queryTokens(query).distinct
     require(qTokens.nonEmpty, "BM25 needs a non-empty query")
     // ONE tokenization pass per row ([[graft.functions.TermFreqStats]];
@@ -395,8 +404,9 @@ object DocQueries {
       col("_s.dl").cast("double").as("_dl") +:
         qTokens.indices.map(i =>
           element_at(col("_s.tf"), i + 1).cast("double").as(s"_tf$i"))
-    val base = index.select(col(idCol), stats0.as("_s"))
-      .select(col(idCol) +: perDoc: _*)
+    val keep = col(idCol) +: extraCols.map(col)
+    val base = index.select(keep :+ stats0.as("_s"): _*)
+      .select(keep ++ perDoc: _*)
     val aggCols: Seq[Column] =
       count(lit(1)).cast("double").as("_n") +:
         avg(col("_dl")).as("_avgdl") +:
@@ -407,9 +417,40 @@ object DocQueries {
       bm25Contrib(col(s"_tf$i"), col(s"_df$i"), col("_n"),
         col("_avgdl"), col("_dl"), k1, b)).reduce(_ + _)
     base.crossJoin(broadcast(stats))
-      .select(col(idCol), score.as("_score"))
+      .select(keep :+ score.as("_score"): _*)
       .filter(col("_score") > 0)
-      .select(col(idCol), round(col("_score"), 6).as("bm25"))
+      .select(keep :+ round(col("_score"), 6).as("bm25"): _*)
+  }
+
+  /** FunctionScoreQuery with a Gaussian decay (the Lucene/ES
+    * `function_score` + `gauss` shape): relevance × a distance decay on
+    * a numeric document field — "relevant AND recent/short/near". The
+    * multiplier is `exp(−max(0, |v−origin|−offset)² / (2σ²))` with
+    * `σ² = −scale² / (2 ln decay)`, ES's calibration: the factor is
+    * exactly `decay` at distance `scale` beyond the `offset` plateau.
+    *
+    * Determinism contract: the BM25 leg is rounded 6dp first (the same
+    * leg-frame convention as [[disMaxSearch]]), then the product is
+    * rounded 6dp — both mirrored by the oracle. At scale this adds ONE
+    * codegen'd projection to the BM25 plan: no extra shuffle, no join
+    * (the decay field rides the scoring projection).
+    */
+  def functionScoreGauss(index: DataFrame, idCol: String, field: String,
+      query: String, valueCol: String, origin: Double, scale: Double,
+      offset: Double, decay: Double, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(scale > 0, s"scale must be positive, got $scale")
+    require(decay > 0 && decay < 1, s"decay must be in (0, 1), got $decay")
+    require(offset >= 0, s"offset must be non-negative, got $offset")
+    val sigma2 = -scale * scale / (2.0 * math.log(decay))
+    val dist = greatest(lit(0.0),
+      abs(col(valueCol).cast("double") - lit(origin)) - lit(offset))
+    bm25Scores(index, idCol, field, query, k1, b, Seq(valueCol))
+      .select(col(idCol),
+        round(col("bm25") * exp(-(dist * dist) / lit(2.0 * sigma2)), 6)
+          .as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
   }
 
   /** BoostingQuery (Lucene): rank by the positive query's BM25 score,

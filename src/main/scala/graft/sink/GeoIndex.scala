@@ -1,6 +1,7 @@
 package graft.sink
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -21,12 +22,37 @@ import graft.operators.GeoJoin
   *
   * Layout under `dir`:
   *   - `meta/` — one row `(id_col, lat_col, lon_col, cell_deg)`.
-  *   - `cells/cell=<i>/` — the points, one directory per non-empty grid
-  *     cell, `cell = (latCell - latCell(-90)) · lonCells + lonCell`.
+  *   - `cells/cell=<i>/` — the base points, one directory per non-empty
+  *     grid cell, `cell = (latCell - latCell(-90)) · lonCells + lonCell`,
+  *     sequence 0.
+  *   - `commits/<seq>/{cells,docs}` — one dir per [[upsert]]/[[delete]]
+  *     ([[DeltaLog]] protocol, atomic rename): the batch's cell-tagged
+  *     points plus `docs`, the ids WRITTEN BY this commit (a delete
+  *     writes ids with no points — a keyed tombstone).
   *
-  * The layout is immutable (rebuild = re-[[write]]); a mutable variant
-  * would add the [[DeltaLog]] commit protocol exactly as
-  * [[VectorIndex]] does — same grid, same pruning.
+  * Mutation is id-granular last-writer-wins, the [[VectorIndex]] /
+  * [[IncrementalPostings]] design verbatim: a point's position comes
+  * from the highest sequence that wrote its id (the base if none did);
+  * the owner table is one row per ever-touched id and broadcasts until
+  * [[compact]] folds it away. A re-upserted id supersedes its old
+  * position even when the new one lands in a DIFFERENT cell.
+  *
+  * One scale property is STRONGER here than in [[VectorIndex]]: the
+  * cell id is a pure function of the stored coordinates, so a covered
+  * ball is fully contained in its covered-cell set on EVERY leg — the
+  * cell filter prunes the base at file-listing time AND the commit legs
+  * at row-group time (VectorIndex's radius bound is only proven over
+  * base members, so its commit legs must always scan in full).
+  *
+  * Coordinate hygiene (write-time contract): lat must be in [-90, 90]
+  * and both coordinates non-null — violations fail LOUDLY
+  * (`raise_error`, the sink's null-`_id` precedent) rather than landing
+  * in a null Hive partition invisible to every query. Longitude is
+  * normalized into [-180, 180) before persisting, so the stored value,
+  * the cell id, and every [-180,180]-convention post-filter
+  * ([[GeoFunctions.inBoundingBox]]) agree on one convention; in-range
+  * longitudes are stored bit-identical (the normalization term is
+  * exactly zero for them).
   */
 object GeoIndex {
 
@@ -39,57 +65,266 @@ object GeoIndex {
   private final case class Meta(idCol: String, latCol: String,
       lonCol: String, cellDeg: Double)
 
-  private def readMeta(spark: SparkSession, dir: String): Meta = {
-    val r = spark.read.schema(metaSchema).parquet(s"$dir/meta").head()
-    Meta(r.getString(0), r.getString(1), r.getString(2), r.getDouble(3))
-  }
+  // The schema contract is immutable between rebuilds (upsert/delete/
+  // compact never touch it) and the module is single-writer, so it
+  // memoizes per (session, dir), refreshed by [[write]] — one meta read
+  // per serving session instead of one per query (and per knnSearch
+  // ring probe).
+  private val metaCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Meta]()
+
+  private def readMeta(spark: SparkSession, dir: String): Meta =
+    metaCache.computeIfAbsent((spark, dir), { case (s, d) =>
+      val r = s.read.schema(metaSchema).parquet(s"$d/meta").head()
+      Meta(r.getString(0), r.getString(1), r.getString(2), r.getDouble(3))
+    })
 
   /** Combined non-negative cell id for a (latCell, lonCell) pair. */
   private def cellId(la: Int, lo: Int, cellDeg: Double): Int =
     (la - GeoJoin.latCellOf(-90.0, cellDeg)) *
       GeoJoin.lonCellCount(cellDeg) + lo
 
-  /** Lay `points` out by grid cell. One shuffle on the cell key keeps
-    * one file per cell (not tasks × cells small files).
+  /** The grid-cell id of a (lat, lon) column pair — the column twin of
+    * [[cellId]]∘([[GeoJoin.latCellOf]], [[GeoJoin.lonCellOf]]).
+    */
+  private def cellExpr(latCol: String, lonCol: String,
+      cellDeg: Double): Column = {
+    val nLon = GeoJoin.lonCellCount(cellDeg)
+    val latOff = GeoJoin.latCellOf(-90.0, cellDeg)
+    ((floor(col(latCol) / cellDeg).cast("int") - lit(latOff)) * nLon +
+      least(floor(pmod(col(lonCol), lit(360.0)) / cellDeg).cast("int"),
+        lit(nLon - 1))).cast("int")
+  }
+
+  /** Reject invalid coordinates loudly and normalize longitude into
+    * [-180, 180) — see the class doc's coordinate-hygiene contract.
+    */
+  private def checkedPoints(df: DataFrame, latCol: String,
+      lonCol: String): DataFrame = {
+    val latT = df.schema(latCol).dataType
+    df.withColumn(latCol,
+        when(col(latCol).isNotNull && col(lonCol).isNotNull &&
+            col(latCol) >= -90.0 && col(latCol) <= 90.0, col(latCol))
+          .otherwise(raise_error(concat(
+            lit("GeoIndex: invalid coordinate (lat="),
+            coalesce(col(latCol).cast("string"), lit("null")),
+            lit(", lon="),
+            coalesce(col(lonCol).cast("string"), lit("null")),
+            lit(") — lat must be in [-90, 90], both non-null")))
+            .cast(latT)))
+      .withColumn(lonCol,
+        col(lonCol) - lit(360.0) * floor((col(lonCol) + 180.0) / 360.0))
+  }
+
+  /** Lay `points` out by grid cell, resetting any previous commit log
+    * (a rebuild absorbs every live row the caller passes). One shuffle
+    * on the cell key keeps one file per cell (not tasks × cells small
+    * files).
     */
   def write(points: DataFrame, idCol: String, latCol: String,
       lonCol: String, dir: String, cellDeg: Double = 15.0): Unit = {
     require(cellDeg > 0 && cellDeg <= 45,
       s"cellDeg must be in (0, 45], got $cellDeg")
     val spark = points.sparkSession
-    val nLon = GeoJoin.lonCellCount(cellDeg)
-    val latOff = GeoJoin.latCellOf(-90.0, cellDeg)
     spark.createDataFrame(
         spark.sparkContext.parallelize(
           Seq(Row(idCol, latCol, lonCol, cellDeg)), 1), metaSchema)
       .write.mode("overwrite").parquet(s"$dir/meta")
-    points
-      .withColumn("cell",
-        ((floor(col(latCol) / cellDeg).cast("int") - lit(latOff)) * nLon +
-          least(floor(pmod(col(lonCol), lit(360.0)) / cellDeg).cast("int"),
-            lit(nLon - 1))).cast("int"))
+    checkedPoints(points, latCol, lonCol)
+      .withColumn("cell", cellExpr(latCol, lonCol, cellDeg))
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+    // a rebuild starts a fresh history: everything live is in the base
+    DeltaLog.fs(spark, dir).delete(new Path(s"$dir/commits"), true)
+    metaCache.put((spark, dir), Meta(idCol, latCol, lonCol, cellDeg))
   }
 
-  /** Every indexed point within `radiusKm` of the center, with
-    * `dist_km` appended — reads ONLY the covered cell directories.
+  /** Upsert a batch by key: tag with the grid cell (same hygiene and
+    * same cell function as [[write]]) and commit ONE O(batch) delta —
+    * the batch's points plus its ids as the ownership record, `cell` as
+    * a DATA column (row-group pruning; no directory fan-out per tiny
+    * batch). A re-upserted id supersedes its previous position at read
+    * time; ids new to the index simply appear. Returns the commit
+    * sequence. Each id at most once per batch, non-null — the
+    * [[VectorIndex.upsert]] guard verbatim (two versions of an id in
+    * one commit would both survive the one-owner-sequence-per-id
+    * filter; a null id could never be superseded or deleted).
     */
-  def radiusSearch(spark: SparkSession, dir: String, centerLat: Double,
-      centerLon: Double, radiusKm: Double): DataFrame = {
-    require(radiusKm > 0, s"radiusKm must be positive, got $radiusKm")
+  def upsert(points: DataFrame, idCol: String, latCol: String,
+      lonCol: String, dir: String): Int = {
+    val spark = points.sparkSession
     val m = readMeta(spark, dir)
+    require(m.idCol == idCol && m.latCol == latCol && m.lonCol == lonCol,
+      s"index at $dir was built over ('${m.idCol}', '${m.latCol}', " +
+        s"'${m.lonCol}'), not ('$idCol', '$latCol', '$lonCol')")
+    val g = points.agg(count(lit(1)).as("n"),
+      count_distinct(col(idCol)).as("nd"),
+      count(when(col(idCol).isNull, 1)).as("nn")).head()
+    require(g.getLong(2) == 0 && g.getLong(0) == g.getLong(1),
+      s"upsert: batch carries a null or duplicated '$idCol' " +
+        s"(${g.getLong(0)} rows, ${g.getLong(1)} distinct non-null ids); " +
+        "a commit owns each non-null id once — dedupe last-writer-wins " +
+        "upstream")
+    val tagged = checkedPoints(points, latCol, lonCol)
+      .withColumn("cell", cellExpr(latCol, lonCol, m.cellDeg))
+      .select(col(idCol), col(latCol), col(lonCol), col("cell"))
+    DeltaLog.commit(spark, s"$dir/commits",
+        DeltaLog.nextSeq(spark, s"$dir/commits"), "docs") { tmp =>
+      tagged.write.mode("overwrite").parquet(s"$tmp/cells")
+      tagged.select(col(idCol))
+        .write.mode("overwrite").parquet(s"$tmp/docs")
+    }
+  }
+
+  /** Delete by key: the ids claim ownership with no points — a keyed
+    * tombstone, O(ids) bytes. Returns the commit sequence.
+    */
+  def delete(ids: DataFrame, idCol: String, dir: String): Int = {
+    val spark = ids.sparkSession
+    val m = readMeta(spark, dir)
+    require(m.idCol == idCol,
+      s"index at $dir is keyed by '${m.idCol}', not '$idCol'")
+    val baseSchema = spark.read.parquet(s"$dir/cells").schema
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], baseSchema).repartition(1)
+    DeltaLog.commit(spark, s"$dir/commits",
+        DeltaLog.nextSeq(spark, s"$dir/commits"), "docs") { tmp =>
+      empty.write.mode("overwrite").parquet(s"$tmp/cells")
+      ids.select(col(idCol)).distinct()
+        .write.mode("overwrite").parquet(s"$tmp/docs")
+    }
+  }
+
+  private def commitSeqs(spark: SparkSession, dir: String): Seq[Int] =
+    DeltaLog.listSeqs(spark, s"$dir/commits")
+
+  private def recoverBase(spark: SparkSession, dir: String): Unit =
+    DeltaLog.recoverBase(spark, s"$dir/cells", s"$dir/.cells-next",
+      s"$dir/.cells-old")
+
+  /** The LIVE point set, id-granular last-writer-wins over base +
+    * commits, with an optional cell filter pushed into EVERY leg (sound
+    * here — the cell id is a function of the stored coordinates; see
+    * the class doc): partition pruning on the base, row-group pruning
+    * on the O(batch) commit legs. The owner table is never filtered —
+    * a base row superseded by an out-of-cover upsert must still lose.
+    */
+  private def live(spark: SparkSession, dir: String,
+      cellFilter: Option[Seq[Int]]): DataFrame = {
+    recoverBase(spark, dir)
+    val m = readMeta(spark, dir)
+    def pruned(df: DataFrame): DataFrame =
+      cellFilter.fold(df)(cs => df.filter(col("cell").isin(cs: _*)))
+    val base = pruned(spark.read.parquet(s"$dir/cells"))
+    val seqs = commitSeqs(spark, dir)
+    if (seqs.isEmpty) base
+    else {
+      val all = seqs.foldLeft(base.withColumn("_seq", lit(0))) { (acc, s) =>
+        acc.unionByName(
+          pruned(spark.read.parquet(s"$dir/commits/$s/cells"))
+            .withColumn("_seq", lit(s)))
+      }
+      val owners = seqs.map { s =>
+        spark.read.parquet(s"$dir/commits/$s/docs")
+          .select(col(m.idCol), lit(s).as("_live_seq"))
+      }.reduce(_.unionByName(_))
+        .groupBy(col(m.idCol)).agg(max("_live_seq").as("_live_seq"))
+      val cols = base.columns.map(col).toSeq
+      all.join(broadcast(owners), Seq(m.idCol), "left")
+        .filter(col("_seq") === coalesce(col("_live_seq"), lit(0)))
+        .select(cols: _*)
+    }
+  }
+
+  /** Fold all commits into a fresh cell-partitioned base — the only
+    * index-sized write, run as maintenance ([[VectorIndex.compact]]
+    * contract: the swap is heal-able by [[recoverBase]], leftover
+    * commits resolve idempotently against the folded base).
+    */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    recoverBase(spark, dir)
+    val seqs = commitSeqs(spark, dir)
+    if (seqs.isEmpty) return
+    live(spark, dir, None)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/.cells-next")
+    DeltaLog.swapBase(spark, s"$dir/cells", s"$dir/.cells-next",
+      s"$dir/.cells-old")
+    val f = DeltaLog.fs(spark, dir)
+    seqs.foreach(s => f.delete(new Path(s"$dir/commits/$s"), true))
+  }
+
+  /** Compact iff the commit log is deeper than `maxDeltas` — the
+    * stats-driven auto-compaction policy of the shared mutation
+    * contract ([[VectorIndex.maybeCompact]] parity). Returns whether a
+    * compaction ran.
+    */
+  def maybeCompact(spark: SparkSession, dir: String,
+      maxDeltas: Int = 8): Boolean = {
+    val rec = commitSeqs(spark, dir).length > maxDeltas
+    if (rec) compact(spark, dir)
+    rec
+  }
+
+  /** One-row index health report:
+    * `(n_points, n_cells, n_nonempty_cells, max_cell, skew,
+    * n_pending_commits)` where `n_cells` is the full grid lattice and
+    * `skew = max_cell / (n_points / n_nonempty_cells)` — 1.0 means the
+    * OCCUPIED cells are uniformly loaded (geo data leaves oceans empty,
+    * so uniformity over the whole lattice is not the useful yardstick).
+    * An operator alerts on `skew` (one hot cell dominates every query
+    * that covers it — re-[[write]] with a finer `cellDeg`) and on
+    * `n_pending_commits` (read-time resolution cost — run [[compact]]).
+    * Cost: one aggregate over the live view.
+    */
+  def stats(spark: SparkSession, dir: String): DataFrame = {
+    val m = readMeta(spark, dir)
+    val nLat = GeoJoin.latCellOf(90.0, m.cellDeg) -
+      GeoJoin.latCellOf(-90.0, m.cellDeg) + 1
+    val nCells = nLat.toLong * GeoJoin.lonCellCount(m.cellDeg)
+    val pending = commitSeqs(spark, dir).length
+    live(spark, dir, None)
+      .groupBy("cell").agg(count(lit(1)).as("_n"))
+      .agg(coalesce(sum("_n"), lit(0L)).as("n_points"),
+        count(lit(1)).as("n_nonempty_cells"),
+        coalesce(max("_n"), lit(0L)).as("max_cell"))
+      .select(col("n_points"),
+        lit(nCells).as("n_cells"),
+        col("n_nonempty_cells"),
+        col("max_cell"),
+        when(col("n_points") > 0,
+            round(col("max_cell") * col("n_nonempty_cells") /
+              col("n_points"), 4))
+          .otherwise(lit(0.0)).as("skew"),
+        lit(pending).cast("long").as("n_pending_commits"))
+  }
+
+  /** [[radiusSearch]] body against an already-loaded meta — what the
+    * [[knnSearch]] ring loop iterates so the meta read happens once per
+    * call, not once per probe.
+    */
+  private def radiusCore(spark: SparkSession, dir: String, m: Meta,
+      centerLat: Double, centerLon: Double, radiusKm: Double): DataFrame = {
     val cells = GeoJoin.coveredCells(centerLat, centerLon, radiusKm,
         m.cellDeg)
       .map { case (la, lo) => cellId(la, lo, m.cellDeg) }
-    spark.read.parquet(s"$dir/cells")
-      .filter(col("cell").isin(cells: _*))
+    live(spark, dir, Some(cells.toSeq))
       .filter(GeoFunctions.inBoundingBox(col(m.latCol), col(m.lonCol),
         centerLat, centerLon, radiusKm))
       .withColumn("dist_km", GeoFunctions.haversineKm(
         col(m.latCol), col(m.lonCol), lit(centerLat), lit(centerLon)))
       .filter(col("dist_km") <= radiusKm)
       .drop("cell")
+  }
+
+  /** Every live indexed point within `radiusKm` of the center, with
+    * `dist_km` appended — reads ONLY the covered cell directories.
+    */
+  def radiusSearch(spark: SparkSession, dir: String, centerLat: Double,
+      centerLon: Double, radiusKm: Double): DataFrame = {
+    require(radiusKm > 0, s"radiusKm must be positive, got $radiusKm")
+    radiusCore(spark, dir, readMeta(spark, dir), centerLat, centerLon,
+      radiusKm)
   }
 
   /** Spatial radius JOIN off the persisted layout: every
@@ -109,14 +344,12 @@ object GeoIndex {
       GeoJoin.coveredCells(clat, clon, radiusKm, m.cellDeg)
         .map { case (la, lo) => cellId(la, lo, m.cellDeg) }
     }.distinct
-    val pruned = spark.read.parquet(s"$dir/cells")
-      .filter(col("cell").isin(cells: _*))
-      .drop("cell")
+    val pruned = live(spark, dir, Some(cells)).drop("cell")
     GeoJoin.geoRadiusJoin(pruned, m.idCol, m.latCol, m.lonCol,
       centers, radiusKm)
   }
 
-  /** The `k` nearest indexed points to the center by haversine —
+  /** The `k` nearest live indexed points to the center by haversine —
     * ring-expansion off the cell layout: probe a radius, double until
     * ≥ k points fall inside (≤ ~8 bounded driver-side counts), then
     * top-k. Exactness: the covered-cell set fully contains each probed
@@ -132,14 +365,15 @@ object GeoIndex {
     val m = readMeta(spark, dir)
     val maxR = math.Pi * GeoFunctions.EarthRadiusKm // antipode distance
     var r = m.cellDeg * 111.2 // ~km per degree: one cell ring
-    while (radiusSearch(spark, dir, centerLat, centerLon, r)
+    while (radiusCore(spark, dir, m, centerLat, centerLon, r)
         .limit(k).count() < k && r < maxR) {
       r = math.min(r * 2, maxR)
     }
     // +10 m margin: a point just OUTSIDE r can 3dp-round-tie with the
     // kth point inside and win the id tie-break — include the boundary
     // shell so the cut is identical to the whole-corpus scan form
-    radiusSearch(spark, dir, centerLat, centerLon, math.min(r + 0.01, maxR))
+    radiusCore(spark, dir, m, centerLat, centerLon,
+        math.min(r + 0.01, maxR))
       .withColumn("dist_km", round(col("dist_km"), 3))
       .orderBy(col("dist_km"), col(m.idCol))
       .limit(k)

@@ -28,13 +28,18 @@ object StreamingOps {
       .select(col("window.start").as("window_start"), col("event_type"), col("n"))
 
   /** Streaming exact dedup on key columns; watermark expires dedup state
-    * so it stays bounded on an unbounded stream.
+    * so it stays bounded on an unbounded stream. On a batch frame the
+    * watermark-scoped variant is rejected by the planner, so the plain
+    * key dedup is the batch twin — same surviving-key-set semantics,
+    * no state to bound.
     */
   def dedupeStream(stream: DataFrame, tsCol: String, watermark: String,
       keyCols: Seq[String]): DataFrame =
-    stream
-      .withWatermark(tsCol, watermark)
-      .dropDuplicatesWithinWatermark(keyCols)
+    if (stream.isStreaming)
+      stream
+        .withWatermark(tsCol, watermark)
+        .dropDuplicatesWithinWatermark(keyCols)
+    else stream.dropDuplicates(keyCols)
 
   /** Session windows: activity bursts per key separated by `gap` of
     * silence — `session_window` keeps one open-window state object per

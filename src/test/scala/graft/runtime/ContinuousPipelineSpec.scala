@@ -5,13 +5,15 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 import graft.operators.Similarity
-import graft.sink.{DocQueries, IncrementalPostings, SignatureStore, StatsStore, VectorIndex}
+import graft.sink.{DocQueries, GeoIndex, IncrementalPostings, SignatureStore, StatsStore, VectorIndex}
 
 /** The whole continuous-ingest story in ONE loop: every micro-batch is
   * screened against the persisted signature index (near-dup admission),
-  * survivors are upserted into the incremental BM25 index AND contribute
-  * an O(columns) statistics commit — three O(batch) persisted updates per
-  * batch, zero corpus rescans. The assertions close the loop: after the
+  * survivors are upserted into the incremental BM25 index, the vector
+  * index, and the geo index, AND contribute an O(columns) statistics
+  * commit — four O(batch) persisted updates plus one O(columns) update
+  * per batch, zero corpus rescans, all five stores on the shared
+  * DeltaLog mutation contract. The assertions close the loop: after the
   * stream, each live view must equal a from-scratch batch build over
   * exactly the admitted corpus. This is the architecture a 100 TB
   * deployment runs — the spec proves the composed parts agree, not just
@@ -25,12 +27,17 @@ class ContinuousPipelineSpec extends SparkSpec {
   private def vecFor(id: Long): Seq[Float] =
     Seq((id % 7).toFloat, (id * 3 % 5).toFloat, (id % 2).toFloat, 1f)
 
+  // deterministic per-doc coordinate: the geo leg of the loop
+  private def geoFor(id: Long): (Double, Double) =
+    ((id * 37 % 170).toDouble - 85.0, (id * 91 % 360).toDouble - 180.0)
+
   test("dedup-admit → index upsert → stats commit compose over a stream") {
     val tmp = java.nio.file.Files.createTempDirectory("contpipe").toString
     val sigDir = s"$tmp/signatures"
     val idxDir = s"$tmp/postings"
     val statsDir = s"$tmp/stats"
     val vecDir = s"$tmp/vectors"
+    val geoDir = s"$tmp/geo"
 
     val seed = Seq(
       (1L, "merge scan pipelines dedupe crawl shards before tokenizing text"),
@@ -42,6 +49,10 @@ class ContinuousPipelineSpec extends SparkSpec {
     VectorIndex.write(
       Seq(1L, 2L).map(i => (i, vecFor(i))).toDF("doc_id", "embedding"),
       "doc_id", "embedding", vecDir, k = 2)
+    GeoIndex.write(
+      Seq(1L, 2L).map(i => (i, geoFor(i)._1, geoFor(i)._2))
+        .toDF("doc_id", "lat", "lon"),
+      "doc_id", "lat", "lon", geoDir, cellDeg = 30.0)
 
     val admitted = collection.mutable.ArrayBuffer(1L, 2L)
     val input = org.apache.spark.sql.execution.streaming.runtime
@@ -64,14 +75,19 @@ class ContinuousPipelineSpec extends SparkSpec {
             VectorIndex.upsert(
               keepIds.toSeq.map(i => (i, vecFor(i))).toDF("doc_id", "embedding"),
               "doc_id", "embedding", vecDir)
+            GeoIndex.upsert(
+              keepIds.toSeq.map(i => (i, geoFor(i)._1, geoFor(i)._2))
+                .toDF("doc_id", "lat", "lon"),
+              "doc_id", "lat", "lon", geoDir)
             admitted ++= keepIds
             // the uniform auto-compaction hook every store now exposes:
             // depth-1 threshold makes the SECOND micro-batch fold all
-            // four logs mid-stream — live views must be unaffected
+            // five logs mid-stream — live views must be unaffected
             SignatureStore.maybeCompact(spark, sigDir, maxDeltas = 1)
             IncrementalPostings.maybeCompact(spark, idxDir, maxDeltas = 1)
             StatsStore.maybeCompact(spark, statsDir, maxDeltas = 1)
             VectorIndex.maybeCompact(spark, vecDir, maxDeltas = 1)
+            GeoIndex.maybeCompact(spark, geoDir, maxDeltas = 1)
           }
         }
         ()
@@ -116,6 +132,18 @@ class ContinuousPipelineSpec extends SparkSpec {
       admitted.toSeq.map(i => (i, vecFor(i))).toDF("doc_id", "embedding"),
       "doc_id", "embedding", qv, 3).as[(Long, Double)].collect().toSeq
     assert(fromIndex == brute && fromIndex.nonEmpty)
+
+    // geo knn off the live index ≡ brute-force haversine cut over
+    // exactly the admitted docs' coordinates
+    val geoKnn = GeoIndex.knnSearch(spark, geoDir, 0.0, 0.0, 3)
+      .select("doc_id").as[Long].collect().toSeq
+    val geoBrute = admitted.toSeq
+      .map(i => (i, geoFor(i)._1, geoFor(i)._2)).toDF("doc_id", "lat", "lon")
+      .withColumn("dist_km", round(graft.functions.GeoFunctions.haversineKm(
+        col("lat"), col("lon"), lit(0.0), lit(0.0)), 3))
+      .orderBy(col("dist_km"), col("doc_id")).limit(3)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(geoKnn == geoBrute && geoKnn.nonEmpty)
 
     // stats profile: exact counts + min/max over exactly the admitted docs
     val prof = StatsStore.profile(spark, statsDir)

@@ -89,4 +89,175 @@ class GeoIndexSpec extends SparkSpec {
     val all = GeoIndex.knnSearch(spark, dir, 40.0, -74.0, 3000)
     assert(all.count() == 2000)
   }
+
+  test("upsert supersedes across cells, delete tombstones — searches see survivors") {
+    val dir = java.nio.file.Files.createTempDirectory("geoidx-mut").toString
+    val base = Seq((1L, 40.7, -74.0), (2L, 40.8, -73.9), (3L, 41.0, -74.2),
+      (4L, 51.5, -0.1), (5L, 48.9, 2.3)).toDF("pid", "lat", "lon")
+    GeoIndex.write(base, "pid", "lat", "lon", dir)
+    // id 2 moves ACROSS cells (NYC → Tokyo); id 6 is fresh
+    GeoIndex.upsert(Seq((2L, 35.7, 139.7), (6L, 40.6, -74.1))
+      .toDF("pid", "lat", "lon"), "pid", "lat", "lon", dir)
+    GeoIndex.delete(Seq(3L).toDF("pid"), "pid", dir)
+    val live = Seq((1L, 40.7, -74.0), (2L, 35.7, 139.7), (4L, 51.5, -0.1),
+      (5L, 48.9, 2.3), (6L, 40.6, -74.1)).toDF("pid", "lat", "lon")
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("pid").as[Long].collect().toSet
+    // the moved id must NOT appear near its old position...
+    val nyc = GeoIndex.radiusSearch(spark, dir, 40.7, -74.0, 100.0)
+    assert(ids(nyc) == Set(1L, 6L))
+    // ...and MUST appear at its new one (an out-of-base-cover commit leg)
+    val tokyo = GeoIndex.radiusSearch(spark, dir, 35.7, 139.7, 50.0)
+    assert(ids(tokyo) == Set(2L))
+    // knn over the live set matches the brute-force cut over survivors
+    val knn = GeoIndex.knnSearch(spark, dir, 40.7, -74.0, 3)
+      .select("pid").as[Long].collect().toSeq
+    val brute = live
+      .withColumn("dist_km", round(GeoFunctions.haversineKm(
+        col("lat"), col("lon"), lit(40.7), lit(-74.0)), 3))
+      .orderBy(col("dist_km"), col("pid")).limit(3)
+      .select("pid").as[Long].collect().toSeq
+    assert(knn == brute)
+    // compaction folds the log and preserves every answer
+    GeoIndex.compact(spark, dir)
+    assert(java.nio.file.Files.notExists(
+      java.nio.file.Paths.get(s"$dir/commits/1")))
+    assert(ids(GeoIndex.radiusSearch(spark, dir, 40.7, -74.0, 100.0)) ==
+      Set(1L, 6L))
+    assert(ids(GeoIndex.radiusSearch(spark, dir, 35.7, 139.7, 50.0)) ==
+      Set(2L))
+  }
+
+  test("a geo mutation commit writes O(batch) bytes, never touching the base") {
+    val dir = java.nio.file.Files.createTempDirectory("geoidx-bytes").toString
+    GeoIndex.write(pts, "pid", "lat", "lon", dir)
+    def bytes(p: String): Long = {
+      val f = new java.io.File(p)
+      if (!f.exists) 0L
+      else if (f.isFile) f.length
+      else f.listFiles.map(c => bytes(c.getPath)).sum
+    }
+    val baseBytes = bytes(s"$dir/cells")
+    val baseMtime = new java.io.File(s"$dir/cells").lastModified
+    GeoIndex.upsert(Seq((1L, 10.0, 10.0)).toDF("pid", "lat", "lon"),
+      "pid", "lat", "lon", dir)
+    GeoIndex.delete(Seq(2L).toDF("pid"), "pid", dir)
+    assert(new java.io.File(s"$dir/cells").lastModified == baseMtime,
+      "commit must not rewrite the base cell layout")
+    assert(bytes(s"$dir/commits") < baseBytes / 5,
+      s"commits ${bytes(s"$dir/commits")} B vs base $baseBytes B")
+    // pruning survives a live commit log: the base leg still skips files.
+    // The scans sit inside AQE query stages once the owner join is in the
+    // plan — descend through them rather than collectLeaves.
+    val q = GeoIndex.radiusSearch(spark, dir, 40.0, -74.0, 2000.0)
+    q.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(s.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case o => (o.children ++ o.subqueries).flatMap(scans)
+    }
+    val scanned = scans(q.queryExecution.executedPlan)
+      .filter(_.partitionFilters.nonEmpty)
+      .map(_.metrics("numFiles").value).sum
+    val total = spark.read.parquet(s"$dir/cells").inputFiles.length.toLong
+    assert(scanned > 0 && scanned < total,
+      s"scanned $scanned of $total cell files with commits pending")
+  }
+
+  test("invalid coordinates are rejected loudly; lon normalizes to [-180,180)") {
+    val dir = java.nio.file.Files.createTempDirectory("geoidx-guard").toString
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + chain(t.getCause)
+    val badLat = intercept[Exception] {
+      GeoIndex.write(Seq((1L, 95.0, 0.0)).toDF("pid", "lat", "lon"),
+        "pid", "lat", "lon", dir)
+    }
+    assert(chain(badLat).contains("invalid coordinate"), chain(badLat))
+    val nullLon = intercept[Exception] {
+      GeoIndex.write(Seq((1L, Some(10.0), Option.empty[Double]))
+        .toDF("pid", "lat", "lon"), "pid", "lat", "lon", dir)
+    }
+    assert(chain(nullLon).contains("invalid coordinate"), chain(nullLon))
+    // lon=190 normalizes to -170: correct cell AND correct post-filter
+    GeoIndex.write(Seq((1L, 5.0, 190.0), (2L, 5.0, 170.0))
+      .toDF("pid", "lat", "lon"), "pid", "lat", "lon", dir)
+    val near = GeoIndex.radiusSearch(spark, dir, 5.0, -170.0, 200.0)
+    assert(near.select("pid").as[Long].collect().toSet == Set(1L))
+    assert(near.select("lon").as[Double].head() == -170.0)
+    // in-range longitudes are stored bit-identical
+    val kept = spark.read.parquet(s"$dir/cells")
+      .filter(col("pid") === 2L).select("lon").as[Double].head()
+    assert(kept == 170.0)
+    // same hygiene on the upsert leg
+    val upBad = intercept[Exception] {
+      GeoIndex.upsert(Seq((3L, -91.0, 0.0)).toDF("pid", "lat", "lon"),
+        "pid", "lat", "lon", dir)
+    }
+    assert(chain(upBad).contains("invalid coordinate"), chain(upBad))
+  }
+
+  test("upsert guards: null/duplicate ids and wrong key columns fail fast") {
+    val dir = java.nio.file.Files.createTempDirectory("geoidx-upguard").toString
+    GeoIndex.write(Seq((1L, 10.0, 10.0)).toDF("pid", "lat", "lon"),
+      "pid", "lat", "lon", dir)
+    val dup = intercept[IllegalArgumentException] {
+      GeoIndex.upsert(Seq((9L, 1.0, 1.0), (9L, 2.0, 2.0))
+        .toDF("pid", "lat", "lon"), "pid", "lat", "lon", dir)
+    }
+    assert(dup.getMessage.contains("null or duplicated"))
+    val cols = intercept[IllegalArgumentException] {
+      GeoIndex.upsert(Seq((9L, 1.0, 1.0)).toDF("other", "lat", "lon"),
+        "other", "lat", "lon", dir)
+    }
+    assert(cols.getMessage.contains("was built over"))
+    // nothing committed by any failed mutation
+    assert(GeoIndex.stats(spark, dir).head()
+      .getAs[Long]("n_pending_commits") == 0L)
+  }
+
+  test("stats reports occupancy skew and commit depth; maybeCompact hook") {
+    val dir = java.nio.file.Files.createTempDirectory("geoidx-stats").toString
+    // two cells, 10 points each — balanced over OCCUPIED cells
+    val base = (1L to 20L).map { i =>
+      if (i % 2 == 0) (i, 40.0 + (i % 5) * 0.1, -74.0) // one NYC cell
+      else (i, 35.0 + (i % 5) * 0.1, 139.0)            // one Tokyo cell
+    }.toDF("pid", "lat", "lon")
+    GeoIndex.write(base, "pid", "lat", "lon", dir)
+    val s0 = GeoIndex.stats(spark, dir).head()
+    assert(s0.getAs[Long]("n_points") == 20L)
+    assert(s0.getAs[Long]("n_nonempty_cells") == 2L)
+    assert(s0.getAs[Double]("skew") == 1.0)
+    assert(s0.getAs[Long]("n_pending_commits") == 0L)
+    // one-sided ingest: 20 more points, ALL into the NYC cell
+    GeoIndex.upsert((101L to 120L).map(i => (i, 40.5, -74.5))
+      .toDF("pid", "lat", "lon"), "pid", "lat", "lon", dir)
+    val s1 = GeoIndex.stats(spark, dir).head()
+    assert(s1.getAs[Long]("n_points") == 40L)
+    // 30 of 40 in one of 2 occupied cells → skew 1.5: rebuild signal
+    assert(s1.getAs[Double]("skew") == 1.5, s1.toString)
+    assert(s1.getAs[Long]("n_pending_commits") == 1L)
+    // threshold hook: no-op at depth ≤ maxDeltas, folds above
+    assert(!GeoIndex.maybeCompact(spark, dir, maxDeltas = 1))
+    assert(GeoIndex.maybeCompact(spark, dir, maxDeltas = 0))
+    assert(GeoIndex.stats(spark, dir).head()
+      .getAs[Long]("n_pending_commits") == 0L)
+    assert(GeoIndex.stats(spark, dir).head().getAs[Long]("n_points") == 40L)
+  }
+
+  test("an interrupted geo compact recovers on the next read") {
+    val dir = java.nio.file.Files.createTempDirectory("geoidx-crash").toString
+    GeoIndex.write(Seq((1L, 40.7, -74.0), (2L, 48.9, 2.3))
+      .toDF("pid", "lat", "lon"), "pid", "lat", "lon", dir)
+    import java.nio.file.{Files, Paths}
+    // simulate a crash between the fold and the swap
+    Files.move(Paths.get(s"$dir/cells"), Paths.get(s"$dir/.cells-next"))
+    assert(!Files.exists(Paths.get(s"$dir/cells")))
+    val healed = GeoIndex.radiusSearch(spark, dir, 40.7, -74.0, 100.0)
+    assert(healed.select("pid").as[Long].collect().toSet == Set(1L))
+    assert(Files.exists(Paths.get(s"$dir/cells")))
+  }
 }

@@ -563,6 +563,38 @@ class IndexSinkSpec extends SparkSpec {
     }
   }
 
+  test("functionScoreGauss: plateau keeps BM25 order, tail decays, guards") {
+    val docs = Seq(
+      (1L, "merge window clean", 100L),        // inside the plateau
+      (2L, "merge window merge scan", 200L),   // inside the plateau
+      (3L, "merge window clean", 2500L),       // scale past the plateau
+      (4L, "unrelated text", 100L)
+    ).toDF("doc_id", "text", "n_chars")
+    val got = DocQueries.functionScoreGauss(docs, "doc_id", "text",
+        "merge window", "n_chars", origin = 0.0, scale = 2000.0,
+        offset = 500.0, decay = 0.5, k = 10)
+      .as[(Long, Double)].collect().toMap
+    val plain = DocQueries.matchTextBM25(docs, "doc_id", "text",
+        "merge window", 10)
+      .as[(Long, Double)].collect().toMap
+    // inside the offset plateau the decay factor is exactly 1
+    assert(math.abs(got(1L) - plain(1L)) < 1e-9)
+    assert(math.abs(got(2L) - plain(2L)) < 1e-9)
+    // the ES calibration point: at |v−origin| = offset + scale the
+    // factor is exactly `decay` (doc 3 sits there: 2500 = 500 + 2000)
+    assert(math.abs(got(3L) - plain(3L) * 0.5) < 1e-6)
+    // no-match docs stay excluded (filter precedes the decay)
+    assert(!got.contains(4L))
+    intercept[IllegalArgumentException] {
+      DocQueries.functionScoreGauss(docs, "doc_id", "text", "merge",
+        "n_chars", 0.0, -1.0, 0.0, 0.5, 10)
+    }
+    intercept[IllegalArgumentException] {
+      DocQueries.functionScoreGauss(docs, "doc_id", "text", "merge",
+        "n_chars", 0.0, 2000.0, 0.0, 1.5, 10)
+    }
+  }
+
   test("disMax: best clause wins, tie-breaker folds in the rest") {
     val docs = Seq(
       (1L, "merge window merge window details"), // strong clause A only
