@@ -288,6 +288,46 @@ object SparkEntry {
         .select(col("doc_id"), lit(1.2).as("score"))
         .orderBy("doc_id")),
 
+    // SignificantTermsAggregation (ES): vocabulary characteristic of the
+    // German slice vs the whole corpus, JLH-scored document frequencies
+    // out of ONE vocabulary-sized aggregate.
+    "q_significant_terms" -> ((s, d) =>
+      DocQueries.significantTerms(
+        Tables.documents(s, d).select("doc_id", "text", "lang"),
+        "doc_id", "text", col("lang") === "de", minDocCount = 5, k = 20)),
+
+    // Join-field queries (ES has_child / has_parent): relational
+    // semi-joins — the child/parent predicate never duplicates or
+    // widens the kept side, and Spark picks broadcast/shuffled-hash by
+    // the filtered side's size.
+    "q_has_child" -> ((s, d) =>
+      Tables.orders(s, d).join(
+          Tables.lineitem(s, d).filter(col("l_quantity") >= 49),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select("o_orderkey", "o_orderpriority")
+        .orderBy("o_orderkey")),
+
+    "q_has_parent" -> ((s, d) =>
+      Tables.lineitem(s, d).join(
+          Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // ES date_histogram with sub-aggregations: calendar-week buckets,
+    // per-bucket count / exact distinct users / decimal-exact value sum
+    // (order-independent partial aggregation).
+    "q_date_histogram" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(date_trunc("week", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("sum_value"))
+        .select(unix_micros(col("bucket")).as("bucket_us"),
+          col("n_events"), col("n_users"), col("sum_value"))
+        .orderBy("bucket_us")),
+
     // §2.6 index structure — the flat (term, doc_id, tf) postings table
     // (Lucene's postings lists, Spark-native: no giant per-term arrays,
     // every op a partitioned aggregate; see InvertedIndex scaladoc).
@@ -2701,6 +2741,46 @@ object SparkEntry {
            AND list_contains(list_filter(string_split(lower(text), ' '),
                  x -> x <> ''), 'window')
          ORDER BY doc_id""",
+
+    // JLH over document frequencies, arithmetic mirrored term-for-term
+    "q_significant_terms" ->
+      """WITH toks AS (SELECT doc_id, lang = 'de' AS fg,
+             unnest(list_distinct(list_filter(string_split(lower(text), ' '),
+               x -> x <> ''))) AS term
+           FROM documents),
+         n AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS DOUBLE)
+               AS fgn
+           FROM documents),
+         t AS (SELECT term, CAST(count(*) AS DOUBLE) AS bgdf,
+             CAST(sum(CASE WHEN fg THEN 1 ELSE 0 END) AS DOUBLE) AS fgdf
+           FROM toks GROUP BY term),
+         z AS (SELECT term, CAST(fgdf AS BIGINT) AS fg_count,
+             CAST(bgdf AS BIGINT) AS bg_count,
+             round((fgdf / fgn - bgdf / n) * ((fgdf / fgn) / (bgdf / n)), 6)
+               AS score
+           FROM t, n WHERE fgdf >= 5)
+         SELECT term, fg_count, bg_count, score FROM z WHERE score > 0
+         ORDER BY score DESC, term LIMIT 20""",
+
+    "q_has_child" ->
+      """SELECT o_orderkey, o_orderpriority FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+           WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+         ORDER BY o_orderkey""",
+
+    "q_has_parent" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         WHERE EXISTS (SELECT 1 FROM orders
+           WHERE o_orderkey = l_orderkey AND o_orderpriority = '1-URGENT')
+         ORDER BY l_orderkey, l_linenumber""",
+
+    "q_date_histogram" ->
+      """SELECT epoch_us(date_trunc('week', ts)) AS bucket_us,
+           count(*) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1 ORDER BY bucket_us""",
 
     "q_range" ->
       """SELECT doc_id, n_chars FROM documents

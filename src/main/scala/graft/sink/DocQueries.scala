@@ -634,4 +634,43 @@ object DocQueries {
       .orderBy(col("score").desc, col(index.columns.head))
       .limit(k)
   }
+
+  /** SignificantTermsAggregation (ES): terms over-represented in the
+    * FOREGROUND (docs matching `fgPredicate`) relative to the whole
+    * corpus as background, scored by JLH —
+    * `(fgPct − bgPct) · (fgPct / bgPct)` over document frequencies
+    * (each term counted once per doc). "What is characteristic of this
+    * slice" — source drift, niche vocabularies, contamination signals.
+    *
+    * One pass: the foreground flag rides the term explode, so fg and bg
+    * document frequencies come out of the SAME vocabulary-sized hash
+    * aggregate (map-side combinable) — never a second corpus scan. The
+    * two corpus totals are one tiny broadcast row. `minDocCount` guards
+    * the classic significant-terms trap: a term appearing once, in the
+    * foreground, scores arbitrarily high on any ratio metric.
+    */
+  def significantTerms(docs: DataFrame, idCol: String, textCol: String,
+      fgPredicate: Column, minDocCount: Int, k: Int): DataFrame = {
+    require(minDocCount >= 1, s"minDocCount must be >= 1, got $minDocCount")
+    val totals = docs.agg(count(lit(1)).cast("double").as("_n"),
+      sum(when(fgPredicate, 1).otherwise(0)).cast("double").as("_fgn"))
+    val termDf = docs
+      .select(fgPredicate.as("_fg"),
+        explode(array_distinct(split(lower(col(textCol)), " "))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term")
+      .agg(count(lit(1)).cast("double").as("_bgdf"),
+        sum(when(col("_fg"), 1).otherwise(0)).cast("double").as("_fgdf"))
+      .filter(col("_fgdf") >= minDocCount)
+    termDf.crossJoin(broadcast(totals))
+      .select(col("term"),
+        col("_fgdf").cast("long").as("fg_count"),
+        col("_bgdf").cast("long").as("bg_count"),
+        round((col("_fgdf") / col("_fgn") - col("_bgdf") / col("_n")) *
+          ((col("_fgdf") / col("_fgn")) / (col("_bgdf") / col("_n"))), 6)
+          .as("score"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("term"))
+      .limit(k)
+  }
 }

@@ -595,6 +595,37 @@ class IndexSinkSpec extends SparkSpec {
     }
   }
 
+  test("significantTerms: JLH ranks slice-characteristic vocabulary") {
+    val docs = Seq(
+      (1L, "der alpha beta", "de"),
+      (2L, "der der gamma beta", "de"),   // 'der' once per doc (doc freq)
+      (3L, "alpha beta common", "en"),
+      (4L, "beta common filler", "en"),
+      (5L, "common filler words", "en")
+    ).toDF("doc_id", "text", "lang")
+    val got = DocQueries.significantTerms(docs, "doc_id", "text",
+        col("lang") === "de", minDocCount = 1, k = 10)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // 'der': fg 2/2, bg 2/5 → JLH = (1 − 0.4) · (1 / 0.4) = 1.5
+    assert(got("der") == (("der", 2L, 2L, 1.5)))
+    // 'beta' is in every fg doc but also 2 bg docs: fg 2/2, bg 4/5
+    assert(got("beta")._4 == 0.25)
+    // background-only terms score ≤ 0 and are dropped
+    assert(!got.contains("common") && !got.contains("filler"))
+    // duplicate within a doc counted once (doc-frequency semantics)
+    assert(got("der")._2 == 2L)
+    // minDocCount prunes one-off foreground terms ('gamma')
+    val pruned = DocQueries.significantTerms(docs, "doc_id", "text",
+        col("lang") === "de", minDocCount = 2, k = 10)
+      .select("term").as[String].collect().toSet
+    assert(!pruned.contains("gamma") && pruned.contains("der"))
+    intercept[IllegalArgumentException] {
+      DocQueries.significantTerms(docs, "doc_id", "text",
+        col("lang") === "de", 0, 10)
+    }
+  }
+
   test("disMax: best clause wins, tie-breaker folds in the rest") {
     val docs = Seq(
       (1L, "merge window merge window details"), // strong clause A only
