@@ -1298,11 +1298,13 @@ object SparkEntry {
     // BENCH NOTE (as with x_dedup_minhash): the index-building gates —
     // x_sim_ivf_persisted, x_sim_ivf_append, x_sim_ivf_upsert,
     // x_sim_ivf_stats, x_knn_indexed, x_hybrid_indexed,
-    // x_bm25_incremental — pay a full index WRITE (and, for the mutation
-    // gates, several commits) inside the timed query to prove the
-    // end-to-end layout; that build cost is gate overhead, not per-query
-    // serving cost (serving reads only probed cells / query-term
-    // postings, pinned by VectorIndexSpec + PlanSpec).
+    // x_bm25_incremental, x_geo_upsert, x_geo_stats — pay a full index
+    // WRITE (and, for the mutation gates, several commits) inside the
+    // timed query to prove the end-to-end layout; that build cost is
+    // gate overhead, not per-query serving cost (serving reads only
+    // probed cells / query-term postings / covered geo cells, pinned by
+    // VectorIndexSpec + GeoIndexSpec + PlanSpec). The cost is JOB COUNT
+    // (one write + N commit jobs on tiny frames), not data volume.
 
     // The SERVING STACK end-to-end: lay out BOTH persisted indexes (term-
     // sorted postings + norms; IVF cell-partitioned vectors), then answer
