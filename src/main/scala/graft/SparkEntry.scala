@@ -855,6 +855,20 @@ object SparkEntry {
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("id_a", "id_b")),
 
+    // The SAME exact bulk-threshold semantics (same oracle), but with
+    // IVF cell-pair pruning: cell pairs that provably cannot cross the
+    // threshold (spherical triangle inequality over centroid angles +
+    // per-cell angular radii) are never joined — far sublinear in n² on
+    // clustered data, degrading to the blocked-exact cost only when the
+    // corpus is one isotropic blob (where the semantics are inherently
+    // quadratic). DedupSpec pins pruned ≡ exact and that separated
+    // clusters DO prune most of the lattice.
+    "x_dedup_embed_pruned" -> ((s, d) =>
+      operators.Dedup.embeddingCosinePairsPruned(Tables.embeddings(s, d),
+        "vec_id", "embedding", threshold = 0.4, k = 8, iters = 3)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("id_a", "id_b")),
+
     // Int8-quantized similarity: embeddings quantize→dequantize through
     // the native roundtrip expression (4× storage/bandwidth cut at
     // ingest), then top-10 by quantized cosine vs the vec_id=0 query,
@@ -3566,6 +3580,14 @@ object SparkEntry {
          SELECT cluster, doc_id, n_chars, n_members FROM r
          WHERE rk = 1 ORDER BY cluster""",
     "x_dedup_embed" ->
+      """WITH z AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])) AS c
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+         SELECT id_a, id_b, round(c, 6) AS cosine FROM z
+         WHERE c >= 0.4 ORDER BY id_a, id_b""",
+    // pruning may never change the answer: same oracle as x_dedup_embed
+    "x_dedup_embed_pruned" ->
       """WITH z AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                     CAST(b.embedding AS DOUBLE[])) AS c

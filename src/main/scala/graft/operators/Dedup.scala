@@ -449,6 +449,99 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** The cell pairs that can possibly hold a cosine-≥-threshold pair,
+    * by the spherical triangle inequality: for x in cell `a` and y in
+    * cell `b`, `θ(x,y) ≥ θ(ca,cb) − ra − rb` where `r` is each cell's
+    * max member-to-centroid angle — so if
+    * `cos(max(0, θ(ca,cb) − ra − rb)) < threshold`, NO pair across
+    * (a,b) can reach the threshold and the pair is pruned. Exact: the
+    * bound only ever over-admits (a 1e-7 slack additionally armors the
+    * acos/cos round trip against libm rounding). Returns BOTH
+    * orientations of surviving cross-cell pairs plus the diagonal, so a
+    * downstream `id_a < id_b` filter sees each unordered point pair
+    * exactly once. Driver math over k centroids — O(k²) on k ≪ corpus.
+    */
+  private[graft] def survivingCellPairs(model: Ivf.Model,
+      radii: Map[Int, Double], threshold: Double): Seq[(Int, Int)] = {
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def norm(a: Array[Double]): Double = math.sqrt(dot(a, a))
+    def theta(a: Array[Double], b: Array[Double]): Double = {
+      val d = norm(a) * norm(b)
+      if (d == 0) 0.0 // degenerate centroid: no angle info, never prune
+      else math.acos(math.max(-1.0, math.min(1.0, dot(a, b) / d)))
+    }
+    val cs = model.centroids
+    val slack = 1e-7
+    for {
+      a <- cs.indices
+      b <- cs.indices
+      ra = radii.getOrElse(a, math.Pi)
+      rb = radii.getOrElse(b, math.Pi)
+      bound = math.max(0.0, theta(cs(a), cs(b)) - ra - rb - slack)
+      if math.cos(bound) >= threshold
+    } yield (a, b)
+  }
+
+  /** EXACT all-pairs cosine ≥ `threshold` — the [[embeddingCosinePairsExact]]
+    * semantics — with IVF cell-pair pruning: k-means cells partition the
+    * corpus, each cell records its angular radius around its centroid,
+    * and only cell pairs that can possibly cross the threshold
+    * ([[survivingCellPairs]] — spherical triangle inequality, provably
+    * no false prune) are joined and verified with the exact codegen'd
+    * cosine. Identical output to the blocked-cross variant on ANY input.
+    *
+    * Scale shape: candidate volume is Σ |cell_a|·|cell_b| over SURVIVING
+    * pairs — on clustered data (the regime where bulk-threshold dedup is
+    * meaningful) most of the k² lattice prunes and the join is far
+    * sublinear in n²; on one isotropic blob nothing can prune and the
+    * cost degrades to the exact variant's (the semantics are inherently
+    * quadratic in that regime). The mechanics: points shuffle ONCE on
+    * their cell key; the surviving-pair list broadcasts (≤ k² tiny
+    * rows); per-cell radii are one k-row aggregate to the driver.
+    */
+  def embeddingCosinePairsPruned(df: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, k: Int = 16, iters: Int = 5)
+      : DataFrame = {
+    val clean = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol))
+    val model = Ivf.fit(clean, idCol, vecCol, k, iters)
+    val assigned = Ivf.assign(clean, vecCol, model)
+    // angle to own centroid: CASE over the k centroid literals (one
+    // fused cosine per row); NaN (zero-norm vector) → π, never pruned
+    val cosToOwn = model.centroids.zipWithIndex.tail.foldLeft(
+      graft.functions.VectorExpressions.cosineFast(col(vecCol),
+        array(model.centroids(0).toSeq.map(lit): _*))) { case (acc, (c, i)) =>
+      when(col("cell") === i,
+        graft.functions.VectorExpressions.cosineFast(col(vecCol),
+          array(c.toSeq.map(lit): _*))).otherwise(acc)
+    }
+    val radii = assigned
+      .withColumn("_theta",
+        acos(least(greatest(cosToOwn, lit(-1.0)), lit(1.0))))
+      .groupBy("cell").agg(max(nanvl(col("_theta"), lit(math.Pi))).as("r"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap // k rows
+    val pairs = survivingCellPairs(model, radii, threshold)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pairDf = pairs.toDF("_ca", "_cb")
+    val left = assigned.select(col(idCol).as("id_a"), col(vecCol).as("va"),
+      col("cell").as("_ca"))
+    val right = assigned.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+      col("cell").as("_cb"))
+    left.join(broadcast(pairDf), Seq("_ca"))
+      .join(right, Seq("_cb"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        graft.functions.VectorExpressions.cosineFast(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
   /** Windowed dedup: collapse each key's records within a tumbling
     * event-time window to one survivor (lowest id — deterministic under
     * any arrival order) plus a duplicate count — the batch twin of

@@ -89,6 +89,54 @@ class DedupSpec extends SparkSpec {
     assert(blocked == brute)
   }
 
+  test("cell-pruned exact pair join ≡ brute-force pair join") {
+    val e = Tables.embeddings(spark, sf)
+    val brute = Dedup.embeddingCosinePairs(e, "vec_id", "embedding", 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    val pruned = Dedup.embeddingCosinePairsPruned(e, "vec_id", "embedding",
+        0.3, k = 6, iters = 3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pruned == brute)
+  }
+
+  test("separated clusters prune most of the cell-pair lattice, soundly") {
+    // two tight antipodal bundles on the 2-sphere: nothing across them
+    // can come near cosine 0.9
+    val docs = (0L until 40L).map { i =>
+      val s = if (i % 2 == 0) 1f else -1f
+      val w = (i % 5).toFloat * 0.01f
+      (i, Seq(s * 1f, s * w, w))
+    }.toDF("vec_id", "embedding")
+    val model = Ivf.fit(docs, "vec_id", "embedding", 4, 5)
+    // radii from the operator's own aggregate path: run the public op
+    // and independently recompute the driver decision for the pin
+    val assigned = Ivf.assign(docs, "embedding", model)
+    val radii = assigned.select(col("vec_id"), col("cell"), col("embedding"))
+      .as[(Long, Int, Seq[Float])].collect()
+      .groupBy(_._2)
+      .map { case (cell, rows) =>
+        val c = model.centroids(cell)
+        def ang(v: Seq[Float]): Double = {
+          val dot = v.zip(c).map { case (a, b) => a * b }.sum
+          val n = math.sqrt(v.map(x => x * x.toDouble).sum) *
+            math.sqrt(c.map(x => x * x).sum)
+          math.acos(math.max(-1.0, math.min(1.0, dot / n)))
+        }
+        cell -> rows.map(r => ang(r._3)).max
+      }
+    val surviving = Dedup.survivingCellPairs(model, radii, 0.9)
+    // the full lattice is k² = 16 ordered pairs; antipodal cell pairs
+    // must prune (their centroid angle ≈ π dwarfs the tiny radii)
+    assert(surviving.size < 16, s"nothing pruned: $surviving")
+    // soundness: the pruned op still equals brute force at this threshold
+    val brute = Dedup.embeddingCosinePairs(docs, "vec_id", "embedding", 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    val pruned = Dedup.embeddingCosinePairsPruned(docs, "vec_id",
+        "embedding", 0.9, k = 4, iters = 5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pruned == brute && pruned.nonEmpty)
+  }
+
   test("dedupPassages keeps the earliest copy of each repeated passage") {
     // passage size 2: doc 1 = [a b][c d], doc 2 = [c d][e f] (repeats
     // "c d"), doc 3 = [a b][c d] (nothing unique), doc 4 = empty
