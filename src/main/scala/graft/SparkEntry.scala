@@ -485,6 +485,23 @@ object SparkEntry {
         cur.getLong(cur.fieldIndex("doc_id")), 10)
     }),
 
+    // ES CompositeAggregation: bucket-space pagination — page 2 of the
+    // (lang, source) buckets after a key cursor, in key order. The
+    // after-key filter is a plain predicate on the GROUPED frame, so no
+    // page ever materializes the full bucket space anywhere, and the
+    // page cut is TakeOrderedAndProject — the aggs twin of search_after.
+    "q_composite_agg" -> ((s, d) => {
+      val afterLang = "de"; val afterSource = "web" // page-2 cursor
+      Tables.documents(s, d)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .filter(col("lang") > afterLang ||
+          (col("lang") === afterLang && col("source") > afterSource))
+        .orderBy("lang", "source")
+        .limit(5)
+    }),
+
     // Ordered proximity (SpanNearQuery, slop 1) off the positional
     // index: "stream data" with at most one interleaved token.
     "q_span_near" -> ((s, d) =>
@@ -2808,6 +2825,13 @@ object SparkEntry {
          GROUP BY 1 ORDER BY n_docs DESC, lang LIMIT 5""",
     // cursor page 2 ≡ rows 11-20 of the full ranking (the OFFSET form;
     // the Spark side gets there via the (score, id) cursor instead)
+    "q_composite_agg" ->
+      """SELECT lang, source, count(*) AS n_docs,
+           sum(n_chars) AS sum_chars
+         FROM documents GROUP BY lang, source
+         HAVING lang > 'de' OR (lang = 'de' AND source > 'web')
+         ORDER BY lang, source LIMIT 5""",
+
     "q_search_after" ->
       """WITH t AS (SELECT doc_id,
              CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
