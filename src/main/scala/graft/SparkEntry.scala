@@ -945,6 +945,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Polygon query served off the persisted layout: bounding-box cell
+    // cover enumerated driver-side, exact ray cast on the pruned live
+    // view. Result ≡ the x_geo_polygon scan form (same oracle contract).
+    "x_geo_polygon_indexed" -> ((s, d) => {
+      val pts = Tables.documents(s, d).select("doc_id")
+        .withColumn("lat",
+          (col("doc_id") * 37 % 17000).cast("double") / 100.0 - 85.0)
+        .withColumn("lon",
+          (col("doc_id") * 91 % 36000).cast("double") / 100.0 - 180.0)
+      val dir = tempDir("graft-geopoly")
+      sink.GeoIndex.write(pts, "doc_id", "lat", "lon", dir, cellDeg = 30.0)
+      sink.GeoIndex.polygonSearch(s, dir,
+          Seq((10.0, -120.0), (70.0, -100.0), (60.0, -20.0), (0.0, -60.0)))
+        .select("doc_id", "lat", "lon")
+        .orderBy("doc_id")
+    }),
+
     // Geo nearest-k: the 15 closest docs to a point by haversine — the
     // distance twin of x_sim_topk; top-k plans as TakeOrderedAndProject
     // (k rows per partition, no global sort). Ranked by the 3dp-rounded
@@ -3081,6 +3098,30 @@ object SparkEntry {
     // ray casting unrolled edge-for-edge with identical literal
     // arithmetic — pure comparisons and one division, no rounding needed
     "x_geo_polygon" ->
+      """WITH p AS (SELECT doc_id,
+             CAST(doc_id * 37 % 17000 AS DOUBLE) / 100.0 - 85.0 AS lat,
+             CAST(doc_id * 91 % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon
+           FROM documents),
+         c AS (SELECT doc_id, lat, lon,
+             (CASE WHEN (10.0 > lat) <> (70.0 > lat) THEN
+                CASE WHEN lon < (-100.0 - (-120.0)) * (lat - 10.0)
+                  / (70.0 - 10.0) + (-120.0) THEN 1 ELSE 0 END ELSE 0 END)
+             + (CASE WHEN (70.0 > lat) <> (60.0 > lat) THEN
+                CASE WHEN lon < ((-20.0) - (-100.0)) * (lat - 70.0)
+                  / (60.0 - 70.0) + (-100.0) THEN 1 ELSE 0 END ELSE 0 END)
+             + (CASE WHEN (60.0 > lat) <> (0.0 > lat) THEN
+                CASE WHEN lon < ((-60.0) - (-20.0)) * (lat - 60.0)
+                  / (0.0 - 60.0) + (-20.0) THEN 1 ELSE 0 END ELSE 0 END)
+             + (CASE WHEN (0.0 > lat) <> (10.0 > lat) THEN
+                CASE WHEN lon < ((-120.0) - (-60.0)) * (lat - 0.0)
+                  / (10.0 - 0.0) + (-60.0) THEN 1 ELSE 0 END ELSE 0 END)
+               AS crossings
+           FROM p)
+         SELECT doc_id, lat, lon FROM c
+         WHERE crossings % 2 = 1 ORDER BY doc_id""",
+    // bbox cell pruning may never change the answer: x_geo_polygon's
+    // oracle verbatim
+    "x_geo_polygon_indexed" ->
       """WITH p AS (SELECT doc_id,
              CAST(doc_id * 37 % 17000 AS DOUBLE) / 100.0 - 85.0 AS lat,
              CAST(doc_id * 91 % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon

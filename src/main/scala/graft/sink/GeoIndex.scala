@@ -327,6 +327,42 @@ object GeoIndex {
       radiusKm)
   }
 
+  /** Every live indexed point inside `polygon` ((lat, lon) vertices,
+    * [-180, 180] longitude convention) — the base read pruned to the
+    * cells intersecting the polygon's bounding box (driver-side plan
+    * literals, like the radius cover), then the exact plan-time-unrolled
+    * ray cast ([[GeoFunctions.inPolygon]]) on the survivors. Sound: a
+    * point inside the polygon has lat/lon inside the vertex extents, and
+    * the cell id is a pure function of the stored (normalized)
+    * coordinates, so its cell is in the enumerated box on every leg.
+    * A polygon crossing the antimeridian must be split by the caller
+    * into two (the convention the scan-form query uses too — ray
+    * casting itself is wrap-unaware).
+    */
+  def polygonSearch(spark: SparkSession, dir: String,
+      polygon: Seq[(Double, Double)]): DataFrame = {
+    require(polygon.size >= 3, "polygon needs at least 3 vertices")
+    require(polygon.forall { case (la, lo) =>
+        la >= -90 && la <= 90 && lo >= -180 && lo <= 180 },
+      "polygon vertices must be lat in [-90,90], lon in [-180,180]")
+    val m = readMeta(spark, dir)
+    val lats = polygon.map(_._1)
+    val lons = polygon.map(_._2)
+    val latLo = GeoJoin.latCellOf(lats.min, m.cellDeg)
+    val latHi = GeoJoin.latCellOf(lats.max, m.cellDeg)
+    val nLon = GeoJoin.lonCellCount(m.cellDeg)
+    val lonLo = GeoJoin.lonCellOf(lons.min, m.cellDeg)
+    val lonHi = GeoJoin.lonCellOf(lons.max, m.cellDeg)
+    val span = ((lonHi - lonLo) % nLon + nLon) % nLon
+    val cells = for {
+      la <- latLo to latHi
+      i <- 0 to span
+    } yield cellId(la, ((lonLo + i) % nLon + nLon) % nLon, m.cellDeg)
+    live(spark, dir, Some(cells))
+      .filter(GeoFunctions.inPolygon(col(m.latCol), col(m.lonCol), polygon))
+      .drop("cell")
+  }
+
   /** Spatial radius JOIN off the persisted layout: every
     * `(center, point)` pair within `radiusKm`, reading ONLY the union
     * of the centers' covered cells — the serving twin of

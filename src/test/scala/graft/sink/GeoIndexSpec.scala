@@ -90,6 +90,38 @@ class GeoIndexSpec extends SparkSpec {
     assert(all.count() == 2000)
   }
 
+  test("polygonSearch off the layout ≡ scan-form ray cast; prunes; sees mutations") {
+    val dir = java.nio.file.Files.createTempDirectory("geoidx-poly").toString
+    GeoIndex.write(pts, "pid", "lat", "lon", dir)
+    val poly = Seq((10.0, -120.0), (70.0, -100.0), (60.0, -20.0), (0.0, -60.0))
+    val idx = GeoIndex.polygonSearch(spark, dir, poly)
+    val scan = pts.filter(GeoFunctions.inPolygon(col("lat"), col("lon"), poly))
+    assert(idx.select("pid").as[Long].collect().toSet ==
+      scan.select("pid").as[Long].collect().toSet)
+    assert(idx.count() > 0)
+    idx.collect()
+    val scanned = idx.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.partitionSchema.fieldNames.contains("cell") =>
+        f.metrics("numFiles").value
+    }.sum
+    val total = spark.read.parquet(s"$dir/cells").inputFiles.length.toLong
+    assert(scanned > 0 && scanned < total,
+      s"scanned $scanned of $total cell files")
+    // mutation-aware: move a far-away point INTO the polygon, delete an
+    // inside one — the pruned live view reflects both
+    val inside = scan.select("pid").as[Long].head()
+    GeoIndex.upsert(Seq((999999L, 40.0, -80.0)).toDF("pid", "lat", "lon"),
+      "pid", "lat", "lon", dir)
+    GeoIndex.delete(Seq(inside).toDF("pid"), "pid", dir)
+    val after = GeoIndex.polygonSearch(spark, dir, poly)
+      .select("pid").as[Long].collect().toSet
+    assert(after.contains(999999L) && !after.contains(inside))
+    intercept[IllegalArgumentException] {
+      GeoIndex.polygonSearch(spark, dir, Seq((0.0, 0.0), (1.0, 1.0)))
+    }
+  }
+
   test("upsert supersedes across cells, delete tombstones — searches see survivors") {
     val dir = java.nio.file.Files.createTempDirectory("geoidx-mut").toString
     val base = Seq((1L, 40.7, -74.0), (2L, 40.8, -73.9), (3L, 41.0, -74.2),
