@@ -2326,6 +2326,43 @@ object SparkEntry {
           col("n"), col("total_value"))
         .orderBy("hour_us", "event_type")),
 
+    // Windowed approximate quantiles (mergeable percentile sketch —
+    // state bounded by accuracy, not rows): per-hour p50/p90 of the
+    // value stream. The sketch's contract is RANK error, and it returns
+    // an ELEMENT of the window (the exact `percentile` interpolates),
+    // so the gate re-ranks the sketch's answer inside its window — the
+    // count of values at or below it must sit within ±1 of the target
+    // rank (±1 absorbs the floor/ceil convention at small n; a tied
+    // all-equal window passes by the rank count saturating at n).
+    // Batch twin of the streaming operator, the ws_* gating convention.
+    "ws_quantile" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val approx = streaming.StreamingOps.windowedQuantiles(
+        e, "ts", "value", "1 hour", "1 hour", Seq(0.5, 0.9))
+      e.select(window(col("ts"), "1 hour").getField("start")
+            .as("window_start"), col("value"))
+        .join(approx, "window_start")
+        .groupBy("window_start")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("value") <= element_at(col("qs"), 1), 1)
+            .otherwise(0)).as("_r50"),
+          sum(when(col("value") < element_at(col("qs"), 1), 1)
+            .otherwise(0)).as("_r50lo"),
+          sum(when(col("value") <= element_at(col("qs"), 2), 1)
+            .otherwise(0)).as("_r90"),
+          sum(when(col("value") < element_at(col("qs"), 2), 1)
+            .otherwise(0)).as("_r90lo"))
+        .select(unix_micros(col("window_start")).as("hour_us"),
+          col("n_events"),
+          // the target rank must fall inside [strictly-below, at-or-
+          // below] ± 1 — the sketch element's own rank interval
+          (col("_r50lo") - lit(1) <= col("n_events") * 0.5 &&
+            col("n_events") * 0.5 <= col("_r50") + lit(1)).as("p50_ok"),
+          (col("_r90lo") - lit(1) <= col("n_events") * 0.9 &&
+            col("n_events") * 0.9 <= col("_r90") + lit(1)).as("p90_ok"))
+        .orderBy("hour_us")
+    }),
+
     // Windowed heavy hitters (Misra–Gries per window — O(k) state where
     // exact per-key counts hold the window's whole key set): k=16 ≥ the
     // event-type domain, so the summary is provably exact ≡ GROUP BY
@@ -4200,6 +4237,12 @@ object SparkEntry {
     "ws_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
          ORDER BY user_id, event_type""",
+    // sketch-vs-exact bands self-verify engine-side (the
+    // agg_quantile_sketch convention); buckets and counts are exact
+    "ws_quantile" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us,
+           count(*) AS n_events, TRUE AS p50_ok, TRUE AS p90_ok
+         FROM events GROUP BY 1 ORDER BY hour_us""",
     // knnJoin shape + label exclusion; same row_number mirror
     "x_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv,

@@ -41,6 +41,24 @@ object StreamingOps {
         .dropDuplicatesWithinWatermark(keyCols)
     else stream.dropDuplicates(keyCols)
 
+  /** Windowed approximate quantiles: `percentile_approx`'s mergeable
+    * sketch keeps per-window state bounded by `accuracy`, not by row
+    * count — the latency-percentile / value-distribution monitor for an
+    * unbounded stream. Windows emit when the watermark closes them.
+    */
+  def windowedQuantiles(stream: DataFrame, tsCol: String, valCol: String,
+      windowLen: String, watermark: String, probs: Seq[Double],
+      accuracy: Int = 10000): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1),
+      s"probs must be in [0, 1], got $probs")
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen).as("_w"))
+      .agg(percentile_approx(col(valCol), array(probs.map(lit): _*),
+        lit(accuracy)).as("qs"))
+      .select(col("_w.start").as("window_start"), col("qs"))
+  }
+
   /** Session windows: activity bursts per key separated by `gap` of
     * silence — `session_window` keeps one open-window state object per
     * live key; the watermark closes and emits sessions once no

@@ -74,6 +74,35 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedQuantiles runs as a real stream; exact at small windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Double)]
+    val df = input.toDF().toDF("ts", "value")
+    val q = StreamingOps.windowedQuantiles(df, "ts", "value",
+        "1 hour", "1 hour", Seq(0.5, 0.9))
+      .writeStream.format("memory").queryName("wquant")
+      .outputMode("append").start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      // hour 0: 1..9 (p50 = 5, p90 = 9 at this accuracy); hour 1: 10,20
+      input.addData((1 to 9).map(i =>
+        (t(f"2024-01-01 00:${i * 5}%02d:00"), i.toDouble)): _*)
+      input.addData(
+        (t("2024-01-01 01:10:00"), 10.0), (t("2024-01-01 01:20:00"), 20.0))
+      q.processAllAvailable()
+      input.addData((t("2024-01-01 03:00:00"), 0.0)) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("wquant")
+        .as[(java.sql.Timestamp, Seq[Double])].collect().toMap
+      assert(rows(t("2024-01-01 00:00:00")) == Seq(5.0, 9.0), rows.toString)
+      assert(rows(t("2024-01-01 01:00:00")) == Seq(10.0, 20.0), rows.toString)
+    } finally q.stop()
+    intercept[IllegalArgumentException] {
+      StreamingOps.windowedQuantiles(df, "ts", "value", "1 hour", "1 hour",
+        Seq(1.5))
+    }
+  }
+
   test("windowedHeavyHitters runs as a real stream; exact at k ≥ domain") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String)]
