@@ -111,6 +111,41 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"no window over the scored corpus:\n$p")
   }
 
+  test("cell-pruned embed dedup joins on the cell lattice, never a cartesian") {
+    val p = plan("x_dedup_embed_pruned")
+    assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"corpus BNLJ in the pruned path:\n$p")
+    assert(p.contains("vector_cosine")) // codegen'd exact verify
+  }
+
+  test("function score rides the BM25 plan as one extra projection") {
+    val p = plan("q_function_score")
+    val base = plan("q_match_bm25")
+    // no extra shuffle or join beyond what BM25 itself plans
+    def count(s: String, t: String): Int = s.sliding(t.length).count(_ == t)
+    assert(count(p, "Exchange") <= count(base, "Exchange"),
+      s"decay added a shuffle:\n$p")
+    assert(count(p, "Join") <= count(base, "Join"),
+      s"decay added a join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("has_child plans as a semi-join with the pushed child predicate") {
+    val p = plan("q_has_child")
+    assert(p.contains("LeftSemi"), s"not a semi-join:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_quantity,49"),
+      s"child predicate not pushed:\n$p")
+  }
+
+  test("significant terms: one corpus pass per frequency table, no window") {
+    val p = plan("q_significant_terms")
+    assert(!p.contains("Window"), s"no window over the vocabulary:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"term frequencies must combine map-side:\n$p")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
   test("split and mixture sampling stay pure map-side projections") {
     for (q <- Seq("x_split", "x_quality_floor")) {
       val p = plan(q)
