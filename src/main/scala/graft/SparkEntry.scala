@@ -886,6 +886,19 @@ object SparkEntry {
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("id_a", "id_b")),
 
+    // Semantic-dedup keeper map: connected components over the EXACT
+    // cell-pruned cosine pair graph — every vector labeled with its
+    // cluster's canonical (min-id) representative. Composes the two
+    // gated structures; the component loop is the lineage-truncated
+    // label propagation x_dedup_clusters pins.
+    "x_dedup_embed_clusters" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val pairs = operators.Dedup.embeddingCosinePairsPruned(e, "vec_id",
+        "embedding", threshold = 0.4, k = 8, iters = 3)
+      operators.Dedup.connectedComponents(pairs, e.select("vec_id"))
+        .orderBy("id")
+    }),
+
     // Int8-quantized similarity: embeddings quantize→dequantize through
     // the native roundtrip expression (4× storage/bandwidth cut at
     // ingest), then top-10 by quantized cosine vs the vec_id=0 query,
@@ -3696,6 +3709,21 @@ object SparkEntry {
            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
          SELECT id_a, id_b, round(c, 6) AS cosine FROM z
          WHERE c >= 0.4 ORDER BY id_a, id_b""",
+    // min-label reachability over the exact pair graph (the
+    // x_dedup_clusters walk, on cosine edges)
+    "x_dedup_embed_clusters" ->
+      """WITH RECURSIVE
+         z AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                     CAST(b.embedding AS DOUBLE[])) >= 0.4),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM z
+             UNION SELECT id_b, id_a FROM z),
+         walk(id, reach) AS (
+             SELECT vec_id, vec_id FROM embeddings
+             UNION
+             SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src)
+         SELECT id, min(reach) AS root FROM walk GROUP BY id ORDER BY id""",
     "x_hybrid" ->
       """WITH tt AS (SELECT doc_id,
              row_number() OVER (ORDER BY score DESC, doc_id) AS r_text
