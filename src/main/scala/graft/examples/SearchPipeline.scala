@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.sink.{GeoIndex, IncrementalPostings, InvertedIndex, VectorIndex}
+import graft.sink.{DocQueries, GeoIndex, IncrementalPostings, InvertedIndex, VectorIndex}
 
 /** End-to-end SEARCH-SERVING example — build every persisted serving
   * structure once, then answer queries off the layouts with disk-level
@@ -22,8 +22,14 @@ import graft.sink.{GeoIndex, IncrementalPostings, InvertedIndex, VectorIndex}
   *     b. DisjunctionMax multi-clause (pruned postings legs)
   *     c. vector top-k                (probed cells only)
   *     d. cosine-radius               (angular-bound cell prune, exact)
-  *     e. geo radius                  (covered cells only)
+  *     e. geo radius / polygon        (covered cells only)
   *     f. hybrid fusion               (bounded top-k legs, rank fusion)
+  *     g. function-score              (relevance × length decay)
+  *     h. significant terms           (slice-characteristic vocabulary)
+  *
+  *   then MUTATE the geo layout in place (the live-index story): upsert
+  *   moves a point, delete tombstones one, the same radius query reads
+  *   the last-writer-wins view off O(batch) commits.
   *
   *   runMain graft.examples.SearchPipeline [sfDir] [indexRoot]
   */
@@ -92,6 +98,23 @@ object SearchPipeline {
     val geo = GeoIndex.radiusSearch(spark, gdir, 40.0, -74.0, 6000.0)
     report("geo radius 6000km", s"${geo.count()} points")
 
+    val poly = GeoIndex.polygonSearch(spark, gdir,
+      Seq((10.0, -120.0), (70.0, -100.0), (60.0, -20.0), (0.0, -60.0)))
+    report("geo polygon", s"${poly.count()} points")
+
+    val fscore = DocQueries.functionScoreGauss(
+      Tables.documents(spark, sfDir).select("doc_id", "text", "n_chars"),
+      "doc_id", "text", "merge window scan", "n_chars",
+      origin = 0.0, scale = 2000.0, offset = 500.0, decay = 0.5, k = 5)
+    report("function-score top-5",
+      fscore.collect().map(_.getLong(0)).mkString(", "))
+
+    val sig = DocQueries.significantTerms(
+      Tables.documents(spark, sfDir).select("doc_id", "text", "lang"),
+      "doc_id", "text", col("lang") === "de", minDocCount = 2, k = 5)
+    report("significant terms (de)",
+      sig.collect().map(_.getString(0)).mkString(", "))
+
     // hybrid: text + vector legs, reciprocal-rank fusion over bounded
     // top-k lists (the x_hybrid_indexed shape)
     val textLeg = InvertedIndex.bm25Search(postings, norms,
@@ -111,6 +134,21 @@ object SearchPipeline {
           .as("rrf"))
       .orderBy(col("rrf").desc, col("doc_id")).limit(5)
     report("hybrid top-5", fused.collect().map(_.getLong(0)).mkString(", "))
+
+    // ---- live mutation: the serving index is not a rebuild-only artifact
+    import spark.implicits._
+    val moved = geo.select("doc_id").as[Long].head()
+    GeoIndex.upsert(Seq((moved, 35.7, 139.7)).toDF("doc_id", "lat", "lon"),
+      "doc_id", "lat", "lon", gdir)
+    val tombstoned = GeoIndex.radiusSearch(spark, gdir, 40.0, -74.0, 6000.0)
+      .select("doc_id").as[Long].head()
+    GeoIndex.delete(Seq(tombstoned).toDF("doc_id"), "doc_id", gdir)
+    val after = GeoIndex.radiusSearch(spark, gdir, 40.0, -74.0, 6000.0)
+    report("geo after upsert+delete",
+      s"${after.count()} points (moved $moved, deleted $tombstoned)")
+    GeoIndex.maybeCompact(spark, gdir, maxDeltas = 1)
+    report("geo compacted",
+      s"${GeoIndex.stats(spark, gdir).head().getAs[Long]("n_pending_commits")} pending commits")
 
     spark.stop()
   }
