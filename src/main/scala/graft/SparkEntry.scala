@@ -893,8 +893,11 @@ object SparkEntry {
     // label propagation x_dedup_clusters pins.
     "x_dedup_embed_clusters" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
+      // k=4/iters=2: the gate only needs pruning SOUNDNESS (exactness is
+      // threshold-verified); coarser cells just admit more candidates,
+      // halving the timed k-means cost vs the x_dedup_embed_pruned gate
       val pairs = operators.Dedup.embeddingCosinePairsPruned(e, "vec_id",
-        "embedding", threshold = 0.4, k = 8, iters = 3)
+        "embedding", threshold = 0.4, k = 4, iters = 2)
       operators.Dedup.connectedComponents(pairs, e.select("vec_id"))
         .orderBy("id")
     }),
