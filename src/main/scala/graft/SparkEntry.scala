@@ -296,6 +296,18 @@ object SparkEntry {
         Tables.documents(s, d).select("doc_id", "text", "lang"),
         "doc_id", "text", col("lang") === "de", minDocCount = 5, k = 20)),
 
+    // The same aggregation served off the MATERIALIZED postings — the
+    // corpus text is never re-tokenized at query time. Same oracle as
+    // the scan form.
+    "q_significant_terms_indexed" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text", "lang")
+      sink.InvertedIndex.significantTermsIndexed(
+        sink.InvertedIndex.postings(docs, "doc_id", "text"),
+        docs.select("doc_id"),
+        docs.filter(col("lang") === "de").select("doc_id"),
+        minDocCount = 5, k = 20)
+    }),
+
     // Join-field queries (ES has_child / has_parent): relational
     // semi-joins — the child/parent predicate never duplicates or
     // widens the kept side, and Spark picks broadcast/shuffled-hash by
@@ -2847,6 +2859,27 @@ object SparkEntry {
 
     // JLH over document frequencies, arithmetic mirrored term-for-term
     "q_significant_terms" ->
+      """WITH toks AS (SELECT doc_id, lang = 'de' AS fg,
+             unnest(list_distinct(list_filter(string_split(lower(text), ' '),
+               x -> x <> ''))) AS term
+           FROM documents),
+         n AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS DOUBLE)
+               AS fgn
+           FROM documents),
+         t AS (SELECT term, CAST(count(*) AS DOUBLE) AS bgdf,
+             CAST(sum(CASE WHEN fg THEN 1 ELSE 0 END) AS DOUBLE) AS fgdf
+           FROM toks GROUP BY term),
+         z AS (SELECT term, CAST(fgdf AS BIGINT) AS fg_count,
+             CAST(bgdf AS BIGINT) AS bg_count,
+             round((fgdf / fgn - bgdf / n) * ((fgdf / fgn) / (bgdf / n)), 6)
+               AS score
+           FROM t, n WHERE fgdf >= 5)
+         SELECT term, fg_count, bg_count, score FROM z WHERE score > 0
+         ORDER BY score DESC, term LIMIT 20""",
+
+    // indexed twin: serving off the postings may never change the answer
+    "q_significant_terms_indexed" ->
       """WITH toks AS (SELECT doc_id, lang = 'de' AS fg,
              unnest(list_distinct(list_filter(string_split(lower(text), ' '),
                x -> x <> ''))) AS term

@@ -569,4 +569,42 @@ object InvertedIndex {
       .orderBy(col("dismax").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** SignificantTermsAggregation served OFF the postings store — the
+    * indexed twin of [[DocQueries.significantTerms]] (same JLH scoring
+    * over document frequencies, same `minDocCount` guard): fg and bg
+    * document frequencies come from the MATERIALIZED postings, so the
+    * corpus text is never re-tokenized. `fgDocs` (one id column —
+    * typically the hits of another indexed query) broadcasts to flag
+    * the postings rows; `docIds` (one id column, the corpus membership)
+    * supplies the two totals. One vocabulary-sized aggregate + one tiny
+    * broadcast row, like the scan form — minus its tokenization pass.
+    */
+  def significantTermsIndexed(postings: DataFrame, docIds: DataFrame,
+      fgDocs: DataFrame, minDocCount: Int, k: Int): DataFrame = {
+    require(minDocCount >= 1, s"minDocCount must be >= 1, got $minDocCount")
+    val fgFlag = fgDocs.select(col(fgDocs.columns.head).as("doc_id"))
+      .distinct().withColumn("_fg", lit(true))
+    val totals = docIds.select(col(docIds.columns.head).as("doc_id"))
+      .distinct()
+      .join(broadcast(fgFlag), Seq("doc_id"), "left")
+      .agg(count(lit(1)).cast("double").as("_n"),
+        sum(when(col("_fg"), 1).otherwise(0)).cast("double").as("_fgn"))
+    postings
+      .join(broadcast(fgFlag), Seq("doc_id"), "left")
+      .groupBy("term")
+      .agg(count(lit(1)).cast("double").as("_bgdf"),
+        sum(when(col("_fg"), 1).otherwise(0)).cast("double").as("_fgdf"))
+      .filter(col("_fgdf") >= minDocCount)
+      .crossJoin(broadcast(totals))
+      .select(col("term"),
+        col("_fgdf").cast("long").as("fg_count"),
+        col("_bgdf").cast("long").as("bg_count"),
+        round((col("_fgdf") / col("_fgn") - col("_bgdf") / col("_n")) *
+          ((col("_fgdf") / col("_fgn")) / (col("_bgdf") / col("_n"))), 6)
+          .as("score"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("term"))
+      .limit(k)
+  }
 }

@@ -374,6 +374,25 @@ class InvertedIndexSpec extends SparkSpec {
     assert(idx == scan && idx.nonEmpty)
   }
 
+  test("significantTermsIndexed ≡ scan form off the materialized postings") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text", "lang")
+    val idx = InvertedIndex.significantTermsIndexed(
+        InvertedIndex.postings(docs, "doc_id", "text"),
+        docs.select("doc_id"),
+        docs.filter(col("lang") === "de").select("doc_id"),
+        minDocCount = 2, k = 15)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    val scan = DocQueries.significantTerms(docs, "doc_id", "text",
+        col("lang") === "de", minDocCount = 2, k = 15)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(idx == scan && idx.nonEmpty)
+    intercept[IllegalArgumentException] {
+      InvertedIndex.significantTermsIndexed(
+        InvertedIndex.postings(docs, "doc_id", "text"),
+        docs.select("doc_id"), docs.select("doc_id"), 0, 5)
+    }
+  }
+
   test("spanNearSearch stays correct and bounded on repetitive text") {
     // a doc repeating the query terms m times: the greedy earliest-next
     // fold must still match (existence preserved) without enumerating
