@@ -990,6 +990,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Grid-bucket aggregation (ES geotile_grid / geohash_grid shape):
+    // every point keyed to its fixed-degree cell, per-cell count +
+    // mean position — the density heat-map aggregation. One map-side-
+    // combinable hash agg; the cell key is the same floor arithmetic
+    // the GeoJoin/GeoIndex lattice uses (15° here).
+    "x_geo_grid_agg" -> ((s, d) =>
+      Tables.documents(s, d).select("doc_id")
+        .withColumn("lat",
+          (col("doc_id") * 37 % 17000).cast("double") / 100.0 - 85.0)
+        .withColumn("lon",
+          (col("doc_id") * 91 % 36000).cast("double") / 100.0 - 180.0)
+        .groupBy(floor(col("lat") / 15.0).cast("int").as("lat_cell"),
+          floor(col("lon") / 15.0).cast("int").as("lon_cell"))
+        .agg(count(lit(1)).as("n_points"),
+          // decimal sums (coordinates are 2dp-exact), ONE double division
+          // — partial-aggregation order cannot perturb the mean
+          round(sum(col("lat").cast("decimal(12,2)")).cast("double") /
+            count(lit(1)), 6).as("mean_lat"),
+          round(sum(col("lon").cast("decimal(12,2)")).cast("double") /
+            count(lit(1)), 6).as("mean_lon"))
+        .orderBy("lat_cell", "lon_cell")),
+
     // Geo nearest-k: the 15 closest docs to a point by haversine — the
     // distance twin of x_sim_topk; top-k plans as TakeOrderedAndProject
     // (k rows per partition, no global sort). Ranked by the 3dp-rounded
@@ -3205,6 +3227,21 @@ object SparkEntry {
            FROM p)
          SELECT doc_id, lat, lon FROM c
          WHERE crossings % 2 = 1 ORDER BY doc_id""",
+    // same floor lattice; decimal sums + one double division per mean
+    "x_geo_grid_agg" ->
+      """WITH p AS (SELECT doc_id,
+             CAST(doc_id * 37 % 17000 AS DOUBLE) / 100.0 - 85.0 AS lat,
+             CAST(doc_id * 91 % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon
+           FROM documents)
+         SELECT CAST(floor(lat / 15.0) AS INT) AS lat_cell,
+           CAST(floor(lon / 15.0) AS INT) AS lon_cell,
+           count(*) AS n_points,
+           round(CAST(sum(CAST(lat AS DECIMAL(12,2))) AS DOUBLE)
+             / count(*), 6) AS mean_lat,
+           round(CAST(sum(CAST(lon AS DECIMAL(12,2))) AS DOUBLE)
+             / count(*), 6) AS mean_lon
+         FROM p GROUP BY 1, 2 ORDER BY lat_cell, lon_cell""",
+
     // bbox cell pruning may never change the answer: x_geo_polygon's
     // oracle verbatim
     "x_geo_polygon_indexed" ->
