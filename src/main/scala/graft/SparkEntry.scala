@@ -973,6 +973,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Batch nearest-k off the persisted layout: the k nearest indexed
+    // points for EACH center — lock-step ring expansion over the
+    // unsatisfied remainder, then per-center ranks over bounded
+    // candidate sets (GeoIndexSpec pins ≡ per-center brute force).
+    "x_geo_knn_join" -> ((s, d) => {
+      val pts = Tables.documents(s, d).select("doc_id")
+        .withColumn("lat",
+          (col("doc_id") * 37 % 17000).cast("double") / 100.0 - 85.0)
+        .withColumn("lon",
+          (col("doc_id") * 91 % 36000).cast("double") / 100.0 - 180.0)
+      val dir = tempDir("graft-geoknnj")
+      sink.GeoIndex.write(pts, "doc_id", "lat", "lon", dir, cellDeg = 30.0)
+      sink.GeoIndex.knnJoin(s, dir,
+          Seq((1L, 40.0, -74.0), (2L, -33.9, 151.2), (3L, 64.1, -21.9)),
+          k = 5)
+        .select("center_id", "doc_id", "dist_km", "rk")
+        .orderBy("center_id", "rk")
+    }),
+
     // Polygon query served off the persisted layout: bounding-box cell
     // cover enumerated driver-side, exact ray cast on the pruned live
     // view. Result ≡ the x_geo_polygon scan form (same oracle contract).
@@ -3287,6 +3306,29 @@ object SparkEntry {
            round(dist, 3) AS dist_km
          FROM d WHERE dist <= 1500.0
          ORDER BY center_id, doc_id""",
+    // per-center exact rank on the 3dp-rounded distance with id
+    // tie-break — the x_geo_knn cut, one partition per center
+    "x_geo_knn_join" ->
+      """WITH p AS (SELECT doc_id,
+             CAST(doc_id * 37 % 17000 AS DOUBLE) / 100.0 - 85.0 AS lat,
+             CAST(doc_id * 91 % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon
+           FROM documents),
+         c(center_id, clat, clon) AS (VALUES
+           (1, 40.0, -74.0), (2, -33.9, 151.2), (3, 64.1, -21.9)),
+         d AS (SELECT center_id, doc_id,
+             round(2 * 6371.0088 * asin(sqrt(
+               sin(radians(clat - lat) / 2) * sin(radians(clat - lat) / 2)
+               + cos(radians(lat)) * cos(radians(clat))
+               * sin(radians(clon - lon) / 2) * sin(radians(clon - lon) / 2))),
+               3) AS dist_km
+           FROM p, c),
+         r AS (SELECT center_id, doc_id, dist_km,
+             row_number() OVER (PARTITION BY center_id
+               ORDER BY dist_km, doc_id) AS rk
+           FROM d)
+         SELECT CAST(center_id AS BIGINT) AS center_id, doc_id, dist_km,
+           CAST(rk AS INT) AS rk
+         FROM r WHERE rk <= 5 ORDER BY center_id, rk""",
     "x_collapse" ->
       """WITH z AS (SELECT doc_id, source,
              len(list_filter(string_split(lower(text), ' '), w -> w = 'merge'))

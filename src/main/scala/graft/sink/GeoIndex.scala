@@ -385,6 +385,59 @@ object GeoIndex {
       centers, radiusKm)
   }
 
+  /** Batch nearest-k off the cell layout: the `k` nearest live indexed
+    * points for EACH center — "nearest depot for every order". All
+    * still-unsatisfied centers ring-expand TOGETHER: one pruned radius
+    * join per doubling round counts each center's candidates, centers
+    * reaching `k` drop out, so the loop is ≤ ~⌈log₂(antipode/cellRing)⌉
+    * driver-side rounds each touching only the unsatisfied remainder.
+    * The final pass runs one pruned radius join per distinct stopping
+    * radius (+10 m boundary margin, the [[knnSearch]] convention) and
+    * ranks each center's candidate set — a window, but over per-center
+    * candidate lists bounded by the stopping radius, never the corpus.
+    * Exactness: a center's k nearest all lie within its stopping radius
+    * (it holds ≥ k points), and every probed ball is fully contained in
+    * its covered-cell set.
+    */
+  def knnJoin(spark: SparkSession, dir: String,
+      centers: Seq[(Long, Double, Double)], k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(centers.nonEmpty, "knnJoin needs at least one center")
+    val m = readMeta(spark, dir)
+    val maxR = math.Pi * GeoFunctions.EarthRadiusKm
+    var r = m.cellDeg * 111.2 // one cell ring, the knnSearch start
+    var pending = centers
+    val stopRadius = collection.mutable.Map[Long, Double]()
+    while (pending.nonEmpty) {
+      // center count is the SMALL side by contract: one bounded
+      // driver-side count vector per round
+      val satisfied = radiusJoin(spark, dir, pending, r)
+        .groupBy("center_id").agg(count(lit(1)).as("_n"))
+        .filter(col("_n") >= k)
+        .select("center_id").collect().map(_.getLong(0)).toSet
+      val (sat, unsat) = pending.partition(c => satisfied.contains(c._1))
+      sat.foreach(c => stopRadius(c._1) = r)
+      if (r >= maxR) { // fewer than k points exist: keep them all
+        unsat.foreach(c => stopRadius(c._1) = maxR)
+        pending = Nil
+      } else {
+        pending = unsat
+        r = math.min(r * 2, maxR)
+      }
+    }
+    val legs = stopRadius.groupBy(_._2).map { case (rc, cs) =>
+      radiusJoin(spark, dir,
+        centers.filter(c => cs.contains(c._1)), math.min(rc + 0.01, maxR))
+    }.toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("center_id")
+      .orderBy(col("dist_km"), col(m.idCol))
+    legs.reduce(_.unionByName(_))
+      .withColumn("dist_km", round(col("dist_km"), 3))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
   /** The `k` nearest live indexed points to the center by haversine —
     * ring-expansion off the cell layout: probe a radius, double until
     * ≥ k points fall inside (≤ ~8 bounded driver-side counts), then

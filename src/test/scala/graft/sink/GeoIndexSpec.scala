@@ -122,6 +122,32 @@ class GeoIndexSpec extends SparkSpec {
     }
   }
 
+  test("knnJoin: per-center exact vs brute force, incl. sparse/seam centers") {
+    val dir = java.nio.file.Files.createTempDirectory("geoidx-knnj").toString
+    GeoIndex.write(pts, "pid", "lat", "lon", dir)
+    // a dense mid-latitude center, an antimeridian center, a polar one
+    // (sparse — forces extra ring-expansion rounds for it alone)
+    val centers = Seq((1L, 40.0, -74.0), (2L, 5.0, 179.0), (3L, -84.0, 10.0))
+    for (k <- Seq(1, 7)) {
+      val idx = GeoIndex.knnJoin(spark, dir, centers, k)
+        .select("center_id", "pid", "dist_km")
+        .as[(Long, Long, Double)].collect().toSet
+      val brute = centers.map { case (cid, clat, clon) =>
+        pts.withColumn("dist_km", round(GeoFunctions.haversineKm(
+            col("lat"), col("lon"), lit(clat), lit(clon)), 3))
+          .orderBy(col("dist_km"), col("pid")).limit(k)
+          .select(lit(cid).as("center_id"), col("pid"), col("dist_km"))
+      }.reduce(_.unionByName(_)).as[(Long, Long, Double)].collect().toSet
+      assert(idx == brute, s"k=$k")
+    }
+    // k beyond the corpus saturates to every point for every center
+    assert(GeoIndex.knnJoin(spark, dir, Seq((9L, 0.0, 0.0)), 3000)
+      .count() == 2000)
+    intercept[IllegalArgumentException] {
+      GeoIndex.knnJoin(spark, dir, Seq.empty, 5)
+    }
+  }
+
   test("upsert supersedes across cells, delete tombstones — searches see survivors") {
     val dir = java.nio.file.Files.createTempDirectory("geoidx-mut").toString
     val base = Seq((1L, 40.7, -74.0), (2L, 40.8, -73.9), (3L, 41.0, -74.2),
