@@ -1009,6 +1009,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Distance-ring facet (ES geo_distance aggregation): bucket every
+    // point by its distance band from a center — "how far is our
+    // audience". One projection + hash agg; the band edges are plan
+    // literals, the 3dp-rounded distance keys band membership
+    // engine-reproducibly.
+    "x_geo_distance_agg" -> ((s, d) =>
+      Tables.documents(s, d).select("doc_id")
+        .withColumn("lat",
+          (col("doc_id") * 37 % 17000).cast("double") / 100.0 - 85.0)
+        .withColumn("lon",
+          (col("doc_id") * 91 % 36000).cast("double") / 100.0 - 180.0)
+        .withColumn("dist_km", round(functions.GeoFunctions.haversineKm(
+          col("lat"), col("lon"), lit(40.0), lit(-74.0)), 3))
+        .withColumn("band",
+          when(col("dist_km") <= 2000.0, "0-2000")
+            .when(col("dist_km") <= 5000.0, "2000-5000")
+            .when(col("dist_km") <= 10000.0, "5000-10000")
+            .otherwise("10000+"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_points"),
+          min("dist_km").as("min_km"), max("dist_km").as("max_km"))
+        .orderBy("band")),
+
     // Grid-bucket aggregation (ES geotile_grid / geohash_grid shape):
     // every point keyed to its fixed-degree cell, per-cell count +
     // mean position — the density heat-map aggregation. One map-side-
@@ -3246,6 +3269,28 @@ object SparkEntry {
            FROM p)
          SELECT doc_id, lat, lon FROM c
          WHERE crossings % 2 = 1 ORDER BY doc_id""",
+    // band membership keyed on the SAME 3dp-rounded distance both sides
+    "x_geo_distance_agg" ->
+      """WITH p AS (SELECT doc_id,
+             CAST(doc_id * 37 % 17000 AS DOUBLE) / 100.0 - 85.0 AS lat,
+             CAST(doc_id * 91 % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon
+           FROM documents),
+         d AS (SELECT doc_id,
+             round(2 * 6371.0088 * asin(sqrt(
+               sin(radians(40.0 - lat) / 2) * sin(radians(40.0 - lat) / 2)
+               + cos(radians(lat)) * cos(radians(40.0))
+               * sin(radians(-74.0 - lon) / 2) * sin(radians(-74.0 - lon) / 2))),
+               3) AS dist_km
+           FROM p),
+         b AS (SELECT CASE WHEN dist_km <= 2000.0 THEN '0-2000'
+             WHEN dist_km <= 5000.0 THEN '2000-5000'
+             WHEN dist_km <= 10000.0 THEN '5000-10000'
+             ELSE '10000+' END AS band, dist_km
+           FROM d)
+         SELECT band, count(*) AS n_points,
+           min(dist_km) AS min_km, max(dist_km) AS max_km
+         FROM b GROUP BY band ORDER BY band""",
+
     // same floor lattice; decimal sums + one double division per mean
     "x_geo_grid_agg" ->
       """WITH p AS (SELECT doc_id,
