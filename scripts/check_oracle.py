@@ -2,6 +2,18 @@
 """Local replica of the driver's correctness gate: run graft.Verify output
 against DuckDB oracles on the same parquet tables and compare row-for-row.
 
+The driver hashes values WITH their representation, so a DuckDB HUGEINT
+(un-cast sum(BIGINT) -> pandas float64 via .df()) hash-mismatches a Spark
+BIGINT even when every value is equal. To predict that gate locally we read
+the oracle result exactly the way the driver does (`con.execute(sql).df()`)
+and REQUIRE a canonical-dtype match between the two frames in addition to
+the value match. The canonicalization folds width-only differences (int32 vs
+int64, float32 vs float64) that the driver's comparator also tolerates, but
+keeps int-vs-float distinct — the class of slip that actually flips the
+driver's hash. An un-cast oracle therefore fails here (float64 vs int64)
+before it fails in the driver; `CAST(sum(...) AS BIGINT)` makes both gates
+green.
+
 Usage: python3 scripts/check_oracle.py <sfDir> <verifyOutDir>
 """
 import sys, os, json, glob
@@ -10,6 +22,26 @@ import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+def canonical_dtypes(df: pd.DataFrame):
+    """Dtype signature folded the way the driver's comparator folds it:
+    integer widths together, float widths together, tz-less datetimes
+    together, all string representations to `object`. int vs float stays
+    distinct on purpose — that is the hash-breaking case."""
+    sig = []
+    for c in df.columns:
+        s = str(df[c].dtype).lower()
+        if s in ("int64", "int32", "int16", "int8",
+                 "uint64", "uint32", "uint16", "uint8"):
+            s = "int"
+        elif s in ("float32", "float64"):
+            s = "float"
+        elif s.startswith("datetime64"):
+            s = "datetime"
+        elif s in ("string", "large_string"):
+            s = "object"
+        sig.append((c, s))
+    return sig
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
@@ -33,7 +65,7 @@ def main():
             rows_only.append((name, status, len(got)))
             continue
         try:
-            exp = con.execute(oracle[name]).df()
+            exp = con.execute(oracle[name]).df()  # driver-style read
         except Exception as e:
             failed.append((name, f"oracle SQL error: {e}"))
             continue
@@ -43,6 +75,11 @@ def main():
             continue
         if len(g) != len(e):
             failed.append((name, f"row count: got {len(g)} want {len(e)}"))
+            continue
+        gd, ed = canonical_dtypes(g), canonical_dtypes(e)
+        if gd != ed:
+            diff = [(a, b) for a, b in zip(gd, ed) if a != b]
+            failed.append((name, f"dtype mismatch (driver hash gate would flag): spark-vs-oracle {diff}"))
             continue
         try:
             pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)

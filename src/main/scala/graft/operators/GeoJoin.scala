@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.GeoFunctions
@@ -70,9 +70,85 @@ object GeoJoin {
     for (la <- latLo to latHi; lo <- lonRange) yield (la, lo)
   }
 
+  /** Columnar twin of [[coveredCells]]: replicate each center ROW to the
+    * grid cells its (exact-extent, wrap/pole-aware) radius box touches,
+    * appending `_cla`/`_clo` cell columns — one output row per
+    * (center, covered cell), bounded by O((2r/cell + 2)²) per center.
+    * Same IEEE-double math, floor, and ring-modulus as the driver-side
+    * enumeration, so both forms produce identical cell sets and the
+    * DataFrame-centers join paths answer exactly like the Seq forms.
+    * `radius` (km) may be a literal or a PER-CENTER column (the knn
+    * join's per-center stopping radius). Preserves every input column.
+    */
+  private[graft] def replicateToCells(centers: DataFrame, latCol: String,
+      lonCol: String, radius: Column, cellDeg: Double): DataFrame = {
+    val nLon = lonCellCount(cellDeg)
+    def lonCell(c: Column): Column =
+      least(floor(pmod(c, lit(360.0)) / cellDeg).cast("int"), lit(nLon - 1))
+    val delta = radius / GeoFunctions.EarthRadiusKm
+    val sinD = sin(delta)
+    val cosLat = cos(radians(col(latCol)))
+    val dLat = degrees(delta)
+    val dLon = when(abs(col(latCol)) + dLat >= 90.0 || sinD >= cosLat,
+        lit(180.0))
+      .otherwise(degrees(asin(sinD / cosLat)))
+    centers
+      .withColumn("_dlat", dLat)
+      .withColumn("_dlon", dLon)
+      .withColumn("_latlo",
+        floor(greatest(lit(-90.0), col(latCol) - col("_dlat")) / cellDeg)
+          .cast("int"))
+      .withColumn("_lathi",
+        floor(least(lit(90.0), col(latCol) + col("_dlat")) / cellDeg)
+          .cast("int"))
+      .withColumn("_lonlo", lonCell(col(lonCol) - col("_dlon")))
+      // full-ring saturation (pole / antimeridian-wide box) = span nLon-1
+      .withColumn("_span", when(col("_dlon") >= 180.0, lit(nLon - 1))
+        .otherwise(pmod(lonCell(col(lonCol) + col("_dlon")) - col("_lonlo"),
+          lit(nLon))))
+      .withColumn("_cla", explode(sequence(col("_latlo"), col("_lathi"))))
+      .withColumn("_i", explode(sequence(lit(0), col("_span"))))
+      .withColumn("_clo", pmod(col("_lonlo") + col("_i"), lit(nLon)))
+      .drop("_dlat", "_dlon", "_latlo", "_lathi", "_lonlo", "_span", "_i")
+  }
+
+  /** DataFrame-centers form of [[geoRadiusJoin]] — the UNBOUNDED-centers
+    * path ("every order × depots within r"): centers never touch the
+    * driver. The cell cover is computed natively ([[replicateToCells]] —
+    * two generators, no collect) and the join is the same grid-cell
+    * equi-join, so the shuffle still carries each point once; the
+    * replicated center side is centers × cells rows — broadcast when
+    * small (AQE decides), shuffled on the cell key when not. `radius`
+    * may be `lit(km)` or a per-center column of `centers`. Output
+    * `(center_id, idCol, dist_km)` — identical rows to the Seq form on
+    * the same centers (the covers are computed with the same math).
+    */
+  def geoRadiusJoin(points: DataFrame, idCol: String, latCol: String,
+      lonCol: String, centers: DataFrame, cIdCol: String, cLatCol: String,
+      cLonCol: String, radius: Column, cellDeg: Double): DataFrame = {
+    require(cellDeg > 0 && cellDeg <= 45,
+      s"cellDeg must be in (0, 45], got $cellDeg")
+    val nLon = lonCellCount(cellDeg)
+    val c = centers.withColumn("_r", radius)
+      .select(col(cIdCol).as("center_id"), col(cLatCol).as("_clat"),
+        col(cLonCol).as("_clon"), col("_r"))
+    val repl = replicateToCells(c, "_clat", "_clon", col("_r"), cellDeg)
+    points
+      .withColumn("_cla", floor(col(latCol) / cellDeg).cast("int"))
+      .withColumn("_clo", least(
+        floor(pmod(col(lonCol), lit(360.0)) / cellDeg).cast("int"),
+        lit(nLon - 1)))
+      .join(repl, Seq("_cla", "_clo"))
+      .withColumn("dist_km", GeoFunctions.haversineKm(
+        col(latCol), col(lonCol), col("_clat"), col("_clon")))
+      .filter(col("dist_km") <= col("_r"))
+      .select(col("center_id"), col(idCol), col("dist_km"))
+  }
+
   /** `(centerId, idCol, dist_km)` for every point within `radiusKm` of a
     * center. `centers` is the small side (serving sites, cities, POIs) —
-    * a Scala list that becomes a broadcast literal relation.
+    * a Scala list that becomes a broadcast literal relation. For center
+    * sets too large for the driver, use the DataFrame overload.
     */
   def geoRadiusJoin(points: DataFrame, idCol: String, latCol: String,
       lonCol: String, centers: Seq[(Long, Double, Double)],

@@ -534,6 +534,42 @@ object DocQueries {
       .orderBy(col("bm25").desc, col(idCol))
       .limit(k)
 
+  /** CompositeAggregation (ES composite agg): one `size`-bucket PAGE of
+    * the `groupCols` bucket space with `aggs` per bucket, in bucket-key
+    * order, strictly after the `afterKey` cursor (`None` = first page;
+    * the cursor is the last bucket key of the previous page, one value
+    * per group column). The aggs twin of [[searchAfter]]: the after-key
+    * filter is a lexicographic predicate on the GROUPED frame, so no
+    * page materializes the full bucket space anywhere and the page cut
+    * is TakeOrderedAndProject over bucket-count rows, never doc-count —
+    * deep bucket paging at 100 TB costs one hash agg + top-`size` per
+    * page. Concatenating pages until one comes back short reassembles
+    * the exact bucket space (spec-pinned).
+    */
+  def compositeAfter(docs: DataFrame, groupCols: Seq[String],
+      aggs: Seq[Column], afterKey: Option[Seq[Any]], size: Int): DataFrame = {
+    require(groupCols.nonEmpty, "compositeAfter needs at least one group column")
+    require(aggs.nonEmpty, "compositeAfter needs at least one aggregate")
+    require(size > 0, s"size must be positive, got $size")
+    afterKey.foreach(k => require(k.size == groupCols.size,
+      s"afterKey must carry one value per group column " +
+        s"(${groupCols.size}), got ${k.size}"))
+    val grouped = docs
+      .groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    // strict lexicographic "key > afterKey": key_i wins on the first
+    // column that differs — (k1 > a1) OR (k1 = a1 AND k2 > a2) OR …
+    val paged = afterKey.fold(grouped) { ak =>
+      val pred = groupCols.zip(ak).zipWithIndex.map { case ((g, a), i) =>
+        groupCols.take(i).zip(ak.take(i))
+          .map { case (pg, pa) => col(pg) === lit(pa) }
+          .foldLeft(col(g) > lit(a))((acc, eq) => eq && acc)
+      }.reduce(_ || _)
+      grouped.filter(pred)
+    }
+    paged.orderBy(groupCols.map(col): _*).limit(size)
+  }
+
   /** RangeQuery (Lucene Point/TermRangeQuery): field within the given
     * bounds, either side optional, inclusivity per side. Pure pushed
     * predicate — on a persisted layout this prunes at row-group min/max

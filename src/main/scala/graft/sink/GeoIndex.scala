@@ -66,18 +66,32 @@ object GeoIndex {
       lonCol: String, cellDeg: Double)
 
   // The schema contract is immutable between rebuilds (upsert/delete/
-  // compact never touch it) and the module is single-writer, so it
-  // memoizes per (session, dir), refreshed by [[write]] — one meta read
-  // per serving session instead of one per query (and per knnSearch
-  // ring probe).
-  private val metaCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Meta]()
+  // compact never touch it), so it memoizes per (session, dir),
+  // refreshed by [[write]] — one meta read (a Spark job) per serving
+  // session instead of one per query (and per knnSearch ring probe).
+  // The entry is validated against the meta directory's modification
+  // time on every lookup (one filesystem RPC, no job): an index rebuilt
+  // OUT-OF-BAND with a different cellDeg bumps the mtime, so a
+  // long-lived serving session re-reads instead of silently computing
+  // cell ids on the stale lattice (wrong pruning, wrong results).
+  private val metaCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (Long, Meta)]()
 
-  private def readMeta(spark: SparkSession, dir: String): Meta =
-    metaCache.computeIfAbsent((spark, dir), { case (s, d) =>
-      val r = s.read.schema(metaSchema).parquet(s"$d/meta").head()
-      Meta(r.getString(0), r.getString(1), r.getString(2), r.getDouble(3))
-    })
+  private def metaMTime(spark: SparkSession, dir: String): Long =
+    DeltaLog.fs(spark, dir)
+      .getFileStatus(new Path(s"$dir/meta")).getModificationTime
+
+  private def readMeta(spark: SparkSession, dir: String): Meta = {
+    val mtime = metaMTime(spark, dir)
+    metaCache.compute((spark, dir), { case (_, cached) =>
+      if (cached != null && cached._1 == mtime) cached
+      else {
+        val r = spark.read.schema(metaSchema).parquet(s"$dir/meta").head()
+        (mtime,
+          Meta(r.getString(0), r.getString(1), r.getString(2), r.getDouble(3)))
+      }
+    })._2
+  }
 
   /** Combined non-negative cell id for a (latCell, lonCell) pair. */
   private def cellId(la: Int, lo: Int, cellDeg: Double): Int =
@@ -102,18 +116,55 @@ object GeoIndex {
   private def checkedPoints(df: DataFrame, latCol: String,
       lonCol: String): DataFrame = {
     val latT = df.schema(latCol).dataType
+    // NaN lat fails the range comparison below, but a NaN/±Inf lon would
+    // sail through isNotNull, make cellExpr yield a null cell, and land
+    // the point in a null Hive partition invisible to every cell-pruned
+    // query — exactly the silent failure this guard exists to prevent.
+    // Reject non-finite longitudes explicitly.
+    val lonFinite = !isnan(col(lonCol).cast("double")) &&
+      abs(col(lonCol).cast("double")) =!= Double.PositiveInfinity
     df.withColumn(latCol,
-        when(col(latCol).isNotNull && col(lonCol).isNotNull &&
+        when(col(latCol).isNotNull && col(lonCol).isNotNull && lonFinite &&
             col(latCol) >= -90.0 && col(latCol) <= 90.0, col(latCol))
           .otherwise(raise_error(concat(
             lit("GeoIndex: invalid coordinate (lat="),
             coalesce(col(latCol).cast("string"), lit("null")),
             lit(", lon="),
             coalesce(col(lonCol).cast("string"), lit("null")),
-            lit(") — lat must be in [-90, 90], both non-null")))
+            lit(") — lat must be in [-90, 90], lon finite, both non-null")))
             .cast(latT)))
       .withColumn(lonCol,
         col(lonCol) - lit(360.0) * floor((col(lonCol) + 180.0) / 360.0))
+  }
+
+  /** Choose a lattice pitch for [[write]] FROM THE DATA: the coarsest
+    * `cellDeg` on a fixed ladder whose mean occupancy over OCCUPIED
+    * cells is at most `targetPerCell` points — so callers don't
+    * hand-tune the grid against an unseen distribution (oceans stay
+    * empty; uniform-over-lattice estimates mislead). Cost: ONE
+    * aggregate pass — every candidate's occupied-cell count is an
+    * `approx_count_distinct` over its [[cellExpr]] in the same job.
+    * Falls back to the finest rung when even it exceeds the target
+    * (one metro-scale hot spot — at that point skew, not pitch, is the
+    * signal; see [[stats]]). The default target sizes a cell directory
+    * around one comfortable parquet task (~1M points ≈ tens of MB).
+    */
+  def pickCellDeg(points: DataFrame, latCol: String, lonCol: String,
+      targetPerCell: Long = 1000000L): Double = {
+    require(targetPerCell > 0,
+      s"targetPerCell must be positive, got $targetPerCell")
+    val ladder = Seq(45.0, 30.0, 15.0, 10.0, 5.0, 2.0, 1.0, 0.5, 0.25)
+    val aggs = count(lit(1)).as("_n") +: ladder.zipWithIndex.map {
+      case (d, i) =>
+        approx_count_distinct(cellExpr(latCol, lonCol, d)).as(s"_c$i")
+    }
+    val r = points.agg(aggs.head, aggs.tail: _*).head()
+    val n = r.getLong(0)
+    ladder.zipWithIndex
+      .find { case (_, i) =>
+        n.toDouble / math.max(1L, r.getLong(i + 1)) <= targetPerCell.toDouble
+      }
+      .map(_._1).getOrElse(ladder.last)
   }
 
   /** Lay `points` out by grid cell, resetting any previous commit log
@@ -136,7 +187,8 @@ object GeoIndex {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
     // a rebuild starts a fresh history: everything live is in the base
     DeltaLog.fs(spark, dir).delete(new Path(s"$dir/commits"), true)
-    metaCache.put((spark, dir), Meta(idCol, latCol, lonCol, cellDeg))
+    metaCache.put((spark, dir),
+      (metaMTime(spark, dir), Meta(idCol, latCol, lonCol, cellDeg)))
   }
 
   /** Upsert a batch by key: tag with the grid cell (same hygiene and
@@ -210,13 +262,14 @@ object GeoIndex {
     * a base row superseded by an out-of-cover upsert must still lose.
     */
   private def live(spark: SparkSession, dir: String,
-      cellFilter: Option[Seq[Int]]): DataFrame = {
+      cellFilter: Option[Seq[Int]],
+      preSeqs: Option[Seq[Int]] = None): DataFrame = {
     recoverBase(spark, dir)
     val m = readMeta(spark, dir)
     def pruned(df: DataFrame): DataFrame =
       cellFilter.fold(df)(cs => df.filter(col("cell").isin(cs: _*)))
     val base = pruned(spark.read.parquet(s"$dir/cells"))
-    val seqs = commitSeqs(spark, dir)
+    val seqs = preSeqs.getOrElse(commitSeqs(spark, dir))
     if (seqs.isEmpty) base
     else {
       val all = seqs.foldLeft(base.withColumn("_seq", lit(0))) { (acc, s) =>
@@ -282,8 +335,11 @@ object GeoIndex {
     val nLat = GeoJoin.latCellOf(90.0, m.cellDeg) -
       GeoJoin.latCellOf(-90.0, m.cellDeg) + 1
     val nCells = nLat.toLong * GeoJoin.lonCellCount(m.cellDeg)
-    val pending = commitSeqs(spark, dir).length
-    live(spark, dir, None)
+    // one commit-log listing feeds both the depth gauge and the live
+    // view's leg enumeration — no second filesystem walk
+    val seqs = commitSeqs(spark, dir)
+    val pending = seqs.length
+    live(spark, dir, None, preSeqs = Some(seqs))
       .groupBy("cell").agg(count(lit(1)).as("_n"))
       .agg(coalesce(sum("_n"), lit(0L)).as("n_points"),
         count(lit(1)).as("n_nonempty_cells"),
@@ -369,7 +425,9 @@ object GeoIndex {
     * [[GeoJoin.geoRadiusJoin]] (which it delegates to for the join
     * itself, on the pruned frame). At 100 TB the base scan is bounded
     * by covered-cells/total-cells however many points exist; the join
-    * stays the grid-cell equi-join with no cross product.
+    * stays the grid-cell equi-join with no cross product. `centers` is
+    * the driver-bounded side (serving sites, POIs) — for unbounded
+    * center sets use the DataFrame overload.
     */
   def radiusJoin(spark: SparkSession, dir: String,
       centers: Seq[(Long, Double, Double)], radiusKm: Double): DataFrame = {
@@ -385,16 +443,68 @@ object GeoIndex {
       centers, radiusKm)
   }
 
+  /** Shared tail of the DataFrame-centers join paths: join a resolved
+    * live view against the natively-replicated center cover on the
+    * STORED `cell` id ([[GeoJoin.replicateToCells]] emits the same cell
+    * sets as the driver-side enumeration, so the answers are identical
+    * to the Seq forms), haversine-verified against the (possibly
+    * per-center) `radius` column. No driver-side center state anywhere.
+    */
+  private def joinCore(m: Meta, lv: DataFrame, centers: DataFrame,
+      cIdCol: String, cLatCol: String, cLonCol: String,
+      radius: Column): DataFrame = {
+    val nLon = GeoJoin.lonCellCount(m.cellDeg)
+    val latOff = GeoJoin.latCellOf(-90.0, m.cellDeg)
+    val c = centers.withColumn("_r", radius)
+      .select(col(cIdCol).as("center_id"), col(cLatCol).as("_clat"),
+        col(cLonCol).as("_clon"), col("_r"))
+    val repl = GeoJoin.replicateToCells(c, "_clat", "_clon", col("_r"),
+        m.cellDeg)
+      .withColumn("cell",
+        ((col("_cla") - lit(latOff)) * nLon + col("_clo")).cast("int"))
+      .drop("_cla", "_clo")
+    lv.join(repl, Seq("cell"))
+      .withColumn("dist_km", GeoFunctions.haversineKm(
+        col(m.latCol), col(m.lonCol), col("_clat"), col("_clon")))
+      .filter(col("dist_km") <= col("_r"))
+      .select(col("center_id"), col(m.idCol), col("dist_km"))
+  }
+
+  /** DataFrame-centers form of [[radiusJoin]] — the UNBOUNDED-centers
+    * path ("a million orders × depots within r"): centers never land on
+    * the driver. The live view resolves ONCE; the cell cover is
+    * computed natively (explode over per-center ring cells) and joined
+    * on the stored `cell` id. The trade vs the Seq form is explicit:
+    * plan-literal file pruning needs a driver-side cell list, so here
+    * the base is a full cell-tagged scan — when the center side is
+    * small enough to broadcast, Spark's dynamic partition pruning
+    * recovers file-level skipping at runtime, and when it is truly
+    * unbounded the centers cover most of the lattice anyway, so the
+    * cell equi-join (each point shuffled once, no cross product), not
+    * the prune, is the scale mechanism. `radius` may be `lit(km)` or a
+    * per-center column. Output `(center_id, idCol, dist_km)` ≡ the Seq
+    * form on the same centers.
+    */
+  def radiusJoin(spark: SparkSession, dir: String, centers: DataFrame,
+      cIdCol: String, cLatCol: String, cLonCol: String,
+      radius: Column): DataFrame = {
+    val m = readMeta(spark, dir)
+    joinCore(m, live(spark, dir, None), centers, cIdCol, cLatCol, cLonCol,
+      radius)
+  }
+
   /** Batch nearest-k off the cell layout: the `k` nearest live indexed
     * points for EACH center — "nearest depot for every order". All
     * still-unsatisfied centers ring-expand TOGETHER: one pruned radius
     * join per doubling round counts each center's candidates, centers
     * reaching `k` drop out, so the loop is ≤ ~⌈log₂(antipode/cellRing)⌉
     * driver-side rounds each touching only the unsatisfied remainder.
-    * The final pass runs one pruned radius join per distinct stopping
-    * radius (+10 m boundary margin, the [[knnSearch]] convention) and
-    * ranks each center's candidate set — a window, but over per-center
-    * candidate lists bounded by the stopping radius, never the corpus.
+    * The final pass resolves the live view ONCE, pruned to the union of
+    * every center's stopping-radius cover (plan-literal cells, file-level
+    * pruning preserved), and runs ONE per-center-radius join (+10 m
+    * boundary margin, the [[knnSearch]] convention) before ranking each
+    * center's candidate set — a window, but over per-center candidate
+    * lists bounded by the stopping radius, never the corpus.
     * Exactness: a center's k nearest all lie within its stopping radius
     * (it holds ≥ k points), and every probed ball is fully contained in
     * its covered-cell set.
@@ -425,14 +535,86 @@ object GeoIndex {
         r = math.min(r * 2, maxR)
       }
     }
-    val legs = stopRadius.groupBy(_._2).map { case (rc, cs) =>
-      radiusJoin(spark, dir,
-        centers.filter(c => cs.contains(c._1)), math.min(rc + 0.01, maxR))
-    }.toSeq
+    // one final leg: live view resolved once over the union cover, each
+    // center verified against ITS OWN stopping radius (a column)
+    val finalR = centers.map { case (cid, clat, clon) =>
+      (cid, clat, clon, math.min(stopRadius(cid) + 0.01, maxR))
+    }
+    val cells = finalR.flatMap { case (_, clat, clon, rc) =>
+      GeoJoin.coveredCells(clat, clon, rc, m.cellDeg)
+        .map { case (la, lo) => cellId(la, lo, m.cellDeg) }
+    }.distinct
+    val lv = live(spark, dir, Some(cells))
+    val centersDf = broadcast(
+      spark.createDataFrame(finalR)
+        .toDF("center_id", "_fclat", "_fclon", "_stop_r"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("center_id")
       .orderBy(col("dist_km"), col(m.idCol))
-    legs.reduce(_.unionByName(_))
+    joinCore(m, lv, centersDf, "center_id", "_fclat", "_fclon",
+        col("_stop_r"))
+      .withColumn("dist_km", round(col("dist_km"), 3))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
+  /** DataFrame-centers form of [[knnJoin]] — nearest-k for EACH center
+    * of an UNBOUNDED center frame ("a million orders × nearest depot"),
+    * with no center ever landing on the driver. Same lock-step ring
+    * expansion, kept distributed: each doubling round joins only the
+    * still-unsatisfied centers (an anti-join on the satisfied id set,
+    * not a collected Seq), persists the centers-sized radius-assignment
+    * state, and the ONLY driver value per round is the remaining-count
+    * scalar that steers the ≤ ~⌈log₂(antipode/cellRing)⌉ loop. The
+    * final pass is ONE join with each center's own stopping radius as a
+    * column (+10 m margin), then the per-center window rank. The live
+    * view resolves once per call. Exactness: identical stop radii and
+    * the same verified join as the Seq form, so the outputs match row
+    * for row; the per-call footprint beyond the join is one persisted
+    * centers-sized frame (auto-unpersisted when the result is GC'd).
+    */
+  def knnJoin(spark: SparkSession, dir: String, centers: DataFrame,
+      cIdCol: String, cLatCol: String, cLonCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val m = readMeta(spark, dir)
+    val lv = live(spark, dir, None)
+    val maxR = math.Pi * GeoFunctions.EarthRadiusKm
+    var r = m.cellDeg * 111.2 // one cell ring, the knnSearch start
+    var state = centers
+      .select(col(cIdCol).as("center_id"), col(cLatCol).as("_fclat"),
+        col(cLonCol).as("_fclon"))
+      .withColumn("_stop_r", lit(null).cast("double"))
+    var persisted: Option[DataFrame] = None
+    var continue = true
+    while (continue) {
+      val pend = state.filter(col("_stop_r").isNull)
+      val satIds = joinCore(m, lv, pend, "center_id", "_fclat", "_fclon",
+          lit(r))
+        .groupBy("center_id").agg(count(lit(1)).as("_n"))
+        .filter(col("_n") >= k)
+        .select(col("center_id"), lit(1).as("_hit"))
+      val next = state.join(satIds, Seq("center_id"), "left")
+        .withColumn("_stop_r",
+          coalesce(col("_stop_r"), when(col("_hit") === 1, lit(r))))
+        .drop("_hit")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // the one bounded driver value per round: how many centers remain
+      val nRemaining = next.filter(col("_stop_r").isNull).count()
+      persisted.foreach(_.unpersist())
+      persisted = Some(next)
+      state = next
+      if (nRemaining == 0L) continue = false
+      else if (r >= maxR) { // fewer than k points exist: keep them all
+        state = state.withColumn("_stop_r",
+          coalesce(col("_stop_r"), lit(maxR)))
+        continue = false
+      } else r = math.min(r * 2, maxR)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("center_id")
+      .orderBy(col("dist_km"), col(m.idCol))
+    joinCore(m, lv, state, "center_id", "_fclat", "_fclon",
+        least(col("_stop_r") + 0.01, lit(maxR)))
       .withColumn("dist_km", round(col("dist_km"), 3))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)

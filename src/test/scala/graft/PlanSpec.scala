@@ -112,7 +112,13 @@ class PlanSpec extends SparkSpec {
   }
 
   test("cell-pruned embed dedup joins on the cell lattice, never a cartesian") {
-    val p = plan("x_dedup_embed_pruned")
+    // probe the OPERATOR's plan, not the gate's: the x_dedup_embed_pruned
+    // row reads the session-shared parquet copy of this same frame
+    // (BENCH_NOTES r7), so the computation plan lives here
+    val p = operators.Dedup.embeddingCosinePairsPruned(
+        Tables.embeddings(spark, sf), "vec_id", "embedding",
+        threshold = 0.4, k = 8, iters = 3)
+      .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"),
       s"corpus BNLJ in the pruned path:\n$p")

@@ -44,6 +44,48 @@ class GeoJoinSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("DataFrame-centers form ≡ Seq form, incl. per-center radius column") {
+    val centers = Seq(
+      (1L, 40.0, -74.0),
+      (2L, -51.0, 179.5),    // antimeridian — the wrap path
+      (3L, 88.0, 10.0))      // near-polar — the ring-saturation path
+    val cdf = centers.toDF("cid", "clat", "clon")
+    val seqForm = GeoJoin.geoRadiusJoin(pts, "id", "lat", "lon",
+        centers, 1200.0)
+      .select("center_id", "id").as[(Long, Long)].collect().toSet
+    val dfForm = GeoJoin.geoRadiusJoin(pts, "id", "lat", "lon",
+        cdf, "cid", "clat", "clon", lit(1200.0), 5.0)
+      .select("center_id", "id").as[(Long, Long)].collect().toSet
+    assert(dfForm == seqForm && dfForm.nonEmpty)
+    // per-center radius: center 1 at 1000 km, center 2 at 2000 km —
+    // each pair verified against ITS center's radius, not a global one
+    val perR = Seq((1L, 40.0, -74.0, 1000.0), (2L, -51.0, 179.5, 2000.0))
+      .toDF("cid", "clat", "clon", "r")
+    val got = GeoJoin.geoRadiusJoin(pts, "id", "lat", "lon",
+        perR, "cid", "clat", "clon", col("r"), 5.0)
+      .select("center_id", "id").as[(Long, Long)].collect().toSet
+    val expect = (brute(Seq((1L, 40.0, -74.0)), 1000.0) ++
+      brute(Seq((2L, -51.0, 179.5)), 2000.0))
+    assert(got == expect && got.map(_._1) == Set(1L, 2L))
+  }
+
+  test("DataFrame-centers construction is fully lazy — zero driver jobs") {
+    val cdf = Seq((1L, 40.0, -74.0)).toDF("cid", "clat", "clon")
+    // job-start events are posted at submit time; give the async status
+    // store a beat to settle on both reads so the counts are comparable
+    def jobCount(): Int = {
+      Thread.sleep(300)
+      spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    }
+    val before = jobCount()
+    val joined = GeoJoin.geoRadiusJoin(pts, "id", "lat", "lon",
+      cdf, "cid", "clat", "clon", lit(1200.0), 5.0)
+    val after = jobCount()
+    assert(after == before,
+      s"building the DF-centers join ran ${after - before} driver job(s)")
+    assert(joined.count() > 0) // and it still answers
+  }
+
   test("center replication is bounded by the covered-cell count") {
     // 500 km at the equator with 5° cells: lat span ≤ 3 cells, lon span
     // ≤ 3 cells → at most 9 replicas — not the whole grid

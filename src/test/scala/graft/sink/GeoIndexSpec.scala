@@ -148,6 +148,59 @@ class GeoIndexSpec extends SparkSpec {
     }
   }
 
+  test("DataFrame-centers radiusJoin/knnJoin ≡ Seq forms over a live commit log") {
+    val dir = java.nio.file.Files.createTempDirectory("geoidx-df").toString
+    GeoIndex.write(pts, "pid", "lat", "lon", dir)
+    // mutations in the log: the DF path must resolve the same live view
+    GeoIndex.upsert(Seq((999999L, 40.5, -74.5), (5L, 5.2, 178.9))
+      .toDF("pid", "lat", "lon"), "pid", "lat", "lon", dir)
+    GeoIndex.delete(Seq(7L).toDF("pid"), "pid", dir)
+    val centers = Seq((1L, 40.0, -74.0), (2L, 5.0, 179.0), (3L, -84.0, 10.0))
+    val cdf = centers.toDF("cid", "clat", "clon")
+    val rSeq = GeoIndex.radiusJoin(spark, dir, centers, 1500.0)
+      .select("center_id", "pid").as[(Long, Long)].collect().toSet
+    val rDf = GeoIndex.radiusJoin(spark, dir, cdf, "cid", "clat", "clon",
+        lit(1500.0))
+      .select("center_id", "pid").as[(Long, Long)].collect().toSet
+    assert(rDf == rSeq && rDf.nonEmpty)
+    // knn: dense, antimeridian, and sparse-polar centers; k saturation
+    for (k <- Seq(1, 7, 3000)) {
+      val kSeq = GeoIndex.knnJoin(spark, dir, centers, k)
+        .select("center_id", "pid", "dist_km")
+        .as[(Long, Long, Double)].collect().toSet
+      val kDf = GeoIndex.knnJoin(spark, dir, cdf, "cid", "clat", "clon", k)
+        .select("center_id", "pid", "dist_km")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(kDf == kSeq, s"k=$k")
+    }
+  }
+
+  test("DataFrame-centers radiusJoin construction is lazy — no driver collect") {
+    val dir = java.nio.file.Files.createTempDirectory("geoidx-lazy").toString
+    GeoIndex.write(pts, "pid", "lat", "lon", dir)
+    val centers = Seq((1L, 40.0, -74.0))
+    val cdf = centers.toDF("cid", "clat", "clon")
+    def jobCount(): Int = {
+      Thread.sleep(300)
+      spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    }
+    // constructing ANY live-view read runs the parquet listing/schema
+    // jobs; the pin is RELATIVE — the DataFrame-centers form must add
+    // no driver work beyond what the (collect-free, plan-literal) Seq
+    // form's construction already does. A per-center collect would add
+    // at least one extra job here.
+    val beforeSeq = jobCount()
+    GeoIndex.radiusJoin(spark, dir, centers, 1500.0)
+    val seqJobs = jobCount() - beforeSeq
+    val beforeDf = jobCount()
+    val q = GeoIndex.radiusJoin(spark, dir, cdf, "cid", "clat", "clon",
+      lit(1500.0))
+    val dfJobs = jobCount() - beforeDf
+    assert(dfJobs <= seqJobs,
+      s"DF-centers construction ran $dfJobs job(s) vs Seq form's $seqJobs")
+    assert(q.count() > 0)
+  }
+
   test("upsert supersedes across cells, delete tombstones — searches see survivors") {
     val dir = java.nio.file.Files.createTempDirectory("geoidx-mut").toString
     val base = Seq((1L, 40.7, -74.0), (2L, 40.8, -73.9), (3L, 41.0, -74.2),
@@ -256,6 +309,57 @@ class GeoIndexSpec extends SparkSpec {
         "pid", "lat", "lon", dir)
     }
     assert(chain(upBad).contains("invalid coordinate"), chain(upBad))
+    // non-finite longitudes must fail LOUDLY too — a NaN/±Inf lon would
+    // otherwise pass isNotNull, yield a null cell, and hide the point in
+    // a null Hive partition invisible to every cell-pruned query
+    for (badLon <- Seq(Double.NaN, Double.PositiveInfinity,
+        Double.NegativeInfinity)) {
+      val nf = intercept[Exception] {
+        GeoIndex.write(Seq((1L, 10.0, badLon)).toDF("pid", "lat", "lon"),
+          "pid", "lat", "lon", dir)
+      }
+      assert(chain(nf).contains("invalid coordinate"), s"lon=$badLon: ${chain(nf)}")
+    }
+  }
+
+  test("meta cache invalidates on an out-of-band rebuild (mtime change)") {
+    val dir = java.nio.file.Files.createTempDirectory("geoidx-meta").toString
+    GeoIndex.write(pts, "pid", "lat", "lon", dir, cellDeg = 15.0)
+    // populate the session's meta cache through a real query
+    assert(GeoIndex.radiusSearch(spark, dir, 40.0, -74.0, 500.0).count() >= 0)
+    // out-of-band rebuild with a DIFFERENT lattice: build elsewhere and
+    // move into place, bypassing write()'s same-session cache refresh —
+    // the shape of a rebuild done by another job/session
+    val dir2 = java.nio.file.Files.createTempDirectory("geoidx-meta2").toString
+    GeoIndex.write(pts, "pid", "lat", "lon", dir2, cellDeg = 5.0)
+    Thread.sleep(10) // ensure a distinct directory mtime
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    for (part <- Seq("meta", "cells")) {
+      val dst = Paths.get(s"$dir/$part")
+      def rm(p: java.nio.file.Path): Unit = {
+        if (Files.isDirectory(p))
+          Files.list(p).forEach(c => rm(c))
+        Files.delete(p)
+      }
+      rm(dst)
+      Files.move(Paths.get(s"$dir2/$part"), dst,
+        StandardCopyOption.REPLACE_EXISTING)
+      // the move preserves the source's own mtime; touch the dir so the
+      // rebuild is visible however the local fs handles rename
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis))
+    }
+    // a stale cached cellDeg=15 lattice would compute 15° cover cells
+    // against 5° directories — wrong pruning, missing points. The mtime
+    // check must re-read meta and answer exactly.
+    val idx = GeoIndex.radiusSearch(spark, dir, 40.0, -74.0, 2000.0)
+    val scan = pts
+      .withColumn("dist_km", GeoFunctions.haversineKm(
+        col("lat"), col("lon"), lit(40.0), lit(-74.0)))
+      .filter(col("dist_km") <= 2000.0)
+    assert(idx.select("pid").as[Long].collect().toSet ==
+      scan.select("pid").as[Long].collect().toSet)
+    assert(idx.count() > 0)
   }
 
   test("upsert guards: null/duplicate ids and wrong key columns fail fast") {
@@ -304,6 +408,30 @@ class GeoIndexSpec extends SparkSpec {
     assert(GeoIndex.stats(spark, dir).head()
       .getAs[Long]("n_pending_commits") == 0L)
     assert(GeoIndex.stats(spark, dir).head().getAs[Long]("n_points") == 40L)
+  }
+
+  test("pickCellDeg picks the coarsest lattice meeting the occupancy target") {
+    // generous target: the global 2000-point scatter fits the coarsest rung
+    assert(GeoIndex.pickCellDeg(pts, "lat", "lon",
+      targetPerCell = 10000L) == 45.0)
+    // tightening the target can only refine the pitch (monotone), and a
+    // tight one must leave the coarsest rung
+    val tight = GeoIndex.pickCellDeg(pts, "lat", "lon", targetPerCell = 5L)
+    val loose = GeoIndex.pickCellDeg(pts, "lat", "lon", targetPerCell = 50L)
+    assert(tight <= loose && tight < 45.0, s"tight=$tight loose=$loose")
+    // the picked pitch is write()-legal and serves correctly
+    val dir = java.nio.file.Files.createTempDirectory("geoidx-pick").toString
+    GeoIndex.write(pts, "pid", "lat", "lon", dir, cellDeg = tight)
+    val idx = GeoIndex.radiusSearch(spark, dir, 40.0, -74.0, 2000.0)
+    val scan = pts
+      .withColumn("dist_km", GeoFunctions.haversineKm(
+        col("lat"), col("lon"), lit(40.0), lit(-74.0)))
+      .filter(col("dist_km") <= 2000.0)
+    assert(idx.select("pid").as[Long].collect().toSet ==
+      scan.select("pid").as[Long].collect().toSet)
+    intercept[IllegalArgumentException] {
+      GeoIndex.pickCellDeg(pts, "lat", "lon", 0L)
+    }
   }
 
   test("an interrupted geo compact recovers on the next read") {

@@ -456,6 +456,41 @@ class IndexSinkSpec extends SparkSpec {
     assert(paged.map(_._1).distinct.size == paged.size, "overlapping pages")
   }
 
+  test("compositeAfter pages the bucket space without gaps or overlap") {
+    val docs = graft.Tables.documents(spark, sf)
+    val groupCols = Seq("lang", "source")
+    val aggs = Seq(count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("sum_chars"))
+    val full = docs.groupBy("lang", "source")
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy("lang", "source")
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(full.size >= 8, s"bucket space too small: ${full.size}")
+    // page via after-key cursors of 3 until a short page, reassemble
+    var pages = Vector(DocQueries.compositeAfter(docs, groupCols, aggs,
+      afterKey = None, size = 3)
+      .as[(String, String, Long, Long)].collect().toSeq)
+    while (pages.last.size == 3 && pages.size <= full.size / 3 + 1) {
+      val cursor = Seq(pages.last.last._1, pages.last.last._2)
+      pages :+= DocQueries.compositeAfter(docs, groupCols, aggs,
+        afterKey = Some(cursor), size = 3)
+        .as[(String, String, Long, Long)].collect().toSeq
+    }
+    assert(pages.last.size < 3, "paging never drained the bucket space")
+    val paged = pages.flatten
+    assert(paged == full, "reassembled pages must equal the full bucket space")
+    // guards: arity/emptiness checks fail fast
+    intercept[IllegalArgumentException] {
+      DocQueries.compositeAfter(docs, groupCols, aggs, Some(Seq("en")), 3)
+    }
+    intercept[IllegalArgumentException] {
+      DocQueries.compositeAfter(docs, Seq.empty, aggs, None, 3)
+    }
+    intercept[IllegalArgumentException] {
+      DocQueries.compositeAfter(docs, groupCols, Seq.empty, None, 3)
+    }
+  }
+
   test("range and facetCounts compose as filter + aggregate") {
     val docs = Seq(
       (1L, 100L, "en"), (2L, 200L, "en"), (3L, 300L, "de"),
