@@ -340,6 +340,30 @@ object SparkEntry {
         Tables.documents(s, d).select("doc_id", "text", "lang"),
         "doc_id", "text", col("lang") === "de", minDocCount = 5, k = 20)),
 
+    // RareTerms aggregation (ES rare_terms): the exact long tail —
+    // terms in at most 2 documents, rarest first. ONE vocabulary-sized
+    // map-side-combinable doc-frequency aggregate; no per-shard
+    // ascending-top-k error to bound (the failure mode ES documents
+    // for count-ascending terms aggs).
+    "q_rare_terms" -> ((s, d) =>
+      DocQueries.rareTerms(Tables.documents(s, d), "text",
+        maxDocCount = 2, k = 20)),
+
+    // AdjacencyMatrix aggregation (ES adjacency_matrix): per-filter and
+    // pairwise-intersection document counts in ONE corpus pass — each
+    // doc projects its matched-filter-name array, singles + ordered
+    // pairs explode from it (higher-order functions, O(filters²) only
+    // per matching doc), one hash agg. Never a per-pair corpus scan.
+    "q_adjacency_matrix" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      def hasTok(t: String) =
+        array_contains(split(lower(col("text")), " "), t)
+      DocQueries.adjacencyMatrix(docs, Seq(
+        "en" -> (col("lang") === "en"),
+        "merge" -> hasTok("merge"),
+        "window" -> hasTok("window")))
+    }),
+
     // The same aggregation served off the MATERIALIZED postings — the
     // corpus text is never re-tokenized at query time. Same oracle as
     // the scan form.
@@ -877,6 +901,28 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       operators.Dedup.connectedComponents(sharedExactPairs(s, d),
           docs.select("doc_id"))
+        .orderBy("id")
+    }),
+
+    // Link-graph centrality (bounded power iteration) — the
+    // crawl-prioritization / quality-weighting primitive: rank docs by
+    // link structure over a deterministic synthetic link graph (each
+    // doc links to (7·id+1) mod n and (13·id+5) mod n; both multipliers
+    // are coprime to n, so in-degree is exactly 2 everywhere). Five
+    // iterations at d=0.85; the oracle unrolls the identical closed
+    // form. Each iteration is ONE shuffle on the destination key — no
+    // driver graph state (GraphSpec pins mass conservation and hub
+    // asymmetry).
+    "x_pagerank" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id")
+      val n = docs.count() // bounded driver scalar: the link modulus
+      val edges = docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 7 + 1, lit(n)).as("dst"))
+        .unionByName(docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 13 + 5, lit(n)).as("dst")))
+      operators.Graph.pageRank(edges, "src", "dst", docs, "doc_id",
+          iters = 5, damping = 0.85)
+        .select(col("id"), round(col("rank"), 8).as("rank"))
         .orderBy("id")
     }),
 
@@ -2479,6 +2525,40 @@ object SparkEntry {
           round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"))
         .orderBy("l_returnflag")),
 
+    // Percentile-ranks aggregation (ES percentile_ranks — the inverse
+    // of percentiles): the percentage of values at or below each mark,
+    // per group. Exact integer counts in double (0/1 sums are exact),
+    // one hash agg.
+    "agg_percentile_ranks" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(sum(when(col("l_quantity") <= 10.0, 1).otherwise(0)) *
+            lit(100.0) / count(lit(1)), 6).as("pr_10"),
+          round(sum(when(col("l_quantity") <= 25.0, 1).otherwise(0)) *
+            lit(100.0) / count(lit(1)), 6).as("pr_25"))
+        .orderBy("l_returnflag")),
+
+    // Streaming geofence counts (batch twin, the ws_* gating
+    // convention): events get deterministic coordinates, three fences
+    // with PER-FENCE radii — stream-static broadcast cell equi-join +
+    // haversine verify + daily windowed counts. StreamingOpsSpec runs
+    // the operator as a real stream with a watermark bounding state.
+    "ws_geofence" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .withColumn("lat",
+          (col("event_id") * 37 % 17000).cast("double") / 100.0 - 85.0)
+        .withColumn("lon",
+          (col("event_id") * 91 % 36000).cast("double") / 100.0 - 180.0)
+      streaming.StreamingOps.geofenceCounts(e, "ts", "lat", "lon",
+          Seq((1L, 40.0, -74.0, 1500.0), (2L, 5.0, 179.0, 2000.0),
+            (3L, -84.0, 10.0, 2500.0)),
+          "1 day", "1 day")
+        .select(unix_micros(col("window_start")).as("day_us"),
+          col("fence_id"), col("n_events"))
+        .orderBy("day_us", "fence_id")
+    }),
+
     // Event-time tumbling window (Structured Streaming's windowed-agg
     // shape, batch-checked): hourly event counts + revenue.
     "ws_tumbling" -> ((s, d) =>
@@ -3045,6 +3125,34 @@ object SparkEntry {
            FROM t, n WHERE fgdf >= 5)
          SELECT term, fg_count, bg_count, score FROM z WHERE score > 0
          ORDER BY score DESC, term LIMIT 20""",
+
+    // exact long tail: vocabulary doc-frequency agg, threshold filter
+    "q_rare_terms" ->
+      """WITH t AS (SELECT unnest(list_distinct(list_filter(
+             string_split(lower(text), ' '), x -> x <> ''))) AS term
+           FROM documents)
+         SELECT term, count(*) AS doc_count FROM t GROUP BY term
+         HAVING count(*) <= 2 ORDER BY doc_count, term LIMIT 20""",
+
+    // per-filter and pairwise-intersection counts; empty buckets absent
+    "q_adjacency_matrix" ->
+      """WITH m AS (SELECT lang = 'en' AS f_en,
+             list_contains(string_split(lower(text), ' '), 'merge')
+               AS f_merge,
+             list_contains(string_split(lower(text), ' '), 'window')
+               AS f_window
+           FROM documents),
+         k AS (
+           SELECT 'en' AS key, count(*) FILTER (f_en) AS doc_count FROM m
+           UNION ALL SELECT 'en&merge', count(*) FILTER (f_en AND f_merge)
+             FROM m
+           UNION ALL SELECT 'en&window', count(*) FILTER (f_en AND f_window)
+             FROM m
+           UNION ALL SELECT 'merge', count(*) FILTER (f_merge) FROM m
+           UNION ALL SELECT 'merge&window',
+             count(*) FILTER (f_merge AND f_window) FROM m
+           UNION ALL SELECT 'window', count(*) FILTER (f_window) FROM m)
+         SELECT key, doc_count FROM k WHERE doc_count > 0 ORDER BY key""",
 
     "q_has_child" ->
       """SELECT o_orderkey, o_orderpriority FROM orders
@@ -3926,6 +4034,56 @@ object SparkEntry {
              UNION
              SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src)
          SELECT id, min(reach) AS root FROM walk GROUP BY id ORDER BY id""",
+    // the identical closed form unrolled: r_{t+1}(v) = (1-d)/n +
+    // d·Σ r_t(u)/outdeg(u) over in-edges, five iterations
+    "x_pagerank" ->
+      """WITH nn AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+             count(*) AS ni FROM documents),
+         e AS (SELECT doc_id AS src,
+             (doc_id * 7 + 1) % (SELECT ni FROM nn) AS dst FROM documents
+           UNION ALL
+           SELECT doc_id, (doc_id * 13 + 5) % (SELECT ni FROM nn)
+             FROM documents),
+         deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg
+           FROM e GROUP BY src),
+         r0 AS (SELECT doc_id AS id, 1.0 / (SELECT n FROM nn) AS r
+           FROM documents),
+         r1 AS (SELECT d.doc_id AS id, (1 - 0.85) / (SELECT n FROM nn)
+             + 0.85 * coalesce(sum(p.r / deg.outdeg), 0) AS r
+           FROM documents d
+           LEFT JOIN e ON e.dst = d.doc_id
+           LEFT JOIN r0 p ON p.id = e.src
+           LEFT JOIN deg ON deg.src = e.src
+           GROUP BY d.doc_id),
+         r2 AS (SELECT d.doc_id AS id, (1 - 0.85) / (SELECT n FROM nn)
+             + 0.85 * coalesce(sum(p.r / deg.outdeg), 0) AS r
+           FROM documents d
+           LEFT JOIN e ON e.dst = d.doc_id
+           LEFT JOIN r1 p ON p.id = e.src
+           LEFT JOIN deg ON deg.src = e.src
+           GROUP BY d.doc_id),
+         r3 AS (SELECT d.doc_id AS id, (1 - 0.85) / (SELECT n FROM nn)
+             + 0.85 * coalesce(sum(p.r / deg.outdeg), 0) AS r
+           FROM documents d
+           LEFT JOIN e ON e.dst = d.doc_id
+           LEFT JOIN r2 p ON p.id = e.src
+           LEFT JOIN deg ON deg.src = e.src
+           GROUP BY d.doc_id),
+         r4 AS (SELECT d.doc_id AS id, (1 - 0.85) / (SELECT n FROM nn)
+             + 0.85 * coalesce(sum(p.r / deg.outdeg), 0) AS r
+           FROM documents d
+           LEFT JOIN e ON e.dst = d.doc_id
+           LEFT JOIN r3 p ON p.id = e.src
+           LEFT JOIN deg ON deg.src = e.src
+           GROUP BY d.doc_id),
+         r5 AS (SELECT d.doc_id AS id, (1 - 0.85) / (SELECT n FROM nn)
+             + 0.85 * coalesce(sum(p.r / deg.outdeg), 0) AS r
+           FROM documents d
+           LEFT JOIN e ON e.dst = d.doc_id
+           LEFT JOIN r4 p ON p.id = e.src
+           LEFT JOIN deg ON deg.src = e.src
+           GROUP BY d.doc_id)
+         SELECT id, round(r, 8) AS rank FROM r5 ORDER BY id""",
     "x_dedup_passages" ->
       """WITH t AS (SELECT doc_id,
              list_filter(string_split(text, ' '), x -> x <> '') AS w
@@ -5006,6 +5164,32 @@ object SparkEntry {
            round(stddev_samp(l_quantity), 6) AS sd_qty,
            round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // exact integer-count arithmetic in double — 0/1 sums are exact
+    "agg_percentile_ranks" ->
+      """SELECT l_returnflag,
+           round(count(*) FILTER (l_quantity <= 10) * 100.0 / count(*), 6)
+             AS pr_10,
+           round(count(*) FILTER (l_quantity <= 25) * 100.0 / count(*), 6)
+             AS pr_25
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // per-fence daily entry counts; haversine mirrored from x_geo_join
+    "ws_geofence" ->
+      """WITH p AS (SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+             CAST(event_id * 37 % 17000 AS DOUBLE) / 100.0 - 85.0 AS lat,
+             CAST(event_id * 91 % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon
+           FROM events),
+         f(fence_id, flat, flon, fr) AS (VALUES
+           (1, 40.0, -74.0, 1500.0), (2, 5.0, 179.0, 2000.0),
+           (3, -84.0, 10.0, 2500.0))
+         SELECT day_us, CAST(fence_id AS BIGINT) AS fence_id,
+           count(*) AS n_events
+         FROM p, f
+         WHERE 2 * 6371.0088 * asin(sqrt(
+             sin(radians(flat - lat) / 2) * sin(radians(flat - lat) / 2)
+             + cos(radians(lat)) * cos(radians(flat))
+             * sin(radians(flon - lon) / 2) * sin(radians(flon - lon) / 2)))
+           <= fr
+         GROUP BY day_us, fence_id ORDER BY day_us, fence_id""",
     "ws_tumbling" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
            count(*) AS n,

@@ -709,4 +709,59 @@ object DocQueries {
       .orderBy(col("score").desc, col("term"))
       .limit(k)
   }
+
+  /** RareTerms aggregation (ES `rare_terms`): the LONG-TAIL complement
+    * of a terms agg — terms whose document frequency is at most
+    * `maxDocCount`, rarest first `(doc_count asc, term asc)`, up to
+    * `k`. ES documents the naive "terms agg ordered count-ascending"
+    * as unboundedly wrong at scale (each shard's local tail misses the
+    * global one); the exact distributed form is the vocabulary-sized
+    * document-frequency aggregate with the threshold filter — one
+    * map-side-combinable pass, no per-shard top-k error to bound.
+    */
+  def rareTerms(docs: DataFrame, textCol: String, maxDocCount: Long,
+      k: Int): DataFrame = {
+    require(maxDocCount >= 1, s"maxDocCount must be >= 1, got $maxDocCount")
+    require(k > 0, s"k must be positive, got $k")
+    docs
+      .select(explode(array_distinct(split(lower(col(textCol)), " ")))
+        .as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("doc_count"))
+      .filter(col("doc_count") <= maxDocCount)
+      .orderBy(col("doc_count"), col("term"))
+      .limit(k)
+  }
+
+  /** AdjacencyMatrix aggregation (ES `adjacency_matrix`): for named
+    * filters, the document count of each filter and of each pairwise
+    * intersection, keyed `name` / `nameA&nameB` (names in the given
+    * order — the ES key convention). ONE corpus pass: each document
+    * projects the array of filter names it matches (plan-literal
+    * predicates), singles and ordered pairs are generated from that
+    * array with higher-order functions, and a hash aggregate counts
+    * keys — never a per-pair corpus scan or a self-join. Pair count is
+    * O(filters²) per MATCHING doc only. Empty buckets are absent (ES
+    * semantics).
+    */
+  def adjacencyMatrix(docs: DataFrame,
+      filters: Seq[(String, Column)]): DataFrame = {
+    require(filters.nonEmpty, "adjacencyMatrix needs at least one filter")
+    require(filters.map(_._1).distinct.size == filters.size,
+      "filter names must be unique")
+    require(filters.forall(!_._1.contains("&")),
+      "filter names must not contain '&' (the intersection key separator)")
+    val matched = filter(
+      array(filters.map { case (name, pred) =>
+        when(pred, lit(name)).otherwise(lit(null).cast("string"))
+      }: _*),
+      x => x.isNotNull)
+    val pairs = flatten(transform(matched, (x, i) =>
+      transform(slice(matched, i + lit(2), size(matched)),
+        y => concat(x, lit("&"), y))))
+    docs
+      .select(explode(concat(matched, pairs)).as("key"))
+      .groupBy("key").agg(count(lit(1)).as("doc_count"))
+      .orderBy("key")
+  }
 }

@@ -27,6 +27,48 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"))
 
+  /** Streaming geofence: per-window event counts inside each fence —
+    * the "vehicles near each depot per hour" monitor. Fences are
+    * `(id, lat, lon, radiusKm)`, a bounded static side: each fence
+    * replicates to its covered grid cells
+    * ([[graft.operators.GeoJoin.replicateToCells]] — exact-extent,
+    * wrap/pole-aware, per-fence radius as a column) and the stream
+    * joins it as a STREAM-STATIC broadcast equi-join on the cell key —
+    * no cross product, each event keyed once however many fences —
+    * then haversine-verifies and window-counts. The watermark bounds
+    * the windowed state; the static side is fences × cells rows.
+    * Batch twin on a batch frame (the ws_* gating convention).
+    */
+  def geofenceCounts(stream: DataFrame, tsCol: String, latCol: String,
+      lonCol: String, fences: Seq[(Long, Double, Double, Double)],
+      windowLen: String, watermark: String,
+      cellDeg: Double = 5.0): DataFrame = {
+    require(fences.nonEmpty, "geofenceCounts needs at least one fence")
+    require(fences.forall(_._4 > 0), "fence radii must be positive")
+    require(cellDeg > 0 && cellDeg <= 45,
+      s"cellDeg must be in (0, 45], got $cellDeg")
+    val spark = stream.sparkSession
+    val nLon = graft.operators.GeoJoin.lonCellCount(cellDeg)
+    val f = spark.createDataFrame(fences)
+      .toDF("fence_id", "_flat", "_flon", "_fr")
+    val repl = broadcast(graft.operators.GeoJoin.replicateToCells(
+      f, "_flat", "_flon", col("_fr"), cellDeg))
+    val wm = if (stream.isStreaming)
+      stream.withWatermark(tsCol, watermark) else stream
+    wm
+      .withColumn("_cla", floor(col(latCol) / cellDeg).cast("int"))
+      .withColumn("_clo", least(
+        floor(pmod(col(lonCol), lit(360.0)) / cellDeg).cast("int"),
+        lit(nLon - 1)))
+      .join(repl, Seq("_cla", "_clo"))
+      .filter(graft.functions.GeoFunctions.haversineKm(
+        col(latCol), col(lonCol), col("_flat"), col("_flon")) <= col("_fr"))
+      .groupBy(window(col(tsCol), windowLen).as("_w"), col("fence_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("_w.start").as("window_start"), col("fence_id"),
+        col("n_events"))
+  }
+
   /** Streaming exact dedup on key columns; watermark expires dedup state
     * so it stays bounded on an unbounded stream. On a batch frame the
     * watermark-scoped variant is rejected by the planner, so the plain

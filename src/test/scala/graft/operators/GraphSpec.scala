@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRank: uniform on a ring, mass conserved, hubs rank higher") {
+    // ring: i → (i+1) mod 10. Uniform in-degree keeps the 1/n fixed
+    // point through every iteration.
+    val nodes = spark.range(10).select(col("id"))
+    val ring = nodes.select(col("id").as("src"),
+      pmod(col("id") + 1, lit(10)).as("dst"))
+    val r = Graph.pageRank(ring, "src", "dst", nodes, "id", iters = 5)
+      .as[(Long, Double)].collect().toMap
+    r.values.foreach(v => assert(math.abs(v - 0.1) < 1e-12, r.toString))
+    // no dangling nodes → total mass stays exactly 1 (up to fp noise)
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+
+    // star: 1..9 → 0, 0 → 1. The hub collects the mass; its sole
+    // out-neighbor inherits most of it; the other leaves only ever get
+    // the teleport floor (1-d)/n.
+    val star = nodes.filter(col("id") > 0)
+      .select(col("id").as("src"), lit(0L).as("dst"))
+      .unionByName(Seq((0L, 1L)).toDF("src", "dst"))
+    val sr = Graph.pageRank(star, "src", "dst", nodes, "id", iters = 5)
+      .as[(Long, Double)].collect().toMap
+    assert(sr(0L) > sr(1L) && sr(1L) > sr(2L), sr.toString)
+    assert(sr(2L) == sr(9L), sr.toString) // symmetric leaves tie exactly
+    assert(math.abs(sr.values.sum - 1.0) < 1e-9)
+
+    // isolated node: appears in the output at the teleport floor
+    val wide = spark.range(11).select(col("id"))
+    val wr = Graph.pageRank(star, "src", "dst", wide, "id", iters = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(wr(10L) == (1.0 - 0.85) / 11.0, wr.toString)
+
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(ring, "src", "dst", nodes, "id", iters = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(ring, "src", "dst", nodes, "id", damping = 1.0)
+    }
+  }
+}

@@ -491,6 +491,39 @@ class IndexSinkSpec extends SparkSpec {
     }
   }
 
+  test("rareTerms and adjacencyMatrix aggregate in one corpus pass") {
+    val docs = Seq(
+      (1L, "alpha beta common", "en"),
+      (2L, "beta common gamma", "de"),
+      (3L, "common delta", "en"),
+      (4L, "common", "en")).toDF("doc_id", "text", "lang")
+    val rare = DocQueries.rareTerms(docs, "text", maxDocCount = 1, k = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(rare == Seq(("alpha", 1L), ("delta", 1L), ("gamma", 1L)))
+    // threshold admits df=2; the k cut keeps the rarest-first prefix
+    val rare2 = DocQueries.rareTerms(docs, "text", maxDocCount = 2, k = 2)
+      .as[(String, Long)].collect().toSeq
+    assert(rare2 == Seq(("alpha", 1L), ("delta", 1L)))
+    intercept[IllegalArgumentException] {
+      DocQueries.rareTerms(docs, "text", 0, 5)
+    }
+    val adj = DocQueries.adjacencyMatrix(docs, Seq(
+        "en" -> (col("lang") === "en"),
+        "beta" -> array_contains(split(col("text"), " "), "beta"),
+        "delta" -> array_contains(split(col("text"), " "), "delta")))
+      .as[(String, Long)].collect().toMap
+    // beta&delta intersect nowhere → the bucket is absent (ES semantics)
+    assert(adj == Map("en" -> 3L, "beta" -> 2L, "delta" -> 1L,
+      "en&beta" -> 1L, "en&delta" -> 1L), adj.toString)
+    intercept[IllegalArgumentException] {
+      DocQueries.adjacencyMatrix(docs, Seq("a&b" -> lit(true)))
+    }
+    intercept[IllegalArgumentException] {
+      DocQueries.adjacencyMatrix(docs,
+        Seq("x" -> lit(true), "x" -> lit(false)))
+    }
+  }
+
   test("range and facetCounts compose as filter + aggregate") {
     val docs = Seq(
       (1L, 100L, "en"), (2L, 200L, "en"), (3L, 300L, "de"),

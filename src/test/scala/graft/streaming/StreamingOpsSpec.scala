@@ -206,6 +206,44 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("geofenceCounts runs as a real stream; per-fence windowed entries") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Double, Double)]
+    val df = input.toDF().toDF("ts", "lat", "lon")
+    val q = StreamingOps.geofenceCounts(df, "ts", "lat", "lon",
+        Seq((1L, 0.0, 0.0, 200.0), (2L, 50.0, 100.0, 300.0)),
+        "1 hour", "1 hour")
+      .writeStream.format("memory").queryName("wgeo")
+      .outputMode("append").start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      input.addData(
+        (t("2024-01-01 00:05:00"), 0.5, 0.5),   // fence 1 (~78 km)
+        (t("2024-01-01 00:10:00"), 1.0, -0.5),  // fence 1 (~124 km)
+        (t("2024-01-01 00:20:00"), 50.5, 99.0), // fence 2 (~90 km)
+        (t("2024-01-01 00:30:00"), 20.0, 20.0), // inside no fence
+        (t("2024-01-01 01:10:00"), 0.1, 0.1))   // fence 1, hour 1
+      q.processAllAvailable()
+      // advance the watermark; the driver row itself is in no fence
+      input.addData((t("2024-01-01 03:00:00"), 80.0, 80.0))
+      q.processAllAvailable()
+      val rows = spark.table("wgeo")
+        .as[(java.sql.Timestamp, Long, Long)].collect()
+        .map { case (w, f, n) => ((w, f), n) }.toMap
+      assert(rows((t("2024-01-01 00:00:00"), 1L)) == 2L, rows.toString)
+      assert(rows((t("2024-01-01 00:00:00"), 2L)) == 1L, rows.toString)
+      assert(rows((t("2024-01-01 01:00:00"), 1L)) == 1L, rows.toString)
+    } finally q.stop()
+    intercept[IllegalArgumentException] {
+      StreamingOps.geofenceCounts(df, "ts", "lat", "lon", Seq.empty,
+        "1 hour", "1 hour")
+    }
+    intercept[IllegalArgumentException] {
+      StreamingOps.geofenceCounts(df, "ts", "lat", "lon",
+        Seq((1L, 0.0, 0.0, -5.0)), "1 hour", "1 hour")
+    }
+  }
+
   test("watermarked tumbling window counts by event time") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String)]
