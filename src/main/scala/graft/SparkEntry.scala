@@ -850,12 +850,14 @@ object SparkEntry {
       val dir = tempDir("graft-sigstore")
       sink.SignatureStore.write(base, "doc_id", "text", dir)
       // base-internal pairs from the PERSISTED signatures (selfPairs) —
-      // no second signing pass over the base corpus
+      // no second signing pass over the base corpus; each batch is
+      // signed ONCE via the fused probe-and-commit step (probe ≡ +
+      // append ≡ pinned in SignatureStoreSpec)
       val p0 = sink.SignatureStore.selfPairs(s, dir).select("id_a", "id_b")
-      val p1 = sink.SignatureStore.probe(b1, dir).select("id_a", "id_b")
-      sink.SignatureStore.append(b1, dir)
-      val p2 = sink.SignatureStore.probe(b2, dir).select("id_a", "id_b")
-      sink.SignatureStore.append(b2, dir)
+      val p1 = sink.SignatureStore.probeAndAppend(b1, dir)
+        .select("id_a", "id_b")
+      val p2 = sink.SignatureStore.probeAndAppend(b2, dir)
+        .select("id_a", "id_b")
       val incr = p0.unionByName(p1).unionByName(p2).distinct()
       // one-shot reference WITHOUT a second corpus-wide signing pass:
       // after both appends the store holds every doc's signatures, and
@@ -922,6 +924,24 @@ object SparkEntry {
           pmod(col("doc_id") * 13 + 5, lit(n)).as("dst")))
       operators.Graph.pageRank(edges, "src", "dst", docs, "doc_id",
           iters = 5, damping = 0.85)
+        .select(col("id"), round(col("rank"), 8).as("rank"))
+        .orderBy("id")
+    }),
+
+    // Topic-sensitive PageRank: teleport mass lands only on the German
+    // slice — centrality relative to a trusted seed set ("rank the
+    // crawl around the pages we already trust"). Same per-iteration
+    // shuffle shape as x_pagerank; the topic is a plan-time predicate.
+    "x_pagerank_topic" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "lang")
+      val n = docs.count() // bounded driver scalar: the link modulus
+      val ids = docs.select("doc_id")
+      val edges = ids.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 7 + 1, lit(n)).as("dst"))
+        .unionByName(ids.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 13 + 5, lit(n)).as("dst")))
+      operators.Graph.personalizedPageRank(edges, "src", "dst", docs,
+          "doc_id", col("lang") === "de", iters = 5, damping = 0.85)
         .select(col("id"), round(col("rank"), 8).as("rank"))
         .orderBy("id")
     }),
@@ -2559,6 +2579,49 @@ object SparkEntry {
         .orderBy("day_us", "fence_id")
     }),
 
+    // ES pipeline aggregations over a weekly date histogram:
+    // `derivative` (bucket-over-bucket delta), `moving_avg` (3-bucket
+    // trailing window), `bucket_selector` (drop thin buckets AFTER the
+    // pipeline metrics are computed, the ES evaluation order). The
+    // windows run over the BUCKET space — weeks, not events — so the
+    // single-partition window is bounded by the histogram length.
+    "q_pipeline_aggs" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.orderBy("bucket_us")
+      Tables.events(s, d)
+        .groupBy(date_trunc("week", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(dec(col("value"))).cast("double").as("sum_value"))
+        .select(unix_micros(col("bucket")).as("bucket_us"),
+          col("n_events"), col("sum_value"))
+        .withColumn("derivative",
+          col("sum_value") - lag("sum_value", 1).over(w))
+        .withColumn("moving_avg",
+          round(avg("sum_value").over(w.rowsBetween(-2, 0)), 6))
+        .filter(col("n_events") >= 50)
+        .orderBy("bucket_us")
+    }),
+
+    // ES cumulative_cardinality: exact running distinct users per day.
+    // The scale trick: a running DISTINCT is NOT a running sum of daily
+    // distincts — it is the running sum of FIRST-SEEN counts, one
+    // groupBy over users, never a per-prefix re-count. The cumulative
+    // window runs over day buckets only.
+    "q_cumulative_cardinality" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val daily = e.groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+      val newbies = e.groupBy("user_id")
+        .agg(min(date_trunc("day", col("ts"))).as("day"))
+        .groupBy("day").agg(count(lit(1)).as("n_new"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+      daily.join(newbies, Seq("day"), "left")
+        .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+        .withColumn("cum_users", sum("n_new").over(w))
+        .select(unix_micros(col("day")).as("day_us"), col("n_users"),
+          col("n_new"), col("cum_users"))
+        .orderBy("day_us")
+    }),
+
     // Event-time tumbling window (Structured Streaming's windowed-agg
     // shape, batch-checked): hourly event counts + revenue.
     "ws_tumbling" -> ((s, d) =>
@@ -4084,6 +4147,64 @@ object SparkEntry {
            LEFT JOIN deg ON deg.src = e.src
            GROUP BY d.doc_id)
          SELECT id, round(r, 8) AS rank FROM r5 ORDER BY id""",
+    // the personalized teleport unrolled: mass lands only on the topic
+    // (lang='de') slice, |T| the teleport denominator
+    "x_pagerank_topic" ->
+      """WITH nn AS (SELECT count(*) AS ni,
+             CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS DOUBLE)
+               AS t
+           FROM documents),
+         e AS (SELECT doc_id AS src,
+             (doc_id * 7 + 1) % (SELECT ni FROM nn) AS dst FROM documents
+           UNION ALL
+           SELECT doc_id, (doc_id * 13 + 5) % (SELECT ni FROM nn)
+             FROM documents),
+         deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg
+           FROM e GROUP BY src),
+         r0 AS (SELECT doc_id AS id, CASE WHEN lang = 'de'
+             THEN 1.0 / (SELECT t FROM nn) ELSE 0.0 END AS r
+           FROM documents),
+         r1 AS (SELECT d.doc_id AS id, CASE WHEN d.lang = 'de'
+             THEN (1 - 0.85) / (SELECT t FROM nn) ELSE 0.0 END
+             + 0.85 * coalesce(sum(p.r / deg.outdeg), 0) AS r
+           FROM documents d
+           LEFT JOIN e ON e.dst = d.doc_id
+           LEFT JOIN r0 p ON p.id = e.src
+           LEFT JOIN deg ON deg.src = e.src
+           GROUP BY d.doc_id, d.lang),
+         r2 AS (SELECT d.doc_id AS id, CASE WHEN d.lang = 'de'
+             THEN (1 - 0.85) / (SELECT t FROM nn) ELSE 0.0 END
+             + 0.85 * coalesce(sum(p.r / deg.outdeg), 0) AS r
+           FROM documents d
+           LEFT JOIN e ON e.dst = d.doc_id
+           LEFT JOIN r1 p ON p.id = e.src
+           LEFT JOIN deg ON deg.src = e.src
+           GROUP BY d.doc_id, d.lang),
+         r3 AS (SELECT d.doc_id AS id, CASE WHEN d.lang = 'de'
+             THEN (1 - 0.85) / (SELECT t FROM nn) ELSE 0.0 END
+             + 0.85 * coalesce(sum(p.r / deg.outdeg), 0) AS r
+           FROM documents d
+           LEFT JOIN e ON e.dst = d.doc_id
+           LEFT JOIN r2 p ON p.id = e.src
+           LEFT JOIN deg ON deg.src = e.src
+           GROUP BY d.doc_id, d.lang),
+         r4 AS (SELECT d.doc_id AS id, CASE WHEN d.lang = 'de'
+             THEN (1 - 0.85) / (SELECT t FROM nn) ELSE 0.0 END
+             + 0.85 * coalesce(sum(p.r / deg.outdeg), 0) AS r
+           FROM documents d
+           LEFT JOIN e ON e.dst = d.doc_id
+           LEFT JOIN r3 p ON p.id = e.src
+           LEFT JOIN deg ON deg.src = e.src
+           GROUP BY d.doc_id, d.lang),
+         r5 AS (SELECT d.doc_id AS id, CASE WHEN d.lang = 'de'
+             THEN (1 - 0.85) / (SELECT t FROM nn) ELSE 0.0 END
+             + 0.85 * coalesce(sum(p.r / deg.outdeg), 0) AS r
+           FROM documents d
+           LEFT JOIN e ON e.dst = d.doc_id
+           LEFT JOIN r4 p ON p.id = e.src
+           LEFT JOIN deg ON deg.src = e.src
+           GROUP BY d.doc_id, d.lang)
+         SELECT id, round(r, 8) AS rank FROM r5 ORDER BY id""",
     "x_dedup_passages" ->
       """WITH t AS (SELECT doc_id,
              list_filter(string_split(text, ' '), x -> x <> '') AS w
@@ -5172,6 +5293,34 @@ object SparkEntry {
            round(count(*) FILTER (l_quantity <= 25) * 100.0 / count(*), 6)
              AS pr_25
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // derivative/moving_avg computed over the full histogram, selector
+    // applied AFTER (the ES pipeline-agg evaluation order)
+    "q_pipeline_aggs" ->
+      """WITH b AS (SELECT epoch_us(date_trunc('week', ts)) AS bucket_us,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+           FROM events GROUP BY 1),
+         p AS (SELECT bucket_us, n_events, sum_value,
+             sum_value - lag(sum_value) OVER (ORDER BY bucket_us)
+               AS derivative,
+             round(avg(sum_value) OVER (ORDER BY bucket_us
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg
+           FROM b)
+         SELECT bucket_us, n_events, sum_value, derivative, moving_avg
+         FROM p WHERE n_events >= 50 ORDER BY bucket_us""",
+    // running distinct = running sum of first-seen counts
+    "q_cumulative_cardinality" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS day,
+             count(DISTINCT user_id) AS n_users
+           FROM events GROUP BY 1),
+         fs AS (SELECT user_id, min(date_trunc('day', ts)) AS day
+           FROM events GROUP BY 1),
+         nb AS (SELECT day, count(*) AS n_new FROM fs GROUP BY 1),
+         j AS (SELECT d.day, d.n_users, coalesce(nb.n_new, 0) AS n_new
+           FROM daily d LEFT JOIN nb ON nb.day = d.day)
+         SELECT epoch_us(day) AS day_us, n_users, n_new,
+           CAST(sum(n_new) OVER (ORDER BY day) AS BIGINT) AS cum_users
+         FROM j ORDER BY day_us""",
     // per-fence daily entry counts; haversine mirrored from x_geo_join
     "ws_geofence" ->
       """WITH p AS (SELECT epoch_us(date_trunc('day', ts)) AS day_us,

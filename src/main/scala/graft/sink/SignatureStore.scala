@@ -176,11 +176,18 @@ object SignatureStore {
     */
   def probe(batch: DataFrame, dir: String,
       maxBucketOccupancy: Int): DataFrame = {
-    require(maxBucketOccupancy >= 2,
-      s"maxBucketOccupancy must be >= 2, got $maxBucketOccupancy")
     val spark = batch.sparkSession
     val m = readMeta(spark, dir)
-    val q0 = signed(batch, m)
+    probeCore(spark, dir, m, signed(batch, m), maxBucketOccupancy)
+  }
+
+  /** [[probe]] body over an already-signed batch frame — shared with
+    * [[probeAndAppend]] so the fused path signs exactly once.
+    */
+  private def probeCore(spark: SparkSession, dir: String, m: Meta,
+      q0: DataFrame, maxBucketOccupancy: Int): DataFrame = {
+    require(maxBucketOccupancy >= 2,
+      s"maxBucketOccupancy must be >= 2, got $maxBucketOccupancy")
     val pbs = q0.select("pb").distinct().collect().map(_.getInt(0)).toSeq
     val store0 = bucketRows(spark, dir, Some(pbs))
     val (store, q) =
@@ -272,6 +279,34 @@ object SignatureStore {
       rows.write.mode("overwrite").parquet(s"$tmp/buckets")
       docs.write.mode("overwrite").parquet(s"$tmp/docs")
     }
+  }
+
+  /** Sign ONCE, screen, commit — the steady-state ingest step fused:
+    * called separately, [[probe]] and [[append]] each re-sign the batch
+    * (shingle → minhash → band rows, the probe path's dominant cost);
+    * here one signed frame is cached batch-sized, probed against the
+    * PRE-COMMIT live store (the probe's store legs are enumerated before
+    * the commit lands, so the batch never collides with itself through
+    * the store side), and committed verbatim as the append. Returns the
+    * candidate pairs; the commit is durable before the call returns.
+    * Equivalence is spec-pinned: identical pairs to `probe(batch)` and
+    * identical store state to `append(batch)`.
+    */
+  def probeAndAppend(batch: DataFrame, dir: String,
+      maxBucketOccupancy: Int = Int.MaxValue): DataFrame = {
+    val spark = batch.sparkSession
+    val m = readMeta(spark, dir)
+    val q0 = signed(batch, m)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // store legs resolve their commit list NOW — before the append
+    val pairs = probeCore(spark, dir, m, q0, maxBucketOccupancy)
+    val docs = batch.select(col(m.idCol).as("_id")).distinct()
+    DeltaLog.commit(spark, s"$dir/commits",
+        DeltaLog.nextSeq(spark, s"$dir/commits"), "buckets") { tmp =>
+      q0.write.mode("overwrite").parquet(s"$tmp/buckets")
+      docs.write.mode("overwrite").parquet(s"$tmp/docs")
+    }
+    pairs
   }
 
   /** Tombstone docs out of the store: ONE O(ids)-bytes commit claiming

@@ -44,4 +44,33 @@ class GraphSpec extends SparkSpec {
       Graph.pageRank(ring, "src", "dst", nodes, "id", damping = 1.0)
     }
   }
+
+  test("personalizedPageRank: mass stays on the topic's reachable set") {
+    // two disconnected 2-cycles {0,1} and {2,3}; topic = {0}
+    val nodes = spark.range(4).select(col("id"))
+    val edges = Seq((0L, 1L), (1L, 0L), (2L, 3L), (3L, 2L))
+      .toDF("src", "dst")
+    val r = Graph.personalizedPageRank(edges, "src", "dst", nodes, "id",
+        col("id") === 0, iters = 6)
+      .as[(Long, Double)].collect().toMap
+    // the unreachable component holds EXACTLY zero mass
+    assert(r(2L) == 0.0 && r(3L) == 0.0, r.toString)
+    // no dangling nodes → total mass conserved at 1
+    assert(math.abs(r.values.sum - 1.0) < 1e-9, r.toString)
+    // the topic node keeps the teleport advantage over its neighbor
+    assert(r(0L) > r(1L) && r(1L) > 0.0, r.toString)
+    // uniform topic ≡ plain pageRank (the teleport vectors coincide)
+    val ring = nodes.select(col("id").as("src"),
+      pmod(col("id") + 1, lit(4)).as("dst"))
+    val ppr = Graph.personalizedPageRank(ring, "src", "dst", nodes, "id",
+        lit(true), iters = 4)
+      .as[(Long, Double)].collect().toMap
+    val pr = Graph.pageRank(ring, "src", "dst", nodes, "id", iters = 4)
+      .as[(Long, Double)].collect().toMap
+    assert(ppr == pr, s"$ppr vs $pr")
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(edges, "src", "dst", nodes, "id",
+        lit(false))
+    }
+  }
 }

@@ -46,6 +46,34 @@ class SignatureStoreSpec extends SparkSpec {
     assert(incr == full)
   }
 
+  test("probeAndAppend ≡ probe-then-append: same pairs, same store state") {
+    // two stores, same base; one advances via probe+append, the other
+    // via the fused sign-once step — pairs and final state must match
+    val dirA = java.nio.file.Files.createTempDirectory("sigstore-pa1").toString
+    val dirB = java.nio.file.Files.createTempDirectory("sigstore-pa2").toString
+    val base = corpus.filter(col("doc_id") <= 4)
+    val b1 = corpus.filter(col("doc_id") === 5 || col("doc_id") === 6)
+    val b2 = corpus.filter(col("doc_id") === 7)
+    SignatureStore.write(base, "doc_id", "text", dirA, nPb = 8)
+    SignatureStore.write(base, "doc_id", "text", dirB, nPb = 8)
+    val pa1 = SignatureStore.probe(b1, dirA)
+    val ref1 = pairs(pa1)
+    SignatureStore.append(b1, dirA)
+    val fused1 = pairs(SignatureStore.probeAndAppend(b1, dirB))
+    assert(fused1 == ref1 && fused1.contains((5L, 6L)), fused1.toString)
+    // second batch probes against a store that already holds batch 1 —
+    // the fused path's commit must be visible to the NEXT call
+    val ref2 = pairs(SignatureStore.probe(b2, dirA))
+    SignatureStore.append(b2, dirA)
+    val fused2 = pairs(SignatureStore.probeAndAppend(b2, dirB))
+    assert(fused2 == ref2, s"$fused2 vs $ref2")
+    // store states identical: the corpus-wide audit answers the same
+    assert(pairs(SignatureStore.selfPairs(spark, dirB)) ==
+      pairs(SignatureStore.selfPairs(spark, dirA)))
+    assert(SignatureStore.stats(spark, dirB).head()
+      .getAs[Long]("n_docs") == 7L)
+  }
+
   test("append is one O(batch) commit; base files untouched; probe sees appended docs") {
     val dir = java.nio.file.Files.createTempDirectory("sigstore-app").toString
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
