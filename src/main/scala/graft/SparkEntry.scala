@@ -364,6 +364,78 @@ object SparkEntry {
         "window" -> hasTok("window")))
     }),
 
+    // MultiTerms aggregation (ES multi_terms): top composite keys by
+    // document count — the terms agg over a key TUPLE (keeps per-column
+    // typing a concatenated-string key would lose). One map-side-
+    // combinable hash agg + TakeOrderedAndProject.
+    "q_multi_terms" -> ((s, d) =>
+      DocQueries.multiTerms(Tables.documents(s, d),
+        Seq("lang", "source"), k = 10)),
+
+    // Numeric histogram aggregation (ES histogram): fixed 250-char
+    // buckets over n_chars, ES floor bucket-key convention, empty
+    // buckets absent. One projection + hash agg — no sort over the
+    // value space.
+    "q_histogram" -> ((s, d) =>
+      DocQueries.histogram(Tables.documents(s, d), "n_chars",
+        interval = 250)),
+
+    // AutoDateHistogram (ES auto_date_histogram, fixed-interval rung
+    // ladder): the FINEST rung keeping the bucket count within target —
+    // rung choice is integer arithmetic off one min/max probe row (the
+    // cursor convention), mirrored exactly by the oracle's CASE ladder.
+    "q_auto_histogram" -> ((s, d) =>
+      DocQueries.autoDateHistogram(Tables.events(s, d), "ts",
+        targetBuckets = 40)),
+
+    // StringStats aggregation (ES string_stats): per-lang length stats
+    // + character-distribution Shannon entropy. Lengths aggregate in
+    // exact integers; entropy contributions are per-(lang, char) — an
+    // alphabet-sized frame — decimal-summed so the total is
+    // order-independent (the KL/CE convention).
+    "q_string_stats" -> ((s, d) =>
+      DocQueries.stringStats(Tables.documents(s, d), "lang", "text")),
+
+    // RankFeature query (ES rank_feature, saturation): static-signal
+    // ranking with diminishing returns — score = boost·S/(S+pivot),
+    // pivot scores exactly boost/2. Pure projection + top-k; docs
+    // without a positive feature never match (ES semantics).
+    "q_rank_feature" -> ((s, d) =>
+      DocQueries.rankFeature(Tables.documents(s, d), "doc_id", "n_chars",
+        pivot = 1000.0, boost = 1.5, k = 20)),
+
+    // DistanceFeature query (ES distance_feature): rank by PROXIMITY to
+    // an origin on a numeric axis — boost·pivot/(pivot+|x−origin|), the
+    // linear-decay sibling of q_function_score's gauss.
+    "q_distance_feature" -> ((s, d) =>
+      DocQueries.distanceFeature(Tables.documents(s, d), "doc_id",
+        "n_chars", origin = 1000.0, pivot = 500.0, boost = 2.0, k = 20)),
+
+    // Pinned query (ES pinned): ids 42, 7, 99 rank first IN THAT ORDER
+    // whether or not they match; the organic integer-tf ranking follows
+    // with pins excluded (over-fetched by the pin count so exclusion
+    // never underfills the page).
+    "q_pinned" -> ((s, d) =>
+      DocQueries.pinnedSearch(Tables.documents(s, d), "doc_id", "text",
+        "merge window scan", pinnedIds = Seq(42L, 7L, 99L), k = 15)),
+
+    // TermsSet query (ES terms_set): matched-terms count vs a
+    // PER-DOCUMENT minimum-should-match expression (the
+    // minimum_should_match_field contract — no clamping, required >
+    // |terms| never matches).
+    "q_terms_set" -> ((s, d) =>
+      DocQueries.termsSetQuery(Tables.documents(s, d), "doc_id", "text",
+          Seq("merge", "window", "filter"),
+          pmod(col("n_chars"), lit(3)) + lit(1))
+        .orderBy("doc_id")),
+
+    // MatchBoolPrefix query (ES match_bool_prefix): search-as-you-type —
+    // full tokens as term clauses, the last as a prefix clause, OR'd;
+    // score = matched clause count (deterministic integer core).
+    "q_match_bool_prefix" -> ((s, d) =>
+      DocQueries.matchBoolPrefix(Tables.documents(s, d), "doc_id", "text",
+        "window mer", k = 30)),
+
     // The same aggregation served off the MATERIALIZED postings — the
     // corpus text is never re-tokenized at query time. Same oracle as
     // the scan form.
@@ -2559,6 +2631,70 @@ object SparkEntry {
             lit(100.0) / count(lit(1)), 6).as("pr_25"))
         .orderBy("l_returnflag")),
 
+    // Boxplot aggregation (ES boxplot): five-number summary per group —
+    // min, q1/median/q3 by EXACT percentile (type-7 linear interpolation,
+    // the convention Spark `percentile` and DuckDB `quantile_cont`
+    // share), max. The exact percentile sorts within the group; the
+    // sketch twin for unbounded groups is agg_quantile_sketch.
+    "agg_boxplot" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          min(col("l_quantity")).as("q_min"),
+          round(percentile(col("l_quantity"), lit(0.25)), 6).as("q1"),
+          round(percentile(col("l_quantity"), lit(0.5)), 6).as("q2"),
+          round(percentile(col("l_quantity"), lit(0.75)), 6).as("q3"),
+          max(col("l_quantity")).as("q_max"))
+        .orderBy("l_returnflag")),
+
+    // MatrixStats aggregation (ES matrix_stats): pairwise variance /
+    // correlation over (quantity, price, discount) per group. Native
+    // corr/var merge partials in DOUBLE — order-dependent low bits a
+    // hash gate can't tolerate — so the moments are assembled from
+    // EXACT integer power sums: each 2-dp input becomes integer cents
+    // (scale-0 decimal), Σx/Σx²/Σxy stay exact decimals, and the casts
+    // to double are single correctly-rounded conversions (scale-0 only
+    // — a scale-4 decimal→double is a two-step conversion whose last
+    // ulp is engine-dependent). Every op after the casts is the same
+    // IEEE sequence in both engines. One map-side-combinable hash agg;
+    // the n(n−1) and cent-unit factors cancel inside corr.
+    "agg_matrix_stats" -> ((s, d) => {
+      // integer cent units: exact per-row, exact products, exact sums
+      def iu(c: Column) = (dec(c) * 100).cast("decimal(18,0)")
+      val (q, p, dd) = (iu(col("l_quantity")), iu(col("l_extendedprice")),
+        iu(col("l_discount")))
+      val nd = col("n").cast("double")
+      // A_xy = n·Σxy − Σx·Σy in cent² units
+      def amom(sxy: Column, sx: Column, sy: Column) = nd * sxy - sx * sy
+      val aq = amom(col("_sqq"), col("_sq"), col("_sq"))
+      val ap = amom(col("_spp"), col("_sp"), col("_sp"))
+      val ad = amom(col("_sdd"), col("_sd"), col("_sd"))
+      val aqp = amom(col("_sqp"), col("_sq"), col("_sp"))
+      val aqd = amom(col("_sqd"), col("_sq"), col("_sd"))
+      val apd = amom(col("_spd"), col("_sp"), col("_sd"))
+      val denom = (col("n") * (col("n") - 1)).cast("double")
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(q).cast("double").as("_sq"),
+          sum(p).cast("double").as("_sp"),
+          sum(dd).cast("double").as("_sd"),
+          sum(q * q).cast("double").as("_sqq"),
+          sum(p * p).cast("double").as("_spp"),
+          sum(dd * dd).cast("double").as("_sdd"),
+          sum(q * p).cast("double").as("_sqp"),
+          sum(q * dd).cast("double").as("_sqd"),
+          sum(p * dd).cast("double").as("_spd"))
+        .select(col("l_returnflag"), col("n"),
+          round(aq / denom / 10000.0, 6).as("var_q"),
+          round(ap / denom / 10000.0, 2).as("var_p"),
+          round(ad / denom / 10000.0, 9).as("var_d"),
+          round(aqp / sqrt(aq * ap), 6).as("corr_qp"),
+          round(aqd / sqrt(aq * ad), 6).as("corr_qd"),
+          round(apd / sqrt(ap * ad), 6).as("corr_pd"))
+        .orderBy("l_returnflag")
+    }),
+
     // Streaming geofence counts (batch twin, the ws_* gating
     // convention): events get deterministic coordinates, three fences
     // with PER-FENCE radii — stream-static broadcast cell equi-join +
@@ -3216,6 +3352,114 @@ object SparkEntry {
              count(*) FILTER (f_merge AND f_window) FROM m
            UNION ALL SELECT 'window', count(*) FILTER (f_window) FROM m)
          SELECT key, doc_count FROM k WHERE doc_count > 0 ORDER BY key""",
+
+    // terms agg over a key tuple, count-desc then keys-asc cut
+    "q_multi_terms" ->
+      """SELECT lang, source, count(*) AS doc_count FROM documents
+         GROUP BY lang, source
+         ORDER BY doc_count DESC, lang, source LIMIT 10""",
+
+    // ES floor bucket-key convention; empty buckets absent
+    "q_histogram" ->
+      """SELECT CAST(floor(n_chars / 250) * 250 AS BIGINT) AS bucket,
+           count(*) AS doc_count
+         FROM documents GROUP BY 1 ORDER BY bucket""",
+
+    // the rung CASE mirrors the operator's integer ladder arithmetic
+    "q_auto_histogram" ->
+      """WITH s AS (SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS mn,
+             CAST(floor(epoch(max(ts))) AS BIGINT) AS mx FROM events),
+         r AS (SELECT CASE
+             WHEN (mx - mn) // 60 + 1 <= 40 THEN 60
+             WHEN (mx - mn) // 3600 + 1 <= 40 THEN 3600
+             WHEN (mx - mn) // 86400 + 1 <= 40 THEN 86400
+             ELSE 604800 END AS rung FROM s)
+         SELECT CAST(floor(epoch(ts)) AS BIGINT)
+             - CAST(floor(epoch(ts)) AS BIGINT) % rung AS bucket_s,
+           count(*) AS doc_count, CAST(rung AS BIGINT) AS interval_s
+         FROM events, r GROUP BY 1, 3 ORDER BY 1""",
+
+    // length stats in exact integers; entropy decimal-summed per
+    // (lang, char) — the KL/CE order-independence convention
+    "q_string_stats" ->
+      """WITH ch0 AS (SELECT lang, unnest(string_split(text, '')) AS ch
+             FROM documents),
+         cc AS (SELECT lang, ch, CAST(count(*) AS DOUBLE) AS c
+           FROM ch0 WHERE ch <> '' GROUP BY 1, 2),
+         tt AS (SELECT lang, sum(c) AS t FROM cc GROUP BY 1),
+         ee AS (SELECT cc.lang,
+             CAST(round(-(c / t) * log2(c / t), 9) AS DECIMAL(18,9)) AS e
+           FROM cc JOIN tt ON cc.lang = tt.lang),
+         en AS (SELECT lang, round(CAST(sum(e) AS DOUBLE), 6) AS entropy
+           FROM ee GROUP BY 1),
+         base AS (SELECT lang, count(*) AS n_docs,
+             CAST(min(length(text)) AS BIGINT) AS min_length,
+             CAST(max(length(text)) AS BIGINT) AS max_length,
+             round(CAST(sum(length(text)) AS DOUBLE) / count(*), 6)
+               AS avg_length
+           FROM documents GROUP BY 1)
+         SELECT base.lang, n_docs, min_length, max_length, avg_length,
+           entropy
+         FROM base JOIN en ON base.lang = en.lang ORDER BY base.lang""",
+
+    // saturation: boost·S/(S+pivot); non-positive features never match
+    "q_rank_feature" ->
+      """SELECT doc_id, round(1.5 * n_chars / (n_chars + 1000.0), 6)
+           AS score
+         FROM documents WHERE n_chars > 0
+         ORDER BY score DESC, doc_id LIMIT 20""",
+
+    // linear decay around the origin: boost·pivot/(pivot+|x−origin|)
+    "q_distance_feature" ->
+      """SELECT doc_id, round(2.0 * 500.0 / (500.0 + abs(n_chars - 1000.0)),
+           6) AS score
+         FROM documents ORDER BY score DESC, doc_id LIMIT 20""",
+
+    // pins first in listed order, organic integer-tf ranking follows
+    "q_pinned" ->
+      """WITH pin AS (SELECT doc_id, TRUE AS pinned,
+             CAST(0 AS BIGINT) AS score,
+             list_position([42, 7, 99], doc_id) AS ord
+           FROM documents WHERE doc_id IN (42, 7, 99)),
+         org AS (SELECT doc_id, FALSE AS pinned,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                 w -> w = 'merge'))
+               + len(list_filter(string_split(lower(text), ' '),
+                 w -> w = 'window'))
+               + len(list_filter(string_split(lower(text), ' '),
+                 w -> w = 'scan')) AS BIGINT) AS score
+           FROM documents WHERE doc_id NOT IN (42, 7, 99)),
+         u AS (SELECT doc_id, pinned, score, 0 AS grp, ord FROM pin
+           UNION ALL
+           SELECT doc_id, pinned, score, 1, 0 FROM org WHERE score > 0)
+         SELECT doc_id, pinned, score FROM u
+         ORDER BY grp, ord, score DESC, doc_id LIMIT 15""",
+
+    // per-document minimum-should-match, no clamping (ES terms_set)
+    "q_terms_set" ->
+      """SELECT doc_id, matched, required FROM (
+           SELECT doc_id,
+             CAST(CAST(list_contains(string_split(lower(text), ' '),
+                   'merge') AS INT)
+               + CAST(list_contains(string_split(lower(text), ' '),
+                   'window') AS INT)
+               + CAST(list_contains(string_split(lower(text), ' '),
+                   'filter') AS INT) AS BIGINT) AS matched,
+             CAST(n_chars % 3 + 1 AS BIGINT) AS required
+           FROM documents) t
+         WHERE matched >= required ORDER BY doc_id""",
+
+    // term clauses + a prefix clause on the last token, OR'd
+    "q_match_bool_prefix" ->
+      """SELECT doc_id, score FROM (
+           SELECT doc_id,
+             CAST(CAST(list_contains(string_split(lower(text), ' '),
+                   'window') AS INT)
+               + CAST(len(list_filter(string_split(lower(text), ' '),
+                   w -> starts_with(w, 'mer'))) > 0 AS INT)
+             AS BIGINT) AS score
+           FROM documents) t
+         WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 30""",
 
     "q_has_child" ->
       """SELECT o_orderkey, o_orderpriority FROM orders
@@ -5293,6 +5537,55 @@ object SparkEntry {
            round(count(*) FILTER (l_quantity <= 25) * 100.0 / count(*), 6)
              AS pr_25
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    // five-number summary; quantile_cont is the same type-7 linear
+    // interpolation Spark's exact percentile uses
+    "agg_boxplot" ->
+      """SELECT l_returnflag, min(l_quantity) AS q_min,
+           round(quantile_cont(l_quantity, 0.25), 6) AS q1,
+           round(quantile_cont(l_quantity, 0.5), 6) AS q2,
+           round(quantile_cont(l_quantity, 0.75), 6) AS q3,
+           max(l_quantity) AS q_max
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    // moments from exact integer (cent-unit) power sums; scale-0
+    // decimal→double casts are single correctly-rounded conversions,
+    // then the same IEEE op sequence as the Spark side
+    "agg_matrix_stats" ->
+      """WITH t AS (SELECT l_returnflag,
+             CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100
+               AS DECIMAL(18,0)) AS q,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+               AS DECIMAL(18,0)) AS p,
+             CAST(CAST(l_discount AS DECIMAL(12,2)) * 100
+               AS DECIMAL(18,0)) AS d2
+           FROM lineitem),
+         g AS (SELECT l_returnflag, count(*) AS n,
+             CAST(sum(q) AS DOUBLE) AS sq, CAST(sum(p) AS DOUBLE) AS sp,
+             CAST(sum(d2) AS DOUBLE) AS sd,
+             CAST(sum(q*q) AS DOUBLE) AS sqq,
+             CAST(sum(p*p) AS DOUBLE) AS spp,
+             CAST(sum(d2*d2) AS DOUBLE) AS sdd,
+             CAST(sum(q*p) AS DOUBLE) AS sqp,
+             CAST(sum(q*d2) AS DOUBLE) AS sqd,
+             CAST(sum(p*d2) AS DOUBLE) AS spd
+           FROM t GROUP BY 1),
+         a AS (SELECT l_returnflag, n,
+             CAST(n AS DOUBLE) * sqq - sq * sq AS aq,
+             CAST(n AS DOUBLE) * spp - sp * sp AS ap,
+             CAST(n AS DOUBLE) * sdd - sd * sd AS ad,
+             CAST(n AS DOUBLE) * sqp - sq * sp AS aqp,
+             CAST(n AS DOUBLE) * sqd - sq * sd AS aqd,
+             CAST(n AS DOUBLE) * spd - sp * sd AS apd
+           FROM g)
+         SELECT l_returnflag, n,
+           round(aq / CAST(n * (n - 1) AS DOUBLE) / 10000.0, 6) AS var_q,
+           round(ap / CAST(n * (n - 1) AS DOUBLE) / 10000.0, 2) AS var_p,
+           round(ad / CAST(n * (n - 1) AS DOUBLE) / 10000.0, 9) AS var_d,
+           round(aqp / sqrt(aq * ap), 6) AS corr_qp,
+           round(aqd / sqrt(aq * ad), 6) AS corr_qd,
+           round(apd / sqrt(ap * ad), 6) AS corr_pd
+         FROM a ORDER BY l_returnflag""",
     // derivative/moving_avg computed over the full histogram, selector
     // applied AFTER (the ES pipeline-agg evaluation order)
     "q_pipeline_aggs" ->

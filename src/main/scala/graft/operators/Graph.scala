@@ -104,4 +104,103 @@ object Graph {
     }
     rank.select(col("id"), col("rank"))
   }
+
+  /** Multi-source BFS hop distance: `dist(v)` = fewest edges from ANY
+    * source to `v`, up to `maxHops` — reachability/proximity labeling
+    * over a link graph ("how far is every page from the trusted seed
+    * set"). Frontier iteration: each hop is ONE join of the CURRENT
+    * frontier (newly-reached nodes only, never the accumulated set)
+    * against the edge list plus an anti-join to drop already-settled
+    * nodes — BFS settles a node at its first reach, so the frontier
+    * shrinks to exactly the new perimeter and total work is O(E) per
+    * hop. Lineage is truncated per round (the connectedComponents
+    * convention); the early-exit probe is a `limit(1)` existence check,
+    * not a count. Returns `(id, dist)` for REACHED nodes only.
+    */
+  def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
+      sources: DataFrame, sourceCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 100,
+      s"maxHops must be in [1, 100], got $maxHops")
+    val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
+    var dist = sources.select(col(sourceCol).as("id")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint(true)
+    var frontier = dist.select("id")
+    var hop = 1L
+    while (hop <= maxHops && !frontier.isEmpty) {
+      val next = e
+        .join(frontier.withColumnRenamed("id", "_src"), Seq("_src"))
+        .select(col("_dst").as("id")).distinct()
+        .join(dist.select("id"), Seq("id"), "left_anti")
+        .localCheckpoint(true)
+      dist = dist.unionByName(next.withColumn("dist", lit(hop)))
+      frontier = next
+      hop += 1
+    }
+    dist
+  }
+
+  /** Triangle count over the UNDIRECTED simple graph induced by the
+    * edge list (direction, duplicate edges, and self-loops ignored).
+    * The scale-defining trick is the DEGREE-ORDERED orientation: each
+    * undirected edge points from its lower-(degree, id) endpoint to the
+    * higher one, so every node's out-degree is O(√E) however skewed the
+    * raw degree distribution — the wedge join (out-neighbor pairs per
+    * center) is bounded by Σ outdeg² = O(E^{3/2}) instead of the hub's
+    * raw degree² . Each triangle is counted exactly once: its
+    * order-minimal vertex is the unique wedge center, and the closing
+    * edge's orientation is determined by the same total order. Three
+    * equi-joins, no driver state.
+    */
+  def triangleCount(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("_deg"))
+    val keyed = und
+      .join(deg.select(col("v").as("a"), col("_deg").as("_da")), "a")
+      .join(deg.select(col("v").as("b"), col("_deg").as("_db")), "b")
+    // orient low-(deg, id) → high-(deg, id); carry the target's key for
+    // the wedge-pair ordering
+    val oriented = keyed.select(
+      when(col("_da") < col("_db") ||
+          (col("_da") === col("_db") && col("a") < col("b")),
+        struct(col("a").as("x"), col("b").as("y"), col("_db").as("dy")))
+      .otherwise(
+        struct(col("b").as("x"), col("a").as("y"), col("_da").as("dy")))
+      .as("e"))
+      .select(col("e.x").as("x"), col("e.y").as("y"), col("e.dy").as("dy"))
+    val e1 = oriented.alias("e1")
+    val e2 = oriented.alias("e2")
+    val wedges = e1.join(e2,
+        col("e1.x") === col("e2.x") &&
+          (col("e1.dy") < col("e2.dy") ||
+            (col("e1.dy") === col("e2.dy") && col("e1.y") < col("e2.y"))))
+      .select(col("e1.y").as("x"), col("e2.y").as("y"))
+    wedges
+      .join(oriented.select("x", "y"), Seq("x", "y"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Degree distribution: how many nodes have each in/out-degree —
+    * the first diagnostic run on any link graph (hub detection, skew
+    * sizing for the joins above). Nodes with no edges count at degree
+    * 0. Two hash aggregates (node-sized, then degree-sized).
+    */
+  def degreeDistribution(edges: DataFrame, srcCol: String, dstCol: String,
+      nodes: DataFrame, nodeCol: String,
+      direction: String = "in"): DataFrame = {
+    require(direction == "in" || direction == "out",
+      s"direction must be 'in' or 'out', got $direction")
+    val endpoint = if (direction == "in") dstCol else srcCol
+    val perNode = edges.select(col(endpoint).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("_deg"))
+    nodes.select(col(nodeCol).as("id"))
+      .join(perNode, Seq("id"), "left")
+      .select(coalesce(col("_deg"), lit(0L)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("degree")
+  }
 }

@@ -764,4 +764,218 @@ object DocQueries {
       .groupBy("key").agg(count(lit(1)).as("doc_count"))
       .orderBy("key")
   }
+
+  /** RankFeature query (ES `rank_feature`, saturation function):
+    * `score = boost · S/(S+pivot)` over a positive numeric feature —
+    * the static-signal ranker (pagerank, url_length, freshness score)
+    * with diminishing returns built in: the pivot is the feature value
+    * scoring exactly `boost/2`. Docs without a positive feature never
+    * match (ES semantics). Pure projection + TakeOrderedAndProject —
+    * no corpus statistics, no shuffle beyond the top-k.
+    */
+  def rankFeature(docs: DataFrame, idCol: String, field: String,
+      pivot: Double, boost: Double = 1.0, k: Int = 10): DataFrame = {
+    require(pivot > 0, s"pivot must be positive, got $pivot")
+    require(k > 0, s"k must be positive, got $k")
+    docs.filter(col(field) > 0)
+      .select(col(idCol),
+        round(lit(boost) * col(field) / (col(field) + lit(pivot)), 6)
+          .as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** DistanceFeature query (ES `distance_feature`): `score = boost ·
+    * pivot / (pivot + |x − origin|)` — rank by PROXIMITY to an origin
+    * on a numeric/date axis (recency boosts, "near this price point"),
+    * the linear-decay sibling of [[functionScoreGauss]]. Same shape:
+    * one projection + top-k.
+    */
+  def distanceFeature(docs: DataFrame, idCol: String, field: String,
+      origin: Double, pivot: Double, boost: Double = 1.0,
+      k: Int = 10): DataFrame = {
+    require(pivot > 0, s"pivot must be positive, got $pivot")
+    require(k > 0, s"k must be positive, got $k")
+    docs.select(col(idCol),
+        round(lit(boost) * lit(pivot) /
+          (lit(pivot) + abs(col(field) - lit(origin))), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Pinned query (ES `pinned`): the given ids rank first IN THE GIVEN
+    * ORDER — whether or not they match the organic query (ES matches
+    * them by id) — and the organic ranking follows with the pinned ids
+    * excluded. Sponsored results / editorial curation over any organic
+    * ranking. The pinned id list is a bounded plan literal (the
+    * k-centroids contract); both legs cut to `k` total. Organic scoring
+    * is the deterministic integer tf core ([[matchTextRanked]]).
+    */
+  def pinnedSearch(docs: DataFrame, idCol: String, textCol: String,
+      query: String, pinnedIds: Seq[Long], k: Int): DataFrame = {
+    require(pinnedIds.nonEmpty, "pinnedSearch needs at least one pinned id")
+    require(pinnedIds.distinct.size == pinnedIds.size,
+      "pinned ids must be unique")
+    require(k > 0, s"k must be positive, got $k")
+    val pinArr = lit(pinnedIds.toArray)
+    val pinned = docs
+      .filter(col(idCol).isInCollection(pinnedIds))
+      .select(col(idCol).as("doc_id"), lit(true).as("pinned"),
+        lit(0).as("_grp"),
+        array_position(pinArr, col(idCol)).as("_ord"), lit(0L).as("score"))
+    // over-fetch by the pin count: exclusion may evict up to
+    // |pinnedIds| rows from the organic top-k
+    val organic = matchTextRanked(docs.select(col(idCol), col(textCol)),
+        textCol, query, k + pinnedIds.size)
+      .filter(!col(idCol).isInCollection(pinnedIds))
+      .select(col(idCol).as("doc_id"), lit(false).as("pinned"),
+        lit(1).as("_grp"), lit(0L).as("_ord"), col("score").cast("long"))
+    pinned.unionByName(organic)
+      .orderBy(col("_grp"), col("_ord"), col("score").desc, col("doc_id"))
+      .limit(k)
+      .select("doc_id", "pinned", "score")
+  }
+
+  /** TermsSet query (ES `terms_set`): a doc matches when at least
+    * `requiredCol` — its PER-DOCUMENT minimum-should-match, a field or
+    * expression (ES's `minimum_should_match_field`) — of the query
+    * terms appear in its token set. A required count above the term
+    * count can never match (ES semantics — no clamping). One projection
+    * computing the matched count per doc; the terms are plan literals.
+    */
+  def termsSetQuery(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], requiredCol: Column): DataFrame = {
+    require(terms.nonEmpty, "termsSetQuery needs at least one term")
+    require(terms.distinct.size == terms.size, "terms must be unique")
+    val toks = split(lower(col(textCol)), " ")
+    val matched = terms.map(t =>
+      when(array_contains(toks, t), 1).otherwise(0)).reduce(_ + _)
+    docs.select(col(idCol), matched.cast("long").as("matched"),
+        requiredCol.cast("long").as("required"))
+      .filter(col("matched") >= col("required"))
+  }
+
+  /** MatchBoolPrefix query (ES `match_bool_prefix`): every query token
+    * is a term clause and the LAST is a prefix clause, OR'd as a bool
+    * `should` — the search-as-you-type shape where the final word is
+    * still being typed. Score = matched clause count (the deterministic
+    * integer core, the [[matchTextRanked]] convention). One projection
+    * over the token array; prefix tested with a higher-order `exists`.
+    */
+  def matchBoolPrefix(docs: DataFrame, idCol: String, textCol: String,
+      query: String, k: Int): DataFrame = {
+    val qs = queryTokens(query)
+    require(qs.nonEmpty, "matchBoolPrefix needs a non-empty query")
+    require(k > 0, s"k must be positive, got $k")
+    val toks = split(lower(col(textCol)), " ")
+    val fullClauses = qs.init.map(t =>
+      when(array_contains(toks, t), 1).otherwise(0))
+    val prefixClause =
+      when(exists(toks, x => x.startsWith(qs.last)), 1).otherwise(0)
+    val score = (fullClauses :+ prefixClause).reduce(_ + _)
+    docs.select(col(idCol), score.cast("long").as("score"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** MultiTerms aggregation (ES `multi_terms`): top-`k` COMPOSITE keys
+    * by document count — the terms agg over a key tuple, where a plain
+    * terms agg on a concatenated string would lose the per-column
+    * typing and ordering. One map-side-combinable hash aggregate on the
+    * tuple + TakeOrderedAndProject; ties broken by the key columns
+    * ascending so the cut is engine-reproducible.
+    */
+  def multiTerms(docs: DataFrame, keyCols: Seq[String], k: Int): DataFrame = {
+    require(keyCols.nonEmpty, "multiTerms needs at least one key column")
+    require(k > 0, s"k must be positive, got $k")
+    docs.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("doc_count"))
+      .orderBy(col("doc_count").desc +: keyCols.map(col): _*)
+      .limit(k)
+  }
+
+  /** Histogram aggregation (ES numeric `histogram`): fixed-interval
+    * buckets keyed `floor(value/interval)·interval` (the ES bucket-key
+    * convention, correct for negatives too), empty buckets absent,
+    * `minDocCount` prunes thin ones. One hash aggregate over a pure
+    * projection — never a sort over the value space.
+    */
+  def histogram(docs: DataFrame, field: String, interval: Long,
+      minDocCount: Long = 1): DataFrame = {
+    require(interval > 0, s"interval must be positive, got $interval")
+    require(minDocCount >= 1, s"minDocCount must be >= 1, got $minDocCount")
+    docs
+      .groupBy((floor(col(field) / interval) * interval).as("bucket"))
+      .agg(count(lit(1)).as("doc_count"))
+      .filter(col("doc_count") >= minDocCount)
+      .orderBy("bucket")
+  }
+
+  /** AutoDateHistogram (ES `auto_date_histogram`, fixed-interval rung
+    * ladder): picks the FINEST rung whose bucket count over the data's
+    * time span stays within `targetBuckets`, then aggregates on it —
+    * "give me a readable histogram" without hand-tuning the interval.
+    * The span probe is one min/max aggregate whose single row is the
+    * only driver-side state (the cursor convention); rung choice is
+    * integer arithmetic both engines mirror exactly. Buckets are
+    * epoch-aligned (`epoch − epoch mod rung`), the fixed-interval
+    * analogue of calendar alignment.
+    */
+  def autoDateHistogram(docs: DataFrame, tsCol: String,
+      targetBuckets: Int,
+      rungsSeconds: Seq[Long] = Seq(60L, 3600L, 86400L, 604800L)): DataFrame = {
+    require(targetBuckets > 0,
+      s"targetBuckets must be positive, got $targetBuckets")
+    require(rungsSeconds.nonEmpty && rungsSeconds == rungsSeconds.sorted,
+      "rungsSeconds must be a non-empty ascending ladder")
+    val row = docs.agg(
+      min(unix_timestamp(col(tsCol))).as("_mn"),
+      max(unix_timestamp(col(tsCol))).as("_mx")).head()
+    require(!row.isNullAt(0), "autoDateHistogram: no rows (or all-null ts)")
+    val span = row.getLong(1) - row.getLong(0)
+    val rung = rungsSeconds
+      .find(r => span / r + 1 <= targetBuckets)
+      .getOrElse(rungsSeconds.last)
+    val epoch = unix_timestamp(col(tsCol))
+    docs
+      .groupBy((epoch - pmod(epoch, lit(rung))).as("bucket_s"))
+      .agg(count(lit(1)).as("doc_count"))
+      .withColumn("interval_s", lit(rung))
+      .orderBy("bucket_s")
+  }
+
+  /** StringStats aggregation (ES `string_stats` with `show_distribution`
+    * semantics folded into one Shannon-entropy number): per group —
+    * document count, min/max/avg length, and the character-distribution
+    * entropy `−Σ p·log2 p` over every character the group's field
+    * content contains. Lengths aggregate exactly in integers (the avg
+    * divides two exact integers in double — deterministic); entropy
+    * contributions are per-(group, char) — an alphabet-sized frame —
+    * rounded to 9 dp and summed as decimals so the sum is
+    * order-independent across partitions and engines (the KL/CE
+    * convention).
+    */
+  def stringStats(docs: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val base = docs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        min(length(col(textCol))).cast("long").as("min_length"),
+        max(length(col(textCol))).cast("long").as("max_length"),
+        round(sum(length(col(textCol))).cast("double") / count(lit(1)), 6)
+          .as("avg_length"))
+    val chars = docs
+      .select(col(groupCol), explode(split(col(textCol), "")).as("_ch"))
+      .filter(col("_ch") =!= "")
+      .groupBy(col(groupCol), col("_ch"))
+      .agg(count(lit(1)).cast("double").as("_c"))
+    val totals = chars.groupBy(col(groupCol)).agg(sum("_c").as("_t"))
+    val ent = chars.join(totals, groupCol)
+      .select(col(groupCol),
+        round(-(col("_c") / col("_t")) * log2(col("_c") / col("_t")), 9)
+          .cast("decimal(18,9)").as("_e"))
+      .groupBy(col(groupCol))
+      .agg(round(sum("_e").cast("double"), 6).as("entropy"))
+    base.join(ent, groupCol).orderBy(groupCol)
+  }
 }

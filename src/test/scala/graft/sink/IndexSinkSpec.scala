@@ -524,6 +524,109 @@ class IndexSinkSpec extends SparkSpec {
     }
   }
 
+  test("multiTerms / histogram bucket exactly, ES key conventions") {
+    val docs = Seq(
+      (1L, "en", "web", 100L), (2L, "en", "web", 260L),
+      (3L, "en", "book", -3L), (4L, "de", "web", 250L),
+      (5L, "de", "book", 500L)).toDF("doc_id", "lang", "source", "n")
+    // count desc, then key columns asc on ties
+    val mt = DocQueries.multiTerms(docs, Seq("lang", "source"), k = 3)
+      .as[(String, String, Long)].collect().toSeq
+    assert(mt == Seq(("en", "web", 2L), ("de", "book", 1L),
+      ("de", "web", 1L)))
+    intercept[IllegalArgumentException] {
+      DocQueries.multiTerms(docs, Seq.empty, 3)
+    }
+    // ES floor key convention — negative values land in the −interval
+    // bucket, not bucket 0
+    val h = DocQueries.histogram(docs, "n", interval = 250)
+      .as[(Long, Long)].collect().toSeq
+    assert(h == Seq((-250L, 1L), (0L, 1L), (250L, 2L), (500L, 1L)))
+    assert(DocQueries.histogram(docs, "n", 250, minDocCount = 2)
+      .as[(Long, Long)].collect().toSeq == Seq((250L, 2L)))
+    intercept[IllegalArgumentException] {
+      DocQueries.histogram(docs, "n", 0)
+    }
+  }
+
+  test("autoDateHistogram picks the finest rung within target") {
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:05"), (2L, "2024-01-01 00:59:59"),
+      (3L, "2024-01-01 02:30:00"))
+      .toDF("id", "s")
+      .withColumn("ts", to_timestamp(col("s")))
+    // 2.5 h span: minute rung needs 151 buckets > 5, hour rung needs 3
+    val byHour = DocQueries.autoDateHistogram(ev, "ts", targetBuckets = 5)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(byHour.map(_._3).distinct == Seq(3600L))
+    assert(byHour.map(_._2) == Seq(2L, 1L))
+    assert(byHour.map(_._1).forall(_ % 3600 == 0))
+    // generous target → finest rung wins
+    val byMin = DocQueries.autoDateHistogram(ev, "ts", targetBuckets = 500)
+    assert(byMin.select("interval_s").distinct()
+      .as[Long].collect().toSeq == Seq(60L))
+    intercept[IllegalArgumentException] {
+      DocQueries.autoDateHistogram(ev, "ts", 0)
+    }
+    intercept[IllegalArgumentException] {
+      DocQueries.autoDateHistogram(ev, "ts", 5, Seq(3600L, 60L))
+    }
+  }
+
+  test("stringStats: exact lengths + character-distribution entropy") {
+    val docs = Seq(("aab", "en"), ("b", "en"), ("cc", "de"))
+      .toDF("text", "lang")
+    val st = DocQueries.stringStats(docs, "lang", "text")
+      .as[(String, Long, Long, Long, Double, Double)].collect().toSeq
+    // en chars: a×2, b×2 → uniform over 2 symbols → entropy exactly 1
+    // de chars: c×2 → single symbol → entropy 0
+    assert(st == Seq(("de", 1L, 2L, 2L, 2.0, 0.0),
+      ("en", 2L, 1L, 3L, 2.0, 1.0)))
+  }
+
+  test("rankFeature / distanceFeature / pinned / termsSet / boolPrefix") {
+    val docs = Seq(
+      (1L, "alpha merge beta", 1000L),
+      (2L, "merge merge window", 0L),
+      (3L, "gamma delta", 4000L),
+      (4L, "window merge scan", -5L)).toDF("doc_id", "text", "n")
+    // saturation: S=pivot scores exactly boost/2; non-positive excluded
+    val rf = DocQueries.rankFeature(docs, "doc_id", "n", pivot = 1000.0,
+      boost = 2.0, k = 10).as[(Long, Double)].collect().toMap
+    assert(rf == Map(1L -> 1.0, 3L -> 1.6))
+    // distance: at the origin → full boost; decays with |x − origin|
+    val dfr = DocQueries.distanceFeature(docs, "doc_id", "n",
+      origin = 1000.0, pivot = 500.0, boost = 2.0, k = 4)
+      .as[(Long, Double)].collect()
+    assert(dfr.head == ((1L, 2.0)))
+    // pinned: listed order first incl. a NON-matching doc; organic
+    // tf ranking follows with pins excluded
+    val pn = DocQueries.pinnedSearch(docs, "doc_id", "text",
+      "merge window", pinnedIds = Seq(3L, 2L), k = 4)
+      .as[(Long, Boolean, Long)].collect().toSeq
+    assert(pn.map(_._1) == Seq(3L, 2L, 4L, 1L))
+    assert(pn.map(_._2) == Seq(true, true, false, false))
+    assert(pn.drop(2).map(_._3) == Seq(2L, 1L))
+    // termsSet: per-doc required; required > |terms| never matches
+    val ts = DocQueries.termsSetQuery(docs, "doc_id", "text",
+      Seq("merge", "window"), lit(2))
+    assert(ts.select("doc_id").as[Long].collect().toSet == Set(2L, 4L))
+    assert(DocQueries.termsSetQuery(docs, "doc_id", "text",
+      Seq("merge"), lit(5)).count() == 0)
+    // bool_prefix: leading tokens exact, LAST is a prefix; presence
+    // scoring (clause count), not tf
+    val bp = DocQueries.matchBoolPrefix(docs, "doc_id", "text",
+      "merge wi", 10).as[(Long, Long)].collect().toSeq
+    assert(bp == Seq((2L, 2L), (4L, 2L), (1L, 1L)))
+    intercept[IllegalArgumentException] {
+      DocQueries.pinnedSearch(docs, "doc_id", "text", "x", Seq.empty, 5)
+    }
+    intercept[IllegalArgumentException] {
+      DocQueries.termsSetQuery(docs, "doc_id", "text", Seq("a", "a"),
+        lit(1))
+    }
+  }
+
   test("range and facetCounts compose as filter + aggregate") {
     val docs = Seq(
       (1L, 100L, "en"), (2L, 200L, "en"), (3L, 300L, "de"),
