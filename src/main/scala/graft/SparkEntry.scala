@@ -1018,6 +1018,50 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Multi-source BFS hop distance: how far is every page from the
+    // trusted seed set (doc_id % 97 == 0) over the synthetic link
+    // graph, 6 hops. Each hop joins only the NEW frontier against the
+    // edge list + an anti-join on settled nodes; the oracle is a
+    // recursive CTE over the same arithmetic.
+    "x_shortest_path" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id")
+      val n = docs.count() // bounded driver scalar: the link modulus
+      val edges = docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 7 + 1, lit(n)).as("dst"))
+        .unionByName(docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 13 + 5, lit(n)).as("dst")))
+      operators.Graph.shortestPaths(edges, "src", "dst",
+          docs.filter(pmod(col("doc_id"), lit(97)) === 0), "doc_id",
+          maxHops = 6)
+        .orderBy("id")
+    }),
+
+    // Triangle count over an undirected quadratic-residue + shift link
+    // graph (varying degree — the coprime graph alone has in-degree
+    // exactly 2 everywhere). Degree-ordered orientation bounds the
+    // wedge join at O(E^{3/2}) however skewed the hubs.
+    "x_triangle_count" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id")
+      val n = docs.count()
+      val edges = docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * col("doc_id") + 3, lit(n)).as("dst"))
+        .unionByName(docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 7 + 1, lit(n)).as("dst")))
+      operators.Graph.triangleCount(edges, "src", "dst")
+    }),
+
+    // In-degree distribution of the quadratic-residue graph (hub
+    // diagnostic): nodes with no in-edges count at degree 0. Two hash
+    // aggregates — node-sized, then degree-sized.
+    "x_degree_dist" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id")
+      val n = docs.count()
+      val edges = docs.select(col("doc_id").as("src"),
+        pmod(col("doc_id") * col("doc_id") + 3, lit(n)).as("dst"))
+      operators.Graph.degreeDistribution(edges, "src", "dst", docs,
+        "doc_id", "in")
+    }),
+
     // Passage-level dedup: 10-token windows, earliest occurrence of each
     // distinct passage kept corpus-wide, docs reassembled from survivors.
     // The keeper is a min(struct) hash agg — a million-fold repeated
@@ -4449,6 +4493,51 @@ object SparkEntry {
            LEFT JOIN deg ON deg.src = e.src
            GROUP BY d.doc_id, d.lang)
          SELECT id, round(r, 8) AS rank FROM r5 ORDER BY id""",
+
+    // BFS as a recursive CTE: UNION dedupe + the hop bound terminate it;
+    // min(dist) is the first-reach distance
+    "x_shortest_path" ->
+      """WITH RECURSIVE
+         nn AS (SELECT count(*) AS n FROM documents),
+         e AS (SELECT doc_id AS src,
+             (doc_id * 7 + 1) % (SELECT n FROM nn) AS dst FROM documents
+           UNION ALL
+           SELECT doc_id, (doc_id * 13 + 5) % (SELECT n FROM nn)
+             FROM documents),
+         b(id, dist) AS (
+           SELECT doc_id, CAST(0 AS BIGINT) FROM documents
+           WHERE doc_id % 97 = 0
+           UNION
+           SELECT e.dst, b.dist + 1 FROM b JOIN e ON e.src = b.id
+           WHERE b.dist < 6)
+         SELECT id, min(dist) AS dist FROM b GROUP BY id ORDER BY id""",
+
+    // each triangle a<b<c counted once: wedge at a, closure on (b,c)
+    "x_triangle_count" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+         ed AS (SELECT doc_id AS src,
+             (doc_id * doc_id + 3) % (SELECT n FROM nn) AS dst
+           FROM documents
+           UNION ALL
+           SELECT doc_id, (doc_id * 7 + 1) % (SELECT n FROM nn)
+             FROM documents),
+         u AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           FROM ed WHERE src <> dst)
+         SELECT count(*) AS n_triangles
+         FROM u e1
+         JOIN u e2 ON e2.a = e1.a AND e2.b > e1.b
+         JOIN u e3 ON e3.a = e1.b AND e3.b = e2.b""",
+
+    // left join keeps zero-in-degree nodes at degree 0
+    "x_degree_dist" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+         ind AS (SELECT (doc_id * doc_id + 3) % (SELECT n FROM nn) AS id
+           FROM documents),
+         cnt AS (SELECT d.doc_id AS id, count(i.id) AS degree
+           FROM documents d LEFT JOIN ind i ON i.id = d.doc_id
+           GROUP BY 1)
+         SELECT degree, count(*) AS n_nodes FROM cnt
+         GROUP BY 1 ORDER BY 1""",
     "x_dedup_passages" ->
       """WITH t AS (SELECT doc_id,
              list_filter(string_split(text, ' '), x -> x <> '') AS w

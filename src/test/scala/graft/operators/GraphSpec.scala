@@ -73,4 +73,65 @@ class GraphSpec extends SparkSpec {
         lit(false))
     }
   }
+
+  test("shortestPaths: BFS settles first reach, bounded hops") {
+    // chain 1→2→3→4→5 plus a shortcut 1→4
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L))
+      .toDF("src", "dst")
+    val src1 = Seq(1L).toDF("id")
+    val d = Graph.shortestPaths(edges, "src", "dst", src1, "id", 10)
+      .as[(Long, Long)].collect().toMap
+    // the shortcut wins: 4 settles at hop 1, 5 at hop 2
+    assert(d == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 2L))
+    // hop bound truncates: node 5 unreached at maxHops=1
+    val d1 = Graph.shortestPaths(edges, "src", "dst", src1, "id", 1)
+      .as[(Long, Long)].collect().toMap
+    assert(d1 == Map(1L -> 0L, 2L -> 1L, 4L -> 1L))
+    // multi-source: dist is the min over sources
+    val d2 = Graph.shortestPaths(edges, "src", "dst",
+        Seq(1L, 3L).toDF("id"), "id", 10)
+      .as[(Long, Long)].collect().toMap
+    assert(d2(4L) == 1L && d2(5L) == 2L && d2(3L) == 0L)
+    intercept[IllegalArgumentException] {
+      Graph.shortestPaths(edges, "src", "dst", src1, "id", 0)
+    }
+  }
+
+  test("triangleCount: undirected simple semantics, skew-safe orientation") {
+    // one triangle {1,2,3} + a pendant; duplicates, reversed direction
+    // and a self-loop must not change the count
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L),
+      (2L, 1L), (1L, 2L), (4L, 4L)).toDF("src", "dst")
+    assert(Graph.triangleCount(edges, "src", "dst")
+      .as[Long].collect().head == 1L)
+    // hub star closes no triangles; adding one rim edge makes exactly 1
+    val star = (1L to 8L).map(i => (0L, i)).toDF("src", "dst")
+    assert(Graph.triangleCount(star, "src", "dst")
+      .as[Long].collect().head == 0L)
+    val starPlus = star.unionByName(Seq((3L, 7L)).toDF("src", "dst"))
+    assert(Graph.triangleCount(starPlus, "src", "dst")
+      .as[Long].collect().head == 1L)
+    // K4 has 4 triangles
+    val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b))
+      .toDF("src", "dst")
+    assert(Graph.triangleCount(k4, "src", "dst")
+      .as[Long].collect().head == 4L)
+  }
+
+  test("degreeDistribution: zero-degree nodes counted, direction honored") {
+    val nodes = spark.range(5).select(col("id"))
+    val edges = Seq((0L, 1L), (2L, 1L), (3L, 1L), (0L, 2L))
+      .toDF("src", "dst")
+    val in = Graph.degreeDistribution(edges, "src", "dst", nodes, "id", "in")
+      .as[(Long, Long)].collect().toMap
+    // in-degrees: 1→3, 2→1, others 0
+    assert(in == Map(0L -> 3L, 1L -> 1L, 3L -> 1L))
+    val out = Graph.degreeDistribution(edges, "src", "dst", nodes, "id",
+      "out").as[(Long, Long)].collect().toMap
+    // out-degrees: 0→2, 2→1, 3→1, others 0
+    assert(out == Map(0L -> 2L, 1L -> 2L, 2L -> 1L))
+    intercept[IllegalArgumentException] {
+      Graph.degreeDistribution(edges, "src", "dst", nodes, "id", "both")
+    }
+  }
 }
