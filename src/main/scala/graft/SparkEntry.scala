@@ -1755,6 +1755,23 @@ object SparkEntry {
         .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
     }),
 
+    // Product quantization serving: 64-dim vectors → 8 codes (one per
+    // 8-dim subspace, 16-entry codebooks — a 32× byte reduction on the
+    // candidate scan), ADC scoring via plan-literal lookup tables, then
+    // exact-cosine rescore of only the 200-candidate pool. The answer
+    // must BE the exact top-10 (the x_sim_quantized pool-holds
+    // convention); PqSpec pins encode determinism and the ADC ranking.
+    "x_sim_pq" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val qv = e.filter(col("vec_id") === 1).select("embedding")
+        .head().getSeq[Float](0)
+      val model = operators.Pq.fit(e, "vec_id", "embedding", dim = 64,
+        m = 8, codebookSize = 16, iters = 3)
+      operators.Pq.searchTopK(e, "vec_id", "embedding", model, qv,
+          k = 10, rescoreK = 200)
+        .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+    }),
+
     "x_sim_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
@@ -4745,6 +4762,16 @@ object SparkEntry {
          FROM embeddings WHERE embedding IS NOT NULL AND vec_id >= 5""",
     "x_sim_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         z AS (SELECT vec_id,
+             list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                    CAST(qv AS DOUBLE[])) AS c
+           FROM embeddings, q)
+         SELECT vec_id, round(c, 6) AS cosine FROM z
+         ORDER BY c DESC, vec_id LIMIT 10""",
+    // the PQ ADC pool + exact rescore must BE the exact answer — the
+    // x_sim_quantized convention, query vec 1
+    "x_sim_pq" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
          z AS (SELECT vec_id,
              list_cosine_similarity(CAST(embedding AS DOUBLE[]),
                                     CAST(qv AS DOUBLE[])) AS c

@@ -35,7 +35,7 @@ object Ivf {
     * structs reduced with array_min (struct ordering is field order, so
     * distance decides, id breaks ties deterministically).
     */
-  private def assignExpr(vec: Column, model: Model): Column =
+  private[operators] def assignExpr(vec: Column, model: Model): Column =
     array_min(array(model.centroids.zipWithIndex.map { case (c, i) =>
       struct(VectorExpressions.l2sqFast(vec, centroidLit(c)).as("d"),
         lit(i).as("id"))
