@@ -380,6 +380,17 @@ object SparkEntry {
       DocQueries.histogram(Tables.documents(s, d), "n_chars",
         interval = 250)),
 
+    // Sampler / DiversifiedSampler aggregation (ES diversified_sampler):
+    // a deterministic 60-doc sample in md5(id) order with at most 20
+    // docs per lang — one viral slice cannot flood the sample the
+    // downstream aggs run over. Hash-ordered window cap + hash-ordered
+    // global cut, both engine-reproducible.
+    "q_sampler" -> ((s, d) =>
+      DocQueries.diversifiedSampler(Tables.documents(s, d), "doc_id",
+          "lang", maxDocsPerValue = 20, shardSize = 60)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
     // AutoDateHistogram (ES auto_date_histogram, fixed-interval rung
     // ladder): the FINEST rung keeping the bucket count within target —
     // rung choice is integer arithmetic off one min/max probe row (the
@@ -1307,6 +1318,25 @@ object SparkEntry {
           round(sum(col("lon").cast("decimal(12,2)")).cast("double") /
             count(lit(1)), 6).as("mean_lon"))
         .orderBy("lat_cell", "lon_cell")),
+
+    // Geo bounds + centroid aggregation (ES geo_bounds / geo_centroid):
+    // per-group bounding box (exact min/max) and centroid (decimal-sum
+    // mean, the x_geo_grid_agg convention) in one hash aggregate.
+    "x_geo_bounds" -> ((s, d) =>
+      Tables.documents(s, d).select("doc_id")
+        .withColumn("lat",
+          (col("doc_id") * 37 % 17000).cast("double") / 100.0 - 85.0)
+        .withColumn("lon",
+          (col("doc_id") * 91 % 36000).cast("double") / 100.0 - 180.0)
+        .groupBy(pmod(col("doc_id"), lit(4)).as("g"))
+        .agg(count(lit(1)).as("n"),
+          min("lat").as("min_lat"), max("lat").as("max_lat"),
+          min("lon").as("min_lon"), max("lon").as("max_lon"),
+          round(sum(col("lat").cast("decimal(12,2)")).cast("double") /
+            count(lit(1)), 6).as("centroid_lat"),
+          round(sum(col("lon").cast("decimal(12,2)")).cast("double") /
+            count(lit(1)), 6).as("centroid_lon"))
+        .orderBy("g")),
 
     // Geo nearest-k: the 15 closest docs to a point by haversine — the
     // distance twin of x_sim_topk; top-k plans as TakeOrderedAndProject
@@ -2638,6 +2668,34 @@ object SparkEntry {
         .orderBy("o_custkey", "rk")
     }),
 
+    // Ranking window functions (percent_rank / cume_dist / ntile):
+    // per-event-type distribution position of every event's value —
+    // the percentile-tagging projection. Unique (value, id) order keys
+    // make every rank integer-exact and engine-reproducible; the window
+    // partitions by key, so no single-partition funnel.
+    "w3_rank_funcs" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("value"), col("event_id"))
+      Tables.events(s, d).select(col("event_id"), col("event_type"),
+        round(percent_rank().over(w), 9).as("pr"),
+        round(cume_dist().over(w), 9).as("cd"),
+        ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy("event_id")
+    }),
+
+    // Fixed-grid gap fill + LOCF: hourly per-type revenue made
+    // CONTINUOUS — holes get the last seen value, `filled` marks
+    // fabricated rows, leading gaps stay null (no backward fill). Grid
+    // is bucket-space (keys × hours) off one broadcast min/max row;
+    // LOCF windows run over buckets, never events.
+    "x_gap_fill" -> ((s, d) =>
+      operators.TimeSeries.gapFillLocf(Tables.events(s, d), "ts",
+          "event_type", sum(dec(col("value"))).cast("double"), "1 hour")
+        .select(col("key").as("event_type"),
+          unix_micros(col("bucket")).as("hour_us"),
+          col("value").as("sum_value"), col("filled"))
+        .orderBy("event_type", "hour_us")),
+
     // Set operations: buyers EXCEPT error-users, INTERSECT with clickers.
     "set_ops" -> ((s, d) => {
       val ev = Tables.events(s, d)
@@ -2651,6 +2709,18 @@ object SparkEntry {
     "agg_rollup" -> ((s, d) =>
       Tables.lineitem(s, d)
         .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("n"), col("sum_qty"))
+        .orderBy("flag", "status")),
+
+    // CUBE: every grouping-set combination in one pass (rollup's
+    // lattice completion — adds the (∅, status) slice rollup omits).
+    "agg_cube" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n"),
           sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
         .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
@@ -3420,6 +3490,17 @@ object SparkEntry {
          GROUP BY lang, source
          ORDER BY doc_count DESC, lang, source LIMIT 10""",
 
+    // md5-ordered deterministic sample, per-lang occupancy cap
+    "q_sampler" ->
+      """SELECT doc_id, lang FROM (
+           SELECT doc_id, lang, h FROM (
+             SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h,
+               row_number() OVER (PARTITION BY lang
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+             FROM documents) t
+           WHERE rk <= 20 ORDER BY h, doc_id LIMIT 60) s
+         ORDER BY doc_id""",
+
     // ES floor bucket-key convention; empty buckets absent
     "q_histogram" ->
       """SELECT CAST(floor(n_chars / 250) * 250 AS BIGINT) AS bucket,
@@ -3864,6 +3945,21 @@ object SparkEntry {
            round(CAST(sum(CAST(lon AS DECIMAL(12,2))) AS DOUBLE)
              / count(*), 6) AS mean_lon
          FROM p GROUP BY 1, 2 ORDER BY lat_cell, lon_cell""",
+
+    // bounding box exact min/max; centroid via the decimal-sum mean
+    "x_geo_bounds" ->
+      """WITH p AS (SELECT doc_id,
+             CAST(doc_id * 37 % 17000 AS DOUBLE) / 100.0 - 85.0 AS lat,
+             CAST(doc_id * 91 % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon
+           FROM documents)
+         SELECT doc_id % 4 AS g, count(*) AS n,
+           min(lat) AS min_lat, max(lat) AS max_lat,
+           min(lon) AS min_lon, max(lon) AS max_lon,
+           round(CAST(sum(CAST(lat AS DECIMAL(12,2))) AS DOUBLE)
+             / count(*), 6) AS centroid_lat,
+           round(CAST(sum(CAST(lon AS DECIMAL(12,2))) AS DOUBLE)
+             / count(*), 6) AS centroid_lon
+         FROM p GROUP BY 1 ORDER BY g""",
 
     // bbox cell pruning may never change the answer: x_geo_polygon's
     // oracle verbatim
@@ -5618,6 +5714,35 @@ object SparkEntry {
              ORDER BY o_totalprice DESC, o_orderkey) AS rk
            FROM orders) t
          WHERE rk <= 3 ORDER BY o_custkey, rk""",
+    // unique (value, id) order keys → integer-exact rank arithmetic
+    "w3_rank_funcs" ->
+      """SELECT event_id, event_type,
+           round(percent_rank() OVER w, 9) AS pr,
+           round(cume_dist() OVER w, 9) AS cd,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile
+         FROM events
+         WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+         ORDER BY event_id""",
+    // grid completion + LOCF over bucket space; leading gaps stay null
+    "x_gap_fill" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
+             CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value
+           FROM events GROUP BY 1, 2),
+         b AS (SELECT min(bucket) AS mn, max(bucket) AS mx FROM h),
+         g AS (SELECT k.event_type,
+             unnest(generate_series(b.mn, b.mx, INTERVAL 1 HOUR)) AS bucket
+           FROM (SELECT DISTINCT event_type FROM h) k, b),
+         j AS (SELECT g.event_type, g.bucket, h.value,
+             h.value IS NULL AS filled
+           FROM g LEFT JOIN h
+             ON h.event_type = g.event_type AND h.bucket = g.bucket)
+         SELECT event_type, epoch_us(bucket) AS hour_us,
+           last_value(value IGNORE NULLS) OVER (PARTITION BY event_type
+             ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS sum_value,
+           filled
+         FROM j ORDER BY event_type, hour_us""",
     "set_ops" ->
       """(SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
           EXCEPT
@@ -5632,6 +5757,14 @@ object SparkEntry {
            CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
          FROM lineitem
          GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY flag, status""",
+    "agg_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+           coalesce(l_linestatus, 'ALL') AS status,
+           count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem
+         GROUP BY CUBE (l_returnflag, l_linestatus)
          ORDER BY flag, status""",
     "agg_distinct" ->
       """SELECT l_returnflag,

@@ -945,6 +945,33 @@ object DocQueries {
       .orderBy("bucket_s")
   }
 
+  /** Sampler / DiversifiedSampler aggregation (ES `sampler` +
+    * `diversified_sampler`): a deterministic `shardSize`-doc sample in
+    * `md5(id)` order — the repo's reproducible keep-set convention, so
+    * the exact sample is auditable in any engine — with at most
+    * `maxDocsPerValue` docs per `diversityCol` value (the
+    * de-boilerplating knob: one viral domain cannot flood the sample
+    * downstream aggs run over). The per-value cap is a window rank
+    * partitioned by the diversity key (hash-ordered, so WHICH docs
+    * survive the cap is also deterministic); the global cut is
+    * TakeOrderedAndProject in hash order.
+    */
+  def diversifiedSampler(docs: DataFrame, idCol: String,
+      diversityCol: String, maxDocsPerValue: Int,
+      shardSize: Int): DataFrame = {
+    require(maxDocsPerValue > 0,
+      s"maxDocsPerValue must be positive, got $maxDocsPerValue")
+    require(shardSize > 0, s"shardSize must be positive, got $shardSize")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(diversityCol)).orderBy(col("_h"), col(idCol))
+    docs.withColumn("_h", md5(col(idCol).cast("string")))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= maxDocsPerValue)
+      .orderBy(col("_h"), col(idCol))
+      .limit(shardSize)
+      .drop("_h", "_rk")
+  }
+
   /** StringStats aggregation (ES `string_stats` with `show_distribution`
     * semantics folded into one Shannon-entropy number): per group —
     * document count, min/max/avg length, and the character-distribution

@@ -573,6 +573,26 @@ class IndexSinkSpec extends SparkSpec {
     }
   }
 
+  test("diversifiedSampler: per-value cap + deterministic hash cut") {
+    val docs = (1L to 30L).map(i => (i, if (i <= 24) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val s = DocQueries.diversifiedSampler(docs, "doc_id", "lang",
+      maxDocsPerValue = 5, shardSize = 8).as[(Long, String)].collect().toSeq
+    assert(s.size == 8)
+    assert(s.groupBy(_._2).forall(_._2.size <= 5))
+    // deterministic: the same call yields the same sample
+    val s2 = DocQueries.diversifiedSampler(docs, "doc_id", "lang", 5, 8)
+      .as[(Long, String)].collect().toSeq
+    assert(s.toSet == s2.toSet)
+    // cap binds per value when the shard size stops cutting
+    val s3 = DocQueries.diversifiedSampler(docs, "doc_id", "lang", 5, 30)
+      .as[(Long, String)].collect().toSeq
+    assert(s3.count(_._2 == "en") == 5 && s3.count(_._2 == "de") == 5)
+    intercept[IllegalArgumentException] {
+      DocQueries.diversifiedSampler(docs, "doc_id", "lang", 0, 5)
+    }
+  }
+
   test("stringStats: exact lengths + character-distribution entropy") {
     val docs = Seq(("aab", "en"), ("b", "en"), ("cc", "de"))
       .toDF("text", "lang")
