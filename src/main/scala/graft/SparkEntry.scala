@@ -1073,6 +1073,22 @@ object SparkEntry {
         "doc_id", "in")
     }),
 
+    // HITS hubs & authorities over the degree-varied graph: 2 rounds of
+    // L1-normalized mutual reinforcement — the oracle unrolls the same
+    // decimal-summed closed form layer by layer.
+    "x_hits" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id")
+      val n = docs.count()
+      val edges = docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * col("doc_id") + 3, lit(n)).as("dst"))
+        .unionByName(docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 7 + 1, lit(n)).as("dst")))
+      operators.Graph.hits(edges, "src", "dst", docs, "doc_id", iters = 2)
+        .select(col("id"), round(col("auth"), 8).as("auth"),
+          round(col("hub"), 8).as("hub"))
+        .orderBy("id")
+    }),
+
     // Passage-level dedup: 10-token windows, earliest occurrence of each
     // distinct passage kept corpus-wide, docs reassembled from survivors.
     // The keeper is a min(struct) hash agg — a million-fold repeated
@@ -1704,6 +1720,24 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       sink.VectorIndex.knnSearch(s, dir, q, "query_id", "qv",
           k = 5, nProbe = model.k)
+        .orderBy("query_id", "rk")
+    }),
+
+    // Filtered KNN (the ES knn-query `filter` contract): the metadata
+    // predicate restricts candidates BEFORE ranking — the true filtered
+    // top-k, never "rank then discard" (which under-fills k under a
+    // selective filter). The predicate rides the pruned cell scan;
+    // nProbe = k cells makes the gate an exact brute-force-filtered
+    // equivalence.
+    "x_knn_filtered" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val dir = tempDir("graft-vecknnf")
+      val model = sink.VectorIndex.write(e, "vec_id", "embedding", dir,
+        k = 8, iters = 3)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      sink.VectorIndex.knnSearch(s, dir, q, "query_id", "qv",
+          k = 5, nProbe = model.k, filter = Some(pmod(col("label"), lit(2)) === 0))
         .orderBy("query_id", "rk")
     }),
 
@@ -4651,6 +4685,55 @@ object SparkEntry {
            GROUP BY 1)
          SELECT degree, count(*) AS n_nodes FROM cnt
          GROUP BY 1 ORDER BY 1""",
+
+    // HITS unrolled: per layer, 12dp-rounded decimal propagation sums,
+    // exact decimal L1 normalizer, one double division — the operator's
+    // arithmetic mirrored term for term
+    "x_hits" ->
+      """WITH nn AS (SELECT count(*) AS ni FROM documents),
+         nd AS (SELECT CAST(ni AS DOUBLE) AS n FROM nn),
+         e AS (SELECT doc_id AS src,
+             (doc_id * doc_id + 3) % (SELECT ni FROM nn) AS dst
+           FROM documents
+           UNION ALL
+           SELECT doc_id, (doc_id * 7 + 1) % (SELECT ni FROM nn)
+             FROM documents),
+         h0 AS (SELECT doc_id AS id, 1.0 / (SELECT n FROM nd) AS v
+           FROM documents),
+         a1r AS (SELECT e.dst AS id,
+             sum(CAST(round(h0.v, 12) AS DECIMAL(26,12))) AS r
+           FROM e JOIN h0 ON h0.id = e.src GROUP BY e.dst),
+         a1t AS (SELECT sum(r) AS t FROM a1r),
+         a1 AS (SELECT d.doc_id AS id,
+             coalesce(CAST(a1r.r AS DOUBLE)
+               / CAST((SELECT t FROM a1t) AS DOUBLE), 0.0) AS v
+           FROM documents d LEFT JOIN a1r ON a1r.id = d.doc_id),
+         h1r AS (SELECT e.src AS id,
+             sum(CAST(round(a1.v, 12) AS DECIMAL(26,12))) AS r
+           FROM e JOIN a1 ON a1.id = e.dst GROUP BY e.src),
+         h1t AS (SELECT sum(r) AS t FROM h1r),
+         h1 AS (SELECT d.doc_id AS id,
+             coalesce(CAST(h1r.r AS DOUBLE)
+               / CAST((SELECT t FROM h1t) AS DOUBLE), 0.0) AS v
+           FROM documents d LEFT JOIN h1r ON h1r.id = d.doc_id),
+         a2r AS (SELECT e.dst AS id,
+             sum(CAST(round(h1.v, 12) AS DECIMAL(26,12))) AS r
+           FROM e JOIN h1 ON h1.id = e.src GROUP BY e.dst),
+         a2t AS (SELECT sum(r) AS t FROM a2r),
+         a2 AS (SELECT d.doc_id AS id,
+             coalesce(CAST(a2r.r AS DOUBLE)
+               / CAST((SELECT t FROM a2t) AS DOUBLE), 0.0) AS v
+           FROM documents d LEFT JOIN a2r ON a2r.id = d.doc_id),
+         h2r AS (SELECT e.src AS id,
+             sum(CAST(round(a2.v, 12) AS DECIMAL(26,12))) AS r
+           FROM e JOIN a2 ON a2.id = e.dst GROUP BY e.src),
+         h2t AS (SELECT sum(r) AS t FROM h2r),
+         h2 AS (SELECT d.doc_id AS id,
+             coalesce(CAST(h2r.r AS DOUBLE)
+               / CAST((SELECT t FROM h2t) AS DOUBLE), 0.0) AS v
+           FROM documents d LEFT JOIN h2r ON h2r.id = d.doc_id)
+         SELECT a2.id, round(a2.v, 8) AS auth, round(h2.v, 8) AS hub
+         FROM a2 JOIN h2 ON h2.id = a2.id ORDER BY a2.id""",
     "x_dedup_passages" ->
       """WITH t AS (SELECT doc_id,
              list_filter(string_split(text, ' '), x -> x <> '') AS w
@@ -5248,6 +5331,21 @@ object SparkEntry {
              list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
                                     CAST(q.qv AS DOUBLE[])) AS c
            FROM embeddings e, q),
+         r AS (SELECT query_id, vec_id, c,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY c DESC, vec_id) AS rk
+           FROM z)
+         SELECT query_id, CAST(rk AS INT) AS rk, vec_id,
+           round(c, 6) AS cosine
+         FROM r WHERE rk <= 5 ORDER BY query_id, rk""",
+    // the filtered top-k ranks over the RESTRICTED corpus
+    "x_knn_filtered" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id < 5),
+         z AS (SELECT q.query_id, e.vec_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(q.qv AS DOUBLE[])) AS c
+           FROM embeddings e, q WHERE e.label % 2 = 0),
          r AS (SELECT query_id, vec_id, c,
              row_number() OVER (PARTITION BY query_id
                ORDER BY c DESC, vec_id) AS rk

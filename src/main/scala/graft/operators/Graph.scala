@@ -184,6 +184,51 @@ object Graph {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** HITS hubs & authorities (Kleinberg): `iters` rounds of
+    * `auth(v) = Σ_{u→v} hub(u)` then `hub(u) = Σ_{u→v} auth(v)`, each
+    * L1-normalized — the directional complement of PageRank (a good hub
+    * POINTS AT authorities; a good authority IS POINTED AT by hubs;
+    * link-list pages vs content pages). Deterministic closed form: each
+    * propagation rounds its inputs to 12 dp and sums DECIMALS (the KL
+    * convention — partial-aggregation order cannot perturb the sums,
+    * which matters here because fan-in is unbounded), the L1
+    * normalizers are the same exact decimal sums, and only the final
+    * per-node division runs in double. Two shuffles per iteration (one
+    * per direction), rank state one row per node, the node count the
+    * only driver scalar.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      nodes: DataFrame, nodeCol: String, iters: Int = 2): DataFrame = {
+    require(iters >= 1 && iters <= 20,
+      s"iters must be in [1, 20], got $iters")
+    val ids = nodes.select(col(nodeCol).as("id"))
+    val n = ids.count().toDouble // bounded driver scalar
+    require(n > 0, "hits needs at least one node")
+    val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
+    def propagate(rank: DataFrame, valCol: String, fromCol: String,
+        toCol: String): DataFrame = {
+      val raw = e
+        .join(rank.select(col("id").as(fromCol), col(valCol).as("_v")),
+          Seq(fromCol))
+        .groupBy(col(toCol).as("id"))
+        .agg(sum(round(col("_v"), 12).cast("decimal(26,12)")).as("_r"))
+      val total = raw.agg(sum("_r").as("_t"))
+      ids.join(raw, Seq("id"), "left").crossJoin(broadcast(total))
+        .select(col("id"),
+          coalesce(col("_r").cast("double") / col("_t").cast("double"),
+            lit(0.0)).as(valCol))
+    }
+    var hub = ids.withColumn("hub", lit(1.0) / lit(n))
+    var auth = ids.withColumn("auth", lit(0.0))
+    for (_ <- 1 to iters) {
+      auth = propagate(hub, "hub", "_src", "_dst")
+        .withColumnRenamed("hub", "auth")
+      hub = propagate(auth, "auth", "_dst", "_src")
+        .withColumnRenamed("auth", "hub")
+    }
+    ids.join(auth, "id").join(hub, "id").select("id", "auth", "hub")
+  }
+
   /** Degree distribution: how many nodes have each in/out-degree —
     * the first diagnostic run on any link graph (hub detection, skew
     * sizing for the joins above). Nodes with no edges count at degree

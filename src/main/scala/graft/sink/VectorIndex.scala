@@ -1,7 +1,7 @@
 package graft.sink
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -396,10 +396,20 @@ object VectorIndex {
     * its O(batch) legs to the scan.
     */
   def knnSearch(spark: SparkSession, dir: String, queries: DataFrame,
-      qIdCol: String, qVecCol: String, k: Int, nProbe: Int): DataFrame = {
+      qIdCol: String, qVecCol: String, k: Int, nProbe: Int,
+      filter: Option[Column] = None): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val m = readMeta(spark, dir)
-    val corpus = cells(spark, dir)
+    // PRE-filter (the ES `knn` + `filter` contract): the predicate —
+    // any expression over the STORED metadata columns, which `write`
+    // persists alongside (id, vec, cell) — restricts the candidate set
+    // BEFORE ranking, so the top-k is the true filtered top-k, never
+    // "rank then discard" (which under-fills k whenever the filter is
+    // selective). The predicate rides the pruned cell scan: parquet
+    // row-group pushdown applies, and a selective filter makes the
+    // ranking leg CHEAPER, not a recall risk.
+    val corpus0 = cells(spark, dir)
+    val corpus = filter.map(corpus0.filter).getOrElse(corpus0)
     graft.operators.Similarity.requireIntegralId(
       corpus, m.idCol, "knnSearch corpus")
     val model = loadModel(spark, dir)

@@ -118,6 +118,31 @@ class GraphSpec extends SparkSpec {
       .as[Long].collect().head == 4L)
   }
 
+  test("hits: mutual reinforcement, L1 norms, pure roles stay pure") {
+    // hubs {1,2,3} point at authorities {10,11}; 1 also covers 11
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L).toDF("id")
+    val edges = Seq((1L, 10L), (2L, 10L), (3L, 10L), (1L, 11L))
+      .toDF("src", "dst")
+    val r = Graph.hits(edges, "src", "dst", nodes, "id", iters = 1)
+      .as[(Long, Double, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    // auth: raw (3, 1)/4 → (0.75, 0.25); hubs have zero auth
+    assert(math.abs(r(10L)._1 - 0.75) < 1e-9 &&
+      math.abs(r(11L)._1 - 0.25) < 1e-9, r.toString)
+    assert(r(1L)._1 == 0.0 && r(2L)._1 == 0.0)
+    // hub: raw (1.0, 0.75, 0.75)/2.5 → (0.4, 0.3, 0.3); authorities 0
+    assert(math.abs(r(1L)._2 - 0.4) < 1e-9 &&
+      math.abs(r(2L)._2 - 0.3) < 1e-9 &&
+      math.abs(r(3L)._2 - 0.3) < 1e-9, r.toString)
+    assert(r(10L)._2 == 0.0 && r(11L)._2 == 0.0)
+    // both L1 norms are 1
+    assert(math.abs(r.values.map(_._1).sum - 1.0) < 1e-9)
+    assert(math.abs(r.values.map(_._2).sum - 1.0) < 1e-9)
+    intercept[IllegalArgumentException] {
+      Graph.hits(edges, "src", "dst", nodes, "id", iters = 0)
+    }
+  }
+
   test("degreeDistribution: zero-degree nodes counted, direction honored") {
     val nodes = spark.range(5).select(col("id"))
     val edges = Seq((0L, 1L), (2L, 1L), (3L, 1L), (0L, 2L))

@@ -49,6 +49,31 @@ class VectorIndexSpec extends SparkSpec {
     assert(VectorIndex.cells(spark, dir).count() == e.count())
   }
 
+  test("knnSearch pre-filter: true filtered top-k, never rank-then-discard") {
+    val dir = java.nio.file.Files.createTempDirectory("vecidx-filt").toString
+    val e = Tables.embeddings(spark, sf)
+    val model = VectorIndex.write(e, "vec_id", "embedding", dir,
+      k = 4, iters = 3)
+    val q = e.filter(col("vec_id") === 7)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val got = VectorIndex.knnSearch(spark, dir, q, "qid", "qv",
+        k = 5, nProbe = model.k, filter = Some(col("label") === 1))
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    // k filled from the ALLOWED set, ranked like brute force on it
+    val exact = graft.operators.Similarity.bruteForceTopK(
+        e.filter(col("label") === 1), "vec_id", "embedding",
+        e.filter(col("vec_id") === 7).select("embedding")
+          .head().getSeq[Float](0), 5)
+      .select(col("vec_id"), round(col("cosine"), 6))
+      .as[(Long, Double)].collect().toSeq
+    assert(got.map(r => (r._3, r._4)) == exact)
+    assert(got.size == 5, "selective filter must not under-fill k")
+    // every result satisfies the predicate
+    val allowed = e.filter(col("label") === 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got.forall(r => allowed(r._3)))
+  }
+
   test("radiusSearch: sound cell prune ≡ brute-force threshold scan") {
     val dir = java.nio.file.Files.createTempDirectory("vecidx-rad").toString
     val e = Tables.embeddings(spark, sf)
