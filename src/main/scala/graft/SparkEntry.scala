@@ -380,6 +380,18 @@ object SparkEntry {
       DocQueries.histogram(Tables.documents(s, d), "n_chars",
         interval = 250)),
 
+    // Lucene query_string: the user-facing query box parsed (recursive
+    // descent, driver-side, bounded by query length) and compiled into
+    // ONE Catalyst predicate — the whole boolean tree optimizes and
+    // pushes as a unit. lang gets keyword semantics, text analyzed
+    // semantics (token membership / padded phrase / token prefix).
+    "q_query_string" -> ((s, d) =>
+      sink.QueryString.search(Tables.documents(s, d), "text",
+          """lang:de AND (merge OR "window scan") NOT filter*""",
+          textFields = Set("text"))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
     // Sampler / DiversifiedSampler aggregation (ES diversified_sampler):
     // a deterministic 60-doc sample in md5(id) order with at most 20
     // docs per lang — one viral slice cannot flood the sample the
@@ -3523,6 +3535,21 @@ object SparkEntry {
       """SELECT lang, source, count(*) AS doc_count FROM documents
          GROUP BY lang, source
          ORDER BY doc_count DESC, lang, source LIMIT 10""",
+
+    // the parsed boolean tree mirrored clause-for-clause
+    "q_query_string" ->
+      """WITH t AS (SELECT doc_id, lang,
+             list_filter(string_split(lower(text), ' '), x -> x <> '')
+               AS toks
+           FROM documents)
+         SELECT doc_id, lang FROM t
+         WHERE lang = 'de'
+           AND (list_contains(toks, 'merge')
+             OR contains(' ' || array_to_string(toks, ' ') || ' ',
+                  ' window scan '))
+           AND NOT len(list_filter(toks,
+                 w -> starts_with(w, 'filter'))) > 0
+         ORDER BY doc_id""",
 
     // md5-ordered deterministic sample, per-lang occupancy cap
     "q_sampler" ->
