@@ -205,6 +205,20 @@ object SparkEntry {
           col("_action").as("final_action"))
         .orderBy("user_id")),
 
+    // SCD type-2 history: every non-view change becomes a version row
+    // with a half-open validity interval — merge keeps the latest
+    // state, this keeps the whole lineage queryable ("the dimension as
+    // of time T"). One per-key window (partitioned, no global funnel).
+    "c8_scd2" -> ((s, d) =>
+      Changelog.scd2(
+          Tables.events(s, d).filter(col("event_type") =!= "view")
+            .withColumn("ts_us", unix_micros(col("ts"))),
+          "user_id", Seq(col("ts_us"), col("event_id")))
+        .select(col("user_id"), col("version"), col("event_id"),
+          col("ts_us").as("valid_from_us"),
+          col("valid_to").as("valid_to_us"), col("is_current"))
+        .orderBy("user_id", "version")),
+
     // §2 C4 — delete-by-key-set (TermInSetQuery) as a left-anti join.
     "c4_delete_keyset" -> ((s, d) => {
       val deleted = Tables.orders(s, d)
@@ -2914,6 +2928,39 @@ object SparkEntry {
         .orderBy("bucket_us")
     }),
 
+    // Second pipeline-agg family: serial_diff (lag-2 delta), moving
+    // min/max, moving_percentile (exact trailing-3 median), and EMA —
+    // the EMA folds the bucket history with a higher-order aggregate
+    // (collect_list over the bucket window + left fold), which is how a
+    // recursive per-bucket definition stays a pure Catalyst expression:
+    // the fold runs over BUCKET space (weeks), never events.
+    "q_pipeline_aggs2" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.orderBy("bucket_us")
+      val trail3 = w.rowsBetween(-2, 0)
+      val all = w.rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+      Tables.events(s, d)
+        .groupBy(date_trunc("week", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(dec(col("value"))).cast("double").as("sum_value"))
+        .select(unix_micros(col("bucket")).as("bucket_us"),
+          col("n_events"), col("sum_value"))
+        .withColumn("serial_diff",
+          col("sum_value") - lag("sum_value", 2).over(w))
+        .withColumn("moving_min", min("sum_value").over(trail3))
+        .withColumn("moving_max", max("sum_value").over(trail3))
+        .withColumn("moving_median",
+          round(percentile(col("sum_value"), lit(0.5)).over(trail3), 6))
+        .withColumn("_h", collect_list("sum_value").over(all))
+        .withColumn("ema", round(
+          aggregate(slice(col("_h"), lit(2),
+              greatest(size(col("_h")) - 1, lit(0))),
+            element_at(col("_h"), 1),
+            (acc, x) => lit(0.5) * x + lit(0.5) * acc), 6))
+        .drop("_h")
+        .orderBy("bucket_us")
+    }),
+
     // ES cumulative_cardinality: exact running distinct users per day.
     // The scale trick: a running DISTINCT is NOT a running sum of daily
     // distincts — it is the running sum of FIRST-SEEN counts, one
@@ -3307,6 +3354,18 @@ object SparkEntry {
                  ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
                FROM events WHERE event_type <> 'view') t
          WHERE rn = 1 ORDER BY user_id""",
+    // version ordinal + half-open validity interval per key
+    "c8_scd2" ->
+      """SELECT user_id, version, event_id, valid_from_us, valid_to_us,
+           valid_to_us IS NULL AS is_current
+         FROM (SELECT user_id, event_id,
+             CAST(row_number() OVER w AS BIGINT) AS version,
+             epoch_us(ts) AS valid_from_us,
+             lead(epoch_us(ts)) OVER w AS valid_to_us
+           FROM events WHERE event_type <> 'view'
+           WINDOW w AS (PARTITION BY user_id
+             ORDER BY epoch_us(ts), event_id)) t
+         ORDER BY user_id, version""",
     "c4_delete_keyset" ->
       """SELECT l_returnflag, count(*) AS n_rows,
            CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
@@ -5975,6 +6034,28 @@ object SparkEntry {
            FROM b)
          SELECT bucket_us, n_events, sum_value, derivative, moving_avg
          FROM p WHERE n_events >= 50 ORDER BY bucket_us""",
+    // serial_diff / moving extremes / exact trailing median / EMA-fold
+    "q_pipeline_aggs2" ->
+      """WITH b AS (SELECT epoch_us(date_trunc('week', ts)) AS bucket_us,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+           FROM events GROUP BY 1),
+         p AS (SELECT bucket_us, n_events, sum_value,
+             sum_value - lag(sum_value, 2) OVER w AS serial_diff,
+             min(sum_value) OVER w3 AS moving_min,
+             max(sum_value) OVER w3 AS moving_max,
+             round(quantile_cont(sum_value, 0.5) OVER w3, 6)
+               AS moving_median,
+             list(sum_value) OVER (ORDER BY bucket_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS h
+           FROM b
+           WINDOW w AS (ORDER BY bucket_us),
+             w3 AS (ORDER BY bucket_us
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+         SELECT bucket_us, n_events, sum_value, serial_diff, moving_min,
+           moving_max, moving_median,
+           round(list_reduce(h, (acc, x) -> 0.5 * x + 0.5 * acc), 6) AS ema
+         FROM p ORDER BY bucket_us""",
     // running distinct = running sum of first-seen counts
     "q_cumulative_cardinality" ->
       """WITH daily AS (SELECT date_trunc('day', ts) AS day,

@@ -81,4 +81,29 @@ object Changelog {
   def applyChangelog(base: DataFrame, raw: DataFrame, opCol: String,
       keyCol: String, orderCols: Seq[Column]): DataFrame =
     merge(base, compact(classify(raw, opCol), keyCol, orderCols), keyCol)
+
+  /** SCD type-2 history build: every change event becomes a VERSION row
+    * with a half-open validity interval — `valid_from` = its own order
+    * key, `valid_to` = the NEXT version's (null on the current row) —
+    * the "as the dimension looked at time T" table every warehouse
+    * keeps next to its merged snapshot ([[merge]] gives you the latest
+    * state; this keeps the whole lineage queryable:
+    * `WHERE t >= valid_from AND (valid_to IS NULL OR t < valid_to)`).
+    *
+    * One window per key (partitioned — no global funnel): row_number
+    * for the version ordinal, lead(1) for the interval close. The
+    * order key must be totally ordered within a key (pass a tiebreak
+    * column, the [[compact]] convention) or versions are ambiguous.
+    */
+  def scd2(changes: DataFrame, keyCol: String,
+      orderCols: Seq[Column]): DataFrame = {
+    require(orderCols.nonEmpty, "scd2 needs at least one order column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(orderCols: _*)
+    changes
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_from", orderCols.head)
+      .withColumn("valid_to", lead(orderCols.head, 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
 }

@@ -77,4 +77,28 @@ class ChangelogSpec extends SparkSpec {
     val out = Changelog.deleteByKeySet(base, "k", ids)
     assert(out.select("k").as[String].collect().toSeq == Seq("b"))
   }
+
+  test("scd2: half-open intervals partition each key's timeline") {
+    val ch = cl(("a", 10L, "+I", "v1"), ("a", 20L, "+U", "v2"),
+      ("a", 30L, "+U", "v3"), ("b", 15L, "+I", "w1"))
+    val h = Changelog.scd2(ch, "k", Seq(col("seq")))
+      .select("k", "version", "seq", "valid_to", "is_current", "v")
+      .as[(String, Long, Long, Option[Long], Boolean, String)]
+      .collect().toSeq.sortBy(r => (r._1, r._2))
+    assert(h.map(r => (r._1, r._2, r._3, r._4)) == Seq(
+      ("a", 1L, 10L, Some(20L)), ("a", 2L, 20L, Some(30L)),
+      ("a", 3L, 30L, None), ("b", 1L, 15L, None)))
+    // exactly one current row per key
+    assert(h.count(_._5) == 2)
+    assert(h.filter(_._5).map(_._6).sorted == Seq("v3", "w1"))
+    // as-of lookup at t=25 sees v2 for a, w1 for b
+    val asOf = Changelog.scd2(ch, "k", Seq(col("seq")))
+      .filter(col("valid_from") <= 25 &&
+        (col("valid_to").isNull || col("valid_to") > 25))
+      .select("k", "v").as[(String, String)].collect().toMap
+    assert(asOf == Map("a" -> "v2", "b" -> "w1"))
+    intercept[IllegalArgumentException] {
+      Changelog.scd2(ch, "k", Seq.empty)
+    }
+  }
 }
