@@ -394,6 +394,14 @@ object SparkEntry {
       DocQueries.histogram(Tables.documents(s, d), "n_chars",
         interval = 250)),
 
+    // Phrase suggester ("did you mean"): per-token best correction
+    // among vocabulary terms within Levenshtein 1, ranked (distance,
+    // df desc, term). One vocabulary-sized df aggregate + a broadcast
+    // token join; best-per-token is a min(struct) hash agg.
+    "q_phrase_suggest" -> ((s, d) =>
+      DocQueries.phraseSuggest(Tables.documents(s, d), "doc_id", "text",
+        "mrge windw scan", maxEdits = 1)),
+
     // Lucene query_string: the user-facing query box parsed (recursive
     // descent, driver-side, bounded by query length) and compiled into
     // ONE Catalyst predicate — the whole boolean tree optimizes and
@@ -3594,6 +3602,25 @@ object SparkEntry {
       """SELECT lang, source, count(*) AS doc_count FROM documents
          GROUP BY lang, source
          ORDER BY doc_count DESC, lang, source LIMIT 10""",
+
+    // per-token best correction: (distance, df desc, term) rank
+    "q_phrase_suggest" ->
+      """WITH v AS (SELECT term, count(*) AS df FROM (
+             SELECT doc_id, unnest(list_distinct(list_filter(
+               string_split(lower(text), ' '), x -> x <> ''))) AS term
+             FROM documents) t GROUP BY term),
+         q AS (SELECT * FROM (VALUES (0, 'mrge'), (1, 'windw'),
+             (2, 'scan')) t(pos, token)),
+         c AS (SELECT q.pos, q.token, v.term, v.df,
+             levenshtein(q.token, v.term) AS d
+           FROM q JOIN v ON levenshtein(q.token, v.term) <= 1),
+         r AS (SELECT pos, token, term, df,
+             row_number() OVER (PARTITION BY pos
+               ORDER BY d, df DESC, term) AS rk
+           FROM c)
+         SELECT q.pos, q.token, r.term AS suggestion, r.df
+         FROM q LEFT JOIN r ON r.pos = q.pos AND r.rk = 1
+         ORDER BY q.pos""",
 
     // the parsed boolean tree mirrored clause-for-clause
     "q_query_string" ->

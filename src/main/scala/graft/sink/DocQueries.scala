@@ -945,6 +945,46 @@ object DocQueries {
       .orderBy("bucket_s")
   }
 
+  /** Phrase suggester ("did you mean", ES `phrase`/`term` suggester):
+    * for each query token, the best correction among vocabulary terms
+    * within `maxEdits` Levenshtein distance, ranked `(edit distance
+    * asc, document frequency desc, term asc)` — an exact token is its
+    * own distance-0 candidate, so known words only get "corrected" to
+    * themselves. Tokens with no candidate in range keep a null
+    * suggestion (surfaced, not dropped — the caller decides whether an
+    * unmatchable token voids the query).
+    *
+    * Scale shape: ONE vocabulary-sized document-frequency aggregate;
+    * the query tokens (a bounded literal frame) broadcast against it
+    * with the distance predicate; best-per-token is a lexicographic
+    * min(struct) hash agg — never a window over the vocabulary.
+    */
+  def phraseSuggest(docs: DataFrame, idCol: String, textCol: String,
+      query: String, maxEdits: Int = 1): DataFrame = {
+    require(maxEdits >= 1 && maxEdits <= 3,
+      s"maxEdits must be in [1, 3], got $maxEdits")
+    val qs = queryTokens(query)
+    require(qs.nonEmpty, "phraseSuggest needs a non-empty query")
+    import docs.sparkSession.implicits._
+    val q = qs.zipWithIndex.map { case (t, i) => (i, t) }
+      .toDF("pos", "token")
+    val vocab = docs
+      .select(col(idCol),
+        explode(array_distinct(split(lower(col(textCol)), " "))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val best = vocab
+      .join(broadcast(q),
+        levenshtein(col("token"), col("term")) <= maxEdits)
+      .groupBy("pos", "token")
+      .agg(min(struct(
+        levenshtein(col("token"), col("term")).as("d"),
+        (-col("df")).as("negdf"), col("term").as("t"))).as("_b"))
+      .select(col("pos"), col("token"), col("_b.t").as("suggestion"),
+        (-col("_b.negdf")).as("df"))
+    q.join(best, Seq("pos", "token"), "left").orderBy("pos")
+  }
+
   /** Sampler / DiversifiedSampler aggregation (ES `sampler` +
     * `diversified_sampler`): a deterministic `shardSize`-doc sample in
     * `md5(id)` order — the repo's reproducible keep-set convention, so

@@ -573,6 +573,23 @@ class IndexSinkSpec extends SparkSpec {
     }
   }
 
+  test("phraseSuggest: distance-then-frequency, exact self-match, nulls") {
+    val docs = Seq((1L, "merge merge window"), (2L, "merge window"),
+      (3L, "marge")).toDF("doc_id", "text")
+    val sug = DocQueries.phraseSuggest(docs, "doc_id", "text",
+      "mrge window zzz", 1)
+      .as[(Int, String, Option[String], Option[Long])].collect().toSeq
+    // both 'merge'(df 2) and 'marge'(df 1) are 1 edit away → df wins
+    assert(sug(0) == ((0, "mrge", Some("merge"), Some(2L))))
+    // a known word is its own distance-0 candidate
+    assert(sug(1) == ((1, "window", Some("window"), Some(2L))))
+    // nothing within range → surfaced with a null suggestion
+    assert(sug(2) == ((2, "zzz", None, None)))
+    intercept[IllegalArgumentException] {
+      DocQueries.phraseSuggest(docs, "doc_id", "text", "x", 0)
+    }
+  }
+
   test("diversifiedSampler: per-value cap + deterministic hash cut") {
     val docs = (1L to 30L).map(i => (i, if (i <= 24) "en" else "de"))
       .toDF("doc_id", "lang")
