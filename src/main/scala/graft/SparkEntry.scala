@@ -394,6 +394,21 @@ object SparkEntry {
       DocQueries.histogram(Tables.documents(s, d), "n_chars",
         interval = 250)),
 
+    // ES date-math range ("now-7d/d".."now/d"): bounds resolved on the
+    // driver against an EXPLICIT now (the max-ts cursor row — no hidden
+    // clock), then dropped in as plan-literal timestamps so the scan
+    // keeps a plain pushable comparison.
+    "q_date_math" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val now = e.agg(max(col("ts"))).head().getTimestamp(0).toInstant
+      val from = sink.DateMath.resolve("now-7d/d", now)
+      val to = sink.DateMath.resolve("now/d", now)
+      e.filter(col("ts") >= lit(java.sql.Timestamp.from(from)) &&
+          col("ts") < lit(java.sql.Timestamp.from(to)))
+        .groupBy("event_type").agg(count(lit(1)).as("n_events"))
+        .orderBy("event_type")
+    }),
+
     // Phrase suggester ("did you mean"): per-token best correction
     // among vocabulary terms within Levenshtein 1, ranked (distance,
     // df desc, term). One vocabulary-sized df aggregate + a broadcast
@@ -2575,6 +2590,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Tokenizer fertility: tokens-per-char by language under the fixed
+    // BPE table — the "how expensive is this slice to train on" metric
+    // (a high-fertility language burns budget per character). Exact
+    // integer sums; one ratio division.
+    "x_bpe_fertility" -> ((s, d) => {
+      val toks = functions.TextExpressions.bpeTokens(
+        lower(col("text")), bpeApplyMerges)
+      Tables.documents(s, d)
+        .select(col("lang"), size(toks).cast("long").as("_nt"),
+          length(col("text")).cast("long").as("_nc"))
+        .groupBy("lang")
+        .agg(sum("_nt").as("n_tokens"), sum("_nc").as("n_chars"),
+          round(sum("_nt").cast("double") / sum("_nc").cast("double"), 6)
+            .as("tokens_per_char"))
+        .orderBy("lang")
+    }),
+
     "x_bpe_train" -> ((s, d) => {
       import s.implicits._
       operators.TextAnalysis.learnBpeMerges(
@@ -3320,6 +3352,15 @@ object SparkEntry {
     "x_bpe_train" -> bpeTrainOracle,
 
     "x_bpe_apply" -> bpeApplyOracle,
+    // the apply oracle as a subquery, re-keyed by language
+    "x_bpe_fertility" ->
+      s"""WITH base AS ($bpeApplyOracle)
+         |SELECT d.lang, CAST(sum(b.n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(sum(length(d.text)) AS BIGINT) AS n_chars,
+         |  round(CAST(sum(b.n_tokens) AS DOUBLE)
+         |    / CAST(sum(length(d.text)) AS DOUBLE), 6) AS tokens_per_char
+         |FROM base b JOIN documents d ON d.doc_id = b.doc_id
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
     "s1_scan_events" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
          FROM events ORDER BY event_id""",
@@ -3602,6 +3643,15 @@ object SparkEntry {
       """SELECT lang, source, count(*) AS doc_count FROM documents
          GROUP BY lang, source
          ORDER BY doc_count DESC, lang, source LIMIT 10""",
+
+    // the date-math ladder mirrored as interval arithmetic
+    "q_date_math" ->
+      """WITH n AS (SELECT max(ts) AS now FROM events),
+         b AS (SELECT date_trunc('day', now - INTERVAL 7 DAY) AS f,
+             date_trunc('day', now) AS t FROM n)
+         SELECT event_type, count(*) AS n_events
+         FROM events, b WHERE ts >= b.f AND ts < b.t
+         GROUP BY event_type ORDER BY event_type""",
 
     // per-token best correction: (distance, df desc, term) rank
     "q_phrase_suggest" ->
