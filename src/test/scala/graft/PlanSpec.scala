@@ -163,4 +163,29 @@ class PlanSpec extends SparkSpec {
     val p = plan("x_mix")
     assert(p.contains("partial_count"), s"x_mix should combine map-side:\n$p")
   }
+
+  test("query_string pushes the keyword leg into the parquet scan") {
+    val p = plan("q_query_string")
+    // the compiled tree's lang='de' conjunct must reach the scan
+    assert(p.contains("EqualTo(lang,de)"),
+      s"keyword clause not pushed:\n$p")
+    // one scan, no join — the whole boolean tree is one predicate
+    assert(!p.contains("Join"), s"query_string must not join:\n$p")
+  }
+
+  test("feature-scoring queries are projection + top-k, no shuffle-join") {
+    for (q <- Seq("q_rank_feature", "q_distance_feature")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$q should cut with top-k:\n$p")
+      assert(!p.contains("Join"), s"$q must not join:\n$p")
+    }
+  }
+
+  test("new bucket aggs combine map-side") {
+    for (q <- Seq("q_histogram", "q_multi_terms", "agg_matrix_stats")) {
+      val p = plan(q)
+      assert(p.contains("partial_"), s"$q should combine map-side:\n$p")
+    }
+  }
 }
