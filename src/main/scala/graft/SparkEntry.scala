@@ -2617,6 +2617,24 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // Declarative data-quality audit (the admission gate a corpus slice
+    // passes before joining the mix): every scan rule folds into ONE
+    // aggregate pass — rule count changes expression width, not pass
+    // count; uniqueness is count − countDistinct(struct), no self-join;
+    // the FK rule is one left-anti.
+    "x_quality_rules" -> ((s, d) => {
+      import operators.QualityRules._
+      audit(Tables.lineitem(s, d), Seq(
+          NotNull("orderkey_not_null", "l_orderkey"),
+          InRange("quantity_1_50", "l_quantity", 1.0, 50.0),
+          InRange("discount_0_01", "l_discount", 0.0, 0.1),
+          Check("price_positive", col("l_extendedprice") > 0),
+          Unique("pk_order_line", Seq("l_orderkey", "l_linenumber")),
+          ForeignKey("fk_orders", Seq("l_orderkey"),
+            Tables.orders(s, d), Seq("o_orderkey"))))
+        .orderBy("rule")
+    }),
+
     // Spike detection: hourly event counts per type, z-scored against
     // the trailing 24 buckets (min 12 history, σ from integer sums —
     // aggregate first, window over the tiny (type, hour) relation).
@@ -3643,6 +3661,32 @@ object SparkEntry {
       """SELECT lang, source, count(*) AS doc_count FROM documents
          GROUP BY lang, source
          ORDER BY doc_count DESC, lang, source LIMIT 10""",
+
+    // violation semantics mirrored rule-for-rule (see QualityRules doc)
+    "x_quality_rules" ->
+      """WITH v AS (
+           SELECT 'orderkey_not_null' AS rule,
+             count(*) FILTER (l_orderkey IS NULL) AS n_violations
+           FROM lineitem
+           UNION ALL
+           SELECT 'quantity_1_50', count(*) FILTER (l_quantity IS NOT NULL
+             AND (l_quantity < 1.0 OR l_quantity > 50.0)) FROM lineitem
+           UNION ALL
+           SELECT 'discount_0_01', count(*) FILTER (l_discount IS NOT NULL
+             AND (l_discount < 0.0 OR l_discount > 0.1)) FROM lineitem
+           UNION ALL
+           SELECT 'price_positive', count(*) FILTER
+             (NOT coalesce(l_extendedprice > 0, FALSE)) FROM lineitem
+           UNION ALL
+           SELECT 'pk_order_line',
+             count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+           FROM lineitem
+           UNION ALL
+           SELECT 'fk_orders', count(*) FROM lineitem l
+           WHERE NOT EXISTS (SELECT 1 FROM orders o
+             WHERE o.o_orderkey = l.l_orderkey))
+         SELECT rule, n_violations, n_violations = 0 AS passed
+         FROM v ORDER BY rule""",
 
     // the date-math ladder mirrored as interval arithmetic
     "q_date_math" ->
