@@ -2517,6 +2517,19 @@ object SparkEntry {
     // operator's distinct count is HLL++ (fixed-size state); the gate
     // checks it within ±5% of an exact count computed HERE — gate
     // overhead, not operator cost (the x_profile precedent).
+    // Runtime field over semi-structured props (the ES runtime-mapping
+    // shape): a typed JSON extraction projected at query time and
+    // aggregated like any stored column — one codegen'd projection, no
+    // schema migration.
+    "q_json_extract" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(col("k")).as("n"), min("k").as("min_k"),
+          max("k").as("max_k"), sum("k").as("sum_k"))
+        .orderBy("event_type")),
+
     "x_json_profile" -> ((s, d) => {
       val kv = Tables.events(s, d).select(
         explode(from_json(col("props"), MapType(StringType, StringType)))
@@ -3661,6 +3674,15 @@ object SparkEntry {
       """SELECT lang, source, count(*) AS doc_count FROM documents
          GROUP BY lang, source
          ORDER BY doc_count DESC, lang, source LIMIT 10""",
+
+    // typed JSON runtime field, aggregated like a stored column
+    "q_json_extract" ->
+      """SELECT event_type, count(k) AS n, min(k) AS min_k,
+           max(k) AS max_k, CAST(sum(k) AS BIGINT) AS sum_k
+         FROM (SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+           FROM events) t
+         GROUP BY 1 ORDER BY 1""",
 
     // violation semantics mirrored rule-for-rule (see QualityRules doc)
     "x_quality_rules" ->
