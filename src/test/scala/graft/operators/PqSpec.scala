@@ -55,6 +55,23 @@ class PqSpec extends SparkSpec {
     assert(pq.head == 1L)
   }
 
+  test("ADC candidate scan reads ONLY codes from a persisted layout") {
+    val dir = java.nio.file.Files.createTempDirectory("pq-layout").toString
+    val model = Pq.fit(emb, "vec_id", "embedding", dim = 64, m = 8,
+      codebookSize = 16, iters = 1)
+    Pq.encode(emb, "embedding", model).write.mode("overwrite").parquet(dir)
+    val enc = spark.read.parquet(dir)
+    val qv = emb.filter(col("vec_id") === 1).select("embedding")
+      .head().getSeq[Float](0)
+    val plan = Pq.adcCandidates(enc, "vec_id", model, qv, 50)
+      .queryExecution.executedPlan.toString
+    // the 32× byte-reduction claim: the vector column must not be read
+    assert(!plan.contains("embedding"),
+      s"ADC scan must prune the raw vectors:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"candidate cut should be top-k:\n$plan")
+  }
+
   test("guards fail fast") {
     intercept[IllegalArgumentException] {
       Pq.fit(emb, "vec_id", "embedding", dim = 64, m = 7, codebookSize = 4)
