@@ -2630,6 +2630,23 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // Z-order clustering (Delta OPTIMIZE ZORDER shape): rewrite the
+    // layout sorted by the Morton interleave of two dimensions, then
+    // serve a conjunctive 2-D range off it — row-group min/max stats
+    // become tight 2-D tiles (pruning pinned in ZorderSpec); this gate
+    // proves the re-layout loses nothing (≡ the raw-table filter).
+    "x_zorder" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "n_chars")
+        .withColumn("x", (col("doc_id") * 37 % 1000).cast("int"))
+      val dir = tempDir("graft-zorder")
+      operators.Zorder.cluster(docs, "x", "n_chars", dir, bits = 12)
+      s.read.parquet(dir)
+        .filter(col("x") >= 100 && col("x") < 300 &&
+          col("n_chars") >= 500 && col("n_chars") < 1000)
+        .orderBy("doc_id")
+        .select("doc_id", "n_chars", "x")
+    }),
+
     // Declarative data-quality audit (the admission gate a corpus slice
     // passes before joining the mix): every scan rule folds into ONE
     // aggregate pass — rule count changes expression width, not pass
@@ -3683,6 +3700,14 @@ object SparkEntry {
              CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
            FROM events) t
          GROUP BY 1 ORDER BY 1""",
+
+    // the re-layout must lose nothing: ≡ the raw-table 2-D filter
+    "x_zorder" ->
+      """SELECT doc_id, n_chars, CAST(doc_id * 37 % 1000 AS INT) AS x
+         FROM documents
+         WHERE doc_id * 37 % 1000 >= 100 AND doc_id * 37 % 1000 < 300
+           AND n_chars >= 500 AND n_chars < 1000
+         ORDER BY doc_id""",
 
     // violation semantics mirrored rule-for-rule (see QualityRules doc)
     "x_quality_rules" ->
