@@ -2630,6 +2630,28 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // URL canonicalization + dedup (crawl hygiene): case/www/fragment/
+    // tracking-param variants of the same page collapse to ONE key —
+    // pure codegen'd regexp steps (no UDF), then a hash-agg group with
+    // min-id keeper. The 10 duplicate arrivals per canonical URL here
+    // are the synthetic re-crawl.
+    "x_url_canon" -> ((s, d) => {
+      val urls = Tables.documents(s, d).select("doc_id")
+        .withColumn("url", concat(lit("HTTPS://WWW.Site"),
+          pmod(col("doc_id"), lit(10)).cast("string"),
+          lit(".Example.com/Path"),
+          pmod(col("doc_id"), lit(5)).cast("string"),
+          lit("/?utm_source=feed&id="),
+          pmod(col("doc_id"), lit(25)).cast("string"),
+          lit("&utm_campaign=x#frag")))
+      urls
+        .withColumn("canonical",
+          functions.UrlFunctions.canonicalizeUrl(col("url")))
+        .groupBy("canonical")
+        .agg(count(lit(1)).as("n_dups"), min("doc_id").as("keeper"))
+        .orderBy("canonical")
+    }),
+
     // Z-order clustering (Delta OPTIMIZE ZORDER shape): rewrite the
     // layout sorted by the Morton interleave of two dimensions, then
     // serve a conjunctive 2-D range off it — row-group min/max stats
@@ -3700,6 +3722,38 @@ object SparkEntry {
              CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
            FROM events) t
          GROUP BY 1 ORDER BY 1""",
+
+    // the canonicalization chain mirrored step-for-step ('g' flag:
+    // DuckDB replaces first-only by default, Spark replaces all)
+    "x_url_canon" ->
+      """WITH u AS (SELECT doc_id,
+             'HTTPS://WWW.Site' || CAST(doc_id % 10 AS VARCHAR) ||
+             '.Example.com/Path' || CAST(doc_id % 5 AS VARCHAR) ||
+             '/?utm_source=feed&id=' || CAST(doc_id % 25 AS VARCHAR) ||
+             '&utm_campaign=x#frag' AS url
+           FROM documents),
+         s0 AS (SELECT doc_id,
+             regexp_replace(url, '#.*$', '', 'g') AS u FROM u),
+         s1 AS (SELECT doc_id,
+             lower(regexp_extract(u, '^([^:/?#]+://[^/?#]*)', 1)) ||
+             regexp_replace(u, '^[^:/?#]+://[^/?#]*', '', 'g') AS u
+           FROM s0),
+         s2 AS (SELECT doc_id,
+             regexp_replace(u, '^(https?://)www\.', '\1', 'g') AS u
+           FROM s1),
+         s3 AS (SELECT doc_id,
+             regexp_replace(u, '&(utm_[a-z]+|ref)=[^&]*', '', 'g') AS u
+           FROM s2),
+         s4 AS (SELECT doc_id,
+             regexp_replace(u, '\?(utm_[a-z]+|ref)=[^&]*&', '?', 'g') AS u
+           FROM s3),
+         s5 AS (SELECT doc_id,
+             regexp_replace(u, '\?(utm_[a-z]+|ref)=[^&]*$', '', 'g') AS u
+           FROM s4),
+         c AS (SELECT doc_id,
+             regexp_replace(u, '/\?', '?', 'g') AS canonical FROM s5)
+         SELECT canonical, count(*) AS n_dups, min(doc_id) AS keeper
+         FROM c GROUP BY 1 ORDER BY 1""",
 
     // the re-layout must lose nothing: ≡ the raw-table 2-D filter
     "x_zorder" ->
