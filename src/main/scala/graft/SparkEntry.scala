@@ -1122,6 +1122,22 @@ object SparkEntry {
         "doc_id", "in")
     }),
 
+    // Deterministic random walks (the node2vec/DeepWalk corpus sampler,
+    // replayable in any engine): 4 steps from the seed set, neighbor
+    // choice = md5_56(start:step) mod outdeg over id-ranked neighbors.
+    "x_random_walk" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id")
+      val n = docs.count()
+      val edges = docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 7 + 1, lit(n)).as("dst"))
+        .unionByName(docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 13 + 5, lit(n)).as("dst")))
+      operators.Graph.deterministicWalks(edges, "src", "dst",
+          docs.filter(pmod(col("doc_id"), lit(97)) === 0), "doc_id",
+          steps = 4)
+        .orderBy("start", "step", "node")
+    }),
+
     // HITS hubs & authorities over the degree-varied graph: 2 rounds of
     // L1-normalized mutual reinforcement — the oracle unrolls the same
     // decimal-summed closed form layer by layer.
@@ -4993,6 +5009,45 @@ object SparkEntry {
            GROUP BY 1)
          SELECT degree, count(*) AS n_nodes FROM cnt
          GROUP BY 1 ORDER BY 1""",
+
+    // walk steps unrolled; md5_56 neighbor choice mirrored exactly
+    "x_random_walk" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+         e AS (SELECT DISTINCT src, dst FROM (
+             SELECT doc_id AS src,
+               (doc_id * 7 + 1) % (SELECT n FROM nn) AS dst
+             FROM documents
+             UNION ALL
+             SELECT doc_id, (doc_id * 13 + 5) % (SELECT n FROM nn)
+               FROM documents)),
+         rk AS (SELECT src, dst,
+             CAST(row_number() OVER (PARTITION BY src ORDER BY dst)
+               AS BIGINT) - 1 AS rk,
+             count(*) OVER (PARTITION BY src) AS deg FROM e),
+         w0 AS (SELECT doc_id AS start, doc_id AS node FROM documents
+           WHERE doc_id % 97 = 0),
+         w1 AS (SELECT w.start, r.dst AS node FROM w0 w JOIN rk r
+           ON r.src = w.node
+           AND r.rk = (md5_number_lower(CAST(w.start AS VARCHAR) || ':1')
+             % 72057594037927936) % r.deg),
+         w2 AS (SELECT w.start, r.dst AS node FROM w1 w JOIN rk r
+           ON r.src = w.node
+           AND r.rk = (md5_number_lower(CAST(w.start AS VARCHAR) || ':2')
+             % 72057594037927936) % r.deg),
+         w3 AS (SELECT w.start, r.dst AS node FROM w2 w JOIN rk r
+           ON r.src = w.node
+           AND r.rk = (md5_number_lower(CAST(w.start AS VARCHAR) || ':3')
+             % 72057594037927936) % r.deg),
+         w4 AS (SELECT w.start, r.dst AS node FROM w3 w JOIN rk r
+           ON r.src = w.node
+           AND r.rk = (md5_number_lower(CAST(w.start AS VARCHAR) || ':4')
+             % 72057594037927936) % r.deg)
+         SELECT start, 0 AS step, node FROM w0
+         UNION ALL SELECT start, 1, node FROM w1
+         UNION ALL SELECT start, 2, node FROM w2
+         UNION ALL SELECT start, 3, node FROM w3
+         UNION ALL SELECT start, 4, node FROM w4
+         ORDER BY start, step, node""",
 
     // HITS unrolled: per layer, 12dp-rounded decimal propagation sums,
     // exact decimal L1 normalizer, one double division — the operator's

@@ -229,6 +229,49 @@ object Graph {
     ids.join(auth, "id").join(hub, "id").select("id", "auth", "hub")
   }
 
+  /** Deterministic random walks — the graph-sampling primitive behind
+    * node2vec/DeepWalk corpus generation, made REPRODUCIBLE: at step
+    * `t` a walk started at `s` standing on node `v` moves to
+    * out-neighbor number `md5_56(s:t) mod outdeg(v)` (neighbors ranked
+    * by destination id). The md5-56 keep-set convention
+    * ([[Corpus.sampleHash]]) means any engine can replay the exact
+    * walks — the property that makes a sampled graph corpus auditable,
+    * where a seeded RNG is engine- and partitioning-dependent.
+    *
+    * Scale shape: the ranked edge list (one window partitioned by
+    * source) is built once; each step is one equi-join of the frontier
+    * against it with the hash-index filter — work per step is
+    * Σ outdeg over frontier nodes, walks never serialize through the
+    * driver. Dead ends (no out-edges) terminate their walk. Returns
+    * `(start, step, node)` including step 0.
+    */
+  def deterministicWalks(edges: DataFrame, srcCol: String, dstCol: String,
+      starts: DataFrame, startCol: String, steps: Int): DataFrame = {
+    require(steps >= 1 && steps <= 20,
+      s"steps must be in [1, 20], got $steps")
+    val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_src").orderBy("_dst")
+    val ranked = e
+      .withColumn("_rk", row_number().over(w).cast("long") - 1)
+      .withColumn("_deg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("_src")))
+    var cur = starts.select(col(startCol).as("start")).distinct()
+      .withColumn("node", col("start"))
+    var acc = cur.withColumn("step", lit(0))
+    for (t <- 1 to steps) {
+      cur = cur
+        .join(ranked.withColumnRenamed("_src", "node"), Seq("node"))
+        .filter(col("_rk") === pmod(
+          Corpus.sampleHash(concat(col("start").cast("string"),
+            lit(s":$t"))), col("_deg")))
+        .select(col("start"), col("_dst").as("node"))
+      acc = acc.unionByName(cur.withColumn("step", lit(t)))
+    }
+    acc
+  }
+
   /** Degree distribution: how many nodes have each in/out-degree —
     * the first diagnostic run on any link graph (hub detection, skew
     * sizing for the joins above). Nodes with no edges count at degree

@@ -143,6 +143,34 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("deterministicWalks: replayable trajectories, dead ends stop") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (4L, 1L))
+      .toDF("src", "dst")
+    val starts = Seq(1L).toDF("id")
+    def run() = Graph.deterministicWalks(edges, "src", "dst",
+      starts, "id", 5).select("start", "step", "node")
+      .as[(Long, Int, Long)].collect().toSet
+    val w1 = run()
+    assert(w1 == run(), "walks must replay identically")
+    // step 0 is the start; at most one node per (walk, step)
+    assert(w1.filter(_._2 == 0) == Set((1L, 0, 1L)))
+    assert(w1.groupBy(_._2).forall(_._2.size == 1))
+    // every hop follows a real edge
+    val es = Set((1L, 2L), (1L, 3L), (2L, 4L), (4L, 1L))
+    val path = w1.toSeq.sortBy(_._2).map(_._3)
+    path.sliding(2).foreach {
+      case Seq(a, b) => assert(es((a, b)), s"$a->$b not an edge")
+      case _ =>
+    }
+    // a start with no out-edges yields only step 0
+    assert(Graph.deterministicWalks(edges, "src", "dst",
+        Seq(3L).toDF("id"), "id", 3).select("start", "step", "node")
+      .as[(Long, Int, Long)].collect().toSet == Set((3L, 0, 3L)))
+    intercept[IllegalArgumentException] {
+      Graph.deterministicWalks(edges, "src", "dst", starts, "id", 0)
+    }
+  }
+
   test("degreeDistribution: zero-degree nodes counted, direction honored") {
     val nodes = spark.range(5).select(col("id"))
     val edges = Seq((0L, 1L), (2L, 1L), (3L, 1L), (0L, 2L))
