@@ -41,6 +41,16 @@ object Pq {
   /** Train `m` independent subspace codebooks of `codebookSize`
     * centroids each over the vector column's contiguous slices.
     * `dim` must split evenly into `m` subspaces.
+    *
+    * The `m` Lloyd loops are FUSED: initialization is one collect of
+    * the `codebookSize` lowest-id vectors (sliced per subspace —
+    * [[Ivf.fit]]'s deterministic seed, so the result is identical to m
+    * independent fits), and each iteration is ONE job — per-row, every
+    * subspace's assignment rides the same projection, the sub-vectors
+    * explode keyed `(subspace, cell)`, and a single hash aggregate
+    * produces all `m × codebookSize` re-centering sums (same bytes as
+    * one corpus pass: m sub-vectors of dim/m each). m× fewer scans and
+    * driver roundtrips than fitting the subspaces one by one.
     */
   def fit(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       m: Int, codebookSize: Int, iters: Int = 3): Model = {
@@ -48,11 +58,38 @@ object Pq {
     require(dim % m == 0, s"dim ($dim) must split evenly into m ($m) subspaces")
     require(codebookSize >= 1, s"codebookSize must be positive, got $codebookSize")
     val subDim = dim / m
-    val subModels = (0 until m).toArray.map { j =>
-      Ivf.fit(df.select(col(idCol), subVec(col(vecCol), j, subDim).as("_sv")),
-        idCol, "_sv", codebookSize, iters)
+    val vecs = df.filter(col(vecCol).isNotNull)
+    val seed = vecs.orderBy(col(idCol)).limit(codebookSize)
+      .select(transform(col(vecCol), _.cast("double")).as("v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(seed.length == codebookSize,
+      s"need at least $codebookSize non-null vectors, got ${seed.length}")
+    var models = (0 until m).toArray.map { j =>
+      Ivf.Model(seed.map(_.slice(j * subDim, (j + 1) * subDim)))
     }
-    Model(subModels, dim)
+    for (_ <- 0 until iters) {
+      val perSub = explode(array((0 until m).map { j =>
+        struct(lit(j).as("j"),
+          Ivf.assignExpr(subVec(col(vecCol), j, subDim), models(j))
+            .as("cell"),
+          subVec(col(vecCol), j, subDim).as("sv"))
+      }: _*))
+      val sums = vecs.select(perSub.as("_s"))
+        .groupBy(col("_s.j").as("j"), col("_s.cell").as("cell"))
+        .agg(graft.functions.VectorAggregates.vectorSum(col("_s.sv")).as("s"),
+          count(col("_s.sv")).as("n"))
+        .collect() // m × codebookSize rows — bounded driver state
+      val next = models.map(_.centroids.clone())
+      sums.foreach { r =>
+        val (j, cell) = (r.getInt(0), r.getInt(1))
+        val s = r.getSeq[Double](2)
+        val n = r.getLong(3).toDouble
+        if (s != null && n > 0) next(j)(cell) = s.map(_ / n).toArray
+        // else: empty cell keeps its previous centroid (the Ivf rule)
+      }
+      models = next.map(Ivf.Model(_))
+    }
+    Model(models, dim)
   }
 
   /** Attach the `m`-code representation as an `array<int>` column
