@@ -720,6 +720,17 @@ object SparkEntry {
         "stream data", slop = 1)
         .orderBy("doc_id")),
 
+    // SpanWithin (Lucene SpanWithin/SpanContaining doc semantics):
+    // 'merge' occurring INSIDE a stream…data span of slop ≤ 10 — over
+    // ALL qualifying spans, not the greedy minimal ones (which would
+    // miss containment in a wider span).
+    "q_span_within" -> ((s, d) =>
+      sink.InvertedIndex.spanWithinSearch(
+        sink.InvertedIndex.positionalPostings(
+          Tables.documents(s, d), "doc_id", "text"),
+        "merge", "stream", "data", slop = 10)
+        .orderBy("doc_id")),
+
     // Completion suggester: top-4 "s…" completions by corpus frequency,
     // term tie-break — ranked row-for-row against the oracle.
     "q_suggest" -> ((s, d) =>
@@ -4038,6 +4049,24 @@ object SparkEntry {
          SELECT DISTINCT a.doc_id AS doc_id FROM a JOIN b
            ON a.doc_id = b.doc_id
          WHERE b.pos > a.pos AND b.pos - a.pos - 1 <= 1
+         ORDER BY a.doc_id""",
+    // containment over ALL qualifying big spans; 1-based subscripts,
+    // relative position arithmetic only
+    "q_span_within" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+           FROM documents),
+         p AS (SELECT doc_id, unnest(w) AS term,
+             generate_subscripts(w, 1) AS pos
+           FROM t),
+         a AS (SELECT doc_id, pos FROM p WHERE term = 'stream'),
+         b AS (SELECT doc_id, pos FROM p WHERE term = 'data'),
+         l AS (SELECT doc_id, pos FROM p WHERE term = 'merge')
+         SELECT DISTINCT a.doc_id AS doc_id FROM a
+         JOIN b ON a.doc_id = b.doc_id
+         JOIN l ON l.doc_id = a.doc_id
+         WHERE b.pos > a.pos AND b.pos - a.pos - 1 <= 10
+           AND l.pos >= a.pos AND l.pos <= b.pos
          ORDER BY a.doc_id""",
     "q_suggest" ->
       """SELECT term, CAST(sum(c) AS BIGINT) AS freq FROM (

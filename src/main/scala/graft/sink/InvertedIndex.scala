@@ -198,6 +198,32 @@ object InvertedIndex {
     * no position × position join. A doc with no `exclude` occurrences
     * matches wherever `include` does.
     */
+  /** SpanWithin/SpanContaining (Lucene `SpanWithinQuery` /
+    * `SpanContainingQuery` — the same DOCUMENT set, they differ only in
+    * which span is returned for scoring): docs where an occurrence of
+    * `littleTerm` lies INSIDE some span of the big pair `(bigA …
+    * bigB)` within `slop`. Deliberately evaluated over ALL qualifying
+    * big spans — the greedy earliest-next collapse [[spanNearSearch]]
+    * uses would miss a little term sitting inside a wider-than-minimal
+    * span. Three pruned postings legs joined on doc id; pair fan-out
+    * per doc is bounded by term frequency × the slop window.
+    */
+  def spanWithinSearch(positional: DataFrame, littleTerm: String,
+      bigA: String, bigB: String, slop: Int): DataFrame = {
+    require(slop >= 0, s"slop must be non-negative, got $slop")
+    val Seq(lt, a, b) = Seq(littleTerm, bigA, bigB)
+      .map(_.toLowerCase(java.util.Locale.ROOT))
+    require(lt.nonEmpty && a.nonEmpty && b.nonEmpty,
+      "span-within search needs non-empty terms")
+    def leg(t: String, as: String) = positional.filter(col("term") === t)
+      .select(col("doc_id"), explode(col("positions")).as(as))
+    leg(a, "_a").join(leg(b, "_b"), "doc_id")
+      .filter(col("_b") > col("_a") && col("_b") - col("_a") - 1 <= slop)
+      .join(leg(lt, "_l"), "doc_id")
+      .filter(col("_l") >= col("_a") && col("_l") <= col("_b"))
+      .select("doc_id").distinct()
+  }
+
   def spanNotSearch(positional: DataFrame, include: String, exclude: String,
       pre: Int = 0, post: Int = 0): DataFrame = {
     val inc = include.toLowerCase(java.util.Locale.ROOT)

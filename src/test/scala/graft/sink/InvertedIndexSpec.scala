@@ -204,6 +204,26 @@ class InvertedIndexSpec extends SparkSpec {
       .as[Long].collect().toSet == Set(4L, 5L, 6L, 7L))
   }
 
+  test("spanWithin: containment over ALL spans, not greedy minimal ones") {
+    val docs = Seq(
+      (1L, "x stream y merge data z"),   // merge@3 inside span [1,4]
+      (2L, "merge stream data"),         // merge@0 BEFORE the span
+      // greedy counter-case: minimal spans [0,1] and [5,10] miss
+      // merge@3; the wider span (stream@0 … data@10, gap 9) holds it
+      (3L, "stream data q merge r stream w w w w data"),
+      (4L, "stream data only")           // no little term at all
+    ).toDF("doc_id", "text")
+    val pos = InvertedIndex.positionalPostings(docs, "doc_id", "text")
+    assert(InvertedIndex.spanWithinSearch(pos, "merge", "stream", "data",
+      slop = 10).as[Long].collect().toSet == Set(1L, 3L))
+    // tight slop kills the wide span that carried doc 3
+    assert(InvertedIndex.spanWithinSearch(pos, "merge", "stream", "data",
+      slop = 2).as[Long].collect().toSet == Set(1L))
+    intercept[IllegalArgumentException] {
+      InvertedIndex.spanWithinSearch(pos, "merge", "stream", "data", -1)
+    }
+  }
+
   test("prefix and fuzzy: index-served ≡ scan-form; prefix predicate pushes") {
     val docs = Tables.documents(spark, sf)
     val dir = java.nio.file.Files.createTempDirectory("preidx").toString
