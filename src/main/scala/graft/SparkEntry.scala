@@ -2975,6 +2975,68 @@ object SparkEntry {
           max(col("l_quantity")).as("q_max"))
         .orderBy("l_returnflag")),
 
+    // T-test aggregation (ES t_test, Welch's unequal-variance form):
+    // is mean quantity different between return flags A and N — moments
+    // from exact cent-unit sums (the matrix-stats discipline), then the
+    // same IEEE sequence for t and the Welch–Satterthwaite df in both
+    // engines. ONE conditional-sum pass.
+    "agg_ttest" -> ((s, d) => {
+      def iu(c: Column) = (dec(c) * 100).cast("decimal(18,0)")
+      val q = iu(col("l_quantity"))
+      // null-else conditional sum: sum skips nulls, stays exact decimal
+      def grp(f: String, c: Column) =
+        sum(when(col("l_returnflag") === f, c))
+      val agged = Tables.lineitem(s, d).agg(
+        sum(when(col("l_returnflag") === "A", 1L).otherwise(0L)).as("n1"),
+        sum(when(col("l_returnflag") === "N", 1L).otherwise(0L)).as("n2"),
+        grp("A", q).cast("double").as("_s1"),
+        grp("N", q).cast("double").as("_s2"),
+        grp("A", q * q).cast("double").as("_ss1"),
+        grp("N", q * q).cast("double").as("_ss2"))
+      val (n1, n2) = (col("n1").cast("double"), col("n2").cast("double"))
+      val v1 = (n1 * col("_ss1") - col("_s1") * col("_s1")) /
+        (n1 * (n1 - 1)) / 10000.0
+      val v2 = (n2 * col("_ss2") - col("_s2") * col("_s2")) /
+        (n2 * (n2 - 1)) / 10000.0
+      val m1 = col("_s1") / n1 / 100.0
+      val m2 = col("_s2") / n2 / 100.0
+      val se2 = v1 / n1 + v2 / n2
+      agged.select(col("n1"), col("n2"),
+        round(m1 - m2, 6).as("mean_diff"),
+        round((m1 - m2) / sqrt(se2), 6).as("t"),
+        round(se2 * se2 / ((v1 / n1) * (v1 / n1) / (n1 - 1) +
+          (v2 / n2) * (v2 / n2) / (n2 - 1)), 6).as("df"))
+    }),
+
+    // Median-absolute-deviation aggregation (ES
+    // median_absolute_deviation, exact form): MAD = median(|x −
+    // median(x)|) per group — two exact-percentile passes, the second
+    // over deviations from the broadcast per-group median.
+    "agg_mad" -> ((s, d) => {
+      val med = Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(percentile(col("l_quantity"), lit(0.5)).as("_med"))
+      Tables.lineitem(s, d).join(broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(round(percentile(abs(col("l_quantity") - col("_med")),
+          lit(0.5)), 6).as("mad"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Weighted-average aggregation (ES weighted_avg): quantity-weighted
+    // mean price per flag — exact integer cent-unit product sums, one
+    // final double ratio.
+    "agg_weighted_avg" -> ((s, d) => {
+      def iu(c: Column) = (dec(c) * 100).cast("decimal(18,0)")
+      Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(
+          sum(iu(col("l_extendedprice")) * iu(col("l_quantity")))
+            .cast("double").as("_swx"),
+          sum(iu(col("l_quantity"))).cast("double").as("_sw"))
+        .select(col("l_returnflag"),
+          round(col("_swx") / col("_sw") / 100.0, 6).as("weighted_price"))
+        .orderBy("l_returnflag")
+    }),
+
     // MatrixStats aggregation (ES matrix_stats): pairwise variance /
     // correlation over (quantity, price, discount) per group. Native
     // corr/var merge partials in DOUBLE — order-dependent low bits a
@@ -6286,6 +6348,64 @@ object SparkEntry {
            round(quantile_cont(l_quantity, 0.75), 6) AS q3,
            max(l_quantity) AS q_max
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    // Welch t + Satterthwaite df from exact cent-unit sums
+    "agg_ttest" ->
+      """WITH t AS (SELECT l_returnflag,
+             CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100
+               AS DECIMAL(18,0)) AS q
+           FROM lineitem),
+         g AS (SELECT
+             count(*) FILTER (l_returnflag = 'A') AS n1,
+             count(*) FILTER (l_returnflag = 'N') AS n2,
+             CAST(sum(CASE WHEN l_returnflag = 'A' THEN q END)
+               AS DOUBLE) AS s1,
+             CAST(sum(CASE WHEN l_returnflag = 'N' THEN q END)
+               AS DOUBLE) AS s2,
+             CAST(sum(CASE WHEN l_returnflag = 'A' THEN q*q END)
+               AS DOUBLE) AS ss1,
+             CAST(sum(CASE WHEN l_returnflag = 'N' THEN q*q END)
+               AS DOUBLE) AS ss2
+           FROM t),
+         z AS (SELECT n1, n2,
+             (CAST(n1 AS DOUBLE) * ss1 - s1 * s1)
+               / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1))
+               / 10000.0 AS v1,
+             (CAST(n2 AS DOUBLE) * ss2 - s2 * s2)
+               / (CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1))
+               / 10000.0 AS v2,
+             s1 / CAST(n1 AS DOUBLE) / 100.0 AS m1,
+             s2 / CAST(n2 AS DOUBLE) / 100.0 AS m2
+           FROM g)
+         SELECT n1, n2, round(m1 - m2, 6) AS mean_diff,
+           round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t,
+           round((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
+             / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+              + (v2 / n2) * (v2 / n2) / (n2 - 1)), 6) AS df
+         FROM z""",
+
+    // exact percentile of deviations from the per-group exact median
+    "agg_mad" ->
+      """WITH med AS (SELECT l_returnflag,
+             quantile_cont(l_quantity, 0.5) AS m
+           FROM lineitem GROUP BY 1)
+         SELECT l.l_returnflag,
+           round(quantile_cont(abs(l.l_quantity - med.m), 0.5), 6) AS mad
+         FROM lineitem l JOIN med ON med.l_returnflag = l.l_returnflag
+         GROUP BY 1 ORDER BY 1""",
+
+    // exact integer product sums, one final double ratio
+    "agg_weighted_avg" ->
+      """WITH t AS (SELECT l_returnflag,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+               AS DECIMAL(18,0)) AS p,
+             CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100
+               AS DECIMAL(18,0)) AS q
+           FROM lineitem)
+         SELECT l_returnflag,
+           round(CAST(sum(p * q) AS DOUBLE) / CAST(sum(q) AS DOUBLE)
+             / 100.0, 6) AS weighted_price
+         FROM t GROUP BY 1 ORDER BY 1""",
 
     // moments from exact integer (cent-unit) power sums; scale-0
     // decimal→double casts are single correctly-rounded conversions,
