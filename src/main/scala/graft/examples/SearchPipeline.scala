@@ -135,6 +135,36 @@ object SearchPipeline {
       .orderBy(col("rrf").desc, col("doc_id")).limit(5)
     report("hybrid top-5", fused.collect().map(_.getLong(0)).mkString(", "))
 
+    // query-box surface: a user query string compiled to ONE pushed
+    // predicate; a typo corrected against the live vocabulary; a
+    // date-math range resolved without a hidden clock (r7 additions)
+    val qs = graft.sink.QueryString.search(
+      Tables.documents(spark, sfDir), "text",
+      """lang:de AND (merge OR "window scan")""", Set("text"))
+    report("query_string (de)", s"${qs.count()} docs")
+    val sug = DocQueries.phraseSuggest(Tables.documents(spark, sfDir),
+      "doc_id", "text", "mrge windw", maxEdits = 1)
+    report("did-you-mean",
+      sug.collect().map(r => s"${r.getString(1)}→${r.getString(2)}")
+        .mkString(", "))
+
+    // filtered KNN: the metadata predicate restricts candidates BEFORE
+    // ranking — the true filtered top-k
+    val fknn = VectorIndex.knnSearch(spark, vdir,
+      vecs.filter(col("vec_id") === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+      "qid", "qv", k = 5, nProbe = 8,
+      filter = Some(pmod(col("label"), lit(2)) === 0))
+    report("filtered knn top-5",
+      fknn.collect().map(_.getLong(2)).mkString(", "))
+
+    // PQ serving: codes-only candidate scan + bounded exact rescore
+    val pqModel = graft.operators.Pq.fit(vecs, "vec_id", "embedding",
+      dim = 64, m = 8, codebookSize = 16, iters = 2)
+    val pq = graft.operators.Pq.searchTopK(vecs, "vec_id", "embedding",
+      pqModel, qv, k = 5, rescoreK = 100)
+    report("pq top-5", pq.collect().map(_.getLong(0)).mkString(", "))
+
     // ---- live mutation: the serving index is not a rebuild-only artifact
     import spark.implicits._
     val moved = geo.select("doc_id").as[Long].head()
