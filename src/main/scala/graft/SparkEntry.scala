@@ -3160,6 +3160,39 @@ object SparkEntry {
         .orderBy("bucket_us")
     }),
 
+    // Holt double-exponential smoothing (level + trend, α=.5 β=.3) over
+    // the weekly bucket space, with a one-step forecast — the
+    // moving_fn/holt ES shape. The recursion folds the bucket history
+    // per row (struct accumulator over collect_list — no recursion in
+    // the plan, O(buckets²) work in BUCKET space, never events); the
+    // oracle is the same arithmetic as a recursive CTE.
+    "q_holt" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.orderBy("bucket_us")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      def step(acc: Column, x: Column) = {
+        val l = acc.getField("l"); val tr = acc.getField("t")
+        val l2 = lit(0.5) * x + lit(0.5) * (l + tr)
+        struct(l2.as("l"),
+          (lit(0.3) * (l2 - l) + lit(0.7) * tr).as("t"))
+      }
+      Tables.events(s, d)
+        .groupBy(date_trunc("week", col("ts")).as("bucket"))
+        .agg(sum(dec(col("value"))).cast("double").as("sum_value"))
+        .select(unix_micros(col("bucket")).as("bucket_us"),
+          col("sum_value"))
+        .withColumn("_h", collect_list("sum_value").over(w))
+        .withColumn("_st", aggregate(
+          slice(col("_h"), lit(2), greatest(size(col("_h")) - 1, lit(0))),
+          struct(element_at(col("_h"), 1).as("l"), lit(0.0).as("t")),
+          step))
+        .select(col("bucket_us"), col("sum_value"),
+          round(col("_st.l"), 6).as("level"),
+          round(col("_st.t"), 6).as("trend"),
+          round(col("_st.l") + col("_st.t"), 6).as("forecast_next"))
+        .orderBy("bucket_us")
+    }),
+
     // ES cumulative_cardinality: exact running distinct users per day.
     // The scale trick: a running DISTINCT is NOT a running sum of daily
     // distincts — it is the running sum of FIRST-SEEN counts, one
@@ -6482,6 +6515,26 @@ object SparkEntry {
            moving_max, moving_median,
            round(list_reduce(h, (acc, x) -> 0.5 * x + 0.5 * acc), 6) AS ema
          FROM p ORDER BY bucket_us""",
+    // the same recursion as a recursive CTE; l' expanded identically
+    // in the trend update on both sides
+    "q_holt" ->
+      """WITH RECURSIVE
+         b AS (SELECT epoch_us(date_trunc('week', ts)) AS t,
+             CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS y
+           FROM events GROUP BY 1),
+         o AS (SELECT t, y, row_number() OVER (ORDER BY t) AS i FROM b),
+         h(i, l, tr) AS (
+           SELECT CAST(1 AS BIGINT), y, CAST(0.0 AS DOUBLE)
+           FROM o WHERE i = 1
+           UNION ALL
+           SELECT o.i, 0.5 * o.y + 0.5 * (h.l + h.tr),
+             0.3 * ((0.5 * o.y + 0.5 * (h.l + h.tr)) - h.l) + 0.7 * h.tr
+           FROM h JOIN o ON o.i = h.i + 1)
+         SELECT o.t AS bucket_us, o.y AS sum_value,
+           round(h.l, 6) AS level, round(h.tr, 6) AS trend,
+           round(h.l + h.tr, 6) AS forecast_next
+         FROM o JOIN h ON h.i = o.i ORDER BY bucket_us""",
+
     // running distinct = running sum of first-seen counts
     "q_cumulative_cardinality" ->
       """WITH daily AS (SELECT date_trunc('day', ts) AS day,
