@@ -15,8 +15,10 @@ import graft.functions.{RepetitionScore, RhpSignature, TermFreqStats, VectorCosi
   *   // or, on a live session: GraftExtensions.registerAll(spark)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.GeoRules.GeoRadiusPrefilter)
+  }
 }
 
 object GraftExtensions {
@@ -115,9 +117,17 @@ object GraftExtensions {
         TermFreqStats(args.head, terms)
       }))
 
-  /** Register into an already-built session (tests, notebooks). */
-  def registerAll(spark: SparkSession): Unit =
+  /** Register into an already-built session (tests, notebooks). The
+    * optimizer rule goes through `experimental.extraOptimizations` —
+    * the live-session escape hatch for rules (idempotent add).
+    */
+  def registerAll(spark: SparkSession): Unit = {
     functions.foreach { case (id, inf, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
     }
+    val rule = graft.plans.GeoRules.GeoRadiusPrefilter
+    if (!spark.experimental.extraOptimizations.contains(rule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ rule
+  }
 }

@@ -24,11 +24,15 @@ object GeoFunctions {
     */
   def haversineKm(lat1: Column, lon1: Column,
       lat2: Column, lon2: Column): Column = {
-    val dLat = radians(lat2 - lat1) / 2
-    val dLon = radians(lon2 - lon1) / 2
-    val a = sin(dLat) * sin(dLat) +
-      cos(radians(lat1)) * cos(radians(lat2)) * sin(dLon) * sin(dLon)
-    lit(2 * EarthRadiusKm) * asin(sqrt(a))
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    // one recognizable Catalyst node (bit-identical math, see
+    // Haversine.compute) so the GeoRadiusPrefilter optimizer rule can
+    // pattern-match `haversine <= r` and inject the pushable bbox
+    // the no-op double casts vanish in SimplifyCasts, so the optimizer
+    // rule still sees bare literals; non-double inputs coerce here
+    column(Haversine(
+      expression(lat1.cast("double")), expression(lon1.cast("double")),
+      expression(lat2.cast("double")), expression(lon2.cast("double"))))
   }
 
   /** Radius predicate: point within `radiusKm` of the center. Combine
@@ -76,8 +80,15 @@ object GeoFunctions {
     * pole saturates to the full longitude range. Never excludes a point
     * inside the radius — safe as a prefilter.
     */
-  def inBoundingBox(lat: Column, lon: Column,
-      centerLat: Double, centerLon: Double, radiusKm: Double): Column = {
+  /** The exact-extent box bounds as PLAN-TIME doubles: `(minLat,
+    * maxLat, lonRanges)` where `lonRanges` is `None` for "all
+    * longitudes" (polar saturation) or 1–2 inclusive `[lo, hi]` ranges
+    * (2 when the box crosses ±180). Shared by the Column form below and
+    * the [[graft.plans.GeoRules.GeoRadiusPrefilter]] optimizer rule,
+    * which must assemble RAW catalyst expressions.
+    */
+  private[graft] def boxBounds(centerLat: Double, centerLon: Double,
+      radiusKm: Double): (Double, Double, Option[Seq[(Double, Double)]]) = {
     val delta = radiusKm / EarthRadiusKm // angular radius, radians
     val dLat = math.toDegrees(delta)
     val cosLat = math.cos(math.toRadians(centerLat))
@@ -85,18 +96,28 @@ object GeoFunctions {
     val dLon =
       if (math.abs(centerLat) + dLat >= 90.0 || sinD >= cosLat) 180.0
       else math.toDegrees(math.asin(sinD / cosLat))
-    // Antimeridian-safe longitude test, decided at PLAN time (all values
-    // are literals): a box like lon∈[152, 206] around centerLon=179 must
-    // admit a point stored at -170 (≡ 190), so when the box crosses ±180
-    // it splits into a two-range disjunction. Both branches stay plain
-    // comparisons on the raw column — parquet-pushable, unlike a pmod
-    // wrap of the stored longitude.
+    // Antimeridian-safe longitude ranges, decided at PLAN time: a box
+    // like lon∈[152, 206] around centerLon=179 must admit a point
+    // stored at -170 (≡ 190), so a box crossing ±180 splits into a
+    // two-range disjunction. Ranges stay plain comparisons on the raw
+    // column — parquet-pushable, unlike a pmod wrap.
     val (lo, hi) = (centerLon - dLon, centerLon + dLon)
-    val lonPred =
-      if (dLon >= 180.0) lit(true)
-      else if (lo < -180.0) lon.between(-180.0, hi) || lon >= lo + 360.0
-      else if (hi > 180.0) lon.between(lo, 180.0) || lon <= hi - 360.0
-      else lon.between(lo, hi)
-    lat.between(centerLat - dLat, centerLat + dLat) && lonPred
+    val ranges =
+      if (dLon >= 180.0) None
+      else if (lo < -180.0) Some(Seq((-180.0, hi), (lo + 360.0, 180.0)))
+      else if (hi > 180.0) Some(Seq((lo, 180.0), (-180.0, hi - 360.0)))
+      else Some(Seq((lo, hi)))
+    (centerLat - dLat, centerLat + dLat, ranges)
+  }
+
+  def inBoundingBox(lat: Column, lon: Column,
+      centerLat: Double, centerLon: Double, radiusKm: Double): Column = {
+    val (minLat, maxLat, ranges) = boxBounds(centerLat, centerLon, radiusKm)
+    val lonPred = ranges match {
+      case None => lit(true)
+      case Some(rs) => rs.map { case (lo, hi) => lon.between(lo, hi) }
+        .reduce(_ || _)
+    }
+    lat.between(minLat, maxLat) && lonPred
   }
 }

@@ -76,4 +76,35 @@ class GraftExtensionsSpec extends SparkSpec {
         "SELECT top_k_by_score(1.0, id, CAST(id AS INT)) FROM range(1)").head()
     }
   }
+
+  test("GeoRadiusPrefilter: naive radius filter gains a pushed bbox") {
+    import org.apache.spark.sql.functions._
+    GraftExtensions.registerAll(spark) // installs the optimizer rule
+    val dir = java.nio.file.Files.createTempDirectory("georule").toString
+    val pts = spark.range(0, 2000).select(col("id"),
+      ((col("id") * 37 % 17000).cast("double") / 100.0 - 85.0).as("lat"),
+      ((col("id") * 91 % 36000).cast("double") / 100.0 - 180.0).as("lon"))
+    pts.write.mode("overwrite").parquet(dir)
+    val naive = spark.read.parquet(dir).filter(
+      functions.GeoFunctions.haversineKm(col("lat"), col("lon"),
+        lit(40.0), lit(-74.0)) <= 1500.0)
+    val plan = naive.queryExecution.executedPlan.toString
+    // the rule injected literal lat bounds that reached the scan
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(lat"),
+      s"bbox not pushed into the scan:\n$plan")
+    // semantics: ≡ the hand-guarded idiom
+    val manual = spark.read.parquet(dir).filter(
+      functions.GeoFunctions.withinRadiusKm(col("lat"), col("lon"),
+        40.0, -74.0, 1500.0))
+    import spark.implicits._
+    assert(naive.select("id").as[Long].collect().sorted.toSeq ==
+      manual.select("id").as[Long].collect().sorted.toSeq)
+    assert(naive.count() > 0, "gate region should be non-empty")
+    // idempotent: a second application leaves the plan unchanged
+    val once = graft.plans.GeoRules.GeoRadiusPrefilter(
+      naive.queryExecution.optimizedPlan)
+    assert(once.toString ==
+      graft.plans.GeoRules.GeoRadiusPrefilter(once).toString)
+  }
 }
