@@ -1912,6 +1912,24 @@ object SparkEntry {
         .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
     }),
 
+    // Batch PQ KNN join (the fleet-serving shape): five query vectors
+    // against 16×16 codebooks (finer subspaces — isotropic test vectors
+    // give ADC little cosine structure to rank on, so fidelity comes
+    // from subspace width; verified pool-holds at sf0.01 AND sf0.1).
+    // against the encoded corpus — ADC candidates read only codes, the
+    // exact rescore touches candidate ids only. ≡ exact per-query
+    // top-5 at the gated pool width (the x_sim_pq convention).
+    "x_pq_knn_join" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select("vec_id", "embedding", "label")
+      val model = operators.Pq.fit(e, "vec_id", "embedding", dim = 64,
+        m = 16, codebookSize = 16, iters = 3)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      operators.Pq.knnJoin(e, "vec_id", "embedding", q, "query_id", "qv",
+          model, k = 5, rescoreK = 200)
+        .orderBy("query_id", "rk")
+    }),
+
     "x_sim_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
@@ -5825,6 +5843,22 @@ object SparkEntry {
          SELECT query_id, CAST(rk AS INT) AS rk, vec_id,
            round(c, 6) AS cosine
          FROM r WHERE rk <= 5 ORDER BY query_id, rk""",
+    // pq pool + exact rescore must BE the exact per-query top-5
+    "x_pq_knn_join" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id < 5),
+         z AS (SELECT q.query_id, e.vec_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(q.qv AS DOUBLE[])) AS c
+           FROM embeddings e, q),
+         r AS (SELECT query_id, vec_id, c,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY c DESC, vec_id) AS rk
+           FROM z)
+         SELECT query_id, CAST(rk AS INT) AS rk, vec_id,
+           round(c, 6) AS cosine
+         FROM r WHERE rk <= 5 ORDER BY query_id, rk""",
+
     // the filtered top-k ranks over the RESTRICTED corpus
     "x_knn_filtered" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv

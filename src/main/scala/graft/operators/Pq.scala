@@ -141,6 +141,38 @@ object Pq {
       .limit(rescoreK)
   }
 
+  /** Batch ADC KNN join — the fleet-serving shape ([[Similarity.knnJoin]]
+    * with PQ candidate generation): every query in the FRAME gets its
+    * `k` nearest, with the candidate pass reading only codes. Per-row
+    * ADC here is `dot(query, decode(codes))` — the decode is `m`
+    * array-literal lookups (the model rides the plan; it is per-MODEL
+    * state, not per-query, so a million-query frame shares it), the dot
+    * a fused-loop native expression. Queries broadcast; candidate and
+    * final cuts are bounded per-query aggregates, never corpus windows;
+    * the exact rescore joins vectors for candidate ids only.
+    */
+  def knnJoin(df: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String, model: Model,
+      k: Int, rescoreK: Int): DataFrame = {
+    require(rescoreK >= k, s"rescoreK ($rescoreK) must be >= k ($k)")
+    Similarity.requireIntegralId(df, idCol, "pq knnJoin corpus")
+    val encoded = encode(df, vecCol, model).select(col(idCol), col("codes"))
+    val adc = VectorExpressions.dotFast(col(qVecCol),
+      decodeExpr(col("codes"), model))
+    val candidates = Similarity.rankScoredTopK(
+      encoded.crossJoin(broadcast(queries.select(col(qIdCol), col(qVecCol))))
+        .select(col(qIdCol), adc.as("_c"), col(idCol).cast("long").as("_id")),
+      qIdCol, idCol, rescoreK)
+      .select(col(qIdCol), col(idCol))
+    val exact = candidates
+      .join(df.select(col(idCol), col(vecCol)), Seq(idCol))
+      .join(broadcast(queries.select(col(qIdCol), col(qVecCol))), Seq(qIdCol))
+      .select(col(qIdCol),
+        VectorExpressions.cosineFast(col(vecCol), col(qVecCol)).as("_c"),
+        col(idCol).cast("long").as("_id"))
+    Similarity.rankScoredTopK(exact, qIdCol, idCol, k)
+  }
+
   /** Full PQ serving pipeline: ADC candidate generation over the code
     * columns + exact-cosine rescore of ONLY the candidate pool (ids
     * broadcast back, the [[Similarity.quantizedTopK]] convention).

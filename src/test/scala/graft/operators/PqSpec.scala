@@ -72,6 +72,30 @@ class PqSpec extends SparkSpec {
       s"candidate cut should be top-k:\n$plan")
   }
 
+  test("batch knnJoin: per-query ADC pool + rescore ≡ exact brute force") {
+    val model = Pq.fit(emb, "vec_id", "embedding", dim = 64, m = 8,
+      codebookSize = 16, iters = 3)
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val got = Pq.knnJoin(emb, "vec_id", "embedding", q, "qid", "qv",
+        model, k = 5, rescoreK = 200)
+      .orderBy("qid", "rk")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    val exact = (0L until 3L).flatMap { id =>
+      val qv = emb.filter(col("vec_id") === id).select("embedding")
+        .head().getSeq[Float](0)
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding", qv, 5)
+        .select(lit(id), col("vec_id"), round(col("cosine"), 6))
+        .as[(Long, Long, Double)].collect().toSeq
+        .zipWithIndex.map { case ((q0, v, c), i) => (q0, i + 1, v, c) }
+    }
+    assert(got == exact, s"got=$got\nexact=$exact")
+    intercept[IllegalArgumentException] {
+      Pq.knnJoin(emb, "vec_id", "embedding", q, "qid", "qv", model,
+        k = 10, rescoreK = 5)
+    }
+  }
+
   test("guards fail fast") {
     intercept[IllegalArgumentException] {
       Pq.fit(emb, "vec_id", "embedding", dim = 64, m = 7, codebookSize = 4)
