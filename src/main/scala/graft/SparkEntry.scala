@@ -2796,6 +2796,23 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // As-of with a lookback bound (pandas merge_asof tolerance): the
+    // carried click only attaches within 1 hour — a stale click must
+    // not decorate today's purchase. Same single shuffle+sort; the
+    // bound is a post-window projection.
+    "x_asof_tolerance" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("ts_us", unix_micros(col("ts")))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("value").as("purchase_value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us").as("click_ts"),
+          col("value").as("click_value"))
+      operators.AsOf.joinWithTolerance(purchases, clicks, Seq("user_id"),
+          "ts_us", "click_ts", lit(3600000000L))
+        .orderBy("event_id")
+    }),
+
     // Binned range join: purchase↔click pairs within 10 minutes per user,
     // as an equi-join on time bins (not a nested-loop non-equi join).
     "x_range_join" -> ((s, d) => {
@@ -6280,6 +6297,25 @@ object SparkEntry {
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
            ON p.user_id = c.user_id AND p.ts >= c.ts
          ORDER BY p.event_id""",
+    // latest prior click, then the 1-hour bound nulls stale carries;
+    // ties mirror the operator's greatest-payload rule
+    "x_asof_tolerance" ->
+      """WITH p AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+             value AS purchase_value FROM events
+           WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, epoch_us(ts) AS cts,
+             value AS click_value FROM events WHERE event_type = 'click'),
+         a AS (SELECT p.user_id, p.ts_us, p.event_id, p.purchase_value,
+             c.cts, c.click_value,
+             row_number() OVER (PARTITION BY p.event_id
+               ORDER BY c.cts DESC, c.click_value DESC) AS rk
+           FROM p LEFT JOIN c
+             ON c.user_id = p.user_id AND c.cts <= p.ts_us)
+         SELECT user_id, ts_us, event_id, purchase_value,
+           CASE WHEN ts_us - cts <= 3600000000 THEN click_value END
+             AS click_value
+         FROM a WHERE rk = 1 ORDER BY event_id""",
+
     "x_range_join" ->
       """SELECT p.event_id AS purchase_id, c.event_id AS click_id
          FROM (SELECT * FROM events WHERE event_type = 'purchase') p

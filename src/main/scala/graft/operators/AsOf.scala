@@ -86,4 +86,32 @@ object AsOf {
       .select(keys.map(col) ++ leftPayload.map(col) ++
         rightPayload.map(c => col(s"_rpay.$c").alias(c)): _*)
   }
+
+  /** As-of join with a LOOKBACK BOUND (pandas `merge_asof(tolerance=…)`,
+    * DuckDB has no equivalent): the carried right row only attaches
+    * when `leftTime − rightTime <= maxGap` — a stale quote must not
+    * decorate today's trade. `maxGap` is any expression comparable
+    * against the time difference (an interval literal for timestamps, a
+    * numeric literal for epoch columns), so the bound stays type-safe
+    * without the operator caring which time representation flows
+    * through. Same single shuffle+sort as [[join]]: the right TIME
+    * rides the carried payload struct and the bound is a post-window
+    * projection — no extra pass, no extra join.
+    */
+  def joinWithTolerance(left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTime: String, rightTime: String,
+      maxGap: Column): DataFrame = {
+    val rightPayload = right.columns
+      .filterNot(c => keys.contains(c) || c == rightTime).toSeq
+    // carry the right time INSIDE the payload struct (renamed so it can
+    // never collide), run the unbounded as-of, then null out carried
+    // rows older than the bound
+    val carried = join(left,
+      right.withColumn("_asof_rt", col(rightTime)),
+      keys, leftTime, rightTime)
+    val inRange = col(leftTime) - col("_asof_rt") <= maxGap
+    rightPayload.foldLeft(carried) { (df, c) =>
+      df.withColumn(c, when(inRange, col(c)))
+    }.drop("_asof_rt")
+  }
 }

@@ -57,4 +57,30 @@ class AsOfSpec extends SparkSpec {
         Seq("sym"), "t", "t2")
     }
   }
+
+  test("tolerance: stale right rows null out, in-range ones attach") {
+    import org.apache.spark.sql.functions._
+    // gap 5: t=10 sees qt=10 (gap 0 ✓); t=25's latest is qt=20 (gap 5 ✓);
+    // with gap 4 the qt=20 quote is too stale for t=25
+    val out5 = AsOf.joinWithTolerance(trades, quotes, Seq("sym"),
+        "t", "qt", lit(5L))
+      .orderBy("t").select("trade", "px")
+      .as[(String, Option[Double])].collect().toSeq
+    assert(out5 == Seq(("t3", None), ("t1", Some(2.0)),
+      ("t2", Some(3.0))))
+    val out4 = AsOf.joinWithTolerance(trades, quotes, Seq("sym"),
+        "t", "qt", lit(4.0))
+      .orderBy("t").select("trade", "px")
+      .as[(String, Option[Double])].collect().toSeq
+    // msft t=5 has no quote at or before → still null (left semantics)
+    assert(out4 == Seq(("t3", None), ("t1", Some(2.0)), ("t2", None)))
+    // no-match rows stay null rather than erroring on the bound
+    val none = AsOf.joinWithTolerance(trades.filter($"sym" === "msft"),
+        quotes.filter($"qt" > 100), Seq("sym"), "t", "qt", lit(5L))
+      .select("px").as[Option[Double]].head()
+    assert(none.isEmpty)
+    // the helper column never leaks
+    assert(!AsOf.joinWithTolerance(trades, quotes, Seq("sym"), "t", "qt",
+      lit(5L)).columns.contains("_asof_rt"))
+  }
 }
