@@ -2813,6 +2813,26 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Temporal enrichment: every view event decorated with the SCD2
+    // dimension VERSION valid at its event time — the warehouse
+    // "facts × dimension history" join. Because validity intervals
+    // partition each key's timeline, the as-of join (one shuffle+sort)
+    // IS the interval join: the latest valid_from ≤ ts is provably
+    // inside its interval; no range/bin machinery needed.
+    "x_temporal_enrich" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("ts_us", unix_micros(col("ts")))
+      val dim = Changelog.scd2(
+          ev.filter(col("event_type") =!= "view")
+            .select(col("user_id"), col("ts_us"), col("event_id")),
+          "user_id", Seq(col("ts_us"), col("event_id")))
+        .select(col("user_id"), col("ts_us").as("vfrom"), col("version"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts_us"), col("event_id"))
+      operators.AsOf.join(views, dim, Seq("user_id"), "ts_us", "vfrom")
+        .select("user_id", "ts_us", "event_id", "version")
+        .orderBy("event_id")
+    }),
+
     // Binned range join: purchase↔click pairs within 10 minutes per user,
     // as an equi-join on time bins (not a nested-loop non-equi join).
     "x_range_join" -> ((s, d) => {
@@ -6315,6 +6335,24 @@ object SparkEntry {
            CASE WHEN ts_us - cts <= 3600000000 THEN click_value END
              AS click_value
          FROM a WHERE rk = 1 ORDER BY event_id""",
+
+    // the interval-membership mirror: partitioned intervals admit at
+    // most one version per view
+    "x_temporal_enrich" ->
+      """WITH ch AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id
+           FROM events WHERE event_type <> 'view'),
+         v AS (SELECT user_id,
+             CAST(row_number() OVER w AS BIGINT) AS version,
+             ts_us AS valid_from, lead(ts_us) OVER w AS valid_to
+           FROM ch
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         vw AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id
+           FROM events WHERE event_type = 'view')
+         SELECT vw.user_id, vw.ts_us, vw.event_id, v.version
+         FROM vw LEFT JOIN v ON v.user_id = vw.user_id
+           AND vw.ts_us >= v.valid_from
+           AND (v.valid_to IS NULL OR vw.ts_us < v.valid_to)
+         ORDER BY vw.event_id""",
 
     "x_range_join" ->
       """SELECT p.event_id AS purchase_id, c.event_id AS click_id
