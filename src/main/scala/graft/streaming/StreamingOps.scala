@@ -178,6 +178,35 @@ object StreamingOps {
       .drop(s"_r_$keyCol")
   }
 
+  /** Stream-static temporal enrichment: every streaming event picks up
+    * the dimension VERSION valid at its event time — the streaming twin
+    * of the batch SCD2 as-of composition (`x_temporal_enrich`). The
+    * dimension is the STATIC side (an SCD2 table with `[valid_from,
+    * valid_to)` intervals, re-read per micro-batch if backed by a live
+    * store), so the non-equi interval condition is legal in structured
+    * streaming and the join carries NO streaming state at all — each
+    * micro-batch is a plain broadcast/hash join against the dimension.
+    * Because validity intervals partition each key's timeline, at most
+    * one version matches per event (left semantics keep versionless
+    * events).
+    */
+  def temporalEnrich(stream: DataFrame, keyCol: String, tsCol: String,
+      dim: DataFrame, dimKeyCol: String, validFromCol: String,
+      validToCol: String): DataFrame = {
+    val payloadCols = dim.columns.filterNot(c => c == dimKeyCol ||
+      c == validFromCol || c == validToCol).toSeq
+    val d = dim.select(col(dimKeyCol).as(s"_d_$keyCol"),
+      col(validFromCol).as("_vfrom"), col(validToCol).as("_vto"),
+      struct(payloadCols.map(col): _*).as("_dpay"))
+    stream.join(d,
+        col(keyCol) === col(s"_d_$keyCol") &&
+          col(tsCol) >= col("_vfrom") &&
+          (col("_vto").isNull || col(tsCol) < col("_vto")),
+        "left")
+      .select(stream.columns.map(col).toSeq ++
+        payloadCols.map(c => col(s"_dpay.$c").as(c)): _*)
+  }
+
   /** One changelog record (the streaming twin of the batch RowKind rows). */
   final case class KeyedChange(k: String, seq: Long, op: String, v: String)
   /** Materialized state transition emitted downstream. */

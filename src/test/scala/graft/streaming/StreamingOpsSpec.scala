@@ -267,4 +267,31 @@ class StreamingOpsSpec extends SparkSpec {
       assert(rows.contains((t("2024-01-01 01:00:00"), "view", 1L)))
     } finally q.stop()
   }
+
+  test("temporalEnrich: stream-static SCD2 join, stateless per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Long)] // (event_id, user, ts)
+    val df = input.toDF().toDF("event_id", "user_id", "t")
+    // SCD2 dim: user 1 has versions [10,20) and [20,∞); user 2 none
+    val dim = Seq((1L, 1L, 10L, Some(20L)), (1L, 2L, 20L, None))
+      .toDF("user_id", "version", "vfrom", "vto")
+      .select(col("user_id"), col("version"), col("vfrom"),
+        col("vto").cast("long"))
+    val q = StreamingOps.temporalEnrich(df, "user_id", "t",
+        dim, "user_id", "vfrom", "vto")
+      .select("event_id", "version")
+      .writeStream.format("memory").queryName("tenrich")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, 1L, 5L), (2L, 1L, 15L), (3L, 1L, 20L),
+        (4L, 1L, 99L), (5L, 2L, 50L))
+      q.processAllAvailable()
+      val rows = spark.table("tenrich")
+        .as[(Long, Option[Long])].collect().toMap
+      // before the first version → null; [10,20) → v1; boundary 20 and
+      // beyond → v2; unknown key → null (left semantics)
+      assert(rows == Map(1L -> None, 2L -> Some(1L), 3L -> Some(2L),
+        4L -> Some(2L), 5L -> None), rows.toString)
+    } finally q.stop()
+  }
 }
