@@ -9,13 +9,16 @@ import org.apache.spark.sql.types._
   * `binary` columns with typed metadata, processed in partition-sized
   * batches.
   *
-  * The actual media decode (JPEG → pixels, PCM → frames) is STUBBED —
-  * the decode libraries are not in this container — behind
-  * [[MediaCodec.decodeStub]], a deterministic fake keyed on the payload
-  * bytes. Everything Spark-side is real and load-bearing: the schema
-  * contract, the `mapPartitions` batch shape (the Scala analog of a
-  * Pandas-batch UDF: one iterator per partition, amortized per-batch
-  * setup), partition sizing, and the metadata projection.
+  * IMAGE decode is REAL ([[Multimodal.decodeImages]] — PNG/JPEG/GIF/BMP
+  * through the JDK's own `javax.imageio` codecs, headless, no external
+  * library) and so is container sniffing ([[MediaCodec.sniffImageMeta]],
+  * hand-parsed headers). Only AUDIO/VIDEO decode (PCM → frames) stays
+  * STUBBED behind [[MediaCodec.decodeStub]], a deterministic fake keyed
+  * on the payload bytes — the JDK ships no codecs for those. Everything
+  * Spark-side is real and load-bearing either way: the schema contract,
+  * the `mapPartitions` batch shape (the Scala analog of a Pandas-batch
+  * UDF: one iterator per partition, amortized per-batch setup),
+  * partition sizing, and the metadata projection.
   */
 object Multimodal {
 
@@ -97,6 +100,40 @@ object Multimodal {
       val checksum = java.lang.Long.remainderUnsigned(l, 1000000007L)
       (w, ht, fr, checksum)
     }
+
+    /** JDK-codec pixel decode (see [[Multimodal.decodeImages]]): None
+      * for anything ImageIO cannot parse.
+      */
+    def decodeImage(payload: Array[Byte]): Option[(Int, Int, Double, Long)] =
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        if (img == null) None
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          if (w <= 0 || h <= 0) None
+          else {
+            val crc = new java.util.zip.CRC32()
+            var lumaSum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val r = (rgb >> 16) & 0xff
+                val g = (rgb >> 8) & 0xff
+                val b = rgb & 0xff
+                lumaSum += (299 * r + 587 * g + 114 * b) / 1000
+                crc.update(r); crc.update(g); crc.update(b)
+                x += 1
+              }
+              y += 1
+            }
+            Some((w, h, lumaSum.toDouble / (w.toLong * h),
+              crc.getValue))
+          }
+        }
+      } catch { case _: Exception => None }
   }
 
   /** Attach a binary payload column (here synthesized from a string
@@ -163,4 +200,40 @@ object Multimodal {
   def sampleFrameIndexes(features: DataFrame, every: Int): DataFrame =
     features.withColumn("sampled_frames",
       sequence(lit(0), col("n_frames") - 1, lit(every)))
+
+  /** REAL pixel decode for the formats the JDK ships codecs for —
+    * PNG/JPEG/GIF/BMP via `javax.imageio`, no external library, works
+    * headless — so the image half of the decode path is NOT a stub:
+    * dimensions, mean luma (integer Rec.601 per pixel, exact integer
+    * sum ÷ n — deterministic), and a CRC32 over the RGB raster (the
+    * exact-dup fingerprint at pixel level, robust to container-level
+    * re-encodes of identical pixels... within one format). Audio/video
+    * decode remains stubbed: the JDK has no codecs for them.
+    *
+    * Same mapPartitions batch shape as [[extractFeatures]]; an
+    * undecodable or truncated payload yields null fields, never a task
+    * failure (the poison-pill contract).
+    */
+  def decodeImages(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", df.schema(idCol).dataType, nullable = false),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("mean_luma", DoubleType, nullable = true),
+      StructField("pixel_crc", LongType, nullable = true)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val decoded = Option(r.get(binIdx))
+          .map(_.asInstanceOf[Array[Byte]])
+          .flatMap(MediaCodec.decodeImage)
+        decoded match {
+          case Some((w, h, luma, crc)) => Row(r.get(idIdx), w, h, luma, crc)
+          case None => Row(r.get(idIdx), null, null, null, null)
+        }
+      }
+    }(enc)
+  }
 }

@@ -89,4 +89,45 @@ class MultimodalSpec extends SparkSpec {
       assert(frames == (0 until n by 2).map(_.toLong))
     }
   }
+
+  test("decodeImages: REAL JDK codec decode of generated PNG/JPEG bytes") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    def png(w: Int, h: Int)(pixel: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pixel(x, y))
+      val out = new java.io.ByteArrayOutputStream()
+      ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    // solid mid-gray 8×4: every pixel luma exactly 128
+    val gray = png(8, 4)((_, _) => 0x808080)
+    // black/white checkerboard 4×4: mean luma (8·0 + 8·255)/16 = 127.5
+    val checker = png(4, 4)((x, y) =>
+      if ((x + y) % 2 == 0) 0x000000 else 0xffffff)
+    val rows = Seq((1L, gray), (2L, checker), (3L, Array[Byte](1, 2, 3)),
+      (4L, null)).toDF("id", "payload")
+    val out = Multimodal.decodeImages(rows, "id", "payload")
+      .as[(Long, Option[Int], Option[Int], Option[Double], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, Some(8), Some(4), Some(128.0), out(1L)._5)))
+    assert(out(1L)._5.nonEmpty)
+    assert(out(2L)._2 == Some(4) && out(2L)._4 == Some(127.5))
+    // PNG roundtrip is lossless → the pixel CRC is reproducible
+    assert(Multimodal.decodeImages(rows, "id", "payload")
+      .as[(Long, Option[Int], Option[Int], Option[Double], Option[Long])]
+      .collect().map(r => r._1 -> r._5).toMap == out.map(kv => kv._1 -> kv._2._5))
+    // garbage and null payloads yield null fields, not task failure
+    assert(out(3L) == ((3L, None, None, None, None)))
+    assert(out(4L) == ((4L, None, None, None, None)))
+    // JPEG decodes through the same path (lossy → only dims asserted)
+    val jout = new java.io.ByteArrayOutputStream()
+    ImageIO.write(new BufferedImage(6, 3, BufferedImage.TYPE_INT_RGB),
+      "jpg", jout)
+    val j = Multimodal.decodeImages(
+      Seq((9L, jout.toByteArray)).toDF("id", "payload"), "id", "payload")
+      .as[(Long, Option[Int], Option[Int], Option[Double], Option[Long])]
+      .head()
+    assert(j._2 == Some(6) && j._3 == Some(3))
+  }
 }
