@@ -134,6 +134,53 @@ object Multimodal {
           }
         }
       } catch { case _: Exception => None }
+
+    /** 64-bit average-hash (aHash) perceptual fingerprint: the image's
+      * luma is block-averaged onto an 8×8 grid (integer cell sums over
+      * exact `[i·w/8, (i+1)·w/8)` ranges — no resampling library, fully
+      * deterministic), each cell compares against the grid mean, and
+      * the 64 comparisons pack into a long. Visually identical pixels
+      * hash identically across CONTAINERS (PNG vs BMP of the same
+      * raster); small edits flip few bits — Hamming distance is the
+      * near-dup metric.
+      */
+    def aHash(payload: Array[Byte]): Option[Long] =
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        if (img == null || img.getWidth < 8 || img.getHeight < 8) None
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          val cellSum = Array.ofDim[Long](64)
+          val cellN = Array.ofDim[Long](64)
+          var y = 0
+          while (y < h) {
+            val cy = (y.toLong * 8 / h).toInt
+            var x = 0
+            while (x < w) {
+              val cx = (x.toLong * 8 / w).toInt
+              val rgb = img.getRGB(x, y)
+              val luma = (299 * ((rgb >> 16) & 0xff) +
+                587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
+              val c = cy * 8 + cx
+              cellSum(c) += luma
+              cellN(c) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val means = (0 until 64).map(i =>
+            if (cellN(i) == 0) 0L else cellSum(i) / cellN(i))
+          val grand = means.sum / 64
+          var bits = 0L
+          var i = 0
+          while (i < 64) {
+            if (means(i) > grand) bits |= (1L << i)
+            i += 1
+          }
+          Some(bits)
+        }
+      } catch { case _: Exception => None }
   }
 
   /** Attach a binary payload column (here synthesized from a string
@@ -200,6 +247,58 @@ object Multimodal {
   def sampleFrameIndexes(features: DataFrame, every: Int): DataFrame =
     features.withColumn("sampled_frames",
       sequence(lit(0), col("n_frames") - 1, lit(every)))
+
+  /** Perceptual fingerprints over partition batches: `(id, ahash)` with
+    * null for undecodable payloads — the input to [[nearDuplicateImages]].
+    */
+  def imageHashes(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", df.schema(idCol).dataType, nullable = false),
+      StructField("ahash", LongType, nullable = true)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        Option(r.get(binIdx)).map(_.asInstanceOf[Array[Byte]])
+          .flatMap(MediaCodec.aHash) match {
+          case Some(hh) => Row(r.get(idIdx), hh)
+          case None => Row(r.get(idIdx), null)
+        }
+      }
+    }(enc)
+  }
+
+  /** Image NEAR-dup candidate pairs by perceptual-hash Hamming distance —
+    * the multimodal twin of SimHash text dedup, with the same banded
+    * scale shape: the 64-bit hash splits into four 16-bit bands, pairs
+    * join on (band index, band value) — by pigeonhole two hashes within
+    * `maxHamming ≤ 3` bits MUST agree on some band, so recall is exact
+    * below the band count — and the bounded candidate set verifies with
+    * `bit_count(xor)`. Never an all-pairs comparison.
+    */
+  def nearDuplicateImages(hashes: DataFrame, idCol: String,
+      hashCol: String, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming must be in [0, 3] (4-band pigeonhole recall bound), " +
+        s"got $maxHamming")
+    val h = hashes.filter(col(hashCol).isNotNull)
+      .select(col(idCol).as("_id"), col(hashCol).as("_h"))
+    val banded = h.select(col("_id"), col("_h"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("b"),
+          shiftright(col("_h"), b * 16).bitwiseAND(0xffffL).as("v"))): _*))
+        .as("_band"))
+      .select(col("_id"), col("_h"), col("_band.b").as("_b"),
+        col("_band.v").as("_v"))
+    banded.as("l").join(banded.as("r"),
+        col("l._b") === col("r._b") && col("l._v") === col("r._v") &&
+          col("l._id") < col("r._id"))
+      .select(col("l._id").as("id_a"), col("r._id").as("id_b"),
+        bit_count(col("l._h").bitwiseXOR(col("r._h"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
 
   /** REAL pixel decode for the formats the JDK ships codecs for —
     * PNG/JPEG/GIF/BMP via `javax.imageio`, no external library, works

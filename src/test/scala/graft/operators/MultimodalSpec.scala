@@ -130,4 +130,41 @@ class MultimodalSpec extends SparkSpec {
       .head()
     assert(j._2 == Some(6) && j._3 == Some(3))
   }
+
+  test("aHash near-dup: container-invariant, small-edit tolerant, banded") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    def img(w: Int, h: Int, fmt: String)(pixel: (Int, Int) => Int): Array[Byte] = {
+      val im = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) im.setRGB(x, y, pixel(x, y))
+      val out = new java.io.ByteArrayOutputStream()
+      ImageIO.write(im, fmt, out)
+      out.toByteArray
+    }
+    // a 16×16 half-dark half-bright pattern
+    def base(x: Int, y: Int): Int = if (x < 8) 0x202020 else 0xe0e0e0
+    val png = img(16, 16, "png")(base)
+    val bmp = img(16, 16, "bmp")(base) // same pixels, other container
+    // one corner cell flipped — a small edit
+    val edited = img(16, 16, "png")((x, y) =>
+      if (x < 2 && y < 2) 0xe0e0e0 else base(x, y))
+    // visually different (inverted)
+    val other = img(16, 16, "png")((x, y) => if (x < 8) 0xe0e0e0 else 0x202020)
+    val hashes = Multimodal.imageHashes(
+      Seq((1L, png), (2L, bmp), (3L, edited), (4L, other),
+        (5L, Array[Byte](9, 9))).toDF("id", "payload"), "id", "payload")
+    val hs = hashes.as[(Long, Option[Long])].collect().toMap
+    assert(hs(1L) == hs(2L), "same pixels must hash identically across containers")
+    assert(hs(5L).isEmpty)
+    val pairs = Multimodal.nearDuplicateImages(hashes, "id", "ahash",
+        maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs((1L, 2L)), "exact pixel dup pair missing")
+    assert(pairs((1L, 3L)) && pairs((2L, 3L)), "small edit should pair")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      s"inverted image must not pair: $pairs")
+    intercept[IllegalArgumentException] {
+      Multimodal.nearDuplicateImages(hashes, "id", "ahash", 9)
+    }
+  }
 }
