@@ -12,9 +12,11 @@ import org.apache.spark.sql.types._
   * IMAGE decode is REAL ([[Multimodal.decodeImages]] — PNG/JPEG/GIF/BMP
   * through the JDK's own `javax.imageio` codecs, headless, no external
   * library) and so is container sniffing ([[MediaCodec.sniffImageMeta]],
-  * hand-parsed headers). Only AUDIO/VIDEO decode (PCM → frames) stays
-  * STUBBED behind [[MediaCodec.decodeStub]], a deterministic fake keyed
-  * on the payload bytes — the JDK ships no codecs for those. Everything
+  * hand-parsed headers). PCM AUDIO decode is real too
+  * ([[Multimodal.decodeAudioFeatures]] — WAV/AIFF/AU through
+  * `javax.sound.sampled`). Only COMPRESSED audio (MP3/AAC) and VIDEO
+  * stay STUBBED behind [[MediaCodec.decodeStub]], a deterministic fake
+  * keyed on the payload bytes — the JDK ships no codecs for those. Everything
   * Spark-side is real and load-bearing either way: the schema contract,
   * the `mapPartitions` batch shape (the Scala analog of a Pandas-batch
   * UDF: one iterator per partition, amortized per-batch setup),
@@ -100,6 +102,38 @@ object Multimodal {
       val checksum = java.lang.Long.remainderUnsigned(l, 1000000007L)
       (w, ht, fr, checksum)
     }
+
+    /** REAL PCM audio decode via the JDK's `javax.sound.sampled` —
+      * WAV/AIFF/AU containers, no external codec: sample rate, channel
+      * count, frame count, and the RMS amplitude of the 16-bit PCM
+      * signal (integer square sums, one final sqrt — deterministic).
+      * Compressed codecs (MP3/AAC) stay stubbed: the JDK has none.
+      */
+    def decodeAudio(payload: Array[Byte])
+        : Option[(Float, Int, Long, Double)] =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16) None
+        else {
+          val bytes = in.readAllBytes()
+          val n = bytes.length / 2
+          var i = 0
+          var sumSq = 0L
+          val be = fmt.isBigEndian
+          while (i + 1 < bytes.length) {
+            val s =
+              if (be) ((bytes(i) << 8) | (bytes(i + 1) & 0xff)).toShort
+              else ((bytes(i + 1) << 8) | (bytes(i) & 0xff)).toShort
+            sumSq += s.toLong * s.toLong
+            i += 2
+          }
+          val rms = if (n == 0) 0.0 else math.sqrt(sumSq.toDouble / n)
+          Some((fmt.getSampleRate, fmt.getChannels,
+            in.getFrameLength, rms))
+        }
+      } catch { case _: Exception => None }
 
     /** JDK-codec pixel decode (see [[Multimodal.decodeImages]]): None
       * for anything ImageIO cannot parse.
@@ -247,6 +281,33 @@ object Multimodal {
   def sampleFrameIndexes(features: DataFrame, every: Int): DataFrame =
     features.withColumn("sampled_frames",
       sequence(lit(0), col("n_frames") - 1, lit(every)))
+
+  /** REAL audio decode over partition batches — `(id, sample_rate,
+    * channels, n_frames, rms)` for WAV/AIFF/AU payloads through the
+    * JDK's own PCM parser ([[MediaCodec.decodeAudio]]); nulls for
+    * compressed/unknown formats (MP3/AAC stay stubbed — no JDK codec).
+    */
+  def decodeAudioFeatures(df: DataFrame, idCol: String,
+      binCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", df.schema(idCol).dataType, nullable = false),
+      StructField("sample_rate", FloatType, nullable = true),
+      StructField("channels", IntegerType, nullable = true),
+      StructField("n_frames", LongType, nullable = true),
+      StructField("rms", DoubleType, nullable = true)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        Option(r.get(binIdx)).map(_.asInstanceOf[Array[Byte]])
+          .flatMap(MediaCodec.decodeAudio) match {
+          case Some((sr, ch, nf, rms)) => Row(r.get(idIdx), sr, ch, nf, rms)
+          case None => Row(r.get(idIdx), null, null, null, null)
+        }
+      }
+    }(enc)
+  }
 
   /** Perceptual fingerprints over partition batches: `(id, ahash)` with
     * null for undecodable payloads — the input to [[nearDuplicateImages]].

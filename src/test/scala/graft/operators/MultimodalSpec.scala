@@ -167,4 +167,33 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.nearDuplicateImages(hashes, "id", "ahash", 9)
     }
   }
+
+  test("decodeAudioFeatures: REAL WAV PCM parse with exact RMS") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    def wav(samples: Array[Short], rate: Float = 8000f): Array[Byte] = {
+      val bytes = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        bytes(2 * i) = (s & 0xff).toByte
+        bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new AudioFormat(rate, 16, 1, true, false)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, samples.length),
+        AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    // constant ±1000 square wave → RMS exactly 1000
+    val square = wav(Array.tabulate(64)(i =>
+      if (i % 2 == 0) 1000.toShort else (-1000).toShort))
+    val silent = wav(Array.fill(32)(0.toShort))
+    val out = Multimodal.decodeAudioFeatures(
+      Seq((1L, square), (2L, silent), (3L, Array[Byte](1, 2)))
+        .toDF("id", "payload"), "id", "payload")
+      .as[(Long, Option[Float], Option[Int], Option[Long], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, Some(8000f), Some(1), Some(64L), Some(1000.0))))
+    assert(out(2L)._5 == Some(0.0))
+    assert(out(3L) == ((3L, None, None, None, None)))
+  }
 }
