@@ -47,13 +47,6 @@ object Multimodal {
       l
     }
 
-    /** Deterministic stand-in for the real decoder: derives fake
-      * dimensions from the payload's md5 (unsigned arithmetic, so the SQL
-      * oracle's UBIGINT math matches bit-for-bit). Replace body with the
-      * real codec call when the native libs exist; the signature (bytes
-      * in, features out, called once per record inside a partition batch)
-      * is the real contract.
-      */
     /** REAL container sniffing — format + pixel dimensions parsed from
       * the header bytes (PNG IHDR, first JPEG SOF frame walking the
       * marker segments, GIF logical screen descriptor). Needs no codec
@@ -92,6 +85,14 @@ object Multimodal {
       else None
     }
 
+    /** Deterministic stand-in for the COMPRESSED-media decoders the JDK
+      * lacks (MP3/AAC/video): derives fake dimensions from the
+      * payload's md5 (unsigned arithmetic, so the SQL oracle's UBIGINT
+      * math matches bit-for-bit). Replace the body with the real codec
+      * call when native libs exist; the signature (bytes in, features
+      * out, once per record inside a partition batch) is the real
+      * contract.
+      */
     def decodeStub(payload: Array[Byte]): (Int, Int, Int, Long) = {
       val l = md5Lower(payload)
       val w = 16 + java.lang.Long.remainderUnsigned(l, 64).toInt
