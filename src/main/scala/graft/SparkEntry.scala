@@ -386,6 +386,19 @@ object SparkEntry {
       DocQueries.multiTerms(Tables.documents(s, d),
         Seq("lang", "source"), k = 10)),
 
+    // Terms aggregation ordered by a SUB-aggregation (the ES
+    // `order: {avg_chars: desc}` shape — ES documents this as
+    // approximate under sharding; one global hash agg makes it exact):
+    // top sources by average doc length, decimal-exact mean.
+    "q_terms_by_subagg" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy("source")
+        .agg(count(lit(1)).as("doc_count"),
+          round(sum(col("n_chars").cast("decimal(20,0)")).cast("double") /
+            count(lit(1)), 6).as("avg_chars"))
+        .orderBy(col("avg_chars").desc, col("source"))
+        .limit(5)),
+
     // Numeric histogram aggregation (ES histogram): fixed 250-char
     // buckets over n_chars, ES floor bucket-key convention, empty
     // buckets absent. One projection + hash agg — no sort over the
@@ -4019,6 +4032,14 @@ object SparkEntry {
              FROM documents) t
            WHERE rk <= 20 ORDER BY h, doc_id LIMIT 60) s
          ORDER BY doc_id""",
+
+    // terms ordered by the sub-agg, exact under one global agg
+    "q_terms_by_subagg" ->
+      """SELECT source, count(*) AS doc_count,
+           round(CAST(sum(CAST(n_chars AS DECIMAL(20,0))) AS DOUBLE)
+             / count(*), 6) AS avg_chars
+         FROM documents GROUP BY source
+         ORDER BY avg_chars DESC, source LIMIT 5""",
 
     // ES floor bucket-key convention; empty buckets absent
     "q_histogram" ->

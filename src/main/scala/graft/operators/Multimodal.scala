@@ -85,6 +85,52 @@ object Multimodal {
       else None
     }
 
+    /** REAL MP4/QuickTime container sniffing — the box (atom) walk:
+      * top-level boxes to `moov`, inside it to `mvhd`, where version-0
+      * and version-1 layouts carry `(timescale, duration)` at fixed
+      * offsets — duration in SECONDS without decoding a single video
+      * frame (the triage every video-corpus intake runs: length
+      * filters, codec-agnostic). Truncated buffers, absent boxes,
+      * 64-bit largesize boxes, and zero timescales all return None.
+      */
+    def sniffVideoMeta(p: Array[Byte]): Option[(String, Double)] = {
+      def be32(i: Int): Long =
+        ((p(i) & 0xffL) << 24) | ((p(i + 1) & 0xffL) << 16) |
+          ((p(i + 2) & 0xffL) << 8) | (p(i + 3) & 0xffL)
+      def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+      def typ(i: Int): String =
+        new String(p, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      // (start, end) box walk returning the payload offset of `name`
+      def findBox(from: Int, until: Int, name: String): Option[(Int, Int)] = {
+        var i = from
+        while (i + 8 <= until) {
+          val size = be32(i)
+          if (size == 1 || size < 8) return None // largesize/corrupt
+          val end = i + size.toInt
+          if (end > until || end <= i) return None
+          if (typ(i + 4) == name) return Some((i + 8, end))
+          i = end
+        }
+        None
+      }
+      try {
+        if (p.length < 12 || typ(4) != "ftyp") None
+        else findBox(0, p.length, "moov").flatMap { case (ms, me) =>
+          findBox(ms, me, "mvhd").flatMap { case (hs, he) =>
+            val version = p(hs) & 0xff
+            val (ts, dur) =
+              if (version == 0 && he - hs >= 20)
+                (be32(hs + 12), be32(hs + 16))
+              else if (version == 1 && he - hs >= 32)
+                (be32(hs + 20), be64(hs + 24))
+              else return None
+            if (ts <= 0) None
+            else Some(("mp4", dur.toDouble / ts))
+          }
+        }
+      } catch { case _: Exception => None }
+    }
+
     /** Deterministic stand-in for the COMPRESSED-media decoders the JDK
       * lacks (MP3/AAC/video): derives fake dimensions from the
       * payload's md5 (unsigned arithmetic, so the SQL oracle's UBIGINT

@@ -168,6 +168,35 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("sniffVideoMeta: mp4 box walk reads duration without decoding") {
+    import java.nio.ByteBuffer
+    def box(name: String, payload: Array[Byte]): Array[Byte] = {
+      val b = ByteBuffer.allocate(8 + payload.length)
+      b.putInt(8 + payload.length)
+      b.put(name.getBytes("US-ASCII")); b.put(payload); b.array()
+    }
+    val ftyp = box("ftyp", "isom".getBytes ++ Array.fill[Byte](4)(0))
+    // mvhd v0: version+flags, creation, modification, timescale=1000,
+    // duration=2500 → 2.5 s
+    val mvhd0 = ByteBuffer.allocate(20)
+      .putInt(0).putInt(0).putInt(0).putInt(1000).putInt(2500).array()
+    val mp4 = ftyp ++ box("moov", box("mvhd", mvhd0))
+    assert(Multimodal.MediaCodec.sniffVideoMeta(mp4) ==
+      Some(("mp4", 2.5)))
+    // v1 layout: 64-bit duration at the deeper offsets
+    val mvhd1 = ByteBuffer.allocate(32)
+      .putInt(0x01000000).putLong(0L).putLong(0L)
+      .putInt(600).putLong(1800L).array()
+    val mp4v1 = ftyp ++ box("moov", box("mvhd", mvhd1))
+    assert(Multimodal.MediaCodec.sniffVideoMeta(mp4v1) ==
+      Some(("mp4", 3.0)))
+    // garbage / truncated / non-mp4 stay None
+    assert(Multimodal.MediaCodec.sniffVideoMeta(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.MediaCodec.sniffVideoMeta(ftyp).isEmpty) // no moov
+    assert(Multimodal.MediaCodec.sniffVideoMeta(
+      ftyp ++ box("moov", Array.empty[Byte])).isEmpty) // no mvhd
+  }
+
   test("decodeAudioFeatures: REAL WAV PCM parse with exact RMS") {
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
     def wav(samples: Array[Short], rate: Float = 8000f): Array[Byte] = {
