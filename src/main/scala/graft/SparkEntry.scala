@@ -2372,6 +2372,23 @@ object SparkEntry {
     // skew-mitigation path must be bit-identical to the direct plan.
     // Decimal sums make the result independent of partial-merge order
     // (double addition is not associative across salt buckets).
+    // Salted SHUFFLE join: a skewed probe side spreads each key over 8
+    // reducers, the build side replicates once per salt — the hot-key
+    // remedy when the build side is too large to broadcast. The gate
+    // proves the salt is INVISIBLE: per-user aggregates ≡ a plain join.
+    "x_skew_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), dec(col("value")).as("v"))
+      val dim = Tables.events(s, d).groupBy("user_id")
+        .agg(count(lit(1)).as("user_events"))
+      operators.Skew.saltedJoin(ev, dim, Seq("user_id"), salts = 8,
+          spreadCols = Seq("event_id"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), max("user_events").as("user_events"),
+          sum(col("v")).cast("double").as("sum_value"))
+        .orderBy("user_id")
+    }),
+
     "x_skew_agg" -> ((s, d) => {
       val ev = Tables.events(s, d)
         .withColumn("v", col("value").cast("decimal(18,6)"))
@@ -6006,6 +6023,14 @@ object SparkEntry {
       """SELECT count(DISTINCT user_id) AS n_users, TRUE AS users_ok,
            count(DISTINCT event_type) AS n_types, TRUE AS types_ok
          FROM events""",
+    // the salt must be invisible: ≡ a plain join + group
+    "x_skew_join" ->
+      """WITH dim AS (SELECT user_id, count(*) AS user_events
+           FROM events GROUP BY 1)
+         SELECT e.user_id, count(*) AS n, max(d.user_events) AS user_events,
+           CAST(sum(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+         FROM events e JOIN dim d ON d.user_id = e.user_id
+         GROUP BY 1 ORDER BY 1""",
     "x_skew_agg" ->
       """SELECT event_type,
            CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
