@@ -329,6 +329,29 @@ object Multimodal {
     features.withColumn("sampled_frames",
       sequence(lit(0), col("n_frames") - 1, lit(every)))
 
+  /** Video container metadata over partition batches — `(id, format,
+    * duration_s)` through the REAL [[MediaCodec.sniffVideoMeta]] box
+    * walk; nulls for non-MP4/truncated payloads.
+    */
+  def videoMeta(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", df.schema(idCol).dataType, nullable = false),
+      StructField("format", StringType, nullable = true),
+      StructField("duration_s", DoubleType, nullable = true)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        Option(r.get(binIdx)).map(_.asInstanceOf[Array[Byte]])
+          .flatMap(MediaCodec.sniffVideoMeta) match {
+          case Some((f, dur)) => Row(r.get(idIdx), f, dur)
+          case None => Row(r.get(idIdx), null, null)
+        }
+      }
+    }(enc)
+  }
+
   /** REAL audio decode over partition batches — `(id, sample_rate,
     * channels, n_frames, rms)` for WAV/AIFF/AU payloads through the
     * JDK's own PCM parser ([[MediaCodec.decodeAudio]]); nulls for
