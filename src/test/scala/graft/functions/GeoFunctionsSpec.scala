@@ -25,6 +25,23 @@ class GeoFunctionsSpec extends SparkSpec {
     assert(math.abs(d("sydney") - 15989.0) < 10.0, d("sydney").toString)
   }
 
+  test("haversine expression: codegen compiles (no silent fallback)") {
+    val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val out = spark.range(5).select(
+          (col("id") * 10.0 - 20.0).as("lat"),
+          (col("id") * 30.0 - 60.0).as("lon"))
+        .select(GeoFunctions.haversineKm(col("lat"), col("lon"),
+          lit(40.0), lit(-74.0)).as("d"))
+        .as[Double].collect()
+      assert(out.length == 5 && out.forall(d => d >= 0 && d.isFinite))
+      // interpreted eval agrees with the generated code
+      assert(math.abs(out(2) -
+        Haversine.compute(0.0, 0.0, 40.0, -74.0)) < 1e-9)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("inPolygon: ray casting with half-open edges, convex and concave") {
     val square = Seq((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0))
     def in(poly: Seq[(Double, Double)], lat: Double, lon: Double): Boolean =
