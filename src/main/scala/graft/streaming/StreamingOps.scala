@@ -207,6 +207,58 @@ object StreamingOps {
         payloadCols.map(c => col(s"_dpay.$c").as(c)): _*)
   }
 
+  /** One observed value in a keyed metric stream. */
+  final case class ValuePoint(k: String, seq: Long, x: Double)
+  /** A scored point: the EMA baseline/deviation BEFORE absorbing it. */
+  final case class AnomalyFlag(k: String, seq: Long, x: Double,
+    ema: Double, dev: Double, anomalous: Boolean)
+  /** EMA anomaly state — public: Spark's encoder codegen needs the
+    * accessors visible.
+    */
+  final case class EmaState(ema: Double, dev: Double, lastSeq: Long)
+
+  /** Stateful streaming anomaly detection: per key, an exponentially
+    * weighted baseline (EMA of the value) and spread (EMA of absolute
+    * deviation) maintained in `flatMapGroupsWithState`; a point flags
+    * when it sits more than `threshold × dev` from the baseline it
+    * ARRIVES against (the baseline then absorbs it — a level shift
+    * flags once and becomes the new normal, the Holt/EWMA monitoring
+    * contract). O(1) state per key however long the stream runs; rows
+    * sort by sequence inside each micro-batch and stale sequences are
+    * ignored, so replay is deterministic (the [[latestStatePerKey]]
+    * discipline). First point seeds the baseline and never flags.
+    */
+  def emaAnomalies(points: Dataset[ValuePoint], alpha: Double = 0.3,
+      threshold: Double = 3.0): Dataset[AnomalyFlag] = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    import points.sparkSession.implicits._
+    points
+      .groupByKey(_.k)
+      .flatMapGroupsWithState[EmaState, AnomalyFlag](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[ValuePoint], state: GroupState[EmaState]) =>
+          val ordered = rows.toSeq.sortBy(_.seq)
+          val out = Seq.newBuilder[AnomalyFlag]
+          var st = state.getOption.orNull
+          ordered.foreach { p =>
+            if (st == null) {
+              out += AnomalyFlag(key, p.seq, p.x, p.x, 0.0,
+                anomalous = false)
+              st = EmaState(p.x, 0.0, p.seq)
+            } else if (p.seq > st.lastSeq) {
+              val diff = math.abs(p.x - st.ema)
+              out += AnomalyFlag(key, p.seq, p.x, st.ema, st.dev,
+                anomalous = st.dev > 0 && diff > threshold * st.dev)
+              st = EmaState(alpha * p.x + (1 - alpha) * st.ema,
+                alpha * diff + (1 - alpha) * st.dev, p.seq)
+            } // stale/replayed sequence: ignored
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** One changelog record (the streaming twin of the batch RowKind rows). */
   final case class KeyedChange(k: String, seq: Long, op: String, v: String)
   /** Materialized state transition emitted downstream. */

@@ -294,4 +294,35 @@ class StreamingOpsSpec extends SparkSpec {
         4L -> Some(2L), 5L -> None), rows.toString)
     } finally q.stop()
   }
+
+  test("emaAnomalies: level shifts flag once, state crosses batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingOps.ValuePoint]
+    val q = StreamingOps.emaAnomalies(input.toDS(), alpha = 0.5,
+        threshold = 3.0)
+      .writeStream.format("memory").queryName("anomalies")
+      .outputMode("append").start()
+    try {
+      import StreamingOps.ValuePoint
+      // steady 10 ± 1, then a spike to 100 in a LATER micro-batch
+      input.addData(ValuePoint("m", 1, 10.0), ValuePoint("m", 2, 11.0),
+        ValuePoint("m", 3, 9.0), ValuePoint("m", 4, 10.0))
+      q.processAllAvailable()
+      input.addData(ValuePoint("m", 5, 100.0), ValuePoint("m", 6, 10.0))
+      q.processAllAvailable()
+      val rows = spark.table("anomalies")
+        .as[StreamingOps.AnomalyFlag].collect().sortBy(_.seq)
+      // the first point seeds, steady points never flag
+      assert(!rows.take(4).exists(_.anomalous), rows.mkString("\n"))
+      // the spike flags against the pre-spike baseline (state crossed
+      // the micro-batch boundary)
+      val spike = rows.find(_.seq == 5).get
+      assert(spike.anomalous && math.abs(spike.ema - 10.0) < 1.5,
+        spike.toString)
+      // determinism: re-running the same feed yields identical flags
+      assert(rows.map(_.anomalous).toSeq ==
+        Seq(false, false, false, false, true,
+          rows.find(_.seq == 6).get.anomalous))
+    } finally q.stop()
+  }
 }
