@@ -955,6 +955,15 @@ object SparkEntry {
     "x_dedup_ngram" -> ((s, d) =>
       sharedExactPairs(s, d).orderBy("id_a", "id_b")),
 
+    // ASYMMETRIC containment (|Sₐ∩S_b|/|S_small|): the quote/subset
+    // detector Jaccard is blind to — a paragraph verbatim inside a much
+    // longer page scores near-zero Jaccard but containment 1.0. Same
+    // shingle-keyed join shape as x_dedup_ngram, never all-pairs.
+    "x_dedup_containment" -> ((s, d) =>
+      operators.Dedup.ngramContainment(Tables.documents(s, d), "doc_id",
+          "text", n = 3, threshold = 0.3)
+        .orderBy("id_small", "id_big")),
+
     // MinHash+LSH candidates verified by exact Jaccard, gated as ONE
     // oracle-checkable row: the exact-verifier pair count must equal the
     // SQL oracle's count, candidates must be a subset of the exact pairs
@@ -5052,6 +5061,28 @@ object SparkEntry {
          JOIN cnt cb ON cb.doc_id = id_b
          WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.5
          ORDER BY id_a, id_b""",
+    // containment normalizes by the SMALLER shingle set
+    "x_dedup_containment" ->
+      """WITH sh AS (SELECT DISTINCT doc_id, g FROM (
+             SELECT doc_id, unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+               ELSE list_transform(range(1, len(w)-1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS g
+             FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents))),
+         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             count(*) AS common
+           FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         j AS (SELECT id_a, id_b, common, ca.n AS na, cb.n AS nb
+           FROM pairs
+           JOIN cnt ca ON ca.doc_id = id_a
+           JOIN cnt cb ON cb.doc_id = id_b)
+         SELECT CASE WHEN na <= nb THEN id_a ELSE id_b END AS id_small,
+           CASE WHEN na <= nb THEN id_b ELSE id_a END AS id_big,
+           round(CAST(common AS DOUBLE) / least(na, nb), 6) AS containment
+         FROM j
+         WHERE round(CAST(common AS DOUBLE) / least(na, nb), 6) >= 0.3
+         ORDER BY id_small, id_big""",
     "x_dedup_clusters" ->
       """WITH RECURSIVE
          sh AS (SELECT DISTINCT doc_id, g FROM (

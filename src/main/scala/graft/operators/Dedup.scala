@@ -68,6 +68,41 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** ASYMMETRIC containment pairs: `containment(a ⊆ b) = |Sₐ∩S_b|/|Sₐ|`
+    * over n-gram shingle SETS — the quote/subset detector Jaccard is
+    * blind to: a paragraph verbatim inside a 100× longer page scores
+    * near-zero Jaccard (union dominated by the long doc) but
+    * containment 1.0. Ordered output `(id_small, id_big, containment)`
+    * — the smaller shingle set is the contained candidate; ties (equal
+    * set sizes) keep the lower id on the left. Same scale shape as
+    * [[ngramJaccard]]: one shingle-keyed equi-join, per-doc set-size
+    * aggregate, never all-pairs.
+    */
+  def ngramContainment(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    val sh = shingles(df, idCol, textCol, n)
+    val counts = sh.groupBy("_id").agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a._id") < col("b._id"))
+      .groupBy(col("a._id").as("id_a"), col("b._id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(counts.withColumnRenamed("_id", "id_a")
+        .withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(counts.withColumnRenamed("_id", "id_b")
+        .withColumnRenamed("n_sh", "n_b"), "id_b")
+      .select(
+        when(col("n_a") <= col("n_b"), col("id_a")).otherwise(col("id_b"))
+          .as("id_small"),
+        when(col("n_a") <= col("n_b"), col("id_b")).otherwise(col("id_a"))
+          .as("id_big"),
+        round(col("common").cast("double") / least(col("n_a"), col("n_b")), 6)
+          .as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** MinHash signature: for each of `numHashes` seeded hash functions take
     * the min over the doc's shingle hashes. Pure expression: shingles →
     * xxhash64(shingle, seed) → array_min. Deterministic across runs.

@@ -42,6 +42,30 @@ class DedupSpec extends SparkSpec {
     assert(pairs.count() == 1)
   }
 
+  test("containment catches a quote that Jaccard is blind to") {
+    val quote = "alpha beta gamma delta epsilon zeta"
+    val filler = (1 to 60).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, quote),                      // the short original
+      (2L, s"$filler $quote"),          // quoted verbatim inside a long page
+      (3L, "totally unrelated words here")).toDF("doc_id", "text")
+    // every shingle of doc 1 appears in doc 2 → containment 1.0
+    val cont = Dedup.ngramContainment(docs, "doc_id", "text", n = 3,
+        threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(cont == Seq((1L, 2L, 1.0)), cont.toString)
+    // the small side lands on the left even when its id is larger
+    val swapped = Dedup.ngramContainment(
+      Seq((9L, quote), (2L, s"$filler $quote")).toDF("doc_id", "text"),
+      "doc_id", "text", 3, 0.9).as[(Long, Long, Double)].collect().toSeq
+    assert(swapped == Seq((9L, 2L, 1.0)), swapped.toString)
+    // Jaccard at the same bar misses it (union is filler-dominated)
+    assert(Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.5).count() == 0)
+    intercept[IllegalArgumentException] {
+      Dedup.ngramContainment(docs, "doc_id", "text", 3, 0.0)
+    }
+  }
+
   test("minhash LSH recall vs exact ngram jaccard on real documents") {
     val docs = Tables.documents(spark, sf)
     val exact = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.5)
