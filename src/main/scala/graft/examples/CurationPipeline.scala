@@ -51,6 +51,20 @@ object CurationPipeline {
       println(f"[curation] $stage%-22s $n%6d docs")
     report("raw", raw.count())
 
+    // 0. admission gate: the declarative quality-rules audit runs
+    // BEFORE any curation spends compute on a broken slice (r7)
+    import graft.operators.QualityRules._
+    val auditRows = audit(raw, Seq(
+        NotNull("doc_id_not_null", "doc_id"),
+        Unique("doc_id_unique", Seq("doc_id")),
+        NotNull("text_not_null", "text"),
+        InRange("n_chars_sane", "n_chars", 1, 1e9)))
+      .collect()
+    auditRows.foreach(r => println(
+      f"[curation] audit ${r.getString(0)}%-18s violations=${r.getLong(1)}"))
+    require(auditRows.forall(_.getBoolean(2)),
+      "quality-rules audit failed — slice rejected")
+
     // 1. quality floor: keep docs with a stopword ratio above the corpus
     // P25 (the adaptive-floor pattern of x_quality_floor; gibberish has
     // few stopwords)
@@ -117,6 +131,13 @@ object CurationPipeline {
         .withColumn("train_order", lit(null).cast("long")))
       .write.mode("overwrite").partitionBy("split").parquet(outDir)
     println(s"[curation] wrote $outDir")
+
+    // 9. byte-reproducible JSONL export of the train shard (r7): a
+    // re-run of this pipeline diffs empty unless the DATA changed
+    graft.sink.JsonlSink.write(
+      ordered.select("doc_id", "text", "source", "train_order"),
+      "doc_id", s"$outDir-jsonl", shards = 4)
+    println(s"[curation] exported $outDir-jsonl (4 jsonl shards)")
     spark.stop()
   }
 }
