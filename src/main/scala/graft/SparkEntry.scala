@@ -3007,6 +3007,22 @@ object SparkEntry {
           col("n"), col("sum_qty"))
         .orderBy("flag", "status")),
 
+    // Explicit GROUPING SETS: an arbitrary lattice subset —
+    // ((flag,status),(status)) — that neither rollup nor cube can
+    // express alone; one pass, the Spark 4 Dataset groupingSets API.
+    "agg_grouping_sets" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("n"), col("sum_qty"))
+        .orderBy("flag", "status")),
+
     // CUBE: every grouping-set combination in one pass (rollup's
     // lattice completion — adds the (∅, status) slice rollup omits).
     "agg_cube" -> ((s, d) =>
@@ -6527,6 +6543,15 @@ object SparkEntry {
            CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
          FROM lineitem
          GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY flag, status""",
+    "agg_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+           coalesce(l_linestatus, 'ALL') AS status,
+           count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+           (l_linestatus))
          ORDER BY flag, status""",
     "agg_cube" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS flag,
