@@ -407,6 +407,33 @@ object SparkEntry {
       DocQueries.histogram(Tables.documents(s, d), "n_chars",
         interval = 250)),
 
+    // Ranking evaluation (ES _rank_eval): precision@10 / MRR / nDCG@10
+    // of the deterministic tf ranking against all-terms-present binary
+    // judgments — the offline relevance loop. Evaluation cost scales
+    // with judgments × k, never the corpus.
+    "x_rank_eval" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val queries = Seq("merge window scan", "stream data")
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("doc_id"))
+      val rankings = queries.map { q =>
+        DocQueries.matchTextRanked(docs, "text", q, 10)
+          .select(lit(q).as("query"), row_number().over(w).as("rk"),
+            col("doc_id"))
+      }.reduce(_ unionByName _)
+      val judgments = queries.map { q =>
+        val all = q.split(" ").toSeq.map(t =>
+          array_contains(split(lower(col("text")), " "), t)).reduce(_ && _)
+        docs.select(lit(q).as("query"), col("doc_id"),
+            when(all, 1).otherwise(0).as("rel"))
+          .filter(col("rel") > 0)
+      }.reduce(_ unionByName _)
+      DocQueries.rankEval(rankings, judgments, k = 10)
+        .withColumnRenamed("ndcg_at_k", "ndcg_10")
+        .withColumnRenamed("p_at_k", "p_10")
+        .orderBy("query")
+    }),
+
     // ES date-math range ("now-7d/d".."now/d"): bounds resolved on the
     // driver against an EXPLICIT now (the max-ts cursor row — no hidden
     // clock), then dropped in as plan-literal timestamps so the scan
@@ -4020,6 +4047,67 @@ object SparkEntry {
              WHERE o.o_orderkey = l.l_orderkey))
          SELECT rule, n_violations, n_violations = 0 AS passed
          FROM v ORDER BY rule""",
+
+    // per query: tf ranking → binary judgments → p@10 / MRR / decimal-
+    // summed DCG over ideal fold (left fold ≡ Spark's 0-seeded fold)
+    "x_rank_eval" ->
+      """WITH d AS (SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+           FROM documents),
+         s1 AS (SELECT doc_id,
+             len(list_filter(w, x -> x = 'merge'))
+               + len(list_filter(w, x -> x = 'window'))
+               + len(list_filter(w, x -> x = 'scan')) AS score,
+             (list_contains(w, 'merge') AND list_contains(w, 'window')
+               AND list_contains(w, 'scan')) AS isrel
+           FROM d),
+         r1 AS (SELECT doc_id, CAST(isrel AS INT) AS rel,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+           FROM s1 WHERE score > 0),
+         t1 AS (SELECT rel, rk FROM r1 WHERE rk <= 10),
+         n1 AS (SELECT count(*) AS nrel FROM s1 WHERE isrel),
+         m1 AS (SELECT 'merge window scan' AS query,
+             round(sum(rel) / 10.0, 6) AS p_10,
+             round(coalesce(1.0 / min(CASE WHEN rel > 0 THEN rk END), 0.0),
+               6) AS mrr,
+             sum(CAST(round(rel / log2(rk + 1), 12) AS DECIMAL(20,12)))
+               AS dcg
+           FROM t1),
+         i1 AS (SELECT CASE WHEN least(nrel, 10) >= 1 THEN
+             list_reduce(list_transform(range(1, least(nrel, 10) + 1),
+               i -> 1.0 / log2(CAST(i AS DOUBLE) + 1)), (a, b) -> a + b)
+             ELSE 0.0 END AS idcg FROM n1),
+         q1 AS (SELECT query, p_10, mrr,
+             round(CASE WHEN idcg > 0 THEN CAST(dcg AS DOUBLE) / idcg
+               ELSE 0.0 END, 6) AS ndcg_10
+           FROM m1, i1),
+         s2 AS (SELECT doc_id,
+             len(list_filter(w, x -> x = 'stream'))
+               + len(list_filter(w, x -> x = 'data')) AS score,
+             (list_contains(w, 'stream') AND list_contains(w, 'data'))
+               AS isrel
+           FROM d),
+         r2 AS (SELECT doc_id, CAST(isrel AS INT) AS rel,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+           FROM s2 WHERE score > 0),
+         t2 AS (SELECT rel, rk FROM r2 WHERE rk <= 10),
+         n2 AS (SELECT count(*) AS nrel FROM s2 WHERE isrel),
+         m2 AS (SELECT 'stream data' AS query,
+             round(sum(rel) / 10.0, 6) AS p_10,
+             round(coalesce(1.0 / min(CASE WHEN rel > 0 THEN rk END), 0.0),
+               6) AS mrr,
+             sum(CAST(round(rel / log2(rk + 1), 12) AS DECIMAL(20,12)))
+               AS dcg
+           FROM t2),
+         i2 AS (SELECT CASE WHEN least(nrel, 10) >= 1 THEN
+             list_reduce(list_transform(range(1, least(nrel, 10) + 1),
+               i -> 1.0 / log2(CAST(i AS DOUBLE) + 1)), (a, b) -> a + b)
+             ELSE 0.0 END AS idcg FROM n2),
+         q2 AS (SELECT query, p_10, mrr,
+             round(CASE WHEN idcg > 0 THEN CAST(dcg AS DOUBLE) / idcg
+               ELSE 0.0 END, 6) AS ndcg_10
+           FROM m2, i2)
+         SELECT * FROM q1 UNION ALL SELECT * FROM q2 ORDER BY query""",
 
     // the date-math ladder mirrored as interval arithmetic
     "q_date_math" ->

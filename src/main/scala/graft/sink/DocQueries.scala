@@ -945,6 +945,54 @@ object DocQueries {
       .orderBy("bucket_s")
   }
 
+  /** Ranking evaluation (the ES `_rank_eval` API): precision@k, MRR,
+    * and binary nDCG@k of a ranking against relevance judgments — the
+    * offline search-quality loop every relevance change runs before it
+    * ships. `rankings` carries `(query, rk, doc_id)` (rk 1-based, ≤ k
+    * rows per query — the bounded output of any gated ranked query);
+    * `judgments` carries `(query, doc_id, rel)` with binary rel.
+    *
+    * Determinism: the DCG sum runs over ≤ k rows but still sums
+    * DOUBLES, so contributions round to 12 dp and sum as decimals (the
+    * KL convention); the ideal DCG folds a `sequence` literal left to
+    * right. Unjudged ranked docs count rel 0 (the ES default); queries
+    * with no relevant docs at all score 0 across the board rather than
+    * dividing by zero.
+    *
+    * Scale shape: one join of the (queries × k)-row ranking frame
+    * against judgments, two small hash aggs — evaluation cost scales
+    * with the judgment set, never the corpus.
+    */
+  def rankEval(rankings: DataFrame, judgments: DataFrame,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val j = judgments.select(col("query"), col("doc_id"),
+      col("rel").cast("double").as("_rel"))
+    val nRel = j.filter(col("_rel") > 0)
+      .groupBy("query").agg(count(lit(1)).as("_nrel"))
+    val joined = rankings.filter(col("rk") <= k)
+      .join(j, Seq("query", "doc_id"), "left")
+      .withColumn("_rel", coalesce(col("_rel"), lit(0.0)))
+    val perQuery = joined.groupBy("query").agg(
+      round(sum("_rel") / k, 6).as("p_at_k"),
+      min(when(col("_rel") > 0, col("rk"))).as("_first"),
+      sum(round(col("_rel") / log2(col("rk") + 1), 12)
+        .cast("decimal(20,12)")).as("_dcg"))
+    perQuery.join(nRel, Seq("query"), "left")
+      .withColumn("_ideal", coalesce(least(col("_nrel"), lit(k)), lit(0L)))
+      // sequence(1, 0) would generate DESCENDING — guard the empty case
+      .withColumn("_idcg", when(col("_ideal") >= 1, aggregate(
+        sequence(lit(1L), col("_ideal")), lit(0.0),
+        (acc, i) => acc + lit(1.0) / log2(i.cast("double") + 1)))
+        .otherwise(lit(0.0)))
+      .select(col("query"),
+        col("p_at_k"),
+        round(coalesce(lit(1.0) / col("_first"), lit(0.0)), 6).as("mrr"),
+        round(when(col("_idcg") > 0,
+          col("_dcg").cast("double") / col("_idcg")).otherwise(lit(0.0)), 6)
+          .as(s"ndcg_at_k"))
+  }
+
   /** Phrase suggester ("did you mean", ES `phrase`/`term` suggester):
     * for each query token, the best correction among vocabulary terms
     * within `maxEdits` Levenshtein distance, ranked `(edit distance

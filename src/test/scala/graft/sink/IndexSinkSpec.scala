@@ -573,6 +573,27 @@ class IndexSinkSpec extends SparkSpec {
     }
   }
 
+  test("rankEval: hand-computed metrics, unjudged=0, no-relevant=0") {
+    val rankings = Seq(
+      ("q1", 1, 10L), ("q1", 2, 20L), ("q1", 3, 30L),
+      ("q2", 1, 10L), ("q2", 2, 20L)).toDF("query", "rk", "doc_id")
+    val judgments = Seq(("q1", 20L, 1), ("q1", 30L, 1), ("q1", 99L, 1))
+      .toDF("query", "doc_id", "rel")
+    val out = DocQueries.rankEval(rankings, judgments, k = 3)
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val l3 = 1.0 / (math.log(3) / math.log(2))
+    val dcg = l3 + 0.5                 // hits at ranks 2 and 3
+    val idcg = 1.0 + l3 + 0.5          // 3 relevant, k=3
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    assert(out("q1") == ((r6(2.0 / 3), 0.5, r6(dcg / idcg))), out.toString)
+    // q2 has no judged-relevant docs → zeros, not division errors
+    assert(out("q2") == ((0.0, 0.0, 0.0)), out.toString)
+    intercept[IllegalArgumentException] {
+      DocQueries.rankEval(rankings, judgments, 0)
+    }
+  }
+
   test("phraseSuggest: distance-then-frequency, exact self-match, nulls") {
     val docs = Seq((1L, "merge merge window"), (2L, "merge window"),
       (3L, "marge")).toDF("doc_id", "text")
