@@ -195,6 +195,12 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.MediaCodec.sniffVideoMeta(ftyp).isEmpty) // no moov
     assert(Multimodal.MediaCodec.sniffVideoMeta(
       ftyp ++ box("moov", Array.empty[Byte])).isEmpty) // no mvhd
+    // the DataFrame wrapper maps partitions with null passthrough
+    assert(Multimodal.videoMeta(
+      Seq((1L, mp4), (2L, Array[Byte](7))).toDF("id", "payload"),
+      "id", "payload").as[(Long, Option[String], Option[Double])]
+      .collect().toSet ==
+      Set((1L, Some("mp4"), Some(2.5)), (2L, None, None)))
   }
 
   test("decodeAudioFeatures: REAL WAV PCM parse with exact RMS") {
