@@ -1971,7 +1971,7 @@ object SparkEntry {
     "x_pq_knn_join" -> ((s, d) => {
       val e = Tables.embeddings(s, d).select("vec_id", "embedding", "label")
       val model = operators.Pq.fit(e, "vec_id", "embedding", dim = 64,
-        m = 16, codebookSize = 16, iters = 3)
+        m = 16, codebookSize = 16, iters = 2)
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       operators.Pq.knnJoin(e, "vec_id", "embedding", q, "query_id", "qv",
