@@ -407,6 +407,13 @@ object SparkEntry {
       DocQueries.histogram(Tables.documents(s, d), "n_chars",
         interval = 250)),
 
+    // Score explanation (ES _explain): the BM25 top-15 with per-term
+    // contribution columns riding the SAME scoring projection — no
+    // second pass; legs round independently, the total rounds once.
+    "q_explain_score" -> ((s, d) =>
+      DocQueries.explainBm25(Tables.documents(s, d).select("doc_id", "text"),
+        "doc_id", "text", "merge window", k = 15)),
+
     // Ranking evaluation (ES _rank_eval): precision@10 / MRR / nDCG@10
     // of the deterministic tf ranking against all-terms-present binary
     // judgments — the offline relevance loop. Evaluation cost scales
@@ -4047,6 +4054,33 @@ object SparkEntry {
              WHERE o.o_orderkey = l.l_orderkey))
          SELECT rule, n_violations, n_violations = 0 AS passed
          FROM v ORDER BY rule""",
+
+    // same constants/idf as q_match_bm25; per-term legs surfaced
+    "q_explain_score" ->
+      """WITH t AS (SELECT doc_id,
+             CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+               AS DOUBLE) AS dl,
+             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'merge'))
+               AS DOUBLE) AS tf0,
+             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'window'))
+               AS DOUBLE) AS tf1
+           FROM documents),
+         s AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+             CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+             CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1
+           FROM t),
+         z AS (SELECT doc_id,
+             ln(1 + (n - df0 + 0.5) / (df0 + 0.5))
+               * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+               AS c0,
+             ln(1 + (n - df1 + 0.5) / (df1 + 0.5))
+               * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+               AS c1
+           FROM t, s)
+         SELECT doc_id, round(c0, 6) AS c_merge, round(c1, 6) AS c_window,
+           round(c0 + c1, 6) AS bm25
+         FROM z WHERE c0 + c1 > 0
+         ORDER BY bm25 DESC, doc_id LIMIT 15""",
 
     // per query: tf ranking → binary judgments → p@10 / MRR / decimal-
     // summed DCG over ideal fold (left fold ≡ Spark's 0-seeded fold)

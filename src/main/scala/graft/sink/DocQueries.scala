@@ -385,6 +385,45 @@ object DocQueries {
       .orderBy(col("bm25").desc, col(idCol))
       .limit(k)
 
+  /** Score explanation (the ES `_explain` API shape): the BM25 top-k
+    * with PER-TERM contribution columns (`c_<term>`, 6dp each) riding
+    * the same scoring projection — "which term carried this hit"
+    * relevance debugging with NO second scoring pass: the contributions
+    * are the very expressions the total folds over (so `bm25` equals
+    * their unrounded sum, rounded once — legs round independently).
+    */
+  def explainBm25(index: DataFrame, idCol: String, field: String,
+      query: String, k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val qTokens = queryTokens(query).distinct
+    require(qTokens.nonEmpty, "BM25 explain needs a non-empty query")
+    val stats0 = graft.functions.TextExpressions.termFreqStats(col(field), qTokens)
+    val perDoc: Seq[Column] =
+      col("_s.dl").cast("double").as("_dl") +:
+        qTokens.indices.map(i =>
+          element_at(col("_s.tf"), i + 1).cast("double").as(s"_tf$i"))
+    val base = index.select(col(idCol), stats0.as("_s"))
+      .select(col(idCol) +: perDoc: _*)
+    val aggCols: Seq[Column] =
+      count(lit(1)).cast("double").as("_n") +:
+        avg(col("_dl")).as("_avgdl") +:
+        qTokens.indices.map(i =>
+          sum(when(col(s"_tf$i") > 0, 1).otherwise(0)).cast("double")
+            .as(s"_df$i"))
+    val stats = base.agg(aggCols.head, aggCols.tail: _*)
+    def contrib(i: Int) = bm25Contrib(col(s"_tf$i"), col(s"_df$i"),
+      col("_n"), col("_avgdl"), col("_dl"), k1, b)
+    val total = qTokens.indices.map(contrib).reduce(_ + _)
+    base.crossJoin(broadcast(stats))
+      .filter(total > 0)
+      .select(col(idCol) +:
+        qTokens.indices.map(i =>
+          round(contrib(i), 6).as(s"c_${qTokens(i)}")) :+
+        round(total, 6).as("bm25"): _*)
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(k)
+  }
+
   /** All positive BM25 scores for `query` — the un-limited body shared
     * by [[matchTextBM25]] (top-k), [[searchAfter]] (cursor page) and
     * [[functionScoreGauss]] (which threads `extraCols` through so the
