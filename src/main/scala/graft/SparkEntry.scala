@@ -386,6 +386,19 @@ object SparkEntry {
       DocQueries.multiTerms(Tables.documents(s, d),
         Seq("lang", "source"), k = 10)),
 
+    // TopHits aggregation (ES terms + top_hits): the 2 longest docs per
+    // language — representative documents per bucket, a per-key window
+    // (partitioned, no global funnel).
+    "q_top_hits" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("n_chars").desc, col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 2)
+        .select("lang", "rk", "doc_id", "n_chars")
+        .orderBy("lang", "rk")
+    }),
+
     // Terms aggregation ordered by a SUB-aggregation (the ES
     // `order: {avg_chars: desc}` shape — ES documents this as
     // approximate under sharding; one global hash agg makes it exact):
@@ -4196,6 +4209,15 @@ object SparkEntry {
              FROM documents) t
            WHERE rk <= 20 ORDER BY h, doc_id LIMIT 60) s
          ORDER BY doc_id""",
+
+    // representative docs per bucket via the per-key rank window
+    "q_top_hits" ->
+      """SELECT lang, rk, doc_id, n_chars FROM (
+           SELECT lang, doc_id, n_chars,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY n_chars DESC, doc_id) AS rk
+           FROM documents) t
+         WHERE rk <= 2 ORDER BY lang, rk""",
 
     // terms ordered by the sub-agg, exact under one global agg
     "q_terms_by_subagg" ->
