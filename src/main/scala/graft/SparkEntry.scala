@@ -386,6 +386,47 @@ object SparkEntry {
       DocQueries.multiTerms(Tables.documents(s, d),
         Seq("lang", "source"), k = 10)),
 
+    // Filters aggregation (ES filters + other_bucket): named-predicate
+    // doc counts INCLUDING the "_other_" bucket for docs matching no
+    // filter — one projection + hash agg (a doc can land in several
+    // named buckets, the ES semantics).
+    "q_filters_agg" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      def hasTok(t: String) =
+        array_contains(split(lower(col("text")), " "), t)
+      val preds = Seq("de_docs" -> (col("lang") === "de"),
+        "has_merge" -> hasTok("merge"), "has_window" -> hasTok("window"))
+      val matched = filter(array(preds.map { case (n, p) =>
+        when(p, lit(n)).otherwise(lit(null).cast("string"))
+      }: _*), x => x.isNotNull)
+      docs.select(explode(concat(
+          when(size(matched) === 0, array(lit("_other_")))
+            .otherwise(array().cast("array<string>")),
+          matched)).as("key"))
+        .groupBy("key").agg(count(lit(1)).as("doc_count"))
+        .orderBy("key")
+    }),
+
+    // Range aggregation (ES range agg, arbitrary edges): custom
+    // [from, to) buckets over n_chars with a decimal-exact sub-agg mean
+    // — the histogram's irregular-edge sibling.
+    "q_range_agg" -> ((s, d) => {
+      val edges = Seq((None, Some(600L)), (Some(600L), Some(1200L)),
+        (Some(1200L), None))
+      val key = edges.foldLeft(lit(null).cast("string")) { case (acc, (lo, hi)) =>
+        val in = (lo.map(col("n_chars") >= _).getOrElse(lit(true))) &&
+          (hi.map(col("n_chars") < _).getOrElse(lit(true)))
+        when(in, lit(s"${lo.map(_.toString).getOrElse("*")}-${hi.map(_.toString).getOrElse("*")}"))
+          .otherwise(acc)
+      }
+      Tables.documents(s, d)
+        .groupBy(key.as("bucket"))
+        .agg(count(lit(1)).as("doc_count"),
+          round(sum(col("n_chars").cast("decimal(20,0)")).cast("double") /
+            count(lit(1)), 6).as("avg_chars"))
+        .orderBy("bucket")
+    }),
+
     // TopHits aggregation (ES terms + top_hits): the 2 longest docs per
     // language — representative documents per bucket, a per-key window
     // (partitioned, no global funnel).
@@ -4209,6 +4250,34 @@ object SparkEntry {
              FROM documents) t
            WHERE rk <= 20 ORDER BY h, doc_id LIMIT 60) s
          ORDER BY doc_id""",
+
+    // named buckets (multi-membership) + the _other_ bucket
+    "q_filters_agg" ->
+      """WITH m AS (SELECT lang = 'de' AS f_de,
+             list_contains(string_split(lower(text), ' '), 'merge')
+               AS f_merge,
+             list_contains(string_split(lower(text), ' '), 'window')
+               AS f_window
+           FROM documents),
+         k AS (SELECT 'de_docs' AS key, count(*) FILTER (f_de)
+             AS doc_count FROM m
+           UNION ALL SELECT 'has_merge', count(*) FILTER (f_merge) FROM m
+           UNION ALL SELECT 'has_window', count(*) FILTER (f_window) FROM m
+           UNION ALL SELECT '_other_',
+             count(*) FILTER (NOT f_de AND NOT f_merge AND NOT f_window)
+             FROM m)
+         SELECT key, doc_count FROM k WHERE doc_count > 0 ORDER BY key""",
+
+    // arbitrary [from, to) edges with a decimal-exact sub-agg
+    "q_range_agg" ->
+      """SELECT CASE
+           WHEN n_chars < 600 THEN '*-600'
+           WHEN n_chars >= 600 AND n_chars < 1200 THEN '600-1200'
+           ELSE '1200-*' END AS bucket,
+           count(*) AS doc_count,
+           round(CAST(sum(CAST(n_chars AS DECIMAL(20,0))) AS DOUBLE)
+             / count(*), 6) AS avg_chars
+         FROM documents GROUP BY 1 ORDER BY bucket""",
 
     // representative docs per bucket via the per-key rank window
     "q_top_hits" ->
