@@ -3391,6 +3391,48 @@ object SparkEntry {
         .orderBy("bucket_us")
     }),
 
+    // Two-sided CUSUM changepoint detection over the weekly bucket
+    // space: s⁺/s⁻ accumulate deviations from the series mean (computed
+    // from exact decimal sums) and flag when either crosses 2σ (σ from
+    // the exact n·Σy²−(Σy)² moments). The recursion is the q_holt
+    // struct-accumulator fold — bucket-space work, a recursive CTE in
+    // the oracle.
+    "q_cusum" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.orderBy("bucket_us")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      val b = Tables.events(s, d)
+        .groupBy(date_trunc("week", col("ts")).as("bucket"))
+        .agg(sum(dec(col("value"))).cast("double").as("y"))
+        .select(unix_micros(col("bucket")).as("bucket_us"), col("y"))
+      val stats = b.agg(count(lit(1)).cast("double").as("_n"),
+        sum(col("y").cast("decimal(24,6)")).cast("double").as("_s"),
+        sum((col("y").cast("decimal(24,6)") *
+          col("y").cast("decimal(24,6)")).cast("decimal(38,12)"))
+          .cast("double").as("_ss"))
+      def step(acc: Column, x: Column) = {
+        val mu = acc.getField("mu")
+        struct(mu.as("mu"),
+          greatest(lit(0.0), acc.getField("sp") + (x - mu)).as("sp"),
+          greatest(lit(0.0), acc.getField("sn") + (mu - x)).as("sn"))
+      }
+      b.crossJoin(broadcast(stats))
+        .withColumn("_mu", col("_s") / col("_n"))
+        .withColumn("_sigma", sqrt(
+          (col("_n") * col("_ss") - col("_s") * col("_s")) /
+            (col("_n") * (col("_n") - 1))))
+        .withColumn("_h", collect_list("y").over(w))
+        .withColumn("_st", aggregate(col("_h"),
+          struct(col("_mu").as("mu"), lit(0.0).as("sp"), lit(0.0).as("sn")),
+          step))
+        .select(col("bucket_us"), col("y"),
+          round(col("_st.sp"), 6).as("cusum_pos"),
+          round(col("_st.sn"), 6).as("cusum_neg"),
+          (col("_st.sp") > col("_sigma") * 2 ||
+            col("_st.sn") > col("_sigma") * 2).as("changepoint"))
+        .orderBy("bucket_us")
+    }),
+
     // ES cumulative_cardinality: exact running distinct users per day.
     // The scale trick: a running DISTINCT is NOT a running sum of daily
     // distincts — it is the running sum of FIRST-SEEN counts, one
@@ -6938,6 +6980,34 @@ object SparkEntry {
            moving_max, moving_median,
            round(list_reduce(h, (acc, x) -> 0.5 * x + 0.5 * acc), 6) AS ema
          FROM p ORDER BY bucket_us""",
+    // CUSUM as a recursive CTE; moments from exact decimal sums
+    "q_cusum" ->
+      """WITH RECURSIVE
+         b AS (SELECT epoch_us(date_trunc('week', ts)) AS t,
+             CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS y
+           FROM events GROUP BY 1),
+         st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(y AS DECIMAL(24,6))) AS DOUBLE) AS s,
+             CAST(sum(CAST(CAST(y AS DECIMAL(24,6))
+               * CAST(y AS DECIMAL(24,6)) AS DECIMAL(38,12)))
+               AS DOUBLE) AS ss
+           FROM b),
+         o AS (SELECT t, y, row_number() OVER (ORDER BY t) AS i FROM b),
+         m AS (SELECT s / n AS mu,
+             sqrt((n * ss - s * s) / (n * (n - 1))) AS sigma FROM st),
+         c(i, sp, sn) AS (
+           SELECT o.i, greatest(0.0, o.y - m.mu),
+             greatest(0.0, m.mu - o.y)
+           FROM o, m WHERE o.i = 1
+           UNION ALL
+           SELECT o.i, greatest(0.0, c.sp + (o.y - m.mu)),
+             greatest(0.0, c.sn + (m.mu - o.y))
+           FROM c JOIN o ON o.i = c.i + 1, m)
+         SELECT o.t AS bucket_us, o.y, round(c.sp, 6) AS cusum_pos,
+           round(c.sn, 6) AS cusum_neg,
+           (c.sp > 2 * m.sigma OR c.sn > 2 * m.sigma) AS changepoint
+         FROM o JOIN c ON c.i = o.i, m ORDER BY bucket_us""",
+
     // the same recursion as a recursive CTE; l' expanded identically
     // in the trend update on both sides
     "q_holt" ->
