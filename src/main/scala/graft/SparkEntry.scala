@@ -389,7 +389,10 @@ object SparkEntry {
     // Filters aggregation (ES filters + other_bucket): named-predicate
     // doc counts INCLUDING the "_other_" bucket for docs matching no
     // filter — one projection + hash agg (a doc can land in several
-    // named buckets, the ES semantics).
+    // named buckets, the ES semantics). NULL predicates (null lang or
+    // text) count as no-match here (`when` falls through) and the
+    // oracle coalesces each flag to false, so such docs land in
+    // `_other_` on both sides.
     "q_filters_agg" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       def hasTok(t: String) =
@@ -1909,12 +1912,12 @@ object SparkEntry {
         .orderBy("query_id", "rk")
     }),
 
-    // Filtered KNN (the ES knn-query `filter` contract): the metadata
-    // predicate restricts candidates BEFORE ranking — the true filtered
-    // top-k, never "rank then discard" (which under-fills k under a
-    // selective filter). The predicate rides the pruned cell scan;
-    // nProbe = k cells makes the gate an exact brute-force-filtered
-    // equivalence.
+    // Filtered KNN (the ES knn-query `filter` shape): the metadata
+    // predicate restricts candidates BEFORE ranking — within the probed
+    // cells the true filtered top-k, never "rank then discard". Exact
+    // only because nProbe = k covers all cells here; at smaller nProbe
+    // the result is recall-bounded like unfiltered IVF (a selective
+    // filter can empty the probed cells — see VectorIndex.knnSearch).
     "x_knn_filtered" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val dir = tempDir("graft-vecknnf")
@@ -2465,10 +2468,6 @@ object SparkEntry {
             <= element_at(col("_e"), 3) * 0.01).as("p99_ok"))
     }),
 
-    // Two-phase salted aggregation gated against the plain GROUP BY: the
-    // skew-mitigation path must be bit-identical to the direct plan.
-    // Decimal sums make the result independent of partial-merge order
-    // (double addition is not associative across salt buckets).
     // Salted SHUFFLE join: a skewed probe side spreads each key over 8
     // reducers, the build side replicates once per salt — the hot-key
     // remedy when the build side is too large to broadcast. The gate
@@ -2486,6 +2485,10 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // Two-phase salted aggregation gated against the plain GROUP BY: the
+    // skew-mitigation path must be bit-identical to the direct plan.
+    // Decimal sums make the result independent of partial-merge order
+    // (double addition is not associative across salt buckets).
     "x_skew_agg" -> ((s, d) => {
       val ev = Tables.events(s, d)
         .withColumn("v", col("value").cast("decimal(18,6)"))
@@ -2683,12 +2686,6 @@ object SparkEntry {
         "user_id", "ts_us", 604800000000L) // 7 days in micros
         .orderBy("user_id", "ts_us")),
 
-    // JSON-payload key profile: per-key presence/cardinality/range over
-    // the events props column — the schema-drift report for
-    // semi-structured payloads (values compared as strings). The
-    // operator's distinct count is HLL++ (fixed-size state); the gate
-    // checks it within ±5% of an exact count computed HERE — gate
-    // overhead, not operator cost (the x_profile precedent).
     // Runtime field over semi-structured props (the ES runtime-mapping
     // shape): a typed JSON extraction projected at query time and
     // aggregated like any stored column — one codegen'd projection, no
@@ -2702,6 +2699,12 @@ object SparkEntry {
           max("k").as("max_k"), sum("k").as("sum_k"))
         .orderBy("event_type")),
 
+    // JSON-payload key profile: per-key presence/cardinality/range over
+    // the events props column — the schema-drift report for
+    // semi-structured payloads (values compared as strings). The
+    // operator's distinct count is HLL++ (fixed-size state); the gate
+    // checks it within ±5% of an exact count computed HERE — gate
+    // overhead, not operator cost (the x_profile precedent).
     "x_json_profile" -> ((s, d) => {
       val kv = Tables.events(s, d).select(
         explode(from_json(col("props"), MapType(StringType, StringType)))
@@ -4295,11 +4298,11 @@ object SparkEntry {
 
     // named buckets (multi-membership) + the _other_ bucket
     "q_filters_agg" ->
-      """WITH m AS (SELECT lang = 'de' AS f_de,
-             list_contains(string_split(lower(text), ' '), 'merge')
-               AS f_merge,
-             list_contains(string_split(lower(text), ' '), 'window')
-               AS f_window
+      """WITH m AS (SELECT coalesce(lang = 'de', false) AS f_de,
+             coalesce(list_contains(string_split(lower(text), ' '),
+               'merge'), false) AS f_merge,
+             coalesce(list_contains(string_split(lower(text), ' '),
+               'window'), false) AS f_window
            FROM documents),
          k AS (SELECT 'de_docs' AS key, count(*) FILTER (f_de)
              AS doc_count FROM m

@@ -63,9 +63,12 @@ object QualityRules {
       else {
         val one = df.agg(scanAggs.head, scanAggs.tail: _*)
         // unpivot the single aggregate row into (rule, n_violations)
+        // backtick-quote the alias lookup: a rule name containing a dot
+        // would otherwise parse as a nested-field reference
         one.select(explode(array(scanRules.map(r =>
             struct(lit(r.name).as("rule"),
-              col(r.name).cast("long").as("n_violations"))): _*)).as("_r"))
+              col(s"`${r.name.replace("`", "``")}`").cast("long")
+                .as("n_violations"))): _*)).as("_r"))
           .select(col("_r.rule"), col("_r.n_violations"))
       }
     val fkRows = fkRules.map { case ForeignKey(n, cs, ref, rcs) =>

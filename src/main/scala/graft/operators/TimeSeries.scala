@@ -38,8 +38,21 @@ object TimeSeries {
           expr(s"interval $interval"))).as("bucket"))
     val w = Window.partitionBy("key").orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid.join(perBucket, Seq("key", "bucket"), "left")
-      .withColumn("filled", col("value").isNull)
-      .withColumn("value", last("value", ignoreNulls = true).over(w))
+    // `filled` marks join ABSENCE (fabricated grid row), not value
+    // nullness: an observed bucket whose aggregate is genuinely NULL
+    // (e.g. sum over all-null inputs) is a real observation and must
+    // not be LOCF-overwritten by a stale carry.
+    // The carry wraps value in a struct so an observed bucket whose
+    // aggregate is genuinely NULL is still "the last observation"
+    // (carried as null), while fabricated rows contribute nothing.
+    grid.join(perBucket.withColumn("_observed", lit(true)),
+        Seq("key", "bucket"), "left")
+      .withColumn("filled", col("_observed").isNull)
+      .withColumn("value",
+        when(col("filled"),
+          last(when(!col("filled"), struct(col("value"))),
+            ignoreNulls = true).over(w).getField("value"))
+        .otherwise(col("value")))
+      .drop("_observed")
   }
 }

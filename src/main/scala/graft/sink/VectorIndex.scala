@@ -400,14 +400,23 @@ object VectorIndex {
       filter: Option[Column] = None): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val m = readMeta(spark, dir)
-    // PRE-filter (the ES `knn` + `filter` contract): the predicate —
-    // any expression over the STORED metadata columns, which `write`
+    // PRE-filter (the ES `knn` + `filter` shape): the predicate — any
+    // expression over the STORED metadata columns, which `write`
     // persists alongside (id, vec, cell) — restricts the candidate set
-    // BEFORE ranking, so the top-k is the true filtered top-k, never
-    // "rank then discard" (which under-fills k whenever the filter is
-    // selective). The predicate rides the pruned cell scan: parquet
-    // row-group pushdown applies, and a selective filter makes the
-    // ranking leg CHEAPER, not a recall risk.
+    // BEFORE ranking, so within the probed cells the top-k is the true
+    // filtered top-k, never "rank then discard". The predicate rides
+    // the pruned cell scan: parquet row-group pushdown applies, and a
+    // selective filter makes the ranking leg cheaper.
+    //
+    // Recall contract: the filter applies AFTER cell pruning, so it is
+    // exact only when `nProbe` covers all cells; at nProbe < k-cells a
+    // selective filter can empty the probed cells and under-fill k (or
+    // miss true filtered neighbors that live in unprobed cells) —
+    // recall-bounded exactly like unfiltered IVF search, and the bound
+    // degrades with filter selectivity. Callers pairing a highly
+    // selective filter with small nProbe should widen nProbe (rule of
+    // thumb: divide by the filter's expected pass rate) or probe all
+    // cells for exactness.
     val corpus0 = cells(spark, dir)
     val corpus = filter.map(corpus0.filter).getOrElse(corpus0)
     graft.operators.Similarity.requireIntegralId(

@@ -43,4 +43,16 @@ class QualityRulesSpec extends SparkSpec {
       audit(df, Seq(NotNull("x", "k"), NotNull("x", "v")))
     }
   }
+
+  test("audit: rule names with dots/backticks resolve as plain aliases") {
+    // a dotted name must not be parsed as a nested-field reference
+    val df = Seq((Some(1L), "a"), (None, "b")).toDF("k", "tag")
+    val out = audit(df, Seq(
+        NotNull("checks.k.not_null", "k"),
+        Check("tag`quoted", col("tag") =!= "b")))
+      .as[(String, Long, Boolean)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(out("checks.k.not_null") == 1L)
+    assert(out("tag`quoted") == 1L)
+  }
 }

@@ -28,4 +28,26 @@ class TimeSeriesSpec extends SparkSpec {
     assert(b.map(_._3) == Seq(None, Some(5.0), Some(5.0)))
     assert(b.map(_._4) == Seq(true, false, true))
   }
+
+  test("gapFillLocf: observed-null aggregate is a real observation") {
+    // A bucket that WAS observed but whose aggregate is genuinely NULL
+    // (sum over all-null inputs) must keep filled=false and its null
+    // value — not be overwritten by a stale LOCF carry. And a
+    // fabricated row after it carries that null observation forward.
+    val e = Seq(
+      ("a", "2024-01-01 00:10:00", Some(1.0)),
+      ("a", "2024-01-01 01:20:00", None), // observed, aggregate NULL
+      ("a", "2024-01-01 03:30:00", Some(4.0))) // hole at hour 2
+      .toDF("k", "s", "v").withColumn("ts", to_timestamp(col("s")))
+    val out = TimeSeries.gapFillLocf(e, "ts", "k", sum(col("v")), "1 hour")
+      .select(col("key"), unix_micros(col("bucket")).as("b"),
+        col("value"), col("filled"))
+      .orderBy("key", "b")
+      .as[(String, Long, Option[Double], Boolean)].collect().toSeq
+    assert(out.size == 4, out.toString)
+    // hour 1: observed null — NOT filled, NOT overwritten with 1.0;
+    // hour 2: fabricated — carries the hour-1 null observation forward
+    assert(out.map(_._3) == Seq(Some(1.0), None, None, Some(4.0)))
+    assert(out.map(_._4) == Seq(false, false, true, false))
+  }
 }

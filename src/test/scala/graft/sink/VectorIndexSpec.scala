@@ -74,6 +74,36 @@ class VectorIndexSpec extends SparkSpec {
     assert(got.forall(r => allowed(r._3)))
   }
 
+  test("knnSearch filter at nProbe < all cells: recall-bounded, never wrong") {
+    // Pins the softened contract: with partial probing a selective
+    // filter may under-fill k (filtered neighbors can live in unprobed
+    // cells), but every returned row must (a) satisfy the predicate and
+    // (b) appear in the exact filtered ranking — results are a
+    // rank-consistent subset, never fabricated or post-filter-discarded.
+    val dir = java.nio.file.Files.createTempDirectory("vecidx-partial").toString
+    val e = Tables.embeddings(spark, sf)
+    VectorIndex.write(e, "vec_id", "embedding", dir, k = 4, iters = 3)
+    val q = e.filter(col("vec_id") === 7)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val got = VectorIndex.knnSearch(spark, dir, q, "qid", "qv",
+        k = 5, nProbe = 1, filter = Some(col("label") === 1))
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(got.size <= 5)
+    val allowed = e.filter(col("label") === 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got.forall(r => allowed(r._3)), "filter must hold on every row")
+    val exact = graft.operators.Similarity.bruteForceTopK(
+        e.filter(col("label") === 1), "vec_id", "embedding",
+        e.filter(col("vec_id") === 7).select("embedding")
+          .head().getSeq[Float](0), allowed.size)
+      .select(col("vec_id"), round(col("cosine"), 6))
+      .as[(Long, Double)].collect().toSeq
+    val exactRank = exact.zipWithIndex.map { case ((id, _), i) => id -> i }.toMap
+    // subset of the exact filtered ranking, in rank order
+    val ranks = got.map(r => exactRank(r._3))
+    assert(ranks == ranks.sorted, "results must respect the exact rank order")
+  }
+
   test("radiusSearch: sound cell prune ≡ brute-force threshold scan") {
     val dir = java.nio.file.Files.createTempDirectory("vecidx-rad").toString
     val e = Tables.embeddings(spark, sf)
