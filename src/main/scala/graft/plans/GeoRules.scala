@@ -31,6 +31,19 @@ object GeoRules {
     * `prefiltered = true` and is never matched again. Registered via
     * `GraftExtensions` (`spark.sql.extensions`) or
     * `spark.experimental.extraOptimizations`.
+    *
+    * Scope boundary — LITERAL centers only, by design: a predicate
+    * whose center is column-valued (e.g. joined in from another frame,
+    * `haversine_km(lat, lon, c.clat, c.clon) <= r`) gets NO prefilter
+    * from this rule, silently — a bounding box cannot be folded to
+    * literals when the center varies per row, and emitting a per-row
+    * box here would just re-evaluate trig per row without enabling any
+    * scan pruning, so the rewrite would be cost without benefit. For
+    * the join case use [[graft.sink.GeoIndex.radiusJoin]]/`knnJoin` or
+    * `GeoJoin.replicateToCells`, which prune via the cell equi-join
+    * (each point shuffled once, never a cross product). A negative
+    * rule-spec pins this: column-valued centers leave the plan
+    * unchanged.
     */
   object GeoRadiusPrefilter extends Rule[LogicalPlan] {
 

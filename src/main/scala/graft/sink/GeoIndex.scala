@@ -494,68 +494,19 @@ object GeoIndex {
   }
 
   /** Batch nearest-k off the cell layout: the `k` nearest live indexed
-    * points for EACH center — "nearest depot for every order". All
-    * still-unsatisfied centers ring-expand TOGETHER: one pruned radius
-    * join per doubling round counts each center's candidates, centers
-    * reaching `k` drop out, so the loop is ≤ ~⌈log₂(antipode/cellRing)⌉
-    * driver-side rounds each touching only the unsatisfied remainder.
-    * The final pass resolves the live view ONCE, pruned to the union of
-    * every center's stopping-radius cover (plan-literal cells, file-level
-    * pruning preserved), and runs ONE per-center-radius join (+10 m
-    * boundary margin, the [[knnSearch]] convention) before ranking each
-    * center's candidate set — a window, but over per-center candidate
-    * lists bounded by the stopping radius, never the corpus.
-    * Exactness: a center's k nearest all lie within its stopping radius
-    * (it holds ≥ k points), and every probed ball is fully contained in
-    * its covered-cell set.
+    * points for EACH center — "nearest depot for every order". Thin
+    * Seq-centers convenience over the DataFrame form below — ONE
+    * implementation (the distributed ring expansion with anti-join
+    * state and a single remaining-count scalar per round), so the Seq
+    * form inherits its exactness argument and scale shape and the two
+    * outputs match row for row by construction (spec-pinned).
     */
   def knnJoin(spark: SparkSession, dir: String,
       centers: Seq[(Long, Double, Double)], k: Int): DataFrame = {
-    require(k > 0, s"k must be positive, got $k")
     require(centers.nonEmpty, "knnJoin needs at least one center")
-    val m = readMeta(spark, dir)
-    val maxR = math.Pi * GeoFunctions.EarthRadiusKm
-    var r = m.cellDeg * 111.2 // one cell ring, the knnSearch start
-    var pending = centers
-    val stopRadius = collection.mutable.Map[Long, Double]()
-    while (pending.nonEmpty) {
-      // center count is the SMALL side by contract: one bounded
-      // driver-side count vector per round
-      val satisfied = radiusJoin(spark, dir, pending, r)
-        .groupBy("center_id").agg(count(lit(1)).as("_n"))
-        .filter(col("_n") >= k)
-        .select("center_id").collect().map(_.getLong(0)).toSet
-      val (sat, unsat) = pending.partition(c => satisfied.contains(c._1))
-      sat.foreach(c => stopRadius(c._1) = r)
-      if (r >= maxR) { // fewer than k points exist: keep them all
-        unsat.foreach(c => stopRadius(c._1) = maxR)
-        pending = Nil
-      } else {
-        pending = unsat
-        r = math.min(r * 2, maxR)
-      }
-    }
-    // one final leg: live view resolved once over the union cover, each
-    // center verified against ITS OWN stopping radius (a column)
-    val finalR = centers.map { case (cid, clat, clon) =>
-      (cid, clat, clon, math.min(stopRadius(cid) + 0.01, maxR))
-    }
-    val cells = finalR.flatMap { case (_, clat, clon, rc) =>
-      GeoJoin.coveredCells(clat, clon, rc, m.cellDeg)
-        .map { case (la, lo) => cellId(la, lo, m.cellDeg) }
-    }.distinct
-    val lv = live(spark, dir, Some(cells))
-    val centersDf = broadcast(
-      spark.createDataFrame(finalR)
-        .toDF("center_id", "_fclat", "_fclon", "_stop_r"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("center_id")
-      .orderBy(col("dist_km"), col(m.idCol))
-    joinCore(m, lv, centersDf, "center_id", "_fclat", "_fclon",
-        col("_stop_r"))
-      .withColumn("dist_km", round(col("dist_km"), 3))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    knnJoin(spark, dir,
+      spark.createDataFrame(centers).toDF("center_id", "_clat", "_clon"),
+      "center_id", "_clat", "_clon", k)
   }
 
   /** DataFrame-centers form of [[knnJoin]] — nearest-k for EACH center

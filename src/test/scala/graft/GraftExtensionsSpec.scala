@@ -107,4 +107,29 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(once.toString ==
       graft.plans.GeoRules.GeoRadiusPrefilter(once).toString)
   }
+
+  test("GeoRadiusPrefilter: column-valued center is out of scope (no-op)") {
+    import org.apache.spark.sql.functions._
+    GraftExtensions.registerAll(spark)
+    // center coordinates come from columns (the join shape) — the rule
+    // must leave the plan untouched: no literal box can be folded, and
+    // a per-row box would add cost without enabling scan pruning. The
+    // documented path for this shape is GeoIndex/GeoJoin.
+    val df = spark.range(0, 100).select(col("id"),
+      (col("id") % 90).cast("double").as("lat"),
+      (col("id") % 180).cast("double").as("lon"),
+      (col("id") % 45).cast("double").as("clat"),
+      (col("id") % 120).cast("double").as("clon"))
+    val filtered = df.filter(
+      functions.GeoFunctions.haversineKm(col("lat"), col("lon"),
+        col("clat"), col("clon")) <= 500.0)
+    val opt = filtered.queryExecution.optimizedPlan
+    assert(graft.plans.GeoRules.GeoRadiusPrefilter(opt).toString ==
+      opt.toString, "column-valued center must not be rewritten")
+    // and no bounding-box literals appear in the executed plan
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(!plan.contains("-85.0") && !plan.contains("85.0") ||
+      !plan.contains("GreaterThanOrEqual(lat"),
+      s"unexpected prefilter on a column-centered radius:\n$plan")
+  }
 }
