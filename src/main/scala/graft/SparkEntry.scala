@@ -533,6 +533,18 @@ object SparkEntry {
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
+    // query_string, Lucene field-grouping + q.op=OR profile: a grouped
+    // clause `lang:(de OR en)` scopes the group's default field (what a
+    // real query box emits for multi-value field filters), and implicit
+    // adjacency inside the text group ORs under q.op=OR. Still ONE
+    // compiled Catalyst predicate.
+    "q_query_string_grouped" -> ((s, d) =>
+      sink.QueryString.search(Tables.documents(s, d), "text",
+          """lang:(de OR en) AND (merge "window scan") AND NOT filter*""",
+          textFields = Set("text"), defaultOr = true)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
     // Sampler / DiversifiedSampler aggregation (ES diversified_sampler):
     // a deterministic 60-doc sample in md5(id) order with at most 20
     // docs per lang — one viral slice cannot flood the sample the
@@ -2216,6 +2228,48 @@ object SparkEntry {
         .otherwise(jpeg)
       operators.Multimodal.imageMeta(
           Tables.documents(s, d).select(col("doc_id"), payload.as("payload")),
+          "doc_id", "payload")
+        .orderBy("id")
+    }),
+
+    // REAL Matroska/WebM (EBML) container sniffing: payloads are VALID
+    // minimal MKV/WebM files synthesized from testdata columns — EBML
+    // header with DocType (even ids matroska, odd webm), unknown-size
+    // Segment (the live-mux shape), Info with TimestampScale=1e9 and a
+    // float64 Duration whose IEEE754 bits are computed IN SQL from
+    // doc_id (exponent via bin-length, mantissa via shiftleft), and a
+    // Tracks element with a video entry (+ audio every 3rd doc). Every
+    // 7th doc carries a non-EBML payload and must sniff to nulls. The
+    // oracle recomputes format/duration/track flags straight from the
+    // columns — wrong VINT widths or float offsets fail the hash.
+    "x_multimodal_sniff_ebml" -> ((s, d) => {
+      def B(xs: Int*): Column = lit(xs.map(_.toByte).toArray)
+      val base = Tables.documents(s, d).select(col("doc_id"),
+          (pmod(col("doc_id"), lit(300)) + 1).cast("long").as("_v"))
+        .withColumn("_e", (length(bin(col("_v"))) - 1).cast("long"))
+        .withColumn("_bits", expr(
+          "shiftleft(1023 + _e, 52) | " +
+            "(shiftleft(_v, cast(52 - _e as int)) & 4503599627370495)"))
+        .withColumn("_dur8", unhex(lpad(hex(col("_bits")), 16, "0")))
+      val durEl = concat(B(0x44, 0x89, 0x88), col("_dur8"))
+      val scaleEl = B(0x2A, 0xD7, 0xB1, 0x84, 0x3B, 0x9A, 0xCA, 0x00)
+      val infoEl = concat(B(0x15, 0x49, 0xA9, 0x66, 0x93), scaleEl, durEl)
+      val vTrack = B(0xAE, 0x83, 0x83, 0x81, 0x01)
+      val aTrack = B(0xAE, 0x83, 0x83, 0x81, 0x02)
+      val tracksEl = when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(B(0x16, 0x54, 0xAE, 0x6B, 0x8A), vTrack, aTrack))
+        .otherwise(concat(B(0x16, 0x54, 0xAE, 0x6B, 0x85), vTrack))
+      val hdr = when(pmod(col("doc_id"), lit(2)) === 0,
+          concat(B(0x1A, 0x45, 0xDF, 0xA3, 0x8B, 0x42, 0x82, 0x88),
+            lit("matroska".getBytes("US-ASCII"))))
+        .otherwise(concat(B(0x1A, 0x45, 0xDF, 0xA3, 0x87, 0x42, 0x82, 0x84),
+          lit("webm".getBytes("US-ASCII"))))
+      val payload = when(pmod(col("doc_id"), lit(7)) === 0,
+          lit("not a video".getBytes("US-ASCII")))
+        .otherwise(concat(hdr, B(0x18, 0x53, 0x80, 0x67, 0xFF),
+          infoEl, tracksEl))
+      operators.Multimodal.ebmlMeta(
+          base.select(col("doc_id"), payload.as("payload")),
           "doc_id", "payload")
         .orderBy("id")
     }),
@@ -4285,6 +4339,21 @@ object SparkEntry {
                  w -> starts_with(w, 'filter'))) > 0
          ORDER BY doc_id""",
 
+    // field group scopes lang; q.op=OR adjacency inside the text group
+    "q_query_string_grouped" ->
+      """WITH t AS (SELECT doc_id, lang,
+             list_filter(string_split(lower(text), ' '), x -> x <> '')
+               AS toks
+           FROM documents)
+         SELECT doc_id, lang FROM t
+         WHERE (lang = 'de' OR lang = 'en')
+           AND (list_contains(toks, 'merge')
+             OR contains(' ' || array_to_string(toks, ' ') || ' ',
+                  ' window scan '))
+           AND NOT len(list_filter(toks,
+                 w -> starts_with(w, 'filter'))) > 0
+         ORDER BY doc_id""",
+
     // md5-ordered deterministic sample, per-lang occupancy cap
     "q_sampler" ->
       """SELECT doc_id, lang FROM (
@@ -6005,6 +6074,20 @@ object SparkEntry {
            CASE WHEN doc_id % 11 = 0 THEN NULL
                 ELSE CAST(doc_id % 512 + 1 AS INTEGER) END AS height
          FROM documents ORDER BY doc_id""",
+    // EBML walk recomputed from columns: duration ticks = doc_id%300+1
+    // at TimestampScale 1e9 ns, so duration_s is the integer-valued
+    // double; track flags from the planted entries; every 7th doc is
+    // non-EBML and sniffs to nulls
+    "x_multimodal_sniff_ebml" ->
+      """SELECT doc_id AS id,
+           CASE WHEN doc_id % 7 = 0 THEN NULL
+                WHEN doc_id % 2 = 0 THEN 'mkv' ELSE 'webm' END AS format,
+           CASE WHEN doc_id % 7 = 0 THEN NULL
+                ELSE CAST(doc_id % 300 + 1 AS DOUBLE) END AS duration_s,
+           CASE WHEN doc_id % 7 = 0 THEN NULL ELSE true END AS has_video,
+           CASE WHEN doc_id % 7 = 0 THEN NULL
+                ELSE doc_id % 3 = 0 END AS has_audio
+         FROM documents ORDER BY id""",
     // centroids = per-(label, dim) averages rounded 6dp, argmax by
     // (rounded cosine desc, label asc) — the engine's exact recipe
     "x_classify_centroid" ->

@@ -131,6 +131,108 @@ object Multimodal {
       } catch { case _: Exception => None }
     }
 
+    /** REAL Matroska/WebM (EBML) container sniffing — public-spec
+      * header parse, no codec library: reads the EBML DocType
+      * (`matroska` → "mkv", `webm` → "webm"), then walks
+      * Segment → Info for TimestampScale (nanoseconds per tick,
+      * default 1,000,000) and Duration (float32/float64 in ticks) →
+      * duration in SECONDS, and Segment → Tracks → TrackEntry →
+      * TrackType for the track kinds (1 = video, 2 = audio) — the
+      * codec-agnostic triage for the web's other video container.
+      * VINT element IDs keep their marker bit (the class-ID
+      * convention); sizes strip it; an all-ones size VINT is the
+      * spec's "unknown size" (live-muxed Segments) and extends to the
+      * enclosing bound. Garbage, truncation, absent required elements,
+      * or a non-positive scale all return None. Shrinks
+      * [[decodeStub]]'s blast radius: mkv/webm container METADATA is
+      * real, only frame decode stays stubbed (the JDK ships no
+      * codecs).
+      */
+    def sniffEbmlMeta(p: Array[Byte])
+        : Option[(String, Double, Boolean, Boolean)] =
+      try {
+        // (value, width); IDs keep the marker bit, sizes strip it
+        def vint(i: Int, keepMarker: Boolean): Option[(Long, Int)] = {
+          if (i >= p.length) None
+          else {
+            val b0 = p(i) & 0xff
+            if (b0 == 0) None
+            else {
+              val w = Integer.numberOfLeadingZeros(b0) - 23
+              if (i + w > p.length) None
+              else {
+                var v = if (keepMarker) b0.toLong
+                  else (b0 & (0xff >>> w)).toLong
+                var j = 1
+                while (j < w) { v = (v << 8) | (p(i + j) & 0xff); j += 1 }
+                Some((v, w))
+              }
+            }
+          }
+        }
+        def uint(from: Int, len: Int): Long = {
+          var v = 0L; var j = 0
+          while (j < len) { v = (v << 8) | (p(from + j) & 0xff); j += 1 }
+          v
+        }
+        def fl(from: Int, len: Int): Option[Double] = len match {
+          case 4 => Some(
+            java.lang.Float.intBitsToFloat(uint(from, 4).toInt).toDouble)
+          case 8 => Some(java.lang.Double.longBitsToDouble(uint(from, 8)))
+          case _ => None
+        }
+        // (id, payloadStart, payloadEnd) for each child of [from,until)
+        def kids(from: Int, until: Int): List[(Long, Int, Int)] = {
+          val out = List.newBuilder[(Long, Int, Int)]
+          var i = from
+          var ok = true
+          while (ok && i < until) {
+            (for {
+              (eid, iw) <- vint(i, keepMarker = true)
+              (sz, sw) <- vint(i + iw, keepMarker = false)
+            } yield {
+              val unknownSize = sz == (1L << (7 * sw)) - 1
+              val ps = i + iw + sw
+              val pe = if (unknownSize) until else ps + sz.toInt
+              (eid, ps, pe)
+            }) match {
+              case Some((eid, ps, pe)) if pe <= until && pe > ps =>
+                out += ((eid, ps, pe)); i = pe
+              case _ => ok = false
+            }
+          }
+          out.result()
+        }
+        def find(from: Int, until: Int, id: Long): Option[(Int, Int)] =
+          kids(from, until).find(_._1 == id).map(k => (k._2, k._3))
+        for {
+          (hs, he) <- find(0, p.length, 0x1A45DFA3L) // EBML header
+          (dts, dte) <- find(hs, he, 0x4282L) // DocType
+          fmt <- new String(p, dts, dte - dts,
+            java.nio.charset.StandardCharsets.US_ASCII) match {
+            case "matroska" => Some("mkv")
+            case "webm" => Some("webm")
+            case _ => None
+          }
+          (ss, se) <- find(he, p.length, 0x18538067L) // Segment
+          (is, ie) <- find(ss, se, 0x1549A966L) // Info
+          scale = find(is, ie, 0x2AD7B1L) // TimestampScale
+            .map { case (s, e) => uint(s, e - s) }.getOrElse(1000000L)
+          if scale > 0
+          (ds, de) <- find(is, ie, 0x4489L) // Duration
+          dur <- fl(ds, de - ds)
+          if dur >= 0
+        } yield {
+          val trackTypes = find(ss, se, 0x1654AE6BL).toList // Tracks
+            .flatMap { case (ts, te) => kids(ts, te) }
+            .collect { case (0xAEL, es, ee) => // TrackEntry
+              find(es, ee, 0x83L).map { case (s, e) => uint(s, e - s) }
+            }.flatten
+          (fmt, dur * scale / 1e9,
+            trackTypes.contains(1L), trackTypes.contains(2L))
+        }
+      } catch { case _: Exception => None }
+
     /** Deterministic stand-in for the COMPRESSED-media decoders the JDK
       * lacks (MP3/AAC/video): derives fake dimensions from the
       * payload's md5 (unsigned arithmetic, so the SQL oracle's UBIGINT
@@ -347,6 +449,34 @@ object Multimodal {
           .flatMap(MediaCodec.sniffVideoMeta) match {
           case Some((f, dur)) => Row(r.get(idIdx), f, dur)
           case None => Row(r.get(idIdx), null, null)
+        }
+      }
+    }(enc)
+  }
+
+  /** Matroska/WebM container metadata over partition batches — `(id,
+    * format, duration_s, has_video, has_audio)` through the REAL
+    * [[MediaCodec.sniffEbmlMeta]] EBML walk; nulls for
+    * non-EBML/truncated payloads. Same batch shape as [[videoMeta]]:
+    * one pass per partition, no shuffle, binary column never leaves
+    * the executor.
+    */
+  def ebmlMeta(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", df.schema(idCol).dataType, nullable = false),
+      StructField("format", StringType, nullable = true),
+      StructField("duration_s", DoubleType, nullable = true),
+      StructField("has_video", BooleanType, nullable = true),
+      StructField("has_audio", BooleanType, nullable = true)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        Option(r.get(binIdx)).map(_.asInstanceOf[Array[Byte]])
+          .flatMap(MediaCodec.sniffEbmlMeta) match {
+          case Some((f, dur, hv, ha)) => Row(r.get(idIdx), f, dur, hv, ha)
+          case None => Row(r.get(idIdx), null, null, null, null)
         }
       }
     }(enc)

@@ -203,6 +203,69 @@ class MultimodalSpec extends SparkSpec {
       Set((1L, Some("mp4"), Some(2.5)), (2L, None, None)))
   }
 
+  test("sniffEbmlMeta: mkv/webm EBML walk reads duration and track types") {
+    // hand-built EBML: 1-byte size VINTs (0x80|n), class IDs verbatim
+    def el(id: Array[Byte], payload: Array[Byte]): Array[Byte] = {
+      require(payload.length < 127)
+      id ++ Array((0x80 | payload.length).toByte) ++ payload
+    }
+    val ebmlId = Array(0x1A, 0x45, 0xDF, 0xA3).map(_.toByte)
+    val docTypeId = Array(0x42, 0x82).map(_.toByte)
+    val segmentId = Array(0x18, 0x53, 0x80, 0x67).map(_.toByte)
+    val infoId = Array(0x15, 0x49, 0xA9, 0x66).map(_.toByte)
+    val scaleId = Array(0x2A, 0xD7, 0xB1).map(_.toByte)
+    val durId = Array(0x44, 0x89).map(_.toByte)
+    val tracksId = Array(0x16, 0x54, 0xAE, 0x6B).map(_.toByte)
+    val entryId = Array(0xAE).map(_.toByte)
+    val typeId = Array(0x83).map(_.toByte)
+    def f64(v: Double): Array[Byte] =
+      java.nio.ByteBuffer.allocate(8).putDouble(v).array()
+    def mk(docType: String, scaleNs: Long, durTicks: Double,
+        types: Seq[Int]): Array[Byte] = {
+      val header = el(ebmlId, el(docTypeId, docType.getBytes("US-ASCII")))
+      val info = el(infoId,
+        el(scaleId, java.nio.ByteBuffer.allocate(8).putLong(scaleNs)
+          .array().drop(4)) ++ el(durId, f64(durTicks)))
+      val tracks = el(tracksId,
+        types.flatMap(t => el(entryId, el(typeId, Array(t.toByte)))).toArray)
+      header ++ el(segmentId, info ++ tracks)
+    }
+    import Multimodal.MediaCodec.sniffEbmlMeta
+    // 1e9 ns ticks: duration ticks ARE seconds
+    assert(sniffEbmlMeta(mk("matroska", 1000000000L, 42.0, Seq(1, 2))) ==
+      Some(("mkv", 42.0, true, true)))
+    assert(sniffEbmlMeta(mk("webm", 1000000000L, 3.5, Seq(1))) ==
+      Some(("webm", 3.5, true, false)))
+    // default-scale ticks (1 ms): 2500 ticks -> 2.5 s without a scale el
+    val noScale = el(ebmlId, el(docTypeId, "webm".getBytes("US-ASCII"))) ++
+      el(segmentId, el(infoId, el(durId, f64(2500.0))))
+    assert(sniffEbmlMeta(noScale) == Some(("webm", 2.5, false, false)))
+    // unknown-size Segment (all-ones VINT) extends to the buffer end
+    val body = el(infoId,
+      el(scaleId, Array(0x3B, 0x9A, 0xCA, 0x00).map(_.toByte)) ++
+        el(durId, f64(7.0)))
+    val unk = el(ebmlId, el(docTypeId, "matroska".getBytes("US-ASCII"))) ++
+      segmentId ++ Array(0xFF.toByte) ++ body
+    assert(sniffEbmlMeta(unk) == Some(("mkv", 7.0, false, false)))
+    // garbage / truncated / wrong doctype / no duration stay None
+    assert(sniffEbmlMeta(Array[Byte](1, 2, 3)).isEmpty)
+    assert(sniffEbmlMeta(mk("matroska", 1000000000L, 5.0, Seq(1))
+      .dropRight(6)).isEmpty)
+    assert(sniffEbmlMeta(mk("avi", 1000000000L, 5.0, Seq(1))).isEmpty)
+    assert(sniffEbmlMeta(el(ebmlId,
+      el(docTypeId, "webm".getBytes("US-ASCII"))) ++
+      el(segmentId, el(infoId, Array.empty[Byte]))).isEmpty)
+    // the DataFrame wrapper maps partitions with null passthrough
+    assert(Multimodal.ebmlMeta(
+      Seq((1L, mk("webm", 1000000000L, 9.0, Seq(2))),
+        (2L, Array[Byte](7))).toDF("id", "payload"),
+      "id", "payload")
+      .as[(Long, Option[String], Option[Double], Option[Boolean], Option[Boolean])]
+      .collect().toSet ==
+      Set((1L, Some("webm"), Some(9.0), Some(false), Some(true)),
+        (2L, None, None, None, None)))
+  }
+
   test("decodeAudioFeatures: REAL WAV PCM parse with exact RMS") {
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
     def wav(samples: Array[Short], rate: Float = 8000f): Array[Byte] = {

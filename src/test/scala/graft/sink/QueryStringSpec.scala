@@ -61,4 +61,56 @@ class QueryStringSpec extends SparkSpec {
     intercept[IllegalArgumentException] { parse("*") }
     intercept[IllegalArgumentException] { parse("f:") }
   }
+
+  test("field-grouped clauses: group default field, explicit field wins") {
+    assert(parse("f:(a OR b)") ==
+      Or(Term(Some("f"), "a"), Term(Some("f"), "b")))
+    // every leaf kind is scoped; explicit fields inside the group win
+    assert(parse("""f:(a "x y" NOT c* g:d)""") ==
+      And(And(And(Term(Some("f"), "a"), Phrase(Some("f"), "x y")),
+        Not(Prefix(Some("f"), "c"))), Term(Some("g"), "d")))
+    // nested groups: inner scope wins over outer
+    assert(parse("f:(a OR g:(b))") ==
+      Or(Term(Some("f"), "a"), Term(Some("g"), "b")))
+    // semantics on data: lang:(de OR en) over the keyword field
+    assert(ids("lang:(de OR en)") == Set(1L, 2L, 3L, 4L, 5L))
+    assert(ids("lang:(de) AND merge") == Set(2L, 5L))
+    // malformed groups
+    intercept[IllegalArgumentException] { parse("f:(a OR b") }
+    intercept[IllegalArgumentException] { parse("f:()") }
+  }
+
+  test("backslash escapes make specials literal") {
+    // escaped quote inside a phrase
+    assert(parse("\"a \\\"b\\\" c\"") == Phrase(None, "a \"b\" c"))
+    // escaped star: a literal term, not a prefix
+    assert(parse("foo\\*") == Term(None, "foo*"))
+    // escaped colon: no field split
+    assert(parse("a\\:b") == Term(None, "a:b"))
+    // escaped space glues one term
+    assert(parse("a\\ b") == Term(None, "a b"))
+    // escaped parens / backslash
+    assert(parse("\\(x\\)") == Term(None, "(x)"))
+    assert(parse("a\\\\b") == Term(None, "a\\b"))
+    // an escape never makes a keyword
+    assert(parse("\\AND") == Term(None, "AND"))
+    // dangling escape is malformed
+    intercept[IllegalArgumentException] { parse("abc\\") }
+  }
+
+  test("q.op=OR profile: adjacency ORs at OR precedence") {
+    assert(parse("a b", defaultOr = true) ==
+      Or(Term(None, "a"), Term(None, "b")))
+    // a b AND c  ==  a OR (b AND c) under q.op=OR
+    assert(parse("a b AND c", defaultOr = true) ==
+      Or(Term(None, "a"), And(Term(None, "b"), Term(None, "c"))))
+    // explicit operators unaffected by the profile
+    assert(parse("a AND b", defaultOr = true) ==
+      And(Term(None, "a"), Term(None, "b")))
+    def orIds(q: String): Set[Long] =
+      QueryString.search(docs, "text", q, Set("text"), defaultOr = true)
+        .select("doc_id").as[Long].collect().toSet
+    assert(orIds("pushdown window") == Set(1L, 2L, 3L, 4L))
+    assert(orIds("merge filter") == ids("merge OR filter"))
+  }
 }
