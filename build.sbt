@@ -30,4 +30,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // (index builds included) — 8g left old-gen pressure that showed up as a
   // board-wide lockstep slowdown in the r4 bench.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // The JIT code cache defaults to 240 MB; a 250-query bench board
+  // generates thousands of codegen classes, and once the code cache
+  // fills HotSpot stops JIT-compiling (flushing/interpreted fallback
+  // shows up as the board-size slowdown on common rows). 1 GB keeps
+  // every generated class compiled across the 3 bench passes.
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -28,6 +28,14 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.ui.enabled", "false")
+      // The Janino compiled-class cache defaults to 100 entries; a
+      // 250-query board × 3 passes thrashes it (every pass recompiles
+      // nearly every codegen stage — the "board-size JVM pressure" that
+      // inflated common-row medians ~13% r6→r7). Sized to hold the
+      // whole board's stages, the warm passes re-run the classes the
+      // cold pass compiled, so per-query cost stops tracking board
+      // size. Static conf: must be set before the session exists.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

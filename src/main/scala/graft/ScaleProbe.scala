@@ -1,0 +1,255 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-probe main: measures wall-time-vs-rows curves for the
+  * scale-sensitive operator families, so the 100 TB design claims in
+  * SCALING.md rest on MEASURED exponents, not plan shape alone.
+  *
+  * The driver-provided testdata is read-only and capped at sf0.1, so
+  * the probe self-generates N× corpora in a scratch dir: documents are
+  * replicated with salted ids and a per-replica suffix token (distinct
+  * texts — replicas are near-dups of the base, not exact dups, so LSH
+  * bucket occupancy grows the way a real corpus's does); embeddings
+  * get a deterministic per-replica component perturbation. Everything
+  * is written to parquet first — timed paths run against real file
+  * scans with real pruning, not in-memory lineage.
+  *
+  * Per family it times the BUILD leg (one-time index construction —
+  * allowed to scale linearly) and the SERVE leg (the recurring path —
+  * the one whose exponent the 100 TB claims are about) at each scale,
+  * prints one markdown table plus per-family least-squares exponents
+  * of log(time) vs log(scale), and one machine-readable JSON line.
+  *
+  * Usage: runMain graft.ScaleProbe <sfDir> <scratchDir> [scales]
+  * (default scales "1,2,5,10").
+  */
+object ScaleProbe {
+
+  private def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Least-squares slope of log(t) vs log(n) — the scaling exponent. */
+  private def exponent(pts: Seq[(Int, Double)]): Double = {
+    val xs = pts.map(p => math.log(p._1.toDouble))
+    val ys = pts.map(p => math.log(p._2))
+    val mx = xs.sum / xs.size
+    val my = ys.sum / ys.size
+    val num = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+    val den = xs.map(x => (x - mx) * (x - mx)).sum
+    if (den == 0) 0.0 else num / den
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val scratch = args.lift(1).getOrElse("/tmp/graft_scaleprobe")
+    val scales = args.lift(2).getOrElse("1,2,5,10")
+      .split(",").map(_.trim.toInt).toSeq.sorted
+    // optional family filter, e.g. "pq,ivf_index" — re-measure one
+    // family after an optimization without re-running the board
+    val familyFilter: Option[Set[String]] =
+      args.lift(3).map(_.split(",").map(_.trim).toSet)
+    def famOn(f: String): Boolean = familyFilter.forall(_.contains(f))
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config(Tables.nanosAsLongConf, "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "8g")
+      .appName("graft-scaleprobe")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val baseDocs = Tables.documents(spark, sfDir)
+    val baseEmb = Tables.embeddings(spark, sfDir)
+    val docStride = baseDocs.agg(max("doc_id")).head().getLong(0) + 1
+    val embStride = baseEmb.agg(max("vec_id")).head().getLong(0) + 1
+
+    // ---- N× corpus generation (untimed) ------------------------------
+    def docsPath(n: Int) = s"$scratch/docs_x$n"
+    def embPath(n: Int) = s"$scratch/emb_x$n"
+    scales.foreach { n =>
+      val reps = spark.range(n).toDF("rep")
+      baseDocs.crossJoin(reps)
+        .select((col("doc_id") + col("rep") * docStride).as("doc_id"),
+          when(col("rep") === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" rep"),
+              col("rep").cast("string"))).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(docsPath(n))
+      baseEmb.crossJoin(reps)
+        .select((col("vec_id") + col("rep") * embStride).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            (x + (pmod(col("rep") * 31 + i, lit(97)).cast("double") - 48.0)
+              * 1e-4).cast("float")).as("embedding"),
+          col("label"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(embPath(n))
+    }
+    def docsAt(n: Int) = spark.read.parquet(docsPath(n))
+    def embAt(n: Int) = spark.read.parquet(embPath(n))
+
+    // fixed-size probe batch: near-dups of the base docs, ids beyond
+    // every scaled corpus (batch size is CONSTANT across scales — the
+    // incremental claims are about corpus-size independence)
+    val probeBatch = baseDocs.filter(col("doc_id") % 2 === 0)
+      .select((col("doc_id") + lit(100L * docStride)).as("doc_id"),
+        concat(col("text"), lit(" probe")).as("text"))
+    val queryVecs = baseEmb.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+
+    // (family, leg, scale) -> seconds
+    val results = collection.mutable.LinkedHashMap[(String, String),
+      collection.mutable.LinkedHashMap[Int, Double]]()
+    var warmingUp = true
+    def record(family: String, leg: String, n: Int, secs: Double): Unit =
+      if (warmingUp) println(f"[probe] warmup $family/$leg ${secs}%8.2f s")
+      else {
+        results.getOrElseUpdate((family, leg),
+          collection.mutable.LinkedHashMap[Int, Double]()) += (n -> secs)
+        println(f"[probe] $family/$leg x$n%-3d ${secs}%8.2f s")
+      }
+
+    // one untimed pass at the smallest scale first: JIT/codegen/
+    // file-listing warm-up, so the x1 column measures the operator,
+    // not first-touch compilation (the Bench warm-pass methodology)
+    def runScale(n: Int): Unit = {
+      val docsN = docsAt(n)
+      val embN = embAt(n)
+
+      // ---- SignatureStore: build linear, probe/append O(batch) -------
+      if (famOn("signature_store")) locally {
+        val dir = s"$scratch/sigstore_x$n"
+        val (_, tBuild) = time {
+          sink.SignatureStore.write(docsN, "doc_id", "text", dir)
+        }
+        record("signature_store", "build", n, tBuild)
+        val (_, tProbe) = time {
+          sink.SignatureStore.probe(probeBatch, dir,
+            maxBucketOccupancy = 64).count()
+        }
+        record("signature_store", "probe", n, tProbe)
+        val (_, tAppend) = time {
+          sink.SignatureStore.append(probeBatch, dir)
+        }
+        record("signature_store", "append", n, tAppend)
+      }
+
+      // ---- IVF serving: probed-cells scan (nProbe/k of the corpus) ---
+      if (famOn("ivf_index")) locally {
+        val dir = s"$scratch/ivf_x$n"
+        val (_, tBuild) = time {
+          sink.VectorIndex.write(embN, "vec_id", "embedding", dir,
+            k = 32, iters = 2)
+        }
+        record("ivf_index", "build", n, tBuild)
+        val (_, tServe) = time {
+          sink.VectorIndex.knnSearch(spark, dir, queryVecs, "qid", "qv",
+            k = 10, nProbe = 4).count()
+        }
+        record("ivf_index", "serve", n, tServe)
+      }
+
+      // ---- PQ: fused subspace training + ADC serve over codes --------
+      if (famOn("pq")) locally {
+        val dim = baseEmb.select(size(col("embedding"))).head().getInt(0)
+        val (model, tFit) = time {
+          operators.Pq.fit(embN, "vec_id", "embedding", dim,
+            m = 8, codebookSize = 16, iters = 2)
+        }
+        record("pq", "fit", n, tFit)
+        val (_, tServe) = time {
+          operators.Pq.knnJoin(embN, "vec_id", "embedding",
+            queryVecs, "qid", "qv", model, k = 10, rescoreK = 50).count()
+        }
+        record("pq", "serve", n, tServe)
+      }
+
+      // ---- GeoIndex knnJoin (DataFrame form, the shared path) --------
+      if (famOn("geo_index")) locally {
+        val pts = docsN.select("doc_id")
+          .withColumn("lat",
+            (col("doc_id") * 37 % 17000).cast("double") / 100.0 - 85.0)
+          .withColumn("lon",
+            (col("doc_id") * 91 % 36000).cast("double") / 100.0 - 180.0)
+        val dir = s"$scratch/geo_x$n"
+        val (_, tBuild) = time {
+          sink.GeoIndex.write(pts, "doc_id", "lat", "lon", dir,
+            cellDeg = 15.0)
+        }
+        record("geo_index", "build", n, tBuild)
+        // fixed ~50-center batch from the base id range
+        val centers = pts.filter(col("doc_id") < docStride &&
+            col("doc_id") % 101 === 0)
+          .select(col("doc_id").as("center_id"), col("lat"), col("lon"))
+        val (_, tServe) = time {
+          sink.GeoIndex.knnJoin(spark, dir, centers,
+            "center_id", "lat", "lon", k = 5).count()
+        }
+        record("geo_index", "knn_join", n, tServe)
+      }
+
+      // ---- Pruned embedding dedup (IVF cells + triangle prune) -------
+      if (famOn("embed_dedup_pruned")) locally {
+        val (_, tAll) = time {
+          operators.Dedup.embeddingCosinePairsPruned(embN, "vec_id",
+            "embedding", threshold = 0.92, k = 16, iters = 2).count()
+        }
+        record("embed_dedup_pruned", "fit_and_pairs", n, tAll)
+      }
+
+      // ---- Incremental postings: init linear, commit+search O(batch) -
+      if (famOn("inc_postings")) locally {
+        val dir = s"$scratch/incpost_x$n"
+        val (_, tInit) = time {
+          sink.IncrementalPostings.init(docsN, "doc_id", "text", dir)
+        }
+        record("inc_postings", "init", n, tInit)
+        val (_, tCommit) = time {
+          sink.IncrementalPostings.commitUpserts(probeBatch,
+            "doc_id", "text", dir)
+        }
+        record("inc_postings", "commit_upserts", n, tCommit)
+        val (_, tSearch) = time {
+          sink.IncrementalPostings.bm25Search(spark, dir,
+            "merge window scan", 20).count()
+        }
+        record("inc_postings", "bm25_search", n, tSearch)
+      }
+    }
+
+    runScale(scales.head) // warm-up, untimed
+    warmingUp = false
+    scales.foreach(runScale)
+
+    // ---- report ------------------------------------------------------
+    println("\n| family | leg | " +
+      scales.map(n => s"x$n (s)").mkString(" | ") + " | exponent |")
+    println("|---|---|" + scales.map(_ => "---").mkString("|") + "|---|")
+    val json = new StringBuilder("{\"scales\":[" +
+      scales.mkString(",") + "],\"families\":{")
+    var first = true
+    results.foreach { case ((fam, leg), byScale) =>
+      val pts = scales.map(n => n -> byScale(n))
+      val exp = exponent(pts)
+      println(s"| $fam | $leg | " +
+        scales.map(n => f"${byScale(n)}%.2f").mkString(" | ") +
+        f" | ${exp}%.2f |")
+      if (!first) json.append(",")
+      first = false
+      json.append(s""""$fam/$leg":{"times":[""" +
+        scales.map(n => f"${byScale(n)}%.3f").mkString(",") +
+        f"""],"exponent":${exp}%.3f}""")
+    }
+    json.append("}}")
+    println(json.toString)
+    spark.stop()
+  }
+}

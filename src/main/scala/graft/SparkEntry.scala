@@ -464,6 +464,52 @@ object SparkEntry {
       DocQueries.histogram(Tables.documents(s, d), "n_chars",
         interval = 250)),
 
+    // BucketSort pipeline aggregation (ES bucket_sort): terms buckets
+    // re-ranked by a SUB-aggregation with from/size truncation — the
+    // "page 2 of sources by average length" shape. One hash agg + a
+    // bucket-space window (bucket count, never doc count).
+    "q_bucket_sort" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("avg_chars").desc, col("source"))
+      Tables.documents(s, d)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("n_chars").cast("decimal(20,0)")).cast("double") /
+            count(lit(1)), 6).as("avg_chars"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") > 1 && col("rk") <= 4) // from=1, size=3
+        .select("source", "n_docs", "avg_chars", "rk")
+        .orderBy("rk")
+    }),
+
+    // Rate aggregation (ES rate inside date_histogram): per-week
+    // buckets reporting per-DAY event and value rates — the unit
+    // rescale is a bucket-space projection over the one hash agg
+    // (decimal sum for merge-order determinism, one final double).
+    "q_rate_agg" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(date_trunc("week", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)")).as("_sv"))
+        .select(unix_micros(col("bucket")).as("bucket_us"),
+          col("n_events"),
+          round(col("n_events") / lit(7.0), 6).as("events_per_day"),
+          round(col("_sv").cast("double") / 7.0, 6).as("value_per_day"))
+        .orderBy("bucket_us")),
+
+    // Terms aggregation with the `missing` parameter (ES terms
+    // missing bucket): null keys route to an explicit bucket instead
+    // of vanishing. The corpus has no null langs, so every 13th doc's
+    // lang is nulled FIRST (identical planting in the oracle) — the
+    // missing bucket then provably collects exactly those docs.
+    "q_terms_missing" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("lang2", when(pmod(col("doc_id"), lit(13)) === 0,
+          lit(null).cast("string")).otherwise(col("lang")))
+        .groupBy(coalesce(col("lang2"), lit("(missing)")).as("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("n_docs").desc, col("lang"))),
+
     // Score explanation (ES _explain): the BM25 top-15 with per-term
     // contribution columns riding the SAME scoring projection — no
     // second pass; legs round independently, the total rounds once.
@@ -1049,6 +1095,21 @@ object SparkEntry {
     "x_dedup_exact" -> ((s, d) =>
       operators.Dedup.exact(Tables.documents(s, d), "doc_id", Seq("text"))
         .select("keep_id", "n_copies").orderBy("keep_id")),
+
+    // Soft dedup: downweight instead of drop — every exact-content
+    // cluster's docs get weight 1/n (one document of sampling mass per
+    // cluster). The corpus has no exact dups, so every 10th doc is
+    // re-planted under a shifted id FIRST (identical planting in the
+    // oracle): those clusters provably weigh 0.5 each, the rest 1.0.
+    "x_dedup_soft" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val planted = docs.unionByName(
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+          .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+            col("text")))
+      operators.Dedup.softWeights(planted, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
 
     // Exact n-gram Jaccard near-dup pairs (the LSH verifier, run whole).
     // This row OWNS the family's shared corpus-wide reference: the frame
@@ -2299,6 +2360,22 @@ object SparkEntry {
         docs.filter(col("source") === "src0"),
         "doc_id", "text", 3)
         .orderBy("doc_id")
+    }),
+
+    // Embedding-space decontamination (the semantic sibling: catches
+    // paraphrased benchmark leakage n-gram overlap misses): vectors
+    // with vec_id % 20 == 0 act as the eval suite; a training vector
+    // is contaminated at rounded cosine ≥ 0.9 to ANY of them. Eval
+    // side broadcast, map-side codegen cosine, per-row max is one
+    // combinable hash agg — the training corpus shuffles one row per
+    // doc, never the cross product.
+    "x_decontaminate_embed" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      operators.Corpus.decontaminateEmbeddings(
+        e.filter(pmod(col("vec_id"), lit(20)) =!= 0),
+        e.filter(pmod(col("vec_id"), lit(20)) === 0),
+        "vec_id", "embedding", threshold = 0.9)
+        .orderBy("vec_id")
     }),
 
     // Sequence packing: fixed 512-token bins in doc_id order via the
@@ -4416,6 +4493,32 @@ object SparkEntry {
            count(*) AS doc_count
          FROM documents GROUP BY 1 ORDER BY bucket""",
 
+    // bucket_sort: rank buckets by the sub-agg, then from=1 size=3
+    "q_bucket_sort" ->
+      """WITH b AS (SELECT source, count(*) AS n_docs,
+             round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars
+           FROM documents GROUP BY source),
+         r AS (SELECT source, n_docs, avg_chars,
+             row_number() OVER (ORDER BY avg_chars DESC, source) AS rk
+           FROM b)
+         SELECT source, n_docs, avg_chars, rk FROM r
+         WHERE rk > 1 AND rk <= 4 ORDER BY rk""",
+
+    // rate agg: weekly buckets rescaled to per-day rates
+    "q_rate_agg" ->
+      """SELECT epoch_us(date_trunc('week', ts)) AS bucket_us,
+           count(*) AS n_events,
+           round(count(*) / 7.0, 6) AS events_per_day,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / 7.0, 6)
+             AS value_per_day
+         FROM events GROUP BY 1 ORDER BY bucket_us""",
+
+    // terms agg with the missing bucket: nulls planted identically
+    "q_terms_missing" ->
+      """SELECT coalesce(CASE WHEN doc_id % 13 = 0 THEN NULL ELSE lang END,
+           '(missing)') AS lang, count(*) AS n_docs
+         FROM documents GROUP BY 1 ORDER BY n_docs DESC, lang""",
+
     // the rung CASE mirrors the operator's integer ladder arithmetic
     "q_auto_histogram" ->
       """WITH s AS (SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS mn,
@@ -5387,6 +5490,15 @@ object SparkEntry {
     "x_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY text ORDER BY keep_id""",
+    // soft dedup: planted duplicate clusters weigh 1/n each
+    "x_dedup_soft" ->
+      """WITH p AS (SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 10000000, text FROM documents
+           WHERE doc_id % 10 = 0),
+         c AS (SELECT text, count(*) AS n FROM p GROUP BY text)
+         SELECT p.doc_id, c.n AS cluster_size,
+           round(1.0::DOUBLE / c.n, 6) AS weight
+         FROM p JOIN c ON p.text = c.text ORDER BY p.doc_id""",
     "x_dedup_ngram" ->
       """WITH sh AS (SELECT DISTINCT doc_id, g FROM (
              SELECT doc_id, unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
@@ -6131,6 +6243,21 @@ object SparkEntry {
            COALESCE(h.n_shared, 0) > 0 AS contaminated
          FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
          WHERE d.source <> 'src0' ORDER BY d.doc_id""",
+    // semantic decontamination: max cosine to the eval slice, flag on
+    // the ROUNDED value (both engines agree at the boundary)
+    "x_decontaminate_embed" ->
+      """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id % 20 <> 0
+             AND embedding IS NOT NULL),
+         e AS (SELECT CAST(embedding AS DOUBLE[]) AS ev
+           FROM embeddings WHERE vec_id % 20 = 0
+             AND embedding IS NOT NULL),
+         m AS (SELECT t.vec_id, max(list_cosine_similarity(t.v, e.ev))
+             AS mc
+           FROM t, e GROUP BY t.vec_id)
+         SELECT vec_id, round(mc, 6) AS max_cosine,
+           round(mc, 6) >= 0.9 AS contaminated
+         FROM m ORDER BY vec_id""",
     "x_pack" ->
       """WITH t AS (SELECT doc_id,
              CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))

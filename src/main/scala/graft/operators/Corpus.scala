@@ -44,6 +44,36 @@ object Corpus {
         (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Embedding-space decontamination — the SEMANTIC sibling of
+    * [[decontaminate]]: a training row is contaminated when its
+    * embedding's cosine to ANY eval-set embedding reaches `threshold`
+    * (catches paraphrased/translated benchmark leakage the n-gram
+    * overlap test misses). Returns `(idCol, max_cosine 6dp,
+    * contaminated)` per non-null-vector training row; the flag
+    * compares the ROUNDED cosine so engines agree at the boundary.
+    *
+    * Scale shape: eval suites are small by construction → the eval
+    * side is broadcast and scored map-side with the codegen'd cosine;
+    * the per-row max is a map-side-combinable hash agg keyed by id, so
+    * the 100 TB training side shuffles one row per doc, never the
+    * (train × eval) product. Null vectors on either side are excluded
+    * (they cannot be scored).
+    */
+  def decontaminateEmbeddings(train: DataFrame, eval: DataFrame,
+      idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val ev = broadcast(
+      eval.filter(col(vecCol).isNotNull).select(col(vecCol).as("_ev")))
+    train.filter(col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol))
+      .crossJoin(ev)
+      .groupBy(idCol)
+      .agg(max(graft.functions.VectorExpressions
+        .cosineFast(col(vecCol), col("_ev"))).as("_mc"))
+      .select(col(idCol),
+        round(col("_mc"), 6).as("max_cosine"),
+        (round(col("_mc"), 6) >= threshold).as("contaminated"))
+  }
+
   /** Sequence packing: assign documents to fixed token-budget bins in a
     * deterministic global order — the layout step that turns a shuffled
     * corpus into fixed-length training sequences. A document's bin is the

@@ -595,4 +595,25 @@ object Dedup {
       .agg(min(col(idCol)).as("first_id"), count(lit(1)).as("n_window"))
       .select(col(keyCol), unix_micros(col("_w.start")).as("window_us"),
         col("first_id"), col("n_window"))
+
+  /** Soft dedup: DOWNWEIGHT duplicates instead of dropping them — each
+    * exact-content cluster's docs get `weight = 1/|cluster|`, so every
+    * cluster contributes exactly one document's worth of sampling mass
+    * to training (the repetition-penalty alternative to hard dedup:
+    * keeps all provenance rows, removes the over-representation).
+    * Output `(idCol, cluster_size, weight)` per input row.
+    *
+    * Scale shape: identical to exact dedup — an md5 content
+    * fingerprint, one hash-partitioned count per fingerprint (window
+    * over the fingerprint key, map-side-combinable under AQE), no
+    * driver state. Weights sum to the number of DISTINCT contents.
+    */
+  def softWeights(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("_fp")
+    df.select(col(idCol), md5(col(textCol).cast("binary")).as("_fp"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .select(col(idCol), col("cluster_size"),
+        round(lit(1.0) / col("cluster_size"), 6).as("weight"))
+  }
 }

@@ -348,4 +348,27 @@ class CorpusSpec extends SparkSpec {
       ("A", "B", 1L, 2L, 2L, 0.333333), // 1/3 at the 6dp contract
       ("B", "C", 1L, 2L, 1L, 0.5)), got)
   }
+
+  test("decontaminateEmbeddings: max-cosine flag vs a broadcast eval set") {
+    val train = Seq(
+      (1L, Array(1.0f, 0.0f)),   // exactly an eval vector → 1.0
+      (2L, Array(0.0f, 1.0f)),   // orthogonal to [1,0], aligned to [0,1]
+      (3L, Array(-1.0f, 0.0f)),  // anti-aligned → max is 0.0 vs [0,1]
+      (4L, null.asInstanceOf[Array[Float]])) // null vector: excluded
+      .toDF("vec_id", "embedding")
+    val eval = Seq(
+      (100L, Array(1.0f, 0.0f)), (101L, Array(0.0f, 1.0f)),
+      (102L, null.asInstanceOf[Array[Float]])) // null eval: excluded
+      .toDF("vec_id", "embedding")
+    val out = Corpus.decontaminateEmbeddings(train, eval,
+        "vec_id", "embedding", threshold = 0.9)
+      .orderBy("vec_id").as[(Long, Double, Boolean)].collect().toSeq
+    assert(out == Seq((1L, 1.0, true), (2L, 1.0, true), (3L, 0.0, false)))
+    // the eval side is broadcast — no shuffle of the training corpus
+    val plan = Corpus.decontaminateEmbeddings(train, eval,
+        "vec_id", "embedding", 0.9)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+  }
 }

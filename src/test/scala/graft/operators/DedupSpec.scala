@@ -196,4 +196,19 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("partial_max"), plan)
     assert(!plan.contains("Window"), plan)
   }
+
+  test("softWeights: 1/cluster weights that sum to distinct contents") {
+    val df = Seq(
+      (1L, "same text"), (2L, "same text"),      // pair → 0.5 each
+      (3L, "unique one"),                        // singleton → 1.0
+      (4L, "tri"), (5L, "tri"), (6L, "tri"))     // triple → 1/3 each
+      .toDF("doc_id", "text")
+    val out = Dedup.softWeights(df, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 2L, 0.5), (2L, 2L, 0.5), (3L, 1L, 1.0),
+      (4L, 3L, 0.333333), (5L, 3L, 0.333333), (6L, 3L, 0.333333)))
+    // every input row survives; mass ≈ #distinct contents (6dp rounding)
+    assert(out.size == 6)
+    assert(math.abs(out.map(_._3).sum - 3.0) < 1e-5)
+  }
 }
