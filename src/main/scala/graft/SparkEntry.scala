@@ -1456,11 +1456,6 @@ object SparkEntry {
           round(col("f"), 6).as("fidelity"))
     }),
 
-    // Hybrid retrieval: text tf leg + vector cosine leg, each reduced to
-    // a bounded top-50 candidate list (TakeOrderedAndProject), then
-    // reciprocal-rank fusion and final top-10. Ranking windows run over
-    // the ALREADY-LIMITED 50-row lists — bounded post-limit state, never
-    // a corpus-wide single-partition window.
     // Geo radius query: deterministic synthetic coordinates per doc
     // (integer-derived, bit-identical in any engine), conservative
     // bounding-box prefilter, haversine radius — distance rounded to 3dp
@@ -1477,6 +1472,22 @@ object SparkEntry {
           col("lat"), col("lon"), lit(40.0), lit(-74.0)), 3))
         .filter(col("dist_km") <= 3000.0)
         .select("doc_id", "lat", "lon", "dist_km")
+        .orderBy("doc_id")
+    }),
+
+    // Bounding-box query (ES geo_bounding_box) with a box CROSSING the
+    // antimeridian — minLon > maxLon wraps (the Fiji/Bering case a
+    // naive BETWEEN silently empties). Pure literal comparisons; the
+    // lat leg pushes to the scan.
+    "q_geo_bbox" -> ((s, d) => {
+      val pts = Tables.documents(s, d).select("doc_id")
+        .withColumn("lat",
+          (col("doc_id") * 37 % 17000).cast("double") / 100.0 - 85.0)
+        .withColumn("lon",
+          (col("doc_id") * 91 % 36000).cast("double") / 100.0 - 180.0)
+      pts.filter(functions.GeoFunctions.inBox(col("lat"), col("lon"),
+          -30.0, 45.0, 170.0, -140.0))
+        .select("doc_id", "lat", "lon")
         .orderBy("doc_id")
     }),
 
@@ -1808,6 +1819,11 @@ object SparkEntry {
         .select(col("doc_id"), round(col("c"), 6).as("cosine"))
     }),
 
+    // Hybrid retrieval: text tf leg + vector cosine leg, each reduced to
+    // a bounded top-50 candidate list (TakeOrderedAndProject), then
+    // reciprocal-rank fusion and final top-10. Ranking windows run over
+    // the ALREADY-LIMITED 50-row lists — bounded post-limit state, never
+    // a corpus-wide single-partition window.
     "x_hybrid" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val k = 50
@@ -2180,6 +2196,17 @@ object SparkEntry {
         Tables.embeddings(s, d), "vec_id", "embedding", "label")
         .orderBy("vec_id")),
 
+    // Embedding outlier triage: cosine to the OWN label centroid, flag
+    // the per-label lower decile (mislabeled/corrupt rows live there).
+    // Centroids are the one-shot 6dp-average recipe the classifier row
+    // pins; both compared values pre-round so the flag is boundary-
+    // deterministic across engines.
+    "x_embed_outliers" -> ((s, d) =>
+      operators.Similarity.centroidOutliers(
+        Tables.embeddings(s, d), "vec_id", "embedding", "label",
+        tailQuantile = 0.1)
+        .orderBy("vec_id")),
+
     // Cosine-threshold range search off the persisted IVF layout: the
     // stored per-cell angular radius prunes base cells at file-listing
     // time (spherical triangle inequality — sound, VectorIndexSpec-
@@ -2406,6 +2433,15 @@ object SparkEntry {
       operators.Corpus.deterministicSample(Tables.documents(s, d), "doc_id", 200)
         .groupBy("source").agg(count(lit(1)).as("n_kept"))
         .orderBy("source")),
+
+    // Deterministic 15% token masking (the MLM/span-corruption preview):
+    // per-(doc, position) md5-56 buckets decide the mask — the corrupted
+    // corpus is bit-identical in any engine (auditable pretraining
+    // corruption). Pure indexed-transform projection, no explode.
+    "x_mask_tokens" -> ((s, d) =>
+      operators.Corpus.maskTokens(Tables.documents(s, d), "doc_id",
+        "text", permille = 150)
+        .orderBy("doc_id")),
 
     // Overlapping token-window chunking: 50-token windows advancing by 40
     // (10-token overlap) — the RAG/context-window prep step. Pure per-row
@@ -4815,6 +4851,16 @@ object SparkEntry {
          ORDER BY bm25 DESC, doc_id LIMIT 20""",
     // the oracle skips the bounding box (it never excludes an in-radius
     // point) and mirrors the haversine term-for-term
+    // antimeridian-crossing box: the lon leg wraps (>= min OR <= max)
+    "q_geo_bbox" ->
+      """WITH p AS (SELECT doc_id,
+             CAST(doc_id * 37 % 17000 AS DOUBLE) / 100.0 - 85.0 AS lat,
+             CAST(doc_id * 91 % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon
+           FROM documents)
+         SELECT doc_id, lat, lon FROM p
+         WHERE lat >= -30.0 AND lat <= 45.0
+           AND (lon >= 170.0 OR lon <= -140.0)
+         ORDER BY doc_id""",
     "x_geo_radius" ->
       """WITH p AS (SELECT doc_id,
              CAST(doc_id * 37 % 17000 AS DOUBLE) / 100.0 - 85.0 AS lat,
@@ -6221,6 +6267,28 @@ object SparkEntry {
            FROM sims)
          SELECT vec_id, label AS label_pred, s AS cosine
          FROM best WHERE rn = 1 ORDER BY vec_id""",
+    // own-label centroid cosine, per-label exact lower-decile flag —
+    // same 6dp centroid recipe as x_classify_centroid
+    "x_embed_outliers" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings
+           WHERE embedding IS NOT NULL AND label IS NOT NULL),
+         d AS (SELECT label,
+             unnest(generate_series(1, len(v))) AS dim, unnest(v) AS x
+           FROM e),
+         cd AS (SELECT label, dim, round(avg(x), 6) AS c
+           FROM d GROUP BY label, dim),
+         cents AS (SELECT label, list(c ORDER BY dim) AS cv
+           FROM cd GROUP BY label),
+         s AS (SELECT e.vec_id, e.label,
+             round(list_cosine_similarity(e.v, cents.cv), 6) AS cosine
+           FROM e JOIN cents ON e.label = cents.label),
+         t AS (SELECT label, round(quantile_cont(cosine, 0.1), 6)
+             AS threshold
+           FROM s GROUP BY label)
+         SELECT s.vec_id, s.label, s.cosine, t.threshold,
+           s.cosine < t.threshold AS outlier
+         FROM s JOIN t ON s.label = t.label ORDER BY s.vec_id""",
     // a FULL oracle (not a recall gate): the radius prune is exact
     "x_sim_radius" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
@@ -6301,6 +6369,27 @@ object SparkEntry {
          WHERE (md5_number_lower(CAST(doc_id AS VARCHAR))
            % 72057594037927936) % 1000 < 200
          GROUP BY source ORDER BY source""",
+    // per-(doc, position) md5-56 mask decision replayed bit-for-bit;
+    // positions are 0-based to match the transform index
+    "x_mask_tokens" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS w
+           FROM documents),
+         x AS (SELECT doc_id, len(w) AS n_tokens,
+             unnest(w) AS tok,
+             unnest(generate_series(0, len(w) - 1)) AS pos
+           FROM t),
+         m AS (SELECT doc_id, n_tokens, pos,
+             CASE WHEN (md5_number_lower(doc_id || ':' || pos)
+                 % 72057594037927936) % 1000 < 150
+               THEN '<mask>' ELSE tok END AS tok2
+           FROM x)
+         SELECT doc_id,
+           CAST(any_value(n_tokens) AS INTEGER) AS n_tokens,
+           CAST(sum(CASE WHEN tok2 = '<mask>' THEN 1 ELSE 0 END)
+             AS INTEGER) AS n_masked,
+           array_to_string(list(tok2 ORDER BY pos), ' ') AS masked_text
+         FROM m GROUP BY doc_id ORDER BY doc_id""",
     "x_chunk" ->
       """WITH t AS (SELECT doc_id,
              list_filter(string_split(text, ' '), x -> x <> '') AS w

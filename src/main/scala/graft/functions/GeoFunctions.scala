@@ -120,4 +120,25 @@ object GeoFunctions {
     }
     lat.between(minLat, maxLat) && lonPred
   }
+
+  /** Explicit bounding-box membership (the ES `geo_bounding_box`
+    * query): `[minLat, maxLat]` × a longitude range that may CROSS the
+    * antimeridian — `minLon > maxLon` means the box wraps (`lon ≥
+    * minLon OR lon ≤ maxLon`, the Fiji/Bering case every naive BETWEEN
+    * silently empties). Plain literal comparisons on the raw columns,
+    * so the lat leg and a non-wrapping lon leg push to parquet
+    * row-group pruning.
+    */
+  def inBox(lat: Column, lon: Column, minLat: Double, maxLat: Double,
+      minLon: Double, maxLon: Double): Column = {
+    require(minLat <= maxLat,
+      s"minLat ($minLat) must be <= maxLat ($maxLat)")
+    require(minLat >= -90 && maxLat <= 90, "lat bounds must be in [-90,90]")
+    require(minLon >= -180 && minLon <= 180 &&
+      maxLon >= -180 && maxLon <= 180, "lon bounds must be in [-180,180]")
+    val lonPred =
+      if (minLon <= maxLon) lon >= minLon && lon <= maxLon
+      else lon >= minLon || lon <= maxLon // antimeridian wrap
+    lat.between(minLat, maxLat) && lonPred
+  }
 }

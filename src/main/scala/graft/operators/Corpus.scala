@@ -142,6 +142,35 @@ object Corpus {
     df.filter(pmod(sampleHash(col(idCol)), lit(1000L)) < permille)
   }
 
+  /** Deterministic token masking — the MLM/span-corruption PREVIEW
+    * (BERT/T5-style pretraining corruption, reproducible): a token at
+    * position `i` of document `id` is replaced by `maskTok` iff
+    * `md5_56(id + ":" + i) % 1000 < permille` — the same md5-56 bucket
+    * trick as [[deterministicSample]], so the corrupted corpus is
+    * bit-identical in any engine and any run (auditable masking — a
+    * training-data bug can be replayed). Returns `(idCol, n_tokens,
+    * n_masked, masked_text)`.
+    *
+    * Scale shape: a pure projection — `transform` with index over the
+    * token array, no explode, no shuffle, whole-stage codegen; the
+    * per-token hash is the only cost and it is O(tokens).
+    */
+  def maskTokens(df: DataFrame, idCol: String, textCol: String,
+      permille: Int, maskTok: String = "<mask>"): DataFrame = {
+    require(permille >= 0 && permille <= 1000,
+      s"permille must be in [0,1000], got $permille")
+    val toks = filter(split(col(textCol), " "), t => t =!= lit(""))
+    df.select(col(idCol), toks.as("_t"))
+      .select(col(idCol), size(col("_t")).as("n_tokens"),
+        transform(col("_t"), (t, i) =>
+          when(pmod(sampleHash(concat(col(idCol).cast("string"),
+            lit(":"), i.cast("string"))), lit(1000L)) < permille,
+            lit(maskTok)).otherwise(t)).as("_m"))
+      .select(col(idCol), col("n_tokens"),
+        size(filter(col("_m"), t => t === lit(maskTok))).as("n_masked"),
+        array_join(col("_m"), " ").as("masked_text"))
+  }
+
   /** Deterministic train/val/test split: assign each row a split label
     * from `md5_56(id) % 1000` — the holdout-carving step run before any
     * training job. The same hash family as [[deterministicSample]], so the

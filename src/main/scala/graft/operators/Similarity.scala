@@ -101,6 +101,54 @@ object Similarity {
         (col("_b.nc") * -1).as("cosine"))
   }
 
+  /** Embedding outlier detection — the data-cleaning triage: score
+    * every labeled vector by cosine to its OWN label centroid (the
+    * one-shot per-(label, dim) average rounded 6dp — the
+    * [[nearestCentroid]] recipe, exactly reproducible in SQL) and flag
+    * the lower tail: cosine strictly below the label's exact
+    * `tailQuantile` percentile of that distribution (mislabeled and
+    * corrupted rows cluster there). Returns `(idCol, labelCol,
+    * cosine 6dp, threshold 6dp, outlier)`; both compared values are
+    * pre-rounded so engines agree at the boundary.
+    *
+    * Scale shape: centroids are labels × dim of bounded driver state
+    * (the k-centroids plan-literal contract); scoring is one map-side
+    * codegen cosine (a CASE over label literals routes each row to its
+    * own centroid); the per-label percentile is one hash agg over
+    * LABELS (exact here for reproducibility — swap percentile_approx
+    * when label cardinality explodes); the flag is a broadcast join of
+    * the label-threshold table.
+    */
+  def centroidOutliers(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, tailQuantile: Double = 0.1): DataFrame = {
+    require(tailQuantile > 0 && tailQuantile < 1,
+      s"tailQuantile must be in (0,1), got $tailQuantile")
+    val vecs = df.filter(col(vecCol).isNotNull && col(labelCol).isNotNull)
+    val cents = vecs.groupBy(col(labelCol))
+      .agg(graft.functions.VectorAggregates.vectorSum(col(vecCol)).as("_s"),
+        count(col(vecCol)).as("_n"))
+      .select(col(labelCol).as("_l"),
+        transform(col("_s"), x => round(x / col("_n"), 6)).as("_c"))
+      .collect()
+      .map(r => r.get(0) -> r.getSeq[Double](1))
+    require(cents.nonEmpty, "centroidOutliers needs at least one label")
+    def cosTo(cv: Seq[Double]) =
+      graft.functions.VectorExpressions.cosineFast(col(vecCol),
+        array(cv.map(lit): _*))
+    val cosOwn = cents.tail.foldLeft(cosTo(cents.head._2)) {
+      case (acc, (lbl, cv)) =>
+        when(col(labelCol) === lit(lbl), cosTo(cv)).otherwise(acc)
+    }
+    val scored = vecs.select(col(idCol), col(labelCol),
+      round(cosOwn, 6).as("cosine"))
+    val thr = scored.groupBy(col(labelCol))
+      .agg(round(percentile(col("cosine"), lit(tailQuantile)), 6)
+        .as("threshold"))
+    scored.join(broadcast(thr), Seq(labelCol))
+      .select(col(idCol), col(labelCol), col("cosine"), col("threshold"),
+        (col("cosine") < col("threshold")).as("outlier"))
+  }
+
   /** Exact all-pairs top-k neighbors per vector (small corpora / within
     * candidate buckets): window-ranked pair join.
     */

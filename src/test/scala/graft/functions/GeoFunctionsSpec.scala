@@ -112,4 +112,27 @@ class GeoFunctionsSpec extends SparkSpec {
       assert(escaped.count() == 0, s"centerLon=$centerLon")
     }
   }
+
+  test("inBox: explicit box, plain and antimeridian-wrapping") {
+    val pts = Seq(
+      ("inPlain", 10.0, 20.0), ("outLat", 60.0, 20.0),
+      ("outLon", 10.0, 80.0),
+      ("fijiE", 5.0, 175.0), ("fijiW", 5.0, -175.0),
+      ("greenwich", 5.0, 0.0)).toDF("name", "lat", "lon")
+    // plain box
+    assert(pts.filter(GeoFunctions.inBox(col("lat"), col("lon"),
+        -30.0, 45.0, -10.0, 40.0))
+      .select("name").as[String].collect().toSet ==
+      Set("inPlain", "greenwich"))
+    // wrapping box: minLon > maxLon spans the antimeridian
+    assert(pts.filter(GeoFunctions.inBox(col("lat"), col("lon"),
+        -30.0, 45.0, 170.0, -170.0))
+      .select("name").as[String].collect().toSet == Set("fijiE", "fijiW"))
+    intercept[IllegalArgumentException] {
+      GeoFunctions.inBox(col("lat"), col("lon"), 50.0, -50.0, 0.0, 1.0)
+    }
+    intercept[IllegalArgumentException] {
+      GeoFunctions.inBox(col("lat"), col("lon"), 0.0, 1.0, -200.0, 0.0)
+    }
+  }
 }

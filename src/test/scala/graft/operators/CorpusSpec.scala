@@ -349,6 +349,36 @@ class CorpusSpec extends SparkSpec {
       ("B", "C", 1L, 2L, 1L, 0.5)), got)
   }
 
+  test("maskTokens: deterministic md5-56 per-position masking") {
+    val df = Seq((7L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (8L, "one  two"), (9L, "")).toDF("doc_id", "text")
+    val out = Corpus.maskTokens(df, "doc_id", "text", permille = 300)
+      .orderBy("doc_id")
+      .as[(Long, Int, Int, String)].collect().toSeq
+    // determinism: a second run is bit-identical
+    val out2 = Corpus.maskTokens(df, "doc_id", "text", permille = 300)
+      .orderBy("doc_id")
+      .as[(Long, Int, Int, String)].collect().toSeq
+    assert(out == out2)
+    // shape: token counts survive, mask count matches the text
+    out.foreach { case (_, nTok, nMask, text) =>
+      val toks = text.split(" ").filter(_.nonEmpty)
+      assert(toks.length == nTok)
+      assert(toks.count(_ == "<mask>") == nMask)
+    }
+    // double-space text tokenizes to 2; empty text to 0 masked/tokens
+    assert(out.find(_._1 == 8L).get._2 == 2)
+    assert(out.find(_._1 == 9L).get._2 == 0)
+    // permille=0 masks nothing; permille=1000 masks everything
+    val none = Corpus.maskTokens(df, "doc_id", "text", 0)
+      .agg(sum("n_masked")).head().getLong(0)
+    assert(none == 0L)
+    val all = Corpus.maskTokens(df.filter(col("doc_id") === 7L),
+        "doc_id", "text", 1000)
+      .select("n_tokens", "n_masked").head()
+    assert(all.getInt(0) == all.getInt(1))
+  }
+
   test("decontaminateEmbeddings: max-cosine flag vs a broadcast eval set") {
     val train = Seq(
       (1L, Array(1.0f, 0.0f)),   // exactly an eval vector → 1.0

@@ -190,4 +190,32 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(a == b)
   }
+
+  test("centroidOutliers: lower-tail flag per label, nulls excluded") {
+    // label 1: three aligned vectors + one anti-aligned — the outlier.
+    // label 2: two identical vectors — no outlier at any quantile
+    // (every cosine equals the threshold, and the flag is STRICT <).
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f), Some(1)),
+      (2L, Array(0.9f, 0.1f), Some(1)),
+      (3L, Array(1.0f, 0.05f), Some(1)),
+      (4L, Array(-1.0f, 0.0f), Some(1)),  // the outlier
+      (5L, Array(0.0f, 1.0f), Some(2)),
+      (6L, Array(0.0f, 1.0f), Some(2)),
+      (7L, Array(1.0f, 1.0f), None),      // unlabeled: excluded
+      (8L, null.asInstanceOf[Array[Float]], Some(1))) // null vec: excluded
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.centroidOutliers(e, "vec_id", "embedding",
+        "label", tailQuantile = 0.3)
+      .orderBy("vec_id")
+      .as[(Long, Int, Double, Double, Boolean)].collect().toSeq
+    assert(out.map(_._1) == Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    val flags = out.map(r => r._1 -> r._5).toMap
+    assert(flags(4L), "anti-aligned vector must flag")
+    assert(!flags(1L) && !flags(2L) && !flags(3L))
+    assert(!flags(5L) && !flags(6L), "degenerate label must not flag")
+    intercept[IllegalArgumentException] {
+      Similarity.centroidOutliers(e, "vec_id", "embedding", "label", 1.5)
+    }
+  }
 }
