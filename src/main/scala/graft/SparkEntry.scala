@@ -497,6 +497,21 @@ object SparkEntry {
           round(col("_sv").cast("double") / 7.0, 6).as("value_per_day"))
         .orderBy("bucket_us")),
 
+    // StatsBucket pipeline aggregation (ES stats_bucket): min/max/sum/
+    // avg over the SIBLING buckets' sums — one hash agg to bucket
+    // space, one single-row fold over it (buckets, never events, enter
+    // the second agg). Decimal bucket sums; doubles only at the end.
+    "q_stats_bucket" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(date_trunc("week", col("ts")).as("bucket"))
+        .agg(sum(col("value").cast("decimal(12,2)")).as("_sv"))
+        .agg(count(lit(1)).as("n_buckets"),
+          round(min(col("_sv")).cast("double"), 6).as("min_sum"),
+          round(max(col("_sv")).cast("double"), 6).as("max_sum"),
+          round(sum(col("_sv")).cast("double"), 6).as("total_sum"),
+          round(sum(col("_sv")).cast("double") / count(lit(1)), 6)
+            .as("avg_sum"))),
+
     // Terms aggregation with the `missing` parameter (ES terms
     // missing bucket): null keys route to an explicit bucket instead
     // of vanishing. The corpus has no null langs, so every 13th doc's
@@ -2278,6 +2293,38 @@ object SparkEntry {
       operators.TextAnalysis.fingerprints(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // Vocabulary coverage (the tokenizer-design curve): what fraction
+    // of all token OCCURRENCES the top-V terms cover, for candidate
+    // vocab sizes — the Zipf head-mass measurement behind "how big
+    // must the vocab be". Scale shape: term frequencies are one
+    // map-side-combinable hash agg; the ranked head is a BOUNDED
+    // TakeOrderedAndProject of max(V) rows (never a vocab-wide
+    // window); totals are a one-row broadcast.
+    "x_vocab_coverage" -> ((s, d) => {
+      val vs = Seq(100, 1000)
+      val tf = Tables.documents(s, d)
+        .select(explode(filter(split(lower(col("text")), " "),
+          t => t =!= lit(""))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("tf"))
+      val total = tf.agg(sum("tf").as("_tot"),
+        count(lit(1)).as("_nterms"))
+      val head = tf.orderBy(col("tf").desc, col("term")).limit(vs.max)
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("tf").desc, col("term"))))
+      head.crossJoin(broadcast(total))
+        .select(explode(array(vs.map(lit): _*)).as("vocab_size"),
+          col("tf"), col("rk"), col("_tot"), col("_nterms"))
+        .filter(col("rk") <= col("vocab_size"))
+        .groupBy("vocab_size")
+        .agg(max(col("_nterms")).as("n_terms"),
+          sum(col("tf")).as("covered_tokens"),
+          max(col("_tot")).as("total_tokens"))
+        .withColumn("coverage", round(
+          col("covered_tokens").cast("double") / col("total_tokens"), 6))
+        .orderBy("vocab_size")
+    }),
+
     // Multimodal: opaque binary payload + no-decode metadata.
     "x_multimodal_meta" -> ((s, d) => {
       val withBin = operators.Multimodal.withBinaryPayload(
@@ -3312,6 +3359,35 @@ object SparkEntry {
           round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
           round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"))
         .orderBy("l_returnflag")),
+
+    // Extended stats via EXACT decimal power sums (ES extended_stats +
+    // the higher moments): variance, skewness, excess kurtosis all
+    // derive from Σx..Σx⁴ — integer n_chars makes every sum exact, so
+    // the double arithmetic after the one map-side-combinable hash agg
+    // is bit-reproducible (built-in skewness/kurtosis differ between
+    // engines on bias correction; explicit moments dodge the
+    // convention entirely). The 100 TB shape: 5 mergeable partials.
+    "agg_moments" -> ((s, d) => {
+      val x = col("n_chars").cast("decimal(38,0)")
+      val n = col("n").cast("double")
+      val mean = col("_s1").cast("double") / n
+      val m2 = col("_s2").cast("double") / n - mean * mean
+      val m3 = col("_s3").cast("double") / n -
+        mean * (col("_s2").cast("double") / n) * 3 +
+        mean * mean * mean * 2
+      val m4 = col("_s4").cast("double") / n -
+        mean * (col("_s3").cast("double") / n) * 4 +
+        mean * mean * (col("_s2").cast("double") / n) * 6 -
+        mean * mean * mean * mean * 3
+      Tables.documents(s, d)
+        .agg(count(lit(1)).as("n"), sum(x).as("_s1"),
+          sum(x * x).as("_s2"), sum(x * x * x).as("_s3"),
+          sum(x * x * x * x).as("_s4"))
+        .select(col("n"), round(mean, 6).as("mean"),
+          round(m2, 6).as("variance"),
+          round(m3 / pow(m2, 1.5), 6).as("skewness"),
+          round(m4 / (m2 * m2) - 3, 6).as("kurtosis"))
+    }),
 
     // Percentile-ranks aggregation (ES percentile_ranks — the inverse
     // of percentiles): the percentage of values at or below each mark,
@@ -4548,6 +4624,18 @@ object SparkEntry {
            round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / 7.0, 6)
              AS value_per_day
          FROM events GROUP BY 1 ORDER BY bucket_us""",
+
+    // stats over the sibling buckets' decimal sums; doubles at the end
+    "q_stats_bucket" ->
+      """WITH b AS (SELECT date_trunc('week', ts) AS bucket,
+             sum(CAST(value AS DECIMAL(12,2))) AS sv
+           FROM events GROUP BY 1)
+         SELECT count(*) AS n_buckets,
+           round(CAST(min(sv) AS DOUBLE), 6) AS min_sum,
+           round(CAST(max(sv) AS DOUBLE), 6) AS max_sum,
+           round(CAST(sum(sv) AS DOUBLE), 6) AS total_sum,
+           round(CAST(sum(sv) AS DOUBLE) / count(*), 6) AS avg_sum
+         FROM b""",
 
     // terms agg with the missing bucket: nulls planted identically
     "q_terms_missing" ->
@@ -6148,6 +6236,25 @@ object SparkEntry {
            md5(array_to_string(list_sort(list_distinct(
              string_split(lower(text), ' '))), ' ')) AS fingerprint
          FROM documents ORDER BY doc_id""",
+    // Zipf head mass at candidate vocab sizes; (tf desc, term) ranking
+    "x_vocab_coverage" ->
+      """WITH tok AS (SELECT unnest(list_filter(
+             string_split(lower(text), ' '), x -> x <> '')) AS term
+           FROM documents),
+         tf AS (SELECT term, count(*) AS tf FROM tok GROUP BY term),
+         tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total_tokens,
+             count(*) AS n_terms FROM tf),
+         r AS (SELECT term, tf,
+             row_number() OVER (ORDER BY tf DESC, term) AS rk FROM tf),
+         v AS (SELECT unnest([100, 1000]) AS vocab_size)
+         SELECT v.vocab_size,
+           max(tot.n_terms) AS n_terms,
+           CAST(sum(r.tf) AS BIGINT) AS covered_tokens,
+           max(tot.total_tokens) AS total_tokens,
+           round(CAST(sum(r.tf) AS DOUBLE) / max(tot.total_tokens), 6)
+             AS coverage
+         FROM r, tot, v WHERE r.rk <= v.vocab_size
+         GROUP BY v.vocab_size ORDER BY vocab_size""",
     "x_multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
            substring(base64(encode(text)), 1, 16) AS b64_head
@@ -7130,6 +7237,32 @@ object SparkEntry {
            round(stddev_samp(l_quantity), 6) AS sd_qty,
            round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // exact integer power sums, identical double arithmetic after —
+    // explicit moments dodge the sample-vs-population bias conventions
+    "agg_moments" ->
+      """WITH s AS (SELECT count(*) AS n,
+             sum(n_chars) AS s1,
+             sum(n_chars * n_chars) AS s2,
+             sum(n_chars * n_chars * n_chars) AS s3,
+             sum(n_chars * n_chars * n_chars * n_chars) AS s4
+           FROM documents),
+         m AS (SELECT n,
+             CAST(s1 AS DOUBLE) / n AS mean,
+             CAST(s2 AS DOUBLE) / n AS r2,
+             CAST(s3 AS DOUBLE) / n AS r3,
+             CAST(s4 AS DOUBLE) / n AS r4
+           FROM s),
+         c AS (SELECT n, mean,
+             r2 - mean * mean AS m2,
+             r3 - mean * r2 * 3 + mean * mean * mean * 2 AS m3,
+             r4 - mean * r3 * 4 + mean * mean * r2 * 6
+               - mean * mean * mean * mean * 3 AS m4
+           FROM m)
+         SELECT n, round(mean, 6) AS mean,
+           round(m2, 6) AS variance,
+           round(m3 / pow(m2, 1.5), 6) AS skewness,
+           round(m4 / (m2 * m2) - 3, 6) AS kurtosis
+         FROM c""",
     // exact integer-count arithmetic in double — 0/1 sums are exact
     "agg_percentile_ranks" ->
       """SELECT l_returnflag,

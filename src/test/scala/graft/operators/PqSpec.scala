@@ -94,6 +94,15 @@ class PqSpec extends SparkSpec {
       Pq.knnJoin(emb, "vec_id", "embedding", q, "qid", "qv", model,
         k = 10, rescoreK = 5)
     }
+    // REGRESSION PIN (ScaleProbe r8): an Exchange must sit between the
+    // encode projection and the broadcast pair join — without the
+    // barrier, whole-stage codegen defers the m-argmin encoding into
+    // the pair loop and re-derives it per (query, row) pair
+    // (probe-measured ~12× slower at every scale).
+    val plan = Pq.knnJoin(emb, "vec_id", "embedding", q, "qid", "qv",
+      model, k = 5, rescoreK = 200).queryExecution.executedPlan.toString
+    assert(plan.contains("RoundRobinPartitioning"),
+      s"encode/join materialization barrier missing:\n$plan")
   }
 
   test("guards fail fast") {
