@@ -606,6 +606,28 @@ object SparkEntry {
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
+    // simple_query_string (the never-throw query box): a MALFORMED
+    // query — unbalanced paren — degrades to the documented
+    // bag-of-terms AND instead of erroring; the oracle encodes exactly
+    // the degraded semantics.
+    "q_simple_query_string" -> ((s, d) =>
+      sink.QueryString.searchLenient(Tables.documents(s, d), "text",
+          """merge (window scan""",
+          textFields = Set("text"))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
+    // Unordered proximity (ES intervals all_of ordered=false): 'merge'
+    // and 'window' within 3 intervening tokens in EITHER order, best
+    // gap reported — the ordered spanNear's sibling, served off the
+    // same positional layout.
+    "q_intervals_unordered" -> ((s, d) =>
+      sink.InvertedIndex.spanUnorderedSearch(
+        sink.InvertedIndex.positionalPostings(
+          Tables.documents(s, d), "doc_id", "text"),
+        "merge", "window", maxGaps = 3)
+        .orderBy("doc_id")),
+
     // Sampler / DiversifiedSampler aggregation (ES diversified_sampler):
     // a deterministic 60-doc sample in md5(id) order with at most 20
     // docs per lang — one viral slice cannot flood the sample the
@@ -4526,6 +4548,35 @@ object SparkEntry {
                   ' window scan '))
            AND NOT len(list_filter(toks,
                  w -> starts_with(w, 'filter'))) > 0
+         ORDER BY doc_id""",
+
+    // the lenient degraded semantics: bag-of-terms AND
+    "q_simple_query_string" ->
+      """WITH t AS (SELECT doc_id, lang,
+             list_filter(string_split(lower(text), ' '), x -> x <> '')
+               AS toks
+           FROM documents)
+         SELECT doc_id, lang FROM t
+         WHERE list_contains(toks, 'merge')
+           AND list_contains(toks, 'window')
+           AND list_contains(toks, 'scan')
+         ORDER BY doc_id""",
+
+    // min |pa-pb|-1 over the pair's position lists, either order
+    "q_intervals_unordered" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '')
+               AS w
+           FROM documents),
+         p AS (SELECT doc_id, unnest(w) AS term,
+             unnest(generate_series(0, len(w) - 1)) AS pos
+           FROM t),
+         a AS (SELECT doc_id, pos FROM p WHERE term = 'merge'),
+         b AS (SELECT doc_id, pos FROM p WHERE term = 'window'),
+         g AS (SELECT a.doc_id,
+             CAST(min(abs(a.pos - b.pos) - 1) AS INTEGER) AS best_gap
+           FROM a JOIN b ON a.doc_id = b.doc_id GROUP BY a.doc_id)
+         SELECT doc_id, best_gap FROM g WHERE best_gap <= 3
          ORDER BY doc_id""",
 
     // field group scopes lang; q.op=OR adjacency inside the text group

@@ -172,6 +172,33 @@ object InvertedIndex {
       .select("doc_id").distinct()
   }
 
+  /** Unordered proximity for a term pair (ES `intervals` `all_of`
+    * with `ordered: false`, Lucene SpanNearQuery `inOrder=false`):
+    * documents where the two terms co-occur within `maxGaps`
+    * intervening tokens IN EITHER ORDER, with the best (minimal) gap —
+    * the "these words near each other" query a user means when word
+    * order is incidental ([[spanNearSearch]] is its ordered sibling).
+    * Returns `(doc_id, best_gap)`.
+    *
+    * Scale shape: two pruned term legs (equality on the term-sorted
+    * layout — row-group pruning), one per-doc equi-join of occurrence
+    * lists — tf(t1) × tf(t2) pairs PER DOC, bounded by per-doc term
+    * frequency, never corpus-sized — and a map-side-combinable min
+    * aggregate.
+    */
+  def spanUnorderedSearch(positional: DataFrame, t1: String, t2: String,
+      maxGaps: Int): DataFrame = {
+    require(maxGaps >= 0, s"maxGaps must be non-negative, got $maxGaps")
+    require(t1 != t2, "spanUnorderedSearch needs two distinct terms")
+    def leg(t: String, as: String) = positional
+      .filter(col("term") === t)
+      .select(col("doc_id"), explode(col("positions")).as(as))
+    leg(t1, "_pa").join(leg(t2, "_pb"), Seq("doc_id"))
+      .select(col("doc_id"), (abs(col("_pa") - col("_pb")) - 1).as("_g"))
+      .groupBy("doc_id").agg(min(col("_g")).as("best_gap"))
+      .filter(col("best_gap") <= maxGaps)
+  }
+
   /** SpanFirstQuery off the positional index: the term must occur within
     * the first `end` token positions (Lucene SpanFirstQuery — a span
     * ending at or before `end`; for a single-term span that is 0-based

@@ -250,4 +250,31 @@ object QueryString {
   def search(docs: DataFrame, defaultField: String, query: String,
       textFields: Set[String], defaultOr: Boolean = false): DataFrame =
     docs.filter(compile(parse(query, defaultOr), defaultField, textFields))
+
+  /** The `simple_query_string` never-throw contract: parse with the
+    * full grammar; if the query is malformed (unbalanced parens,
+    * dangling operator, stray quote…), degrade to a bag-of-terms query
+    * over the default field — specials stripped, operator keywords
+    * dropped, remaining words joined by the default operator. A user's
+    * stray paren must return results, not an error page. Still throws
+    * only when NO searchable term survives (an all-specials query has
+    * no degraded meaning).
+    */
+  def parseLenient(q: String, defaultOr: Boolean = false): Node =
+    try parse(q, defaultOr) catch {
+      case _: IllegalArgumentException =>
+        val words = q.split("""[\s()"*\\]+""").filter(_.nonEmpty)
+          .filterNot(w => w == "AND" || w == "OR" || w == "NOT")
+          .map(w => if (w.contains(':')) w.substring(w.indexOf(':') + 1) else w)
+          .filter(_.nonEmpty)
+        require(words.nonEmpty, s"no searchable terms in: $q")
+        words.map(w => Term(None, w): Node)
+          .reduce((l, r) => if (defaultOr) Or(l, r) else And(l, r))
+    }
+
+  /** [[search]] with [[parseLenient]] — the `simple_query_string` box. */
+  def searchLenient(docs: DataFrame, defaultField: String, query: String,
+      textFields: Set[String], defaultOr: Boolean = false): DataFrame =
+    docs.filter(compile(parseLenient(query, defaultOr), defaultField,
+      textFields))
 }

@@ -435,4 +435,30 @@ class InvertedIndexSpec extends SparkSpec {
       .queryExecution.optimizedPlan.toString
     assert(plan.contains("min("), plan)
   }
+
+  test("spanUnorderedSearch: either order, best gap, guards") {
+    val docs = Seq(
+      (1L, "stream data now"),      // adjacent forward: gap 0
+      (2L, "data x stream"),        // REVERSE order, one gap
+      (3L, "stream a b c data"),    // gap 3
+      (4L, "data only here"),       // missing term
+      (5L, "stream q data q data")  // multiple pairs: best gap wins (1)
+    ).toDF("doc_id", "text")
+    val pos = InvertedIndex.positionalPostings(docs, "doc_id", "text")
+    def got(maxGaps: Int): Map[Long, Int] =
+      InvertedIndex.spanUnorderedSearch(pos, "stream", "data", maxGaps)
+        .as[(Long, Int)].collect().toMap
+    assert(got(0) == Map(1L -> 0))
+    assert(got(1) == Map(1L -> 0, 2L -> 1, 5L -> 1))
+    assert(got(3) == Map(1L -> 0, 2L -> 1, 3L -> 3, 5L -> 1))
+    // the ordered sibling misses the reversed doc at the same budget
+    assert(!InvertedIndex.spanNearSearch(pos, "stream data", 1)
+      .as[Long].collect().toSet.contains(2L))
+    intercept[IllegalArgumentException] {
+      InvertedIndex.spanUnorderedSearch(pos, "stream", "stream", 1)
+    }
+    intercept[IllegalArgumentException] {
+      InvertedIndex.spanUnorderedSearch(pos, "a", "b", -1)
+    }
+  }
 }

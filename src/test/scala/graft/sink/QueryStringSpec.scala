@@ -98,6 +98,28 @@ class QueryStringSpec extends SparkSpec {
     intercept[IllegalArgumentException] { parse("abc\\") }
   }
 
+  test("parseLenient: malformed queries degrade to bag-of-terms") {
+    // valid queries parse identically to the strict path
+    assert(parseLenient("a AND b") == parse("a AND b"))
+    // malformed: unbalanced paren → terms ANDed, keywords dropped
+    assert(parseLenient("merge (window scan") ==
+      And(And(Term(None, "merge"), Term(None, "window")),
+        Term(None, "scan")))
+    assert(parseLenient("a OR OR b") == And(Term(None, "a"), Term(None, "b")))
+    // field prefixes degrade to the bare value on the default field
+    assert(parseLenient("\"unterminated lang:de") ==
+      And(Term(None, "unterminated"), Term(None, "de")))
+    // OR profile degrades with OR
+    assert(parseLenient("merge (window", defaultOr = true) ==
+      Or(Term(None, "merge"), Term(None, "window")))
+    // an all-specials query has no degraded meaning
+    intercept[IllegalArgumentException] { parseLenient("((((") }
+    // data semantics through searchLenient
+    assert(QueryString.searchLenient(docs, "text", "merge (window scan",
+        Set("text")).select("doc_id").as[Long].collect().toSet ==
+      ids("merge AND window AND scan"))
+  }
+
   test("q.op=OR profile: adjacency ORs at OR precedence") {
     assert(parse("a b", defaultOr = true) ==
       Or(Term(None, "a"), Term(None, "b")))
