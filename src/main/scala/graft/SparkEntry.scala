@@ -2431,6 +2431,35 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // REAL MP3/ADTS-AAC stream sniffing: payloads are VALID frame
+    // chains built in SQL — MPEG-1 Layer III 128 kbps @ 44100 (417-byte
+    // frames) for even ids, ADTS AAC LC @ 44100 (107-byte frames, the
+    // length lives in the header bits) otherwise, frame count from
+    // doc_id, every 7th doc non-audio → nulls. The parser walks the
+    // chain; duration = frames × samples-per-frame / rate. The oracle
+    // recomputes everything from doc_id — wrong frame-size math or
+    // header offsets fail the hash.
+    "x_multimodal_sniff_audio" -> ((s, d) => {
+      val mp3Frame = lit(Array(0xFF, 0xFB, 0x90, 0x00).map(_.toByte) ++
+        Array.fill[Byte](413)(0x11))
+      val aacFrame = lit(
+        Array(0xFF, 0xF1, 0x50, 0x80, 0x0D, 0x7F, 0xFC).map(_.toByte) ++
+          Array.fill[Byte](100)(0x22))
+      val n = (pmod(col("doc_id"), lit(5)) + 1).cast("int")
+      def rep(frame: Column) = aggregate(sequence(lit(1), n),
+        lit(Array.empty[Byte]), (acc, _) => concat(acc, frame))
+      val payload = when(pmod(col("doc_id"), lit(7)) === 0,
+          lit("not audio".getBytes("US-ASCII")))
+        .when(pmod(col("doc_id"), lit(2)) === 0, rep(mp3Frame))
+        .otherwise(rep(aacFrame))
+      operators.Multimodal.compressedAudioMeta(
+          Tables.documents(s, d).select(col("doc_id"),
+            payload.as("payload")),
+          "doc_id", "payload")
+        .withColumn("duration_s", round(col("duration_s"), 6))
+        .orderBy("id")
+    }),
+
     // Multimodal: stubbed decode over mapPartitions batches. The stub
     // derives features from the payload md5, so the DuckDB oracle can
     // recompute every row in SQL (md5_number_lower + unsigned math) —
@@ -6403,6 +6432,22 @@ object SparkEntry {
            CASE WHEN doc_id % 7 = 0 THEN NULL ELSE true END AS has_video,
            CASE WHEN doc_id % 7 = 0 THEN NULL
                 ELSE doc_id % 3 = 0 END AS has_audio
+         FROM documents ORDER BY id""",
+    // MP3/ADTS frame math recomputed from doc_id: n = doc_id%5+1
+    // frames, 1152 (mp3) / 1024 (aac) samples per frame at 44100 Hz
+    "x_multimodal_sniff_audio" ->
+      """SELECT doc_id AS id,
+           CASE WHEN doc_id % 7 = 0 THEN NULL
+                WHEN doc_id % 2 = 0 THEN 'mp3' ELSE 'aac' END AS format,
+           CASE WHEN doc_id % 7 = 0 THEN NULL
+                ELSE CAST(44100 AS INTEGER) END AS sample_rate,
+           CASE WHEN doc_id % 7 = 0 THEN NULL
+                ELSE CAST(doc_id % 5 + 1 AS BIGINT) END AS n_frames,
+           CASE WHEN doc_id % 7 = 0 THEN NULL
+                WHEN doc_id % 2 = 0
+                  THEN round((doc_id % 5 + 1) * 1152.0 / 44100, 6)
+                ELSE round((doc_id % 5 + 1) * 1024.0 / 44100, 6)
+           END AS duration_s
          FROM documents ORDER BY id""",
     // centroids = per-(label, dim) averages rounded 6dp, argmax by
     // (rounded cosine desc, label asc) — the engine's exact recipe

@@ -11,12 +11,17 @@ import org.apache.spark.sql.types._
   *
   * IMAGE decode is REAL ([[Multimodal.decodeImages]] — PNG/JPEG/GIF/BMP
   * through the JDK's own `javax.imageio` codecs, headless, no external
-  * library) and so is container sniffing ([[MediaCodec.sniffImageMeta]],
-  * hand-parsed headers). PCM AUDIO decode is real too
+  * library) and so is container/stream sniffing: image headers
+  * ([[MediaCodec.sniffImageMeta]]), MP4 boxes
+  * ([[MediaCodec.sniffVideoMeta]]), Matroska/WebM EBML
+  * ([[MediaCodec.sniffEbmlMeta]]), and MP3/ADTS-AAC frame chains
+  * ([[MediaCodec.sniffCompressedAudioMeta]] — sample rate, frame
+  * count, duration with no codec). PCM AUDIO decode is real too
   * ([[Multimodal.decodeAudioFeatures]] — WAV/AIFF/AU through
-  * `javax.sound.sampled`). Only COMPRESSED audio (MP3/AAC) and VIDEO
-  * stay STUBBED behind [[MediaCodec.decodeStub]], a deterministic fake
-  * keyed on the payload bytes — the JDK ships no codecs for those. Everything
+  * `javax.sound.sampled`). Only compressed-audio SAMPLE decode
+  * (MP3/AAC) and video FRAME decode stay STUBBED behind
+  * [[MediaCodec.decodeStub]], a deterministic fake keyed on the
+  * payload bytes — the JDK ships no codecs for those. Everything
   * Spark-side is real and load-bearing either way: the schema contract,
   * the `mapPartitions` batch shape (the Scala analog of a Pandas-batch
   * UDF: one iterator per partition, amortized per-batch setup),
@@ -231,6 +236,73 @@ object Multimodal {
           (fmt, dur * scale / 1e9,
             trackTypes.contains(1L), trackTypes.contains(2L))
         }
+      } catch { case _: Exception => None }
+
+    /** REAL MP3 / ADTS-AAC frame-header sniffing — public-spec byte
+      * parsing, no codec: identifies the stream, reads sample rate and
+      * (MP3) bitrate from the first frame header, then WALKS the frame
+      * chain counting frames — duration = frames × samples-per-frame /
+      * rate (1152 for MPEG-1 Layer III, 1024 for AAC), exact for the
+      * common CBR case and codec-free either way. Returns
+      * `(format, sample_rate, n_frames, duration_s)`. Together with
+      * [[decodeAudio]] (PCM) this reduces the decode stub to
+      * compressed SAMPLE decode only — stream METADATA is real for
+      * mp3/aac too. Garbage, truncation mid-frame, reserved
+      * bitrate/rate indices all return None.
+      */
+    def sniffCompressedAudioMeta(p: Array[Byte])
+        : Option[(String, Int, Long, Double)] =
+      try {
+        if (p.length < 4) return None
+        def u(i: Int) = p(i) & 0xff
+        if (u(0) == 0xff && (u(1) & 0xfe) == 0xfa) {
+          // MPEG-1 Layer III (0xFA/0xFB: sync + version 11 + layer 01)
+          val bitrates = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+            160, 192, 224, 256, 320, 0) // kbps, MPEG-1 Layer III
+          val rates = Array(44100, 48000, 32000, 0)
+          val br = bitrates(u(2) >> 4)
+          val sr = rates((u(2) >> 2) & 0x3)
+          if (br == 0 || sr == 0) return None
+          var i = 0
+          var n = 0L
+          var ok = true
+          while (ok && i + 4 <= p.length) {
+            if (u(i) != 0xff || (u(i + 1) & 0xfe) != 0xfa) ok = false
+            else {
+              val fbr = bitrates(u(i + 2) >> 4)
+              val fsr = rates((u(i + 2) >> 2) & 0x3)
+              val pad = (u(i + 2) >> 1) & 0x1
+              if (fbr == 0 || fsr == 0) ok = false
+              else {
+                val len = 144 * fbr * 1000 / fsr + pad
+                if (i + len > p.length) ok = false
+                else { n += 1; i = i + len }
+              }
+            }
+          }
+          if (n == 0) None
+          else Some(("mp3", sr, n, n * 1152.0 / sr))
+        } else if (u(0) == 0xff && (u(1) & 0xf6) == 0xf0) {
+          // ADTS AAC (sync 0xFFF + layer 00)
+          val rates = Array(96000, 88200, 64000, 48000, 44100, 32000,
+            24000, 22050, 16000, 12000, 11025, 8000, 7350, 0, 0, 0)
+          val sr = rates((u(2) >> 2) & 0xf)
+          if (sr == 0) return None
+          var i = 0
+          var n = 0L
+          var ok = true
+          while (ok && i + 7 <= p.length) {
+            if (u(i) != 0xff || (u(i + 1) & 0xf6) != 0xf0) ok = false
+            else {
+              val len = ((u(i + 3) & 0x3) << 11) | (u(i + 4) << 3) |
+                (u(i + 5) >> 5)
+              if (len < 7 || i + len > p.length) ok = false
+              else { n += 1; i = i + len }
+            }
+          }
+          if (n == 0) None
+          else Some(("aac", sr, n, n * 1024.0 / sr))
+        } else None
       } catch { case _: Exception => None }
 
     /** Deterministic stand-in for the COMPRESSED-media decoders the JDK
@@ -476,6 +548,33 @@ object Multimodal {
         Option(r.get(binIdx)).map(_.asInstanceOf[Array[Byte]])
           .flatMap(MediaCodec.sniffEbmlMeta) match {
           case Some((f, dur, hv, ha)) => Row(r.get(idIdx), f, dur, hv, ha)
+          case None => Row(r.get(idIdx), null, null, null, null)
+        }
+      }
+    }(enc)
+  }
+
+  /** Compressed-audio stream metadata over partition batches — `(id,
+    * format, sample_rate, n_frames, duration_s)` through the REAL
+    * [[MediaCodec.sniffCompressedAudioMeta]] MP3/ADTS frame walk;
+    * nulls for non-MP3/AAC payloads. Same batch shape as [[videoMeta]].
+    */
+  def compressedAudioMeta(df: DataFrame, idCol: String,
+      binCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", df.schema(idCol).dataType, nullable = false),
+      StructField("format", StringType, nullable = true),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("n_frames", LongType, nullable = true),
+      StructField("duration_s", DoubleType, nullable = true)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        Option(r.get(binIdx)).map(_.asInstanceOf[Array[Byte]])
+          .flatMap(MediaCodec.sniffCompressedAudioMeta) match {
+          case Some((f, sr, n, dur)) => Row(r.get(idIdx), f, sr, n, dur)
           case None => Row(r.get(idIdx), null, null, null, null)
         }
       }

@@ -266,6 +266,42 @@ class MultimodalSpec extends SparkSpec {
         (2L, None, None, None, None)))
   }
 
+  test("sniffCompressedAudioMeta: MP3/ADTS frame walk without a codec") {
+    import Multimodal.MediaCodec.sniffCompressedAudioMeta
+    // MPEG-1 Layer III, 128 kbps @ 44100, no padding → 417-byte frames
+    val mp3Frame = Array(0xFF, 0xFB, 0x90, 0x00).map(_.toByte) ++
+      Array.fill[Byte](413)(0x11)
+    def mp3(n: Int) = Array.fill(n)(mp3Frame).flatten
+    assert(sniffCompressedAudioMeta(mp3(3)) ==
+      Some(("mp3", 44100, 3L, 3 * 1152.0 / 44100)))
+    // trailing garbage ends the walk; counted frames stand
+    assert(sniffCompressedAudioMeta(mp3(2) ++ Array[Byte](1, 2, 3)) ==
+      Some(("mp3", 44100, 2L, 2 * 1152.0 / 44100)))
+    // a truncated final frame is not counted
+    assert(sniffCompressedAudioMeta(mp3(2).dropRight(10)) ==
+      Some(("mp3", 44100, 1L, 1152.0 / 44100)))
+    // ADTS AAC LC @ 44100, 107-byte frames (length encoded in header)
+    val aacFrame = Array(0xFF, 0xF1, 0x50, 0x80, 0x0D, 0x7F, 0xFC)
+      .map(_.toByte) ++ Array.fill[Byte](100)(0x22)
+    def aac(n: Int) = Array.fill(n)(aacFrame).flatten
+    assert(sniffCompressedAudioMeta(aac(4)) ==
+      Some(("aac", 44100, 4L, 4 * 1024.0 / 44100)))
+    // negatives: garbage, reserved bitrate index, reserved rate index
+    assert(sniffCompressedAudioMeta("hello".getBytes).isEmpty)
+    assert(sniffCompressedAudioMeta(
+      Array(0xFF, 0xFB, 0xF0, 0x00).map(_.toByte)).isEmpty)
+    assert(sniffCompressedAudioMeta(
+      Array(0xFF, 0xFB, 0x9C, 0x00).map(_.toByte)).isEmpty)
+    // DataFrame wrapper with null passthrough
+    assert(Multimodal.compressedAudioMeta(
+      Seq((1L, aac(2)), (2L, Array[Byte](9))).toDF("id", "payload"),
+      "id", "payload")
+      .as[(Long, Option[String], Option[Int], Option[Long], Option[Double])]
+      .collect().toSet ==
+      Set((1L, Some("aac"), Some(44100), Some(2L),
+        Some(2 * 1024.0 / 44100)), (2L, None, None, None, None)))
+  }
+
   test("decodeAudioFeatures: REAL WAV PCM parse with exact RMS") {
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
     def wav(samples: Array[Short], rate: Float = 8000f): Array[Byte] = {
