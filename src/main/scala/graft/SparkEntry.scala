@@ -628,6 +628,46 @@ object SparkEntry {
         "merge", "window", maxGaps = 3)
         .orderBy("doc_id")),
 
+    // Frequent item-set pairs (ES frequent_item_sets at level 2, the
+    // apriori market-basket core): token pairs co-occurring in ≥ 30
+    // docs. Apriori pruning is the scale mechanism — only
+    // frequent SINGLES enter the per-doc pair join, so pair volume is
+    // bounded by per-doc frequent-token counts squared, never
+    // vocabulary². Top 20, total order.
+    "q_frequent_pairs" -> ((s, d) => {
+      val minSup = 30L
+      val dt = Tables.documents(s, d)
+        .select(col("doc_id"), explode(array_distinct(filter(
+          split(lower(col("text")), " "), t => t =!= lit("")))).as("term"))
+      val freq = dt.groupBy("term").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= minSup).select("term")
+      val pruned = dt.join(broadcast(freq), Seq("term"))
+      pruned.as("a").join(pruned.as("b"),
+          col("a.doc_id") === col("b.doc_id") &&
+            col("a.term") < col("b.term"))
+        .groupBy(col("a.term").as("term_a"), col("b.term").as("term_b"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= minSup)
+        .orderBy(col("support").desc, col("term_a"), col("term_b"))
+        .limit(20)
+    }),
+
+    // Text categorization (ES categorize_text, the log-triage agg):
+    // digit runs collapse to '#', the first 5 tokens form the pattern
+    // key, patterns with ≥ 2 docs reported with an example. One
+    // projection + hash agg — the message-template discovery every
+    // log pipeline runs.
+    "q_categorize_text" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          regexp_replace(lower(col("text")), "[0-9]+", "#").as("_sig"))
+        .withColumn("pattern", array_join(slice(filter(
+          split(col("_sig"), " "), t => t =!= lit("")), 1, 5), " "))
+        .groupBy("pattern")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("example_doc"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("n_docs").desc, col("pattern"))),
+
     // Sampler / DiversifiedSampler aggregation (ES diversified_sampler):
     // a deterministic 60-doc sample in md5(id) order with at most 20
     // docs per lang — one viral slice cannot flood the sample the
@@ -1132,6 +1172,17 @@ object SparkEntry {
     "x_dedup_exact" -> ((s, d) =>
       operators.Dedup.exact(Tables.documents(s, d), "doc_id", Seq("text"))
         .select("keep_id", "n_copies").orderBy("keep_id")),
+
+    // Winnowing fingerprints (the MOSS local-match scheme): md5-56
+    // shingle hashes, min of every 4-hash window, distinct kept values
+    // — any shared ≥6-token substring between docs must share a
+    // fingerprint. One transform chain per row, no shuffle before the
+    // output explode; matching is a fingerprint equi-join, never
+    // all-pairs.
+    "x_winnowing" -> ((s, d) =>
+      operators.Dedup.winnowingFingerprints(
+        Tables.documents(s, d), "doc_id", "text", k = 3, w = 4)
+        .orderBy("doc_id", "fingerprint")),
 
     // Soft dedup: downweight instead of drop — every exact-content
     // cluster's docs get weight 1/n (one document of sampling mass per
@@ -4623,6 +4674,36 @@ object SparkEntry {
                  w -> starts_with(w, 'filter'))) > 0
          ORDER BY doc_id""",
 
+    // apriori level-2: frequent singles pruned first, then pair counts
+    "q_frequent_pairs" ->
+      """WITH dt AS (SELECT DISTINCT doc_id, term FROM (
+             SELECT doc_id, unnest(list_filter(
+               string_split(lower(text), ' '), x -> x <> '')) AS term
+             FROM documents)),
+         f AS (SELECT term FROM dt GROUP BY term
+           HAVING count(*) >= 30),
+         p AS (SELECT dt.doc_id, dt.term FROM dt JOIN f USING (term)),
+         pr AS (SELECT a.term AS term_a, b.term AS term_b,
+             count(*) AS support
+           FROM p a JOIN p b
+             ON a.doc_id = b.doc_id AND a.term < b.term
+           GROUP BY 1, 2 HAVING count(*) >= 30)
+         SELECT term_a, term_b, support FROM pr
+         ORDER BY support DESC, term_a, term_b LIMIT 20""",
+
+    // digit runs -> '#', first-5-token pattern key, >= 2 docs
+    "q_categorize_text" ->
+      """WITH s AS (SELECT doc_id,
+             regexp_replace(lower(text), '[0-9]+', '#', 'g') AS sig
+           FROM documents),
+         k AS (SELECT doc_id, array_to_string(list_filter(
+             string_split(sig, ' '), x -> x <> '')[1:5], ' ') AS pattern
+           FROM s)
+         SELECT pattern, count(*) AS n_docs,
+           min(doc_id) AS example_doc
+         FROM k GROUP BY pattern HAVING count(*) >= 2
+         ORDER BY n_docs DESC, pattern""",
+
     // md5-ordered deterministic sample, per-lang occupancy cap
     "q_sampler" ->
       """SELECT doc_id, lang FROM (
@@ -5704,6 +5785,29 @@ object SparkEntry {
     "x_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY text ORDER BY keep_id""",
+    // winnowing: same shingle family as x_dedup_ngram, md5-56 hashes,
+    // min per 4-window, per-doc distinct
+    "x_winnowing" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS wd
+           FROM documents),
+         sh AS (SELECT doc_id,
+             CASE WHEN len(wd) < 3 THEN [array_to_string(wd, ' ')]
+               ELSE list_transform(range(1, len(wd) - 1),
+                 i -> wd[i] || ' ' || wd[i+1] || ' ' || wd[i+2]) END AS gs
+           FROM t),
+         h AS (SELECT doc_id, list_transform(gs,
+             g -> CAST(md5_number_lower(g) % 72057594037927936
+               AS BIGINT)) AS hs
+           FROM sh),
+         f AS (SELECT doc_id,
+             CASE WHEN len(hs) < 4 THEN [list_min(hs)]
+               ELSE list_distinct(list_transform(
+                 range(1, len(hs) - 4 + 2),
+                 i -> list_min(hs[i:i+3]))) END AS fps
+           FROM h)
+         SELECT doc_id, unnest(fps) AS fingerprint FROM f
+         ORDER BY doc_id, fingerprint""",
     // soft dedup: planted duplicate clusters weigh 1/n each
     "x_dedup_soft" ->
       """WITH p AS (SELECT doc_id, text FROM documents

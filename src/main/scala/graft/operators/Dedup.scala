@@ -596,6 +596,39 @@ object Dedup {
       .select(col(keyCol), unix_micros(col("_w.start")).as("window_us"),
         col("first_id"), col("n_window"))
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    * plagiarism-detection scheme): hash every `k`-gram word shingle
+    * (md5-56 — the engine-reproducible hash family the sampling ops
+    * use), then keep the MINIMUM hash of every `w`-consecutive-hash
+    * window; the distinct kept values are the document's fingerprints.
+    * The winnowing guarantee: any shared substring of ≥ `k + w − 1`
+    * tokens between two documents yields at least one SHARED
+    * fingerprint — local-match detection with a density bound of
+    * ~2/(w+1) selected hashes, unlike MinHash (whole-document
+    * similarity, no locality). Returns `(idCol, fingerprint)` rows;
+    * documents shorter than `k` tokens fingerprint their whole text.
+    *
+    * Scale shape: a pure projection — shingle, hash, and the window
+    * minima all run inside one `transform` chain over the token array
+    * (no explode until the final distinct fingerprints), so cost is
+    * O(tokens × w) per row with no shuffle before the output explode.
+    * Matching is then a fingerprint equi-join — candidates share a
+    * bucket, never all-pairs (the LSH join shape).
+    */
+  def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(w >= 1, s"w must be positive, got $w")
+    val hashes = transform(
+      graft.functions.TextFunctions.wordShingles(col(textCol), k),
+      s => Corpus.sampleHash(s))
+    val fps = when(size(hashes) < w, array(array_min(hashes)))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(hashes) - w + 1),
+        i => array_min(slice(hashes, i, lit(w))))))
+    df.select(col(idCol), explode(fps).as("fingerprint"))
+  }
+
   /** Soft dedup: DOWNWEIGHT duplicates instead of dropping them — each
     * exact-content cluster's docs get `weight = 1/|cluster|`, so every
     * cluster contributes exactly one document's worth of sampling mass

@@ -197,6 +197,35 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("winnowing: shared >= k+w-1 token run yields a shared fingerprint") {
+    val common = "alpha beta gamma delta epsilon zeta" // 6 = k+w-1 tokens
+    val docs = Seq(
+      (1L, s"intro words here $common trailing tail"),
+      (2L, s"$common completely different ending text"),
+      (3L, "nothing in common with the others at all"),
+      (4L, "tiny")) // shorter than k: whole-text fingerprint
+      .toDF("doc_id", "text")
+    val fp = Dedup.winnowingFingerprints(docs, "doc_id", "text",
+        k = 3, w = 4)
+      .as[(Long, Long)].collect().toSeq
+    val byDoc = fp.groupBy(_._1).map { case (k2, v) => k2 -> v.map(_._2).toSet }
+    // the winnowing guarantee: docs 1 and 2 share the 6-token run
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty, "shared run must share a fp")
+    assert((byDoc(1L) & byDoc(3L)).isEmpty, "unrelated docs must not")
+    assert(byDoc(4L).size == 1, "short doc fingerprints its whole text")
+    // density: far fewer fingerprints than shingles
+    val nShingles1 = docs.filter(col("doc_id") === 1L)
+      .select(size(graft.functions.TextFunctions.wordShingles(col("text"), 3)))
+      .head().getInt(0)
+    assert(byDoc(1L).size < nShingles1)
+    // deterministic across runs
+    assert(fp.toSet == Dedup.winnowingFingerprints(docs, "doc_id",
+      "text", 3, 4).as[(Long, Long)].collect().toSet)
+    intercept[IllegalArgumentException] {
+      Dedup.winnowingFingerprints(docs, "doc_id", "text", 0, 4)
+    }
+  }
+
   test("softWeights: 1/cluster weights that sum to distinct contents") {
     val df = Seq(
       (1L, "same text"), (2L, "same text"),      // pair → 0.5 each
