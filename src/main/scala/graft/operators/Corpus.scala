@@ -128,12 +128,22 @@ object Corpus {
     * sampled corpus auditable). Stratification is free: an md5 of the id
     * is uniform within every stratum.
     */
-  def sampleHash(c: Column): Column = {
-    val hex = md5(c.cast("string"))
+  def sampleHash(c: Column): Column = hexLow56(md5(c.cast("string")))
+
+  /** The conversion half of [[sampleHash]]: low-56-bit little-endian
+    * value of an already-computed 32-char md5 hex string. Cheap
+    * (substring/conv arithmetic, no hashing), so a BOUND hex value —
+    * a lambda variable inside a higher-order function — may be
+    * referenced by all 7 byte terms without re-triggering the md5.
+    * Interpreted HOF lambdas do no subexpression caching: embedding
+    * [[sampleHash]] itself in a lambda evaluates its md5 subtree once
+    * per term per element. Hash once (e.g. a `transform` producing the
+    * hex array), then convert with this over the bound value.
+    */
+  def hexLow56(hex: Column): Column =
     (0 until 7).map { i =>
       shiftleft(conv(substring(hex, 17 + 2 * i, 2), 16, 10).cast("long"), 8 * i)
     }.reduce(_.bitwiseOR(_))
-  }
 
   def deterministicSample(df: DataFrame, idCol: String,
       permille: Int): DataFrame = {
@@ -151,20 +161,26 @@ object Corpus {
     * training-data bug can be replayed). Returns `(idCol, n_tokens,
     * n_masked, masked_text)`.
     *
-    * Scale shape: a pure projection — `transform` with index over the
-    * token array, no explode, no shuffle, whole-stage codegen; the
-    * per-token hash is the only cost and it is O(tokens).
+    * Scale shape: a pure projection — no explode, no shuffle; cost is
+    * O(tokens) with exactly ONE md5 per token. Higher-order-function
+    * lambdas evaluate interpreted with no subexpression caching, so
+    * the hex is computed in its own `transform` pass and the mask
+    * decision reads it as a `zip_with` lambda variable — a bound
+    * value the 7 byte-extraction terms of [[hexLow56]] can reference
+    * freely (embedding [[sampleHash]] in the lambda would re-run the
+    * md5 7× per token).
     */
   def maskTokens(df: DataFrame, idCol: String, textCol: String,
       permille: Int, maskTok: String = "<mask>"): DataFrame = {
     require(permille >= 0 && permille <= 1000,
       s"permille must be in [0,1000], got $permille")
     val toks = filter(split(col(textCol), " "), t => t =!= lit(""))
+    val hexes = transform(col("_t"), (_, i) =>
+      md5(concat(col(idCol).cast("string"), lit(":"), i.cast("string"))))
     df.select(col(idCol), toks.as("_t"))
       .select(col(idCol), size(col("_t")).as("n_tokens"),
-        transform(col("_t"), (t, i) =>
-          when(pmod(sampleHash(concat(col(idCol).cast("string"),
-            lit(":"), i.cast("string"))), lit(1000L)) < permille,
+        zip_with(col("_t"), hexes, (t, hx) =>
+          when(pmod(hexLow56(hx), lit(1000L)) < permille,
             lit(maskTok)).otherwise(t)).as("_m"))
       .select(col(idCol), col("n_tokens"),
         size(filter(col("_m"), t => t === lit(maskTok))).as("n_masked"),

@@ -608,25 +608,35 @@ object Dedup {
     * similarity, no locality). Returns `(idCol, fingerprint)` rows;
     * documents shorter than `k` tokens fingerprint their whole text.
     *
-    * Scale shape: a pure projection — shingle, hash, and the window
-    * minima all run inside one `transform` chain over the token array
-    * (no explode until the final distinct fingerprints), so cost is
-    * O(tokens × w) per row with no shuffle before the output explode.
-    * Matching is then a fingerprint equi-join — candidates share a
-    * bucket, never all-pairs (the LSH join shape).
+    * Scale shape: O(tokens × w) per row, no shuffle before the output
+    * explode. Two projections, deliberately: the shingle-hash array is
+    * MATERIALIZED as a column first (one md5 per shingle — the inner
+    * `transform` hashes, the outer converts hex→56-bit over the bound
+    * lambda value, see [[Corpus.hexLow56]]), and the window-min pass
+    * then references that attribute. Referencing the hash EXPRESSION
+    * inside the window lambda instead would re-evaluate the whole
+    * array per window position — interpreted HOFs cache nothing —
+    * turning the op O(tokens²·md5) per document. Catalyst keeps the
+    * barrier: CollapseProject never inlines a non-cheap producer
+    * referenced more than once (pinned by PlanSpec). Matching is then
+    * a fingerprint equi-join — candidates share a bucket, never
+    * all-pairs (the LSH join shape).
     */
   def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, w: Int = 4): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
     require(w >= 1, s"w must be positive, got $w")
     val hashes = transform(
-      graft.functions.TextFunctions.wordShingles(col(textCol), k),
-      s => Corpus.sampleHash(s))
-    val fps = when(size(hashes) < w, array(array_min(hashes)))
+      transform(graft.functions.TextFunctions.wordShingles(col(textCol), k),
+        s => md5(s.cast("string"))),
+      h => Corpus.hexLow56(h))
+    val h = col("_h")
+    val fps = when(size(h) < w, array(array_min(h)))
       .otherwise(array_distinct(transform(
-        sequence(lit(1), size(hashes) - w + 1),
-        i => array_min(slice(hashes, i, lit(w))))))
-    df.select(col(idCol), explode(fps).as("fingerprint"))
+        sequence(lit(1), size(h) - w + 1),
+        i => array_min(slice(h, i, lit(w))))))
+    df.select(col(idCol), hashes.as("_h"))
+      .select(col(idCol), explode(fps).as("fingerprint"))
   }
 
   /** Soft dedup: DOWNWEIGHT duplicates instead of dropping them — each

@@ -188,4 +188,35 @@ class PlanSpec extends SparkSpec {
       assert(p.contains("partial_"), s"$q should combine map-side:\n$p")
     }
   }
+
+  test("winnowing materializes the shingle-hash array below the window pass") {
+    // Interpreted HOF lambdas re-evaluate captured subtrees per element:
+    // if CollapseProject ever inlined the hash array back into the
+    // window-min Generate, the op would regress to O(tokens²·md5) per doc
+    // (the r8 130-second bench row). Pin: the hash stays in its own
+    // Project (`AS _h`) and the Generate above references the attribute —
+    // no md5 anywhere in the Generate's expression.
+    val df = graft.operators.Dedup.winnowingFingerprints(
+      spark.range(3).selectExpr("id", "'a b c d e f g h' as text"),
+      "id", "text")
+    val lines = df.queryExecution.optimizedPlan.toString.linesIterator.toSeq
+    val gen = lines.filter(_.contains("Generate"))
+    assert(gen.nonEmpty && gen.forall(!_.contains("md5")),
+      s"md5 inlined into the window Generate:\n${lines.mkString("\n")}")
+    assert(lines.exists(l => l.contains("md5") && l.contains("AS _h")),
+      s"materializing hash projection missing:\n${lines.mkString("\n")}")
+  }
+
+  test("token masking hashes each token exactly once") {
+    // The mask decision reads the hex via a zip_with lambda variable;
+    // embedding sampleHash in the lambda would re-run the md5 once per
+    // hexLow56 byte term (7× per token, interpreted). Pin: one md5
+    // occurrence in the whole optimized plan.
+    val df = graft.operators.Corpus.maskTokens(
+      spark.range(3).selectExpr("id", "'a b c d e' as text"),
+      "id", "text", 300)
+    val p = df.queryExecution.optimizedPlan.toString
+    val n = "md5\\(".r.findAllIn(p).size
+    assert(n == 1, s"expected exactly one md5 in the mask plan, found $n:\n$p")
+  }
 }
