@@ -355,13 +355,16 @@ object SparkEntry {
         "doc_id", "text", col("lang") === "de", minDocCount = 5, k = 20)),
 
     // RareTerms aggregation (ES rare_terms): the exact long tail —
-    // terms in at most 2 documents, rarest first. ONE vocabulary-sized
-    // map-side-combinable doc-frequency aggregate; no per-shard
-    // ascending-top-k error to bound (the failure mode ES documents
-    // for count-ascending terms aggs).
+    // rarest first. ONE vocabulary-sized map-side-combinable
+    // doc-frequency aggregate; no per-shard ascending-top-k error to
+    // bound (the failure mode ES documents for count-ascending terms
+    // aggs). The synthetic vocabulary's doc-frequency floor is 25 (one
+    // outlier term) then ~373+; the 380 cutoff keeps 4 genuinely-rare
+    // terms at sf0.01 so the gate pins values (a ≤2 cutoff matched the
+    // oracle only at zero rows).
     "q_rare_terms" -> ((s, d) =>
       DocQueries.rareTerms(Tables.documents(s, d), "text",
-        maxDocCount = 2, k = 20)),
+        maxDocCount = 380, k = 20)),
 
     // AdjacencyMatrix aggregation (ES adjacency_matrix): per-filter and
     // pairwise-intersection document counts in ONE corpus pass — each
@@ -1547,7 +1550,11 @@ object SparkEntry {
     // Geo radius query: deterministic synthetic coordinates per doc
     // (integer-derived, bit-identical in any engine), conservative
     // bounding-box prefilter, haversine radius — distance rounded to 3dp
-    // (the BM25 ln-rounding convention absorbing trig-libm ULP).
+    // (the BM25 ln-rounding convention absorbing trig-libm ULP). The
+    // center (26, 93) is ON the synthetic curve (= doc 300's position),
+    // so the 1500 km disc holds ~25 real rows at sf0.01 — a gate that
+    // pins distance values, unlike the old off-curve (40, -74) center
+    // whose disc was empty at every tested sf.
     "x_geo_radius" -> ((s, d) => {
       val pts = Tables.documents(s, d).select("doc_id")
         .withColumn("lat",
@@ -1555,10 +1562,10 @@ object SparkEntry {
         .withColumn("lon",
           (col("doc_id") * 91 % 36000).cast("double") / 100.0 - 180.0)
       pts.filter(functions.GeoFunctions.inBoundingBox(
-          col("lat"), col("lon"), 40.0, -74.0, 3000.0))
+          col("lat"), col("lon"), 26.0, 93.0, 1500.0))
         .withColumn("dist_km", round(functions.GeoFunctions.haversineKm(
-          col("lat"), col("lon"), lit(40.0), lit(-74.0)), 3))
-        .filter(col("dist_km") <= 3000.0)
+          col("lat"), col("lon"), lit(26.0), lit(93.0)), 3))
+        .filter(col("dist_km") <= 1500.0)
         .select("doc_id", "lat", "lon", "dist_km")
         .orderBy("doc_id")
     }),
@@ -1566,7 +1573,10 @@ object SparkEntry {
     // Bounding-box query (ES geo_bounding_box) with a box CROSSING the
     // antimeridian — minLon > maxLon wraps (the Fiji/Bering case a
     // naive BETWEEN silently empties). Pure literal comparisons; the
-    // lat leg pushes to the scan.
+    // lat leg pushes to the scan. The lat window [50, 80] is chosen so
+    // the sf0.01 synthetic curve yields hits on BOTH sides of the wrap
+    // (ids 385-395 at lon ≥ 170, ids 396-439 at lon ≤ -140) — the gate
+    // pins the wrap branch with real rows, not an empty≡empty match.
     "q_geo_bbox" -> ((s, d) => {
       val pts = Tables.documents(s, d).select("doc_id")
         .withColumn("lat",
@@ -1574,7 +1584,7 @@ object SparkEntry {
         .withColumn("lon",
           (col("doc_id") * 91 % 36000).cast("double") / 100.0 - 180.0)
       pts.filter(functions.GeoFunctions.inBox(col("lat"), col("lon"),
-          -30.0, 45.0, 170.0, -140.0))
+          50.0, 80.0, 170.0, -140.0))
         .select("doc_id", "lat", "lon")
         .orderBy("doc_id")
     }),
@@ -1589,7 +1599,7 @@ object SparkEntry {
         .withColumn("lon",
           (col("doc_id") * 91 % 36000).cast("double") / 100.0 - 180.0)
       pts.filter(functions.GeoFunctions.inPolygon(col("lat"), col("lon"),
-          Seq((10.0, -120.0), (70.0, -100.0), (60.0, -20.0), (0.0, -60.0))))
+          Seq((-25.0, -10.0), (5.0, -10.0), (25.0, 60.0), (-5.0, 60.0))))
         .select("doc_id", "lat", "lon")
         .orderBy("doc_id")
     }),
@@ -1646,7 +1656,7 @@ object SparkEntry {
       val dir = tempDir("graft-geopoly")
       sink.GeoIndex.write(pts, "doc_id", "lat", "lon", dir, cellDeg = 30.0)
       sink.GeoIndex.polygonSearch(s, dir,
-          Seq((10.0, -120.0), (70.0, -100.0), (60.0, -20.0), (0.0, -60.0)))
+          Seq((-25.0, -10.0), (5.0, -10.0), (25.0, 60.0), (-5.0, 60.0)))
         .select("doc_id", "lat", "lon")
         .orderBy("doc_id")
     }),
@@ -1744,7 +1754,7 @@ object SparkEntry {
       val dir = tempDir("graft-geoidx")
       sink.GeoIndex.write(pts, "doc_id", "lat", "lon", dir, cellDeg = 30.0) // coarse gate lattice: 72 cells bound the timed write; pruning pins live in GeoIndexSpec
       sink.GeoIndex.radiusJoin(s, dir,
-          Seq((1L, 40.0, -74.0), (2L, -33.9, 151.2), (3L, 64.1, -21.9)),
+          Seq((1L, -48.0, -89.0), (2L, 7.5, 47.5), (3L, 70.4, -157.8)),
           radiusKm = 1500.0)
         .select(col("center_id"), col("doc_id"),
           round(col("dist_km"), 3).as("dist_km"))
@@ -1764,11 +1774,11 @@ object SparkEntry {
       val dir = tempDir("graft-geoidx")
       sink.GeoIndex.write(pts, "doc_id", "lat", "lon", dir, cellDeg = 30.0) // coarse gate lattice: 72 cells bound the timed write; pruning pins live in GeoIndexSpec
       // candidate radius +1 m, then the scan form's exact rounded cut:
-      // a point whose ROUNDED distance is 3000.000 can sit at unrounded
-      // 3000.0004, which a raw <=3000 candidate filter would drop
-      sink.GeoIndex.radiusSearch(s, dir, 40.0, -74.0, 3000.001)
+      // a point whose ROUNDED distance is 1500.000 can sit at unrounded
+      // 1500.0004, which a raw <=1500 candidate filter would drop
+      sink.GeoIndex.radiusSearch(s, dir, 26.0, 93.0, 1500.001)
         .withColumn("dist_km", round(col("dist_km"), 3))
-        .filter(col("dist_km") <= 3000.0)
+        .filter(col("dist_km") <= 1500.0)
         .select("doc_id", "lat", "lon", "dist_km")
         .orderBy("doc_id")
     }),
@@ -1789,9 +1799,13 @@ object SparkEntry {
 
     // Keyed geo mutation (GeoIndex upsert/delete, the VectorIndex
     // protocol on the cell grid): base = ids ≥ 50, then upsert < 50,
-    // RE-upsert < 10 at moved positions (supersede — possibly across
-    // cells), tombstone [10, 30). The radius query reads the live
-    // last-writer-wins view; O(batch) commit bytes and cross-cell
+    // RE-upsert < 10 at moved positions (supersede ACROSS cells: the
+    // move carries ids 0-9 from (-85, -180) into the query disc around
+    // (26, 93)), tombstones [10, 30) (upserted rows) and [290, 300)
+    // (base rows INSIDE the disc — their absence is value-visible in
+    // the gate, not vacuously true). The radius query reads the live
+    // last-writer-wins view: moved ids 0-9 + on-curve ids ~284-316
+    // minus the deleted 290-299. O(batch) commit bytes and cross-cell
     // supersede are pinned in GeoIndexSpec.
     "x_geo_upsert" -> ((s, d) => {
       val pts = Tables.documents(s, d).select("doc_id")
@@ -1806,16 +1820,18 @@ object SparkEntry {
         "doc_id", "lat", "lon", dir)
       sink.GeoIndex.upsert(
         pts.filter(col("doc_id") < 10)
-          .withColumn("lat", col("lat") / 2 + 10), // moved position, in range
+          .withColumn("lat", col("lat") / 4 + 47)  // moved into the disc
+          .withColumn("lon", col("lon") / 2 + 183),
         "doc_id", "lat", "lon", dir)
       sink.GeoIndex.delete(
-        pts.filter(col("doc_id") >= 10 && col("doc_id") < 30)
+        pts.filter((col("doc_id") >= 10 && col("doc_id") < 30) ||
+            (col("doc_id") >= 290 && col("doc_id") < 300))
           .select("doc_id"), "doc_id", dir)
       // candidate radius +1 m, then the scan form's exact rounded cut
       // (the x_geo_radius_indexed boundary convention)
-      sink.GeoIndex.radiusSearch(s, dir, 40.0, -74.0, 3000.001)
+      sink.GeoIndex.radiusSearch(s, dir, 26.0, 93.0, 1500.001)
         .withColumn("dist_km", round(col("dist_km"), 3))
-        .filter(col("dist_km") <= 3000.0)
+        .filter(col("dist_km") <= 1500.0)
         .select("doc_id", "lat", "lon", "dist_km")
         .orderBy("doc_id")
     }),
@@ -1856,7 +1872,7 @@ object SparkEntry {
         .withColumn("lon",
           (col("doc_id") * 91 % 36000).cast("double") / 100.0 - 180.0)
       operators.GeoJoin.geoRadiusJoin(pts, "doc_id", "lat", "lon",
-          Seq((1L, 40.0, -74.0), (2L, -33.9, 151.2), (3L, 64.1, -21.9)),
+          Seq((1L, -48.0, -89.0), (2L, 7.5, 47.5), (3L, 70.4, -157.8)),
           radiusKm = 1500.0)
         .select(col("center_id"), col("doc_id"),
           round(col("dist_km"), 3).as("dist_km"))
@@ -3394,12 +3410,19 @@ object SparkEntry {
           col("value").as("sum_value"), col("filled"))
         .orderBy("event_type", "hour_us")),
 
-    // Set operations: buyers EXCEPT error-users, INTERSECT with clickers.
+    // Set operations: big buyers EXCEPT big-error users, INTERSECT with
+    // high-value clickers. The value thresholds make each leg a PARTIAL
+    // user set (every user has every event type in the synthetic data,
+    // so unthresholded legs would be all-or-nothing): at sf0.01 the
+    // EXCEPT drops ~10 of 32 and the INTERSECT keeps 11 — both
+    // operators visibly prune, so the gate pins values, not just schema.
     "set_ops" -> ((s, d) => {
       val ev = Tables.events(s, d)
-      def users(t: String) =
-        ev.filter(col("event_type") === t).select("user_id").distinct()
-      users("purchase").except(users("error")).intersect(users("click"))
+      def users(t: String, minValue: Double) =
+        ev.filter(col("event_type") === t && col("value") > minValue)
+          .select("user_id").distinct()
+      users("purchase", 200.0).except(users("error", 250.0))
+        .intersect(users("click", 150.0))
         .orderBy("user_id")
     }),
 
@@ -4396,7 +4419,7 @@ object SparkEntry {
              string_split(lower(text), ' '), x -> x <> ''))) AS term
            FROM documents)
          SELECT term, count(*) AS doc_count FROM t GROUP BY term
-         HAVING count(*) <= 2 ORDER BY doc_count, term LIMIT 20""",
+         HAVING count(*) <= 380 ORDER BY doc_count, term LIMIT 20""",
 
     // per-filter and pairwise-intersection counts; empty buckets absent
     "q_adjacency_matrix" ->
@@ -5107,7 +5130,7 @@ object SparkEntry {
              CAST(doc_id * 91 % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon
            FROM documents)
          SELECT doc_id, lat, lon FROM p
-         WHERE lat >= -30.0 AND lat <= 45.0
+         WHERE lat >= 50.0 AND lat <= 80.0
            AND (lon >= 170.0 OR lon <= -140.0)
          ORDER BY doc_id""",
     "x_geo_radius" ->
@@ -5117,13 +5140,13 @@ object SparkEntry {
            FROM documents),
          dkm AS (SELECT doc_id, lat, lon,
              round(2 * 6371.0088 * asin(sqrt(
-               sin(radians(40.0 - lat) / 2) * sin(radians(40.0 - lat) / 2)
-               + cos(radians(lat)) * cos(radians(40.0))
-               * sin(radians(-74.0 - lon) / 2) * sin(radians(-74.0 - lon) / 2))),
+               sin(radians(26.0 - lat) / 2) * sin(radians(26.0 - lat) / 2)
+               + cos(radians(lat)) * cos(radians(26.0))
+               * sin(radians(93.0 - lon) / 2) * sin(radians(93.0 - lon) / 2))),
                3) AS dist_km
            FROM p)
          SELECT doc_id, lat, lon, dist_km FROM dkm
-         WHERE dist_km <= 3000.0 ORDER BY doc_id""",
+         WHERE dist_km <= 1500.0 ORDER BY doc_id""",
     "x_geo_knn" ->
       """WITH p AS (SELECT doc_id,
              CAST(doc_id * 37 % 17000 AS DOUBLE) / 100.0 - 85.0 AS lat,
@@ -5143,7 +5166,7 @@ object SparkEntry {
              CAST(doc_id * 91 % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon
            FROM documents),
          c(center_id, clat, clon) AS (VALUES
-           (1, 40.0, -74.0), (2, -33.9, 151.2), (3, 64.1, -21.9)),
+           (1, -48.0, -89.0), (2, 7.5, 47.5), (3, 70.4, -157.8)),
          d AS (SELECT center_id, doc_id,
              2 * 6371.0088 * asin(sqrt(
                sin(radians(clat - lat) / 2) * sin(radians(clat - lat) / 2)
@@ -5162,13 +5185,13 @@ object SparkEntry {
            FROM documents),
          dkm AS (SELECT doc_id, lat, lon,
              round(2 * 6371.0088 * asin(sqrt(
-               sin(radians(40.0 - lat) / 2) * sin(radians(40.0 - lat) / 2)
-               + cos(radians(lat)) * cos(radians(40.0))
-               * sin(radians(-74.0 - lon) / 2) * sin(radians(-74.0 - lon) / 2))),
+               sin(radians(26.0 - lat) / 2) * sin(radians(26.0 - lat) / 2)
+               + cos(radians(lat)) * cos(radians(26.0))
+               * sin(radians(93.0 - lon) / 2) * sin(radians(93.0 - lon) / 2))),
                3) AS dist_km
            FROM p)
          SELECT doc_id, lat, lon, dist_km FROM dkm
-         WHERE dist_km <= 3000.0 ORDER BY doc_id""",
+         WHERE dist_km <= 1500.0 ORDER BY doc_id""",
     "x_geo_knn_indexed" ->
       """WITH p AS (SELECT doc_id,
              CAST(doc_id * 37 % 17000 AS DOUBLE) / 100.0 - 85.0 AS lat,
@@ -5181,26 +5204,29 @@ object SparkEntry {
              * sin(radians(-74.0 - lon) / 2) * sin(radians(-74.0 - lon) / 2))),
              3) AS dist_km
          FROM p ORDER BY dist_km, doc_id LIMIT 15""",
-    // live survivor set: ids ≥ 30 at original positions (the delete
-    // removed [10,30)) plus ids < 10 at their re-upserted positions
+    // live survivor set: ids ≥ 30 at original positions minus the
+    // in-disc tombstones [290,300), plus ids < 10 at their re-upserted
+    // (moved-into-the-disc) positions
     "x_geo_upsert" ->
       """WITH p AS (SELECT doc_id,
              CAST(doc_id * 37 % 17000 AS DOUBLE) / 100.0 - 85.0 AS lat,
              CAST(doc_id * 91 % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon
            FROM documents),
          live AS (
-           SELECT doc_id, lat, lon FROM p WHERE doc_id >= 30
+           SELECT doc_id, lat, lon FROM p
+           WHERE doc_id >= 30 AND NOT (doc_id >= 290 AND doc_id < 300)
            UNION ALL
-           SELECT doc_id, lat / 2 + 10 AS lat, lon FROM p WHERE doc_id < 10),
+           SELECT doc_id, lat / 4 + 47 AS lat, lon / 2 + 183 AS lon
+           FROM p WHERE doc_id < 10),
          dkm AS (SELECT doc_id, lat, lon,
              round(2 * 6371.0088 * asin(sqrt(
-               sin(radians(40.0 - lat) / 2) * sin(radians(40.0 - lat) / 2)
-               + cos(radians(lat)) * cos(radians(40.0))
-               * sin(radians(-74.0 - lon) / 2) * sin(radians(-74.0 - lon) / 2))),
+               sin(radians(26.0 - lat) / 2) * sin(radians(26.0 - lat) / 2)
+               + cos(radians(lat)) * cos(radians(26.0))
+               * sin(radians(93.0 - lon) / 2) * sin(radians(93.0 - lon) / 2))),
                3) AS dist_km
            FROM live)
          SELECT doc_id, lat, lon, dist_km FROM dkm
-         WHERE dist_km <= 3000.0 ORDER BY doc_id""",
+         WHERE dist_km <= 1500.0 ORDER BY doc_id""",
     // live count after upsert(<20, supersede) + delete(<5); the 30°
     // lattice holds 7 lat rows × 12 lon cols = 84 cells; one upsert +
     // one delete pending in the commit log
@@ -5218,18 +5244,18 @@ object SparkEntry {
              CAST(doc_id * 91 % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon
            FROM documents),
          c AS (SELECT doc_id, lat, lon,
-             (CASE WHEN (10.0 > lat) <> (70.0 > lat) THEN
-                CASE WHEN lon < (-100.0 - (-120.0)) * (lat - 10.0)
-                  / (70.0 - 10.0) + (-120.0) THEN 1 ELSE 0 END ELSE 0 END)
-             + (CASE WHEN (70.0 > lat) <> (60.0 > lat) THEN
-                CASE WHEN lon < ((-20.0) - (-100.0)) * (lat - 70.0)
-                  / (60.0 - 70.0) + (-100.0) THEN 1 ELSE 0 END ELSE 0 END)
-             + (CASE WHEN (60.0 > lat) <> (0.0 > lat) THEN
-                CASE WHEN lon < ((-60.0) - (-20.0)) * (lat - 60.0)
-                  / (0.0 - 60.0) + (-20.0) THEN 1 ELSE 0 END ELSE 0 END)
-             + (CASE WHEN (0.0 > lat) <> (10.0 > lat) THEN
-                CASE WHEN lon < ((-120.0) - (-60.0)) * (lat - 0.0)
-                  / (10.0 - 0.0) + (-60.0) THEN 1 ELSE 0 END ELSE 0 END)
+             (CASE WHEN (-25.0 > lat) <> (5.0 > lat) THEN
+                CASE WHEN lon < ((-10.0) - (-10.0)) * (lat - (-25.0))
+                  / (5.0 - (-25.0)) + (-10.0) THEN 1 ELSE 0 END ELSE 0 END)
+             + (CASE WHEN (5.0 > lat) <> (25.0 > lat) THEN
+                CASE WHEN lon < (60.0 - (-10.0)) * (lat - 5.0)
+                  / (25.0 - 5.0) + (-10.0) THEN 1 ELSE 0 END ELSE 0 END)
+             + (CASE WHEN (25.0 > lat) <> (-5.0 > lat) THEN
+                CASE WHEN lon < (60.0 - 60.0) * (lat - 25.0)
+                  / (-5.0 - 25.0) + 60.0 THEN 1 ELSE 0 END ELSE 0 END)
+             + (CASE WHEN (-5.0 > lat) <> (-25.0 > lat) THEN
+                CASE WHEN lon < ((-10.0) - 60.0) * (lat - (-5.0))
+                  / (-25.0 - (-5.0)) + 60.0 THEN 1 ELSE 0 END ELSE 0 END)
                AS crossings
            FROM p)
          SELECT doc_id, lat, lon FROM c
@@ -5294,18 +5320,18 @@ object SparkEntry {
              CAST(doc_id * 91 % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon
            FROM documents),
          c AS (SELECT doc_id, lat, lon,
-             (CASE WHEN (10.0 > lat) <> (70.0 > lat) THEN
-                CASE WHEN lon < (-100.0 - (-120.0)) * (lat - 10.0)
-                  / (70.0 - 10.0) + (-120.0) THEN 1 ELSE 0 END ELSE 0 END)
-             + (CASE WHEN (70.0 > lat) <> (60.0 > lat) THEN
-                CASE WHEN lon < ((-20.0) - (-100.0)) * (lat - 70.0)
-                  / (60.0 - 70.0) + (-100.0) THEN 1 ELSE 0 END ELSE 0 END)
-             + (CASE WHEN (60.0 > lat) <> (0.0 > lat) THEN
-                CASE WHEN lon < ((-60.0) - (-20.0)) * (lat - 60.0)
-                  / (0.0 - 60.0) + (-20.0) THEN 1 ELSE 0 END ELSE 0 END)
-             + (CASE WHEN (0.0 > lat) <> (10.0 > lat) THEN
-                CASE WHEN lon < ((-120.0) - (-60.0)) * (lat - 0.0)
-                  / (10.0 - 0.0) + (-60.0) THEN 1 ELSE 0 END ELSE 0 END)
+             (CASE WHEN (-25.0 > lat) <> (5.0 > lat) THEN
+                CASE WHEN lon < ((-10.0) - (-10.0)) * (lat - (-25.0))
+                  / (5.0 - (-25.0)) + (-10.0) THEN 1 ELSE 0 END ELSE 0 END)
+             + (CASE WHEN (5.0 > lat) <> (25.0 > lat) THEN
+                CASE WHEN lon < (60.0 - (-10.0)) * (lat - 5.0)
+                  / (25.0 - 5.0) + (-10.0) THEN 1 ELSE 0 END ELSE 0 END)
+             + (CASE WHEN (25.0 > lat) <> (-5.0 > lat) THEN
+                CASE WHEN lon < (60.0 - 60.0) * (lat - 25.0)
+                  / (-5.0 - 25.0) + 60.0 THEN 1 ELSE 0 END ELSE 0 END)
+             + (CASE WHEN (-5.0 > lat) <> (-25.0 > lat) THEN
+                CASE WHEN lon < ((-10.0) - 60.0) * (lat - (-5.0))
+                  / (-25.0 - (-5.0)) + 60.0 THEN 1 ELSE 0 END ELSE 0 END)
                AS crossings
            FROM p)
          SELECT doc_id, lat, lon FROM c
@@ -5319,7 +5345,7 @@ object SparkEntry {
              CAST(doc_id * 91 % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon
            FROM documents),
          c(center_id, clat, clon) AS (VALUES
-           (1, 40.0, -74.0), (2, -33.9, 151.2), (3, 64.1, -21.9)),
+           (1, -48.0, -89.0), (2, 7.5, 47.5), (3, 70.4, -157.8)),
          d AS (SELECT center_id, doc_id,
              2 * 6371.0088 * asin(sqrt(
                sin(radians(clat - lat) / 2) * sin(radians(clat - lat) / 2)
@@ -7394,11 +7420,14 @@ object SparkEntry {
            filled
          FROM j ORDER BY event_type, hour_us""",
     "set_ops" ->
-      """(SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+      """(SELECT DISTINCT user_id FROM events
+          WHERE event_type = 'purchase' AND value > 200.0
           EXCEPT
-          SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+          SELECT DISTINCT user_id FROM events
+          WHERE event_type = 'error' AND value > 250.0)
          INTERSECT
-         SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+         SELECT DISTINCT user_id FROM events
+         WHERE event_type = 'click' AND value > 150.0
          ORDER BY user_id""",
     "agg_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS flag,
