@@ -56,22 +56,30 @@ object Corpus {
     * side is broadcast and scored map-side with the codegen'd cosine;
     * the per-row max is a map-side-combinable hash agg keyed by id, so
     * the 100 TB training side shuffles one row per doc, never the
-    * (train × eval) product. Null vectors on either side are excluded
-    * (they cannot be scored).
+    * (train × eval) product. Null training vectors are excluded (they
+    * cannot be scored); an EMPTY (or all-null-vector) eval side means
+    * "nothing to compare against", so every scorable training row comes
+    * back `(max_cosine = null, contaminated = false)` — not zero rows,
+    * which would read as every training doc vanishing. The left join
+    * that provides this is against the id-keyed aggregate (one row per
+    * doc), not the eval product.
     */
   def decontaminateEmbeddings(train: DataFrame, eval: DataFrame,
       idCol: String, vecCol: String, threshold: Double): DataFrame = {
     val ev = broadcast(
       eval.filter(col(vecCol).isNotNull).select(col(vecCol).as("_ev")))
-    train.filter(col(vecCol).isNotNull)
+    val scored = train.filter(col(vecCol).isNotNull)
       .select(col(idCol), col(vecCol))
       .crossJoin(ev)
       .groupBy(idCol)
       .agg(max(graft.functions.VectorExpressions
         .cosineFast(col(vecCol), col("_ev"))).as("_mc"))
+    train.filter(col(vecCol).isNotNull).select(col(idCol))
+      .join(scored, Seq(idCol), "left")
       .select(col(idCol),
         round(col("_mc"), 6).as("max_cosine"),
-        (round(col("_mc"), 6) >= threshold).as("contaminated"))
+        coalesce(round(col("_mc"), 6) >= threshold, lit(false))
+          .as("contaminated"))
   }
 
   /** Sequence packing: assign documents to fixed token-budget bins in a

@@ -649,7 +649,9 @@ object Dedup {
     * Scale shape: identical to exact dedup — an md5 content
     * fingerprint, one hash-partitioned count per fingerprint (window
     * over the fingerprint key, map-side-combinable under AQE), no
-    * driver state. Weights sum to the number of DISTINCT contents.
+    * driver state. Weights sum to the number of DISTINCT contents up
+    * to the 6dp display rounding (a cluster of 3 sums to 0.999999, not
+    * exactly 1).
     */
   def softWeights(df: DataFrame, idCol: String, textCol: String)
       : DataFrame = {

@@ -198,11 +198,15 @@ object Multimodal {
             } yield {
               val unknownSize = sz == (1L << (7 * sw)) - 1
               val ps = i + iw + sw
-              val pe = if (unknownSize) until else ps + sz.toInt
+              // bound the end in LONG: a hostile declared size ≥ 2^31
+              // (or one whose low 32 bits are small) would truncate in
+              // Int and could land back inside [from, until), misparsing
+              // corrupt input into wrong metadata instead of None
+              val pe = if (unknownSize) until.toLong else ps.toLong + sz
               (eid, ps, pe)
             }) match {
               case Some((eid, ps, pe)) if pe <= until && pe > ps =>
-                out += ((eid, ps, pe)); i = pe
+                out += ((eid, ps, pe.toInt)); i = pe.toInt
               case _ => ok = false
             }
           }
@@ -247,8 +251,11 @@ object Multimodal {
       * `(format, sample_rate, n_frames, duration_s)`. Together with
       * [[decodeAudio]] (PCM) this reduces the decode stub to
       * compressed SAMPLE decode only — stream METADATA is real for
-      * mp3/aac too. Garbage, truncation mid-frame, reserved
-      * bitrate/rate indices all return None.
+      * mp3/aac too. The walk stops at the first invalid or truncated
+      * frame and returns the frames counted SO FAR (a truncated tail
+      * yields the partial count); None only when not even one complete
+      * frame parses — garbage bytes, reserved bitrate/rate indices, or
+      * a first frame cut short.
       */
     def sniffCompressedAudioMeta(p: Array[Byte])
         : Option[(String, Int, Long, Double)] =

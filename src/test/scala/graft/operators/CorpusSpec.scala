@@ -401,4 +401,24 @@ class CorpusSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") ||
       plan.contains("BroadcastExchange"), plan)
   }
+
+  test("decontaminateEmbeddings: empty eval side means clean, not vanished") {
+    // "nothing to check" must read as contaminated=false per row, not as
+    // zero rows (which looks like the whole training set disappearing)
+    val train = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    for (eval <- Seq(
+        Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"),
+        Seq((100L, null.asInstanceOf[Array[Float]]))
+          .toDF("vec_id", "embedding"))) {
+      val out = Corpus.decontaminateEmbeddings(train, eval,
+          "vec_id", "embedding", threshold = 0.9)
+        .orderBy("vec_id")
+        .select(col("vec_id"), col("max_cosine").isNull.as("nc"),
+          col("contaminated"))
+        .as[(Long, Boolean, Boolean)].collect().toSeq
+      assert(out == Seq((1L, true, false), (2L, true, false)))
+    }
+  }
 }

@@ -255,6 +255,18 @@ class MultimodalSpec extends SparkSpec {
     assert(sniffEbmlMeta(el(ebmlId,
       el(docTypeId, "webm".getBytes("US-ASCII"))) ++
       el(segmentId, el(infoId, Array.empty[Byte]))).isEmpty)
+    // hostile declared size ≥ 2^31 whose LOW 32 BITS are small: an Int
+    // bound check would truncate (2^32 + payloadLen → payloadLen) and
+    // misparse the corrupt segment as valid; the Long check rejects it
+    val body8 = el(infoId,
+      el(scaleId, Array(0x3B, 0x9A, 0xCA, 0x00).map(_.toByte)) ++
+        el(durId, f64(7.0)))
+    val hostileSz = (1L << 32) + body8.length
+    val hostileVint = Array(0x01.toByte) ++
+      (6 to 0 by -1).map(i => ((hostileSz >> (8 * i)) & 0xff).toByte)
+    val hostile = el(ebmlId, el(docTypeId, "matroska".getBytes("US-ASCII"))) ++
+      segmentId ++ hostileVint ++ body8
+    assert(sniffEbmlMeta(hostile).isEmpty)
     // the DataFrame wrapper maps partitions with null passthrough
     assert(Multimodal.ebmlMeta(
       Seq((1L, mk("webm", 1000000000L, 9.0, Seq(2))),
