@@ -2527,6 +2527,50 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // REAL FLAC/Ogg-Opus container sniffing: payloads are VALID
+    // headers built in SQL — a FLAC STREAMINFO block packing
+    // rate/channels/bps/total-samples into its 64-bit field for even
+    // ids (total = (doc_id%300+1)s at 44.1 kHz), a two-page Ogg Opus
+    // stream (OpusHead + EOS page whose granule encodes pre-skip 312 +
+    // (doc_id%100+1)*4800 samples) otherwise, every 7th doc non-audio
+    // → nulls. The oracle recomputes rate/channels/samples/duration
+    // from doc_id — wrong bit offsets, endianness, or pre-skip math
+    // fail the hash.
+    "x_multimodal_sniff_container" -> ((s, d) => {
+      def B(xs: Int*): Column = lit(xs.map(_.toByte).toArray)
+      def zeros(n: Int): Column = lit(Array.fill[Byte](n)(0))
+      val flacBase = (44100L << 44) | (1L << 41) | (15L << 36)
+      val total = ((pmod(col("doc_id"), lit(300)) + 1) * 44100L).cast("long")
+      val packed8 = unhex(lpad(hex(lit(flacBase) + total), 16, "0"))
+      val flacPayload = concat(lit("fLaC".getBytes("US-ASCII")),
+        B(0x80, 0, 0, 34), B(0x10, 0, 0x10, 0), zeros(6), packed8,
+        zeros(16))
+      // little-endian 8 bytes of a non-negative long (Ogg granule)
+      def le8(c: Column): Column = {
+        val h = lpad(hex(c), 16, "0")
+        concat((7 to 0 by -1).map(i => unhex(substring(h, 2 * i + 1, 2))): _*)
+      }
+      val opusHead = concat(lit("OpusHead".getBytes("US-ASCII")),
+        B(1, 2, 0x38, 0x01, 0x80, 0xBB, 0, 0, 0, 0, 0)) // pre-skip 312, 48 kHz
+      val headPage = concat(lit("OggS".getBytes("US-ASCII")), B(0, 2),
+        zeros(8), B(7, 0, 0, 0), zeros(4), zeros(4), B(1, 19), opusHead)
+      val granule =
+        (pmod(col("doc_id"), lit(100)) + 1) * 4800L + 312L
+      val eosPage = concat(lit("OggS".getBytes("US-ASCII")), B(0, 4),
+        le8(granule.cast("long")), B(7, 0, 0, 0), B(1, 0, 0, 0), zeros(4),
+        B(1, 1), B(0x55))
+      val payload = when(pmod(col("doc_id"), lit(7)) === 0,
+          lit("not audio".getBytes("US-ASCII")))
+        .when(pmod(col("doc_id"), lit(2)) === 0, flacPayload)
+        .otherwise(concat(headPage, eosPage))
+      operators.Multimodal.containerAudioMeta(
+          Tables.documents(s, d).select(col("doc_id"),
+            payload.as("payload")),
+          "doc_id", "payload")
+        .withColumn("duration_s", round(col("duration_s"), 6))
+        .orderBy("id")
+    }),
+
     // Multimodal: stubbed decode over mapPartitions batches. The stub
     // derives features from the payload md5, so the DuckDB oracle can
     // recompute every row in SQL (md5_number_lower + unsigned math) —
@@ -6577,6 +6621,28 @@ object SparkEntry {
                 WHEN doc_id % 2 = 0
                   THEN round((doc_id % 5 + 1) * 1152.0 / 44100, 6)
                 ELSE round((doc_id % 5 + 1) * 1024.0 / 44100, 6)
+           END AS duration_s
+         FROM documents ORDER BY id""",
+    // FLAC STREAMINFO / Ogg-Opus granule math recomputed from doc_id;
+    // opus total = granule - preskip, duration = total / 48000
+    "x_multimodal_sniff_container" ->
+      """SELECT doc_id AS id,
+           CASE WHEN doc_id % 7 = 0 THEN NULL
+                WHEN doc_id % 2 = 0 THEN 'flac' ELSE 'opus' END AS format,
+           CASE WHEN doc_id % 7 = 0 THEN NULL
+                WHEN doc_id % 2 = 0 THEN CAST(44100 AS INTEGER)
+                ELSE CAST(48000 AS INTEGER) END AS sample_rate,
+           CASE WHEN doc_id % 7 = 0 THEN NULL
+                ELSE CAST(2 AS INTEGER) END AS channels,
+           CASE WHEN doc_id % 7 = 0 THEN NULL
+                WHEN doc_id % 2 = 0
+                  THEN CAST((doc_id % 300 + 1) * 44100 AS BIGINT)
+                ELSE CAST((doc_id % 100 + 1) * 4800 AS BIGINT)
+           END AS total_samples,
+           CASE WHEN doc_id % 7 = 0 THEN NULL
+                WHEN doc_id % 2 = 0 THEN
+                  round(CAST((doc_id % 300 + 1) * 44100 AS DOUBLE) / 44100, 6)
+                ELSE round(CAST((doc_id % 100 + 1) * 4800 AS DOUBLE) / 48000, 6)
            END AS duration_s
          FROM documents ORDER BY id""",
     // centroids = per-(label, dim) averages rounded 6dp, argmax by

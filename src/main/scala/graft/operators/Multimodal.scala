@@ -312,6 +312,88 @@ object Multimodal {
         } else None
       } catch { case _: Exception => None }
 
+    /** REAL FLAC / Ogg container sniffing — public-spec header parsing,
+      * no codec, completing the codec-free metadata family
+      * ([[sniffEbmlMeta]], [[sniffCompressedAudioMeta]]):
+      *
+      *   - FLAC: the mandatory first STREAMINFO metadata block packs
+      *     sample rate (20 bits), channels−1 (3), bits-per-sample−1 (5)
+      *     and total samples (36) into one 64-bit big-endian field at
+      *     byte 10 — duration = totalSamples / rate exactly.
+      *   - Ogg: page walk (27-byte header + segment table; CRCs are NOT
+      *     validated — this is a sniffer, not a verifier). The first
+      *     page's body identifies the codec: `OpusHead` (channels,
+      *     pre-skip; Opus output is always 48 kHz) or `\x01vorbis`
+      *     (channels, rate). Duration comes from the LAST page's
+      *     granule position of the same serial: Opus
+      *     `(granule − preSkip) / 48000`, Vorbis `granule / rate`.
+      *     The walk stops at the first malformed page and uses the
+      *     last valid granule so far (the truncated-tail convention).
+      *
+      * Returns `(format, sample_rate, channels, total_samples,
+      * duration_s)`; None when the magic doesn't match or the first
+      * header block is malformed.
+      */
+    def sniffContainerAudioMeta(p: Array[Byte])
+        : Option[(String, Int, Int, Long, Double)] =
+      try {
+        def u(i: Int) = p(i) & 0xff
+        def be(from: Int, n: Int): Long =
+          (from until from + n).foldLeft(0L)((a, i) => (a << 8) | u(i))
+        def le(from: Int, n: Int): Long =
+          (from + n - 1 to from by -1).foldLeft(0L)((a, i) => (a << 8) | u(i))
+        def ascii(from: Int, n: Int): String =
+          if (from + n <= p.length)
+            new String(p, from, n, java.nio.charset.StandardCharsets.US_ASCII)
+          else ""
+        if (ascii(0, 4) == "fLaC") {
+          // first metadata block MUST be STREAMINFO (type 0), 34 bytes
+          if (p.length < 4 + 4 + 34 || (u(4) & 0x7f) != 0) return None
+          if (be(5, 3) < 34) return None
+          val b = 8 // STREAMINFO payload start
+          val packed = be(b + 10, 8)
+          val rate = (packed >>> 44).toInt
+          val channels = ((packed >> 41) & 0x7).toInt + 1
+          val total = packed & ((1L << 36) - 1)
+          if (rate == 0) None // 0 is invalid per spec
+          else Some(("flac", rate, channels, total, total.toDouble / rate))
+        } else if (ascii(0, 4) == "OggS") {
+          // (bodyStart, bodyLen, granule, serial) for the page at i
+          def page(i: Int): Option[(Int, Int, Long, Long)] = {
+            if (i + 27 > p.length || ascii(i, 4) != "OggS" || u(i + 4) != 0)
+              return None
+            val nsegs = u(i + 26)
+            val bs = i + 27 + nsegs
+            if (bs > p.length) return None
+            val bodyLen = (0 until nsegs).map(k => u(i + 27 + k)).sum
+            if (bs + bodyLen > p.length) return None
+            Some((bs, bodyLen, le(i + 6, 8), le(i + 14, 4)))
+          }
+          for {
+            (bs, blen, _, serial) <- page(0)
+            (fmt, rate, channels, preSkip) <-
+              if (blen >= 19 && ascii(bs, 8) == "OpusHead")
+                Some(("opus", 48000, u(bs + 9), le(bs + 10, 2)))
+              else if (blen >= 30 && u(bs) == 1 && ascii(bs + 1, 6) == "vorbis")
+                Some(("vorbis", le(bs + 12, 4).toInt, u(bs + 11), 0L))
+              else None
+            if rate > 0
+          } yield {
+            var i = 0
+            var granule = 0L
+            var next = page(0)
+            while (next.isDefined) {
+              val (nbs, nblen, g, ser) = next.get
+              if (ser == serial && g >= 0) granule = g
+              i = nbs + nblen
+              next = page(i)
+            }
+            val total = math.max(0L, granule - preSkip)
+            (fmt, rate, channels, total, total.toDouble / rate)
+          }
+        } else None
+      } catch { case _: Exception => None }
+
     /** Deterministic stand-in for the COMPRESSED-media decoders the JDK
       * lacks (MP3/AAC/video): derives fake dimensions from the
       * payload's md5 (unsigned arithmetic, so the SQL oracle's UBIGINT
@@ -583,6 +665,36 @@ object Multimodal {
           .flatMap(MediaCodec.sniffCompressedAudioMeta) match {
           case Some((f, sr, n, dur)) => Row(r.get(idIdx), f, sr, n, dur)
           case None => Row(r.get(idIdx), null, null, null, null)
+        }
+      }
+    }(enc)
+  }
+
+  /** FLAC / Ogg (Opus, Vorbis) container sniffing over partition
+    * batches — `(id, format, sample_rate, channels, total_samples,
+    * duration_s)` via [[MediaCodec.sniffContainerAudioMeta]]; nulls
+    * for null/non-container payloads. Same mapPartitions shape as
+    * [[compressedAudioMeta]].
+    */
+  def containerAudioMeta(df: DataFrame, idCol: String,
+      binCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", df.schema(idCol).dataType, nullable = false),
+      StructField("format", StringType, nullable = true),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("channels", IntegerType, nullable = true),
+      StructField("total_samples", LongType, nullable = true),
+      StructField("duration_s", DoubleType, nullable = true)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        Option(r.get(binIdx)).map(_.asInstanceOf[Array[Byte]])
+          .flatMap(MediaCodec.sniffContainerAudioMeta) match {
+          case Some((f, sr, ch, ts, dur)) =>
+            Row(r.get(idIdx), f, sr, ch, ts, dur)
+          case None => Row(r.get(idIdx), null, null, null, null, null)
         }
       }
     }(enc)

@@ -314,6 +314,73 @@ class MultimodalSpec extends SparkSpec {
         Some(2 * 1024.0 / 44100)), (2L, None, None, None, None)))
   }
 
+  test("sniffContainerAudioMeta: FLAC STREAMINFO and Ogg Opus/Vorbis pages") {
+    import Multimodal.MediaCodec.sniffContainerAudioMeta
+
+    def flac(rate: Int, channels: Int, total: Long): Array[Byte] = {
+      val packed = (rate.toLong << 44) | ((channels - 1).toLong << 41) |
+        (15L << 36) | total // bps-1 = 15 (16-bit)
+      "fLaC".getBytes("US-ASCII") ++
+        Array[Byte](0x80.toByte, 0, 0, 34) ++ // last-block flag, STREAMINFO, len 34
+        Array[Byte](0x10, 0, 0x10, 0) ++ Array.fill[Byte](6)(0) ++ // block/frame sizes
+        (7 to 0 by -1).map(i => ((packed >> (8 * i)) & 0xff).toByte).toArray ++
+        Array.fill[Byte](16)(0) // md5
+    }
+    assert(sniffContainerAudioMeta(flac(44100, 2, 44100L * 3)) ==
+      Some(("flac", 44100, 2, 132300L, 3.0)))
+    assert(sniffContainerAudioMeta(flac(0, 2, 100)).isEmpty) // rate 0 invalid
+
+    def le(v: Long, n: Int): Array[Byte] =
+      (0 until n).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
+    def oggPage(tpe: Int, granule: Long, serial: Long, seq: Long,
+        body: Array[Byte]): Array[Byte] = {
+      require(body.length < 255)
+      "OggS".getBytes("US-ASCII") ++ Array(0.toByte, tpe.toByte) ++
+        le(granule, 8) ++ le(serial, 4) ++ le(seq, 4) ++ le(0, 4) ++
+        Array(1.toByte, body.length.toByte) ++ body
+    }
+    val opusHead = "OpusHead".getBytes("US-ASCII") ++
+      Array(1.toByte, 2.toByte) ++ le(312, 2) ++ le(48000, 4) ++
+      le(0, 2) ++ Array(0.toByte)
+    val opus = oggPage(2, 0, 7, 0, opusHead) ++
+      oggPage(0, 312 + 9600, 7, 1, Array[Byte](0x55)) ++
+      oggPage(4, 312 + 19200, 7, 2, Array[Byte](0x66))
+    assert(sniffContainerAudioMeta(opus) ==
+      Some(("opus", 48000, 2, 19200L, 0.4)))
+    // truncated tail: the last full page's granule wins
+    assert(sniffContainerAudioMeta(opus.dropRight(3)) ==
+      Some(("opus", 48000, 2, 9600L, 0.2)))
+    // a -1 granule ("no packet ends here") is skipped, not used
+    val opusMinus1 = oggPage(2, 0, 7, 0, opusHead) ++
+      oggPage(0, 312 + 4800, 7, 1, Array[Byte](0x55)) ++
+      oggPage(4, -1L, 7, 2, Array[Byte](0x66))
+    assert(sniffContainerAudioMeta(opusMinus1) ==
+      Some(("opus", 48000, 2, 4800L, 0.1)))
+
+    val vorbisId = Array(1.toByte) ++ "vorbis".getBytes("US-ASCII") ++
+      le(0, 4) ++ Array(2.toByte) ++ le(22050, 4) ++
+      le(0, 4) ++ le(0, 4) ++ le(0, 4) ++ Array(0xB8.toByte, 1.toByte)
+    val vorbis = oggPage(2, 0, 9, 0, vorbisId) ++
+      oggPage(4, 22050, 9, 1, Array[Byte](0x11))
+    assert(sniffContainerAudioMeta(vorbis) ==
+      Some(("vorbis", 22050, 2, 22050L, 1.0)))
+
+    // garbage / truncated header / foreign codec all None
+    assert(sniffContainerAudioMeta("nope".getBytes("US-ASCII")).isEmpty)
+    assert(sniffContainerAudioMeta(flac(44100, 2, 100).take(20)).isEmpty)
+    assert(sniffContainerAudioMeta(
+      oggPage(2, 0, 7, 0, "Speex   ".getBytes("US-ASCII"))).isEmpty)
+
+    // DataFrame wrapper: null passthrough + schema
+    assert(Multimodal.containerAudioMeta(
+      Seq((1L, flac(8000, 1, 8000L)), (2L, Array[Byte](7))).toDF("id", "payload"),
+      "id", "payload")
+      .as[(Long, Option[String], Option[Int], Option[Int], Option[Long], Option[Double])]
+      .collect().toSet ==
+      Set((1L, Some("flac"), Some(8000), Some(1), Some(8000L), Some(1.0)),
+        (2L, None, None, None, None, None)))
+  }
+
   test("decodeAudioFeatures: REAL WAV PCM parse with exact RMS") {
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
     def wav(samples: Array[Short], rate: Float = 8000f): Array[Byte] = {
