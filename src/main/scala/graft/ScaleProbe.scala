@@ -105,6 +105,25 @@ object ScaleProbe {
     val queryVecs = baseEmb.filter(col("vec_id") < 100)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
 
+    // the pure-projection text family probed on BOTH axes (corpus rows
+    // and per-doc token count) — interpreted-HOF cost bugs are
+    // doc-length-superlinear and corpus-linear, so they only show on
+    // the second axis. bpe merge table = the x_bpe_apply fixture.
+    val probeMerges = Seq(("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+      ("an", "d"), ("e", "r"), ("o", "n"), ("r", "e"))
+    val textOps: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "winnow" -> (df => operators.Dedup.winnowingFingerprints(
+        df, "doc_id", "text")),
+      "mask" -> (df => operators.Corpus.maskTokens(
+        df, "doc_id", "text", 150)),
+      "bpe_apply" -> (df => df.select(col("doc_id"),
+        size(functions.TextExpressions.bpeTokens(
+          lower(col("text")), probeMerges)).as("n_tokens"))),
+      "chunk" -> (df => operators.Corpus.chunk(
+        df, "doc_id", "text", chunkSize = 50, overlap = 10)),
+      "pack" -> (df => operators.Corpus.packSequences(
+        df, "doc_id", "text", 512L)))
+
     // (family, leg, scale) -> seconds
     val results = collection.mutable.LinkedHashMap[(String, String),
       collection.mutable.LinkedHashMap[Int, Double]]()
@@ -205,6 +224,18 @@ object ScaleProbe {
         record("embed_dedup_pruned", "fit_and_pairs", n, tAll)
       }
 
+      // ---- Text projections (corpus axis): pure per-row ops ----------
+      // time-vs-ROWS must be ~1.0; evaluation forced through the noop
+      // sink (a count() would let Catalyst prune the projection away)
+      if (famOn("text_proj")) locally {
+        textOps.foreach { case (leg, op) =>
+          val (_, t) = time {
+            op(docsN).write.format("noop").mode("overwrite").save()
+          }
+          record("text_proj", leg, n, t)
+        }
+      }
+
       // ---- Incremental postings: init linear, commit+search O(batch) -
       if (famOn("inc_postings")) locally {
         val dir = s"$scratch/incpost_x$n"
@@ -229,23 +260,59 @@ object ScaleProbe {
     warmingUp = false
     scales.foreach(runScale)
 
+    // ---- Text projections (DOC-LENGTH axis) --------------------------
+    // The r8 winnowing quadratic was doc-length-quadratic but
+    // corpus-LINEAR — the rows axis above cannot expose that class of
+    // bug, so the same ops are probed against corpora whose per-doc
+    // token count grows ×L at CONSTANT row count. Exponent vs L must
+    // be ~1.0 for every per-token projection (winnowing's window pass
+    // is O(tokens × w); pre-fix it measured ~2).
+    if (famOn("text_len")) {
+      val lenScales = Seq(1, 2, 4)
+      def lenPath(l: Int) = s"$scratch/docs_len$l"
+      lenScales.foreach { l =>
+        baseDocs.select(col("doc_id"),
+            array_join(transform(sequence(lit(1), lit(l)),
+              i => concat(col("text"), lit(" seg"), i.cast("string"))),
+              " ").as("text"))
+          .repartition(32)
+          .write.mode("overwrite").parquet(lenPath(l))
+      }
+      def docsLen(l: Int) = spark.read.parquet(lenPath(l))
+      // warm-up at L=1, untimed
+      textOps.foreach { case (_, op) =>
+        op(docsLen(1)).write.format("noop").mode("overwrite").save()
+      }
+      lenScales.foreach { l =>
+        textOps.foreach { case (leg, op) =>
+          val (_, t) = time {
+            op(docsLen(l)).write.format("noop").mode("overwrite").save()
+          }
+          record("text_len", leg, l, t)
+        }
+      }
+    }
+
     // ---- report ------------------------------------------------------
-    println("\n| family | leg | " +
-      scales.map(n => s"x$n (s)").mkString(" | ") + " | exponent |")
-    println("|---|---|" + scales.map(_ => "---").mkString("|") + "|---|")
+    // families carry their OWN scale axis (text_len runs ×1/×2/×4 doc
+    // length; everything else the corpus-rows grid), so cells are
+    // labeled per family rather than sharing one column header
+    println("\n| family | leg | times | exponent |")
+    println("|---|---|---|---|")
     val json = new StringBuilder("{\"scales\":[" +
       scales.mkString(",") + "],\"families\":{")
     var first = true
     results.foreach { case ((fam, leg), byScale) =>
-      val pts = scales.map(n => n -> byScale(n))
+      val pts = byScale.toSeq
       val exp = exponent(pts)
       println(s"| $fam | $leg | " +
-        scales.map(n => f"${byScale(n)}%.2f").mkString(" | ") +
+        pts.map { case (n, t) => f"x$n=${t}%.2f s" }.mkString(", ") +
         f" | ${exp}%.2f |")
       if (!first) json.append(",")
       first = false
-      json.append(s""""$fam/$leg":{"times":[""" +
-        scales.map(n => f"${byScale(n)}%.3f").mkString(",") +
+      json.append(s""""$fam/$leg":{"scales":[""" +
+        pts.map(_._1).mkString(",") + """],"times":[""" +
+        pts.map(p => f"${p._2}%.3f").mkString(",") +
         f"""],"exponent":${exp}%.3f}""")
     }
     json.append("}}")
