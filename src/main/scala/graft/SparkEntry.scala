@@ -2652,6 +2652,16 @@ object SparkEntry {
         "text", permille = 150)
         .orderBy("doc_id")),
 
+    // T5-style span corruption: stride-4 segments fire per md5-56
+    // bucket, fired segments mask 1-3 tokens behind one ordered
+    // sentinel; targets carry sentinel+span pairs plus the closing
+    // sentinel. CorpusSpec pins the round-trip property (substituting
+    // targets back into masked_text reproduces the original tokens).
+    "x_mask_spans" -> ((s, d) =>
+      operators.Corpus.maskSpans(Tables.documents(s, d), "doc_id",
+        "text", permille = 300, stride = 4, maxSpan = 3)
+        .orderBy("doc_id")),
+
     // Overlapping token-window chunking: 50-token windows advancing by 40
     // (10-token overlap) — the RAG/context-window prep step. Pure per-row
     // generate+project, no shuffle.
@@ -6789,6 +6799,57 @@ object SparkEntry {
              AS INTEGER) AS n_masked,
            array_to_string(list(tok2 ORDER BY pos), ' ') AS masked_text
          FROM m GROUP BY doc_id ORDER BY doc_id""",
+    // span corruption recomputed from doc_id: fired stride-4 segments
+    // (md5-56 bucket), span length 1-3 from the sibling hash, sentinel
+    // rank by segment order; masked text drops in-span tokens behind
+    // the sentinel, targets = sentinel+span pairs + closing sentinel
+    "x_mask_spans" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS w
+           FROM documents),
+         seg AS (SELECT doc_id, w,
+             unnest(generate_series(0, (len(w) - 1) // 4)) AS j
+           FROM t WHERE len(w) > 0),
+         fired AS (SELECT doc_id, w, j,
+             CAST(1 + (md5_number_lower(doc_id || ':' || j || ':l')
+               % 72057594037927936) % 3 AS INT) AS len
+           FROM seg
+           WHERE (md5_number_lower(doc_id || ':' || j || ':s')
+               % 72057594037927936) % 1000 < 300),
+         ranked AS (SELECT doc_id, w, j, len,
+             CAST(row_number() OVER (PARTITION BY doc_id ORDER BY j) - 1
+               AS INT) AS k
+           FROM fired),
+         pos AS (SELECT doc_id, unnest(w) AS tok,
+             unnest(generate_series(0, len(w) - 1)) AS i
+           FROM t),
+         mt AS (SELECT p.doc_id, p.i,
+             CASE WHEN r.j IS NOT NULL AND p.i = r.j * 4
+                    THEN '<extra_id_' || r.k || '>'
+                  WHEN r.j IS NOT NULL THEN NULL
+                  ELSE p.tok END AS tok2
+           FROM pos p LEFT JOIN ranked r
+             ON p.doc_id = r.doc_id AND p.i // 4 = r.j
+               AND p.i - r.j * 4 < r.len),
+         masked AS (SELECT doc_id,
+             array_to_string(list(tok2 ORDER BY i)
+               FILTER (tok2 IS NOT NULL), ' ') AS masked_text
+           FROM mt GROUP BY doc_id),
+         tg AS (SELECT doc_id, k, '<extra_id_' || k || '> ' ||
+               array_to_string(w[j * 4 + 1 : j * 4 + len], ' ') AS piece
+           FROM ranked),
+         tgt AS (SELECT doc_id, CAST(count(*) AS INT) AS n_spans,
+             array_to_string(list(piece ORDER BY k), ' ') AS tp
+           FROM tg GROUP BY doc_id)
+         SELECT t.doc_id AS doc_id, CAST(len(w) AS INT) AS n_tokens,
+           coalesce(n_spans, 0) AS n_spans,
+           coalesce(masked_text, '') AS masked_text,
+           CASE WHEN tp IS NULL THEN '<extra_id_0>'
+                ELSE tp || ' <extra_id_' || n_spans || '>'
+           END AS targets_text
+         FROM t LEFT JOIN masked ON t.doc_id = masked.doc_id
+           LEFT JOIN tgt ON t.doc_id = tgt.doc_id
+         ORDER BY t.doc_id""",
     "x_chunk" ->
       """WITH t AS (SELECT doc_id,
              list_filter(string_split(text, ' '), x -> x <> '') AS w

@@ -195,6 +195,85 @@ object Corpus {
         array_join(col("_m"), " ").as("masked_text"))
   }
 
+  /** Deterministic SPAN corruption — the T5 span-denoising preview
+    * ([[maskTokens]] is the BERT-style single-token sibling): the token
+    * stream is cut into stride-`stride` segments; segment `j` of
+    * document `id` fires iff `md5_56(id:j:s) % 1000 < permille`, and a
+    * fired segment masks its first `1 + md5_56(id:j:l) % maxSpan`
+    * tokens behind ONE sentinel `<extra_id_K>` (K = the span's rank in
+    * document order). Targets are the T5 layout: each span's sentinel
+    * followed by the masked tokens, closed by a final sentinel. Spans
+    * cannot overlap by construction (each lives in its own segment,
+    * `maxSpan ≤ stride`), which is what makes the corruption exactly
+    * reproducible in any engine — the md5-56 convention of
+    * [[deterministicSample]], auditable like the rest of the family.
+    * Returns `(idCol, n_tokens, n_spans, masked_text, targets_text)`.
+    *
+    * Scale shape: segments explode to at most tokens/stride rows per
+    * doc (hash evaluated ONCE per segment in a codegen'd top-level
+    * projection, never inside a HOF lambda), span ranks come from a
+    * per-document window over fired segments (state bounded by
+    * spans-per-doc), and the final projection rebuilds text via
+    * bound-value lookups (`element_at` on the per-doc span map) — two
+    * id-keyed shuffles total, independent of corpus width.
+    */
+  def maskSpans(df: DataFrame, idCol: String, textCol: String,
+      permille: Int, stride: Int = 4, maxSpan: Int = 3,
+      sentinelPrefix: String = "<extra_id_"): DataFrame = {
+    require(permille >= 0 && permille <= 1000,
+      s"permille must be in [0,1000], got $permille")
+    require(stride >= 1, s"stride must be positive, got $stride")
+    require(maxSpan >= 1 && maxSpan <= stride,
+      s"maxSpan must be in [1, stride], got $maxSpan")
+    def sentinel(k: Column): Column =
+      concat(lit(sentinelPrefix), k.cast("string"), lit(">"))
+    val toks = filter(split(col(textCol), " "), t => t =!= lit(""))
+    val base = df.select(col(idCol), toks.as("_t"))
+      .withColumn("_n", size(col("_t")))
+    def segHash(tag: String) = sampleHash(concat(
+      col(idCol).cast("string"), lit(":"), col("_j").cast("string"),
+      lit(":" + tag)))
+    val spans = base.filter(col("_n") > 0)
+      .select(col(idCol),
+        explode(sequence(lit(0L), expr(s"cast((_n - 1) div $stride as long)")))
+          .as("_j"))
+      .filter(pmod(segHash("s"), lit(1000L)) < permille)
+      .withColumn("_len",
+        (pmod(segHash("l"), lit(maxSpan.toLong)) + 1).cast("int"))
+      .withColumn("_k", (row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(idCol)
+          .orderBy("_j")) - 1).cast("int"))
+      .groupBy(idCol)
+      .agg(array_sort(collect_list(struct(col("_j"), col("_k"),
+        col("_len")))).as("_spans"))
+    val emptySpans = array().cast(
+      "array<struct<_j:bigint,_k:int,_len:int>>")
+    val masked = base.join(spans, Seq(idCol), "left")
+      .withColumn("_spans", coalesce(col("_spans"), emptySpans))
+      .withColumn("_sm", map_from_entries(
+        transform(col("_spans"), s => struct(s.getField("_j"), s))))
+    def segOf(i: Column): Column =
+      floor(i.cast("double") / stride).cast("long")
+    masked.select(col(idCol), col("_n").as("n_tokens"),
+        size(col("_spans")).as("n_spans"),
+        array_join(filter(transform(col("_t"), (t, i) => {
+          val e = element_at(col("_sm"), segOf(i))
+          val inSpan = e.isNotNull &&
+            (i.cast("long") - segOf(i) * stride) < e.getField("_len")
+          when(inSpan && i.cast("long") === segOf(i) * stride,
+            sentinel(e.getField("_k")))
+            .when(inSpan, lit(null))
+            .otherwise(t)
+        }), t => t.isNotNull), " ").as("masked_text"),
+        array_join(concat(
+          transform(col("_spans"), s =>
+            concat(sentinel(s.getField("_k")), lit(" "),
+              array_join(slice(col("_t"),
+                (s.getField("_j") * stride + 1).cast("int"),
+                s.getField("_len")), " "))),
+          array(sentinel(size(col("_spans"))))), " ").as("targets_text"))
+  }
+
   /** Deterministic train/val/test split: assign each row a split label
     * from `md5_56(id) % 1000` — the holdout-carving step run before any
     * training job. The same hash family as [[deterministicSample]], so the

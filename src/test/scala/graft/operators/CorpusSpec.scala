@@ -402,6 +402,65 @@ class CorpusSpec extends SparkSpec {
       plan.contains("BroadcastExchange"), plan)
   }
 
+  test("maskSpans: T5 span corruption is reproducible and round-trips") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l m"),
+      (2L, "one two three"),
+      (3L, ""),
+      (4L, "  double  spaced  tokens  ")).toDF("doc_id", "text")
+    def run() = Corpus.maskSpans(docs, "doc_id", "text",
+        permille = 400, stride = 4, maxSpan = 3)
+      .orderBy("doc_id")
+      .as[(Long, Int, Int, String, String)].collect().toSeq
+    val out = run()
+    assert(out == run()) // deterministic
+
+    val sentinelRe = "<extra_id_(\\d+)>".r
+    for (((id, n, nSpans, masked, targets), orig) <- out.zip(Seq(
+        "a b c d e f g h i j k l m", "one two three", "",
+        "double spaced tokens"))) {
+      val origToks = orig.split(" ").filter(_.nonEmpty)
+      assert(n == origToks.length, s"doc $id token count")
+      // masked text carries each span sentinel exactly once, in order
+      val maskedSents = sentinelRe.findAllMatchIn(masked)
+        .map(_.group(1).toInt).toSeq
+      assert(maskedSents == (0 until nSpans), s"doc $id sentinels: $masked")
+      // targets: every span's sentinel + a closing one
+      val targetSents = sentinelRe.findAllMatchIn(targets)
+        .map(_.group(1).toInt).toSeq
+      assert(targetSents == (0 to nSpans), s"doc $id targets: $targets")
+      // ROUND-TRIP: substituting each sentinel's span back into the
+      // masked text reproduces the original token stream exactly
+      val spanToks: Map[Int, Seq[String]] = {
+        val parts = sentinelRe.split(targets).toSeq // text between sentinels
+        val ks = targetSents
+        ks.dropRight(1).zip(parts.drop(1))
+          .map { case (k, seg) =>
+            k -> seg.trim.split(" ").filter(_.nonEmpty).toSeq }.toMap
+      }
+      val rebuilt = masked.split(" ").filter(_.nonEmpty).flatMap { t =>
+        t match {
+          case sentinelRe(k) => spanToks(k.toInt)
+          case other => Seq(other)
+        }
+      }.toSeq
+      assert(rebuilt == origToks.toSeq, s"doc $id round-trip failed:" +
+        s"\n  masked:  $masked\n  targets: $targets")
+    }
+    // empty doc: no spans, empty masked text, lone closing sentinel
+    assert(out(2) == ((3L, 0, 0, "", "<extra_id_0>")))
+
+    // permille extremes: 0 → untouched; 1000 → every segment fires
+    val zero = Corpus.maskSpans(docs.filter(col("doc_id") === 1), "doc_id",
+        "text", permille = 0).head()
+    assert(zero.getInt(2) == 0 &&
+      zero.getString(3) == "a b c d e f g h i j k l m" &&
+      zero.getString(4) == "<extra_id_0>")
+    val all = Corpus.maskSpans(docs.filter(col("doc_id") === 1), "doc_id",
+        "text", permille = 1000, stride = 4, maxSpan = 3).head()
+    assert(all.getInt(2) == (13 + 3) / 4) // ceil(13/4) = 4 segments
+  }
+
   test("decontaminateEmbeddings: empty eval side means clean, not vanished") {
     // "nothing to check" must read as contaminated=false per row, not as
     // zero rows (which looks like the whole training set disappearing)
