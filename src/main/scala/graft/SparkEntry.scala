@@ -1202,6 +1202,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Exact duplicate-span detection (the ExactSubstr shape): maximal
+    // token runs appearing verbatim in ≥2 docs, with exact positions —
+    // the cut-the-span alternative to whole-document dedup. The
+    // synthetic corpus's templated phrases yield ~1k shared 5-gram
+    // runs at sf0.01, so the gate pins positions and span text.
+    "x_dedup_spans" -> ((s, d) =>
+      operators.Dedup.duplicateSpans(Tables.documents(s, d), "doc_id",
+        "text", k = 5, minDocs = 2)
+        .orderBy("doc_id", "span_start")),
+
     // Exact n-gram Jaccard near-dup pairs (the LSH verifier, run whole).
     // This row OWNS the family's shared corpus-wide reference: the frame
     // is computed once per (sf, session) and the minhash / simhash /
@@ -5897,6 +5907,40 @@ object SparkEntry {
          SELECT p.doc_id, c.n AS cluster_size,
            round(1.0::DOUBLE / c.n, 6) AS weight
          FROM p JOIN c ON p.text = c.text ORDER BY p.doc_id""",
+    // duplicate spans: df>=2 5-gram positions folded into maximal runs
+    // (gaps-and-islands), span text sliced from the token array
+    "x_dedup_spans" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS w
+           FROM documents),
+         posu AS (SELECT doc_id, len(w) AS n, w,
+             unnest(generate_series(0, greatest(len(w) - 5, 0))) AS pos
+           FROM t WHERE len(w) > 0),
+         shing AS (SELECT doc_id, n, pos,
+             CASE WHEN n < 5 THEN array_to_string(w, ' ')
+                  ELSE array_to_string(w[pos + 1 : pos + 5], ' ')
+             END AS sh
+           FROM posu),
+         dup AS (SELECT sh FROM (SELECT sh, count(DISTINCT doc_id) AS c
+             FROM shing GROUP BY sh) WHERE c >= 2),
+         hits AS (SELECT s.doc_id, s.n, s.pos
+           FROM shing s JOIN dup USING (sh)),
+         runs AS (SELECT doc_id, n, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS grp
+           FROM hits),
+         agg AS (SELECT doc_id, any_value(n) AS n,
+             min(pos) AS span_start,
+             max(pos) - min(pos) + 5 AS rawlen
+           FROM runs GROUP BY doc_id, grp)
+         SELECT a.doc_id AS doc_id,
+           CAST(span_start AS INT) AS span_start,
+           CAST(least(rawlen, n - span_start) AS INT) AS span_tokens,
+           array_to_string(
+             w[span_start + 1 : span_start + least(rawlen, n - span_start)],
+             ' ') AS span_text
+         FROM agg a JOIN t USING (doc_id)
+         ORDER BY doc_id, span_start""",
     "x_dedup_ngram" ->
       """WITH sh AS (SELECT DISTINCT doc_id, g FROM (
              SELECT doc_id, unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]

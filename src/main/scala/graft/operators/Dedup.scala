@@ -653,6 +653,64 @@ object Dedup {
     * to the 6dp display rounding (a cluster of 3 sums to 0.999999, not
     * exactly 1).
     */
+  /** Exact duplicate-SPAN detection — the distributed shape of the
+    * ExactSubstr method (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better"): find the maximal token runs whose every
+    * `k`-gram appears verbatim in ≥ `minDocs` distinct documents, with
+    * exact positions, so a pipeline can CUT duplicated spans instead of
+    * dropping whole near-dup documents. Consecutive duplicated shingle
+    * positions within a doc merge into one maximal run (the
+    * gaps-and-islands fold). Guarantees: every shared substring of
+    * ≥ k tokens is covered by some emitted run; a run is the UNION of
+    * overlapping shared k-grams, so its full extent need not occur
+    * verbatim in any single partner doc (the standard over-approximation
+    * — ExactSubstr's cut semantics want exactly this cover). Returns
+    * `(idCol, span_start, span_tokens, span_text)` — token offsets,
+    * 0-based.
+    *
+    * Documents shorter than `k` tokens shingle to their whole text
+    * ([[graft.functions.WordShingles]] semantics), so a short doc
+    * contained verbatim in a longer one is still caught; empty docs emit
+    * nothing.
+    *
+    * Scale shape: suffix arrays don't distribute; this does — one
+    * (doc, shingle) distinct + df hash agg (map-side combinable), one
+    * shingle-keyed equi-join back to positions (duplicated shingles
+    * only — the corpus never meets itself all-pairs), one per-doc window
+    * over HIT positions (state bounded by hits-per-doc, not corpus), and
+    * a final id-keyed join to slice span text. Hot shingles (boilerplate)
+    * fan out by their true df, which is exactly the output the operator
+    * exists to surface.
+    */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, minDocs: Int = 2): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val base = df.select(col(idCol),
+        filter(split(col(textCol), " "), t => t =!= lit("")).as("_t"))
+      .withColumn("_n", size(col("_t")))
+    val posSh = df.select(col(idCol),
+        posexplode(TextFunctions.wordShingles(col(textCol), k))
+          .as(Seq("_pos", "_sh")))
+      .filter(col("_sh") =!= "") // empty docs collapse to one "" shingle
+    val dup = posSh.select(col(idCol), col("_sh")).distinct()
+      .groupBy("_sh").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= minDocs)
+      .select("_sh")
+    val w = Window.partitionBy(idCol).orderBy("_pos")
+    val runs = posSh.join(dup, "_sh")
+      .withColumn("_grp", col("_pos") - row_number().over(w))
+      .groupBy(col(idCol), col("_grp"))
+      .agg(min("_pos").as("span_start"),
+        (max("_pos") - min("_pos") + k).as("_rawlen"))
+    val spanLen = least(col("_rawlen"), col("_n") - col("span_start"))
+    runs.join(base, Seq(idCol))
+      .select(col(idCol), col("span_start").cast("int").as("span_start"),
+        spanLen.cast("int").as("span_tokens"),
+        array_join(slice(col("_t"), col("span_start") + 1, spanLen), " ")
+          .as("span_text"))
+  }
+
   def softWeights(df: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("_fp")

@@ -240,4 +240,41 @@ class DedupSpec extends SparkSpec {
     assert(out.size == 6)
     assert(math.abs(out.map(_._3).sum - 3.0) < 1e-5)
   }
+
+  test("duplicateSpans: maximal shared token runs with exact positions") {
+    val shared = "alpha beta gamma delta epsilon zeta" // 6 tokens
+    val df = Seq(
+      (1L, s"intro words here $shared tail one"),
+      (2L, s"$shared completely different ending text"),
+      (3L, "nothing shared with anyone at all here"),
+      (4L, "alpha beta gamma"), // exactly one 3-gram, contained in 1+2
+      (5L, "")).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(df, "doc_id", "text", k = 3)
+      .orderBy("doc_id", "span_start")
+      .as[(Long, Int, Int, String)].collect().toSeq
+    // docs 1+2 share the 6-token run; doc 4's whole text is a 3-gram of
+    // both → it participates too, and extends their runs' hit sets
+    val expected1 = out.filter(_._1 == 1L)
+    assert(expected1 == Seq((1L, 3, 6, shared)), s"got $out")
+    val expected2 = out.filter(_._1 == 2L)
+    assert(expected2 == Seq((2L, 0, 6, shared)))
+    // doc 3 and the empty doc emit nothing
+    assert(!out.exists(r => r._1 == 3L || r._1 == 5L))
+    // the short doc is caught as contained verbatim
+    assert(out.filter(_._1 == 4L) == Seq((4L, 0, 3, "alpha beta gamma")))
+
+    // adjacent duplicated shingles merge into ONE maximal run, never
+    // one row per shingle position
+    assert(out.count(_._1 == 1L) == 1)
+
+    // two disjoint shared runs in one doc stay two rows
+    val df2 = Seq(
+      (1L, "a b c X X X d e f"),
+      (2L, "a b c Y Y Y d e f")).toDF("doc_id", "text")
+    val out2 = Dedup.duplicateSpans(df2, "doc_id", "text", k = 3)
+      .orderBy("doc_id", "span_start")
+      .as[(Long, Int, Int, String)].collect().toSeq
+    assert(out2 == Seq((1L, 0, 3, "a b c"), (1L, 6, 3, "d e f"),
+      (2L, 0, 3, "a b c"), (2L, 6, 3, "d e f")))
+  }
 }
