@@ -962,6 +962,15 @@ object SparkEntry {
         "stream data", slop = 1)
         .orderBy("doc_id")),
 
+    // SpanOr: union of two ordered-proximity clauses, per-doc count of
+    // matched clauses (the matched_queries evidence).
+    "q_span_or" -> ((s, d) =>
+      sink.InvertedIndex.spanOrSearch(
+        sink.InvertedIndex.positionalPostings(
+          Tables.documents(s, d), "doc_id", "text"),
+        Seq(("stream data", 1), ("merge window", 2)))
+        .orderBy("doc_id")),
+
     // SpanWithin (Lucene SpanWithin/SpanContaining doc semantics):
     // 'merge' occurring INSIDE a stream…data span of slop ≤ 10 — over
     // ALL qualifying spans, not the greedy minimal ones (which would
@@ -5065,6 +5074,28 @@ object SparkEntry {
            ON a.doc_id = b.doc_id
          WHERE b.pos > a.pos AND b.pos - a.pos - 1 <= 1
          ORDER BY a.doc_id""",
+    // span_or: each clause re-derived as its own ordered-proximity
+    // exists, matched-clause count per doc
+    "q_span_or" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+           FROM documents),
+         p AS (SELECT doc_id, unnest(w) AS term,
+             generate_subscripts(w, 1) AS pos
+           FROM t),
+         c1 AS (SELECT DISTINCT a.doc_id FROM
+             (SELECT doc_id, pos FROM p WHERE term = 'stream') a
+           JOIN (SELECT doc_id, pos FROM p WHERE term = 'data') b
+             ON a.doc_id = b.doc_id
+           WHERE b.pos > a.pos AND b.pos - a.pos - 1 <= 1),
+         c2 AS (SELECT DISTINCT a.doc_id FROM
+             (SELECT doc_id, pos FROM p WHERE term = 'merge') a
+           JOIN (SELECT doc_id, pos FROM p WHERE term = 'window') b
+             ON a.doc_id = b.doc_id
+           WHERE b.pos > a.pos AND b.pos - a.pos - 1 <= 2),
+         u AS (SELECT doc_id FROM c1 UNION ALL SELECT doc_id FROM c2)
+         SELECT doc_id, CAST(count(*) AS INT) AS n_clauses
+         FROM u GROUP BY doc_id ORDER BY doc_id""",
     // containment over ALL qualifying big spans; 1-based subscripts,
     // relative position arithmetic only
     "q_span_within" ->

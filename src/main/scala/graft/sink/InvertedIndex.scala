@@ -199,6 +199,26 @@ object InvertedIndex {
       .filter(col("best_gap") <= maxGaps)
   }
 
+  /** SpanOrQuery (Lucene SpanOrQuery / ES span_or): the UNION of span
+    * clauses — a document matches when ANY ordered-proximity clause
+    * ([[spanNearSearch]] semantics) matches; reports how many clauses
+    * matched, the per-doc evidence ES surfaces via matched_queries.
+    * Returns `(doc_id, n_clauses)`.
+    *
+    * Scale shape: each clause runs its own pruned spanNear plan
+    * (df(term)-sized legs, never corpus scans); the union is one
+    * id-keyed count aggregate over at most clauses × matching-docs
+    * rows, map-side combinable.
+    */
+  def spanOrSearch(positional: DataFrame,
+      clauses: Seq[(String, Int)]): DataFrame = {
+    require(clauses.nonEmpty, "span-or needs at least one clause")
+    clauses.map { case (phrase, slop) =>
+      spanNearSearch(positional, phrase, slop)
+    }.reduce(_.unionByName(_))
+      .groupBy("doc_id").agg(count(lit(1)).cast("int").as("n_clauses"))
+  }
+
   /** SpanFirstQuery off the positional index: the term must occur within
     * the first `end` token positions (Lucene SpanFirstQuery — a span
     * ending at or before `end`; for a single-term span that is 0-based

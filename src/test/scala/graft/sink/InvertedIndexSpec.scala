@@ -461,4 +461,22 @@ class InvertedIndexSpec extends SparkSpec {
       InvertedIndex.spanUnorderedSearch(pos, "a", "b", -1)
     }
   }
+
+  test("spanOrSearch: union of span clauses with matched-clause counts") {
+    val docs = Seq(
+      (1L, "stream data flows"),          // clause 1 only
+      (2L, "merge the window now"),       // clause 2 only (slop 1 ≤ 2)
+      (3L, "stream data merge window"),   // both clauses
+      (4L, "data stream window merge"),   // neither (wrong order)
+      (5L, "nothing relevant here")
+    ).toDF("doc_id", "text")
+    val pos = InvertedIndex.positionalPostings(docs, "doc_id", "text")
+    val out = InvertedIndex.spanOrSearch(pos,
+        Seq(("stream data", 1), ("merge window", 2)))
+      .as[(Long, Int)].collect().toMap
+    assert(out == Map(1L -> 1, 2L -> 1, 3L -> 2))
+    intercept[IllegalArgumentException] {
+      InvertedIndex.spanOrSearch(pos, Seq.empty)
+    }
+  }
 }
