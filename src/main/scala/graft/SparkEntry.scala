@@ -2779,6 +2779,20 @@ object SparkEntry {
         .orderBy("query_id", "rk")
     }),
 
+    // Sparse random projection (Achlioptas JL): 64 -> 16 dims via the
+    // seed-derived sign matrix, unrolled into codegen'd add/subtract
+    // chains at plan time — the pre-ANN dimensionality-reduction step.
+    // The oracle REBUILDS the identical matrix from the seed (shared
+    // md5-56 convention) and mirrors the summation order term by term.
+    // Components flatten to (vec_id, dim, value) rows for the compare
+    // (the driver's hasher takes scalars, not arrays).
+    "x_embed_project" -> ((s, d) =>
+      operators.Similarity.randomProjection(Tables.embeddings(s, d),
+        "vec_id", "embedding", inDim = 64, outDim = 16, seed = 7)
+        .select(col("vec_id"),
+          posexplode(col("projected")).as(Seq("dim", "value")))
+        .orderBy("vec_id", "dim")),
+
     // L2 normalization: per-row pre/post norms (unit after, up to 6dp) and
     // a checksum component — the ingest canonicalization gate. Norms run
     // through the native vector_dot loop (same left-to-right double sum as
@@ -4135,6 +4149,34 @@ object SparkEntry {
              + 0.3 * (c0 + c1 - greatest(c0, c1)), 6) AS dismax
          FROM z WHERE c0 > 0 OR c1 > 0
          ORDER BY dismax DESC, doc_id LIMIT 20"""
+
+  /** `x_embed_project` oracle: the SAME Achlioptas sign matrix the
+    * operator derives (seed 7, 64 -> 16, md5-56 convention), unrolled
+    * into explicit left-associated add/subtract chains so the double
+    * summation ORDER matches the Spark expression term for term —
+    * bit-identical up to the shared 6dp round.
+    */
+  private def embedProjectOracle: String = {
+    val signs = operators.Similarity.projectionSigns(7, 64, 16)
+    val scale = math.sqrt(3.0 / 16)
+    val comps = (0 until 16).map { j =>
+      val terms = (0 until 64).flatMap { i =>
+        signs(j)(i) match {
+          case 1 => Some(s"CAST(embedding[${i + 1}] AS DOUBLE)")
+          case -1 => Some(s"-CAST(embedding[${i + 1}] AS DOUBLE)")
+          case _ => None
+        }
+      }
+      val sum = if (terms.isEmpty) "0.0" else terms.mkString(" + ")
+      s"round($scale * ($sum), 6)"
+    }
+    s"""WITH p AS (SELECT vec_id, [${comps.mkString(", ")}] AS proj
+         FROM embeddings WHERE embedding IS NOT NULL)
+       SELECT vec_id,
+         CAST(generate_subscripts(proj, 1) - 1 AS INT) AS dim,
+         unnest(proj) AS value
+       FROM p ORDER BY vec_id, dim"""
+  }
 
   /** Fixed merge table for `x_bpe_apply` — collision-free by
     * construction: every output (th, the, in, an, and, er, on, re) is a
@@ -7135,6 +7177,7 @@ object SparkEntry {
          SELECT query_id, CAST(rk AS INT) AS rk, vec_id,
            round(c, 6) AS cosine
          FROM r WHERE rk <= 5 ORDER BY query_id, rk""",
+    "x_embed_project" -> embedProjectOracle,
     "x_embed_norm" ->
       """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
            FROM embeddings WHERE embedding IS NOT NULL),

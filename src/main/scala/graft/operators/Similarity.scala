@@ -325,6 +325,70 @@ object Similarity {
         col("_p").getField("id").as(idCol),
         round(col("_p").getField("score"), 6).as("cosine"))
 
+  /** md5-56 of a UTF-8 string on the JVM side — the same value as
+    * [[Corpus.sampleHash]]'s Column form and DuckDB's
+    * `md5_number_lower(s) % 2^56` (digest bytes 8–14, little-endian):
+    * lets PLAN-TIME derivations (e.g. the projection sign matrix below)
+    * share the engine-reproducible hash family. Pinned against the
+    * Column form in SimilaritySpec.
+    */
+  private[graft] def md5_56(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var l = 0L
+    var i = 14
+    while (i >= 8) { l = (l << 8) | (d(i) & 0xffL); i -= 1 }
+    l
+  }
+
+  /** The deterministic Achlioptas sign matrix behind
+    * [[randomProjection]]: `signs(j)(i) ∈ {+1, 0, −1}` with
+    * probabilities 1/6, 2/3, 1/6 keyed by `md5_56(seed:i:j) % 6` —
+    * derivable in ANY engine (the [[md5_56]] convention), so an oracle
+    * can rebuild the identical matrix from the seed alone.
+    */
+  def projectionSigns(seed: Int, inDim: Int, outDim: Int): Array[Array[Int]] =
+    Array.tabulate(outDim, inDim) { (j, i) =>
+      (md5_56(s"$seed:$i:$j") % 6) match {
+        case 0 => 1
+        case 1 => -1
+        case _ => 0
+      }
+    }
+
+  /** Sparse random projection (Achlioptas' database-friendly
+    * Johnson–Lindenstrauss transform): reduce `inDim`-dim embeddings to
+    * `outDim` dims as `y_j = sqrt(3/outDim) · Σᵢ signs(j)(i) · x_i` —
+    * the standard pre-ANN dimensionality reduction (distances preserved
+    * within JL distortion; 2/3 of the matrix is zero so each output is
+    * a ~inDim/3-term signed sum). The matrix is derived from the seed
+    * at PLAN time ([[projectionSigns]]) and unrolled into codegen'd
+    * add/subtract chains — no HOF, no matrix broadcast, no shuffle; a
+    * pure projection that scales with scan bandwidth. Output components
+    * round to 6dp (the float-reduction compare convention). Null
+    * vectors are excluded. Returns `(idCol, projected)`.
+    */
+  def randomProjection(df: DataFrame, idCol: String, vecCol: String,
+      inDim: Int, outDim: Int, seed: Int = 7): DataFrame = {
+    require(inDim >= 1 && outDim >= 1,
+      s"dims must be positive, got $inDim -> $outDim")
+    val signs = projectionSigns(seed, inDim, outDim)
+    val scale = math.sqrt(3.0 / outDim)
+    val comps = (0 until outDim).map { j =>
+      val terms = (0 until inDim).flatMap { i =>
+        signs(j)(i) match {
+          case 1 => Some(element_at(col(vecCol), i + 1).cast("double"))
+          case -1 => Some(-element_at(col(vecCol), i + 1).cast("double"))
+          case _ => None
+        }
+      }
+      val sum = if (terms.isEmpty) lit(0.0) else terms.reduceLeft(_ + _)
+      round(lit(scale) * sum, 6)
+    }
+    df.filter(col(vecCol).isNotNull)
+      .select(col(idCol), array(comps: _*).as("projected"))
+  }
+
   /** The integral-id guard shared by the bounded-aggregate retrieval
     * paths: the aggregate carries primitive (double, long) pairs — a
     * non-integral id would cast to null and be SILENTLY dropped.

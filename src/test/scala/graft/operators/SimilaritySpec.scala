@@ -218,4 +218,44 @@ class SimilaritySpec extends SparkSpec {
       Similarity.centroidOutliers(e, "vec_id", "embedding", "label", 1.5)
     }
   }
+
+  test("md5_56 matches the Column-side sampleHash convention") {
+    // the plan-time JVM hash must agree with Corpus.sampleHash (and so
+    // with DuckDB's md5_number_lower % 2^56) — the projection sign
+    // matrix depends on it being ONE family
+    val inputs = Seq("7:0:0", "7:63:15", "42:1:2", "", "doc:123")
+    val fromCol = inputs.toDF("s")
+      .select(Corpus.sampleHash(col("s")).as("h"))
+      .as[Long].collect().toSeq
+    assert(fromCol == inputs.map(Similarity.md5_56))
+  }
+
+  test("randomProjection: deterministic Achlioptas JL with sane geometry") {
+    val dim = 16
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(dim)(i => ((seed * 31 + i * 7) % 13 - 6).toFloat)
+    val df = Seq((1L, vec(1)), (2L, vec(2)), (3L, vec(3)),
+      (4L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding")
+    def run() = Similarity.randomProjection(df, "vec_id", "embedding",
+        inDim = dim, outDim = 8, seed = 7)
+      .orderBy("vec_id").as[(Long, Seq[Double])].collect().toSeq
+    val out = run()
+    assert(out == run()) // deterministic
+    assert(out.map(_._1) == Seq(1L, 2L, 3L)) // null vector excluded
+    assert(out.forall(_._2.size == 8))
+    // sign matrix: ~1/3 nonzero, both signs present at these sizes
+    val signs = Similarity.projectionSigns(7, 64, 16).flatten
+    val nz = signs.count(_ != 0)
+    assert(nz > signs.length / 6 && nz < signs.length / 2, s"nonzero $nz")
+    assert(signs.contains(1) && signs.contains(-1))
+    // JL sanity: projected norms are within a loose distortion band of
+    // the original norms (Achlioptas E[|y|^2] = |x|^2)
+    for ((id, p) <- out) {
+      val x = vec(id.toInt)
+      val nx = math.sqrt(x.map(v => v.toDouble * v).sum)
+      val ny = math.sqrt(p.map(v => v * v).sum)
+      assert(ny > 0.3 * nx && ny < 3.0 * nx,
+        s"vec $id norm distortion: $nx -> $ny")
+    }
+  }
 }
