@@ -207,6 +207,25 @@ class PlanSpec extends SparkSpec {
       s"materializing hash projection missing:\n${lines.mkString("\n")}")
   }
 
+  test("round-9 ops keep their scale shapes") {
+    // duplicateSpans: shingle equi-join on duplicated shingles only —
+    // never a cartesian/BNLJ corpus self-meet
+    val ds = plan("x_dedup_spans")
+    assert(!ds.contains("CartesianProduct") &&
+      !ds.contains("BroadcastNestedLoopJoin"), s"all-pairs span join:\n$ds")
+    // maskSpans: per-doc windows only — no single-partition funnel
+    val ms = plan("x_mask_spans")
+    assert(!ms.contains("Exchange SinglePartition"),
+      s"global window in span corruption:\n$ms")
+    // randomProjection: a pure projection — no exchange, no join, and
+    // the sign matrix unrolled (no HOF 'transform' in the plan)
+    val rp = operators.Similarity.randomProjection(
+        Tables.embeddings(spark, sf), "vec_id", "embedding", 64, 16)
+      .queryExecution.executedPlan.toString
+    assert(!rp.contains("Exchange") && !rp.contains("Join"),
+      s"projection should not shuffle:\n$rp")
+  }
+
   test("token masking hashes each token exactly once") {
     // The mask decision reads the hex via a zip_with lambda variable;
     // embedding sampleHash in the lambda would re-run the md5 once per
