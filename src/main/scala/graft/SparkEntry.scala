@@ -3444,6 +3444,67 @@ object SparkEntry {
           .cast("double").as("revenue"),
           count(lit(1)).as("n_rows"))),
 
+    // Correlated-average filter (TPC-H Q17 shape): revenue from
+    // small-quantity lineitems of one brand, where "small" is
+    // per-part 20%-of-average — written as the decorrelated join
+    // Catalyst would produce (per-part avg agg, broadcast brand dim).
+    // Decimal quantity sums + ONE double division per part keep the
+    // threshold engine-exact; the revenue sum is exact decimal.
+    "j7_small_qty_revenue" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val pt = Tables.part(s, d).filter(col("p_brand") === "Brand#23")
+        .select("p_partkey")
+      val perPart = li.groupBy("l_partkey")
+        .agg((sum(dec(col("l_quantity"))).cast("double") / count(lit(1)))
+          .as("_avg"))
+      li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+        .join(perPart, "l_partkey")
+        .filter(col("l_quantity") < lit(0.2) * col("_avg"))
+        .agg(round(sum(dec(col("l_extendedprice"))).cast("double") / 7.0, 2)
+          .as("avg_yearly"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // Order-count distribution incl. zero (TPC-H Q13 shape): customers
+    // left-joined to their non-urgent orders, counted per customer,
+    // then customers counted per order-count — the two-level hash-agg
+    // cascade; integer counts, no float anywhere.
+    "j9_order_count_dist" -> ((s, d) => {
+      val perCust = Tables.customer(s, d).select("c_custkey")
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+          .select("o_custkey", "o_orderkey"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust.groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // Anti-join + global scalar threshold (TPC-H Q22 shape): customers
+    // with above-average balance and NO big urgent order, grouped by
+    // nation — a left-anti join against the filtered orders plus one
+    // broadcast scalar (the positive-balance average, decimal sum /
+    // one double division).
+    "j10_idle_customers" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val avgBal = cust.filter(col("c_acctbal") > 0)
+        .agg((sum(dec(col("c_acctbal"))).cast("double") / count(lit(1)))
+          .as("_avg"))
+      val bigUrgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_totalprice") > 50000)
+        .select("o_custkey")
+      cust.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("_avg"))
+        .join(bigUrgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_cust"),
+          sum(dec(col("c_acctbal"))).cast("double").as("total_bal"))
+        .orderBy("c_nationkey")
+    }),
+
     // Window functions: running revenue + dense rank per customer.
     "w1_running_total" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -7619,6 +7680,43 @@ object SparkEntry {
            count(*) AS n_rows
          FROM lineitem
          WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+    // Q17 shape: per-part decimal-avg threshold, exact decimal revenue
+    "j7_small_qty_revenue" ->
+      """WITH pp AS (SELECT l_partkey,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+               / count(*) AS avg_qty
+           FROM lineitem GROUP BY l_partkey)
+         SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+             AS DOUBLE) / 7.0, 2) AS avg_yearly,
+           count(*) AS n_rows
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#23'
+         JOIN pp ON lineitem.l_partkey = pp.l_partkey
+         WHERE l_quantity < 0.2 * avg_qty""",
+    // Q13 shape: zero-inclusive per-customer order counts, then the
+    // distribution over counts
+    "j9_order_count_dist" ->
+      """WITH pc AS (SELECT c_custkey, count(o_orderkey) AS c_count
+           FROM customer LEFT JOIN orders
+             ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+           GROUP BY c_custkey)
+         SELECT c_count, count(*) AS custdist
+         FROM pc GROUP BY c_count
+         ORDER BY custdist DESC, c_count DESC""",
+    // Q22 shape: above-average balance, no big urgent order, per nation
+    "j10_idle_customers" ->
+      """WITH a AS (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2)))
+             AS DOUBLE) / count(*) AS avg_bal
+           FROM customer WHERE c_acctbal > 0)
+         SELECT c_nationkey, count(*) AS n_cust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+             AS total_bal
+         FROM customer, a
+         WHERE c_acctbal > avg_bal
+           AND NOT EXISTS (SELECT 1 FROM orders
+             WHERE o_custkey = c_custkey
+               AND o_orderpriority = '1-URGENT' AND o_totalprice > 50000)
+         GROUP BY c_nationkey ORDER BY c_nationkey""",
     "w1_running_total" ->
       """SELECT o_custkey, o_orderkey,
            row_number() OVER w AS order_rank,
