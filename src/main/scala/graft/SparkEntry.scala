@@ -2779,6 +2779,16 @@ object SparkEntry {
         .orderBy("query_id", "rk")
     }),
 
+    // Binary quantization serving: 1-bit-per-dim packed signatures,
+    // Hamming-distance shortlist (xor+popcount over ONE long per
+    // vector), exact-cosine rescore of the shortlist — the BQ/rescore
+    // pattern of modern vector stores. Both cuts TakeOrderedAndProject.
+    "x_sim_binary" -> ((s, d) =>
+      operators.Similarity.binaryTopK(Tables.embeddings(s, d),
+        "vec_id", "embedding", dim = 64, queryId = 0L,
+        rerank = 20, k = 10)
+        .orderBy(col("cosine").desc, col("vec_id"))),
+
     // Sparse random projection (Achlioptas JL): 64 -> 16 dims via the
     // seed-derived sign matrix, unrolled into codegen'd add/subtract
     // chains at plan time — the pre-ANN dimensionality-reduction step.
@@ -4210,6 +4220,31 @@ object SparkEntry {
              + 0.3 * (c0 + c1 - greatest(c0, c1)), 6) AS dismax
          FROM z WHERE c0 > 0 OR c1 > 0
          ORDER BY dismax DESC, doc_id LIMIT 20"""
+
+  /** `x_sim_binary` oracle: the packed sign bits rebuilt as a 64-term
+    * sum of disjoint CASE bit values (disjoint bits ⇒ addition ≡ OR,
+    * incl. the sign bit as the MinValue literal), Hamming via DuckDB's
+    * own xor + bit_count, rescoring with the established
+    * list_cosine_similarity ≡ cosineFast 6dp convention.
+    */
+  private def simBinaryOracle: String = {
+    val bits = (0 until 64).map(i =>
+      s"CASE WHEN embedding[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH sigs AS (SELECT vec_id, embedding, $bits AS sig
+         FROM embeddings WHERE embedding IS NOT NULL),
+       q AS (SELECT sig AS qsig, embedding AS qv FROM sigs WHERE vec_id = 0),
+       h AS (SELECT vec_id, CAST(bit_count(xor(sig, qsig)) AS INT)
+           AS hamming, embedding, qv
+         FROM sigs, q),
+       r AS (SELECT *, row_number() OVER (ORDER BY hamming, vec_id) AS hr
+         FROM h)
+       SELECT vec_id, hamming,
+         round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+           CAST(qv AS DOUBLE[])), 6) AS cosine
+       FROM r WHERE hr <= 20
+       ORDER BY cosine DESC, vec_id LIMIT 10"""
+  }
 
   /** `x_embed_project` oracle: the SAME Achlioptas sign matrix the
     * operator derives (seed 7, 64 -> 16, md5-56 convention), unrolled
@@ -7239,6 +7274,7 @@ object SparkEntry {
            round(c, 6) AS cosine
          FROM r WHERE rk <= 5 ORDER BY query_id, rk""",
     "x_embed_project" -> embedProjectOracle,
+    "x_sim_binary" -> simBinaryOracle,
     "x_embed_norm" ->
       """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
            FROM embeddings WHERE embedding IS NOT NULL),

@@ -219,6 +219,32 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("binaryTopK: sign-bit Hamming shortlist with exact rescore") {
+    // vectors built so sign patterns are known: query [+,+,+,+]
+    val df = Seq(
+      (0L, Array(1.0f, 2.0f, 3.0f, 4.0f)),    // query: sig 0b1111
+      (1L, Array(0.5f, 0.5f, 0.5f, 0.5f)),    // hamming 0, cosine high
+      (2L, Array(1.0f, 1.0f, 1.0f, -1.0f)),   // hamming 1
+      (3L, Array(-1.0f, -1.0f, -1.0f, -1.0f)),// hamming 4, anti-aligned
+      (4L, null.asInstanceOf[Array[Float]]))  // excluded
+      .toDF("vec_id", "embedding")
+    val out = Similarity.binaryTopK(df, "vec_id", "embedding", dim = 4,
+        queryId = 0L, rerank = 4, k = 4)
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .as[(Long, Int, Double)].collect().toSeq
+    assert(out.map(_._1) == Seq(0L, 1L, 2L, 3L)) // cosine order
+    val ham = out.map(r => r._1 -> r._2).toMap
+    assert(ham == Map(0L -> 0, 1L -> 0, 2L -> 1, 3L -> 4))
+    assert(out.head._3 == 1.0) // self-cosine exact
+    // the Hamming cut really prunes: rerank=2 keeps only hamming<=0 ids
+    val cut = Similarity.binaryTopK(df, "vec_id", "embedding", 4, 0L,
+        rerank = 2, k = 2).as[(Long, Int, Double)].collect().toSeq
+    assert(cut.map(_._1).toSet == Set(0L, 1L))
+    intercept[IllegalArgumentException] {
+      Similarity.binaryTopK(df, "vec_id", "embedding", 4, 0L, 1, 2)
+    }
+  }
+
   test("md5_56 matches the Column-side sampleHash convention") {
     // the plan-time JVM hash must agree with Corpus.sampleHash (and so
     // with DuckDB's md5_number_lower % 2^56) — the projection sign
