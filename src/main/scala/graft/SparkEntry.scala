@@ -1591,8 +1591,11 @@ object SparkEntry {
 
     // Bounding-box query (ES geo_bounding_box) with a box CROSSING the
     // antimeridian — minLon > maxLon wraps (the Fiji/Bering case a
-    // naive BETWEEN silently empties). Pure literal comparisons; the
-    // lat leg pushes to the scan. The lat window [50, 80] is chosen so
+    // naive BETWEEN silently empties). Pure literal comparisons (on
+    // synthetic doc_id-derived coordinates here, so the predicate
+    // evaluates in the scan stage; on real stored lat/lon columns the
+    // same shape reaches PushedFilters). The lat window [50, 80] is
+    // chosen so
     // the sf0.01 synthetic curve yields hits on BOTH sides of the wrap
     // (ids 385-395 at lon ≥ 170, ids 396-439 at lon ≤ -140) — the gate
     // pins the wrap branch with real rows, not an empty≡empty match.
