@@ -57,6 +57,100 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Shared md5-56 digest helper for the native hash expressions: digest
+  * bytes 8–14 little-endian — the exact value of
+  * `Corpus.hexLow56(md5(s))` and DuckDB's `md5_number_lower(s) % 2^56`
+  * (one hash family across Column, JVM, and oracle forms; pinned in
+  * TextFunctionsSpec/SimilaritySpec). ThreadLocal digest: task threads
+  * reuse one MessageDigest instead of allocating per value.
+  */
+private[functions] object Md5Low56 {
+  private val md = ThreadLocal.withInitial(() =>
+    java.security.MessageDigest.getInstance("MD5"))
+  def hash(bytes: Array[Byte]): Long = {
+    val d = md.get().digest(bytes)
+    var l = 0L
+    var i = 14
+    while (i >= 8) { l = (l << 8) | (d(i) & 0xffL); i -= 1 }
+    l
+  }
+  def hash(s: String): Long =
+    hash(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+}
+
+/** md5-56 over every word `n`-gram shingle in one row-level pass —
+  * the fused form of `transform(wordShingles(text, n), s =>
+  * sampleHash(s))`, whose interpreted HOF evaluation pays closure
+  * dispatch plus a 7-term substring/conv/shiftleft tree PER SHINGLE
+  * (the r9 winnowing hot path). Shingle semantics match
+  * [[WordShingles]] exactly (whitespace tokens, short docs collapse to
+  * one whole-doc shingle); hash values match [[Md5Low56]] — identical
+  * output, ~10× less per-row overhead.
+  */
+case class WordShingleHash56(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, s"shingle width must be >= 1, got $n")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "word_shingle_hash56"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString
+      .split("\\s+").filter(_.nonEmpty)
+    val out: Array[Long] =
+      if (toks.length < n) Array(Md5Low56.hash(toks.mkString(" ")))
+      else {
+        val m = toks.length - n + 1
+        val res = new Array[Long](m)
+        val sb = new java.lang.StringBuilder(64)
+        var i = 0
+        while (i < m) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(i + j)); j += 1
+          }
+          res(i) = Md5Low56.hash(sb.toString); i += 1
+        }
+        res
+      }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingleHash56 =
+    copy(child = newChild)
+}
+
+/** `[md5_56(prefix + "0"), md5_56(prefix + "1"), …)` of length `count`
+  * in one row-level pass — the per-position hash family behind
+  * deterministic token masking (`prefix = id + ":"`), fused so the
+  * interpreted per-element md5 chain disappears. Null when either
+  * input is null; empty array for count ≤ 0.
+  */
+case class PrefixIndexHash56(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "prefix_index_hash56"
+
+  override def nullSafeEval(prefix: Any, count: Any): Any = {
+    val p = prefix.asInstanceOf[UTF8String].toString
+    val c = count.asInstanceOf[Int]
+    val res = new Array[Long](math.max(c, 0))
+    var i = 0
+    while (i < res.length) { res(i) = Md5Low56.hash(p + i); i += 1 }
+    new GenericArrayData(res)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PrefixIndexHash56 =
+    copy(left = newLeft, right = newRight)
+}
+
 /** One-pass text statistics: codepoint count, token count, token-length
   * sum, punctuation count, and per-marker-set hit counts — all from a
   * SINGLE tokenization of the document.
@@ -326,6 +420,13 @@ object TermFreqStats {
 object TextExpressions {
   def wordShingles(text: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
+
+  def wordShingleHash56(text: Column, n: Int): Column =
+    ColumnBridge.column(WordShingleHash56(ColumnBridge.expression(text), n))
+
+  def prefixIndexHash56(prefix: Column, count: Column): Column =
+    ColumnBridge.column(PrefixIndexHash56(
+      ColumnBridge.expression(prefix), ColumnBridge.expression(count)))
 
   def bpeTokens(text: Column, merges: Seq[(String, String)]): Column =
     ColumnBridge.column(BpeTokens(ColumnBridge.expression(text), merges))

@@ -170,25 +170,24 @@ object Corpus {
     * n_masked, masked_text)`.
     *
     * Scale shape: a pure projection — no explode, no shuffle; cost is
-    * O(tokens) with exactly ONE md5 per token. Higher-order-function
-    * lambdas evaluate interpreted with no subexpression caching, so
-    * the hex is computed in its own `transform` pass and the mask
-    * decision reads it as a `zip_with` lambda variable — a bound
-    * value the 7 byte-extraction terms of [[hexLow56]] can reference
-    * freely (embedding [[sampleHash]] in the lambda would re-run the
-    * md5 7× per token).
+    * O(tokens) with exactly ONE md5 per token, computed in a single
+    * fused native pass ([[graft.functions.PrefixIndexHash56]] — the
+    * md5-56 family). The mask decision reads each hash as a `zip_with`
+    * lambda variable: interpreted HOF lambdas cache nothing, so
+    * embedding [[sampleHash]]'s 7-term md5 tree in the lambda would
+    * re-run the md5 7× per token (the r8 bench tax).
     */
   def maskTokens(df: DataFrame, idCol: String, textCol: String,
       permille: Int, maskTok: String = "<mask>"): DataFrame = {
     require(permille >= 0 && permille <= 1000,
       s"permille must be in [0,1000], got $permille")
     val toks = filter(split(col(textCol), " "), t => t =!= lit(""))
-    val hexes = transform(col("_t"), (_, i) =>
-      md5(concat(col(idCol).cast("string"), lit(":"), i.cast("string"))))
+    val hashes = graft.functions.TextExpressions.prefixIndexHash56(
+      concat(col(idCol).cast("string"), lit(":")), size(col("_t")))
     df.select(col(idCol), toks.as("_t"))
       .select(col(idCol), size(col("_t")).as("n_tokens"),
-        zip_with(col("_t"), hexes, (t, hx) =>
-          when(pmod(hexLow56(hx), lit(1000L)) < permille,
+        zip_with(col("_t"), hashes, (t, h) =>
+          when(pmod(h, lit(1000L)) < permille,
             lit(maskTok)).otherwise(t)).as("_m"))
       .select(col(idCol), col("n_tokens"),
         size(filter(col("_m"), t => t === lit(maskTok))).as("n_masked"),

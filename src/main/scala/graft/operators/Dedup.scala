@@ -610,26 +610,24 @@ object Dedup {
     *
     * Scale shape: O(tokens × w) per row, no shuffle before the output
     * explode. Two projections, deliberately: the shingle-hash array is
-    * MATERIALIZED as a column first (one md5 per shingle — the inner
-    * `transform` hashes, the outer converts hex→56-bit over the bound
-    * lambda value, see [[Corpus.hexLow56]]), and the window-min pass
-    * then references that attribute. Referencing the hash EXPRESSION
-    * inside the window lambda instead would re-evaluate the whole
-    * array per window position — interpreted HOFs cache nothing —
-    * turning the op O(tokens²·md5) per document. Catalyst keeps the
-    * barrier: CollapseProject never inlines a non-cheap producer
-    * referenced more than once (pinned by PlanSpec). Matching is then
-    * a fingerprint equi-join — candidates share a bucket, never
+    * MATERIALIZED as a column first (one fused native pass per row —
+    * [[graft.functions.WordShingleHash56]], the md5-56 family), and
+    * the window-min pass then references that attribute. Referencing
+    * the hash EXPRESSION inside the window lambda instead would
+    * re-evaluate the whole array per window position — interpreted
+    * HOFs cache nothing — turning the op O(tokens²·md5) per document
+    * (the r8 130-second bench row). Catalyst keeps the barrier:
+    * CollapseProject never inlines a non-cheap producer referenced
+    * more than once (pinned by PlanSpec). Matching is then a
+    * fingerprint equi-join — candidates share a bucket, never
     * all-pairs (the LSH join shape).
     */
   def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, w: Int = 4): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
     require(w >= 1, s"w must be positive, got $w")
-    val hashes = transform(
-      transform(graft.functions.TextFunctions.wordShingles(col(textCol), k),
-        s => md5(s.cast("string"))),
-      h => Corpus.hexLow56(h))
+    val hashes =
+      graft.functions.TextExpressions.wordShingleHash56(col(textCol), k)
     val h = col("_h")
     val fps = when(size(h) < w, array(array_min(h)))
       .otherwise(array_distinct(transform(

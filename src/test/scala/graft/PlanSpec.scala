@@ -197,13 +197,16 @@ class PlanSpec extends SparkSpec {
     // Project (`AS _h`) and the Generate above references the attribute —
     // no md5 anywhere in the Generate's expression.
     val df = graft.operators.Dedup.winnowingFingerprints(
-      spark.range(3).selectExpr("id", "'a b c d e f g h' as text"),
+      spark.range(3).selectExpr("id",
+        "concat('a b c d e f g ', cast(id as string)) as text"),
       "id", "text")
     val lines = df.queryExecution.optimizedPlan.toString.linesIterator.toSeq
     val gen = lines.filter(_.contains("Generate"))
-    assert(gen.nonEmpty && gen.forall(!_.contains("md5")),
-      s"md5 inlined into the window Generate:\n${lines.mkString("\n")}")
-    assert(lines.exists(l => l.contains("md5") && l.contains("AS _h")),
+    assert(gen.nonEmpty && gen.forall(l =>
+        !l.contains("md5") && !l.contains("word_shingle_hash56")),
+      s"hash inlined into the window Generate:\n${lines.mkString("\n")}")
+    assert(lines.exists(l =>
+        l.contains("word_shingle_hash56") && l.contains("AS _h")),
       s"materializing hash projection missing:\n${lines.mkString("\n")}")
   }
 
@@ -227,15 +230,17 @@ class PlanSpec extends SparkSpec {
   }
 
   test("token masking hashes each token exactly once") {
-    // The mask decision reads the hex via a zip_with lambda variable;
-    // embedding sampleHash in the lambda would re-run the md5 once per
-    // hexLow56 byte term (7× per token, interpreted). Pin: one md5
-    // occurrence in the whole optimized plan.
+    // The mask decision reads each md5-56 as a zip_with lambda variable
+    // produced by ONE fused native pass; embedding sampleHash's 7-term
+    // md5 tree in the lambda would re-run the md5 7× per token,
+    // interpreted. Pin: one fused hash call, zero expression-tree md5s.
     val df = graft.operators.Corpus.maskTokens(
-      spark.range(3).selectExpr("id", "'a b c d e' as text"),
+      spark.range(3).selectExpr("id",
+        "concat('a b c d ', cast(id as string)) as text"),
       "id", "text", 300)
     val p = df.queryExecution.optimizedPlan.toString
-    val n = "md5\\(".r.findAllIn(p).size
-    assert(n == 1, s"expected exactly one md5 in the mask plan, found $n:\n$p")
+    assert("prefix_index_hash56".r.findAllIn(p).size == 1 &&
+      !p.contains("md5("),
+      s"mask plan should hash via one fused pass:\n$p")
   }
 }

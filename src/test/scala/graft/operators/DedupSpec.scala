@@ -226,6 +226,28 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("fused hash expressions match the composed md5-56 forms exactly") {
+    // the native one-pass expressions behind winnowing/masking must be
+    // value-identical to the transform(wordShingles, sampleHash) /
+    // per-index sampleHash(concat) compositions they replaced
+    val df = Seq((1L, "alpha beta gamma delta epsilon"), (2L, "x y"),
+      (3L, "")).toDF("doc_id", "text")
+    val fusedVsComposed = df.select(
+        graft.functions.TextExpressions.wordShingleHash56(col("text"), 3)
+          .as("f"),
+        transform(graft.functions.TextFunctions.wordShingles(col("text"), 3),
+          s => Corpus.sampleHash(s)).as("c"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    fusedVsComposed.foreach { case (f, c) => assert(f == c) }
+    val prefixed = df.select(
+        graft.functions.TextExpressions.prefixIndexHash56(
+          concat(col("doc_id").cast("string"), lit(":")), lit(3)).as("f"),
+        array((0 until 3).map(i => Corpus.sampleHash(
+          concat(col("doc_id").cast("string"), lit(s":$i")))): _*).as("c"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    prefixed.foreach { case (f, c) => assert(f == c) }
+  }
+
   test("softWeights: 1/cluster weights that sum to distinct contents") {
     val df = Seq(
       (1L, "same text"), (2L, "same text"),      // pair → 0.5 each
