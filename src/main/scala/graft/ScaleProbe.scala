@@ -122,7 +122,11 @@ object ScaleProbe {
       "chunk" -> (df => operators.Corpus.chunk(
         df, "doc_id", "text", chunkSize = 50, overlap = 10)),
       "pack" -> (df => operators.Corpus.packSequences(
-        df, "doc_id", "text", 512L)))
+        df, "doc_id", "text", 512L)),
+      "mask_spans" -> (df => operators.Corpus.maskSpans(
+        df, "doc_id", "text", permille = 300)),
+      "dup_spans" -> (df => operators.Dedup.duplicateSpans(
+        df, "doc_id", "text", k = 5)))
 
     // (family, leg, scale) -> seconds
     val results = collection.mutable.LinkedHashMap[(String, String),
@@ -234,6 +238,27 @@ object ScaleProbe {
           }
           record("text_proj", leg, n, t)
         }
+      }
+
+      // ---- Binary-quantized serving: Hamming shortlist + rescore ----
+      // the corpus pass reads one long per vector; serve time should
+      // stay near-flat until the popcount scan itself dominates
+      if (famOn("binary_knn")) locally {
+        val (_, t) = time {
+          operators.Similarity.binaryTopK(embN, "vec_id", "embedding",
+            dim = 64, queryId = 0L, rerank = 20, k = 10).count()
+        }
+        record("binary_knn", "serve", n, t)
+      }
+
+      // ---- Random projection: pure per-row unrolled chains ----------
+      if (famOn("projection")) locally {
+        val (_, t) = time {
+          operators.Similarity.randomProjection(embN, "vec_id",
+              "embedding", inDim = 64, outDim = 16)
+            .write.format("noop").mode("overwrite").save()
+        }
+        record("projection", "project", n, t)
       }
 
       // ---- Incremental postings: init linear, commit+search O(batch) -
