@@ -2674,6 +2674,16 @@ object SparkEntry {
         "text", permille = 150)
         .orderBy("doc_id")),
 
+    // Blocklist screening: one Aho-Corasick pass per doc over a
+    // substring pattern list (the content-filter step; O(text) per doc
+    // regardless of blocklist size). Patterns include a multi-word
+    // substring and an absent term; oracle re-derives each match with
+    // per-pattern contains() in the same order.
+    "x_blocklist" -> ((s, d) =>
+      operators.TextAnalysis.blocklistScreen(Tables.documents(s, d),
+        "doc_id", "text", Seq("merge", "window scan", "qqqabsent", "stream"))
+        .orderBy("doc_id")),
+
     // T5-style span corruption: stride-4 segments fire per md5-56
     // bucket, fired segments mask 1-3 tokens behind one ordered
     // sentinel; targets carry sentinel+span pairs plus the closing
@@ -7015,6 +7025,16 @@ object SparkEntry {
              AS INTEGER) AS n_masked,
            array_to_string(list(tok2 ORDER BY pos), ' ') AS masked_text
          FROM m GROUP BY doc_id ORDER BY doc_id""",
+    // blocklist: per-pattern contains() in pattern order
+    "x_blocklist" ->
+      """WITH m AS (SELECT doc_id,
+             list_filter(['merge', 'window scan', 'qqqabsent', 'stream'],
+               p -> contains(lower(text), p)) AS hits
+           FROM documents)
+         SELECT doc_id, CAST(len(hits) AS INT) AS n_matched,
+           coalesce(array_to_string(hits, ','), '') AS matched_terms,
+           len(hits) > 0 AS blocked
+         FROM m ORDER BY doc_id""",
     // span corruption recomputed from doc_id: fired stride-4 segments
     // (md5-56 bucket), span length 1-3 from the sibling hash, sentinel
     // rank by segment order; masked text drops in-span tokens behind

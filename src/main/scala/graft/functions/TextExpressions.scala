@@ -123,6 +123,102 @@ case class WordShingleHash56(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Multi-pattern substring search via an Aho–Corasick automaton — the
+  * scale answer to blocklist/badword filtering: matching a 10k-term
+  * list per document as 10k `contains` calls (or one alternation
+  * regex) is O(terms × text) with catastrophic constants; the
+  * automaton walks the text ONCE, O(text + matches), independent of
+  * list size. Returns the DISTINCT matched patterns in pattern-list
+  * order (deterministic). Case handling is the caller's (pass
+  * `lower(text)` + lowercased patterns for case-insensitive matching).
+  *
+  * The automaton builds lazily once per expression instance per JVM
+  * (`@transient lazy` — executors rebuild on first row, then every row
+  * shares it); patterns are plan literals, so the build is bounded and
+  * driver-free.
+  */
+case class MultiSubstringMatch(child: Expression, patterns: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+  require(patterns.nonEmpty, "need at least one pattern")
+  require(patterns.forall(_.nonEmpty), "patterns must be non-empty")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "multi_substring_match"
+
+  // goto/fail/output tables over a dense char->child map per node
+  @transient private lazy val automaton: MultiSubstringMatch.Ac =
+    MultiSubstringMatch.build(patterns)
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val ac = automaton
+    val hit = new Array[Boolean](patterns.length)
+    var state = 0
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      var s = state
+      while (s != 0 && !ac.goto(s).contains(c)) s = ac.fail(s)
+      state = ac.goto(s).getOrElse(c, 0)
+      var out = state
+      while (out != 0) {
+        val p = ac.out(out)
+        var j = 0
+        while (j < p.length) { hit(p(j)) = true; j += 1 }
+        out = ac.fail(out)
+      }
+      i += 1
+    }
+    val matched = patterns.indices.filter(hit)
+      .map(i => UTF8String.fromString(patterns(i)): AnyRef)
+    new GenericArrayData(matched.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MultiSubstringMatch =
+    copy(child = newChild)
+}
+
+object MultiSubstringMatch {
+  /** goto: per-state char→state map; fail: failure links; out: pattern
+    * indexes ENDING at each state (not propagated — the eval walks the
+    * failure chain, keeping build O(Σ|p|)).
+    */
+  private[functions] case class Ac(goto: Array[Map[Char, Int]],
+    fail: Array[Int], out: Array[Array[Int]])
+
+  private[functions] def build(patterns: Seq[String]): Ac = {
+    val goto = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.Map.empty[Char, Int])
+    val out = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.ArrayBuffer.empty[Int])
+    patterns.zipWithIndex.foreach { case (p, pi) =>
+      var s = 0
+      p.foreach { c =>
+        s = goto(s).getOrElseUpdate(c, {
+          goto += scala.collection.mutable.Map.empty[Char, Int]
+          out += scala.collection.mutable.ArrayBuffer.empty[Int]
+          goto.length - 1
+        })
+      }
+      out(s) += pi
+    }
+    val fail = new Array[Int](goto.length)
+    val queue = scala.collection.mutable.Queue.empty[Int]
+    goto(0).values.foreach { s => fail(s) = 0; queue += s }
+    while (queue.nonEmpty) {
+      val r = queue.dequeue()
+      goto(r).foreach { case (c, s) =>
+        queue += s
+        var f = fail(r)
+        while (f != 0 && !goto(f).contains(c)) f = fail(f)
+        fail(s) = goto(f).getOrElse(c, 0)
+        if (fail(s) == s) fail(s) = 0
+      }
+    }
+    Ac(goto.map(_.toMap).toArray, fail, out.map(_.toArray).toArray)
+  }
+}
+
 /** `[md5_56(prefix + "0"), md5_56(prefix + "1"), …)` of length `count`
   * in one row-level pass — the per-position hash family behind
   * deterministic token masking (`prefix = id + ":"`), fused so the
@@ -427,6 +523,10 @@ object TextExpressions {
   def prefixIndexHash56(prefix: Column, count: Column): Column =
     ColumnBridge.column(PrefixIndexHash56(
       ColumnBridge.expression(prefix), ColumnBridge.expression(count)))
+
+  def multiSubstringMatch(text: Column, patterns: Seq[String]): Column =
+    ColumnBridge.column(MultiSubstringMatch(
+      ColumnBridge.expression(text), patterns))
 
   def bpeTokens(text: Column, merges: Seq[(String, String)]): Column =
     ColumnBridge.column(BpeTokens(ColumnBridge.expression(text), merges))

@@ -484,4 +484,27 @@ object TextAnalysis {
       .withColumn("rk", row_number().over(w))
       .select(col("rk"), col("ngram"), col("n_total"), col("n_docs"))
   }
+
+  /** Blocklist screening — which of `patterns` occur as SUBSTRINGS of
+    * each document, via one Aho–Corasick pass
+    * ([[graft.functions.MultiSubstringMatch]]): the content-filtering
+    * step every curation pipeline runs, at O(text + matches) per doc
+    * regardless of list size (10k `contains` calls or one alternation
+    * regex are O(terms × text)). Case-insensitive: text and patterns
+    * are lowercased. Returns `(idCol, n_matched, matched_terms
+    * comma-joined in pattern order, blocked = n_matched > 0)`.
+    *
+    * Scale shape: a pure projection — the automaton is a plan literal
+    * built once per executor JVM, no broadcast, no shuffle, no UDF.
+    */
+  def blocklistScreen(df: DataFrame, idCol: String, textCol: String,
+      patterns: Seq[String]): DataFrame = {
+    require(patterns.nonEmpty, "blocklist must be non-empty")
+    val m = graft.functions.TextExpressions.multiSubstringMatch(
+      lower(col(textCol)), patterns.map(_.toLowerCase))
+    df.select(col(idCol), m.as("_m"))
+      .select(col(idCol), size(col("_m")).as("n_matched"),
+        array_join(col("_m"), ",").as("matched_terms"),
+        (size(col("_m")) > 0).as("blocked"))
+  }
 }

@@ -310,4 +310,37 @@ class TextAnalysisSpec extends SparkSpec {
     // (port stripped); doc 2 mentions b.org once; doc 3 contributes nothing
     assert(got == Set(("a.example.com", 1L, 2L), ("b.org", 2L, 2L)), got)
   }
+
+  test("blocklistScreen: Aho-Corasick substring matching, pattern order") {
+    val pats = Seq("ab", "b", "bc", "zzq", "word scan")
+    val df = Seq(
+      (1L, "xabcx"),                 // overlapping: ab, b, bc all hit
+      (2L, "plain B here"),          // case-insensitive single hit
+      (3L, "clean text"),            // nothing
+      (4L, "a word scan appears"),   // multi-word pattern (substring)
+      (5L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.blocklistScreen(df, "doc_id", "text", pats)
+      .orderBy("doc_id")
+      .as[(Long, Int, String, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (1L, 3, "ab,b,bc", true),
+      (2L, 1, "b", true),
+      (3L, 0, "", false),
+      (4L, 1, "word scan", true),
+      (5L, 0, "", false)), out)
+
+    // randomized cross-check vs naive contains over one batched frame
+    val r = new scala.util.Random(7)
+    def s(n: Int) = Seq.fill(n)(('a' + r.nextInt(3)).toChar).mkString
+    val rpats = Seq.fill(12)(s(1 + r.nextInt(4))).distinct
+    val texts = (0 until 100).map(i => i.toLong -> s(r.nextInt(30)))
+    val got = TextAnalysis.blocklistScreen(
+        texts.toDF("doc_id", "text"), "doc_id", "text", rpats)
+      .as[(Long, Int, String, Boolean)].collect()
+      .map(r0 => r0._1 -> r0._3).toMap
+    texts.foreach { case (id, t) =>
+      val want = rpats.filter(t.contains).mkString(",")
+      assert(got(id) == want, s"text '$t': got ${got(id)}, want $want")
+    }
+  }
 }
