@@ -2674,6 +2674,24 @@ object SparkEntry {
         "text", permille = 150)
         .orderBy("doc_id")),
 
+    // DoReMi-style mixture reweighting: per-source eval feedback
+    // (here: a length-proxy loss) exponentiates into the next round's
+    // sampling weights, normalized through an exact decimal sum.
+    "x_mix_reweight" -> ((s, d) => {
+      val per = Tables.documents(s, d).groupBy("source")
+        .agg(count(lit(1)).as("_n"), sum(col("n_chars")).as("_sc"))
+      val tot = per.agg(sum(col("_n")).as("_tot"))
+      val base = per.crossJoin(broadcast(tot))
+        .select(col("source"),
+          (col("_n").cast("double") / col("_tot")).as("weight"),
+          (col("_sc").cast("double") / col("_n") / 1000.0).as("loss"))
+      operators.Corpus.reweightMixture(base, "source", "weight", "loss",
+          eta = 0.5)
+        .select(col("source"), round(col("weight"), 6).as("weight"),
+          round(col("loss"), 6).as("loss"), col("new_weight"))
+        .orderBy("source")
+    }),
+
     // Blocklist screening: one Aho-Corasick pass per doc over a
     // substring pattern list (the content-filter step; O(text) per doc
     // regardless of blocklist size). Patterns include a multi-word
@@ -7025,6 +7043,26 @@ object SparkEntry {
              AS INTEGER) AS n_masked,
            array_to_string(list(tok2 ORDER BY pos), ' ') AS masked_text
          FROM m GROUP BY doc_id ORDER BY doc_id""",
+    // mixture reweighting: identical double pipeline, decimal-exact
+    // normalizer (one libm exp per source absorbed by the 6dp round)
+    "x_mix_reweight" ->
+      """WITH per AS (SELECT source, count(*) AS n, sum(n_chars) AS sc
+           FROM documents GROUP BY source),
+         t AS (SELECT sum(n) AS tot FROM per),
+         base AS (SELECT source,
+             CAST(n AS DOUBLE) / tot AS weight,
+             CAST(sc AS DOUBLE) / n / 1000.0 AS loss
+           FROM per, t),
+         r AS (SELECT source, weight, loss,
+             CAST(round(weight * exp(0.5 * loss), 6) AS DECIMAL(18,6))
+               AS raw
+           FROM base),
+         tt AS (SELECT sum(raw) AS total FROM r)
+         SELECT source, round(weight, 6) AS weight,
+           round(loss, 6) AS loss,
+           round(CAST(raw AS DOUBLE) / CAST(total AS DOUBLE), 6)
+             AS new_weight
+         FROM r, tt ORDER BY source""",
     // blocklist: per-pattern contains() in pattern order
     "x_blocklist" ->
       """WITH m AS (SELECT doc_id,

@@ -416,6 +416,35 @@ object Corpus {
     df.filter(pmod(sampleHash(col(idCol)), lit(1000L)) < rate)
   }
 
+  /** Exponentiated-gradient mixture reweighting — the DoReMi-style
+    * step that turns per-source EVALUATION feedback into the next
+    * round's sampling weights: `w'_s ∝ w_s · exp(η · loss_s)`,
+    * normalized (sources with high excess loss gain mass; η is the
+    * step size). Input is one row per source `(sourceCol, weightCol,
+    * lossCol)`; output adds `new_weight`. The per-source scaled terms
+    * round to 6dp and normalize through an EXACT decimal(18,6) sum, so
+    * the result is engine-reproducible regardless of aggregation order
+    * (the one libm `exp` per source is absorbed by the rounding, the
+    * BM25 ln convention). New weights round to 6dp.
+    *
+    * Scale shape: mixtures enumerate at most hundreds of sources — one
+    * tiny aggregate broadcast back over the source rows; the 100 TB
+    * corpus is untouched until the weights feed [[mixtureSample]].
+    */
+  def reweightMixture(df: DataFrame, sourceCol: String, weightCol: String,
+      lossCol: String, eta: Double): DataFrame = {
+    require(eta > 0, s"eta must be positive, got $eta")
+    val raw = round(col(weightCol) * exp(lit(eta) * col(lossCol)), 6)
+      .cast("decimal(18,6)")
+    val scored = df.select(col(sourceCol), col(weightCol), col(lossCol),
+      raw.as("_raw"))
+    val total = scored.agg(sum(col("_raw")).as("_total"))
+    scored.crossJoin(broadcast(total))
+      .select(col(sourceCol), col(weightCol), col(lossCol),
+        round(col("_raw").cast("double") / col("_total").cast("double"), 6)
+          .as("new_weight"))
+  }
+
   /** Temperature-scaled mixture sampling — the multilingual-LM source
     * balancing scheme (sampling weight ∝ n_s^α, α < 1 flattening the
     * source distribution so small sources are up-weighted relative to

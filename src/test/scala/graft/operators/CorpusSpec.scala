@@ -402,6 +402,30 @@ class CorpusSpec extends SparkSpec {
       plan.contains("BroadcastExchange"), plan)
   }
 
+  test("reweightMixture: exponentiated-gradient step toward high loss") {
+    val base = Seq(("a", 0.5, 1.0), ("b", 0.3, 2.0), ("c", 0.2, 0.5))
+      .toDF("source", "weight", "loss")
+    val out = Corpus.reweightMixture(base, "source", "weight", "loss",
+        eta = 1.0)
+      .orderBy("source").as[(String, Double, Double, Double)]
+      .collect().toSeq
+    val w = out.map(r => r._1 -> r._4).toMap
+    // normalized to 1 (up to 6dp rounding)
+    assert(math.abs(w.values.sum - 1.0) < 1e-5, w)
+    // the high-loss source gains mass, the low-loss source loses it
+    assert(w("b") > 0.3 && w("c") < 0.2, w)
+    // uniform losses leave weights unchanged (up to rounding)
+    val same = Corpus.reweightMixture(
+        Seq(("a", 0.6, 1.0), ("b", 0.4, 1.0)).toDF("source", "weight", "loss"),
+        "source", "weight", "loss", 1.0)
+      .orderBy("source").as[(String, Double, Double, Double)].collect()
+    assert(math.abs(same(0)._4 - 0.6) < 1e-5 &&
+      math.abs(same(1)._4 - 0.4) < 1e-5)
+    intercept[IllegalArgumentException] {
+      Corpus.reweightMixture(base, "source", "weight", "loss", 0.0)
+    }
+  }
+
   test("maskSpans: T5 span corruption is reproducible and round-trips") {
     val docs = Seq(
       (1L, "a b c d e f g h i j k l m"),
