@@ -2674,6 +2674,23 @@ object SparkEntry {
         "text", permille = 150)
         .orderBy("doc_id")),
 
+    // multi_match (ES): one analyzed query over (text ×1, lang ×3) —
+    // best_fields takes the max boosted field score (dis_max
+    // semantics), most_fields sums the evidence. Integer tf × exact
+    // boosts: engine-exact doubles, no rounding.
+    "q_multi_match" -> ((s, d) =>
+      DocQueries.multiMatch(
+        Tables.documents(s, d).select("doc_id", "text", "lang"),
+        Seq(("text", 1.0), ("lang", 3.0)), "merge window de",
+        "best_fields", 20)
+        .select("doc_id", "score")),
+    "q_multi_match_most" -> ((s, d) =>
+      DocQueries.multiMatch(
+        Tables.documents(s, d).select("doc_id", "text", "lang"),
+        Seq(("text", 1.0), ("lang", 3.0)), "merge window de",
+        "most_fields", 20)
+        .select("doc_id", "score")),
+
     // DoReMi-style mixture reweighting: per-source eval feedback
     // (here: a length-proxy loss) exponentiates into the next round's
     // sampling weights, normalized through an exact decimal sum.
@@ -7043,6 +7060,35 @@ object SparkEntry {
              AS INTEGER) AS n_masked,
            array_to_string(list(tok2 ORDER BY pos), ' ') AS masked_text
          FROM m GROUP BY doc_id ORDER BY doc_id""",
+    // multi_match: per-field token tf recomputed, greatest/sum combine
+    "q_multi_match" ->
+      """WITH s AS (SELECT doc_id,
+             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'merge'))
+               + len(list_filter(string_split(lower(text), ' '), w -> w = 'window'))
+               + len(list_filter(string_split(lower(text), ' '), w -> w = 'de'))
+               AS DOUBLE) AS ts,
+             CAST(len(list_filter(string_split(lower(lang), ' '), w -> w = 'merge'))
+               + len(list_filter(string_split(lower(lang), ' '), w -> w = 'window'))
+               + len(list_filter(string_split(lower(lang), ' '), w -> w = 'de'))
+               AS DOUBLE) AS ls
+           FROM documents)
+         SELECT doc_id, greatest(ts * 1.0, ls * 3.0) AS score
+         FROM s WHERE greatest(ts * 1.0, ls * 3.0) > 0
+         ORDER BY score DESC, doc_id LIMIT 20""",
+    "q_multi_match_most" ->
+      """WITH s AS (SELECT doc_id,
+             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'merge'))
+               + len(list_filter(string_split(lower(text), ' '), w -> w = 'window'))
+               + len(list_filter(string_split(lower(text), ' '), w -> w = 'de'))
+               AS DOUBLE) AS ts,
+             CAST(len(list_filter(string_split(lower(lang), ' '), w -> w = 'merge'))
+               + len(list_filter(string_split(lower(lang), ' '), w -> w = 'window'))
+               + len(list_filter(string_split(lower(lang), ' '), w -> w = 'de'))
+               AS DOUBLE) AS ls
+           FROM documents)
+         SELECT doc_id, ts * 1.0 + ls * 3.0 AS score
+         FROM s WHERE ts * 1.0 + ls * 3.0 > 0
+         ORDER BY score DESC, doc_id LIMIT 20""",
     // mixture reweighting: identical double pipeline, decimal-exact
     // normalizer (one libm exp per source absorbed by the 6dp round)
     "x_mix_reweight" ->

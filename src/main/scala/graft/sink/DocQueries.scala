@@ -710,6 +710,51 @@ object DocQueries {
       .limit(k)
   }
 
+  /** MultiMatchQuery (ES `multi_match`): ONE analyzed query scored
+    * against several fields with per-field boosts — `best_fields`
+    * takes the max boosted per-field score (the dis_max "single best
+    * field wins" semantics), `most_fields` sums them ("every matching
+    * field adds evidence"). Per-field scores are [[matchTextRanked]]'s
+    * integer term frequencies × exact double boosts, so combined
+    * scores are engine-exact without rounding. Returns the input
+    * columns plus `score` for docs with score > 0, ranked
+    * (score desc, first column), top `k`.
+    *
+    * Scale shape: one [[graft.functions.TermFreqStats]] pass per
+    * field (pure projection), a greatest/sum combine, and a
+    * TakeOrderedAndProject cut — no shuffle before the top-k merge.
+    */
+  def multiMatch(index: DataFrame, fields: Seq[(String, Double)],
+      query: String, mode: String, k: Int): DataFrame = {
+    require(fields.nonEmpty, "multi_match needs at least one field")
+    require(mode == "best_fields" || mode == "most_fields",
+      s"mode must be best_fields or most_fields, got $mode")
+    val qTokens = queryTokens(query)
+    val distinctToks = qTokens.distinct
+    val scored =
+      if (qTokens.isEmpty) index.withColumn("score", lit(0.0))
+      else {
+        val base = fields.foldLeft(index) { case (df, (f, _)) =>
+          df.withColumn(s"_mm_$f", graft.functions.TextExpressions
+            .termFreqStats(col(f), distinctToks))
+        }
+        def fieldScore(f: String): Column = qTokens.map(t =>
+          element_at(col(s"_mm_$f").getField("tf"),
+            distinctToks.indexOf(t) + 1)).reduce(_ + _)
+        val boosted = fields.map { case (f, b) =>
+          fieldScore(f).cast("double") * lit(b) }
+        val combined =
+          if (mode == "best_fields")
+            (if (boosted.size == 1) boosted.head else greatest(boosted: _*))
+          else boosted.reduce(_ + _)
+        base.withColumn("score", combined)
+          .drop(fields.map(f => s"_mm_${f._1}"): _*)
+      }
+    scored.filter(col("score") > 0)
+      .orderBy(col("score").desc, col(index.columns.head))
+      .limit(k)
+  }
+
   /** SignificantTermsAggregation (ES): terms over-represented in the
     * FOREGROUND (docs matching `fgPredicate`) relative to the whole
     * corpus as background, scored by JLH —

@@ -401,6 +401,28 @@ class IndexSinkSpec extends SparkSpec {
     assert(DocQueries.matchText(docs, "text", "merge window scan").count() == 4)
   }
 
+  test("multiMatch: best_fields takes the max field, most_fields sums") {
+    val docs = Seq(
+      (1L, "merge merge here", "en"),  // text tf 2, lang 0
+      (2L, "nothing relevant", "de"),  // text 0, lang tf 1 -> boost 3
+      (3L, "merge data", "de"),        // text 1, lang 1
+      (4L, "clean", "en")              // no match anywhere
+    ).toDF("doc_id", "text", "lang")
+    def run(mode: String) = DocQueries.multiMatch(docs,
+        Seq(("text", 1.0), ("lang", 3.0)), "merge de", mode, 10)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    val best = run("best_fields")
+    assert(best == Map(1L -> 2.0, 2L -> 3.0, 3L -> 3.0), best)
+    val most = run("most_fields")
+    assert(most == Map(1L -> 2.0, 2L -> 3.0, 3L -> 4.0), most)
+    // empty query matches nothing; bad mode rejected
+    assert(DocQueries.multiMatch(docs, Seq(("text", 1.0)), "",
+      "best_fields", 10).count() == 0)
+    intercept[IllegalArgumentException] {
+      DocQueries.multiMatch(docs, Seq(("text", 1.0)), "merge", "phrase", 10)
+    }
+  }
+
   test("boolQuery composes MUST, SHOULD/minimumShouldMatch, and MUST_NOT") {
     val docs = Seq(
       (1L, "merge stream now"),       // must + 1 should
