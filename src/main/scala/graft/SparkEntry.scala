@@ -3632,6 +3632,27 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // PIVOT: linestatus values become columns of decimal-exact quantity
+    // sums (explicit value list — no driver-side distinct scan); absent
+    // (flag, status) combos stay NULL on both engines.
+    "agg_pivot" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(dec(col("l_quantity"))).cast("double"))
+        .orderBy("l_returnflag")),
+
+    // UNPIVOT: measure columns melt back to (measure, value) rows — the
+    // Spark 3.4 Dataset.unpivot API over per-flag decimal sums.
+    "agg_unpivot" -> ((s, d) => {
+      val m = Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"))
+      m.unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price")), "measure", "value")
+        .orderBy("l_returnflag", "measure")
+    }),
+
     // Rollup (grouping sets) with ALL sentinel for super-aggregate rows.
     "agg_rollup" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -7915,6 +7936,28 @@ object SparkEntry {
          SELECT DISTINCT user_id FROM events
          WHERE event_type = 'click' AND value > 150.0
          ORDER BY user_id""",
+    // pivot: explicit CASE sums, one column per status value
+    "agg_pivot" ->
+      """SELECT l_returnflag,
+           CAST(sum(CASE WHEN l_linestatus = 'F'
+             THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS F,
+           CAST(sum(CASE WHEN l_linestatus = 'O'
+             THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS O
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // unpivot: UNION ALL with literal measure names
+    "agg_unpivot" ->
+      """WITH m AS (SELECT l_returnflag,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+               AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS sum_price
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value
+         FROM m
+         UNION ALL
+         SELECT l_returnflag, 'sum_price' AS measure, sum_price AS value
+         FROM m
+         ORDER BY l_returnflag, measure""",
     "agg_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS flag,
            coalesce(l_linestatus, 'ALL') AS status,
