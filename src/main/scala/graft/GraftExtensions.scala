@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{RepetitionScore, RhpSignature, TermFreqStats, VectorCosine, VectorDot, VectorL2Sq, VectorQ8Roundtrip, WordShingles}
+import graft.functions.{MultiSubstringMatch, PrefixIndexHash56, RepetitionScore, RhpSignature, TermFreqStats, VectorCosine, VectorDot, VectorL2Sq, VectorQ8Roundtrip, WordShingleHash56, WordShingles}
 
 /** Session extensions registering the engine's native expressions as SQL
   * functions, so `spark.sql("SELECT vector_cosine(a, b) ...")` works the
@@ -83,6 +83,42 @@ object GraftExtensions {
       { args =>
         require(args.length == 2, s"word_shingles expects 2 arguments, got ${args.length}")
         WordShingles(args(0), litLong(args(1), "word_shingles", "n").toInt)
+      }),
+    (FunctionIdentifier("word_shingle_hash56"),
+      info("word_shingle_hash56",
+        "word_shingle_hash56(text, n): md5-56 of every word n-gram " +
+          "shingle in one pass (the sampleHash family)"),
+      { args =>
+        require(args.length == 2,
+          s"word_shingle_hash56 expects 2 arguments, got ${args.length}")
+        WordShingleHash56(args(0),
+          litLong(args(1), "word_shingle_hash56", "n").toInt)
+      }),
+    (FunctionIdentifier("prefix_index_hash56"),
+      info("prefix_index_hash56",
+        "prefix_index_hash56(prefix, count): [md5_56(prefix || i)] " +
+          "for i in 0 until count"),
+      { args =>
+        require(args.length == 2,
+          s"prefix_index_hash56 expects 2 arguments, got ${args.length}")
+        PrefixIndexHash56(args(0), args(1))
+      }),
+    (FunctionIdentifier("multi_substring_match"),
+      info("multi_substring_match",
+        "multi_substring_match(text, pattern, ...): distinct literal " +
+          "patterns occurring as substrings, one Aho-Corasick pass"),
+      { args =>
+        require(args.length >= 2,
+          s"multi_substring_match expects text plus at least one pattern, got ${args.length} argument(s)")
+        val pats = args.tail.map { e =>
+          require(e.foldable, "multi_substring_match: patterns must be string literals")
+          e.eval() match {
+            case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+            case other => throw new IllegalArgumentException(
+              s"multi_substring_match: pattern literal expected, got $other")
+          }
+        }
+        MultiSubstringMatch(args(0), pats)
       }),
     (FunctionIdentifier("repetition_score"),
       info("repetition_score",

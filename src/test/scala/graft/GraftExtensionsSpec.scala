@@ -34,6 +34,23 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getLong(3) == viaColumn)
   }
 
+  test("round-9 hash/blocklist expressions are callable from SQL") {
+    GraftExtensions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT word_shingle_hash56('a b c d', 3) AS h,
+                prefix_index_hash56('7:', 2) AS p,
+                multi_substring_match('xabcx', 'ab', 'zz', 'bc') AS m
+      """).head()
+    // values match the Column-side md5-56 family
+    val viaCol = spark.range(1).select(
+      graft.functions.TextExpressions.wordShingleHash56(
+        org.apache.spark.sql.functions.lit("a b c d"), 3)).head()
+      .getSeq[Long](0)
+    assert(r.getSeq[Long](0) == viaCol)
+    assert(r.getSeq[Long](1).length == 2)
+    assert(r.getSeq[String](2) == Seq("ab", "bc"))
+  }
+
   test("term_freq_stats is callable from SQL with literal terms") {
     GraftExtensions.registerAll(spark)
     val r = spark.sql(
