@@ -750,24 +750,32 @@ object Multimodal {
 
   /** Image NEAR-dup candidate pairs by perceptual-hash Hamming distance —
     * the multimodal twin of SimHash text dedup, with the same banded
-    * scale shape: the 64-bit hash splits into four 16-bit bands, pairs
-    * join on (band index, band value) — by pigeonhole two hashes within
-    * `maxHamming ≤ 3` bits MUST agree on some band, so recall is exact
-    * below the band count — and the bounded candidate set verifies with
-    * `bit_count(xor)`. Never an all-pairs comparison.
+    * scale shape: the 64-bit hash splits into `maxHamming + 1` bands
+    * (multi-index hashing — by pigeonhole two hashes within the budget
+    * MUST agree exactly on some band, so recall is exact at any
+    * allowed budget), pairs join on (band index, band value), and the
+    * bounded candidate set verifies with `bit_count(xor)`. Never an
+    * all-pairs comparison. Wider budgets mean narrower bands and
+    * therefore larger candidate sets — the standard recall/cost dial;
+    * ≥ 4-bit bands (`maxHamming ≤ 15`) keep candidates bounded on
+    * non-degenerate corpora.
     */
   def nearDuplicateImages(hashes: DataFrame, idCol: String,
       hashCol: String, maxHamming: Int): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 3,
-      s"maxHamming must be in [0, 3] (4-band pigeonhole recall bound), " +
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming must be in [0, 15] (band width >= 4 bits), " +
         s"got $maxHamming")
+    val bands = maxHamming + 1
+    val width = 64 / bands
     val h = hashes.filter(col(hashCol).isNotNull)
       .select(col(idCol).as("_id"), col(hashCol).as("_h"))
     val banded = h.select(col("_id"), col("_h"),
-      explode(array((0 until 4).map(b =>
+      explode(array((0 until bands).map { b =>
+        val w = if (b == bands - 1) 64 - b * width else width
+        val mask = if (w >= 64) -1L else (1L << w) - 1
         struct(lit(b).as("b"),
-          shiftright(col("_h"), b * 16).bitwiseAND(0xffffL).as("v"))): _*))
-        .as("_band"))
+          shiftright(col("_h"), b * width).bitwiseAND(lit(mask)).as("v"))
+      }: _*)).as("_band"))
       .select(col("_id"), col("_h"), col("_band.b").as("_b"),
         col("_band.v").as("_v"))
     banded.as("l").join(banded.as("r"),

@@ -163,8 +163,14 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs((1L, 3L)) && pairs((2L, 3L)), "small edit should pair")
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
       s"inverted image must not pair: $pairs")
+    // wider budgets (narrower bands, multi-index hashing) keep exact
+    // recall: the small-edit pair still surfaces at maxHamming = 9
+    val wide = Multimodal.nearDuplicateImages(hashes, "id", "ahash", 9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(wide((1L, 2L)) && wide((1L, 3L)),
+      s"wide-budget pairs missing: $wide")
     intercept[IllegalArgumentException] {
-      Multimodal.nearDuplicateImages(hashes, "id", "ahash", 9)
+      Multimodal.nearDuplicateImages(hashes, "id", "ahash", 16)
     }
   }
 
