@@ -64,7 +64,7 @@ case class WordShingles(child: Expression, n: Int)
   * TextFunctionsSpec/SimilaritySpec). ThreadLocal digest: task threads
   * reuse one MessageDigest instead of allocating per value.
   */
-private[functions] object Md5Low56 {
+private[graft] object Md5Low56 {
   private val md = ThreadLocal.withInitial(() =>
     java.security.MessageDigest.getInstance("MD5"))
   def hash(bytes: Array[Byte]): Long = {
@@ -160,13 +160,12 @@ case class MultiSubstringMatch(child: Expression, patterns: Seq[String])
       var s = state
       while (s != 0 && !ac.goto(s).contains(c)) s = ac.fail(s)
       state = ac.goto(s).getOrElse(c, 0)
-      var out = state
-      while (out != 0) {
-        val p = ac.out(out)
-        var j = 0
-        while (j < p.length) { hit(p(j)) = true; j += 1 }
-        out = ac.fail(out)
-      }
+      // outputs are PROPAGATED along failure links at build time, so
+      // one lookup per character suffices — no per-char fail-chain walk
+      // (which would be O(text × pattern depth) on self-similar input)
+      val p = ac.out(state)
+      var j = 0
+      while (j < p.length) { hit(p(j)) = true; j += 1 }
       i += 1
     }
     val matched = patterns.indices.filter(hit)
@@ -180,8 +179,10 @@ case class MultiSubstringMatch(child: Expression, patterns: Seq[String])
 
 object MultiSubstringMatch {
   /** goto: per-state char→state map; fail: failure links; out: pattern
-    * indexes ENDING at each state (not propagated — the eval walks the
-    * failure chain, keeping build O(Σ|p|)).
+    * indexes matched AT each state — dictionary-suffix outputs are
+    * propagated during the BFS (`out(s) ++= out(fail(s))`, valid
+    * because fail targets are strictly shallower and thus already
+    * final), so eval does ONE output lookup per character.
     */
   private[functions] case class Ac(goto: Array[Map[Char, Int]],
     fail: Array[Int], out: Array[Array[Int]])
@@ -213,6 +214,7 @@ object MultiSubstringMatch {
         while (f != 0 && !goto(f).contains(c)) f = fail(f)
         fail(s) = goto(f).getOrElse(c, 0)
         if (fail(s) == s) fail(s) = 0
+        out(s) ++= out(fail(s)) // dictionary-suffix outputs (BFS order)
       }
     }
     Ac(goto.map(_.toMap).toArray, fail, out.map(_.toArray).toArray)
@@ -235,7 +237,17 @@ case class PrefixIndexHash56(left: Expression, right: Expression)
 
   override def nullSafeEval(prefix: Any, count: Any): Any = {
     val p = prefix.asInstanceOf[UTF8String].toString
-    val c = count.asInstanceOf[Int]
+    // any integral count type works — a BIGINT from a SQL caller must
+    // not throw ClassCastException per row (AbstractDataType is
+    // private[sql], so declared implicit casts are unavailable here)
+    val c = count match {
+      case i: java.lang.Integer => i.intValue
+      case l: java.lang.Long => math.min(l.longValue, Int.MaxValue.toLong).toInt
+      case s: java.lang.Short => s.intValue
+      case b: java.lang.Byte => b.intValue
+      case other => throw new IllegalArgumentException(
+        s"prefix_index_hash56: integral count expected, got $other")
+    }
     val res = new Array[Long](math.max(c, 0))
     var i = 0
     while (i < res.length) { res(i) = Md5Low56.hash(p + i); i += 1 }

@@ -68,14 +68,16 @@ object Corpus {
       idCol: String, vecCol: String, threshold: Double): DataFrame = {
     val ev = broadcast(
       eval.filter(col(vecCol).isNotNull).select(col(vecCol).as("_ev")))
-    val scored = train.filter(col(vecCol).isNotNull)
+    // ONE training-side pass: the broadcast LEFT join keeps every
+    // scorable row even when the eval side is empty (the row survives
+    // with a null cosine → contaminated=false), and the id-keyed max
+    // agg emits one row per DISTINCT id — no second corpus scan
+    train.filter(col(vecCol).isNotNull)
       .select(col(idCol), col(vecCol))
-      .crossJoin(ev)
+      .join(ev, lit(true), "left")
       .groupBy(idCol)
       .agg(max(graft.functions.VectorExpressions
         .cosineFast(col(vecCol), col("_ev"))).as("_mc"))
-    train.filter(col(vecCol).isNotNull).select(col(idCol))
-      .join(scored, Seq(idCol), "left")
       .select(col(idCol),
         round(col("_mc"), 6).as("max_cosine"),
         coalesce(round(col("_mc"), 6) >= threshold, lit(false))
@@ -186,9 +188,12 @@ object Corpus {
       concat(col(idCol).cast("string"), lit(":")), size(col("_t")))
     df.select(col(idCol), toks.as("_t"))
       .select(col(idCol), size(col("_t")).as("n_tokens"),
-        zip_with(col("_t"), hashes, (t, h) =>
+        // a null id nulls the hash array and zip_with with it — fall
+        // back to the unmasked tokens (the pre-fusion per-token form
+        // evaluated its null hash comparison to false, keeping tokens)
+        coalesce(zip_with(col("_t"), hashes, (t, h) =>
           when(pmod(h, lit(1000L)) < permille,
-            lit(maskTok)).otherwise(t)).as("_m"))
+            lit(maskTok)).otherwise(t)), col("_t")).as("_m"))
       .select(col(idCol), col("n_tokens"),
         size(filter(col("_m"), t => t === lit(maskTok))).as("n_masked"),
         array_join(col("_m"), " ").as("masked_text"))

@@ -667,9 +667,10 @@ object Dedup {
     * 0-based.
     *
     * Documents shorter than `k` tokens shingle to their whole text
-    * ([[graft.functions.WordShingles]] semantics), so a short doc
-    * contained verbatim in a longer one is still caught; empty docs emit
-    * nothing.
+    * ([[graft.functions.WordShingles]] semantics) — such a doc can only
+    * pair with OTHER sub-`k` docs of identical text (its short shingle
+    * never equals a `k`-gram), not with a longer doc containing it;
+    * empty docs emit nothing.
     *
     * Scale shape: suffix arrays don't distribute; this does — one
     * (doc, shingle) distinct + df hash agg (map-side combinable), one
@@ -684,8 +685,10 @@ object Dedup {
       k: Int = 5, minDocs: Int = 2): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    // \s+ split to MATCH WordShingles' tokenizer exactly — slicing from
+    // a space-only split would mislocate spans on tab/newline tokens
     val base = df.select(col(idCol),
-        filter(split(col(textCol), " "), t => t =!= lit("")).as("_t"))
+        filter(split(col(textCol), "\\s+"), t => t =!= lit("")).as("_t"))
       .withColumn("_n", size(col("_t")))
     val posSh = df.select(col(idCol),
         posexplode(TextFunctions.wordShingles(col(textCol), k))

@@ -379,14 +379,8 @@ object Similarity {
     * share the engine-reproducible hash family. Pinned against the
     * Column form in SimilaritySpec.
     */
-  private[graft] def md5_56(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    var l = 0L
-    var i = 14
-    while (i >= 8) { l = (l << 8) | (d(i) & 0xffL); i -= 1 }
-    l
-  }
+  private[graft] def md5_56(s: String): Long =
+    graft.functions.Md5Low56.hash(s)
 
   /** The deterministic Achlioptas sign matrix behind
     * [[randomProjection]]: `signs(j)(i) ∈ {+1, 0, −1}` with

@@ -349,6 +349,20 @@ class CorpusSpec extends SparkSpec {
       ("B", "C", 1L, 2L, 1L, 0.5)), got)
   }
 
+  test("maskTokens: a null id leaves the document unmasked, not nulled") {
+    // pre-fusion semantics: the null-id hash comparison was false per
+    // token; the fused hash array nulls wholesale, so the coalesce
+    // fallback must keep the tokens
+    val out = Corpus.maskTokens(
+        Seq((Some(1L), "a b c"), (None, "keep all of this"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", permille = 1000)
+      .orderBy(col("doc_id").asc_nulls_last)
+      .as[(Option[Long], Int, Int, String)].collect().toSeq
+    assert(out(0)._4 == "<mask> <mask> <mask>")
+    assert(out(1) == ((None, 4, 0, "keep all of this")), out)
+  }
+
   test("maskTokens: deterministic md5-56 per-position masking") {
     val df = Seq((7L, "alpha beta gamma delta epsilon zeta eta theta"),
       (8L, "one  two"), (9L, "")).toDF("doc_id", "text")

@@ -298,5 +298,17 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Int, Int, String)].collect().toSeq
     assert(out2 == Seq((1L, 0, 3, "a b c"), (1L, 6, 3, "d e f"),
       (2L, 0, 3, "a b c"), (2L, 6, 3, "d e f")))
+
+    // tab/newline whitespace: span positions and text must come from
+    // the SAME \s+ tokenizer the shingles use (a space-only split
+    // would mislocate the slice)
+    val dfWs = Seq(
+      (1L, "x\ty\np q r s tail"),
+      (2L, "p q r s other stuff here")).toDF("doc_id", "text")
+    val outWs = Dedup.duplicateSpans(dfWs, "doc_id", "text", k = 3)
+      .orderBy("doc_id", "span_start")
+      .as[(Long, Int, Int, String)].collect().toSeq
+    assert(outWs == Seq((1L, 2, 4, "p q r s"), (2L, 0, 4, "p q r s")),
+      s"got $outWs")
   }
 }
