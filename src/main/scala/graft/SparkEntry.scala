@@ -528,6 +528,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("n_docs").desc, col("lang"))),
 
+    // exists query (ES `exists`): docs whose FIELD holds a value —
+    // the positive sibling of the missing bucket above. Every 13th
+    // vector's embedding is nulled first (the q_terms_missing planting
+    // convention — the raw column has no nulls at gate SFs, and a
+    // vacuous filter would pin nothing).
+    "q_exists" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .withColumn("e2", when(pmod(col("vec_id"), lit(13)) === 0,
+          lit(null).cast("array<float>")).otherwise(col("embedding")))
+        .filter(col("e2").isNotNull)
+        .select("vec_id")
+        .orderBy("vec_id")),
+
     // Score explanation (ES _explain): the BM25 top-15 with per-term
     // contribution columns riding the SAME scoring projection — no
     // second pass; legs round independently, the total rounds once.
@@ -5106,6 +5119,10 @@ object SparkEntry {
       """SELECT coalesce(CASE WHEN doc_id % 13 = 0 THEN NULL ELSE lang END,
            '(missing)') AS lang, count(*) AS n_docs
          FROM documents GROUP BY 1 ORDER BY n_docs DESC, lang""",
+    "q_exists" ->
+      """SELECT vec_id FROM embeddings
+         WHERE vec_id % 13 <> 0 AND embedding IS NOT NULL
+         ORDER BY vec_id""",
 
     // the rung CASE mirrors the operator's integer ladder arithmetic
     "q_auto_histogram" ->
