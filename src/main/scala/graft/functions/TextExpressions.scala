@@ -242,7 +242,13 @@ case class PrefixIndexHash56(left: Expression, right: Expression)
     // private[sql], so declared implicit casts are unavailable here)
     val c = count match {
       case i: java.lang.Integer => i.intValue
-      case l: java.lang.Long => math.min(l.longValue, Int.MaxValue.toLong).toInt
+      case l: java.lang.Long =>
+        // fail loudly, like every other out-of-range input here — a
+        // silent clamp hands the caller an Int.MaxValue-sized array
+        if (l.longValue > Int.MaxValue.toLong)
+          throw new IllegalArgumentException(
+            s"prefix_index_hash56: count $l exceeds Int.MaxValue")
+        l.intValue
       case s: java.lang.Short => s.intValue
       case b: java.lang.Byte => b.intValue
       case other => throw new IllegalArgumentException(

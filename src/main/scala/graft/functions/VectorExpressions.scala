@@ -351,6 +351,144 @@ case class VectorL2Normalize(child: Expression)
     copy(child = newChild)
 }
 
+/** Sparse random projection (Achlioptas' database-friendly
+  * Johnson–Lindenstrauss transform) as ONE native expression:
+  * `y_j = round(sqrt(3/outDim) · Σᵢ signs(j)(i) · x_i, 6)` with
+  * `signs(j)(i) ∈ {+1, 0, −1}` at probabilities 1/6, 2/3, 1/6 keyed by
+  * `md5_56("seed:i:j") % 6` — the shared [[Md5Low56]] convention, so an
+  * oracle rebuilds the identical matrix from the seed alone.
+  *
+  * Why an expression and not an unrolled `element_at` tree (the r9
+  * form): the unrolled plan carries inDim×outDim/3 nodes — ~688 at
+  * 64→16 and ~100k at production 768→128, where Catalyst analysis alone
+  * takes minutes — and Spark duplicated the whole tree into the parquet
+  * scan's `DataFilters`, re-evaluating it interpreted per row. Here the
+  * plan carries ONE node; the sign matrix builds lazily once per
+  * executor JVM (`@transient lazy`, derived from three literal ints —
+  * no broadcast, no driver state) and the row cost is a primitive loop
+  * over the ~inDim/3 nonzero terms per output component.
+  *
+  * Numerics are bit-identical to the unrolled form (pinned in
+  * SimilaritySpec): terms accumulate left-to-right in ascending input
+  * index starting FROM the first term (`reduceLeft`, not `0.0 + …`,
+  * preserving a leading −0.0), and the 6dp round replicates Spark's
+  * `Round` on doubles (`BigDecimal(v).setScale(6, HALF_UP)`). A null
+  * input element nullifies exactly the components it contributes to
+  * (the `element_at … cast` propagation of the unrolled form). Rows
+  * whose vector is shorter than `inDim` fail loudly (the unrolled form
+  * raised ANSI out-of-bounds) — a truncated projection is
+  * plausible-looking but meaningless.
+  *
+  * Once-per-row at ingest → `CodegenFallback` granularity (one JVM call
+  * per row) is off the pair-wise hot path, same as [[VectorQ8Roundtrip]].
+  */
+case class SparseRandomProject(child: Expression, seed: Int,
+    inDim: Int, outDim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(inDim >= 1 && outDim >= 1,
+    s"dims must be positive, got $inDim -> $outDim")
+
+  override def prettyName: String = "sparse_random_project"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+
+  private def childIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects array<float|double>, got ${t.simpleString}")
+    }
+
+  /** Nonzero matrix entries, CSR-style: component j reads input indices
+    * `idx(off(j) until off(j+1))` with signs `sgn(…)`, ascending — the
+    * term order the oracle mirrors. Built once per JVM per instance.
+    */
+  @transient private lazy val (offs, idxs, sgns) =
+    SparseRandomProject.nonzeros(seed, inDim, outDim)
+
+  private val scale: Double = math.sqrt(3.0 / outDim)
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    if (a.numElements() < inDim)
+      throw new IllegalArgumentException(
+        s"$prettyName: vector has ${a.numElements()} elements, need $inDim")
+    val isF = childIsFloat
+    val out = new Array[Any](outDim)
+    var j = 0
+    while (j < outDim) {
+      var p = offs(j)
+      val end = offs(j + 1)
+      var s = 0.0
+      var isNull = false
+      var first = true
+      while (p < end && !isNull) {
+        val i = idxs(p)
+        if (a.isNullAt(i)) isNull = true
+        else {
+          val x = if (isF) a.getFloat(i).toDouble else a.getDouble(i)
+          if (first) { s = if (sgns(p) > 0) x else -x; first = false }
+          else if (sgns(p) > 0) s += x
+          else s -= x
+        }
+        p += 1
+      }
+      out(j) =
+        if (isNull) null
+        else BigDecimal(scale * s)
+          .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+          .toDouble
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SparseRandomProject {
+  /** `signs(j)(i) ∈ {+1, 0, −1}` with probabilities 1/6, 2/3, 1/6 keyed
+    * by `md5_56("seed:i:j") % 6` — THE definition of the projection
+    * matrix; `Similarity.projectionSigns` (the oracle's builder)
+    * delegates here so engine and oracle cannot drift.
+    */
+  def sign(seed: Int, i: Int, j: Int): Int =
+    (Md5Low56.hash(s"$seed:$i:$j") % 6) match {
+      case 0 => 1
+      case 1 => -1
+      case _ => 0
+    }
+
+  /** CSR arrays (offsets, indices, signs) of the nonzero entries. */
+  private[functions] def nonzeros(seed: Int, inDim: Int, outDim: Int)
+      : (Array[Int], Array[Int], Array[Byte]) = {
+    val offs = new Array[Int](outDim + 1)
+    val idxB = Array.newBuilder[Int]
+    val sgnB = Array.newBuilder[Byte]
+    var nnz = 0
+    var j = 0
+    while (j < outDim) {
+      var i = 0
+      while (i < inDim) {
+        val s = sign(seed, i, j)
+        if (s != 0) { idxB += i; sgnB += s.toByte; nnz += 1 }
+        i += 1
+      }
+      offs(j + 1) = nnz
+      j += 1
+    }
+    (offs, idxB.result(), sgnB.result())
+  }
+}
+
 /** Column entry points for the fused-loop vector expressions.
   *
   * Length contract: all binary ops iterate `min(a.length, b.length)`
@@ -368,4 +506,6 @@ object VectorExpressions {
     column(RhpSignature(expression(v), nBits, seed))
   def q8Roundtrip(v: Column): Column = column(VectorQ8Roundtrip(expression(v)))
   def l2NormalizeFast(v: Column): Column = column(VectorL2Normalize(expression(v)))
+  def sparseRandomProject(v: Column, seed: Int, inDim: Int, outDim: Int): Column =
+    column(SparseRandomProject(expression(v), seed, inDim, outDim))
 }

@@ -183,7 +183,10 @@ object Corpus {
       permille: Int, maskTok: String = "<mask>"): DataFrame = {
     require(permille >= 0 && permille <= 1000,
       s"permille must be in [0,1000], got $permille")
-    val toks = filter(split(col(textCol), " "), t => t =!= lit(""))
+    // null text behaves as empty (n_tokens 0, masked_text '') — the
+    // DuckDB oracle convention; a NULL row here would silently diverge
+    val toks = filter(split(coalesce(col(textCol), lit("")), " "),
+      t => t =!= lit(""))
     val hashes = graft.functions.TextExpressions.prefixIndexHash56(
       concat(col(idCol).cast("string"), lit(":")), size(col("_t")))
     df.select(col(idCol), toks.as("_t"))
@@ -231,7 +234,10 @@ object Corpus {
       s"maxSpan must be in [1, stride], got $maxSpan")
     def sentinel(k: Column): Column =
       concat(lit(sentinelPrefix), k.cast("string"), lit(">"))
-    val toks = filter(split(col(textCol), " "), t => t =!= lit(""))
+    // null text behaves as empty (0 spans, masked_text '', targets the
+    // bare closing sentinel) — the DuckDB oracle convention
+    val toks = filter(split(coalesce(col(textCol), lit("")), " "),
+      t => t =!= lit(""))
     val base = df.select(col(idCol), toks.as("_t"))
       .withColumn("_n", size(col("_t")))
     def segHash(tag: String) = sampleHash(concat(
@@ -430,7 +436,11 @@ object Corpus {
     * round to 6dp and normalize through an EXACT decimal(18,6) sum, so
     * the result is engine-reproducible regardless of aggregation order
     * (the one libm `exp` per source is absorbed by the rounding, the
-    * BM25 ln convention). New weights round to 6dp.
+    * BM25 ln convention). New weights round to 6dp. The 6dp round is
+    * also the precision floor: a scaled term below 5e-7 rounds to 0 and
+    * contributes nothing; if EVERY term rounds to 0 the normalizer is
+    * degenerate and the call fails loudly rather than emitting
+    * NaN/Infinity weights.
     *
     * Scale shape: mixtures enumerate at most hundreds of sources — one
     * tiny aggregate broadcast back over the source rows; the 100 TB
@@ -446,7 +456,12 @@ object Corpus {
     val total = scored.agg(sum(col("_raw")).as("_total"))
     scored.crossJoin(broadcast(total))
       .select(col(sourceCol), col(weightCol), col(lossCol),
-        round(col("_raw").cast("double") / col("_total").cast("double"), 6)
+        when(col("_total").isNull || col("_total") <= lit(0),
+          raise_error(lit("reweightMixture: normalizer is zero — every " +
+            "w*exp(eta*loss) term rounds to 0 at 6dp (weights below " +
+            "5e-7) or inputs are null/degenerate")))
+          .otherwise(round(
+            col("_raw").cast("double") / col("_total").cast("double"), 6))
           .as("new_weight"))
   }
 

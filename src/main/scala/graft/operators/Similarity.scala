@@ -352,6 +352,12 @@ object Similarity {
     * corpus; both cuts are TakeOrderedAndProject (never a global
     * sort); the query row rides a broadcast. Ties at the Hamming cut
     * break deterministically by id.
+    *
+    * The query side is hard-bounded to one row (`limit(1)` after the id
+    * equality): a duplicated `idCol` would otherwise multiply every
+    * corpus row through the cross join and corrupt the shortlist. A
+    * missing `queryId` (absent id or null vector) fails loudly rather
+    * than returning a plausible-looking empty top-k.
     */
   def binaryTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       queryId: Long, rerank: Int, k: Int): DataFrame = {
@@ -361,6 +367,10 @@ object Similarity {
       binarySignature(col(vecCol), dim).as("_sig"))
     val q = sigs.filter(col(idCol) === queryId)
       .select(col("_sig").as("_qsig"), col(vecCol).as("_qv"))
+      .limit(1)
+    if (q.isEmpty)
+      throw new IllegalArgumentException(
+        s"binaryTopK: query id $queryId has no non-null vector in '$vecCol'")
     sigs.crossJoin(broadcast(q))
       .select(col(idCol), col(vecCol), col("_qv"),
         bit_count(col("_sig").bitwiseXOR(col("_qsig"))).as("hamming"))
@@ -390,11 +400,7 @@ object Similarity {
     */
   def projectionSigns(seed: Int, inDim: Int, outDim: Int): Array[Array[Int]] =
     Array.tabulate(outDim, inDim) { (j, i) =>
-      (md5_56(s"$seed:$i:$j") % 6) match {
-        case 0 => 1
-        case 1 => -1
-        case _ => 0
-      }
+      graft.functions.SparseRandomProject.sign(seed, i, j)
     }
 
   /** Sparse random projection (Achlioptas' database-friendly
@@ -403,32 +409,24 @@ object Similarity {
     * the standard pre-ANN dimensionality reduction (distances preserved
     * within JL distortion; 2/3 of the matrix is zero so each output is
     * a ~inDim/3-term signed sum). The matrix is derived from the seed
-    * at PLAN time ([[projectionSigns]]) and unrolled into codegen'd
-    * add/subtract chains — no HOF, no matrix broadcast, no shuffle; a
-    * pure projection that scales with scan bandwidth. Output components
-    * round to 6dp (the float-reduction compare convention). Null
+    * INSIDE the native [[graft.functions.SparseRandomProject]]
+    * expression (built lazily once per executor JVM from three literal
+    * ints) — the plan carries ONE node regardless of dimensions, so the
+    * operator survives production widths (768→128 ≈ 100k nodes in the
+    * unrolled r9 form, where Catalyst analysis alone took minutes and
+    * the tree was duplicated into the scan's `DataFilters`). No HOF, no
+    * matrix broadcast, no shuffle; a pure projection that scales with
+    * scan bandwidth. Output components round to 6dp (the
+    * float-reduction compare convention), term order ascending-index
+    * left-associated — bit-identical to the seed-rebuilt oracle. Null
     * vectors are excluded. Returns `(idCol, projected)`.
     */
   def randomProjection(df: DataFrame, idCol: String, vecCol: String,
-      inDim: Int, outDim: Int, seed: Int = 7): DataFrame = {
-    require(inDim >= 1 && outDim >= 1,
-      s"dims must be positive, got $inDim -> $outDim")
-    val signs = projectionSigns(seed, inDim, outDim)
-    val scale = math.sqrt(3.0 / outDim)
-    val comps = (0 until outDim).map { j =>
-      val terms = (0 until inDim).flatMap { i =>
-        signs(j)(i) match {
-          case 1 => Some(element_at(col(vecCol), i + 1).cast("double"))
-          case -1 => Some(-element_at(col(vecCol), i + 1).cast("double"))
-          case _ => None
-        }
-      }
-      val sum = if (terms.isEmpty) lit(0.0) else terms.reduceLeft(_ + _)
-      round(lit(scale) * sum, 6)
-    }
+      inDim: Int, outDim: Int, seed: Int = 7): DataFrame =
     df.filter(col(vecCol).isNotNull)
-      .select(col(idCol), array(comps: _*).as("projected"))
-  }
+      .select(col(idCol), graft.functions.VectorExpressions
+        .sparseRandomProject(col(vecCol), seed, inDim, outDim)
+        .as("projected"))
 
   /** The integral-id guard shared by the bounded-aggregate retrieval
     * paths: the aggregate carries primitive (double, long) pairs — a

@@ -438,6 +438,27 @@ class CorpusSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Corpus.reweightMixture(base, "source", "weight", "loss", 0.0)
     }
+    // degenerate normalizer fails loudly instead of emitting NaN: every
+    // scaled term below the 6dp precision floor rounds to 0
+    val tiny = Seq(("a", 1e-9, 1.0), ("b", 2e-9, 1.0))
+      .toDF("source", "weight", "loss")
+    val e = intercept[Exception] {
+      Corpus.reweightMixture(tiny, "source", "weight", "loss", 1.0).collect()
+    }
+    assert(e.getMessage.contains("normalizer is zero"), e.getMessage)
+  }
+
+  test("maskTokens/maskSpans: null text behaves as empty (oracle convention)") {
+    // the DuckDB oracles coalesce to ''/'<extra_id_0>'; the operators
+    // must match, not emit NULL masked_text/targets_text
+    val df = Seq((1L, "a b c"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val mt = Corpus.maskTokens(df, "doc_id", "text", 1000)
+      .orderBy("doc_id").as[(Long, Int, Int, String)].collect()
+    assert(mt(1) == ((2L, 0, 0, "")), mt.toSeq)
+    val ms = Corpus.maskSpans(df, "doc_id", "text", 1000)
+      .orderBy("doc_id").as[(Long, Int, Int, String, String)].collect()
+    assert(ms(1) == ((2L, 0, 0, "", "<extra_id_0>")), ms.toSeq)
   }
 
   test("maskSpans: T5 span corruption is reproducible and round-trips") {

@@ -246,6 +246,15 @@ class DedupSpec extends SparkSpec {
           concat(col("doc_id").cast("string"), lit(s":$i")))): _*).as("c"))
       .as[(Seq[Long], Seq[Long])].collect()
     prefixed.foreach { case (f, c) => assert(f == c) }
+    // a BIGINT count above Int.MaxValue fails loudly (it used to clamp
+    // silently to an Int.MaxValue-sized — i.e. OOM-sized — array)
+    val e = intercept[Exception] {
+      df.select(graft.functions.TextExpressions.prefixIndexHash56(
+        lit("p:"), lit(Long.MaxValue))).collect()
+    }
+    assert(e.getMessage != null &&
+      (e.getMessage.contains("Int.MaxValue") ||
+        e.getCause != null && e.getCause.getMessage.contains("Int.MaxValue")))
   }
 
   test("softWeights: 1/cluster weights that sum to distinct contents") {

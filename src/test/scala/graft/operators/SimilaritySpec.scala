@@ -284,4 +284,70 @@ class SimilaritySpec extends SparkSpec {
         s"vec $id norm distortion: $nx -> $ny")
     }
   }
+
+  test("sparseRandomProject is bit-identical to the unrolled element_at form") {
+    // The r9 oracle was minted against the unrolled
+    // element_at/reduceLeft/round(…,6) Column tree; the native
+    // expression must reproduce it BIT-for-bit (same left-associated
+    // term order starting from the first term, same HALF_UP 6dp round)
+    // on real float embeddings — the oracle convention is unchanged.
+    val emb = Tables.embeddings(spark, sf).filter(col("embedding").isNotNull)
+    val signs = Similarity.projectionSigns(7, 64, 16)
+    val scale = math.sqrt(3.0 / 16)
+    val comps = (0 until 16).map { j =>
+      val terms = (0 until 64).flatMap { i =>
+        signs(j)(i) match {
+          case 1 => Some(element_at(col("embedding"), i + 1).cast("double"))
+          case -1 => Some(-element_at(col("embedding"), i + 1).cast("double"))
+          case _ => None
+        }
+      }
+      val sum = if (terms.isEmpty) lit(0.0) else terms.reduceLeft(_ + _)
+      round(lit(scale) * sum, 6)
+    }
+    val unrolled = emb.select(col("vec_id"), array(comps: _*).as("projected"))
+      .orderBy("vec_id").as[(Long, Seq[Double])].collect().toSeq
+    val native = Similarity.randomProjection(
+        Tables.embeddings(spark, sf), "vec_id", "embedding", 64, 16, 7)
+      .orderBy("vec_id").as[(Long, Seq[Double])].collect().toSeq
+    assert(native.nonEmpty && native == unrolled)
+  }
+
+  test("sparseRandomProject: null elements nullify only their components") {
+    // element_at(null).cast propagation of the unrolled form: a null
+    // input element makes every component whose sign row reads it null,
+    // leaves the rest intact.
+    val signs = Similarity.projectionSigns(7, 8, 4)
+    val touching = (0 until 4).filter(j => signs(j)(2) != 0).toSet
+    assume(touching.nonEmpty && touching.size < 4)
+    val df = Seq((1L, Seq[java.lang.Float](1f, 2f, null, 4f, 5f, 6f, 7f, 8f)))
+      .toDF("vec_id", "embedding")
+    val p = Similarity.randomProjection(df, "vec_id", "embedding", 8, 4, 7)
+      .as[(Long, Seq[java.lang.Double])].head()._2
+    for (j <- 0 until 4)
+      assert((p(j) == null) == touching.contains(j), s"component $j: $p")
+  }
+
+  test("binaryTopK fails loudly when the query id is missing or null-vec") {
+    val df = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding")
+    val missing = intercept[IllegalArgumentException] {
+      Similarity.binaryTopK(df, "vec_id", "embedding", 2,
+        queryId = 99L, rerank = 2, k = 1)
+    }
+    assert(missing.getMessage.contains("99"))
+    val nullVec = intercept[IllegalArgumentException] {
+      Similarity.binaryTopK(df, "vec_id", "embedding", 2,
+        queryId = 3L, rerank = 2, k = 1)
+    }
+    assert(nullVec.getMessage.contains("3"))
+  }
+
+  test("sparseRandomProject fails loudly on vectors shorter than inDim") {
+    val df = Seq((1L, Seq(1f, 2f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.randomProjection(df, "vec_id", "embedding", 8, 4, 7).collect()
+    }
+    assert(e.getMessage != null)
+  }
 }
