@@ -318,6 +318,53 @@ object ScaleProbe {
       }
     }
 
+    // ---- Random projection (EMBEDDING-DIMENSION axis) -----------------
+    // The r9 'weak' finding lived on THIS axis: the unrolled plan form
+    // carried inDim×outDim/3 nodes, so 768→128 meant ~100k-node
+    // Catalyst analysis (minutes) before a row moved — invisible on the
+    // corpus-rows axis. Two legs at constant row count:
+    //   analyze — executedPlan construction time at the PRODUCTION
+    //             ratio (outDim = inDim/6, i.e. 768→128); must be flat
+    //             now that the plan carries one native node.
+    //   project — execution at FIXED outDim=16, so per-row work grows
+    //             ∝ inDim (the nonzero count) and the exponent vs dim
+    //             must be ~1.0, never the unrolled form's blowup.
+    if (famOn("embed_dim")) {
+      val dimScales = Seq(64, 256, 768)
+      def dimPath(d: Int) = s"$scratch/emb_dim$d"
+      dimScales.foreach { d =>
+        // widen deterministically: tile the base 64 components with a
+        // per-index perturbation (distinct values, no new randomness)
+        baseEmb.filter(col("embedding").isNotNull)
+          .select(col("vec_id"),
+            transform(sequence(lit(1), lit(d)), i =>
+              (element_at(col("embedding"), pmod(i - lit(1), lit(64)) + 1)
+                + i.cast("float") / lit(10000.0f)).cast("float"))
+              .as("embedding"))
+          .repartition(32)
+          .write.mode("overwrite").parquet(dimPath(d))
+      }
+      def embDim(d: Int) = spark.read.parquet(dimPath(d))
+      // warm-up untimed
+      operators.Similarity.randomProjection(embDim(dimScales.head),
+          "vec_id", "embedding", dimScales.head, 16)
+        .write.format("noop").mode("overwrite").save()
+      dimScales.foreach { d =>
+        val (_, tAnalyze) = time {
+          operators.Similarity.randomProjection(embDim(d),
+              "vec_id", "embedding", inDim = d, outDim = math.max(d / 6, 1))
+            .queryExecution.executedPlan
+        }
+        record("embed_dim", "analyze", d, tAnalyze)
+        val (_, tProject) = time {
+          operators.Similarity.randomProjection(embDim(d),
+              "vec_id", "embedding", inDim = d, outDim = 16)
+            .write.format("noop").mode("overwrite").save()
+        }
+        record("embed_dim", "project", d, tProject)
+      }
+    }
+
     // ---- report ------------------------------------------------------
     // families carry their OWN scale axis (text_len runs ×1/×2/×4 doc
     // length; everything else the corpus-rows grid), so cells are
