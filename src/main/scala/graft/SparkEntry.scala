@@ -1310,7 +1310,12 @@ object SparkEntry {
         .select("id_a", "id_b")
       val p2 = sink.SignatureStore.probeAndAppend(b2, dir)
         .select("id_a", "id_b")
+      // the candidate set feeds TWO consumers below (the incr≡full
+      // equality agg and the exact verifier); Spark does not dedupe
+      // common subtrees, so without the persist the three probe joins
+      // and the distinct run twice. Candidate-pair-sized by LSH design.
       val incr = p0.unionByName(p1).unionByName(p2).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // one-shot reference WITHOUT a second corpus-wide signing pass:
       // after both appends the store holds every doc's signatures, and
       // selfPairs over them ≡ Dedup.minhashLshCandidates(corpus) —
@@ -1323,7 +1328,14 @@ object SparkEntry {
           col("id_a") === col("fa") && col("id_b") === col("fb"), "full_outer")
         .agg((coalesce(sum(when(col("id_a").isNull || col("fa").isNull, 1)
           .otherwise(0)), lit(0L)) === 0).as("incr_eq_full"))
-      operators.Dedup.verifyJaccard(incr, docs, "doc_id", "text", 3)
+      // shingle only docs that appear in a candidate pair: the candidate
+      // id set is pair-sized (and incr is persisted), so broadcasting it
+      // prunes the corpus scan BEFORE the expensive shingling — identical
+      // result (non-candidate docs never survive the verify joins anyway)
+      val candIds = incr.select(explode(array(col("id_a"), col("id_b")))
+        .as("doc_id")).distinct()
+      val candDocs = docs.join(broadcast(candIds), "doc_id")
+      operators.Dedup.verifyJaccard(incr, candDocs, "doc_id", "text", 3)
         .filter(col("jaccard") >= 0.5)
         .agg(count(lit(1)).as("n_verified"))
         .crossJoin(eq) // 1-row × 1-row gate frames

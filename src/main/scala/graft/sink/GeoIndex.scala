@@ -217,9 +217,15 @@ object GeoIndex {
         s"(${g.getLong(0)} rows, ${g.getLong(1)} distinct non-null ids); " +
         "a commit owns each non-null id once — dedupe last-writer-wins " +
         "upstream")
+    // one file per O(batch) commit leg, cell-sorted for row-group
+    // pruning: the batch inherits the source scan's partitioning (32
+    // near-empty files per tiny commit otherwise), and every later read
+    // re-lists every commit's files — commit-leg file count is a
+    // SERVING cost, not just a write cost
     val tagged = checkedPoints(points, latCol, lonCol)
       .withColumn("cell", cellExpr(latCol, lonCol, m.cellDeg))
       .select(col(idCol), col(latCol), col(lonCol), col("cell"))
+      .coalesce(1).sortWithinPartitions("cell")
     DeltaLog.commit(spark, s"$dir/commits",
         DeltaLog.nextSeq(spark, s"$dir/commits"), "docs") { tmp =>
       tagged.write.mode("overwrite").parquet(s"$tmp/cells")
@@ -242,7 +248,7 @@ object GeoIndex {
     DeltaLog.commit(spark, s"$dir/commits",
         DeltaLog.nextSeq(spark, s"$dir/commits"), "docs") { tmp =>
       empty.write.mode("overwrite").parquet(s"$tmp/cells")
-      ids.select(col(idCol)).distinct()
+      ids.select(col(idCol)).distinct().coalesce(1)
         .write.mode("overwrite").parquet(s"$tmp/docs")
     }
   }

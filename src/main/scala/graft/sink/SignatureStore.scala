@@ -272,8 +272,13 @@ object SignatureStore {
   def append(batch: DataFrame, dir: String): Int = {
     val spark = batch.sparkSession
     val m = readMeta(spark, dir)
-    val rows = signed(batch, m)
-    val docs = batch.select(col(m.idCol).as("_id")).distinct()
+    // one file per O(batch) commit leg (see GeoIndex.upsert): commit-leg
+    // file count is a serving cost — every probe re-lists every commit.
+    // repartition(1), not coalesce: coalesce would collapse the signing
+    // computation itself into one task
+    val rows = signed(batch, m).coalesce(1)
+      .sortWithinPartitions("band", "bucket")
+    val docs = batch.select(col(m.idCol).as("_id")).distinct().coalesce(1)
     DeltaLog.commit(spark, s"$dir/commits",
         DeltaLog.nextSeq(spark, s"$dir/commits"), "buckets") { tmp =>
       rows.write.mode("overwrite").parquet(s"$tmp/buckets")
@@ -300,10 +305,14 @@ object SignatureStore {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // store legs resolve their commit list NOW — before the append
     val pairs = probeCore(spark, dir, m, q0, maxBucketOccupancy)
-    val docs = batch.select(col(m.idCol).as("_id")).distinct()
+    val docs = batch.select(col(m.idCol).as("_id")).distinct().coalesce(1)
     DeltaLog.commit(spark, s"$dir/commits",
         DeltaLog.nextSeq(spark, s"$dir/commits"), "buckets") { tmp =>
-      q0.write.mode("overwrite").parquet(s"$tmp/buckets")
+      // one file per O(batch) commit leg: every later probe re-lists
+      // every commit's files, so leg file count is a serving cost. The
+      // coalesce reads the persisted blocks, not the signing lineage
+      q0.coalesce(1).sortWithinPartitions("band", "bucket")
+        .write.mode("overwrite").parquet(s"$tmp/buckets")
       docs.write.mode("overwrite").parquet(s"$tmp/docs")
     }
     pairs

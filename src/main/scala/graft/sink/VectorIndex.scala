@@ -161,7 +161,13 @@ object VectorIndex {
         "a commit owns each non-null id once — dedupe last-writer-wins " +
         "upstream")
     val model = loadModel(spark, dir)
+    // one file per O(batch) commit leg, cell-sorted for row-group
+    // pruning: the batch inherits the source scan's partitioning (32
+    // near-empty files per tiny commit otherwise), and every later read
+    // re-lists every commit's files — commit-leg file count is a
+    // SERVING cost, not just a write cost
     val assigned = Ivf.assign(checkedBatch(df, vecCol, m.dim), vecCol, model)
+      .coalesce(1).sortWithinPartitions("cell")
     DeltaLog.commit(spark, s"$dir/commits",
         DeltaLog.nextSeq(spark, s"$dir/commits"), "docs") { tmp =>
       assigned.write.mode("overwrite").parquet(s"$tmp/cells")
@@ -187,7 +193,7 @@ object VectorIndex {
     DeltaLog.commit(spark, s"$dir/commits",
         DeltaLog.nextSeq(spark, s"$dir/commits"), "docs") { tmp =>
       empty.write.mode("overwrite").parquet(s"$tmp/cells")
-      ids.select(col(idCol)).distinct()
+      ids.select(col(idCol)).distinct().coalesce(1)
         .write.mode("overwrite").parquet(s"$tmp/docs")
     }
   }

@@ -1,0 +1,121 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Per-leg wall-time breakdown of the multi-commit gate queries
+  * (`x_geo_upsert`, `x_dedup_incremental`, `x_sim_ivf_upsert`) — the
+  * rows BENCH_NOTES tags as gate-cost. The bench times each gate as one
+  * opaque body; this main times every protocol step inside, so "which
+  * commit grew" questions (the r9 IVF drift) get measured answers
+  * instead of board-total archaeology.
+  *
+  * Usage: runMain graft.tools.GateProbe [sfDir]
+  */
+object GateProbe {
+  private def t[A](label: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[gate] $label%-24s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val d = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config(Tables.nanosAsLongConf, "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-gateprobe")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val docs = Tables.documents(spark, d)
+    docs.count(): Unit // warm the scan
+
+    // ---- x_geo_upsert ------------------------------------------------
+    locally {
+      val pts = docs.select("doc_id")
+        .withColumn("lat",
+          (col("doc_id") * 37 % 17000).cast("double") / 100.0 - 85.0)
+        .withColumn("lon",
+          (col("doc_id") * 91 % 36000).cast("double") / 100.0 - 180.0)
+      val dir = java.nio.file.Files.createTempDirectory("geoups").toString
+      t("geo.write")(graft.sink.GeoIndex.write(
+        pts.filter(col("doc_id") >= 50), "doc_id", "lat", "lon", dir,
+        cellDeg = 30.0))
+      t("geo.upsert1")(graft.sink.GeoIndex.upsert(
+        pts.filter(col("doc_id") < 50), "doc_id", "lat", "lon", dir))
+      t("geo.upsert2")(graft.sink.GeoIndex.upsert(
+        pts.filter(col("doc_id") < 10)
+          .withColumn("lat", col("lat") / 4 + 47)
+          .withColumn("lon", col("lon") / 2 + 183),
+        "doc_id", "lat", "lon", dir))
+      t("geo.delete")(graft.sink.GeoIndex.delete(
+        pts.filter((col("doc_id") >= 10 && col("doc_id") < 30) ||
+            (col("doc_id") >= 290 && col("doc_id") < 300))
+          .select("doc_id"), "doc_id", dir))
+      t("geo.radius")(graft.sink.GeoIndex.radiusSearch(
+          spark, dir, 26.0, 93.0, 1500.001)
+        .withColumn("dist_km", round(col("dist_km"), 3))
+        .filter(col("dist_km") <= 1500.0).count())
+    }
+
+    // ---- x_dedup_incremental ------------------------------------------
+    locally {
+      val base = docs.filter(pmod(col("doc_id"), lit(5)) < 3)
+      val b1 = docs.filter(pmod(col("doc_id"), lit(5)) === 3)
+      val b2 = docs.filter(pmod(col("doc_id"), lit(5)) === 4)
+      val dir = java.nio.file.Files.createTempDirectory("sigstore").toString
+      t("sig.write")(graft.sink.SignatureStore.write(
+        base, "doc_id", "text", dir))
+      val p0 = t("sig.selfPairs0")(graft.sink.SignatureStore
+        .selfPairs(spark, dir).select("id_a", "id_b"))
+      val p1 = t("sig.probeAppend1")(graft.sink.SignatureStore
+        .probeAndAppend(b1, dir).select("id_a", "id_b"))
+      val p2 = t("sig.probeAppend2")(graft.sink.SignatureStore
+        .probeAndAppend(b2, dir).select("id_a", "id_b"))
+      val incr = p0.unionByName(p1).unionByName(p2).distinct()
+      val full = graft.sink.SignatureStore.selfPairs(spark, dir)
+        .select(col("id_a").as("fa"), col("id_b").as("fb"))
+      val eq = incr.join(full,
+          col("id_a") === col("fa") && col("id_b") === col("fb"),
+          "full_outer")
+        .agg((coalesce(sum(when(col("id_a").isNull || col("fa").isNull, 1)
+          .otherwise(0)), lit(0L)) === 0).as("incr_eq_full"))
+      t("sig.verify+agg")(graft.operators.Dedup
+        .verifyJaccard(incr, docs, "doc_id", "text", 3)
+        .filter(col("jaccard") >= 0.5)
+        .agg(count(lit(1)).as("n_verified"))
+        .crossJoin(eq).collect())
+    }
+
+    // ---- x_sim_ivf_upsert ----------------------------------------------
+    locally {
+      val e = Tables.embeddings(spark, d)
+      val qv = e.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0)
+      val dir = java.nio.file.Files.createTempDirectory("vecups").toString
+      val model = t("ivf.write")(graft.sink.VectorIndex.write(
+        e.filter(col("vec_id") >= 50), "vec_id", "embedding", dir,
+        k = 8, iters = 3))
+      t("ivf.upsert1")(graft.sink.VectorIndex.upsert(
+        e.filter(col("vec_id") < 50), "vec_id", "embedding", dir))
+      t("ivf.upsert2")(graft.sink.VectorIndex.upsert(
+        e.filter(col("vec_id") < 10).withColumn("embedding",
+          transform(col("embedding"), x => x * lit(-1.0f))),
+        "vec_id", "embedding", dir))
+      t("ivf.delete")(graft.sink.VectorIndex.delete(
+        e.filter(col("vec_id") >= 10 && col("vec_id") < 30)
+          .select("vec_id"), "vec_id", dir))
+      t("ivf.search")(graft.sink.VectorIndex.search(
+          spark, dir, "vec_id", "embedding", qv,
+          topK = 10, nProbe = model.k).count())
+    }
+    spark.stop()
+  }
+}
