@@ -3588,6 +3588,76 @@ object SparkEntry {
         .orderBy("c_nationkey")
     }),
 
+    // Exists + not-exists on the SAME correlated table (TPC-H Q21
+    // shape, adapted to the provided columns: "late" is shipped >60
+    // days after ordering — no l_receiptdate in this corpus): suppliers
+    // from one nation who shipped late on a multi-supplier F-order
+    // where NO OTHER supplier was late. Written as the decorrelation
+    // Catalyst would produce: the supplier/nation dimension filter is
+    // pushed BELOW the self-joins (prunes l1 ~25× before any shuffle),
+    // then one left-semi (the exists) and one left-anti (the
+    // not-exists) against the same orderkey-keyed frame — big-big, so
+    // both are SortMergeJoins sharing one exchange; the dimension rides
+    // a broadcast.
+    "j11_waiting_suppliers" -> ((s, d) => {
+      val o = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate")
+      val l = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_shipdate") > date_add(col("o_orderdate"), 60)).as("late"))
+      val sup = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+          .filter(col("n_name") === "NATION_9").select("n_nationkey")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+      val l1 = l.filter(col("late"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      val others = l.select(col("l_orderkey").as("o2"),
+        col("l_suppkey").as("s2"))
+      val lateOthers = l.filter(col("late"))
+        .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+      l1.join(others, col("l_orderkey") === col("o2") &&
+            col("l_suppkey") =!= col("s2"), "left_semi")
+        .join(lateOthers, col("l_orderkey") === col("o3") &&
+            col("l_suppkey") =!= col("s3"), "left_anti")
+        .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+    }),
+
+    // Nested correlated-aggregate IN chain (TPC-H Q20 shape, adapted:
+    // no partsupp table, so "availability above half the shipped
+    // quantity" becomes "supplier ships more than 1/8 of a prefix-named
+    // part's total quantity"): part-name IN-subquery → per-(supplier,
+    // part) quantity aggregate → correlated per-part total threshold →
+    // supplier IN-semi-join. All quantity arithmetic stays decimal
+    // (8·qty > total — no float division anywhere), so the threshold is
+    // engine-exact. Scale shape: the prefix dimension broadcasts into
+    // the lineitem scan; the two aggregations share one (suppkey,
+    // partkey) exchange (ReuseExchange); the per-part total and the
+    // qualifying-supplier set are aggregate-sized broadcasts.
+    "j12_dominant_suppliers" -> ((s, d) => {
+      val pfx = Tables.part(s, d).filter(col("p_name").startsWith("s"))
+        .select("p_partkey")
+      val li = Tables.lineitem(s, d)
+        .join(broadcast(pfx), col("l_partkey") === col("p_partkey"))
+      val sp = li.groupBy("l_suppkey", "l_partkey")
+        .agg(sum(dec(col("l_quantity"))).as("qty"))
+      val tot = sp.groupBy("l_partkey")
+        .agg(sum(col("qty")).as("total"))
+        .select(col("l_partkey").as("t_partkey"), col("total"))
+      val qual = sp.join(broadcast(tot),
+          col("l_partkey") === col("t_partkey"))
+        .filter(lit(8) * col("qty") > col("total"))
+        .groupBy("l_suppkey").agg(count(lit(1)).as("n_parts"))
+      qual.join(broadcast(Tables.supplier(s, d)
+            .select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select("s_suppkey", "s_name", "n_parts")
+        .orderBy("s_suppkey")
+    }),
+
     // Window functions: running revenue + dense rank per customer.
     "w1_running_total" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -7910,6 +7980,42 @@ object SparkEntry {
              WHERE o_custkey = c_custkey
                AND o_orderpriority = '1-URGENT' AND o_totalprice > 50000)
          GROUP BY c_nationkey ORDER BY c_nationkey""",
+    // Q21 shape: exists + not-exists over the same late-lineitem frame
+    "j11_waiting_suppliers" ->
+      """WITH l AS (
+           SELECT l_orderkey, l_suppkey,
+                  (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE o_orderstatus = 'F')
+         SELECT s_name, count(*) AS numwait
+         FROM supplier
+         JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_9'
+         JOIN l l1 ON l1.l_suppkey = s_suppkey AND l1.late
+         WHERE EXISTS (SELECT 1 FROM l l2
+                 WHERE l2.l_orderkey = l1.l_orderkey
+                   AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM l l3
+                 WHERE l3.l_orderkey = l1.l_orderkey
+                   AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+         GROUP BY s_name ORDER BY numwait DESC, s_name""",
+    // Q20 shape: nested IN with a correlated per-part decimal threshold
+    "j12_dominant_suppliers" ->
+      """WITH sp AS (
+           SELECT l_suppkey, l_partkey,
+                  sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+           FROM lineitem
+           WHERE l_partkey IN
+             (SELECT p_partkey FROM part WHERE p_name LIKE 's%')
+           GROUP BY l_suppkey, l_partkey),
+         tot AS (SELECT l_partkey, sum(qty) AS total FROM sp GROUP BY 1),
+         qual AS (
+           SELECT l_suppkey, count(*) AS n_parts
+           FROM sp JOIN tot ON sp.l_partkey = tot.l_partkey
+           WHERE 8 * qty > total
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name, n_parts
+         FROM supplier JOIN qual ON l_suppkey = s_suppkey
+         ORDER BY s_suppkey""",
     "w1_running_total" ->
       """SELECT o_custkey, o_orderkey,
            row_number() OVER w AS order_rank,

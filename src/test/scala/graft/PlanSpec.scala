@@ -240,6 +240,33 @@ class PlanSpec extends SparkSpec {
         s"projection leaked into scan DataFilters:\n$line")
   }
 
+  test("TPC-H exists shapes decorrelate to semi/anti joins, dims broadcast") {
+    // j11 (Q21 shape): the exists is a LeftSemi, the not-exists a
+    // LeftAnti, both equi-keyed on the orderkey (with the supplier
+    // inequality as a join residual) — NEVER a cartesian/BNLJ; the
+    // supplier×nation dimension rides a broadcast. Join STRATEGY
+    // (broadcast vs sort-merge) is size-driven by design: tiny test
+    // inputs may broadcast what a 100 TB run sort-merges, so the pin is
+    // on join TYPE and on the absence of unkeyed joins.
+    val p11 = plan("j11_waiting_suppliers")
+    assert(p11.contains("LeftSemi"), s"exists not a semi-join:\n$p11")
+    assert(p11.contains("LeftAnti"), s"not-exists not an anti-join:\n$p11")
+    assert(!p11.contains("CartesianProduct") &&
+      !p11.contains("BroadcastNestedLoopJoin"),
+      s"unkeyed join in Q21 shape:\n$p11")
+    assert(p11.contains("BroadcastHashJoin"),
+      s"dimension should broadcast:\n$p11")
+    // j12 (Q20 shape): the prefix-part dimension broadcasts into the
+    // lineitem scan; every post-aggregate join is aggregate-sized and
+    // broadcast; no shuffle join of the raw corpus anywhere
+    val p12 = plan("j12_dominant_suppliers")
+    assert(!p12.contains("CartesianProduct") &&
+      !p12.contains("BroadcastNestedLoopJoin"),
+      s"unkeyed join in Q20 shape:\n$p12")
+    assert(p12.contains("BroadcastHashJoin"),
+      s"dimension should broadcast:\n$p12")
+  }
+
   test("randomProjection plan size is flat in embedding dimensions") {
     // The structural half of the r9 'weak' finding: the unrolled form
     // emitted inDim×outDim/3 nodes (~100k at production 768→128 —
