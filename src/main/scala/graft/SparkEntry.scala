@@ -4254,6 +4254,24 @@ object SparkEntry {
         .orderBy("hour_us")
     }),
 
+    // Streaming blocklist screening: the curation projection applied
+    // PER MICRO-BATCH (documents split 3 ways) and unioned — the gate
+    // asserts the batch-boundary invariance the streaming path relies
+    // on (a pure projection commutes with any batching), against the
+    // whole-corpus oracle. The live MemoryStream + foreachBatch
+    // composition is spec-pinned (StreamingOpsSpec); patterns overlap
+    // ("scan" inside "window scan") to exercise the Aho–Corasick
+    // output links across batch boundaries.
+    "ws_blocklist" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pats = Seq("scan", "window scan", "merge window")
+      (0 until 3).map(i => operators.TextAnalysis.blocklistScreen(
+          docs.filter(pmod(col("doc_id"), lit(3)) === i),
+          "doc_id", "text", pats))
+        .reduce(_.unionByName(_))
+        .orderBy("doc_id")
+    }),
+
     // Hard-negative mining: per query, top-5 most-similar vectors with
     // a DIFFERENT label — the contrastive-training negative set; knnJoin
     // shape + label exclusion, bounded aggregate, no corpus window.
@@ -7463,6 +7481,17 @@ object SparkEntry {
     "ws_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
          ORDER BY user_id, event_type""",
+    // micro-batched blocklist ≡ whole-corpus blocklist (projection
+    // commutes with batching); hits in pattern-list order
+    "ws_blocklist" ->
+      """WITH m AS (SELECT doc_id,
+             list_filter(['scan', 'window scan', 'merge window'],
+               p -> contains(lower(text), p)) AS hits
+           FROM documents)
+         SELECT doc_id, CAST(len(hits) AS INT) AS n_matched,
+           coalesce(array_to_string(hits, ','), '') AS matched_terms,
+           len(hits) > 0 AS blocked
+         FROM m ORDER BY doc_id""",
     // sketch-vs-exact bands self-verify engine-side (the
     // agg_quantile_sketch convention); buckets and counts are exact
     "ws_quantile" ->

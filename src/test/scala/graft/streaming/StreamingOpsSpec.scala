@@ -325,4 +325,38 @@ class StreamingOpsSpec extends SparkSpec {
           rows.find(_.seq == 6).get.anomalous))
     } finally q.stop()
   }
+
+  test("blocklistScreen composes with a live stream, per micro-batch") {
+    // the curation projection over MemoryStream micro-batches must
+    // equal the batch run over the same rows — blocklistScreen is a
+    // pure projection, so append mode with NO state or watermark is the
+    // whole streaming story; patterns overlap ("scan" inside "window
+    // scan") so the Aho–Corasick output links are exercised live
+    implicit val sqlCtx = spark.sqlContext
+    val pats = Seq("scan", "window scan", "merge window")
+    val input = MemoryStream[(Long, String)]
+    val q = graft.operators.TextAnalysis.blocklistScreen(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text", pats)
+      .writeStream.format("memory").queryName("blocked")
+      .outputMode("append").start()
+    val rows = Seq(
+      (1L, "a full window scan happened"),   // both 'scan' and 'window scan'
+      (2L, "merge window scan"),             // all three, overlapping
+      (3L, "nothing to see"),
+      (4L, "SCAN uppercase"))                // case-insensitive
+    try {
+      input.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("blocked")
+        .as[(Long, Int, String, Boolean)].collect().toSeq.sortBy(_._1)
+      val batch = graft.operators.TextAnalysis.blocklistScreen(
+          rows.toDF("doc_id", "text"), "doc_id", "text", pats)
+        .as[(Long, Int, String, Boolean)].collect().toSeq.sortBy(_._1)
+      assert(streamed == batch, s"stream $streamed\nbatch  $batch")
+      assert(streamed.map(_._3) ==
+        Seq("scan,window scan", "scan,window scan,merge window", "", "scan"))
+    } finally q.stop()
+  }
 }
