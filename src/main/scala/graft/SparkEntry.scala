@@ -2618,6 +2618,32 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // REAL lossless decode end-to-end: per-doc PCM derived from doc_id
+    // (even ids a constant block, odd ids an 8-sample ramp) is encoded
+    // to a valid FLAC stream (CONSTANT/VERBATIM subframes, CRC-8/16
+    // written) and decoded back through the INDEPENDENT CRC-verifying
+    // decoder inside decodeAudioFeatures. The oracle recomputes sample
+    // count and RMS from doc_id alone — wrong bit-packing, CRC, or
+    // sign handling anywhere in the codec fails the hash. Encoder
+    // bytes are additionally pinned against the round-9 container
+    // sniffer and table-driven CRCs in FlacCodecSpec.
+    "x_multimodal_flac" -> ((s, d) => {
+      val pcm = Tables.documents(s, d).select("doc_id")
+        .withColumn("samples",
+          when(pmod(col("doc_id"), lit(2)) === 0,
+            array_repeat((pmod(col("doc_id"), lit(1000)) - 500).cast("int"),
+              (pmod(col("doc_id"), lit(50)) + 1).cast("int")))
+          .otherwise(transform(sequence(lit(0), lit(7)),
+            i => (pmod(col("doc_id") * 31 + i * 7, lit(2000)) - 1000)
+              .cast("int"))))
+      operators.Multimodal.decodeAudioFeatures(
+          operators.Multimodal.encodeFlac(pcm, "doc_id", "samples", 8000),
+          "id", "payload")
+        .select(col("id"), col("sample_rate").cast("int").as("sample_rate"),
+          col("channels"), col("n_frames"), round(col("rms"), 6).as("rms"))
+        .orderBy("id")
+    }),
+
     // Multimodal: stubbed decode over mapPartitions batches. The stub
     // derives features from the payload md5, so the DuckDB oracle can
     // recompute every row in SQL (md5_number_lower + unsigned math) —
@@ -7031,6 +7057,19 @@ object SparkEntry {
                   THEN round((doc_id % 5 + 1) * 1152.0 / 44100, 6)
                 ELSE round((doc_id % 5 + 1) * 1024.0 / 44100, 6)
            END AS duration_s
+         FROM documents ORDER BY id""",
+    // real FLAC encode->decode: sample stats recomputed from doc_id —
+    // even ids a constant block (rms = |v|), odd ids the 8-sample ramp
+    "x_multimodal_flac" ->
+      """SELECT doc_id AS id,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(1 AS INTEGER) AS channels,
+           CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 50 + 1 AS BIGINT)
+                ELSE CAST(8 AS BIGINT) END AS n_frames,
+           CASE WHEN doc_id % 2 = 0 THEN round(abs(CAST(doc_id % 1000 - 500 AS DOUBLE)), 6)
+                ELSE round(sqrt(list_sum(list_transform(range(8),
+                       i -> CAST((doc_id * 31 + i * 7) % 2000 - 1000 AS DOUBLE) ** 2)) / 8.0), 6)
+           END AS rms
          FROM documents ORDER BY id""",
     // FLAC STREAMINFO / Ogg-Opus granule math recomputed from doc_id;
     // opus total = granule - preskip, duration = total / 48000

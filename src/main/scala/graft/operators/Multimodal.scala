@@ -18,8 +18,11 @@ import org.apache.spark.sql.types._
   * ([[MediaCodec.sniffCompressedAudioMeta]] — sample rate, frame
   * count, duration with no codec). PCM AUDIO decode is real too
   * ([[Multimodal.decodeAudioFeatures]] — WAV/AIFF/AU through
-  * `javax.sound.sampled`). Only compressed-audio SAMPLE decode
-  * (MP3/AAC) and video FRAME decode stay STUBBED behind
+  * `javax.sound.sampled`, plus LOSSLESS FLAC with constant/verbatim
+  * subframes through the CRC-verifying [[FlacCodec]], with
+  * [[Multimodal.encodeFlac]] as the archival write side). Only LOSSY
+  * audio SAMPLE decode (MP3/AAC) and video FRAME decode stay STUBBED
+  * behind
   * [[MediaCodec.decodeStub]], a deterministic fake keyed on the
   * payload bytes — the JDK ships no codecs for those. Everything
   * Spark-side is real and load-bearing either way: the schema contract,
@@ -413,14 +416,30 @@ object Multimodal {
       (w, ht, fr, checksum)
     }
 
-    /** REAL PCM audio decode via the JDK's `javax.sound.sampled` —
-      * WAV/AIFF/AU containers, no external codec: sample rate, channel
-      * count, frame count, and the RMS amplitude of the 16-bit PCM
-      * signal (integer square sums, one final sqrt — deterministic).
-      * Compressed codecs (MP3/AAC) stay stubbed: the JDK has none.
+    /** REAL PCM audio decode — WAV/AIFF/AU via the JDK's
+      * `javax.sound.sampled`, plus lossless FLAC (constant/verbatim
+      * subframes, CRC-verified) via [[graft.operators.FlacCodec]]: sample
+      * rate, channel count, frame count, and the RMS amplitude of the
+      * 16-bit PCM signal (integer square sums, one final sqrt —
+      * deterministic). Lossy codecs (MP3/AAC) stay stubbed: the JDK has
+      * none and the sandbox ships none.
       */
     def decodeAudio(payload: Array[Byte])
-        : Option[(Float, Int, Long, Double)] =
+        : Option[(Float, Int, Long, Double)] = {
+      if (payload.length >= 4 && payload(0) == 'f' && payload(1) == 'L' &&
+          payload(2) == 'a' && payload(3) == 'C')
+        return graft.operators.FlacCodec.decode(payload).map { d =>
+          var sumSq = 0.0
+          var i = 0
+          while (i < d.samples.length) {
+            val s = d.samples(i).toDouble
+            sumSq += s * s
+            i += 1
+          }
+          val rms = if (d.samples.isEmpty) 0.0
+                    else math.sqrt(sumSq / d.samples.length)
+          (d.sampleRate.toFloat, d.channels, d.totalSamples, rms)
+        }
       try {
         val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(payload))
@@ -444,6 +463,7 @@ object Multimodal {
             in.getFrameLength, rms))
         }
       } catch { case _: Exception => None }
+    }
 
     /** JDK-codec pixel decode (see [[Multimodal.decodeImages]]): None
       * for anything ImageIO cannot parse.
@@ -723,6 +743,46 @@ object Multimodal {
           case Some((sr, ch, nf, rms)) => Row(r.get(idIdx), sr, ch, nf, rms)
           case None => Row(r.get(idIdx), null, null, null, null)
         }
+      }
+    }(enc)
+  }
+
+  /** Archival FLAC encode over partition batches: 16-bit PCM sample
+    * arrays (`array<int>` = mono; `array<array<int>>` = one inner array
+    * per channel) → a valid single-frame FLAC stream
+    * ([[graft.operators.FlacCodec.encode]]: CONSTANT subframe for a
+    * uniform channel, VERBATIM otherwise, CRC-8/CRC-16 written). Null
+    * or empty sample arrays yield a null payload. Returns
+    * `(id, payload)`. Same mapPartitions batch shape as every decode
+    * operator here — one JVM call per record, no UDF.
+    */
+  def encodeFlac(df: DataFrame, idCol: String, samplesCol: String,
+      sampleRate: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", df.schema(idCol).dataType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val sIdx = df.schema.fieldIndex(samplesCol)
+    val nested = df.schema(samplesCol).dataType match {
+      case ArrayType(ArrayType(IntegerType, _), _) => true
+      case ArrayType(IntegerType, _) => false
+      case t => throw new IllegalArgumentException(
+        s"encodeFlac expects array<int> or array<array<int>>, got ${t.simpleString}")
+    }
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload =
+          if (r.isNullAt(sIdx)) null
+          else {
+            val chans: Array[Array[Int]] =
+              if (nested) r.getSeq[scala.collection.Seq[Int]](sIdx)
+                .map(_.toArray).toArray
+              else Array(r.getSeq[Int](sIdx).toArray)
+            if (chans.isEmpty || chans.exists(_.isEmpty)) null
+            else graft.operators.FlacCodec.encode(sampleRate, chans)
+          }
+        Row(r.get(idIdx), payload)
       }
     }(enc)
   }
