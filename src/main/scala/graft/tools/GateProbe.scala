@@ -36,6 +36,10 @@ object GateProbe {
 
     val docs = Tables.documents(spark, d)
     docs.count(): Unit // warm the scan
+    // two passes: the first warms JIT/codegen caches, the second is the
+    // reported number (the Bench warm-pass methodology)
+    for (pass <- 1 to 2) {
+    println(s"[gate] ---- pass $pass ----")
 
     // ---- x_geo_upsert ------------------------------------------------
     locally {
@@ -79,7 +83,10 @@ object GateProbe {
         .probeAndAppend(b1, dir).select("id_a", "id_b"))
       val p2 = t("sig.probeAppend2")(graft.sink.SignatureStore
         .probeAndAppend(b2, dir).select("id_a", "id_b"))
+      // mirror the r10 gate body: persisted candidate set + verify leg
+      // pruned to candidate docs
       val incr = p0.unionByName(p1).unionByName(p2).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val full = graft.sink.SignatureStore.selfPairs(spark, dir)
         .select(col("id_a").as("fa"), col("id_b").as("fb"))
       val eq = incr.join(full,
@@ -87,11 +94,15 @@ object GateProbe {
           "full_outer")
         .agg((coalesce(sum(when(col("id_a").isNull || col("fa").isNull, 1)
           .otherwise(0)), lit(0L)) === 0).as("incr_eq_full"))
+      val candIds = incr.select(explode(array(col("id_a"), col("id_b")))
+        .as("doc_id")).distinct()
+      val candDocs = docs.join(broadcast(candIds), "doc_id")
       t("sig.verify+agg")(graft.operators.Dedup
-        .verifyJaccard(incr, docs, "doc_id", "text", 3)
+        .verifyJaccard(incr, candDocs, "doc_id", "text", 3)
         .filter(col("jaccard") >= 0.5)
         .agg(count(lit(1)).as("n_verified"))
         .crossJoin(eq).collect())
+      incr.unpersist()
     }
 
     // ---- x_sim_ivf_upsert ----------------------------------------------
@@ -115,6 +126,7 @@ object GateProbe {
       t("ivf.search")(graft.sink.VectorIndex.search(
           spark, dir, "vec_id", "embedding", qv,
           topK = 10, nProbe = model.k).count())
+    }
     }
     spark.stop()
   }
