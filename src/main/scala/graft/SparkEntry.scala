@@ -2636,9 +2636,16 @@ object SparkEntry {
           .otherwise(transform(sequence(lit(0), lit(7)),
             i => (pmod(col("doc_id") * 31 + i * 7, lit(2000)) - 1000)
               .cast("int"))))
-      operators.Multimodal.decodeAudioFeatures(
-          operators.Multimodal.encodeFlac(pcm, "doc_id", "samples", 8000),
-          "id", "payload")
+      // even ids ride the CONSTANT-subframe path; odd ids the FIXED
+      // order-1 + Rice-coded-residual path — lossless either way, so
+      // one doc_id-derived oracle gates both encoder/decoder legs
+      val encoded = operators.Multimodal.encodeFlac(
+          pcm.filter(pmod(col("doc_id"), lit(2)) === 0),
+          "doc_id", "samples", 8000)
+        .unionByName(operators.Multimodal.encodeFlac(
+          pcm.filter(pmod(col("doc_id"), lit(2)) =!= 0),
+          "doc_id", "samples", 8000, fixedOrder = Some(1)))
+      operators.Multimodal.decodeAudioFeatures(encoded, "id", "payload")
         .select(col("id"), col("sample_rate").cast("int").as("sample_rate"),
           col("channels"), col("n_frames"), round(col("rms"), 6).as("rms"))
         .orderBy("id")

@@ -757,7 +757,7 @@ object Multimodal {
     * operator here — one JVM call per record, no UDF.
     */
   def encodeFlac(df: DataFrame, idCol: String, samplesCol: String,
-      sampleRate: Int): DataFrame = {
+      sampleRate: Int, fixedOrder: Option[Int] = None): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("id", df.schema(idCol).dataType, nullable = false),
       StructField("payload", BinaryType, nullable = true)))
@@ -780,7 +780,11 @@ object Multimodal {
                 .map(_.toArray).toArray
               else Array(r.getSeq[Int](sIdx).toArray)
             if (chans.isEmpty || chans.exists(_.isEmpty)) null
-            else graft.operators.FlacCodec.encode(sampleRate, chans)
+            else fixedOrder match {
+              case Some(ord) => graft.operators.FlacCodec.encodeFixed(
+                sampleRate, chans, math.min(ord, chans(0).length - 1))
+              case None => graft.operators.FlacCodec.encode(sampleRate, chans)
+            }
           }
         Row(r.get(idIdx), payload)
       }

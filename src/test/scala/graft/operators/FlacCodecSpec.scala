@@ -85,6 +85,142 @@ class FlacCodecSpec extends SparkSpec {
       assert(FlacCodec.decode(bytes.take(cut)).isEmpty)
   }
 
+  test("FIXED predictors + Rice partitions round-trip at every order") {
+    for {
+      order <- 0 to 4
+      po <- Seq(0, 2)
+      n <- Seq(32, 192)
+    } {
+      val pcm = Array.tabulate(n)(i =>
+        (math.sin(i * 0.3) * 5000).toInt + (i % 7) * 13 - order * 11)
+      val bytes = FlacCodec.encodeFixed(8000, Array(pcm), order, po)
+      val d = FlacCodec.decode(bytes).getOrElse(
+        fail(s"decode failed: order=$order po=$po n=$n"))
+      assert(d.samples.toSeq == pcm.map(_.toLong).toSeq,
+        s"order=$order po=$po n=$n")
+      // FIXED beats VERBATIM on this smooth signal — the point of it
+      if (order == 2 && po == 0)
+        assert(bytes.length < FlacCodec.encode(8000, Array(pcm)).length)
+    }
+  }
+
+  test("stereo decorrelation round-trips: left/side, right/side, mid/side") {
+    val n = 64
+    val left = Array.tabulate(n)(i => (math.sin(i * 0.2) * 9000).toInt)
+    // odd differences exercise mid/side's dropped-bit reconstruction
+    val right = Array.tabulate(n)(i => left(i) - 2 * i - (i % 2) - 1)
+    for (mode <- Seq(FlacCodec.LeftSide, FlacCodec.RightSide,
+        FlacCodec.MidSide, FlacCodec.Independent)) {
+      val bytes = FlacCodec.encodeFixed(44100, Array(left, right),
+        order = 1, po = 0, stereo = mode)
+      val d = FlacCodec.decode(bytes).getOrElse(fail(s"decode failed: $mode"))
+      assert(d.channels == 2 && d.totalSamples == n)
+      assert(d.samples.take(n).toSeq == left.map(_.toLong).toSeq, s"$mode left")
+      assert(d.samples.drop(n).toSeq == right.map(_.toLong).toSeq, s"$mode right")
+    }
+  }
+
+  test("zigzag and Rice bit layout match hand-derived vectors") {
+    assert(Seq(0L, -1L, 1L, -2L, 2L).map(FlacCodec.zigzag) ==
+      Seq(0L, 1L, 2L, 3L, 4L))
+    for (v <- -100L to 100L)
+      assert(FlacCodec.unzigzag(FlacCodec.zigzag(v)) == v)
+    // rice(k=2) of value 3: zigzag 6 = q1 r2 -> unary "01" + "10"
+    val bw = new FlacCodec.BitWriter
+    bw.unary(1); bw.write(2L, 2)
+    assert(bw.bytes.toSeq == Seq(0x60.toByte)) // 0110 + zero pad
+  }
+
+  test("escaped (raw) Rice partitions and wasted bits decode — hand-built frame") {
+    // assembled bit-by-bit from the spec, NOT by our encoder: one
+    // 4-sample FIXED order-0 subframe with an ESCAPED partition of raw
+    // 6-bit residuals, samples pre-shifted by 1 wasted bit
+    val samples = Seq(-10L, 14L, 6L, -2L) // even -> 1 wasted bit
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("fLaC".getBytes("US-ASCII"))
+    val si = new FlacCodec.BitWriter
+    si.write(4L, 16); si.write(4L, 16); si.write(0L, 24); si.write(0L, 24)
+    si.write(8000L, 20); si.write(0L, 3); si.write(15L, 5); si.write(4L, 36)
+    out.write(0x80); out.write(0); out.write(0); out.write(34)
+    out.write(si.bytes ++ new Array[Byte](16))
+    val fh = new FlacCodec.BitWriter
+    fh.write(0x3ffeL, 14); fh.write(0L, 2)   // sync, reserved, fixed
+    fh.write(6L, 4)                          // block size: 8-bit - 1 at end
+    fh.write(0L, 4); fh.write(0L, 4)         // rate from SI; 1 channel
+    fh.write(4L, 3); fh.write(0L, 1)         // 16-bit bps
+    fh.write(0L, 8)                          // frame number 0
+    fh.write(3L, 8)                          // block size 4 - 1
+    val head = fh.bytes
+    val body = new FlacCodec.BitWriter
+    body.write(0L, 1)                        // pad
+    body.write(8L, 6)                        // FIXED order 0
+    body.write(1L, 1)                        // wasted-bits flag
+    body.write(1L, 1)                        // unary 0 -> wasted = 1
+    // residuals: method 0, partition order 0, param 15 = ESCAPE, 6 raw bits
+    body.write(0L, 2); body.write(0L, 4)
+    body.write(15L, 4); body.write(6L, 5)
+    samples.foreach(s => body.write((s / 2) & 0x3f, 6)) // pre-shift samples
+    val frame = head ++ Array(FlacCodec.crc8(head, 0, head.length).toByte) ++
+      body.bytes
+    val c16 = FlacCodec.crc16(frame, 0, frame.length)
+    out.write(frame); out.write((c16 >> 8) & 0xff); out.write(c16 & 0xff)
+    val d = FlacCodec.decode(out.toByteArray).get
+    assert(d.samples.toSeq == samples)
+  }
+
+  test("LPC subframe decodes — hand-built order-1 filter") {
+    // LPC order 1, coefficient 1 at shift 0 == the order-1 fixed
+    // predictor; residuals rice k=1. x = [5, 7, 6]: warmup 5, then
+    // r1 = 7-5 = 2, r2 = 6-7 = -1
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("fLaC".getBytes("US-ASCII"))
+    val si = new FlacCodec.BitWriter
+    si.write(3L, 16); si.write(3L, 16); si.write(0L, 24); si.write(0L, 24)
+    si.write(8000L, 20); si.write(0L, 3); si.write(15L, 5); si.write(3L, 36)
+    out.write(0x80); out.write(0); out.write(0); out.write(34)
+    out.write(si.bytes ++ new Array[Byte](16))
+    val fh = new FlacCodec.BitWriter
+    fh.write(0x3ffeL, 14); fh.write(0L, 2)
+    fh.write(6L, 4); fh.write(0L, 4); fh.write(0L, 4)
+    fh.write(4L, 3); fh.write(0L, 1)
+    fh.write(0L, 8); fh.write(2L, 8)         // block size 3 - 1
+    val head = fh.bytes
+    val body = new FlacCodec.BitWriter
+    body.write(0L, 1)
+    body.write(0x20L, 6)                     // LPC type 1xxxxx, xxxxx = order-1 = 0
+    body.write(0L, 1)                        // no wasted bits
+    body.write(5L, 16)                       // warmup: 5
+    body.write(3L, 4)                        // precision 4 - 1 = 3
+    body.write(0L, 5)                        // shift 0
+    body.write(1L, 4)                        // coefficient c0 = 1
+    body.write(0L, 2); body.write(0L, 4)     // rice, po 0
+    body.write(1L, 4)                        // k = 1
+    // r=2: zig 4 = q2 r0 -> "001" + "0"; r=-1: zig 1 = q0 r1 -> "1" + "1"
+    body.unary(2); body.write(0L, 1)
+    body.unary(0); body.write(1L, 1)
+    val frame = head ++ Array(FlacCodec.crc8(head, 0, head.length).toByte) ++
+      body.bytes
+    val c16 = FlacCodec.crc16(frame, 0, frame.length)
+    out.write(frame); out.write((c16 >> 8) & 0xff); out.write(c16 & 0xff)
+    val d = FlacCodec.decode(out.toByteArray).get
+    assert(d.samples.toSeq == Seq(5L, 7L, 6L))
+  }
+
+  test("corrupted FIXED/Rice frames are rejected byte-for-byte") {
+    val pcm = Array.tabulate(48)(i => (math.sin(i * 0.4) * 3000).toInt)
+    val bytes = FlacCodec.encodeFixed(8000, Array(pcm), order = 2, po = 1)
+    val good = FlacCodec.decode(bytes).get.samples.toSeq
+    for (i <- 42 until bytes.length) {
+      val mut = bytes.clone()
+      mut(i) = (mut(i) ^ 0x08).toByte
+      FlacCodec.decode(mut) match {
+        case None => ()
+        case Some(d) => assert(d.samples.toSeq == good,
+          s"byte $i flip produced different samples undetected")
+      }
+    }
+  }
+
   test("decodeAudio routes FLAC payloads through the real decoder") {
     val const = FlacCodec.encode(16000, Array(Array.fill(100)(-400)))
     val (sr, ch, nf, rms) = Multimodal.MediaCodec.decodeAudio(const).get
