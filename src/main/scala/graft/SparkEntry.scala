@@ -2895,6 +2895,30 @@ object SparkEntry {
         rerank = 20, k = 10)
         .orderBy(col("cosine").desc, col("vec_id"))),
 
+    // MMR diversified rerank: top-20 cosine candidates for the vec_id=0
+    // query, then 5 greedy maximal-marginal-relevance picks at λ=0.75
+    // (λ chosen with an exact binary representation so 1−λ is the same
+    // double in both engines). The oracle REPLAYS the greedy loop as 5
+    // unrolled SQL stages over the same 6dp-rounded cosines — a wrong
+    // penalty max, tie-break, or rounding order anywhere diverges the
+    // selection, not just a score digit.
+    "x_sim_mmr" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).filter(col("embedding").isNotNull)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("_qv")).limit(1)
+      val cand = e.crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(functions.VectorExpressions.cosineFast(
+            col("embedding"), col("_qv")), 6).as("rel"),
+          col("embedding"))
+        .orderBy(col("rel").desc, col("vec_id")).limit(20)
+        .withColumn("query_id", lit(0L))
+      operators.Similarity.mmrRerank(cand, "query_id", "vec_id", "rel",
+          "embedding", k = 5, lambda = 0.75)
+        .select("rk", "cand_id", "mmr_score")
+        .orderBy("rk")
+    }),
+
     // Sparse random projection (Achlioptas JL): 64 -> 16 dims via the
     // seed-derived sign matrix, unrolled into codegen'd add/subtract
     // chains at plan time — the pre-ANN dimensionality-reduction step.
@@ -4467,6 +4491,47 @@ object SparkEntry {
     * summation ORDER matches the Spark expression term for term —
     * bit-identical up to the shared 6dp round.
     */
+  /** `x_sim_mmr` oracle: the greedy MMR loop REPLAYED as unrolled SQL
+    * stages — pick i is the score-argmax over candidates not yet in
+    * sel(i−1), with the diversity penalty the max 6dp-rounded cosine
+    * against the selected set; ties break on ascending id, exactly the
+    * operator's contract. λ=0.75 so 1−λ is the same double here and in
+    * the JVM.
+    */
+  private def mmrOracle: String = {
+    val stages = (2 to 5).map { i =>
+      s"""pick$i AS (
+         |  SELECT $i AS rk, c.cand_id, c.vec,
+         |    round(0.75 * c.rel - 0.25 * (
+         |      SELECT max(round(list_cosine_similarity(
+         |        CAST(c.vec AS DOUBLE[]), CAST(s.vec AS DOUBLE[])), 6))
+         |      FROM sel${i - 1} s), 6) AS score,
+         |    c.rel
+         |  FROM cand c
+         |  WHERE c.cand_id NOT IN (SELECT cand_id FROM sel${i - 1})
+         |  ORDER BY score DESC, c.cand_id LIMIT 1),
+         |sel$i AS (SELECT * FROM sel${i - 1}
+         |  UNION ALL SELECT rk, cand_id, vec, score, rel FROM pick$i)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |cand AS (
+       |  SELECT vec_id AS cand_id,
+       |    round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+       |      CAST(qv AS DOUBLE[])), 6) AS rel,
+       |    embedding AS vec
+       |  FROM embeddings, q
+       |  WHERE embedding IS NOT NULL
+       |  ORDER BY rel DESC, cand_id LIMIT 20),
+       |pick1 AS (
+       |  SELECT 1 AS rk, cand_id, vec, round(0.75 * rel, 6) AS score, rel
+       |  FROM cand ORDER BY score DESC, cand_id LIMIT 1),
+       |sel1 AS (SELECT * FROM pick1),
+       |$stages
+       |SELECT rk, cand_id, score AS mmr_score FROM sel5 ORDER BY rk"""
+      .stripMargin
+  }
+
   private def embedProjectOracle: String = {
     val signs = operators.Similarity.projectionSigns(7, 64, 16)
     val scale = math.sqrt(3.0 / 16)
@@ -7576,6 +7641,7 @@ object SparkEntry {
            round(c, 6) AS cosine
          FROM r WHERE rk <= 5 ORDER BY query_id, rk""",
     "x_embed_project" -> embedProjectOracle,
+    "x_sim_mmr" -> mmrOracle,
     "x_sim_binary" -> simBinaryOracle,
     "x_embed_norm" ->
       """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e

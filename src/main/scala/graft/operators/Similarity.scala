@@ -382,6 +382,108 @@ object Similarity {
       .select(col(idCol), col("hamming"), col("cosine"))
   }
 
+  /** Maximal Marginal Relevance rerank (Carbonell & Goldstein '98) —
+    * the result-diversification pass every retrieval stack runs between
+    * candidate generation and serving: greedily pick
+    * `argmax λ·rel(d) − (1−λ)·max_{s∈selected} cos(d, s)` so near-
+    * duplicate candidates stop crowding out novel ones. Input is a
+    * BOUNDED candidate frame `(queryCol, idCol, relCol, vecCol)` (the
+    * top-N of an ANN/BM25 stage — N is tens, never the corpus);
+    * returns `(queryCol, rk, cand_id, mmr_score)` for the first `k`
+    * picks per query, rank-ordered.
+    *
+    * Determinism contract (what lets a DuckDB oracle replay the greedy
+    * loop exactly): relevance and every pairwise cosine round to 6dp
+    * BEFORE scoring (the [[graft.functions.VectorExpressions]] cosine
+    * convention), scores round to 6dp, ties break on ascending id.
+    * Callers should pick λ with an exact binary representation (0.5,
+    * 0.75, …) so `1−λ` is the same double in any engine.
+    *
+    * Scale shape: one shuffle to group each query's candidates
+    * (bounded list state — the collect_list holds N structs, never
+    * corpus rows), then the O(N·k) greedy loop runs per query inside
+    * mapPartitions; queries parallelize across the cluster. Pairwise
+    * sims are computed incrementally (each new pick updates each
+    * remaining candidate's running max once), so the loop is N·k
+    * cosines, not N².
+    */
+  def mmrRerank(candidates: DataFrame, queryCol: String, idCol: String,
+      relCol: String, vecCol: String, k: Int, lambda: Double): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(lambda >= 0 && lambda <= 1, s"lambda must be in [0,1], got $lambda")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val vecIsFloat = candidates.schema(vecCol).dataType match {
+      case ArrayType(FloatType, _) => true
+      case ArrayType(DoubleType, _) => false
+      case t => throw new IllegalArgumentException(
+        s"mmrRerank: vector column must be array<float|double>, got ${t.simpleString}")
+    }
+    def round6(v: Double): Double =
+      BigDecimal(v).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    def cos6(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      round6(dot / (math.sqrt(na) * math.sqrt(nb)))
+    }
+    val grouped = candidates.groupBy(col(queryCol))
+      .agg(collect_list(struct(col(idCol).cast("long").as("_id"),
+        col(relCol).cast("double").as("_rel"), col(vecCol).as("_vec")))
+        .as("_cands"))
+    val outSchema = StructType(Seq(
+      grouped.schema.head.copy(),
+      StructField("rk", IntegerType, nullable = false),
+      StructField("cand_id", LongType, nullable = false),
+      StructField("mmr_score", DoubleType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    grouped.flatMap { row =>
+      val cands = row.getSeq[Row](1).toArray
+      val ids = cands.map(_.getLong(0))
+      val rels = cands.map(c => round6(c.getDouble(1)))
+      val vecs: Array[Array[Double]] = cands.map { c =>
+        if (vecIsFloat) c.getSeq[Float](2).iterator.map(_.toDouble).toArray
+        else c.getSeq[Double](2).toArray
+      }
+      val n = cands.length
+      val taken = new Array[Boolean](n)
+      val maxSim = new Array[Double](n) // 0 before the first pick
+      val out = Seq.newBuilder[Row]
+      var rk = 1
+      while (rk <= math.min(k, n)) {
+        var best = -1
+        var bestScore = 0.0
+        var i = 0
+        while (i < n) {
+          if (!taken(i)) {
+            val s = round6(lambda * rels(i) - (1 - lambda) * maxSim(i))
+            if (best < 0 || s > bestScore ||
+                (s == bestScore && ids(i) < ids(best))) {
+              best = i; bestScore = s
+            }
+          }
+          i += 1
+        }
+        taken(best) = true
+        out += Row(row.get(0), rk, ids(best), bestScore)
+        i = 0
+        while (i < n) {
+          if (!taken(i)) {
+            val sim = cos6(vecs(i), vecs(best))
+            if (sim > maxSim(i)) maxSim(i) = sim
+          }
+          i += 1
+        }
+        rk += 1
+      }
+      out.result()
+    }(enc)
+  }
+
   /** md5-56 of a UTF-8 string on the JVM side — the same value as
     * [[Corpus.sampleHash]]'s Column form and DuckDB's
     * `md5_number_lower(s) % 2^56` (digest bytes 8–14, little-endian):

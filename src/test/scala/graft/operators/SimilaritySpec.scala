@@ -328,6 +328,40 @@ class SimilaritySpec extends SparkSpec {
       assert((p(j) == null) == touching.contains(j), s"component $j: $p")
   }
 
+  test("mmrRerank: diversity penalty demotes the near-duplicate") {
+    // candidates: id 1 most relevant; id 2 almost identical to 1 and
+    // second-most relevant; id 3 orthogonal to 1, least relevant.
+    // Relevance-only order is 1,2,3 — MMR at λ=0.5 must pick 1 then 3
+    // (2's cosine-to-1 penalty ≈ 1 swamps its relevance edge).
+    val cand = Seq(
+      (0L, 1L, 0.90, Array(1.0f, 0.0f)),
+      (0L, 2L, 0.85, Array(0.999f, 0.001f)),
+      (0L, 3L, 0.60, Array(0.0f, 1.0f)))
+      .toDF("query_id", "cand_id", "rel", "vec")
+    val mmr = Similarity.mmrRerank(cand, "query_id", "cand_id", "rel",
+        "vec", k = 3, lambda = 0.5)
+      .orderBy("rk").as[(Long, Int, Long, Double)].collect().toSeq
+    assert(mmr.map(_._3) == Seq(1L, 3L, 2L), mmr)
+    // λ=1 disables the penalty: pure relevance order
+    val rel = Similarity.mmrRerank(cand, "query_id", "cand_id", "rel",
+        "vec", k = 3, lambda = 1.0)
+      .orderBy("rk").as[(Long, Int, Long, Double)].collect().toSeq
+    assert(rel.map(_._3) == Seq(1L, 2L, 3L), rel)
+    // k caps at the candidate count; ties break on ascending id
+    val tied = Similarity.mmrRerank(
+        Seq((7L, 5L, 0.5, Array(1.0f, 0.0f)), (7L, 4L, 0.5, Array(0.0f, 1.0f)))
+          .toDF("query_id", "cand_id", "rel", "vec"),
+        "query_id", "cand_id", "rel", "vec", k = 10, lambda = 1.0)
+      .orderBy("rk").as[(Long, Int, Long, Double)].collect().toSeq
+    assert(tied.map(_._3) == Seq(4L, 5L) && tied.size == 2, tied)
+    // multiple queries rerank independently
+    val two = Similarity.mmrRerank(
+        cand.unionByName(cand.withColumn("query_id", lit(9L))),
+        "query_id", "cand_id", "rel", "vec", k = 2, lambda = 0.5)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(two.count(_._1 == 9L) == 2 && two.count(_._1 == 0L) == 2)
+  }
+
   test("binaryTopK fails loudly when the query id is missing or null-vec") {
     val df = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
       (3L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding")
