@@ -2895,6 +2895,23 @@ object SparkEntry {
         rerank = 20, k = 10)
         .orderBy(col("cosine").desc, col("vec_id"))),
 
+    // Matryoshka truncated-prefix serving: 16-of-64-dim shortlist (1/4
+    // the scan bandwidth), exact full-dim rescore of the 100-candidate
+    // pool. These synthetic embeddings are NOT MRL-trained, so the
+    // pool-holds convention does not apply — the oracle instead REPLAYS
+    // the deterministic shortlist cut (6dp-rounded prefix cosine, id
+    // tie-break) and rescores it, gating the operator's actual
+    // contract end-to-end.
+    "x_sim_mrl" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val qv = e.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0)
+      operators.Similarity.matryoshkaTopK(
+          e.select("vec_id", "embedding"), "vec_id", "embedding",
+          qv, dims = 16, k = 10, rescoreK = 100)
+        .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+    }),
+
     // MMR diversified rerank: top-20 cosine candidates for the vec_id=0
     // query, then 5 greedy maximal-marginal-relevance picks at λ=0.75
     // (λ chosen with an exact binary representation so 1−λ is the same
@@ -7642,6 +7659,22 @@ object SparkEntry {
          FROM r WHERE rk <= 5 ORDER BY query_id, rk""",
     "x_embed_project" -> embedProjectOracle,
     "x_sim_mmr" -> mmrOracle,
+    // shortlist-replay: rank by the 6dp-rounded 16-dim prefix cosine
+    // (id tie-break), keep 100, rescore full-dim, cut to 10 — the
+    // operator's exact contract, no recall assumption
+    "x_sim_mrl" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+             FROM embeddings WHERE vec_id = 0),
+         z AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             round(list_cosine_similarity(CAST(embedding[1:16] AS DOUBLE[]),
+               qv[1:16]), 6) AS tc
+           FROM embeddings, q WHERE embedding IS NOT NULL),
+         pool AS (SELECT vec_id, e FROM z ORDER BY tc DESC, vec_id LIMIT 100)
+         SELECT vec_id,
+           round(list_cosine_similarity(e, (SELECT qv FROM q)), 6) AS cosine
+         FROM pool
+         ORDER BY list_cosine_similarity(e, (SELECT qv FROM q)) DESC, vec_id
+         LIMIT 10""",
     "x_sim_binary" -> simBinaryOracle,
     "x_embed_norm" ->
       """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e

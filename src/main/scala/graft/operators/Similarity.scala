@@ -189,6 +189,44 @@ object Similarity {
       .limit(k)
   }
 
+  /** Matryoshka (MRL) truncated-prefix serving: shortlist `rescoreK`
+    * candidates by cosine over only the FIRST `dims` components (the
+    * matryoshka property: a prefix of an MRL-trained embedding is
+    * itself an embedding — dims/fullDim of the scan bandwidth), then
+    * rescore the shortlist alone with the full-dimension exact cosine
+    * and cut to `k`. The same shortlist/rescore shape as
+    * [[quantizedTopK]] (4× reduction) and [[binaryTopK]] (32×) — this
+    * one trades dimensions instead of precision. Cosine needs no
+    * re-normalization on the prefix (scale-invariant). Both cuts are
+    * TakeOrderedAndProject; the SHORTLIST cut orders by the 6dp-ROUNDED
+    * prefix cosine with an id tie-break, so the candidate set is
+    * engine-reproducible (a replayable cut, not a recall assumption —
+    * on non-MRL-trained embeddings the prefix shortlist is NOT
+    * guaranteed to contain the exact top-k, and the gate asserts the
+    * operator's actual contract instead of pretending it does).
+    */
+  def matryoshkaTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], dims: Int, k: Int, rescoreK: Int): DataFrame = {
+    require(rescoreK >= k && k >= 1, s"need rescoreK >= k >= 1, got $rescoreK/$k")
+    require(dims >= 1 && dims <= query.length,
+      s"dims must be in [1, ${query.length}], got $dims")
+    val qLit = array(query.map(lit): _*)
+    val qTrunc = array(query.take(dims).map(lit): _*)
+    val candidates = df.select(col(idCol),
+        round(graft.functions.VectorExpressions.cosineFast(
+          slice(col(vecCol), 1, dims), qTrunc), 6).as("_tc"))
+      .orderBy(nanvl(col("_tc"), lit(Double.NegativeInfinity)).desc, col(idCol))
+      .limit(rescoreK)
+      .select(col(idCol))
+    df.join(broadcast(candidates), Seq(idCol), "left_semi")
+      .select(col(idCol),
+        graft.functions.VectorExpressions.cosineFast(col(vecCol), qLit)
+          .as("cosine"))
+      .orderBy(nanvl(col("cosine"), lit(Double.NegativeInfinity)).desc,
+        col(idCol))
+      .limit(k)
+  }
+
   def allPairsTopK(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))

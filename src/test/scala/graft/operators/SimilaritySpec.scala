@@ -328,6 +328,25 @@ class SimilaritySpec extends SparkSpec {
       assert((p(j) == null) == touching.contains(j), s"component $j: $p")
   }
 
+  test("matryoshkaTopK: prefix shortlist + exact rescore, query first") {
+    val e = Tables.embeddings(spark, sf).filter(col("embedding").isNotNull)
+    val qv = e.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0)
+    val out = Similarity.matryoshkaTopK(e.select("vec_id", "embedding"),
+        "vec_id", "embedding", qv, dims = 16, k = 5, rescoreK = 50)
+      .as[(Long, Double)].collect().toSeq
+    // the query's own prefix ranks itself first in BOTH spaces
+    assert(out.head._1 == 0L && math.abs(out.head._2 - 1.0) < 1e-9, out)
+    assert(out.size == 5 && out.map(_._2) == out.map(_._2).sorted.reverse)
+    // plan: two top-k cuts, broadcast semi-join, no corpus shuffle join
+    val plan = Similarity.matryoshkaTopK(e.select("vec_id", "embedding"),
+        "vec_id", "embedding", qv, 16, 5, 50)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      plan)
+  }
+
   test("mmrRerank: diversity penalty demotes the near-duplicate") {
     // candidates: id 1 most relevant; id 2 almost identical to 1 and
     // second-most relevant; id 3 orthogonal to 1, least relevant.
