@@ -2777,6 +2777,21 @@ object SparkEntry {
         "doc_id", "text", Seq("merge", "window scan", "qqqabsent", "stream"))
         .orderBy("doc_id")),
 
+    // Unicode canonicalization: planted DECOMPOSED accents (e +
+    // U+0301), uppercase Greek/Latin-1, and tab/space runs prefixed to
+    // each doc — the engine must produce the same composed, simple-
+    // case-folded, space-collapsed string DuckDB's
+    // nfc_normalize/lower/regexp pipeline does, byte for byte.
+    "x_text_normalize" -> ((s, d) => {
+      val raw = concat(lit("  Caf"), lit("é"), lit(" \t ÜBER "),
+        lit("ΣΙΓΜΑ  "),
+        upper(coalesce(col("text"), lit(""))))
+      operators.TextAnalysis.normalizeText(
+          Tables.documents(s, d).select(col("doc_id"), raw.as("text")),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // T5-style span corruption: stride-4 segments fire per md5-56
     // bucket, fired segments mask 1-3 tokens behind one ordered
     // sentinel; targets carry sentinel+span pairs plus the closing
@@ -7659,6 +7674,24 @@ object SparkEntry {
          FROM r WHERE rk <= 5 ORDER BY query_id, rk""",
     "x_embed_project" -> embedProjectOracle,
     "x_sim_mmr" -> mmrOracle,
+    // the raw string rebuilt from chr() codepoints (decomposed e+0301,
+    // U+00DC, Greek capitals), then DuckDB's own canonicalization
+    // pipeline: nfc_normalize -> lower -> \s+ collapse -> trim
+    "x_text_normalize" ->
+      """WITH r AS (SELECT doc_id,
+             '  Cafe' || chr(769) || ' ' || chr(9) || ' ' ||
+             chr(220) || 'BER ' ||
+             chr(931) || chr(921) || chr(915) || chr(924) || chr(913) ||
+             '  ' || upper(coalesce(text, '')) AS raw
+           FROM documents),
+         n AS (SELECT doc_id, raw,
+             trim(regexp_replace(lower(nfc_normalize(raw)), '\s+', ' ', 'g'))
+               AS normalized
+           FROM r)
+         SELECT doc_id, normalized,
+           CAST(length(raw) AS INT) AS n_chars_before,
+           CAST(length(normalized) AS INT) AS n_chars_after
+         FROM n ORDER BY doc_id""",
     // shortlist-replay: rank by the 6dp-rounded 16-dim prefix cosine
     // (id tie-break), keep 100, rescore full-dim, cut to 10 — the
     // operator's exact contract, no recall assumption

@@ -531,7 +531,50 @@ object TermFreqStats {
       nullable = false)))
 }
 
+/** Unicode canonicalization in one row-level pass: NFC normalization
+  * (java.text.Normalizer — composed forms, so visually-identical texts
+  * hash identically in dedup), SIMPLE per-codepoint case folding
+  * (`Character.toLowerCase(int)` — deliberately NOT the context-
+  * sensitive `String.toLowerCase`, whose final-sigma and locale rules
+  * diverge from every SQL engine's simple folding), and ASCII
+  * whitespace-run collapse + trim. The mandatory first step before any
+  * content hashing: without it, NFC/NFD variants of the same text
+  * land in different dedup clusters and different index postings.
+  */
+case class NormalizeText(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "normalize_text"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = java.text.Normalizer.normalize(
+      input.asInstanceOf[UTF8String].toString,
+      java.text.Normalizer.Form.NFC)
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    var pendingSpace = false
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (cp == ' ' || cp == '\t' || cp == '\n' || cp == '\r' ||
+          cp == '\f' || cp == 0x0b) {
+        pendingSpace = sb.length() > 0
+      } else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.appendCodePoint(Character.toLowerCase(cp))
+      }
+      i += Character.charCount(cp)
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeText =
+    copy(child = newChild)
+}
+
 object TextExpressions {
+  def normalizeText(text: Column): Column =
+    ColumnBridge.column(NormalizeText(ColumnBridge.expression(text)))
+
   def wordShingles(text: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
 

@@ -497,6 +497,22 @@ object TextAnalysis {
     * Scale shape: a pure projection — the automaton is a plan literal
     * built once per executor JVM, no broadcast, no shuffle, no UDF.
     */
+  /** Unicode canonicalization ([[graft.functions.NormalizeText]]): NFC +
+    * simple case fold + whitespace collapse — run BEFORE any content
+    * hash, or NFC/NFD variants of one text land in different dedup
+    * clusters and different postings. Returns `(idCol, normalized,
+    * n_chars_before, n_chars_after)`; null text behaves as empty (the
+    * oracle convention). Pure projection — no shuffle, no UDF.
+    */
+  def normalizeText(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val raw = coalesce(col(textCol), lit(""))
+    df.select(col(idCol),
+      graft.functions.TextExpressions.normalizeText(raw).as("normalized"),
+      length(raw).as("n_chars_before"))
+      .withColumn("n_chars_after", length(col("normalized")))
+  }
+
   def blocklistScreen(df: DataFrame, idCol: String, textCol: String,
       patterns: Seq[String]): DataFrame = {
     require(patterns.nonEmpty, "blocklist must be non-empty")

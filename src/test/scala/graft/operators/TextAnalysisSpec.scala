@@ -343,4 +343,27 @@ class TextAnalysisSpec extends SparkSpec {
       assert(got(id) == want, s"text '$t': got ${got(id)}, want $want")
     }
   }
+
+  test("normalizeText: NFC composition, simple case fold, space collapse") {
+    val out = TextAnalysis.normalizeText(Seq(
+        (1L, "Café"),            // decomposed -> composed+folded
+        (2L, "  a \t\n b  "),          // runs collapse, ends trim
+        (3L, "ΣΙΣ"),    // ΣΙΣ: SIMPLE fold — trailing σ,
+                                       // never the contextual final ς
+        (4L, null.asInstanceOf[String]),
+        (5L, "𝐀 b"))        // non-BMP (𝐀) survives intact
+        .toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, String, Int, Int)].collect().toSeq
+    assert(out(0)._2 == "café" && out(0)._4 == 4, out(0))
+    assert(out(1)._2 == "a b", out(1))
+    assert(out(2)._2 == "σισ", out(2))
+    assert(out(3) == ((4L, "", 0, 0)), out(3))
+    assert(out(4)._2 == "𝐀 b", out(4)) // 𝐀 has no lowercase
+    // idempotent: normalizing the output is a no-op
+    val again = TextAnalysis.normalizeText(
+        out.map(r => (r._1, r._2)).toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String, Int, Int)].collect().toSeq
+    assert(again.map(_._2) == out.map(_._2))
+  }
 }
