@@ -3608,6 +3608,79 @@ object SparkEntry {
         .orderBy("n_name")
     }),
 
+    // Bilateral trade volume (TPC-H Q7 shape): revenue between two
+    // nations by ship year. The nation filter is pushed into BOTH
+    // dimension legs before the fact joins (each side prunes to the
+    // two-nation subset and broadcasts); with both sides restricted to
+    // the pair, the Q7 OR-of-pairs condition reduces to
+    // supp_nation <> cust_nation. Decimal-exact revenue (the j5
+    // recipe), integer year.
+    "j13_nation_volume" -> ((s, d) => {
+      val nations = Seq("NATION_1", "NATION_2")
+      val n = Tables.nation(s, d).filter(col("n_name").isin(nations: _*))
+      val sup = Tables.supplier(s, d)
+        .join(broadcast(n.select(col("n_nationkey").as("_nk1"),
+          col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("_nk1"))
+        .select("s_suppkey", "supp_nation")
+      val cust = Tables.customer(s, d)
+        .join(broadcast(n.select(col("n_nationkey").as("_nk2"),
+          col("n_name").as("cust_nation"))),
+          col("c_nationkey") === col("_nk2"))
+        .select("c_custkey", "cust_nation")
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("int").as("l_year"))
+        .agg(sum(dec(col("l_extendedprice")) *
+            (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // Market share (TPC-H Q8 shape): one supplier nation's share of
+    // PROMO-part revenue sold into one region, by order year — the
+    // conditional-aggregate-over-multi-join shape. Part/region/nation
+    // dims broadcast into the fact scan; the share division is ONE
+    // double op per year over exact decimal sums, rounded 6dp.
+    "j14_market_share" -> ((s, d) => {
+      val promo = Tables.part(s, d).filter(col("p_type") === "PROMO")
+        .select("p_partkey")
+      val asiaCust = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)
+          .join(broadcast(Tables.region(s, d)
+            .filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey").as("_nk2"))),
+          col("c_nationkey") === col("_nk2"))
+        .select("c_custkey")
+      val sup = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey").as("_nk1"),
+            col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("_nk1"))
+        .select("s_suppkey", "supp_nation")
+      val vol = dec(col("l_extendedprice")) *
+        (lit(1).cast("decimal(12,2)") - dec(col("l_discount")))
+      Tables.lineitem(s, d)
+        .join(broadcast(promo), col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(asiaCust), col("o_custkey") === col("c_custkey"),
+          "left_semi")
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).cast("int").as("o_year"))
+        .agg(round(
+            sum(when(col("supp_nation") === "NATION_5", vol)
+              .otherwise(lit(0).cast("decimal(12,2)"))).cast("double") /
+            sum(vol).cast("double"), 6).as("mkt_share"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("o_year")
+    }),
+
     // Single-pass filtered aggregation (TPC-H Q6 shape).
     "j6_forecast" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -8144,6 +8217,47 @@ object SparkEntry {
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY n_name ORDER BY n_name""",
+    // Q7 shape: bilateral revenue by ship year, decimal-exact
+    "j13_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INT) AS l_year,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                    (CAST(1 AS DECIMAL(12,2)) -
+                     CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+             AS revenue,
+           count(*) AS n_rows
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    // Q8 shape: one nation's share of PROMO revenue into ASIA, by year
+    "j14_market_share" ->
+      """WITH rev AS (
+           SELECT year(o_orderdate) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(12,2)) *
+               (CAST(1 AS DECIMAL(12,2)) -
+                CAST(l_discount AS DECIMAL(12,2))) AS volume,
+             n1.n_name AS supp_nation
+           FROM lineitem
+           JOIN part     ON l_partkey = p_partkey AND p_type = 'PROMO'
+           JOIN orders   ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation n2 ON c_nationkey = n2.n_nationkey
+           JOIN region   ON n2.n_regionkey = r_regionkey
+                        AND r_name = 'ASIA'
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation n1 ON s_nationkey = n1.n_nationkey)
+         SELECT CAST(o_year AS INT) AS o_year,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_5'
+                     THEN volume ELSE 0 END) AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share,
+           count(*) AS n_rows
+         FROM rev GROUP BY 1 ORDER BY 1""",
     "j6_forecast" ->
       """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
                          CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
