@@ -311,6 +311,26 @@ object SparkEntry {
         Tables.documents(s, d).select("doc_id", "text"), "doc_id", "text",
         "merge window scan", 20)),
 
+    // ES rescore: phase 1 ranks the corpus by BM25 and keeps a
+    // window_size=50 candidate window (deterministic cut — rounded
+    // score, id tie-break); phase 2 re-scores ONLY the window with a
+    // match_phrase boost (0.5 × occurrences of the exact bigram) and
+    // returns the re-ranked top 20. The standard cheap-query/expensive-
+    // rerank serving split; the phrase leg runs on 50 rows, never the
+    // corpus.
+    "q_rescore" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val window = DocQueries.matchTextBM25(docs, "doc_id", "text",
+        "merge window scan", 50)
+      val phraseTf = size(filter(
+        graft.functions.TextExpressions.wordShingles(lower(col("text")), 2),
+        x => x === lit("window scan"))).cast("double")
+      window.join(docs, "doc_id")
+        .withColumn("rescored", round(col("bm25") + lit(0.5) * phraseTf, 6))
+        .select(col("doc_id"), col("bm25"), col("rescored"))
+        .orderBy(col("rescored").desc, col("doc_id")).limit(20)
+    }),
+
     // DisjunctionMax (Lucene DisMax): best clause + 0.3 × the others —
     // two BM25 clauses, per-clause 6dp rounding mirrored in the oracle.
     "q_dis_max" -> ((s, d) =>
@@ -4886,6 +4906,47 @@ object SparkEntry {
            FROM t, s)
          SELECT doc_id, round(score, 6) AS bm25 FROM z WHERE score > 0
          ORDER BY bm25 DESC, doc_id LIMIT 20""",
+    // the BM25 window replayed (rounded-score cut at 50), then the
+    // phrase-boost rescore over the window only
+    "q_rescore" ->
+      """WITH t AS (SELECT doc_id,
+             CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+               AS DOUBLE) AS dl,
+             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'merge'))
+               AS DOUBLE) AS tf0,
+             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'window'))
+               AS DOUBLE) AS tf1,
+             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'scan'))
+               AS DOUBLE) AS tf2
+           FROM documents),
+         s AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+             CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+             CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+             CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+           FROM t),
+         z AS (SELECT doc_id,
+             ln(1 + (n - df0 + 0.5) / (df0 + 0.5))
+               * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             + ln(1 + (n - df1 + 0.5) / (df1 + 0.5))
+               * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             + ln(1 + (n - df2 + 0.5) / (df2 + 0.5))
+               * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+               AS score
+           FROM t, s),
+         w AS (SELECT doc_id, round(score, 6) AS bm25 FROM z WHERE score > 0
+           ORDER BY round(score, 6) DESC, doc_id LIMIT 50),
+         p AS (SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+           FROM documents),
+         g AS (SELECT doc_id,
+             CAST(len(list_filter(list_transform(
+               range(greatest(len(ws) - 1, 0)),
+               i -> ws[i + 1] || ' ' || ws[i + 2]),
+               x -> x = 'window scan')) AS DOUBLE) AS ptf
+           FROM p)
+         SELECT w.doc_id, bm25, round(bm25 + 0.5 * ptf, 6) AS rescored
+         FROM w JOIN g ON w.doc_id = g.doc_id
+         ORDER BY rescored DESC, w.doc_id LIMIT 20""",
     // two BM25 clauses scored independently (each rounded 6dp like the
     // engine's leg frames), then max + 0.3·(sum − max), rounded again;
     // the indexed twin shares the oracle (same contract, pruned layout)
