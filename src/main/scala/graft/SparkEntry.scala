@@ -1390,6 +1390,20 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Cluster labeling: each non-singleton near-dup cluster named by
+    // its 3 most frequent tokens (tie → ascending term) — the
+    // human-auditable "what IS this cluster" handle on the same shared
+    // pair graph as x_dedup_clusters; the oracle extends that gate's
+    // recursive min-reach walk with the token ranking.
+    "x_cluster_labels" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      operators.Dedup.clusterLabels(
+          operators.Dedup.connectedComponents(sharedExactPairs(s, d),
+            docs.select("doc_id")),
+          docs, "doc_id", "text", topK = 3)
+        .orderBy("cluster_id", "rk")
+    }),
+
     // Link-graph centrality (bounded power iteration) — the
     // crawl-prioritization / quality-weighting primitive: rank docs by
     // link structure over a deterministic synthetic link graph (each
@@ -6620,6 +6634,44 @@ object SparkEntry {
              UNION
              SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src)
          SELECT id, min(reach) AS root FROM walk GROUP BY id ORDER BY id""",
+    // the same recursive walk, extended with per-cluster token ranking
+    "x_cluster_labels" ->
+      """WITH RECURSIVE
+         sh AS (SELECT DISTINCT doc_id, g FROM (
+             SELECT doc_id, unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+               ELSE list_transform(range(1, len(w)-1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS g
+             FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents))),
+         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+             FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+         pairs AS (SELECT id_a, id_b FROM p
+             JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+             WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.5),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+             UNION SELECT id_b, id_a FROM pairs),
+         walk(id, reach) AS (
+             SELECT doc_id, doc_id FROM documents
+             UNION
+             SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src),
+         roots AS (SELECT id, min(reach) AS root FROM walk GROUP BY id),
+         sizes AS (SELECT root, count(*) AS n_docs FROM roots
+             GROUP BY root HAVING count(*) >= 2),
+         tok AS (SELECT r.root, s.n_docs,
+             unnest(list_filter(string_split(lower(d.text), ' '),
+               x -> x <> '')) AS term
+           FROM roots r
+           JOIN sizes s ON s.root = r.root
+           JOIN documents d ON d.doc_id = r.id),
+         tf AS (SELECT root, n_docs, term, count(*) AS term_count
+             FROM tok GROUP BY 1, 2, 3),
+         rk AS (SELECT root, n_docs, term, term_count,
+             row_number() OVER (PARTITION BY root
+               ORDER BY term_count DESC, term) AS rk
+           FROM tf)
+         SELECT root AS cluster_id, n_docs, term, term_count, rk
+         FROM rk WHERE rk <= 3 ORDER BY cluster_id, rk""",
     // the identical closed form unrolled: r_{t+1}(v) = (1-d)/n +
     // d·Σ r_t(u)/outdeg(u) over in-edges, five iterations
     "x_pagerank" ->

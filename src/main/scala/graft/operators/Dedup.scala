@@ -712,6 +712,38 @@ object Dedup {
           .as("span_text"))
   }
 
+  /** Label each near-dup cluster with its top-`topK` most frequent
+    * tokens — the human-auditable handle on what a cluster IS (a
+    * curation dashboard shows "cluster 17: 14 docs, 'window scan
+    * merge'", not an opaque root id). Input is [[connectedComponents]]
+    * output `(id, root)` plus the docs; singleton clusters are skipped
+    * (their label is the document). Ties break on ascending term.
+    * Returns `(cluster_id, n_docs, term, term_count, rk)`.
+    *
+    * Scale shape: cluster sizes broadcast (cluster-count-sized), term
+    * counting is one map-side-combinable hash agg over exploded
+    * tokens, and the top-k window partitions by cluster — state
+    * bounded by a cluster's distinct terms, never corpus-wide.
+    */
+  def clusterLabels(clusters: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, topK: Int = 3): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val real = clusters.groupBy("root")
+      .agg(count(lit(1)).as("n_docs")).filter(col("n_docs") >= 2)
+    val toks = clusters.join(broadcast(real), "root")
+      .join(docs.select(col(idCol), col(textCol)), col("id") === col(idCol))
+      .select(col("root"), col("n_docs"),
+        explode(filter(split(lower(col(textCol)), " "),
+          t => t =!= lit(""))).as("term"))
+    val tf = toks.groupBy("root", "n_docs", "term")
+      .agg(count(lit(1)).as("term_count"))
+    val w = Window.partitionBy("root")
+      .orderBy(col("term_count").desc, col("term"))
+    tf.withColumn("rk", row_number().over(w)).filter(col("rk") <= topK)
+      .select(col("root").as("cluster_id"), col("n_docs"), col("term"),
+        col("term_count"), col("rk"))
+  }
+
   def softWeights(df: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("_fp")
