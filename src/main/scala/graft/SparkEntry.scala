@@ -2977,7 +2977,11 @@ object SparkEntry {
           round(functions.VectorExpressions.cosineFast(
             col("embedding"), col("_qv")), 6).as("rel"),
           col("embedding"))
-        .orderBy(col("rel").desc, col("vec_id")).limit(20)
+        // nanvl: a zero vector's NaN cosine must rank LAST, never first
+        // (desc NaN ordering — the x_sim_topk convention)
+        .orderBy(nanvl(col("rel"), lit(Double.NegativeInfinity)).desc,
+          col("vec_id"))
+        .limit(20)
         .withColumn("query_id", lit(0L))
       operators.Similarity.mmrRerank(cand, "query_id", "vec_id", "rel",
           "embedding", k = 5, lambda = 0.75)

@@ -720,17 +720,19 @@ object Dedup {
     * (their label is the document). Ties break on ascending term.
     * Returns `(cluster_id, n_docs, term, term_count, rk)`.
     *
-    * Scale shape: cluster sizes broadcast (cluster-count-sized), term
-    * counting is one map-side-combinable hash agg over exploded
-    * tokens, and the top-k window partitions by cluster — state
-    * bounded by a cluster's distinct terms, never corpus-wide.
+    * Scale shape: term counting is one map-side-combinable hash agg
+    * over exploded tokens, and the top-k window partitions by cluster —
+    * state bounded by a cluster's distinct terms, never corpus-wide.
+    * The sizes join is left UNHINTED: non-singleton cluster count
+    * scales with the corpus's duplication level, so AQE should pick
+    * broadcast only when the frame measures small.
     */
   def clusterLabels(clusters: DataFrame, docs: DataFrame, idCol: String,
       textCol: String, topK: Int = 3): DataFrame = {
     require(topK >= 1, s"topK must be >= 1, got $topK")
     val real = clusters.groupBy("root")
       .agg(count(lit(1)).as("n_docs")).filter(col("n_docs") >= 2)
-    val toks = clusters.join(broadcast(real), "root")
+    val toks = clusters.join(real, "root")
       .join(docs.select(col(idCol), col(textCol)), col("id") === col(idCol))
       .select(col("root"), col("n_docs"),
         explode(filter(split(lower(col(textCol)), " "),

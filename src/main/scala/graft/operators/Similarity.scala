@@ -444,6 +444,12 @@ object Similarity {
     * sims are computed incrementally (each new pick updates each
     * remaining candidate's running max once), so the loop is N·k
     * cosines, not N².
+    *
+    * NaN relevance (a zero query or candidate vector upstream) EXCLUDES
+    * the candidate — a NaN can neither rank nor be rounded; silently
+    * treating it as 0 would let a garbage vector into the diversity
+    * penalty. NaN pairwise sims (zero candidate vs zero candidate)
+    * simply never raise the running max.
     */
   def mmrRerank(candidates: DataFrame, queryCol: String, idCol: String,
       relCol: String, vecCol: String, k: Int, lambda: Double): DataFrame = {
@@ -466,7 +472,8 @@ object Similarity {
       while (i < n) {
         dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
       }
-      round6(dot / (math.sqrt(na) * math.sqrt(nb)))
+      val c = dot / (math.sqrt(na) * math.sqrt(nb))
+      if (c.isNaN) Double.NaN else round6(c)
     }
     val grouped = candidates.groupBy(col(queryCol))
       .agg(collect_list(struct(col(idCol).cast("long").as("_id"),
@@ -481,6 +488,8 @@ object Similarity {
       .encoderFor(outSchema)
     grouped.flatMap { row =>
       val cands = row.getSeq[Row](1).toArray
+        .filter(c => !c.isNullAt(1) && !c.getDouble(1).isNaN &&
+          !c.isNullAt(2))
       val ids = cands.map(_.getLong(0))
       val rels = cands.map(c => round6(c.getDouble(1)))
       val vecs: Array[Array[Double]] = cands.map { c =>
