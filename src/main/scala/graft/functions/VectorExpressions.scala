@@ -409,9 +409,15 @@ case class SparseRandomProject(child: Expression, seed: Int,
   /** Nonzero matrix entries, CSR-style: component j reads input indices
     * `idx(off(j) until off(j+1))` with signs `sgn(…)`, ascending — the
     * term order the oracle mirrors. Built once per JVM per instance.
+    * ONE un-destructured field: @transient on a pattern-bound lazy val
+    * would not reliably mark the synthetic tuple field, and a
+    * materialized 768×128 CSR must never ship with every task.
     */
-  @transient private lazy val (offs, idxs, sgns) =
+  @transient private lazy val nz: (Array[Int], Array[Int], Array[Byte]) =
     SparseRandomProject.nonzeros(seed, inDim, outDim)
+  private def offs: Array[Int] = nz._1
+  private def idxs: Array[Int] = nz._2
+  private def sgns: Array[Byte] = nz._3
 
   private val scale: Double = math.sqrt(3.0 / outDim)
 
@@ -421,21 +427,22 @@ case class SparseRandomProject(child: Expression, seed: Int,
       throw new IllegalArgumentException(
         s"$prettyName: vector has ${a.numElements()} elements, need $inDim")
     val isF = childIsFloat
+    val off = offs; val idx = idxs; val sg = sgns // hot-loop locals
     val out = new Array[Any](outDim)
     var j = 0
     while (j < outDim) {
-      var p = offs(j)
-      val end = offs(j + 1)
+      var p = off(j)
+      val end = off(j + 1)
       var s = 0.0
       var isNull = false
       var first = true
       while (p < end && !isNull) {
-        val i = idxs(p)
+        val i = idx(p)
         if (a.isNullAt(i)) isNull = true
         else {
           val x = if (isF) a.getFloat(i).toDouble else a.getDouble(i)
-          if (first) { s = if (sgns(p) > 0) x else -x; first = false }
-          else if (sgns(p) > 0) s += x
+          if (first) { s = if (sg(p) > 0) x else -x; first = false }
+          else if (sg(p) > 0) s += x
           else s -= x
         }
         p += 1
