@@ -3719,6 +3719,94 @@ object SparkEntry {
         .orderBy("o_year")
     }),
 
+    // Correlated-min subquery (TPC-H Q2 shape, adapted: no partsupp
+    // table, so "supply cost" is each supplier's minimum unit price for
+    // the part — an exact decimal MIN over lineitem): suppliers in one
+    // region offering a qualifying part at that part's region-wide
+    // minimum cost. Written as the decorrelation Catalyst would
+    // produce: the per-(part, supplier) cost agg feeds BOTH the
+    // per-part min agg and the equality join back (ReuseExchange on the
+    // partkey-keyed shuffle); region/nation/part dims ride broadcasts.
+    // Decimal MIN is order-insensitive and engine-exact — the
+    // `cost = min` equality never touches float arithmetic.
+    "j15_min_cost_supplier" -> ((s, d) => {
+      val cost = Tables.lineitem(s, d)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(min(dec(col("l_extendedprice"))).as("cost"))
+      val eur = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+          .join(broadcast(Tables.region(s, d)
+            .filter(col("r_name") === "EUROPE").select("r_regionkey")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+      val eligible = cost
+        .join(broadcast(eur), col("l_suppkey") === col("s_suppkey"))
+      val mn = eligible.groupBy(col("l_partkey").as("_pk"))
+        .agg(min(col("cost")).as("_mc"))
+      val pts = Tables.part(s, d)
+        .filter(col("p_type") === "STANDARD" && col("p_size") <= 10)
+        .select("p_partkey")
+      eligible
+        .join(mn, col("l_partkey") === col("_pk") &&
+          col("cost") === col("_mc"))
+        .join(broadcast(pts), col("l_partkey") === col("p_partkey"))
+        .select(col("p_partkey"), col("s_suppkey"), col("s_name"),
+          col("n_name"), col("cost").cast("double").as("cost"))
+        .orderBy("p_partkey", "s_suppkey")
+    }),
+
+    // Large-volume orders (TPC-H Q18 shape): orders whose TOTAL
+    // lineitem quantity clears a threshold — the group-HAVING-IN
+    // subquery, decorrelated to its natural plan: the orderkey-keyed
+    // quantity agg IS the subquery, and since it already carries the
+    // sum the outer re-aggregation folds away into one join. The
+    // filtered agg output is small but unbounded (threshold-dependent),
+    // so it stays a keyed shuffle join — AQE converts it to broadcast
+    // at runtime when it fits; the customer dim broadcasts statically.
+    // Quantity sums are exact decimal.
+    "j16_large_orders" -> ((s, d) => {
+      val big = Tables.lineitem(s, d).groupBy("l_orderkey")
+        .agg(sum(dec(col("l_quantity"))).as("total_qty"))
+        .filter(col("total_qty") > 250)
+      Tables.orders(s, d)
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.customer(s, d).select("c_custkey", "c_name")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"),
+          col("total_qty").cast("double").as("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    }),
+
+    // Disjunctive multi-table predicate (TPC-H Q19 shape): revenue from
+    // three OR'd brand/size/quantity conjunctions. Each disjunct mixes
+    // part and lineitem columns, so the OR as written cannot push below
+    // the join — the shape's point is the DERIVED part-side union
+    // prefilter (the disjunction of each conjunct's part-only half),
+    // applied before the broadcast so the build side carries ~3 brands
+    // instead of the whole part table; the full mixed predicate then
+    // runs above the join. Revenue is the exact decimal sum.
+    "j17_disjunctive_revenue" -> ((s, d) => {
+      def pOnly(brand: String, maxSize: Int): Column =
+        col("p_brand") === brand && col("p_size").between(1, maxSize)
+      val pts = Tables.part(s, d)
+        .filter(pOnly("Brand#12", 5) || pOnly("Brand#23", 10) ||
+          pOnly("Brand#4", 15))
+        .select("p_partkey", "p_brand", "p_size")
+      Tables.lineitem(s, d)
+        .join(broadcast(pts), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (pOnly("Brand#12", 5) && col("l_quantity").between(1, 11)) ||
+          (pOnly("Brand#23", 10) && col("l_quantity").between(10, 20)) ||
+          (pOnly("Brand#4", 15) && col("l_quantity").between(20, 30)))
+        .agg(sum(dec(col("l_extendedprice")) *
+            (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_rows"))
+    }),
+
     // Single-pass filtered aggregation (TPC-H Q6 shape).
     "j6_forecast" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -8375,6 +8463,48 @@ object SparkEntry {
              / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share,
            count(*) AS n_rows
          FROM rev GROUP BY 1 ORDER BY 1""",
+    // Q2 shape: per-part regional minimum cost, decimal-exact equality
+    "j15_min_cost_supplier" ->
+      """WITH cost AS (SELECT l_partkey, l_suppkey,
+             min(CAST(l_extendedprice AS DECIMAL(12,2))) AS c
+           FROM lineitem GROUP BY 1, 2),
+         eligible AS (SELECT cost.*, s_name, n_name FROM cost
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'),
+         mn AS (SELECT l_partkey, min(c) AS mc FROM eligible GROUP BY 1)
+         SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey, s_name,
+           n_name, CAST(c AS DOUBLE) AS cost
+         FROM eligible JOIN mn USING (l_partkey)
+         JOIN part ON l_partkey = p_partkey
+           AND p_type = 'STANDARD' AND p_size <= 10
+         WHERE c = mc
+         ORDER BY p_partkey, s_suppkey""",
+    // Q18 shape: orders whose total quantity clears a HAVING threshold
+    "j16_large_orders" ->
+      """WITH big AS (SELECT l_orderkey,
+             sum(CAST(l_quantity AS DECIMAL(12,2))) AS total_qty
+           FROM lineitem GROUP BY 1
+           HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 250)
+         SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+           CAST(total_qty AS DOUBLE) AS total_qty
+         FROM orders JOIN big ON o_orderkey = l_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey""",
+    // Q19 shape: three OR'd brand/size/quantity conjunctions
+    "j17_disjunctive_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                         (CAST(1 AS DECIMAL(12,2)) -
+                          CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+             AS revenue,
+           count(*) AS n_rows
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 20 AND 30)""",
     "j6_forecast" ->
       """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
                          CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
