@@ -2783,6 +2783,40 @@ object SparkEntry {
         "most_fields", 20)
         .select("doc_id", "score")),
 
+    // combined_fields (ES): title (synthetic first-5-tokens field, ×2)
+    // + body (×1) scored as ONE combined field — weighted tf/dl sums
+    // feed a single BM25, so idf saturation is SHARED across fields
+    // (the term-centric alternative to multi_match's field-centric
+    // max/sum). Integer weights keep combined tf/dl exact integers;
+    // stats are one broadcast row, cut is TakeOrderedAndProject.
+    "q_combined_fields" -> ((s, d) => {
+      val toks = filter(split(lower(col("text")), " "), x => x =!= lit(""))
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          array_join(slice(toks, 1, 5), " ").as("title"))
+      DocQueries.combinedFields(docs, "doc_id",
+        Seq(("title", 2.0), ("text", 1.0)), "merge window scan", 20)
+    }),
+
+    // terms lookup (ES): the membership values come from ONE stored
+    // document (GET → path), not the query body — "docs in the same
+    // language as doc 123". The lookup fetch is an id-pruned one-row
+    // broadcast, the filter a left-semi join; no driver round-trip.
+    "q_terms_lookup" -> ((s, d) =>
+      DocQueries.termsLookup(Tables.documents(s, d)
+          .select("doc_id", "lang"), "doc_id", 123L, "lang", "lang")
+        .select("doc_id", "lang").orderBy("doc_id")),
+
+    // function_score random_score (ES): seeded deterministic [0,1)
+    // score per (seed, doc) over the match recall set — reproducible
+    // result shuffling / A-B bucketing, the md5-56 sampling-hash
+    // convention reduced mod 10^6 (integer-exact before one shared
+    // division), never an RNG.
+    "q_random_score" -> ((s, d) =>
+      DocQueries.randomScoreQuery(Tables.documents(s, d)
+          .select("doc_id", "text"), "doc_id", "text",
+        "merge window", 7, 20)),
+
     // DoReMi-style mixture reweighting: per-source eval feedback
     // (here: a length-proxy loss) exponentiates into the next round's
     // sampling weights, normalized through an exact decimal sum.
@@ -7647,6 +7681,51 @@ object SparkEntry {
            FROM documents)
          SELECT doc_id, ts * 1.0 + ls * 3.0 AS score
          FROM s WHERE ts * 1.0 + ls * 3.0 > 0
+         ORDER BY score DESC, doc_id LIMIT 20""",
+    // combined_fields: weighted tf/dl sums into ONE BM25 (shared idf);
+    // identical constants/order/6dp round as q_match_bm25
+    "q_combined_fields" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+           FROM documents),
+         u AS (SELECT doc_id,
+             2.0 * len(list_slice(toks, 1, 5)) + 1.0 * len(toks) AS dl,
+             2.0 * len(list_filter(list_slice(toks, 1, 5), w -> w = 'merge'))
+               + 1.0 * len(list_filter(toks, w -> w = 'merge')) AS tf0,
+             2.0 * len(list_filter(list_slice(toks, 1, 5), w -> w = 'window'))
+               + 1.0 * len(list_filter(toks, w -> w = 'window')) AS tf1,
+             2.0 * len(list_filter(list_slice(toks, 1, 5), w -> w = 'scan'))
+               + 1.0 * len(list_filter(toks, w -> w = 'scan')) AS tf2
+           FROM t),
+         s AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+             CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+             CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+             CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+           FROM u),
+         z AS (SELECT doc_id,
+             ln(1 + (n - df0 + 0.5) / (df0 + 0.5))
+               * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             + ln(1 + (n - df1 + 0.5) / (df1 + 0.5))
+               * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             + ln(1 + (n - df2 + 0.5) / (df2 + 0.5))
+               * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+               AS score
+           FROM u, s)
+         SELECT doc_id, round(score, 6) AS score FROM z WHERE score > 0
+         ORDER BY score DESC, doc_id LIMIT 20""",
+    // terms lookup: the IN-set is read from one stored document
+    "q_terms_lookup" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE lang IN (SELECT lang FROM documents WHERE doc_id = 123)
+         ORDER BY doc_id""",
+    // random_score: md5-56 sampling hash of 'seed:id', mod 10^6, scaled
+    "q_random_score" ->
+      """SELECT doc_id,
+           round(CAST((md5_number_lower('7:' || CAST(doc_id AS VARCHAR))
+             % 72057594037927936) % 1000000 AS DOUBLE) / 1000000.0, 6)
+             AS score
+         FROM documents
+         WHERE list_has_any(string_split(lower(text), ' '), ['merge', 'window'])
          ORDER BY score DESC, doc_id LIMIT 20""",
     // mixture reweighting: identical double pipeline, decimal-exact
     // normalizer (one libm exp per source absorbed by the 6dp round)

@@ -710,6 +710,99 @@ object DocQueries {
       .limit(k)
   }
 
+  /** CombinedFieldsQuery (ES `combined_fields`): term-centric scoring
+    * that treats several same-analyzer fields as ONE synthetic field —
+    * per ES's documented model, a field with weight w contributes as if
+    * its text were repeated w times: combined
+    * `tf(t) = Σ_f w_f·tf_f(t)`, combined length `dl = Σ_f w_f·dl_f`,
+    * and BM25 runs over THOSE (one df/avgdl over the combined view).
+    * This is the pre-field-centric alternative to
+    * [[multiMatch]]'s best_fields/most_fields: a term matching in any
+    * field feeds one score, so idf saturation is shared. Integer
+    * weights keep every combined tf/dl an exact integer in double —
+    * corpus stats are then exact sums and the score is
+    * engine-reproducible up to the shared 6dp round, term accumulation
+    * in fixed query order.
+    *
+    * Scale shape: one [[graft.functions.TermFreqStats]] pass per field
+    * (projection), ONE tiny stats row broadcast back, and a
+    * TakeOrderedAndProject cut — the matchTextBM25 plan with a wider
+    * projection, no extra shuffle.
+    */
+  def combinedFields(index: DataFrame, idCol: String,
+      fields: Seq[(String, Double)], query: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(fields.nonEmpty, "combined_fields needs at least one field")
+    require(fields.forall(_._2 >= 1.0),
+      s"combined_fields weights must be >= 1 (ES constraint), got $fields")
+    val qTokens = queryTokens(query).distinct
+    require(qTokens.nonEmpty, "combined_fields needs a non-empty query")
+    val base0 = fields.foldLeft(index) { case (df, (f, _)) =>
+      df.withColumn(s"_cf_$f",
+        graft.functions.TextExpressions.termFreqStats(col(f), qTokens))
+    }
+    val dl = fields.map { case (f, w) =>
+      col(s"_cf_$f").getField("dl").cast("double") * lit(w) }.reduce(_ + _)
+    def tfC(i: Int): Column = fields.map { case (f, w) =>
+      element_at(col(s"_cf_$f").getField("tf"), i + 1).cast("double") *
+        lit(w) }.reduce(_ + _)
+    val base = base0.select(col(idCol) +: dl.as("_dl") +:
+      qTokens.indices.map(i => tfC(i).as(s"_tf$i")): _*)
+    val aggCols: Seq[Column] =
+      count(lit(1)).cast("double").as("_n") +:
+        avg(col("_dl")).as("_avgdl") +:
+        qTokens.indices.map(i =>
+          sum(when(col(s"_tf$i") > 0, 1).otherwise(0)).cast("double")
+            .as(s"_df$i"))
+    val stats = base.agg(aggCols.head, aggCols.tail: _*)
+    val total = qTokens.indices.map(i =>
+      bm25Contrib(col(s"_tf$i"), col(s"_df$i"), col("_n"), col("_avgdl"),
+        col("_dl"), k1, b)).reduce(_ + _)
+    base.crossJoin(broadcast(stats))
+      .filter(total > 0)
+      .select(col(idCol), round(total, 6).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** TermsLookup query (the ES `terms` lookup form): the membership
+    * set is not written in the query — it is read from ONE stored
+    * document's field (`GET index/id` → `path`), then the terms filter
+    * runs with those values. "Docs sharing this doc's language/tags."
+    * ES fetches the lookup doc with a client-side GET; Spark-first the
+    * fetch is an id-pruned one-row frame (the id predicate pushes to
+    * the scan) and the membership test a broadcast left-semi join — no
+    * driver round-trip, and the build side is one row regardless of
+    * corpus size.
+    */
+  def termsLookup(index: DataFrame, idCol: String, lookupId: Long,
+      pathCol: String, field: String): DataFrame = {
+    val lk = index.filter(col(idCol) === lookupId)
+      .select(col(pathCol).as("_lk")).limit(1)
+    index.join(broadcast(lk), col(field) === col("_lk"), "left_semi")
+  }
+
+  /** `function_score` with `random_score` (ES): a deterministic
+    * per-document pseudo-random score in [0, 1) derived from
+    * (seed, id) — reproducible shuffling for sampled serving / A-B
+    * bucketing, NOT an RNG: the same (seed, id) scores identically on
+    * any engine, executor, or retry. Hash family is the corpus-wide
+    * md5-56 sampling convention ([[graft.operators.Corpus.sampleHash]]),
+    * reduced mod 10^6 and scaled — integer-exact before one shared
+    * division. Matching docs ([[matchText]] recall) ranked by
+    * (score desc, id), top `k` via TakeOrderedAndProject; pure
+    * projection otherwise.
+    */
+  def randomScoreQuery(index: DataFrame, idCol: String, field: String,
+      query: String, seed: Int, k: Int): DataFrame =
+    matchText(index, field, query)
+      .select(col(idCol), round(
+        (graft.operators.Corpus.sampleHash(
+          concat_ws(":", lit(seed), col(idCol))) % 1000000L)
+          .cast("double") / 1000000.0, 6).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+
   /** MultiMatchQuery (ES `multi_match`): ONE analyzed query scored
     * against several fields with per-field boosts — `best_fields`
     * takes the max boosted per-field score (the dis_max "single best
