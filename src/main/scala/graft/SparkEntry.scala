@@ -2817,6 +2817,16 @@ object SparkEntry {
           .select("doc_id", "text"), "doc_id", "text",
         "merge window", 7, 20)),
 
+    // DSIR importance resampling (Xie et al. 2023): rank raw docs by
+    // how target-like their hashed unigram+bigram features are —
+    // Σ c_b·(ln p_target(b) − ln p_raw(b)) over 256 md5-56 bins, one
+    // explode pass feeding both distributions, ratios a 256-row
+    // broadcast, per-doc sums exact decimal. Target domain: src0.
+    "x_dsir" -> ((s, d) =>
+      operators.Corpus.dsirWeights(Tables.documents(s, d), "doc_id",
+        "text", col("source") === "src0", 256)
+        .orderBy(col("weight").desc, col("doc_id")).limit(50)),
+
     // DoReMi-style mixture reweighting: per-source eval feedback
     // (here: a length-proxy loss) exponentiates into the next round's
     // sampling weights, normalized through an exact decimal sum.
@@ -7727,6 +7737,41 @@ object SparkEntry {
          FROM documents
          WHERE list_has_any(string_split(lower(text), ' '), ['merge', 'window'])
          ORDER BY score DESC, doc_id LIMIT 20""",
+    // DSIR: same explode → hash-bin → smoothed log-ratio pipeline;
+    // 9dp-rounded ratios fixed as decimal, per-doc sums exact
+    "x_dsir" ->
+      """WITH toks AS (SELECT doc_id, source,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+           FROM documents),
+         feat AS (
+           SELECT doc_id, source, unnest(ts) AS f FROM toks
+           UNION ALL
+           SELECT doc_id, source,
+             unnest(list_transform(range(2, len(ts) + 1),
+               i -> ts[i - 1] || ' ' || ts[i])) AS f
+           FROM toks WHERE len(ts) >= 2),
+         fb AS (SELECT doc_id, source,
+             (md5_number_lower(f) % 72057594037927936) % 256 AS b
+           FROM feat),
+         pdc AS (SELECT doc_id, source, b, count(*) AS c
+           FROM fb GROUP BY 1, 2, 3),
+         stats AS (SELECT b,
+             sum(CASE WHEN source = 'src0' THEN c ELSE 0 END) AS ct,
+             sum(c) AS cr
+           FROM pdc GROUP BY 1),
+         tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM stats),
+         ratio AS (SELECT b,
+             CAST(round(ln(CAST(ct + 1 AS DOUBLE) / CAST(tt + 256 AS DOUBLE))
+                      - ln(CAST(cr + 1 AS DOUBLE) / CAST(tr + 256 AS DOUBLE)),
+               9) AS DECIMAL(18,9)) AS lr
+           FROM stats CROSS JOIN tot)
+         SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_features,
+           round(CAST(sum(CAST(c AS DECIMAL(18,9)) * lr) AS DOUBLE), 6)
+             AS weight
+         FROM pdc JOIN ratio USING (b)
+         WHERE source <> 'src0'
+         GROUP BY doc_id
+         ORDER BY weight DESC, doc_id LIMIT 50""",
     // mixture reweighting: identical double pipeline, decimal-exact
     // normalizer (one libm exp per source absorbed by the 6dp round)
     "x_mix_reweight" ->

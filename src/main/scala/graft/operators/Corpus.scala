@@ -465,6 +465,64 @@ object Corpus {
           .as("new_weight"))
   }
 
+  /** DSIR importance weights (Data Selection via Importance Resampling,
+    * Xie et al. 2023): score every raw-corpus document by how much more
+    * likely its hashed n-gram features are under a TARGET domain's
+    * feature distribution than under the raw corpus's — the
+    * principled replacement for hand-written quality rules when "good"
+    * is defined by an exemplar corpus. Features are unigrams + bigrams
+    * hashed into `buckets` bins (the md5-56 sampling-hash family, so
+    * the binning is engine-reproducible); both distributions are
+    * add-one-smoothed over the bins; a doc's log-weight is
+    * `Σ_b c_b · (ln p_target(b) − ln p_raw(b))`.
+    *
+    * Determinism: each bin's log-ratio is rounded to 9dp and fixed as
+    * decimal(18,9); per-doc accumulation is then an EXACT decimal sum
+    * of integer-count × ratio terms (order-free), with one final 6dp
+    * double round — the [[reweightMixture]]/bigram-CE convention, so
+    * libm `ln` ULP differences cannot reorder the selection.
+    *
+    * Scale shape: ONE tokenize+shingle explode over the corpus (the
+    * target flag rides the rows, so target and raw counts come out of
+    * the same pass), a (doc, bucket)-keyed count agg, a buckets-sized
+    * stats agg (map-side combinable; `buckets` rows regardless of
+    * corpus size), and a BROADCAST of the log-ratio table back onto
+    * the per-doc counts. No all-pairs anything; the only corpus-sized
+    * shuffles are the two keyed aggs.
+    */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, buckets: Int): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val toks = TextFunctions.tokens(lower(col(textCol)))
+    val bi = when(size(toks) >= 2,
+      graft.functions.TextExpressions.wordShingles(lower(col(textCol)), 2))
+      .otherwise(array().cast("array<string>"))
+    val feats = df.select(col(idCol), isTarget.as("_tgt"),
+        explode(concat(toks, bi)).as("_f"))
+      .select(col(idCol), col("_tgt"),
+        (sampleHash(col("_f")) % buckets).as("_b"))
+    val perDoc = feats.groupBy(col(idCol), col("_tgt"), col("_b"))
+      .agg(count(lit(1)).as("_c"))
+    val stats = perDoc.groupBy(col("_b"))
+      .agg(sum(when(col("_tgt"), col("_c")).otherwise(0L)).as("_ct"),
+        sum(col("_c")).as("_cr"))
+    val tot = stats.agg(sum(col("_ct")).as("_tt"), sum(col("_cr")).as("_tr"))
+    val ratio = stats.crossJoin(broadcast(tot))
+      .select(col("_b").as("_rb"),
+        round(
+          log((col("_ct") + 1).cast("double") /
+            (col("_tt") + buckets).cast("double")) -
+          log((col("_cr") + 1).cast("double") /
+            (col("_tr") + buckets).cast("double")), 9)
+          .cast("decimal(18,9)").as("_lr"))
+    perDoc.filter(!col("_tgt"))
+      .join(broadcast(ratio), col("_b") === col("_rb"))
+      .groupBy(col(idCol))
+      .agg(sum(col("_c")).as("n_features"),
+        round(sum(col("_c").cast("decimal(18,9)") * col("_lr"))
+          .cast("double"), 6).as("weight"))
+  }
+
   /** Temperature-scaled mixture sampling — the multilingual-LM source
     * balancing scheme (sampling weight ∝ n_s^α, α < 1 flattening the
     * source distribution so small sources are up-weighted relative to

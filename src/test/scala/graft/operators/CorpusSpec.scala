@@ -539,4 +539,40 @@ class CorpusSpec extends SparkSpec {
       assert(out == Seq((1L, true, false), (2L, true, false)))
     }
   }
+
+  test("dsirWeights: target-like docs outscore off-domain docs") {
+    val df = Seq(
+      (1L, "alpha beta gamma alpha beta", "tgt"),
+      (2L, "alpha beta gamma delta", "raw"),      // shares target n-grams
+      (3L, "zulu yankee xray whiskey", "raw"),    // disjoint from target
+      (4L, "alpha beta alpha beta", "raw")        // mostly target n-grams
+    ).toDF("doc_id", "text", "source")
+    val out = Corpus.dsirWeights(df, "doc_id", "text",
+        col("source") === "tgt", buckets = 64)
+      .orderBy("doc_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    // target doc excluded; raw docs all present
+    assert(out.map(_._1) == Seq(2L, 3L, 4L))
+    val w = out.map(o => o._1 -> o._3).toMap
+    assert(w(4L) > w(3L), s"target-heavy doc must outscore disjoint: $w")
+    assert(w(2L) > w(3L), s"overlapping doc must outscore disjoint: $w")
+    // n_features = unigrams + bigrams
+    assert(out.find(_._1 == 2L).get._2 == 4 + 3)
+    // deterministic across runs
+    val again = Corpus.dsirWeights(df, "doc_id", "text",
+        col("source") === "tgt", buckets = 64)
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    assert(again == out)
+  }
+
+  test("dsirWeights: ratio table rides a broadcast, no cartesian blowup") {
+    val df = Seq((1L, "a b c", "t"), (2L, "a c d", "r"))
+      .toDF("doc_id", "text", "source")
+    val plan = Corpus.dsirWeights(df, "doc_id", "text",
+        col("source") === "t", buckets = 16)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"log-ratio join should broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+  }
 }
