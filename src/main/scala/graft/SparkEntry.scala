@@ -1283,6 +1283,20 @@ object SparkEntry {
     // not a second verifier run. The operator being graded is
     // minhashDedup's banded (band, bucket) join, which only touches
     // candidate pairs.
+    // Edit-distance near-dup verification: candidate pairs from the
+    // exact shingle equi-join (the engine-reproducible generator; the
+    // LSH generator composes identically), then per-pair BANDED
+    // Levenshtein ≤ 6 — quadratic work confined to O(candidates),
+    // never the corpus; the threshold's early abandon makes each pair
+    // O(len·maxDist). Distances 4–8 live in this corpus, so the bound
+    // genuinely prunes.
+    "x_dedup_edit" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val cand = operators.Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.3)
+      operators.Dedup.verifyEditDistance(cand, docs, "doc_id", "text", 6)
+        .orderBy("id_a", "id_b")
+    }),
+
     "x_dedup_minhash" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val exact = sharedExactPairs(s, d)
@@ -7386,6 +7400,28 @@ object SparkEntry {
            CAST(l % 1000000007 AS BIGINT) AS checksum,
            CAST(range(0, nf, 2) AS VARCHAR) AS sampled_frames
          FROM f ORDER BY id""",
+    // edit-distance verify over the exact-Jaccard candidate set
+    "x_dedup_edit" ->
+      """WITH sh AS (SELECT DISTINCT doc_id, g FROM (
+             SELECT doc_id, unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+               ELSE list_transform(range(1, len(w)-1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS g
+             FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents))),
+         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+             FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+         cand AS (SELECT id_a, id_b FROM pairs
+             JOIN cnt ca ON ca.doc_id = id_a
+             JOIN cnt cb ON cb.doc_id = id_b
+             WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.3)
+         SELECT id_a, id_b,
+           CAST(levenshtein(ta.text, tb.text) AS INTEGER) AS edit_distance
+         FROM cand
+         JOIN documents ta ON ta.doc_id = id_a
+         JOIN documents tb ON tb.doc_id = id_b
+         WHERE levenshtein(ta.text, tb.text) <= 6
+         ORDER BY id_a, id_b""",
     "x_dedup_minhash" ->
       """WITH sh AS (SELECT DISTINCT doc_id, g FROM (
              SELECT doc_id, unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]

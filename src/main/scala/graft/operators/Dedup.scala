@@ -241,6 +241,33 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Edit-distance verification for a CANDIDATE pair set — the
+    * character-level confirmation behind "near-duplicate up to k edits"
+    * policies (template pages, boilerplate variants, OCR noise), where
+    * set-based Jaccard can be fooled by reordered or re-chunked
+    * n-grams. Levenshtein is quadratic per pair, so it NEVER runs
+    * corpus-wide: candidates come from a banded/bucketed generator
+    * ([[minhashLshCandidates]], [[ngramJaccard]]) and this leg costs
+    * O(candidates). The `maxDist` bound uses Spark's THRESHOLDED
+    * levenshtein — the banded-DP cutoff abandons a pair as soon as the
+    * distance provably exceeds the bound (O(len·maxDist) per pair, not
+    * O(len²)), the production form for long documents. Returns
+    * `(id_a, id_b, edit_distance)` for pairs within `maxDist`.
+    */
+  def verifyEditDistance(pairs: DataFrame, df: DataFrame, idCol: String,
+      textCol: String, maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val t = df.select(col(idCol).as("_tid"), col(textCol).as("_tx"))
+    pairs.select("id_a", "id_b")
+      .join(t.withColumnRenamed("_tid", "id_a")
+        .withColumnRenamed("_tx", "_ta"), "id_a")
+      .join(t.withColumnRenamed("_tid", "id_b")
+        .withColumnRenamed("_tx", "_tb"), "id_b")
+      .withColumn("edit_distance", levenshtein(col("_ta"), col("_tb"), maxDist))
+      .filter(col("edit_distance") >= 0)
+      .select("id_a", "id_b", "edit_distance")
+  }
+
   /** 64-bit SimHash over whitespace tokens: per bit position, sum +1/-1
     * across token-hash bits, sign of the sum becomes the signature bit.
     * Pure expressions (aggregate over the token array).

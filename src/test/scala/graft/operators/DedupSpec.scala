@@ -320,4 +320,30 @@ class DedupSpec extends SparkSpec {
     assert(outWs == Seq((1L, 2, 4, "p q r s"), (2L, 0, 4, "p q r s")),
       s"got $outWs")
   }
+
+  test("verifyEditDistance: banded Levenshtein confirms only within-bound pairs") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumped over the lazy dog"),  // dist 2
+      (3L, "the quick brown fox jumps over the lazy cat og"), // small edits
+      (4L, "completely different text with no overlap at all")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    val out = Dedup.verifyEditDistance(pairs, docs, "doc_id", "text", 6)
+      .orderBy("id_a", "id_b").as[(Long, Long, Int)].collect().toSeq
+    // (1,2): "jumps"->"jumped" = 2 edits; (1,3): "dog"->"cat og" = 4
+    // (substitute d->c, insert "at " before the retained "og")
+    assert(out == Seq((1L, 2L, 2), (1L, 3L, 4)), s"got $out")
+    // the far pair is dropped by the threshold, not scored
+    assert(!out.exists(_._2 == 4L))
+    // bound 1 drops everything
+    assert(Dedup.verifyEditDistance(pairs, docs, "doc_id", "text", 1)
+      .count() == 0)
+    // composes with the LSH candidate generator
+    val lsh = Dedup.minhashLshCandidates(docs, "doc_id", "text")
+      .select("id_a", "id_b")
+    val viaLsh = Dedup.verifyEditDistance(lsh, docs, "doc_id", "text", 6)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(viaLsh.forall(r => r._3 <= 6))
+  }
 }
