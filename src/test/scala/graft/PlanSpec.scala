@@ -286,6 +286,46 @@ class PlanSpec extends SparkSpec {
       s"plan grows with dimensions: 64x16 -> $small chars, 768x128 -> $big")
   }
 
+  test("TPC-H Q2/Q18/Q19 shapes keep their scan and join scale shapes") {
+    // j15 (Q2 shape): the (part, supplier) cost aggregate feeds BOTH the
+    // per-part min and the equality join back — at runtime AQE reuses
+    // the partkey-side exchange instead of recomputing the corpus agg
+    // (the pin runs the query: ReusedExchange only materializes in the
+    // adaptive final plan). Dims broadcast with the region filter pushed;
+    // the min-equality join stays equi-keyed.
+    val df15 = SparkEntry.queries("j15_min_cost_supplier")(spark, sf)
+    df15.collect()
+    val p15 = df15.queryExecution.executedPlan.toString
+    assert(p15.contains("ReusedExchange"),
+      s"cost-agg exchange recomputed instead of reused:\n$p15")
+    assert(p15.contains("EqualTo(r_name,EUROPE)"),
+      s"region filter not pushed:\n$p15")
+    assert(!p15.contains("CartesianProduct") &&
+      !p15.contains("BroadcastNestedLoopJoin"),
+      s"unkeyed join in Q2 shape:\n$p15")
+    // j16 (Q18 shape): the HAVING-IN folds into one keyed join of the
+    // orderkey agg (map-side partial sum), customer dim broadcasts,
+    // final order is top-k shaped only via sort (full result) — pin the
+    // aggregate and the absence of unkeyed joins.
+    val p16 = plan("j16_large_orders")
+    assert(p16.contains("partial_sum"), s"qty agg not partial:\n$p16")
+    assert(!p16.contains("CartesianProduct") &&
+      !p16.contains("BroadcastNestedLoopJoin"),
+      s"unkeyed join in Q18 shape:\n$p16")
+    // j17 (Q19 shape): the OR-of-ANDs cannot push below the join whole,
+    // but BOTH derived single-table halves must: the part-side brand/size
+    // union prefilter into the part scan, and the derived quantity-range
+    // union into the lineitem scan (Catalyst extracts it from the mixed
+    // disjunction). The join itself carries the residual mixed predicate.
+    val p17 = plan("j17_disjunctive_revenue")
+    assert(p17.contains("Or(Or(And(EqualTo(p_brand,Brand#12)"),
+      s"part-side union prefilter not pushed:\n$p17")
+    assert(p17.contains("Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)"),
+      s"derived lineitem quantity union not pushed:\n$p17")
+    assert(p17.contains("BroadcastHashJoin"),
+      s"pruned part dim should broadcast:\n$p17")
+  }
+
   test("token masking hashes each token exactly once") {
     // The mask decision reads each md5-56 as a zip_with lambda variable
     // produced by ONE fused native pass; embedding sampleHash's 7-term
