@@ -2812,6 +2812,30 @@ object SparkEntry {
         Seq(("title", 2.0), ("text", 1.0)), "merge window scan", 20)
     }),
 
+    // nested query + inner_hits (ES): every conjunct must hold on the
+    // SAME nested doc — an order whose big line and discounted line are
+    // DIFFERENT lines matches the flattened object mapping but not
+    // this. Parents are orders, nested docs their lineitems
+    // (collect_list struct — one keyed shuffle to build the nested
+    // view); the query itself is a pure array-filter projection, no
+    // block-join. inner_hits surface as the sorted matching line
+    // numbers. Predicate fields stay raw doubles: a filter compares,
+    // never sums, so the double is engine-exact.
+    "q_nested" -> ((s, d) => {
+      val nested = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(collect_list(struct(col("l_linenumber").as("ln"),
+          col("l_quantity").as("qty"), col("l_discount").as("disc")))
+          .as("items"))
+      DocQueries.nestedQuery(nested, "items",
+          x => x.getField("qty") >= 45 && x.getField("disc") >= 0.08)
+        .select(col("l_orderkey").as("o_orderkey"),
+          size(col("inner_hits")).cast("long").as("n_hits"),
+          array_join(transform(array_sort(col("inner_hits")),
+            x => x.getField("ln").cast("string")), ",").as("hit_lines"))
+        .orderBy("o_orderkey")
+    }),
+
     // terms lookup (ES): the membership values come from ONE stored
     // document (GET → path), not the query body — "docs in the same
     // language as doc 123". The lookup fetch is an id-pruned one-row
@@ -7760,6 +7784,15 @@ object SparkEntry {
          SELECT doc_id, round(score, 6) AS score FROM z WHERE score > 0
          ORDER BY score DESC, doc_id LIMIT 20""",
     // terms lookup: the IN-set is read from one stored document
+    // nested semantics = both predicates on the SAME lineitem row
+    "q_nested" ->
+      """SELECT l_orderkey AS o_orderkey, count(*) AS n_hits,
+           string_agg(CAST(l_linenumber AS VARCHAR), ','
+             ORDER BY l_linenumber) AS hit_lines
+         FROM lineitem
+         WHERE l_quantity >= 45 AND l_discount >= 0.08
+         GROUP BY 1 ORDER BY 1""",
+
     "q_terms_lookup" ->
       """SELECT doc_id, lang FROM documents
          WHERE lang IN (SELECT lang FROM documents WHERE doc_id = 123)

@@ -1270,4 +1270,25 @@ object DocQueries {
       .agg(round(sum("_e").cast("double"), 6).as("entropy"))
     base.join(ent, groupCol).orderBy(groupCol)
   }
+
+  /** ES `nested` query with `inner_hits`: `predicate` must hold on ONE
+    * nested document — every conjunct on the SAME array element — which
+    * is exactly what the flattened (object-mapping) form gets wrong: a
+    * flattened index matches when each conjunct hits ANY element, so
+    * `qty >= 45 AND disc >= 0.08` would match an order whose big line
+    * and discounted line are different lines. The parent keeps only
+    * elements satisfying the predicate (`inner_hits`), parents with
+    * none drop out.
+    *
+    * Scale shape: a pure per-row array `filter` projection over the
+    * parent table — no explode, no shuffle, no join; ES pays a
+    * block-join against separately indexed nested docs here. Arrays are
+    * the parent's own nested collection (bounded per parent by the data
+    * model), so per-row work is element count, not corpus size.
+    */
+  def nestedQuery(parents: DataFrame, arrayCol: String,
+      predicate: Column => Column): DataFrame =
+    parents
+      .withColumn("inner_hits", filter(col(arrayCol), predicate))
+      .filter(size(col("inner_hits")) > 0)
 }
