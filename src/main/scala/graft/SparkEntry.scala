@@ -2812,6 +2812,18 @@ object SparkEntry {
         Seq(("title", 2.0), ("text", 1.0)), "merge window scan", 20)
     }),
 
+    // sparse_vector query (ES / SPLADE-ELSER serving shape): query =
+    // term→weight map, doc = sparse impact vector, score = dot product.
+    // Postings-based: the exploded token stream prunes to the query's
+    // terms BEFORE any shuffle, df/N/weights ride broadcasts, the cut
+    // is TakeOrderedAndProject. Contributions round 6dp and sum as
+    // exact decimals.
+    "q_sparse_vector" -> ((s, d) =>
+      DocQueries.sparseVectorQuery(Tables.documents(s, d),
+        "doc_id", "text",
+        Seq(("merge", 1.5), ("window", 1.0), ("scan", 0.7),
+          ("data", 0.3)), 20)),
+
     // nested query + inner_hits (ES): every conjunct must hold on the
     // SAME nested doc — an order whose big line and discounted line are
     // DIFFERENT lines matches the flattened object mapping but not
@@ -7784,6 +7796,27 @@ object SparkEntry {
          SELECT doc_id, round(score, 6) AS score FROM z WHERE score > 0
          ORDER BY score DESC, doc_id LIMIT 20""",
     // terms lookup: the IN-set is read from one stored document
+    // sparse dot product over query-term postings; same impact formula,
+    // 6dp-rounded contributions summed as decimals
+    "q_sparse_vector" ->
+      """WITH n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+         toks AS (SELECT doc_id,
+             unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+               AS t
+           FROM documents),
+         q(t, w) AS (VALUES ('merge', 1.5), ('window', 1.0),
+           ('scan', 0.7), ('data', 0.3)),
+         tf AS (SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf
+           FROM toks WHERE t IN (SELECT t FROM q) GROUP BY 1, 2),
+         df AS (SELECT t, CAST(count(*) AS DOUBLE) AS df FROM tf
+           GROUP BY 1),
+         c AS (SELECT tf.doc_id,
+             CAST(round(q.w * round((1.0 + ln(tf.tf)) *
+               ln(1.0 + n.n / df.df), 6), 6) AS DECIMAL(18,6)) AS contrib
+           FROM tf JOIN df USING (t) JOIN q USING (t), n)
+         SELECT doc_id, CAST(sum(contrib) AS DOUBLE) AS score
+         FROM c GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""",
+
     // nested semantics = both predicates on the SAME lineitem row
     "q_nested" ->
       """SELECT l_orderkey AS o_orderkey, count(*) AS n_hits,

@@ -1271,6 +1271,59 @@ object DocQueries {
     base.join(ent, groupCol).orderBy(groupCol)
   }
 
+  /** ES `sparse_vector` query — the learned-sparse (SPLADE/ELSER-style)
+    * serving shape: the query is a small term→weight map, each document
+    * a sparse impact vector, and the score the dot product
+    * `Σ_{t∈q} q_w(t)·d_w(t)`. In production the weights come from a
+    * trained expansion model; here the doc-side impact is the standard
+    * `(1+ln tf)·ln(1+N/df)` so the whole pipeline stays
+    * engine-derivable — the SERVING shape (what this operator is) is
+    * identical either way.
+    *
+    * Scale shape: this is postings-based retrieval, not a per-doc scan
+    * of the full vocabulary — tokens are pruned to the query's terms
+    * BEFORE the first shuffle (a literal IN on the exploded stream), so
+    * the (doc, term) aggregate and everything after it carry only rows
+    * for the ≤|q| query terms. df comes from that pruned frame (≤|q|
+    * rows, broadcast back), N is one scalar row, the final cut
+    * TakeOrderedAndProject. No full-corpus join anywhere; cost scales
+    * with the query terms' posting lists, as an inverted index would.
+    *
+    * Determinism: per-(doc, term) contributions round to 6dp and sum as
+    * exact decimals (order-free), ties break ascending id. Returns
+    * `(idCol, score)`, top `k`.
+    */
+  def sparseVectorQuery(docs: DataFrame, idCol: String, textCol: String,
+      queryWeights: Seq[(String, Double)], k: Int): DataFrame = {
+    require(queryWeights.nonEmpty, "sparse_vector needs query weights")
+    require(queryWeights.map(_._1).distinct.size == queryWeights.size,
+      "duplicate term in query weights")
+    val spark = docs.sparkSession
+    val n = docs.agg(count(lit(1)).cast("double").as("_n"))
+    val tf = docs
+      .select(col(idCol),
+        explode(graft.functions.TextFunctions.tokens(lower(col(textCol))))
+          .as("_t"))
+      .filter(col("_t").isin(queryWeights.map(_._1): _*))
+      .groupBy(col(idCol), col("_t"))
+      .agg(count(lit(1)).cast("double").as("_tf"))
+    val dfreq = tf.groupBy(col("_t"))
+      .agg(count(lit(1)).cast("double").as("_df"))
+      .withColumnRenamed("_t", "_dt")
+    val qw = spark.createDataFrame(queryWeights).toDF("_qt", "_qw")
+    tf.join(broadcast(dfreq), col("_t") === col("_dt"))
+      .join(broadcast(qw), col("_t") === col("_qt"))
+      .crossJoin(broadcast(n))
+      .select(col(idCol),
+        round(col("_qw") * round((lit(1.0) + log(col("_tf"))) *
+          log(lit(1.0) + col("_n") / col("_df")), 6), 6)
+          .cast("decimal(18,6)").as("_c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("_c")).cast("double").as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** ES `nested` query with `inner_hits`: `predicate` must hold on ONE
     * nested document — every conjunct on the SAME array element — which
     * is exactly what the flattened (object-mapping) form gets wrong: a
