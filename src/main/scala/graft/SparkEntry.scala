@@ -4466,6 +4466,20 @@ object SparkEntry {
         .orderBy("bucket_us")
     }),
 
+    // Additive Holt–Winters (triple smoothing, α=.5 β=.25 γ=.25, m=7)
+    // over DAILY buckets — level + trend + a weekly seasonal cycle, the
+    // seasonal extension of q_holt. One O(buckets·m) fold per series in
+    // bucket space; the oracle replays the identical recursion as a
+    // recursive CTE carrying the rotating seasonal list.
+    "x_holt_winters" -> ((s, d) => {
+      val b = Tables.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).as("bucket"))
+        .agg(sum(dec(col("value"))).cast("double").as("y"))
+        .select(unix_micros(col("bucket")).as("bucket_us"), col("y"))
+      operators.TimeSeries.holtWinters(b, "bucket_us", "y",
+        period = 7, alpha = 0.5, beta = 0.25, gamma = 0.25)
+    }),
+
     // Two-sided CUSUM changepoint detection over the weekly bucket
     // space: s⁺/s⁻ accumulate deviations from the series mean (computed
     // from exact decimal sums) and flag when either crosses 2σ (σ from
@@ -9129,6 +9143,36 @@ object SparkEntry {
            round(c.sn, 6) AS cusum_neg,
            (c.sp > 2 * m.sigma OR c.sn > 2 * m.sigma) AS changepoint
          FROM o JOIN c ON c.i = o.i, m ORDER BY bucket_us""",
+
+    // the HW recursion replayed as a recursive CTE: the seasonal list
+    // rotates (s[2:] || [s']), l' textually expanded into the trend and
+    // seasonal updates exactly as the engine's fold expands it
+    "x_holt_winters" ->
+      """WITH RECURSIVE
+         b AS (SELECT epoch_us(date_trunc('day', ts)) AS t,
+             CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS y
+           FROM events GROUP BY 1),
+         o AS (SELECT t, y, row_number() OVER (ORDER BY t) AS i FROM b),
+         init AS (SELECT list(y ORDER BY i) AS ys FROM o WHERE i <= 7),
+         z AS (SELECT list_reduce(ys, (a, b) -> a + b) / 7 AS l0,
+             list_transform(ys,
+               v -> v - list_reduce(ys, (a, b) -> a + b) / 7) AS s0
+           FROM init),
+         h(i, l, tr, s) AS (
+           SELECT CAST(7 AS BIGINT), l0, CAST(0.0 AS DOUBLE), s0 FROM z
+           UNION ALL
+           SELECT o.i,
+             0.5 * (o.y - h.s[1]) + 0.5 * (h.l + h.tr),
+             0.25 * ((0.5 * (o.y - h.s[1]) + 0.5 * (h.l + h.tr)) - h.l)
+               + 0.75 * h.tr,
+             h.s[2:] || [0.25 * (o.y -
+               (0.5 * (o.y - h.s[1]) + 0.5 * (h.l + h.tr)))
+               + 0.75 * h.s[1]]
+           FROM h JOIN o ON o.i = h.i + 1)
+         SELECT o.t AS bucket_us, o.y AS y, round(h.l, 6) AS level,
+           round(h.tr, 6) AS trend, round(h.s[7], 6) AS seasonal,
+           round(h.l + h.tr + h.s[1], 6) AS forecast_next
+         FROM o JOIN h ON h.i = o.i WHERE o.i > 7 ORDER BY bucket_us""",
 
     // the same recursion as a recursive CTE; l' expanded identically
     // in the trend update on both sides

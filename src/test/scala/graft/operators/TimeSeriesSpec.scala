@@ -50,4 +50,44 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.map(_._3) == Seq(Some(1.0), None, None, Some(4.0)))
     assert(out.map(_._4) == Seq(false, false, true, false))
   }
+
+  test("holtWinters: pure seasonal series is tracked exactly") {
+    // period-2 cycle 10, 20, 10, 20, ...: l0 = 15, s = [-5, +5]; every
+    // smoothing step sees y - s = 15, so level stays 15, trend 0,
+    // seasonal updates reproduce the cycle and every one-step forecast
+    // is exact.
+    val b = Seq.tabulate(8)(i =>
+      (i.toLong * 1000000L, if (i % 2 == 0) 10.0 else 20.0))
+      .toDF("bucket_us", "y")
+    val out = TimeSeries.holtWinters(b, "bucket_us", "y",
+        period = 2, alpha = 0.5, beta = 0.25, gamma = 0.25)
+      .as[(Long, Double, Double, Double, Double, Double)].collect().toSeq
+    assert(out.size == 6) // first `period` buckets seed, not emit
+    for ((_, y, level, trend, seasonal, forecast) <- out) {
+      assert(level == 15.0 && trend == 0.0)
+      assert(seasonal == y - 15.0)
+    }
+    // each forecast predicts the NEXT bucket's value exactly
+    for (Seq(cur, next) <- out.sliding(2))
+      assert(cur._6 == next._2, s"forecast ${cur._6} != next y ${next._2}")
+  }
+
+  test("holtWinters: hand-computed first step") {
+    // period 2, values 10, 20, then 16: l0=15, s=[-5, 5]
+    // step (y=16, s1=-5): l' = .5*(16+5) + .5*(15+0) = 18
+    //   t' = .25*(18-15) + .75*0 = 0.75
+    //   s' = .25*(16-18) + .75*(-5) = -4.25; rotated s = [5, -4.25]
+    //   forecast = 18 + 0.75 + 5 = 23.75
+    val b = Seq((0L, 10.0), (1L, 20.0), (2L, 16.0)).toDF("bucket_us", "y")
+    val out = TimeSeries.holtWinters(b, "bucket_us", "y", 2, 0.5, 0.25, 0.25)
+      .as[(Long, Double, Double, Double, Double, Double)].collect().toSeq
+    assert(out == Seq((2L, 16.0, 18.0, 0.75, -4.25, 23.75)),
+      s"got $out")
+  }
+
+  test("holtWinters: series shorter than one period emits nothing") {
+    val b = Seq((0L, 1.0), (1L, 2.0)).toDF("bucket_us", "y")
+    assert(TimeSeries.holtWinters(b, "bucket_us", "y", 7,
+      0.5, 0.25, 0.25).count() == 0)
+  }
 }
