@@ -3901,6 +3901,130 @@ object SparkEntry {
           count(lit(1)).as("n_rows"))
     }),
 
+    // Priority-wait report (TPC-H Q4 shape, adapted: no commitdate
+    // column, so "late" is shipped >90 days after the order date):
+    // orders in one quarter with at least one late line, counted by
+    // priority. The EXISTS decorrelates to a LeftSemi on orderkey — an
+    // order with five late lines counts once; the date window prunes
+    // the orders scan, the join shrinks to the filtered sides.
+    "j4_priority_wait" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= "1996-01-01" &&
+          col("o_orderdate") < "1996-04-01")
+      val late = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_shipdate"))
+      o.join(late,
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Top supplier by revenue (TPC-H Q15 shape): the 3-month revenue
+    // aggregate feeds BOTH the global max (one broadcast row) and the
+    // equality filter back — the view + scalar-subquery form,
+    // decorrelated so the corpus aggregates once (AQE reuses the
+    // suppkey exchange at runtime, the j15 pin's shape). Decimal
+    // revenue: the max-equality compares exact decimals, never floats.
+    "j18_top_supplier" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= "1996-01-01" &&
+          col("l_shipdate") < "1996-04-01")
+        .groupBy("l_suppkey")
+        .agg(sum(dec(col("l_extendedprice")) *
+          (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))))
+          .as("_rev"))
+      val mx = rev.agg(max(col("_rev")).as("_mx"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("_rev") === col("_mx"))
+        .join(broadcast(Tables.supplier(s, d)
+          .select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("_rev").cast("double").as("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
+    // Returned-item reporting (TPC-H Q10 shape): revenue lost to
+    // returns per customer over one quarter, top 20 — orders prune on
+    // the date window, lineitem on the return flag (both pushed), the
+    // customer/nation dims broadcast, and the cut is
+    // TakeOrderedAndProject on the rounded revenue (ties by custkey).
+    "j20_returned_customers" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= "1995-10-01" &&
+          col("o_orderdate") < "1996-01-01")
+        .select("o_orderkey", "o_custkey")
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val cust = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)
+          .select("n_nationkey", "n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey", "c_name", "c_acctbal", "n_name")
+      o.join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_custkey")
+        .agg(sum(dec(col("l_extendedprice")) *
+          (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"),
+          col("c_acctbal"), col("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // Shipping-priority matrix (TPC-H Q12 shape, adapted: no shipmode
+    // column, so lines group by linestatus): per group, how many lines
+    // of high-priority orders (1-URGENT/2-HIGH) vs the rest shipped in
+    // 1996 — the conditional-aggregation shape: the CASE collapses into
+    // map-side partial sums, one keyed shuffle of two counters per
+    // group, and the big-big orders⋈lineitem join keys on orderkey.
+    "j21_shipstatus_priority" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= "1996-01-01" &&
+          col("l_shipdate") < "1997-01-01")
+        .select("l_orderkey", "l_linestatus")
+      li.join(Tables.orders(s, d)
+          .select("o_orderkey", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+          sum(when(col("o_orderpriority") === "1-URGENT" ||
+            col("o_orderpriority") === "2-HIGH", 1L).otherwise(0L))
+            .as("high_line_count"),
+          sum(when(col("o_orderpriority") =!= "1-URGENT" &&
+            col("o_orderpriority") =!= "2-HIGH", 1L).otherwise(0L))
+            .as("low_line_count"))
+        .orderBy("l_linestatus")
+    }),
+
+    // Supplier-count by part attributes (TPC-H Q16 shape, adapted: no
+    // partsupp table, suppliers come from lineitem; the "complaints"
+    // exclusion is a LeftAnti against negative-balance suppliers):
+    // distinct suppliers per (brand, type, size) for parts outside one
+    // brand/type family. The NOT-IN anti-join runs BEFORE the distinct
+    // aggregate so excluded suppliers never shuffle; the part dim
+    // prunes on its negated predicates (pushed) and broadcasts.
+    "j23_parts_suppliers" -> ((s, d) => {
+      val pts = Tables.part(s, d)
+        .filter(col("p_brand") =!= "Brand#45" &&
+          !col("p_type").startsWith("MEDIUM"))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      val excl = Tables.supplier(s, d)
+        .filter(col("s_acctbal") < 0).select("s_suppkey")
+      Tables.lineitem(s, d).select("l_partkey", "l_suppkey")
+        .join(excl, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(pts), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+
     // Single-pass filtered aggregation (TPC-H Q6 shape).
     "j6_forecast" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -8745,6 +8869,73 @@ object SparkEntry {
                 AND l_quantity BETWEEN 10 AND 20)
             OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
                 AND l_quantity BETWEEN 20 AND 30)""",
+    // Q4 shape: EXISTS = semi join, once per order
+    "j4_priority_wait" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders o
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1996-04-01'
+           AND EXISTS (SELECT 1 FROM lineitem l
+             WHERE l.l_orderkey = o.o_orderkey
+               AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+         GROUP BY 1 ORDER BY 1""",
+
+    // Q15 shape: the revenue view feeds both the max and the filter
+    "j18_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+             sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                 (CAST(1 AS DECIMAL(12,2)) -
+                  CAST(l_discount AS DECIMAL(12,2)))) AS r
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1996-04-01'
+           GROUP BY 1)
+         SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue
+         FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         WHERE r = (SELECT max(r) FROM rev)
+         ORDER BY s_suppkey""",
+
+    // Q10 shape: returned revenue per customer, top 20
+    "j20_returned_customers" ->
+      """WITH rc AS (SELECT o_custkey,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                 (CAST(1 AS DECIMAL(12,2)) -
+                  CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           WHERE o_orderdate >= TIMESTAMP '1995-10-01'
+             AND o_orderdate < TIMESTAMP '1996-01-01'
+             AND l_returnflag = 'R'
+           GROUP BY 1)
+         SELECT c_custkey, c_name, n_name, c_acctbal, revenue
+         FROM rc JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
+
+    // Q12 shape: conditional counts per group
+    "j21_shipstatus_priority" ->
+      """SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+         GROUP BY 1 ORDER BY 1""",
+
+    // Q16 shape: anti-join exclusion + distinct suppliers per attrs
+    "j23_parts_suppliers" ->
+      """SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         WHERE p_brand <> 'Brand#45'
+           AND p_type NOT LIKE 'MEDIUM%'
+           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+             WHERE s_acctbal < 0)
+         GROUP BY 1, 2, 3
+         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+
     "j6_forecast" ->
       """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
                          CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,

@@ -326,6 +326,32 @@ class PlanSpec extends SparkSpec {
       s"pruned part dim should broadcast:\n$p17")
   }
 
+  test("TPC-H Q4/Q10/Q16 shapes: semi/anti joins, pushed prunes, top-k") {
+    // j4: the EXISTS is a LeftSemi (an order with five late lines
+    // counts once), the quarter window pushed into the orders scan
+    val p4 = plan("j4_priority_wait")
+    assert(p4.contains("LeftSemi"), s"exists not a semi-join:\n$p4")
+    assert(p4.contains("GreaterThanOrEqual(o_orderdate"),
+      s"date window not pushed:\n$p4")
+    // j20: return flag pushed into the lineitem scan, top-20 cut is
+    // TakeOrderedAndProject, customer/nation dims broadcast
+    val p20 = plan("j20_returned_customers")
+    assert(p20.contains("EqualTo(l_returnflag,R)"),
+      s"return-flag filter not pushed:\n$p20")
+    assert(p20.contains("TakeOrderedAndProject"),
+      s"top-20 should never be a global sort:\n$p20")
+    assert(p20.contains("BroadcastHashJoin"), s"dims should broadcast:\n$p20")
+    // j23: the supplier exclusion is a LeftAnti BEFORE the distinct
+    // aggregate; the part dim's negated predicates push into its scan
+    val p23 = plan("j23_parts_suppliers")
+    assert(p23.contains("LeftAnti"), s"NOT-IN not an anti-join:\n$p23")
+    assert(p23.contains("Not(EqualTo(p_brand,Brand#45))"),
+      s"negated brand predicate not pushed:\n$p23")
+    assert(!p23.contains("CartesianProduct") &&
+      !p23.contains("BroadcastNestedLoopJoin"),
+      s"unkeyed join:\n$p23")
+  }
+
   test("token masking hashes each token exactly once") {
     // The mask decision reads each md5-56 as a zip_with lambda variable
     // produced by ONE fused native pass; embedding sampleHash's 7-term
