@@ -3313,6 +3313,28 @@ object SparkEntry {
         .orderBy(col("n").desc, col("term"))
     }),
 
+    // Count-min sketch point queries (depth 4 × width 16 — narrow so
+    // the 31-token vocabulary actually collides): est = min over rows
+    // of the hashed cell, never an undercount; an absent term's
+    // estimate is pure collision mass. The grid builds from a
+    // vocabulary-space aggregate (items never explode ×depth) and both
+    // probe joins are grid-sized. md5-56 buckets, oracle-rebuildable.
+    "x_sketch_countmin" -> ((s, d) => {
+      val probeTerms = Seq("join", "hash", "scan", "filter", "zzz_absent")
+      val toks = Tables.documents(s, d).select(
+        explode(functions.TextFunctions.tokens(lower(col("text"))))
+          .as("term"))
+      val cells = operators.CountMin.sketch(toks, "term", 4, 16)
+      val truth = toks.filter(col("term").isin(probeTerms: _*))
+        .groupBy("term").agg(count(lit(1)).as("_tc"))
+      operators.CountMin.estimate(cells, probeTerms, 4, 16)
+        .join(truth, Seq("term"), "left")
+        .select(col("term"), col("est"),
+          coalesce(col("_tc"), lit(0L)).as("true_count"),
+          (col("est") - coalesce(col("_tc"), lit(0L))).as("overcount"))
+        .orderBy("term")
+    }),
+
     // Interpolated bigram cross-entropy (λ=0.8 bigram MLE backed off to
     // unigram): the sequence-aware quality signal — catches
     // common-words-in-wrong-order text that unigram CE scores as fluent.
@@ -8496,6 +8518,31 @@ object SparkEntry {
              x -> x <> '')) AS term
            FROM documents)
          GROUP BY term ORDER BY n DESC, term""",
+    // count-min rebuilt cell-for-cell from the md5-56 convention
+    "x_sketch_countmin" ->
+      """WITH toks AS (SELECT
+             unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+               AS t
+           FROM documents),
+         tc AS (SELECT t, count(*) AS c FROM toks GROUP BY 1),
+         cells AS (SELECT tr.r,
+             md5_number_lower(CAST(tr.r AS VARCHAR) || ':' || t)
+               % 72057594037927936 % 16 AS bucket,
+             sum(c) AS n
+           FROM tc CROSS JOIN range(4) tr(r) GROUP BY 1, 2),
+         p(term) AS (VALUES ('join'), ('hash'), ('scan'), ('filter'),
+           ('zzz_absent')),
+         pb AS (SELECT term, tr.r,
+             md5_number_lower(CAST(tr.r AS VARCHAR) || ':' || term)
+               % 72057594037927936 % 16 AS bucket
+           FROM p CROSS JOIN range(4) tr(r)),
+         e AS (SELECT term, min(coalesce(n, 0)) AS est
+           FROM pb LEFT JOIN cells USING (r, bucket) GROUP BY 1)
+         SELECT term, CAST(est AS BIGINT) AS est,
+           CAST(coalesce(tc.c, 0) AS BIGINT) AS true_count,
+           CAST(est - coalesce(tc.c, 0) AS BIGINT) AS overcount
+         FROM e LEFT JOIN tc ON tc.t = e.term ORDER BY term""",
+
     // arithmetic mirrors the Spark side term-for-term: (1 - 0.8) is
     // COMPUTED (not written 0.2) so both engines use the identical double
     "x_bigram_ce" ->
