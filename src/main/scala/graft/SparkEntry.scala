@@ -1290,6 +1290,23 @@ object SparkEntry {
     // never the corpus; the threshold's early abandon makes each pair
     // O(len·maxDist). Distances 4–8 live in this corpus, so the bound
     // genuinely prunes.
+    // Candidate-generator evaluation: winnowing-fingerprint-overlap
+    // candidates scored against the exact trigram-Jaccard >= 0.3 truth
+    // set — the recall/precision measurement a pipeline runs (on a
+    // sample) before trusting a banded generator at 100 TB. Both
+    // generators are md5-56-derived, so the oracle rebuilds BOTH sides
+    // and replays the confusion counts exactly.
+    "x_dedup_eval" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val fps = operators.Dedup.winnowingFingerprints(docs, "doc_id", "text")
+      val cand = fps.as("a").join(fps.as("b"),
+          col("a.fingerprint") === col("b.fingerprint") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      val truth = operators.Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.3)
+      operators.Dedup.evalCandidatePairs(cand, truth)
+    }),
+
     "x_dedup_edit" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val cand = operators.Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.3)
@@ -7596,6 +7613,51 @@ object SparkEntry {
            CAST(l % 1000000007 AS BIGINT) AS checksum,
            CAST(range(0, nf, 2) AS VARCHAR) AS sampled_frames
          FROM f ORDER BY id""",
+    // both generators rebuilt from md5-56; confusion counts replayed
+    "x_dedup_eval" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS wd
+           FROM documents),
+         shg AS (SELECT doc_id,
+             CASE WHEN len(wd) < 3 THEN [array_to_string(wd, ' ')]
+               ELSE list_transform(range(1, len(wd) - 1),
+                 i -> wd[i] || ' ' || wd[i+1] || ' ' || wd[i+2]) END AS gs
+           FROM t),
+         h AS (SELECT doc_id, list_transform(gs,
+             g -> CAST(md5_number_lower(g) % 72057594037927936
+               AS BIGINT)) AS hs
+           FROM shg),
+         f AS (SELECT doc_id,
+             CASE WHEN len(hs) < 4 THEN [list_min(hs)]
+               ELSE list_distinct(list_transform(
+                 range(1, len(hs) - 4 + 2),
+                 i -> list_min(hs[i:i+3]))) END AS fps
+           FROM h),
+         fp AS (SELECT doc_id, unnest(fps) AS fingerprint FROM f),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM fp a JOIN fp b ON a.fingerprint = b.fingerprint
+             AND a.doc_id < b.doc_id),
+         sh AS (SELECT DISTINCT doc_id, g FROM
+           (SELECT doc_id, unnest(gs) AS g FROM shg)),
+         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             count(*) AS common
+           FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         truth AS (SELECT id_a, id_b FROM pairs
+           JOIN cnt ca ON ca.doc_id = id_a
+           JOIN cnt cb ON cb.doc_id = id_b
+           WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.3),
+         hits AS (SELECT * FROM cand INTERSECT SELECT * FROM truth)
+         SELECT
+           (SELECT count(*) FROM truth) AS n_truth,
+           (SELECT count(*) FROM cand) AS n_candidates,
+           (SELECT count(*) FROM hits) AS n_hits,
+           round((SELECT count(*) FROM hits) /
+             CAST((SELECT count(*) FROM truth) AS DOUBLE), 6) AS recall,
+           round((SELECT count(*) FROM hits) /
+             CAST((SELECT count(*) FROM cand) AS DOUBLE), 6) AS precision""",
+
     // edit-distance verify over the exact-Jaccard candidate set
     "x_dedup_edit" ->
       """WITH sh AS (SELECT DISTINCT doc_id, g FROM (

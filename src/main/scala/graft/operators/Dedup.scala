@@ -664,6 +664,40 @@ object Dedup {
       .select(col(idCol), explode(fps).as("fingerprint"))
   }
 
+  /** Candidate-generator quality evaluation — the measurement loop a
+    * production dedup pipeline needs before trusting a banded/bucketed
+    * generator at scale: given CANDIDATE pairs (from LSH bands, shared
+    * winnowing fingerprints, SimHash radius, …) and exact TRUTH pairs
+    * (an exact-Jaccard threshold over the same corpus, computed on a
+    * sample at 100 TB), report the confusion counts plus
+    * recall (`hits/truth` — what fraction of real near-dups the
+    * generator surfaces) and precision (`hits/candidates` — how much
+    * exact-verification work per real pair). Both inputs are pair
+    * frames `(id_a, id_b)` with `id_a < id_b`; recall/precision are
+    * null when their denominator is empty (never a fabricated 0 or 1).
+    *
+    * Scale shape: one distinct per side (keyed aggregates), one
+    * semi-join for the hit set — all pair-space, never corpus² — and
+    * three single-row counts crossed by broadcast. Returns one row
+    * `(n_truth, n_candidates, n_hits, recall, precision)`.
+    */
+  def evalCandidatePairs(candidates: DataFrame,
+      truth: DataFrame): DataFrame = {
+    val c = candidates.select("id_a", "id_b").distinct()
+    val t = truth.select("id_a", "id_b").distinct()
+    val h = c.join(t, Seq("id_a", "id_b"), "left_semi")
+    t.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(broadcast(c.agg(count(lit(1)).as("n_candidates"))))
+      .crossJoin(broadcast(h.agg(count(lit(1)).as("n_hits"))))
+      .select(col("n_truth"), col("n_candidates"), col("n_hits"),
+        when(col("n_truth") > 0,
+          round(col("n_hits").cast("double") / col("n_truth"), 6))
+          .as("recall"),
+        when(col("n_candidates") > 0,
+          round(col("n_hits").cast("double") / col("n_candidates"), 6))
+          .as("precision"))
+  }
+
   /** Soft dedup: DOWNWEIGHT duplicates instead of dropping them — each
     * exact-content cluster's docs get `weight = 1/|cluster|`, so every
     * cluster contributes exactly one document's worth of sampling mass

@@ -321,6 +321,43 @@ class DedupSpec extends SparkSpec {
       s"got $outWs")
   }
 
+  test("evalCandidatePairs: confusion counts, null-safe denominators") {
+    val cand = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 5L))
+      .toDF("id_a", "id_b") // duplicate pair must count once
+    val truth = Seq((1L, 2L), (4L, 5L), (6L, 7L)).toDF("id_a", "id_b")
+    val out = Dedup.evalCandidatePairs(cand, truth)
+      .as[(Long, Long, Long, Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(out == Seq((3L, 4L, 2L,
+      Some(BigDecimal(2.0 / 3).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble), Some(0.5))), s"got $out")
+    // empty truth -> null recall, not 0/0 fabrication
+    val empty = truth.filter(col("id_a") < 0)
+    val out2 = Dedup.evalCandidatePairs(cand, empty)
+      .as[(Long, Long, Long, Option[Double], Option[Double])]
+      .collect().head
+    assert(out2._1 == 0L && out2._4.isEmpty && out2._5.contains(0.0))
+  }
+
+  test("evalCandidatePairs composes with the LSH generator") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "one two three four five six seven eight"),
+      (4L, "totally unrelated words again here now yes")
+    ).toDF("doc_id", "text")
+    val cand = Dedup.minhashLshCandidates(docs, "doc_id", "text")
+      .select("id_a", "id_b")
+    val truth = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.3)
+    val out = Dedup.evalCandidatePairs(cand, truth)
+      .as[(Long, Long, Long, Option[Double], Option[Double])]
+      .collect().head
+    // (1,2) share 5 of 7 distinct trigrams -> jaccard > 0.3; the LSH
+    // bands must surface it
+    assert(out._1 == 1L && out._3 == 1L && out._4.contains(1.0),
+      s"got $out")
+  }
+
   test("verifyEditDistance: banded Levenshtein confirms only within-bound pairs") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
