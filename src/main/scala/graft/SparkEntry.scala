@@ -4064,6 +4064,86 @@ object SparkEntry {
           col("p_size"))
     }),
 
+    // Product profit by nation and year (TPC-H Q9 shape, adapted: no
+    // partsupp, so supply cost is half the part's retail price):
+    // profit = revenue − cost per (supplier nation, order year) over
+    // one part family. Everything decimal until the final cast —
+    // decimal multiplication is exact (scales add), so both engines
+    // sum identical values. The part/supplier/nation dims broadcast;
+    // the one big-big join (lineitem ⋈ orders) keys on orderkey.
+    "j19_profit" -> ((s, d) => {
+      val half = lit(0.5).cast("decimal(2,1)")
+      val pts = Tables.part(s, d).filter(col("p_type") === "ECONOMY")
+        .select("p_partkey", "p_retailprice")
+      val sup = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+          .select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "n_name")
+      Tables.lineitem(s, d)
+        .join(broadcast(pts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).as("o_year"))
+        .agg(sum(dec(col("l_extendedprice")) *
+            (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))) -
+            dec(col("p_retailprice")) * dec(col("l_quantity")) * half)
+          .cast("double").as("profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // Promotion revenue share by ship month (TPC-H Q14 shape): one
+    // scan, a conditional decimal aggregate for the PROMO numerator,
+    // and ONE double division per month — the map-side-combinable
+    // conditional-share pattern (j14's yearly form, monthly here).
+    "j22_promo_share" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= "1996-01-01" &&
+          col("l_shipdate") < "1997-01-01")
+        .join(broadcast(Tables.part(s, d).select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(date_trunc("month", col("l_shipdate")).as("_m"))
+        .agg(
+          sum(when(col("p_type") === "PROMO",
+            dec(col("l_extendedprice")) *
+              (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))))
+            .otherwise(lit(0).cast("decimal(12,2)"))).as("_promo"),
+          sum(dec(col("l_extendedprice")) *
+            (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))))
+            .as("_all"))
+        .select(unix_micros(col("_m")).as("month_us"),
+          round(lit(100.0) * col("_promo").cast("double") /
+            col("_all").cast("double"), 6).as("promo_share"),
+          col("_promo").cast("double").as("promo_revenue"))
+        .orderBy("month_us")),
+
+    // Value concentration (TPC-H Q11 shape, adapted: no partsupp, so
+    // "stock value" is lineitem revenue per part): parts carrying more
+    // than 1.5x the AVERAGE part's revenue — the
+    // HAVING-vs-scaled-global-scalar shape: the per-part aggregate
+    // feeds both the global (sum, count) row (broadcast; AQE reuses
+    // the exchange) and the threshold filter. The average-relative
+    // threshold keeps the selectivity stable across scale factors
+    // (Q11 scales its fraction by 1/SF for the same reason). Decimal
+    // sums; ONE double comparison against the scaled scalar.
+    "j24_value_parts" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .groupBy("l_partkey")
+        .agg(sum(dec(col("l_extendedprice")) *
+          (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))))
+          .as("_v"))
+      val tot = rev.agg(sum(col("_v")).as("_t"),
+        count(lit(1)).as("_np"))
+      rev.crossJoin(broadcast(tot))
+        .filter(col("_v").cast("double") >
+          lit(1.5) * col("_t").cast("double") / col("_np"))
+        .select(col("l_partkey").as("p_partkey"),
+          col("_v").cast("double").as("part_value"))
+        .orderBy(col("part_value").desc, col("p_partkey"))
+    }),
+
     // Single-pass filtered aggregation (TPC-H Q6 shape).
     "j6_forecast" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -9044,6 +9124,58 @@ object SparkEntry {
              WHERE s_acctbal < 0)
          GROUP BY 1, 2, 3
          ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+
+    // Q9 shape: decimal-exact profit per (nation, year)
+    "j19_profit" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+               (CAST(1 AS DECIMAL(12,2)) -
+                CAST(l_discount AS DECIMAL(12,2))) -
+               CAST(p_retailprice AS DECIMAL(12,2)) *
+               CAST(l_quantity AS DECIMAL(12,2)) *
+               CAST(0.5 AS DECIMAL(2,1))) AS DOUBLE) AS profit
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN orders ON l_orderkey = o_orderkey
+         WHERE p_type = 'ECONOMY'
+         GROUP BY 1, 2 ORDER BY nation, o_year DESC""",
+
+    // Q14 shape: conditional promo share per ship month
+    "j22_promo_share" ->
+      """WITH m AS (SELECT epoch_us(date_trunc('month', l_shipdate)) AS month_us,
+             sum(CASE WHEN p_type = 'PROMO'
+               THEN CAST(l_extendedprice AS DECIMAL(12,2)) *
+                 (CAST(1 AS DECIMAL(12,2)) -
+                  CAST(l_discount AS DECIMAL(12,2)))
+               ELSE CAST(0 AS DECIMAL(12,2)) END) AS promo,
+             sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+               (CAST(1 AS DECIMAL(12,2)) -
+                CAST(l_discount AS DECIMAL(12,2)))) AS allrev
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1997-01-01'
+           GROUP BY 1)
+         SELECT month_us,
+           round(100.0 * CAST(promo AS DOUBLE) / CAST(allrev AS DOUBLE), 6)
+             AS promo_share,
+           CAST(promo AS DOUBLE) AS promo_revenue
+         FROM m ORDER BY month_us""",
+
+    // Q11 shape: per-part value vs a scaled global scalar
+    "j24_value_parts" ->
+      """WITH rev AS (SELECT l_partkey,
+             sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                 (CAST(1 AS DECIMAL(12,2)) -
+                  CAST(l_discount AS DECIMAL(12,2)))) AS v
+           FROM lineitem GROUP BY 1)
+         SELECT l_partkey AS p_partkey, CAST(v AS DOUBLE) AS part_value
+         FROM rev
+         WHERE CAST(v AS DOUBLE) >
+           1.5 * (SELECT CAST(sum(v) AS DOUBLE) FROM rev)
+             / (SELECT count(*) FROM rev)
+         ORDER BY part_value DESC, p_partkey""",
 
     "j6_forecast" ->
       """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
