@@ -4911,6 +4911,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Streaming count-min: each micro-batch sketches independently and
+    // the window state is the CELL-WISE SUM of batch grids — count-min's
+    // mergeability is exactly batch-boundary invariance, so the 3-way
+    // split union must reproduce the whole-corpus grid cell for cell
+    // (the estimate side then reads identically; same oracle family as
+    // x_sketch_countmin). Per-batch state is a fixed 64-cell frame
+    // however many items stream through.
+    "ws_countmin" -> ((s, d) => {
+      val probeTerms = Seq("join", "hash", "scan", "filter", "zzz_absent")
+      val toks = Tables.documents(s, d).select(col("doc_id"),
+        explode(functions.TextFunctions.tokens(lower(col("text"))))
+          .as("term"))
+      val cells = (0 until 3).map(i => operators.CountMin.sketch(
+          toks.filter(pmod(col("doc_id"), lit(3)) === i), "term", 4, 16))
+        .reduce(_.unionByName(_))
+        .groupBy("r", "bucket").agg(sum(col("n")).as("n"))
+      operators.CountMin.estimate(cells, probeTerms, 4, 16)
+        .orderBy("term")
+    }),
+
     // Hard-negative mining: per query, top-5 most-similar vectors with
     // a DIFFERENT label — the contrastive-training negative set; knnJoin
     // shape + label exclusion, bounded aggregate, no corpus window.
@@ -8660,6 +8680,29 @@ object SparkEntry {
              x -> x <> '')) AS term
            FROM documents)
          GROUP BY term ORDER BY n DESC, term""",
+    // the merged per-batch grids must equal the whole-corpus grid, so
+    // the SAME whole-corpus rebuild gates the streaming union
+    "ws_countmin" ->
+      """WITH toks AS (SELECT
+             unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+               AS t
+           FROM documents),
+         tc AS (SELECT t, count(*) AS c FROM toks GROUP BY 1),
+         cells AS (SELECT tr.r,
+             md5_number_lower(CAST(tr.r AS VARCHAR) || ':' || t)
+               % 72057594037927936 % 16 AS bucket,
+             sum(c) AS n
+           FROM tc CROSS JOIN range(4) tr(r) GROUP BY 1, 2),
+         p(term) AS (VALUES ('join'), ('hash'), ('scan'), ('filter'),
+           ('zzz_absent')),
+         pb AS (SELECT term, tr.r,
+             md5_number_lower(CAST(tr.r AS VARCHAR) || ':' || term)
+               % 72057594037927936 % 16 AS bucket
+           FROM p CROSS JOIN range(4) tr(r))
+         SELECT term, CAST(min(coalesce(n, 0)) AS BIGINT) AS est
+         FROM pb LEFT JOIN cells USING (r, bucket) GROUP BY 1
+         ORDER BY term""",
+
     // count-min rebuilt cell-for-cell from the md5-56 convention
     "x_sketch_countmin" ->
       """WITH toks AS (SELECT

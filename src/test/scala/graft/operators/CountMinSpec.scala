@@ -41,6 +41,36 @@ class CountMinSpec extends SparkSpec {
     assert(m == w, s"merged $m != whole $w")
   }
 
+  test("live streaming sketch: running cell counts equal the batch grid") {
+    // the sketch as ONE streaming aggregation (item -> depth cells ->
+    // running count, update mode): after all batches, the in-memory
+    // state must equal the batch-built grid — mergeability live, not
+    // just via the split-union gate
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val q = input.toDF().select(col("value").as("term"),
+        explode(sequence(lit(0), lit(3))).as("r"))
+      .groupBy(col("r"), CountMin.bucket(col("r"), col("term"), 8)
+        .as("bucket"))
+      .count()
+      .writeStream.format("memory").queryName("cm_cells")
+      .outputMode("complete").start()
+    try {
+      input.addData("x", "x", "y")
+      q.processAllAvailable()
+      input.addData("x", "z", "z", "z")
+      q.processAllAvailable()
+      val streamed = spark.table("cm_cells")
+        .select(col("r"), col("bucket"), col("count").as("n"))
+        .as[(Int, Long, Long)].collect().toSet
+      val batch = CountMin.sketch(
+        Seq("x", "x", "y", "x", "z", "z", "z").map(Tuple1(_)).toDF("term"),
+        "term", 4, 8).as[(Int, Long, Long)].collect().toSet
+      assert(streamed == batch, s"streamed $streamed != batch $batch")
+    } finally q.stop()
+  }
+
   test("sketch size is bounded by the grid, not the input") {
     val many = spark.range(5000)
       .select(concat(lit("t"), col("id")).as("term"))
