@@ -3330,6 +3330,12 @@ object SparkEntry {
         .orderBy(col("n").desc, col("term"))
     }),
 
+    // Zipf power-law fit (data-card corpus health): least-squares
+    // ln freq ~ ln rank over the vocabulary frame; moments sum
+    // 9dp-rounded decimals, closed-form slope/intercept/R² rounds 6dp.
+    "x_zipf" -> ((s, d) =>
+      operators.TextAnalysis.zipfFit(Tables.documents(s, d), "text")),
+
     // Count-min sketch point queries (depth 4 × width 16 — narrow so
     // the 31-token vocabulary actually collides): est = min over rows
     // of the hashed cell, never an undercount; an absent term's
@@ -8680,6 +8686,35 @@ object SparkEntry {
              x -> x <> '')) AS term
            FROM documents)
          GROUP BY term ORDER BY n DESC, term""",
+    // the same 9dp-decimal moment sums and closed-form fit
+    "x_zipf" ->
+      """WITH tc AS (SELECT t, count(*) AS c FROM (SELECT
+             unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+               AS t
+           FROM documents) GROUP BY 1),
+         pts AS (SELECT
+             round(ln(CAST(row_number() OVER
+               (ORDER BY c DESC, t) AS DOUBLE)), 9) AS x,
+             round(ln(CAST(c AS DOUBLE)), 9) AS y
+           FROM tc),
+         s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(round(x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(round(y, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(round(x * y, 9) AS DECIMAL(28,9))) AS DOUBLE)
+               AS sxy,
+             CAST(sum(CAST(round(x * x, 9) AS DECIMAL(28,9))) AS DOUBLE)
+               AS sxx,
+             CAST(sum(CAST(round(y * y, 9) AS DECIMAL(28,9))) AS DOUBLE)
+               AS syy
+           FROM pts)
+         SELECT CAST(n AS BIGINT) AS n_terms,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+             / n, 6) AS intercept,
+           round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
+             ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+         FROM s""",
+
     // the merged per-batch grids must equal the whole-corpus grid, so
     // the SAME whole-corpus rebuild gates the streaming union
     "ws_countmin" ->

@@ -523,4 +523,56 @@ object TextAnalysis {
         array_join(col("_m"), ",").as("matched_terms"),
         (size(col("_m")) > 0).as("blocked"))
   }
+
+  /** Zipf power-law fit of the corpus term distribution: least-squares
+    * slope/intercept/R² of `ln freq` against `ln rank` — the corpus
+    * health number every data card reports (natural language sits near
+    * slope −1; a crawl dominated by boilerplate or template spam bends
+    * the tail and the fit flags it). Returns ONE row
+    * `(n_terms, slope, intercept, r2)`.
+    *
+    * Determinism contract: per-term x/y are `round(ln(·), 9)` (the
+    * entropy convention — identical doubles across engines up to an
+    * ln ULP at a rounding boundary), the five regression moments sum
+    * those as exact decimals (order-free), and the closed-form
+    * slope/intercept/R² is plain arithmetic on the five sums, rounded
+    * 6dp.
+    *
+    * Scale shape: one map-side-combinable term count collapses the
+    * corpus to vocabulary space; the rank window and the moment sums
+    * run over the vocabulary frame (bounded by language, not corpus
+    * size), so the single-partition rank window never sees corpus
+    * rows.
+    */
+  def zipfFit(df: DataFrame, textCol: String): DataFrame = {
+    val tc = df.select(explode(TextFunctions.tokens(lower(col(textCol))))
+        .as("_t"))
+      .groupBy("_t").agg(count(lit(1)).as("_c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_c").desc, col("_t"))
+    val pts = tc.withColumn("_rk", row_number().over(w))
+      .select(round(log(col("_rk").cast("double")), 9).as("_x"),
+        round(log(col("_c").cast("double")), 9).as("_y"))
+    def d9(c: Column) = round(c, 9).cast("decimal(28,9)")
+    val sums = pts.agg(
+      count(lit(1)).cast("double").as("_n"),
+      sum(d9(col("_x"))).cast("double").as("_sx"),
+      sum(d9(col("_y"))).cast("double").as("_sy"),
+      sum(d9(col("_x") * col("_y"))).cast("double").as("_sxy"),
+      sum(d9(col("_x") * col("_x"))).cast("double").as("_sxx"),
+      sum(d9(col("_y") * col("_y"))).cast("double").as("_syy"))
+    sums.select(col("_n").cast("long").as("n_terms"),
+        round((col("_n") * col("_sxy") - col("_sx") * col("_sy")) /
+          (col("_n") * col("_sxx") - col("_sx") * col("_sx")), 6)
+          .as("slope"),
+        round((col("_sy") - ((col("_n") * col("_sxy") -
+          col("_sx") * col("_sy")) /
+          (col("_n") * col("_sxx") - col("_sx") * col("_sx"))) *
+          col("_sx")) / col("_n"), 6).as("intercept"),
+        round((col("_n") * col("_sxy") - col("_sx") * col("_sy")) *
+          (col("_n") * col("_sxy") - col("_sx") * col("_sy")) /
+          ((col("_n") * col("_sxx") - col("_sx") * col("_sx")) *
+           (col("_n") * col("_syy") - col("_sy") * col("_sy"))), 6)
+          .as("r2"))
+  }
 }

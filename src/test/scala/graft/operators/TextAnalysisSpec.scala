@@ -366,4 +366,25 @@ class TextAnalysisSpec extends SparkSpec {
       .orderBy("doc_id").as[(Long, String, Int, Int)].collect().toSeq
     assert(again.map(_._2) == out.map(_._2))
   }
+
+  test("zipfFit: an exact 1/rank corpus fits slope -1 with r2 = 1") {
+    // term k appears floor(720/k) times for k=1..6: 720 360 240 180
+    // 144 120 — exactly c = 720/rank, so ln c = ln 720 - 1·ln rank
+    val text = (1 to 6).flatMap(k => Seq.fill(720 / k)(s"t$k"))
+      .mkString(" ")
+    val out = TextAnalysis.zipfFit(Seq(Tuple1(text)).toDF("text"), "text")
+      .as[(Long, Double, Double, Double)].collect().head
+    assert(out._1 == 6L)
+    assert(math.abs(out._2 - (-1.0)) < 1e-6, s"slope ${out._2}")
+    assert(math.abs(out._3 - math.log(720.0)) < 1e-6,
+      s"intercept ${out._3}")
+    assert(out._4 > 0.999999, s"r2 ${out._4}")
+  }
+
+  test("zipfFit: uniform frequencies have slope ~0") {
+    val text = (1 to 8).flatMap(k => Seq.fill(5)(s"u$k")).mkString(" ")
+    val out = TextAnalysis.zipfFit(Seq(Tuple1(text)).toDF("text"), "text")
+      .as[(Long, Double, Double, Double)].collect().head
+    assert(out._2 == 0.0 && out._4 == 0.0, s"got $out")
+  }
 }
