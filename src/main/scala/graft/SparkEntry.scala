@@ -2743,6 +2743,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Contamination fraction (the reporting sibling of the binary
+    // flag): share of each training doc's distinct trigrams found in
+    // the src0 benchmark suite + severity bucket — "trim the quote"
+    // vs "drop the doc" triage. Denominator is a per-row projection;
+    // numerator reuses the probe-first broadcast.
+    "x_contamination_frac" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      operators.Corpus.contaminationFraction(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "doc_id", "text", 3)
+        .orderBy("doc_id")
+    }),
+
     // Embedding-space decontamination (the semantic sibling: catches
     // paraphrased benchmark leakage n-gram overlap misses): vectors
     // with vec_id % 20 == 0 act as the eval suite; a training vector
@@ -7984,6 +7998,37 @@ object SparkEntry {
            COALESCE(h.n_shared, 0) > 0 AS contaminated
          FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
          WHERE d.source <> 'src0' ORDER BY d.doc_id""",
+    // dirty-fraction triage: distinct-trigram denominator per doc,
+    // probe-hit numerator, severity on the ROUNDED fraction
+    "x_contamination_frac" ->
+      """WITH t AS (SELECT doc_id, source,
+             list_filter(string_split(text, ' '), x -> x <> '') AS w
+           FROM documents),
+         shg AS (SELECT doc_id, source,
+             CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+               ELSE list_transform(range(1, len(w)-1),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END AS gs
+           FROM t),
+         b AS (SELECT DISTINCT unnest(gs) AS g FROM shg
+           WHERE source = 'src0'),
+         tr AS (SELECT doc_id, len(list_distinct(gs)) AS n_shingles,
+             gs
+           FROM shg WHERE source <> 'src0'),
+         hits AS (SELECT u.doc_id, count(DISTINCT u.g) AS n_shared
+           FROM (SELECT doc_id, unnest(gs) AS g FROM tr) u
+           JOIN b ON u.g = b.g GROUP BY 1)
+         SELECT tr.doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+           CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared,
+           round(COALESCE(h.n_shared, 0) / CAST(n_shingles AS DOUBLE), 6)
+             AS shared_frac,
+           CASE WHEN round(COALESCE(h.n_shared, 0) /
+               CAST(n_shingles AS DOUBLE), 6) >= 0.5 THEN 'heavy'
+             WHEN round(COALESCE(h.n_shared, 0) /
+               CAST(n_shingles AS DOUBLE), 6) >= 0.1 THEN 'partial'
+             ELSE 'clean' END AS severity
+         FROM tr LEFT JOIN hits h ON tr.doc_id = h.doc_id
+         ORDER BY tr.doc_id""",
+
     // semantic decontamination: max cosine to the eval slice, flag on
     // the ROUNDED value (both engines agree at the boundary)
     "x_decontaminate_embed" ->

@@ -44,6 +44,46 @@ object Corpus {
         (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Per-document contamination FRACTION — the reporting sibling of
+    * [[decontaminate]]'s binary flag: what share of a training doc's
+    * distinct `n`-grams appear anywhere in the benchmark suite, plus a
+    * severity bucket (clean < 0.1 ≤ partial < 0.5 ≤ heavy). A doc
+    * quoting one benchmark sentence and a doc that IS a benchmark doc
+    * both flag binary-contaminated; the fraction separates "trim the
+    * quote" from "drop the doc" — the dirty-fraction triage the GPT-3
+    * appendix ran after its decontamination bug.
+    *
+    * Scale shape: the denominator (`size(array_distinct(shingles))`)
+    * is a pure per-row projection — NO corpus-wide distinct shuffle;
+    * the numerator reuses [[decontaminate]]'s probe-first trick
+    * (broadcast benchmark set, only contaminated (id, shingle) pairs
+    * reach a shuffle). The severity comparison reads the ROUNDED
+    * fraction so engines agree at the boundary.
+    */
+  def contaminationFraction(train: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val bsh = bench
+      .select(explode(TextFunctions.wordShingles(col(textCol), n)).as("_sh"))
+      .distinct()
+    val hits = train
+      .select(col(idCol),
+        explode(TextFunctions.wordShingles(col(textCol), n)).as("_sh"))
+      .join(broadcast(bsh), Seq("_sh"))
+      .select(col(idCol), col("_sh")).distinct()
+      .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
+    val frac = round(coalesce(col("n_shared"), lit(0L)).cast("double") /
+      col("n_shingles"), 6)
+    train.select(col(idCol),
+        size(array_distinct(TextFunctions.wordShingles(col(textCol), n)))
+          .cast("long").as("n_shingles"))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        frac.as("shared_frac"),
+        when(frac >= 0.5, "heavy").when(frac >= 0.1, "partial")
+          .otherwise("clean").as("severity"))
+  }
+
   /** Embedding-space decontamination — the SEMANTIC sibling of
     * [[decontaminate]]: a training row is contaminated when its
     * embedding's cosine to ANY eval-set embedding reaches `threshold`

@@ -575,4 +575,22 @@ class CorpusSpec extends SparkSpec {
       s"log-ratio join should broadcast:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
   }
+
+  test("contaminationFraction: fraction and severity per doc") {
+    val bench = Seq((100L, "a b c d e")).toDF("doc_id", "text")
+    // doc 1: trigrams {a b c, b c d, c d e} all benchmarked -> 3/3 heavy
+    // doc 2: {a b c, b c x, c x y} -> 1/3 partial
+    // doc 3: no overlap -> clean
+    val train = Seq(
+      (1L, "a b c d e"), (2L, "a b c x y"), (3L, "p q r s t")
+    ).toDF("doc_id", "text")
+    val out = Corpus.contaminationFraction(train, bench, "doc_id", "text", 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 3L, 3L, 1.0, "heavy"),
+      (2L, 3L, 1L, BigDecimal(1.0 / 3).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble, "partial"),
+      (3L, 3L, 0L, 0.0, "clean")), s"got $out")
+  }
 }
