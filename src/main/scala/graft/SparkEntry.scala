@@ -3344,6 +3344,13 @@ object SparkEntry {
         .orderBy(col("n").desc, col("term"))
     }),
 
+    // Padding-waste report: token waste per bucketing policy
+    // (global-max / pow2 / mult-of-64) — the numbers that pick the
+    // batch-inference bucketing. One scan, one moments row, policy
+    // rows explode from it.
+    "x_pad_waste" -> ((s, d) =>
+      operators.Corpus.paddingWaste(Tables.documents(s, d), "text")),
+
     // Zipf power-law fit (data-card corpus health): least-squares
     // ln freq ~ ln rank over the vocabulary frame; moments sum
     // 9dp-rounded decimals, closed-form slope/intercept/R² rounds 6dp.
@@ -8731,6 +8738,35 @@ object SparkEntry {
              x -> x <> '')) AS term
            FROM documents)
          GROUP BY term ORDER BY n DESC, term""",
+    // integer-exact bucket boundaries; the pow2 chain mirrors the
+    // engine's threshold chain literally
+    "x_pad_waste" -> {
+      val p2chain = (0 to 20).map(i => s"WHEN l <= ${1 << i} THEN ${1 << i}")
+        .mkString(" ")
+      s"""WITH l AS (SELECT len(list_filter(string_split(text, ' '),
+             x -> x <> '')) AS l
+           FROM documents),
+         b AS (SELECT l, CASE $p2chain END AS p2,
+             l + (64 - l % 64) % 64 AS m64
+           FROM l WHERE l > 0),
+         a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(l) AS BIGINT) AS real_t, CAST(max(l) AS BIGINT) AS mx,
+             CAST(sum(p2) AS BIGINT) AS sp2,
+             CAST(sum(m64) AS BIGINT) AS sm64
+           FROM b)
+         SELECT policy, n AS n_docs, real_t AS real_tokens, padded_tokens,
+           round((padded_tokens - real_t) / CAST(padded_tokens AS DOUBLE), 6)
+             AS waste_frac
+         FROM (
+           SELECT 'global_max' AS policy, n, real_t, n * mx AS padded_tokens
+             FROM a
+           UNION ALL
+           SELECT 'mult64', n, real_t, sm64 FROM a
+           UNION ALL
+           SELECT 'pow2', n, real_t, sp2 FROM a)
+         ORDER BY policy"""
+    },
+
     // the same 9dp-decimal moment sums and closed-form fit
     "x_zipf" ->
       """WITH tc AS (SELECT t, count(*) AS c FROM (SELECT

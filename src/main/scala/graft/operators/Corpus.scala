@@ -44,6 +44,67 @@ object Corpus {
         (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Padding-waste report for length-bucketed batch inference: when
+    * sequences batch by length bucket and pad to the bucket boundary,
+    * what fraction of accelerator tokens is padding? One row per
+    * policy — `global_max` (no bucketing: everything pads to the
+    * corpus max — the waste ceiling), `pow2` (pad to the next power of
+    * two), `mult64` (pad to the next multiple of 64, the
+    * tensor-core-alignment default). The numbers decide the bucketing
+    * a serving/embedding pipeline runs with; at 100 TB the difference
+    * is a GPU-fleet bill.
+    *
+    * Determinism: bucket boundaries are integer-exact on both engines —
+    * `mult64` by modular arithmetic, `pow2` by an explicit
+    * threshold chain (a float `2^ceil(log2 l)` would disagree at exact
+    * powers of two), capped at 2^20 (longer docs error loudly rather
+    * than bucket wrong). Waste fractions round 6dp.
+    *
+    * Scale shape: one projection computes each row's bucketed lengths,
+    * one map-side-combinable aggregate collapses the corpus to a
+    * single moments row, and the per-policy rows explode from that one
+    * row — corpus-size work is the scan only. Zero-token docs are
+    * excluded (they'd batch to nothing).
+    */
+  def paddingWaste(df: DataFrame, textCol: String): DataFrame = {
+    val pow2Cap = 1 << 20
+    def pow2Ceil(l: Column): Column = {
+      val powers = (0 to 20).map(1 << _)
+      powers.init.foldRight(
+        when(l <= pow2Cap, lit(pow2Cap)).otherwise(raise_error(concat(
+          lit(s"paddingWaste: doc longer than $pow2Cap tokens: "),
+          l.cast("string"))))) {
+        (p, acc) => when(l <= p, lit(p)).otherwise(acc)
+      }
+    }
+    def mult64Ceil(l: Column): Column =
+      l + pmod(lit(64) - pmod(l, lit(64)), lit(64))
+    val base = df
+      .select(TextFunctions.tokenCount(col(textCol)).cast("long").as("_l"))
+      .filter(col("_l") > 0)
+      .select(col("_l"), pow2Ceil(col("_l")).cast("long").as("_p2"),
+        mult64Ceil(col("_l")).as("_m64"))
+    val agg = base.agg(count(lit(1)).as("_n"), sum(col("_l")).as("_real"),
+      max(col("_l")).as("_mx"), sum(col("_p2")).as("_sp2"),
+      sum(col("_m64")).as("_sm64"))
+    def waste(padded: Column): Column =
+      round((padded - col("_real")).cast("double") / padded, 6)
+    agg.select(explode(array(
+        struct(lit("global_max").as("policy"),
+          (col("_n") * col("_mx")).as("padded_tokens"),
+          waste(col("_n") * col("_mx")).as("waste_frac")),
+        struct(lit("mult64").as("policy"), col("_sm64").as("padded_tokens"),
+          waste(col("_sm64")).as("waste_frac")),
+        struct(lit("pow2").as("policy"), col("_sp2").as("padded_tokens"),
+          waste(col("_sp2")).as("waste_frac")))).as("_r"),
+        col("_n"), col("_real"))
+      .select(col("_r.policy").as("policy"), col("_n").as("n_docs"),
+        col("_real").as("real_tokens"),
+        col("_r.padded_tokens").as("padded_tokens"),
+        col("_r.waste_frac").as("waste_frac"))
+      .orderBy("policy")
+  }
+
   /** Per-document contamination FRACTION — the reporting sibling of
     * [[decontaminate]]'s binary flag: what share of a training doc's
     * distinct `n`-grams appear anywhere in the benchmark suite, plus a

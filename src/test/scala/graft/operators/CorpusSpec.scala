@@ -576,6 +576,22 @@ class CorpusSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
   }
 
+  test("paddingWaste: hand-computed buckets, zero-token docs excluded") {
+    // lengths 3, 64, 65; "" excluded
+    // global_max: 3 * 65 = 195; pow2: 4 + 64 + 128 = 196;
+    // mult64: 64 + 64 + 128 = 256; real = 132
+    val docs = Seq("a b c", Seq.fill(64)("t").mkString(" "),
+      Seq.fill(65)("t").mkString(" "), "").map(Tuple1(_)).toDF("text")
+    val out = Corpus.paddingWaste(docs, "text")
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    def w(p: Long) = BigDecimal((p - 132.0) / p).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out == Seq(
+      ("global_max", 3L, 132L, 195L, w(195)),
+      ("mult64", 3L, 132L, 256L, w(256)),
+      ("pow2", 3L, 132L, 196L, w(196))), s"got $out")
+  }
+
   test("contaminationFraction: fraction and severity per doc") {
     val bench = Seq((100L, "a b c d e")).toDF("doc_id", "text")
     // doc 1: trigrams {a b c, b c d, c d e} all benchmarked -> 3/3 heavy
