@@ -2086,6 +2086,29 @@ object SparkEntry {
       sink.IncrementalPostings.bm25Search(s, dir, "merge window scan", 20)
     }),
 
+    // Indexed sparse_vector serving: the SAME query weights as
+    // q_sparse_vector served off the persisted postings store after
+    // init + upsert + delete — indexed and corpus-scan serving must
+    // return identical rows (shared impact arithmetic), so the gate
+    // reuses the corpus-scan oracle verbatim.
+    "q_sparse_vector_indexed" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val dir = tempDir("graft-incpost-sv")
+      sink.IncrementalPostings.init(
+        docs.filter(col("doc_id") >= 10), "doc_id", "text", dir)
+      sink.IncrementalPostings.commitUpserts(
+        docs.filter(col("doc_id") < 10).unionByName(
+          Seq((1000000L, "bogus merge window scan text"))
+            .toDF("doc_id", "text")),
+        "doc_id", "text", dir)
+      sink.IncrementalPostings.commitDeletes(
+        Seq(1000000L).toDF("doc_id"), "doc_id", dir)
+      sink.IncrementalPostings.sparseVectorSearch(s, dir,
+        Seq(("merge", 1.5), ("window", 1.0), ("scan", 0.7),
+          ("data", 0.3)), 20)
+    }),
+
     // Postings-index health: delta-log depth, touched/tombstoned docs,
     // live count, and the compaction signal after two upserts + one
     // delete (60 touched ids, 10 of them tombstoned). Counts are exact
@@ -8179,6 +8202,26 @@ object SparkEntry {
     // sparse dot product over query-term postings; same impact formula,
     // 6dp-rounded contributions summed as decimals
     "q_sparse_vector" ->
+      """WITH n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+         toks AS (SELECT doc_id,
+             unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+               AS t
+           FROM documents),
+         q(t, w) AS (VALUES ('merge', 1.5), ('window', 1.0),
+           ('scan', 0.7), ('data', 0.3)),
+         tf AS (SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf
+           FROM toks WHERE t IN (SELECT t FROM q) GROUP BY 1, 2),
+         df AS (SELECT t, CAST(count(*) AS DOUBLE) AS df FROM tf
+           GROUP BY 1),
+         c AS (SELECT tf.doc_id,
+             CAST(round(q.w * round((1.0 + ln(tf.tf)) *
+               ln(1.0 + n.n / df.df), 6), 6) AS DECIMAL(18,6)) AS contrib
+           FROM tf JOIN df USING (t) JOIN q USING (t), n)
+         SELECT doc_id, CAST(sum(contrib) AS DOUBLE) AS score
+         FROM c GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""",
+
+    // indexed serving must equal the corpus scan: same oracle arithmetic
+    "q_sparse_vector_indexed" ->
       """WITH n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
          toks AS (SELECT doc_id,
              unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))

@@ -247,6 +247,18 @@ object IncrementalPostings {
     InvertedIndex.bm25Search(postings, norms, query, k)
   }
 
+  /** Learned-sparse serving off the live postings view — the
+    * [[InvertedIndex.sparseVectorSearch]] twin of [[bm25Search]]: the
+    * query's `term IN` prune pushes into every union leg's scan, so a
+    * search touches only the query terms' posting rows across base +
+    * deltas.
+    */
+  def sparseVectorSearch(spark: SparkSession, dir: String,
+      queryWeights: Seq[(String, Double)], k: Int): DataFrame = {
+    val (postings, norms) = liveViews(spark, dir)
+    InvertedIndex.sparseVectorSearch(postings, norms, queryWeights, k)
+  }
+
   /** Committed versions readable by [[bm25SearchAt]]: 0 is the base,
     * each delta seq is the state after that commit — the
     * [[IndexSink.history]] contract on the postings layout.

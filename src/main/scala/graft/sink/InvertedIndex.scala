@@ -589,6 +589,39 @@ object InvertedIndex {
       .limit(k)
   }
 
+  /** Learned-sparse (`sparse_vector`) serving off the postings layout:
+    * query term→weight map dotted against per-doc impacts
+    * `(1+ln tf)·ln(1+N/df)` — [[DocQueries.sparseVectorQuery]]'s exact
+    * arithmetic (6dp contributions summed as decimals, id tie-break),
+    * so indexed and corpus-scan serving return IDENTICAL rows. On a
+    * persisted index the `term IN` prune is the pushed predicate that
+    * cuts the scan to the query terms' posting rows; df re-derives
+    * from those same rows, N/weights ride broadcasts, the cut is
+    * top-k. Returns `(doc_id, score)`.
+    */
+  def sparseVectorSearch(postings: DataFrame, docLens: DataFrame,
+      queryWeights: Seq[(String, Double)], k: Int): DataFrame = {
+    require(queryWeights.nonEmpty, "sparse_vector needs query weights")
+    val spark = postings.sparkSession
+    val qw = broadcast(
+      spark.createDataFrame(queryWeights).toDF("_qt", "_qw"))
+    val qp = postings
+      .filter(col("term").isin(queryWeights.map(_._1): _*))
+    val dfreq = qp.groupBy("term").agg(count(lit(1)).cast("double")
+      .as("_df"))
+    val n = docLens.agg(count(lit(1)).cast("double").as("_n"))
+    qp.join(broadcast(dfreq), "term")
+      .join(qw, col("term") === col("_qt"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"),
+        round(col("_qw") * round((lit(1.0) + log(col("tf").cast("double")))
+          * log(lit(1.0) + col("_n") / col("_df")), 6), 6)
+          .cast("decimal(18,6)").as("_c"))
+      .groupBy("doc_id").agg(sum(col("_c")).cast("double").as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Every positive BM25 score for a token set — the un-limited body
     * shared by [[bm25Search]] (top-k) and [[disMaxSearch]] (clause legs).
     */

@@ -76,6 +76,25 @@ class IncrementalPostingsSpec extends SparkSpec {
       .columns.toSeq == Seq("term", "doc_id", "tf"))
   }
 
+  test("incremental sparse_vector equals the corpus-scan form") {
+    val dir = java.nio.file.Files.createTempDirectory("incpost-sv").toString
+    val base = (10L to 40L).map(i =>
+      (i, s"merge scan window doc$i ${"filler " * (i % 5).toInt}merge"))
+    val up = Seq((10L, "window window"), (50L, "merge merge scan"))
+    IncrementalPostings.init(base.toDF("doc_id", "text"), "doc_id", "text", dir)
+    IncrementalPostings.commitUpserts(
+      up.toDF("doc_id", "text"), "doc_id", "text", dir)
+    IncrementalPostings.commitDeletes(Seq(11L).toDF("doc_id"), "doc_id", dir)
+
+    val weights = Seq(("merge", 2.0), ("window", 1.0), ("absent", 0.5))
+    val cur = currentDocs(base, Seq(up), Seq(11L)).toDF("doc_id", "text")
+    val expect = DocQueries.sparseVectorQuery(cur, "doc_id", "text",
+      weights, 20).as[(Long, Double)].collect().toSeq
+    val got = IncrementalPostings.sparseVectorSearch(spark, dir, weights, 20)
+      .as[(Long, Double)].collect().toSeq
+    assert(got == expect, s"indexed $got != scan $expect")
+  }
+
   test("an interrupted compact recovers on the next read") {
     val dir = java.nio.file.Files.createTempDirectory("incpost-crash").toString
     val base = Seq((1L, "merge scan"), (2L, "window join"))
