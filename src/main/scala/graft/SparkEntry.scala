@@ -2064,6 +2064,44 @@ object SparkEntry {
         .select(col("doc_id"), round(col("rrf"), 9).as("rrf"))
     }),
 
+    // Linear hybrid fusion (the ES `linear` retriever — the other
+    // standard next to x_hybrid's RRF): each leg's top-50 scores
+    // min-max normalize to [0,1] WITHIN the retrieved window, then a
+    // 0.7·text + 0.3·vector weighted sum. Rank-free fusion preserves
+    // score gaps RRF flattens. The vector leg cuts and normalizes on
+    // the ROUNDED cosine (the engine-agreement convention); a
+    // constant-score leg normalizes to 1.0 (documented, mirrored).
+    "q_hybrid_linear" -> ((s, d) => {
+      val k = 50
+      def norm(sc: Column, mn: Column, mx: Column): Column =
+        when(mx > mn, round((sc - mn) / (mx - mn), 6)).otherwise(lit(1.0))
+      val text = DocQueries.matchTextRanked(
+          Tables.documents(s, d).select("doc_id", "text"), "text",
+          "merge window scan", k)
+        .select(col("doc_id"), col("score").cast("double").as("_st"))
+      val ts = text.agg(min("_st").as("_tmn"), max("_st").as("_tmx"))
+      val tn = text.crossJoin(broadcast(ts))
+        .select(col("doc_id"),
+          norm(col("_st"), col("_tmn"), col("_tmx")).as("_nt"))
+      val e = Tables.embeddings(s, d)
+      val qv = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("_qv"))
+      val vec = e.crossJoin(broadcast(qv))
+        .select(col("vec_id").as("doc_id"),
+          round(functions.VectorExpressions.cosineFast(
+            col("embedding"), col("_qv")), 6).as("_c"))
+        .orderBy(col("_c").desc, col("doc_id")).limit(k)
+      val vs = vec.agg(min("_c").as("_vmn"), max("_c").as("_vmx"))
+      val vn = vec.crossJoin(broadcast(vs))
+        .select(col("doc_id"),
+          norm(col("_c"), col("_vmn"), col("_vmx")).as("_nv"))
+      tn.join(vn, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          round(lit(0.7) * coalesce(col("_nt"), lit(0.0)) +
+            lit(0.3) * coalesce(col("_nv"), lit(0.0)), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(10)
+    }),
+
     // Incrementally-maintained inverted index: base holds docs ≥ 10, one
     // delta commits docs < 10 plus a bogus doc, a tombstone delta removes
     // the bogus doc — the merge-on-read view must then score BM25 exactly
@@ -7513,6 +7551,38 @@ object SparkEntry {
            FROM tt FULL OUTER JOIN vt ON tt.doc_id = vt.doc_id)
          SELECT doc_id, round(rrf, 9) AS rrf FROM f
          ORDER BY rrf DESC, doc_id LIMIT 10""",
+    // min-max within each top-50 window, 0.7/0.3 weighted sum; vec leg
+    // cut and normalized on the rounded cosine
+    "q_hybrid_linear" ->
+      """WITH tt AS (SELECT doc_id, CAST(score AS DOUBLE) AS st
+           FROM (SELECT doc_id,
+               len(list_filter(string_split(lower(text), ' '), w -> w = 'merge'))
+               + len(list_filter(string_split(lower(text), ' '), w -> w = 'window'))
+               + len(list_filter(string_split(lower(text), ' '), w -> w = 'scan'))
+                 AS score
+             FROM documents) t
+           WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 50),
+         ts AS (SELECT min(st) AS tmn, max(st) AS tmx FROM tt),
+         tn AS (SELECT doc_id, CASE WHEN tmx > tmn
+             THEN round((st - tmn) / (tmx - tmn), 6) ELSE 1.0 END AS nt
+           FROM tt, ts),
+         q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+           WHERE vec_id = 0),
+         vt AS (SELECT vec_id AS doc_id,
+             round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv),
+               6) AS c
+           FROM embeddings, q
+           ORDER BY c DESC, doc_id LIMIT 50),
+         vs AS (SELECT min(c) AS vmn, max(c) AS vmx FROM vt),
+         vn AS (SELECT doc_id, CASE WHEN vmx > vmn
+             THEN round((c - vmn) / (vmx - vmn), 6) ELSE 1.0 END AS nv
+           FROM vt, vs)
+         SELECT COALESCE(tn.doc_id, vn.doc_id) AS doc_id,
+           round(0.7 * COALESCE(nt, 0.0) + 0.3 * COALESCE(nv, 0.0), 6)
+             AS score
+         FROM tn FULL OUTER JOIN vn ON tn.doc_id = vn.doc_id
+         ORDER BY score DESC, doc_id LIMIT 10""",
+
     "x_maxsim" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
            FROM embeddings WHERE vec_id < 3),
