@@ -280,6 +280,17 @@ object SparkEntry {
         .orderBy("train_order")
     }),
 
+    // Source-interleaved training order: reproducible per-source
+    // shuffle + round-robin across sources — balanced source mix in
+    // every training window. Per-source ranks via the two-phase
+    // grouped numbering (no per-source window task), global position
+    // via the two-phase global numbering.
+    "x_interleave" -> ((s, d) =>
+      operators.Corpus.interleaveBySource(
+        Tables.documents(s, d).select("doc_id", "source"),
+        "doc_id", "source")
+        .orderBy("position")),
+
     // §2.6 — TermQuery point lookup.
     "q_term" -> ((s, d) =>
       DocQueries.term(Tables.documents(s, d), "lang", "en")
@@ -8479,6 +8490,18 @@ object SparkEntry {
          WHERE list_contains(w, 'merge') AND list_contains(w, 'window')
            AND list_contains(w, 'scan')
          ORDER BY doc_id""",
+    // per-source reproducible shuffle, then round-robin across sources
+    "x_interleave" ->
+      """WITH r AS (SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY
+               md5_number_lower(CAST(doc_id AS VARCHAR))
+                 % 72057594037927936, doc_id) AS rank_in_source
+           FROM documents)
+         SELECT row_number() OVER (ORDER BY rank_in_source, source)
+             AS position,
+           doc_id, source, rank_in_source
+         FROM r ORDER BY position""",
+
     "x_train_order" ->
       """SELECT row_number() OVER (ORDER BY h, doc_id) AS train_order,
            doc_id, source

@@ -43,6 +43,58 @@ object Batching {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Per-GROUP 1-based row numbers in `orderCol` order — the grouped
+    * twin of [[withGlobalRowNumber]], for when the groups are FEW and
+    * LARGE (sources, languages, shards): a
+    * `row_number().over(partitionBy(group))` window puts each group's
+    * entire corpus through one task, so five sources at 100 TB become
+    * five stragglers. Same two-phase layout instead: range-partition by
+    * `(group, orderCol)` (each group spans a RUN of consecutive
+    * partitions, every partition is corpus-size/P), count each
+    * partition's per-group rows in one lightweight pass (a
+    * partitions × groups frame — driver-tiny by the FEW-groups
+    * precondition), turn the counts into per-(partition, group) prefix
+    * offsets, broadcast them back, and add partition-local indices.
+    */
+  def withGroupRowNumber(df: DataFrame, groupCol: String, orderCol: Column,
+      outCol: String = "_group_row_number"): DataFrame = {
+    val spark = df.sparkSession
+    val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = df
+      .repartitionByRange(shufflePartitions, col(groupCol), orderCol)
+      .sortWithinPartitions(col(groupCol), orderCol)
+      .cache()
+    val gIdx = sorted.schema.fieldIndex(groupCol)
+    // pass 1: per-(partition, group) counts — partitions × groups rows
+    val counts: Array[(Int, Any, Long)] = sorted.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        val m = scala.collection.mutable.LinkedHashMap[Any, Long]()
+        it.foreach { r =>
+          val g = r.get(gIdx); m.update(g, m.getOrElse(g, 0L) + 1L)
+        }
+        m.iterator.map { case (g, c) => (pid, g, c) }
+      }.collect()
+    val offsets: Map[(Int, Any), Long] = counts.groupBy(_._2).iterator
+      .flatMap { case (g, rows) =>
+        var acc = 0L
+        rows.sortBy(_._1).map { case (pid, _, c) =>
+          val off = acc; acc += c; ((pid, g), off)
+        }
+      }.toMap
+    val bc = spark.sparkContext.broadcast(offsets)
+    val schema = sorted.schema.add(outCol, LongType, nullable = false)
+    val rdd = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val local = scala.collection.mutable.HashMap[Any, Long]()
+      it.map { r =>
+        val g = r.get(gIdx)
+        val i = local.getOrElse(g, 0L) + 1L
+        local.update(g, i)
+        Row.fromSeq(r.toSeq :+ (bc.value((pid, g)) + i))
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** One summary row per size-bounded batch: batch_id in `orderCol` order,
     * count and id range — the per-batch accounting line the reference logs.
     */

@@ -44,6 +44,34 @@ object Corpus {
         (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Source-interleaved training order: a reproducible shuffle WITHIN
+    * each source (the [[sampleHash]] keep-order), then sources
+    * round-robin by per-source rank — so every training window sees a
+    * balanced source mix instead of megabatches of one domain (the
+    * curriculum failure mode of sorting a concatenated corpus). The
+    * interleave is exactly `ORDER BY (rank_in_source, source)`:
+    * position 1..S are the S sources' first docs, and so on; a source
+    * that runs out simply drops from later rounds.
+    *
+    * Scale shape: per-source ranks come from
+    * [[Batching.withGroupRowNumber]] (two-phase, never a per-source
+    * window task), the global position from
+    * [[Batching.withGlobalRowNumber]] — no single-partition exchange
+    * anywhere. Returns `(position, idCol, stratumCol,
+    * rank_in_source)`.
+    */
+  def interleaveBySource(df: DataFrame, idCol: String,
+      stratumCol: String): DataFrame = {
+    val ranked = Batching.withGroupRowNumber(
+      df.select(col(idCol), col(stratumCol),
+        sampleHash(col(idCol)).as("_h")),
+      stratumCol, struct(col("_h"), col(idCol)), "rank_in_source")
+    Batching.withGlobalRowNumber(ranked,
+        struct(col("rank_in_source"), col(stratumCol)), "position")
+      .select(col("position"), col(idCol), col(stratumCol),
+        col("rank_in_source"))
+  }
+
   /** Padding-waste report for length-bucketed batch inference: when
     * sequences batch by length bucket and pad to the bucket boundary,
     * what fraction of accelerator tokens is padding? One row per
