@@ -2788,6 +2788,73 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // REAL image encode→decode roundtrip, oracle-exact: constant-value
+    // truecolor PNGs synthesized from doc_id (w = 8 + id%9, h = 8 + id%7,
+    // gray v = id*7 % 256), written by encodePng and read back through
+    // the javax.imageio decode path. PNG is lossless and the raster
+    // carries r=g=b=v, so the integer Rec.601 luma of every pixel is
+    // exactly v and DuckDB recomputes width/height/mean_luma from id
+    // arithmetic — the image half of the media pipeline is gated with
+    // zero stub in the loop, the x_multimodal_flac convention.
+    "x_image_decode" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id")
+        .filter(col("doc_id") < 200)
+        .withColumn("w", (pmod(col("doc_id"), lit(9)) + 8).cast("int"))
+        .withColumn("h", (pmod(col("doc_id"), lit(7)) + 8).cast("int"))
+        .withColumn("pixels", array_repeat(
+          pmod(col("doc_id") * 7, lit(256)).cast("int"),
+          (col("w") * col("h")).cast("int")))
+      val png = operators.Multimodal.encodePng(docs, "doc_id", "pixels", "w")
+      operators.Multimodal.decodeImages(png, "id", "payload")
+        .select(col("id"), col("width"), col("height"),
+          round(col("mean_luma"), 6).as("mean_luma"))
+        .orderBy("id")
+    }),
+
+    // Image NEAR-dup end-to-end on REAL decoded pixels: 40 base patterns
+    // (16×16, aHash-cell-aligned 2×2 blocks, bright/dark from bit c of
+    // splitmix64(group) — pairwise Hamming ≥ 18, popcounts 18..40, both
+    // verified offline and frozen by these constants), 8 docs per
+    // pattern. Per-doc pixel noise (0..7 around 0/255) changes every
+    // payload byte but no aHash bit — perceptually-identical, not
+    // byte-identical; docs with (id div 40) % 4 == 3 additionally invert
+    // cells 0-1, landing 2 Hamming bits away. encodePng → imageHashes →
+    // banded Hamming join must recover exactly the within-group pairs
+    // with hamming 0 (same flip state) or 2 (mixed) — structure DuckDB
+    // recomputes from id arithmetic alone, so the whole perceptual-dedup
+    // path (codec, hash, multi-index banding, verify) is hash-gated.
+    "x_image_dedup" -> ((s, d) => {
+      def mix(x: Long): Long = {
+        var z = x + 0x9E3779B97F4A7C15L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z ^ (z >>> 31)
+      }
+      val pats = typedLit((0 until 40).map { g =>
+        val h = mix(g.toLong)
+        (0 until 64).map(c => ((h >>> c) & 1L).toInt)
+      })
+      val grp = (pmod(col("doc_id"), lit(40)) + 1).cast("int")
+      val flip = expr("doc_id DIV 40") % 4 === 3
+      val docs = Tables.documents(s, d).select("doc_id")
+        .filter(col("doc_id") < 320)
+        .withColumn("pixels", transform(sequence(lit(0), lit(255)), px => {
+          val cell = shiftright(px, 5) * 8 +
+            shiftright(px.bitwiseAND(lit(15)), 1)
+          val base = element_at(element_at(pats, grp), (cell + 1).cast("int"))
+          val bit = when(flip && cell < 2, lit(1) - base).otherwise(base)
+          val noise = pmod(col("doc_id") * 7 + cell, lit(8))
+          when(bit === 1, lit(255) - noise).otherwise(noise).cast("int")
+        }))
+        .withColumn("w", lit(16))
+      val png = operators.Multimodal.encodePng(docs, "doc_id", "pixels", "w")
+      val hashes = operators.Multimodal.imageHashes(png, "id", "payload")
+      operators.Multimodal.nearDuplicateImages(hashes, "id", "ahash", 3)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("int").as("hamming"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // Multimodal: stubbed decode over mapPartitions batches. The stub
     // derives features from the payload md5, so the DuckDB oracle can
     // recompute every row in SQL (md5_number_lower + unsigned math) —
@@ -8022,6 +8089,24 @@ object SparkEntry {
                        i -> CAST((doc_id * 31 + i * 7) % 2000 - 1000 AS DOUBLE) ** 2)) / 8.0), 6)
            END AS rms
          FROM documents ORDER BY id""",
+    // PNG encode->decode roundtrip: dims and exact mean luma from id
+    "x_image_decode" ->
+      """SELECT doc_id AS id,
+           CAST(doc_id % 9 + 8 AS INTEGER) AS width,
+           CAST(doc_id % 7 + 8 AS INTEGER) AS height,
+           round(CAST(doc_id * 7 % 256 AS DOUBLE), 6) AS mean_luma
+         FROM documents WHERE doc_id < 200 ORDER BY id""",
+    // perceptual near-dup pair structure from id arithmetic: within-group
+    // pairs only; hamming 2 exactly when one side carries the 2-cell flip
+    "x_image_dedup" ->
+      """WITH ids AS (SELECT doc_id, (doc_id // 40) % 4 = 3 AS flipped
+                      FROM documents WHERE doc_id < 320)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(CASE WHEN a.flipped <> b.flipped THEN 2 ELSE 0 END AS INTEGER)
+             AS hamming
+         FROM ids a JOIN ids b
+           ON a.doc_id % 40 = b.doc_id % 40 AND a.doc_id < b.doc_id
+         ORDER BY id_a, id_b""",
     // FLAC STREAMINFO / Ogg-Opus granule math recomputed from doc_id;
     // opus total = granule - preskip, duration = total / 48000
     "x_multimodal_sniff_container" ->

@@ -791,6 +791,61 @@ object Multimodal {
     }(enc)
   }
 
+  /** Archival PNG encode over partition batches: a grayscale raster as
+    * `array<int>` (row-major, values clamped to [0, 255], `width`
+    * columns per row) → a lossless truecolor PNG via the JDK's own
+    * `javax.imageio` writer — the image twin of [[encodeFlac]], and the
+    * write side of [[decodeImages]]. Pixels are written as RGB with
+    * r=g=b=v on purpose: the JDK's `TYPE_BYTE_GRAY` path applies a
+    * gray→sRGB color transform on read-back that would make the decoded
+    * luma a nonlinear function of the stored value, while the RGB path
+    * round-trips exactly (PNG is lossless), so `decode(encode(v))`
+    * recovers v bit-for-bit — the property the oracle gates. Null,
+    * empty, or non-multiple-of-width arrays — and non-positive widths —
+    * yield a null payload (poison-pill contract). `widthCol` is a
+    * per-row int so one call can emit mixed-dimension rasters. Returns
+    * `(id, payload)`.
+    */
+  def encodePng(df: DataFrame, idCol: String, pixelsCol: String,
+      widthCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", df.schema(idCol).dataType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(pixelsCol)
+    val wIdx = df.schema.fieldIndex(widthCol)
+    require(df.schema(widthCol).dataType == IntegerType,
+      s"encodePng expects an int width column, got " +
+        df.schema(widthCol).dataType.simpleString)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload =
+          if (r.isNullAt(pIdx) || r.isNullAt(wIdx)) null
+          else {
+            val px = r.getSeq[Int](pIdx)
+            val width = r.getInt(wIdx)
+            if (width <= 0 || px.isEmpty || px.length % width != 0) null
+            else {
+              val h = px.length / width
+              val img = new java.awt.image.BufferedImage(
+                width, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var i = 0
+              while (i < px.length) {
+                val v = math.max(0, math.min(255, px(i)))
+                img.setRGB(i % width, i / width, (v << 16) | (v << 8) | v)
+                i += 1
+              }
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "png", bos)
+              bos.toByteArray
+            }
+          }
+        Row(r.get(idIdx), payload)
+      }
+    }(enc)
+  }
+
   /** Perceptual fingerprints over partition batches: `(id, ahash)` with
     * null for undecodable payloads — the input to [[nearDuplicateImages]].
     */

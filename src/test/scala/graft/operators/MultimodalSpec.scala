@@ -415,4 +415,33 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L)._5 == Some(0.0))
     assert(out(3L) == ((3L, None, None, None, None)))
   }
+
+  test("encodePng: lossless write side — decode recovers exact gray values") {
+    val rows = Seq(
+      (1L, Seq(0, 64, 128, 255, 7, 250), 3),            // 3×2 raster
+      (2L, Seq(200, 200, 200, 200), 2),                 // 2×2 constant
+      (3L, Seq(1, 2, 3), 2),                            // len % width != 0
+      (4L, null.asInstanceOf[Seq[Int]], 2),             // null pixels
+      (5L, Seq(1, 2), 0)                                // bad width
+    ).toDF("id", "pixels", "w")
+    val png = Multimodal.encodePng(rows, "id", "pixels", "w")
+    val out = Multimodal.decodeImages(png, "id", "payload")
+      .as[(Long, Option[Int], Option[Int], Option[Double], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    // dims and EXACT mean luma round-trip (r=g=b=v → luma == v)
+    assert(out(1L)._2 == Some(3) && out(1L)._3 == Some(2))
+    assert(out(1L)._4 == Some((0 + 64 + 128 + 255 + 7 + 250) / 6.0))
+    assert(out(2L)._4 == Some(200.0))
+    // malformed inputs → null payload → null decode fields, no failure
+    assert(out(3L) == ((3L, None, None, None, None)))
+    assert(out(4L) == ((4L, None, None, None, None)))
+    assert(out(5L) == ((5L, None, None, None, None)))
+    // values outside [0,255] clamp rather than wrap
+    val clamped = Multimodal.decodeImages(
+      Multimodal.encodePng(Seq((9L, Seq(-5, 300), 2)).toDF("id", "pixels", "w"),
+        "id", "pixels", "w"), "id", "payload")
+      .as[(Long, Option[Int], Option[Int], Option[Double], Option[Long])]
+      .head()
+    assert(clamped._4 == Some(127.5))
+  }
 }
