@@ -2855,6 +2855,21 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Fuzzy record linkage: blocked Jaro–Winkler over part names. The
+    // native JaroWinkler expression is pinned bit-exact to DuckDB's
+    // jaro_winkler_similarity (20k random pairs, four alphabets — see
+    // TextExpressionsSpec), so the oracle recomputes the SAME blocking
+    // (prefix/suffix keys), the SAME candidate join, and the SAME scores;
+    // filter on the raw double BEFORE the 6dp display round on both sides.
+    "x_fuzzy_linkage" -> ((s, d) => {
+      val p = Tables.part(s, d).filter(col("p_partkey") <= 400)
+        .select(col("p_partkey").as("id"), col("p_name").as("nm"))
+      operators.Dedup.fuzzyLinkage(p, "id", "nm", 0.92, blockLen = 8)
+        .select(col("id_a"), col("id_b"),
+          round(col("similarity"), 6).as("similarity"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // Multimodal: stubbed decode over mapPartitions batches. The stub
     // derives features from the payload md5, so the DuckDB oracle can
     // recompute every row in SQL (md5_number_lower + unsigned math) —
@@ -8106,6 +8121,20 @@ object SparkEntry {
              AS hamming
          FROM ids a JOIN ids b
            ON a.doc_id % 40 = b.doc_id % 40 AND a.doc_id < b.doc_id
+         ORDER BY id_a, id_b""",
+    // same blocking, same candidate join, same (bit-exact) JW scores
+    "x_fuzzy_linkage" ->
+      """WITH p AS (SELECT p_partkey AS id, p_name AS nm FROM part
+                    WHERE p_partkey <= 400),
+         keys AS (SELECT id, nm, k FROM p,
+           UNNEST(list_distinct([substr(nm, 1, 8),
+             substr(nm, greatest(length(nm) - 7, 1), 8)])) AS t(k)),
+         cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+             a.nm AS na, b.nm AS nb
+           FROM keys a JOIN keys b ON a.k = b.k AND a.id < b.id)
+         SELECT id_a, id_b,
+           round(jaro_winkler_similarity(na, nb), 6) AS similarity
+         FROM cand WHERE jaro_winkler_similarity(na, nb) >= 0.92
          ORDER BY id_a, id_b""",
     // FLAC STREAMINFO / Ogg-Opus granule math recomputed from doc_id;
     // opus total = granule - preskip, duration = total / 48000

@@ -383,4 +383,53 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Int)].collect().toSeq
     assert(viaLsh.forall(r => r._3 <= 6))
   }
+
+  test("jaroWinkler: bit-exact DuckDB convention on golden pairs") {
+    import graft.functions.TextExpressions.jaroWinkler
+    val pairs = Seq(
+      ("martha", "marhta", 0.9611111111111111),   // classic transposition
+      ("dwayne", "duane", 0.8400000000000001),
+      ("dixon", "dicksonx", 0.8133333333333332),
+      // jaro = 2/3 <= 0.7: the 3-char common prefix must NOT boost
+      ("abcdef", "abczzz", 0.6666666666666666),
+      // window = max(2,2)/2 - 1 = 0, NOT clamped to 1: no matches at all
+      ("ab", "ba", 0.0),
+      ("goldenrod lace", "goldenrod lcae", 0.9857142857142858),
+      ("same", "same", 1.0),
+      ("", "", 0.0),                              // BOTH empty -> 0, not 1
+      ("", "x", 0.0), ("x", "", 0.0),
+      ("abc", "xyz", 0.0))
+    val out = pairs.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+      .withColumn("jw", jaroWinkler(col("a"), col("b")))
+      .as[(String, String, Double)].collect()
+    out.zip(pairs).foreach { case ((a, b, got), (_, _, want)) =>
+      assert(got == want, s"jw($a, $b): got $got want $want (bit-exact)")
+    }
+    // null propagation
+    val n = Seq((Some("a"), None: Option[String])).toDF("a", "b")
+      .select(jaroWinkler(col("a"), col("b"))).collect()
+    assert(n.head.isNullAt(0))
+  }
+
+  test("fuzzyLinkage: blocked candidates only, threshold honored") {
+    val df = Seq(
+      (1L, "jonathan archer"), (2L, "jonathan archre"),   // near-dup
+      (3L, "jonathan doe"),                               // same prefix, far
+      (4L, "benjamin sisko"), (5L, "kathryn janeway"),
+      (6L, null.asInstanceOf[String]), (7L, "")           // dropped inputs
+    ).toDF("id", "nm")
+    // ("jonathan archer", "jonathan doe") scores exactly 0.9 on the long
+    // shared prefix — 0.95 keeps only the real transposition pair
+    val out = Dedup.fuzzyLinkage(df, "id", "nm", 0.95, blockLen = 8)
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(out.map(r => (r._1, r._2)).toSeq == Seq((1L, 2L)))
+    assert(out.head._3 == 0.9866666666666667) // DuckDB-pinned, bit-exact
+    // pairs sharing NO prefix/suffix block never meet: lowering the
+    // threshold cannot resurrect (4,5)
+    val all = Dedup.fuzzyLinkage(df, "id", "nm", 0.01, blockLen = 8)
+      .as[(Long, Long, Double)].collect()
+    assert(!all.exists(r => r._1 == 4L && r._2 == 5L))
+    // (1,3) share the 8-char prefix block -> candidate, scored, kept at 0.01
+    assert(all.exists(r => r._1 == 1L && r._2 == 3L))
+  }
 }
