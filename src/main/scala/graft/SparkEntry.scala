@@ -2788,6 +2788,28 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // REAL spectral analysis end-to-end: pure sine tones at exact FFT
+    // bin centers (freq = k·8000/256 Hz, k = id%30+1, amplitude 1000),
+    // FLAC-encoded, decoded back through FlacCodec, and run through the
+    // radix-2 FFT — the dominant bin must land exactly on k. Sample
+    // rounding (round(1000·sin)) perturbs magnitudes but cannot move an
+    // on-center peak, so the oracle recomputes every row from id
+    // arithmetic. No stub anywhere: encode, decode, FFT all real.
+    "x_audio_spectrum" -> ((s, d) => {
+      val k = (pmod(col("doc_id"), lit(30)) + 1).cast("double")
+      val pcm = Tables.documents(s, d).select("doc_id")
+        .filter(col("doc_id") < 300)
+        .withColumn("samples", transform(sequence(lit(0), lit(255)),
+          n => round(lit(1000.0) *
+            sin(lit(2.0 * math.Pi) * k * n.cast("double") / lit(256.0)))
+            .cast("int")))
+      val enc2 = operators.Multimodal.encodeFlac(pcm, "doc_id", "samples", 8000)
+      operators.Multimodal.audioSpectrum(enc2, "id", "payload", fftSize = 256)
+        .select(col("id"), col("sample_rate").cast("int").as("sample_rate"),
+          col("peak_bin"), col("n_samples"))
+        .orderBy("id")
+    }),
+
     // REAL image encode→decode roundtrip, oracle-exact: constant-value
     // truecolor PNGs synthesized from doc_id (w = 8 + id%9, h = 8 + id%7,
     // gray v = id*7 % 256), written by encodePng and read back through
@@ -8104,6 +8126,13 @@ object SparkEntry {
                        i -> CAST((doc_id * 31 + i * 7) % 2000 - 1000 AS DOUBLE) ** 2)) / 8.0), 6)
            END AS rms
          FROM documents ORDER BY id""",
+    // FLAC encode -> decode -> FFT: the peak bin is the planted tone's
+    "x_audio_spectrum" ->
+      """SELECT doc_id AS id,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(doc_id % 30 + 1 AS INTEGER) AS peak_bin,
+           CAST(256 AS BIGINT) AS n_samples
+         FROM documents WHERE doc_id < 300 ORDER BY id""",
     // PNG encode->decode roundtrip: dims and exact mean luma from id
     "x_image_decode" ->
       """SELECT doc_id AS id,

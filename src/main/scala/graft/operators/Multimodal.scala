@@ -465,6 +465,118 @@ object Multimodal {
       } catch { case _: Exception => None }
     }
 
+    /** Raw decoded samples for DSP: FLAC through [[FlacCodec]] (channel
+      * 0 of the decoded block) or 16-bit PCM WAV/AIFF/AU through
+      * `javax.sound.sampled` (first channel of interleaved frames).
+      * None for anything undecodable.
+      */
+    def decodeSamples(payload: Array[Byte]): Option[(Float, Array[Double])] = {
+      if (payload.length >= 4 && payload(0) == 'f' && payload(1) == 'L' &&
+          payload(2) == 'a' && payload(3) == 'C')
+        return graft.operators.FlacCodec.decode(payload).map { d =>
+          val ch = d.channels
+          val n = d.samples.length / math.max(ch, 1)
+          val out = new Array[Double](n)
+          var i = 0
+          while (i < n) { out(i) = d.samples(i * ch).toDouble; i += 1 }
+          (d.sampleRate.toFloat, out)
+        }
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16) None
+        else {
+          val bytes = in.readAllBytes()
+          val ch = math.max(fmt.getChannels, 1)
+          val n = bytes.length / 2 / ch
+          val out = new Array[Double](n)
+          val be = fmt.isBigEndian
+          var i = 0
+          while (i < n) {
+            val off = i * 2 * ch
+            val s =
+              if (be) ((bytes(off) << 8) | (bytes(off + 1) & 0xff)).toShort
+              else ((bytes(off + 1) << 8) | (bytes(off) & 0xff)).toShort
+            out(i) = s.toDouble
+            i += 1
+          }
+          Some((fmt.getSampleRate, out))
+        }
+      } catch { case _: Exception => None }
+    }
+
+    /** Iterative radix-2 FFT (in-place, bit-reversal permutation) — the
+      * one DSP primitive spectral featurization needs, pure JVM.
+      * `re`/`im` length must be a power of two.
+      */
+    def fft(re: Array[Double], im: Array[Double]): Unit = {
+      val n = re.length
+      require(n == im.length && (n & (n - 1)) == 0,
+        s"fft needs power-of-two equal-length arrays, got $n/${im.length}")
+      var i = 1
+      var j = 0
+      while (i < n) {
+        var bit = n >> 1
+        while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+        j |= bit
+        if (i < j) {
+          val tr = re(i); re(i) = re(j); re(j) = tr
+          val ti = im(i); im(i) = im(j); im(j) = ti
+        }
+        i += 1
+      }
+      var len = 2
+      while (len <= n) {
+        val ang = -2.0 * math.Pi / len
+        val wr = math.cos(ang)
+        val wi = math.sin(ang)
+        var base = 0
+        while (base < n) {
+          var cr = 1.0
+          var ci = 0.0
+          var k = 0
+          while (k < len / 2) {
+            val ur = re(base + k); val ui = im(base + k)
+            val vr = re(base + k + len / 2) * cr - im(base + k + len / 2) * ci
+            val vi = re(base + k + len / 2) * ci + im(base + k + len / 2) * cr
+            re(base + k) = ur + vr; im(base + k) = ui + vi
+            re(base + k + len / 2) = ur - vr; im(base + k + len / 2) = ui - vi
+            val ncr = cr * wr - ci * wi
+            ci = cr * wi + ci * wr
+            cr = ncr
+            k += 1
+          }
+          base += len
+        }
+        len <<= 1
+      }
+    }
+
+    /** Spectral peak of a decoded audio payload: FFT over the first
+      * `fftSize` samples (zero-padded), peak = argmax |X[b]| over the
+      * positive-frequency bins 1..fftSize/2-1 (DC excluded). Returns
+      * `(sampleRate, peakBin, nSamples)`.
+      */
+    def spectralPeak(payload: Array[Byte], fftSize: Int)
+        : Option[(Float, Int, Long)] =
+      decodeSamples(payload).map { case (rate, samples) =>
+        val re = new Array[Double](fftSize)
+        val im = new Array[Double](fftSize)
+        val n = math.min(samples.length, fftSize)
+        System.arraycopy(samples, 0, re, 0, n)
+        fft(re, im)
+        var best = 1
+        var bestMag = -1.0
+        var b = 1
+        while (b < fftSize / 2) {
+          val mag = re(b) * re(b) + im(b) * im(b)
+          if (mag > bestMag) { bestMag = mag; best = b }
+          b += 1
+        }
+        (rate, best, samples.length.toLong)
+      }
+
     /** JDK-codec pixel decode (see [[Multimodal.decodeImages]]): None
       * for anything ImageIO cannot parse.
       */
@@ -742,6 +854,40 @@ object Multimodal {
           .flatMap(MediaCodec.decodeAudio) match {
           case Some((sr, ch, nf, rms)) => Row(r.get(idIdx), sr, ch, nf, rms)
           case None => Row(r.get(idIdx), null, null, null, null)
+        }
+      }
+    }(enc)
+  }
+
+  /** Spectral featurization over REAL decoded samples: per payload, a
+    * radix-2 FFT over the first `fftSize` samples and the dominant
+    * positive-frequency bin — the first step of any audio featurization
+    * (pitch/tone class, bandwidth filtering, music/speech heuristics)
+    * and fully real for the lossless paths (FLAC via [[FlacCodec]],
+    * 16-bit PCM WAV/AIFF/AU via `javax.sound.sampled`): decode → FFT →
+    * argmax, no stub anywhere in the loop. Same mapPartitions batch
+    * shape as every decode operator here; undecodable payloads yield
+    * null fields. Returns `(id, sample_rate, peak_bin, n_samples)`;
+    * peak frequency in Hz is `peak_bin * sample_rate / fftSize`.
+    */
+  def audioSpectrum(df: DataFrame, idCol: String, binCol: String,
+      fftSize: Int = 256): DataFrame = {
+    require(fftSize >= 4 && (fftSize & (fftSize - 1)) == 0,
+      s"fftSize must be a power of two >= 4, got $fftSize")
+    val outSchema = StructType(Seq(
+      StructField("id", df.schema(idCol).dataType, nullable = false),
+      StructField("sample_rate", FloatType, nullable = true),
+      StructField("peak_bin", IntegerType, nullable = true),
+      StructField("n_samples", LongType, nullable = true)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        Option(r.get(binIdx)).map(_.asInstanceOf[Array[Byte]])
+          .flatMap(MediaCodec.spectralPeak(_, fftSize)) match {
+          case Some((sr, pk, n)) => Row(r.get(idIdx), sr, pk, n)
+          case None => Row(r.get(idIdx), null, null, null)
         }
       }
     }(enc)

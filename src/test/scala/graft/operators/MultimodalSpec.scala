@@ -416,6 +416,36 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L) == ((3L, None, None, None, None)))
   }
 
+  test("fft + audioSpectrum: known tones land on their exact bins") {
+    import Multimodal.MediaCodec.fft
+    // impulse -> flat unit spectrum
+    val re = new Array[Double](8); val im = new Array[Double](8)
+    re(0) = 1.0
+    fft(re, im)
+    (0 until 8).foreach { b =>
+      assert(math.abs(re(b) - 1.0) < 1e-12 && math.abs(im(b)) < 1e-12)
+    }
+    // pure cosine at bin 3 of 16: X[3] = X[13] = N/2, everything else ~0
+    val cr = Array.tabulate(16)(n => math.cos(2 * math.Pi * 3 * n / 16))
+    val ci = new Array[Double](16)
+    fft(cr, ci)
+    assert(math.abs(cr(3) - 8.0) < 1e-9 && math.abs(cr(13) - 8.0) < 1e-9)
+    assert(math.abs(cr(5)) < 1e-9 && math.abs(ci(5)) < 1e-9)
+    // end-to-end over the FLAC decode path: tone at bin 7 of 256
+    val pcm = Seq((1L, (0 until 256).map(n =>
+      math.round(1000 * math.sin(2 * math.Pi * 7 * n / 256)).toInt)))
+      .toDF("id", "samples")
+    val enc = Multimodal.encodeFlac(pcm, "id", "samples", 8000)
+    val out = Multimodal.audioSpectrum(enc, "id", "payload", 256)
+      .as[(Long, Option[Float], Option[Int], Option[Long])].head()
+    assert(out == ((1L, Some(8000f), Some(7), Some(256L))))
+    // undecodable payload -> nulls, not failure
+    val bad = Multimodal.audioSpectrum(
+      Seq((2L, Array[Byte](1, 2, 3))).toDF("id", "payload"), "id", "payload")
+      .as[(Long, Option[Float], Option[Int], Option[Long])].head()
+    assert(bad == ((2L, None, None, None)))
+  }
+
   test("encodePng: lossless write side — decode recovers exact gray values") {
     val rows = Seq(
       (1L, Seq(0, 64, 128, 255, 7, 250), 3),            // 3×2 raster
