@@ -261,6 +261,28 @@ object ScaleProbe {
         record("projection", "project", n, t)
       }
 
+      // ---- Fuzzy linkage: blocked JW scoring, never all-pairs --------
+      // names whose blocking-key cardinality grows WITH the corpus (the
+      // realistic regime: more records, more distinct names): groups of
+      // 4 ids share an md5-derived name, each copy perturbed in its
+      // last character — block sizes stay group-sized at every scale,
+      // so candidates AND output grow ∝ rows and time-vs-rows must be
+      // ~1.0. (A fixed-cardinality key would make candidates quadratic
+      // by construction — a data property the operator cannot fix, the
+      // standard blocking trade documented on fuzzyLinkage.)
+      if (famOn("linkage")) locally {
+        val grp = floor(col("doc_id") / 4).cast("long").cast("string")
+        val names = docsN.select(col("doc_id"),
+          concat(substring(md5(grp), 1, 16), lit(" "),
+            substring(md5(concat(lit("s"), grp)), 1, 10),
+            substring(md5(col("doc_id").cast("string")), 1, 1)).as("nm"))
+        val (_, t) = time {
+          operators.Dedup.fuzzyLinkage(names, "doc_id", "nm",
+            threshold = 0.9, blockLen = 8).count()
+        }
+        record("linkage", "pairs", n, t)
+      }
+
       // ---- Incremental postings: init linear, commit+search O(batch) -
       if (famOn("inc_postings")) locally {
         val dir = s"$scratch/incpost_x$n"
