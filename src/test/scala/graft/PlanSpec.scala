@@ -352,6 +352,23 @@ class PlanSpec extends SparkSpec {
       s"unkeyed join:\n$p23")
   }
 
+  test("round-10 second-wave ops keep their scale shapes") {
+    // fuzzyLinkage: candidates meet through the block-key equi-join —
+    // never a cartesian/BNLJ name cross-product — and the JW scorer
+    // runs on the candidate set, never leaked into the parquet scan
+    // (the r9 DataFilters-duplication class)
+    val fl = plan("x_fuzzy_linkage")
+    assert(!fl.contains("CartesianProduct") &&
+      !fl.contains("BroadcastNestedLoopJoin"), s"all-pairs linkage:\n$fl")
+    for (line <- fl.linesIterator if line.contains("DataFilters"))
+      assert(!line.contains("jaro_winkler"),
+        s"JW scorer leaked into scan DataFilters:\n$line")
+    // image near-dup: multi-index Hamming banding is an equi-join too
+    val id = plan("x_image_dedup")
+    assert(!id.contains("CartesianProduct") &&
+      !id.contains("BroadcastNestedLoopJoin"), s"all-pairs image join:\n$id")
+  }
+
   test("token masking hashes each token exactly once") {
     // The mask decision reads each md5-56 as a zip_with lambda variable
     // produced by ONE fused native pass; embedding sampleHash's 7-term
