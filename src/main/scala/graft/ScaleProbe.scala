@@ -283,6 +283,21 @@ object ScaleProbe {
         record("linkage", "pairs", n, t)
       }
 
+      // ---- Star connected components: rounds ~ log(diameter) ---------
+      // one chain per 1000 ids (diameter 999 — label propagation would
+      // need 999 rounds at ANY scale); rows grow ×n while round count
+      // stays ~log-flat, so time-vs-rows must stay near-linear and
+      // never diameter-bound
+      if (famOn("cc_star")) locally {
+        val idsN = docsN.select("doc_id")
+        val chain = idsN.filter(pmod(col("doc_id"), lit(1000)) =!= 999)
+          .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+        val (_, t) = time {
+          operators.Dedup.connectedComponentsStar(chain, idsN).count()
+        }
+        record("cc_star", "chain_label", n, t)
+      }
+
       // ---- Incremental postings: init linear, commit+search O(batch) -
       if (famOn("inc_postings")) locally {
         val dir = s"$scratch/incpost_x$n"

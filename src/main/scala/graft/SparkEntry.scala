@@ -2877,6 +2877,19 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Exact connected components in O(log n) rounds (alternating
+    // large-star/small-star): planted 50-long chains — diameter 49,
+    // which min-label propagation would need 49 rounds to traverse —
+    // collapse to their min id in a handful of star rounds. The scale
+    // path for duplicate-cluster labeling on chain-shaped graphs.
+    "x_connected_components" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id")
+      val edges = docs.filter(pmod(col("doc_id"), lit(50)) =!= 49)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+      operators.Dedup.connectedComponentsStar(edges, docs)
+        .orderBy("id")
+    }),
+
     // Fuzzy record linkage: blocked Jaro–Winkler over part names. The
     // native JaroWinkler expression is pinned bit-exact to DuckDB's
     // jaro_winkler_similarity (20k random pairs, four alphabets — see
@@ -3611,6 +3624,17 @@ object SparkEntry {
         struct(col("n_chars"), col("doc_id")), "pr")
         .select(col("doc_id"), col("n_chars"), round(col("pr"), 6).as("pr"))
         .orderBy("doc_id")),
+
+    // Preference-pair construction (reward-model / DPO curation): per
+    // source, the r-th best doc by score pairs with the r-th worst —
+    // widest-margin-first; 25-doc groups yield 12 pairs, the median doc
+    // pairs with nothing. Score = n_chars here so the oracle replays
+    // the mirrored rankings exactly.
+    "x_preference_pairs" -> ((s, d) =>
+      operators.Corpus.preferencePairs(
+        Tables.documents(s, d).select("doc_id", "source", "n_chars"),
+        "doc_id", "source", "n_chars", maxPairs = 50)
+        .orderBy("source", "pair_rank")),
 
     // Domain-distribution mining: hosts of every URL mention (synthetic
     // URLs appended doc-deterministically, the x_text_pii convention —
@@ -8151,6 +8175,10 @@ object SparkEntry {
          FROM ids a JOIN ids b
            ON a.doc_id % 40 = b.doc_id % 40 AND a.doc_id < b.doc_id
          ORDER BY id_a, id_b""",
+    // 50-long chains: every node's component root is its chain head
+    "x_connected_components" ->
+      """SELECT doc_id AS id, CAST((doc_id // 50) * 50 AS BIGINT) AS root
+         FROM documents ORDER BY id""",
     // same blocking, same candidate join, same (bit-exact) JW scores
     "x_fuzzy_linkage" ->
       """WITH p AS (SELECT p_partkey AS id, p_name AS nm FROM part
@@ -9202,6 +9230,22 @@ object SparkEntry {
            round(CAST(percent_rank() OVER (ORDER BY n_chars, doc_id)
              AS DOUBLE), 6) AS pr
          FROM documents ORDER BY doc_id""",
+    // mirrored best/worst rankings joined on (group, rank)
+    "x_preference_pairs" ->
+      """WITH ranked AS (
+           SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source
+               ORDER BY n_chars DESC, doc_id ASC) AS rb,
+             row_number() OVER (PARTITION BY source
+               ORDER BY n_chars ASC, doc_id DESC) AS rw,
+             count(*) OVER (PARTITION BY source) // 2 AS half
+           FROM documents)
+         SELECT c.source, c.rb AS pair_rank, c.doc_id AS chosen_id,
+           r.doc_id AS rejected_id, c.n_chars - r.n_chars AS margin
+         FROM ranked c JOIN ranked r ON c.source = r.source AND c.rb = r.rw
+         WHERE c.rb <= c.half AND c.rb <= 50
+           AND r.rw <= r.half AND r.rw <= 50
+         ORDER BY c.source, c.rb""",
     "x_text_domains" ->
       """WITH p AS (SELECT doc_id,
              text || ' see https://site' || (doc_id % 7)

@@ -622,14 +622,24 @@ object Corpus {
   def dsirWeights(df: DataFrame, idCol: String, textCol: String,
       isTarget: Column, buckets: Int): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
-    val toks = TextFunctions.tokens(lower(col(textCol)))
-    val bi = when(size(toks) >= 2,
-      graft.functions.TextExpressions.wordShingles(lower(col(textCol)), 2))
-      .otherwise(array().cast("array<string>"))
+    // feature hashes via the FUSED native pass (one md5-56 per n-gram in
+    // one row-level call) — `sampleHash` inside the exploded stream is
+    // the interpreted 7-term-tree-per-element class the r9 winnowing fix
+    // killed; the hash family (Md5Low56 ≡ hexLow56∘md5) and the bucket
+    // values are identical, only the per-element dispatch disappears
+    // (x_dsir sf0.1 gate: 4.5 s → well under 1 s)
+    val lowered = lower(col(textCol))
+    val toks = TextFunctions.tokens(lowered)
+    val uniH = when(size(toks) >= 1,
+      graft.functions.TextExpressions.wordShingleHash56(lowered, 1))
+      .otherwise(array().cast("array<long>"))
+    val biH = when(size(toks) >= 2,
+      graft.functions.TextExpressions.wordShingleHash56(lowered, 2))
+      .otherwise(array().cast("array<long>"))
     val feats = df.select(col(idCol), isTarget.as("_tgt"),
-        explode(concat(toks, bi)).as("_f"))
+        explode(concat(uniH, biH)).as("_h"))
       .select(col(idCol), col("_tgt"),
-        (sampleHash(col("_f")) % buckets).as("_b"))
+        (col("_h") % buckets).as("_b"))
     val perDoc = feats.groupBy(col(idCol), col("_tgt"), col("_b"))
       .agg(count(lit(1)).as("_c"))
     val stats = perDoc.groupBy(col("_b"))
@@ -980,5 +990,44 @@ object Corpus {
       }
     }
     spark.createDataFrame(out, schema).drop("_graft_w")
+  }
+
+  /** Preference-pair construction for reward-model / DPO training data:
+    * within each group, pair the r-th BEST row (by `scoreCol`, ties to
+    * the lower id) with the r-th WORST (mirrored tie-break, so all-tied
+    * groups still pair distinct rows) for r = 1..min(⌊n/2⌋, maxPairs) —
+    * the widest-margin-first pairing; an odd group's median row pairs
+    * with nothing. Returns `(groupCol, pair_rank, chosen_id,
+    * rejected_id, margin)` with `margin = chosen − rejected` score.
+    *
+    * Scale shape: both rankings window over the SAME group partitioning
+    * (one shuffle, two in-partition sorts), and the chosen/rejected
+    * halves meet through a (group, rank)-keyed equi-join whose keys are
+    * unique on each side — never a per-group cross product, state
+    * bounded by the window frame however large a group gets.
+    */
+  def preferencePairs(df: DataFrame, idCol: String, groupCol: String,
+      scoreCol: String, maxPairs: Int = Int.MaxValue): DataFrame = {
+    require(maxPairs >= 1, s"maxPairs must be >= 1, got $maxPairs")
+    import org.apache.spark.sql.expressions.Window
+    val byGroup = Window.partitionBy(col(groupCol))
+    val ranked = df
+      .select(col(groupCol), col(idCol).as("_id"), col(scoreCol).as("_s"))
+      .withColumn("_rb", row_number().over(
+        byGroup.orderBy(col("_s").desc, col("_id").asc)))
+      .withColumn("_rw", row_number().over(
+        byGroup.orderBy(col("_s").asc, col("_id").desc)))
+      .withColumn("_half", (count(lit(1)).over(byGroup) / 2).cast("int"))
+    val chosen = ranked
+      .filter(col("_rb") <= col("_half") && col("_rb") <= maxPairs)
+      .select(col(groupCol), col("_rb").as("pair_rank"),
+        col("_id").as("chosen_id"), col("_s").as("_cs"))
+    val rejected = ranked
+      .filter(col("_rw") <= col("_half") && col("_rw") <= maxPairs)
+      .select(col(groupCol), col("_rw").as("pair_rank"),
+        col("_id").as("rejected_id"), col("_s").as("_rs"))
+    chosen.join(rejected, Seq(groupCol, "pair_rank"))
+      .select(col(groupCol), col("pair_rank"), col("chosen_id"),
+        col("rejected_id"), (col("_cs") - col("_rs")).as("margin"))
   }
 }

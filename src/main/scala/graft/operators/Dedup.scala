@@ -385,6 +385,92 @@ object Dedup {
     } finally edges.unpersist()
   }
 
+  /** Connected components by alternating Large-Star / Small-Star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the O(log n)-round counterpart of
+    * [[connectedComponents]]'s min-label propagation, whose round count
+    * is the component DIAMETER. Near-dup clusters are shallow, so label
+    * propagation wins there; chain-shaped graphs (reference/link chains,
+    * temporal hand-offs) have diameters in the thousands, and this is
+    * the variant that survives them: each round is two keyed
+    * aggregations + joins, edges re-hang onto per-neighborhood minima,
+    * and the edge set provably converges to depth-1 stars in O(log n)
+    * rounds regardless of diameter.
+    *
+    * Same contract as [[connectedComponents]]: `pairs` are (id_a, id_b)
+    * edges, `ids` one row per doc, output `(id, root)` with root = the
+    * component's smallest id; isolated docs label themselves. Fails
+    * loudly on non-convergence rather than returning split clusters.
+    */
+  def connectedComponentsStar(pairs: DataFrame, ids: DataFrame,
+      maxRounds: Int = 50): DataFrame = {
+    val idCol = ids.columns.head
+    // orient every edge (u > v), drop self-loops/dups
+    var edges = pairs
+      .select(col("id_a").cast("long").as("a"),
+        col("id_b").cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      .distinct().localCheckpoint(true)
+    // set-canonical fingerprint (edge sets are distinct(), xor is
+    // commutative and overflow-free under ANSI): ONE aggregate job per
+    // round decides convergence instead of two counts plus an except —
+    // rounds are job-count-bound on all but enormous graphs, so the
+    // check IS the round cost. A 64-bit fingerprint collision on a
+    // CHANGED set would stop one round early; with count compared too
+    // that needs an equal-size xor collision (~2⁻⁶⁴) — accepted.
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var fp = fingerprint(edges)
+    var converged = false
+    var round = 0
+    val byCenter = org.apache.spark.sql.expressions.Window.partitionBy("c")
+    while (!converged && round < maxRounds) {
+      // large-star: every neighbor LARGER than the center re-hangs onto
+      // the neighborhood minimum (min of neighbors and center). The
+      // per-center minimum comes from a window over the SAME shuffle
+      // the grouping would need — one exchange, no agg+join pair.
+      val nbrL = edges.select(col("u").as("c"), col("v").as("n"))
+        .unionByName(edges.select(col("v").as("c"), col("u").as("n")))
+      val afterLarge = nbrL
+        .withColumn("m", least(min(col("n")).over(byCenter), col("c")))
+        .filter(col("n") > col("c"))
+        // oriented (larger, smaller) already: m <= c < n
+        .select(col("n").as("c"), col("m").as("n"))
+      // small-star: smaller neighbors (plus the center) re-hang onto the
+      // in-neighborhood minimum; afterLarge rows are already oriented
+      // center > neighbor, so they feed straight in (duplicates collapse
+      // in the final distinct — min is idempotent under them)
+      val withMin = afterLarge
+        .withColumn("m", min(col("n")).over(byCenter))
+      val next = withMin.filter(col("n") =!= col("m"))
+        .select(col("n").as("u"), col("m").as("v"))
+        .unionByName(withMin.select(col("c").as("u"), col("m").as("v")))
+        .distinct()
+        // lazy lineage truncation: the fingerprint job below is the one
+        // action per round — it materializes the checkpoint AND decides
+        // convergence in the same pass
+        .localCheckpoint(false)
+      val nfp = fingerprint(next)
+      converged = nfp == fp
+      fp = nfp
+      edges = next
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"star connected components did not converge in $maxRounds " +
+          "rounds; raise maxRounds")
+    // converged edge set is depth-1 stars: u -> component min
+    ids.select(col(idCol).as("id"))
+      .join(edges.withColumnRenamed("u", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("v"), col("id")).as("root"))
+  }
+
   /** Canonical-document selection: keep the best-scoring member of each
     * duplicate cluster — the policy step that turns dup DETECTION (exact
     * fingerprint groups, [[connectedComponents]] labels, minhash/simhash

@@ -609,4 +609,28 @@ class CorpusSpec extends SparkSpec {
         BigDecimal.RoundingMode.HALF_UP).toDouble, "partial"),
       (3L, 3L, 0L, 0.0, "clean")), s"got $out")
   }
+
+  test("preferencePairs: mirrored rankings, odd median excluded, tie-breaks") {
+    val df = Seq(
+      // group g: scores 50,40,30,20,10 -> pairs (1,5) margin 40, (2,4) 20
+      ("g", 1L, 50L), ("g", 2L, 40L), ("g", 3L, 30L), ("g", 4L, 20L),
+      ("g", 5L, 10L),
+      // group t: ALL TIED — mirrored tie-break pairs (6,9) and (7,8)
+      ("t", 6L, 5L), ("t", 7L, 5L), ("t", 8L, 5L), ("t", 9L, 5L),
+      // group s: singleton -> no pairs
+      ("s", 10L, 99L)
+    ).toDF("src", "id", "score")
+    val out = Corpus.preferencePairs(df, "id", "src", "score")
+      .as[(String, Int, Long, Long, Long)].collect().toSeq
+      .sortBy(r => (r._1, r._2))
+    assert(out == Seq(
+      ("g", 1, 1L, 5L, 40L), ("g", 2, 2L, 4L, 20L),
+      ("t", 1, 6L, 9L, 0L), ("t", 2, 7L, 8L, 0L)), s"got $out")
+    // maxPairs caps widest-margin-first
+    val capped = Corpus.preferencePairs(df, "id", "src", "score", maxPairs = 1)
+      .as[(String, Int, Long, Long, Long)].collect().toSeq
+      .sortBy(r => (r._1, r._2))
+    assert(capped == Seq(("g", 1, 1L, 5L, 40L), ("t", 1, 6L, 9L, 0L)),
+      s"got $capped")
+  }
 }

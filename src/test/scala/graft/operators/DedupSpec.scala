@@ -384,6 +384,38 @@ class DedupSpec extends SparkSpec {
     assert(viaLsh.forall(r => r._3 <= 6))
   }
 
+  test("connectedComponentsStar: O(log n) rounds where propagation needs diameter") {
+    // one 120-node chain: diameter 119 — label propagation at its default
+    // 20-round budget must refuse (split clusters would otherwise LOOK
+    // valid), while the star form converges well inside 50
+    val ids = (0L until 120L).toDF("id")
+    val chain = (0L until 119L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    assertThrows[IllegalStateException] {
+      Dedup.connectedComponents(chain, ids).count()
+    }
+    val star = Dedup.connectedComponentsStar(chain, ids)
+      .as[(Long, Long)].collect().toSeq
+    assert(star.forall(_._2 == 0L) && star.size == 120)
+    // differential vs label propagation on a random-ish seeded graph
+    // (shallow components, LP's home turf): identical labels
+    val nodes = (0L until 80L).toDF("id")
+    val edges = (0L until 120L).map { i =>
+      val a = (i * 2654435761L) % 80
+      val b = (i * 40503L + 7) % 80
+      (a, b)
+    }.filter(e => e._1 != e._2).toDF("id_a", "id_b")
+    val viaLp = Dedup.connectedComponents(edges, nodes)
+      .as[(Long, Long)].collect().toSeq.sorted
+    val viaStar = Dedup.connectedComponentsStar(edges, nodes)
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(viaLp == viaStar)
+    // isolated nodes self-label; duplicate/self-loop edges tolerated
+    val messy = Seq((1L, 2L), (2L, 1L), (3L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponentsStar(messy,
+      Seq(1L, 2L, 3L, 9L).toDF("id")).as[(Long, Long)].collect().toSeq.sorted
+    assert(out == Seq((1L, 1L), (2L, 1L), (3L, 3L), (9L, 9L)))
+  }
+
   test("jaroWinkler: bit-exact DuckDB convention on golden pairs") {
     import graft.functions.TextExpressions.jaroWinkler
     val pairs = Seq(
