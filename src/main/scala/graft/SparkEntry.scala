@@ -3636,6 +3636,39 @@ object SparkEntry {
         "doc_id", "source", "n_chars", maxPairs = 50)
         .orderBy("source", "pair_rank")),
 
+    // PCA rotation of the embedding corpus (data-derived counterpart of
+    // x_embed_project): one covariance pass (dim² partials, corpus-size
+    // independent), driver-side Jacobi eigensolve, projection as a pure
+    // scan. Gated on the rotation INVARIANT: full-rank unwhitened PCA
+    // preserves pairwise L2 distances, so each pair row carries the
+    // input-space distance (bit-matched arithmetic: ascending-index
+    // left-to-right sum in both engines) plus a Spark-side preservation
+    // check with an EXPLICIT 1e-6 tolerance — no cross-engine float
+    // compare ever touches the eigensolver's output.
+    "x_embed_pca" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val rot = operators.Similarity.pcaRotate(
+        emb, "vec_id", "embedding", dim = 64, k = 64)
+      val pa = emb.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+      val pb = emb.filter(col("vec_id") >= 100 && col("vec_id") < 200)
+        .select((col("vec_id") - 100).as("id_a"),
+          col("vec_id").as("id_b"), col("embedding").as("eb"))
+      val ra = rot.filter(col("id") < 100)
+        .select(col("id").as("id_a"), col("projected").as("ra"))
+      val rb = rot.filter(col("id") >= 100 && col("id") < 200)
+        .select((col("id") - 100).as("id_a"), col("projected").as("rb"))
+      pa.join(pb, "id_a").join(ra, "id_a").join(rb, "id_a")
+        .select(col("id_a"), col("id_b"),
+          round(sqrt(graft.functions.VectorExpressions.l2sqFast(
+            col("ea"), col("eb"))), 6).as("dist"),
+          (abs(sqrt(graft.functions.VectorExpressions.l2sqFast(
+              col("ra"), col("rb"))) -
+            sqrt(graft.functions.VectorExpressions.l2sqFast(
+              col("ea"), col("eb")))) < 1e-6).as("preserved"))
+        .orderBy("id_a")
+    }),
+
     // Domain-distribution mining: hosts of every URL mention (synthetic
     // URLs appended doc-deterministically, the x_text_pii convention —
     // the corpus carries none), the report feeding per-domain caps and
@@ -8175,6 +8208,17 @@ object SparkEntry {
          FROM ids a JOIN ids b
            ON a.doc_id % 40 = b.doc_id % 40 AND a.doc_id < b.doc_id
          ORDER BY id_a, id_b""",
+    // rotation invariant: pair distances from the RAW embeddings (same
+    // ascending-index double arithmetic); preservation asserted Spark-side
+    "x_embed_pca" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(sqrt(list_sum(list_transform(range(1, 65), i ->
+             (CAST(a.embedding[i] AS DOUBLE)
+              - CAST(b.embedding[i] AS DOUBLE)) ** 2))), 6) AS dist,
+           true AS preserved
+         FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 100
+         WHERE a.vec_id < 100
+         ORDER BY id_a""",
     // 50-long chains: every node's component root is its chain head
     "x_connected_components" ->
       """SELECT doc_id AS id, CAST((doc_id // 50) * 50 AS BIGINT) AS root

@@ -577,6 +577,213 @@ object Similarity {
         .sparseRandomProject(col(vecCol), seed, inDim, outDim)
         .as("projected"))
 
+  /** PCA rotation / whitening of an embedding column — the data-derived
+    * counterpart of [[randomProjection]] (decorrelate dimensions, order
+    * them by variance, optionally rescale to unit variance; the standard
+    * retrieval-embedding post-process).
+    *
+    * Scale shape: ONE pass accumulates per-partition `(n, Σx, Σxxᵀ)`
+    * partials (dim + dim² doubles each — corpus-size-independent state,
+    * the IVF-training shape), at most one small row per partition is
+    * collected (the k-sized-collect convention), the 64×64…768×768
+    * eigenproblem solves on the driver via cyclic Jacobi, and the
+    * projection back over the corpus is a pure mapPartitions pass with
+    * the rotation in task closures — no shuffle anywhere, throughput =
+    * scan bandwidth.
+    *
+    * Rows with a null vector project to null (poison-pill convention);
+    * a null ELEMENT inside a vector fails loudly — it would silently
+    * poison the covariance. Returns `(idCol, projected)` where
+    * `projected(j)` is the component along the (j+1)-th largest-variance
+    * eigenvector of the SAMPLE covariance, mean-centered;
+    * `whiten = true` rescales each component by `1/√λ` (components with
+    * `λ ≤ 1e-12` are left unscaled rather than exploded). Orthogonal
+    * rotation (k = dim, whiten = false) preserves pairwise distances to
+    * fp rounding — the gate's invariant.
+    */
+  def pcaRotate(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      k: Int, whiten: Boolean = false): DataFrame = {
+    require(dim >= 1 && k >= 1 && k <= dim,
+      s"need 1 <= k <= dim, got k=$k dim=$dim")
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    df.schema(vecCol).dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+      case t => throw new IllegalArgumentException(
+        s"pcaRotate expects array<float|double>, got ${t.simpleString}")
+    }
+    def vecAt(r: Row, vIdx: Int): Array[Double] = {
+      val seq = r.getSeq[Any](vIdx)
+      if (seq.length < dim) throw new IllegalArgumentException(
+        s"pcaRotate: vector has ${seq.length} elements, need $dim")
+      val out = new Array[Double](dim)
+      var i = 0
+      while (i < dim) {
+        seq(i) match {
+          case null => throw new IllegalArgumentException(
+            "pcaRotate: null vector element would poison the covariance")
+          case f: java.lang.Float => out(i) = f.toDouble
+          case d: java.lang.Double => out(i) = d
+          case other => throw new IllegalArgumentException(
+            s"pcaRotate: unexpected element $other")
+        }
+        i += 1
+      }
+      out
+    }
+    // one covariance partial per partition: (n, sum, flattened sum xxᵀ)
+    val partSchema = StructType(Seq(
+      StructField("n", LongType, nullable = false),
+      StructField("s", ArrayType(DoubleType, containsNull = false)),
+      StructField("ss", ArrayType(DoubleType, containsNull = false))))
+    val partials = df.select(col(vecCol)).filter(col(vecCol).isNotNull)
+      .mapPartitions { rows =>
+        val s = new Array[Double](dim)
+        val ss = new Array[Double](dim * dim)
+        var n = 0L
+        rows.foreach { r =>
+          val x = vecAt(r, 0)
+          var i = 0
+          while (i < dim) {
+            s(i) += x(i)
+            var j = 0
+            val base = i * dim
+            while (j < dim) { ss(base + j) += x(i) * x(j); j += 1 }
+            i += 1
+          }
+          n += 1
+        }
+        if (n == 0) Iterator.empty
+        else Iterator(Row(n, s.toSeq, ss.toSeq))
+      }(org.apache.spark.sql.catalyst.encoders.RowEncoder
+        .encoderFor(partSchema))
+      .collect()
+    val n = partials.map(_.getLong(0)).sum
+    require(n >= 2, s"pcaRotate needs at least 2 vectors, got $n")
+    val s = new Array[Double](dim)
+    val ss = new Array[Double](dim * dim)
+    partials.foreach { r =>
+      val ps = r.getSeq[Double](1); val pss = r.getSeq[Double](2)
+      var i = 0
+      while (i < dim) { s(i) += ps(i); i += 1 }
+      i = 0
+      while (i < dim * dim) { ss(i) += pss(i); i += 1 }
+    }
+    val mean = s.map(_ / n)
+    // sample covariance: (Σxxᵀ − n·μμᵀ) / (n − 1)
+    val cov = new Array[Double](dim * dim)
+    var i = 0
+    while (i < dim) {
+      var j = 0
+      while (j < dim) {
+        cov(i * dim + j) = (ss(i * dim + j) - n * mean(i) * mean(j)) / (n - 1)
+        j += 1
+      }
+      i += 1
+    }
+    val (eval, evec) = jacobiEigen(cov, dim)
+    // order components by descending eigenvalue, deterministic ties by index
+    val order = (0 until dim).sortBy(j => (-eval(j), j)).take(k).toArray
+    val scaleJ = order.map { j =>
+      if (whiten && eval(j) > 1e-12) 1.0 / math.sqrt(eval(j)) else 1.0
+    }
+    // projection matrix rows: out_c = scale_c · Σ_i evec(i, order(c))·(x_i − μ_i)
+    val proj = Array.tabulate(k, dim)((c, i2) =>
+      evec(i2 * dim + order(c)) * scaleJ(c))
+    val outSchema = StructType(Seq(
+      StructField("id", df.schema(idCol).dataType, nullable = false),
+      StructField("projected", ArrayType(DoubleType, containsNull = false),
+        nullable = true)))
+    val idIdx2 = df.schema.fieldIndex(idCol)
+    val vIdx2 = df.schema.fieldIndex(vecCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        if (r.isNullAt(vIdx2)) Row(r.get(idIdx2), null)
+        else {
+          val x = vecAt(r, vIdx2)
+          val out = new Array[Double](k)
+          var c = 0
+          while (c < k) {
+            val p = proj(c)
+            var acc = 0.0
+            var i2 = 0
+            while (i2 < dim) { acc += p(i2) * (x(i2) - mean(i2)); i2 += 1 }
+            out(c) = acc
+            c += 1
+          }
+          Row(r.get(idIdx2), out.toSeq)
+        }
+      }
+    }(org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema))
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix (row-major
+    * `a`, size dim×dim — destructively copied): returns (eigenvalues,
+    * eigenvectors) with eigenvector `c` in COLUMN c of the returned
+    * row-major matrix. Converges quadratically; dims here are embedding
+    * widths (≤ ~1k), a driver-side millisecond problem.
+    */
+  private[operators] def jacobiEigen(aIn: Array[Double], dim: Int)
+      : (Array[Double], Array[Double]) = {
+    val a = aIn.clone()
+    val v = new Array[Double](dim * dim)
+    var i = 0
+    while (i < dim) { v(i * dim + i) = 1.0; i += 1 }
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 100 && off > 1e-11) {
+      off = 0.0
+      var p = 0
+      while (p < dim - 1) {
+        var q = p + 1
+        while (q < dim) {
+          val apq = a(p * dim + q)
+          off = math.max(off, math.abs(apq))
+          if (math.abs(apq) > 1e-13) {
+            val app = a(p * dim + p)
+            val aqq = a(q * dim + q)
+            val theta = (aqq - app) / (2.0 * apq)
+            val t = math.signum(theta) /
+              (math.abs(theta) + math.sqrt(theta * theta + 1.0)) match {
+                case 0.0 => 1.0 // theta == 0 → 45° rotation
+                case x => x
+              }
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s2 = t * c
+            var r = 0
+            while (r < dim) {
+              val arp = a(r * dim + p); val arq = a(r * dim + q)
+              a(r * dim + p) = c * arp - s2 * arq
+              a(r * dim + q) = s2 * arp + c * arq
+              r += 1
+            }
+            r = 0
+            while (r < dim) {
+              val apr = a(p * dim + r); val aqr = a(q * dim + r)
+              a(p * dim + r) = c * apr - s2 * aqr
+              a(q * dim + r) = s2 * apr + c * aqr
+              r += 1
+            }
+            r = 0
+            while (r < dim) {
+              val vrp = v(r * dim + p); val vrq = v(r * dim + q)
+              v(r * dim + p) = c * vrp - s2 * vrq
+              v(r * dim + q) = s2 * vrp + c * vrq
+              r += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val evals = Array.tabulate(dim)(j => a(j * dim + j))
+    (evals, v)
+  }
+
   /** The integral-id guard shared by the bounded-aggregate retrieval
     * paths: the aggregate carries primitive (double, long) pairs — a
     * non-integral id would cast to null and be SILENTLY dropped.

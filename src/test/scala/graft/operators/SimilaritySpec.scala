@@ -403,4 +403,68 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(e.getMessage != null)
   }
+
+  test("jacobiEigen: known symmetric matrices, orthonormal eigenvectors") {
+    // [[2,1],[1,2]] -> eigenvalues {3, 1}
+    val (ev, v) = Similarity.jacobiEigen(Array(2.0, 1.0, 1.0, 2.0), 2)
+    assert(math.abs(ev.max - 3.0) < 1e-12 && math.abs(ev.min - 1.0) < 1e-12)
+    // columns orthonormal
+    val dot = v(0) * v(1) + v(2) * v(3)
+    val n0 = v(0) * v(0) + v(2) * v(2)
+    assert(math.abs(dot) < 1e-12 && math.abs(n0 - 1.0) < 1e-12)
+    // A·x = λ·x for column 0
+    val l0 = ev(0)
+    assert(math.abs(2 * v(0) + v(2) - l0 * v(0)) < 1e-10)
+  }
+
+  test("pcaRotate: decorrelates, orders variance, preserves distances") {
+    // rank-2 structure in 4 dims (dim 3 constant, dim 1 = 2×dim 0 signal)
+    val rows = (0 until 200).map { i =>
+      val a = math.sin(i * 0.7) * 3
+      val b = math.cos(i * 1.3)
+      (i.toLong, Seq((a + 1.0).toFloat, (2 * a - 0.5).toFloat,
+        (b + 2.0).toFloat, 0.0f))
+    }
+    val df = rows.toDF("id", "v")
+    val proj = Similarity.pcaRotate(df, "id", "v", dim = 4, k = 4)
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val m = proj.map(_._2.toArray)
+    val n = m.length
+    def meanC(c: Int) = m.map(_(c)).sum / n
+    def covC(c1: Int, c2: Int) = {
+      val (m1, m2) = (meanC(c1), meanC(c2))
+      m.map(r => (r(c1) - m1) * (r(c2) - m2)).sum / (n - 1)
+    }
+    val vars = (0 until 4).map(c => covC(c, c))
+    // descending variance down to the fp noise floor (the two null
+    // directions of rank-2 data project to ~1e-15 variances whose
+    // relative order is noise); rank-2 data -> components 3,4 are ~0
+    assert(vars(0) >= vars(1) && vars(1) >= math.max(vars(2), vars(3)))
+    assert(vars(0) > 1.0 && vars(2) < 1e-9 && vars(3) < 1e-9)
+    // decorrelated: off-diagonals vanish
+    assert(math.abs(covC(0, 1)) < 1e-9 && math.abs(covC(0, 2)) < 1e-9)
+    // orthogonal full-rank rotation preserves pairwise distances
+    def l2(x: Array[Double], y: Array[Double]) =
+      math.sqrt(x.zip(y).map { case (p, q) => (p - q) * (p - q) }.sum)
+    val orig = rows.map(_._2.map(_.toDouble).toArray)
+    Seq((0, 7), (3, 150), (42, 43)).foreach { case (i, j) =>
+      assert(math.abs(l2(m(i), m(j)) - l2(orig(i), orig(j))) < 1e-9)
+    }
+    // whitening: unit variance on the informative components
+    val white = Similarity.pcaRotate(df, "id", "v", dim = 4, k = 2,
+        whiten = true)
+      .as[(Long, Seq[Double])].collect().map(_._2.toArray)
+    def wvar(c: Int) = {
+      val mu = white.map(_(c)).sum / n
+      white.map(r => (r(c) - mu) * (r(c) - mu)).sum / (n - 1)
+    }
+    assert(math.abs(wvar(0) - 1.0) < 1e-9 && math.abs(wvar(1) - 1.0) < 1e-9)
+    // null vector -> null projection; null element -> loud failure
+    val withNullVec = Seq((1L, Seq(1f, 2f, 3f, 4f)),
+      (2L, null.asInstanceOf[Seq[Float]]),
+      (3L, Seq(5f, 6f, 7f, 8f))).toDF("id", "v")
+    val out = Similarity.pcaRotate(withNullVec, "id", "v", 4, 2)
+      .as[(Long, Option[Seq[Double]])].collect().sortBy(_._1)
+    assert(out(1)._2.isEmpty && out(0)._2.nonEmpty)
+  }
 }
