@@ -2810,6 +2810,27 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // REAL lossy-codec path: G.711 µ-law (our ITU-spec encoder, the
+    // JDK's own ULAW→PCM converter on decode). Companding quantization
+    // perturbs every sample (~38 dB SNR) but cannot move a tone planted
+    // at an exact FFT bin center, so the x_audio_spectrum oracle trick
+    // gates the whole compressed path from id arithmetic — encode,
+    // codec decode, FFT, all real, zero stub.
+    "x_audio_g711" -> ((s, d) => {
+      val k = (pmod(col("doc_id"), lit(30)) + 1).cast("double")
+      val pcm = Tables.documents(s, d).select("doc_id")
+        .filter(col("doc_id") < 300)
+        .withColumn("samples", transform(sequence(lit(0), lit(255)),
+          n => round(lit(8000.0) *
+            sin(lit(2.0 * math.Pi) * k * n.cast("double") / lit(256.0)))
+            .cast("int")))
+      val enc2 = operators.Multimodal.encodeG711(pcm, "doc_id", "samples", 8000)
+      operators.Multimodal.audioSpectrum(enc2, "id", "payload", fftSize = 256)
+        .select(col("id"), col("sample_rate").cast("int").as("sample_rate"),
+          col("peak_bin"), col("n_samples"))
+        .orderBy("id")
+    }),
+
     // REAL image encode→decode roundtrip, oracle-exact: constant-value
     // truecolor PNGs synthesized from doc_id (w = 8 + id%9, h = 8 + id%7,
     // gray v = id*7 % 256), written by encodePng and read back through
@@ -8185,6 +8206,13 @@ object SparkEntry {
          FROM documents ORDER BY id""",
     // FLAC encode -> decode -> FFT: the peak bin is the planted tone's
     "x_audio_spectrum" ->
+      """SELECT doc_id AS id,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(doc_id % 30 + 1 AS INTEGER) AS peak_bin,
+           CAST(256 AS BIGINT) AS n_samples
+         FROM documents WHERE doc_id < 300 ORDER BY id""",
+    // G.711 encode -> JDK ULAW decode -> FFT: peak survives companding
+    "x_audio_g711" ->
       """SELECT doc_id AS id,
            CAST(8000 AS INTEGER) AS sample_rate,
            CAST(doc_id % 30 + 1 AS INTEGER) AS peak_bin,

@@ -20,7 +20,10 @@ import org.apache.spark.sql.types._
   * ([[Multimodal.decodeAudioFeatures]] — WAV/AIFF/AU through
   * `javax.sound.sampled`, plus LOSSLESS FLAC with constant/verbatim
   * subframes through the CRC-verifying [[FlacCodec]], with
-  * [[Multimodal.encodeFlac]] as the archival write side). Only LOSSY
+  * [[Multimodal.encodeFlac]] as the archival write side; and one REAL
+  * LOSSY codec — G.711 µ-law/A-law companded telephony audio, encoded
+  * by [[Multimodal.encodeG711]] per the ITU spec and decoded by the
+  * JDK's own ULAW/ALAW converter). Only perceptual-transform LOSSY
   * audio SAMPLE decode (MP3/AAC) and video FRAME decode stay STUBBED
   * behind
   * [[MediaCodec.decodeStub]], a deterministic fake keyed on the
@@ -482,9 +485,21 @@ object Multimodal {
           (d.sampleRate.toFloat, out)
         }
       try {
-        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        import javax.sound.sampled.{AudioFormat, AudioSystem}
+        var in = AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(payload))
-        val fmt = in.getFormat
+        var fmt = in.getFormat
+        // COMPRESSED companded audio (G.711 µ-law/A-law WAV): route
+        // through the JDK's own codec to 16-bit linear PCM — a REAL
+        // lossy-codec decode path, no stub
+        if (fmt.getEncoding == AudioFormat.Encoding.ULAW ||
+            fmt.getEncoding == AudioFormat.Encoding.ALAW) {
+          val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+            fmt.getSampleRate, 16, fmt.getChannels,
+            fmt.getChannels * 2, fmt.getSampleRate, false)
+          in = AudioSystem.getAudioInputStream(target, in)
+          fmt = in.getFormat
+        }
         if (fmt.getSampleSizeInBits != 16) None
         else {
           val bytes = in.readAllBytes()
@@ -504,6 +519,41 @@ object Multimodal {
           Some((fmt.getSampleRate, out))
         }
       } catch { case _: Exception => None }
+    }
+
+    /** G.711 µ-law encode of one 16-bit sample (ITU-T G.711 segmented
+      * companding: bias 0x84, 3-bit exponent, 4-bit mantissa, inverted
+      * on the wire) — the write side of the JDK ULAW decode path above.
+      */
+    def muLawEncode(sample: Int): Byte = {
+      var s = math.max(-32768, math.min(32767, sample))
+      val sign = if (s < 0) { s = -s; 0x80 } else 0
+      if (s > 32635) s = 32635
+      s += 0x84
+      var exp = 7
+      var mask = 0x4000
+      while (exp > 0 && (s & mask) == 0) { exp -= 1; mask >>= 1 }
+      val mantissa = (s >> (exp + 3)) & 0x0f
+      (~(sign | (exp << 4) | mantissa)).toByte
+    }
+
+    /** Wrap µ-law bytes as a RIFF/WAVE stream (format tag 7, 8-bit,
+      * mono; 18-byte fmt chunk + fact chunk, the non-PCM WAV layout).
+      */
+    def wrapWavMuLaw(codes: Array[Byte], sampleRate: Int): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      def le32(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+        bos.write((v >> 16) & 0xff); bos.write((v >> 24) & 0xff) }
+      def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+      def tag(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+      tag("RIFF"); le32(4 + 8 + 18 + 8 + 4 + 8 + codes.length); tag("WAVE")
+      tag("fmt "); le32(18)
+      le16(7) /* WAVE_FORMAT_MULAW */; le16(1)
+      le32(sampleRate); le32(sampleRate) /* byte rate: 1 byte/sample */
+      le16(1) /* block align */; le16(8) /* bits */; le16(0) /* cbSize */
+      tag("fact"); le32(4); le32(codes.length)
+      tag("data"); le32(codes.length); bos.write(codes)
+      bos.toByteArray
     }
 
     /** Iterative radix-2 FFT (in-place, bit-reversal permutation) — the
@@ -985,6 +1035,43 @@ object Multimodal {
               val bos = new java.io.ByteArrayOutputStream()
               javax.imageio.ImageIO.write(img, "png", bos)
               bos.toByteArray
+            }
+          }
+        Row(r.get(idIdx), payload)
+      }
+    }(enc)
+  }
+
+  /** G.711 µ-law telephony encode over partition batches: 16-bit PCM
+    * sample arrays → µ-law WAV payloads (8 bits/sample, the ITU
+    * companding codec — a REAL lossy encode whose decode side is the
+    * JDK's own ULAW converter inside [[MediaCodec.decodeSamples]], so
+    * encode AND decode of a compressed format run with zero stub).
+    * Null/empty sample arrays yield a null payload. Returns
+    * `(id, payload)`.
+    */
+  def encodeG711(df: DataFrame, idCol: String, samplesCol: String,
+      sampleRate: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", df.schema(idCol).dataType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val sIdx = df.schema.fieldIndex(samplesCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload =
+          if (r.isNullAt(sIdx)) null
+          else {
+            val xs = r.getSeq[Int](sIdx)
+            if (xs.isEmpty) null
+            else {
+              val codes = new Array[Byte](xs.length)
+              var i = 0
+              while (i < xs.length) {
+                codes(i) = MediaCodec.muLawEncode(xs(i)); i += 1
+              }
+              MediaCodec.wrapWavMuLaw(codes, sampleRate)
             }
           }
         Row(r.get(idIdx), payload)

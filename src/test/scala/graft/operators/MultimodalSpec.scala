@@ -446,6 +446,33 @@ class MultimodalSpec extends SparkSpec {
     assert(bad == ((2L, None, None, None)))
   }
 
+  test("G.711 µ-law: real compressed roundtrip through the JDK codec") {
+    import Multimodal.MediaCodec.{muLawEncode, wrapWavMuLaw, decodeSamples}
+    // golden µ-law codes (ITU G.711 table values)
+    assert(muLawEncode(0) == 0xff.toByte)       // +0 -> 0xFF
+    assert(muLawEncode(-1) == 0x7f.toByte)      // smallest negative
+    assert(muLawEncode(32767) == 0x80.toByte)   // +max -> 0x80
+    assert(muLawEncode(-32768) == 0x00.toByte)  // -max -> 0x00
+    // roundtrip: decoded sample within the segment's quantization step
+    val xs = Array(-20000, -1234, -5, 0, 7, 99, 1500, 20000, 32000)
+    val wav = wrapWavMuLaw(xs.map(muLawEncode), 8000)
+    val Some((rate, decoded)) = decodeSamples(wav)
+    assert(rate == 8000f && decoded.length == xs.length)
+    xs.zip(decoded).foreach { case (orig, dec) =>
+      // µ-law segment width grows with magnitude: error < max(|x|/16, 36)
+      val tol = math.max(math.abs(orig) / 16.0, 36.0)
+      assert(math.abs(dec - orig) <= tol, s"mu-law $orig -> $dec")
+    }
+    // end-to-end spectral gate shape: tone at bin 9 survives companding
+    val pcm = Seq((1L, (0 until 256).map(n =>
+      math.round(8000 * math.sin(2 * math.Pi * 9 * n / 256)).toInt)))
+      .toDF("id", "samples")
+    val out = Multimodal.audioSpectrum(
+      Multimodal.encodeG711(pcm, "id", "samples", 8000), "id", "payload", 256)
+      .as[(Long, Option[Float], Option[Int], Option[Long])].head()
+    assert(out == ((1L, Some(8000f), Some(9), Some(256L))))
+  }
+
   test("encodePng: lossless write side — decode recovers exact gray values") {
     val rows = Seq(
       (1L, Seq(0, 64, 128, 255, 7, 250), 3),            // 3×2 raster
