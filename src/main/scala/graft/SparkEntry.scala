@@ -2810,6 +2810,31 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // REAL video FRAME decode (the stub's last big class): MJPEG-in-AVI
+    // — our RIFF/AVI writer around the JDK's own JPEG codec, decoded by
+    // walking the movi LIST and JPEG-decoding every 00dc chunk. Dims
+    // and frame structure are exact from id arithmetic; the mean luma
+    // of a uniform frame survives JPEG DC quantization to within a few
+    // steps, asserted Spark-side at an explicit ±5 tolerance (the
+    // x_embed_pca convention: no cross-engine lossy-value compare).
+    "x_video_frames" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id")
+        .filter(col("doc_id") < 120)
+        .withColumn("frames", transform(sequence(lit(0), lit(2)),
+          f => array_repeat(
+            (pmod(col("doc_id") * 7 + f * 40, lit(200)) + 20).cast("int"),
+            128)))
+        .withColumn("w", lit(16))
+      val avi = operators.Multimodal.encodeAviMjpeg(
+        docs, "doc_id", "frames", "w", fps = 5)
+      operators.Multimodal.videoFrames(avi, "id", "payload")
+        .select(col("id"), col("frame_idx"), col("width"), col("height"),
+          (abs(col("mean_luma") -
+            (pmod(col("id") * 7 + col("frame_idx") * 40, lit(200)) + 20))
+            <= 5.0).as("luma_ok"))
+        .orderBy("id", "frame_idx")
+    }),
+
     // REAL lossy-codec path: G.711 µ-law (our ITU-spec encoder, the
     // JDK's own ULAW→PCM converter on decode). Companding quantization
     // perturbs every sample (~38 dB SNR) but cannot move a tone planted
@@ -8211,6 +8236,13 @@ object SparkEntry {
            CAST(doc_id % 30 + 1 AS INTEGER) AS peak_bin,
            CAST(256 AS BIGINT) AS n_samples
          FROM documents WHERE doc_id < 300 ORDER BY id""",
+    // AVI walk + per-frame JPEG decode: structure exact, luma bounded
+    "x_video_frames" ->
+      """SELECT doc_id AS id, CAST(f AS INTEGER) AS frame_idx,
+           CAST(16 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+           true AS luma_ok
+         FROM documents, range(3) t(f)
+         WHERE doc_id < 120 ORDER BY id, frame_idx""",
     // G.711 encode -> JDK ULAW decode -> FFT: peak survives companding
     "x_audio_g711" ->
       """SELECT doc_id AS id,

@@ -23,9 +23,12 @@ import org.apache.spark.sql.types._
   * [[Multimodal.encodeFlac]] as the archival write side; and one REAL
   * LOSSY codec — G.711 µ-law/A-law companded telephony audio, encoded
   * by [[Multimodal.encodeG711]] per the ITU spec and decoded by the
-  * JDK's own ULAW/ALAW converter). Only perceptual-transform LOSSY
-  * audio SAMPLE decode (MP3/AAC) and video FRAME decode stay STUBBED
-  * behind
+  * JDK's own ULAW/ALAW converter). VIDEO frame decode is REAL for
+  * MJPEG-in-AVI ([[MediaCodec.decodeVideoFrames]] — RIFF chunk walk +
+  * the JDK JPEG codec per `00dc` frame, [[Multimodal.encodeAviMjpeg]]
+  * as the write side). Only perceptual-transform LOSSY audio SAMPLE
+  * decode (MP3/AAC) and inter-frame video codecs (H.26x/VPx/AV1) stay
+  * STUBBED behind
   * [[MediaCodec.decodeStub]], a deterministic fake keyed on the
   * payload bytes — the JDK ships no codecs for those. Everything
   * Spark-side is real and load-bearing either way: the schema contract,
@@ -627,6 +630,87 @@ object Multimodal {
         (rate, best, samples.length.toLong)
       }
 
+    /** REAL video frame decode for MJPEG-in-AVI: walk the RIFF chunk
+      * tree to the `movi` LIST, pull each `00dc`/`00db` frame chunk,
+      * and decode it with the JDK's own JPEG codec — per-frame
+      * `(width, height, meanLuma)` with no stub anywhere. None for
+      * anything that is not a RIFF/AVI stream; an undecodable frame
+      * inside a valid container is skipped (poison-pill granularity is
+      * the frame, not the file).
+      */
+    def decodeVideoFrames(p: Array[Byte]): Option[Seq[(Int, Int, Double)]] = {
+      def le32(i: Int): Long =
+        (p(i) & 0xffL) | ((p(i + 1) & 0xffL) << 8) |
+          ((p(i + 2) & 0xffL) << 16) | ((p(i + 3) & 0xffL) << 24)
+      def ascii(i: Int): String =
+        new String(p, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      if (p.length < 12 || ascii(0) != "RIFF" || ascii(8) != "AVI ")
+        return None
+      val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Double)]
+      def walk(from: Long, until: Long, inMovi: Boolean): Unit = {
+        var off = from
+        while (off + 8 <= until) {
+          val id = ascii(off.toInt)
+          val size = le32(off.toInt + 4)
+          val body = off + 8
+          if (body + size > until) return // hostile size: stop, keep frames
+          if (id == "LIST" && size >= 4) {
+            val sub = ascii(body.toInt)
+            walk(body + 4, body + size, inMovi = sub == "movi")
+          } else if (inMovi && (id.endsWith("dc") || id.endsWith("db"))) {
+            val buf = java.util.Arrays.copyOfRange(p, body.toInt,
+              (body + size).toInt)
+            decodeImage(buf).foreach { case (w, h, luma, _) =>
+              frames += ((w, h, luma))
+            }
+          }
+          off = body + size + (size & 1L) // chunks pad to even
+        }
+      }
+      walk(12L, math.min(12L + le32(4) - 4L, p.length.toLong), inMovi = false)
+      Some(frames.toSeq)
+    }
+
+    /** Minimal spec-layout MJPEG AVI writer: full `hdrl` (avih + vids
+      * strh/strf with MJPG fourcc) so external tools can read it, one
+      * `00dc` chunk per JPEG frame. All frames must share dimensions.
+      */
+    def wrapAviMjpeg(jpegs: Seq[Array[Byte]], width: Int, height: Int,
+        fps: Int): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      def le32(v: Long): Unit = { var i = 0
+        while (i < 4) { bos.write(((v >> (8 * i)) & 0xff).toInt); i += 1 } }
+      def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+      def tag(s: String): Unit = bos.write(
+        s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      val maxBuf = jpegs.map(_.length).maxOption.getOrElse(0)
+      val moviBody = 4 + jpegs.map(j => 8 + j.length + (j.length & 1)).sum
+      val hdrlBody = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+      val riffBody = 4 + (8 + hdrlBody) + (8 + moviBody)
+      tag("RIFF"); le32(riffBody.toLong); tag("AVI ")
+      tag("LIST"); le32(hdrlBody.toLong); tag("hdrl")
+      tag("avih"); le32(56)
+      le32(1000000L / fps); le32(maxBuf.toLong * fps); le32(0); le32(0)
+      le32(jpegs.length.toLong); le32(0); le32(1); le32(maxBuf.toLong)
+      le32(width.toLong); le32(height.toLong); le32(0); le32(0); le32(0); le32(0)
+      tag("LIST"); le32(4 + (8 + 56) + (8 + 40)); tag("strl")
+      tag("strh"); le32(56)
+      tag("vids"); tag("MJPG"); le32(0); le16(0); le16(0); le32(0)
+      le32(1); le32(fps.toLong); le32(0); le32(jpegs.length.toLong)
+      le32(maxBuf.toLong); le32(0xffffffffL /*quality: default*/); le32(0)
+      le16(0); le16(0); le16(width); le16(height)
+      tag("strf"); le32(40)
+      le32(40); le32(width.toLong); le32(height.toLong); le16(1); le16(24)
+      tag("MJPG"); le32(width.toLong * height * 3); le32(0); le32(0)
+      le32(0); le32(0)
+      tag("LIST"); le32(moviBody.toLong); tag("movi")
+      jpegs.foreach { j =>
+        tag("00dc"); le32(j.length.toLong); bos.write(j)
+        if ((j.length & 1) == 1) bos.write(0)
+      }
+      bos.toByteArray
+    }
+
     /** JDK-codec pixel decode (see [[Multimodal.decodeImages]]): None
       * for anything ImageIO cannot parse.
       */
@@ -1075,6 +1159,87 @@ object Multimodal {
             }
           }
         Row(r.get(idIdx), payload)
+      }
+    }(enc)
+  }
+
+  /** MJPEG-in-AVI video encode over partition batches: per row, an
+    * array of grayscale frame rasters (`array<array<int>>`, row-major,
+    * all `width` columns wide) → JPEG per frame (the JDK's own codec,
+    * r=g=b=v) → a spec-layout AVI. The write side of [[videoFrames]].
+    * Null/empty frame lists, malformed rasters, or a non-positive width
+    * yield a null payload. Returns `(id, payload)`.
+    */
+  def encodeAviMjpeg(df: DataFrame, idCol: String, framesCol: String,
+      widthCol: String, fps: Int = 25): DataFrame = {
+    require(fps >= 1, s"fps must be positive, got $fps")
+    val outSchema = StructType(Seq(
+      StructField("id", df.schema(idCol).dataType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val fIdx = df.schema.fieldIndex(framesCol)
+    val wIdx = df.schema.fieldIndex(widthCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload =
+          if (r.isNullAt(fIdx) || r.isNullAt(wIdx)) null
+          else {
+            val frames = r.getSeq[scala.collection.Seq[Int]](fIdx)
+            val width = r.getInt(wIdx)
+            if (width <= 0 || frames.isEmpty ||
+                frames.exists(f => f == null || f.isEmpty ||
+                  f.length % width != 0)) null
+            else {
+              val h = frames.head.length / width
+              if (frames.exists(_.length != width * h)) null
+              else {
+                val jpegs = frames.map { px =>
+                  val img = new java.awt.image.BufferedImage(
+                    width, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+                  var i = 0
+                  while (i < px.length) {
+                    val v = math.max(0, math.min(255, px(i)))
+                    img.setRGB(i % width, i / width,
+                      (v << 16) | (v << 8) | v)
+                    i += 1
+                  }
+                  val jb = new java.io.ByteArrayOutputStream()
+                  javax.imageio.ImageIO.write(img, "jpg", jb)
+                  jb.toByteArray
+                }
+                MediaCodec.wrapAviMjpeg(jpegs.toSeq, width, h, fps)
+              }
+            }
+          }
+        Row(r.get(idIdx), payload)
+      }
+    }(enc)
+  }
+
+  /** REAL video frame decode: MJPEG-in-AVI payloads → one row per
+    * decoded frame `(id, frame_idx, width, height, mean_luma)` through
+    * [[MediaCodec.decodeVideoFrames]] (RIFF walk + the JDK JPEG codec —
+    * no stub in the loop). Non-AVI payloads yield zero rows; a corrupt
+    * frame inside a valid container is skipped.
+    */
+  def videoFrames(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", df.schema(idCol).dataType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("mean_luma", DoubleType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        Option(r.get(binIdx)).map(_.asInstanceOf[Array[Byte]])
+          .flatMap(MediaCodec.decodeVideoFrames).getOrElse(Seq.empty)
+          .zipWithIndex.map { case ((w, h, luma), i) =>
+            Row(r.get(idIdx), i, w, h, luma)
+          }
       }
     }(enc)
   }

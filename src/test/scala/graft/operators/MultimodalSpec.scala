@@ -473,6 +473,28 @@ class MultimodalSpec extends SparkSpec {
     assert(out == ((1L, Some(8000f), Some(9), Some(256L))))
   }
 
+  test("videoFrames: REAL MJPEG-in-AVI frame decode through the JDK codec") {
+    // three 16×8 constant-gray frames; JPEG quantizes the DC but a
+    // uniform image decodes within a few luma steps of the original
+    val frames = Seq(40, 120, 220).map(v => (0 until 128).map(_ => v))
+    val df = Seq((1L, frames, 16)).toDF("id", "frames", "w")
+    val avi = Multimodal.encodeAviMjpeg(df, "id", "frames", "w", fps = 5)
+    val out = Multimodal.videoFrames(avi, "id", "payload")
+      .as[(Long, Int, Int, Int, Double)].collect().sortBy(_._2)
+    assert(out.length == 3)
+    out.zip(Seq(40, 120, 220)).foreach { case ((_, idx, w, h, luma), v) =>
+      assert(w == 16 && h == 8, s"frame $idx dims $w x $h")
+      assert(math.abs(luma - v) <= 4.0, s"frame $idx luma $luma vs $v")
+    }
+    // garbage payload -> zero rows; malformed frame list -> null payload
+    assert(Multimodal.videoFrames(
+      Seq((2L, Array[Byte](9, 9, 9))).toDF("id", "payload"),
+      "id", "payload").count() == 0)
+    val bad = Seq((3L, Seq(Seq(1, 2, 3)), 2)).toDF("id", "frames", "w")
+    assert(Multimodal.encodeAviMjpeg(bad, "id", "frames", "w")
+      .filter(col("payload").isNotNull).count() == 0)
+  }
+
   test("encodePng: lossless write side — decode recovers exact gray values") {
     val rows = Seq(
       (1L, Seq(0, 64, 128, 255, 7, 250), 3),            // 3×2 raster
