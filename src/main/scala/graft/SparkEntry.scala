@@ -2835,6 +2835,26 @@ object SparkEntry {
         .orderBy("id", "frame_idx")
     }),
 
+    // Third REAL lossy leg: IMA/DVI ADPCM (4-bit PREDICTIVE coding,
+    // 4:1; tag-0x11 WAV; both encoder and decoder ours from the public
+    // spec — the JDK ships none). Same spectral gate: the adaptive
+    // quantizer's ~11-sample ramp and tracking noise cannot move a
+    // bin-centered tone's FFT peak (spec-verified for every k).
+    "x_audio_adpcm" -> ((s, d) => {
+      val k = (pmod(col("doc_id"), lit(30)) + 1).cast("double")
+      val pcm = Tables.documents(s, d).select("doc_id")
+        .filter(col("doc_id") < 300)
+        .withColumn("samples", transform(sequence(lit(0), lit(255)),
+          n => round(lit(8000.0) *
+            sin(lit(2.0 * math.Pi) * k * n.cast("double") / lit(256.0)))
+            .cast("int")))
+      val enc2 = operators.Multimodal.encodeAdpcm(pcm, "doc_id", "samples", 8000)
+      operators.Multimodal.audioSpectrum(enc2, "id", "payload", fftSize = 256)
+        .select(col("id"), col("sample_rate").cast("int").as("sample_rate"),
+          col("peak_bin"), col("n_samples"))
+        .orderBy("id")
+    }),
+
     // REAL lossy-codec path: G.711 µ-law (our ITU-spec encoder, the
     // JDK's own ULAW→PCM converter on decode). Companding quantization
     // perturbs every sample (~38 dB SNR) but cannot move a tone planted
@@ -8243,6 +8263,13 @@ object SparkEntry {
            true AS luma_ok
          FROM documents, range(3) t(f)
          WHERE doc_id < 120 ORDER BY id, frame_idx""",
+    // own-spec ADPCM encode -> own decode -> FFT: peak survives 4:1
+    "x_audio_adpcm" ->
+      """SELECT doc_id AS id,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(doc_id % 30 + 1 AS INTEGER) AS peak_bin,
+           CAST(256 AS BIGINT) AS n_samples
+         FROM documents WHERE doc_id < 300 ORDER BY id""",
     // G.711 encode -> JDK ULAW decode -> FFT: peak survives companding
     "x_audio_g711" ->
       """SELECT doc_id AS id,

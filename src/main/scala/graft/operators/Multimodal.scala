@@ -487,6 +487,10 @@ object Multimodal {
           while (i < n) { out(i) = d.samples(i * ch).toDouble; i += 1 }
           (d.sampleRate.toFloat, out)
         }
+      // IMA ADPCM WAV (tag 0x11): the JDK has no codec — ours decodes
+      val ima = try decodeWavIma(payload)
+        catch { case _: Exception => None }
+      if (ima.isDefined) return ima
       try {
         import javax.sound.sampled.{AudioFormat, AudioSystem}
         var in = AudioSystem.getAudioInputStream(
@@ -629,6 +633,154 @@ object Multimodal {
         }
         (rate, best, samples.length.toLong)
       }
+
+    /** IMA ADPCM step-size table (the public-domain DVI/IMA spec). */
+    private val imaStep: Array[Int] = Array(
+      7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+      37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+      157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+      544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+      1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+      4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+      12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+      29794, 32767)
+    private val imaIndexAdj: Array[Int] =
+      Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+    /** IMA/DVI ADPCM (4 bits/sample, predictive) encode of one mono
+      * block: WAV tag-0x11 block layout — 4-byte header (initial
+      * predictor int16 LE + step index + reserved) then two nibbles per
+      * byte, low nibble first, for samples 1..n−1.
+      */
+    def imaAdpcmEncodeBlock(samples: Array[Int]): Array[Byte] = {
+      require(samples.nonEmpty, "imaAdpcmEncodeBlock needs samples")
+      val n = samples.length
+      val out = new Array[Byte](4 + (n - 1 + 1) / 2)
+      var pred = math.max(-32768, math.min(32767, samples(0)))
+      var index = 0
+      out(0) = (pred & 0xff).toByte
+      out(1) = ((pred >> 8) & 0xff).toByte
+      out(2) = index.toByte
+      out(3) = 0
+      var i = 1
+      while (i < n) {
+        val s = math.max(-32768, math.min(32767, samples(i)))
+        val step = imaStep(index)
+        var diff = s - pred
+        val sign = if (diff < 0) { diff = -diff; 8 } else 0
+        var code = 0
+        if (diff >= step) { code |= 4; diff -= step }
+        if (diff >= (step >> 1)) { code |= 2; diff -= step >> 1 }
+        if (diff >= (step >> 2)) code |= 1
+        var dq = step >> 3
+        if ((code & 4) != 0) dq += step
+        if ((code & 2) != 0) dq += step >> 1
+        if ((code & 1) != 0) dq += step >> 2
+        pred = if (sign != 0) pred - dq else pred + dq
+        pred = math.max(-32768, math.min(32767, pred))
+        index = math.max(0, math.min(88, index + imaIndexAdj(code)))
+        val nib = sign | code
+        val pos = 4 + (i - 1) / 2
+        if (((i - 1) & 1) == 0) out(pos) = nib.toByte
+        else out(pos) = (out(pos) | (nib << 4)).toByte
+        i += 1
+      }
+      out
+    }
+
+    /** Decode one IMA ADPCM mono block (the exact mirror of
+      * [[imaAdpcmEncodeBlock]]): `n` total samples including the header
+      * sample.
+      */
+    def imaAdpcmDecodeBlock(block: Array[Byte], from: Int, n: Int)
+        : Array[Double] = {
+      val out = new Array[Double](n)
+      var pred = ((block(from + 1) << 8) | (block(from) & 0xff)).toShort.toInt
+      var index = math.max(0, math.min(88, block(from + 2) & 0xff))
+      out(0) = pred.toDouble
+      var i = 1
+      while (i < n) {
+        val b = block(from + 4 + (i - 1) / 2) & 0xff
+        val nib = if (((i - 1) & 1) == 0) b & 0x0f else (b >> 4) & 0x0f
+        val step = imaStep(index)
+        val code = nib & 7
+        var dq = step >> 3
+        if ((code & 4) != 0) dq += step
+        if ((code & 2) != 0) dq += step >> 1
+        if ((code & 1) != 0) dq += step >> 2
+        pred = if ((nib & 8) != 0) pred - dq else pred + dq
+        pred = math.max(-32768, math.min(32767, pred))
+        index = math.max(0, math.min(88, index + imaIndexAdj(code)))
+        out(i) = pred.toDouble
+        i += 1
+      }
+      out
+    }
+
+    /** Wrap one IMA ADPCM block as a RIFF/WAVE stream (format tag
+      * 0x11, mono, 4 bits/sample; 20-byte fmt chunk whose cbSize=2
+      * extension carries samples-per-block, plus a fact chunk).
+      */
+    def wrapWavIma(block: Array[Byte], nSamples: Int,
+        sampleRate: Int): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      def le32(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+        bos.write((v >> 16) & 0xff); bos.write((v >> 24) & 0xff) }
+      def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+      def tag(s: String): Unit = bos.write(
+        s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      val blockAlign = block.length
+      tag("RIFF"); le32(4 + 8 + 20 + 8 + 4 + 8 + block.length); tag("WAVE")
+      tag("fmt "); le32(20)
+      le16(0x11) /* WAVE_FORMAT_IMA_ADPCM */; le16(1)
+      le32(sampleRate)
+      le32(sampleRate * blockAlign / math.max(nSamples, 1)) /* avg bytes/s */
+      le16(blockAlign); le16(4) /* bits per sample */
+      le16(2) /* cbSize */; le16(nSamples) /* samples per block */
+      tag("fact"); le32(4); le32(nSamples)
+      tag("data"); le32(block.length); bos.write(block)
+      bos.toByteArray
+    }
+
+    /** Parse a tag-0x11 WAV written by [[wrapWavIma]]-compatible
+      * encoders and decode its IMA blocks; None when the payload is not
+      * an IMA WAV (the PCM/µ-law paths handle everything else).
+      */
+    def decodeWavIma(p: Array[Byte]): Option[(Float, Array[Double])] = {
+      def le32(i: Int): Int =
+        (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8) |
+          ((p(i + 2) & 0xff) << 16) | ((p(i + 3) & 0xff) << 24)
+      def le16(i: Int): Int = (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
+      def ascii(i: Int): String =
+        new String(p, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      if (p.length < 12 || ascii(0) != "RIFF" || ascii(8) != "WAVE")
+        return None
+      var off = 12
+      var fmtTag = -1; var rate = 0; var blockAlign = 0; var spb = 0
+      var dataOff = -1; var dataLen = 0
+      while (off + 8 <= p.length) {
+        val id = ascii(off); val size = le32(off + 4)
+        if (id == "fmt " && size >= 16) {
+          fmtTag = le16(off + 8)
+          rate = le32(off + 12)
+          blockAlign = le16(off + 20)
+          if (size >= 20) spb = le16(off + 26)
+        } else if (id == "data") { dataOff = off + 8; dataLen = size }
+        off += 8 + size + (size & 1)
+      }
+      if (fmtTag != 0x11 || dataOff < 0 || blockAlign < 5 || spb < 1)
+        return None
+      if (dataOff + dataLen > p.length) return None
+      val blocks = dataLen / blockAlign
+      val out = Array.newBuilder[Double]
+      var b = 0
+      while (b < blocks) {
+        val have = math.min(spb, (blockAlign - 4) * 2 + 1)
+        out ++= imaAdpcmDecodeBlock(p, dataOff + b * blockAlign, have)
+        b += 1
+      }
+      Some((rate.toFloat, out.result()))
+    }
 
     /** REAL video frame decode for MJPEG-in-AVI: walk the RIFF chunk
       * tree to the `movi` LIST, pull each `00dc`/`00db` frame chunk,
@@ -1240,6 +1392,39 @@ object Multimodal {
           .zipWithIndex.map { case ((w, h, luma), i) =>
             Row(r.get(idIdx), i, w, h, luma)
           }
+      }
+    }(enc)
+  }
+
+  /** IMA/DVI ADPCM encode over partition batches: 16-bit PCM sample
+    * arrays → 4-bit predictive-coded WAV (tag 0x11) payloads — the
+    * third REAL lossy leg next to G.711 ([[encodeG711]]) and MJPEG
+    * ([[encodeAviMjpeg]]); the decode side is
+    * [[MediaCodec.decodeWavIma]], our own spec decoder (the JDK ships
+    * none). Null/empty sample arrays yield a null payload. Returns
+    * `(id, payload)`.
+    */
+  def encodeAdpcm(df: DataFrame, idCol: String, samplesCol: String,
+      sampleRate: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", df.schema(idCol).dataType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val sIdx = df.schema.fieldIndex(samplesCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload =
+          if (r.isNullAt(sIdx)) null
+          else {
+            val xs = r.getSeq[Int](sIdx)
+            if (xs.isEmpty) null
+            else {
+              val block = MediaCodec.imaAdpcmEncodeBlock(xs.toArray)
+              MediaCodec.wrapWavIma(block, xs.length, sampleRate)
+            }
+          }
+        Row(r.get(idIdx), payload)
       }
     }(enc)
   }

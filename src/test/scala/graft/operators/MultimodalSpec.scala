@@ -495,6 +495,32 @@ class MultimodalSpec extends SparkSpec {
       .filter(col("payload").isNotNull).count() == 0)
   }
 
+  test("IMA ADPCM: 4-bit predictive roundtrip, own decoder, every gate tone") {
+    import Multimodal.MediaCodec._
+    // block roundtrip: decoded within the adaptive quantizer's error
+    val xs = (0 until 200).map(n =>
+      (6000 * math.sin(2 * math.Pi * 5 * n / 200)).toInt).toArray
+    val wav = wrapWavIma(imaAdpcmEncodeBlock(xs), xs.length, 8000)
+    val Some((rate, dec)) = decodeSamples(wav)
+    assert(rate == 8000f && dec.length == xs.length)
+    // after the ~11-sample adaptation ramp the tracker stays within a
+    // few step sizes of the signal
+    val tail = xs.drop(30).zip(dec.drop(30))
+    val maxErr = tail.map { case (a, b) => math.abs(a - b) }.max
+    assert(maxErr < 1500, s"ADPCM tracking error $maxErr")
+    // the x_audio_adpcm gate contract: every planted tone k = 1..30
+    // keeps its FFT peak through the codec
+    (1 to 30).foreach { k =>
+      val tone = (0 until 256).map(n =>
+        math.round(8000 * math.sin(2 * math.Pi * k * n / 256)).toInt).toArray
+      val w = wrapWavIma(imaAdpcmEncodeBlock(tone), 256, 8000)
+      val pk = spectralPeak(w, 256)
+      assert(pk.exists(_._2 == k), s"tone $k: peak ${pk.map(_._2)}")
+    }
+    // non-IMA payloads fall through to the other decoders untouched
+    assert(decodeWavIma("RIFFxxxxWAVE".getBytes).isEmpty)
+  }
+
   test("encodePng: lossless write side — decode recovers exact gray values") {
     val rows = Seq(
       (1L, Seq(0, 64, 128, 255, 7, 250), 3),            // 3×2 raster
