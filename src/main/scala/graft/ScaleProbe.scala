@@ -298,6 +298,36 @@ object ScaleProbe {
         record("cc_star", "chain_label", n, t)
       }
 
+      // ---- Media codecs: encode→decode throughput ∝ rows ------------
+      // pure mapPartitions projections (no shuffle anywhere), so
+      // time-vs-rows must be ~1.0 once past fixed job overhead; PNG leg
+      // exercises encodePng→decodeImages, audio leg ADPCM→FFT
+      if (famOn("media")) locally {
+        val px = docsN.select("doc_id")
+          .withColumn("pixels", array_repeat(
+            pmod(col("doc_id") * 7, lit(256)).cast("int"), 256))
+          .withColumn("w", lit(16))
+        val (_, tPng) = time {
+          operators.Multimodal.decodeImages(
+            operators.Multimodal.encodePng(px, "doc_id", "pixels", "w"),
+            "id", "payload")
+            .write.format("noop").mode("overwrite").save()
+        }
+        record("media", "png_roundtrip", n, tPng)
+        val pcm = docsN.select("doc_id")
+          .withColumn("samples", transform(sequence(lit(0), lit(255)),
+            m => round(lit(8000.0) * sin(lit(2.0 * math.Pi) *
+              (pmod(col("doc_id"), lit(30)) + 1).cast("double") *
+              m.cast("double") / lit(256.0))).cast("int")))
+        val (_, tAdpcm) = time {
+          operators.Multimodal.audioSpectrum(
+            operators.Multimodal.encodeAdpcm(pcm, "doc_id", "samples", 8000),
+            "id", "payload", fftSize = 256)
+            .write.format("noop").mode("overwrite").save()
+        }
+        record("media", "adpcm_fft", n, tAdpcm)
+      }
+
       // ---- Incremental postings: init linear, commit+search O(batch) -
       if (famOn("inc_postings")) locally {
         val dir = s"$scratch/incpost_x$n"
