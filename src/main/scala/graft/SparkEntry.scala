@@ -2835,6 +2835,28 @@ object SparkEntry {
         .orderBy("id", "frame_idx")
     }),
 
+    // Energy VAD over the LOSSLESS path — speech-corpus curation with an
+    // EXACT oracle: deterministic PCM (loud frames when (id+f)%3=0, near-
+    // silence otherwise) rides FLAC encode→decode bit-for-bit, so DuckDB
+    // recomputes every frame's RMS with the same ascending-index
+    // sum-of-squares and the same 6dp round before the threshold.
+    "x_audio_vad" -> ((s, d) => {
+      val pcm = Tables.documents(s, d).select("doc_id")
+        .filter(col("doc_id") < 250)
+        .withColumn("samples", transform(sequence(lit(0), lit(255)), n => {
+          val f = shiftright(n, 6)
+          val loud = pmod(col("doc_id") + f, lit(3)) === 0
+          when(loud,
+            pmod(col("doc_id") * 31 + n * 7, lit(2000)) - 1000)
+            .otherwise(pmod(col("doc_id") + n, lit(20)) - 10)
+            .cast("int")
+        }))
+      val enc2 = operators.Multimodal.encodeFlac(pcm, "doc_id", "samples", 8000)
+      operators.Multimodal.audioActivity(enc2, "id", "payload",
+          frameSize = 64, threshold = 100.0)
+        .orderBy("id", "frame_idx")
+    }),
+
     // Third REAL lossy leg: IMA/DVI ADPCM (4-bit PREDICTIVE coding,
     // 4:1; tag-0x11 WAV; both encoder and decoder ours from the public
     // spec — the JDK ships none). Same spectral gate: the adaptive
@@ -8263,6 +8285,22 @@ object SparkEntry {
            true AS luma_ok
          FROM documents, range(3) t(f)
          WHERE doc_id < 120 ORDER BY id, frame_idx""",
+    // lossless path: frame RMS replayed exactly, same op order + round
+    "x_audio_vad" ->
+      """SELECT doc_id AS id, CAST(f AS INTEGER) AS frame_idx,
+           CAST(64 AS INTEGER) AS n,
+           round(sqrt(list_sum(list_transform(range(0, 64), i ->
+             CAST(CASE WHEN (doc_id + f) % 3 = 0
+               THEN (doc_id * 31 + (f * 64 + i) * 7) % 2000 - 1000
+               ELSE (doc_id + f * 64 + i) % 20 - 10 END AS DOUBLE) ** 2))
+             / 64.0), 6) AS rms,
+           round(sqrt(list_sum(list_transform(range(0, 64), i ->
+             CAST(CASE WHEN (doc_id + f) % 3 = 0
+               THEN (doc_id * 31 + (f * 64 + i) * 7) % 2000 - 1000
+               ELSE (doc_id + f * 64 + i) % 20 - 10 END AS DOUBLE) ** 2))
+             / 64.0), 6) >= 100.0 AS active
+         FROM documents, range(4) t(f)
+         WHERE doc_id < 250 ORDER BY id, frame_idx""",
     // own-spec ADPCM encode -> own decode -> FFT: peak survives 4:1
     "x_audio_adpcm" ->
       """SELECT doc_id AS id,

@@ -1179,6 +1179,49 @@ object Multimodal {
     }(enc)
   }
 
+  /** Energy-based voice-activity detection over REAL decoded samples —
+    * the speech-corpus curation primitive (silence trimming, speech/
+    * noise ratio screening): fixed-size frames, per-frame RMS
+    * (ascending-index integer-exact sum of squares → one sqrt — the
+    * bit-for-bit SQL-replayable arithmetic of the FLAC gate), active =
+    * RMS ≥ threshold on the 6dp-rounded value so engines agree at the
+    * boundary. A trailing partial frame is dropped (VAD framing
+    * convention). Returns one row per frame:
+    * `(id, frame_idx, n, rms, active)`; undecodable payloads yield zero
+    * rows.
+    */
+  def audioActivity(df: DataFrame, idCol: String, binCol: String,
+      frameSize: Int, threshold: Double): DataFrame = {
+    require(frameSize >= 1, s"frameSize must be positive, got $frameSize")
+    val outSchema = StructType(Seq(
+      StructField("id", df.schema(idCol).dataType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("n", IntegerType, nullable = false),
+      StructField("rms", DoubleType, nullable = false),
+      StructField("active", BooleanType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val samples = Option(r.get(binIdx))
+          .map(_.asInstanceOf[Array[Byte]])
+          .flatMap(MediaCodec.decodeSamples).map(_._2)
+          .getOrElse(Array.empty[Double])
+        val nFrames = samples.length / frameSize
+        (0 until nFrames).map { f =>
+          var sumSq = 0.0
+          var i = f * frameSize
+          val end = i + frameSize
+          while (i < end) { sumSq += samples(i) * samples(i); i += 1 }
+          val rms = BigDecimal(math.sqrt(sumSq / frameSize))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          Row(r.get(idIdx), f, frameSize, rms, rms >= threshold)
+        }
+      }
+    }(enc)
+  }
+
   /** Archival FLAC encode over partition batches: 16-bit PCM sample
     * arrays (`array<int>` = mono; `array<array<int>>` = one inner array
     * per channel) → a valid single-frame FLAC stream

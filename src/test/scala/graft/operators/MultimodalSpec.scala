@@ -521,6 +521,30 @@ class MultimodalSpec extends SparkSpec {
     assert(decodeWavIma("RIFFxxxxWAVE".getBytes).isEmpty)
   }
 
+  test("audioActivity: frame RMS VAD over the lossless path") {
+    // 150 samples, frames of 64 -> 2 frames + dropped 22-sample tail;
+    // frame 0 loud (constant 500), frame 1 near-silent (constant 3)
+    val pcm = Seq((1L,
+      (0 until 150).map(n => if (n < 64) 500 else 3))).toDF("id", "samples")
+    val enc = Multimodal.encodeFlac(pcm, "id", "samples", 8000)
+    val out = Multimodal.audioActivity(enc, "id", "payload", 64, 100.0)
+      .as[(Long, Int, Int, Double, Boolean)].collect().sortBy(_._2)
+    assert(out.length == 2)
+    assert(out(0) == ((1L, 0, 64, 500.0, true)))
+    assert(out(1) == ((1L, 1, 64, 3.0, false)))
+    // boundary: rounded rms exactly at threshold counts as active
+    val atEdge = Seq((2L, (0 until 64).map(_ => 100))).toDF("id", "samples")
+    val edge = Multimodal.audioActivity(
+      Multimodal.encodeFlac(atEdge, "id", "samples", 8000),
+      "id", "payload", 64, 100.0)
+      .as[(Long, Int, Int, Double, Boolean)].head()
+    assert(edge._4 == 100.0 && edge._5)
+    // undecodable payloads yield zero rows, not failure
+    assert(Multimodal.audioActivity(
+      Seq((3L, Array[Byte](1, 2))).toDF("id", "payload"),
+      "id", "payload", 64, 100.0).count() == 0)
+  }
+
   test("encodePng: lossless write side — decode recovers exact gray values") {
     val rows = Seq(
       (1L, Seq(0, 64, 128, 255, 7, 250), 3),            // 3×2 raster
