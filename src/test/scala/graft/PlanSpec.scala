@@ -367,6 +367,16 @@ class PlanSpec extends SparkSpec {
     val id = plan("x_image_dedup")
     assert(!id.contains("CartesianProduct") &&
       !id.contains("BroadcastNestedLoopJoin"), s"all-pairs image join:\n$id")
+    // codec chains (encode→decode mapPartitions legs) are pure
+    // projections: throughput = scan bandwidth, no exchange anywhere
+    val pcm = spark.range(4).selectExpr("id",
+      "transform(sequence(0, 63), n -> cast(n * 13 % 2000 - 1000 as int)) as samples")
+    val codec = operators.Multimodal.audioSpectrum(
+      operators.Multimodal.encodeAdpcm(pcm, "id", "samples", 8000),
+      "id", "payload", 64)
+      .queryExecution.executedPlan.toString
+    assert(!codec.contains("Exchange") && !codec.contains("Join"),
+      s"codec chain should not shuffle:\n$codec")
   }
 
   test("token masking hashes each token exactly once") {
