@@ -2835,6 +2835,29 @@ object SparkEntry {
         .orderBy("id", "frame_idx")
     }),
 
+    // MFCC front-end over real decode: FFT power → 10-filter mel bank →
+    // log → DCT-II. A tone at bin k drops its energy into the mel filter
+    // the PUBLIC formula (2595·log10(1+f/700), HTK spacing) names for
+    // k·31.25 Hz — the 30-entry band table below is that formula
+    // evaluated once and frozen (min argmax margin 0.044, verified), so
+    // the oracle stays id-arithmetic while the engine runs the whole
+    // filterbank. Cepstra ride along rounded 6dp (spec-tested, not
+    // cross-engine-compared — the x_embed_pca rule for derived floats).
+    "x_audio_mfcc" -> ((s, d) => {
+      val k = (pmod(col("doc_id"), lit(30)) + 1).cast("double")
+      val pcm = Tables.documents(s, d).select("doc_id")
+        .filter(col("doc_id") < 300)
+        .withColumn("samples", transform(sequence(lit(0), lit(255)),
+          n => round(lit(1000.0) *
+            sin(lit(2.0 * math.Pi) * k * n.cast("double") / lit(256.0)))
+            .cast("int")))
+      val enc2 = operators.Multimodal.encodeFlac(pcm, "doc_id", "samples", 8000)
+      operators.Multimodal.audioMfcc(enc2, "id", "payload",
+          fftSize = 256, nMel = 10, nCoef = 10)
+        .select(col("id"), col("dominant_band"), col("n_coef"))
+        .orderBy("id")
+    }),
+
     // Energy VAD over the LOSSLESS path — speech-corpus curation with an
     // EXACT oracle: deterministic PCM (loud frames when (id+f)%3=0, near-
     // silence otherwise) rides FLAC encode→decode bit-for-bit, so DuckDB
@@ -8285,6 +8308,14 @@ object SparkEntry {
            true AS luma_ok
          FROM documents, range(3) t(f)
          WHERE doc_id < 120 ORDER BY id, frame_idx""",
+    // mel band per tone: the public formula evaluated once and frozen
+    "x_audio_mfcc" ->
+      """SELECT doc_id AS id,
+           CAST(([1,1,1,1,1,1,2,2,2,2,2,2,3,3,3,3,3,3,
+                  4,4,4,4,4,4,4,4,5,5,5,5])[doc_id % 30 + 1]
+             AS INTEGER) AS dominant_band,
+           CAST(10 AS INTEGER) AS n_coef
+         FROM documents WHERE doc_id < 300 ORDER BY id""",
     // lossless path: frame RMS replayed exactly, same op order + round
     "x_audio_vad" ->
       """SELECT doc_id AS id, CAST(f AS INTEGER) AS frame_idx,

@@ -863,6 +863,57 @@ object Multimodal {
       bos.toByteArray
     }
 
+    /** HTK-convention mel filterbank energies over the first `fftSize`
+      * samples: `nMel` triangular filters evenly spaced on the mel
+      * scale (`2595·log10(1+f/700)`) between 0 and rate/2, applied to
+      * the FFT power spectrum. The front half of MFCC extraction.
+      */
+    def melEnergies(samples: Array[Double], rate: Double, fftSize: Int,
+        nMel: Int): Array[Double] = {
+      val re = new Array[Double](fftSize)
+      val im = new Array[Double](fftSize)
+      System.arraycopy(samples, 0, re, 0, math.min(samples.length, fftSize))
+      fft(re, im)
+      def mel(f: Double): Double = 2595.0 * math.log10(1.0 + f / 700.0)
+      val lo = mel(0.0)
+      val hi = mel(rate / 2.0)
+      val pts = Array.tabulate(nMel + 2)(i => lo + (hi - lo) * i / (nMel + 1))
+      val out = new Array[Double](nMel)
+      var b = 1
+      while (b <= fftSize / 2) {
+        val fm = mel(rate * b / fftSize)
+        val power = re(b) * re(b) + im(b) * im(b)
+        var m = 1
+        while (m <= nMel) {
+          val (l, c, r) = (pts(m - 1), pts(m), pts(m + 1))
+          if (fm > l && fm < r) {
+            val w = if (fm <= c) (fm - l) / (c - l) else (r - fm) / (r - c)
+            out(m - 1) += w * power
+          }
+          m += 1
+        }
+        b += 1
+      }
+      out
+    }
+
+    /** DCT-II of the log mel energies → the first `nCoef` cepstral
+      * coefficients (the MFCC back half; orthonormal scaling).
+      */
+    def mfccFromMel(melE: Array[Double], nCoef: Int): Array[Double] = {
+      val n = melE.length
+      val logE = melE.map(e => math.log(e + 1e-10))
+      Array.tabulate(nCoef) { c =>
+        var s = 0.0
+        var m = 0
+        while (m < n) {
+          s += logE(m) * math.cos(math.Pi * c * (m + 0.5) / n)
+          m += 1
+        }
+        s * math.sqrt(2.0 / n) * (if (c == 0) math.sqrt(0.5) else 1.0)
+      }
+    }
+
     /** JDK-codec pixel decode (see [[Multimodal.decodeImages]]): None
       * for anything ImageIO cannot parse.
       */
@@ -1217,6 +1268,49 @@ object Multimodal {
           val rms = BigDecimal(math.sqrt(sumSq / frameSize))
             .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
           Row(r.get(idIdx), f, frameSize, rms, rms >= threshold)
+        }
+      }
+    }(enc)
+  }
+
+  /** MFCC extraction over REAL decoded samples — the canonical speech
+    * feature (decode → FFT power → mel filterbank → log → DCT-II), all
+    * formulaic and pure-JVM, in the standard mapPartitions batch shape.
+    * Returns `(id, dominant_band, n_coef, mfcc)` where `dominant_band`
+    * is the 1-based mel filter with the most energy (the SQL-checkable
+    * invariant: a bin-centered tone's energy lands in the filter the
+    * public mel formula names) and `mfcc` carries the first `nCoef`
+    * cepstra rounded to 6dp. Undecodable payloads yield null fields.
+    */
+  def audioMfcc(df: DataFrame, idCol: String, binCol: String,
+      fftSize: Int = 256, nMel: Int = 26, nCoef: Int = 13): DataFrame = {
+    require(fftSize >= 4 && (fftSize & (fftSize - 1)) == 0,
+      s"fftSize must be a power of two >= 4, got $fftSize")
+    require(nMel >= 2 && nCoef >= 1 && nCoef <= nMel,
+      s"need 2 <= nCoef <= nMel, got nMel=$nMel nCoef=$nCoef")
+    val outSchema = StructType(Seq(
+      StructField("id", df.schema(idCol).dataType, nullable = false),
+      StructField("dominant_band", IntegerType, nullable = true),
+      StructField("n_coef", IntegerType, nullable = true),
+      StructField("mfcc", ArrayType(DoubleType, containsNull = false),
+        nullable = true)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        Option(r.get(binIdx)).map(_.asInstanceOf[Array[Byte]])
+          .flatMap(MediaCodec.decodeSamples) match {
+          case Some((rate, samples)) =>
+            val melE = MediaCodec.melEnergies(samples, rate, fftSize, nMel)
+            var best = 0
+            var m = 1
+            while (m < nMel) { if (melE(m) > melE(best)) best = m; m += 1 }
+            val cep = MediaCodec.mfccFromMel(melE, nCoef).map(v =>
+              BigDecimal(v).setScale(6,
+                BigDecimal.RoundingMode.HALF_UP).toDouble)
+            Row(r.get(idIdx), best + 1, nCoef, cep.toSeq)
+          case None => Row(r.get(idIdx), null, null, null)
         }
       }
     }(enc)

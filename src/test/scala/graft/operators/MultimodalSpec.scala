@@ -545,6 +545,39 @@ class MultimodalSpec extends SparkSpec {
       "id", "payload", 64, 100.0).count() == 0)
   }
 
+  test("audioMfcc: mel filterbank + DCT-II cepstra over real decode") {
+    import Multimodal.MediaCodec.{melEnergies, mfccFromMel}
+    // a bin-7 tone at 8 kHz / 256-FFT = 218.75 Hz lands in mel filter 2
+    // (of 10); tiny leakage elsewhere
+    val tone = (0 until 256).map(n =>
+      math.round(1000 * math.sin(2 * math.Pi * 7 * n / 256)).toDouble).toArray
+    val e = melEnergies(tone, 8000, 256, 10)
+    assert(e.indexOf(e.max) == 1, s"energies ${e.toSeq}")
+    // the ADJACENT filter shares the tone (overlapping triangles); all
+    // non-adjacent bands carry only rounding-noise leakage
+    assert(e(1) > e(0), "argmax filter beats its overlap neighbor")
+    val farLeak = e.drop(2).sum
+    assert(e(1) > 1e6 * farLeak, s"non-adjacent leakage $farLeak")
+    // DCT-II: uniform log energies -> c0 carries everything, c1.. ~ 0
+    val flat = mfccFromMel(Array.fill(10)(math.E - 1e-10), 4)
+    assert(math.abs(flat(0) - math.sqrt(2.0 / 10) * math.sqrt(0.5) * 10) < 1e-9)
+    (1 until 4).foreach(c => assert(math.abs(flat(c)) < 1e-9))
+    // operator end-to-end through FLAC; undecodable -> nulls
+    val pcm = Seq((1L, (0 until 256).map(n =>
+      math.round(1000 * math.sin(2 * math.Pi * 7 * n / 256)).toInt)))
+      .toDF("id", "samples")
+    val out = Multimodal.audioMfcc(
+      Multimodal.encodeFlac(pcm, "id", "samples", 8000),
+      "id", "payload", 256, 10, 10)
+      .as[(Long, Option[Int], Option[Int], Option[Seq[Double]])].head()
+    assert(out._2 == Some(2) && out._3 == Some(10) &&
+      out._4.exists(_.length == 10))
+    val bad = Multimodal.audioMfcc(
+      Seq((2L, Array[Byte](1))).toDF("id", "payload"), "id", "payload")
+      .as[(Long, Option[Int], Option[Int], Option[Seq[Double]])].head()
+    assert(bad._2.isEmpty && bad._4.isEmpty)
+  }
+
   test("encodePng: lossless write side — decode recovers exact gray values") {
     val rows = Seq(
       (1L, Seq(0, 64, 128, 255, 7, 250), 3),            // 3×2 raster
