@@ -3001,6 +3001,38 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Vision preprocessing, oracle-exact: bilinear resize of a CONSTANT
+    // raster is the constant (integer-exact through the lossless PNG
+    // roundtrip), so encode → resize → decode gates the whole rescale
+    // path from id arithmetic.
+    "x_image_resize" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id")
+        .filter(col("doc_id") < 150)
+        .withColumn("pixels", array_repeat(
+          pmod(col("doc_id") * 11, lit(256)).cast("int"), 256))
+        .withColumn("w", lit(16))
+      val png = operators.Multimodal.encodePng(docs, "doc_id", "pixels", "w")
+      val small = operators.Multimodal.resizeImages(png, "id", "payload", 8, 8)
+      operators.Multimodal.decodeImages(small, "id", "payload")
+        .select(col("id"), col("width"), col("height"),
+          round(col("mean_luma"), 6).as("mean_luma"))
+        .orderBy("id")
+    }),
+
+    // ViT-style patchification, oracle-exact: a deterministic gradient
+    // raster rides the lossless PNG path, so every 4×4 patch's exact
+    // integer-sum mean is recomputable in SQL.
+    "x_image_patches" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id")
+        .filter(col("doc_id") < 150)
+        .withColumn("pixels", transform(sequence(lit(0), lit(255)),
+          px => pmod(col("doc_id") * 3 + px, lit(256)).cast("int")))
+        .withColumn("w", lit(16))
+      val png = operators.Multimodal.encodePng(docs, "doc_id", "pixels", "w")
+      operators.Multimodal.imagePatches(png, "id", "payload", patch = 4)
+        .orderBy("id", "patch_idx")
+    }),
+
     // Fuzzy record linkage: blocked Jaro–Winkler over part names. The
     // native JaroWinkler expression is pinned bit-exact to DuckDB's
     // jaro_winkler_similarity (20k random pairs, four alphabets — see
@@ -8346,6 +8378,23 @@ object SparkEntry {
            CAST(doc_id % 30 + 1 AS INTEGER) AS peak_bin,
            CAST(256 AS BIGINT) AS n_samples
          FROM documents WHERE doc_id < 300 ORDER BY id""",
+    // bilinear resize of a constant raster IS the constant
+    "x_image_resize" ->
+      """SELECT doc_id AS id,
+           CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+           round(CAST(doc_id * 11 % 256 AS DOUBLE), 6) AS mean_luma
+         FROM documents WHERE doc_id < 150 ORDER BY id""",
+    // 4x4 patch means of the planted gradient, exact integer sums
+    "x_image_patches" ->
+      """SELECT doc_id AS id,
+           CAST(pr * 4 + pc AS INTEGER) AS patch_idx,
+           CAST(pr AS INTEGER) AS patch_row,
+           CAST(pc AS INTEGER) AS patch_col,
+           round(list_sum(list_transform(range(16), t ->
+             CAST((doc_id * 3 + (pr * 4 + t // 4) * 16 + pc * 4 + t % 4)
+               % 256 AS DOUBLE))) / 16.0, 6) AS mean_luma
+         FROM documents, range(4) a(pr), range(4) b(pc)
+         WHERE doc_id < 150 ORDER BY id, patch_idx""",
     // PNG encode->decode roundtrip: dims and exact mean luma from id
     "x_image_decode" ->
       """SELECT doc_id AS id,

@@ -1566,6 +1566,105 @@ object Multimodal {
     }(enc)
   }
 
+  /** Image resize over partition batches — the ubiquitous vision
+    * preprocessing step: decode (any JDK-readable container), bilinear
+    * rescale to `outW`×`outH` on a TYPE_INT_RGB canvas, re-encode as
+    * lossless PNG. Composes with [[decodeImages]]/[[imagePatches]]
+    * downstream. Undecodable payloads yield a null payload. Returns
+    * `(id, payload)`.
+    */
+  def resizeImages(df: DataFrame, idCol: String, binCol: String,
+      outW: Int, outH: Int): DataFrame = {
+    require(outW >= 1 && outH >= 1, s"bad target $outW x $outH")
+    val outSchema = StructType(Seq(
+      StructField("id", df.schema(idCol).dataType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = Option(r.get(binIdx))
+          .map(_.asInstanceOf[Array[Byte]]).flatMap { bytes =>
+            try {
+              val src = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes))
+              if (src == null) None
+              else {
+                val dst = new java.awt.image.BufferedImage(
+                  outW, outH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+                val g = dst.createGraphics()
+                g.setRenderingHint(
+                  java.awt.RenderingHints.KEY_INTERPOLATION,
+                  java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                g.drawImage(src, 0, 0, outW, outH, null)
+                g.dispose()
+                val bos = new java.io.ByteArrayOutputStream()
+                javax.imageio.ImageIO.write(dst, "png", bos)
+                Some(bos.toByteArray)
+              }
+            } catch { case _: Exception => None }
+          }.orNull
+        Row(r.get(idIdx), payload)
+      }
+    }(enc)
+  }
+
+  /** ViT-style patch grid over REAL decoded pixels: the image splits
+    * into `patch`×`patch` cells (dimensions must divide exactly — a
+    * ragged grid is a config error, not data) and each patch reports
+    * its exact integer-sum mean luma, 6dp-rounded — the patch-embedding
+    * precursor every vision-transformer pipeline runs. One row per
+    * patch: `(id, patch_idx, patch_row, patch_col, mean_luma)`,
+    * `patch_idx` row-major. Undecodable payloads yield zero rows.
+    */
+  def imagePatches(df: DataFrame, idCol: String, binCol: String,
+      patch: Int): DataFrame = {
+    require(patch >= 1, s"patch must be positive, got $patch")
+    val outSchema = StructType(Seq(
+      StructField("id", df.schema(idCol).dataType, nullable = false),
+      StructField("patch_idx", IntegerType, nullable = false),
+      StructField("patch_row", IntegerType, nullable = false),
+      StructField("patch_col", IntegerType, nullable = false),
+      StructField("mean_luma", DoubleType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val img = Option(r.get(binIdx))
+          .map(_.asInstanceOf[Array[Byte]]).flatMap { bytes =>
+            try Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes)))
+            catch { case _: Exception => None }
+          }
+        img match {
+          case Some(im) if im.getWidth % patch == 0 &&
+              im.getHeight % patch == 0 =>
+            val (pw, ph) = (im.getWidth / patch, im.getHeight / patch)
+            for (pr <- 0 until ph; pc <- 0 until pw) yield {
+              var sum = 0L
+              var y = pr * patch
+              while (y < (pr + 1) * patch) {
+                var x = pc * patch
+                while (x < (pc + 1) * patch) {
+                  val rgb = im.getRGB(x, y)
+                  sum += (299 * ((rgb >> 16) & 0xff) +
+                    587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
+                  x += 1
+                }
+                y += 1
+              }
+              val mean = BigDecimal(sum.toDouble / (patch * patch))
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+              Row(r.get(idIdx), pr * pw + pc, pr, pc, mean)
+            }
+          case _ => Seq.empty[Row]
+        }
+      }
+    }(enc)
+  }
+
   /** Perceptual fingerprints over partition batches: `(id, ahash)` with
     * null for undecodable payloads — the input to [[nearDuplicateImages]].
     */

@@ -90,6 +90,36 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resizeImages + imagePatches: vision preprocessing on real pixels") {
+    // 4×4 image with known quadrant values -> 2×2 patches hit them exactly
+    val quads = Seq((1L, Seq(
+      10, 10, 200, 200,
+      10, 10, 200, 200,
+      60, 60, 130, 130,
+      60, 60, 130, 130), 4)).toDF("id", "pixels", "w")
+    val png = Multimodal.encodePng(quads, "id", "pixels", "w")
+    val patches = Multimodal.imagePatches(png, "id", "payload", 2)
+      .as[(Long, Int, Int, Int, Double)].collect().sortBy(_._2)
+    assert(patches.map(p => (p._2, p._3, p._4, p._5)).toSeq == Seq(
+      (0, 0, 0, 10.0), (1, 0, 1, 200.0), (2, 1, 0, 60.0), (3, 1, 1, 130.0)))
+    // non-dividing patch size -> zero rows (config error, not data)
+    assert(Multimodal.imagePatches(png, "id", "payload", 3).count() == 0)
+    // resize: constant image stays exactly constant at any target size
+    val const = Multimodal.encodePng(
+      Seq((2L, Seq.fill(256)(77), 16)).toDF("id", "pixels", "w"),
+      "id", "pixels", "w")
+    val resized = Multimodal.decodeImages(
+      Multimodal.resizeImages(const, "id", "payload", 5, 3), "id", "payload")
+      .as[(Long, Option[Int], Option[Int], Option[Double], Option[Long])]
+      .head()
+    assert(resized == ((2L, Some(5), Some(3), Some(77.0), resized._5)))
+    // poison: garbage payload -> null resize payload
+    assert(Multimodal.resizeImages(
+      Seq((3L, Array[Byte](1, 2))).toDF("id", "payload"),
+      "id", "payload", 4, 4)
+      .filter(col("payload").isNotNull).count() == 0)
+  }
+
   test("decodeImages: REAL JDK codec decode of generated PNG/JPEG bytes") {
     import java.awt.image.BufferedImage
     import javax.imageio.ImageIO
