@@ -2835,6 +2835,31 @@ object SparkEntry {
         .orderBy("id", "frame_idx")
     }),
 
+    // ASR-corpus utterance cuts: VAD frames → gaps-and-islands. The
+    // planted pattern activates frame pairs (2g, 2g+1) where
+    // (id+g)%3=0, g≤3 — so ids ≡0 (mod 3) carry utterances (0-1) and
+    // (6-7), ids ≡1 carry (4-5), ids ≡2 carry (2-3); the oracle states
+    // that structure directly while the engine derives it from REAL
+    // decoded audio through RMS VAD and one windowed island pass.
+    "x_audio_utterances" -> ((s, d) => {
+      val pcm = Tables.documents(s, d).select("doc_id")
+        .filter(col("doc_id") < 250)
+        .withColumn("samples", transform(sequence(lit(0), lit(511)), n => {
+          val f = shiftright(n, 6)
+          val loud = pmod(col("doc_id") + shiftright(f, 1), lit(3)) === 0
+          when(loud,
+            pmod(col("doc_id") * 31 + n * 7, lit(2000)) - 1000)
+            .otherwise(pmod(col("doc_id") + n, lit(20)) - 10)
+            .cast("int")
+        }))
+      val enc2 = operators.Multimodal.encodeFlac(pcm, "doc_id", "samples", 8000)
+      val frames = operators.Multimodal.audioActivity(enc2, "id", "payload",
+        frameSize = 64, threshold = 100.0)
+      operators.Multimodal.utteranceSegments(frames, "id", "frame_idx",
+          "active")
+        .orderBy("id", "utt_idx")
+    }),
+
     // MFCC front-end over real decode: FFT power → 10-filter mel bank →
     // log → DCT-II. A tone at bin k drops its energy into the mel filter
     // the PUBLIC formula (2595·log10(1+f/700), HTK spacing) names for
@@ -8340,6 +8365,21 @@ object SparkEntry {
            true AS luma_ok
          FROM documents, range(3) t(f)
          WHERE doc_id < 120 ORDER BY id, frame_idx""",
+    // island structure stated from the planted (id+g)%3 pattern
+    "x_audio_utterances" ->
+      """WITH u AS (
+           SELECT doc_id, 0 AS utt_idx,
+             CASE doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 4 ELSE 2 END
+               AS start_frame
+           FROM documents WHERE doc_id < 250
+           UNION ALL
+           SELECT doc_id, 1, 6 FROM documents
+           WHERE doc_id < 250 AND doc_id % 3 = 0)
+         SELECT doc_id AS id, CAST(utt_idx AS INTEGER) AS utt_idx,
+           CAST(start_frame AS INTEGER) AS start_frame,
+           CAST(start_frame + 1 AS INTEGER) AS end_frame,
+           CAST(2 AS INTEGER) AS n_frames
+         FROM u ORDER BY id, utt_idx""",
     // mel band per tone: the public formula evaluated once and frozen
     "x_audio_mfcc" ->
       """SELECT doc_id AS id,

@@ -1316,6 +1316,30 @@ object Multimodal {
     }(enc)
   }
 
+  /** Utterance segmentation over VAD frames — the ASR-corpus cut step:
+    * consecutive ACTIVE frames (the [[audioActivity]] output) group into
+    * utterances via gaps-and-islands (`frame − rank-among-active` is
+    * constant within an island; one keyed window, no iteration).
+    * Returns `(id, utt_idx, start_frame, end_frame, n_frames)` with
+    * utterances numbered by start frame.
+    */
+  def utteranceSegments(frames: DataFrame, idCol: String,
+      frameCol: String, activeCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byId = Window.partitionBy(col(idCol))
+    val active = frames.filter(col(activeCol))
+      .withColumn("_grp", col(frameCol) -
+        row_number().over(byId.orderBy(col(frameCol))))
+    active.groupBy(col(idCol), col("_grp"))
+      .agg(min(col(frameCol)).as("start_frame"),
+        max(col(frameCol)).as("end_frame"),
+        count(lit(1)).cast("int").as("n_frames"))
+      .withColumn("utt_idx", (row_number().over(
+        byId.orderBy(col("start_frame"))) - 1).cast("int"))
+      .select(col(idCol), col("utt_idx"), col("start_frame"),
+        col("end_frame"), col("n_frames"))
+  }
+
   /** Archival FLAC encode over partition batches: 16-bit PCM sample
     * arrays (`array<int>` = mono; `array<array<int>>` = one inner array
     * per channel) → a valid single-frame FLAC stream

@@ -90,6 +90,21 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("utteranceSegments: gaps-and-islands over VAD frames") {
+    val frames = Seq(
+      // id 1: actives {0,1,2, 5, 7} -> islands (0-2), (5-5), (7-7)
+      (1L, 0, true), (1L, 1, true), (1L, 2, true), (1L, 3, false),
+      (1L, 4, false), (1L, 5, true), (1L, 6, false), (1L, 7, true),
+      // id 2: silence only -> no utterances
+      (2L, 0, false), (2L, 1, false)
+    ).toDF("id", "frame_idx", "active")
+    val out = Multimodal.utteranceSegments(frames, "id", "frame_idx",
+        "active")
+      .as[(Long, Int, Int, Int, Int)].collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq == Seq(
+      (1L, 0, 0, 2, 3), (1L, 1, 5, 5, 1), (1L, 2, 7, 7, 1)))
+  }
+
   test("resizeImages + imagePatches: vision preprocessing on real pixels") {
     // 4×4 image with known quadrant values -> 2×2 patches hit them exactly
     val quads = Seq((1L, Seq(
