@@ -385,6 +385,36 @@ object ScaleProbe {
       }
     }
 
+    // ---- Media codecs (PAYLOAD-SIZE axis) -----------------------------
+    // constant row count (500), image side ×2 per step (pixels ×4):
+    // once past fixed per-row codec setup the work is pixel-bound, so
+    // the time-vs-SIDE exponent must approach 2.0 from below and never
+    // exceed it (a superquadratic slope would mean per-payload overhead
+    // growing with payload — the codec analog of the winnowing class)
+    if (famOn("media_size")) {
+      val sizeScales = Seq(64, 128, 256)
+      def pixDf(side: Int) = baseDocs.select("doc_id")
+        .filter(col("doc_id") < 500)
+        .withColumn("pixels", array_repeat(
+          pmod(col("doc_id") * 7, lit(256)).cast("int"),
+          side * side))
+        .withColumn("w", lit(side))
+      // warm-up untimed
+      operators.Multimodal.decodeImages(
+        operators.Multimodal.encodePng(pixDf(sizeScales.head),
+          "doc_id", "pixels", "w"), "id", "payload")
+        .write.format("noop").mode("overwrite").save()
+      sizeScales.foreach { side =>
+        val (_, t) = time {
+          operators.Multimodal.decodeImages(
+            operators.Multimodal.encodePng(pixDf(side),
+              "doc_id", "pixels", "w"), "id", "payload")
+            .write.format("noop").mode("overwrite").save()
+        }
+        record("media_size", "png_roundtrip", side, t)
+      }
+    }
+
     // ---- Random projection (EMBEDDING-DIMENSION axis) -----------------
     // The r9 'weak' finding lived on THIS axis: the unrolled plan form
     // carried inDim×outDim/3 nodes, so 768→128 meant ~100k-node
