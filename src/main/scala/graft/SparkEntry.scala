@@ -3058,6 +3058,45 @@ object SparkEntry {
         .orderBy("id", "patch_idx")
     }),
 
+    // Video NEAR-dup end-to-end on REAL frames: 30 clip groups × 3
+    // frames, each frame a distinct splitmix pattern (90 patterns,
+    // pairwise Hamming ≥ 17 verified offline) with per-doc pixel noise
+    // that survives neither byte-compare nor JPEG bit-identity — clips
+    // in a group are perceptually identical, nothing else is. Anchor-
+    // frame banding generates candidates; the all-frames verify must
+    // recover exactly the within-group pairs at max_hamming 0.
+    "x_video_dedup" -> ((s, d) => {
+      def mix(x: Long): Long = {
+        var z = x + 0x9E3779B97F4A7C15L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z ^ (z >>> 31)
+      }
+      val pats = typedLit((0 until 90).map { p =>
+        val h = mix(p.toLong)
+        (0 until 64).map(c => ((h >>> c) & 1L).toInt)
+      })
+      val base = pmod(col("doc_id"), lit(30)) * 3
+      val docs = Tables.documents(s, d).select("doc_id")
+        .filter(col("doc_id") < 240)
+        .withColumn("frames", transform(sequence(lit(0), lit(2)), f =>
+          transform(sequence(lit(0), lit(255)), px => {
+            val cell = shiftright(px, 5) * 8 +
+              shiftright(px.bitwiseAND(lit(15)), 1)
+            val bit = element_at(element_at(pats,
+              (base + f + 1).cast("int")), (cell + 1).cast("int"))
+            val noise = pmod(col("doc_id") * 7 + cell + f * 13, lit(8))
+            when(bit === 1, lit(255) - noise).otherwise(noise).cast("int")
+          })))
+        .withColumn("w", lit(16))
+      val avi = operators.Multimodal.encodeAviMjpeg(
+        docs, "doc_id", "frames", "w", fps = 5)
+      val hashes = operators.Multimodal.videoFrameHashes(avi, "id", "payload")
+      operators.Multimodal.nearDuplicateVideos(hashes, "id", "frame_idx",
+          "ahash", maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Fuzzy record linkage: blocked Jaro–Winkler over part names. The
     // native JaroWinkler expression is pinned bit-exact to DuckDB's
     // jaro_winkler_similarity (20k random pairs, four alphabets — see
@@ -8468,6 +8507,15 @@ object SparkEntry {
     "x_connected_components" ->
       """SELECT doc_id AS id, CAST((doc_id // 50) * 50 AS BIGINT) AS root
          FROM documents ORDER BY id""",
+    // within-group clip pairs only, perceptually identical across noise
+    "x_video_dedup" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 240)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(3 AS INTEGER) AS n_frames,
+           CAST(0 AS INTEGER) AS max_hamming
+         FROM ids a JOIN ids b
+           ON a.doc_id % 30 = b.doc_id % 30 AND a.doc_id < b.doc_id
+         ORDER BY id_a, id_b""",
     // same blocking, same candidate join, same (bit-exact) JW scores
     "x_fuzzy_linkage" ->
       """WITH p AS (SELECT p_partkey AS id, p_name AS nm FROM part

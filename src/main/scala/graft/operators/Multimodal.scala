@@ -1530,6 +1530,101 @@ object Multimodal {
     }(enc)
   }
 
+  /** Per-frame perceptual fingerprints of MJPEG-in-AVI payloads: each
+    * `00dc` chunk is a standalone JPEG, so [[MediaCodec.aHash]] applies
+    * to the frame bytes directly — `(id, frame_idx, ahash)` rows, null
+    * hash for an undecodable frame. The input to
+    * [[nearDuplicateVideos]].
+    */
+  def videoFrameHashes(df: DataFrame, idCol: String,
+      binCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", df.schema(idCol).dataType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("ahash", LongType, nullable = true)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val p = Option(r.get(binIdx)).map(_.asInstanceOf[Array[Byte]])
+        val frames = p.map { bytes =>
+          // reuse the RIFF walk but keep the raw chunk bytes
+          val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+          def le32(i: Int): Long =
+            (bytes(i) & 0xffL) | ((bytes(i + 1) & 0xffL) << 8) |
+              ((bytes(i + 2) & 0xffL) << 16) | ((bytes(i + 3) & 0xffL) << 24)
+          def ascii(i: Int): String = new String(bytes, i, 4,
+            java.nio.charset.StandardCharsets.US_ASCII)
+          if (bytes.length >= 12 && ascii(0) == "RIFF" &&
+              ascii(8) == "AVI ") {
+            def walk(from: Long, until: Long, inMovi: Boolean): Unit = {
+              var off = from
+              while (off + 8 <= until) {
+                val id = ascii(off.toInt)
+                val size = le32(off.toInt + 4)
+                val body = off + 8
+                if (body + size > until) return
+                if (id == "LIST" && size >= 4)
+                  walk(body + 4, body + size,
+                    ascii(body.toInt) == "movi")
+                else if (inMovi && (id.endsWith("dc") || id.endsWith("db")))
+                  out += java.util.Arrays.copyOfRange(bytes, body.toInt,
+                    (body + size).toInt)
+                off = body + size + (size & 1L)
+              }
+            }
+            walk(12L, math.min(12L + le32(4) - 4L, bytes.length.toLong),
+              inMovi = false)
+          }
+          out.toSeq
+        }.getOrElse(Seq.empty)
+        frames.zipWithIndex.map { case (fb, i) =>
+          MediaCodec.aHash(fb) match {
+            case Some(h) => Row(r.get(idIdx), i, h)
+            case None => Row(r.get(idIdx), i, null)
+          }
+        }
+      }
+    }(enc)
+  }
+
+  /** Video NEAR-dup pairs: candidates meet through the banded Hamming
+    * join of their ANCHOR frame (frame 0 — the [[nearDuplicateImages]]
+    * multi-index recall guarantee applies to it), then verify over ALL
+    * frames: pairs survive only when both clips have the same frame
+    * count and every aligned frame pair sits within `maxHamming`.
+    * Returns `(id_a, id_b, n_frames, max_hamming)` — never an all-pairs
+    * clip comparison, and the per-frame verify joins only the bounded
+    * candidate set.
+    */
+  def nearDuplicateVideos(frameHashes: DataFrame, idCol: String,
+      frameCol: String, hashCol: String, maxHamming: Int): DataFrame = {
+    val h = frameHashes.filter(col(hashCol).isNotNull)
+      .select(col(idCol).as("_id"), col(frameCol).as("_f"),
+        col(hashCol).as("_h"))
+    val anchors = h.filter(col("_f") === 0)
+      .select(col("_id").as("id"), col("_h").as("ahash"))
+    val cand = nearDuplicateImages(anchors, "id", "ahash", maxHamming)
+      .select(col("id_a"), col("id_b"))
+    cand
+      .join(h.as("a"), col("id_a") === col("a._id"))
+      .join(h.as("b"),
+        col("id_b") === col("b._id") && col("a._f") === col("b._f"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).cast("int").as("_matched"),
+        max(bit_count(col("a._h").bitwiseXOR(col("b._h"))))
+          .cast("int").as("max_hamming"))
+      .join(h.groupBy(col("_id")).agg(count(lit(1)).cast("int").as("_na"))
+          .withColumnRenamed("_id", "id_a"), "id_a")
+      .join(h.groupBy(col("_id")).agg(count(lit(1)).cast("int").as("_nb"))
+          .withColumnRenamed("_id", "id_b"), "id_b")
+      .filter(col("_matched") === col("_na") && col("_na") === col("_nb") &&
+        col("max_hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("_na").as("n_frames"),
+        col("max_hamming"))
+  }
+
   /** REAL video frame decode: MJPEG-in-AVI payloads → one row per
     * decoded frame `(id, frame_idx, width, height, mean_luma)` through
     * [[MediaCodec.decodeVideoFrames]] (RIFF walk + the JDK JPEG codec —

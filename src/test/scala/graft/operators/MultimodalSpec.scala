@@ -105,6 +105,35 @@ class MultimodalSpec extends SparkSpec {
       (1L, 0, 0, 2, 3), (1L, 1, 5, 5, 1), (1L, 2, 7, 7, 1)))
   }
 
+  test("videoFrameHashes + nearDuplicateVideos: clip-level near-dup") {
+    // clips A, B: same 2-frame pattern, different pixel noise -> dup;
+    // clip C: same anchor frame as A but different second frame -> the
+    // anchor-band candidate must DIE in the all-frames verify;
+    // clip D: same frames as A but only ONE frame -> count mismatch
+    def frame(bright: Int => Boolean, noise: Int): Seq[Int] =
+      (0 until 256).map { px =>
+        val cell = (px / 32) * 8 + (px % 16) / 2
+        if (bright(cell)) 255 - ((cell + noise) % 8)
+        else (cell + noise) % 8
+      }
+    val p1 = (c: Int) => c % 3 == 0
+    val p2 = (c: Int) => c % 5 < 2
+    val p3 = (c: Int) => c % 7 < 3
+    val clips = Seq(
+      (1L, Seq(frame(p1, 0), frame(p2, 0)), 16),
+      (2L, Seq(frame(p1, 3), frame(p2, 5)), 16),
+      (3L, Seq(frame(p1, 1), frame(p3, 0)), 16),
+      (4L, Seq(frame(p1, 2)), 16)
+    ).toDF("id", "frames", "w")
+    val avi = Multimodal.encodeAviMjpeg(clips, "id", "frames", "w", fps = 5)
+    val hashes = Multimodal.videoFrameHashes(avi, "id", "payload")
+    assert(hashes.count() == 7) // 2+2+2+1 frames
+    val pairs = Multimodal.nearDuplicateVideos(hashes, "id", "frame_idx",
+        "ahash", 3)
+      .as[(Long, Long, Int, Int)].collect().toSeq
+    assert(pairs == Seq((1L, 2L, 2, 0)), s"got $pairs")
+  }
+
   test("resizeImages + imagePatches: vision preprocessing on real pixels") {
     // 4×4 image with known quadrant values -> 2×2 patches hit them exactly
     val quads = Seq((1L, Seq(
