@@ -25,6 +25,34 @@ import org.apache.spark.sql.types.LongType
   */
 object Batching {
 
+  /** Upper bound on the DISTINCT groups any single partition may feed
+    * into a two-phase numbering's driver-side count collect. The
+    * per-(partition, group) frame those collects pull to the driver is
+    * partitions × groups-sized — driver-tiny for the intended
+    * source/language/shard-cardinality groups, a silent driver OOM if a
+    * caller passes a high-cardinality `groupCol` (a document id). The
+    * guard bounds driver state to partitions × this value and fails
+    * LOUDLY in the counting task instead.
+    */
+  val MaxGroupsPerPartition: Int = 65536
+
+  /** Executor-side cardinality guard for the two-phase group-numbering
+    * collects ([[withGroupRowNumber]], `Corpus.groupPercentRank`).
+    * Cheap (one int compare per row); throws with guidance once a
+    * partition has seen more than [[MaxGroupsPerPartition]] distinct
+    * groups.
+    */
+  private[graft] def guardGroupCardinality(seen: Int, where: String,
+      groupCol: String): Unit =
+    if (seen > MaxGroupsPerPartition) throw new IllegalArgumentException(
+      s"$where: more than $MaxGroupsPerPartition distinct '$groupCol' " +
+        "groups in one partition — the two-phase numbering collects a " +
+        "partitions x groups count frame to the driver and is meant for " +
+        "FEW, LARGE groups (sources, languages, shards). For " +
+        "high-cardinality groups use a per-group window " +
+        "(row_number().over(Window.partitionBy(...))) instead: each group " +
+        "is small, so window partitioning does not straggle.")
+
   /** Append a 1-based global row number in `orderCol` order, without a
     * single-partition window. Ties in `orderCol` are numbered arbitrarily
     * (same contract as `row_number()` over a non-unique order).
@@ -60,10 +88,15 @@ object Batching {
       outCol: String = "_group_row_number"): DataFrame = {
     val spark = df.sparkSession
     val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // localCheckpoint, not cache(): both passes must read ONE materialized
+    // snapshot (the offsets of pass 1 must line up with the rows of pass 2),
+    // and checkpoint blocks are reclaimed when the frame goes unreachable —
+    // a plain cache() is registered for the session's life, so repeated
+    // calls (Corpus.interleaveBySource) would accumulate executor storage.
     val sorted = df
       .repartitionByRange(shufflePartitions, col(groupCol), orderCol)
       .sortWithinPartitions(col(groupCol), orderCol)
-      .cache()
+      .localCheckpoint()
     val gIdx = sorted.schema.fieldIndex(groupCol)
     // pass 1: per-(partition, group) counts — partitions × groups rows
     val counts: Array[(Int, Any, Long)] = sorted.rdd
@@ -71,6 +104,7 @@ object Batching {
         val m = scala.collection.mutable.LinkedHashMap[Any, Long]()
         it.foreach { r =>
           val g = r.get(gIdx); m.update(g, m.getOrElse(g, 0L) + 1L)
+          Batching.guardGroupCardinality(m.size, "withGroupRowNumber", groupCol)
         }
         m.iterator.map { case (g, c) => (pid, g, c) }
       }.collect()

@@ -931,6 +931,8 @@ object Corpus {
       val counts = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
       it.foreach { r =>
         val g = r.get(gIdx); counts.update(g, counts.getOrElse(g, 0L) + 1L)
+        Batching.guardGroupCardinality(counts.size, "groupPercentRank",
+          groupCol)
       }
       counts.toList.map { case (g, c) => (p, g, c) }.iterator
     }.collect()

@@ -165,7 +165,12 @@ object FlacCodec {
       sampleRate: Int, nCh: Int, bps: Int, n: Int): Unit = {
     out.write("fLaC".getBytes("US-ASCII"))
     val si = new BitWriter
-    si.write(n.toLong, 16); si.write(n.toLong, 16)
+    // STREAMINFO block sizes must sit in [16, 65535] (RFC 9639 §8.2);
+    // the frame header still carries the true n, so for n < 16 we clamp
+    // only the ADVERTISED min/max — decoders size buffers from these and
+    // read the actual count per frame, so a larger advertisement is safe.
+    val adv = math.max(n, 16)
+    si.write(adv.toLong, 16); si.write(adv.toLong, 16)
     si.write(0L, 24); si.write(0L, 24)
     si.write(sampleRate.toLong, 20)
     si.write((nCh - 1).toLong, 3)

@@ -753,20 +753,27 @@ object Multimodal {
       def le16(i: Int): Int = (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
       def ascii(i: Int): String =
         new String(p, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      // chunk sizes are UNSIGNED on the wire: a signed read of e.g.
+      // 0xFFFFFFF8 (-8) would stop `off` advancing and hang the executor
+      // in an infinite loop (mirrors decodeVideoFrames' hostile-size bail)
+      def le32u(i: Int): Long =
+        (p(i) & 0xffL) | ((p(i + 1) & 0xffL) << 8) |
+          ((p(i + 2) & 0xffL) << 16) | ((p(i + 3) & 0xffL) << 24)
       if (p.length < 12 || ascii(0) != "RIFF" || ascii(8) != "WAVE")
         return None
-      var off = 12
+      var off = 12L
       var fmtTag = -1; var rate = 0; var blockAlign = 0; var spb = 0
       var dataOff = -1; var dataLen = 0
       while (off + 8 <= p.length) {
-        val id = ascii(off); val size = le32(off + 4)
+        val id = ascii(off.toInt); val size = le32u(off.toInt + 4)
+        if (off + 8 + size > p.length) return None // truncated/hostile size
         if (id == "fmt " && size >= 16) {
-          fmtTag = le16(off + 8)
-          rate = le32(off + 12)
-          blockAlign = le16(off + 20)
-          if (size >= 20) spb = le16(off + 26)
-        } else if (id == "data") { dataOff = off + 8; dataLen = size }
-        off += 8 + size + (size & 1)
+          fmtTag = le16(off.toInt + 8)
+          rate = le32(off.toInt + 12)
+          blockAlign = le16(off.toInt + 20)
+          if (size >= 20) spb = le16(off.toInt + 26)
+        } else if (id == "data") { dataOff = off.toInt + 8; dataLen = size.toInt }
+        off += 8 + size + (size & 1L)
       }
       if (fmtTag != 0x11 || dataOff < 0 || blockAlign < 5 || spb < 1)
         return None
@@ -808,7 +815,9 @@ object Multimodal {
           if (body + size > until) return // hostile size: stop, keep frames
           if (id == "LIST" && size >= 4) {
             val sub = ascii(body.toInt)
-            walk(body + 4, body + size, inMovi = sub == "movi")
+            // a 'rec ' grouping LIST inside movi still holds frame chunks
+            walk(body + 4, body + size,
+              inMovi = sub == "movi" || (inMovi && sub == "rec "))
           } else if (inMovi && (id.endsWith("dc") || id.endsWith("db"))) {
             val buf = java.util.Arrays.copyOfRange(p, body.toInt,
               (body + size).toInt)
@@ -1565,10 +1574,12 @@ object Multimodal {
                 val size = le32(off.toInt + 4)
                 val body = off + 8
                 if (body + size > until) return
-                if (id == "LIST" && size >= 4)
+                if (id == "LIST" && size >= 4) {
+                  val sub = ascii(body.toInt)
+                  // 'rec ' grouping LISTs inside movi still hold frames
                   walk(body + 4, body + size,
-                    ascii(body.toInt) == "movi")
-                else if (inMovi && (id.endsWith("dc") || id.endsWith("db")))
+                    sub == "movi" || (inMovi && sub == "rec "))
+                } else if (inMovi && (id.endsWith("dc") || id.endsWith("db")))
                   out += java.util.Arrays.copyOfRange(bytes, body.toInt,
                     (body + size).toInt)
                 off = body + size + (size & 1L)

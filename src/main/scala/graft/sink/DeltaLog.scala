@@ -4,10 +4,22 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 
 /** The shared commit protocol of the incrementally-maintained indexes
-  * ([[IncrementalPostings]], [[VectorIndex]]): a log of numbered delta
-  * directories under a root, each appearing ATOMICALLY — written under a
-  * dot-prefixed temp name, renamed into place — so a concurrent reader
-  * never sees a half-written commit.
+  * ([[IncrementalPostings]], [[VectorIndex]], [[SignatureStore]],
+  * [[GeoIndex]], [[StatsStore]]): a log of numbered delta directories
+  * under a root, each written under a dot-prefixed temp name, renamed
+  * into place, then SEALED by a zero-byte [[CommitMarker]] sentinel
+  * written as the final operation.
+  *
+  * The marker — not the rename — is what readers gate on. Directory
+  * rename is atomic on local FS/HDFS, but on object stores (S3A, the
+  * engine's declared 100 TB substrate) "rename" is a non-atomic
+  * copy+delete: a reader listing the log mid-copy would see the commit
+  * directory with PARTIAL contents. A single-object PUT is atomic
+  * everywhere, and the sentinel is only written once every data object
+  * exists at its final path — so [[listSeqs]] admitting only
+  * marker-sealed commits makes a torn copy invisible, matching the
+  * reference's nothing-visible-until-the-barrier-completes contract
+  * (PaimonIngestor.java:341-368).
   *
   * Single-writer contract (one ingest pipeline per index, like the
   * reference): Hadoop's directory rename is not a compare-and-swap
@@ -18,13 +30,19 @@ import org.apache.spark.sql.SparkSession
   */
 private[sink] object DeltaLog {
 
+  /** Zero-byte sentinel sealing a commit directory; written LAST, after
+    * the rename, so its presence proves every data object is in place.
+    */
+  val CommitMarker = "_COMMITTED"
+
   def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Committed sequence numbers under `root`, ascending. Skips in-flight
-    * `.tmp-*` dirs and strays (non-numeric names).
+  /** Every numeric delta dir under `root`, sealed or not — the writer's
+    * view, used only to pick fresh sequence numbers so a crashed
+    * (marker-less) commit's number is never reused.
     */
-  def listSeqs(spark: SparkSession, root: String): Seq[Int] = {
+  private def numericSeqs(spark: SparkSession, root: String): Seq[Int] = {
     val p = new Path(root)
     val f = fs(spark, root)
     if (!f.exists(p)) Seq.empty
@@ -35,13 +53,30 @@ private[sink] object DeltaLog {
       .map(_.toInt).sorted
   }
 
-  def nextSeq(spark: SparkSession, root: String): Int =
-    (listSeqs(spark, root) :+ 0).max + 1
+  /** COMMITTED sequence numbers under `root`, ascending: numeric dirs
+    * sealed by [[CommitMarker]]. Skips in-flight `.tmp-*` dirs, strays
+    * (non-numeric names), and marker-less dirs — the latter are torn or
+    * crashed commits a reader must never consume (their writer either
+    * died before sealing, or an object-store copy is still in flight).
+    */
+  def listSeqs(spark: SparkSession, root: String): Seq[Int] = {
+    val f = fs(spark, root)
+    numericSeqs(spark, root)
+      .filter(s => f.exists(new Path(s"$root/$s/$CommitMarker")))
+  }
 
-  /** Run `write` against the temp path for `seq`, then rename it into
-    * place and verify the rename placed OUR commit there (`markerChild`
-    * must exist directly under the final path, and nothing `.tmp`-nested
-    * may — the signature of a swallowed concurrent rename). Returns `seq`.
+  /** Next fresh sequence: past ALL numeric dirs, sealed or not — reusing
+    * a crashed commit's number would rename INTO its leftover directory.
+    */
+  def nextSeq(spark: SparkSession, root: String): Int =
+    (numericSeqs(spark, root) :+ 0).max + 1
+
+  /** Run `write` against the temp path for `seq`, rename it into place,
+    * verify the rename placed OUR commit there (`markerChild` must exist
+    * directly under the final path, and nothing `.tmp`-nested may — the
+    * signature of a swallowed concurrent rename), then seal the commit
+    * with [[CommitMarker]] as the LAST write. Readers admit the commit
+    * only once the sentinel exists. Returns `seq`.
     */
   def commit(spark: SparkSession, root: String, seq: Int,
       markerChild: String)(write: String => Unit): Int = {
@@ -55,6 +90,7 @@ private[sink] object DeltaLog {
       !f.listStatus(dest).exists(_.getPath.getName.startsWith(".tmp"))
     require(ok, s"delta $seq commit was clobbered by a concurrent writer " +
       "(this index is single-writer; serialize commits upstream)")
+    f.create(new Path(dest, CommitMarker), true).close()
     seq
   }
 

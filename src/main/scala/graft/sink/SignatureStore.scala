@@ -276,7 +276,7 @@ object SignatureStore {
     // file count is a serving cost — every probe re-lists every commit.
     // repartition(1), not coalesce: coalesce would collapse the signing
     // computation itself into one task
-    val rows = signed(batch, m).coalesce(1)
+    val rows = signed(batch, m).repartition(1)
       .sortWithinPartitions("band", "bucket")
     val docs = batch.select(col(m.idCol).as("_id")).distinct().coalesce(1)
     DeltaLog.commit(spark, s"$dir/commits",

@@ -35,6 +35,28 @@ class BatchingSpec extends SparkSpec {
       assert(mn == 1L && mx == n && d == n, s"group $g: $mn..$mx/$n")
   }
 
+  test("two-phase numbering rejects high-cardinality group columns loudly") {
+    // the per-(partition, group) collect is partitions x groups-sized;
+    // a unique-per-row groupCol must fail with guidance, not OOM the
+    // driver silently at scale
+    val wide = spark.range(Batching.MaxGroupsPerPartition + 2L)
+      .select(col("id").cast("string").as("g"), col("id").as("v"))
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try {
+      val e1 = intercept[Exception] {
+        Batching.withGroupRowNumber(wide, "g", col("v"), "rk").count()
+      }
+      assert(e1.toString.contains("distinct") ||
+        Option(e1.getCause).exists(_.toString.contains("distinct")), e1)
+      val e2 = intercept[Exception] {
+        Corpus.groupPercentRank(wide, "g", col("v"), "pr").count()
+      }
+      assert(e2.toString.contains("distinct") ||
+        Option(e2.getCause).exists(_.toString.contains("distinct")), e2)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("interleaveBySource round-robins sources by rank") {
     val docs = (1L to 30L).map(i => (i, s"src${i % 3}"))
       .toDF("doc_id", "source")

@@ -37,6 +37,22 @@ class FlacCodecSpec extends SparkSpec {
     assert(meta == (("flac", 22050, 2, 300L, 300.0 / 22050)), meta)
   }
 
+  test("STREAMINFO block sizes are clamped to the spec floor of 16") {
+    // RFC 9639 §8.2: STREAMINFO min/max block size live in [16, 65535].
+    // Short blocks still encode — only the ADVERTISED sizes clamp; the
+    // frame header carries the true n and the decoder reads that.
+    val bytes = FlacCodec.encode(8000, Array(ramp(2, 5)))
+    def be16(i: Int): Int = ((bytes(i) & 0xff) << 8) | (bytes(i + 1) & 0xff)
+    assert(be16(8) == 16 && be16(10) == 16,
+      s"advertised min/max ${be16(8)}/${be16(10)}")
+    val d = FlacCodec.decode(bytes).get
+    assert(d.totalSamples == 5L && d.samples.length == 5)
+    // at n >= 16 the true size is advertised unchanged
+    val full = FlacCodec.encode(8000, Array(ramp(2, 192)))
+    def be16f(i: Int): Int = ((full(i) & 0xff) << 8) | (full(i + 1) & 0xff)
+    assert(be16f(8) == 192 && be16f(10) == 192)
+  }
+
   test("CRC-8 and CRC-16 match table-driven reference implementations") {
     // independent table-driven twins of the codec's bitwise loops (the
     // standard generated-table form), over every frame byte span the

@@ -595,6 +595,49 @@ class MultimodalSpec extends SparkSpec {
     assert(decodeWavIma("RIFFxxxxWAVE".getBytes).isEmpty)
   }
 
+  test("decodeWavIma: hostile negative chunk size returns None, no hang") {
+    import Multimodal.MediaCodec.decodeWavIma
+    def le32(v: Int): Array[Byte] = Array((v & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 24) & 0xff).toByte)
+    // a signed read of 0xFFFFFFF8 is -8, which stops the chunk walk's
+    // offset advancing — this payload used to hang the executor forever
+    val hostile = "RIFF".getBytes ++ le32(100) ++ "WAVE".getBytes ++
+      "JUNK".getBytes ++ le32(0xFFFFFFF8) ++ Array.fill(16)(0.toByte)
+    assert(decodeWavIma(hostile).isEmpty)
+    // a chunk whose size overruns the payload is rejected too
+    val truncated = "RIFF".getBytes ++ le32(100) ++ "WAVE".getBytes ++
+      "data".getBytes ++ le32(1 << 20) ++ Array.fill(8)(0.toByte)
+    assert(decodeWavIma(truncated).isEmpty)
+  }
+
+  test("video walks decode frames inside a 'rec ' grouping LIST") {
+    import Multimodal.MediaCodec.decodeVideoFrames
+    def le32(v: Int): Array[Byte] = Array((v & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 24) & 0xff).toByte)
+    val img = new java.awt.image.BufferedImage(16, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 16; y <- 0 until 8) img.setRGB(x, y, 0x787878)
+    val jb = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", jb)
+    val jpeg = jb.toByteArray
+    val pad = if (jpeg.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+    val dc = "00dc".getBytes ++ le32(jpeg.length) ++ jpeg ++ pad
+    // interleaved AVIs group frame chunks in LIST('rec ') inside movi
+    val rec = "LIST".getBytes ++ le32(4 + dc.length) ++ "rec ".getBytes ++ dc
+    val movi =
+      "LIST".getBytes ++ le32(4 + rec.length) ++ "movi".getBytes ++ rec
+    val body = "AVI ".getBytes ++ movi
+    val avi = "RIFF".getBytes ++ le32(body.length) ++ body
+    val Some(frames) = decodeVideoFrames(avi)
+    assert(frames.length == 1 && frames.head._1 == 16 && frames.head._2 == 8)
+    // the hash-walk twin sees the rec-wrapped frame too
+    val hashed = Multimodal.videoFrameHashes(
+      Seq((1L, avi)).toDF("id", "payload"), "id", "payload")
+    assert(hashed.filter(col("ahash").isNotNull).count() == 1)
+  }
+
   test("audioActivity: frame RMS VAD over the lossless path") {
     // 150 samples, frames of 64 -> 2 frames + dropped 22-sample tail;
     // frame 0 loud (constant 500), frame 1 near-silent (constant 3)

@@ -1,0 +1,133 @@
+package graft.sink
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The object-store-safety contract of the shared commit protocol: a
+  * numeric delta directory WITHOUT the [[DeltaLog.CommitMarker]] sentinel
+  * is exactly what a reader sees mid-copy on S3A (where "rename" is a
+  * non-atomic copy+delete) or after a writer crash between the rename and
+  * the seal — every store's read path must skip it, and no writer may
+  * reuse its sequence number.
+  */
+class DeltaLogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString
+
+  /** Plant an UNSEALED numeric commit dir (torn copy / crashed writer):
+    * a directory with plausible content but no marker.
+    */
+  private def plantTorn(root: String, seq: Int): Unit = {
+    val f = DeltaLog.fs(spark, root)
+    f.mkdirs(new Path(s"$root/$seq/docs"))
+    val out = f.create(new Path(s"$root/$seq/docs/part-00000.parquet"), true)
+    out.write(Array[Byte](0x50, 0x41, 0x52, 0x31)) // truncated parquet
+    out.close()
+  }
+
+  private def docs = Seq(
+    (1L, "alpha beta gamma delta shared tokens one"),
+    (2L, "alpha beta gamma delta shared tokens two"),
+    (3L, "unrelated text about physical query plans"))
+    .toDF("doc_id", "text")
+
+  test("commit seals with the marker LAST; listSeqs admits only sealed dirs") {
+    val root = tmpDir("dlog") + "/commits"
+    val f = DeltaLog.fs(spark, root)
+    val seq = DeltaLog.commit(spark, root, DeltaLog.nextSeq(spark, root),
+      "payload") { tmp =>
+        f.mkdirs(new Path(s"$tmp/payload"))
+        f.create(new Path(s"$tmp/payload/data"), true).close()
+      }
+    assert(seq == 1)
+    assert(f.exists(new Path(s"$root/1/${DeltaLog.CommitMarker}")))
+    assert(DeltaLog.listSeqs(spark, root) == Seq(1))
+    // a torn dir is invisible to readers but blocks its seq for writers
+    plantTorn(root, 7)
+    assert(DeltaLog.listSeqs(spark, root) == Seq(1))
+    assert(DeltaLog.nextSeq(spark, root) == 8)
+  }
+
+  test("IncrementalPostings readers skip a torn (marker-less) delta") {
+    val dir = tmpDir("dlog-post")
+    IncrementalPostings.init(docs, "doc_id", "text", dir)
+    IncrementalPostings.commitUpserts(
+      Seq((4L, "late arriving doc alpha")).toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    val before = IncrementalPostings.currentPostings(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    plantTorn(s"$dir/deltas", 777)
+    val after = IncrementalPostings.currentPostings(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(after == before)
+    // the torn number is burned, never reused
+    val next = IncrementalPostings.commitUpserts(
+      Seq((5L, "another doc beta")).toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    assert(next == 778)
+  }
+
+  test("SignatureStore probes skip a torn commit") {
+    val dir = tmpDir("dlog-sig")
+    SignatureStore.write(docs.filter(col("doc_id") <= 2),
+      "doc_id", "text", dir, nPb = 8)
+    val batch = docs.filter(col("doc_id") === 3)
+    val before = SignatureStore.probe(batch, dir)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    plantTorn(s"$dir/commits", 777)
+    val after = SignatureStore.probe(batch, dir)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(after == before)
+    assert(SignatureStore.append(batch, dir) == 778)
+  }
+
+  test("VectorIndex searches skip a torn commit") {
+    val dir = tmpDir("dlog-vec")
+    val e = Seq.tabulate(40)(i =>
+        (i.toLong, Array.tabulate(4)(d => (i * (d + 1) % 7).toFloat)))
+      .toDF("vec_id", "embedding")
+    VectorIndex.write(e, "vec_id", "embedding", dir, k = 2, iters = 2)
+    val q = Array(1f, 2f, 3f, 4f)
+    val before = VectorIndex.search(spark, dir, "vec_id", "embedding",
+      q, topK = 5, nProbe = 2).as[(Long, Double)].collect().toSeq
+    plantTorn(s"$dir/commits", 777)
+    val after = VectorIndex.search(spark, dir, "vec_id", "embedding",
+      q, topK = 5, nProbe = 2).as[(Long, Double)].collect().toSeq
+    assert(after == before)
+    VectorIndex.append(e.limit(1).withColumn("vec_id", lit(999L)),
+      "vec_id", "embedding", dir)
+    assert(DeltaLog.listSeqs(spark, s"$dir/commits").contains(778))
+  }
+
+  test("GeoIndex searches skip a torn commit") {
+    val dir = tmpDir("dlog-geo")
+    GeoIndex.write(Seq((1L, 40.0, -74.0), (2L, 40.1, -74.1),
+        (3L, -33.9, 151.2)).toDF("pid", "lat", "lon"),
+      "pid", "lat", "lon", dir)
+    val before = GeoIndex.knnSearch(spark, dir, 40.05, -74.05, 2)
+      .collect().map(_.toString).sorted.toSeq
+    plantTorn(s"$dir/commits", 777)
+    val after = GeoIndex.knnSearch(spark, dir, 40.05, -74.05, 2)
+      .collect().map(_.toString).sorted.toSeq
+    assert(after == before)
+    assert(GeoIndex.upsert(Seq((9L, 10.0, 10.0)).toDF("pid", "lat", "lon"),
+      "pid", "lat", "lon", dir) == 778)
+  }
+
+  test("StatsStore profiles skip a torn commit") {
+    val dir = tmpDir("dlog-stats")
+    StatsStore.init(Seq("x", "y").toDF("v"), Seq("v"), dir)
+    StatsStore.append(Seq("z").toDF("v"), dir)
+    val before = StatsStore.profile(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    plantTorn(s"$dir/commits", 777)
+    val after = StatsStore.profile(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(after == before)
+    assert(StatsStore.append(Seq("w").toDF("v"), dir) == 778)
+  }
+}
