@@ -5265,6 +5265,32 @@ object SparkEntry {
           col("n"), col("total_value"))
         .orderBy("hour_us", "event_type")),
 
+    // Event-time WATERMARK semantics (out-of-order + late data): events
+    // arrive in day-of-month micro-batches, except the ~1/37 stragglers
+    // (event_id % 37 == 0) that arrive two batches late. The analytic
+    // replay (StreamingOps.watermarkReplay) reproduces Spark's global
+    // watermark mechanics exactly — ms-truncated max event time over
+    // PRIOR batches minus the delay, late iff window end ≤ watermark —
+    // and its fidelity to a real MemoryStream append-mode run, boundary
+    // included, is pinned in StreamingOpsSpec. The gate value-asserts
+    // exactly WHICH rows are dropped per window vs the oracle's
+    // replay of the same arrival schedule: stragglers from closed
+    // windows drop, stragglers still inside the watermark horizon
+    // (the tail of the last days) survive.
+    "ws_late" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .withColumn("_arr", dayofmonth(col("ts")).cast("long") +
+          when(pmod(col("event_id"), lit(37)) === 0, 2L).otherwise(0L))
+      streaming.StreamingOps.watermarkReplay(
+          e, "ts", "_arr", "1 hour", 30 * 60 * 1000L)
+        .groupBy(col("_w.start").as("_ws"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("late"), 1).otherwise(0)).as("n_late"))
+        .select(unix_micros(col("_ws")).as("hour_us"),
+          col("n_total"), col("n_late"))
+        .orderBy("hour_us")
+    }),
+
     // Windowed approximate quantiles (mergeable percentile sketch —
     // state bounded by accuracy, not rows): per-hour p50/p90 of the
     // value stream. The sketch's contract is RANK error, and it returns
@@ -10489,6 +10515,28 @@ object SparkEntry {
            CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
          FROM events
          GROUP BY 1, 2 ORDER BY hour_us, event_type""",
+    // the oracle replays the SAME arrival schedule: watermark before
+    // batch b = ms-truncated max event time over batches < b minus 30
+    // minutes; a row is late iff its hour-window END <= that watermark
+    "ws_late" ->
+      """WITH arr AS (SELECT epoch_us(ts) AS tsu,
+             CAST(datepart('day', ts) AS BIGINT)
+               + CASE WHEN event_id % 37 = 0 THEN 2 ELSE 0 END AS b
+           FROM events),
+         bm AS (SELECT b, max(tsu) AS mx FROM arr GROUP BY b),
+         wm AS (SELECT b,
+             (max(mx) OVER (ORDER BY b
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              // 1000 - 1800000) * 1000 AS wmu
+           FROM bm),
+         r AS (SELECT a.tsu // 3600000000 * 3600000000 AS hour_us,
+             a.tsu // 3600000000 * 3600000000 + 3600000000 AS wend,
+             w.wmu
+           FROM arr a JOIN wm w ON a.b = w.b)
+         SELECT hour_us, count(*) AS n_total,
+           CAST(sum(CASE WHEN wmu IS NOT NULL AND wend <= wmu
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+         FROM r GROUP BY 1 ORDER BY hour_us""",
     // k ≥ domain ⇒ Misra–Gries is exact ≡ per-hour GROUP BY counts
     "ws_heavy_hitters" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,

@@ -119,6 +119,50 @@ object StreamingOps {
         col("session_window.end").as("session_end"),
         col("n_events"))
 
+  /** Batch REPLAY of append-mode event-time watermark semantics: given
+    * an arrival-batch column (which micro-batch each row arrives in),
+    * label every row with its tumbling window and whether a streaming
+    * `withWatermark(tsCol, delay) → groupBy(window(...))` aggregation
+    * would DROP it as too late.
+    *
+    * Spark's global watermark mechanics, reproduced exactly:
+    *   - max event time is tracked in MILLISECONDS (EventTimeStatsAccum
+    *     truncates µs → ms), and the watermark is that max minus the
+    *     delay, updated at micro-batch BOUNDARIES — so the watermark in
+    *     force while batch `b` runs is derived from batches `< b` only;
+    *   - a row is late iff its window END ≤ the in-force watermark (the
+    *     state for that window has been evicted and its result emitted —
+    *     `WatermarkSupport`'s `≤` eviction predicate).
+    * The first batch runs with no watermark (nothing is late).
+    *
+    * Scale shape: one groupBy over the batch column (a handful of rows),
+    * a window over that TINY frame, and a broadcast join back — the big
+    * side is never shuffled. The fidelity of the replay to a real
+    * MemoryStream run, including the ≤ boundary, is pinned in
+    * StreamingOpsSpec.
+    */
+  def watermarkReplay(df: DataFrame, tsCol: String, batchCol: String,
+      windowLen: String, delayMs: Long): DataFrame = {
+    require(delayMs >= 0, s"watermark delay must be >= 0 ms, got $delayMs")
+    val perBatch = df.groupBy(col(batchCol).cast("long").as("_b"))
+      .agg(max(unix_micros(col(tsCol))).as("_mx"))
+    // running max over STRICTLY PRIOR batches; the frame is
+    // batch-count-sized, so the single-partition window is driver-tiny
+    val prior = org.apache.spark.sql.expressions.Window.orderBy("_b")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    val wm = perBatch
+      .withColumn("_wm_us",
+        (floor(max(col("_mx")).over(prior) / 1000) - delayMs) * 1000)
+      .select(col("_b"), col("_wm_us"))
+    df.withColumn("_b", col(batchCol).cast("long"))
+      .join(broadcast(wm), "_b")
+      .withColumn("_w", window(col(tsCol), windowLen))
+      .withColumn("late", col("_wm_us").isNotNull &&
+        unix_micros(col("_w.end")) <= col("_wm_us"))
+      .drop("_b", "_wm_us")
+  }
+
   /** Windowed APPROXIMATE distinct keys (HLL++): per-window unique-key
     * counts on an unbounded stream. Exact distinct needs the per-window
     * key SET in state — unbounded on a high-cardinality stream; the

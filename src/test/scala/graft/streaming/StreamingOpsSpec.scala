@@ -359,4 +359,59 @@ class StreamingOpsSpec extends SparkSpec {
         Seq("scan,window scan", "scan,window scan,merge window", "", "scan"))
     } finally q.stop()
   }
+
+  test("watermarkReplay matches a real append-mode run: exact drop set") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // shuffled event times across four micro-batches; 10-min windows,
+    // 5-min watermark. After batch 0 (max 10:25) the watermark is 10:20:
+    //   id 4 (10:12, window end 10:20) ties the eviction boundary — late
+    //   id 6 (10:05, window end 10:10) — late
+    // After batch 1 (max 10:35) the watermark is 10:30:
+    //   id 8 (10:14, window end 10:20) — late
+    // Batch 3 is the far-future sentinel closing every real window.
+    val batches: Seq[Seq[(Long, java.sql.Timestamp)]] = Seq(
+      Seq((1L, t("2024-01-01 10:02:00")), (2L, t("2024-01-01 10:12:00")),
+        (3L, t("2024-01-01 10:25:00"))),
+      Seq((4L, t("2024-01-01 10:12:00")), (5L, t("2024-01-01 10:22:00")),
+        (6L, t("2024-01-01 10:05:00")), (7L, t("2024-01-01 10:35:00"))),
+      Seq((8L, t("2024-01-01 10:14:00")), (9L, t("2024-01-01 10:31:00"))),
+      Seq((99L, t("2024-01-01 12:00:07"))))
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val df = input.toDF().toDF("id", "ts")
+    val q = df.withWatermark("ts", "5 minutes")
+      .groupBy(window(col("ts"), "10 minutes").as("_w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("_w.start").as("ws"), col("n"))
+      .writeStream.format("memory").queryName("wslate")
+      .outputMode("append").start()
+    try {
+      batches.foreach { b =>
+        input.addData(b: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("wslate")
+        .as[(java.sql.Timestamp, Long)].collect().toMap
+      // the analytic replay over the SAME arrival batches
+      val labeled = batches.zipWithIndex.flatMap { case (rows, b) =>
+        rows.map { case (id, ts) => (id, ts, b) }
+      }.toDF("id", "ts", "b")
+      val replay = StreamingOps.watermarkReplay(
+        labeled, "ts", "b", "10 minutes", 5 * 60 * 1000L)
+      assert(replay.filter(col("late")).select("id").as[Long]
+        .collect().toSet == Set(4L, 6L, 8L))
+      // append mode emits exactly the windows the FINAL watermark closed
+      val maxUs = labeled.agg(max(unix_micros(col("ts")))).head().getLong(0)
+      val finalWmUs = (maxUs / 1000 - 5 * 60 * 1000) * 1000
+      val kept = replay.filter(!col("late"))
+        .filter(unix_micros(col("_w.end")) <= finalWmUs)
+        .groupBy(col("_w.start").as("ws")).agg(count(lit(1)).as("n"))
+        .as[(java.sql.Timestamp, Long)].collect().toMap
+      assert(streamed == kept, s"stream $streamed\nreplay $kept")
+      // the boundary row and the stragglers are really gone from output
+      assert(streamed(t("2024-01-01 10:10:00")) == 1L)
+      assert(streamed(t("2024-01-01 10:00:00")) == 1L)
+      assert(streamed(t("2024-01-01 10:30:00")) == 2L)
+    } finally q.stop()
+  }
 }
