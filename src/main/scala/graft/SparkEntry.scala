@@ -23,7 +23,7 @@ object SparkEntry {
 
   // ---- shared helpers -----------------------------------------------------
 
-  private def dec(c: Column): Column = c.cast("decimal(12,2)")
+  private[graft] def dec(c: Column): Column = c.cast("decimal(12,2)")
 
   /** Gate-scoped temp dirs. Index/store-backed queries build their stores
     * in fresh temp dirs inside the query body; each dir is registered here
@@ -55,7 +55,7 @@ object SparkEntry {
   private val sharedFrames =
     new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
 
-  private def sharedFrame(s: SparkSession, sfDir: String, key: String)(
+  private[graft] def sharedFrame(s: SparkSession, sfDir: String, key: String)(
       build: => DataFrame): DataFrame = {
     val dir = sharedFrames.computeIfAbsent((sfDir, key), _ => {
       val dd = java.nio.file.Files.createTempDirectory(s"graft-shared-$key")
@@ -69,7 +69,7 @@ object SparkEntry {
   /** The corpus-wide exact n-gram Jaccard near-dup pairs — the family's
     * shared verifier ([[operators.Dedup.ngramJaccard]], n=3, τ=0.5).
     */
-  private def sharedExactPairs(s: SparkSession, d: String): DataFrame =
+  private[graft] def sharedExactPairs(s: SparkSession, d: String): DataFrame =
     sharedFrame(s, d, "ngram-exact") {
       operators.Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", "text",
         n = 3, threshold = 0.5)
@@ -79,7 +79,7 @@ object SparkEntry {
     * the pruned-pairs gate and the semantic-clustering gate
     * ([[operators.Dedup.embeddingCosinePairsPruned]], k=8, iters=3).
     */
-  private def sharedPrunedCosinePairs(s: SparkSession, d: String): DataFrame =
+  private[graft] def sharedPrunedCosinePairs(s: SparkSession, d: String): DataFrame =
     sharedFrame(s, d, "embed-pruned") {
       operators.Dedup.embeddingCosinePairsPruned(Tables.embeddings(s, d),
         "vec_id", "embedding", threshold = 0.4, k = 8, iters = 3)
@@ -114,10486 +114,17 @@ object SparkEntry {
 
   // ---- query registry -----------------------------------------------------
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-
-    // §2 S1/S3 — full source scan, every column (ts as epoch micros).
-    "s1_scan_events" -> ((s, d) =>
-      Tables.events(s, d).select(
-        col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"),
-        col("event_type"), col("value"), col("props"))
-        .orderBy("event_id")),
-
-    // §2 S2 — incremental snapshot scan: only records past the checkpoint.
-    // The cutoff is predicated on BOTH time columns — the two legs are
-    // equivalent by construction (Tables derives one from the other), and
-    // each parquet layout pushes its native one into the scan: the
-    // TIMESTAMP(MICROS) layout unwraps the cast on `ts`, the
-    // nanos-as-long layout pushes the raw `ts_ns` comparison. The
-    // redundant leg prunes nothing extra but costs one codegen compare.
-    "s2_incremental_scan" -> ((s, d) =>
-      Tables.events(s, d)
-        .filter(col("ts") >= lit("2024-01-15T00:00:00Z").cast("timestamp") &&
-          col("ts_ns") >= lit(1705276800000000000L))
-        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
-          col("event_type"))
-        .orderBy("event_id")),
-
-    // §2 F3 — modulo sharding: partition filter from a service name.
-    "f3_shard_modulo" -> ((s, d) => {
-      val shard = ModuloSharding.forService("user_id", 8, "nrtsearch-idx-3")
-      ShardingStrategyFactory(Tables.events(s, d), shard)
-        .select("event_id", "user_id").orderBy("event_id")
-    }),
-
-    // §2 P1 — nested-struct flattening to parent_child columns.
-    "p1_flatten" -> ((s, d) => {
-      val nested = Tables.documents(s, d).select(
-        col("doc_id"),
-        struct(col("source").as("author"), col("n_chars").as("len"))
-          .as("metadata"),
-        col("lang"))
-      Flattener.flatten(nested).orderBy("doc_id")
-    }),
-
-    // §2 P2 — typed row → string-document conversion (§1.2 rules).
-    "p2_stringify" -> ((s, d) =>
-      Tables.lineitem(s, d).select(
-        col("l_orderkey"), col("l_linenumber"),
-        Stringifier.stringify(col("l_orderkey"), LongType).as("orderkey_str"),
-        Stringifier.stringify(col("l_linenumber"), IntegerType).as("linenumber_str"),
-        Stringifier.stringify(dec(col("l_quantity")), DecimalType(12, 2)).as("quantity_str"),
-        Stringifier.stringify(to_date(col("l_shipdate")), DateType).as("shipdate_days"),
-        Stringifier.stringify(col("l_shipdate"), TimestampNTZType).as("shipdate_ms"),
-        Stringifier.stringify(col("l_returnflag"), StringType).as("returnflag_str"))
-        .orderBy("l_orderkey", "l_linenumber")),
-
-    // §2 P3 — column rename via field mapping.
-    "p3_rename" -> ((s, d) =>
-      Tables.documents(s, d)
-        .withColumnRenamed("source", "origin")
-        .withColumnRenamed("n_chars", "char_count")
-        .orderBy("doc_id")),
-
-    // §2 P4 — drop columns by prefix.
-    "p4_drop_prefix" -> ((s, d) => {
-      val df = Tables.documents(s, d)
-      val dropped = df.columns.filter(c => Seq("n_").exists(c.startsWith))
-      df.drop(dropped: _*).orderBy("doc_id")
-    }),
-
-    // §2 P7 — poison-pill filter: conversion failures skipped, not fatal.
-    // get_json_object + cast, NOT from_json(k INT): the oracle's
-    // json_extract_string→CAST coerces a string-typed "5" to 5, and
-    // from_json's PERMISSIVE null would silently drop such rows.
-    "p7_poison_filter" -> ((s, d) =>
-      Tables.events(s, d)
-        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
-        .filter(col("k").isNotNull && col("k") % 3 =!= 0)
-        .select("event_id", "k").orderBy("event_id")),
-
-    // §2 C1 — RowKind state machine: -U dropped, +I/+U upsert, -D delete.
-    "c1_cdc_classify" -> ((s, d) =>
-      Changelog.classify(eventsChangelog(s, d), "op")
-        .select(col("event_id"), col("_action")).orderBy("event_id")),
-
-    // §2 C2/C6 — per-key compaction in explicit (snapshot, sequence) order.
-    "c2_cdc_compact" -> ((s, d) =>
-      Changelog.compact(
-        Changelog.classify(eventsChangelog(s, d), "op"),
-        "user_id", Seq(col("ts_us"), col("event_id")))
-        .select(col("user_id"), col("event_id").as("last_event_id"),
-          col("_action").as("final_action"))
-        .orderBy("user_id")),
-
-    // SCD type-2 history: every non-view change becomes a version row
-    // with a half-open validity interval — merge keeps the latest
-    // state, this keeps the whole lineage queryable ("the dimension as
-    // of time T"). One per-key window (partitioned, no global funnel).
-    "c8_scd2" -> ((s, d) =>
-      Changelog.scd2(
-          Tables.events(s, d).filter(col("event_type") =!= "view")
-            .withColumn("ts_us", unix_micros(col("ts"))),
-          "user_id", Seq(col("ts_us"), col("event_id")))
-        .select(col("user_id"), col("version"), col("event_id"),
-          col("ts_us").as("valid_from_us"),
-          col("valid_to").as("valid_to_us"), col("is_current"))
-        .orderBy("user_id", "version")),
-
-    // §2 C4 — delete-by-key-set (TermInSetQuery) as a left-anti join.
-    "c4_delete_keyset" -> ((s, d) => {
-      val deleted = Tables.orders(s, d)
-        .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
-      Changelog.deleteByKeySet(Tables.lineitem(s, d), "l_orderkey", deleted)
-        .groupBy("l_returnflag")
-        .agg(count(lit(1)).as("n_rows"),
-          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
-        .orderBy("l_returnflag")
-    }),
-
-    // §2 C7 — full changelog merge into a keyed snapshot (upsert+delete).
-    "c7_cdc_merge" -> ((s, d) => {
-      val cl = eventsChangelog(s, d)
-      // 2024-01-15T00:00Z, predicated on both time columns so either
-      // parquet layout pushes its native leg (the s2 convention)
-      val cutoffNs = 1705276800000000000L
-      val cutoffTs = lit("2024-01-15T00:00:00Z").cast("timestamp")
-      val baseCompact = Changelog.compact(
-        Changelog.classify(
-          cl.filter(col("ts") < cutoffTs && col("ts_ns") < cutoffNs), "op"),
-        "user_id", Seq(col("ts_us"), col("event_id")))
-      val base = baseCompact.filter(col("_action") === "upsert")
-        .select("user_id", "event_id", "value")
-      val changes = Changelog.compact(
-        Changelog.classify(
-          cl.filter(col("ts") >= cutoffTs && col("ts_ns") >= cutoffNs), "op"),
-        "user_id", Seq(col("ts_us"), col("event_id")))
-        .select(col("user_id"), col("event_id"), col("value"), col("_action"))
-      Changelog.merge(base, changes, "user_id")
-        .withColumnRenamed("event_id", "last_event_id")
-        .orderBy("user_id")
-    }),
-
-    // §2 B1/C3 — size-bounded micro-batching: 1000-record batches in
-    // arrival (event_id) order, one summary row per batch. Two-phase
-    // global numbering (operators.Batching) — no SinglePartition window.
-    "b1_batching" -> ((s, d) =>
-      operators.Batching.sizeBatchSummary(Tables.events(s, d), "event_id", 1000)
-        .orderBy("batch_id")),
-
-    // §2.6 — BooleanQuery MUST clauses: every term must appear.
-    "q_match_all_terms" -> ((s, d) =>
-      DocQueries.matchAllTerms(Tables.documents(s, d), "text",
-        "merge window scan")
-        .select("doc_id").orderBy("doc_id")),
-
-    // Deterministic training order: global row number in (md5-hash, id)
-    // order via the two-phase numbering — the reproducible corpus
-    // shuffle that naturally interleaves sources; no single-partition
-    // window (same machinery as b1_batching).
-    "x_train_order" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"),
-          operators.Corpus.sampleHash(col("doc_id")).as("_h"))
-      operators.Batching.withGlobalRowNumber(docs,
-          struct(col("_h"), col("doc_id")), "train_order")
-        .select(col("train_order"), col("doc_id"), col("source"))
-        .orderBy("train_order")
-    }),
-
-    // Source-interleaved training order: reproducible per-source
-    // shuffle + round-robin across sources — balanced source mix in
-    // every training window. Per-source ranks via the two-phase
-    // grouped numbering (no per-source window task), global position
-    // via the two-phase global numbering.
-    "x_interleave" -> ((s, d) =>
-      operators.Corpus.interleaveBySource(
-        Tables.documents(s, d).select("doc_id", "source"),
-        "doc_id", "source")
-        .orderBy("position")),
-
-    // §2.6 — TermQuery point lookup.
-    "q_term" -> ((s, d) =>
-      DocQueries.term(Tables.documents(s, d), "lang", "en")
-        .select("doc_id", "lang", "source").orderBy("doc_id")),
-
-    // §2.6 — TermInSetQuery set membership.
-    "q_term_in_set" -> ((s, d) =>
-      DocQueries.termInSet(Tables.documents(s, d), "lang", Seq("de", "fr"))
-        .select("doc_id", "lang").orderBy("doc_id")),
-
-    // §2.6 — full-text MatchQuery (OR of query tokens).
-    "q_match_text" -> ((s, d) =>
-      DocQueries.matchText(Tables.documents(s, d), "text", "merge window")
-        .select("doc_id").orderBy("doc_id")),
-
-    // §2.6 — ranked MatchQuery: tf scoring over query tokens, top-k.
-    "q_match_ranked" -> ((s, d) =>
-      DocQueries.matchTextRanked(
-        Tables.documents(s, d).select("doc_id", "text"), "text",
-        "merge window scan", 20)
-        .select("doc_id", "score")),
-
-    // §2.6 upgrade — BM25-ranked MatchQuery (Lucene's default scoring):
-    // idf + length-normalized tf from one broadcast corpus-stats row,
-    // fixed-order term accumulation (engine-reproducible), top-k via
-    // TakeOrderedAndProject.
-    "q_match_bm25" -> ((s, d) =>
-      DocQueries.matchTextBM25(
-        Tables.documents(s, d).select("doc_id", "text"), "doc_id", "text",
-        "merge window scan", 20)),
-
-    // ES rescore: phase 1 ranks the corpus by BM25 and keeps a
-    // window_size=50 candidate window (deterministic cut — rounded
-    // score, id tie-break); phase 2 re-scores ONLY the window with a
-    // match_phrase boost (0.5 × occurrences of the exact bigram) and
-    // returns the re-ranked top 20. The standard cheap-query/expensive-
-    // rerank serving split; the phrase leg runs on 50 rows, never the
-    // corpus.
-    "q_rescore" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select("doc_id", "text")
-      val window = DocQueries.matchTextBM25(docs, "doc_id", "text",
-        "merge window scan", 50)
-      val phraseTf = size(filter(
-        graft.functions.TextExpressions.wordShingles(lower(col("text")), 2),
-        x => x === lit("window scan"))).cast("double")
-      window.join(docs, "doc_id")
-        .withColumn("rescored", round(col("bm25") + lit(0.5) * phraseTf, 6))
-        .select(col("doc_id"), col("bm25"), col("rescored"))
-        .orderBy(col("rescored").desc, col("doc_id")).limit(20)
-    }),
-
-    // DisjunctionMax (Lucene DisMax): best clause + 0.3 × the others —
-    // two BM25 clauses, per-clause 6dp rounding mirrored in the oracle.
-    "q_dis_max" -> ((s, d) =>
-      DocQueries.disMaxSearch(
-        Tables.documents(s, d).select("doc_id", "text"), "doc_id", "text",
-        Seq("merge window", "scan stream"), tieBreaker = 0.3, k = 20)),
-
-    // BoostingQuery (Lucene): BM25 for "merge window", halved when
-    // "stream" appears — downranked, not excluded (0.5 is an exact
-    // binary fraction, so demoted scores are engine-identical).
-    "q_boosting" -> ((s, d) =>
-      DocQueries.boostingSearch(
-        Tables.documents(s, d).select("doc_id", "text"), "doc_id", "text",
-        positive = "merge window", negative = Seq("stream"),
-        demoteFactor = 0.5, k = 20)),
-
-    // FunctionScoreQuery + Gaussian decay (ES function_score/gauss):
-    // BM25 relevance × a length decay on n_chars — full score inside the
-    // 500-char plateau, ×0.5 at 2500 chars. One extra codegen'd
-    // projection on the BM25 plan; no join, no extra shuffle.
-    "q_function_score" -> ((s, d) =>
-      DocQueries.functionScoreGauss(
-        Tables.documents(s, d).select("doc_id", "text", "n_chars"),
-        "doc_id", "text", "merge window scan", "n_chars",
-        origin = 0.0, scale = 2000.0, offset = 500.0, decay = 0.5, k = 20)),
-
-    // ConstantScoreQuery (Lucene): filter context — every match gets the
-    // boost as its score, no corpus statistics computed at all.
-    "q_constant_score" -> ((s, d) =>
-      DocQueries.matchAllTerms(
-          Tables.documents(s, d).select("doc_id", "text"), "text",
-          "merge window")
-        .select(col("doc_id"), lit(1.2).as("score"))
-        .orderBy("doc_id")),
-
-    // SignificantTermsAggregation (ES): vocabulary characteristic of the
-    // German slice vs the whole corpus, JLH-scored document frequencies
-    // out of ONE vocabulary-sized aggregate.
-    "q_significant_terms" -> ((s, d) =>
-      DocQueries.significantTerms(
-        Tables.documents(s, d).select("doc_id", "text", "lang"),
-        "doc_id", "text", col("lang") === "de", minDocCount = 5, k = 20)),
-
-    // RareTerms aggregation (ES rare_terms): the exact long tail —
-    // rarest first. ONE vocabulary-sized map-side-combinable
-    // doc-frequency aggregate; no per-shard ascending-top-k error to
-    // bound (the failure mode ES documents for count-ascending terms
-    // aggs). The synthetic vocabulary's doc-frequency floor is 25 (one
-    // outlier term) then ~373+; the 380 cutoff keeps 4 genuinely-rare
-    // terms at sf0.01 so the gate pins values (a ≤2 cutoff matched the
-    // oracle only at zero rows).
-    "q_rare_terms" -> ((s, d) =>
-      DocQueries.rareTerms(Tables.documents(s, d), "text",
-        maxDocCount = 380, k = 20)),
-
-    // AdjacencyMatrix aggregation (ES adjacency_matrix): per-filter and
-    // pairwise-intersection document counts in ONE corpus pass — each
-    // doc projects its matched-filter-name array, singles + ordered
-    // pairs explode from it (higher-order functions, O(filters²) only
-    // per matching doc), one hash agg. Never a per-pair corpus scan.
-    "q_adjacency_matrix" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      def hasTok(t: String) =
-        array_contains(split(lower(col("text")), " "), t)
-      DocQueries.adjacencyMatrix(docs, Seq(
-        "en" -> (col("lang") === "en"),
-        "merge" -> hasTok("merge"),
-        "window" -> hasTok("window")))
-    }),
-
-    // MultiTerms aggregation (ES multi_terms): top composite keys by
-    // document count — the terms agg over a key TUPLE (keeps per-column
-    // typing a concatenated-string key would lose). One map-side-
-    // combinable hash agg + TakeOrderedAndProject.
-    "q_multi_terms" -> ((s, d) =>
-      DocQueries.multiTerms(Tables.documents(s, d),
-        Seq("lang", "source"), k = 10)),
-
-    // Filters aggregation (ES filters + other_bucket): named-predicate
-    // doc counts INCLUDING the "_other_" bucket for docs matching no
-    // filter — one projection + hash agg (a doc can land in several
-    // named buckets, the ES semantics). NULL predicates (null lang or
-    // text) count as no-match here (`when` falls through) and the
-    // oracle coalesces each flag to false, so such docs land in
-    // `_other_` on both sides.
-    "q_filters_agg" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      def hasTok(t: String) =
-        array_contains(split(lower(col("text")), " "), t)
-      val preds = Seq("de_docs" -> (col("lang") === "de"),
-        "has_merge" -> hasTok("merge"), "has_window" -> hasTok("window"))
-      val matched = filter(array(preds.map { case (n, p) =>
-        when(p, lit(n)).otherwise(lit(null).cast("string"))
-      }: _*), x => x.isNotNull)
-      docs.select(explode(concat(
-          when(size(matched) === 0, array(lit("_other_")))
-            .otherwise(array().cast("array<string>")),
-          matched)).as("key"))
-        .groupBy("key").agg(count(lit(1)).as("doc_count"))
-        .orderBy("key")
-    }),
-
-    // Range aggregation (ES range agg, arbitrary edges): custom
-    // [from, to) buckets over n_chars with a decimal-exact sub-agg mean
-    // — the histogram's irregular-edge sibling.
-    "q_range_agg" -> ((s, d) => {
-      val edges = Seq((None, Some(600L)), (Some(600L), Some(1200L)),
-        (Some(1200L), None))
-      val key = edges.foldLeft(lit(null).cast("string")) { case (acc, (lo, hi)) =>
-        val in = (lo.map(col("n_chars") >= _).getOrElse(lit(true))) &&
-          (hi.map(col("n_chars") < _).getOrElse(lit(true)))
-        when(in, lit(s"${lo.map(_.toString).getOrElse("*")}-${hi.map(_.toString).getOrElse("*")}"))
-          .otherwise(acc)
-      }
-      Tables.documents(s, d)
-        .groupBy(key.as("bucket"))
-        .agg(count(lit(1)).as("doc_count"),
-          round(sum(col("n_chars").cast("decimal(20,0)")).cast("double") /
-            count(lit(1)), 6).as("avg_chars"))
-        .orderBy("bucket")
-    }),
-
-    // TopHits aggregation (ES terms + top_hits): the 2 longest docs per
-    // language — representative documents per bucket, a per-key window
-    // (partitioned, no global funnel).
-    "q_top_hits" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("lang").orderBy(col("n_chars").desc, col("doc_id"))
-      Tables.documents(s, d)
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 2)
-        .select("lang", "rk", "doc_id", "n_chars")
-        .orderBy("lang", "rk")
-    }),
-
-    // Terms aggregation ordered by a SUB-aggregation (the ES
-    // `order: {avg_chars: desc}` shape — ES documents this as
-    // approximate under sharding; one global hash agg makes it exact):
-    // top sources by average doc length, decimal-exact mean.
-    "q_terms_by_subagg" -> ((s, d) =>
-      Tables.documents(s, d)
-        .groupBy("source")
-        .agg(count(lit(1)).as("doc_count"),
-          round(sum(col("n_chars").cast("decimal(20,0)")).cast("double") /
-            count(lit(1)), 6).as("avg_chars"))
-        .orderBy(col("avg_chars").desc, col("source"))
-        .limit(5)),
-
-    // Numeric histogram aggregation (ES histogram): fixed 250-char
-    // buckets over n_chars, ES floor bucket-key convention, empty
-    // buckets absent. One projection + hash agg — no sort over the
-    // value space.
-    "q_histogram" -> ((s, d) =>
-      DocQueries.histogram(Tables.documents(s, d), "n_chars",
-        interval = 250)),
-
-    // BucketSort pipeline aggregation (ES bucket_sort): terms buckets
-    // re-ranked by a SUB-aggregation with from/size truncation — the
-    // "page 2 of sources by average length" shape. One hash agg + a
-    // bucket-space window (bucket count, never doc count).
-    "q_bucket_sort" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("avg_chars").desc, col("source"))
-      Tables.documents(s, d)
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-          round(sum(col("n_chars").cast("decimal(20,0)")).cast("double") /
-            count(lit(1)), 6).as("avg_chars"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") > 1 && col("rk") <= 4) // from=1, size=3
-        .select("source", "n_docs", "avg_chars", "rk")
-        .orderBy("rk")
-    }),
-
-    // Rate aggregation (ES rate inside date_histogram): per-week
-    // buckets reporting per-DAY event and value rates — the unit
-    // rescale is a bucket-space projection over the one hash agg
-    // (decimal sum for merge-order determinism, one final double).
-    "q_rate_agg" -> ((s, d) =>
-      Tables.events(s, d)
-        .groupBy(date_trunc("week", col("ts")).as("bucket"))
-        .agg(count(lit(1)).as("n_events"),
-          sum(col("value").cast("decimal(18,6)")).as("_sv"))
-        .select(unix_micros(col("bucket")).as("bucket_us"),
-          col("n_events"),
-          round(col("n_events") / lit(7.0), 6).as("events_per_day"),
-          round(col("_sv").cast("double") / 7.0, 6).as("value_per_day"))
-        .orderBy("bucket_us")),
-
-    // StatsBucket pipeline aggregation (ES stats_bucket): min/max/sum/
-    // avg over the SIBLING buckets' sums — one hash agg to bucket
-    // space, one single-row fold over it (buckets, never events, enter
-    // the second agg). Decimal bucket sums; doubles only at the end.
-    "q_stats_bucket" -> ((s, d) =>
-      Tables.events(s, d)
-        .groupBy(date_trunc("week", col("ts")).as("bucket"))
-        .agg(sum(col("value").cast("decimal(12,2)")).as("_sv"))
-        .agg(count(lit(1)).as("n_buckets"),
-          round(min(col("_sv")).cast("double"), 6).as("min_sum"),
-          round(max(col("_sv")).cast("double"), 6).as("max_sum"),
-          round(sum(col("_sv")).cast("double"), 6).as("total_sum"),
-          round(sum(col("_sv")).cast("double") / count(lit(1)), 6)
-            .as("avg_sum"))),
-
-    // Terms aggregation with the `missing` parameter (ES terms
-    // missing bucket): null keys route to an explicit bucket instead
-    // of vanishing. The corpus has no null langs, so every 13th doc's
-    // lang is nulled FIRST (identical planting in the oracle) — the
-    // missing bucket then provably collects exactly those docs.
-    "q_terms_missing" -> ((s, d) =>
-      Tables.documents(s, d)
-        .withColumn("lang2", when(pmod(col("doc_id"), lit(13)) === 0,
-          lit(null).cast("string")).otherwise(col("lang")))
-        .groupBy(coalesce(col("lang2"), lit("(missing)")).as("lang"))
-        .agg(count(lit(1)).as("n_docs"))
-        .orderBy(col("n_docs").desc, col("lang"))),
-
-    // exists query (ES `exists`): docs whose FIELD holds a value —
-    // the positive sibling of the missing bucket above. Every 13th
-    // vector's embedding is nulled first (the q_terms_missing planting
-    // convention — the raw column has no nulls at gate SFs, and a
-    // vacuous filter would pin nothing).
-    "q_exists" -> ((s, d) =>
-      Tables.embeddings(s, d)
-        .withColumn("e2", when(pmod(col("vec_id"), lit(13)) === 0,
-          lit(null).cast("array<float>")).otherwise(col("embedding")))
-        .filter(col("e2").isNotNull)
-        .select("vec_id")
-        .orderBy("vec_id")),
-
-    // Score explanation (ES _explain): the BM25 top-15 with per-term
-    // contribution columns riding the SAME scoring projection — no
-    // second pass; legs round independently, the total rounds once.
-    "q_explain_score" -> ((s, d) =>
-      DocQueries.explainBm25(Tables.documents(s, d).select("doc_id", "text"),
-        "doc_id", "text", "merge window", k = 15)),
-
-    // Ranking evaluation (ES _rank_eval): precision@10 / MRR / nDCG@10
-    // of the deterministic tf ranking against all-terms-present binary
-    // judgments — the offline relevance loop. Evaluation cost scales
-    // with judgments × k, never the corpus.
-    "x_rank_eval" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select("doc_id", "text")
-      val queries = Seq("merge window scan", "stream data")
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("score").desc, col("doc_id"))
-      val rankings = queries.map { q =>
-        DocQueries.matchTextRanked(docs, "text", q, 10)
-          .select(lit(q).as("query"), row_number().over(w).as("rk"),
-            col("doc_id"))
-      }.reduce(_ unionByName _)
-      val judgments = queries.map { q =>
-        val all = q.split(" ").toSeq.map(t =>
-          array_contains(split(lower(col("text")), " "), t)).reduce(_ && _)
-        docs.select(lit(q).as("query"), col("doc_id"),
-            when(all, 1).otherwise(0).as("rel"))
-          .filter(col("rel") > 0)
-      }.reduce(_ unionByName _)
-      DocQueries.rankEval(rankings, judgments, k = 10)
-        .withColumnRenamed("ndcg_at_k", "ndcg_10")
-        .withColumnRenamed("p_at_k", "p_10")
-        .orderBy("query")
-    }),
-
-    // ES date-math range ("now-7d/d".."now/d"): bounds resolved on the
-    // driver against an EXPLICIT now (the max-ts cursor row — no hidden
-    // clock), then dropped in as plan-literal timestamps so the scan
-    // keeps a plain pushable comparison.
-    "q_date_math" -> ((s, d) => {
-      val e = Tables.events(s, d)
-      val now = e.agg(max(col("ts"))).head().getTimestamp(0).toInstant
-      val from = sink.DateMath.resolve("now-7d/d", now)
-      val to = sink.DateMath.resolve("now/d", now)
-      e.filter(col("ts") >= lit(java.sql.Timestamp.from(from)) &&
-          col("ts") < lit(java.sql.Timestamp.from(to)))
-        .groupBy("event_type").agg(count(lit(1)).as("n_events"))
-        .orderBy("event_type")
-    }),
-
-    // Phrase suggester ("did you mean"): per-token best correction
-    // among vocabulary terms within Levenshtein 1, ranked (distance,
-    // df desc, term). One vocabulary-sized df aggregate + a broadcast
-    // token join; best-per-token is a min(struct) hash agg.
-    "q_phrase_suggest" -> ((s, d) =>
-      DocQueries.phraseSuggest(Tables.documents(s, d), "doc_id", "text",
-        "mrge windw scan", maxEdits = 1)),
-
-    // Lucene query_string: the user-facing query box parsed (recursive
-    // descent, driver-side, bounded by query length) and compiled into
-    // ONE Catalyst predicate — the whole boolean tree optimizes and
-    // pushes as a unit. lang gets keyword semantics, text analyzed
-    // semantics (token membership / padded phrase / token prefix).
-    "q_query_string" -> ((s, d) =>
-      sink.QueryString.search(Tables.documents(s, d), "text",
-          """lang:de AND (merge OR "window scan") NOT filter*""",
-          textFields = Set("text"))
-        .select("doc_id", "lang")
-        .orderBy("doc_id")),
-
-    // query_string, Lucene field-grouping + q.op=OR profile: a grouped
-    // clause `lang:(de OR en)` scopes the group's default field (what a
-    // real query box emits for multi-value field filters), and implicit
-    // adjacency inside the text group ORs under q.op=OR. Still ONE
-    // compiled Catalyst predicate.
-    "q_query_string_grouped" -> ((s, d) =>
-      sink.QueryString.search(Tables.documents(s, d), "text",
-          """lang:(de OR en) AND (merge "window scan") AND NOT filter*""",
-          textFields = Set("text"), defaultOr = true)
-        .select("doc_id", "lang")
-        .orderBy("doc_id")),
-
-    // simple_query_string (the never-throw query box): a MALFORMED
-    // query — unbalanced paren — degrades to the documented
-    // bag-of-terms AND instead of erroring; the oracle encodes exactly
-    // the degraded semantics.
-    "q_simple_query_string" -> ((s, d) =>
-      sink.QueryString.searchLenient(Tables.documents(s, d), "text",
-          """merge (window scan""",
-          textFields = Set("text"))
-        .select("doc_id", "lang")
-        .orderBy("doc_id")),
-
-    // Unordered proximity (ES intervals all_of ordered=false): 'merge'
-    // and 'window' within 3 intervening tokens in EITHER order, best
-    // gap reported — the ordered spanNear's sibling, served off the
-    // same positional layout.
-    "q_intervals_unordered" -> ((s, d) =>
-      sink.InvertedIndex.spanUnorderedSearch(
-        sink.InvertedIndex.positionalPostings(
-          Tables.documents(s, d), "doc_id", "text"),
-        "merge", "window", maxGaps = 3)
-        .orderBy("doc_id")),
-
-    // Frequent item-set pairs (ES frequent_item_sets at level 2, the
-    // apriori market-basket core): token pairs co-occurring in ≥ 30
-    // docs. Apriori pruning is the scale mechanism — only
-    // frequent SINGLES enter the per-doc pair join, so pair volume is
-    // bounded by per-doc frequent-token counts squared, never
-    // vocabulary². Top 20, total order.
-    "q_frequent_pairs" -> ((s, d) => {
-      val minSup = 30L
-      val dt = Tables.documents(s, d)
-        .select(col("doc_id"), explode(array_distinct(filter(
-          split(lower(col("text")), " "), t => t =!= lit("")))).as("term"))
-      val freq = dt.groupBy("term").agg(count(lit(1)).as("df"))
-        .filter(col("df") >= minSup).select("term")
-      val pruned = dt.join(broadcast(freq), Seq("term"))
-      pruned.as("a").join(pruned.as("b"),
-          col("a.doc_id") === col("b.doc_id") &&
-            col("a.term") < col("b.term"))
-        .groupBy(col("a.term").as("term_a"), col("b.term").as("term_b"))
-        .agg(count(lit(1)).as("support"))
-        .filter(col("support") >= minSup)
-        .orderBy(col("support").desc, col("term_a"), col("term_b"))
-        .limit(20)
-    }),
-
-    // Text categorization (ES categorize_text, the log-triage agg):
-    // digit runs collapse to '#', the first 5 tokens form the pattern
-    // key, patterns with ≥ 2 docs reported with an example. One
-    // projection + hash agg — the message-template discovery every
-    // log pipeline runs.
-    "q_categorize_text" -> ((s, d) =>
-      Tables.documents(s, d)
-        .select(col("doc_id"),
-          regexp_replace(lower(col("text")), "[0-9]+", "#").as("_sig"))
-        .withColumn("pattern", array_join(slice(filter(
-          split(col("_sig"), " "), t => t =!= lit("")), 1, 5), " "))
-        .groupBy("pattern")
-        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("example_doc"))
-        .filter(col("n_docs") >= 2)
-        .orderBy(col("n_docs").desc, col("pattern"))),
-
-    // Sampler / DiversifiedSampler aggregation (ES diversified_sampler):
-    // a deterministic 60-doc sample in md5(id) order with at most 20
-    // docs per lang — one viral slice cannot flood the sample the
-    // downstream aggs run over. Hash-ordered window cap + hash-ordered
-    // global cut, both engine-reproducible.
-    "q_sampler" -> ((s, d) =>
-      DocQueries.diversifiedSampler(Tables.documents(s, d), "doc_id",
-          "lang", maxDocsPerValue = 20, shardSize = 60)
-        .select("doc_id", "lang")
-        .orderBy("doc_id")),
-
-    // AutoDateHistogram (ES auto_date_histogram, fixed-interval rung
-    // ladder): the FINEST rung keeping the bucket count within target —
-    // rung choice is integer arithmetic off one min/max probe row (the
-    // cursor convention), mirrored exactly by the oracle's CASE ladder.
-    "q_auto_histogram" -> ((s, d) =>
-      DocQueries.autoDateHistogram(Tables.events(s, d), "ts",
-        targetBuckets = 40)),
-
-    // StringStats aggregation (ES string_stats): per-lang length stats
-    // + character-distribution Shannon entropy. Lengths aggregate in
-    // exact integers; entropy contributions are per-(lang, char) — an
-    // alphabet-sized frame — decimal-summed so the total is
-    // order-independent (the KL/CE convention).
-    "q_string_stats" -> ((s, d) =>
-      DocQueries.stringStats(Tables.documents(s, d), "lang", "text")),
-
-    // RankFeature query (ES rank_feature, saturation): static-signal
-    // ranking with diminishing returns — score = boost·S/(S+pivot),
-    // pivot scores exactly boost/2. Pure projection + top-k; docs
-    // without a positive feature never match (ES semantics).
-    "q_rank_feature" -> ((s, d) =>
-      DocQueries.rankFeature(Tables.documents(s, d), "doc_id", "n_chars",
-        pivot = 1000.0, boost = 1.5, k = 20)),
-
-    // DistanceFeature query (ES distance_feature): rank by PROXIMITY to
-    // an origin on a numeric axis — boost·pivot/(pivot+|x−origin|), the
-    // linear-decay sibling of q_function_score's gauss.
-    "q_distance_feature" -> ((s, d) =>
-      DocQueries.distanceFeature(Tables.documents(s, d), "doc_id",
-        "n_chars", origin = 1000.0, pivot = 500.0, boost = 2.0, k = 20)),
-
-    // Pinned query (ES pinned): ids 42, 7, 99 rank first IN THAT ORDER
-    // whether or not they match; the organic integer-tf ranking follows
-    // with pins excluded (over-fetched by the pin count so exclusion
-    // never underfills the page).
-    "q_pinned" -> ((s, d) =>
-      DocQueries.pinnedSearch(Tables.documents(s, d), "doc_id", "text",
-        "merge window scan", pinnedIds = Seq(42L, 7L, 99L), k = 15)),
-
-    // TermsSet query (ES terms_set): matched-terms count vs a
-    // PER-DOCUMENT minimum-should-match expression (the
-    // minimum_should_match_field contract — no clamping, required >
-    // |terms| never matches).
-    "q_terms_set" -> ((s, d) =>
-      DocQueries.termsSetQuery(Tables.documents(s, d), "doc_id", "text",
-          Seq("merge", "window", "filter"),
-          pmod(col("n_chars"), lit(3)) + lit(1))
-        .orderBy("doc_id")),
-
-    // MatchBoolPrefix query (ES match_bool_prefix): search-as-you-type —
-    // full tokens as term clauses, the last as a prefix clause, OR'd;
-    // score = matched clause count (deterministic integer core).
-    "q_match_bool_prefix" -> ((s, d) =>
-      DocQueries.matchBoolPrefix(Tables.documents(s, d), "doc_id", "text",
-        "window mer", k = 30)),
-
-    // The same aggregation served off the MATERIALIZED postings — the
-    // corpus text is never re-tokenized at query time. Same oracle as
-    // the scan form.
-    "q_significant_terms_indexed" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select("doc_id", "text", "lang")
-      sink.InvertedIndex.significantTermsIndexed(
-        sink.InvertedIndex.postings(docs, "doc_id", "text"),
-        docs.select("doc_id"),
-        docs.filter(col("lang") === "de").select("doc_id"),
-        minDocCount = 5, k = 20)
-    }),
-
-    // Join-field queries (ES has_child / has_parent): relational
-    // semi-joins — the child/parent predicate never duplicates or
-    // widens the kept side, and Spark picks broadcast/shuffled-hash by
-    // the filtered side's size.
-    "q_has_child" -> ((s, d) =>
-      Tables.orders(s, d).join(
-          Tables.lineitem(s, d).filter(col("l_quantity") >= 49),
-          col("o_orderkey") === col("l_orderkey"), "left_semi")
-        .select("o_orderkey", "o_orderpriority")
-        .orderBy("o_orderkey")),
-
-    "q_has_parent" -> ((s, d) =>
-      Tables.lineitem(s, d).join(
-          Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
-          col("l_orderkey") === col("o_orderkey"), "left_semi")
-        .select("l_orderkey", "l_linenumber", "l_quantity")
-        .orderBy("l_orderkey", "l_linenumber")),
-
-    // ES date_histogram with sub-aggregations: calendar-week buckets,
-    // per-bucket count / exact distinct users / decimal-exact value sum
-    // (order-independent partial aggregation).
-    "q_date_histogram" -> ((s, d) =>
-      Tables.events(s, d)
-        .groupBy(date_trunc("week", col("ts")).as("bucket"))
-        .agg(count(lit(1)).as("n_events"),
-          countDistinct(col("user_id")).as("n_users"),
-          sum(col("value").cast("decimal(18,6)")).cast("double")
-            .as("sum_value"))
-        .select(unix_micros(col("bucket")).as("bucket_us"),
-          col("n_events"), col("n_users"), col("sum_value"))
-        .orderBy("bucket_us")),
-
-    // §2.6 index structure — the flat (term, doc_id, tf) postings table
-    // (Lucene's postings lists, Spark-native: no giant per-term arrays,
-    // every op a partitioned aggregate; see InvertedIndex scaladoc).
-    "x_inverted_postings" -> ((s, d) =>
-      graft.sink.InvertedIndex.postings(
-        Tables.documents(s, d).select("doc_id", "text"), "doc_id", "text")
-        .orderBy("term", "doc_id")),
-
-    // §2.6 index-accelerated BM25: same Lucene scoring as q_match_bm25
-    // but reading ONLY the query terms' postings rows — on a persisted
-    // term-sorted index the query is a pruned lookup, not a corpus scan.
-    "x_bm25_indexed" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select("doc_id", "text")
-      graft.sink.InvertedIndex.bm25Search(
-        graft.sink.InvertedIndex.postings(docs, "doc_id", "text"),
-        graft.sink.InvertedIndex.docLengths(docs, "doc_id", "text"),
-        "merge window scan", 20)
-    }),
-
-    // DisjunctionMax off the postings layout: each clause a pushed
-    // term-set leg; identical rounding to the scan form ⇒ same oracle.
-    "q_dis_max_indexed" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select("doc_id", "text")
-      graft.sink.InvertedIndex.disMaxSearch(
-        graft.sink.InvertedIndex.postings(docs, "doc_id", "text"),
-        graft.sink.InvertedIndex.docLengths(docs, "doc_id", "text"),
-        Seq("merge window", "scan stream"), tieBreaker = 0.3, k = 20)
-    }),
-
-    // BATCH BM25: two queries answered in one postings pass — union-of-
-    // terms pushed filter, per-query fan-out after the stats joins,
-    // bounded TopKByScore per query (no window). The text twin of
-    // x_knn_indexed's batch serving shape.
-    "x_bm25_batch" -> ((s, d) => {
-      import s.implicits._
-      val docs = Tables.documents(s, d).select("doc_id", "text")
-      val qs = Seq(("q0", "merge window"), ("q1", "stream data scan"))
-        .toDF("query_id", "query")
-      sink.InvertedIndex.bm25SearchBatch(
-          sink.InvertedIndex.postings(docs, "doc_id", "text"),
-          sink.InvertedIndex.docLengths(docs, "doc_id", "text"),
-          qs, "query_id", "query", k = 5)
-        .orderBy("query_id", "rk")
-    }),
-
-    // More-like-this: doc 0's top-5 TF-IDF terms (6dp-rounded score,
-    // term tie-break — engine-reproducible selection) become an OR
-    // query, BM25-ranked over full-corpus stats, source excluded.
-    "x_mlt" -> ((s, d) =>
-      DocQueries.moreLikeThis(
-        Tables.documents(s, d).select("doc_id", "text"), "doc_id", "text",
-        sourceId = 0L, topTerms = 5, k = 10)),
-
-    // Incremental corpus statistics: init on a third of orders, two
-    // O(columns)-sized appended commits for the rest, then the profile
-    // is read from PERSISTED partials — no corpus rescan. Exact counts
-    // and min/max must equal a full-table profile; the merged
-    // DataSketches HLL union gates within ±5% of exact distinct.
-    "x_profile_incremental" -> ((s, d) => {
-      val o = Tables.orders(s, d)
-      val cols = Seq("o_custkey", "o_orderkey", "o_orderstatus")
-      val dir = tempDir("graft-statstore")
-      sink.StatsStore.init(o.filter(pmod(col("o_orderkey"), lit(3)) === 0),
-        cols, dir)
-      sink.StatsStore.append(o.filter(pmod(col("o_orderkey"), lit(3)) === 1), dir)
-      sink.StatsStore.append(o.filter(pmod(col("o_orderkey"), lit(3)) === 2), dir)
-      val prof = sink.StatsStore.profile(s, dir)
-      val exactAggs = cols.map(c => countDistinct(col(c)).cast("long").as(c))
-      val exact = o.agg(exactAggs.head, exactAggs.tail: _*)
-        .select(explode(array(cols.map(c =>
-          struct(lit(c).as("col_name"), col(c).as("exact_distinct"))): _*)).as("e"))
-        .select("e.*")
-      prof.join(broadcast(exact), "col_name")
-        .select(col("col_name"), col("n_nonnull"), col("n_null"),
-          col("min_v"), col("max_v"),
-          (abs(col("approx_distinct") - col("exact_distinct")) <=
-            col("exact_distinct") * 0.05).as("dist_ok"))
-        .orderBy("col_name")
-    }),
-
-    // Column profiling ("analyze table" for pipeline observability): one
-    // aggregate pass — per-column null/non-null counts, exact min/max,
-    // HLL++ distinct. The approx cardinality is gated within ±5% of the
-    // exact count (computed gate-side, like x_sketch_distinct).
-    "x_profile" -> ((s, d) => {
-      val o = Tables.orders(s, d)
-      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus")
-      val prof = operators.Profile.profile(o, cols)
-      val exactAggs = cols.map(c => countDistinct(col(c)).cast("long").as(c))
-      val exact = o.agg(exactAggs.head, exactAggs.tail: _*)
-        .select(explode(array(cols.map(c =>
-          struct(lit(c).as("col_name"), col(c).as("exact_distinct"))): _*)).as("e"))
-        .select("e.*")
-      prof.join(broadcast(exact), "col_name")
-        .select(col("col_name"), col("n_nonnull"), col("n_null"),
-          col("min_v"), col("max_v"),
-          (abs(col("approx_distinct") - col("exact_distinct")) <=
-            col("exact_distinct") * 0.05).as("dist_ok"))
-        .orderBy("col_name")
-    }),
-
-    // §2.6 — BooleanQuery full clause composition (Lucene MUST +
-    // SHOULD/minimumShouldMatch + MUST_NOT): docs with "merge", without
-    // "window", and at least one of {"stream", "scan"}. Scan form —
-    // pure filter, no shuffle.
-    "q_bool" -> ((s, d) =>
-      DocQueries.boolQuery(Tables.documents(s, d), "text",
-        must = Seq("merge"), should = Seq("stream", "scan"),
-        mustNot = Seq("window"), minimumShouldMatch = 1)
-        .select("doc_id").orderBy("doc_id")),
-
-    // BooleanQuery OFF THE INDEX: MUST legs are per-term postings reads
-    // (pushed EqualTo, row-group pruning) intersected by shrinking
-    // joins; SHOULD is one pushed-In aggregate to per-doc clause counts;
-    // MUST_NOT a df-sized left_anti. Must equal the scan form exactly
-    // (same oracle; shared clause semantics in DocQueries.boolClauses).
-    "q_bool_indexed" -> ((s, d) => {
-      val dir = tempDir("graft-boolidx")
-      sink.InvertedIndex.writePostings(
-        sink.InvertedIndex.postings(Tables.documents(s, d), "doc_id", "text"),
-        s"$dir/postings")
-      sink.InvertedIndex.boolSearch(
-          sink.InvertedIndex.readPostings(s, s"$dir/postings"),
-          must = Seq("merge"), should = Seq("stream", "scan"),
-          mustNot = Seq("window"), minimumShouldMatch = 1)
-        .orderBy("doc_id")
-    }),
-
-    // §2.6 — RangeQuery (Lucene Point/TermRange): numeric bounds, mixed
-    // inclusivity, pushed to the scan.
-    "q_range" -> ((s, d) =>
-      DocQueries.range(Tables.documents(s, d), "n_chars",
-        lower = Some(500L), upper = Some(1500L), includeUpper = false)
-        .select("doc_id", "n_chars").orderBy("doc_id")),
-
-    // Facet counts over a query's result set (Lucene facets): per-lang
-    // doc counts of the "merge window" matches, top-5 by (count, value).
-    "q_facets" -> ((s, d) =>
-      DocQueries.facetCounts(
-        DocQueries.matchText(Tables.documents(s, d), "text", "merge window"),
-        "lang", 5)),
-
-    // Cursor pagination (searchAfter): page 2 of the BM25 ranking via
-    // the (score, id) cursor from page 1's last hit — must equal rows
-    // 11-20 of the full ranking (OFFSET form in the oracle), without
-    // offset's sort-n-plus-k scale trap.
-    "q_search_after" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select("doc_id", "text")
-      val q = "merge window scan"
-      val cur = DocQueries.matchTextBM25(docs, "doc_id", "text", q, 10)
-        .orderBy(col("bm25").asc, col("doc_id").desc).limit(1)
-        .collect().head // the cursor: ONE row of driver state
-      DocQueries.searchAfter(docs, "doc_id", "text", q,
-        cur.getDouble(cur.fieldIndex("bm25")),
-        cur.getLong(cur.fieldIndex("doc_id")), 10)
-    }),
-
-    // ES CompositeAggregation: bucket-space pagination — page 2 of the
-    // (lang, source) buckets after a key cursor, in key order, via the
-    // operator form (DocQueries.compositeAfter; multi-page reassembly
-    // spec-pinned in DocQueriesSpec). The after-key filter is a plain
-    // predicate on the GROUPED frame, so no page ever materializes the
-    // full bucket space anywhere, and the page cut is
-    // TakeOrderedAndProject — the aggs twin of search_after.
-    "q_composite_agg" -> ((s, d) =>
-      sink.DocQueries.compositeAfter(Tables.documents(s, d),
-        Seq("lang", "source"),
-        Seq(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars")),
-        afterKey = Some(Seq("de", "web")), // page-2 cursor
-        size = 5)),
-
-    // Ordered proximity (SpanNearQuery, slop 1) off the positional
-    // index: "stream data" with at most one interleaved token.
-    "q_span_near" -> ((s, d) =>
-      sink.InvertedIndex.spanNearSearch(
-        sink.InvertedIndex.positionalPostings(
-          Tables.documents(s, d), "doc_id", "text"),
-        "stream data", slop = 1)
-        .orderBy("doc_id")),
-
-    // SpanOr: union of two ordered-proximity clauses, per-doc count of
-    // matched clauses (the matched_queries evidence).
-    "q_span_or" -> ((s, d) =>
-      sink.InvertedIndex.spanOrSearch(
-        sink.InvertedIndex.positionalPostings(
-          Tables.documents(s, d), "doc_id", "text"),
-        Seq(("stream data", 1), ("merge window", 2)))
-        .orderBy("doc_id")),
-
-    // SpanWithin (Lucene SpanWithin/SpanContaining doc semantics):
-    // 'merge' occurring INSIDE a stream…data span of slop ≤ 10 — over
-    // ALL qualifying spans, not the greedy minimal ones (which would
-    // miss containment in a wider span).
-    "q_span_within" -> ((s, d) =>
-      sink.InvertedIndex.spanWithinSearch(
-        sink.InvertedIndex.positionalPostings(
-          Tables.documents(s, d), "doc_id", "text"),
-        "merge", "stream", "data", slop = 10)
-        .orderBy("doc_id")),
-
-    // Completion suggester: top-4 "s…" completions by corpus frequency,
-    // term tie-break — ranked row-for-row against the oracle.
-    "q_suggest" -> ((s, d) =>
-      sink.InvertedIndex.suggest(
-        sink.InvertedIndex.postings(Tables.documents(s, d), "doc_id", "text"),
-        "s", k = 4)
-        .orderBy(col("freq").desc, col("term"))),
-
-    // SpanFirstQuery: "merge" within the first 3 token positions.
-    "q_span_first" -> ((s, d) =>
-      sink.InvertedIndex.spanFirstSearch(
-        sink.InvertedIndex.positionalPostings(
-          Tables.documents(s, d), "doc_id", "text"),
-        "merge", end = 3)
-        .orderBy("doc_id")),
-
-    // SpanNotQuery: an occurrence of "scan" with no "merge" adjacent
-    // (within 1 position either side).
-    "q_span_not" -> ((s, d) =>
-      sink.InvertedIndex.spanNotSearch(
-        sink.InvertedIndex.positionalPostings(
-          Tables.documents(s, d), "doc_id", "text"),
-        include = "scan", exclude = "merge", pre = 1, post = 1)
-        .orderBy("doc_id")),
-
-    // Per-SOURCE quality percentile: percent_rank within each source by
-    // (n_chars, doc_id) — the per-group normalization step, computed
-    // with NO per-group window (a hot source would serialize one task);
-    // range-partitioned two-phase ranks like x_quality_rank.
-    "x_quality_rank_by_source" -> ((s, d) =>
-      operators.Corpus.groupPercentRank(
-        Tables.documents(s, d).select("doc_id", "source", "n_chars"),
-        "source", struct(col("n_chars"), col("doc_id")), "pr")
-        .select(col("doc_id"), col("source"), round(col("pr"), 6).as("pr"))
-        .orderBy("doc_id")),
-
-    // Percolation (reverse search): three registered alert queries,
-    // every document routed to the alerts it matches — term-keyed
-    // joins + clause counting, never a doc × query cross product.
-    "q_percolate" -> ((s, d) => {
-      import s.implicits._
-      val registered = Seq(
-        ("alert_merge", Seq("merge", "window"), Seq.empty[String],
-          Seq("scan"), -1),
-        ("alert_stream", Seq("stream", "data"), Seq.empty[String],
-          Seq.empty[String], -1),
-        ("alert_common", Seq("the"), Seq.empty[String],
-          Seq.empty[String], -1),
-        // SHOULD-only with explicit msm=2: ≥2 of 3 topical terms
-        ("alert_topic", Seq.empty[String], Seq("merge", "stream", "query"),
-          Seq.empty[String], 2),
-        // SHOULD-only, default msm (must-less ⇒ 1): the OR query
-        ("alert_any", Seq.empty[String], Seq("window", "scan"),
-          Seq.empty[String], -1))
-        .toDF("query_id", "must", "should", "must_not",
-          "minimum_should_match")
-      DocQueries.percolate(Tables.documents(s, d), "doc_id", "text",
-          registered)
-        .orderBy("doc_id", "query_id")
-    }),
-
-    // Snippet highlighting: first-occurrence position of "merge" and
-    // ±2 tokens of context, edge-clamped — the search-UI hit preview.
-    "q_highlight" -> ((s, d) =>
-      DocQueries.highlightTerm(Tables.documents(s, d), "doc_id", "text",
-        "merge", context = 2)
-        .orderBy("doc_id")),
-
-    // Temperature-scaled source mixture (w_s ∝ n_s^α, α=0.5, target
-    // half the corpus): the multilingual-LM balancing scheme with rates
-    // DERIVED from the corpus — small sources up-weighted vs
-    // proportional sampling; md5-56 keep-set, engine-reproducible.
-    "x_temp_sample" -> ((s, d) =>
-      operators.Corpus.temperatureSample(
-        Tables.documents(s, d).select("doc_id", "source"), "doc_id",
-        "source", alpha = 0.5, targetFraction = 0.5)
-        .select("doc_id", "source").orderBy("doc_id")),
-
-    // §2.6 — PhraseQuery (slop 0): tokens must be consecutive.
-    "q_match_phrase" -> ((s, d) =>
-      DocQueries.matchPhrase(Tables.documents(s, d), "text", "stream data")
-        .select("doc_id").orderBy("doc_id")),
-
-    // MatchPhrasePrefix (autocomplete-as-you-type): "stream da" hits
-    // "stream data …" — leading tokens consecutive, last is a prefix.
-    "q_match_phrase_prefix" -> ((s, d) =>
-      DocQueries.matchPhrasePrefix(Tables.documents(s, d), "text",
-          "stream da")
-        .select("doc_id").orderBy("doc_id")),
-
-    // PrefixQuery (scan form): any token starts with "merg".
-    "q_term_prefix" -> ((s, d) =>
-      DocQueries.termPrefix(Tables.documents(s, d), "text", "merg")
-        .select("doc_id").orderBy("doc_id")),
-
-    // WildcardQuery (scan form): glob over whole tokens — "m?rge*"
-    // compiles to one anchored regexp, codegen'd per token.
-    "q_wildcard" -> ((s, d) =>
-      DocQueries.matchWildcard(Tables.documents(s, d), "text", "m?rge*")
-        .select("doc_id").orderBy("doc_id")),
-
-    // WildcardQuery off the index: literal prefix "m" pushed onto the
-    // term-sorted postings, regexp over the pruned vocabulary, postings
-    // gathered by broadcast semi-join — must equal the scan form.
-    "q_wildcard_indexed" -> ((s, d) => {
-      val dir = tempDir("graft-wcidx")
-      sink.InvertedIndex.writePostings(
-        sink.InvertedIndex.postings(Tables.documents(s, d), "doc_id", "text"),
-        s"$dir/postings")
-      sink.InvertedIndex.wildcardSearch(
-          sink.InvertedIndex.readPostings(s, s"$dir/postings"), "m?rge*")
-        .orderBy("doc_id")
-    }),
-
-    // RegexpQuery (scan form): full-token regexp, RE2-portable subset.
-    "q_regex" -> ((s, d) =>
-      DocQueries.matchRegexp(Tables.documents(s, d), "text", "(scan|merge)s?")
-        .select("doc_id").orderBy("doc_id")),
-
-    // PrefixQuery off the index: pushed StringStartsWith on the
-    // term-sorted postings (row-group seek-to-prefix, spec-pinned).
-    "q_prefix_indexed" -> ((s, d) => {
-      val dir = tempDir("graft-preidx")
-      sink.InvertedIndex.writePostings(
-        sink.InvertedIndex.postings(Tables.documents(s, d), "doc_id", "text"),
-        s"$dir/postings")
-      sink.InvertedIndex.prefixSearch(
-          sink.InvertedIndex.readPostings(s, s"$dir/postings"), "merg")
-        .orderBy("doc_id")
-    }),
-
-    // FuzzyQuery off the index: edit-distance-1 neighbors of "mergs"
-    // found in the VOCABULARY (distinct-term dictionary), postings
-    // gathered by broadcast semi-join — must equal the scan form.
-    "q_fuzzy_indexed" -> ((s, d) => {
-      val dir = tempDir("graft-fuzidx")
-      sink.InvertedIndex.writePostings(
-        sink.InvertedIndex.postings(Tables.documents(s, d), "doc_id", "text"),
-        s"$dir/postings")
-      sink.InvertedIndex.fuzzySearch(
-          sink.InvertedIndex.readPostings(s, s"$dir/postings"), "mergs",
-          maxEdits = 1)
-        .orderBy("doc_id")
-    }),
-
-    // Phrase query OFF THE INDEX: positional postings (Lucene's position
-    // data) + consecutive-position join — must equal the corpus-scan
-    // matchPhrase membership exactly (same oracle as q_match_phrase).
-    // Each query term's leg reads only its row groups (pushed EqualTo on
-    // the term-sorted layout, InvertedIndexSpec pin).
-    "q_phrase_indexed" -> ((s, d) => {
-      val dir = tempDir("graft-posidx")
-      sink.InvertedIndex.writePostings(
-        sink.InvertedIndex.positionalPostings(
-          Tables.documents(s, d), "doc_id", "text"), s"$dir/positional")
-      sink.InvertedIndex.phraseSearch(
-          sink.InvertedIndex.readPostings(s, s"$dir/positional"),
-          "stream data")
-        .select("doc_id").orderBy("doc_id")
-    }),
-
-    // MatchPhrasePrefix off the positional layout: leading tokens as
-    // exact phrase legs, the last as a pushed StringStartsWith prefix
-    // leg — q_match_phrase_prefix's contract served from the index.
-    "q_phrase_prefix_indexed" -> ((s, d) => {
-      val dir = tempDir("graft-posidx")
-      sink.InvertedIndex.writePostings(
-        sink.InvertedIndex.positionalPostings(
-          Tables.documents(s, d), "doc_id", "text"), s"$dir/positional")
-      sink.InvertedIndex.phrasePrefixSearch(
-          sink.InvertedIndex.readPostings(s, s"$dir/positional"),
-          "stream da")
-        .orderBy("doc_id")
-    }),
-
-    // §2.6 — MatchAllQuery + field retrieval.
-    "q_match_all" -> ((s, d) =>
-      DocQueries.retrieve(DocQueries.matchAll(Tables.documents(s, d)),
-        Seq("doc_id", "source")).orderBy("doc_id")),
-
-    // §2 P1–P5 + C5 composed — the full document-assembly path: flatten,
-    // drop-prefix, rename, stringify, null-elide, _id extraction; exploded
-    // to (id, field, value) rows for the oracle compare.
-    "p_documents" -> ((s, d) => {
-      val docs = graft.schema.DocumentBuilder.documents(
-        Tables.documents(s, d),
-        graft.schema.DocumentBuilder.Config(
-          idField = "doc_id",
-          fieldMapping = Map("source" -> "origin"),
-          dropPrefixes = Seq("n_")))
-      docs.select(col("_id"), explode(col("fields")).as(Seq("fname", "fval")))
-        .select(col("_id"), col("fname"),
-          array_join(col("fval"), "|").as("fval"))
-        .orderBy("_id", "fname")
-    }),
-
-    // ---- LLM-pipeline extensions (north-star operators) ----
-
-    // Exact dedup: one hash-agg on the content key.
-    "x_dedup_exact" -> ((s, d) =>
-      operators.Dedup.exact(Tables.documents(s, d), "doc_id", Seq("text"))
-        .select("keep_id", "n_copies").orderBy("keep_id")),
-
-    // Winnowing fingerprints (the MOSS local-match scheme): md5-56
-    // shingle hashes, min of every 4-hash window, distinct kept values
-    // — any shared ≥6-token substring between docs must share a
-    // fingerprint. One transform chain per row, no shuffle before the
-    // output explode; matching is a fingerprint equi-join, never
-    // all-pairs.
-    "x_winnowing" -> ((s, d) =>
-      operators.Dedup.winnowingFingerprints(
-        Tables.documents(s, d), "doc_id", "text", k = 3, w = 4)
-        .orderBy("doc_id", "fingerprint")),
-
-    // Soft dedup: downweight instead of drop — every exact-content
-    // cluster's docs get weight 1/n (one document of sampling mass per
-    // cluster). The corpus has no exact dups, so every 10th doc is
-    // re-planted under a shifted id FIRST (identical planting in the
-    // oracle): those clusters provably weigh 0.5 each, the rest 1.0.
-    "x_dedup_soft" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select("doc_id", "text")
-      val planted = docs.unionByName(
-        docs.filter(pmod(col("doc_id"), lit(10)) === 0)
-          .select((col("doc_id") + lit(10000000L)).as("doc_id"),
-            col("text")))
-      operators.Dedup.softWeights(planted, "doc_id", "text")
-        .orderBy("doc_id")
-    }),
-
-    // Exact duplicate-span detection (the ExactSubstr shape): maximal
-    // token runs appearing verbatim in ≥2 docs, with exact positions —
-    // the cut-the-span alternative to whole-document dedup. The
-    // synthetic corpus's templated phrases yield ~1k shared 5-gram
-    // runs at sf0.01, so the gate pins positions and span text.
-    "x_dedup_spans" -> ((s, d) =>
-      operators.Dedup.duplicateSpans(Tables.documents(s, d), "doc_id",
-        "text", k = 5, minDocs = 2)
-        .orderBy("doc_id", "span_start")),
-
-    // Exact n-gram Jaccard near-dup pairs (the LSH verifier, run whole).
-    // This row OWNS the family's shared corpus-wide reference: the frame
-    // is computed once per (sf, session) and the minhash / simhash /
-    // clusters gates consume the persisted copy instead of re-running
-    // the verifier in each timed body.
-    "x_dedup_ngram" -> ((s, d) =>
-      sharedExactPairs(s, d).orderBy("id_a", "id_b")),
-
-    // ASYMMETRIC containment (|Sₐ∩S_b|/|S_small|): the quote/subset
-    // detector Jaccard is blind to — a paragraph verbatim inside a much
-    // longer page scores near-zero Jaccard but containment 1.0. Same
-    // shingle-keyed join shape as x_dedup_ngram, never all-pairs.
-    "x_dedup_containment" -> ((s, d) =>
-      operators.Dedup.ngramContainment(Tables.documents(s, d), "doc_id",
-          "text", n = 3, threshold = 0.3)
-        .orderBy("id_small", "id_big")),
-
-    // MinHash+LSH candidates verified by exact Jaccard, gated as ONE
-    // oracle-checkable row: the exact-verifier pair count must equal the
-    // SQL oracle's count, candidates must be a subset of the exact pairs
-    // (precision 1.0 — the verify step's contract), and LSH recall vs the
-    // exact set must hold. Converts the round-1 rows-only entry into a
-    // hash-gated one without weakening the probabilistic semantics.
-    // BENCH NOTE: the corpus-wide exact verifier is the family's SHARED
-    // reference (owned by x_dedup_ngram, computed once per session) —
-    // this body pays the full-outer equivalence join the gate requires,
-    // not a second verifier run. The operator being graded is
-    // minhashDedup's banded (band, bucket) join, which only touches
-    // candidate pairs.
-    // Edit-distance near-dup verification: candidate pairs from the
-    // exact shingle equi-join (the engine-reproducible generator; the
-    // LSH generator composes identically), then per-pair BANDED
-    // Levenshtein ≤ 6 — quadratic work confined to O(candidates),
-    // never the corpus; the threshold's early abandon makes each pair
-    // O(len·maxDist). Distances 4–8 live in this corpus, so the bound
-    // genuinely prunes.
-    // Candidate-generator evaluation: winnowing-fingerprint-overlap
-    // candidates scored against the exact trigram-Jaccard >= 0.3 truth
-    // set — the recall/precision measurement a pipeline runs (on a
-    // sample) before trusting a banded generator at 100 TB. Both
-    // generators are md5-56-derived, so the oracle rebuilds BOTH sides
-    // and replays the confusion counts exactly.
-    "x_dedup_eval" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val fps = operators.Dedup.winnowingFingerprints(docs, "doc_id", "text")
-      val cand = fps.as("a").join(fps.as("b"),
-          col("a.fingerprint") === col("b.fingerprint") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      val truth = operators.Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.3)
-      operators.Dedup.evalCandidatePairs(cand, truth)
-    }),
-
-    "x_dedup_edit" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val cand = operators.Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.3)
-      operators.Dedup.verifyEditDistance(cand, docs, "doc_id", "text", 6)
-        .orderBy("id_a", "id_b")
-    }),
-
-    "x_dedup_minhash" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val exact = sharedExactPairs(s, d)
-        .select(col("id_a"), col("id_b"))
-      val mh = operators.Dedup.minhashDedup(docs, "doc_id", "text")
-        .select(col("id_a").as("ma"), col("id_b").as("mb"))
-      // sums are coalesced to 0: a corpus with ZERO exact near-dup pairs
-      // makes every sum() NULL (empty agg input), which would yield NULL
-      // booleans mismatching the oracle's literal TRUE — 0 >= 0 holds
-      exact.join(mh,
-          col("id_a") === col("ma") && col("id_b") === col("mb"), "full_outer")
-        .agg(
-          coalesce(sum(when(col("id_a").isNotNull, 1).otherwise(0)), lit(0L)).as("n_exact"),
-          (coalesce(sum(when(col("id_a").isNotNull && col("ma").isNotNull, 1).otherwise(0)), lit(0L)) >=
-            coalesce(sum(when(col("id_a").isNotNull, 1).otherwise(0)), lit(0L)) * 0.8).as("recall_ok"),
-          (coalesce(sum(when(col("id_a").isNull, 1).otherwise(0)), lit(0L)) === 0).as("precision_ok"))
-    }),
-
-    // Incremental dedup against the persisted SignatureStore, split into
-    // a BUILD row and a PROBE row (the former single x_dedup_incremental
-    // conflated four LSH legs + exact verify into one 5 s gate, hiding
-    // per-leg regressions). The incr ≡ one-shot-full equality the old row
-    // asserted is owned by SignatureStoreSpec ("union of probes ≡
-    // one-shot LSH", "selfPairs reproduces one-shot LSH across appends");
-    // corpus-wide recall/precision vs the exact pair set is owned by
-    // x_dedup_minhash. Each row here times ONE path of the steady-state
-    // ingest loop and value-asserts its own oracle-checkable output.
-    //
-    // BUILD: sign a base corpus, then admit two arriving batches through
-    // the fused sign-once probe-and-commit step — the ingest-side cost.
-    // Gate: the store's health stats, fully deterministic (every doc
-    // signs to exactly `bands`(=8) rows; disjoint batches, no
-    // supersessions; 2 pending commits after 2 appends).
-    "x_dedup_incremental_build" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val base = docs.filter(pmod(col("doc_id"), lit(5)) < 3)
-      val b1 = docs.filter(pmod(col("doc_id"), lit(5)) === 3)
-      val b2 = docs.filter(pmod(col("doc_id"), lit(5)) === 4)
-      val dir = tempDir("graft-sig-build")
-      sink.SignatureStore.write(base, "doc_id", "text", dir)
-      // each batch signs ONCE (probe ≡ + append ≡ pinned in
-      // SignatureStoreSpec); the returned candidate pairs are the
-      // ingest loop's screening output — materialized, as a real loop
-      // would consume them, but value-asserted by the PROBE row below
-      sink.SignatureStore.probeAndAppend(b1, dir).count(): Unit
-      sink.SignatureStore.probeAndAppend(b2, dir).count(): Unit
-      sink.SignatureStore.stats(s, dir)
-    }),
-
-    // PROBE: screen ONE arriving batch against an existing store — the
-    // serving-side cost (signature-store probe exponents 0.08 at 10×;
-    // this row is what regresses if the probe path picks up an extra
-    // scan leg). Candidates = cross(store, batch) ∪ within-batch, i.e.
-    // every pair touching the batch; the exact-verify leg shingles only
-    // broadcast-pruned candidate docs. n_verified hash-checks against
-    // the oracle's exact pair count restricted to pairs touching the
-    // batch — candidate coverage of every exact pair plus verifier
-    // precision, the old row's recall fact on the probe path.
-    "x_dedup_incremental_probe" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val store = docs.filter(pmod(col("doc_id"), lit(5)) < 4)
-      val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 4)
-      val dir = tempDir("graft-sig-probe")
-      sink.SignatureStore.write(store, "doc_id", "text", dir)
-      val cand = sink.SignatureStore.probe(batch, dir)
-        .select("id_a", "id_b")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // shingle only docs that appear in a candidate pair: the candidate
-      // id set is pair-sized, so broadcasting it prunes the corpus scan
-      // BEFORE the expensive shingling — identical result (non-candidate
-      // docs never survive the verify joins anyway)
-      val candIds = cand.select(explode(array(col("id_a"), col("id_b")))
-        .as("doc_id")).distinct()
-      val candDocs = docs.join(broadcast(candIds), "doc_id")
-      operators.Dedup.verifyJaccard(cand, candDocs, "doc_id", "text", 3)
-        .filter(col("jaccard") >= 0.5)
-        .agg(count(lit(1)).as("n_verified"))
-    }),
-
-    // Signature-store health + the stats-driven auto-compaction hook
-    // (x_postings_stats / x_sim_ivf_stats parity): base + 2 appends
-    // leave a 2-deep commit log; maybeCompact(maxDeltas=1) must fold it,
-    // after which the live store reports every doc exactly once.
-    // Deterministic: every doc signs to exactly `bands`(=8) rows, so
-    // n_rows = 8 × n_docs off the compacted layout.
-    "x_signature_stats" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val dir = tempDir("graft-sigstat")
-      sink.SignatureStore.write(
-        docs.filter(pmod(col("doc_id"), lit(5)) < 3), "doc_id", "text", dir)
-      sink.SignatureStore.append(
-        docs.filter(pmod(col("doc_id"), lit(5)) === 3), dir)
-      sink.SignatureStore.append(
-        docs.filter(pmod(col("doc_id"), lit(5)) === 4), dir)
-      val ran = sink.SignatureStore.maybeCompact(s, dir, maxDeltas = 1)
-      sink.SignatureStore.stats(s, dir).withColumn("compact_ran", lit(ran))
-    }),
-
-    // Duplicate clustering: connected components over the exact near-dup
-    // pair graph (the shared family verifier); every doc labeled with
-    // its canonical (min-id) survivor.
-    "x_dedup_clusters" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      operators.Dedup.connectedComponents(sharedExactPairs(s, d),
-          docs.select("doc_id"))
-        .orderBy("id")
-    }),
-
-    // Cluster labeling: each non-singleton near-dup cluster named by
-    // its 3 most frequent tokens (tie → ascending term) — the
-    // human-auditable "what IS this cluster" handle on the same shared
-    // pair graph as x_dedup_clusters; the oracle extends that gate's
-    // recursive min-reach walk with the token ranking.
-    "x_cluster_labels" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      operators.Dedup.clusterLabels(
-          operators.Dedup.connectedComponents(sharedExactPairs(s, d),
-            docs.select("doc_id")),
-          docs, "doc_id", "text", topK = 3)
-        .orderBy("cluster_id", "rk")
-    }),
-
-    // Link-graph centrality (bounded power iteration) — the
-    // crawl-prioritization / quality-weighting primitive: rank docs by
-    // link structure over a deterministic synthetic link graph (each
-    // doc links to (7·id+1) mod n and (13·id+5) mod n; both multipliers
-    // are coprime to n, so in-degree is exactly 2 everywhere). Five
-    // iterations at d=0.85; the oracle unrolls the identical closed
-    // form. Each iteration is ONE shuffle on the destination key — no
-    // driver graph state (GraphSpec pins mass conservation and hub
-    // asymmetry).
-    "x_pagerank" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select("doc_id")
-      val n = docs.count() // bounded driver scalar: the link modulus
-      val edges = docs.select(col("doc_id").as("src"),
-          pmod(col("doc_id") * 7 + 1, lit(n)).as("dst"))
-        .unionByName(docs.select(col("doc_id").as("src"),
-          pmod(col("doc_id") * 13 + 5, lit(n)).as("dst")))
-      operators.Graph.pageRank(edges, "src", "dst", docs, "doc_id",
-          iters = 5, damping = 0.85)
-        .select(col("id"), round(col("rank"), 8).as("rank"))
-        .orderBy("id")
-    }),
-
-    // Topic-sensitive PageRank: teleport mass lands only on the German
-    // slice — centrality relative to a trusted seed set ("rank the
-    // crawl around the pages we already trust"). Same per-iteration
-    // shuffle shape as x_pagerank; the topic is a plan-time predicate.
-    "x_pagerank_topic" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select("doc_id", "lang")
-      val n = docs.count() // bounded driver scalar: the link modulus
-      val ids = docs.select("doc_id")
-      val edges = ids.select(col("doc_id").as("src"),
-          pmod(col("doc_id") * 7 + 1, lit(n)).as("dst"))
-        .unionByName(ids.select(col("doc_id").as("src"),
-          pmod(col("doc_id") * 13 + 5, lit(n)).as("dst")))
-      operators.Graph.personalizedPageRank(edges, "src", "dst", docs,
-          "doc_id", col("lang") === "de", iters = 5, damping = 0.85)
-        .select(col("id"), round(col("rank"), 8).as("rank"))
-        .orderBy("id")
-    }),
-
-    // Multi-source BFS hop distance: how far is every page from the
-    // trusted seed set (doc_id % 97 == 0) over the synthetic link
-    // graph, 6 hops. Each hop joins only the NEW frontier against the
-    // edge list + an anti-join on settled nodes; the oracle is a
-    // recursive CTE over the same arithmetic.
-    "x_shortest_path" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select("doc_id")
-      val n = docs.count() // bounded driver scalar: the link modulus
-      val edges = docs.select(col("doc_id").as("src"),
-          pmod(col("doc_id") * 7 + 1, lit(n)).as("dst"))
-        .unionByName(docs.select(col("doc_id").as("src"),
-          pmod(col("doc_id") * 13 + 5, lit(n)).as("dst")))
-      operators.Graph.shortestPaths(edges, "src", "dst",
-          docs.filter(pmod(col("doc_id"), lit(97)) === 0), "doc_id",
-          maxHops = 6)
-        .orderBy("id")
-    }),
-
-    // Triangle count over an undirected quadratic-residue + shift link
-    // graph (varying degree — the coprime graph alone has in-degree
-    // exactly 2 everywhere). Degree-ordered orientation bounds the
-    // wedge join at O(E^{3/2}) however skewed the hubs.
-    "x_triangle_count" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select("doc_id")
-      val n = docs.count()
-      val edges = docs.select(col("doc_id").as("src"),
-          pmod(col("doc_id") * col("doc_id") + 3, lit(n)).as("dst"))
-        .unionByName(docs.select(col("doc_id").as("src"),
-          pmod(col("doc_id") * 7 + 1, lit(n)).as("dst")))
-      operators.Graph.triangleCount(edges, "src", "dst")
-    }),
-
-    // In-degree distribution of the quadratic-residue graph (hub
-    // diagnostic): nodes with no in-edges count at degree 0. Two hash
-    // aggregates — node-sized, then degree-sized.
-    "x_degree_dist" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select("doc_id")
-      val n = docs.count()
-      val edges = docs.select(col("doc_id").as("src"),
-        pmod(col("doc_id") * col("doc_id") + 3, lit(n)).as("dst"))
-      operators.Graph.degreeDistribution(edges, "src", "dst", docs,
-        "doc_id", "in")
-    }),
-
-    // Deterministic random walks (the node2vec/DeepWalk corpus sampler,
-    // replayable in any engine): 4 steps from the seed set, neighbor
-    // choice = md5_56(start:step) mod outdeg over id-ranked neighbors.
-    "x_random_walk" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select("doc_id")
-      val n = docs.count()
-      val edges = docs.select(col("doc_id").as("src"),
-          pmod(col("doc_id") * 7 + 1, lit(n)).as("dst"))
-        .unionByName(docs.select(col("doc_id").as("src"),
-          pmod(col("doc_id") * 13 + 5, lit(n)).as("dst")))
-      operators.Graph.deterministicWalks(edges, "src", "dst",
-          docs.filter(pmod(col("doc_id"), lit(97)) === 0), "doc_id",
-          steps = 4)
-        .orderBy("start", "step", "node")
-    }),
-
-    // HITS hubs & authorities over the degree-varied graph: 2 rounds of
-    // L1-normalized mutual reinforcement — the oracle unrolls the same
-    // decimal-summed closed form layer by layer.
-    "x_hits" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select("doc_id")
-      val n = docs.count()
-      val edges = docs.select(col("doc_id").as("src"),
-          pmod(col("doc_id") * col("doc_id") + 3, lit(n)).as("dst"))
-        .unionByName(docs.select(col("doc_id").as("src"),
-          pmod(col("doc_id") * 7 + 1, lit(n)).as("dst")))
-      operators.Graph.hits(edges, "src", "dst", docs, "doc_id", iters = 2)
-        .select(col("id"), round(col("auth"), 8).as("auth"),
-          round(col("hub"), 8).as("hub"))
-        .orderBy("id")
-    }),
-
-    // Passage-level dedup: 10-token windows, earliest occurrence of each
-    // distinct passage kept corpus-wide, docs reassembled from survivors.
-    // The keeper is a min(struct) hash agg — a million-fold repeated
-    // passage never forms a window partition.
-    "x_dedup_passages" -> ((s, d) =>
-      operators.Dedup.dedupPassages(Tables.documents(s, d), "doc_id", "text",
-        passageTokens = 10)
-        .orderBy("doc_id")),
-
-    // Canonical-doc selection: bag-of-words fingerprint groups as the
-    // clusters (cheap, deterministic), keep the longest doc per cluster
-    // (ties → lowest id). The arg-max is one lexicographic max(struct)
-    // hash agg — map-side partials, no per-cluster window funnel.
-    "x_dedup_keep_best" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val clustered = docs.select(
-        functions.TextFunctions.fingerprint(col("text")).as("cluster"),
-        col("doc_id"), col("n_chars"))
-      operators.Dedup.keepBestPerCluster(clustered, "cluster", "doc_id", "n_chars")
-        .orderBy("cluster")
-    }),
-
-    // SimHash near-dup pairs (banded hamming join), gated like minhash:
-    // exact-verifier count hash-checked against SQL, plus a recall floor
-    // vs the exact jaccard pairs (simhash is a different similarity — its
-    // candidate set overlaps but is not a subset, so no precision gate).
-    // BENCH NOTE: as with x_dedup_minhash, the exact reference comes
-    // from the shared family verifier (owned by x_dedup_ngram); the
-    // graded operator is the 16-bit banded signature join.
-    "x_dedup_simhash" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val exact = sharedExactPairs(s, d)
-        .select(col("id_a"), col("id_b"))
-      val sh = operators.Dedup.simhashDedup(docs, "doc_id", "text", maxHamming = 3)
-        .select(col("id_a").as("ma"), col("id_b").as("mb"))
-      // coalesce as in x_dedup_minhash: zero exact pairs must gate TRUE
-      exact.join(sh,
-          col("id_a") === col("ma") && col("id_b") === col("mb"), "full_outer")
-        .agg(
-          coalesce(sum(when(col("id_a").isNotNull, 1).otherwise(0)), lit(0L)).as("n_exact"),
-          (coalesce(sum(when(col("id_a").isNotNull && col("ma").isNotNull, 1).otherwise(0)), lit(0L)) >=
-            coalesce(sum(when(col("id_a").isNotNull, 1).otherwise(0)), lit(0L)) * 0.5).as("recall_ok"))
-    }),
-
-    // Embedding cosine near-dup pairs.
-    // Exact threshold join, distributed (no BNLJ / corpus broadcast):
-    // fragment-and-replicate equi-join on a block key. LSH candidates
-    // can't be exhaustive at a bulk-tail threshold (all matches here sit
-    // at cosine 0.4–0.6), so the exact path must compare all pairs — the
-    // point is HOW: spread over blocks × cores, bounded task memory.
-    "x_dedup_embed" -> ((s, d) =>
-      operators.Dedup.embeddingCosinePairsExact(Tables.embeddings(s, d), "vec_id",
-        "embedding", threshold = 0.4)
-        .withColumn("cosine", round(col("cosine"), 6))
-        .orderBy("id_a", "id_b")),
-
-    // The SAME exact bulk-threshold semantics (same oracle), but with
-    // IVF cell-pair pruning: cell pairs that provably cannot cross the
-    // threshold (spherical triangle inequality over centroid angles +
-    // per-cell angular radii) are never joined — far sublinear in n² on
-    // clustered data, degrading to the blocked-exact cost only when the
-    // corpus is one isotropic blob (where the semantics are inherently
-    // quadratic). DedupSpec pins pruned ≡ exact and that separated
-    // clusters DO prune most of the lattice. This row OWNS the shared
-    // pruned pair graph (one IVF fit + pair join per session); the
-    // clustering gate consumes the persisted copy.
-    "x_dedup_embed_pruned" -> ((s, d) =>
-      sharedPrunedCosinePairs(s, d)
-        .withColumn("cosine", round(col("cosine"), 6))
-        .orderBy("id_a", "id_b")),
-
-    // Semantic-dedup keeper map: connected components over the EXACT
-    // cell-pruned cosine pair graph — every vector labeled with its
-    // cluster's canonical (min-id) representative. Composes the two
-    // gated structures off the SHARED pair graph (owned by
-    // x_dedup_embed_pruned — no second k-means fit or pair join in this
-    // timed body); the component loop is the lineage-truncated label
-    // propagation x_dedup_clusters pins.
-    "x_dedup_embed_clusters" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      operators.Dedup.connectedComponents(sharedPrunedCosinePairs(s, d),
-          e.select("vec_id"))
-        .orderBy("id")
-    }),
-
-    // Int8-quantized similarity: embeddings quantize→dequantize through
-    // the native roundtrip expression (4× storage/bandwidth cut at
-    // ingest), then top-10 by quantized cosine vs the vec_id=0 query,
-    // with per-row fidelity (cosine of original vs dequantized) — the
-    // recall-loss measurement a quantized ANN index ships with.
-    "x_quantize" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      val deq = e.select(col("vec_id"), col("embedding"),
-        functions.VectorExpressions.q8Roundtrip(col("embedding")).as("dq"))
-      val q = deq.filter(col("vec_id") === 0).select(col("dq").as("qdq"))
-      deq.crossJoin(broadcast(q))
-        .select(col("vec_id"),
-          functions.VectorExpressions.cosineFast(col("dq"), col("qdq")).as("c"),
-          functions.VectorExpressions.cosineFast(col("embedding"), col("dq")).as("f"))
-        .orderBy(col("c").desc, col("vec_id"))
-        .limit(10)
-        .select(col("vec_id"), round(col("c"), 6).as("q_cosine"),
-          round(col("f"), 6).as("fidelity"))
-    }),
-
-    // Geo radius query: deterministic synthetic coordinates per doc
-    // (integer-derived, bit-identical in any engine), conservative
-    // bounding-box prefilter, haversine radius — distance rounded to 3dp
-    // (the BM25 ln-rounding convention absorbing trig-libm ULP). The
-    // center (26, 93) is ON the synthetic curve (= doc 300's position),
-    // so the 1500 km disc holds ~25 real rows at sf0.01 — a gate that
-    // pins distance values, unlike the old off-curve (40, -74) center
-    // whose disc was empty at every tested sf.
-    "x_geo_radius" -> ((s, d) => {
-      val pts = Tables.documents(s, d).select("doc_id")
-        .withColumn("lat",
-          (col("doc_id") * 37 % 17000).cast("double") / 100.0 - 85.0)
-        .withColumn("lon",
-          (col("doc_id") * 91 % 36000).cast("double") / 100.0 - 180.0)
-      pts.filter(functions.GeoFunctions.inBoundingBox(
-          col("lat"), col("lon"), 26.0, 93.0, 1500.0))
-        .withColumn("dist_km", round(functions.GeoFunctions.haversineKm(
-          col("lat"), col("lon"), lit(26.0), lit(93.0)), 3))
-        .filter(col("dist_km") <= 1500.0)
-        .select("doc_id", "lat", "lon", "dist_km")
-        .orderBy("doc_id")
-    }),
-
-    // Bounding-box query (ES geo_bounding_box) with a box CROSSING the
-    // antimeridian — minLon > maxLon wraps (the Fiji/Bering case a
-    // naive BETWEEN silently empties). Pure literal comparisons (on
-    // synthetic doc_id-derived coordinates here, so the predicate
-    // evaluates in the scan stage; on real stored lat/lon columns the
-    // same shape reaches PushedFilters). The lat window [50, 80] is
-    // chosen so
-    // the sf0.01 synthetic curve yields hits on BOTH sides of the wrap
-    // (ids 385-395 at lon ≥ 170, ids 396-439 at lon ≤ -140) — the gate
-    // pins the wrap branch with real rows, not an empty≡empty match.
-    "q_geo_bbox" -> ((s, d) => {
-      val pts = Tables.documents(s, d).select("doc_id")
-        .withColumn("lat",
-          (col("doc_id") * 37 % 17000).cast("double") / 100.0 - 85.0)
-        .withColumn("lon",
-          (col("doc_id") * 91 % 36000).cast("double") / 100.0 - 180.0)
-      pts.filter(functions.GeoFunctions.inBox(col("lat"), col("lon"),
-          50.0, 80.0, 170.0, -140.0))
-        .select("doc_id", "lat", "lon")
-        .orderBy("doc_id")
-    }),
-
-    // Point-in-polygon tagging: ray casting unrolled into per-edge
-    // arithmetic at plan time (no trig — engine-exact, no rounding
-    // needed). Quad region over the synthetic coordinates.
-    "x_geo_polygon" -> ((s, d) => {
-      val pts = Tables.documents(s, d).select("doc_id")
-        .withColumn("lat",
-          (col("doc_id") * 37 % 17000).cast("double") / 100.0 - 85.0)
-        .withColumn("lon",
-          (col("doc_id") * 91 % 36000).cast("double") / 100.0 - 180.0)
-      pts.filter(functions.GeoFunctions.inPolygon(col("lat"), col("lon"),
-          Seq((-25.0, -10.0), (5.0, -10.0), (25.0, 60.0), (-5.0, 60.0))))
-        .select("doc_id", "lat", "lon")
-        .orderBy("doc_id")
-    }),
-
-    // Batch nearest-k off the persisted layout: the k nearest indexed
-    // points for EACH center — lock-step ring expansion over the
-    // unsatisfied remainder, then per-center ranks over bounded
-    // candidate sets (GeoIndexSpec pins ≡ per-center brute force).
-    "x_geo_knn_join" -> ((s, d) => {
-      val pts = Tables.documents(s, d).select("doc_id")
-        .withColumn("lat",
-          (col("doc_id") * 37 % 17000).cast("double") / 100.0 - 85.0)
-        .withColumn("lon",
-          (col("doc_id") * 91 % 36000).cast("double") / 100.0 - 180.0)
-      val dir = tempDir("graft-geoknnj")
-      sink.GeoIndex.write(pts, "doc_id", "lat", "lon", dir, cellDeg = 30.0)
-      sink.GeoIndex.knnJoin(s, dir,
-          Seq((1L, 40.0, -74.0), (2L, -33.9, 151.2), (3L, 64.1, -21.9)),
-          k = 5)
-        .select("center_id", "doc_id", "dist_km", "rk")
-        .orderBy("center_id", "rk")
-    }),
-
-    // DataFrame-centers batch nearest-k: the unbounded-centers overload
-    // — centers come from a FRAME (here: every ~101st document), never
-    // landing on the driver; ring rounds keep the unsatisfied set
-    // distributed and the final pass is ONE per-center-radius join.
-    // GeoIndexSpec pins Seq-form equivalence and construction laziness.
-    "x_geo_knn_join_df" -> ((s, d) => {
-      val pts = Tables.documents(s, d).select("doc_id")
-        .withColumn("lat",
-          (col("doc_id") * 37 % 17000).cast("double") / 100.0 - 85.0)
-        .withColumn("lon",
-          (col("doc_id") * 91 % 36000).cast("double") / 100.0 - 180.0)
-      val dir = tempDir("graft-geoknnjdf")
-      sink.GeoIndex.write(pts, "doc_id", "lat", "lon", dir, cellDeg = 30.0)
-      val centers = pts.filter(col("doc_id") % 101 === 0)
-        .select(col("doc_id").as("center_id"), col("lat"), col("lon"))
-      sink.GeoIndex.knnJoin(s, dir, centers, "center_id", "lat", "lon",
-          k = 5)
-        .select("center_id", "doc_id", "dist_km", "rk")
-        .orderBy("center_id", "rk")
-    }),
-
-    // Polygon query served off the persisted layout: bounding-box cell
-    // cover enumerated driver-side, exact ray cast on the pruned live
-    // view. Result ≡ the x_geo_polygon scan form (same oracle contract).
-    "x_geo_polygon_indexed" -> ((s, d) => {
-      val pts = Tables.documents(s, d).select("doc_id")
-        .withColumn("lat",
-          (col("doc_id") * 37 % 17000).cast("double") / 100.0 - 85.0)
-        .withColumn("lon",
-          (col("doc_id") * 91 % 36000).cast("double") / 100.0 - 180.0)
-      val dir = tempDir("graft-geopoly")
-      sink.GeoIndex.write(pts, "doc_id", "lat", "lon", dir, cellDeg = 30.0)
-      sink.GeoIndex.polygonSearch(s, dir,
-          Seq((-25.0, -10.0), (5.0, -10.0), (25.0, 60.0), (-5.0, 60.0)))
-        .select("doc_id", "lat", "lon")
-        .orderBy("doc_id")
-    }),
-
-    // Distance-ring facet (ES geo_distance aggregation): bucket every
-    // point by its distance band from a center — "how far is our
-    // audience". One projection + hash agg; the band edges are plan
-    // literals, the 3dp-rounded distance keys band membership
-    // engine-reproducibly.
-    "x_geo_distance_agg" -> ((s, d) =>
-      Tables.documents(s, d).select("doc_id")
-        .withColumn("lat",
-          (col("doc_id") * 37 % 17000).cast("double") / 100.0 - 85.0)
-        .withColumn("lon",
-          (col("doc_id") * 91 % 36000).cast("double") / 100.0 - 180.0)
-        .withColumn("dist_km", round(functions.GeoFunctions.haversineKm(
-          col("lat"), col("lon"), lit(40.0), lit(-74.0)), 3))
-        .withColumn("band",
-          when(col("dist_km") <= 2000.0, "0-2000")
-            .when(col("dist_km") <= 5000.0, "2000-5000")
-            .when(col("dist_km") <= 10000.0, "5000-10000")
-            .otherwise("10000+"))
-        .groupBy("band")
-        .agg(count(lit(1)).as("n_points"),
-          min("dist_km").as("min_km"), max("dist_km").as("max_km"))
-        .orderBy("band")),
-
-    // Grid-bucket aggregation (ES geotile_grid / geohash_grid shape):
-    // every point keyed to its fixed-degree cell, per-cell count +
-    // mean position — the density heat-map aggregation. One map-side-
-    // combinable hash agg; the cell key is the same floor arithmetic
-    // the GeoJoin/GeoIndex lattice uses (15° here).
-    "x_geo_grid_agg" -> ((s, d) =>
-      Tables.documents(s, d).select("doc_id")
-        .withColumn("lat",
-          (col("doc_id") * 37 % 17000).cast("double") / 100.0 - 85.0)
-        .withColumn("lon",
-          (col("doc_id") * 91 % 36000).cast("double") / 100.0 - 180.0)
-        .groupBy(floor(col("lat") / 15.0).cast("int").as("lat_cell"),
-          floor(col("lon") / 15.0).cast("int").as("lon_cell"))
-        .agg(count(lit(1)).as("n_points"),
-          // decimal sums (coordinates are 2dp-exact), ONE double division
-          // — partial-aggregation order cannot perturb the mean
-          round(sum(col("lat").cast("decimal(12,2)")).cast("double") /
-            count(lit(1)), 6).as("mean_lat"),
-          round(sum(col("lon").cast("decimal(12,2)")).cast("double") /
-            count(lit(1)), 6).as("mean_lon"))
-        .orderBy("lat_cell", "lon_cell")),
-
-    // Geo bounds + centroid aggregation (ES geo_bounds / geo_centroid):
-    // per-group bounding box (exact min/max) and centroid (decimal-sum
-    // mean, the x_geo_grid_agg convention) in one hash aggregate.
-    "x_geo_bounds" -> ((s, d) =>
-      Tables.documents(s, d).select("doc_id")
-        .withColumn("lat",
-          (col("doc_id") * 37 % 17000).cast("double") / 100.0 - 85.0)
-        .withColumn("lon",
-          (col("doc_id") * 91 % 36000).cast("double") / 100.0 - 180.0)
-        .groupBy(pmod(col("doc_id"), lit(4)).as("g"))
-        .agg(count(lit(1)).as("n"),
-          min("lat").as("min_lat"), max("lat").as("max_lat"),
-          min("lon").as("min_lon"), max("lon").as("max_lon"),
-          round(sum(col("lat").cast("decimal(12,2)")).cast("double") /
-            count(lit(1)), 6).as("centroid_lat"),
-          round(sum(col("lon").cast("decimal(12,2)")).cast("double") /
-            count(lit(1)), 6).as("centroid_lon"))
-        .orderBy("g")),
-
-    // Geo nearest-k: the 15 closest docs to a point by haversine — the
-    // distance twin of x_sim_topk; top-k plans as TakeOrderedAndProject
-    // (k rows per partition, no global sort). Ranked by the 3dp-rounded
-    // distance with id tie-break so the cut is engine-reproducible.
-    "x_geo_knn" -> ((s, d) => {
-      val pts = Tables.documents(s, d).select("doc_id")
-        .withColumn("lat",
-          (col("doc_id") * 37 % 17000).cast("double") / 100.0 - 85.0)
-        .withColumn("lon",
-          (col("doc_id") * 91 % 36000).cast("double") / 100.0 - 180.0)
-      pts.withColumn("dist_km", round(functions.GeoFunctions.haversineKm(
-          col("lat"), col("lon"), lit(40.0), lit(-74.0)), 3))
-        .orderBy(col("dist_km"), col("doc_id"))
-        .limit(15)
-        .select("doc_id", "dist_km")
-    }),
-
-    // Spatial radius join off the persisted layout: the scan-form
-    // x_geo_join semantics, base read pruned to the union of the
-    // centers' covered cells at file-listing time. Same oracle contract.
-    "x_geo_join_indexed" -> ((s, d) => {
-      val pts = Tables.documents(s, d).select("doc_id")
-        .withColumn("lat",
-          (col("doc_id") * 37 % 17000).cast("double") / 100.0 - 85.0)
-        .withColumn("lon",
-          (col("doc_id") * 91 % 36000).cast("double") / 100.0 - 180.0)
-      val dir = tempDir("graft-geoidx")
-      sink.GeoIndex.write(pts, "doc_id", "lat", "lon", dir, cellDeg = 30.0) // coarse gate lattice: 72 cells bound the timed write; pruning pins live in GeoIndexSpec
-      sink.GeoIndex.radiusJoin(s, dir,
-          Seq((1L, -48.0, -89.0), (2L, 7.5, 47.5), (3L, 70.4, -157.8)),
-          radiusKm = 1500.0)
-        .select(col("center_id"), col("doc_id"),
-          round(col("dist_km"), 3).as("dist_km"))
-        .orderBy("center_id", "doc_id")
-    }),
-
-    // Persisted geo layout (GeoIndex): the same radius query served off
-    // the cell-partitioned index — covered cells enumerated driver-side,
-    // `cell IN (…)` prunes at file-listing time (GeoIndexSpec pins
-    // scanned-files < total). Result ≡ the x_geo_radius scan form.
-    "x_geo_radius_indexed" -> ((s, d) => {
-      val pts = Tables.documents(s, d).select("doc_id")
-        .withColumn("lat",
-          (col("doc_id") * 37 % 17000).cast("double") / 100.0 - 85.0)
-        .withColumn("lon",
-          (col("doc_id") * 91 % 36000).cast("double") / 100.0 - 180.0)
-      val dir = tempDir("graft-geoidx")
-      sink.GeoIndex.write(pts, "doc_id", "lat", "lon", dir, cellDeg = 30.0) // coarse gate lattice: 72 cells bound the timed write; pruning pins live in GeoIndexSpec
-      // candidate radius +1 m, then the scan form's exact rounded cut:
-      // a point whose ROUNDED distance is 1500.000 can sit at unrounded
-      // 1500.0004, which a raw <=1500 candidate filter would drop
-      sink.GeoIndex.radiusSearch(s, dir, 26.0, 93.0, 1500.001)
-        .withColumn("dist_km", round(col("dist_km"), 3))
-        .filter(col("dist_km") <= 1500.0)
-        .select("doc_id", "lat", "lon", "dist_km")
-        .orderBy("doc_id")
-    }),
-
-    // Nearest-k off the persisted layout: ring expansion over covered
-    // cells until k points fall inside, then the scan form's exact
-    // (dist_km 3dp, id) cut. Result ≡ x_geo_knn.
-    "x_geo_knn_indexed" -> ((s, d) => {
-      val pts = Tables.documents(s, d).select("doc_id")
-        .withColumn("lat",
-          (col("doc_id") * 37 % 17000).cast("double") / 100.0 - 85.0)
-        .withColumn("lon",
-          (col("doc_id") * 91 % 36000).cast("double") / 100.0 - 180.0)
-      val dir = tempDir("graft-geoidx")
-      sink.GeoIndex.write(pts, "doc_id", "lat", "lon", dir, cellDeg = 30.0) // coarse gate lattice: 72 cells bound the timed write; pruning pins live in GeoIndexSpec
-      sink.GeoIndex.knnSearch(s, dir, 40.0, -74.0, 15)
-    }),
-
-    // Keyed geo mutation (GeoIndex upsert/delete, the VectorIndex
-    // protocol on the cell grid): base = ids ≥ 50, then upsert < 50,
-    // RE-upsert < 10 at moved positions (supersede ACROSS cells: the
-    // move carries ids 0-9 from (-85, -180) into the query disc around
-    // (26, 93)), tombstones [10, 30) (upserted rows) and [290, 300)
-    // (base rows INSIDE the disc — their absence is value-visible in
-    // the gate, not vacuously true). The radius query reads the live
-    // last-writer-wins view: moved ids 0-9 + on-curve ids ~284-316
-    // minus the deleted 290-299. O(batch) commit bytes and cross-cell
-    // supersede are pinned in GeoIndexSpec.
-    "x_geo_upsert" -> ((s, d) => {
-      val pts = Tables.documents(s, d).select("doc_id")
-        .withColumn("lat",
-          (col("doc_id") * 37 % 17000).cast("double") / 100.0 - 85.0)
-        .withColumn("lon",
-          (col("doc_id") * 91 % 36000).cast("double") / 100.0 - 180.0)
-      val dir = tempDir("graft-geoups")
-      sink.GeoIndex.write(pts.filter(col("doc_id") >= 50),
-        "doc_id", "lat", "lon", dir, cellDeg = 30.0)
-      sink.GeoIndex.upsert(pts.filter(col("doc_id") < 50),
-        "doc_id", "lat", "lon", dir)
-      sink.GeoIndex.upsert(
-        pts.filter(col("doc_id") < 10)
-          .withColumn("lat", col("lat") / 4 + 47)  // moved into the disc
-          .withColumn("lon", col("lon") / 2 + 183),
-        "doc_id", "lat", "lon", dir)
-      sink.GeoIndex.delete(
-        pts.filter((col("doc_id") >= 10 && col("doc_id") < 30) ||
-            (col("doc_id") >= 290 && col("doc_id") < 300))
-          .select("doc_id"), "doc_id", dir)
-      // candidate radius +1 m, then the scan form's exact rounded cut
-      // (the x_geo_radius_indexed boundary convention)
-      sink.GeoIndex.radiusSearch(s, dir, 26.0, 93.0, 1500.001)
-        .withColumn("dist_km", round(col("dist_km"), 3))
-        .filter(col("dist_km") <= 1500.0)
-        .select("doc_id", "lat", "lon", "dist_km")
-        .orderBy("doc_id")
-    }),
-
-    // Geo index health: occupancy stats over the LIVE view after an
-    // upsert and a delete. n_points, the full-lattice cell count, and
-    // commit depth are exact oracle values; skew gates as a boolean
-    // (the x_sim_ivf_stats convention). Drift teeth (skew rises under
-    // one-sided ingest) are pinned in GeoIndexSpec.
-    "x_geo_stats" -> ((s, d) => {
-      val pts = Tables.documents(s, d).select("doc_id")
-        .withColumn("lat",
-          (col("doc_id") * 37 % 17000).cast("double") / 100.0 - 85.0)
-        .withColumn("lon",
-          (col("doc_id") * 91 % 36000).cast("double") / 100.0 - 180.0)
-      val dir = tempDir("graft-geostat")
-      sink.GeoIndex.write(pts.filter(col("doc_id") >= 20),
-        "doc_id", "lat", "lon", dir, cellDeg = 30.0)
-      sink.GeoIndex.upsert(pts.filter(col("doc_id") < 20),
-        "doc_id", "lat", "lon", dir)
-      sink.GeoIndex.delete(pts.filter(col("doc_id") < 5).select("doc_id"),
-        "doc_id", dir)
-      sink.GeoIndex.stats(s, dir).select(
-        col("n_points"), col("n_cells"),
-        (col("skew") >= 1.0).as("skew_ok"),
-        (col("max_cell") * col("n_nonempty_cells") >= col("n_points"))
-          .as("max_consistent"),
-        col("n_pending_commits"))
-    }),
-
-    // Spatial radius join: 3 centers × all docs' synthetic coordinates
-    // with NO cross product — grid-cell equi-join, haversine-verified;
-    // distances rounded to 3dp for the cross-engine compare.
-    "x_geo_join" -> ((s, d) => {
-      val pts = Tables.documents(s, d).select("doc_id")
-        .withColumn("lat",
-          (col("doc_id") * 37 % 17000).cast("double") / 100.0 - 85.0)
-        .withColumn("lon",
-          (col("doc_id") * 91 % 36000).cast("double") / 100.0 - 180.0)
-      operators.GeoJoin.geoRadiusJoin(pts, "doc_id", "lat", "lon",
-          Seq((1L, -48.0, -89.0), (2L, 7.5, 47.5), (3L, 70.4, -157.8)),
-          radiusKm = 1500.0)
-        .select(col("center_id"), col("doc_id"),
-          round(col("dist_km"), 3).as("dist_km"))
-        .orderBy("center_id", "doc_id")
-    }),
-
-    // Field collapsing: best-scoring doc PER SOURCE, then the top-5
-    // sources by their representative — dedup-by-site in search results,
-    // via a hash aggregate (no per-group window).
-    "x_collapse" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select("doc_id", "source", "text")
-      val scored = DocQueries.matchTextRanked(docs, "text",
-        "merge window scan", 1000000)
-      DocQueries.collapseTop(scored, "source", "doc_id", "score", 5)
-        .orderBy(col("score").desc, col("source"))
-    }),
-
-    // Ranked boolean query (Lucene BooleanQuery SCORING): boosted BM25
-    // sum over MUST + SHOULD clauses, MUST enforced, MUST_NOT excluded.
-    "x_bool_ranked" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select("doc_id", "text")
-      sink.InvertedIndex.boolSearchRanked(
-        sink.InvertedIndex.postings(docs, "doc_id", "text"),
-        sink.InvertedIndex.docLengths(docs, "doc_id", "text"),
-        must = Seq(("merge", 1.0)),
-        should = Seq(("window", 2.0), ("scan", 0.5)),
-        mustNot = Seq("slow"), k = 20)
-    }),
-
-    // Two-stage retrieval (candidate generation → rerank): BM25 top-50
-    // candidates, exact-cosine rerank of ONLY those — the production
-    // serving shape (cheap wide recall stage, expensive narrow precision
-    // stage; the rerank touches 50 rows however large the corpus).
-    "x_rerank" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select("doc_id", "text")
-      val cand = sink.InvertedIndex.bm25Search(
-          sink.InvertedIndex.postings(docs, "doc_id", "text"),
-          sink.InvertedIndex.docLengths(docs, "doc_id", "text"),
-          "merge window scan", 50)
-        .select("doc_id")
-      val e = Tables.embeddings(s, d)
-      val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-      cand.join(e.withColumnRenamed("vec_id", "doc_id"), "doc_id")
-        .crossJoin(broadcast(qv))
-        .select(col("doc_id"),
-          functions.VectorExpressions.cosineFast(col("embedding"), col("qv")).as("c"))
-        .orderBy(col("c").desc, col("doc_id")).limit(10)
-        .select(col("doc_id"), round(col("c"), 6).as("cosine"))
-    }),
-
-    // Hybrid retrieval: text tf leg + vector cosine leg, each reduced to
-    // a bounded top-50 candidate list (TakeOrderedAndProject), then
-    // reciprocal-rank fusion and final top-10. Ranking windows run over
-    // the ALREADY-LIMITED 50-row lists — bounded post-limit state, never
-    // a corpus-wide single-partition window.
-    "x_hybrid" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val k = 50
-      val textTop = DocQueries.matchTextRanked(
-          Tables.documents(s, d).select("doc_id", "text"), "text",
-          "merge window scan", k)
-        .select(col("doc_id"), row_number().over(
-          Window.orderBy(col("score").desc, col("doc_id"))).as("r_text"))
-      val e = Tables.embeddings(s, d)
-      val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-      val vecTop = e.crossJoin(broadcast(qv))
-        .select(col("vec_id").as("doc_id"),
-          functions.VectorExpressions.cosineFast(col("embedding"), col("qv")).as("c"))
-        .orderBy(col("c").desc, col("doc_id")).limit(k)
-        .select(col("doc_id"), row_number().over(
-          Window.orderBy(col("c").desc, col("doc_id"))).as("r_vec"))
-      textTop.join(vecTop, Seq("doc_id"), "full_outer")
-        .select(col("doc_id"),
-          (coalesce(lit(1.0) / (lit(60) + col("r_text")), lit(0.0)) +
-            coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0))).as("rrf"))
-        .orderBy(col("rrf").desc, col("doc_id")).limit(10)
-        .select(col("doc_id"), round(col("rrf"), 9).as("rrf"))
-    }),
-
-    // Linear hybrid fusion (the ES `linear` retriever — the other
-    // standard next to x_hybrid's RRF): each leg's top-50 scores
-    // min-max normalize to [0,1] WITHIN the retrieved window, then a
-    // 0.7·text + 0.3·vector weighted sum. Rank-free fusion preserves
-    // score gaps RRF flattens. The vector leg cuts and normalizes on
-    // the ROUNDED cosine (the engine-agreement convention); a
-    // constant-score leg normalizes to 1.0 (documented, mirrored).
-    "q_hybrid_linear" -> ((s, d) => {
-      val k = 50
-      def norm(sc: Column, mn: Column, mx: Column): Column =
-        when(mx > mn, round((sc - mn) / (mx - mn), 6)).otherwise(lit(1.0))
-      val text = DocQueries.matchTextRanked(
-          Tables.documents(s, d).select("doc_id", "text"), "text",
-          "merge window scan", k)
-        .select(col("doc_id"), col("score").cast("double").as("_st"))
-      val ts = text.agg(min("_st").as("_tmn"), max("_st").as("_tmx"))
-      val tn = text.crossJoin(broadcast(ts))
-        .select(col("doc_id"),
-          norm(col("_st"), col("_tmn"), col("_tmx")).as("_nt"))
-      val e = Tables.embeddings(s, d)
-      val qv = e.filter(col("vec_id") === 0)
-        .select(col("embedding").as("_qv"))
-      val vec = e.crossJoin(broadcast(qv))
-        .select(col("vec_id").as("doc_id"),
-          round(functions.VectorExpressions.cosineFast(
-            col("embedding"), col("_qv")), 6).as("_c"))
-        .orderBy(col("_c").desc, col("doc_id")).limit(k)
-      val vs = vec.agg(min("_c").as("_vmn"), max("_c").as("_vmx"))
-      val vn = vec.crossJoin(broadcast(vs))
-        .select(col("doc_id"),
-          norm(col("_c"), col("_vmn"), col("_vmx")).as("_nv"))
-      tn.join(vn, Seq("doc_id"), "full_outer")
-        .select(col("doc_id"),
-          round(lit(0.7) * coalesce(col("_nt"), lit(0.0)) +
-            lit(0.3) * coalesce(col("_nv"), lit(0.0)), 6).as("score"))
-        .orderBy(col("score").desc, col("doc_id")).limit(10)
-    }),
-
-    // Incrementally-maintained inverted index: base holds docs ≥ 10, one
-    // delta commits docs < 10 plus a bogus doc, a tombstone delta removes
-    // the bogus doc — the merge-on-read view must then score BM25 exactly
-    // like a full-corpus index (same oracle as x_bm25_indexed). Commits
-    // are O(batch); the base is never rewritten (IncrementalPostingsSpec
-    // pins bytes + mtime).
-    "x_bm25_incremental" -> ((s, d) => {
-      import s.implicits._
-      val docs = Tables.documents(s, d).select("doc_id", "text")
-      val dir = tempDir("graft-incpost")
-      sink.IncrementalPostings.init(
-        docs.filter(col("doc_id") >= 10), "doc_id", "text", dir)
-      sink.IncrementalPostings.commitUpserts(
-        docs.filter(col("doc_id") < 10).unionByName(
-          Seq((1000000L, "bogus merge window scan text"))
-            .toDF("doc_id", "text")),
-        "doc_id", "text", dir)
-      sink.IncrementalPostings.commitDeletes(
-        Seq(1000000L).toDF("doc_id"), "doc_id", dir)
-      sink.IncrementalPostings.bm25Search(s, dir, "merge window scan", 20)
-    }),
-
-    // Indexed sparse_vector serving: the SAME query weights as
-    // q_sparse_vector served off the persisted postings store after
-    // init + upsert + delete — indexed and corpus-scan serving must
-    // return identical rows (shared impact arithmetic), so the gate
-    // reuses the corpus-scan oracle verbatim.
-    "q_sparse_vector_indexed" -> ((s, d) => {
-      import s.implicits._
-      val docs = Tables.documents(s, d).select("doc_id", "text")
-      val dir = tempDir("graft-incpost-sv")
-      sink.IncrementalPostings.init(
-        docs.filter(col("doc_id") >= 10), "doc_id", "text", dir)
-      sink.IncrementalPostings.commitUpserts(
-        docs.filter(col("doc_id") < 10).unionByName(
-          Seq((1000000L, "bogus merge window scan text"))
-            .toDF("doc_id", "text")),
-        "doc_id", "text", dir)
-      sink.IncrementalPostings.commitDeletes(
-        Seq(1000000L).toDF("doc_id"), "doc_id", dir)
-      sink.IncrementalPostings.sparseVectorSearch(s, dir,
-        Seq(("merge", 1.5), ("window", 1.0), ("scan", 0.7),
-          ("data", 0.3)), 20)
-    }),
-
-    // Postings-index health: delta-log depth, touched/tombstoned docs,
-    // live count, and the compaction signal after two upserts + one
-    // delete (60 touched ids, 10 of them tombstoned). Counts are exact
-    // oracle values; the delete-then-reupsert distinction (a tombstone
-    // is a doc whose LATEST write is a delete) is pinned in
-    // IncrementalPostingsSpec.
-    "x_postings_stats" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select("doc_id", "text")
-      val dir = tempDir("graft-poststat")
-      sink.IncrementalPostings.init(docs, "doc_id", "text", dir)
-      sink.IncrementalPostings.commitUpserts(
-        docs.filter(col("doc_id") < 50), "doc_id", "text", dir)
-      sink.IncrementalPostings.commitDeletes(
-        docs.filter(col("doc_id") >= 50 && col("doc_id") < 60)
-          .select("doc_id"), "doc_id", dir)
-      sink.IncrementalPostings.stats(s, dir)
-    }),
-
-    // Phrase search over the INCREMENTALLY-MAINTAINED positional index:
-    // init without doc_id<10, upsert those back plus a bogus doc that
-    // CONTAINS the phrase, tombstone the bogus doc — the live view must
-    // answer exactly like a scan of the full corpus (same oracle as
-    // q_match_phrase; the deleted doc proves tombstones reach the
-    // positional view).
-    "x_phrase_incremental" -> ((s, d) => {
-      import s.implicits._
-      val docs = Tables.documents(s, d).select("doc_id", "text")
-      val dir = tempDir("graft-incphrase")
-      sink.IncrementalPostings.init(
-        docs.filter(col("doc_id") >= 10), "doc_id", "text", dir,
-        withPositions = true)
-      sink.IncrementalPostings.commitUpserts(
-        docs.filter(col("doc_id") < 10).unionByName(
-          Seq((1000000L, "bogus stream data phrase doc"))
-            .toDF("doc_id", "text")),
-        "doc_id", "text", dir)
-      sink.IncrementalPostings.commitDeletes(
-        Seq(1000000L).toDF("doc_id"), "doc_id", dir)
-      sink.IncrementalPostings.phraseSearch(s, dir, "stream data")
-        .select("doc_id").orderBy("doc_id")
-    }),
-
-    // Vector-index append path: index built WITHOUT vec_id<100, those
-    // vectors appended (assigned against the persisted model, cell dirs
-    // appended — no retrain, no rewrite). Full-probe search must then
-    // equal the exact corpus top-10 row-for-row (same oracle shape as
-    // x_sim_topk).
-    "x_sim_ivf_append" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      val qv = e.filter(col("vec_id") === 0).select("embedding")
-        .head().getSeq[Float](0)
-      val dir = tempDir("graft-vecapp")
-      val model = sink.VectorIndex.write(e.filter(col("vec_id") >= 100),
-        "vec_id", "embedding", dir, k = 8, iters = 3)
-      sink.VectorIndex.append(e.filter(col("vec_id") < 100),
-        "vec_id", "embedding", dir)
-      sink.VectorIndex.search(s, dir, "vec_id", "embedding", qv,
-          topK = 10, nProbe = model.k)
-        .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
-    }),
-
-    // Keyed MUTATION of the persisted vector index (the reference's
-    // defining upsert/delete-by-key semantic, PaimonIngestorE2ETest.java:
-    // 579-766, applied to the vector layout): base on vec_id>=50, ids
-    // <50 upserted, ids <10 then RE-upserted with negated vectors
-    // (last-writer-wins supersedes across cells), ids 10..29 tombstoned.
-    // Full-probe search must equal exact top-10 over the surviving
-    // corpus: >=30 original + <10 negated — each commit O(batch) bytes
-    // (VectorIndexSpec pins the base is never rewritten).
-    "x_sim_ivf_upsert" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      val qv = e.filter(col("vec_id") === 0).select("embedding")
-        .head().getSeq[Float](0)
-      val dir = tempDir("graft-vecups")
-      val model = sink.VectorIndex.write(e.filter(col("vec_id") >= 50),
-        "vec_id", "embedding", dir, k = 8, iters = 3)
-      sink.VectorIndex.upsert(e.filter(col("vec_id") < 50),
-        "vec_id", "embedding", dir)
-      sink.VectorIndex.upsert(
-        e.filter(col("vec_id") < 10).withColumn("embedding",
-          transform(col("embedding"), x => x * lit(-1.0f))),
-        "vec_id", "embedding", dir)
-      sink.VectorIndex.delete(
-        e.filter(col("vec_id") >= 10 && col("vec_id") < 30).select("vec_id"),
-        "vec_id", dir)
-      sink.VectorIndex.search(s, dir, "vec_id", "embedding", qv,
-          topK = 10, nProbe = model.k)
-        .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
-    }),
-
-    // Index health / rebuild signal: cell-occupancy stats over the LIVE
-    // view after an upsert (supersede — count unchanged) and a delete.
-    // n_vectors and the commit-log depth are exact oracle values; the
-    // skew/occupancy invariants gate as booleans (the x_sim_ivf
-    // pattern — cell assignment itself is k-means, not SQL-expressible).
-    // The drift-detection teeth (skew rises under one-sided ingest) are
-    // pinned in VectorIndexSpec.
-    "x_sim_ivf_stats" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      val dir = tempDir("graft-vecstat")
-      sink.VectorIndex.write(e, "vec_id", "embedding", dir, k = 8, iters = 3)
-      sink.VectorIndex.upsert(
-        e.filter(col("vec_id") < 20).withColumn("embedding",
-          transform(col("embedding"), x => x * lit(-1.0f))),
-        "vec_id", "embedding", dir)
-      sink.VectorIndex.delete(
-        e.filter(col("vec_id") < 5).select("vec_id"), "vec_id", dir)
-      sink.VectorIndex.stats(s, dir).select(
-        col("n_vectors"), col("n_cells"),
-        (col("skew") >= 1.0).as("skew_ok"),
-        (col("max_cell") * col("n_cells") >= col("n_vectors"))
-          .as("max_consistent"),
-        col("n_pending_commits"))
-    }),
-
-    // Batch KNN served off the PERSISTED index: each query probes its own
-    // nearest cells (dynamic partition pruning on the cell layout —
-    // VectorIndexSpec pins the file cut); all cells probed here so the
-    // answer is exactly the corpus-scan knnJoin's (same oracle shape).
-    "x_knn_indexed" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      val dir = tempDir("graft-vecknn")
-      val model = sink.VectorIndex.write(e, "vec_id", "embedding", dir,
-        k = 8, iters = 3)
-      val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      sink.VectorIndex.knnSearch(s, dir, q, "query_id", "qv",
-          k = 5, nProbe = model.k)
-        .orderBy("query_id", "rk")
-    }),
-
-    // Filtered KNN (the ES knn-query `filter` shape): the metadata
-    // predicate restricts candidates BEFORE ranking — within the probed
-    // cells the true filtered top-k, never "rank then discard". Exact
-    // only because nProbe = k covers all cells here; at smaller nProbe
-    // the result is recall-bounded like unfiltered IVF (a selective
-    // filter can empty the probed cells — see VectorIndex.knnSearch).
-    "x_knn_filtered" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      val dir = tempDir("graft-vecknnf")
-      val model = sink.VectorIndex.write(e, "vec_id", "embedding", dir,
-        k = 8, iters = 3)
-      val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      sink.VectorIndex.knnSearch(s, dir, q, "query_id", "qv",
-          k = 5, nProbe = model.k, filter = Some(pmod(col("label"), lit(2)) === 0))
-        .orderBy("query_id", "rk")
-    }),
-
-    // Late-interaction (MaxSim) retrieval: labels act as document groups
-    // (bags of chunk vectors), vec_id<3 as the query bag; score =
-    // Σ_q max_chunk cosine. Both aggregations are map-side-combinable
-    // hash aggs; round-then-decimal-sum makes the score order-independent.
-    "x_maxsim" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      val q = e.filter(col("vec_id") < 3)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      operators.Similarity.maxSimScores(e, q, "label", "embedding", "qid", "qv")
-        .orderBy("label")
-    }),
-
-    // BENCH NOTE (as with x_dedup_minhash): the index-building gates —
-    // x_sim_ivf_persisted, x_sim_ivf_append, x_sim_ivf_upsert,
-    // x_sim_ivf_stats, x_knn_indexed, x_hybrid_indexed,
-    // x_bm25_incremental, x_geo_upsert, x_geo_stats — pay a full index
-    // WRITE (and, for the mutation gates, several commits) inside the
-    // timed query to prove the end-to-end layout; that build cost is
-    // gate overhead, not per-query serving cost (serving reads only
-    // probed cells / query-term postings / covered geo cells, pinned by
-    // VectorIndexSpec + GeoIndexSpec + PlanSpec). The cost is JOB COUNT
-    // (one write + N commit jobs on tiny frames), not data volume.
-
-    // The SERVING STACK end-to-end: lay out BOTH persisted indexes (term-
-    // sorted postings + norms; IVF cell-partitioned vectors), then answer
-    // a hybrid query reading only index structures — BM25 from the query
-    // terms' postings, cosine from the vector cells — fused by RRF. All
-    // cells are probed here so the result is row-for-row the declarative
-    // answer (the pruned-probe path is gated by x_sim_ivf_persisted, the
-    // postings term-pruning by x_bm25_indexed / PlanSpec).
-    "x_hybrid_indexed" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val k = 50
-      val docs = Tables.documents(s, d)
-      val tdir = tempDir("graft-textidx")
-      sink.InvertedIndex.writePostings(
-        sink.InvertedIndex.postings(docs, "doc_id", "text"), s"$tdir/postings")
-      sink.InvertedIndex.docLengths(docs, "doc_id", "text")
-        .write.mode("overwrite").parquet(s"$tdir/norms")
-      val textTop = sink.InvertedIndex.bm25Search(
-          sink.InvertedIndex.readPostings(s, s"$tdir/postings"),
-          s.read.parquet(s"$tdir/norms"), "merge window scan", k)
-        .select(col("doc_id"), row_number().over(
-          Window.orderBy(col("bm25").desc, col("doc_id"))).as("r_text"))
-      val e = Tables.embeddings(s, d)
-      val vdir = tempDir("graft-vecidx")
-      val model = sink.VectorIndex.write(e, "vec_id", "embedding", vdir,
-        k = 8, iters = 3)
-      val qv = e.filter(col("vec_id") === 0).select("embedding")
-        .head().getSeq[Float](0)
-      val vecTop = sink.VectorIndex.search(s, vdir, "vec_id", "embedding",
-          qv, topK = k, nProbe = model.k)
-        .select(col("vec_id").as("doc_id"), row_number().over(
-          Window.orderBy(col("cosine").desc, col("vec_id"))).as("r_vec"))
-      textTop.join(vecTop, Seq("doc_id"), "full_outer")
-        .select(col("doc_id"),
-          (coalesce(lit(1.0) / (lit(60) + col("r_text")), lit(0.0)) +
-            coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0))).as("rrf"))
-        .orderBy(col("rrf").desc, col("doc_id")).limit(10)
-        .select(col("doc_id"), round(col("rrf"), 9).as("rrf"))
-    }),
-
-    // Brute-force cosine top-k vs the vec_id=0 query vector (exact ANN
-    // baseline), expressed as a broadcast join — no driver collect.
-    // Quantized-scan + exact-rescore ANN: int8 candidate pool (100) then
-    // full-precision rescore of the pool — must equal the EXACT top-10
-    // (same oracle as x_sim_topk): the 4x-bandwidth scan pattern with
-    // its answer-fidelity pinned by the gate.
-    "x_sim_quantized" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      val qv = e.filter(col("vec_id") === 0).select("embedding")
-        .head().getSeq[Float](0)
-      operators.Similarity.quantizedTopK(
-          e.select("vec_id", "embedding"), "vec_id", "embedding",
-          qv, k = 10, rescoreK = 100)
-        .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
-    }),
-
-    // Product quantization serving: 64-dim vectors → 8 codes (one per
-    // 8-dim subspace, 16-entry codebooks — a 32× byte reduction on the
-    // candidate scan), ADC scoring via plan-literal lookup tables, then
-    // exact-cosine rescore of only the 200-candidate pool. The answer
-    // must BE the exact top-10 (the x_sim_quantized pool-holds
-    // convention); PqSpec pins encode determinism and the ADC ranking.
-    "x_sim_pq" -> ((s, d) => {
-      val e = Tables.embeddings(s, d).select("vec_id", "embedding")
-      val qv = e.filter(col("vec_id") === 1).select("embedding")
-        .head().getSeq[Float](0)
-      val model = operators.Pq.fit(e, "vec_id", "embedding", dim = 64,
-        m = 8, codebookSize = 16, iters = 3)
-      operators.Pq.searchTopK(e, "vec_id", "embedding", model, qv,
-          k = 10, rescoreK = 200)
-        .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
-    }),
-
-    // Batch PQ KNN join (the fleet-serving shape): five query vectors
-    // against 16×16 codebooks (finer subspaces — isotropic test vectors
-    // give ADC little cosine structure to rank on, so fidelity comes
-    // from subspace width; verified pool-holds at sf0.01 AND sf0.1).
-    // against the encoded corpus — ADC candidates read only codes, the
-    // exact rescore touches candidate ids only. ≡ exact per-query
-    // top-5 at the gated pool width (the x_sim_pq convention).
-    "x_pq_knn_join" -> ((s, d) => {
-      val e = Tables.embeddings(s, d).select("vec_id", "embedding", "label")
-      val model = operators.Pq.fit(e, "vec_id", "embedding", dim = 64,
-        m = 16, codebookSize = 16, iters = 2)
-      val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      operators.Pq.knnJoin(e, "vec_id", "embedding", q, "query_id", "qv",
-          model, k = 5, rescoreK = 200)
-        .orderBy("query_id", "rk")
-    }),
-
-    "x_sim_topk" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-      e.crossJoin(broadcast(q))
-        .select(col("vec_id"),
-          functions.VectorExpressions.cosineFast(col("embedding"), col("qv")).as("c"))
-        .orderBy(col("c").desc, col("vec_id"))
-        .limit(10)
-        .select(col("vec_id"), round(col("c"), 6).as("cosine"))
-    }),
-
-    // LSH-bucketed ANN top-k, gated as one oracle row: k results returned,
-    // the query's own vector found (its bucket is always probed), and
-    // nonzero overlap with the exact top-k. RHP-LSH over ISOTROPIC random
-    // vectors has weak recall by nature (no cluster structure to hash) —
-    // the tight recall assertions live in SimilaritySpec; the oracle gate
-    // pins determinism and the self-hit/shape contract.
-    "x_sim_ann" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      val bucketed = operators.Similarity.annBuckets(e, "embedding", nBits = 8)
-      val qv = e.filter(col("vec_id") === 0).select("embedding")
-        .head().getSeq[Float](0)
-      val ann = operators.Similarity.annTopK(bucketed, "vec_id", "embedding",
-        qv, 10, nBits = 8).select(col("vec_id"))
-      val exact = operators.Similarity.bruteForceTopK(e, "vec_id", "embedding",
-        qv, 10).select(col("vec_id").as("eid"))
-      ann.join(exact, col("vec_id") === col("eid"), "left")
-        .agg(count(lit(1)).as("n_results"),
-          (sum(when(col("vec_id") === 0, 1).otherwise(0)) === 1).as("self_found"),
-          (sum(when(col("eid").isNotNull, 1).otherwise(0)) >= 1).as("recall_ok"))
-    }),
-
-    // IVF-ANN: k-means cells (custom vector_sum aggregate) + probed
-    // search, gated as one oracle row (recall@10 ≥ 0.8 vs brute force —
-    // measured 0.9-1.0 across SFs; exact per-run values in IvfSpec).
-    "x_sim_ivf" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      val qv = e.filter(col("vec_id") === 0).select("embedding")
-        .head().getSeq[Float](0)
-      val model = operators.Ivf.fit(e, "vec_id", "embedding", k = 8, iters = 3)
-      val assigned = operators.Ivf.assign(e, "embedding", model)
-      val ivf = operators.Ivf.search(assigned, "vec_id", "embedding", model, qv,
-        topK = 10, nProbe = 3).select(col("vec_id"))
-      val exact = operators.Similarity.bruteForceTopK(e, "vec_id", "embedding",
-        qv, 10).select(col("vec_id").as("eid"))
-      ivf.join(exact, col("vec_id") === col("eid"), "left")
-        .agg(count(lit(1)).as("n_results"),
-          (sum(when(col("eid").isNotNull, 1).otherwise(0)) >= 8).as("recall_ok"))
-    }),
-
-    // Persisted IVF index (vector-side serving path): train + lay out by
-    // cell on disk, then search reading ONLY the probed cell directories
-    // (partition pruning — VectorIndexSpec pins the file-level scan cut).
-    // Same gate as x_sim_ivf: k results, recall floor vs exact top-k.
-    // Nearest-centroid classification: every embedding tagged with the
-    // label whose member-average vector is most cosine-similar —
-    // embedding-space domain routing off a labeled seed corpus. Full
-    // oracle: 6dp-rounded centroids (the x_embed_centroid convention)
-    // make both engines' models bit-identical before the argmax.
-    "x_classify_centroid" -> ((s, d) =>
-      operators.Similarity.nearestCentroid(
-        Tables.embeddings(s, d), "vec_id", "embedding", "label")
-        .orderBy("vec_id")),
-
-    // Embedding outlier triage: cosine to the OWN label centroid, flag
-    // the per-label lower decile (mislabeled/corrupt rows live there).
-    // Centroids are the one-shot 6dp-average recipe the classifier row
-    // pins; both compared values pre-round so the flag is boundary-
-    // deterministic across engines.
-    "x_embed_outliers" -> ((s, d) =>
-      operators.Similarity.centroidOutliers(
-        Tables.embeddings(s, d), "vec_id", "embedding", "label",
-        tailQuantile = 0.1)
-        .orderBy("vec_id")),
-
-    // Cosine-threshold range search off the persisted IVF layout: the
-    // stored per-cell angular radius prunes base cells at file-listing
-    // time (spherical triangle inequality — sound, VectorIndexSpec-
-    // pinned), and the answer must EQUAL the brute-force threshold scan
-    // — exact results through a pruned read, unlike the recall-gated
-    // nProbe rows.
-    "x_sim_radius" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      val qv = e.filter(col("vec_id") === 0).select("embedding")
-        .head().getSeq[Float](0)
-      val dir = tempDir("graft-vecrad")
-      sink.VectorIndex.write(e, "vec_id", "embedding", dir, k = 8, iters = 3)
-      sink.VectorIndex.radiusSearch(s, dir, "vec_id", "embedding", qv, 0.4)
-        .orderBy("vec_id")
-    }),
-
-    "x_sim_ivf_persisted" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      val qv = e.filter(col("vec_id") === 0).select("embedding")
-        .head().getSeq[Float](0)
-      val dir = tempDir("graft-vecidx")
-      sink.VectorIndex.write(e, "vec_id", "embedding", dir, k = 8, iters = 3)
-      val hit = sink.VectorIndex.search(s, dir, "vec_id", "embedding", qv,
-        topK = 10, nProbe = 3).select(col("vec_id"))
-      val exact = operators.Similarity.bruteForceTopK(e, "vec_id", "embedding",
-        qv, 10).select(col("vec_id").as("eid"))
-      hit.join(exact, col("vec_id") === col("eid"), "left")
-        .agg(count(lit(1)).as("n_results"),
-          (sum(when(col("eid").isNotNull, 1).otherwise(0)) >= 8).as("recall_ok"))
-    }),
-
-    // Text quality features.
-    "x_text_quality" -> ((s, d) =>
-      operators.TextAnalysis.quality(Tables.documents(s, d), "doc_id", "text")
-        .orderBy("doc_id")),
-
-    // Token counting (whitespace + BPE-ish pieces).
-    "x_text_tokens" -> ((s, d) =>
-      operators.TextAnalysis.tokenCounts(Tables.documents(s, d), "doc_id", "text")
-        .orderBy("doc_id")),
-
-    // Language ID (stopword-marker argmax).
-    "x_text_langid" -> ((s, d) =>
-      operators.TextAnalysis.languageId(Tables.documents(s, d), "doc_id", "text")
-        .orderBy("doc_id")),
-
-    // PII scrub: the synthetic corpus carries no PII, so each doc gets a
-    // deterministic contact suffix appended FIRST (identical string
-    // construction in both engines) — the redaction then provably finds
-    // and masks every planted email/URL/phone.
-    "x_text_pii" -> ((s, d) => {
-      val planted = Tables.documents(s, d).select(
-        col("doc_id"),
-        concat(col("text"),
-          lit(" contact u"), col("doc_id"), lit("@example.com or "),
-          lit("https://ex.com/p/"), col("doc_id"),
-          lit(" call 555-123-4567")).as("text"))
-      operators.TextAnalysis.piiScrub(planted, "doc_id", "text")
-        .orderBy("doc_id")
-    }),
-
-    // Repetition/boilerplate score (top 3-gram frequency ratio).
-    "x_text_repetition" -> ((s, d) =>
-      operators.TextAnalysis.repetition(Tables.documents(s, d), "doc_id", "text")
-        .orderBy("doc_id")),
-
-    // Canonical content fingerprint (md5 over sorted distinct tokens).
-    "x_text_fingerprint" -> ((s, d) =>
-      operators.TextAnalysis.fingerprints(Tables.documents(s, d), "doc_id", "text")
-        .orderBy("doc_id")),
-
-    // Vocabulary coverage (the tokenizer-design curve): what fraction
-    // of all token OCCURRENCES the top-V terms cover, for candidate
-    // vocab sizes — the Zipf head-mass measurement behind "how big
-    // must the vocab be". Scale shape: term frequencies are one
-    // map-side-combinable hash agg; the ranked head is a BOUNDED
-    // TakeOrderedAndProject of max(V) rows (never a vocab-wide
-    // window); totals are a one-row broadcast.
-    "x_vocab_coverage" -> ((s, d) => {
-      val vs = Seq(100, 1000)
-      val tf = Tables.documents(s, d)
-        .select(explode(filter(split(lower(col("text")), " "),
-          t => t =!= lit(""))).as("term"))
-        .groupBy("term").agg(count(lit(1)).as("tf"))
-      val total = tf.agg(sum("tf").as("_tot"),
-        count(lit(1)).as("_nterms"))
-      val head = tf.orderBy(col("tf").desc, col("term")).limit(vs.max)
-        .withColumn("rk", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(col("tf").desc, col("term"))))
-      head.crossJoin(broadcast(total))
-        .select(explode(array(vs.map(lit): _*)).as("vocab_size"),
-          col("tf"), col("rk"), col("_tot"), col("_nterms"))
-        .filter(col("rk") <= col("vocab_size"))
-        .groupBy("vocab_size")
-        .agg(max(col("_nterms")).as("n_terms"),
-          sum(col("tf")).as("covered_tokens"),
-          max(col("_tot")).as("total_tokens"))
-        .withColumn("coverage", round(
-          col("covered_tokens").cast("double") / col("total_tokens"), 6))
-        .orderBy("vocab_size")
-    }),
-
-    // Multimodal: opaque binary payload + no-decode metadata.
-    "x_multimodal_meta" -> ((s, d) => {
-      val withBin = operators.Multimodal.withBinaryPayload(
-        Tables.documents(s, d), "text", "payload")
-      operators.Multimodal.payloadMetadata(withBin, "doc_id", "payload")
-        .orderBy("doc_id")
-    }),
-
-    // REAL image-metadata sniffing (PNG IHDR / JPEG SOF / GIF header —
-    // pure byte parsing, no codec library, so this half of the
-    // multimodal path is NOT stubbed): payloads are VALID image headers
-    // synthesized from testdata columns (width = n_chars%512+1,
-    // height = doc_id%512+1, big-endian via hex/lpad/unhex), the JPEG
-    // branch walking a leading APP0 segment like real files; every 11th
-    // doc carries a non-image payload and must sniff to nulls. The
-    // oracle recomputes the dims straight from the columns — wrong
-    // parser offsets fail the hash.
-    "x_multimodal_sniff" -> ((s, d) => {
-      def be(nBytes: Int, c: Column): Column =
-        unhex(lpad(hex(c), nBytes * 2, "0"))
-      val w = (pmod(col("n_chars"), lit(512)) + 1).cast("int")
-      val h = (pmod(col("doc_id"), lit(512)) + 1).cast("int")
-      val png = concat(
-        lit(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a,
-          0x0a, 0, 0, 0, 0x0d)),
-        lit("IHDR".getBytes("US-ASCII")), be(4, w), be(4, h),
-        lit(Array[Byte](8, 2, 0, 0, 0, 0, 0, 0, 0)))
-      val jpeg = concat(
-        lit(Array[Byte](0xff.toByte, 0xd8.toByte)),
-        lit(Array[Byte](0xff.toByte, 0xe0.toByte, 0, 4, 'J', 'F')),
-        lit(Array[Byte](0xff.toByte, 0xc0.toByte, 0, 0x11, 8)),
-        be(2, h), be(2, w), lit(Array[Byte](3)))
-      val payload = when(pmod(col("doc_id"), lit(11)) === 0,
-          lit("not an image".getBytes("US-ASCII")))
-        .when(pmod(col("doc_id"), lit(2)) === 0, png)
-        .otherwise(jpeg)
-      operators.Multimodal.imageMeta(
-          Tables.documents(s, d).select(col("doc_id"), payload.as("payload")),
-          "doc_id", "payload")
-        .orderBy("id")
-    }),
-
-    // REAL Matroska/WebM (EBML) container sniffing: payloads are VALID
-    // minimal MKV/WebM files synthesized from testdata columns — EBML
-    // header with DocType (even ids matroska, odd webm), unknown-size
-    // Segment (the live-mux shape), Info with TimestampScale=1e9 and a
-    // float64 Duration whose IEEE754 bits are computed IN SQL from
-    // doc_id (exponent via bin-length, mantissa via shiftleft), and a
-    // Tracks element with a video entry (+ audio every 3rd doc). Every
-    // 7th doc carries a non-EBML payload and must sniff to nulls. The
-    // oracle recomputes format/duration/track flags straight from the
-    // columns — wrong VINT widths or float offsets fail the hash.
-    "x_multimodal_sniff_ebml" -> ((s, d) => {
-      def B(xs: Int*): Column = lit(xs.map(_.toByte).toArray)
-      val base = Tables.documents(s, d).select(col("doc_id"),
-          (pmod(col("doc_id"), lit(300)) + 1).cast("long").as("_v"))
-        .withColumn("_e", (length(bin(col("_v"))) - 1).cast("long"))
-        .withColumn("_bits", expr(
-          "shiftleft(1023 + _e, 52) | " +
-            "(shiftleft(_v, cast(52 - _e as int)) & 4503599627370495)"))
-        .withColumn("_dur8", unhex(lpad(hex(col("_bits")), 16, "0")))
-      val durEl = concat(B(0x44, 0x89, 0x88), col("_dur8"))
-      val scaleEl = B(0x2A, 0xD7, 0xB1, 0x84, 0x3B, 0x9A, 0xCA, 0x00)
-      val infoEl = concat(B(0x15, 0x49, 0xA9, 0x66, 0x93), scaleEl, durEl)
-      val vTrack = B(0xAE, 0x83, 0x83, 0x81, 0x01)
-      val aTrack = B(0xAE, 0x83, 0x83, 0x81, 0x02)
-      val tracksEl = when(pmod(col("doc_id"), lit(3)) === 0,
-          concat(B(0x16, 0x54, 0xAE, 0x6B, 0x8A), vTrack, aTrack))
-        .otherwise(concat(B(0x16, 0x54, 0xAE, 0x6B, 0x85), vTrack))
-      val hdr = when(pmod(col("doc_id"), lit(2)) === 0,
-          concat(B(0x1A, 0x45, 0xDF, 0xA3, 0x8B, 0x42, 0x82, 0x88),
-            lit("matroska".getBytes("US-ASCII"))))
-        .otherwise(concat(B(0x1A, 0x45, 0xDF, 0xA3, 0x87, 0x42, 0x82, 0x84),
-          lit("webm".getBytes("US-ASCII"))))
-      val payload = when(pmod(col("doc_id"), lit(7)) === 0,
-          lit("not a video".getBytes("US-ASCII")))
-        .otherwise(concat(hdr, B(0x18, 0x53, 0x80, 0x67, 0xFF),
-          infoEl, tracksEl))
-      operators.Multimodal.ebmlMeta(
-          base.select(col("doc_id"), payload.as("payload")),
-          "doc_id", "payload")
-        .orderBy("id")
-    }),
-
-    // REAL MP3/ADTS-AAC stream sniffing: payloads are VALID frame
-    // chains built in SQL — MPEG-1 Layer III 128 kbps @ 44100 (417-byte
-    // frames) for even ids, ADTS AAC LC @ 44100 (107-byte frames, the
-    // length lives in the header bits) otherwise, frame count from
-    // doc_id, every 7th doc non-audio → nulls. The parser walks the
-    // chain; duration = frames × samples-per-frame / rate. The oracle
-    // recomputes everything from doc_id — wrong frame-size math or
-    // header offsets fail the hash.
-    "x_multimodal_sniff_audio" -> ((s, d) => {
-      val mp3Frame = lit(Array(0xFF, 0xFB, 0x90, 0x00).map(_.toByte) ++
-        Array.fill[Byte](413)(0x11))
-      val aacFrame = lit(
-        Array(0xFF, 0xF1, 0x50, 0x80, 0x0D, 0x7F, 0xFC).map(_.toByte) ++
-          Array.fill[Byte](100)(0x22))
-      val n = (pmod(col("doc_id"), lit(5)) + 1).cast("int")
-      def rep(frame: Column) = aggregate(sequence(lit(1), n),
-        lit(Array.empty[Byte]), (acc, _) => concat(acc, frame))
-      val payload = when(pmod(col("doc_id"), lit(7)) === 0,
-          lit("not audio".getBytes("US-ASCII")))
-        .when(pmod(col("doc_id"), lit(2)) === 0, rep(mp3Frame))
-        .otherwise(rep(aacFrame))
-      operators.Multimodal.compressedAudioMeta(
-          Tables.documents(s, d).select(col("doc_id"),
-            payload.as("payload")),
-          "doc_id", "payload")
-        .withColumn("duration_s", round(col("duration_s"), 6))
-        .orderBy("id")
-    }),
-
-    // REAL FLAC/Ogg-Opus container sniffing: payloads are VALID
-    // headers built in SQL — a FLAC STREAMINFO block packing
-    // rate/channels/bps/total-samples into its 64-bit field for even
-    // ids (total = (doc_id%300+1)s at 44.1 kHz), a two-page Ogg Opus
-    // stream (OpusHead + EOS page whose granule encodes pre-skip 312 +
-    // (doc_id%100+1)*4800 samples) otherwise, every 7th doc non-audio
-    // → nulls. The oracle recomputes rate/channels/samples/duration
-    // from doc_id — wrong bit offsets, endianness, or pre-skip math
-    // fail the hash.
-    "x_multimodal_sniff_container" -> ((s, d) => {
-      def B(xs: Int*): Column = lit(xs.map(_.toByte).toArray)
-      def zeros(n: Int): Column = lit(Array.fill[Byte](n)(0))
-      val flacBase = (44100L << 44) | (1L << 41) | (15L << 36)
-      val total = ((pmod(col("doc_id"), lit(300)) + 1) * 44100L).cast("long")
-      val packed8 = unhex(lpad(hex(lit(flacBase) + total), 16, "0"))
-      val flacPayload = concat(lit("fLaC".getBytes("US-ASCII")),
-        B(0x80, 0, 0, 34), B(0x10, 0, 0x10, 0), zeros(6), packed8,
-        zeros(16))
-      // little-endian 8 bytes of a non-negative long (Ogg granule)
-      def le8(c: Column): Column = {
-        val h = lpad(hex(c), 16, "0")
-        concat((7 to 0 by -1).map(i => unhex(substring(h, 2 * i + 1, 2))): _*)
-      }
-      val opusHead = concat(lit("OpusHead".getBytes("US-ASCII")),
-        B(1, 2, 0x38, 0x01, 0x80, 0xBB, 0, 0, 0, 0, 0)) // pre-skip 312, 48 kHz
-      val headPage = concat(lit("OggS".getBytes("US-ASCII")), B(0, 2),
-        zeros(8), B(7, 0, 0, 0), zeros(4), zeros(4), B(1, 19), opusHead)
-      val granule =
-        (pmod(col("doc_id"), lit(100)) + 1) * 4800L + 312L
-      val eosPage = concat(lit("OggS".getBytes("US-ASCII")), B(0, 4),
-        le8(granule.cast("long")), B(7, 0, 0, 0), B(1, 0, 0, 0), zeros(4),
-        B(1, 1), B(0x55))
-      val payload = when(pmod(col("doc_id"), lit(7)) === 0,
-          lit("not audio".getBytes("US-ASCII")))
-        .when(pmod(col("doc_id"), lit(2)) === 0, flacPayload)
-        .otherwise(concat(headPage, eosPage))
-      operators.Multimodal.containerAudioMeta(
-          Tables.documents(s, d).select(col("doc_id"),
-            payload.as("payload")),
-          "doc_id", "payload")
-        .withColumn("duration_s", round(col("duration_s"), 6))
-        .orderBy("id")
-    }),
-
-    // REAL lossless decode end-to-end: per-doc PCM derived from doc_id
-    // (even ids a constant block, odd ids an 8-sample ramp) is encoded
-    // to a valid FLAC stream (CONSTANT/VERBATIM subframes, CRC-8/16
-    // written) and decoded back through the INDEPENDENT CRC-verifying
-    // decoder inside decodeAudioFeatures. The oracle recomputes sample
-    // count and RMS from doc_id alone — wrong bit-packing, CRC, or
-    // sign handling anywhere in the codec fails the hash. Encoder
-    // bytes are additionally pinned against the round-9 container
-    // sniffer and table-driven CRCs in FlacCodecSpec.
-    "x_multimodal_flac" -> ((s, d) => {
-      val pcm = Tables.documents(s, d).select("doc_id")
-        .withColumn("samples",
-          when(pmod(col("doc_id"), lit(2)) === 0,
-            array_repeat((pmod(col("doc_id"), lit(1000)) - 500).cast("int"),
-              (pmod(col("doc_id"), lit(50)) + 1).cast("int")))
-          .otherwise(transform(sequence(lit(0), lit(7)),
-            i => (pmod(col("doc_id") * 31 + i * 7, lit(2000)) - 1000)
-              .cast("int"))))
-      // even ids ride the CONSTANT-subframe path; odd ids the FIXED
-      // order-1 + Rice-coded-residual path — lossless either way, so
-      // one doc_id-derived oracle gates both encoder/decoder legs
-      val encoded = operators.Multimodal.encodeFlac(
-          pcm.filter(pmod(col("doc_id"), lit(2)) === 0),
-          "doc_id", "samples", 8000)
-        .unionByName(operators.Multimodal.encodeFlac(
-          pcm.filter(pmod(col("doc_id"), lit(2)) =!= 0),
-          "doc_id", "samples", 8000, fixedOrder = Some(1)))
-      operators.Multimodal.decodeAudioFeatures(encoded, "id", "payload")
-        .select(col("id"), col("sample_rate").cast("int").as("sample_rate"),
-          col("channels"), col("n_frames"), round(col("rms"), 6).as("rms"))
-        .orderBy("id")
-    }),
-
-    // REAL spectral analysis end-to-end: pure sine tones at exact FFT
-    // bin centers (freq = k·8000/256 Hz, k = id%30+1, amplitude 1000),
-    // FLAC-encoded, decoded back through FlacCodec, and run through the
-    // radix-2 FFT — the dominant bin must land exactly on k. Sample
-    // rounding (round(1000·sin)) perturbs magnitudes but cannot move an
-    // on-center peak, so the oracle recomputes every row from id
-    // arithmetic. No stub anywhere: encode, decode, FFT all real.
-    "x_audio_spectrum" -> ((s, d) => {
-      val k = (pmod(col("doc_id"), lit(30)) + 1).cast("double")
-      val pcm = Tables.documents(s, d).select("doc_id")
-        .filter(col("doc_id") < 300)
-        .withColumn("samples", transform(sequence(lit(0), lit(255)),
-          n => round(lit(1000.0) *
-            sin(lit(2.0 * math.Pi) * k * n.cast("double") / lit(256.0)))
-            .cast("int")))
-      val enc2 = operators.Multimodal.encodeFlac(pcm, "doc_id", "samples", 8000)
-      operators.Multimodal.audioSpectrum(enc2, "id", "payload", fftSize = 256)
-        .select(col("id"), col("sample_rate").cast("int").as("sample_rate"),
-          col("peak_bin"), col("n_samples"))
-        .orderBy("id")
-    }),
-
-    // REAL video FRAME decode (the stub's last big class): MJPEG-in-AVI
-    // — our RIFF/AVI writer around the JDK's own JPEG codec, decoded by
-    // walking the movi LIST and JPEG-decoding every 00dc chunk. Dims
-    // and frame structure are exact from id arithmetic; the mean luma
-    // of a uniform frame survives JPEG DC quantization to within a few
-    // steps, asserted Spark-side at an explicit ±5 tolerance (the
-    // x_embed_pca convention: no cross-engine lossy-value compare).
-    "x_video_frames" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select("doc_id")
-        .filter(col("doc_id") < 120)
-        .withColumn("frames", transform(sequence(lit(0), lit(2)),
-          f => array_repeat(
-            (pmod(col("doc_id") * 7 + f * 40, lit(200)) + 20).cast("int"),
-            128)))
-        .withColumn("w", lit(16))
-      val avi = operators.Multimodal.encodeAviMjpeg(
-        docs, "doc_id", "frames", "w", fps = 5)
-      operators.Multimodal.videoFrames(avi, "id", "payload")
-        .select(col("id"), col("frame_idx"), col("width"), col("height"),
-          (abs(col("mean_luma") -
-            (pmod(col("id") * 7 + col("frame_idx") * 40, lit(200)) + 20))
-            <= 5.0).as("luma_ok"))
-        .orderBy("id", "frame_idx")
-    }),
-
-    // ASR-corpus utterance cuts: VAD frames → gaps-and-islands. The
-    // planted pattern activates frame pairs (2g, 2g+1) where
-    // (id+g)%3=0, g≤3 — so ids ≡0 (mod 3) carry utterances (0-1) and
-    // (6-7), ids ≡1 carry (4-5), ids ≡2 carry (2-3); the oracle states
-    // that structure directly while the engine derives it from REAL
-    // decoded audio through RMS VAD and one windowed island pass.
-    "x_audio_utterances" -> ((s, d) => {
-      val pcm = Tables.documents(s, d).select("doc_id")
-        .filter(col("doc_id") < 250)
-        .withColumn("samples", transform(sequence(lit(0), lit(511)), n => {
-          val f = shiftright(n, 6)
-          val loud = pmod(col("doc_id") + shiftright(f, 1), lit(3)) === 0
-          when(loud,
-            pmod(col("doc_id") * 31 + n * 7, lit(2000)) - 1000)
-            .otherwise(pmod(col("doc_id") + n, lit(20)) - 10)
-            .cast("int")
-        }))
-      val enc2 = operators.Multimodal.encodeFlac(pcm, "doc_id", "samples", 8000)
-      val frames = operators.Multimodal.audioActivity(enc2, "id", "payload",
-        frameSize = 64, threshold = 100.0)
-      operators.Multimodal.utteranceSegments(frames, "id", "frame_idx",
-          "active")
-        .orderBy("id", "utt_idx")
-    }),
-
-    // MFCC front-end over real decode: FFT power → 10-filter mel bank →
-    // log → DCT-II. A tone at bin k drops its energy into the mel filter
-    // the PUBLIC formula (2595·log10(1+f/700), HTK spacing) names for
-    // k·31.25 Hz — the 30-entry band table below is that formula
-    // evaluated once and frozen (min argmax margin 0.044, verified), so
-    // the oracle stays id-arithmetic while the engine runs the whole
-    // filterbank. Cepstra ride along rounded 6dp (spec-tested, not
-    // cross-engine-compared — the x_embed_pca rule for derived floats).
-    "x_audio_mfcc" -> ((s, d) => {
-      val k = (pmod(col("doc_id"), lit(30)) + 1).cast("double")
-      val pcm = Tables.documents(s, d).select("doc_id")
-        .filter(col("doc_id") < 300)
-        .withColumn("samples", transform(sequence(lit(0), lit(255)),
-          n => round(lit(1000.0) *
-            sin(lit(2.0 * math.Pi) * k * n.cast("double") / lit(256.0)))
-            .cast("int")))
-      val enc2 = operators.Multimodal.encodeFlac(pcm, "doc_id", "samples", 8000)
-      operators.Multimodal.audioMfcc(enc2, "id", "payload",
-          fftSize = 256, nMel = 10, nCoef = 10)
-        .select(col("id"), col("dominant_band"), col("n_coef"))
-        .orderBy("id")
-    }),
-
-    // Energy VAD over the LOSSLESS path — speech-corpus curation with an
-    // EXACT oracle: deterministic PCM (loud frames when (id+f)%3=0, near-
-    // silence otherwise) rides FLAC encode→decode bit-for-bit, so DuckDB
-    // recomputes every frame's RMS with the same ascending-index
-    // sum-of-squares and the same 6dp round before the threshold.
-    "x_audio_vad" -> ((s, d) => {
-      val pcm = Tables.documents(s, d).select("doc_id")
-        .filter(col("doc_id") < 250)
-        .withColumn("samples", transform(sequence(lit(0), lit(255)), n => {
-          val f = shiftright(n, 6)
-          val loud = pmod(col("doc_id") + f, lit(3)) === 0
-          when(loud,
-            pmod(col("doc_id") * 31 + n * 7, lit(2000)) - 1000)
-            .otherwise(pmod(col("doc_id") + n, lit(20)) - 10)
-            .cast("int")
-        }))
-      val enc2 = operators.Multimodal.encodeFlac(pcm, "doc_id", "samples", 8000)
-      operators.Multimodal.audioActivity(enc2, "id", "payload",
-          frameSize = 64, threshold = 100.0)
-        .orderBy("id", "frame_idx")
-    }),
-
-    // Third REAL lossy leg: IMA/DVI ADPCM (4-bit PREDICTIVE coding,
-    // 4:1; tag-0x11 WAV; both encoder and decoder ours from the public
-    // spec — the JDK ships none). Same spectral gate: the adaptive
-    // quantizer's ~11-sample ramp and tracking noise cannot move a
-    // bin-centered tone's FFT peak (spec-verified for every k).
-    "x_audio_adpcm" -> ((s, d) => {
-      val k = (pmod(col("doc_id"), lit(30)) + 1).cast("double")
-      val pcm = Tables.documents(s, d).select("doc_id")
-        .filter(col("doc_id") < 300)
-        .withColumn("samples", transform(sequence(lit(0), lit(255)),
-          n => round(lit(8000.0) *
-            sin(lit(2.0 * math.Pi) * k * n.cast("double") / lit(256.0)))
-            .cast("int")))
-      val enc2 = operators.Multimodal.encodeAdpcm(pcm, "doc_id", "samples", 8000)
-      operators.Multimodal.audioSpectrum(enc2, "id", "payload", fftSize = 256)
-        .select(col("id"), col("sample_rate").cast("int").as("sample_rate"),
-          col("peak_bin"), col("n_samples"))
-        .orderBy("id")
-    }),
-
-    // REAL lossy-codec path: G.711 µ-law (our ITU-spec encoder, the
-    // JDK's own ULAW→PCM converter on decode). Companding quantization
-    // perturbs every sample (~38 dB SNR) but cannot move a tone planted
-    // at an exact FFT bin center, so the x_audio_spectrum oracle trick
-    // gates the whole compressed path from id arithmetic — encode,
-    // codec decode, FFT, all real, zero stub.
-    "x_audio_g711" -> ((s, d) => {
-      val k = (pmod(col("doc_id"), lit(30)) + 1).cast("double")
-      val pcm = Tables.documents(s, d).select("doc_id")
-        .filter(col("doc_id") < 300)
-        .withColumn("samples", transform(sequence(lit(0), lit(255)),
-          n => round(lit(8000.0) *
-            sin(lit(2.0 * math.Pi) * k * n.cast("double") / lit(256.0)))
-            .cast("int")))
-      val enc2 = operators.Multimodal.encodeG711(pcm, "doc_id", "samples", 8000)
-      operators.Multimodal.audioSpectrum(enc2, "id", "payload", fftSize = 256)
-        .select(col("id"), col("sample_rate").cast("int").as("sample_rate"),
-          col("peak_bin"), col("n_samples"))
-        .orderBy("id")
-    }),
-
-    // REAL image encode→decode roundtrip, oracle-exact: constant-value
-    // truecolor PNGs synthesized from doc_id (w = 8 + id%9, h = 8 + id%7,
-    // gray v = id*7 % 256), written by encodePng and read back through
-    // the javax.imageio decode path. PNG is lossless and the raster
-    // carries r=g=b=v, so the integer Rec.601 luma of every pixel is
-    // exactly v and DuckDB recomputes width/height/mean_luma from id
-    // arithmetic — the image half of the media pipeline is gated with
-    // zero stub in the loop, the x_multimodal_flac convention.
-    "x_image_decode" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select("doc_id")
-        .filter(col("doc_id") < 200)
-        .withColumn("w", (pmod(col("doc_id"), lit(9)) + 8).cast("int"))
-        .withColumn("h", (pmod(col("doc_id"), lit(7)) + 8).cast("int"))
-        .withColumn("pixels", array_repeat(
-          pmod(col("doc_id") * 7, lit(256)).cast("int"),
-          (col("w") * col("h")).cast("int")))
-      val png = operators.Multimodal.encodePng(docs, "doc_id", "pixels", "w")
-      operators.Multimodal.decodeImages(png, "id", "payload")
-        .select(col("id"), col("width"), col("height"),
-          round(col("mean_luma"), 6).as("mean_luma"))
-        .orderBy("id")
-    }),
-
-    // Image NEAR-dup end-to-end on REAL decoded pixels: 40 base patterns
-    // (16×16, aHash-cell-aligned 2×2 blocks, bright/dark from bit c of
-    // splitmix64(group) — pairwise Hamming ≥ 18, popcounts 18..40, both
-    // verified offline and frozen by these constants), 8 docs per
-    // pattern. Per-doc pixel noise (0..7 around 0/255) changes every
-    // payload byte but no aHash bit — perceptually-identical, not
-    // byte-identical; docs with (id div 40) % 4 == 3 additionally invert
-    // cells 0-1, landing 2 Hamming bits away. encodePng → imageHashes →
-    // banded Hamming join must recover exactly the within-group pairs
-    // with hamming 0 (same flip state) or 2 (mixed) — structure DuckDB
-    // recomputes from id arithmetic alone, so the whole perceptual-dedup
-    // path (codec, hash, multi-index banding, verify) is hash-gated.
-    "x_image_dedup" -> ((s, d) => {
-      def mix(x: Long): Long = {
-        var z = x + 0x9E3779B97F4A7C15L
-        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-        z ^ (z >>> 31)
-      }
-      val pats = typedLit((0 until 40).map { g =>
-        val h = mix(g.toLong)
-        (0 until 64).map(c => ((h >>> c) & 1L).toInt)
-      })
-      val grp = (pmod(col("doc_id"), lit(40)) + 1).cast("int")
-      val flip = expr("doc_id DIV 40") % 4 === 3
-      val docs = Tables.documents(s, d).select("doc_id")
-        .filter(col("doc_id") < 320)
-        .withColumn("pixels", transform(sequence(lit(0), lit(255)), px => {
-          val cell = shiftright(px, 5) * 8 +
-            shiftright(px.bitwiseAND(lit(15)), 1)
-          val base = element_at(element_at(pats, grp), (cell + 1).cast("int"))
-          val bit = when(flip && cell < 2, lit(1) - base).otherwise(base)
-          val noise = pmod(col("doc_id") * 7 + cell, lit(8))
-          when(bit === 1, lit(255) - noise).otherwise(noise).cast("int")
-        }))
-        .withColumn("w", lit(16))
-      val png = operators.Multimodal.encodePng(docs, "doc_id", "pixels", "w")
-      val hashes = operators.Multimodal.imageHashes(png, "id", "payload")
-      operators.Multimodal.nearDuplicateImages(hashes, "id", "ahash", 3)
-        .select(col("id_a"), col("id_b"),
-          col("hamming").cast("int").as("hamming"))
-        .orderBy("id_a", "id_b")
-    }),
-
-    // Exact connected components in O(log n) rounds (alternating
-    // large-star/small-star): planted 50-long chains — diameter 49,
-    // which min-label propagation would need 49 rounds to traverse —
-    // collapse to their min id in a handful of star rounds. The scale
-    // path for duplicate-cluster labeling on chain-shaped graphs.
-    "x_connected_components" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select("doc_id")
-      val edges = docs.filter(pmod(col("doc_id"), lit(50)) =!= 49)
-        .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
-      operators.Dedup.connectedComponentsStar(edges, docs)
-        .orderBy("id")
-    }),
-
-    // Vision preprocessing, oracle-exact: bilinear resize of a CONSTANT
-    // raster is the constant (integer-exact through the lossless PNG
-    // roundtrip), so encode → resize → decode gates the whole rescale
-    // path from id arithmetic.
-    "x_image_resize" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select("doc_id")
-        .filter(col("doc_id") < 150)
-        .withColumn("pixels", array_repeat(
-          pmod(col("doc_id") * 11, lit(256)).cast("int"), 256))
-        .withColumn("w", lit(16))
-      val png = operators.Multimodal.encodePng(docs, "doc_id", "pixels", "w")
-      val small = operators.Multimodal.resizeImages(png, "id", "payload", 8, 8)
-      operators.Multimodal.decodeImages(small, "id", "payload")
-        .select(col("id"), col("width"), col("height"),
-          round(col("mean_luma"), 6).as("mean_luma"))
-        .orderBy("id")
-    }),
-
-    // ViT-style patchification, oracle-exact: a deterministic gradient
-    // raster rides the lossless PNG path, so every 4×4 patch's exact
-    // integer-sum mean is recomputable in SQL.
-    "x_image_patches" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select("doc_id")
-        .filter(col("doc_id") < 150)
-        .withColumn("pixels", transform(sequence(lit(0), lit(255)),
-          px => pmod(col("doc_id") * 3 + px, lit(256)).cast("int")))
-        .withColumn("w", lit(16))
-      val png = operators.Multimodal.encodePng(docs, "doc_id", "pixels", "w")
-      operators.Multimodal.imagePatches(png, "id", "payload", patch = 4)
-        .orderBy("id", "patch_idx")
-    }),
-
-    // Video NEAR-dup end-to-end on REAL frames: 30 clip groups × 3
-    // frames, each frame a distinct splitmix pattern (90 patterns,
-    // pairwise Hamming ≥ 17 verified offline) with per-doc pixel noise
-    // that survives neither byte-compare nor JPEG bit-identity — clips
-    // in a group are perceptually identical, nothing else is. Anchor-
-    // frame banding generates candidates; the all-frames verify must
-    // recover exactly the within-group pairs at max_hamming 0.
-    "x_video_dedup" -> ((s, d) => {
-      def mix(x: Long): Long = {
-        var z = x + 0x9E3779B97F4A7C15L
-        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-        z ^ (z >>> 31)
-      }
-      val pats = typedLit((0 until 90).map { p =>
-        val h = mix(p.toLong)
-        (0 until 64).map(c => ((h >>> c) & 1L).toInt)
-      })
-      val base = pmod(col("doc_id"), lit(30)) * 3
-      val docs = Tables.documents(s, d).select("doc_id")
-        .filter(col("doc_id") < 240)
-        .withColumn("frames", transform(sequence(lit(0), lit(2)), f =>
-          transform(sequence(lit(0), lit(255)), px => {
-            val cell = shiftright(px, 5) * 8 +
-              shiftright(px.bitwiseAND(lit(15)), 1)
-            val bit = element_at(element_at(pats,
-              (base + f + 1).cast("int")), (cell + 1).cast("int"))
-            val noise = pmod(col("doc_id") * 7 + cell + f * 13, lit(8))
-            when(bit === 1, lit(255) - noise).otherwise(noise).cast("int")
-          })))
-        .withColumn("w", lit(16))
-      val avi = operators.Multimodal.encodeAviMjpeg(
-        docs, "doc_id", "frames", "w", fps = 5)
-      val hashes = operators.Multimodal.videoFrameHashes(avi, "id", "payload")
-      operators.Multimodal.nearDuplicateVideos(hashes, "id", "frame_idx",
-          "ahash", maxHamming = 3)
-        .orderBy("id_a", "id_b")
-    }),
-
-    // Fuzzy record linkage: blocked Jaro–Winkler over part names. The
-    // native JaroWinkler expression is pinned bit-exact to DuckDB's
-    // jaro_winkler_similarity (20k random pairs, four alphabets — see
-    // TextExpressionsSpec), so the oracle recomputes the SAME blocking
-    // (prefix/suffix keys), the SAME candidate join, and the SAME scores;
-    // filter on the raw double BEFORE the 6dp display round on both sides.
-    "x_fuzzy_linkage" -> ((s, d) => {
-      val p = Tables.part(s, d).filter(col("p_partkey") <= 400)
-        .select(col("p_partkey").as("id"), col("p_name").as("nm"))
-      operators.Dedup.fuzzyLinkage(p, "id", "nm", 0.92, blockLen = 8)
-        .select(col("id_a"), col("id_b"),
-          round(col("similarity"), 6).as("similarity"))
-        .orderBy("id_a", "id_b")
-    }),
-
-    // Multimodal: stubbed decode over mapPartitions batches. The stub
-    // derives features from the payload md5, so the DuckDB oracle can
-    // recompute every row in SQL (md5_number_lower + unsigned math) —
-    // the mapPartitions plumbing is hash-gated end-to-end.
-    "x_multimodal_features" -> ((s, d) => {
-      val withBin = operators.Multimodal.withBinaryPayload(
-        Tables.documents(s, d), "text", "payload")
-      operators.Multimodal.sampleFrameIndexes(
-        operators.Multimodal.extractFeatures(withBin, "doc_id", "payload"),
-        every = 2)
-        .withColumn("sampled_frames", col("sampled_frames").cast("string"))
-        .orderBy("id")
-    }),
-
-    // Benchmark decontamination: docs from source 'src0' act as the eval
-    // corpus; every other doc is flagged if it shares a word 3-gram with
-    // it. Benchmark shingle set is broadcast — the training side is
-    // probed map-side (no shuffle at the join).
-    "x_decontaminate" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      operators.Corpus.decontaminate(
-        docs.filter(col("source") =!= "src0"),
-        docs.filter(col("source") === "src0"),
-        "doc_id", "text", 3)
-        .orderBy("doc_id")
-    }),
-
-    // Contamination fraction (the reporting sibling of the binary
-    // flag): share of each training doc's distinct trigrams found in
-    // the src0 benchmark suite + severity bucket — "trim the quote"
-    // vs "drop the doc" triage. Denominator is a per-row projection;
-    // numerator reuses the probe-first broadcast.
-    "x_contamination_frac" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      operators.Corpus.contaminationFraction(
-        docs.filter(col("source") =!= "src0"),
-        docs.filter(col("source") === "src0"),
-        "doc_id", "text", 3)
-        .orderBy("doc_id")
-    }),
-
-    // Embedding-space decontamination (the semantic sibling: catches
-    // paraphrased benchmark leakage n-gram overlap misses): vectors
-    // with vec_id % 20 == 0 act as the eval suite; a training vector
-    // is contaminated at rounded cosine ≥ 0.9 to ANY of them. Eval
-    // side broadcast, map-side codegen cosine, per-row max is one
-    // combinable hash agg — the training corpus shuffles one row per
-    // doc, never the cross product.
-    "x_decontaminate_embed" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      operators.Corpus.decontaminateEmbeddings(
-        e.filter(pmod(col("vec_id"), lit(20)) =!= 0),
-        e.filter(pmod(col("vec_id"), lit(20)) === 0),
-        "vec_id", "embedding", threshold = 0.9)
-        .orderBy("vec_id")
-    }),
-
-    // Sequence packing: fixed 512-token bins in doc_id order via the
-    // two-phase global cumulative sum (no single-partition window).
-    "x_pack" -> ((s, d) =>
-      operators.Corpus.packSequences(Tables.documents(s, d), "doc_id", "text", 512L)
-        .orderBy("doc_id")),
-
-    // Packed bins materialized as training sequences (id-ordered concat,
-    // per-bin doc/token accounting).
-    "x_pack_text" -> ((s, d) =>
-      operators.Corpus.binTexts(Tables.documents(s, d), "doc_id", "text", 512L)
-        .orderBy("bin_id")),
-
-    // Source balancing: every source capped at 10 docs, hash-ordered
-    // deterministic prefix — per-source counts prove the cap, kept ids
-    // prove the exact prefix choice.
-    "x_balance" -> ((s, d) =>
-      operators.Corpus.capPerStratum(Tables.documents(s, d), "doc_id", "source", 10)
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("id_sum"))
-        .orderBy("source")),
-
-    // Deterministic 20% corpus sample: md5-hash keep-set reproducible in
-    // any engine (auditable sampling); per-source counts show the
-    // stratification is uniform.
-    "x_sample" -> ((s, d) =>
-      operators.Corpus.deterministicSample(Tables.documents(s, d), "doc_id", 200)
-        .groupBy("source").agg(count(lit(1)).as("n_kept"))
-        .orderBy("source")),
-
-    // Deterministic 15% token masking (the MLM/span-corruption preview):
-    // per-(doc, position) md5-56 buckets decide the mask — the corrupted
-    // corpus is bit-identical in any engine (auditable pretraining
-    // corruption). Pure indexed-transform projection, no explode.
-    "x_mask_tokens" -> ((s, d) =>
-      operators.Corpus.maskTokens(Tables.documents(s, d), "doc_id",
-        "text", permille = 150)
-        .orderBy("doc_id")),
-
-    // multi_match (ES): one analyzed query over (text ×1, lang ×3) —
-    // best_fields takes the max boosted field score (dis_max
-    // semantics), most_fields sums the evidence. Integer tf × exact
-    // boosts: engine-exact doubles, no rounding.
-    "q_multi_match" -> ((s, d) =>
-      DocQueries.multiMatch(
-        Tables.documents(s, d).select("doc_id", "text", "lang"),
-        Seq(("text", 1.0), ("lang", 3.0)), "merge window de",
-        "best_fields", 20)
-        .select("doc_id", "score")),
-    "q_multi_match_most" -> ((s, d) =>
-      DocQueries.multiMatch(
-        Tables.documents(s, d).select("doc_id", "text", "lang"),
-        Seq(("text", 1.0), ("lang", 3.0)), "merge window de",
-        "most_fields", 20)
-        .select("doc_id", "score")),
-
-    // combined_fields (ES): title (synthetic first-5-tokens field, ×2)
-    // + body (×1) scored as ONE combined field — weighted tf/dl sums
-    // feed a single BM25, so idf saturation is SHARED across fields
-    // (the term-centric alternative to multi_match's field-centric
-    // max/sum). Integer weights keep combined tf/dl exact integers;
-    // stats are one broadcast row, cut is TakeOrderedAndProject.
-    "q_combined_fields" -> ((s, d) => {
-      val toks = filter(split(lower(col("text")), " "), x => x =!= lit(""))
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("text"),
-          array_join(slice(toks, 1, 5), " ").as("title"))
-      DocQueries.combinedFields(docs, "doc_id",
-        Seq(("title", 2.0), ("text", 1.0)), "merge window scan", 20)
-    }),
-
-    // sparse_vector query (ES / SPLADE-ELSER serving shape): query =
-    // term→weight map, doc = sparse impact vector, score = dot product.
-    // Postings-based: the exploded token stream prunes to the query's
-    // terms BEFORE any shuffle, df/N/weights ride broadcasts, the cut
-    // is TakeOrderedAndProject. Contributions round 6dp and sum as
-    // exact decimals.
-    "q_sparse_vector" -> ((s, d) =>
-      DocQueries.sparseVectorQuery(Tables.documents(s, d),
-        "doc_id", "text",
-        Seq(("merge", 1.5), ("window", 1.0), ("scan", 0.7),
-          ("data", 0.3)), 20)),
-
-    // nested query + inner_hits (ES): every conjunct must hold on the
-    // SAME nested doc — an order whose big line and discounted line are
-    // DIFFERENT lines matches the flattened object mapping but not
-    // this. Parents are orders, nested docs their lineitems
-    // (collect_list struct — one keyed shuffle to build the nested
-    // view); the query itself is a pure array-filter projection, no
-    // block-join. inner_hits surface as the sorted matching line
-    // numbers. Predicate fields stay raw doubles: a filter compares,
-    // never sums, so the double is engine-exact.
-    "q_nested" -> ((s, d) => {
-      val nested = Tables.lineitem(s, d)
-        .groupBy(col("l_orderkey"))
-        .agg(collect_list(struct(col("l_linenumber").as("ln"),
-          col("l_quantity").as("qty"), col("l_discount").as("disc")))
-          .as("items"))
-      DocQueries.nestedQuery(nested, "items",
-          x => x.getField("qty") >= 45 && x.getField("disc") >= 0.08)
-        .select(col("l_orderkey").as("o_orderkey"),
-          size(col("inner_hits")).cast("long").as("n_hits"),
-          array_join(transform(array_sort(col("inner_hits")),
-            x => x.getField("ln").cast("string")), ",").as("hit_lines"))
-        .orderBy("o_orderkey")
-    }),
-
-    // terms lookup (ES): the membership values come from ONE stored
-    // document (GET → path), not the query body — "docs in the same
-    // language as doc 123". The lookup fetch is an id-pruned one-row
-    // broadcast, the filter a left-semi join; no driver round-trip.
-    "q_terms_lookup" -> ((s, d) =>
-      DocQueries.termsLookup(Tables.documents(s, d)
-          .select("doc_id", "lang"), "doc_id", 123L, "lang", "lang")
-        .select("doc_id", "lang").orderBy("doc_id")),
-
-    // function_score random_score (ES): seeded deterministic [0,1)
-    // score per (seed, doc) over the match recall set — reproducible
-    // result shuffling / A-B bucketing, the md5-56 sampling-hash
-    // convention reduced mod 10^6 (integer-exact before one shared
-    // division), never an RNG.
-    "q_random_score" -> ((s, d) =>
-      DocQueries.randomScoreQuery(Tables.documents(s, d)
-          .select("doc_id", "text"), "doc_id", "text",
-        "merge window", 7, 20)),
-
-    // DSIR importance resampling (Xie et al. 2023): rank raw docs by
-    // how target-like their hashed unigram+bigram features are —
-    // Σ c_b·(ln p_target(b) − ln p_raw(b)) over 256 md5-56 bins, one
-    // explode pass feeding both distributions, ratios a 256-row
-    // broadcast, per-doc sums exact decimal. Target domain: src0.
-    "x_dsir" -> ((s, d) =>
-      operators.Corpus.dsirWeights(Tables.documents(s, d), "doc_id",
-        "text", col("source") === "src0", 256)
-        .orderBy(col("weight").desc, col("doc_id")).limit(50)),
-
-    // DoReMi-style mixture reweighting: per-source eval feedback
-    // (here: a length-proxy loss) exponentiates into the next round's
-    // sampling weights, normalized through an exact decimal sum.
-    "x_mix_reweight" -> ((s, d) => {
-      val per = Tables.documents(s, d).groupBy("source")
-        .agg(count(lit(1)).as("_n"), sum(col("n_chars")).as("_sc"))
-      val tot = per.agg(sum(col("_n")).as("_tot"))
-      val base = per.crossJoin(broadcast(tot))
-        .select(col("source"),
-          (col("_n").cast("double") / col("_tot")).as("weight"),
-          (col("_sc").cast("double") / col("_n") / 1000.0).as("loss"))
-      operators.Corpus.reweightMixture(base, "source", "weight", "loss",
-          eta = 0.5)
-        .select(col("source"), round(col("weight"), 6).as("weight"),
-          round(col("loss"), 6).as("loss"), col("new_weight"))
-        .orderBy("source")
-    }),
-
-    // Blocklist screening: one Aho-Corasick pass per doc over a
-    // substring pattern list (the content-filter step; O(text) per doc
-    // regardless of blocklist size). Patterns include a multi-word
-    // substring and an absent term; oracle re-derives each match with
-    // per-pattern contains() in the same order.
-    "x_blocklist" -> ((s, d) =>
-      operators.TextAnalysis.blocklistScreen(Tables.documents(s, d),
-        "doc_id", "text", Seq("merge", "window scan", "qqqabsent", "stream"))
-        .orderBy("doc_id")),
-
-    // Unicode canonicalization: planted DECOMPOSED accents (e +
-    // U+0301), uppercase Greek/Latin-1, and tab/space runs prefixed to
-    // each doc — the engine must produce the same composed, simple-
-    // case-folded, space-collapsed string DuckDB's
-    // nfc_normalize/lower/regexp pipeline does, byte for byte.
-    "x_text_normalize" -> ((s, d) => {
-      val raw = concat(lit("  Caf"), lit("é"), lit(" \t ÜBER "),
-        lit("ΣΙΓΜΑ  "),
-        upper(coalesce(col("text"), lit(""))))
-      operators.TextAnalysis.normalizeText(
-          Tables.documents(s, d).select(col("doc_id"), raw.as("text")),
-          "doc_id", "text")
-        .orderBy("doc_id")
-    }),
-
-    // T5-style span corruption: stride-4 segments fire per md5-56
-    // bucket, fired segments mask 1-3 tokens behind one ordered
-    // sentinel; targets carry sentinel+span pairs plus the closing
-    // sentinel. CorpusSpec pins the round-trip property (substituting
-    // targets back into masked_text reproduces the original tokens).
-    "x_mask_spans" -> ((s, d) =>
-      operators.Corpus.maskSpans(Tables.documents(s, d), "doc_id",
-        "text", permille = 300, stride = 4, maxSpan = 3)
-        .orderBy("doc_id")),
-
-    // Overlapping token-window chunking: 50-token windows advancing by 40
-    // (10-token overlap) — the RAG/context-window prep step. Pure per-row
-    // generate+project, no shuffle.
-    "x_chunk" -> ((s, d) =>
-      operators.Corpus.chunk(Tables.documents(s, d), "doc_id", "text",
-        chunkSize = 50, overlap = 10)
-        .orderBy("doc_id", "chunk_id")),
-
-    // Corpus version diff: "before" = docs < 450, "after" = docs ≥ 50
-    // with the first 100 of those rewritten — every id classified
-    // added/removed/changed/unchanged off (id, hash) projections only.
-    "x_corpus_diff" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val before = docs.filter(col("doc_id") < 450)
-      val after = docs.filter(col("doc_id") >= 50)
-        .withColumn("text",
-          when(col("doc_id") < 150, concat(col("text"), lit(" v2")))
-            .otherwise(col("text")))
-      operators.Corpus.diff(before, after, "doc_id", "text")
-        .orderBy("doc_id")
-    }),
-
-    // Deterministic train/val/test split: 10% test, 10% val by md5-56
-    // bucket — per-document assignment gated row-for-row (the stability
-    // property: an id's split never depends on the rest of the corpus).
-    "x_split" -> ((s, d) =>
-      operators.Corpus.hashSplit(Tables.documents(s, d),
-        "doc_id", valPermille = 100, testPermille = 100)
-        .select("doc_id", "split")
-        .orderBy("doc_id")),
-
-    // Leakage-safe split: bucket by content fingerprint, not id, so
-    // token-set-identical near-copies can never straddle train/test.
-    // Gated row-for-row (doc_id, fingerprint, split) — the oracle
-    // recomputes the fingerprint and its md5-56 bucket independently.
-    "x_split_leakage" -> ((s, d) =>
-      operators.Corpus.leakageSafeSplit(Tables.documents(s, d), "text",
-        valPermille = 100, testPermille = 100)
-        .select("doc_id", "fingerprint", "split")
-        .orderBy("doc_id")),
-
-    // Weighted sampling without replacement (Efraimidis–Spirakis): 100
-    // docs drawn ∝ n_chars — kept ids and 9dp priorities row-for-row.
-    "x_weighted_sample" -> ((s, d) =>
-      operators.Corpus.weightedSample(
-        Tables.documents(s, d).select("doc_id", "n_chars"),
-        "doc_id", col("n_chars"), k = 100)
-        .select("doc_id", "n_chars", "priority")
-        .orderBy("priority", "doc_id")),
-
-    // Exact-count stratified sampling: per-source quotas (src0 → 5,
-    // src1 → 12, rest → 8) keep the k hash-smallest docs per source —
-    // kept doc ids gated row-for-row, proving count-exactness AND the
-    // engine-reproducible rank order.
-    "x_quota_sample" -> ((s, d) =>
-      operators.Corpus.quotaSample(Tables.documents(s, d), "doc_id", "source",
-        Map("src0" -> 5, "src1" -> 12), defaultQuota = 8)
-        .select("doc_id", "source")
-        .orderBy("doc_id")),
-
-    // Mixture sampling: per-source keep rates (src0 full, src1 half,
-    // src2 quarter, everything else 10%) — per-source kept counts + id
-    // sums prove the exact engine-reproducible kept-set.
-    "x_mix" -> ((s, d) =>
-      operators.Corpus.mixtureSample(Tables.documents(s, d), "doc_id", "source",
-        Map("src0" -> 1000, "src1" -> 500, "src2" -> 250), defaultPermille = 100)
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("id_sum"))
-        .orderBy("source")),
-
-    // Token-budget cap per source: each source keeps its hash-ordered
-    // prefix until 600 tokens are spent (first over-budget doc included) —
-    // the budget-based twin of x_balance.
-    "x_token_budget" -> ((s, d) =>
-      operators.Corpus.capTokensPerStratum(Tables.documents(s, d),
-        "doc_id", "source", "text", tokenBudget = 600L)
-        .select("doc_id", "source", "n_tokens", "tokens_before")
-        .orderBy("doc_id")),
-
-    // Corpus-wide frequent-trigram mining (boilerplate detection): top 20
-    // word 3-grams by total count with containing-doc counts. Hot keys are
-    // bounded by map-side partials; the top-k is TakeOrderedAndProject.
-    "x_boilerplate" -> ((s, d) =>
-      operators.TextAnalysis.topNgrams(Tables.documents(s, d),
-        "doc_id", "text", n = 3, k = 20)),
-
-    // Exact KNN join: 5 query vectors (broadcast) × corpus, ranked by the
-    // bounded TopKByScore aggregate — O(k) state map-side, no window over
-    // the scored corpus. Row-for-row against the oracle's rank window.
-    "x_knn_join" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      operators.Similarity.knnJoin(e, q, "vec_id", "embedding",
-        "query_id", "qv", k = 5)
-        .orderBy("query_id", "rk")
-    }),
-
-    // Binary quantization serving: 1-bit-per-dim packed signatures,
-    // Hamming-distance shortlist (xor+popcount over ONE long per
-    // vector), exact-cosine rescore of the shortlist — the BQ/rescore
-    // pattern of modern vector stores. Both cuts TakeOrderedAndProject.
-    "x_sim_binary" -> ((s, d) =>
-      operators.Similarity.binaryTopK(Tables.embeddings(s, d),
-        "vec_id", "embedding", dim = 64, queryId = 0L,
-        rerank = 20, k = 10)
-        .orderBy(col("cosine").desc, col("vec_id"))),
-
-    // Matryoshka truncated-prefix serving: 16-of-64-dim shortlist (1/4
-    // the scan bandwidth), exact full-dim rescore of the 100-candidate
-    // pool. These synthetic embeddings are NOT MRL-trained, so the
-    // pool-holds convention does not apply — the oracle instead REPLAYS
-    // the deterministic shortlist cut (6dp-rounded prefix cosine, id
-    // tie-break) and rescores it, gating the operator's actual
-    // contract end-to-end.
-    "x_sim_mrl" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      val qv = e.filter(col("vec_id") === 0).select("embedding")
-        .head().getSeq[Float](0)
-      operators.Similarity.matryoshkaTopK(
-          e.select("vec_id", "embedding"), "vec_id", "embedding",
-          qv, dims = 16, k = 10, rescoreK = 100)
-        .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
-    }),
-
-    // MMR diversified rerank: top-20 cosine candidates for the vec_id=0
-    // query, then 5 greedy maximal-marginal-relevance picks at λ=0.75
-    // (λ chosen with an exact binary representation so 1−λ is the same
-    // double in both engines). The oracle REPLAYS the greedy loop as 5
-    // unrolled SQL stages over the same 6dp-rounded cosines — a wrong
-    // penalty max, tie-break, or rounding order anywhere diverges the
-    // selection, not just a score digit.
-    "x_sim_mmr" -> ((s, d) => {
-      val e = Tables.embeddings(s, d).filter(col("embedding").isNotNull)
-      val q = e.filter(col("vec_id") === 0)
-        .select(col("embedding").as("_qv")).limit(1)
-      val cand = e.crossJoin(broadcast(q))
-        .select(col("vec_id"),
-          round(functions.VectorExpressions.cosineFast(
-            col("embedding"), col("_qv")), 6).as("rel"),
-          col("embedding"))
-        // nanvl: a zero vector's NaN cosine must rank LAST, never first
-        // (desc NaN ordering — the x_sim_topk convention)
-        .orderBy(nanvl(col("rel"), lit(Double.NegativeInfinity)).desc,
-          col("vec_id"))
-        .limit(20)
-        .withColumn("query_id", lit(0L))
-      operators.Similarity.mmrRerank(cand, "query_id", "vec_id", "rel",
-          "embedding", k = 5, lambda = 0.75)
-        .select("rk", "cand_id", "mmr_score")
-        .orderBy("rk")
-    }),
-
-    // Sparse random projection (Achlioptas JL): 64 -> 16 dims via the
-    // seed-derived sign matrix, unrolled into codegen'd add/subtract
-    // chains at plan time — the pre-ANN dimensionality-reduction step.
-    // The oracle REBUILDS the identical matrix from the seed (shared
-    // md5-56 convention) and mirrors the summation order term by term.
-    // Components flatten to (vec_id, dim, value) rows for the compare
-    // (the driver's hasher takes scalars, not arrays).
-    "x_embed_project" -> ((s, d) =>
-      operators.Similarity.randomProjection(Tables.embeddings(s, d),
-        "vec_id", "embedding", inDim = 64, outDim = 16, seed = 7)
-        .select(col("vec_id"),
-          posexplode(col("projected")).as(Seq("dim", "value")))
-        .orderBy("vec_id", "dim")),
-
-    // L2 normalization: per-row pre/post norms (unit after, up to 6dp) and
-    // a checksum component — the ingest canonicalization gate. Norms run
-    // through the native vector_dot loop (same left-to-right double sum as
-    // the HOF norm2, ~50× cheaper per row); the normalized vector itself
-    // is the l2Normalize operator output.
-    "x_embed_norm" -> ((s, d) => {
-      val e = Tables.embeddings(s, d).filter(col("embedding").isNotNull)
-      def norm(c: Column): Column =
-        sqrt(functions.VectorExpressions.dotFast(c, c))
-      val nv = functions.VectorFunctions.l2Normalize(col("embedding"))
-      val nb = norm(col("embedding"))
-      e.select(col("vec_id"),
-          round(nb, 6).as("norm_before"),
-          round(norm(nv), 6).as("norm_after"),
-          // c0 = e[0]/‖e‖ directly — bit-identical to element_at(nv, 1)
-          // (same IEEE division) without a second interpreted-HOF
-          // evaluation of the transform
-          round(when(nb === 0.0, element_at(col("embedding"), 1).cast("double"))
-            .otherwise(element_at(col("embedding"), 1).cast("double") / nb), 6)
-            .as("c0"))
-        .orderBy("vec_id")
-    }),
-
-    // Windowed dedup: one survivor (+ duplicate count) per (user, hour) —
-    // the batch twin of streaming dropDuplicatesWithinWatermark; one hash
-    // agg keyed by (window, user), no window function.
-    "x_dedup_windowed" -> ((s, d) =>
-      operators.Dedup.firstPerWindow(Tables.events(s, d), "user_id", "ts",
-        "event_id", "1 hour")
-        .orderBy("user_id", "window_us")),
-
-    // Bloom-pruned semi-join: purchases by users who ever errored. The
-    // distributed-built sketch prunes probe rows map-side BEFORE the join
-    // shuffle; the exact semi-join over survivors keeps the result
-    // identical to the oracle's plain semi-join (no false negatives).
-    "x_bloom_prune" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-      operators.BloomJoin.semiJoinPruned(
-        ev.filter(col("event_type") === "purchase")
-          .select("event_id", "user_id"),
-        ev.filter(col("event_type") === "error").select("user_id"),
-        "user_id", "user_id", expectedKeys = 100000L)
-        .select("event_id", "user_id")
-        .orderBy("event_id")
-    }),
-
-    // Sketch-based distinct counts gated against exact: the HLL++
-    // estimate (rsd 2%) must land within 5% of the exact count —
-    // deterministic given the data, same gate style as the ANN recall
-    // rows. At 100 TB the approx pass is one map-side-combinable agg over
-    // fixed-size sketches where the exact pass needs a full shuffle of
-    // the distinct keys.
-    "x_sketch_distinct" -> ((s, d) =>
-      Tables.events(s, d).agg(
-        countDistinct(col("user_id")).as("n_users"),
-        approx_count_distinct(col("user_id"), 0.02).as("_au"),
-        countDistinct(col("event_type")).as("n_types"),
-        approx_count_distinct(col("event_type"), 0.02).as("_at"))
-        .select(col("n_users"),
-          (abs(col("_au") - col("n_users")) <= col("n_users") * 0.05)
-            .as("users_ok"),
-          col("n_types"),
-          (abs(col("_at") - col("n_types")) <= greatest(col("n_types") * 0.05, lit(1.0)))
-            .as("types_ok"))),
-
-    // Sketch-based quantiles gated against exact: approx_percentile is a
-    // fixed-size mergeable QuantileSummaries sketch (map-side combine, one
-    // stats row to the driver) — the scale path that replaces agg_stats'
-    // sort-heavy exact percentiles at 100 TB. Rank accuracy 10000 → the
-    // estimates must land within 1% of the exact interpolated values.
-    // BENCH NOTE: ~80% of this query's wall time is the GATE, not the
-    // operator — the exact `percentile` trio (full per-group sort) exists
-    // only to bound the sketch within ±1%. The operator under test is the
-    // mergeable `percentile_approx` sketch alone (fixed-size partials,
-    // map-side combinable — the 100 TB path).
-    // One sketch and one exact buffer for all three quantiles (array
-    // percentages) — the scalar-per-quantile form built 3 independent
-    // sketches and 3 full exact-percentile buffers, tripling the
-    // dominant cost for identical gate semantics (5.8 s → ~2 s at sf0.1).
-    "agg_quantile_sketch" -> ((s, d) => {
-      val ps = array(lit(0.5), lit(0.9), lit(0.99))
-      Tables.lineitem(s, d).agg(
-        count(lit(1)).as("n_rows"),
-        percentile_approx(col("l_extendedprice"), ps, lit(10000)).as("_a"),
-        percentile(col("l_extendedprice"), ps).as("_e"))
-        .select(col("n_rows"),
-          (abs(element_at(col("_a"), 1) - element_at(col("_e"), 1))
-            <= element_at(col("_e"), 1) * 0.01).as("p50_ok"),
-          (abs(element_at(col("_a"), 2) - element_at(col("_e"), 2))
-            <= element_at(col("_e"), 2) * 0.01).as("p90_ok"),
-          (abs(element_at(col("_a"), 3) - element_at(col("_e"), 3))
-            <= element_at(col("_e"), 3) * 0.01).as("p99_ok"))
-    }),
-
-    // Salted SHUFFLE join: a skewed probe side spreads each key over 8
-    // reducers, the build side replicates once per salt — the hot-key
-    // remedy when the build side is too large to broadcast. The gate
-    // proves the salt is INVISIBLE: per-user aggregates ≡ a plain join.
-    "x_skew_join" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-        .select(col("user_id"), col("event_id"), dec(col("value")).as("v"))
-      val dim = Tables.events(s, d).groupBy("user_id")
-        .agg(count(lit(1)).as("user_events"))
-      operators.Skew.saltedJoin(ev, dim, Seq("user_id"), salts = 8,
-          spreadCols = Seq("event_id"))
-        .groupBy("user_id")
-        .agg(count(lit(1)).as("n"), max("user_events").as("user_events"),
-          sum(col("v")).cast("double").as("sum_value"))
-        .orderBy("user_id")
-    }),
-
-    // Two-phase salted aggregation gated against the plain GROUP BY: the
-    // skew-mitigation path must be bit-identical to the direct plan.
-    // Decimal sums make the result independent of partial-merge order
-    // (double addition is not associative across salt buckets).
-    "x_skew_agg" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-        .withColumn("v", col("value").cast("decimal(18,6)"))
-      operators.Skew.saltedAgg(ev, Seq("event_type"),
-        Seq(operators.Skew.AggSpec("v", "sum"),
-          operators.Skew.AggSpec("v", "count"),
-          operators.Skew.AggSpec("v", "min"),
-          operators.Skew.AggSpec("v", "max")),
-        salts = 8, spreadCols = Seq("event_id"))
-        .select(col("event_type"),
-          col("sum_v").cast("double").as("sum_value"),
-          col("count_v").as("n"),
-          col("min_v").cast("double").as("min_value"),
-          col("max_v").cast("double").as("max_value"))
-        .orderBy("event_type")
-    }),
-
-    // Adaptive quality floor: keep docs at or above the corpus's exact
-    // P25 token count — threshold selection as part of the plan (single
-    // broadcast percentile row), not a magic constant. The curation
-    // pattern for "drop the shortest quartile of every source dump".
-    "x_quality_floor" -> ((s, d) => {
-      val q = Tables.documents(s, d).select(col("doc_id"),
-        functions.TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
-      val thr = q.agg(
-        percentile(col("n_tokens").cast("double"), lit(0.25)).as("p25"))
-      q.crossJoin(broadcast(thr))
-        .filter(col("n_tokens").cast("double") >= col("p25"))
-        .select(col("doc_id"), col("n_tokens"), round(col("p25"), 6).as("p25"))
-        .orderBy("doc_id")
-    }),
-
-    // Token-length histogram (20-token buckets): the corpus shape report
-    // a mixing/curation run reads first. One map-side projection + one
-    // bucket-keyed aggregate.
-    "x_len_hist" -> ((s, d) =>
-      Tables.documents(s, d)
-        .select(functions.TextFunctions.tokenCount(col("text")).cast("long")
-          .as("n"))
-        .groupBy((col("n") / 20).cast("long").as("bucket"))
-        .agg(count(lit(1)).as("n_docs"), min("n").as("min_tokens"),
-          max("n").as("max_tokens"), sum("n").as("sum_tokens"))
-        .orderBy("bucket")),
-
-    // Type-token ratio: vocabulary richness per doc (cheap spam signal).
-    "x_text_ttr" -> ((s, d) =>
-      operators.TextAnalysis.typeTokenRatio(Tables.documents(s, d), "doc_id", "text")
-        .orderBy("doc_id")),
-
-    // Per-doc token entropy in nats (information density). Contributions
-    // round-9 then decimal-summed — order-independent across engines.
-    "x_text_entropy" -> ((s, d) =>
-      operators.TextAnalysis.tokenEntropy(Tables.documents(s, d), "doc_id", "text")
-        .orderBy("doc_id")),
-
-    // Ordered funnel view → click → purchase: per-stage completion
-    // counts + user-id checksums (ordering matters — a purchase before
-    // the user's first post-view click does not count).
-    "x_funnel" -> ((s, d) =>
-      operators.Funnel.funnelCounts(
-        Tables.events(s, d).withColumn("ts_us", unix_micros(col("ts"))),
-        "user_id", "event_type", "ts_us",
-        Seq("view", "click", "purchase"))),
-
-    // Memorization-risk audit: fraction of each doc's 3-gram shingles
-    // appearing in ≥1 other document (the post-dedup verbatim-repeat
-    // signal; same shingle convention as the n-gram dedup family).
-    "x_memorization" -> ((s, d) =>
-      operators.TextAnalysis.memorizationRisk(
-        Tables.documents(s, d), "doc_id", "text", n = 3)
-        .orderBy("doc_id")),
-
-    // Distribution shift: per-source KL divergence from the corpus
-    // unigram mixture — the which-source-drifted report.
-    "x_source_kl" -> ((s, d) =>
-      operators.TextAnalysis.sourceDivergence(
-        Tables.documents(s, d), "source", "text")
-        .orderBy("source")),
-
-    // Corpus cross-entropy (perplexity proxy): per-doc mean −ln of each
-    // token's corpus unigram probability — the model-free quality signal
-    // (OOD/gibberish text scores high). 9dp-decimal contribution sum
-    // makes the score merge-order-independent (the x_text_entropy trick).
-    "x_unigram_ce" -> ((s, d) =>
-      operators.TextAnalysis.unigramCrossEntropy(
-        Tables.documents(s, d), "doc_id", "text")
-        .orderBy("doc_id")),
-
-    // Heavy hitters via the Misra-Gries sketch: O(k) aggregate state no
-    // matter the vocabulary. With k ≥ distinct terms the sketch is
-    // provably exact, so the gate pins it against plain GROUP BY counts;
-    // the sub-vocabulary approximation bounds are spec-gated.
-    "x_heavy_hitters" -> ((s, d) => {
-      val toks = Tables.documents(s, d).select(
-        explode(functions.TextFunctions.tokens(lower(col("text")))).as("term"))
-      toks.agg(functions.SketchAggregates.misraGries(col("term"), 64).as("hh"))
-        .select(explode(col("hh")).as("e"))
-        .select(col("e.item").as("term"), col("e.count").as("n"))
-        .orderBy(col("n").desc, col("term"))
-    }),
-
-    // Padding-waste report: token waste per bucketing policy
-    // (global-max / pow2 / mult-of-64) — the numbers that pick the
-    // batch-inference bucketing. One scan, one moments row, policy
-    // rows explode from it.
-    "x_pad_waste" -> ((s, d) =>
-      operators.Corpus.paddingWaste(Tables.documents(s, d), "text")),
-
-    // Zipf power-law fit (data-card corpus health): least-squares
-    // ln freq ~ ln rank over the vocabulary frame; moments sum
-    // 9dp-rounded decimals, closed-form slope/intercept/R² rounds 6dp.
-    "x_zipf" -> ((s, d) =>
-      operators.TextAnalysis.zipfFit(Tables.documents(s, d), "text")),
-
-    // Count-min sketch point queries (depth 4 × width 16 — narrow so
-    // the 31-token vocabulary actually collides): est = min over rows
-    // of the hashed cell, never an undercount; an absent term's
-    // estimate is pure collision mass. The grid builds from a
-    // vocabulary-space aggregate (items never explode ×depth) and both
-    // probe joins are grid-sized. md5-56 buckets, oracle-rebuildable.
-    "x_sketch_countmin" -> ((s, d) => {
-      val probeTerms = Seq("join", "hash", "scan", "filter", "zzz_absent")
-      val toks = Tables.documents(s, d).select(
-        explode(functions.TextFunctions.tokens(lower(col("text"))))
-          .as("term"))
-      val cells = operators.CountMin.sketch(toks, "term", 4, 16)
-      val truth = toks.filter(col("term").isin(probeTerms: _*))
-        .groupBy("term").agg(count(lit(1)).as("_tc"))
-      operators.CountMin.estimate(cells, probeTerms, 4, 16)
-        .join(truth, Seq("term"), "left")
-        .select(col("term"), col("est"),
-          coalesce(col("_tc"), lit(0L)).as("true_count"),
-          (col("est") - coalesce(col("_tc"), lit(0L))).as("overcount"))
-        .orderBy("term")
-    }),
-
-    // Interpolated bigram cross-entropy (λ=0.8 bigram MLE backed off to
-    // unigram): the sequence-aware quality signal — catches
-    // common-words-in-wrong-order text that unigram CE scores as fluent.
-    "x_bigram_ce" -> ((s, d) =>
-      operators.TextAnalysis.bigramCrossEntropy(
-        Tables.documents(s, d), "doc_id", "text")
-        .orderBy("doc_id")),
-
-    // Bounded-window funnel: each transition must land within 3 days of
-    // the previous stage ("click within 3 days of the view") — the
-    // product-analytics shape real funnels use. One extra predicate in
-    // each stage join; identical scale shape to x_funnel.
-    "x_funnel_window" -> ((s, d) =>
-      operators.Funnel.funnelCounts(
-        Tables.events(s, d).withColumn("ts_us", unix_micros(col("ts"))),
-        "user_id", "event_type", "ts_us",
-        Seq("view", "click", "purchase"),
-        maxGap = Some(lit(259200000000L)))), // 3 days in microseconds
-
-    // Gap-based sessionization: every event tagged with its user's
-    // session index (12h inactivity gap). One user-partitioned window
-    // pass; state is events-per-user-sized.
-    // Cross-source contamination report: shared content fingerprints +
-    // Jaccard per source pair (distinct-first: a fingerprint joins as
-    // ≤ sources rows no matter how many docs carry it).
-    "x_source_overlap" -> ((s, d) =>
-      operators.Corpus.sourceOverlap(
-        Tables.documents(s, d).select(col("source"),
-          functions.TextFunctions.fingerprint(col("text")).as("fingerprint")),
-        "source", "fingerprint")
-        .orderBy("source_a", "source_b")),
-
-    // Mergeable distinct sketches — the 100 TB rollup pattern: one HLL
-    // sketch per source (map-side aggregated), UNIONED into a corpus
-    // estimate without touching rows again. Gate: merged estimate within
-    // 5% of the exact distinct (computed here, gate overhead).
-    "x_sketch_union" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val merged = docs.groupBy("source")
-        .agg(hll_sketch_agg(col("doc_id")).as("sk"))
-        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
-      merged.crossJoin(docs.agg(count_distinct(col("doc_id")).as("n")))
-        .select(col("n"),
-          (abs(col("est") - col("n")) <= col("n") * 0.05).as("est_ok"))
-    }),
-
-    // Global quality percentile WITHOUT a corpus-wide window: two-phase
-    // range-partitioned prefix rank (withGlobalCumSum) — the percentile
-    // normalization a naive Window.orderBy(score) would serialize
-    // through one task at corpus scale. Total order (n_chars, doc_id).
-    "x_quality_rank" -> ((s, d) =>
-      operators.Corpus.globalPercentRank(
-        Tables.documents(s, d).select("doc_id", "n_chars"),
-        struct(col("n_chars"), col("doc_id")), "pr")
-        .select(col("doc_id"), col("n_chars"), round(col("pr"), 6).as("pr"))
-        .orderBy("doc_id")),
-
-    // Preference-pair construction (reward-model / DPO curation): per
-    // source, the r-th best doc by score pairs with the r-th worst —
-    // widest-margin-first; 25-doc groups yield 12 pairs, the median doc
-    // pairs with nothing. Score = n_chars here so the oracle replays
-    // the mirrored rankings exactly.
-    "x_preference_pairs" -> ((s, d) =>
-      operators.Corpus.preferencePairs(
-        Tables.documents(s, d).select("doc_id", "source", "n_chars"),
-        "doc_id", "source", "n_chars", maxPairs = 50)
-        .orderBy("source", "pair_rank")),
-
-    // PCA rotation of the embedding corpus (data-derived counterpart of
-    // x_embed_project): one covariance pass (dim² partials, corpus-size
-    // independent), driver-side Jacobi eigensolve, projection as a pure
-    // scan. Gated on the rotation INVARIANT: full-rank unwhitened PCA
-    // preserves pairwise L2 distances, so each pair row carries the
-    // input-space distance (bit-matched arithmetic: ascending-index
-    // left-to-right sum in both engines) plus a Spark-side preservation
-    // check with an EXPLICIT 1e-6 tolerance — no cross-engine float
-    // compare ever touches the eigensolver's output.
-    "x_embed_pca" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val rot = operators.Similarity.pcaRotate(
-        emb, "vec_id", "embedding", dim = 64, k = 64)
-      val pa = emb.filter(col("vec_id") < 100)
-        .select(col("vec_id").as("id_a"), col("embedding").as("ea"))
-      val pb = emb.filter(col("vec_id") >= 100 && col("vec_id") < 200)
-        .select((col("vec_id") - 100).as("id_a"),
-          col("vec_id").as("id_b"), col("embedding").as("eb"))
-      val ra = rot.filter(col("id") < 100)
-        .select(col("id").as("id_a"), col("projected").as("ra"))
-      val rb = rot.filter(col("id") >= 100 && col("id") < 200)
-        .select((col("id") - 100).as("id_a"), col("projected").as("rb"))
-      pa.join(pb, "id_a").join(ra, "id_a").join(rb, "id_a")
-        .select(col("id_a"), col("id_b"),
-          round(sqrt(graft.functions.VectorExpressions.l2sqFast(
-            col("ea"), col("eb"))), 6).as("dist"),
-          (abs(sqrt(graft.functions.VectorExpressions.l2sqFast(
-              col("ra"), col("rb"))) -
-            sqrt(graft.functions.VectorExpressions.l2sqFast(
-              col("ea"), col("eb")))) < 1e-6).as("preserved"))
-        .orderBy("id_a")
-    }),
-
-    // Domain-distribution mining: hosts of every URL mention (synthetic
-    // URLs appended doc-deterministically, the x_text_pii convention —
-    // the corpus carries none), the report feeding per-domain caps and
-    // blocklist joins.
-    "x_text_domains" -> ((s, d) =>
-      operators.TextAnalysis.domainCounts(
-        Tables.documents(s, d).withColumn("text",
-          concat(col("text"), lit(" see https://site"),
-            pmod(col("doc_id"), lit(7)), lit(".example.com/p/"),
-            col("doc_id"), lit(" and https://common.org/x"))),
-        "doc_id", "text")
-        .orderBy("domain")),
-
-    // Epoch-weighted mixture: src0 upsampled 2.5× (every doc twice + the
-    // md5-56 half a third time), src1 1×, src2 0.5×, everything else
-    // dropped — the training-mix materialization step, copy index kept.
-    "x_mix_epochs" -> ((s, d) =>
-      operators.Corpus.mixtureEpochs(
-        Tables.documents(s, d).select("doc_id", "source"),
-        "doc_id", "source",
-        Map("src0" -> 2500, "src1" -> 1000, "src2" -> 500), 0)
-        .orderBy("doc_id", "epoch")),
-
-    "x_sessionize" -> ((s, d) =>
-      operators.Sessions.sessionize(
-        Tables.events(s, d).withColumn("ts_us", unix_micros(col("ts")))
-          .select("event_id", "user_id", "ts_us"),
-        "user_id", "ts_us", lit(43200000000L)) // 12 hours in micros
-        .orderBy("user_id", "ts_us")),
-
-    // Trailing-7-day activity count per event (RANGE frame over epoch
-    // micros — the engagement feature shape).
-    "x_rolling_active" -> ((s, d) =>
-      operators.Sessions.rollingCounts(
-        Tables.events(s, d).withColumn("ts_us", unix_micros(col("ts")))
-          .select("event_id", "user_id", "ts_us"),
-        "user_id", "ts_us", 604800000000L) // 7 days in micros
-        .orderBy("user_id", "ts_us")),
-
-    // Runtime field over semi-structured props (the ES runtime-mapping
-    // shape): a typed JSON extraction projected at query time and
-    // aggregated like any stored column — one codegen'd projection, no
-    // schema migration.
-    "q_json_extract" -> ((s, d) =>
-      Tables.events(s, d)
-        .select(col("event_type"),
-          get_json_object(col("props"), "$.k").cast("long").as("k"))
-        .groupBy("event_type")
-        .agg(count(col("k")).as("n"), min("k").as("min_k"),
-          max("k").as("max_k"), sum("k").as("sum_k"))
-        .orderBy("event_type")),
-
-    // JSON-payload key profile: per-key presence/cardinality/range over
-    // the events props column — the schema-drift report for
-    // semi-structured payloads (values compared as strings). The
-    // operator's distinct count is HLL++ (fixed-size state); the gate
-    // checks it within ±5% of an exact count computed HERE — gate
-    // overhead, not operator cost (the x_profile precedent).
-    "x_json_profile" -> ((s, d) => {
-      val kv = Tables.events(s, d).select(
-        explode(from_json(col("props"), MapType(StringType, StringType)))
-          .as(Seq("key", "value")))
-      val exact = kv.groupBy("key").agg(count_distinct(col("value")).as("_e"))
-      operators.Profile.jsonKeyProfile(Tables.events(s, d), "props")
-        .join(exact, "key")
-        .select(col("key"), col("n_present"), col("min_value"),
-          col("max_value"),
-          (abs(col("approx_values") - col("_e")) <= col("_e") * 0.05)
-            .as("values_ok"))
-        .orderBy("key")
-    }),
-
-    // Weekly cohort retention: users bucketed by first-active week,
-    // counted per (cohort, weeks-since) offset. Pure hash aggregates.
-    "x_retention" -> ((s, d) =>
-      operators.Funnel.retention(
-        Tables.events(s, d)
-          .withColumn("wk", expr("unix_micros(ts) DIV 604800000000")),
-        "user_id", col("wk"))
-        .orderBy("cohort", "offset")),
-
-    // JSONL source scan: documents round-tripped through newline-
-    // delimited JSON with two planted poison lines — the explicit-schema
-    // reader parses one text scan, corrupt lines route to the DLQ leg
-    // (source-level poison-pill contract), good rows must equal the
-    // table exactly.
-    "s_jsonl_scan" -> ((s, d) => {
-      val dir = tempDir("graft-jsonl")
-      val cols = Seq("doc_id", "lang", "source", "n_chars")
-      Tables.documents(s, d).select(cols.map(col): _*)
-        .write.mode("overwrite").json(s"$dir/data")
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"$dir/data/zz-poison.json"),
-        "{broken json\n\n[1, 2, 3]\n")
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("doc_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("lang",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("source",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("n_chars",
-          org.apache.spark.sql.types.LongType)))
-      val (good, _) = sources.JsonlSource.read(s, s"$dir/data", schema)
-      good.orderBy("doc_id")
-    }),
-
-    // BPE merge TRAINING: 8 merges learned from the corpus vocabulary,
-    // emitted in rank order. nMerges is a plan LITERAL, so the
-    // data-dependent argmax loop unrolls into 8 chained CTE stages in
-    // the oracle (see [[bpeTrainOracle]] — the inPolygon plan-time-
-    // unroll trick). Also pinned in TextAnalysisSpec (hand-computed
-    // merges, tie-break, early stop, train→apply round trip).
-    // BPE APPLY off a plan-literal merge table — the serving twin of
-    // x_bpe_train (training learns the table offline; encoding applies
-    // it per row). The BpeTokens expression runs the standard greedy
-    // lowest-rank-first fixpoint per word; with a collision-free table
-    // (no merge output ever equals an earlier merge's part, so earlier
-    // pairs can never re-form) that loop is CONFLUENT with one merge
-    // pass per rank in order — which is exactly 8 chained `replace`
-    // stages over the chr(31)-delimited symbol string in the oracle,
-    // word boundaries held apart by chr(30).
-    "x_bpe_apply" -> ((s, d) => {
-      val toks = functions.TextExpressions.bpeTokens(
-        lower(col("text")), bpeApplyMerges)
-      Tables.documents(s, d).select(col("doc_id"),
-          size(toks).cast("long").as("n_tokens"),
-          array_join(toks, " ").as("tok_str"))
-        .orderBy("doc_id")
-    }),
-
-    // Tokenizer fertility: tokens-per-char by language under the fixed
-    // BPE table — the "how expensive is this slice to train on" metric
-    // (a high-fertility language burns budget per character). Exact
-    // integer sums; one ratio division.
-    "x_bpe_fertility" -> ((s, d) => {
-      val toks = functions.TextExpressions.bpeTokens(
-        lower(col("text")), bpeApplyMerges)
-      Tables.documents(s, d)
-        .select(col("lang"), size(toks).cast("long").as("_nt"),
-          length(col("text")).cast("long").as("_nc"))
-        .groupBy("lang")
-        .agg(sum("_nt").as("n_tokens"), sum("_nc").as("n_chars"),
-          round(sum("_nt").cast("double") / sum("_nc").cast("double"), 6)
-            .as("tokens_per_char"))
-        .orderBy("lang")
-    }),
-
-    "x_bpe_train" -> ((s, d) => {
-      import s.implicits._
-      operators.TextAnalysis.learnBpeMerges(
-          Tables.documents(s, d).select("text"), "text", nMerges = 8)
-        .zipWithIndex
-        .map { case ((a, b), i) => (i + 1, a, b) }
-        .toDF("rank", "a", "b")
-        .orderBy("rank")
-    }),
-
-    // URL canonicalization + dedup (crawl hygiene): case/www/fragment/
-    // tracking-param variants of the same page collapse to ONE key —
-    // pure codegen'd regexp steps (no UDF), then a hash-agg group with
-    // min-id keeper. The 10 duplicate arrivals per canonical URL here
-    // are the synthetic re-crawl.
-    "x_url_canon" -> ((s, d) => {
-      val urls = Tables.documents(s, d).select("doc_id")
-        .withColumn("url", concat(lit("HTTPS://WWW.Site"),
-          pmod(col("doc_id"), lit(10)).cast("string"),
-          lit(".Example.com/Path"),
-          pmod(col("doc_id"), lit(5)).cast("string"),
-          lit("/?utm_source=feed&id="),
-          pmod(col("doc_id"), lit(25)).cast("string"),
-          lit("&utm_campaign=x#frag")))
-      urls
-        .withColumn("canonical",
-          functions.UrlFunctions.canonicalizeUrl(col("url")))
-        .groupBy("canonical")
-        .agg(count(lit(1)).as("n_dups"), min("doc_id").as("keeper"))
-        .orderBy("canonical")
-    }),
-
-    // Z-order clustering (Delta OPTIMIZE ZORDER shape): rewrite the
-    // layout sorted by the Morton interleave of two dimensions, then
-    // serve a conjunctive 2-D range off it — row-group min/max stats
-    // become tight 2-D tiles (pruning pinned in ZorderSpec); this gate
-    // proves the re-layout loses nothing (≡ the raw-table filter).
-    "x_zorder" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select("doc_id", "n_chars")
-        .withColumn("x", (col("doc_id") * 37 % 1000).cast("int"))
-      val dir = tempDir("graft-zorder")
-      operators.Zorder.cluster(docs, "x", "n_chars", dir, bits = 12)
-      s.read.parquet(dir)
-        .filter(col("x") >= 100 && col("x") < 300 &&
-          col("n_chars") >= 500 && col("n_chars") < 1000)
-        .orderBy("doc_id")
-        .select("doc_id", "n_chars", "x")
-    }),
-
-    // Declarative data-quality audit (the admission gate a corpus slice
-    // passes before joining the mix): every scan rule folds into ONE
-    // aggregate pass — rule count changes expression width, not pass
-    // count; uniqueness is count − countDistinct(struct), no self-join;
-    // the FK rule is one left-anti.
-    "x_quality_rules" -> ((s, d) => {
-      import operators.QualityRules._
-      audit(Tables.lineitem(s, d), Seq(
-          NotNull("orderkey_not_null", "l_orderkey"),
-          InRange("quantity_1_50", "l_quantity", 1.0, 50.0),
-          InRange("discount_0_01", "l_discount", 0.0, 0.1),
-          Check("price_positive", col("l_extendedprice") > 0),
-          Unique("pk_order_line", Seq("l_orderkey", "l_linenumber")),
-          ForeignKey("fk_orders", Seq("l_orderkey"),
-            Tables.orders(s, d), Seq("o_orderkey"))))
-        .orderBy("rule")
-    }),
-
-    // Spike detection: hourly event counts per type, z-scored against
-    // the trailing 24 buckets (min 12 history, σ from integer sums —
-    // aggregate first, window over the tiny (type, hour) relation).
-    "x_spike" -> ((s, d) =>
-      operators.Sessions.spikeScores(Tables.events(s, d), "event_type",
-          "ts", bucketMicros = 3600000000L)
-        .orderBy("event_type", "bucket")),
-
-    // Per-doc top-3 TF-IDF terms (keyword extraction / domain tagging).
-    "x_tfidf" -> ((s, d) =>
-      operators.TextAnalysis.tfidfTopTerms(Tables.documents(s, d),
-        "doc_id", "text", k = 3)
-        .orderBy("doc_id", "rk")),
-
-    // Vector aggregate as a first-class query: per-label embedding
-    // centroid via the VectorSum TypedImperativeAggregate (fixed-size
-    // partial per group, map-side combinable — IVF training's re-center
-    // step, gated directly). Exploded to (label, dim, c) for the oracle;
-    // round(6) absorbs partial-sum ordering ULPs.
-    // null vectors are excluded BEFORE the aggregate so the divisor
-    // counts exactly the vectors VectorSum accumulated (fixed-dim
-    // embedding columns; dim-ragged input is out of contract)
-    "x_embed_centroid" -> ((s, d) =>
-      Tables.embeddings(s, d)
-        .filter(col("embedding").isNotNull)
-        .groupBy("label")
-        .agg(graft.functions.VectorAggregates.vectorSum(col("embedding")).as("_s"),
-          count(lit(1)).as("_n"))
-        .select(col("label"), col("_n"), posexplode(col("_s")).as(Seq("_d0", "_v")))
-        .select(col("label"), (col("_d0") + 1).cast("int").as("dim"),
-          round(col("_v") / col("_n"), 6).as("c"))
-        .orderBy("label", "dim")),
-
-    // Composite training-data curation pipeline: quality-filter → exact
-    // dedup (keep lowest doc_id per distinct text) → language ID — the
-    // north-star operators composed, still one declarative plan.
-    "x_curation" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val q = operators.TextAnalysis.quality(docs, "doc_id", "text")
-      val kept = docs.join(
-        q.filter(col("n_tokens") >= 30 && col("stopword_ratio") < 0.5)
-          .select("doc_id"), "doc_id")
-      val deduped = operators.Dedup.dropExactDuplicates(kept, "doc_id", Seq("text"))
-      operators.TextAnalysis.languageId(deduped, "doc_id", "text")
-        .join(q.select("doc_id", "n_tokens"), "doc_id")
-        .select("doc_id", "pred_lang", "n_tokens")
-        .orderBy("doc_id")
-    }),
-
-    // As-of (point-in-time) join: each purchase joined to the user's most
-    // recent prior click. Composed sort-merge form (one shuffle+sort);
-    // DuckDB's native ASOF JOIN is the oracle.
-    "x_asof_join" -> ((s, d) => {
-      val ev = Tables.events(s, d).withColumn("ts_us", unix_micros(col("ts")))
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts_us"), col("event_id"),
-          col("value").as("purchase_value"))
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts_us").as("click_ts"),
-          col("value").as("click_value"))
-      operators.AsOf.join(purchases, clicks, Seq("user_id"), "ts_us", "click_ts")
-        .orderBy("event_id")
-    }),
-
-    // As-of with a lookback bound (pandas merge_asof tolerance): the
-    // carried click only attaches within 1 hour — a stale click must
-    // not decorate today's purchase. Same single shuffle+sort; the
-    // bound is a post-window projection.
-    "x_asof_tolerance" -> ((s, d) => {
-      val ev = Tables.events(s, d).withColumn("ts_us", unix_micros(col("ts")))
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts_us"), col("event_id"),
-          col("value").as("purchase_value"))
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts_us").as("click_ts"),
-          col("value").as("click_value"))
-      operators.AsOf.joinWithTolerance(purchases, clicks, Seq("user_id"),
-          "ts_us", "click_ts", lit(3600000000L))
-        .orderBy("event_id")
-    }),
-
-    // Temporal enrichment: every view event decorated with the SCD2
-    // dimension VERSION valid at its event time — the warehouse
-    // "facts × dimension history" join. Because validity intervals
-    // partition each key's timeline, the as-of join (one shuffle+sort)
-    // IS the interval join: the latest valid_from ≤ ts is provably
-    // inside its interval; no range/bin machinery needed.
-    "x_temporal_enrich" -> ((s, d) => {
-      val ev = Tables.events(s, d).withColumn("ts_us", unix_micros(col("ts")))
-      val dim = Changelog.scd2(
-          ev.filter(col("event_type") =!= "view")
-            .select(col("user_id"), col("ts_us"), col("event_id")),
-          "user_id", Seq(col("ts_us"), col("event_id")))
-        .select(col("user_id"), col("ts_us").as("vfrom"), col("version"))
-      val views = ev.filter(col("event_type") === "view")
-        .select(col("user_id"), col("ts_us"), col("event_id"))
-      operators.AsOf.join(views, dim, Seq("user_id"), "ts_us", "vfrom")
-        .select("user_id", "ts_us", "event_id", "version")
-        .orderBy("event_id")
-    }),
-
-    // Binned range join: purchase↔click pairs within 10 minutes per user,
-    // as an equi-join on time bins (not a nested-loop non-equi join).
-    "x_range_join" -> ((s, d) => {
-      val ev = Tables.events(s, d).withColumn("ts_us", unix_micros(col("ts")))
-      val p = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_id").as("purchase_id"),
-          col("ts_us").as("pts"))
-      val c = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("event_id").as("click_id"),
-          col("ts_us").as("cts"))
-      operators.RangeJoin.within(p, c, Seq("user_id"), "pts", "cts", 600000000L)
-        .select("purchase_id", "click_id")
-        .orderBy("purchase_id", "click_id")
-    }),
-
-    // ---- general query engine (Catalyst built-ins; bench headliners) ----
-
-    // Three-way join + agg + top-k (TPC-H Q3 shape). Customer side is
-    // broadcast; orders⋈lineitem shuffles on the join key once.
-    "j3_top_orders" -> ((s, d) => {
-      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
-      val o = Tables.orders(s, d)
-      val l = Tables.lineitem(s, d)
-      l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-        .groupBy(col("o_orderkey"))
-        .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))))
-          .cast("double").as("revenue"),
-          count(lit(1)).as("n_lines"))
-        .orderBy(col("revenue").desc, col("o_orderkey"))
-        .limit(10)
-    }),
-
-    // Five-way join through two dimension chains (TPC-H Q5 shape):
-    // revenue by nation where customer and supplier share the nation.
-    "j5_nation_revenue" -> ((s, d) => {
-      val r = Tables.region(s, d)
-      val n = Tables.nation(s, d)
-      val c = Tables.customer(s, d)
-      val sup = Tables.supplier(s, d)
-      val o = Tables.orders(s, d)
-      val l = Tables.lineitem(s, d)
-      l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey") &&
-          c("c_nationkey") === sup("s_nationkey"))
-        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
-        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
-        .groupBy(col("n_name"))
-        .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))))
-          .cast("double").as("revenue"))
-        .orderBy("n_name")
-    }),
-
-    // Bilateral trade volume (TPC-H Q7 shape): revenue between two
-    // nations by ship year. The nation filter is pushed into BOTH
-    // dimension legs before the fact joins (each side prunes to the
-    // two-nation subset and broadcasts); with both sides restricted to
-    // the pair, the Q7 OR-of-pairs condition reduces to
-    // supp_nation <> cust_nation. Decimal-exact revenue (the j5
-    // recipe), integer year.
-    "j13_nation_volume" -> ((s, d) => {
-      val nations = Seq("NATION_1", "NATION_2")
-      val n = Tables.nation(s, d).filter(col("n_name").isin(nations: _*))
-      val sup = Tables.supplier(s, d)
-        .join(broadcast(n.select(col("n_nationkey").as("_nk1"),
-          col("n_name").as("supp_nation"))),
-          col("s_nationkey") === col("_nk1"))
-        .select("s_suppkey", "supp_nation")
-      val cust = Tables.customer(s, d)
-        .join(broadcast(n.select(col("n_nationkey").as("_nk2"),
-          col("n_name").as("cust_nation"))),
-          col("c_nationkey") === col("_nk2"))
-        .select("c_custkey", "cust_nation")
-      Tables.lineitem(s, d)
-        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-        .filter(col("supp_nation") =!= col("cust_nation"))
-        .groupBy(col("supp_nation"), col("cust_nation"),
-          year(col("l_shipdate")).cast("int").as("l_year"))
-        .agg(sum(dec(col("l_extendedprice")) *
-            (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))))
-          .cast("double").as("revenue"),
-          count(lit(1)).as("n_rows"))
-        .orderBy("supp_nation", "cust_nation", "l_year")
-    }),
-
-    // Market share (TPC-H Q8 shape): one supplier nation's share of
-    // PROMO-part revenue sold into one region, by order year — the
-    // conditional-aggregate-over-multi-join shape. Part/region/nation
-    // dims broadcast into the fact scan; the share division is ONE
-    // double op per year over exact decimal sums, rounded 6dp.
-    "j14_market_share" -> ((s, d) => {
-      val promo = Tables.part(s, d).filter(col("p_type") === "PROMO")
-        .select("p_partkey")
-      val asiaCust = Tables.customer(s, d)
-        .join(broadcast(Tables.nation(s, d)
-          .join(broadcast(Tables.region(s, d)
-            .filter(col("r_name") === "ASIA")),
-            col("n_regionkey") === col("r_regionkey"))
-          .select(col("n_nationkey").as("_nk2"))),
-          col("c_nationkey") === col("_nk2"))
-        .select("c_custkey")
-      val sup = Tables.supplier(s, d)
-        .join(broadcast(Tables.nation(s, d)
-          .select(col("n_nationkey").as("_nk1"),
-            col("n_name").as("supp_nation"))),
-          col("s_nationkey") === col("_nk1"))
-        .select("s_suppkey", "supp_nation")
-      val vol = dec(col("l_extendedprice")) *
-        (lit(1).cast("decimal(12,2)") - dec(col("l_discount")))
-      Tables.lineitem(s, d)
-        .join(broadcast(promo), col("l_partkey") === col("p_partkey"))
-        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(asiaCust), col("o_custkey") === col("c_custkey"),
-          "left_semi")
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-        .groupBy(year(col("o_orderdate")).cast("int").as("o_year"))
-        .agg(round(
-            sum(when(col("supp_nation") === "NATION_5", vol)
-              .otherwise(lit(0).cast("decimal(12,2)"))).cast("double") /
-            sum(vol).cast("double"), 6).as("mkt_share"),
-          count(lit(1)).as("n_rows"))
-        .orderBy("o_year")
-    }),
-
-    // Correlated-min subquery (TPC-H Q2 shape, adapted: no partsupp
-    // table, so "supply cost" is each supplier's minimum unit price for
-    // the part — an exact decimal MIN over lineitem): suppliers in one
-    // region offering a qualifying part at that part's region-wide
-    // minimum cost. Written as the decorrelation Catalyst would
-    // produce: the per-(part, supplier) cost agg feeds BOTH the
-    // per-part min agg and the equality join back (ReuseExchange on the
-    // partkey-keyed shuffle); region/nation/part dims ride broadcasts.
-    // Decimal MIN is order-insensitive and engine-exact — the
-    // `cost = min` equality never touches float arithmetic.
-    "j15_min_cost_supplier" -> ((s, d) => {
-      val cost = Tables.lineitem(s, d)
-        .groupBy("l_partkey", "l_suppkey")
-        .agg(min(dec(col("l_extendedprice"))).as("cost"))
-      val eur = Tables.supplier(s, d)
-        .join(broadcast(Tables.nation(s, d)
-          .join(broadcast(Tables.region(s, d)
-            .filter(col("r_name") === "EUROPE").select("r_regionkey")),
-            col("n_regionkey") === col("r_regionkey"))
-          .select("n_nationkey", "n_name")),
-          col("s_nationkey") === col("n_nationkey"))
-        .select("s_suppkey", "s_name", "n_name")
-      val eligible = cost
-        .join(broadcast(eur), col("l_suppkey") === col("s_suppkey"))
-      val mn = eligible.groupBy(col("l_partkey").as("_pk"))
-        .agg(min(col("cost")).as("_mc"))
-      val pts = Tables.part(s, d)
-        .filter(col("p_type") === "STANDARD" && col("p_size") <= 10)
-        .select("p_partkey")
-      eligible
-        .join(mn, col("l_partkey") === col("_pk") &&
-          col("cost") === col("_mc"))
-        .join(broadcast(pts), col("l_partkey") === col("p_partkey"))
-        .select(col("p_partkey"), col("s_suppkey"), col("s_name"),
-          col("n_name"), col("cost").cast("double").as("cost"))
-        .orderBy("p_partkey", "s_suppkey")
-    }),
-
-    // Large-volume orders (TPC-H Q18 shape): orders whose TOTAL
-    // lineitem quantity clears a threshold — the group-HAVING-IN
-    // subquery, decorrelated to its natural plan: the orderkey-keyed
-    // quantity agg IS the subquery, and since it already carries the
-    // sum the outer re-aggregation folds away into one join. The
-    // filtered agg output is small but unbounded (threshold-dependent),
-    // so it stays a keyed shuffle join — AQE converts it to broadcast
-    // at runtime when it fits; the customer dim broadcasts statically.
-    // Quantity sums are exact decimal.
-    "j16_large_orders" -> ((s, d) => {
-      val big = Tables.lineitem(s, d).groupBy("l_orderkey")
-        .agg(sum(dec(col("l_quantity"))).as("total_qty"))
-        .filter(col("total_qty") > 250)
-      Tables.orders(s, d)
-        .join(big, col("o_orderkey") === col("l_orderkey"))
-        .join(broadcast(Tables.customer(s, d).select("c_custkey", "c_name")),
-          col("o_custkey") === col("c_custkey"))
-        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
-          col("o_orderdate"), col("o_totalprice"),
-          col("total_qty").cast("double").as("total_qty"))
-        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-    }),
-
-    // Disjunctive multi-table predicate (TPC-H Q19 shape): revenue from
-    // three OR'd brand/size/quantity conjunctions. Each disjunct mixes
-    // part and lineitem columns, so the OR as written cannot push below
-    // the join — the shape's point is the DERIVED part-side union
-    // prefilter (the disjunction of each conjunct's part-only half),
-    // applied before the broadcast so the build side carries ~3 brands
-    // instead of the whole part table; the full mixed predicate then
-    // runs above the join. Revenue is the exact decimal sum.
-    "j17_disjunctive_revenue" -> ((s, d) => {
-      def pOnly(brand: String, maxSize: Int): Column =
-        col("p_brand") === brand && col("p_size").between(1, maxSize)
-      val pts = Tables.part(s, d)
-        .filter(pOnly("Brand#12", 5) || pOnly("Brand#23", 10) ||
-          pOnly("Brand#4", 15))
-        .select("p_partkey", "p_brand", "p_size")
-      Tables.lineitem(s, d)
-        .join(broadcast(pts), col("l_partkey") === col("p_partkey"))
-        .filter(
-          (pOnly("Brand#12", 5) && col("l_quantity").between(1, 11)) ||
-          (pOnly("Brand#23", 10) && col("l_quantity").between(10, 20)) ||
-          (pOnly("Brand#4", 15) && col("l_quantity").between(20, 30)))
-        .agg(sum(dec(col("l_extendedprice")) *
-            (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))))
-          .cast("double").as("revenue"),
-          count(lit(1)).as("n_rows"))
-    }),
-
-    // Priority-wait report (TPC-H Q4 shape, adapted: no commitdate
-    // column, so "late" is shipped >90 days after the order date):
-    // orders in one quarter with at least one late line, counted by
-    // priority. The EXISTS decorrelates to a LeftSemi on orderkey — an
-    // order with five late lines counts once; the date window prunes
-    // the orders scan, the join shrinks to the filtered sides.
-    "j4_priority_wait" -> ((s, d) => {
-      val o = Tables.orders(s, d)
-        .filter(col("o_orderdate") >= "1996-01-01" &&
-          col("o_orderdate") < "1996-04-01")
-      val late = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_shipdate"))
-      o.join(late,
-          col("o_orderkey") === col("l_orderkey") &&
-            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
-          "left_semi")
-        .groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("order_count"))
-        .orderBy("o_orderpriority")
-    }),
-
-    // Top supplier by revenue (TPC-H Q15 shape): the 3-month revenue
-    // aggregate feeds BOTH the global max (one broadcast row) and the
-    // equality filter back — the view + scalar-subquery form,
-    // decorrelated so the corpus aggregates once (AQE reuses the
-    // suppkey exchange at runtime, the j15 pin's shape). Decimal
-    // revenue: the max-equality compares exact decimals, never floats.
-    "j18_top_supplier" -> ((s, d) => {
-      val rev = Tables.lineitem(s, d)
-        .filter(col("l_shipdate") >= "1996-01-01" &&
-          col("l_shipdate") < "1996-04-01")
-        .groupBy("l_suppkey")
-        .agg(sum(dec(col("l_extendedprice")) *
-          (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))))
-          .as("_rev"))
-      val mx = rev.agg(max(col("_rev")).as("_mx"))
-      rev.crossJoin(broadcast(mx))
-        .filter(col("_rev") === col("_mx"))
-        .join(broadcast(Tables.supplier(s, d)
-          .select("s_suppkey", "s_name")),
-          col("l_suppkey") === col("s_suppkey"))
-        .select(col("s_suppkey"), col("s_name"),
-          col("_rev").cast("double").as("total_revenue"))
-        .orderBy("s_suppkey")
-    }),
-
-    // Returned-item reporting (TPC-H Q10 shape): revenue lost to
-    // returns per customer over one quarter, top 20 — orders prune on
-    // the date window, lineitem on the return flag (both pushed), the
-    // customer/nation dims broadcast, and the cut is
-    // TakeOrderedAndProject on the rounded revenue (ties by custkey).
-    "j20_returned_customers" -> ((s, d) => {
-      val o = Tables.orders(s, d)
-        .filter(col("o_orderdate") >= "1995-10-01" &&
-          col("o_orderdate") < "1996-01-01")
-        .select("o_orderkey", "o_custkey")
-      val li = Tables.lineitem(s, d)
-        .filter(col("l_returnflag") === "R")
-        .select("l_orderkey", "l_extendedprice", "l_discount")
-      val cust = Tables.customer(s, d)
-        .join(broadcast(Tables.nation(s, d)
-          .select("n_nationkey", "n_name")),
-          col("c_nationkey") === col("n_nationkey"))
-        .select("c_custkey", "c_name", "c_acctbal", "n_name")
-      o.join(li, col("o_orderkey") === col("l_orderkey"))
-        .groupBy("o_custkey")
-        .agg(sum(dec(col("l_extendedprice")) *
-          (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))))
-          .cast("double").as("revenue"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-        .select(col("c_custkey"), col("c_name"), col("n_name"),
-          col("c_acctbal"), col("revenue"))
-        .orderBy(col("revenue").desc, col("c_custkey"))
-        .limit(20)
-    }),
-
-    // Shipping-priority matrix (TPC-H Q12 shape, adapted: no shipmode
-    // column, so lines group by linestatus): per group, how many lines
-    // of high-priority orders (1-URGENT/2-HIGH) vs the rest shipped in
-    // 1996 — the conditional-aggregation shape: the CASE collapses into
-    // map-side partial sums, one keyed shuffle of two counters per
-    // group, and the big-big orders⋈lineitem join keys on orderkey.
-    "j21_shipstatus_priority" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-        .filter(col("l_shipdate") >= "1996-01-01" &&
-          col("l_shipdate") < "1997-01-01")
-        .select("l_orderkey", "l_linestatus")
-      li.join(Tables.orders(s, d)
-          .select("o_orderkey", "o_orderpriority"),
-          col("l_orderkey") === col("o_orderkey"))
-        .groupBy("l_linestatus")
-        .agg(
-          sum(when(col("o_orderpriority") === "1-URGENT" ||
-            col("o_orderpriority") === "2-HIGH", 1L).otherwise(0L))
-            .as("high_line_count"),
-          sum(when(col("o_orderpriority") =!= "1-URGENT" &&
-            col("o_orderpriority") =!= "2-HIGH", 1L).otherwise(0L))
-            .as("low_line_count"))
-        .orderBy("l_linestatus")
-    }),
-
-    // Supplier-count by part attributes (TPC-H Q16 shape, adapted: no
-    // partsupp table, suppliers come from lineitem; the "complaints"
-    // exclusion is a LeftAnti against negative-balance suppliers):
-    // distinct suppliers per (brand, type, size) for parts outside one
-    // brand/type family. The NOT-IN anti-join runs BEFORE the distinct
-    // aggregate so excluded suppliers never shuffle; the part dim
-    // prunes on its negated predicates (pushed) and broadcasts.
-    "j23_parts_suppliers" -> ((s, d) => {
-      val pts = Tables.part(s, d)
-        .filter(col("p_brand") =!= "Brand#45" &&
-          !col("p_type").startsWith("MEDIUM"))
-        .select("p_partkey", "p_brand", "p_type", "p_size")
-      val excl = Tables.supplier(s, d)
-        .filter(col("s_acctbal") < 0).select("s_suppkey")
-      Tables.lineitem(s, d).select("l_partkey", "l_suppkey")
-        .join(excl, col("l_suppkey") === col("s_suppkey"), "left_anti")
-        .join(broadcast(pts), col("l_partkey") === col("p_partkey"))
-        .groupBy("p_brand", "p_type", "p_size")
-        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
-        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
-          col("p_size"))
-    }),
-
-    // Product profit by nation and year (TPC-H Q9 shape, adapted: no
-    // partsupp, so supply cost is half the part's retail price):
-    // profit = revenue − cost per (supplier nation, order year) over
-    // one part family. Everything decimal until the final cast —
-    // decimal multiplication is exact (scales add), so both engines
-    // sum identical values. The part/supplier/nation dims broadcast;
-    // the one big-big join (lineitem ⋈ orders) keys on orderkey.
-    "j19_profit" -> ((s, d) => {
-      val half = lit(0.5).cast("decimal(2,1)")
-      val pts = Tables.part(s, d).filter(col("p_type") === "ECONOMY")
-        .select("p_partkey", "p_retailprice")
-      val sup = Tables.supplier(s, d)
-        .join(broadcast(Tables.nation(s, d)
-          .select("n_nationkey", "n_name")),
-          col("s_nationkey") === col("n_nationkey"))
-        .select("s_suppkey", "n_name")
-      Tables.lineitem(s, d)
-        .join(broadcast(pts), col("l_partkey") === col("p_partkey"))
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-        .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
-          col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("n_name").as("nation"),
-          year(col("o_orderdate")).as("o_year"))
-        .agg(sum(dec(col("l_extendedprice")) *
-            (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))) -
-            dec(col("p_retailprice")) * dec(col("l_quantity")) * half)
-          .cast("double").as("profit"))
-        .orderBy(col("nation"), col("o_year").desc)
-    }),
-
-    // Promotion revenue share by ship month (TPC-H Q14 shape): one
-    // scan, a conditional decimal aggregate for the PROMO numerator,
-    // and ONE double division per month — the map-side-combinable
-    // conditional-share pattern (j14's yearly form, monthly here).
-    "j22_promo_share" -> ((s, d) =>
-      Tables.lineitem(s, d)
-        .filter(col("l_shipdate") >= "1996-01-01" &&
-          col("l_shipdate") < "1997-01-01")
-        .join(broadcast(Tables.part(s, d).select("p_partkey", "p_type")),
-          col("l_partkey") === col("p_partkey"))
-        .groupBy(date_trunc("month", col("l_shipdate")).as("_m"))
-        .agg(
-          sum(when(col("p_type") === "PROMO",
-            dec(col("l_extendedprice")) *
-              (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))))
-            .otherwise(lit(0).cast("decimal(12,2)"))).as("_promo"),
-          sum(dec(col("l_extendedprice")) *
-            (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))))
-            .as("_all"))
-        .select(unix_micros(col("_m")).as("month_us"),
-          round(lit(100.0) * col("_promo").cast("double") /
-            col("_all").cast("double"), 6).as("promo_share"),
-          col("_promo").cast("double").as("promo_revenue"))
-        .orderBy("month_us")),
-
-    // Value concentration (TPC-H Q11 shape, adapted: no partsupp, so
-    // "stock value" is lineitem revenue per part): parts carrying more
-    // than 1.5x the AVERAGE part's revenue — the
-    // HAVING-vs-scaled-global-scalar shape: the per-part aggregate
-    // feeds both the global (sum, count) row (broadcast; AQE reuses
-    // the exchange) and the threshold filter. The average-relative
-    // threshold keeps the selectivity stable across scale factors
-    // (Q11 scales its fraction by 1/SF for the same reason). Decimal
-    // sums; ONE double comparison against the scaled scalar.
-    "j24_value_parts" -> ((s, d) => {
-      val rev = Tables.lineitem(s, d)
-        .groupBy("l_partkey")
-        .agg(sum(dec(col("l_extendedprice")) *
-          (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))))
-          .as("_v"))
-      val tot = rev.agg(sum(col("_v")).as("_t"),
-        count(lit(1)).as("_np"))
-      rev.crossJoin(broadcast(tot))
-        .filter(col("_v").cast("double") >
-          lit(1.5) * col("_t").cast("double") / col("_np"))
-        .select(col("l_partkey").as("p_partkey"),
-          col("_v").cast("double").as("part_value"))
-        .orderBy(col("part_value").desc, col("p_partkey"))
-    }),
-
-    // Single-pass filtered aggregation (TPC-H Q6 shape).
-    "j6_forecast" -> ((s, d) =>
-      Tables.lineitem(s, d)
-        .filter(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-        .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
-          .cast("double").as("revenue"),
-          count(lit(1)).as("n_rows"))),
-
-    // Correlated-average filter (TPC-H Q17 shape): revenue from
-    // small-quantity lineitems of one brand, where "small" is
-    // per-part 20%-of-average — written as the decorrelated join
-    // Catalyst would produce (per-part avg agg, broadcast brand dim).
-    // Decimal quantity sums + ONE double division per part keep the
-    // threshold engine-exact; the revenue sum is exact decimal.
-    "j7_small_qty_revenue" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-      val pt = Tables.part(s, d).filter(col("p_brand") === "Brand#23")
-        .select("p_partkey")
-      val perPart = li.groupBy("l_partkey")
-        .agg((sum(dec(col("l_quantity"))).cast("double") / count(lit(1)))
-          .as("_avg"))
-      li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
-        .join(perPart, "l_partkey")
-        .filter(col("l_quantity") < lit(0.2) * col("_avg"))
-        .agg(round(sum(dec(col("l_extendedprice"))).cast("double") / 7.0, 2)
-          .as("avg_yearly"),
-          count(lit(1)).as("n_rows"))
-    }),
-
-    // Order-count distribution incl. zero (TPC-H Q13 shape): customers
-    // left-joined to their non-urgent orders, counted per customer,
-    // then customers counted per order-count — the two-level hash-agg
-    // cascade; integer counts, no float anywhere.
-    "j9_order_count_dist" -> ((s, d) => {
-      val perCust = Tables.customer(s, d).select("c_custkey")
-        .join(Tables.orders(s, d)
-          .filter(col("o_orderpriority") =!= "1-URGENT")
-          .select("o_custkey", "o_orderkey"),
-          col("c_custkey") === col("o_custkey"), "left")
-        .groupBy("c_custkey")
-        .agg(count(col("o_orderkey")).as("c_count"))
-      perCust.groupBy("c_count")
-        .agg(count(lit(1)).as("custdist"))
-        .orderBy(col("custdist").desc, col("c_count").desc)
-    }),
-
-    // Anti-join + global scalar threshold (TPC-H Q22 shape): customers
-    // with above-average balance and NO big urgent order, grouped by
-    // nation — a left-anti join against the filtered orders plus one
-    // broadcast scalar (the positive-balance average, decimal sum /
-    // one double division).
-    "j10_idle_customers" -> ((s, d) => {
-      val cust = Tables.customer(s, d)
-      val avgBal = cust.filter(col("c_acctbal") > 0)
-        .agg((sum(dec(col("c_acctbal"))).cast("double") / count(lit(1)))
-          .as("_avg"))
-      val bigUrgent = Tables.orders(s, d)
-        .filter(col("o_orderpriority") === "1-URGENT" &&
-          col("o_totalprice") > 50000)
-        .select("o_custkey")
-      cust.crossJoin(broadcast(avgBal))
-        .filter(col("c_acctbal") > col("_avg"))
-        .join(bigUrgent, col("c_custkey") === col("o_custkey"), "left_anti")
-        .groupBy("c_nationkey")
-        .agg(count(lit(1)).as("n_cust"),
-          sum(dec(col("c_acctbal"))).cast("double").as("total_bal"))
-        .orderBy("c_nationkey")
-    }),
-
-    // Exists + not-exists on the SAME correlated table (TPC-H Q21
-    // shape, adapted to the provided columns: "late" is shipped >60
-    // days after ordering — no l_receiptdate in this corpus): suppliers
-    // from one nation who shipped late on a multi-supplier F-order
-    // where NO OTHER supplier was late. Written as the decorrelation
-    // Catalyst would produce: the supplier/nation dimension filter is
-    // pushed BELOW the self-joins (prunes l1 ~25× before any shuffle),
-    // then one left-semi (the exists) and one left-anti (the
-    // not-exists) against the same orderkey-keyed frame — big-big, so
-    // both are SortMergeJoins sharing one exchange; the dimension rides
-    // a broadcast.
-    "j11_waiting_suppliers" -> ((s, d) => {
-      val o = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
-        .select("o_orderkey", "o_orderdate")
-      val l = Tables.lineitem(s, d)
-        .select("l_orderkey", "l_suppkey", "l_shipdate")
-        .join(o, col("l_orderkey") === col("o_orderkey"))
-        .select(col("l_orderkey"), col("l_suppkey"),
-          (col("l_shipdate") > date_add(col("o_orderdate"), 60)).as("late"))
-      val sup = Tables.supplier(s, d)
-        .join(broadcast(Tables.nation(s, d)
-          .filter(col("n_name") === "NATION_9").select("n_nationkey")),
-          col("s_nationkey") === col("n_nationkey"))
-        .select("s_suppkey", "s_name")
-      val l1 = l.filter(col("late"))
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-      val others = l.select(col("l_orderkey").as("o2"),
-        col("l_suppkey").as("s2"))
-      val lateOthers = l.filter(col("late"))
-        .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
-      l1.join(others, col("l_orderkey") === col("o2") &&
-            col("l_suppkey") =!= col("s2"), "left_semi")
-        .join(lateOthers, col("l_orderkey") === col("o3") &&
-            col("l_suppkey") =!= col("s3"), "left_anti")
-        .groupBy("s_name").agg(count(lit(1)).as("numwait"))
-        .orderBy(col("numwait").desc, col("s_name"))
-    }),
-
-    // Nested correlated-aggregate IN chain (TPC-H Q20 shape, adapted:
-    // no partsupp table, so "availability above half the shipped
-    // quantity" becomes "supplier ships more than 1/8 of a prefix-named
-    // part's total quantity"): part-name IN-subquery → per-(supplier,
-    // part) quantity aggregate → correlated per-part total threshold →
-    // supplier IN-semi-join. All quantity arithmetic stays decimal
-    // (8·qty > total — no float division anywhere), so the threshold is
-    // engine-exact. Scale shape: the prefix dimension broadcasts into
-    // the lineitem scan; the two aggregations share one (suppkey,
-    // partkey) exchange (ReuseExchange); the per-part total and the
-    // qualifying-supplier set are aggregate-sized broadcasts.
-    "j12_dominant_suppliers" -> ((s, d) => {
-      val pfx = Tables.part(s, d).filter(col("p_name").startsWith("s"))
-        .select("p_partkey")
-      val li = Tables.lineitem(s, d)
-        .join(broadcast(pfx), col("l_partkey") === col("p_partkey"))
-      val sp = li.groupBy("l_suppkey", "l_partkey")
-        .agg(sum(dec(col("l_quantity"))).as("qty"))
-      val tot = sp.groupBy("l_partkey")
-        .agg(sum(col("qty")).as("total"))
-        .select(col("l_partkey").as("t_partkey"), col("total"))
-      val qual = sp.join(broadcast(tot),
-          col("l_partkey") === col("t_partkey"))
-        .filter(lit(8) * col("qty") > col("total"))
-        .groupBy("l_suppkey").agg(count(lit(1)).as("n_parts"))
-      qual.join(broadcast(Tables.supplier(s, d)
-            .select("s_suppkey", "s_name")),
-          col("l_suppkey") === col("s_suppkey"))
-        .select("s_suppkey", "s_name", "n_parts")
-        .orderBy("s_suppkey")
-    }),
-
-    // Window functions: running revenue + dense rank per customer.
-    "w1_running_total" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-      Tables.orders(s, d)
-        .withColumn("running_total",
-          sum(dec(col("o_totalprice"))).over(
-            w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
-            .cast("double"))
-        .withColumn("order_rank", row_number().over(w))
-        .select("o_custkey", "o_orderkey", "order_rank", "running_total")
-        .orderBy("o_custkey", "o_orderkey")
-    }),
-
-    // Top-k per group via ranked window.
-    "w2_topk_per_group" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      Tables.orders(s, d)
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 3)
-        .select("o_custkey", "rk", "o_orderkey", "o_totalprice")
-        .orderBy("o_custkey", "rk")
-    }),
-
-    // Ranking window functions (percent_rank / cume_dist / ntile):
-    // per-event-type distribution position of every event's value —
-    // the percentile-tagging projection. Unique (value, id) order keys
-    // make every rank integer-exact and engine-reproducible; the window
-    // partitions by key, so no single-partition funnel.
-    "w3_rank_funcs" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("event_type").orderBy(col("value"), col("event_id"))
-      Tables.events(s, d).select(col("event_id"), col("event_type"),
-        round(percent_rank().over(w), 9).as("pr"),
-        round(cume_dist().over(w), 9).as("cd"),
-        ntile(4).over(w).cast("long").as("quartile"))
-        .orderBy("event_id")
-    }),
-
-    // Fixed-grid gap fill + LOCF: hourly per-type revenue made
-    // CONTINUOUS — holes get the last seen value, `filled` marks
-    // fabricated rows, leading gaps stay null (no backward fill). Grid
-    // is bucket-space (keys × hours) off one broadcast min/max row;
-    // LOCF windows run over buckets, never events.
-    "x_gap_fill" -> ((s, d) =>
-      operators.TimeSeries.gapFillLocf(Tables.events(s, d), "ts",
-          "event_type", sum(dec(col("value"))).cast("double"), "1 hour")
-        .select(col("key").as("event_type"),
-          unix_micros(col("bucket")).as("hour_us"),
-          col("value").as("sum_value"), col("filled"))
-        .orderBy("event_type", "hour_us")),
-
-    // Set operations: big buyers EXCEPT big-error users, INTERSECT with
-    // high-value clickers. The value thresholds make each leg a PARTIAL
-    // user set (every user has every event type in the synthetic data,
-    // so unthresholded legs would be all-or-nothing): at sf0.01 the
-    // EXCEPT drops ~10 of 32 and the INTERSECT keeps 11 — both
-    // operators visibly prune, so the gate pins values, not just schema.
-    "set_ops" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-      def users(t: String, minValue: Double) =
-        ev.filter(col("event_type") === t && col("value") > minValue)
-          .select("user_id").distinct()
-      users("purchase", 200.0).except(users("error", 250.0))
-        .intersect(users("click", 150.0))
-        .orderBy("user_id")
-    }),
-
-    // PIVOT: linestatus values become columns of decimal-exact quantity
-    // sums (explicit value list — no driver-side distinct scan); absent
-    // (flag, status) combos stay NULL on both engines.
-    "agg_pivot" -> ((s, d) =>
-      Tables.lineitem(s, d)
-        .groupBy("l_returnflag")
-        .pivot("l_linestatus", Seq("F", "O"))
-        .agg(sum(dec(col("l_quantity"))).cast("double"))
-        .orderBy("l_returnflag")),
-
-    // UNPIVOT: measure columns melt back to (measure, value) rows — the
-    // Spark 3.4 Dataset.unpivot API over per-flag decimal sums.
-    "agg_unpivot" -> ((s, d) => {
-      val m = Tables.lineitem(s, d).groupBy("l_returnflag")
-        .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
-          sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"))
-      m.unpivot(Array(col("l_returnflag")),
-          Array(col("sum_qty"), col("sum_price")), "measure", "value")
-        .orderBy("l_returnflag", "measure")
-    }),
-
-    // Rollup (grouping sets) with ALL sentinel for super-aggregate rows.
-    "agg_rollup" -> ((s, d) =>
-      Tables.lineitem(s, d)
-        .rollup("l_returnflag", "l_linestatus")
-        .agg(count(lit(1)).as("n"),
-          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
-        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
-          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
-          col("n"), col("sum_qty"))
-        .orderBy("flag", "status")),
-
-    // Explicit GROUPING SETS: an arbitrary lattice subset —
-    // ((flag,status),(status)) — that neither rollup nor cube can
-    // express alone; one pass, the Spark 4 Dataset groupingSets API.
-    "agg_grouping_sets" -> ((s, d) =>
-      Tables.lineitem(s, d)
-        .groupingSets(
-          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
-            Seq(col("l_linestatus"))),
-          col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"),
-          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
-        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
-          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
-          col("n"), col("sum_qty"))
-        .orderBy("flag", "status")),
-
-    // CUBE: every grouping-set combination in one pass (rollup's
-    // lattice completion — adds the (∅, status) slice rollup omits).
-    "agg_cube" -> ((s, d) =>
-      Tables.lineitem(s, d)
-        .cube("l_returnflag", "l_linestatus")
-        .agg(count(lit(1)).as("n"),
-          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
-        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
-          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
-          col("n"), col("sum_qty"))
-        .orderBy("flag", "status")),
-
-    // Distinct aggregation per group.
-    "agg_distinct" -> ((s, d) =>
-      Tables.lineitem(s, d)
-        .groupBy("l_returnflag")
-        .agg(countDistinct(col("l_orderkey")).as("n_orders"),
-          countDistinct(col("l_suppkey")).as("n_supps"))
-        .orderBy("l_returnflag")),
-
-    // Statistical aggregates: exact interpolated percentiles, stddev,
-    // correlation (Welford-style double accumulation both engines).
-    "agg_stats" -> ((s, d) =>
-      Tables.lineitem(s, d)
-        .groupBy("l_returnflag")
-        .agg(
-          percentile(col("l_quantity"), lit(0.5)).as("p50_qty"),
-          percentile(col("l_extendedprice"), lit(0.9)).as("p90_price"),
-          round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
-          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"))
-        .orderBy("l_returnflag")),
-
-    // Extended stats via EXACT decimal power sums (ES extended_stats +
-    // the higher moments): variance, skewness, excess kurtosis all
-    // derive from Σx..Σx⁴ — integer n_chars makes every sum exact, so
-    // the double arithmetic after the one map-side-combinable hash agg
-    // is bit-reproducible (built-in skewness/kurtosis differ between
-    // engines on bias correction; explicit moments dodge the
-    // convention entirely). The 100 TB shape: 5 mergeable partials.
-    "agg_moments" -> ((s, d) => {
-      val x = col("n_chars").cast("decimal(38,0)")
-      val n = col("n").cast("double")
-      val mean = col("_s1").cast("double") / n
-      val m2 = col("_s2").cast("double") / n - mean * mean
-      val m3 = col("_s3").cast("double") / n -
-        mean * (col("_s2").cast("double") / n) * 3 +
-        mean * mean * mean * 2
-      val m4 = col("_s4").cast("double") / n -
-        mean * (col("_s3").cast("double") / n) * 4 +
-        mean * mean * (col("_s2").cast("double") / n) * 6 -
-        mean * mean * mean * mean * 3
-      Tables.documents(s, d)
-        .agg(count(lit(1)).as("n"), sum(x).as("_s1"),
-          sum(x * x).as("_s2"), sum(x * x * x).as("_s3"),
-          sum(x * x * x * x).as("_s4"))
-        .select(col("n"), round(mean, 6).as("mean"),
-          round(m2, 6).as("variance"),
-          round(m3 / pow(m2, 1.5), 6).as("skewness"),
-          round(m4 / (m2 * m2) - 3, 6).as("kurtosis"))
-    }),
-
-    // Percentile-ranks aggregation (ES percentile_ranks — the inverse
-    // of percentiles): the percentage of values at or below each mark,
-    // per group. Exact integer counts in double (0/1 sums are exact),
-    // one hash agg.
-    "agg_percentile_ranks" -> ((s, d) =>
-      Tables.lineitem(s, d)
-        .groupBy("l_returnflag")
-        .agg(
-          round(sum(when(col("l_quantity") <= 10.0, 1).otherwise(0)) *
-            lit(100.0) / count(lit(1)), 6).as("pr_10"),
-          round(sum(when(col("l_quantity") <= 25.0, 1).otherwise(0)) *
-            lit(100.0) / count(lit(1)), 6).as("pr_25"))
-        .orderBy("l_returnflag")),
-
-    // Boxplot aggregation (ES boxplot): five-number summary per group —
-    // min, q1/median/q3 by EXACT percentile (type-7 linear interpolation,
-    // the convention Spark `percentile` and DuckDB `quantile_cont`
-    // share), max. The exact percentile sorts within the group; the
-    // sketch twin for unbounded groups is agg_quantile_sketch.
-    "agg_boxplot" -> ((s, d) =>
-      Tables.lineitem(s, d)
-        .groupBy("l_returnflag")
-        .agg(
-          min(col("l_quantity")).as("q_min"),
-          round(percentile(col("l_quantity"), lit(0.25)), 6).as("q1"),
-          round(percentile(col("l_quantity"), lit(0.5)), 6).as("q2"),
-          round(percentile(col("l_quantity"), lit(0.75)), 6).as("q3"),
-          max(col("l_quantity")).as("q_max"))
-        .orderBy("l_returnflag")),
-
-    // T-test aggregation (ES t_test, Welch's unequal-variance form):
-    // is mean quantity different between return flags A and N — moments
-    // from exact cent-unit sums (the matrix-stats discipline), then the
-    // same IEEE sequence for t and the Welch–Satterthwaite df in both
-    // engines. ONE conditional-sum pass.
-    "agg_ttest" -> ((s, d) => {
-      def iu(c: Column) = (dec(c) * 100).cast("decimal(18,0)")
-      val q = iu(col("l_quantity"))
-      // null-else conditional sum: sum skips nulls, stays exact decimal
-      def grp(f: String, c: Column) =
-        sum(when(col("l_returnflag") === f, c))
-      val agged = Tables.lineitem(s, d).agg(
-        sum(when(col("l_returnflag") === "A", 1L).otherwise(0L)).as("n1"),
-        sum(when(col("l_returnflag") === "N", 1L).otherwise(0L)).as("n2"),
-        grp("A", q).cast("double").as("_s1"),
-        grp("N", q).cast("double").as("_s2"),
-        grp("A", q * q).cast("double").as("_ss1"),
-        grp("N", q * q).cast("double").as("_ss2"))
-      val (n1, n2) = (col("n1").cast("double"), col("n2").cast("double"))
-      val v1 = (n1 * col("_ss1") - col("_s1") * col("_s1")) /
-        (n1 * (n1 - 1)) / 10000.0
-      val v2 = (n2 * col("_ss2") - col("_s2") * col("_s2")) /
-        (n2 * (n2 - 1)) / 10000.0
-      val m1 = col("_s1") / n1 / 100.0
-      val m2 = col("_s2") / n2 / 100.0
-      val se2 = v1 / n1 + v2 / n2
-      agged.select(col("n1"), col("n2"),
-        round(m1 - m2, 6).as("mean_diff"),
-        round((m1 - m2) / sqrt(se2), 6).as("t"),
-        round(se2 * se2 / ((v1 / n1) * (v1 / n1) / (n1 - 1) +
-          (v2 / n2) * (v2 / n2) / (n2 - 1)), 6).as("df"))
-    }),
-
-    // Median-absolute-deviation aggregation (ES
-    // median_absolute_deviation, exact form): MAD = median(|x −
-    // median(x)|) per group — two exact-percentile passes, the second
-    // over deviations from the broadcast per-group median.
-    "agg_mad" -> ((s, d) => {
-      val med = Tables.lineitem(s, d).groupBy("l_returnflag")
-        .agg(percentile(col("l_quantity"), lit(0.5)).as("_med"))
-      Tables.lineitem(s, d).join(broadcast(med), "l_returnflag")
-        .groupBy("l_returnflag")
-        .agg(round(percentile(abs(col("l_quantity") - col("_med")),
-          lit(0.5)), 6).as("mad"))
-        .orderBy("l_returnflag")
-    }),
-
-    // Weighted-average aggregation (ES weighted_avg): quantity-weighted
-    // mean price per flag — exact integer cent-unit product sums, one
-    // final double ratio.
-    "agg_weighted_avg" -> ((s, d) => {
-      def iu(c: Column) = (dec(c) * 100).cast("decimal(18,0)")
-      Tables.lineitem(s, d).groupBy("l_returnflag")
-        .agg(
-          sum(iu(col("l_extendedprice")) * iu(col("l_quantity")))
-            .cast("double").as("_swx"),
-          sum(iu(col("l_quantity"))).cast("double").as("_sw"))
-        .select(col("l_returnflag"),
-          round(col("_swx") / col("_sw") / 100.0, 6).as("weighted_price"))
-        .orderBy("l_returnflag")
-    }),
-
-    // MatrixStats aggregation (ES matrix_stats): pairwise variance /
-    // correlation over (quantity, price, discount) per group. Native
-    // corr/var merge partials in DOUBLE — order-dependent low bits a
-    // hash gate can't tolerate — so the moments are assembled from
-    // EXACT integer power sums: each 2-dp input becomes integer cents
-    // (scale-0 decimal), Σx/Σx²/Σxy stay exact decimals, and the casts
-    // to double are single correctly-rounded conversions (scale-0 only
-    // — a scale-4 decimal→double is a two-step conversion whose last
-    // ulp is engine-dependent). Every op after the casts is the same
-    // IEEE sequence in both engines. One map-side-combinable hash agg;
-    // the n(n−1) and cent-unit factors cancel inside corr.
-    "agg_matrix_stats" -> ((s, d) => {
-      // integer cent units: exact per-row, exact products, exact sums
-      def iu(c: Column) = (dec(c) * 100).cast("decimal(18,0)")
-      val (q, p, dd) = (iu(col("l_quantity")), iu(col("l_extendedprice")),
-        iu(col("l_discount")))
-      val nd = col("n").cast("double")
-      // A_xy = n·Σxy − Σx·Σy in cent² units
-      def amom(sxy: Column, sx: Column, sy: Column) = nd * sxy - sx * sy
-      val aq = amom(col("_sqq"), col("_sq"), col("_sq"))
-      val ap = amom(col("_spp"), col("_sp"), col("_sp"))
-      val ad = amom(col("_sdd"), col("_sd"), col("_sd"))
-      val aqp = amom(col("_sqp"), col("_sq"), col("_sp"))
-      val aqd = amom(col("_sqd"), col("_sq"), col("_sd"))
-      val apd = amom(col("_spd"), col("_sp"), col("_sd"))
-      val denom = (col("n") * (col("n") - 1)).cast("double")
-      Tables.lineitem(s, d)
-        .groupBy("l_returnflag")
-        .agg(count(lit(1)).as("n"),
-          sum(q).cast("double").as("_sq"),
-          sum(p).cast("double").as("_sp"),
-          sum(dd).cast("double").as("_sd"),
-          sum(q * q).cast("double").as("_sqq"),
-          sum(p * p).cast("double").as("_spp"),
-          sum(dd * dd).cast("double").as("_sdd"),
-          sum(q * p).cast("double").as("_sqp"),
-          sum(q * dd).cast("double").as("_sqd"),
-          sum(p * dd).cast("double").as("_spd"))
-        .select(col("l_returnflag"), col("n"),
-          round(aq / denom / 10000.0, 6).as("var_q"),
-          round(ap / denom / 10000.0, 2).as("var_p"),
-          round(ad / denom / 10000.0, 9).as("var_d"),
-          round(aqp / sqrt(aq * ap), 6).as("corr_qp"),
-          round(aqd / sqrt(aq * ad), 6).as("corr_qd"),
-          round(apd / sqrt(ap * ad), 6).as("corr_pd"))
-        .orderBy("l_returnflag")
-    }),
-
-    // Streaming geofence counts (batch twin, the ws_* gating
-    // convention): events get deterministic coordinates, three fences
-    // with PER-FENCE radii — stream-static broadcast cell equi-join +
-    // haversine verify + daily windowed counts. StreamingOpsSpec runs
-    // the operator as a real stream with a watermark bounding state.
-    "ws_geofence" -> ((s, d) => {
-      val e = Tables.events(s, d)
-        .withColumn("lat",
-          (col("event_id") * 37 % 17000).cast("double") / 100.0 - 85.0)
-        .withColumn("lon",
-          (col("event_id") * 91 % 36000).cast("double") / 100.0 - 180.0)
-      streaming.StreamingOps.geofenceCounts(e, "ts", "lat", "lon",
-          Seq((1L, 40.0, -74.0, 1500.0), (2L, 5.0, 179.0, 2000.0),
-            (3L, -84.0, 10.0, 2500.0)),
-          "1 day", "1 day")
-        .select(unix_micros(col("window_start")).as("day_us"),
-          col("fence_id"), col("n_events"))
-        .orderBy("day_us", "fence_id")
-    }),
-
-    // ES pipeline aggregations over a weekly date histogram:
-    // `derivative` (bucket-over-bucket delta), `moving_avg` (3-bucket
-    // trailing window), `bucket_selector` (drop thin buckets AFTER the
-    // pipeline metrics are computed, the ES evaluation order). The
-    // windows run over the BUCKET space — weeks, not events — so the
-    // single-partition window is bounded by the histogram length.
-    "q_pipeline_aggs" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window.orderBy("bucket_us")
-      Tables.events(s, d)
-        .groupBy(date_trunc("week", col("ts")).as("bucket"))
-        .agg(count(lit(1)).as("n_events"),
-          sum(dec(col("value"))).cast("double").as("sum_value"))
-        .select(unix_micros(col("bucket")).as("bucket_us"),
-          col("n_events"), col("sum_value"))
-        .withColumn("derivative",
-          col("sum_value") - lag("sum_value", 1).over(w))
-        .withColumn("moving_avg",
-          round(avg("sum_value").over(w.rowsBetween(-2, 0)), 6))
-        .filter(col("n_events") >= 50)
-        .orderBy("bucket_us")
-    }),
-
-    // Second pipeline-agg family: serial_diff (lag-2 delta), moving
-    // min/max, moving_percentile (exact trailing-3 median), and EMA —
-    // the EMA folds the bucket history with a higher-order aggregate
-    // (collect_list over the bucket window + left fold), which is how a
-    // recursive per-bucket definition stays a pure Catalyst expression:
-    // the fold runs over BUCKET space (weeks), never events.
-    "q_pipeline_aggs2" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window.orderBy("bucket_us")
-      val trail3 = w.rowsBetween(-2, 0)
-      val all = w.rowsBetween(org.apache.spark.sql.expressions.Window
-        .unboundedPreceding, 0)
-      Tables.events(s, d)
-        .groupBy(date_trunc("week", col("ts")).as("bucket"))
-        .agg(count(lit(1)).as("n_events"),
-          sum(dec(col("value"))).cast("double").as("sum_value"))
-        .select(unix_micros(col("bucket")).as("bucket_us"),
-          col("n_events"), col("sum_value"))
-        .withColumn("serial_diff",
-          col("sum_value") - lag("sum_value", 2).over(w))
-        .withColumn("moving_min", min("sum_value").over(trail3))
-        .withColumn("moving_max", max("sum_value").over(trail3))
-        .withColumn("moving_median",
-          round(percentile(col("sum_value"), lit(0.5)).over(trail3), 6))
-        .withColumn("_h", collect_list("sum_value").over(all))
-        .withColumn("ema", round(
-          aggregate(slice(col("_h"), lit(2),
-              greatest(size(col("_h")) - 1, lit(0))),
-            element_at(col("_h"), 1),
-            (acc, x) => lit(0.5) * x + lit(0.5) * acc), 6))
-        .drop("_h")
-        .orderBy("bucket_us")
-    }),
-
-    // Holt double-exponential smoothing (level + trend, α=.5 β=.3) over
-    // the weekly bucket space, with a one-step forecast — the
-    // moving_fn/holt ES shape. The recursion folds the bucket history
-    // per row (struct accumulator over collect_list — no recursion in
-    // the plan, O(buckets²) work in BUCKET space, never events); the
-    // oracle is the same arithmetic as a recursive CTE.
-    "q_holt" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window.orderBy("bucket_us")
-        .rowsBetween(org.apache.spark.sql.expressions.Window
-          .unboundedPreceding, 0)
-      def step(acc: Column, x: Column) = {
-        val l = acc.getField("l"); val tr = acc.getField("t")
-        val l2 = lit(0.5) * x + lit(0.5) * (l + tr)
-        struct(l2.as("l"),
-          (lit(0.3) * (l2 - l) + lit(0.7) * tr).as("t"))
-      }
-      Tables.events(s, d)
-        .groupBy(date_trunc("week", col("ts")).as("bucket"))
-        .agg(sum(dec(col("value"))).cast("double").as("sum_value"))
-        .select(unix_micros(col("bucket")).as("bucket_us"),
-          col("sum_value"))
-        .withColumn("_h", collect_list("sum_value").over(w))
-        .withColumn("_st", aggregate(
-          slice(col("_h"), lit(2), greatest(size(col("_h")) - 1, lit(0))),
-          struct(element_at(col("_h"), 1).as("l"), lit(0.0).as("t")),
-          step))
-        .select(col("bucket_us"), col("sum_value"),
-          round(col("_st.l"), 6).as("level"),
-          round(col("_st.t"), 6).as("trend"),
-          round(col("_st.l") + col("_st.t"), 6).as("forecast_next"))
-        .orderBy("bucket_us")
-    }),
-
-    // Additive Holt–Winters (triple smoothing, α=.5 β=.25 γ=.25, m=7)
-    // over DAILY buckets — level + trend + a weekly seasonal cycle, the
-    // seasonal extension of q_holt. One O(buckets·m) fold per series in
-    // bucket space; the oracle replays the identical recursion as a
-    // recursive CTE carrying the rotating seasonal list.
-    "x_holt_winters" -> ((s, d) => {
-      val b = Tables.events(s, d)
-        .groupBy(date_trunc("day", col("ts")).as("bucket"))
-        .agg(sum(dec(col("value"))).cast("double").as("y"))
-        .select(unix_micros(col("bucket")).as("bucket_us"), col("y"))
-      operators.TimeSeries.holtWinters(b, "bucket_us", "y",
-        period = 7, alpha = 0.5, beta = 0.25, gamma = 0.25)
-    }),
-
-    // Two-sided CUSUM changepoint detection over the weekly bucket
-    // space: s⁺/s⁻ accumulate deviations from the series mean (computed
-    // from exact decimal sums) and flag when either crosses 2σ (σ from
-    // the exact n·Σy²−(Σy)² moments). The recursion is the q_holt
-    // struct-accumulator fold — bucket-space work, a recursive CTE in
-    // the oracle.
-    "q_cusum" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window.orderBy("bucket_us")
-        .rowsBetween(org.apache.spark.sql.expressions.Window
-          .unboundedPreceding, 0)
-      val b = Tables.events(s, d)
-        .groupBy(date_trunc("week", col("ts")).as("bucket"))
-        .agg(sum(dec(col("value"))).cast("double").as("y"))
-        .select(unix_micros(col("bucket")).as("bucket_us"), col("y"))
-      val stats = b.agg(count(lit(1)).cast("double").as("_n"),
-        sum(col("y").cast("decimal(24,6)")).cast("double").as("_s"),
-        sum((col("y").cast("decimal(24,6)") *
-          col("y").cast("decimal(24,6)")).cast("decimal(38,12)"))
-          .cast("double").as("_ss"))
-      def step(acc: Column, x: Column) = {
-        val mu = acc.getField("mu")
-        struct(mu.as("mu"),
-          greatest(lit(0.0), acc.getField("sp") + (x - mu)).as("sp"),
-          greatest(lit(0.0), acc.getField("sn") + (mu - x)).as("sn"))
-      }
-      b.crossJoin(broadcast(stats))
-        .withColumn("_mu", col("_s") / col("_n"))
-        .withColumn("_sigma", sqrt(
-          (col("_n") * col("_ss") - col("_s") * col("_s")) /
-            (col("_n") * (col("_n") - 1))))
-        .withColumn("_h", collect_list("y").over(w))
-        .withColumn("_st", aggregate(col("_h"),
-          struct(col("_mu").as("mu"), lit(0.0).as("sp"), lit(0.0).as("sn")),
-          step))
-        .select(col("bucket_us"), col("y"),
-          round(col("_st.sp"), 6).as("cusum_pos"),
-          round(col("_st.sn"), 6).as("cusum_neg"),
-          (col("_st.sp") > col("_sigma") * 2 ||
-            col("_st.sn") > col("_sigma") * 2).as("changepoint"))
-        .orderBy("bucket_us")
-    }),
-
-    // ES cumulative_cardinality: exact running distinct users per day.
-    // The scale trick: a running DISTINCT is NOT a running sum of daily
-    // distincts — it is the running sum of FIRST-SEEN counts, one
-    // groupBy over users, never a per-prefix re-count. The cumulative
-    // window runs over day buckets only.
-    "q_cumulative_cardinality" -> ((s, d) => {
-      val e = Tables.events(s, d)
-      val daily = e.groupBy(date_trunc("day", col("ts")).as("day"))
-        .agg(countDistinct(col("user_id")).as("n_users"))
-      val newbies = e.groupBy("user_id")
-        .agg(min(date_trunc("day", col("ts"))).as("day"))
-        .groupBy("day").agg(count(lit(1)).as("n_new"))
-      val w = org.apache.spark.sql.expressions.Window.orderBy("day")
-      daily.join(newbies, Seq("day"), "left")
-        .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
-        .withColumn("cum_users", sum("n_new").over(w))
-        .select(unix_micros(col("day")).as("day_us"), col("n_users"),
-          col("n_new"), col("cum_users"))
-        .orderBy("day_us")
-    }),
-
-    // Event-time tumbling window (Structured Streaming's windowed-agg
-    // shape, batch-checked): hourly event counts + revenue.
-    "ws_tumbling" -> ((s, d) =>
-      Tables.events(s, d)
-        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          sum(dec(col("value"))).cast("double").as("total_value"))
-        .select(unix_micros(col("w.start")).as("hour_us"), col("event_type"),
-          col("n"), col("total_value"))
-        .orderBy("hour_us", "event_type")),
-
-    // Event-time WATERMARK semantics (out-of-order + late data): events
-    // arrive in day-of-month micro-batches, except the ~1/37 stragglers
-    // (event_id % 37 == 0) that arrive two batches late. The analytic
-    // replay (StreamingOps.watermarkReplay) reproduces Spark's global
-    // watermark mechanics exactly — ms-truncated max event time over
-    // PRIOR batches minus the delay, late iff window end ≤ watermark —
-    // and its fidelity to a real MemoryStream append-mode run, boundary
-    // included, is pinned in StreamingOpsSpec. The gate value-asserts
-    // exactly WHICH rows are dropped per window vs the oracle's
-    // replay of the same arrival schedule: stragglers from closed
-    // windows drop, stragglers still inside the watermark horizon
-    // (the tail of the last days) survive.
-    "ws_late" -> ((s, d) => {
-      val e = Tables.events(s, d)
-        .withColumn("_arr", dayofmonth(col("ts")).cast("long") +
-          when(pmod(col("event_id"), lit(37)) === 0, 2L).otherwise(0L))
-      streaming.StreamingOps.watermarkReplay(
-          e, "ts", "_arr", "1 hour", 30 * 60 * 1000L)
-        .groupBy(col("_w.start").as("_ws"))
-        .agg(count(lit(1)).as("n_total"),
-          sum(when(col("late"), 1).otherwise(0)).as("n_late"))
-        .select(unix_micros(col("_ws")).as("hour_us"),
-          col("n_total"), col("n_late"))
-        .orderBy("hour_us")
-    }),
-
-    // Windowed approximate quantiles (mergeable percentile sketch —
-    // state bounded by accuracy, not rows): per-hour p50/p90 of the
-    // value stream. The sketch's contract is RANK error, and it returns
-    // an ELEMENT of the window (the exact `percentile` interpolates),
-    // so the gate re-ranks the sketch's answer inside its window — the
-    // count of values at or below it must sit within the sketch's own
-    // rank-error bound of the target rank: percentile_approx guarantees
-    // rank error ≤ n/accuracy (n/10000 here), so the tolerance is
-    // greatest(1, n/10000) — the ±1 floor absorbs the floor/ceil
-    // convention at small n (a tied all-equal window passes by the rank
-    // count saturating at n), and the n/10000 term keeps the gate valid
-    // when a window grows past ~10-20k rows at larger scale factors.
-    // Batch twin of the streaming operator, the ws_* gating convention.
-    "ws_quantile" -> ((s, d) => {
-      val e = Tables.events(s, d)
-      val approx = streaming.StreamingOps.windowedQuantiles(
-        e, "ts", "value", "1 hour", "1 hour", Seq(0.5, 0.9))
-      e.select(window(col("ts"), "1 hour").getField("start")
-            .as("window_start"), col("value"))
-        .join(approx, "window_start")
-        .groupBy("window_start")
-        .agg(count(lit(1)).as("n_events"),
-          sum(when(col("value") <= element_at(col("qs"), 1), 1)
-            .otherwise(0)).as("_r50"),
-          sum(when(col("value") < element_at(col("qs"), 1), 1)
-            .otherwise(0)).as("_r50lo"),
-          sum(when(col("value") <= element_at(col("qs"), 2), 1)
-            .otherwise(0)).as("_r90"),
-          sum(when(col("value") < element_at(col("qs"), 2), 1)
-            .otherwise(0)).as("_r90lo"))
-        .select(unix_micros(col("window_start")).as("hour_us"),
-          col("n_events"),
-          // the target rank must fall inside [strictly-below, at-or-
-          // below] ± tol, where tol = greatest(1, n/accuracy) is the
-          // sketch's actual rank-error bound
-          {
-            val tol = greatest(lit(1.0), col("n_events") / lit(10000.0))
-            (col("_r50lo") - tol <= col("n_events") * 0.5 &&
-              col("n_events") * 0.5 <= col("_r50") + tol).as("p50_ok")
-          },
-          {
-            val tol = greatest(lit(1.0), col("n_events") / lit(10000.0))
-            (col("_r90lo") - tol <= col("n_events") * 0.9 &&
-              col("n_events") * 0.9 <= col("_r90") + tol).as("p90_ok")
-          })
-        .orderBy("hour_us")
-    }),
-
-    // Windowed heavy hitters (Misra–Gries per window — O(k) state where
-    // exact per-key counts hold the window's whole key set): k=16 ≥ the
-    // event-type domain, so the summary is provably exact ≡ GROUP BY
-    // (the x_heavy_hitters argument, per window). Batch twin of the
-    // streaming operator, the ws_* gating convention.
-    "ws_heavy_hitters" -> ((s, d) =>
-      streaming.StreamingOps.windowedHeavyHitters(
-        Tables.events(s, d), "ts", "event_type", "1 hour", "1 hour", k = 16)
-        .select(unix_micros(col("window_start")).as("hour_us"),
-          col("event_type"), col("n"))
-        .orderBy("hour_us", "event_type")),
-
-    // Streaming exact dedup (dropDuplicatesWithinWatermark): dedup state
-    // expires at the watermark horizon, so it stays bounded on an
-    // unbounded stream. Batch twin gates the surviving KEY SET (which
-    // row of a duplicate group survives is arrival-order-dependent by
-    // contract); the true cross-micro-batch drop + state expiry is
-    // pinned in StreamingOpsSpec ("first arrival per key").
-    "ws_dedup" -> ((s, d) =>
-      streaming.StreamingOps.dedupeStream(Tables.events(s, d), "ts",
-          "10 minutes", Seq("user_id", "event_type"))
-        .select("user_id", "event_type")
-        .orderBy("user_id", "event_type")),
-
-    // Windowed approx-distinct users (HLL++ — fixed-size state per
-    // window where exact distinct is unbounded): same operator body as
-    // the stream, batch-gated within ±5% of the exact count per window.
-    "ws_distinct" -> ((s, d) => {
-      val e = Tables.events(s, d)
-      // rsd 0.01: Spark's HLL++ has no sparse mode, so small windows
-      // carry absolute error a coarse sketch can't bound — ~12k
-      // registers/window keeps gate cardinalities near-exact without
-      // the 4x-bigger state rsd 0.005 shuffles
-      val approx = streaming.StreamingOps.windowedDistinct(
-        e, "ts", "user_id", "1 hour", "1 hour", rsd = 0.01)
-      val exact = e.groupBy(window(col("ts"), "1 hour").as("w"))
-        .agg(countDistinct(col("user_id")).as("n_exact"))
-        .select(col("w.start").as("window_start"), col("n_exact"))
-      approx.join(exact, "window_start")
-        .select(unix_micros(col("window_start")).as("hour_us"),
-          col("n_exact"),
-          // ±max(1, 5%): tiny windows make a 5% band narrower than one
-          // user — a ±1 estimate on n=15 is a good sketch, not a miss
-          (abs(col("n_approx") - col("n_exact")) <=
-            greatest(lit(1.0), col("n_exact") * 0.05)).as("approx_ok"))
-        .orderBy("hour_us")
-    }),
-
-    // Streaming blocklist screening: the curation projection applied
-    // PER MICRO-BATCH (documents split 3 ways) and unioned — the gate
-    // asserts the batch-boundary invariance the streaming path relies
-    // on (a pure projection commutes with any batching), against the
-    // whole-corpus oracle. The live MemoryStream + foreachBatch
-    // composition is spec-pinned (StreamingOpsSpec); patterns overlap
-    // ("scan" inside "window scan") to exercise the Aho–Corasick
-    // output links across batch boundaries.
-    "ws_blocklist" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val pats = Seq("scan", "window scan", "merge window")
-      (0 until 3).map(i => operators.TextAnalysis.blocklistScreen(
-          docs.filter(pmod(col("doc_id"), lit(3)) === i),
-          "doc_id", "text", pats))
-        .reduce(_.unionByName(_))
-        .orderBy("doc_id")
-    }),
-
-    // Streaming count-min: each micro-batch sketches independently and
-    // the window state is the CELL-WISE SUM of batch grids — count-min's
-    // mergeability is exactly batch-boundary invariance, so the 3-way
-    // split union must reproduce the whole-corpus grid cell for cell
-    // (the estimate side then reads identically; same oracle family as
-    // x_sketch_countmin). Per-batch state is a fixed 64-cell frame
-    // however many items stream through.
-    "ws_countmin" -> ((s, d) => {
-      val probeTerms = Seq("join", "hash", "scan", "filter", "zzz_absent")
-      val toks = Tables.documents(s, d).select(col("doc_id"),
-        explode(functions.TextFunctions.tokens(lower(col("text"))))
-          .as("term"))
-      val cells = (0 until 3).map(i => operators.CountMin.sketch(
-          toks.filter(pmod(col("doc_id"), lit(3)) === i), "term", 4, 16))
-        .reduce(_.unionByName(_))
-        .groupBy("r", "bucket").agg(sum(col("n")).as("n"))
-      operators.CountMin.estimate(cells, probeTerms, 4, 16)
-        .orderBy("term")
-    }),
-
-    // Hard-negative mining: per query, top-5 most-similar vectors with
-    // a DIFFERENT label — the contrastive-training negative set; knnJoin
-    // shape + label exclusion, bounded aggregate, no corpus window.
-    "x_hard_negatives" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-          col("label").as("q_label"))
-      operators.Similarity.hardNegatives(e, q, "vec_id", "embedding",
-          "label", "query_id", "qv", "q_label", k = 5)
-        .orderBy("query_id", "rk")
-    }),
-
-    // Hopping (sliding) windows: 1-hour windows advancing every 30
-    // minutes — each event lands in exactly two windows. Same streaming
-    // operator body as tumbling (window() with a slide), batch-gated.
-    "ws_hopping" -> ((s, d) =>
-      Tables.events(s, d)
-        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
-          col("event_type"))
-        .agg(count(lit(1)).as("n"))
-        .select(unix_micros(col("w.start")).as("start_us"), col("event_type"),
-          col("n"))
-        .orderBy("start_us", "event_type")),
-
-    // Per-user event-type transition counts (first-order Markov): next
-    // event via a lead window keyed by user (high-cardinality partition —
-    // no skew funnel), deterministic (ts, event_id) ordering.
-    "x_transitions" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
-      Tables.events(s, d)
-        .select(col("user_id"), col("event_type"),
-          unix_micros(col("ts")).as("ts_us"), col("event_id"))
-        .withColumn("next_type", lead("event_type", 1).over(w))
-        .filter(col("next_type").isNotNull)
-        .groupBy(col("event_type").as("from_type"),
-          col("next_type").as("to_type"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy("from_type", "to_type")
-    }),
-
-    // Session windows — the batch twin of StreamingOps.sessionCounts,
-    // running the SAME operator body (`withWatermark` is analyzer-removed
-    // on a batch Dataset): per-user activity sessions separated by ≥12h
-    // of silence, end = last event + gap. Oracle: gaps-and-islands SQL.
-    "ws_session" -> ((s, d) =>
-      streaming.StreamingOps.sessionCounts(Tables.events(s, d), "ts",
-          "user_id", gap = "12 hours", watermark = "1 hour")
-        .select(col("user_id"),
-          unix_micros(col("session_start")).as("start_us"),
-          unix_micros(col("session_end")).as("end_us"), col("n_events"))
-        .orderBy("user_id", "start_us")),
-
-    // Stream-stream interval join — the batch twin of
-    // StreamingOps.intervalJoin, SAME operator body (watermarks no-op in
-    // batch): each purchase enriched with the same user's clicks in the
-    // preceding hour. In streaming both sides' state is watermark-bounded;
-    // in batch Catalyst executes the key-equality + time-range condition
-    // as an equi-join with a range filter.
-    "x_interval_join" -> ((s, d) => {
-      val e = Tables.events(s, d)
-      val purchases = e.filter(col("event_type") === "purchase")
-        .select(col("event_id").as("purchase_id"), col("user_id"),
-          col("ts").as("p_ts"))
-      val clicks = e.filter(col("event_type") === "click")
-        .select(col("event_id").as("click_id"), col("user_id"),
-          col("ts").as("c_ts"))
-      streaming.StreamingOps.intervalJoin(purchases, clicks, "user_id",
-          "p_ts", "c_ts", lookback = "1 hour", watermark = "1 hour")
-        .select(col("purchase_id"), col("click_id"), col("user_id"))
-        .orderBy("purchase_id", "click_id")
-    }),
-
-    // Flagship aggregation (engine-completeness; bench headliner).
-    "q1_agg" -> ((s, d) =>
-      Tables.lineitem(s, d)
-        .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast(TimestampNTZType))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
-          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
-          sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))))
-            .cast("double").as("sum_disc_price"),
-          count(lit(1)).as("count_order"))
-        .orderBy("l_returnflag", "l_linestatus")),
-  )
-
-  // ---- DuckDB oracles -----------------------------------------------------
-
-  /** `q_dis_max` / `q_dis_max_indexed` oracle: two BM25 clauses scored
-    * independently (each rounded 6dp like the engine's leg frames),
-    * then max + 0.3·(sum − max), rounded again. One string, two gates —
-    * the indexed form's contract IS scan-equality.
+  /** The gate registry, composed from the per-family query files (the
+    * registry split keeps every source file well under 3k lines; the
+    * composed map is byte-identical to the former single literal).
     */
-  private val disMaxOracle: String =
-    """WITH t AS (SELECT doc_id,
-             CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
-               AS DOUBLE) AS dl,
-             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'merge'))
-               AS DOUBLE) AS tf0,
-             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'window'))
-               AS DOUBLE) AS tf1,
-             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'scan'))
-               AS DOUBLE) AS tf2,
-             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'stream'))
-               AS DOUBLE) AS tf3
-           FROM documents),
-         s AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
-             CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
-             CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
-             CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2,
-             CAST(sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df3
-           FROM t),
-         z AS (SELECT doc_id,
-             round(ln(1 + (n - df0 + 0.5) / (df0 + 0.5))
-               * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-             + ln(1 + (n - df1 + 0.5) / (df1 + 0.5))
-               * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6)
-               AS c0,
-             round(ln(1 + (n - df2 + 0.5) / (df2 + 0.5))
-               * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-             + ln(1 + (n - df3 + 0.5) / (df3 + 0.5))
-               * (tf3 * 2.2) / (tf3 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6)
-               AS c1
-           FROM t, s)
-         SELECT doc_id, round(greatest(c0, c1)
-             + 0.3 * (c0 + c1 - greatest(c0, c1)), 6) AS dismax
-         FROM z WHERE c0 > 0 OR c1 > 0
-         ORDER BY dismax DESC, doc_id LIMIT 20"""
-
-  /** `x_sim_binary` oracle: the packed sign bits rebuilt as a 64-term
-    * sum of disjoint CASE bit values (disjoint bits ⇒ addition ≡ OR,
-    * incl. the sign bit as the MinValue literal), Hamming via DuckDB's
-    * own xor + bit_count, rescoring with the established
-    * list_cosine_similarity ≡ cosineFast 6dp convention.
-    */
-  private def simBinaryOracle: String = {
-    val bits = (0 until 64).map(i =>
-      s"CASE WHEN embedding[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END")
-      .mkString(" + ")
-    s"""WITH sigs AS (SELECT vec_id, embedding, $bits AS sig
-         FROM embeddings WHERE embedding IS NOT NULL),
-       q AS (SELECT sig AS qsig, embedding AS qv FROM sigs WHERE vec_id = 0),
-       h AS (SELECT vec_id, CAST(bit_count(xor(sig, qsig)) AS INT)
-           AS hamming, embedding, qv
-         FROM sigs, q),
-       r AS (SELECT *, row_number() OVER (ORDER BY hamming, vec_id) AS hr
-         FROM h)
-       SELECT vec_id, hamming,
-         round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
-           CAST(qv AS DOUBLE[])), 6) AS cosine
-       FROM r WHERE hr <= 20
-       ORDER BY cosine DESC, vec_id LIMIT 10"""
-  }
-
-  /** `x_embed_project` oracle: the SAME Achlioptas sign matrix the
-    * operator derives (seed 7, 64 -> 16, md5-56 convention), unrolled
-    * into explicit left-associated add/subtract chains so the double
-    * summation ORDER matches the Spark expression term for term —
-    * bit-identical up to the shared 6dp round.
-    */
-  /** `x_sim_mmr` oracle: the greedy MMR loop REPLAYED as unrolled SQL
-    * stages — pick i is the score-argmax over candidates not yet in
-    * sel(i−1), with the diversity penalty the max 6dp-rounded cosine
-    * against the selected set; ties break on ascending id, exactly the
-    * operator's contract. λ=0.75 so 1−λ is the same double here and in
-    * the JVM.
-    */
-  private def mmrOracle: String = {
-    val stages = (2 to 5).map { i =>
-      s"""pick$i AS (
-         |  SELECT $i AS rk, c.cand_id, c.vec,
-         |    round(0.75 * c.rel - 0.25 * (
-         |      SELECT max(round(list_cosine_similarity(
-         |        CAST(c.vec AS DOUBLE[]), CAST(s.vec AS DOUBLE[])), 6))
-         |      FROM sel${i - 1} s), 6) AS score,
-         |    c.rel
-         |  FROM cand c
-         |  WHERE c.cand_id NOT IN (SELECT cand_id FROM sel${i - 1})
-         |  ORDER BY score DESC, c.cand_id LIMIT 1),
-         |sel$i AS (SELECT * FROM sel${i - 1}
-         |  UNION ALL SELECT rk, cand_id, vec, score, rel FROM pick$i)"""
-        .stripMargin
-    }.mkString(",\n")
-    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-       |cand AS (
-       |  SELECT vec_id AS cand_id,
-       |    round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
-       |      CAST(qv AS DOUBLE[])), 6) AS rel,
-       |    embedding AS vec
-       |  FROM embeddings, q
-       |  WHERE embedding IS NOT NULL
-       |  ORDER BY rel DESC, cand_id LIMIT 20),
-       |pick1 AS (
-       |  SELECT 1 AS rk, cand_id, vec, round(0.75 * rel, 6) AS score, rel
-       |  FROM cand ORDER BY score DESC, cand_id LIMIT 1),
-       |sel1 AS (SELECT * FROM pick1),
-       |$stages
-       |SELECT rk, cand_id, score AS mmr_score FROM sel5 ORDER BY rk"""
-      .stripMargin
-  }
-
-  private def embedProjectOracle: String = {
-    val signs = operators.Similarity.projectionSigns(7, 64, 16)
-    val scale = math.sqrt(3.0 / 16)
-    val comps = (0 until 16).map { j =>
-      val terms = (0 until 64).flatMap { i =>
-        signs(j)(i) match {
-          case 1 => Some(s"CAST(embedding[${i + 1}] AS DOUBLE)")
-          case -1 => Some(s"-CAST(embedding[${i + 1}] AS DOUBLE)")
-          case _ => None
-        }
-      }
-      val sum = if (terms.isEmpty) "0.0" else terms.mkString(" + ")
-      s"round($scale * ($sum), 6)"
-    }
-    s"""WITH p AS (SELECT vec_id, [${comps.mkString(", ")}] AS proj
-         FROM embeddings WHERE embedding IS NOT NULL)
-       SELECT vec_id,
-         CAST(generate_subscripts(proj, 1) - 1 AS INT) AS dim,
-         unnest(proj) AS value
-       FROM p ORDER BY vec_id, dim"""
-  }
-
-  /** Fixed merge table for `x_bpe_apply` — collision-free by
-    * construction: every output (th, the, in, an, and, er, on, re) is a
-    * new string, never equal to a part of an earlier merge, so applying
-    * ranks in order can never re-create an already-processed pair and
-    * the rank-order oracle matches the expression's fixpoint loop.
-    */
-  private val bpeApplyMerges: Seq[(String, String)] = Seq(
-    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
-    ("an", "d"), ("e", "r"), ("o", "n"), ("r", "e"))
-
-  /** `x_bpe_apply` oracle: one merge pass per rank, each pass one SQL
-    * `replace` on the delimited symbol string (see [[bpeTrainOracle]]
-    * for why replace IS the greedy merge-every-occurrence pass).
-    * Words are chr(31)-delimited code points joined by chr(30), so no
-    * replace pattern can span a word boundary; the final token list is
-    * the chr(31) split minus empties and boundary markers.
-    */
-  private def bpeApplyOracle: String = {
-    val stages = bpeApplyMerges.zipWithIndex.map { case ((a, b), i) =>
-      s"""d${i + 1} AS (SELECT doc_id,
-         |  replace(s, chr(31) || '$a' || chr(31) || '$b' || chr(31),
-         |             chr(31) || '$a$b' || chr(31)) AS s FROM d$i)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH t AS (
-       |  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)),
-       |      '\\s+'), x -> x <> '') AS ws
-       |  FROM documents),
-       |d0 AS (
-       |  SELECT doc_id, array_to_string(list_transform(ws,
-       |      w -> chr(31) || array_to_string(regexp_extract_all(w,
-       |        '(?s).'), chr(31)) || chr(31)), chr(30)) AS s
-       |  FROM t),
-       |$stages,
-       |tk AS (SELECT doc_id, list_filter(string_split(s, chr(31)),
-       |    x -> x <> '' AND x <> chr(30)) AS tk
-       |  FROM d${bpeApplyMerges.size})
-       |SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
-       |  array_to_string(tk, ' ') AS tok_str
-       |FROM tk ORDER BY doc_id""".stripMargin
-  }
-
-  /** `x_bpe_train` oracle: BPE training with its 8-iteration argmax loop
-    * UNROLLED into chained CTE stages (nMerges is a plan literal — the
-    * same plan-time-unroll trick as `inPolygon`'s per-edge expressions).
-    * Each word's symbol array is a chr(31)-delimited string, so the
-    * greedy merge fold is ONE SQL `replace`: replace scans left-to-right
-    * over non-overlapping occurrences and resumes AFTER each
-    * replacement — exactly BPE's merge-every-occurrence pass, and the
-    * outer separators in pattern and replacement keep symbol boundaries
-    * intact across adjacent matches (`␟a␟a␟a␟` → `␟aa␟a␟`). chr(31)
-    * never occurs in the corpus; a collision would fail the gate
-    * loudly, not silently.
-    */
-  private def bpeTrainOracle: String = {
-    val stages = (1 to 8).map { k =>
-      val p = k - 1
-      s"""pairs$k AS (
-         |  SELECT p[1] AS a, p[2] AS b, sum(n) AS wgt
-         |  FROM (
-         |    SELECT unnest([[sy[i], sy[i+1]]
-         |        FOR i IN generate_series(1, len(sy)-1)]) AS p, n
-         |    FROM (SELECT list_filter(string_split(s, chr(31)),
-         |        x -> x <> '') AS sy, n FROM vocab$p)
-         |    WHERE len(sy) >= 2)
-         |  GROUP BY 1, 2),
-         |m$k AS (SELECT a, b FROM pairs$k ORDER BY wgt DESC, a, b LIMIT 1),
-         |vocab$k AS (
-         |  SELECT replace(s, chr(31) || m.a || chr(31) || m.b || chr(31),
-         |                    chr(31) || m.a || m.b || chr(31)) AS s, n
-         |  FROM vocab$p, m$k m)""".stripMargin
-    }.mkString(",\n")
-    val union = (1 to 8)
-      .map(k => s"SELECT $k AS rank, a, b FROM m$k")
-      .mkString("\nUNION ALL ")
-    s"""WITH toks AS (
-       |  SELECT list_filter(regexp_split_to_array(trim(lower(text)),
-       |      '\\s+'), x -> x <> '') AS ws
-       |  FROM documents),
-       |vocab0 AS (
-       |  SELECT chr(31) || array_to_string(regexp_extract_all(w,
-       |      '(?s).'), chr(31)) || chr(31) AS s, count(*) AS n
-       |  FROM (SELECT unnest(ws) AS w FROM toks)
-       |  GROUP BY 1),
-       |$stages
-       |SELECT * FROM ($union) ORDER BY rank""".stripMargin
-  }
-
-  def oracleSql: Map[String, String] = Map(
-
-    "x_bpe_train" -> bpeTrainOracle,
-
-    "x_bpe_apply" -> bpeApplyOracle,
-    // the apply oracle as a subquery, re-keyed by language
-    "x_bpe_fertility" ->
-      s"""WITH base AS ($bpeApplyOracle)
-         |SELECT d.lang, CAST(sum(b.n_tokens) AS BIGINT) AS n_tokens,
-         |  CAST(sum(length(d.text)) AS BIGINT) AS n_chars,
-         |  round(CAST(sum(b.n_tokens) AS DOUBLE)
-         |    / CAST(sum(length(d.text)) AS DOUBLE), 6) AS tokens_per_char
-         |FROM base b JOIN documents d ON d.doc_id = b.doc_id
-         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
-    "s1_scan_events" ->
-      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
-         FROM events ORDER BY event_id""",
-    "s2_incremental_scan" ->
-      """SELECT event_id, epoch_us(ts) AS ts_us, event_type FROM events
-         WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' ORDER BY event_id""",
-    "f3_shard_modulo" ->
-      """SELECT event_id, user_id FROM events WHERE user_id % 8 = 3
-         ORDER BY event_id""",
-    "p1_flatten" ->
-      """SELECT doc_id, source AS metadata_author, n_chars AS metadata_len, lang
-         FROM documents ORDER BY doc_id""",
-    "p2_stringify" ->
-      """SELECT l_orderkey, l_linenumber,
-           CAST(l_orderkey AS VARCHAR) AS orderkey_str,
-           CAST(l_linenumber AS VARCHAR) AS linenumber_str,
-           CAST(CAST(l_quantity AS DECIMAL(12,2)) AS VARCHAR) AS quantity_str,
-           CAST(datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS VARCHAR) AS shipdate_days,
-           CAST(epoch_ms(l_shipdate) AS VARCHAR) AS shipdate_ms,
-           l_returnflag AS returnflag_str
-         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
-    "p3_rename" ->
-      """SELECT doc_id, text, lang, source AS origin, n_chars AS char_count
-         FROM documents ORDER BY doc_id""",
-    "p4_drop_prefix" ->
-      """SELECT doc_id, text, lang, source FROM documents ORDER BY doc_id""",
-    "p7_poison_filter" ->
-      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
-         FROM events
-         WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) % 3 <> 0
-         ORDER BY event_id""",
-    "c1_cdc_classify" ->
-      """SELECT event_id,
-           CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS _action
-         FROM events WHERE event_type <> 'view' ORDER BY event_id""",
-    "c2_cdc_compact" ->
-      """SELECT user_id, event_id AS last_event_id,
-           CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS final_action
-         FROM (SELECT *, row_number() OVER (PARTITION BY user_id
-                 ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
-               FROM events WHERE event_type <> 'view') t
-         WHERE rn = 1 ORDER BY user_id""",
-    // version ordinal + half-open validity interval per key
-    "c8_scd2" ->
-      """SELECT user_id, version, event_id, valid_from_us, valid_to_us,
-           valid_to_us IS NULL AS is_current
-         FROM (SELECT user_id, event_id,
-             CAST(row_number() OVER w AS BIGINT) AS version,
-             epoch_us(ts) AS valid_from_us,
-             lead(epoch_us(ts)) OVER w AS valid_to_us
-           FROM events WHERE event_type <> 'view'
-           WINDOW w AS (PARTITION BY user_id
-             ORDER BY epoch_us(ts), event_id)) t
-         ORDER BY user_id, version""",
-    "c4_delete_keyset" ->
-      """SELECT l_returnflag, count(*) AS n_rows,
-           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
-         FROM lineitem
-         WHERE l_orderkey NOT IN
-           (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
-         GROUP BY l_returnflag ORDER BY l_returnflag""",
-    "c7_cdc_merge" ->
-      """SELECT user_id, event_id AS last_event_id, value
-         FROM (SELECT *, row_number() OVER (PARTITION BY user_id
-                 ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
-               FROM events WHERE event_type <> 'view') t
-         WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""",
-    "b1_batching" ->
-      """SELECT batch_id, count(*) AS n_docs, min(event_id) AS first_id,
-           max(event_id) AS last_id
-         FROM (SELECT event_id,
-                 CAST(floor((row_number() OVER (ORDER BY event_id) - 1) / 1000)
-                   AS BIGINT) AS batch_id
-               FROM events) t
-         GROUP BY batch_id ORDER BY batch_id""",
-    "q_term" ->
-      """SELECT doc_id, lang, source FROM documents WHERE lang = 'en'
-         ORDER BY doc_id""",
-    "q_term_in_set" ->
-      """SELECT doc_id, lang FROM documents WHERE lang IN ('de', 'fr')
-         ORDER BY doc_id""",
-    "q_match_text" ->
-      """SELECT doc_id FROM documents
-         WHERE list_has_any(string_split(lower(text), ' '), ['merge', 'window'])
-         ORDER BY doc_id""",
-    "q_match_ranked" ->
-      """SELECT doc_id, score FROM (
-           SELECT doc_id,
-             len(list_filter(string_split(lower(text), ' '), w -> w = 'merge'))
-             + len(list_filter(string_split(lower(text), ' '), w -> w = 'window'))
-             + len(list_filter(string_split(lower(text), ' '), w -> w = 'scan'))
-               AS score
-           FROM documents) t
-         WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 20""",
-    // BM25 mirror: identical constants (k1=1.2, b=0.75, Lucene idf),
-    // identical FIXED term order, one final round(6) absorbing ln-library
-    // ULP differences. dl/tf/N/df are integer-exact in double, avgdl is
-    // an exact-integer sum ÷ count — aggregation order cannot perturb
-    // either engine's stats.
-    "q_match_bm25" ->
-      """WITH t AS (SELECT doc_id,
-             CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
-               AS DOUBLE) AS dl,
-             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'merge'))
-               AS DOUBLE) AS tf0,
-             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'window'))
-               AS DOUBLE) AS tf1,
-             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'scan'))
-               AS DOUBLE) AS tf2
-           FROM documents),
-         s AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
-             CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
-             CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
-             CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
-           FROM t),
-         z AS (SELECT doc_id,
-             ln(1 + (n - df0 + 0.5) / (df0 + 0.5))
-               * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-             + ln(1 + (n - df1 + 0.5) / (df1 + 0.5))
-               * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-             + ln(1 + (n - df2 + 0.5) / (df2 + 0.5))
-               * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-               AS score
-           FROM t, s)
-         SELECT doc_id, round(score, 6) AS bm25 FROM z WHERE score > 0
-         ORDER BY bm25 DESC, doc_id LIMIT 20""",
-    // the BM25 window replayed (rounded-score cut at 50), then the
-    // phrase-boost rescore over the window only
-    "q_rescore" ->
-      """WITH t AS (SELECT doc_id,
-             CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
-               AS DOUBLE) AS dl,
-             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'merge'))
-               AS DOUBLE) AS tf0,
-             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'window'))
-               AS DOUBLE) AS tf1,
-             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'scan'))
-               AS DOUBLE) AS tf2
-           FROM documents),
-         s AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
-             CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
-             CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
-             CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
-           FROM t),
-         z AS (SELECT doc_id,
-             ln(1 + (n - df0 + 0.5) / (df0 + 0.5))
-               * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-             + ln(1 + (n - df1 + 0.5) / (df1 + 0.5))
-               * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-             + ln(1 + (n - df2 + 0.5) / (df2 + 0.5))
-               * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-               AS score
-           FROM t, s),
-         w AS (SELECT doc_id, round(score, 6) AS bm25 FROM z WHERE score > 0
-           ORDER BY round(score, 6) DESC, doc_id LIMIT 50),
-         p AS (SELECT doc_id,
-             list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
-           FROM documents),
-         g AS (SELECT doc_id,
-             CAST(len(list_filter(list_transform(
-               range(greatest(len(ws) - 1, 0)),
-               i -> ws[i + 1] || ' ' || ws[i + 2]),
-               x -> x = 'window scan')) AS DOUBLE) AS ptf
-           FROM p)
-         SELECT w.doc_id, bm25, round(bm25 + 0.5 * ptf, 6) AS rescored
-         FROM w JOIN g ON w.doc_id = g.doc_id
-         ORDER BY rescored DESC, w.doc_id LIMIT 20""",
-    // two BM25 clauses scored independently (each rounded 6dp like the
-    // engine's leg frames), then max + 0.3·(sum − max), rounded again;
-    // the indexed twin shares the oracle (same contract, pruned layout)
-    "q_dis_max" -> disMaxOracle,
-
-    // positive-clause BM25 (leg-rounded like the engine), halved by the
-    // negative-term CASE, re-rounded — downrank, never exclude
-    "q_boosting" ->
-      """WITH t AS (SELECT doc_id,
-             list_contains(list_filter(string_split(lower(text), ' '),
-               x -> x <> ''), 'stream') AS neg,
-             CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
-               AS DOUBLE) AS dl,
-             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'merge'))
-               AS DOUBLE) AS tf0,
-             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'window'))
-               AS DOUBLE) AS tf1
-           FROM documents),
-         s AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
-             CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
-             CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1
-           FROM t),
-         z AS (SELECT doc_id, neg,
-             round(ln(1 + (n - df0 + 0.5) / (df0 + 0.5))
-               * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-             + ln(1 + (n - df1 + 0.5) / (df1 + 0.5))
-               * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6)
-               AS c0
-           FROM t, s)
-         SELECT doc_id,
-           round(CASE WHEN neg THEN c0 * 0.5 ELSE c0 END, 6) AS score
-         FROM z WHERE c0 > 0
-         ORDER BY score DESC, doc_id LIMIT 20""",
-
-    "q_dis_max_indexed" -> disMaxOracle,
-
-    // BM25 leg rounded 6dp first (the engine's leg-frame convention),
-    // then × the Gaussian decay on n_chars, re-rounded; σ² mirrors the
-    // engine's ES calibration −scale²/(2 ln decay) term-for-term
-    "q_function_score" ->
-      """WITH t AS (SELECT doc_id, n_chars,
-             CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
-               AS DOUBLE) AS dl,
-             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'merge'))
-               AS DOUBLE) AS tf0,
-             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'window'))
-               AS DOUBLE) AS tf1,
-             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'scan'))
-               AS DOUBLE) AS tf2
-           FROM documents),
-         s AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
-             CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
-             CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
-             CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
-           FROM t),
-         z AS (SELECT doc_id, n_chars,
-             ln(1 + (n - df0 + 0.5) / (df0 + 0.5))
-               * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-             + ln(1 + (n - df1 + 0.5) / (df1 + 0.5))
-               * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-             + ln(1 + (n - df2 + 0.5) / (df2 + 0.5))
-               * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-               AS score
-           FROM t, s),
-         r AS (SELECT doc_id, n_chars, round(score, 6) AS bm25
-           FROM z WHERE score > 0)
-         SELECT doc_id,
-           round(bm25 * exp(
-             -pow(greatest(0.0, abs(CAST(n_chars AS DOUBLE) - 0.0) - 500.0), 2)
-             / (2.0 * (-(2000.0 * 2000.0) / (2.0 * ln(0.5))))), 6) AS score
-         FROM r ORDER BY score DESC, doc_id LIMIT 20""",
-
-    // filter context: uniform boost, no statistics
-    "q_constant_score" ->
-      """SELECT doc_id, 1.2 AS score FROM documents
-         WHERE list_contains(list_filter(string_split(lower(text), ' '),
-                 x -> x <> ''), 'merge')
-           AND list_contains(list_filter(string_split(lower(text), ' '),
-                 x -> x <> ''), 'window')
-         ORDER BY doc_id""",
-
-    // JLH over document frequencies, arithmetic mirrored term-for-term
-    "q_significant_terms" ->
-      """WITH toks AS (SELECT doc_id, lang = 'de' AS fg,
-             unnest(list_distinct(list_filter(string_split(lower(text), ' '),
-               x -> x <> ''))) AS term
-           FROM documents),
-         n AS (SELECT CAST(count(*) AS DOUBLE) AS n,
-             CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS DOUBLE)
-               AS fgn
-           FROM documents),
-         t AS (SELECT term, CAST(count(*) AS DOUBLE) AS bgdf,
-             CAST(sum(CASE WHEN fg THEN 1 ELSE 0 END) AS DOUBLE) AS fgdf
-           FROM toks GROUP BY term),
-         z AS (SELECT term, CAST(fgdf AS BIGINT) AS fg_count,
-             CAST(bgdf AS BIGINT) AS bg_count,
-             round((fgdf / fgn - bgdf / n) * ((fgdf / fgn) / (bgdf / n)), 6)
-               AS score
-           FROM t, n WHERE fgdf >= 5)
-         SELECT term, fg_count, bg_count, score FROM z WHERE score > 0
-         ORDER BY score DESC, term LIMIT 20""",
-
-    // indexed twin: serving off the postings may never change the answer
-    "q_significant_terms_indexed" ->
-      """WITH toks AS (SELECT doc_id, lang = 'de' AS fg,
-             unnest(list_distinct(list_filter(string_split(lower(text), ' '),
-               x -> x <> ''))) AS term
-           FROM documents),
-         n AS (SELECT CAST(count(*) AS DOUBLE) AS n,
-             CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS DOUBLE)
-               AS fgn
-           FROM documents),
-         t AS (SELECT term, CAST(count(*) AS DOUBLE) AS bgdf,
-             CAST(sum(CASE WHEN fg THEN 1 ELSE 0 END) AS DOUBLE) AS fgdf
-           FROM toks GROUP BY term),
-         z AS (SELECT term, CAST(fgdf AS BIGINT) AS fg_count,
-             CAST(bgdf AS BIGINT) AS bg_count,
-             round((fgdf / fgn - bgdf / n) * ((fgdf / fgn) / (bgdf / n)), 6)
-               AS score
-           FROM t, n WHERE fgdf >= 5)
-         SELECT term, fg_count, bg_count, score FROM z WHERE score > 0
-         ORDER BY score DESC, term LIMIT 20""",
-
-    // exact long tail: vocabulary doc-frequency agg, threshold filter
-    "q_rare_terms" ->
-      """WITH t AS (SELECT unnest(list_distinct(list_filter(
-             string_split(lower(text), ' '), x -> x <> ''))) AS term
-           FROM documents)
-         SELECT term, count(*) AS doc_count FROM t GROUP BY term
-         HAVING count(*) <= 380 ORDER BY doc_count, term LIMIT 20""",
-
-    // per-filter and pairwise-intersection counts; empty buckets absent
-    "q_adjacency_matrix" ->
-      """WITH m AS (SELECT lang = 'en' AS f_en,
-             list_contains(string_split(lower(text), ' '), 'merge')
-               AS f_merge,
-             list_contains(string_split(lower(text), ' '), 'window')
-               AS f_window
-           FROM documents),
-         k AS (
-           SELECT 'en' AS key, count(*) FILTER (f_en) AS doc_count FROM m
-           UNION ALL SELECT 'en&merge', count(*) FILTER (f_en AND f_merge)
-             FROM m
-           UNION ALL SELECT 'en&window', count(*) FILTER (f_en AND f_window)
-             FROM m
-           UNION ALL SELECT 'merge', count(*) FILTER (f_merge) FROM m
-           UNION ALL SELECT 'merge&window',
-             count(*) FILTER (f_merge AND f_window) FROM m
-           UNION ALL SELECT 'window', count(*) FILTER (f_window) FROM m)
-         SELECT key, doc_count FROM k WHERE doc_count > 0 ORDER BY key""",
-
-    // terms agg over a key tuple, count-desc then keys-asc cut
-    "q_multi_terms" ->
-      """SELECT lang, source, count(*) AS doc_count FROM documents
-         GROUP BY lang, source
-         ORDER BY doc_count DESC, lang, source LIMIT 10""",
-
-    // typed JSON runtime field, aggregated like a stored column
-    "q_json_extract" ->
-      """SELECT event_type, count(k) AS n, min(k) AS min_k,
-           max(k) AS max_k, CAST(sum(k) AS BIGINT) AS sum_k
-         FROM (SELECT event_type,
-             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-           FROM events) t
-         GROUP BY 1 ORDER BY 1""",
-
-    // the canonicalization chain mirrored step-for-step ('g' flag:
-    // DuckDB replaces first-only by default, Spark replaces all)
-    "x_url_canon" ->
-      """WITH u AS (SELECT doc_id,
-             'HTTPS://WWW.Site' || CAST(doc_id % 10 AS VARCHAR) ||
-             '.Example.com/Path' || CAST(doc_id % 5 AS VARCHAR) ||
-             '/?utm_source=feed&id=' || CAST(doc_id % 25 AS VARCHAR) ||
-             '&utm_campaign=x#frag' AS url
-           FROM documents),
-         s0 AS (SELECT doc_id,
-             regexp_replace(url, '#.*$', '', 'g') AS u FROM u),
-         s1 AS (SELECT doc_id,
-             lower(regexp_extract(u, '^([^:/?#]+://[^/?#]*)', 1)) ||
-             regexp_replace(u, '^[^:/?#]+://[^/?#]*', '', 'g') AS u
-           FROM s0),
-         s2 AS (SELECT doc_id,
-             regexp_replace(u, '^(https?://)www\.', '\1', 'g') AS u
-           FROM s1),
-         s3 AS (SELECT doc_id,
-             regexp_replace(u, '&(utm_[a-z]+|ref)=[^&]*', '', 'g') AS u
-           FROM s2),
-         s4 AS (SELECT doc_id,
-             regexp_replace(u, '\?(utm_[a-z]+|ref)=[^&]*&', '?', 'g') AS u
-           FROM s3),
-         s5 AS (SELECT doc_id,
-             regexp_replace(u, '\?(utm_[a-z]+|ref)=[^&]*$', '', 'g') AS u
-           FROM s4),
-         c AS (SELECT doc_id,
-             regexp_replace(u, '/\?', '?', 'g') AS canonical FROM s5)
-         SELECT canonical, count(*) AS n_dups, min(doc_id) AS keeper
-         FROM c GROUP BY 1 ORDER BY 1""",
-
-    // the re-layout must lose nothing: ≡ the raw-table 2-D filter
-    "x_zorder" ->
-      """SELECT doc_id, n_chars, CAST(doc_id * 37 % 1000 AS INT) AS x
-         FROM documents
-         WHERE doc_id * 37 % 1000 >= 100 AND doc_id * 37 % 1000 < 300
-           AND n_chars >= 500 AND n_chars < 1000
-         ORDER BY doc_id""",
-
-    // violation semantics mirrored rule-for-rule (see QualityRules doc)
-    "x_quality_rules" ->
-      """WITH v AS (
-           SELECT 'orderkey_not_null' AS rule,
-             count(*) FILTER (l_orderkey IS NULL) AS n_violations
-           FROM lineitem
-           UNION ALL
-           SELECT 'quantity_1_50', count(*) FILTER (l_quantity IS NOT NULL
-             AND (l_quantity < 1.0 OR l_quantity > 50.0)) FROM lineitem
-           UNION ALL
-           SELECT 'discount_0_01', count(*) FILTER (l_discount IS NOT NULL
-             AND (l_discount < 0.0 OR l_discount > 0.1)) FROM lineitem
-           UNION ALL
-           SELECT 'price_positive', count(*) FILTER
-             (NOT coalesce(l_extendedprice > 0, FALSE)) FROM lineitem
-           UNION ALL
-           SELECT 'pk_order_line',
-             count(*) - count(DISTINCT (l_orderkey, l_linenumber))
-           FROM lineitem
-           UNION ALL
-           SELECT 'fk_orders', count(*) FROM lineitem l
-           WHERE NOT EXISTS (SELECT 1 FROM orders o
-             WHERE o.o_orderkey = l.l_orderkey))
-         SELECT rule, n_violations, n_violations = 0 AS passed
-         FROM v ORDER BY rule""",
-
-    // same constants/idf as q_match_bm25; per-term legs surfaced
-    "q_explain_score" ->
-      """WITH t AS (SELECT doc_id,
-             CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
-               AS DOUBLE) AS dl,
-             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'merge'))
-               AS DOUBLE) AS tf0,
-             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'window'))
-               AS DOUBLE) AS tf1
-           FROM documents),
-         s AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
-             CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
-             CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1
-           FROM t),
-         z AS (SELECT doc_id,
-             ln(1 + (n - df0 + 0.5) / (df0 + 0.5))
-               * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-               AS c0,
-             ln(1 + (n - df1 + 0.5) / (df1 + 0.5))
-               * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-               AS c1
-           FROM t, s)
-         SELECT doc_id, round(c0, 6) AS c_merge, round(c1, 6) AS c_window,
-           round(c0 + c1, 6) AS bm25
-         FROM z WHERE c0 + c1 > 0
-         ORDER BY bm25 DESC, doc_id LIMIT 15""",
-
-    // per query: tf ranking → binary judgments → p@10 / MRR / decimal-
-    // summed DCG over ideal fold (left fold ≡ Spark's 0-seeded fold)
-    "x_rank_eval" ->
-      """WITH d AS (SELECT doc_id,
-             list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
-           FROM documents),
-         s1 AS (SELECT doc_id,
-             len(list_filter(w, x -> x = 'merge'))
-               + len(list_filter(w, x -> x = 'window'))
-               + len(list_filter(w, x -> x = 'scan')) AS score,
-             (list_contains(w, 'merge') AND list_contains(w, 'window')
-               AND list_contains(w, 'scan')) AS isrel
-           FROM d),
-         r1 AS (SELECT doc_id, CAST(isrel AS INT) AS rel,
-             row_number() OVER (ORDER BY score DESC, doc_id) AS rk
-           FROM s1 WHERE score > 0),
-         t1 AS (SELECT rel, rk FROM r1 WHERE rk <= 10),
-         n1 AS (SELECT count(*) AS nrel FROM s1 WHERE isrel),
-         m1 AS (SELECT 'merge window scan' AS query,
-             round(sum(rel) / 10.0, 6) AS p_10,
-             round(coalesce(1.0 / min(CASE WHEN rel > 0 THEN rk END), 0.0),
-               6) AS mrr,
-             sum(CAST(round(rel / log2(rk + 1), 12) AS DECIMAL(20,12)))
-               AS dcg
-           FROM t1),
-         i1 AS (SELECT CASE WHEN least(nrel, 10) >= 1 THEN
-             list_reduce(list_transform(range(1, least(nrel, 10) + 1),
-               i -> 1.0 / log2(CAST(i AS DOUBLE) + 1)), (a, b) -> a + b)
-             ELSE 0.0 END AS idcg FROM n1),
-         q1 AS (SELECT query, p_10, mrr,
-             round(CASE WHEN idcg > 0 THEN CAST(dcg AS DOUBLE) / idcg
-               ELSE 0.0 END, 6) AS ndcg_10
-           FROM m1, i1),
-         s2 AS (SELECT doc_id,
-             len(list_filter(w, x -> x = 'stream'))
-               + len(list_filter(w, x -> x = 'data')) AS score,
-             (list_contains(w, 'stream') AND list_contains(w, 'data'))
-               AS isrel
-           FROM d),
-         r2 AS (SELECT doc_id, CAST(isrel AS INT) AS rel,
-             row_number() OVER (ORDER BY score DESC, doc_id) AS rk
-           FROM s2 WHERE score > 0),
-         t2 AS (SELECT rel, rk FROM r2 WHERE rk <= 10),
-         n2 AS (SELECT count(*) AS nrel FROM s2 WHERE isrel),
-         m2 AS (SELECT 'stream data' AS query,
-             round(sum(rel) / 10.0, 6) AS p_10,
-             round(coalesce(1.0 / min(CASE WHEN rel > 0 THEN rk END), 0.0),
-               6) AS mrr,
-             sum(CAST(round(rel / log2(rk + 1), 12) AS DECIMAL(20,12)))
-               AS dcg
-           FROM t2),
-         i2 AS (SELECT CASE WHEN least(nrel, 10) >= 1 THEN
-             list_reduce(list_transform(range(1, least(nrel, 10) + 1),
-               i -> 1.0 / log2(CAST(i AS DOUBLE) + 1)), (a, b) -> a + b)
-             ELSE 0.0 END AS idcg FROM n2),
-         q2 AS (SELECT query, p_10, mrr,
-             round(CASE WHEN idcg > 0 THEN CAST(dcg AS DOUBLE) / idcg
-               ELSE 0.0 END, 6) AS ndcg_10
-           FROM m2, i2)
-         SELECT * FROM q1 UNION ALL SELECT * FROM q2 ORDER BY query""",
-
-    // the date-math ladder mirrored as interval arithmetic
-    "q_date_math" ->
-      """WITH n AS (SELECT max(ts) AS now FROM events),
-         b AS (SELECT date_trunc('day', now - INTERVAL 7 DAY) AS f,
-             date_trunc('day', now) AS t FROM n)
-         SELECT event_type, count(*) AS n_events
-         FROM events, b WHERE ts >= b.f AND ts < b.t
-         GROUP BY event_type ORDER BY event_type""",
-
-    // per-token best correction: (distance, df desc, term) rank
-    "q_phrase_suggest" ->
-      """WITH v AS (SELECT term, count(*) AS df FROM (
-             SELECT doc_id, unnest(list_distinct(list_filter(
-               string_split(lower(text), ' '), x -> x <> ''))) AS term
-             FROM documents) t GROUP BY term),
-         q AS (SELECT * FROM (VALUES (0, 'mrge'), (1, 'windw'),
-             (2, 'scan')) t(pos, token)),
-         c AS (SELECT q.pos, q.token, v.term, v.df,
-             levenshtein(q.token, v.term) AS d
-           FROM q JOIN v ON levenshtein(q.token, v.term) <= 1),
-         r AS (SELECT pos, token, term, df,
-             row_number() OVER (PARTITION BY pos
-               ORDER BY d, df DESC, term) AS rk
-           FROM c)
-         SELECT q.pos, q.token, r.term AS suggestion, r.df
-         FROM q LEFT JOIN r ON r.pos = q.pos AND r.rk = 1
-         ORDER BY q.pos""",
-
-    // the parsed boolean tree mirrored clause-for-clause
-    "q_query_string" ->
-      """WITH t AS (SELECT doc_id, lang,
-             list_filter(string_split(lower(text), ' '), x -> x <> '')
-               AS toks
-           FROM documents)
-         SELECT doc_id, lang FROM t
-         WHERE lang = 'de'
-           AND (list_contains(toks, 'merge')
-             OR contains(' ' || array_to_string(toks, ' ') || ' ',
-                  ' window scan '))
-           AND NOT len(list_filter(toks,
-                 w -> starts_with(w, 'filter'))) > 0
-         ORDER BY doc_id""",
-
-    // the lenient degraded semantics: bag-of-terms AND
-    "q_simple_query_string" ->
-      """WITH t AS (SELECT doc_id, lang,
-             list_filter(string_split(lower(text), ' '), x -> x <> '')
-               AS toks
-           FROM documents)
-         SELECT doc_id, lang FROM t
-         WHERE list_contains(toks, 'merge')
-           AND list_contains(toks, 'window')
-           AND list_contains(toks, 'scan')
-         ORDER BY doc_id""",
-
-    // min |pa-pb|-1 over the pair's position lists, either order
-    "q_intervals_unordered" ->
-      """WITH t AS (SELECT doc_id,
-             list_filter(string_split(lower(text), ' '), x -> x <> '')
-               AS w
-           FROM documents),
-         p AS (SELECT doc_id, unnest(w) AS term,
-             unnest(generate_series(0, len(w) - 1)) AS pos
-           FROM t),
-         a AS (SELECT doc_id, pos FROM p WHERE term = 'merge'),
-         b AS (SELECT doc_id, pos FROM p WHERE term = 'window'),
-         g AS (SELECT a.doc_id,
-             CAST(min(abs(a.pos - b.pos) - 1) AS INTEGER) AS best_gap
-           FROM a JOIN b ON a.doc_id = b.doc_id GROUP BY a.doc_id)
-         SELECT doc_id, best_gap FROM g WHERE best_gap <= 3
-         ORDER BY doc_id""",
-
-    // field group scopes lang; q.op=OR adjacency inside the text group
-    "q_query_string_grouped" ->
-      """WITH t AS (SELECT doc_id, lang,
-             list_filter(string_split(lower(text), ' '), x -> x <> '')
-               AS toks
-           FROM documents)
-         SELECT doc_id, lang FROM t
-         WHERE (lang = 'de' OR lang = 'en')
-           AND (list_contains(toks, 'merge')
-             OR contains(' ' || array_to_string(toks, ' ') || ' ',
-                  ' window scan '))
-           AND NOT len(list_filter(toks,
-                 w -> starts_with(w, 'filter'))) > 0
-         ORDER BY doc_id""",
-
-    // apriori level-2: frequent singles pruned first, then pair counts
-    "q_frequent_pairs" ->
-      """WITH dt AS (SELECT DISTINCT doc_id, term FROM (
-             SELECT doc_id, unnest(list_filter(
-               string_split(lower(text), ' '), x -> x <> '')) AS term
-             FROM documents)),
-         f AS (SELECT term FROM dt GROUP BY term
-           HAVING count(*) >= 30),
-         p AS (SELECT dt.doc_id, dt.term FROM dt JOIN f USING (term)),
-         pr AS (SELECT a.term AS term_a, b.term AS term_b,
-             count(*) AS support
-           FROM p a JOIN p b
-             ON a.doc_id = b.doc_id AND a.term < b.term
-           GROUP BY 1, 2 HAVING count(*) >= 30)
-         SELECT term_a, term_b, support FROM pr
-         ORDER BY support DESC, term_a, term_b LIMIT 20""",
-
-    // digit runs -> '#', first-5-token pattern key, >= 2 docs
-    "q_categorize_text" ->
-      """WITH s AS (SELECT doc_id,
-             regexp_replace(lower(text), '[0-9]+', '#', 'g') AS sig
-           FROM documents),
-         k AS (SELECT doc_id, array_to_string(list_filter(
-             string_split(sig, ' '), x -> x <> '')[1:5], ' ') AS pattern
-           FROM s)
-         SELECT pattern, count(*) AS n_docs,
-           min(doc_id) AS example_doc
-         FROM k GROUP BY pattern HAVING count(*) >= 2
-         ORDER BY n_docs DESC, pattern""",
-
-    // md5-ordered deterministic sample, per-lang occupancy cap
-    "q_sampler" ->
-      """SELECT doc_id, lang FROM (
-           SELECT doc_id, lang, h FROM (
-             SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h,
-               row_number() OVER (PARTITION BY lang
-                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
-             FROM documents) t
-           WHERE rk <= 20 ORDER BY h, doc_id LIMIT 60) s
-         ORDER BY doc_id""",
-
-    // named buckets (multi-membership) + the _other_ bucket
-    "q_filters_agg" ->
-      """WITH m AS (SELECT coalesce(lang = 'de', false) AS f_de,
-             coalesce(list_contains(string_split(lower(text), ' '),
-               'merge'), false) AS f_merge,
-             coalesce(list_contains(string_split(lower(text), ' '),
-               'window'), false) AS f_window
-           FROM documents),
-         k AS (SELECT 'de_docs' AS key, count(*) FILTER (f_de)
-             AS doc_count FROM m
-           UNION ALL SELECT 'has_merge', count(*) FILTER (f_merge) FROM m
-           UNION ALL SELECT 'has_window', count(*) FILTER (f_window) FROM m
-           UNION ALL SELECT '_other_',
-             count(*) FILTER (NOT f_de AND NOT f_merge AND NOT f_window)
-             FROM m)
-         SELECT key, doc_count FROM k WHERE doc_count > 0 ORDER BY key""",
-
-    // arbitrary [from, to) edges with a decimal-exact sub-agg
-    "q_range_agg" ->
-      """SELECT CASE
-           WHEN n_chars < 600 THEN '*-600'
-           WHEN n_chars >= 600 AND n_chars < 1200 THEN '600-1200'
-           ELSE '1200-*' END AS bucket,
-           count(*) AS doc_count,
-           round(CAST(sum(CAST(n_chars AS DECIMAL(20,0))) AS DOUBLE)
-             / count(*), 6) AS avg_chars
-         FROM documents GROUP BY 1 ORDER BY bucket""",
-
-    // representative docs per bucket via the per-key rank window
-    "q_top_hits" ->
-      """SELECT lang, rk, doc_id, n_chars FROM (
-           SELECT lang, doc_id, n_chars,
-             row_number() OVER (PARTITION BY lang
-               ORDER BY n_chars DESC, doc_id) AS rk
-           FROM documents) t
-         WHERE rk <= 2 ORDER BY lang, rk""",
-
-    // terms ordered by the sub-agg, exact under one global agg
-    "q_terms_by_subagg" ->
-      """SELECT source, count(*) AS doc_count,
-           round(CAST(sum(CAST(n_chars AS DECIMAL(20,0))) AS DOUBLE)
-             / count(*), 6) AS avg_chars
-         FROM documents GROUP BY source
-         ORDER BY avg_chars DESC, source LIMIT 5""",
-
-    // ES floor bucket-key convention; empty buckets absent
-    "q_histogram" ->
-      """SELECT CAST(floor(n_chars / 250) * 250 AS BIGINT) AS bucket,
-           count(*) AS doc_count
-         FROM documents GROUP BY 1 ORDER BY bucket""",
-
-    // bucket_sort: rank buckets by the sub-agg, then from=1 size=3
-    "q_bucket_sort" ->
-      """WITH b AS (SELECT source, count(*) AS n_docs,
-             round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars
-           FROM documents GROUP BY source),
-         r AS (SELECT source, n_docs, avg_chars,
-             row_number() OVER (ORDER BY avg_chars DESC, source) AS rk
-           FROM b)
-         SELECT source, n_docs, avg_chars, rk FROM r
-         WHERE rk > 1 AND rk <= 4 ORDER BY rk""",
-
-    // rate agg: weekly buckets rescaled to per-day rates
-    "q_rate_agg" ->
-      """SELECT epoch_us(date_trunc('week', ts)) AS bucket_us,
-           count(*) AS n_events,
-           round(count(*) / 7.0, 6) AS events_per_day,
-           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / 7.0, 6)
-             AS value_per_day
-         FROM events GROUP BY 1 ORDER BY bucket_us""",
-
-    // stats over the sibling buckets' decimal sums; doubles at the end
-    "q_stats_bucket" ->
-      """WITH b AS (SELECT date_trunc('week', ts) AS bucket,
-             sum(CAST(value AS DECIMAL(12,2))) AS sv
-           FROM events GROUP BY 1)
-         SELECT count(*) AS n_buckets,
-           round(CAST(min(sv) AS DOUBLE), 6) AS min_sum,
-           round(CAST(max(sv) AS DOUBLE), 6) AS max_sum,
-           round(CAST(sum(sv) AS DOUBLE), 6) AS total_sum,
-           round(CAST(sum(sv) AS DOUBLE) / count(*), 6) AS avg_sum
-         FROM b""",
-
-    // terms agg with the missing bucket: nulls planted identically
-    "q_terms_missing" ->
-      """SELECT coalesce(CASE WHEN doc_id % 13 = 0 THEN NULL ELSE lang END,
-           '(missing)') AS lang, count(*) AS n_docs
-         FROM documents GROUP BY 1 ORDER BY n_docs DESC, lang""",
-    "q_exists" ->
-      """SELECT vec_id FROM embeddings
-         WHERE vec_id % 13 <> 0 AND embedding IS NOT NULL
-         ORDER BY vec_id""",
-
-    // the rung CASE mirrors the operator's integer ladder arithmetic
-    "q_auto_histogram" ->
-      """WITH s AS (SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS mn,
-             CAST(floor(epoch(max(ts))) AS BIGINT) AS mx FROM events),
-         r AS (SELECT CASE
-             WHEN (mx - mn) // 60 + 1 <= 40 THEN 60
-             WHEN (mx - mn) // 3600 + 1 <= 40 THEN 3600
-             WHEN (mx - mn) // 86400 + 1 <= 40 THEN 86400
-             ELSE 604800 END AS rung FROM s)
-         SELECT CAST(floor(epoch(ts)) AS BIGINT)
-             - CAST(floor(epoch(ts)) AS BIGINT) % rung AS bucket_s,
-           count(*) AS doc_count, CAST(rung AS BIGINT) AS interval_s
-         FROM events, r GROUP BY 1, 3 ORDER BY 1""",
-
-    // length stats in exact integers; entropy decimal-summed per
-    // (lang, char) — the KL/CE order-independence convention
-    "q_string_stats" ->
-      """WITH ch0 AS (SELECT lang, unnest(string_split(text, '')) AS ch
-             FROM documents),
-         cc AS (SELECT lang, ch, CAST(count(*) AS DOUBLE) AS c
-           FROM ch0 WHERE ch <> '' GROUP BY 1, 2),
-         tt AS (SELECT lang, sum(c) AS t FROM cc GROUP BY 1),
-         ee AS (SELECT cc.lang,
-             CAST(round(-(c / t) * log2(c / t), 9) AS DECIMAL(18,9)) AS e
-           FROM cc JOIN tt ON cc.lang = tt.lang),
-         en AS (SELECT lang, round(CAST(sum(e) AS DOUBLE), 6) AS entropy
-           FROM ee GROUP BY 1),
-         base AS (SELECT lang, count(*) AS n_docs,
-             CAST(min(length(text)) AS BIGINT) AS min_length,
-             CAST(max(length(text)) AS BIGINT) AS max_length,
-             round(CAST(sum(length(text)) AS DOUBLE) / count(*), 6)
-               AS avg_length
-           FROM documents GROUP BY 1)
-         SELECT base.lang, n_docs, min_length, max_length, avg_length,
-           entropy
-         FROM base JOIN en ON base.lang = en.lang ORDER BY base.lang""",
-
-    // saturation: boost·S/(S+pivot); non-positive features never match
-    "q_rank_feature" ->
-      """SELECT doc_id, round(1.5 * n_chars / (n_chars + 1000.0), 6)
-           AS score
-         FROM documents WHERE n_chars > 0
-         ORDER BY score DESC, doc_id LIMIT 20""",
-
-    // linear decay around the origin: boost·pivot/(pivot+|x−origin|)
-    "q_distance_feature" ->
-      """SELECT doc_id, round(2.0 * 500.0 / (500.0 + abs(n_chars - 1000.0)),
-           6) AS score
-         FROM documents ORDER BY score DESC, doc_id LIMIT 20""",
-
-    // pins first in listed order, organic integer-tf ranking follows
-    "q_pinned" ->
-      """WITH pin AS (SELECT doc_id, TRUE AS pinned,
-             CAST(0 AS BIGINT) AS score,
-             list_position([42, 7, 99], doc_id) AS ord
-           FROM documents WHERE doc_id IN (42, 7, 99)),
-         org AS (SELECT doc_id, FALSE AS pinned,
-             CAST(len(list_filter(string_split(lower(text), ' '),
-                 w -> w = 'merge'))
-               + len(list_filter(string_split(lower(text), ' '),
-                 w -> w = 'window'))
-               + len(list_filter(string_split(lower(text), ' '),
-                 w -> w = 'scan')) AS BIGINT) AS score
-           FROM documents WHERE doc_id NOT IN (42, 7, 99)),
-         u AS (SELECT doc_id, pinned, score, 0 AS grp, ord FROM pin
-           UNION ALL
-           SELECT doc_id, pinned, score, 1, 0 FROM org WHERE score > 0)
-         SELECT doc_id, pinned, score FROM u
-         ORDER BY grp, ord, score DESC, doc_id LIMIT 15""",
-
-    // per-document minimum-should-match, no clamping (ES terms_set)
-    "q_terms_set" ->
-      """SELECT doc_id, matched, required FROM (
-           SELECT doc_id,
-             CAST(CAST(list_contains(string_split(lower(text), ' '),
-                   'merge') AS INT)
-               + CAST(list_contains(string_split(lower(text), ' '),
-                   'window') AS INT)
-               + CAST(list_contains(string_split(lower(text), ' '),
-                   'filter') AS INT) AS BIGINT) AS matched,
-             CAST(n_chars % 3 + 1 AS BIGINT) AS required
-           FROM documents) t
-         WHERE matched >= required ORDER BY doc_id""",
-
-    // term clauses + a prefix clause on the last token, OR'd
-    "q_match_bool_prefix" ->
-      """SELECT doc_id, score FROM (
-           SELECT doc_id,
-             CAST(CAST(list_contains(string_split(lower(text), ' '),
-                   'window') AS INT)
-               + CAST(len(list_filter(string_split(lower(text), ' '),
-                   w -> starts_with(w, 'mer'))) > 0 AS INT)
-             AS BIGINT) AS score
-           FROM documents) t
-         WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 30""",
-
-    "q_has_child" ->
-      """SELECT o_orderkey, o_orderpriority FROM orders
-         WHERE EXISTS (SELECT 1 FROM lineitem
-           WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
-         ORDER BY o_orderkey""",
-
-    "q_has_parent" ->
-      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-         WHERE EXISTS (SELECT 1 FROM orders
-           WHERE o_orderkey = l_orderkey AND o_orderpriority = '1-URGENT')
-         ORDER BY l_orderkey, l_linenumber""",
-
-    "q_date_histogram" ->
-      """SELECT epoch_us(date_trunc('week', ts)) AS bucket_us,
-           count(*) AS n_events,
-           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-         FROM events GROUP BY 1 ORDER BY bucket_us""",
-
-    "q_range" ->
-      """SELECT doc_id, n_chars FROM documents
-         WHERE n_chars >= 500 AND n_chars < 1500 ORDER BY doc_id""",
-    "q_facets" ->
-      """SELECT lang, count(*) AS n_docs FROM documents
-         WHERE list_has_any(string_split(lower(text), ' '),
-           ['merge', 'window'])
-         GROUP BY 1 ORDER BY n_docs DESC, lang LIMIT 5""",
-    // cursor page 2 ≡ rows 11-20 of the full ranking (the OFFSET form;
-    // the Spark side gets there via the (score, id) cursor instead)
-    "q_composite_agg" ->
-      """SELECT lang, source, count(*) AS n_docs,
-           CAST(sum(n_chars) AS BIGINT) AS sum_chars
-         FROM documents GROUP BY lang, source
-         HAVING lang > 'de' OR (lang = 'de' AND source > 'web')
-         ORDER BY lang, source LIMIT 5""",
-
-    "q_search_after" ->
-      """WITH t AS (SELECT doc_id,
-             CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
-               AS DOUBLE) AS dl,
-             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'merge'))
-               AS DOUBLE) AS tf0,
-             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'window'))
-               AS DOUBLE) AS tf1,
-             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'scan'))
-               AS DOUBLE) AS tf2
-           FROM documents),
-         s AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
-             CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
-             CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
-             CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
-           FROM t),
-         z AS (SELECT doc_id,
-             ln(1 + (n - df0 + 0.5) / (df0 + 0.5))
-               * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-             + ln(1 + (n - df1 + 0.5) / (df1 + 0.5))
-               * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-             + ln(1 + (n - df2 + 0.5) / (df2 + 0.5))
-               * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-               AS score
-           FROM t, s)
-         SELECT doc_id, round(score, 6) AS bm25 FROM z WHERE score > 0
-         ORDER BY bm25 DESC, doc_id LIMIT 10 OFFSET 10""",
-    // ordered proximity: positions p1 < p2 with p2 − p1 − 1 ≤ slop(1);
-    // 1-based vs 0-based positions cancel in the difference
-    "q_span_near" ->
-      """WITH t AS (SELECT doc_id,
-             list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
-           FROM documents),
-         p AS (SELECT doc_id, unnest(w) AS term,
-             generate_subscripts(w, 1) AS pos
-           FROM t),
-         a AS (SELECT doc_id, pos FROM p WHERE term = 'stream'),
-         b AS (SELECT doc_id, pos FROM p WHERE term = 'data')
-         SELECT DISTINCT a.doc_id AS doc_id FROM a JOIN b
-           ON a.doc_id = b.doc_id
-         WHERE b.pos > a.pos AND b.pos - a.pos - 1 <= 1
-         ORDER BY a.doc_id""",
-    // span_or: each clause re-derived as its own ordered-proximity
-    // exists, matched-clause count per doc
-    "q_span_or" ->
-      """WITH t AS (SELECT doc_id,
-             list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
-           FROM documents),
-         p AS (SELECT doc_id, unnest(w) AS term,
-             generate_subscripts(w, 1) AS pos
-           FROM t),
-         c1 AS (SELECT DISTINCT a.doc_id FROM
-             (SELECT doc_id, pos FROM p WHERE term = 'stream') a
-           JOIN (SELECT doc_id, pos FROM p WHERE term = 'data') b
-             ON a.doc_id = b.doc_id
-           WHERE b.pos > a.pos AND b.pos - a.pos - 1 <= 1),
-         c2 AS (SELECT DISTINCT a.doc_id FROM
-             (SELECT doc_id, pos FROM p WHERE term = 'merge') a
-           JOIN (SELECT doc_id, pos FROM p WHERE term = 'window') b
-             ON a.doc_id = b.doc_id
-           WHERE b.pos > a.pos AND b.pos - a.pos - 1 <= 2),
-         u AS (SELECT doc_id FROM c1 UNION ALL SELECT doc_id FROM c2)
-         SELECT doc_id, CAST(count(*) AS INT) AS n_clauses
-         FROM u GROUP BY doc_id ORDER BY doc_id""",
-    // containment over ALL qualifying big spans; 1-based subscripts,
-    // relative position arithmetic only
-    "q_span_within" ->
-      """WITH t AS (SELECT doc_id,
-             list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
-           FROM documents),
-         p AS (SELECT doc_id, unnest(w) AS term,
-             generate_subscripts(w, 1) AS pos
-           FROM t),
-         a AS (SELECT doc_id, pos FROM p WHERE term = 'stream'),
-         b AS (SELECT doc_id, pos FROM p WHERE term = 'data'),
-         l AS (SELECT doc_id, pos FROM p WHERE term = 'merge')
-         SELECT DISTINCT a.doc_id AS doc_id FROM a
-         JOIN b ON a.doc_id = b.doc_id
-         JOIN l ON l.doc_id = a.doc_id
-         WHERE b.pos > a.pos AND b.pos - a.pos - 1 <= 10
-           AND l.pos >= a.pos AND l.pos <= b.pos
-         ORDER BY a.doc_id""",
-    "q_suggest" ->
-      """SELECT term, CAST(sum(c) AS BIGINT) AS freq FROM (
-           SELECT unnest(list_filter(string_split(lower(text), ' '),
-             x -> x <> '')) AS term, 1 AS c
-           FROM documents)
-         WHERE starts_with(term, 's')
-         GROUP BY term ORDER BY freq DESC, term LIMIT 4""",
-    // 0-based Spark pos < 3 ≡ 1-based subscripts pos <= 3
-    "q_span_first" ->
-      """WITH t AS (SELECT doc_id,
-             list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
-           FROM documents),
-         p AS (SELECT doc_id, unnest(w) AS term,
-             generate_subscripts(w, 1) AS pos
-           FROM t)
-         SELECT DISTINCT doc_id FROM p
-         WHERE term = 'merge' AND pos <= 3
-         ORDER BY doc_id""",
-    // a 'scan' position survives iff NO 'merge' within ±1 (left-join
-    // against the exclusion window, keep null-matched rows)
-    "q_span_not" ->
-      """WITH t AS (SELECT doc_id,
-             list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
-           FROM documents),
-         p AS (SELECT doc_id, unnest(w) AS term,
-             generate_subscripts(w, 1) AS pos
-           FROM t),
-         a AS (SELECT doc_id, pos FROM p WHERE term = 'scan'),
-         b AS (SELECT doc_id, pos FROM p WHERE term = 'merge')
-         SELECT DISTINCT a.doc_id AS doc_id FROM a LEFT JOIN b
-           ON a.doc_id = b.doc_id
-           AND b.pos BETWEEN a.pos - 1 AND a.pos + 1
-         WHERE b.pos IS NULL
-         ORDER BY a.doc_id""",
-    // full postings dump: lateral unnest of the tokenized text, exact tf
-    "x_inverted_postings" ->
-      """SELECT term, doc_id, tf FROM (
-           SELECT t.term AS term, d.doc_id AS doc_id,
-             CAST(count(*) AS INTEGER) AS tf
-           FROM documents d,
-             unnest(list_filter(string_split(lower(d.text), ' '), x -> x <> ''))
-               AS t(term)
-           GROUP BY 1, 2)
-         ORDER BY term, doc_id""",
-    // the index-accelerated path must reproduce the corpus-scan BM25
-    // exactly — same oracle as q_match_bm25
-    // the incrementally-maintained index must reproduce the full-corpus
-    // BM25 bit-for-bit once its deltas resolve — identical oracle
-    "x_bm25_incremental" ->
-      """WITH t AS (SELECT doc_id,
-             CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
-               AS DOUBLE) AS dl,
-             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'merge'))
-               AS DOUBLE) AS tf0,
-             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'window'))
-               AS DOUBLE) AS tf1,
-             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'scan'))
-               AS DOUBLE) AS tf2
-           FROM documents),
-         s AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
-             CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
-             CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
-             CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
-           FROM t),
-         z AS (SELECT doc_id,
-             ln(1 + (n - df0 + 0.5) / (df0 + 0.5))
-               * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-             + ln(1 + (n - df1 + 0.5) / (df1 + 0.5))
-               * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-             + ln(1 + (n - df2 + 0.5) / (df2 + 0.5))
-               * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-               AS score
-           FROM t, s)
-         SELECT doc_id, round(score, 6) AS bm25 FROM z WHERE score > 0
-         ORDER BY bm25 DESC, doc_id LIMIT 20""",
-    "x_bm25_indexed" ->
-      """WITH t AS (SELECT doc_id,
-             CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
-               AS DOUBLE) AS dl,
-             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'merge'))
-               AS DOUBLE) AS tf0,
-             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'window'))
-               AS DOUBLE) AS tf1,
-             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'scan'))
-               AS DOUBLE) AS tf2
-           FROM documents),
-         s AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
-             CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
-             CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
-             CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
-           FROM t),
-         z AS (SELECT doc_id,
-             ln(1 + (n - df0 + 0.5) / (df0 + 0.5))
-               * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-             + ln(1 + (n - df1 + 0.5) / (df1 + 0.5))
-               * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-             + ln(1 + (n - df2 + 0.5) / (df2 + 0.5))
-               * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-               AS score
-           FROM t, s)
-         SELECT doc_id, round(score, 6) AS bm25 FROM z WHERE score > 0
-         ORDER BY bm25 DESC, doc_id LIMIT 20""",
-    // the oracle skips the bounding box (it never excludes an in-radius
-    // point) and mirrors the haversine term-for-term
-    // antimeridian-crossing box: the lon leg wraps (>= min OR <= max)
-    "q_geo_bbox" ->
-      """WITH p AS (SELECT doc_id,
-             CAST(doc_id * 37 % 17000 AS DOUBLE) / 100.0 - 85.0 AS lat,
-             CAST(doc_id * 91 % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon
-           FROM documents)
-         SELECT doc_id, lat, lon FROM p
-         WHERE lat >= 50.0 AND lat <= 80.0
-           AND (lon >= 170.0 OR lon <= -140.0)
-         ORDER BY doc_id""",
-    "x_geo_radius" ->
-      """WITH p AS (SELECT doc_id,
-             CAST(doc_id * 37 % 17000 AS DOUBLE) / 100.0 - 85.0 AS lat,
-             CAST(doc_id * 91 % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon
-           FROM documents),
-         dkm AS (SELECT doc_id, lat, lon,
-             round(2 * 6371.0088 * asin(sqrt(
-               sin(radians(26.0 - lat) / 2) * sin(radians(26.0 - lat) / 2)
-               + cos(radians(lat)) * cos(radians(26.0))
-               * sin(radians(93.0 - lon) / 2) * sin(radians(93.0 - lon) / 2))),
-               3) AS dist_km
-           FROM p)
-         SELECT doc_id, lat, lon, dist_km FROM dkm
-         WHERE dist_km <= 1500.0 ORDER BY doc_id""",
-    "x_geo_knn" ->
-      """WITH p AS (SELECT doc_id,
-             CAST(doc_id * 37 % 17000 AS DOUBLE) / 100.0 - 85.0 AS lat,
-             CAST(doc_id * 91 % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon
-           FROM documents)
-         SELECT doc_id,
-           round(2 * 6371.0088 * asin(sqrt(
-             sin(radians(40.0 - lat) / 2) * sin(radians(40.0 - lat) / 2)
-             + cos(radians(lat)) * cos(radians(40.0))
-             * sin(radians(-74.0 - lon) / 2) * sin(radians(-74.0 - lon) / 2))),
-             3) AS dist_km
-         FROM p ORDER BY dist_km, doc_id LIMIT 15""",
-    // indexed geo twins: byte-identical result contract to the scan forms
-    "x_geo_join_indexed" ->
-      """WITH p AS (SELECT doc_id,
-             CAST(doc_id * 37 % 17000 AS DOUBLE) / 100.0 - 85.0 AS lat,
-             CAST(doc_id * 91 % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon
-           FROM documents),
-         c(center_id, clat, clon) AS (VALUES
-           (1, -48.0, -89.0), (2, 7.5, 47.5), (3, 70.4, -157.8)),
-         d AS (SELECT center_id, doc_id,
-             2 * 6371.0088 * asin(sqrt(
-               sin(radians(clat - lat) / 2) * sin(radians(clat - lat) / 2)
-               + cos(radians(lat)) * cos(radians(clat))
-               * sin(radians(clon - lon) / 2) * sin(radians(clon - lon) / 2)))
-               AS dist
-           FROM p, c)
-         SELECT CAST(center_id AS BIGINT) AS center_id, doc_id,
-           round(dist, 3) AS dist_km
-         FROM d WHERE dist <= 1500.0
-         ORDER BY center_id, doc_id""",
-    "x_geo_radius_indexed" ->
-      """WITH p AS (SELECT doc_id,
-             CAST(doc_id * 37 % 17000 AS DOUBLE) / 100.0 - 85.0 AS lat,
-             CAST(doc_id * 91 % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon
-           FROM documents),
-         dkm AS (SELECT doc_id, lat, lon,
-             round(2 * 6371.0088 * asin(sqrt(
-               sin(radians(26.0 - lat) / 2) * sin(radians(26.0 - lat) / 2)
-               + cos(radians(lat)) * cos(radians(26.0))
-               * sin(radians(93.0 - lon) / 2) * sin(radians(93.0 - lon) / 2))),
-               3) AS dist_km
-           FROM p)
-         SELECT doc_id, lat, lon, dist_km FROM dkm
-         WHERE dist_km <= 1500.0 ORDER BY doc_id""",
-    "x_geo_knn_indexed" ->
-      """WITH p AS (SELECT doc_id,
-             CAST(doc_id * 37 % 17000 AS DOUBLE) / 100.0 - 85.0 AS lat,
-             CAST(doc_id * 91 % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon
-           FROM documents)
-         SELECT doc_id,
-           round(2 * 6371.0088 * asin(sqrt(
-             sin(radians(40.0 - lat) / 2) * sin(radians(40.0 - lat) / 2)
-             + cos(radians(lat)) * cos(radians(40.0))
-             * sin(radians(-74.0 - lon) / 2) * sin(radians(-74.0 - lon) / 2))),
-             3) AS dist_km
-         FROM p ORDER BY dist_km, doc_id LIMIT 15""",
-    // live survivor set: ids ≥ 30 at original positions minus the
-    // in-disc tombstones [290,300), plus ids < 10 at their re-upserted
-    // (moved-into-the-disc) positions
-    "x_geo_upsert" ->
-      """WITH p AS (SELECT doc_id,
-             CAST(doc_id * 37 % 17000 AS DOUBLE) / 100.0 - 85.0 AS lat,
-             CAST(doc_id * 91 % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon
-           FROM documents),
-         live AS (
-           SELECT doc_id, lat, lon FROM p
-           WHERE doc_id >= 30 AND NOT (doc_id >= 290 AND doc_id < 300)
-           UNION ALL
-           SELECT doc_id, lat / 4 + 47 AS lat, lon / 2 + 183 AS lon
-           FROM p WHERE doc_id < 10),
-         dkm AS (SELECT doc_id, lat, lon,
-             round(2 * 6371.0088 * asin(sqrt(
-               sin(radians(26.0 - lat) / 2) * sin(radians(26.0 - lat) / 2)
-               + cos(radians(lat)) * cos(radians(26.0))
-               * sin(radians(93.0 - lon) / 2) * sin(radians(93.0 - lon) / 2))),
-               3) AS dist_km
-           FROM live)
-         SELECT doc_id, lat, lon, dist_km FROM dkm
-         WHERE dist_km <= 1500.0 ORDER BY doc_id""",
-    // live count after upsert(<20, supersede) + delete(<5); the 30°
-    // lattice holds 7 lat rows × 12 lon cols = 84 cells; one upsert +
-    // one delete pending in the commit log
-    "x_geo_stats" ->
-      """SELECT CAST(count(*) - 5 AS BIGINT) AS n_points,
-           CAST(84 AS BIGINT) AS n_cells,
-           TRUE AS skew_ok, TRUE AS max_consistent,
-           CAST(2 AS BIGINT) AS n_pending_commits
-         FROM documents""",
-    // ray casting unrolled edge-for-edge with identical literal
-    // arithmetic — pure comparisons and one division, no rounding needed
-    "x_geo_polygon" ->
-      """WITH p AS (SELECT doc_id,
-             CAST(doc_id * 37 % 17000 AS DOUBLE) / 100.0 - 85.0 AS lat,
-             CAST(doc_id * 91 % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon
-           FROM documents),
-         c AS (SELECT doc_id, lat, lon,
-             (CASE WHEN (-25.0 > lat) <> (5.0 > lat) THEN
-                CASE WHEN lon < ((-10.0) - (-10.0)) * (lat - (-25.0))
-                  / (5.0 - (-25.0)) + (-10.0) THEN 1 ELSE 0 END ELSE 0 END)
-             + (CASE WHEN (5.0 > lat) <> (25.0 > lat) THEN
-                CASE WHEN lon < (60.0 - (-10.0)) * (lat - 5.0)
-                  / (25.0 - 5.0) + (-10.0) THEN 1 ELSE 0 END ELSE 0 END)
-             + (CASE WHEN (25.0 > lat) <> (-5.0 > lat) THEN
-                CASE WHEN lon < (60.0 - 60.0) * (lat - 25.0)
-                  / (-5.0 - 25.0) + 60.0 THEN 1 ELSE 0 END ELSE 0 END)
-             + (CASE WHEN (-5.0 > lat) <> (-25.0 > lat) THEN
-                CASE WHEN lon < ((-10.0) - 60.0) * (lat - (-5.0))
-                  / (-25.0 - (-5.0)) + 60.0 THEN 1 ELSE 0 END ELSE 0 END)
-               AS crossings
-           FROM p)
-         SELECT doc_id, lat, lon FROM c
-         WHERE crossings % 2 = 1 ORDER BY doc_id""",
-    // band membership keyed on the SAME 3dp-rounded distance both sides
-    "x_geo_distance_agg" ->
-      """WITH p AS (SELECT doc_id,
-             CAST(doc_id * 37 % 17000 AS DOUBLE) / 100.0 - 85.0 AS lat,
-             CAST(doc_id * 91 % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon
-           FROM documents),
-         d AS (SELECT doc_id,
-             round(2 * 6371.0088 * asin(sqrt(
-               sin(radians(40.0 - lat) / 2) * sin(radians(40.0 - lat) / 2)
-               + cos(radians(lat)) * cos(radians(40.0))
-               * sin(radians(-74.0 - lon) / 2) * sin(radians(-74.0 - lon) / 2))),
-               3) AS dist_km
-           FROM p),
-         b AS (SELECT CASE WHEN dist_km <= 2000.0 THEN '0-2000'
-             WHEN dist_km <= 5000.0 THEN '2000-5000'
-             WHEN dist_km <= 10000.0 THEN '5000-10000'
-             ELSE '10000+' END AS band, dist_km
-           FROM d)
-         SELECT band, count(*) AS n_points,
-           min(dist_km) AS min_km, max(dist_km) AS max_km
-         FROM b GROUP BY band ORDER BY band""",
-
-    // same floor lattice; decimal sums + one double division per mean
-    "x_geo_grid_agg" ->
-      """WITH p AS (SELECT doc_id,
-             CAST(doc_id * 37 % 17000 AS DOUBLE) / 100.0 - 85.0 AS lat,
-             CAST(doc_id * 91 % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon
-           FROM documents)
-         SELECT CAST(floor(lat / 15.0) AS INT) AS lat_cell,
-           CAST(floor(lon / 15.0) AS INT) AS lon_cell,
-           count(*) AS n_points,
-           round(CAST(sum(CAST(lat AS DECIMAL(12,2))) AS DOUBLE)
-             / count(*), 6) AS mean_lat,
-           round(CAST(sum(CAST(lon AS DECIMAL(12,2))) AS DOUBLE)
-             / count(*), 6) AS mean_lon
-         FROM p GROUP BY 1, 2 ORDER BY lat_cell, lon_cell""",
-
-    // bounding box exact min/max; centroid via the decimal-sum mean
-    "x_geo_bounds" ->
-      """WITH p AS (SELECT doc_id,
-             CAST(doc_id * 37 % 17000 AS DOUBLE) / 100.0 - 85.0 AS lat,
-             CAST(doc_id * 91 % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon
-           FROM documents)
-         SELECT doc_id % 4 AS g, count(*) AS n,
-           min(lat) AS min_lat, max(lat) AS max_lat,
-           min(lon) AS min_lon, max(lon) AS max_lon,
-           round(CAST(sum(CAST(lat AS DECIMAL(12,2))) AS DOUBLE)
-             / count(*), 6) AS centroid_lat,
-           round(CAST(sum(CAST(lon AS DECIMAL(12,2))) AS DOUBLE)
-             / count(*), 6) AS centroid_lon
-         FROM p GROUP BY 1 ORDER BY g""",
-
-    // bbox cell pruning may never change the answer: x_geo_polygon's
-    // oracle verbatim
-    "x_geo_polygon_indexed" ->
-      """WITH p AS (SELECT doc_id,
-             CAST(doc_id * 37 % 17000 AS DOUBLE) / 100.0 - 85.0 AS lat,
-             CAST(doc_id * 91 % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon
-           FROM documents),
-         c AS (SELECT doc_id, lat, lon,
-             (CASE WHEN (-25.0 > lat) <> (5.0 > lat) THEN
-                CASE WHEN lon < ((-10.0) - (-10.0)) * (lat - (-25.0))
-                  / (5.0 - (-25.0)) + (-10.0) THEN 1 ELSE 0 END ELSE 0 END)
-             + (CASE WHEN (5.0 > lat) <> (25.0 > lat) THEN
-                CASE WHEN lon < (60.0 - (-10.0)) * (lat - 5.0)
-                  / (25.0 - 5.0) + (-10.0) THEN 1 ELSE 0 END ELSE 0 END)
-             + (CASE WHEN (25.0 > lat) <> (-5.0 > lat) THEN
-                CASE WHEN lon < (60.0 - 60.0) * (lat - 25.0)
-                  / (-5.0 - 25.0) + 60.0 THEN 1 ELSE 0 END ELSE 0 END)
-             + (CASE WHEN (-5.0 > lat) <> (-25.0 > lat) THEN
-                CASE WHEN lon < ((-10.0) - 60.0) * (lat - (-5.0))
-                  / (-25.0 - (-5.0)) + 60.0 THEN 1 ELSE 0 END ELSE 0 END)
-               AS crossings
-           FROM p)
-         SELECT doc_id, lat, lon FROM c
-         WHERE crossings % 2 = 1 ORDER BY doc_id""",
-    // brute-force oracle: the equi-join operator must equal the cross
-    // product filtered by the same haversine (filter on the unrounded
-    // distance, round only for the compare — mirroring the Spark side)
-    "x_geo_join" ->
-      """WITH p AS (SELECT doc_id,
-             CAST(doc_id * 37 % 17000 AS DOUBLE) / 100.0 - 85.0 AS lat,
-             CAST(doc_id * 91 % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon
-           FROM documents),
-         c(center_id, clat, clon) AS (VALUES
-           (1, -48.0, -89.0), (2, 7.5, 47.5), (3, 70.4, -157.8)),
-         d AS (SELECT center_id, doc_id,
-             2 * 6371.0088 * asin(sqrt(
-               sin(radians(clat - lat) / 2) * sin(radians(clat - lat) / 2)
-               + cos(radians(lat)) * cos(radians(clat))
-               * sin(radians(clon - lon) / 2) * sin(radians(clon - lon) / 2)))
-               AS dist
-           FROM p, c)
-         SELECT CAST(center_id AS BIGINT) AS center_id, doc_id,
-           round(dist, 3) AS dist_km
-         FROM d WHERE dist <= 1500.0
-         ORDER BY center_id, doc_id""",
-    // per-center exact rank on the 3dp-rounded distance with id
-    // tie-break — the x_geo_knn cut, one partition per center
-    "x_geo_knn_join" ->
-      """WITH p AS (SELECT doc_id,
-             CAST(doc_id * 37 % 17000 AS DOUBLE) / 100.0 - 85.0 AS lat,
-             CAST(doc_id * 91 % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon
-           FROM documents),
-         c(center_id, clat, clon) AS (VALUES
-           (1, 40.0, -74.0), (2, -33.9, 151.2), (3, 64.1, -21.9)),
-         d AS (SELECT center_id, doc_id,
-             round(2 * 6371.0088 * asin(sqrt(
-               sin(radians(clat - lat) / 2) * sin(radians(clat - lat) / 2)
-               + cos(radians(lat)) * cos(radians(clat))
-               * sin(radians(clon - lon) / 2) * sin(radians(clon - lon) / 2))),
-               3) AS dist_km
-           FROM p, c),
-         r AS (SELECT center_id, doc_id, dist_km,
-             row_number() OVER (PARTITION BY center_id
-               ORDER BY dist_km, doc_id) AS rk
-           FROM d)
-         SELECT CAST(center_id AS BIGINT) AS center_id, doc_id, dist_km,
-           CAST(rk AS INT) AS rk
-         FROM r WHERE rk <= 5 ORDER BY center_id, rk""",
-    // the DataFrame-centers overload answers the same per-center rank —
-    // centers drawn FROM the corpus (every ~101st document)
-    "x_geo_knn_join_df" ->
-      """WITH p AS (SELECT doc_id,
-             CAST(doc_id * 37 % 17000 AS DOUBLE) / 100.0 - 85.0 AS lat,
-             CAST(doc_id * 91 % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon
-           FROM documents),
-         c AS (SELECT doc_id AS center_id, lat AS clat, lon AS clon
-           FROM p WHERE doc_id % 101 = 0),
-         d AS (SELECT center_id, doc_id,
-             round(2 * 6371.0088 * asin(sqrt(
-               sin(radians(clat - lat) / 2) * sin(radians(clat - lat) / 2)
-               + cos(radians(lat)) * cos(radians(clat))
-               * sin(radians(clon - lon) / 2) * sin(radians(clon - lon) / 2))),
-               3) AS dist_km
-           FROM p, c),
-         r AS (SELECT center_id, doc_id, dist_km,
-             row_number() OVER (PARTITION BY center_id
-               ORDER BY dist_km, doc_id) AS rk
-           FROM d)
-         SELECT center_id, doc_id, dist_km, CAST(rk AS INT) AS rk
-         FROM r WHERE rk <= 5 ORDER BY center_id, rk""",
-    "x_collapse" ->
-      """WITH z AS (SELECT doc_id, source,
-             len(list_filter(string_split(lower(text), ' '), w -> w = 'merge'))
-             + len(list_filter(string_split(lower(text), ' '), w -> w = 'window'))
-             + len(list_filter(string_split(lower(text), ' '), w -> w = 'scan'))
-               AS score
-           FROM documents),
-         best AS (SELECT source, doc_id, score FROM (
-             SELECT source, doc_id, score,
-               row_number() OVER (PARTITION BY source
-                 ORDER BY score DESC, doc_id) AS rk
-             FROM z WHERE score > 0)
-           WHERE rk = 1)
-         SELECT source, doc_id, score FROM best
-         ORDER BY score DESC, source LIMIT 5""",
-    // boosted BM25 mirror: each clause's full contrib × its boost, MUST
-    // tf > 0, MUST_NOT tf = 0, 6dp round before ranking
-    "x_bool_ranked" ->
-      """WITH t AS (SELECT doc_id,
-             CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
-               AS DOUBLE) AS dl,
-             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'merge'))
-               AS DOUBLE) AS tf0,
-             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'window'))
-               AS DOUBLE) AS tf1,
-             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'scan'))
-               AS DOUBLE) AS tf2,
-             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'slow'))
-               AS DOUBLE) AS tfn
-           FROM documents),
-         s AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
-             CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
-             CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
-             CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
-           FROM t),
-         z AS (SELECT doc_id, tf0, tfn,
-             (ln(1 + (n - df0 + 0.5) / (df0 + 0.5))
-               * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))) * 1.0
-             + (ln(1 + (n - df1 + 0.5) / (df1 + 0.5))
-               * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))) * 2.0
-             + (ln(1 + (n - df2 + 0.5) / (df2 + 0.5))
-               * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))) * 0.5
-               AS score
-           FROM t, s)
-         SELECT doc_id, round(score, 6) AS score FROM z
-         WHERE tf0 > 0 AND tfn = 0 AND score > 0
-         ORDER BY round(score, 6) DESC, doc_id LIMIT 20""",
-    // stage 1 reuses the x_bm25_indexed scoring CTE cut at 50 by the
-    // 6dp-rounded score; stage 2 reranks those ids by exact cosine
-    "x_rerank" ->
-      """WITH t AS (SELECT doc_id,
-             CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
-               AS DOUBLE) AS dl,
-             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'merge'))
-               AS DOUBLE) AS tf0,
-             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'window'))
-               AS DOUBLE) AS tf1,
-             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'scan'))
-               AS DOUBLE) AS tf2
-           FROM documents),
-         s AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
-             CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
-             CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
-             CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
-           FROM t),
-         z AS (SELECT doc_id,
-             ln(1 + (n - df0 + 0.5) / (df0 + 0.5))
-               * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-             + ln(1 + (n - df1 + 0.5) / (df1 + 0.5))
-               * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-             + ln(1 + (n - df2 + 0.5) / (df2 + 0.5))
-               * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-               AS score
-           FROM t, s),
-         cand AS (SELECT doc_id FROM z WHERE score > 0
-           ORDER BY round(score, 6) DESC, doc_id LIMIT 50),
-         q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
-         SELECT c.doc_id AS doc_id,
-           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                        CAST(q.qv AS DOUBLE[])), 6) AS cosine
-         FROM cand c JOIN embeddings e ON e.vec_id = c.doc_id, q
-         ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                         CAST(q.qv AS DOUBLE[])) DESC, c.doc_id
-         LIMIT 10""",
-    // relational BM25 over a (query, term) VALUES relation; rank by the
-    // 6dp-ROUNDED score (the Spark side rounds before ranking too)
-    "x_bm25_batch" ->
-      """WITH qt(query_id, term) AS (VALUES
-           ('q0', 'merge'), ('q0', 'window'),
-           ('q1', 'stream'), ('q1', 'data'), ('q1', 'scan')),
-         toks AS (SELECT doc_id,
-             unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
-               AS term
-           FROM documents),
-         tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
-           FROM toks GROUP BY 1, 2),
-         dfq AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS dfn
-           FROM toks GROUP BY 1),
-         dl AS (SELECT doc_id,
-             CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
-               AS DOUBLE) AS dl
-           FROM documents),
-         st AS (SELECT CAST(count(*) AS DOUBLE) AS nn, avg(dl) AS avgdl
-           FROM dl),
-         contrib AS (SELECT qt.query_id, tf.doc_id,
-             ln(1 + (st.nn - dfq.dfn + 0.5) / (dfq.dfn + 0.5))
-               * (tf.tf * 2.2)
-               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS c
-           FROM qt JOIN tf USING (term) JOIN dfq USING (term)
-           JOIN dl ON tf.doc_id = dl.doc_id, st),
-         z AS (SELECT query_id, doc_id, sum(c) AS s FROM contrib
-           GROUP BY 1, 2),
-         r AS (SELECT query_id, doc_id, round(s, 6) AS bm25,
-             row_number() OVER (PARTITION BY query_id
-               ORDER BY round(s, 6) DESC, doc_id) AS rk
-           FROM z WHERE s > 0)
-         SELECT query_id, CAST(rk AS INT) AS rk, doc_id, bm25
-         FROM r WHERE rk <= 5 ORDER BY query_id, rk""",
-    // MLT mirror: tfidf term selection (round-6 + term tie-break) as a
-    // CTE, then the RELATIONAL BM25 form (terms join postings join norms
-    // — the indexed scorer's shape) over full-corpus stats, source
-    // excluded from results but not from N/avgdl/df
-    "x_mlt" ->
-      """WITH toks AS (SELECT doc_id,
-             unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
-               AS term
-           FROM documents),
-         tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
-           FROM toks GROUP BY 1, 2),
-         dfq AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS dfn
-           FROM toks GROUP BY 1),
-         n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
-         q AS (SELECT term FROM (
-             SELECT tf.term, round(tf.tf * ln(n.n / dfq.dfn), 6) AS s
-             FROM tf JOIN dfq USING (term), n WHERE tf.doc_id = 0)
-           ORDER BY s DESC, term LIMIT 5),
-         dl AS (SELECT doc_id,
-             CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
-               AS DOUBLE) AS dl
-           FROM documents),
-         st AS (SELECT CAST(count(*) AS DOUBLE) AS nn, avg(dl) AS avgdl
-           FROM dl),
-         contrib AS (SELECT tf.doc_id,
-             ln(1 + (st.nn - dfq.dfn + 0.5) / (dfq.dfn + 0.5))
-               * (tf.tf * 2.2)
-               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS c
-           FROM q JOIN tf USING (term) JOIN dfq USING (term)
-           JOIN dl ON tf.doc_id = dl.doc_id, st),
-         z AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY 1)
-         SELECT doc_id, round(score, 6) AS bm25 FROM z
-         WHERE score > 0 AND doc_id <> 0
-         ORDER BY bm25 DESC, doc_id LIMIT 10""",
-    "agg_quantile_sketch" ->
-      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
-           TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
-         FROM lineitem""",
-    // numeric min/max render as 6dp fixed-point (the StatsStore partial
-    // type), strings as plain min/max — both engine-portable
-    "x_profile_incremental" ->
-      """SELECT col_name, n_nonnull, n_null, min_v, max_v, TRUE AS dist_ok
-         FROM (
-           SELECT 'o_custkey' AS col_name,
-             CAST(count(o_custkey) AS BIGINT) AS n_nonnull,
-             CAST(coalesce(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_null,
-             CAST(CAST(min(o_custkey) AS DECIMAL(38,6)) AS VARCHAR) AS min_v,
-             CAST(CAST(max(o_custkey) AS DECIMAL(38,6)) AS VARCHAR) AS max_v
-           FROM orders
-           UNION ALL
-           SELECT 'o_orderkey',
-             CAST(count(o_orderkey) AS BIGINT),
-             CAST(coalesce(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
-             CAST(CAST(min(o_orderkey) AS DECIMAL(38,6)) AS VARCHAR),
-             CAST(CAST(max(o_orderkey) AS DECIMAL(38,6)) AS VARCHAR)
-           FROM orders
-           UNION ALL
-           SELECT 'o_orderstatus',
-             CAST(count(o_orderstatus) AS BIGINT),
-             CAST(coalesce(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
-             CAST(min(o_orderstatus) AS VARCHAR),
-             CAST(max(o_orderstatus) AS VARCHAR)
-           FROM orders)
-         ORDER BY col_name""",
-    "x_profile" ->
-      """SELECT col_name, n_nonnull, n_null, min_v, max_v, TRUE AS dist_ok
-         FROM (
-           SELECT 'o_custkey' AS col_name,
-             CAST(count(o_custkey) AS BIGINT) AS n_nonnull,
-             CAST(coalesce(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_null,
-             CAST(min(o_custkey) AS VARCHAR) AS min_v,
-             CAST(max(o_custkey) AS VARCHAR) AS max_v
-           FROM orders
-           UNION ALL
-           SELECT 'o_orderkey',
-             CAST(count(o_orderkey) AS BIGINT),
-             CAST(coalesce(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
-             CAST(min(o_orderkey) AS VARCHAR),
-             CAST(max(o_orderkey) AS VARCHAR)
-           FROM orders
-           UNION ALL
-           SELECT 'o_orderstatus',
-             CAST(count(o_orderstatus) AS BIGINT),
-             CAST(coalesce(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
-             CAST(min(o_orderstatus) AS VARCHAR),
-             CAST(max(o_orderstatus) AS VARCHAR)
-           FROM orders)
-         ORDER BY col_name""",
-    // BooleanQuery mirror: MUST ∧ ¬MUST_NOT ∧ (should-hits ≥ msm); the
-    // indexed form shares the oracle — scan ≡ indexed is part of the gate
-    "q_bool" ->
-      """SELECT doc_id FROM (SELECT doc_id,
-           string_split(lower(text), ' ') AS w FROM documents)
-         WHERE list_contains(w, 'merge')
-           AND NOT list_contains(w, 'window')
-           AND (CASE WHEN list_contains(w, 'stream') THEN 1 ELSE 0 END
-              + CASE WHEN list_contains(w, 'scan') THEN 1 ELSE 0 END) >= 1
-         ORDER BY doc_id""",
-    "q_bool_indexed" ->
-      """SELECT doc_id FROM (SELECT doc_id,
-           string_split(lower(text), ' ') AS w FROM documents)
-         WHERE list_contains(w, 'merge')
-           AND NOT list_contains(w, 'window')
-           AND (CASE WHEN list_contains(w, 'stream') THEN 1 ELSE 0 END
-              + CASE WHEN list_contains(w, 'scan') THEN 1 ELSE 0 END) >= 1
-         ORDER BY doc_id""",
-    // the JSONL round-trip must reproduce the table; the two poison
-    // lines exist only to prove they DON'T surface here
-    "s_jsonl_scan" ->
-      """SELECT doc_id, lang, source, n_chars FROM documents
-         ORDER BY doc_id""",
-    // identical arithmetic shape: mean = s1/c, var = s2/c − mean²,
-    // z = (n − mean)/sqrt(var); // is DuckDB floor-div like Spark DIV
-    "x_spike" ->
-      """WITH hourly AS (SELECT event_type,
-             epoch_us(ts) // 3600000000 AS bucket, count(*) AS n
-           FROM events GROUP BY 1, 2),
-         t AS (SELECT event_type, bucket, n,
-             sum(n) OVER w AS s1, sum(n * n) OVER w AS s2,
-             count(*) OVER w AS c
-           FROM hourly
-           WINDOW w AS (PARTITION BY event_type ORDER BY bucket
-             RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)),
-         z AS (SELECT event_type, bucket, n,
-             CASE WHEN c >= 12
-                 AND (CAST(s2 AS DOUBLE) / c
-                   - (CAST(s1 AS DOUBLE) / c) * (CAST(s1 AS DOUBLE) / c)) > 0
-               THEN round((n - CAST(s1 AS DOUBLE) / c)
-                 / sqrt(CAST(s2 AS DOUBLE) / c
-                   - (CAST(s1 AS DOUBLE) / c) * (CAST(s1 AS DOUBLE) / c)), 6)
-               ELSE NULL END AS z
-           FROM t)
-         SELECT event_type, bucket, n, z,
-           coalesce(z >= 3.0, FALSE) AS spike
-         FROM z ORDER BY event_type, bucket""",
-    "x_quality_rank_by_source" ->
-      """SELECT doc_id, source,
-           round(percent_rank() OVER (
-             PARTITION BY source ORDER BY n_chars, doc_id), 6) AS pr
-         FROM documents ORDER BY doc_id""",
-    // registered queries as a VALUES relation; a (doc, query) pair
-    // survives when every must term hits, ≥ msm should terms hit
-    // (Lucene default: 1 when must-less, else 0; must-less saturates
-    // to ≥1), and no must_not term does
-    "q_percolate" ->
-      """WITH q(query_id, must, should, must_not, msm) AS (VALUES
-           ('alert_merge', ['merge', 'window'], CAST([] AS VARCHAR[]),
-             ['scan'], -1),
-           ('alert_stream', ['stream', 'data'], CAST([] AS VARCHAR[]),
-             CAST([] AS VARCHAR[]), -1),
-           ('alert_common', ['the'], CAST([] AS VARCHAR[]),
-             CAST([] AS VARCHAR[]), -1),
-           ('alert_topic', CAST([] AS VARCHAR[]),
-             ['merge', 'stream', 'query'], CAST([] AS VARCHAR[]), 2),
-           ('alert_any', CAST([] AS VARCHAR[]), ['window', 'scan'],
-             CAST([] AS VARCHAR[]), -1)),
-         qe AS (SELECT query_id, must, should, must_not,
-             CASE WHEN len(must) = 0
-               THEN greatest(CASE WHEN msm >= 0 THEN msm ELSE 1 END, 1)
-               ELSE CASE WHEN msm >= 0 THEN msm ELSE 0 END END AS eff
-           FROM q),
-         t AS (SELECT doc_id,
-             list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
-           FROM documents)
-         SELECT t.doc_id, qe.query_id FROM t, qe
-         WHERE len(list_filter(qe.must, m -> list_contains(t.w, m)))
-                 = len(qe.must)
-           AND len(list_filter(qe.should, m -> list_contains(t.w, m)))
-                 >= qe.eff
-           AND len(list_filter(qe.must_not, m -> list_contains(t.w, m))) = 0
-         ORDER BY doc_id, query_id""",
-    // list_position is NULL on no-match in DuckDB (0 in Spark — both
-    // filtered); 1-based inclusive list slice mirrors slice(start, len)
-    "q_highlight" ->
-      """WITH t AS (SELECT doc_id,
-             list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
-           FROM documents),
-         p AS (SELECT doc_id, w, list_position(w, 'merge') AS pos FROM t)
-         SELECT doc_id, CAST(pos AS BIGINT) AS pos,
-           array_to_string(w[greatest(1, pos - 2):least(len(w), pos + 2)],
-             ' ') AS snippet
-         FROM p WHERE pos IS NOT NULL AND pos > 0 ORDER BY doc_id""",
-    // rate derivation mirrored term-for-term (round-6 before floor pins
-    // the integer permille); md5-56 keep-set as in every sampler
-    "x_temp_sample" ->
-      """WITH s AS (SELECT source, CAST(count(*) AS DOUBLE) AS n
-           FROM documents GROUP BY 1),
-         t AS (SELECT sum(pow(n, 0.5)) AS z, sum(n) AS nn FROM s),
-         r AS (SELECT source,
-             least(1000, greatest(0, CAST(floor(round(
-               1000.0 * (0.5 * nn) * (pow(n, 0.5) / z) / n, 6))
-               AS BIGINT))) AS pm
-           FROM s, t)
-         SELECT d.doc_id, d.source FROM documents d
-         JOIN r ON d.source = r.source
-         WHERE (md5_number_lower(CAST(d.doc_id AS VARCHAR))
-           % 72057594037927936) % 1000 < r.pm
-         ORDER BY doc_id""",
-    // tokenize-rejoin-pad mirrors matchPhrase's boundary-safe normalize
-    "q_match_phrase" ->
-      """SELECT doc_id FROM (
-           SELECT doc_id,
-             ' ' || array_to_string(
-               list_filter(string_split(lower(text), ' '), x -> x <> ''),
-               ' ') || ' ' AS norm
-           FROM documents)
-         WHERE contains(norm, ' stream data ') ORDER BY doc_id""",
-    // no trailing pad: the last fragment may continue into its token;
-    // the indexed twin shares the oracle (same contract, pruned layout)
-    "q_match_phrase_prefix" ->
-      """SELECT doc_id FROM (
-           SELECT doc_id,
-             ' ' || array_to_string(
-               list_filter(string_split(lower(text), ' '), x -> x <> ''),
-               ' ') || ' ' AS norm
-           FROM documents)
-         WHERE contains(norm, ' stream da') ORDER BY doc_id""",
-    "q_phrase_prefix_indexed" ->
-      """SELECT doc_id FROM (
-           SELECT doc_id,
-             ' ' || array_to_string(
-               list_filter(string_split(lower(text), ' '), x -> x <> ''),
-               ' ') || ' ' AS norm
-           FROM documents)
-         WHERE contains(norm, ' stream da') ORDER BY doc_id""",
-    "q_term_prefix" ->
-      """SELECT doc_id FROM documents
-         WHERE len(list_filter(string_split(lower(text), ' '),
-           x -> starts_with(x, 'merg'))) > 0
-         ORDER BY doc_id""",
-    // glob m?rge* ≡ anchored regex m.rge.* (full-token match)
-    "q_wildcard" ->
-      """SELECT doc_id FROM documents
-         WHERE len(list_filter(string_split(lower(text), ' '),
-           x -> regexp_full_match(x, 'm.rge.*'))) > 0
-         ORDER BY doc_id""",
-    // indexed wildcard ≡ the scan-form membership
-    "q_wildcard_indexed" ->
-      """SELECT doc_id FROM documents
-         WHERE len(list_filter(string_split(lower(text), ' '),
-           x -> regexp_full_match(x, 'm.rge.*'))) > 0
-         ORDER BY doc_id""",
-    "q_regex" ->
-      """SELECT doc_id FROM documents
-         WHERE len(list_filter(string_split(lower(text), ' '),
-           x -> regexp_full_match(x, '(scan|merge)s?'))) > 0
-         ORDER BY doc_id""",
-    // indexed prefix ≡ the scan-form membership
-    "q_prefix_indexed" ->
-      """SELECT doc_id FROM documents
-         WHERE len(list_filter(string_split(lower(text), ' '),
-           x -> starts_with(x, 'merg'))) > 0
-         ORDER BY doc_id""",
-    // vocabulary-scan fuzzy ≡ per-token scan form
-    "q_fuzzy_indexed" ->
-      """SELECT doc_id FROM documents
-         WHERE len(list_filter(string_split(lower(text), ' '),
-           x -> x <> '' AND levenshtein(x, 'mergs') <= 1)) > 0
-         ORDER BY doc_id""",
-    // the live incremental view nets out to the full corpus (bogus
-    // phrase-bearing doc tombstoned) — scan-form membership oracle
-    "x_phrase_incremental" ->
-      """SELECT doc_id FROM (
-           SELECT doc_id,
-             ' ' || array_to_string(
-               list_filter(string_split(lower(text), ' '), x -> x <> ''),
-               ' ') || ' ' AS norm
-           FROM documents)
-         WHERE contains(norm, ' stream data ') ORDER BY doc_id""",
-    // indexed phrase search ≡ the scan-form membership
-    "q_phrase_indexed" ->
-      """SELECT doc_id FROM (
-           SELECT doc_id,
-             ' ' || array_to_string(
-               list_filter(string_split(lower(text), ' '), x -> x <> ''),
-               ' ') || ' ' AS norm
-           FROM documents)
-         WHERE contains(norm, ' stream data ') ORDER BY doc_id""",
-    "q_match_all" ->
-      """SELECT doc_id, source FROM documents ORDER BY doc_id""",
-    "p_documents" ->
-      """WITH f AS (
-           SELECT CAST(doc_id AS VARCHAR) AS _id, 'doc_id' AS fname,
-                  CAST(doc_id AS VARCHAR) AS fval FROM documents
-           UNION ALL SELECT CAST(doc_id AS VARCHAR), 'text', text FROM documents
-           UNION ALL SELECT CAST(doc_id AS VARCHAR), 'lang', lang FROM documents
-           UNION ALL SELECT CAST(doc_id AS VARCHAR), 'origin', source FROM documents)
-         SELECT _id, fname, fval FROM f ORDER BY _id, fname""",
-    "x_dedup_exact" ->
-      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
-         FROM documents GROUP BY text ORDER BY keep_id""",
-    // winnowing: same shingle family as x_dedup_ngram, md5-56 hashes,
-    // min per 4-window, per-doc distinct
-    "x_winnowing" ->
-      """WITH t AS (SELECT doc_id,
-             list_filter(string_split(text, ' '), x -> x <> '') AS wd
-           FROM documents),
-         sh AS (SELECT doc_id,
-             CASE WHEN len(wd) < 3 THEN [array_to_string(wd, ' ')]
-               ELSE list_transform(range(1, len(wd) - 1),
-                 i -> wd[i] || ' ' || wd[i+1] || ' ' || wd[i+2]) END AS gs
-           FROM t),
-         h AS (SELECT doc_id, list_transform(gs,
-             g -> CAST(md5_number_lower(g) % 72057594037927936
-               AS BIGINT)) AS hs
-           FROM sh),
-         f AS (SELECT doc_id,
-             CASE WHEN len(hs) < 4 THEN [list_min(hs)]
-               ELSE list_distinct(list_transform(
-                 range(1, len(hs) - 4 + 2),
-                 i -> list_min(hs[i:i+3]))) END AS fps
-           FROM h)
-         SELECT doc_id, unnest(fps) AS fingerprint FROM f
-         ORDER BY doc_id, fingerprint""",
-    // soft dedup: planted duplicate clusters weigh 1/n each
-    "x_dedup_soft" ->
-      """WITH p AS (SELECT doc_id, text FROM documents
-           UNION ALL SELECT doc_id + 10000000, text FROM documents
-           WHERE doc_id % 10 = 0),
-         c AS (SELECT text, count(*) AS n FROM p GROUP BY text)
-         SELECT p.doc_id, c.n AS cluster_size,
-           round(1.0::DOUBLE / c.n, 6) AS weight
-         FROM p JOIN c ON p.text = c.text ORDER BY p.doc_id""",
-    // duplicate spans: df>=2 5-gram positions folded into maximal runs
-    // (gaps-and-islands), span text sliced from the token array
-    "x_dedup_spans" ->
-      """WITH t AS (SELECT doc_id,
-             list_filter(string_split(text, ' '), x -> x <> '') AS w
-           FROM documents),
-         posu AS (SELECT doc_id, len(w) AS n, w,
-             unnest(generate_series(0, greatest(len(w) - 5, 0))) AS pos
-           FROM t WHERE len(w) > 0),
-         shing AS (SELECT doc_id, n, pos,
-             CASE WHEN n < 5 THEN array_to_string(w, ' ')
-                  ELSE array_to_string(w[pos + 1 : pos + 5], ' ')
-             END AS sh
-           FROM posu),
-         dup AS (SELECT sh FROM (SELECT sh, count(DISTINCT doc_id) AS c
-             FROM shing GROUP BY sh) WHERE c >= 2),
-         hits AS (SELECT s.doc_id, s.n, s.pos
-           FROM shing s JOIN dup USING (sh)),
-         runs AS (SELECT doc_id, n, pos,
-             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
-               AS grp
-           FROM hits),
-         agg AS (SELECT doc_id, any_value(n) AS n,
-             min(pos) AS span_start,
-             max(pos) - min(pos) + 5 AS rawlen
-           FROM runs GROUP BY doc_id, grp)
-         SELECT a.doc_id AS doc_id,
-           CAST(span_start AS INT) AS span_start,
-           CAST(least(rawlen, n - span_start) AS INT) AS span_tokens,
-           array_to_string(
-             w[span_start + 1 : span_start + least(rawlen, n - span_start)],
-             ' ') AS span_text
-         FROM agg a JOIN t USING (doc_id)
-         ORDER BY doc_id, span_start""",
-    "x_dedup_ngram" ->
-      """WITH sh AS (SELECT DISTINCT doc_id, g FROM (
-             SELECT doc_id, unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-               ELSE list_transform(range(1, len(w)-1),
-               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS g
-             FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents))),
-         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-             FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
-             GROUP BY 1, 2)
-         SELECT id_a, id_b,
-           CAST(common AS DOUBLE) / (ca.n + cb.n - common) AS jaccard
-         FROM pairs
-         JOIN cnt ca ON ca.doc_id = id_a
-         JOIN cnt cb ON cb.doc_id = id_b
-         WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.5
-         ORDER BY id_a, id_b""",
-    // containment normalizes by the SMALLER shingle set
-    "x_dedup_containment" ->
-      """WITH sh AS (SELECT DISTINCT doc_id, g FROM (
-             SELECT doc_id, unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-               ELSE list_transform(range(1, len(w)-1),
-               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS g
-             FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents))),
-         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             count(*) AS common
-           FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
-           GROUP BY 1, 2),
-         j AS (SELECT id_a, id_b, common, ca.n AS na, cb.n AS nb
-           FROM pairs
-           JOIN cnt ca ON ca.doc_id = id_a
-           JOIN cnt cb ON cb.doc_id = id_b)
-         SELECT CASE WHEN na <= nb THEN id_a ELSE id_b END AS id_small,
-           CASE WHEN na <= nb THEN id_b ELSE id_a END AS id_big,
-           round(CAST(common AS DOUBLE) / least(na, nb), 6) AS containment
-         FROM j
-         WHERE round(CAST(common AS DOUBLE) / least(na, nb), 6) >= 0.3
-         ORDER BY id_small, id_big""",
-    "x_dedup_clusters" ->
-      """WITH RECURSIVE
-         sh AS (SELECT DISTINCT doc_id, g FROM (
-             SELECT doc_id, unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-               ELSE list_transform(range(1, len(w)-1),
-               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS g
-             FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents))),
-         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-             FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
-             GROUP BY 1, 2),
-         pairs AS (SELECT id_a, id_b FROM p
-             JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
-             WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.5),
-         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-             UNION SELECT id_b, id_a FROM pairs),
-         walk(id, reach) AS (
-             SELECT doc_id, doc_id FROM documents
-             UNION
-             SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src)
-         SELECT id, min(reach) AS root FROM walk GROUP BY id ORDER BY id""",
-    // the same recursive walk, extended with per-cluster token ranking
-    "x_cluster_labels" ->
-      """WITH RECURSIVE
-         sh AS (SELECT DISTINCT doc_id, g FROM (
-             SELECT doc_id, unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-               ELSE list_transform(range(1, len(w)-1),
-               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS g
-             FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents))),
-         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-             FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
-             GROUP BY 1, 2),
-         pairs AS (SELECT id_a, id_b FROM p
-             JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
-             WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.5),
-         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-             UNION SELECT id_b, id_a FROM pairs),
-         walk(id, reach) AS (
-             SELECT doc_id, doc_id FROM documents
-             UNION
-             SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src),
-         roots AS (SELECT id, min(reach) AS root FROM walk GROUP BY id),
-         sizes AS (SELECT root, count(*) AS n_docs FROM roots
-             GROUP BY root HAVING count(*) >= 2),
-         tok AS (SELECT r.root, s.n_docs,
-             unnest(list_filter(string_split(lower(d.text), ' '),
-               x -> x <> '')) AS term
-           FROM roots r
-           JOIN sizes s ON s.root = r.root
-           JOIN documents d ON d.doc_id = r.id),
-         tf AS (SELECT root, n_docs, term, count(*) AS term_count
-             FROM tok GROUP BY 1, 2, 3),
-         rk AS (SELECT root, n_docs, term, term_count,
-             row_number() OVER (PARTITION BY root
-               ORDER BY term_count DESC, term) AS rk
-           FROM tf)
-         SELECT root AS cluster_id, n_docs, term, term_count, rk
-         FROM rk WHERE rk <= 3 ORDER BY cluster_id, rk""",
-    // the identical closed form unrolled: r_{t+1}(v) = (1-d)/n +
-    // d·Σ r_t(u)/outdeg(u) over in-edges, five iterations
-    "x_pagerank" ->
-      """WITH nn AS (SELECT CAST(count(*) AS DOUBLE) AS n,
-             count(*) AS ni FROM documents),
-         e AS (SELECT doc_id AS src,
-             (doc_id * 7 + 1) % (SELECT ni FROM nn) AS dst FROM documents
-           UNION ALL
-           SELECT doc_id, (doc_id * 13 + 5) % (SELECT ni FROM nn)
-             FROM documents),
-         deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg
-           FROM e GROUP BY src),
-         r0 AS (SELECT doc_id AS id, 1.0 / (SELECT n FROM nn) AS r
-           FROM documents),
-         r1 AS (SELECT d.doc_id AS id, (1 - 0.85) / (SELECT n FROM nn)
-             + 0.85 * coalesce(sum(p.r / deg.outdeg), 0) AS r
-           FROM documents d
-           LEFT JOIN e ON e.dst = d.doc_id
-           LEFT JOIN r0 p ON p.id = e.src
-           LEFT JOIN deg ON deg.src = e.src
-           GROUP BY d.doc_id),
-         r2 AS (SELECT d.doc_id AS id, (1 - 0.85) / (SELECT n FROM nn)
-             + 0.85 * coalesce(sum(p.r / deg.outdeg), 0) AS r
-           FROM documents d
-           LEFT JOIN e ON e.dst = d.doc_id
-           LEFT JOIN r1 p ON p.id = e.src
-           LEFT JOIN deg ON deg.src = e.src
-           GROUP BY d.doc_id),
-         r3 AS (SELECT d.doc_id AS id, (1 - 0.85) / (SELECT n FROM nn)
-             + 0.85 * coalesce(sum(p.r / deg.outdeg), 0) AS r
-           FROM documents d
-           LEFT JOIN e ON e.dst = d.doc_id
-           LEFT JOIN r2 p ON p.id = e.src
-           LEFT JOIN deg ON deg.src = e.src
-           GROUP BY d.doc_id),
-         r4 AS (SELECT d.doc_id AS id, (1 - 0.85) / (SELECT n FROM nn)
-             + 0.85 * coalesce(sum(p.r / deg.outdeg), 0) AS r
-           FROM documents d
-           LEFT JOIN e ON e.dst = d.doc_id
-           LEFT JOIN r3 p ON p.id = e.src
-           LEFT JOIN deg ON deg.src = e.src
-           GROUP BY d.doc_id),
-         r5 AS (SELECT d.doc_id AS id, (1 - 0.85) / (SELECT n FROM nn)
-             + 0.85 * coalesce(sum(p.r / deg.outdeg), 0) AS r
-           FROM documents d
-           LEFT JOIN e ON e.dst = d.doc_id
-           LEFT JOIN r4 p ON p.id = e.src
-           LEFT JOIN deg ON deg.src = e.src
-           GROUP BY d.doc_id)
-         SELECT id, round(r, 8) AS rank FROM r5 ORDER BY id""",
-    // the personalized teleport unrolled: mass lands only on the topic
-    // (lang='de') slice, |T| the teleport denominator
-    "x_pagerank_topic" ->
-      """WITH nn AS (SELECT count(*) AS ni,
-             CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS DOUBLE)
-               AS t
-           FROM documents),
-         e AS (SELECT doc_id AS src,
-             (doc_id * 7 + 1) % (SELECT ni FROM nn) AS dst FROM documents
-           UNION ALL
-           SELECT doc_id, (doc_id * 13 + 5) % (SELECT ni FROM nn)
-             FROM documents),
-         deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg
-           FROM e GROUP BY src),
-         r0 AS (SELECT doc_id AS id, CASE WHEN lang = 'de'
-             THEN 1.0 / (SELECT t FROM nn) ELSE 0.0 END AS r
-           FROM documents),
-         r1 AS (SELECT d.doc_id AS id, CASE WHEN d.lang = 'de'
-             THEN (1 - 0.85) / (SELECT t FROM nn) ELSE 0.0 END
-             + 0.85 * coalesce(sum(p.r / deg.outdeg), 0) AS r
-           FROM documents d
-           LEFT JOIN e ON e.dst = d.doc_id
-           LEFT JOIN r0 p ON p.id = e.src
-           LEFT JOIN deg ON deg.src = e.src
-           GROUP BY d.doc_id, d.lang),
-         r2 AS (SELECT d.doc_id AS id, CASE WHEN d.lang = 'de'
-             THEN (1 - 0.85) / (SELECT t FROM nn) ELSE 0.0 END
-             + 0.85 * coalesce(sum(p.r / deg.outdeg), 0) AS r
-           FROM documents d
-           LEFT JOIN e ON e.dst = d.doc_id
-           LEFT JOIN r1 p ON p.id = e.src
-           LEFT JOIN deg ON deg.src = e.src
-           GROUP BY d.doc_id, d.lang),
-         r3 AS (SELECT d.doc_id AS id, CASE WHEN d.lang = 'de'
-             THEN (1 - 0.85) / (SELECT t FROM nn) ELSE 0.0 END
-             + 0.85 * coalesce(sum(p.r / deg.outdeg), 0) AS r
-           FROM documents d
-           LEFT JOIN e ON e.dst = d.doc_id
-           LEFT JOIN r2 p ON p.id = e.src
-           LEFT JOIN deg ON deg.src = e.src
-           GROUP BY d.doc_id, d.lang),
-         r4 AS (SELECT d.doc_id AS id, CASE WHEN d.lang = 'de'
-             THEN (1 - 0.85) / (SELECT t FROM nn) ELSE 0.0 END
-             + 0.85 * coalesce(sum(p.r / deg.outdeg), 0) AS r
-           FROM documents d
-           LEFT JOIN e ON e.dst = d.doc_id
-           LEFT JOIN r3 p ON p.id = e.src
-           LEFT JOIN deg ON deg.src = e.src
-           GROUP BY d.doc_id, d.lang),
-         r5 AS (SELECT d.doc_id AS id, CASE WHEN d.lang = 'de'
-             THEN (1 - 0.85) / (SELECT t FROM nn) ELSE 0.0 END
-             + 0.85 * coalesce(sum(p.r / deg.outdeg), 0) AS r
-           FROM documents d
-           LEFT JOIN e ON e.dst = d.doc_id
-           LEFT JOIN r4 p ON p.id = e.src
-           LEFT JOIN deg ON deg.src = e.src
-           GROUP BY d.doc_id, d.lang)
-         SELECT id, round(r, 8) AS rank FROM r5 ORDER BY id""",
-
-    // BFS as a recursive CTE: UNION dedupe + the hop bound terminate it;
-    // min(dist) is the first-reach distance
-    "x_shortest_path" ->
-      """WITH RECURSIVE
-         nn AS (SELECT count(*) AS n FROM documents),
-         e AS (SELECT doc_id AS src,
-             (doc_id * 7 + 1) % (SELECT n FROM nn) AS dst FROM documents
-           UNION ALL
-           SELECT doc_id, (doc_id * 13 + 5) % (SELECT n FROM nn)
-             FROM documents),
-         b(id, dist) AS (
-           SELECT doc_id, CAST(0 AS BIGINT) FROM documents
-           WHERE doc_id % 97 = 0
-           UNION
-           SELECT e.dst, b.dist + 1 FROM b JOIN e ON e.src = b.id
-           WHERE b.dist < 6)
-         SELECT id, min(dist) AS dist FROM b GROUP BY id ORDER BY id""",
-
-    // each triangle a<b<c counted once: wedge at a, closure on (b,c)
-    "x_triangle_count" ->
-      """WITH nn AS (SELECT count(*) AS n FROM documents),
-         ed AS (SELECT doc_id AS src,
-             (doc_id * doc_id + 3) % (SELECT n FROM nn) AS dst
-           FROM documents
-           UNION ALL
-           SELECT doc_id, (doc_id * 7 + 1) % (SELECT n FROM nn)
-             FROM documents),
-         u AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-           FROM ed WHERE src <> dst)
-         SELECT count(*) AS n_triangles
-         FROM u e1
-         JOIN u e2 ON e2.a = e1.a AND e2.b > e1.b
-         JOIN u e3 ON e3.a = e1.b AND e3.b = e2.b""",
-
-    // left join keeps zero-in-degree nodes at degree 0
-    "x_degree_dist" ->
-      """WITH nn AS (SELECT count(*) AS n FROM documents),
-         ind AS (SELECT (doc_id * doc_id + 3) % (SELECT n FROM nn) AS id
-           FROM documents),
-         cnt AS (SELECT d.doc_id AS id, count(i.id) AS degree
-           FROM documents d LEFT JOIN ind i ON i.id = d.doc_id
-           GROUP BY 1)
-         SELECT degree, count(*) AS n_nodes FROM cnt
-         GROUP BY 1 ORDER BY 1""",
-
-    // walk steps unrolled; md5_56 neighbor choice mirrored exactly
-    "x_random_walk" ->
-      """WITH nn AS (SELECT count(*) AS n FROM documents),
-         e AS (SELECT DISTINCT src, dst FROM (
-             SELECT doc_id AS src,
-               (doc_id * 7 + 1) % (SELECT n FROM nn) AS dst
-             FROM documents
-             UNION ALL
-             SELECT doc_id, (doc_id * 13 + 5) % (SELECT n FROM nn)
-               FROM documents)),
-         rk AS (SELECT src, dst,
-             CAST(row_number() OVER (PARTITION BY src ORDER BY dst)
-               AS BIGINT) - 1 AS rk,
-             count(*) OVER (PARTITION BY src) AS deg FROM e),
-         w0 AS (SELECT doc_id AS start, doc_id AS node FROM documents
-           WHERE doc_id % 97 = 0),
-         w1 AS (SELECT w.start, r.dst AS node FROM w0 w JOIN rk r
-           ON r.src = w.node
-           AND r.rk = (md5_number_lower(CAST(w.start AS VARCHAR) || ':1')
-             % 72057594037927936) % r.deg),
-         w2 AS (SELECT w.start, r.dst AS node FROM w1 w JOIN rk r
-           ON r.src = w.node
-           AND r.rk = (md5_number_lower(CAST(w.start AS VARCHAR) || ':2')
-             % 72057594037927936) % r.deg),
-         w3 AS (SELECT w.start, r.dst AS node FROM w2 w JOIN rk r
-           ON r.src = w.node
-           AND r.rk = (md5_number_lower(CAST(w.start AS VARCHAR) || ':3')
-             % 72057594037927936) % r.deg),
-         w4 AS (SELECT w.start, r.dst AS node FROM w3 w JOIN rk r
-           ON r.src = w.node
-           AND r.rk = (md5_number_lower(CAST(w.start AS VARCHAR) || ':4')
-             % 72057594037927936) % r.deg)
-         SELECT start, 0 AS step, node FROM w0
-         UNION ALL SELECT start, 1, node FROM w1
-         UNION ALL SELECT start, 2, node FROM w2
-         UNION ALL SELECT start, 3, node FROM w3
-         UNION ALL SELECT start, 4, node FROM w4
-         ORDER BY start, step, node""",
-
-    // HITS unrolled: per layer, 12dp-rounded decimal propagation sums,
-    // exact decimal L1 normalizer, one double division — the operator's
-    // arithmetic mirrored term for term
-    "x_hits" ->
-      """WITH nn AS (SELECT count(*) AS ni FROM documents),
-         nd AS (SELECT CAST(ni AS DOUBLE) AS n FROM nn),
-         e AS (SELECT doc_id AS src,
-             (doc_id * doc_id + 3) % (SELECT ni FROM nn) AS dst
-           FROM documents
-           UNION ALL
-           SELECT doc_id, (doc_id * 7 + 1) % (SELECT ni FROM nn)
-             FROM documents),
-         h0 AS (SELECT doc_id AS id, 1.0 / (SELECT n FROM nd) AS v
-           FROM documents),
-         a1r AS (SELECT e.dst AS id,
-             sum(CAST(round(h0.v, 12) AS DECIMAL(26,12))) AS r
-           FROM e JOIN h0 ON h0.id = e.src GROUP BY e.dst),
-         a1t AS (SELECT sum(r) AS t FROM a1r),
-         a1 AS (SELECT d.doc_id AS id,
-             coalesce(CAST(a1r.r AS DOUBLE)
-               / CAST((SELECT t FROM a1t) AS DOUBLE), 0.0) AS v
-           FROM documents d LEFT JOIN a1r ON a1r.id = d.doc_id),
-         h1r AS (SELECT e.src AS id,
-             sum(CAST(round(a1.v, 12) AS DECIMAL(26,12))) AS r
-           FROM e JOIN a1 ON a1.id = e.dst GROUP BY e.src),
-         h1t AS (SELECT sum(r) AS t FROM h1r),
-         h1 AS (SELECT d.doc_id AS id,
-             coalesce(CAST(h1r.r AS DOUBLE)
-               / CAST((SELECT t FROM h1t) AS DOUBLE), 0.0) AS v
-           FROM documents d LEFT JOIN h1r ON h1r.id = d.doc_id),
-         a2r AS (SELECT e.dst AS id,
-             sum(CAST(round(h1.v, 12) AS DECIMAL(26,12))) AS r
-           FROM e JOIN h1 ON h1.id = e.src GROUP BY e.dst),
-         a2t AS (SELECT sum(r) AS t FROM a2r),
-         a2 AS (SELECT d.doc_id AS id,
-             coalesce(CAST(a2r.r AS DOUBLE)
-               / CAST((SELECT t FROM a2t) AS DOUBLE), 0.0) AS v
-           FROM documents d LEFT JOIN a2r ON a2r.id = d.doc_id),
-         h2r AS (SELECT e.src AS id,
-             sum(CAST(round(a2.v, 12) AS DECIMAL(26,12))) AS r
-           FROM e JOIN a2 ON a2.id = e.dst GROUP BY e.src),
-         h2t AS (SELECT sum(r) AS t FROM h2r),
-         h2 AS (SELECT d.doc_id AS id,
-             coalesce(CAST(h2r.r AS DOUBLE)
-               / CAST((SELECT t FROM h2t) AS DOUBLE), 0.0) AS v
-           FROM documents d LEFT JOIN h2r ON h2r.id = d.doc_id)
-         SELECT a2.id, round(a2.v, 8) AS auth, round(h2.v, 8) AS hub
-         FROM a2 JOIN h2 ON h2.id = a2.id ORDER BY a2.id""",
-    "x_dedup_passages" ->
-      """WITH t AS (SELECT doc_id,
-             list_filter(string_split(text, ' '), x -> x <> '') AS w
-           FROM documents),
-         u AS (SELECT doc_id, len(w) AS n, w, unnest(range(0, len(w), 10)) AS s
-           FROM t WHERE len(w) > 0),
-         f AS (SELECT doc_id, CAST(s // 10 AS INT) AS chunk_id,
-             array_to_string(w[s+1:s+10], ' ') AS chunk_text,
-             md5(array_to_string(w[s+1:s+10], ' ')) AS fp
-           FROM u),
-         r AS (SELECT doc_id, chunk_id, chunk_text,
-             row_number() OVER (PARTITION BY fp
-               ORDER BY doc_id, chunk_id) AS rk
-           FROM f),
-         kept AS (SELECT doc_id, count(*) AS n_kept,
-             string_agg(chunk_text, ' ' ORDER BY chunk_id) AS dedup_text
-           FROM r WHERE rk = 1 GROUP BY doc_id),
-         tot AS (SELECT doc_id, count(*) AS n_passages FROM f GROUP BY doc_id)
-         SELECT t.doc_id, t.n_passages, COALESCE(k.n_kept, 0) AS n_kept,
-           COALESCE(k.dedup_text, '') AS dedup_text
-         FROM tot t LEFT JOIN kept k USING (doc_id) ORDER BY t.doc_id""",
-    "x_dedup_keep_best" ->
-      """WITH f AS (SELECT doc_id, n_chars,
-             md5(array_to_string(list_sort(list_distinct(
-               string_split(lower(text), ' '))), ' ')) AS cluster
-           FROM documents),
-         r AS (SELECT cluster, doc_id, n_chars,
-             row_number() OVER (PARTITION BY cluster
-               ORDER BY n_chars DESC, doc_id) AS rk,
-             count(*) OVER (PARTITION BY cluster) AS n_members
-           FROM f)
-         SELECT cluster, doc_id, n_chars, n_members FROM r
-         WHERE rk = 1 ORDER BY cluster""",
-    "x_dedup_embed" ->
-      """WITH z AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                    CAST(b.embedding AS DOUBLE[])) AS c
-           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
-         SELECT id_a, id_b, round(c, 6) AS cosine FROM z
-         WHERE c >= 0.4 ORDER BY id_a, id_b""",
-    // pruning may never change the answer: same oracle as x_dedup_embed
-    "x_dedup_embed_pruned" ->
-      """WITH z AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                    CAST(b.embedding AS DOUBLE[])) AS c
-           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
-         SELECT id_a, id_b, round(c, 6) AS cosine FROM z
-         WHERE c >= 0.4 ORDER BY id_a, id_b""",
-    // min-label reachability over the exact pair graph (the
-    // x_dedup_clusters walk, on cosine edges)
-    "x_dedup_embed_clusters" ->
-      """WITH RECURSIVE
-         z AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
-             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                     CAST(b.embedding AS DOUBLE[])) >= 0.4),
-         edges AS (SELECT id_a AS src, id_b AS dst FROM z
-             UNION SELECT id_b, id_a FROM z),
-         walk(id, reach) AS (
-             SELECT vec_id, vec_id FROM embeddings
-             UNION
-             SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src)
-         SELECT id, min(reach) AS root FROM walk GROUP BY id ORDER BY id""",
-    "x_hybrid" ->
-      """WITH tt AS (SELECT doc_id,
-             row_number() OVER (ORDER BY score DESC, doc_id) AS r_text
-           FROM (SELECT doc_id,
-               len(list_filter(string_split(lower(text), ' '), w -> w = 'merge'))
-               + len(list_filter(string_split(lower(text), ' '), w -> w = 'window'))
-               + len(list_filter(string_split(lower(text), ' '), w -> w = 'scan'))
-                 AS score
-             FROM documents) t
-           WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 50),
-         q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
-           WHERE vec_id = 0),
-         vt AS (SELECT doc_id,
-             row_number() OVER (ORDER BY c DESC, doc_id) AS r_vec
-           FROM (SELECT vec_id AS doc_id,
-               list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv) AS c
-             FROM embeddings, q) z
-           ORDER BY c DESC, doc_id LIMIT 50),
-         f AS (SELECT COALESCE(tt.doc_id, vt.doc_id) AS doc_id,
-             COALESCE(CAST(1 AS DOUBLE) / (60 + r_text), 0)
-               + COALESCE(CAST(1 AS DOUBLE) / (60 + r_vec), 0) AS rrf
-           FROM tt FULL OUTER JOIN vt ON tt.doc_id = vt.doc_id)
-         SELECT doc_id, round(rrf, 9) AS rrf FROM f
-         ORDER BY rrf DESC, doc_id LIMIT 10""",
-    // min-max within each top-50 window, 0.7/0.3 weighted sum; vec leg
-    // cut and normalized on the rounded cosine
-    "q_hybrid_linear" ->
-      """WITH tt AS (SELECT doc_id, CAST(score AS DOUBLE) AS st
-           FROM (SELECT doc_id,
-               len(list_filter(string_split(lower(text), ' '), w -> w = 'merge'))
-               + len(list_filter(string_split(lower(text), ' '), w -> w = 'window'))
-               + len(list_filter(string_split(lower(text), ' '), w -> w = 'scan'))
-                 AS score
-             FROM documents) t
-           WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 50),
-         ts AS (SELECT min(st) AS tmn, max(st) AS tmx FROM tt),
-         tn AS (SELECT doc_id, CASE WHEN tmx > tmn
-             THEN round((st - tmn) / (tmx - tmn), 6) ELSE 1.0 END AS nt
-           FROM tt, ts),
-         q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
-           WHERE vec_id = 0),
-         vt AS (SELECT vec_id AS doc_id,
-             round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv),
-               6) AS c
-           FROM embeddings, q
-           ORDER BY c DESC, doc_id LIMIT 50),
-         vs AS (SELECT min(c) AS vmn, max(c) AS vmx FROM vt),
-         vn AS (SELECT doc_id, CASE WHEN vmx > vmn
-             THEN round((c - vmn) / (vmx - vmn), 6) ELSE 1.0 END AS nv
-           FROM vt, vs)
-         SELECT COALESCE(tn.doc_id, vn.doc_id) AS doc_id,
-           round(0.7 * COALESCE(nt, 0.0) + 0.3 * COALESCE(nv, 0.0), 6)
-             AS score
-         FROM tn FULL OUTER JOIN vn ON tn.doc_id = vn.doc_id
-         ORDER BY score DESC, doc_id LIMIT 10""",
-
-    "x_maxsim" ->
-      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
-           FROM embeddings WHERE vec_id < 3),
-         z AS (SELECT e.label, q.qid,
-             max(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv))
-               AS m
-           FROM embeddings e, q GROUP BY e.label, q.qid)
-         SELECT label,
-           CAST(sum(CAST(round(m, 6) AS DECIMAL(16,6))) AS DOUBLE) AS maxsim
-         FROM z GROUP BY label ORDER BY label""",
-    // same fusion as x_hybrid, but the text leg is BM25 (the indexed
-    // scorer ranks by the round-6 score, so the rank here does too)
-    "x_hybrid_indexed" ->
-      """WITH t AS (SELECT doc_id,
-             CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
-               AS DOUBLE) AS dl,
-             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'merge'))
-               AS DOUBLE) AS tf0,
-             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'window'))
-               AS DOUBLE) AS tf1,
-             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'scan'))
-               AS DOUBLE) AS tf2
-           FROM documents),
-         s AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
-             CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
-             CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
-             CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
-           FROM t),
-         z AS (SELECT doc_id,
-             ln(1 + (n - df0 + 0.5) / (df0 + 0.5))
-               * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-             + ln(1 + (n - df1 + 0.5) / (df1 + 0.5))
-               * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-             + ln(1 + (n - df2 + 0.5) / (df2 + 0.5))
-               * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-               AS score
-           FROM t, s),
-         tt AS (SELECT doc_id,
-             row_number() OVER (ORDER BY round(score, 6) DESC, doc_id)
-               AS r_text
-           FROM z WHERE score > 0
-           ORDER BY round(score, 6) DESC, doc_id LIMIT 50),
-         q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
-           WHERE vec_id = 0),
-         vt AS (SELECT doc_id,
-             row_number() OVER (ORDER BY c DESC, doc_id) AS r_vec
-           FROM (SELECT vec_id AS doc_id,
-               list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv) AS c
-             FROM embeddings, q) z2
-           ORDER BY c DESC, doc_id LIMIT 50),
-         f AS (SELECT COALESCE(tt.doc_id, vt.doc_id) AS doc_id,
-             COALESCE(CAST(1 AS DOUBLE) / (60 + r_text), 0)
-               + COALESCE(CAST(1 AS DOUBLE) / (60 + r_vec), 0) AS rrf
-           FROM tt FULL OUTER JOIN vt ON tt.doc_id = vt.doc_id)
-         SELECT doc_id, round(rrf, 9) AS rrf FROM f
-         ORDER BY rrf DESC, doc_id LIMIT 10""",
-    "x_quantize" ->
-      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
-             list_max(list_transform(embedding,
-               x -> abs(CAST(x AS DOUBLE)))) AS m
-           FROM embeddings),
-         dq AS (SELECT vec_id, e,
-             CASE WHEN m = 0 THEN list_transform(e, x -> 0.0)
-             ELSE list_transform(e, x ->
-               GREATEST(LEAST(floor(x / (m / 127.0) + 0.5), 127.0), -127.0)
-                 * (m / 127.0)) END AS d
-           FROM base),
-         q AS (SELECT d AS qd FROM dq WHERE vec_id = 0),
-         z AS (SELECT vec_id, list_cosine_similarity(d, qd) AS c,
-             list_cosine_similarity(e, d) AS f
-           FROM dq, q)
-         SELECT vec_id, round(c, 6) AS q_cosine, round(f, 6) AS fidelity
-         FROM z ORDER BY c DESC, vec_id LIMIT 10""",
-    // the appended index, fully probed, is exact — same oracle as the
-    // brute-force top-k
-    "x_sim_ivf_append" ->
-      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-         z AS (SELECT vec_id,
-             list_cosine_similarity(CAST(embedding AS DOUBLE[]),
-                                    CAST(qv AS DOUBLE[])) AS c
-           FROM embeddings, q)
-         SELECT vec_id, round(c, 6) AS cosine FROM z
-         ORDER BY c DESC, vec_id LIMIT 10""",
-    // survivors of the upsert/delete history: ids >=30 with original
-    // vectors, ids <10 with the re-upserted (negated) vectors; full
-    // probe is exact over that corpus
-    "x_sim_ivf_upsert" ->
-      """WITH corpus AS (
-           SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 30
-           UNION ALL
-           SELECT vec_id, list_transform(embedding, x -> -x) AS embedding
-           FROM embeddings WHERE vec_id < 10),
-         q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-         z AS (SELECT vec_id,
-             list_cosine_similarity(CAST(embedding AS DOUBLE[]),
-                                    CAST(qv AS DOUBLE[])) AS c
-           FROM corpus, q)
-         SELECT vec_id, round(c, 6) AS cosine FROM z
-         ORDER BY c DESC, vec_id LIMIT 10""",
-    // two deltas touch ids [0,60): 50 re-upserted, 10 deleted; base =
-    // full corpus, live = base − 10; compaction recommendation is the
-    // deterministic threshold form (n_deltas ≥ 8 or touched ≥ 20% of base)
-    "x_postings_stats" ->
-      """SELECT CAST(count(*) - 10 AS BIGINT) AS n_live_docs,
-           CAST(count(*) AS BIGINT) AS n_base_docs,
-           CAST(60 AS BIGINT) AS n_touched_docs,
-           CAST(10 AS BIGINT) AS n_tombstones,
-           CAST(2 AS BIGINT) AS n_deltas,
-           (2 >= 8 OR 60 >= 0.2 * count(*)) AS compact_recommended
-         FROM documents""",
-    // live count after supersede(<20) + delete(<5); k=8 cells; one
-    // upsert + one delete pending in the commit log
-    "x_sim_ivf_stats" ->
-      """SELECT CAST(count(*) AS BIGINT) AS n_vectors,
-           CAST(8 AS BIGINT) AS n_cells,
-           TRUE AS skew_ok, TRUE AS max_consistent,
-           CAST(2 AS BIGINT) AS n_pending_commits
-         FROM embeddings WHERE embedding IS NOT NULL AND vec_id >= 5""",
-    "x_sim_topk" ->
-      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-         z AS (SELECT vec_id,
-             list_cosine_similarity(CAST(embedding AS DOUBLE[]),
-                                    CAST(qv AS DOUBLE[])) AS c
-           FROM embeddings, q)
-         SELECT vec_id, round(c, 6) AS cosine FROM z
-         ORDER BY c DESC, vec_id LIMIT 10""",
-    // the PQ ADC pool + exact rescore must BE the exact answer — the
-    // x_sim_quantized convention, query vec 1
-    "x_sim_pq" ->
-      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
-         z AS (SELECT vec_id,
-             list_cosine_similarity(CAST(embedding AS DOUBLE[]),
-                                    CAST(qv AS DOUBLE[])) AS c
-           FROM embeddings, q)
-         SELECT vec_id, round(c, 6) AS cosine FROM z
-         ORDER BY c DESC, vec_id LIMIT 10""",
-    // the quantized-pool + rescore answer must BE the exact answer —
-    // same oracle as x_sim_topk
-    "x_sim_quantized" ->
-      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-         z AS (SELECT vec_id,
-             list_cosine_similarity(CAST(embedding AS DOUBLE[]),
-                                    CAST(qv AS DOUBLE[])) AS c
-           FROM embeddings, q)
-         SELECT vec_id, round(c, 6) AS cosine FROM z
-         ORDER BY c DESC, vec_id LIMIT 10""",
-    "x_text_quality" ->
-      """SELECT doc_id, length(text) AS n_chars,
-           len(string_split(text, ' ')) AS n_tokens,
-           CAST(list_sum(list_transform(string_split(text, ' '),
-             w -> length(w))) AS DOUBLE)
-             / len(string_split(text, ' ')) AS mean_token_len,
-           CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g'))
-             AS DOUBLE) / length(text) AS punct_ratio,
-           CAST(len(list_filter(string_split(lower(text), ' '),
-             w -> w IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
-             / len(string_split(text, ' ')) AS stopword_ratio
-         FROM documents ORDER BY doc_id""",
-    "x_text_tokens" ->
-      """SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
-           len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]'))
-             AS piece_tokens
-         FROM documents ORDER BY doc_id""",
-    "x_text_langid" ->
-      """WITH s AS (SELECT doc_id,
-           len(list_filter(string_split(lower(text), ' '),
-             w -> w IN ('der','die','das','und','ist','nicht','ein','zu'))) AS de_s,
-           len(list_filter(string_split(lower(text), ' '),
-             w -> w IN ('the','and','of','to','is','in','that','it'))) AS en_s,
-           len(list_filter(string_split(lower(text), ' '),
-             w -> w IN ('el','los','las','es','una','en','que','por'))) AS es_s,
-           len(list_filter(string_split(lower(text), ' '),
-             w -> w IN ('le','la','les','et','est','une','dans','que'))) AS fr_s,
-           len(list_filter(string_split(lower(text), ' '),
-             w -> w IN ('的','是','了','在','和','有','我','不'))) AS zh_s
-         FROM documents)
-         SELECT doc_id, CASE
-           WHEN de_s > 0 AND de_s >= greatest(de_s, en_s, es_s, fr_s, zh_s) THEN 'de'
-           WHEN en_s > 0 AND en_s >= greatest(de_s, en_s, es_s, fr_s, zh_s) THEN 'en'
-           WHEN es_s > 0 AND es_s >= greatest(de_s, en_s, es_s, fr_s, zh_s) THEN 'es'
-           WHEN fr_s > 0 AND fr_s >= greatest(de_s, en_s, es_s, fr_s, zh_s) THEN 'fr'
-           WHEN zh_s > 0 AND zh_s >= greatest(de_s, en_s, es_s, fr_s, zh_s) THEN 'zh'
-           ELSE 'und' END AS pred_lang
-         FROM s ORDER BY doc_id""",
-    "x_text_pii" ->
-      """WITH p AS (SELECT doc_id,
-             text || ' contact u' || CAST(doc_id AS VARCHAR)
-               || '@example.com or https://ex.com/p/'
-               || CAST(doc_id AS VARCHAR) || ' call 555-123-4567' AS text
-           FROM documents)
-         SELECT doc_id,
-           len(regexp_extract_all(text,
-             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
-           len(regexp_extract_all(text, 'https?://[^ ]+')) AS n_urls,
-           len(regexp_extract_all(text,
-             '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phones,
-           regexp_replace(regexp_replace(regexp_replace(text,
-             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-             'https?://[^ ]+', '<URL>', 'g'),
-             '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
-         FROM p ORDER BY doc_id""",
-    "x_text_repetition" ->
-      """WITH sh AS (SELECT doc_id, unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-             ELSE list_transform(range(1, len(w)-1),
-             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS g
-           FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents)),
-         c AS (SELECT doc_id, g, count(*) AS k FROM sh GROUP BY 1, 2)
-         SELECT doc_id, CAST(max(k) AS DOUBLE) / CAST(sum(k) AS DOUBLE)
-           AS repetition
-         FROM c GROUP BY doc_id ORDER BY doc_id""",
-    "x_text_fingerprint" ->
-      """SELECT doc_id,
-           md5(array_to_string(list_sort(list_distinct(
-             string_split(lower(text), ' '))), ' ')) AS fingerprint
-         FROM documents ORDER BY doc_id""",
-    // Zipf head mass at candidate vocab sizes; (tf desc, term) ranking
-    "x_vocab_coverage" ->
-      """WITH tok AS (SELECT unnest(list_filter(
-             string_split(lower(text), ' '), x -> x <> '')) AS term
-           FROM documents),
-         tf AS (SELECT term, count(*) AS tf FROM tok GROUP BY term),
-         tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total_tokens,
-             count(*) AS n_terms FROM tf),
-         r AS (SELECT term, tf,
-             row_number() OVER (ORDER BY tf DESC, term) AS rk FROM tf),
-         v AS (SELECT unnest([100, 1000]) AS vocab_size)
-         SELECT v.vocab_size,
-           max(tot.n_terms) AS n_terms,
-           CAST(sum(r.tf) AS BIGINT) AS covered_tokens,
-           max(tot.total_tokens) AS total_tokens,
-           round(CAST(sum(r.tf) AS DOUBLE) / max(tot.total_tokens), 6)
-             AS coverage
-         FROM r, tot, v WHERE r.rk <= v.vocab_size
-         GROUP BY v.vocab_size ORDER BY vocab_size""",
-    "x_multimodal_meta" ->
-      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
-           substring(base64(encode(text)), 1, 16) AS b64_head
-         FROM documents ORDER BY doc_id""",
-    // the decode stub derives features from md5_number_lower(text):
-    // unsigned 64-bit math reproduced here exactly (UBIGINT % and //)
-    "x_multimodal_features" ->
-      """WITH f AS (SELECT doc_id AS id, md5_number_lower(text) AS l,
-             CAST(1 + (md5_number_lower(text) // 65536) % 8 AS INT) AS nf
-           FROM documents)
-         SELECT id, CAST(16 + l % 64 AS INT) AS width,
-           CAST(16 + (l // 256) % 64 AS INT) AS height,
-           nf AS n_frames,
-           CAST(l % 1000000007 AS BIGINT) AS checksum,
-           CAST(range(0, nf, 2) AS VARCHAR) AS sampled_frames
-         FROM f ORDER BY id""",
-    // both generators rebuilt from md5-56; confusion counts replayed
-    "x_dedup_eval" ->
-      """WITH t AS (SELECT doc_id,
-             list_filter(string_split(text, ' '), x -> x <> '') AS wd
-           FROM documents),
-         shg AS (SELECT doc_id,
-             CASE WHEN len(wd) < 3 THEN [array_to_string(wd, ' ')]
-               ELSE list_transform(range(1, len(wd) - 1),
-                 i -> wd[i] || ' ' || wd[i+1] || ' ' || wd[i+2]) END AS gs
-           FROM t),
-         h AS (SELECT doc_id, list_transform(gs,
-             g -> CAST(md5_number_lower(g) % 72057594037927936
-               AS BIGINT)) AS hs
-           FROM shg),
-         f AS (SELECT doc_id,
-             CASE WHEN len(hs) < 4 THEN [list_min(hs)]
-               ELSE list_distinct(list_transform(
-                 range(1, len(hs) - 4 + 2),
-                 i -> list_min(hs[i:i+3]))) END AS fps
-           FROM h),
-         fp AS (SELECT doc_id, unnest(fps) AS fingerprint FROM f),
-         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM fp a JOIN fp b ON a.fingerprint = b.fingerprint
-             AND a.doc_id < b.doc_id),
-         sh AS (SELECT DISTINCT doc_id, g FROM
-           (SELECT doc_id, unnest(gs) AS g FROM shg)),
-         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             count(*) AS common
-           FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
-           GROUP BY 1, 2),
-         truth AS (SELECT id_a, id_b FROM pairs
-           JOIN cnt ca ON ca.doc_id = id_a
-           JOIN cnt cb ON cb.doc_id = id_b
-           WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.3),
-         hits AS (SELECT * FROM cand INTERSECT SELECT * FROM truth)
-         SELECT
-           (SELECT count(*) FROM truth) AS n_truth,
-           (SELECT count(*) FROM cand) AS n_candidates,
-           (SELECT count(*) FROM hits) AS n_hits,
-           round((SELECT count(*) FROM hits) /
-             CAST((SELECT count(*) FROM truth) AS DOUBLE), 6) AS recall,
-           round((SELECT count(*) FROM hits) /
-             CAST((SELECT count(*) FROM cand) AS DOUBLE), 6) AS precision""",
-
-    // edit-distance verify over the exact-Jaccard candidate set
-    "x_dedup_edit" ->
-      """WITH sh AS (SELECT DISTINCT doc_id, g FROM (
-             SELECT doc_id, unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-               ELSE list_transform(range(1, len(w)-1),
-               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS g
-             FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents))),
-         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-             FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
-             GROUP BY 1, 2),
-         cand AS (SELECT id_a, id_b FROM pairs
-             JOIN cnt ca ON ca.doc_id = id_a
-             JOIN cnt cb ON cb.doc_id = id_b
-             WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.3)
-         SELECT id_a, id_b,
-           CAST(levenshtein(ta.text, tb.text) AS INTEGER) AS edit_distance
-         FROM cand
-         JOIN documents ta ON ta.doc_id = id_a
-         JOIN documents tb ON tb.doc_id = id_b
-         WHERE levenshtein(ta.text, tb.text) <= 6
-         ORDER BY id_a, id_b""",
-    "x_dedup_minhash" ->
-      """WITH sh AS (SELECT DISTINCT doc_id, g FROM (
-             SELECT doc_id, unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-               ELSE list_transform(range(1, len(w)-1),
-               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS g
-             FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents))),
-         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-             FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
-             GROUP BY 1, 2)
-         SELECT count(*) AS n_exact, TRUE AS recall_ok, TRUE AS precision_ok
-         FROM pairs
-         JOIN cnt ca ON ca.doc_id = id_a
-         JOIN cnt cb ON cb.doc_id = id_b
-         WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.5""",
-    "x_dedup_incremental_build" ->
-      """SELECT count(*) AS n_docs, CAST(count(*) * 8 AS BIGINT) AS n_rows,
-           CAST(2 AS BIGINT) AS n_pending_commits,
-           FALSE AS compact_recommended
-         FROM documents""",
-    "x_dedup_incremental_probe" ->
-      """WITH sh AS (SELECT DISTINCT doc_id, g FROM (
-             SELECT doc_id, unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-               ELSE list_transform(range(1, len(w)-1),
-               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS g
-             FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents))),
-         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-             FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
-             GROUP BY 1, 2)
-         SELECT count(*) AS n_verified
-         FROM pairs
-         JOIN cnt ca ON ca.doc_id = id_a
-         JOIN cnt cb ON cb.doc_id = id_b
-         WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.5
-           AND (id_a % 5 = 4 OR id_b % 5 = 4)""",
-    "x_signature_stats" ->
-      """SELECT count(*) AS n_docs, CAST(count(*) * 8 AS BIGINT) AS n_rows,
-           CAST(0 AS BIGINT) AS n_pending_commits,
-           FALSE AS compact_recommended, TRUE AS compact_ran
-         FROM documents""",
-    "x_dedup_simhash" ->
-      """WITH sh AS (SELECT DISTINCT doc_id, g FROM (
-             SELECT doc_id, unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-               ELSE list_transform(range(1, len(w)-1),
-               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS g
-             FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents))),
-         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-             FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
-             GROUP BY 1, 2)
-         SELECT count(*) AS n_exact, TRUE AS recall_ok
-         FROM pairs
-         JOIN cnt ca ON ca.doc_id = id_a
-         JOIN cnt cb ON cb.doc_id = id_b
-         WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.5""",
-    "x_sim_ann" ->
-      """SELECT CAST(10 AS BIGINT) AS n_results, TRUE AS self_found,
-           TRUE AS recall_ok""",
-    "x_sim_ivf" ->
-      """SELECT CAST(10 AS BIGINT) AS n_results, TRUE AS recall_ok""",
-    "x_sim_ivf_persisted" ->
-      """SELECT CAST(10 AS BIGINT) AS n_results, TRUE AS recall_ok""",
-    // dims recomputed straight from the source columns: the engine must
-    // round-trip them through real header bytes and the byte parser
-    "x_multimodal_sniff" ->
-      """SELECT doc_id AS id,
-           CASE WHEN doc_id % 11 = 0 THEN NULL
-                WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
-           CASE WHEN doc_id % 11 = 0 THEN NULL
-                ELSE CAST(n_chars % 512 + 1 AS INTEGER) END AS width,
-           CASE WHEN doc_id % 11 = 0 THEN NULL
-                ELSE CAST(doc_id % 512 + 1 AS INTEGER) END AS height
-         FROM documents ORDER BY doc_id""",
-    // EBML walk recomputed from columns: duration ticks = doc_id%300+1
-    // at TimestampScale 1e9 ns, so duration_s is the integer-valued
-    // double; track flags from the planted entries; every 7th doc is
-    // non-EBML and sniffs to nulls
-    "x_multimodal_sniff_ebml" ->
-      """SELECT doc_id AS id,
-           CASE WHEN doc_id % 7 = 0 THEN NULL
-                WHEN doc_id % 2 = 0 THEN 'mkv' ELSE 'webm' END AS format,
-           CASE WHEN doc_id % 7 = 0 THEN NULL
-                ELSE CAST(doc_id % 300 + 1 AS DOUBLE) END AS duration_s,
-           CASE WHEN doc_id % 7 = 0 THEN NULL ELSE true END AS has_video,
-           CASE WHEN doc_id % 7 = 0 THEN NULL
-                ELSE doc_id % 3 = 0 END AS has_audio
-         FROM documents ORDER BY id""",
-    // MP3/ADTS frame math recomputed from doc_id: n = doc_id%5+1
-    // frames, 1152 (mp3) / 1024 (aac) samples per frame at 44100 Hz
-    "x_multimodal_sniff_audio" ->
-      """SELECT doc_id AS id,
-           CASE WHEN doc_id % 7 = 0 THEN NULL
-                WHEN doc_id % 2 = 0 THEN 'mp3' ELSE 'aac' END AS format,
-           CASE WHEN doc_id % 7 = 0 THEN NULL
-                ELSE CAST(44100 AS INTEGER) END AS sample_rate,
-           CASE WHEN doc_id % 7 = 0 THEN NULL
-                ELSE CAST(doc_id % 5 + 1 AS BIGINT) END AS n_frames,
-           CASE WHEN doc_id % 7 = 0 THEN NULL
-                WHEN doc_id % 2 = 0
-                  THEN round((doc_id % 5 + 1) * 1152.0 / 44100, 6)
-                ELSE round((doc_id % 5 + 1) * 1024.0 / 44100, 6)
-           END AS duration_s
-         FROM documents ORDER BY id""",
-    // real FLAC encode->decode: sample stats recomputed from doc_id —
-    // even ids a constant block (rms = |v|), odd ids the 8-sample ramp
-    "x_multimodal_flac" ->
-      """SELECT doc_id AS id,
-           CAST(8000 AS INTEGER) AS sample_rate,
-           CAST(1 AS INTEGER) AS channels,
-           CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 50 + 1 AS BIGINT)
-                ELSE CAST(8 AS BIGINT) END AS n_frames,
-           CASE WHEN doc_id % 2 = 0 THEN round(abs(CAST(doc_id % 1000 - 500 AS DOUBLE)), 6)
-                ELSE round(sqrt(list_sum(list_transform(range(8),
-                       i -> CAST((doc_id * 31 + i * 7) % 2000 - 1000 AS DOUBLE) ** 2)) / 8.0), 6)
-           END AS rms
-         FROM documents ORDER BY id""",
-    // FLAC encode -> decode -> FFT: the peak bin is the planted tone's
-    "x_audio_spectrum" ->
-      """SELECT doc_id AS id,
-           CAST(8000 AS INTEGER) AS sample_rate,
-           CAST(doc_id % 30 + 1 AS INTEGER) AS peak_bin,
-           CAST(256 AS BIGINT) AS n_samples
-         FROM documents WHERE doc_id < 300 ORDER BY id""",
-    // AVI walk + per-frame JPEG decode: structure exact, luma bounded
-    "x_video_frames" ->
-      """SELECT doc_id AS id, CAST(f AS INTEGER) AS frame_idx,
-           CAST(16 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
-           true AS luma_ok
-         FROM documents, range(3) t(f)
-         WHERE doc_id < 120 ORDER BY id, frame_idx""",
-    // island structure stated from the planted (id+g)%3 pattern
-    "x_audio_utterances" ->
-      """WITH u AS (
-           SELECT doc_id, 0 AS utt_idx,
-             CASE doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 4 ELSE 2 END
-               AS start_frame
-           FROM documents WHERE doc_id < 250
-           UNION ALL
-           SELECT doc_id, 1, 6 FROM documents
-           WHERE doc_id < 250 AND doc_id % 3 = 0)
-         SELECT doc_id AS id, CAST(utt_idx AS INTEGER) AS utt_idx,
-           CAST(start_frame AS INTEGER) AS start_frame,
-           CAST(start_frame + 1 AS INTEGER) AS end_frame,
-           CAST(2 AS INTEGER) AS n_frames
-         FROM u ORDER BY id, utt_idx""",
-    // mel band per tone: the public formula evaluated once and frozen
-    "x_audio_mfcc" ->
-      """SELECT doc_id AS id,
-           CAST(([1,1,1,1,1,1,2,2,2,2,2,2,3,3,3,3,3,3,
-                  4,4,4,4,4,4,4,4,5,5,5,5])[doc_id % 30 + 1]
-             AS INTEGER) AS dominant_band,
-           CAST(10 AS INTEGER) AS n_coef
-         FROM documents WHERE doc_id < 300 ORDER BY id""",
-    // lossless path: frame RMS replayed exactly, same op order + round
-    "x_audio_vad" ->
-      """SELECT doc_id AS id, CAST(f AS INTEGER) AS frame_idx,
-           CAST(64 AS INTEGER) AS n,
-           round(sqrt(list_sum(list_transform(range(0, 64), i ->
-             CAST(CASE WHEN (doc_id + f) % 3 = 0
-               THEN (doc_id * 31 + (f * 64 + i) * 7) % 2000 - 1000
-               ELSE (doc_id + f * 64 + i) % 20 - 10 END AS DOUBLE) ** 2))
-             / 64.0), 6) AS rms,
-           round(sqrt(list_sum(list_transform(range(0, 64), i ->
-             CAST(CASE WHEN (doc_id + f) % 3 = 0
-               THEN (doc_id * 31 + (f * 64 + i) * 7) % 2000 - 1000
-               ELSE (doc_id + f * 64 + i) % 20 - 10 END AS DOUBLE) ** 2))
-             / 64.0), 6) >= 100.0 AS active
-         FROM documents, range(4) t(f)
-         WHERE doc_id < 250 ORDER BY id, frame_idx""",
-    // own-spec ADPCM encode -> own decode -> FFT: peak survives 4:1
-    "x_audio_adpcm" ->
-      """SELECT doc_id AS id,
-           CAST(8000 AS INTEGER) AS sample_rate,
-           CAST(doc_id % 30 + 1 AS INTEGER) AS peak_bin,
-           CAST(256 AS BIGINT) AS n_samples
-         FROM documents WHERE doc_id < 300 ORDER BY id""",
-    // G.711 encode -> JDK ULAW decode -> FFT: peak survives companding
-    "x_audio_g711" ->
-      """SELECT doc_id AS id,
-           CAST(8000 AS INTEGER) AS sample_rate,
-           CAST(doc_id % 30 + 1 AS INTEGER) AS peak_bin,
-           CAST(256 AS BIGINT) AS n_samples
-         FROM documents WHERE doc_id < 300 ORDER BY id""",
-    // bilinear resize of a constant raster IS the constant
-    "x_image_resize" ->
-      """SELECT doc_id AS id,
-           CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
-           round(CAST(doc_id * 11 % 256 AS DOUBLE), 6) AS mean_luma
-         FROM documents WHERE doc_id < 150 ORDER BY id""",
-    // 4x4 patch means of the planted gradient, exact integer sums
-    "x_image_patches" ->
-      """SELECT doc_id AS id,
-           CAST(pr * 4 + pc AS INTEGER) AS patch_idx,
-           CAST(pr AS INTEGER) AS patch_row,
-           CAST(pc AS INTEGER) AS patch_col,
-           round(list_sum(list_transform(range(16), t ->
-             CAST((doc_id * 3 + (pr * 4 + t // 4) * 16 + pc * 4 + t % 4)
-               % 256 AS DOUBLE))) / 16.0, 6) AS mean_luma
-         FROM documents, range(4) a(pr), range(4) b(pc)
-         WHERE doc_id < 150 ORDER BY id, patch_idx""",
-    // PNG encode->decode roundtrip: dims and exact mean luma from id
-    "x_image_decode" ->
-      """SELECT doc_id AS id,
-           CAST(doc_id % 9 + 8 AS INTEGER) AS width,
-           CAST(doc_id % 7 + 8 AS INTEGER) AS height,
-           round(CAST(doc_id * 7 % 256 AS DOUBLE), 6) AS mean_luma
-         FROM documents WHERE doc_id < 200 ORDER BY id""",
-    // perceptual near-dup pair structure from id arithmetic: within-group
-    // pairs only; hamming 2 exactly when one side carries the 2-cell flip
-    "x_image_dedup" ->
-      """WITH ids AS (SELECT doc_id, (doc_id // 40) % 4 = 3 AS flipped
-                      FROM documents WHERE doc_id < 320)
-         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(CASE WHEN a.flipped <> b.flipped THEN 2 ELSE 0 END AS INTEGER)
-             AS hamming
-         FROM ids a JOIN ids b
-           ON a.doc_id % 40 = b.doc_id % 40 AND a.doc_id < b.doc_id
-         ORDER BY id_a, id_b""",
-    // rotation invariant: pair distances from the RAW embeddings (same
-    // ascending-index double arithmetic); preservation asserted Spark-side
-    "x_embed_pca" ->
-      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(sqrt(list_sum(list_transform(range(1, 65), i ->
-             (CAST(a.embedding[i] AS DOUBLE)
-              - CAST(b.embedding[i] AS DOUBLE)) ** 2))), 6) AS dist,
-           true AS preserved
-         FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 100
-         WHERE a.vec_id < 100
-         ORDER BY id_a""",
-    // 50-long chains: every node's component root is its chain head
-    "x_connected_components" ->
-      """SELECT doc_id AS id, CAST((doc_id // 50) * 50 AS BIGINT) AS root
-         FROM documents ORDER BY id""",
-    // within-group clip pairs only, perceptually identical across noise
-    "x_video_dedup" ->
-      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 240)
-         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(3 AS INTEGER) AS n_frames,
-           CAST(0 AS INTEGER) AS max_hamming
-         FROM ids a JOIN ids b
-           ON a.doc_id % 30 = b.doc_id % 30 AND a.doc_id < b.doc_id
-         ORDER BY id_a, id_b""",
-    // same blocking, same candidate join, same (bit-exact) JW scores
-    "x_fuzzy_linkage" ->
-      """WITH p AS (SELECT p_partkey AS id, p_name AS nm FROM part
-                    WHERE p_partkey <= 400),
-         keys AS (SELECT id, nm, k FROM p,
-           UNNEST(list_distinct([substr(nm, 1, 8),
-             substr(nm, greatest(length(nm) - 7, 1), 8)])) AS t(k)),
-         cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
-             a.nm AS na, b.nm AS nb
-           FROM keys a JOIN keys b ON a.k = b.k AND a.id < b.id)
-         SELECT id_a, id_b,
-           round(jaro_winkler_similarity(na, nb), 6) AS similarity
-         FROM cand WHERE jaro_winkler_similarity(na, nb) >= 0.92
-         ORDER BY id_a, id_b""",
-    // FLAC STREAMINFO / Ogg-Opus granule math recomputed from doc_id;
-    // opus total = granule - preskip, duration = total / 48000
-    "x_multimodal_sniff_container" ->
-      """SELECT doc_id AS id,
-           CASE WHEN doc_id % 7 = 0 THEN NULL
-                WHEN doc_id % 2 = 0 THEN 'flac' ELSE 'opus' END AS format,
-           CASE WHEN doc_id % 7 = 0 THEN NULL
-                WHEN doc_id % 2 = 0 THEN CAST(44100 AS INTEGER)
-                ELSE CAST(48000 AS INTEGER) END AS sample_rate,
-           CASE WHEN doc_id % 7 = 0 THEN NULL
-                ELSE CAST(2 AS INTEGER) END AS channels,
-           CASE WHEN doc_id % 7 = 0 THEN NULL
-                WHEN doc_id % 2 = 0
-                  THEN CAST((doc_id % 300 + 1) * 44100 AS BIGINT)
-                ELSE CAST((doc_id % 100 + 1) * 4800 AS BIGINT)
-           END AS total_samples,
-           CASE WHEN doc_id % 7 = 0 THEN NULL
-                WHEN doc_id % 2 = 0 THEN
-                  round(CAST((doc_id % 300 + 1) * 44100 AS DOUBLE) / 44100, 6)
-                ELSE round(CAST((doc_id % 100 + 1) * 4800 AS DOUBLE) / 48000, 6)
-           END AS duration_s
-         FROM documents ORDER BY id""",
-    // centroids = per-(label, dim) averages rounded 6dp, argmax by
-    // (rounded cosine desc, label asc) — the engine's exact recipe
-    "x_classify_centroid" ->
-      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-           FROM embeddings WHERE embedding IS NOT NULL),
-         d AS (SELECT label,
-             unnest(generate_series(1, len(v))) AS dim, unnest(v) AS x
-           FROM e),
-         cd AS (SELECT label, dim, round(avg(x), 6) AS c
-           FROM d GROUP BY label, dim),
-         cents AS (SELECT label, list(c ORDER BY dim) AS cv
-           FROM cd GROUP BY label),
-         sims AS (SELECT e.vec_id, cents.label,
-             round(list_cosine_similarity(e.v, cv), 6) AS s
-           FROM e, cents),
-         best AS (SELECT vec_id, label, s,
-             row_number() OVER (PARTITION BY vec_id
-               ORDER BY s DESC, label) AS rn
-           FROM sims)
-         SELECT vec_id, label AS label_pred, s AS cosine
-         FROM best WHERE rn = 1 ORDER BY vec_id""",
-    // own-label centroid cosine, per-label exact lower-decile flag —
-    // same 6dp centroid recipe as x_classify_centroid
-    "x_embed_outliers" ->
-      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-           FROM embeddings
-           WHERE embedding IS NOT NULL AND label IS NOT NULL),
-         d AS (SELECT label,
-             unnest(generate_series(1, len(v))) AS dim, unnest(v) AS x
-           FROM e),
-         cd AS (SELECT label, dim, round(avg(x), 6) AS c
-           FROM d GROUP BY label, dim),
-         cents AS (SELECT label, list(c ORDER BY dim) AS cv
-           FROM cd GROUP BY label),
-         s AS (SELECT e.vec_id, e.label,
-             round(list_cosine_similarity(e.v, cents.cv), 6) AS cosine
-           FROM e JOIN cents ON e.label = cents.label),
-         t AS (SELECT label, round(quantile_cont(cosine, 0.1), 6)
-             AS threshold
-           FROM s GROUP BY label)
-         SELECT s.vec_id, s.label, s.cosine, t.threshold,
-           s.cosine < t.threshold AS outlier
-         FROM s JOIN t ON s.label = t.label ORDER BY s.vec_id""",
-    // a FULL oracle (not a recall gate): the radius prune is exact
-    "x_sim_radius" ->
-      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-         z AS (SELECT vec_id,
-             list_cosine_similarity(CAST(embedding AS DOUBLE[]),
-                                    CAST(qv AS DOUBLE[])) AS c
-           FROM embeddings, q)
-         SELECT vec_id, round(c, 6) AS cosine FROM z
-         WHERE c >= 0.4 ORDER BY vec_id""",
-    "x_decontaminate" ->
-      """WITH sh AS (SELECT doc_id, source, unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-             ELSE list_transform(
-             range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS g
-           FROM (SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents)),
-         b AS (SELECT DISTINCT g FROM sh WHERE source = 'src0'),
-         hits AS (SELECT t.doc_id, count(DISTINCT t.g) AS n_shared
-           FROM sh t JOIN b ON t.g = b.g
-           WHERE t.source <> 'src0' GROUP BY t.doc_id)
-         SELECT d.doc_id, COALESCE(h.n_shared, 0) AS n_shared,
-           COALESCE(h.n_shared, 0) > 0 AS contaminated
-         FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
-         WHERE d.source <> 'src0' ORDER BY d.doc_id""",
-    // dirty-fraction triage: distinct-trigram denominator per doc,
-    // probe-hit numerator, severity on the ROUNDED fraction
-    "x_contamination_frac" ->
-      """WITH t AS (SELECT doc_id, source,
-             list_filter(string_split(text, ' '), x -> x <> '') AS w
-           FROM documents),
-         shg AS (SELECT doc_id, source,
-             CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-               ELSE list_transform(range(1, len(w)-1),
-                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END AS gs
-           FROM t),
-         b AS (SELECT DISTINCT unnest(gs) AS g FROM shg
-           WHERE source = 'src0'),
-         tr AS (SELECT doc_id, len(list_distinct(gs)) AS n_shingles,
-             gs
-           FROM shg WHERE source <> 'src0'),
-         hits AS (SELECT u.doc_id, count(DISTINCT u.g) AS n_shared
-           FROM (SELECT doc_id, unnest(gs) AS g FROM tr) u
-           JOIN b ON u.g = b.g GROUP BY 1)
-         SELECT tr.doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
-           CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared,
-           round(COALESCE(h.n_shared, 0) / CAST(n_shingles AS DOUBLE), 6)
-             AS shared_frac,
-           CASE WHEN round(COALESCE(h.n_shared, 0) /
-               CAST(n_shingles AS DOUBLE), 6) >= 0.5 THEN 'heavy'
-             WHEN round(COALESCE(h.n_shared, 0) /
-               CAST(n_shingles AS DOUBLE), 6) >= 0.1 THEN 'partial'
-             ELSE 'clean' END AS severity
-         FROM tr LEFT JOIN hits h ON tr.doc_id = h.doc_id
-         ORDER BY tr.doc_id""",
-
-    // semantic decontamination: max cosine to the eval slice, flag on
-    // the ROUNDED value (both engines agree at the boundary)
-    "x_decontaminate_embed" ->
-      """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-           FROM embeddings WHERE vec_id % 20 <> 0
-             AND embedding IS NOT NULL),
-         e AS (SELECT CAST(embedding AS DOUBLE[]) AS ev
-           FROM embeddings WHERE vec_id % 20 = 0
-             AND embedding IS NOT NULL),
-         m AS (SELECT t.vec_id, max(list_cosine_similarity(t.v, e.ev))
-             AS mc
-           FROM t, e GROUP BY t.vec_id)
-         SELECT vec_id, round(mc, 6) AS max_cosine,
-           round(mc, 6) >= 0.9 AS contaminated
-         FROM m ORDER BY vec_id""",
-    "x_pack" ->
-      """WITH t AS (SELECT doc_id,
-             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
-               AS BIGINT) AS n_tokens
-           FROM documents),
-         c AS (SELECT doc_id, n_tokens,
-             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS BIGINT) AS s
-           FROM t)
-         SELECT doc_id, n_tokens, s // 512 AS bin_id FROM c ORDER BY doc_id""",
-    "x_pack_text" ->
-      """WITH t AS (SELECT doc_id,
-             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
-               AS BIGINT) AS n_tokens
-           FROM documents),
-         c AS (SELECT doc_id, n_tokens,
-             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS BIGINT) AS s
-           FROM t),
-         p AS (SELECT doc_id, n_tokens, s // 512 AS bin_id FROM c)
-         SELECT p.bin_id, count(*) AS n_docs,
-           CAST(sum(p.n_tokens) AS BIGINT) AS n_tokens,
-           string_agg(d.text, ' ' ORDER BY d.doc_id) AS seq_text
-         FROM p JOIN documents d ON p.doc_id = d.doc_id
-         GROUP BY p.bin_id ORDER BY p.bin_id""",
-    "x_balance" ->
-      """WITH h AS (SELECT doc_id, source,
-             (md5_number_lower(CAST(doc_id AS VARCHAR))
-               % 72057594037927936) AS hv
-           FROM documents),
-         r AS (SELECT doc_id, source,
-             row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rk
-           FROM h)
-         SELECT source, count(*) AS n_kept,
-           CAST(sum(doc_id) AS BIGINT) AS id_sum
-         FROM r WHERE rk <= 10 GROUP BY source ORDER BY source""",
-    "x_sample" ->
-      """SELECT source, count(*) AS n_kept FROM documents
-         WHERE (md5_number_lower(CAST(doc_id AS VARCHAR))
-           % 72057594037927936) % 1000 < 200
-         GROUP BY source ORDER BY source""",
-    // per-(doc, position) md5-56 mask decision replayed bit-for-bit;
-    // positions are 0-based to match the transform index
-    "x_mask_tokens" ->
-      """WITH t AS (SELECT doc_id,
-             list_filter(string_split(text, ' '), x -> x <> '') AS w
-           FROM documents),
-         x AS (SELECT doc_id, len(w) AS n_tokens,
-             unnest(w) AS tok,
-             unnest(generate_series(0, len(w) - 1)) AS pos
-           FROM t),
-         m AS (SELECT doc_id, n_tokens, pos,
-             CASE WHEN (md5_number_lower(doc_id || ':' || pos)
-                 % 72057594037927936) % 1000 < 150
-               THEN '<mask>' ELSE tok END AS tok2
-           FROM x)
-         SELECT doc_id,
-           CAST(any_value(n_tokens) AS INTEGER) AS n_tokens,
-           CAST(sum(CASE WHEN tok2 = '<mask>' THEN 1 ELSE 0 END)
-             AS INTEGER) AS n_masked,
-           array_to_string(list(tok2 ORDER BY pos), ' ') AS masked_text
-         FROM m GROUP BY doc_id ORDER BY doc_id""",
-    // multi_match: per-field token tf recomputed, greatest/sum combine
-    "q_multi_match" ->
-      """WITH s AS (SELECT doc_id,
-             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'merge'))
-               + len(list_filter(string_split(lower(text), ' '), w -> w = 'window'))
-               + len(list_filter(string_split(lower(text), ' '), w -> w = 'de'))
-               AS DOUBLE) AS ts,
-             CAST(len(list_filter(string_split(lower(lang), ' '), w -> w = 'merge'))
-               + len(list_filter(string_split(lower(lang), ' '), w -> w = 'window'))
-               + len(list_filter(string_split(lower(lang), ' '), w -> w = 'de'))
-               AS DOUBLE) AS ls
-           FROM documents)
-         SELECT doc_id, greatest(ts * 1.0, ls * 3.0) AS score
-         FROM s WHERE greatest(ts * 1.0, ls * 3.0) > 0
-         ORDER BY score DESC, doc_id LIMIT 20""",
-    "q_multi_match_most" ->
-      """WITH s AS (SELECT doc_id,
-             CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'merge'))
-               + len(list_filter(string_split(lower(text), ' '), w -> w = 'window'))
-               + len(list_filter(string_split(lower(text), ' '), w -> w = 'de'))
-               AS DOUBLE) AS ts,
-             CAST(len(list_filter(string_split(lower(lang), ' '), w -> w = 'merge'))
-               + len(list_filter(string_split(lower(lang), ' '), w -> w = 'window'))
-               + len(list_filter(string_split(lower(lang), ' '), w -> w = 'de'))
-               AS DOUBLE) AS ls
-           FROM documents)
-         SELECT doc_id, ts * 1.0 + ls * 3.0 AS score
-         FROM s WHERE ts * 1.0 + ls * 3.0 > 0
-         ORDER BY score DESC, doc_id LIMIT 20""",
-    // combined_fields: weighted tf/dl sums into ONE BM25 (shared idf);
-    // identical constants/order/6dp round as q_match_bm25
-    "q_combined_fields" ->
-      """WITH t AS (SELECT doc_id,
-             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
-           FROM documents),
-         u AS (SELECT doc_id,
-             2.0 * len(list_slice(toks, 1, 5)) + 1.0 * len(toks) AS dl,
-             2.0 * len(list_filter(list_slice(toks, 1, 5), w -> w = 'merge'))
-               + 1.0 * len(list_filter(toks, w -> w = 'merge')) AS tf0,
-             2.0 * len(list_filter(list_slice(toks, 1, 5), w -> w = 'window'))
-               + 1.0 * len(list_filter(toks, w -> w = 'window')) AS tf1,
-             2.0 * len(list_filter(list_slice(toks, 1, 5), w -> w = 'scan'))
-               + 1.0 * len(list_filter(toks, w -> w = 'scan')) AS tf2
-           FROM t),
-         s AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
-             CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
-             CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
-             CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
-           FROM u),
-         z AS (SELECT doc_id,
-             ln(1 + (n - df0 + 0.5) / (df0 + 0.5))
-               * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-             + ln(1 + (n - df1 + 0.5) / (df1 + 0.5))
-               * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-             + ln(1 + (n - df2 + 0.5) / (df2 + 0.5))
-               * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-               AS score
-           FROM u, s)
-         SELECT doc_id, round(score, 6) AS score FROM z WHERE score > 0
-         ORDER BY score DESC, doc_id LIMIT 20""",
-    // terms lookup: the IN-set is read from one stored document
-    // sparse dot product over query-term postings; same impact formula,
-    // 6dp-rounded contributions summed as decimals
-    "q_sparse_vector" ->
-      """WITH n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
-         toks AS (SELECT doc_id,
-             unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
-               AS t
-           FROM documents),
-         q(t, w) AS (VALUES ('merge', 1.5), ('window', 1.0),
-           ('scan', 0.7), ('data', 0.3)),
-         tf AS (SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf
-           FROM toks WHERE t IN (SELECT t FROM q) GROUP BY 1, 2),
-         df AS (SELECT t, CAST(count(*) AS DOUBLE) AS df FROM tf
-           GROUP BY 1),
-         c AS (SELECT tf.doc_id,
-             CAST(round(q.w * round((1.0 + ln(tf.tf)) *
-               ln(1.0 + n.n / df.df), 6), 6) AS DECIMAL(18,6)) AS contrib
-           FROM tf JOIN df USING (t) JOIN q USING (t), n)
-         SELECT doc_id, CAST(sum(contrib) AS DOUBLE) AS score
-         FROM c GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""",
-
-    // indexed serving must equal the corpus scan: same oracle arithmetic
-    "q_sparse_vector_indexed" ->
-      """WITH n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
-         toks AS (SELECT doc_id,
-             unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
-               AS t
-           FROM documents),
-         q(t, w) AS (VALUES ('merge', 1.5), ('window', 1.0),
-           ('scan', 0.7), ('data', 0.3)),
-         tf AS (SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf
-           FROM toks WHERE t IN (SELECT t FROM q) GROUP BY 1, 2),
-         df AS (SELECT t, CAST(count(*) AS DOUBLE) AS df FROM tf
-           GROUP BY 1),
-         c AS (SELECT tf.doc_id,
-             CAST(round(q.w * round((1.0 + ln(tf.tf)) *
-               ln(1.0 + n.n / df.df), 6), 6) AS DECIMAL(18,6)) AS contrib
-           FROM tf JOIN df USING (t) JOIN q USING (t), n)
-         SELECT doc_id, CAST(sum(contrib) AS DOUBLE) AS score
-         FROM c GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""",
-
-    // nested semantics = both predicates on the SAME lineitem row
-    "q_nested" ->
-      """SELECT l_orderkey AS o_orderkey, count(*) AS n_hits,
-           string_agg(CAST(l_linenumber AS VARCHAR), ','
-             ORDER BY l_linenumber) AS hit_lines
-         FROM lineitem
-         WHERE l_quantity >= 45 AND l_discount >= 0.08
-         GROUP BY 1 ORDER BY 1""",
-
-    "q_terms_lookup" ->
-      """SELECT doc_id, lang FROM documents
-         WHERE lang IN (SELECT lang FROM documents WHERE doc_id = 123)
-         ORDER BY doc_id""",
-    // random_score: md5-56 sampling hash of 'seed:id', mod 10^6, scaled
-    "q_random_score" ->
-      """SELECT doc_id,
-           round(CAST((md5_number_lower('7:' || CAST(doc_id AS VARCHAR))
-             % 72057594037927936) % 1000000 AS DOUBLE) / 1000000.0, 6)
-             AS score
-         FROM documents
-         WHERE list_has_any(string_split(lower(text), ' '), ['merge', 'window'])
-         ORDER BY score DESC, doc_id LIMIT 20""",
-    // DSIR: same explode → hash-bin → smoothed log-ratio pipeline;
-    // 9dp-rounded ratios fixed as decimal, per-doc sums exact
-    "x_dsir" ->
-      """WITH toks AS (SELECT doc_id, source,
-             list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
-           FROM documents),
-         feat AS (
-           SELECT doc_id, source, unnest(ts) AS f FROM toks
-           UNION ALL
-           SELECT doc_id, source,
-             unnest(list_transform(range(2, len(ts) + 1),
-               i -> ts[i - 1] || ' ' || ts[i])) AS f
-           FROM toks WHERE len(ts) >= 2),
-         fb AS (SELECT doc_id, source,
-             (md5_number_lower(f) % 72057594037927936) % 256 AS b
-           FROM feat),
-         pdc AS (SELECT doc_id, source, b, count(*) AS c
-           FROM fb GROUP BY 1, 2, 3),
-         stats AS (SELECT b,
-             sum(CASE WHEN source = 'src0' THEN c ELSE 0 END) AS ct,
-             sum(c) AS cr
-           FROM pdc GROUP BY 1),
-         tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM stats),
-         ratio AS (SELECT b,
-             CAST(round(ln(CAST(ct + 1 AS DOUBLE) / CAST(tt + 256 AS DOUBLE))
-                      - ln(CAST(cr + 1 AS DOUBLE) / CAST(tr + 256 AS DOUBLE)),
-               9) AS DECIMAL(18,9)) AS lr
-           FROM stats CROSS JOIN tot)
-         SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_features,
-           round(CAST(sum(CAST(c AS DECIMAL(18,9)) * lr) AS DOUBLE), 6)
-             AS weight
-         FROM pdc JOIN ratio USING (b)
-         WHERE source <> 'src0'
-         GROUP BY doc_id
-         ORDER BY weight DESC, doc_id LIMIT 50""",
-    // mixture reweighting: identical double pipeline, decimal-exact
-    // normalizer (one libm exp per source absorbed by the 6dp round)
-    "x_mix_reweight" ->
-      """WITH per AS (SELECT source, count(*) AS n, sum(n_chars) AS sc
-           FROM documents GROUP BY source),
-         t AS (SELECT sum(n) AS tot FROM per),
-         base AS (SELECT source,
-             CAST(n AS DOUBLE) / tot AS weight,
-             CAST(sc AS DOUBLE) / n / 1000.0 AS loss
-           FROM per, t),
-         r AS (SELECT source, weight, loss,
-             CAST(round(weight * exp(0.5 * loss), 6) AS DECIMAL(18,6))
-               AS raw
-           FROM base),
-         tt AS (SELECT sum(raw) AS total FROM r)
-         SELECT source, round(weight, 6) AS weight,
-           round(loss, 6) AS loss,
-           round(CAST(raw AS DOUBLE) / CAST(total AS DOUBLE), 6)
-             AS new_weight
-         FROM r, tt ORDER BY source""",
-    // blocklist: per-pattern contains() in pattern order
-    "x_blocklist" ->
-      """WITH m AS (SELECT doc_id,
-             list_filter(['merge', 'window scan', 'qqqabsent', 'stream'],
-               p -> contains(lower(text), p)) AS hits
-           FROM documents)
-         SELECT doc_id, CAST(len(hits) AS INT) AS n_matched,
-           coalesce(array_to_string(hits, ','), '') AS matched_terms,
-           len(hits) > 0 AS blocked
-         FROM m ORDER BY doc_id""",
-    // span corruption recomputed from doc_id: fired stride-4 segments
-    // (md5-56 bucket), span length 1-3 from the sibling hash, sentinel
-    // rank by segment order; masked text drops in-span tokens behind
-    // the sentinel, targets = sentinel+span pairs + closing sentinel
-    "x_mask_spans" ->
-      """WITH t AS (SELECT doc_id,
-             list_filter(string_split(text, ' '), x -> x <> '') AS w
-           FROM documents),
-         seg AS (SELECT doc_id, w,
-             unnest(generate_series(0, (len(w) - 1) // 4)) AS j
-           FROM t WHERE len(w) > 0),
-         fired AS (SELECT doc_id, w, j,
-             CAST(1 + (md5_number_lower(doc_id || ':' || j || ':l')
-               % 72057594037927936) % 3 AS INT) AS len
-           FROM seg
-           WHERE (md5_number_lower(doc_id || ':' || j || ':s')
-               % 72057594037927936) % 1000 < 300),
-         ranked AS (SELECT doc_id, w, j, len,
-             CAST(row_number() OVER (PARTITION BY doc_id ORDER BY j) - 1
-               AS INT) AS k
-           FROM fired),
-         pos AS (SELECT doc_id, unnest(w) AS tok,
-             unnest(generate_series(0, len(w) - 1)) AS i
-           FROM t),
-         mt AS (SELECT p.doc_id, p.i,
-             CASE WHEN r.j IS NOT NULL AND p.i = r.j * 4
-                    THEN '<extra_id_' || r.k || '>'
-                  WHEN r.j IS NOT NULL THEN NULL
-                  ELSE p.tok END AS tok2
-           FROM pos p LEFT JOIN ranked r
-             ON p.doc_id = r.doc_id AND p.i // 4 = r.j
-               AND p.i - r.j * 4 < r.len),
-         masked AS (SELECT doc_id,
-             array_to_string(list(tok2 ORDER BY i)
-               FILTER (tok2 IS NOT NULL), ' ') AS masked_text
-           FROM mt GROUP BY doc_id),
-         tg AS (SELECT doc_id, k, '<extra_id_' || k || '> ' ||
-               array_to_string(w[j * 4 + 1 : j * 4 + len], ' ') AS piece
-           FROM ranked),
-         tgt AS (SELECT doc_id, CAST(count(*) AS INT) AS n_spans,
-             array_to_string(list(piece ORDER BY k), ' ') AS tp
-           FROM tg GROUP BY doc_id)
-         SELECT t.doc_id AS doc_id, CAST(len(w) AS INT) AS n_tokens,
-           coalesce(n_spans, 0) AS n_spans,
-           coalesce(masked_text, '') AS masked_text,
-           CASE WHEN tp IS NULL THEN '<extra_id_0>'
-                ELSE tp || ' <extra_id_' || n_spans || '>'
-           END AS targets_text
-         FROM t LEFT JOIN masked ON t.doc_id = masked.doc_id
-           LEFT JOIN tgt ON t.doc_id = tgt.doc_id
-         ORDER BY t.doc_id""",
-    "x_chunk" ->
-      """WITH t AS (SELECT doc_id,
-             list_filter(string_split(text, ' '), x -> x <> '') AS w
-           FROM documents),
-         u AS (SELECT doc_id, len(w) AS n, w, unnest(range(0, len(w), 40)) AS s
-           FROM t WHERE len(w) > 0)
-         SELECT doc_id, CAST(s // 40 AS INT) AS chunk_id,
-           array_to_string(w[s+1:s+50], ' ') AS chunk_text,
-           CAST(LEAST(50, n - s) AS INT) AS n_chunk_tokens
-         FROM u ORDER BY doc_id, chunk_id""",
-    "x_corpus_diff" ->
-      """WITH a AS (SELECT doc_id, md5(text) AS ha FROM documents
-           WHERE doc_id < 450),
-         b AS (SELECT doc_id,
-             md5(CASE WHEN doc_id < 150 THEN text || ' v2' ELSE text END)
-               AS hb
-           FROM documents WHERE doc_id >= 50)
-         SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
-           CASE WHEN a.doc_id IS NULL THEN 'added'
-                WHEN b.doc_id IS NULL THEN 'removed'
-                WHEN ha IS NOT DISTINCT FROM hb THEN 'unchanged'
-                ELSE 'changed' END AS status
-         FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
-         ORDER BY doc_id""",
-    "q_match_all_terms" ->
-      """SELECT doc_id FROM (SELECT doc_id,
-           list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
-         FROM documents)
-         WHERE list_contains(w, 'merge') AND list_contains(w, 'window')
-           AND list_contains(w, 'scan')
-         ORDER BY doc_id""",
-    // per-source reproducible shuffle, then round-robin across sources
-    "x_interleave" ->
-      """WITH r AS (SELECT doc_id, source,
-             row_number() OVER (PARTITION BY source ORDER BY
-               md5_number_lower(CAST(doc_id AS VARCHAR))
-                 % 72057594037927936, doc_id) AS rank_in_source
-           FROM documents)
-         SELECT row_number() OVER (ORDER BY rank_in_source, source)
-             AS position,
-           doc_id, source, rank_in_source
-         FROM r ORDER BY position""",
-
-    "x_train_order" ->
-      """SELECT row_number() OVER (ORDER BY h, doc_id) AS train_order,
-           doc_id, source
-         FROM (SELECT doc_id, source,
-             (md5_number_lower(CAST(doc_id AS VARCHAR))
-               % 72057594037927936) AS h
-           FROM documents)
-         ORDER BY train_order""",
-    "x_split" ->
-      """SELECT doc_id,
-           CASE WHEN h < 100 THEN 'test'
-                WHEN h < 200 THEN 'val'
-                ELSE 'train' END AS split
-         FROM (SELECT doc_id,
-             (md5_number_lower(CAST(doc_id AS VARCHAR))
-               % 72057594037927936) % 1000 AS h
-           FROM documents) ORDER BY doc_id""",
-    "x_split_leakage" ->
-      """SELECT doc_id, fingerprint,
-           CASE WHEN h < 100 THEN 'test'
-                WHEN h < 200 THEN 'val'
-                ELSE 'train' END AS split
-         FROM (SELECT doc_id, fingerprint,
-             (md5_number_lower(fingerprint) % 72057594037927936) % 1000 AS h
-           FROM (SELECT doc_id,
-               md5(array_to_string(list_sort(list_distinct(
-                 string_split(lower(text), ' '))), ' ')) AS fingerprint
-             FROM documents)) ORDER BY doc_id""",
-    // u = (md5_56 + 1)/2^56 is an exact dyadic rational; -ln(u)/w rounds
-    // at 9dp before the rank so libm ULP cannot reorder the cut
-    "x_weighted_sample" ->
-      """SELECT doc_id, n_chars, priority FROM (
-           SELECT doc_id, n_chars,
-             round(-ln((CAST((md5_number_lower(CAST(doc_id AS VARCHAR))
-                 % 72057594037927936) AS DOUBLE) + 1.0) / 72057594037927936.0)
-               / CAST(n_chars AS DOUBLE), 9) AS priority
-           FROM documents)
-         ORDER BY priority, doc_id LIMIT 100""",
-    "x_quota_sample" ->
-      """SELECT doc_id, source FROM (
-           SELECT doc_id, source, row_number() OVER (PARTITION BY source
-               ORDER BY (md5_number_lower(CAST(doc_id AS VARCHAR))
-                 % 72057594037927936), doc_id) AS rk
-           FROM documents)
-         WHERE rk <= CASE source WHEN 'src0' THEN 5 WHEN 'src1' THEN 12
-                     ELSE 8 END
-         ORDER BY doc_id""",
-    "x_mix" ->
-      """SELECT source, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
-         FROM (SELECT doc_id, source,
-             (md5_number_lower(CAST(doc_id AS VARCHAR))
-               % 72057594037927936) % 1000 AS h
-           FROM documents)
-         WHERE h < CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 500
-                               WHEN 'src2' THEN 250 ELSE 100 END
-         GROUP BY source ORDER BY source""",
-    "x_token_budget" ->
-      """WITH t AS (SELECT doc_id, source, text,
-             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
-               AS BIGINT) AS n_tokens,
-             (md5_number_lower(CAST(doc_id AS VARCHAR))
-               % 72057594037927936) AS h
-           FROM documents),
-         c AS (SELECT doc_id, source, n_tokens,
-             CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source
-               ORDER BY h, doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS BIGINT) AS tokens_before
-           FROM t)
-         SELECT doc_id, source, n_tokens, tokens_before FROM c
-         WHERE tokens_before < 600 ORDER BY doc_id""",
-    "x_boilerplate" ->
-      """WITH sh AS (SELECT doc_id,
-             unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-               ELSE list_transform(range(1, len(w)-1),
-                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS ngram
-           FROM (SELECT doc_id,
-               list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
-             FROM documents)),
-         pd AS (SELECT doc_id, ngram, count(*) AS c FROM sh GROUP BY 1, 2),
-         agg AS (SELECT ngram, CAST(sum(c) AS BIGINT) AS n_total,
-             count(*) AS n_docs
-           FROM pd GROUP BY 1)
-         SELECT CAST(row_number() OVER (ORDER BY n_total DESC, ngram) AS INT)
-             AS rk, ngram, n_total, n_docs
-         FROM agg ORDER BY n_total DESC, ngram LIMIT 20""",
-    // full-probe indexed KNN ≡ the corpus-scan knnJoin answer
-    "x_knn_indexed" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
-           FROM embeddings WHERE vec_id < 5),
-         z AS (SELECT q.query_id, e.vec_id,
-             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                    CAST(q.qv AS DOUBLE[])) AS c
-           FROM embeddings e, q),
-         r AS (SELECT query_id, vec_id, c,
-             row_number() OVER (PARTITION BY query_id
-               ORDER BY c DESC, vec_id) AS rk
-           FROM z)
-         SELECT query_id, CAST(rk AS INT) AS rk, vec_id,
-           round(c, 6) AS cosine
-         FROM r WHERE rk <= 5 ORDER BY query_id, rk""",
-    // pq pool + exact rescore must BE the exact per-query top-5
-    "x_pq_knn_join" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
-           FROM embeddings WHERE vec_id < 5),
-         z AS (SELECT q.query_id, e.vec_id,
-             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                    CAST(q.qv AS DOUBLE[])) AS c
-           FROM embeddings e, q),
-         r AS (SELECT query_id, vec_id, c,
-             row_number() OVER (PARTITION BY query_id
-               ORDER BY c DESC, vec_id) AS rk
-           FROM z)
-         SELECT query_id, CAST(rk AS INT) AS rk, vec_id,
-           round(c, 6) AS cosine
-         FROM r WHERE rk <= 5 ORDER BY query_id, rk""",
-
-    // the filtered top-k ranks over the RESTRICTED corpus
-    "x_knn_filtered" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
-           FROM embeddings WHERE vec_id < 5),
-         z AS (SELECT q.query_id, e.vec_id,
-             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                    CAST(q.qv AS DOUBLE[])) AS c
-           FROM embeddings e, q WHERE e.label % 2 = 0),
-         r AS (SELECT query_id, vec_id, c,
-             row_number() OVER (PARTITION BY query_id
-               ORDER BY c DESC, vec_id) AS rk
-           FROM z)
-         SELECT query_id, CAST(rk AS INT) AS rk, vec_id,
-           round(c, 6) AS cosine
-         FROM r WHERE rk <= 5 ORDER BY query_id, rk""",
-    "ws_distinct" ->
-      """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us,
-           CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
-           TRUE AS approx_ok
-         FROM events GROUP BY 1 ORDER BY hour_us""",
-    // surviving key set — which duplicate-group row survives is
-    // arrival-order-dependent by dropDuplicates contract
-    "ws_dedup" ->
-      """SELECT DISTINCT user_id, event_type FROM events
-         ORDER BY user_id, event_type""",
-    // micro-batched blocklist ≡ whole-corpus blocklist (projection
-    // commutes with batching); hits in pattern-list order
-    "ws_blocklist" ->
-      """WITH m AS (SELECT doc_id,
-             list_filter(['scan', 'window scan', 'merge window'],
-               p -> contains(lower(text), p)) AS hits
-           FROM documents)
-         SELECT doc_id, CAST(len(hits) AS INT) AS n_matched,
-           coalesce(array_to_string(hits, ','), '') AS matched_terms,
-           len(hits) > 0 AS blocked
-         FROM m ORDER BY doc_id""",
-    // sketch-vs-exact bands self-verify engine-side (the
-    // agg_quantile_sketch convention); buckets and counts are exact
-    "ws_quantile" ->
-      """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us,
-           count(*) AS n_events, TRUE AS p50_ok, TRUE AS p90_ok
-         FROM events GROUP BY 1 ORDER BY hour_us""",
-    // knnJoin shape + label exclusion; same row_number mirror
-    "x_hard_negatives" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
-             label AS q_label
-           FROM embeddings WHERE vec_id < 5),
-         z AS (SELECT q.query_id, e.vec_id,
-             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                    CAST(q.qv AS DOUBLE[])) AS c
-           FROM embeddings e, q
-           WHERE e.label <> q.q_label),
-         r AS (SELECT query_id, vec_id, c,
-             row_number() OVER (PARTITION BY query_id
-               ORDER BY c DESC, vec_id) AS rk
-           FROM z)
-         SELECT query_id, CAST(rk AS INT) AS rk, vec_id,
-           round(c, 6) AS cosine
-         FROM r WHERE rk <= 5 ORDER BY query_id, rk""",
-    "x_knn_join" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
-           FROM embeddings WHERE vec_id < 5),
-         z AS (SELECT q.query_id, e.vec_id,
-             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                    CAST(q.qv AS DOUBLE[])) AS c
-           FROM embeddings e, q),
-         r AS (SELECT query_id, vec_id, c,
-             row_number() OVER (PARTITION BY query_id
-               ORDER BY c DESC, vec_id) AS rk
-           FROM z)
-         SELECT query_id, CAST(rk AS INT) AS rk, vec_id,
-           round(c, 6) AS cosine
-         FROM r WHERE rk <= 5 ORDER BY query_id, rk""",
-    "x_embed_project" -> embedProjectOracle,
-    "x_sim_mmr" -> mmrOracle,
-    // the raw string rebuilt from chr() codepoints (decomposed e+0301,
-    // U+00DC, Greek capitals), then DuckDB's own canonicalization
-    // pipeline: nfc_normalize -> lower -> \s+ collapse -> trim
-    "x_text_normalize" ->
-      """WITH r AS (SELECT doc_id,
-             '  Cafe' || chr(769) || ' ' || chr(9) || ' ' ||
-             chr(220) || 'BER ' ||
-             chr(931) || chr(921) || chr(915) || chr(924) || chr(913) ||
-             '  ' || upper(coalesce(text, '')) AS raw
-           FROM documents),
-         n AS (SELECT doc_id, raw,
-             trim(regexp_replace(lower(nfc_normalize(raw)), '\s+', ' ', 'g'))
-               AS normalized
-           FROM r)
-         SELECT doc_id, normalized,
-           CAST(length(raw) AS INT) AS n_chars_before,
-           CAST(length(normalized) AS INT) AS n_chars_after
-         FROM n ORDER BY doc_id""",
-    // shortlist-replay: rank by the 6dp-rounded 16-dim prefix cosine
-    // (id tie-break), keep 100, rescore full-dim, cut to 10 — the
-    // operator's exact contract, no recall assumption
-    "x_sim_mrl" ->
-      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
-             FROM embeddings WHERE vec_id = 0),
-         z AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
-             round(list_cosine_similarity(CAST(embedding[1:16] AS DOUBLE[]),
-               qv[1:16]), 6) AS tc
-           FROM embeddings, q WHERE embedding IS NOT NULL),
-         pool AS (SELECT vec_id, e FROM z ORDER BY tc DESC, vec_id LIMIT 100)
-         SELECT vec_id,
-           round(list_cosine_similarity(e, (SELECT qv FROM q)), 6) AS cosine
-         FROM pool
-         ORDER BY list_cosine_similarity(e, (SELECT qv FROM q)) DESC, vec_id
-         LIMIT 10""",
-    "x_sim_binary" -> simBinaryOracle,
-    "x_embed_norm" ->
-      """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-           FROM embeddings WHERE embedding IS NOT NULL),
-         n AS (SELECT vec_id, e,
-             sqrt(list_sum(list_transform(e, x -> x * x))) AS nb
-           FROM t)
-         SELECT vec_id, round(nb, 6) AS norm_before,
-           round(CASE WHEN nb = 0 THEN 0
-             ELSE sqrt(list_sum(list_transform(
-               list_transform(e, x -> x / nb), x -> x * x))) END, 6)
-             AS norm_after,
-           round(CASE WHEN nb = 0 THEN e[1] ELSE e[1] / nb END, 6) AS c0
-         FROM n ORDER BY vec_id""",
-    "x_dedup_windowed" ->
-      """SELECT user_id, epoch_us(date_trunc('hour', ts)) AS window_us,
-           min(event_id) AS first_id, count(*) AS n_window
-         FROM events GROUP BY 1, 2 ORDER BY user_id, window_us""",
-    "x_bloom_prune" ->
-      """SELECT event_id, user_id FROM events
-         WHERE event_type = 'purchase'
-           AND user_id IN
-             (SELECT user_id FROM events WHERE event_type = 'error')
-         ORDER BY event_id""",
-    "x_sketch_distinct" ->
-      """SELECT count(DISTINCT user_id) AS n_users, TRUE AS users_ok,
-           count(DISTINCT event_type) AS n_types, TRUE AS types_ok
-         FROM events""",
-    // the salt must be invisible: ≡ a plain join + group
-    "x_skew_join" ->
-      """WITH dim AS (SELECT user_id, count(*) AS user_events
-           FROM events GROUP BY 1)
-         SELECT e.user_id, count(*) AS n, max(d.user_events) AS user_events,
-           CAST(sum(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
-         FROM events e JOIN dim d ON d.user_id = e.user_id
-         GROUP BY 1 ORDER BY 1""",
-    "x_skew_agg" ->
-      """SELECT event_type,
-           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
-           count(value) AS n,
-           CAST(min(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS min_value,
-           CAST(max(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS max_value
-         FROM events GROUP BY event_type ORDER BY event_type""",
-    // the synthetic props carry one key 'k' with an int value; string
-    // comparison semantics (min/max lexicographic) match the Spark side
-    "x_json_profile" ->
-      """WITH v AS (SELECT regexp_extract(props, '"k": (\d+)', 1) AS val
-           FROM events WHERE props IS NOT NULL)
-         SELECT 'k' AS key, count(*) AS n_present,
-           min(val) AS min_value, max(val) AS max_value,
-           TRUE AS values_ok
-         FROM v""",
-    "x_retention" ->
-      """WITH a AS (SELECT DISTINCT user_id,
-             epoch_us(ts) // 604800000000 AS p FROM events),
-         c AS (SELECT user_id, min(p) AS cohort FROM a GROUP BY 1)
-         SELECT c.cohort, a.p - c.cohort AS "offset", count(*) AS n_users
-         FROM a JOIN c ON a.user_id = c.user_id
-         GROUP BY 1, 2 ORDER BY cohort, "offset"""",
-    "x_text_ttr" ->
-      """WITH t AS (SELECT doc_id,
-             list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
-           FROM documents)
-         SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
-           CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
-           CASE WHEN len(w) = 0 THEN 0.0
-             ELSE round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6)
-           END AS ttr
-         FROM t ORDER BY doc_id""",
-    "x_text_entropy" ->
-      """WITH toks AS (SELECT doc_id,
-             unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
-               AS term
-           FROM documents),
-         tf AS (SELECT doc_id, term, count(*) AS c FROM toks GROUP BY 1, 2),
-         dl AS (SELECT doc_id, CAST(sum(c) AS DOUBLE) AS n FROM tf GROUP BY 1),
-         e AS (SELECT tf.doc_id,
-             CAST(round(-(c / n) * ln(c / n), 9) AS DECIMAL(18,9)) AS contrib
-           FROM tf JOIN dl ON tf.doc_id = dl.doc_id)
-         SELECT doc_id, round(CAST(sum(contrib) AS DOUBLE), 6) AS entropy
-         FROM e GROUP BY doc_id ORDER BY doc_id""",
-    // the n-gram dedup family's shingle convention (raw text, short-doc
-    // collapse); df > 1 means "appears in another doc" since (doc, g)
-    // pairs are distinct
-    "x_memorization" ->
-      """WITH sh AS (SELECT DISTINCT doc_id, g FROM (
-             SELECT doc_id, unnest(CASE WHEN len(w) < 3
-                 THEN [array_to_string(w, ' ')]
-                 ELSE list_transform(range(1, len(w)-1),
-                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS g
-             FROM (SELECT doc_id,
-                 list_filter(string_split(text, ' '), x -> x <> '') AS w
-               FROM documents))),
-         dfq AS (SELECT g, count(*) AS dfn FROM sh GROUP BY 1)
-         SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
-           CAST(sum(CASE WHEN dfn > 1 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_shared,
-           round(CAST(sum(CASE WHEN dfn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
-             / count(*), 6) AS shared_frac
-         FROM sh JOIN dfq USING (g)
-         GROUP BY sh.doc_id ORDER BY doc_id""",
-    // same 9dp-decimal contribution discipline as x_text_entropy;
-    // p_s and p computed with the identical expression shape
-    "x_source_kl" ->
-      """WITH toks AS (SELECT source AS src,
-             unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
-               AS term
-           FROM documents),
-         cs AS (SELECT src, term, count(*) AS c FROM toks GROUP BY 1, 2),
-         ns AS (SELECT src, sum(c) AS ns FROM cs GROUP BY 1),
-         cf AS (SELECT term, sum(c) AS cf FROM cs GROUP BY 1),
-         t AS (SELECT sum(cf) AS t FROM cf),
-         e AS (SELECT cs.src,
-             ns.ns,
-             CAST(round((CAST(c AS DOUBLE) / ns)
-               * ln((CAST(c AS DOUBLE) / ns) / (CAST(cf AS DOUBLE) / t)), 9)
-               AS DECIMAL(18,9)) AS contrib
-           FROM cs JOIN ns USING (src) JOIN cf USING (term), t)
-         SELECT src AS source, CAST(max(ns) AS BIGINT) AS n_tokens,
-           round(CAST(sum(contrib) AS DOUBLE), 6) AS kl
-         FROM e GROUP BY src ORDER BY source""",
-    // corpus unigram model from the SAME tokenization; 9dp-decimal
-    // contribution sum (order-independent), final mean in double
-    "x_unigram_ce" ->
-      """WITH toks AS (SELECT doc_id,
-             unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
-               AS term
-           FROM documents),
-         tf AS (SELECT doc_id, term, count(*) AS c FROM toks GROUP BY 1, 2),
-         cf AS (SELECT term, sum(c) AS cf FROM tf GROUP BY 1),
-         tot AS (SELECT CAST(sum(cf) AS DOUBLE) AS t FROM cf),
-         e AS (SELECT tf.doc_id,
-             CAST(round(tf.c * -ln(CAST(cf.cf AS DOUBLE) / t), 9)
-               AS DECIMAL(18,9)) AS contrib,
-             tf.c
-           FROM tf JOIN cf USING (term) CROSS JOIN tot)
-         SELECT doc_id,
-           round(CAST(sum(contrib) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
-             AS unigram_ce
-         FROM e GROUP BY doc_id ORDER BY doc_id""",
-    "x_heavy_hitters" ->
-      """SELECT term, CAST(count(*) AS BIGINT) AS n FROM (
-           SELECT unnest(list_filter(string_split(lower(text), ' '),
-             x -> x <> '')) AS term
-           FROM documents)
-         GROUP BY term ORDER BY n DESC, term""",
-    // integer-exact bucket boundaries; the pow2 chain mirrors the
-    // engine's threshold chain literally
-    "x_pad_waste" -> {
-      val p2chain = (0 to 20).map(i => s"WHEN l <= ${1 << i} THEN ${1 << i}")
-        .mkString(" ")
-      s"""WITH l AS (SELECT len(list_filter(string_split(text, ' '),
-             x -> x <> '')) AS l
-           FROM documents),
-         b AS (SELECT l, CASE $p2chain END AS p2,
-             l + (64 - l % 64) % 64 AS m64
-           FROM l WHERE l > 0),
-         a AS (SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(l) AS BIGINT) AS real_t, CAST(max(l) AS BIGINT) AS mx,
-             CAST(sum(p2) AS BIGINT) AS sp2,
-             CAST(sum(m64) AS BIGINT) AS sm64
-           FROM b)
-         SELECT policy, n AS n_docs, real_t AS real_tokens, padded_tokens,
-           round((padded_tokens - real_t) / CAST(padded_tokens AS DOUBLE), 6)
-             AS waste_frac
-         FROM (
-           SELECT 'global_max' AS policy, n, real_t, n * mx AS padded_tokens
-             FROM a
-           UNION ALL
-           SELECT 'mult64', n, real_t, sm64 FROM a
-           UNION ALL
-           SELECT 'pow2', n, real_t, sp2 FROM a)
-         ORDER BY policy"""
-    },
-
-    // the same 9dp-decimal moment sums and closed-form fit
-    "x_zipf" ->
-      """WITH tc AS (SELECT t, count(*) AS c FROM (SELECT
-             unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
-               AS t
-           FROM documents) GROUP BY 1),
-         pts AS (SELECT
-             round(ln(CAST(row_number() OVER
-               (ORDER BY c DESC, t) AS DOUBLE)), 9) AS x,
-             round(ln(CAST(c AS DOUBLE)), 9) AS y
-           FROM tc),
-         s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
-             CAST(sum(CAST(round(x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sx,
-             CAST(sum(CAST(round(y, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sy,
-             CAST(sum(CAST(round(x * y, 9) AS DECIMAL(28,9))) AS DOUBLE)
-               AS sxy,
-             CAST(sum(CAST(round(x * x, 9) AS DECIMAL(28,9))) AS DOUBLE)
-               AS sxx,
-             CAST(sum(CAST(round(y * y, 9) AS DECIMAL(28,9))) AS DOUBLE)
-               AS syy
-           FROM pts)
-         SELECT CAST(n AS BIGINT) AS n_terms,
-           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
-           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
-             / n, 6) AS intercept,
-           round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
-             ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
-         FROM s""",
-
-    // the merged per-batch grids must equal the whole-corpus grid, so
-    // the SAME whole-corpus rebuild gates the streaming union
-    "ws_countmin" ->
-      """WITH toks AS (SELECT
-             unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
-               AS t
-           FROM documents),
-         tc AS (SELECT t, count(*) AS c FROM toks GROUP BY 1),
-         cells AS (SELECT tr.r,
-             md5_number_lower(CAST(tr.r AS VARCHAR) || ':' || t)
-               % 72057594037927936 % 16 AS bucket,
-             sum(c) AS n
-           FROM tc CROSS JOIN range(4) tr(r) GROUP BY 1, 2),
-         p(term) AS (VALUES ('join'), ('hash'), ('scan'), ('filter'),
-           ('zzz_absent')),
-         pb AS (SELECT term, tr.r,
-             md5_number_lower(CAST(tr.r AS VARCHAR) || ':' || term)
-               % 72057594037927936 % 16 AS bucket
-           FROM p CROSS JOIN range(4) tr(r))
-         SELECT term, CAST(min(coalesce(n, 0)) AS BIGINT) AS est
-         FROM pb LEFT JOIN cells USING (r, bucket) GROUP BY 1
-         ORDER BY term""",
-
-    // count-min rebuilt cell-for-cell from the md5-56 convention
-    "x_sketch_countmin" ->
-      """WITH toks AS (SELECT
-             unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
-               AS t
-           FROM documents),
-         tc AS (SELECT t, count(*) AS c FROM toks GROUP BY 1),
-         cells AS (SELECT tr.r,
-             md5_number_lower(CAST(tr.r AS VARCHAR) || ':' || t)
-               % 72057594037927936 % 16 AS bucket,
-             sum(c) AS n
-           FROM tc CROSS JOIN range(4) tr(r) GROUP BY 1, 2),
-         p(term) AS (VALUES ('join'), ('hash'), ('scan'), ('filter'),
-           ('zzz_absent')),
-         pb AS (SELECT term, tr.r,
-             md5_number_lower(CAST(tr.r AS VARCHAR) || ':' || term)
-               % 72057594037927936 % 16 AS bucket
-           FROM p CROSS JOIN range(4) tr(r)),
-         e AS (SELECT term, min(coalesce(n, 0)) AS est
-           FROM pb LEFT JOIN cells USING (r, bucket) GROUP BY 1)
-         SELECT term, CAST(est AS BIGINT) AS est,
-           CAST(coalesce(tc.c, 0) AS BIGINT) AS true_count,
-           CAST(est - coalesce(tc.c, 0) AS BIGINT) AS overcount
-         FROM e LEFT JOIN tc ON tc.t = e.term ORDER BY term""",
-
-    // arithmetic mirrors the Spark side term-for-term: (1 - 0.8) is
-    // COMPUTED (not written 0.2) so both engines use the identical double
-    "x_bigram_ce" ->
-      """WITH toks AS (SELECT doc_id,
-             list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
-           FROM documents),
-         alltok AS (SELECT doc_id, unnest(ts) AS term FROM toks
-           WHERE len(ts) > 0),
-         cf AS (SELECT term, count(*) AS cf FROM alltok GROUP BY 1),
-         tot AS (SELECT CAST(sum(cf) AS DOUBLE) AS t FROM cf),
-         f1 AS (SELECT doc_id, ts[1] AS term, count(*) AS c FROM toks
-           WHERE len(ts) > 0 GROUP BY 1, 2),
-         bpos AS (SELECT doc_id, b.prev AS prev, b.term AS term
-           FROM (SELECT doc_id, unnest(list_transform(range(2, len(ts) + 1),
-               i -> struct_pack(prev := ts[i - 1], term := ts[i]))) AS b
-             FROM toks WHERE len(ts) >= 2)),
-         cfb AS (SELECT prev, term, count(*) AS cfb FROM bpos GROUP BY 1, 2),
-         r1 AS (SELECT doc_id, prev, term, count(*) AS c FROM bpos
-           GROUP BY 1, 2, 3),
-         e1 AS (SELECT f1.doc_id,
-             CAST(round(f1.c * -ln(CAST(cf.cf AS DOUBLE) / t), 9)
-               AS DECIMAL(18,9)) AS contrib,
-             f1.c AS c
-           FROM f1 JOIN cf USING (term) CROSS JOIN tot),
-         e2 AS (SELECT r1.doc_id,
-             CAST(round(r1.c * -ln(
-                 0.8 * (CAST(cfb.cfb AS DOUBLE) / CAST(cp.cf AS DOUBLE)) +
-                 (1 - 0.8) * (CAST(cu.cf AS DOUBLE) / t)), 9)
-               AS DECIMAL(18,9)) AS contrib,
-             r1.c AS c
-           FROM r1 JOIN cfb USING (prev, term)
-             JOIN cf cp ON cp.term = r1.prev
-             JOIN cf cu ON cu.term = r1.term
-             CROSS JOIN tot)
-         SELECT doc_id,
-           round(CAST(sum(contrib) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
-             AS bigram_ce
-         FROM (SELECT * FROM e1 UNION ALL SELECT * FROM e2)
-         GROUP BY doc_id ORDER BY doc_id""",
-    "x_funnel" ->
-      """WITH v AS (SELECT user_id, min(epoch_us(ts)) AS t0 FROM events
-           WHERE event_type = 'view' GROUP BY 1),
-         c AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t1 FROM events e
-           JOIN v ON e.user_id = v.user_id AND epoch_us(e.ts) > v.t0
-           WHERE e.event_type = 'click' GROUP BY 1),
-         p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2 FROM events e
-           JOIN c ON e.user_id = c.user_id AND epoch_us(e.ts) > c.t1
-           WHERE e.event_type = 'purchase' GROUP BY 1)
-         SELECT
-           (SELECT count(*) FROM v) AS n_view,
-           (SELECT CAST(sum(user_id) AS BIGINT) FROM v) AS users_sum_view,
-           (SELECT count(*) FROM c) AS n_click,
-           (SELECT CAST(sum(user_id) AS BIGINT) FROM c) AS users_sum_click,
-           (SELECT count(*) FROM p) AS n_purchase,
-           (SELECT CAST(sum(user_id) AS BIGINT) FROM p) AS users_sum_purchase""",
-    "x_source_overlap" ->
-      """WITH f AS (SELECT DISTINCT
-             md5(array_to_string(list_sort(list_distinct(
-               string_split(lower(text), ' '))), ' ')) AS fp, source
-           FROM documents),
-         s AS (SELECT source, count(*) AS n FROM f GROUP BY 1),
-         p AS (SELECT a.source AS source_a, b.source AS source_b,
-             count(*) AS n_shared
-           FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
-           GROUP BY 1, 2)
-         SELECT source_a, source_b, n_shared, sa.n AS n_a, sb.n AS n_b,
-           round(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 6)
-             AS jaccard
-         FROM p JOIN s sa ON sa.source = source_a
-                JOIN s sb ON sb.source = source_b
-         ORDER BY source_a, source_b""",
-    "x_sketch_union" ->
-      """SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n, TRUE AS est_ok
-         FROM documents""",
-    "x_quality_rank" ->
-      """SELECT doc_id, n_chars,
-           round(CAST(percent_rank() OVER (ORDER BY n_chars, doc_id)
-             AS DOUBLE), 6) AS pr
-         FROM documents ORDER BY doc_id""",
-    // mirrored best/worst rankings joined on (group, rank)
-    "x_preference_pairs" ->
-      """WITH ranked AS (
-           SELECT source, doc_id, n_chars,
-             row_number() OVER (PARTITION BY source
-               ORDER BY n_chars DESC, doc_id ASC) AS rb,
-             row_number() OVER (PARTITION BY source
-               ORDER BY n_chars ASC, doc_id DESC) AS rw,
-             count(*) OVER (PARTITION BY source) // 2 AS half
-           FROM documents)
-         SELECT c.source, c.rb AS pair_rank, c.doc_id AS chosen_id,
-           r.doc_id AS rejected_id, c.n_chars - r.n_chars AS margin
-         FROM ranked c JOIN ranked r ON c.source = r.source AND c.rb = r.rw
-         WHERE c.rb <= c.half AND c.rb <= 50
-           AND r.rw <= r.half AND r.rw <= 50
-         ORDER BY c.source, c.rb""",
-    "x_text_domains" ->
-      """WITH p AS (SELECT doc_id,
-             text || ' see https://site' || (doc_id % 7)
-               || '.example.com/p/' || doc_id
-               || ' and https://common.org/x' AS text
-           FROM documents),
-         h AS (SELECT doc_id, lower(unnest(regexp_extract_all(text,
-             'https?://([^/ :]+)', 1))) AS domain FROM p)
-         SELECT domain, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-           count(*) AS n_mentions
-         FROM h GROUP BY domain ORDER BY domain""",
-    "x_mix_epochs" ->
-      """WITH r AS (SELECT doc_id, source,
-             CASE source WHEN 'src0' THEN 2500 WHEN 'src1' THEN 1000
-                         WHEN 'src2' THEN 500 ELSE 0 END AS rate,
-             (md5_number_lower(CAST(doc_id AS VARCHAR))
-               % 72057594037927936) % 1000 AS h
-           FROM documents),
-         c AS (SELECT doc_id, source,
-             rate // 1000 + CASE WHEN h < rate % 1000 THEN 1 ELSE 0 END AS n
-           FROM r)
-         SELECT doc_id, source, CAST(unnest(range(0, n)) AS BIGINT) AS epoch
-         FROM c WHERE n > 0 ORDER BY doc_id, epoch""",
-    "x_sessionize" ->
-      """SELECT event_id, user_id, ts_us,
-           CAST(sum(st) OVER (PARTITION BY user_id ORDER BY ts_us
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-             AS session_idx
-         FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
-             CASE WHEN lag(epoch_us(ts)) OVER
-                 (PARTITION BY user_id ORDER BY epoch_us(ts)) IS NULL
-               OR epoch_us(ts) - lag(epoch_us(ts)) OVER
-                 (PARTITION BY user_id ORDER BY epoch_us(ts)) > 43200000000
-               THEN 1 ELSE 0 END AS st
-           FROM events)
-         ORDER BY user_id, ts_us""",
-    "x_rolling_active" ->
-      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
-           count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
-             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
-             AS n_window
-         FROM events ORDER BY user_id, ts_us""",
-    "x_funnel_window" ->
-      """WITH v AS (SELECT user_id, min(epoch_us(ts)) AS t0 FROM events
-           WHERE event_type = 'view' GROUP BY 1),
-         c AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t1 FROM events e
-           JOIN v ON e.user_id = v.user_id AND epoch_us(e.ts) > v.t0
-             AND epoch_us(e.ts) <= v.t0 + 259200000000
-           WHERE e.event_type = 'click' GROUP BY 1),
-         p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2 FROM events e
-           JOIN c ON e.user_id = c.user_id AND epoch_us(e.ts) > c.t1
-             AND epoch_us(e.ts) <= c.t1 + 259200000000
-           WHERE e.event_type = 'purchase' GROUP BY 1)
-         SELECT
-           (SELECT count(*) FROM v) AS n_view,
-           (SELECT CAST(sum(user_id) AS BIGINT) FROM v) AS users_sum_view,
-           (SELECT count(*) FROM c) AS n_click,
-           (SELECT CAST(sum(user_id) AS BIGINT) FROM c) AS users_sum_click,
-           (SELECT count(*) FROM p) AS n_purchase,
-           (SELECT CAST(sum(user_id) AS BIGINT) FROM p) AS users_sum_purchase""",
-    "x_quality_floor" ->
-      """WITH t AS (SELECT doc_id,
-             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
-               AS BIGINT) AS n_tokens
-           FROM documents),
-         p AS (SELECT quantile_cont(CAST(n_tokens AS DOUBLE), 0.25) AS p25
-           FROM t)
-         SELECT doc_id, n_tokens, round(p25, 6) AS p25 FROM t, p
-         WHERE CAST(n_tokens AS DOUBLE) >= p25 ORDER BY doc_id""",
-    "x_len_hist" ->
-      """WITH t AS (SELECT
-             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
-               AS BIGINT) AS n
-           FROM documents)
-         SELECT n // 20 AS bucket, count(*) AS n_docs,
-           min(n) AS min_tokens, max(n) AS max_tokens,
-           CAST(sum(n) AS BIGINT) AS sum_tokens
-         FROM t GROUP BY 1 ORDER BY bucket""",
-    "x_tfidf" ->
-      """WITH toks AS (SELECT doc_id,
-             unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
-               AS term
-           FROM documents),
-         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
-         dfq AS (SELECT term, count(DISTINCT doc_id) AS dfn FROM toks
-           GROUP BY 1),
-         n AS (SELECT count(*) AS n FROM documents),
-         s AS (SELECT doc_id, term, tf * ln(CAST(n AS DOUBLE) / dfn) AS score
-           FROM tf JOIN dfq USING (term), n),
-         r AS (SELECT doc_id, term, score,
-             row_number() OVER (PARTITION BY doc_id
-               ORDER BY score DESC, term) AS rk
-           FROM s)
-         SELECT doc_id, CAST(rk AS INT) AS rk, term,
-           round(score, 6) AS tfidf
-         FROM r WHERE rk <= 3 ORDER BY doc_id, rk""",
-    // parallel unnest zips value with its 1-based position
-    "x_embed_centroid" ->
-      """SELECT label, CAST(dim AS INTEGER) AS dim, round(avg(v), 6) AS c
-         FROM (SELECT label,
-             unnest(generate_series(1, len(embedding))) AS dim,
-             unnest(embedding) AS v
-           FROM embeddings WHERE embedding IS NOT NULL)
-         GROUP BY label, dim ORDER BY label, dim""",
-    "x_curation" ->
-      """WITH q AS (SELECT doc_id, text,
-             len(string_split(text, ' ')) AS n_tokens,
-             CAST(len(list_filter(string_split(lower(text), ' '),
-               w -> w IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
-               / len(string_split(text, ' ')) AS swr
-           FROM documents),
-         kept AS (SELECT doc_id, text, n_tokens FROM q
-           WHERE n_tokens >= 30 AND swr < 0.5),
-         dedup AS (SELECT doc_id, text, n_tokens FROM (
-             SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
-             FROM kept) t WHERE rn = 1),
-         s AS (SELECT doc_id, n_tokens,
-           len(list_filter(string_split(lower(text), ' '),
-             w -> w IN ('der','die','das','und','ist','nicht','ein','zu'))) AS de_s,
-           len(list_filter(string_split(lower(text), ' '),
-             w -> w IN ('the','and','of','to','is','in','that','it'))) AS en_s,
-           len(list_filter(string_split(lower(text), ' '),
-             w -> w IN ('el','los','las','es','una','en','que','por'))) AS es_s,
-           len(list_filter(string_split(lower(text), ' '),
-             w -> w IN ('le','la','les','et','est','une','dans','que'))) AS fr_s,
-           len(list_filter(string_split(lower(text), ' '),
-             w -> w IN ('的','是','了','在','和','有','我','不'))) AS zh_s
-         FROM dedup)
-         SELECT doc_id, CASE
-           WHEN de_s > 0 AND de_s >= greatest(de_s, en_s, es_s, fr_s, zh_s) THEN 'de'
-           WHEN en_s > 0 AND en_s >= greatest(de_s, en_s, es_s, fr_s, zh_s) THEN 'en'
-           WHEN es_s > 0 AND es_s >= greatest(de_s, en_s, es_s, fr_s, zh_s) THEN 'es'
-           WHEN fr_s > 0 AND fr_s >= greatest(de_s, en_s, es_s, fr_s, zh_s) THEN 'fr'
-           WHEN zh_s > 0 AND zh_s >= greatest(de_s, en_s, es_s, fr_s, zh_s) THEN 'zh'
-           ELSE 'und' END AS pred_lang, n_tokens
-         FROM s ORDER BY doc_id""",
-    "x_asof_join" ->
-      """SELECT p.user_id, epoch_us(p.ts) AS ts_us, p.event_id,
-              p.value AS purchase_value, c.value AS click_value
-         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
-           ON p.user_id = c.user_id AND p.ts >= c.ts
-         ORDER BY p.event_id""",
-    // latest prior click, then the 1-hour bound nulls stale carries;
-    // ties mirror the operator's greatest-payload rule
-    "x_asof_tolerance" ->
-      """WITH p AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
-             value AS purchase_value FROM events
-           WHERE event_type = 'purchase'),
-         c AS (SELECT user_id, epoch_us(ts) AS cts,
-             value AS click_value FROM events WHERE event_type = 'click'),
-         a AS (SELECT p.user_id, p.ts_us, p.event_id, p.purchase_value,
-             c.cts, c.click_value,
-             row_number() OVER (PARTITION BY p.event_id
-               ORDER BY c.cts DESC, c.click_value DESC) AS rk
-           FROM p LEFT JOIN c
-             ON c.user_id = p.user_id AND c.cts <= p.ts_us)
-         SELECT user_id, ts_us, event_id, purchase_value,
-           CASE WHEN ts_us - cts <= 3600000000 THEN click_value END
-             AS click_value
-         FROM a WHERE rk = 1 ORDER BY event_id""",
-
-    // the interval-membership mirror: partitioned intervals admit at
-    // most one version per view
-    "x_temporal_enrich" ->
-      """WITH ch AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id
-           FROM events WHERE event_type <> 'view'),
-         v AS (SELECT user_id,
-             CAST(row_number() OVER w AS BIGINT) AS version,
-             ts_us AS valid_from, lead(ts_us) OVER w AS valid_to
-           FROM ch
-           WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
-         vw AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id
-           FROM events WHERE event_type = 'view')
-         SELECT vw.user_id, vw.ts_us, vw.event_id, v.version
-         FROM vw LEFT JOIN v ON v.user_id = vw.user_id
-           AND vw.ts_us >= v.valid_from
-           AND (v.valid_to IS NULL OR vw.ts_us < v.valid_to)
-         ORDER BY vw.event_id""",
-
-    "x_range_join" ->
-      """SELECT p.event_id AS purchase_id, c.event_id AS click_id
-         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-         JOIN (SELECT * FROM events WHERE event_type = 'click') c
-           ON p.user_id = c.user_id
-          AND abs(epoch_us(p.ts) - epoch_us(c.ts)) <= 600000000
-         ORDER BY purchase_id, click_id""",
-    "j3_top_orders" ->
-      """SELECT o_orderkey,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
-                    (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
-             AS DOUBLE) AS revenue,
-           count(*) AS n_lines
-         FROM lineitem
-         JOIN orders ON l_orderkey = o_orderkey
-         JOIN customer ON o_custkey = c_custkey
-         WHERE c_mktsegment = 'BUILDING'
-         GROUP BY o_orderkey
-         ORDER BY revenue DESC, o_orderkey LIMIT 10""",
-    "j5_nation_revenue" ->
-      """SELECT n_name,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
-                    (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
-             AS DOUBLE) AS revenue
-         FROM lineitem
-         JOIN orders ON l_orderkey = o_orderkey
-         JOIN supplier ON l_suppkey = s_suppkey
-         JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
-         JOIN nation ON c_nationkey = n_nationkey
-         JOIN region ON n_regionkey = r_regionkey
-         GROUP BY n_name ORDER BY n_name""",
-    // Q7 shape: bilateral revenue by ship year, decimal-exact
-    "j13_nation_volume" ->
-      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-           CAST(year(l_shipdate) AS INT) AS l_year,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
-                    (CAST(1 AS DECIMAL(12,2)) -
-                     CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
-             AS revenue,
-           count(*) AS n_rows
-         FROM lineitem
-         JOIN orders   ON l_orderkey = o_orderkey
-         JOIN customer ON o_custkey = c_custkey
-         JOIN supplier ON l_suppkey = s_suppkey
-         JOIN nation n1 ON s_nationkey = n1.n_nationkey
-         JOIN nation n2 ON c_nationkey = n2.n_nationkey
-         WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
-         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
-    // Q8 shape: one nation's share of PROMO revenue into ASIA, by year
-    "j14_market_share" ->
-      """WITH rev AS (
-           SELECT year(o_orderdate) AS o_year,
-             CAST(l_extendedprice AS DECIMAL(12,2)) *
-               (CAST(1 AS DECIMAL(12,2)) -
-                CAST(l_discount AS DECIMAL(12,2))) AS volume,
-             n1.n_name AS supp_nation
-           FROM lineitem
-           JOIN part     ON l_partkey = p_partkey AND p_type = 'PROMO'
-           JOIN orders   ON l_orderkey = o_orderkey
-           JOIN customer ON o_custkey = c_custkey
-           JOIN nation n2 ON c_nationkey = n2.n_nationkey
-           JOIN region   ON n2.n_regionkey = r_regionkey
-                        AND r_name = 'ASIA'
-           JOIN supplier ON l_suppkey = s_suppkey
-           JOIN nation n1 ON s_nationkey = n1.n_nationkey)
-         SELECT CAST(o_year AS INT) AS o_year,
-           round(CAST(sum(CASE WHEN supp_nation = 'NATION_5'
-                     THEN volume ELSE 0 END) AS DOUBLE)
-             / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share,
-           count(*) AS n_rows
-         FROM rev GROUP BY 1 ORDER BY 1""",
-    // Q2 shape: per-part regional minimum cost, decimal-exact equality
-    "j15_min_cost_supplier" ->
-      """WITH cost AS (SELECT l_partkey, l_suppkey,
-             min(CAST(l_extendedprice AS DECIMAL(12,2))) AS c
-           FROM lineitem GROUP BY 1, 2),
-         eligible AS (SELECT cost.*, s_name, n_name FROM cost
-           JOIN supplier ON l_suppkey = s_suppkey
-           JOIN nation ON s_nationkey = n_nationkey
-           JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'),
-         mn AS (SELECT l_partkey, min(c) AS mc FROM eligible GROUP BY 1)
-         SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey, s_name,
-           n_name, CAST(c AS DOUBLE) AS cost
-         FROM eligible JOIN mn USING (l_partkey)
-         JOIN part ON l_partkey = p_partkey
-           AND p_type = 'STANDARD' AND p_size <= 10
-         WHERE c = mc
-         ORDER BY p_partkey, s_suppkey""",
-    // Q18 shape: orders whose total quantity clears a HAVING threshold
-    "j16_large_orders" ->
-      """WITH big AS (SELECT l_orderkey,
-             sum(CAST(l_quantity AS DECIMAL(12,2))) AS total_qty
-           FROM lineitem GROUP BY 1
-           HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 250)
-         SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
-           CAST(total_qty AS DOUBLE) AS total_qty
-         FROM orders JOIN big ON o_orderkey = l_orderkey
-         JOIN customer ON o_custkey = c_custkey
-         ORDER BY o_totalprice DESC, o_orderkey""",
-    // Q19 shape: three OR'd brand/size/quantity conjunctions
-    "j17_disjunctive_revenue" ->
-      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
-                         (CAST(1 AS DECIMAL(12,2)) -
-                          CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
-             AS revenue,
-           count(*) AS n_rows
-         FROM lineitem JOIN part ON l_partkey = p_partkey
-         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
-                AND l_quantity BETWEEN 1 AND 11)
-            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
-                AND l_quantity BETWEEN 10 AND 20)
-            OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
-                AND l_quantity BETWEEN 20 AND 30)""",
-    // Q4 shape: EXISTS = semi join, once per order
-    "j4_priority_wait" ->
-      """SELECT o_orderpriority, count(*) AS order_count
-         FROM orders o
-         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
-           AND o_orderdate < TIMESTAMP '1996-04-01'
-           AND EXISTS (SELECT 1 FROM lineitem l
-             WHERE l.l_orderkey = o.o_orderkey
-               AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
-         GROUP BY 1 ORDER BY 1""",
-
-    // Q15 shape: the revenue view feeds both the max and the filter
-    "j18_top_supplier" ->
-      """WITH rev AS (SELECT l_suppkey,
-             sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
-                 (CAST(1 AS DECIMAL(12,2)) -
-                  CAST(l_discount AS DECIMAL(12,2)))) AS r
-           FROM lineitem
-           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-             AND l_shipdate < TIMESTAMP '1996-04-01'
-           GROUP BY 1)
-         SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue
-         FROM rev JOIN supplier ON l_suppkey = s_suppkey
-         WHERE r = (SELECT max(r) FROM rev)
-         ORDER BY s_suppkey""",
-
-    // Q10 shape: returned revenue per customer, top 20
-    "j20_returned_customers" ->
-      """WITH rc AS (SELECT o_custkey,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
-                 (CAST(1 AS DECIMAL(12,2)) -
-                  CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
-           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-           WHERE o_orderdate >= TIMESTAMP '1995-10-01'
-             AND o_orderdate < TIMESTAMP '1996-01-01'
-             AND l_returnflag = 'R'
-           GROUP BY 1)
-         SELECT c_custkey, c_name, n_name, c_acctbal, revenue
-         FROM rc JOIN customer ON o_custkey = c_custkey
-         JOIN nation ON c_nationkey = n_nationkey
-         ORDER BY revenue DESC, c_custkey LIMIT 20""",
-
-    // Q12 shape: conditional counts per group
-    "j21_shipstatus_priority" ->
-      """SELECT l_linestatus,
-           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
-         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-           AND l_shipdate < TIMESTAMP '1997-01-01'
-         GROUP BY 1 ORDER BY 1""",
-
-    // Q16 shape: anti-join exclusion + distinct suppliers per attrs
-    "j23_parts_suppliers" ->
-      """SELECT p_brand, p_type, p_size,
-           count(DISTINCT l_suppkey) AS supplier_cnt
-         FROM lineitem
-         JOIN part ON l_partkey = p_partkey
-         WHERE p_brand <> 'Brand#45'
-           AND p_type NOT LIKE 'MEDIUM%'
-           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
-             WHERE s_acctbal < 0)
-         GROUP BY 1, 2, 3
-         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
-
-    // Q9 shape: decimal-exact profit per (nation, year)
-    "j19_profit" ->
-      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
-               (CAST(1 AS DECIMAL(12,2)) -
-                CAST(l_discount AS DECIMAL(12,2))) -
-               CAST(p_retailprice AS DECIMAL(12,2)) *
-               CAST(l_quantity AS DECIMAL(12,2)) *
-               CAST(0.5 AS DECIMAL(2,1))) AS DOUBLE) AS profit
-         FROM lineitem
-         JOIN part ON l_partkey = p_partkey
-         JOIN supplier ON l_suppkey = s_suppkey
-         JOIN nation ON s_nationkey = n_nationkey
-         JOIN orders ON l_orderkey = o_orderkey
-         WHERE p_type = 'ECONOMY'
-         GROUP BY 1, 2 ORDER BY nation, o_year DESC""",
-
-    // Q14 shape: conditional promo share per ship month
-    "j22_promo_share" ->
-      """WITH m AS (SELECT epoch_us(date_trunc('month', l_shipdate)) AS month_us,
-             sum(CASE WHEN p_type = 'PROMO'
-               THEN CAST(l_extendedprice AS DECIMAL(12,2)) *
-                 (CAST(1 AS DECIMAL(12,2)) -
-                  CAST(l_discount AS DECIMAL(12,2)))
-               ELSE CAST(0 AS DECIMAL(12,2)) END) AS promo,
-             sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
-               (CAST(1 AS DECIMAL(12,2)) -
-                CAST(l_discount AS DECIMAL(12,2)))) AS allrev
-           FROM lineitem JOIN part ON l_partkey = p_partkey
-           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-             AND l_shipdate < TIMESTAMP '1997-01-01'
-           GROUP BY 1)
-         SELECT month_us,
-           round(100.0 * CAST(promo AS DOUBLE) / CAST(allrev AS DOUBLE), 6)
-             AS promo_share,
-           CAST(promo AS DOUBLE) AS promo_revenue
-         FROM m ORDER BY month_us""",
-
-    // Q11 shape: per-part value vs a scaled global scalar
-    "j24_value_parts" ->
-      """WITH rev AS (SELECT l_partkey,
-             sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
-                 (CAST(1 AS DECIMAL(12,2)) -
-                  CAST(l_discount AS DECIMAL(12,2)))) AS v
-           FROM lineitem GROUP BY 1)
-         SELECT l_partkey AS p_partkey, CAST(v AS DOUBLE) AS part_value
-         FROM rev
-         WHERE CAST(v AS DOUBLE) >
-           1.5 * (SELECT CAST(sum(v) AS DOUBLE) FROM rev)
-             / (SELECT count(*) FROM rev)
-         ORDER BY part_value DESC, p_partkey""",
-
-    "j6_forecast" ->
-      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
-                         CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
-           count(*) AS n_rows
-         FROM lineitem
-         WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
-    // Q17 shape: per-part decimal-avg threshold, exact decimal revenue
-    "j7_small_qty_revenue" ->
-      """WITH pp AS (SELECT l_partkey,
-             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
-               / count(*) AS avg_qty
-           FROM lineitem GROUP BY l_partkey)
-         SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
-             AS DOUBLE) / 7.0, 2) AS avg_yearly,
-           count(*) AS n_rows
-         FROM lineitem
-         JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#23'
-         JOIN pp ON lineitem.l_partkey = pp.l_partkey
-         WHERE l_quantity < 0.2 * avg_qty""",
-    // Q13 shape: zero-inclusive per-customer order counts, then the
-    // distribution over counts
-    "j9_order_count_dist" ->
-      """WITH pc AS (SELECT c_custkey, count(o_orderkey) AS c_count
-           FROM customer LEFT JOIN orders
-             ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
-           GROUP BY c_custkey)
-         SELECT c_count, count(*) AS custdist
-         FROM pc GROUP BY c_count
-         ORDER BY custdist DESC, c_count DESC""",
-    // Q22 shape: above-average balance, no big urgent order, per nation
-    "j10_idle_customers" ->
-      """WITH a AS (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2)))
-             AS DOUBLE) / count(*) AS avg_bal
-           FROM customer WHERE c_acctbal > 0)
-         SELECT c_nationkey, count(*) AS n_cust,
-           CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
-             AS total_bal
-         FROM customer, a
-         WHERE c_acctbal > avg_bal
-           AND NOT EXISTS (SELECT 1 FROM orders
-             WHERE o_custkey = c_custkey
-               AND o_orderpriority = '1-URGENT' AND o_totalprice > 50000)
-         GROUP BY c_nationkey ORDER BY c_nationkey""",
-    // Q21 shape: exists + not-exists over the same late-lineitem frame
-    "j11_waiting_suppliers" ->
-      """WITH l AS (
-           SELECT l_orderkey, l_suppkey,
-                  (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late
-           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-           WHERE o_orderstatus = 'F')
-         SELECT s_name, count(*) AS numwait
-         FROM supplier
-         JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_9'
-         JOIN l l1 ON l1.l_suppkey = s_suppkey AND l1.late
-         WHERE EXISTS (SELECT 1 FROM l l2
-                 WHERE l2.l_orderkey = l1.l_orderkey
-                   AND l2.l_suppkey <> l1.l_suppkey)
-           AND NOT EXISTS (SELECT 1 FROM l l3
-                 WHERE l3.l_orderkey = l1.l_orderkey
-                   AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
-         GROUP BY s_name ORDER BY numwait DESC, s_name""",
-    // Q20 shape: nested IN with a correlated per-part decimal threshold
-    "j12_dominant_suppliers" ->
-      """WITH sp AS (
-           SELECT l_suppkey, l_partkey,
-                  sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty
-           FROM lineitem
-           WHERE l_partkey IN
-             (SELECT p_partkey FROM part WHERE p_name LIKE 's%')
-           GROUP BY l_suppkey, l_partkey),
-         tot AS (SELECT l_partkey, sum(qty) AS total FROM sp GROUP BY 1),
-         qual AS (
-           SELECT l_suppkey, count(*) AS n_parts
-           FROM sp JOIN tot ON sp.l_partkey = tot.l_partkey
-           WHERE 8 * qty > total
-           GROUP BY l_suppkey)
-         SELECT s_suppkey, s_name, n_parts
-         FROM supplier JOIN qual ON l_suppkey = s_suppkey
-         ORDER BY s_suppkey""",
-    "w1_running_total" ->
-      """SELECT o_custkey, o_orderkey,
-           row_number() OVER w AS order_rank,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER
-             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-             AS running_total
-         FROM orders
-         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-         ORDER BY o_custkey, o_orderkey""",
-    "w2_topk_per_group" ->
-      """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
-           SELECT *, row_number() OVER (PARTITION BY o_custkey
-             ORDER BY o_totalprice DESC, o_orderkey) AS rk
-           FROM orders) t
-         WHERE rk <= 3 ORDER BY o_custkey, rk""",
-    // unique (value, id) order keys → integer-exact rank arithmetic
-    "w3_rank_funcs" ->
-      """SELECT event_id, event_type,
-           round(percent_rank() OVER w, 9) AS pr,
-           round(cume_dist() OVER w, 9) AS cd,
-           CAST(ntile(4) OVER w AS BIGINT) AS quartile
-         FROM events
-         WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
-         ORDER BY event_id""",
-    // grid completion + LOCF over bucket space; leading gaps stay null
-    "x_gap_fill" ->
-      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
-             CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value
-           FROM events GROUP BY 1, 2),
-         b AS (SELECT min(bucket) AS mn, max(bucket) AS mx FROM h),
-         g AS (SELECT k.event_type,
-             unnest(generate_series(b.mn, b.mx, INTERVAL 1 HOUR)) AS bucket
-           FROM (SELECT DISTINCT event_type FROM h) k, b),
-         j AS (SELECT g.event_type, g.bucket, h.value,
-             h.value IS NULL AS filled
-           FROM g LEFT JOIN h
-             ON h.event_type = g.event_type AND h.bucket = g.bucket)
-         SELECT event_type, epoch_us(bucket) AS hour_us,
-           last_value(value IGNORE NULLS) OVER (PARTITION BY event_type
-             ORDER BY bucket
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS sum_value,
-           filled
-         FROM j ORDER BY event_type, hour_us""",
-    "set_ops" ->
-      """(SELECT DISTINCT user_id FROM events
-          WHERE event_type = 'purchase' AND value > 200.0
-          EXCEPT
-          SELECT DISTINCT user_id FROM events
-          WHERE event_type = 'error' AND value > 250.0)
-         INTERSECT
-         SELECT DISTINCT user_id FROM events
-         WHERE event_type = 'click' AND value > 150.0
-         ORDER BY user_id""",
-    // pivot: explicit CASE sums, one column per status value
-    "agg_pivot" ->
-      """SELECT l_returnflag,
-           CAST(sum(CASE WHEN l_linestatus = 'F'
-             THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS F,
-           CAST(sum(CASE WHEN l_linestatus = 'O'
-             THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS O
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
-    // unpivot: UNION ALL with literal measure names
-    "agg_unpivot" ->
-      """WITH m AS (SELECT l_returnflag,
-             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
-               AS sum_qty,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
-               AS sum_price
-           FROM lineitem GROUP BY l_returnflag)
-         SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value
-         FROM m
-         UNION ALL
-         SELECT l_returnflag, 'sum_price' AS measure, sum_price AS value
-         FROM m
-         ORDER BY l_returnflag, measure""",
-    "agg_rollup" ->
-      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
-           coalesce(l_linestatus, 'ALL') AS status,
-           count(*) AS n,
-           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
-         FROM lineitem
-         GROUP BY ROLLUP (l_returnflag, l_linestatus)
-         ORDER BY flag, status""",
-    "agg_grouping_sets" ->
-      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
-           coalesce(l_linestatus, 'ALL') AS status,
-           count(*) AS n,
-           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
-         FROM lineitem
-         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
-           (l_linestatus))
-         ORDER BY flag, status""",
-    "agg_cube" ->
-      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
-           coalesce(l_linestatus, 'ALL') AS status,
-           count(*) AS n,
-           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
-         FROM lineitem
-         GROUP BY CUBE (l_returnflag, l_linestatus)
-         ORDER BY flag, status""",
-    "agg_distinct" ->
-      """SELECT l_returnflag,
-           count(DISTINCT l_orderkey) AS n_orders,
-           count(DISTINCT l_suppkey) AS n_supps
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
-    "agg_stats" ->
-      """SELECT l_returnflag,
-           quantile_cont(l_quantity, 0.5) AS p50_qty,
-           quantile_cont(l_extendedprice, 0.9) AS p90_price,
-           round(stddev_samp(l_quantity), 6) AS sd_qty,
-           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
-    // exact integer power sums, identical double arithmetic after —
-    // explicit moments dodge the sample-vs-population bias conventions
-    "agg_moments" ->
-      """WITH s AS (SELECT count(*) AS n,
-             sum(n_chars) AS s1,
-             sum(n_chars * n_chars) AS s2,
-             sum(n_chars * n_chars * n_chars) AS s3,
-             sum(n_chars * n_chars * n_chars * n_chars) AS s4
-           FROM documents),
-         m AS (SELECT n,
-             CAST(s1 AS DOUBLE) / n AS mean,
-             CAST(s2 AS DOUBLE) / n AS r2,
-             CAST(s3 AS DOUBLE) / n AS r3,
-             CAST(s4 AS DOUBLE) / n AS r4
-           FROM s),
-         c AS (SELECT n, mean,
-             r2 - mean * mean AS m2,
-             r3 - mean * r2 * 3 + mean * mean * mean * 2 AS m3,
-             r4 - mean * r3 * 4 + mean * mean * r2 * 6
-               - mean * mean * mean * mean * 3 AS m4
-           FROM m)
-         SELECT n, round(mean, 6) AS mean,
-           round(m2, 6) AS variance,
-           round(m3 / pow(m2, 1.5), 6) AS skewness,
-           round(m4 / (m2 * m2) - 3, 6) AS kurtosis
-         FROM c""",
-    // exact integer-count arithmetic in double — 0/1 sums are exact
-    "agg_percentile_ranks" ->
-      """SELECT l_returnflag,
-           round(count(*) FILTER (l_quantity <= 10) * 100.0 / count(*), 6)
-             AS pr_10,
-           round(count(*) FILTER (l_quantity <= 25) * 100.0 / count(*), 6)
-             AS pr_25
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
-
-    // five-number summary; quantile_cont is the same type-7 linear
-    // interpolation Spark's exact percentile uses
-    "agg_boxplot" ->
-      """SELECT l_returnflag, min(l_quantity) AS q_min,
-           round(quantile_cont(l_quantity, 0.25), 6) AS q1,
-           round(quantile_cont(l_quantity, 0.5), 6) AS q2,
-           round(quantile_cont(l_quantity, 0.75), 6) AS q3,
-           max(l_quantity) AS q_max
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
-
-    // Welch t + Satterthwaite df from exact cent-unit sums
-    "agg_ttest" ->
-      """WITH t AS (SELECT l_returnflag,
-             CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100
-               AS DECIMAL(18,0)) AS q
-           FROM lineitem),
-         g AS (SELECT
-             count(*) FILTER (l_returnflag = 'A') AS n1,
-             count(*) FILTER (l_returnflag = 'N') AS n2,
-             CAST(sum(CASE WHEN l_returnflag = 'A' THEN q END)
-               AS DOUBLE) AS s1,
-             CAST(sum(CASE WHEN l_returnflag = 'N' THEN q END)
-               AS DOUBLE) AS s2,
-             CAST(sum(CASE WHEN l_returnflag = 'A' THEN q*q END)
-               AS DOUBLE) AS ss1,
-             CAST(sum(CASE WHEN l_returnflag = 'N' THEN q*q END)
-               AS DOUBLE) AS ss2
-           FROM t),
-         z AS (SELECT n1, n2,
-             (CAST(n1 AS DOUBLE) * ss1 - s1 * s1)
-               / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1))
-               / 10000.0 AS v1,
-             (CAST(n2 AS DOUBLE) * ss2 - s2 * s2)
-               / (CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1))
-               / 10000.0 AS v2,
-             s1 / CAST(n1 AS DOUBLE) / 100.0 AS m1,
-             s2 / CAST(n2 AS DOUBLE) / 100.0 AS m2
-           FROM g)
-         SELECT n1, n2, round(m1 - m2, 6) AS mean_diff,
-           round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t,
-           round((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
-             / ((v1 / n1) * (v1 / n1) / (n1 - 1)
-              + (v2 / n2) * (v2 / n2) / (n2 - 1)), 6) AS df
-         FROM z""",
-
-    // exact percentile of deviations from the per-group exact median
-    "agg_mad" ->
-      """WITH med AS (SELECT l_returnflag,
-             quantile_cont(l_quantity, 0.5) AS m
-           FROM lineitem GROUP BY 1)
-         SELECT l.l_returnflag,
-           round(quantile_cont(abs(l.l_quantity - med.m), 0.5), 6) AS mad
-         FROM lineitem l JOIN med ON med.l_returnflag = l.l_returnflag
-         GROUP BY 1 ORDER BY 1""",
-
-    // exact integer product sums, one final double ratio
-    "agg_weighted_avg" ->
-      """WITH t AS (SELECT l_returnflag,
-             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
-               AS DECIMAL(18,0)) AS p,
-             CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100
-               AS DECIMAL(18,0)) AS q
-           FROM lineitem)
-         SELECT l_returnflag,
-           round(CAST(sum(p * q) AS DOUBLE) / CAST(sum(q) AS DOUBLE)
-             / 100.0, 6) AS weighted_price
-         FROM t GROUP BY 1 ORDER BY 1""",
-
-    // moments from exact integer (cent-unit) power sums; scale-0
-    // decimal→double casts are single correctly-rounded conversions,
-    // then the same IEEE op sequence as the Spark side
-    "agg_matrix_stats" ->
-      """WITH t AS (SELECT l_returnflag,
-             CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100
-               AS DECIMAL(18,0)) AS q,
-             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
-               AS DECIMAL(18,0)) AS p,
-             CAST(CAST(l_discount AS DECIMAL(12,2)) * 100
-               AS DECIMAL(18,0)) AS d2
-           FROM lineitem),
-         g AS (SELECT l_returnflag, count(*) AS n,
-             CAST(sum(q) AS DOUBLE) AS sq, CAST(sum(p) AS DOUBLE) AS sp,
-             CAST(sum(d2) AS DOUBLE) AS sd,
-             CAST(sum(q*q) AS DOUBLE) AS sqq,
-             CAST(sum(p*p) AS DOUBLE) AS spp,
-             CAST(sum(d2*d2) AS DOUBLE) AS sdd,
-             CAST(sum(q*p) AS DOUBLE) AS sqp,
-             CAST(sum(q*d2) AS DOUBLE) AS sqd,
-             CAST(sum(p*d2) AS DOUBLE) AS spd
-           FROM t GROUP BY 1),
-         a AS (SELECT l_returnflag, n,
-             CAST(n AS DOUBLE) * sqq - sq * sq AS aq,
-             CAST(n AS DOUBLE) * spp - sp * sp AS ap,
-             CAST(n AS DOUBLE) * sdd - sd * sd AS ad,
-             CAST(n AS DOUBLE) * sqp - sq * sp AS aqp,
-             CAST(n AS DOUBLE) * sqd - sq * sd AS aqd,
-             CAST(n AS DOUBLE) * spd - sp * sd AS apd
-           FROM g)
-         SELECT l_returnflag, n,
-           round(aq / CAST(n * (n - 1) AS DOUBLE) / 10000.0, 6) AS var_q,
-           round(ap / CAST(n * (n - 1) AS DOUBLE) / 10000.0, 2) AS var_p,
-           round(ad / CAST(n * (n - 1) AS DOUBLE) / 10000.0, 9) AS var_d,
-           round(aqp / sqrt(aq * ap), 6) AS corr_qp,
-           round(aqd / sqrt(aq * ad), 6) AS corr_qd,
-           round(apd / sqrt(ap * ad), 6) AS corr_pd
-         FROM a ORDER BY l_returnflag""",
-    // derivative/moving_avg computed over the full histogram, selector
-    // applied AFTER (the ES pipeline-agg evaluation order)
-    "q_pipeline_aggs" ->
-      """WITH b AS (SELECT epoch_us(date_trunc('week', ts)) AS bucket_us,
-             count(*) AS n_events,
-             CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
-           FROM events GROUP BY 1),
-         p AS (SELECT bucket_us, n_events, sum_value,
-             sum_value - lag(sum_value) OVER (ORDER BY bucket_us)
-               AS derivative,
-             round(avg(sum_value) OVER (ORDER BY bucket_us
-               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg
-           FROM b)
-         SELECT bucket_us, n_events, sum_value, derivative, moving_avg
-         FROM p WHERE n_events >= 50 ORDER BY bucket_us""",
-    // serial_diff / moving extremes / exact trailing median / EMA-fold
-    "q_pipeline_aggs2" ->
-      """WITH b AS (SELECT epoch_us(date_trunc('week', ts)) AS bucket_us,
-             count(*) AS n_events,
-             CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
-           FROM events GROUP BY 1),
-         p AS (SELECT bucket_us, n_events, sum_value,
-             sum_value - lag(sum_value, 2) OVER w AS serial_diff,
-             min(sum_value) OVER w3 AS moving_min,
-             max(sum_value) OVER w3 AS moving_max,
-             round(quantile_cont(sum_value, 0.5) OVER w3, 6)
-               AS moving_median,
-             list(sum_value) OVER (ORDER BY bucket_us
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS h
-           FROM b
-           WINDOW w AS (ORDER BY bucket_us),
-             w3 AS (ORDER BY bucket_us
-               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
-         SELECT bucket_us, n_events, sum_value, serial_diff, moving_min,
-           moving_max, moving_median,
-           round(list_reduce(h, (acc, x) -> 0.5 * x + 0.5 * acc), 6) AS ema
-         FROM p ORDER BY bucket_us""",
-    // CUSUM as a recursive CTE; moments from exact decimal sums
-    "q_cusum" ->
-      """WITH RECURSIVE
-         b AS (SELECT epoch_us(date_trunc('week', ts)) AS t,
-             CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS y
-           FROM events GROUP BY 1),
-         st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
-             CAST(sum(CAST(y AS DECIMAL(24,6))) AS DOUBLE) AS s,
-             CAST(sum(CAST(CAST(y AS DECIMAL(24,6))
-               * CAST(y AS DECIMAL(24,6)) AS DECIMAL(38,12)))
-               AS DOUBLE) AS ss
-           FROM b),
-         o AS (SELECT t, y, row_number() OVER (ORDER BY t) AS i FROM b),
-         m AS (SELECT s / n AS mu,
-             sqrt((n * ss - s * s) / (n * (n - 1))) AS sigma FROM st),
-         c(i, sp, sn) AS (
-           SELECT o.i, greatest(0.0, o.y - m.mu),
-             greatest(0.0, m.mu - o.y)
-           FROM o, m WHERE o.i = 1
-           UNION ALL
-           SELECT o.i, greatest(0.0, c.sp + (o.y - m.mu)),
-             greatest(0.0, c.sn + (m.mu - o.y))
-           FROM c JOIN o ON o.i = c.i + 1, m)
-         SELECT o.t AS bucket_us, o.y, round(c.sp, 6) AS cusum_pos,
-           round(c.sn, 6) AS cusum_neg,
-           (c.sp > 2 * m.sigma OR c.sn > 2 * m.sigma) AS changepoint
-         FROM o JOIN c ON c.i = o.i, m ORDER BY bucket_us""",
-
-    // the HW recursion replayed as a recursive CTE: the seasonal list
-    // rotates (s[2:] || [s']), l' textually expanded into the trend and
-    // seasonal updates exactly as the engine's fold expands it
-    "x_holt_winters" ->
-      """WITH RECURSIVE
-         b AS (SELECT epoch_us(date_trunc('day', ts)) AS t,
-             CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS y
-           FROM events GROUP BY 1),
-         o AS (SELECT t, y, row_number() OVER (ORDER BY t) AS i FROM b),
-         init AS (SELECT list(y ORDER BY i) AS ys FROM o WHERE i <= 7),
-         z AS (SELECT list_reduce(ys, (a, b) -> a + b) / 7 AS l0,
-             list_transform(ys,
-               v -> v - list_reduce(ys, (a, b) -> a + b) / 7) AS s0
-           FROM init),
-         h(i, l, tr, s) AS (
-           SELECT CAST(7 AS BIGINT), l0, CAST(0.0 AS DOUBLE), s0 FROM z
-           UNION ALL
-           SELECT o.i,
-             0.5 * (o.y - h.s[1]) + 0.5 * (h.l + h.tr),
-             0.25 * ((0.5 * (o.y - h.s[1]) + 0.5 * (h.l + h.tr)) - h.l)
-               + 0.75 * h.tr,
-             h.s[2:] || [0.25 * (o.y -
-               (0.5 * (o.y - h.s[1]) + 0.5 * (h.l + h.tr)))
-               + 0.75 * h.s[1]]
-           FROM h JOIN o ON o.i = h.i + 1)
-         SELECT o.t AS bucket_us, o.y AS y, round(h.l, 6) AS level,
-           round(h.tr, 6) AS trend, round(h.s[7], 6) AS seasonal,
-           round(h.l + h.tr + h.s[1], 6) AS forecast_next
-         FROM o JOIN h ON h.i = o.i WHERE o.i > 7 ORDER BY bucket_us""",
-
-    // the same recursion as a recursive CTE; l' expanded identically
-    // in the trend update on both sides
-    "q_holt" ->
-      """WITH RECURSIVE
-         b AS (SELECT epoch_us(date_trunc('week', ts)) AS t,
-             CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS y
-           FROM events GROUP BY 1),
-         o AS (SELECT t, y, row_number() OVER (ORDER BY t) AS i FROM b),
-         h(i, l, tr) AS (
-           SELECT CAST(1 AS BIGINT), y, CAST(0.0 AS DOUBLE)
-           FROM o WHERE i = 1
-           UNION ALL
-           SELECT o.i, 0.5 * o.y + 0.5 * (h.l + h.tr),
-             0.3 * ((0.5 * o.y + 0.5 * (h.l + h.tr)) - h.l) + 0.7 * h.tr
-           FROM h JOIN o ON o.i = h.i + 1)
-         SELECT o.t AS bucket_us, o.y AS sum_value,
-           round(h.l, 6) AS level, round(h.tr, 6) AS trend,
-           round(h.l + h.tr, 6) AS forecast_next
-         FROM o JOIN h ON h.i = o.i ORDER BY bucket_us""",
-
-    // running distinct = running sum of first-seen counts
-    "q_cumulative_cardinality" ->
-      """WITH daily AS (SELECT date_trunc('day', ts) AS day,
-             count(DISTINCT user_id) AS n_users
-           FROM events GROUP BY 1),
-         fs AS (SELECT user_id, min(date_trunc('day', ts)) AS day
-           FROM events GROUP BY 1),
-         nb AS (SELECT day, count(*) AS n_new FROM fs GROUP BY 1),
-         j AS (SELECT d.day, d.n_users, coalesce(nb.n_new, 0) AS n_new
-           FROM daily d LEFT JOIN nb ON nb.day = d.day)
-         SELECT epoch_us(day) AS day_us, n_users, n_new,
-           CAST(sum(n_new) OVER (ORDER BY day) AS BIGINT) AS cum_users
-         FROM j ORDER BY day_us""",
-    // per-fence daily entry counts; haversine mirrored from x_geo_join
-    "ws_geofence" ->
-      """WITH p AS (SELECT epoch_us(date_trunc('day', ts)) AS day_us,
-             CAST(event_id * 37 % 17000 AS DOUBLE) / 100.0 - 85.0 AS lat,
-             CAST(event_id * 91 % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon
-           FROM events),
-         f(fence_id, flat, flon, fr) AS (VALUES
-           (1, 40.0, -74.0, 1500.0), (2, 5.0, 179.0, 2000.0),
-           (3, -84.0, 10.0, 2500.0))
-         SELECT day_us, CAST(fence_id AS BIGINT) AS fence_id,
-           count(*) AS n_events
-         FROM p, f
-         WHERE 2 * 6371.0088 * asin(sqrt(
-             sin(radians(flat - lat) / 2) * sin(radians(flat - lat) / 2)
-             + cos(radians(lat)) * cos(radians(flat))
-             * sin(radians(flon - lon) / 2) * sin(radians(flon - lon) / 2)))
-           <= fr
-         GROUP BY day_us, fence_id ORDER BY day_us, fence_id""",
-    "ws_tumbling" ->
-      """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
-           count(*) AS n,
-           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
-         FROM events
-         GROUP BY 1, 2 ORDER BY hour_us, event_type""",
-    // the oracle replays the SAME arrival schedule: watermark before
-    // batch b = ms-truncated max event time over batches < b minus 30
-    // minutes; a row is late iff its hour-window END <= that watermark
-    "ws_late" ->
-      """WITH arr AS (SELECT epoch_us(ts) AS tsu,
-             CAST(datepart('day', ts) AS BIGINT)
-               + CASE WHEN event_id % 37 = 0 THEN 2 ELSE 0 END AS b
-           FROM events),
-         bm AS (SELECT b, max(tsu) AS mx FROM arr GROUP BY b),
-         wm AS (SELECT b,
-             (max(mx) OVER (ORDER BY b
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-              // 1000 - 1800000) * 1000 AS wmu
-           FROM bm),
-         r AS (SELECT a.tsu // 3600000000 * 3600000000 AS hour_us,
-             a.tsu // 3600000000 * 3600000000 + 3600000000 AS wend,
-             w.wmu
-           FROM arr a JOIN wm w ON a.b = w.b)
-         SELECT hour_us, count(*) AS n_total,
-           CAST(sum(CASE WHEN wmu IS NOT NULL AND wend <= wmu
-             THEN 1 ELSE 0 END) AS BIGINT) AS n_late
-         FROM r GROUP BY 1 ORDER BY hour_us""",
-    // k ≥ domain ⇒ Misra–Gries is exact ≡ per-hour GROUP BY counts
-    "ws_heavy_hitters" ->
-      """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
-           count(*) AS n
-         FROM events
-         GROUP BY 1, 2 ORDER BY hour_us, event_type""",
-    "ws_hopping" ->
-      """WITH e AS (SELECT event_type,
-             epoch_us(ts) - epoch_us(ts) % 1800000000 AS s0 FROM events),
-         x AS (SELECT event_type,
-             unnest([s0, s0 - 1800000000]) AS start_us FROM e)
-         SELECT start_us, event_type, count(*) AS n FROM x
-         GROUP BY 1, 2 ORDER BY start_us, event_type""",
-    "x_transitions" ->
-      """WITH o AS (SELECT user_id, event_type,
-             lead(event_type) OVER (PARTITION BY user_id
-               ORDER BY epoch_us(ts), event_id) AS next_type
-           FROM events)
-         SELECT event_type AS from_type, next_type AS to_type,
-           count(*) AS n
-         FROM o WHERE next_type IS NOT NULL
-         GROUP BY 1, 2 ORDER BY from_type, to_type""",
-    // Gaps-and-islands: a session breaks when the gap to the previous
-    // event is >= 12h (Spark's session windows are half-open [start,
-    // last+gap) — an event landing EXACTLY at the end starts a new one).
-    "ws_session" ->
-      """WITH d AS (SELECT user_id, ts,
-             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                    >= INTERVAL 12 HOUR
-                  THEN 1 ELSE 0 END AS brk
-           FROM events),
-         g AS (SELECT user_id, ts,
-             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
-               ROWS UNBOUNDED PRECEDING) AS grp
-           FROM d)
-         SELECT user_id, epoch_us(min(ts)) AS start_us,
-           epoch_us(max(ts) + INTERVAL 12 HOUR) AS end_us,
-           count(*) AS n_events
-         FROM g GROUP BY user_id, grp ORDER BY user_id, start_us""",
-    "x_interval_join" ->
-      """SELECT l.event_id AS purchase_id, r.event_id AS click_id, l.user_id
-         FROM events l JOIN events r ON l.user_id = r.user_id
-           AND r.ts >= l.ts - INTERVAL 1 HOUR AND r.ts <= l.ts
-         WHERE l.event_type = 'purchase' AND r.event_type = 'click'
-         ORDER BY purchase_id, click_id""",
-    "q1_agg" ->
-      """SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
-                    (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
-             AS DOUBLE) AS sum_disc_price,
-           count(*) AS count_order
-         FROM lineitem
-         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-         GROUP BY l_returnflag, l_linestatus
-         ORDER BY l_returnflag, l_linestatus""",
-  )
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    QueriesPipelineSearch.queries ++
+      QueriesDedupGeoVector.queries ++
+      QueriesTextMediaCorpus.queries ++
+      QueriesJoinsAggsStreaming.queries
+
+  /** DuckDB oracle SQL per gate, composed like [[queries]]. */
+  def oracleSql: Map[String, String] =
+    OraclesA.oracleSql ++ OraclesB.oracleSql ++ OraclesC.oracleSql
 }
