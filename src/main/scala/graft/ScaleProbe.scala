@@ -462,6 +462,89 @@ object ScaleProbe {
       }
     }
 
+    // ---- Keyed-window families (KEY-SKEW axis) ------------------------
+    // Constant row count; ONE hot key's share of all rows grows 1% → 8%
+    // → 32% (the bot-traffic / ingestion-artifact shape). This is the
+    // 100×-scale STRAGGLER axis the rows grid cannot expose: a
+    // `Window.partitionBy(user)` funnels the hot key's whole history
+    // through one task, so its time grows ∝ hot share (exponent vs
+    // share → 1 as the hot key dominates) while the two-phase spreads
+    // stay flat. Legs:
+    //   session_window — the per-user window baseline (hot-key-bound BY
+    //                    DESIGN; bounded only by per-user history size)
+    //   session_spread — two-phase Sessions.sessionizeSpread: flat
+    //   group_rank     — two-phase Corpus.groupPercentRank: flat
+    //   funnel         — per-stage hash aggs + user joins (map-side
+    //                    partials absorb the hot key in the aggs; the
+    //                    per-user join is AQE-skew territory)
+    //   cc_hub         — large/small-star CC on a star graph whose hub
+    //                    degree IS the input size: slope vs degree must
+    //                    stay ≤ 1 (linear in edges, no blowup)
+    if (famOn("skew")) {
+      val shareScales = Seq(1, 8, 32) // hot key's percent of all rows
+      val skewRows = 1500000L
+      def skewPath(s: Int) = s"$scratch/skew_$s"
+      shareScales.foreach { s =>
+        spark.range(skewRows).select(
+            col("id").as("event_id"),
+            when(pmod(col("id") * 2654435761L, lit(100)) < s, lit(0L))
+              .otherwise(pmod(col("id") * 40503L, lit(10000)) + 1)
+              .as("user_id"),
+            (pmod(col("id") * 7919L, lit(500000)) * 1000).as("ts"),
+            element_at(array(lit("signup"), lit("view"), lit("click"),
+                lit("purchase")),
+              (pmod(col("id") * 104729L, lit(4)) + 1).cast("int"))
+              .as("event_type"))
+          .repartition(32)
+          .write.mode("overwrite").parquet(skewPath(s))
+      }
+      def skewAt(s: Int) = spark.read.parquet(skewPath(s))
+      val skewLegs: Seq[(String, DataFrame => DataFrame)] = Seq(
+        "session_window" -> (df =>
+          operators.Sessions.sessionize(df, "user_id", "ts", lit(60000L))),
+        "session_spread" -> (df =>
+          operators.Sessions.sessionizeSpread(df, "user_id", "ts", 60000L)),
+        "group_rank" -> (df =>
+          operators.Corpus.groupPercentRank(df, "user_id",
+            struct(col("ts"), col("event_id")), "pr")),
+        "funnel" -> (df =>
+          operators.Funnel.funnelCounts(df, "user_id", "event_type", "ts",
+            Seq("signup", "view", "purchase"))))
+      skewLegs.foreach { case (_, op) => // warm-up untimed
+        op(skewAt(shareScales.head))
+          .write.format("noop").mode("overwrite").save()
+      }
+      shareScales.foreach { s =>
+        skewLegs.foreach { case (leg, op) =>
+          val (_, t) = time {
+            op(skewAt(s)).write.format("noop").mode("overwrite").save()
+          }
+          record("skew", leg, s, t)
+        }
+      }
+      // hub-degree axis for star CC (input size grows WITH the hub)
+      val hubScales = Seq(10000, 40000, 160000)
+      def starAt(h: Int) = {
+        val pairs = spark.range(1, h.toLong + 1)
+          .select(lit(0L).as("id_a"), col("id").as("id_b"))
+        val ids = spark.range(0, h.toLong + 1).select(col("id"))
+        (pairs, ids)
+      }
+      locally { // warm-up untimed
+        val (p0, i0) = starAt(hubScales.head)
+        operators.Dedup.connectedComponentsStar(p0, i0)
+          .write.format("noop").mode("overwrite").save()
+      }
+      hubScales.foreach { h =>
+        val (p, i) = starAt(h)
+        val (_, t) = time {
+          operators.Dedup.connectedComponentsStar(p, i)
+            .write.format("noop").mode("overwrite").save()
+        }
+        record("skew_hub", "cc_star", h, t)
+      }
+    }
+
     // ---- report ------------------------------------------------------
     // families carry their OWN scale axis (text_len runs ×1/×2/×4 doc
     // length; everything else the corpus-rows grid), so cells are

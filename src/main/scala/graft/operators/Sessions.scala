@@ -43,6 +43,132 @@ object Sessions {
       .drop("_prev", "_start")
   }
 
+  /** Skew-resilient twin of [[sessionize]] for a HOT user key (a bot or
+    * ingestion artifact holding a corpus-scale share of events —
+    * `Window.partitionBy(user)` funnels that user's entire history
+    * through ONE task). Two-phase layout instead, the
+    * [[Batching.withGroupRowNumber]] pattern extended to sequential gap
+    * detection:
+    *   1. range-partition by `(user, ts)` and sort within partitions —
+    *      a hot user SPREADS over a run of consecutive partitions, every
+    *      partition is corpus-size/P;
+    *   2. one lightweight pass emits each partition's BOUNDARY facts
+    *      only (first/last user run: first/last ts, internal session
+    *      starts) — O(partitions) rows, because interior users are
+    *      complete within their partition and need no stitching;
+    *   3. the driver walks partitions in order carrying `(user, last
+    *      ts, sessions so far)` across chains — O(partitions) work —
+    *      and broadcasts per-partition offsets;
+    *   4. the final pass assigns `session_idx` partition-locally:
+    *      continuation runs add their broadcast offset, and whether
+    *      their first row opens a new session came from the stitch.
+    * Results are spec-pinned identical to [[sessionize]] (including a
+    * hot user spanning many partitions). `tsCol` must be numeric
+    * (`maxGap` in its units), as in the gate's epoch-micros usage.
+    */
+  def sessionizeSpread(events: DataFrame, userCol: String, tsCol: String,
+      maxGap: Long): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val spark = events.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // one materialized snapshot feeds both passes (withGroupRowNumber's
+    // localCheckpoint rationale: consistent partitioning, blocks freed
+    // when the frame goes unreachable)
+    val sorted = events
+      .repartitionByRange(parts, col(userCol), col(tsCol))
+      .sortWithinPartitions(col(userCol), col(tsCol))
+      .localCheckpoint()
+    val uIdx = sorted.schema.fieldIndex(userCol)
+    val tIdx = sorted.schema.fieldIndex(tsCol)
+    def tsOf(r: Row): Long = r.get(tIdx) match {
+      case l: Long => l
+      case i: Int => i.toLong
+      case other => throw new IllegalArgumentException(
+        s"sessionizeSpread needs a numeric ts column, got $other")
+    }
+    // pass 1: per partition, the boundary facts — first run's (user,
+    // first ts, internal starts, row count) and last run's (user, last
+    // ts) plus whether the partition holds a single user run
+    case class Edge(pid: Int, firstUser: Any, firstTs: Long,
+      firstRunInternalStarts: Long, lastUser: Any, lastTs: Long,
+      lastRunInternalStarts: Long, singleRun: Boolean)
+    val edges: Array[Edge] = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val first = it.next()
+        val fu = first.get(uIdx); val fts = tsOf(first)
+        var curUser = fu
+        var prevTs = fts
+        var lastTs = fts
+        var single = true
+        var runStarts = 0L       // internal starts of the CURRENT run
+        var firstRunStarts = -1L // fixed when the first run ends
+        while (it.hasNext) {
+          val r = it.next()
+          val u = r.get(uIdx); val ts = tsOf(r)
+          if (u != curUser) {
+            if (firstRunStarts < 0) firstRunStarts = runStarts
+            single = false; curUser = u; runStarts = 0L
+          } else if (ts - prevTs > maxGap) runStarts += 1
+          prevTs = ts; lastTs = ts
+        }
+        if (firstRunStarts < 0) firstRunStarts = runStarts // single run
+        Iterator.single(Edge(pid, fu, fts, firstRunStarts,
+          curUser, lastTs, runStarts, single))
+      }
+    }.collect().sortBy(_.pid)
+    // driver stitch: walk partitions in order, carrying the open run
+    var carryUser: Any = null
+    var carryHas = false
+    var carryLastTs = 0L
+    var carrySessions = 0L
+    // pid -> (offset for the first run, does its first row open a session)
+    val stitched = edges.map { e =>
+      val continues = carryHas && carryUser == e.firstUser
+      val firstRowStarts = !continues || e.firstTs - carryLastTs > maxGap
+      val offset = if (continues) carrySessions else 0L
+      if (e.singleRun) {
+        // the run may keep flowing into the next partition
+        carryUser = e.firstUser; carryHas = true; carryLastTs = e.lastTs
+        carrySessions = offset + (if (firstRowStarts) 1L else 0L) +
+          e.firstRunInternalStarts
+      } else {
+        // the LAST run opened fresh inside this partition: its first row
+        // starts session 1, plus its internal gap starts
+        carryUser = e.lastUser; carryHas = true; carryLastTs = e.lastTs
+        carrySessions = 1L + e.lastRunInternalStarts
+      }
+      e.pid -> (offset, firstRowStarts)
+    }.toMap
+    val bc = spark.sparkContext.broadcast(stitched)
+    val schema = sorted.schema.add("session_idx", LongType, nullable = false)
+    val out = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      // empty partitions emitted no edge; the defaults are never used
+      val (offset0, firstStarts) = bc.value.getOrElse(pid, (0L, true))
+      var started = false
+      var curUser: Any = null
+      var prevTs = 0L
+      var idx = 0L
+      it.map { r =>
+        val u = r.get(uIdx); val ts = tsOf(r)
+        if (!started) {
+          started = true; curUser = u; prevTs = ts
+          // a continuation run whose first row does NOT start sits in
+          // the carried session: idx = offset0 (>= 1 by construction)
+          idx = offset0 + (if (firstStarts) 1L else 0L)
+        } else if (u != curUser) {
+          curUser = u; idx = 1L
+        } else if (ts - prevTs > maxGap) {
+          idx += 1L
+        }
+        prevTs = ts
+        Row.fromSeq(r.toSeq :+ idx)
+      }
+    }
+    spark.createDataFrame(out, schema)
+  }
+
   /** Annotate every event with the count of the same user's events in
     * the trailing `windowSize` (a RANGE frame over the numeric `tsCol` —
     * inclusive of the current event): the "events in the last 7 days"

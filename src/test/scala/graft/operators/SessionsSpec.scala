@@ -73,6 +73,57 @@ class SessionsSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 2L, 5L -> 1L), got)
   }
 
+  test("sessionizeSpread ≡ sessionize, hot user spanning many partitions") {
+    // 9/10 of events belong to ONE hot user (the bot-traffic shape that
+    // makes Window.partitionBy(user) a single straggler task); the rest
+    // spread over 50 users. Deterministic scrambled timestamps so gaps
+    // land on both sides of maxGap, including ties.
+    val rows = (0 until 4000).map { i =>
+      val u = if (i % 10 != 0) 7L else 100L + (i % 500) / 10
+      val ts = ((i.toLong * 7919) % 1000) * 37 + (i / 1000) * 120000L
+      (i.toLong, u, ts)
+    }
+    val ev = rows.toDF("event_id", "user_id", "ts")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "13") // force spanning
+    try {
+      val want = Sessions.sessionize(ev, "user_id", "ts", lit(300L))
+        .select("event_id", "session_idx").as[(Long, Long)]
+        .collect().toMap
+      val got = Sessions.sessionizeSpread(ev, "user_id", "ts", 300L)
+        .select("event_id", "session_idx").as[(Long, Long)]
+        .collect().toMap
+      assert(got.size == want.size)
+      assert(got == want,
+        got.toSeq.sorted.zip(want.toSeq.sorted)
+          .filter { case (a, b) => a != b }.take(5).toString)
+      // the hot user really did span several range partitions
+      val hotParts = ev.filter(col("user_id") === 7L)
+        .repartitionByRange(13, col("user_id"), col("ts"))
+        .rdd.mapPartitionsWithIndex((p, it) =>
+          if (it.hasNext) Iterator.single(p) else Iterator.empty)
+        .collect().length
+      assert(hotParts > 3, s"hot user covered only $hotParts partitions")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("sessionizeSpread: exact-boundary gaps across partition seams") {
+    // one user, strictly increasing ts with gaps exactly at/over maxGap
+    // placed so seams fall between them at 3 partitions
+    val ev = (0 until 300).map { i =>
+      (i.toLong, 1L, i.toLong * 100 + (i / 7) * 101)
+    }.toDF("event_id", "user_id", "ts")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try {
+      val want = Sessions.sessionize(ev, "user_id", "ts", lit(200L))
+        .select("event_id", "session_idx").as[(Long, Long)].collect().toMap
+      val got = Sessions.sessionizeSpread(ev, "user_id", "ts", 200L)
+        .select("event_id", "session_idx").as[(Long, Long)].collect().toMap
+      assert(got == want)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("one exchange: both sessionize windows share the user partitioning") {
     val ev = Seq((1L, 1L, 0L), (2L, 1L, 10L)).toDF("event_id", "user_id", "ts")
     val plan = Sessions.sessionize(ev, "user_id", "ts", lit(100L))
