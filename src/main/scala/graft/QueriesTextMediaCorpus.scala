@@ -607,12 +607,16 @@ private[graft] object QueriesTextMediaCorpus {
     // Multimodal: stubbed decode over mapPartitions batches. The stub
     // derives features from the payload md5, so the DuckDB oracle can
     // recompute every row in SQL (md5_number_lower + unsigned math) —
-    // the mapPartitions plumbing is hash-gated end-to-end.
+    // the mapPartitions plumbing is hash-gated end-to-end. allowStub:
+    // this gate EXISTS to pin the stub plumbing; production media rows
+    // (x_audio_*, x_image_*, x_video_*) use the real decoders, and the
+    // default-off stub throws so nothing trains on fakes silently.
     "x_multimodal_features" -> ((s, d) => {
       val withBin = operators.Multimodal.withBinaryPayload(
         Tables.documents(s, d), "text", "payload")
       operators.Multimodal.sampleFrameIndexes(
-        operators.Multimodal.extractFeatures(withBin, "doc_id", "payload"),
+        operators.Multimodal.extractFeatures(withBin, "doc_id", "payload",
+          allowStub = true),
         every = 2)
         .withColumn("sampled_frames", col("sampled_frames").cast("string"))
         .orderBy("id")

@@ -403,15 +403,28 @@ object Multimodal {
         } else None
       } catch { case _: Exception => None }
 
-    /** Deterministic stand-in for the COMPRESSED-media decoders the JDK
-      * lacks (MP3/AAC/video): derives fake dimensions from the
-      * payload's md5 (unsigned arithmetic, so the SQL oracle's UBIGINT
-      * math matches bit-for-bit). Replace the body with the real codec
-      * call when native libs exist; the signature (bytes in, features
-      * out, once per record inside a partition batch) is the real
-      * contract.
+    /** Deterministic stand-in for the remaining codecs with no pure-JVM
+      * decoder here — perceptual-transform lossy audio SAMPLES (MP3/AAC;
+      * their spec-tabulated Huffman tables and synthesis windows are not
+      * reproducible from scratch without the tables) and inter-frame
+      * video (H.26x/VPx/AV1): derives fake dimensions from the payload's
+      * md5 (unsigned arithmetic, so the SQL oracle's UBIGINT math
+      * matches bit-for-bit). The signature (bytes in, features out, once
+      * per record inside a partition batch) is the real contract.
+      *
+      * FAILS LOUDLY unless explicitly opted in: a pipeline must never
+      * silently train on fake features. `allowStub = true` is for
+      * plumbing tests and schema/batch-shape verification only.
       */
-    def decodeStub(payload: Array[Byte]): (Int, Int, Int, Long) = {
+    def decodeStub(payload: Array[Byte],
+        allowStub: Boolean = false): (Int, Int, Int, Long) = {
+      if (!allowStub) throw new UnsupportedOperationException(
+        "decodeStub: no pure-JVM decoder for lossy audio samples " +
+          "(MP3/AAC) or inter-frame video (H.26x/VPx/AV1); the returned " +
+          "features would be deterministic FAKES. Route lossless media " +
+          "through the real decoders (FLAC/PCM/G.711/ADPCM/PNG/JPEG/" +
+          "MJPEG) or pass allowStub = true ONLY to exercise the " +
+          "plumbing — never train on stubbed features.")
       val l = md5Lower(payload)
       val w = 16 + java.lang.Long.remainderUnsigned(l, 64).toInt
       val ht = 16 + java.lang.Long.remainderUnsigned(
@@ -1047,8 +1060,15 @@ object Multimodal {
     * One task per partition, records streamed through the (stubbed) codec;
     * output rows carry id + features. At scale, repartition upstream so a
     * partition's payload bytes fit executor memory.
+    *
+    * `allowStub` is the loud-failure gate on [[MediaCodec.decodeStub]]:
+    * without it this operator THROWS rather than emit deterministic fake
+    * features a pipeline might silently train on. The real decode paths
+    * (FLAC/PCM/G.711/ADPCM via [[decodeAudioFeatures]], PNG/JPEG via
+    * [[decodeImages]], MJPEG-AVI via [[videoFrames]]) need no opt-in.
     */
-  def extractFeatures(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+  def extractFeatures(df: DataFrame, idCol: String, binCol: String,
+      allowStub: Boolean = false): DataFrame = {
     val outSchema = StructType(
       StructField("id", df.schema(idCol).dataType, nullable = false) +:
         featureSchema.fields.toSeq)
@@ -1057,7 +1077,8 @@ object Multimodal {
     val binIdx = df.schema.fieldIndex(binCol)
     df.mapPartitions { rows =>
       rows.map { r =>
-        val (w, h, f, cs) = MediaCodec.decodeStub(r.getAs[Array[Byte]](binIdx))
+        val (w, h, f, cs) =
+          MediaCodec.decodeStub(r.getAs[Array[Byte]](binIdx), allowStub)
         Row(r.get(idIdx), w, h, f, cs)
       }
     }(enc)

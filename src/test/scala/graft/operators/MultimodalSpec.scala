@@ -61,12 +61,20 @@ class MultimodalSpec extends SparkSpec {
   test("stubbed decode is deterministic and batch-shaped") {
     val docs = Tables.documents(spark, sf).limit(20)
     val withBin = Multimodal.withBinaryPayload(docs, "text", "payload")
-    val f1 = Multimodal.extractFeatures(withBin, "doc_id", "payload")
+    val f1 = Multimodal.extractFeatures(withBin, "doc_id", "payload",
+        allowStub = true)
       .orderBy("id").collect().toSeq
-    val f2 = Multimodal.extractFeatures(withBin, "doc_id", "payload")
+    val f2 = Multimodal.extractFeatures(withBin, "doc_id", "payload",
+        allowStub = true)
       .orderBy("id").collect().toSeq
     assert(f1 == f2) // same payload bytes → same fake features
     assert(f1.forall(r => r.getInt(1) >= 16 && r.getInt(3) >= 1))
+    // default-off: the stub THROWS rather than emit trainable fakes
+    val e = intercept[Exception] {
+      Multimodal.extractFeatures(withBin, "doc_id", "payload").collect()
+    }
+    assert(e.toString.contains("FAKES") ||
+      Option(e.getCause).exists(_.toString.contains("FAKES")), e)
   }
 
   test("stub hash matches DuckDB md5_number_lower (oracle parity)") {
@@ -74,14 +82,16 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.MediaCodec.md5Lower("abc".getBytes("UTF-8")) ==
       8250560606382298838L)
     // unsigned-math feature derivation stays in the documented ranges
-    val (w, h, f, cs) = Multimodal.MediaCodec.decodeStub("abc".getBytes("UTF-8"))
+    val (w, h, f, cs) = Multimodal.MediaCodec.decodeStub(
+      "abc".getBytes("UTF-8"), allowStub = true)
     assert(w >= 16 && w < 80 && h >= 16 && h < 80 && f >= 1 && f <= 8 && cs >= 0)
   }
 
   test("frame sampling yields every k-th index within n_frames") {
     val docs = Tables.documents(spark, sf).limit(5)
     val features = Multimodal.extractFeatures(
-      Multimodal.withBinaryPayload(docs, "text", "payload"), "doc_id", "payload")
+      Multimodal.withBinaryPayload(docs, "text", "payload"), "doc_id",
+      "payload", allowStub = true)
     val sampled = Multimodal.sampleFrameIndexes(features, every = 2)
       .select("n_frames", "sampled_frames")
       .as[(Int, Seq[Long])].collect()
