@@ -94,34 +94,75 @@ private[sink] object DeltaLog {
     seq
   }
 
-  /** Complete a base swap interrupted between its two renames: if `base`
-    * is missing but a fully-written `next` exists, install it and clear
-    * the old-base leftover. Idempotent; called before every read and
-    * compact so a crash never leaves the index unreadable.
-    */
-  def recoverBase(spark: SparkSession, base: String, next: String,
-      old: String): Unit = {
-    val f = fs(spark, base)
-    val b = new Path(base)
-    val n = new Path(next)
-    if (!f.exists(b) && f.exists(n)) {
-      require(f.rename(n, b), s"recovery: could not install $next")
-      f.delete(new Path(old), true)
-    }
+  // ---- versioned, marker-gated BASE directories ------------------------
+  //
+  // The compacted base has the same object-store problem the commit log
+  // had: the old protocol installed a freshly-written `.X-next` via TWO
+  // DIRECTORY RENAMES, and on S3A a directory rename is a non-atomic
+  // copy+delete — a reader resolving the base mid-swap saw a missing or
+  // PARTIAL base. The versioned protocol never renames a directory:
+  // each generation is written IN PLACE as `$dir/$name-v<N>`, sealed by
+  // [[CommitMarker]] as the final single-object PUT, and readers resolve
+  // the highest SEALED generation. One previous generation is kept so a
+  // reader that resolved v(N-1) before the install keeps a complete
+  // directory to scan; it is GC'd by the NEXT install. A crashed install
+  // leaves an unsealed generation that readers never see and whose
+  // number is never reused.
+
+  private def baseVersions(spark: SparkSession, dir: String,
+      name: String): Seq[(Int, Boolean)] = {
+    val p = new Path(dir)
+    val f = fs(spark, dir)
+    val pat = (java.util.regex.Pattern.quote(name) + "-v(\\d+)").r
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .flatMap(st => st.getPath.getName match {
+        case pat(n) =>
+          Some((n.toInt,
+            f.exists(new Path(st.getPath, CommitMarker))))
+        case _ => None
+      }).sortBy(_._1)
   }
 
-  /** Swap a freshly-written `next` in as `base` (old base → `old`,
-    * deleted after the install). The window between the two renames is
-    * healed by [[recoverBase]].
+  /** The CURRENT base directory for `name` under `dir`: the highest
+    * sealed `$name-v<N>` generation, falling back to the legacy bare
+    * `$dir/$name` layout for stores written before the versioned
+    * protocol (generation 0).
     */
-  def swapBase(spark: SparkSession, base: String, next: String,
-      old: String): Unit = {
-    val f = fs(spark, base)
-    val o = new Path(old)
-    f.delete(o, true) // leftovers from a prior interrupted swap
-    require(f.rename(new Path(base), o), "compact: base swap failed")
-    require(f.rename(new Path(next), new Path(base)),
-      "compact: base install failed")
-    f.delete(o, true)
+  def currentBase(spark: SparkSession, dir: String, name: String): String =
+    baseVersions(spark, dir, name).filter(_._2).lastOption match {
+      case Some((v, _)) => s"$dir/$name-v$v"
+      case None => s"$dir/$name"
+    }
+
+  /** Install a new base generation: run `write` against the next
+    * versioned path (PAST every existing generation, sealed or not, so
+    * a crashed install never collides), seal it with [[CommitMarker]],
+    * then GC generations older than the previous one (and the legacy
+    * bare dir once two versioned generations exist). Returns the new
+    * base path; visibility is the marker PUT — no directory is ever
+    * renamed.
+    */
+  def installBase(spark: SparkSession, dir: String, name: String)(
+      write: String => Unit): String = {
+    val f = fs(spark, dir)
+    val versions = baseVersions(spark, dir, name)
+    val v = (versions.map(_._1) :+ 0).max + 1
+    val path = s"$dir/$name-v$v"
+    write(path)
+    f.create(new Path(s"$path/$CommitMarker"), true).close()
+    // keep the PREVIOUS SEALED generation for in-flight readers;
+    // everything older (including crashed unsealed strays) goes, and the
+    // legacy bare dir goes once a sealed versioned generation precedes
+    // this install (legacy is then two generations old)
+    val prevSealed = versions.filter(_._2).map(_._1).lastOption
+    versions.map(_._1).filter(o => prevSealed.exists(o < _))
+      .foreach(o => f.delete(new Path(s"$dir/$name-v$o"), true))
+    if (prevSealed.isDefined) f.delete(new Path(s"$dir/$name"), true)
+    // stray temp dirs from the retired rename protocol
+    f.delete(new Path(s"$dir/.$name-next"), true)
+    f.delete(new Path(s"$dir/.$name-old"), true)
+    path
   }
 }

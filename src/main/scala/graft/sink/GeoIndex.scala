@@ -181,10 +181,12 @@ object GeoIndex {
         spark.sparkContext.parallelize(
           Seq(Row(idCol, latCol, lonCol, cellDeg)), 1), metaSchema)
       .write.mode("overwrite").parquet(s"$dir/meta")
-    checkedPoints(points, latCol, lonCol)
-      .withColumn("cell", cellExpr(latCol, lonCol, cellDeg))
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+    DeltaLog.installBase(spark, dir, "cells") { tmp =>
+      checkedPoints(points, latCol, lonCol)
+        .withColumn("cell", cellExpr(latCol, lonCol, cellDeg))
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    }: Unit
     // a rebuild starts a fresh history: everything live is in the base
     DeltaLog.fs(spark, dir).delete(new Path(s"$dir/commits"), true)
     metaCache.put((spark, dir),
@@ -242,7 +244,8 @@ object GeoIndex {
     val m = readMeta(spark, dir)
     require(m.idCol == idCol,
       s"index at $dir is keyed by '${m.idCol}', not '$idCol'")
-    val baseSchema = spark.read.parquet(s"$dir/cells").schema
+    val baseSchema = spark.read
+      .parquet(DeltaLog.currentBase(spark, dir, "cells")).schema
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], baseSchema).repartition(1)
     DeltaLog.commit(spark, s"$dir/commits",
@@ -256,10 +259,6 @@ object GeoIndex {
   private def commitSeqs(spark: SparkSession, dir: String): Seq[Int] =
     DeltaLog.listSeqs(spark, s"$dir/commits")
 
-  private def recoverBase(spark: SparkSession, dir: String): Unit =
-    DeltaLog.recoverBase(spark, s"$dir/cells", s"$dir/.cells-next",
-      s"$dir/.cells-old")
-
   /** The LIVE point set, id-granular last-writer-wins over base +
     * commits, with an optional cell filter pushed into EVERY leg (sound
     * here — the cell id is a function of the stored coordinates; see
@@ -270,11 +269,11 @@ object GeoIndex {
   private def live(spark: SparkSession, dir: String,
       cellFilter: Option[Seq[Int]],
       preSeqs: Option[Seq[Int]] = None): DataFrame = {
-    recoverBase(spark, dir)
     val m = readMeta(spark, dir)
     def pruned(df: DataFrame): DataFrame =
       cellFilter.fold(df)(cs => df.filter(col("cell").isin(cs: _*)))
-    val base = pruned(spark.read.parquet(s"$dir/cells"))
+    val base = pruned(
+      spark.read.parquet(DeltaLog.currentBase(spark, dir, "cells")))
     val seqs = preSeqs.getOrElse(commitSeqs(spark, dir))
     if (seqs.isEmpty) base
     else {
@@ -297,18 +296,17 @@ object GeoIndex {
 
   /** Fold all commits into a fresh cell-partitioned base — the only
     * index-sized write, run as maintenance ([[VectorIndex.compact]]
-    * contract: the swap is heal-able by [[recoverBase]], leftover
-    * commits resolve idempotently against the folded base).
+    * contract). Installed via [[DeltaLog.installBase]]: written in
+    * place, sealed by the marker — no directory rename, so a concurrent
+    * reader on an object store never sees a partial base.
     */
   def compact(spark: SparkSession, dir: String): Unit = {
-    recoverBase(spark, dir)
     val seqs = commitSeqs(spark, dir)
     if (seqs.isEmpty) return
-    live(spark, dir, None)
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$dir/.cells-next")
-    DeltaLog.swapBase(spark, s"$dir/cells", s"$dir/.cells-next",
-      s"$dir/.cells-old")
+    val folded = live(spark, dir, None)
+    DeltaLog.installBase(spark, dir, "cells") { tmp =>
+      folded.write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    }: Unit
     val f = DeltaLog.fs(spark, dir)
     seqs.foreach(s => f.delete(new Path(s"$dir/commits/$s"), true))
   }

@@ -44,18 +44,22 @@ object IncrementalPostings {
     */
   def init(docs: DataFrame, idCol: String, textCol: String,
       dir: String, withPositions: Boolean = false): Unit = {
-    InvertedIndex.writePostings(
-      InvertedIndex.postings(docs, idCol, textCol), s"$dir/base/postings")
-    InvertedIndex.docLengths(docs, idCol, textCol)
-      .write.mode("overwrite").parquet(s"$dir/base/norms")
-    if (withPositions)
+    val spark = docs.sparkSession
+    DeltaLog.installBase(spark, dir, "base") { tmp =>
       InvertedIndex.writePostings(
-        InvertedIndex.positionalPostings(docs, idCol, textCol),
-        s"$dir/base/positional")
+        InvertedIndex.postings(docs, idCol, textCol), s"$tmp/postings")
+      InvertedIndex.docLengths(docs, idCol, textCol)
+        .write.mode("overwrite").parquet(s"$tmp/norms")
+      if (withPositions)
+        InvertedIndex.writePostings(
+          InvertedIndex.positionalPostings(docs, idCol, textCol),
+          s"$tmp/positional")
+    }: Unit
   }
 
   private def hasPositions(spark: SparkSession, dir: String): Boolean =
-    DeltaLog.fs(spark, dir).exists(new Path(s"$dir/base/positional"))
+    DeltaLog.fs(spark, dir).exists(
+      new Path(s"${DeltaLog.currentBase(spark, dir, "base")}/positional"))
 
   private def deltaSeqs(spark: SparkSession, dir: String): Seq[Int] =
     DeltaLog.listSeqs(spark, s"$dir/deltas")
@@ -86,7 +90,6 @@ object IncrementalPostings {
       s"commitUpserts: batch contains '$idCol' more than once " +
         s"(${g.getLong(0)} rows, ${g.getLong(1)} distinct); a delta owns " +
         "each doc once — pass an order column to dedupe last-writer-wins")
-    recoverBase(spark, dir)
     val positional = hasPositions(spark, dir)
     DeltaLog.commit(spark, s"$dir/deltas",
         DeltaLog.nextSeq(spark, s"$dir/deltas"), "docs") { tmp =>
@@ -134,7 +137,6 @@ object IncrementalPostings {
   def commitDeletes(ids: DataFrame, idCol: String, dir: String): Int = {
     val spark = ids.sparkSession
     val docs = ids.select(col(idCol).cast("long").as("doc_id")).distinct()
-    recoverBase(spark, dir)
     val positional = hasPositions(spark, dir)
     DeltaLog.commit(spark, s"$dir/deltas",
         DeltaLog.nextSeq(spark, s"$dir/deltas"), "docs") { tmp =>
@@ -163,21 +165,12 @@ object IncrementalPostings {
     }.reduce(_.unionByName(_))
       .groupBy("doc_id").agg(max("_live_seq").as("_live_seq"))
 
-  /** Complete a compact interrupted between its two base renames: if
-    * `base/` is missing but a fully-written `.base-next/` exists, install
-    * it (leftover deltas are harmless — last-writer-wins resolution is
-    * idempotent over content the fold already absorbed, see [[compact]]).
-    * Called before every read and compact, so a crash never leaves the
-    * index unreadable.
-    */
-  private def recoverBase(spark: SparkSession, dir: String): Unit =
-    DeltaLog.recoverBase(spark, s"$dir/base", s"$dir/.base-next",
-      s"$dir/.base-old")
-
   private def resolve(spark: SparkSession, dir: String, sub: String,
       seqs: Seq[Int], ownersDf: Option[DataFrame],
       readBase: String => DataFrame): DataFrame = {
-    val base = readBase(s"$dir/base/$sub").withColumn("_seq", lit(0))
+    val base = readBase(
+      s"${DeltaLog.currentBase(spark, dir, "base")}/$sub")
+      .withColumn("_seq", lit(0))
     val all = seqs.foldLeft(base) { (acc, s) =>
       acc.unionByName(spark.read.parquet(s"$dir/deltas/$s/$sub")
         .withColumn("_seq", lit(s)))
@@ -199,7 +192,6 @@ object IncrementalPostings {
     * worth paying once.
     */
   def liveViews(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    recoverBase(spark, dir)
     val seqs = deltaSeqs(spark, dir)
     val o = if (seqs.isEmpty) None else Some(owners(spark, dir, seqs))
     (resolve(spark, dir, "postings", seqs, o,
@@ -221,7 +213,6 @@ object IncrementalPostings {
     * `withPositions`): same owner-table resolution as postings/norms.
     */
   def livePositional(spark: SparkSession, dir: String): DataFrame = {
-    recoverBase(spark, dir)
     require(hasPositions(spark, dir),
       s"index at $dir was not initialized withPositions = true")
     val seqs = deltaSeqs(spark, dir)
@@ -264,7 +255,6 @@ object IncrementalPostings {
     * [[IndexSink.history]] contract on the postings layout.
     */
   def versions(spark: SparkSession, dir: String): Seq[Int] = {
-    recoverBase(spark, dir)
     0 +: deltaSeqs(spark, dir)
   }
 
@@ -277,7 +267,6 @@ object IncrementalPostings {
     */
   def bm25SearchAt(spark: SparkSession, dir: String, version: Int,
       query: String, k: Int): DataFrame = {
-    recoverBase(spark, dir)
     val all = deltaSeqs(spark, dir)
     require(version == 0 || all.contains(version),
       s"no version $version at $dir (have ${(0 +: all).mkString(", ")}); " +
@@ -315,9 +304,9 @@ object IncrementalPostings {
     */
   def stats(spark: SparkSession, dir: String, maxDeltas: Int = 8,
       touchedFraction: Double = 0.2): DataFrame = {
-    recoverBase(spark, dir)
     val seqs = deltaSeqs(spark, dir)
-    val nBase = spark.read.parquet(s"$dir/base/norms").count()
+    val nBase = spark.read
+      .parquet(s"${DeltaLog.currentBase(spark, dir, "base")}/norms").count()
     val (touched, tombstones, nLive) =
       if (seqs.isEmpty) (0L, 0L, nBase)
       else {
@@ -361,27 +350,27 @@ object IncrementalPostings {
 
   /** Fold all deltas into a fresh term-sorted base — the only index-sized
     * write, run as maintenance (the `ParquetIndexSink.compactDeltas`
-    * contract). Materializes the resolved views, swaps the base (old →
-    * `.base-old`, `.base-next` → base), then drops the absorbed deltas.
-    * Crash-safe: `.base-next` is only renamed in AFTER it is fully
-    * written, and [[recoverBase]] completes an interrupted swap on the
-    * next read; a crash after the install but before the delta cleanup
-    * only leaves redundant deltas, which resolve idempotently (each doc's
-    * delta rows equal what the fold wrote to the base, and
-    * last-writer-wins picks exactly one copy).
+    * contract). Materializes the resolved views and installs them as a
+    * new base generation via [[DeltaLog.installBase]] — written in
+    * place, sealed by the marker, no directory rename, so an
+    * object-store reader never sees a partial base. A crash after the
+    * install but before the delta cleanup only leaves redundant deltas,
+    * which resolve idempotently (each doc's delta rows equal what the
+    * fold wrote to the base, and last-writer-wins picks exactly one
+    * copy).
     */
   def compact(spark: SparkSession, dir: String): Unit = {
-    recoverBase(spark, dir)
     val seqs = deltaSeqs(spark, dir)
     if (seqs.isEmpty) return
-    val tmp = s"$dir/.base-next"
     val positional =
       if (hasPositions(spark, dir)) Some(livePositional(spark, dir)) else None
     val (postings, norms) = liveViews(spark, dir)
-    InvertedIndex.writePostings(postings, s"$tmp/postings")
-    norms.write.mode("overwrite").parquet(s"$tmp/norms")
-    positional.foreach(p => InvertedIndex.writePostings(p, s"$tmp/positional"))
-    DeltaLog.swapBase(spark, s"$dir/base", tmp, s"$dir/.base-old")
+    DeltaLog.installBase(spark, dir, "base") { tmp =>
+      InvertedIndex.writePostings(postings, s"$tmp/postings")
+      norms.write.mode("overwrite").parquet(s"$tmp/norms")
+      positional.foreach(p =>
+        InvertedIndex.writePostings(p, s"$tmp/positional"))
+    }: Unit
     val f = DeltaLog.fs(spark, dir)
     seqs.foreach(s => f.delete(new Path(s"$dir/deltas/$s"), true))
   }

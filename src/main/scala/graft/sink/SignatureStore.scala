@@ -98,15 +98,13 @@ object SignatureStore {
           Seq(Row(idCol, textCol, shingleN, numHashes, bands, nPb)), 1),
         metaSchema)
       .write.mode("overwrite").parquet(s"$dir/meta")
-    signed(df, m)
-      .repartition(col("pb")).sortWithinPartitions("band", "bucket")
-      .write.mode("overwrite").partitionBy("pb").parquet(s"$dir/buckets")
+    DeltaLog.installBase(spark, dir, "buckets") { tmp =>
+      signed(df, m)
+        .repartition(col("pb")).sortWithinPartitions("band", "bucket")
+        .write.mode("overwrite").partitionBy("pb").parquet(tmp)
+    }: Unit
     DeltaLog.fs(spark, dir).delete(new Path(s"$dir/commits"), true)
   }
-
-  private def recoverBase(spark: SparkSession, dir: String): Unit =
-    DeltaLog.recoverBase(spark, s"$dir/buckets", s"$dir/.buckets-next",
-      s"$dir/.buckets-old")
 
   /** One row per ever-touched doc: the highest commit sequence that wrote
     * (or tombstoned) it — the [[IncrementalPostings]] ownership design on
@@ -131,11 +129,11 @@ object SignatureStore {
     */
   private def bucketRows(spark: SparkSession, dir: String,
       pbs: Option[Seq[Int]]): DataFrame = {
-    recoverBase(spark, dir)
     def prune(df: DataFrame) =
       pbs.fold(df)(r => df.filter(col("pb").isin(r: _*)))
     val seqs = DeltaLog.listSeqs(spark, s"$dir/commits")
-    val base = prune(spark.read.parquet(s"$dir/buckets"))
+    val base = prune(
+      spark.read.parquet(DeltaLog.currentBase(spark, dir, "buckets")))
       .withColumn("_seq", lit(0))
     val all = seqs.foldLeft(base) { (acc, s) =>
       acc.unionByName(prune(spark.read.parquet(s"$dir/commits/$s/buckets"))
@@ -342,19 +340,19 @@ object SignatureStore {
   }
 
   /** Fold the commit log into a fresh residue-partitioned base — the only
-    * index-sized write; maintenance, not ingest ([[DeltaLog.swapBase]]
-    * crash contract, healed by the pre-read recovery).
+    * index-sized write; maintenance, not ingest. The new generation is
+    * installed via [[DeltaLog.installBase]] (written in place, sealed by
+    * the marker — object-store-safe, no directory rename anywhere).
     */
   def compact(spark: SparkSession, dir: String): Unit = {
-    recoverBase(spark, dir)
     val seqs = DeltaLog.listSeqs(spark, s"$dir/commits")
     if (seqs.isEmpty) return
-    bucketRows(spark, dir, None)
-      .repartition(col("pb")).sortWithinPartitions("band", "bucket")
-      .write.mode("overwrite").partitionBy("pb")
-      .parquet(s"$dir/.buckets-next")
-    DeltaLog.swapBase(spark, s"$dir/buckets", s"$dir/.buckets-next",
-      s"$dir/.buckets-old")
+    val folded = bucketRows(spark, dir, None)
+    DeltaLog.installBase(spark, dir, "buckets") { tmp =>
+      folded
+        .repartition(col("pb")).sortWithinPartitions("band", "bucket")
+        .write.mode("overwrite").partitionBy("pb").parquet(tmp)
+    }: Unit
     val f = DeltaLog.fs(spark, dir)
     seqs.foreach(s => f.delete(new Path(s"$dir/commits/$s"), true))
   }

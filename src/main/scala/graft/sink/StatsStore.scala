@@ -104,8 +104,10 @@ object StatsStore {
         spark.sparkContext.parallelize(kinds.map { case (c, k) => Row(c, k) }, 1),
         metaSchema)
       .write.mode("overwrite").parquet(s"$dir/meta")
-    partials(df, kinds.sorted, lgK).coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/base")
+    DeltaLog.installBase(spark, dir, "base") { tmp =>
+      partials(df, kinds.sorted, lgK).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+    }: Unit
     DeltaLog.fs(spark, dir).delete(new Path(s"$dir/commits"), true)
   }
 
@@ -124,13 +126,8 @@ object StatsStore {
     }
   }
 
-  private def recoverBase(spark: SparkSession, dir: String): Unit =
-    DeltaLog.recoverBase(spark, s"$dir/base", s"$dir/.base-next",
-      s"$dir/.base-old")
-
   private def partialRows(spark: SparkSession, dir: String): DataFrame = {
-    recoverBase(spark, dir)
-    val base = spark.read.parquet(s"$dir/base")
+    val base = spark.read.parquet(DeltaLog.currentBase(spark, dir, "base"))
     DeltaLog.listSeqs(spark, s"$dir/commits")
       .map(s => spark.read.parquet(s"$dir/commits/$s/stats"))
       .foldLeft(base)(_.unionByName(_))
@@ -155,11 +152,11 @@ object StatsStore {
         coalesce(max("max_num").cast("string"), max("max_str")).as("max_v"))
 
   /** Fold the commit log into a fresh base — O(columns × log), a
-    * maintenance no-op at any corpus size ([[DeltaLog.swapBase]] crash
-    * contract, healed by the pre-read recovery).
+    * maintenance no-op at any corpus size. Installed via
+    * [[DeltaLog.installBase]] (in-place write + marker seal — no
+    * directory rename, object-store-safe).
     */
   def compact(spark: SparkSession, dir: String): Unit = {
-    recoverBase(spark, dir)
     val seqs = DeltaLog.listSeqs(spark, s"$dir/commits")
     if (seqs.isEmpty) return
     val folded = partialRows(spark, dir)
@@ -172,8 +169,9 @@ object StatsStore {
         min("min_str").as("min_str"),
         max("max_str").as("max_str"),
         hll_union_agg(col("hll"), lit(true)).as("hll"))
-    folded.coalesce(1).write.mode("overwrite").parquet(s"$dir/.base-next")
-    DeltaLog.swapBase(spark, s"$dir/base", s"$dir/.base-next", s"$dir/.base-old")
+    DeltaLog.installBase(spark, dir, "base") { tmp =>
+      folded.coalesce(1).write.mode("overwrite").parquet(tmp)
+    }: Unit
     val f = DeltaLog.fs(spark, dir)
     seqs.foreach(s => f.delete(new Path(s"$dir/commits/$s"), true))
   }

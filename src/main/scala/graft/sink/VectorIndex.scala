@@ -105,8 +105,10 @@ object VectorIndex {
         spark.sparkContext.parallelize(
           Seq(Row(idCol, vecCol, model.centroids.head.length)), 1), metaSchema)
       .write.mode("overwrite").parquet(s"$dir/meta")
-    Ivf.assign(df.filter(col(vecCol).isNotNull), vecCol, model)
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+    DeltaLog.installBase(spark, dir, "cells") { tmp =>
+      Ivf.assign(df.filter(col(vecCol).isNotNull), vecCol, model)
+        .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    }: Unit
     writeRadii(spark, dir, vecCol)
     // a rebuild starts a fresh history: everything live is in the base
     DeltaLog.fs(spark, dir).delete(new Path(s"$dir/commits"), true)
@@ -187,7 +189,8 @@ object VectorIndex {
       s"index at $dir is keyed by '${m.idCol}', not '$idCol'")
     // an empty vectors file with the BASE's schema so resolution's
     // unionByName sees every commit leg schema-complete
-    val baseSchema = spark.read.parquet(s"$dir/cells").schema
+    val baseSchema = spark.read
+      .parquet(DeltaLog.currentBase(spark, dir, "cells")).schema
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], baseSchema).repartition(1)
     DeltaLog.commit(spark, s"$dir/commits",
@@ -222,10 +225,6 @@ object VectorIndex {
   private def commitSeqs(spark: SparkSession, dir: String): Seq[Int] =
     DeltaLog.listSeqs(spark, s"$dir/commits")
 
-  private def recoverBase(spark: SparkSession, dir: String): Unit =
-    DeltaLog.recoverBase(spark, s"$dir/cells", s"$dir/.cells-next",
-      s"$dir/.cells-old")
-
   /** Per-cell max member-to-centroid ANGLE of the BASE layout — the
     * prune bound [[radiusSearch]] uses. Written at [[write]] and
     * recomputed at [[compact]]; between compactions mutations only
@@ -236,7 +235,7 @@ object VectorIndex {
   private def writeRadii(spark: SparkSession, dir: String,
       vecCol: String): Unit = {
     val cents = spark.read.parquet(s"$dir/centroids")
-    spark.read.parquet(s"$dir/cells")
+    spark.read.parquet(DeltaLog.currentBase(spark, dir, "cells"))
       .join(broadcast(cents), "cell")
       .select(col("cell"),
         acos(least(lit(1.0), greatest(lit(-1.0),
@@ -265,10 +264,9 @@ object VectorIndex {
     */
   private def cellsPruned(spark: SparkSession, dir: String,
       baseCells: Option[Seq[Int]]): DataFrame = {
-    recoverBase(spark, dir)
     val m = readMeta(spark, dir)
     val seqs = commitSeqs(spark, dir)
-    val base0 = spark.read.parquet(s"$dir/cells")
+    val base0 = spark.read.parquet(DeltaLog.currentBase(spark, dir, "cells"))
     val base = baseCells.fold(base0)(cs =>
       base0.filter(col("cell").isin(cs: _*)))
     if (seqs.isEmpty) base
@@ -290,20 +288,19 @@ object VectorIndex {
   }
 
   /** Fold all commits into a fresh cell-partitioned base — the only
-    * index-sized write, run as maintenance (same contract and same
-    * crash-safety argument as [[IncrementalPostings.compact]]: the swap
-    * is heal-able by [[recoverBase]], and leftover commits resolve
-    * idempotently against the folded base).
+    * index-sized write, run as maintenance (same contract as
+    * [[IncrementalPostings.compact]]). Installed via
+    * [[DeltaLog.installBase]]: written in place, sealed by the marker —
+    * no directory rename, so an object-store reader never sees a
+    * partial base.
     */
   def compact(spark: SparkSession, dir: String): Unit = {
-    recoverBase(spark, dir)
     val seqs = commitSeqs(spark, dir)
     if (seqs.isEmpty) return
     val live = cells(spark, dir)
-    live.write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$dir/.cells-next")
-    DeltaLog.swapBase(spark, s"$dir/cells", s"$dir/.cells-next",
-      s"$dir/.cells-old")
+    DeltaLog.installBase(spark, dir, "cells") { tmp =>
+      live.write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    }: Unit
     val f = DeltaLog.fs(spark, dir)
     seqs.foreach(s => f.delete(new Path(s"$dir/commits/$s"), true))
     // the folded base has new membership: tighten the radius bounds

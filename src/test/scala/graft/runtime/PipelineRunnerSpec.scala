@@ -165,9 +165,14 @@ class PipelineRunnerSpec extends SparkSpec {
       .start()
     try {
       awaitIdle(q)
-      val wd = new ProgressWatchdog(timeoutMs = 400L)
+      // generous timeout: on a saturated box (full suite in parallel) a
+      // zero-data trigger's own bookkeeping can take hundreds of ms, and
+      // a "not aborted" assertion must not race that — this test pins
+      // the idle-is-healthy CLASSIFICATION, not the timeout's tightness
+      // (the stalled/grace tests own the abort paths)
+      val wd = new ProgressWatchdog(timeoutMs = 2000L)
       wd.guard(q, pollMs = 50L)
-      Thread.sleep(2000) // 5× the timeout with zero data
+      Thread.sleep(5000) // 2.5× the timeout with zero data
       assert(q.isActive, "idle stream must not be killed by the watchdog")
       assert(!wd.wasAborted)
     } finally q.stop()

@@ -52,6 +52,66 @@ class DeltaLogSpec extends SparkSpec {
     assert(DeltaLog.nextSeq(spark, root) == 8)
   }
 
+  test("versioned base: torn installs invisible, legacy fallback, GC") {
+    val dir = tmpDir("dlog-base")
+    val f = DeltaLog.fs(spark, dir)
+    def mkData(path: String, tag: String): Unit = {
+      f.mkdirs(new Path(path))
+      f.create(new Path(s"$path/$tag"), true).close()
+    }
+    // legacy bare layout resolves as generation 0
+    mkData(s"$dir/cells", "legacy")
+    assert(DeltaLog.currentBase(spark, dir, "cells") == s"$dir/cells")
+    // a TORN install (data, no marker — the mid-copy / crashed-compact
+    // state) must not shadow the live base
+    mkData(s"$dir/cells-v1", "torn")
+    assert(DeltaLog.currentBase(spark, dir, "cells") == s"$dir/cells")
+    // a sealed install becomes current; its number skipped the torn v1
+    val p2 = DeltaLog.installBase(spark, dir, "cells")(mkData(_, "gen2"))
+    assert(p2 == s"$dir/cells-v2")
+    assert(DeltaLog.currentBase(spark, dir, "cells") == s"$dir/cells-v2")
+    // legacy survives as the previous generation until the NEXT install
+    assert(f.exists(new Path(s"$dir/cells")))
+    val p3 = DeltaLog.installBase(spark, dir, "cells")(mkData(_, "gen3"))
+    assert(p3 == s"$dir/cells-v3")
+    assert(DeltaLog.currentBase(spark, dir, "cells") == s"$dir/cells-v3")
+    // now legacy and the torn v1 are gone; sealed v2 is kept for
+    // in-flight readers; v2 goes on the install after that
+    assert(!f.exists(new Path(s"$dir/cells")))
+    assert(!f.exists(new Path(s"$dir/cells-v1")))
+    assert(f.exists(new Path(s"$dir/cells-v2")))
+    DeltaLog.installBase(spark, dir, "cells")(mkData(_, "gen4")): Unit
+    assert(!f.exists(new Path(s"$dir/cells-v2")))
+    assert(f.exists(new Path(s"$dir/cells-v3")))
+  }
+
+  test("compaction through the versioned base keeps stores readable") {
+    // SignatureStore: write → append → compact → probe unchanged; the
+    // base is now a sealed -v directory, no bare dir, no .next strays
+    val dir = tmpDir("dlog-compact")
+    SignatureStore.write(docs.filter(col("doc_id") <= 2),
+      "doc_id", "text", dir, nPb = 8)
+    SignatureStore.append(docs.filter(col("doc_id") === 3), dir)
+    val batch = Seq((9L, "alpha beta gamma delta shared tokens nine"))
+      .toDF("doc_id", "text")
+    val before = SignatureStore.probe(batch, dir)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    SignatureStore.compact(spark, dir)
+    val after = SignatureStore.probe(batch, dir)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(after == before && before.nonEmpty)
+    val f = DeltaLog.fs(spark, dir)
+    assert(f.exists(new Path(
+      s"${DeltaLog.currentBase(spark, dir, "buckets")}/${DeltaLog.CommitMarker}")))
+    assert(!f.exists(new Path(s"$dir/.buckets-next")))
+    // a torn compact generation planted AFTER the real one is invisible
+    val cur = DeltaLog.currentBase(spark, dir, "buckets")
+    val v = cur.split("-v").last.toInt
+    f.mkdirs(new Path(s"$dir/buckets-v${v + 1}/pb=0"))
+    assert(SignatureStore.probe(batch, dir)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet == before)
+  }
+
   test("IncrementalPostings readers skip a torn (marker-less) delta") {
     val dir = tmpDir("dlog-post")
     IncrementalPostings.init(docs, "doc_id", "text", dir)

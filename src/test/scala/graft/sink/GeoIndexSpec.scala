@@ -1,5 +1,6 @@
 package graft.sink
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
@@ -33,7 +34,9 @@ class GeoIndexSpec extends SparkSpec {
           if f.relation.partitionSchema.fieldNames.contains("cell") =>
         f.metrics("numFiles").value
     }.sum
-    val total = spark.read.parquet(s"$dir/cells").inputFiles.length.toLong
+    val total = spark.read
+      .parquet(DeltaLog.currentBase(spark, dir, "cells"))
+      .inputFiles.length.toLong
     assert(scanned < total, s"scanned $scanned of $total cell files")
   }
 
@@ -67,7 +70,9 @@ class GeoIndexSpec extends SparkSpec {
           if f.relation.partitionSchema.fieldNames.contains("cell") =>
         f.metrics("numFiles").value
     }.sum
-    val total = spark.read.parquet(s"$dir/cells").inputFiles.length.toLong
+    val total = spark.read
+      .parquet(DeltaLog.currentBase(spark, dir, "cells"))
+      .inputFiles.length.toLong
     assert(scanned < total, s"scanned $scanned of $total cell files")
   }
 
@@ -105,7 +110,9 @@ class GeoIndexSpec extends SparkSpec {
           if f.relation.partitionSchema.fieldNames.contains("cell") =>
         f.metrics("numFiles").value
     }.sum
-    val total = spark.read.parquet(s"$dir/cells").inputFiles.length.toLong
+    val total = spark.read
+      .parquet(DeltaLog.currentBase(spark, dir, "cells"))
+      .inputFiles.length.toLong
     assert(scanned > 0 && scanned < total,
       s"scanned $scanned of $total cell files")
     // mutation-aware: move a far-away point INTO the polygon, delete an
@@ -248,12 +255,13 @@ class GeoIndexSpec extends SparkSpec {
       else if (f.isFile) f.length
       else f.listFiles.map(c => bytes(c.getPath)).sum
     }
-    val baseBytes = bytes(s"$dir/cells")
-    val baseMtime = new java.io.File(s"$dir/cells").lastModified
+    val basePath = DeltaLog.currentBase(spark, dir, "cells")
+    val baseBytes = bytes(basePath)
+    val baseMtime = new java.io.File(basePath).lastModified
     GeoIndex.upsert(Seq((1L, 10.0, 10.0)).toDF("pid", "lat", "lon"),
       "pid", "lat", "lon", dir)
     GeoIndex.delete(Seq(2L).toDF("pid"), "pid", dir)
-    assert(new java.io.File(s"$dir/cells").lastModified == baseMtime,
+    assert(new java.io.File(basePath).lastModified == baseMtime,
       "commit must not rewrite the base cell layout")
     assert(bytes(s"$dir/commits") < baseBytes / 5,
       s"commits ${bytes(s"$dir/commits")} B vs base $baseBytes B")
@@ -274,7 +282,9 @@ class GeoIndexSpec extends SparkSpec {
     val scanned = scans(q.queryExecution.executedPlan)
       .filter(_.partitionFilters.nonEmpty)
       .map(_.metrics("numFiles").value).sum
-    val total = spark.read.parquet(s"$dir/cells").inputFiles.length.toLong
+    val total = spark.read
+      .parquet(DeltaLog.currentBase(spark, dir, "cells"))
+      .inputFiles.length.toLong
     assert(scanned > 0 && scanned < total,
       s"scanned $scanned of $total cell files with commits pending")
   }
@@ -300,7 +310,7 @@ class GeoIndexSpec extends SparkSpec {
     assert(near.select("pid").as[Long].collect().toSet == Set(1L))
     assert(near.select("lon").as[Double].head() == -170.0)
     // in-range longitudes are stored bit-identical
-    val kept = spark.read.parquet(s"$dir/cells")
+    val kept = spark.read.parquet(DeltaLog.currentBase(spark, dir, "cells"))
       .filter(col("pid") === 2L).select("lon").as[Double].head()
     assert(kept == 170.0)
     // same hygiene on the upsert leg
@@ -334,7 +344,13 @@ class GeoIndexSpec extends SparkSpec {
     GeoIndex.write(pts, "pid", "lat", "lon", dir2, cellDeg = 5.0)
     Thread.sleep(10) // ensure a distinct directory mtime
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    for (part <- Seq("meta", "cells")) {
+    // the base is a sealed versioned dir now: move the RESOLVED current
+    // generation of each store (same generation name on both sides here,
+    // but resolve both to stay layout-agnostic)
+    val srcBase = DeltaLog.currentBase(spark, dir2, "cells").split('/').last
+    val dstBase = DeltaLog.currentBase(spark, dir, "cells").split('/').last
+    for ((srcPart, part) <- Seq(("meta", "meta"), (srcBase, dstBase))) {
+      val src = Paths.get(s"$dir2/$srcPart")
       val dst = Paths.get(s"$dir/$part")
       def rm(p: java.nio.file.Path): Unit = {
         if (Files.isDirectory(p))
@@ -342,8 +358,7 @@ class GeoIndexSpec extends SparkSpec {
         Files.delete(p)
       }
       rm(dst)
-      Files.move(Paths.get(s"$dir2/$part"), dst,
-        StandardCopyOption.REPLACE_EXISTING)
+      Files.move(src, dst, StandardCopyOption.REPLACE_EXISTING)
       // the move preserves the source's own mtime; touch the dir so the
       // rebuild is visible however the local fs handles rename
       Files.setLastModifiedTime(dst,
@@ -434,16 +449,14 @@ class GeoIndexSpec extends SparkSpec {
     }
   }
 
-  test("an interrupted geo compact recovers on the next read") {
+  test("a geo compact that crashed before sealing is invisible to reads") {
     val dir = java.nio.file.Files.createTempDirectory("geoidx-crash").toString
     GeoIndex.write(Seq((1L, 40.7, -74.0), (2L, 48.9, 2.3))
       .toDF("pid", "lat", "lon"), "pid", "lat", "lon", dir)
-    import java.nio.file.{Files, Paths}
-    // simulate a crash between the fold and the swap
-    Files.move(Paths.get(s"$dir/cells"), Paths.get(s"$dir/.cells-next"))
-    assert(!Files.exists(Paths.get(s"$dir/cells")))
-    val healed = GeoIndex.radiusSearch(spark, dir, 40.7, -74.0, 100.0)
-    assert(healed.select("pid").as[Long].collect().toSet == Set(1L))
-    assert(Files.exists(Paths.get(s"$dir/cells")))
+    // unsealed newer generation: the crash window of the versioned
+    // protocol — reads stay on the sealed generation
+    DeltaLog.fs(spark, dir).mkdirs(new Path(s"$dir/cells-v9/cell=0"))
+    val r = GeoIndex.radiusSearch(spark, dir, 40.7, -74.0, 100.0)
+    assert(r.select("pid").as[Long].collect().toSet == Set(1L))
   }
 }

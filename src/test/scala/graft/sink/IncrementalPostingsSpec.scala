@@ -95,22 +95,19 @@ class IncrementalPostingsSpec extends SparkSpec {
     assert(got == expect, s"indexed $got != scan $expect")
   }
 
-  test("an interrupted compact recovers on the next read") {
+  test("a compact that crashed before sealing is invisible to reads") {
     val dir = java.nio.file.Files.createTempDirectory("incpost-crash").toString
     val base = Seq((1L, "merge scan"), (2L, "window join"))
     IncrementalPostings.init(base.toDF("doc_id", "text"), "doc_id", "text", dir)
     val before = IncrementalPostings.currentPostings(spark, dir)
       .as[(String, Long, Int)].collect().toSet
-    // simulate a crash between compact's two renames: base is gone, the
-    // fully-written replacement sits at .base-next
-    import java.nio.file.{Files, Paths}
-    Files.move(Paths.get(s"$dir/base"), Paths.get(s"$dir/.base-next"))
-    assert(!Files.exists(Paths.get(s"$dir/base")))
-    // the next read completes the swap instead of failing on a missing base
+    // unsealed newer generation = the versioned protocol's crash window:
+    // reads stay on the sealed generation, numbers are never reused
+    DeltaLog.fs(spark, dir)
+      .mkdirs(new org.apache.hadoop.fs.Path(s"$dir/base-v9/postings"))
     val after = IncrementalPostings.currentPostings(spark, dir)
       .as[(String, Long, Int)].collect().toSet
     assert(after == before)
-    assert(Files.exists(Paths.get(s"$dir/base")))
   }
 
   test("streaming micro-batches drive the index via foreachBatch") {
@@ -252,12 +249,13 @@ class IncrementalPostingsSpec extends SparkSpec {
       else if (f.isFile) f.length
       else f.listFiles.map(c => bytes(c.getPath)).sum
     }
-    val baseBytes = bytes(s"$dir/base")
-    val baseMtime = new java.io.File(s"$dir/base/postings").lastModified
+    val basePath = DeltaLog.currentBase(spark, dir, "base")
+    val baseBytes = bytes(basePath)
+    val baseMtime = new java.io.File(s"$basePath/postings").lastModified
     IncrementalPostings.commitUpserts(
       Seq((1L, "tiny update")).toDF("doc_id", "text"), "doc_id", "text", dir)
     val deltaBytes = bytes(s"$dir/deltas")
-    assert(new java.io.File(s"$dir/base/postings").lastModified == baseMtime,
+    assert(new java.io.File(s"$basePath/postings").lastModified == baseMtime,
       "commit must not rewrite the base")
     assert(deltaBytes < baseBytes / 5,
       s"delta $deltaBytes B should be a small fraction of base $baseBytes B")

@@ -79,7 +79,8 @@ class SignatureStoreSpec extends SparkSpec {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     SignatureStore.write(corpus.filter(col("doc_id") <= 4), "doc_id", "text",
       dir, nPb = 8)
-    def baseState = fs.listFiles(new Path(s"$dir/buckets"), true)
+    def baseState = fs.listFiles(
+      new Path(DeltaLog.currentBase(spark, dir, "buckets")), true)
     val before = {
       val it = baseState
       val b = Seq.newBuilder[(String, Long)]
@@ -120,7 +121,9 @@ class SignatureStoreSpec extends SparkSpec {
           if f.relation.partitionSchema.fieldNames.contains("pb") =>
         f.metrics("numFiles").value
     }.sum
-    val total = spark.read.parquet(s"$dir/buckets").inputFiles.length.toLong
+    val total = spark.read
+      .parquet(DeltaLog.currentBase(spark, dir, "buckets"))
+      .inputFiles.length.toLong
     assert(scanned < total, s"scanned $scanned of $total base files")
     // and the near-dup of doc 1 is still found through the pruned scan
     assert(pairs(probed).contains((1L, 8L)))
@@ -293,21 +296,24 @@ class SignatureStoreSpec extends SparkSpec {
       .select("n_docs").as[Long].head() == 4)
   }
 
-  test("a compact interrupted between renames heals on the next read") {
+  test("a compact that crashed before sealing is invisible to reads") {
     val dir = java.nio.file.Files.createTempDirectory("sigstore-crash").toString
     SignatureStore.write(corpus.filter(col("doc_id") <= 4), "doc_id", "text",
       dir, nPb = 8)
     SignatureStore.append(corpus.filter(col("doc_id") === 5), dir)
     val before = pairs(SignatureStore.probe(
       corpus.filter(col("doc_id") === 6), dir))
-    // simulate the crash window: base gone, fully-written replacement
-    // sitting at .buckets-next
-    import java.nio.file.{Files, Paths}
-    Files.move(Paths.get(s"$dir/buckets"), Paths.get(s"$dir/.buckets-next"))
-    assert(!Files.exists(Paths.get(s"$dir/buckets")))
+    // crash window of the versioned protocol: a newer generation fully
+    // or partly written but NEVER sealed — readers must stay on the
+    // previous sealed generation, and the next compact installs past it
+    val f = DeltaLog.fs(spark, dir)
+    f.mkdirs(new Path(s"$dir/buckets-v9/pb=0"))
     assert(pairs(SignatureStore.probe(
       corpus.filter(col("doc_id") === 6), dir)) == before)
-    assert(Files.exists(Paths.get(s"$dir/buckets")))
+    SignatureStore.compact(spark, dir)
+    assert(DeltaLog.currentBase(spark, dir, "buckets") == s"$dir/buckets-v10")
+    assert(pairs(SignatureStore.probe(
+      corpus.filter(col("doc_id") === 6), dir)) == before)
   }
 
   test("null id in a probed or appended batch fails loudly") {

@@ -156,7 +156,9 @@ class VectorIndexSpec extends SparkSpec {
           if f.relation.partitionSchema.fieldNames.contains("cell") =>
         f.metrics("numFiles").value
     }.sum
-    val total = spark.read.parquet(s"$dir/cells").inputFiles.length.toLong
+    val total = spark.read
+      .parquet(DeltaLog.currentBase(spark, dir, "cells"))
+      .inputFiles.length.toLong
     assert(scanned < total, s"scanned $scanned of $total cell files")
     // an upsert whose vector lies OUTSIDE its cell's stored radius is
     // still found (commit legs are never pruned) …
@@ -244,12 +246,13 @@ class VectorIndexSpec extends SparkSpec {
       else if (f.isFile) f.length
       else f.listFiles.map(c => bytes(c.getPath)).sum
     }
-    val baseBytes = bytes(s"$dir/cells")
-    val baseMtime = new java.io.File(s"$dir/cells").lastModified
+    val basePath = DeltaLog.currentBase(spark, dir, "cells")
+    val baseBytes = bytes(basePath)
+    val baseMtime = new java.io.File(basePath).lastModified
     VectorIndex.upsert(Seq((1L, Seq(9.0f, 9.0f))).toDF("vec_id", "embedding"),
       "vec_id", "embedding", dir)
     VectorIndex.delete(Seq(2L).toDF("vec_id"), "vec_id", dir)
-    assert(new java.io.File(s"$dir/cells").lastModified == baseMtime,
+    assert(new java.io.File(basePath).lastModified == baseMtime,
       "commit must not rewrite the base cell layout")
     assert(bytes(s"$dir/commits") < baseBytes / 5,
       s"commits ${bytes(s"$dir/commits")} B vs base $baseBytes B")
@@ -314,18 +317,17 @@ class VectorIndexSpec extends SparkSpec {
       .head().getAs[Long]("n_pending_commits") == 0L)
   }
 
-  test("an interrupted vector compact recovers on the next read") {
+  test("a vector compact that crashed before sealing is invisible to reads") {
     val dir = java.nio.file.Files.createTempDirectory("vecidx-crash").toString
     VectorIndex.write(tinyCorpus, "vec_id", "embedding", dir, k = 2, iters = 2)
     val before = VectorIndex.cells(spark, dir)
       .select("vec_id").as[Long].collect().toSet
-    import java.nio.file.{Files, Paths}
-    Files.move(Paths.get(s"$dir/cells"), Paths.get(s"$dir/.cells-next"))
-    assert(!Files.exists(Paths.get(s"$dir/cells")))
+    // unsealed newer generation = the versioned protocol's crash window
+    DeltaLog.fs(spark, dir)
+      .mkdirs(new org.apache.hadoop.fs.Path(s"$dir/cells-v9/cell=0"))
     val after = VectorIndex.cells(spark, dir)
       .select("vec_id").as[Long].collect().toSet
     assert(after == before)
-    assert(Files.exists(Paths.get(s"$dir/cells")))
   }
 
   test("search prunes unprobed cells even with a live commit log") {
@@ -359,7 +361,9 @@ class VectorIndexSpec extends SparkSpec {
     val baseScanned = scans(search.queryExecution.executedPlan)
       .filter(_.partitionFilters.nonEmpty)
       .map(_.metrics("numFiles").value).sum
-    val baseFiles = spark.read.parquet(s"$dir/cells").inputFiles.length.toLong
+    val baseFiles = spark.read
+      .parquet(DeltaLog.currentBase(spark, dir, "cells"))
+      .inputFiles.length.toLong
     assert(baseScanned > 0 && baseScanned < baseFiles,
       s"scanned $baseScanned of $baseFiles base files")
   }
@@ -399,7 +403,9 @@ class VectorIndexSpec extends SparkSpec {
       _.toString.toLowerCase.contains("dynamicpruning"))),
       cellScans.map(_.partitionFilters).toString)
     val scanned = cellScans.map(_.metrics("numFiles").value).sum
-    val total = spark.read.parquet(s"$dir/cells").inputFiles.length.toLong
+    val total = spark.read
+      .parquet(DeltaLog.currentBase(spark, dir, "cells"))
+      .inputFiles.length.toLong
     assert(scanned > 0 && scanned < total, s"scanned $scanned of $total files")
   }
 
