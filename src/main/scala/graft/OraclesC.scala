@@ -471,6 +471,19 @@ private[graft] object OraclesC {
            FROM r)
          SELECT doc_id, source, CAST(unnest(range(0, n)) AS BIGINT) AS epoch
          FROM c WHERE n > 0 ORDER BY doc_id, epoch""",
+    "x_sessionize_spread" ->
+      """SELECT event_id, user_id, ts_us,
+           CAST(sum(st) OVER (PARTITION BY user_id ORDER BY ts_us
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS session_idx
+         FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             CASE WHEN lag(epoch_us(ts)) OVER
+                 (PARTITION BY user_id ORDER BY epoch_us(ts)) IS NULL
+               OR epoch_us(ts) - lag(epoch_us(ts)) OVER
+                 (PARTITION BY user_id ORDER BY epoch_us(ts)) > 43200000000
+               THEN 1 ELSE 0 END AS st
+           FROM events)
+         ORDER BY user_id, ts_us""",
     "x_sessionize" ->
       """SELECT event_id, user_id, ts_us,
            CAST(sum(st) OVER (PARTITION BY user_id ORDER BY ts_us

@@ -1402,6 +1402,16 @@ private[graft] object QueriesTextMediaCorpus {
         "user_id", "ts_us", lit(43200000000L)) // 12 hours in micros
         .orderBy("user_id", "ts_us")),
 
+    // The SKEW-RESILIENT sessionize (two-phase spread — the hot-user
+    // fallback measured flat on the skew probe axis), oracle-gated to
+    // the SAME result as the window form at sf scale.
+    "x_sessionize_spread" -> ((s, d) =>
+      operators.Sessions.sessionizeSpread(
+        Tables.events(s, d).withColumn("ts_us", unix_micros(col("ts")))
+          .select("event_id", "user_id", "ts_us"),
+        "user_id", "ts_us", 43200000000L) // 12 hours in micros
+        .orderBy("user_id", "ts_us")),
+
     // Trailing-7-day activity count per event (RANGE frame over epoch
     // micros — the engagement feature shape).
     "x_rolling_active" -> ((s, d) =>
