@@ -876,7 +876,7 @@ private[graft] object OraclesB {
          WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.5""",
     "x_dedup_incremental_build" ->
       """SELECT count(*) AS n_docs, CAST(count(*) * 8 AS BIGINT) AS n_rows,
-           CAST(2 AS BIGINT) AS n_pending_commits,
+           CAST(1 AS BIGINT) AS n_pending_commits,
            FALSE AS compact_recommended
          FROM documents""",
     "x_dedup_incremental_probe" ->

@@ -150,24 +150,24 @@ private[graft] object QueriesDedupGeoVector {
     // x_dedup_minhash. Each row here times ONE path of the steady-state
     // ingest loop and value-asserts its own oracle-checkable output.
     //
-    // BUILD: sign a base corpus, then admit two arriving batches through
+    // BUILD: sign a base corpus, then admit ONE arriving batch through
     // the fused sign-once probe-and-commit step — the ingest-side cost.
-    // Gate: the store's health stats, fully deterministic (every doc
-    // signs to exactly `bands`(=8) rows; disjoint batches, no
-    // supersessions; 2 pending commits after 2 appends).
+    // (The two-batch incr≡full proof is spec-owned; the write+appends+
+    // compact shape is x_signature_stats' body — this row times exactly
+    // one base build plus one fused admission.) Gate: the store's health
+    // stats, fully deterministic (every doc signs to exactly `bands`(=8)
+    // rows; disjoint batch, no supersessions; 1 pending commit).
     "x_dedup_incremental_build" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val base = docs.filter(pmod(col("doc_id"), lit(5)) < 3)
-      val b1 = docs.filter(pmod(col("doc_id"), lit(5)) === 3)
-      val b2 = docs.filter(pmod(col("doc_id"), lit(5)) === 4)
+      val batch = docs.filter(pmod(col("doc_id"), lit(5)) >= 3)
       val dir = tempDir("graft-sig-build")
       sink.SignatureStore.write(base, "doc_id", "text", dir)
-      // each batch signs ONCE (probe ≡ + append ≡ pinned in
+      // the batch signs ONCE (probe ≡ + append ≡ pinned in
       // SignatureStoreSpec); the returned candidate pairs are the
       // ingest loop's screening output — materialized, as a real loop
       // would consume them, but value-asserted by the PROBE row below
-      sink.SignatureStore.probeAndAppend(b1, dir).count(): Unit
-      sink.SignatureStore.probeAndAppend(b2, dir).count(): Unit
+      sink.SignatureStore.probeAndAppend(batch, dir).count(): Unit
       sink.SignatureStore.stats(s, dir)
     }),
 

@@ -155,7 +155,13 @@ object StreamingOps {
       .withColumn("_wm_us",
         (floor(max(col("_mx")).over(prior) / 1000) - delayMs) * 1000)
       .select(col("_b"), col("_wm_us"))
-    df.withColumn("_b", col(batchCol).cast("long"))
+    // a NULL arrival batch would silently vanish through the inner join
+    // below (no batch ⇒ no watermark row) — fail loudly instead
+    val checked = when(col(batchCol).isNull,
+        raise_error(lit("watermarkReplay: null arrival-batch value — " +
+          "every row needs a micro-batch assignment")).cast("long"))
+      .otherwise(col(batchCol).cast("long"))
+    df.withColumn("_b", checked)
       .join(broadcast(wm), "_b")
       .withColumn("_w", window(col(tsCol), windowLen))
       .withColumn("late", col("_wm_us").isNotNull &&

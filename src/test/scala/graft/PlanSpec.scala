@@ -379,6 +379,26 @@ class PlanSpec extends SparkSpec {
       s"codec chain should not shuffle:\n$codec")
   }
 
+  test("round-11 ops keep their scale shapes") {
+    // watermarkReplay: the corpus side joins the TINY per-batch
+    // watermark frame via broadcast — the events scan is never shuffled
+    // for it, and the only SinglePartition exchange ever allowed is the
+    // batch-count-sized window (it must not touch the big side)
+    val wl = plan("ws_late")
+    assert(wl.contains("BroadcastHashJoin") ||
+      wl.contains("BroadcastExchange"), s"watermark frame not broadcast:\n$wl")
+    assert(!wl.contains("SortMergeJoin"),
+      s"corpus shuffled against the watermark frame:\n$wl")
+    // sessionizeSpread: two-phase — no per-user window, no
+    // single-partition exchange anywhere (the straggler shapes it exists
+    // to avoid)
+    val ss = plan("x_sessionize_spread")
+    assert(!ss.contains("Exchange SinglePartition"),
+      s"spread sessionize funnels through one partition:\n$ss")
+    assert(!ss.contains("WindowExec") && !ss.contains("RunningWindow"),
+      s"spread sessionize fell back to a window pass:\n$ss")
+  }
+
   test("token masking hashes each token exactly once") {
     // The mask decision reads each md5-56 as a zip_with lambda variable
     // produced by ONE fused native pass; embedding sampleHash's 7-term
