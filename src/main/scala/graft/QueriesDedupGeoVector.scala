@@ -440,7 +440,10 @@ private[graft] object QueriesDedupGeoVector {
     // propagation x_dedup_clusters pins.
     "x_dedup_embed_clusters" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      operators.Dedup.connectedComponents(sharedPrunedCosinePairs(s, d),
+      // star CC, not label propagation: same (id, min-root) contract,
+      // O(log diameter) rounds with no per-round convergence-count job —
+      // this was the board's slowest row on the propagation form
+      operators.Dedup.connectedComponentsStar(sharedPrunedCosinePairs(s, d),
           e.select("vec_id"))
         .orderBy("id")
     }),
