@@ -1554,6 +1554,16 @@ private[graft] object OraclesA {
     "s_jsonl_scan" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
          ORDER BY doc_id""",
+    // the oracle recomputes the RFC-4180 decoration the gate appended to
+    // every row; the 2 hand-planted poison records ride as a constant
+    "s_csv_scan" ->
+      """SELECT doc_id,
+           text || ', "quoted",' || chr(10) || 'line2' AS text,
+           lang, n_chars, CAST(2 AS BIGINT) AS n_dlq
+         FROM documents ORDER BY doc_id""",
+    "s_orc_scan" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+         ORDER BY doc_id""",
     // identical arithmetic shape: mean = s1/c, var = s2/c − mean²,
     // z = (n − mean)/sqrt(var); // is DuckDB floor-div like Spark DIV
     "x_spike" ->

@@ -41,6 +41,60 @@ private[graft] object QueriesPipelineSearch {
           col("event_type"))
         .orderBy("event_id")),
 
+    // CSV source with the JsonlSource poison contract: every row's text
+    // is FORCED through the RFC-4180 edge cases (delimiter inside a
+    // quoted field, escaped double-quote, EMBEDDED NEWLINE — multiLine
+    // records spanning physical lines), two hand-planted poison records
+    // (unclosed quote, unparseable doc_id) go to the DLQ, and the good
+    // relation must round-trip bit-exact against the parquet oracle
+    // recomputing the same decoration.
+    "s_csv_scan" -> ((s, d) => {
+      val dir = tempDir("graft-csv")
+      val hard = Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat(col("text"), lit(", \"quoted\",\nline2")).as("text"),
+          col("lang"), col("n_chars"))
+      hard.write.mode("overwrite")
+        .option("header", true).option("escape", "\"")
+        .csv(s"$dir/data")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$dir/data/zz-poison.csv"),
+        "doc_id,text,lang,n_chars\n" +
+          "notanumber,plain,en,11\n" +          // doc_id fails the schema
+          "9000001,\"unclosed quote,en,10\n")   // unterminated quote LAST:
+          // it legitimately consumes the rest of the file as one record
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_chars",
+          org.apache.spark.sql.types.LongType)))
+      val (good, dlq) = sources.CsvSource.read(s, s"$dir/data", schema)
+      // the DLQ count rides along as a column so the gate hash-checks
+      // both legs (2 poison records; the count is corpus-independent).
+      // The two conditional counts partition the DLQ on a DATA column's
+      // nullness and sum back to the row count — unlike count(1) or
+      // count(coalesce(...)), Catalyst can neither fold them nor prune
+      // the data column, which keeps the scan off Spark's
+      // corrupt-column-only refusal
+      good.crossJoin(broadcast(dlq.agg(
+          (count(when(col("doc_id").isNotNull, 1)) +
+            count(when(col("doc_id").isNull, 1))).as("n_dlq"))))
+        .orderBy("doc_id")
+    }),
+
+    // ORC source round-trip: Spark's native ORC datasource (the second
+    // first-class lake format next to parquet) — write the corpus as
+    // ORC, read it back, must hash-match the parquet oracle exactly.
+    "s_orc_scan" -> ((s, d) => {
+      val dir = tempDir("graft-orc")
+      Tables.documents(s, d).write.mode("overwrite").orc(s"$dir/data")
+      s.read.orc(s"$dir/data").orderBy("doc_id")
+    }),
+
     // §2 F3 — modulo sharding: partition filter from a service name.
     "f3_shard_modulo" -> ((s, d) => {
       val shard = ModuloSharding.forService("user_id", 8, "nrtsearch-idx-3")

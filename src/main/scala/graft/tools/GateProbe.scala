@@ -69,40 +69,35 @@ object GateProbe {
         .filter(col("dist_km") <= 1500.0).count())
     }
 
-    // ---- x_dedup_incremental ------------------------------------------
+    // ---- x_dedup_incremental_build / _probe (r11 split shape) ---------
     locally {
       val base = docs.filter(pmod(col("doc_id"), lit(5)) < 3)
-      val b1 = docs.filter(pmod(col("doc_id"), lit(5)) === 3)
-      val b2 = docs.filter(pmod(col("doc_id"), lit(5)) === 4)
+      val batch = docs.filter(pmod(col("doc_id"), lit(5)) >= 3)
+      // BUILD row body: base sign + one fused probe-and-append
       val dir = java.nio.file.Files.createTempDirectory("sigstore").toString
       t("sig.write")(graft.sink.SignatureStore.write(
         base, "doc_id", "text", dir))
-      val p0 = t("sig.selfPairs0")(graft.sink.SignatureStore
-        .selfPairs(spark, dir).select("id_a", "id_b"))
-      val p1 = t("sig.probeAppend1")(graft.sink.SignatureStore
-        .probeAndAppend(b1, dir).select("id_a", "id_b"))
-      val p2 = t("sig.probeAppend2")(graft.sink.SignatureStore
-        .probeAndAppend(b2, dir).select("id_a", "id_b"))
-      // mirror the r10 gate body: persisted candidate set + verify leg
-      // pruned to candidate docs
-      val incr = p0.unionByName(p1).unionByName(p2).distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val full = graft.sink.SignatureStore.selfPairs(spark, dir)
-        .select(col("id_a").as("fa"), col("id_b").as("fb"))
-      val eq = incr.join(full,
-          col("id_a") === col("fa") && col("id_b") === col("fb"),
-          "full_outer")
-        .agg((coalesce(sum(when(col("id_a").isNull || col("fa").isNull, 1)
-          .otherwise(0)), lit(0L)) === 0).as("incr_eq_full"))
-      val candIds = incr.select(explode(array(col("id_a"), col("id_b")))
+      t("sig.probeAppend")(graft.sink.SignatureStore
+        .probeAndAppend(batch, dir).count())
+      t("sig.stats")(graft.sink.SignatureStore.stats(spark, dir).collect())
+      // PROBE row body: screen one batch against an existing store and
+      // exact-verify the candidates (broadcast-pruned shingling)
+      val store = docs.filter(pmod(col("doc_id"), lit(5)) < 4)
+      val b2 = docs.filter(pmod(col("doc_id"), lit(5)) === 4)
+      val dir2 = java.nio.file.Files.createTempDirectory("sigprobe").toString
+      t("sig.writeStore")(graft.sink.SignatureStore.write(
+        store, "doc_id", "text", dir2))
+      val cand = t("sig.probe")(graft.sink.SignatureStore.probe(b2, dir2)
+        .select("id_a", "id_b")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val candIds = cand.select(explode(array(col("id_a"), col("id_b")))
         .as("doc_id")).distinct()
       val candDocs = docs.join(broadcast(candIds), "doc_id")
       t("sig.verify+agg")(graft.operators.Dedup
-        .verifyJaccard(incr, candDocs, "doc_id", "text", 3)
+        .verifyJaccard(cand, candDocs, "doc_id", "text", 3)
         .filter(col("jaccard") >= 0.5)
-        .agg(count(lit(1)).as("n_verified"))
-        .crossJoin(eq).collect())
-      incr.unpersist()
+        .agg(count(lit(1)).as("n_verified")).collect())
+      cand.unpersist()
     }
 
     // ---- x_sim_ivf_upsert ----------------------------------------------
