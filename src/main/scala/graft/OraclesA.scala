@@ -1554,6 +1554,14 @@ private[graft] object OraclesA {
     "s_jsonl_scan" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
          ORDER BY doc_id""",
+    "s_jsonl_gz_scan" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+         ORDER BY doc_id""",
+    // jsonl drop -> poison-contract source -> bucketed index sink ->
+    // term query off the index ≡ the same predicate over the raw table
+    "p_e2e_ingest_query" ->
+      """SELECT doc_id, lang, source FROM documents
+         WHERE lang = 'en' ORDER BY doc_id""",
     // the oracle recomputes the RFC-4180 decoration the gate appended to
     // every row; the 2 hand-planted poison records ride as a constant
     "s_csv_scan" ->

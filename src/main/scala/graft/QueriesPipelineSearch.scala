@@ -95,6 +95,60 @@ private[graft] object QueriesPipelineSearch {
       s.read.orc(s"$dir/data").orderBy("doc_id")
     }),
 
+    // GZIP-compressed JSONL through the same poison-contract reader:
+    // Hadoop's codec layer decompresses .gz transparently, so the SAME
+    // JsonlSource serves compressed drops unchanged. Scale note
+    // (documented here because the gate can't show it): gzip is not
+    // splittable — one task per .gz file — so compressed corpora shard
+    // into many files upstream; the gate writes 4.
+    "s_jsonl_gz_scan" -> ((s, d) => {
+      val dir = tempDir("graft-jsonl-gz")
+      Tables.documents(s, d).select("doc_id", "lang", "source", "n_chars")
+        .repartition(4)
+        .write.mode("overwrite").option("compression", "gzip")
+        .json(s"$dir/data")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_chars",
+          org.apache.spark.sql.types.LongType)))
+      val (good, _) = sources.JsonlSource.read(s, s"$dir/data", schema)
+      good.orderBy("doc_id")
+    }),
+
+    // End-to-end "switch-user" pipeline: JSONL drop → poison-contract
+    // source → document sink (bucketed index, manifest commit) → term
+    // query off the INDEX's searchable view. Every stage is gated on its
+    // own elsewhere; this row pins their composition — the reference's
+    // actual deployment shape (source → converter → indexed search).
+    "p_e2e_ingest_query" -> ((s, d) => {
+      val dir = tempDir("graft-e2e")
+      Tables.documents(s, d)
+        .write.mode("overwrite").json(s"$dir/drop")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_chars",
+          org.apache.spark.sql.types.LongType)))
+      val (good, _) = sources.JsonlSource.read(s, s"$dir/drop", schema)
+      val sinkI = new sink.ParquetIndexSink(s, s"$dir/index")
+      sinkI.addDocuments(good.withColumn("_id", col("doc_id").cast("string")))
+      sinkI.commit()
+      DocQueries.term(sinkI.searchable(), "lang", "en")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")
+    }),
+
     // §2 F3 — modulo sharding: partition filter from a service name.
     "f3_shard_modulo" -> ((s, d) => {
       val shard = ModuloSharding.forService("user_id", 8, "nrtsearch-idx-3")
