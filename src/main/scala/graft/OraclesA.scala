@@ -1483,6 +1483,12 @@ private[graft] object OraclesA {
          FROM lineitem""",
     // numeric min/max render as 6dp fixed-point (the StatsStore partial
     // type), strings as plain min/max — both engine-portable
+    "x_profile_quantiles" ->
+      """SELECT 'doc_id' AS col_name, count(doc_id) AS n,
+           TRUE AS p50_ok, TRUE AS p90_ok FROM documents
+         UNION ALL
+         SELECT 'n_chars', count(n_chars), TRUE, TRUE FROM documents
+         ORDER BY col_name""",
     "x_profile_incremental" ->
       """SELECT col_name, n_nonnull, n_null, min_v, max_v, TRUE AS dist_ok
          FROM (

@@ -917,6 +917,49 @@ private[graft] object QueriesPipelineSearch {
         .orderBy("col_name")
     }),
 
+    // Incremental PERCENTILES off the profiling store (r11): each commit
+    // persists a bounded 99-point equi-probability grid per numeric
+    // column; the corpus-wide p50/p90 is the weighted merge of those
+    // points — approximate quantiles under continuous ingest with NO
+    // corpus rescan. The gate re-ranks each estimate against the raw
+    // corpus (the ws_quantile pattern): its true rank must sit within
+    // max(2, 2%) of the target, covering the per-batch sketch error plus
+    // the 1% merge grid.
+    "x_profile_quantiles" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tracked = docs.select("n_chars", "doc_id")
+      val dir = tempDir("graft-statq")
+      sink.StatsStore.init(
+        tracked.filter(pmod(col("doc_id"), lit(3)) === 0),
+        Seq("n_chars", "doc_id"), dir)
+      sink.StatsStore.append(
+        tracked.filter(pmod(col("doc_id"), lit(3)) === 1), dir)
+      sink.StatsStore.append(
+        tracked.filter(pmod(col("doc_id"), lit(3)) === 2), dir)
+      val est = sink.StatsStore.quantiles(s, dir, Seq(0.5, 0.9))
+        .select(col("col_name"), col("n_nonnull"),
+          element_at(col("qs"), 1).as("q50"),
+          element_at(col("qs"), 2).as("q90"))
+      val legs = Seq("doc_id", "n_chars").map { name =>
+        val c = col(name).cast("double")
+        docs.crossJoin(broadcast(est.filter(col("col_name") === name)))
+          .agg(first(col("col_name")).as("col_name"),
+            first(col("n_nonnull")).as("n"),
+            sum(when(c < col("q50"), 1).otherwise(0)).as("_lo50"),
+            sum(when(c <= col("q50"), 1).otherwise(0)).as("_hi50"),
+            sum(when(c < col("q90"), 1).otherwise(0)).as("_lo90"),
+            sum(when(c <= col("q90"), 1).otherwise(0)).as("_hi90"))
+      }
+      val tol = greatest(lit(2.0), col("n") * 0.02)
+      legs.reduce(_.unionByName(_))
+        .select(col("col_name"), col("n"),
+          (col("_lo50") - tol <= col("n") * 0.5 &&
+            col("n") * 0.5 <= col("_hi50") + tol).as("p50_ok"),
+          (col("_lo90") - tol <= col("n") * 0.9 &&
+            col("n") * 0.9 <= col("_hi90") + tol).as("p90_ok"))
+        .orderBy("col_name")
+    }),
+
     // Column profiling ("analyze table" for pipeline observability): one
     // aggregate pass — per-column null/non-null counts, exact min/max,
     // HLL++ distinct. The approx cardinality is gated within ±5% of the

@@ -73,7 +73,14 @@ object StatsStore {
          else min(col(c).cast("string"))).as(s"_mins_$c"),
         (if (numeric) lit(null).cast("string")
          else max(col(c).cast("string"))).as(s"_maxs_$c"),
-        hll_sketch_agg(col(c).cast("string"), lit(lgK)).as(s"_hll_$c"))
+        hll_sketch_agg(col(c).cast("string"), lit(lgK)).as(s"_hll_$c"),
+        // equi-probability quantile points at 1..99% (numeric columns):
+        // BOUNDED per-batch state (99 doubles) that merges by weighted
+        // union at read — the mergeable-summaries answer to "approximate
+        // percentiles under continuous ingest without a rescan"
+        (if (numeric) percentile_approx(col(c).cast("double"),
+            array(QuantileProbs.map(lit): _*), lit(10000))
+         else lit(null).cast("array<double>")).as(s"_qs_$c"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
     val rows = cols.map { case (c, _) =>
@@ -85,9 +92,65 @@ object StatsStore {
         col(s"_maxn_$c").as("max_num"),
         col(s"_mins_$c").as("min_str"),
         col(s"_maxs_$c").as("max_str"),
-        col(s"_hll_$c").as("hll"))
+        col(s"_hll_$c").as("hll"),
+        col(s"_qs_$c").as("qtiles"))
     }
     one.select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
+
+  /** The per-batch quantile grid: 1%..99%. 99 doubles per numeric column
+    * per commit; the grid (not the corpus) bounds merge resolution, so
+    * cross-batch rank error is ≤ ~1% of each contributing batch plus the
+    * within-batch sketch error (n_batch/10000).
+    */
+  private val QuantileProbs: Seq[Double] = (1 to 99).map(_ / 100.0)
+
+  /** Weighted merge of per-batch quantile points: each batch row's 99
+    * points carry mass n_nonnull/99 at their value; sorted by value, the
+    * estimate for probability p is the smallest value whose cumulative
+    * mass reaches p of the total. Returns `(col_name, qtiles)` with the
+    * merged estimates in `probs` order — the frame is commits × 99 rows
+    * per column, so the per-column window is metadata-sized.
+    */
+  private def mergedQuantileRows(rows: DataFrame,
+      probs: Seq[Double]): DataFrame = {
+    val pts = rows
+      .filter(col("qtiles").isNotNull && col("n_nonnull") > 0)
+      .select(col("col_name"),
+        (col("n_nonnull").cast("double") / size(col("qtiles"))).as("w"),
+        explode(col("qtiles")).as("v"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("col_name").orderBy("v", "w")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val tot = pts.groupBy("col_name").agg(sum("w").as("_totw"))
+    val wcum = pts.withColumn("_cumw", sum("w").over(win)).join(tot, "col_name")
+    // one aggregate expression per requested probability; 1e-9 slack
+    // keeps float round-off from skipping the exact boundary point
+    val qAggs = probs.zipWithIndex.map { case (p, i) =>
+      min(when(col("_cumw") >= col("_totw") * p - lit(1e-9), col("v")))
+        .as(s"_q$i")
+    }
+    wcum.groupBy("col_name").agg(qAggs.head, qAggs.tail: _*)
+      .select(col("col_name"),
+        array(probs.indices.map(i => col(s"_q$i")): _*).as("qtiles"))
+  }
+
+  /** Approximate quantiles of every NUMERIC tracked column from the
+    * persisted partials — no corpus scan, same contract as [[profile]]:
+    * `(col_name, n_nonnull, qs)` with `qs(i)` the estimate for
+    * `probs(i)`. Rank error is bounded by the per-batch sketch error
+    * plus the 1% merge grid (see [[QuantileProbs]]).
+    */
+  def quantiles(spark: SparkSession, dir: String,
+      probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p < 1),
+      s"probs must be in (0, 1), got $probs")
+    val rows = partialRows(spark, dir)
+    mergedQuantileRows(rows, probs)
+      .join(rows.filter(col("qtiles").isNotNull).groupBy("col_name")
+        .agg(sum("n_nonnull").as("n_nonnull")), "col_name")
+      .select(col("col_name"), col("n_nonnull"), col("qtiles").as("qs"))
   }
 
   /** Create the store: persist the profiling contract and the first
@@ -159,7 +222,8 @@ object StatsStore {
   def compact(spark: SparkSession, dir: String): Unit = {
     val seqs = DeltaLog.listSeqs(spark, s"$dir/commits")
     if (seqs.isEmpty) return
-    val folded = partialRows(spark, dir)
+    val rows = partialRows(spark, dir)
+    val folded = rows
       .groupBy("col_name")
       .agg(
         sum("n_nonnull").as("n_nonnull"),
@@ -169,6 +233,10 @@ object StatsStore {
         min("min_str").as("min_str"),
         max("max_str").as("max_str"),
         hll_union_agg(col("hll"), lit(true)).as("hll"))
+      // the fold's quantile summary is the weighted merge re-gridded to
+      // the standard 99 points — numeric columns keep their percentile
+      // view across compactions, string columns stay null
+      .join(mergedQuantileRows(rows, QuantileProbs), Seq("col_name"), "left")
     DeltaLog.installBase(spark, dir, "base") { tmp =>
       folded.coalesce(1).write.mode("overwrite").parquet(tmp)
     }: Unit

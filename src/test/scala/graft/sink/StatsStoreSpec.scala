@@ -77,4 +77,33 @@ class StatsStoreSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("tracked as"))
   }
+
+  test("incremental quantiles: merged estimate near exact, survives compact") {
+    // 0..9999 split over three skewed batches (by residue mod 3, so each
+    // batch's distribution differs from the whole) — the merged p50/p90
+    // must land near the TRUE percentiles of the union
+    val dir = java.nio.file.Files.createTempDirectory("statstore-q").toString
+    val all = spark.range(10000).select(col("id").as("v"))
+    StatsStore.init(all.filter(col("v") % 3 === 0), Seq("v"), dir)
+    StatsStore.append(all.filter(col("v") % 3 === 1), dir)
+    StatsStore.append(all.filter(col("v") % 3 === 2), dir)
+    def check(): Unit = {
+      val r = StatsStore.quantiles(spark, dir, Seq(0.5, 0.9))
+        .as[(String, Long, Seq[Double])].head()
+      assert(r._1 == "v" && r._2 == 10000L)
+      assert(math.abs(r._3(0) - 5000.0) <= 200.0, s"p50 ${r._3(0)}")
+      assert(math.abs(r._3(1) - 9000.0) <= 200.0, s"p90 ${r._3(1)}")
+    }
+    check()
+    // compaction folds the grid and must not lose the percentile view
+    StatsStore.compact(spark, dir)
+    check()
+    // string columns have no quantiles; bad probs rejected
+    val dir2 = java.nio.file.Files.createTempDirectory("statstore-q2").toString
+    StatsStore.init(Seq("a", "b").toDF("s"), Seq("s"), dir2)
+    assert(StatsStore.quantiles(spark, dir2, Seq(0.5)).count() == 0)
+    intercept[IllegalArgumentException] {
+      StatsStore.quantiles(spark, dir, Seq(0.0))
+    }
+  }
 }
