@@ -93,6 +93,11 @@ object Batching {
     // and checkpoint blocks are reclaimed when the frame goes unreachable —
     // a plain cache() is registered for the session's life, so repeated
     // calls (Corpus.interleaveBySource) would accumulate executor storage.
+    // TRADEOFF: localCheckpoint truncates lineage, so losing an executor
+    // holding checkpoint blocks mid-job (preemption, dynamic-allocation
+    // decommission) fails the job instead of recomputing — on spot or
+    // preemptible fleets, wrap the call in an application-level retry
+    // (rerunning re-snapshots from source; both passes stay consistent).
     val sorted = df
       .repartitionByRange(shufflePartitions, col(groupCol), orderCol)
       .sortWithinPartitions(col(groupCol), orderCol)

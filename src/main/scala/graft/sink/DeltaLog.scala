@@ -35,8 +35,30 @@ private[sink] object DeltaLog {
     */
   val CommitMarker = "_COMMITTED"
 
+  /** Root-level sentinel: every numbered dir under this root that needs
+    * adopting has been adopted (see [[adoptLegacy]]), and every LATER
+    * marker-less dir is a torn/crashed commit, never a legacy one.
+    * Written by readers after a completed adoption sweep, and by
+    * [[commit]] BEFORE its rename — so while any marker-gated commit is
+    * in flight the sentinel already exists and no reader will mistake
+    * its mid-copy directory for a legacy commit and seal it early.
+    */
+  val AdoptedMarker = "_PROTOCOL_MARKERS"
+
   def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Seal a freshly-created commit root as already-adopted: every store
+    * calls this at CREATION, so a root born under the marker protocol
+    * never runs the [[adoptLegacy]] sweep — without it, a crash during
+    * the root's very first commit would leave a marker-less dir that a
+    * reader could not distinguish from a legacy commit.
+    */
+  def initRoot(spark: SparkSession, root: String): Unit = {
+    val f = fs(spark, root)
+    f.mkdirs(new Path(root))
+    f.create(new Path(s"$root/$AdoptedMarker"), true).close()
+  }
 
   /** Every numeric delta dir under `root`, sealed or not — the writer's
     * view, used only to pick fresh sequence numbers so a crashed
@@ -53,13 +75,53 @@ private[sink] object DeltaLog {
       .map(_.toInt).sorted
   }
 
+  /** Grandfather commits written by the pre-marker protocol: a store
+    * whose log predates [[CommitMarker]] has fully-committed numeric
+    * dirs with no sentinel, and a marker-gated read would silently drop
+    * every one of them (undercounting profiles/probes with no error)
+    * while [[nextSeq]] still burns their numbers. One sweep seals each
+    * marker-less numeric dir that passes the completeness check — it
+    * contains `markerChild` (the store's always-present payload child,
+    * what [[commit]] itself verifies post-rename) and nothing
+    * `.tmp`-nested — then seals the ROOT with [[AdoptedMarker]] so the
+    * sweep never reruns and later marker-less dirs are treated as the
+    * torn commits they are.
+    *
+    * Safe against racing NEW-protocol writers because [[commit]] puts
+    * [[AdoptedMarker]] in place before its rename starts: a reader only
+    * sweeps roots where no marker-gated commit can be in flight. A
+    * still-running OLD-protocol writer during the upgrade is out of
+    * contract (stop the single writer before upgrading), same as any
+    * mixed-protocol operation.
+    */
+  private def adoptLegacy(spark: SparkSession, root: String,
+      markerChild: String): Unit = {
+    val f = fs(spark, root)
+    if (!f.exists(new Path(root)) ||
+        f.exists(new Path(s"$root/$AdoptedMarker"))) return
+    numericSeqs(spark, root).foreach { s =>
+      val d = new Path(s"$root/$s")
+      if (!f.exists(new Path(d, CommitMarker))) {
+        val kids = f.listStatus(d).toSeq.map(_.getPath.getName)
+        if (kids.contains(markerChild) && !kids.exists(_.startsWith(".tmp")))
+          f.create(new Path(d, CommitMarker), true).close()
+      }
+    }
+    f.create(new Path(s"$root/$AdoptedMarker"), true).close()
+  }
+
   /** COMMITTED sequence numbers under `root`, ascending: numeric dirs
     * sealed by [[CommitMarker]]. Skips in-flight `.tmp-*` dirs, strays
     * (non-numeric names), and marker-less dirs — the latter are torn or
     * crashed commits a reader must never consume (their writer either
     * died before sealing, or an object-store copy is still in flight).
+    * Pass `adoptChild` (the store's always-present payload child) to
+    * first [[adoptLegacy]]-seal commits from the pre-marker protocol —
+    * every store read path does, so upgraded stores keep their history.
     */
-  def listSeqs(spark: SparkSession, root: String): Seq[Int] = {
+  def listSeqs(spark: SparkSession, root: String,
+      adoptChild: Option[String] = None): Seq[Int] = {
+    adoptChild.foreach(c => adoptLegacy(spark, root, c))
     val f = fs(spark, root)
     numericSeqs(spark, root)
       .filter(s => f.exists(new Path(s"$root/$s/$CommitMarker")))
@@ -83,6 +145,10 @@ private[sink] object DeltaLog {
     val tmp = s"$root/.tmp-$seq"
     write(tmp)
     val f = fs(spark, root)
+    // legacy sweep + AdoptedMarker PUT strictly BEFORE the rename: once
+    // any marker-gated commit is in flight the root is sealed as
+    // adopted, so no reader's adoptLegacy can seal our mid-copy dir
+    adoptLegacy(spark, root, markerChild)
     val dest = new Path(s"$root/$seq")
     require(f.rename(new Path(tmp), dest),
       s"could not commit delta $seq (concurrent writer?)")
@@ -103,11 +169,11 @@ private[sink] object DeltaLog {
   // PARTIAL base. The versioned protocol never renames a directory:
   // each generation is written IN PLACE as `$dir/$name-v<N>`, sealed by
   // [[CommitMarker]] as the final single-object PUT, and readers resolve
-  // the highest SEALED generation. One previous generation is kept so a
-  // reader that resolved v(N-1) before the install keeps a complete
-  // directory to scan; it is GC'd by the NEXT install. A crashed install
-  // leaves an unsealed generation that readers never see and whose
-  // number is never reused.
+  // the highest SEALED generation. The newest `keepGenerations` previous
+  // sealed generations are kept so a reader that resolved its base
+  // before recent installs keeps a complete directory to scan; older
+  // ones are GC'd. A crashed install leaves an unsealed generation that
+  // readers never see and whose number is never reused.
 
   private def baseVersions(spark: SparkSession, dir: String,
       name: String): Seq[(Int, Boolean)] = {
@@ -139,27 +205,36 @@ private[sink] object DeltaLog {
   /** Install a new base generation: run `write` against the next
     * versioned path (PAST every existing generation, sealed or not, so
     * a crashed install never collides), seal it with [[CommitMarker]],
-    * then GC generations older than the previous one (and the legacy
-    * bare dir once two versioned generations exist). Returns the new
-    * base path; visibility is the marker PUT — no directory is ever
-    * renamed.
+    * then GC all but the newest `keepGenerations` PREVIOUS sealed
+    * generations (unsealed crashed strays go immediately — no reader
+    * ever resolves one; the legacy bare dir counts as the oldest
+    * readable generation and goes once `keepGenerations` sealed
+    * versioned generations precede this install). Returns the new base
+    * path; visibility is the marker PUT — no directory is ever renamed.
+    *
+    * READER-LEASE BOUND: a reader that resolved [[currentBase]] stays
+    * complete across at most `keepGenerations` subsequent installs —
+    * size it to (longest expected scan) / (shortest compaction
+    * interval). The default 1 covers one compaction; a multi-hour query
+    * over a busy store needs a larger window (each retained generation
+    * costs one full base copy of storage).
     */
-  def installBase(spark: SparkSession, dir: String, name: String)(
-      write: String => Unit): String = {
+  def installBase(spark: SparkSession, dir: String, name: String,
+      keepGenerations: Int = 1)(write: String => Unit): String = {
+    require(keepGenerations >= 1,
+      s"keepGenerations must be >= 1, got $keepGenerations")
     val f = fs(spark, dir)
     val versions = baseVersions(spark, dir, name)
     val v = (versions.map(_._1) :+ 0).max + 1
     val path = s"$dir/$name-v$v"
     write(path)
     f.create(new Path(s"$path/$CommitMarker"), true).close()
-    // keep the PREVIOUS SEALED generation for in-flight readers;
-    // everything older (including crashed unsealed strays) goes, and the
-    // legacy bare dir goes once a sealed versioned generation precedes
-    // this install (legacy is then two generations old)
-    val prevSealed = versions.filter(_._2).map(_._1).lastOption
-    versions.map(_._1).filter(o => prevSealed.exists(o < _))
+    val sealedPrev = versions.filter(_._2).map(_._1)
+    val retained = sealedPrev.takeRight(keepGenerations).toSet
+    versions.map(_._1).filter(o => !retained.contains(o))
       .foreach(o => f.delete(new Path(s"$dir/$name-v$o"), true))
-    if (prevSealed.isDefined) f.delete(new Path(s"$dir/$name"), true)
+    if (sealedPrev.size >= keepGenerations)
+      f.delete(new Path(s"$dir/$name"), true)
     // stray temp dirs from the retired rename protocol
     f.delete(new Path(s"$dir/.$name-next"), true)
     f.delete(new Path(s"$dir/.$name-old"), true)

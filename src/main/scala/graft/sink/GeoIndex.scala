@@ -189,6 +189,7 @@ object GeoIndex {
     }: Unit
     // a rebuild starts a fresh history: everything live is in the base
     DeltaLog.fs(spark, dir).delete(new Path(s"$dir/commits"), true)
+    DeltaLog.initRoot(spark, s"$dir/commits")
     metaCache.put((spark, dir),
       (metaMTime(spark, dir), Meta(idCol, latCol, lonCol, cellDeg)))
   }
@@ -257,7 +258,7 @@ object GeoIndex {
   }
 
   private def commitSeqs(spark: SparkSession, dir: String): Seq[Int] =
-    DeltaLog.listSeqs(spark, s"$dir/commits")
+    DeltaLog.listSeqs(spark, s"$dir/commits", Some("docs"))
 
   /** The LIVE point set, id-granular last-writer-wins over base +
     * commits, with an optional cell filter pushed into EVERY leg (sound
@@ -300,11 +301,12 @@ object GeoIndex {
     * place, sealed by the marker — no directory rename, so a concurrent
     * reader on an object store never sees a partial base.
     */
-  def compact(spark: SparkSession, dir: String): Unit = {
+  def compact(spark: SparkSession, dir: String,
+      keepGenerations: Int = 1): Unit = {
     val seqs = commitSeqs(spark, dir)
     if (seqs.isEmpty) return
     val folded = live(spark, dir, None)
-    DeltaLog.installBase(spark, dir, "cells") { tmp =>
+    DeltaLog.installBase(spark, dir, "cells", keepGenerations) { tmp =>
       folded.write.mode("overwrite").partitionBy("cell").parquet(tmp)
     }: Unit
     val f = DeltaLog.fs(spark, dir)

@@ -55,6 +55,7 @@ object IncrementalPostings {
           InvertedIndex.positionalPostings(docs, idCol, textCol),
           s"$tmp/positional")
     }: Unit
+    DeltaLog.initRoot(spark, s"$dir/deltas")
   }
 
   private def hasPositions(spark: SparkSession, dir: String): Boolean =
@@ -62,7 +63,7 @@ object IncrementalPostings {
       new Path(s"${DeltaLog.currentBase(spark, dir, "base")}/positional"))
 
   private def deltaSeqs(spark: SparkSession, dir: String): Seq[Int] =
-    DeltaLog.listSeqs(spark, s"$dir/deltas")
+    DeltaLog.listSeqs(spark, s"$dir/deltas", Some("docs"))
 
   /** Commit one batch of upserted documents as a delta: postings + norms
     * for the batch, and the batch's ids as the ownership record. The
@@ -359,13 +360,14 @@ object IncrementalPostings {
     * fold wrote to the base, and last-writer-wins picks exactly one
     * copy).
     */
-  def compact(spark: SparkSession, dir: String): Unit = {
+  def compact(spark: SparkSession, dir: String,
+      keepGenerations: Int = 1): Unit = {
     val seqs = deltaSeqs(spark, dir)
     if (seqs.isEmpty) return
     val positional =
       if (hasPositions(spark, dir)) Some(livePositional(spark, dir)) else None
     val (postings, norms) = liveViews(spark, dir)
-    DeltaLog.installBase(spark, dir, "base") { tmp =>
+    DeltaLog.installBase(spark, dir, "base", keepGenerations) { tmp =>
       InvertedIndex.writePostings(postings, s"$tmp/postings")
       norms.write.mode("overwrite").parquet(s"$tmp/norms")
       positional.foreach(p =>

@@ -104,6 +104,7 @@ object SignatureStore {
         .write.mode("overwrite").partitionBy("pb").parquet(tmp)
     }: Unit
     DeltaLog.fs(spark, dir).delete(new Path(s"$dir/commits"), true)
+    DeltaLog.initRoot(spark, s"$dir/commits")
   }
 
   /** One row per ever-touched doc: the highest commit sequence that wrote
@@ -131,7 +132,7 @@ object SignatureStore {
       pbs: Option[Seq[Int]]): DataFrame = {
     def prune(df: DataFrame) =
       pbs.fold(df)(r => df.filter(col("pb").isin(r: _*)))
-    val seqs = DeltaLog.listSeqs(spark, s"$dir/commits")
+    val seqs = DeltaLog.listSeqs(spark, s"$dir/commits", Some("docs"))
     val base = prune(
       spark.read.parquet(DeltaLog.currentBase(spark, dir, "buckets")))
       .withColumn("_seq", lit(0))
@@ -344,11 +345,12 @@ object SignatureStore {
     * installed via [[DeltaLog.installBase]] (written in place, sealed by
     * the marker — object-store-safe, no directory rename anywhere).
     */
-  def compact(spark: SparkSession, dir: String): Unit = {
-    val seqs = DeltaLog.listSeqs(spark, s"$dir/commits")
+  def compact(spark: SparkSession, dir: String,
+      keepGenerations: Int = 1): Unit = {
+    val seqs = DeltaLog.listSeqs(spark, s"$dir/commits", Some("docs"))
     if (seqs.isEmpty) return
     val folded = bucketRows(spark, dir, None)
-    DeltaLog.installBase(spark, dir, "buckets") { tmp =>
+    DeltaLog.installBase(spark, dir, "buckets", keepGenerations) { tmp =>
       folded
         .repartition(col("pb")).sortWithinPartitions("band", "bucket")
         .write.mode("overwrite").partitionBy("pb").parquet(tmp)
@@ -365,7 +367,7 @@ object SignatureStore {
     */
   def stats(spark: SparkSession, dir: String,
       maxDeltas: Int = 8): DataFrame = {
-    val pending = DeltaLog.listSeqs(spark, s"$dir/commits").length
+    val pending = DeltaLog.listSeqs(spark, s"$dir/commits", Some("docs")).length
     bucketRows(spark, dir, None)
       .agg(count_distinct(col("_id")).as("n_docs"),
         count(lit(1)).as("n_rows"))
@@ -381,7 +383,7 @@ object SignatureStore {
     */
   def maybeCompact(spark: SparkSession, dir: String,
       maxDeltas: Int = 8): Boolean = {
-    val rec = DeltaLog.listSeqs(spark, s"$dir/commits").length > maxDeltas
+    val rec = DeltaLog.listSeqs(spark, s"$dir/commits", Some("docs")).length > maxDeltas
     if (rec) compact(spark, dir)
     rec
   }

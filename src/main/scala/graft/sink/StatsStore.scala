@@ -172,6 +172,7 @@ object StatsStore {
         .write.mode("overwrite").parquet(tmp)
     }: Unit
     DeltaLog.fs(spark, dir).delete(new Path(s"$dir/commits"), true)
+    DeltaLog.initRoot(spark, s"$dir/commits")
   }
 
   /** Contribute a batch: ONE commit holding #columns partial rows —
@@ -191,9 +192,13 @@ object StatsStore {
 
   private def partialRows(spark: SparkSession, dir: String): DataFrame = {
     val base = spark.read.parquet(DeltaLog.currentBase(spark, dir, "base"))
-    DeltaLog.listSeqs(spark, s"$dir/commits")
+    // allowMissingColumns: a base written before the qtiles column (the
+    // supported legacy layout) unions with qtiles-bearing commits — its
+    // rows read null there, which folds correctly through the
+    // isNotNull filter in mergedQuantileRows
+    DeltaLog.listSeqs(spark, s"$dir/commits", Some("stats"))
       .map(s => spark.read.parquet(s"$dir/commits/$s/stats"))
-      .foldLeft(base)(_.unionByName(_))
+      .foldLeft(base)(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** The corpus-wide profile from the persisted partials — NO corpus
@@ -219,8 +224,9 @@ object StatsStore {
     * [[DeltaLog.installBase]] (in-place write + marker seal — no
     * directory rename, object-store-safe).
     */
-  def compact(spark: SparkSession, dir: String): Unit = {
-    val seqs = DeltaLog.listSeqs(spark, s"$dir/commits")
+  def compact(spark: SparkSession, dir: String,
+      keepGenerations: Int = 1): Unit = {
+    val seqs = DeltaLog.listSeqs(spark, s"$dir/commits", Some("stats"))
     if (seqs.isEmpty) return
     val rows = partialRows(spark, dir)
     val folded = rows
@@ -237,7 +243,7 @@ object StatsStore {
       // the standard 99 points — numeric columns keep their percentile
       // view across compactions, string columns stay null
       .join(mergedQuantileRows(rows, QuantileProbs), Seq("col_name"), "left")
-    DeltaLog.installBase(spark, dir, "base") { tmp =>
+    DeltaLog.installBase(spark, dir, "base", keepGenerations) { tmp =>
       folded.coalesce(1).write.mode("overwrite").parquet(tmp)
     }: Unit
     val f = DeltaLog.fs(spark, dir)
@@ -249,7 +255,7 @@ object StatsStore {
     * leg to every profile read).
     */
   def stats(spark: SparkSession, dir: String): DataFrame = {
-    val pending = DeltaLog.listSeqs(spark, s"$dir/commits").length
+    val pending = DeltaLog.listSeqs(spark, s"$dir/commits", Some("stats")).length
     spark.read.schema(metaSchema).parquet(s"$dir/meta")
       .agg(count(lit(1)).as("n_cols"))
       .select(col("n_cols"), lit(pending).cast("long").as("n_pending_commits"))
@@ -261,7 +267,7 @@ object StatsStore {
     */
   def maybeCompact(spark: SparkSession, dir: String,
       maxDeltas: Int = 8): Boolean = {
-    val rec = DeltaLog.listSeqs(spark, s"$dir/commits").length > maxDeltas
+    val rec = DeltaLog.listSeqs(spark, s"$dir/commits", Some("stats")).length > maxDeltas
     if (rec) compact(spark, dir)
     rec
   }

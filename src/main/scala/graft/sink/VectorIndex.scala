@@ -112,6 +112,7 @@ object VectorIndex {
     writeRadii(spark, dir, vecCol)
     // a rebuild starts a fresh history: everything live is in the base
     DeltaLog.fs(spark, dir).delete(new Path(s"$dir/commits"), true)
+    DeltaLog.initRoot(spark, s"$dir/commits")
     // the rebuild replaced the contract + model: refresh the memos
     metaCache.put((spark, dir), Meta(idCol, vecCol, model.centroids.head.length))
     modelCache.put((spark, dir), model)
@@ -223,7 +224,7 @@ object VectorIndex {
     })
 
   private def commitSeqs(spark: SparkSession, dir: String): Seq[Int] =
-    DeltaLog.listSeqs(spark, s"$dir/commits")
+    DeltaLog.listSeqs(spark, s"$dir/commits", Some("docs"))
 
   /** Per-cell max member-to-centroid ANGLE of the BASE layout — the
     * prune bound [[radiusSearch]] uses. Written at [[write]] and
@@ -294,11 +295,12 @@ object VectorIndex {
     * no directory rename, so an object-store reader never sees a
     * partial base.
     */
-  def compact(spark: SparkSession, dir: String): Unit = {
+  def compact(spark: SparkSession, dir: String,
+      keepGenerations: Int = 1): Unit = {
     val seqs = commitSeqs(spark, dir)
     if (seqs.isEmpty) return
     val live = cells(spark, dir)
-    DeltaLog.installBase(spark, dir, "cells") { tmp =>
+    DeltaLog.installBase(spark, dir, "cells", keepGenerations) { tmp =>
       live.write.mode("overwrite").partitionBy("cell").parquet(tmp)
     }: Unit
     val f = DeltaLog.fs(spark, dir)

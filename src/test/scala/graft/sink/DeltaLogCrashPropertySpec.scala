@@ -1,0 +1,112 @@
+package graft.sink
+
+import org.apache.hadoop.fs.Path
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.SparkSpec
+
+/** Property check for the shared commit protocol under RANDOM
+  * interleavings of commits, crashes and compactions — the generalized
+  * form of [[DeltaLogSpec]]'s planted single faults. Every schedule must
+  * keep the two reader invariants that all five persisted stores lean
+  * on:
+  *
+  *   1. `listSeqs` returns EXACTLY the successfully sealed commits, in
+  *      order, each with its full payload on disk — a crash before the
+  *      seal (torn object-store copy) or before the rename leaves
+  *      nothing visible and burns no reader;
+  *   2. `currentBase` resolves the LAST successfully installed
+  *      generation, complete and sealed — a crashed install never
+  *      shadows it — and the previous `keepGenerations` installed
+  *      generations stay complete on disk for in-flight readers.
+  *
+  * Schedules always OPEN with a real commit, because a store is born
+  * through the marker protocol (init/write), which also seals the root
+  * as adopted — so the adoption sweep can never mistake a later crashed
+  * commit for a legacy one (the premature-seal hazard).
+  */
+class DeltaLogCrashPropertySpec extends SparkSpec {
+
+  private sealed trait Op
+  private case object Commit extends Op
+  private case object CrashBeforeSeal extends Op // renamed, never sealed
+  private case object CrashBeforeRename extends Op // `.tmp-*` left behind
+  private case object Install extends Op
+  private case object CrashMidInstall extends Op // partial gen, no marker
+  private case object Read extends Op
+
+  private val opGen: Gen[Op] = Gen.frequency(
+    (4, Gen.const(Commit)), (2, Gen.const(CrashBeforeSeal)),
+    (1, Gen.const(CrashBeforeRename)), (3, Gen.const(Install)),
+    (2, Gen.const(CrashMidInstall)), (4, Gen.const(Read)))
+
+  private val Keep = 2
+
+  private def runSchedule(ops: List[Op]): Boolean = {
+    val dir = java.nio.file.Files.createTempDirectory("dlog-prop").toString
+    val root = s"$dir/commits"
+    val f = DeltaLog.fs(spark, dir)
+    var committed = Vector.empty[Int]
+    var installed = Vector.empty[(String, String)] // (path, payload tag)
+
+    def payload(path: String, tag: String): Unit = {
+      f.mkdirs(new Path(s"$path/docs"))
+      f.create(new Path(s"$path/docs/$tag"), true).close()
+    }
+    def nextGen(): Int = {
+      val pat = "base-v(\\d+)".r
+      val ns = f.listStatus(new Path(dir)).toSeq.map(_.getPath.getName)
+        .collect { case pat(n) => n.toInt }
+      (ns :+ 0).max + 1
+    }
+    def check(): Boolean = {
+      val seqs = DeltaLog.listSeqs(spark, root, Some("docs"))
+      val listOk = seqs == committed && seqs.forall { s =>
+        f.exists(new Path(s"$root/$s/${DeltaLog.CommitMarker}")) &&
+          f.exists(new Path(s"$root/$s/docs/c$s"))
+      }
+      val cur = DeltaLog.currentBase(spark, dir, "base")
+      val baseOk =
+        if (installed.isEmpty) cur == s"$dir/base" // legacy fallback path
+        else cur == installed.last._1 &&
+          f.exists(new Path(s"$cur/${DeltaLog.CommitMarker}")) &&
+          f.exists(new Path(s"$cur/docs/${installed.last._2}"))
+      // a reader pinned up to Keep installs ago still has its base
+      val pinnedOk = installed.dropRight(1).takeRight(Keep).forall {
+        case (p, t) =>
+          f.exists(new Path(s"$p/${DeltaLog.CommitMarker}")) &&
+            f.exists(new Path(s"$p/docs/$t"))
+      }
+      listOk && baseOk && pinnedOk
+    }
+
+    (Commit +: ops).forall { op =>
+      op match {
+        case Commit =>
+          val seq = DeltaLog.nextSeq(spark, root)
+          DeltaLog.commit(spark, root, seq, "docs")(payload(_, s"c$seq")): Unit
+          committed :+= seq
+        case CrashBeforeSeal =>
+          payload(s"$root/${DeltaLog.nextSeq(spark, root)}", "crashed")
+        case CrashBeforeRename =>
+          payload(s"$root/.tmp-${DeltaLog.nextSeq(spark, root)}", "crashed")
+        case Install =>
+          val tag = s"g${installed.size + 1}"
+          val p = DeltaLog.installBase(spark, dir, "base", Keep)(
+            payload(_, tag))
+          installed = installed :+ (p -> tag)
+        case CrashMidInstall =>
+          payload(s"$dir/base-v${nextGen()}", "torn")
+        case Read => ()
+      }
+      op != Read || check()
+    } && check()
+  }
+
+  test("random crash/GC schedules always resolve complete sealed views") {
+    val prop = Prop.forAll(Gen.listOfN(14, opGen))(runSchedule)
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(60), prop)
+    assert(result.passed, result.status.toString)
+  }
+}

@@ -178,6 +178,93 @@ class DeltaLogSpec extends SparkSpec {
       "pid", "lat", "lon", dir) == 778)
   }
 
+  test("legacy marker-less commits are adopted on first read") {
+    // a store written by the pre-marker protocol: committed dirs exist
+    // but carry no sentinel — a marker-gated read must grandfather them
+    // (sealing complete dirs), not silently drop the store's history
+    val dir = tmpDir("dlog-adopt")
+    StatsStore.init(Seq("a", "b").toDF("v"), Seq("v"), dir)
+    StatsStore.append(Seq("c").toDF("v"), dir)
+    StatsStore.append(Seq("d", "e").toDF("v"), dir)
+    val before = StatsStore.profile(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    val f = DeltaLog.fs(spark, dir)
+    // strip every sentinel: the pre-upgrade on-disk state
+    Seq(1, 2).foreach(s =>
+      f.delete(new Path(s"$dir/commits/$s/${DeltaLog.CommitMarker}"), false))
+    f.delete(new Path(s"$dir/commits/${DeltaLog.AdoptedMarker}"), false)
+    // an INCOMPLETE stray (no 'stats' payload child) must NOT be adopted
+    plantTorn(s"$dir/commits", 9)
+    val after = StatsStore.profile(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(after == before)
+    // the sweep sealed the complete dirs and the root, skipped the stray
+    Seq(1, 2).foreach(s =>
+      assert(f.exists(new Path(s"$dir/commits/$s/${DeltaLog.CommitMarker}"))))
+    assert(f.exists(new Path(s"$dir/commits/${DeltaLog.AdoptedMarker}")))
+    assert(!f.exists(new Path(s"$dir/commits/9/${DeltaLog.CommitMarker}")))
+    // once adopted, a new marker-less dir is a TORN commit again — even
+    // with a plausible payload child it stays invisible and unsealed
+    val f2 = DeltaLog.fs(spark, dir)
+    f2.mkdirs(new Path(s"$dir/commits/10/stats"))
+    f2.create(new Path(s"$dir/commits/10/stats/part-0.parquet"), true).close()
+    assert(DeltaLog.listSeqs(spark, s"$dir/commits", Some("stats"))
+      == Seq(1, 2))
+    assert(!f2.exists(new Path(s"$dir/commits/10/${DeltaLog.CommitMarker}")))
+  }
+
+  test("base retention: keepGenerations=2 covers a reader spanning two installs") {
+    val dir = tmpDir("dlog-keep")
+    val f = DeltaLog.fs(spark, dir)
+    def mkData(path: String, tag: String): Unit = {
+      f.mkdirs(new Path(path))
+      f.create(new Path(s"$path/$tag"), true).close()
+    }
+    val p1 = DeltaLog.installBase(spark, dir, "b", 2)(mkData(_, "g1"))
+    val p2 = DeltaLog.installBase(spark, dir, "b", 2)(mkData(_, "g2"))
+    // a reader pinned at p1 (two installs ago after this) must still
+    // see a complete directory: retention 2 keeps p1 AND p2
+    val p3 = DeltaLog.installBase(spark, dir, "b", 2)(mkData(_, "g3"))
+    assert(DeltaLog.currentBase(spark, dir, "b") == p3)
+    Seq(p1 -> "g1", p2 -> "g2", p3 -> "g3").foreach { case (p, t) =>
+      assert(f.exists(new Path(s"$p/$t")), s"$p lost its payload")
+      assert(f.exists(new Path(s"$p/${DeltaLog.CommitMarker}")))
+    }
+    // the fourth install finally GCs p1, still keeping p2 and p3
+    val p4 = DeltaLog.installBase(spark, dir, "b", 2)(mkData(_, "g4"))
+    assert(!f.exists(new Path(p1)))
+    assert(f.exists(new Path(s"$p2/g2")) && f.exists(new Path(s"$p3/g3")))
+    assert(DeltaLog.currentBase(spark, dir, "b") == p4)
+  }
+
+  test("StatsStore reads a legacy base lacking the qtiles column") {
+    val dir = tmpDir("dlog-stats-legacy")
+    StatsStore.init(Seq(1.0, 2.0, 3.0).toDF("x"), Seq("x"), dir)
+    // rewrite the base WITHOUT qtiles — the pre-qtiles on-disk layout,
+    // installed as a newer sealed generation so it is what reads resolve
+    val legacy = spark.read
+      .parquet(DeltaLog.currentBase(spark, dir, "base"))
+      .drop("qtiles").collect()
+    val legacySchema = spark.read
+      .parquet(DeltaLog.currentBase(spark, dir, "base"))
+      .drop("qtiles").schema
+    DeltaLog.installBase(spark, dir, "base") { tmp =>
+      spark.createDataFrame(spark.sparkContext.parallelize(legacy.toSeq, 1),
+        legacySchema).write.mode("overwrite").parquet(tmp)
+    }: Unit
+    // a post-upgrade append carries qtiles; profile, quantiles and
+    // compact must all fold the mixed schemas instead of throwing
+    StatsStore.append(Seq(4.0, 5.0).toDF("x"), dir)
+    val prof = StatsStore.profile(spark, dir).collect()
+    assert(prof.length == 1 && prof.head.getAs[Long]("n_nonnull") == 5L)
+    val qs = StatsStore.quantiles(spark, dir, Seq(0.5)).collect()
+    // only the qtiles-bearing commit (4.0, 5.0) contributes points
+    assert(qs.length == 1 && qs.head.getSeq[Double](2).head >= 4.0)
+    StatsStore.compact(spark, dir)
+    val prof2 = StatsStore.profile(spark, dir).collect()
+    assert(prof2.head.getAs[Long]("n_nonnull") == 5L)
+  }
+
   test("StatsStore profiles skip a torn commit") {
     val dir = tmpDir("dlog-stats")
     StatsStore.init(Seq("x", "y").toDF("v"), Seq("v"), dir)
