@@ -1697,6 +1697,15 @@ private[graft] object OraclesB {
          SELECT query_id, CAST(rk AS INT) AS rk, vec_id,
            round(c, 6) AS cosine
          FROM r WHERE rk <= 5 ORDER BY query_id, rk""",
+    // training-leg gate: the counts come from the data, the quality
+    // booleans are Spark-side assertions over the trained model
+    // (codes in range / reconstruction MSE beats the global-mean
+    // baseline) — the x_signature_stats value-asserting convention
+    "x_pq_train" ->
+      """SELECT count(*) AS n_train, TRUE AS codes_valid,
+           TRUE AS mse_improves
+         FROM embeddings WHERE embedding IS NOT NULL""",
+
     // pq pool + exact rescore must BE the exact per-query top-5
     "x_pq_knn_join" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv

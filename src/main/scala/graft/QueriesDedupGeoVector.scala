@@ -1203,21 +1203,65 @@ private[graft] object QueriesDedupGeoVector {
         .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
     }),
 
-    // Batch PQ KNN join (the fleet-serving shape): five query vectors
-    // against 16×16 codebooks (finer subspaces — isotropic test vectors
-    // give ADC little cosine structure to rank on, so fidelity comes
-    // from subspace width; verified pool-holds at sf0.01 AND sf0.1).
-    // against the encoded corpus — ADC candidates read only codes, the
-    // exact rescore touches candidate ids only. ≡ exact per-query
-    // top-5 at the gated pool width (the x_sim_pq convention).
-    "x_pq_knn_join" -> ((s, d) => {
-      val e = Tables.embeddings(s, d).select("vec_id", "embedding", "label")
+    // PQ codebook training on its own board row (split from
+    // x_pq_knn_join, whose 3.8 s was dominated by the fit — per-leg
+    // visibility is the x_dedup_incremental_build/_probe convention).
+    // Full-corpus fit at the serving config; the one-row gate
+    // value-asserts the trained model: every code in range for 16×16
+    // codebooks, and corpus reconstruction MSE beats the rank-0
+    // baseline (quantize everything to the global mean) — k-means must
+    // have learned structure, not just converged trivially. PqSpec pins
+    // encode determinism; this row pins the training leg's cost + a
+    // quality floor on real data.
+    "x_pq_train" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select("vec_id", "embedding")
       val model = operators.Pq.fit(e, "vec_id", "embedding", dim = 64,
         m = 16, codebookSize = 16, iters = 2)
+      val vecs = e.filter(col("embedding").isNotNull)
+      val dv = transform(col("embedding"), _.cast("double"))
+      val meanVec = vecs
+        .agg(graft.functions.VectorAggregates.vectorSum(dv).as("_s"),
+          count(lit(1)).as("_n"))
+        .select(transform(col("_s"), x => x / col("_n")).as("mv"))
+        .head().getSeq[Double](0)
+      val sqErr = aggregate(
+        zip_with(dv, operators.Pq.decodeExpr(col("codes"), model),
+          (a, b) => (a - b) * (a - b)),
+        lit(0.0d), (acc, x) => acc + x)
+      val sqBase = aggregate(
+        zip_with(dv, array(meanVec.map(lit): _*),
+          (a, b) => (a - b) * (a - b)),
+        lit(0.0d), (acc, x) => acc + x)
+      operators.Pq.encode(vecs, "embedding", model)
+        .agg(count(lit(1)).as("n_train"),
+          (min(array_min(col("codes"))) >= 0 &&
+            max(array_max(col("codes"))) < 16 &&
+            min(size(col("codes"))) === 16 &&
+            max(size(col("codes"))) === 16).as("codes_valid"),
+          (avg(sqErr) < avg(sqBase) * 0.75).as("mse_improves"))
+    }),
+
+    // Batch PQ KNN join, the SERVE leg (training cost lives in
+    // x_pq_train; here the codebooks fit on a deterministic 1-in-2
+    // sample, iters 2 — k-means over an isotropic half-sample lands on
+    // near-identical centroids at half the cost, and the row's
+    // assertion never depends on codebook quality: the ADC pool +
+    // exact rescore must BE the exact per-query top-5 at the gated
+    // pool width. Pool margin measured at sf0.1: holds at rescoreK=200
+    // with this fit; gated at 400 for 2× headroom — a TakeOrdered pool
+    // of 400 ids costs the serve leg nothing visible). Five query
+    // vectors against the encoded corpus — ADC candidates read only
+    // codes, the exact rescore touches candidate ids only (the
+    // x_sim_pq convention).
+    "x_pq_knn_join" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select("vec_id", "embedding", "label")
+      val model = operators.Pq.fit(
+        e.filter(pmod(col("vec_id"), lit(2)) === 0), "vec_id", "embedding",
+        dim = 64, m = 16, codebookSize = 16, iters = 2)
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       operators.Pq.knnJoin(e, "vec_id", "embedding", q, "query_id", "qv",
-          model, k = 5, rescoreK = 200)
+          model, k = 5, rescoreK = 400)
         .orderBy("query_id", "rk")
     }),
 

@@ -56,6 +56,39 @@ object Similarity {
       .limit(k)
   }
 
+  /** Label-cardinality bound for the centroid family
+    * ([[nearestCentroid]], [[centroidOutliers]]): both collect ONE
+    * dim-length centroid per label to the driver and fuse L × dim
+    * literals into the scoring expression (an `array(struct…)` argmax /
+    * a `CASE` router) — fine for the intended label cardinalities
+    * (languages, domains, sources), but a high-cardinality label column
+    * (url host, cluster id) is a silent driver OOM plus a
+    * megabytes-of-codegen plan. The guard fails loudly instead
+    * ([[Batching.MaxGroupsPerPartition]] design); past it, use the
+    * join-based form — broadcast-join the `(label, centroid)` frame and
+    * take the per-row argmax with `min_by` over the joined pairs — which
+    * trades the fused map-side argmax for a labels-sized shuffle-free
+    * join and has no L bound.
+    */
+  val MaxCentroidLabels: Int = 1024
+
+  /** Collect `(label, centroid)` rows with the [[MaxCentroidLabels]]
+    * guard — one job (LIMIT L+1, no separate counting pass), loud
+    * failure with the join-based alternative spelled out.
+    */
+  private def collectCentroids(cents: DataFrame, where: String,
+      labelCol: String): Array[(Any, Seq[Double])] = {
+    val rows = cents.limit(MaxCentroidLabels + 1).collect()
+    if (rows.length > MaxCentroidLabels) throw new IllegalArgumentException(
+      s"$where: more than $MaxCentroidLabels distinct '$labelCol' labels — " +
+        "the centroid family collects one dim-length centroid per label " +
+        "to the driver and fuses labels x dim literals into the scoring " +
+        "expression; it is meant for FEW labels (languages, domains, " +
+        "sources). For high-cardinality labels broadcast-join the " +
+        "(label, centroid) frame and argmax with min_by instead.")
+    rows.map(r => r.get(0) -> r.getSeq[Double](1))
+  }
+
   /** Nearest-centroid classification (embedding-space domain tagging):
     * label each vector with the label whose member-average embedding is
     * most cosine-similar — the cheap classifier a curation pipeline
@@ -78,13 +111,13 @@ object Similarity {
     // unlabeled rows train NO centroid (a null-label group would become
     // a routing target) — they still get classified below, which is the
     // point: route unlabeled arrivals off the labeled seed corpus
-    val cents = vecs.filter(col(labelCol).isNotNull).groupBy(col(labelCol))
-      .agg(graft.functions.VectorAggregates.vectorSum(col(vecCol)).as("_s"),
-        count(col(vecCol)).as("_n"))
-      .select(col(labelCol).as("_l"),
-        transform(col("_s"), x => round(x / col("_n"), 6)).as("_c"))
-      .collect()
-      .map(r => r.get(0) -> r.getSeq[Double](1)) // label keeps its NATIVE type
+    val cents = collectCentroids(
+      vecs.filter(col(labelCol).isNotNull).groupBy(col(labelCol))
+        .agg(graft.functions.VectorAggregates.vectorSum(col(vecCol)).as("_s"),
+          count(col(vecCol)).as("_n"))
+        .select(col(labelCol).as("_l"),
+          transform(col("_s"), x => round(x / col("_n"), 6)).as("_c")),
+      "nearestCentroid", labelCol) // label keeps its NATIVE type
     require(cents.nonEmpty, "nearestCentroid needs at least one label")
     // argmax as array_min over (-cosine, label) structs: cosine decides,
     // the label tie-break is ascending in the label's own type
@@ -124,13 +157,13 @@ object Similarity {
     require(tailQuantile > 0 && tailQuantile < 1,
       s"tailQuantile must be in (0,1), got $tailQuantile")
     val vecs = df.filter(col(vecCol).isNotNull && col(labelCol).isNotNull)
-    val cents = vecs.groupBy(col(labelCol))
-      .agg(graft.functions.VectorAggregates.vectorSum(col(vecCol)).as("_s"),
-        count(col(vecCol)).as("_n"))
-      .select(col(labelCol).as("_l"),
-        transform(col("_s"), x => round(x / col("_n"), 6)).as("_c"))
-      .collect()
-      .map(r => r.get(0) -> r.getSeq[Double](1))
+    val cents = collectCentroids(
+      vecs.groupBy(col(labelCol))
+        .agg(graft.functions.VectorAggregates.vectorSum(col(vecCol)).as("_s"),
+          count(col(vecCol)).as("_n"))
+        .select(col(labelCol).as("_l"),
+          transform(col("_s"), x => round(x / col("_n"), 6)).as("_c")),
+      "centroidOutliers", labelCol)
     require(cents.nonEmpty, "centroidOutliers needs at least one label")
     def cosTo(cv: Seq[Double]) =
       graft.functions.VectorExpressions.cosineFast(col(vecCol),

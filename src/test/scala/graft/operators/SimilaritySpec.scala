@@ -467,4 +467,24 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Option[Seq[Double]])].collect().sortBy(_._1)
     assert(out(1)._2.isEmpty && out(0)._2.nonEmpty)
   }
+
+  test("centroid family rejects high-cardinality label columns loudly") {
+    // one label PER ROW — the hazard shape (cluster id / url host): the
+    // centroid collect would pull rows-many dim-length centroids to the
+    // driver and fuse them all into one scoring expression
+    val n = Similarity.MaxCentroidLabels + 8
+    val wide = spark.range(n.toLong).selectExpr(
+      "id", "array(cast(id as double), 1.0d) as v",
+      "concat('lbl_', id) as label")
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.nearestCentroid(wide, "id", "v", "label").collect()
+    }
+    assert(e1.getMessage.contains("MaxCentroidLabels")
+      || e1.getMessage.contains("distinct 'label' labels"))
+    assert(e1.getMessage.contains("min_by")) // the documented high-L path
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.centroidOutliers(wide, "id", "v", "label").collect()
+    }
+    assert(e2.getMessage.contains("distinct 'label' labels"))
+  }
 }
