@@ -1036,6 +1036,15 @@ private[graft] object OraclesB {
            CAST(doc_id % 30 + 1 AS INTEGER) AS peak_bin,
            CAST(256 AS BIGINT) AS n_samples
          FROM documents WHERE doc_id < 300 ORDER BY id""",
+    // own-spec MP3 Layer III encode -> own decode -> FFT: peak survives
+    // the lossy perceptual-transform loop; n = 2 frames minus the
+    // fixed codec-delay skip
+    "x_audio_mp3" ->
+      """SELECT doc_id AS id,
+           CAST(44100 AS INTEGER) AS sample_rate,
+           CAST(doc_id % 30 + 1 AS INTEGER) AS peak_bin,
+           CAST(1152 AS BIGINT) AS n_samples
+         FROM documents WHERE doc_id < 300 ORDER BY id""",
     // G.711 encode -> JDK ULAW decode -> FFT: peak survives companding
     "x_audio_g711" ->
       """SELECT doc_id AS id,

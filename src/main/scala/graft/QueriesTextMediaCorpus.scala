@@ -438,6 +438,29 @@ private[graft] object QueriesTextMediaCorpus {
         .orderBy("id")
     }),
 
+    // REAL MP3 (MPEG-1 Layer III mono) encode→decode→FFT — the
+    // x_audio_g711 convention on the own-written perceptual-transform
+    // codec (Mp3Codec: structure-exact bitstream, Kraft-verified
+    // Huffman subset, scalefactor-boosted |ix|<=3 quantizer; 14-37 dB
+    // measured round-trip SNR): bin-centered tones at doc_id%30+1 must
+    // keep their FFT peak through the full frame/side-info/Huffman/
+    // requantize/IMDCT/synthesis loop. Two 1152-sample frames in; the
+    // decoder drops the fixed LeadingSkip warmup, so n_samples = 1152.
+    "x_audio_mp3" -> ((s, d) => {
+      val k = (pmod(col("doc_id"), lit(30)) + 1).cast("double")
+      val pcm = Tables.documents(s, d).select("doc_id")
+        .filter(col("doc_id") < 300)
+        .withColumn("samples", transform(sequence(lit(0), lit(2303)),
+          n => round(lit(8000.0) *
+            sin(lit(2.0 * math.Pi) * k * n.cast("double") / lit(256.0)))
+            .cast("int")))
+      val enc2 = operators.Multimodal.encodeMp3(pcm, "doc_id", "samples", 44100)
+      operators.Multimodal.audioSpectrum(enc2, "id", "payload", fftSize = 256)
+        .select(col("id"), col("sample_rate").cast("int").as("sample_rate"),
+          col("peak_bin"), col("n_samples"))
+        .orderBy("id")
+    }),
+
     // REAL image encode→decode roundtrip, oracle-exact: constant-value
     // truecolor PNGs synthesized from doc_id (w = 8 + id%9, h = 8 + id%7,
     // gray v = id*7 % 256), written by encodePng and read back through

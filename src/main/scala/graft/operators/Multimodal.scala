@@ -404,10 +404,10 @@ object Multimodal {
       } catch { case _: Exception => None }
 
     /** Deterministic stand-in for the remaining codecs with no pure-JVM
-      * decoder here — perceptual-transform lossy audio SAMPLES (MP3/AAC;
-      * their spec-tabulated Huffman tables and synthesis windows are not
-      * reproducible from scratch without the tables) and inter-frame
-      * video (H.26x/VPx/AV1): derives fake dimensions from the payload's
+      * decoder here — AAC audio samples (its spec codebooks are not
+      * reproducible from scratch offline; MP3 is REAL now via
+      * [[graft.operators.Mp3Codec]]) and inter-frame video
+      * (H.26x/VPx/AV1): derives fake dimensions from the payload's
       * md5 (unsigned arithmetic, so the SQL oracle's UBIGINT math
       * matches bit-for-bit). The signature (bytes in, features out, once
       * per record inside a partition batch) is the real contract.
@@ -419,12 +419,12 @@ object Multimodal {
     def decodeStub(payload: Array[Byte],
         allowStub: Boolean = false): (Int, Int, Int, Long) = {
       if (!allowStub) throw new UnsupportedOperationException(
-        "decodeStub: no pure-JVM decoder for lossy audio samples " +
-          "(MP3/AAC) or inter-frame video (H.26x/VPx/AV1); the returned " +
-          "features would be deterministic FAKES. Route lossless media " +
-          "through the real decoders (FLAC/PCM/G.711/ADPCM/PNG/JPEG/" +
-          "MJPEG) or pass allowStub = true ONLY to exercise the " +
-          "plumbing — never train on stubbed features.")
+        "decodeStub: no pure-JVM decoder for AAC audio samples or " +
+          "inter-frame video (H.26x/VPx/AV1); the returned features " +
+          "would be deterministic FAKES. Route media through the real " +
+          "decoders (MP3/FLAC/PCM/G.711/ADPCM/PNG/JPEG/MJPEG) or pass " +
+          "allowStub = true ONLY to exercise the plumbing — never " +
+          "train on stubbed features.")
       val l = md5Lower(payload)
       val w = 16 + java.lang.Long.remainderUnsigned(l, 64).toInt
       val ht = 16 + java.lang.Long.remainderUnsigned(
@@ -445,6 +445,15 @@ object Multimodal {
       */
     def decodeAudio(payload: Array[Byte])
         : Option[(Float, Int, Long, Double)] = {
+      if (graft.operators.Mp3Codec.looksLikeMp3(payload))
+        return graft.operators.Mp3Codec.decode(payload).map { d =>
+          val s = d.samples.drop(graft.operators.Mp3Codec.LeadingSkip)
+          var sumSq = 0.0
+          var i = 0
+          while (i < s.length) { sumSq += s(i) * s(i); i += 1 }
+          val rms = if (s.isEmpty) 0.0 else math.sqrt(sumSq / s.length)
+          (d.sampleRate.toFloat, 1, s.length.toLong, rms)
+        }
       if (payload.length >= 4 && payload(0) == 'f' && payload(1) == 'L' &&
           payload(2) == 'a' && payload(3) == 'C')
         return graft.operators.FlacCodec.decode(payload).map { d =>
@@ -490,6 +499,14 @@ object Multimodal {
       * None for anything undecodable.
       */
     def decodeSamples(payload: Array[Byte]): Option[(Float, Array[Double])] = {
+      // MP3 (MPEG-1/2 Layer III mono) through our own codec; the fixed
+      // LeadingSkip drops the filterbank+MDCT warmup (gapless-delay
+      // convention), so callers see steady-state samples
+      if (graft.operators.Mp3Codec.looksLikeMp3(payload))
+        return graft.operators.Mp3Codec.decode(payload).map { d =>
+          (d.sampleRate.toFloat,
+            d.samples.drop(graft.operators.Mp3Codec.LeadingSkip))
+        }
       if (payload.length >= 4 && payload(0) == 'f' && payload(1) == 'L' &&
           payload(2) == 'a' && payload(3) == 'C')
         return graft.operators.FlacCodec.decode(payload).map { d =>
@@ -1500,6 +1517,36 @@ object Multimodal {
               }
               MediaCodec.wrapWavMuLaw(codes, sampleRate)
             }
+          }
+        Row(r.get(idIdx), payload)
+      }
+    }(enc)
+  }
+
+  /** MPEG-1 Layer III (MP3) encode over partition batches — the lossy
+    * perceptual-transform sibling of [[encodeG711]], through our own
+    * [[graft.operators.Mp3Codec]] (structure-exact bitstream,
+    * psychoacoustics-free quantizer; see the codec scaladoc for the
+    * two documented table deviations). One mono stream per row from an
+    * `array<int>` 16-bit-range sample column; null/empty sample lists
+    * yield a null payload. Returns `(id, payload)`.
+    */
+  def encodeMp3(df: DataFrame, idCol: String, samplesCol: String,
+      sampleRate: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", df.schema(idCol).dataType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val sIdx = df.schema.fieldIndex(samplesCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload =
+          if (r.isNullAt(sIdx)) null
+          else {
+            val xs = r.getSeq[Int](sIdx)
+            if (xs.isEmpty) null
+            else graft.operators.Mp3Codec.encode(xs.toArray, sampleRate)
           }
         Row(r.get(idIdx), payload)
       }

@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[Mp3Codec]] — layer-III structure, matched-pair round trip, and the
+  * one piece of third-party interop evidence available offline (the
+  * gsutil test MP3: MPEG-2 LSF mono, 45 silent frames with a live bit
+  * reservoir). No Spark needed: the codec is plain JVM code.
+  */
+class Mp3CodecSpec extends AnyFunSuite {
+
+  private def fft(re: Array[Double], im: Array[Double]): Unit = {
+    val n = re.length
+    var j = 0
+    for (i <- 1 until n) {
+      var bit = n >> 1
+      while (j >= bit) { j -= bit; bit >>= 1 }
+      j += bit
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+    }
+    var len = 2
+    while (len <= n) {
+      val ang = -2 * math.Pi / len
+      var i = 0
+      while (i < n) {
+        var k = 0
+        while (k < len / 2) {
+          val wr = math.cos(ang * k); val wi = math.sin(ang * k)
+          val vr = re(i + k + len / 2) * wr - im(i + k + len / 2) * wi
+          val vi = re(i + k + len / 2) * wi + im(i + k + len / 2) * wr
+          re(i + k + len / 2) = re(i + k) - vr
+          im(i + k + len / 2) = im(i + k) - vi
+          re(i + k) += vr
+          im(i + k) += vi
+          k += 1
+        }
+        i += len
+      }
+      len <<= 1
+    }
+  }
+
+  private def peakBin(s: Array[Double], n: Int): Int = {
+    val re = new Array[Double](n)
+    val im = new Array[Double](n)
+    System.arraycopy(s, 0, re, 0, math.min(s.length, n))
+    fft(re, im)
+    (1 until n / 2).maxBy(b => re(b) * re(b) + im(b) * im(b))
+  }
+
+  private def tone(k: Int, n: Int, amp: Double = 8000.0): Array[Int] =
+    Array.tabulate(n)(i =>
+      math.round(amp * math.sin(2 * math.Pi * k * i / 256.0)).toInt)
+
+  test("bin-centered tones survive encode -> decode -> FFT") {
+    for (k <- Seq(3, 9, 17, 30)) {
+      val pcm = tone(k, 2304)
+      val bytes = Mp3Codec.encode(pcm, 44100)
+      val dec = Mp3Codec.decode(bytes).get
+      assert(dec.sampleRate == 44100)
+      assert(dec.samples.length == 2304)
+      val s = dec.samples.drop(Mp3Codec.LeadingSkip)
+      assert(s.length == 2304 - Mp3Codec.LeadingSkip)
+      assert(peakBin(s, 256) == k, s"tone bin $k")
+    }
+  }
+
+  test("round-trip SNR: steady-state reconstruction tracks the input") {
+    val pcm = tone(7, 4608)
+    val dec = Mp3Codec.decode(Mp3Codec.encode(pcm, 44100)).get
+    // align by best correlation over the plausible delay range, then
+    // measure SNR over one steady-state frame
+    val d = (0 until 1728).maxBy { d =>
+      var c = 0.0
+      var i = 1152
+      while (i < 2304) { c += dec.samples(d + i) * pcm(i); i += 1 }
+      c
+    }
+    var err = 0.0
+    var sig = 0.0
+    var i = 1152
+    while (i < 2304) {
+      val e = dec.samples(d + i) - pcm(i)
+      err += e * e
+      sig += pcm(i).toDouble * pcm(i)
+      i += 1
+    }
+    val snr = 10 * math.log10(sig / err)
+    assert(snr > 10.0, s"round-trip SNR $snr dB (delay $d)")
+  }
+
+  test("real third-party MP3 (MPEG-2 LSF, bit reservoir) decodes to silence") {
+    val path = java.nio.file.Paths.get(
+      "/usr/lib/google-cloud-sdk/platform/gsutil/gslib/tests/test_data/test.mp3")
+    assume(java.nio.file.Files.exists(path))
+    val gold = java.nio.file.Files.readAllBytes(path)
+    assert(Mp3Codec.looksLikeMp3(gold))
+    val dec = Mp3Codec.decode(gold).get
+    assert(dec.sampleRate == 22050)
+    // 45 LSF frames x 576 samples, all silent: every granule carries
+    // part2_3_length = 0, so requantize sees no lines and the
+    // filterbank must emit exact zeros
+    assert(dec.samples.length == 45 * 576)
+    assert(dec.samples.forall(_ == 0.0))
+  }
+
+  test("truncated and poisoned payloads fail safe, never garbage") {
+    val pcm = tone(5, 1152)
+    val bytes = Mp3Codec.encode(pcm, 44100)
+    // truncation mid-frame: the partial frame is dropped, not decoded
+    val cut = Mp3Codec.decode(bytes.take(bytes.length / 2))
+    assert(cut.forall(_.samples.length % 1152 == 0))
+    // arbitrary junk: no sync -> None
+    assert(Mp3Codec.decode(Array.fill[Byte](64)(0x55)).isEmpty)
+    assert(!Mp3Codec.looksLikeMp3("not audio".getBytes))
+    // flipping a table_select to an unshipped table id fails LOUDLY
+    // (side info starts at byte 6 for our no-CRC mono frames; byte 10+
+    // carries granule 0's table_select bits) — find a byte whose flip
+    // trips the unsupported-table guard
+    val loud = (6 until 18).exists { i =>
+      val mut = bytes.clone()
+      mut(i) = (mut(i) ^ 0x6C).toByte
+      try { Mp3Codec.decode(mut); false }
+      catch {
+        case e: UnsupportedOperationException =>
+          e.getMessage.contains("not in the shipped subset")
+        case _: Exception => false
+      }
+    }
+    assert(loud, "no mutation tripped the unsupported-table guard")
+  }
+
+  test("encoder rejects non-MPEG-1 rates; decoder rejects stereo") {
+    intercept[IllegalArgumentException] {
+      Mp3Codec.encode(tone(3, 1152), 8000)
+    }
+    // a stereo header (mode 0) is not a frame this codec places
+    val bytes = Mp3Codec.encode(tone(3, 1152), 44100)
+    val stereo = bytes.clone()
+    stereo(3) = (stereo(3) & 0x3F).toByte // mode joint-stereo
+    assert(Mp3Codec.decode(stereo).isEmpty)
+  }
+}

@@ -605,6 +605,43 @@ class MultimodalSpec extends SparkSpec {
     assert(decodeWavIma("RIFFxxxxWAVE".getBytes).isEmpty)
   }
 
+  test("MP3: own Layer III codec wired through every audio entry point") {
+    import Multimodal.MediaCodec._
+    // the x_audio_mp3 gate contract: every planted tone k = 1..30 keeps
+    // its FFT peak through the full lossy loop (encode -> frame/side
+    // info/Huffman parse -> requantize -> IMDCT -> synthesis)
+    (1 to 30).foreach { k =>
+      val tone = (0 until 2304).map(n =>
+        math.round(8000 * math.sin(2 * math.Pi * k * n / 256)).toInt).toArray
+      val bytes = Mp3Codec.encode(tone, 44100)
+      val pk = spectralPeak(bytes, 256)
+      assert(pk.contains((44100f, k, 1152L)), s"tone $k: got $pk")
+    }
+    val tone7 = (0 until 2304).map(n =>
+      math.round(8000 * math.sin(2 * math.Pi * 7 * n / 256)).toInt).toArray
+    val bytes = Mp3Codec.encode(tone7, 44100)
+    // decodeAudio: mono, post-skip length, live RMS
+    val Some((rate, ch, n, rms)) = decodeAudio(bytes)
+    assert(rate == 44100f && ch == 1 && n == 1152L && rms > 1000)
+    // the codec-free sniffer walks our frames like any other MP3
+    val Some((fmt, sr, frames, dur)) = sniffCompressedAudioMeta(bytes)
+    assert(fmt == "mp3" && sr == 44100 && frames == 2)
+    assert(math.abs(dur - 2 * 1152.0 / 44100) < 1e-9)
+    // truncation drops the partial frame; junk stays undecodable
+    assert(decodeSamples(bytes.take(bytes.length / 2))
+      .forall(_._2.length % 1152 == 0))
+    assert(decodeSamples(Array.fill[Byte](64)(0x55)).isEmpty)
+    // the real third-party file (LSF + bit reservoir) decodes to silence
+    val goldPath = java.nio.file.Paths.get("/usr/lib/google-cloud-sdk/" +
+      "platform/gsutil/gslib/tests/test_data/test.mp3")
+    if (java.nio.file.Files.exists(goldPath)) {
+      val Some((gr, gs)) = decodeSamples(
+        java.nio.file.Files.readAllBytes(goldPath))
+      assert(gr == 22050f && gs.length == 45 * 576 - Mp3Codec.LeadingSkip)
+      assert(gs.forall(_ == 0.0))
+    }
+  }
+
   test("decodeWavIma: hostile negative chunk size returns None, no hang") {
     import Multimodal.MediaCodec.decodeWavIma
     def le32(v: Int): Array[Byte] = Array((v & 0xff).toByte,
