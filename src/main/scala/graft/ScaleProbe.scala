@@ -298,6 +298,30 @@ object ScaleProbe {
         record("cc_star", "chain_label", n, t)
       }
 
+      // ---- sessionizeSpread on the ROWS axis -------------------------
+      // the KEY-SKEW axis (share grid below) pinned spread FLAT vs hot
+      // share; this leg pins it ~linear vs ROWS at a fixed 8% hot share
+      // — the rung that turns "flat at one size" into "holds across
+      // decades of corpus growth"
+      if (famOn("session_rows")) locally {
+        val rows = 500000L * n
+        val p = s"$scratch/sessrows_x$n"
+        spark.range(rows).select(
+            col("id").as("event_id"),
+            when(pmod(col("id") * 2654435761L, lit(100)) < 8, lit(0L))
+              .otherwise(pmod(col("id") * 40503L, lit(10000)) + 1)
+              .as("user_id"),
+            (pmod(col("id") * 7919L, lit(500000)) * 1000).as("ts"))
+          .repartition(32)
+          .write.mode("overwrite").parquet(p)
+        val df = spark.read.parquet(p)
+        val (_, t) = time {
+          operators.Sessions.sessionizeSpread(df, "user_id", "ts", 60000L)
+            .write.format("noop").mode("overwrite").save()
+        }
+        record("session_rows", "spread", n, t)
+      }
+
       // ---- Media codecs: encode→decode throughput ∝ rows ------------
       // pure mapPartitions projections (no shuffle anywhere), so
       // time-vs-rows must be ~1.0 once past fixed job overhead; PNG leg

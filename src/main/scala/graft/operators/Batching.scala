@@ -88,20 +88,22 @@ object Batching {
       outCol: String = "_group_row_number"): DataFrame = {
     val spark = df.sparkSession
     val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    // localCheckpoint, not cache(): both passes must read ONE materialized
-    // snapshot (the offsets of pass 1 must line up with the rows of pass 2),
-    // and checkpoint blocks are reclaimed when the frame goes unreachable —
-    // a plain cache() is registered for the session's life, so repeated
-    // calls (Corpus.interleaveBySource) would accumulate executor storage.
-    // TRADEOFF: localCheckpoint truncates lineage, so losing an executor
-    // holding checkpoint blocks mid-job (preemption, dynamic-allocation
-    // decommission) fails the job instead of recomputing — on spot or
-    // preemptible fleets, wrap the call in an application-level retry
-    // (rerunning re-snapshots from source; both passes stay consistent).
+    // No materialization: `Dataset.rdd` is a lazy val, so pass 1 and
+    // pass 2 are two jobs over the SAME lineage — the range shuffle's
+    // map stage runs once and the second job reads its shuffle files
+    // (skipped stage), one consistent snapshot with zero block storage.
+    // (The earlier localCheckpoint held deserialized Row blocks — a
+    // measured memory step past ~10M rows — and truncated lineage,
+    // failing on executor loss instead of recomputing.) Offsets align
+    // with rows because partition MEMBERSHIP is fixed by the shuffle
+    // files; within-partition tie order may vary between passes, which
+    // only permutes which tie row gets which number — the documented
+    // arbitrary-ties contract. Nondeterministic sources are snapshotted
+    // by the map stage unless a map task is lost between the passes
+    // (the standard two-jobs-one-shuffle contract).
     val sorted = df
       .repartitionByRange(shufflePartitions, col(groupCol), orderCol)
       .sortWithinPartitions(col(groupCol), orderCol)
-      .localCheckpoint()
     val gIdx = sorted.schema.fieldIndex(groupCol)
     // pass 1: per-(partition, group) counts — partitions × groups rows
     val counts: Array[(Int, Any, Long)] = sorted.rdd

@@ -72,13 +72,23 @@ object Sessions {
     import org.apache.spark.sql.types.LongType
     val spark = events.sparkSession
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    // one materialized snapshot feeds both passes (withGroupRowNumber's
-    // localCheckpoint rationale: consistent partitioning, blocks freed
-    // when the frame goes unreachable)
+    // ONE Dataset → ONE lazy `.rdd` → both passes run as two jobs over
+    // the SAME lineage: the range shuffle's map stage executes once and
+    // the second job reuses its shuffle files (skipped stage), so the
+    // passes read one consistent snapshot WITHOUT materializing blocks.
+    // (The earlier localCheckpoint stored deserialized Row blocks — a
+    // measured memory step at ~10M rows × 32 partitions — and truncated
+    // lineage, failing the job on executor loss instead of recomputing;
+    // see SCALING.md session_rows.) Each pass re-runs only the
+    // partition-local sort. Tie rows share the full (user, ts) key, so
+    // every boundary/session fact is invariant to shuffle-arrival tie
+    // order. Caveat: if a map task is lost BETWEEN the passes and the
+    // source is nondeterministic, the recomputed partition may diverge —
+    // the standard two-jobs-one-shuffle contract; feed a deterministic
+    // source (any file scan qualifies).
     val sorted = events
       .repartitionByRange(parts, col(userCol), col(tsCol))
       .sortWithinPartitions(col(userCol), col(tsCol))
-      .localCheckpoint()
     val uIdx = sorted.schema.fieldIndex(userCol)
     val tIdx = sorted.schema.fieldIndex(tsCol)
     def tsOf(r: Row): Long = r.get(tIdx) match {
