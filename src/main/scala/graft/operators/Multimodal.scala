@@ -23,12 +23,14 @@ import org.apache.spark.sql.types._
   * [[Multimodal.encodeFlac]] as the archival write side; and one REAL
   * LOSSY codec — G.711 µ-law/A-law companded telephony audio, encoded
   * by [[Multimodal.encodeG711]] per the ITU spec and decoded by the
-  * JDK's own ULAW/ALAW converter). VIDEO frame decode is REAL for
+  * JDK's own ULAW/ALAW converter; and — r12 — MP3 Layer III mono,
+  * encoder AND decoder own-written from ISO 11172-3/13818-3 in
+  * [[graft.operators.Mp3Codec]], wired through [[Multimodal.encodeMp3]]
+  * and every decode entry point). VIDEO frame decode is REAL for
   * MJPEG-in-AVI ([[MediaCodec.decodeVideoFrames]] — RIFF chunk walk +
   * the JDK JPEG codec per `00dc` frame, [[Multimodal.encodeAviMjpeg]]
-  * as the write side). Only perceptual-transform LOSSY audio SAMPLE
-  * decode (MP3/AAC) and inter-frame video codecs (H.26x/VPx/AV1) stay
-  * STUBBED behind
+  * as the write side). Only AAC audio SAMPLE decode and inter-frame
+  * video codecs (H.26x/VPx/AV1) stay STUBBED behind
   * [[MediaCodec.decodeStub]], a deterministic fake keyed on the
   * payload bytes — the JDK ships no codecs for those. Everything
   * Spark-side is real and load-bearing either way: the schema contract,
@@ -440,8 +442,9 @@ object Multimodal {
       * subframes, CRC-verified) via [[graft.operators.FlacCodec]]: sample
       * rate, channel count, frame count, and the RMS amplitude of the
       * 16-bit PCM signal (integer square sums, one final sqrt —
-      * deterministic). Lossy codecs (MP3/AAC) stay stubbed: the JDK has
-      * none and the sandbox ships none.
+      * deterministic). MP3 routes through [[graft.operators.Mp3Codec]]
+      * (real lossy decode); AAC stays stubbed — no JDK codec and its
+      * spec codebooks are not reconstructible offline.
       */
     def decodeAudio(payload: Array[Byte])
         : Option[(Float, Int, Long, Double)] = {
@@ -1219,7 +1222,8 @@ object Multimodal {
   /** REAL audio decode over partition batches — `(id, sample_rate,
     * channels, n_frames, rms)` for WAV/AIFF/AU payloads through the
     * JDK's own PCM parser ([[MediaCodec.decodeAudio]]); nulls for
-    * compressed/unknown formats (MP3/AAC stay stubbed — no JDK codec).
+    * compressed/unknown formats (MP3 is REAL via
+    * [[graft.operators.Mp3Codec]]; AAC stays stubbed — no JDK codec).
     */
   def decodeAudioFeatures(df: DataFrame, idCol: String,
       binCol: String): DataFrame = {

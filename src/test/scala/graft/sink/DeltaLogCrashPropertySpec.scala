@@ -42,7 +42,14 @@ class DeltaLogCrashPropertySpec extends SparkSpec {
 
   private val Keep = 2
 
-  private def runSchedule(ops: List[Op]): Boolean = {
+  /** `legacy` > 0 starts the schedule as a PRE-MARKER store: that many
+    * complete marker-less commits and no root sentinel — the upgrade
+    * scenario. The first access (the prepended Read) must adopt them
+    * all; every later marker-less dir is a torn commit and must stay
+    * invisible (the writer's sentinel-before-rename ordering is what
+    * makes the two distinguishable).
+    */
+  private def runSchedule(ops: List[Op], legacy: Int = 0): Boolean = {
     val dir = java.nio.file.Files.createTempDirectory("dlog-prop").toString
     val root = s"$dir/commits"
     val f = DeltaLog.fs(spark, dir)
@@ -80,7 +87,15 @@ class DeltaLogCrashPropertySpec extends SparkSpec {
       listOk && baseOk && pinnedOk
     }
 
-    (Commit +: ops).forall { op =>
+    var i = 1
+    while (i <= legacy) { // complete pre-marker commits, no sentinels
+      f.mkdirs(new Path(s"$root/$i/docs"))
+      f.create(new Path(s"$root/$i/docs/c$i"), true).close()
+      committed :+= i
+      i += 1
+    }
+    val lead: List[Op] = if (legacy > 0) List(Read, Commit) else List(Commit)
+    (lead ++ ops).forall { op =>
       op match {
         case Commit =>
           val seq = DeltaLog.nextSeq(spark, root)
@@ -104,9 +119,18 @@ class DeltaLogCrashPropertySpec extends SparkSpec {
   }
 
   test("random crash/GC schedules always resolve complete sealed views") {
-    val prop = Prop.forAll(Gen.listOfN(14, opGen))(runSchedule)
+    val prop = Prop.forAll(Gen.listOfN(14, opGen))(ops => runSchedule(ops))
     val result = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(60), prop)
+    assert(result.passed, result.status.toString)
+  }
+
+  test("legacy pre-marker stores keep their history under any later schedule") {
+    val prop = Prop.forAll(Gen.choose(1, 4), Gen.listOfN(12, opGen)) {
+      (k, ops) => runSchedule(ops, legacy = k)
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
     assert(result.passed, result.status.toString)
   }
 }
