@@ -64,7 +64,10 @@ object Mp3Codec {
   private final class BitReader(val buf: Array[Byte]) {
     var pos: Int = 0 // bit position
     def bitsLeft: Int = buf.length * 8 - pos
+    private def overrun(): Nothing = throw new IllegalArgumentException(
+      "Mp3Codec: bit reader overrun (corrupt or truncated stream)")
     def get(n: Int): Int = {
+      if (pos + n > buf.length * 8) overrun()
       var v = 0
       var i = 0
       while (i < n) {
@@ -75,6 +78,7 @@ object Mp3Codec {
       v
     }
     def get1(): Int = {
+      if (pos >= buf.length * 8) overrun()
       val v = (buf(pos >> 3) >> (7 - (pos & 7))) & 1
       pos += 1
       v
@@ -488,6 +492,12 @@ object Mp3Codec {
             while (g < h.granules) {
               val gi = gis(g)
               val start = r.pos
+              // a part2_3_length pointing past the available main data
+              // is a corrupt/truncated stream — fail before the bit
+              // reader walks off the buffer
+              require(start + gi.part23 <= main.length * 8,
+                s"Mp3Codec: granule main data truncated (needs " +
+                  s"${gi.part23} bits at $start of ${main.length * 8})")
               val sf = readScalefactors(r, gi, v1, g, scfsi, prevSf)
               val is = huffmanSpectrum(r, gi, h.sr, start)
               // skip any ancillary/stuffing up to part2_3_length

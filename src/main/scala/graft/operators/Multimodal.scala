@@ -449,14 +449,16 @@ object Multimodal {
     def decodeAudio(payload: Array[Byte])
         : Option[(Float, Int, Long, Double)] = {
       if (graft.operators.Mp3Codec.looksLikeMp3(payload))
-        return graft.operators.Mp3Codec.decode(payload).map { d =>
-          val s = d.samples.drop(graft.operators.Mp3Codec.LeadingSkip)
-          var sumSq = 0.0
-          var i = 0
-          while (i < s.length) { sumSq += s(i) * s(i); i += 1 }
-          val rms = if (s.isEmpty) 0.0 else math.sqrt(sumSq / s.length)
-          (d.sampleRate.toFloat, 1, s.length.toLong, rms)
-        }
+        return (try graft.operators.Mp3Codec.decode(payload)
+          catch { case scala.util.control.NonFatal(_) => None })
+          .map { d =>
+            val s = d.samples.drop(graft.operators.Mp3Codec.LeadingSkip)
+            var sumSq = 0.0
+            var i = 0
+            while (i < s.length) { sumSq += s(i) * s(i); i += 1 }
+            val rms = if (s.isEmpty) 0.0 else math.sqrt(sumSq / s.length)
+            (d.sampleRate.toFloat, 1, s.length.toLong, rms)
+          }
       if (payload.length >= 4 && payload(0) == 'f' && payload(1) == 'L' &&
           payload(2) == 'a' && payload(3) == 'C')
         return graft.operators.FlacCodec.decode(payload).map { d =>
@@ -504,12 +506,18 @@ object Multimodal {
     def decodeSamples(payload: Array[Byte]): Option[(Float, Array[Double])] = {
       // MP3 (MPEG-1/2 Layer III mono) through our own codec; the fixed
       // LeadingSkip drops the filterbank+MDCT warmup (gapless-delay
-      // convention), so callers see steady-state samples
+      // convention), so callers see steady-state samples. Poison-pill
+      // convention of this layer: ANY codec failure (corrupt stream,
+      // truncated main data, a stream selecting an unshipped Huffman
+      // table) null-routes like every other media format — the loud
+      // per-cause errors live at the Mp3Codec level for direct callers.
       if (graft.operators.Mp3Codec.looksLikeMp3(payload))
-        return graft.operators.Mp3Codec.decode(payload).map { d =>
-          (d.sampleRate.toFloat,
-            d.samples.drop(graft.operators.Mp3Codec.LeadingSkip))
-        }
+        return (try graft.operators.Mp3Codec.decode(payload)
+          catch { case scala.util.control.NonFatal(_) => None })
+          .map { d =>
+            (d.sampleRate.toFloat,
+              d.samples.drop(graft.operators.Mp3Codec.LeadingSkip))
+          }
       if (payload.length >= 4 && payload(0) == 'f' && payload(1) == 'L' &&
           payload(2) == 'a' && payload(3) == 'C')
         return graft.operators.FlacCodec.decode(payload).map { d =>

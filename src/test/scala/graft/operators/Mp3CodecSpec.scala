@@ -133,6 +133,48 @@ class Mp3CodecSpec extends AnyFunSuite {
     assert(loud, "no mutation tripped the unsupported-table guard")
   }
 
+  test("fuzz: hostile bytes never hang, never escape the codec's own errors") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val valid = Mp3Codec.encode(tone(5, 2304), 44100)
+    // single- and triple-byte mutations of a REAL stream, plus pure noise
+    val mutGen: Gen[Array[Byte]] = for {
+      kind <- Gen.choose(0, 2)
+      bytes <- kind match {
+        case 0 => Gen.listOfN(3, Gen.zip(
+            Gen.choose(0, valid.length - 1), Gen.choose(1, 255)))
+          .map { flips =>
+            val m = valid.clone()
+            flips.foreach { case (i, x) => m(i) = (m(i) ^ x).toByte }
+            m
+          }
+        case 1 => Gen.choose(8, 600).flatMap(n =>
+          Gen.listOfN(n, Gen.choose(0, 255)).map(_.map(_.toByte).toArray))
+        case _ => Gen.choose(0, valid.length - 1).map(valid.take)
+      }
+    } yield bytes
+    val prop = Prop.forAll(mutGen) { b =>
+      // codec level: a decode either resolves, or fails with one of the
+      // codec's OWN deliberate errors — never an uncontrolled index /
+      // arithmetic escape, never a hang
+      val codecOk =
+        try { Mp3Codec.decode(b); true }
+        catch {
+          case _: IllegalArgumentException => true
+          case _: UnsupportedOperationException => true
+          case _: Throwable => false
+        }
+      // media layer: every failure null-routes (the poison-pill
+      // convention shared by all formats)
+      val layerOk =
+        try { Multimodal.MediaCodec.decodeSamples(b); true }
+        catch { case _: Throwable => false }
+      codecOk && layerOk
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(400), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("encoder rejects non-MPEG-1 rates; decoder rejects stereo") {
     intercept[IllegalArgumentException] {
       Mp3Codec.encode(tone(3, 1152), 8000)
