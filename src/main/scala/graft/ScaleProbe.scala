@@ -350,6 +350,22 @@ object ScaleProbe {
             .write.format("noop").mode("overwrite").save()
         }
         record("media", "adpcm_fft", n, tAdpcm)
+        // MP3 Layer III (r12): the heaviest own codec — full analysis
+        // filterbank + MDCT + Huffman each way per row. Same pure
+        // mapPartitions shape as the other codecs, so time-vs-rows must
+        // stay ~linear; two 1152-sample frames per doc (the gate shape)
+        val pcm3 = docsN.select("doc_id")
+          .withColumn("samples", transform(sequence(lit(0), lit(2303)),
+            m => round(lit(8000.0) * sin(lit(2.0 * math.Pi) *
+              (pmod(col("doc_id"), lit(30)) + 1).cast("double") *
+              m.cast("double") / lit(256.0))).cast("int")))
+        val (_, tMp3) = time {
+          operators.Multimodal.audioSpectrum(
+            operators.Multimodal.encodeMp3(pcm3, "doc_id", "samples", 44100),
+            "id", "payload", fftSize = 256)
+            .write.format("noop").mode("overwrite").save()
+        }
+        record("media", "mp3_fft", n, tMp3)
       }
 
       // ---- Incremental postings: init linear, commit+search O(batch) -
