@@ -26,7 +26,7 @@ import graft.operators.Multimodal
   *                             frame stats
   *
   * Prints per-stage counts. Every decode in the loop is real (JDK
-  * codecs + own FLAC/ADPCM/AVI); nothing routes through the stub.
+  * codecs + own FLAC/MP3/ADPCM/AVI); nothing routes through the stub.
   *
   *   runMain graft.examples.MediaPipeline [sfDir]
   */
@@ -71,13 +71,25 @@ object MediaPipeline {
         }))
         .withColumn("w", lit(16)),
       "doc_id", "pixels", "w")
-    val audio = Multimodal.encodeFlac(
-      ids.filter(pmod(col("doc_id"), lit(3)) === 1)
+    // audio docs split between the LOSSLESS leg (FLAC) and the LOSSY
+    // leg (own MP3 Layer III, two 1152-sample frames — the decoder's
+    // codec-delay skip leaves 1152 steady-state samples); both route
+    // through the SAME downstream VAD + FFT stages untouched
+    val audioFlac = Multimodal.encodeFlac(
+      ids.filter(pmod(col("doc_id"), lit(6)) === 1)
         .withColumn("samples", transform(sequence(lit(0), lit(255)),
           n => round(lit(6000.0) * sin(lit(2.0 * math.Pi) *
             (pmod(col("doc_id"), lit(20)) + 1).cast("double") *
             n.cast("double") / lit(256.0))).cast("int"))),
       "doc_id", "samples", 8000)
+    val audioMp3 = Multimodal.encodeMp3(
+      ids.filter(pmod(col("doc_id"), lit(6)) === 4)
+        .withColumn("samples", transform(sequence(lit(0), lit(2303)),
+          n => round(lit(6000.0) * sin(lit(2.0 * math.Pi) *
+            (pmod(col("doc_id"), lit(20)) + 1).cast("double") *
+            n.cast("double") / lit(256.0))).cast("int"))),
+      "doc_id", "samples", 44100)
+    val audio = audioFlac.unionByName(audioMp3)
     val video = Multimodal.encodeAviMjpeg(
       ids.filter(pmod(col("doc_id"), lit(3)) === 2)
         .withColumn("frames", transform(sequence(lit(0), lit(2)),
