@@ -775,21 +775,27 @@ object Mp3Codec {
   // ------------------------------------------------------------------
 
   /** Encode mono PCM (int samples, nominally 16-bit range) as MPEG-1
-    * Layer III at `sampleRate` ∈ {44100, 48000, 32000}, 320 kbps, long
-    * blocks, zero scalefactors, `main_data_begin = 0` (no reservoir
+    * Layer III at `sampleRate` ∈ {44100, 48000, 32000} and
+    * `bitrateKbps` (any MPEG-1 Layer III rate, default 320), long
+    * blocks, per-band scalefactors, `main_data_begin = 0` (no reservoir
     * use — legal, each frame self-contained). Quantization is
     * psychoacoustics-free: per granule the 4/3-power quantizer's
     * global_gain starts at the finest step that keeps every line inside
     * the verified Huffman subset's |ix| <= 3 alphabet and coarsens by
-    * rate-loop until the granule fits the frame. Input pads to a
-    * 1152-sample multiple.
+    * rate-loop until the granule fits the frame — at low bitrates on
+    * dense spectra the loop zeroes the quietest lines first (they fall
+    * below the step), the textbook rate-distortion behavior. Input pads
+    * to a 1152-sample multiple.
     */
-  def encode(samples: Array[Int], sampleRate: Int): Array[Byte] = {
+  def encode(samples: Array[Int], sampleRate: Int,
+      bitrateKbps: Int = 320): Array[Byte] = {
     require(SfbLong.contains(sampleRate) &&
         (sampleRate == 44100 || sampleRate == 48000 || sampleRate == 32000),
       s"encode supports MPEG-1 rates 44100/48000/32000, got $sampleRate")
+    val bri = BitrateV1L3.indexOf(bitrateKbps)
+    require(bri > 0, s"bitrateKbps must be one of " +
+      s"${BitrateV1L3.drop(1).mkString("/")}, got $bitrateKbps")
     val sri = SrV1.indexOf(sampleRate)
-    val bri = 14 // 320 kbps
     val slots = 144 * (BitrateV1L3(bri) * 1000) / sampleRate
     val nFrames = math.max(1, (samples.length + 1151) / 1152)
     val padded = java.util.Arrays.copyOf(samples, nFrames * 1152)
@@ -1014,10 +1020,15 @@ object Mp3Codec {
       i += 1
     }
     var bigLines = if (lastBig < 0) 0 else ((lastBig / 2) + 1) * 2
-    // count1 region covers whole quads; lines not covered must be zero
-    var quadEnd = if (lastNon < bigLines) bigLines
+    // count1 quads must tile exactly to 576 (a straddling quad would
+    // read past the spectrum): when a count1 region follows, align the
+    // big-values boundary to a multiple of 4 — the two absorbed lines
+    // are |v| <= 1 and every table in use covers them as pairs. With
+    // bigLines % 4 == 0 and lastNon <= 575, quadEnd <= 576 exactly.
+    if (lastNon >= bigLines && bigLines % 4 != 0) bigLines += 2
+    val quadEnd = if (lastNon < bigLines) bigLines
                   else bigLines + ((lastNon - bigLines) / 4 + 1) * 4
-    if (quadEnd > 576) { bigLines = math.min(576, bigLines + 4); quadEnd = 576 }
+    require(quadEnd <= 576, s"quad region overruns: $bigLines..$quadEnd")
     val bw = new BitWriter
     i = 0
     while (i < bigLines) {

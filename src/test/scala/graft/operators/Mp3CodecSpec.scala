@@ -133,6 +133,28 @@ class Mp3CodecSpec extends AnyFunSuite {
     assert(loud, "no mutation tripped the unsupported-table guard")
   }
 
+  test("rate loop: dense spectra fit low bitrates; tones survive 64 kbps") {
+    // white-ish noise = dense spectrum: at 64 kbps the rate loop MUST
+    // coarsen global_gain until the granule fits ~750 bits — the frames
+    // still assemble and decode (rate-distortion, not overflow)
+    val rnd = new scala.util.Random(42)
+    val noise = Array.fill(2304)(rnd.nextInt(16000) - 8000)
+    val nb = Mp3Codec.encode(noise, 44100, bitrateKbps = 64)
+    assert(nb.length == 2 * (144 * 64000 / 44100))
+    val nd = Mp3Codec.decode(nb).get
+    assert(nd.samples.length == 2304)
+    // a tone's sparse spectrum fits 64 kbps with room: the FFT gate
+    // holds at a fifth of the default bitrate
+    for (k <- Seq(5, 21)) {
+      val bytes = Mp3Codec.encode(tone(k, 2304), 44100, bitrateKbps = 64)
+      val s = Mp3Codec.decode(bytes).get.samples.drop(Mp3Codec.LeadingSkip)
+      assert(peakBin(s, 256) == k, s"64kbps tone $k")
+    }
+    intercept[IllegalArgumentException] {
+      Mp3Codec.encode(tone(3, 1152), 44100, bitrateKbps = 999)
+    }
+  }
+
   test("fuzz: hostile bytes never hang, never escape the codec's own errors") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val valid = Mp3Codec.encode(tone(5, 2304), 44100)
