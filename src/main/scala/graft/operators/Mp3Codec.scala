@@ -774,9 +774,12 @@ object Mp3Codec {
   // Encoder (mono, MPEG-1, long blocks, verified-table subset)
   // ------------------------------------------------------------------
 
-  /** Encode mono PCM (int samples, nominally 16-bit range) as MPEG-1
-    * Layer III at `sampleRate` ∈ {44100, 48000, 32000} and
-    * `bitrateKbps` (any MPEG-1 Layer III rate, default 320), long
+  /** Encode mono PCM (int samples, nominally 16-bit range) as Layer
+    * III — MPEG-1 at `sampleRate` ∈ {44100, 48000, 32000} (two-granule
+    * 1152-sample frames) or MPEG-2 LSF at {22050, 24000, 16000}
+    * (one-granule 576-sample frames, 9-byte side info, scalefac_compress
+    * 399 → the LSF slen decomposition) — at `bitrateKbps` (any Layer III
+    * rate of the chosen version; default 320, MPEG-1 only), long
     * blocks, per-band scalefactors, `main_data_begin = 0` (no reservoir
     * use — legal, each frame self-contained). Quantization is
     * psychoacoustics-free: per granule the 4/3-power quantizer's
@@ -789,17 +792,27 @@ object Mp3Codec {
     */
   def encode(samples: Array[Int], sampleRate: Int,
       bitrateKbps: Int = 320): Array[Byte] = {
-    require(SfbLong.contains(sampleRate) &&
-        (sampleRate == 44100 || sampleRate == 48000 || sampleRate == 32000),
-      s"encode supports MPEG-1 rates 44100/48000/32000, got $sampleRate")
-    val bri = BitrateV1L3.indexOf(bitrateKbps)
+    val v1 = SrV1.contains(sampleRate)
+    require(v1 || SrV2.contains(sampleRate),
+      s"encode supports MPEG-1 rates ${SrV1.mkString("/")} and MPEG-2 " +
+        s"LSF rates ${SrV2.mkString("/")}, got $sampleRate")
+    val brTable = if (v1) BitrateV1L3 else BitrateV2L3
+    val bri = brTable.indexOf(bitrateKbps)
     require(bri > 0, s"bitrateKbps must be one of " +
-      s"${BitrateV1L3.drop(1).mkString("/")}, got $bitrateKbps")
-    val sri = SrV1.indexOf(sampleRate)
-    val slots = 144 * (BitrateV1L3(bri) * 1000) / sampleRate
-    val nFrames = math.max(1, (samples.length + 1151) / 1152)
-    val padded = java.util.Arrays.copyOf(samples, nFrames * 1152)
+      s"${brTable.drop(1).mkString("/")} at $sampleRate Hz, got $bitrateKbps")
+    val sri = (if (v1) SrV1 else SrV2).indexOf(sampleRate)
+    val slots = (if (v1) 144 else 72) * (brTable(bri) * 1000) / sampleRate
+    val granules = if (v1) 2 else 1 // LSF frames carry ONE granule
+    val frameSamples = granules * 576
+    val sideBytes = if (v1) 17 else 9
+    val nFrames =
+      math.max(1, (samples.length + frameSamples - 1) / frameSamples)
+    val padded = java.util.Arrays.copyOf(samples, nFrames * frameSamples)
     val sfb = SfbLong(sampleRate)
+    // LSF scalefac_compress 399 decomposes to slens (4,4,3,3) over the
+    // (6,5,5,5) band groups — byte-for-byte the same 11x4 + 10x3
+    // scalefactor layout the MPEG-1 side uses (scalefac_compress 15)
+    val sfCompress = if (v1) 15 else 399
 
     // analysis filterbank state
     val x = new Array[Double](512) // newest first
@@ -808,12 +821,12 @@ object Mp3Codec {
 
     var f = 0
     while (f < nFrames) {
-      val granuleGain = new Array[Int](2)
-      val granuleBits = Array.ofDim[BitWriter](2)
-      val granuleMeta = Array.ofDim[(Int, Int)](2) // (bigValues, count1len)
-      val granuleSf = Array.ofDim[Array[Int]](2)
+      val granuleGain = new Array[Int](granules)
+      val granuleBits = Array.ofDim[BitWriter](granules)
+      val granuleMeta = Array.ofDim[(Int, Int)](granules) // (bigValues, count1)
+      val granuleSf = Array.ofDim[Array[Int]](granules)
       var g = 0
-      while (g < 2) {
+      while (g < granules) {
         // 18 analysis slots -> 18x32 subband samples
         val sbSamples = Array.ofDim[Double](32, 18)
         var slot = 0
@@ -825,7 +838,7 @@ object Mp3Codec {
             // raw int16-scale input would push global_gain past its
             // 8-bit ceiling and saturate the quantizer
             x(31 - j) =
-              padded(f * 1152 + g * 576 + slot * 32 + j) / 32768.0
+              padded(f * frameSamples + g * 576 + slot * 32 + j) / 32768.0
             j += 1
           }
           var k = 0
@@ -931,9 +944,10 @@ object Mp3Codec {
           bw = enc._1
           meta = (enc._2, enc._3)
           sfOut = sfB
-          // capacity: whole frame minus header+side, split over 2
-          // granules; part2 = 11x4 + 10x3 = 74 scalefactor bits
-          if (74 + bw.bitLength <= (slots - 4 - 17) * 8 / 2 || gg >= 251)
+          // capacity: whole frame minus header+side, split over the
+          // frame's granules; part2 = 11x4 + 10x3 = 74 scalefactor bits
+          if (74 + bw.bitLength <= (slots - 4 - sideBytes) * 8 / granules ||
+              gg >= 251)
             done = true
           else gg += 4
         }
@@ -946,7 +960,7 @@ object Mp3Codec {
       // assemble the frame
       val frame = new BitWriter
       frame.put(0x7FF, 11)
-      frame.put(3, 2) // MPEG-1
+      frame.put(if (v1) 3 else 2, 2) // MPEG-1 / MPEG-2 LSF
       frame.put(1, 2) // Layer III
       frame.put(1, 1) // no CRC
       frame.put(bri, 4)
@@ -956,20 +970,20 @@ object Mp3Codec {
       frame.put(3, 2) // mono
       frame.put(0, 2); frame.put(0, 1); frame.put(0, 1); frame.put(0, 2)
       // side info
-      frame.put(0, 9) // main_data_begin
-      frame.put(0, 5) // private
-      frame.put(0, 4) // scfsi
+      frame.put(0, if (v1) 9 else 8) // main_data_begin
+      frame.put(0, if (v1) 5 else 1) // private
+      if (v1) frame.put(0, 4)        // scfsi (MPEG-1 only)
       var g2 = 0
-      while (g2 < 2) {
+      while (g2 < granules) {
         frame.put(74 + granuleBits(g2).bitLength, 12) // part2 + part3
         frame.put(granuleMeta(g2)._1, 9)              // big_values
         frame.put(granuleGain(g2), 8)
-        frame.put(15, 4) // scalefac_compress: slen1 = 4, slen2 = 3
+        frame.put(sfCompress, if (v1) 4 else 9)
         frame.put(0, 1)  // window_switching off
         frame.put(5, 5); frame.put(5, 5); frame.put(5, 5) // table 5 x3
         frame.put(7, 4) // region0_count
         frame.put(7, 3) // region1_count
-        frame.put(0, 1) // preflag
+        if (v1) frame.put(0, 1) // preflag (not transmitted in LSF)
         frame.put(1, 1) // scalefac_scale = 1 (multiplier 1.0)
         frame.put(0, 1) // count1 table A
         g2 += 1
@@ -978,7 +992,7 @@ object Mp3Codec {
       // Huffman bits (part3)
       val side = frame
       var gb = 0
-      while (gb < 2) {
+      while (gb < granules) {
         var b2 = 0
         while (b2 < 21) {
           side.put(granuleSf(gb)(b2), if (b2 < 11) 4 else 3)

@@ -133,6 +133,27 @@ class Mp3CodecSpec extends AnyFunSuite {
     assert(loud, "no mutation tripped the unsupported-table guard")
   }
 
+  test("MPEG-2 LSF encode: low-rate frames round-trip with live scalefactors") {
+    // 22.05 kHz, 576-sample frames, scalefac_compress = 399 — the LSF
+    // slen decomposition path with NONZERO per-band scalefactors (the
+    // third-party golden only exercises it at all-zero): tones keep
+    // their FFT peak, lengths follow the 1-granule frame layout
+    for (k <- Seq(4, 13, 27)) {
+      val pcm = tone(k, 2304) // four LSF frames
+      val bytes = Mp3Codec.encode(pcm, 22050, bitrateKbps = 96)
+      val dec = Mp3Codec.decode(bytes).get
+      assert(dec.sampleRate == 22050 && dec.samples.length == 2304)
+      assert(peakBin(dec.samples.drop(Mp3Codec.LeadingSkip), 256) == k,
+        s"LSF tone $k")
+    }
+    // the other two LSF rates ride the same path
+    for (sr <- Seq(24000, 16000)) {
+      val dec = Mp3Codec.decode(
+        Mp3Codec.encode(tone(7, 1152), sr, bitrateKbps = 64)).get
+      assert(dec.sampleRate == sr && dec.samples.length == 1152)
+    }
+  }
+
   test("rate loop: dense spectra fit low bitrates; tones survive 64 kbps") {
     // white-ish noise = dense spectrum: at 64 kbps the rate loop MUST
     // coarsen global_gain until the granule fits ~750 bits — the frames
