@@ -1045,6 +1045,14 @@ private[graft] object OraclesB {
            CAST(doc_id % 30 + 1 AS INTEGER) AS peak_bin,
            CAST(1152 AS BIGINT) AS n_samples
          FROM documents WHERE doc_id < 300 ORDER BY id""",
+    // the LSF leg of the own MP3 codec: 22.05 kHz one-granule frames,
+    // live scalefactors through the LSF slen decomposition
+    "x_audio_mp3_lsf" ->
+      """SELECT doc_id AS id,
+           CAST(22050 AS INTEGER) AS sample_rate,
+           CAST(doc_id % 30 + 1 AS INTEGER) AS peak_bin,
+           CAST(1152 AS BIGINT) AS n_samples
+         FROM documents WHERE doc_id < 150 ORDER BY id""",
     // G.711 encode -> JDK ULAW decode -> FFT: peak survives companding
     "x_audio_g711" ->
       """SELECT doc_id AS id,

@@ -461,6 +461,27 @@ private[graft] object QueriesTextMediaCorpus {
         .orderBy("id")
     }),
 
+    // The MPEG-2 LSF leg of the same codec (22.05 kHz one-granule
+    // 576-sample frames, 9-byte side info, scalefac_compress 399 — the
+    // LSF slen decomposition carrying LIVE scalefactors, which the
+    // third-party silence golden never exercises): 150 tones through
+    // encode→decode→FFT at 96 kbps. Four LSF frames in; the decoder's
+    // fixed LeadingSkip leaves 1152 steady-state samples.
+    "x_audio_mp3_lsf" -> ((s, d) => {
+      val k = (pmod(col("doc_id"), lit(30)) + 1).cast("double")
+      val pcm = Tables.documents(s, d).select("doc_id")
+        .filter(col("doc_id") < 150)
+        .withColumn("samples", transform(sequence(lit(0), lit(2303)),
+          n => round(lit(8000.0) *
+            sin(lit(2.0 * math.Pi) * k * n.cast("double") / lit(256.0)))
+            .cast("int")))
+      val enc2 = operators.Multimodal.encodeMp3(pcm, "doc_id", "samples", 22050)
+      operators.Multimodal.audioSpectrum(enc2, "id", "payload", fftSize = 256)
+        .select(col("id"), col("sample_rate").cast("int").as("sample_rate"),
+          col("peak_bin"), col("n_samples"))
+        .orderBy("id")
+    }),
+
     // REAL image encode→decode roundtrip, oracle-exact: constant-value
     // truecolor PNGs synthesized from doc_id (w = 8 + id%9, h = 8 + id%7,
     // gray v = id*7 % 256), written by encodePng and read back through

@@ -779,7 +779,8 @@ object Mp3Codec {
     * 1152-sample frames) or MPEG-2 LSF at {22050, 24000, 16000}
     * (one-granule 576-sample frames, 9-byte side info, scalefac_compress
     * 399 → the LSF slen decomposition) — at `bitrateKbps` (any Layer III
-    * rate of the chosen version; default 320, MPEG-1 only), long
+    * rate of the chosen version; 0 picks the version default, 320 for
+    * MPEG-1 / 96 for LSF), long
     * blocks, per-band scalefactors, `main_data_begin = 0` (no reservoir
     * use — legal, each frame self-contained). Quantization is
     * psychoacoustics-free: per granule the 4/3-power quantizer's
@@ -791,15 +792,16 @@ object Mp3Codec {
     * to a 1152-sample multiple.
     */
   def encode(samples: Array[Int], sampleRate: Int,
-      bitrateKbps: Int = 320): Array[Byte] = {
+      bitrateKbps: Int = 0): Array[Byte] = {
     val v1 = SrV1.contains(sampleRate)
     require(v1 || SrV2.contains(sampleRate),
       s"encode supports MPEG-1 rates ${SrV1.mkString("/")} and MPEG-2 " +
         s"LSF rates ${SrV2.mkString("/")}, got $sampleRate")
     val brTable = if (v1) BitrateV1L3 else BitrateV2L3
-    val bri = brTable.indexOf(bitrateKbps)
+    val kbps = if (bitrateKbps != 0) bitrateKbps else if (v1) 320 else 96
+    val bri = brTable.indexOf(kbps)
     require(bri > 0, s"bitrateKbps must be one of " +
-      s"${brTable.drop(1).mkString("/")} at $sampleRate Hz, got $bitrateKbps")
+      s"${brTable.drop(1).mkString("/")} at $sampleRate Hz, got $kbps")
     val sri = (if (v1) SrV1 else SrV2).indexOf(sampleRate)
     val slots = (if (v1) 144 else 72) * (brTable(bri) * 1000) / sampleRate
     val granules = if (v1) 2 else 1 // LSF frames carry ONE granule
