@@ -13,8 +13,12 @@ import scala.collection.mutable.ArrayBuffer
   * partitioning with sign bits and linbits escapes, the 4/3-power
   * requantizer with global_gain / scalefac_scale / preflag semantics,
   * alias-reduction butterflies (the spec's eight ci coefficients),
-  * 36/12-point IMDCT with all four block-type windows, frequency
-  * inversion, and the 32-band cosine-modulated synthesis filterbank.
+  * 36-point IMDCT with the long/start/stop block-type windows,
+  * frequency inversion, and the 32-band cosine-modulated synthesis
+  * filterbank. Short blocks (block_type 2) FAIL LOUDLY: their
+  * frequency-line reorder and short scalefactor-band tables are not
+  * shipped, and decoding without them would be silently garbled —
+  * the same loud-or-correct stance as the Huffman subset below.
   *
   * Two spec TABLES are not reconstructible in this offline container
   * and are handled explicitly rather than faked:
@@ -498,6 +502,17 @@ object Mp3Codec {
               require(start + gi.part23 <= main.length * 8,
                 s"Mp3Codec: granule main data truncated (needs " +
                   s"${gi.part23} bits at $start of ${main.length * 8})")
+              // short blocks need the spec's frequency-line REORDER
+              // and the short scalefactor-band tables — neither is
+              // shipped; decoding anyway would produce silently garbled
+              // audio, so fail loudly instead (the unshipped-table
+              // convention; the media layer null-routes this)
+              if (gi.windowSwitching && gi.blockType == 2)
+                throw new UnsupportedOperationException(
+                  "Mp3Codec: short blocks (block_type 2) are not " +
+                    "implemented — the frequency-line reorder and short " +
+                    "scalefactor-band tables are not shipped in this " +
+                    "offline build; long/start/stop block types decode.")
               val sf = readScalefactors(r, gi, v1, g, scfsi, prevSf)
               val is = huffmanSpectrum(r, gi, h.sr, start)
               // skip any ancillary/stuffing up to part2_3_length
@@ -538,9 +553,10 @@ object Mp3Codec {
       granule: Int, scfsi: Array[Int], prev: Array[Int]): Array[Int] = {
     val sf = new Array[Int](22)
     if (gi.blockType == 2) {
-      // short-block scalefactors: 12 bands x 3 windows; structurally
-      // parsed so the bit accounting stays exact (mono encode never
-      // emits short blocks; requantize applies long-band semantics)
+      // short-block scalefactors: 12 bands x 3 windows. UNREACHABLE
+      // since the loud short-block guard in decode(); retained as the
+      // bit-exact scaffolding for a future data-only completion
+      // (reorder + short sfb tables)
       val (s1, s2) =
         if (v1) (Slen1(gi.sfCompress), Slen2(gi.sfCompress))
         else { val sl = lsfSlen(gi.sfCompress); (sl(0), sl(1)) }
@@ -708,7 +724,10 @@ object Mp3Codec {
     while (sb < 32) {
       val rawOut = new Array[Double](36)
       if (gi.blockType == 2) {
-        // three short IMDCTs laid into the 36-slot frame (6..30)
+        // three short IMDCTs laid into the 36-slot frame (6..30) —
+        // UNREACHABLE since the loud short-block guard in decode();
+        // retained scaffolding (the 12-pt basis and window are the
+        // spec's closed forms, only reorder + short sfb tables miss)
         var win = 0
         while (win < 3) {
           var i = 0

@@ -176,6 +176,34 @@ class Mp3CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("short blocks fail loudly, never silently garbled") {
+    // hand-rolled MPEG-2 LSF frame: 22.05 kHz, 64 kbps, mono, one
+    // granule with window_switching=1 / block_type=2 and part2_3 = 0 —
+    // structurally valid, but its spectrum layout needs the short-block
+    // reorder this build does not ship
+    val bits = new StringBuilder
+    def put(v: Int, n: Int): Unit =
+      (n - 1 to 0 by -1).foreach(i => bits.append((v >> i) & 1))
+    put(0x7FF, 11); put(2, 2); put(1, 2); put(1, 1) // sync, v2, L3, no crc
+    put(8, 4); put(0, 2); put(0, 1); put(0, 1)      // 64 kbps, 22050, pad, priv
+    put(3, 2); put(0, 2); put(0, 1); put(0, 1); put(0, 2) // mono + flags
+    put(0, 8); put(0, 1)                            // mdb, private
+    put(0, 12); put(0, 9); put(210, 8); put(0, 9)   // part2_3, bv, gg, sfc
+    put(1, 1); put(2, 2); put(0, 1)                 // wsf, SHORT, not mixed
+    put(0, 5); put(0, 5)                            // table_select x2
+    put(0, 3); put(0, 3); put(0, 3)                 // subblock_gain x3
+    put(0, 1); put(0, 1)                            // sfs, count1 table
+    val frameLen = 72 * 64000 / 22050
+    val bytes = new Array[Byte](frameLen)
+    bits.toString.grouped(8).zipWithIndex.foreach { case (b, i) =>
+      bytes(i) = Integer.parseInt(b.padTo(8, '0'), 2).toByte
+    }
+    val e = intercept[UnsupportedOperationException](Mp3Codec.decode(bytes))
+    assert(e.getMessage.contains("short blocks"))
+    // the media layer null-routes it like every other poison pill
+    assert(Multimodal.MediaCodec.decodeSamples(bytes).isEmpty)
+  }
+
   test("fuzz: hostile bytes never hang, never escape the codec's own errors") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val valid = Mp3Codec.encode(tone(5, 2304), 44100)
