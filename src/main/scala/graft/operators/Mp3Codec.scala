@@ -990,13 +990,30 @@ object Mp3Codec {
       frame.put(0, 1) // private
       frame.put(3, 2) // mono
       frame.put(0, 2); frame.put(0, 1); frame.put(0, 1); frame.put(0, 2)
+      // scfsi (MPEG-1 only): when granule 1's scalefactors equal
+      // granule 0's over a whole scfsi group, set the group's bit and
+      // DON'T retransmit them — the spec's scalefactor-reuse mechanism
+      // (steady signals share all four groups, saving 74 bits/frame);
+      // the decoder's reuse path carries granule 0's values across
+      val ScfsiGroups = Array((0, 6, 4), (6, 11, 4), (11, 16, 3), (16, 21, 3))
+      val scfsi: Array[Int] =
+        if (!v1) Array.empty
+        else ScfsiGroups.map { case (from, to, _) =>
+          if ((from until to).forall(b => granuleSf(1)(b) == granuleSf(0)(b)))
+            1 else 0
+        }
+      // part2 bits per granule: granule 1 skips reused groups
+      def part2Bits(g: Int): Int = ScfsiGroups.zipWithIndex.map {
+        case ((from, to, slen), gi) =>
+          if (v1 && g == 1 && scfsi(gi) == 1) 0 else (to - from) * slen
+      }.sum
       // side info
       frame.put(0, if (v1) 9 else 8) // main_data_begin
       frame.put(0, if (v1) 5 else 1) // private
-      if (v1) frame.put(0, 4)        // scfsi (MPEG-1 only)
+      if (v1) scfsi.foreach(frame.put(_, 1))
       var g2 = 0
       while (g2 < granules) {
-        frame.put(74 + granuleBits(g2).bitLength, 12) // part2 + part3
+        frame.put(part2Bits(g2) + granuleBits(g2).bitLength, 12)
         frame.put(granuleMeta(g2)._1, 9)              // big_values
         frame.put(granuleGain(g2), 8)
         frame.put(sfCompress, if (v1) 4 else 9)
@@ -1009,15 +1026,14 @@ object Mp3Codec {
         frame.put(0, 1) // count1 table A
         g2 += 1
       }
-      // main data: per granule the 21 scalefactors (part2), then the
-      // Huffman bits (part3)
+      // main data: per granule the non-reused scalefactors (part2),
+      // then the Huffman bits (part3)
       val side = frame
       var gb = 0
       while (gb < granules) {
-        var b2 = 0
-        while (b2 < 21) {
-          side.put(granuleSf(gb)(b2), if (b2 < 11) 4 else 3)
-          b2 += 1
+        ScfsiGroups.zipWithIndex.foreach { case ((from, to, slen), gi) =>
+          if (!(v1 && gb == 1 && scfsi(gi) == 1))
+            (from until to).foreach(b => side.put(granuleSf(gb)(b), slen))
         }
         val bits = granuleBits(gb)
         val used = bits.bitLength // BEFORE result() pads to a byte

@@ -176,6 +176,44 @@ class Mp3CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("scfsi: steady signals reuse granule-0 scalefactors across the frame") {
+    val frameBytes = 144 * 320000 / 44100 // 320 kbps @ 44.1 kHz, pad 0
+    def sideBits(b: Array[Byte], frame: Int, from: Int, n: Int): Int = {
+      var v = 0
+      for (i <- from until from + n)
+        v = (v << 1) |
+          ((b(frame * frameBytes + 4 + (i >> 3)) >> (7 - (i & 7))) & 1)
+      v
+    }
+    // a steady tone reuses scalefactor groups between granules — the
+    // reuse is PARTIAL by honest construction (each granule picks its
+    // own global_gain, so a quarter-step gg drift can shift a band's
+    // scalefactor bucket) but must be non-trivial, and the DECODER's
+    // reuse path must carry granule 0's values for the set groups (a
+    // desync would garble the whole granule, so the passing FFT gate is
+    // the correctness proof). Frame 0's first granule is the filterbank
+    // warmup, so the claim is on frame 1.
+    val steady = Mp3Codec.encode(tone(7, 2304), 44100)
+    val scfsi = sideBits(steady, 1, 14, 4)
+    assert(scfsi != 0, "steady frame reused no scalefactor group")
+    // reused groups shrink granule 1's part2: its part2_3 must sit
+    // below granule 0's by at least the smallest group's bits
+    val p0 = sideBits(steady, 1, 18, 12)
+    val p1 = sideBits(steady, 1, 77, 12)
+    assert(p0 > p1, s"granule 1 did not shrink ($p0 vs $p1)")
+    val s = Mp3Codec.decode(steady).get.samples.drop(Mp3Codec.LeadingSkip)
+    assert(peakBin(s, 256) == 7)
+    // a signal whose band energies move between granules must NOT claim
+    // full reuse — and still round-trips cleanly
+    val varying = Array.tabulate(2304) { i =>
+      val k = if ((i / 576) % 2 == 0) 3 else 24
+      math.round(8000.0 * math.sin(2 * math.Pi * k * i / 256.0)).toInt
+    }
+    val vb = Mp3Codec.encode(varying, 44100)
+    assert(sideBits(vb, 1, 14, 4) != 15, "varying signal claimed full reuse")
+    assert(Mp3Codec.decode(vb).get.samples.length == 2304)
+  }
+
   test("short blocks fail loudly, never silently garbled") {
     // hand-rolled MPEG-2 LSF frame: 22.05 kHz, 64 kbps, mono, one
     // granule with window_switching=1 / block_type=2 and part2_3 = 0 —
