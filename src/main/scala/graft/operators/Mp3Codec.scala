@@ -332,54 +332,81 @@ object Mp3Codec {
     proto(fc)
   }
 
-  // Analysis matrix a(k)(m) = h[m] * cos(pi/32 (k+0.5)(m-16)); synthesis
-  // g(k)(m) = h[m] * cos(pi/32 (k+0.5)(m+16)) * gain — the spec's exact
-  // modulation phases; `gain` self-calibrates to unity round-trip by
-  // pushing a DC signal through the pair once at class load.
-  private val Analysis: Array[Array[Double]] = Array.tabulate(32, 512) {
-    (k, m) => Prototype(m) * math.cos(math.Pi / 32.0 * (k + 0.5) * (m - 16))
+  // Filterbank in the spec's FACTORED form — exactly the flat
+  // modulated-FIR pair (analysis a(k)(m) = h[m]·cos(pi/32 (k+0.5)(m-16)),
+  // synthesis g(k)(m) = h[m]·cos(pi/32 (k+0.5)(m+16))·gain), rewritten
+  // using cos periodicity: the phase advances by (2k+1)·pi every 64
+  // taps, so the 512-tap modulation is a 64-phase windowed FOLD times a
+  // 64×32 cosine matrix (the spec's Y/V lattice) — 6× fewer multiplies
+  // per 32-sample slot (64·32 + 512 vs 512·32), bit-identical algebra.
+  // `SynthGain` self-calibrates to unity round-trip by pushing a DC
+  // signal through the pair once at class load.
+  private val ProtoSigned: Array[Double] =
+    Array.tabulate(512)(m =>
+      Prototype(m) * (if ((m >> 6) % 2 == 1) -1.0 else 1.0))
+  private val AnaMod: Array[Array[Double]] = Array.tabulate(32, 64) {
+    (k, j) => math.cos(math.Pi / 32.0 * (k + 0.5) * (j - 16))
   }
-  private val Synthesis: Array[Array[Double]] = {
-    val raw = Array.tabulate(32, 512) { (k, m) =>
-      Prototype(m) * math.cos(math.Pi / 32.0 * (k + 0.5) * (m + 16))
+  private val SynthMod: Array[Array[Double]] = Array.tabulate(64, 32) {
+    (i, k) => math.cos(math.Pi / 32.0 * (k + 0.5) * (i + 16))
+  }
+
+  /** One analysis slot: 512-sample history (newest at index 0) → 32
+    * subband samples, via the 64-phase fold + 32×64 modulation.
+    */
+  private def analysisStep(x: Array[Double], s: Array[Double]): Unit = {
+    val y = new Array[Double](64)
+    var m = 0
+    while (m < 512) { y(m & 63) += x(m) * ProtoSigned(m); m += 1 }
+    var k = 0
+    while (k < 32) {
+      var a = 0.0
+      var j = 0
+      while (j < 64) { a += AnaMod(k)(j) * y(j); j += 1 }
+      s(k) = a
+      k += 1
     }
-    // calibrate: steady-state DC gain through analysis+synthesis
+  }
+
+  /** One synthesis slot: 32 subband samples accumulated into the
+    * 512-tap overlap buffer, via the 64×32 modulation + windowed
+    * spread (gain pre-applied to the V phases).
+    */
+  private def synthesisStep(s: Array[Double], acc: Array[Double],
+      gain: Double): Unit = {
+    val v = new Array[Double](64)
+    var i = 0
+    while (i < 64) {
+      var a = 0.0
+      var k = 0
+      while (k < 32) { a += SynthMod(i)(k) * s(k); k += 1 }
+      v(i) = a * gain
+      i += 1
+    }
+    var m = 0
+    while (m < 512) { acc(m) += ProtoSigned(m) * v(m & 63); m += 1 }
+  }
+
+  private val SynthGain: Double = {
+    // steady-state DC gain of the uncalibrated pair
     val steps = 40
-    val x = new Array[Double](512) // newest at index 0
+    val x = new Array[Double](512)
     val acc = new Array[Double](512 + 32)
+    val s = new Array[Double](32)
     var out = 0.0
     var t = 0
     while (t < steps) {
-      // shift 32 new unit samples in
       System.arraycopy(x, 0, x, 32, 512 - 32)
       var j = 0
       while (j < 32) { x(j) = 1.0; j += 1 }
-      val s = new Array[Double](32)
-      var k = 0
-      while (k < 32) {
-        var acc2 = 0.0
-        var m = 0
-        while (m < 512) { acc2 += x(m) * Analysis(k)(m); m += 1 }
-        s(k) = acc2
-        k += 1
-      }
-      // synthesis accumulate
-      var m = 0
-      while (m < 512) {
-        var a = 0.0
-        k = 0
-        while (k < 32) { a += s(k) * raw(k)(m); k += 1 }
-        acc(m) += a
-        m += 1
-      }
-      if (t == steps - 1) out = acc(16) // a steady-state sample
-      // emit 32, shift acc
+      analysisStep(x, s)
+      synthesisStep(s, acc, 1.0)
+      if (t == steps - 1) out = acc(16)
       System.arraycopy(acc, 32, acc, 0, 512)
       java.util.Arrays.fill(acc, 512, 512 + 32, 0.0)
       t += 1
     }
-    val gain = out
-    raw.map(_.map(_ / gain))
+    1.0 / out
   }
 
   // ------------------------------------------------------------------
@@ -771,15 +798,7 @@ object Mp3Codec {
     // polyphase synthesis, 18 slots x 32 samples
     var slot = 0
     while (slot < 18) {
-      val s = ss(slot)
-      var m = 0
-      while (m < 512) {
-        var a = 0.0
-        var k = 0
-        while (k < 32) { a += s(k) * Synthesis(k)(m); k += 1 }
-        synthAcc(m) += a
-        m += 1
-      }
+      synthesisStep(ss(slot), synthAcc, SynthGain)
       var j = 0
       // int16-scale doubles, the FlacCodec/PCM decoder convention
       while (j < 32) { out += synthAcc(j) * 32768.0; j += 1 }
@@ -862,14 +881,13 @@ object Mp3Codec {
               padded(f * frameSamples + g * 576 + slot * 32 + j) / 32768.0
             j += 1
           }
+          val sRow = new Array[Double](32)
+          analysisStep(x, sRow)
           var k = 0
           while (k < 32) {
-            var acc = 0.0
-            var m = 0
-            while (m < 512) { acc += x(m) * Analysis(k)(m); m += 1 }
             // frequency inversion must match the decoder's
             sbSamples(k)(slot) =
-              if ((k & 1) == 1 && (slot & 1) == 1) -acc else acc
+              if ((k & 1) == 1 && (slot & 1) == 1) -sRow(k) else sRow(k)
             k += 1
           }
           slot += 1
@@ -1130,13 +1148,12 @@ object Mp3Codec {
           x(31 - j) = samples(g * 576 + slot * 32 + j)
           j += 1
         }
+        val sRow = new Array[Double](32)
+        analysisStep(x, sRow)
         var k = 0
         while (k < 32) {
-          var acc = 0.0
-          var m = 0
-          while (m < 512) { acc += x(m) * Analysis(k)(m); m += 1 }
           sbSamples(k)(slot) =
-            if ((k & 1) == 1 && (slot & 1) == 1) -acc else acc
+            if ((k & 1) == 1 && (slot & 1) == 1) -sRow(k) else sRow(k)
           k += 1
         }
         slot += 1
