@@ -242,6 +242,44 @@ class Mp3CodecSpec extends AnyFunSuite {
     assert(Multimodal.MediaCodec.decodeSamples(bytes).isEmpty)
   }
 
+  test("property: random tone mixes round-trip sane at every config") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val cfgGen = for {
+      sr <- Gen.oneOf(44100, 48000, 32000, 22050, 24000, 16000)
+      nTones <- Gen.choose(1, 3)
+      tones <- Gen.listOfN(nTones, Gen.zip(
+        Gen.choose(1, 40), Gen.choose(500, 6000)))
+      frames <- Gen.choose(1, 3)
+    } yield (sr, tones, frames)
+    val prop = Prop.forAll(cfgGen) { case (sr, tones, frames) =>
+      val v1 = Seq(44100, 48000, 32000).contains(sr)
+      val frameLen = if (v1) 1152 else 576
+      val n = frames * frameLen
+      val pcm = Array.tabulate(n)(i => tones.map { case (k, a) =>
+        a * math.sin(2 * math.Pi * k * i / 256.0)
+      }.sum.round.toInt)
+      val dec = Mp3Codec.decode(Mp3Codec.encode(pcm, sr)).get
+      // contracts: exact length, right rate, finite bounded samples,
+      // positively correlated with the input at SOME plausible lag
+      val lenOk = dec.samples.length == n && dec.sampleRate == sr
+      val boundOk = dec.samples.forall(v =>
+        !v.isNaN && !v.isInfinite && math.abs(v) < 32768 * 4)
+      val corrOk = n < 1280 || {
+        val win = math.min(512, n - 1153)
+        (0 until 1153).exists { d =>
+          var c = 0.0
+          var i = 0
+          while (i < win) { c += dec.samples(d + i) * pcm(i); i += 1 }
+          c > 0
+        }
+      }
+      lenOk && boundOk && corrOk
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(60), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("fuzz: hostile bytes never hang, never escape the codec's own errors") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val valid = Mp3Codec.encode(tone(5, 2304), 44100)
