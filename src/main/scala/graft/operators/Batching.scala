@@ -53,6 +53,44 @@ object Batching {
         "(row_number().over(Window.partitionBy(...))) instead: each group " +
         "is small, so window partitioning does not straggle.")
 
+  /** Snapshot-divergence failure for the two-jobs-one-shuffle layout
+    * every two-phase operator here uses: pass 2 replayed a partition
+    * whose counts differ from what pass 1 observed — the signature of a
+    * lost shuffle block whose map stage was recomputed over a
+    * NONDETERMINISTIC source between the passes (partition membership
+    * changed, so pass-1 offsets no longer align). Without this check
+    * the numbers would silently shift; with it the job fails loudly
+    * and names the fix. A membership change that preserves every
+    * verified count can still slip through — but such a change only
+    * permutes rows within identical count profiles, i.e. the documented
+    * arbitrary-tie-order contract, not a numbering error.
+    */
+  private[graft] def snapshotDiverged(where: String, pid: Int,
+      detail: String): Nothing = throw new IllegalStateException(
+    s"$where: partition $pid diverged between the two passes ($detail) — " +
+      "the range shuffle's map stage was recomputed (executor or " +
+      "shuffle-block loss) over a source that did not reproduce its " +
+      "rows. Feed a deterministic source (any file scan qualifies), or " +
+      "persist()/checkpoint() the input first.")
+
+  /** Wrap a pass-2 partition iterator so `verify(rowsSeen)` runs exactly
+    * once, at exhaustion — the cheap membership check (one counter per
+    * partition) that turns silent two-pass divergence into a loud
+    * failure. Spark output iterators are always drained, so the hook is
+    * guaranteed to run for every partition, including empty ones.
+    */
+  private[graft] def verifiedEnd[A](it: Iterator[A])(
+      verify: Long => Unit): Iterator[A] = new Iterator[A] {
+    private var n = 0L
+    private var checked = false
+    def hasNext: Boolean = {
+      val h = it.hasNext
+      if (!h && !checked) { checked = true; verify(n) }
+      h
+    }
+    def next(): A = { val a = it.next(); n += 1; a }
+  }
+
   /** Append a 1-based global row number in `orderCol` order, without a
     * single-partition window. Ties in `orderCol` are numbered arbitrarily
     * (same contract as `row_number()` over a non-unique order).
@@ -61,14 +99,36 @@ object Batching {
       outCol: String = "_row_number"): DataFrame = {
     val spark = df.sparkSession
     val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // same lazy-`.rdd` discipline as withGroupRowNumber below: both
+    // passes are jobs over ONE range shuffle (skipped map stage in pass
+    // 2), and pass 2 re-counts each partition against pass 1's counts so
+    // a between-pass recompute over a nondeterministic source fails
+    // loudly instead of shifting numbers (zipWithIndex runs the same two
+    // jobs but never cross-checks them)
     val sorted = df
       .repartitionByRange(shufflePartitions, orderCol)
       .sortWithinPartitions(orderCol)
-    val schema = sorted.schema.add(outCol, LongType, nullable = false)
-    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ (i + 1L))
+    val rdd = sorted.rdd
+    val counts: Array[Long] = {
+      val perPart = rdd.mapPartitionsWithIndex { (pid, it) =>
+        var n = 0L; it.foreach(_ => n += 1L); Iterator((pid, n))
+      }.collect().toMap
+      Array.tabulate(rdd.getNumPartitions)(perPart.getOrElse(_, 0L))
     }
-    spark.createDataFrame(rdd, schema)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val schema = sorted.schema.add(outCol, LongType, nullable = false)
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var i = 0L
+      val mapped = it.map { r =>
+        i += 1L
+        Row.fromSeq(r.toSeq :+ (offsets(pid) + i))
+      }
+      Batching.verifiedEnd(mapped)(n =>
+        if (n != counts(pid))
+          Batching.snapshotDiverged("withGlobalRowNumber", pid,
+            s"pass 1 counted ${counts(pid)} rows, pass 2 saw $n"))
+    }
+    spark.createDataFrame(out, schema)
   }
 
   /** Per-GROUP 1-based row numbers in `orderCol` order — the grouped
@@ -100,7 +160,9 @@ object Batching {
     // only permutes which tie row gets which number — the documented
     // arbitrary-ties contract. Nondeterministic sources are snapshotted
     // by the map stage unless a map task is lost between the passes
-    // (the standard two-jobs-one-shuffle contract).
+    // (the standard two-jobs-one-shuffle contract) — pass 2 re-checks
+    // its per-(partition, group) counts against pass 1's and fails
+    // loudly on divergence instead of numbering a shifted membership.
     val sorted = df
       .repartitionByRange(shufflePartitions, col(groupCol), orderCol)
       .sortWithinPartitions(col(groupCol), orderCol)
@@ -115,22 +177,41 @@ object Batching {
         }
         m.iterator.map { case (g, c) => (pid, g, c) }
       }.collect()
-    val offsets: Map[(Int, Any), Long] = counts.groupBy(_._2).iterator
-      .flatMap { case (g, rows) =>
+    // per-partition view: group -> (exclusive offset, pass-1 count) —
+    // pass 2 checks its replayed counts against the pass-1 column so a
+    // between-pass recompute over a nondeterministic source fails loudly
+    val perPid: Map[Int, Map[Any, (Long, Long)]] = {
+      val flat = counts.groupBy(_._2).iterator.flatMap { case (g, rows) =>
         var acc = 0L
         rows.sortBy(_._1).map { case (pid, _, c) =>
-          val off = acc; acc += c; ((pid, g), off)
+          val off = acc; acc += c; (pid, g, off, c)
         }
-      }.toMap
-    val bc = spark.sparkContext.broadcast(offsets)
+      }.toSeq
+      flat.groupBy(_._1).map { case (pid, rows) =>
+        pid -> rows.map { case (_, g, off, c) => g -> (off, c) }.toMap
+      }
+    }
+    val bc = spark.sparkContext.broadcast(perPid)
     val schema = sorted.schema.add(outCol, LongType, nullable = false)
     val rdd = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val mine = bc.value.getOrElse(pid, Map.empty[Any, (Long, Long)])
       val local = scala.collection.mutable.HashMap[Any, Long]()
-      it.map { r =>
+      val mapped = it.map { r =>
         val g = r.get(gIdx)
         val i = local.getOrElse(g, 0L) + 1L
         local.update(g, i)
-        Row.fromSeq(r.toSeq :+ (bc.value((pid, g)) + i))
+        val (off, _) = mine.getOrElse(g,
+          Batching.snapshotDiverged("withGroupRowNumber", pid,
+            s"group '$g' appeared in pass 2 but not in pass 1"))
+        Row.fromSeq(r.toSeq :+ (off + i))
+      }
+      Batching.verifiedEnd(mapped) { _ =>
+        if (local.size != mine.size ||
+            mine.exists { case (g, (_, c)) => local.getOrElse(g, 0L) != c })
+          Batching.snapshotDiverged("withGroupRowNumber", pid,
+            s"pass 1 counted ${mine.size} groups/" +
+              s"${mine.valuesIterator.map(_._2).sum} rows, pass 2 saw " +
+              s"${local.size} groups/${local.valuesIterator.sum} rows")
       }
     }
     spark.createDataFrame(rdd, schema)

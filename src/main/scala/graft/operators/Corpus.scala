@@ -938,29 +938,47 @@ object Corpus {
     }.collect()
     val totals: Map[Any, Long] =
       runs.groupBy(_._2).map { case (g, rs) => g -> rs.map(_._3).sum }
-    val offsets: Map[(Int, Any), Long] = runs.groupBy(_._2).flatMap {
-      case (g, rs) =>
+    // per-partition group -> (exclusive offset, pass-1 count): pass 2
+    // re-checks its replayed counts so a between-pass recompute over a
+    // nondeterministic source fails loudly (Batching.snapshotDiverged)
+    val perPid: Map[Int, Map[Any, (Long, Long)]] = runs.groupBy(_._2)
+      .iterator.flatMap { case (g, rs) =>
         val byPart = rs.sortBy(_._1)
-        byPart.map(_._1).zip(byPart.map(_._3).scanLeft(0L)(_ + _))
-          .map { case (p, o) => (p, g) -> o }
-    }
+        byPart.zip(byPart.map(_._3).scanLeft(0L)(_ + _))
+          .map { case ((p, _, c), o) => (p, g, o, c) }
+      }.toSeq.groupBy(_._1).map { case (p, rows) =>
+        p -> rows.map { case (_, g, o, c) => g -> (o, c) }.toMap
+      }
     val bTotals = spark.sparkContext.broadcast(totals)
-    val bOffsets = spark.sparkContext.broadcast(offsets)
+    val bOffsets = spark.sparkContext.broadcast(perPid)
     val schema = sorted.schema.add(outCol, DoubleType, nullable = false)
     val out = rdd.mapPartitionsWithIndex { (p, it) =>
+      val mine = bOffsets.value.getOrElse(p, Map.empty[Any, (Long, Long)])
+      val seen = scala.collection.mutable.HashMap.empty[Any, Long]
       var cur: Any = null
       var started = false
       var acc = 0L
-      it.map { r =>
+      val mapped = it.map { r =>
         val g = r.get(gIdx)
         if (!started || g != cur) {
           cur = g; started = true
-          acc = bOffsets.value.getOrElse((p, g), 0L)
+          acc = mine.get(g).map(_._1).getOrElse(
+            Batching.snapshotDiverged("groupPercentRank", p,
+              s"group '$g' appeared in pass 2 but not in pass 1"))
         }
+        seen.update(g, seen.getOrElse(g, 0L) + 1L)
         val denom = math.max(bTotals.value(g) - 1L, 1L).toDouble
         val rank = acc
         acc += 1L
         Row.fromSeq(r.toSeq :+ rank / denom)
+      }
+      Batching.verifiedEnd(mapped) { _ =>
+        if (seen.size != mine.size ||
+            mine.exists { case (g, (_, c)) => seen.getOrElse(g, 0L) != c })
+          Batching.snapshotDiverged("groupPercentRank", p,
+            s"pass 1 counted ${mine.size} groups/" +
+              s"${mine.valuesIterator.map(_._2).sum} rows, pass 2 saw " +
+              s"${seen.size} groups/${seen.valuesIterator.sum} rows")
       }
     }
     spark.createDataFrame(out, schema)
@@ -976,19 +994,33 @@ object Corpus {
       .sortWithinPartitions(orderCol)
     val wIdx = sorted.schema.fieldIndex("_graft_w")
     val rdd = sorted.rdd
-    val partSums = rdd
+    // pass 1 records (weight sum, row count) per partition; pass 2
+    // re-checks BOTH (a membership change can shift either) and fails
+    // loudly on divergence — the two-jobs-one-shuffle snapshot guard
+    val partFacts: Map[Int, (Long, Long)] = rdd
       .mapPartitionsWithIndex { (p, it) =>
-        var s = 0L; it.foreach(r => s += r.getLong(wIdx)); Iterator((p, s))
+        var s = 0L; var n = 0L
+        it.foreach { r => s += r.getLong(wIdx); n += 1L }
+        Iterator((p, (s, n)))
       }
-      .collect().sortBy(_._1).map(_._2)
+      .collect().toMap
+    val partSums = Array.tabulate(rdd.getNumPartitions)(
+      partFacts.get(_).map(_._1).getOrElse(0L))
     val offsets = partSums.scanLeft(0L)(_ + _) // exclusive prefix per partition
     val schema = sorted.schema.add(outCol, LongType, nullable = false)
     val out = rdd.mapPartitionsWithIndex { (p, it) =>
+      val (expectSum, expectRows) = partFacts.getOrElse(p, (0L, 0L))
       var acc = offsets(p)
-      it.map { r =>
+      val mapped = it.map { r =>
         val start = acc
         acc += r.getLong(wIdx)
         Row.fromSeq(r.toSeq :+ start)
+      }
+      Batching.verifiedEnd(mapped) { n =>
+        if (n != expectRows || acc - offsets(p) != expectSum)
+          Batching.snapshotDiverged("withGlobalCumSum", p,
+            s"pass 1 counted $expectRows rows/weight $expectSum, " +
+              s"pass 2 saw $n rows/weight ${acc - offsets(p)}")
       }
     }
     spark.createDataFrame(out, schema).drop("_graft_w")

@@ -84,8 +84,11 @@ object Sessions {
     // every boundary/session fact is invariant to shuffle-arrival tie
     // order. Caveat: if a map task is lost BETWEEN the passes and the
     // source is nondeterministic, the recomputed partition may diverge —
-    // the standard two-jobs-one-shuffle contract; feed a deterministic
-    // source (any file scan qualifies).
+    // the standard two-jobs-one-shuffle contract; pass 2 re-checks each
+    // partition's row count against pass 1's edge facts and fails
+    // loudly on divergence (Batching.snapshotDiverged) instead of
+    // stitching shifted boundaries; feed a deterministic source (any
+    // file scan qualifies).
     val sorted = events
       .repartitionByRange(parts, col(userCol), col(tsCol))
       .sortWithinPartitions(col(userCol), col(tsCol))
@@ -102,7 +105,7 @@ object Sessions {
     // ts) plus whether the partition holds a single user run
     case class Edge(pid: Int, firstUser: Any, firstTs: Long,
       firstRunInternalStarts: Long, lastUser: Any, lastTs: Long,
-      lastRunInternalStarts: Long, singleRun: Boolean)
+      lastRunInternalStarts: Long, singleRun: Boolean, rows: Long)
     val edges: Array[Edge] = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
       if (!it.hasNext) Iterator.empty
       else {
@@ -112,6 +115,7 @@ object Sessions {
         var prevTs = fts
         var lastTs = fts
         var single = true
+        var rows = 1L
         var runStarts = 0L       // internal starts of the CURRENT run
         var firstRunStarts = -1L // fixed when the first run ends
         while (it.hasNext) {
@@ -121,11 +125,11 @@ object Sessions {
             if (firstRunStarts < 0) firstRunStarts = runStarts
             single = false; curUser = u; runStarts = 0L
           } else if (ts - prevTs > maxGap) runStarts += 1
-          prevTs = ts; lastTs = ts
+          prevTs = ts; lastTs = ts; rows += 1L
         }
         if (firstRunStarts < 0) firstRunStarts = runStarts // single run
         Iterator.single(Edge(pid, fu, fts, firstRunStarts,
-          curUser, lastTs, runStarts, single))
+          curUser, lastTs, runStarts, single, rows))
       }
     }.collect().sortBy(_.pid)
     // driver stitch: walk partitions in order, carrying the open run
@@ -133,7 +137,8 @@ object Sessions {
     var carryHas = false
     var carryLastTs = 0L
     var carrySessions = 0L
-    // pid -> (offset for the first run, does its first row open a session)
+    // pid -> (offset for the first run, does its first row open a
+    // session, pass-1 row count — the pass-2 snapshot check)
     val stitched = edges.map { e =>
       val continues = carryHas && carryUser == e.firstUser
       val firstRowStarts = !continues || e.firstTs - carryLastTs > maxGap
@@ -149,18 +154,19 @@ object Sessions {
         carryUser = e.lastUser; carryHas = true; carryLastTs = e.lastTs
         carrySessions = 1L + e.lastRunInternalStarts
       }
-      e.pid -> (offset, firstRowStarts)
+      e.pid -> (offset, firstRowStarts, e.rows)
     }.toMap
     val bc = spark.sparkContext.broadcast(stitched)
     val schema = sorted.schema.add("session_idx", LongType, nullable = false)
     val out = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
       // empty partitions emitted no edge; the defaults are never used
-      val (offset0, firstStarts) = bc.value.getOrElse(pid, (0L, true))
+      val (offset0, firstStarts, expectRows) =
+        bc.value.getOrElse(pid, (0L, true, 0L))
       var started = false
       var curUser: Any = null
       var prevTs = 0L
       var idx = 0L
-      it.map { r =>
+      val mapped = it.map { r =>
         val u = r.get(uIdx); val ts = tsOf(r)
         if (!started) {
           started = true; curUser = u; prevTs = ts
@@ -175,6 +181,10 @@ object Sessions {
         prevTs = ts
         Row.fromSeq(r.toSeq :+ idx)
       }
+      Batching.verifiedEnd(mapped)(n =>
+        if (n != expectRows)
+          Batching.snapshotDiverged("sessionizeSpread", pid,
+            s"pass 1 counted $expectRows rows, pass 2 saw $n"))
     }
     spark.createDataFrame(out, schema)
   }

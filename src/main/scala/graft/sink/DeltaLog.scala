@@ -36,7 +36,7 @@ private[sink] object DeltaLog {
   val CommitMarker = "_COMMITTED"
 
   /** Root-level sentinel: every numbered dir under this root that needs
-    * adopting has been adopted (see [[adoptLegacy]]), and every LATER
+    * adopting has been adopted (see [[legacyAdoptable]]), and every LATER
     * marker-less dir is a torn/crashed commit, never a legacy one.
     * Written by readers after a completed adoption sweep, and by
     * [[commit]] BEFORE its rename — so while any marker-gated commit is
@@ -50,7 +50,7 @@ private[sink] object DeltaLog {
 
   /** Seal a freshly-created commit root as already-adopted: every store
     * calls this at CREATION, so a root born under the marker protocol
-    * never runs the [[adoptLegacy]] sweep — without it, a crash during
+    * never runs the legacy-adoption sweep — without it, a crash during
     * the root's very first commit would leave a marker-less dir that a
     * reader could not distinguish from a legacy commit.
     */
@@ -75,39 +75,99 @@ private[sink] object DeltaLog {
       .map(_.toInt).sorted
   }
 
-  /** Grandfather commits written by the pre-marker protocol: a store
-    * whose log predates [[CommitMarker]] has fully-committed numeric
-    * dirs with no sentinel, and a marker-gated read would silently drop
-    * every one of them (undercounting profiles/probes with no error)
-    * while [[nextSeq]] still burns their numbers. One sweep seals each
-    * marker-less numeric dir that passes the completeness check — it
-    * contains `markerChild` (the store's always-present payload child,
-    * what [[commit]] itself verifies post-rename) and nothing
-    * `.tmp`-nested — then seals the ROOT with [[AdoptedMarker]] so the
-    * sweep never reruns and later marker-less dirs are treated as the
-    * torn commits they are.
-    *
-    * Safe against racing NEW-protocol writers because [[commit]] puts
-    * [[AdoptedMarker]] in place before its rename starts: a reader only
-    * sweeps roots where no marker-gated commit can be in flight. A
-    * still-running OLD-protocol writer during the upgrade is out of
-    * contract (stop the single writer before upgrading), same as any
-    * mixed-protocol operation.
+  /** Structural completeness of a candidate legacy commit dir: the
+    * store's always-present payload child exists, nothing `.tmp`-nested
+    * does, every `*.parquet` file below it carries the PAR1 magic at
+    * BOTH ends (a zero-byte or truncated file never adopts), and any
+    * Spark-written payload child (one with `part-*` files) carries its
+    * `_SUCCESS` commit marker. Defense in depth for the adoption paths
+    * below — a torn object-store copy of a LEGACY commit (some objects
+    * missing, each present object whole) cannot be detected from
+    * content alone, which is exactly why automatic adoption is
+    * restricted to the unambiguous case and everything else goes
+    * through [[migrateLegacy]].
     */
-  private def adoptLegacy(spark: SparkSession, root: String,
-      markerChild: String): Unit = {
-    val f = fs(spark, root)
-    if (!f.exists(new Path(root)) ||
-        f.exists(new Path(s"$root/$AdoptedMarker"))) return
-    numericSeqs(spark, root).foreach { s =>
-      val d = new Path(s"$root/$s")
-      if (!f.exists(new Path(d, CommitMarker))) {
-        val kids = f.listStatus(d).toSeq.map(_.getPath.getName)
-        if (kids.contains(markerChild) && !kids.exists(_.startsWith(".tmp")))
-          f.create(new Path(d, CommitMarker), true).close()
+  private def legacyComplete(f: org.apache.hadoop.fs.FileSystem,
+      dir: Path, markerChild: String): Boolean = {
+    val kids = f.listStatus(dir).toSeq
+    val names = kids.map(_.getPath.getName)
+    if (!names.contains(markerChild) || names.exists(_.startsWith(".tmp")))
+      return false
+    val stack = scala.collection.mutable.Stack(kids.filter(_.isDirectory): _*)
+    val magic = Array[Byte]('P', 'A', 'R', '1')
+    while (stack.nonEmpty) {
+      val d = stack.pop()
+      val inner = f.listStatus(d.getPath).toSeq
+      stack.pushAll(inner.filter(_.isDirectory))
+      val files = inner.filterNot(_.isDirectory)
+      if (files.exists(_.getPath.getName.startsWith("part-")) &&
+          !files.exists(_.getPath.getName == "_SUCCESS")) return false
+      for (st <- files if st.getPath.getName.endsWith(".parquet")) {
+        if (st.getLen < 12) return false
+        val in = f.open(st.getPath)
+        try {
+          val head = new Array[Byte](4)
+          val tail = new Array[Byte](4)
+          in.readFully(0, head)
+          in.readFully(st.getLen - 4, tail)
+          if (!java.util.Arrays.equals(head, magic) ||
+              !java.util.Arrays.equals(tail, magic)) return false
+        } finally in.close()
       }
     }
+    true
+  }
+
+  /** Marker-less numeric dirs that are UNAMBIGUOUSLY pre-marker legacy
+    * commits — computed without writing anything. The rule: adopt only
+    * when the root holds ZERO sealed commits. [[commit]] seals the root
+    * with [[AdoptedMarker]] before its very first rename, so a root
+    * where a marker-era commit ever ran carries the sentinel (and this
+    * sweep never fires); a root with sealed commits but no sentinel is
+    * a mid-upgrade mix whose marker-less dirs may be CRASHED marker-era
+    * commits — a crash between rename and seal leaves a complete-looking
+    * dir whose batch was then retried under a fresh seq, so adopting it
+    * double-counts (additive stores like StatsStore would inflate
+    * silently). That ambiguous case is never auto-adopted; it takes the
+    * operator-asserted [[migrateLegacy]]. (This is deliberately stricter
+    * than a below-highest-sealed-seq bound: a crashed commit RETRIED and
+    * sealed under a later seq sits below that bound and would still
+    * double-count.)
+    */
+  private def legacyAdoptable(spark: SparkSession, root: String,
+      markerChild: String): Seq[Int] = {
+    val f = fs(spark, root)
+    if (!f.exists(new Path(root)) ||
+        f.exists(new Path(s"$root/$AdoptedMarker"))) return Seq.empty
+    val nums = numericSeqs(spark, root)
+    val anySealed =
+      nums.exists(s => f.exists(new Path(s"$root/$s/$CommitMarker")))
+    if (anySealed) Seq.empty
+    else nums.filter(s => legacyComplete(f, new Path(s"$root/$s"), markerChild))
+  }
+
+  /** Explicit migration for a store upgraded from the pre-marker
+    * protocol: seals every marker-less numeric dir with `seq <= upToSeq`
+    * that passes the completeness check, then seals the root with
+    * [[AdoptedMarker]]. The OPERATOR asserts the bound — `upToSeq` must
+    * be the store's last pre-marker commit (everything above it that
+    * lacks a marker is a crashed marker-era commit and stays invisible).
+    * Run offline with the single writer stopped, with write credentials.
+    * Returns the seqs sealed. The automatic read path only ever adopts
+    * the unambiguous zero-sealed-commits case (see [[legacyAdoptable]]);
+    * this is the path for everything else.
+    */
+  def migrateLegacy(spark: SparkSession, root: String, markerChild: String,
+      upToSeq: Int): Seq[Int] = {
+    val f = fs(spark, root)
+    if (!f.exists(new Path(root))) return Seq.empty
+    val adoptable = numericSeqs(spark, root).filter(s =>
+      s <= upToSeq && !f.exists(new Path(s"$root/$s/$CommitMarker")) &&
+        legacyComplete(f, new Path(s"$root/$s"), markerChild))
+    adoptable.foreach(s =>
+      f.create(new Path(s"$root/$s/$CommitMarker"), true).close())
     f.create(new Path(s"$root/$AdoptedMarker"), true).close()
+    adoptable
   }
 
   /** COMMITTED sequence numbers under `root`, ascending: numeric dirs
@@ -115,16 +175,32 @@ private[sink] object DeltaLog {
     * (non-numeric names), and marker-less dirs — the latter are torn or
     * crashed commits a reader must never consume (their writer either
     * died before sealing, or an object-store copy is still in flight).
+    *
     * Pass `adoptChild` (the store's always-present payload child) to
-    * first [[adoptLegacy]]-seal commits from the pre-marker protocol —
-    * every store read path does, so upgraded stores keep their history.
+    * also admit pre-marker LEGACY commits — READ-ONLY: the adopted view
+    * is computed in memory ([[legacyAdoptable]] — only the unambiguous
+    * zero-sealed-commits case), so readers with read-only credentials
+    * keep working and a reader can never seal another writer's mid-copy
+    * dir. Markers are persisted by the write path ([[commit]] sweeps
+    * before its first rename) or by the explicit [[migrateLegacy]].
+    * TOCTOU guard: if [[AdoptedMarker]] appears DURING the in-memory
+    * sweep (a marker-era writer's pre-rename PUT — its rename may have
+    * torn our listing), the adopted view is discarded and the strict
+    * marker-gated view is re-taken.
     */
   def listSeqs(spark: SparkSession, root: String,
       adoptChild: Option[String] = None): Seq[Int] = {
-    adoptChild.foreach(c => adoptLegacy(spark, root, c))
     val f = fs(spark, root)
-    numericSeqs(spark, root)
+    def sealedView(): Seq[Int] = numericSeqs(spark, root)
       .filter(s => f.exists(new Path(s"$root/$s/$CommitMarker")))
+    adoptChild match {
+      case Some(c) if f.exists(new Path(root)) &&
+          !f.exists(new Path(s"$root/$AdoptedMarker")) =>
+        val adopted = legacyAdoptable(spark, root, c)
+        if (f.exists(new Path(s"$root/$AdoptedMarker"))) sealedView()
+        else (adopted ++ sealedView()).distinct.sorted
+      case _ => sealedView()
+    }
   }
 
   /** Next fresh sequence: past ALL numeric dirs, sealed or not — reusing
@@ -147,8 +223,16 @@ private[sink] object DeltaLog {
     val f = fs(spark, root)
     // legacy sweep + AdoptedMarker PUT strictly BEFORE the rename: once
     // any marker-gated commit is in flight the root is sealed as
-    // adopted, so no reader's adoptLegacy can seal our mid-copy dir
-    adoptLegacy(spark, root, markerChild)
+    // adopted, so no reader's in-memory adoption can admit our mid-copy
+    // dir. The WRITER persists the markers (single-writer contract — no
+    // racing writer whose crash this could seal — and it evidently has
+    // write credentials); only the unambiguous zero-sealed-commits case
+    // auto-adopts, the mixed case takes [[migrateLegacy]].
+    if (!f.exists(new Path(s"$root/$AdoptedMarker"))) {
+      legacyAdoptable(spark, root, markerChild).foreach(s =>
+        f.create(new Path(s"$root/$s/$CommitMarker"), true).close())
+      f.create(new Path(s"$root/$AdoptedMarker"), true).close()
+    }
     val dest = new Path(s"$root/$seq")
     require(f.rename(new Path(tmp), dest),
       s"could not commit delta $seq (concurrent writer?)")

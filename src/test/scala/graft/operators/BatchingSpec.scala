@@ -57,6 +57,57 @@ class BatchingSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("verifiedEnd fires exactly once, at exhaustion, with the row count") {
+    var calls = 0
+    var seen = -1L
+    val it = Batching.verifiedEnd(Iterator(1, 2, 3)) { n =>
+      calls += 1; seen = n
+    }
+    assert(it.toList == List(1, 2, 3))
+    assert(!it.hasNext && !it.hasNext) // idempotent after exhaustion
+    assert(calls == 1 && seen == 3L)
+    // empty partitions verify too (count 0)
+    var n0 = -1L
+    assert(!Batching.verifiedEnd(Iterator.empty[Int])(n0 = _).hasNext)
+    assert(n0 == 0L)
+  }
+
+  test("snapshot divergence fails loudly through the Spark task path") {
+    // the pass-2 guard's failure mode end-to-end: a partition whose
+    // replay count mismatches pass 1 must kill the job with the
+    // deterministic-source guidance, not renumber silently
+    val rdd = spark.range(10).repartition(2).rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        Batching.verifiedEnd(it)(n =>
+          Batching.snapshotDiverged("testOp", pid,
+            s"pass 1 counted ${n + 1} rows, pass 2 saw $n"))
+      }
+    val e = intercept[Exception](rdd.count())
+    val msg = e.toString + Option(e.getCause).map(_.toString).getOrElse("")
+    assert(msg.contains("diverged") && msg.contains("deterministic"), msg)
+  }
+
+  test("nondeterministic sources stay green while the shuffle snapshot holds") {
+    // rand()-derived input: the range shuffle's map stage runs once and
+    // both passes read its files (skipped stage), so the two-phase
+    // numbering is consistent — and the new count guard confirms the
+    // snapshot rather than rejecting the source outright (it only fails
+    // when a between-pass recompute actually diverges)
+    val df = spark.range(500).select(
+      (col("id") % 5).cast("string").as("g"),
+      rand(seed = 7).as("v"))
+    val out = Batching.withGroupRowNumber(df, "g", col("v"), "rk")
+    val perGroup = out.groupBy("g").agg(count(lit(1)).as("n"),
+      min("rk").as("mn"), max("rk").as("mx"), countDistinct("rk").as("d"))
+      .as[(String, Long, Long, Long, Long)].collect()
+    for ((g, n, mn, mx, d) <- perGroup)
+      assert(mn == 1L && mx == n && d == n, s"group $g: $mn..$mx/$n")
+    val cum = Corpus.withGlobalCumSum(
+      spark.range(300).select(rand(11).as("o"), lit(2L).as("w")),
+      col("o"), col("w"), "cs")
+    assert(cum.agg(max("cs")).as[Long].head() == 598L) // (300-1) * 2
+  }
+
   test("interleaveBySource round-robins sources by rank") {
     val docs = (1L to 30L).map(i => (i, s"src${i % 3}"))
       .toDF("doc_id", "source")

@@ -68,9 +68,15 @@ class DeltaLogCrashPropertySpec extends SparkSpec {
     }
     def check(): Boolean = {
       val seqs = DeltaLog.listSeqs(spark, root, Some("docs"))
+      // before the first WRITE seals the root, legacy commits are
+      // adopted in memory (no on-disk marker yet — reads never write);
+      // once the sentinel exists every listed seq must be sealed
+      val rootAdopted =
+        f.exists(new Path(s"$root/${DeltaLog.AdoptedMarker}"))
       val listOk = seqs == committed && seqs.forall { s =>
-        f.exists(new Path(s"$root/$s/${DeltaLog.CommitMarker}")) &&
-          f.exists(new Path(s"$root/$s/docs/c$s"))
+        f.exists(new Path(s"$root/$s/docs/c$s")) &&
+          (!rootAdopted ||
+            f.exists(new Path(s"$root/$s/${DeltaLog.CommitMarker}")))
       }
       val cur = DeltaLog.currentBase(spark, dir, "base")
       val baseOk =
@@ -131,6 +137,69 @@ class DeltaLogCrashPropertySpec extends SparkSpec {
     }
     val result = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(result.passed, result.status.toString)
+  }
+
+  test("r11-upgrade roots: marker-less dirs never auto-adopt once any seal exists") {
+    // random pre-sentinel on-disk states: every numeric dir complete,
+    // some sealed (marker-era commits), some not. With ANY seal present
+    // a marker-less dir is ambiguous (possibly a crashed marker-era
+    // commit whose batch was retried) and must stay invisible; with NO
+    // seal the store is purely pre-marker and all of it is adopted.
+    // Reads must never persist anything either way.
+    val prop = Prop.forAll(
+      Gen.listOfN(8, Gen.oneOf(true, false)).suchThat(_.nonEmpty)) { flags =>
+      val dir = java.nio.file.Files.createTempDirectory("dlog-mixed").toString
+      val root = s"$dir/commits"
+      val f = DeltaLog.fs(spark, dir)
+      flags.zipWithIndex.foreach { case (sealedDir, i) =>
+        f.mkdirs(new Path(s"$root/${i + 1}/docs"))
+        f.create(new Path(s"$root/${i + 1}/docs/c${i + 1}"), true).close()
+        if (sealedDir)
+          f.create(
+            new Path(s"$root/${i + 1}/${DeltaLog.CommitMarker}"), true).close()
+      }
+      val expected =
+        if (flags.contains(true))
+          flags.zipWithIndex.collect { case (true, i) => i + 1 }
+        else flags.indices.map(_ + 1).toList
+      val got = DeltaLog.listSeqs(spark, root, Some("docs")).toList
+      val persisted =
+        f.exists(new Path(s"$root/${DeltaLog.AdoptedMarker}")) ||
+          flags.zipWithIndex.exists { case (sealedDir, i) =>
+            !sealedDir && f.exists(
+              new Path(s"$root/${i + 1}/${DeltaLog.CommitMarker}"))
+          }
+      got == expected && !persisted
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(result.passed, result.status.toString)
+  }
+
+  test("reader lease: a resolved base stays complete across exactly keepGenerations installs") {
+    // the documented lease bound (DeltaLog.installBase scaladoc): a
+    // reader that resolved currentBase survives at most keepGenerations
+    // subsequent installs — and is GC'd by the one after, exactly
+    val prop = Prop.forAll(Gen.choose(0, Keep + 2)) { j =>
+      val dir = java.nio.file.Files.createTempDirectory("dlog-lease").toString
+      val f = DeltaLog.fs(spark, dir)
+      def payload(path: String, tag: String): Unit = {
+        f.mkdirs(new Path(s"$path/docs"))
+        f.create(new Path(s"$path/docs/$tag"), true).close()
+      }
+      DeltaLog.installBase(spark, dir, "base", Keep)(payload(_, "g0")): Unit
+      val resolved = DeltaLog.currentBase(spark, dir, "base")
+      (1 to j).foreach(i =>
+        DeltaLog.installBase(spark, dir, "base", Keep)(
+          payload(_, s"g$i")): Unit)
+      val complete =
+        f.exists(new Path(s"$resolved/${DeltaLog.CommitMarker}")) &&
+          f.exists(new Path(s"$resolved/docs/g0"))
+      if (j <= Keep) complete else !f.exists(new Path(resolved))
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
     assert(result.passed, result.status.toString)
   }
 }

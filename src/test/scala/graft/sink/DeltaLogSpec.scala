@@ -178,10 +178,11 @@ class DeltaLogSpec extends SparkSpec {
       "pid", "lat", "lon", dir) == 778)
   }
 
-  test("legacy marker-less commits are adopted on first read") {
+  test("legacy marker-less commits: read adopts in memory, write persists") {
     // a store written by the pre-marker protocol: committed dirs exist
     // but carry no sentinel — a marker-gated read must grandfather them
-    // (sealing complete dirs), not silently drop the store's history
+    // WITHOUT writing (readers may hold read-only credentials), not
+    // silently drop the store's history
     val dir = tmpDir("dlog-adopt")
     StatsStore.init(Seq("a", "b").toDF("v"), Seq("v"), dir)
     StatsStore.append(Seq("c").toDF("v"), dir)
@@ -198,7 +199,14 @@ class DeltaLogSpec extends SparkSpec {
     val after = StatsStore.profile(spark, dir)
       .collect().map(_.toString).sorted.toSeq
     assert(after == before)
-    // the sweep sealed the complete dirs and the root, skipped the stray
+    // the READ adopted in memory only: nothing was persisted
+    Seq(1, 2, 9).foreach(s =>
+      assert(!f.exists(new Path(s"$dir/commits/$s/${DeltaLog.CommitMarker}"))))
+    assert(!f.exists(new Path(s"$dir/commits/${DeltaLog.AdoptedMarker}")))
+    // the next WRITE persists the adoption (sweep + root sentinel before
+    // its rename), skipping the incomplete stray; the stray burned seq 9
+    // so the new commit lands at 10
+    StatsStore.append(Seq("f").toDF("v"), dir)
     Seq(1, 2).foreach(s =>
       assert(f.exists(new Path(s"$dir/commits/$s/${DeltaLog.CommitMarker}"))))
     assert(f.exists(new Path(s"$dir/commits/${DeltaLog.AdoptedMarker}")))
@@ -206,11 +214,80 @@ class DeltaLogSpec extends SparkSpec {
     // once adopted, a new marker-less dir is a TORN commit again — even
     // with a plausible payload child it stays invisible and unsealed
     val f2 = DeltaLog.fs(spark, dir)
-    f2.mkdirs(new Path(s"$dir/commits/10/stats"))
-    f2.create(new Path(s"$dir/commits/10/stats/part-0.parquet"), true).close()
+    f2.mkdirs(new Path(s"$dir/commits/11/stats"))
+    f2.create(new Path(s"$dir/commits/11/stats/data"), true).close()
     assert(DeltaLog.listSeqs(spark, s"$dir/commits", Some("stats"))
+      == Seq(1, 2, 10))
+    assert(!f2.exists(new Path(s"$dir/commits/11/${DeltaLog.CommitMarker}")))
+  }
+
+  test("mixed sealed+markerless roots never auto-adopt; migrateLegacy does") {
+    // the mid-upgrade store the r12 sweep mishandled: legacy marker-less
+    // history BELOW marker-era sealed commits, no root sentinel. A
+    // marker-less dir here is ambiguous (it could be a marker-era commit
+    // that crashed between rename and seal, its batch retried under a
+    // later seq — adopting it double-counts), so neither reads nor
+    // writes adopt; the operator-asserted migrateLegacy is the only way.
+    val dir = tmpDir("dlog-mixed")
+    val root = s"$dir/commits"
+    val f = DeltaLog.fs(spark, root)
+    def legacyCommit(s: Int): Unit = {
+      f.mkdirs(new Path(s"$root/$s/docs"))
+      f.create(new Path(s"$root/$s/docs/c$s"), true).close()
+    }
+    legacyCommit(1); legacyCommit(2)
+    // a marker-era commit on top (seals the root as a side effect) —
+    // then strip the root sentinel to recreate the r11-era on-disk state
+    DeltaLog.commit(spark, root, DeltaLog.nextSeq(spark, root), "docs") {
+      tmp =>
+        f.mkdirs(new Path(s"$tmp/docs"))
+        f.create(new Path(s"$tmp/docs/c3"), true).close()
+    }
+    f.delete(new Path(s"$root/${DeltaLog.AdoptedMarker}"), false)
+    Seq(1, 2).foreach(s => // the r11 writer never swept — strip those too
+      f.delete(new Path(s"$root/$s/${DeltaLog.CommitMarker}"), false))
+    // plant a crashed marker-era commit (complete payload, no seal)
+    f.mkdirs(new Path(s"$root/4/docs"))
+    f.create(new Path(s"$root/4/docs/crashed"), true).close()
+    // reads return ONLY the sealed commit — neither the legacy history
+    // nor the crashed dir is auto-adopted, and nothing is persisted
+    assert(DeltaLog.listSeqs(spark, root, Some("docs")) == Seq(3))
+    assert(!f.exists(new Path(s"$root/${DeltaLog.AdoptedMarker}")))
+    // a write doesn't adopt them either (still ambiguous)
+    DeltaLog.commit(spark, root, DeltaLog.nextSeq(spark, root), "docs") {
+      tmp =>
+        f.mkdirs(new Path(s"$tmp/docs"))
+        f.create(new Path(s"$tmp/docs/c5"), true).close()
+    }
+    assert(DeltaLog.listSeqs(spark, root, Some("docs")) == Seq(3, 5))
+    assert(!f.exists(new Path(s"$root/1/${DeltaLog.CommitMarker}")))
+    // the explicit migration: the operator asserts seqs <= 2 are legacy;
+    // the crashed 4 sits above the bound and stays invisible forever
+    f.delete(new Path(s"$root/${DeltaLog.AdoptedMarker}"), false)
+    assert(DeltaLog.migrateLegacy(spark, root, "docs", upToSeq = 2)
       == Seq(1, 2))
-    assert(!f2.exists(new Path(s"$dir/commits/10/${DeltaLog.CommitMarker}")))
+    assert(DeltaLog.listSeqs(spark, root, Some("docs")) == Seq(1, 2, 3, 5))
+    assert(!f.exists(new Path(s"$root/4/${DeltaLog.CommitMarker}")))
+    assert(f.exists(new Path(s"$root/${DeltaLog.AdoptedMarker}")))
+  }
+
+  test("adoption completeness: truncated parquet and missing _SUCCESS reject") {
+    val dir = tmpDir("dlog-complete")
+    val root = s"$dir/commits"
+    val f = DeltaLog.fs(spark, root)
+    // seq 1: a real (tiny but valid) spark-written parquet payload
+    Seq(1L).toDF("v").coalesce(1).write
+      .parquet(s"$root/1/docs")
+    // seq 2: payload child present but its parquet is TRUNCATED (PAR1
+    // head only — the plantTorn shape) — must not adopt
+    f.mkdirs(new Path(s"$root/2/docs"))
+    val out = f.create(new Path(s"$root/2/docs/part-00000.parquet"), true)
+    out.write(Array[Byte](0x50, 0x41, 0x52, 0x31))
+    out.close()
+    // seq 3: part- files without _SUCCESS (torn spark output copy)
+    f.mkdirs(new Path(s"$root/3/docs"))
+    f.create(new Path(s"$root/3/docs/part-00000"), true).close()
+    assert(DeltaLog.listSeqs(spark, root, Some("docs")) == Seq(1))
   }
 
   test("base retention: keepGenerations=2 covers a reader spanning two installs") {
