@@ -461,6 +461,27 @@ private[graft] object QueriesTextMediaCorpus {
         .orderBy("id")
     }),
 
+    // The SHORT-BLOCK leg of the same codec (block_type 2: short
+    // scalefactor-band tables, per-(band, window) scalefactors, the
+    // spec's frequency-line reorder, 3x12-point IMDCT tiling — the
+    // transient window machinery real-world MP3s lean on): 150 tones
+    // forced through all-short frames must keep their FFT peaks.
+    "x_audio_mp3_short" -> ((s, d) => {
+      val k = (pmod(col("doc_id"), lit(30)) + 1).cast("double")
+      val pcm = Tables.documents(s, d).select("doc_id")
+        .filter(col("doc_id") < 150)
+        .withColumn("samples", transform(sequence(lit(0), lit(2303)),
+          n => round(lit(8000.0) *
+            sin(lit(2.0 * math.Pi) * k * n.cast("double") / lit(256.0)))
+            .cast("int")))
+      val enc2 = operators.Multimodal.encodeMp3(pcm, "doc_id", "samples",
+        44100, blockMode = "short")
+      operators.Multimodal.audioSpectrum(enc2, "id", "payload", fftSize = 256)
+        .select(col("id"), col("sample_rate").cast("int").as("sample_rate"),
+          col("peak_bin"), col("n_samples"))
+        .orderBy("id")
+    }),
+
     // The MPEG-2 LSF leg of the same codec (22.05 kHz one-granule
     // 576-sample frames, 9-byte side info, scalefac_compress 399 — the
     // LSF slen decomposition carrying LIVE scalefactors, which the

@@ -15,10 +15,14 @@ import scala.collection.mutable.ArrayBuffer
   * alias-reduction butterflies (the spec's eight ci coefficients),
   * 36-point IMDCT with the long/start/stop block-type windows,
   * frequency inversion, and the 32-band cosine-modulated synthesis
-  * filterbank. Short blocks (block_type 2) FAIL LOUDLY: their
-  * frequency-line reorder and short scalefactor-band tables are not
-  * shipped, and decoding without them would be silently garbled —
-  * the same loud-or-correct stance as the Huffman subset below.
+  * filterbank. MPEG-1 short blocks (block_type 2) decode and encode
+  * fully — short scalefactor-band tables, the frequency-line reorder,
+  * subblock_gain, 3×12-point IMDCT tiling, and an encoder transient
+  * detector emitting the spec's long→start→short→stop window sequence.
+  * MIXED short blocks and LSF short granules FAIL LOUDLY: their band
+  * layouts are not shipped, and decoding without them would be
+  * silently garbled — the same loud-or-correct stance as the Huffman
+  * subset below.
   *
   * Two spec TABLES are not reconstructible in this offline container
   * and are handled explicitly rather than faked:
@@ -217,6 +221,25 @@ object Mp3Codec {
       136, 162, 194, 232, 278, 332, 394, 464, 540, 576),
     16000 -> Array(0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 116,
       140, 168, 200, 238, 284, 336, 396, 464, 522, 576))
+
+  /** Short-block scalefactor band boundaries (14 entries, 0..192 PER
+    * WINDOW — 13 bands, scalefactors for 0..11) per sample rate — the
+    * Table B.8 short columns, same family as [[SfbLong]]. Validated at
+    * class load (monotone, 0-start, 192-end) the way the Huffman subset
+    * is Kraft-checked.
+    */
+  private val SfbShort: Map[Int, Array[Int]] = Map(
+    44100 -> Array(0, 4, 8, 12, 16, 22, 30, 40, 52, 66, 84, 106, 136, 192),
+    48000 -> Array(0, 4, 8, 12, 16, 22, 28, 38, 50, 64, 80, 100, 126, 192),
+    32000 -> Array(0, 4, 8, 12, 16, 22, 30, 42, 58, 78, 104, 138, 180, 192),
+    22050 -> Array(0, 4, 8, 12, 18, 24, 32, 42, 56, 74, 100, 132, 174, 192),
+    24000 -> Array(0, 4, 8, 12, 18, 26, 36, 48, 62, 80, 104, 136, 180, 192),
+    16000 -> Array(0, 4, 8, 12, 18, 26, 36, 48, 62, 80, 104, 134, 174, 192))
+  for ((sr, t) <- SfbShort) {
+    require(t.length == 14 && t.head == 0 && t.last == 192 &&
+      t.zip(t.tail).forall { case (a, b) => a < b },
+      s"short sfb table for $sr is not a monotone 0..192 partition")
+  }
 
   /** MPEG-1 scalefactor bit counts indexed by scalefac_compress. */
   private val Slen1 = Array(0, 0, 0, 0, 3, 1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4)
@@ -529,22 +552,27 @@ object Mp3Codec {
               require(start + gi.part23 <= main.length * 8,
                 s"Mp3Codec: granule main data truncated (needs " +
                   s"${gi.part23} bits at $start of ${main.length * 8})")
-              // short blocks need the spec's frequency-line REORDER
-              // and the short scalefactor-band tables — neither is
-              // shipped; decoding anyway would produce silently garbled
-              // audio, so fail loudly instead (the unshipped-table
-              // convention; the media layer null-routes this)
-              if (gi.windowSwitching && gi.blockType == 2)
+              // mixed blocks (two long subbands under short windows) and
+              // LSF short granules stay loud: their band layouts are not
+              // shipped, and decoding anyway would be silently garbled —
+              // the unshipped-table convention. MPEG-1 short blocks
+              // decode fully (reorder + short sfb tables below).
+              if (gi.windowSwitching && gi.blockType == 2 &&
+                  (gi.mixed || !v1))
                 throw new UnsupportedOperationException(
-                  "Mp3Codec: short blocks (block_type 2) are not " +
-                    "implemented — the frequency-line reorder and short " +
-                    "scalefactor-band tables are not shipped in this " +
-                    "offline build; long/start/stop block types decode.")
+                  "Mp3Codec: " + (if (gi.mixed) "mixed" else "MPEG-2 LSF") +
+                    " short blocks are not implemented — their " +
+                    "scalefactor band layout is not shipped in this " +
+                    "offline build; MPEG-1 short and all long/start/stop " +
+                    "block types decode.")
               val sf = readScalefactors(r, gi, v1, g, scfsi, prevSf)
               val is = huffmanSpectrum(r, gi, h.sr, start)
               // skip any ancillary/stuffing up to part2_3_length
               r.pos = start + gi.part23
-              val xr = requantize(is, gi, sf, h.sr)
+              val xr =
+                if (gi.windowSwitching && gi.blockType == 2)
+                  requantizeShort(is, gi, sf.short, h.sr)
+                else requantize(is, gi, sf.long, h.sr)
               if (gi.blockType != 2) aliasReduce(xr)
               synthGranule(xr, gi, overlap, synthAcc, out)
               g += 1
@@ -572,25 +600,39 @@ object Mp3Codec {
       10 + size
     } else 0
 
-  /** Long-block scalefactors into a 22-slot array (band 21 carries
-    * none). MPEG-1: slen1/slen2 with the four scfsi groups; LSF: the
-    * 13818-3 slen decomposition (no intensity — mono).
+  /** Decoded scalefactors: `long` is the 22-slot long-band array (band
+    * 21 carries none); `short` is windows × 13 short bands (band 12
+    * carries none) — only populated for short granules.
+    */
+  private final case class Scalefactors(long: Array[Int],
+      short: Array[Array[Int]])
+
+  /** Scalefactors for one granule. Long blocks: MPEG-1 slen1/slen2 with
+    * the four scfsi groups, or the LSF 13818-3 slen decomposition.
+    * MPEG-1 short blocks: 12 (band, window) values sfb-major — slen1
+    * for bands 0-5, slen2 for 6-11 (scfsi never applies to short
+    * granules; the encoder transmits all groups).
     */
   private def readScalefactors(r: BitReader, gi: GranuleInfo, v1: Boolean,
-      granule: Int, scfsi: Array[Int], prev: Array[Int]): Array[Int] = {
+      granule: Int, scfsi: Array[Int], prev: Array[Int]): Scalefactors = {
     val sf = new Array[Int](22)
-    if (gi.blockType == 2) {
-      // short-block scalefactors: 12 bands x 3 windows. UNREACHABLE
-      // since the loud short-block guard in decode(); retained as the
-      // bit-exact scaffolding for a future data-only completion
-      // (reorder + short sfb tables)
-      val (s1, s2) =
-        if (v1) (Slen1(gi.sfCompress), Slen2(gi.sfCompress))
-        else { val sl = lsfSlen(gi.sfCompress); (sl(0), sl(1)) }
-      var i = 0
-      while (i < 18) { r.get(s1); i += 1 } // bands 0..5 x 3
-      while (i < 36) { r.get(s2); i += 1 } // bands 6..11 x 3
-      return sf
+    if (gi.windowSwitching && gi.blockType == 2) {
+      // MPEG-1 only — the LSF short guard in decode() keeps this path
+      // out of 13818-3 streams, whose short band grouping is not shipped
+      val s1 = Slen1(gi.sfCompress)
+      val s2 = Slen2(gi.sfCompress)
+      val short = Array.ofDim[Int](3, 13)
+      var b = 0
+      while (b < 12) {
+        val slen = if (b < 6) s1 else s2
+        var w = 0
+        while (w < 3) {
+          short(w)(b) = if (slen == 0) 0 else r.get(slen)
+          w += 1
+        }
+        b += 1
+      }
+      return Scalefactors(sf, short)
     }
     if (v1) {
       val s1 = Slen1(gi.sfCompress)
@@ -626,7 +668,7 @@ object Mp3Codec {
         gIdx += 1
       }
     }
-    sf
+    Scalefactors(sf, Array.empty)
   }
 
   private def lsfSlen(sfc: Int): Array[Int] =
@@ -650,7 +692,13 @@ object Mp3Codec {
     val sfb = SfbLong(sr)
     val bigLines = math.min(gi.bigValues * 2, 576)
     val (r0End, r1End) =
-      if (gi.windowSwitching) (36, 576)
+      if (gi.windowSwitching) {
+        // spec-implied regions: short non-mixed splits at line 36
+        // (3 windows x short sfb 3 = 3 x 12); long switching types
+        // (start/stop, and the mixed long half) split at long sfb 8
+        if (gi.blockType == 2 && !gi.mixed) (36, 576)
+        else (sfb(8), 576)
+      }
       else (sfb(math.min(gi.region0 + 1, 22)),
         sfb(math.min(gi.region0 + 1 + gi.region1 + 1, 22)))
     var i = 0
@@ -705,8 +753,7 @@ object Mp3Codec {
     val xr = new Array[Double](576)
     val gain = math.pow(2.0, (gi.globalGain - 210) / 4.0)
     val mult = 0.5 * (1 + gi.sfScale)
-    // per long band factor (short blocks share the long path here —
-    // mono encode never emits them; see scaladoc)
+    // per long band factor (short granules take requantizeShort)
     var band = 0
     val sfb = SfbLong(sr)
     var i = 0
@@ -720,6 +767,47 @@ object Mp3Codec {
         xr(i) = if (v < 0) -mag else mag
       }
       i += 1
+    }
+    xr
+  }
+
+  /** Short-block requantizer + the spec's frequency-line REORDER in one
+    * pass. Bitstream order is (short band, window, line-in-band); the
+    * hybrid filterbank consumes window-major lines within each subband —
+    * `xr(sb*18 + window*6 + k)` feeding the three 6-point IMDCTs — so
+    * each decoded line at per-window frequency `fl` of window `w` lands
+    * at `(fl/6)*18 + w*6 + fl%6`. Gain per (band, window):
+    * `2^((global_gain - 210 - 8*subblock_gain(w))/4)` times the
+    * scalefactor step `2^(-mult*sf(w)(band))`; short bands carry no
+    * preemphasis.
+    */
+  private def requantizeShort(is: Array[Int], gi: GranuleInfo,
+      sfShort: Array[Array[Int]], sr: Int): Array[Double] = {
+    val xr = new Array[Double](576)
+    val mult = 0.5 * (1 + gi.sfScale)
+    val sfb = SfbShort(sr)
+    val winGain = Array.tabulate(3)(w =>
+      math.pow(2.0, (gi.globalGain - 210 - 8 * gi.subblockGain(w)) / 4.0))
+    var src = 0
+    var b = 0
+    while (b < 13) {
+      var w = 0
+      while (w < 3) {
+        val factor = winGain(w) * math.pow(2.0,
+          -mult * (if (b < 12) sfShort(w)(b) else 0))
+        var fl = sfb(b)
+        while (fl < sfb(b + 1)) {
+          val v = if (src < 576) is(src) else 0
+          if (v != 0) {
+            val mag = math.pow(math.abs(v).toDouble, 4.0 / 3.0) * factor
+            xr((fl / 6) * 18 + w * 6 + fl % 6) = if (v < 0) -mag else mag
+          }
+          src += 1
+          fl += 1
+        }
+        w += 1
+      }
+      b += 1
     }
     xr
   }
@@ -751,10 +839,10 @@ object Mp3Codec {
     while (sb < 32) {
       val rawOut = new Array[Double](36)
       if (gi.blockType == 2) {
-        // three short IMDCTs laid into the 36-slot frame (6..30) —
-        // UNREACHABLE since the loud short-block guard in decode();
-        // retained scaffolding (the 12-pt basis and window are the
-        // spec's closed forms, only reorder + short sfb tables miss)
+        // three short IMDCTs laid into the 36-slot frame (6..30): the
+        // windows tile at 6-sample offsets so adjacent windows TDAC
+        // within the granule and the outer halves TDAC with the
+        // neighboring granules' stored overlap
         var win = 0
         while (win < 3) {
           var i = 0
@@ -818,23 +906,43 @@ object Mp3Codec {
     * (one-granule 576-sample frames, 9-byte side info, scalefac_compress
     * 399 → the LSF slen decomposition) — at `bitrateKbps` (any Layer III
     * rate of the chosen version; 0 picks the version default, 320 for
-    * MPEG-1 / 96 for LSF), long
-    * blocks, per-band scalefactors, `main_data_begin = 0` (no reservoir
-    * use — legal, each frame self-contained). Quantization is
-    * psychoacoustics-free: per granule the 4/3-power quantizer's
-    * global_gain starts at the finest step that keeps every line inside
-    * the verified Huffman subset's |ix| <= 3 alphabet and coarsens by
-    * rate-loop until the granule fits the frame — at low bitrates on
-    * dense spectra the loop zeroes the quietest lines first (they fall
-    * below the step), the textbook rate-distortion behavior. Input pads
-    * to a 1152-sample multiple.
+    * MPEG-1 / 96 for LSF), per-band scalefactors, `main_data_begin = 0`
+    * (no reservoir use — legal, each frame self-contained).
+    *
+    * `blockMode` (MPEG-1 only — LSF short band layouts are not
+    * shipped): "long" keeps every granule block_type 0; "short" forces
+    * every granule to short blocks (three 12-point MDCTs per subband,
+    * per-(band, window) scalefactors) — the deterministic round-trip
+    * prover; "auto" runs a transient detector (granule PCM peak jumping
+    * past 4× its predecessor) and emits the spec's window sequence:
+    * long → START(1) → SHORT(2) → STOP(3) → long, bridging lone long
+    * granules between shorts.
+    *
+    * Quantization is psychoacoustics-free: per granule the 4/3-power
+    * quantizer's global_gain starts at the finest step that keeps every
+    * line inside the verified Huffman subset's |ix| <= 3 alphabet and
+    * coarsens by rate-loop until the granule fits the frame — at low
+    * bitrates on dense spectra the loop zeroes the quietest lines first
+    * (they fall below the step), the textbook rate-distortion behavior.
+    * When global_gain reaches its 8-bit ceiling and the granule STILL
+    * does not fit (dense loud spectra at the lowest rates — the
+    * scalefactor boost re-amplifies capped bands no matter how coarse
+    * the step), the loop zeroes whole scalefactor bands quietest-first
+    * until the bit budget is met, so every legal rate/bitrate
+    * combination encodes instead of overflowing. Input pads to a
+    * frame-sample multiple.
     */
   def encode(samples: Array[Int], sampleRate: Int,
-      bitrateKbps: Int = 0): Array[Byte] = {
+      bitrateKbps: Int = 0, blockMode: String = "long"): Array[Byte] = {
     val v1 = SrV1.contains(sampleRate)
     require(v1 || SrV2.contains(sampleRate),
       s"encode supports MPEG-1 rates ${SrV1.mkString("/")} and MPEG-2 " +
         s"LSF rates ${SrV2.mkString("/")}, got $sampleRate")
+    require(Set("long", "short", "auto").contains(blockMode),
+      s"blockMode must be long/short/auto, got $blockMode")
+    require(v1 || blockMode == "long",
+      "short/auto block modes are MPEG-1 only (the LSF short " +
+        "scalefactor band layout is not shipped; see the class scaladoc)")
     val brTable = if (v1) BitrateV1L3 else BitrateV2L3
     val kbps = if (bitrateKbps != 0) bitrateKbps else if (v1) 320 else 96
     val bri = brTable.indexOf(kbps)
@@ -849,10 +957,50 @@ object Mp3Codec {
       math.max(1, (samples.length + frameSamples - 1) / frameSamples)
     val padded = java.util.Arrays.copyOf(samples, nFrames * frameSamples)
     val sfb = SfbLong(sampleRate)
+    val sfbS = SfbShort(sampleRate)
     // LSF scalefac_compress 399 decomposes to slens (4,4,3,3) over the
     // (6,5,5,5) band groups — byte-for-byte the same 11x4 + 10x3
     // scalefactor layout the MPEG-1 side uses (scalefac_compress 15)
     val sfCompress = if (v1) 15 else 399
+
+    // per-granule block types for the whole stream (the auto detector
+    // needs one-granule lookahead to place START windows)
+    val totalGranules = nFrames * granules
+    val blockTypes: Array[Int] = blockMode match {
+      case "short" => Array.fill(totalGranules)(2)
+      case "long" => new Array[Int](totalGranules)
+      case _ =>
+        val peaks = Array.tabulate(totalGranules) { g =>
+          var m = 0
+          var i = g * 576
+          while (i < (g + 1) * 576) {
+            val a = math.abs(padded(i)); if (a > m) m = a; i += 1
+          }
+          m
+        }
+        val bt = new Array[Int](totalGranules)
+        var g = 1 // stream start has no reference level — never an attack
+        while (g < totalGranules) {
+          if (peaks(g) > 1000 && peaks(g) > 4L * peaks(g - 1)) bt(g) = 2
+          g += 1
+        }
+        // bridge a lone long granule between shorts (no legal window
+        // can both stop and start in one granule)
+        g = 1
+        while (g < totalGranules - 1) {
+          if (bt(g) == 0 && bt(g - 1) == 2 && bt(g + 1) == 2) bt(g) = 2
+          g += 1
+        }
+        g = 0
+        while (g < totalGranules) {
+          if (bt(g) == 0) {
+            if (g + 1 < totalGranules && bt(g + 1) == 2) bt(g) = 1
+            else if (g > 0 && bt(g - 1) == 2) bt(g) = 3
+          }
+          g += 1
+        }
+        bt
+    }
 
     // analysis filterbank state
     val x = new Array[Double](512) // newest first
@@ -864,9 +1012,13 @@ object Mp3Codec {
       val granuleGain = new Array[Int](granules)
       val granuleBits = Array.ofDim[BitWriter](granules)
       val granuleMeta = Array.ofDim[(Int, Int)](granules) // (bigValues, count1)
-      val granuleSf = Array.ofDim[Array[Int]](granules)
+      val granuleSf = Array.ofDim[Array[Int]](granules)        // long path
+      val granuleSfS = Array.ofDim[Array[Array[Int]]](granules) // short path
+      val granuleBt = new Array[Int](granules)
       var g = 0
       while (g < granules) {
+        val bt = blockTypes(f * granules + g)
+        granuleBt(g) = bt
         // 18 analysis slots -> 18x32 subband samples
         val sbSamples = Array.ofDim[Double](32, 18)
         var slot = 0
@@ -892,108 +1044,220 @@ object Mp3Codec {
           }
           slot += 1
         }
-        // MDCT per subband (long window), previous-granule overlap
+        // MDCT per subband, previous-granule overlap: long/start/stop
+        // take the 36-point transform under their block window; short
+        // takes three 12-point transforms tiled at offsets 6/12/18 —
+        // the inverse tiling synthGranule reconstructs
         val xr = new Array[Double](576)
         var sb = 0
         while (sb < 32) {
-          val buf = new Array[Double](36)
+          val buf = new Array[Double](36) // prev 18 ++ cur 18, unwindowed
           var i = 0
           while (i < 18) {
-            buf(i) = mdctPrev(sb)(i) * WinLong(i)
-            buf(18 + i) = sbSamples(sb)(i) * WinLong(18 + i)
+            buf(i) = mdctPrev(sb)(i)
+            buf(18 + i) = sbSamples(sb)(i)
             mdctPrev(sb)(i) = sbSamples(sb)(i)
             i += 1
           }
-          var k = 0
-          while (k < 18) {
-            var s = 0.0
-            i = 0
-            while (i < 36) { s += buf(i) * Imdct36(i)(k); i += 1 }
-            xr(sb * 18 + k) = s
-            k += 1
+          if (bt == 2) {
+            var win = 0
+            while (win < 3) {
+              var k = 0
+              while (k < 6) {
+                var s = 0.0
+                var i2 = 0
+                while (i2 < 12) {
+                  s += buf(6 + win * 6 + i2) * WinShort(i2) * Imdct12(i2)(k)
+                  i2 += 1
+                }
+                xr(sb * 18 + win * 6 + k) = s
+                k += 1
+              }
+              win += 1
+            }
+          } else {
+            val w = windowFor(bt)
+            var k = 0
+            while (k < 18) {
+              var s = 0.0
+              var i2 = 0
+              while (i2 < 36) { s += buf(i2) * w(i2) * Imdct36(i2)(k); i2 += 1 }
+              xr(sb * 18 + k) = s
+              k += 1
+            }
           }
           sb += 1
         }
         // inverse alias reduction (transpose butterflies) so the
-        // decoder's forward pass restores the spectrum
-        var sb2 = 1
-        while (sb2 < 32) {
-          var i = 0
-          while (i < 8) {
-            val a = xr(18 * sb2 - 1 - i)
-            val b = xr(18 * sb2 + i)
-            xr(18 * sb2 - 1 - i) = a * Cs(i) + b * Ca(i)
-            xr(18 * sb2 + i) = b * Cs(i) - a * Ca(i)
-            i += 1
+        // decoder's forward pass restores the spectrum — long block
+        // types only; the decoder skips alias reduction for short
+        if (bt != 2) {
+          var sb2 = 1
+          while (sb2 < 32) {
+            var i = 0
+            while (i < 8) {
+              val a = xr(18 * sb2 - 1 - i)
+              val b = xr(18 * sb2 + i)
+              xr(18 * sb2 - 1 - i) = a * Cs(i) + b * Ca(i)
+              xr(18 * sb2 + i) = b * Cs(i) - a * Ca(i)
+              i += 1
+            }
+            sb2 += 1
           }
-          sb2 += 1
         }
         // rate loop: global_gain sets the step for the LOUDEST band's
         // |ix| <= 3 fit; per-band scalefactors (scalefac_scale = 1)
         // boost quieter bands by up to 2^15 so their lines quantize
         // with fine effective steps — the spec's own precision lever,
-        // no psychoacoustics. Coarsen gg until the granule fits.
+        // no psychoacoustics. Coarsen gg until the granule fits; once
+        // gg hits its ceiling, zero whole bands quietest-first (the
+        // capped-band escape — without it a dense loud spectrum at the
+        // lowest bitrates never shrinks and the frame overflows).
         val maxAbs = xr.map(math.abs).max
         val headroom = math.pow(3.49, 4.0 / 3.0)
+        // per-cell maxima: long cells are the 22 long bands; short
+        // cells are (band, window) — 13 x 3, flat index b*3+w
+        val nCells = if (bt == 2) 39 else 22
+        val cellMax = new Array[Double](nCells)
+        if (bt == 2) {
+          var b = 0
+          while (b < 13) {
+            var w = 0
+            while (w < 3) {
+              var m = 0.0
+              var fl = sfbS(b)
+              while (fl < sfbS(b + 1)) {
+                val a = math.abs(xr((fl / 6) * 18 + w * 6 + fl % 6))
+                if (a > m) m = a
+                fl += 1
+              }
+              cellMax(b * 3 + w) = m
+              w += 1
+            }
+            b += 1
+          }
+        } else {
+          var b = 0
+          while (b < sfb.length - 1) { // 21 or 22 bands (32 kHz table)
+            var m = 0.0
+            var i2 = sfb(b)
+            while (i2 < sfb(b + 1)) {
+              val a = math.abs(xr(i2)); if (a > m) m = a
+              i2 += 1
+            }
+            cellMax(b) = m
+            b += 1
+          }
+        }
+        // quietest-first ladder over the audible cells
+        val quietOrder: Array[Int] =
+          cellMax.indices.filter(cellMax(_) > 0)
+            .sortBy(cellMax(_)).toArray
+        val part2 = if (bt == 2) 126 else 74 // scalefactor bits (sfc 15/399)
+        val budget = (slots - 4 - sideBytes) * 8 / granules
         var gg =
           if (maxAbs <= 0) 210
           else math.max(0, math.min(255,
             (210 + math.ceil(4.0 * math.log(maxAbs / headroom) /
               math.log(2.0))).toInt))
+        var nZeroed = 0
         var done = false
-        var ix: Array[Int] = null
         var bw: BitWriter = null
         var meta: (Int, Int) = null
-        var sfOut: Array[Int] = null
         while (!done) {
           val step = math.pow(2.0, (gg - 210) / 4.0)
-          // per-band boost: largest sf with bandMax * 2^sf inside the
-          // alphabet (slen caps: 4 bits for bands 0-10, 3 for 11-20)
-          val sfB = new Array[Int](22)
-          var b = 0
-          while (b < 21) {
-            var bandMax = 0.0
-            var i2 = sfb(b)
-            while (i2 < sfb(b + 1)) {
-              val a = math.abs(xr(i2)); if (a > bandMax) bandMax = a
-              i2 += 1
+          val zeroed = new Array[Boolean](nCells)
+          var z = 0
+          while (z < nZeroed) { zeroed(quietOrder(z)) = true; z += 1 }
+          val ix = new Array[Int](576)
+          if (bt == 2) {
+            // per-(band, window) boost under the short slen caps
+            // (4 bits for bands 0-5, 3 for 6-11; band 12 carries none)
+            val sfS = Array.ofDim[Int](3, 13)
+            var b = 0
+            while (b < 12) {
+              val cap = if (b < 6) 15 else 7
+              var w = 0
+              while (w < 3) {
+                val m = cellMax(b * 3 + w)
+                sfS(w)(b) =
+                  if (m <= 0 || zeroed(b * 3 + w)) 0
+                  else math.max(0, math.min(cap, math.floor(
+                    math.log(step * headroom / m) / math.log(2.0)).toInt))
+                w += 1
+              }
+              b += 1
             }
-            val cap = if (b < 11) 15 else 7
-            sfB(b) =
-              if (bandMax <= 0) 0
-              else math.max(0, math.min(cap, math.floor(
-                math.log(step * headroom / bandMax) / math.log(2.0)).toInt))
-            b += 1
-          }
-          ix = new Array[Int](576)
-          var i3 = 0
-          var band = 0
-          while (i3 < 576) {
-            if (band < 21 && i3 >= sfb(band + 1)) band += 1
-            val v = xr(i3)
-            if (v != 0.0) {
-              val boost = math.pow(2.0, sfB(math.min(band, 21)))
-              val q = math.min(3, math.round(
-                math.pow(math.abs(v) * boost / step, 0.75)).toInt)
-              ix(i3) = if (v < 0) -q else q
+            // quantize straight into BITSTREAM order (band-major, then
+            // window, then line) — the inverse of requantizeShort's walk
+            var src = 0
+            b = 0
+            while (b < 13) {
+              var w = 0
+              while (w < 3) {
+                val dead = zeroed(b * 3 + w)
+                val boost =
+                  math.pow(2.0, if (b < 12) sfS(w)(b) else 0)
+                var fl = sfbS(b)
+                while (fl < sfbS(b + 1)) {
+                  val v = xr((fl / 6) * 18 + w * 6 + fl % 6)
+                  if (v != 0.0 && !dead) {
+                    val q = math.min(3, math.round(
+                      math.pow(math.abs(v) * boost / step, 0.75)).toInt)
+                    ix(src) = if (v < 0) -q else q
+                  }
+                  src += 1
+                  fl += 1
+                }
+                w += 1
+              }
+              b += 1
             }
-            i3 += 1
+            granuleSfS(g) = sfS
+            granuleSf(g) = null
+          } else {
+            // per-band boost: largest sf with bandMax * 2^sf inside the
+            // alphabet (slen caps: 4 bits for bands 0-10, 3 for 11-20)
+            val sfB = new Array[Int](22)
+            var b = 0
+            while (b < 21) {
+              val cap = if (b < 11) 15 else 7
+              val m = cellMax(b)
+              sfB(b) =
+                if (m <= 0 || zeroed(b)) 0
+                else math.max(0, math.min(cap, math.floor(
+                  math.log(step * headroom / m) / math.log(2.0)).toInt))
+              b += 1
+            }
+            var i3 = 0
+            var band = 0
+            while (i3 < 576) {
+              if (band < 21 && i3 >= sfb(band + 1)) band += 1
+              val v = xr(i3)
+              if (v != 0.0 && !zeroed(math.min(band, 21))) {
+                val boost = math.pow(2.0, sfB(math.min(band, 21)))
+                val q = math.min(3, math.round(
+                  math.pow(math.abs(v) * boost / step, 0.75)).toInt)
+                ix(i3) = if (v < 0) -q else q
+              }
+              i3 += 1
+            }
+            granuleSf(g) = sfB
+            granuleSfS(g) = null
           }
           val enc = encodeGranule(ix, sfb)
           bw = enc._1
           meta = (enc._2, enc._3)
-          sfOut = sfB
-          // capacity: whole frame minus header+side, split over the
-          // frame's granules; part2 = 11x4 + 10x3 = 74 scalefactor bits
-          if (74 + bw.bitLength <= (slots - 4 - sideBytes) * 8 / granules ||
-              gg >= 251)
-            done = true
-          else gg += 4
+          if (part2 + bw.bitLength <= budget) done = true
+          else if (gg < 251) gg += 4
+          else if (nZeroed < quietOrder.length) nZeroed += 1
+          else throw new IllegalStateException(
+            s"Mp3Codec.encode: empty granule exceeds the $budget-bit " +
+              "budget — unreachable for any legal rate/bitrate pair")
         }
         granuleGain(g) = gg
         granuleBits(g) = bw
         granuleMeta(g) = meta
-        granuleSf(g) = sfOut
         g += 1
       }
       // assemble the frame
@@ -1012,19 +1276,25 @@ object Mp3Codec {
       // granule 0's over a whole scfsi group, set the group's bit and
       // DON'T retransmit them — the spec's scalefactor-reuse mechanism
       // (steady signals share all four groups, saving 74 bits/frame);
-      // the decoder's reuse path carries granule 0's values across
+      // the decoder's reuse path carries granule 0's values across.
+      // Short granules never participate (the spec forbids scfsi reuse
+      // into a short granule; their scalefactors are per-window anyway).
       val ScfsiGroups = Array((0, 6, 4), (6, 11, 4), (11, 16, 3), (16, 21, 3))
       val scfsi: Array[Int] =
         if (!v1) Array.empty
+        else if (granuleBt.exists(_ != 0)) Array(0, 0, 0, 0)
         else ScfsiGroups.map { case (from, to, _) =>
           if ((from until to).forall(b => granuleSf(1)(b) == granuleSf(0)(b)))
             1 else 0
         }
-      // part2 bits per granule: granule 1 skips reused groups
-      def part2Bits(g: Int): Int = ScfsiGroups.zipWithIndex.map {
-        case ((from, to, slen), gi) =>
-          if (v1 && g == 1 && scfsi(gi) == 1) 0 else (to - from) * slen
-      }.sum
+      // part2 bits per granule: short granules carry 18x4 + 18x3 = 126;
+      // long granules 74, minus reused scfsi groups on granule 1
+      def part2Bits(g: Int): Int =
+        if (granuleBt(g) == 2) 126
+        else ScfsiGroups.zipWithIndex.map {
+          case ((from, to, slen), gi) =>
+            if (v1 && g == 1 && scfsi(gi) == 1) 0 else (to - from) * slen
+        }.sum
       // side info
       frame.put(0, if (v1) 9 else 8) // main_data_begin
       frame.put(0, if (v1) 5 else 1) // private
@@ -1035,23 +1305,43 @@ object Mp3Codec {
         frame.put(granuleMeta(g2)._1, 9)              // big_values
         frame.put(granuleGain(g2), 8)
         frame.put(sfCompress, if (v1) 4 else 9)
-        frame.put(0, 1)  // window_switching off
-        frame.put(5, 5); frame.put(5, 5); frame.put(5, 5) // table 5 x3
-        frame.put(7, 4) // region0_count
-        frame.put(7, 3) // region1_count
+        if (granuleBt(g2) != 0) {
+          frame.put(1, 1) // window_switching
+          frame.put(granuleBt(g2), 2) // block_type (1 start / 2 short / 3 stop)
+          frame.put(0, 1) // mixed_block_flag off
+          frame.put(5, 5); frame.put(5, 5) // two region table selects
+          frame.put(0, 3); frame.put(0, 3); frame.put(0, 3) // subblock_gain
+        } else {
+          frame.put(0, 1) // window_switching off
+          frame.put(5, 5); frame.put(5, 5); frame.put(5, 5) // table 5 x3
+          frame.put(7, 4) // region0_count
+          frame.put(7, 3) // region1_count
+        }
         if (v1) frame.put(0, 1) // preflag (not transmitted in LSF)
         frame.put(1, 1) // scalefac_scale = 1 (multiplier 1.0)
         frame.put(0, 1) // count1 table A
         g2 += 1
       }
-      // main data: per granule the non-reused scalefactors (part2),
-      // then the Huffman bits (part3)
+      // main data: per granule the scalefactors (part2), then the
+      // Huffman bits (part3). Short granules write sfb-major 12 bands
+      // x 3 windows (the decoder's read order); long granules write the
+      // four scfsi groups, skipping reused ones on granule 1
       val side = frame
       var gb = 0
       while (gb < granules) {
-        ScfsiGroups.zipWithIndex.foreach { case ((from, to, slen), gi) =>
-          if (!(v1 && gb == 1 && scfsi(gi) == 1))
-            (from until to).foreach(b => side.put(granuleSf(gb)(b), slen))
+        if (granuleBt(gb) == 2) {
+          var b = 0
+          while (b < 12) {
+            val slen = if (b < 6) 4 else 3
+            var w = 0
+            while (w < 3) { side.put(granuleSfS(gb)(w)(b), slen); w += 1 }
+            b += 1
+          }
+        } else {
+          ScfsiGroups.zipWithIndex.foreach { case ((from, to, slen), gi) =>
+            if (!(v1 && gb == 1 && scfsi(gi) == 1))
+              (from until to).foreach(b => side.put(granuleSf(gb)(b), slen))
+          }
         }
         val bits = granuleBits(gb)
         val used = bits.bitLength // BEFORE result() pads to a byte
@@ -1185,6 +1475,37 @@ object Mp3Codec {
       g += 1
     }
     out.toArray
+  }
+
+  /** Verification hook: per-granule block types of a mono stream in
+    * decode order (0 long / 1 start / 2 short / 3 stop; non-switching
+    * granules report 0) — lets specs pin the encoder's transient window
+    * sequence from the BITSTREAM, not from encoder internals.
+    */
+  private[operators] def granuleBlockTypes(bytes: Array[Byte]): Seq[Int] = {
+    var off = id3Skip(bytes)
+    val out = ArrayBuffer[Int]()
+    while (off < bytes.length - 4) {
+      parseHeader(bytes, off) match {
+        case None => off += 1
+        case Some(h) =>
+          if (off + h.frameBytes > bytes.length) return out.toSeq
+          val v1 = h.version == 3
+          val sideBytes = if (v1) 17 else 9
+          val crcBytes = if (h.crc) 2 else 0
+          val side = new BitReader(bytes.slice(off + 4 + crcBytes,
+            off + 4 + crcBytes + sideBytes))
+          side.get(if (v1) 9 else 8): Unit
+          side.get(if (v1) 5 else 1): Unit
+          if (v1) (0 until 4).foreach(_ => side.get1(): Unit)
+          (0 until h.granules).foreach { _ =>
+            val gi = readGranuleInfo(side, v1)
+            out += (if (gi.windowSwitching) gi.blockType else 0)
+          }
+          off += h.frameBytes
+      }
+    }
+    out.toSeq
   }
 
   /** Cheap MP3 detector: optional ID3v2 prefix, then a valid mono

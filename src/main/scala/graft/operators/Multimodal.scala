@@ -1544,7 +1544,7 @@ object Multimodal {
     * yield a null payload. Returns `(id, payload)`.
     */
   def encodeMp3(df: DataFrame, idCol: String, samplesCol: String,
-      sampleRate: Int): DataFrame = {
+      sampleRate: Int, blockMode: String = "long"): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("id", df.schema(idCol).dataType, nullable = false),
       StructField("payload", BinaryType, nullable = true)))
@@ -1558,7 +1558,8 @@ object Multimodal {
           else {
             val xs = r.getSeq[Int](sIdx)
             if (xs.isEmpty) null
-            else graft.operators.Mp3Codec.encode(xs.toArray, sampleRate)
+            else graft.operators.Mp3Codec.encode(xs.toArray, sampleRate,
+              0, blockMode)
           }
         Row(r.get(idIdx), payload)
       }

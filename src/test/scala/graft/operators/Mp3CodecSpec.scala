@@ -214,11 +214,73 @@ class Mp3CodecSpec extends AnyFunSuite {
     assert(Mp3Codec.decode(vb).get.samples.length == 2304)
   }
 
-  test("short blocks fail loudly, never silently garbled") {
+  test("bin-centered tones survive SHORT-block encode -> decode -> FFT") {
+    // the forced-short round trip: every granule block_type 2 — short
+    // sfb tables, per-(band, window) scalefactors, the frequency-line
+    // reorder, and the 3x12-point IMDCT tiling all in the loop
+    for (k <- Seq(1, 3, 9, 17, 30)) {
+      val pcm = tone(k, 2304)
+      val bytes = Mp3Codec.encode(pcm, 44100, 0, "short")
+      assert(Mp3Codec.granuleBlockTypes(bytes).forall(_ == 2))
+      val dec = Mp3Codec.decode(bytes).get
+      assert(dec.sampleRate == 44100 && dec.samples.length == 2304)
+      val s = dec.samples.drop(Mp3Codec.LeadingSkip)
+      assert(peakBin(s, 256) == k, s"short-block tone bin $k")
+    }
+  }
+
+  test("auto mode emits the spec window sequence around a transient") {
+    // silence, then a loud attack: the detector must bracket the short
+    // granules with START (1) before and STOP (3) after, pinned from
+    // the BITSTREAM side info, and the stream must decode
+    val pcm = Array.fill(1152)(0) ++ tone(5, 1152) ++
+      tone(5, 1152, amp = 7900.0)
+    val bytes = Mp3Codec.encode(pcm, 44100, 0, "auto")
+    val types = Mp3Codec.granuleBlockTypes(bytes)
+    assert(types.length == 6, types.mkString(","))
+    assert(types.contains(2), s"no short granule in ${types.mkString(",")}")
+    val firstShort = types.indexOf(2)
+    assert(firstShort > 0 && types(firstShort - 1) == 1,
+      s"short not preceded by START in ${types.mkString(",")}")
+    val lastShort = types.lastIndexOf(2)
+    assert(lastShort == types.length - 1 || types(lastShort + 1) == 3 ||
+      types(lastShort + 1) == 2,
+      s"short not followed by STOP in ${types.mkString(",")}")
+    val dec = Mp3Codec.decode(bytes).get
+    assert(dec.samples.length == pcm.length)
+    // steady-state tail still carries the tone through the mixed
+    // window sequence
+    assert(peakBin(dec.samples.drop(2304), 256) == 5)
+    // a steady signal never triggers the detector
+    assert(Mp3Codec.granuleBlockTypes(
+      Mp3Codec.encode(tone(9, 2304), 44100, 0, "auto")).forall(_ == 0))
+  }
+
+  test("rate-loop band ladder: dense loud spectra encode at the floor rates") {
+    // dense LOUD spectrum at LSF 8 kbps: ~110 Huffman bits/granule of
+    // budget, global_gain alone cannot shrink scalefactor-boosted bands
+    // — pre-ladder this threw 'frame overflow' on a legal config; now
+    // the quietest bands zero out until the granule fits
+    val noisy = Array.tabulate(2304) { i =>
+      (math.sin(i * 0.71) * 14000 + math.sin(i * 1.13) * 9000 +
+        math.sin(i * 2.31) * 6000).toInt
+    }
+    for ((sr, br) <- Seq((22050, 8), (16000, 8), (24000, 8), (48000, 32))) {
+      val bytes = Mp3Codec.encode(noisy, sr, br)
+      val dec = Mp3Codec.decode(bytes)
+      assert(dec.nonEmpty && dec.get.sampleRate == sr, s"$sr @ $br kbps")
+      assert(dec.get.samples.forall(v => !v.isNaN && math.abs(v) < 131072))
+    }
+    // forced-short at a low MPEG-1 rate exercises the short ladder too
+    val sb = Mp3Codec.encode(noisy, 44100, 32, "short")
+    assert(Mp3Codec.decode(sb).get.samples.length == 2304)
+  }
+
+  test("LSF and mixed short blocks fail loudly, never silently garbled") {
     // hand-rolled MPEG-2 LSF frame: 22.05 kHz, 64 kbps, mono, one
     // granule with window_switching=1 / block_type=2 and part2_3 = 0 —
-    // structurally valid, but its spectrum layout needs the short-block
-    // reorder this build does not ship
+    // structurally valid, but the LSF short scalefactor band layout is
+    // not shipped (MPEG-1 short blocks decode fully)
     val bits = new StringBuilder
     def put(v: Int, n: Int): Unit =
       (n - 1 to 0 by -1).foreach(i => bits.append((v >> i) & 1))
@@ -250,15 +312,17 @@ class Mp3CodecSpec extends AnyFunSuite {
       tones <- Gen.listOfN(nTones, Gen.zip(
         Gen.choose(1, 40), Gen.choose(500, 6000)))
       frames <- Gen.choose(1, 3)
-    } yield (sr, tones, frames)
-    val prop = Prop.forAll(cfgGen) { case (sr, tones, frames) =>
+      mode <- Gen.oneOf("long", "short", "auto")
+    } yield (sr, tones, frames, mode)
+    val prop = Prop.forAll(cfgGen) { case (sr, tones, frames, mode) =>
       val v1 = Seq(44100, 48000, 32000).contains(sr)
       val frameLen = if (v1) 1152 else 576
       val n = frames * frameLen
       val pcm = Array.tabulate(n)(i => tones.map { case (k, a) =>
         a * math.sin(2 * math.Pi * k * i / 256.0)
       }.sum.round.toInt)
-      val dec = Mp3Codec.decode(Mp3Codec.encode(pcm, sr)).get
+      val blockMode = if (v1) mode else "long" // LSF short is loud-fail
+      val dec = Mp3Codec.decode(Mp3Codec.encode(pcm, sr, 0, blockMode)).get
       // contracts: exact length, right rate, finite bounded samples,
       // positively correlated with the input at SOME plausible lag
       val lenOk = dec.samples.length == n && dec.sampleRate == sr
