@@ -482,6 +482,31 @@ private[graft] object QueriesTextMediaCorpus {
         .orderBy("id")
     }),
 
+    // The STEREO leg of the same codec — mid/side joint stereo (32-byte
+    // side info, per-channel scalefactors/scfsi, the xr-domain MS
+    // matrix inverted at decode): left carries the doc's tone, right a
+    // fixed 13-bin difference tone; the media layer's channel-0
+    // convention must recover the LEFT peak through the matrix.
+    "x_audio_mp3_stereo" -> ((s, d) => {
+      val k = (pmod(col("doc_id"), lit(30)) + 1).cast("double")
+      val pcm = Tables.documents(s, d).select("doc_id")
+        .filter(col("doc_id") < 150)
+        .withColumn("left", transform(sequence(lit(0), lit(2303)),
+          n => round(lit(8000.0) *
+            sin(lit(2.0 * math.Pi) * k * n.cast("double") / lit(256.0)))
+            .cast("int")))
+        .withColumn("right", transform(sequence(lit(0), lit(2303)),
+          n => round(lit(2000.0) *
+            sin(lit(2.0 * math.Pi * 13.0) * n.cast("double") / lit(256.0)))
+            .cast("int")))
+      val enc2 = operators.Multimodal.encodeMp3Stereo(pcm, "doc_id",
+        "left", "right", 44100, msStereo = true)
+      operators.Multimodal.audioSpectrum(enc2, "id", "payload", fftSize = 256)
+        .select(col("id"), col("sample_rate").cast("int").as("sample_rate"),
+          col("peak_bin"), col("n_samples"))
+        .orderBy("id")
+    }),
+
     // The MPEG-2 LSF leg of the same codec (22.05 kHz one-granule
     // 576-sample frames, 9-byte side info, scalefac_compress 399 — the
     // LSF slen decomposition carrying LIVE scalefactors, which the

@@ -56,7 +56,8 @@ import scala.collection.mutable.ArrayBuffer
   */
 object Mp3Codec {
 
-  final case class Decoded(sampleRate: Int, samples: Array[Double])
+  final case class Decoded(sampleRate: Int, samples: Array[Double],
+      channels: Int = 1)
 
   /** Leading samples an integration layer should drop: one full MPEG-1
     * frame, past the analysis+synthesis filterbank warmup (~529
@@ -437,10 +438,15 @@ object Mp3Codec {
   // ------------------------------------------------------------------
 
   private final case class Header(version: Int, bitrate: Int, sr: Int,
-      pad: Int, crc: Boolean, frameBytes: Int, granules: Int)
+      pad: Int, crc: Boolean, frameBytes: Int, granules: Int,
+      mode: Int, modeExt: Int) {
+    def channels: Int = if (mode == 3) 1 else 2
+  }
 
-  /** Parse the 4-byte header at `off`; None if not a valid mono
-    * Layer III frame header this codec can place.
+  /** Parse the 4-byte header at `off`; None if not a valid Layer III
+    * frame header this codec can place (mono, stereo, dual-channel or
+    * joint stereo — the joint modes' extension bits are validated at
+    * decode time, loudly).
     */
   private def parseHeader(b: Array[Byte], off: Int): Option[Header] = {
     if (off + 4 > b.length) return None
@@ -453,14 +459,15 @@ object Mp3Codec {
     val sri = (b(off + 2) >> 2) & 3
     val pad = (b(off + 2) >> 1) & 1
     val mode = (b(off + 3) >> 6) & 3
-    if (bri == 0 || bri == 15 || sri == 3 || mode != 3) return None
+    val modeExt = (b(off + 3) >> 4) & 3
+    if (bri == 0 || bri == 15 || sri == 3) return None
     val (br, sr, granules) = ver match {
       case 3 => (BitrateV1L3(bri) * 1000, SrV1(sri), 2)
       case 2 => (BitrateV2L3(bri) * 1000, SrV2(sri), 1)
       case _ => (BitrateV2L3(bri) * 1000, SrV25(sri), 1)
     }
     val slots = if (ver == 3) 144 * br / sr else 72 * br / sr
-    Some(Header(ver, br, sr, pad, crc, slots + pad, granules))
+    Some(Header(ver, br, sr, pad, crc, slots + pad, granules, mode, modeExt))
   }
 
   private final case class GranuleInfo(part23: Int, bigValues: Int,
@@ -500,37 +507,70 @@ object Mp3Codec {
       sbg, r0, r1, preflag, sfScale, c1t)
   }
 
-  /** Decode an entire (possibly ID3-prefixed) mono Layer III stream to
-    * PCM doubles. Returns None when no valid frame is found; throws on
+  /** Decode an entire (possibly ID3-prefixed) Layer III stream to PCM
+    * doubles — mono, stereo, dual-channel, or joint stereo with
+    * mid/side (stereo output is L/R INTERLEAVED; [[Decoded.channels]]
+    * says which). Returns None when no valid frame is found; throws on
     * structurally valid frames that select an unshipped Huffman table
-    * (loud, never silent garbage).
+    * or intensity stereo (loud, never silent garbage).
     */
   def decode(bytes: Array[Byte]): Option[Decoded] = {
     var off = id3Skip(bytes)
     var sampleRate = 0
-    val out = ArrayBuffer[Double]()
+    var nCh = 0
+    val chOut = Array.fill(2)(ArrayBuffer[Double]())
     val reservoir = ArrayBuffer[Byte]()
-    // persistent filterbank state
-    val overlap = Array.ofDim[Double](32, 18)
-    val synthAcc = new Array[Double](512 + 32)
+    // persistent filterbank state, per channel
+    val overlap = Array.ofDim[Double](2, 32, 18)
+    val synthAcc = Array.ofDim[Double](2, 512 + 32)
     var frames = 0
+    def result(): Option[Decoded] =
+      if (frames == 0 || sampleRate == 0) None
+      else if (nCh == 1) Some(Decoded(sampleRate, chOut(0).toArray, 1))
+      else {
+        val n = math.min(chOut(0).length, chOut(1).length)
+        val inter = new Array[Double](n * 2)
+        var i = 0
+        while (i < n) {
+          inter(2 * i) = chOut(0)(i)
+          inter(2 * i + 1) = chOut(1)(i)
+          i += 1
+        }
+        Some(Decoded(sampleRate, inter, 2))
+      }
     while (off < bytes.length - 4) {
       parseHeader(bytes, off) match {
         case None => off += 1
         case Some(h) =>
-          if (sampleRate == 0) sampleRate = h.sr
-          if (h.sr != sampleRate) return finish(sampleRate, out, frames)
-          if (off + h.frameBytes > bytes.length)
-            return finish(sampleRate, out, frames)
+          if (sampleRate == 0) { sampleRate = h.sr; nCh = h.channels }
+          if (h.sr != sampleRate || h.channels != nCh) return result()
+          if (off + h.frameBytes > bytes.length) return result()
+          // intensity stereo repositions bands through a table this
+          // build does not ship — loud, like the Huffman remainder
+          if (h.mode == 1 && (h.modeExt & 1) == 1)
+            throw new UnsupportedOperationException(
+              "Mp3Codec: intensity stereo is not implemented — its " +
+                "band-position semantics are not shipped in this " +
+                "offline build; LR, dual-channel and mid/side joint " +
+                "stereo decode.")
+          val ms = h.mode == 1 && (h.modeExt & 2) != 0
           val v1 = h.version == 3
-          val sideBytes = if (v1) 17 else 9
+          val ch = h.channels
+          val sideBytes =
+            if (v1) { if (ch == 1) 17 else 32 }
+            else { if (ch == 1) 9 else 17 }
           val crcBytes = if (h.crc) 2 else 0
           val side = new BitReader(bytes.slice(off + 4 + crcBytes,
             off + 4 + crcBytes + sideBytes))
           val mdb = side.get(if (v1) 9 else 8)
-          side.get(if (v1) 5 else 1) // private bits
-          val scfsi = if (v1) Array.tabulate(4)(_ => side.get1()) else Array[Int]()
-          val gis = Array.fill(h.granules)(readGranuleInfo(side, v1))
+          side.get(if (v1) { if (ch == 1) 5 else 3 }
+            else { if (ch == 1) 1 else 2 }): Unit // private bits
+          // scfsi: 4 bits per channel (MPEG-1 only), channel-major
+          val scfsi =
+            if (v1) Array.fill(ch, 4)(side.get1())
+            else Array.ofDim[Int](ch, 0)
+          // granule infos in spec order: granule-major, channel inner
+          val gis = Array.fill(h.granules, ch)(readGranuleInfo(side, v1))
           // bit reservoir: this frame's main data follows the side info
           val frameMain = bytes.slice(off + 4 + crcBytes + sideBytes,
             off + h.frameBytes)
@@ -541,40 +581,63 @@ object Mp3Codec {
           } else {
             val main = (reservoir.takeRight(mdb) ++ frameMain).toArray
             val r = new BitReader(main)
-            val prevSf = new Array[Int](22) // scfsi carry granule 0 -> 1
+            val prevSf = Array.ofDim[Int](ch, 22) // scfsi carry gr 0 -> 1
             var g = 0
             while (g < h.granules) {
-              val gi = gis(g)
-              val start = r.pos
-              // a part2_3_length pointing past the available main data
-              // is a corrupt/truncated stream — fail before the bit
-              // reader walks off the buffer
-              require(start + gi.part23 <= main.length * 8,
-                s"Mp3Codec: granule main data truncated (needs " +
-                  s"${gi.part23} bits at $start of ${main.length * 8})")
-              // mixed blocks (two long subbands under short windows) and
-              // LSF short granules stay loud: their band layouts are not
-              // shipped, and decoding anyway would be silently garbled —
-              // the unshipped-table convention. MPEG-1 short blocks
-              // decode fully (reorder + short sfb tables below).
-              if (gi.windowSwitching && gi.blockType == 2 &&
-                  (gi.mixed || !v1))
-                throw new UnsupportedOperationException(
-                  "Mp3Codec: " + (if (gi.mixed) "mixed" else "MPEG-2 LSF") +
-                    " short blocks are not implemented — their " +
-                    "scalefactor band layout is not shipped in this " +
-                    "offline build; MPEG-1 short and all long/start/stop " +
-                    "block types decode.")
-              val sf = readScalefactors(r, gi, v1, g, scfsi, prevSf)
-              val is = huffmanSpectrum(r, gi, h.sr, start)
-              // skip any ancillary/stuffing up to part2_3_length
-              r.pos = start + gi.part23
-              val xr =
-                if (gi.windowSwitching && gi.blockType == 2)
-                  requantizeShort(is, gi, sf.short, h.sr)
-                else requantize(is, gi, sf.long, h.sr)
-              if (gi.blockType != 2) aliasReduce(xr)
-              synthGranule(xr, gi, overlap, synthAcc, out)
+              val xrs = Array.ofDim[Array[Double]](ch)
+              var c = 0
+              while (c < ch) {
+                val gi = gis(g)(c)
+                val start = r.pos
+                // a part2_3_length pointing past the available main data
+                // is a corrupt/truncated stream — fail before the bit
+                // reader walks off the buffer
+                require(start + gi.part23 <= main.length * 8,
+                  s"Mp3Codec: granule main data truncated (needs " +
+                    s"${gi.part23} bits at $start of ${main.length * 8})")
+                // mixed blocks (two long subbands under short windows)
+                // and LSF short granules stay loud: their band layouts
+                // are not shipped, and decoding anyway would be silently
+                // garbled — the unshipped-table convention. MPEG-1 short
+                // blocks decode fully (reorder + short sfb tables).
+                if (gi.windowSwitching && gi.blockType == 2 &&
+                    (gi.mixed || !v1))
+                  throw new UnsupportedOperationException(
+                    "Mp3Codec: " +
+                      (if (gi.mixed) "mixed" else "MPEG-2 LSF") +
+                      " short blocks are not implemented — their " +
+                      "scalefactor band layout is not shipped in this " +
+                      "offline build; MPEG-1 short and all " +
+                      "long/start/stop block types decode.")
+                val sf = readScalefactors(r, gi, v1, g, scfsi(c), prevSf(c))
+                val is = huffmanSpectrum(r, gi, h.sr, start)
+                // skip any ancillary/stuffing up to part2_3_length
+                r.pos = start + gi.part23
+                xrs(c) =
+                  if (gi.windowSwitching && gi.blockType == 2)
+                    requantizeShort(is, gi, sf.short, h.sr)
+                  else requantize(is, gi, sf.long, h.sr)
+                c += 1
+              }
+              // mid/side: the spec's xr-domain matrix, after both
+              // channels requantize and before the hybrid filterbank
+              if (ms && ch == 2) {
+                val isq = 1.0 / math.sqrt(2.0)
+                var i = 0
+                while (i < 576) {
+                  val m = xrs(0)(i); val s = xrs(1)(i)
+                  xrs(0)(i) = (m + s) * isq
+                  xrs(1)(i) = (m - s) * isq
+                  i += 1
+                }
+              }
+              c = 0
+              while (c < ch) {
+                val gi = gis(g)(c)
+                if (gi.blockType != 2) aliasReduce(xrs(c))
+                synthGranule(xrs(c), gi, overlap(c), synthAcc(c), chOut(c))
+                c += 1
+              }
               g += 1
             }
             reservoir ++= frameMain
@@ -585,13 +648,9 @@ object Mp3Codec {
           off += h.frameBytes
       }
     }
-    finish(sampleRate, out, frames)
+    result()
   }
 
-  private def finish(sr: Int, out: ArrayBuffer[Double],
-      frames: Int): Option[Decoded] =
-    if (frames == 0 || sr == 0) None
-    else Some(Decoded(sr, out.toArray))
 
   private def id3Skip(b: Array[Byte]): Int =
     if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
@@ -933,7 +992,41 @@ object Mp3Codec {
     * frame-sample multiple.
     */
   def encode(samples: Array[Int], sampleRate: Int,
-      bitrateKbps: Int = 0, blockMode: String = "long"): Array[Byte] = {
+      bitrateKbps: Int = 0, blockMode: String = "long"): Array[Byte] =
+    encodeFrames(Array(samples), sampleRate, bitrateKbps, blockMode,
+      mode = 3, modeExt = 0)
+
+  /** Stereo encode — the two-channel twin of [[encode]] (same rates,
+    * bitrates and block modes; the same frame slot count now splits
+    * across both channels). `msStereo = false` codes L and R
+    * independently as mode 0 (stereo); `msStereo = true` codes
+    * mid/side joint stereo (mode 1, mode_extension 2): the channels
+    * are PCM-matrixed `m = (l+r)/√2`, `s = (l−r)/√2` — the analysis
+    * chain is linear, so this equals the spec's xr-domain matrix that
+    * [[decode]] inverts. Decoded output is L/R interleaved.
+    */
+  def encodeStereo(left: Array[Int], right: Array[Int], sampleRate: Int,
+      bitrateKbps: Int = 0, blockMode: String = "long",
+      msStereo: Boolean = false): Array[Byte] = {
+    require(left.length == right.length,
+      s"stereo channels must match: ${left.length} vs ${right.length}")
+    if (msStereo) {
+      val isq = 1.0 / math.sqrt(2.0)
+      val m = Array.tabulate(left.length)(i =>
+        math.round((left(i) + right(i)) * isq).toInt)
+      val s = Array.tabulate(left.length)(i =>
+        math.round((left(i) - right(i)) * isq).toInt)
+      encodeFrames(Array(m, s), sampleRate, bitrateKbps, blockMode,
+        mode = 1, modeExt = 2)
+    } else
+      encodeFrames(Array(left, right), sampleRate, bitrateKbps, blockMode,
+        mode = 0, modeExt = 0)
+  }
+
+  private def encodeFrames(chans: Array[Array[Int]], sampleRate: Int,
+      bitrateKbps: Int, blockMode: String, mode: Int,
+      modeExt: Int): Array[Byte] = {
+    val nch = chans.length
     val v1 = SrV1.contains(sampleRate)
     require(v1 || SrV2.contains(sampleRate),
       s"encode supports MPEG-1 rates ${SrV1.mkString("/")} and MPEG-2 " +
@@ -952,10 +1045,12 @@ object Mp3Codec {
     val slots = (if (v1) 144 else 72) * (brTable(bri) * 1000) / sampleRate
     val granules = if (v1) 2 else 1 // LSF frames carry ONE granule
     val frameSamples = granules * 576
-    val sideBytes = if (v1) 17 else 9
-    val nFrames =
-      math.max(1, (samples.length + frameSamples - 1) / frameSamples)
-    val padded = java.util.Arrays.copyOf(samples, nFrames * frameSamples)
+    val sideBytes =
+      if (v1) { if (nch == 1) 17 else 32 } else { if (nch == 1) 9 else 17 }
+    val nFrames = math.max(1,
+      (chans(0).length + frameSamples - 1) / frameSamples)
+    val padded = chans.map(c =>
+      java.util.Arrays.copyOf(c, nFrames * frameSamples))
     val sfb = SfbLong(sampleRate)
     val sfbS = SfbShort(sampleRate)
     // LSF scalefac_compress 399 decomposes to slens (4,4,3,3) over the
@@ -963,8 +1058,10 @@ object Mp3Codec {
     // scalefactor layout the MPEG-1 side uses (scalefac_compress 15)
     val sfCompress = if (v1) 15 else 399
 
-    // per-granule block types for the whole stream (the auto detector
-    // needs one-granule lookahead to place START windows)
+    // per-granule block types for the whole stream, SHARED across
+    // channels (peak over both — per-channel switching is legal but a
+    // shared sequence keeps the matrixed mid/side pair aligned); the
+    // auto detector needs one-granule lookahead to place START windows
     val totalGranules = nFrames * granules
     val blockTypes: Array[Int] = blockMode match {
       case "short" => Array.fill(totalGranules)(2)
@@ -972,9 +1069,13 @@ object Mp3Codec {
       case _ =>
         val peaks = Array.tabulate(totalGranules) { g =>
           var m = 0
-          var i = g * 576
-          while (i < (g + 1) * 576) {
-            val a = math.abs(padded(i)); if (a > m) m = a; i += 1
+          var c = 0
+          while (c < nch) {
+            var i = g * 576
+            while (i < (g + 1) * 576) {
+              val a = math.abs(padded(c)(i)); if (a > m) m = a; i += 1
+            }
+            c += 1
           }
           m
         }
@@ -1002,262 +1103,268 @@ object Mp3Codec {
         bt
     }
 
-    // analysis filterbank state
-    val x = new Array[Double](512) // newest first
-    val mdctPrev = Array.ofDim[Double](32, 18)
+    // analysis filterbank + MDCT overlap state, per channel
+    val x = Array.ofDim[Double](nch, 512) // newest first
+    val mdctPrev = Array.ofDim[Double](nch, 32, 18)
     val outBytes = ArrayBuffer[Byte]()
 
     var f = 0
     while (f < nFrames) {
-      val granuleGain = new Array[Int](granules)
-      val granuleBits = Array.ofDim[BitWriter](granules)
-      val granuleMeta = Array.ofDim[(Int, Int)](granules) // (bigValues, count1)
-      val granuleSf = Array.ofDim[Array[Int]](granules)        // long path
-      val granuleSfS = Array.ofDim[Array[Array[Int]]](granules) // short path
+      val granuleGain = Array.ofDim[Int](granules, nch)
+      val granuleBits = Array.ofDim[BitWriter](granules, nch)
+      val granuleMeta = Array.ofDim[(Int, Int)](granules, nch)
+      val granuleSf = Array.ofDim[Array[Int]](granules, nch)
+      val granuleSfS = Array.ofDim[Array[Array[Int]]](granules, nch)
       val granuleBt = new Array[Int](granules)
       var g = 0
       while (g < granules) {
         val bt = blockTypes(f * granules + g)
         granuleBt(g) = bt
-        // 18 analysis slots -> 18x32 subband samples
-        val sbSamples = Array.ofDim[Double](32, 18)
-        var slot = 0
-        while (slot < 18) {
-          System.arraycopy(x, 0, x, 32, 512 - 32)
-          var j = 0
-          while (j < 32) {
-            // spec PCM convention: fractional full scale in [-1, 1) —
-            // raw int16-scale input would push global_gain past its
-            // 8-bit ceiling and saturate the quantizer
-            x(31 - j) =
-              padded(f * frameSamples + g * 576 + slot * 32 + j) / 32768.0
-            j += 1
-          }
-          val sRow = new Array[Double](32)
-          analysisStep(x, sRow)
-          var k = 0
-          while (k < 32) {
-            // frequency inversion must match the decoder's
-            sbSamples(k)(slot) =
-              if ((k & 1) == 1 && (slot & 1) == 1) -sRow(k) else sRow(k)
-            k += 1
-          }
-          slot += 1
-        }
-        // MDCT per subband, previous-granule overlap: long/start/stop
-        // take the 36-point transform under their block window; short
-        // takes three 12-point transforms tiled at offsets 6/12/18 —
-        // the inverse tiling synthGranule reconstructs
-        val xr = new Array[Double](576)
-        var sb = 0
-        while (sb < 32) {
-          val buf = new Array[Double](36) // prev 18 ++ cur 18, unwindowed
-          var i = 0
-          while (i < 18) {
-            buf(i) = mdctPrev(sb)(i)
-            buf(18 + i) = sbSamples(sb)(i)
-            mdctPrev(sb)(i) = sbSamples(sb)(i)
-            i += 1
-          }
-          if (bt == 2) {
-            var win = 0
-            while (win < 3) {
-              var k = 0
-              while (k < 6) {
-                var s = 0.0
-                var i2 = 0
-                while (i2 < 12) {
-                  s += buf(6 + win * 6 + i2) * WinShort(i2) * Imdct12(i2)(k)
-                  i2 += 1
-                }
-                xr(sb * 18 + win * 6 + k) = s
-                k += 1
-              }
-              win += 1
+        var c = 0
+        while (c < nch) {
+          // 18 analysis slots -> 18x32 subband samples
+          val sbSamples = Array.ofDim[Double](32, 18)
+          var slot = 0
+          while (slot < 18) {
+            System.arraycopy(x(c), 0, x(c), 32, 512 - 32)
+            var j = 0
+            while (j < 32) {
+              // spec PCM convention: fractional full scale in [-1, 1) —
+              // raw int16-scale input would push global_gain past its
+              // 8-bit ceiling and saturate the quantizer
+              x(c)(31 - j) = padded(c)(
+                f * frameSamples + g * 576 + slot * 32 + j) / 32768.0
+              j += 1
             }
-          } else {
-            val w = windowFor(bt)
+            val sRow = new Array[Double](32)
+            analysisStep(x(c), sRow)
             var k = 0
-            while (k < 18) {
-              var s = 0.0
-              var i2 = 0
-              while (i2 < 36) { s += buf(i2) * w(i2) * Imdct36(i2)(k); i2 += 1 }
-              xr(sb * 18 + k) = s
+            while (k < 32) {
+              // frequency inversion must match the decoder's
+              sbSamples(k)(slot) =
+                if ((k & 1) == 1 && (slot & 1) == 1) -sRow(k) else sRow(k)
               k += 1
             }
+            slot += 1
           }
-          sb += 1
-        }
-        // inverse alias reduction (transpose butterflies) so the
-        // decoder's forward pass restores the spectrum — long block
-        // types only; the decoder skips alias reduction for short
-        if (bt != 2) {
-          var sb2 = 1
-          while (sb2 < 32) {
+          // MDCT per subband, previous-granule overlap: long/start/stop
+          // take the 36-point transform under their block window; short
+          // takes three 12-point transforms tiled at offsets 6/12/18 —
+          // the inverse tiling synthGranule reconstructs
+          val xr = new Array[Double](576)
+          var sb = 0
+          while (sb < 32) {
+            val buf = new Array[Double](36) // prev 18 ++ cur 18, unwindowed
             var i = 0
-            while (i < 8) {
-              val a = xr(18 * sb2 - 1 - i)
-              val b = xr(18 * sb2 + i)
-              xr(18 * sb2 - 1 - i) = a * Cs(i) + b * Ca(i)
-              xr(18 * sb2 + i) = b * Cs(i) - a * Ca(i)
+            while (i < 18) {
+              buf(i) = mdctPrev(c)(sb)(i)
+              buf(18 + i) = sbSamples(sb)(i)
+              mdctPrev(c)(sb)(i) = sbSamples(sb)(i)
               i += 1
             }
-            sb2 += 1
-          }
-        }
-        // rate loop: global_gain sets the step for the LOUDEST band's
-        // |ix| <= 3 fit; per-band scalefactors (scalefac_scale = 1)
-        // boost quieter bands by up to 2^15 so their lines quantize
-        // with fine effective steps — the spec's own precision lever,
-        // no psychoacoustics. Coarsen gg until the granule fits; once
-        // gg hits its ceiling, zero whole bands quietest-first (the
-        // capped-band escape — without it a dense loud spectrum at the
-        // lowest bitrates never shrinks and the frame overflows).
-        val maxAbs = xr.map(math.abs).max
-        val headroom = math.pow(3.49, 4.0 / 3.0)
-        // per-cell maxima: long cells are the 22 long bands; short
-        // cells are (band, window) — 13 x 3, flat index b*3+w
-        val nCells = if (bt == 2) 39 else 22
-        val cellMax = new Array[Double](nCells)
-        if (bt == 2) {
-          var b = 0
-          while (b < 13) {
-            var w = 0
-            while (w < 3) {
-              var m = 0.0
-              var fl = sfbS(b)
-              while (fl < sfbS(b + 1)) {
-                val a = math.abs(xr((fl / 6) * 18 + w * 6 + fl % 6))
-                if (a > m) m = a
-                fl += 1
+            if (bt == 2) {
+              var win = 0
+              while (win < 3) {
+                var k = 0
+                while (k < 6) {
+                  var s = 0.0
+                  var i2 = 0
+                  while (i2 < 12) {
+                    s += buf(6 + win * 6 + i2) * WinShort(i2) * Imdct12(i2)(k)
+                    i2 += 1
+                  }
+                  xr(sb * 18 + win * 6 + k) = s
+                  k += 1
+                }
+                win += 1
               }
-              cellMax(b * 3 + w) = m
-              w += 1
+            } else {
+              val w = windowFor(bt)
+              var k = 0
+              while (k < 18) {
+                var s = 0.0
+                var i2 = 0
+                while (i2 < 36) {
+                  s += buf(i2) * w(i2) * Imdct36(i2)(k); i2 += 1
+                }
+                xr(sb * 18 + k) = s
+                k += 1
+              }
             }
-            b += 1
+            sb += 1
           }
-        } else {
-          var b = 0
-          while (b < sfb.length - 1) { // 21 or 22 bands (32 kHz table)
-            var m = 0.0
-            var i2 = sfb(b)
-            while (i2 < sfb(b + 1)) {
-              val a = math.abs(xr(i2)); if (a > m) m = a
-              i2 += 1
+          // inverse alias reduction (transpose butterflies) so the
+          // decoder's forward pass restores the spectrum — long block
+          // types only; the decoder skips alias reduction for short
+          if (bt != 2) {
+            var sb2 = 1
+            while (sb2 < 32) {
+              var i = 0
+              while (i < 8) {
+                val a = xr(18 * sb2 - 1 - i)
+                val b = xr(18 * sb2 + i)
+                xr(18 * sb2 - 1 - i) = a * Cs(i) + b * Ca(i)
+                xr(18 * sb2 + i) = b * Cs(i) - a * Ca(i)
+                i += 1
+              }
+              sb2 += 1
             }
-            cellMax(b) = m
-            b += 1
           }
-        }
-        // quietest-first ladder over the audible cells
-        val quietOrder: Array[Int] =
-          cellMax.indices.filter(cellMax(_) > 0)
-            .sortBy(cellMax(_)).toArray
-        val part2 = if (bt == 2) 126 else 74 // scalefactor bits (sfc 15/399)
-        val budget = (slots - 4 - sideBytes) * 8 / granules
-        var gg =
-          if (maxAbs <= 0) 210
-          else math.max(0, math.min(255,
-            (210 + math.ceil(4.0 * math.log(maxAbs / headroom) /
-              math.log(2.0))).toInt))
-        var nZeroed = 0
-        var done = false
-        var bw: BitWriter = null
-        var meta: (Int, Int) = null
-        while (!done) {
-          val step = math.pow(2.0, (gg - 210) / 4.0)
-          val zeroed = new Array[Boolean](nCells)
-          var z = 0
-          while (z < nZeroed) { zeroed(quietOrder(z)) = true; z += 1 }
-          val ix = new Array[Int](576)
+          // rate loop: global_gain sets the step for the LOUDEST band's
+          // |ix| <= 3 fit; per-band scalefactors (scalefac_scale = 1)
+          // boost quieter bands by up to 2^15 so their lines quantize
+          // with fine effective steps — the spec's own precision lever,
+          // no psychoacoustics. Coarsen gg until the granule fits; once
+          // gg hits its ceiling, zero whole bands quietest-first (the
+          // capped-band escape — without it a dense loud spectrum at the
+          // lowest bitrates never shrinks and the frame overflows).
+          val maxAbs = xr.map(math.abs).max
+          val headroom = math.pow(3.49, 4.0 / 3.0)
+          // per-cell maxima: long cells are the long bands; short cells
+          // are (band, window) — 13 x 3, flat index b*3+w
+          val nCells = if (bt == 2) 39 else 22
+          val cellMax = new Array[Double](nCells)
           if (bt == 2) {
-            // per-(band, window) boost under the short slen caps
-            // (4 bits for bands 0-5, 3 for 6-11; band 12 carries none)
-            val sfS = Array.ofDim[Int](3, 13)
             var b = 0
-            while (b < 12) {
-              val cap = if (b < 6) 15 else 7
-              var w = 0
-              while (w < 3) {
-                val m = cellMax(b * 3 + w)
-                sfS(w)(b) =
-                  if (m <= 0 || zeroed(b * 3 + w)) 0
-                  else math.max(0, math.min(cap, math.floor(
-                    math.log(step * headroom / m) / math.log(2.0)).toInt))
-                w += 1
-              }
-              b += 1
-            }
-            // quantize straight into BITSTREAM order (band-major, then
-            // window, then line) — the inverse of requantizeShort's walk
-            var src = 0
-            b = 0
             while (b < 13) {
               var w = 0
               while (w < 3) {
-                val dead = zeroed(b * 3 + w)
-                val boost =
-                  math.pow(2.0, if (b < 12) sfS(w)(b) else 0)
+                var m = 0.0
                 var fl = sfbS(b)
                 while (fl < sfbS(b + 1)) {
-                  val v = xr((fl / 6) * 18 + w * 6 + fl % 6)
-                  if (v != 0.0 && !dead) {
-                    val q = math.min(3, math.round(
-                      math.pow(math.abs(v) * boost / step, 0.75)).toInt)
-                    ix(src) = if (v < 0) -q else q
-                  }
-                  src += 1
+                  val a = math.abs(xr((fl / 6) * 18 + w * 6 + fl % 6))
+                  if (a > m) m = a
                   fl += 1
                 }
+                cellMax(b * 3 + w) = m
                 w += 1
               }
               b += 1
             }
-            granuleSfS(g) = sfS
-            granuleSf(g) = null
           } else {
-            // per-band boost: largest sf with bandMax * 2^sf inside the
-            // alphabet (slen caps: 4 bits for bands 0-10, 3 for 11-20)
-            val sfB = new Array[Int](22)
             var b = 0
-            while (b < 21) {
-              val cap = if (b < 11) 15 else 7
-              val m = cellMax(b)
-              sfB(b) =
-                if (m <= 0 || zeroed(b)) 0
-                else math.max(0, math.min(cap, math.floor(
-                  math.log(step * headroom / m) / math.log(2.0)).toInt))
+            while (b < sfb.length - 1) { // 21 or 22 bands (32 kHz table)
+              var m = 0.0
+              var i2 = sfb(b)
+              while (i2 < sfb(b + 1)) {
+                val a = math.abs(xr(i2)); if (a > m) m = a
+                i2 += 1
+              }
+              cellMax(b) = m
               b += 1
             }
-            var i3 = 0
-            var band = 0
-            while (i3 < 576) {
-              if (band < 21 && i3 >= sfb(band + 1)) band += 1
-              val v = xr(i3)
-              if (v != 0.0 && !zeroed(math.min(band, 21))) {
-                val boost = math.pow(2.0, sfB(math.min(band, 21)))
-                val q = math.min(3, math.round(
-                  math.pow(math.abs(v) * boost / step, 0.75)).toInt)
-                ix(i3) = if (v < 0) -q else q
-              }
-              i3 += 1
-            }
-            granuleSf(g) = sfB
-            granuleSfS(g) = null
           }
-          val enc = encodeGranule(ix, sfb)
-          bw = enc._1
-          meta = (enc._2, enc._3)
-          if (part2 + bw.bitLength <= budget) done = true
-          else if (gg < 251) gg += 4
-          else if (nZeroed < quietOrder.length) nZeroed += 1
-          else throw new IllegalStateException(
-            s"Mp3Codec.encode: empty granule exceeds the $budget-bit " +
-              "budget — unreachable for any legal rate/bitrate pair")
+          // quietest-first ladder over the audible cells
+          val quietOrder: Array[Int] =
+            cellMax.indices.filter(cellMax(_) > 0)
+              .sortBy(cellMax(_)).toArray
+          val part2 = if (bt == 2) 126 else 74 // sfc 15/399 layouts
+          val budget = (slots - 4 - sideBytes) * 8 / (granules * nch)
+          var gg =
+            if (maxAbs <= 0) 210
+            else math.max(0, math.min(255,
+              (210 + math.ceil(4.0 * math.log(maxAbs / headroom) /
+                math.log(2.0))).toInt))
+          var nZeroed = 0
+          var done = false
+          var bw: BitWriter = null
+          var meta: (Int, Int) = null
+          while (!done) {
+            val step = math.pow(2.0, (gg - 210) / 4.0)
+            val zeroed = new Array[Boolean](nCells)
+            var z = 0
+            while (z < nZeroed) { zeroed(quietOrder(z)) = true; z += 1 }
+            val ix = new Array[Int](576)
+            if (bt == 2) {
+              // per-(band, window) boost under the short slen caps
+              // (4 bits bands 0-5, 3 bits 6-11; band 12 carries none)
+              val sfS = Array.ofDim[Int](3, 13)
+              var b = 0
+              while (b < 12) {
+                val cap = if (b < 6) 15 else 7
+                var w = 0
+                while (w < 3) {
+                  val m = cellMax(b * 3 + w)
+                  sfS(w)(b) =
+                    if (m <= 0 || zeroed(b * 3 + w)) 0
+                    else math.max(0, math.min(cap, math.floor(
+                      math.log(step * headroom / m) / math.log(2.0)).toInt))
+                  w += 1
+                }
+                b += 1
+              }
+              // quantize straight into BITSTREAM order (band-major,
+              // then window, then line) — requantizeShort's inverse
+              var src = 0
+              b = 0
+              while (b < 13) {
+                var w = 0
+                while (w < 3) {
+                  val dead = zeroed(b * 3 + w)
+                  val boost =
+                    math.pow(2.0, if (b < 12) sfS(w)(b) else 0)
+                  var fl = sfbS(b)
+                  while (fl < sfbS(b + 1)) {
+                    val v = xr((fl / 6) * 18 + w * 6 + fl % 6)
+                    if (v != 0.0 && !dead) {
+                      val q = math.min(3, math.round(
+                        math.pow(math.abs(v) * boost / step, 0.75)).toInt)
+                      ix(src) = if (v < 0) -q else q
+                    }
+                    src += 1
+                    fl += 1
+                  }
+                  w += 1
+                }
+                b += 1
+              }
+              granuleSfS(g)(c) = sfS
+              granuleSf(g)(c) = null
+            } else {
+              // per-band boost: largest sf with bandMax * 2^sf inside
+              // the alphabet (slen caps: 4 bits bands 0-10, 3 for 11-20)
+              val sfB = new Array[Int](22)
+              var b = 0
+              while (b < 21) {
+                val cap = if (b < 11) 15 else 7
+                val m = cellMax(b)
+                sfB(b) =
+                  if (m <= 0 || zeroed(b)) 0
+                  else math.max(0, math.min(cap, math.floor(
+                    math.log(step * headroom / m) / math.log(2.0)).toInt))
+                b += 1
+              }
+              var i3 = 0
+              var band = 0
+              while (i3 < 576) {
+                if (band < 21 && i3 >= sfb(band + 1)) band += 1
+                val v = xr(i3)
+                if (v != 0.0 && !zeroed(math.min(band, 21))) {
+                  val boost = math.pow(2.0, sfB(math.min(band, 21)))
+                  val q = math.min(3, math.round(
+                    math.pow(math.abs(v) * boost / step, 0.75)).toInt)
+                  ix(i3) = if (v < 0) -q else q
+                }
+                i3 += 1
+              }
+              granuleSf(g)(c) = sfB
+              granuleSfS(g)(c) = null
+            }
+            val enc = encodeGranule(ix, sfb)
+            bw = enc._1
+            meta = (enc._2, enc._3)
+            if (part2 + bw.bitLength <= budget) done = true
+            else if (gg < 251) gg += 4
+            else if (nZeroed < quietOrder.length) nZeroed += 1
+            else throw new IllegalStateException(
+              s"Mp3Codec.encode: empty granule exceeds the $budget-bit " +
+                "budget — unreachable for any legal rate/bitrate pair")
+          }
+          granuleGain(g)(c) = gg
+          granuleBits(g)(c) = bw
+          granuleMeta(g)(c) = meta
+          c += 1
         }
-        granuleGain(g) = gg
-        granuleBits(g) = bw
-        granuleMeta(g) = meta
         g += 1
       }
       // assemble the frame
@@ -1270,86 +1377,101 @@ object Mp3Codec {
       frame.put(sri, 2)
       frame.put(0, 1) // padding
       frame.put(0, 1) // private
-      frame.put(3, 2) // mono
-      frame.put(0, 2); frame.put(0, 1); frame.put(0, 1); frame.put(0, 2)
-      // scfsi (MPEG-1 only): when granule 1's scalefactors equal
-      // granule 0's over a whole scfsi group, set the group's bit and
-      // DON'T retransmit them — the spec's scalefactor-reuse mechanism
-      // (steady signals share all four groups, saving 74 bits/frame);
-      // the decoder's reuse path carries granule 0's values across.
-      // Short granules never participate (the spec forbids scfsi reuse
-      // into a short granule; their scalefactors are per-window anyway).
+      frame.put(mode, 2)
+      frame.put(modeExt, 2)
+      frame.put(0, 1); frame.put(0, 1); frame.put(0, 2) // (c)/orig/emph
+      // scfsi (MPEG-1 only, per channel): when granule 1's scalefactors
+      // equal granule 0's over a whole scfsi group, set the group's bit
+      // and DON'T retransmit them — the spec's scalefactor-reuse
+      // mechanism; the decoder's reuse path carries granule 0's values
+      // across. Short granules never participate (the spec forbids
+      // scfsi reuse into a short granule).
       val ScfsiGroups = Array((0, 6, 4), (6, 11, 4), (11, 16, 3), (16, 21, 3))
-      val scfsi: Array[Int] =
-        if (!v1) Array.empty
-        else if (granuleBt.exists(_ != 0)) Array(0, 0, 0, 0)
-        else ScfsiGroups.map { case (from, to, _) =>
-          if ((from until to).forall(b => granuleSf(1)(b) == granuleSf(0)(b)))
-            1 else 0
+      val scfsi: Array[Array[Int]] =
+        if (!v1) Array.fill(nch)(Array.empty[Int])
+        else Array.tabulate(nch) { c =>
+          if (granuleBt.exists(_ != 0)) Array(0, 0, 0, 0)
+          else ScfsiGroups.map { case (from, to, _) =>
+            if ((from until to).forall(b =>
+              granuleSf(1)(c)(b) == granuleSf(0)(c)(b))) 1 else 0
+          }
         }
-      // part2 bits per granule: short granules carry 18x4 + 18x3 = 126;
-      // long granules 74, minus reused scfsi groups on granule 1
-      def part2Bits(g: Int): Int =
+      // part2 bits per (granule, channel): short granules carry
+      // 18x4 + 18x3 = 126; long granules 74 minus reused scfsi groups
+      def part2Bits(g: Int, c: Int): Int =
         if (granuleBt(g) == 2) 126
         else ScfsiGroups.zipWithIndex.map {
           case ((from, to, slen), gi) =>
-            if (v1 && g == 1 && scfsi(gi) == 1) 0 else (to - from) * slen
+            if (v1 && g == 1 && scfsi(c)(gi) == 1) 0 else (to - from) * slen
         }.sum
       // side info
       frame.put(0, if (v1) 9 else 8) // main_data_begin
-      frame.put(0, if (v1) 5 else 1) // private
-      if (v1) scfsi.foreach(frame.put(_, 1))
+      frame.put(0, // private bits
+        if (v1) { if (nch == 1) 5 else 3 } else { if (nch == 1) 1 else 2 })
+      if (v1) scfsi.foreach(_.foreach(frame.put(_, 1)))
       var g2 = 0
       while (g2 < granules) {
-        frame.put(part2Bits(g2) + granuleBits(g2).bitLength, 12)
-        frame.put(granuleMeta(g2)._1, 9)              // big_values
-        frame.put(granuleGain(g2), 8)
-        frame.put(sfCompress, if (v1) 4 else 9)
-        if (granuleBt(g2) != 0) {
-          frame.put(1, 1) // window_switching
-          frame.put(granuleBt(g2), 2) // block_type (1 start / 2 short / 3 stop)
-          frame.put(0, 1) // mixed_block_flag off
-          frame.put(5, 5); frame.put(5, 5) // two region table selects
-          frame.put(0, 3); frame.put(0, 3); frame.put(0, 3) // subblock_gain
-        } else {
-          frame.put(0, 1) // window_switching off
-          frame.put(5, 5); frame.put(5, 5); frame.put(5, 5) // table 5 x3
-          frame.put(7, 4) // region0_count
-          frame.put(7, 3) // region1_count
+        var c2 = 0
+        while (c2 < nch) {
+          frame.put(part2Bits(g2, c2) + granuleBits(g2)(c2).bitLength, 12)
+          frame.put(granuleMeta(g2)(c2)._1, 9)          // big_values
+          frame.put(granuleGain(g2)(c2), 8)
+          frame.put(sfCompress, if (v1) 4 else 9)
+          if (granuleBt(g2) != 0) {
+            frame.put(1, 1) // window_switching
+            frame.put(granuleBt(g2), 2) // block_type (1/2/3)
+            frame.put(0, 1) // mixed_block_flag off
+            frame.put(5, 5); frame.put(5, 5) // two region table selects
+            frame.put(0, 3); frame.put(0, 3); frame.put(0, 3) // subblock_gain
+          } else {
+            frame.put(0, 1) // window_switching off
+            frame.put(5, 5); frame.put(5, 5); frame.put(5, 5) // table 5 x3
+            frame.put(7, 4) // region0_count
+            frame.put(7, 3) // region1_count
+          }
+          if (v1) frame.put(0, 1) // preflag (not transmitted in LSF)
+          frame.put(1, 1) // scalefac_scale = 1 (multiplier 1.0)
+          frame.put(0, 1) // count1 table A
+          c2 += 1
         }
-        if (v1) frame.put(0, 1) // preflag (not transmitted in LSF)
-        frame.put(1, 1) // scalefac_scale = 1 (multiplier 1.0)
-        frame.put(0, 1) // count1 table A
         g2 += 1
       }
-      // main data: per granule the scalefactors (part2), then the
-      // Huffman bits (part3). Short granules write sfb-major 12 bands
-      // x 3 windows (the decoder's read order); long granules write the
-      // four scfsi groups, skipping reused ones on granule 1
+      // main data, granule-major channel-inner: per (granule, channel)
+      // the scalefactors (part2), then the Huffman bits (part3). Short
+      // granules write sfb-major 12 bands x 3 windows (the decoder's
+      // read order); long granules write the four scfsi groups,
+      // skipping reused ones on granule 1
       val side = frame
       var gb = 0
       while (gb < granules) {
-        if (granuleBt(gb) == 2) {
-          var b = 0
-          while (b < 12) {
-            val slen = if (b < 6) 4 else 3
-            var w = 0
-            while (w < 3) { side.put(granuleSfS(gb)(w)(b), slen); w += 1 }
-            b += 1
+        var cb = 0
+        while (cb < nch) {
+          if (granuleBt(gb) == 2) {
+            var b = 0
+            while (b < 12) {
+              val slen = if (b < 6) 4 else 3
+              var w = 0
+              while (w < 3) {
+                side.put(granuleSfS(gb)(cb)(w)(b), slen); w += 1
+              }
+              b += 1
+            }
+          } else {
+            ScfsiGroups.zipWithIndex.foreach { case ((from, to, slen), gi) =>
+              if (!(v1 && gb == 1 && scfsi(cb)(gi) == 1))
+                (from until to).foreach(b =>
+                  side.put(granuleSf(gb)(cb)(b), slen))
+            }
           }
-        } else {
-          ScfsiGroups.zipWithIndex.foreach { case ((from, to, slen), gi) =>
-            if (!(v1 && gb == 1 && scfsi(gi) == 1))
-              (from until to).foreach(b => side.put(granuleSf(gb)(b), slen))
+          val bits = granuleBits(gb)(cb)
+          val used = bits.bitLength // BEFORE result() pads to a byte
+          val arr = bits.result()
+          var bi = 0
+          while (bi < used) {
+            side.put((arr(bi >> 3) >> (7 - (bi & 7))) & 1, 1)
+            bi += 1
           }
-        }
-        val bits = granuleBits(gb)
-        val used = bits.bitLength // BEFORE result() pads to a byte
-        val arr = bits.result()
-        var bi = 0
-        while (bi < used) {
-          side.put((arr(bi >> 3) >> (7 - (bi & 7))) & 1, 1)
-          bi += 1
+          cb += 1
         }
         gb += 1
       }
@@ -1477,10 +1599,11 @@ object Mp3Codec {
     out.toArray
   }
 
-  /** Verification hook: per-granule block types of a mono stream in
-    * decode order (0 long / 1 start / 2 short / 3 stop; non-switching
-    * granules report 0) — lets specs pin the encoder's transient window
-    * sequence from the BITSTREAM, not from encoder internals.
+  /** Verification hook: per-(granule, channel) block types of a stream
+    * in decode order (0 long / 1 start / 2 short / 3 stop;
+    * non-switching granules report 0) — lets specs pin the encoder's
+    * transient window sequence from the BITSTREAM, not from encoder
+    * internals.
     */
   private[operators] def granuleBlockTypes(bytes: Array[Byte]): Seq[Int] = {
     var off = id3Skip(bytes)
@@ -1491,14 +1614,18 @@ object Mp3Codec {
         case Some(h) =>
           if (off + h.frameBytes > bytes.length) return out.toSeq
           val v1 = h.version == 3
-          val sideBytes = if (v1) 17 else 9
+          val ch = h.channels
+          val sideBytes =
+            if (v1) { if (ch == 1) 17 else 32 }
+            else { if (ch == 1) 9 else 17 }
           val crcBytes = if (h.crc) 2 else 0
           val side = new BitReader(bytes.slice(off + 4 + crcBytes,
             off + 4 + crcBytes + sideBytes))
           side.get(if (v1) 9 else 8): Unit
-          side.get(if (v1) 5 else 1): Unit
-          if (v1) (0 until 4).foreach(_ => side.get1(): Unit)
-          (0 until h.granules).foreach { _ =>
+          side.get(if (v1) { if (ch == 1) 5 else 3 }
+            else { if (ch == 1) 1 else 2 }): Unit
+          if (v1) (0 until 4 * ch).foreach(_ => side.get1(): Unit)
+          (0 until h.granules * ch).foreach { _ =>
             val gi = readGranuleInfo(side, v1)
             out += (if (gi.windowSwitching) gi.blockType else 0)
           }

@@ -452,12 +452,16 @@ object Multimodal {
         return (try graft.operators.Mp3Codec.decode(payload)
           catch { case scala.util.control.NonFatal(_) => None })
           .map { d =>
-            val s = d.samples.drop(graft.operators.Mp3Codec.LeadingSkip)
+            // stereo output is interleaved; the codec-delay skip is per
+            // channel, frame count = interleaved length / channels
+            val s = d.samples.drop(
+              graft.operators.Mp3Codec.LeadingSkip * d.channels)
             var sumSq = 0.0
             var i = 0
             while (i < s.length) { sumSq += s(i) * s(i); i += 1 }
             val rms = if (s.isEmpty) 0.0 else math.sqrt(sumSq / s.length)
-            (d.sampleRate.toFloat, 1, s.length.toLong, rms)
+            (d.sampleRate.toFloat, d.channels,
+              (s.length / d.channels).toLong, rms)
           }
       if (payload.length >= 4 && payload(0) == 'f' && payload(1) == 'L' &&
           payload(2) == 'a' && payload(3) == 'C')
@@ -504,7 +508,8 @@ object Multimodal {
       * None for anything undecodable.
       */
     def decodeSamples(payload: Array[Byte]): Option[(Float, Array[Double])] = {
-      // MP3 (MPEG-1/2 Layer III mono) through our own codec; the fixed
+      // MP3 (MPEG-1/2 Layer III, mono or stereo) through our own codec;
+      // the fixed
       // LeadingSkip drops the filterbank+MDCT warmup (gapless-delay
       // convention), so callers see steady-state samples. Poison-pill
       // convention of this layer: ANY codec failure (corrupt stream,
@@ -515,8 +520,17 @@ object Multimodal {
         return (try graft.operators.Mp3Codec.decode(payload)
           catch { case scala.util.control.NonFatal(_) => None })
           .map { d =>
-            (d.sampleRate.toFloat,
-              d.samples.drop(graft.operators.Mp3Codec.LeadingSkip))
+            // first channel of interleaved frames, the FLAC/WAV
+            // convention of this layer; skip is per channel
+            val s = d.samples.drop(
+              graft.operators.Mp3Codec.LeadingSkip * d.channels)
+            val out =
+              if (d.channels == 1) s
+              else {
+                val n = s.length / d.channels
+                Array.tabulate(n)(i => s(i * d.channels))
+              }
+            (d.sampleRate.toFloat, out)
           }
       if (payload.length >= 4 && payload(0) == 'f' && payload(1) == 'L' &&
           payload(2) == 'a' && payload(3) == 'C')
@@ -1560,6 +1574,37 @@ object Multimodal {
             if (xs.isEmpty) null
             else graft.operators.Mp3Codec.encode(xs.toArray, sampleRate,
               0, blockMode)
+          }
+        Row(r.get(idIdx), payload)
+      }
+    }(enc)
+  }
+
+  /** Stereo MP3 encode — two `array<int>` sample columns (left, right)
+    * per row, coded as plain LR stereo or mid/side joint stereo (see
+    * [[graft.operators.Mp3Codec.encodeStereo]]). Null/empty/mismatched
+    * channels yield a null payload. Returns `(id, payload)`.
+    */
+  def encodeMp3Stereo(df: DataFrame, idCol: String, leftCol: String,
+      rightCol: String, sampleRate: Int,
+      msStereo: Boolean = false): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", df.schema(idCol).dataType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val lIdx = df.schema.fieldIndex(leftCol)
+    val rIdx = df.schema.fieldIndex(rightCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload =
+          if (r.isNullAt(lIdx) || r.isNullAt(rIdx)) null
+          else {
+            val l = r.getSeq[Int](lIdx)
+            val rt = r.getSeq[Int](rIdx)
+            if (l.isEmpty || l.length != rt.length) null
+            else graft.operators.Mp3Codec.encodeStereo(l.toArray,
+              rt.toArray, sampleRate, 0, "long", msStereo)
           }
         Row(r.get(idIdx), payload)
       }

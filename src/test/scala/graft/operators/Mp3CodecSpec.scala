@@ -313,8 +313,10 @@ class Mp3CodecSpec extends AnyFunSuite {
         Gen.choose(1, 40), Gen.choose(500, 6000)))
       frames <- Gen.choose(1, 3)
       mode <- Gen.oneOf("long", "short", "auto")
-    } yield (sr, tones, frames, mode)
-    val prop = Prop.forAll(cfgGen) { case (sr, tones, frames, mode) =>
+      chanMode <- Gen.oneOf("mono", "lr", "ms")
+    } yield (sr, tones, frames, mode, chanMode)
+    val prop = Prop.forAll(cfgGen) {
+      case (sr, tones, frames, mode, chanMode) =>
       val v1 = Seq(44100, 48000, 32000).contains(sr)
       val frameLen = if (v1) 1152 else 576
       val n = frames * frameLen
@@ -322,18 +324,31 @@ class Mp3CodecSpec extends AnyFunSuite {
         a * math.sin(2 * math.Pi * k * i / 256.0)
       }.sum.round.toInt)
       val blockMode = if (v1) mode else "long" // LSF short is loud-fail
-      val dec = Mp3Codec.decode(Mp3Codec.encode(pcm, sr, 0, blockMode)).get
-      // contracts: exact length, right rate, finite bounded samples,
-      // positively correlated with the input at SOME plausible lag
-      val lenOk = dec.samples.length == n && dec.sampleRate == sr
+      val enc = chanMode match {
+        case "mono" => Mp3Codec.encode(pcm, sr, 0, blockMode)
+        case "lr" =>
+          Mp3Codec.encodeStereo(pcm, pcm.map(v => -v / 2), sr, 0, blockMode)
+        case _ => Mp3Codec.encodeStereo(pcm, pcm.map(_ / 3), sr, 0,
+          blockMode, msStereo = true)
+      }
+      val dec = Mp3Codec.decode(enc).get
+      val nch = if (chanMode == "mono") 1 else 2
+      // contracts: exact length, right rate and channel count, finite
+      // bounded samples, channel 0 positively correlated with the
+      // input at SOME plausible lag
+      val lenOk = dec.samples.length == n * nch && dec.sampleRate == sr &&
+        dec.channels == nch
       val boundOk = dec.samples.forall(v =>
         !v.isNaN && !v.isInfinite && math.abs(v) < 32768 * 4)
+      val ch0 =
+        if (nch == 1) dec.samples
+        else Array.tabulate(n)(i => dec.samples(2 * i))
       val corrOk = n < 1280 || {
         val win = math.min(512, n - 1153)
         (0 until 1153).exists { d =>
           var c = 0.0
           var i = 0
-          while (i < win) { c += dec.samples(d + i) * pcm(i); i += 1 }
+          while (i < win) { c += ch0(d + i) * pcm(i); i += 1 }
           c > 0
         }
       }
@@ -386,14 +401,74 @@ class Mp3CodecSpec extends AnyFunSuite {
     assert(result.passed, result.status.toString)
   }
 
-  test("encoder rejects non-MPEG-1 rates; decoder rejects stereo") {
+  test("encoder rejects unsupported rates loudly") {
     intercept[IllegalArgumentException] {
       Mp3Codec.encode(tone(3, 1152), 8000)
     }
-    // a stereo header (mode 0) is not a frame this codec places
-    val bytes = Mp3Codec.encode(tone(3, 1152), 44100)
-    val stereo = bytes.clone()
-    stereo(3) = (stereo(3) & 0x3F).toByte // mode joint-stereo
-    assert(Mp3Codec.decode(stereo).isEmpty)
+  }
+
+  private def deinterleave(s: Array[Double], ch: Int): Array[Array[Double]] =
+    Array.tabulate(ch)(c => Array.tabulate(s.length / ch)(i => s(i * ch + c)))
+
+  test("LR stereo round trip: independent tones per channel survive") {
+    val l = tone(5, 2304)
+    val r = tone(11, 2304)
+    val bytes = Mp3Codec.encodeStereo(l, r, 44100)
+    assert(((bytes(3) >> 6) & 3) == 0, "mode must be stereo (0)")
+    val dec = Mp3Codec.decode(bytes).get
+    assert(dec.channels == 2 && dec.sampleRate == 44100)
+    assert(dec.samples.length == 2 * 2304)
+    val chans = deinterleave(
+      dec.samples.drop(2 * Mp3Codec.LeadingSkip), 2)
+    assert(peakBin(chans(0), 256) == 5, "left tone")
+    assert(peakBin(chans(1), 256) == 11, "right tone")
+  }
+
+  test("mid/side joint stereo round trip and bitstream mode bits") {
+    val l = tone(7, 2304)
+    // right = left + a quiet difference tone: the MS-favorable shape
+    val r = Array.tabulate(2304)(i =>
+      l(i) + math.round(1500.0 * math.sin(2 * math.Pi * 13 * i / 256.0)).toInt)
+    val bytes = Mp3Codec.encodeStereo(l, r, 44100, msStereo = true)
+    assert(((bytes(3) >> 6) & 3) == 1, "mode must be joint stereo (1)")
+    assert(((bytes(3) >> 4) & 3) == 2, "mode_extension must be MS (2)")
+    val dec = Mp3Codec.decode(bytes).get
+    assert(dec.channels == 2)
+    val chans = deinterleave(
+      dec.samples.drop(2 * Mp3Codec.LeadingSkip), 2)
+    assert(peakBin(chans(0), 256) == 7, "left dominant tone")
+    // the right channel carries tone 7 plus the 13 diff — its peak
+    // stays the shared dominant tone, and L-R isolates the difference
+    val diff = Array.tabulate(256)(i => chans(1)(i) - chans(0)(i))
+    assert(peakBin(diff, 256) == 13, "mid/side difference tone")
+  }
+
+  test("stereo short blocks and LSF stereo round-trip") {
+    val l = tone(5, 2304)
+    val r = tone(9, 2304)
+    val sb = Mp3Codec.encodeStereo(l, r, 44100, blockMode = "short")
+    assert(Mp3Codec.granuleBlockTypes(sb).forall(_ == 2))
+    val dec = Mp3Codec.decode(sb).get
+    assert(dec.channels == 2)
+    val chans = deinterleave(dec.samples.drop(2 * Mp3Codec.LeadingSkip), 2)
+    assert(peakBin(chans(0), 256) == 5 && peakBin(chans(1), 256) == 9)
+    // LSF stereo: 17-byte side info, one granule per frame
+    val lsf = Mp3Codec.encodeStereo(tone(5, 2304), tone(9, 2304), 22050)
+    val decL = Mp3Codec.decode(lsf).get
+    assert(decL.channels == 2 && decL.sampleRate == 22050)
+    val chansL = deinterleave(decL.samples.drop(2 * Mp3Codec.LeadingSkip), 2)
+    assert(peakBin(chansL(0), 256) == 5 && peakBin(chansL(1), 256) == 9)
+  }
+
+  test("intensity stereo fails loudly, never silently garbled") {
+    val bytes = Mp3Codec.encodeStereo(
+      tone(5, 1152), tone(9, 1152), 44100, msStereo = true)
+    val poisoned = bytes.clone()
+    // set mode_extension bit 0 (intensity) on the first header
+    poisoned(3) = (poisoned(3) | 0x10).toByte
+    val e = intercept[UnsupportedOperationException](
+      Mp3Codec.decode(poisoned))
+    assert(e.getMessage.contains("intensity"))
+    assert(Multimodal.MediaCodec.decodeSamples(poisoned).isEmpty)
   }
 }
