@@ -1620,10 +1620,15 @@ private[graft] object QueriesTextMediaCorpus {
         .orderBy("lang")
     }),
 
+    // batchSize 4 runs the batched trainer (top-K disjoint merges per
+    // job) against the oracle's STRICTLY SEQUENTIAL DuckDB CTE chain —
+    // the hash match IS the batched ≡ sequential equivalence pin, on
+    // the real corpus at both driver scale factors
     "x_bpe_train" -> ((s, d) => {
       import s.implicits._
       operators.TextAnalysis.learnBpeMerges(
-          Tables.documents(s, d).select("text"), "text", nMerges = 8)
+          Tables.documents(s, d).select("text"), "text", nMerges = 8,
+          batchSize = 4)
         .zipWithIndex
         .map { case ((a, b), i) => (i + 1, a, b) }
         .toDF("rank", "a", "b")

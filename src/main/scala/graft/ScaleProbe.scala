@@ -240,6 +240,29 @@ object ScaleProbe {
         }
       }
 
+      // ---- BPE training (corpus axis): per-round cost is vocab-sized,
+      // round count is corpus-INDEPENDENT — the batched trainer must
+      // track the sequential one in time-per-round while cutting the
+      // round count on the same corpus (both train the same 8 merges)
+      if (famOn("bpe_train")) locally {
+        val (seqOut, tSeq) = time {
+          operators.TextAnalysis.learnBpeMergesWithStats(
+            docsN, "text", nMerges = 8, batchSize = 1)
+        }
+        record("bpe_train", "seq", n, tSeq)
+        val (batOut, tBat) = time {
+          operators.TextAnalysis.learnBpeMergesWithStats(
+            docsN, "text", nMerges = 8, batchSize = 8)
+        }
+        record("bpe_train", "batched", n, tBat)
+        if (!warmingUp) {
+          require(batOut._1 == seqOut._1,
+            s"batched BPE diverged from sequential at x$n")
+          println(f"[probe] bpe_train/rounds x$n%-3d " +
+            s"seq=${seqOut._2} batched=${batOut._2}")
+        }
+      }
+
       // ---- Binary-quantized serving: Hamming shortlist + rescore ----
       // the corpus pass reads one long per vector; serve time should
       // stay near-flat until the popcount scan itself dominates

@@ -2,13 +2,17 @@ package graft.operators
 
 import scala.collection.mutable.ArrayBuffer
 
-/** MPEG Audio Layer III (MP3) — own-written mono codec from the public
+/** MPEG Audio Layer III (MP3) — own-written codec from the public
   * ISO/IEC 11172-3 (MPEG-1) and 13818-3 (MPEG-2 LSF) specifications,
-  * the lossy-audio sibling of [[FlacCodec]]. The full bitstream
-  * STRUCTURE is implemented exactly: frame sync + header fields for
-  * MPEG-1 and MPEG-2 LSF, mono side info (17/9 bytes), the bit
-  * reservoir (`main_data_begin` back-pointers across frames),
-  * scalefactor layouts (MPEG-1 slen pairs + scfsi; LSF slen
+  * the lossy-audio sibling of [[FlacCodec]]. Mono and stereo: all four
+  * channel modes decode (LR, dual-channel, joint stereo with mid/side;
+  * intensity stereo fails loudly — its band-position semantics are not
+  * shipped), and [[encodeStereo]] writes LR or MS streams. The full
+  * bitstream STRUCTURE is implemented exactly: frame sync + header
+  * fields for MPEG-1 and MPEG-2 LSF, side info (17/9-byte mono,
+  * 32/17-byte stereo layouts), the bit reservoir (`main_data_begin`
+  * back-pointers across frames), scalefactor layouts (MPEG-1 slen
+  * pairs + per-channel scfsi; LSF slen
   * decomposition), Huffman-coded big_values/count1/rzero region
   * partitioning with sign bits and linbits escapes, the 4/3-power
   * requantizer with global_gain / scalefac_scale / preflag semantics,
@@ -36,6 +40,19 @@ import scala.collection.mutable.ArrayBuffer
   *     with the table id (adding a table is data-only — the linbits
   *     escape path and paired-region machinery are already in place).
   *     [[encode]] restricts itself to the verified subset.
+  *     RE-CHECKED 2026-08 (round 13): the remaining tables span 6×6 to
+  *     16×16 codeword/length pairs (up to 256 entries each, plus the
+  *     per-table linbits widths); the class-load Kraft/prefix checks
+  *     would catch a malformed LENGTH profile but cannot catch a
+  *     permuted symbol→code assignment, which would decode third-party
+  *     streams to silently wrong spectra — strictly worse than the loud
+  *     fail. No authoritative copy of the B.7 constants exists in this
+  *     offline container (checked: /opt/spark/jars, the reference repo,
+  *     the retrieved-snippets corpus), so the blockage stands, the
+  *     COVERAGE.md Kafka-jar convention. An encoder round-trip can
+  *     self-verify internal consistency per table but not spec
+  *     conformance; these tables stay out until real constants are
+  *     available.
   *   - The 512-tap filterbank prototype (Table B.3 / Annex B): replaced
   *     by an own-designed near-perfect-reconstruction pseudo-QMF
   *     prototype (Kaiser-windowed lowpass, crossover solved numerically

@@ -345,19 +345,77 @@ object TextAnalysis {
     * Training stops early when no adjacent pair remains (every word
     * fully merged). Not SQL-oracle-expressible (data-dependent
     * sequential argmax) — spec-gated, like the apply expression.
+    *
+    * This 2-arg form is the exact sequential algorithm (one merge per
+    * job); the `batchSize` overload below amortizes the per-merge
+    * scheduler round-trip for production-scale vocabularies.
     */
   def learnBpeMerges(docs: DataFrame, textCol: String,
-      nMerges: Int): Seq[(String, String)] = {
+      nMerges: Int): Seq[(String, String)] =
+    learnBpeMerges(docs, textCol, nMerges, batchSize = 1)
+
+  /** Batched BPE training: `batchSize > 1` folds the top-K
+    * CHAIN-FREE pairs (weight-desc / pair-asc order) into the
+    * vocabulary per Spark job, cutting the job count from nMerges to
+    * ~nMerges/K — the difference between a 32k-merge production train
+    * being 32k sequential scheduler round-trips and ~1k.
+    *
+    * The batch is PROVABLY sequential-identical — it extends only
+    * while every argument sequential training would see is pinned:
+    *
+    *   - CHAINS stop the batch: a candidate whose left symbol is a
+    *     taken pair's right, or whose right is a taken left (the
+    *     "a b c" / "x a b" adjacencies) has its count REDUCED by the
+    *     earlier merge — whether it still wins needs a recount, so the
+    *     round ends there. Merely sharing a left (`(e,r)`,`(e,n)`) or
+    *     right symbol keeps counts invariant (an `e` followed by `r`
+    *     is never the `e` followed by `n`) and batches fine.
+    *   - CREATED pairs bound the batch: merging `(a, b)` can mint
+    *     `(x, ab)` / `(ab, y)` pairs sequential training would rank
+    *     next; their counts are bounded by the OLD `(x, a)` / `(b, y)`
+    *     weights (every minted adjacency was one of those), which the
+    *     round's collected top already holds (anything uncollected
+    *     weighs ≤ the collection minimum). A candidate at or below the
+    *     running created-pair cap ends the round.
+    *
+    * Within a batch the greedy left-to-right fold is unambiguous (at
+    * most one rule fires per position) and equals applying the members
+    * sequentially. Net effect: conflict-light vocabularies (distinct
+    * symbol pairs — code, CJK-ish text, the long tail after the first
+    * hundred merges) batch near `batchSize`; conflict-heavy stretches
+    * degrade gracefully toward one merge per job, never toward a wrong
+    * merge table. The gated `x_bpe_train` row runs the batched trainer
+    * against a strictly SEQUENTIAL DuckDB CTE oracle on the real
+    * corpus; `batchSize = 1` (the default) is the classic algorithm,
+    * bit for bit.
+    */
+  def learnBpeMerges(docs: DataFrame, textCol: String, nMerges: Int,
+      batchSize: Int): Seq[(String, String)] =
+    learnBpeMergesWithStats(docs, textCol, nMerges, batchSize)._1
+
+  /** [[learnBpeMerges]] plus the Spark-round count — the telemetry the
+    * batching exists to shrink (specs pin conflict-light corpora train
+    * in ~nMerges/batchSize rounds while staying sequential-identical).
+    */
+  private[graft] def learnBpeMergesWithStats(docs: DataFrame,
+      textCol: String, nMerges: Int,
+      batchSize: Int): (Seq[(String, String)], Int) = {
     require(nMerges > 0, s"nMerges must be positive, got $nMerges")
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
     var vocab = docs
       .select(explode(TextFunctions.tokens(lower(col(textCol)))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
       .select(expr("regexp_extract_all(w, '(?s).', 0)").as("syms"), col("n"))
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var rounds = 0
     var continue = true
     while (continue && merges.size < nMerges) {
-      val pairs = vocab
+      val want = math.min(batchSize, nMerges - merges.size)
+      // pull extra top pairs: the overflow feeds the created-pair cap
+      // (anything uncollected weighs <= the collection minimum), and a
+      // short pull only costs a smaller batch, never correctness
+      val top = vocab
         // sequence(0, -1) DESCENDS — single-symbol words must not
         // reach the pair transform
         .filter(size(col("syms")) >= 2)
@@ -367,25 +425,62 @@ object TextAnalysis {
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum("n").as("w"))
         .orderBy(col("w").desc, col("a"), col("b"))
-        .limit(1).collect()
-      if (pairs.isEmpty) continue = false
+        .limit(want * 4 + 8).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      rounds += 1
+      if (top.isEmpty) continue = false
       else {
-        val (a, b) = (pairs.head.getString(0), pairs.head.getString(1))
-        merges += ((a, b))
-        // greedy left-to-right fold: the apply expression's
-        // merge-every-occurrence pass, as an aggregate() HOF
+        // the longest ranked prefix sequential training provably picks
+        // in this order (see scaladoc): stop at the first chained
+        // candidate (its count was reduced — needs a recount) or the
+        // first candidate a minted pair could outrank
+        val wMin = top.map(_._3).min
+        def mintCap(a: String, b: String): Long = {
+          // minted (x, ab) <= old (x, a); minted (ab, y) <= old (b, y)
+          val known = top.collect {
+            case (_, r, w) if r == a => w
+            case (l, _, w) if l == b => w
+          }
+          math.max(wMin, if (known.isEmpty) 0L else known.max)
+        }
+        val lefts = scala.collection.mutable.HashSet.empty[String]
+        val rights = scala.collection.mutable.HashSet.empty[String]
+        val batch = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        var cap = -1L
+        var i = 0
+        var stop = false
+        while (i < top.length && batch.size < want && !stop) {
+          val (a, b, w) = top(i)
+          if (batch.nonEmpty && (rights(a) || lefts(b) || w <= cap))
+            stop = true
+          else {
+            batch += ((a, b))
+            lefts += a
+            rights += b
+            cap = math.max(cap, mintCap(a, b))
+          }
+          i += 1
+        }
+        merges ++= batch
+        // one fold applies the whole batch: disjointness makes the
+        // per-element when-chain unambiguous (at most one rule fires)
         val folded = aggregate(col("syms"),
           array().cast("array<string>"),
-          (acc, x) =>
-            when(size(acc) > 0 &&
-                element_at(acc, -1) === lit(a) && x === lit(b),
-              concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-              .otherwise(concat(acc, array(x))))
+          (acc, x) => {
+            val last = element_at(acc, -1)
+            val hit = batch.map { case (a, b) =>
+              last === lit(a) && x === lit(b)
+            }.reduce(_ || _)
+            when(size(acc) > 0 && hit,
+              concat(slice(acc, lit(1), size(acc) - 1),
+                array(concat(last, x))))
+              .otherwise(concat(acc, array(x)))
+          })
         vocab = vocab.select(folded.as("syms"), col("n"))
           .localCheckpoint(true)
       }
     }
-    merges.toSeq
+    (merges.toSeq, rounds)
   }
 
   /** Memorization-risk score: the fraction of a document's word

@@ -249,6 +249,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m2 == Seq(("a", "a"), ("a", "b"), ("aa", "ab")), m2)
   }
 
+  test("batched BPE training ≡ sequential, merge-for-merge") {
+    // golden corpora spanning the divergence hazards: shared-left /
+    // shared-right pairs (counts invariant — batch together), adjacency
+    // chains (reduced counts — round must stop), MINTED pairs that
+    // outrank old ones (the "the/then/there" shape: after (h,e),
+    // sequential picks (t,he) — a batch that committed old-count picks
+    // would diverge; the created-pair cap stops it), self-pairs, ties,
+    // early stop
+    val corpora = Seq(
+      Seq((1L, "ab ab ac"), (2L, "ab")),
+      Seq((1L, "the then there and an end"), (2L, "other other mother")),
+      Seq((1L, "aaab aaab")),
+      Seq((1L, "xy yx zz zz qr qr rs")),
+      Seq((1L, "banana bandana ananas"), (2L, "cabana banana")),
+      Seq((1L, "abc abc abc ab")))
+    for (rows <- corpora; k <- Seq(2, 4, 8)) {
+      val df = rows.toDF("doc_id", "text")
+      val seqM = TextAnalysis.learnBpeMerges(df, "text", nMerges = 8)
+      val batM = TextAnalysis.learnBpeMerges(df, "text", nMerges = 8,
+        batchSize = k)
+      assert(batM == seqM, s"batchSize=$k on ${rows.map(_._2)}")
+    }
+    // the payoff: a conflict-light vocabulary (distinct symbol pairs,
+    // steep weights) trains in ~nMerges/batchSize Spark rounds
+    val light = Seq((1L, Seq.fill(9)("ab").mkString(" ") + " " +
+      Seq.fill(7)("cd").mkString(" ") + " " + Seq.fill(5)("ef").mkString(" ") +
+      " " + Seq.fill(3)("gh").mkString(" ") + " ij")).toDF("doc_id", "text")
+    val (mSeq, rSeq) =
+      TextAnalysis.learnBpeMergesWithStats(light, "text", 4, 1)
+    val (mBat, rBat) =
+      TextAnalysis.learnBpeMergesWithStats(light, "text", 4, 4)
+    assert(mBat == mSeq && mSeq.size == 4)
+    assert(rSeq >= 4 && rBat <= 2, s"rounds: sequential $rSeq, batched $rBat")
+  }
+
   test("memorizationRisk counts shingles shared with OTHER docs") {
     val df = Seq(
       (1L, "a b c d"),        // shingles: "a b c", "b c d"
