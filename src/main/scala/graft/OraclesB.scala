@@ -1061,6 +1061,14 @@ private[graft] object OraclesB {
            CAST(doc_id % 30 + 1 AS INTEGER) AS peak_bin,
            CAST(1152 AS BIGINT) AS n_samples
          FROM documents WHERE doc_id < 150 ORDER BY id""",
+    // the intensity joint-stereo leg of the own MP3 codec: positions
+    // at the exact tan(60°) ratio, left peak through the channel-0 path
+    "x_audio_mp3_intensity" ->
+      """SELECT doc_id AS id,
+           CAST(44100 AS INTEGER) AS sample_rate,
+           CAST(doc_id % 30 + 1 AS INTEGER) AS peak_bin,
+           CAST(1152 AS BIGINT) AS n_samples
+         FROM documents WHERE doc_id < 150 ORDER BY id""",
     // the LSF leg of the own MP3 codec: 22.05 kHz one-granule frames,
     // live scalefactors through the LSF slen decomposition
     "x_audio_mp3_lsf" ->

@@ -507,6 +507,32 @@ private[graft] object QueriesTextMediaCorpus {
         .orderBy("id")
     }),
 
+    // The INTENSITY joint-stereo leg (mode_extension 1): both channels
+    // carry the doc's tone at the exact position-4 ratio L/R = tan(60°)
+    // = √3, so is_pos quantizes losslessly — tones below long band 8
+    // code normally, tones above ride the summed left channel and are
+    // split back by is_ratio = tan(is_pos·π/12) at decode; the
+    // channel-0 convention must recover the LEFT peak either way.
+    "x_audio_mp3_intensity" -> ((s, d) => {
+      val k = (pmod(col("doc_id"), lit(30)) + 1).cast("double")
+      val pcm = Tables.documents(s, d).select("doc_id")
+        .filter(col("doc_id") < 150)
+        .withColumn("left", transform(sequence(lit(0), lit(2303)),
+          n => round(lit(8000.0) *
+            sin(lit(2.0 * math.Pi) * k * n.cast("double") / lit(256.0)))
+            .cast("int")))
+        .withColumn("right", transform(sequence(lit(0), lit(2303)),
+          n => round(lit(8000.0 / math.sqrt(3.0)) *
+            sin(lit(2.0 * math.Pi) * k * n.cast("double") / lit(256.0)))
+            .cast("int")))
+      val enc2 = operators.Multimodal.encodeMp3Stereo(pcm, "doc_id",
+        "left", "right", 44100, intensityBand = 8)
+      operators.Multimodal.audioSpectrum(enc2, "id", "payload", fftSize = 256)
+        .select(col("id"), col("sample_rate").cast("int").as("sample_rate"),
+          col("peak_bin"), col("n_samples"))
+        .orderBy("id")
+    }),
+
     // The MPEG-2 LSF leg of the same codec (22.05 kHz one-granule
     // 576-sample frames, 9-byte side info, scalefac_compress 399 — the
     // LSF slen decomposition carrying LIVE scalefactors, which the

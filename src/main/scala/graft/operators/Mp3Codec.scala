@@ -5,9 +5,13 @@ import scala.collection.mutable.ArrayBuffer
 /** MPEG Audio Layer III (MP3) — own-written codec from the public
   * ISO/IEC 11172-3 (MPEG-1) and 13818-3 (MPEG-2 LSF) specifications,
   * the lossy-audio sibling of [[FlacCodec]]. Mono and stereo: all four
-  * channel modes decode (LR, dual-channel, joint stereo with mid/side;
-  * intensity stereo fails loudly — its band-position semantics are not
-  * shipped), and [[encodeStereo]] writes LR or MS streams. The full
+  * channel modes decode — LR, dual-channel, joint stereo with mid/side
+  * AND MPEG-1 long-block intensity (is_ratio = tan(is_pos·π/12) over
+  * the right channel's zero_part, illegal position 7 falling back to
+  * MS when both joint modes are on; LSF intensity and short-granule
+  * intensity fail loudly, their position semantics are not shipped) —
+  * and [[encodeStereo]]/[[encodeStereoIntensity]] write LR, MS or
+  * intensity streams. The full
   * bitstream STRUCTURE is implemented exactly: frame sync + header
   * fields for MPEG-1 and MPEG-2 LSF, side info (17/9-byte mono,
   * 32/17-byte stereo layouts), the bit reservoir (`main_data_begin`
@@ -23,7 +27,8 @@ import scala.collection.mutable.ArrayBuffer
   * fully — short scalefactor-band tables, the frequency-line reorder,
   * subblock_gain, 3×12-point IMDCT tiling, and an encoder transient
   * detector emitting the spec's long→start→short→stop window sequence.
-  * MIXED short blocks and LSF short granules FAIL LOUDLY: their band
+  * MIXED short blocks, LSF short granules, LSF intensity stereo, and
+  * intensity on short granules FAIL LOUDLY: their band/position
   * layouts are not shipped, and decoding without them would be
   * silently garbled — the same loud-or-correct stance as the Huffman
   * subset below.
@@ -562,14 +567,19 @@ object Mp3Codec {
           if (sampleRate == 0) { sampleRate = h.sr; nCh = h.channels }
           if (h.sr != sampleRate || h.channels != nCh) return result()
           if (off + h.frameBytes > bytes.length) return result()
-          // intensity stereo repositions bands through a table this
-          // build does not ship — loud, like the Huffman remainder
-          if (h.mode == 1 && (h.modeExt & 1) == 1)
+          val intensity = h.mode == 1 && (h.modeExt & 1) == 1
+          // MPEG-1 long-block intensity decodes (is_ratio =
+          // tan(is_pos·π/12), ISO 11172-3 2.4.3.4.9.3). LSF intensity
+          // uses a DIFFERENT position semantic (13818-3's io^((p+1)/2)
+          // pairing, whose illegal-position and band-pairing rules are
+          // not shipped) — loud, the unshipped-table convention.
+          if (intensity && h.version != 3)
             throw new UnsupportedOperationException(
-              "Mp3Codec: intensity stereo is not implemented — its " +
-                "band-position semantics are not shipped in this " +
-                "offline build; LR, dual-channel and mid/side joint " +
-                "stereo decode.")
+              "Mp3Codec: MPEG-2 LSF intensity stereo is not " +
+                "implemented — its position semantics (13818-3 " +
+                "io-scaling) are not shipped in this offline build; " +
+                "MPEG-1 intensity, LR, dual-channel and mid/side " +
+                "joint stereo decode.")
           val ms = h.mode == 1 && (h.modeExt & 2) != 0
           val v1 = h.version == 3
           val ch = h.channels
@@ -602,6 +612,7 @@ object Mp3Codec {
             var g = 0
             while (g < h.granules) {
               val xrs = Array.ofDim[Array[Double]](ch)
+              val sfs = Array.ofDim[Scalefactors](ch)
               var c = 0
               while (c < ch) {
                 val gi = gis(g)(c)
@@ -626,7 +637,17 @@ object Mp3Codec {
                       "scalefactor band layout is not shipped in this " +
                       "offline build; MPEG-1 short and all " +
                       "long/start/stop block types decode.")
+                // intensity positions live in the long-band scalefactor
+                // slots; the short-granule position layout (per-window
+                // is_pos over the reordered bands) is not shipped
+                if (intensity && gi.windowSwitching && gi.blockType == 2)
+                  throw new UnsupportedOperationException(
+                    "Mp3Codec: intensity stereo on short-block " +
+                      "granules is not implemented — the per-window " +
+                      "position layout is not shipped in this offline " +
+                      "build; long/start/stop intensity granules decode.")
                 val sf = readScalefactors(r, gi, v1, g, scfsi(c), prevSf(c))
+                sfs(c) = sf
                 val is = huffmanSpectrum(r, gi, h.sr, start)
                 // skip any ancillary/stuffing up to part2_3_length
                 r.pos = start + gi.part23
@@ -636,18 +657,63 @@ object Mp3Codec {
                   else requantize(is, gi, sf.long, h.sr)
                 c += 1
               }
-              // mid/side: the spec's xr-domain matrix, after both
-              // channels requantize and before the hybrid filterbank
-              if (ms && ch == 2) {
-                val isq = 1.0 / math.sqrt(2.0)
-                var i = 0
-                while (i < 576) {
+              // stereo processing in the xr domain, after both channels
+              // requantize and before the hybrid filterbank.
+              // Intensity (mode_extension bit 0): active from the first
+              // long-band boundary ABOVE the right channel's last
+              // nonzero line (the spec's zero_part). Per band the right
+              // channel's scalefactor slot is the position is_pos:
+              // 7 is the illegal marker (band falls back to MS when
+              // mode_extension selects both, else stays as decoded);
+              // 0-6 split the left channel's lines by
+              // is_ratio = tan(is_pos·π/12) — l = xr·r/(1+r),
+              // r = xr·1/(1+r), with is_pos 6 the pure-left limit
+              // (tan π/2 → l = xr, r = 0). Band 21 carries no
+              // scalefactor slot and inherits band 20's position.
+              // Mid/side (bit 1) covers the lines below the bound.
+              val isq = 1.0 / math.sqrt(2.0)
+              def msLines(from: Int, until: Int): Unit = {
+                var i = from
+                while (i < until) {
                   val m = xrs(0)(i); val s = xrs(1)(i)
                   xrs(0)(i) = (m + s) * isq
                   xrs(1)(i) = (m - s) * isq
                   i += 1
                 }
               }
+              if (intensity && ch == 2) {
+                val sfbL = SfbLong(h.sr)
+                var lastNon = -1
+                var i = 0
+                while (i < 576) {
+                  if (xrs(1)(i) != 0.0) lastNon = i
+                  i += 1
+                }
+                var b0 = 0
+                while (b0 < sfbL.length - 1 && sfbL(b0) <= lastNon) b0 += 1
+                if (lastNon == -1) b0 = 0
+                if (ms) msLines(0, sfbL(b0))
+                var b = b0
+                while (b < sfbL.length - 1) {
+                  val pos = sfs(1).long(math.min(b, 20))
+                  if (pos <= 6) {
+                    val (fl, fr) =
+                      if (pos == 6) (1.0, 0.0)
+                      else {
+                        val ratio = math.tan(pos * math.Pi / 12.0)
+                        (ratio / (1.0 + ratio), 1.0 / (1.0 + ratio))
+                      }
+                    var j = sfbL(b)
+                    while (j < sfbL(b + 1)) {
+                      val v = xrs(0)(j)
+                      xrs(0)(j) = v * fl
+                      xrs(1)(j) = v * fr
+                      j += 1
+                    }
+                  } else if (ms) msLines(sfbL(b), sfbL(b + 1))
+                  b += 1
+                }
+              } else if (ms && ch == 2) msLines(0, 576)
               c = 0
               while (c < ch) {
                 val gi = gis(g)(c)
@@ -1040,10 +1106,36 @@ object Mp3Codec {
         mode = 0, modeExt = 0)
   }
 
+  /** Intensity joint stereo encode (mode 1, mode_extension 1 — MPEG-1
+    * long blocks only): bands below `intensityBand` (a long
+    * scalefactor-band index, 1-21) code L and R independently; bands at
+    * and above it carry the coherent sum L+R in the left channel with a
+    * per-band direction is_pos ∈ 0-6 in the right channel's scalefactor
+    * slots — [[decode]] splits them back by
+    * is_ratio = tan(is_pos·π/12). Lossy by design: per band only one
+    * direction survives, so exact round trips need per-band-constant
+    * in-phase L/R ratios (ideally at tan(k·π/12) angles); arbitrary
+    * signals keep the summed magnitude and the quantized direction —
+    * the bit-saving trade intensity stereo exists for.
+    */
+  def encodeStereoIntensity(left: Array[Int], right: Array[Int],
+      sampleRate: Int, bitrateKbps: Int = 0,
+      intensityBand: Int = 8): Array[Byte] = {
+    require(left.length == right.length,
+      s"stereo channels must match: ${left.length} vs ${right.length}")
+    encodeFrames(Array(left, right), sampleRate, bitrateKbps, "long",
+      mode = 1, modeExt = 1, intensityBand = intensityBand)
+  }
+
   private def encodeFrames(chans: Array[Array[Int]], sampleRate: Int,
       bitrateKbps: Int, blockMode: String, mode: Int,
-      modeExt: Int): Array[Byte] = {
+      modeExt: Int, intensityBand: Int = -1): Array[Byte] = {
     val nch = chans.length
+    require(intensityBand < 0 ||
+      (nch == 2 && blockMode == "long" && SrV1.contains(sampleRate) &&
+        intensityBand >= 1 && intensityBand <= 21),
+      "intensity coding needs two channels, long blocks, an MPEG-1 " +
+        s"rate and a bound band in 1-21, got band $intensityBand")
     val v1 = SrV1.contains(sampleRate)
     require(v1 || SrV2.contains(sampleRate),
       s"encode supports MPEG-1 rates ${SrV1.mkString("/")} and MPEG-2 " +
@@ -1137,6 +1229,8 @@ object Mp3Codec {
       while (g < granules) {
         val bt = blockTypes(f * granules + g)
         granuleBt(g) = bt
+        val granXr = Array.ofDim[Array[Double]](nch)
+        val granIx = Array.ofDim[Array[Int]](nch)
         var c = 0
         while (c < nch) {
           // 18 analysis slots -> 18x32 subband samples
@@ -1227,6 +1321,46 @@ object Mp3Codec {
               sb2 += 1
             }
           }
+          granXr(c) = xr
+          c += 1
+        }
+        // intensity transform (mode_extension bit 0, long blocks): for
+        // bands >= intensityBand the left channel carries the coherent
+        // sum L+R and the right channel goes silent; the per-band
+        // position is_pos = round(atan2(|L|, |R|)·12/π) clamped to 0-6
+        // is written into the right channel's scalefactor slots after
+        // its rate loop (the decoder reads them raw). Band 21 has no
+        // slot — the decoder inherits band 20's position, so its
+        // content rides band 20's ratio. In-phase channels assumed
+        // (intensity coding's own premise); anti-phase content cancels
+        // in the sum, as in any intensity encoder.
+        val isPosG: Array[Int] =
+          if (intensityBand < 0) null
+          else {
+            val pos = new Array[Int](22)
+            val xl = granXr(0); val xrr = granXr(1)
+            var b = intensityBand
+            while (b < 22) {
+              var el = 0.0
+              var er = 0.0
+              var i = sfb(b)
+              while (i < sfb(b + 1)) {
+                el += xl(i) * xl(i); er += xrr(i) * xrr(i)
+                xl(i) += xrr(i); xrr(i) = 0.0
+                i += 1
+              }
+              pos(b) =
+                if (er <= 0.0) 6
+                else math.max(0, math.min(6, math.round(
+                  math.atan2(math.sqrt(el), math.sqrt(er)) *
+                    12.0 / math.Pi).toInt))
+              b += 1
+            }
+            pos
+          }
+        c = 0
+        while (c < nch) {
+          val xr = granXr(c)
           // rate loop: global_gain sets the step for the LOUDEST band's
           // |ix| <= 3 fit; per-band scalefactors (scalefac_scale = 1)
           // boost quieter bands by up to 2^15 so their lines quantize
@@ -1368,6 +1502,7 @@ object Mp3Codec {
               granuleSfS(g)(c) = null
             }
             val enc = encodeGranule(ix, sfb)
+            granIx(c) = ix
             bw = enc._1
             meta = (enc._2, enc._3)
             if (part2 + bw.bitLength <= budget) done = true
@@ -1381,6 +1516,30 @@ object Mp3Codec {
           granuleBits(g)(c) = bw
           granuleMeta(g)(c) = meta
           c += 1
+        }
+        // intensity position fix-up: the decoder infers the intensity
+        // bound as the first band boundary above the right channel's
+        // last nonzero QUANTIZED line — the rate loop may have zeroed
+        // right-channel content below intensityBand, widening the
+        // decoder's intensity region. Every band from the inferred
+        // bound up gets an explicit position: the computed is_pos at
+        // and above intensityBand, the pure-left position 6 below it
+        // (those bands decode to l = xr, r = 0 — exactly the normal
+        // decode of a zeroed right channel).
+        if (intensityBand >= 0) {
+          val ix1 = granIx(1)
+          var lastNon = -1
+          var i = 0
+          while (i < 576) { if (ix1(i) != 0) lastNon = i; i += 1 }
+          var b0 = 0
+          while (b0 < 22 && sfb(b0) <= lastNon) b0 += 1
+          if (lastNon == -1) b0 = 0
+          val sfR = granuleSf(g)(1)
+          var b = b0
+          while (b < 21) {
+            sfR(b) = if (b >= intensityBand) isPosG(b) else 6
+            b += 1
+          }
         }
         g += 1
       }

@@ -1581,13 +1581,17 @@ object Multimodal {
   }
 
   /** Stereo MP3 encode — two `array<int>` sample columns (left, right)
-    * per row, coded as plain LR stereo or mid/side joint stereo (see
-    * [[graft.operators.Mp3Codec.encodeStereo]]). Null/empty/mismatched
-    * channels yield a null payload. Returns `(id, payload)`.
+    * per row, coded as plain LR stereo, mid/side joint stereo (see
+    * [[graft.operators.Mp3Codec.encodeStereo]]), or — when
+    * `intensityBand >= 0` — intensity joint stereo with that long
+    * scalefactor band as the bound (see
+    * [[graft.operators.Mp3Codec.encodeStereoIntensity]]; overrides
+    * `msStereo`). Null/empty/mismatched channels yield a null payload.
+    * Returns `(id, payload)`.
     */
   def encodeMp3Stereo(df: DataFrame, idCol: String, leftCol: String,
       rightCol: String, sampleRate: Int,
-      msStereo: Boolean = false): DataFrame = {
+      msStereo: Boolean = false, intensityBand: Int = -1): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("id", df.schema(idCol).dataType, nullable = false),
       StructField("payload", BinaryType, nullable = true)))
@@ -1603,6 +1607,9 @@ object Multimodal {
             val l = r.getSeq[Int](lIdx)
             val rt = r.getSeq[Int](rIdx)
             if (l.isEmpty || l.length != rt.length) null
+            else if (intensityBand >= 0)
+              graft.operators.Mp3Codec.encodeStereoIntensity(l.toArray,
+                rt.toArray, sampleRate, 0, intensityBand)
             else graft.operators.Mp3Codec.encodeStereo(l.toArray,
               rt.toArray, sampleRate, 0, "long", msStereo)
           }

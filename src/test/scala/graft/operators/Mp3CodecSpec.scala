@@ -460,15 +460,71 @@ class Mp3CodecSpec extends AnyFunSuite {
     assert(peakBin(chansL(0), 256) == 5 && peakBin(chansL(1), 256) == 9)
   }
 
-  test("intensity stereo fails loudly, never silently garbled") {
-    val bytes = Mp3Codec.encodeStereo(
-      tone(5, 1152), tone(9, 1152), 44100, msStereo = true)
-    val poisoned = bytes.clone()
-    // set mode_extension bit 0 (intensity) on the first header
-    poisoned(3) = (poisoned(3) | 0x10).toByte
-    val e = intercept[UnsupportedOperationException](
-      Mp3Codec.decode(poisoned))
-    assert(e.getMessage.contains("intensity"))
-    assert(Multimodal.MediaCodec.decodeSamples(poisoned).isEmpty)
+  test("intensity stereo round trip: positions and bound recovered") {
+    // below the bound (band 8 starts at line 36 ≈ tone 16): a left-only
+    // tone coded normally; in the intensity region: a shared tone at an
+    // EXACT position angle — L/R = tan(4·π/12) = √3, so is_pos
+    // quantizes losslessly and decode returns both amplitudes exactly
+    val lo = tone(5, 2304)
+    val hiL = tone(20, 2304, 6000.0)
+    val hiR = tone(20, 2304, 6000.0 / math.sqrt(3.0))
+    val l = Array.tabulate(2304)(i => lo(i) + hiL(i))
+    val r = Array.tabulate(2304)(i => hiR(i))
+    val bytes = Mp3Codec.encodeStereoIntensity(l, r, 44100)
+    assert(((bytes(3) >> 6) & 3) == 1, "mode must be joint stereo (1)")
+    assert(((bytes(3) >> 4) & 3) == 1, "mode_extension must be intensity (1)")
+    val dec = Mp3Codec.decode(bytes).get
+    assert(dec.channels == 2 && dec.sampleRate == 44100)
+    val chans = deinterleave(dec.samples.drop(2 * Mp3Codec.LeadingSkip), 2)
+    assert(peakBin(chans(0), 256) == 5, "left low tone dominates channel 0")
+    assert(peakBin(chans(1), 256) == 20, "right carries only the split tone")
+    // the direction survives: per-channel amplitude of the intensity
+    // tone keeps the √3 ratio (Goertzel-style projection at bin 20)
+    def amp(s: Array[Double], k: Int): Double = {
+      var re = 0.0; var im = 0.0
+      var i = 0
+      while (i < 1024) {
+        val a = 2 * math.Pi * k * i / 256.0
+        re += s(i) * math.cos(a); im += s(i) * math.sin(a)
+        i += 1
+      }
+      math.hypot(re, im)
+    }
+    val ratio = amp(chans(0), 20) / amp(chans(1), 20)
+    assert(math.abs(ratio - math.sqrt(3.0)) < 0.2,
+      s"intensity ratio √3 expected, got $ratio")
+  }
+
+  test("intensity: pure-left region and right-anchored bound decode exact") {
+    // right channel is silent above its low anchor tone — the decoder's
+    // inferred bound falls below the nominal band; the fix-up positions
+    // (6 = pure left) must keep the left-only middle tone on channel 0
+    val t9 = tone(9, 2304)
+    val t20 = tone(20, 2304, 4000.0)
+    val l = Array.tabulate(2304)(i => t9(i) + t20(i))
+    val r = tone(3, 2304, 3000.0)
+    val bytes = Mp3Codec.encodeStereoIntensity(l, r, 44100, intensityBand = 12)
+    val dec = Mp3Codec.decode(bytes).get
+    val chans = deinterleave(dec.samples.drop(2 * Mp3Codec.LeadingSkip), 2)
+    assert(peakBin(chans(0), 256) == 9, "left tones stay left")
+    assert(peakBin(chans(1), 256) == 3, "right anchor stays right")
+  }
+
+  test("LSF and short-block intensity fail loudly, never silently garbled") {
+    // MPEG-2 LSF intensity: a different (unshipped) position semantic
+    val lsf = Mp3Codec.encodeStereo(tone(5, 2304), tone(9, 2304), 22050)
+    val pLsf = lsf.clone()
+    pLsf(3) = (pLsf(3) | 0x50).toByte // joint stereo + intensity ext
+    val e1 = intercept[UnsupportedOperationException](Mp3Codec.decode(pLsf))
+    assert(e1.getMessage.contains("LSF intensity"))
+    assert(Multimodal.MediaCodec.decodeSamples(pLsf).isEmpty)
+    // intensity on short-block granules: per-window positions unshipped
+    val sb = Mp3Codec.encodeStereo(
+      tone(5, 2304), tone(9, 2304), 44100, blockMode = "short")
+    val pSb = sb.clone()
+    pSb(3) = (pSb(3) | 0x50).toByte
+    val e2 = intercept[UnsupportedOperationException](Mp3Codec.decode(pSb))
+    assert(e2.getMessage.contains("short-block"))
+    assert(Multimodal.MediaCodec.decodeSamples(pSb).isEmpty)
   }
 }
