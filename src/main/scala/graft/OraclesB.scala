@@ -1053,6 +1053,14 @@ private[graft] object OraclesB {
            CAST(doc_id % 30 + 1 AS INTEGER) AS peak_bin,
            CAST(1152 AS BIGINT) AS n_samples
          FROM documents WHERE doc_id < 150 ORDER BY id""",
+    // the mixed-block leg of the own MP3 codec: two long subbands
+    // under a short granule, tones across the long/short seam
+    "x_audio_mp3_mixed" ->
+      """SELECT doc_id AS id,
+           CAST(44100 AS INTEGER) AS sample_rate,
+           CAST(doc_id % 30 + 1 AS INTEGER) AS peak_bin,
+           CAST(1152 AS BIGINT) AS n_samples
+         FROM documents WHERE doc_id < 150 ORDER BY id""",
     // the stereo leg of the own MP3 codec: mid/side joint stereo,
     // channel-0 (left) peak recovered through the MS matrix
     "x_audio_mp3_stereo" ->

@@ -482,6 +482,26 @@ private[graft] object QueriesTextMediaCorpus {
         .orderBy("id")
     }),
 
+    // The MIXED-block leg (mixed_block_flag: two long subbands under a
+    // short granule — long bands 0-7 below line 36, short bands 3-12
+    // reordered above, 17+18 scalefactors, seam alias butterflies):
+    // 150 tones spanning the long/short seam keep their FFT peaks.
+    "x_audio_mp3_mixed" -> ((s, d) => {
+      val k = (pmod(col("doc_id"), lit(30)) + 1).cast("double")
+      val pcm = Tables.documents(s, d).select("doc_id")
+        .filter(col("doc_id") < 150)
+        .withColumn("samples", transform(sequence(lit(0), lit(2303)),
+          n => round(lit(8000.0) *
+            sin(lit(2.0 * math.Pi) * k * n.cast("double") / lit(256.0)))
+            .cast("int")))
+      val enc2 = operators.Multimodal.encodeMp3(pcm, "doc_id", "samples",
+        44100, blockMode = "mixed")
+      operators.Multimodal.audioSpectrum(enc2, "id", "payload", fftSize = 256)
+        .select(col("id"), col("sample_rate").cast("int").as("sample_rate"),
+          col("peak_bin"), col("n_samples"))
+        .orderBy("id")
+    }),
+
     // The STEREO leg of the same codec — mid/side joint stereo (32-byte
     // side info, per-channel scalefactors/scfsi, the xr-domain MS
     // matrix inverted at decode): left carries the doc's tone, right a

@@ -27,11 +27,15 @@ import scala.collection.mutable.ArrayBuffer
   * fully — short scalefactor-band tables, the frequency-line reorder,
   * subblock_gain, 3×12-point IMDCT tiling, and an encoder transient
   * detector emitting the spec's long→start→short→stop window sequence.
-  * MIXED short blocks, LSF short granules, LSF intensity stereo, and
-  * intensity on short granules FAIL LOUDLY: their band/position
-  * layouts are not shipped, and decoding without them would be
-  * silently garbled — the same loud-or-correct stance as the Huffman
-  * subset below.
+  * MPEG-1 MIXED blocks (mixed_block_flag: the two lowest subbands
+  * long-transformed under normal windows with long bands 0-7 — every
+  * MPEG-1 long table has sfb(8) = 36 — the rest short with bands 3-12,
+  * 17+18 scalefactors, alias reduction on the 0/1 boundary only)
+  * decode and encode fully too. LSF short granules, LSF intensity
+  * stereo, and intensity on short granules FAIL LOUDLY: their
+  * band/position layouts are not shipped, and decoding without them
+  * would be silently garbled — the same loud-or-correct stance as the
+  * Huffman subset below.
   *
   * Two spec TABLES are not reconstructible in this offline container
   * and are handled explicitly rather than faked:
@@ -623,19 +627,18 @@ object Mp3Codec {
                 require(start + gi.part23 <= main.length * 8,
                   s"Mp3Codec: granule main data truncated (needs " +
                     s"${gi.part23} bits at $start of ${main.length * 8})")
-                // mixed blocks (two long subbands under short windows)
-                // and LSF short granules stay loud: their band layouts
-                // are not shipped, and decoding anyway would be silently
-                // garbled — the unshipped-table convention. MPEG-1 short
-                // blocks decode fully (reorder + short sfb tables).
-                if (gi.windowSwitching && gi.blockType == 2 &&
-                    (gi.mixed || !v1))
+                // LSF short granules stay loud: the 13818-3 block-
+                // type-2 slen partitions are not shipped, and decoding
+                // anyway would be silently garbled — the unshipped-
+                // table convention. MPEG-1 short AND mixed blocks
+                // decode fully (short sfb tables, reorder, and the
+                // two-long-subband mixed layout).
+                if (gi.windowSwitching && gi.blockType == 2 && !v1)
                   throw new UnsupportedOperationException(
-                    "Mp3Codec: " +
-                      (if (gi.mixed) "mixed" else "MPEG-2 LSF") +
-                      " short blocks are not implemented — their " +
-                      "scalefactor band layout is not shipped in this " +
-                      "offline build; MPEG-1 short and all " +
+                    "Mp3Codec: MPEG-2 LSF short blocks are not " +
+                      "implemented — their scalefactor-group " +
+                      "partitions are not shipped in this offline " +
+                      "build; MPEG-1 short/mixed and all " +
                       "long/start/stop block types decode.")
                 // intensity positions live in the long-band scalefactor
                 // slots; the short-granule position layout (per-window
@@ -653,7 +656,8 @@ object Mp3Codec {
                 r.pos = start + gi.part23
                 xrs(c) =
                   if (gi.windowSwitching && gi.blockType == 2)
-                    requantizeShort(is, gi, sf.short, h.sr)
+                    if (gi.mixed) requantizeMixed(is, gi, sf, h.sr)
+                    else requantizeShort(is, gi, sf.short, h.sr)
                   else requantize(is, gi, sf.long, h.sr)
                 c += 1
               }
@@ -717,7 +721,12 @@ object Mp3Codec {
               c = 0
               while (c < ch) {
                 val gi = gis(g)(c)
+                // alias reduction spans long-transformed subband
+                // boundaries: all 31 for long types, only the 0/1
+                // boundary for mixed (its two long subbands), none for
+                // pure short
                 if (gi.blockType != 2) aliasReduce(xrs(c))
+                else if (gi.mixed) aliasReduce(xrs(c), 2)
                 synthGranule(xrs(c), gi, overlap(c), synthAcc(c), chOut(c))
                 c += 1
               }
@@ -764,6 +773,27 @@ object Mp3Codec {
       val s1 = Slen1(gi.sfCompress)
       val s2 = Slen2(gi.sfCompress)
       val short = Array.ofDim[Int](3, 13)
+      if (gi.mixed) {
+        // mixed layout: long bands 0-7 (slen1 — every MPEG-1 long table
+        // has sfb(8) = 36, the two long subbands), then short bands
+        // 3-5 (slen1) and 6-11 (slen2), sfb-major — 17 slen1 + 18 slen2
+        var b = 0
+        while (b < 8) {
+          sf(b) = if (s1 == 0) 0 else r.get(s1)
+          b += 1
+        }
+        b = 3
+        while (b < 12) {
+          val slen = if (b < 6) s1 else s2
+          var w = 0
+          while (w < 3) {
+            short(w)(b) = if (slen == 0) 0 else r.get(slen)
+            w += 1
+          }
+          b += 1
+        }
+        return Scalefactors(sf, short)
+      }
       var b = 0
       while (b < 12) {
         val slen = if (b < 6) s1 else s2
@@ -954,9 +984,63 @@ object Mp3Codec {
     xr
   }
 
-  private def aliasReduce(xr: Array[Double]): Unit = {
+  /** Mixed-block requantizer: lines 0-35 (the two long subbands) take
+    * the long rules over bands 0-7 — scalefactor + preflag preemphasis,
+    * plain global_gain; lines 36+ take the short rules (per-(band,
+    * window) gain with subblock_gain, the frequency-line reorder) over
+    * short bands 3-12, whose per-window lines start at sfbS(3) = 12 so
+    * every reordered target index is >= 36 — the two halves never
+    * collide.
+    */
+  private def requantizeMixed(is: Array[Int], gi: GranuleInfo,
+      sf: Scalefactors, sr: Int): Array[Double] = {
+    val xr = new Array[Double](576)
+    val mult = 0.5 * (1 + gi.sfScale)
+    val gain = math.pow(2.0, (gi.globalGain - 210) / 4.0)
+    val sfbL = SfbLong(sr)
+    var band = 0
+    var i = 0
+    while (i < 36) {
+      if (band < 7 && i >= sfbL(band + 1)) band += 1
+      val v = is(i)
+      if (v != 0) {
+        val factor = math.pow(2.0,
+          -mult * (sf.long(band) + gi.preflag * Pretab(band)))
+        val mag = math.pow(math.abs(v).toDouble, 4.0 / 3.0) * gain * factor
+        xr(i) = if (v < 0) -mag else mag
+      }
+      i += 1
+    }
+    val sfbS = SfbShort(sr)
+    val winGain = Array.tabulate(3)(w =>
+      math.pow(2.0, (gi.globalGain - 210 - 8 * gi.subblockGain(w)) / 4.0))
+    var src = 36
+    var b = 3
+    while (b < 13) {
+      var w = 0
+      while (w < 3) {
+        val factor = winGain(w) * math.pow(2.0,
+          -mult * (if (b < 12) sf.short(w)(b) else 0))
+        var fl = sfbS(b)
+        while (fl < sfbS(b + 1)) {
+          val v = if (src < 576) is(src) else 0
+          if (v != 0) {
+            val mag = math.pow(math.abs(v).toDouble, 4.0 / 3.0) * factor
+            xr((fl / 6) * 18 + w * 6 + fl % 6) = if (v < 0) -mag else mag
+          }
+          src += 1
+          fl += 1
+        }
+        w += 1
+      }
+      b += 1
+    }
+    xr
+  }
+
+  private def aliasReduce(xr: Array[Double], sbLimit: Int = 32): Unit = {
     var sb = 1
-    while (sb < 32) {
+    while (sb < sbLimit) {
       var i = 0
       while (i < 8) {
         val a = xr(18 * sb - 1 - i)
@@ -980,7 +1064,21 @@ object Mp3Codec {
     var sb = 0
     while (sb < 32) {
       val rawOut = new Array[Double](36)
-      if (gi.blockType == 2) {
+      // mixed blocks: the two lowest subbands take the 36-point long
+      // transform under the NORMAL (type 0) window; the rest short
+      if (gi.blockType == 2 && gi.mixed && sb < 2) {
+        var i = 0
+        while (i < 36) {
+          var s = 0.0
+          var k = 0
+          while (k < 18) {
+            s += xr(sb * 18 + k) * Imdct36(i)(k)
+            k += 1
+          }
+          rawOut(i) = s * MdctScale36 * WinLong(i)
+          i += 1
+        }
+      } else if (gi.blockType == 2) {
         // three short IMDCTs laid into the 36-slot frame (6..30): the
         // windows tile at 6-sample offsets so adjacent windows TDAC
         // within the granule and the outer halves TDAC with the
@@ -1055,7 +1153,9 @@ object Mp3Codec {
     * shipped): "long" keeps every granule block_type 0; "short" forces
     * every granule to short blocks (three 12-point MDCTs per subband,
     * per-(band, window) scalefactors) — the deterministic round-trip
-    * prover; "auto" runs a transient detector (granule PCM peak jumping
+    * prover; "mixed" forces short blocks WITH mixed_block_flag (the
+    * two lowest subbands long-transformed, long bands 0-7 + short
+    * 3-12); "auto" runs a transient detector (granule PCM peak jumping
     * past 4× its predecessor) and emits the spec's window sequence:
     * long → START(1) → SHORT(2) → STOP(3) → long, bridging lone long
     * granules between shorts.
@@ -1140,11 +1240,12 @@ object Mp3Codec {
     require(v1 || SrV2.contains(sampleRate),
       s"encode supports MPEG-1 rates ${SrV1.mkString("/")} and MPEG-2 " +
         s"LSF rates ${SrV2.mkString("/")}, got $sampleRate")
-    require(Set("long", "short", "auto").contains(blockMode),
-      s"blockMode must be long/short/auto, got $blockMode")
+    require(Set("long", "short", "auto", "mixed").contains(blockMode),
+      s"blockMode must be long/short/auto/mixed, got $blockMode")
     require(v1 || blockMode == "long",
-      "short/auto block modes are MPEG-1 only (the LSF short " +
+      "short/auto/mixed block modes are MPEG-1 only (the LSF short " +
         "scalefactor band layout is not shipped; see the class scaladoc)")
+    val mixedMode = blockMode == "mixed"
     val brTable = if (v1) BitrateV1L3 else BitrateV2L3
     val kbps = if (bitrateKbps != 0) bitrateKbps else if (v1) 320 else 96
     val bri = brTable.indexOf(kbps)
@@ -1173,7 +1274,7 @@ object Mp3Codec {
     // auto detector needs one-granule lookahead to place START windows
     val totalGranules = nFrames * granules
     val blockTypes: Array[Int] = blockMode match {
-      case "short" => Array.fill(totalGranules)(2)
+      case "short" | "mixed" => Array.fill(totalGranules)(2)
       case "long" => new Array[Int](totalGranules)
       case _ =>
         val peaks = Array.tabulate(totalGranules) { g =>
@@ -1273,7 +1374,7 @@ object Mp3Codec {
               mdctPrev(c)(sb)(i) = sbSamples(sb)(i)
               i += 1
             }
-            if (bt == 2) {
+            if (bt == 2 && !(mixedMode && sb < 2)) {
               var win = 0
               while (win < 3) {
                 var k = 0
@@ -1290,7 +1391,9 @@ object Mp3Codec {
                 win += 1
               }
             } else {
-              val w = windowFor(bt)
+              // mixed blocks transform the two lowest subbands with
+              // the NORMAL long window regardless of block_type
+              val w = if (bt == 2) windowFor(0) else windowFor(bt)
               var k = 0
               while (k < 18) {
                 var s = 0.0
@@ -1306,10 +1409,12 @@ object Mp3Codec {
           }
           // inverse alias reduction (transpose butterflies) so the
           // decoder's forward pass restores the spectrum — long block
-          // types only; the decoder skips alias reduction for short
-          if (bt != 2) {
+          // types span all 31 boundaries, mixed only the 0/1 boundary
+          // (its two long subbands); pure short skips them
+          if (bt != 2 || mixedMode) {
+            val sbLim = if (bt == 2) 2 else 32
             var sb2 = 1
-            while (sb2 < 32) {
+            while (sb2 < sbLim) {
               var i = 0
               while (i < 8) {
                 val a = xr(18 * sb2 - 1 - i)
@@ -1372,10 +1477,39 @@ object Mp3Codec {
           val maxAbs = xr.map(math.abs).max
           val headroom = math.pow(3.49, 4.0 / 3.0)
           // per-cell maxima: long cells are the long bands; short cells
-          // are (band, window) — 13 x 3, flat index b*3+w
-          val nCells = if (bt == 2) 39 else 22
+          // are (band, window) — 13 x 3, flat index b*3+w; mixed cells
+          // are long bands 0-7 then (band-3)*3+w+8 for short bands 3-12
+          val nCells = if (bt == 2) { if (mixedMode) 38 else 39 } else 22
           val cellMax = new Array[Double](nCells)
-          if (bt == 2) {
+          if (bt == 2 && mixedMode) {
+            var b = 0
+            while (b < 8) {
+              var m = 0.0
+              var i2 = sfb(b)
+              while (i2 < sfb(b + 1)) {
+                val a = math.abs(xr(i2)); if (a > m) m = a
+                i2 += 1
+              }
+              cellMax(b) = m
+              b += 1
+            }
+            b = 3
+            while (b < 13) {
+              var w = 0
+              while (w < 3) {
+                var m = 0.0
+                var fl = sfbS(b)
+                while (fl < sfbS(b + 1)) {
+                  val a = math.abs(xr((fl / 6) * 18 + w * 6 + fl % 6))
+                  if (a > m) m = a
+                  fl += 1
+                }
+                cellMax(8 + (b - 3) * 3 + w) = m
+                w += 1
+              }
+              b += 1
+            }
+          } else if (bt == 2) {
             var b = 0
             while (b < 13) {
               var w = 0
@@ -1409,7 +1543,10 @@ object Mp3Codec {
           val quietOrder: Array[Int] =
             cellMax.indices.filter(cellMax(_) > 0)
               .sortBy(cellMax(_)).toArray
-          val part2 = if (bt == 2) 126 else 74 // sfc 15/399 layouts
+          // sfc 15/399 layouts: short 18x4+18x3; mixed 17x4+18x3;
+          // long 11x4+10x3
+          val part2 =
+            if (bt == 2) { if (mixedMode) 122 else 126 } else 74
           val budget = (slots - 4 - sideBytes) * 8 / (granules * nch)
           var gg =
             if (maxAbs <= 0) 210
@@ -1426,7 +1563,75 @@ object Mp3Codec {
             var z = 0
             while (z < nZeroed) { zeroed(quietOrder(z)) = true; z += 1 }
             val ix = new Array[Int](576)
-            if (bt == 2) {
+            if (bt == 2 && mixedMode) {
+              // mixed: long bands 0-7 under slen1 (4-bit) caps, short
+              // bands 3-11 under slen1/slen2 caps (band 12 carries none)
+              val sfB = new Array[Int](22)
+              val sfS = Array.ofDim[Int](3, 13)
+              var b = 0
+              while (b < 8) {
+                val m = cellMax(b)
+                sfB(b) =
+                  if (m <= 0 || zeroed(b)) 0
+                  else math.max(0, math.min(15, math.floor(
+                    math.log(step * headroom / m) / math.log(2.0)).toInt))
+                b += 1
+              }
+              b = 3
+              while (b < 12) {
+                val cap = if (b < 6) 15 else 7
+                var w = 0
+                while (w < 3) {
+                  val m = cellMax(8 + (b - 3) * 3 + w)
+                  sfS(w)(b) =
+                    if (m <= 0 || zeroed(8 + (b - 3) * 3 + w)) 0
+                    else math.max(0, math.min(cap, math.floor(
+                      math.log(step * headroom / m) / math.log(2.0)).toInt))
+                  w += 1
+                }
+                b += 1
+              }
+              // quantize: long lines 0-35 in place, then the short
+              // half straight into BITSTREAM order from line 36
+              var i3 = 0
+              var band = 0
+              while (i3 < 36) {
+                if (band < 7 && i3 >= sfb(band + 1)) band += 1
+                val v = xr(i3)
+                if (v != 0.0 && !zeroed(band)) {
+                  val boost = math.pow(2.0, sfB(band))
+                  val q = math.min(3, math.round(
+                    math.pow(math.abs(v) * boost / step, 0.75)).toInt)
+                  ix(i3) = if (v < 0) -q else q
+                }
+                i3 += 1
+              }
+              var src = 36
+              b = 3
+              while (b < 13) {
+                var w = 0
+                while (w < 3) {
+                  val dead = zeroed(8 + (b - 3) * 3 + w)
+                  val boost =
+                    math.pow(2.0, if (b < 12) sfS(w)(b) else 0)
+                  var fl = sfbS(b)
+                  while (fl < sfbS(b + 1)) {
+                    val v = xr((fl / 6) * 18 + w * 6 + fl % 6)
+                    if (v != 0.0 && !dead) {
+                      val q = math.min(3, math.round(
+                        math.pow(math.abs(v) * boost / step, 0.75)).toInt)
+                      ix(src) = if (v < 0) -q else q
+                    }
+                    src += 1
+                    fl += 1
+                  }
+                  w += 1
+                }
+                b += 1
+              }
+              granuleSf(g)(c) = sfB
+              granuleSfS(g)(c) = sfS
+            } else if (bt == 2) {
               // per-(band, window) boost under the short slen caps
               // (4 bits bands 0-5, 3 bits 6-11; band 12 carries none)
               val sfS = Array.ofDim[Int](3, 13)
@@ -1575,7 +1780,7 @@ object Mp3Codec {
       // part2 bits per (granule, channel): short granules carry
       // 18x4 + 18x3 = 126; long granules 74 minus reused scfsi groups
       def part2Bits(g: Int, c: Int): Int =
-        if (granuleBt(g) == 2) 126
+        if (granuleBt(g) == 2) { if (mixedMode) 122 else 126 }
         else ScfsiGroups.zipWithIndex.map {
           case ((from, to, slen), gi) =>
             if (v1 && g == 1 && scfsi(c)(gi) == 1) 0 else (to - from) * slen
@@ -1596,7 +1801,7 @@ object Mp3Codec {
           if (granuleBt(g2) != 0) {
             frame.put(1, 1) // window_switching
             frame.put(granuleBt(g2), 2) // block_type (1/2/3)
-            frame.put(0, 1) // mixed_block_flag off
+            frame.put(if (mixedMode && granuleBt(g2) == 2) 1 else 0, 1)
             frame.put(5, 5); frame.put(5, 5) // two region table selects
             frame.put(0, 3); frame.put(0, 3); frame.put(0, 3) // subblock_gain
           } else {
@@ -1622,7 +1827,21 @@ object Mp3Codec {
       while (gb < granules) {
         var cb = 0
         while (cb < nch) {
-          if (granuleBt(gb) == 2) {
+          if (granuleBt(gb) == 2 && mixedMode) {
+            // mixed read order: long bands 0-7 (slen1), then short
+            // bands 3-11 sfb-major (slen1 for 3-5, slen2 for 6-11)
+            var b = 0
+            while (b < 8) { side.put(granuleSf(gb)(cb)(b), 4); b += 1 }
+            b = 3
+            while (b < 12) {
+              val slen = if (b < 6) 4 else 3
+              var w = 0
+              while (w < 3) {
+                side.put(granuleSfS(gb)(cb)(w)(b), slen); w += 1
+              }
+              b += 1
+            }
+          } else if (granuleBt(gb) == 2) {
             var b = 0
             while (b < 12) {
               val slen = if (b < 6) 4 else 3

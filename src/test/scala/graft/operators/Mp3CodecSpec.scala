@@ -276,11 +276,11 @@ class Mp3CodecSpec extends AnyFunSuite {
     assert(Mp3Codec.decode(sb).get.samples.length == 2304)
   }
 
-  test("LSF and mixed short blocks fail loudly, never silently garbled") {
+  test("LSF short blocks fail loudly, never silently garbled") {
     // hand-rolled MPEG-2 LSF frame: 22.05 kHz, 64 kbps, mono, one
     // granule with window_switching=1 / block_type=2 and part2_3 = 0 —
-    // structurally valid, but the LSF short scalefactor band layout is
-    // not shipped (MPEG-1 short blocks decode fully)
+    // structurally valid, but the LSF short scalefactor-group
+    // partitions are not shipped (MPEG-1 short AND mixed decode fully)
     val bits = new StringBuilder
     def put(v: Int, n: Int): Unit =
       (n - 1 to 0 by -1).foreach(i => bits.append((v >> i) & 1))
@@ -458,6 +458,33 @@ class Mp3CodecSpec extends AnyFunSuite {
     assert(decL.channels == 2 && decL.sampleRate == 22050)
     val chansL = deinterleave(decL.samples.drop(2 * Mp3Codec.LeadingSkip), 2)
     assert(peakBin(chansL(0), 256) == 5 && peakBin(chansL(1), 256) == 9)
+  }
+
+  test("bin-centered tones survive MIXED-block encode -> decode -> FFT") {
+    // tones both sides of the long/short seam at line 36 (tone 16):
+    // k<16 live in the two long subbands (long bands 0-7), k>=16 in
+    // the short-coded region (short bands 3-12, reordered)
+    for (k <- Seq(3, 9, 15, 16, 21, 30)) {
+      val pcm = tone(k, 2304)
+      val bytes = Mp3Codec.encode(pcm, 44100, blockMode = "mixed")
+      // side info pins block_type 2 WITH mixed_block_flag
+      assert(Mp3Codec.granuleBlockTypes(bytes).forall(_ == 2))
+      val dec = Mp3Codec.decode(bytes).get
+      assert(dec.sampleRate == 44100 && dec.channels == 1)
+      val steady = dec.samples.drop(Mp3Codec.LeadingSkip)
+      assert(peakBin(steady, 256) == k, s"mixed-block tone $k")
+    }
+  }
+
+  test("mixed-block stereo round trip") {
+    val l = tone(5, 2304)   // long half of the mixed layout
+    val r = tone(22, 2304)  // short half
+    val bytes = Mp3Codec.encodeStereo(l, r, 44100, blockMode = "mixed")
+    val dec = Mp3Codec.decode(bytes).get
+    assert(dec.channels == 2)
+    val chans = deinterleave(dec.samples.drop(2 * Mp3Codec.LeadingSkip), 2)
+    assert(peakBin(chans(0), 256) == 5, "left long-half tone")
+    assert(peakBin(chans(1), 256) == 22, "right short-half tone")
   }
 
   test("intensity stereo round trip: positions and bound recovered") {
