@@ -27,15 +27,19 @@ import scala.collection.mutable.ArrayBuffer
   * fully — short scalefactor-band tables, the frequency-line reorder,
   * subblock_gain, 3×12-point IMDCT tiling, and an encoder transient
   * detector emitting the spec's long→start→short→stop window sequence.
-  * MPEG-1 MIXED blocks (mixed_block_flag: the two lowest subbands
-  * long-transformed under normal windows with long bands 0-7 — every
-  * MPEG-1 long table has sfb(8) = 36 — the rest short with bands 3-12,
-  * 17+18 scalefactors, alias reduction on the 0/1 boundary only)
-  * decode and encode fully too. LSF short granules, LSF intensity
-  * stereo, and intensity on short granules FAIL LOUDLY: their
-  * band/position layouts are not shipped, and decoding without them
-  * would be silently garbled — the same loud-or-correct stance as the
-  * Huffman subset below.
+  * MIXED blocks (mixed_block_flag: the two lowest subbands
+  * long-transformed under normal windows with long bands 0-7 in MPEG-1
+  * / 0-5 in LSF — both long-table families reach line 36 there — the
+  * rest short with bands 3-12, seam-only alias reduction) decode and
+  * encode fully too, as do LSF short granules (the 13818-3 block-type-2
+  * slen partitions, each row sum-forced by its band count: short
+  * 9+9+9+9 / 9+9+12+6 / 18+18 over 36 sfb-major values, mixed 6+9+9+9 /
+  * 6+9+12+6 / 15+18 over 33; LSF preflag is implied by
+  * scalefac_compress >= 500, never transmitted). LSF intensity stereo
+  * and intensity on short granules FAIL LOUDLY: their position layouts
+  * are not shipped, and decoding without them would be silently
+  * garbled — the same loud-or-correct stance as the Huffman subset
+  * below.
   *
   * Two spec TABLES are not reconstructible in this offline container
   * and are handled explicitly rather than faked:
@@ -526,7 +530,9 @@ object Mp3Codec {
       ts(0) = r.get(5); ts(1) = r.get(5); ts(2) = r.get(5)
       r0 = r.get(4); r1 = r.get(3)
     }
-    val preflag = if (v1) r.get1() else 0
+    // LSF does not transmit preflag — 13818-3 implies it whenever
+    // scalefac_compress lands in the top slen range (>= 500)
+    val preflag = if (v1) r.get1() else if (sfc >= 500) 1 else 0
     val sfScale = r.get1()
     val c1t = r.get1()
     GranuleInfo(part23, bigValues, gg, sfc, wsf, blockType, mixed, ts,
@@ -627,19 +633,6 @@ object Mp3Codec {
                 require(start + gi.part23 <= main.length * 8,
                   s"Mp3Codec: granule main data truncated (needs " +
                     s"${gi.part23} bits at $start of ${main.length * 8})")
-                // LSF short granules stay loud: the 13818-3 block-
-                // type-2 slen partitions are not shipped, and decoding
-                // anyway would be silently garbled — the unshipped-
-                // table convention. MPEG-1 short AND mixed blocks
-                // decode fully (short sfb tables, reorder, and the
-                // two-long-subband mixed layout).
-                if (gi.windowSwitching && gi.blockType == 2 && !v1)
-                  throw new UnsupportedOperationException(
-                    "Mp3Codec: MPEG-2 LSF short blocks are not " +
-                      "implemented — their scalefactor-group " +
-                      "partitions are not shipped in this offline " +
-                      "build; MPEG-1 short/mixed and all " +
-                      "long/start/stop block types decode.")
                 // intensity positions live in the long-band scalefactor
                 // slots; the short-granule position layout (per-window
                 // is_pos over the reordered bands) is not shipped
@@ -767,9 +760,7 @@ object Mp3Codec {
   private def readScalefactors(r: BitReader, gi: GranuleInfo, v1: Boolean,
       granule: Int, scfsi: Array[Int], prev: Array[Int]): Scalefactors = {
     val sf = new Array[Int](22)
-    if (gi.windowSwitching && gi.blockType == 2) {
-      // MPEG-1 only — the LSF short guard in decode() keeps this path
-      // out of 13818-3 streams, whose short band grouping is not shipped
+    if (gi.windowSwitching && gi.blockType == 2 && v1) {
       val s1 = Slen1(gi.sfCompress)
       val s2 = Slen2(gi.sfCompress)
       val short = Array.ofDim[Int](3, 13)
@@ -823,11 +814,49 @@ object Mp3Codec {
       }
       System.arraycopy(sf, 0, prev, 0, 21)
     } else {
+      // 13818-3 slen decomposition. The group PARTITIONS depend on the
+      // block layout — long 21 values, short 36 (12 bands × 3 windows,
+      // sfb-major), mixed 33 (6 long + short bands 3-11) — each row
+      // sum-forced by its band count, the same family as the long row
+      // the LSF long path has always used.
       val slens = lsfSlen(gi.sfCompress)
+      val short2 = gi.windowSwitching && gi.blockType == 2
       val nsfb =
-        if (gi.sfCompress < 400) Array(6, 5, 5, 5)
-        else if (gi.sfCompress < 500) Array(6, 5, 7, 3)
-        else Array(11, 10, 0, 0)
+        if (short2 && gi.mixed) {
+          if (gi.sfCompress < 400) Array(6, 9, 9, 9)
+          else if (gi.sfCompress < 500) Array(6, 9, 12, 6)
+          else Array(15, 18, 0, 0)
+        } else if (short2) {
+          if (gi.sfCompress < 400) Array(9, 9, 9, 9)
+          else if (gi.sfCompress < 500) Array(9, 9, 12, 6)
+          else Array(18, 18, 0, 0)
+        } else {
+          if (gi.sfCompress < 400) Array(6, 5, 5, 5)
+          else if (gi.sfCompress < 500) Array(6, 5, 7, 3)
+          else Array(11, 10, 0, 0)
+        }
+      if (short2) {
+        val short = Array.ofDim[Int](3, 13)
+        val longCnt = if (gi.mixed) 6 else 0
+        var v = 0
+        var gIdx = 0
+        while (gIdx < 4) {
+          var i = 0
+          while (i < nsfb(gIdx)) {
+            val value = if (slens(gIdx) == 0) 0 else r.get(slens(gIdx))
+            if (v < longCnt) sf(v) = value
+            else {
+              val sv = v - longCnt
+              val b = (if (gi.mixed) 3 else 0) + sv / 3
+              short(sv % 3)(b) = value
+            }
+            v += 1
+            i += 1
+          }
+          gIdx += 1
+        }
+        return Scalefactors(sf, short)
+      }
       var b = 0
       var gIdx = 0
       while (gIdx < 4) {
@@ -985,7 +1014,8 @@ object Mp3Codec {
   }
 
   /** Mixed-block requantizer: lines 0-35 (the two long subbands) take
-    * the long rules over bands 0-7 — scalefactor + preflag preemphasis,
+    * the long rules over long bands — 0-7 in MPEG-1 (sfb(8) = 36) or
+    * 0-5 in LSF (sfb(6) = 36) — scalefactor + preflag preemphasis,
     * plain global_gain; lines 36+ take the short rules (per-(band,
     * window) gain with subblock_gain, the frequency-line reorder) over
     * short bands 3-12, whose per-window lines start at sfbS(3) = 12 so
@@ -998,10 +1028,11 @@ object Mp3Codec {
     val mult = 0.5 * (1 + gi.sfScale)
     val gain = math.pow(2.0, (gi.globalGain - 210) / 4.0)
     val sfbL = SfbLong(sr)
+    val nLong = if (SrV1.contains(sr)) 8 else 6
     var band = 0
     var i = 0
     while (i < 36) {
-      if (band < 7 && i >= sfbL(band + 1)) band += 1
+      if (band < nLong - 1 && i >= sfbL(band + 1)) band += 1
       val v = is(i)
       if (v != 0) {
         val factor = math.pow(2.0,
@@ -1149,13 +1180,13 @@ object Mp3Codec {
     * MPEG-1 / 96 for LSF), per-band scalefactors, `main_data_begin = 0`
     * (no reservoir use — legal, each frame self-contained).
     *
-    * `blockMode` (MPEG-1 only — LSF short band layouts are not
-    * shipped): "long" keeps every granule block_type 0; "short" forces
-    * every granule to short blocks (three 12-point MDCTs per subband,
-    * per-(band, window) scalefactors) — the deterministic round-trip
-    * prover; "mixed" forces short blocks WITH mixed_block_flag (the
-    * two lowest subbands long-transformed, long bands 0-7 + short
-    * 3-12); "auto" runs a transient detector (granule PCM peak jumping
+    * `blockMode` (both versions): "long" keeps every granule
+    * block_type 0; "short" forces every granule to short blocks (three
+    * 12-point MDCTs per subband, per-(band, window) scalefactors) — the
+    * deterministic round-trip prover; "mixed" forces short blocks WITH
+    * mixed_block_flag (the two lowest subbands long-transformed, long
+    * bands 0-7 MPEG-1 / 0-5 LSF + short 3-12); "auto" runs a transient
+    * detector (granule PCM peak jumping
     * past 4× its predecessor) and emits the spec's window sequence:
     * long → START(1) → SHORT(2) → STOP(3) → long, bridging lone long
     * granules between shorts.
@@ -1242,10 +1273,10 @@ object Mp3Codec {
         s"LSF rates ${SrV2.mkString("/")}, got $sampleRate")
     require(Set("long", "short", "auto", "mixed").contains(blockMode),
       s"blockMode must be long/short/auto/mixed, got $blockMode")
-    require(v1 || blockMode == "long",
-      "short/auto/mixed block modes are MPEG-1 only (the LSF short " +
-        "scalefactor band layout is not shipped; see the class scaladoc)")
     val mixedMode = blockMode == "mixed"
+    // long bands under the mixed layout: MPEG-1 sfb(8) = 36 = two
+    // subbands; every LSF long table reaches 36 at sfb(6)
+    val nLongMixed = if (v1) 8 else 6
     val brTable = if (v1) BitrateV1L3 else BitrateV2L3
     val kbps = if (bitrateKbps != 0) bitrateKbps else if (v1) 320 else 96
     val bri = brTable.indexOf(kbps)
@@ -1479,11 +1510,12 @@ object Mp3Codec {
           // per-cell maxima: long cells are the long bands; short cells
           // are (band, window) — 13 x 3, flat index b*3+w; mixed cells
           // are long bands 0-7 then (band-3)*3+w+8 for short bands 3-12
-          val nCells = if (bt == 2) { if (mixedMode) 38 else 39 } else 22
+          val nCells =
+            if (bt == 2) { if (mixedMode) nLongMixed + 30 else 39 } else 22
           val cellMax = new Array[Double](nCells)
           if (bt == 2 && mixedMode) {
             var b = 0
-            while (b < 8) {
+            while (b < nLongMixed) {
               var m = 0.0
               var i2 = sfb(b)
               while (i2 < sfb(b + 1)) {
@@ -1504,7 +1536,7 @@ object Mp3Codec {
                   if (a > m) m = a
                   fl += 1
                 }
-                cellMax(8 + (b - 3) * 3 + w) = m
+                cellMax(nLongMixed + (b - 3) * 3 + w) = m
                 w += 1
               }
               b += 1
@@ -1546,7 +1578,9 @@ object Mp3Codec {
           // sfc 15/399 layouts: short 18x4+18x3; mixed 17x4+18x3;
           // long 11x4+10x3
           val part2 =
-            if (bt == 2) { if (mixedMode) 122 else 126 } else 74
+            if (bt == 2) {
+              if (mixedMode) { if (v1) 122 else 114 } else 126
+            } else 74
           val budget = (slots - 4 - sideBytes) * 8 / (granules * nch)
           var gg =
             if (maxAbs <= 0) 210
@@ -1569,7 +1603,7 @@ object Mp3Codec {
               val sfB = new Array[Int](22)
               val sfS = Array.ofDim[Int](3, 13)
               var b = 0
-              while (b < 8) {
+              while (b < nLongMixed) {
                 val m = cellMax(b)
                 sfB(b) =
                   if (m <= 0 || zeroed(b)) 0
@@ -1582,9 +1616,9 @@ object Mp3Codec {
                 val cap = if (b < 6) 15 else 7
                 var w = 0
                 while (w < 3) {
-                  val m = cellMax(8 + (b - 3) * 3 + w)
+                  val m = cellMax(nLongMixed + (b - 3) * 3 + w)
                   sfS(w)(b) =
-                    if (m <= 0 || zeroed(8 + (b - 3) * 3 + w)) 0
+                    if (m <= 0 || zeroed(nLongMixed + (b - 3) * 3 + w)) 0
                     else math.max(0, math.min(cap, math.floor(
                       math.log(step * headroom / m) / math.log(2.0)).toInt))
                   w += 1
@@ -1596,7 +1630,7 @@ object Mp3Codec {
               var i3 = 0
               var band = 0
               while (i3 < 36) {
-                if (band < 7 && i3 >= sfb(band + 1)) band += 1
+                if (band < nLongMixed - 1 && i3 >= sfb(band + 1)) band += 1
                 val v = xr(i3)
                 if (v != 0.0 && !zeroed(band)) {
                   val boost = math.pow(2.0, sfB(band))
@@ -1611,7 +1645,7 @@ object Mp3Codec {
               while (b < 13) {
                 var w = 0
                 while (w < 3) {
-                  val dead = zeroed(8 + (b - 3) * 3 + w)
+                  val dead = zeroed(nLongMixed + (b - 3) * 3 + w)
                   val boost =
                     math.pow(2.0, if (b < 12) sfS(w)(b) else 0)
                   var fl = sfbS(b)
@@ -1780,7 +1814,9 @@ object Mp3Codec {
       // part2 bits per (granule, channel): short granules carry
       // 18x4 + 18x3 = 126; long granules 74 minus reused scfsi groups
       def part2Bits(g: Int, c: Int): Int =
-        if (granuleBt(g) == 2) { if (mixedMode) 122 else 126 }
+        if (granuleBt(g) == 2) {
+          if (mixedMode) { if (v1) 122 else 114 } else 126
+        }
         else ScfsiGroups.zipWithIndex.map {
           case ((from, to, slen), gi) =>
             if (v1 && g == 1 && scfsi(c)(gi) == 1) 0 else (to - from) * slen
@@ -1831,7 +1867,7 @@ object Mp3Codec {
             // mixed read order: long bands 0-7 (slen1), then short
             // bands 3-11 sfb-major (slen1 for 3-5, slen2 for 6-11)
             var b = 0
-            while (b < 8) { side.put(granuleSf(gb)(cb)(b), 4); b += 1 }
+            while (b < nLongMixed) { side.put(granuleSf(gb)(cb)(b), 4); b += 1 }
             b = 3
             while (b < 12) {
               val slen = if (b < 6) 4 else 3

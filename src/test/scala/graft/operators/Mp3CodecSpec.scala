@@ -276,11 +276,11 @@ class Mp3CodecSpec extends AnyFunSuite {
     assert(Mp3Codec.decode(sb).get.samples.length == 2304)
   }
 
-  test("LSF short blocks fail loudly, never silently garbled") {
+  test("LSF short blocks decode: hand-rolled silent frame is exact zeros") {
     // hand-rolled MPEG-2 LSF frame: 22.05 kHz, 64 kbps, mono, one
-    // granule with window_switching=1 / block_type=2 and part2_3 = 0 —
-    // structurally valid, but the LSF short scalefactor-group
-    // partitions are not shipped (MPEG-1 short AND mixed decode fully)
+    // granule with window_switching=1 / block_type=2, sfc 0 and
+    // part2_3 = 0 — the 13818-3 short slen partitions read zero bits
+    // and the empty spectrum must synthesize to exact silence
     val bits = new StringBuilder
     def put(v: Int, n: Int): Unit =
       (n - 1 to 0 by -1).foreach(i => bits.append((v >> i) & 1))
@@ -298,10 +298,22 @@ class Mp3CodecSpec extends AnyFunSuite {
     bits.toString.grouped(8).zipWithIndex.foreach { case (b, i) =>
       bytes(i) = Integer.parseInt(b.padTo(8, '0'), 2).toByte
     }
-    val e = intercept[UnsupportedOperationException](Mp3Codec.decode(bytes))
-    assert(e.getMessage.contains("short blocks"))
-    // the media layer null-routes it like every other poison pill
-    assert(Multimodal.MediaCodec.decodeSamples(bytes).isEmpty)
+    val dec = Mp3Codec.decode(bytes).get
+    assert(dec.sampleRate == 22050 && dec.channels == 1)
+    assert(dec.samples.length == 576)
+    assert(dec.samples.forall(_ == 0.0), "silent LSF short frame")
+  }
+
+  test("LSF short and mixed blocks round-trip with live scalefactors") {
+    for (mode <- Seq("short", "mixed"); k <- Seq(5, 17, 28)) {
+      val pcm = tone(k, 2304)
+      val bytes = Mp3Codec.encode(pcm, 22050, blockMode = mode)
+      assert(Mp3Codec.granuleBlockTypes(bytes).forall(_ == 2))
+      val dec = Mp3Codec.decode(bytes).get
+      assert(dec.sampleRate == 22050 && dec.channels == 1)
+      val steady = dec.samples.drop(Mp3Codec.LeadingSkip)
+      assert(peakBin(steady, 256) == k, s"LSF $mode tone $k")
+    }
   }
 
   test("property: random tone mixes round-trip sane at every config") {
