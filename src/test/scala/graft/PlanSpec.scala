@@ -377,6 +377,18 @@ class PlanSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!codec.contains("Exchange") && !codec.contains("Join"),
       s"codec chain should not shuffle:\n$codec")
+    // the two-column stereo MP3 chain (intensity path) is the same
+    // mapPartitions projection — no exchange, no join
+    val pcm2 = spark.range(2).selectExpr("id",
+      "transform(sequence(0, 63), n -> cast(n * 13 % 2000 - 1000 as int)) as l",
+      "transform(sequence(0, 63), n -> cast(n * 7 % 1200 - 600 as int)) as r")
+    val codec2 = operators.Multimodal.audioSpectrum(
+      operators.Multimodal.encodeMp3Stereo(pcm2, "id", "l", "r", 44100,
+        intensityBand = 8),
+      "id", "payload", 64)
+      .queryExecution.executedPlan.toString
+    assert(!codec2.contains("Exchange") && !codec2.contains("Join"),
+      s"stereo codec chain should not shuffle:\n$codec2")
   }
 
   test("round-11 ops keep their scale shapes") {
