@@ -6,10 +6,12 @@ import scala.collection.mutable.ArrayBuffer
   * ISO/IEC 11172-3 (MPEG-1) and 13818-3 (MPEG-2 LSF) specifications,
   * the lossy-audio sibling of [[FlacCodec]]. Mono and stereo: all four
   * channel modes decode — LR, dual-channel, joint stereo with mid/side
-  * AND MPEG-1 long-block intensity (is_ratio = tan(is_pos·π/12) over
-  * the right channel's zero_part, illegal position 7 falling back to
-  * MS when both joint modes are on; LSF intensity and short-granule
-  * intensity fail loudly, their position semantics are not shipped) —
+  * AND MPEG-1 intensity — long blocks (is_ratio = tan(is_pos·π/12)
+  * over the right channel's zero_part, illegal position 7 falling back
+  * to MS when both joint modes are on) and short blocks (the same
+  * formula per window, positions in the short scalefactor slots); LSF
+  * and mixed-block intensity fail loudly, their position semantics are
+  * not shipped —
   * and [[encodeStereo]]/[[encodeStereoIntensity]] write LR, MS or
   * intensity streams. The full
   * bitstream STRUCTURE is implemented exactly: frame sync + header
@@ -36,10 +38,11 @@ import scala.collection.mutable.ArrayBuffer
   * 9+9+9+9 / 9+9+12+6 / 18+18 over 36 sfb-major values, mixed 6+9+9+9 /
   * 6+9+12+6 / 15+18 over 33; LSF preflag is implied by
   * scalefac_compress >= 500, never transmitted). LSF intensity stereo
-  * and intensity on short granules FAIL LOUDLY: their position layouts
-  * are not shipped, and decoding without them would be silently
-  * garbled — the same loud-or-correct stance as the Huffman subset
-  * below.
+  * (13818-3 io-scaling positions) and intensity on MIXED granules
+  * (combined long+window positions) FAIL LOUDLY: their position
+  * layouts are not shipped, and decoding without them would be
+  * silently garbled — the same loud-or-correct stance as the Huffman
+  * subset below.
   *
   * Two spec TABLES are not reconstructible in this offline container
   * and are handled explicitly rather than faked:
@@ -633,15 +636,17 @@ object Mp3Codec {
                 require(start + gi.part23 <= main.length * 8,
                   s"Mp3Codec: granule main data truncated (needs " +
                     s"${gi.part23} bits at $start of ${main.length * 8})")
-                // intensity positions live in the long-band scalefactor
-                // slots; the short-granule position layout (per-window
-                // is_pos over the reordered bands) is not shipped
-                if (intensity && gi.windowSwitching && gi.blockType == 2)
+                // intensity on MIXED granules (long positions below the
+                // seam, per-window above) stays loud — that combined
+                // position layout is not shipped
+                if (intensity && gi.windowSwitching && gi.blockType == 2
+                    && gi.mixed)
                   throw new UnsupportedOperationException(
-                    "Mp3Codec: intensity stereo on short-block " +
-                      "granules is not implemented — the per-window " +
-                      "position layout is not shipped in this offline " +
-                      "build; long/start/stop intensity granules decode.")
+                    "Mp3Codec: intensity stereo on mixed-block " +
+                      "granules is not implemented — the combined " +
+                      "long+window position layout is not shipped in " +
+                      "this offline build; long/start/stop and pure " +
+                      "short intensity granules decode.")
                 val sf = readScalefactors(r, gi, v1, g, scfsi(c), prevSf(c))
                 sfs(c) = sf
                 val is = huffmanSpectrum(r, gi, h.sr, start)
@@ -678,7 +683,74 @@ object Mp3Codec {
                   i += 1
                 }
               }
-              if (intensity && ch == 2) {
+              def posFactors(pos: Int): (Double, Double) =
+                if (pos == 6) (1.0, 0.0)
+                else {
+                  val ratio = math.tan(pos * math.Pi / 12.0)
+                  (ratio / (1.0 + ratio), 1.0 / (1.0 + ratio))
+                }
+              // intensity splits the LEFT channel's lines in the
+              // RIGHT channel's band domain — the two must share a
+              // window layout or the reordered indices don't line up
+              if (intensity && ch == 2 &&
+                  (gis(g)(0).windowSwitching && gis(g)(0).blockType == 2)
+                    != (gis(g)(1).windowSwitching &&
+                      gis(g)(1).blockType == 2))
+                throw new UnsupportedOperationException(
+                  "Mp3Codec: intensity stereo with mismatched " +
+                    "long/short window layouts across channels is not " +
+                    "implemented in this offline build.")
+              if (intensity && ch == 2 &&
+                  gis(g)(1).windowSwitching && gis(g)(1).blockType == 2) {
+                // short-granule intensity: the zero_part, the bound and
+                // the positions are all PER WINDOW — is_pos lives in
+                // the right channel's short scalefactor slots; band 12
+                // carries no slot and inherits band 11. Reordered
+                // domain: per-window line fl of window w sits at
+                // (fl/6)*18 + w*6 + fl%6.
+                val sfbS = SfbShort(h.sr)
+                def idx(fl: Int, w: Int) = (fl / 6) * 18 + w * 6 + fl % 6
+                var w = 0
+                while (w < 3) {
+                  var lastFl = -1
+                  var fl = 0
+                  while (fl < 192) {
+                    if (xrs(1)(idx(fl, w)) != 0.0) lastFl = fl
+                    fl += 1
+                  }
+                  var b0 = 0
+                  while (b0 < 13 && sfbS(b0) <= lastFl) b0 += 1
+                  if (lastFl == -1) b0 = 0
+                  def msWin(from: Int, until: Int): Unit = {
+                    var f2 = from
+                    while (f2 < until) {
+                      val i2 = idx(f2, w)
+                      val m = xrs(0)(i2); val s = xrs(1)(i2)
+                      xrs(0)(i2) = (m + s) * isq
+                      xrs(1)(i2) = (m - s) * isq
+                      f2 += 1
+                    }
+                  }
+                  if (ms) msWin(0, sfbS(b0))
+                  var b = b0
+                  while (b < 13) {
+                    val pos = sfs(1).short(w)(math.min(b, 11))
+                    if (pos <= 6) {
+                      val (fL, fR) = posFactors(pos)
+                      var f2 = sfbS(b)
+                      while (f2 < sfbS(b + 1)) {
+                        val i2 = idx(f2, w)
+                        val v = xrs(0)(i2)
+                        xrs(0)(i2) = v * fL
+                        xrs(1)(i2) = v * fR
+                        f2 += 1
+                      }
+                    } else if (ms) msWin(sfbS(b), sfbS(b + 1))
+                    b += 1
+                  }
+                  w += 1
+                }
+              } else if (intensity && ch == 2) {
                 val sfbL = SfbLong(h.sr)
                 var lastNon = -1
                 var i = 0
@@ -694,17 +766,12 @@ object Mp3Codec {
                 while (b < sfbL.length - 1) {
                   val pos = sfs(1).long(math.min(b, 20))
                   if (pos <= 6) {
-                    val (fl, fr) =
-                      if (pos == 6) (1.0, 0.0)
-                      else {
-                        val ratio = math.tan(pos * math.Pi / 12.0)
-                        (ratio / (1.0 + ratio), 1.0 / (1.0 + ratio))
-                      }
+                    val (fL, fR) = posFactors(pos)
                     var j = sfbL(b)
                     while (j < sfbL(b + 1)) {
                       val v = xrs(0)(j)
-                      xrs(0)(j) = v * fl
-                      xrs(1)(j) = v * fr
+                      xrs(0)(j) = v * fL
+                      xrs(1)(j) = v * fR
                       j += 1
                     }
                   } else if (ms) msLines(sfbL(b), sfbL(b + 1))
@@ -1251,10 +1318,14 @@ object Mp3Codec {
     */
   def encodeStereoIntensity(left: Array[Int], right: Array[Int],
       sampleRate: Int, bitrateKbps: Int = 0,
-      intensityBand: Int = 8): Array[Byte] = {
+      intensityBand: Int = 8, blockMode: String = "long"): Array[Byte] = {
     require(left.length == right.length,
       s"stereo channels must match: ${left.length} vs ${right.length}")
-    encodeFrames(Array(left, right), sampleRate, bitrateKbps, "long",
+    require(blockMode == "long" || blockMode == "short",
+      "intensity coding supports long or short block modes; with " +
+        "\"short\" the bound is a SHORT band index (1-12) and the " +
+        "positions are per (band, window)")
+    encodeFrames(Array(left, right), sampleRate, bitrateKbps, blockMode,
       mode = 1, modeExt = 1, intensityBand = intensityBand)
   }
 
@@ -1263,10 +1334,14 @@ object Mp3Codec {
       modeExt: Int, intensityBand: Int = -1): Array[Byte] = {
     val nch = chans.length
     require(intensityBand < 0 ||
-      (nch == 2 && blockMode == "long" && SrV1.contains(sampleRate) &&
-        intensityBand >= 1 && intensityBand <= 21),
-      "intensity coding needs two channels, long blocks, an MPEG-1 " +
-        s"rate and a bound band in 1-21, got band $intensityBand")
+      (nch == 2 && SrV1.contains(sampleRate) &&
+        ((blockMode == "long" && intensityBand >= 1 &&
+          intensityBand <= 21) ||
+          (blockMode == "short" && intensityBand >= 1 &&
+            intensityBand <= 12))),
+      "intensity coding needs two channels, an MPEG-1 rate, and long " +
+        "blocks with a bound band in 1-21 or short blocks with a " +
+        s"bound band in 1-12, got $blockMode band $intensityBand")
     val v1 = SrV1.contains(sampleRate)
     require(v1 || SrV2.contains(sampleRate),
       s"encode supports MPEG-1 rates ${SrV1.mkString("/")} and MPEG-2 " +
@@ -1470,8 +1545,13 @@ object Mp3Codec {
         // content rides band 20's ratio. In-phase channels assumed
         // (intensity coding's own premise); anti-phase content cancels
         // in the sum, as in any intensity encoder.
+        def intensityPos(el: Double, er: Double): Int =
+          if (er <= 0.0) 6
+          else math.max(0, math.min(6, math.round(
+            math.atan2(math.sqrt(el), math.sqrt(er)) *
+              12.0 / math.Pi).toInt))
         val isPosG: Array[Int] =
-          if (intensityBand < 0) null
+          if (intensityBand < 0 || bt == 2) null
           else {
             val pos = new Array[Int](22)
             val xl = granXr(0); val xrr = granXr(1)
@@ -1485,12 +1565,35 @@ object Mp3Codec {
                 xl(i) += xrr(i); xrr(i) = 0.0
                 i += 1
               }
-              pos(b) =
-                if (er <= 0.0) 6
-                else math.max(0, math.min(6, math.round(
-                  math.atan2(math.sqrt(el), math.sqrt(er)) *
-                    12.0 / math.Pi).toInt))
+              pos(b) = intensityPos(el, er)
               b += 1
+            }
+            pos
+          }
+        // short-granule intensity: the same transform per (band,
+        // window) in the reordered domain; the bound is a SHORT band
+        val isPosS: Array[Array[Int]] =
+          if (intensityBand < 0 || bt != 2) null
+          else {
+            val pos = Array.ofDim[Int](3, 13)
+            val xl = granXr(0); val xrr = granXr(1)
+            var w = 0
+            while (w < 3) {
+              var b = intensityBand
+              while (b < 13) {
+                var el = 0.0
+                var er = 0.0
+                var fl = sfbS(b)
+                while (fl < sfbS(b + 1)) {
+                  val i = (fl / 6) * 18 + w * 6 + fl % 6
+                  el += xl(i) * xl(i); er += xrr(i) * xrr(i)
+                  xl(i) += xrr(i); xrr(i) = 0.0
+                  fl += 1
+                }
+                pos(w)(b) = intensityPos(el, er)
+                b += 1
+              }
+              w += 1
             }
             pos
           }
@@ -1765,7 +1868,39 @@ object Mp3Codec {
         // and above intensityBand, the pure-left position 6 below it
         // (those bands decode to l = xr, r = 0 — exactly the normal
         // decode of a zeroed right channel).
-        if (intensityBand >= 0) {
+        if (intensityBand >= 0 && granuleBt(g) == 2) {
+          // per-window inferred bound: walk the right channel's
+          // BITSTREAM-ordered quantized lines cell by cell
+          val ix1 = granIx(1)
+          val lastBand = Array.fill(3)(-1)
+          var src = 0
+          var b = 0
+          while (b < 13) {
+            var w = 0
+            while (w < 3) {
+              var any = false
+              var fl = sfbS(b)
+              while (fl < sfbS(b + 1)) {
+                if (ix1(src) != 0) any = true
+                src += 1
+                fl += 1
+              }
+              if (any) lastBand(w) = b
+              w += 1
+            }
+            b += 1
+          }
+          val sfS1 = granuleSfS(g)(1)
+          var w = 0
+          while (w < 3) {
+            var b2 = lastBand(w) + 1
+            while (b2 < 12) {
+              sfS1(w)(b2) = if (b2 >= intensityBand) isPosS(w)(b2) else 6
+              b2 += 1
+            }
+            w += 1
+          }
+        } else if (intensityBand >= 0) {
           val ix1 = granIx(1)
           var lastNon = -1
           var i = 0

@@ -549,7 +549,30 @@ class Mp3CodecSpec extends AnyFunSuite {
     assert(peakBin(chans(1), 256) == 3, "right anchor stays right")
   }
 
-  test("LSF and short-block intensity fail loudly, never silently garbled") {
+  test("SHORT-block intensity round trip: per-window positions recovered") {
+    // tone 5 (per-window short band ~2-3) anchors both channels below
+    // the bound; tone 22 (per-window line 33, short band 6) rides the
+    // intensity region at the exact position-5 ratio tan(75°) ≈ 3.73 —
+    // per-window splits must recover both channels with their own
+    // dominant peaks (left: loud intensity tone; right: its anchor)
+    val t5l = tone(5, 2304, 4000.0)
+    val t22l = tone(22, 2304, 9000.0)
+    val t22r = tone(22, 2304, 9000.0 / math.tan(5 * math.Pi / 12))
+    val t5r = tone(5, 2304, 3000.0)
+    val l = Array.tabulate(2304)(i => t5l(i) + t22l(i))
+    val r = Array.tabulate(2304)(i => t5r(i) + t22r(i))
+    val bytes = Mp3Codec.encodeStereoIntensity(l, r, 44100,
+      intensityBand = 6, blockMode = "short")
+    assert(((bytes(3) >> 4) & 3) == 1, "mode_extension must be intensity")
+    assert(Mp3Codec.granuleBlockTypes(bytes).forall(_ == 2))
+    val dec = Mp3Codec.decode(bytes).get
+    assert(dec.channels == 2)
+    val chans = deinterleave(dec.samples.drop(2 * Mp3Codec.LeadingSkip), 2)
+    assert(peakBin(chans(0), 256) == 22, "left intensity tone dominates")
+    assert(peakBin(chans(1), 256) == 5, "right anchor survives")
+  }
+
+  test("LSF and mixed intensity fail loudly, never silently garbled") {
     // MPEG-2 LSF intensity: a different (unshipped) position semantic
     val lsf = Mp3Codec.encodeStereo(tone(5, 2304), tone(9, 2304), 22050)
     val pLsf = lsf.clone()
@@ -557,13 +580,14 @@ class Mp3CodecSpec extends AnyFunSuite {
     val e1 = intercept[UnsupportedOperationException](Mp3Codec.decode(pLsf))
     assert(e1.getMessage.contains("LSF intensity"))
     assert(Multimodal.MediaCodec.decodeSamples(pLsf).isEmpty)
-    // intensity on short-block granules: per-window positions unshipped
-    val sb = Mp3Codec.encodeStereo(
-      tone(5, 2304), tone(9, 2304), 44100, blockMode = "short")
-    val pSb = sb.clone()
-    pSb(3) = (pSb(3) | 0x50).toByte
-    val e2 = intercept[UnsupportedOperationException](Mp3Codec.decode(pSb))
-    assert(e2.getMessage.contains("short-block"))
-    assert(Multimodal.MediaCodec.decodeSamples(pSb).isEmpty)
+    // intensity on mixed-block granules: combined long+window
+    // position layout unshipped
+    val mb = Mp3Codec.encodeStereo(
+      tone(5, 2304), tone(9, 2304), 44100, blockMode = "mixed")
+    val pMb = mb.clone()
+    pMb(3) = (pMb(3) | 0x50).toByte
+    val e2 = intercept[UnsupportedOperationException](Mp3Codec.decode(pMb))
+    assert(e2.getMessage.contains("mixed-block"))
+    assert(Multimodal.MediaCodec.decodeSamples(pMb).isEmpty)
   }
 }
