@@ -389,6 +389,23 @@ object ScaleProbe {
             .write.format("noop").mode("overwrite").save()
         }
         record("media", "mp3_fft", n, tMp3)
+        // stereo intensity MP3 (r13): two channels through the same
+        // mapPartitions projection — the per-row constant roughly
+        // doubles (two analysis chains + two rate loops), the exponent
+        // must not move
+        val pcm3s = pcm3.withColumn("right",
+          transform(sequence(lit(0), lit(2303)),
+            m => round(lit(4000.0) * sin(lit(2.0 * math.Pi) *
+              (pmod(col("doc_id"), lit(30)) + 1).cast("double") *
+              m.cast("double") / lit(256.0))).cast("int")))
+        val (_, tMp3s) = time {
+          operators.Multimodal.audioSpectrum(
+            operators.Multimodal.encodeMp3Stereo(pcm3s, "doc_id",
+              "samples", "right", 44100, intensityBand = 8),
+            "id", "payload", fftSize = 256)
+            .write.format("noop").mode("overwrite").save()
+        }
+        record("media", "mp3_stereo_fft", n, tMp3s)
       }
 
       // ---- Incremental postings: init linear, commit+search O(batch) -

@@ -44,9 +44,22 @@ import scala.collection.mutable.ArrayBuffer
   * silently garbled — the same loud-or-correct stance as the Huffman
   * subset below.
   *
-  * Two spec TABLES are not reconstructible in this offline container
-  * and are handled explicitly rather than faked:
+  * Three spec DATA SETS are not reconstructible in this offline
+  * container and are handled explicitly rather than faked:
   *
+  *   - LSF intensity-stereo positions (13818-3): the intensity variant
+  *     re-partitions scalefac_compress into its own slen ranges AND
+  *     scales by io^f(is_pos) with io ∈ {2^-1/4, 2^-1/8} selected by a
+  *     compress bit — three interlocking constants with NO structural
+  *     cross-check (nothing sums to a band count, nothing is
+  *     Kraft-verifiable), and an encoder round trip would only prove
+  *     self-consistency, not conformance: a wrong io exponent decodes
+  *     third-party LSF intensity streams to silently wrong channel
+  *     levels. RE-CHECKED 2026-08-16 (round 13): no authoritative copy
+  *     of the 13818-3 intensity ranges exists in this offline
+  *     container (checked /opt/spark/jars, the reference repo, the
+  *     retrieved-snippets corpus) — the loud fail stands, the
+  *     COVERAGE.md Kafka-jar convention.
   *   - Huffman code tables (11172-3 Table B.7): tables 0-3, 5, 6 and
   *     both count1 quadruple tables are included (quad table B is
   *     defined algorithmically — 4-bit one's complement; the rest are
