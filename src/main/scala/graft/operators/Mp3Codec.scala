@@ -1569,7 +1569,8 @@ object Mp3Codec {
             val pos = new Array[Int](22)
             val xl = granXr(0); val xrr = granXr(1)
             var b = intensityBand
-            while (b < 22) {
+            // 21 or 22 long bands (the 32 kHz table is one shorter)
+            while (b < sfb.length - 1) {
               var el = 0.0
               var er = 0.0
               var i = sfb(b)
@@ -1919,7 +1920,7 @@ object Mp3Codec {
           var i = 0
           while (i < 576) { if (ix1(i) != 0) lastNon = i; i += 1 }
           var b0 = 0
-          while (b0 < 22 && sfb(b0) <= lastNon) b0 += 1
+          while (b0 < sfb.length - 1 && sfb(b0) <= lastNon) b0 += 1
           if (lastNon == -1) b0 = 0
           val sfR = granuleSf(g)(1)
           var b = b0

@@ -324,8 +324,8 @@ class Mp3CodecSpec extends AnyFunSuite {
       tones <- Gen.listOfN(nTones, Gen.zip(
         Gen.choose(1, 40), Gen.choose(500, 6000)))
       frames <- Gen.choose(1, 3)
-      mode <- Gen.oneOf("long", "short", "auto")
-      chanMode <- Gen.oneOf("mono", "lr", "ms")
+      mode <- Gen.oneOf("long", "short", "auto", "mixed")
+      chanMode <- Gen.oneOf("mono", "lr", "ms", "intensity")
     } yield (sr, tones, frames, mode, chanMode)
     val prop = Prop.forAll(cfgGen) {
       case (sr, tones, frames, mode, chanMode) =>
@@ -335,11 +335,21 @@ class Mp3CodecSpec extends AnyFunSuite {
       val pcm = Array.tabulate(n)(i => tones.map { case (k, a) =>
         a * math.sin(2 * math.Pi * k * i / 256.0)
       }.sum.round.toInt)
-      val blockMode = if (v1) mode else "long" // LSF short is loud-fail
+      // intensity coding is MPEG-1 long/short only — fold the other
+      // draws onto supported configs rather than discarding them
+      val blockMode =
+        if (chanMode == "intensity") { if (v1 && mode != "mixed") mode.replace("auto", "long") else "long" }
+        else mode
       val enc = chanMode match {
         case "mono" => Mp3Codec.encode(pcm, sr, 0, blockMode)
         case "lr" =>
           Mp3Codec.encodeStereo(pcm, pcm.map(v => -v / 2), sr, 0, blockMode)
+        case "intensity" =>
+          if (!v1) Mp3Codec.encodeStereo(pcm, pcm.map(_ / 3), sr, 0,
+            blockMode, msStereo = true) // LSF intensity is loud-fail
+          else Mp3Codec.encodeStereoIntensity(pcm, pcm.map(_ / 3), sr, 0,
+            intensityBand = if (blockMode == "short") 6 else 8,
+            blockMode = blockMode)
         case _ => Mp3Codec.encodeStereo(pcm, pcm.map(_ / 3), sr, 0,
           blockMode, msStereo = true)
       }
