@@ -1328,10 +1328,19 @@ object Mp3Codec {
     * in-phase L/R ratios (ideally at tan(k·π/12) angles); arbitrary
     * signals keep the summed magnitude and the quantized direction —
     * the bit-saving trade intensity stereo exists for.
+    *
+    * `msBelow = true` codes mode_extension 3: mid/side joint stereo
+    * below the intensity region, intensity above. The intensity region
+    * must be a suffix of the spectrum (the decoder infers it from the
+    * right channel's zero_part), so anti-phase bands — whose coherent
+    * sum would cancel — raise the effective bound: they and everything
+    * under them ride the mid/side matrix, marked with the illegal
+    * position 7.
     */
   def encodeStereoIntensity(left: Array[Int], right: Array[Int],
       sampleRate: Int, bitrateKbps: Int = 0,
-      intensityBand: Int = 8, blockMode: String = "long"): Array[Byte] = {
+      intensityBand: Int = 8, blockMode: String = "long",
+      msBelow: Boolean = false): Array[Byte] = {
     require(left.length == right.length,
       s"stereo channels must match: ${left.length} vs ${right.length}")
     require(blockMode == "long" || blockMode == "short",
@@ -1339,7 +1348,8 @@ object Mp3Codec {
         "\"short\" the bound is a SHORT band index (1-12) and the " +
         "positions are per (band, window)")
     encodeFrames(Array(left, right), sampleRate, bitrateKbps, blockMode,
-      mode = 1, modeExt = 1, intensityBand = intensityBand)
+      mode = 1, modeExt = if (msBelow) 3 else 1,
+      intensityBand = intensityBand)
   }
 
   private def encodeFrames(chans: Array[Array[Int]], sampleRate: Int,
@@ -1558,6 +1568,10 @@ object Mp3Codec {
         // content rides band 20's ratio. In-phase channels assumed
         // (intensity coding's own premise); anti-phase content cancels
         // in the sum, as in any intensity encoder.
+        // mode_extension 3: mid/side below the bound, intensity above;
+        // anti-phase bands above the bound ride the pos-7 MS fallback
+        val msIntensity = intensityBand >= 0 && modeExt == 3
+        val msq = 1.0 / math.sqrt(2.0)
         def intensityPos(el: Double, er: Double): Int =
           if (er <= 0.0) 6
           else math.max(0, math.min(6, math.round(
@@ -1568,9 +1582,38 @@ object Mp3Codec {
           else {
             val pos = new Array[Int](22)
             val xl = granXr(0); val xrr = granXr(1)
-            var b = intensityBand
-            // 21 or 22 long bands (the 32 kHz table is one shorter)
-            while (b < sfb.length - 1) {
+            val nBands = sfb.length - 1 // 21 or 22 (32 kHz is shorter)
+            // the intensity region must be a SUFFIX of the spectrum —
+            // the decoder intensity-processes everything above the
+            // right channel's last nonzero line, so a summed band may
+            // never sit below a band that keeps side content. Under
+            // mode_extension 3, raise the effective bound past the
+            // last anti-phase band (its sum would cancel; mid/side
+            // carries it) and matrix EVERYTHING below.
+            var effStart = intensityBand
+            if (msIntensity) {
+              var b = intensityBand
+              while (b < nBands) {
+                var cross = 0.0
+                var i = sfb(b)
+                while (i < sfb(b + 1)) {
+                  cross += xl(i) * xrr(i)
+                  i += 1
+                }
+                if (cross < 0) effStart = b + 1
+                b += 1
+              }
+              var i = 0
+              while (i < sfb(effStart)) {
+                val l = xl(i); val r = xrr(i)
+                xl(i) = (l + r) * msq; xrr(i) = (l - r) * msq
+                i += 1
+              }
+              var b2 = intensityBand
+              while (b2 < effStart) { pos(b2) = 7; b2 += 1 }
+            }
+            var b = effStart
+            while (b < nBands) {
               var el = 0.0
               var er = 0.0
               var i = sfb(b)
@@ -1593,7 +1636,32 @@ object Mp3Codec {
             val xl = granXr(0); val xrr = granXr(1)
             var w = 0
             while (w < 3) {
-              var b = intensityBand
+              // suffix rule per window (see the long transform)
+              var effStart = intensityBand
+              if (msIntensity) {
+                var b = intensityBand
+                while (b < 13) {
+                  var cross = 0.0
+                  var fl = sfbS(b)
+                  while (fl < sfbS(b + 1)) {
+                    val i = (fl / 6) * 18 + w * 6 + fl % 6
+                    cross += xl(i) * xrr(i)
+                    fl += 1
+                  }
+                  if (cross < 0) effStart = b + 1
+                  b += 1
+                }
+                var fl = 0
+                while (fl < sfbS(effStart)) {
+                  val i = (fl / 6) * 18 + w * 6 + fl % 6
+                  val l = xl(i); val r = xrr(i)
+                  xl(i) = (l + r) * msq; xrr(i) = (l - r) * msq
+                  fl += 1
+                }
+                var b2 = intensityBand
+                while (b2 < effStart) { pos(w)(b2) = 7; b2 += 1 }
+              }
+              var b = effStart
               while (b < 13) {
                 var el = 0.0
                 var er = 0.0
@@ -1909,9 +1977,15 @@ object Mp3Codec {
           while (w < 3) {
             var b2 = lastBand(w) + 1
             while (b2 < 12) {
-              sfS1(w)(b2) = if (b2 >= intensityBand) isPosS(w)(b2) else 6
+              sfS1(w)(b2) =
+                if (b2 >= intensityBand) isPosS(w)(b2)
+                else if (msIntensity) 7
+                else 6
               b2 += 1
             }
+            // bands the transform marked 7 (anti-phase, matrixed) keep
+            // side content and sit below the decoder's inferred bound -
+            // their slots are unread; nothing further to write
             w += 1
           }
         } else if (intensityBand >= 0) {
@@ -1925,7 +1999,10 @@ object Mp3Codec {
           val sfR = granuleSf(g)(1)
           var b = b0
           while (b < 21) {
-            sfR(b) = if (b >= intensityBand) isPosG(b) else 6
+            sfR(b) =
+              if (b >= intensityBand) isPosG(b)
+              else if (msIntensity) 7
+              else 6
             b += 1
           }
         }

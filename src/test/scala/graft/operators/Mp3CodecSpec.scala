@@ -582,6 +582,50 @@ class Mp3CodecSpec extends AnyFunSuite {
     assert(peakBin(chans(1), 256) == 5, "right anchor survives")
   }
 
+  test("MS+intensity (mode_extension 3): matrix below, positions above") {
+    // below the bound: a shared tone (MS-friendly); above: an
+    // ANTI-PHASE tone (band 9) that a sum would cancel — it must raise
+    // the effective bound and ride the pos-7 mid/side fallback — and an
+    // in-phase pair ABOVE it (band ~11) at the exact position-4 angle,
+    // which stays in the (suffix) intensity region
+    val shared = tone(5, 2304, 5000.0)
+    val hiL = tone(27, 2304, 6000.0)
+    val hiR = tone(27, 2304, 6000.0 / math.sqrt(3.0))
+    val anti = tone(20, 2304, 4000.0)
+    val l = Array.tabulate(2304)(i => shared(i) + hiL(i) + anti(i))
+    val r = Array.tabulate(2304)(i => shared(i) + hiR(i) - anti(i))
+    val bytes = Mp3Codec.encodeStereoIntensity(l, r, 44100,
+      intensityBand = 8, msBelow = true)
+    assert(((bytes(3) >> 4) & 3) == 3, "mode_extension must be MS+intensity")
+    val dec = Mp3Codec.decode(bytes).get
+    val chans = deinterleave(dec.samples.drop(2 * Mp3Codec.LeadingSkip), 2)
+    def amp(s: Array[Double], k: Int): (Double, Double) = {
+      var re = 0.0; var im = 0.0
+      var i = 0
+      while (i < 1024) {
+        val a = 2 * math.Pi * k * i / 256.0
+        re += s(i) * math.cos(a); im += s(i) * math.sin(a)
+        i += 1
+      }
+      (re, im)
+    }
+    def mag(ri: (Double, Double)) = math.hypot(ri._1, ri._2)
+    // the shared MS tone and the intensity pair both survive per channel
+    assert(mag(amp(chans(0), 5)) > 1000 * 512,
+      "shared tone survives the matrix")
+    val ratio27 = mag(amp(chans(0), 27)) / mag(amp(chans(1), 27))
+    assert(math.abs(ratio27 - math.sqrt(3.0)) < 0.25,
+      s"intensity ratio sqrt(3) expected, got $ratio27")
+    // the anti-phase tone survives IN ANTI-PHASE (a sum would cancel
+    // it): cross-spectrum at bin 20 must be strongly negative
+    val (lr, li) = amp(chans(0), 20)
+    val (rr2, ri2) = amp(chans(1), 20)
+    val cross = lr * rr2 + li * ri2
+    assert(cross < 0, s"anti-phase tone must stay anti-phase, cross=$cross")
+    assert(mag(amp(chans(0), 20)) > 0.3 * 4000 * 512,
+      "anti-phase tone magnitude survives")
+  }
+
   test("LSF and mixed intensity fail loudly, never silently garbled") {
     // MPEG-2 LSF intensity: a different (unshipped) position semantic
     val lsf = Mp3Codec.encodeStereo(tone(5, 2304), tone(9, 2304), 22050)
