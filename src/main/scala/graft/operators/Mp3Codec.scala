@@ -1343,9 +1343,11 @@ object Mp3Codec {
       msBelow: Boolean = false): Array[Byte] = {
     require(left.length == right.length,
       s"stereo channels must match: ${left.length} vs ${right.length}")
-    require(blockMode == "long" || blockMode == "short",
-      "intensity coding supports long or short block modes; with " +
-        "\"short\" the bound is a SHORT band index (1-12) and the " +
+    require(Set("long", "short", "auto").contains(blockMode),
+      "intensity coding supports long/short/auto block modes (mixed " +
+        "positions are not shipped); with \"short\" — or on the short " +
+        "granules an \"auto\" transient picks — the bound is read as a " +
+        "SHORT band index (long bounds above 12 clamp to 12) and the " +
         "positions are per (band, window)")
     encodeFrames(Array(left, right), sampleRate, bitrateKbps, blockMode,
       mode = 1, modeExt = if (msBelow) 3 else 1,
@@ -1357,14 +1359,12 @@ object Mp3Codec {
       modeExt: Int, intensityBand: Int = -1): Array[Byte] = {
     val nch = chans.length
     require(intensityBand < 0 ||
-      (nch == 2 && SrV1.contains(sampleRate) &&
-        ((blockMode == "long" && intensityBand >= 1 &&
-          intensityBand <= 21) ||
-          (blockMode == "short" && intensityBand >= 1 &&
-            intensityBand <= 12))),
-      "intensity coding needs two channels, an MPEG-1 rate, and long " +
-        "blocks with a bound band in 1-21 or short blocks with a " +
-        s"bound band in 1-12, got $blockMode band $intensityBand")
+      (nch == 2 && SrV1.contains(sampleRate) && blockMode != "mixed" &&
+        intensityBand >= 1 &&
+        intensityBand <= (if (blockMode == "short") 12 else 21)),
+      "intensity coding needs two channels, an MPEG-1 rate, a " +
+        "long/short/auto block mode, and a bound band in 1-21 (long) " +
+        s"or 1-12 (short), got $blockMode band $intensityBand")
     val v1 = SrV1.contains(sampleRate)
     require(v1 || SrV2.contains(sampleRate),
       s"encode supports MPEG-1 rates ${SrV1.mkString("/")} and MPEG-2 " +
@@ -1633,13 +1633,16 @@ object Mp3Codec {
           if (intensityBand < 0 || bt != 2) null
           else {
             val pos = Array.ofDim[Int](3, 13)
+            // auto mode may carry a long-scale bound — clamp to the
+            // short band range for this granule's windows
+            val ibS = math.min(intensityBand, 12)
             val xl = granXr(0); val xrr = granXr(1)
             var w = 0
             while (w < 3) {
               // suffix rule per window (see the long transform)
-              var effStart = intensityBand
+              var effStart = ibS
               if (msIntensity) {
-                var b = intensityBand
+                var b = ibS
                 while (b < 13) {
                   var cross = 0.0
                   var fl = sfbS(b)
@@ -1658,7 +1661,7 @@ object Mp3Codec {
                   xl(i) = (l + r) * msq; xrr(i) = (l - r) * msq
                   fl += 1
                 }
-                var b2 = intensityBand
+                var b2 = ibS
                 while (b2 < effStart) { pos(w)(b2) = 7; b2 += 1 }
               }
               var b = effStart
@@ -1973,12 +1976,13 @@ object Mp3Codec {
             b += 1
           }
           val sfS1 = granuleSfS(g)(1)
+          val ibS = math.min(intensityBand, 12)
           var w = 0
           while (w < 3) {
             var b2 = lastBand(w) + 1
             while (b2 < 12) {
               sfS1(w)(b2) =
-                if (b2 >= intensityBand) isPosS(w)(b2)
+                if (b2 >= ibS) isPosS(w)(b2)
                 else if (msIntensity) 7
                 else 6
               b2 += 1

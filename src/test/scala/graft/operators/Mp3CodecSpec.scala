@@ -338,7 +338,7 @@ class Mp3CodecSpec extends AnyFunSuite {
       // intensity coding is MPEG-1 long/short only — fold the other
       // draws onto supported configs rather than discarding them
       val blockMode =
-        if (chanMode == "intensity") { if (v1 && mode != "mixed") mode.replace("auto", "long") else "long" }
+        if (chanMode == "intensity") { if (v1 && mode != "mixed") mode else "long" }
         else mode
       val enc = chanMode match {
         case "mono" => Mp3Codec.encode(pcm, sr, 0, blockMode)
@@ -624,6 +624,28 @@ class Mp3CodecSpec extends AnyFunSuite {
     assert(cross < 0, s"anti-phase tone must stay anti-phase, cross=$cross")
     assert(mag(amp(chans(0), 20)) > 0.3 * 4000 * 512,
       "anti-phase tone magnitude survives")
+  }
+
+  test("intensity + auto blocks: transient window sequence decodes sane") {
+    // quiet lead-in, then a loud attack at granule 3 — auto must emit
+    // the long->START->SHORT->STOP sequence while intensity coding
+    // rides BOTH the long-band and the per-window position layouts
+    val n = 4 * 1152
+    val l = Array.tabulate(n) { i =>
+      val a = if (i >= 3 * 1152 && i < 3 * 1152 + 576) 9000.0 else 1500.0
+      (a * math.sin(2 * math.Pi * 20 * i / 256.0)).round.toInt
+    }
+    val r = l.map(v => (v / math.sqrt(3.0)).round.toInt)
+    val bytes = Mp3Codec.encodeStereoIntensity(l, r, 44100,
+      intensityBand = 8, blockMode = "auto")
+    val bts = Mp3Codec.granuleBlockTypes(bytes)
+    assert(bts.contains(2), s"transient must force short blocks: ${bts.toList}")
+    assert(bts.contains(1) && bts.contains(3), s"start/stop: ${bts.toList}")
+    val dec = Mp3Codec.decode(bytes).get
+    assert(dec.channels == 2 && dec.samples.length == 2 * n)
+    val chans = deinterleave(dec.samples.drop(2 * Mp3Codec.LeadingSkip), 2)
+    assert(peakBin(chans(0), 256) == 20, "tone survives the window ride")
+    assert(dec.samples.forall(v => !v.isNaN && math.abs(v) < 131072))
   }
 
   test("LSF and mixed intensity fail loudly, never silently garbled") {
