@@ -1085,6 +1085,14 @@ private[graft] object OraclesB {
            CAST(doc_id % 30 + 1 AS INTEGER) AS peak_bin,
            CAST(1152 AS BIGINT) AS n_samples
          FROM documents WHERE doc_id < 150 ORDER BY id""",
+    // the MS+intensity leg (mode_extension 3): mid/side below the
+    // bound, exact-angle positions above
+    "x_audio_mp3_ms_intensity" ->
+      """SELECT doc_id AS id,
+           CAST(44100 AS INTEGER) AS sample_rate,
+           CAST(doc_id % 30 + 1 AS INTEGER) AS peak_bin,
+           CAST(1152 AS BIGINT) AS n_samples
+         FROM documents WHERE doc_id < 150 ORDER BY id""",
     // the LSF short-block leg: 13818-3 slen partitions, live short
     // scalefactors through one-granule 22.05 kHz frames
     "x_audio_mp3_lsf_short" ->

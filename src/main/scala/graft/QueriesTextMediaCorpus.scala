@@ -574,6 +574,31 @@ private[graft] object QueriesTextMediaCorpus {
         .orderBy("id")
     }),
 
+    // The MS+INTENSITY leg (mode_extension 3 — mid/side below the
+    // bound, positions above, the encoder's suffix rule marking
+    // anti-phase bands with the illegal position 7): the same exact
+    // tan(60°) pair as x_audio_mp3_intensity, with the below-bound
+    // tones riding the mid/side matrix instead of independent coding.
+    "x_audio_mp3_ms_intensity" -> ((s, d) => {
+      val k = (pmod(col("doc_id"), lit(30)) + 1).cast("double")
+      val pcm = Tables.documents(s, d).select("doc_id")
+        .filter(col("doc_id") < 150)
+        .withColumn("left", transform(sequence(lit(0), lit(2303)),
+          n => round(lit(8000.0) *
+            sin(lit(2.0 * math.Pi) * k * n.cast("double") / lit(256.0)))
+            .cast("int")))
+        .withColumn("right", transform(sequence(lit(0), lit(2303)),
+          n => round(lit(8000.0 / math.sqrt(3.0)) *
+            sin(lit(2.0 * math.Pi) * k * n.cast("double") / lit(256.0)))
+            .cast("int")))
+      val enc2 = operators.Multimodal.encodeMp3Stereo(pcm, "doc_id",
+        "left", "right", 44100, intensityBand = 8, msIntensity = true)
+      operators.Multimodal.audioSpectrum(enc2, "id", "payload", fftSize = 256)
+        .select(col("id"), col("sample_rate").cast("int").as("sample_rate"),
+          col("peak_bin"), col("n_samples"))
+        .orderBy("id")
+    }),
+
     // The LSF SHORT-block leg (13818-3 block-type-2 slen partitions —
     // 36 sfb-major values over the 9+9+9+9 groups at scalefac_compress
     // 399 — through the one-granule 22.05 kHz frame layout): 150 tones

@@ -1591,7 +1591,8 @@ object Multimodal {
     */
   def encodeMp3Stereo(df: DataFrame, idCol: String, leftCol: String,
       rightCol: String, sampleRate: Int,
-      msStereo: Boolean = false, intensityBand: Int = -1): DataFrame = {
+      msStereo: Boolean = false, intensityBand: Int = -1,
+      msIntensity: Boolean = false): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("id", df.schema(idCol).dataType, nullable = false),
       StructField("payload", BinaryType, nullable = true)))
@@ -1609,7 +1610,8 @@ object Multimodal {
             if (l.isEmpty || l.length != rt.length) null
             else if (intensityBand >= 0)
               graft.operators.Mp3Codec.encodeStereoIntensity(l.toArray,
-                rt.toArray, sampleRate, 0, intensityBand)
+                rt.toArray, sampleRate, 0, intensityBand,
+                msBelow = msIntensity)
             else graft.operators.Mp3Codec.encodeStereo(l.toArray,
               rt.toArray, sampleRate, 0, "long", msStereo)
           }
