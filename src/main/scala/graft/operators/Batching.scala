@@ -76,8 +76,14 @@ object Batching {
   /** Wrap a pass-2 partition iterator so `verify(rowsSeen)` runs exactly
     * once, at exhaustion — the cheap membership check (one counter per
     * partition) that turns silent two-pass divergence into a loud
-    * failure. Spark output iterators are always drained, so the hook is
-    * guaranteed to run for every partition, including empty ones.
+    * failure. The hook fires when the consumer DRAINS the partition —
+    * the case for writes, aggregations, joins and full collects
+    * (including empty partitions: the first hasNext triggers it). An
+    * early-terminating consumer (`limit`/`take` abandoning the iterator
+    * mid-partition) skips the check for the rows it did take — the
+    * guard is best-effort there, not a guarantee; callers needing
+    * verified numbers under limit should persist() the numbered result
+    * first (one full pass, verified) and limit that.
     */
   private[graft] def verifiedEnd[A](it: Iterator[A])(
       verify: Long => Unit): Iterator[A] = new Iterator[A] {

@@ -1065,12 +1065,30 @@ object Mp3Codec {
   private def requantizeShort(is: Array[Int], gi: GranuleInfo,
       sfShort: Array[Array[Int]], sr: Int): Array[Double] = {
     val xr = new Array[Double](576)
+    requantizeShortRegion(is, gi, sfShort, sr, 0, 0, xr)
+    xr
+  }
+
+  /** The short-coded region's requantize + frequency-line REORDER —
+    * shared by pure-short granules (bands 0-12 from bitstream line 0)
+    * and the short half of mixed granules (bands 3-12 from line 36).
+    * Bitstream order is (band, window, line-in-band); the hybrid
+    * filterbank consumes window-major lines within each subband, so the
+    * line at per-window frequency `fl` of window `w` lands at
+    * `(fl/6)*18 + w*6 + fl%6`. Gain per (band, window):
+    * `2^((global_gain - 210 - 8*subblock_gain(w))/4)` times the
+    * scalefactor step; short bands carry no preemphasis and band 12 no
+    * scalefactor.
+    */
+  private def requantizeShortRegion(is: Array[Int], gi: GranuleInfo,
+      sfShort: Array[Array[Int]], sr: Int, startBand: Int, srcStart: Int,
+      xr: Array[Double]): Unit = {
     val mult = 0.5 * (1 + gi.sfScale)
     val sfb = SfbShort(sr)
     val winGain = Array.tabulate(3)(w =>
       math.pow(2.0, (gi.globalGain - 210 - 8 * gi.subblockGain(w)) / 4.0))
-    var src = 0
-    var b = 0
+    var src = srcStart
+    var b = startBand
     while (b < 13) {
       var w = 0
       while (w < 3) {
@@ -1090,7 +1108,6 @@ object Mp3Codec {
       }
       b += 1
     }
-    xr
   }
 
   /** Mixed-block requantizer: lines 0-35 (the two long subbands) take
@@ -1122,30 +1139,7 @@ object Mp3Codec {
       }
       i += 1
     }
-    val sfbS = SfbShort(sr)
-    val winGain = Array.tabulate(3)(w =>
-      math.pow(2.0, (gi.globalGain - 210 - 8 * gi.subblockGain(w)) / 4.0))
-    var src = 36
-    var b = 3
-    while (b < 13) {
-      var w = 0
-      while (w < 3) {
-        val factor = winGain(w) * math.pow(2.0,
-          -mult * (if (b < 12) sf.short(w)(b) else 0))
-        var fl = sfbS(b)
-        while (fl < sfbS(b + 1)) {
-          val v = if (src < 576) is(src) else 0
-          if (v != 0) {
-            val mag = math.pow(math.abs(v).toDouble, 4.0 / 3.0) * factor
-            xr((fl / 6) * 18 + w * 6 + fl % 6) = if (v < 0) -mag else mag
-          }
-          src += 1
-          fl += 1
-        }
-        w += 1
-      }
-      b += 1
-    }
+    requantizeShortRegion(is, gi, sf.short, sr, 3, 36, xr)
     xr
   }
 
@@ -1319,7 +1313,8 @@ object Mp3Codec {
 
   /** Intensity joint stereo encode (mode 1, mode_extension 1 — MPEG-1
     * long blocks only): bands below `intensityBand` (a long
-    * scalefactor-band index, 1-21) code L and R independently; bands at
+    * scalefactor-band index, 1-20 — the top band carries no slot and
+    * inherits its predecessor's position) code L and R independently; bands at
     * and above it carry the coherent sum L+R in the left channel with a
     * per-band direction is_pos ∈ 0-6 in the right channel's scalefactor
     * slots — [[decode]] splits them back by
@@ -1347,7 +1342,7 @@ object Mp3Codec {
       "intensity coding supports long/short/auto block modes (mixed " +
         "positions are not shipped); with \"short\" — or on the short " +
         "granules an \"auto\" transient picks — the bound is read as a " +
-        "SHORT band index (long bounds above 12 clamp to 12) and the " +
+        "SHORT band index (long bounds above 11 clamp to 11) and the " +
         "positions are per (band, window)")
     encodeFrames(Array(left, right), sampleRate, bitrateKbps, blockMode,
       mode = 1, modeExt = if (msBelow) 3 else 1,
@@ -1361,10 +1356,12 @@ object Mp3Codec {
     require(intensityBand < 0 ||
       (nch == 2 && SrV1.contains(sampleRate) && blockMode != "mixed" &&
         intensityBand >= 1 &&
-        intensityBand <= (if (blockMode == "short") 12 else 21)),
+        intensityBand <= (if (blockMode == "short") 11 else 20)),
       "intensity coding needs two channels, an MPEG-1 rate, a " +
-        "long/short/auto block mode, and a bound band in 1-21 (long) " +
-        s"or 1-12 (short), got $blockMode band $intensityBand")
+        "long/short/auto block mode, and a bound band in 1-20 (long) " +
+        "or 1-11 (short) — the top band carries no scalefactor slot " +
+        "of its own (it inherits its predecessor's position), so it " +
+        s"cannot start the region; got $blockMode band $intensityBand")
     val v1 = SrV1.contains(sampleRate)
     require(v1 || SrV2.contains(sampleRate),
       s"encode supports MPEG-1 rates ${SrV1.mkString("/")} and MPEG-2 " +
@@ -1392,10 +1389,30 @@ object Mp3Codec {
       java.util.Arrays.copyOf(c, nFrames * frameSamples))
     val sfb = SfbLong(sampleRate)
     val sfbS = SfbShort(sampleRate)
+    // per-(granule, channel) main-data bit budget — fixed by the frame
+    // geometry, so computable up front
+    val budgetPerGranule = (slots - 4 - sideBytes) * 8 / (granules * nch)
+    // at the floor bitrates (stereo especially) the budget can be
+    // SMALLER than the scalefac_compress-15/399 part2 cost — fall back
+    // to scalefac_compress 0 (slen 0 everywhere, zero scalefactor
+    // bits, no per-band boost): every legal rate/bitrate/channel
+    // combination then encodes, trading precision for fit
+    val maxPart2 = blockMode match {
+      case "long" => 74
+      case "mixed" => if (v1) 122 else 114
+      case _ => 126 // short, and the short granules auto may force
+    }
+    val zeroBoost = budgetPerGranule < maxPart2
+    require(!zeroBoost || intensityBand < 0,
+      "intensity coding needs scalefactor slots for its positions, " +
+        s"but $nch-channel ${brTable(bri)} kbps at $sampleRate Hz " +
+        s"leaves only $budgetPerGranule bits per granule — below the " +
+        s"$maxPart2-bit scalefactor layout; use a higher bitrate")
     // LSF scalefac_compress 399 decomposes to slens (4,4,3,3) over the
     // (6,5,5,5) band groups — byte-for-byte the same 11x4 + 10x3
     // scalefactor layout the MPEG-1 side uses (scalefac_compress 15)
-    val sfCompress = if (v1) 15 else 399
+    val sfCompress =
+      if (zeroBoost) 0 else if (v1) 15 else 399
 
     // per-granule block types for the whole stream, SHARED across
     // channels (peak over both — per-channel switching is legal but a
@@ -1603,6 +1620,11 @@ object Mp3Codec {
                 if (cross < 0) effStart = b + 1
                 b += 1
               }
+              // the top band of a 22-band table has no slot of its own
+              // (the decoder reads slot 20 for it) — if the suffix rule
+              // leaves ONLY that band, a position cannot be transmitted
+              // for it, so matrix it too and run with no intensity region
+              if (nBands == 22 && effStart == 21) effStart = 22
               var i = 0
               while (i < sfb(effStart)) {
                 val l = xl(i); val r = xrr(i)
@@ -1612,17 +1634,27 @@ object Mp3Codec {
               var b2 = intensityBand
               while (b2 < effStart) { pos(b2) = 7; b2 += 1 }
             }
+            // energies first, then positions: on 22-band tables band 21
+            // inherits slot 20 at decode, so pos(20) must represent the
+            // JOINT direction of bands 20 and 21
+            val elB = new Array[Double](22)
+            val erB = new Array[Double](22)
             var b = effStart
             while (b < nBands) {
-              var el = 0.0
-              var er = 0.0
               var i = sfb(b)
               while (i < sfb(b + 1)) {
-                el += xl(i) * xl(i); er += xrr(i) * xrr(i)
+                elB(b) += xl(i) * xl(i); erB(b) += xrr(i) * xrr(i)
                 xl(i) += xrr(i); xrr(i) = 0.0
                 i += 1
               }
-              pos(b) = intensityPos(el, er)
+              b += 1
+            }
+            b = effStart
+            while (b < nBands) {
+              pos(b) =
+                if (nBands == 22 && b >= 20)
+                  intensityPos(elB(20) + elB(21), erB(20) + erB(21))
+                else intensityPos(elB(b), erB(b))
               b += 1
             }
             pos
@@ -1634,8 +1666,9 @@ object Mp3Codec {
           else {
             val pos = Array.ofDim[Int](3, 13)
             // auto mode may carry a long-scale bound — clamp to the
-            // short band range for this granule's windows
-            val ibS = math.min(intensityBand, 12)
+            // short band range for this granule's windows (band 12
+            // carries no slot, so the bound tops out at 11)
+            val ibS = math.min(intensityBand, 11)
             val xl = granXr(0); val xrr = granXr(1)
             var w = 0
             while (w < 3) {
@@ -1654,6 +1687,9 @@ object Mp3Codec {
                   if (cross < 0) effStart = b + 1
                   b += 1
                 }
+                // band 12 inherits slot 11 at decode — a region of
+                // only band 12 cannot carry its own position
+                if (effStart == 12) effStart = 13
                 var fl = 0
                 while (fl < sfbS(effStart)) {
                   val i = (fl / 6) * 18 + w * 6 + fl % 6
@@ -1664,18 +1700,28 @@ object Mp3Codec {
                 var b2 = ibS
                 while (b2 < effStart) { pos(w)(b2) = 7; b2 += 1 }
               }
+              // energies first, then positions: band 12 inherits
+              // slot 11 at decode, so pos(11) must represent the JOINT
+              // direction of bands 11 and 12
+              val elB = new Array[Double](13)
+              val erB = new Array[Double](13)
               var b = effStart
               while (b < 13) {
-                var el = 0.0
-                var er = 0.0
                 var fl = sfbS(b)
                 while (fl < sfbS(b + 1)) {
                   val i = (fl / 6) * 18 + w * 6 + fl % 6
-                  el += xl(i) * xl(i); er += xrr(i) * xrr(i)
+                  elB(b) += xl(i) * xl(i); erB(b) += xrr(i) * xrr(i)
                   xl(i) += xrr(i); xrr(i) = 0.0
                   fl += 1
                 }
-                pos(w)(b) = intensityPos(el, er)
+                b += 1
+              }
+              b = effStart
+              while (b < 13) {
+                pos(w)(b) =
+                  if (b >= 11)
+                    intensityPos(elB(11) + elB(12), erB(11) + erB(12))
+                  else intensityPos(elB(b), erB(b))
                 b += 1
               }
               w += 1
@@ -1764,12 +1810,13 @@ object Mp3Codec {
             cellMax.indices.filter(cellMax(_) > 0)
               .sortBy(cellMax(_)).toArray
           // sfc 15/399 layouts: short 18x4+18x3; mixed 17x4+18x3;
-          // long 11x4+10x3
+          // long 11x4+10x3; sfc 0 carries no scalefactor bits at all
           val part2 =
-            if (bt == 2) {
+            if (zeroBoost) 0
+            else if (bt == 2) {
               if (mixedMode) { if (v1) 122 else 114 } else 126
             } else 74
-          val budget = (slots - 4 - sideBytes) * 8 / (granules * nch)
+          val budget = budgetPerGranule
           var gg =
             if (maxAbs <= 0) 210
             else math.max(0, math.min(255,
@@ -1794,14 +1841,14 @@ object Mp3Codec {
               while (b < nLongMixed) {
                 val m = cellMax(b)
                 sfB(b) =
-                  if (m <= 0 || zeroed(b)) 0
+                  if (m <= 0 || zeroed(b) || zeroBoost) 0
                   else math.max(0, math.min(15, math.floor(
                     math.log(step * headroom / m) / math.log(2.0)).toInt))
                 b += 1
               }
               b = 3
               while (b < 12) {
-                val cap = if (b < 6) 15 else 7
+                val cap = if (zeroBoost) 0 else if (b < 6) 15 else 7
                 var w = 0
                 while (w < 3) {
                   val m = cellMax(nLongMixed + (b - 3) * 3 + w)
@@ -1859,7 +1906,7 @@ object Mp3Codec {
               val sfS = Array.ofDim[Int](3, 13)
               var b = 0
               while (b < 12) {
-                val cap = if (b < 6) 15 else 7
+                val cap = if (zeroBoost) 0 else if (b < 6) 15 else 7
                 var w = 0
                 while (w < 3) {
                   val m = cellMax(b * 3 + w)
@@ -1872,7 +1919,10 @@ object Mp3Codec {
                 b += 1
               }
               // quantize straight into BITSTREAM order (band-major,
-              // then window, then line) — requantizeShort's inverse
+              // then window, then line) — the exact inverse of
+              // requantizeShortRegion, whose scaladoc is the reorder
+              // formula's ground truth (the mixed branch above mirrors
+              // it from band 3 / line 36)
               var src = 0
               b = 0
               while (b < 13) {
@@ -1904,7 +1954,7 @@ object Mp3Codec {
               val sfB = new Array[Int](22)
               var b = 0
               while (b < 21) {
-                val cap = if (b < 11) 15 else 7
+                val cap = if (zeroBoost) 0 else if (b < 11) 15 else 7
                 val m = cellMax(b)
                 sfB(b) =
                   if (m <= 0 || zeroed(b)) 0
@@ -1976,7 +2026,7 @@ object Mp3Codec {
             b += 1
           }
           val sfS1 = granuleSfS(g)(1)
-          val ibS = math.min(intensityBand, 12)
+          val ibS = math.min(intensityBand, 11)
           var w = 0
           while (w < 3) {
             var b2 = lastBand(w) + 1
@@ -2044,7 +2094,8 @@ object Mp3Codec {
       // part2 bits per (granule, channel): short granules carry
       // 18x4 + 18x3 = 126; long granules 74 minus reused scfsi groups
       def part2Bits(g: Int, c: Int): Int =
-        if (granuleBt(g) == 2) {
+        if (zeroBoost) 0
+        else if (granuleBt(g) == 2) {
           if (mixedMode) { if (v1) 122 else 114 } else 126
         }
         else ScfsiGroups.zipWithIndex.map {
@@ -2093,7 +2144,9 @@ object Mp3Codec {
       while (gb < granules) {
         var cb = 0
         while (cb < nch) {
-          if (granuleBt(gb) == 2 && mixedMode) {
+          if (zeroBoost) {
+            // scalefac_compress 0: slen 0 everywhere — nothing to write
+          } else if (granuleBt(gb) == 2 && mixedMode) {
             // mixed read order: long bands 0-7 (slen1), then short
             // bands 3-11 sfb-major (slen1 for 3-5, slen2 for 6-11)
             var b = 0

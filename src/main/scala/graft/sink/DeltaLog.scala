@@ -45,6 +45,19 @@ private[sink] object DeltaLog {
     */
   val AdoptedMarker = "_PROTOCOL_MARKERS"
 
+  /** Intent sentinel for the write path's legacy-adoption sweep: written
+    * BEFORE the first legacy dir is sealed, removed after [[AdoptedMarker]]
+    * lands. Its presence with [[AdoptedMarker]] absent proves a sweep
+    * crashed mid-way — and, because the sweep only ever starts on a
+    * zero-sealed-commits root and this writer renames nothing before
+    * [[AdoptedMarker]] exists, every marker-less numeric dir in that state
+    * is still a pre-marker legacy commit: the sweep is safely RESUMED
+    * (by the next write, and in memory by reads) instead of the root
+    * being misread as an ambiguous mixed upgrade and the unsealed
+    * remainder silently orphaned.
+    */
+  val AdoptingMarker = "_ADOPTING"
+
   def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -140,10 +153,41 @@ private[sink] object DeltaLog {
     if (!f.exists(new Path(root)) ||
         f.exists(new Path(s"$root/$AdoptedMarker"))) return Seq.empty
     val nums = numericSeqs(spark, root)
-    val anySealed =
-      nums.exists(s => f.exists(new Path(s"$root/$s/$CommitMarker")))
-    if (anySealed) Seq.empty
-    else nums.filter(s => legacyComplete(f, new Path(s"$root/$s"), markerChild))
+    val sealedSet = nums.filter(s =>
+      f.exists(new Path(s"$root/$s/$CommitMarker"))).toSet
+    // [[AdoptingMarker]] present = a sweep crashed mid-way; the seals it
+    // already wrote don't make the root ambiguous — resume over the rest
+    val resuming = f.exists(new Path(s"$root/$AdoptingMarker"))
+    if (sealedSet.nonEmpty && !resuming) Seq.empty
+    else nums.filterNot(sealedSet)
+      .filter(s => legacyCompleteCached(f, s"$root/$s", markerChild))
+  }
+
+  /** [[legacyComplete]] with a per-JVM positive cache: a dir that passed
+    * the deep scan is immutable-once-written (legacy commits are never
+    * rewritten), so repeated reads of an unmigrated legacy root — every
+    * listSeqs call on a read-only deployment re-runs the sweep — pay the
+    * O(files) parquet-magic round-trips once, not per read. Negative
+    * results are NOT cached (an in-flight copy may complete later), and
+    * the key carries the dir's FileStatus fingerprint (mtime + len) so a
+    * RECYCLED path — a root torn down outside the protocol and rebuilt
+    * with the same seq numbers — re-scans rather than trusting the old
+    * verdict (exact on local/HDFS; object stores surface synthetic dir
+    * mtimes, but re-entering sweep territory there requires manually
+    * deleting the root sentinel, already outside the protocol).
+    */
+  private val legacyCompleteCache =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def legacyCompleteCached(f: org.apache.hadoop.fs.FileSystem,
+      dir: String, markerChild: String): Boolean = {
+    val st =
+      try f.getFileStatus(new Path(dir))
+      catch { case _: java.io.FileNotFoundException => return false }
+    val key = s"$dir#$markerChild#${st.getModificationTime}#${st.getLen}"
+    legacyCompleteCache.contains(key) ||
+      (legacyComplete(f, new Path(dir), markerChild) && {
+        legacyCompleteCache.add(key); true
+      })
   }
 
   /** Explicit migration for a store upgraded from the pre-marker
@@ -155,7 +199,12 @@ private[sink] object DeltaLog {
     * Run offline with the single writer stopped, with write credentials.
     * Returns the seqs sealed. The automatic read path only ever adopts
     * the unambiguous zero-sealed-commits case (see [[legacyAdoptable]]);
-    * this is the path for everything else.
+    * this is the path for everything else. Crash recovery: a crash
+    * mid-migration leaves some dirs sealed and no [[AdoptedMarker]] —
+    * simply RE-RUN migrateLegacy with the same bound (sealing is
+    * idempotent; already-sealed dirs are skipped). The automatic resume
+    * sentinel ([[AdoptingMarker]]) is deliberately NOT used here: it
+    * would resume without the operator's upToSeq bound.
     */
   def migrateLegacy(spark: SparkSession, root: String, markerChild: String,
       upToSeq: Int): Seq[Int] = {
@@ -163,7 +212,7 @@ private[sink] object DeltaLog {
     if (!f.exists(new Path(root))) return Seq.empty
     val adoptable = numericSeqs(spark, root).filter(s =>
       s <= upToSeq && !f.exists(new Path(s"$root/$s/$CommitMarker")) &&
-        legacyComplete(f, new Path(s"$root/$s"), markerChild))
+        legacyCompleteCached(f, s"$root/$s", markerChild))
     adoptable.foreach(s =>
       f.create(new Path(s"$root/$s/$CommitMarker"), true).close())
     f.create(new Path(s"$root/$AdoptedMarker"), true).close()
@@ -229,9 +278,17 @@ private[sink] object DeltaLog {
     // write credentials); only the unambiguous zero-sealed-commits case
     // auto-adopts, the mixed case takes [[migrateLegacy]].
     if (!f.exists(new Path(s"$root/$AdoptedMarker"))) {
-      legacyAdoptable(spark, root, markerChild).foreach(s =>
+      val adoptable = legacyAdoptable(spark, root, markerChild)
+      // intent BEFORE the first seal: a crash mid-sweep leaves the
+      // sentinel, so the next write (and every read) RESUMES the sweep
+      // instead of misreading the half-sealed root as an ambiguous
+      // mixed upgrade and orphaning the unsealed remainder
+      if (adoptable.nonEmpty)
+        f.create(new Path(s"$root/$AdoptingMarker"), true).close()
+      adoptable.foreach(s =>
         f.create(new Path(s"$root/$s/$CommitMarker"), true).close())
       f.create(new Path(s"$root/$AdoptedMarker"), true).close()
+      f.delete(new Path(s"$root/$AdoptingMarker"), false): Unit
     }
     val dest = new Path(s"$root/$seq")
     require(f.rename(new Path(tmp), dest),

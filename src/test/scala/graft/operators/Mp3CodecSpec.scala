@@ -648,6 +648,39 @@ class Mp3CodecSpec extends AnyFunSuite {
     assert(dec.samples.forall(v => !v.isNaN && math.abs(v) < 131072))
   }
 
+  test("floor-bitrate stereo: scalefac_compress-0 fallback fits every combo") {
+    // at the lowest rates the per-granule budget is SMALLER than the
+    // sfc-15/399 scalefactor layout (e.g. LSF stereo 8 kbps: 60 bits
+    // vs 74) — the encoder must fall back to sfc 0 and still assemble
+    // legal frames instead of overflowing
+    for ((sr, kbps, mode) <- Seq((22050, 8, "long"), (16000, 8, "long"),
+        (48000, 32, "short"), (44100, 32, "short"))) {
+      val l = tone(7, if (sr > 30000) 2304 else 1152, 6000.0)
+      val r = tone(13, l.length, 6000.0)
+      val bytes = Mp3Codec.encodeStereo(l, r, sr, bitrateKbps = kbps,
+        blockMode = mode)
+      val dec = Mp3Codec.decode(bytes).get
+      assert(dec.sampleRate == sr && dec.channels == 2)
+      assert(dec.samples.forall(v => !v.isNaN && math.abs(v) < 131072),
+        s"$sr/$kbps/$mode sane")
+    }
+    // a genuine zeroBoost config (48 kHz 32 kbps short stereo: 120-bit
+    // granule budget < the 126-bit short layout) still carries tones
+    val l = tone(7, 2304)
+    val r = tone(13, 2304)
+    val bytes = Mp3Codec.encodeStereo(l, r, 48000, bitrateKbps = 32,
+      blockMode = "short")
+    val chans = deinterleave(
+      Mp3Codec.decode(bytes).get.samples.drop(2 * Mp3Codec.LeadingSkip), 2)
+    assert(peakBin(chans(0), 256) == 7 && peakBin(chans(1), 256) == 13,
+      "tones survive the no-boost floor")
+    // intensity NEEDS scalefactor slots for its positions — loud
+    val e = intercept[IllegalArgumentException](
+      Mp3Codec.encodeStereoIntensity(l, r, 48000, bitrateKbps = 32,
+        blockMode = "short"))
+    assert(e.getMessage.contains("scalefactor slots"))
+  }
+
   test("LSF and mixed intensity fail loudly, never silently garbled") {
     // MPEG-2 LSF intensity: a different (unshipped) position semantic
     val lsf = Mp3Codec.encodeStereo(tone(5, 2304), tone(9, 2304), 22050)

@@ -271,6 +271,52 @@ class DeltaLogSpec extends SparkSpec {
     assert(f.exists(new Path(s"$root/${DeltaLog.AdoptedMarker}")))
   }
 
+  test("crashed adoption sweep resumes: intent sentinel, no orphaned legacy") {
+    // the write path seals legacy dirs then writes AdoptedMarker — a
+    // crash in between used to leave a half-sealed root that the
+    // zero-sealed rule misread as an ambiguous mixed upgrade, silently
+    // orphaning the unsealed remainder. The AdoptingMarker intent
+    // (written before the first seal) proves the mix came from the
+    // sweep itself: reads resume it in memory, the next write resumes
+    // and completes it.
+    val dir = tmpDir("dlog-resume")
+    val root = s"$dir/commits"
+    val f = DeltaLog.fs(spark, root)
+    def legacyCommit(s: Int): Unit = {
+      f.mkdirs(new Path(s"$root/$s/docs"))
+      f.create(new Path(s"$root/$s/docs/c$s"), true).close()
+    }
+    legacyCommit(1); legacyCommit(2); legacyCommit(3)
+    // simulate the crash window: intent written, dir 1 sealed, then death
+    f.create(new Path(s"$root/${DeltaLog.AdoptingMarker}"), true).close()
+    f.create(new Path(s"$root/1/${DeltaLog.CommitMarker}"), true).close()
+    // a READ during the window sees the full history (in-memory resume)
+    assert(DeltaLog.listSeqs(spark, root, Some("docs")) == Seq(1, 2, 3))
+    assert(!f.exists(new Path(s"$root/2/${DeltaLog.CommitMarker}")))
+    // the next WRITE completes the sweep: seals 2 and 3, lands the root
+    // sentinel, clears the intent
+    DeltaLog.commit(spark, root, DeltaLog.nextSeq(spark, root), "docs") {
+      tmp =>
+        f.mkdirs(new Path(s"$tmp/docs"))
+        f.create(new Path(s"$tmp/docs/c4"), true).close()
+    }
+    assert(DeltaLog.listSeqs(spark, root, Some("docs")) == Seq(1, 2, 3, 4))
+    Seq(1, 2, 3).foreach(s =>
+      assert(f.exists(new Path(s"$root/$s/${DeltaLog.CommitMarker}"))))
+    assert(f.exists(new Path(s"$root/${DeltaLog.AdoptedMarker}")))
+    assert(!f.exists(new Path(s"$root/${DeltaLog.AdoptingMarker}")))
+    // WITHOUT the intent the same half-sealed shape stays ambiguous:
+    // nothing is auto-adopted (the documented migrateLegacy case)
+    val root2 = s"$dir/commits2"
+    val f2 = DeltaLog.fs(spark, root2)
+    f2.mkdirs(new Path(s"$root2/1/docs"))
+    f2.create(new Path(s"$root2/1/docs/c1"), true).close()
+    f2.create(new Path(s"$root2/1/${DeltaLog.CommitMarker}"), true).close()
+    f2.mkdirs(new Path(s"$root2/2/docs"))
+    f2.create(new Path(s"$root2/2/docs/c2"), true).close()
+    assert(DeltaLog.listSeqs(spark, root2, Some("docs")) == Seq(1))
+  }
+
   test("adoption completeness: truncated parquet and missing _SUCCESS reject") {
     val dir = tmpDir("dlog-complete")
     val root = s"$dir/commits"
