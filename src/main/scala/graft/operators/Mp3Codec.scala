@@ -1413,6 +1413,55 @@ object Mp3Codec {
     // scalefactor layout the MPEG-1 side uses (scalefac_compress 15)
     val sfCompress =
       if (zeroBoost) 0 else if (v1) 15 else 399
+    // quantizer headroom: the finest step that keeps the loudest line
+    // inside the verified |ix| <= 3 alphabet
+    val headroom = math.pow(3.49, 4.0 / 3.0)
+
+    // shared short-region scalefactor boost + quantize — the encoder
+    // mirror of requantizeShortRegion (whose scaladoc is the reorder
+    // formula's ground truth): bands [startBand, 13) straight into
+    // BITSTREAM order from `srcStart`, rate-loop cells via `cellAt`
+    def quantizeShortRegion(xr: Array[Double], sfS: Array[Array[Int]],
+        cellMax: Array[Double], zeroed: Array[Boolean], step: Double,
+        ix: Array[Int], startBand: Int, srcStart: Int,
+        cellAt: (Int, Int) => Int): Unit = {
+      var b = startBand
+      while (b < 12) {
+        val cap = if (zeroBoost) 0 else if (b < 6) 15 else 7
+        var w = 0
+        while (w < 3) {
+          val m = cellMax(cellAt(b, w))
+          sfS(w)(b) =
+            if (m <= 0 || zeroed(cellAt(b, w))) 0
+            else math.max(0, math.min(cap, math.floor(
+              math.log(step * headroom / m) / math.log(2.0)).toInt))
+          w += 1
+        }
+        b += 1
+      }
+      var src = srcStart
+      b = startBand
+      while (b < 13) {
+        var w = 0
+        while (w < 3) {
+          val dead = zeroed(cellAt(b, w))
+          val boost = math.pow(2.0, if (b < 12) sfS(w)(b) else 0)
+          var fl = sfbS(b)
+          while (fl < sfbS(b + 1)) {
+            val v = xr((fl / 6) * 18 + w * 6 + fl % 6)
+            if (v != 0.0 && !dead) {
+              val q = math.min(3, math.round(
+                math.pow(math.abs(v) * boost / step, 0.75)).toInt)
+              ix(src) = if (v < 0) -q else q
+            }
+            src += 1
+            fl += 1
+          }
+          w += 1
+        }
+        b += 1
+      }
+    }
 
     // per-granule block types for the whole stream, SHARED across
     // channels (peak over both — per-channel switching is legal but a
@@ -1740,7 +1789,6 @@ object Mp3Codec {
           // capped-band escape — without it a dense loud spectrum at the
           // lowest bitrates never shrinks and the frame overflows).
           val maxAbs = xr.map(math.abs).max
-          val headroom = math.pow(3.49, 4.0 / 3.0)
           // per-cell maxima: long cells are the long bands; short cells
           // are (band, window) — 13 x 3, flat index b*3+w; mixed cells
           // are long bands 0-7 then (band-3)*3+w+8 for short bands 3-12
@@ -1833,8 +1881,9 @@ object Mp3Codec {
             while (z < nZeroed) { zeroed(quietOrder(z)) = true; z += 1 }
             val ix = new Array[Int](576)
             if (bt == 2 && mixedMode) {
-              // mixed: long bands 0-7 under slen1 (4-bit) caps, short
-              // bands 3-11 under slen1/slen2 caps (band 12 carries none)
+              // mixed: long bands (0-7 MPEG-1 / 0-5 LSF) under the
+              // 4-bit slen1 caps; the short half rides the shared
+              // region quantizer below
               val sfB = new Array[Int](22)
               val sfS = Array.ofDim[Int](3, 13)
               var b = 0
@@ -1846,22 +1895,8 @@ object Mp3Codec {
                     math.log(step * headroom / m) / math.log(2.0)).toInt))
                 b += 1
               }
-              b = 3
-              while (b < 12) {
-                val cap = if (zeroBoost) 0 else if (b < 6) 15 else 7
-                var w = 0
-                while (w < 3) {
-                  val m = cellMax(nLongMixed + (b - 3) * 3 + w)
-                  sfS(w)(b) =
-                    if (m <= 0 || zeroed(nLongMixed + (b - 3) * 3 + w)) 0
-                    else math.max(0, math.min(cap, math.floor(
-                      math.log(step * headroom / m) / math.log(2.0)).toInt))
-                  w += 1
-                }
-                b += 1
-              }
               // quantize: long lines 0-35 in place, then the short
-              // half straight into BITSTREAM order from line 36
+              // half via the shared region quantizer from line 36
               var i3 = 0
               var band = 0
               while (i3 < 36) {
@@ -1875,77 +1910,16 @@ object Mp3Codec {
                 }
                 i3 += 1
               }
-              var src = 36
-              b = 3
-              while (b < 13) {
-                var w = 0
-                while (w < 3) {
-                  val dead = zeroed(nLongMixed + (b - 3) * 3 + w)
-                  val boost =
-                    math.pow(2.0, if (b < 12) sfS(w)(b) else 0)
-                  var fl = sfbS(b)
-                  while (fl < sfbS(b + 1)) {
-                    val v = xr((fl / 6) * 18 + w * 6 + fl % 6)
-                    if (v != 0.0 && !dead) {
-                      val q = math.min(3, math.round(
-                        math.pow(math.abs(v) * boost / step, 0.75)).toInt)
-                      ix(src) = if (v < 0) -q else q
-                    }
-                    src += 1
-                    fl += 1
-                  }
-                  w += 1
-                }
-                b += 1
-              }
+              quantizeShortRegion(xr, sfS, cellMax, zeroed, step, ix,
+                3, 36, (b2, w) => nLongMixed + (b2 - 3) * 3 + w)
               granuleSf(g)(c) = sfB
               granuleSfS(g)(c) = sfS
             } else if (bt == 2) {
               // per-(band, window) boost under the short slen caps
               // (4 bits bands 0-5, 3 bits 6-11; band 12 carries none)
               val sfS = Array.ofDim[Int](3, 13)
-              var b = 0
-              while (b < 12) {
-                val cap = if (zeroBoost) 0 else if (b < 6) 15 else 7
-                var w = 0
-                while (w < 3) {
-                  val m = cellMax(b * 3 + w)
-                  sfS(w)(b) =
-                    if (m <= 0 || zeroed(b * 3 + w)) 0
-                    else math.max(0, math.min(cap, math.floor(
-                      math.log(step * headroom / m) / math.log(2.0)).toInt))
-                  w += 1
-                }
-                b += 1
-              }
-              // quantize straight into BITSTREAM order (band-major,
-              // then window, then line) — the exact inverse of
-              // requantizeShortRegion, whose scaladoc is the reorder
-              // formula's ground truth (the mixed branch above mirrors
-              // it from band 3 / line 36)
-              var src = 0
-              b = 0
-              while (b < 13) {
-                var w = 0
-                while (w < 3) {
-                  val dead = zeroed(b * 3 + w)
-                  val boost =
-                    math.pow(2.0, if (b < 12) sfS(w)(b) else 0)
-                  var fl = sfbS(b)
-                  while (fl < sfbS(b + 1)) {
-                    val v = xr((fl / 6) * 18 + w * 6 + fl % 6)
-                    if (v != 0.0 && !dead) {
-                      val q = math.min(3, math.round(
-                        math.pow(math.abs(v) * boost / step, 0.75)).toInt)
-                      ix(src) = if (v < 0) -q else q
-                    }
-                    src += 1
-                    fl += 1
-                  }
-                  w += 1
-                }
-                b += 1
-              }
+              quantizeShortRegion(xr, sfS, cellMax, zeroed, step, ix,
+                0, 0, (b2, w) => b2 * 3 + w)
               granuleSfS(g)(c) = sfS
               granuleSf(g)(c) = null
             } else {
