@@ -1101,6 +1101,14 @@ private[graft] object OraclesB {
            CAST(doc_id % 30 + 1 AS INTEGER) AS peak_bin,
            CAST(1152 AS BIGINT) AS n_samples
          FROM documents WHERE doc_id < 150 ORDER BY id""",
+    // the LSF mixed-block leg: 6 long bands + short 3-12 under the
+    // 6+9+9+9 slen partition, tones across the seam
+    "x_audio_mp3_lsf_mixed" ->
+      """SELECT doc_id AS id,
+           CAST(22050 AS INTEGER) AS sample_rate,
+           CAST(doc_id % 30 + 1 AS INTEGER) AS peak_bin,
+           CAST(1152 AS BIGINT) AS n_samples
+         FROM documents WHERE doc_id < 150 ORDER BY id""",
     // G.711 encode -> JDK ULAW decode -> FFT: peak survives companding
     "x_audio_g711" ->
       """SELECT doc_id AS id,

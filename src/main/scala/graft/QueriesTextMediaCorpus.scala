@@ -619,6 +619,26 @@ private[graft] object QueriesTextMediaCorpus {
         .orderBy("id")
     }),
 
+    // The LSF MIXED-block leg (6 long bands — every LSF long table has
+    // sfb(6) = 36 — plus short bands 3-12 under the 6+9+9+9 slen
+    // partition, part2 114): 150 tones spanning the seam keep their
+    // FFT peaks through one-granule 22.05 kHz mixed frames.
+    "x_audio_mp3_lsf_mixed" -> ((s, d) => {
+      val k = (pmod(col("doc_id"), lit(30)) + 1).cast("double")
+      val pcm = Tables.documents(s, d).select("doc_id")
+        .filter(col("doc_id") < 150)
+        .withColumn("samples", transform(sequence(lit(0), lit(2303)),
+          n => round(lit(8000.0) *
+            sin(lit(2.0 * math.Pi) * k * n.cast("double") / lit(256.0)))
+            .cast("int")))
+      val enc2 = operators.Multimodal.encodeMp3(pcm, "doc_id", "samples",
+        22050, blockMode = "mixed")
+      operators.Multimodal.audioSpectrum(enc2, "id", "payload", fftSize = 256)
+        .select(col("id"), col("sample_rate").cast("int").as("sample_rate"),
+          col("peak_bin"), col("n_samples"))
+        .orderBy("id")
+    }),
+
     // REAL image encode→decode roundtrip, oracle-exact: constant-value
     // truecolor PNGs synthesized from doc_id (w = 8 + id%9, h = 8 + id%7,
     // gray v = id*7 % 256), written by encodePng and read back through
