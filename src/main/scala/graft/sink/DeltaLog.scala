@@ -289,7 +289,10 @@ private[sink] object DeltaLog {
         f.create(new Path(s"$root/$s/$CommitMarker"), true).close())
       f.create(new Path(s"$root/$AdoptedMarker"), true).close()
       f.delete(new Path(s"$root/$AdoptingMarker"), false): Unit
-    }
+    } else
+      // a crash between AdoptedMarker and the intent delete leaves a
+      // harmless stray intent — clear it (no-op when absent)
+      f.delete(new Path(s"$root/$AdoptingMarker"), false): Unit
     val dest = new Path(s"$root/$seq")
     require(f.rename(new Path(tmp), dest),
       s"could not commit delta $seq (concurrent writer?)")

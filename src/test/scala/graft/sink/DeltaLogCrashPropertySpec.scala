@@ -177,6 +177,51 @@ class DeltaLogCrashPropertySpec extends SparkSpec {
     assert(result.passed, result.status.toString)
   }
 
+  test("crashed adoption sweeps: every crash point resumes, nothing orphaned") {
+    // the write path's sweep protocol is intent → seal… → AdoptedMarker
+    // → delete intent; a crash at ANY point must leave a state from
+    // which reads see the full legacy history and the next write
+    // completes the sweep. k seals done before the crash; the
+    // AdoptedMarker-written state is only reachable with all n sealed.
+    val prop = Prop.forAll(Gen.choose(1, 5), Gen.choose(0, 6),
+        Gen.oneOf(true, false)) { (n, kRaw, markerIfDone) =>
+      val k = math.min(kRaw, n)
+      val dir =
+        java.nio.file.Files.createTempDirectory("dlog-sweepcrash").toString
+      val root = s"$dir/commits"
+      val f = DeltaLog.fs(spark, dir)
+      (1 to n).foreach { i =>
+        f.mkdirs(new Path(s"$root/$i/docs"))
+        f.create(new Path(s"$root/$i/docs/c$i"), true).close()
+      }
+      f.create(new Path(s"$root/${DeltaLog.AdoptingMarker}"), true).close()
+      (1 to k).foreach(i =>
+        f.create(new Path(s"$root/$i/${DeltaLog.CommitMarker}"), true).close())
+      val markerWritten = markerIfDone && k == n
+      if (markerWritten)
+        f.create(new Path(s"$root/${DeltaLog.AdoptedMarker}"), true).close()
+      val expect = (1 to n).toList
+      val readOk =
+        DeltaLog.listSeqs(spark, root, Some("docs")).toList == expect
+      val seq = DeltaLog.nextSeq(spark, root)
+      DeltaLog.commit(spark, root, seq, "docs") { tmp =>
+        f.mkdirs(new Path(s"$tmp/docs"))
+        f.create(new Path(s"$tmp/docs/c$seq"), true).close()
+      }
+      val afterOk =
+        DeltaLog.listSeqs(spark, root, Some("docs")).toList == expect :+ seq
+      val sealedOk = (1 to n).forall(i =>
+        f.exists(new Path(s"$root/$i/${DeltaLog.CommitMarker}")))
+      val cleanOk =
+        f.exists(new Path(s"$root/${DeltaLog.AdoptedMarker}")) &&
+          !f.exists(new Path(s"$root/${DeltaLog.AdoptingMarker}"))
+      readOk && afterOk && sealedOk && cleanOk
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("reader lease: a resolved base stays complete across exactly keepGenerations installs") {
     // the documented lease bound (DeltaLog.installBase scaladoc): a
     // reader that resolved currentBase survives at most keepGenerations
