@@ -1109,6 +1109,25 @@ private[graft] object OraclesB {
            CAST(doc_id % 30 + 1 AS INTEGER) AS peak_bin,
            CAST(1152 AS BIGINT) AS n_samples
          FROM documents WHERE doc_id < 150 ORDER BY id""",
+    // mixed-block intensity (mode_extension 1 on mixed granules): long
+    // positions below the seam, per-window short positions above, both
+    // at the exact tan(60°) ratio
+    "x_audio_mp3_mixed_intensity" ->
+      """SELECT doc_id AS id,
+           CAST(44100 AS INTEGER) AS sample_rate,
+           CAST(doc_id % 30 + 1 AS INTEGER) AS peak_bin,
+           CAST(1152 AS BIGINT) AS n_samples
+         FROM documents WHERE doc_id < 150 ORDER BY id""",
+    // third-party LSF stream (vendored gsutil fixture, digital silence):
+    // 45 frames x 576 minus the 1152-sample codec-delay skip = exactly
+    // 43 analysis frames of 576, each with RMS 0 — any decoder misparse
+    // shifts the frame count or the rms
+    "x_audio_mp3_interop" ->
+      """SELECT d.doc_id AS id, CAST(f.range AS INTEGER) AS frame_idx,
+           CAST(576 AS INTEGER) AS n, CAST(0.0 AS DOUBLE) AS rms,
+           CAST(FALSE AS BOOLEAN) AS active
+         FROM documents d CROSS JOIN range(43) f
+         WHERE d.doc_id < 40 ORDER BY id, frame_idx""",
     // G.711 encode -> JDK ULAW decode -> FFT: peak survives companding
     "x_audio_g711" ->
       """SELECT doc_id AS id,

@@ -639,6 +639,61 @@ private[graft] object QueriesTextMediaCorpus {
         .orderBy("id")
     }),
 
+    // The MIXED-BLOCK INTENSITY leg (mode_extension 1 on mixed
+    // granules): the two shipped position halves composed — long-band
+    // positions below the seam, per-window short positions above. Both
+    // channels carry the doc's tone at the exact position-4 ratio
+    // L/R = tan(60°) = √3, so is_pos quantizes losslessly wherever the
+    // tone lands (long half for k ≤ 7, short band per window above);
+    // the channel-0 convention must recover the LEFT peak either way.
+    "x_audio_mp3_mixed_intensity" -> ((s, d) => {
+      val k = (pmod(col("doc_id"), lit(30)) + 1).cast("double")
+      val pcm = Tables.documents(s, d).select("doc_id")
+        .filter(col("doc_id") < 150)
+        .withColumn("left", transform(sequence(lit(0), lit(2303)),
+          n => round(lit(8000.0) *
+            sin(lit(2.0 * math.Pi) * k * n.cast("double") / lit(256.0)))
+            .cast("int")))
+        .withColumn("right", transform(sequence(lit(0), lit(2303)),
+          n => round(lit(8000.0 / math.sqrt(3.0)) *
+            sin(lit(2.0 * math.Pi) * k * n.cast("double") / lit(256.0)))
+            .cast("int")))
+      val enc2 = operators.Multimodal.encodeMp3Stereo(pcm, "doc_id",
+        "left", "right", 44100, intensityBand = 4, blockMode = "mixed")
+      operators.Multimodal.audioSpectrum(enc2, "id", "payload", fftSize = 256)
+        .select(col("id"), col("sample_rate").cast("int").as("sample_rate"),
+          col("peak_bin"), col("n_samples"))
+        .orderBy("id")
+    }),
+
+    // THIRD-PARTY interop: decode a real MPEG-2 (LSF) Layer III stream
+    // this repo's encoder did NOT write — 45 frames at 22.05 kHz with a
+    // live bit reservoir, vendored from gsutil's public test data (see
+    // resources/graft/thirdparty/README.md). The stream encodes digital
+    // silence, so the decode is exactly reproducible: 45·576 granule
+    // samples minus the fixed LeadingSkip = 24768 = 43 frames of 576,
+    // every frame RMS exactly 0.0. A decoder that misparses the side
+    // info, reservoir, or LSF scalefactors produces either nonzero rms
+    // or a different frame count — both hash-visible to the oracle.
+    "x_audio_mp3_interop" -> ((s, d) => {
+      val in = getClass.getResourceAsStream("/graft/thirdparty/lsf_stream.mp3")
+      require(in != null, "missing vendored interop fixture lsf_stream.mp3")
+      val bytes =
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val chunk = new Array[Byte](8192)
+          var n = in.read(chunk)
+          while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+          buf.toByteArray
+        } finally in.close()
+      val docs = Tables.documents(s, d).select("doc_id")
+        .filter(col("doc_id") < 40)
+        .withColumn("payload", lit(bytes))
+      operators.Multimodal.audioActivity(docs, "doc_id", "payload",
+          frameSize = 576, threshold = 1.0)
+        .orderBy("id", "frame_idx")
+    }),
+
     // REAL image encode→decode roundtrip, oracle-exact: constant-value
     // truecolor PNGs synthesized from doc_id (w = 8 + id%9, h = 8 + id%7,
     // gray v = id*7 % 256), written by encodePng and read back through

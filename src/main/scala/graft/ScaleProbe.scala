@@ -74,6 +74,7 @@ object ScaleProbe {
     // ---- N× corpus generation (untimed) ------------------------------
     def docsPath(n: Int) = s"$scratch/docs_x$n"
     def embPath(n: Int) = s"$scratch/emb_x$n"
+    def clPath(n: Int) = s"$scratch/changelog_x$n"
     scales.foreach { n =>
       val reps = spark.range(n).toDF("rep")
       baseDocs.crossJoin(reps)
@@ -92,6 +93,18 @@ object ScaleProbe {
           col("label"))
         .repartition(32)
         .write.mode("overwrite").parquet(embPath(n))
+      // changelog replicas for the INGEST family: salt BOTH the event
+      // id (row identity) and the user id (the CDC merge key), so key
+      // cardinality grows with the corpus the way a real table's does
+      val baseCl = SparkEntry.eventsChangelog(spark, sfDir)
+      val evStride = baseCl.agg(max("event_id")).head().getLong(0) + 1
+      val usStride = baseCl.agg(max("user_id")).head().getLong(0) + 1
+      baseCl.crossJoin(reps)
+        .withColumn("event_id", col("event_id") + col("rep") * evStride)
+        .withColumn("user_id", col("user_id") + col("rep") * usStride)
+        .drop("rep")
+        .repartition(32)
+        .write.mode("overwrite").parquet(clPath(n))
     }
     def docsAt(n: Int) = spark.read.parquet(docsPath(n))
     def embAt(n: Int) = spark.read.parquet(embPath(n))
@@ -425,6 +438,35 @@ object ScaleProbe {
             "merge window scan", 20).count()
         }
         record("inc_postings", "bm25_search", n, tSearch)
+      }
+
+      // ---- Ingest pipeline (the reference's core job): changelog →
+      // CDC classify/compact → keyed sink merge + commit. The LOAD leg
+      // (initial full batch into an empty index) is allowed to scale
+      // linearly with the changelog; the DELTA leg (a fixed-size
+      // micro-batch against the n×-size EXISTING index — the
+      // steady-state path a real pipeline lives in) must stay O(batch):
+      // merge-on-read appends a delta, no bucket rewrite.
+      if (famOn("ingest")) locally {
+        val dir = s"$scratch/ingest_x$n"
+        val snk = new sink.ParquetIndexSink(spark, dir)
+        val runner = new runtime.PipelineRunner(
+          config.PipelineConfig(indexName = s"probe-idx-x$n"), snk)
+        val clN = spark.read.parquet(clPath(n))
+        val orderCols = Seq(col("ts_us"), col("event_id"))
+        val (_, tLoad) = time {
+          runner.processBatch(clN, "op", "user_id", orderCols): Unit
+        }
+        record("ingest", "load", n, tLoad)
+        // fixed-size delta: the BASE corpus's changelog head re-keyed
+        // past every scaled id range (constant 1500 rows at all scales)
+        val delta = spark.read.parquet(clPath(1)).limit(1500)
+          .withColumn("user_id", col("user_id") + lit(1000000000L))
+          .withColumn("event_id", col("event_id") + lit(1000000000L))
+        val (_, tDelta) = time {
+          runner.processBatch(delta, "op", "user_id", orderCols): Unit
+        }
+        record("ingest", "delta", n, tDelta)
       }
     }
 

@@ -78,17 +78,37 @@ object Batching {
     * partition) that turns silent two-pass divergence into a loud
     * failure. The hook fires when the consumer DRAINS the partition —
     * the case for writes, aggregations, joins and full collects
-    * (including empty partitions: the first hasNext triggers it). An
-    * early-terminating consumer (`limit`/`take` abandoning the iterator
-    * mid-partition) skips the check for the rows it did take — the
-    * guard is best-effort there, not a guarantee; callers needing
-    * verified numbers under limit should persist() the numbered result
-    * first (one full pass, verified) and limit that.
+    * (including empty partitions: the first hasNext triggers it).
+    *
+    * An early-terminating consumer (`limit`/`take`/`show`/`isEmpty`
+    * abandoning the iterator mid-partition) cannot run the check for
+    * the rows it did take — so abandonment is LOUD, not best-effort: a
+    * task-completion listener fails any successful task that ends with
+    * the iterator unverified, naming the persist()-then-limit pattern
+    * (persist materializes every partition fully — the verification
+    * runs during that pass — and the limit then reads cached blocks).
+    * Failed or interrupted (speculation-killed) tasks are exempt: their
+    * own error wins. Every production consumer drains through a
+    * shuffle, aggregation or write, so the listener only fires on the
+    * unverified-limit pattern this guard exists to forbid.
     */
   private[graft] def verifiedEnd[A](it: Iterator[A])(
       verify: Long => Unit): Iterator[A] = new Iterator[A] {
     private var n = 0L
     private var checked = false
+    locally {
+      val ctx = org.apache.spark.TaskContext.get()
+      if (ctx != null) ctx.addTaskCompletionListener[Unit] { c =>
+        if (!checked && !c.isFailed() && !c.isInterrupted())
+          throw new IllegalStateException(
+            "two-pass numbering consumed without verification: the " +
+              "consumer abandoned the partition iterator before " +
+              "exhaustion (limit/take/show on an unverified numbered " +
+              "result). persist() or checkpoint() the numbered " +
+              "DataFrame first — the full materialization runs the " +
+              "divergence check — then limit the persisted result.")
+      }
+    }
     def hasNext: Boolean = {
       val h = it.hasNext
       if (!h && !checked) { checked = true; verify(n) }

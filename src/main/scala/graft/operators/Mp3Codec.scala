@@ -8,10 +8,11 @@ import scala.collection.mutable.ArrayBuffer
   * channel modes decode — LR, dual-channel, joint stereo with mid/side
   * AND MPEG-1 intensity — long blocks (is_ratio = tan(is_pos·π/12)
   * over the right channel's zero_part, illegal position 7 falling back
-  * to MS when both joint modes are on) and short blocks (the same
-  * formula per window, positions in the short scalefactor slots); LSF
-  * and mixed-block intensity fail loudly, their position semantics are
-  * not shipped —
+  * to MS when both joint modes are on), short blocks (the same formula
+  * per window, positions in the short scalefactor slots) and MIXED
+  * blocks (long positions below the seam, per-window short positions
+  * above); LSF intensity fails loudly, its io-scaling position
+  * semantics are not shipped —
   * and [[encodeStereo]]/[[encodeStereoIntensity]] write LR, MS or
   * intensity streams. The full
   * bitstream STRUCTURE is implemented exactly: frame sync + header
@@ -37,12 +38,17 @@ import scala.collection.mutable.ArrayBuffer
   * slen partitions, each row sum-forced by its band count: short
   * 9+9+9+9 / 9+9+12+6 / 18+18 over 36 sfb-major values, mixed 6+9+9+9 /
   * 6+9+12+6 / 15+18 over 33; LSF preflag is implied by
-  * scalefac_compress >= 500, never transmitted). LSF intensity stereo
-  * (13818-3 io-scaling positions) and intensity on MIXED granules
-  * (combined long+window positions) FAIL LOUDLY: their position
-  * layouts are not shipped, and decoding without them would be
-  * silently garbled — the same loud-or-correct stance as the Huffman
-  * subset below.
+  * scalefac_compress >= 500, never transmitted). MPEG-1 intensity on
+  * MIXED granules decodes and encodes too — the two shipped halves
+  * composed: long-band positions below the seam (bands ib..7 in the
+  * right channel's long slots), per-window short positions above
+  * (bands 3-12, band 12 inheriting slot 11), with the long half's
+  * zero_part reachable only once the whole short half is silent
+  * (transmission order puts every short line above every long line);
+  * mixed + mode_extension 3 stays out. LSF intensity stereo (13818-3
+  * io-scaling positions) FAILS LOUDLY: its position layout is not
+  * shipped, and decoding without it would be silently garbled — the
+  * same loud-or-correct stance as the Huffman subset below.
   *
   * Three spec DATA SETS are not reconstructible in this offline
   * container and are handled explicitly rather than faked:
@@ -261,13 +267,18 @@ object Mp3Codec {
     48000 -> Array(0, 4, 8, 12, 16, 20, 24, 30, 36, 42, 50, 60, 72, 88,
       106, 128, 156, 190, 230, 276, 330, 384, 576),
     32000 -> Array(0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 54, 66, 82, 102,
-      126, 156, 194, 240, 296, 364, 448, 576),
+      126, 156, 194, 240, 296, 364, 448, 550, 576),
     22050 -> Array(0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 116,
       140, 168, 200, 238, 284, 336, 396, 464, 522, 576),
     24000 -> Array(0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 114,
       136, 162, 194, 232, 278, 332, 394, 464, 540, 576),
     16000 -> Array(0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 116,
       140, 168, 200, 238, 284, 336, 396, 464, 522, 576))
+  for ((sr, t) <- SfbLong) {
+    require(t.length == 23 && t.head == 0 && t.last == 576 &&
+      t.zip(t.tail).forall { case (a, b) => a < b },
+      s"long sfb table for $sr is not a monotone 22-band 0..576 partition")
+  }
 
   /** Short-block scalefactor band boundaries (14 entries, 0..192 PER
     * WINDOW — 13 bands, scalefactors for 0..11) per sample rate — the
@@ -649,17 +660,6 @@ object Mp3Codec {
                 require(start + gi.part23 <= main.length * 8,
                   s"Mp3Codec: granule main data truncated (needs " +
                     s"${gi.part23} bits at $start of ${main.length * 8})")
-                // intensity on MIXED granules (long positions below the
-                // seam, per-window above) stays loud — that combined
-                // position layout is not shipped
-                if (intensity && gi.windowSwitching && gi.blockType == 2
-                    && gi.mixed)
-                  throw new UnsupportedOperationException(
-                    "Mp3Codec: intensity stereo on mixed-block " +
-                      "granules is not implemented — the combined " +
-                      "long+window position layout is not shipped in " +
-                      "this offline build; long/start/stop and pure " +
-                      "short intensity granules decode.")
                 val sf = readScalefactors(r, gi, v1, g, scfsi(c), prevSf(c))
                 sfs(c) = sf
                 val is = huffmanSpectrum(r, gi, h.sr, start)
@@ -705,16 +705,95 @@ object Mp3Codec {
               // intensity splits the LEFT channel's lines in the
               // RIGHT channel's band domain — the two must share a
               // window layout or the reordered indices don't line up
+              val shortG = Array.tabulate(math.min(ch, 2))(cc =>
+                gis(g)(cc).windowSwitching && gis(g)(cc).blockType == 2)
               if (intensity && ch == 2 &&
-                  (gis(g)(0).windowSwitching && gis(g)(0).blockType == 2)
-                    != (gis(g)(1).windowSwitching &&
-                      gis(g)(1).blockType == 2))
+                  (shortG(0) != shortG(1) ||
+                    (shortG(1) && gis(g)(0).mixed != gis(g)(1).mixed)))
                 throw new UnsupportedOperationException(
                   "Mp3Codec: intensity stereo with mismatched " +
-                    "long/short window layouts across channels is not " +
-                    "implemented in this offline build.")
-              if (intensity && ch == 2 &&
-                  gis(g)(1).windowSwitching && gis(g)(1).blockType == 2) {
+                    "long/short/mixed window layouts across channels " +
+                    "is not implemented in this offline build.")
+              if (intensity && ch == 2 && shortG(1) && gis(g)(1).mixed) {
+                // mixed-granule intensity: per-window short processing
+                // above the seam; long processing below, active only
+                // when the right channel's whole short half is zero
+                // (transmission order puts every short line ABOVE every
+                // long line, so the zero_part can only reach the long
+                // half once the short half is silent)
+                val sfbS = SfbShort(h.sr)
+                def idx(fl: Int, w: Int) = (fl / 6) * 18 + w * 6 + fl % 6
+                def msWin(w: Int, from: Int, until: Int): Unit = {
+                  var f2 = from
+                  while (f2 < until) {
+                    val i2 = idx(f2, w)
+                    val m = xrs(0)(i2); val s = xrs(1)(i2)
+                    xrs(0)(i2) = (m + s) * isq
+                    xrs(1)(i2) = (m - s) * isq
+                    f2 += 1
+                  }
+                }
+                var anyShort = false
+                var w = 0
+                while (w < 3) {
+                  var lastFl = -1
+                  var fl = 12 // the short half starts at band 3
+                  while (fl < 192) {
+                    if (xrs(1)(idx(fl, w)) != 0.0) lastFl = fl
+                    fl += 1
+                  }
+                  if (lastFl >= 0) anyShort = true
+                  var b0 = 3
+                  while (b0 < 13 && sfbS(b0) <= lastFl) b0 += 1
+                  if (lastFl == -1) b0 = 3
+                  if (ms) msWin(w, 12, sfbS(b0))
+                  var b = b0
+                  while (b < 13) {
+                    val pos = sfs(1).short(w)(math.min(b, 11))
+                    if (pos <= 6) {
+                      val (fL, fR) = posFactors(pos)
+                      var f2 = sfbS(b)
+                      while (f2 < sfbS(b + 1)) {
+                        val i2 = idx(f2, w)
+                        val v = xrs(0)(i2)
+                        xrs(0)(i2) = v * fL
+                        xrs(1)(i2) = v * fR
+                        f2 += 1
+                      }
+                    } else if (ms) msWin(w, sfbS(b), sfbS(b + 1))
+                    b += 1
+                  }
+                  w += 1
+                }
+                if (!anyShort) {
+                  val sfbL = SfbLong(h.sr)
+                  var lastNon = -1
+                  var i = 0
+                  while (i < 36) {
+                    if (xrs(1)(i) != 0.0) lastNon = i
+                    i += 1
+                  }
+                  var b0 = 0
+                  while (b0 < 8 && sfbL(b0) <= lastNon) b0 += 1
+                  if (lastNon == -1) b0 = 0
+                  if (ms) msLines(0, sfbL(b0))
+                  var b = b0
+                  while (b < 8) {
+                    val pos = sfs(1).long(b)
+                    if (pos <= 6) {
+                      val (fL, fR) = posFactors(pos)
+                      var j = sfbL(b)
+                      while (j < sfbL(b + 1)) {
+                        val v = xrs(0)(j)
+                        xrs(0)(j) = v * fL
+                        xrs(1)(j) = v * fR
+                        j += 1
+                      }
+                    } else if (ms) msLines(sfbL(b), sfbL(b + 1))
+                    b += 1
+                  }
+                } else if (ms) msLines(0, 36)
+              } else if (intensity && ch == 2 && shortG(1)) {
                 // short-granule intensity: the zero_part, the bound and
                 // the positions are all PER WINDOW — is_pos lives in
                 // the right channel's short scalefactor slots; band 12
@@ -1311,8 +1390,8 @@ object Mp3Codec {
         mode = 0, modeExt = 0)
   }
 
-  /** Intensity joint stereo encode (mode 1, mode_extension 1 — MPEG-1
-    * long blocks only): bands below `intensityBand` (a long
+  /** Intensity joint stereo encode (mode 1, mode_extension 1 —
+    * MPEG-1): bands below `intensityBand` (a long
     * scalefactor-band index, 1-20 — the top band carries no slot and
     * inherits its predecessor's position) code L and R independently; bands at
     * and above it carry the coherent sum L+R in the left channel with a
@@ -1338,12 +1417,18 @@ object Mp3Codec {
       msBelow: Boolean = false): Array[Byte] = {
     require(left.length == right.length,
       s"stereo channels must match: ${left.length} vs ${right.length}")
-    require(Set("long", "short", "auto").contains(blockMode),
-      "intensity coding supports long/short/auto block modes (mixed " +
-        "positions are not shipped); with \"short\" — or on the short " +
-        "granules an \"auto\" transient picks — the bound is read as a " +
-        "SHORT band index (long bounds above 11 clamp to 11) and the " +
-        "positions are per (band, window)")
+    require(Set("long", "short", "auto", "mixed").contains(blockMode),
+      s"blockMode must be long/short/auto/mixed, got $blockMode; with " +
+        "\"short\" — or on the short granules an \"auto\" transient " +
+        "picks — the bound is read as a SHORT band index (long bounds " +
+        "above 11 clamp to 11) and the positions are per (band, " +
+        "window); with \"mixed\" the bound is a LONG band 1-7 below " +
+        "the seam and the whole short half (bands 3-12, per window) " +
+        "is in the region")
+    require(!(msBelow && blockMode == "mixed"),
+      "mode_extension 3 (mid/side below intensity) on mixed-block " +
+        "granules is not implemented — use msBelow = false or a " +
+        "long/short block mode")
     encodeFrames(Array(left, right), sampleRate, bitrateKbps, blockMode,
       mode = 1, modeExt = if (msBelow) 3 else 1,
       intensityBand = intensityBand)
@@ -1354,14 +1439,19 @@ object Mp3Codec {
       modeExt: Int, intensityBand: Int = -1): Array[Byte] = {
     val nch = chans.length
     require(intensityBand < 0 ||
-      (nch == 2 && SrV1.contains(sampleRate) && blockMode != "mixed" &&
-        intensityBand >= 1 &&
-        intensityBand <= (if (blockMode == "short") 11 else 20)),
-      "intensity coding needs two channels, an MPEG-1 rate, a " +
-        "long/short/auto block mode, and a bound band in 1-20 (long) " +
-        "or 1-11 (short) — the top band carries no scalefactor slot " +
-        "of its own (it inherits its predecessor's position), so it " +
-        s"cannot start the region; got $blockMode band $intensityBand")
+      (nch == 2 && SrV1.contains(sampleRate) && intensityBand >= 1 &&
+        intensityBand <= (blockMode match {
+          case "short" => 11
+          case "mixed" => 7
+          case _ => 20
+        }) && (blockMode != "mixed" || modeExt != 3)),
+      "intensity coding needs two channels, an MPEG-1 rate, and a " +
+        "bound band in 1-20 (long), 1-11 (short) or 1-7 (mixed — a " +
+        "LONG band below the seam; the short half is always in the " +
+        "region) — the top band carries no scalefactor slot of its " +
+        "own (it inherits its predecessor's position), so it cannot " +
+        "start the region; mixed + mode_extension 3 is not shipped; " +
+        s"got $blockMode band $intensityBand")
     val v1 = SrV1.contains(sampleRate)
     require(v1 || SrV2.contains(sampleRate),
       s"encode supports MPEG-1 rates ${SrV1.mkString("/")} and MPEG-2 " +
@@ -1648,7 +1738,7 @@ object Mp3Codec {
           else {
             val pos = new Array[Int](22)
             val xl = granXr(0); val xrr = granXr(1)
-            val nBands = sfb.length - 1 // 21 or 22 (32 kHz is shorter)
+            val nBands = sfb.length - 1 // 22 on every MPEG-1/LSF rate
             // the intensity region must be a SUFFIX of the spectrum —
             // the decoder intensity-processes everything above the
             // right channel's last nonzero line, so a summed band may
@@ -1669,11 +1759,11 @@ object Mp3Codec {
                 if (cross < 0) effStart = b + 1
                 b += 1
               }
-              // the top band of a 22-band table has no slot of its own
-              // (the decoder reads slot 20 for it) — if the suffix rule
-              // leaves ONLY that band, a position cannot be transmitted
-              // for it, so matrix it too and run with no intensity region
-              if (nBands == 22 && effStart == 21) effStart = 22
+              // the top band has no slot of its own (the decoder reads
+              // slot 20 for it) — if the suffix rule leaves ONLY that
+              // band, a position cannot be transmitted for it, so
+              // matrix it too and run with no intensity region
+              if (effStart == 21) effStart = 22
               var i = 0
               while (i < sfb(effStart)) {
                 val l = xl(i); val r = xrr(i)
@@ -1701,7 +1791,7 @@ object Mp3Codec {
             b = effStart
             while (b < nBands) {
               pos(b) =
-                if (nBands == 22 && b >= 20)
+                if (b >= 20) // band 21 inherits slot 20 at decode
                   intensityPos(elB(20) + elB(21), erB(20) + erB(21))
                 else intensityPos(elB(b), erB(b))
               b += 1
@@ -1710,8 +1800,65 @@ object Mp3Codec {
           }
         // short-granule intensity: the same transform per (band,
         // window) in the reordered domain; the bound is a SHORT band
+        // mixed-granule intensity (the two shipped halves composed):
+        // long positions below the seam for bands [ib, 8) over natural
+        // lines, per-window short positions above for bands 3-12 (band
+        // 12 folds into slot 11). modeExt 3 is rejected upstream, so
+        // no anti-phase suffix machinery is needed here beyond
+        // intensity coding's own in-phase premise.
+        val isPosGM: Array[Int] =
+          if (intensityBand < 0 || bt != 2 || !mixedMode) null
+          else {
+            val pos = new Array[Int](8)
+            val xl = granXr(0); val xrr = granXr(1)
+            var b = intensityBand
+            while (b < 8) {
+              var el = 0.0; var er = 0.0
+              var i = sfb(b)
+              while (i < sfb(b + 1)) {
+                el += xl(i) * xl(i); er += xrr(i) * xrr(i)
+                xl(i) += xrr(i); xrr(i) = 0.0
+                i += 1
+              }
+              pos(b) = intensityPos(el, er)
+              b += 1
+            }
+            pos
+          }
+        val isPosSM: Array[Array[Int]] =
+          if (intensityBand < 0 || bt != 2 || !mixedMode) null
+          else {
+            val pos = Array.ofDim[Int](3, 13)
+            val xl = granXr(0); val xrr = granXr(1)
+            var w = 0
+            while (w < 3) {
+              val elB = new Array[Double](13)
+              val erB = new Array[Double](13)
+              var b = 3
+              while (b < 13) {
+                var fl = sfbS(b)
+                while (fl < sfbS(b + 1)) {
+                  val i = (fl / 6) * 18 + w * 6 + fl % 6
+                  elB(b) += xl(i) * xl(i); erB(b) += xrr(i) * xrr(i)
+                  xl(i) += xrr(i); xrr(i) = 0.0
+                  fl += 1
+                }
+                b += 1
+              }
+              b = 3
+              while (b < 13) {
+                pos(w)(b) =
+                  if (b >= 11) // band 12 inherits slot 11 at decode
+                    intensityPos(elB(11) + elB(12), erB(11) + erB(12))
+                  else intensityPos(elB(b), erB(b))
+                b += 1
+              }
+              w += 1
+            }
+            pos
+          }
         val isPosS: Array[Array[Int]] =
-          if (intensityBand < 0 || bt != 2) null
+          if (intensityBand < 0 || bt != 2 || mixedMode) null
           else {
             val pos = Array.ofDim[Int](3, 13)
             // auto mode may carry a long-scale bound — clamp to the
@@ -1842,7 +1989,7 @@ object Mp3Codec {
             }
           } else {
             var b = 0
-            while (b < sfb.length - 1) { // 21 or 22 bands (32 kHz table)
+            while (b < sfb.length - 1) { // 22 long bands, every rate
               var m = 0.0
               var i2 = sfb(b)
               while (i2 < sfb(b + 1)) {
@@ -1977,7 +2124,49 @@ object Mp3Codec {
         // and above intensityBand, the pure-left position 6 below it
         // (those bands decode to l = xr, r = 0 — exactly the normal
         // decode of a zeroed right channel).
-        if (intensityBand >= 0 && granuleBt(g) == 2) {
+        if (intensityBand >= 0 && granuleBt(g) == 2 && mixedMode) {
+          val ix1 = granIx(1)
+          // long half below the seam: natural lines 0-35, bound at the
+          // first long band past the right channel's last nonzero line
+          var lastNonL = -1
+          var i = 0
+          while (i < 36) { if (ix1(i) != 0) lastNonL = i; i += 1 }
+          var b0 = 0
+          while (b0 < 8 && sfb(b0) <= lastNonL) b0 += 1
+          if (lastNonL == -1) b0 = 0
+          val sfR = granuleSf(g)(1)
+          var b = b0
+          while (b < 8) {
+            sfR(b) = if (b >= intensityBand) isPosGM(b) else 6
+            b += 1
+          }
+          // short half: bitstream order from src 36, bands 3-12
+          val lastBand = Array.fill(3)(-1)
+          var src = 36
+          b = 3
+          while (b < 13) {
+            var w = 0
+            while (w < 3) {
+              var any = false
+              var fl = sfbS(b)
+              while (fl < sfbS(b + 1)) {
+                if (ix1(src) != 0) any = true
+                src += 1
+                fl += 1
+              }
+              if (any) lastBand(w) = b
+              w += 1
+            }
+            b += 1
+          }
+          val sfS1 = granuleSfS(g)(1)
+          var w = 0
+          while (w < 3) {
+            var b2 = math.max(3, lastBand(w) + 1)
+            while (b2 < 12) { sfS1(w)(b2) = isPosSM(w)(b2); b2 += 1 }
+            w += 1
+          }
+        } else if (intensityBand >= 0 && granuleBt(g) == 2) {
           // per-window inferred bound: walk the right channel's
           // BITSTREAM-ordered quantized lines cell by cell
           val ix1 = granIx(1)

@@ -1592,7 +1592,7 @@ object Multimodal {
   def encodeMp3Stereo(df: DataFrame, idCol: String, leftCol: String,
       rightCol: String, sampleRate: Int,
       msStereo: Boolean = false, intensityBand: Int = -1,
-      msIntensity: Boolean = false): DataFrame = {
+      msIntensity: Boolean = false, blockMode: String = "long"): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("id", df.schema(idCol).dataType, nullable = false),
       StructField("payload", BinaryType, nullable = true)))
@@ -1610,10 +1610,10 @@ object Multimodal {
             if (l.isEmpty || l.length != rt.length) null
             else if (intensityBand >= 0)
               graft.operators.Mp3Codec.encodeStereoIntensity(l.toArray,
-                rt.toArray, sampleRate, 0, intensityBand,
+                rt.toArray, sampleRate, 0, intensityBand, blockMode,
                 msBelow = msIntensity)
             else graft.operators.Mp3Codec.encodeStereo(l.toArray,
-              rt.toArray, sampleRate, 0, "long", msStereo)
+              rt.toArray, sampleRate, 0, blockMode, msStereo)
           }
         Row(r.get(idIdx), payload)
       }

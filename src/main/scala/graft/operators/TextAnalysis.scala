@@ -402,6 +402,18 @@ object TextAnalysis {
       batchSize: Int): (Seq[(String, String)], Int) = {
     require(nMerges > 0, s"nMerges must be positive, got $nMerges")
     require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    // ROUND-STATE CONTRACT: the evolving vocabulary lives in
+    // localCheckpoint(true) — VOCABULARY-sized (distinct words × symbol
+    // arrays, not corpus-sized) executor block storage, refreshed per
+    // round to keep the per-round plan flat (without truncation the
+    // lineage grows one fold per round and planning time quadruples by
+    // round ~30). localCheckpoint truncates lineage, so an EXECUTOR
+    // LOSS mid-train fails the training job rather than recomputing —
+    // acceptable for a train step that is rerun from its source corpus
+    // on failure; a driver needing executor-loss resilience should set
+    // a checkpoint dir and swap these two calls to reliable
+    // checkpoint() (same semantics, adds an HDFS/object-store write per
+    // round).
     var vocab = docs
       .select(explode(TextFunctions.tokens(lower(col(textCol)))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))

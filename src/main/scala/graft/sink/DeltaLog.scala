@@ -3,6 +3,21 @@ package graft.sink
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 
+/** Thrown when a writer holding a stale [[WriterEpoch]] touches a store
+  * a newer writer has since claimed — the zombie-writer guard. The
+  * fenced process must stop; resuming requires a deliberate restart
+  * (which acquires a fresh, higher epoch).
+  */
+final class FencedWriterException(msg: String) extends RuntimeException(msg)
+
+/** A writer's claim on a store, acquired once per writer session via
+  * [[DeltaLog.acquireEpoch]] and checked at every mutation point. A
+  * strictly higher epoch — or the same epoch with a lexicographically
+  * smaller token, the deterministic tie-break when two writers race the
+  * same number — fences this one.
+  */
+final case class WriterEpoch(domain: String, epoch: Int, token: String)
+
 /** The shared commit protocol of the incrementally-maintained indexes
   * ([[IncrementalPostings]], [[VectorIndex]], [[SignatureStore]],
   * [[GeoIndex]], [[StatsStore]]): a log of numbered delta directories
@@ -26,7 +41,16 @@ import org.apache.spark.sql.SparkSession
   * everywhere — on HDFS/S3A renaming onto an EXISTING directory moves
   * the source INTO it and still returns true, silently swallowing a
   * racing committer. [[commit]] verifies OUR data landed at the final
-  * path and turns that contract violation into a loud failure.
+  * path and turns that contract violation into a loud failure — and the
+  * contract itself is ENFORCED by writer fencing: each writer session
+  * registers a [[WriterEpoch]] in the store's `_epochs` ledger, and
+  * every mutation point re-checks it, so a zombie writer (stale driver
+  * retry, orphaned job) dies with [[FencedWriterException]] at its next
+  * touch instead of interleaving commits or GC'ing a generation a live
+  * writer's readers lease. All of a store's mutation paths must share
+  * ONE fence domain (the store's root dir — pass `fenceDomain = dir`
+  * everywhere, including [[migrateLegacy]]); split domains fence only
+  * the op types the live writer has already exercised.
   */
 private[sink] object DeltaLog {
 
@@ -60,6 +84,105 @@ private[sink] object DeltaLog {
 
   def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // ---- writer fencing --------------------------------------------------
+  //
+  // Single-writer was previously TRUST-BASED outside the post-rename
+  // clobber check: a zombie writer (stale driver retry, orphaned job)
+  // could interleave commits/installs with a live writer, or GC a base
+  // generation the live writer's readers lease. The epoch ledger makes
+  // it enforced: a writer session registers an epoch file under
+  // `$domain/_epochs` at its first mutation; every later PUT point
+  // re-lists the ledger and fails loudly ([[FencedWriterException]])
+  // the moment a higher claim exists. Object stores have no
+  // compare-and-swap, so a check-then-PUT window remains (a rival that
+  // acquires between a writer's final check and its sealing PUT is not
+  // caught by the check itself) — but the rival acquires BEFORE its
+  // first list of the log, so anything the zombie sealed earlier is in
+  // the rival's view, and the zombie's NEXT touch dies. This is the
+  // standard fencing bound (cf. Kafka producer epochs, HDFS lease
+  // recovery) and shrinks the unbounded trust window to one in-flight
+  // marker PUT.
+
+  /** Directory under the fence domain holding one zero-byte claim file
+    * per writer session: `e-<epoch%09d>-<token>`.
+    */
+  val EpochDir = "_epochs"
+
+  private val epochPat = "e-(\\d+)-(.+)".r
+
+  private def listEpochs(f: org.apache.hadoop.fs.FileSystem,
+      domain: String): Seq[(Int, String)] = {
+    val p = new Path(s"$domain/$EpochDir")
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq.flatMap(_.getPath.getName match {
+      case epochPat(n, t) => Some((n.toInt, t))
+      case _ => None
+    })
+  }
+
+  /** Register this writer session's claim on `domain` (a store's root
+    * directory): PUT an epoch file numbered past every existing claim,
+    * then re-list — if the re-list shows a strictly higher claim, or the
+    * same number with a smaller token (two writers raced the same
+    * number; the smaller token deterministically wins), this writer lost
+    * the race and fails at birth. Claims older than the newest
+    * [[EpochKeep]] are GC'd here (never the maximum — that is what
+    * fences the zombies).
+    */
+  def acquireEpoch(spark: SparkSession, domain: String): WriterEpoch = {
+    val f = fs(spark, domain)
+    f.mkdirs(new Path(s"$domain/$EpochDir"))
+    val before = listEpochs(f, domain)
+    val n = (before.map(_._1) :+ 0).max + 1
+    val token = java.util.UUID.randomUUID().toString
+    f.create(new Path(f"$domain/$EpochDir/e-$n%09d-$token"), true).close()
+    val after = listEpochs(f, domain)
+    if (after.exists { case (m, t) => m > n || (m == n && t < token) })
+      throw new FencedWriterException(
+        s"writer lost the epoch-$n race at $domain/$EpochDir — " +
+          "another writer claimed this store concurrently")
+    val stale = after.map(_._1).distinct.sorted.dropRight(EpochKeep).toSet
+    after.filter(e => stale.contains(e._1)).foreach { case (m, t) =>
+      f.delete(new Path(f"$domain/$EpochDir/e-$m%09d-$t"), false): Unit
+    }
+    WriterEpoch(domain, n, token)
+  }
+
+  private val EpochKeep = 8
+
+  /** Fail loudly if a claim newer than `we` exists — called at every
+    * mutation point of [[commit]] / [[installBase]] / [[migrateLegacy]].
+    */
+  def checkFence(spark: SparkSession, we: WriterEpoch): Unit = {
+    val newest = listEpochs(fs(spark, we.domain), we.domain)
+      .filter { case (m, t) => m > we.epoch || (m == we.epoch && t < we.token) }
+    if (newest.nonEmpty)
+      throw new FencedWriterException(
+        s"writer epoch ${we.epoch} is fenced by epoch " +
+          s"${newest.map(_._1).max} at ${we.domain} — a newer writer owns " +
+          "this store; this process must stop (restart acquires a fresh " +
+          "epoch)")
+  }
+
+  /** One epoch per (JVM, store): the production stores call [[commit]] /
+    * [[installBase]] statically, so the writer "session" is the JVM —
+    * the first mutation acquires, every later one reuses and re-checks.
+    * Tests simulating rival writers pass explicit [[WriterEpoch]]s
+    * instead.
+    */
+  private val sessionEpochs =
+    new java.util.concurrent.ConcurrentHashMap[String, WriterEpoch]()
+  private def resolveEpoch(spark: SparkSession, domain: String,
+      explicit: WriterEpoch): WriterEpoch =
+    if (explicit != null) explicit
+    else sessionEpochs.computeIfAbsent(domain, d => acquireEpoch(spark, d))
+
+  /** Test hook: forget this JVM's cached claim so the next mutation
+    * re-acquires (simulates a writer restart).
+    */
+  private[sink] def clearSessionEpoch(domain: String): Unit =
+    sessionEpochs.remove(domain): Unit
 
   /** Seal a freshly-created commit root as already-adopted: every store
     * calls this at CREATION, so a root born under the marker protocol
@@ -169,21 +292,39 @@ private[sink] object DeltaLog {
     * listSeqs call on a read-only deployment re-runs the sweep — pay the
     * O(files) parquet-magic round-trips once, not per read. Negative
     * results are NOT cached (an in-flight copy may complete later), and
-    * the key carries the dir's FileStatus fingerprint (mtime + len) so a
-    * RECYCLED path — a root torn down outside the protocol and rebuilt
-    * with the same seq numbers — re-scans rather than trusting the old
-    * verdict (exact on local/HDFS; object stores surface synthetic dir
-    * mtimes, but re-entering sweep territory there requires manually
-    * deleting the root sentinel, already outside the protocol).
+    * the key carries a RECURSIVE fingerprint of the dir — every nested
+    * file's (path, len, mtime), gathered from listStatus alone, no file
+    * opens — so a nested file later truncated/replaced, or a RECYCLED
+    * path (a root torn down outside the protocol and rebuilt with the
+    * same seq numbers), re-scans rather than trusting the old verdict.
+    * The fingerprint walk is O(directories) metadata round-trips; the
+    * deep scan it caches additionally OPENS every parquet file twice,
+    * so the cache still pays for itself on every re-read.
     */
   private val legacyCompleteCache =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def dirFingerprint(f: org.apache.hadoop.fs.FileSystem,
+      dir: Path): String = {
+    val sb = new StringBuilder
+    val stack = scala.collection.mutable.Stack(dir)
+    while (stack.nonEmpty) {
+      val d = stack.pop()
+      f.listStatus(d).sortBy(_.getPath.getName).foreach { st =>
+        sb.append(st.getPath.getName).append('#').append(st.getLen)
+          .append('#').append(st.getModificationTime).append(';')
+        if (st.isDirectory) stack.push(st.getPath)
+      }
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    java.util.Base64.getEncoder.encodeToString(
+      md.digest(sb.toString.getBytes("UTF-8")))
+  }
   private def legacyCompleteCached(f: org.apache.hadoop.fs.FileSystem,
       dir: String, markerChild: String): Boolean = {
-    val st =
-      try f.getFileStatus(new Path(dir))
+    val fp =
+      try dirFingerprint(f, new Path(dir))
       catch { case _: java.io.FileNotFoundException => return false }
-    val key = s"$dir#$markerChild#${st.getModificationTime}#${st.getLen}"
+    val key = s"$dir#$markerChild#$fp"
     legacyCompleteCache.contains(key) ||
       (legacyComplete(f, new Path(dir), markerChild) && {
         legacyCompleteCache.add(key); true
@@ -207,14 +348,21 @@ private[sink] object DeltaLog {
     * would resume without the operator's upToSeq bound.
     */
   def migrateLegacy(spark: SparkSession, root: String, markerChild: String,
-      upToSeq: Int): Seq[Int] = {
+      upToSeq: Int, fenceDomain: String = null): Seq[Int] = {
     val f = fs(spark, root)
     if (!f.exists(new Path(root))) return Seq.empty
+    // acquire a FRESH claim (not the session's): migration asserts the
+    // single writer is stopped — registering a new epoch makes that
+    // enforced, fencing any zombie still holding the old one
+    val we = acquireEpoch(spark,
+      if (fenceDomain != null) fenceDomain else root)
+    sessionEpochs.put(we.domain, we) // this JVM now owns the store
     val adoptable = numericSeqs(spark, root).filter(s =>
       s <= upToSeq && !f.exists(new Path(s"$root/$s/$CommitMarker")) &&
         legacyCompleteCached(f, s"$root/$s", markerChild))
     adoptable.foreach(s =>
       f.create(new Path(s"$root/$s/$CommitMarker"), true).close())
+    checkFence(spark, we)
     f.create(new Path(s"$root/$AdoptedMarker"), true).close()
     adoptable
   }
@@ -266,10 +414,17 @@ private[sink] object DeltaLog {
     * only once the sentinel exists. Returns `seq`.
     */
   def commit(spark: SparkSession, root: String, seq: Int,
-      markerChild: String)(write: String => Unit): Int = {
+      markerChild: String, fenceDomain: String = null,
+      epoch: WriterEpoch = null)(write: String => Unit): Int = {
+    val we = resolveEpoch(spark,
+      if (fenceDomain != null) fenceDomain else root, epoch)
+    checkFence(spark, we) // early out before burning the write
     val tmp = s"$root/.tmp-$seq"
     write(tmp)
     val f = fs(spark, root)
+    // re-check AFTER the (possibly long) write, BEFORE anything becomes
+    // visible — a fenced commit leaves only an invisible `.tmp-*` stray
+    checkFence(spark, we)
     // legacy sweep + AdoptedMarker PUT strictly BEFORE the rename: once
     // any marker-gated commit is in flight the root is sealed as
     // adopted, so no reader's in-memory adoption can admit our mid-copy
@@ -300,6 +455,9 @@ private[sink] object DeltaLog {
       !f.listStatus(dest).exists(_.getPath.getName.startsWith(".tmp"))
     require(ok, s"delta $seq commit was clobbered by a concurrent writer " +
       "(this index is single-writer; serialize commits upstream)")
+    // final check before the sealing PUT: a commit fenced here stays an
+    // unsealed renamed dir — the crashed-commit shape readers never admit
+    checkFence(spark, we)
     f.create(new Path(dest, CommitMarker), true).close()
     seq
   }
@@ -364,15 +522,25 @@ private[sink] object DeltaLog {
     * costs one full base copy of storage).
     */
   def installBase(spark: SparkSession, dir: String, name: String,
-      keepGenerations: Int = 1)(write: String => Unit): String = {
+      keepGenerations: Int = 1, fenceDomain: String = null,
+      epoch: WriterEpoch = null)(write: String => Unit): String = {
     require(keepGenerations >= 1,
       s"keepGenerations must be >= 1, got $keepGenerations")
+    val we = resolveEpoch(spark,
+      if (fenceDomain != null) fenceDomain else dir, epoch)
+    checkFence(spark, we)
     val f = fs(spark, dir)
     val versions = baseVersions(spark, dir, name)
     val v = (versions.map(_._1) :+ 0).max + 1
     val path = s"$dir/$name-v$v"
     write(path)
+    // before the sealing PUT: a fenced install stays an unsealed
+    // generation no reader resolves and whose number is never reused
+    checkFence(spark, we)
     f.create(new Path(s"$path/$CommitMarker"), true).close()
+    // before GC: a fenced writer must never delete a generation the
+    // live writer's readers lease
+    checkFence(spark, we)
     val sealedPrev = versions.filter(_._2).map(_._1)
     val retained = sealedPrev.takeRight(keepGenerations).toSet
     versions.map(_._1).filter(o => !retained.contains(o))

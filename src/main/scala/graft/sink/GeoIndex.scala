@@ -230,7 +230,7 @@ object GeoIndex {
       .select(col(idCol), col(latCol), col(lonCol), col("cell"))
       .coalesce(1).sortWithinPartitions("cell")
     DeltaLog.commit(spark, s"$dir/commits",
-        DeltaLog.nextSeq(spark, s"$dir/commits"), "docs") { tmp =>
+        DeltaLog.nextSeq(spark, s"$dir/commits"), "docs", fenceDomain = dir) { tmp =>
       tagged.write.mode("overwrite").parquet(s"$tmp/cells")
       tagged.select(col(idCol))
         .write.mode("overwrite").parquet(s"$tmp/docs")
@@ -250,7 +250,7 @@ object GeoIndex {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], baseSchema).repartition(1)
     DeltaLog.commit(spark, s"$dir/commits",
-        DeltaLog.nextSeq(spark, s"$dir/commits"), "docs") { tmp =>
+        DeltaLog.nextSeq(spark, s"$dir/commits"), "docs", fenceDomain = dir) { tmp =>
       empty.write.mode("overwrite").parquet(s"$tmp/cells")
       ids.select(col(idCol)).distinct().coalesce(1)
         .write.mode("overwrite").parquet(s"$tmp/docs")

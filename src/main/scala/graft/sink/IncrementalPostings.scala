@@ -93,7 +93,7 @@ object IncrementalPostings {
         "each doc once — pass an order column to dedupe last-writer-wins")
     val positional = hasPositions(spark, dir)
     DeltaLog.commit(spark, s"$dir/deltas",
-        DeltaLog.nextSeq(spark, s"$dir/deltas"), "docs") { tmp =>
+        DeltaLog.nextSeq(spark, s"$dir/deltas"), "docs", fenceDomain = dir) { tmp =>
       InvertedIndex.postings(docs, idCol, textCol)
         .write.mode("overwrite").parquet(s"$tmp/postings")
       InvertedIndex.docLengths(docs, idCol, textCol)
@@ -140,7 +140,7 @@ object IncrementalPostings {
     val docs = ids.select(col(idCol).cast("long").as("doc_id")).distinct()
     val positional = hasPositions(spark, dir)
     DeltaLog.commit(spark, s"$dir/deltas",
-        DeltaLog.nextSeq(spark, s"$dir/deltas"), "docs") { tmp =>
+        DeltaLog.nextSeq(spark, s"$dir/deltas"), "docs", fenceDomain = dir) { tmp =>
       // empty postings/norms with the right schemas: a delete owns the
       // doc and contributes nothing
       docs.limit(0)

@@ -279,7 +279,7 @@ object SignatureStore {
       .sortWithinPartitions("band", "bucket")
     val docs = batch.select(col(m.idCol).as("_id")).distinct().coalesce(1)
     DeltaLog.commit(spark, s"$dir/commits",
-        DeltaLog.nextSeq(spark, s"$dir/commits"), "buckets") { tmp =>
+        DeltaLog.nextSeq(spark, s"$dir/commits"), "buckets", fenceDomain = dir) { tmp =>
       rows.write.mode("overwrite").parquet(s"$tmp/buckets")
       docs.write.mode("overwrite").parquet(s"$tmp/docs")
     }
@@ -306,7 +306,7 @@ object SignatureStore {
     val pairs = probeCore(spark, dir, m, q0, maxBucketOccupancy)
     val docs = batch.select(col(m.idCol).as("_id")).distinct().coalesce(1)
     DeltaLog.commit(spark, s"$dir/commits",
-        DeltaLog.nextSeq(spark, s"$dir/commits"), "buckets") { tmp =>
+        DeltaLog.nextSeq(spark, s"$dir/commits"), "buckets", fenceDomain = dir) { tmp =>
       // one file per O(batch) commit leg: every later probe re-lists
       // every commit's files, so leg file count is a serving cost. The
       // coalesce reads the persisted blocks, not the signing lineage
@@ -334,7 +334,7 @@ object SignatureStore {
       lit(0).cast("int").as("band"), lit(0L).as("bucket"),
       lit(0).cast("int").as("pb"))
     DeltaLog.commit(spark, s"$dir/commits",
-        DeltaLog.nextSeq(spark, s"$dir/commits"), "docs") { tmp =>
+        DeltaLog.nextSeq(spark, s"$dir/commits"), "docs", fenceDomain = dir) { tmp =>
       emptyBuckets.write.mode("overwrite").parquet(s"$tmp/buckets")
       docs.write.mode("overwrite").parquet(s"$tmp/docs")
     }

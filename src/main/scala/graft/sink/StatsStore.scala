@@ -185,7 +185,7 @@ object StatsStore {
     val cols = readMeta(spark, dir)
     val rows = partials(batch, cols, lgK).coalesce(1)
     DeltaLog.commit(spark, s"$dir/commits",
-        DeltaLog.nextSeq(spark, s"$dir/commits"), "stats") { tmp =>
+        DeltaLog.nextSeq(spark, s"$dir/commits"), "stats", fenceDomain = dir) { tmp =>
       rows.write.mode("overwrite").parquet(s"$tmp/stats")
     }
   }

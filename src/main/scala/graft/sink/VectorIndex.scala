@@ -172,7 +172,7 @@ object VectorIndex {
     val assigned = Ivf.assign(checkedBatch(df, vecCol, m.dim), vecCol, model)
       .coalesce(1).sortWithinPartitions("cell")
     DeltaLog.commit(spark, s"$dir/commits",
-        DeltaLog.nextSeq(spark, s"$dir/commits"), "docs") { tmp =>
+        DeltaLog.nextSeq(spark, s"$dir/commits"), "docs", fenceDomain = dir) { tmp =>
       assigned.write.mode("overwrite").parquet(s"$tmp/cells")
       assigned.select(col(idCol)).distinct()
         .write.mode("overwrite").parquet(s"$tmp/docs")
@@ -195,7 +195,7 @@ object VectorIndex {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], baseSchema).repartition(1)
     DeltaLog.commit(spark, s"$dir/commits",
-        DeltaLog.nextSeq(spark, s"$dir/commits"), "docs") { tmp =>
+        DeltaLog.nextSeq(spark, s"$dir/commits"), "docs", fenceDomain = dir) { tmp =>
       empty.write.mode("overwrite").parquet(s"$tmp/cells")
       ids.select(col(idCol)).distinct().coalesce(1)
         .write.mode("overwrite").parquet(s"$tmp/docs")

@@ -72,6 +72,26 @@ class BatchingSpec extends SparkSpec {
     assert(n0 == 0L)
   }
 
+  test("limit on an unverified numbered result fails loudly; persist-then-limit passes") {
+    // the verifiedEnd abandonment guard: a limit/take that abandons the
+    // pass-2 iterator mid-partition can't run the divergence check, so
+    // the task must fail with the persist()-then-limit guidance instead
+    // of returning unverified numbers
+    val df = spark.range(5000).select(col("id").as("v"))
+    val numbered = Batching.withGlobalRowNumber(df, col("v"), "rk")
+    val e = intercept[Exception](numbered.limit(3).collect())
+    val msg = e.toString + Option(e.getCause).map(_.toString).getOrElse("")
+    assert(msg.contains("persist"), msg)
+    // the documented pattern: persist drains every partition (the
+    // verification runs during materialization), limit reads the cache
+    val cached = Batching.withGlobalRowNumber(df, col("v"), "rk").persist()
+    try {
+      assert(cached.count() == 5000L)
+      assert(cached.limit(3).collect().length == 3)
+      assert(cached.orderBy("rk").take(1).head.getLong(1) == 1L)
+    } finally { cached.unpersist(); () }
+  }
+
   test("snapshot divergence fails loudly through the Spark task path") {
     // the pass-2 guard's failure mode end-to-end: a partition whose
     // replay count mismatches pass 1 must kill the job with the

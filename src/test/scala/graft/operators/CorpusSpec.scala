@@ -327,11 +327,13 @@ class CorpusSpec extends SparkSpec {
     // the scale contract: no window operator anywhere in the plan — the
     // rank comes from the two-phase range-partitioned prefix sum
     assert(!ranked.queryExecution.executedPlan.toString.contains("Window"))
-    // single row: percent_rank convention 0.0
+    // single row: percent_rank convention 0.0 (collect, not head — a
+    // take on an unverified numbered result is forbidden by the
+    // verifiedEnd abandonment guard; see BatchingSpec's limit test)
     val one = Corpus.globalPercentRank(Seq((9L, 5L)).toDF("id", "score"),
       struct(col("score"), col("id")), "pr")
-      .select("pr").as[Double].head()
-    assert(one == 0.0)
+      .select("pr").as[Double].collect()
+    assert(one.toSeq == Seq(0.0))
   }
 
   test("sourceOverlap: shared fingerprints and Jaccard per source pair") {

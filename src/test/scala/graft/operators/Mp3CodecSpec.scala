@@ -681,7 +681,7 @@ class Mp3CodecSpec extends AnyFunSuite {
     assert(e.getMessage.contains("scalefactor slots"))
   }
 
-  test("LSF and mixed intensity fail loudly, never silently garbled") {
+  test("LSF intensity fails loudly, never silently garbled") {
     // MPEG-2 LSF intensity: a different (unshipped) position semantic
     val lsf = Mp3Codec.encodeStereo(tone(5, 2304), tone(9, 2304), 22050)
     val pLsf = lsf.clone()
@@ -689,14 +689,59 @@ class Mp3CodecSpec extends AnyFunSuite {
     val e1 = intercept[UnsupportedOperationException](Mp3Codec.decode(pLsf))
     assert(e1.getMessage.contains("LSF intensity"))
     assert(Multimodal.MediaCodec.decodeSamples(pLsf).isEmpty)
-    // intensity on mixed-block granules: combined long+window
-    // position layout unshipped
-    val mb = Mp3Codec.encodeStereo(
-      tone(5, 2304), tone(9, 2304), 44100, blockMode = "mixed")
-    val pMb = mb.clone()
-    pMb(3) = (pMb(3) | 0x50).toByte
-    val e2 = intercept[UnsupportedOperationException](Mp3Codec.decode(pMb))
-    assert(e2.getMessage.contains("mixed-block"))
-    assert(Multimodal.MediaCodec.decodeSamples(pMb).isEmpty)
+    // mixed + mode_extension 3 stays out at the encoder
+    val e2 = intercept[IllegalArgumentException](
+      Mp3Codec.encodeStereoIntensity(tone(5, 2304), tone(9, 2304), 44100,
+        intensityBand = 4, blockMode = "mixed", msBelow = true))
+    assert(e2.getMessage.contains("mixed"))
+  }
+
+  test("MIXED-block intensity round trip: long half below the seam, windows above") {
+    // three tones spanning the mixed layout: k=1 (long band 1, BELOW
+    // the bound — right anchor codes independently), k=5 (long bands
+    // 5-6, in the long intensity half at the exact position-4 ratio
+    // tan(60°) = √3) and k=20 (short band 3 per window, position-5
+    // ratio tan(75°)). The decoder must split both intensity tones
+    // back by their positions and keep the anchor on the right.
+    val l = Array.tabulate(2304) { i =>
+      tone(5, 2304, 6000.0)(i) + tone(20, 2304, 9000.0)(i)
+    }
+    val r = Array.tabulate(2304) { i =>
+      tone(1, 2304, 3000.0)(i) +
+        tone(5, 2304, 6000.0 / math.sqrt(3.0))(i) +
+        tone(20, 2304, 9000.0 / math.tan(5 * math.Pi / 12))(i)
+    }
+    val bytes = Mp3Codec.encodeStereoIntensity(l, r, 44100,
+      intensityBand = 2, blockMode = "mixed")
+    assert(((bytes(3) >> 6) & 3) == 1, "mode must be joint stereo (1)")
+    assert(((bytes(3) >> 4) & 3) == 1, "mode_extension must be intensity")
+    assert(Mp3Codec.granuleBlockTypes(bytes).forall(_ == 2))
+    val dec = Mp3Codec.decode(bytes).get
+    assert(dec.channels == 2 && dec.sampleRate == 44100)
+    val chans = deinterleave(dec.samples.drop(2 * Mp3Codec.LeadingSkip), 2)
+    assert(peakBin(chans(0), 256) == 20, "left short-half tone dominates")
+    // right: split k=5 at 6000/√3 ≈ 3464 outweighs the 3000 anchor
+    assert(peakBin(chans(1), 256) == 5, "right peak is the split long tone")
+    def amp(s: Array[Double], k: Int): Double = {
+      var re = 0.0; var im = 0.0
+      var i = 0
+      while (i < 1024) {
+        val a = 2 * math.Pi * k * i / 256.0
+        re += s(i) * math.cos(a); im += s(i) * math.sin(a)
+        i += 1
+      }
+      math.hypot(re, im)
+    }
+    // the long-half position survives: the k=5 channel ratio is √3
+    val ratioL = amp(chans(0), 5) / amp(chans(1), 5)
+    assert(math.abs(ratioL - math.sqrt(3.0)) < 0.25,
+      s"long-half intensity ratio √3 expected, got $ratioL")
+    // the short-half position survives: k=20 ratio is tan(75°)
+    val ratioS = amp(chans(0), 20) / amp(chans(1), 20)
+    assert(math.abs(ratioS - math.tan(5 * math.Pi / 12)) < 0.6,
+      s"short-half intensity ratio tan75° expected, got $ratioS")
+    // the right anchor below the bound stays right-only
+    assert(amp(chans(1), 1) > 4 * amp(chans(0), 1),
+      "below-bound anchor must stay on the right channel")
   }
 }

@@ -631,15 +631,22 @@ class MultimodalSpec extends SparkSpec {
     assert(decodeSamples(bytes.take(bytes.length / 2))
       .forall(_._2.length % 1152 == 0))
     assert(decodeSamples(Array.fill[Byte](64)(0x55)).isEmpty)
-    // the real third-party file (LSF + bit reservoir) decodes to silence
-    val goldPath = java.nio.file.Paths.get("/usr/lib/google-cloud-sdk/" +
-      "platform/gsutil/gslib/tests/test_data/test.mp3")
-    if (java.nio.file.Files.exists(goldPath)) {
-      val Some((gr, gs)) = decodeSamples(
-        java.nio.file.Files.readAllBytes(goldPath))
-      assert(gr == 22050f && gs.length == 45 * 576 - Mp3Codec.LeadingSkip)
-      assert(gs.forall(_ == 0.0))
-    }
+    // the real third-party file (LSF + bit reservoir, vendored — see
+    // resources/graft/thirdparty/README.md) decodes to exact silence;
+    // the same bytes are driver-gated as x_audio_mp3_interop
+    val goldIn = getClass.getResourceAsStream("/graft/thirdparty/lsf_stream.mp3")
+    assert(goldIn != null, "vendored interop fixture missing")
+    val gold =
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](8192)
+        var nr = goldIn.read(chunk)
+        while (nr > 0) { buf.write(chunk, 0, nr); nr = goldIn.read(chunk) }
+        buf.toByteArray
+      } finally goldIn.close()
+    val Some((gr, gs)) = decodeSamples(gold)
+    assert(gr == 22050f && gs.length == 45 * 576 - Mp3Codec.LeadingSkip)
+    assert(gs.forall(_ == 0.0))
   }
 
   test("decodeWavIma: hostile negative chunk size returns None, no hang") {

@@ -222,6 +222,165 @@ class DeltaLogCrashPropertySpec extends SparkSpec {
     assert(result.passed, result.status.toString)
   }
 
+  // ---- writer fencing --------------------------------------------------
+
+  private sealed trait FOp
+  private case object C1 extends FOp // stale writer commit
+  private case object I1 extends FOp // stale writer install
+  private case object C2 extends FOp // live writer commit
+  private case object I2 extends FOp // live writer install
+
+  test("writer fencing: interleaved two-writer schedules — the stale writer " +
+      "fails loudly at every mutation and never changes the visible state") {
+    val preGen = Gen.listOfN(4, Gen.frequency(
+      (3, Gen.const(C1)), (2, Gen.const(I1))))
+    val postGen = Gen.listOfN(8, Gen.frequency(
+      (3, Gen.const(C1)), (2, Gen.const(I1)),
+      (3, Gen.const(C2)), (2, Gen.const(I2))))
+    val prop = Prop.forAll(preGen, postGen) { (pre, post) =>
+      val dir = java.nio.file.Files.createTempDirectory("dlog-fence").toString
+      val root = s"$dir/commits"
+      val f = DeltaLog.fs(spark, dir)
+      DeltaLog.initRoot(spark, root)
+      def payload(path: String, tag: String): Unit = {
+        f.mkdirs(new Path(s"$path/docs"))
+        f.create(new Path(s"$path/docs/$tag"), true).close()
+      }
+      var committed = Vector.empty[Int]
+      var installs = Vector.empty[(String, String)]
+      def doCommit(we: WriterEpoch): Unit = {
+        val seq = DeltaLog.nextSeq(spark, root)
+        DeltaLog.commit(spark, root, seq, "docs", fenceDomain = dir,
+          epoch = we)(payload(_, s"c$seq")): Unit
+        committed :+= seq
+      }
+      def doInstall(we: WriterEpoch): Unit = {
+        val tag = s"g${installs.size + 1}"
+        val p = DeltaLog.installBase(spark, dir, "base", Keep,
+          fenceDomain = dir, epoch = we)(payload(_, tag))
+        installs :+= (p -> tag)
+      }
+      def viewOk(): Boolean = {
+        val seqs = DeltaLog.listSeqs(spark, root, Some("docs"))
+        val cur = DeltaLog.currentBase(spark, dir, "base")
+        seqs == committed &&
+          (installs.isEmpty || cur == installs.last._1)
+      }
+      val w1 = DeltaLog.acquireEpoch(spark, dir)
+      // before the rival exists, the stale-to-be writer works normally
+      pre.foreach {
+        case C1 | C2 => doCommit(w1)
+        case I1 | I2 => doInstall(w1)
+      }
+      val w2 = DeltaLog.acquireEpoch(spark, dir)
+      // the generation the live writer's readers lease at takeover
+      val leased = DeltaLog.currentBase(spark, dir, "base")
+      var liveInstalls = 0
+      val stepsOk = post.forall { op =>
+        op match {
+          case C1 =>
+            intercept[FencedWriterException](doCommit(w1)): Unit
+          case I1 =>
+            intercept[FencedWriterException](doInstall(w1)): Unit
+          case C2 => doCommit(w2)
+          case I2 => doInstall(w2); liveInstalls += 1
+        }
+        // the leased base survives until the live writer itself retires
+        // it past keepGenerations — the stale writer never GCs it
+        val leasedOk = liveInstalls > Keep || leased == s"$dir/base" ||
+          (f.exists(new Path(s"$leased/${DeltaLog.CommitMarker}")) &&
+            f.exists(new Path(s"$leased/docs")))
+        viewOk() && leasedOk
+      }
+      stepsOk && viewOk()
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(result.passed, result.status.toString)
+  }
+
+  test("a rival arriving mid-commit fences the in-flight commit before it becomes visible") {
+    val dir = java.nio.file.Files.createTempDirectory("dlog-midc").toString
+    val root = s"$dir/commits"
+    val f = DeltaLog.fs(spark, dir)
+    DeltaLog.initRoot(spark, root)
+    def payload(path: String): Unit = {
+      f.mkdirs(new Path(s"$path/docs"))
+      f.create(new Path(s"$path/docs/d"), true).close()
+    }
+    val w1 = DeltaLog.acquireEpoch(spark, dir)
+    DeltaLog.commit(spark, root, 1, "docs", fenceDomain = dir,
+      epoch = w1)(payload): Unit
+    var w2: WriterEpoch = null
+    intercept[FencedWriterException] {
+      DeltaLog.commit(spark, root, 2, "docs", fenceDomain = dir,
+          epoch = w1) { tmp =>
+        payload(tmp)
+        w2 = DeltaLog.acquireEpoch(spark, dir) // the rival arrives mid-write
+      }
+    }
+    // the fenced commit left only an invisible `.tmp-*` stray
+    assert(DeltaLog.listSeqs(spark, root, Some("docs")) == Seq(1))
+    assert(!f.exists(new Path(s"$root/2")))
+    // and the rival proceeds cleanly over it
+    val seq = DeltaLog.nextSeq(spark, root)
+    DeltaLog.commit(spark, root, seq, "docs", fenceDomain = dir,
+      epoch = w2)(payload): Unit
+    assert(DeltaLog.listSeqs(spark, root, Some("docs")) == Seq(1, seq))
+  }
+
+  test("a rival arriving mid-install leaves an unsealed generation readers never resolve") {
+    val dir = java.nio.file.Files.createTempDirectory("dlog-midi").toString
+    val f = DeltaLog.fs(spark, dir)
+    def payload(path: String): Unit = {
+      f.mkdirs(new Path(s"$path/docs"))
+      f.create(new Path(s"$path/docs/d"), true).close()
+    }
+    val w1 = DeltaLog.acquireEpoch(spark, dir)
+    val g1 = DeltaLog.installBase(spark, dir, "base", Keep,
+      fenceDomain = dir, epoch = w1)(payload)
+    var w2: WriterEpoch = null
+    intercept[FencedWriterException] {
+      DeltaLog.installBase(spark, dir, "base", Keep, fenceDomain = dir,
+          epoch = w1) { p =>
+        payload(p)
+        w2 = DeltaLog.acquireEpoch(spark, dir)
+      }: Unit
+    }
+    // the fenced install is an unsealed stray; readers still resolve g1
+    assert(DeltaLog.currentBase(spark, dir, "base") == g1)
+    assert(f.exists(new Path(s"$dir/base-v2")) &&
+      !f.exists(new Path(s"$dir/base-v2/${DeltaLog.CommitMarker}")))
+    // the rival's install goes PAST the stray (its number never reused)
+    // and GCs it — the documented crashed-stray sweep
+    val g3 = DeltaLog.installBase(spark, dir, "base", Keep,
+      fenceDomain = dir, epoch = w2)(payload)
+    assert(g3 == s"$dir/base-v3" &&
+      DeltaLog.currentBase(spark, dir, "base") == g3)
+    assert(!f.exists(new Path(s"$dir/base-v2")))
+  }
+
+  test("migrateLegacy registers a fresh epoch that fences a zombie writer") {
+    val dir = java.nio.file.Files.createTempDirectory("dlog-mig").toString
+    val root = s"$dir/commits"
+    val f = DeltaLog.fs(spark, dir)
+    (1 to 2).foreach { i => // complete pre-marker legacy commits
+      f.mkdirs(new Path(s"$root/$i/docs"))
+      f.create(new Path(s"$root/$i/docs/c$i"), true).close()
+    }
+    val zombie = DeltaLog.acquireEpoch(spark, dir)
+    assert(DeltaLog.migrateLegacy(spark, root, "docs", upToSeq = 2,
+      fenceDomain = dir) == Seq(1, 2))
+    intercept[FencedWriterException] {
+      DeltaLog.commit(spark, root, DeltaLog.nextSeq(spark, root), "docs",
+          fenceDomain = dir, epoch = zombie) { tmp =>
+        f.mkdirs(new Path(s"$tmp/docs"))
+        f.create(new Path(s"$tmp/docs/z"), true).close()
+      }
+    }
+    assert(DeltaLog.listSeqs(spark, root, Some("docs")) == Seq(1, 2))
+  }
+
   test("reader lease: a resolved base stays complete across exactly keepGenerations installs") {
     // the documented lease bound (DeltaLog.installBase scaladoc): a
     // reader that resolved currentBase survives at most keepGenerations
