@@ -1045,6 +1045,14 @@ private[graft] object OraclesB {
            CAST(doc_id % 30 + 1 AS INTEGER) AS peak_bin,
            CAST(1152 AS BIGINT) AS n_samples
          FROM documents WHERE doc_id < 300 ORDER BY id""",
+    // the 32 kHz MPEG-1 leg: pins the 22-band long sfb table (incl.
+    // the 550 boundary) through the full encode/decode loop
+    "x_audio_mp3_32k" ->
+      """SELECT doc_id AS id,
+           CAST(32000 AS INTEGER) AS sample_rate,
+           CAST(doc_id % 30 + 1 AS INTEGER) AS peak_bin,
+           CAST(1152 AS BIGINT) AS n_samples
+         FROM documents WHERE doc_id < 150 ORDER BY id""",
     // the short-block leg of the own MP3 codec: every granule
     // block_type 2 (short sfb tables + reorder + 3x12 IMDCT tiling)
     "x_audio_mp3_short" ->

@@ -461,6 +461,26 @@ private[graft] object QueriesTextMediaCorpus {
         .orderBy("id")
     }),
 
+    // The 32 kHz MPEG-1 leg: the one rate whose long scalefactor-band
+    // table historically shipped 21 bands (missing ISO B.8's 550
+    // boundary, fixed r14) — tones through the full loop at 32 kHz pin
+    // the 22-band layout's region split and scalefactor walk on the
+    // driver board, not only in the property spec.
+    "x_audio_mp3_32k" -> ((s, d) => {
+      val k = (pmod(col("doc_id"), lit(30)) + 1).cast("double")
+      val pcm = Tables.documents(s, d).select("doc_id")
+        .filter(col("doc_id") < 150)
+        .withColumn("samples", transform(sequence(lit(0), lit(2303)),
+          n => round(lit(8000.0) *
+            sin(lit(2.0 * math.Pi) * k * n.cast("double") / lit(256.0)))
+            .cast("int")))
+      val enc2 = operators.Multimodal.encodeMp3(pcm, "doc_id", "samples", 32000)
+      operators.Multimodal.audioSpectrum(enc2, "id", "payload", fftSize = 256)
+        .select(col("id"), col("sample_rate").cast("int").as("sample_rate"),
+          col("peak_bin"), col("n_samples"))
+        .orderBy("id")
+    }),
+
     // The SHORT-BLOCK leg of the same codec (block_type 2: short
     // scalefactor-band tables, per-(band, window) scalefactors, the
     // spec's frequency-line reorder, 3x12-point IMDCT tiling — the

@@ -467,6 +467,21 @@ object ScaleProbe {
           runner.processBatch(delta, "op", "user_id", orderCols): Unit
         }
         record("ingest", "delta", n, tDelta)
+        // document-shaped load: key on event_id, so every changelog row
+        // is its own document and the SINK WRITE volume scales with n —
+        // the reference's Kafka record-per-document shape (the user_id
+        // leg compacts 67 events/key away and is overhead-dominated at
+        // probe sizes)
+        val dirW = s"$scratch/ingestw_x$n"
+        val runnerW = new runtime.PipelineRunner(
+          config.PipelineConfig(indexName = s"probe-idxw-x$n"),
+          new sink.ParquetIndexSink(spark, dirW))
+        val (_, tLoadW) = time {
+          runnerW.processBatch(
+            clN.filter(col("op") =!= cdc.Changelog.UpdateBefore),
+            "op", "event_id", Seq(col("ts_us"), col("event_id"))): Unit
+        }
+        record("ingest", "load_wide", n, tLoadW)
       }
     }
 

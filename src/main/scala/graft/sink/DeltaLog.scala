@@ -173,7 +173,7 @@ private[sink] object DeltaLog {
     */
   private val sessionEpochs =
     new java.util.concurrent.ConcurrentHashMap[String, WriterEpoch]()
-  private def resolveEpoch(spark: SparkSession, domain: String,
+  private[sink] def resolveEpoch(spark: SparkSession, domain: String,
       explicit: WriterEpoch): WriterEpoch =
     if (explicit != null) explicit
     else sessionEpochs.computeIfAbsent(domain, d => acquireEpoch(spark, d))

@@ -142,6 +142,19 @@ class ParquetIndexSink(spark: SparkSession, path: String, numBuckets: Int = 16,
   private def fs = new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
   private def manifestDir = new HPath(path, "_manifests")
 
+  /** Writer fencing, the [[DeltaLog]] epoch ledger on the sink's own
+    * root: the manifest's no-overwrite rename already makes two racing
+    * COMMITS first-writer-wins, but [[vacuum]] reads the latest
+    * manifest and then DELETES — a zombie maintenance job holding a
+    * stale view could GC the data files a newer writer's manifest
+    * references (the same zombie-GC hazard the store family's fencing
+    * closes). Every mutation resolves the per-JVM session epoch and
+    * re-checks it at the visibility/delete points; a fenced process
+    * dies with [[FencedWriterException]]. Reads never touch the ledger.
+    */
+  private def fenceCheck(): Unit =
+    DeltaLog.checkFence(spark, DeltaLog.resolveEpoch(spark, path, null))
+
   /** Committed manifest versions, ascending — the append-only manifest
     * log IS the index history ([[vacuum]] prunes it to the latest).
     */
@@ -182,6 +195,7 @@ class ParquetIndexSink(spark: SparkSession, path: String, numBuckets: Int = 16,
     * as themselves — they are not concurrent commits.
     */
   private[sink] def writeManifest(m: Manifest): Unit = {
+    fenceCheck() // the visibility point — a fenced writer never publishes
     val f = fs
     f.mkdirs(manifestDir)
     val tmp = new HPath(manifestDir, s".tmp-${java.util.UUID.randomUUID()}")
@@ -280,6 +294,7 @@ class ParquetIndexSink(spark: SparkSession, path: String, numBuckets: Int = 16,
 
   override def commit(): Unit = synchronized {
     if (ops.isEmpty) return
+    fenceCheck() // before the bucket/delta writes AND the manifest PUT
     val prev = readManifest()
     // bucket modulus is fixed at index creation: reopening with a different
     // numBuckets must keep the committed layout readable
@@ -582,6 +597,9 @@ class ParquetIndexSink(spark: SparkSession, path: String, numBuckets: Int = 16,
     */
   def vacuum(): Unit = synchronized {
     readManifest().foreach { m =>
+      // before any delete: a vacuum holding a stale "latest" manifest
+      // (zombie maintenance job) must never GC a newer writer's files
+      fenceCheck()
       val f = fs
       val live = m.buckets.values.map(rel => new HPath(s"$path/$rel").toUri.getPath).toSet
       val dataDir = new HPath(path, "data")

@@ -73,6 +73,23 @@ class IndexSinkSpec extends SparkSpec {
     assert(sink.searchable().count() == 1)
   }
 
+  test("writer fencing: a rival epoch fences this JVM's commit and vacuum") {
+    val dir = java.nio.file.Files.createTempDirectory("sink-fence").toString
+    val sink = new ParquetIndexSink(spark, dir)
+    sink.addDocuments(Seq(("a", "v1")).toDF("_id", "v"))
+    sink.commit() // acquires this JVM's session epoch, publishes v0
+    // a rival writer (new driver) registers a higher epoch on the same
+    // sink root — this JVM's next mutation must die loudly, publishing
+    // nothing and GC'ing nothing
+    DeltaLog.acquireEpoch(spark, dir): Unit
+    sink.addDocuments(Seq(("b", "v2")).toDF("_id", "v"))
+    intercept[FencedWriterException](sink.commit())
+    intercept[FencedWriterException](sink.vacuum())
+    // the fenced commit published nothing: v0 still serves alone
+    assert(sink.history() == Seq(0L))
+    assert(sink.searchable().select("_id").as[String].collect().toSeq == Seq("a"))
+  }
+
   test("rebucket rewrites under the new modulus; commits keep working") {
     val dir = java.nio.file.Files.createTempDirectory("sink-rebucket").toString
     val sink = new ParquetIndexSink(spark, dir, numBuckets = 4)
