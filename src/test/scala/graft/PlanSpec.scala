@@ -389,6 +389,19 @@ class PlanSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!codec2.contains("Exchange") && !codec2.contains("Join"),
       s"stereo codec chain should not shuffle:\n$codec2")
+    // mixed-block intensity (r14) rides the same projection shape
+    val codec3 = operators.Multimodal.audioSpectrum(
+      operators.Multimodal.encodeMp3Stereo(pcm2, "id", "l", "r", 44100,
+        intensityBand = 4, blockMode = "mixed"),
+      "id", "payload", 64)
+      .queryExecution.executedPlan.toString
+    assert(!codec3.contains("Exchange") && !codec3.contains("Join"),
+      s"mixed-intensity codec chain should not shuffle:\n$codec3")
+    // the third-party interop decode leg is a per-row projection too
+    val interop = plan("x_audio_mp3_interop")
+    assert(!interop.contains("Join") &&
+      !interop.contains("Exchange SinglePartition"),
+      s"interop decode leg should not join or funnel:\n$interop")
   }
 
   test("round-11 ops keep their scale shapes") {

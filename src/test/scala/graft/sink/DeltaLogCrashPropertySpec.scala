@@ -229,13 +229,17 @@ class DeltaLogCrashPropertySpec extends SparkSpec {
   private case object I1 extends FOp // stale writer install
   private case object C2 extends FOp // live writer commit
   private case object I2 extends FOp // live writer install
+  private case object X1 extends FOp // stale writer dies mid-copy: torn
+  // marker-less numeric dir — fencing checks can't stop a process that
+  // crashes before reaching one, so the MARKER protocol must keep the
+  // stray invisible and the live writer must never reuse its number
 
   test("writer fencing: interleaved two-writer schedules — the stale writer " +
       "fails loudly at every mutation and never changes the visible state") {
     val preGen = Gen.listOfN(4, Gen.frequency(
       (3, Gen.const(C1)), (2, Gen.const(I1))))
     val postGen = Gen.listOfN(8, Gen.frequency(
-      (3, Gen.const(C1)), (2, Gen.const(I1)),
+      (3, Gen.const(C1)), (2, Gen.const(I1)), (2, Gen.const(X1)),
       (3, Gen.const(C2)), (2, Gen.const(I2))))
     val prop = Prop.forAll(preGen, postGen) { (pre, post) =>
       val dir = java.nio.file.Files.createTempDirectory("dlog-fence").toString
@@ -282,6 +286,9 @@ class DeltaLogCrashPropertySpec extends SparkSpec {
             intercept[FencedWriterException](doCommit(w1)): Unit
           case I1 =>
             intercept[FencedWriterException](doInstall(w1)): Unit
+          case X1 => // zombie dies mid-copy: complete-looking payload,
+            // no seal — must stay invisible and its number never reused
+            payload(s"$root/${DeltaLog.nextSeq(spark, root)}", "torn")
           case C2 => doCommit(w2)
           case I2 => doInstall(w2); liveInstalls += 1
         }
