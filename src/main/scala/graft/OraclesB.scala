@@ -1126,6 +1126,14 @@ private[graft] object OraclesB {
            CAST(doc_id % 30 + 1 AS INTEGER) AS peak_bin,
            CAST(1152 AS BIGINT) AS n_samples
          FROM documents WHERE doc_id < 150 ORDER BY id""",
+    // mixed + mode_extension 3: mid/side below the bound on mixed
+    // granules, exact-angle intensity positions above
+    "x_audio_mp3_mixed_ms" ->
+      """SELECT doc_id AS id,
+           CAST(44100 AS INTEGER) AS sample_rate,
+           CAST(doc_id % 30 + 1 AS INTEGER) AS peak_bin,
+           CAST(1152 AS BIGINT) AS n_samples
+         FROM documents WHERE doc_id < 150 ORDER BY id""",
     // third-party LSF stream (vendored gsutil fixture, digital silence):
     // 45 frames x 576 minus the 1152-sample codec-delay skip = exactly
     // 43 analysis frames of 576, each with RMS 0 — any decoder misparse

@@ -686,6 +686,32 @@ private[graft] object QueriesTextMediaCorpus {
         .orderBy("id")
     }),
 
+    // The MIXED + MODE_EXTENSION 3 leg (mid/side below the intensity
+    // region on mixed granules — r14's last closed intensity surface):
+    // in-phase tones at the exact tan(60°) ratio ride intensity
+    // wherever they land; below-bound bands ride the mid/side matrix.
+    // Channel 0 must recover the LEFT peak either way.
+    "x_audio_mp3_mixed_ms" -> ((s, d) => {
+      val k = (pmod(col("doc_id"), lit(30)) + 1).cast("double")
+      val pcm = Tables.documents(s, d).select("doc_id")
+        .filter(col("doc_id") < 150)
+        .withColumn("left", transform(sequence(lit(0), lit(2303)),
+          n => round(lit(8000.0) *
+            sin(lit(2.0 * math.Pi) * k * n.cast("double") / lit(256.0)))
+            .cast("int")))
+        .withColumn("right", transform(sequence(lit(0), lit(2303)),
+          n => round(lit(8000.0 / math.sqrt(3.0)) *
+            sin(lit(2.0 * math.Pi) * k * n.cast("double") / lit(256.0)))
+            .cast("int")))
+      val enc2 = operators.Multimodal.encodeMp3Stereo(pcm, "doc_id",
+        "left", "right", 44100, intensityBand = 4, blockMode = "mixed",
+        msIntensity = true)
+      operators.Multimodal.audioSpectrum(enc2, "id", "payload", fftSize = 256)
+        .select(col("id"), col("sample_rate").cast("int").as("sample_rate"),
+          col("peak_bin"), col("n_samples"))
+        .orderBy("id")
+    }),
+
     // THIRD-PARTY interop: decode a real MPEG-2 (LSF) Layer III stream
     // this repo's encoder did NOT write — 45 frames at 22.05 kHz with a
     // live bit reservoir, vendored from gsutil's public test data (see

@@ -44,8 +44,10 @@ import scala.collection.mutable.ArrayBuffer
   * right channel's long slots), per-window short positions above
   * (bands 3-12, band 12 inheriting slot 11), with the long half's
   * zero_part reachable only once the whole short half is silent
-  * (transmission order puts every short line above every long line);
-  * mixed + mode_extension 3 stays out. LSF intensity stereo (13818-3
+  * (transmission order puts every short line above every long line) —
+  * including mode_extension 3, where a short-window MS fallback
+  * forces the entire long half onto mid/side for exactly that
+  * reason. LSF intensity stereo (13818-3
   * io-scaling positions) FAILS LOUDLY: its position layout is not
   * shipped, and decoding without it would be silently garbled — the
   * same loud-or-correct stance as the Huffman subset below.
@@ -61,11 +63,11 @@ import scala.collection.mutable.ArrayBuffer
   *     Kraft-verifiable), and an encoder round trip would only prove
   *     self-consistency, not conformance: a wrong io exponent decodes
   *     third-party LSF intensity streams to silently wrong channel
-  *     levels. RE-CHECKED 2026-08-16 (round 13): no authoritative copy
+  *     levels. RE-CHECKED 2026-08-16 (round 14): no authoritative copy
   *     of the 13818-3 intensity ranges exists in this offline
-  *     container (checked /opt/spark/jars, the reference repo, the
-  *     retrieved-snippets corpus) — the loud fail stands, the
-  *     COVERAGE.md Kafka-jar convention.
+  *     container (checked /opt/spark/jars, the coursier cache, the
+  *     reference repo, the retrieved-snippets corpus) — the loud fail
+  *     stands, the COVERAGE.md Kafka-jar convention.
   *   - Huffman code tables (11172-3 Table B.7): tables 0-3, 5, 6 and
   *     both count1 quadruple tables are included (quad table B is
   *     defined algorithmically — 4-bit one's complement; the rest are
@@ -75,7 +77,9 @@ import scala.collection.mutable.ArrayBuffer
   *     with the table id (adding a table is data-only — the linbits
   *     escape path and paired-region machinery are already in place).
   *     [[encode]] restricts itself to the verified subset.
-  *     RE-CHECKED 2026-08 (round 13): the remaining tables span 6×6 to
+  *     RE-CHECKED 2026-08-16 (round 14 — jar sweep found only
+  *     bzip2/deflate/zstd Huffman code, no ISO B.7 source): the
+  *     remaining tables span 6×6 to
   *     16×16 codeword/length pairs (up to 256 entries each, plus the
   *     per-table linbits widths); the class-load Kraft/prefix checks
   *     would catch a malformed LENGTH profile but cannot catch a
@@ -1424,11 +1428,9 @@ object Mp3Codec {
         "above 11 clamp to 11) and the positions are per (band, " +
         "window); with \"mixed\" the bound is a LONG band 1-7 below " +
         "the seam and the whole short half (bands 3-12, per window) " +
-        "is in the region")
-    require(!(msBelow && blockMode == "mixed"),
-      "mode_extension 3 (mid/side below intensity) on mixed-block " +
-        "granules is not implemented — use msBelow = false or a " +
-        "long/short block mode")
+        "is in the region — under msBelow any short MS fallback " +
+        "forces the entire long half onto mid/side (the decoder can " +
+        "only reach a long bound once the right short half is silent)")
     encodeFrames(Array(left, right), sampleRate, bitrateKbps, blockMode,
       mode = 1, modeExt = if (msBelow) 3 else 1,
       intensityBand = intensityBand)
@@ -1444,14 +1446,13 @@ object Mp3Codec {
           case "short" => 11
           case "mixed" => 7
           case _ => 20
-        }) && (blockMode != "mixed" || modeExt != 3)),
+        })),
       "intensity coding needs two channels, an MPEG-1 rate, and a " +
         "bound band in 1-20 (long), 1-11 (short) or 1-7 (mixed — a " +
         "LONG band below the seam; the short half is always in the " +
         "region) — the top band carries no scalefactor slot of its " +
         "own (it inherits its predecessor's position), so it cannot " +
-        "start the region; mixed + mode_extension 3 is not shipped; " +
-        s"got $blockMode band $intensityBand")
+        s"start the region; got $blockMode band $intensityBand")
     val v1 = SrV1.contains(sampleRate)
     require(v1 || SrV2.contains(sampleRate),
       s"encode supports MPEG-1 rates ${SrV1.mkString("/")} and MPEG-2 " +
@@ -1803,28 +1804,14 @@ object Mp3Codec {
         // mixed-granule intensity (the two shipped halves composed):
         // long positions below the seam for bands [ib, 8) over natural
         // lines, per-window short positions above for bands 3-12 (band
-        // 12 folds into slot 11). modeExt 3 is rejected upstream, so
-        // no anti-phase suffix machinery is needed here beyond
-        // intensity coding's own in-phase premise.
-        val isPosGM: Array[Int] =
-          if (intensityBand < 0 || bt != 2 || !mixedMode) null
-          else {
-            val pos = new Array[Int](8)
-            val xl = granXr(0); val xrr = granXr(1)
-            var b = intensityBand
-            while (b < 8) {
-              var el = 0.0; var er = 0.0
-              var i = sfb(b)
-              while (i < sfb(b + 1)) {
-                el += xl(i) * xl(i); er += xrr(i) * xrr(i)
-                xl(i) += xrr(i); xrr(i) = 0.0
-                i += 1
-              }
-              pos(b) = intensityPos(el, er)
-              b += 1
-            }
-            pos
-          }
+        // 12 folds into slot 11). Under mode_extension 3 the suffix
+        // rule runs per window in the short half (anti-phase bands ride
+        // the pos-7 mid/side fallback) — and the LONG half's positions
+        // are only decodable when the right channel's whole short half
+        // is zero (transmission order puts every short line above every
+        // long line), so ANY short MS fallback forces the entire long
+        // half onto mid/side. The short transform therefore runs FIRST.
+        var mixedShortHasMs = false
         val isPosSM: Array[Array[Int]] =
           if (intensityBand < 0 || bt != 2 || !mixedMode) null
           else {
@@ -1832,9 +1819,37 @@ object Mp3Codec {
             val xl = granXr(0); val xrr = granXr(1)
             var w = 0
             while (w < 3) {
+              var effStart = 3
+              if (msIntensity) {
+                var b = 3
+                while (b < 13) {
+                  var cross = 0.0
+                  var fl = sfbS(b)
+                  while (fl < sfbS(b + 1)) {
+                    val i = (fl / 6) * 18 + w * 6 + fl % 6
+                    cross += xl(i) * xrr(i)
+                    fl += 1
+                  }
+                  if (cross < 0) effStart = b + 1
+                  b += 1
+                }
+                // band 12 inherits slot 11 — a region of only band 12
+                // cannot carry its own position
+                if (effStart == 12) effStart = 13
+                var fl = 12
+                while (fl < sfbS(effStart)) {
+                  val i = (fl / 6) * 18 + w * 6 + fl % 6
+                  val l = xl(i); val r = xrr(i)
+                  xl(i) = (l + r) * msq; xrr(i) = (l - r) * msq
+                  fl += 1
+                }
+                var b2 = 3
+                while (b2 < effStart) { pos(w)(b2) = 7; b2 += 1 }
+                if (effStart > 3) mixedShortHasMs = true
+              }
               val elB = new Array[Double](13)
               val erB = new Array[Double](13)
-              var b = 3
+              var b = effStart
               while (b < 13) {
                 var fl = sfbS(b)
                 while (fl < sfbS(b + 1)) {
@@ -1845,7 +1860,7 @@ object Mp3Codec {
                 }
                 b += 1
               }
-              b = 3
+              b = effStart
               while (b < 13) {
                 pos(w)(b) =
                   if (b >= 11) // band 12 inherits slot 11 at decode
@@ -1854,6 +1869,58 @@ object Mp3Codec {
                 b += 1
               }
               w += 1
+            }
+            pos
+          }
+        val isPosGM: Array[Int] =
+          if (intensityBand < 0 || bt != 2 || !mixedMode) null
+          else {
+            val pos = new Array[Int](8)
+            val xl = granXr(0); val xrr = granXr(1)
+            def matrixLong(until: Int): Unit = {
+              var i = 0
+              while (i < until) {
+                val l = xl(i); val r = xrr(i)
+                xl(i) = (l + r) * msq; xrr(i) = (l - r) * msq
+                i += 1
+              }
+            }
+            if (msIntensity && mixedShortHasMs) {
+              // a short MS band keeps side content above every long
+              // line — the decoder can never reach a long bound, so the
+              // whole long half rides mid/side under pos-7 markers
+              matrixLong(36)
+              var b = intensityBand
+              while (b < 8) { pos(b) = 7; b += 1 }
+            } else {
+              var effStart = intensityBand
+              if (msIntensity) {
+                var b = intensityBand
+                while (b < 8) {
+                  var cross = 0.0
+                  var i = sfb(b)
+                  while (i < sfb(b + 1)) {
+                    cross += xl(i) * xrr(i); i += 1
+                  }
+                  if (cross < 0) effStart = b + 1
+                  b += 1
+                }
+                matrixLong(sfb(effStart))
+                var b2 = intensityBand
+                while (b2 < effStart) { pos(b2) = 7; b2 += 1 }
+              }
+              var b = effStart
+              while (b < 8) {
+                var el = 0.0; var er = 0.0
+                var i = sfb(b)
+                while (i < sfb(b + 1)) {
+                  el += xl(i) * xl(i); er += xrr(i) * xrr(i)
+                  xl(i) += xrr(i); xrr(i) = 0.0
+                  i += 1
+                }
+                pos(b) = intensityPos(el, er)
+                b += 1
+              }
             }
             pos
           }
@@ -2137,7 +2204,10 @@ object Mp3Codec {
           val sfR = granuleSf(g)(1)
           var b = b0
           while (b < 8) {
-            sfR(b) = if (b >= intensityBand) isPosGM(b) else 6
+            sfR(b) =
+              if (b >= intensityBand) isPosGM(b)
+              else if (msIntensity) 7
+              else 6
             b += 1
           }
           // short half: bitstream order from src 36, bands 3-12

@@ -591,34 +591,51 @@ class ParquetIndexSink(spark: SparkSession, path: String, numBuckets: Int = 16,
       kind = "rebucket"))
   }
 
-  /** Delete data dirs no manifest-current bucket references, delta dirs no
-    * longer in the delta log (compacted or lost-race orphans), and all
-    * manifests but the latest (time-travel is not part of the contract).
+  /** Delete data dirs no retained manifest references, delta dirs no
+    * retained delta log lists (compacted or lost-race orphans), and
+    * manifests older than the newest `keepVersions`.
+    *
+    * READER-LEASE BOUND (the [[DeltaLog.installBase]] convention): a
+    * reader that resolved [[searchable]] — or pinned a version with
+    * [[searchableAt]] — stays complete as long as its manifest is among
+    * the newest `keepVersions` at vacuum time. The default 1 keeps only
+    * the latest (the historical behavior: time travel dies at vacuum);
+    * size it to (longest expected scan or pinned-version age) /
+    * (vacuum interval) when readers lag the writer. Each retained
+    * version costs only the data dirs unique to it — buckets shared
+    * across versions are stored once and kept alive by whichever
+    * retained manifest references them.
     */
-  def vacuum(): Unit = synchronized {
-    readManifest().foreach { m =>
-      // before any delete: a vacuum holding a stale "latest" manifest
-      // (zombie maintenance job) must never GC a newer writer's files
-      fenceCheck()
-      val f = fs
-      val live = m.buckets.values.map(rel => new HPath(s"$path/$rel").toUri.getPath).toSet
-      val dataDir = new HPath(path, "data")
-      if (f.exists(dataDir))
-        f.listStatus(dataDir).foreach { c =>
-          f.listStatus(c.getPath).foreach { b =>
-            if (!live.contains(b.getPath.toUri.getPath)) f.delete(b.getPath, true)
-          }
-          if (f.listStatus(c.getPath).isEmpty) f.delete(c.getPath, true)
+  def vacuum(keepVersions: Int = 1): Unit = synchronized {
+    require(keepVersions >= 1,
+      s"keepVersions must be >= 1, got $keepVersions")
+    val retained = history().takeRight(keepVersions)
+    if (retained.isEmpty) return
+    // before any delete: a vacuum holding a stale "latest" manifest
+    // (zombie maintenance job) must never GC a newer writer's files
+    fenceCheck()
+    val f = fs
+    val ms = retained.flatMap(readManifestAt)
+    val live = ms.flatMap(_.buckets.values)
+      .map(rel => new HPath(s"$path/$rel").toUri.getPath).toSet
+    val dataDir = new HPath(path, "data")
+    if (f.exists(dataDir))
+      f.listStatus(dataDir).foreach { c =>
+        f.listStatus(c.getPath).foreach { b =>
+          if (!live.contains(b.getPath.toUri.getPath)) f.delete(b.getPath, true)
         }
-      val liveDeltas = m.deltas.map(rel => new HPath(s"$path/$rel").toUri.getPath).toSet
-      val deltaDir = new HPath(path, "delta")
-      if (f.exists(deltaDir))
-        f.listStatus(deltaDir).foreach { c =>
-          if (!liveDeltas.contains(c.getPath.toUri.getPath)) f.delete(c.getPath, true)
-        }
-      f.listStatus(manifestDir).foreach { s =>
-        if (s.getPath.getName != s"v${m.version}.json") f.delete(s.getPath, false)
+        if (f.listStatus(c.getPath).isEmpty) f.delete(c.getPath, true)
       }
+    val liveDeltas = ms.flatMap(_.deltas)
+      .map(rel => new HPath(s"$path/$rel").toUri.getPath).toSet
+    val deltaDir = new HPath(path, "delta")
+    if (f.exists(deltaDir))
+      f.listStatus(deltaDir).foreach { c =>
+        if (!liveDeltas.contains(c.getPath.toUri.getPath)) f.delete(c.getPath, true)
+      }
+    val keepNames = retained.map(v => s"v$v.json").toSet
+    f.listStatus(manifestDir).foreach { s =>
+      if (!keepNames.contains(s.getPath.getName)) f.delete(s.getPath, false)
     }
   }
 }

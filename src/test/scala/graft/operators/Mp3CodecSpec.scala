@@ -326,19 +326,21 @@ class Mp3CodecSpec extends AnyFunSuite {
       frames <- Gen.choose(1, 3)
       mode <- Gen.oneOf("long", "short", "auto", "mixed")
       chanMode <- Gen.oneOf("mono", "lr", "ms", "intensity")
-    } yield (sr, tones, frames, mode, chanMode)
+      msb <- Gen.oneOf(true, false)
+    } yield (sr, tones, frames, mode, chanMode, msb)
     val prop = Prop.forAll(cfgGen) {
-      case (sr, tones, frames, mode, chanMode) =>
+      case (sr, tones, frames, mode, chanMode, msb) =>
       val v1 = Seq(44100, 48000, 32000).contains(sr)
       val frameLen = if (v1) 1152 else 576
       val n = frames * frameLen
       val pcm = Array.tabulate(n)(i => tones.map { case (k, a) =>
         a * math.sin(2 * math.Pi * k * i / 256.0)
       }.sum.round.toInt)
-      // intensity coding is MPEG-1 long/short only — fold the other
-      // draws onto supported configs rather than discarding them
+      // intensity coding is MPEG-1 only — fold non-v1 draws onto
+      // supported configs rather than discarding them (every MPEG-1
+      // block mode incl. mixed takes intensity since r14)
       val blockMode =
-        if (chanMode == "intensity") { if (v1 && mode != "mixed") mode else "long" }
+        if (chanMode == "intensity") { if (v1) mode else "long" }
         else mode
       val enc = chanMode match {
         case "mono" => Mp3Codec.encode(pcm, sr, 0, blockMode)
@@ -348,8 +350,11 @@ class Mp3CodecSpec extends AnyFunSuite {
           if (!v1) Mp3Codec.encodeStereo(pcm, pcm.map(_ / 3), sr, 0,
             blockMode, msStereo = true) // LSF intensity is loud-fail
           else Mp3Codec.encodeStereoIntensity(pcm, pcm.map(_ / 3), sr, 0,
-            intensityBand = if (blockMode == "short") 6 else 8,
-            blockMode = blockMode)
+            intensityBand =
+              if (blockMode == "short") 6
+              else if (blockMode == "mixed") 4
+              else 8,
+            blockMode = blockMode, msBelow = msb)
         case _ => Mp3Codec.encodeStereo(pcm, pcm.map(_ / 3), sr, 0,
           blockMode, msStereo = true)
       }
@@ -689,11 +694,55 @@ class Mp3CodecSpec extends AnyFunSuite {
     val e1 = intercept[UnsupportedOperationException](Mp3Codec.decode(pLsf))
     assert(e1.getMessage.contains("LSF intensity"))
     assert(Multimodal.MediaCodec.decodeSamples(pLsf).isEmpty)
-    // mixed + mode_extension 3 stays out at the encoder
-    val e2 = intercept[IllegalArgumentException](
-      Mp3Codec.encodeStereoIntensity(tone(5, 2304), tone(9, 2304), 44100,
-        intensityBand = 4, blockMode = "mixed", msBelow = true))
-    assert(e2.getMessage.contains("mixed"))
+  }
+
+  test("MIXED MS+intensity: short anti-phase forces the long half onto mid/side") {
+    // mode_extension 3 on mixed granules. Short half: an ANTI-PHASE
+    // tone at bin 20 (short band 3) — the suffix rule must push its
+    // band (and everything under it in its windows) onto the pos-7
+    // mid/side fallback, which in turn forces the ENTIRE long half
+    // onto mid/side (the decoder can only reach a long bound once the
+    // right short half is silent) — and an in-phase pair at bin 44
+    // (short band 6, well above) at the position-4 angle, which stays
+    // in the suffix intensity region. Long half: a shared tone at
+    // bin 5 must survive the matrix on both channels.
+    val shared = tone(5, 2304, 5000.0)
+    val hiL = tone(44, 2304, 6000.0)
+    val hiR = tone(44, 2304, 6000.0 / math.sqrt(3.0))
+    val anti = tone(20, 2304, 4000.0)
+    val l = Array.tabulate(2304)(i => shared(i) + hiL(i) + anti(i))
+    val r = Array.tabulate(2304)(i => shared(i) + hiR(i) - anti(i))
+    val bytes = Mp3Codec.encodeStereoIntensity(l, r, 44100,
+      intensityBand = 2, blockMode = "mixed", msBelow = true)
+    assert(((bytes(3) >> 4) & 3) == 3, "mode_extension must be MS+intensity")
+    assert(Mp3Codec.granuleBlockTypes(bytes).forall(_ == 2))
+    val dec = Mp3Codec.decode(bytes).get
+    val chans = deinterleave(dec.samples.drop(2 * Mp3Codec.LeadingSkip), 2)
+    def amp(s: Array[Double], k: Int): (Double, Double) = {
+      var re = 0.0; var im = 0.0
+      var i = 0
+      while (i < 1024) {
+        val a = 2 * math.Pi * k * i / 256.0
+        re += s(i) * math.cos(a); im += s(i) * math.sin(a)
+        i += 1
+      }
+      (re, im)
+    }
+    def mag(ri: (Double, Double)) = math.hypot(ri._1, ri._2)
+    // the long-half shared tone survives the forced mid/side matrix
+    assert(mag(amp(chans(0), 5)) > 1000 * 512,
+      "long-half shared tone survives the matrix")
+    // the in-phase pair above the fallback keeps its intensity angle
+    val ratio44 = mag(amp(chans(0), 44)) / mag(amp(chans(1), 44))
+    assert(math.abs(ratio44 - math.sqrt(3.0)) < 0.3,
+      s"intensity ratio sqrt(3) expected, got $ratio44")
+    // the anti-phase short tone survives IN ANTI-PHASE
+    val (lr, li) = amp(chans(0), 20)
+    val (rr2, ri2) = amp(chans(1), 20)
+    assert(lr * rr2 + li * ri2 < 0,
+      "anti-phase tone must stay anti-phase through the MS fallback")
+    assert(mag(amp(chans(0), 20)) > 0.3 * 4000 * 512,
+      "anti-phase tone magnitude survives")
   }
 
   test("MIXED-block intensity round trip: long half below the seam, windows above") {

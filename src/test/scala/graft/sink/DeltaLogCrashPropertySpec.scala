@@ -367,6 +367,23 @@ class DeltaLogCrashPropertySpec extends SparkSpec {
     assert(!f.exists(new Path(s"$dir/base-v2")))
   }
 
+  test("epoch ledger GC keeps the newest claims — the maximum always survives") {
+    val dir = java.nio.file.Files.createTempDirectory("dlog-egc").toString
+    val f = DeltaLog.fs(spark, dir)
+    // 12 sequential writer sessions: each acquire GCs claims older than
+    // the newest 8, and every later acquire still lands past the max
+    val epochs = (1 to 12).map(_ => DeltaLog.acquireEpoch(spark, dir).epoch)
+    assert(epochs == (1 to 12))
+    val ledger = f.listStatus(new Path(s"$dir/${DeltaLog.EpochDir}"))
+      .map(_.getPath.getName).toSeq
+    assert(ledger.size <= 8, s"ledger not GC'd: $ledger")
+    assert(ledger.exists(_.startsWith("e-000000012-")),
+      "the maximum claim must survive GC")
+    // a zombie from BEFORE the GC horizon is still fenced
+    intercept[FencedWriterException](DeltaLog.checkFence(spark,
+      WriterEpoch(dir, 2, "00000000-dead-dead-dead-000000000000")))
+  }
+
   test("migrateLegacy registers a fresh epoch that fences a zombie writer") {
     val dir = java.nio.file.Files.createTempDirectory("dlog-mig").toString
     val root = s"$dir/commits"

@@ -370,6 +370,30 @@ class IndexSinkSpec extends SparkSpec {
     assert(sink.searchable().filter($"_id" === "k0").select("v").as[String].head() == "v0b")
   }
 
+  test("vacuum(keepVersions): time travel survives inside the lease, dies past it") {
+    val dir = java.nio.file.Files.createTempDirectory("sink-vlease").toString
+    val sink = new ParquetIndexSink(spark, dir, numBuckets = 4)
+    sink.addDocuments((0 until 8).map(i => (s"k$i", "v0")).toDF("_id", "v"))
+    sink.commit() // v0
+    sink.addDocuments(Seq(("k0", "v1")).toDF("_id", "v"))
+    sink.commit() // v1
+    sink.addDocuments(Seq(("k1", "v2")).toDF("_id", "v"))
+    sink.commit() // v2
+    sink.vacuum(keepVersions = 2)
+    // v1 and v2 both reconstruct — their manifests AND data survive
+    assert(sink.history() == Seq(1L, 2L))
+    assert(sink.searchableAt(1).filter($"_id" === "k0")
+      .select("v").as[String].collect().toSeq == Seq("v1"))
+    assert(sink.searchableAt(1).filter($"_id" === "k1")
+      .select("v").as[String].collect().toSeq == Seq("v0"))
+    assert(sink.searchableAt(2).filter($"_id" === "k1")
+      .select("v").as[String].collect().toSeq == Seq("v2"))
+    // v0 is outside the lease: its manifest is gone, the miss is loud
+    intercept[IllegalArgumentException](sink.searchableAt(0))
+    // the live view is untouched
+    assert(sink.searchable().count() == 8)
+  }
+
   test("in-memory sink honors the same ordered upsert/delete contract") {
     val sink = new InMemoryIndexSink(spark, docSchema)
     sink.addDocuments(Seq(("a", "v1"), ("b", "b1")).toDF("_id", "v"))
