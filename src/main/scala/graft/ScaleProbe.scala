@@ -68,8 +68,12 @@ object ScaleProbe {
 
     val baseDocs = Tables.documents(spark, sfDir)
     val baseEmb = Tables.embeddings(spark, sfDir)
+    val baseCl = SparkEntry.eventsChangelog(spark, sfDir)
     val docStride = baseDocs.agg(max("doc_id")).head().getLong(0) + 1
     val embStride = baseEmb.agg(max("vec_id")).head().getLong(0) + 1
+    val clStrides = baseCl.agg(max("event_id"), max("user_id")).head()
+    val evStride = clStrides.getLong(0) + 1
+    val usStride = clStrides.getLong(1) + 1
 
     // ---- N× corpus generation (untimed) ------------------------------
     def docsPath(n: Int) = s"$scratch/docs_x$n"
@@ -96,9 +100,6 @@ object ScaleProbe {
       // changelog replicas for the INGEST family: salt BOTH the event
       // id (row identity) and the user id (the CDC merge key), so key
       // cardinality grows with the corpus the way a real table's does
-      val baseCl = SparkEntry.eventsChangelog(spark, sfDir)
-      val evStride = baseCl.agg(max("event_id")).head().getLong(0) + 1
-      val usStride = baseCl.agg(max("user_id")).head().getLong(0) + 1
       baseCl.crossJoin(reps)
         .withColumn("event_id", col("event_id") + col("rep") * evStride)
         .withColumn("user_id", col("user_id") + col("rep") * usStride)
@@ -458,9 +459,10 @@ object ScaleProbe {
           runner.processBatch(clN, "op", "user_id", orderCols): Unit
         }
         record("ingest", "load", n, tLoad)
-        // fixed-size delta: the BASE corpus's changelog head re-keyed
-        // past every scaled id range (constant 1500 rows at all scales)
-        val delta = spark.read.parquet(clPath(1)).limit(1500)
+        // fixed-size delta: the smallest requested scale's changelog
+        // head re-keyed past every scaled id range (constant 1500 rows
+        // at all scales; scales need not include 1)
+        val delta = spark.read.parquet(clPath(scales.head)).limit(1500)
           .withColumn("user_id", col("user_id") + lit(1000000000L))
           .withColumn("event_id", col("event_id") + lit(1000000000L))
         val (_, tDelta) = time {

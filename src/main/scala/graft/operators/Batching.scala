@@ -91,6 +91,14 @@ object Batching {
     * own error wins. Every production consumer drains through a
     * shuffle, aggregation or write, so the listener only fires on the
     * unverified-limit pattern this guard exists to forbid.
+    *
+    * Residual case, deliberate: if a persisted-and-verified result
+    * LOSES cached blocks (executor loss, MEMORY_ONLY eviction) and a
+    * later limit recomputes a partition from lineage, the guard fires
+    * again — correctly: the recomputed rows came from a fresh source
+    * read that the original verification never saw, so their numbers
+    * are exactly as unverified as the never-persisted case. Re-running
+    * the persist+verify action is the recovery, and the error says so.
     */
   private[graft] def verifiedEnd[A](it: Iterator[A])(
       verify: Long => Unit): Iterator[A] = new Iterator[A] {
@@ -106,7 +114,11 @@ object Batching {
               "exhaustion (limit/take/show on an unverified numbered " +
               "result). persist() or checkpoint() the numbered " +
               "DataFrame first — the full materialization runs the " +
-              "divergence check — then limit the persisted result.")
+              "divergence check — then limit the persisted result. " +
+              "(If you DID persist and this still fired, a cached " +
+              "partition was lost and recomputed from lineage — the " +
+              "recomputed rows are unverified again; re-run the " +
+              "persist-and-verify action.)")
       }
     }
     def hasNext: Boolean = {

@@ -706,6 +706,41 @@ object Mp3Codec {
                   val ratio = math.tan(pos * math.Pi / 12.0)
                   (ratio / (1.0 + ratio), 1.0 / (1.0 + ratio))
                 }
+              // long-band intensity over lines [0, lineLimit) and bands
+              // [bound, bandLimit): bound inferred from the right
+              // channel's zero_part, positions in the long slots (top
+              // band inherits slot 20), pos-7 bands ride MS when both
+              // joint modes are on. Shared by pure-long granules
+              // (bandLimit 22, all 576 lines) and the long HALF of
+              // mixed granules (bandLimit 8, lines below the seam).
+              def intensityLongRegion(bandLimit: Int, lineLimit: Int): Unit = {
+                val sfbL = SfbLong(h.sr)
+                var lastNon = -1
+                var i = 0
+                while (i < lineLimit) {
+                  if (xrs(1)(i) != 0.0) lastNon = i
+                  i += 1
+                }
+                var b0 = 0
+                while (b0 < bandLimit && sfbL(b0) <= lastNon) b0 += 1
+                if (lastNon == -1) b0 = 0
+                if (ms) msLines(0, sfbL(b0))
+                var b = b0
+                while (b < bandLimit) {
+                  val pos = sfs(1).long(math.min(b, 20))
+                  if (pos <= 6) {
+                    val (fL, fR) = posFactors(pos)
+                    var j = sfbL(b)
+                    while (j < sfbL(b + 1)) {
+                      val v = xrs(0)(j)
+                      xrs(0)(j) = v * fL
+                      xrs(1)(j) = v * fR
+                      j += 1
+                    }
+                  } else if (ms) msLines(sfbL(b), sfbL(b + 1))
+                  b += 1
+                }
+              }
               // intensity splits the LEFT channel's lines in the
               // RIGHT channel's band domain — the two must share a
               // window layout or the reordered indices don't line up
@@ -769,34 +804,8 @@ object Mp3Codec {
                   }
                   w += 1
                 }
-                if (!anyShort) {
-                  val sfbL = SfbLong(h.sr)
-                  var lastNon = -1
-                  var i = 0
-                  while (i < 36) {
-                    if (xrs(1)(i) != 0.0) lastNon = i
-                    i += 1
-                  }
-                  var b0 = 0
-                  while (b0 < 8 && sfbL(b0) <= lastNon) b0 += 1
-                  if (lastNon == -1) b0 = 0
-                  if (ms) msLines(0, sfbL(b0))
-                  var b = b0
-                  while (b < 8) {
-                    val pos = sfs(1).long(b)
-                    if (pos <= 6) {
-                      val (fL, fR) = posFactors(pos)
-                      var j = sfbL(b)
-                      while (j < sfbL(b + 1)) {
-                        val v = xrs(0)(j)
-                        xrs(0)(j) = v * fL
-                        xrs(1)(j) = v * fR
-                        j += 1
-                      }
-                    } else if (ms) msLines(sfbL(b), sfbL(b + 1))
-                    b += 1
-                  }
-                } else if (ms) msLines(0, 36)
+                if (!anyShort) intensityLongRegion(8, 36)
+                else if (ms) msLines(0, 36)
               } else if (intensity && ch == 2 && shortG(1)) {
                 // short-granule intensity: the zero_part, the bound and
                 // the positions are all PER WINDOW — is_pos lives in
@@ -847,32 +856,7 @@ object Mp3Codec {
                   w += 1
                 }
               } else if (intensity && ch == 2) {
-                val sfbL = SfbLong(h.sr)
-                var lastNon = -1
-                var i = 0
-                while (i < 576) {
-                  if (xrs(1)(i) != 0.0) lastNon = i
-                  i += 1
-                }
-                var b0 = 0
-                while (b0 < sfbL.length - 1 && sfbL(b0) <= lastNon) b0 += 1
-                if (lastNon == -1) b0 = 0
-                if (ms) msLines(0, sfbL(b0))
-                var b = b0
-                while (b < sfbL.length - 1) {
-                  val pos = sfs(1).long(math.min(b, 20))
-                  if (pos <= 6) {
-                    val (fL, fR) = posFactors(pos)
-                    var j = sfbL(b)
-                    while (j < sfbL(b + 1)) {
-                      val v = xrs(0)(j)
-                      xrs(0)(j) = v * fL
-                      xrs(1)(j) = v * fR
-                      j += 1
-                    }
-                  } else if (ms) msLines(sfbL(b), sfbL(b + 1))
-                  b += 1
-                }
+                intensityLongRegion(SfbLong(h.sr).length - 1, 576)
               } else if (ms && ch == 2) msLines(0, 576)
               c = 0
               while (c < ch) {

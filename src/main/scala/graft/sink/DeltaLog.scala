@@ -306,11 +306,17 @@ private[sink] object DeltaLog {
   private def dirFingerprint(f: org.apache.hadoop.fs.FileSystem,
       dir: Path): String = {
     val sb = new StringBuilder
+    // PATHS RELATIVE TO THE ROOT, not bare names: name-only digests
+    // collide across structurally different trees (a file moved
+    // between nesting levels keeps its name/len/mtime triple), and a
+    // collision here would reuse a stale legacy-complete verdict
+    val rootLen = f.makeQualified(dir).toString.length
     val stack = scala.collection.mutable.Stack(dir)
     while (stack.nonEmpty) {
       val d = stack.pop()
       f.listStatus(d).sortBy(_.getPath.getName).foreach { st =>
-        sb.append(st.getPath.getName).append('#').append(st.getLen)
+        sb.append(f.makeQualified(st.getPath).toString.drop(rootLen))
+          .append('#').append(st.getLen)
           .append('#').append(st.getModificationTime).append(';')
         if (st.isDirectory) stack.push(st.getPath)
       }
@@ -346,16 +352,24 @@ private[sink] object DeltaLog {
     * idempotent; already-sealed dirs are skipped). The automatic resume
     * sentinel ([[AdoptingMarker]]) is deliberately NOT used here: it
     * would resume without the operator's upToSeq bound.
+    * `fenceDomain` is the store's fence domain — the SAME one its
+    * writers pass to [[commit]]/[[installBase]] (the store dir for the
+    * production stores) — so the fresh epoch acquired here actually
+    * fences a zombie writer; it is required, not defaulted, because
+    * defaulting to the commit root would silently split the domain.
     */
   def migrateLegacy(spark: SparkSession, root: String, markerChild: String,
-      upToSeq: Int, fenceDomain: String = null): Seq[Int] = {
+      upToSeq: Int, fenceDomain: String): Seq[Int] = {
     val f = fs(spark, root)
     if (!f.exists(new Path(root))) return Seq.empty
     // acquire a FRESH claim (not the session's): migration asserts the
     // single writer is stopped — registering a new epoch makes that
-    // enforced, fencing any zombie still holding the old one
-    val we = acquireEpoch(spark,
-      if (fenceDomain != null) fenceDomain else root)
+    // enforced, fencing any zombie still holding the old one. The
+    // fence domain is REQUIRED (no root default): it must be the SAME
+    // domain the store's writers check — the store dir, not the commit
+    // root — or the fresh epoch fences nobody (the split-domain hazard
+    // the class doc warns about).
+    val we = acquireEpoch(spark, fenceDomain)
     sessionEpochs.put(we.domain, we) // this JVM now owns the store
     val adoptable = numericSeqs(spark, root).filter(s =>
       s <= upToSeq && !f.exists(new Path(s"$root/$s/$CommitMarker")) &&

@@ -611,31 +611,55 @@ class ParquetIndexSink(spark: SparkSession, path: String, numBuckets: Int = 16,
       s"keepVersions must be >= 1, got $keepVersions")
     val retained = history().takeRight(keepVersions)
     if (retained.isEmpty) return
+    // a retained-but-unreadable manifest must ABORT, not shrink the
+    // live set — reading past it would delete buckets a kept manifest
+    // still references
+    val ms = retained.map(v => readManifestAt(v).getOrElse(
+      throw new IllegalStateException(
+        s"vacuum at $path: retained manifest v$v listed but unreadable " +
+          "— concurrent maintenance or an inconsistent listing; retry")))
+    val f = fs
+    // SNAPSHOT the delete candidates BEFORE the fence check, and delete
+    // ONLY entries observed in that snapshot: a rival writer that
+    // registers its epoch after the check can then never lose files —
+    // anything it creates is absent from the snapshot by construction
+    // (the installBase GC convention: delete from your own pre-list,
+    // never by re-listing exclusion)
+    val dataDir = new HPath(path, "data")
+    val dataSnapshot: Seq[(HPath, Seq[HPath])] =
+      if (!f.exists(dataDir)) Nil
+      else f.listStatus(dataDir).toSeq.map(c =>
+        c.getPath -> f.listStatus(c.getPath).toSeq.map(_.getPath))
+    val deltaDir = new HPath(path, "delta")
+    val deltaSnapshot: Seq[HPath] =
+      if (!f.exists(deltaDir)) Nil
+      else f.listStatus(deltaDir).toSeq.map(_.getPath)
+    val manifestSnapshot: Seq[HPath] =
+      f.listStatus(manifestDir).toSeq.map(_.getPath)
     // before any delete: a vacuum holding a stale "latest" manifest
     // (zombie maintenance job) must never GC a newer writer's files
     fenceCheck()
-    val f = fs
-    val ms = retained.flatMap(readManifestAt)
     val live = ms.flatMap(_.buckets.values)
       .map(rel => new HPath(s"$path/$rel").toUri.getPath).toSet
-    val dataDir = new HPath(path, "data")
-    if (f.exists(dataDir))
-      f.listStatus(dataDir).foreach { c =>
-        f.listStatus(c.getPath).foreach { b =>
-          if (!live.contains(b.getPath.toUri.getPath)) f.delete(b.getPath, true)
-        }
-        if (f.listStatus(c.getPath).isEmpty) f.delete(c.getPath, true)
+    dataSnapshot.foreach { case (commitDir, buckets) =>
+      val survivors = buckets.filter { b =>
+        val keep = live.contains(b.toUri.getPath)
+        if (!keep) f.delete(b, true)
+        keep
       }
+      // non-recursive: refuses a dir a rival repopulated since our
+      // re-list, instead of recursively destroying the new content
+      if (survivors.isEmpty && f.listStatus(commitDir).isEmpty)
+        f.delete(commitDir, false): Unit
+    }
     val liveDeltas = ms.flatMap(_.deltas)
       .map(rel => new HPath(s"$path/$rel").toUri.getPath).toSet
-    val deltaDir = new HPath(path, "delta")
-    if (f.exists(deltaDir))
-      f.listStatus(deltaDir).foreach { c =>
-        if (!liveDeltas.contains(c.getPath.toUri.getPath)) f.delete(c.getPath, true)
-      }
+    deltaSnapshot.foreach { c =>
+      if (!liveDeltas.contains(c.toUri.getPath)) f.delete(c, true)
+    }
     val keepNames = retained.map(v => s"v$v.json").toSet
-    f.listStatus(manifestDir).foreach { s =>
-      if (!keepNames.contains(s.getPath.getName)) f.delete(s.getPath, false)
+    manifestSnapshot.foreach { s =>
+      if (!keepNames.contains(s.getName)) f.delete(s, false)
     }
   }
 }

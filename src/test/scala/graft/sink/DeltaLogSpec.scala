@@ -264,8 +264,10 @@ class DeltaLogSpec extends SparkSpec {
     // the explicit migration: the operator asserts seqs <= 2 are legacy;
     // the crashed 4 sits above the bound and stays invisible forever
     f.delete(new Path(s"$root/${DeltaLog.AdoptedMarker}"), false)
-    assert(DeltaLog.migrateLegacy(spark, root, "docs", upToSeq = 2)
-      == Seq(1, 2))
+    // fenceDomain must match the domain this root's writers check —
+    // the commits here use the default (the root itself)
+    assert(DeltaLog.migrateLegacy(spark, root, "docs", upToSeq = 2,
+      fenceDomain = root) == Seq(1, 2))
     assert(DeltaLog.listSeqs(spark, root, Some("docs")) == Seq(1, 2, 3, 5))
     assert(!f.exists(new Path(s"$root/4/${DeltaLog.CommitMarker}")))
     assert(f.exists(new Path(s"$root/${DeltaLog.AdoptedMarker}")))

@@ -187,9 +187,14 @@ class GeoIndexSpec extends SparkSpec {
     GeoIndex.write(pts, "pid", "lat", "lon", dir)
     val centers = Seq((1L, 40.0, -74.0))
     val cdf = centers.toDF("cid", "clat", "clon")
+    // MAX job id, not retained-count: the status store evicts old jobs
+    // past spark.ui.retainedJobs, so a length delta goes NEGATIVE once
+    // the suite has run enough jobs before this test — ids are
+    // monotonic, eviction-proof
     def jobCount(): Int = {
       Thread.sleep(300)
-      spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      spark.sparkContext.statusTracker.getJobIdsForGroup(null)
+        .foldLeft(-1)(math.max)
     }
     // constructing ANY live-view read runs the parquet listing/schema
     // jobs; the pin is RELATIVE — the DataFrame-centers form must add
