@@ -1420,6 +1420,210 @@ object Mp3Codec {
       intensityBand = intensityBand)
   }
 
+  // ---- encoder intensity transforms ---------------------------------
+  //
+  // Extracted from the frame loop as object-level methods for a JVM
+  // reason, not only style: the frame loop is one enormous method, and
+  // HotSpot refuses to JIT-compile methods past the 8K-bytecode
+  // DontCompileHugeMethods limit — round 14's inline mode_extension-3
+  // additions pushed it over and the WHOLE encode path (mono included)
+  // fell back to the interpreter, doubling every MP3 bench row. Keep
+  // new per-granule machinery out of the frame loop's own body.
+
+  /** Orthonormal mid/side matrix gain, 1/sqrt(2). */
+  private val Msq = 1.0 / math.sqrt(2.0)
+
+  /** is_pos of an (energy-left, energy-right) pair: round(atan2·12/π)
+    * clamped to 0-6, with a silent right meaning pure-left (6).
+    */
+  private def intensityPosOf(el: Double, er: Double): Int =
+    if (er <= 0.0) 6
+    else math.max(0, math.min(6, math.round(
+      math.atan2(math.sqrt(el), math.sqrt(er)) * 12.0 / math.Pi).toInt))
+
+  /** Long-block intensity transform: bands [ib, nBands) sum into the
+    * left channel, right zeroed, positions returned (22 slots; band 21
+    * inherits slot 20, so slot 20 carries the JOINT direction of 20+21).
+    * Under mode_extension 3 the suffix rule raises the effective bound
+    * past anti-phase bands (their sum would cancel; they ride pos-7
+    * mid/side) and EVERYTHING below the effective bound is matrixed.
+    * Mutates `xl`/`xrr` in place.
+    */
+  private def intensityTransformLong(xl: Array[Double], xrr: Array[Double],
+      sfb: Array[Int], ib: Int, msIntensity: Boolean): Array[Int] = {
+    val pos = new Array[Int](22)
+    val nBands = sfb.length - 1 // 22 on every MPEG-1/LSF rate
+    var effStart = ib
+    if (msIntensity) {
+      var b = ib
+      while (b < nBands) {
+        var cross = 0.0
+        var i = sfb(b)
+        while (i < sfb(b + 1)) { cross += xl(i) * xrr(i); i += 1 }
+        if (cross < 0) effStart = b + 1
+        b += 1
+      }
+      // the top band has no slot of its own (the decoder reads slot 20
+      // for it) — if the suffix rule leaves ONLY that band, a position
+      // cannot be transmitted, so matrix it too (no intensity region)
+      if (effStart == 21) effStart = 22
+      var i = 0
+      while (i < sfb(effStart)) {
+        val l = xl(i); val r = xrr(i)
+        xl(i) = (l + r) * Msq; xrr(i) = (l - r) * Msq
+        i += 1
+      }
+      var b2 = ib
+      while (b2 < effStart) { pos(b2) = 7; b2 += 1 }
+    }
+    val elB = new Array[Double](22)
+    val erB = new Array[Double](22)
+    var b = effStart
+    while (b < nBands) {
+      var i = sfb(b)
+      while (i < sfb(b + 1)) {
+        elB(b) += xl(i) * xl(i); erB(b) += xrr(i) * xrr(i)
+        xl(i) += xrr(i); xrr(i) = 0.0
+        i += 1
+      }
+      b += 1
+    }
+    b = effStart
+    while (b < nBands) {
+      pos(b) =
+        if (b >= 20) intensityPosOf(elB(20) + elB(21), erB(20) + erB(21))
+        else intensityPosOf(elB(b), erB(b))
+      b += 1
+    }
+    pos
+  }
+
+  /** Short-window intensity transform over bands [startBand, 13) per
+    * window, positions per (window, band) with band 12 folded into
+    * slot 11. `startBand` is both the bound and the band floor (the
+    * clamped bound for pure short granules; 3 for the mixed short
+    * half, whose whole range is in the region). Under mode_extension 3
+    * the per-window suffix rule applies, with the MS matrix covering
+    * window lines [msFrom, effStart) — msFrom 0 for pure short, 12 for
+    * the mixed short half (its lines below 12 belong to the long
+    * half). Returns (positions, any window took an MS fallback).
+    * Mutates `xl`/`xrr` in place (reordered-domain indices).
+    */
+  private def intensityTransformShort(xl: Array[Double], xrr: Array[Double],
+      sfbS: Array[Int], startBand: Int, msFrom: Int,
+      msIntensity: Boolean): (Array[Array[Int]], Boolean) = {
+    val pos = Array.ofDim[Int](3, 13)
+    var hasMs = false
+    var w = 0
+    while (w < 3) {
+      var effStart = startBand
+      if (msIntensity) {
+        var b = startBand
+        while (b < 13) {
+          var cross = 0.0
+          var fl = sfbS(b)
+          while (fl < sfbS(b + 1)) {
+            val i = (fl / 6) * 18 + w * 6 + fl % 6
+            cross += xl(i) * xrr(i)
+            fl += 1
+          }
+          if (cross < 0) effStart = b + 1
+          b += 1
+        }
+        // band 12 inherits slot 11 — a region of only band 12 cannot
+        // carry its own position
+        if (effStart == 12) effStart = 13
+        var fl = msFrom
+        while (fl < sfbS(effStart)) {
+          val i = (fl / 6) * 18 + w * 6 + fl % 6
+          val l = xl(i); val r = xrr(i)
+          xl(i) = (l + r) * Msq; xrr(i) = (l - r) * Msq
+          fl += 1
+        }
+        var b2 = startBand
+        while (b2 < effStart) { pos(w)(b2) = 7; b2 += 1 }
+        if (effStart > startBand) hasMs = true
+      }
+      val elB = new Array[Double](13)
+      val erB = new Array[Double](13)
+      var b = effStart
+      while (b < 13) {
+        var fl = sfbS(b)
+        while (fl < sfbS(b + 1)) {
+          val i = (fl / 6) * 18 + w * 6 + fl % 6
+          elB(b) += xl(i) * xl(i); erB(b) += xrr(i) * xrr(i)
+          xl(i) += xrr(i); xrr(i) = 0.0
+          fl += 1
+        }
+        b += 1
+      }
+      b = effStart
+      while (b < 13) {
+        pos(w)(b) =
+          if (b >= 11) // band 12 inherits slot 11 at decode
+            intensityPosOf(elB(11) + elB(12), erB(11) + erB(12))
+          else intensityPosOf(elB(b), erB(b))
+        b += 1
+      }
+      w += 1
+    }
+    (pos, hasMs)
+  }
+
+  /** The LONG HALF of a mixed granule's intensity transform: bands
+    * [ib, 8) over natural lines below the seam. When the short half
+    * took ANY MS fallback (`shortHasMs`), the decoder can never reach
+    * a long bound — transmission order puts every short line above
+    * every long line — so the whole half is matrixed under pos-7
+    * markers. Mutates `xl`/`xrr` in place.
+    */
+  private def intensityTransformMixedLong(xl: Array[Double],
+      xrr: Array[Double], sfb: Array[Int], ib: Int,
+      msIntensity: Boolean, shortHasMs: Boolean): Array[Int] = {
+    val pos = new Array[Int](8)
+    def matrixLong(until: Int): Unit = {
+      var i = 0
+      while (i < until) {
+        val l = xl(i); val r = xrr(i)
+        xl(i) = (l + r) * Msq; xrr(i) = (l - r) * Msq
+        i += 1
+      }
+    }
+    if (msIntensity && shortHasMs) {
+      matrixLong(36)
+      var b = ib
+      while (b < 8) { pos(b) = 7; b += 1 }
+    } else {
+      var effStart = ib
+      if (msIntensity) {
+        var b = ib
+        while (b < 8) {
+          var cross = 0.0
+          var i = sfb(b)
+          while (i < sfb(b + 1)) { cross += xl(i) * xrr(i); i += 1 }
+          if (cross < 0) effStart = b + 1
+          b += 1
+        }
+        matrixLong(sfb(effStart))
+        var b2 = ib
+        while (b2 < effStart) { pos(b2) = 7; b2 += 1 }
+      }
+      var b = effStart
+      while (b < 8) {
+        var el = 0.0; var er = 0.0
+        var i = sfb(b)
+        while (i < sfb(b + 1)) {
+          el += xl(i) * xl(i); er += xrr(i) * xrr(i)
+          xl(i) += xrr(i); xrr(i) = 0.0
+          i += 1
+        }
+        pos(b) = intensityPosOf(el, er)
+        b += 1
+      }
+    }
+    pos
+  }
+
   private def encodeFrames(chans: Array[Array[Int]], sampleRate: Int,
       bitrateKbps: Int, blockMode: String, mode: Int,
       modeExt: Int, intensityBand: Int = -1): Array[Byte] = {
@@ -1712,269 +1916,32 @@ object Mp3Codec {
         // mode_extension 3: mid/side below the bound, intensity above;
         // anti-phase bands above the bound ride the pos-7 MS fallback
         val msIntensity = intensityBand >= 0 && modeExt == 3
-        val msq = 1.0 / math.sqrt(2.0)
-        def intensityPos(el: Double, er: Double): Int =
-          if (er <= 0.0) 6
-          else math.max(0, math.min(6, math.round(
-            math.atan2(math.sqrt(el), math.sqrt(er)) *
-              12.0 / math.Pi).toInt))
+        // intensity transforms live in object-level methods (see their
+        // scaladoc — keeping them OUT of this already-huge method is
+        // what keeps the frame loop under HotSpot's JIT size limit):
+        // long blocks take the plain long transform; mixed granules
+        // run the short half FIRST (any MS fallback there forces the
+        // whole long half onto mid/side); pure short granules clamp an
+        // auto-mode long bound to the short band range
         val isPosG: Array[Int] =
           if (intensityBand < 0 || bt == 2) null
-          else {
-            val pos = new Array[Int](22)
-            val xl = granXr(0); val xrr = granXr(1)
-            val nBands = sfb.length - 1 // 22 on every MPEG-1/LSF rate
-            // the intensity region must be a SUFFIX of the spectrum —
-            // the decoder intensity-processes everything above the
-            // right channel's last nonzero line, so a summed band may
-            // never sit below a band that keeps side content. Under
-            // mode_extension 3, raise the effective bound past the
-            // last anti-phase band (its sum would cancel; mid/side
-            // carries it) and matrix EVERYTHING below.
-            var effStart = intensityBand
-            if (msIntensity) {
-              var b = intensityBand
-              while (b < nBands) {
-                var cross = 0.0
-                var i = sfb(b)
-                while (i < sfb(b + 1)) {
-                  cross += xl(i) * xrr(i)
-                  i += 1
-                }
-                if (cross < 0) effStart = b + 1
-                b += 1
-              }
-              // the top band has no slot of its own (the decoder reads
-              // slot 20 for it) — if the suffix rule leaves ONLY that
-              // band, a position cannot be transmitted for it, so
-              // matrix it too and run with no intensity region
-              if (effStart == 21) effStart = 22
-              var i = 0
-              while (i < sfb(effStart)) {
-                val l = xl(i); val r = xrr(i)
-                xl(i) = (l + r) * msq; xrr(i) = (l - r) * msq
-                i += 1
-              }
-              var b2 = intensityBand
-              while (b2 < effStart) { pos(b2) = 7; b2 += 1 }
-            }
-            // energies first, then positions: on 22-band tables band 21
-            // inherits slot 20 at decode, so pos(20) must represent the
-            // JOINT direction of bands 20 and 21
-            val elB = new Array[Double](22)
-            val erB = new Array[Double](22)
-            var b = effStart
-            while (b < nBands) {
-              var i = sfb(b)
-              while (i < sfb(b + 1)) {
-                elB(b) += xl(i) * xl(i); erB(b) += xrr(i) * xrr(i)
-                xl(i) += xrr(i); xrr(i) = 0.0
-                i += 1
-              }
-              b += 1
-            }
-            b = effStart
-            while (b < nBands) {
-              pos(b) =
-                if (b >= 20) // band 21 inherits slot 20 at decode
-                  intensityPos(elB(20) + elB(21), erB(20) + erB(21))
-                else intensityPos(elB(b), erB(b))
-              b += 1
-            }
-            pos
-          }
-        // short-granule intensity: the same transform per (band,
-        // window) in the reordered domain; the bound is a SHORT band
-        // mixed-granule intensity (the two shipped halves composed):
-        // long positions below the seam for bands [ib, 8) over natural
-        // lines, per-window short positions above for bands 3-12 (band
-        // 12 folds into slot 11). Under mode_extension 3 the suffix
-        // rule runs per window in the short half (anti-phase bands ride
-        // the pos-7 mid/side fallback) — and the LONG half's positions
-        // are only decodable when the right channel's whole short half
-        // is zero (transmission order puts every short line above every
-        // long line), so ANY short MS fallback forces the entire long
-        // half onto mid/side. The short transform therefore runs FIRST.
-        var mixedShortHasMs = false
+          else intensityTransformLong(granXr(0), granXr(1), sfb,
+            intensityBand, msIntensity)
+        val smPair: (Array[Array[Int]], Boolean) =
+          if (intensityBand < 0 || bt != 2 || !mixedMode) null
+          else intensityTransformShort(granXr(0), granXr(1), sfbS,
+            startBand = 3, msFrom = 12, msIntensity)
         val isPosSM: Array[Array[Int]] =
-          if (intensityBand < 0 || bt != 2 || !mixedMode) null
-          else {
-            val pos = Array.ofDim[Int](3, 13)
-            val xl = granXr(0); val xrr = granXr(1)
-            var w = 0
-            while (w < 3) {
-              var effStart = 3
-              if (msIntensity) {
-                var b = 3
-                while (b < 13) {
-                  var cross = 0.0
-                  var fl = sfbS(b)
-                  while (fl < sfbS(b + 1)) {
-                    val i = (fl / 6) * 18 + w * 6 + fl % 6
-                    cross += xl(i) * xrr(i)
-                    fl += 1
-                  }
-                  if (cross < 0) effStart = b + 1
-                  b += 1
-                }
-                // band 12 inherits slot 11 — a region of only band 12
-                // cannot carry its own position
-                if (effStart == 12) effStart = 13
-                var fl = 12
-                while (fl < sfbS(effStart)) {
-                  val i = (fl / 6) * 18 + w * 6 + fl % 6
-                  val l = xl(i); val r = xrr(i)
-                  xl(i) = (l + r) * msq; xrr(i) = (l - r) * msq
-                  fl += 1
-                }
-                var b2 = 3
-                while (b2 < effStart) { pos(w)(b2) = 7; b2 += 1 }
-                if (effStart > 3) mixedShortHasMs = true
-              }
-              val elB = new Array[Double](13)
-              val erB = new Array[Double](13)
-              var b = effStart
-              while (b < 13) {
-                var fl = sfbS(b)
-                while (fl < sfbS(b + 1)) {
-                  val i = (fl / 6) * 18 + w * 6 + fl % 6
-                  elB(b) += xl(i) * xl(i); erB(b) += xrr(i) * xrr(i)
-                  xl(i) += xrr(i); xrr(i) = 0.0
-                  fl += 1
-                }
-                b += 1
-              }
-              b = effStart
-              while (b < 13) {
-                pos(w)(b) =
-                  if (b >= 11) // band 12 inherits slot 11 at decode
-                    intensityPos(elB(11) + elB(12), erB(11) + erB(12))
-                  else intensityPos(elB(b), erB(b))
-                b += 1
-              }
-              w += 1
-            }
-            pos
-          }
+          if (smPair == null) null else smPair._1
         val isPosGM: Array[Int] =
-          if (intensityBand < 0 || bt != 2 || !mixedMode) null
-          else {
-            val pos = new Array[Int](8)
-            val xl = granXr(0); val xrr = granXr(1)
-            def matrixLong(until: Int): Unit = {
-              var i = 0
-              while (i < until) {
-                val l = xl(i); val r = xrr(i)
-                xl(i) = (l + r) * msq; xrr(i) = (l - r) * msq
-                i += 1
-              }
-            }
-            if (msIntensity && mixedShortHasMs) {
-              // a short MS band keeps side content above every long
-              // line — the decoder can never reach a long bound, so the
-              // whole long half rides mid/side under pos-7 markers
-              matrixLong(36)
-              var b = intensityBand
-              while (b < 8) { pos(b) = 7; b += 1 }
-            } else {
-              var effStart = intensityBand
-              if (msIntensity) {
-                var b = intensityBand
-                while (b < 8) {
-                  var cross = 0.0
-                  var i = sfb(b)
-                  while (i < sfb(b + 1)) {
-                    cross += xl(i) * xrr(i); i += 1
-                  }
-                  if (cross < 0) effStart = b + 1
-                  b += 1
-                }
-                matrixLong(sfb(effStart))
-                var b2 = intensityBand
-                while (b2 < effStart) { pos(b2) = 7; b2 += 1 }
-              }
-              var b = effStart
-              while (b < 8) {
-                var el = 0.0; var er = 0.0
-                var i = sfb(b)
-                while (i < sfb(b + 1)) {
-                  el += xl(i) * xl(i); er += xrr(i) * xrr(i)
-                  xl(i) += xrr(i); xrr(i) = 0.0
-                  i += 1
-                }
-                pos(b) = intensityPos(el, er)
-                b += 1
-              }
-            }
-            pos
-          }
+          if (smPair == null) null
+          else intensityTransformMixedLong(granXr(0), granXr(1), sfb,
+            intensityBand, msIntensity, smPair._2)
         val isPosS: Array[Array[Int]] =
           if (intensityBand < 0 || bt != 2 || mixedMode) null
-          else {
-            val pos = Array.ofDim[Int](3, 13)
-            // auto mode may carry a long-scale bound — clamp to the
-            // short band range for this granule's windows (band 12
-            // carries no slot, so the bound tops out at 11)
-            val ibS = math.min(intensityBand, 11)
-            val xl = granXr(0); val xrr = granXr(1)
-            var w = 0
-            while (w < 3) {
-              // suffix rule per window (see the long transform)
-              var effStart = ibS
-              if (msIntensity) {
-                var b = ibS
-                while (b < 13) {
-                  var cross = 0.0
-                  var fl = sfbS(b)
-                  while (fl < sfbS(b + 1)) {
-                    val i = (fl / 6) * 18 + w * 6 + fl % 6
-                    cross += xl(i) * xrr(i)
-                    fl += 1
-                  }
-                  if (cross < 0) effStart = b + 1
-                  b += 1
-                }
-                // band 12 inherits slot 11 at decode — a region of
-                // only band 12 cannot carry its own position
-                if (effStart == 12) effStart = 13
-                var fl = 0
-                while (fl < sfbS(effStart)) {
-                  val i = (fl / 6) * 18 + w * 6 + fl % 6
-                  val l = xl(i); val r = xrr(i)
-                  xl(i) = (l + r) * msq; xrr(i) = (l - r) * msq
-                  fl += 1
-                }
-                var b2 = ibS
-                while (b2 < effStart) { pos(w)(b2) = 7; b2 += 1 }
-              }
-              // energies first, then positions: band 12 inherits
-              // slot 11 at decode, so pos(11) must represent the JOINT
-              // direction of bands 11 and 12
-              val elB = new Array[Double](13)
-              val erB = new Array[Double](13)
-              var b = effStart
-              while (b < 13) {
-                var fl = sfbS(b)
-                while (fl < sfbS(b + 1)) {
-                  val i = (fl / 6) * 18 + w * 6 + fl % 6
-                  elB(b) += xl(i) * xl(i); erB(b) += xrr(i) * xrr(i)
-                  xl(i) += xrr(i); xrr(i) = 0.0
-                  fl += 1
-                }
-                b += 1
-              }
-              b = effStart
-              while (b < 13) {
-                pos(w)(b) =
-                  if (b >= 11)
-                    intensityPos(elB(11) + elB(12), erB(11) + erB(12))
-                  else intensityPos(elB(b), erB(b))
-                b += 1
-              }
-              w += 1
-            }
-            pos
-          }
+          else intensityTransformShort(granXr(0), granXr(1), sfbS,
+            startBand = math.min(intensityBand, 11), msFrom = 0,
+            msIntensity)._1
         c = 0
         while (c < nch) {
           val xr = granXr(c)
