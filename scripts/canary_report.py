@@ -10,9 +10,12 @@ import statistics
 import sys
 
 runs = []
+fulls = []
 for path in sys.argv[1:]:
     with open(path) as f:
-        runs.append(json.load(f)["queries"])
+        d = json.load(f)
+        fulls.append(d)
+        runs.append(d["queries"])
 if not runs:
     sys.exit("no run files given")
 
@@ -44,3 +47,13 @@ print(f"\ntotals per run: {['%.1f' % t for t in tot]} s; "
 wide = [n for n, med, lo, hi, sp in rows if sp is not None and sp > 0.5]
 if wide:
     print(f"rows with >50% spread (noise, not regression signal): {wide}")
+
+# ingest throughput rows (r14 verdict: a 3.8x board-level ingest swing
+# must be caught in-round — the canary now tracks docs/s medians too)
+for key in ("ingest_docs_per_sec", "ingest_delta_docs_per_sec"):
+    vals = [d[key] for d in fulls if d.get(key, -1) > 0]
+    if vals:
+        med = statistics.median(vals)
+        print(f"{key}: median {med:.0f} (min {min(vals):.0f}, "
+              f"max {max(vals):.0f}, spread "
+              f"{(max(vals) - min(vals)) / med * 100:.0f}%)")

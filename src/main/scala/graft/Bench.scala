@@ -108,9 +108,18 @@ object Bench {
         }
         // warm pass first (same methodology as the query warm pass): a real
         // pipeline commits thousands of micro-batches, so steady-state —
-        // codegen/JIT primed — is the honest throughput number
+        // codegen/JIT primed — is the honest throughput number. Then
+        // MIN-OF-2 over two warm runs, exactly like the query rows: the
+        // r14 driver board recorded ingest_pipeline at 3.8× its band off
+        // a single warm sample on a loaded box (four same-binary re-runs
+        // read 1,415–1,901 docs/s) — one noise spike must not be the
+        // round's recorded ingest number when every query row already
+        // gets the min-of-2 treatment.
         oneBatch()
-        oneBatch()
+        val a = oneBatch()
+        val b = oneBatch()
+        if (a._1 <= b._1) (a._1, a._2, math.min(a._3, b._3), a._4)
+        else (b._1, b._2, math.min(a._3, b._3), b._4)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] ingest_pipeline failed: ${e.getMessage}")

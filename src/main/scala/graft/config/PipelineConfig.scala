@@ -31,10 +31,20 @@ final case class PipelineConfig(
     shardingLatField: String = "lat",
     shardingLonField: String = "lon",
     // streaming
-    checkpointLocation: String = "") {
+    checkpointLocation: String = "",
+    // retention / reader leases (DeltaLog.installBase + IndexSink.vacuum
+    // scaladoc): how many previous sealed generations (stores) and
+    // manifest versions (the document sink) maintenance keeps alive for
+    // in-flight readers. Size both to
+    // (longest expected scan or pinned-version age) / (compaction or
+    // vacuum interval); 1 = only the latest survives maintenance.
+    keepVersions: Int = 1,
+    keepGenerations: Int = 1) {
   require(indexName != null && indexName.nonEmpty, "indexName is required")
   require(batchSize > 0, "batchSize must be positive")
   require(workerThreads > 0, "workerThreads must be positive")
+  require(keepVersions >= 1, "keepVersions must be >= 1")
+  require(keepGenerations >= 1, "keepGenerations must be >= 1")
 }
 
 /** Dotted-path navigation over nested config maps, mirroring

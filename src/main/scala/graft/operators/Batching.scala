@@ -80,11 +80,21 @@ object Batching {
     * the case for writes, aggregations, joins and full collects
     * (including empty partitions: the first hasNext triggers it).
     *
+    * Consumers that pull exactly n elements via `next()` with the count
+    * known (copyToArray, zip against an equal-length iterator, custom
+    * mapPartitions code) never make that trailing `hasNext` call — so
+    * `next()` ALSO probes the underlying iterator after each pull and
+    * runs the check the moment the last element leaves (hasNext is
+    * idempotent by the Iterator contract, so the extra probe is safe;
+    * the element is returned only after its partition verified). Full
+    * consumption therefore verifies through EITHER protocol.
+    *
     * An early-terminating consumer (`limit`/`take`/`show`/`isEmpty`
-    * abandoning the iterator mid-partition) cannot run the check for
-    * the rows it did take — so abandonment is LOUD, not best-effort: a
-    * task-completion listener fails any successful task that ends with
-    * the iterator unverified, naming the persist()-then-limit pattern
+    * abandoning the iterator mid-partition, rows still remaining)
+    * cannot run the check for the rows it did take — so abandonment is
+    * LOUD, not best-effort: a task-completion listener fails any
+    * successful task that ends with the iterator unverified AND
+    * non-exhausted, naming the persist()-then-limit pattern
     * (persist materializes every partition fully — the verification
     * runs during that pass — and the limit then reads cached blocks).
     * Failed or interrupted (speculation-killed) tasks are exempt: their
@@ -104,9 +114,21 @@ object Batching {
       verify: Long => Unit): Iterator[A] = new Iterator[A] {
     private var n = 0L
     private var checked = false
+    private def verifyOnce(): Unit =
+      if (!checked) { checked = true; verify(n) }
     locally {
       val ctx = org.apache.spark.TaskContext.get()
       if (ctx != null) ctx.addTaskCompletionListener[Unit] { c =>
+        // last-chance drain probe: a consumer that took every element
+        // without a trailing hasNext (or touched an empty partition not
+        // at all) IS fully consumed — verify here instead of failing.
+        // Guarded: at completion time the underlying iterator's
+        // resources may already be torn down by later-registered
+        // (earlier-run) listeners, and a probe failure must not mask
+        // the real verdict — an unprobeable iterator stays unverified.
+        if (!checked && !c.isFailed() && !c.isInterrupted()) {
+          try { if (!it.hasNext) verifyOnce() } catch { case _: Exception => () }
+        }
         if (!checked && !c.isFailed() && !c.isInterrupted())
           throw new IllegalStateException(
             "two-pass numbering consumed without verification: the " +
@@ -123,10 +145,18 @@ object Batching {
     }
     def hasNext: Boolean = {
       val h = it.hasNext
-      if (!h && !checked) { checked = true; verify(n) }
+      if (!h) verifyOnce()
       h
     }
-    def next(): A = { val a = it.next(); n += 1; a }
+    def next(): A = {
+      val a = it.next()
+      n += 1
+      // eager drain detection for exact-n consumers (see scaladoc): if
+      // that was the last element, verify NOW — before the consumer,
+      // which may never call hasNext again, acts on it
+      if (!it.hasNext) verifyOnce()
+      a
+    }
   }
 
   /** Append a 1-based global row number in `orderCol` order, without a

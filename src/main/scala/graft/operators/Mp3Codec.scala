@@ -88,7 +88,11 @@ import scala.collection.mutable.ArrayBuffer
   *     fail. No authoritative copy of the B.7 constants exists in this
   *     offline container (checked: /opt/spark/jars, the reference repo,
   *     the retrieved-snippets corpus), so the blockage stands, the
-  *     COVERAGE.md Kafka-jar convention. An encoder round-trip can
+  *     COVERAGE.md Kafka-jar convention. RE-CHECKED 2026-08-16 (round
+  *     15): a fresh filesystem-wide sweep (every *huff* source file on
+  *     disk, the gsutil/SDK trees, PAPERS.md/SNIPPETS.md greps for
+  *     table data) surfaced only HTTP/2 HPACK Huffman constants —
+  *     still no ISO B.7 source; blocked. An encoder round-trip can
   *     self-verify internal consistency per table but not spec
   *     conformance; these tables stay out until real constants are
   *     available.

@@ -76,6 +76,20 @@ final class PipelineRunner(
     } finally compacted.unpersist()
   }
 
+  /** Post-batch retention maintenance from the pipeline's OWN process —
+    * the safe place to vacuum (the writer's session epoch is reused, so
+    * the live writer can never be fenced by its own maintenance).
+    * Retention comes from the config surface ([[PipelineConfig
+    * .keepVersions]]); sinks without a vacuum are a no-op. Run it
+    * between batches on whatever cadence storage costs dictate.
+    */
+  def maintain(dryRun: Boolean = false): Option[graft.sink.VacuumReport] =
+    sink match {
+      case p: graft.sink.ParquetIndexSink =>
+        Some(p.vacuum(cfg.keepVersions, dryRun))
+      case _ => None
+    }
+
   /** B2/B6 — classified bounded retry. */
   private def withRetry[T](body: => T): T = {
     var attempt = 0

@@ -116,10 +116,27 @@ private[sink] object DeltaLog {
     val p = new Path(s"$domain/$EpochDir")
     if (!f.exists(p)) Seq.empty
     else f.listStatus(p).toSeq.flatMap(_.getPath.getName match {
-      case epochPat(n, t) => Some((n.toInt, t))
+      // n.toIntOption, not n.toInt: a stray/corrupt ledger file whose
+      // digit run overflows Int would otherwise throw from EVERY
+      // mutation path (acquireEpoch/checkFence) — a damaged entry must
+      // not brick all writes. Unparseable entries are skipped LOUDLY
+      // (named once per JVM): legitimate epochs are %09d-formatted
+      // Ints, so anything outside Int range is damage, not a claim.
+      case epochPat(n, t) => n.toIntOption match {
+        case Some(e) => Some((e, t))
+        case None =>
+          val file = s"$domain/$EpochDir/e-$n-$t"
+          if (badEpochWarned.add(file)) System.err.println(
+            s"[DeltaLog] ignoring unparseable epoch ledger entry $file " +
+              "(epoch number outside Int range — corrupt or foreign " +
+              "file; delete it to silence this warning)")
+          None
+      }
       case _ => None
     })
   }
+  private val badEpochWarned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Register this writer session's claim on `domain` (a store's root
     * directory): PUT an epoch file numbered past every existing claim,
@@ -301,8 +318,12 @@ private[sink] object DeltaLog {
     * deep scan it caches additionally OPENS every parquet file twice,
     * so the cache still pays for itself on every re-read.
     */
+  // keyed by (dir, markerChild) holding the LAST verified fingerprint —
+  // a tree change supersedes the old entry instead of stranding it
+  // forever (the Set-of-composite-keys shape grew one dead entry per
+  // tree change, unbounded on slowly-mutating unadopted roots)
   private val legacyCompleteCache =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def dirFingerprint(f: org.apache.hadoop.fs.FileSystem,
       dir: Path): String = {
     val sb = new StringBuilder
@@ -330,10 +351,10 @@ private[sink] object DeltaLog {
     val fp =
       try dirFingerprint(f, new Path(dir))
       catch { case _: java.io.FileNotFoundException => return false }
-    val key = s"$dir#$markerChild#$fp"
-    legacyCompleteCache.contains(key) ||
+    val key = s"$dir#$markerChild"
+    legacyCompleteCache.get(key) == fp ||
       (legacyComplete(f, new Path(dir), markerChild) && {
-        legacyCompleteCache.add(key); true
+        legacyCompleteCache.put(key, fp); true
       })
   }
 
@@ -428,10 +449,16 @@ private[sink] object DeltaLog {
     * only once the sentinel exists. Returns `seq`.
     */
   def commit(spark: SparkSession, root: String, seq: Int,
-      markerChild: String, fenceDomain: String = null,
+      markerChild: String, fenceDomain: String,
       epoch: WriterEpoch = null)(write: String => Unit): Int = {
-    val we = resolveEpoch(spark,
-      if (fenceDomain != null) fenceDomain else root, epoch)
+    // REQUIRED, like migrateLegacy's: a store's commit root is usually
+    // `$dir/commits`, a CHILD of the fence domain — defaulting to the
+    // root here silently split the domain (zombie commits unfenced by a
+    // rival's epoch on the store dir, the class-doc hazard)
+    require(fenceDomain != null && fenceDomain.nonEmpty,
+      "commit() needs the store's fence domain (the store root dir — " +
+        "the SAME domain every other mutation of this store checks)")
+    val we = resolveEpoch(spark, fenceDomain, epoch)
     checkFence(spark, we) // early out before burning the write
     val tmp = s"$root/.tmp-$seq"
     write(tmp)
@@ -536,12 +563,17 @@ private[sink] object DeltaLog {
     * costs one full base copy of storage).
     */
   def installBase(spark: SparkSession, dir: String, name: String,
-      keepGenerations: Int = 1, fenceDomain: String = null,
+      keepGenerations: Int = 1, fenceDomain: String,
       epoch: WriterEpoch = null)(write: String => Unit): String = {
     require(keepGenerations >= 1,
       s"keepGenerations must be >= 1, got $keepGenerations")
-    val we = resolveEpoch(spark,
-      if (fenceDomain != null) fenceDomain else dir, epoch)
+    // required like commit()'s: for the production stores this IS `dir`,
+    // but spelling it at the call site keeps a future multi-store root
+    // from silently splitting the fence domain
+    require(fenceDomain != null && fenceDomain.nonEmpty,
+      "installBase() needs the store's fence domain (the store root " +
+        "dir — the SAME domain every other mutation of this store checks)")
+    val we = resolveEpoch(spark, fenceDomain, epoch)
     checkFence(spark, we)
     val f = fs(spark, dir)
     val versions = baseVersions(spark, dir, name)

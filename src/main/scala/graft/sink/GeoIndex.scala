@@ -181,7 +181,7 @@ object GeoIndex {
         spark.sparkContext.parallelize(
           Seq(Row(idCol, latCol, lonCol, cellDeg)), 1), metaSchema)
       .write.mode("overwrite").parquet(s"$dir/meta")
-    DeltaLog.installBase(spark, dir, "cells") { tmp =>
+    DeltaLog.installBase(spark, dir, "cells", fenceDomain = dir) { tmp =>
       checkedPoints(points, latCol, lonCol)
         .withColumn("cell", cellExpr(latCol, lonCol, cellDeg))
         .repartition(col("cell"))
@@ -300,15 +300,21 @@ object GeoIndex {
     * contract). Installed via [[DeltaLog.installBase]]: written in
     * place, sealed by the marker — no directory rename, so a concurrent
     * reader on an object store never sees a partial base.
+    * Maintenance contract (who may call, from where, `epoch`):
+    * [[VectorIndex.compact]].
     */
   def compact(spark: SparkSession, dir: String,
-      keepGenerations: Int = 1): Unit = {
+      keepGenerations: Int = 1, epoch: WriterEpoch = null): Unit = {
     val seqs = commitSeqs(spark, dir)
     if (seqs.isEmpty) return
+    val we = DeltaLog.resolveEpoch(spark, dir, epoch)
     val folded = live(spark, dir, None)
-    DeltaLog.installBase(spark, dir, "cells", keepGenerations) { tmp =>
+    DeltaLog.installBase(spark, dir, "cells", keepGenerations, fenceDomain = dir, epoch = we) { tmp =>
       folded.write.mode("overwrite").partitionBy("cell").parquet(tmp)
     }: Unit
+    // fenced since the install => never GC the folded log: a
+    // zombie compactor must not delete commits a rival's view holds
+    DeltaLog.checkFence(spark, we)
     val f = DeltaLog.fs(spark, dir)
     seqs.foreach(s => f.delete(new Path(s"$dir/commits/$s"), true))
   }
@@ -319,9 +325,9 @@ object GeoIndex {
     * compaction ran.
     */
   def maybeCompact(spark: SparkSession, dir: String,
-      maxDeltas: Int = 8): Boolean = {
+      maxDeltas: Int = 8, keepGenerations: Int = 1): Boolean = {
     val rec = commitSeqs(spark, dir).length > maxDeltas
-    if (rec) compact(spark, dir)
+    if (rec) compact(spark, dir, keepGenerations)
     rec
   }
 

@@ -45,7 +45,7 @@ object IncrementalPostings {
   def init(docs: DataFrame, idCol: String, textCol: String,
       dir: String, withPositions: Boolean = false): Unit = {
     val spark = docs.sparkSession
-    DeltaLog.installBase(spark, dir, "base") { tmp =>
+    DeltaLog.installBase(spark, dir, "base", fenceDomain = dir) { tmp =>
       InvertedIndex.writePostings(
         InvertedIndex.postings(docs, idCol, textCol), s"$tmp/postings")
       InvertedIndex.docLengths(docs, idCol, textCol)
@@ -342,10 +342,10 @@ object IncrementalPostings {
     * observable). Returns whether a compaction ran.
     */
   def maybeCompact(spark: SparkSession, dir: String, maxDeltas: Int = 8,
-      touchedFraction: Double = 0.2): Boolean = {
+      touchedFraction: Double = 0.2, keepGenerations: Int = 1): Boolean = {
     val rec = stats(spark, dir, maxDeltas, touchedFraction)
       .select("compact_recommended").head().getBoolean(0)
-    if (rec) compact(spark, dir)
+    if (rec) compact(spark, dir, keepGenerations)
     rec
   }
 
@@ -358,21 +358,26 @@ object IncrementalPostings {
     * install but before the delta cleanup only leaves redundant deltas,
     * which resolve idempotently (each doc's delta rows equal what the
     * fold wrote to the base, and last-writer-wins picks exactly one
-    * copy).
+    * copy). Maintenance contract (who may call, from where, `epoch`):
+    * [[VectorIndex.compact]].
     */
   def compact(spark: SparkSession, dir: String,
-      keepGenerations: Int = 1): Unit = {
+      keepGenerations: Int = 1, epoch: WriterEpoch = null): Unit = {
     val seqs = deltaSeqs(spark, dir)
     if (seqs.isEmpty) return
+    val we = DeltaLog.resolveEpoch(spark, dir, epoch)
     val positional =
       if (hasPositions(spark, dir)) Some(livePositional(spark, dir)) else None
     val (postings, norms) = liveViews(spark, dir)
-    DeltaLog.installBase(spark, dir, "base", keepGenerations) { tmp =>
+    DeltaLog.installBase(spark, dir, "base", keepGenerations, fenceDomain = dir, epoch = we) { tmp =>
       InvertedIndex.writePostings(postings, s"$tmp/postings")
       norms.write.mode("overwrite").parquet(s"$tmp/norms")
       positional.foreach(p =>
         InvertedIndex.writePostings(p, s"$tmp/positional"))
     }: Unit
+    // fenced since the install => never GC the folded log: a
+    // zombie compactor must not delete commits a rival's view holds
+    DeltaLog.checkFence(spark, we)
     val f = DeltaLog.fs(spark, dir)
     seqs.foreach(s => f.delete(new Path(s"$dir/deltas/$s"), true))
   }

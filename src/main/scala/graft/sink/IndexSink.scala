@@ -19,6 +19,17 @@ import graft.cdc.Changelog
   * leaves exactly one doc). That upsert idempotence is what makes
   * at-least-once replay safe (SURVEY §7.4 risk 3).
   */
+/** What a [[ParquetIndexSink.vacuum]] deleted — or, with `dryRun`,
+  * WOULD delete: the read-only pre-flight for a maintenance operator
+  * checking retention before touching a live store. Paths are absolute.
+  */
+final case class VacuumReport(
+    retainedVersions: Seq[Long],
+    dataDirs: Seq[String],
+    deltaDirs: Seq[String],
+    manifests: Seq[String],
+    dryRun: Boolean)
+
 trait IndexSink {
   def idField: String = "_id"
 
@@ -151,9 +162,15 @@ class ParquetIndexSink(spark: SparkSession, path: String, numBuckets: Int = 16,
     * closes). Every mutation resolves the per-JVM session epoch and
     * re-checks it at the visibility/delete points; a fenced process
     * dies with [[FencedWriterException]]. Reads never touch the ledger.
+    *
+    * `epoch`, when non-null, is an explicit claim passed through by a
+    * MAINTENANCE caller (see [[vacuum]]) instead of this JVM's session
+    * epoch — resolving with null from a fresh JVM would ACQUIRE a new
+    * epoch and fence the live writer, making the maintenance tool the
+    * zombie-maker.
     */
-  private def fenceCheck(): Unit =
-    DeltaLog.checkFence(spark, DeltaLog.resolveEpoch(spark, path, null))
+  private def fenceCheck(epoch: WriterEpoch = null): Unit =
+    DeltaLog.checkFence(spark, DeltaLog.resolveEpoch(spark, path, epoch))
 
   /** Committed manifest versions, ascending — the append-only manifest
     * log IS the index history ([[vacuum]] prunes it to the latest).
@@ -194,8 +211,9 @@ class ParquetIndexSink(spark: SparkSession, path: String, numBuckets: Int = 16,
     * existing destination (unsupported scheme, transient I/O) propagate
     * as themselves — they are not concurrent commits.
     */
-  private[sink] def writeManifest(m: Manifest): Unit = {
-    fenceCheck() // the visibility point — a fenced writer never publishes
+  private[sink] def writeManifest(m: Manifest,
+      epoch: WriterEpoch = null): Unit = {
+    fenceCheck(epoch) // the visibility point — a fenced writer never publishes
     val f = fs
     f.mkdirs(manifestDir)
     val tmp = new HPath(manifestDir, s".tmp-${java.util.UUID.randomUUID()}")
@@ -568,7 +586,7 @@ class ParquetIndexSink(spark: SparkSession, path: String, numBuckets: Int = 16,
     * O(batch). Pending uncommitted ops are refused: rebucket between
     * batches, not inside one.
     */
-  def rebucket(newBuckets: Int): Unit = synchronized {
+  def rebucket(newBuckets: Int, epoch: WriterEpoch = null): Unit = synchronized {
     require(newBuckets > 0, s"bucket count must be positive, got $newBuckets")
     require(ops.isEmpty, "rebucket with pending uncommitted ops; commit first")
     val prev = readManifest().getOrElse(
@@ -588,7 +606,7 @@ class ParquetIndexSink(spark: SparkSession, path: String, numBuckets: Int = 16,
         listBucketDirs(commitDir)
     }
     writeManifest(Manifest(version, newBuckets, prev.schema, written, Nil,
-      kind = "rebucket"))
+      kind = "rebucket"), epoch)
   }
 
   /** Delete data dirs no retained manifest references, delta dirs no
@@ -606,11 +624,29 @@ class ParquetIndexSink(spark: SparkSession, path: String, numBuckets: Int = 16,
     * across versions are stored once and kept alive by whichever
     * retained manifest references them.
     */
-  def vacuum(keepVersions: Int = 1): Unit = synchronized {
+  /** MAINTENANCE CONTRACT (who may call this, from where):
+    *  - the OWNING writer process — the session epoch is reused
+    *    automatically; safe.
+    *  - any process with `dryRun = true` — strictly read-only: no epoch
+    *    is acquired (a dry run must never fence the live writer), no
+    *    file is touched; the returned [[VacuumReport]] lists what a
+    *    real vacuum with this `keepVersions` would delete.
+    *  - a maintenance caller holding the owning writer's explicit
+    *    [[WriterEpoch]] — pass it as `epoch` and the vacuum runs under
+    *    that claim instead of acquiring one.
+    *  - a DELIBERATE takeover: stop the writer first, then call from
+    *    the tool JVM with no epoch — this acquires a fresh epoch,
+    *    i.e. the tool claims the store exactly like a writer restart.
+    * Calling with no epoch from a second JVM while the writer is live
+    * is the one forbidden shape: the fresh epoch FENCES the live
+    * writer (its next mutation dies with [[FencedWriterException]]).
+    */
+  def vacuum(keepVersions: Int = 1, dryRun: Boolean = false,
+      epoch: WriterEpoch = null): VacuumReport = synchronized {
     require(keepVersions >= 1,
       s"keepVersions must be >= 1, got $keepVersions")
     val retained = history().takeRight(keepVersions)
-    if (retained.isEmpty) return
+    if (retained.isEmpty) return VacuumReport(retained, Nil, Nil, Nil, dryRun)
     // a retained-but-unreadable manifest must ABORT, not shrink the
     // live set — reading past it would delete buckets a kept manifest
     // still references
@@ -637,30 +673,46 @@ class ParquetIndexSink(spark: SparkSession, path: String, numBuckets: Int = 16,
     val manifestSnapshot: Seq[HPath] =
       f.listStatus(manifestDir).toSeq.map(_.getPath)
     // before any delete: a vacuum holding a stale "latest" manifest
-    // (zombie maintenance job) must never GC a newer writer's files
-    fenceCheck()
+    // (zombie maintenance job) must never GC a newer writer's files.
+    // A dry run skips the check entirely — it neither deletes nor may
+    // it ACQUIRE an epoch (that would fence the live writer)
+    if (!dryRun) fenceCheck(epoch)
     val live = ms.flatMap(_.buckets.values)
       .map(rel => new HPath(s"$path/$rel").toUri.getPath).toSet
+    val deadData = Seq.newBuilder[String]
     dataSnapshot.foreach { case (commitDir, buckets) =>
       val survivors = buckets.filter { b =>
         val keep = live.contains(b.toUri.getPath)
-        if (!keep) f.delete(b, true)
+        if (!keep) {
+          deadData += b.toString
+          if (!dryRun) f.delete(b, true): Unit
+        }
         keep
       }
       // non-recursive: refuses a dir a rival repopulated since our
       // re-list, instead of recursively destroying the new content
-      if (survivors.isEmpty && f.listStatus(commitDir).isEmpty)
+      if (!dryRun && survivors.isEmpty && f.listStatus(commitDir).isEmpty)
         f.delete(commitDir, false): Unit
     }
     val liveDeltas = ms.flatMap(_.deltas)
       .map(rel => new HPath(s"$path/$rel").toUri.getPath).toSet
+    val deadDeltas = Seq.newBuilder[String]
     deltaSnapshot.foreach { c =>
-      if (!liveDeltas.contains(c.toUri.getPath)) f.delete(c, true)
+      if (!liveDeltas.contains(c.toUri.getPath)) {
+        deadDeltas += c.toString
+        if (!dryRun) f.delete(c, true): Unit
+      }
     }
     val keepNames = retained.map(v => s"v$v.json").toSet
+    val deadManifests = Seq.newBuilder[String]
     manifestSnapshot.foreach { s =>
-      if (!keepNames.contains(s.getName)) f.delete(s, false)
+      if (!keepNames.contains(s.getName)) {
+        deadManifests += s.toString
+        if (!dryRun) f.delete(s, false): Unit
+      }
     }
+    VacuumReport(retained, deadData.result(), deadDeltas.result(),
+      deadManifests.result(), dryRun)
   }
 }
 

@@ -98,7 +98,7 @@ object SignatureStore {
           Seq(Row(idCol, textCol, shingleN, numHashes, bands, nPb)), 1),
         metaSchema)
       .write.mode("overwrite").parquet(s"$dir/meta")
-    DeltaLog.installBase(spark, dir, "buckets") { tmp =>
+    DeltaLog.installBase(spark, dir, "buckets", fenceDomain = dir) { tmp =>
       signed(df, m)
         .repartition(col("pb")).sortWithinPartitions("band", "bucket")
         .write.mode("overwrite").partitionBy("pb").parquet(tmp)
@@ -344,17 +344,23 @@ object SignatureStore {
     * index-sized write; maintenance, not ingest. The new generation is
     * installed via [[DeltaLog.installBase]] (written in place, sealed by
     * the marker — object-store-safe, no directory rename anywhere).
+    * Maintenance contract (who may call, from where, `epoch`):
+    * [[VectorIndex.compact]].
     */
   def compact(spark: SparkSession, dir: String,
-      keepGenerations: Int = 1): Unit = {
+      keepGenerations: Int = 1, epoch: WriterEpoch = null): Unit = {
     val seqs = DeltaLog.listSeqs(spark, s"$dir/commits", Some("docs"))
     if (seqs.isEmpty) return
+    val we = DeltaLog.resolveEpoch(spark, dir, epoch)
     val folded = bucketRows(spark, dir, None)
-    DeltaLog.installBase(spark, dir, "buckets", keepGenerations) { tmp =>
+    DeltaLog.installBase(spark, dir, "buckets", keepGenerations, fenceDomain = dir, epoch = we) { tmp =>
       folded
         .repartition(col("pb")).sortWithinPartitions("band", "bucket")
         .write.mode("overwrite").partitionBy("pb").parquet(tmp)
     }: Unit
+    // fenced since the install => never GC the folded log: a
+    // zombie compactor must not delete commits a rival's view holds
+    DeltaLog.checkFence(spark, we)
     val f = DeltaLog.fs(spark, dir)
     seqs.foreach(s => f.delete(new Path(s"$dir/commits/$s"), true))
   }
@@ -382,9 +388,9 @@ object SignatureStore {
     * whether a compaction ran.
     */
   def maybeCompact(spark: SparkSession, dir: String,
-      maxDeltas: Int = 8): Boolean = {
+      maxDeltas: Int = 8, keepGenerations: Int = 1): Boolean = {
     val rec = DeltaLog.listSeqs(spark, s"$dir/commits", Some("docs")).length > maxDeltas
-    if (rec) compact(spark, dir)
+    if (rec) compact(spark, dir, keepGenerations)
     rec
   }
 }

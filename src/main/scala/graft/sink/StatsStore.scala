@@ -167,7 +167,7 @@ object StatsStore {
         spark.sparkContext.parallelize(kinds.map { case (c, k) => Row(c, k) }, 1),
         metaSchema)
       .write.mode("overwrite").parquet(s"$dir/meta")
-    DeltaLog.installBase(spark, dir, "base") { tmp =>
+    DeltaLog.installBase(spark, dir, "base", fenceDomain = dir) { tmp =>
       partials(df, kinds.sorted, lgK).coalesce(1)
         .write.mode("overwrite").parquet(tmp)
     }: Unit
@@ -222,12 +222,14 @@ object StatsStore {
   /** Fold the commit log into a fresh base — O(columns × log), a
     * maintenance no-op at any corpus size. Installed via
     * [[DeltaLog.installBase]] (in-place write + marker seal — no
-    * directory rename, object-store-safe).
+    * directory rename, object-store-safe). Maintenance contract (who
+    * may call, from where, `epoch`): [[VectorIndex.compact]].
     */
   def compact(spark: SparkSession, dir: String,
-      keepGenerations: Int = 1): Unit = {
+      keepGenerations: Int = 1, epoch: WriterEpoch = null): Unit = {
     val seqs = DeltaLog.listSeqs(spark, s"$dir/commits", Some("stats"))
     if (seqs.isEmpty) return
+    val we = DeltaLog.resolveEpoch(spark, dir, epoch)
     val rows = partialRows(spark, dir)
     val folded = rows
       .groupBy("col_name")
@@ -243,9 +245,12 @@ object StatsStore {
       // the standard 99 points — numeric columns keep their percentile
       // view across compactions, string columns stay null
       .join(mergedQuantileRows(rows, QuantileProbs), Seq("col_name"), "left")
-    DeltaLog.installBase(spark, dir, "base", keepGenerations) { tmp =>
+    DeltaLog.installBase(spark, dir, "base", keepGenerations, fenceDomain = dir, epoch = we) { tmp =>
       folded.coalesce(1).write.mode("overwrite").parquet(tmp)
     }: Unit
+    // fenced since the install => never GC the folded log: a
+    // zombie compactor must not delete commits a rival's view holds
+    DeltaLog.checkFence(spark, we)
     val f = DeltaLog.fs(spark, dir)
     seqs.foreach(s => f.delete(new Path(s"$dir/commits/$s"), true))
   }
@@ -266,9 +271,9 @@ object StatsStore {
     * persisted store's hook. Returns whether a compaction ran.
     */
   def maybeCompact(spark: SparkSession, dir: String,
-      maxDeltas: Int = 8): Boolean = {
+      maxDeltas: Int = 8, keepGenerations: Int = 1): Boolean = {
     val rec = DeltaLog.listSeqs(spark, s"$dir/commits", Some("stats")).length > maxDeltas
-    if (rec) compact(spark, dir)
+    if (rec) compact(spark, dir, keepGenerations)
     rec
   }
 }

@@ -105,7 +105,7 @@ object VectorIndex {
         spark.sparkContext.parallelize(
           Seq(Row(idCol, vecCol, model.centroids.head.length)), 1), metaSchema)
       .write.mode("overwrite").parquet(s"$dir/meta")
-    DeltaLog.installBase(spark, dir, "cells") { tmp =>
+    DeltaLog.installBase(spark, dir, "cells", fenceDomain = dir) { tmp =>
       Ivf.assign(df.filter(col(vecCol).isNotNull), vecCol, model)
         .write.mode("overwrite").partitionBy("cell").parquet(tmp)
     }: Unit
@@ -294,15 +294,27 @@ object VectorIndex {
     * [[DeltaLog.installBase]]: written in place, sealed by the marker —
     * no directory rename, so an object-store reader never sees a
     * partial base.
+    *
+    * MAINTENANCE CONTRACT (all five stores' compact, and
+    * [[ParquetIndexSink.vacuum]]): call from the owning writer's
+    * process (the session epoch is reused), or pass the owner's
+    * explicit [[WriterEpoch]] as `epoch`. Calling with no epoch from a
+    * SECOND JVM while the writer is live ACQUIRES a fresh claim and
+    * FENCES the live writer — that shape is a deliberate takeover
+    * (stop the writer first). See the README runbook.
     */
   def compact(spark: SparkSession, dir: String,
-      keepGenerations: Int = 1): Unit = {
+      keepGenerations: Int = 1, epoch: WriterEpoch = null): Unit = {
     val seqs = commitSeqs(spark, dir)
     if (seqs.isEmpty) return
+    val we = DeltaLog.resolveEpoch(spark, dir, epoch)
     val live = cells(spark, dir)
-    DeltaLog.installBase(spark, dir, "cells", keepGenerations) { tmp =>
+    DeltaLog.installBase(spark, dir, "cells", keepGenerations, fenceDomain = dir, epoch = we) { tmp =>
       live.write.mode("overwrite").partitionBy("cell").parquet(tmp)
     }: Unit
+    // fenced since the install => never GC the folded log: a
+    // zombie compactor must not delete commits a rival's view holds
+    DeltaLog.checkFence(spark, we)
     val f = DeltaLog.fs(spark, dir)
     seqs.foreach(s => f.delete(new Path(s"$dir/commits/$s"), true))
     // the folded base has new membership: tighten the radius bounds
@@ -501,9 +513,9 @@ object VectorIndex {
     * because the remedy there is a re-[[write]], not a fold.
     */
   def maybeCompact(spark: SparkSession, dir: String,
-      maxDeltas: Int = 8): Boolean = {
+      maxDeltas: Int = 8, keepGenerations: Int = 1): Boolean = {
     val rec = commitSeqs(spark, dir).length > maxDeltas
-    if (rec) compact(spark, dir)
+    if (rec) compact(spark, dir, keepGenerations)
     rec
   }
 }

@@ -72,6 +72,55 @@ class BatchingSpec extends SparkSpec {
     assert(n0 == 0L)
   }
 
+  test("verifiedEnd: exact-n consumption via next() alone still verifies") {
+    // a consumer that knows the count pulls with next() and never makes
+    // a trailing hasNext call (copyToArray fills the array and exits on
+    // the length check; custom mapPartitions loops do the same) — full
+    // consumption must verify, not read as abandonment
+    var calls = 0
+    var seen = -1L
+    val it = Batching.verifiedEnd(Iterator(1, 2, 3)) { n =>
+      calls += 1; seen = n
+    }
+    it.next(); it.next()
+    assert(calls == 0) // not yet drained
+    assert(it.next() == 3)
+    assert(calls == 1 && seen == 3L) // verified AT the last next()
+    // copyToArray into an exact-size target: same protocol
+    var calls2 = 0
+    val it2 = Batching.verifiedEnd(Iterator(4, 5)) { n =>
+      calls2 += 1; assert(n == 2L)
+    }
+    val out = new Array[Int](2)
+    it2.copyToArray(out)
+    assert(out.toSeq == Seq(4, 5) && calls2 == 1)
+  }
+
+  test("exact-n task consumer passes the drain guard end-to-end") {
+    // the Spark-path twin: a mapPartitions consumer that pulls exactly
+    // the known partition count via next() (no trailing hasNext) must
+    // complete — the task-completion listener sees a drained iterator,
+    // not an abandoned one
+    val df = spark.range(256).select(col("id").as("v"))
+    val numbered = Batching.withGlobalRowNumber(df, col("v"), "rk")
+    val counts = numbered.rdd
+      .mapPartitionsWithIndex((pid, it) => Iterator((pid, it.size)))
+      .collect().toMap
+    val bc = spark.sparkContext.broadcast(counts)
+    val rkIdx = numbered.schema.fieldIndex("rk")
+    val total = numbered.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val n = bc.value(pid)
+      var s = 0L
+      var i = 0
+      // copyToArray's protocol: hasNext gates each pull (codegen row
+      // iterators require it), but the length check short-circuits
+      // FIRST — no trailing hasNext after the last element
+      while (i < n && it.hasNext) { s += it.next().getLong(rkIdx); i += 1 }
+      Iterator.single(s)
+    }.sum()
+    assert(total == 256L * 257L / 2L)
+  }
+
   test("limit on an unverified numbered result fails loudly; persist-then-limit passes") {
     // the verifiedEnd abandonment guard: a limit/take that abandons the
     // pass-2 iterator mid-partition can't run the divergence check, so

@@ -105,7 +105,7 @@ class DeltaLogCrashPropertySpec extends SparkSpec {
       op match {
         case Commit =>
           val seq = DeltaLog.nextSeq(spark, root)
-          DeltaLog.commit(spark, root, seq, "docs")(payload(_, s"c$seq")): Unit
+          DeltaLog.commit(spark, root, seq, "docs", fenceDomain = root)(payload(_, s"c$seq")): Unit
           committed :+= seq
         case CrashBeforeSeal =>
           payload(s"$root/${DeltaLog.nextSeq(spark, root)}", "crashed")
@@ -113,7 +113,7 @@ class DeltaLogCrashPropertySpec extends SparkSpec {
           payload(s"$root/.tmp-${DeltaLog.nextSeq(spark, root)}", "crashed")
         case Install =>
           val tag = s"g${installed.size + 1}"
-          val p = DeltaLog.installBase(spark, dir, "base", Keep)(
+          val p = DeltaLog.installBase(spark, dir, "base", Keep, fenceDomain = dir)(
             payload(_, tag))
           installed = installed :+ (p -> tag)
         case CrashMidInstall =>
@@ -204,7 +204,7 @@ class DeltaLogCrashPropertySpec extends SparkSpec {
       val readOk =
         DeltaLog.listSeqs(spark, root, Some("docs")).toList == expect
       val seq = DeltaLog.nextSeq(spark, root)
-      DeltaLog.commit(spark, root, seq, "docs") { tmp =>
+      DeltaLog.commit(spark, root, seq, "docs", fenceDomain = root) { tmp =>
         f.mkdirs(new Path(s"$tmp/docs"))
         f.create(new Path(s"$tmp/docs/c$seq"), true).close()
       }
@@ -416,10 +416,10 @@ class DeltaLogCrashPropertySpec extends SparkSpec {
         f.mkdirs(new Path(s"$path/docs"))
         f.create(new Path(s"$path/docs/$tag"), true).close()
       }
-      DeltaLog.installBase(spark, dir, "base", Keep)(payload(_, "g0")): Unit
+      DeltaLog.installBase(spark, dir, "base", Keep, fenceDomain = dir)(payload(_, "g0")): Unit
       val resolved = DeltaLog.currentBase(spark, dir, "base")
       (1 to j).foreach(i =>
-        DeltaLog.installBase(spark, dir, "base", Keep)(
+        DeltaLog.installBase(spark, dir, "base", Keep, fenceDomain = dir)(
           payload(_, s"g$i")): Unit)
       val complete =
         f.exists(new Path(s"$resolved/${DeltaLog.CommitMarker}")) &&
@@ -428,6 +428,33 @@ class DeltaLogCrashPropertySpec extends SparkSpec {
     }
     val result = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(result.passed, result.status.toString)
+  }
+
+  test("reader lease holds for EVERY keepGenerations: survives iff installs <= keep") {
+    // the general lease bound, quantified over the retention knob too —
+    // the fixed-Keep test above pins the default; this one pins the
+    // config surface (PipelineConfig.keepGenerations feeds this value)
+    val prop = Prop.forAll(Gen.choose(1, 3), Gen.choose(0, 5)) { (keep, j) =>
+      val dir = java.nio.file.Files.createTempDirectory("dlog-leasek").toString
+      val f = DeltaLog.fs(spark, dir)
+      def payload(path: String, tag: String): Unit = {
+        f.mkdirs(new Path(s"$path/docs"))
+        f.create(new Path(s"$path/docs/$tag"), true).close()
+      }
+      DeltaLog.installBase(spark, dir, "base", keep,
+        fenceDomain = dir)(payload(_, "g0")): Unit
+      val resolved = DeltaLog.currentBase(spark, dir, "base")
+      (1 to j).foreach(i =>
+        DeltaLog.installBase(spark, dir, "base", keep,
+          fenceDomain = dir)(payload(_, s"g$i")): Unit)
+      val complete =
+        f.exists(new Path(s"$resolved/${DeltaLog.CommitMarker}")) &&
+          f.exists(new Path(s"$resolved/docs/g0"))
+      if (j <= keep) complete else !f.exists(new Path(resolved))
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
     assert(result.passed, result.status.toString)
   }
 }

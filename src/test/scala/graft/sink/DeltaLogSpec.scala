@@ -39,7 +39,7 @@ class DeltaLogSpec extends SparkSpec {
     val root = tmpDir("dlog") + "/commits"
     val f = DeltaLog.fs(spark, root)
     val seq = DeltaLog.commit(spark, root, DeltaLog.nextSeq(spark, root),
-      "payload") { tmp =>
+      "payload", fenceDomain = root) { tmp =>
         f.mkdirs(new Path(s"$tmp/payload"))
         f.create(new Path(s"$tmp/payload/data"), true).close()
       }
@@ -67,12 +67,12 @@ class DeltaLogSpec extends SparkSpec {
     mkData(s"$dir/cells-v1", "torn")
     assert(DeltaLog.currentBase(spark, dir, "cells") == s"$dir/cells")
     // a sealed install becomes current; its number skipped the torn v1
-    val p2 = DeltaLog.installBase(spark, dir, "cells")(mkData(_, "gen2"))
+    val p2 = DeltaLog.installBase(spark, dir, "cells", fenceDomain = dir)(mkData(_, "gen2"))
     assert(p2 == s"$dir/cells-v2")
     assert(DeltaLog.currentBase(spark, dir, "cells") == s"$dir/cells-v2")
     // legacy survives as the previous generation until the NEXT install
     assert(f.exists(new Path(s"$dir/cells")))
-    val p3 = DeltaLog.installBase(spark, dir, "cells")(mkData(_, "gen3"))
+    val p3 = DeltaLog.installBase(spark, dir, "cells", fenceDomain = dir)(mkData(_, "gen3"))
     assert(p3 == s"$dir/cells-v3")
     assert(DeltaLog.currentBase(spark, dir, "cells") == s"$dir/cells-v3")
     // now legacy and the torn v1 are gone; sealed v2 is kept for
@@ -80,7 +80,7 @@ class DeltaLogSpec extends SparkSpec {
     assert(!f.exists(new Path(s"$dir/cells")))
     assert(!f.exists(new Path(s"$dir/cells-v1")))
     assert(f.exists(new Path(s"$dir/cells-v2")))
-    DeltaLog.installBase(spark, dir, "cells")(mkData(_, "gen4")): Unit
+    DeltaLog.installBase(spark, dir, "cells", fenceDomain = dir)(mkData(_, "gen4")): Unit
     assert(!f.exists(new Path(s"$dir/cells-v2")))
     assert(f.exists(new Path(s"$dir/cells-v3")))
   }
@@ -238,8 +238,8 @@ class DeltaLogSpec extends SparkSpec {
     legacyCommit(1); legacyCommit(2)
     // a marker-era commit on top (seals the root as a side effect) —
     // then strip the root sentinel to recreate the r11-era on-disk state
-    DeltaLog.commit(spark, root, DeltaLog.nextSeq(spark, root), "docs") {
-      tmp =>
+    DeltaLog.commit(spark, root, DeltaLog.nextSeq(spark, root), "docs",
+        fenceDomain = root) { tmp =>
         f.mkdirs(new Path(s"$tmp/docs"))
         f.create(new Path(s"$tmp/docs/c3"), true).close()
     }
@@ -254,8 +254,8 @@ class DeltaLogSpec extends SparkSpec {
     assert(DeltaLog.listSeqs(spark, root, Some("docs")) == Seq(3))
     assert(!f.exists(new Path(s"$root/${DeltaLog.AdoptedMarker}")))
     // a write doesn't adopt them either (still ambiguous)
-    DeltaLog.commit(spark, root, DeltaLog.nextSeq(spark, root), "docs") {
-      tmp =>
+    DeltaLog.commit(spark, root, DeltaLog.nextSeq(spark, root), "docs",
+        fenceDomain = root) { tmp =>
         f.mkdirs(new Path(s"$tmp/docs"))
         f.create(new Path(s"$tmp/docs/c5"), true).close()
     }
@@ -297,8 +297,8 @@ class DeltaLogSpec extends SparkSpec {
     assert(!f.exists(new Path(s"$root/2/${DeltaLog.CommitMarker}")))
     // the next WRITE completes the sweep: seals 2 and 3, lands the root
     // sentinel, clears the intent
-    DeltaLog.commit(spark, root, DeltaLog.nextSeq(spark, root), "docs") {
-      tmp =>
+    DeltaLog.commit(spark, root, DeltaLog.nextSeq(spark, root), "docs",
+        fenceDomain = root) { tmp =>
         f.mkdirs(new Path(s"$tmp/docs"))
         f.create(new Path(s"$tmp/docs/c4"), true).close()
     }
@@ -345,18 +345,18 @@ class DeltaLogSpec extends SparkSpec {
       f.mkdirs(new Path(path))
       f.create(new Path(s"$path/$tag"), true).close()
     }
-    val p1 = DeltaLog.installBase(spark, dir, "b", 2)(mkData(_, "g1"))
-    val p2 = DeltaLog.installBase(spark, dir, "b", 2)(mkData(_, "g2"))
+    val p1 = DeltaLog.installBase(spark, dir, "b", 2, fenceDomain = dir)(mkData(_, "g1"))
+    val p2 = DeltaLog.installBase(spark, dir, "b", 2, fenceDomain = dir)(mkData(_, "g2"))
     // a reader pinned at p1 (two installs ago after this) must still
     // see a complete directory: retention 2 keeps p1 AND p2
-    val p3 = DeltaLog.installBase(spark, dir, "b", 2)(mkData(_, "g3"))
+    val p3 = DeltaLog.installBase(spark, dir, "b", 2, fenceDomain = dir)(mkData(_, "g3"))
     assert(DeltaLog.currentBase(spark, dir, "b") == p3)
     Seq(p1 -> "g1", p2 -> "g2", p3 -> "g3").foreach { case (p, t) =>
       assert(f.exists(new Path(s"$p/$t")), s"$p lost its payload")
       assert(f.exists(new Path(s"$p/${DeltaLog.CommitMarker}")))
     }
     // the fourth install finally GCs p1, still keeping p2 and p3
-    val p4 = DeltaLog.installBase(spark, dir, "b", 2)(mkData(_, "g4"))
+    val p4 = DeltaLog.installBase(spark, dir, "b", 2, fenceDomain = dir)(mkData(_, "g4"))
     assert(!f.exists(new Path(p1)))
     assert(f.exists(new Path(s"$p2/g2")) && f.exists(new Path(s"$p3/g3")))
     assert(DeltaLog.currentBase(spark, dir, "b") == p4)
@@ -373,7 +373,7 @@ class DeltaLogSpec extends SparkSpec {
     val legacySchema = spark.read
       .parquet(DeltaLog.currentBase(spark, dir, "base"))
       .drop("qtiles").schema
-    DeltaLog.installBase(spark, dir, "base") { tmp =>
+    DeltaLog.installBase(spark, dir, "base", fenceDomain = dir) { tmp =>
       spark.createDataFrame(spark.sparkContext.parallelize(legacy.toSeq, 1),
         legacySchema).write.mode("overwrite").parquet(tmp)
     }: Unit

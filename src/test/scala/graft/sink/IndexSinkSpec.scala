@@ -271,6 +271,53 @@ class IndexSinkSpec extends SparkSpec {
       Seq(("a", "v2")))
   }
 
+  test("vacuum dryRun is read-only and predicts the real vacuum exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("sink-dryrun").toString
+    val sink = new ParquetIndexSink(spark, dir, numBuckets = 4)
+    sink.addDocuments((0 until 8).map(i => (s"k$i", "v0")).toDF("_id", "v"))
+    sink.commit() // v0
+    sink.addDocuments(Seq(("k0", "v1")).toDF("_id", "v")); sink.commit() // v1
+    sink.addDocuments(Seq(("k1", "v2")).toDF("_id", "v")); sink.commit() // v2
+    val f = DeltaLog.fs(spark, dir)
+    val ledger = new org.apache.hadoop.fs.Path(s"$dir/${DeltaLog.EpochDir}")
+    val claimsBefore = f.listStatus(ledger).length
+    val plan = sink.vacuum(keepVersions = 1, dryRun = true)
+    // read-only: no claim registered, nothing deleted, all history serves
+    assert(plan.dryRun && plan.retainedVersions == Seq(2L))
+    assert(f.listStatus(ledger).length == claimsBefore)
+    assert(sink.history() == Seq(0L, 1L, 2L))
+    assert(sink.searchableAt(0).count() == 8)
+    assert(plan.manifests.nonEmpty)
+    // the real vacuum deletes EXACTLY what the dry run predicted
+    val real = sink.vacuum(keepVersions = 1)
+    assert(!real.dryRun)
+    assert(real.dataDirs.toSet == plan.dataDirs.toSet)
+    assert(real.deltaDirs.toSet == plan.deltaDirs.toSet)
+    assert(real.manifests.toSet == plan.manifests.toSet)
+    assert(sink.history() == Seq(2L))
+    assert(sink.searchable().count() == 8)
+  }
+
+  test("maintenance modes: dryRun never fences; owner-epoch vacuum keeps the writer live") {
+    val dir = java.nio.file.Files.createTempDirectory("sink-maint").toString
+    val sink = new ParquetIndexSink(spark, dir, numBuckets = 4)
+    sink.addDocuments(Seq(("a", "v1")).toDF("_id", "v")); sink.commit()
+    // a maintenance call holding the OWNER's explicit epoch runs under
+    // that claim — it must not register a new one, so the writer's next
+    // commit still succeeds (the forbidden shape is a maintenance JVM
+    // resolving with NO epoch, which acquires and fences the writer)
+    val owner = DeltaLog.resolveEpoch(spark, dir, null)
+    sink.vacuum(keepVersions = 1, epoch = owner): Unit
+    sink.addDocuments(Seq(("b", "v2")).toDF("_id", "v"))
+    sink.commit() // alive — not fenced by its own maintenance
+    assert(sink.searchable().count() == 2)
+    // a rival claims the store: the dry run still works (read-only
+    // pre-flight never touches the ledger), the real vacuum dies
+    DeltaLog.acquireEpoch(spark, dir): Unit
+    assert(sink.vacuum(dryRun = true).dryRun)
+    intercept[FencedWriterException](sink.vacuum())
+  }
+
   test("change feed: changesSince replays upserts/deletes in commit order") {
     val dir = java.nio.file.Files.createTempDirectory("sink-cdf").toString
     val sink = new ParquetIndexSink(spark, dir, numBuckets = 4, maxDeltas = 2)
