@@ -150,6 +150,105 @@ case class VectorL2Sq(left: Expression, right: Expression) extends VectorBinaryL
     copy(left = l, right = r)
 }
 
+/** Nearest-centroid id: argmin over a k×dim centroid matrix of the
+  * squared L2 distance to the input vector, ties to the LOWEST id — the
+  * IVF cell assignment ([[graft.operators.Ivf]]).
+  *
+  * The matrix rides along as a REFERENCE OBJECT (`ctx.addReferenceObj`),
+  * NOT as k array literals: literals inline their doubles into the
+  * generated source, so Lloyd's k-means — which builds this expression
+  * with a NEW model every iteration — paid one full Janino compile per
+  * iteration, and every fresh fit recompiled again (the r14→r15
+  * `x_sim_ivf` board-order sensitivity: the row's cost was dominated by
+  * how much codegen pressure surrounded it). With the matrix referenced,
+  * the generated source is IDENTICAL for every model of any k/dim, so
+  * the whole family — all iterations, all fits, serve-side assigns —
+  * reuses one compiled class from the codegen cache.
+  *
+  * Semantics match the `array_min(array(struct(l2sq, id)…)).id`
+  * formulation it replaces bit-for-bit on non-null input: same
+  * left-to-right double accumulation, same `min(vec.len, cen.len)`
+  * truncation (the package-doc length contract), same lowest-id
+  * tie-break. Null vector → null cell (the callers all filter nulls
+  * before assignment; the struct formulation's null-field ordering was
+  * never exercised).
+  */
+case class IvfAssign(child: Expression, centroids: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(centroids.nonEmpty, "ivf_assign needs at least one centroid")
+
+  override def prettyName: String = "ivf_assign"
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  private def childIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects array<float|double>, got ${t.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    var best = 0
+    var bestD = Double.PositiveInfinity
+    var c = 0
+    while (c < centroids.length) {
+      val cen = centroids(c)
+      val n = math.min(v.numElements(), cen.length)
+      var d = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (childIsFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        val t = x - cen(i)
+        d += t * t
+        i += 1
+      }
+      if (d < bestD) { bestD = d; best = c } // strict < keeps the lowest id on ties
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val cen = ctx.addReferenceObj("ivfCentroids", centroids, "double[][]")
+      val get = if (childIsFloat) "getFloat" else "getDouble"
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      val t = ctx.freshName("t")
+      val row = ctx.freshName("row")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      s"""
+        int $best = 0;
+        double $bestD = Double.POSITIVE_INFINITY;
+        for (int $c = 0; $c < $cen.length; $c++) {
+          double[] $row = $cen[$c];
+          int $n = java.lang.Math.min($v.numElements(), $row.length);
+          double $d = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            double $t = ((double) $v.$get($i)) - $row[$i];
+            $d += $t * $t;
+          }
+          if ($d < $bestD) { $bestD = $d; $best = $c; }
+        }
+        ${ev.value} = $best;
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** nBits-bit random-hyperplane LSH signature of a vector, fused into ONE
   * loop: all nBits plane dot-products accumulate per element, planes are
   * derived on the fly from `XXH64(plane<<32 | dim, seed)` (never
@@ -511,6 +610,8 @@ object VectorExpressions {
   def l2sqFast(a: Column, b: Column): Column = column(VectorL2Sq(expression(a), expression(b)))
   def rhpSignature(v: Column, nBits: Int, seed: Long): Column =
     column(RhpSignature(expression(v), nBits, seed))
+  def ivfAssign(v: Column, centroids: Array[Array[Double]]): Column =
+    column(IvfAssign(expression(v), centroids))
   def q8Roundtrip(v: Column): Column = column(VectorQ8Roundtrip(expression(v)))
   def l2NormalizeFast(v: Column): Column = column(VectorL2Normalize(expression(v)))
   def sparseRandomProject(v: Column, seed: Int, inDim: Int, outDim: Int): Column =

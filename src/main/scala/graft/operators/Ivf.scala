@@ -11,12 +11,14 @@ import graft.functions.{VectorAggregates, VectorExpressions}
   *
   * Scale design:
   *   - training: Lloyd's iterations where assignment is a narrow
-  *     projection (argmin over k literal centroids, fused `vector_l2sq`
-  *     loops) and the re-centering aggregate is [[VectorAggregates.vectorSum]]
+  *     projection (the native `ivf_assign` argmin — one fused k×dim
+  *     loop whose centroid matrix is a codegen reference object, so all
+  *     iterations share ONE compiled class) and the re-centering
+  *     aggregate is [[VectorAggregates.vectorSum]]
   *     — map-side partial sums, one shuffle of `partitions × k × dim`
   *     doubles per iteration, independent of corpus size;
-  *   - the trained model is `k × dim` doubles on the driver (literals in
-  *     the plan, implicitly broadcast);
+  *   - the trained model is `k × dim` doubles on the driver (a task
+  *     reference in the plan, implicitly broadcast);
   *   - search cost is `corpus × nProbe / k` rows (assuming balanced
   *     cells) + a TakeOrderedAndProject top-k, vs the LSH variant's
   *     fixed-bucket recall. Higher recall than random-hyperplane buckets
@@ -31,15 +33,15 @@ object Ivf {
   private def centroidLit(c: Array[Double]): Column =
     array(c.toSeq.map(lit): _*)
 
-  /** Cluster id = argmin_i l2sq(vec, centroid_i): array of (dist, id)
-    * structs reduced with array_min (struct ordering is field order, so
-    * distance decides, id breaks ties deterministically).
+  /** Cluster id = argmin_i l2sq(vec, centroid_i), ties to the lowest id
+    * — the native [[graft.functions.IvfAssign]] expression, whose k×dim
+    * matrix is a codegen REFERENCE object: one compiled class serves
+    * every model, so Lloyd's per-iteration models (and every fresh fit)
+    * stop paying a Janino compile per iteration the way the previous
+    * k-literal `array_min(struct(l2sq, id))` formulation did.
     */
   private[operators] def assignExpr(vec: Column, model: Model): Column =
-    array_min(array(model.centroids.zipWithIndex.map { case (c, i) =>
-      struct(VectorExpressions.l2sqFast(vec, centroidLit(c)).as("d"),
-        lit(i).as("id"))
-    }.toSeq: _*)).getField("id")
+    VectorExpressions.ivfAssign(vec, model.centroids)
 
   /** Lloyd's k-means. Deterministic: initial centroids are the `k`
     * lowest-id vectors; empty cells keep their previous centroid.

@@ -48,6 +48,59 @@ class IvfSpec extends SparkSpec {
     assert(withNull == Seq(3L, 1L))
   }
 
+  test("ivf_assign equals the literal array_min(struct(l2sq, id)) formulation") {
+    // the expression it replaced, rebuilt verbatim — any drift in
+    // arithmetic order, length truncation or tie-break diverges a cell
+    import graft.functions.{VectorExpressions => VE}
+    def oldExpr(vec: org.apache.spark.sql.Column, m: Ivf.Model) =
+      array_min(array(m.centroids.zipWithIndex.map { case (c, i) =>
+        struct(VE.l2sqFast(vec, array(c.toSeq.map(lit): _*)).as("d"),
+          lit(i).as("id"))
+      }.toSeq: _*)).getField("id")
+    val rnd = new scala.util.Random(7)
+    val pts = (0L until 500L).map(id =>
+      (id, Seq.fill(16)(rnd.nextFloat() * 2f - 1f))).toDF("id", "v")
+    val model = Ivf.Model(Array.fill(8)(Array.fill(16)(rnd.nextDouble() * 2 - 1)))
+    val diff = pts.select(
+        Ivf.assignExpr(col("v"), model).as("a"),
+        oldExpr(col("v"), model).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff == 0L)
+    // exact tie (duplicate centroids) → lowest id, both formulations
+    val tied = Ivf.Model(Array(Array(0.5, 0.5), Array(0.5, 0.5), Array(9.0, 9.0)))
+    val one = Seq((1L, Seq(0.5f, 0.5f))).toDF("id", "v")
+    assert(one.select(Ivf.assignExpr(col("v"), tied)).head.getInt(0) == 0)
+    // double-typed vectors take the other element getter
+    val dbl = Seq((1L, Seq(0.4, 0.6))).toDF("id", "v")
+    assert(dbl.select(Ivf.assignExpr(col("v"), tied)).head.getInt(0) == 0)
+    // null vector → null cell
+    val nul = Seq((1L, Option.empty[Seq[Float]])).toDF("id", "v")
+    assert(nul.select(Ivf.assignExpr(col("v"), tied)).head.isNullAt(0))
+  }
+
+  test("ivf_assign generates model-independent source: two models, one codegen class") {
+    // the point of the reference-object design: the generated source
+    // must not embed centroid values, so Lloyd's per-iteration models
+    // reuse one compiled class. CodeGenerator would log a fresh compile
+    // per model otherwise; here we pin the observable contract — the
+    // codegen'd plan evaluates correctly for BOTH models (same class,
+    // different references) and the source carries no centroid digits.
+    import graft.functions.IvfAssign
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    def src(m: Array[Array[Double]]): String = {
+      val ctx = new CodegenContext
+      IvfAssign(BoundReference(0, ArrayType(FloatType), nullable = true), m)
+        .genCode(ctx).code.toString
+    }
+    val s1 = src(Array(Array(1.25, -3.5), Array(0.75, 2.5)))
+    val s2 = src(Array(Array(8.125, 9.25), Array(-0.5, 4.75), Array(1.0, 1.0)))
+    assert(s1 == s2, "generated source must be model-independent")
+    assert(!s1.contains("1.25") && !s2.contains("9.25"),
+      "centroid values must ride as references, not inlined literals")
+  }
+
   test("k-means converges to the obvious clusters on separable data") {
     val pts = Seq(
       (1L, Seq(0.0f, 0.0f)), (2L, Seq(0.1f, 0.0f)), (3L, Seq(0.0f, 0.1f)),
