@@ -154,16 +154,17 @@ case class VectorL2Sq(left: Expression, right: Expression) extends VectorBinaryL
   * squared L2 distance to the input vector, ties to the LOWEST id — the
   * IVF cell assignment ([[graft.operators.Ivf]]).
   *
-  * The matrix rides along as a REFERENCE OBJECT (`ctx.addReferenceObj`),
-  * NOT as k array literals: literals inline their doubles into the
-  * generated source, so Lloyd's k-means — which builds this expression
-  * with a NEW model every iteration — paid one full Janino compile per
-  * iteration, and every fresh fit recompiled again (the r14→r15
-  * `x_sim_ivf` board-order sensitivity: the row's cost was dominated by
-  * how much codegen pressure surrounded it). With the matrix referenced,
-  * the generated source is IDENTICAL for every model of any k/dim, so
-  * the whole family — all iterations, all fits, serve-side assigns —
-  * reuses one compiled class from the codegen cache.
+  * The matrix rides along as a REFERENCE OBJECT (`ctx.addReferenceObj`):
+  * the generated source is IDENTICAL for every model of any k/dim by
+  * CONSTRUCTION, so all Lloyd iterations, all fits and serve-side
+  * assigns reuse one compiled class from the codegen cache. (The
+  * `array_min(array(struct(l2sq, id)…))` tree this replaces was, it
+  * turns out, also model-stable — constant folding references complex
+  * literals — but only by the optimizer's grace; what it measurably
+  * cost was a ~50-node tree analyzed and codegen-text-built per plan,
+  * 4 plans per fit+assign, plus k struct allocations and an array_min
+  * struct comparator PER ROW. One node, one fused loop, zero per-row
+  * allocation here: x_sim_ivf canary context −20%, BENCH_NOTES r15.)
   *
   * Semantics match the `array_min(array(struct(l2sq, id)…)).id`
   * formulation it replaces bit-for-bit on non-null input: same

@@ -12,8 +12,8 @@ import graft.functions.{VectorAggregates, VectorExpressions}
   * Scale design:
   *   - training: Lloyd's iterations where assignment is a narrow
   *     projection (the native `ivf_assign` argmin — one fused k×dim
-  *     loop whose centroid matrix is a codegen reference object, so all
-  *     iterations share ONE compiled class) and the re-centering
+  *     loop, one expression node, zero per-row allocation, centroid
+  *     matrix a codegen reference object) and the re-centering
   *     aggregate is [[VectorAggregates.vectorSum]]
   *     — map-side partial sums, one shuffle of `partitions × k × dim`
   *     doubles per iteration, independent of corpus size;
@@ -34,11 +34,12 @@ object Ivf {
     array(c.toSeq.map(lit): _*)
 
   /** Cluster id = argmin_i l2sq(vec, centroid_i), ties to the lowest id
-    * — the native [[graft.functions.IvfAssign]] expression, whose k×dim
-    * matrix is a codegen REFERENCE object: one compiled class serves
-    * every model, so Lloyd's per-iteration models (and every fresh fit)
-    * stop paying a Janino compile per iteration the way the previous
-    * k-literal `array_min(struct(l2sq, id))` formulation did.
+    * — the native [[graft.functions.IvfAssign]] expression: one fused
+    * k×dim loop with the matrix as a codegen reference object, replacing
+    * the k-literal `array_min(struct(l2sq, id))` tree (which allocated k
+    * structs per row and re-ran ~50 nodes of analysis per Lloyd
+    * iteration; see the expression's scaladoc for what was and wasn't
+    * the cost).
     */
   private[operators] def assignExpr(vec: Column, model: Model): Column =
     VectorExpressions.ivfAssign(vec, model.centroids)

@@ -79,12 +79,12 @@ class IvfSpec extends SparkSpec {
   }
 
   test("ivf_assign generates model-independent source: two models, one codegen class") {
-    // the point of the reference-object design: the generated source
-    // must not embed centroid values, so Lloyd's per-iteration models
-    // reuse one compiled class. CodeGenerator would log a fresh compile
-    // per model otherwise; here we pin the observable contract — the
-    // codegen'd plan evaluates correctly for BOTH models (same class,
-    // different references) and the source carries no centroid digits.
+    // the reference-object design guarantees BY CONSTRUCTION what the
+    // old literal formulation only got from the optimizer's constant
+    // folding (probed in a spark-shell: its optimized source was also
+    // model-stable): the generated source embeds no centroid values,
+    // so every model shares one compiled class. Pinned here at the
+    // expression level, where no optimizer can save us.
     import graft.functions.IvfAssign
     import org.apache.spark.sql.catalyst.expressions.BoundReference
     import org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext
