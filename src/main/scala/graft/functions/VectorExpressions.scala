@@ -250,6 +250,139 @@ case class IvfAssign(child: Expression, centroids: Array[Array[Double]])
     copy(child = newChild)
 }
 
+/** The `nProbe` nearest centroid ids, ascending by (squared L2 distance,
+  * id) — the IVF multi-probe assignment for a whole COLUMN of query
+  * vectors ([[graft.operators.Ivf.probeCellsExpr]], the batch-retrieval
+  * path). Replaces an `array_sort(array(struct(l2sq, id)…))` + slice +
+  * transform tree: that formulation allocated k structs per row and
+  * sorted ALL k of them to keep nProbe; this is one fused k×dim distance
+  * loop into a local double[k], then an O(k·nProbe) partial selection —
+  * zero struct allocation, and the centroid matrix rides as a codegen
+  * reference object (model-independent source, [[IvfAssign]]).
+  *
+  * Ordering parity with the struct sort it replaces, including edges:
+  * comparisons go through `Double.compare`, so NaN distances (a NaN
+  * component in the query vector) rank LAST and tie among themselves by
+  * id — exactly Spark's DoubleType ordering inside the struct sort.
+  * Fewer centroids than `nProbe` returns all k, still ordered. Null
+  * vector → null.
+  */
+case class IvfProbe(child: Expression, centroids: Array[Array[Double]],
+    nProbe: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(centroids.nonEmpty, "ivf_probe needs at least one centroid")
+  require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+
+  override def prettyName: String = "ivf_probe"
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+  private def childIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects array<float|double>, got ${t.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val k = centroids.length
+    val ds = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val cen = centroids(c)
+      val n = math.min(v.numElements(), cen.length)
+      var d = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (childIsFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        val t = x - cen(i)
+        d += t * t
+        i += 1
+      }
+      ds(c) = d
+      c += 1
+    }
+    val p = math.min(nProbe, k)
+    val out = new Array[Int](p)
+    val used = new Array[Boolean](k)
+    var j = 0
+    while (j < p) {
+      var best = -1
+      var cc = 0
+      while (cc < k) {
+        // Double.compare: NaN sorts last, ids break exact ties — the
+        // struct-sort ordering this expression replaces
+        if (!used(cc) && (best < 0 || java.lang.Double.compare(ds(cc), ds(best)) < 0))
+          best = cc
+        cc += 1
+      }
+      used(best) = true
+      out(j) = best
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val cen = ctx.addReferenceObj("ivfCentroids", centroids, "double[][]")
+      val get = if (childIsFloat) "getFloat" else "getDouble"
+      val k = ctx.freshName("k")
+      val ds = ctx.freshName("ds")
+      val used = ctx.freshName("used")
+      val out = ctx.freshName("out")
+      val p = ctx.freshName("p")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      val t = ctx.freshName("t")
+      val row = ctx.freshName("row")
+      val j = ctx.freshName("j")
+      val best = ctx.freshName("best")
+      val cc = ctx.freshName("cc")
+      s"""
+        int $k = $cen.length;
+        double[] $ds = new double[$k];
+        for (int $c = 0; $c < $k; $c++) {
+          double[] $row = $cen[$c];
+          int $n = java.lang.Math.min($v.numElements(), $row.length);
+          double $d = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            double $t = ((double) $v.$get($i)) - $row[$i];
+            $d += $t * $t;
+          }
+          $ds[$c] = $d;
+        }
+        int $p = java.lang.Math.min($nProbe, $k);
+        int[] $out = new int[$p];
+        boolean[] $used = new boolean[$k];
+        for (int $j = 0; $j < $p; $j++) {
+          int $best = -1;
+          for (int $cc = 0; $cc < $k; $cc++) {
+            if (!$used[$cc] && ($best < 0 ||
+                java.lang.Double.compare($ds[$cc], $ds[$best]) < 0)) $best = $cc;
+          }
+          $used[$best] = true;
+          $out[$j] = $best;
+        }
+        ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** nBits-bit random-hyperplane LSH signature of a vector, fused into ONE
   * loop: all nBits plane dot-products accumulate per element, planes are
   * derived on the fly from `XXH64(plane<<32 | dim, seed)` (never
@@ -613,6 +746,8 @@ object VectorExpressions {
     column(RhpSignature(expression(v), nBits, seed))
   def ivfAssign(v: Column, centroids: Array[Array[Double]]): Column =
     column(IvfAssign(expression(v), centroids))
+  def ivfProbe(v: Column, centroids: Array[Array[Double]], nProbe: Int): Column =
+    column(IvfProbe(expression(v), centroids, nProbe))
   def q8Roundtrip(v: Column): Column = column(VectorQ8Roundtrip(expression(v)))
   def l2NormalizeFast(v: Column): Column = column(VectorL2Normalize(expression(v)))
   def sparseRandomProject(v: Column, seed: Int, inDim: Int, outDim: Int): Column =

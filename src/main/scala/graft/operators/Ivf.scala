@@ -30,9 +30,6 @@ object Ivf {
     def k: Int = centroids.length
   }
 
-  private def centroidLit(c: Array[Double]): Column =
-    array(c.toSeq.map(lit): _*)
-
   /** Cluster id = argmin_i l2sq(vec, centroid_i), ties to the lowest id
     * — the native [[graft.functions.IvfAssign]] expression: one fused
     * k×dim loop with the matrix as a codegen reference object, replacing
@@ -84,18 +81,14 @@ object Ivf {
   /** The `nProbe` nearest cell ids for a vector COLUMN — the expression
     * twin of [[probeCells]], for a whole DataFrame of queries at once
     * (the batch-retrieval path, [[graft.sink.VectorIndex.knnSearch]]).
-    * Same fused-loop distances as [[assignExpr]]; the k (dist, id)
-    * structs sort ascending (struct ordering: distance first, id breaks
-    * ties) and the first `nProbe` ids survive. Model literals — nothing
-    * shuffled or broadcast explicitly.
+    * The native [[graft.functions.IvfProbe]]: one fused k×dim distance
+    * loop + an O(k·nProbe) partial selection per row, replacing the
+    * k-struct array_sort/slice/transform tree (ordering parity, incl.
+    * NaN-last and id tie-breaks, is spec-pinned). Matrix rides as a
+    * codegen reference — nothing shuffled or broadcast explicitly.
     */
   def probeCellsExpr(vec: Column, model: Model, nProbe: Int): Column =
-    transform(
-      slice(array_sort(array(model.centroids.zipWithIndex.map { case (c, i) =>
-        struct(VectorExpressions.l2sqFast(vec, centroidLit(c)).as("d"),
-          lit(i).as("id"))
-      }.toSeq: _*)), 1, nProbe),
-      s => s.getField("id"))
+    VectorExpressions.ivfProbe(vec, model.centroids, nProbe)
 
   /** The `nProbe` cells whose centroids are nearest the query — driver
     * math over the k×dim model, shared by the in-memory and persisted

@@ -101,6 +101,47 @@ class IvfSpec extends SparkSpec {
       "centroid values must ride as references, not inlined literals")
   }
 
+  test("ivf_probe equals the array_sort(struct(l2sq, id)) slice formulation") {
+    import graft.functions.{VectorExpressions => VE}
+    // the tree it replaced, rebuilt verbatim — drift in ordering, the
+    // nProbe cut, NaN placement or tie-breaks diverges a probe list
+    def oldExpr(vec: org.apache.spark.sql.Column, m: Ivf.Model, nProbe: Int) =
+      transform(
+        slice(array_sort(array(m.centroids.zipWithIndex.map { case (c, i) =>
+          struct(VE.l2sqFast(vec, array(c.toSeq.map(lit): _*)).as("d"),
+            lit(i).as("id"))
+        }.toSeq: _*)), 1, nProbe),
+        s => s.getField("id"))
+    val rnd = new scala.util.Random(11)
+    val pts = (0L until 400L).map(id =>
+      (id, Seq.fill(12)(rnd.nextFloat() * 2f - 1f))).toDF("id", "v")
+    val model = Ivf.Model(Array.fill(7)(Array.fill(12)(rnd.nextDouble() * 2 - 1)))
+    for (nProbe <- Seq(1, 3, 9)) { // 9 > k: all cells, still ordered
+      val diff = pts.select(
+          Ivf.probeCellsExpr(col("v"), model, nProbe).as("a"),
+          oldExpr(col("v"), model, nProbe).as("b"))
+        .filter(col("a") =!= col("b")).count()
+      assert(diff == 0L, s"nProbe=$nProbe diverged from the struct sort")
+    }
+    // exact ties (duplicate centroids) keep ascending id order
+    val tied = Ivf.Model(Array(Array(0.5, 0.5), Array(0.5, 0.5), Array(9.0, 9.0)))
+    val one = Seq((1L, Seq(0.5f, 0.5f))).toDF("id", "v")
+    assert(one.select(Ivf.probeCellsExpr(col("v"), tied, 3)).head
+      .getSeq[Int](0) == Seq(0, 1, 2))
+    // NaN components: NaN distances rank LAST, tie by id — the
+    // DoubleType ordering inside the struct sort (Double.compare parity)
+    val nanCen = Ivf.Model(Array(
+      Array(Double.NaN, 0.0), Array(9.0, 9.0), Array(Double.NaN, 1.0)))
+    val q = Seq((1L, Seq(9.0f, 9.0f))).toDF("id", "v")
+    assert(q.select(Ivf.probeCellsExpr(col("v"), nanCen, 3)).head
+      .getSeq[Int](0) == Seq(1, 0, 2))
+    assert(q.select(oldExpr(col("v"), nanCen, 3)).head
+      .getSeq[Int](0) == Seq(1, 0, 2))
+    // null vector → null
+    val nul = Seq((1L, Option.empty[Seq[Float]])).toDF("id", "v")
+    assert(nul.select(Ivf.probeCellsExpr(col("v"), tied, 2)).head.isNullAt(0))
+  }
+
   test("k-means converges to the obvious clusters on separable data") {
     val pts = Seq(
       (1L, Seq(0.0f, 0.0f)), (2L, Seq(0.1f, 0.0f)), (3L, Seq(0.0f, 0.1f)),
