@@ -122,12 +122,16 @@ object Batching {
         // last-chance drain probe: a consumer that took every element
         // without a trailing hasNext (or touched an empty partition not
         // at all) IS fully consumed — verify here instead of failing.
-        // Guarded: at completion time the underlying iterator's
-        // resources may already be torn down by later-registered
-        // (earlier-run) listeners, and a probe failure must not mask
-        // the real verdict — an unprobeable iterator stays unverified.
+        // Only the PROBE is guarded (at completion time the underlying
+        // iterator's resources may already be torn down by
+        // later-registered, earlier-run listeners; an unprobeable
+        // iterator stays unverified and takes the abandonment error
+        // below) — a divergence thrown by verify() itself must
+        // propagate and fail the task, never be swallowed.
         if (!checked && !c.isFailed() && !c.isInterrupted()) {
-          try { if (!it.hasNext) verifyOnce() } catch { case _: Exception => () }
+          val drained =
+            try !it.hasNext catch { case _: Exception => false }
+          if (drained) verifyOnce()
         }
         if (!checked && !c.isFailed() && !c.isInterrupted())
           throw new IllegalStateException(

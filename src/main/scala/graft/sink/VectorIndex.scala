@@ -317,7 +317,10 @@ object VectorIndex {
     DeltaLog.checkFence(spark, we)
     val f = DeltaLog.fs(spark, dir)
     seqs.foreach(s => f.delete(new Path(s"$dir/commits/$s"), true))
-    // the folded base has new membership: tighten the radius bounds
+    // the folded base has new membership: tighten the radius bounds —
+    // behind its own fence check (radii is a plain overwrite a zombie
+    // could otherwise clobber after the rival took the store)
+    DeltaLog.checkFence(spark, we)
     writeRadii(spark, dir, readMeta(spark, dir).vecCol)
   }
 

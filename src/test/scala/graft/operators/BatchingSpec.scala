@@ -121,6 +121,29 @@ class BatchingSpec extends SparkSpec {
     assert(total == 256L * 257L / 2L)
   }
 
+  test("completion-listener drain probe: verify failures propagate, untouched-empty passes") {
+    // an untouched, already-empty iterator verifies at task completion
+    // (count 0) — no spurious abandonment error
+    val ok = spark.sparkContext.parallelize(1 to 4, 2).mapPartitions { it =>
+      var n = 0; while (it.hasNext) { it.next(); n += 1 }
+      Batching.verifiedEnd(Iterator.empty[Int])(c =>
+        if (c != 0L) throw new IllegalStateException("impossible")): Unit
+      Iterator.single(n)
+    }.sum()
+    assert(ok == 4.0)
+    // ...but a DIVERGENCE thrown by that last-chance verify must fail
+    // the task, never be swallowed by the probe's guard
+    val bad = spark.sparkContext.parallelize(1 to 4, 2).mapPartitions { it =>
+      while (it.hasNext) it.next()
+      Batching.verifiedEnd(Iterator.empty[Int])(_ =>
+        throw new IllegalStateException("diverged-probe")): Unit
+      Iterator.empty[Int]
+    }
+    val e = intercept[Exception](bad.count())
+    val msg = e.toString + Option(e.getCause).map(_.toString).getOrElse("")
+    assert(msg.contains("diverged-probe"), msg)
+  }
+
   test("limit on an unverified numbered result fails loudly; persist-then-limit passes") {
     // the verifiedEnd abandonment guard: a limit/take that abandons the
     // pass-2 iterator mid-partition can't run the divergence check, so
