@@ -28,6 +28,30 @@ class MaintenanceSpec extends SparkSpec {
     assert(sink.searchable().count() == 3)
   }
 
+  test("PipelineRunner.maintain vacuums under the writer's own epoch with the config retention") {
+    val dir = java.nio.file.Files.createTempDirectory("maint-runner").toString
+    val sink = new ParquetIndexSink(spark, dir, numBuckets = 4)
+    val runner = new graft.runtime.PipelineRunner(
+      graft.config.PipelineConfig(indexName = "m-idx", keepVersions = 2), sink)
+    sink.addDocuments(Seq(("a", "v1")).toDF("_id", "v")); sink.commit()
+    sink.addDocuments(Seq(("a", "v2")).toDF("_id", "v")); sink.commit()
+    sink.addDocuments(Seq(("a", "v3")).toDF("_id", "v")); sink.commit()
+    val r = runner.maintain()
+    assert(r.exists(!_.dryRun))
+    assert(sink.history() == Seq(1L, 2L)) // keepVersions=2 from config
+    sink.addDocuments(Seq(("b", "b1")).toDF("_id", "v"))
+    sink.commit() // the writer was not fenced by its own maintenance
+    assert(sink.searchable().count() == 2)
+    // sinks without a vacuum surface are a no-op
+    val mem = new InMemoryIndexSink(spark,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("_id",
+          org.apache.spark.sql.types.StringType))))
+    val r2 = new graft.runtime.PipelineRunner(
+      graft.config.PipelineConfig(indexName = "m2"), mem).maintain()
+    assert(r2.isEmpty)
+  }
+
   test("--takeover vacuums; unknown kinds are refused loudly") {
     val dir = java.nio.file.Files.createTempDirectory("maint-rw").toString
     val sink = new ParquetIndexSink(spark, dir, numBuckets = 4)
