@@ -118,8 +118,14 @@ object Bench {
         oneBatch()
         val a = oneBatch()
         val b = oneBatch()
-        if (a._1 <= b._1) (a._1, a._2, math.min(a._3, b._3), a._4)
-        else (b._1, b._2, math.min(a._3, b._3), b._4)
+        // each leg picks its own (secs, docs) PAIR by that leg's time —
+        // the delta batch is an unordered limit(1500), so the two runs can
+        // compact to different doc counts; min-ing seconds across runs
+        // while keeping the other run's count would mix run A's docs with
+        // run B's time in the docs/s division
+        val (ls, ld) = if (a._1 <= b._1) (a._1, a._2) else (b._1, b._2)
+        val (ds, dd) = if (a._3 <= b._3) (a._3, a._4) else (b._3, b._4)
+        (ls, ld, ds, dd)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] ingest_pipeline failed: ${e.getMessage}")

@@ -33,11 +33,13 @@ final case class PipelineConfig(
     // streaming
     checkpointLocation: String = "",
     // retention / reader leases (DeltaLog.installBase + IndexSink.vacuum
-    // scaladoc): how many previous sealed generations (stores) and
-    // manifest versions (the document sink) maintenance keeps alive for
-    // in-flight readers. Size both to
-    // (longest expected scan or pinned-version age) / (compaction or
-    // vacuum interval); 1 = only the latest survives maintenance.
+    // scaladoc), both consumed by PipelineRunner.maintain(): keepVersions
+    // = manifest versions the document sink's vacuum retains;
+    // keepGenerations = previous sealed generations kept when the
+    // runner's pipeline-owned stores (its `stores` list) compact. Size
+    // both to (longest expected scan or pinned-version age) /
+    // (compaction or vacuum interval); 1 = only the latest survives
+    // maintenance.
     keepVersions: Int = 1,
     keepGenerations: Int = 1) {
   require(indexName != null && indexName.nonEmpty, "indexName is required")

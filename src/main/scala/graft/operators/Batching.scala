@@ -89,6 +89,18 @@ object Batching {
     * the element is returned only after its partition verified). Full
     * consumption therefore verifies through EITHER protocol.
     *
+    * WRAPPED-ITERATOR CONTRACT (the eager probe's fine print): the probe
+    * calls `it.hasNext` BEFORE the consumer acts on the element just
+    * returned, so wrapped iterators must yield elements that stay valid
+    * across a subsequent hasNext — an adapter whose hasNext ADVANCES the
+    * source (filter/takeWhile/collect views) over buffer-reusing rows
+    * (InternalRow from a columnar scan) would mutate the element in the
+    * consumer's hands. Every call site here wraps iterators of
+    * already-copied rows (`Row.fromSeq` / deserialized objects); keep it
+    * that way, or copy before wrapping. The probe also means upstream
+    * hasNext runs ~twice per element — cheap for the compute-bound
+    * sources this guards, but part of the cost model.
+    *
     * An early-terminating consumer (`limit`/`take`/`show`/`isEmpty`
     * abandoning the iterator mid-partition, rows still remaining)
     * cannot run the check for the rows it did take — so abandonment is

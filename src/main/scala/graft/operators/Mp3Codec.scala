@@ -95,7 +95,11 @@ import scala.collection.mutable.ArrayBuffer
   *     still no ISO B.7 source; blocked. An encoder round-trip can
   *     self-verify internal consistency per table but not spec
   *     conformance; these tables stay out until real constants are
-  *     available.
+  *     available. RE-CHECKED 2026-08-16 (round 16): swept again for
+  *     ISO 11172 documents, mpg123/minimp3/libmad/LAME sources (any of
+  *     which embed B.7), and *huffman*table* files — only HPACK
+  *     constants on the box, no MPEG audio decoder source anywhere;
+  *     still blocked.
   *   - The 512-tap filterbank prototype (Table B.3 / Annex B): replaced
   *     by an own-designed near-perfect-reconstruction pseudo-QMF
   *     prototype (Kaiser-windowed lowpass, crossover solved numerically

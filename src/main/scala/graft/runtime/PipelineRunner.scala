@@ -35,7 +35,22 @@ final class PipelineRunner(
     cfg: PipelineConfig,
     sink: IndexSink,
     retryable: Throwable => Boolean = PipelineRunner.defaultRetryPolicy,
-    dlq: Option[DataFrame => Unit] = None) {
+    dlq: Option[DataFrame => Unit] = None,
+    /** Auxiliary persisted stores this pipeline OWNS and keeps current
+      * alongside the document sink (a signature store fed per batch, a
+      * vector index, …), as (kind, dir) with kind from
+      * [[graft.sink.Stores.Kinds]]. [[maintain]] compacts them with
+      * [[PipelineConfig.keepGenerations]] — ownership matters: the
+      * compact runs under this JVM's session epoch, so only the store's
+      * single writer may list it here (a store another process writes
+      * would be FENCED by this pipeline's maintenance).
+      */
+    stores: Seq[(String, String)] = Nil) {
+  stores.foreach { case (kind, _) =>
+    require(graft.sink.Stores.Kinds.contains(kind),
+      s"unknown store kind '$kind' (expected one of " +
+        s"${graft.sink.Stores.Kinds.mkString(", ")})")
+  }
 
   val metrics = new PipelineMetrics
 
@@ -79,16 +94,28 @@ final class PipelineRunner(
   /** Post-batch retention maintenance from the pipeline's OWN process —
     * the safe place to vacuum (the writer's session epoch is reused, so
     * the live writer can never be fenced by its own maintenance).
-    * Retention comes from the config surface ([[PipelineConfig
-    * .keepVersions]]); sinks without a vacuum are a no-op. Run it
-    * between batches on whatever cadence storage costs dictate.
+    * Retention comes from the config surface: the document sink vacuums
+    * manifest versions down to [[PipelineConfig.keepVersions]] (sinks
+    * without a vacuum are a no-op), and every pipeline-owned auxiliary
+    * store (the `stores` constructor list) is compacted keeping
+    * [[PipelineConfig.keepGenerations]] previous sealed generations for
+    * in-flight readers. `dryRun = true` stays strictly read-only: the
+    * sink reports what vacuum WOULD delete and the store compactions are
+    * skipped entirely (compaction has no partial mode). Run it between
+    * batches on whatever cadence storage costs dictate.
     */
-  def maintain(dryRun: Boolean = false): Option[graft.sink.VacuumReport] =
+  def maintain(dryRun: Boolean = false): Option[graft.sink.VacuumReport] = {
+    if (!dryRun && stores.nonEmpty) {
+      val spark = org.apache.spark.sql.SparkSession.active
+      stores.foreach { case (kind, dir) =>
+        graft.sink.Stores.compact(spark, kind, dir, cfg.keepGenerations) }
+    }
     sink match {
       case p: graft.sink.ParquetIndexSink =>
         Some(p.vacuum(cfg.keepVersions, dryRun))
       case _ => None
     }
+  }
 
   /** B2/B6 — classified bounded retry. */
   private def withRetry[T](body: => T): T = {

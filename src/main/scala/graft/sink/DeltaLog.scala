@@ -111,32 +111,43 @@ private[sink] object DeltaLog {
 
   private val epochPat = "e-(\\d+)-(.+)".r
 
+  /** Parsed claims plus the names of DAMAGED entries (epoch-shaped files
+    * whose number overflows Int — corrupt or foreign; legitimate epochs
+    * are %09d-formatted Ints). The two callers treat damage opposingly,
+    * by design:
+    *  - [[acquireEpoch]] (the restart path) SKIPS damaged entries with a
+    *    loud once-per-JVM warning — a damaged file must not brick every
+    *    future writer start; the operator deletes it at leisure.
+    *  - [[checkFence]] (the live-writer mutation guard) treats ANY
+    *    damaged entry as FENCING — fail-safe: a damaged-but-higher claim
+    *    that the skip made invisible would otherwise open a fencing hole
+    *    (two live writers). The fenced writer's error names the file;
+    *    deleting it and restarting (which re-acquires) restores writes.
+    */
   private def listEpochs(f: org.apache.hadoop.fs.FileSystem,
-      domain: String): Seq[(Int, String)] = {
+      domain: String): (Seq[(Int, String)], Seq[String]) = {
     val p = new Path(s"$domain/$EpochDir")
-    if (!f.exists(p)) Seq.empty
-    else f.listStatus(p).toSeq.flatMap(_.getPath.getName match {
-      // n.toIntOption, not n.toInt: a stray/corrupt ledger file whose
-      // digit run overflows Int would otherwise throw from EVERY
-      // mutation path (acquireEpoch/checkFence) — a damaged entry must
-      // not brick all writes. Unparseable entries are skipped LOUDLY
-      // (named once per JVM): legitimate epochs are %09d-formatted
-      // Ints, so anything outside Int range is damage, not a claim.
-      case epochPat(n, t) => n.toIntOption match {
-        case Some(e) => Some((e, t))
-        case None =>
-          val file = s"$domain/$EpochDir/e-$n-$t"
-          if (badEpochWarned.add(file)) System.err.println(
-            s"[DeltaLog] ignoring unparseable epoch ledger entry $file " +
-              "(epoch number outside Int range — corrupt or foreign " +
-              "file; delete it to silence this warning)")
-          None
-      }
-      case _ => None
-    })
+    if (!f.exists(p)) (Seq.empty, Seq.empty)
+    else {
+      val (ok, bad) = (Seq.newBuilder[(Int, String)], Seq.newBuilder[String])
+      f.listStatus(p).foreach(_.getPath.getName match {
+        case epochPat(n, t) => n.toIntOption match {
+          case Some(e) => ok += ((e, t))
+          case None => bad += s"$domain/$EpochDir/e-$n-$t"
+        }
+        case _ => ()
+      })
+      (ok.result(), bad.result())
+    }
   }
   private val badEpochWarned =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def warnDamaged(files: Seq[String]): Unit = files.foreach { file =>
+    if (badEpochWarned.add(file)) System.err.println(
+      s"[DeltaLog] ignoring unparseable epoch ledger entry $file " +
+        "(epoch number outside Int range — corrupt or foreign file; " +
+        "delete it to silence this warning)")
+  }
 
   /** Register this writer session's claim on `domain` (a store's root
     * directory): PUT an epoch file numbered past every existing claim,
@@ -150,11 +161,13 @@ private[sink] object DeltaLog {
   def acquireEpoch(spark: SparkSession, domain: String): WriterEpoch = {
     val f = fs(spark, domain)
     f.mkdirs(new Path(s"$domain/$EpochDir"))
-    val before = listEpochs(f, domain)
+    val (before, damaged0) = listEpochs(f, domain)
+    warnDamaged(damaged0)
     val n = (before.map(_._1) :+ 0).max + 1
     val token = java.util.UUID.randomUUID().toString
     f.create(new Path(f"$domain/$EpochDir/e-$n%09d-$token"), true).close()
-    val after = listEpochs(f, domain)
+    val (after, damaged1) = listEpochs(f, domain)
+    warnDamaged(damaged1)
     if (after.exists { case (m, t) => m > n || (m == n && t < token) })
       throw new FencedWriterException(
         s"writer lost the epoch-$n race at $domain/$EpochDir — " +
@@ -172,14 +185,28 @@ private[sink] object DeltaLog {
     * mutation point of [[commit]] / [[installBase]] / [[migrateLegacy]].
     */
   def checkFence(spark: SparkSession, we: WriterEpoch): Unit = {
-    val newest = listEpochs(fs(spark, we.domain), we.domain)
+    val (claims, damaged) = listEpochs(fs(spark, we.domain), we.domain)
+    // fail-SAFE on ledger damage: an unparseable entry could be a
+    // damaged-but-higher rival claim — invisible-if-skipped would mean
+    // two live writers. The writer stops; the error names the file
+    // (delete it, restart — acquireEpoch deliberately skips damage so
+    // the restart succeeds).
+    if (damaged.nonEmpty)
+      throw new FencedWriterException(
+        s"writer epoch ${we.epoch} at ${we.domain} stopping on " +
+          s"unparseable epoch ledger entries (${damaged.mkString(", ")}) " +
+          "— a damaged entry could be a newer rival's claim, so writes " +
+          "fail safe. Delete the named file(s), then restart the writer " +
+          "(restart re-acquires an epoch; acquisition itself skips " +
+          "damage, so a stray file can never brick the restart).")
+    val newest = claims
       .filter { case (m, t) => m > we.epoch || (m == we.epoch && t < we.token) }
     if (newest.nonEmpty)
       throw new FencedWriterException(
         s"writer epoch ${we.epoch} is fenced by epoch " +
           s"${newest.map(_._1).max} at ${we.domain} — a newer writer owns " +
           "this store; this process must stop (restart acquires a fresh " +
-          "epoch)")
+          "epoch). README: 'Operating the fenced stores'.")
   }
 
   /** One epoch per (JVM, store): the production stores call [[commit]] /

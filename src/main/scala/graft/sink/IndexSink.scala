@@ -28,7 +28,14 @@ final case class VacuumReport(
     dataDirs: Seq[String],
     deltaDirs: Seq[String],
     manifests: Seq[String],
-    dryRun: Boolean)
+    dryRun: Boolean,
+    /** Commit dirs left empty by the bucket deletes and removed too. A
+      * dry run PREDICTS these (every snapshot bucket dead ⇒ the dir
+      * would empty); the one divergence from a real vacuum is a rival
+      * repopulating the dir between snapshot and delete — the real run
+      * re-lists and refuses, the prediction cannot see the future.
+      */
+    commitDirs: Seq[String] = Nil)
 
 trait IndexSink {
   def idField: String = "_id"
@@ -680,6 +687,7 @@ class ParquetIndexSink(spark: SparkSession, path: String, numBuckets: Int = 16,
     val live = ms.flatMap(_.buckets.values)
       .map(rel => new HPath(s"$path/$rel").toUri.getPath).toSet
     val deadData = Seq.newBuilder[String]
+    val deadCommitDirs = Seq.newBuilder[String]
     dataSnapshot.foreach { case (commitDir, buckets) =>
       val survivors = buckets.filter { b =>
         val keep = live.contains(b.toUri.getPath)
@@ -690,9 +698,16 @@ class ParquetIndexSink(spark: SparkSession, path: String, numBuckets: Int = 16,
         keep
       }
       // non-recursive: refuses a dir a rival repopulated since our
-      // re-list, instead of recursively destroying the new content
-      if (!dryRun && survivors.isEmpty && f.listStatus(commitDir).isEmpty)
-        f.delete(commitDir, false): Unit
+      // re-list, instead of recursively destroying the new content.
+      // Recorded in BOTH modes so the dry-run report predicts the real
+      // vacuum's full delete set (see VacuumReport.commitDirs).
+      if (survivors.isEmpty) {
+        if (dryRun) deadCommitDirs += commitDir.toString
+        else if (f.listStatus(commitDir).isEmpty) {
+          deadCommitDirs += commitDir.toString
+          f.delete(commitDir, false): Unit
+        }
+      }
     }
     val liveDeltas = ms.flatMap(_.deltas)
       .map(rel => new HPath(s"$path/$rel").toUri.getPath).toSet
@@ -712,7 +727,7 @@ class ParquetIndexSink(spark: SparkSession, path: String, numBuckets: Int = 16,
       }
     }
     VacuumReport(retained, deadData.result(), deadDeltas.result(),
-      deadManifests.result(), dryRun)
+      deadManifests.result(), dryRun, deadCommitDirs.result())
   }
 }
 

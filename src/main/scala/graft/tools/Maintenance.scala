@@ -54,30 +54,16 @@ object Maintenance {
       val verb = if (r.dryRun) "WOULD delete (dry run)" else "deleted"
       println(s"[maintenance] sink $dir retained=${r.retainedVersions
         .mkString(",")} $verb: ${r.dataDirs.size} data dirs, " +
-        s"${r.deltaDirs.size} delta dirs, ${r.manifests.size} manifests")
-      (r.dataDirs ++ r.deltaDirs ++ r.manifests).foreach(p =>
+        s"${r.deltaDirs.size} delta dirs, ${r.manifests.size} manifests, " +
+        s"${r.commitDirs.size} emptied commit dirs")
+      (r.dataDirs ++ r.deltaDirs ++ r.manifests ++ r.commitDirs).foreach(p =>
         println(s"[maintenance]   $p"))
       if (r.dryRun) println(refusal("vacuum"))
     case k =>
       // store health is always safe to print
-      val stats = k match {
-        case "postings" => IncrementalPostings.stats(spark, dir)
-        case "vector" => VectorIndex.stats(spark, dir)
-        case "signature" => SignatureStore.stats(spark, dir)
-        case "geo" => GeoIndex.stats(spark, dir)
-        case "stats" => StatsStore.stats(spark, dir)
-        case other => throw new IllegalArgumentException(
-          s"unknown store kind '$other'")
-      }
-      stats.show(truncate = false)
+      Stores.stats(spark, k, dir).show(truncate = false)
       if (takeover) {
-        k match {
-          case "postings" => IncrementalPostings.compact(spark, dir, keep)
-          case "vector" => VectorIndex.compact(spark, dir, keep)
-          case "signature" => SignatureStore.compact(spark, dir, keep)
-          case "geo" => GeoIndex.compact(spark, dir, keep)
-          case "stats" => StatsStore.compact(spark, dir, keep)
-        }
+        Stores.compact(spark, k, dir, keep)
         println(s"[maintenance] $k $dir compacted (keepGenerations=$keep)")
       } else println(refusal("compact"))
   }

@@ -384,6 +384,30 @@ class DeltaLogCrashPropertySpec extends SparkSpec {
       WriterEpoch(dir, 2, "00000000-dead-dead-dead-000000000000")))
   }
 
+  test("damaged ledger entry: checkFence fails safe, acquireEpoch skips and recovers") {
+    val dir = java.nio.file.Files.createTempDirectory("dlog-edam").toString
+    val f = DeltaLog.fs(spark, dir)
+    val live = DeltaLog.acquireEpoch(spark, dir)
+    DeltaLog.checkFence(spark, live) // healthy ledger: the owner passes
+    // an epoch-shaped entry whose number overflows Int — damage, not a
+    // legitimate claim (legitimate epochs are %09d-formatted Ints)
+    val damaged = new Path(
+      s"$dir/${DeltaLog.EpochDir}/e-99999999999-deadbeef")
+    f.create(damaged, true).close()
+    // fail-SAFE: the damaged entry could be a higher rival's claim, so
+    // the live writer's next fence check stops it, naming the file
+    val e = intercept[FencedWriterException](DeltaLog.checkFence(spark, live))
+    assert(e.getMessage.contains("e-99999999999-deadbeef"))
+    // fail-OPEN on the restart path: acquireEpoch skips damage (a
+    // damaged file must not brick every future writer start) and the
+    // fresh session passes its own fence checks once the operator
+    // deletes the named file
+    val restarted = DeltaLog.acquireEpoch(spark, dir)
+    assert(restarted.epoch == live.epoch + 1)
+    assert(f.delete(damaged, false))
+    DeltaLog.checkFence(spark, restarted) // healthy again after repair
+  }
+
   test("migrateLegacy registers a fresh epoch that fences a zombie writer") {
     val dir = java.nio.file.Files.createTempDirectory("dlog-mig").toString
     val root = s"$dir/commits"

@@ -294,6 +294,9 @@ class IndexSinkSpec extends SparkSpec {
     assert(real.dataDirs.toSet == plan.dataDirs.toSet)
     assert(real.deltaDirs.toSet == plan.deltaDirs.toSet)
     assert(real.manifests.toSet == plan.manifests.toSet)
+    // including the commit dirs the bucket deletes leave empty (a dry
+    // run PREDICTS these; the real run deletes and records them)
+    assert(real.commitDirs.toSet == plan.commitDirs.toSet)
     assert(sink.history() == Seq(2L))
     assert(sink.searchable().count() == 8)
   }
