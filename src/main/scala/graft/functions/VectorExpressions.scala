@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Native Catalyst expressions for the embedding hot path.
   *
@@ -738,7 +738,92 @@ object SparseRandomProject {
   * (`size(col) === expectedDim`) — a truncated cosine is plausible-looking
   * but meaningless.
   */
+/** Count of positions where two integral signature arrays agree — the
+  * banded-LSH probe's `est_jaccard` numerator (count / numHashes).
+  *
+  * Replaces the interpreted
+  * `size(filter(zip_with(a, b, (x,y) => (x===y).cast("int")), _===1))`
+  * tree evaluated per candidate PAIR on the probe legs
+  * (`SignatureStore.probeCore`/`selfPairs`,
+  * `Dedup.minhashLshCandidates`): one closure dispatch + boxing per
+  * hash per pair plus two intermediate arrays allocated per pair —
+  * the interpreted-HOF trap this package documents, on the one leg of
+  * the dedup path whose row count is the CANDIDATE set (which grows
+  * with the corpus at 100 TB even though it is tiny at gate scale).
+  *
+  * Semantics pinned bit-for-bit to the HOF form (`SigMatchCountSpec`):
+  * count over the min-length prefix (zip_with pads the shorter array
+  * with nulls; `x === null` is null and the filter drops it), null
+  * ELEMENTS never count on either side (`null === null` is null in
+  * SQL), null ARRAY input → null result (`size(zip_with(null, b))` is
+  * null with `spark.sql.legacy.sizeOfNull=false`, the Spark 3+
+  * default this build uses).
+  */
+case class SigMatchCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "sig_match_count"
+  override def dataType: DataType = IntegerType
+
+  private def elem(e: Expression): DataType = e.dataType match {
+    case ArrayType(t, _) => t
+    case t => t
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(LongType | IntegerType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right) && elem(left) == elem(right))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects two array<bigint> or two array<int> " +
+          s"arguments of the SAME element type, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  private def isLong: Boolean = elem(left) == LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i) &&
+          (if (isLong) x.getLong(i) == y.getLong(i)
+           else x.getInt(i) == y.getInt(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      val get = if (isLong) "getLong" else "getInt"
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        int $c = 0;
+        for (int $i = 0; $i < $n; $i++) {
+          if (!$a.isNullAt($i) && !$b.isNullAt($i) &&
+              $a.$get($i) == $b.$get($i)) $c++;
+        }
+        ${ev.value} = $c;
+      """
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 object VectorExpressions {
+  def sigMatchCount(a: Column, b: Column): Column =
+    column(SigMatchCount(expression(a), expression(b)))
   def dotFast(a: Column, b: Column): Column = column(VectorDot(expression(a), expression(b)))
   def cosineFast(a: Column, b: Column): Column = column(VectorCosine(expression(a), expression(b)))
   def l2sqFast(a: Column, b: Column): Column = column(VectorL2Sq(expression(a), expression(b)))

@@ -199,9 +199,14 @@ object Dedup {
       .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
       .distinct()
+    // fused sig_match_count, not size(filter(zip_with(...))): the HOF is
+    // interpreted per candidate pair (~2.5x slower at 500k pairs x 32
+    // hashes, and the candidate set is the leg that grows with the
+    // corpus); bit-equivalence to the HOF form is spec-pinned
+    // (VectorExpressionsSpec "sig_match_count equals ...")
     cand.withColumn("est_jaccard",
-        size(filter(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => (x === y).cast("int")), _ === 1)).cast("double")
+        graft.functions.VectorExpressions.sigMatchCount(
+          col("sig_a"), col("sig_b")).cast("double")
           / lit(numHashes.toDouble))
       .select("id_a", "id_b", "est_jaccard")
   }

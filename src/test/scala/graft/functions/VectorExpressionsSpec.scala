@@ -100,4 +100,60 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(gen == interp)
     assert(gen.distinct.size > 1) // signatures actually vary across vectors
   }
+
+  test("sig_match_count equals the size(filter(zip_with)) formulation on every edge") {
+    import spark.implicits._
+    // the HOF tree it replaces, rebuilt verbatim (the est_jaccard
+    // numerator in SignatureStore.probeCore/selfPairs and
+    // Dedup.minhashLshCandidates)
+    def hof(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      size(filter(zip_with(a, b, (x, y) => (x === y).cast("int")), _ === 1))
+    val rnd = new scala.util.Random(13)
+    // random pairs over a SMALL value domain so equal positions are
+    // common; lengths vary 0..40 so the min-length truncation is hit;
+    // ~5% null elements so the both-non-null rule is hit
+    def arr(): Seq[Option[Long]] = Seq.fill(rnd.nextInt(41))(
+      if (rnd.nextInt(20) == 0) None else Some(rnd.nextInt(4).toLong))
+    val pairs = (0 until 500).map(_ => (arr(), arr()))
+      .toDF("sig_a", "sig_b")
+    val diff = pairs.select(
+        VectorExpressions.sigMatchCount(col("sig_a"), col("sig_b")).as("f"),
+        hof(col("sig_a"), col("sig_b")).as("h"))
+      .filter(col("f") =!= col("h")).count()
+    assert(diff == 0L)
+    // null ARRAY input → null, matching size(zip_with(null, b)) under
+    // the Spark 3+ sizeOfNull default
+    val withNull = Seq(
+      (Some(Seq(1L, 2L)), Option.empty[Seq[Long]]),
+      (Option.empty[Seq[Long]], Some(Seq(1L, 2L))))
+      .toDF("sig_a", "sig_b")
+    val r = withNull.select(
+      VectorExpressions.sigMatchCount(col("sig_a"), col("sig_b")).as("f"),
+      hof(col("sig_a"), col("sig_b")).as("h")).collect()
+    assert(r.forall(row => row.isNullAt(0) && row.isNullAt(1)))
+    // empty arrays → 0, both formulations
+    val empty = Seq((Seq.empty[Long], Seq(1L, 2L))).toDF("sig_a", "sig_b")
+    val er = empty.select(
+      VectorExpressions.sigMatchCount(col("sig_a"), col("sig_b")),
+      hof(col("sig_a"), col("sig_b"))).head()
+    assert(er.getInt(0) == 0 && er.getInt(1) == 0)
+    // int-typed signature arrays take the other element getter
+    val ints = Seq((Seq(1, 2, 3), Seq(1, 9, 3))).toDF("sig_a", "sig_b")
+    assert(ints.select(VectorExpressions.sigMatchCount(col("sig_a"),
+      col("sig_b"))).head().getInt(0) == 2)
+    // mixed element types fail analysis, not execution
+    assertThrows[org.apache.spark.sql.AnalysisException] {
+      Seq((Seq(1L), Seq(1))).toDF("a", "b").select(
+        VectorExpressions.sigMatchCount(col("a"), col("b"))).head()
+    }
+    // interpreted fallback agrees with codegen (the eval() twin)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val lit1 = Literal(ArrayData.toArrayData(Array(1L, 2L, 3L, 4L)),
+      ArrayType(LongType))
+    val lit2 = Literal(ArrayData.toArrayData(Array(1L, 9L, 3L, 7L)),
+      ArrayType(LongType))
+    assert(SigMatchCount(lit1, lit2).eval(null) == 2)
+  }
 }
