@@ -101,6 +101,30 @@ private[graft] object OraclesB {
          JOIN cnt cb ON cb.doc_id = id_b
          WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.5
          ORDER BY id_a, id_b""",
+    // prefix filtering gates COMPLETENESS: the oracle is the naive
+    // all-token self-join (no prune) at the same threshold — identical
+    // output proves the rare-token prefix candidates lost nothing
+    "x_dedup_prefix_filter" ->
+      """WITH sh AS (SELECT DISTINCT doc_id, g FROM (
+             SELECT doc_id, unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+               ELSE list_transform(range(1, len(w)-1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS g
+             FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents))),
+         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             count(*) AS common
+           FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT id_a, id_b,
+           round(CAST(common AS DOUBLE) / (ca.n + cb.n - common), 6)
+             AS jaccard
+         FROM pairs
+         JOIN cnt ca ON ca.doc_id = id_a
+         JOIN cnt cb ON cb.doc_id = id_b
+         WHERE round(CAST(common AS DOUBLE) / (ca.n + cb.n - common), 6)
+           >= 0.8
+         ORDER BY id_a, id_b""",
+
     // containment normalizes by the SMALLER shingle set
     "x_dedup_containment" ->
       """WITH sh AS (SELECT DISTINCT doc_id, g FROM (

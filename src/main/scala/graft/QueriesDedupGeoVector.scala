@@ -122,6 +122,18 @@ private[graft] object QueriesDedupGeoVector {
         .orderBy("id_a", "id_b")
     }),
 
+    // Exact-threshold token-set Jaccard join via PREFIX FILTERING
+    // (All-Pairs/SSJoin — the deterministic-recall complement to LSH):
+    // the oracle computes the NAIVE all-token self-join, so the row
+    // gates the algorithm's completeness theorem — the rare-token
+    // prefix prune must lose NOTHING against an engine that never
+    // pruned at all.
+    "x_dedup_prefix_filter" -> ((s, d) =>
+      operators.Dedup.prefixFilterJoin(
+        Tables.documents(s, d).select("doc_id", "text"), "doc_id", "text",
+        shingleN = 3, threshold = 0.8)
+        .orderBy("id_a", "id_b")),
+
     "x_dedup_minhash" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val exact = sharedExactPairs(s, d)

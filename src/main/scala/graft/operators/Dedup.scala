@@ -246,6 +246,80 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** EXACT-threshold token-set Jaccard join via PREFIX FILTERING — the
+    * All-Pairs / SSJoin family (public literature: Bayardo, Ma &
+    * Srikant, WWW 2007; Chaudhuri, Ganti & Kaushik, ICDE 2006). The
+    * deterministic complement to [[minhashDedup]]: LSH buys fixed probe
+    * cost at recall ≈ 1; prefix filtering guarantees recall = 1 (every
+    * pair with jaccard ≥ t is emitted — no banding miss), at candidate
+    * cost that stays near-linear because candidates join ONLY on each
+    * document's globally RAREST tokens.
+    *
+    * Algorithm: per doc take the distinct set T of word `shingleN`-gram
+    * shingles (n = |T|; `shingleN = 1` ⇒ plain tokens); order elements
+    * by ascending corpus document frequency with the element string
+    * as tie-break (a TOTAL canonical order — both sides of a tie order
+    * identically or completeness breaks); the prefix is the first
+    * p = n − ⌈t·n⌉ + 1 elements. Completeness: for a qualifying pair,
+    * |A∩B| ≥ ⌈t·|A|⌉, and the MINIMAL shared token w (canonical order)
+    * is preceded in A's order only by unshared tokens — at most
+    * |A| − |A∩B| of them — so w sits within A's first
+    * |A| − ⌈t·|A|⌉ + 1 = p_A positions; symmetrically for B. Hence
+    * prefix(A) ⋈ prefix(B) on the token sees every qualifying pair, and
+    * the exact per-pair verification keeps only true matches.
+    *
+    * Scale shape: one token-frequency aggregate, one per-doc window over
+    * the doc's own tokens (bounded by doc length), a join keyed on
+    * LOW-frequency tokens by construction (a token of global df D can
+    * produce at most D·(D−1)/2 candidates, and high-df tokens are pushed
+    * out of every prefix), then O(candidates) verification via the
+    * collected token arrays. No all-pairs stage anywhere.
+    *
+    * Returns `(id_a, id_b, jaccard)` with jaccard rounded to 6dp BEFORE
+    * the threshold compare (both engines compute identical arithmetic —
+    * the [[ngramJaccard]] convention).
+    */
+  def prefixFilterJoin(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0,1], got $threshold")
+    // set elements are word n-gram shingles (shingleN = 1 ⇒ plain
+    // tokens): on template-heavy corpora TOKEN sets are near-identical
+    // across unrelated docs (measured at sf0.1: 7M qualifying token
+    // pairs from 5k docs), while shingle sets carry word order and
+    // stay discriminative — the same reason every other dedup operator
+    // here shingles first
+    val tok = df.select(col(idCol).as("_id"),
+        explode(array_distinct(
+          TextFunctions.wordShingles(col(textCol), shingleN))).as("tok"))
+    val dfreq = tok.groupBy("tok").agg(count(lit(1)).as("_df"))
+    val ranked = tok.join(dfreq, "tok")
+      .withColumn("_pos", row_number().over(
+        Window.partitionBy("_id").orderBy(col("_df"), col("tok"))))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy("_id")))
+    val prefix = ranked
+      .filter(col("_pos") <= col("_n") - ceil(lit(threshold) * col("_n")) + 1)
+      .select("_id", "tok")
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.tok") === col("b.tok") && col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
+      .distinct()
+    // exact verification over the collected shingle sets — O(candidates)
+    val sets = df.select(col(idCol).as("_sid"),
+      array_distinct(
+        TextFunctions.wordShingles(col(textCol), shingleN)).as("_tk"))
+    cand
+      .join(sets.withColumnRenamed("_sid", "id_a")
+        .withColumnRenamed("_tk", "tk_a"), "id_a")
+      .join(sets.withColumnRenamed("_sid", "id_b")
+        .withColumnRenamed("_tk", "tk_b"), "id_b")
+      .withColumn("_common", size(array_intersect(col("tk_a"), col("tk_b"))))
+      .withColumn("jaccard", round(col("_common").cast("double") /
+        (size(col("tk_a")) + size(col("tk_b")) - col("_common")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Edit-distance verification for a CANDIDATE pair set — the
     * character-level confirmation behind "near-duplicate up to k edits"
     * policies (template pages, boilerplate variants, OCR noise), where

@@ -464,4 +464,64 @@ class DedupSpec extends SparkSpec {
     // (1,3) share the 8-char prefix block -> candidate, scored, kept at 0.01
     assert(all.exists(r => r._1 == 1L && r._2 == 3L))
   }
+
+  test("prefixFilterJoin: complete vs the naive all-pairs join, and it actually prunes") {
+    // a corpus with one stopword-like token ("the") in EVERY doc: the
+    // naive token join meets on it n^2 times; the prefix prune must
+    // push it out of every prefix yet lose no qualifying pair
+    val docs = (0L until 60L).map { i =>
+      val fam = i % 3 // three near-dup families + per-doc salt
+      (i, s"the alpha$fam beta$fam gamma$fam delta$fam salt$i")
+    } ++ Seq(
+      (100L, "the unique only tokens here"),
+      (101L, "x"), // single-token doc: prefix p = 1 - ceil(t) + 1 = 1
+      (102L, "x")) // its exact twin (jaccard 1.0 on one token)
+    val df = docs.toDF("doc_id", "text")
+    def naive(t: Double) = {
+      val tk = df.select(col("doc_id"),
+        explode(array_distinct(graft.functions.TextFunctions.tokens(
+          col("text")))).as("tok"))
+      val cnt = tk.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      tk.as("a").join(tk.as("b"),
+          col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("common"))
+        .join(cnt.withColumnRenamed("doc_id", "id_a")
+          .withColumnRenamed("n", "na"), "id_a")
+        .join(cnt.withColumnRenamed("doc_id", "id_b")
+          .withColumnRenamed("n", "nb"), "id_b")
+        .withColumn("jaccard", round(col("common").cast("double") /
+          (col("na") + col("nb") - col("common")), 6))
+        .filter(col("jaccard") >= t)
+        .select("id_a", "id_b", "jaccard")
+    }
+    for (t <- Seq(0.5, 0.6, 0.8, 1.0)) { // incl. t=1.0 (p = 1: rarest token only)
+      val got = Dedup.prefixFilterJoin(df, "doc_id", "text", 1, t)
+        .as[(Long, Long, Double)].collect().toSet
+      val want = naive(t).as[(Long, Long, Double)].collect().toSet
+      assert(got == want, s"threshold $t diverged from the naive join")
+      assert(t > 0.9 || got.nonEmpty, s"threshold $t: vacuous fixture")
+    }
+    // the single-token twins survive every threshold (jaccard = 1.0)
+    val one = Dedup.prefixFilterJoin(df, "doc_id", "text", 1, 1.0)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(one.contains((101L, 102L, 1.0)))
+    // the prune is REAL: at t=0.6 a 6-token doc keeps a 3-token prefix,
+    // so the universal "the" (df=63, canonical order LAST in every doc)
+    // never enters any prefix — candidate pairs stay near the family
+    // structure instead of the 63-doc cross product
+    val tk = df.select(col("doc_id"),
+      explode(array_distinct(graft.functions.TextFunctions.tokens(
+        col("text")))).as("tok"))
+    val dfreq = tk.groupBy("tok").agg(count(lit(1)).as("_df"))
+    val prefix = tk.join(dfreq, "tok")
+      .withColumn("_pos", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(col("_df"), col("tok"))))
+      .withColumn("_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      .filter(col("_pos") <= col("_n") - ceil(lit(0.6) * col("_n")) + 1)
+    assert(prefix.filter(col("tok") === "the").count() == 0L,
+      "the universal token must be pruned out of every prefix")
+  }
 }
