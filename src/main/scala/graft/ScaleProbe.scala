@@ -179,6 +179,21 @@ object ScaleProbe {
         record("signature_store", "append", n, tAppend)
       }
 
+      // ---- Prefix-filtering exact Jaccard join (All-Pairs family) ----
+      // NOTE on reading the exponent: probe replicas are near-dups of
+      // the base BY DESIGN, so the qualifying-pair OUTPUT grows ~n² per
+      // family as scale grows — any complete join (this one, LSH+verify,
+      // or the naive baseline) pays that output floor here. The signal
+      // is the gap to the naive all-shingle join, probed once at x1.
+      if (famOn("prefix_filter")) locally {
+        val (c, tJoin) = time {
+          operators.Dedup.prefixFilterJoin(
+            docsN, "doc_id", "text", 3, 0.8).count()
+        }
+        record("prefix_filter", "join", n, tJoin)
+        if (!warmingUp) println(s"[probe] prefix_filter x$n pairs=$c")
+      }
+
       // ---- IVF serving: probed-cells scan (nProbe/k of the corpus) ---
       if (famOn("ivf_index")) locally {
         val dir = s"$scratch/ivf_x$n"
