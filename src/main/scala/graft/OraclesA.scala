@@ -1578,6 +1578,12 @@ private[graft] object OraclesA {
     "s_orc_scan" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
          ORDER BY doc_id""",
+    // the OCF round-trip must reproduce the source columns exactly (the
+    // gate's read schema reorders lang before text — column order is
+    // resolution, not luck)
+    "s_avro_scan" ->
+      """SELECT doc_id, lang, text, n_chars FROM documents
+         ORDER BY doc_id""",
     // identical arithmetic shape: mean = s1/c, var = s2/c − mean²,
     // z = (n − mean)/sqrt(var); // is DuckDB floor-div like Spark DIV
     "x_spike" ->

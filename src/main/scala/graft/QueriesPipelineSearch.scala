@@ -86,6 +86,35 @@ private[graft] object QueriesPipelineSearch {
         .orderBy("doc_id")
     }),
 
+    // Avro Object Container Files through the own task-side
+    // reader/writer (sources/AvroOcf — the spark-avro module is not
+    // deployed here; avro-core is): the corpus round-trips through real
+    // OCF bytes AND the read path is forced through the SPLIT reader —
+    // maxSplitBytes 64 KB cuts every file into many byte ranges, so the
+    // sync-marker range contract (no loss, no duplication) is what the
+    // hash-match actually gates. The read schema also REORDERS columns
+    // vs the written layout (lang before text), exercising Avro reader-
+    // schema resolution, not positional luck.
+    "s_avro_scan" -> ((s, d) => {
+      val dir = tempDir("graft-avro")
+      sources.AvroOcf.write(
+        Tables.documents(s, d).select("doc_id", "text", "lang", "n_chars")
+          .repartition(4),
+        s"$dir/data", syncIntervalBytes = 1 << 13)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_chars",
+          org.apache.spark.sql.types.LongType)))
+      sources.AvroOcf.read(s, s"$dir/data", schema,
+          maxSplitBytes = 64L * 1024)
+        .orderBy("doc_id")
+    }),
+
     // ORC source round-trip: Spark's native ORC datasource (the second
     // first-class lake format next to parquet) — write the corpus as
     // ORC, read it back, must hash-match the parquet oracle exactly.
