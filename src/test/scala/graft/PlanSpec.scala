@@ -50,6 +50,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("vector_cosine")) // codegen'd verify, not HOFs
   }
 
+  test("prefix-filter join: equi-joins throughout, no cartesian, no one-partition funnel") {
+    val p = plan("x_dedup_prefix_filter")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"prefix candidates must meet on an equi-join key:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
+    // the per-doc prefix is a bounded window over the doc's own tokens —
+    // never a global single-partition sort
+    assert(!p.contains("Exchange SinglePartition"),
+      s"prefix ranking funnels through one partition:\n$p")
+  }
+
   test("b1_batching numbers rows without a single-partition exchange") {
     val p = plan("b1_batching")
     assert(!p.contains("Exchange SinglePartition"),
