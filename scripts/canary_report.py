@@ -114,6 +114,18 @@ def board_compare(old_path, new_path):
                    ("alone " if store_med <= ELEVATED else "") +
                    "— a real regression shows here first; bisect the "
                    "per-row outliers below")
+    elif store_med > ELEVATED:
+        # cpu_med in (FLAT, ELEVATED]: ambiguous — store rows clearly
+        # elevated, CPU rows neither flat nor clearly elevated
+        verdict = (f"AMBIGUOUS (box-leaning): store-gate median "
+                   f"{store_med:.3f} elevated while CPU median "
+                   f"{cpu_med:.3f} sits between the noise band and the "
+                   "elevation bar — likely box I/O plus mild load; "
+                   "re-run on a quiet box before bisecting")
+    elif store_med > FLAT or cpu_med > FLAT:
+        verdict = (f"MILD: medians store {store_med:.3f} / cpu "
+                   f"{cpu_med:.3f} — above the noise band but under the "
+                   "elevation bar; watch, do not bisect")
     else:
         verdict = "FLAT: both family medians inside the noise band"
     print(f"attribution: {verdict}")

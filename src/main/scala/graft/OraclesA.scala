@@ -1584,6 +1584,16 @@ private[graft] object OraclesA {
     "s_avro_scan" ->
       """SELECT doc_id, lang, text, n_chars FROM documents
          ORDER BY doc_id""",
+    // logical-type OCF round-trip (date/timestamp-micros/decimal):
+    // date and decimal stringified in BOTH engines purely for dtype
+    // parity at the comparator (see the query-side comment); the
+    // timestamp rides as a real timestamp column
+    "s_avro_logical" ->
+      """SELECT o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS odate_s,
+           o_orderdate AS ots,
+           CAST(CAST(o_totalprice AS DECIMAL(14,4)) AS VARCHAR) AS price_s
+         FROM orders ORDER BY o_orderkey""",
     // identical arithmetic shape: mean = s1/c, var = s2/c − mean²,
     // z = (n − mean)/sqrt(var); // is DuckDB floor-div like Spark DIV
     "x_spike" ->

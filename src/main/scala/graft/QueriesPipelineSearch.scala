@@ -115,6 +115,44 @@ private[graft] object QueriesPipelineSearch {
         .orderBy("doc_id")
     }),
 
+    // Avro LOGICAL types through the same OCF reader/writer: date,
+    // timestamp-micros, and decimal(14,4) columns round-trip through
+    // container bytes (reference AvroToAddDocumentConverterTest.java:
+    // 60-84 pins date/timestamp logical-type semantics; §1.2 the value
+    // mapping). Split reading stays on (64 KB ranges) and the read
+    // schema again reorders columns, so the hash-match gates logical-
+    // type decode UNDER the range-partition contract. The decimal is
+    // derived from cent-valued o_totalprice at scale 4 — both engines
+    // round the same doubles identically (no half-way values exist),
+    // and the final projection stringifies date+decimal only to make
+    // the driver's pandas dtype canonicalization apples-to-apples
+    // (DuckDB DATE -> datetime64 vs parquet date32 -> object; decimal
+    // -> float64 vs object) — the typed round-trip happens BEFORE the
+    // cast, through the container.
+    "s_avro_logical" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val dir = tempDir("graft-avro-logical")
+      sources.AvroOcf.write(
+        Tables.orders(s, d).select(
+          col("o_orderkey"),
+          to_date(col("o_orderdate")).as("odate"),
+          col("o_orderdate").as("ots"),
+          col("o_totalprice").cast(DecimalType(14, 4)).as("price"))
+          .repartition(3),
+        s"$dir/data", syncIntervalBytes = 1 << 13)
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("price", DecimalType(14, 4)),
+        StructField("odate", DateType),
+        StructField("ots", TimestampNTZType)))
+      sources.AvroOcf.read(s, s"$dir/data", schema, maxSplitBytes = 64L * 1024)
+        .select(col("o_orderkey"),
+          col("odate").cast("string").as("odate_s"),
+          col("ots"),
+          col("price").cast("string").as("price_s"))
+        .orderBy("o_orderkey")
+    }),
+
     // ORC source round-trip: Spark's native ORC datasource (the second
     // first-class lake format next to parquet) — write the corpus as
     // ORC, read it back, must hash-match the parquet oracle exactly.

@@ -1,13 +1,38 @@
 package graft.sources
 
-import org.apache.avro.Schema
+import java.nio.ByteBuffer
+
+import org.apache.avro.{LogicalType, LogicalTypes, Schema}
 import org.apache.avro.file.{DataFileReader, DataFileWriter}
-import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericFixed, GenericRecord}
 import org.apache.avro.mapred.FsInput
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
+
+/** Hadoop `Configuration` is not `java.io.Serializable`, so task closures
+  * that need the SESSION conf (s3a credentials, `spark.hadoop.*`
+  * overrides — anything set programmatically on the driver) must carry
+  * it via Hadoop's own `Writable` wire format. Without this, executors
+  * rebuilding `new Configuration()` see only the cluster's static
+  * `core-site.xml`: local-fs tests pass while the documented
+  * object-store deployment silently authenticates with the wrong (or
+  * no) credentials. Same shape as Spark's internal wrapper, which is
+  * `private[spark]` and therefore not reachable from here.
+  */
+private[sources] final class SerializableHadoopConf(
+    @transient var value: Configuration) extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
 
 /** Avro Object Container File source/sink over the avro-core jars Spark
   * ships (`/opt/spark/jars/avro-1.12.1.jar`) — the `spark-avro`
@@ -25,18 +50,32 @@ import org.apache.spark.sql.types._
   * to exactly the range containing its starting marker, so ranges
   * partition the file with no duplication and no loss (spec-pinned
   * across adversarial split points, including splits cutting blocks and
-  * the tiny-tail range). This is the public Hadoop
-  * `AvroRecordReader` contract; a 1000-executor cluster reads one file
-  * at `size / maxSplitBytes` parallelism instead of one task per file
-  * (the gzip-JSONL limitation documented at `s_jsonl_gz_scan` does NOT
-  * apply here — that is the point of the container format).
+  * the tiny-tail range, plus a ScalaCheck property over random layouts).
+  * This is the public Hadoop `AvroRecordReader` contract; a
+  * 1000-executor cluster reads one file at `size / maxSplitBytes`
+  * parallelism instead of one task per file (the gzip-JSONL limitation
+  * documented at `s_jsonl_gz_scan` does NOT apply here — that is the
+  * point of the container format).
   *
-  * COLUMN PRUNING at the decoder: [[read]] builds an Avro READER schema
-  * from the requested StructType and lets Avro's schema resolution skip
-  * the bytes of unrequested writer fields — projection happens during
-  * decode, not after. Requested nullable fields ABSENT from the writer
-  * schema resolve to null (the width-only schema-evolution contract the
+  * COLUMN PRUNING at the decoder: [[read]] resolves each file's WRITER
+  * schema against the requested StructType task-side and hands Avro a
+  * projection reader schema, so schema resolution skips the bytes of
+  * unrequested writer fields — projection happens during decode, not
+  * after. Requested nullable fields ABSENT from the writer schema
+  * resolve to null (the width-only schema-evolution contract the
   * parquet sink documents); an absent non-nullable field fails loudly.
+  *
+  * LOGICAL TYPES (the reference's Avro surface carries them —
+  * `AvroToAddDocumentConverterTest.java:60-84` pins date and timestamp
+  * conversion semantics, §1.2 the value mapping): `date` (int, epoch
+  * days) ↔ DateType; `timestamp-micros`/`timestamp-millis` (long) ↔
+  * TimestampType and `local-timestamp-micros`/`-millis` ↔
+  * TimestampNTZType (the writer's unit decides the scale — this sink
+  * emits micros, Spark's native precision, and the reader accepts BOTH
+  * units plus `fixed`-backed decimals from foreign writers); `decimal` over
+  * bytes or fixed ↔ DecimalType, requiring the writer's scale to equal
+  * the requested scale and its precision to fit — a narrower request
+  * fails loudly rather than rounding.
   *
   * Failure posture: a torn/truncated/corrupt file fails the task LOUDLY
   * naming the file and range — a binary container with per-block sync
@@ -49,32 +88,99 @@ object AvroOcf {
   /** Avro twin of a Spark StructType: nullable fields become
     * `union(null, T)` with `"default": null` (so readers resolve them to
     * null when a writer predates the column — width-only evolution).
+    * Date/Timestamp/Decimal columns carry the standard Avro logical
+    * types (timestamps as `timestamp-micros`, Spark's native precision).
     */
   def avroSchema(st: StructType, recordName: String = "row"): Schema = {
-    def base(dt: DataType): Schema = dt match {
-      case LongType => Schema.create(Schema.Type.LONG)
-      case IntegerType => Schema.create(Schema.Type.INT)
-      case StringType => Schema.create(Schema.Type.STRING)
-      case DoubleType => Schema.create(Schema.Type.DOUBLE)
-      case FloatType => Schema.create(Schema.Type.FLOAT)
-      case BooleanType => Schema.create(Schema.Type.BOOLEAN)
-      case BinaryType => Schema.create(Schema.Type.BYTES)
-      case other => throw new IllegalArgumentException(
-        s"AvroOcf supports primitive columns, got ${other.simpleString} " +
-          "(flatten structs/arrays upstream — the P1 flattener exists " +
-          "for exactly this)")
-    }
     val fields = st.fields.map { f =>
       if (f.nullable)
         new Schema.Field(f.name,
           Schema.createUnion(java.util.List.of(
-            Schema.create(Schema.Type.NULL), base(f.dataType))),
+            Schema.create(Schema.Type.NULL), baseSchema(f.dataType))),
           null, Schema.Field.NULL_DEFAULT_VALUE)
-      else new Schema.Field(f.name, base(f.dataType), null)
+      else new Schema.Field(f.name, baseSchema(f.dataType), null)
     }
     Schema.createRecord(recordName, null, "graft", false,
       java.util.List.of(fields: _*))
   }
+
+  private def baseSchema(dt: DataType): Schema = dt match {
+    case LongType => Schema.create(Schema.Type.LONG)
+    case IntegerType => Schema.create(Schema.Type.INT)
+    case StringType => Schema.create(Schema.Type.STRING)
+    case DoubleType => Schema.create(Schema.Type.DOUBLE)
+    case FloatType => Schema.create(Schema.Type.FLOAT)
+    case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+    case BinaryType => Schema.create(Schema.Type.BYTES)
+    case DateType =>
+      LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
+    case TimestampType =>
+      LogicalTypes.timestampMicros()
+        .addToSchema(Schema.create(Schema.Type.LONG))
+    case TimestampNTZType =>
+      LogicalTypes.localTimestampMicros()
+        .addToSchema(Schema.create(Schema.Type.LONG))
+    case d: DecimalType =>
+      LogicalTypes.decimal(d.precision, d.scale)
+        .addToSchema(Schema.create(Schema.Type.BYTES))
+    case other => throw new IllegalArgumentException(
+      s"AvroOcf supports primitive columns, got ${other.simpleString} " +
+        "(flatten structs/arrays upstream — the P1 flattener exists " +
+        "for exactly this)")
+  }
+
+  /** Spark external value → Avro base value for one column. Null is
+    * handled by the caller; a value of an unexpected runtime class fails
+    * loudly naming the column type.
+    */
+  private def encoderFor(dt: DataType): Any => Any = dt match {
+    case BinaryType =>
+      v => ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+    case DateType => {
+      case d: java.sql.Date => Int.box(d.toLocalDate.toEpochDay.toInt)
+      case ld: java.time.LocalDate => Int.box(ld.toEpochDay.toInt)
+      case other => throw new IllegalArgumentException(
+        s"AvroOcf: DateType column holds ${other.getClass.getName}")
+    }
+    case TimestampType => {
+      case t: java.sql.Timestamp => Long.box(instantMicros(t.toInstant))
+      case i: java.time.Instant => Long.box(instantMicros(i))
+      case other => throw new IllegalArgumentException(
+        s"AvroOcf: TimestampType column holds ${other.getClass.getName}")
+    }
+    case TimestampNTZType => {
+      case ldt: java.time.LocalDateTime =>
+        Long.box(ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+          ldt.getNano / 1000)
+      case other => throw new IllegalArgumentException(
+        s"AvroOcf: TimestampNTZType column holds ${other.getClass.getName}")
+    }
+    case d: DecimalType => {
+      // setScale with no rounding mode throws on precision loss — a
+      // Spark decimal(p,s) value always carries exactly scale s, so a
+      // throw here means a contract violation, not data.
+      case bd: java.math.BigDecimal =>
+        ByteBuffer.wrap(bd.setScale(d.scale).unscaledValue().toByteArray)
+      case bd: scala.math.BigDecimal =>
+        ByteBuffer.wrap(
+          bd.underlying().setScale(d.scale).unscaledValue().toByteArray)
+      case other => throw new IllegalArgumentException(
+        s"AvroOcf: DecimalType column holds ${other.getClass.getName}")
+    }
+    case _ => identity
+  }
+
+  private def instantMicros(i: java.time.Instant): Long =
+    i.getEpochSecond * 1000000L + i.getNano / 1000
+
+  private def microsToTimestamp(us: Long): java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+      Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
+
+  private def microsToLocalDateTime(us: Long): java.time.LocalDateTime =
+    java.time.LocalDateTime.ofEpochSecond(
+      Math.floorDiv(us, 1000000L), (Math.floorMod(us, 1000000L) * 1000L).toInt,
+      java.time.ZoneOffset.UTC)
 
   /** Write `df` as one OCF file per non-empty partition under `dir`
     * (`part-<pid>.avro`), returning the written paths. Distributed: each
@@ -82,19 +188,24 @@ object AvroOcf {
     * the target filesystem (deflate-codec-free: the gate compares decode
     * fidelity, and codec choice is orthogonal to the container contract).
     * `syncIntervalBytes` bounds block size — smaller blocks = finer
-    * split granularity at read (and more marker overhead).
+    * split granularity at read (and more marker overhead). Tasks carry
+    * the SESSION Hadoop conf (see [[SerializableHadoopConf]]) so
+    * driver-set s3a credentials reach the executor-side filesystem.
     */
   def write(df: DataFrame, dir: String,
       syncIntervalBytes: Int = 1 << 16): Seq[String] = {
     val st = df.schema
     val json = avroSchema(st).toString // Schema itself is not serializable
     val n = st.fields.length
+    val encs: Array[Any => Any] = st.fields.map(f => encoderFor(f.dataType))
+    val conf = new SerializableHadoopConf(
+      df.sparkSession.sessionState.newHadoopConf())
     df.rdd.mapPartitionsWithIndex { (pid, it) =>
       if (!it.hasNext) Iterator.empty
       else {
         val schema = new Schema.Parser().parse(json)
         val p = new Path(f"$dir/part-$pid%05d.avro")
-        val fs = p.getFileSystem(new Configuration())
+        val fs = p.getFileSystem(conf.value)
         val out = fs.create(p, true)
         val w = new DataFileWriter[GenericRecord](
           new GenericDatumWriter[GenericRecord](schema))
@@ -105,12 +216,8 @@ object AvroOcf {
             val rec = new GenericData.Record(schema)
             var i = 0
             while (i < n) {
-              val v = row.get(i) match {
-                case null => null
-                case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
-                case x => x
-              }
-              rec.put(i, v)
+              val v = row.get(i)
+              rec.put(i, if (v == null) null else encs(i)(v))
               i += 1
             }
             w.append(rec)
@@ -128,8 +235,9 @@ object AvroOcf {
   def read(spark: SparkSession, dir: String, schema: StructType,
       maxSplitBytes: Long = 32L * 1024 * 1024): DataFrame = {
     require(maxSplitBytes >= 1, s"maxSplitBytes must be >= 1")
+    val conf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
     val root = new Path(dir)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val fs = root.getFileSystem(conf.value)
     val files = fs.listStatus(root).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".avro"))
       .map(s => (s.getPath.toString, s.getLen))
@@ -138,29 +246,133 @@ object AvroOcf {
       (0L until len by maxSplitBytes).map(start =>
         (f, start, math.min(start + maxSplitBytes, len)))
     }
-    val readerJson = avroSchema(schema).toString
-    val n = schema.fields.length
     val rdd = spark.sparkContext
       .parallelize(splits, math.max(splits.size, 1))
       .flatMap { case (file, start, end) =>
-        readRange(file, start, end, readerJson, n)
+        readRange(file, start, end, schema, conf.value)
       }
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Projection reader schema + per-column decoders for one file: each
+    * requested column PRESENT in the writer schema copies the writer's
+    * field schema verbatim (identity resolution — the writer's logical
+    * type, union shape, and decimal backing decide the wire value, and
+    * the decoder owns the conversion to Spark's external type), while an
+    * absent nullable column gets `union(null, T)` with a null default.
+    * The record keeps the writer's full name so Avro's resolution
+    * accepts it.
+    */
+  private def resolve(st: StructType,
+      writer: Schema): (Schema, Array[Any => Any]) = {
+    val decs = new Array[Any => Any](st.fields.length)
+    val fields = st.fields.zipWithIndex.map { case (f, i) =>
+      val wf = writer.getField(f.name)
+      if (wf == null) {
+        if (!f.nullable) throw new IllegalArgumentException(
+          s"AvroOcf: non-nullable column '${f.name}' is absent from " +
+            s"writer schema ${writer.getFullName} — width-only evolution " +
+            "covers nullable columns only")
+        decs(i) = identity // never invoked: resolution yields null
+        new Schema.Field(f.name,
+          Schema.createUnion(java.util.List.of(
+            Schema.create(Schema.Type.NULL), baseSchema(f.dataType))),
+          null, Schema.Field.NULL_DEFAULT_VALUE)
+      } else {
+        val wbase = wf.schema().getType match {
+          case Schema.Type.UNION =>
+            val nonNull = wf.schema().getTypes.stream()
+              .filter(s => s.getType != Schema.Type.NULL).toList
+            if (nonNull.size != 1) throw new IllegalArgumentException(
+              s"AvroOcf: column '${f.name}' has a non-nullable union " +
+                s"writer schema ${wf.schema()} — unsupported")
+            nonNull.get(0)
+          case _ => wf.schema()
+        }
+        decs(i) = decoderFor(f, wbase)
+        new Schema.Field(f.name, wf.schema(), null)
+      }
+    }
+    val rs = Schema.createRecord(writer.getName, null, writer.getNamespace,
+      false, java.util.List.of(fields: _*))
+    (rs, decs)
+  }
+
+  /** Avro base value (as decoded under the WRITER's field schema) →
+    * Spark external value for one column; throws loudly on a
+    * Spark-type/writer-schema mismatch. Null is handled by the caller.
+    */
+  private def decoderFor(field: StructField, w: Schema): Any => Any = {
+    import Schema.Type._
+    val lt: LogicalType = w.getLogicalType
+    def bytesOf(v: Any): Array[Byte] = v match {
+      case bb: ByteBuffer =>
+        val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
+      case gf: GenericFixed => gf.bytes()
+      case other => throw new IllegalArgumentException(
+        s"AvroOcf: column '${field.name}' decoded ${other.getClass.getName}")
+    }
+    (field.dataType, w.getType) match {
+      case (LongType, LONG) if lt == null => identity
+      case (IntegerType, INT) if lt == null => identity
+      case (StringType, STRING) => v => v.toString // Utf8 or String
+      case (DoubleType, DOUBLE) => identity
+      case (FloatType, FLOAT) => identity
+      case (BooleanType, BOOLEAN) => identity
+      case (BinaryType, BYTES) if lt == null => bytesOf
+      case (DateType, INT) if lt.isInstanceOf[LogicalTypes.Date] =>
+        v => java.sql.Date.valueOf(
+          java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong))
+      case (TimestampType, LONG)
+          if lt.isInstanceOf[LogicalTypes.TimestampMillis] =>
+        v => microsToTimestamp(Math.multiplyExact(v.asInstanceOf[Long], 1000L))
+      case (TimestampType, LONG)
+          if lt.isInstanceOf[LogicalTypes.TimestampMicros] =>
+        v => microsToTimestamp(v.asInstanceOf[Long])
+      case (TimestampNTZType, LONG)
+          if lt.isInstanceOf[LogicalTypes.LocalTimestampMillis] =>
+        v => microsToLocalDateTime(
+          Math.multiplyExact(v.asInstanceOf[Long], 1000L))
+      case (TimestampNTZType, LONG)
+          if lt.isInstanceOf[LogicalTypes.LocalTimestampMicros] =>
+        v => microsToLocalDateTime(v.asInstanceOf[Long])
+      case (dt: DecimalType, BYTES | FIXED)
+          if lt.isInstanceOf[LogicalTypes.Decimal] =>
+        val d = lt.asInstanceOf[LogicalTypes.Decimal]
+        if (d.getScale != dt.scale || d.getPrecision > dt.precision)
+          throw new IllegalArgumentException(
+            s"AvroOcf: column '${field.name}' wants " +
+              s"decimal(${dt.precision},${dt.scale}) but writer has " +
+              s"decimal(${d.getPrecision},${d.getScale}) — exact scale " +
+              "match and a wide-enough precision are required (no " +
+              "silent rounding)")
+        v => new java.math.BigDecimal(
+          new java.math.BigInteger(bytesOf(v)), d.getScale)
+      case _ => throw new IllegalArgumentException(
+        s"AvroOcf: column '${field.name}' wants " +
+          s"${field.dataType.simpleString} but writer has $w")
+    }
+  }
+
   /** One split's records as Rows — the task body of [[read]], factored
-    * so the spec can drive adversarial split points directly.
+    * so the spec can drive adversarial split points directly. Resolves
+    * this FILE's writer schema against the requested Spark schema (see
+    * [[resolve]]) before seeking, so heterogeneous writers — different
+    * column order, timestamp unit, decimal backing, or width — each
+    * decode under their own contract.
     */
   private[sources] def readRange(file: String, start: Long, end: Long,
-      readerJson: String, nFields: Int): Iterator[Row] = {
-    val readerSchema = new Schema.Parser().parse(readerJson)
-    val reader =
+      schema: StructType, conf: Configuration): Iterator[Row] = {
+    val nFields = schema.fields.length
+    val (reader, decoders) =
       try {
-        val in = new FsInput(new Path(file), new Configuration())
-        val r = new DataFileReader[GenericRecord](in,
-          new GenericDatumReader[GenericRecord](null, readerSchema))
+        val datumReader = new GenericDatumReader[GenericRecord]()
+        val in = new FsInput(new Path(file), conf)
+        val r = new DataFileReader[GenericRecord](in, datumReader)
+        val (readerSchema, decs) = resolve(schema, r.getSchema)
+        datumReader.setExpected(readerSchema)
         r.sync(start)
-        r
+        (r, decs)
       } catch {
         case scala.util.control.NonFatal(e) => throw new java.io.IOException(
           s"AvroOcf: cannot open $file [$start,$end): " +
@@ -199,10 +411,7 @@ object AvroOcf {
         while (i < nFields) {
           vals(i) = rec.get(i) match {
             case null => null
-            case u: org.apache.avro.util.Utf8 => u.toString
-            case bb: java.nio.ByteBuffer =>
-              val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
-            case x => x
+            case v => decoders(i)(v)
           }
           i += 1
         }

@@ -53,14 +53,13 @@ class AvroOcfSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("ocf-split").toString
     val df = fixture(2000).coalesce(1)
     val Seq(file) = AvroOcf.write(df, s"$dir/data", syncIntervalBytes = 64)
-    val fs = new org.apache.hadoop.fs.Path(file)
-      .getFileSystem(spark.sessionState.newHadoopConf())
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(file).getFileSystem(conf)
     val len = fs.getFileStatus(new org.apache.hadoop.fs.Path(file)).getLen
-    val readerJson = AvroOcf.avroSchema(st).toString
     def rangeIds(width: Long): Seq[Long] =
       (0L until len by width).flatMap { start =>
         AvroOcf.readRange(file, start, math.min(start + width, len),
-          readerJson, st.fields.length).map(_.getLong(0)).toSeq
+          st, conf).map(_.getLong(0)).toSeq
       }
     val whole = rangeIds(len + 1)
     assert(whole.sorted == (0L until 2000L))
@@ -113,6 +112,134 @@ class AvroOcfSpec extends SparkSpec {
     val msg = e.getCause match { case null => e.getMessage; case c => c.getMessage }
     assert(msg.contains("AvroOcf") || e.getMessage.contains("AvroOcf"),
       s"torn-file error must carry the AvroOcf context: $msg")
+  }
+
+  test("logical types round-trip: date, timestamp-micros, decimal") {
+    val lst = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("d", DateType),
+      StructField("ts", TimestampType),
+      StructField("price", DecimalType(14, 4))))
+    def mk(n: Int) = spark.createDataFrame(
+      spark.sparkContext.parallelize((0 until n).map { i =>
+        Row(i.toLong,
+          if (i % 9 == 2) null
+          else java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(i * 37L - 100)),
+          if (i % 7 == 5) null
+          // deliberately micro-precision: millis would truncate this
+          else java.sql.Timestamp.from(
+            java.time.Instant.ofEpochSecond(i * 86400L - 3600, i * 1001L * 1000)),
+          if (i % 5 == 1) null
+          else new java.math.BigDecimal(java.math.BigInteger.valueOf(i * 123457L - 999), 4))
+      }, 2), lst)
+    val dir = java.nio.file.Files.createTempDirectory("ocf-logical").toString
+    AvroOcf.write(mk(300), s"$dir/data", syncIntervalBytes = 256)
+    val back = AvroOcf.read(spark, s"$dir/data", lst, maxSplitBytes = 2048)
+      .orderBy("id").collect()
+    val want = mk(300).orderBy("id").collect()
+    assert(back.length == 300)
+    back.zip(want).foreach { case (a, b) =>
+      assert(a.getAs[java.sql.Date]("d") == b.getAs[java.sql.Date]("d"))
+      assert(a.getAs[java.sql.Timestamp]("ts") == b.getAs[java.sql.Timestamp]("ts"))
+      assert(a.getAs[java.math.BigDecimal]("price") ==
+        b.getAs[java.math.BigDecimal]("price"))
+    }
+  }
+
+  test("foreign writers: timestamp-millis longs scale up, fixed-backed decimals decode") {
+    import org.apache.avro.{LogicalTypes, Schema => ASchema}
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    // a writer schema this sink never emits: timestamp-millis + decimal
+    // over FIXED — the reader must honor the WRITER's contract
+    val fixed = ASchema.createFixed("amount_fixed", null, "graft", 6)
+    val wjson =
+      s"""{"type":"record","name":"row","namespace":"graft","fields":[
+         |{"name":"id","type":"long"},
+         |{"name":"ts","type":{"type":"long","logicalType":"timestamp-millis"}},
+         |{"name":"amt","type":${LogicalTypes.decimal(12, 2).addToSchema(fixed)}}
+         |]}""".stripMargin
+    val ws = new ASchema.Parser().parse(wjson)
+    val dir = java.nio.file.Files.createTempDirectory("ocf-foreign").toString
+    val file = s"$dir/foreign.avro"
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](ws))
+    w.create(ws, new java.io.File(file))
+    (0 until 40).foreach { i =>
+      val rec = new GenericData.Record(ws)
+      rec.put(0, i.toLong)
+      rec.put(1, i * 1000L + 7) // millis
+      val unscaled = java.math.BigInteger.valueOf(i * 100L + 25)
+      val raw = unscaled.toByteArray
+      val padded = new Array[Byte](6)
+      // sign-extend into the fixed width (value is non-negative here)
+      java.lang.System.arraycopy(raw, 0, padded, 6 - raw.length, raw.length)
+      rec.put(2, new GenericData.Fixed(ws.getFields.get(2).schema(), padded))
+      w.append(rec)
+    }
+    w.close()
+    val want = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("ts", TimestampType, nullable = false),
+      StructField("amt", DecimalType(12, 2), nullable = false)))
+    val rows = AvroOcf.read(spark, dir, want).orderBy("id").collect()
+    assert(rows.length == 40)
+    val r7 = rows(7)
+    assert(r7.getAs[java.sql.Timestamp]("ts").getTime == 7007L)
+    assert(r7.getAs[java.math.BigDecimal]("amt") ==
+      new java.math.BigDecimal("7.25"))
+    // a NARROWER decimal request fails loudly — no silent rounding
+    val narrow = StructType(Seq(StructField("id", LongType),
+      StructField("amt", DecimalType(12, 1))))
+    val e = intercept[Exception] {
+      AvroOcf.read(spark, dir, narrow).collect()
+    }
+    val msg = Option(e.getCause).map(_.getMessage).getOrElse(e.getMessage)
+    assert(msg.contains("decimal") || e.getMessage.contains("decimal"))
+  }
+
+  test("property: byte ranges partition the stream for RANDOM layouts") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val pst = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType)))
+    val avro = AvroOcf.avroSchema(pst)
+    val json = avro.toString
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = java.nio.file.Files.createTempDirectory("ocf-prop").toString
+    val ctr = new java.util.concurrent.atomic.AtomicInteger(0)
+    val layout = for {
+      n <- Gen.choose(0, 400)
+      sync <- Gen.choose(64, 2048) // near the Avro floor up to a few blocks
+      fracPm <- Gen.choose(15, 1200) // width = len * frac/1000, incl. > len
+    } yield (n, sync, fracPm)
+    val prop = Prop.forAll(layout) { case (n, sync, fracPm) =>
+      val schema = new org.apache.avro.Schema.Parser().parse(json)
+      val file = s"$dir/f${ctr.incrementAndGet()}.avro"
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](schema))
+      w.setSyncInterval(sync)
+      w.create(schema, new java.io.File(file))
+      (0 until n).foreach { i =>
+        val rec = new GenericData.Record(schema)
+        rec.put(0, i.toLong)
+        rec.put(1, if (i % 3 == 0) null else "x" * (i % 97))
+        w.append(rec)
+      }
+      w.close()
+      val len = new java.io.File(file).length()
+      val width = math.max(64L, len * fracPm / 1000)
+      val ids = (0L until len by width).flatMap { start =>
+        AvroOcf.readRange(file, start, math.min(start + width, len),
+          pst, conf).map(_.getLong(0)).toSeq
+      }
+      Prop(ids.sorted == (0L until n.toLong)) :|
+        s"n=$n sync=$sync width=$width got ${ids.size}"
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(100), prop)
+    assert(result.passed, result.status.toString)
   }
 
   test("unsupported column types are rejected at write, naming the flattener") {
