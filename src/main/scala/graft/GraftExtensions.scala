@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{MultiSubstringMatch, PrefixIndexHash56, RepetitionScore, RhpSignature, TermFreqStats, VectorCosine, VectorDot, VectorL2Sq, VectorQ8Roundtrip, WordShingleHash56, WordShingles}
+import graft.functions.{MultiSubstringMatch, PrefixIndexHash56, RepetitionScore, RhpSignature, SigMatchCount, SimHash64, TermFreqStats, VectorCosine, VectorDot, VectorL2Sq, VectorQ8Roundtrip, WordShingleHash56, WordShingles}
 
 /** Session extensions registering the engine's native expressions as SQL
   * functions, so `spark.sql("SELECT vector_cosine(a, b) ...")` works the
@@ -55,6 +55,20 @@ object GraftExtensions {
     (FunctionIdentifier("vector_l2sq"),
       info("vector_l2sq", "squared L2 distance of two float/double arrays"),
       binary("vector_l2sq", VectorL2Sq) _),
+    (FunctionIdentifier("simhash64"),
+      info("simhash64",
+        "simhash64(tokens): 64-bit SimHash of an array<string> token " +
+          "list — xxhash64 per token, sign-of-bit-sums signature"),
+      { args =>
+        require(args.length == 1,
+          s"simhash64 expects 1 argument, got ${args.length}")
+        SimHash64(args(0))
+      }),
+    (FunctionIdentifier("sig_match_count"),
+      info("sig_match_count",
+        "sig_match_count(a, b): positions where two integral signature " +
+          "arrays agree (the est_jaccard numerator)"),
+      binary("sig_match_count", SigMatchCount) _),
     (FunctionIdentifier("vector_q8_roundtrip"),
       info("vector_q8_roundtrip",
         "symmetric int8 quantize+dequantize of a float/double array"),

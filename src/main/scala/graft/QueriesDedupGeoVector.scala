@@ -128,10 +128,15 @@ private[graft] object QueriesDedupGeoVector {
     // gates the algorithm's completeness theorem — the rare-token
     // prefix prune must lose NOTHING against an engine that never
     // pruned at all.
+    // consumes the session-shared shingle-set frame (r16 verdict task
+    // 4): the shingling pass is computed once per (sf, session) by
+    // SparkEntry.sharedShingleSets; the timed body keeps the df
+    // aggregate, per-doc prefix windows, candidate join and exact
+    // verification — and still owns its oracle end-to-end.
     "x_dedup_prefix_filter" -> ((s, d) =>
-      operators.Dedup.prefixFilterJoin(
-        Tables.documents(s, d).select("doc_id", "text"), "doc_id", "text",
-        shingleN = 3, threshold = 0.8)
+      operators.Dedup.prefixFilterJoinOnSets(
+        graft.SparkEntry.sharedShingleSets(s, d), "doc_id", "shingles",
+        threshold = 0.8)
         .orderBy("id_a", "id_b")),
 
     "x_dedup_minhash" -> ((s, d) => {

@@ -128,7 +128,10 @@ private[graft] object QueriesPipelineSearch {
     // the driver's pandas dtype canonicalization apples-to-apples
     // (DuckDB DATE -> datetime64 vs parquet date32 -> object; decimal
     // -> float64 vs object) — the typed round-trip happens BEFORE the
-    // cast, through the container.
+    // cast, through the container. The file is DEFLATE-coded (r17):
+    // real-world OCF drops are block-compressed, and per-block codecs
+    // leave the sync-marker split contract untouched — which this row
+    // now also proves end-to-end.
     "s_avro_logical" -> ((s, d) => {
       import org.apache.spark.sql.types._
       val dir = tempDir("graft-avro-logical")
@@ -139,7 +142,7 @@ private[graft] object QueriesPipelineSearch {
           col("o_orderdate").as("ots"),
           col("o_totalprice").cast(DecimalType(14, 4)).as("price"))
           .repartition(3),
-        s"$dir/data", syncIntervalBytes = 1 << 13)
+        s"$dir/data", syncIntervalBytes = 1 << 13, codec = "deflate")
       val schema = StructType(Seq(
         StructField("o_orderkey", LongType),
         StructField("price", DecimalType(14, 4)),

@@ -75,6 +75,19 @@ object SparkEntry {
         n = 3, threshold = 0.5)
     }
 
+  /** The corpus's distinct word-3-shingle sets `(doc_id, shingles)` —
+    * the input frame both halves of [[operators.Dedup.prefixFilterJoin]]
+    * (prefix building AND exact verification) scan; shared so the
+    * shingling pass is computed once per (sf, session) instead of
+    * per-gate (r16 verdict task 4 — the row was the board's slowest).
+    */
+  private[graft] def sharedShingleSets(s: SparkSession, d: String): DataFrame =
+    sharedFrame(s, d, "shingle-sets-3") {
+      Tables.documents(s, d).select(col("doc_id"),
+        array_distinct(graft.functions.TextFunctions.wordShingles(
+          col("text"), 3)).as("shingles"))
+    }
+
   /** The exact cell-pruned cosine pair graph at τ=0.4 — shared between
     * the pruned-pairs gate and the semantic-clustering gate
     * ([[operators.Dedup.embeddingCosinePairsPruned]], k=8, iters=3).

@@ -41,12 +41,19 @@ final case class PipelineConfig(
     // (compaction or vacuum interval); 1 = only the latest survives
     // maintenance.
     keepVersions: Int = 1,
-    keepGenerations: Int = 1) {
+    keepGenerations: Int = 1,
+    // compaction amortization for the runner's owned stores: maintain()
+    // folds a store only when its pending commit-log depth EXCEEDS this
+    // (0 = fold whenever anything is pending; an empty log never folds —
+    // Stores.maybeCompact). Raise to trade read-side merge work for
+    // fewer full base rewrites on high-frequency batch cadences.
+    storeMaxDeltas: Int = 0) {
   require(indexName != null && indexName.nonEmpty, "indexName is required")
   require(batchSize > 0, "batchSize must be positive")
   require(workerThreads > 0, "workerThreads must be positive")
   require(keepVersions >= 1, "keepVersions must be >= 1")
   require(keepGenerations >= 1, "keepGenerations must be >= 1")
+  require(storeMaxDeltas >= 0, "storeMaxDeltas must be >= 0")
 }
 
 /** Dotted-path navigation over nested config maps, mirroring

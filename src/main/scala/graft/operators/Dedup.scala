@@ -260,7 +260,9 @@ object Dedup {
     * by ascending corpus document frequency with the element string
     * as tie-break (a TOTAL canonical order — both sides of a tie order
     * identically or completeness breaks); the prefix is the first
-    * p = n − ⌈t·n⌉ + 1 elements. Completeness: for a qualifying pair,
+    * p = n − ⌈t'·n⌉ + 1 elements, where t' = t − 5e-7 is the ROUNDED
+    * verifier's true acceptance boundary (see the inline comment at the
+    * bound). Completeness: for a qualifying pair,
     * |A∩B| ≥ ⌈t·|A|⌉, and the MINIMAL shared token w (canonical order)
     * is preceded in A's order only by unshared tokens — at most
     * |A| − |A∩B| of them — so w sits within A's first
@@ -281,33 +283,55 @@ object Dedup {
     */
   def prefixFilterJoin(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int, threshold: Double): DataFrame = {
-    require(threshold > 0 && threshold <= 1,
-      s"threshold must be in (0,1], got $threshold")
     // set elements are word n-gram shingles (shingleN = 1 ⇒ plain
     // tokens): on template-heavy corpora TOKEN sets are near-identical
     // across unrelated docs (measured at sf0.1: 7M qualifying token
     // pairs from 5k docs), while shingle sets carry word order and
     // stay discriminative — the same reason every other dedup operator
     // here shingles first
-    val tok = df.select(col(idCol).as("_id"),
-        explode(array_distinct(
-          TextFunctions.wordShingles(col(textCol), shingleN))).as("tok"))
+    prefixFilterJoinOnSets(
+      df.select(col(idCol).as("_sid"),
+        array_distinct(
+          TextFunctions.wordShingles(col(textCol), shingleN)).as("_tk")),
+      "_sid", "_tk", threshold)
+  }
+
+  /** [[prefixFilterJoin]] over PRE-BUILT distinct element sets
+    * `(id, array<string>)` — the entry point for callers that already
+    * hold (or share) the shingle-set frame, so the shingling pass is
+    * paid once per corpus instead of once per dedup variant. Semantics
+    * identical to [[prefixFilterJoin]] (which delegates here).
+    */
+  def prefixFilterJoinOnSets(sets0: DataFrame, idCol: String,
+      setCol: String, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0,1], got $threshold")
+    val sets = sets0.select(col(idCol).as("_sid"), col(setCol).as("_tk"))
+    val tok = sets.select(col("_sid").as("_id"), explode(col("_tk")).as("tok"))
     val dfreq = tok.groupBy("tok").agg(count(lit(1)).as("_df"))
     val ranked = tok.join(dfreq, "tok")
       .withColumn("_pos", row_number().over(
         Window.partitionBy("_id").orderBy(col("_df"), col("tok"))))
       .withColumn("_n", count(lit(1)).over(Window.partitionBy("_id")))
+    // The prefix bound must be complete for every pair the VERIFIER
+    // accepts, and the verifier compares round(jaccard, 6) >= t — so a
+    // true jaccard as low as t − 5e-7 passes. Derive the bound from
+    // THAT boundary (effT), not from t, or boundary pairs verify green
+    // yet get pruned from candidates. The 1e-9 guard keeps IEEE
+    // overshoot past an exact integer (0.07 × 100 = 7.000000000000001,
+    // ceil → 8) from shortening the prefix by one and breaking the
+    // recall-1 guarantee; it can only ever WIDEN the prefix (spec-pinned
+    // with a planted t·n-integer boundary pair).
+    val effT = threshold - 5e-7
     val prefix = ranked
-      .filter(col("_pos") <= col("_n") - ceil(lit(threshold) * col("_n")) + 1)
+      .filter(col("_pos") <=
+        col("_n") - ceil(lit(effT) * col("_n") - lit(1e-9)) + 1)
       .select("_id", "tok")
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.tok") === col("b.tok") && col("a._id") < col("b._id"))
       .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
       .distinct()
     // exact verification over the collected shingle sets — O(candidates)
-    val sets = df.select(col(idCol).as("_sid"),
-      array_distinct(
-        TextFunctions.wordShingles(col(textCol), shingleN)).as("_tk"))
     cand
       .join(sets.withColumnRenamed("_sid", "id_a")
         .withColumnRenamed("_tk", "tk_a"), "id_a")
@@ -372,24 +396,21 @@ object Dedup {
     * sharing any of 4 16-bit signature bands (pigeonhole: distance ≤ 3
     * implies at least one identical band — no cross product).
     */
-  /** SimHash signatures for a whole table via explode + 64 codegen'd
-    * conditional-sum aggregates (same rationale as the minhash path: the
-    * per-row HOF formulation is interpreted and ~10× slower).
+  /** SimHash signatures for a whole table via the native [[
+    * graft.functions.VectorExpressions.simhash64]] expression — one
+    * codegen'd pass per document, NO explode and NO shuffle (r17: the
+    * previous explode + 64-conditional-sum aggregate multiplied rows by
+    * tokens-per-doc and shuffled on `_id`; measured ~4× slower warm at
+    * sf0.1, and the shuffle grows with the corpus at 100 TB).
+    * Token-less documents (empty or null text) are dropped, matching
+    * the aggregate formulation's explode semantics exactly.
     */
-  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("_id"),
-        explode(TextFunctions.tokens(col(textCol))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1))
-        .as(s"_b$i")
-    }
-    toks.groupBy("_id").agg(bitSums.head, bitSums.tail: _*)
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("_id"),
+        TextFunctions.tokens(col(textCol)).as("_toks"))
+      .where(size(col("_toks")) > 0)
       .select(col("_id"),
-        (0 until 64).map(i =>
-          when(col(s"_b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
-          .reduce((a, b) => a.bitwiseOR(b)).as("sig"))
-  }
+        graft.functions.VectorExpressions.simhash64(col("_toks")).as("sig"))
 
   def simhashDedup(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {

@@ -97,9 +97,15 @@ final class PipelineRunner(
     * Retention comes from the config surface: the document sink vacuums
     * manifest versions down to [[PipelineConfig.keepVersions]] (sinks
     * without a vacuum are a no-op), and every pipeline-owned auxiliary
-    * store (the `stores` constructor list) is compacted keeping
-    * [[PipelineConfig.keepGenerations]] previous sealed generations for
-    * in-flight readers. `dryRun = true` stays strictly read-only: the
+    * store (the `stores` constructor list) is THRESHOLD-gated through
+    * [[graft.sink.Stores.maybeCompact]]: an empty commit log is a
+    * metadata-only no-op (no generation burned, no base rewrite), and a
+    * non-empty one folds only past [[PipelineConfig.storeMaxDeltas]]
+    * pending commits, keeping [[PipelineConfig.keepGenerations]]
+    * previous sealed generations for in-flight readers — so the
+    * README's "run it between batches" guidance costs a full store
+    * rewrite only when there is something to fold. `dryRun = true`
+    * stays strictly read-only: the
     * sink reports what vacuum WOULD delete and the store compactions are
     * skipped entirely (compaction has no partial mode). Run it between
     * batches on whatever cadence storage costs dictate.
@@ -108,7 +114,8 @@ final class PipelineRunner(
     if (!dryRun && stores.nonEmpty) {
       val spark = org.apache.spark.sql.SparkSession.active
       stores.foreach { case (kind, dir) =>
-        graft.sink.Stores.compact(spark, kind, dir, cfg.keepGenerations) }
+        graft.sink.Stores.maybeCompact(spark, kind, dir,
+          cfg.storeMaxDeltas, cfg.keepGenerations): Unit }
     }
     sink match {
       case p: graft.sink.ParquetIndexSink =>

@@ -24,6 +24,54 @@ object Stores {
         s"unknown store kind '$other' (expected one of ${Kinds.mkString(", ")})")
     }
 
+  /** Pending (un-folded) commit count for `kind` at `dir` — one
+    * metadata listing of the store's commit log, cheap enough to probe
+    * between every batch. The paths/tags mirror each store's own
+    * `commitSeqs`/`deltaSeqs` helper.
+    */
+  def pendingCommits(spark: SparkSession, kind: String, dir: String): Int =
+    kind match {
+      case "postings" =>
+        DeltaLog.listSeqs(spark, s"$dir/deltas", Some("docs")).length
+      case "vector" | "signature" | "geo" =>
+        DeltaLog.listSeqs(spark, s"$dir/commits", Some("docs")).length
+      case "stats" =>
+        DeltaLog.listSeqs(spark, s"$dir/commits", Some("stats")).length
+      case other => throw new IllegalArgumentException(
+        s"unknown store kind '$other' (expected one of ${Kinds.mkString(", ")})")
+    }
+
+  /** Threshold-gated compaction — the dispatch twin of each store's
+    * `maybeCompact` hook, for callers holding only a (kind, dir) pair
+    * ([[graft.runtime.PipelineRunner.maintain]]). An EMPTY commit log
+    * never compacts: folding nothing would still burn a generation
+    * number and rewrite the full base, so back-to-back maintenance with
+    * no intervening appends is a metadata-only no-op. With pending
+    * commits, the store's own policy decides (depth > `maxDeltas`;
+    * postings additionally folds on its touched-docs fraction) —
+    * `maxDeltas = 0` therefore means "fold whenever anything is
+    * pending", the amortization-free per-batch posture. Returns whether
+    * a compaction ran.
+    */
+  def maybeCompact(spark: SparkSession, kind: String, dir: String,
+      maxDeltas: Int = 0, keepGenerations: Int = 1): Boolean = {
+    if (pendingCommits(spark, kind, dir) == 0) false
+    else kind match {
+      case "postings" => IncrementalPostings.maybeCompact(spark, dir,
+        maxDeltas = maxDeltas, keepGenerations = keepGenerations)
+      case "vector" => VectorIndex.maybeCompact(spark, dir, maxDeltas,
+        keepGenerations)
+      case "signature" => SignatureStore.maybeCompact(spark, dir, maxDeltas,
+        keepGenerations)
+      case "geo" => GeoIndex.maybeCompact(spark, dir, maxDeltas,
+        keepGenerations)
+      case "stats" => StatsStore.maybeCompact(spark, dir, maxDeltas,
+        keepGenerations)
+      case other => throw new IllegalArgumentException(
+        s"unknown store kind '$other' (expected one of ${Kinds.mkString(", ")})")
+    }
+  }
+
   /** Fold `kind`'s pending commits into a fresh sealed base generation,
     * keeping `keepGenerations` previous generations alive for in-flight
     * readers (the reader-lease bound — see `DeltaLog.installBase`). A

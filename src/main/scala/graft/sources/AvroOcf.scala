@@ -191,9 +191,25 @@ object AvroOcf {
     * split granularity at read (and more marker overhead). Tasks carry
     * the SESSION Hadoop conf (see [[SerializableHadoopConf]]) so
     * driver-set s3a credentials reach the executor-side filesystem.
+    *
+    * `codec` is any OCF block codec Avro's `CodecFactory.fromString`
+    * resolves (`"null"`, `"deflate"`, `"snappy"`, `"zstandard"` — the
+    * latter two ride the snappy-java/zstd-jni jars Spark ships).
+    * Compression is PER BLOCK, between sync markers, so the split-read
+    * contract is untouched: a real-world deflate/zstd OCF splits
+    * exactly like an uncompressed one (unlike gzip-JSONL — that is the
+    * container's point). The codec name is validated on the DRIVER so a
+    * typo fails before any task launches; readers auto-detect the codec
+    * from the file header.
     */
   def write(df: DataFrame, dir: String,
-      syncIntervalBytes: Int = 1 << 16): Seq[String] = {
+      syncIntervalBytes: Int = 1 << 16, codec: String = "null"): Seq[String] = {
+    try org.apache.avro.file.CodecFactory.fromString(codec)
+    catch {
+      case scala.util.control.NonFatal(e) => throw new IllegalArgumentException(
+        s"AvroOcf: unknown codec '$codec' " +
+          s"(${e.getClass.getSimpleName}: ${e.getMessage})", e)
+    }
     val st = df.schema
     val json = avroSchema(st).toString // Schema itself is not serializable
     val n = st.fields.length
@@ -210,6 +226,7 @@ object AvroOcf {
         val w = new DataFileWriter[GenericRecord](
           new GenericDatumWriter[GenericRecord](schema))
         w.setSyncInterval(syncIntervalBytes)
+        w.setCodec(org.apache.avro.file.CodecFactory.fromString(codec))
         w.create(schema, out)
         try {
           it.foreach { row =>

@@ -51,6 +51,22 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getSeq[String](2) == Seq("ab", "bc"))
   }
 
+  test("simhash64 and sig_match_count are callable from SQL") {
+    GraftExtensions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT simhash64(array('alpha', 'beta', 'alpha')) AS s,
+                sig_match_count(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS m
+      """).head()
+    val viaCol = spark.range(1).select(
+      graft.functions.VectorExpressions.simhash64(
+        org.apache.spark.sql.functions.array(
+          org.apache.spark.sql.functions.lit("alpha"),
+          org.apache.spark.sql.functions.lit("beta"),
+          org.apache.spark.sql.functions.lit("alpha")))).head().getLong(0)
+    assert(r.getLong(0) == viaCol)
+    assert(r.getInt(1) == 2)
+  }
+
   test("term_freq_stats is callable from SQL with literal terms") {
     GraftExtensions.registerAll(spark)
     val r = spark.sql(

@@ -156,4 +156,82 @@ class VectorExpressionsSpec extends SparkSpec {
       ArrayType(LongType))
     assert(SigMatchCount(lit1, lit2).eval(null) == 2)
   }
+
+  test("simhash64 equals the nested-HOF fold on every edge: ties, nulls, empty") {
+    import spark.implicits._
+    // the HOF reference: the exact fold Dedup.simhash carried (xxhash64
+    // per token, +1/-1 per bit, sign>0 sets the bit), parameterized by
+    // the token ARRAY so null elements are directly plantable
+    def hof(toks: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      def shr(c: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+        call_function("shiftright", c, n)
+      def shl(c: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+        call_function("shiftleft", c, n)
+      val hashes = transform(toks, t => xxhash64(t))
+      val counts = aggregate(hashes, array_repeat(lit(0), 64),
+        (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
+          (c, i) => c + when(shr(h, i.cast("int")).bitwiseAND(1) === 1, 1)
+            .otherwise(-1)))
+      aggregate(
+        zip_with(counts, sequence(lit(0), lit(63)),
+          (c, i) => when(c > 0, shl(lit(1L), i.cast("int"))).otherwise(lit(0L))),
+        lit(0L), (acc, x) => acc.bitwiseOR(x))
+    }
+    // general corpus equivalence incl. repeated tokens (sum magnitudes
+    // > 1) and even token counts (tie-able sums)
+    val docs = graft.Tables.documents(spark, sf).limit(300)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+    val d = docs.select(
+      (VectorExpressions.simhash64(col("t")) =!= hof(col("t")))
+        .cast("int").as("neq"))
+      .agg(sum("neq")).head().getLong(0)
+    assert(d == 0L, s"$d docs diverged from the HOF fold")
+    // planted edges: tie (two tokens -> sums in {-2,0,2}; every 0 must
+    // give bit 0), null element (hashes to the xxhash64 seed, 42),
+    // empty array, null array, single token (signature = hash's set
+    // bits)
+    val edges = Seq(
+      (1L, Seq[String]("alpha", "beta")),
+      (2L, Seq[String]("alpha", null)),
+      (3L, Seq[String]()),
+      (5L, Seq[String]("only"))).toDF("id", "t")
+    val er = edges.select(col("id"),
+      VectorExpressions.simhash64(col("t")).as("n"), hof(col("t")).as("h"))
+      .collect()
+    er.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), s"id ${r.getLong(0)} diverged")
+    }
+    // the tie row really ties somewhere: two distinct hashes differ in
+    // >= 1 bit, and each differing bit sums to 0 -> bit 0 in BOTH forms
+    val tie = er.find(_.getLong(0) == 1L).get
+    val h1 = edges.filter(col("id") === 5L)
+      .select(xxhash64(lit("alpha"))).head().getLong(0)
+    val h2 = edges.filter(col("id") === 5L)
+      .select(xxhash64(lit("beta"))).head().getLong(0)
+    assert((h1 ^ h2) != 0L)
+    assert((tie.getLong(1) & (h1 ^ h2)) == 0L,
+      "a tied bit position must resolve to 0")
+    // null ARRAY -> null signature
+    val nr = Seq((4L, null: Seq[String])).toDF("id", "t")
+      .select(VectorExpressions.simhash64(col("t"))).head()
+    assert(nr.isNullAt(0))
+    // single token: signature == the token hash's set-bit mask
+    val single = er.find(_.getLong(0) == 5L).get
+    val hOnly = spark.range(1).select(xxhash64(lit("only"))).head().getLong(0)
+    assert(single.getLong(1) == hOnly)
+    // non-string arrays fail analysis, not execution
+    assertThrows[org.apache.spark.sql.AnalysisException] {
+      Seq(Seq(1L)).toDF("t").select(
+        VectorExpressions.simhash64(col("t"))).head()
+    }
+    // interpreted fallback agrees with codegen
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val litToks = Literal(ArrayData.toArrayData(Array(
+      UTF8String.fromString("alpha"), UTF8String.fromString("beta"))),
+      ArrayType(StringType))
+    assert(SimHash64(litToks).eval(null) == tie.getLong(1))
+  }
 }

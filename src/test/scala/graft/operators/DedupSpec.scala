@@ -524,4 +524,30 @@ class DedupSpec extends SparkSpec {
     assert(prefix.filter(col("tok") === "the").count() == 0L,
       "the universal token must be pruned out of every prefix")
   }
+
+  test("prefixFilterJoin: FP-overshoot boundary — t·n exactly integer, pair at jaccard = t") {
+    // ADVICE r16: 0.07 × 100 = 7.000000000000001 in IEEE doubles, so an
+    // unguarded ceil(t·n) returns 8 and shortens the 100-token doc's
+    // prefix to 93. Plant the tightest legal pair: A has 100 distinct
+    // tokens, B exactly 7 of them (B ⊂ A), jaccard = 7/100 = 0.07 = t.
+    // The 7 shared tokens are made globally FREQUENT (planted in many
+    // other docs), so canonical order puts them at positions 94–100 of
+    // A — the minimal shared token sits at position 94, inside the
+    // correct prefix (p = 100 − 7 + 1 = 94) and OUTSIDE the buggy one.
+    val aTokens = (0 until 93).map(i => f"rare$i%03d") ++
+      (0 until 7).map(i => f"common$i")
+    val bTokens = (0 until 7).map(i => f"common$i")
+    // 12 filler docs raise the shared tokens' df far above the rares'
+    val fillers = (0 until 12).map { j =>
+      (200L + j, (0 until 7).map(i => f"common$i").mkString(" ") + s" filler$j")
+    }
+    val df = (Seq(
+      (1L, aTokens.mkString(" ")),
+      (2L, bTokens.mkString(" "))) ++ fillers).toDF("doc_id", "text")
+    val got = Dedup.prefixFilterJoin(df, "doc_id", "text", 1, 0.07)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got.contains((1L, 2L, 0.07)),
+      s"the boundary pair (jaccard exactly = t, t·n an exact integer) " +
+        s"must survive the prefix prune; got $got")
+  }
 }

@@ -114,6 +114,43 @@ class AvroOcfSpec extends SparkSpec {
       s"torn-file error must carry the AvroOcf context: $msg")
   }
 
+  test("block codecs: deflate/snappy/zstandard round-trip, split exactly, and shrink") {
+    val dir = java.nio.file.Files.createTempDirectory("ocf-codec").toString
+    // compressible payload (repeated text) so size actually drops
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize((0 until 1500).map { i =>
+        Row(i.toLong, ("lorem ipsum dolor sit amet " * 8) + (i % 7))
+      }, 1),
+      StructType(Seq(StructField("id", LongType, nullable = false),
+        StructField("t", StringType))))
+    val pst = df.schema
+    val Seq(plain) = AvroOcf.write(df, s"$dir/null", syncIntervalBytes = 1024)
+    val plainLen = new java.io.File(new java.net.URI(
+      if (plain.startsWith("file:")) plain else s"file:$plain")).length()
+    for (codec <- Seq("deflate", "snappy", "zstandard")) {
+      val Seq(f) = AvroOcf.write(df, s"$dir/$codec",
+        syncIntervalBytes = 1024, codec = codec)
+      val len = new java.io.File(new java.net.URI(
+        if (f.startsWith("file:")) f else s"file:$f")).length()
+      assert(len < plainLen / 2,
+        s"$codec: $len vs plain $plainLen — block compression not applied")
+      // split exactness over COMPRESSED blocks (the reader auto-detects
+      // the codec from the header; sync markers sit between blocks)
+      val conf = spark.sessionState.newHadoopConf()
+      val ids = (0L until len by 777L).flatMap { start =>
+        AvroOcf.readRange(f, start, math.min(start + 777L, len), pst, conf)
+          .map(_.getLong(0)).toSeq
+      }
+      assert(ids.sorted == (0L until 1500L),
+        s"$codec: split union lost or duplicated records (${ids.size}/1500)")
+    }
+    // unknown codec fails on the DRIVER, before any task launches
+    val e = intercept[IllegalArgumentException] {
+      AvroOcf.write(df, s"$dir/bad", codec = "lzma-nope")
+    }
+    assert(e.getMessage.contains("unknown codec"))
+  }
+
   test("logical types round-trip: date, timestamp-micros, decimal") {
     val lst = StructType(Seq(
       StructField("id", LongType, nullable = false),
@@ -213,13 +250,15 @@ class AvroOcfSpec extends SparkSpec {
       n <- Gen.choose(0, 400)
       sync <- Gen.choose(64, 2048) // near the Avro floor up to a few blocks
       fracPm <- Gen.choose(15, 1200) // width = len * frac/1000, incl. > len
-    } yield (n, sync, fracPm)
-    val prop = Prop.forAll(layout) { case (n, sync, fracPm) =>
+      codec <- Gen.oneOf("null", "deflate", "snappy", "zstandard")
+    } yield (n, sync, fracPm, codec)
+    val prop = Prop.forAll(layout) { case (n, sync, fracPm, codec) =>
       val schema = new org.apache.avro.Schema.Parser().parse(json)
       val file = s"$dir/f${ctr.incrementAndGet()}.avro"
       val w = new DataFileWriter[GenericRecord](
         new GenericDatumWriter[GenericRecord](schema))
       w.setSyncInterval(sync)
+      w.setCodec(org.apache.avro.file.CodecFactory.fromString(codec))
       w.create(schema, new java.io.File(file))
       (0 until n).foreach { i =>
         val rec = new GenericData.Record(schema)
@@ -235,7 +274,7 @@ class AvroOcfSpec extends SparkSpec {
           pst, conf).map(_.getLong(0)).toSeq
       }
       Prop(ids.sorted == (0L until n.toLong)) :|
-        s"n=$n sync=$sync width=$width got ${ids.size}"
+        s"n=$n sync=$sync width=$width codec=$codec got ${ids.size}"
     }
     val result = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(100), prop)
