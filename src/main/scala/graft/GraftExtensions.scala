@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{MultiSubstringMatch, PrefixIndexHash56, RepetitionScore, RhpSignature, SigMatchCount, SimHash64, TermFreqStats, VectorCosine, VectorDot, VectorL2Sq, VectorQ8Roundtrip, WordShingleHash56, WordShingles}
+import graft.functions.{MinHashSignature, MultiSubstringMatch, PrefixIndexHash56, RepetitionScore, RhpSignature, SigMatchCount, SimHash64, TermFreqStats, VectorCosine, VectorDot, VectorL2Sq, VectorQ8Roundtrip, WordShingleHash56, WordShingles}
 
 /** Session extensions registering the engine's native expressions as SQL
   * functions, so `spark.sql("SELECT vector_cosine(a, b) ...")` works the
@@ -63,6 +63,16 @@ object GraftExtensions {
         require(args.length == 1,
           s"simhash64 expects 1 argument, got ${args.length}")
         SimHash64(args(0))
+      }),
+    (FunctionIdentifier("minhash_signature"),
+      info("minhash_signature",
+        "minhash_signature(shingles, k): k seeded-xxhash64 minima of an " +
+          "array<string> shingle list, one pass"),
+      { args =>
+        require(args.length == 2,
+          s"minhash_signature expects 2 arguments, got ${args.length}")
+        MinHashSignature(args(0),
+          litLong(args(1), "minhash_signature", "k").toInt)
       }),
     (FunctionIdentifier("sig_match_count"),
       info("sig_match_count",

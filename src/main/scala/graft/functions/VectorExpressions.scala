@@ -914,11 +914,106 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** MinHash signature of an `array<string>` shingle list — `numHashes`
+  * seeded minima in one pass per ROW.
+  *
+  * Bit-equivalent to the explode + `min(xxhash64(shingle, lit(seed)))`
+  * aggregate formulation `Dedup.bandedSignatures` carried (proven on all
+  * 5,000 sf0.1 docs before landing, then spec-pinned): per element
+  * h₀ = xxhash64 of the UTF-8 bytes at seed 42, then per hash function
+  * s the candidate is `hashInt(s, h₀)` — exactly Spark's
+  * `xxhash64(shingle, lit(s))` two-argument fold — and the signature
+  * entry is the minimum over elements. A NULL element contributes
+  * h₀ = 42 (the no-bytes hash, matching the SQL form's null-skip).
+  * Empty array → all-`Long.MaxValue` signature (callers drop token-less
+  * docs first, preserving the aggregate form's explode semantics); null
+  * array → null.
+  *
+  * Why: the aggregate shape explodes rows ×shingles-per-doc and
+  * SHUFFLES on the doc id to reassemble signatures; this is a pure map.
+  * Locally the hash work dominates (~17% warm at sf0.1, BENCH_NOTES
+  * r17) — the case for it is the shuffle it deletes at corpus scale,
+  * same argument as [[SimHash64]] with an honestly smaller constant.
+  */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
+  override def prettyName: String = "minhash_signature"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects array<string>, got ${t.simpleString}")
+    }
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val h0 =
+        if (arr.isNullAt(j)) 42L // xxhash64's no-bytes hash = the seed
+        else {
+          val u = arr.getUTF8String(j)
+          org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+            u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+        }
+      var s = 0
+      while (s < numHashes) {
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(s, h0)
+        if (h < mins(s)) mins(s) = h
+        s += 1
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val mins = ctx.addMutableState("long[]", "mhMins",
+        v => s"$v = new long[$numHashes];")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val n = ctx.freshName("n")
+      val h0 = ctx.freshName("h0")
+      val h = ctx.freshName("h")
+      val u = ctx.freshName("u")
+      s"""
+        java.util.Arrays.fill($mins, Long.MAX_VALUE);
+        int $n = $a.numElements();
+        for (int $j = 0; $j < $n; $j++) {
+          long $h0 = 42L;
+          if (!$a.isNullAt($j)) {
+            org.apache.spark.unsafe.types.UTF8String $u = $a.getUTF8String($j);
+            $h0 = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+              $u.getBaseObject(), $u.getBaseOffset(), $u.numBytes(), 42L);
+          }
+          for (int $s = 0; $s < $numHashes; $s++) {
+            long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt($s, $h0);
+            if ($h < $mins[$s]) $mins[$s] = $h;
+          }
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          java.util.Arrays.copyOf($mins, $numHashes));
+      """
+    })
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 object VectorExpressions {
   def sigMatchCount(a: Column, b: Column): Column =
     column(SigMatchCount(expression(a), expression(b)))
   def simhash64(tokens: Column): Column =
     column(SimHash64(expression(tokens)))
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    column(MinHashSignature(expression(shingles), numHashes))
   def dotFast(a: Column, b: Column): Column = column(VectorDot(expression(a), expression(b)))
   def cosineFast(a: Column, b: Column): Column = column(VectorCosine(expression(a), expression(b)))
   def l2sqFast(a: Column, b: Column): Column = column(VectorL2Sq(expression(a), expression(b)))

@@ -123,22 +123,26 @@ object Dedup {
     * persisted signature index ([[graft.sink.SignatureStore]]) probe-able
     * incrementally with no recall loss vs a full-corpus run.
     *
-    * The signature is computed as explode(shingle) → one codegen'd
-    * `min(xxhash64(shingle, seed))` aggregate per hash function, NOT as a
-    * nested higher-order lambda: HOFs are interpreted and re-evaluate the
-    * shingle array once per seed — ~50× slower measured at sf0.1.
+    * The signature is the native one-pass
+    * [[graft.functions.VectorExpressions.minhashSignature]] expression
+    * (r17 — previously explode(shingle) → one codegen'd
+    * `min(xxhash64(shingle, seed))` aggregate per hash function, which
+    * shuffled ×shingles-per-doc rows on `_id`; bit-equivalence is
+    * spec-pinned, so persisted [[graft.sink.SignatureStore]] data signed
+    * by either form stays interoperable. The nested higher-order lambda
+    * both replace is interpreted and ~50× slower).
     * Docs with no shingles (empty text) have no rows — nothing to match.
     */
   def bandedSignatures(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
-    val sh = shingles(df, idCol, textCol, shingleN)
-    val aggs = (0 until numHashes).map(seed =>
-      min(xxhash64(col("shingle"), lit(seed))).as(s"_h$seed"))
-    val withSig = sh.groupBy("_id").agg(aggs.head, aggs.tail: _*)
+    val withSig = df.select(col(idCol).as("_id"),
+        TextFunctions.wordShingles(col(textCol), shingleN).as("_sh"))
+      .where(size(col("_sh")) > 0)
       .select(col("_id"),
-        array((0 until numHashes).map(i => col(s"_h$i")): _*).as("sig"))
+        graft.functions.VectorExpressions.minhashSignature(
+          col("_sh"), numHashes).as("sig"))
     withSig.select(col("_id"), col("sig"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band"),
@@ -156,10 +160,9 @@ object Dedup {
     * Only same-bucket docs are ever paired — the shuffle key is
     * (band, hash(band rows)), so cost tracks bucket occupancy, not n².
     *
-    * The signature is computed as explode(shingle) → one codegen'd
-    * `min(xxhash64(shingle, seed))` aggregate per hash function, NOT as a
-    * nested higher-order lambda: HOFs are interpreted and re-evaluate the
-    * shingle array once per seed — ~50× slower measured at sf0.1.
+    * Signatures come from the native one-pass `minhash_signature`
+    * expression via [[bandedSignatures]] (r17) — no explode, no
+    * per-signature shuffle.
     */
   def minhashLshCandidates(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame =

@@ -65,6 +65,13 @@ class GraftExtensionsSpec extends SparkSpec {
           org.apache.spark.sql.functions.lit("alpha")))).head().getLong(0)
     assert(r.getLong(0) == viaCol)
     assert(r.getInt(1) == 2)
+    // minhash_signature: SQL form == the two-argument xxhash64 fold
+    val mh = spark.sql(
+      """SELECT minhash_signature(array('a b c'), 4) AS sig,
+                array(xxhash64('a b c', 0), xxhash64('a b c', 1),
+                      xxhash64('a b c', 2), xxhash64('a b c', 3)) AS want
+      """).head()
+    assert(mh.getSeq[Long](0) == mh.getSeq[Long](1))
   }
 
   test("term_freq_stats is callable from SQL with literal terms") {

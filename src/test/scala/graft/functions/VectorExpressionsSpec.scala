@@ -157,6 +157,74 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(SigMatchCount(lit1, lit2).eval(null) == 2)
   }
 
+  test("minhash_signature equals the explode+min-aggregate formulation") {
+    import spark.implicits._
+    val nh = 16
+    // the aggregate reference bandedSignatures carried before r17:
+    // explode(shingle) -> min(xxhash64(shingle, lit(seed))) per seed
+    def aggForm(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val sh = df.select(col("doc_id").as("_id"),
+        explode(TextFunctions.wordShingles(col("text"), 3)).as("shingle"))
+      val aggs = (0 until nh).map(seed =>
+        min(xxhash64(col("shingle"), lit(seed))).as(s"_h$seed"))
+      sh.groupBy("_id").agg(aggs.head, aggs.tail: _*)
+        .select(col("_id"),
+          array((0 until nh).map(i => col(s"_h$i")): _*).as("sig"))
+    }
+    def nativeForm(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.select(col("doc_id").as("_id"),
+          TextFunctions.wordShingles(col("text"), 3).as("_sh"))
+        .where(size(col("_sh")) > 0)
+        .select(col("_id"),
+          VectorExpressions.minhashSignature(col("_sh"), nh).as("sig"))
+    val docs = graft.Tables.documents(spark, sf).limit(300)
+      .select("doc_id", "text")
+    val a = aggForm(docs).orderBy("_id").collect()
+    val b = nativeForm(docs).orderBy("_id").collect()
+    assert(a.length == b.length && a.nonEmpty)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.getSeq[Long](1) == y.getSeq[Long](1),
+        s"doc ${x.getLong(0)} signature diverged")
+    }
+    // empty-text docs DROP in both forms (the explode semantics callers
+    // of bandedSignatures rely on)
+    val withEmpty = Seq((1L, "alpha beta gamma delta"), (2L, ""), (3L, "   "))
+      .toDF("doc_id", "text")
+    assert(nativeForm(withEmpty).select("_id").as[Long].collect().toSet
+      == aggForm(withEmpty).select("_id").as[Long].collect().toSet)
+    // null element -> the no-bytes hash (xxhash64 null-skip): equals the
+    // SQL two-argument fold with a null first argument
+    val viaSql = spark.range(1).select(
+      (0 until nh).map(s0 =>
+        xxhash64(lit(null).cast("string"), lit(s0)).as(s"h$s0")): _*).head()
+    val viaExpr = Seq(Tuple1(Seq[String](null))).toDF("sh")
+      .select(VectorExpressions.minhashSignature(col("sh"), nh)).head()
+      .getSeq[Long](0)
+    (0 until nh).foreach(i => assert(viaExpr(i) == viaSql.getLong(i)))
+    // null array -> null; non-string array fails analysis
+    assert(Seq(Tuple1(null: Seq[String])).toDF("sh")
+      .select(VectorExpressions.minhashSignature(col("sh"), nh))
+      .head().isNullAt(0))
+    assertThrows[org.apache.spark.sql.AnalysisException] {
+      Seq(Tuple1(Seq(1L))).toDF("sh")
+        .select(VectorExpressions.minhashSignature(col("sh"), nh)).head()
+    }
+    // interpreted fallback agrees with codegen
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val lt = Literal(ArrayData.toArrayData(Array(
+      UTF8String.fromString("a b c"), UTF8String.fromString("b c d"))),
+      ArrayType(StringType))
+    val viaGen = Seq(Tuple1(Seq("a b c", "b c d"))).toDF("sh")
+      .select(VectorExpressions.minhashSignature(col("sh"), nh)).head()
+      .getSeq[Long](0)
+    assert(MinHashSignature(lt, nh).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray().toSeq == viaGen)
+  }
+
   test("simhash64 equals the nested-HOF fold on every edge: ties, nulls, empty") {
     import spark.implicits._
     // the HOF reference: the exact fold Dedup.simhash carried (xxhash64
