@@ -449,4 +449,28 @@ class PlanSpec extends SparkSpec {
       !p.contains("md5("),
       s"mask plan should hash via one fused pass:\n$p")
   }
+
+  test("r17 native signature paths: pure map, zero exchanges, codegen'd") {
+    // the r17 point of simhash64 / minhash_signature is the DELETED
+    // shuffle: signature computation must be a scan -> project map with
+    // no Exchange anywhere (the old explode + groupBy form shuffled
+    // ×tokens-per-doc rows on the doc id). Pin it in the physical plan.
+    val docs = Tables.documents(spark, sf) // tiny at spec sf; no limit —
+    // a GlobalLimit would inject its own SinglePartition exchange
+    for ((name, frame) <- Seq(
+        ("simhashSignatures",
+          operators.Dedup.simhashSignatures(docs, "doc_id", "text")),
+        ("bandedSignatures",
+          operators.Dedup.bandedSignatures(docs, "doc_id", "text", 3, 32, 8)))) {
+      val p = frame.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"$name: signature computation must not shuffle:\n$p")
+    }
+    val sim = operators.Dedup.simhashSignatures(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(sim.contains("simhash64"), s"native expression missing:\n$sim")
+    val mh = operators.Dedup.bandedSignatures(docs, "doc_id", "text", 3, 32, 8)
+      .queryExecution.executedPlan.toString
+    assert(mh.contains("minhash_signature"), s"native expression missing:\n$mh")
+  }
 }
