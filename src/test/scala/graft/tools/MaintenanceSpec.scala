@@ -150,9 +150,15 @@ class MaintenanceSpec extends SparkSpec {
       Seq((202L, "alpha beta fresh three")).toDF("doc_id", "text"), sigDir): Unit
     SignatureStore.append(
       Seq((203L, "alpha beta fresh four")).toDF("doc_id", "text"), sigDir): Unit
+    // the fold is observed as a VERSION advance, not a count change —
+    // keepGenerations=1 GC retires the oldest generation as the new one
+    // installs, so the on-disk list stays the same SIZE
+    def maxGen(): Int = gens().map(_.stripPrefix("buckets-v").toInt).max
+    val beforeFold = maxGen()
     amortized.maintain() // 3 pending > 2: folds
     assert(Stores.pendingCommits(spark, "signature", sigDir) == 0)
-    assert(gens().size == afterFirst.size + 1)
+    assert(maxGen() == beforeFold + 1,
+      s"threshold crossed but no new generation installed (v$beforeFold)")
   }
 
   test("--takeover against a LIVE writer fences it; read-only paths never perturb the epoch") {
