@@ -525,6 +525,53 @@ class DedupSpec extends SparkSpec {
       "the universal token must be pruned out of every prefix")
   }
 
+  test("prefixFilterJoin property: ≡ the naive join for random corpora and thresholds") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // random corpora over a SMALL vocabulary (overlaps are common, so
+    // qualifying pairs exist at most thresholds) and random thresholds
+    // incl. values wherever t·n lands near integers — the completeness
+    // theorem must hold for EVERY (corpus, t), not just the fixtures
+    val vocab = Vector("ant", "bee", "cat", "dog", "elk", "fox", "gnu",
+      "hen", "ibis", "jay", "kite", "lark")
+    val docGen = for {
+      k <- Gen.choose(1, 8)
+      toks <- Gen.pick(k, vocab)
+    } yield toks.mkString(" ")
+    val corpusGen = for {
+      n <- Gen.choose(4, 18)
+      docs <- Gen.listOfN(n, docGen)
+      tPct <- Gen.choose(5, 100) // t in (0.05, 1.0], steps hit t·n integers
+    } yield (docs, tPct / 100.0)
+    val prop = Prop.forAll(corpusGen) { case (docs, t) =>
+      val df = docs.zipWithIndex.map { case (d, i) => (i.toLong, d) }
+        .toDF("doc_id", "text")
+      val tk = df.select(col("doc_id"),
+        explode(array_distinct(graft.functions.TextFunctions.tokens(
+          col("text")))).as("tok"))
+      val cnt = tk.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val naive = tk.as("a").join(tk.as("b"),
+          col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("common"))
+        .join(cnt.withColumnRenamed("doc_id", "id_a")
+          .withColumnRenamed("n", "na"), "id_a")
+        .join(cnt.withColumnRenamed("doc_id", "id_b")
+          .withColumnRenamed("n", "nb"), "id_b")
+        .withColumn("jaccard", round(col("common").cast("double") /
+          (col("na") + col("nb") - col("common")), 6))
+        .filter(col("jaccard") >= t)
+        .select("id_a", "id_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      val got = Dedup.prefixFilterJoin(df, "doc_id", "text", 1, t)
+        .as[(Long, Long, Double)].collect().toSet
+      Prop(got == naive) :|
+        s"t=$t n=${docs.size}: missing=${naive -- got} extra=${got -- naive}"
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("prefixFilterJoin: FP-overshoot boundary — t·n exactly integer, pair at jaccard = t") {
     // ADVICE r16: 0.07 × 100 = 7.000000000000001 in IEEE doubles, so an
     // unguarded ceil(t·n) returns 8 and shortens the 100-token doc's
