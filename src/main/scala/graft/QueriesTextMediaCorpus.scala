@@ -17,6 +17,21 @@ import graft.OracleDefs.bpeApplyMerges
   * registry split is pure file layout, zero behavior change.)
   */
 private[graft] object QueriesTextMediaCorpus {
+
+  /** Exchange a BOUNDED media fixture across the session's cores before
+    * its codec leg. The driver test tables are single-row-group parquet
+    * files, so their scan is ONE task — without an exchange every
+    * per-row codec chain (encode → decode → FFT, a pure projection by
+    * design, PlanSpec-pinned) runs serially on one core regardless of
+    * `local[N]` / cluster width (guide §2.6: idle capacity). The media
+    * fixtures are bounded by construction (`doc_id < 40..320` filters),
+    * so the exchange moves O(rows) ids at ANY corpus scale — this is a
+    * fixture-shape fix, not a scan-width tune; an unbounded media corpus
+    * arrives in many splits and never enters this path.
+    */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Text quality features.
     "x_text_quality" -> ((s, d) =>
@@ -289,8 +304,8 @@ private[graft] object QueriesTextMediaCorpus {
     // arithmetic. No stub anywhere: encode, decode, FFT all real.
     "x_audio_spectrum" -> ((s, d) => {
       val k = (pmod(col("doc_id"), lit(30)) + 1).cast("double")
-      val pcm = Tables.documents(s, d).select("doc_id")
-        .filter(col("doc_id") < 300)
+      val pcm = spread(Tables.documents(s, d).select("doc_id")
+        .filter(col("doc_id") < 300))
         .withColumn("samples", transform(sequence(lit(0), lit(255)),
           n => round(lit(1000.0) *
             sin(lit(2.0 * math.Pi) * k * n.cast("double") / lit(256.0)))
@@ -362,8 +377,8 @@ private[graft] object QueriesTextMediaCorpus {
     // cross-engine-compared — the x_embed_pca rule for derived floats).
     "x_audio_mfcc" -> ((s, d) => {
       val k = (pmod(col("doc_id"), lit(30)) + 1).cast("double")
-      val pcm = Tables.documents(s, d).select("doc_id")
-        .filter(col("doc_id") < 300)
+      val pcm = spread(Tables.documents(s, d).select("doc_id")
+        .filter(col("doc_id") < 300))
         .withColumn("samples", transform(sequence(lit(0), lit(255)),
           n => round(lit(1000.0) *
             sin(lit(2.0 * math.Pi) * k * n.cast("double") / lit(256.0)))
@@ -448,8 +463,8 @@ private[graft] object QueriesTextMediaCorpus {
     // decoder drops the fixed LeadingSkip warmup, so n_samples = 1152.
     "x_audio_mp3" -> ((s, d) => {
       val k = (pmod(col("doc_id"), lit(30)) + 1).cast("double")
-      val pcm = Tables.documents(s, d).select("doc_id")
-        .filter(col("doc_id") < 300)
+      val pcm = spread(Tables.documents(s, d).select("doc_id")
+        .filter(col("doc_id") < 300))
         .withColumn("samples", transform(sequence(lit(0), lit(2303)),
           n => round(lit(8000.0) *
             sin(lit(2.0 * math.Pi) * k * n.cast("double") / lit(256.0)))
@@ -468,8 +483,8 @@ private[graft] object QueriesTextMediaCorpus {
     // driver board, not only in the property spec.
     "x_audio_mp3_32k" -> ((s, d) => {
       val k = (pmod(col("doc_id"), lit(30)) + 1).cast("double")
-      val pcm = Tables.documents(s, d).select("doc_id")
-        .filter(col("doc_id") < 150)
+      val pcm = spread(Tables.documents(s, d).select("doc_id")
+        .filter(col("doc_id") < 150))
         .withColumn("samples", transform(sequence(lit(0), lit(2303)),
           n => round(lit(8000.0) *
             sin(lit(2.0 * math.Pi) * k * n.cast("double") / lit(256.0)))
@@ -488,8 +503,8 @@ private[graft] object QueriesTextMediaCorpus {
     // forced through all-short frames must keep their FFT peaks.
     "x_audio_mp3_short" -> ((s, d) => {
       val k = (pmod(col("doc_id"), lit(30)) + 1).cast("double")
-      val pcm = Tables.documents(s, d).select("doc_id")
-        .filter(col("doc_id") < 150)
+      val pcm = spread(Tables.documents(s, d).select("doc_id")
+        .filter(col("doc_id") < 150))
         .withColumn("samples", transform(sequence(lit(0), lit(2303)),
           n => round(lit(8000.0) *
             sin(lit(2.0 * math.Pi) * k * n.cast("double") / lit(256.0)))
@@ -508,8 +523,8 @@ private[graft] object QueriesTextMediaCorpus {
     // 150 tones spanning the long/short seam keep their FFT peaks.
     "x_audio_mp3_mixed" -> ((s, d) => {
       val k = (pmod(col("doc_id"), lit(30)) + 1).cast("double")
-      val pcm = Tables.documents(s, d).select("doc_id")
-        .filter(col("doc_id") < 150)
+      val pcm = spread(Tables.documents(s, d).select("doc_id")
+        .filter(col("doc_id") < 150))
         .withColumn("samples", transform(sequence(lit(0), lit(2303)),
           n => round(lit(8000.0) *
             sin(lit(2.0 * math.Pi) * k * n.cast("double") / lit(256.0)))
@@ -529,8 +544,8 @@ private[graft] object QueriesTextMediaCorpus {
     // convention must recover the LEFT peak through the matrix.
     "x_audio_mp3_stereo" -> ((s, d) => {
       val k = (pmod(col("doc_id"), lit(30)) + 1).cast("double")
-      val pcm = Tables.documents(s, d).select("doc_id")
-        .filter(col("doc_id") < 150)
+      val pcm = spread(Tables.documents(s, d).select("doc_id")
+        .filter(col("doc_id") < 150))
         .withColumn("left", transform(sequence(lit(0), lit(2303)),
           n => round(lit(8000.0) *
             sin(lit(2.0 * math.Pi) * k * n.cast("double") / lit(256.0)))
@@ -555,8 +570,8 @@ private[graft] object QueriesTextMediaCorpus {
     // channel-0 convention must recover the LEFT peak either way.
     "x_audio_mp3_intensity" -> ((s, d) => {
       val k = (pmod(col("doc_id"), lit(30)) + 1).cast("double")
-      val pcm = Tables.documents(s, d).select("doc_id")
-        .filter(col("doc_id") < 150)
+      val pcm = spread(Tables.documents(s, d).select("doc_id")
+        .filter(col("doc_id") < 150))
         .withColumn("left", transform(sequence(lit(0), lit(2303)),
           n => round(lit(8000.0) *
             sin(lit(2.0 * math.Pi) * k * n.cast("double") / lit(256.0)))
@@ -581,8 +596,8 @@ private[graft] object QueriesTextMediaCorpus {
     // fixed LeadingSkip leaves 1152 steady-state samples.
     "x_audio_mp3_lsf" -> ((s, d) => {
       val k = (pmod(col("doc_id"), lit(30)) + 1).cast("double")
-      val pcm = Tables.documents(s, d).select("doc_id")
-        .filter(col("doc_id") < 150)
+      val pcm = spread(Tables.documents(s, d).select("doc_id")
+        .filter(col("doc_id") < 150))
         .withColumn("samples", transform(sequence(lit(0), lit(2303)),
           n => round(lit(8000.0) *
             sin(lit(2.0 * math.Pi) * k * n.cast("double") / lit(256.0)))
@@ -601,8 +616,8 @@ private[graft] object QueriesTextMediaCorpus {
     // tones riding the mid/side matrix instead of independent coding.
     "x_audio_mp3_ms_intensity" -> ((s, d) => {
       val k = (pmod(col("doc_id"), lit(30)) + 1).cast("double")
-      val pcm = Tables.documents(s, d).select("doc_id")
-        .filter(col("doc_id") < 150)
+      val pcm = spread(Tables.documents(s, d).select("doc_id")
+        .filter(col("doc_id") < 150))
         .withColumn("left", transform(sequence(lit(0), lit(2303)),
           n => round(lit(8000.0) *
             sin(lit(2.0 * math.Pi) * k * n.cast("double") / lit(256.0)))
@@ -625,8 +640,8 @@ private[graft] object QueriesTextMediaCorpus {
     // forced through all-short LSF frames keep their FFT peaks.
     "x_audio_mp3_lsf_short" -> ((s, d) => {
       val k = (pmod(col("doc_id"), lit(30)) + 1).cast("double")
-      val pcm = Tables.documents(s, d).select("doc_id")
-        .filter(col("doc_id") < 150)
+      val pcm = spread(Tables.documents(s, d).select("doc_id")
+        .filter(col("doc_id") < 150))
         .withColumn("samples", transform(sequence(lit(0), lit(2303)),
           n => round(lit(8000.0) *
             sin(lit(2.0 * math.Pi) * k * n.cast("double") / lit(256.0)))
@@ -645,8 +660,8 @@ private[graft] object QueriesTextMediaCorpus {
     // FFT peaks through one-granule 22.05 kHz mixed frames.
     "x_audio_mp3_lsf_mixed" -> ((s, d) => {
       val k = (pmod(col("doc_id"), lit(30)) + 1).cast("double")
-      val pcm = Tables.documents(s, d).select("doc_id")
-        .filter(col("doc_id") < 150)
+      val pcm = spread(Tables.documents(s, d).select("doc_id")
+        .filter(col("doc_id") < 150))
         .withColumn("samples", transform(sequence(lit(0), lit(2303)),
           n => round(lit(8000.0) *
             sin(lit(2.0 * math.Pi) * k * n.cast("double") / lit(256.0)))
@@ -668,8 +683,8 @@ private[graft] object QueriesTextMediaCorpus {
     // the channel-0 convention must recover the LEFT peak either way.
     "x_audio_mp3_mixed_intensity" -> ((s, d) => {
       val k = (pmod(col("doc_id"), lit(30)) + 1).cast("double")
-      val pcm = Tables.documents(s, d).select("doc_id")
-        .filter(col("doc_id") < 150)
+      val pcm = spread(Tables.documents(s, d).select("doc_id")
+        .filter(col("doc_id") < 150))
         .withColumn("left", transform(sequence(lit(0), lit(2303)),
           n => round(lit(8000.0) *
             sin(lit(2.0 * math.Pi) * k * n.cast("double") / lit(256.0)))
@@ -693,8 +708,8 @@ private[graft] object QueriesTextMediaCorpus {
     // Channel 0 must recover the LEFT peak either way.
     "x_audio_mp3_mixed_ms" -> ((s, d) => {
       val k = (pmod(col("doc_id"), lit(30)) + 1).cast("double")
-      val pcm = Tables.documents(s, d).select("doc_id")
-        .filter(col("doc_id") < 150)
+      val pcm = spread(Tables.documents(s, d).select("doc_id")
+        .filter(col("doc_id") < 150))
         .withColumn("left", transform(sequence(lit(0), lit(2303)),
           n => round(lit(8000.0) *
             sin(lit(2.0 * math.Pi) * k * n.cast("double") / lit(256.0)))
@@ -732,8 +747,8 @@ private[graft] object QueriesTextMediaCorpus {
           while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
           buf.toByteArray
         } finally in.close()
-      val docs = Tables.documents(s, d).select("doc_id")
-        .filter(col("doc_id") < 40)
+      val docs = spread(Tables.documents(s, d).select("doc_id")
+        .filter(col("doc_id") < 40))
         .withColumn("payload", lit(bytes))
       operators.Multimodal.audioActivity(docs, "doc_id", "payload",
           frameSize = 576, threshold = 1.0)
