@@ -47,31 +47,40 @@ object Ivf {
   def fit(df: DataFrame, idCol: String, vecCol: String, k: Int,
       iters: Int = 5): Model = {
     // null vectors train nothing (and would skew centroids: vector_sum
-    // skips them but a bare count(1) would still divide by them)
-    val vecs = df.filter(col(vecCol).isNotNull)
-    val init = vecs.orderBy(col(idCol)).limit(k)
-      .select(transform(col(vecCol), _.cast("double")).as("c"))
-      .collect().map(_.getSeq[Double](0).toArray)
-    require(init.length == k, s"need at least $k non-null vectors, got ${init.length}")
-    var model = Model(init)
-    for (_ <- 0 until iters) {
-      val assigned = vecs.select(col(vecCol),
-        assignExpr(col(vecCol), model).as("_cell"))
-      val sums = assigned.groupBy("_cell")
-        .agg(VectorAggregates.vectorSum(col(vecCol)).as("s"),
-          count(col(vecCol)).as("n"))
-        .collect()
-      val next = model.centroids.clone()
-      sums.foreach { r =>
-        val cell = r.getInt(0)
-        val s = r.getSeq[Double](1)
-        val n = r.getLong(2).toDouble
-        if (s != null && n > 0) next(cell) = s.map(_ / n).toArray
-        // else: empty cell keeps its previous centroid
+    // skips them but a bare count(1) would still divide by them).
+    // Persisted across the Lloyd loop (r17, guide §5): training makes
+    // iters+1 passes over the SAME projected input — without the persist
+    // each pass re-reads and re-decodes the source scan. Projected to
+    // (id, vec) first so only the vectors are cached, and released
+    // before returning.
+    val vecs = df.select(col(idCol), col(vecCol))
+      .filter(col(vecCol).isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val init = vecs.orderBy(col(idCol)).limit(k)
+        .select(transform(col(vecCol), _.cast("double")).as("c"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      require(init.length == k, s"need at least $k non-null vectors, got ${init.length}")
+      var model = Model(init)
+      for (_ <- 0 until iters) {
+        val assigned = vecs.select(col(vecCol),
+          assignExpr(col(vecCol), model).as("_cell"))
+        val sums = assigned.groupBy("_cell")
+          .agg(VectorAggregates.vectorSum(col(vecCol)).as("s"),
+            count(col(vecCol)).as("n"))
+          .collect()
+        val next = model.centroids.clone()
+        sums.foreach { r =>
+          val cell = r.getInt(0)
+          val s = r.getSeq[Double](1)
+          val n = r.getLong(2).toDouble
+          if (s != null && n > 0) next(cell) = s.map(_ / n).toArray
+          // else: empty cell keeps its previous centroid
+        }
+        model = Model(next)
       }
-      model = Model(next)
-    }
-    model
+      model
+    } finally vecs.unpersist(blocking = false): Unit
   }
 
   /** Attach the cell id (the IVF partition key). */

@@ -59,6 +59,34 @@ private[sink] object DeltaLog {
     */
   val CommitMarker = "_COMMITTED"
 
+  /** Run the independent leg writes of ONE commit/install body
+    * concurrently (optimization guide §2.6: Spark happily runs several
+    * jobs at once inside one application — actions are only sequential
+    * because the driver calls them sequentially). A store commit writes
+    * 2–4 small independent legs (postings/norms/positional/docs,
+    * cells/docs, …) into the SAME pre-rename temp dir; serializing them
+    * leaves the cluster idle during each leg's tail. Every leg is always
+    * awaited — even when one fails — so the caller's cleanup can never
+    * race a still-running leg's writes; the first failure is rethrown
+    * after the barrier.
+    */
+  private[sink] def inParallel(legs: (() => Unit)*): Unit = {
+    if (legs.sizeIs <= 1) { legs.foreach(_.apply()); return }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(legs.size)
+    try {
+      import scala.jdk.CollectionConverters._
+      val tasks = legs.map { l =>
+        new java.util.concurrent.Callable[Option[Throwable]] {
+          def call(): Option[Throwable] =
+            try { l(); None } catch { case e: Throwable => Some(e) }
+        }
+      }
+      // invokeAll blocks until EVERY leg finished (success or failure)
+      val outcomes = pool.invokeAll(tasks.asJava).asScala.map(_.get())
+      outcomes.flatten.headOption.foreach(e => throw e)
+    } finally pool.shutdown()
+  }
+
   /** Root-level sentinel: every numbered dir under this root that needs
     * adopting has been adopted (see [[legacyAdoptable]]), and every LATER
     * marker-less dir is a torn/crashed commit, never a legacy one.

@@ -177,16 +177,20 @@ object GeoIndex {
     require(cellDeg > 0 && cellDeg <= 45,
       s"cellDeg must be in (0, 45], got $cellDeg")
     val spark = points.sparkSession
-    spark.createDataFrame(
-        spark.sparkContext.parallelize(
-          Seq(Row(idCol, latCol, lonCol, cellDeg)), 1), metaSchema)
-      .write.mode("overwrite").parquet(s"$dir/meta")
-    DeltaLog.installBase(spark, dir, "cells", fenceDomain = dir) { tmp =>
-      checkedPoints(points, latCol, lonCol)
-        .withColumn("cell", cellExpr(latCol, lonCol, cellDeg))
-        .repartition(col("cell"))
-        .write.mode("overwrite").partitionBy("cell").parquet(tmp)
-    }: Unit
+    // r17: meta and base are independent writes — concurrent jobs
+    // (guide §2.6; A/B-measured vs sequential at sf0.1: parallel wins
+    // on every geo row, 15.56 s vs 16.36 s over the 8-row family)
+    DeltaLog.inParallel(
+      () => spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            Seq(Row(idCol, latCol, lonCol, cellDeg)), 1), metaSchema)
+        .write.mode("overwrite").parquet(s"$dir/meta"),
+      () => DeltaLog.installBase(spark, dir, "cells", fenceDomain = dir) { tmp =>
+        checkedPoints(points, latCol, lonCol)
+          .withColumn("cell", cellExpr(latCol, lonCol, cellDeg))
+          .repartition(col("cell"))
+          .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+      }: Unit)
     // a rebuild starts a fresh history: everything live is in the base
     DeltaLog.fs(spark, dir).delete(new Path(s"$dir/commits"), true)
     DeltaLog.initRoot(spark, s"$dir/commits")
@@ -231,9 +235,10 @@ object GeoIndex {
       .coalesce(1).sortWithinPartitions("cell")
     DeltaLog.commit(spark, s"$dir/commits",
         DeltaLog.nextSeq(spark, s"$dir/commits"), "docs", fenceDomain = dir) { tmp =>
-      tagged.write.mode("overwrite").parquet(s"$tmp/cells")
-      tagged.select(col(idCol))
-        .write.mode("overwrite").parquet(s"$tmp/docs")
+      DeltaLog.inParallel( // independent O(batch) legs → concurrent jobs (r17)
+        () => tagged.write.mode("overwrite").parquet(s"$tmp/cells"),
+        () => tagged.select(col(idCol))
+          .write.mode("overwrite").parquet(s"$tmp/docs"))
     }
   }
 
@@ -251,9 +256,10 @@ object GeoIndex {
       spark.sparkContext.emptyRDD[Row], baseSchema).repartition(1)
     DeltaLog.commit(spark, s"$dir/commits",
         DeltaLog.nextSeq(spark, s"$dir/commits"), "docs", fenceDomain = dir) { tmp =>
-      empty.write.mode("overwrite").parquet(s"$tmp/cells")
-      ids.select(col(idCol)).distinct().coalesce(1)
-        .write.mode("overwrite").parquet(s"$tmp/docs")
+      DeltaLog.inParallel( // independent legs → concurrent jobs (r17)
+        () => empty.write.mode("overwrite").parquet(s"$tmp/cells"),
+        () => ids.select(col(idCol)).distinct().coalesce(1)
+          .write.mode("overwrite").parquet(s"$tmp/docs"))
     }
   }
 

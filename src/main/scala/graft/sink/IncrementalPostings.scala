@@ -46,14 +46,34 @@ object IncrementalPostings {
       dir: String, withPositions: Boolean = false): Unit = {
     val spark = docs.sparkSession
     DeltaLog.installBase(spark, dir, "base", fenceDomain = dir) { tmp =>
-      InvertedIndex.writePostings(
-        InvertedIndex.postings(docs, idCol, textCol), s"$tmp/postings")
-      InvertedIndex.docLengths(docs, idCol, textCol)
-        .write.mode("overwrite").parquet(s"$tmp/norms")
-      if (withPositions)
-        InvertedIndex.writePostings(
-          InvertedIndex.positionalPostings(docs, idCol, textCol),
-          s"$tmp/positional")
+      // r17 (guide §1.2): ONE corpus tokenize pass feeds the whole base.
+      // A positional init used to tokenize the corpus for postings AND
+      // for positions (plus a range-sampling re-execution of each — see
+      // writePostings); now the positional table is built once and the
+      // flat postings DERIVE from its written copy: tf ≡ size(positions)
+      // (bit-equal to the count aggregate — every occurrence contributes
+      // one position), and reading the term-range-partitioned files back
+      // row-preserving keeps the (term, doc_id)-sorted row-group layout
+      // WITHOUT a second shuffle or sample. Norms stay a map-only corpus
+      // pass: they must keep zero-token docs, which have no postings row.
+      // The norms leg is independent of the postings chain, so the two
+      // run as concurrent jobs (guide §2.6).
+      DeltaLog.inParallel(
+        () =>
+          if (withPositions) {
+            InvertedIndex.writePostings(
+              InvertedIndex.positionalPostings(docs, idCol, textCol),
+              s"$tmp/positional")
+            spark.read.parquet(s"$tmp/positional")
+              .select(col("term"), col("doc_id"),
+                size(col("positions")).as("tf"))
+              .write.mode("overwrite").parquet(s"$tmp/postings")
+          } else
+            InvertedIndex.writePostings(
+              InvertedIndex.postings(docs, idCol, textCol),
+              s"$tmp/postings"),
+        () => InvertedIndex.docLengths(docs, idCol, textCol)
+          .write.mode("overwrite").parquet(s"$tmp/norms"))
     }: Unit
     DeltaLog.initRoot(spark, s"$dir/deltas")
   }
@@ -94,15 +114,27 @@ object IncrementalPostings {
     val positional = hasPositions(spark, dir)
     DeltaLog.commit(spark, s"$dir/deltas",
         DeltaLog.nextSeq(spark, s"$dir/deltas"), "docs", fenceDomain = dir) { tmp =>
-      InvertedIndex.postings(docs, idCol, textCol)
-        .write.mode("overwrite").parquet(s"$tmp/postings")
-      InvertedIndex.docLengths(docs, idCol, textCol)
-        .write.mode("overwrite").parquet(s"$tmp/norms")
-      if (positional)
-        InvertedIndex.positionalPostings(docs, idCol, textCol)
-          .write.mode("overwrite").parquet(s"$tmp/positional")
-      docs.select(col(idCol).cast("long").as("doc_id")).distinct()
-        .write.mode("overwrite").parquet(s"$tmp/docs")
+      // r17: the 3–4 O(batch) legs are independent writes into the same
+      // pre-rename temp dir — run them as concurrent jobs (guide §2.6);
+      // on the positional index the flat postings derive from the
+      // written positional leg (tf ≡ size(positions) — the init
+      // equivalence), so the batch tokenizes twice, not three times
+      DeltaLog.inParallel(
+        () =>
+          if (positional) {
+            InvertedIndex.positionalPostings(docs, idCol, textCol)
+              .write.mode("overwrite").parquet(s"$tmp/positional")
+            spark.read.parquet(s"$tmp/positional")
+              .select(col("term"), col("doc_id"),
+                size(col("positions")).as("tf"))
+              .write.mode("overwrite").parquet(s"$tmp/postings")
+          } else
+            InvertedIndex.postings(docs, idCol, textCol)
+              .write.mode("overwrite").parquet(s"$tmp/postings"),
+        () => InvertedIndex.docLengths(docs, idCol, textCol)
+          .write.mode("overwrite").parquet(s"$tmp/norms"),
+        () => docs.select(col(idCol).cast("long").as("doc_id")).distinct()
+          .write.mode("overwrite").parquet(s"$tmp/docs"))
     }
   }
 
@@ -142,18 +174,21 @@ object IncrementalPostings {
     DeltaLog.commit(spark, s"$dir/deltas",
         DeltaLog.nextSeq(spark, s"$dir/deltas"), "docs", fenceDomain = dir) { tmp =>
       // empty postings/norms with the right schemas: a delete owns the
-      // doc and contributes nothing
-      docs.limit(0)
-        .select(lit("").as("term"), col("doc_id"), lit(0).cast("int").as("tf"))
-        .write.mode("overwrite").parquet(s"$tmp/postings")
-      docs.limit(0).select(col("doc_id"), lit(0).cast("int").as("dl"))
-        .write.mode("overwrite").parquet(s"$tmp/norms")
-      if (positional)
-        docs.limit(0)
-          .select(lit("").as("term"), col("doc_id"),
-            array().cast("array<int>").as("positions"))
-          .write.mode("overwrite").parquet(s"$tmp/positional")
-      docs.write.mode("overwrite").parquet(s"$tmp/docs")
+      // doc and contributes nothing. Independent legs → concurrent jobs
+      // (guide §2.6, r17)
+      DeltaLog.inParallel(
+        () => docs.limit(0)
+          .select(lit("").as("term"), col("doc_id"), lit(0).cast("int").as("tf"))
+          .write.mode("overwrite").parquet(s"$tmp/postings"),
+        () => docs.limit(0).select(col("doc_id"), lit(0).cast("int").as("dl"))
+          .write.mode("overwrite").parquet(s"$tmp/norms"),
+        () =>
+          if (positional)
+            docs.limit(0)
+              .select(lit("").as("term"), col("doc_id"),
+                array().cast("array<int>").as("positions"))
+              .write.mode("overwrite").parquet(s"$tmp/positional"),
+        () => docs.write.mode("overwrite").parquet(s"$tmp/docs"))
     }
   }
 
@@ -370,10 +405,18 @@ object IncrementalPostings {
       if (hasPositions(spark, dir)) Some(livePositional(spark, dir)) else None
     val (postings, norms) = liveViews(spark, dir)
     DeltaLog.installBase(spark, dir, "base", keepGenerations, fenceDomain = dir, epoch = we) { tmp =>
-      InvertedIndex.writePostings(postings, s"$tmp/postings")
-      norms.write.mode("overwrite").parquet(s"$tmp/norms")
-      positional.foreach(p =>
-        InvertedIndex.writePostings(p, s"$tmp/positional"))
+      // r17: the three folded views are independent resolutions —
+      // concurrent jobs (guide §2.6); each writePostings persists its
+      // input across the range sample (persistInput — the resolution
+      // lineage here is a union + owner broadcast join per leg, far
+      // heavier than its folded output)
+      DeltaLog.inParallel(
+        () => InvertedIndex.writePostings(postings, s"$tmp/postings",
+          persistInput = true),
+        () => norms.write.mode("overwrite").parquet(s"$tmp/norms"),
+        () => positional.foreach(p =>
+          InvertedIndex.writePostings(p, s"$tmp/positional",
+            persistInput = true)))
     }: Unit
     // fenced since the install => never GC the folded log: a
     // zombie compactor must not delete commits a rival's view holds

@@ -555,11 +555,27 @@ object InvertedIndex {
     * min/max per row group, so a query term's `IN` filter prunes to its
     * row groups at scan time — Lucene's seek-to-term expressed as
     * storage-level skipping (`InvertedIndexSpec` pins the pushed filter).
+    *
+    * `repartitionByRange` runs a range-SAMPLING job before the shuffle,
+    * re-executing the input lineage a second time. `persistInput = true`
+    * caches the input (MEMORY_AND_DISK) across the sample+shuffle pair —
+    * pass it when the lineage is expensive relative to its output, e.g.
+    * [[IncrementalPostings.compact]]'s base+deltas resolution (union +
+    * owner broadcast join per leg). Measured r17 at sf0.1: the persist
+    * round trip costs MORE than recomputing a plain tokenize+aggregate
+    * lineage (q_bool_indexed 0.80→1.12 s with an unconditional persist),
+    * so it stays opt-in rather than default.
     */
-  def writePostings(postings: DataFrame, dir: String): Unit =
-    postings.repartitionByRange(col("term"))
+  def writePostings(postings: DataFrame, dir: String,
+      persistInput: Boolean = false): Unit = {
+    val p = if (persistInput)
+      postings.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else postings
+    try p.repartitionByRange(col("term"))
       .sortWithinPartitions("term", "doc_id")
       .write.mode("overwrite").parquet(dir)
+    finally if (persistInput) p.unpersist(blocking = false): Unit
+  }
 
   def readPostings(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)

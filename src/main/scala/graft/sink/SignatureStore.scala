@@ -93,16 +93,19 @@ object SignatureStore {
       nPb: Int = 32): Unit = {
     val spark = df.sparkSession
     val m = Meta(idCol, textCol, shingleN, numHashes, bands, nPb)
-    spark.createDataFrame(
-        spark.sparkContext.parallelize(
-          Seq(Row(idCol, textCol, shingleN, numHashes, bands, nPb)), 1),
-        metaSchema)
-      .write.mode("overwrite").parquet(s"$dir/meta")
-    DeltaLog.installBase(spark, dir, "buckets", fenceDomain = dir) { tmp =>
-      signed(df, m)
-        .repartition(col("pb")).sortWithinPartitions("band", "bucket")
-        .write.mode("overwrite").partitionBy("pb").parquet(tmp)
-    }: Unit
+    // r17: meta and base are independent writes — concurrent jobs
+    // (guide §2.6)
+    DeltaLog.inParallel(
+      () => spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            Seq(Row(idCol, textCol, shingleN, numHashes, bands, nPb)), 1),
+          metaSchema)
+        .write.mode("overwrite").parquet(s"$dir/meta"),
+      () => DeltaLog.installBase(spark, dir, "buckets", fenceDomain = dir) { tmp =>
+        signed(df, m)
+          .repartition(col("pb")).sortWithinPartitions("band", "bucket")
+          .write.mode("overwrite").partitionBy("pb").parquet(tmp)
+      }: Unit)
     DeltaLog.fs(spark, dir).delete(new Path(s"$dir/commits"), true)
     DeltaLog.initRoot(spark, s"$dir/commits")
   }
@@ -285,8 +288,9 @@ object SignatureStore {
     val docs = batch.select(col(m.idCol).as("_id")).distinct().coalesce(1)
     DeltaLog.commit(spark, s"$dir/commits",
         DeltaLog.nextSeq(spark, s"$dir/commits"), "buckets", fenceDomain = dir) { tmp =>
-      rows.write.mode("overwrite").parquet(s"$tmp/buckets")
-      docs.write.mode("overwrite").parquet(s"$tmp/docs")
+      DeltaLog.inParallel( // independent O(batch) legs → concurrent jobs (r17)
+        () => rows.write.mode("overwrite").parquet(s"$tmp/buckets"),
+        () => docs.write.mode("overwrite").parquet(s"$tmp/docs"))
     }
   }
 
@@ -315,9 +319,10 @@ object SignatureStore {
       // one file per O(batch) commit leg: every later probe re-lists
       // every commit's files, so leg file count is a serving cost. The
       // coalesce reads the persisted blocks, not the signing lineage
-      q0.coalesce(1).sortWithinPartitions("band", "bucket")
-        .write.mode("overwrite").parquet(s"$tmp/buckets")
-      docs.write.mode("overwrite").parquet(s"$tmp/docs")
+      DeltaLog.inParallel( // independent legs → concurrent jobs (r17)
+        () => q0.coalesce(1).sortWithinPartitions("band", "bucket")
+          .write.mode("overwrite").parquet(s"$tmp/buckets"),
+        () => docs.write.mode("overwrite").parquet(s"$tmp/docs"))
     }
     pairs
   }
@@ -340,8 +345,9 @@ object SignatureStore {
       lit(0).cast("int").as("pb"))
     DeltaLog.commit(spark, s"$dir/commits",
         DeltaLog.nextSeq(spark, s"$dir/commits"), "docs", fenceDomain = dir) { tmp =>
-      emptyBuckets.write.mode("overwrite").parquet(s"$tmp/buckets")
-      docs.write.mode("overwrite").parquet(s"$tmp/docs")
+      DeltaLog.inParallel( // independent legs → concurrent jobs (r17)
+        () => emptyBuckets.write.mode("overwrite").parquet(s"$tmp/buckets"),
+        () => docs.write.mode("overwrite").parquet(s"$tmp/docs"))
     }
   }
 

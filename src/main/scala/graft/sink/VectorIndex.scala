@@ -98,17 +98,20 @@ object VectorIndex {
       StructField("cell", IntegerType, nullable = false),
       StructField("centroid", ArrayType(DoubleType, containsNull = false),
         nullable = false)))
-    spark.createDataFrame(
-        spark.sparkContext.parallelize(centroidRows.toSeq, 1), centroidSchema)
-      .write.mode("overwrite").parquet(s"$dir/centroids")
-    spark.createDataFrame(
-        spark.sparkContext.parallelize(
-          Seq(Row(idCol, vecCol, model.centroids.head.length)), 1), metaSchema)
-      .write.mode("overwrite").parquet(s"$dir/meta")
-    DeltaLog.installBase(spark, dir, "cells", fenceDomain = dir) { tmp =>
-      Ivf.assign(df.filter(col(vecCol).isNotNull), vecCol, model)
-        .write.mode("overwrite").partitionBy("cell").parquet(tmp)
-    }: Unit
+    // r17: model/meta/base are independent writes — concurrent jobs
+    // (guide §2.6); only the radii pass depends on the installed base
+    DeltaLog.inParallel(
+      () => spark.createDataFrame(
+          spark.sparkContext.parallelize(centroidRows.toSeq, 1), centroidSchema)
+        .write.mode("overwrite").parquet(s"$dir/centroids"),
+      () => spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            Seq(Row(idCol, vecCol, model.centroids.head.length)), 1), metaSchema)
+        .write.mode("overwrite").parquet(s"$dir/meta"),
+      () => DeltaLog.installBase(spark, dir, "cells", fenceDomain = dir) { tmp =>
+        Ivf.assign(df.filter(col(vecCol).isNotNull), vecCol, model)
+          .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+      }: Unit)
     writeRadii(spark, dir, vecCol)
     // a rebuild starts a fresh history: everything live is in the base
     DeltaLog.fs(spark, dir).delete(new Path(s"$dir/commits"), true)
@@ -173,9 +176,14 @@ object VectorIndex {
       .coalesce(1).sortWithinPartitions("cell")
     DeltaLog.commit(spark, s"$dir/commits",
         DeltaLog.nextSeq(spark, s"$dir/commits"), "docs", fenceDomain = dir) { tmp =>
-      assigned.write.mode("overwrite").parquet(s"$tmp/cells")
-      assigned.select(col(idCol)).distinct()
-        .write.mode("overwrite").parquet(s"$tmp/docs")
+      // r17: the two O(batch) legs are independent — concurrent jobs
+      // (guide §2.6); the docs leg derives from `assigned`, not from the
+      // raw df, because checkedBatch DROPS null-vector rows and a doc id
+      // must not be tombstoned by a row that contributed no vector
+      DeltaLog.inParallel(
+        () => assigned.write.mode("overwrite").parquet(s"$tmp/cells"),
+        () => assigned.select(col(idCol)).distinct()
+          .write.mode("overwrite").parquet(s"$tmp/docs"))
     }
   }
 
@@ -196,9 +204,10 @@ object VectorIndex {
       spark.sparkContext.emptyRDD[Row], baseSchema).repartition(1)
     DeltaLog.commit(spark, s"$dir/commits",
         DeltaLog.nextSeq(spark, s"$dir/commits"), "docs", fenceDomain = dir) { tmp =>
-      empty.write.mode("overwrite").parquet(s"$tmp/cells")
-      ids.select(col(idCol)).distinct().coalesce(1)
-        .write.mode("overwrite").parquet(s"$tmp/docs")
+      DeltaLog.inParallel( // independent legs → concurrent jobs (r17)
+        () => empty.write.mode("overwrite").parquet(s"$tmp/cells"),
+        () => ids.select(col(idCol)).distinct().coalesce(1)
+          .write.mode("overwrite").parquet(s"$tmp/docs"))
     }
   }
 
