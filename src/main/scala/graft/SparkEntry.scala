@@ -75,6 +75,20 @@ object SparkEntry {
         n = 3, threshold = 0.5)
     }
 
+  /** The τ=0.3 exact pair set (n=3) — the candidate/truth frame two
+    * gates consume (`x_dedup_edit`'s candidate generator and
+    * `x_dedup_eval`'s truth set ran the identical corpus-wide
+    * [[operators.Dedup.ngramJaccard]] independently; r17, the r7
+    * shared-frame pattern). Correctness stays owned by `ngramJaccard` +
+    * its spec pins; each consuming gate still oracle-checks its own
+    * downstream result.
+    */
+  private[graft] def sharedExactPairs03(s: SparkSession, d: String): DataFrame =
+    sharedFrame(s, d, "ngram-exact-03") {
+      operators.Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", "text",
+        n = 3, threshold = 0.3)
+    }
+
   /** The corpus's distinct word-3-shingle sets `(doc_id, shingles)` —
     * the input frame both halves of [[operators.Dedup.prefixFilterJoin]]
     * (prefix building AND exact verification) scan; shared so the
