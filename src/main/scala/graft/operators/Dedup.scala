@@ -186,7 +186,16 @@ object Dedup {
       maxBucketOccupancy: Int): DataFrame = {
     require(maxBucketOccupancy >= 2,
       s"maxBucketOccupancy must be >= 2, got $maxBucketOccupancy")
+    // r17: the banded rows are referenced twice by the bucket self-join
+    // (three times with the hot-bucket cap) and their lineage re-signs
+    // the corpus per reference. localCheckpoint (eager): sign once; the
+    // banded rows are (id, sig, band, bucket) — the same rows the join
+    // shuffles anyway — and blocks are ContextCleaner-managed. Trade:
+    // no lineage recovery for this table (an executor loss fails the
+    // query instead of re-signing), the standard persist-the-signatures
+    // shape of production LSH.
     val all = bandedSignatures(df, idCol, textCol, shingleN, numHashes, bands)
+      .localCheckpoint()
     val banded =
       if (maxBucketOccupancy == Int.MaxValue) all
       else {
@@ -238,9 +247,25 @@ object Dedup {
     */
   def verifyJaccard(pairs: DataFrame, df: DataFrame, idCol: String,
       textCol: String, shingleN: Int): DataFrame = {
-    val shSets = df.select(col(idCol).as("_sid"),
-      array_distinct(TextFunctions.wordShingles(col(textCol), shingleN)).as("_sh"))
-    pairs.select("id_a", "id_b")
+    // r17, candidates-only all the way down (guide §1.2): the old body
+    // shingled the WHOLE corpus once per pair side (two passes), and a
+    // semi-join pruning would have re-executed the candidate
+    // generator's lineage three more times (both id-union legs + the
+    // main join). Now: (1) the pair set is cut once (localCheckpoint —
+    // candidate-sized), (2) docs semi-join to the candidate ids BEFORE
+    // shingling, so shingles are computed for candidate docs only —
+    // O(candidates), never the corpus — and (3) the candidate shingle
+    // table is cut once and read by both join sides. Results identical:
+    // the inner joins on id_a/id_b never matched non-candidate docs.
+    val p = pairs.select("id_a", "id_b").localCheckpoint()
+    val ids = p.select(col("id_a").as("_sid"))
+      .unionByName(p.select(col("id_b").as("_sid"))).distinct()
+    val shSets = df.select(col(idCol).as("_sid"), col(textCol).as("_stx"))
+      .join(ids, Seq("_sid"), "left_semi")
+      .select(col("_sid"),
+        array_distinct(TextFunctions.wordShingles(col("_stx"), shingleN)).as("_sh"))
+      .localCheckpoint()
+    p
       .join(shSets.withColumnRenamed("_sid", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
       .join(shSets.withColumnRenamed("_sid", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
       .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))

@@ -1746,9 +1746,21 @@ object Multimodal {
     */
   def nearDuplicateVideos(frameHashes: DataFrame, idCol: String,
       frameCol: String, hashCol: String, maxHamming: Int): DataFrame = {
+    // r17: the frame-hash table is referenced SIX times below (anchor
+    // band self-join ×2, per-frame verify ×2, frame-count legs ×2) and
+    // its lineage is the opaque encode→container-walk→aHash chain —
+    // without a cut, every reference re-runs the codecs (guide §1.2).
+    // localCheckpoint (eager): one execution, blocks ContextCleaner-
+    // managed (a persist here would leak in the CacheManager across a
+    // long serving session); the table is a few long columns per frame,
+    // orders of magnitude under the payloads. Trade: localCheckpoint
+    // forfeits lineage recovery for this small table — an executor loss
+    // fails the query instead of recomputing (documented, acceptable
+    // for a derived frame-sized table).
     val h = frameHashes.filter(col(hashCol).isNotNull)
       .select(col(idCol).as("_id"), col(frameCol).as("_f"),
         col(hashCol).as("_h"))
+      .localCheckpoint()
     val anchors = h.filter(col("_f") === 0)
       .select(col("_id").as("id"), col("_h").as("ahash"))
     val cand = nearDuplicateImages(anchors, "id", "ahash", maxHamming)
@@ -1970,8 +1982,13 @@ object Multimodal {
         s"got $maxHamming")
     val bands = maxHamming + 1
     val width = 64 / bands
+    // r17: the banded self-join references the hash table twice, and its
+    // lineage is usually an image encode+decode+hash chain — cut it with
+    // an eager localCheckpoint so the codecs run once (same rationale
+    // and trade as nearDuplicateVideos)
     val h = hashes.filter(col(hashCol).isNotNull)
       .select(col(idCol).as("_id"), col(hashCol).as("_h"))
+      .localCheckpoint()
     val banded = h.select(col("_id"), col("_h"),
       explode(array((0 until bands).map { b =>
         val w = if (b == bands - 1) 64 - b * width else width

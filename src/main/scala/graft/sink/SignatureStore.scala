@@ -180,7 +180,15 @@ object SignatureStore {
       maxBucketOccupancy: Int): DataFrame = {
     val spark = batch.sparkSession
     val m = readMeta(spark, dir)
-    probeCore(spark, dir, m, signed(batch, m), maxBucketOccupancy)
+    // r17: probeCore references the signed batch up to five times (the
+    // residue collect, the occupancy union, the anti-join, the
+    // store-cross join's broadcast side, the within-batch self-join ×2)
+    // and signing (shingle → minhash → band rows) is the probe's
+    // dominant per-reference cost. localCheckpoint (eager): sign ONCE;
+    // batch-sized blocks, ContextCleaner-managed (the fused
+    // probeAndAppend already signs once via its persist).
+    probeCore(spark, dir, m, signed(batch, m).localCheckpoint(),
+      maxBucketOccupancy)
   }
 
   /** [[probe]] body over an already-signed batch frame — shared with
