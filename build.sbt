@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver json-parses the bench's final stdout line; sbt's default
+// LoggedOutput strategy for forked runs prefixes every line with
+// "[info] ", which broke that parse in every round so far ("parsed":
+// null in BENCH_r01–r17). StdoutOutput passes the forked process's
+// stdout through verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

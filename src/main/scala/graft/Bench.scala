@@ -38,11 +38,44 @@ object Bench {
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the post-query block release (SparkEntry.drainTempDirs) unpersists
+    // locally-checkpointed RDDs by design — every release logs a WARN
+    // ("lineage truncated ... cannot be recomputed"); thousands of them
+    // per board are pure log noise (nothing reads a drained RDD)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
+
+    // Session-shared dedup-family frames, run as an EXPLICIT timed board
+    // row at the start of every pass (r17 verdict item 2): the frames
+    // are computed once per pass and the gates that consume them read
+    // the parquet copy, so the construction cost must appear in the
+    // reported board total — previously the cold pass paid it invisibly
+    // inside whichever consumer ran first and the warm totals understated
+    // the declared work. Consumers: x_dedup_ngram, x_dedup_minhash,
+    // x_dedup_edit, x_dedup_eval, x_dedup_prefix_filter,
+    // x_dedup_clusters (+cluster-label gates), x_dedup_embed_pruned,
+    // x_dedup_embed_clusters, x_dedup_containment.
+    def framesRow(): (String, Double) = {
+      val t0 = System.nanoTime()
+      try {
+        SparkEntry.resetSharedFrames()
+        SparkEntry.buildSharedFrames(spark, sfDir)
+        "shared_frames_build" -> (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(
+            s"[bench] shared_frames_build failed: ${e.getMessage}")
+          "shared_frames_build" -> -1.0
+      } finally SparkEntry.drainTempDirs()
+    }
+    val runFrames = only.forall(_.contains("shared_frames_build"))
+    def framesLeg(): Seq[(String, Double)] =
+      if (runFrames) Seq(framesRow()) else Seq.empty
 
     // Cold pass: build + plan + execute each query end-to-end through the
     // noop sink (what a first-time user pays, incl. analysis + codegen).
     val cold: Seq[(String, Double)] =
-      selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      framesLeg() ++ selected.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -64,7 +97,7 @@ object Bench {
     // is the standard steady-state estimator and stays honest (every
     // reported time was actually achieved end-to-end).
     def warmPass(): Seq[(String, Double)] =
-      selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      framesLeg() ++ selected.toSeq.sortBy(_._1).map { case (name, fn) =>
         try {
           val t0 = System.nanoTime()
           fn(spark, sfDir).queryExecution.toRdd.foreachPartition(
@@ -77,10 +110,20 @@ object Bench {
             name -> -1.0
         } finally SparkEntry.drainTempDirs()
       }
-    val results: Seq[(String, Double)] = warmPass().zip(warmPass()).map {
-      case ((name, a), (_, b)) =>
-        // a failure in either pass stays a failure, never a "fast" -1
-        name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+    // pass-boundary block release (r18, verdict item 4): bound the
+    // localCheckpoint block accumulation at one pass — see
+    // SparkEntry.releaseCheckpointBlocks for why not per-query
+    SparkEntry.releaseCheckpointBlocks()
+    val results: Seq[(String, Double)] = {
+      val p1 = warmPass()
+      SparkEntry.releaseCheckpointBlocks()
+      val p2 = warmPass()
+      SparkEntry.releaseCheckpointBlocks()
+      p1.zip(p2).map {
+        case ((name, a), (_, b)) =>
+          // a failure in either pass stays a failure, never a "fast" -1
+          name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      }
     }
 
     // End-to-end ingest pipeline (BASELINE.md bench plan): changelog →
@@ -154,16 +197,22 @@ object Bench {
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total":${r3(coldTotal)},"ingest_docs":$ingestDocs,"ingest_docs_per_sec":${r3(ingestRate)},"ingest_delta_docs_per_sec":${r3(deltaRate)},"failed_queries":$failed}"""
     System.err.println(line) // second channel in case stdout is decorated
     println(line) // full contract line, per-query map included
-    // The driver scrapes only the LAST ~2000 stdout chars; at 150+
-    // queries the full line is ~3.5 KB, so its opening brace falls
-    // outside the window (BENCH_r01–r04 all "parsed": null). Emit a
-    // window-sized twin LAST — same schema, per-query map elided (the
-    // full map is the line above and bench_out.json).
-    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{},"queries_in":"bench_out.json","n_queries":${results.size},"sf":"$sfDir","cold_total":${r3(coldTotal)},"ingest_docs":$ingestDocs,"ingest_docs_per_sec":${r3(ingestRate)},"ingest_delta_docs_per_sec":${r3(deltaRate)},"failed_queries":$failed}"""
+    // The driver scrapes only the LAST ~2000 stdout chars; at 360+
+    // queries the full line is ~8 KB, so its opening brace falls outside
+    // the window (every BENCH_rNN so far carries "parsed": null). Emit a
+    // window-sized twin LAST — same schema; the per-query map is
+    // inlined when it fits the window (filtered bisect runs) and
+    // otherwise lives in the full line above plus the cpus-keyed pointer
+    // file. r18: stdout is no longer [info]-decorated (build.sbt
+    // run/outputStrategy := StdoutOutput — the round-1 parse breaker),
+    // so this last line is bare JSON the driver can json-parse, and the
+    // pointer file is keyed by the core count so the low-core scaling
+    // run can never clobber the 32-core map (the r17 failure).
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      s"bench_out_c$cpus.json")
+    val qsCompact = if (qs.length <= 1300) qs else "{}"
+    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsCompact,"queries_in":"$outFile","n_queries":${results.size},"cpus":$cpus,"sf":"$sfDir","cold_total":${r3(coldTotal)},"ingest_docs":$ingestDocs,"ingest_docs_per_sec":${r3(ingestRate)},"ingest_delta_docs_per_sec":${r3(deltaRate)},"failed_queries":$failed}"""
     println(compact)
-    // stdout arrives wrapped in sbt [info] decoration, which broke the
-    // round-1 driver parse — also write the bare line to a plain file
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes("UTF-8"))
     catch {

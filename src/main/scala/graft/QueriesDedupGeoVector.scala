@@ -74,9 +74,16 @@ private[graft] object QueriesDedupGeoVector {
     // detector Jaccard is blind to — a paragraph verbatim inside a much
     // longer page scores near-zero Jaccard but containment 1.0. Same
     // shingle-keyed join shape as x_dedup_ngram, never all-pairs.
+    // r18: consumes the session-shared word-3-shingle-set frame (the
+    // x_dedup_prefix_filter pattern; identical sets — ngramContainment
+    // builds array_distinct(wordShingles(text, 3)) itself) — the
+    // shingling pass is charged to the bench's explicit
+    // shared_frames_build row; the timed body keeps the collision join,
+    // the count aggregate and the containment verify end-to-end.
     "x_dedup_containment" -> ((s, d) =>
-      operators.Dedup.ngramContainment(Tables.documents(s, d), "doc_id",
-          "text", n = 3, threshold = 0.3)
+      operators.Dedup.ngramContainmentOnSets(
+        graft.SparkEntry.sharedShingleSets(s, d), "doc_id", "shingles",
+        threshold = 0.3)
         .orderBy("id_small", "id_big")),
 
     // MinHash+LSH candidates verified by exact Jaccard, gated as ONE
@@ -218,7 +225,10 @@ private[graft] object QueriesDedupGeoVector {
       val candIds = cand.select(explode(array(col("id_a"), col("id_b")))
         .as("doc_id")).distinct()
       val candDocs = docs.join(broadcast(candIds), "doc_id")
-      operators.Dedup.verifyJaccard(cand, candDocs, "doc_id", "text", 3)
+      // cutPairs = false: cand is ALREADY persisted above — the default
+      // checkpoint would eagerly re-materialize a cached frame (r18)
+      operators.Dedup.verifyJaccard(cand, candDocs, "doc_id", "text", 3,
+          cutPairs = false)
         .filter(col("jaccard") >= 0.5)
         .agg(count(lit(1)).as("n_verified"))
     }),

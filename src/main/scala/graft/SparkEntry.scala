@@ -55,6 +55,40 @@ object SparkEntry {
   private val sharedFrames =
     new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
 
+  /** Drop every session-shared frame (delete the parquet dirs, clear the
+    * memo) so the next consumer rebuilds from the raw tables. The bench
+    * calls this at the start of each pass and then TIMES the rebuild as
+    * an explicit `shared_frames_build` board row — the r17 verdict's
+    * accounting fix: the frame construction the dedup-family gates
+    * consume must be charged to the reported board total, not absorbed
+    * invisibly by whichever pass happened to run first.
+    */
+  private[graft] def resetSharedFrames(): Unit = {
+    val it = sharedFrames.values().iterator()
+    while (it.hasNext) {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(it.next()))
+    }
+    sharedFrames.clear()
+  }
+
+  /** Force-build every session-shared frame (the four dedup-family
+    * reference frames). Each accessor's `computeIfAbsent` writes the
+    * parquet copy eagerly, so returning from here means all four frames
+    * are fully materialized on disk.
+    */
+  private[graft] def buildSharedFrames(s: SparkSession, d: String): Unit = {
+    sharedExactPairs(s, d)
+    sharedExactPairs03(s, d)
+    sharedShingleSets(s, d)
+    sharedPrunedCosinePairs(s, d)
+    ()
+  }
+
   private[graft] def sharedFrame(s: SparkSession, sfDir: String, key: String)(
       build: => DataFrame): DataFrame = {
     val dir = sharedFrames.computeIfAbsent((sfDir, key), _ => {
@@ -125,6 +159,28 @@ object SparkEntry {
     var d = pendingTempDirs.poll()
     while (d != null) { rm(new java.io.File(d)); d = pendingTempDirs.poll() }
   }
+
+  /** Release every persisted/locally-checkpointed RDD's blocks (r18,
+    * verdict item 4): ~10 dedup/media operators localCheckpoint a derived
+    * table per call, and without an explicit release the blocks pile up
+    * across a 363-query board until ContextCleaner happens to GC the RDD
+    * objects — the suspected cause of the r17 board-wide small-row drift
+    * and the ingest_pipeline (last row) 0.86→1.39 s regression at 32
+    * cores. Called at PASS BOUNDARIES and before the ingest section, not
+    * per query: a per-query async release was measured interfering with
+    * the next rows' tiny jobs (+5-25% on store-mutation rows), while the
+    * pass-boundary release still bounds accumulation at one pass and
+    * hands the ingest section a clean block manager. Safe only AFTER the
+    * pass's results are fully materialized — a released
+    * locally-checkpointed RDD cannot recompute.
+    */
+  def releaseCheckpointBlocks(): Unit =
+    SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .foreach { s =>
+        s.sparkContext.getPersistentRDDs.valuesIterator
+          .foreach(_.unpersist(blocking = false))
+      }
 
   /** events with `op` RowKind column synthesized from event_type — the CDC
     * test fixture: signup→+I, error→-D, view→-U (dropped), rest→+U.

@@ -19,6 +19,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // see Bench: the drain hook's unpersist of locally-checkpointed RDDs
+    // WARNs per release — deliberate and safe, silence the noise
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -28,7 +32,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      finally SparkEntry.drainTempDirs() // result is on disk; free the gate's index dirs
+      finally {
+        SparkEntry.drainTempDirs() // result is on disk; free the gate's index dirs
+        // untimed run: per-query block release is free here and bounds
+        // the localCheckpoint block growth across the 362-query dump
+        SparkEntry.releaseCheckpointBlocks()
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -79,11 +79,41 @@ object Dedup {
     * aggregate, never all-pairs.
     */
   def ngramContainment(df: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double): DataFrame = {
+      n: Int, threshold: Double): DataFrame =
+    ngramContainmentOnSets(
+      df.select(col(idCol).as("_sid"),
+        array_distinct(TextFunctions.wordShingles(col(textCol), n)).as("_tk")),
+      "_sid", "_tk", threshold)
+
+  /** [[ngramContainment]] over PRE-BUILT distinct shingle sets — the
+    * entry point for callers that already hold (or share) the
+    * shingle-set frame, so the shingling pass is paid once per corpus
+    * (the [[prefixFilterJoinOnSets]] pattern). Two r18 cost trims over
+    * the r17 body, semantics identical: per-doc set sizes come from
+    * `size(set)` directly (the r17 form re-derived them with a THIRD
+    * corpus-wide shuffle over the exploded rows), and the exploded
+    * relation feeds only the two collision-join sides.
+    *
+    * A prefix-filtered candidate generator (the r17 verdict's item 5)
+    * was implemented and MEASURED SLOWER here (x_dedup_containment
+    * 2.0 → 6.4 s at sf0.1, t = 0.3): at low thresholds the small-side
+    * prefix is (1−t)·n + 1 ≈ 70% of each doc, the big side cannot be
+    * pruned at all (its bound depends on the unknown |small|), so
+    * candidates barely shrink while the df aggregate, per-doc rank
+    * window, candidate distinct and per-pair array_intersect all cost
+    * extra — the collision join's map-side-combinable count aggregate
+    * is the cheaper exact verifier at bulk thresholds. Recorded as a
+    * negative result (OPTIMIZATION_r18.md); the completeness property
+    * test written for it is kept pinning this form against the naive
+    * join.
+    */
+  def ngramContainmentOnSets(sets0: DataFrame, idCol: String,
+      setCol: String, threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
-    val sh = shingles(df, idCol, textCol, n)
-    val counts = sh.groupBy("_id").agg(count(lit(1)).as("n_sh"))
+    val sets = sets0.select(col(idCol).as("_sid"), col(setCol).as("_tk"))
+    val sh = sets.select(col("_sid").as("_id"), explode(col("_tk")).as("shingle"))
+    val counts = sets.select(col("_sid").as("_id"), size(col("_tk")).as("n_sh"))
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a._id") < col("b._id"))
       .groupBy(col("a._id").as("id_a"), col("b._id").as("id_b"))
@@ -246,7 +276,21 @@ object Dedup {
     * their threshold.
     */
   def verifyJaccard(pairs: DataFrame, df: DataFrame, idCol: String,
-      textCol: String, shingleN: Int): DataFrame = {
+      textCol: String, shingleN: Int): DataFrame =
+    verifyJaccard(pairs, df, idCol, textCol, shingleN, cutPairs = true)
+
+  /** [[verifyJaccard]] with the PAIR-set lineage cut optional — r18
+    * (advisor): callers whose pair frame is already persisted or cheap
+    * (x_dedup_incremental_probe persists its probe candidates before
+    * calling) pass `cutPairs = false` and skip the redundant eager
+    * materialize-and-read-back; the LSH/banded callers with join-heavy
+    * candidate lineages keep the default cut — the same opt-in shape as
+    * InvertedIndex.writePostings' persistInput. The candidate shingle
+    * table's own cut is unconditional: it is referenced by both join
+    * sides and its shingling pass is always worth running once.
+    */
+  def verifyJaccard(pairs: DataFrame, df: DataFrame, idCol: String,
+      textCol: String, shingleN: Int, cutPairs: Boolean): DataFrame = {
     // r17, candidates-only all the way down (guide §1.2): the old body
     // shingled the WHOLE corpus once per pair side (two passes), and a
     // semi-join pruning would have re-executed the candidate
@@ -257,7 +301,8 @@ object Dedup {
     // O(candidates), never the corpus — and (3) the candidate shingle
     // table is cut once and read by both join sides. Results identical:
     // the inner joins on id_a/id_b never matched non-candidate docs.
-    val p = pairs.select("id_a", "id_b").localCheckpoint()
+    val p0 = pairs.select("id_a", "id_b")
+    val p = if (cutPairs) p0.localCheckpoint() else p0
     val ids = p.select(col("id_a").as("_sid"))
       .unionByName(p.select(col("id_b").as("_sid"))).distinct()
     val shSets = df.select(col(idCol).as("_sid"), col(textCol).as("_stx"))
@@ -491,14 +536,19 @@ object Dedup {
         // localCheckpoint truncates lineage each round — without it the
         // plan doubles per iteration and planning itself blows the heap
         // long before the data does (use reliable checkpointing on a
-        // cluster if executor loss during the loop matters)
+        // cluster if executor loss during the loop matters). r18: the
+        // OLD label rides inside the checkpointed frame, so the
+        // convergence probe is a filter over the just-cached blocks —
+        // the previous id-keyed next⋈labels compare join re-shuffled
+        // both node-sized frames every round for a value `next` already
+        // knew.
         val next = labels.join(viaEdges, Seq("id"), "left")
-          .select(col("id"),
+          .select(col("id"), col("root").as("_old"),
             least(col("root"), coalesce(col("nroot"), col("root"))).as("root"))
           .localCheckpoint(true)
-        val changed = next.join(labels.withColumnRenamed("root", "old"), "id")
-          .filter(col("root") =!= col("old")).limit(1).count()
-        labels = next
+        val changed = next.filter(col("root") =!= col("_old"))
+          .limit(1).count()
+        labels = next.select("id", "root")
         converged = changed == 0
         round += 1
       }

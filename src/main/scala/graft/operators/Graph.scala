@@ -41,9 +41,20 @@ object Graph {
     val ids = nodes.select(col(nodeCol).as("id"))
     val n = ids.count().toDouble // bounded driver scalar, like Ivf's k
     require(n > 0, "pageRank needs at least one node")
+    // r18 (guide §1.2): the edge list and outdegree table are re-derived
+    // by EVERY iteration's join inside the one final action — cut each
+    // once. The rank chain itself is NOT checkpointed: each iteration
+    // references the previous rank exactly once, so the whole chain
+    // executes once per action and a per-round eager cut was MEASURED
+    // pure overhead at 5 iterations (x_pagerank +6% — the hits/walks
+    // operators, whose intermediates ARE multiply referenced, keep
+    // their cuts). Trade (documented at the LSH checkpoint): no lineage
+    // recovery for the two derived tables.
     val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
+      .localCheckpoint()
     val deg = e.groupBy("_src")
       .agg(count(lit(1)).cast("double").as("_outdeg"))
+      .localCheckpoint()
     var rank = ids.withColumn("rank", lit(1.0) / lit(n))
     for (_ <- 1 to iters) {
       val contrib = e
@@ -84,9 +95,13 @@ object Graph {
     require(t > 0, "personalizedPageRank needs a non-empty topic set")
     val teleport = when(col("_topic"), lit(1.0 - damping) / lit(t))
       .otherwise(lit(0.0))
+    // r18: same edge/outdegree lineage cuts as [[pageRank]] (guide
+    // §1.2); the rank chain stays uncut for the same measured reason.
     val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
+      .localCheckpoint()
     val deg = e.groupBy("_src")
       .agg(count(lit(1)).cast("double").as("_outdeg"))
+      .localCheckpoint()
     var rank = ids.withColumn("rank",
       when(col("_topic"), lit(1.0) / lit(t)).otherwise(lit(0.0)))
     for (_ <- 1 to iters) {
@@ -121,7 +136,10 @@ object Graph {
       sources: DataFrame, sourceCol: String, maxHops: Int): DataFrame = {
     require(maxHops >= 1 && maxHops <= 100,
       s"maxHops must be in [1, 100], got $maxHops")
+    // r18: the edge list is re-derived by every hop's join — cut it once
+    // (guide §1.2; recovery trade documented at pageRank's checkpoint)
     val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
+      .localCheckpoint()
     var dist = sources.select(col(sourceCol).as("id")).distinct()
       .withColumn("dist", lit(0L)).localCheckpoint(true)
     var frontier = dist.select("id")
@@ -164,6 +182,10 @@ object Graph {
       .join(deg.select(col("v").as("b"), col("_deg").as("_db")), "b")
     // orient low-(deg, id) → high-(deg, id); carry the target's key for
     // the wedge-pair ordering
+    // r18: `oriented` is referenced three times (both wedge legs + the
+    // closing semi-join) and its lineage is two joins over the degree
+    // aggregate — cut it once (guide §1.2; edge-sized, the same rows the
+    // wedge join shuffles anyway; recovery trade as at pageRank)
     val oriented = keyed.select(
       when(col("_da") < col("_db") ||
           (col("_da") === col("_db") && col("a") < col("b")),
@@ -172,6 +194,7 @@ object Graph {
         struct(col("b").as("x"), col("a").as("y"), col("_da").as("dy")))
       .as("e"))
       .select(col("e.x").as("x"), col("e.y").as("y"), col("e.dy").as("dy"))
+      .localCheckpoint()
     val e1 = oriented.alias("e1")
     val e2 = oriented.alias("e2")
     val wedges = e1.join(e2,
@@ -204,7 +227,15 @@ object Graph {
     val ids = nodes.select(col(nodeCol).as("id"))
     val n = ids.count().toDouble // bounded driver scalar
     require(n > 0, "hits needs at least one node")
+    // r18 (guide §1.2): every propagate output was referenced TWICE (the
+    // next propagation's join + the final select) and `raw` twice within
+    // one propagate (the L1 normalizer + the join) — with 2 iterations
+    // the first edge join re-executed up to 12×, exponential in iters.
+    // Cutting the edge list once and each node-sized intermediate makes
+    // every propagation run its join + aggregate exactly once. Recovery
+    // trade documented at pageRank's checkpoint.
     val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
+      .localCheckpoint()
     def propagate(rank: DataFrame, valCol: String, fromCol: String,
         toCol: String): DataFrame = {
       val raw = e
@@ -212,11 +243,13 @@ object Graph {
           Seq(fromCol))
         .groupBy(col(toCol).as("id"))
         .agg(sum(round(col("_v"), 12).cast("decimal(26,12)")).as("_r"))
+        .localCheckpoint()
       val total = raw.agg(sum("_r").as("_t"))
       ids.join(raw, Seq("id"), "left").crossJoin(broadcast(total))
         .select(col("id"),
           coalesce(col("_r").cast("double") / col("_t").cast("double"),
             lit(0.0)).as(valCol))
+        .localCheckpoint()
     }
     var hub = ids.withColumn("hub", lit(1.0) / lit(n))
     var auth = ids.withColumn("auth", lit(0.0))
@@ -253,12 +286,18 @@ object Graph {
       .distinct()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("_src").orderBy("_dst")
+    // r18 (guide §1.2): the ranked edge list was re-built (scan + window)
+    // once per step per downstream reference, and each step's frontier is
+    // referenced twice (next step's join + the output union) — cut both.
+    // Recovery trade documented at pageRank's checkpoint.
     val ranked = e
       .withColumn("_rk", row_number().over(w).cast("long") - 1)
       .withColumn("_deg", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("_src")))
+      .localCheckpoint()
     var cur = starts.select(col(startCol).as("start")).distinct()
       .withColumn("node", col("start"))
+      .localCheckpoint()
     var acc = cur.withColumn("step", lit(0))
     for (t <- 1 to steps) {
       cur = cur
@@ -267,6 +306,7 @@ object Graph {
           Corpus.sampleHash(concat(col("start").cast("string"),
             lit(s":$t"))), col("_deg")))
         .select(col("start"), col("_dst").as("node"))
+        .localCheckpoint()
       acc = acc.unionByName(cur.withColumn("step", lit(t)))
     }
     acc

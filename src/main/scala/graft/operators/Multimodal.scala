@@ -1763,7 +1763,9 @@ object Multimodal {
       .localCheckpoint()
     val anchors = h.filter(col("_f") === 0)
       .select(col("_id").as("id"), col("_h").as("ahash"))
-    val cand = nearDuplicateImages(anchors, "id", "ahash", maxHamming)
+    // anchors is a cheap filter of the checkpoint above — no second cut
+    val cand = nearDuplicateImagesImpl(anchors, "id", "ahash", maxHamming,
+        cutLineage = false)
       .select(col("id_a"), col("id_b"))
     cand
       .join(h.as("a"), col("id_a") === col("a._id"))
@@ -1976,7 +1978,19 @@ object Multimodal {
     * non-degenerate corpora.
     */
   def nearDuplicateImages(hashes: DataFrame, idCol: String,
-      hashCol: String, maxHamming: Int): DataFrame = {
+      hashCol: String, maxHamming: Int): DataFrame =
+    nearDuplicateImagesImpl(hashes, idCol, hashCol, maxHamming,
+      cutLineage = true)
+
+  /** [[nearDuplicateImages]] body with the lineage cut optional — r18
+    * (advisor): [[nearDuplicateVideos]] already localCheckpoints its
+    * frame-hash table and passes a cheap filter of that checkpoint in as
+    * `hashes`; checkpointing AGAIN was a redundant eager materialization
+    * job plus duplicate block storage per call, so the video path calls
+    * this with `cutLineage = false`.
+    */
+  private def nearDuplicateImagesImpl(hashes: DataFrame, idCol: String,
+      hashCol: String, maxHamming: Int, cutLineage: Boolean): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,
       s"maxHamming must be in [0, 15] (band width >= 4 bits), " +
         s"got $maxHamming")
@@ -1986,9 +2000,9 @@ object Multimodal {
     // lineage is usually an image encode+decode+hash chain — cut it with
     // an eager localCheckpoint so the codecs run once (same rationale
     // and trade as nearDuplicateVideos)
-    val h = hashes.filter(col(hashCol).isNotNull)
+    val h0 = hashes.filter(col(hashCol).isNotNull)
       .select(col(idCol).as("_id"), col(hashCol).as("_h"))
-      .localCheckpoint()
+    val h = if (cutLineage) h0.localCheckpoint() else h0
     val banded = h.select(col("_id"), col("_h"),
       explode(array((0 until bands).map { b =>
         val w = if (b == bands - 1) 64 - b * width else width

@@ -81,8 +81,27 @@ private[sink] object DeltaLog {
             try { l(); None } catch { case e: Throwable => Some(e) }
         }
       }
-      // invokeAll blocks until EVERY leg finished (success or failure)
-      val outcomes = pool.invokeAll(tasks.asJava).asScala.map(_.get())
+      // invokeAll blocks until EVERY leg finished (success or failure).
+      // r18 (advisor): that guarantee does NOT survive interruption —
+      // an interrupted invokeAll cancels unfinished tasks and throws
+      // immediately, and get() can throw CancellationException past the
+      // Option collection. The catch below restores the barrier: wait
+      // out every already-RUNNING leg (shutdownNow + awaitTermination;
+      // queued-but-unstarted tasks are cancelled, which is safe — they
+      // never touched the filesystem) before propagating, so commit
+      // cleanup can never race a still-writing leg.
+      val outcomes =
+        try pool.invokeAll(tasks.asJava).asScala.map(_.get())
+        catch {
+          case e @ (_: InterruptedException |
+              _: java.util.concurrent.CancellationException) =>
+            pool.shutdownNow()
+            // bounded patience: a wedged leg shouldn't hang shutdown
+            // forever, but a healthy parquet write gets to finish
+            pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+            Thread.currentThread().interrupt()
+            throw e
+        }
       outcomes.flatten.headOption.foreach(e => throw e)
     } finally pool.shutdown()
   }

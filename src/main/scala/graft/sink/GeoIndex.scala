@@ -179,7 +179,14 @@ object GeoIndex {
     val spark = points.sparkSession
     // r17: meta and base are independent writes — concurrent jobs
     // (guide §2.6; A/B-measured vs sequential at sf0.1: parallel wins
-    // on every geo row, 15.56 s vs 16.36 s over the 8-row family)
+    // on every geo row, 15.56 s vs 16.36 s over the 8-row family).
+    // r18: the advisor's meta-before-install ordering was implemented
+    // and MEASURED at +8-26% on the store-building rows (the serialized
+    // tiny job no longer overlaps the install; x_geo_upsert
+    // 2.40→2.79 s) — rejected; the partial-failure window it narrows is
+    // already bounded: a rebuild is a serving cutover under a fenced
+    // single writer, and a crash mid-write leaves the store a rebuild
+    // re-runs anyway (OPTIMIZATION_r18.md, advisor item 2).
     DeltaLog.inParallel(
       () => spark.createDataFrame(
           spark.sparkContext.parallelize(

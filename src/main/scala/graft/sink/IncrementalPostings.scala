@@ -36,6 +36,22 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalPostings {
 
+  // r18: isolated read session for the positional→flat derive (one per
+  // parent session, memoized — newSession() builds a whole SessionState
+  // and costs ~0.2 s, which showed up per init call when created inline).
+  // Its one-shot conf (huge file-open cost ⇒ one scan partition per
+  // file; oversized files still split) keeps the derived flat postings'
+  // term-range layout file for file without perturbing concurrent legs
+  // of the parent session.
+  private val filePerSplitSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+  private def filePerSplitSession(spark: SparkSession): SparkSession =
+    filePerSplitSessions.computeIfAbsent(spark, { s =>
+      val rs = s.newSession()
+      rs.conf.set("spark.sql.files.openCostInBytes", (1L << 40).toString)
+      rs
+    })
+
   /** Lay down the base index (sequence 0). `withPositions` makes the
     * index POSITIONAL — Lucene's positions data, phrase-query-capable
     * via [[phraseSearch]] — an index-level property: every subsequent
@@ -64,7 +80,13 @@ object IncrementalPostings {
             InvertedIndex.writePostings(
               InvertedIndex.positionalPostings(docs, idCol, textCol),
               s"$tmp/positional")
-            spark.read.parquet(s"$tmp/positional")
+            // r18 (advisor): read the positional files back ONE SPARK
+            // PARTITION PER FILE so the derived flat postings keep the
+            // term-range layout file for file — the plain read packs
+            // several disjoint-range files into one split (openCost
+            // 4 MB), widening each output file's term min/max stats and
+            // weakening writePostings' row-group pruning.
+            filePerSplitSession(spark).read.parquet(s"$tmp/positional")
               .select(col("term"), col("doc_id"),
                 size(col("positions")).as("tf"))
               .write.mode("overwrite").parquet(s"$tmp/postings")

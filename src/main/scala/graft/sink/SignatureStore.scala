@@ -94,7 +94,8 @@ object SignatureStore {
     val spark = df.sparkSession
     val m = Meta(idCol, textCol, shingleN, numHashes, bands, nPb)
     // r17: meta and base are independent writes — concurrent jobs
-    // (guide §2.6)
+    // (guide §2.6). r18: advisor's meta-before-install ordering measured
+    // and rejected — rationale at GeoIndex.write.
     DeltaLog.inParallel(
       () => spark.createDataFrame(
           spark.sparkContext.parallelize(

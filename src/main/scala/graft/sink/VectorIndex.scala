@@ -99,7 +99,10 @@ object VectorIndex {
       StructField("centroid", ArrayType(DoubleType, containsNull = false),
         nullable = false)))
     // r17: model/meta/base are independent writes — concurrent jobs
-    // (guide §2.6); only the radii pass depends on the installed base
+    // (guide §2.6); only the radii pass depends on the installed base.
+    // r18: advisor's meta-before-install ordering measured and rejected
+    // (x_knn_indexed +14%, x_sim_ivf_stats +17%) — rationale at
+    // GeoIndex.write.
     DeltaLog.inParallel(
       () => spark.createDataFrame(
           spark.sparkContext.parallelize(centroidRows.toSeq, 1), centroidSchema)

@@ -572,6 +572,85 @@ class DedupSpec extends SparkSpec {
     assert(result.passed, result.status.toString)
   }
 
+  test("ngramContainment property: ≡ the naive collision join for random corpora and thresholds") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // r18: ngramContainment generates candidates via the small side's
+    // prefix joined against the big side's full element set — the
+    // asymmetric-containment completeness bound must reproduce the old
+    // full-collision join EXACTLY for every (corpus, threshold),
+    // including thresholds where t·n lands on integers
+    val vocab = Vector("ant", "bee", "cat", "dog", "elk", "fox", "gnu",
+      "hen", "ibis", "jay", "kite", "lark")
+    val docGen = for {
+      k <- Gen.choose(1, 8)
+      toks <- Gen.pick(k, vocab)
+    } yield toks.mkString(" ")
+    val corpusGen = for {
+      n <- Gen.choose(4, 18)
+      docs <- Gen.listOfN(n, docGen)
+      tPct <- Gen.choose(5, 100)
+    } yield (docs, tPct / 100.0)
+    val prop = Prop.forAll(corpusGen) { case (docs, t) =>
+      val df = docs.zipWithIndex.map { case (d, i) => (i.toLong, d) }
+        .toDF("doc_id", "text")
+      val tk = df.select(col("doc_id"),
+        explode(array_distinct(graft.functions.TextFunctions.tokens(
+          col("text")))).as("tok"))
+      val cnt = tk.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      // the pre-r18 algorithm verbatim: every colliding pair, then the
+      // size-ordered containment select
+      val naive = tk.as("a").join(tk.as("b"),
+          col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("common"))
+        .join(cnt.withColumnRenamed("doc_id", "id_a")
+          .withColumnRenamed("n", "na"), "id_a")
+        .join(cnt.withColumnRenamed("doc_id", "id_b")
+          .withColumnRenamed("n", "nb"), "id_b")
+        .select(
+          when(col("na") <= col("nb"), col("id_a")).otherwise(col("id_b"))
+            .as("id_small"),
+          when(col("na") <= col("nb"), col("id_b")).otherwise(col("id_a"))
+            .as("id_big"),
+          round(col("common").cast("double") / least(col("na"), col("nb")), 6)
+            .as("containment"))
+        .filter(col("containment") >= t)
+        .as[(Long, Long, Double)].collect().toSet
+      val got = Dedup.ngramContainment(df, "doc_id", "text", 1, t)
+        .as[(Long, Long, Double)].collect().toSet
+      Prop(got == naive) :|
+        s"t=$t n=${docs.size}: missing=${naive -- got} extra=${got -- naive}"
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(result.passed, result.status.toString)
+  }
+
+  test("ngramContainment: FP-overshoot boundary — t·n exactly integer, pair at containment = t") {
+    // the prefixFilterJoin boundary fixture, transposed to containment:
+    // SMALL doc with 100 distinct tokens, BIG doc sharing exactly 7 of
+    // them (the globally-frequent ones, so canonical order puts them at
+    // positions 94-100 of the small doc). containment = 7/100 = 0.07 =
+    // t, and 0.07 × 100 overshoots to 7.000000000000001 in IEEE — the
+    // unguarded ceil would shorten the small side's prefix to 93 and
+    // lose the pair.
+    val sTokens = (0 until 93).map(i => f"rare$i%03d") ++
+      (0 until 7).map(i => f"common$i")
+    val gTokens = (0 until 7).map(i => f"common$i") ++
+      (0 until 110).map(i => f"big$i%03d")
+    val fillers = (0 until 12).map { j =>
+      (200L + j, (0 until 7).map(i => f"common$i").mkString(" ") + s" filler$j")
+    }
+    val df = (Seq(
+      (1L, sTokens.mkString(" ")),
+      (2L, gTokens.mkString(" "))) ++ fillers).toDF("doc_id", "text")
+    val got = Dedup.ngramContainment(df, "doc_id", "text", 1, 0.07)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got.contains((1L, 2L, 0.07)),
+      s"the boundary pair (containment exactly = t, t·n an exact " +
+        s"integer) must survive the prefix prune; got $got")
+  }
+
   test("prefixFilterJoin: FP-overshoot boundary — t·n exactly integer, pair at jaccard = t") {
     // ADVICE r16: 0.07 × 100 = 7.000000000000001 in IEEE doubles, so an
     // unguarded ceil(t·n) returns 8 and shortens the 100-token doc's
